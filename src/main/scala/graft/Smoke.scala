@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Mimics the driver's t1 smoke: fresh default session (no special confs),
+  * run SparkEntry.entry, require rows > 0. */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = SparkEntry.entry(spark).count()
+    println(s"SMOKE entry rows=$n ${if (n > 0) "OK" else "FAIL"}")
+    spark.stop()
+    if (n <= 0) sys.exit(1)
+  }
+}

@@ -1,13 +1,433 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.agg.{ContentMetrics, Windows}
+import graft.functions.{GraftFunctions, TextFunctions}
+import graft.operators._
+
+/** Driver contract: the operator catalog (SURVEY.md §2 batch analogues +
+  * LLM-pipeline extensions), each entry paired with an ANSI-SQL oracle that
+  * DuckDB executes over the same parquet tables.
+  *
+  * Output conventions (chosen for bit-exact cross-engine comparison and for
+  * partition-order independence at scale):
+  *  - timestamps are epoch-millis BIGINT (`*_ms`), the reference's own
+  *    data-plane convention (SURVEY §1.3);
+  *  - money is integer cents/e4/e6 fixed-point BIGINT (the reference uses
+  *    amount_micros longs) — integer sums are associative, double sums are
+  *    not;
+  *  - ratio thresholds are decided in integer arithmetic;
+  *  - every ranking has a total order (explicit unique-id tie-breaks).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: hourly content-metrics rollup (SURVEY A9+A11 analogue). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    ContentMetrics.hourly(Tables.load(spark, "/root/testdata/sf0.001", "events"))
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** events with ts projected to epoch millis. */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts_ms", unix_millis(col("ts")))
+
+  private def cents(c: Column): Column = ContentMetrics.cents(c)
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/A7+P9: grouped fixed-point aggregation (TPC-H Q1 shape)
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_base_cents"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+            .cast("long")).as("sum_disc_e4"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax")) * 1000000).cast("long")).as("sum_charge_e6"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // S3+A6: fact-to-dimension star join, dims broadcast (no fact shuffle)
+    "q02_region_revenue" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(cents(col("o_totalprice"))).as("revenue_cents"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // A8: top-N per group
+    "q03_top_orders" -> ((s, dir) =>
+      TopN.topN(t(s, dir, "orders"), Seq("o_orderpriority"),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+        .select(col("o_orderpriority"), col("rank"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("total_cents"))),
+
+    // A9+A11: sparse metric-column union + hourly tumble
+    "q04_hourly_metrics" -> ((s, dir) =>
+      ContentMetrics.hourly(t(s, dir, "events"))),
+
+    // A2: sliding 1h/15m counts
+    "q05_sliding_counts" -> ((s, dir) =>
+      Windows.slidingCount(ev(s, dir), Seq("event_type"), "ts_ms",
+        3600000L, 900000L)),
+
+    // A3: sliding 7d/1d counts
+    "q06_weekly_counts" -> ((s, dir) =>
+      Windows.slidingCount(ev(s, dir), Seq("event_type"), "ts_ms",
+        7L * 86400000L, 86400000L)),
+
+    // A10: CUMULATE — hourly-stepped day-to-date totals
+    "q07_cumulate" -> ((s, dir) =>
+      Windows.cumulativeCount(ev(s, dir), Seq("event_type"), "ts_ms",
+        86400000L, 3600000L)),
+
+    // J7: event-time session windows (4h gap)
+    "q08_sessionize" -> ((s, dir) =>
+      Sessionize.sessionBounds(
+        ev(s, dir).select(col("user_id"), col("ts_ms"), col("event_id")),
+        Seq("user_id"), "ts_ms", 4L * 3600000L, "event_id")),
+
+    // J9/J10: as-of (temporal) join, 1-day tolerance
+    "q09_asof_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val fact = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+      val dim = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts_ms").as("click_ts_ms"))
+      AsOfJoin.leftAsOf(fact, dim, Seq("user_id"), "ts_ms", "click_ts_ms",
+        Seq("click_id"), "click_id", 86400000L)
+    }),
+
+    // J1-J4 exact-key fast path: equi-key interval join ([-30m, 0])
+    "q10_interval_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      IntervalJoin.countInRange(
+        e.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_ms")),
+        e.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts_ms")),
+        Seq("user_id"), "ts_ms", "ts_ms", -1800000L, 0L,
+        "event_id", "n_clicks")
+    }),
+
+    // J11: seen-gate (left-semi join against a thresholded key set)
+    "q11_semi_gate" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val hot = e.where(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .where(col("n") >= 20).select("user_id")
+      e.join(hot, Seq("user_id"), "left_semi")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ms"))
+    }),
+
+    // D1: keyed first-wins dedupe
+    "q12_dedup_first" -> ((s, dir) =>
+      Dedup.keepFirst(
+        ev(s, dir).select(col("user_id"), col("event_type"), col("event_id"), col("ts_ms")),
+        Seq("user_id", "event_type"), Seq(col("ts_ms"), col("event_id")))),
+
+    // Dedup/exact: hash-groupBy duplicate groups
+    "q13_dedup_exact" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(col("event_type"), cents(col("value")).as("value_cents"))
+        .agg(min(col("event_id")).as("first_event_id"), count(lit(1)).as("n_dups"))
+        .where(col("n_dups") >= 2)),
+
+    // A4: last-seen + count per key
+    "q14_last_seen" -> ((s, dir) =>
+      Windows.lastTimeAndCount(ev(s, dir), Seq("user_id", "event_type"), "ts_ms")),
+
+    // A5-shape: thresholded key frequency over JSON-extracted props
+    "q15_hot_keys" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .where(col("n") >= 10)),
+
+    // Text analysis: token/char/quality per document
+    "q16_text_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.distinctTokenCount(col("text")).cast("long").as("n_uniq_tokens"),
+        length(col("text")).cast("long").as("n_chars_actual"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+    }),
+
+    // Text analysis: language-ID heuristic vs labeled lang
+    "q17_lang_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("lang"),
+          TextFunctions.langIdHeuristic(col("text")).as("detected"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+        .groupBy(col("lang"), col("detected"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("sum_tokens"))
+    }),
+
+    // Dedup/fingerprint: md5 of normalized text
+    "q18_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))),
+
+    // Dedup/near-dup: exact n-gram Jaccard via inverted-index join
+    "q19_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 1L, 2L)
+        .orderBy(col("a_id"), col("b_id"))),
+
+    // Similarity: exact cosine top-k (quantized deterministic scoring)
+    "q20_knn_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", 3)
+    }),
+
+    // Dedup/MinHash-LSH: banded candidates, est. Jaccard >= 1/2 (no oracle:
+    // signature hashing is not SQL-expressible; see MinHashSpec)
+    "q21_minhash_pairs" -> ((s, dir) =>
+      Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text", 3, 32, 8)
+        .where(col("matching") * 2 >= col("num_hashes"))),
+
+    // Dedup/SimHash 64-bit fingerprints (no oracle; see SimHashSpec)
+    "q22_simhash" -> ((s, dir) =>
+      Dedup.simHash64(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Similarity/LSH bucketing: sign-LSH candidate pairs (no oracle)
+    "q23_lsh_ann" -> ((s, dir) =>
+      Similarity.lshBucketedPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 10)),
+
+    // §2.9: seed-0 xxhash64 feature keys (no oracle; XxHash64Spec holds the
+    // public test vectors)
+    "q24_query_hash" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      t(s, dir, "events")
+        .select(lower(col("event_type")).as("q"))
+        .where(length(col("q")) <= 100)
+        .select(GraftFunctions.xxhash64Seed0(col("q")).as("query_hash"))
+        .groupBy(col("query_hash")).agg(count(lit(1)).as("n"))
+        .where(col("n") >= 100)
+    }),
+  )
+
+  // ----------------------------------------------------------- oracle SQL
+
+  /** DuckDB rendering of the langIdHeuristic argmax. Spark's array_max over
+    * struct(hits, lang) picks max hits, ties → lexicographically-largest
+    * lang; the CASE checks langs in reverse-lexicographic order to match. */
+  private val (langHitsSql, langCaseSql) = {
+    val hits = TextFunctions.langMarkers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      lang -> s"len(list_filter(tk, x -> list_contains($lst, x))) AS h_$lang"
+    }
+    val best = hits.map { case (l, _) => s"h_$l" }.mkString("greatest(", ", ", ")")
+    val cases = hits.reverse.map { case (lang, _) =>
+      s"WHEN h_$lang = $best THEN '$lang'" }.mkString(" ")
+    (hits.map(_._2).mkString(", "),
+      s"CASE WHEN $best = 0 THEN 'und' $cases ELSE 'und' END")
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+        | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000) AS BIGINT)) AS BIGINT) AS sum_charge_e6,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_region_revenue" ->
+      """SELECT r_name, n_name,
+        | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q03_top_orders" ->
+      """SELECT o_orderpriority, rank, o_orderkey, total_cents FROM (
+        | SELECT o_orderpriority,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |                     ORDER BY o_totalprice DESC, o_orderkey) AS rank,
+        |  o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS total_cents
+        | FROM orders) WHERE rank <= 3""".stripMargin,
+
+    "q04_hourly_metrics" ->
+      """SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS window_start_ms,
+        | CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view_count,
+        | CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click_count,
+        | CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup_count,
+        | CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error_count,
+        | CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_count,
+        | CAST(sum(CASE WHEN event_type='purchase' THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS gmv_cents
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q05_sliding_counts" ->
+      """SELECT (epoch_ms(ts) - epoch_ms(ts) % 900000) - k*900000 AS window_start_ms,
+        | event_type, count(*) AS n
+        |FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) ks
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q06_weekly_counts" ->
+      """SELECT (epoch_ms(ts) - epoch_ms(ts) % 86400000) - k*86400000 AS window_start_ms,
+        | event_type, count(*) AS n
+        |FROM events CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS k) ks
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q07_cumulate" ->
+      """WITH s AS (
+        | SELECT event_type,
+        |  epoch_ms(ts) - epoch_ms(ts) % 86400000 AS span_start_ms,
+        |  epoch_ms(ts) - epoch_ms(ts) % 3600000 AS step_ms,
+        |  count(*) AS n
+        | FROM events GROUP BY 1, 2, 3)
+        |SELECT span_start_ms, step_ms, event_type,
+        | CAST(sum(n) OVER (PARTITION BY event_type, span_start_ms
+        |                   ORDER BY step_ms ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+        |FROM s""".stripMargin,
+
+    "q08_sessionize" ->
+      """WITH o AS (
+        | SELECT user_id, epoch_ms(ts) AS ms, event_id,
+        |  CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |        OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 14400000
+        |       THEN 1 ELSE 0 END AS brk
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+        |SELECT user_id, min(ms) AS session_start_ms, max(ms) AS session_end_ms,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q09_asof_join" ->
+      """WITH f AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT f.*,
+        |   (SELECT d.event_id FROM events d
+        |    WHERE d.event_type = 'click' AND d.user_id = f.user_id
+        |      AND epoch_ms(d.ts) <= f.ts_ms
+        |      AND epoch_ms(d.ts) >= f.ts_ms - 86400000
+        |    ORDER BY epoch_ms(d.ts) DESC, d.event_id DESC LIMIT 1) AS click_id
+        |  FROM f)
+        |SELECT m.event_id, m.user_id, m.ts_ms, m.click_id,
+        |       epoch_ms(d2.ts) AS click_ts_ms
+        |FROM m LEFT JOIN events d2 ON d2.event_id = m.click_id""".stripMargin,
+
+    "q10_interval_join" ->
+      """SELECT f.event_id, f.user_id, epoch_ms(f.ts) AS ts_ms,
+        |       count(d.event_id) AS n_clicks
+        |FROM events f
+        |LEFT JOIN events d ON d.event_type = 'click' AND d.user_id = f.user_id
+        |  AND epoch_ms(d.ts) >= epoch_ms(f.ts) - 1800000
+        |  AND epoch_ms(d.ts) <= epoch_ms(f.ts)
+        |WHERE f.event_type = 'purchase'
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q11_semi_gate" ->
+      """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+        |WHERE user_id IN (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  GROUP BY 1 HAVING count(*) >= 20)""".stripMargin,
+
+    "q12_dedup_first" ->
+      """SELECT user_id, event_type, event_id, ts_ms FROM (
+        | SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |                     ORDER BY epoch_ms(ts), event_id) AS rn
+        | FROM events) WHERE rn = 1""".stripMargin,
+
+    "q13_dedup_exact" ->
+      """SELECT event_type, CAST(round(value*100) AS BIGINT) AS value_cents,
+        | min(event_id) AS first_event_id, count(*) AS n_dups
+        |FROM events GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    "q14_last_seen" ->
+      """SELECT user_id, event_type, max(epoch_ms(ts)) AS last_ts_ms,
+        | count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q15_hot_keys" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        | count(*) AS n
+        |FROM events GROUP BY 1 HAVING count(*) >= 10""".stripMargin,
+
+    "q16_text_stats" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_uniq_tokens,
+        | CAST(length(text) AS BIGINT) AS n_chars_actual,
+        | greatest(least(
+        |   CAST(floor(least(len(regexp_split_to_array(trim(text), '\s+')), 40) * 25 / 40) AS BIGINT)
+        |   + CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 0
+        |      THEN CAST(floor(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) * 50
+        |                      / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+        |      ELSE 0 END
+        |   + (25 - CASE WHEN length(text) > 0
+        |      THEN least(CAST(floor((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 100 / length(text)) AS BIGINT), 25)
+        |      ELSE 0 END),
+        |  100), 0) AS quality
+        |FROM documents""".stripMargin,
+
+    "q17_lang_stats" ->
+      s"""WITH t AS (
+         | SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS tk
+         | FROM documents),
+         |h AS (SELECT doc_id, lang, $langHitsSql, len(tk) AS ntok FROM t)
+         |SELECT lang, $langCaseSql AS detected,
+         | count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS sum_tokens
+         |FROM h GROUP BY 1, 2""".stripMargin,
+
+    "q18_fingerprint" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+
+    "q19_ngram_jaccard" ->
+      """WITH t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+        |g AS (
+        | SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+        | FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk)-2)) AS i) ix
+        | WHERE len(tk) >= 3),
+        |z AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |      FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT a_id, b_id, inter, za.n AS na, zb.n AS nb
+        |FROM p JOIN z za ON za.doc_id = a_id JOIN z zb ON zb.doc_id = b_id
+        |WHERE inter * 2 >= (za.n + zb.n - inter) * 1""".stripMargin,
+
+    "q20_knn_cosine" ->
+      """WITH n AS (
+        | SELECT vec_id, embedding,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS nsq
+        | FROM embeddings),
+        |q AS (SELECT * FROM n WHERE vec_id < 20),
+        |s AS (
+        | SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |  CAST(CAST(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |    z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS DOUBLE)
+        |   / sqrt(CAST(q.nsq AS DOUBLE) * CAST(c.nsq AS DOUBLE)) AS score
+        | FROM q JOIN n c ON q.vec_id <> c.vec_id),
+        |r AS (SELECT qid, cid, score,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
+        | FROM s)
+        |SELECT qid, cid, rank, CAST(round(score*1000000) AS BIGINT) AS score_e6
+        |FROM r WHERE rank <= 3""".stripMargin,
+  )
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  *  - `bruteForceTopK`: exact cosine top-k of a (small, broadcast) query set
+  *    against the corpus — the correctness baseline. One broadcast join, no
+  *    shuffle of the corpus; scales linearly in |corpus|·|queries|.
+  *  - `lshBucketedPairs`: random-hyperplane (sign) LSH — the scale path:
+  *    candidates form only inside equal signature buckets, sub-quadratic for
+  *    near-dup mining at 100 TB. Signatures use deterministic pseudo-random
+  *    hyperplanes derived from xxhash64 so plans are reproducible.
+  *
+  * Scoring uses the quantized integer dot products from VectorFunctions so
+  * results are bit-deterministic across engines and partitionings.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector.
+    * Output: qid, cid, rank, score_e6 (cosine ·1e6, rounded). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val withNorm = (df: DataFrame, p: String) => df.select(
+      col(idCol).as(s"${p}id"), col(vecCol).as(s"${p}vec"),
+      normSqE9(col(vecCol)).as(s"${p}n"))
+    val q = withNorm(queries, "q")
+    val c = withNorm(corpus, "c")
+    val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("__score",
+        cosineFromE9(dotE9(col("qvec"), col("cvec")), col("qn"), col("cn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("__score").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"),
+        round(col("__score") * 1e6).cast("long").as("score_e6"))
+  }
+
+  /** Sign-LSH bucketing: `planes` pseudo-random ±1 hyperplanes (component
+    * signs derived from xxhash64(plane, dim)), vectors keyed by the sign
+    * pattern; near-dup candidates = equal buckets. */
+  def lshBucketedPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      planes: Int): DataFrame = {
+    val dims = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val bucketBits: Seq[Column] = (0 until planes).map { p =>
+      // pseudo-random ±1 plane: sign of xxhash64(p, dim) per component
+      val proj = (0 until dims).map { d =>
+        val sign = if (graft.functions.XxHash64.hashString(s"$p:$d", 0L) >= 0) 1.0 else -1.0
+        col(vecCol).getItem(d).cast("double") * sign
+      }.reduce(_ + _)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    val bucketed = corpus.select(col(idCol),
+      bucketBits.reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("bucket"))
+    val a = bucketed.as("a"); val b = bucketed.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"), col("a.bucket"))
+  }
+}
