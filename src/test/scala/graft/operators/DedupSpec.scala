@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "the quick brown fox jumps over the lazy dog today"), // near-dup of 1
+    (3L, "completely different words appear in this sentence here"),
+    (4L, "the quick brown fox jumps over the lazy dog tonight") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("keepFirst keeps earliest row per key") {
+    val df = Seq(("k1", 10L, 1L), ("k1", 5L, 2L), ("k2", 7L, 3L))
+      .toDF("key", "ts_ms", "id")
+    val got = Dedup.keepFirst(df, Seq("key"), Seq(col("ts_ms"), col("id")))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == Map("k1" -> 2L, "k2" -> 3L))
+  }
+
+  test("ngramJaccardPairs finds near-dups and exact dups, skips dissimilar") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 1L, 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("exact dup has full intersection") {
+    val row = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 1L, 2L)
+      .where(col("a_id") === 1L && col("b_id") === 4L).collect().head
+    assert(row.getAs[Long]("inter") == row.getAs[Long]("na"))
+    assert(row.getAs[Long]("na") == row.getAs[Long]("nb"))
+  }
+
+  test("minHashLshPairs surfaces the same near-dup candidates") {
+    val cand = Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 32, 8)
+      .where(col("matching") * 2 >= col("num_hashes"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 4L))) // identical docs always collide
+    assert(cand.contains((1L, 2L)) || cand.contains((2L, 4L))) // high-jaccard pair
+    assert(!cand.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simHash: identical docs hash identically, dissimilar docs differ") {
+    val h = Dedup.simHash64(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(4L))
+    assert(java.lang.Long.bitCount(h(1L) ^ h(2L)) <
+      java.lang.Long.bitCount(h(1L) ^ h(3L)))
+  }
+}
