@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.agg.{ContentMetrics, Windows}
 import graft.functions.{GraftFunctions, TextFunctions}
 import graft.operators._
+import graft.schema.{DeliveryLogLite, JoinSideEvent}
+import graft.streaming.{CombineDeliveryLog, InferredJoin}
 
 /** Driver contract: the operator catalog (SURVEY.md §2 batch analogues +
   * LLM-pipeline extensions), each entry paired with an ANSI-SQL oracle that
@@ -215,6 +217,44 @@ object SparkEntry {
         .select(GraftFunctions.xxhash64Seed0(col("q")).as("query_hash"))
         .groupBy(col("query_hash")).agg(count(lit(1)).as("n"))
         .where(col("n") >= 100)
+    }),
+
+    // J1 core: inferred-reference join (nearest-in-time fallback) run in
+    // batch mode — purchases attributed to the closest view per user within
+    // [-30m, +1s]; unmatched emit as the dropped side channel
+    "q25_inferred_join" -> ((s, dir) => {
+      import s.implicits._
+      val e = ev(s, dir)
+      val pid = lpad(col("event_id").cast("string"), 12, "0")
+      val mk = (side: Int) => Seq(lit(0L).as("platformId"),
+        col("user_id").cast("string").as("logUserId"), lit(side).as("side"),
+        pid.as("id"), lit("").as("parentId"), col("ts_ms").as("tsMs"))
+      val lefts = e.where(col("event_type") === "view").select(mk(0): _*)
+      val rights = e.where(col("event_type") === "purchase").select(mk(1): _*)
+      InferredJoin.joinBatch(lefts.unionByName(rights).as[JoinSideEvent],
+          maxTimeMs = 1800000L, outOfOrderMs = 1000L)(s)
+        .select(col("logUserId").as("log_user_id"), col("leftId").as("left_id"),
+          col("rightId").as("right_id"), col("leftTs").as("left_ts_ms"),
+          col("rightTs").as("right_ts_ms"), col("matchType").as("match_type"))
+    }),
+
+    // J5: CombineDeliveryLog batch merge — view=API / click=SDK logs
+    // sharing a synthetic clientRequestId (user × 10m bucket) collapse to
+    // the highest-priority producer
+    "q26_combine_dlog" -> ((s, dir) => {
+      import s.implicits._
+      val e = ev(s, dir).where(col("event_type").isin("view", "click"))
+        .select(lit(0L).as("platformId"),
+          col("user_id").cast("string").as("logUserId"),
+          concat_ws(":", col("user_id"),
+            (col("ts_ms") - pmod(col("ts_ms"), lit(600000L)))).as("clientRequestId"),
+          lpad(col("event_id").cast("string"), 12, "0").as("requestId"),
+          when(col("event_type") === "view", "API").otherwise("SDK").as("executionServer"),
+          col("ts_ms").as("tsMs"))
+      CombineDeliveryLog.combineBatch(e.as[DeliveryLogLite])(s)
+        .select(col("clientRequestId").as("client_request_id"),
+          col("requestId").as("request_id"),
+          col("executionServer").as("execution_server"), col("tsMs").as("ts_ms"))
     }),
   )
 
@@ -429,5 +469,41 @@ object SparkEntry {
         | FROM s)
         |SELECT qid, cid, rank, CAST(round(score*1000000) AS BIGINT) AS score_e6
         |FROM r WHERE rank <= 3""".stripMargin,
+
+    "q25_inferred_join" ->
+      """WITH v AS (
+        | SELECT user_id, lpad(CAST(event_id AS VARCHAR), 12, '0') AS vid,
+        |        epoch_ms(ts) AS vts
+        | FROM events WHERE event_type = 'view'),
+        |p AS (
+        | SELECT user_id, lpad(CAST(event_id AS VARCHAR), 12, '0') AS pid,
+        |        epoch_ms(ts) AS pts
+        | FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        | SELECT p.user_id, p.pid, p.pts,
+        |  (SELECT struct_pack(vid := v.vid, vts := v.vts) FROM v
+        |   WHERE v.user_id = p.user_id
+        |     AND v.vts >= p.pts - 1800000 AND v.vts <= p.pts + 1000
+        |   ORDER BY abs(v.vts - p.pts), v.vts, v.vid LIMIT 1) AS mv
+        | FROM p)
+        |SELECT CAST(user_id AS VARCHAR) AS log_user_id,
+        | COALESCE(mv.vid, '') AS left_id, pid AS right_id,
+        | COALESCE(mv.vts, -1) AS left_ts_ms, pts AS right_ts_ms,
+        | CASE WHEN mv IS NULL THEN 'dropped' ELSE 'inferred' END AS match_type
+        |FROM m""".stripMargin,
+
+    "q26_combine_dlog" ->
+      """SELECT client_request_id, request_id, execution_server, ts_ms FROM (
+        | SELECT concat(user_id, ':', epoch_ms(ts) - epoch_ms(ts) % 600000)
+        |          AS client_request_id,
+        |  lpad(CAST(event_id AS VARCHAR), 12, '0') AS request_id,
+        |  CASE WHEN event_type = 'view' THEN 'API' ELSE 'SDK' END
+        |          AS execution_server,
+        |  epoch_ms(ts) AS ts_ms,
+        |  row_number() OVER (
+        |    PARTITION BY user_id, epoch_ms(ts) - epoch_ms(ts) % 600000
+        |    ORDER BY CASE WHEN event_type = 'view' THEN 2 ELSE 1 END DESC,
+        |             epoch_ms(ts), lpad(CAST(event_id AS VARCHAR), 12, '0')) AS rn
+        | FROM events WHERE event_type IN ('view', 'click')) WHERE rn = 1""".stripMargin,
   )
 }

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Thin streaming wrappers where Spark's built-ins already carry the
+  * reference semantics — kept as named operators so the job wiring reads
+  * like the reference's DAG (SURVEY §2).
+  */
+object StreamOps {
+
+  /** KeepFirstRow (reference D1, P:common/functions/KeepFirstRow.java:14-48):
+    * keyed first-wins dedupe whose state is dropped once the watermark
+    * passes — exactly `dropDuplicatesWithinWatermark`. `tsCol` must be a
+    * timestamp column. */
+  def keepFirstRows(df: DataFrame, keys: Seq[String], tsCol: String,
+      watermarkDelay: String): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** SlidingHourlyCounter-style windowed counts (reference A2):
+    * event-time sliding windows with watermark; run in update mode so
+    * emissions refresh as buckets fill (the reference emits every
+    * `emitWindow`; micro-batches are Spark's emission cadence). */
+  def slidingCounts(df: DataFrame, keys: Seq[String], tsCol: String,
+      watermarkDelay: String, size: String, slide: String): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy((window(col(tsCol), size, slide) +: keys.map(col)): _*)
+      .agg(count(lit(1)).as("n"))
+      .select((Seq(unix_millis(col("window.start")).as("window_start_ms"),
+        col("n")) ++ keys.map(col)): _*)
+
+  /** Session windows (reference J7 gap semantics) in streaming form via
+    * Spark's native session_window. */
+  def sessionCounts(df: DataFrame, keys: Seq[String], tsCol: String,
+      watermarkDelay: String, gap: String): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy((session_window(col(tsCol), gap) +: keys.map(col)): _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select((Seq(unix_millis(col("session_window.start")).as("session_start_ms"),
+        unix_millis(col("session_window.end")).as("session_end_ms"),
+        col("n_events")) ++ keys.map(col)): _*)
+}

@@ -12,4 +12,7 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  // MemoryStream (streaming specs) resolves its SQLContext implicitly
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 }
