@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Dozens of codegen'd stages per session: the default 240m code cache
+  // fills, the JIT stops compiling, and late queries run interpreted
+  // (10-20x slower, run-order dependent). Reserve enough for the suite.
+  "-XX:ReservedCodeCacheSize=1g",
 )

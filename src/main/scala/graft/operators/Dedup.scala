@@ -29,8 +29,13 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
-  /** Distinct word n-gram shingles per doc: (id, shingle) exploded rows. */
+  /** Distinct word n-gram shingles per doc: (id, shingle) exploded rows.
+    *
+    * Repartitions on the id first: document corpora often arrive as few
+    * small-but-heavy files, and the shingling expressions dominate — a
+    * single-partition scan would serialize them on one core. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val spread = docs.repartition(col(idCol))
     val toks = TextFunctions.tokens(col(textCol))
     // Guard: sequence(1, k) walks backwards when k < 1 (Spark auto-negative
     // step), so short docs must map to an empty shingle set explicitly.
@@ -39,25 +44,78 @@ object Dedup {
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
     ).otherwise(array().cast("array<string>"))
-    docs.select(col(idCol), explode(grams).as("shingle"))
+    spread.select(col(idCol), explode(grams).as("shingle"))
   }
 
-  /** Exact-Jaccard near-dup pairs via inverted-index join.
-    * Keeps pairs with jaccard >= minJaccardNum/minJaccardDen, decided in
+  /** Exact-Jaccard near-dup pairs with AllPairs-style prefix filtering.
+    *
+    * Keeps pairs with jaccard >= t = minJaccardNum/minJaccardDen, decided in
     * integer arithmetic (c·den >= num·(na+nb-c)) — no float thresholds.
-    * Output: a_id, b_id, inter, na, nb (a_id < b_id). */
+    * Output: a_id, b_id, inter, na, nb (a_id < b_id).
+    *
+    * Scale: a naive shingle self-join is quadratic in the hottest shingle's
+    * document frequency. Prefix filtering (Bayardo et al., "Scaling Up All
+    * Pairs Similarity Search", WWW'07 — public result) is exactness-
+    * preserving: J(A,B) ≥ t ⇒ |A∩B| ≥ ⌈t·|A|⌉, so A and B must share a
+    * token among each one's first |X| − ⌈t·|X|⌉ + 1 tokens under ANY global
+    * token order. Ordering rarest-first puts the hot shingles outside the
+    * prefixes, so candidate generation touches mostly rare tokens; the
+    * exact intersection count is then computed only for candidate pairs. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccardNum: Long, minJaccardDen: Long): DataFrame = {
+    // The shingling subtree (regex split → n-gram transform → distinct →
+    // explode) feeds five plan branches; persist so it runs once, not five
+    // times. At scale this is the same trade as materializing a shingle
+    // table before the self-join.
     val sh = shingles(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val pairs = a.join(b,
-        col(s"a.shingle") === col(s"b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.withColumnRenamed(idCol, "a_id").withColumnRenamed("__n", "na"), "a_id")
-      .join(sizes.withColumnRenamed(idCol, "b_id").withColumnRenamed("__n", "nb"), "b_id")
+
+    // rarest-first global order: (document frequency, shingle)
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    val rankW = Window.partitionBy(col(idCol)).orderBy(col("__df"), col("shingle"))
+    val ranked = sh.join(freq, "shingle")
+      .withColumn("__rnk", row_number().over(rankW))
+      .join(sizes, idCol)
+    // prefix length = n − ⌈t·n⌉ + 1, with ⌈a/b⌉ = (a+b−1) div b in integers
+    val prefixLen = col("__n") -
+      ((col("__n") * minJaccardNum + minJaccardDen - 1) / minJaccardDen).cast("long") + 1
+    val prefix = ranked.where(col("__rnk") <= prefixLen)
+      .select(col(idCol), col("shingle"), col("__rnk"), col("__n"))
+
+    // PPJoin filters (Xiao et al., "Efficient Similarity Joins for Near
+    // Duplicate Detection", WWW'08 — public result), both exactness-
+    // preserving given the required overlap
+    //   c_min = max(⌈t·max(na,nb)⌉, ⌈(t/(1+t))·(na+nb)⌉):
+    //  - size filter: J ≥ t ⇒ t·max(na,nb) ≤ min(na,nb);
+    //  - positional filter: for the first shared ordered token at positions
+    //    (pa, pb), every common token sits at or after it in both docs, so
+    //    c ≤ 1 + min(na−pa, nb−pb) must still reach c_min.
+    val na = col("pa.__n"); val nb = col("pb.__n")
+    val cMin = greatest(
+      ((greatest(na, nb) * minJaccardNum + minJaccardDen - 1) / minJaccardDen).cast("long"),
+      ((  (na + nb) * minJaccardNum + (minJaccardNum + minJaccardDen) - 1)
+        / (minJaccardNum + minJaccardDen)).cast("long"))
+    val sizeFilter = greatest(na, nb) * minJaccardNum <= least(na, nb) * minJaccardDen
+    val positional = lit(1) + least(na - col("pa.__rnk"), nb - col("pb.__rnk")) >= cMin
+    val cand = prefix.as("pa").join(prefix.as("pb"),
+        col("pa.shingle") === col("pb.shingle") && col(s"pa.$idCol") < col(s"pb.$idCol") &&
+          sizeFilter && positional)
+      .select(col(s"pa.$idCol").as("a_id"), col(s"pb.$idCol").as("b_id"))
+      .distinct()
+
+    // exact intersection for candidates only: join each pair to its two
+    // per-doc shingle sets and intersect the arrays — one row per candidate
+    // instead of re-exploding candidates against the inverted index
+    val sets = sh.groupBy(col(idCol))
+      .agg(collect_list(col("shingle")).as("__set"), count(lit(1)).as("__n"))
+    val out = cand
+      .join(sets.select(col(idCol).as("a_id"), col("__set").as("__sa"),
+        col("__n").as("na")), "a_id")
+      .join(sets.select(col(idCol).as("b_id"), col("__set").as("__sb"),
+        col("__n").as("nb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+    out
       .where(col("inter") * minJaccardDen >= (col("na") + col("nb") - col("inter")) * minJaccardNum)
       .select("a_id", "b_id", "inter", "na", "nb")
   }
@@ -82,7 +140,9 @@ object Dedup {
       n: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // signatures feed both sides of the band self-join — materialize once
     val sig = minHashSignatures(docs, idCol, textCol, n, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until bands).map { bIdx =>
       struct(lit(bIdx).as("band"),
         xxhash64((bIdx * r until (bIdx + 1) * r).map(i => col(s"h$i")): _*).as("bucket"))
@@ -100,7 +160,7 @@ object Dedup {
 
   /** 64-bit SimHash over whitespace tokens (term-frequency weighted). */
   def simHash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol),
+    val tok = docs.repartition(col(idCol)).select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .withColumn("__h", xxhash64(col("tok")))
     val bitSums: Seq[Column] = (0 until 64).map { j =>

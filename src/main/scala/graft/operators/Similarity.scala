@@ -27,8 +27,9 @@ object Similarity {
     val withNorm = (df: DataFrame, p: String) => df.select(
       col(idCol).as(s"${p}id"), col(vecCol).as(s"${p}vec"),
       normSqE9(col(vecCol)).as(s"${p}n"))
+    // corpora often arrive as one small file → spread the scoring work
     val q = withNorm(queries, "q")
-    val c = withNorm(corpus, "c")
+    val c = withNorm(corpus.repartition(col(idCol)), "c")
     val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
       .withColumn("__score",
         cosineFromE9(dotE9(col("qvec"), col("cvec")), col("qn"), col("cn")))
@@ -44,15 +45,20 @@ object Similarity {
   def lshBucketedPairs(corpus: DataFrame, idCol: String, vecCol: String,
       planes: Int): DataFrame = {
     val dims = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    // pseudo-random ±1 planes: sign of xxhash64(plane:dim) per component.
+    // Expressed as zip_with against literal sign arrays (one small plan
+    // node per plane) rather than a dims-wide getItem tree — a 640-term
+    // codegen tree compiles into huge methods that stall the JIT.
     val bucketBits: Seq[Column] = (0 until planes).map { p =>
-      // pseudo-random ±1 plane: sign of xxhash64(p, dim) per component
-      val proj = (0 until dims).map { d =>
-        val sign = if (graft.functions.XxHash64.hashString(s"$p:$d", 0L) >= 0) 1.0 else -1.0
-        col(vecCol).getItem(d).cast("double") * sign
-      }.reduce(_ + _)
+      val signs = array((0 until dims).map { d =>
+        lit(if (graft.functions.XxHash64.hashString(s"$p:$d", 0L) >= 0) 1.0 else -1.0)
+      }: _*)
+      val proj = aggregate(
+        zip_with(col(vecCol), signs, (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
-    val bucketed = corpus.select(col(idCol),
+    val bucketed = corpus.repartition(col(idCol)).select(col(idCol),
       bucketBits.reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("bucket"))
     val a = bucketed.as("a"); val b = bucketed.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
