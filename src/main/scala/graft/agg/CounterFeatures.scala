@@ -1,0 +1,75 @@
+package graft.agg
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Counter key families, feature-id packing, and Redis command encoding —
+  * the CounterJob output surface (SURVEY A6, K3).
+  *
+  * Reference shape: counts along key dimensions (global/content/logUser/
+  * user/query × event type × window) become HSET commands on a key-value
+  * feature store, with the hash field a packed feature id
+  * (P:job/counter/CounterKeys.java:41-545, P:common/counter/FeatureId
+  * .java:14-100, P:common/functions/sink/RedisSink.java:27,44-106 — tuple
+  * keys joined with ASCII 0x1f). The packing layout here is this engine's
+  * own (semantic, not byte, parity with the reference).
+  */
+object CounterFeatures {
+
+  /** Aggregate metric being counted. */
+  object AggMetric {
+    val CountImpression = 1L
+    val CountNavigate = 2L
+    val CountPurchase = 3L
+    val CountAddToCart = 4L
+    val CountCheckout = 8L
+  }
+
+  /** Window the count covers. */
+  object CountWindow {
+    val Hour = 1L
+    val Day = 2L
+    val Day7 = 3L
+    val Day30 = 4L
+    val Day90 = 5L
+    val None = 7L
+  }
+
+  /** Which key family the count is keyed by. */
+  object CountType {
+    val Global = 1L
+    val Content = 2L
+    val LogUser = 3L
+    val User = 4L
+    val Query = 5L
+    val ContentQuery = 6L
+  }
+
+  /** featureId = countType<<24 | aggMetric<<8 | window. */
+  def featureId(countType: Long, aggMetric: Long, window: Long): Long =
+    (countType << 24) | (aggMetric << 8) | window
+
+  def featureIdCol(countType: Column, aggMetric: Column, window: Column): Column =
+    shiftleft(countType, 24).bitwiseOR(shiftleft(aggMetric, 8)).bitwiseOR(window)
+
+  /** Redis tuple separator (reference RedisSink.java:27). */
+  val Sep = ""
+
+  def redisKey(parts: Column*): Column = concat_ws(Sep, parts: _*)
+
+  /** Encode a count row into an HSET command frame:
+    * (cmd, key, field, value, ttlSec). */
+  def hsetCommand(key: Column, field: Column, value: Column, ttlSec: Long): DataFrame => DataFrame =
+    df => df.select(
+      lit("HSET").as("cmd"), key.as("key"), field.cast("string").as("field"),
+      value.cast("string").as("value"), lit(ttlSec).as("ttlSec"))
+
+  /** One key family: group `counts` (pre-aggregated rows with metric/window
+    * cols) by the family's key columns and emit HSETs. */
+  def familyCommands(counts: DataFrame, countType: Long, keyParts: Seq[Column],
+      aggMetric: Column, window: Column, count: Column, ttlSec: Long): DataFrame =
+    hsetCommand(
+      redisKey((lit(countType.toString) +: keyParts): _*),
+      featureIdCol(lit(countType), aggMetric, window),
+      count, ttlSec)(counts)
+}

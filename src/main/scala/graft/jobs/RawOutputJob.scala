@@ -1,0 +1,50 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.sources.{LogRequestSplit, Validation}
+
+/** Raw Output Job (reference P:job/raw/RawOutputJob.java, SURVEY §3.3):
+  * split the LogRequest envelope into typed streams, dedupe on each type's
+  * pk, and hand each stream to an archival sink, plus the LogUserUser id
+  * side table. Batch form; the streaming form swaps `dropDuplicates` for
+  * `dropDuplicatesWithinWatermark` (StreamOps.keepFirstRows) and the sink
+  * for a dt/hour-partitioned writeStream (sinks.PartitionedParquetSink).
+  */
+object RawOutputJob {
+
+  case class Outputs(
+      views: DataFrame,
+      deliveryLogs: DataFrame,
+      impressions: DataFrame,
+      actions: DataFrame,
+      logUserUser: DataFrame)
+
+  def run(envelopes: DataFrame)(implicit spark: SparkSession): Outputs = {
+    val views = Dedup.keepFirst(
+      LogRequestSplit.views(envelopes).toDF(),
+      Seq("viewId"), Seq(col("timing.eventApiTimestamp")))
+    val dlogs = Dedup.keepFirst(
+      LogRequestSplit.deliveryLogs(envelopes).toDF(),
+      Seq("request.requestId"), Seq(col("timing.eventApiTimestamp")))
+    val imps = Dedup.keepFirst(
+      LogRequestSplit.impressions(envelopes).toDF(),
+      Seq("impressionId"), Seq(col("timing.eventApiTimestamp")))
+    val acts = Dedup.keepFirst(
+      LogRequestSplit.actions(envelopes).toDF(),
+      Seq("actionId"), Seq(col("timing.eventApiTimestamp")))
+    // LogUserUser side table (reference ToLogUserUser + RawKeys dedupe)
+    val luu = Dedup.keepFirst(
+      LogRequestSplit.users(envelopes).toDF()
+        .select(col("platformId"),
+          col("timing.eventApiTimestamp").as("eventApiTimestamp"),
+          col("userInfo.logUserId").as("logUserId"),
+          col("userInfo.userId").as("userId"))
+        .where(col("logUserId") =!= "" && col("userId") =!= ""),
+      Seq("logUserId", "userId"), Seq(col("eventApiTimestamp")))
+    Outputs(Validation.clearUserId(views), Validation.clearUserId(dlogs),
+      Validation.clearUserId(imps), Validation.clearUserId(acts), luu)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+
+/** Output sinks (SURVEY §2.2).
+  *
+  *  - K1: dt/hour-partitioned parquet, bucketed by the event-api timestamp
+  *    (reference S3FileOutput + DateHourBucketAssigner) — exactly-once in
+  *    streaming via the file-sink commit log.
+  *  - K3: Redis command delivery through foreachBatch with a pluggable
+  *    client; HSETs are idempotent so at-least-once is safe (reference
+  *    RedisSink.java:26-298).
+  */
+object Sinks {
+
+  /** Add dt=YYYY-MM-dd / hour=HH partition columns from an epoch-ms col. */
+  def withDtHour(df: DataFrame, tsMsCol: String): DataFrame =
+    df.withColumn("dt", date_format(timestamp_millis(col(tsMsCol)), "yyyy-MM-dd"))
+      .withColumn("hour", date_format(timestamp_millis(col(tsMsCol)), "HH"))
+
+  /** K1 batch form. */
+  def writePartitioned(df: DataFrame, tsMsCol: String, path: String): Unit =
+    withDtHour(df, tsMsCol).write.mode("append")
+      .partitionBy("dt", "hour").parquet(path)
+
+  /** K1 streaming form — returns the configured writer so callers pick the
+    * trigger/checkpoint. */
+  def streamPartitioned(df: DataFrame, tsMsCol: String, path: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    withDtHour(df, tsMsCol).writeStream.format("parquet")
+      .option("path", path).option("checkpointLocation", checkpoint)
+      .partitionBy("dt", "hour")
+
+  /** Minimal client interface for the K3 command sink; production wires a
+    * real Redis client, tests capture commands. */
+  trait CommandClient extends Serializable {
+    def execute(cmd: String, key: String, field: String, value: String, ttlSec: Long): Unit
+  }
+
+  /** K3 batch form: deliver a command frame (cmd,key,field,value,ttlSec). */
+  def deliverCommands(commands: DataFrame, client: CommandClient): Unit =
+    commands.foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { r =>
+        client.execute(r.getAs[String]("cmd"), r.getAs[String]("key"),
+          r.getAs[String]("field"), r.getAs[String]("value"),
+          r.getAs[Long]("ttlSec"))
+      }
+    }
+
+  /** K3 streaming form: `commands` must be a streaming frame; each
+    * micro-batch keeps only the latest value per (key, field) — the
+    * reference's backfill buffering collapses writes the same way
+    * (CounterJob.java:501-567). */
+  def streamCommands(commands: DataFrame, client: CommandClient,
+      checkpoint: String): DataStreamWriter[Row] =
+    commands.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("key"), col("field"))
+          .orderBy(col("value").desc)
+        deliverCommands(
+          batch.withColumn("__rn", row_number().over(w))
+            .where(col("__rn") === 1).drop("__rn"), client)
+      }
+}

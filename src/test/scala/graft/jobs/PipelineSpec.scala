@@ -1,0 +1,119 @@
+package graft.jobs
+
+import graft.SparkSpec
+import graft.sources.{FakeLogGenerator, LogRequestSplit, Validation}
+import org.apache.spark.sql.functions._
+
+/** End-to-end job tests over the deterministic generator — the reference's
+  * MiniCluster-tests-in-batch-mode approach (SURVEY §5). */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val s = spark
+
+  private lazy val opts = FakeLogGenerator.Options()
+  private lazy val envelopes = FakeLogGenerator.generate(opts).toDS().toDF()
+
+  test("generator is deterministic") {
+    val a = FakeLogGenerator.generate(opts)
+    val b = FakeLogGenerator.generate(opts)
+    assert(a == b)
+    assert(a.size == opts.users * opts.viewsPerUser)
+  }
+
+  test("splitter explodes children with push-down and lowercases logUserId") {
+    val views = LogRequestSplit.views(envelopes).collect()
+    assert(views.length == opts.users * opts.viewsPerUser)
+    assert(views.forall(_.platformId == opts.platformId))
+    assert(views.forall(v => v.userInfo.logUserId.startsWith("lu-")))
+    val imps = LogRequestSplit.impressions(envelopes).collect()
+    assert(imps.length == opts.users * opts.viewsPerUser *
+      opts.requestsPerView * opts.insertionsPerRequest)
+  }
+
+  test("validation routes bad records to the error side channel") {
+    import graft.schema._
+    val acts = Seq(
+      Action(1L, UserInfo("u", "lu"), Timing(1, 2, 3), "a1", "imp1"),
+      Action(1L, UserInfo("u", ""), Timing(1, 2, 3), "a2", "imp1"), // no logUserId
+      Action(1L, UserInfo("u", "lu"), Timing(1, 2, 3), "a3") // no join ref
+    ).toDS().toDF()
+    val ok = Validation.valid(acts, Validation.actionRules).collect()
+    val bad = Validation.errors(acts, Validation.actionRules)
+      .select("actionId", "error").as[(String, String)].collect().toSet
+    assert(ok.map(_.getAs[String]("actionId")).toSeq == Seq("a1"))
+    assert(bad.contains(("a2", "missing_log_user_id")))
+    assert(bad.contains(("a3", "missing_join_ref")))
+  }
+
+  test("clearUserId strips PII but keeps logUserId") {
+    val cleaned = Validation.clearUserId(LogRequestSplit.views(envelopes).toDF())
+      .select("userInfo.userId", "userInfo.logUserId").distinct().collect()
+    assert(cleaned.forall(_.getString(0) == ""))
+    assert(cleaned.forall(_.getString(1).nonEmpty))
+  }
+
+  test("RawOutputJob dedupes per pk and emits LogUserUser") {
+    val doubled = envelopes.unionByName(envelopes) // duplicate every record
+    val out = RawOutputJob.run(doubled)
+    assert(out.views.count() == opts.users * opts.viewsPerUser)
+    assert(out.impressions.count() ==
+      opts.users * opts.viewsPerUser * opts.requestsPerView * opts.insertionsPerRequest)
+    val luu = out.logUserUser.collect()
+    assert(luu.length == opts.users)
+    assert(luu.forall(r => r.getAs[String]("userId").nonEmpty))
+  }
+
+  test("FlatOutputJob joins every impression (exact or inferred)") {
+    val out = FlatOutputJob.run(envelopes)
+    val totalImps = opts.users * opts.viewsPerUser *
+      opts.requestsPerView * opts.insertionsPerRequest
+    val joined = out.joinedImpressions
+    val byType = joined.groupBy("matchType").count()
+      .as[(String, Long)].collect().toMap
+    // impressions with an FK match exactly; FK-less ones infer via time
+    assert(byType.getOrElse("exact", 0L) > 0)
+    assert(byType.getOrElse("inferred", 0L) > 0)
+    assert(byType.values.sum + out.droppedImpressions.count() == totalImps)
+    // every joined action keeps full action details (J6 merge)
+    val acts = out.joinedActions
+    assert(acts.where(col("actionType").isNull).count() == 0)
+    assert(acts.count() + out.droppedActions.count() ==
+      totalImps * opts.actionsPerImpression)
+  }
+
+  test("CounterJob emits HSET command frames with packed feature ids") {
+    val flat = FlatOutputJob.run(envelopes)
+    val events = flat.joinedActions.select(col("platformId"),
+      col("userInfo.logUserId").as("logUserId"),
+      lit("u").as("userId"), col("contentId"), col("actionType"),
+      col("timing.eventApiTimestamp").as("tsMs"), lit(null).cast("long").as("quantity"))
+    val cmds = CounterJob.run(events)
+    val rows = cmds.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("cmd") == "HSET"))
+    // key families present: global (1) and content (2) keys
+    val keys = rows.map(_.getAs[String]("key"))
+    assert(keys.exists(_.startsWith("1")))
+    assert(keys.exists(_.startsWith("2")))
+    // counter-family fields decode: countType<<24 | metric<<8 | window
+    // (last-seen features use a contentId-scoped field instead)
+    val fields = rows.map(_.getAs[String]("field"))
+      .filter(_.forall(_.isDigit)).map(_.toLong)
+    assert(fields.nonEmpty)
+    assert(fields.forall(f => (f >> 24) >= 1 && (f >> 24) <= 6))
+  }
+
+  test("ContentMetricsJob rolls up metric columns per content and hour") {
+    val hourly = ContentMetricsJob.hourly(envelopes)
+    val total = hourly.agg(
+      sum("view_count"), sum("impression_count"),
+      sum("purchase_count"), sum("gmv_usd_micros"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(total._1 == opts.users * opts.viewsPerUser)
+    assert(total._2 == opts.users * opts.viewsPerUser *
+      opts.requestsPerView * opts.insertionsPerRequest)
+    assert(total._3 > 0) // cart purchases exist
+    assert(total._4 == total._3 * 2L * 1990000L) // qty 2 × unit price
+    assert(hourly.columns.contains("dt") && hourly.columns.contains("hour"))
+  }
+}
