@@ -256,6 +256,39 @@ object SparkEntry {
           col("requestId").as("request_id"),
           col("executionServer").as("execution_server"), col("tsMs").as("ts_ms"))
     }),
+
+    // Dedup/embedding: cosine near-dup pairs (quantized, deterministic)
+    "q27_embed_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(
+        t(s, dir, "embeddings").where(col("vec_id") < 1000),
+        "vec_id", "embedding", 400000L)),
+
+    // Text analysis: BPE-ish pre-tokenization counts
+    "q28_bpe_tokens" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.bpeIshTokenCount(col("text")).cast("long").as("n_bpe"),
+        size(TextFunctions.bpeIshTokens(lower(col("text")))).cast("long").as("n_bpe_lower"))),
+
+    // A6+K3 shape: counter key families with packed feature ids as an
+    // HSET-frame stream over the events table
+    "q29_counter_family" -> ((s, dir) => {
+      val metric = when(col("event_type") === "view", 1L)
+        .when(col("event_type") === "click", 2L)
+        .when(col("event_type") === "purchase", 3L)
+        .when(col("event_type") === "signup", 4L)
+        .otherwise(8L)
+      ev(s, dir)
+        .groupBy(col("user_id"),
+          graft.agg.Windows.bucket(col("ts_ms"), 86400000L).as("day_ms"),
+          metric.as("metric"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          concat_ws("", lit("3"), col("user_id").cast("string"),
+            col("day_ms").cast("string")).as("key"),
+          graft.agg.CounterFeatures.featureIdCol(lit(3L), col("metric"), lit(2L))
+            .cast("string").as("field"),
+          col("n").cast("string").as("value"))
+    }),
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -505,5 +538,38 @@ object SparkEntry {
         |    ORDER BY CASE WHEN event_type = 'view' THEN 2 ELSE 1 END DESC,
         |             epoch_ms(ts), lpad(CAST(event_id AS VARCHAR), 12, '0')) AS rn
         | FROM events WHERE event_type IN ('view', 'click')) WHERE rn = 1""".stripMargin,
+
+    "q27_embed_neardup" ->
+      """WITH n AS (
+        | SELECT vec_id, embedding,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS nsq
+        | FROM embeddings WHERE vec_id < 1000),
+        |p AS (
+        | SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  CAST(CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS DOUBLE)
+        |   / sqrt(CAST(a.nsq AS DOUBLE) * CAST(b.nsq AS DOUBLE)) AS score
+        | FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT a_id, b_id, CAST(round(score*1000000) AS BIGINT) AS cos_e6
+        |FROM p WHERE CAST(round(score*1000000) AS BIGINT) >= 400000""".stripMargin,
+
+    "q28_bpe_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS BIGINT) AS n_bpe,
+        | CAST(len(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS BIGINT) AS n_bpe_lower
+        |FROM documents""".stripMargin,
+
+    "q29_counter_family" ->
+      """SELECT concat('3', chr(31), CAST(user_id AS VARCHAR), chr(31),
+        |              CAST(day_ms AS VARCHAR)) AS key,
+        | CAST(3*16777216 + metric*256 + 2 AS VARCHAR) AS field,
+        | CAST(n AS VARCHAR) AS value
+        |FROM (
+        | SELECT user_id, epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day_ms,
+        |  CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |   WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 ELSE 8 END AS metric,
+        |  count(*) AS n
+        | FROM events GROUP BY 1, 2, 3)""".stripMargin,
   )
 }

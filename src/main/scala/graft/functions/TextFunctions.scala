@@ -18,6 +18,16 @@ object TextFunctions {
 
   def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
 
+  /** BPE-ish pre-tokenization: letter runs, digit runs, and single other
+    * non-space symbols — the usual byte-pair-encoder pre-split shape.
+    * Kept to a regex subset that Java and RE2 engines treat identically. */
+  val bpeIshPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+
+  def bpeIshTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpeIshPattern), lit(0))
+
+  def bpeIshTokenCount(text: Column): Column = size(bpeIshTokens(text))
+
   /** Canonical form for exact-dedup: lowercase, collapse whitespace, trim. */
   def normalize(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")

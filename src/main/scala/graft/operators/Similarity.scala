@@ -39,6 +39,24 @@ object Similarity {
         round(col("__score") * 1e6).cast("long").as("score_e6"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: all pairs (a < b) whose cosine
+    * reaches `minScoreE6`/1e6, quantized-deterministic scoring. The
+    * all-pairs form is the correctness baseline; at scale, block first
+    * (`lshBucketedPairs`) and re-rank candidates with this scoring. */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      minScoreE6: Long): DataFrame = {
+    val n = corpus.repartition(col(idCol)).select(col(idCol).as("id"),
+      col(vecCol).as("vec"), normSqE9(col(vecCol)).as("nsq"))
+    val a = n.select(col("id").as("a_id"), col("vec").as("__va"), col("nsq").as("__na"))
+    val b = n.select(col("id").as("b_id"), col("vec").as("__vb"), col("nsq").as("__nb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("__score",
+        cosineFromE9(dotE9(col("__va"), col("__vb")), col("__na"), col("__nb")))
+      .withColumn("cos_e6", round(col("__score") * 1e6).cast("long"))
+      .where(col("cos_e6") >= minScoreE6)
+      .select("a_id", "b_id", "cos_e6")
+  }
+
   /** Sign-LSH bucketing: `planes` pseudo-random ±1 hyperplanes (component
     * signs derived from xxhash64(plane, dim)), vectors keyed by the sign
     * pattern; near-dup candidates = equal buckets. */
