@@ -289,6 +289,14 @@ object SparkEntry {
             .cast("string").as("field"),
           col("n").cast("string").as("value"))
     }),
+
+    // Text analysis: Karp–Rabin rolling-hash fingerprints (no oracle:
+    // custom expression; RollingHashSpec verifies against the scala impl)
+    "q30_rolling_fp" -> ((s, dir) => {
+      graft.functions.RollingMinHash.register(s)
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.RollingMinHash.rollingMinHash(col("text"), 32).as("fp"))
+    }),
   )
 
   // ----------------------------------------------------------- oracle SQL
