@@ -297,6 +297,42 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         graft.functions.RollingMinHash.rollingMinHash(col("text"), 32).as("fp"))
     }),
+
+    // J7: full-outer session cogroup — purchases × clicks per user in 4h
+    // sessions (FlatResponseInsertion shape: N left + M right per window)
+    "q31_session_cogroup" -> ((s, dir) => {
+      val e = ev(s, dir)
+      Cogroup.sessionCogroup(
+        e.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_ms"), col("event_id")),
+        e.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts_ms"), col("event_id")),
+        Seq("user_id"), "ts_ms", 4L * 3600000L, "event_id", "event_id")
+    }),
+
+    // J8: attach the ≤3 most recent prior views to each purchase (6h look-
+    // back), exploded one row per (purchase, rank)
+    "q32_latest_impressions" -> ((s, dir) => {
+      val e = ev(s, dir)
+      Cogroup.attachLatest(
+        e.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_ms")),
+        e.where(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("ts_ms").as("view_ts_ms")),
+        Seq("user_id"), "ts_ms", "view_ts_ms", "purchase_id", "view_id",
+        3, 6L * 3600000L)
+    }),
+
+    // D3: redundant-event canonicalization — every view re-points to the
+    // first view of its (user, props.k) group
+    "q33_redundant_repoint" -> ((s, dir) =>
+      Cogroup.redundantRepoint(
+        ev(s, dir).where(col("event_type") === "view")
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"),
+            col("event_id"), col("ts_ms")),
+        Seq("user_id", "k"), "event_id", "ts_ms")),
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -579,5 +615,41 @@ object SparkEntry {
         |   WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 ELSE 8 END AS metric,
         |  count(*) AS n
         | FROM events GROUP BY 1, 2, 3)""".stripMargin,
+
+    "q31_session_cogroup" ->
+      """WITH u AS (
+        | SELECT user_id, epoch_ms(ts) AS ms, event_id,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isleft
+        | FROM events WHERE event_type IN ('purchase', 'click')),
+        |o AS (SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+        |        OR ms - lag(ms) OVER w > 14400000 THEN 1 ELSE 0 END AS brk
+        |      FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+        |SELECT user_id, min(ms) AS session_start_ms,
+        | CAST(sum(isleft) AS BIGINT) AS n_left,
+        | CAST(count(*) - sum(isleft) AS BIGINT) AS n_right
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q32_latest_impressions" ->
+      """SELECT user_id, purchase_id, ts_ms, rank, view_id, view_ts_ms FROM (
+        | SELECT p.user_id, p.event_id AS purchase_id, epoch_ms(p.ts) AS ts_ms,
+        |  row_number() OVER (PARTITION BY p.event_id
+        |    ORDER BY epoch_ms(v.ts) DESC, v.event_id DESC) AS rank,
+        |  v.event_id AS view_id, epoch_ms(v.ts) AS view_ts_ms
+        | FROM events p JOIN events v ON v.event_type = 'view'
+        |   AND v.user_id = p.user_id
+        |   AND epoch_ms(v.ts) <= epoch_ms(p.ts)
+        |   AND epoch_ms(v.ts) >= epoch_ms(p.ts) - 21600000
+        | WHERE p.event_type = 'purchase') WHERE rank <= 3""".stripMargin,
+
+    "q33_redundant_repoint" ->
+      """SELECT user_id, k, event_id, ts_ms, canonical_id FROM (
+        | SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  event_id, epoch_ms(ts) AS ts_ms,
+        |  first_value(event_id) OVER (
+        |    PARTITION BY user_id, CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |    ORDER BY epoch_ms(ts), event_id ROWS UNBOUNDED PRECEDING) AS canonical_id
+        | FROM events WHERE event_type = 'view')""".stripMargin,
   )
 }
