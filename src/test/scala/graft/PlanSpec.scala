@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the optimizations the 100 TB design relies on
+  * must actually appear in the plans Catalyst produces — filter pushdown
+  * to parquet, column pruning, broadcast of dimension tables, map-side
+  * partial aggregation, and single-shuffle window resolution.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def formatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("filters push down to the parquet scan") {
+    val p = formatted("q09_asof_join")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]") ||
+      p.contains("EqualTo(event_type,purchase)"), p.take(2000))
+  }
+
+  test("column pruning reaches the scan (narrow ReadSchema)") {
+    val p = formatted("q14_last_seen")
+    // only user_id, event_type, ts should be read — not value/props
+    assert(!p.contains("props"), p.take(2000))
+    assert(!p.contains("value"), p.take(2000))
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side)") {
+    val p = plan("q02_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("aggregations are partial (map-side combine before the exchange)") {
+    val p = plan("q01_pricing_summary")
+    val firstAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0)
+    // partial aggregate appears below (after in text) the exchange
+    assert(p.lastIndexOf("HashAggregate") > exchange, p.take(2000))
+  }
+
+  test("similarity top-k broadcasts the query side") {
+    val p = plan("q20_knn_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+  }
+
+  test("as-of union resolves in one window pass (single sort per key)") {
+    val p = plan("q09_asof_join")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(2000))
+  }
+
+  test("whole-stage codegen covers the relational pipeline") {
+    // AQE finalizes the plan (and its codegen annotation) only when THIS
+    // query execution runs — collect() on the frame itself, not count()
+    val df = SparkEntry.queries("q04_hourly_metrics")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen stages in the final plan
+    assert(p.contains("isFinalPlan=true") && p.contains("*("), p.take(2000))
+  }
+}
