@@ -333,6 +333,15 @@ object SparkEntry {
             get_json_object(col("props"), "$.k").cast("long").as("k"),
             col("event_id"), col("ts_ms")),
         Seq("user_id", "k"), "event_id", "ts_ms")),
+
+    // Similarity/IVF: inverted-list ANN, the |corpus|·nProbe/nLists scale
+    // path (no oracle — quantizer-dependent retrieval; IvfSpec proves the
+    // retrieved scores exact and recall meaningful vs brute force)
+    "q34_ivf_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 3, nLists = 16, nProbe = 4)
+    }),
   )
 
   // ----------------------------------------------------------- oracle SQL

@@ -57,6 +57,45 @@ object Similarity {
       .select("a_id", "b_id", "cos_e6")
   }
 
+  /** IVF-style ANN: coarse-quantize the corpus into `nLists` inverted
+    * lists, probe the `nProbe` nearest lists per query, exact-rerank the
+    * candidates. The 100 TB path: candidate work scales with
+    * |corpus|·nProbe/nLists instead of |corpus|.
+    *
+    * The coarse quantizer here is training-free (the nLists lowest-id
+    * vectors serve as centroids) so results are deterministic; a k-means
+    * trained quantizer drops into the same assignment/probe plumbing.
+    * Output: qid, cid, rank, score_e6 — same shape as bruteForceTopK. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nLists: Int, nProbe: Int): DataFrame = {
+    val cents = broadcast(corpus.orderBy(col(idCol)).limit(nLists)
+      .select(col(idCol).as("centId"), col(vecCol).as("centVec"),
+        normSqE9(col(vecCol)).as("centN")))
+
+    def nearestLists(df: DataFrame, p: String, keep: Int): DataFrame = {
+      val scored = df.select(col(idCol).as(s"${p}id"), col(vecCol).as(s"${p}vec"),
+          normSqE9(col(vecCol)).as(s"${p}n"))
+        .join(cents)
+        .withColumn("__cs",
+          cosineFromE9(dotE9(col(s"${p}vec"), col("centVec")), col(s"${p}n"), col("centN")))
+      val w = Window.partitionBy(col(s"${p}id"))
+        .orderBy(col("__cs").desc, col("centId"))
+      scored.withColumn("__r", row_number().over(w)).where(col("__r") <= keep)
+        .select(col(s"${p}id"), col(s"${p}vec"), col(s"${p}n"), col("centId"))
+    }
+
+    val assigned = nearestLists(corpus.repartition(col(idCol)), "c", 1)
+    val probes = nearestLists(queries, "q", nProbe)
+    val cand = probes.join(assigned, Seq("centId"))
+      .where(col("qid") =!= col("cid"))
+      .withColumn("__score",
+        cosineFromE9(dotE9(col("qvec"), col("cvec")), col("qn"), col("cn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("__score").desc, col("cid"))
+    cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"),
+        round(col("__score") * 1e6).cast("long").as("score_e6"))
+  }
+
   /** Sign-LSH bucketing: `planes` pseudo-random ±1 hyperplanes (component
     * signs derived from xxhash64(plane, dim)), vectors keyed by the sign
     * pattern; near-dup candidates = equal buckets. */
