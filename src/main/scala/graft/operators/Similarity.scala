@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
+import graft.functions.VectorExpressions
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
@@ -24,15 +25,17 @@ object Similarity {
     * Output: qid, cid, rank, score_e6 (cosine ·1e6, rounded). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    VectorExpressions.register(corpus.sparkSession)
     val withNorm = (df: DataFrame, p: String) => df.select(
       col(idCol).as(s"${p}id"), col(vecCol).as(s"${p}vec"),
-      normSqE9(col(vecCol)).as(s"${p}n"))
+      VectorExpressions.normSqE9Fast(col(vecCol)).as(s"${p}n"))
     // corpora often arrive as one small file → spread the scoring work
     val q = withNorm(queries, "q")
     val c = withNorm(corpus.repartition(col(idCol)), "c")
     val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
       .withColumn("__score",
-        cosineFromE9(dotE9(col("qvec"), col("cvec")), col("qn"), col("cn")))
+        cosineFromE9(VectorExpressions.dotE9Fast(col("qvec"), col("cvec")),
+          col("qn"), col("cn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("__score").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("qid"), col("cid"), col("rank"),
@@ -45,13 +48,15 @@ object Similarity {
     * (`lshBucketedPairs`) and re-rank candidates with this scoring. */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       minScoreE6: Long): DataFrame = {
+    VectorExpressions.register(corpus.sparkSession)
     val n = corpus.repartition(col(idCol)).select(col(idCol).as("id"),
-      col(vecCol).as("vec"), normSqE9(col(vecCol)).as("nsq"))
+      col(vecCol).as("vec"), VectorExpressions.normSqE9Fast(col(vecCol)).as("nsq"))
     val a = n.select(col("id").as("a_id"), col("vec").as("__va"), col("nsq").as("__na"))
     val b = n.select(col("id").as("b_id"), col("vec").as("__vb"), col("nsq").as("__nb"))
     a.join(b, col("a_id") < col("b_id"))
       .withColumn("__score",
-        cosineFromE9(dotE9(col("__va"), col("__vb")), col("__na"), col("__nb")))
+        cosineFromE9(VectorExpressions.dotE9Fast(col("__va"), col("__vb")),
+          col("__na"), col("__nb")))
       .withColumn("cos_e6", round(col("__score") * 1e6).cast("long"))
       .where(col("cos_e6") >= minScoreE6)
       .select("a_id", "b_id", "cos_e6")
@@ -68,16 +73,18 @@ object Similarity {
     * Output: qid, cid, rank, score_e6 — same shape as bruteForceTopK. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nLists: Int, nProbe: Int): DataFrame = {
+    VectorExpressions.register(corpus.sparkSession)
     val cents = broadcast(corpus.orderBy(col(idCol)).limit(nLists)
       .select(col(idCol).as("centId"), col(vecCol).as("centVec"),
-        normSqE9(col(vecCol)).as("centN")))
+        VectorExpressions.normSqE9Fast(col(vecCol)).as("centN")))
 
     def nearestLists(df: DataFrame, p: String, keep: Int): DataFrame = {
       val scored = df.select(col(idCol).as(s"${p}id"), col(vecCol).as(s"${p}vec"),
-          normSqE9(col(vecCol)).as(s"${p}n"))
+          VectorExpressions.normSqE9Fast(col(vecCol)).as(s"${p}n"))
         .join(cents)
         .withColumn("__cs",
-          cosineFromE9(dotE9(col(s"${p}vec"), col("centVec")), col(s"${p}n"), col("centN")))
+          cosineFromE9(VectorExpressions.dotE9Fast(col(s"${p}vec"), col("centVec")),
+            col(s"${p}n"), col("centN")))
       val w = Window.partitionBy(col(s"${p}id"))
         .orderBy(col("__cs").desc, col("centId"))
       scored.withColumn("__r", row_number().over(w)).where(col("__r") <= keep)
@@ -89,7 +96,8 @@ object Similarity {
     val cand = probes.join(assigned, Seq("centId"))
       .where(col("qid") =!= col("cid"))
       .withColumn("__score",
-        cosineFromE9(dotE9(col("qvec"), col("cvec")), col("qn"), col("cn")))
+        cosineFromE9(VectorExpressions.dotE9Fast(col("qvec"), col("cvec")),
+          col("qn"), col("cn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("__score").desc, col("cid"))
     cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("qid"), col("cid"), col("rank"),
