@@ -183,8 +183,7 @@ object SparkEntry {
 
     // Dedup/near-dup: exact n-gram Jaccard via inverted-index join
     "q19_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 1L, 2L)
-        .orderBy(col("a_id"), col("b_id"))),
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 1L, 2L)),
 
     // Similarity: exact cosine top-k (quantized deterministic scoring)
     "q20_knn_cosine" -> ((s, dir) => {

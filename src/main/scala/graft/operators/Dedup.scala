@@ -69,7 +69,12 @@ object Dedup {
     // table before the self-join.
     val sh = shingles(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    // one pass per doc: the shingle set (for candidate verification) and
+    // its size
+    val sets = sh.groupBy(col(idCol))
+      .agg(collect_list(col("shingle")).as("__set"), count(lit(1)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sets.select(col(idCol), col("__n"))
 
     // rarest-first global order: (document frequency, shingle)
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
@@ -107,8 +112,6 @@ object Dedup {
     // exact intersection for candidates only: join each pair to its two
     // per-doc shingle sets and intersect the arrays — one row per candidate
     // instead of re-exploding candidates against the inverted index
-    val sets = sh.groupBy(col(idCol))
-      .agg(collect_list(col("shingle")).as("__set"), count(lit(1)).as("__n"))
     val out = cand
       .join(sets.select(col(idCol).as("a_id"), col("__set").as("__sa"),
         col("__n").as("na")), "a_id")
