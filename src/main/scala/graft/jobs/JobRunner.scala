@@ -28,7 +28,8 @@ object JobRunner {
 
     val raw = RawOutputJob.run(envelopes)
     println(s"JOBS raw: views=${raw.views.count()} dlogs=${raw.deliveryLogs.count()} " +
-      s"imps=${raw.impressions.count()} acts=${raw.actions.count()} luu=${raw.logUserUser.count()}")
+      s"imps=${raw.impressions.count()} acts=${raw.actions.count()} luu=${raw.logUserUser.count()} " +
+      s"dlogIds=${raw.deliveryLogIds.count()} respInsIds=${raw.responseInsertionIds.count()}")
 
     val flat = FlatOutputJob.run(envelopes)
     val impsByType = flat.joinedImpressions.groupBy("matchType").count()

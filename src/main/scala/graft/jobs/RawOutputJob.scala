@@ -20,7 +20,9 @@ object RawOutputJob {
       deliveryLogs: DataFrame,
       impressions: DataFrame,
       actions: DataFrame,
-      logUserUser: DataFrame)
+      logUserUser: DataFrame,
+      deliveryLogIds: DataFrame, // (platformId, ts, requestId, clientRequestId, viewId)
+      responseInsertionIds: DataFrame) // (platformId, ts, requestId, insertionId, contentId)
 
   def run(envelopes: DataFrame)(implicit spark: SparkSession): Outputs = {
     val views = Dedup.keepFirst(
@@ -44,7 +46,22 @@ object RawOutputJob {
           col("userInfo.userId").as("userId"))
         .where(col("logUserId") =!= "" && col("userId") =!= ""),
       Seq("logUserId", "userId"), Seq(col("eventApiTimestamp")))
+    // "ids" side tables (reference ToDeliveryLogIds / To*InsertionIds):
+    // narrow key-mapping tables for offline joins without the full payload
+    val dlogIds = dlogs.select(col("platformId"),
+      col("timing.eventApiTimestamp").as("eventApiTimestamp"),
+      col("request.requestId").as("requestId"),
+      col("request.clientRequestId").as("clientRequestId"),
+      col("request.viewId").as("viewId"))
+    val respInsIds = dlogs.select(col("platformId"),
+      col("timing.eventApiTimestamp").as("eventApiTimestamp"),
+      col("request.requestId").as("requestId"),
+      explode(col("insertions")).as("ins"))
+      .select(col("platformId"), col("eventApiTimestamp"), col("requestId"),
+        col("ins.insertionId").as("insertionId"),
+        col("ins.contentId").as("contentId"))
     Outputs(Validation.clearUserId(views), Validation.clearUserId(dlogs),
-      Validation.clearUserId(imps), Validation.clearUserId(acts), luu)
+      Validation.clearUserId(imps), Validation.clearUserId(acts), luu,
+      dlogIds, respInsIds)
   }
 }
