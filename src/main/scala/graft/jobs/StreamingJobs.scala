@@ -1,0 +1,116 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.schema.JoinSideEvent
+import graft.sinks.Sinks
+import graft.sources.{LogRequestSplit, Validation}
+import graft.streaming.{InferredJoin, StreamOps, WatermarkDelays}
+
+/** Streaming entry points for the four pipelines — the `readStream` →
+  * transform → `writeStream` forms of the batch jobs, sharing the same
+  * stage functions (the batch/streaming equivalence is pinned by
+  * StreamingFlatSpec). Sources are file streams here; a Kafka deployment
+  * swaps `readStream.format("kafka")` + the envelope decoder without
+  * touching the stages.
+  *
+  * Checkpointing: one checkpoint dir per query, stable query names —
+  * never reorder stateful stages within a query (SURVEY §2.10 state-
+  * stability note).
+  */
+object StreamingJobs {
+
+  /** Envelope file stream with the given schema (from a batch sample). */
+  def envelopeStream(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** Raw job: split → validate → watermark dedupe → dt/hour parquet.
+    * Returns the started queries (one per output type). */
+  def rawOutput(envelopes: DataFrame, outDir: String, checkpointDir: String)(
+      implicit spark: SparkSession): Seq[StreamingQuery] = {
+    // materialize an epoch-ms column for dt/hour partition bucketing
+    def withMs(df: DataFrame): DataFrame =
+      df.withColumn("eventApiTs", col("timing.eventApiTimestamp"))
+    def one(name: String, df: DataFrame, keys: Seq[String]): StreamingQuery = {
+      val withTs = df.withColumn("eventTime", timestamp_millis(col("eventApiTs")))
+      val deduped = StreamOps.keepFirstRows(withTs, keys, "eventTime", "1 minute")
+      Sinks.streamPartitioned(
+          Validation.clearUserId(deduped).drop("eventTime"),
+          "eventApiTs", s"$outDir/$name", s"$checkpointDir/$name")
+        .queryName(s"raw_$name").start()
+    }
+    Seq(
+      one("view", withMs(LogRequestSplit.views(envelopes).toDF()), Seq("viewId")),
+      one("impression", withMs(LogRequestSplit.impressions(envelopes).toDF()),
+        Seq("impressionId")),
+      one("action", withMs(LogRequestSplit.actions(envelopes).toDF()),
+        Seq("actionId")))
+  }
+
+  /** Flat job slice: insertion→impression inferred join as a stream,
+    * joined pairs to parquet, dropped pairs to a side-channel dir. */
+  def flatOutput(envelopes: DataFrame, outDir: String, checkpointDir: String)(
+      implicit spark: SparkSession): StreamingQuery = {
+    import spark.implicits._
+    val delays = WatermarkDelays.referenceChain()
+    val ins = LogRequestSplit.deliveryLogs(envelopes).toDF()
+      .select(col("platformId"), col("userInfo.logUserId").as("logUserId"),
+        col("timing.eventApiTimestamp").as("tsMs"),
+        explode(col("insertions")).as("i"))
+      .select(col("platformId"), col("logUserId"), lit(0).as("side"),
+        col("i.insertionId").as("id"), lit("").as("parentId"), col("tsMs"))
+    val imp = LogRequestSplit.impressions(envelopes).toDF()
+      .select(col("platformId"), col("userInfo.logUserId").as("logUserId"),
+        lit(1).as("side"), col("impressionId").as("id"),
+        col("insertionId").as("parentId"),
+        col("timing.eventApiTimestamp").as("tsMs"))
+    val joined = InferredJoin.joinStream(
+      ins.unionByName(imp).as[JoinSideEvent],
+      s"${delays("insertionImpressionJoin")} milliseconds",
+      maxTimeMs = 30 * 60 * 1000L, outOfOrderMs = 1000L)
+    Sinks.streamPartitioned(
+        joined.toDF().withColumn("eventApiTs", col("rightTs")),
+        "eventApiTs", s"$outDir/joined", s"$checkpointDir/joined")
+      .queryName("flat_joined").start()
+  }
+
+  /** Counter job: joined-event stream → sliding counts → command sink. */
+  def counter(events: DataFrame, client: Sinks.CommandClient,
+      checkpointDir: String)(implicit spark: SparkSession): StreamingQuery = {
+    val counts = StreamOps.slidingCounts(
+      events.withColumn("eventTime", timestamp_millis(col("tsMs"))),
+      Seq("platformId", "contentId"), "eventTime", "1 minute",
+      "1 hour", "15 minutes")
+    val commands = counts.select(
+      lit("HSET").as("cmd"),
+      concat_ws("", col("platformId"), col("contentId")).as("key"),
+      col("window_start_ms").cast("string").as("field"),
+      col("n").cast("string").as("value"), lit(4L * 3600).as("ttlSec"))
+    Sinks.streamCommands(commands, client, s"$checkpointDir/counter")
+      .queryName("counter_commands").start()
+  }
+
+  /** Content metrics: unified metric stream → hourly windowed rollup. */
+  def contentMetrics(envelopes: DataFrame, outDir: String,
+      checkpointDir: String)(implicit spark: SparkSession): StreamingQuery = {
+    val unified = ContentMetricsJob.unifiedEvents(envelopes)
+      .withColumn("eventTime", timestamp_millis(col("tsMs")))
+      .withWatermark("eventTime", "1 minute")
+    val hourly = unified
+      .groupBy(window(col("eventTime"), "1 hour"),
+        col("platformId"), col("contentId"))
+      .agg(sum("view_count").as("view_count"),
+        sum("impression_count").as("impression_count"),
+        sum("purchase_count").as("purchase_count"),
+        sum("gmv_usd_micros").as("gmv_usd_micros"))
+      .select(unix_millis(col("window.start")).as("eventApiTs"),
+        col("platformId"), col("contentId"), col("view_count"),
+        col("impression_count"), col("purchase_count"), col("gmv_usd_micros"))
+    Sinks.streamPartitioned(hourly, "eventApiTs", s"$outDir/hourly",
+        s"$checkpointDir/hourly")
+      .outputMode("append").queryName("content_metrics_hourly").start()
+  }
+}

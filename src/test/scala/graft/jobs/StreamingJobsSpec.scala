@@ -1,0 +1,69 @@
+package graft.jobs
+
+import graft.SparkSpec
+import graft.sinks.Sinks
+import graft.sources.FakeLogGenerator
+import org.apache.spark.sql.functions._
+
+/** Drives the streaming job entry points end-to-end over staged envelope
+  * files: file stream in, dt/hour-partitioned parquet (or captured
+  * commands) out. */
+class StreamingJobsSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val s = spark
+
+  private def staged(): (String, org.apache.spark.sql.DataFrame) = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sj").toString
+    val env = FakeLogGenerator.generate(FakeLogGenerator.Options(users = 3)).toDS().toDF()
+    env.write.parquet(s"$tmp/in")
+    (tmp, env)
+  }
+
+  test("rawOutput streams deduped, PII-stripped, dt/hour-partitioned tables") {
+    val (tmp, env) = staged()
+    val stream = StreamingJobs.envelopeStream(spark, s"$tmp/in", env.schema)
+    val qs = StreamingJobs.rawOutput(stream, s"$tmp/out", s"$tmp/ckpt")
+    qs.foreach(_.processAllAvailable()); qs.foreach(_.stop())
+    val views = spark.read.parquet(s"$tmp/out/view")
+    assert(views.count() == 6) // 3 users × 2 views
+    assert(views.columns.contains("dt") && views.columns.contains("hour"))
+    assert(views.select("userInfo.userId").distinct().head().getString(0) == "")
+  }
+
+  test("contentMetrics streams hourly per-content rollups") {
+    val (tmp, env) = staged()
+    val stream = StreamingJobs.envelopeStream(spark, s"$tmp/in", env.schema)
+    val q = StreamingJobs.contentMetrics(stream, s"$tmp/out", s"$tmp/ckpt")
+    q.processAllAvailable(); q.stop()
+    // append-mode window agg only finalizes below the watermark; push it
+    // with a late empty batch by re-running over an extra file
+    val late = FakeLogGenerator.generate(FakeLogGenerator.Options(users = 1,
+      startMs = 1700000000000L + 7L * 86400000L)).toDS().toDF()
+    late.write.mode("append").parquet(s"$tmp/in")
+    val q2 = StreamingJobs.contentMetrics(
+      StreamingJobs.envelopeStream(spark, s"$tmp/in", env.schema),
+      s"$tmp/out", s"$tmp/ckpt")
+    q2.processAllAvailable(); q2.stop()
+    val hourly = spark.read.parquet(s"$tmp/out/hourly")
+    assert(hourly.count() > 0)
+    assert(hourly.agg(sum("view_count")).head().getLong(0) >= 6)
+  }
+
+  test("counter streams command frames through the client") {
+    val (tmp, env) = staged()
+    val events = StreamingJobs.envelopeStream(spark, s"$tmp/in", env.schema)
+      .select(col("platformId"), explode(col("impressions")).as("imp"))
+      .select(col("platformId"), col("imp.contentId").as("contentId"),
+        col("imp.timing.eventApiTimestamp").as("tsMs"))
+    val q = StreamingJobs.counter(events, CapturingClient, s"$tmp/ckpt")
+    q.processAllAvailable(); q.stop()
+    assert(CapturingClient.count.get() > 0)
+  }
+}
+
+/** Serializable command capture (counter only — assertions stay simple). */
+object CapturingClient extends Sinks.CommandClient {
+  val count = new java.util.concurrent.atomic.AtomicLong()
+  override def execute(cmd: String, key: String, field: String,
+      value: String, ttlSec: Long): Unit = count.incrementAndGet()
+}
