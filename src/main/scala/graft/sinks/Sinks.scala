@@ -49,6 +49,12 @@ object Sinks {
       }
     }
 
+  /** A12 output range gate: during backfill only commands whose event time
+    * falls in [startMs, stopMs] reach the store (reference
+    * CounterJob.java:569-583). Expects a `tsMs` column on the frame. */
+  def backfillGate(commands: DataFrame, startMs: Long, stopMs: Long): DataFrame =
+    commands.where(col("tsMs") >= startMs && col("tsMs") <= stopMs)
+
   /** K3 streaming form: `commands` must be a streaming frame; each
     * micro-batch keeps only the latest value per (key, field) — the
     * reference's backfill buffering collapses writes the same way
