@@ -15,6 +15,11 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).schema)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Collect leftover garbage from the previous query so a major GC
+      // doesn't land inside this one's timing window (the VM's 32 vCPUs
+      // are oversubscribed; a stop-the-world pause mid-query showed up as
+      // a 16 s wall on a 0.5 s plan in round 1).
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

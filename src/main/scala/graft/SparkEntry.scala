@@ -206,8 +206,10 @@ object SparkEntry {
     "q23_lsh_ann" -> ((s, dir) =>
       Similarity.lshBucketedPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 10)),
 
-    // §2.9: seed-0 xxhash64 feature keys (no oracle; XxHash64Spec holds the
-    // public test vectors)
+    // §2.9: seed-0 xxhash64 feature keys. Oracled: the expected seed-0
+    // hashes for the (fixed, 5-value) event-type vocabulary are inlined
+    // into the oracle SQL as literals; XxHash64Spec holds the public
+    // test vectors that pin the hash itself.
     "q24_query_hash" -> ((s, dir) => {
       GraftFunctions.register(s)
       t(s, dir, "events")
@@ -256,11 +258,14 @@ object SparkEntry {
           col("executionServer").as("execution_server"), col("tsMs").as("ts_ms"))
     }),
 
-    // Dedup/embedding: cosine near-dup pairs (quantized, deterministic)
+    // Dedup/embedding: banded sign-LSH blocking → exact quantized re-rank —
+    // the sub-quadratic production path (all-pairs cosineNearDupPairs is the
+    // tests-only recall baseline). The oracle mirrors the integer-quantized
+    // blocking exactly, so the gate checks the whole shipped pipeline.
     "q27_embed_neardup" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(
+      Similarity.lshBandedNearDupPairs(
         t(s, dir, "embeddings").where(col("vec_id") < 1000),
-        "vec_id", "embedding", 400000L)),
+        "vec_id", "embedding", 400000L, bands = 8, rowsPerBand = 4)),
 
     // Text analysis: BPE-ish pre-tokenization counts
     "q28_bpe_tokens" -> ((s, dir) =>
@@ -360,7 +365,64 @@ object SparkEntry {
       s"CASE WHEN $best = 0 THEN 'und' $cases ELSE 'und' END")
   }
 
+  /** q27's oracle replicates the banded sign-LSH blocking bit-exactly:
+    * the hyperplane signs are inlined as list literals (from the same
+    * `Similarity.planeSigns` the Spark plan uses) and the projections are
+    * BIGINT sums of per-component e9-rounded products — integer arithmetic
+    * end-to-end, so DuckDB and Spark compute identical buckets. Candidate
+    * recall is a property of (bands, rowsPerBand), not of the engine. */
+  private val q27BandedOracleSql: String = {
+    val dims = 64; val bands = 8; val rowsPerBand = 4
+    val bandSelects = (0 until bands).map { b =>
+      val bits = (0 until rowsPerBand).map { k =>
+        val signs = Similarity.planeSigns(b * rowsPerBand + k, dims)
+          .mkString("[", ", ", "]")
+        s"""(CASE WHEN CAST(list_sum(list_transform(list_zip(embedding, $signs),
+           |   z -> CAST(round(CAST(z[1] AS DOUBLE)*1000000000.0) AS BIGINT) * z[2])) AS BIGINT) >= 0
+           |  THEN ${1L << k} ELSE 0 END)""".stripMargin
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band, $bits AS bucket FROM n"
+    }.mkString("\n UNION ALL\n")
+    s"""WITH n AS (
+       | SELECT vec_id, embedding,
+       |  CAST(list_sum(list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS nsq
+       | FROM embeddings WHERE vec_id < 1000),
+       |bk AS (
+       |$bandSelects),
+       |cand AS (
+       | SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       | FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+       |   AND a.vec_id < b.vec_id),
+       |p AS (
+       | SELECT c.a_id, c.b_id,
+       |  CAST(CAST(list_sum(list_transform(list_zip(x.embedding, y.embedding),
+       |    z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS DOUBLE)
+       |   / sqrt(CAST(x.nsq AS DOUBLE) * CAST(y.nsq AS DOUBLE)) AS score
+       | FROM cand c JOIN n x ON x.vec_id = c.a_id JOIN n y ON y.vec_id = c.b_id)
+       |SELECT a_id, b_id, CAST(round(score*1000000) AS BIGINT) AS cos_e6
+       |FROM p WHERE CAST(round(score*1000000) AS BIGINT) >= 400000""".stripMargin
+  }
+
+  /** q24's oracle: DuckDB has no seed-0 xxhash64, but the query vocabulary
+    * (event_type) is a fixed 5-value set, so the expected hashes are
+    * computed here (same `XxHash64` the Spark expression calls) and inlined
+    * as CASE literals. An out-of-vocabulary type would map to NULL and
+    * mismatch — that's the point: the gate fails loudly instead of
+    * silently weakening to rows-only. */
+  private val q24OracleSql: String = {
+    val vocab = Seq("view", "click", "purchase", "signup", "error")
+    val cases = vocab.map(v =>
+      s"WHEN '$v' THEN CAST(${graft.functions.XxHash64.hashString(v, 0L)} AS BIGINT)")
+      .mkString(" ")
+    s"""SELECT query_hash, count(*) AS n FROM (
+       | SELECT CASE lower(event_type) $cases END AS query_hash
+       | FROM events WHERE length(lower(event_type)) <= 100)
+       |GROUP BY query_hash HAVING count(*) >= 100""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q24_query_hash" -> q24OracleSql,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
@@ -591,20 +653,7 @@ object SparkEntry {
         |             epoch_ms(ts), lpad(CAST(event_id AS VARCHAR), 12, '0')) AS rn
         | FROM events WHERE event_type IN ('view', 'click')) WHERE rn = 1""".stripMargin,
 
-    "q27_embed_neardup" ->
-      """WITH n AS (
-        | SELECT vec_id, embedding,
-        |  CAST(list_sum(list_transform(embedding,
-        |    x -> CAST(round(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS nsq
-        | FROM embeddings WHERE vec_id < 1000),
-        |p AS (
-        | SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |  CAST(CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |    z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS DOUBLE)
-        |   / sqrt(CAST(a.nsq AS DOUBLE) * CAST(b.nsq AS DOUBLE)) AS score
-        | FROM n a JOIN n b ON a.vec_id < b.vec_id)
-        |SELECT a_id, b_id, CAST(round(score*1000000) AS BIGINT) AS cos_e6
-        |FROM p WHERE CAST(round(score*1000000) AS BIGINT) >= 400000""".stripMargin,
+    "q27_embed_neardup" -> q27BandedOracleSql,
 
     "q28_bpe_tokens" ->
       """SELECT doc_id,

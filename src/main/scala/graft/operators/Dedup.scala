@@ -44,6 +44,19 @@ object Dedup {
       explode(graft.functions.WordShingles.wordShingles(col(textCol), n)).as("shingle"))
   }
 
+  /** Per-doc sorted distinct int64 shingle hashes: (id, __arr, __n).
+    *
+    * The int64 form is what every set operation downstream actually needs
+    * (equality for the inverted index, intersection for verification) and
+    * moves ~8× fewer bytes through the exchanges than the UTF-8 grams. */
+  def hashedShingleSets(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    graft.functions.WordShingles.register(docs.sparkSession)
+    docs.repartition(col(idCol)).select(col(idCol),
+        graft.functions.WordShingles.wordShingleHashes(col(textCol), n).as("__arr"))
+      .withColumn("__n", size(col("__arr")).cast("long"))
+  }
+
   /** Exact-Jaccard near-dup pairs with AllPairs-style prefix filtering.
     *
     * Keeps pairs with jaccard >= t = minJaccardNum/minJaccardDen, decided in
@@ -60,25 +73,22 @@ object Dedup {
     * exact intersection count is then computed only for candidate pairs. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccardNum: Long, minJaccardDen: Long): DataFrame = {
-    // The shingling subtree (regex split → n-gram transform → distinct →
-    // explode) feeds five plan branches; persist so it runs once, not five
-    // times. At scale this is the same trade as materializing a shingle
-    // table before the self-join.
-    val sh = shingles(docs, idCol, textCol, n)
+    graft.functions.SortedLongIntersect.register(docs.sparkSession)
+    // The shingling kernel feeds several plan branches; persist the compact
+    // per-doc hash sets so it runs once. At scale this is the same trade as
+    // materializing a shingle table before the self-join. No groupBy is
+    // needed to form the sets — the kernel emits the whole (sorted) set per
+    // input row, so the only shuffles left are the index self-join's.
+    val sets = hashedShingleSets(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one pass per doc: the shingle set (for candidate verification) and
-    // its size
-    val sets = sh.groupBy(col(idCol))
-      .agg(collect_list(col("shingle")).as("__set"), count(lit(1)).as("__n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sets.select(col(idCol), col("__n"))
+    // carry the set size through the explode — saves a per-doc join later
+    val sh = sets.select(col(idCol), col("__n"), explode(col("__arr")).as("shingle"))
 
     // rarest-first global order: (document frequency, shingle)
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
     val rankW = Window.partitionBy(col(idCol)).orderBy(col("__df"), col("shingle"))
     val ranked = sh.join(freq, "shingle")
       .withColumn("__rnk", row_number().over(rankW))
-      .join(sizes, idCol)
     // prefix length = n − ⌈t·n⌉ + 1, with ⌈a/b⌉ = (a+b−1) div b in integers
     val prefixLen = col("__n") -
       ((col("__n") * minJaccardNum + minJaccardDen - 1) / minJaccardDen).cast("long") + 1
@@ -107,27 +117,33 @@ object Dedup {
       .distinct()
 
     // exact intersection for candidates only: join each pair to its two
-    // per-doc shingle sets and intersect the arrays — one row per candidate
-    // instead of re-exploding candidates against the inverted index
+    // per-doc sorted hash sets and merge-count — one primitive-long pass
+    // per candidate, no boxing, no re-exploding against the inverted index
     val out = cand
-      .join(sets.select(col(idCol).as("a_id"), col("__set").as("__sa"),
+      .join(sets.select(col(idCol).as("a_id"), col("__arr").as("__sa"),
         col("__n").as("na")), "a_id")
-      .join(sets.select(col(idCol).as("b_id"), col("__set").as("__sb"),
+      .join(sets.select(col(idCol).as("b_id"), col("__arr").as("__sb"),
         col("__n").as("nb")), "b_id")
-      .withColumn("inter", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("inter",
+        graft.functions.SortedLongIntersect.intersectCount(col("__sa"), col("__sb")))
     out
       .where(col("inter") * minJaccardDen >= (col("na") + col("nb") - col("inter")) * minJaccardNum)
       .select("a_id", "b_id", "inter", "na", "nb")
   }
 
-  /** MinHash signatures: k per-doc minima of independently-salted hashes of
-    * the doc's shingles. One shuffle (groupBy doc), k map-side min aggs. */
+  /** MinHash signatures: k per-doc minima of independently-salted re-hashes
+    * of the doc's int64 shingle hashes. No shuffle at all when the kernel
+    * emits whole sets per row — the k minima reduce inside `transform`+
+    * `array_min` over the set array; salting re-hashes an 8-byte long
+    * instead of re-hashing the gram text k times. */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
+    // `__n > 0` keeps parity with the exploded form: shingle-less docs have
+    // no signature (array_min of [] would be null)
+    val sets = hashedShingleSets(docs, idCol, textCol, n).where(col("__n") > 0)
     val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      array_min(transform(col("__arr"), s => xxhash64(lit(i), s))).as(s"h$i"))
+    sets.select(col(idCol) +: mins: _*)
   }
 
   /** Banded-LSH candidate pairs from MinHash signatures with the

@@ -42,10 +42,18 @@ object Similarity {
         round(col("__score") * 1e6).cast("long").as("score_e6"))
   }
 
+  /** Deterministic ±1 hyperplane component signs, shared by the Spark plans
+    * and the SQL-oracle rendering so both engines block identically. */
+  def planeSigns(plane: Int, dims: Int): Array[Long] =
+    Array.tabulate(dims)(d =>
+      if (graft.functions.XxHash64.hashString(s"$plane:$d", 0L) >= 0) 1L else -1L)
+
   /** Embedding-cosine near-duplicate pairs: all pairs (a < b) whose cosine
-    * reaches `minScoreE6`/1e6, quantized-deterministic scoring. The
-    * all-pairs form is the correctness baseline; at scale, block first
-    * (`lshBucketedPairs`) and re-rank candidates with this scoring. */
+    * reaches `minScoreE6`/1e6, quantized-deterministic scoring.
+    *
+    * VERIFICATION BASELINE ONLY — the join is all-pairs (O(n²)); the
+    * production path is `lshBandedNearDupPairs`, which blocks with banded
+    * sign-LSH and re-ranks candidates with this same scoring. */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       minScoreE6: Long): DataFrame = {
     VectorExpressions.register(corpus.sparkSession)
@@ -58,6 +66,70 @@ object Similarity {
         cosineFromE9(VectorExpressions.dotE9Fast(col("__va"), col("__vb")),
           col("__na"), col("__nb")))
       .withColumn("cos_e6", round(col("__score") * 1e6).cast("long"))
+      .where(col("cos_e6") >= minScoreE6)
+      .select("a_id", "b_id", "cos_e6")
+  }
+
+  /** Banded sign-LSH near-duplicate pairs — the sub-quadratic scale path.
+    *
+    * Blocking: `bands`×`rowsPerBand` pseudo-random hyperplanes (signs from
+    * `planeSigns`, deterministic). Each vector gets one bucket per band —
+    * the `rowsPerBand` sign bits of its integer-quantized projections
+    * Σ round(x_d·1e9)·s_d (BIGINT arithmetic end-to-end, so any engine
+    * computes bit-identical buckets). Candidates form only inside equal
+    * (band, bucket) cells; exact quantized cosine re-ranks them.
+    *
+    * Candidate recall for a pair at angle θ is 1−(1−p^r)^b with
+    * p = 1−θ/π — an explicit, tunable trade documented at the call site;
+    * everything downstream of blocking is exact. `maxBucket > 0` caps hot
+    * buckets (keeps the `maxBucket` lowest ids per cell — deterministic,
+    * further recall loss) so one degenerate cell can never go quadratic.
+    *
+    * Output: a_id, b_id, cos_e6 — same shape as `cosineNearDupPairs`. */
+  def lshBandedNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      minScoreE6: Long, bands: Int, rowsPerBand: Int,
+      maxBucket: Int = 0): DataFrame = {
+    VectorExpressions.register(corpus.sparkSession)
+    val dims = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val base = corpus.repartition(col(idCol)).select(col(idCol).as("id"),
+      col(vecCol).as("vec"), VectorExpressions.normSqE9Fast(col(vecCol)).as("nsq"))
+
+    val bandCols: Seq[Column] = (0 until bands).map { bIdx =>
+      val bits = (0 until rowsPerBand).map { r =>
+        // The projection Σ round(x_d·s_d·1e9) IS a quantized dot product
+        // against the ±1 sign vector (sign flip commutes with half-away-
+        // from-zero rounding), so it rides the codegen'd kernel instead of
+        // an interpreted zip_with/aggregate pair per plane.
+        val signVec = lit(planeSigns(bIdx * rowsPerBand + r, dims).map(_.toFloat))
+        val projE9 = VectorExpressions.dotE9Fast(col("vec"), signVec)
+        when(projE9 >= 0, shiftleft(lit(1L), r)).otherwise(lit(0L))
+      }
+      struct(lit(bIdx).as("band"),
+        bits.reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("bucket"))
+    }
+    val bucketed = base
+      .select(col("id"), explode(array(bandCols: _*)).as("__bb"))
+      .select(col("id"), col("__bb.band").as("band"), col("__bb.bucket").as("bucket"))
+    val capped = if (maxBucket > 0) {
+      val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))
+      bucketed.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= maxBucket).drop("__rn")
+    } else bucketed
+
+    val cand = capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+
+    cand
+      .join(base.select(col("id").as("a_id"), col("vec").as("__va"),
+        col("nsq").as("__na")), "a_id")
+      .join(base.select(col("id").as("b_id"), col("vec").as("__vb"),
+        col("nsq").as("__nb")), "b_id")
+      .withColumn("cos_e6", round(
+        cosineFromE9(VectorExpressions.dotE9Fast(col("__va"), col("__vb")),
+          col("__na"), col("__nb")) * 1e6).cast("long"))
       .where(col("cos_e6") >= minScoreE6)
       .select("a_id", "b_id", "cos_e6")
   }

@@ -1,0 +1,30 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time one catalog query N times.
+  * Usage: graft.tools.TimeQuery <queryName> [sfDir] [reps] */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    val fn = graft.SparkEntry.queries(name)
+    (1 to reps).foreach { i =>
+      System.gc()
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"$name run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

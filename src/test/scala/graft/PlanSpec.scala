@@ -49,6 +49,12 @@ class PlanSpec extends SparkSpec {
     assert(p.lastIndexOf("HashAggregate") > exchange, p.take(2000))
   }
 
+  test("banded near-dup blocks with a hash join — never a cartesian product") {
+    val p = plan("q27_embed_neardup")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("similarity top-k broadcasts the query side") {
     val p = plan("q20_knn_cosine")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
