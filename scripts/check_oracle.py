@@ -13,8 +13,11 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 oracles = json.load(open(f"{out}/oracle_sql.json"))
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 fails = []
 for name in sorted(oracles):
+    if only is not None and name not in only:
+        continue
     sql = oracles[name]
     try:
         spark_df = con.execute(

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.agg.{ContentMetrics, Windows}
 import graft.functions.{GraftFunctions, TextFunctions}
 import graft.operators._
-import graft.schema.{DeliveryLogLite, JoinSideEvent}
+import graft.schema.{DeliveryLogLite, JoinSideEvent, ScopedEvent}
 import graft.streaming.{CombineDeliveryLog, InferredJoin}
 
 /** Driver contract: the operator catalog (SURVEY.md §2 batch analogues +
@@ -338,6 +338,16 @@ object SparkEntry {
             col("event_id"), col("ts_ms")),
         Seq("user_id", "k"), "event_id", "ts_ms")),
 
+    // J1+J2+J3+J4: the full flagship join chain — view ×(right-outer)
+    // insertion × impression × action — with the reference's ancestor-scope
+    // cascade, ContentId filter, and cart-item pk split
+    // (BaseInferred.java:524-547, ViewResponseInsertionProcessFunction,
+    // ImpressionActionProcessFunction.java:18-35). Fixture derives exact-FK
+    // and scope ids from the events table via as-of lookups; match paths
+    // split by event_id % 4: 0→exact FK, 1→first scope, 2→second scope,
+    // 3→invalid scopes then view-scope fallback (multi-level cascade).
+    "q35_flat_chain" -> ((s, dir) => q35FlatChain(s, dir)),
+
     // Similarity/IVF: inverted-list ANN, the |corpus|·nProbe/nLists scale
     // path (no oracle — quantizer-dependent retrieval; IvfSpec proves the
     // retrieved scores exact and recall meaningful vs brute force)
@@ -347,6 +357,137 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, nLists = 16, nProbe = 4)
     }),
   )
+
+  /** q35: the flagship chain in batch form. views=view events,
+    * insertions=click events, impressions=signup events, actions=purchase
+    * events; window 1d / out-of-order 1s per stage. */
+  private def q35FlatChain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = ev(s, dir)
+    def pid12(c: Column): Column = lpad(c.cast("string"), 12, "0")
+    val pid0 = lit(0L).as("platformId")
+    def luid = col("user_id").cast("string").as("logUserId")
+    val noContent = array().cast("array<string>").as("contentIds")
+    // 1-day window: the synthetic events table spaces a user's events hours
+    // apart, so a 30m window would leave the chain all-dropped
+    val W = 86400000L; val OOO = 1000L
+
+    val views = e.where(col("event_type") === "view").select(
+      col("user_id"), pid12(col("event_id")).as("vid"), col("ts_ms").as("vts"))
+    val ins = e.where(col("event_type") === "click").select(
+      col("user_id"), col("event_id").as("eid"),
+      pid12(col("event_id")).as("iid"),
+      concat(lit("R"), pid12(col("event_id"))).as("rid"),
+      concat(lit("C"), (col("event_id") % 50).cast("string")).as("content"),
+      col("ts_ms").as("its"))
+
+    // stage 1: view × insertion, right-outer, logUserId backup scope
+    val s1L = views.select(pid0, luid, lit(0).as("side"), col("vid").as("id"),
+      lit("").as("parentId"), col("vts").as("tsMs"),
+      array(col("user_id").cast("string")).as("scopes"), noContent)
+    val s1R = ins.select(pid0, luid, lit(1).as("side"), col("iid").as("id"),
+      lit("").as("parentId"), col("its").as("tsMs"),
+      array(col("user_id").cast("string")).as("scopes"), noContent)
+    val p1 = InferredJoin.joinScopedBatch(
+      s1L.unionByName(s1R).as[ScopedEvent], W, OOO, rightOuter = true)(s)
+    val flat1 = p1.toDF()
+      .select(col("rightId").as("iid"), col("leftId").as("view_id"))
+      .join(ins, "iid")
+
+    // stage 2 RHS: impressions with as-of-derived FK / scope ids
+    val impsBase = e.where(col("event_type") === "signup").select(
+      col("user_id"), col("event_id").as("eid"), pid12(col("event_id")).as("mid"),
+      col("ts_ms").as("mts"))
+    val withPc = AsOfJoin.leftAsOf(impsBase,
+      ins.select(col("user_id"), col("iid").as("pc_iid"), col("rid").as("pc_rid"),
+        col("eid").as("pc_eid"), col("its").as("pc_ts")),
+      Seq("user_id"), "mts", "pc_ts", Seq("pc_iid", "pc_rid", "pc_eid"), "pc_eid", W)
+    val withPv = AsOfJoin.leftAsOf(withPc,
+      views.select(col("user_id"), col("vid").as("pv_vid"), col("vts").as("pv_ts")),
+      Seq("user_id"), "mts", "pv_ts", Seq("pv_vid"), "pv_vid", W)
+    val m2 = withPv.select(col("user_id"), col("eid"), col("mid"), col("mts"),
+      col("pc_iid"), col("pc_eid"),
+      when(col("eid") % 4 === 0 || col("eid") % 4 === 2,
+        coalesce(col("pc_iid"), lit(""))).otherwise("").as("fk"),
+      when(col("eid") % 4 === 1, coalesce(col("pc_rid"), lit("")))
+        .when(col("eid") % 4 === 3, concat(lit("RX"), col("mid")))
+        .otherwise("").as("srid"),
+      when(col("eid") % 4 === 3, coalesce(col("pv_vid"), lit("")))
+        .otherwise("").as("svid"))
+
+    val s2L = flat1.select(pid0, luid, lit(0).as("side"), col("iid").as("id"),
+      lit("").as("parentId"), col("its").as("tsMs"),
+      array(col("rid"), col("view_id"), col("content")).as("scopes"),
+      array(col("content")).as("contentIds"))
+    val s2R = m2.select(pid0, luid, lit(1).as("side"), col("mid").as("id"),
+      col("fk").as("parentId"), col("mts").as("tsMs"),
+      array(col("srid"), col("svid")).as("scopes"), noContent)
+    val p2 = InferredJoin.joinScopedBatch(
+      s2L.unionByName(s2R).as[ScopedEvent], W, OOO, rightOuter = false)(s)
+    val flat2 = p2.toDF().where(col("matchType").isin("exact", "inferred"))
+      .select(col("leftId").as("iid"), col("rightId").as("mid"),
+        col("rightTs").as("mts"))
+      .join(flat1, "iid")
+
+    // stage 3 RHS: actions, cart-split into per-content items
+    val acts = e.where(col("event_type") === "purchase").select(
+      col("user_id"), col("event_id").as("eid"), pid12(col("event_id")).as("aid"),
+      col("ts_ms").as("ats"))
+    val withPm = AsOfJoin.leftAsOf(acts,
+      m2.select(col("user_id"), col("mid").as("pm_mid"), col("pc_iid").as("pm_pc_iid"),
+        col("pc_eid").as("pm_pc_eid"), col("mts").as("pm_ts")),
+      Seq("user_id"), "ats", "pm_ts", Seq("pm_mid", "pm_pc_iid", "pm_pc_eid"),
+      "pm_mid", W)
+    val withPv3 = AsOfJoin.leftAsOf(withPm,
+      views.select(col("user_id"), col("vid").as("pv3_vid"), col("vts").as("pv3_ts")),
+      Seq("user_id"), "ats", "pv3_ts", Seq("pv3_vid"), "pv3_vid", W)
+    val cbase = coalesce(col("pm_pc_eid") % 50, lit(0L))
+    val c1 = concat(lit("C"), cbase.cast("string"))
+    val c2 = concat(lit("C"), ((cbase + 7) % 50).cast("string"))
+    val items = withPv3
+      .withColumn("item_content",
+        explode(when(col("eid") % 2 === 0, array(c1, c2)).otherwise(array(c1))))
+      .select(col("user_id"), col("eid"), col("aid"), col("ats"), col("item_content"),
+        when(col("eid") % 4 === 0, coalesce(col("pm_mid"), lit("")))
+          .otherwise("").as("fk3"),
+        when(col("eid") % 4 === 1, coalesce(col("pm_pc_iid"), lit("")))
+          .when(col("eid") % 4 === 3, concat(lit("IX"), col("aid")))
+          .otherwise("").as("said"),
+        when(col("eid") % 4 === 2, when(col("pm_pc_iid").isNotNull,
+            concat(lit("R"), col("pm_pc_iid"))).otherwise(lit("")))
+          .when(col("eid") % 4 === 3, concat(lit("RX"), col("aid")))
+          .otherwise("").as("srid3"),
+        when(col("eid") % 4 === 3, coalesce(col("pv3_vid"), lit("")))
+          .otherwise("").as("svid3"))
+
+    val SEP = "\u0001" // cart-item pk split, ImpressionActionProcessFunction.java:14
+    val s3L = flat2.select(pid0, luid, lit(0).as("side"), col("mid").as("id"),
+      lit("").as("parentId"), col("mts").as("tsMs"),
+      array(col("iid"), col("rid"), col("view_id"), col("content")).as("scopes"),
+      array(col("content")).as("contentIds"))
+    val s3R = items.select(pid0, luid, lit(1).as("side"),
+      concat(col("aid"), lit(SEP), col("item_content")).as("id"),
+      col("fk3").as("parentId"), col("ats").as("tsMs"),
+      array(col("said"), col("srid3"), col("svid3")).as("scopes"),
+      array(col("item_content")).as("contentIds"))
+    val p3 = InferredJoin.joinScopedBatch(
+      s3L.unionByName(s3R).as[ScopedEvent], W, OOO, rightOuter = false)(s)
+
+    p3.toDF()
+      .select(col("logUserId").as("log_user_id"),
+        substring_index(col("rightId"), SEP, 1).as("action_id"),
+        substring_index(col("rightId"), SEP, -1).as("content_id"),
+        col("rightTs").as("action_ts_ms"),
+        col("leftId").as("mid"), col("matchType").as("match_type"))
+      .join(flat2.select(col("mid"), col("iid"), col("rid"), col("view_id")),
+        Seq("mid"), "left")
+      .select(col("log_user_id"), col("action_id"), col("content_id"),
+        col("action_ts_ms"), col("mid").as("impression_id"),
+        coalesce(col("iid"), lit("")).as("insertion_id"),
+        coalesce(col("rid"), lit("")).as("request_id"),
+        coalesce(col("view_id"), lit("")).as("view_id"),
+        col("match_type"))
+  }
 
   // ----------------------------------------------------------- oracle SQL
 
@@ -421,8 +562,123 @@ object SparkEntry {
        |GROUP BY query_hash HAVING count(*) >= 100""".stripMargin
   }
 
+  /** q35's oracle replays the whole chain in SQL: stage-1 right-outer
+    * nearest-view pick, stage-2/3 exact-FK-then-scope-cascade via ordered
+    * COALESCE of lateral nearest picks (ties at equal distance → later
+    * event, then pk — BaseInferred.java:619-635), content filter as an
+    * equality predicate, cart split via unnest. */
+  private val q35OracleSql: String = {
+    val W = 86400000L; val OOO = 1000L
+    s"""WITH v AS (
+       |  SELECT user_id, lpad(CAST(event_id AS VARCHAR),12,'0') AS vid,
+       |         epoch_ms(ts) AS vts
+       |  FROM events WHERE event_type='view'),
+       |i AS (
+       |  SELECT user_id, event_id AS eid,
+       |   lpad(CAST(event_id AS VARCHAR),12,'0') AS iid,
+       |   'R' || lpad(CAST(event_id AS VARCHAR),12,'0') AS rid,
+       |   'C' || CAST(event_id % 50 AS VARCHAR) AS content,
+       |   epoch_ms(ts) AS its
+       |  FROM events WHERE event_type='click'),
+       |f1 AS (
+       |  SELECT i.*, COALESCE(
+       |   (SELECT x.vid FROM v x WHERE x.user_id = i.user_id
+       |     AND x.vts >= i.its - $W AND x.vts <= i.its + $OOO
+       |    ORDER BY abs(x.vts - i.its), x.vts DESC, x.vid LIMIT 1), '') AS view_id
+       |  FROM i),
+       |m0 AS (
+       |  SELECT user_id, event_id AS eid,
+       |   lpad(CAST(event_id AS VARCHAR),12,'0') AS mid, epoch_ms(ts) AS mts
+       |  FROM events WHERE event_type='signup'),
+       |m1 AS (
+       |  SELECT m0.*,
+       |   (SELECT struct_pack(iid := x.iid, rid := x.rid, eid := x.eid) FROM i x
+       |    WHERE x.user_id = m0.user_id AND x.its <= m0.mts AND x.its >= m0.mts - $W
+       |    ORDER BY x.its DESC, x.eid DESC LIMIT 1) AS pc,
+       |   (SELECT x.vid FROM v x
+       |    WHERE x.user_id = m0.user_id AND x.vts <= m0.mts AND x.vts >= m0.mts - $W
+       |    ORDER BY x.vts DESC, x.vid DESC LIMIT 1) AS pv
+       |  FROM m0),
+       |m2 AS (
+       |  SELECT user_id, eid, mid, mts, pc.iid AS pc_iid, pc.eid AS pc_eid,
+       |   CASE WHEN eid % 4 IN (0,2) THEN COALESCE(pc.iid, '') ELSE '' END AS fk,
+       |   CASE WHEN eid % 4 = 1 THEN COALESCE(pc.rid, '')
+       |        WHEN eid % 4 = 3 THEN 'RX' || mid ELSE '' END AS srid,
+       |   CASE WHEN eid % 4 = 3 THEN COALESCE(pv, '') ELSE '' END AS svid
+       |  FROM m1),
+       |j2 AS (
+       |  SELECT m2.*,
+       |   CASE WHEN m2.fk <> '' THEN m2.fk ELSE COALESCE(
+       |    (SELECT f.iid FROM f1 f WHERE f.user_id = m2.user_id
+       |      AND m2.srid <> '' AND f.rid = m2.srid
+       |      AND f.its >= m2.mts - $W AND f.its <= m2.mts + $OOO
+       |     ORDER BY abs(f.its - m2.mts), f.its DESC, f.iid LIMIT 1),
+       |    (SELECT f.iid FROM f1 f WHERE f.user_id = m2.user_id
+       |      AND m2.svid <> '' AND f.view_id = m2.svid
+       |      AND f.its >= m2.mts - $W AND f.its <= m2.mts + $OOO
+       |     ORDER BY abs(f.its - m2.mts), f.its DESC, f.iid LIMIT 1)) END AS joined_iid
+       |  FROM m2),
+       |f2 AS (
+       |  SELECT j.user_id, j.mid, j.mts, f.iid, f.rid, f.view_id, f.content
+       |  FROM j2 j JOIN f1 f ON f.iid = j.joined_iid),
+       |a0 AS (
+       |  SELECT user_id, event_id AS eid,
+       |   lpad(CAST(event_id AS VARCHAR),12,'0') AS aid, epoch_ms(ts) AS ats
+       |  FROM events WHERE event_type='purchase'),
+       |a1 AS (
+       |  SELECT a0.*,
+       |   (SELECT struct_pack(mid := x.mid, pc_iid := x.pc_iid, pc_eid := x.pc_eid)
+       |    FROM m2 x
+       |    WHERE x.user_id = a0.user_id AND x.mts <= a0.ats AND x.mts >= a0.ats - $W
+       |    ORDER BY x.mts DESC, x.mid DESC LIMIT 1) AS pm,
+       |   (SELECT x.vid FROM v x
+       |    WHERE x.user_id = a0.user_id AND x.vts <= a0.ats AND x.vts >= a0.ats - $W
+       |    ORDER BY x.vts DESC, x.vid DESC LIMIT 1) AS pv3
+       |  FROM a0),
+       |it AS (
+       |  SELECT user_id, eid, aid, ats,
+       |   unnest(CASE WHEN eid % 2 = 0
+       |     THEN ['C' || CAST(COALESCE(pm.pc_eid % 50, 0) AS VARCHAR),
+       |           'C' || CAST((COALESCE(pm.pc_eid % 50, 0) + 7) % 50 AS VARCHAR)]
+       |     ELSE ['C' || CAST(COALESCE(pm.pc_eid % 50, 0) AS VARCHAR)] END) AS item_content,
+       |   CASE WHEN eid % 4 = 0 THEN COALESCE(pm.mid, '') ELSE '' END AS fk3,
+       |   CASE WHEN eid % 4 = 1 THEN COALESCE(pm.pc_iid, '')
+       |        WHEN eid % 4 = 3 THEN 'IX' || aid ELSE '' END AS said,
+       |   CASE WHEN eid % 4 = 2 THEN
+       |          CASE WHEN pm.pc_iid IS NOT NULL THEN 'R' || pm.pc_iid ELSE '' END
+       |        WHEN eid % 4 = 3 THEN 'RX' || aid ELSE '' END AS srid3,
+       |   CASE WHEN eid % 4 = 3 THEN COALESCE(pv3, '') ELSE '' END AS svid3
+       |  FROM a1),
+       |j3 AS (
+       |  SELECT it.*,
+       |   CASE WHEN it.fk3 <> '' THEN
+       |     (SELECT f.mid FROM f2 f WHERE f.user_id = it.user_id AND f.mid = it.fk3)
+       |   ELSE COALESCE(
+       |    (SELECT f.mid FROM f2 f WHERE f.user_id = it.user_id
+       |      AND it.said <> '' AND f.iid = it.said AND f.content = it.item_content
+       |      AND f.mts >= it.ats - $W AND f.mts <= it.ats + $OOO
+       |     ORDER BY abs(f.mts - it.ats), f.mts DESC, f.mid LIMIT 1),
+       |    (SELECT f.mid FROM f2 f WHERE f.user_id = it.user_id
+       |      AND it.srid3 <> '' AND f.rid = it.srid3 AND f.content = it.item_content
+       |      AND f.mts >= it.ats - $W AND f.mts <= it.ats + $OOO
+       |     ORDER BY abs(f.mts - it.ats), f.mts DESC, f.mid LIMIT 1),
+       |    (SELECT f.mid FROM f2 f WHERE f.user_id = it.user_id
+       |      AND it.svid3 <> '' AND f.view_id = it.svid3 AND f.content = it.item_content
+       |      AND f.mts >= it.ats - $W AND f.mts <= it.ats + $OOO
+       |     ORDER BY abs(f.mts - it.ats), f.mts DESC, f.mid LIMIT 1)) END AS joined_mid
+       |  FROM it)
+       |SELECT CAST(j.user_id AS VARCHAR) AS log_user_id, j.aid AS action_id,
+       | j.item_content AS content_id, j.ats AS action_ts_ms,
+       | COALESCE(f.mid, '') AS impression_id, COALESCE(f.iid, '') AS insertion_id,
+       | COALESCE(f.rid, '') AS request_id, COALESCE(f.view_id, '') AS view_id,
+       | CASE WHEN f.mid IS NULL THEN 'dropped'
+       |      WHEN j.fk3 <> '' THEN 'exact' ELSE 'inferred' END AS match_type
+       |FROM j3 j LEFT JOIN f2 f ON f.mid = j.joined_mid""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q24_query_hash" -> q24OracleSql,
+    "q35_flat_chain" -> q35OracleSql,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
@@ -631,7 +887,7 @@ object SparkEntry {
         |  (SELECT struct_pack(vid := v.vid, vts := v.vts) FROM v
         |   WHERE v.user_id = p.user_id
         |     AND v.vts >= p.pts - 1800000 AND v.vts <= p.pts + 1000
-        |   ORDER BY abs(v.vts - p.pts), v.vts, v.vid LIMIT 1) AS mv
+        |   ORDER BY abs(v.vts - p.pts), v.vts DESC, v.vid LIMIT 1) AS mv
         | FROM p)
         |SELECT CAST(user_id AS VARCHAR) AS log_user_id,
         | COALESCE(mv.vid, '') AS left_id, pid AS right_id,

@@ -30,9 +30,32 @@ case class JoinSideEvent(
     parentId: String,
     tsMs: Long)
 
+/** One side of a *scoped* inferred-reference join (the reference's full
+  * BaseInferred/ContentId model, P:common/functions/inferred/
+  * BaseInferred.java:335-559, ContentId.java:64-95).
+  *
+  *  - LHS (side 0): `id` is the primary key (FIFO-deduped); `scopes` are the
+  *    ancestor scope keys this event registers under (requestId, viewId,
+  *    contentId, logUserId, ... — blanks skipped).
+  *  - RHS (side 1): `parentId` is the exact FK ("" = absent); `scopes` are
+  *    the ORDERED fallback scope keys tried at inference time — the first
+  *    scope holding a valid candidate wins (BaseInferred.java:524-547).
+  *  - `contentIds`: when the RHS carries content ids, scope candidates must
+  *    share at least one (the ContentId filter). LHS content ids ride along
+  *    for that check. */
+case class ScopedEvent(
+    platformId: Long,
+    logUserId: String,
+    side: Int,
+    id: String,
+    parentId: String,
+    tsMs: Long,
+    scopes: Seq[String] = Nil,
+    contentIds: Seq[String] = Nil)
+
 /** Output of an inferred-reference join. matchType: exact | inferred |
-  * dropped (dropped rows are the side-output channel — reference emits
-  * these to etl_side/, SURVEY K6). */
+  * outer (right-outer emission with empty left) | dropped (side-output
+  * channel — reference emits these to etl_side/, SURVEY K6). */
 case class JoinedPair(
     platformId: Long,
     logUserId: String,
