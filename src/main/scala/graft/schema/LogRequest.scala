@@ -15,24 +15,55 @@ case class Timing(
     eventApiTimestamp: Long = 0L,
     logTimestamp: Long = 0L)
 
+case class Browser(userAgent: String = "")
+
+case class Device(browser: Browser = Browser())
+
+/** trafficType: PRODUCTION | SHADOW | LOAD_TEST | INTERNAL | REPLAY | ""
+  * (unset = UNKNOWN, treated as production —
+  * P:common/util/DeliveryLogUtil.java:31-46). */
+case class ClientInfo(trafficType: String = "")
+
 case class View(
     platformId: Long = 0L,
     userInfo: UserInfo = UserInfo(),
     timing: Timing = Timing(),
     viewId: String = "",
     name: String = "",
-    contentId: String = "")
+    contentId: String = "",
+    device: Device = Device())
 
 case class ResponseInsertion(
     insertionId: String = "",
     contentId: String = "",
-    position: Long = -1L)
+    position: Long = -1L,
+    /** Execution-insertion sparse feature ids (e.g. the non-buyer-user
+      * flag probed by BuyerPredicate, P:common/functions/filter/
+      * BuyerPredicate.java:40-48). */
+    sparseFeatures: Map[Long, Long] = Map.empty)
+
+/** Request-side insertion, materialized by RestructureDeliveryLog from the
+  * compact insertion-matrix transport form
+  * (P:common/functions/RestructureDeliveryLog.java:14-56). */
+case class RequestInsertion(
+    contentId: String = "",
+    retrievalRank: Long = -1L,
+    retrievalScore: Double = 0.0,
+    /** Non-fast-path matrix headers land here keyed by their dotted path. */
+    properties: Map[String, String] = Map.empty)
 
 case class DeliveryRequest(
     requestId: String = "",
     clientRequestId: String = "",
     viewId: String = "",
-    searchQuery: String = "")
+    searchQuery: String = "",
+    device: Device = Device(),
+    clientInfo: ClientInfo = ClientInfo(),
+    /** Compact transport form: insertionMatrixHeaders names the columns of
+      * each insertionMatrix row; RestructureDeliveryLog expands them. */
+    insertionMatrixHeaders: Seq[String] = Nil,
+    insertionMatrix: Seq[Seq[String]] = Nil,
+    requestInsertions: Seq[RequestInsertion] = Nil)
 
 case class DeliveryLog(
     platformId: Long = 0L,

@@ -27,7 +27,15 @@ object FakeLogGenerator {
       // missing its insertion FK (exercises inferred joins); every Nth
       // action is a cart purchase
       missingFkEvery: Int = 5,
-      cartActionEvery: Int = 3)
+      cartActionEvery: Int = 3,
+      // every Nth request is REPLAY traffic (priority 1 — dropped by the
+      // shouldJoin gate; SHADOW at priority 2 still joins,
+      // P:common/util/DeliveryLogUtil.java:31-54); every Nth view carries a
+      // bot user agent; every Nth request also ships its request insertions
+      // in matrix transport form (0 = never)
+      replayTrafficEvery: Int = 0,
+      botViewEvery: Int = 0,
+      matrixEvery: Int = 0)
 
   private def id(prefix: String, ns: Long): String = f"$prefix-$ns%08d"
 
@@ -35,22 +43,41 @@ object FakeLogGenerator {
   def generate(opt: Options): Seq[LogRequest] = {
     var seq = 0L
     def next(): Long = { seq += 1; seq }
+    // per-entity ordinals: the every-Nth knobs count entities of their own
+    // kind, independent of how many ids the other kinds consumed
+    var viewOrd = 0L; var reqOrd = 0L; var impOrd = 0L; var actOrd = 0L
     (0 until opt.users).flatMap { u =>
       val logUserId = id("lu", u)
       val userId = id("u", u)
       (0 until opt.viewsPerUser).map { v =>
         val baseTs = opt.startMs + (u * opt.viewsPerUser + v) * 60L * opt.stepMs
         val viewId = id("v", next())
+        viewOrd += 1
+        val isBotView = opt.botViewEvery > 0 && viewOrd % opt.botViewEvery == 0
+        val ua = if (isBotView) "Googlebot/2.1 (+http://www.google.com/bot.html)"
+          else "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36"
         val view = View(opt.platformId, UserInfo(userId, logUserId),
-          Timing(eventApiTimestamp = baseTs), viewId, s"view-$v", "")
+          Timing(eventApiTimestamp = baseTs), viewId, s"view-$v", "",
+          Device(Browser(ua)))
         val dlogs = (0 until opt.requestsPerView).map { r =>
           val requestId = id("r", next())
+          reqOrd += 1
+          val isReplay = opt.replayTrafficEvery > 0 && reqOrd % opt.replayTrafficEvery == 0
+          val withMatrix = opt.matrixEvery > 0 && reqOrd % opt.matrixEvery == 0
           val ins = (0 until opt.insertionsPerRequest).map { i =>
             ResponseInsertion(id("i", next()), id("c", i % 7), i.toLong)
           }
+          val (headers, matrix) =
+            if (withMatrix)
+              (Seq("contentId", "retrievalRank", "meta.src"),
+                ins.map(ri => Seq(ri.contentId, ri.position.toString, "fake")))
+            else (Nil, Nil)
           DeliveryLog(opt.platformId, UserInfo(userId, logUserId),
             Timing(eventApiTimestamp = baseTs + 1 * opt.stepMs),
-            DeliveryRequest(requestId, id("cr", next()), viewId, s"query $r"),
+            DeliveryRequest(requestId, id("cr", next()), viewId, s"query $r",
+              Device(Browser("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36")),
+              ClientInfo(if (isReplay) "REPLAY" else "PRODUCTION"),
+              headers, matrix),
             ins)
         }
         val imps = dlogs.flatMap { dl =>
@@ -59,7 +86,8 @@ object FakeLogGenerator {
             .take(opt.impressionsPerInsertion * dl.insertions.size)
             .map { case (ri, i) =>
               val n = next()
-              val missingFk = opt.missingFkEvery > 0 && n % opt.missingFkEvery == 0
+              impOrd += 1
+              val missingFk = opt.missingFkEvery > 0 && impOrd % opt.missingFkEvery == 0
               Impression(opt.platformId, UserInfo(userId, logUserId),
                 Timing(eventApiTimestamp = baseTs + 2 * opt.stepMs + i),
                 id("imp", n),
@@ -72,7 +100,8 @@ object FakeLogGenerator {
           .take(opt.actionsPerImpression * imps.size)
           .map { case (imp, i) =>
             val n = next()
-            val isCart = opt.cartActionEvery > 0 && n % opt.cartActionEvery == 0
+            actOrd += 1
+            val isCart = opt.cartActionEvery > 0 && actOrd % opt.cartActionEvery == 0
             Action(opt.platformId, UserInfo(userId, logUserId),
               Timing(eventApiTimestamp = baseTs + 3 * opt.stepMs + i),
               id("a", n), imp.impressionId, imp.insertionId, imp.contentId,

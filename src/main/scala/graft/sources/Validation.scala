@@ -44,6 +44,11 @@ object Validation {
     Rule("missing_log_user_id", col("userInfo.logUserId") =!= ""),
     Rule("missing_request_id", col("request.requestId") =!= ""))
 
+  /** User records need the authenticated userId
+    * (reference ValidateUser.java:17-28). */
+  def userRules: Seq[Rule] = Seq(
+    Rule("missing_user_id", col("userInfo.userId") =!= ""))
+
   /** Adds `__errors: array<string>` of failed rule names. */
   def withErrors(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     val errs = array(rules.map(r =>

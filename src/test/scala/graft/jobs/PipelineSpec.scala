@@ -81,6 +81,63 @@ class PipelineSpec extends SparkSpec {
       totalImps * opts.actionsPerImpression)
   }
 
+  test("pre-join filters drop bots and non-joinable traffic to side channels") {
+    val filteredOpts = FakeLogGenerator.Options(replayTrafficEvery = 3,
+      botViewEvery = 2, matrixEvery = 4)
+    val env = FakeLogGenerator.generate(filteredOpts).toDS().toDF()
+    val out = FlatOutputJob.run(env)
+    val dlogReasons = out.droppedDeliveryLogs.select("reason")
+      .as[String].collect().groupBy(identity).view.mapValues(_.length).toMap
+    assert(dlogReasons.getOrElse("should_not_join", 0) > 0)
+    assert(out.droppedViews.count() > 0)
+    // dropped delivery logs' impressions can no longer exact-join
+    assert(out.droppedImpressions.count() > 0)
+  }
+
+  test("cart actions split per item; the view arm rides the chain") {
+    import graft.schema._
+    val base = FakeLogGenerator.generate(FakeLogGenerator.Options(users = 1))
+    // add a 2-item cart purchase referencing an existing impression
+    val firstImp = base.head.impressions.head
+    val cartAct = Action(1L, firstImp.userInfo, Timing(eventApiTimestamp =
+      firstImp.timing.eventApiTimestamp + 10L),
+      "a-cart", firstImp.impressionId, firstImp.insertionId, firstImp.contentId,
+      firstImp.viewId, firstImp.requestId, ActionType.Purchase,
+      Seq(CartContent("c-x", 1L, 100L), CartContent("c-y", 2L, 200L)))
+    val env = (base.head.copy(actions = base.head.actions :+ cartAct) +: base.tail)
+      .toDS().toDF()
+    val out = FlatOutputJob.run(env)
+    val items = out.joinedActions.where(col("actionId") === "a-cart")
+      .select("itemContentId").as[String].collect().sorted
+    assert(items.toSeq == Seq("c-x", "c-y"))
+    // chainViewId present on joined impressions (view × insertion arm)
+    val withView = out.joinedImpressions.where(col("chainViewId") =!= "")
+    assert(withView.count() > 0)
+  }
+
+  test("golden chain invariant: 700 raw impressions -> deterministic flat count") {
+    // The reference's fake-data pipeline emits ~681 flat impressions from
+    // 700 raw ones (P:pipeline/README.md:92-94) — losses come from
+    // non-joinable traffic and inference misses. Same invariant here with
+    // this generator's knobs; the exact count is pinned for regression.
+    val goldenOpts = FakeLogGenerator.Options(users = 7, viewsPerUser = 2,
+      requestsPerView = 2, insertionsPerRequest = 25,
+      missingFkEvery = 5, replayTrafficEvery = 7, botViewEvery = 5)
+    val env = FakeLogGenerator.generate(goldenOpts).toDS().toDF()
+    assert(LogRequestSplit.impressions(env).count() == 700L)
+    val out = FlatOutputJob.run(env)
+    val joined = out.joinedImpressions.count()
+    val dropped = out.droppedImpressions.count()
+    assert(joined + dropped == 700L)
+    assert(joined < 700L && joined > 500L)
+    val expected = 700L - dropped
+    assert(joined == expected)
+    // pin the deterministic value (recompute if generator knobs change)
+    assert(joined == GoldenFlatImpressions, s"joined=$joined")
+  }
+
+  private val GoldenFlatImpressions = 620L
+
   test("CounterJob emits HSET command frames with packed feature ids") {
     val flat = FlatOutputJob.run(envelopes)
     val events = flat.joinedActions.select(col("platformId"),
