@@ -356,7 +356,62 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 20),
         "vec_id", "embedding", k = 3, nLists = 16, nProbe = 4)
     }),
+
+    // A6 complete: the ten counter key families (CounterKeys.java:40-365)
+    // over a synthesized joined-event frame — query hash from props.k
+    // (50-word vocabulary, thresholded top-query gate), device families
+    // from a fixed UA vocabulary through the UserAgents parser, metric
+    // from event_type, last-seen families emitting ts + 90d-count pairs.
+    "q36_counter_all" -> ((s, dir) => q36CounterAll(s, dir)),
   )
+
+  /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
+    * agent family), indexed by user_id % 4. The expectations are inlined
+    * into the oracle; UserAgentsSpec covers the parser more broadly. */
+  private val q36UaVocab: Seq[(String, String, String)] = Seq(
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 " +
+      "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36", "Windows", "Chrome"),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 " +
+      "(KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1", "iOS", "Mobile Safari"),
+    ("Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/119.0",
+      "Linux", "Firefox"),
+    ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 " +
+      "(KHTML, like Gecko) Version/16.6 Safari/605.1.15", "Mac OS X", "Safari"))
+
+  /** q36 top-query threshold: splits the 50-word vocabulary roughly in
+    * half at sf0.01 (per-query totals span ~166-229), so the gate path is
+    * genuinely exercised. */
+  private val q36MinQueryCount = 200L
+
+  /** q36: the full counter family stack (see queries map). The single
+    * scalar `nowMs` aggregate is the one driver action (the 90d-count
+    * anchor, the batch analogue of the reference's processing-time now). */
+  private def q36CounterAll(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.UserAgents
+    GraftFunctions.register(s)
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    val m4 = pmod(col("user_id"), lit(4))
+    val ua = when(m4 === 0, q36UaVocab(0)._1).when(m4 === 1, q36UaVocab(1)._1)
+      .when(m4 === 2, q36UaVocab(2)._1).otherwise(q36UaVocab(3)._1)
+    val actionType = when(col("event_type") === "view", 0)
+      .when(col("event_type") === "click", 2)
+      .when(col("event_type") === "purchase", 3)
+      .when(col("event_type") === "signup", 4)
+      .otherwise(8)
+    val base = ev(s, dir).select(
+        lit(0L).as("platformId"),
+        col("user_id").cast("string").as("logUserId"),
+        concat(lit("u"), col("user_id").cast("string")).as("userId"),
+        concat(lit("C"), pmod(k, lit(20)).cast("string")).as("contentId"),
+        graft.jobs.CounterJob.queryHashCol(
+          concat(lit("kw"), pmod(k, lit(50)).cast("string"))).as("queryHash"),
+        ua.as("userAgent"), actionType.as("actionType"),
+        col("ts_ms").as("tsMs"), lit(null).cast("long").as("quantity"))
+      .withColumn("osFamily", UserAgents.osFamily(col("userAgent")))
+      .withColumn("agentFamily", UserAgents.agentFamily(col("userAgent")))
+    val nowMs = base.agg(max("tsMs")).head().getLong(0)
+    graft.jobs.CounterJob.runAll(base, q36MinQueryCount, nowMs)
+  }
 
   /** q35: the flagship chain in batch form. views=view events,
     * insertions=click events, impressions=signup events, actions=purchase
@@ -562,6 +617,85 @@ object SparkEntry {
        |GROUP BY query_hash HAVING count(*) >= 100""".stripMargin
   }
 
+  /** q36's oracle replays the ten counter families in SQL. Fixed-point
+    * vocabulary trick as q24: the 50 query hashes and the 4 UA parses are
+    * precomputed here and inlined as CASE literals, so the DuckDB side
+    * needs neither xxhash64 nor a UA parser; an out-of-vocabulary value
+    * maps to NULL and fails the gate loudly. Keys join segments with the
+    * Redis 0x1f separator and 0x1d type markers, exactly as
+    * CounterFeatures emits them. */
+  private val q36OracleSql: String = {
+    val US = "chr(31)"
+    val GS = "chr(29)"
+    def seg(parts: String*): String = parts.mkString(s" || $US || ")
+    val uT = s"$GS || 'u'"
+    val qT = s"$GS || 'q'"
+    // (sizeMs, packed window tag, ttlSec) — CounterJob.StandardWindows
+    val wins = Seq((3600000L, 1L, 14400L), (86400000L, 2L, 172800L),
+      (604800000L, 3L, 1209600L), (2592000000L, 4L, 5184000L))
+    def ws(size: Long) = s"CAST(ts_ms - ts_ms % $size AS VARCHAR)"
+    def fid(ct: Long, tag: Long) = s"CAST(${(ct << 24) | tag} + metric * 256 AS VARCHAR)"
+    val qhexCases = (0 until 50).map(i =>
+      s"WHEN $i THEN '${java.lang.Long.toHexString(
+        graft.functions.XxHash64.hashString("kw" + i, 0L))}'").mkString(" ")
+    def caseM4(v: Seq[String]) =
+      s"CASE user_id % 4 WHEN 0 THEN '${v(0)}' WHEN 1 THEN '${v(1)}' " +
+        s"WHEN 2 THEN '${v(2)}' ELSE '${v(3)}' END"
+
+    // windowed count family: one SELECT per emit window
+    def countFam(src: String, key: Long => String, field: Long => String,
+        dims: Seq[String], ttlOf: Long => Long): Seq[String] =
+      wins.map { case (size, tag, ttl) =>
+        s"""SELECT 'HSET' AS cmd, ${key(size)} AS key, ${field(tag)} AS field,
+           | CAST(count(*) AS VARCHAR) AS value, CAST(${ttlOf(ttl)} AS BIGINT) AS ttlSec
+           |FROM $src GROUP BY ts_ms - ts_ms % $size, metric${
+          if (dims.nonEmpty) ", " + dims.mkString(", ") else ""}""".stripMargin
+      }
+
+    // last-seen family: a timestamp row and a 90d-count row per group
+    def lastFam(src: String, key: String, tsCt: Long, cntCt: Long,
+        dims: Seq[String]): Seq[String] = Seq(
+      s"""SELECT 'HSET' AS cmd, $key AS key, ${fid(tsCt, 7L)} AS field,
+         | CAST(max(ts_ms) AS VARCHAR) AS value, CAST(7776000 AS BIGINT) AS ttlSec
+         |FROM $src GROUP BY metric, ${dims.mkString(", ")}""".stripMargin,
+      s"""SELECT 'HSET' AS cmd, $key AS key, ${fid(cntCt, 5L)} AS field,
+         | CAST(sum(CASE WHEN ts_ms > (SELECT now_ms FROM now_t) - 7776000000 THEN 1 ELSE 0 END) AS VARCHAR) AS value,
+         | CAST(7776000 AS BIGINT) AS ttlSec
+         |FROM $src GROUP BY metric, ${dims.mkString(", ")}""".stripMargin)
+
+    val arms: Seq[String] =
+      countFam("b2", sz => seg("'0'", ws(sz)),
+        tag => seg("os", "agent", fid(7L, tag)), Seq("os", "agent"), _ => -1L) ++
+      countFam("b2", sz => seg("'0'", "cid", ws(sz)),
+        tag => seg("os", "agent", fid(7L, tag)), Seq("cid", "os", "agent"), identity) ++
+      countFam("b2", sz => seg("'0'", uT, "lu", ws(sz)), tag => fid(3L, tag), Seq("lu"), identity) ++
+      countFam("b2", sz => seg("'0'", uT, "uu", ws(sz)), tag => fid(4L, tag), Seq("uu"), identity) ++
+      countFam("g", sz => seg("'0'", qT, "qhex", ws(sz)), tag => fid(5L, tag), Seq("qhex"), identity) ++
+      countFam("g", sz => seg("'0'", "cid", qT, "qhex", ws(sz)), tag => fid(6L, tag),
+        Seq("cid", "qhex"), identity) ++
+      lastFam("b2", seg("'0'", uT, "lu", "cid"), 12L, 11L, Seq("lu", "cid")) ++
+      lastFam("b2", seg("'0'", uT, "uu", "cid"), 10L, 9L, Seq("uu", "cid")) ++
+      lastFam("g", seg("'0'", uT, "lu", qT, "qhex"), 16L, 15L, Seq("lu", "qhex")) ++
+      lastFam("g", seg("'0'", uT, "uu", qT, "qhex"), 14L, 13L, Seq("uu", "qhex"))
+
+    s"""WITH base AS (
+       | SELECT epoch_ms(ts) AS ts_ms,
+       |  CAST(user_id AS VARCHAR) AS lu,
+       |  'u' || CAST(user_id AS VARCHAR) AS uu,
+       |  'C' || CAST(CAST(json_extract_string(props, '$$.k') AS BIGINT) % 20 AS VARCHAR) AS cid,
+       |  CAST(json_extract_string(props, '$$.k') AS BIGINT) % 50 AS qk,
+       |  CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+       |   WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 ELSE 8 END AS metric,
+       |  ${caseM4(q36UaVocab.map(_._2))} AS os,
+       |  ${caseM4(q36UaVocab.map(_._3))} AS agent
+       | FROM events),
+       |b2 AS (SELECT base.*, CASE qk $qhexCases END AS qhex FROM base),
+       |now_t AS (SELECT max(ts_ms) AS now_ms FROM base),
+       |top AS (SELECT qk FROM base GROUP BY qk HAVING count(*) >= $q36MinQueryCount),
+       |g AS (SELECT * FROM b2 WHERE qk IN (SELECT qk FROM top))
+       |${arms.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** q35's oracle replays the whole chain in SQL: stage-1 right-outer
     * nearest-view pick, stage-2/3 exact-FK-then-scope-cascade via ordered
     * COALESCE of lateral nearest picks (ties at equal distance → later
@@ -679,6 +813,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q24_query_hash" -> q24OracleSql,
     "q35_flat_chain" -> q35OracleSql,
+    "q36_counter_all" -> q36OracleSql,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

@@ -35,7 +35,12 @@ object CounterFeatures {
     val None = 7L
   }
 
-  /** Which key family the count is keyed by. */
+  /** Which key family the count is keyed by. Mirrors the reference's
+    * CountType vocabulary (P:common/counter/FeatureId.java:14-60): one
+    * type per family, with the user/logUser split and the last-seen
+    * timestamp ("hours ago") vs 90-day-count split carried in the type,
+    * not the key. ItemDevice is shared by the global- and content-device
+    * families (the key disambiguates), as in the reference. */
   object CountType {
     val Global = 1L
     val Content = 2L
@@ -43,6 +48,15 @@ object CounterFeatures {
     val User = 4L
     val Query = 5L
     val ContentQuery = 6L
+    val ItemDevice = 7L
+    val UserItemCount = 9L
+    val UserItemHoursAgo = 10L
+    val LogUserItemCount = 11L
+    val LogUserItemHoursAgo = 12L
+    val UserQueryCount = 13L
+    val UserQueryHoursAgo = 14L
+    val LogUserQueryCount = 15L
+    val LogUserQueryHoursAgo = 16L
   }
 
   /** featureId = countType<<24 | aggMetric<<8 | window. */
@@ -54,6 +68,18 @@ object CounterFeatures {
 
   /** Redis tuple separator (reference RedisSink.java:27). */
   val Sep = ""
+
+  /** Key-segment type separator + markers (reference
+    * P:common/counter/Constants.java:4-7 -- ASCII 0x1d group separator;
+    * "<GS>u" tags a user segment, "<GS>q" a query segment). */
+  val TypeSep = "\u001d"
+  val UserType: String = TypeSep + "u"
+  val QueryType: String = TypeSep + "q"
+
+  /** Unsigned lower-case hex of a long, Java Long.toHexString parity
+    * (reference keys carry query hashes hex-encoded,
+    * P:common/counter/LastUserQuery.java:76-80). */
+  def hexLong(c: Column): Column = lower(hex(c))
 
   def redisKey(parts: Column*): Column = concat_ws(Sep, parts: _*)
 
