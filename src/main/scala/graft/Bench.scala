@@ -14,7 +14,11 @@ object Bench {
     // measures the operator, not session startup.
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).schema)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args: comma-separated query-name filter (dev iteration)
+    val only: Option[Set[String]] = args.lift(0).map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // Collect leftover garbage from the previous query so a major GC
       // doesn't land inside this one's timing window (the VM's 32 vCPUs
       // are oversubscribed; a stop-the-world pause mid-query showed up as

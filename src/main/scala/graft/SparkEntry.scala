@@ -409,7 +409,10 @@ object SparkEntry {
         col("ts_ms").as("tsMs"), lit(null).cast("long").as("quantity"))
       .withColumn("osFamily", UserAgents.osFamily(col("userAgent")))
       .withColumn("agentFamily", UserAgents.agentFamily(col("userAgent")))
-    val nowMs = base.agg(max("tsMs")).head().getLong(0)
+    // max() over an empty table is NULL — default the 90d anchor to 0 so an
+    // empty input yields an empty command frame instead of an NPE
+    val nowRow = base.agg(max("tsMs")).head()
+    val nowMs = if (nowRow.isNullAt(0)) 0L else nowRow.getLong(0)
     graft.jobs.CounterJob.runAll(base, q36MinQueryCount, nowMs)
   }
 

@@ -86,9 +86,13 @@ object CounterFeatures {
   /** Encode a count row into an HSET command frame:
     * (cmd, key, field, value, ttlSec). */
   def hsetCommand(key: Column, field: Column, value: Column, ttlSec: Long): DataFrame => DataFrame =
+    hsetCommandC(key, field, value, lit(ttlSec))
+
+  /** As [[hsetCommand]] with a per-row TTL column (multi-window rows). */
+  def hsetCommandC(key: Column, field: Column, value: Column, ttlSec: Column): DataFrame => DataFrame =
     df => df.select(
       lit("HSET").as("cmd"), key.as("key"), field.cast("string").as("field"),
-      value.cast("string").as("value"), lit(ttlSec).as("ttlSec"))
+      value.cast("string").as("value"), ttlSec.cast("long").as("ttlSec"))
 
   /** One key family: group `counts` (pre-aggregated rows with metric/window
     * cols) by the family's key columns and emit HSETs. */

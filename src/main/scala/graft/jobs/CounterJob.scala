@@ -72,58 +72,59 @@ object CounterJob {
     when(length(lower(query)).between(1, maxLen),
       GraftFunctions.xxhash64Seed0(lower(query)))
 
-  /** Thresholded top-query hashes (batch analogue of the reference's
-    * sliding-window frequency gate, CounterJob.java:400-456: only queries
-    * seen >= minCount times get counter rows at all). */
-  def topQueryHashes(events: DataFrame, minCount: Long): DataFrame =
-    events.where(col("queryHash").isNotNull)
-      .groupBy(col("queryHash")).agg(count(lit(1)).as("n"))
-      .where(col("n") >= minCount)
-      .select("queryHash")
-
-  /** Windowed (windowStart, metric, dims...) → summed count. */
-  private def windowed(events: DataFrame, dims: Seq[Column], w: Win): DataFrame =
+  /** ALL four emit windows in ONE aggregation: each input row explodes
+    * into its 4 (windowStart, window-tag, ttl) cells before the shuffle,
+    * grouped once — 1 exchange per family instead of 4. The shuffled byte
+    * volume is the same (4 cells per row either way); what's saved is 3
+    * scans of the input and 3 stage round-trips per family, which is what
+    * dominates with 10 families at any scale. Inputs either carry raw
+    * `actionType` (mapped through [[metricCol]]) or are cube partials that
+    * already carry `metric`/pre-summed `quantity`. */
+  private def windowedAll(events: DataFrame, dims: Seq[(String, Column)]): DataFrame = {
+    val m = if (events.columns.contains("metric")) col("metric") else metricCol
+    val cells = StandardWindows.map(w =>
+      struct(Windows.bucket(col("tsMs"), w.sizeMs).as("ws"),
+        lit(w.tag).as("wtag"), lit(w.ttlSec).as("wttl")))
     events
-      .groupBy((Windows.bucket(col("tsMs"), w.sizeMs).as("windowStart") +:
-        metricCol.as("metric") +: dims): _*)
-      .agg(sum(coalesce(col("quantity"), lit(1L))).as("n"))
-
-  private def overWindows(f: Win => DataFrame): DataFrame =
-    StandardWindows.map(f).reduce(_ unionByName _)
+      .select((m.as("metric") +: coalesce(col("quantity"), lit(1L)).as("__nq") +:
+        explode(array(cells: _*)).as("__w") +: dims.map { case (n, c) => c.as(n) }): _*)
+      .groupBy((col("__w.ws").as("windowStart") +: col("__w.wtag").as("wtag") +:
+        col("__w.wttl").as("wttl") +: col("metric") +: dims.map(d => col(d._1))): _*)
+      .agg(sum(col("__nq")).as("n"))
+  }
 
   private val wsCol = col("windowStart").cast("string")
 
   /** User / logUser event counts (CounterKeys USER_EVENT_KEY /
     * LOG_USER_EVENT_KEY: key=(pid, ␝u, user), field=fid). */
-  def userCommands(events: DataFrame, userCol: String, countType: Long): DataFrame =
-    overWindows { w =>
-      val g = windowed(events, Seq(col("platformId").as("pid"), col(userCol).as("u")), w)
-      CF.hsetCommand(
-        CF.redisKey(col("pid"), lit(CF.UserType), col("u"), wsCol),
-        CF.featureIdCol(lit(countType), col("metric"), lit(w.tag)),
-        col("n"), w.ttlSec)(g)
-    }
+  def userCommands(events: DataFrame, userCol: String, countType: Long): DataFrame = {
+    val g = windowedAll(events,
+      Seq("pid" -> col("platformId"), "u" -> col(userCol)))
+    CF.hsetCommandC(
+      CF.redisKey(col("pid"), lit(CF.UserType), col("u"), wsCol),
+      CF.featureIdCol(lit(countType), col("metric"), col("wtag")),
+      col("n"), col("wttl"))(g)
+  }
 
   /** Global- and content-device counts (CounterKeys
     * GLOBAL_EVENT_DEVICE_KEY / CONTENT_EVENT_DEVICE_KEY: the parsed
     * os/agent families ride in the hash *field*, not the key; the global
-    * family intentionally never expires). `osCol`/`agentCol` are the
+    * family intentionally never expires). `osFamily`/`agentFamily` are the
     * pre-parsed [[graft.functions.UserAgents]] columns. */
-  def deviceCommands(events: DataFrame, withContent: Boolean): DataFrame =
-    overWindows { w =>
-      val keyDims =
-        if (withContent) Seq(col("platformId").as("pid"), col("contentId").as("cid"))
-        else Seq(col("platformId").as("pid"))
-      val g = windowed(events,
-        keyDims ++ Seq(col("osFamily").as("os"), col("agentFamily").as("agent")), w)
-      val keyParts =
-        if (withContent) Seq(col("pid"), col("cid"), wsCol) else Seq(col("pid"), wsCol)
-      val fid = CF.featureIdCol(lit(CF.CountType.ItemDevice), col("metric"), lit(w.tag))
-      CF.hsetCommand(
-        CF.redisKey(keyParts: _*),
-        concat_ws(CF.Sep, col("os"), col("agent"), fid.cast("string")),
-        col("n"), if (withContent) w.ttlSec else -1L)(g)
-    }
+  def deviceCommands(events: DataFrame, withContent: Boolean): DataFrame = {
+    val keyDims =
+      if (withContent) Seq("pid" -> col("platformId"), "cid" -> col("contentId"))
+      else Seq("pid" -> col("platformId"))
+    val g = windowedAll(events,
+      keyDims ++ Seq("os" -> col("osFamily"), "agent" -> col("agentFamily")))
+    val keyParts =
+      if (withContent) Seq(col("pid"), col("cid"), wsCol) else Seq(col("pid"), wsCol)
+    val fid = CF.featureIdCol(lit(CF.CountType.ItemDevice), col("metric"), col("wtag"))
+    CF.hsetCommandC(
+      CF.redisKey(keyParts: _*),
+      concat_ws(CF.Sep, col("os"), col("agent"), fid.cast("string")),
+      col("n"), if (withContent) col("wttl") else lit(-1L))(g)
+  }
 
   /** Query and content×query counts (CounterKeys QUERY_EVENT_KEY /
     * CONTENT_QUERY_EVENT_KEY), gated to the thresholded top queries via a
@@ -132,59 +133,20 @@ object CounterJob {
       withContent: Boolean): DataFrame = {
     val gated = events.where(col("queryHash").isNotNull)
       .join(broadcast(topQueries), Seq("queryHash"), "left_semi")
-    overWindows { w =>
-      val keyDims = col("platformId").as("pid") +: col("queryHash").as("qh") +:
-        (if (withContent) Seq(col("contentId").as("cid")) else Nil)
-      val g = windowed(gated, keyDims, w)
-      val hexQ = CF.hexLong(col("qh"))
-      val keyParts =
-        if (withContent)
-          Seq(col("pid"), col("cid"), lit(CF.QueryType), hexQ, wsCol)
-        else Seq(col("pid"), lit(CF.QueryType), hexQ, wsCol)
-      val countType = if (withContent) CF.CountType.ContentQuery else CF.CountType.Query
-      CF.hsetCommand(
-        CF.redisKey(keyParts: _*),
-        CF.featureIdCol(lit(countType), col("metric"), lit(w.tag)),
-        col("n"), w.ttlSec)(g)
-    }
+    val keyDims = ("pid" -> col("platformId")) +: ("qh" -> col("queryHash")) +:
+      (if (withContent) Seq("cid" -> col("contentId")) else Nil)
+    val g = windowedAll(gated, keyDims)
+    val hexQ = CF.hexLong(col("qh"))
+    val keyParts =
+      if (withContent)
+        Seq(col("pid"), col("cid"), lit(CF.QueryType), hexQ, wsCol)
+      else Seq(col("pid"), lit(CF.QueryType), hexQ, wsCol)
+    val countType = if (withContent) CF.CountType.ContentQuery else CF.CountType.Query
+    CF.hsetCommandC(
+      CF.redisKey(keyParts: _*),
+      CF.featureIdCol(lit(countType), col("metric"), col("wtag")),
+      col("n"), col("wttl"))(g)
   }
-
-  /** Last-seen families (CounterKeys LAST_*_KEY ×4): per
-    * (pid, user, content|query, metric), emit a timestamp field
-    * (hoursAgo type, window NONE → value = last event ts) and a 90-day
-    * count field (count type, window DAY_90 → value = count of events with
-    * tsMs > nowMs − 90d), per FeatureId.lastUser*Timestamp/Count. */
-  def lastSeenCommands(events: DataFrame, dimCol: Column, dimKeyParts: Column => Seq[Column],
-      userCol: String, tsType: Long, countType: Long, nowMs: Long, ttlSec: Long): DataFrame = {
-    val in90d = col("tsMs") > nowMs - 90 * DayMs
-    val g = events
-      .groupBy(col("platformId").as("pid"), col(userCol).as("u"),
-        dimCol.as("dim"), metricCol.as("metric"))
-      .agg(max(col("tsMs")).as("last_ts_ms"),
-        sum(when(in90d, coalesce(col("quantity"), lit(1L))).otherwise(0L)).as("n90"))
-    val key = CF.redisKey(
-      (col("pid") +: lit(CF.UserType) +: col("u") +: dimKeyParts(col("dim"))): _*)
-    CF.hsetCommand(key,
-        CF.featureIdCol(lit(tsType), col("metric"), lit(CF.CountWindow.None)),
-        col("last_ts_ms"), ttlSec)(g)
-      .unionByName(
-        CF.hsetCommand(key,
-          CF.featureIdCol(lit(countType), col("metric"), lit(CF.CountWindow.Day90)),
-          col("n90"), ttlSec)(g))
-  }
-
-  private def lastContent(events: DataFrame, userCol: String, tsType: Long,
-      countType: Long, nowMs: Long): DataFrame =
-    lastSeenCommands(events, col("contentId"), d => Seq(d),
-      userCol, tsType, countType, nowMs, 90 * 86400)
-
-  private def lastQuery(events: DataFrame, topQueries: DataFrame, userCol: String,
-      tsType: Long, countType: Long, nowMs: Long): DataFrame =
-    lastSeenCommands(
-      events.where(col("queryHash").isNotNull)
-        .join(broadcast(topQueries), Seq("queryHash"), "left_semi"),
-      col("queryHash"), d => Seq(lit(CF.QueryType), CF.hexLong(d)),
-      userCol, tsType, countType, nowMs, 90 * 86400)
 
   /** Legacy simplified families (global/content/logUser/user × hour/day)
     * kept for the q29 gate shape. */
@@ -211,29 +173,125 @@ object CounterJob {
     ).reduce(_ unionByName _)
   }
 
+  /** Hourly pre-aggregate cube: ONE scan of the raw joined events (one UA
+    * parse, one query-hash, one JSON extraction per row), partial-aggregated
+    * to the finest granularity every family needs. All emit windows are
+    * epoch-aligned multiples of an hour, so every windowed-count family is
+    * an exact rollup of `cnt`/`nq`; the last-seen families roll up
+    * `last_ts`/`nq90` (the 90-day membership test is decided per-ROW here —
+    * nowMs is fixed — so the hour-granular cube stays exact at the cutoff
+    * boundary). At 100 TB this is the difference between 28 scans of the
+    * fact table and 1 scan + 28 rollups of a frame that is orders of
+    * magnitude smaller. */
+  private def hourlyCube(events: DataFrame, nowMs: Long): DataFrame =
+    events.groupBy(
+        Windows.bucket(col("tsMs"), HourMs).as("hourStart"),
+        metricCol.as("metric"), col("platformId"), col("logUserId"),
+        col("userId"), col("contentId"), col("queryHash"),
+        col("osFamily"), col("agentFamily"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(coalesce(col("quantity"), lit(1L))).as("nq"),
+        max(col("tsMs")).as("last_ts"),
+        sum(when(col("tsMs") > nowMs - 90 * DayMs,
+          coalesce(col("quantity"), lit(1L))).otherwise(0L)).as("nq90"))
+
+  /** Row-level cells with the same schema as [[hourlyCube]] (cnt=1 per
+    * row) — one projection pass, NO pre-shuffle. */
+  private def rowCells(events: DataFrame, nowMs: Long): DataFrame = {
+    val nq = coalesce(col("quantity"), lit(1L))
+    events.select(
+      Windows.bucket(col("tsMs"), HourMs).as("hourStart"),
+      metricCol.as("metric"), col("platformId"), col("logUserId"),
+      col("userId"), col("contentId"), col("queryHash"),
+      col("osFamily"), col("agentFamily"),
+      lit(1L).as("cnt"), nq.as("nq"), col("tsMs").as("last_ts"),
+      when(col("tsMs") > nowMs - 90 * DayMs, nq).otherwise(0L).as("nq90"))
+  }
+
   /** The full ten-family command stream, wired like the reference's
     * defineJob (CounterJob.java:389-500): the four windowed-count families
     * unconditionally, the query-gated families through the top-query
-    * threshold, the last-seen families emitting ts + 90d-count pairs. */
-  def runAll(events: DataFrame, minQueryCount: Long, nowMs: Long): DataFrame = {
-    val top = topQueryHashes(events, minQueryCount)
+    * threshold, the last-seen families emitting ts + 90d-count pairs.
+    *
+    * The input is scanned ONCE: the projected frame (UA parse, query hash,
+    * metric mapping — the expensive per-row work) is cached and every
+    * family partial-aggregates from the cache. With `preAggregate = true`
+    * the cache is the [[hourlyCube]] instead — the scale lever when event
+    * dims repeat within an hour (real traffic: many events per
+    * user×content×hour), where the cube is orders of magnitude smaller
+    * than the rows; with unique-ish dims per event (no compression) the
+    * cube's extra shuffle is pure cost, so row-level cache is the default. */
+  def runAll(events: DataFrame, minQueryCount: Long, nowMs: Long,
+      preAggregate: Boolean = false): DataFrame = {
+    val cube =
+      (if (preAggregate) hourlyCube(events, nowMs)
+       else rowCells(events, nowMs))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cube rows carry pre-summed weights: re-aggregate with sum, count-of-
+    // rows becomes sum(cnt), and the per-event quantity coalesce is done
+    val ev = cube
+      .withColumn("tsMs", col("hourStart")) // windowed() re-buckets; hour-aligned
+      .withColumn("quantity", col("nq"))
+    val top = topQueryGate(cube, minQueryCount)
     Seq(
-      deviceCommands(events, withContent = false),
-      deviceCommands(events, withContent = true),
-      userCommands(events, "logUserId", CF.CountType.LogUser),
-      userCommands(events, "userId", CF.CountType.User),
-      queryCommands(events, top, withContent = false),
-      queryCommands(events, top, withContent = true),
-      lastContent(events, "logUserId",
-        CF.CountType.LogUserItemHoursAgo, CF.CountType.LogUserItemCount, nowMs),
-      lastContent(events, "userId",
-        CF.CountType.UserItemHoursAgo, CF.CountType.UserItemCount, nowMs),
-      lastQuery(events, top, "logUserId",
-        CF.CountType.LogUserQueryHoursAgo, CF.CountType.LogUserQueryCount, nowMs),
-      lastQuery(events, top, "userId",
-        CF.CountType.UserQueryHoursAgo, CF.CountType.UserQueryCount, nowMs),
+      deviceCommands(ev, withContent = false),
+      deviceCommands(ev, withContent = true),
+      userCommands(ev, "logUserId", CF.CountType.LogUser),
+      userCommands(ev, "userId", CF.CountType.User),
+      queryCommands(ev, top, withContent = false),
+      queryCommands(ev, top, withContent = true),
+      lastContentCube(cube, "logUserId",
+        CF.CountType.LogUserItemHoursAgo, CF.CountType.LogUserItemCount),
+      lastContentCube(cube, "userId",
+        CF.CountType.UserItemHoursAgo, CF.CountType.UserItemCount),
+      lastQueryCube(cube, top, "logUserId",
+        CF.CountType.LogUserQueryHoursAgo, CF.CountType.LogUserQueryCount),
+      lastQueryCube(cube, top, "userId",
+        CF.CountType.UserQueryHoursAgo, CF.CountType.UserQueryCount),
     ).reduce(_ unionByName _)
   }
+
+  /** Top-query threshold over cube partials (sum of per-cell counts). */
+  private def topQueryGate(cube: DataFrame, minCount: Long): DataFrame =
+    cube.where(col("queryHash").isNotNull)
+      .groupBy(col("queryHash")).agg(sum(col("cnt")).as("n"))
+      .where(col("n") >= minCount)
+      .select("queryHash")
+
+  /** Last-seen rollup from cube partials (max of last_ts, sum of nq90).
+    * The timestamp field and the 90d-count field both come off ONE
+    * aggregation — each group row explodes into its two (featureId, value)
+    * cells after the agg, instead of running the agg twice. */
+  private def lastSeenCube(cube: DataFrame, dimCol: Column,
+      dimKeyParts: Column => Seq[Column], userCol: String, tsType: Long,
+      countType: Long, ttlSec: Long): DataFrame = {
+    val g = cube
+      .groupBy(col("platformId").as("pid"), col(userCol).as("u"),
+        dimCol.as("dim"), col("metric"))
+      .agg(max(col("last_ts")).as("last_ts_ms"), sum(col("nq90")).as("n90"))
+      .select(col("pid"), col("u"), col("dim"), explode(array(
+        struct(CF.featureIdCol(lit(tsType), col("metric"),
+          lit(CF.CountWindow.None)).as("fid"), col("last_ts_ms").as("v")),
+        struct(CF.featureIdCol(lit(countType), col("metric"),
+          lit(CF.CountWindow.Day90)).as("fid"), col("n90").as("v")))).as("__fv"))
+    val key = CF.redisKey(
+      (col("pid") +: lit(CF.UserType) +: col("u") +: dimKeyParts(col("dim"))): _*)
+    CF.hsetCommand(key, col("__fv.fid"), col("__fv.v"), ttlSec)(g)
+  }
+
+  private def lastContentCube(cube: DataFrame, userCol: String, tsType: Long,
+      countType: Long): DataFrame =
+    lastSeenCube(cube, col("contentId"), d => Seq(d), userCol, tsType,
+      countType, 90 * 86400)
+
+  private def lastQueryCube(cube: DataFrame, topQueries: DataFrame,
+      userCol: String, tsType: Long, countType: Long): DataFrame =
+    lastSeenCube(
+      cube.where(col("queryHash").isNotNull)
+        .join(broadcast(topQueries), Seq("queryHash"), "left_semi"),
+      col("queryHash"), d => Seq(lit(CF.QueryType), CF.hexLong(d)),
+      userCol, tsType, countType, 90 * 86400)
 
   def run(events: DataFrame)(implicit spark: SparkSession): DataFrame =
     commands(events).unionByName {

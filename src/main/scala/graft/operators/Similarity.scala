@@ -48,6 +48,20 @@ object Similarity {
     Array.tabulate(dims)(d =>
       if (graft.functions.XxHash64.hashString(s"$plane:$d", 0L) >= 0) 1L else -1L)
 
+  /** Embedding dimensionality for plane construction: the explicit `dims`
+    * parameter when given (the zero-cost path — callers that know their
+    * schema should pass it), else sampled from the first corpus row
+    * (a limit-1 scalar, not a full scan). Returns -1 on an empty corpus so
+    * callers can short-circuit instead of throwing. Vectors shorter than
+    * the resolved dims are truncated by the dot kernel's min-length loop —
+    * mixed-dims corpora must pass `dims` explicitly. */
+  private def resolveDims(corpus: DataFrame, vecCol: String, dims: Int): Int =
+    if (dims > 0) dims
+    else corpus.select(size(col(vecCol)).as("d")).take(1) match {
+      case Array(r) => r.getInt(0)
+      case _ => -1
+    }
+
   /** Embedding-cosine near-duplicate pairs: all pairs (a < b) whose cosine
     * reaches `minScoreE6`/1e6, quantized-deterministic scoring.
     *
@@ -88,9 +102,12 @@ object Similarity {
     * Output: a_id, b_id, cos_e6 — same shape as `cosineNearDupPairs`. */
   def lshBandedNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       minScoreE6: Long, bands: Int, rowsPerBand: Int,
-      maxBucket: Int = 0): DataFrame = {
+      maxBucket: Int = 0, dims: Int = -1): DataFrame = {
     VectorExpressions.register(corpus.sparkSession)
-    val dims = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val d = resolveDims(corpus, vecCol, dims)
+    if (d < 0) // empty corpus: no rows to block, return the empty pair frame
+      return corpus.select(col(idCol).as("a_id"), col(idCol).as("b_id"),
+        lit(0L).as("cos_e6")).where(lit(false))
     val base = corpus.repartition(col(idCol)).select(col(idCol).as("id"),
       col(vecCol).as("vec"), VectorExpressions.normSqE9Fast(col(vecCol)).as("nsq"))
 
@@ -100,7 +117,7 @@ object Similarity {
         // against the ±1 sign vector (sign flip commutes with half-away-
         // from-zero rounding), so it rides the codegen'd kernel instead of
         // an interpreted zip_with/aggregate pair per plane.
-        val signVec = lit(planeSigns(bIdx * rowsPerBand + r, dims).map(_.toFloat))
+        val signVec = lit(planeSigns(bIdx * rowsPerBand + r, d).map(_.toFloat))
         val projE9 = VectorExpressions.dotE9Fast(col("vec"), signVec)
         when(projE9 >= 0, shiftleft(lit(1L), r)).otherwise(lit(0L))
       }
@@ -180,8 +197,11 @@ object Similarity {
     * signs derived from xxhash64(plane, dim)), vectors keyed by the sign
     * pattern; near-dup candidates = equal buckets. */
   def lshBucketedPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      planes: Int): DataFrame = {
-    val dims = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+      planes: Int, dimsIn: Int = -1): DataFrame = {
+    val dims = resolveDims(corpus, vecCol, dimsIn)
+    if (dims < 0)
+      return corpus.select(col(idCol).as("a_id"), col(idCol).as("b_id"),
+        lit(0L).as("bucket")).where(lit(false))
     // pseudo-random ±1 planes: sign of xxhash64(plane:dim) per component.
     // Expressed as zip_with against literal sign arrays (one small plan
     // node per plane) rather than a dims-wide getItem tree — a 640-term

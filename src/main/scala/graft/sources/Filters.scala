@@ -60,10 +60,13 @@ object Filters {
 
   val botRegex: String = botPatterns.mkString("|")
 
-  /** True when the user agent is NOT a bot. Empty/unknown UAs pass (the
-    * reference only drops positive matches). Codegen'd rlike — one compiled
-    * regex per task, no UDF. */
-  def isNotBot(userAgent: Column): Column = !lower(userAgent).rlike(botRegex)
+  /** True when the user agent is NOT a bot. Empty/unknown/NULL UAs pass (the
+    * reference's proto getters never return null — always "" — and only
+    * positive matches drop; coalescing NULL to "" keeps the predicate
+    * two-valued so a row lands in exactly one of the kept/dropped channels).
+    * Codegen'd rlike — one compiled regex per task, no UDF. */
+  def isNotBot(userAgent: Column): Column =
+    !coalesce(lower(userAgent), lit("")).rlike(botRegex)
 
   /** Traffic priority (P:common/util/DeliveryLogUtil.java:31-46). */
   def trafficPriority(trafficType: Column): Column =
@@ -107,8 +110,10 @@ object Filters {
         get(filter(pairs, p => p.getField("h") === name), lit(0)).getField("v")
       struct(
         coalesce(fastPath("contentId"), lit("")).as("contentId"),
-        coalesce(fastPath("retrievalRank").cast("long"), lit(-1L)).as("retrievalRank"),
-        coalesce(fastPath("retrievalScore").cast("double"), lit(0.0)).as("retrievalScore"),
+        // try_cast: malformed matrix cells degrade to the defaults instead of
+        // failing the whole job under ANSI mode
+        coalesce(fastPath("retrievalRank").try_cast("long"), lit(-1L)).as("retrievalRank"),
+        coalesce(fastPath("retrievalScore").try_cast("double"), lit(0.0)).as("retrievalScore"),
         map_from_entries(filter(pairs, p =>
           !p.getField("h").isin("contentId", "retrievalRank", "retrievalScore")))
           .as("properties"))
