@@ -314,18 +314,24 @@ object SparkEntry {
         Seq("user_id"), "ts_ms", 4L * 3600000L, "event_id", "event_id")
     }),
 
-    // J8: attach the ≤3 most recent prior views to each purchase (6h look-
-    // back), exploded one row per (purchase, rank)
+    // J8 full parity: attach the ≤3 most recent prior views to each
+    // purchase (6h lookback) with the reference's exclusion semantics —
+    // views whose content the user already actioned (incl. the purchase's
+    // own content) drop, duplicate content keeps only the newest view
+    // (AddLatestImpressions.java:355-374); content = props.k mod 20
     "q32_latest_impressions" -> ((s, dir) => {
-      val e = ev(s, dir)
-      Cogroup.attachLatest(
+      val e = ev(s, dir).withColumn("content_id",
+        concat(lit("C"), pmod(get_json_object(col("props"), "$.k").cast("long"),
+          lit(20)).cast("string")))
+      Cogroup.attachLatestExcluding(
         e.where(col("event_type") === "purchase")
-          .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_ms")),
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts_ms"), col("content_id")),
         e.where(col("event_type") === "view")
           .select(col("user_id"), col("event_id").as("view_id"),
-            col("ts_ms").as("view_ts_ms")),
+            col("ts_ms").as("view_ts_ms"), col("content_id")),
         Seq("user_id"), "ts_ms", "view_ts_ms", "purchase_id", "view_id",
-        3, 6L * 3600000L)
+        "content_id", 3, 6L * 3600000L)
     }),
 
     // D3: redundant-event canonicalization — every view re-points to the
@@ -355,6 +361,87 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 20),
         "vec_id", "embedding", k = 3, nLists = 16, nProbe = 4)
+    }),
+
+    // J6 complete: MergeDetails with drop tracking — purchases resolve
+    // insertion (nearest prior click) and impression (nearest prior
+    // signup) references, then merge the full detail rows back on; details
+    // tables are punched (clicks ≡0 mod 5, signups ≡0 mod 3 withheld) so
+    // the dropped channel (DroppedMergeDetailsEvent analogue) is genuinely
+    // exercised; `missing` carries the MissingEvent labels
+    "q39_merge_details" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val acts = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("action_id"), col("ts_ms"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("ins_id"),
+          col("ts_ms").as("ins_ts"))
+      val signups = e.where(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("imp_id"),
+          col("ts_ms").as("imp_ts"))
+      val withIns = AsOfJoin.leftAsOf(acts, clicks, Seq("user_id"),
+        "ts_ms", "ins_ts", Seq("ins_id"), "ins_id", 86400000L)
+      val tiny = AsOfJoin.leftAsOf(withIns, signups, Seq("user_id"),
+          "ts_ms", "imp_ts", Seq("imp_id"), "imp_id", 86400000L)
+        .select(col("user_id"), col("action_id"), col("ts_ms"),
+          col("ins_id"), col("imp_id"))
+      val insDetails = clicks.where(col("ins_id") % 5 =!= 0)
+        .select(col("ins_id"), col("ins_ts").as("ins_detail_ts_ms"))
+      val impDetails = signups.where(col("imp_id") % 3 =!= 0)
+        .select(col("imp_id"), col("imp_ts").as("imp_detail_ts_ms"))
+      MergeDetails.mergeWithDropTracking(tiny, Seq(
+          MergeDetails.DetailSource(insDetails, "ins_id", "DELIVERY_LOG"),
+          MergeDetails.DetailSource(impDetails, "imp_id", "IMPRESSION")))
+        .select(col("user_id"), col("action_id"), col("ts_ms"),
+          coalesce(col("ins_id"), lit(-1L)).as("ins_id"),
+          coalesce(col("imp_id"), lit(-1L)).as("imp_id"),
+          coalesce(col("ins_detail_ts_ms"), lit(-1L)).as("ins_detail_ts_ms"),
+          coalesce(col("imp_detail_ts_ms"), lit(-1L)).as("imp_detail_ts_ms"),
+          col("missing"), col("status"))
+    }),
+
+    // J7 complete: the session cogroup with COLLECTED payload lists —
+    // purchases + clicks per user in 4h sessions, each session emitting
+    // its sorted member-id lists (the FlatResponseInsertion record shape:
+    // insertion + repeated impressions + repeated actions,
+    // FlatOutputJob.java:1016-1025), serialized for the oracle compare
+    "q38_session_payload" -> ((s, dir) => {
+      val e = ev(s, dir)
+      Cogroup.sessionPayloadCogroup(
+        e.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_ms"), col("event_id")),
+        e.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts_ms"), col("event_id")),
+        Seq("user_id"), "ts_ms", 4L * 3600000L, "event_id", "event_id")
+    }),
+
+    // D3 complete: actions re-pointed through the redundant-impression
+    // canonical map (ReduceRedundantTinyImpressions.java:120-180) — each
+    // purchase resolves its impression (nearest prior view within 1d, the
+    // as-of convention) and rewrites it to the canonical first view of
+    // that view's (user, props.k) group
+    "q37_redundant_actions" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val views = e.where(col("event_type") === "view")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("event_id"), col("ts_ms"))
+      val canon = Cogroup.redundantRepoint(views, Seq("user_id", "k"),
+        "event_id", "ts_ms")
+      val acts = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("action_id"), col("ts_ms"))
+      val withImp = AsOfJoin.leftAsOf(acts,
+        views.select(col("user_id"), col("event_id").as("imp_id"),
+          col("ts_ms").as("imp_ts_ms")),
+        Seq("user_id"), "ts_ms", "imp_ts_ms", Seq("imp_id"), "imp_id",
+        86400000L)
+        .where(col("imp_id").isNotNull)
+      Cogroup.repointReferences(withImp,
+          canon.select(col("event_id"), col("canonical_id")),
+          "event_id", "imp_id")
+        .select(col("user_id"), col("action_id"), col("ts_ms"),
+          col("imp_id"), col("imp_ts_ms"),
+          col("canonical_imp_id"))
     }),
 
     // A6 complete: the ten counter key families (CounterKeys.java:40-365)
@@ -1082,17 +1169,107 @@ object SparkEntry {
         | CAST(count(*) - sum(isleft) AS BIGINT) AS n_right
         |FROM s GROUP BY user_id, sid""".stripMargin,
 
+    "q39_merge_details" ->
+      """WITH a AS (SELECT user_id, event_id AS action_id, epoch_ms(ts) AS ts_ms
+        |           FROM events WHERE event_type = 'purchase'),
+        |i AS (SELECT user_id, event_id AS ins_id, epoch_ms(ts) AS ms
+        |      FROM events WHERE event_type = 'click'),
+        |m AS (SELECT user_id, event_id AS imp_id, epoch_ms(ts) AS ms
+        |      FROM events WHERE event_type = 'signup'),
+        |r AS (
+        | SELECT a.*,
+        |  (SELECT x.ins_id FROM i x WHERE x.user_id = a.user_id
+        |    AND x.ms <= a.ts_ms AND x.ms >= a.ts_ms - 86400000
+        |   ORDER BY x.ms DESC, x.ins_id DESC LIMIT 1) AS ins_id,
+        |  (SELECT x.imp_id FROM m x WHERE x.user_id = a.user_id
+        |    AND x.ms <= a.ts_ms AND x.ms >= a.ts_ms - 86400000
+        |   ORDER BY x.ms DESC, x.imp_id DESC LIMIT 1) AS imp_id
+        | FROM a),
+        |d AS (
+        | SELECT r.*, di.ms AS ins_detail_ts, dm.ms AS imp_detail_ts
+        | FROM r
+        | LEFT JOIN i di ON di.ins_id = r.ins_id AND di.ins_id % 5 <> 0
+        | LEFT JOIN m dm ON dm.imp_id = r.imp_id AND dm.imp_id % 3 <> 0)
+        |SELECT user_id, action_id, ts_ms,
+        | coalesce(ins_id, -1) AS ins_id, coalesce(imp_id, -1) AS imp_id,
+        | coalesce(ins_detail_ts, -1) AS ins_detail_ts_ms,
+        | coalesce(imp_detail_ts, -1) AS imp_detail_ts_ms,
+        | concat_ws(',',
+        |   CASE WHEN ins_detail_ts IS NULL THEN 'DELIVERY_LOG' END,
+        |   CASE WHEN imp_detail_ts IS NULL THEN 'IMPRESSION' END) AS missing,
+        | CASE WHEN ins_detail_ts IS NULL OR imp_detail_ts IS NULL
+        |      THEN 'dropped' ELSE 'ok' END AS status
+        |FROM d""".stripMargin,
+
+    "q38_session_payload" ->
+      """WITH u AS (
+        | SELECT user_id, epoch_ms(ts) AS ms, event_id,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isleft
+        | FROM events WHERE event_type IN ('purchase', 'click')),
+        |o AS (SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+        |        OR ms - lag(ms) OVER w > 14400000 THEN 1 ELSE 0 END AS brk
+        |      FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+        |SELECT user_id, min(ms) AS session_start_ms,
+        | CAST(sum(isleft) AS BIGINT) AS n_left,
+        | CAST(count(*) - sum(isleft) AS BIGINT) AS n_right,
+        | coalesce(string_agg(CASE WHEN isleft = 1
+        |   THEN CAST(event_id AS VARCHAR) END, ',' ORDER BY ms, event_id), '')
+        |   AS left_ids,
+        | coalesce(string_agg(CASE WHEN isleft = 0
+        |   THEN CAST(event_id AS VARCHAR) END, ',' ORDER BY ms, event_id), '')
+        |   AS right_ids
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
     "q32_latest_impressions" ->
-      """SELECT user_id, purchase_id, ts_ms, rank, view_id, view_ts_ms FROM (
-        | SELECT p.user_id, p.event_id AS purchase_id, epoch_ms(p.ts) AS ts_ms,
-        |  row_number() OVER (PARTITION BY p.event_id
-        |    ORDER BY epoch_ms(v.ts) DESC, v.event_id DESC) AS rank,
-        |  v.event_id AS view_id, epoch_ms(v.ts) AS view_ts_ms
-        | FROM events p JOIN events v ON v.event_type = 'view'
-        |   AND v.user_id = p.user_id
-        |   AND epoch_ms(v.ts) <= epoch_ms(p.ts)
-        |   AND epoch_ms(v.ts) >= epoch_ms(p.ts) - 21600000
-        | WHERE p.event_type = 'purchase') WHERE rank <= 3""".stripMargin,
+      """WITH c AS (
+        | SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type,
+        |  'C' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 20
+        |              AS VARCHAR) AS content_id
+        | FROM events WHERE event_type IN ('purchase', 'view')),
+        |p AS (SELECT user_id, event_id AS purchase_id, ms AS ts_ms, content_id
+        |      FROM c WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id AS view_id, ms AS view_ts_ms, content_id
+        |      FROM c WHERE event_type = 'view'),
+        |cand AS (
+        | SELECT p.user_id, p.purchase_id, p.ts_ms, v.content_id, v.view_id,
+        |  v.view_ts_ms,
+        |  row_number() OVER (PARTITION BY p.purchase_id, v.content_id
+        |    ORDER BY v.view_ts_ms DESC, v.view_id DESC) AS rnc
+        | FROM p JOIN v ON v.user_id = p.user_id
+        |   AND v.view_ts_ms <= p.ts_ms AND v.view_ts_ms >= p.ts_ms - 21600000),
+        |kept AS (
+        | SELECT * FROM cand k WHERE rnc = 1 AND NOT EXISTS (
+        |   SELECT 1 FROM p a WHERE a.user_id = k.user_id
+        |     AND a.content_id = k.content_id AND a.ts_ms <= k.ts_ms))
+        |SELECT user_id, purchase_id, ts_ms, content_id, view_id, view_ts_ms,
+        |       rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY purchase_id
+        |        ORDER BY view_ts_ms DESC, view_id DESC) AS rank
+        |      FROM kept) WHERE rank <= 3""".stripMargin,
+
+    "q37_redundant_actions" ->
+      """WITH v AS (
+        | SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  event_id, epoch_ms(ts) AS ms
+        | FROM events WHERE event_type = 'view'),
+        |c AS (
+        | SELECT *, first_value(event_id) OVER (PARTITION BY user_id, k
+        |   ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS canonical_id
+        | FROM v),
+        |a AS (SELECT user_id, event_id AS action_id, epoch_ms(ts) AS ts_ms
+        |      FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        | SELECT a.*,
+        |  (SELECT struct_pack(id := x.event_id, ms := x.ms) FROM v x
+        |   WHERE x.user_id = a.user_id AND x.ms <= a.ts_ms
+        |     AND x.ms >= a.ts_ms - 86400000
+        |   ORDER BY x.ms DESC, x.event_id DESC LIMIT 1) AS imp
+        | FROM a)
+        |SELECT w.user_id, w.action_id, w.ts_ms, w.imp.id AS imp_id,
+        | w.imp.ms AS imp_ts_ms, c.canonical_id AS canonical_imp_id
+        |FROM w JOIN c ON c.event_id = w.imp.id""".stripMargin,
 
     "q33_redundant_repoint" ->
       """SELECT user_id, k, event_id, ts_ms, canonical_id FROM (
