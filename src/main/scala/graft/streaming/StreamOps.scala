@@ -65,4 +65,27 @@ object StreamOps {
       .select((Seq(unix_millis(col("session_window.start")).as("session_start_ms"),
         unix_millis(col("session_window.end")).as("session_end_ms"),
         col("n_events")) ++ keys.map(col)): _*)
+
+  /** Streaming J7 with the COLLECTED payload (the FlatResponseInsertion
+    * record shape, P:job/join/FlatOutputJob.java:1016-1025): per session,
+    * the sorted member-id lists of both tagged sides. Append mode — a
+    * session's record emits once, when the watermark closes it; state per
+    * open session is its member list, the same bound the reference's
+    * window cogroup holds. `isLeftCol` tags the side (1 = left). */
+  def sessionPayloads(df: DataFrame, keys: Seq[String], tsCol: String,
+      idCol: String, isLeftCol: String, watermarkDelay: String,
+      gap: String): DataFrame = {
+    def ids(isLeft: Int) = array_join(transform(
+      sort_array(collect_list(when(col(isLeftCol) === isLeft,
+        struct(unix_millis(col(tsCol)).as("t"), col(idCol).cast("long").as("i"))))),
+      x => x.getField("i").cast("string")), ",")
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy((session_window(col(tsCol), gap) +: keys.map(col)): _*)
+      .agg(min(unix_millis(col(tsCol))).as("session_start_ms"),
+        sum(col(isLeftCol)).cast("long").as("n_left"),
+        (count(lit(1)) - sum(col(isLeftCol))).cast("long").as("n_right"),
+        ids(1).as("left_ids"), ids(0).as("right_ids"))
+      .select((keys.map(col) ++ Seq(col("session_start_ms"), col("n_left"),
+        col("n_right"), col("left_ids"), col("right_ids"))): _*)
+  }
 }

@@ -61,4 +61,39 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.get(1000L) == Some(2L)) // 1000+3000 merged (gap < 5s)
     assert(got.get(20000L) == Some(1L))
   }
+
+  test("sessionPayloads matches the batch payload cogroup") {
+    import graft.operators.Cogroup
+    // (user, ts, id, isLeft)
+    val rows = Seq(("u1", 1000L, 11L, 1), ("u1", 2000L, 12L, 0),
+      ("u1", 3000L, 13L, 1), ("u1", 20000L, 14L, 0),
+      ("u2", 1000L, 21L, 0), ("u2", 2500L, 22L, 1))
+    val mem = MemoryStream[(String, Long, Long, Int)]
+    val df = mem.toDS().toDF("user_id", "ts_ms", "event_id", "is_left")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = StreamOps.sessionPayloads(df, Seq("user_id"), "ts", "event_id",
+        "is_left", "1 second", "5 seconds")
+      .writeStream.format("memory").queryName("sp_out")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    mem.addData(("u9", 600000L, 99L, 0)) // advance watermark, close sessions
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sp_out")
+      .where(col("user_id") =!= "u9")
+      .select("user_id", "session_start_ms", "n_left", "n_right",
+        "left_ids", "right_ids")
+      .as[(String, Long, Long, Long, String, String)].collect().toSet
+
+    val batchDf = rows.toDF("user_id", "ts_ms", "event_id", "is_left")
+    val batch = Cogroup.sessionPayloadCogroup(
+        batchDf.where(col("is_left") === 1).select("user_id", "ts_ms", "event_id"),
+        batchDf.where(col("is_left") === 0).select("user_id", "ts_ms", "event_id"),
+        Seq("user_id"), "ts_ms", 5000L, "event_id", "event_id")
+      .select("user_id", "session_start_ms", "n_left", "n_right",
+        "left_ids", "right_ids")
+      .as[(String, Long, Long, Long, String, String)].collect().toSet
+    assert(streamed == batch)
+  }
 }
