@@ -151,21 +151,71 @@ object Similarity {
       .select("a_id", "b_id", "cos_e6")
   }
 
+  /** Deterministic k-means training for the IVF coarse quantizer.
+    *
+    * Lloyd iterations with two determinism guarantees a distributed run
+    * needs: (1) init is content-independent (the `nLists` lowest-id
+    * vectors — k-means|| would add seeded randomness, same plumbing);
+    * (2) the centroid update sums e9-quantized integer components, so the
+    * mean is independent of partitioning and aggregation order (float
+    * sums are not associative; integer sums are). Each iteration is one
+    * broadcast-join assignment + one groupBy — no collect of the corpus;
+    * only the nLists centroids ever land on the driver.
+    * Returns (centId, centVec) with unit-independent raw means. */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, iters: Int): DataFrame = {
+    VectorExpressions.register(corpus.sparkSession)
+    val base = corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"),
+      VectorExpressions.normSqE9Fast(col(vecCol)).as("vn"))
+    var cents = base.orderBy(col("vid")).limit(nLists)
+      .select(col("vid").cast("long").as("centId"), col("vec").as("centVec"))
+    for (_ <- 0 until iters) {
+      val c = broadcast(cents.withColumn("centN",
+        VectorExpressions.normSqE9Fast(col("centVec"))))
+      val scored = base.join(c)
+        .withColumn("__cs",
+          cosineFromE9(VectorExpressions.dotE9Fast(col("vec"), col("centVec")),
+            col("vn"), col("centN")))
+      val w = Window.partitionBy(col("vid")).orderBy(col("__cs").desc, col("centId"))
+      val assigned = scored.withColumn("__r", row_number().over(w))
+        .where(col("__r") === 1)
+      // order-independent mean: per-component e9-quantized long sums via
+      // posexplode — a true partial aggregation (map-side combine on
+      // (centId, pos)), never a per-group buffer of member vectors
+      val compSums = assigned
+        .select(col("centId"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy(col("centId"), col("pos"))
+        .agg(sum(round(col("x").cast("double") * 1e9).cast("long")).as("s"),
+          count(lit(1)).as("cnt"))
+      cents = compSums
+        .groupBy(col("centId"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("s"), col("cnt")))),
+          e => (e.getField("s") / e.getField("cnt")).cast("double") / lit(1e9))
+          .cast("array<float>").as("centVec"))
+    }
+    cents
+  }
+
   /** IVF-style ANN: coarse-quantize the corpus into `nLists` inverted
     * lists, probe the `nProbe` nearest lists per query, exact-rerank the
     * candidates. The 100 TB path: candidate work scales with
     * |corpus|·nProbe/nLists instead of |corpus|.
     *
-    * The coarse quantizer here is training-free (the nLists lowest-id
-    * vectors serve as centroids) so results are deterministic; a k-means
-    * trained quantizer drops into the same assignment/probe plumbing.
+    * Pass `centroids` from [[trainIvfCentroids]] for a trained quantizer;
+    * the default is training-free (the nLists lowest-id vectors serve as
+    * centroids) — both deterministic, same assignment/probe plumbing.
     * Output: qid, cid, rank, score_e6 — same shape as bruteForceTopK. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nLists: Int, nProbe: Int): DataFrame = {
+      vecCol: String, k: Int, nLists: Int, nProbe: Int,
+      centroids: Option[DataFrame] = None): DataFrame = {
     VectorExpressions.register(corpus.sparkSession)
-    val cents = broadcast(corpus.orderBy(col(idCol)).limit(nLists)
-      .select(col(idCol).as("centId"), col(vecCol).as("centVec"),
-        VectorExpressions.normSqE9Fast(col(vecCol)).as("centN")))
+    val centSrc = centroids.getOrElse(
+      corpus.orderBy(col(idCol)).limit(nLists)
+        .select(col(idCol).cast("long").as("centId"), col(vecCol).as("centVec")))
+    val cents = broadcast(centSrc
+      .select(col("centId"), col("centVec"),
+        VectorExpressions.normSqE9Fast(col("centVec")).as("centN")))
 
     def nearestLists(df: DataFrame, p: String, keep: Int): DataFrame = {
       val scored = df.select(col(idCol).as(s"${p}id"), col(vecCol).as(s"${p}vec"),

@@ -56,19 +56,38 @@ object Sinks {
     commands.where(col("tsMs") >= startMs && col("tsMs") <= stopMs)
 
   /** K3 streaming form: `commands` must be a streaming frame; each
-    * micro-batch keeps only the latest value per (key, field) — the
+    * micro-batch keeps only the LATEST-EVENT value per (key, field) — the
     * reference's backfill buffering collapses writes the same way
-    * (CounterJob.java:501-567). */
+    * (CounterJob.java:501-567). Latest means event time: frames carrying
+    * `tsMs` order by it (value as the deterministic tie-break); frames
+    * without an event-time column fall back to value order, which is only
+    * correct for monotone counters. */
   def streamCommands(commands: DataFrame, client: CommandClient,
       checkpoint: String): DataStreamWriter[Row] =
     commands.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("key"), col("field"))
-          .orderBy(col("value").desc)
+        val ord =
+          if (batch.columns.contains("tsMs"))
+            Seq(col("tsMs").desc, col("value").desc)
+          else Seq(col("value").desc)
+        val w = Window.partitionBy(col("key"), col("field")).orderBy(ord: _*)
         deliverCommands(
           batch.withColumn("__rn", row_number().over(w))
             .where(col("__rn") === 1).drop("__rn"), client)
       }
+
+  /** K5 CSV SQL sink (reference exports counter/metrics frames as CSV
+    * alongside Kinesis; Kinesis itself is a format/connector swap on the
+    * streaming writer, like Kafka — no connector in this container). */
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode("overwrite").option("header", header.toString).csv(path)
+
+  /** K5 streaming CSV form. */
+  def streamCsv(df: DataFrame, path: String, checkpoint: String,
+      header: Boolean = true): DataStreamWriter[Row] =
+    df.writeStream.format("csv")
+      .option("path", path).option("checkpointLocation", checkpoint)
+      .option("header", header.toString)
 }

