@@ -550,7 +550,7 @@ object SparkEntry {
     val withPv = AsOfJoin.leftAsOf(withPc,
       views.select(col("user_id"), col("vid").as("pv_vid"), col("vts").as("pv_ts")),
       Seq("user_id"), "mts", "pv_ts", Seq("pv_vid"), "pv_vid", W)
-    val m2 = withPv.select(col("user_id"), col("eid"), col("mid"), col("mts"),
+    val m2base = withPv.select(col("user_id"), col("eid"), col("mid"), col("mts"),
       col("pc_iid"), col("pc_eid"),
       when(col("eid") % 4 === 0 || col("eid") % 4 === 2,
         coalesce(col("pc_iid"), lit(""))).otherwise("").as("fk"),
@@ -559,6 +559,7 @@ object SparkEntry {
         .otherwise("").as("srid"),
       when(col("eid") % 4 === 3, coalesce(col("pv_vid"), lit("")))
         .otherwise("").as("svid"))
+    val m2 = m2base // single-action query: AQE exchange reuse covers the shared subtrees
 
     val s2L = flat1.select(pid0, luid, lit(0).as("side"), col("iid").as("id"),
       lit("").as("parentId"), col("its").as("tsMs"),

@@ -107,9 +107,12 @@ object FlatOutputJob {
     val p1 = InferredJoin.joinScopedBatch(
       s1L.unionByName(s1R).as[ScopedEvent], viewInsWindowMs, outOfOrderMs,
       rightOuter = true)
+    // flat1/flat2 feed multiple downstream branches — persist so each
+    // scoped-join stage executes once (checkpoint-between-stages at scale)
     val flat1 = p1.toDF()
       .select(col("rightId").as("insertionId"), col("leftId").as("viewId"))
       .join(tinyInsertions.drop("fkViewId"), Seq("insertionId"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // J3: insertion × impression — FK = impression.insertionId; scope
     // cascade requestId → viewId → contentId
@@ -138,6 +141,7 @@ object FlatOutputJob {
         when(col("impContentId") =!= "", col("impContentId"))
           .otherwise(col("contentId")))
       .drop("impContentId")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // J4: impression × action with the cart-item pk split — one RHS per
     // cart item, pk = actionId ⊕ 0x01 ⊕ contentId; empty carts fall back to

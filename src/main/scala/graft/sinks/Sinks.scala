@@ -39,13 +39,30 @@ object Sinks {
     def execute(cmd: String, key: String, field: String, value: String, ttlSec: Long): Unit
   }
 
-  /** K3 batch form: deliver a command frame (cmd,key,field,value,ttlSec). */
-  def deliverCommands(commands: DataFrame, client: CommandClient): Unit =
+  /** K3 batch form: deliver a command frame (cmd,key,field,value,ttlSec).
+    *
+    * `maxPerSecondPerPartition > 0` paces delivery (A12: the reference
+    * spreads backfill writes over timers so a bulk replay can't saturate
+    * the feature store, CounterJob.java:501-567 + FlushStatus timers) —
+    * cluster-wide QPS ≈ partitions × rate, so size the cap from the
+    * store's budget divided by write parallelism. */
+  def deliverCommands(commands: DataFrame, client: CommandClient,
+      maxPerSecondPerPartition: Long = 0L): Unit =
     commands.foreachPartition { (rows: Iterator[Row]) =>
+      var sent = 0L
+      var windowStartNs = System.nanoTime()
       rows.foreach { r =>
+        if (maxPerSecondPerPartition > 0 && sent >= maxPerSecondPerPartition) {
+          val elapsedNs = System.nanoTime() - windowStartNs
+          if (elapsedNs < 1000000000L)
+            Thread.sleep((1000000000L - elapsedNs) / 1000000L + 1)
+          sent = 0L
+          windowStartNs = System.nanoTime()
+        }
         client.execute(r.getAs[String]("cmd"), r.getAs[String]("key"),
           r.getAs[String]("field"), r.getAs[String]("value"),
           r.getAs[Long]("ttlSec"))
+        sent += 1
       }
     }
 

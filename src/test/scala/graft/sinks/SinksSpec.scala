@@ -25,6 +25,18 @@ class SinksSpec extends SparkSpec {
       Set(("k1", "f1", "3"), ("k2", "f1", "5")))
   }
 
+  test("paced delivery spreads writes across seconds (A12 backfill cap)") {
+    SinksSpec.captured.clear()
+    val cmds = (1 to 30).map(i => ("HSET", s"k$i", "f", "1", -1L))
+      .toDF("cmd", "key", "field", "value", "ttlSec").coalesce(1)
+    val t0 = System.nanoTime()
+    Sinks.deliverCommands(cmds, SinksSpec.CapturingClient,
+      maxPerSecondPerPartition = 20L)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(SinksSpec.captured.size == 30)
+    assert(secs >= 1.0, s"30 cmds at 20/s should take >= 1s, took $secs")
+  }
+
   test("CSV sink round-trips a frame") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     val df = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
