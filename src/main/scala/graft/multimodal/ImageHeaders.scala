@@ -1,0 +1,100 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** REAL (non-stub) multimodal metadata extraction: image format sniffing
+  * and dimension parsing straight from the container headers — pure byte
+  * arithmetic on the `binary` column, no media libraries. Covers the three
+  * formats whose headers are trivially self-describing:
+  *
+  *  - PNG: 8-byte signature, then the IHDR chunk carries big-endian
+  *    width/height at fixed offsets 16 and 20 (PNG spec §11.2.2).
+  *  - GIF: "GIF87a"/"GIF89a", then little-endian u16 width/height at
+  *    offsets 6 and 8 (GIF89a spec §18).
+  *  - JPEG: 0xFFD8 SOI, then a marker walk to the first SOF0–SOF15 frame
+  *    header, which carries big-endian height/width at +5/+7
+  *    (ITU T.81 §B.2.2). The walk needs a loop → small deterministic UDF;
+  *    PNG/GIF stay fully declarative (codegen'd byte getItem arithmetic).
+  *
+  * This replaces guessed metadata for the common web-image corpus slice;
+  * unknown/truncated blobs yield NULL dims (callers route them to the
+  * decode stage or a reject channel).
+  */
+object ImageHeaders {
+
+  /** u8 at 1-BASED position `i` of a binary column, as int (binary has no
+    * element accessor — hex the 1-byte slice and parse; codegen'd). */
+  private def u8(c: Column, i: Int): Column =
+    conv(hex(substring(c, i, 1)), 16, 10).cast("int")
+
+  private def beU16(c: Column, i: Int): Column = u8(c, i) * 256 + u8(c, i + 1)
+  private def leU16(c: Column, i: Int): Column = u8(c, i) + u8(c, i + 1) * 256
+  private def beU32(c: Column, i: Int): Column =
+    ((u8(c, i) * 256L + u8(c, i + 1)) * 256L + u8(c, i + 2)) * 256L + u8(c, i + 3)
+
+  /** Format sniff from magic bytes: png | gif | jpeg | NULL. */
+  def imageFormat(bytes: Column): Column =
+    when(length(bytes) >= 8 &&
+      u8(bytes, 1) === 0x89 && u8(bytes, 2) === 0x50 &&
+      u8(bytes, 3) === 0x4e && u8(bytes, 4) === 0x47, "png")
+    .when(length(bytes) >= 10 &&
+      u8(bytes, 1) === 0x47 && u8(bytes, 2) === 0x49 && u8(bytes, 3) === 0x46 &&
+      u8(bytes, 4) === 0x38 && u8(bytes, 6) === 0x61, "gif")
+    .when(length(bytes) >= 4 &&
+      u8(bytes, 1) === 0xff && u8(bytes, 2) === 0xd8, "jpeg")
+
+  /** JPEG SOF marker walk (bounded loop — a tiny deterministic UDF; the
+    * per-row work is O(#segments), independent of blob size). Returns
+    * (height, width) or null. */
+  private[multimodal] def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b == null || b.length < 4 ||
+      (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None // desynced
+      val marker = b(i + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+        i += 2 // standalone markers with no length
+      } else if (marker == 0xda || marker == 0xd9) {
+        return None // scan data / EOI before any SOF
+      } else {
+        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        if (len < 2) return None
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (i + 8 >= b.length) return None
+          val h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
+          val w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
+          return Some((h, w))
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  private val jpegH = udf((b: Array[Byte]) => jpegDims(b).map(_._1))
+  private val jpegW = udf((b: Array[Byte]) => jpegDims(b).map(_._2))
+
+  /** Parsed width in pixels (NULL when not a recognized image). */
+  def imageWidth(bytes: Column): Column =
+    when(imageFormat(bytes) === "png", beU32(bytes, 17).cast("int"))
+      .when(imageFormat(bytes) === "gif", leU16(bytes, 7))
+      .when(imageFormat(bytes) === "jpeg", jpegW(bytes))
+
+  /** Parsed height in pixels (NULL when not a recognized image). */
+  def imageHeight(bytes: Column): Column =
+    when(imageFormat(bytes) === "png", beU32(bytes, 21).cast("int"))
+      .when(imageFormat(bytes) === "gif", leU16(bytes, 9))
+      .when(imageFormat(bytes) === "jpeg", jpegH(bytes))
+
+  /** Attach (format, width, height) metadata columns parsed from the
+    * binary column — the real half of the multimodal metadata stage; the
+    * pixel decode behind [[MediaDecoder]] remains pluggable. */
+  def withImageMeta(df: DataFrame, bytesCol: String): DataFrame =
+    df.withColumn("image_format", imageFormat(col(bytesCol)))
+      .withColumn("image_width", imageWidth(col(bytesCol)))
+      .withColumn("image_height", imageHeight(col(bytesCol)))
+}

@@ -66,6 +66,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(2000))
   }
 
+  test("latest-impressions exclusion runs on equi joins — never a cross product") {
+    val p = plan("q32_latest_impressions")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("merge-details is equi-joins only; drop tracking adds no extra scan") {
+    val p = plan("q39_merge_details")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("counter job caches one projected scan for all families") {
+    val p = plan("q36_counter_all")
+    // families read the persisted projection, not the parquet file, so the
+    // raw scan appears at most once in the final plan
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
+  }
+
   test("whole-stage codegen covers the relational pipeline") {
     // AQE finalizes the plan (and its codegen annotation) only when THIS
     // query execution runs — collect() on the frame itself, not count()
