@@ -363,6 +363,14 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, nLists = 16, nProbe = 4)
     }),
 
+    // Text analysis: Gopher-style repetition census (duplicate-unit and
+    // duplicate-unit-character numerators/denominators, Rae et al. 2021
+    // §A1.1.3) at word granularity — the dup-line rule's instantiation for
+    // this corpus; thresholds divide these integers downstream
+    "q40_repetition" -> ((s, dir) =>
+      TextFunctions.repetitionStats(t(s, dir, "documents"), "doc_id", "text",
+        "\\s+")),
+
     // J6 complete: MergeDetails with drop tracking — purchases resolve
     // insertion (nearest prior click) and impression (nearest prior
     // signup) references, then merge the full detail rows back on; details
@@ -1169,6 +1177,22 @@ object SparkEntry {
         | CAST(sum(isleft) AS BIGINT) AS n_left,
         | CAST(count(*) - sum(isleft) AS BIGINT) AS n_right
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q40_repetition" ->
+      """WITH u AS (
+        | SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS un
+        | FROM documents),
+        |f AS (SELECT doc_id, un FROM u WHERE trim(un) <> ''),
+        |c AS (SELECT doc_id, un, count(*) AS cnt FROM f GROUP BY 1, 2)
+        |SELECT doc_id,
+        | CAST(sum(cnt) AS BIGINT) AS n_units,
+        | count(*) AS n_uniq_units,
+        | CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+        |   AS n_dup_units,
+        | CAST(sum(CASE WHEN cnt > 1 THEN cnt * length(un) ELSE 0 END) AS BIGINT)
+        |   AS dup_unit_chars,
+        | CAST(sum(cnt * length(un)) AS BIGINT) AS total_unit_chars
+        |FROM c GROUP BY doc_id""".stripMargin,
 
     "q39_merge_details" ->
       """WITH a AS (SELECT user_id, event_id AS action_id, epoch_ms(ts) AS ts_ms

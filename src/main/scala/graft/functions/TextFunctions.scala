@@ -66,6 +66,36 @@ object TextFunctions {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Gopher-style repetition census (Rae et al. 2021, "Scaling Language
+    * Models and Methods" §A1.1.3 — public filter set): per document, the
+    * unit-level duplication counts behind the duplicate-line-fraction /
+    * duplicate-line-character-fraction rules (unitRegex "\n") and their
+    * duplicate-word/n-gram variants (unitRegex "\\s+"). Emitted as
+    * INTEGER numerators/denominators — callers threshold
+    * `n_dup_units/n_units` and `dup_unit_chars/total_unit_chars` in
+    * integer arithmetic, so output is bit-stable across engines.
+    *
+    * Shape: explode non-blank units → per-(doc, unit) counts → per-doc
+    * sums. Two partial-aggregated shuffles on the doc id, no UDFs;
+    * repeated-unit payloads never leave their group. */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, unitRegex: String = "\n"): org.apache.spark.sql.DataFrame = {
+    val units = docs
+      .select(col(idCol), explode(split(col(textCol), unitRegex)).as("__u"))
+      .where(trim(col("__u")) =!= "")
+    units
+      .groupBy(col(idCol), col("__u"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__cnt")).as("n_units"),
+        count(lit(1)).as("n_uniq_units"),
+        sum(when(col("__cnt") > 1, col("__cnt")).otherwise(0L)).as("n_dup_units"),
+        sum(when(col("__cnt") > 1, col("__cnt") * length(col("__u")))
+          .otherwise(0L)).as("dup_unit_chars"),
+        sum(col("__cnt") * length(col("__u"))).as("total_unit_chars"))
+  }
+
   /** Integer quality score in [0,100]: penalizes very short docs, low token
     * diversity, and high punctuation density. Floor-division integer math so
     * the score is bit-identical across engines/partitionings. */
