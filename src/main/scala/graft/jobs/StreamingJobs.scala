@@ -7,7 +7,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import graft.schema.JoinSideEvent
 import graft.sinks.Sinks
 import graft.sources.{LogRequestSplit, Validation}
-import graft.streaming.{InferredJoin, StreamOps, WatermarkDelays}
+import graft.streaming.{InferredJoin, LastSeen, LatestImpressions, StreamOps,
+  WatermarkDelays}
 
 /** Streaming entry points for the four pipelines — the `readStream` →
   * transform → `writeStream` forms of the batch jobs, sharing the same
@@ -91,6 +92,52 @@ object StreamingJobs {
       col("n").cast("string").as("value"), lit(4L * 3600).as("ttlSec"))
     Sinks.streamCommands(commands, client, s"$checkpointDir/counter")
       .queryName("counter_commands").start()
+  }
+
+  /** Flat job tail: actions get their latest-impressions list attached
+    * (the reference wires AddLatestImpressions after the join chain,
+    * FlatOutputJob.java:980-989). Impressions and actions ride one tagged
+    * FMGWS keyed by (platformId, logUserId). */
+  def latestImpressions(envelopes: DataFrame, outDir: String,
+      checkpointDir: String, k: Int = 25, maxState: Int = 30)(
+      implicit spark: SparkSession): StreamingQuery = {
+    import spark.implicits._
+    def side(df: DataFrame, s: Int, id: String): DataFrame =
+      df.select(col("platformId"), col("userInfo.logUserId").as("logUserId"),
+        lit(s).as("side"), col(id).as("id"), col("contentId"),
+        col("timing.eventApiTimestamp").as("tsMs"))
+    val tagged = side(LogRequestSplit.impressions(envelopes).toDF(), 0, "impressionId")
+      .unionByName(side(LogRequestSplit.actions(envelopes).toDF(), 1, "actionId"))
+      .as[LatestImpressions.Event]
+    val attached = LatestImpressions.attachStream(tagged, "1 minute", k,
+      maxState, sessionMs = 6L * 3600000L, oooMs = 1000L)
+    Sinks.streamPartitioned(
+        attached.toDF().withColumn("eventApiTs", col("tsMs")),
+        "eventApiTs", s"$outDir/latest_impressions",
+        s"$checkpointDir/latest_impressions")
+      .queryName("latest_impressions").start()
+  }
+
+  /** Counter job last-seen families: per (user, content) last timestamp +
+    * rolling 90d count as HSET commands, with TTL-decrement re-emission
+    * (the reference's LastTimeAndCount wiring,
+    * CounterJob.java:799-885). */
+  def counterLastSeen(events: DataFrame, client: Sinks.CommandClient,
+      checkpointDir: String, ttlDays: Int = 90)(
+      implicit spark: SparkSession): StreamingQuery = {
+    import spark.implicits._
+    val keyed = events.select(
+      concat_ws("", col("platformId"), col("logUserId"),
+        col("contentId")).as("key"),
+      col("tsMs")).as[LastSeen.Event]
+    val results = LastSeen.countStream(keyed, "1 minute", ttlDays)
+    val commands = results.toDF().select(
+      lit("HSET").as("cmd"), col("key"),
+      lit("last_ts_and_n90").as("field"),
+      concat_ws(":", col("lastTsMs"), col("count")).as("value"),
+      col("ttlSec"))
+    Sinks.streamCommands(commands, client, s"$checkpointDir/last_seen")
+      .queryName("counter_last_seen").start()
   }
 
   /** Content metrics: unified metric stream → hourly windowed rollup. */

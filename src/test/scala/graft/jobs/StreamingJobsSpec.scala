@@ -59,6 +59,36 @@ class StreamingJobsSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
     assert(CapturingClient.count.get() > 0)
   }
+
+  test("latestImpressions attaches impression lists to streamed actions") {
+    val (tmp, env) = staged()
+    val stream = StreamingJobs.envelopeStream(spark, s"$tmp/in", env.schema)
+    val q = StreamingJobs.latestImpressions(stream, s"$tmp/out", s"$tmp/ckpt")
+    q.processAllAvailable()
+    // push the watermark so buffered actions resolve
+    val late = FakeLogGenerator.generate(FakeLogGenerator.Options(users = 1,
+      startMs = 1700000000000L + 7L * 86400000L)).toDS().toDF()
+    late.write.mode("append").parquet(s"$tmp/in")
+    q.processAllAvailable(); q.stop()
+    val out = spark.read.parquet(s"$tmp/out/latest_impressions")
+    assert(out.count() > 0)
+    assert(out.columns.contains("impressionIds"))
+  }
+
+  test("counterLastSeen emits last-ts/90d-count commands") {
+    val (tmp, env) = staged()
+    val events = StreamingJobs.envelopeStream(spark, s"$tmp/in", env.schema)
+      .select(col("platformId"),
+        col("userInfo.logUserId").as("logUserId"),
+        explode(col("impressions")).as("imp"))
+      .select(col("platformId"), col("logUserId"),
+        col("imp.contentId").as("contentId"),
+        col("imp.timing.eventApiTimestamp").as("tsMs"))
+    CapturingClient.count.set(0L)
+    val q = StreamingJobs.counterLastSeen(events, CapturingClient, s"$tmp/ckpt")
+    q.processAllAvailable(); q.stop()
+    assert(CapturingClient.count.get() > 0)
+  }
 }
 
 /** Serializable command capture (counter only — assertions stay simple). */
