@@ -78,6 +78,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("flagship chain is equi/range joins + FMGWS — never a cross product") {
+    val p = plan("q35_flat_chain")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("counter job caches one projected scan for all families") {
     val p = plan("q36_counter_all")
     // families read the persisted projection, not the parquet file, so the

@@ -63,6 +63,40 @@ class LatestImpressionsSpec extends SparkSpec {
     assert(st.impressions.map(_.id) == List("i2", "i3"))
   }
 
+  test("randomized: FMGWS batch ≡ relational operator on 50 generated sets") {
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 50) {
+      val nImp = 1 + rnd.nextInt(12); val nAct = 1 + rnd.nextInt(6)
+      val contents = Array("c1", "c2", "c3", "c4")
+      val events =
+        (1 to nImp).map(i => imp(f"i$i%02d", rnd.nextInt(5000).toLong,
+          contents(rnd.nextInt(contents.length)))) ++
+        (1 to nAct).map(i => act(f"a$i%02d", rnd.nextInt(6000).toLong,
+          contents(rnd.nextInt(contents.length))))
+      val k = 1 + rnd.nextInt(3)
+      val look = 1000L + rnd.nextInt(4000)
+
+      val fmgws = advance(key, events.sortBy(e => (e.tsMs, e.side, e.id)),
+        emptyState, Long.MaxValue, k, Int.MaxValue, look, 10L)._1
+        .filter(_.impressionIds.nonEmpty)
+        .map(a => a.actionId -> a.impressionIds).toMap
+
+      val df = events.toDF()
+      val acts = df.where(col("side") === 1).select(col("logUserId"),
+        col("id").as("action_id"), col("tsMs"), col("contentId"))
+      val imps = df.where(col("side") === 0).select(col("logUserId"),
+        col("id").as("imp_id"), col("tsMs").as("impTs"), col("contentId"))
+      val rel = Cogroup.attachLatestExcluding(acts, imps, Seq("logUserId"),
+        "tsMs", "impTs", "action_id", "imp_id", "contentId", k, look)
+        .groupBy(col("action_id"))
+        .agg(array_join(transform(sort_array(collect_list(
+          struct(col("rank"), col("imp_id")))), x => x.getField("imp_id")), ",")
+          .as("ids"))
+        .as[(String, String)].collect().toMap
+      assert(fmgws == rel, s"trial $trial (k=$k look=$look): $events")
+    }
+  }
+
   test("streaming ≡ batch ≡ relational operator on shared input") {
     val events = Seq(
       imp("i01", 1000, "c1"), imp("i02", 2000, "c2"), imp("i03", 3000, "c1"),
