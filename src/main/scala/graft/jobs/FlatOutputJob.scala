@@ -1,6 +1,6 @@
 package graft.jobs
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.schema.ScopedEvent
@@ -41,12 +41,32 @@ object FlatOutputJob {
   /** Cart-item pk separator (ImpressionActionProcessFunction.java:14). */
   val CartSep = "\u0001"
 
+  /** @param contentOtherIds optional content-dimension snapshot
+    *   (contentId, otherIds: array&lt;string&gt;) — item → store/brand
+    *   rollup ids from the Content API (S4). When present, the J4 stage
+    *   adds them to both sides' join scopes and content-filter sets so
+    *   actions on child content attribute to parent-content impressions
+    *   (ImpressionActionProcessFunction.java:37-78,
+    *   TinyFlatUtil.getAllContentIds). Broadcast — dimension-sized. */
   def run(envelopes: DataFrame, viewInsWindowMs: Long = 30 * 60 * 1000L,
       insImpWindowMs: Long = 30 * 60 * 1000L,
       impActWindowMs: Long = 24 * 3600 * 1000L, outOfOrderMs: Long = 1000L,
-      nonBuyerUserSparseHashes: Seq[Long] = Nil)(
+      nonBuyerUserSparseHashes: Seq[Long] = Nil,
+      contentOtherIds: Option[DataFrame] = None)(
       implicit spark: SparkSession): Outputs = {
     import spark.implicits._
+
+    val contentDims = contentOtherIds.map(d => broadcast(
+      d.select(col("contentId").as("__c"), col("otherIds").as("__other"))))
+    // attach the other-content rollup ids for `contentCol` as `__other`
+    def attachOther(df: DataFrame, contentCol: String): DataFrame =
+      contentDims match {
+        case None => df.withColumn("__other", array().cast("array<string>"))
+        case Some(dd) => df.join(dd, col(contentCol) === col("__c"), "left")
+          .withColumn("__other",
+            coalesce(col("__other"), array().cast("array<string>")))
+          .drop("__c")
+      }
 
     val viewsAll = LogRequestSplit.views(envelopes).toDF()
     val dlogsAll = LogRequestSplit.deliveryLogs(envelopes).toDF()
@@ -150,17 +170,24 @@ object FlatOutputJob {
       .withColumn("item", explode(when(size(col("cart")) > 0,
           transform(col("cart"), c => c.getField("contentId")))
         .otherwise(array(col("contentId")))))
-    val s3L = flat2.select(pid0, col("logUserId"), lit(0).as("side"),
-      col("impressionId").as("id"), lit("").as("parentId"), col("tsMs"),
-      array(col("insertionId"), col("requestId"), col("viewId"),
-        col("contentId")).as("scopes"),
-      filter(array(col("contentId")), c => c =!= "").as("contentIds"))
-    val s3R = actItems.select(pid0, luid, lit(1).as("side"),
-      concat(col("actionId"), lit(CartSep), col("item")).as("id"),
-      col("impressionId").as("parentId"), ts().as("tsMs"),
-      array(col("insertionId"), col("requestId"), col("viewId"),
-        col("item")).as("scopes"),
-      filter(array(col("item")), c => c =!= "").as("contentIds"))
+    // other-content rollup ids ride both the scope list and the content-
+    // filter set (cross-content-type attribution: action on an item joins
+    // the impression of its parent store/brand)
+    def plusOther(base: Column): Column =
+      concat(base, filter(col("__other"), c => c =!= ""))
+    val s3L = attachOther(flat2, "contentId")
+      .select(pid0, col("logUserId"), lit(0).as("side"),
+        col("impressionId").as("id"), lit("").as("parentId"), col("tsMs"),
+        plusOther(array(col("insertionId"), col("requestId"), col("viewId"),
+          col("contentId"))).as("scopes"),
+        filter(plusOther(array(col("contentId"))), c => c =!= "").as("contentIds"))
+    val s3R = attachOther(actItems, "item")
+      .select(pid0, luid, lit(1).as("side"),
+        concat(col("actionId"), lit(CartSep), col("item")).as("id"),
+        col("impressionId").as("parentId"), ts().as("tsMs"),
+        plusOther(array(col("insertionId"), col("requestId"), col("viewId"),
+          col("item"))).as("scopes"),
+        filter(plusOther(array(col("item"))), c => c =!= "").as("contentIds"))
     val p3 = InferredJoin.joinScopedBatch(
       s3L.unionByName(s3R).as[ScopedEvent], impActWindowMs, outOfOrderMs,
       rightOuter = false)

@@ -27,13 +27,24 @@ object TemporalJoin {
   case class State(versions: List[(Long, String)], // sorted asc by ts
       pendingFacts: List[(String, Long)])
 
+  /** Ordered insert with duplicate suppression — the retained list stays
+    * sorted across batches, so ingesting k versions costs O(k·n) walks
+    * instead of re-sorting the whole watermark-pruned list every
+    * micro-batch. Among equal-ts versions the later arrival sorts last
+    * (and therefore wins the as-of pick). */
+  private def insertVersion(lst: List[(Long, String)],
+      v: (Long, String)): List[(Long, String)] = {
+    val (before, after) = lst.span(_._1 <= v._1)
+    if (before.lastOption.contains(v) || after.headOption.contains(v)) lst
+    else before ::: v :: after
+  }
+
   def advance(key: String, events: Seq[In], st: State, watermarkMs: Long):
       (Seq[Out], State) = {
     var versions = st.versions
     events.foreach { e =>
-      if (e.isDim) versions = ((e.tsMs, e.value) :: versions)
+      if (e.isDim) versions = insertVersion(versions, (e.tsMs, e.value))
     }
-    versions = versions.distinct.sortBy(_._1)
     var pending = st.pendingFacts ++
       events.filterNot(_.isDim).map(e => (e.id, e.tsMs))
     val out = Seq.newBuilder[Out]

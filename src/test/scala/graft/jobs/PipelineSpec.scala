@@ -115,6 +115,37 @@ class PipelineSpec extends SparkSpec {
     assert(withView.count() > 0)
   }
 
+  test("other-content dims attribute child-content actions to parent impressions") {
+    import graft.schema._
+    val t0 = 1700000000000L
+    val ui = UserInfo("u-1", "lu-1")
+    val view = View(1L, ui, Timing(eventApiTimestamp = t0), "v-1", "view", "",
+      Device(Browser("Mozilla/5.0")))
+    val ins = ResponseInsertion("i-1", "store-1", 0L)
+    val dlog = DeliveryLog(1L, ui, Timing(eventApiTimestamp = t0 + 1000L),
+      DeliveryRequest("r-1", "cr-1", "v-1", "q",
+        Device(Browser("Mozilla/5.0")), ClientInfo("PRODUCTION"), Nil, Nil),
+      Seq(ins))
+    val imp = Impression(1L, ui, Timing(eventApiTimestamp = t0 + 2000L),
+      "imp-1", "i-1", "store-1", "v-1", "r-1")
+    // action on the CHILD item, with NO foreign keys at all
+    val act = Action(1L, ui, Timing(eventApiTimestamp = t0 + 3000L),
+      "a-item", "", "", "item-1", "", "")
+    val env = Seq(LogRequest(1L, ui, Timing(eventApiTimestamp = t0),
+      Nil, Seq(view), Seq(dlog), Seq(imp), Seq(act))).toDS().toDF()
+
+    // without content dims: no shared scope or content → dropped
+    val bare = FlatOutputJob.run(env)
+    assert(bare.droppedActions.where(col("rightId").startsWith("a-item")).count() == 1)
+
+    // with the item → store rollup: joins via the parent-content scope
+    val dims = Seq(("item-1", Seq("store-1"))).toDF("contentId", "otherIds")
+    val out = FlatOutputJob.run(env, contentOtherIds = Some(dims))
+    val joined = out.joinedActions.where(col("actionId") === "a-item")
+      .select("impressionId", "matchType").as[(String, String)].collect()
+    assert(joined.toSeq == Seq(("imp-1", "inferred")))
+  }
+
   test("golden chain invariant: 700 raw impressions -> deterministic flat count") {
     // The reference's fake-data pipeline emits ~681 flat impressions from
     // 700 raw ones (P:pipeline/README.md:92-94) — losses come from
