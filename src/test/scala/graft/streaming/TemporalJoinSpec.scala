@@ -36,6 +36,38 @@ class TemporalJoinSpec extends SparkSpec {
     assert(out("f3") == None)
   }
 
+  test("randomized: FMGWS advance agrees with the relational AsOfJoin") {
+    import graft.operators.AsOfJoin
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(31337L)
+    for (trial <- 1 to 30) {
+      val nDim = 1 + rnd.nextInt(8); val nFact = 1 + rnd.nextInt(8)
+      // distinct version timestamps: at equal ts the two implementations
+      // break ties differently (arrival order vs tie column) by design
+      val dimTs = rnd.shuffle((1 to 50).toList).take(nDim)
+      val dims = dimTs.zipWithIndex.map { case (t, i) =>
+        (t * 100L, s"v$i") }
+      val facts = (1 to nFact).map(i => (s"f$i", rnd.nextInt(5200).toLong))
+
+      // model: TemporalJoin.advance in one batch, everything resolvable
+      val events = dims.map { case (t, v) =>
+        TemporalJoin.In("k", isDim = true, "", v, t) } ++
+        facts.map { case (id, t) => TemporalJoin.In("k", isDim = false, id, null, t) }
+      val model = TemporalJoin.advance("k", events, TemporalJoin.State(Nil, Nil),
+        Long.MaxValue)._1.map(o => o.factId -> Option(o.value)).toMap
+
+      // relational: AsOfJoin over the same data
+      val fdf = facts.toDF("fact_id", "ts_ms").withColumn("key", lit("k"))
+      val ddf = dims.toDF("dim_ts", "value").withColumn("key", lit("k"))
+        .select(col("key"), col("value"), col("dim_ts"))
+      val rel = AsOfJoin.leftAsOf(fdf, ddf, Seq("key"), "ts_ms", "dim_ts",
+          Seq("value"), "dim_ts")
+        .select(col("fact_id"), col("value"))
+        .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      assert(model == rel, s"trial $trial dims=$dims facts=$facts")
+    }
+  }
+
   test("pure transition prunes versions below the watermark") {
     val st = TemporalJoin.State(List((1000L, "a"), (5000L, "b"), (9000L, "c")), Nil)
     val (_, next) = TemporalJoin.advance("k", Nil, st, 6000L)
