@@ -247,7 +247,7 @@ object Similarity {
     * signs derived from xxhash64(plane, dim)), vectors keyed by the sign
     * pattern; near-dup candidates = equal buckets. */
   def lshBucketedPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      planes: Int, dimsIn: Int = -1): DataFrame = {
+      planes: Int, dimsIn: Int = -1, maxBucket: Int = 0): DataFrame = {
     val dims = resolveDims(corpus, vecCol, dimsIn)
     if (dims < 0)
       return corpus.select(col(idCol).as("a_id"), col(idCol).as("b_id"),
@@ -267,7 +267,15 @@ object Similarity {
     }
     val bucketed = corpus.repartition(col(idCol)).select(col(idCol),
       bucketBits.reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("bucket"))
-    val a = bucketed.as("a"); val b = bucketed.as("b")
+    // hot-bucket cap: a degenerate bucket (skewed corpus, weak planes) is
+    // quadratic within itself; keep the maxBucket lowest ids per bucket —
+    // deterministic, bounded recall loss, never a runaway cell
+    val capped = if (maxBucket > 0) {
+      val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+      bucketed.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= maxBucket).drop("__rn")
+    } else bucketed
+    val a = capped.as("a"); val b = capped.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"), col("a.bucket"))
   }
