@@ -7,8 +7,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import graft.schema.JoinSideEvent
 import graft.sinks.Sinks
 import graft.sources.{LogRequestSplit, Validation}
-import graft.streaming.{InferredJoin, LastSeen, LatestImpressions, StreamOps,
-  WatermarkDelays}
+import graft.streaming.{InferredJoin, LastSeen, LatestImpressions,
+  SlidingCounter, StreamOps, WatermarkDelays}
 
 /** Streaming entry points for the four pipelines — the `readStream` →
   * transform → `writeStream` forms of the batch jobs, sharing the same
@@ -116,6 +116,47 @@ object StreamingJobs {
         "eventApiTs", s"$outDir/latest_impressions",
         s"$checkpointDir/latest_impressions")
       .queryName("latest_impressions").start()
+  }
+
+  /** Counter job windowed-count families in STREAMING form: every event
+    * explodes into its family cells (global-device, content-device,
+    * logUser, user — the ungated families; the query families compose the
+    * A5 top-query window + SeenGate upstream), all cells ride ONE
+    * exact-emit-cadence SlidingCounter keyed by the packed family key —
+    * one state store instead of the reference's per-family operators,
+    * same emission profile (counts slide: decrement after expiry).
+    * Commands carry the packed feature id in the key tail.
+    *
+    * Input contract: platformId, logUserId, userId, contentId, osFamily,
+    * agentFamily, metric (packed AggMetric long), tsMs. */
+  def counterFamilies(events: DataFrame, client: Sinks.CommandClient,
+      checkpointDir: String, emitMs: Long = 15 * 60 * 1000L,
+      windowsMs: Seq[Long] = Seq(3600000L, 86400000L))(
+      implicit spark: SparkSession): StreamingQuery = {
+    import spark.implicits._
+    import graft.agg.{CounterFeatures => CF}
+    val fid = (ct: Long) =>
+      CF.featureIdCol(lit(ct), col("metric"), lit(0L)).cast("string")
+    val cells = array(
+      concat_ws(CF.Sep, lit("gd"), col("platformId"), col("osFamily"),
+        col("agentFamily"), fid(CF.CountType.ItemDevice)),
+      concat_ws(CF.Sep, lit("cd"), col("platformId"), col("contentId"),
+        col("osFamily"), col("agentFamily"), fid(CF.CountType.ItemDevice)),
+      concat_ws(CF.Sep, lit("lu"), col("platformId"), col("logUserId"),
+        fid(CF.CountType.LogUser)),
+      concat_ws(CF.Sep, lit("uu"), col("platformId"), col("userId"),
+        fid(CF.CountType.User)))
+    val keyed = events
+      .select(explode(cells).as("key"), col("tsMs"), lit(1L).as("n"))
+      .as[SlidingCounter.Event]
+    val counts = SlidingCounter.countStream(keyed, "1 minute", emitMs, windowsMs)
+    val commands = counts.toDF().select(
+      lit("HSET").as("cmd"), col("key"),
+      concat_ws(":", col("windowStartMs"), col("windowSizeMs")).as("field"),
+      col("count").cast("string").as("value"),
+      (col("windowSizeMs") / 1000L * 2L).cast("long").as("ttlSec"))
+    Sinks.streamCommands(commands, client, s"$checkpointDir/counter_families")
+      .queryName("counter_families").start()
   }
 
   /** Counter job last-seen families: per (user, content) last timestamp +

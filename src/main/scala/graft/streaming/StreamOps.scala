@@ -56,7 +56,12 @@ object StreamOps {
       timestamp_millis(unix_millis(col(tsCol)) + delayMs))
 
   /** Session windows (reference J7 gap semantics) in streaming form via
-    * Spark's native session_window. */
+    * Spark's native session_window.
+    *
+    * Boundary note: Spark merges events strictly INSIDE the gap
+    * (diff < gap) while the batch gaps-and-islands form merges at
+    * diff == gap too; with integer-millisecond event time, passing
+    * `gap + 1 ms` here makes the two identical. */
   def sessionCounts(df: DataFrame, keys: Seq[String], tsCol: String,
       watermarkDelay: String, gap: String): DataFrame =
     df.withWatermark(tsCol, watermarkDelay)

@@ -75,6 +75,31 @@ class StreamingJobsSpec extends SparkSpec {
     assert(out.columns.contains("impressionIds"))
   }
 
+  test("counterFamilies streams all four ungated families through one counter") {
+    val (tmp, env) = staged()
+    val events = StreamingJobs.envelopeStream(spark, s"$tmp/in", env.schema)
+      .select(col("platformId"),
+        col("userInfo.logUserId").as("logUserId"),
+        col("userInfo.userId").as("userId"),
+        explode(col("impressions")).as("imp"))
+      .select(col("platformId"), col("logUserId"), col("userId"),
+        col("imp.contentId").as("contentId"),
+        lit("Linux").as("osFamily"), lit("Firefox").as("agentFamily"),
+        lit(1L).as("metric"),
+        col("imp.timing.eventApiTimestamp").as("tsMs"))
+    CapturingClient.keys.clear()
+    val q = StreamingJobs.counterFamilies(events, CapturingClient, s"$tmp/ckpt")
+    q.processAllAvailable()
+    // advance the watermark so emit ticks fire
+    val late = FakeLogGenerator.generate(FakeLogGenerator.Options(users = 1,
+      startMs = 1700000000000L + 7L * 86400000L)).toDS().toDF()
+    late.write.mode("append").parquet(s"$tmp/in")
+    q.processAllAvailable(); q.stop()
+    import scala.jdk.CollectionConverters._
+    val prefixes = CapturingClient.keys.asScala.map(_.split('\u001f')(0)).toSet
+    assert(Set("gd", "cd", "lu", "uu").subsetOf(prefixes), prefixes)
+  }
+
   test("counterLastSeen emits last-ts/90d-count commands") {
     val (tmp, env) = staged()
     val events = StreamingJobs.envelopeStream(spark, s"$tmp/in", env.schema)
@@ -94,6 +119,9 @@ class StreamingJobsSpec extends SparkSpec {
 /** Serializable command capture (counter only — assertions stay simple). */
 object CapturingClient extends Sinks.CommandClient {
   val count = new java.util.concurrent.atomic.AtomicLong()
+  val keys = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   override def execute(cmd: String, key: String, field: String,
-      value: String, ttlSec: Long): Unit = count.incrementAndGet()
+      value: String, ttlSec: Long): Unit = {
+    count.incrementAndGet(); keys.add(key)
+  }
 }
