@@ -363,6 +363,21 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, nLists = 16, nProbe = 4)
     }),
 
+    // Dedup complete: near-dup pairs → connected components → canonical
+    // doc per component (dedup keeps the minimum id, everything else
+    // drops — the step real pipelines run after pair mining)
+    "q41_neardup_components" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id",
+        "text", 3, 1L, 2L)
+      val comp = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"),
+          (col("component").isNull ||
+            col("component") === col("doc_id")).as("is_canonical"))
+    }),
+
     // Text analysis: Gopher-style repetition census (duplicate-unit and
     // duplicate-unit-character numerators/denominators, Rae et al. 2021
     // §A1.1.3) at word granularity — the dup-line rule's instantiation for
@@ -1177,6 +1192,37 @@ object SparkEntry {
         | CAST(sum(isleft) AS BIGINT) AS n_left,
         | CAST(count(*) - sum(isleft) AS BIGINT) AS n_right
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // Recursive-CTE oracle: transitive closure over the (symmetric) pair
+    // graph, component = min reachable node; docs outside the graph are
+    // their own canonical.
+    "q41_neardup_components" ->
+      """WITH RECURSIVE t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+        |g AS (
+        | SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+        | FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk)-2)) AS i) ix
+        | WHERE len(tk) >= 3),
+        |z AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |      FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |p AS (
+        | SELECT a_id, b_id FROM p0
+        | JOIN z za ON za.doc_id = a_id JOIN z zb ON zb.doc_id = b_id
+        | WHERE inter * 2 >= (za.n + zb.n - inter) * 1),
+        |e AS (SELECT a_id AS a, b_id AS b FROM p
+        |      UNION SELECT b_id, a_id FROM p),
+        |reach(src, dst) AS (
+        | SELECT a, a FROM e
+        | UNION
+        | SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst),
+        |comp AS (SELECT src AS doc_id, min(dst) AS component
+        |         FROM reach GROUP BY src)
+        |SELECT d.doc_id,
+        | coalesce(c.component, d.doc_id) AS component,
+        | (c.component IS NULL OR c.component = d.doc_id) AS is_canonical
+        |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin,
 
     "q40_repetition" ->
       """WITH u AS (

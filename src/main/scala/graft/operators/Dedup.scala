@@ -174,6 +174,54 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a near-duplicate pair graph — the step
+    * between pair mining and actual dedup: each component keeps ONE
+    * canonical document (the minimum id), everything else drops. Pairs
+    * from any miner ([[ngramJaccardPairs]], [[minHashLshPairs]],
+    * `Similarity.lshBandedNearDupPairs`) plug in.
+    *
+    * Iterative min-label propagation: every node repeatedly adopts the
+    * smallest label among itself and its neighbors until a fixpoint —
+    * converges in O(component diameter) rounds, each round one
+    * edge-label equi-join + one min-aggregation (all shuffles on node
+    * id; no driver-side graph). Near-dup components are short chains in
+    * practice, so rounds stay single-digit; `maxIter` bounds pathological
+    * chains and the loop exits early via an aggregated-scalar
+    * convergence probe (sum of labels is strictly decreasing until the
+    * fixpoint — never a collect of node data).
+    * Output: node, component (min id in the node's component). */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .unionByName(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var lastSum = labels.agg(sum(col("label"))).head().getLong(0)
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "b"), Seq("b"))
+        .groupBy(col("a").as("node"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val s = next.agg(sum(col("label"))).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = s == lastSum
+      lastSum = s
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("node"), col("label").as("component"))
+  }
+
   /** 64-bit SimHash over whitespace tokens (term-frequency weighted). */
   def simHash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.repartition(col(idCol)).select(col(idCol),

@@ -52,4 +52,21 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(h(1L) ^ h(2L)) <
       java.lang.Long.bitCount(h(1L) ^ h(3L)))
   }
+
+  test("connectedComponents: chains collapse to the min id; convergence probes work") {
+    import spark.implicits._
+    // two components: a 5-chain 10-11-12-13-14 and a pair 20-21; the
+    // chain needs multiple propagation rounds
+    val pairs = Seq((11L, 10L), (11L, 12L), (13L, 12L), (14L, 13L),
+      (21L, 20L)).toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((10L to 14L).forall(n => comp(n) == 10L))
+    assert(comp(20L) == 20L && comp(21L) == 20L)
+    // maxIter below the chain diameter leaves labels unconverged — the
+    // bound genuinely binds (callers size it to expected diameters)
+    val early = Dedup.connectedComponents(pairs, "a_id", "b_id", maxIter = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(early(14L) != 10L)
+  }
 }
