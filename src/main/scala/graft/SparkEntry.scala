@@ -363,6 +363,30 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, nLists = 16, nProbe = 4)
     }),
 
+    // The composed cleaning pipeline — what a training-data user actually
+    // runs: quality floor + language filter + repetition cap + near-dup
+    // canonical-only, one declarative plan over the four signal families
+    "q42_clean_corpus" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val signals = d.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.langIdHeuristic(col("text")).as("detected"))
+      val rep = TextFunctions.repetitionStats(d, "doc_id", "text", "\\s+")
+        .select(col("doc_id"), col("dup_unit_chars"), col("total_unit_chars"))
+      val comp = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 1L, 2L), "a_id", "b_id")
+        .withColumnRenamed("node", "doc_id")
+      signals
+        .join(rep, Seq("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .where(col("quality") >= 72 &&
+          col("detected") === "en" &&
+          col("dup_unit_chars") * 10 <= col("total_unit_chars") * 7 &&
+          (col("component").isNull || col("component") === col("doc_id")))
+        .select(col("doc_id"), col("quality"), col("detected"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+    }),
+
     // Dedup complete: near-dup pairs → connected components → canonical
     // doc per component (dedup keeps the minimum id, everything else
     // drops — the step real pipelines run after pair mining)
@@ -1192,6 +1216,60 @@ object SparkEntry {
         | CAST(sum(isleft) AS BIGINT) AS n_left,
         | CAST(count(*) - sum(isleft) AS BIGINT) AS n_right
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q42_clean_corpus" ->
+      s"""WITH RECURSIVE tok AS (
+         | SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS tk
+         | FROM documents),
+         |q AS (
+         | SELECT doc_id,
+         |  greatest(least(
+         |    CAST(floor(least(len(tk), 40) * 25 / 40) AS BIGINT)
+         |    + CASE WHEN len(tk) > 0
+         |       THEN CAST(floor(len(list_distinct(tk)) * 50 / len(tk)) AS BIGINT)
+         |       ELSE 0 END
+         |    + (25 - CASE WHEN length(text) > 0
+         |       THEN least(CAST(floor((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 100 / length(text)) AS BIGINT), 25)
+         |       ELSE 0 END),
+         |   100), 0) AS quality
+         | FROM tok),
+         |h AS (SELECT doc_id, $langHitsSql FROM tok),
+         |lg AS (SELECT doc_id, $langCaseSql AS detected FROM h),
+         |ru AS (SELECT doc_id, unnest(tk) AS un FROM tok),
+         |rf AS (SELECT doc_id, un FROM ru WHERE trim(un) <> ''),
+         |rc AS (SELECT doc_id, un, count(*) AS cnt FROM rf GROUP BY 1, 2),
+         |rep AS (SELECT doc_id,
+         |  CAST(sum(CASE WHEN cnt > 1 THEN cnt * length(un) ELSE 0 END) AS BIGINT) AS dup_chars,
+         |  CAST(sum(cnt * length(un)) AS BIGINT) AS tot_chars
+         | FROM rc GROUP BY 1),
+         |g AS (
+         | SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+         | FROM tok, LATERAL (SELECT unnest(generate_series(1, len(tk)-2)) AS i) ix
+         | WHERE len(tk) >= 3),
+         |z AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         |p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |      FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |p AS (
+         | SELECT a_id, b_id FROM p0
+         | JOIN z za ON za.doc_id = a_id JOIN z zb ON zb.doc_id = b_id
+         | WHERE inter * 2 >= (za.n + zb.n - inter) * 1),
+         |e AS (SELECT a_id AS a, b_id AS b FROM p
+         |      UNION SELECT b_id, a_id FROM p),
+         |reach(src, dst) AS (
+         | SELECT a, a FROM e
+         | UNION
+         | SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst),
+         |comp AS (SELECT src AS doc_id, min(dst) AS component
+         |         FROM reach GROUP BY src)
+         |SELECT q.doc_id, q.quality, lg.detected,
+         | coalesce(c.component, q.doc_id) AS component
+         |FROM q JOIN lg ON lg.doc_id = q.doc_id
+         |JOIN rep r ON r.doc_id = q.doc_id
+         |LEFT JOIN comp c ON c.doc_id = q.doc_id
+         |WHERE q.quality >= 72 AND lg.detected = 'en'
+         |  AND r.dup_chars * 10 <= r.tot_chars * 7
+         |  AND (c.component IS NULL OR c.component = q.doc_id)""".stripMargin,
 
     // Recursive-CTE oracle: transitive closure over the (symmetric) pair
     // graph, component = min reachable node; docs outside the graph are
