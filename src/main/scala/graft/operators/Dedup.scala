@@ -84,10 +84,12 @@ object Dedup {
     // carry the set size through the explode — saves a per-doc join later
     val sh = sets.select(col(idCol), col("__n"), explode(col("__arr")).as("shingle"))
 
-    // rarest-first global order: (document frequency, shingle)
-    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    // rarest-first global order: (document frequency, shingle). The df
+    // rides a window count over the shingle partition — one exchange on
+    // the exploded frame instead of a groupBy plus a join back
+    val dfW = Window.partitionBy(col("shingle"))
     val rankW = Window.partitionBy(col(idCol)).orderBy(col("__df"), col("shingle"))
-    val ranked = sh.join(freq, "shingle")
+    val ranked = sh.withColumn("__df", count(lit(1)).over(dfW))
       .withColumn("__rnk", row_number().over(rankW))
     // prefix length = n − ⌈t·n⌉ + 1, with ⌈a/b⌉ = (a+b−1) div b in integers
     val prefixLen = col("__n") -
