@@ -363,6 +363,15 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, nLists = 16, nProbe = 4)
     }),
 
+    // Similarity: signed random projection — JL-style embedding
+    // compression before ANN indexing; deterministic e9-integer
+    // projections, oracled with the same inlined-sign-list technique as
+    // the banded-LSH gate
+    "q43_random_projection" -> ((s, dir) =>
+      Similarity.signedRandomProjection(
+        t(s, dir, "embeddings").where(col("vec_id") < 200),
+        "vec_id", "embedding", outDims = 8)),
+
     // The composed cleaning pipeline — what a training-data user actually
     // runs: quality floor + language filter + repetition cap + near-dup
     // canonical-only, one declarative plan over the four signal families
@@ -738,6 +747,21 @@ object SparkEntry {
        |FROM p WHERE CAST(round(score*1000000) AS BIGINT) >= 400000""".stripMargin
   }
 
+  /** q43's oracle: the 8 projection sign-lists inlined as literals (the
+    * same `Similarity.planeSigns` the Spark plan uses), components as
+    * e9-rounded BIGINT sums — both engines compute identical integers. */
+  private val q43OracleSql: String = {
+    val dims = 64; val outDims = 8
+    val arms = (0 until outDims).map { k =>
+      val signs = Similarity.planeSigns(k, dims).mkString("[", ", ", "]")
+      s"""SELECT vec_id AS id, $k AS dim,
+         | CAST(list_sum(list_transform(list_zip(embedding, $signs),
+         |   z -> CAST(round(CAST(z[1] AS DOUBLE)*1000000000.0) AS BIGINT) * z[2])) AS BIGINT) AS proj_e9
+         |FROM embeddings WHERE vec_id < 200""".stripMargin
+    }
+    arms.mkString("\nUNION ALL\n")
+  }
+
   /** q24's oracle: DuckDB has no seed-0 xxhash64, but the query vocabulary
     * (event_type) is a fixed 5-value set, so the expected hashes are
     * computed here (same `XxHash64` the Spark expression calls) and inlined
@@ -950,6 +974,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q24_query_hash" -> q24OracleSql,
+    "q43_random_projection" -> q43OracleSql,
     "q35_flat_chain" -> q35OracleSql,
     "q36_counter_all" -> q36OracleSql,
     "q01_pricing_summary" ->

@@ -243,6 +243,33 @@ object Similarity {
         round(col("__score") * 1e6).cast("long").as("score_e6"))
   }
 
+  /** Signed random projection (Achlioptas 2003, "Database-friendly random
+    * projections" — public result): project embeddings onto `outDims`
+    * deterministic ±1 hyperplanes, the Johnson–Lindenstrauss-style
+    * compression run before ANN indexing at scale (dims → outDims cuts
+    * index bytes and dot-product cost proportionally while approximately
+    * preserving distances). Signs come from the same xxhash64-derived
+    * [[planeSigns]] the LSH family uses, so projections are reproducible
+    * across engines; components are e9-quantized integer sums (exact,
+    * partition-order independent). Output: one row per (id, dim) with the
+    * BIGINT projection — embarrassingly parallel, no shuffle. */
+  def signedRandomProjection(corpus: DataFrame, idCol: String, vecCol: String,
+      outDims: Int, dimsIn: Int = -1): DataFrame = {
+    VectorExpressions.register(corpus.sparkSession)
+    val d = resolveDims(corpus, vecCol, dimsIn)
+    if (d < 0)
+      return corpus.select(col(idCol).as("id"), lit(0).as("dim"),
+        lit(0L).as("proj_e9")).where(lit(false))
+    val cells = (0 until outDims).map { k =>
+      val signVec = lit(planeSigns(k, d).map(_.toFloat))
+      struct(lit(k).as("dim"),
+        VectorExpressions.dotE9Fast(col(vecCol), signVec).as("proj_e9"))
+    }
+    corpus.repartition(col(idCol))
+      .select(col(idCol).as("id"), explode(array(cells: _*)).as("__p"))
+      .select(col("id"), col("__p.dim").as("dim"), col("__p.proj_e9").as("proj_e9"))
+  }
+
   /** Sign-LSH bucketing: `planes` pseudo-random ±1 hyperplanes (component
     * signs derived from xxhash64(plane, dim)), vectors keyed by the sign
     * pattern; near-dup candidates = equal buckets. */
