@@ -30,6 +30,18 @@ object StreamOps {
       .select((Seq(unix_millis(col("window.start")).as("window_start_ms"),
         col("n")) ++ keys.map(col)): _*)
 
+  /** A5 streaming form (reference top-query frequency window,
+    * P:job/counter/CounterJob.java:399-456): sliding-window counts per
+    * query hash, thresholded to the hot set. Downstream consumers gate on
+    * it with [[SeenGate]] (the reference's RightSeenOutput wiring) or a
+    * per-batch broadcast join. */
+  def topKeyStream(df: DataFrame, keyCol: String, tsCol: String,
+      watermarkDelay: String, size: String, slide: String,
+      minCount: Long): DataFrame =
+    slidingCounts(df, Seq(keyCol), tsCol, watermarkDelay, size, slide)
+      .where(col("n") >= minCount)
+      .select(col(keyCol), col("window_start_ms"), col("n"))
+
   /** Streaming top-N emitter (reference A8 TopNEmitter/TopNFilter,
     * P:job/counter/TopNEmitter.java:26-175): per micro-batch, rank the
     * aggregated counts per group and deliver the top N to `sink` — the

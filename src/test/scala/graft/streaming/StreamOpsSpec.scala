@@ -62,6 +62,24 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.get(20000L) == Some(1L))
   }
 
+  test("topKeyStream surfaces only keys above the threshold") {
+    val mem = MemoryStream[(String, Long)]
+    val df = mem.toDS().toDF("qh", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = StreamOps.topKeyStream(df, "qh", "ts", "1 second",
+        "10 seconds", "10 seconds", minCount = 3L)
+      .writeStream.format("memory").queryName("topk_out")
+      .outputMode("append").start()
+    mem.addData(("hot", 1000L), ("hot", 2000L), ("hot", 3000L),
+      ("cold", 1500L))
+    q.processAllAvailable()
+    mem.addData(("x", 60000L)) // close the window
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("topk_out").select("qh").as[String].collect().toSet
+    assert(got == Set("hot"))
+  }
+
   test("sessionPayloads matches the batch payload cogroup") {
     import graft.operators.Cogroup
     // (user, ts, id, isLeft)
