@@ -201,7 +201,9 @@ object Dedup {
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var lastSum = labels.agg(sum(col("label"))).head().getLong(0)
+    // coalesce: an empty pair graph sums to NULL, not 0
+    var lastSum = labels.agg(coalesce(sum(col("label")), lit(0L)))
+      .head().getLong(0)
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
@@ -213,7 +215,8 @@ object Dedup {
         .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val s = next.agg(sum(col("label"))).head().getLong(0)
+      val s = next.agg(coalesce(sum(col("label")), lit(0L)))
+        .head().getLong(0)
       labels.unpersist()
       labels = next
       converged = s == lastSum

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -68,5 +68,8 @@ class DedupSpec extends SparkSpec {
     val early = Dedup.connectedComponents(pairs, "a_id", "b_id", maxIter = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(early(14L) != 10L)
+    // empty pair graph → empty component frame, no NPE
+    assert(Dedup.connectedComponents(pairs.where(lit(false)), "a_id", "b_id")
+      .count() == 0L)
   }
 }
