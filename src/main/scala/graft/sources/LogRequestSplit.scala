@@ -62,7 +62,7 @@ object LogRequestSplit {
         (pushDownPlatform("__c") +:
           pushDownUser("__c").as("userInfo") +:
           pushDownTiming("__c").as("timing") +:
-          rest.map(c => col(s"__c.$c").as(c))): _*)
+          rest.toSeq.map(c => col(s"__c.$c").as(c))): _*)
   }
 
   def views(env: DataFrame)(implicit s: SparkSession): Dataset[View] = {
