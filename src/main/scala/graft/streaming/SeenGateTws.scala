@@ -21,7 +21,19 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode,
 object SeenGateTws {
   import SeenGate.{Event, Gated}
 
-  class Processor extends StatefulProcessor[String, Event, Gated] {
+  /** Chained-query output: `emittedAt` is the RELEASE time (non-decreasing
+    * relative to the watermark). A chained downstream stateful stage must
+    * anchor on it — original event times re-emerge arbitrarily far behind
+    * the single global watermark, and a fresh `withWatermark` node
+    * downstream idles at zero until the gate emits, deadlocking the gate's
+    * own timers (both failure modes pinned in SeenGateTwsSpec history).
+    * The `transformWithState(processor, eventTimeColumnName, mode)`
+    * overload re-assigns the watermark column without a second watermark
+    * node — Spark's sanctioned chaining mechanism. */
+  case class GatedAt(key: String, id: String, tsMs: Long,
+      emittedAt: java.sql.Timestamp)
+
+  class Processor extends StatefulProcessor[String, Event, GatedAt] {
     @transient private var seen: ValueState[Boolean] = _
     @transient private var delayed: ListState[(Long, String)] = _
 
@@ -33,13 +45,14 @@ object SeenGateTws {
     }
 
     override def handleInputRows(key: String, rows: Iterator[Event],
-        timerValues: TimerValues): Iterator[Gated] = {
-      val out = Seq.newBuilder[Gated]
+        timerValues: TimerValues): Iterator[GatedAt] = {
+      val out = Seq.newBuilder[GatedAt]
       rows.foreach { e =>
         if (e.side == 1) {
           if (!seen.exists()) seen.update(true)
         } else if (e.immediate) {
-          out += Gated(key, e.id, e.tsMs)
+          out += GatedAt(key, e.id, e.tsMs, new java.sql.Timestamp(
+            math.max(e.tsMs, timerValues.getCurrentWatermarkInMs() + 1)))
         } else {
           delayed.appendValue((e.tsMs, e.id))
           // gate at the left's own timestamp, watermark-coordinated
@@ -51,14 +64,15 @@ object SeenGateTws {
     }
 
     override def handleExpiredTimer(key: String, timerValues: TimerValues,
-        expiredTimerInfo: ExpiredTimerInfo): Iterator[Gated] = {
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[GatedAt] = {
       val cutoff = expiredTimerInfo.getExpiryTimeInMs()
       val all = delayed.get().toList
       val (due, still) = all.partition(_._1 <= cutoff)
       delayed.clear()
       if (still.nonEmpty) delayed.appendList(still.toArray)
       if (seen.exists() && seen.get())
-        due.sorted.iterator.map { case (ts, id) => Gated(key, id, ts) }
+        due.sorted.iterator.map { case (ts, id) =>
+          GatedAt(key, id, ts, new java.sql.Timestamp(cutoff)) }
       else Iterator.empty
     }
   }
@@ -66,12 +80,21 @@ object SeenGateTws {
   def gateStream(events: Dataset[Event], watermarkDelay: String)(
       implicit spark: SparkSession): Dataset[Gated] = {
     import spark.implicits._
+    gateStreamChained(events, watermarkDelay)
+      .select(col("key"), col("id"), col("tsMs")).as[Gated]
+  }
+
+  /** The chainable form: output watermark rides the `emittedAt` column via
+    * the eventTimeColumnName overload, so further stateful stages compose
+    * in the SAME query (SeenGateTwsSpec chains a windowed count). */
+  def gateStreamChained(events: Dataset[Event], watermarkDelay: String)(
+      implicit spark: SparkSession): Dataset[GatedAt] = {
+    import spark.implicits._
     events
       .withColumn("eventTime", timestamp_millis(col("tsMs")))
       .withWatermark("eventTime", watermarkDelay)
       .as[Event]
       .groupByKey(_.key)
-      .transformWithState(new Processor, TimeMode.EventTime(),
-        OutputMode.Append())
+      .transformWithState(new Processor, "emittedAt", OutputMode.Append())
   }
 }
