@@ -154,7 +154,10 @@ object StreamingJobs {
       lit("HSET").as("cmd"), col("key"),
       concat_ws(":", col("windowStartMs"), col("windowSizeMs")).as("field"),
       col("count").cast("string").as("value"),
-      (col("windowSizeMs") / 1000L * 2L).cast("long").as("ttlSec"))
+      (col("windowSizeMs") / 1000L * 2L).cast("long").as("ttlSec"),
+      // emission tick (window end): sliding counts DECREMENT after expiry,
+      // so the sink must order by emission time, not by value
+      (col("windowStartMs") + col("windowSizeMs")).as("tsMs"))
     Sinks.streamCommands(commands, client, s"$checkpointDir/counter_families")
       .queryName("counter_families").start()
   }
@@ -176,7 +179,11 @@ object StreamingJobs {
       lit("HSET").as("cmd"), col("key"),
       lit("last_ts_and_n90").as("field"),
       concat_ws(":", col("lastTsMs"), col("count")).as("value"),
-      col("ttlSec"))
+      col("ttlSec"),
+      // per-key emission sequence: the value is non-monotone (TTL
+      // decrements shrink the count at an unchanged lastTs), so the sink
+      // orders on this, letting the decay emission win its micro-batch
+      col("seq").as("tsMs"))
     Sinks.streamCommands(commands, client, s"$checkpointDir/last_seen")
       .queryName("counter_last_seen").start()
   }

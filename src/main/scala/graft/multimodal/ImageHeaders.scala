@@ -51,14 +51,20 @@ object ImageHeaders {
     if (b == null || b.length < 4 ||
       (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
     var i = 2
-    while (i + 3 < b.length) {
+    while (i + 1 < b.length) {
       if ((b(i) & 0xff) != 0xff) return None // desynced
+      // any number of 0xFF fill bytes may pad before the marker code
+      // (T.81 §B.1.1.2) — skip to the last 0xFF of the run
+      while (i + 1 < b.length && (b(i + 1) & 0xff) == 0xff) i += 1
+      if (i + 1 >= b.length) return None
       val marker = b(i + 1) & 0xff
-      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
-        i += 2 // standalone markers with no length
+      if (marker == 0x01 || marker == 0xd8 ||
+        (marker >= 0xd0 && marker <= 0xd7)) {
+        i += 2 // standalone markers (TEM, SOI, RSTn) carry no length
       } else if (marker == 0xda || marker == 0xd9) {
         return None // scan data / EOI before any SOF
       } else {
+        if (i + 3 >= b.length) return None // truncated length field
         val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
         if (len < 2) return None
         val isSof = marker >= 0xc0 && marker <= 0xcf &&

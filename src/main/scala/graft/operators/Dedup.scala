@@ -191,9 +191,13 @@ object Dedup {
     * chains and the loop exits early via an aggregated-scalar
     * convergence probe (sum of labels is strictly decreasing until the
     * fixpoint — never a collect of node data).
+    *
+    * Hitting `maxIter` before the fixpoint means labels are WRONG for any
+    * component with diameter > maxIter, silently — so by default that
+    * throws; pass `failOnMaxIter = false` for best-effort labels (logged).
     * Output: node, component (min id in the node's component). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, failOnMaxIter: Boolean = true): DataFrame = {
     val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .unionByName(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
       .distinct()
@@ -224,6 +228,13 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    if (!converged) {
+      val msg = s"connectedComponents hit maxIter=$maxIter before the " +
+        "fixpoint: a component has diameter > maxIter and its labels are " +
+        "not canonical; raise maxIter"
+      if (failOnMaxIter) throw new IllegalStateException(msg)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
     labels.select(col("node"), col("label").as("component"))
   }
 

@@ -78,17 +78,23 @@ object Sinks {
     * (CounterJob.java:501-567). Latest means event time: frames carrying
     * `tsMs` order by it (value as the deterministic tie-break); frames
     * without an event-time column fall back to value order, which is only
-    * correct for monotone counters. */
+    * correct for monotone counters — non-monotone streams (anything that
+    * re-emits a shrunken value, e.g. TTL decrements) MUST carry `tsMs`
+    * (any per-(key,field) monotone long: event time or an emission
+    * sequence). Value ordering is numeric-first: `value` is a string, and
+    * a lexicographic compare would pick "9" over "10" whenever a count
+    * crosses a digit-length boundary. */
   def streamCommands(commands: DataFrame, client: CommandClient,
       checkpoint: String): DataStreamWriter[Row] =
     commands.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         import org.apache.spark.sql.expressions.Window
+        val numValue = expr("try_cast(value AS decimal(38,6))").desc_nulls_last
         val ord =
           if (batch.columns.contains("tsMs"))
-            Seq(col("tsMs").desc, col("value").desc)
-          else Seq(col("value").desc)
+            Seq(col("tsMs").desc, numValue, col("value").desc)
+          else Seq(numValue, col("value").desc)
         val w = Window.partitionBy(col("key"), col("field")).orderBy(ord: _*)
         deliverCommands(
           batch.withColumn("__rn", row_number().over(w))

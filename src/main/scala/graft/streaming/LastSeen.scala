@@ -27,8 +27,14 @@ object LastSeen {
   private val DayMs = 86400000L
 
   case class Event(key: String, tsMs: Long)
-  case class State(lastTs: Long, dayCounts: Map[Long, Long])
-  case class Result(key: String, lastTsMs: Long, count: Long, ttlSec: Long)
+  case class State(lastTs: Long, dayCounts: Map[Long, Long], seq: Long)
+  /** `seq` is a per-key monotone emission sequence: the value string
+    * (lastTs:count) is non-monotone (TTL decrements shrink the count), so
+    * latest-wins sinks order by `seq` — a decay re-emission carries the
+    * same lastTs as the event that preceded it and would otherwise lose a
+    * value-ordered tie-break within a micro-batch. */
+  case class Result(key: String, lastTsMs: Long, count: Long, ttlSec: Long,
+      seq: Long)
 
   /** Deterministic [0, 1 day) spread from a key hash — the reference's
     * cheap hash-seeded offset (LastTimeAndCount.java:120-129). */
@@ -52,23 +58,26 @@ object LastSeen {
       ttlDays: Int): (Seq[Result], State) = {
     var lastTs = st.lastTs
     var days = st.dayCounts
+    var seq = st.seq
     val ttlSec = emittedTtlSec(ttlDays)
     val out = Seq.newBuilder[Result]
     events.sortBy(_.tsMs).foreach { e =>
       lastTs = e.tsMs // most recently PROCESSED event, per the reference
       val day = e.tsMs - math.floorMod(e.tsMs, DayMs)
       days += (day -> (days.getOrElse(day, 0L) + 1L))
-      out += Result(key, lastTs, days.values.sum, ttlSec)
+      seq += 1
+      out += Result(key, lastTs, days.values.sum, ttlSec, seq)
     }
     if (wmMs != Long.MinValue) {
       val kept = days.filter { case (day, _) =>
         cleanupTime(key.hashCode, day, ttlDays) > wmMs }
       if (kept.size != days.size) {
         days = kept
-        out += Result(key, lastTs, days.values.sum, ttlSec)
+        seq += 1
+        out += Result(key, lastTs, days.values.sum, ttlSec, seq)
       }
     }
-    (out.result(), State(lastTs, days))
+    (out.result(), State(lastTs, days, seq))
   }
 
   /** Streaming form: flatMapGroupsWithState, event-time timers at each
@@ -84,7 +93,7 @@ object LastSeen {
       .flatMapGroupsWithState[State, Result](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key, it, state: GroupState[State]) =>
-          val st = state.getOption.getOrElse(State(0L, Map.empty))
+          val st = state.getOption.getOrElse(State(0L, Map.empty, 0L))
           val wm = state.getCurrentWatermarkMs()
           val (out, next) = advance(key, it.toSeq, st, wm, ttlDays)
           if (next.dayCounts.isEmpty) state.remove()

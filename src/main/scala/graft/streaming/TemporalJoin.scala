@@ -35,7 +35,13 @@ object TemporalJoin {
   private def insertVersion(lst: List[(Long, String)],
       v: (Long, String)): List[(Long, String)] = {
     val (before, after) = lst.span(_._1 <= v._1)
-    if (before.lastOption.contains(v) || after.headOption.contains(v)) lst
+    // a duplicate necessarily has ts == v.ts, so it can only live in
+    // `before`'s equal-ts suffix — but other-valued versions at the same
+    // ts may sit between it and the insert point (at-least-once sources
+    // re-deliver in any order), so check the whole run, not just the
+    // adjacent element: a missed duplicate re-inserted after the run
+    // would flip the as-of winner
+    if (before.reverseIterator.takeWhile(_._1 == v._1).contains(v)) lst
     else before ::: v :: after
   }
 

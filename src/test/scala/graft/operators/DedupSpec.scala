@@ -63,9 +63,14 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((10L to 14L).forall(n => comp(n) == 10L))
     assert(comp(20L) == 20L && comp(21L) == 20L)
-    // maxIter below the chain diameter leaves labels unconverged — the
-    // bound genuinely binds (callers size it to expected diameters)
-    val early = Dedup.connectedComponents(pairs, "a_id", "b_id", maxIter = 1)
+    // maxIter below the chain diameter → non-convergence THROWS by
+    // default (silent wrong labels would diverge from the oracle)
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, "a_id", "b_id", maxIter = 1)
+    }
+    // best-effort mode surfaces the partial labels instead
+    val early = Dedup.connectedComponents(pairs, "a_id", "b_id", maxIter = 1,
+      failOnMaxIter = false)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(early(14L) != 10L)
     // empty pair graph → empty component frame, no NPE

@@ -25,6 +25,22 @@ class SinksSpec extends SparkSpec {
       Set(("k1", "f1", "3"), ("k2", "f1", "5")))
   }
 
+  test("streamCommands compares values numerically, not lexicographically") {
+    // no tsMs column: a monotone counter crossing a digit-length boundary
+    // — the lexicographic max is "9", the numeric max is "10"
+    val mem = MemoryStream[(String, String, String)]
+    val cmds = mem.toDS().toDF("key", "field", "value")
+      .withColumn("cmd", lit("HSET")).withColumn("ttlSec", lit(-1L))
+    SinksSpec.captured.clear()
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_num").toString
+    val q = Sinks.streamCommands(cmds, SinksSpec.CapturingClient, s"$dir/cp").start()
+    mem.addData(("k1", "f1", "9"), ("k1", "f1", "10"))
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(SinksSpec.captured.asScala.toSet == Set(("k1", "f1", "10")))
+  }
+
   test("paced delivery spreads writes across seconds (A12 backfill cap)") {
     SinksSpec.captured.clear()
     val cmds = (1 to 30).map(i => ("HSET", s"k$i", "f", "1", -1L))

@@ -15,17 +15,18 @@ class LastSeenSpec extends SparkSpec {
 
   test("each event emits the running (lastTs, count)") {
     val (out, st) = advance("k", Seq(Event("k", 100L), Event("k", 50L),
-      Event("k", 200L)), State(0L, Map.empty), Long.MinValue, 90)
+      Event("k", 200L)), State(0L, Map.empty, 0L), Long.MinValue, 90)
     // processed in ts order; count grows per event
     assert(out.map(r => (r.lastTsMs, r.count)) ==
       Seq((50L, 1L), (100L, 2L), (200L, 3L)))
+    assert(out.map(_.seq) == Seq(1L, 2L, 3L)) // monotone emission sequence
     assert(st.dayCounts == Map(0L -> 3L))
   }
 
   test("day buckets decrement after the TTL and re-emit the shrunk count") {
     val d0 = 0L; val d50 = 50L * Day
     val (_, st) = advance("k", Seq(Event("k", d0 + 10L)),
-      State(0L, Map.empty), Long.MinValue, 90)
+      State(0L, Map.empty, 0L), Long.MinValue, 90)
     val (out2, st2) = advance("k", Seq(Event("k", d50)), st,
       Long.MinValue, 90)
     assert(out2.last.count == 2L) // both days live at day 50
@@ -33,6 +34,9 @@ class LastSeenSpec extends SparkSpec {
     val (out3, st3) = advance("k", Nil, st2, 93L * Day, 90)
     assert(out3.map(_.count) == Seq(1L)) // day0 dropped, refresh emitted
     assert(st3.dayCounts == Map(d50 -> 1L))
+    // the decay emission outranks every earlier one: latest-wins sinks
+    // ordering on seq deliver the shrunken count, not the stale maximum
+    assert(out3.head.seq > out2.map(_.seq).max)
   }
 
   test("timer offset is deterministic and within [0, 1 day)") {

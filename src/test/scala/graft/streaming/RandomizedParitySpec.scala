@@ -37,7 +37,7 @@ class RandomizedParitySpec extends SparkSpec {
         LastSeen.Event(s"k${rnd.nextInt(3)}", rnd.nextInt(100000).toLong))
       val byKey = events.groupBy(_.key)
       byKey.foreach { case (k, evs) =>
-        val (out, _) = LastSeen.advance(k, evs, LastSeen.State(0L, Map.empty),
+        val (out, _) = LastSeen.advance(k, evs, LastSeen.State(0L, Map.empty, 0L),
           Long.MinValue, 90)
         // the last per-event emission carries (max ts, total count)
         assert(out.last.lastTsMs == evs.map(_.tsMs).max, s"trial $trial")

@@ -74,4 +74,21 @@ class TemporalJoinSpec extends SparkSpec {
     // keep the as-of-watermark version (5000,b) and everything newer
     assert(next.versions == List((5000L, "b"), (9000L, "c")))
   }
+
+  test("re-delivered equal-ts version dedupes across the whole same-ts run") {
+    import TemporalJoin._
+    // v1 then v2 at the same ts: later arrival (v2) sorts last and wins
+    val (_, st1) = advance("k", Seq(In("k", true, "", "v1", 100L),
+      In("k", true, "", "v2", 100L)), State(Nil, Nil), Long.MinValue)
+    assert(st1.versions == List((100L, "v1"), (100L, "v2")))
+    // at-least-once source re-delivers v1; v2 sits between the duplicate
+    // and the insert point — re-inserting v1 after v2 would flip the
+    // as-of winner back to v1
+    val (_, st2) = advance("k", Seq(In("k", true, "", "v1", 100L)), st1,
+      Long.MinValue)
+    assert(st2.versions == List((100L, "v1"), (100L, "v2")))
+    val (out, _) = advance("k", Seq(In("k", false, "f1", null, 150L)), st2,
+      Long.MaxValue)
+    assert(out == Seq(Out("k", "f1", 150L, "v2", 100L)))
+  }
 }
