@@ -59,22 +59,60 @@ class DedupSpec extends SparkSpec {
     // chain needs multiple propagation rounds
     val pairs = Seq((11L, 10L), (11L, 12L), (13L, 12L), (14L, 13L),
       (21L, 20L)).toDF("a_id", "b_id")
+    // default: the size gate routes this graph to the driver fast path
     val comp = Dedup.connectedComponents(pairs, "a_id", "b_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((10L to 14L).forall(n => comp(n) == 10L))
     assert(comp(20L) == 20L && comp(21L) == 20L)
-    // maxIter below the chain diameter → non-convergence THROWS by
+    // distributed loop (gate disabled) must agree with the fast path
+    val dist = Dedup.connectedComponents(pairs, "a_id", "b_id",
+      smallGraphMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == comp)
+    // maxIter below the rounds needed → non-convergence THROWS by
     // default (silent wrong labels would diverge from the oracle)
     intercept[IllegalStateException] {
-      Dedup.connectedComponents(pairs, "a_id", "b_id", maxIter = 1)
+      Dedup.connectedComponents(pairs, "a_id", "b_id", maxIter = 1,
+        smallGraphMaxEdges = 0L)
     }
     // best-effort mode surfaces the partial labels instead
     val early = Dedup.connectedComponents(pairs, "a_id", "b_id", maxIter = 1,
-      failOnMaxIter = false)
+      failOnMaxIter = false, smallGraphMaxEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(early(14L) != 10L)
-    // empty pair graph → empty component frame, no NPE
+    // empty pair graph → empty component frame, no NPE (both paths)
     assert(Dedup.connectedComponents(pairs.where(lit(false)), "a_id", "b_id")
       .count() == 0L)
+    assert(Dedup.connectedComponents(pairs.where(lit(false)), "a_id", "b_id",
+      smallGraphMaxEdges = 0L).count() == 0L)
+  }
+
+  test("connectedComponents fast path agrees with a BFS model on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 10).foreach { trial =>
+      val n = 5 + rnd.nextInt(50)
+      val edges = (1 to n).map(_ =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // reference model: BFS transitive closure, min id per component
+        val adj = (edges ++ edges.map(_.swap)).groupMap(_._1)(_._2)
+        def reach(s: Long): Set[Long] = {
+          var seen = Set(s); var frontier = List(s)
+          while (frontier.nonEmpty) {
+            val next = frontier.flatMap(adj.getOrElse(_, Nil))
+              .filterNot(seen)
+            seen ++= next; frontier = next
+          }
+          seen
+        }
+        val model = adj.keys.map(k => k -> reach(k).min).toMap
+        val got = Dedup.connectedComponents(
+            edges.toDF("a_id", "b_id"), "a_id", "b_id")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == model, s"trial $trial edges=$edges")
+      }
+    }
   }
 }
