@@ -538,6 +538,56 @@ object SparkEntry {
     // from a fixed UA vocabulary through the UserAgents parser, metric
     // from event_type, last-seen families emitting ts + 90d-count pairs.
     "q36_counter_all" -> ((s, dir) => q36CounterAll(s, dir)),
+
+    // Corpus prep: deterministic hash split — stable under corpus growth,
+    // engine- and partitioning-independent (no rand(), no global order)
+    "q44_split_assign" -> ((s, dir) =>
+      CorpusOps.splitAssign(t(s, dir, "documents").select(col("doc_id")),
+        "doc_id", "#split#v1")),
+
+    // Corpus prep: concat-and-chunk sequence packing per source shard —
+    // the GPT-style pretraining layout; sharded windows keep it
+    // distributed (no global-order single-partition window)
+    "q45_pack_sequences" -> ((s, dir) =>
+      CorpusOps.packSequences(t(s, dir, "documents"), "doc_id", "source",
+        TextFunctions.tokenCount(col("text")), budgetTokens = 512L)),
+
+    // Corpus prep: PII detect + redact. The synthetic corpus carries no
+    // natural PII, so deterministic markers are injected from doc_id
+    // residues first — the detect/redact path is then exercised on
+    // genuinely varied positives AND true negatives in both engines
+    "q46_pii_scrub" -> ((s, dir) => {
+      val injected = concat(col("text"),
+        when(col("doc_id") % 5 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, concat(lit(" see https://example.org/d/"),
+          col("doc_id").cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" call +1 555 867 5309"))
+          .otherwise(lit("")))
+      CorpusOps.piiScrub(t(s, dir, "documents"), injected)
+        .select(col("doc_id"), col("n_emails"), col("n_urls"),
+          col("n_phones"), col("redacted"))
+    }),
+
+    // Corpus prep: train/test n-gram decontamination — training docs
+    // sharing any word 3-gram with the held-out set (doc_id ≡ 0 mod 50);
+    // the pipeline anti-joins this frame before tokenizing
+    "q47_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      CorpusOps.contamination(
+        d.where(col("doc_id") % 50 =!= 0),
+        d.where(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 3)
+    }),
+
+    // Corpus stats: exact discrete length quantiles per split via the
+    // distinct-value histogram (window over |distinct values|, not |rows|)
+    "q48_length_quantiles" -> ((s, dir) =>
+      CorpusOps.discQuantiles(
+        CorpusOps.splitAssign(t(s, dir, "documents"), "doc_id", "#split#v1")
+          .select(col("split"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "split", "n_tokens", Seq(50, 90, 99))),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -1005,6 +1055,81 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q44_split_assign" ->
+      """SELECT doc_id,
+        | substr(md5(CAST(doc_id AS VARCHAR) || '#split#v1'), 1, 2) AS bucket,
+        | CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '#split#v1'), 1, 2) < '0d' THEN 'test'
+        |      WHEN substr(md5(CAST(doc_id AS VARCHAR) || '#split#v1'), 1, 2) < '1a' THEN 'val'
+        |      ELSE 'train' END AS split
+        |FROM documents""".stripMargin,
+
+    "q45_pack_sequences" ->
+      """WITH tok AS (
+        | SELECT doc_id, source,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |packed AS (
+        | SELECT doc_id, source, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
+        | FROM tok)
+        |SELECT doc_id, source, n_tokens,
+        | CAST(start_off // 512 AS BIGINT) AS chunk_id,
+        | CAST(start_off % 512 AS BIGINT) AS chunk_off
+        |FROM packed""".stripMargin,
+
+    "q46_pii_scrub" ->
+      """WITH inj AS (
+        | SELECT doc_id, text
+        |  || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+        |  || CASE WHEN doc_id % 7 = 0 THEN ' see https://example.org/d/' || CAST(doc_id AS VARCHAR) ELSE '' END
+        |  || CASE WHEN doc_id % 11 = 0 THEN ' call +1 555 867 5309' ELSE '' END AS t
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(t, 'https?://[^ \t\n\r]+')) AS BIGINT) AS n_urls,
+        | CAST(len(regexp_extract_all(t, '\+[0-9][0-9 ]{7,}[0-9]')) AS BIGINT) AS n_phones,
+        | regexp_replace(regexp_replace(regexp_replace(t,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   'https?://[^ \t\n\r]+', '<URL>', 'g'),
+        |   '\+[0-9][0-9 ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+        |FROM inj""".stripMargin,
+
+    "q47_contamination" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+        | FROM documents),
+        |grams AS (
+        | SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS g
+        | FROM toks, UNNEST(range(1, len(ts) - 1)) AS t(i))
+        |SELECT tr.doc_id,
+        | COUNT(DISTINCT tr.g) AS n_shared_grams,
+        | COUNT(DISTINCT te.doc_id) AS n_test_docs
+        |FROM (SELECT * FROM grams WHERE doc_id % 50 <> 0) tr
+        |JOIN (SELECT * FROM grams WHERE doc_id % 50 = 0) te ON tr.g = te.g
+        |GROUP BY tr.doc_id""".stripMargin,
+
+    "q48_length_quantiles" ->
+      """WITH base AS (
+        | SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '#split#v1'), 1, 2) < '0d' THEN 'test'
+        |             WHEN substr(md5(CAST(doc_id AS VARCHAR) || '#split#v1'), 1, 2) < '1a' THEN 'val'
+        |             ELSE 'train' END AS split,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |hist AS (
+        | SELECT split, n_tokens, COUNT(*) AS c FROM base GROUP BY 1, 2),
+        |cum AS (
+        | SELECT split, n_tokens,
+        |  SUM(c) OVER (PARTITION BY split ORDER BY n_tokens
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  SUM(c) OVER (PARTITION BY split) AS n
+        | FROM hist)
+        |SELECT split, CAST(MAX(n) AS BIGINT) AS n_rows,
+        | MIN(CASE WHEN cum * 100 >= n * 50 THEN n_tokens END) AS p50,
+        | MIN(CASE WHEN cum * 100 >= n * 90 THEN n_tokens END) AS p90,
+        | MIN(CASE WHEN cum * 100 >= n * 99 THEN n_tokens END) AS p99
+        |FROM cum GROUP BY 1""".stripMargin,
+
     "q24_query_hash" -> q24OracleSql,
     "q43_random_projection" -> q43OracleSql,
     "q35_flat_chain" -> q35OracleSql,

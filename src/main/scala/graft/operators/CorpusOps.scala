@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-preparation operators for LLM training-data pipelines — the
+  * steps between a cleaned document table and a tokenizer: split
+  * assignment, sequence packing, PII scrubbing, train/test
+  * decontamination, and distribution stats. All are declarative
+  * `functions._` compositions (codegen'd, partial-aggregated, no UDFs).
+  */
+object CorpusOps {
+
+  /** Deterministic hash-based split assignment: bucket = first two hex
+    * chars of md5(id + salt), compared against hex boundaries. Hash
+    * splits are the production norm because they are STABLE — a document
+    * keeps its split when the corpus grows, across engines, and across
+    * partitionings (no rand(), no row_number over an arbitrary order).
+    *
+    * `boundaries` are (label, upperBoundExclusive) in lowercase hex,
+    * ascending; ids hashing >= the last bound get `defaultLabel`. The
+    * default 00-0c/0d-19 split is ~5.1% test, ~5.1% val, ~89.8% train.
+    * Embarrassingly parallel: one scan, no shuffle. */
+  def splitAssign(df: DataFrame, idCol: String, salt: String,
+      boundaries: Seq[(String, String)] = Seq("test" -> "0d", "val" -> "1a"),
+      defaultLabel: String = "train"): DataFrame = {
+    val bucket = substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 2)
+    val split = boundaries.foldRight(lit(defaultLabel): Column) {
+      case ((label, upper), rest) => when(bucket < upper, label).otherwise(rest)
+    }
+    df.withColumn("bucket", bucket).withColumn("split", split)
+  }
+
+  /** Concat-and-chunk sequence packing — the GPT-style pretraining layout:
+    * within each shard, documents concatenate into one token stream in
+    * `idCol` order and the stream is cut every `budgetTokens`. Emits the
+    * chunk each document STARTS in and its offset there.
+    *
+    * Sharding is what makes this scale: the running sum is a window per
+    * shard, so the work distributes across shards instead of serializing
+    * into one global ordered partition (pack order within a shard is
+    * arbitrary-but-deterministic, which is all pretraining needs). Shard
+    * by source/date/hash so no shard exceeds one task's memory. */
+  def packSequences(docs: DataFrame, idCol: String, shardCol: String,
+      tokenCountCol: Column, budgetTokens: Long): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(idCol), col(shardCol), tokenCountCol.cast("long").as("n_tokens"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col(idCol), col(shardCol), col("n_tokens"),
+        floor(col("start_off") / budgetTokens).cast("long").as("chunk_id"),
+        (col("start_off") % budgetTokens).as("chunk_off"))
+  }
+
+  /** Regex subset treated identically by Java's engine and RE2 (no
+    * backrefs, no lookaround) — the patterns must behave the same in
+    * Spark and in any RE2-based engine sharing the corpus. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern = "https?://[^ \\t\\n\\r]+"
+  val phonePattern = "\\+[0-9][0-9 ]{7,}[0-9]"
+
+  /** PII detection + redaction: per-document match counts and the text
+    * with emails/URLs/phones replaced by typed placeholders. Order
+    * matters: emails first (URLs never contain a bare local@domain once
+    * schemes are stripped), then URLs, then phone runs. One scan, no
+    * shuffle, codegen'd. */
+  def piiScrub(df: DataFrame, textCol: Column): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(textCol, lit(emailPattern), lit("<EMAIL>")),
+        lit(urlPattern), lit("<URL>")),
+      lit(phonePattern), lit("<PHONE>"))
+    df
+      .withColumn("n_emails",
+        size(regexp_extract_all(textCol, lit(emailPattern), lit(0))).cast("long"))
+      .withColumn("n_urls",
+        size(regexp_extract_all(textCol, lit(urlPattern), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(textCol, lit(phonePattern), lit(0))).cast("long"))
+      .withColumn("redacted", redacted)
+  }
+
+  /** Distinct lowercase word n-grams per document: (id, g). Documents
+    * shorter than n words produce no rows. */
+  def wordNgrams(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val ts = split(trim(lower(col(textCol))), "\\s+")
+    docs.select(col(idCol),
+        explode(when(size(ts) >= n,
+            transform(sequence(lit(1), size(ts) - (n - 1)),
+              i => array_join(slice(ts, i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      .distinct()
+  }
+
+  /** Train/test decontamination scan (the public eval-hygiene step, e.g.
+    * GPT-3 appendix C / PaLM §6): find training documents sharing any
+    * word n-gram with a held-out set. Returns one row per contaminated
+    * training doc with the shared-gram and test-doc counts — the frame a
+    * pipeline anti-joins against before tokenizing.
+    *
+    * Scale: held-out sets are tiny next to the corpus, so the test gram
+    * set broadcasts — the training side never shuffles; per-doc distinct
+    * gram dedup happens map-side inside [[wordNgrams]]'s distinct. For
+    * gram-heavy variants swap the string gram for xxhash64(g) on both
+    * sides (counts are then hash-distinct; collisions ~n²/2⁶⁴). */
+  def contamination(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val tr = wordNgrams(train, idCol, textCol, n)
+    val te = wordNgrams(test, idCol, textCol, n)
+      .withColumnRenamed(idCol, "__test_id")
+    tr.join(broadcast(te), "g")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("g")).as("n_shared_grams"),
+        countDistinct(col("__test_id")).as("n_test_docs"))
+  }
+
+  /** Exact discrete quantiles (the value at rank ⌈p·n/100⌉) per group via
+    * a value histogram: groupBy (group, value) with partial aggregation,
+    * then a cumulative window over the DISTINCT values only. That is the
+    * shape that survives low-cardinality groups at 100 TB — the window
+    * runs over |distinct values| rows per group (thousands), not |rows|
+    * (billions); a row-level rank window would funnel entire groups
+    * through single tasks. `percentiles` are integer percents. */
+  def discQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      percentiles: Seq[Int]): DataFrame = {
+    val hist = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+    val cumW = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = hist.withColumn("__cum", sum(col("__c")).over(cumW))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col(groupCol))))
+    // value at rank k=⌈p·n/100⌉ = min value whose cum ≥ k; integer cum
+    // makes cum ≥ pn/100 ⇔ 100·cum ≥ p·n (no floats, no interpolation)
+    val aggs = max(col("__n")).as("n_rows") +:
+      percentiles.map(p =>
+        min(when(col("__cum") * 100 >= col("__n") * p, col(valueCol)))
+          .as(s"p$p"))
+    withCum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+}

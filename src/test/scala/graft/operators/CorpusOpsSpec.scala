@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Corpus-prep operators: split stability, packing arithmetic, PII
+  * scrubbing, decontamination, histogram quantiles — semantics plus the
+  * plan shapes that matter at scale. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("splitAssign is deterministic and stable under corpus growth") {
+    val small = (1L to 200L).toDF("id")
+    val big = (1L to 400L).toDF("id")
+    def splits(df: org.apache.spark.sql.DataFrame) =
+      CorpusOps.splitAssign(df, "id", "#s1")
+        .select(col("id"), col("split")).as[(Long, String)].collect().toMap
+    val a = splits(small); val b = splits(big)
+    // documents keep their split when the corpus doubles
+    assert(a.forall { case (id, sp) => b(id) == sp })
+    assert(b.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(b.values.count(_ == "train") > b.values.count(_ == "val"))
+    // different salt reshuffles membership (new epoch, new split)
+    val c = CorpusOps.splitAssign(small, "id", "#s2")
+      .select(col("id"), col("split")).as[(Long, String)].collect().toMap
+    assert(a.exists { case (id, sp) => c(id) != sp })
+  }
+
+  test("splitAssign plan has no exchange (embarrassingly parallel)") {
+    val plan = CorpusOps.splitAssign((1L to 10L).toDF("id"), "id", "#s1")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
+  test("packSequences cuts the per-shard token stream at the budget") {
+    val docs = Seq(
+      (1L, "a", 300L), (2L, "a", 300L), (3L, "a", 300L), // shard a: 900 toks
+      (4L, "b", 600L), (5L, "b", 100L))                  // shard b: 700 toks
+      .toDF("id", "shard", "nt")
+    val out = CorpusOps.packSequences(docs, "id", "shard", col("nt"), 512L)
+      .select(col("id"), col("chunk_id"), col("chunk_off"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((0L, 0L)))   // starts at offset 0
+    assert(out(2L) == ((0L, 300L))) // still chunk 0
+    assert(out(3L) == ((1L, 88L)))  // 600 % 512
+    assert(out(4L) == ((0L, 0L)))   // shard b independent
+    assert(out(5L) == ((1L, 88L)))  // 600 % 512 in shard b
+  }
+
+  test("piiScrub counts and redacts emails, urls, phones; negatives untouched") {
+    val docs = Seq(
+      (1L, "mail me at a.b+c@ex-ample.org today"),
+      (2L, "docs at https://ex.org/a?q=1 and http://b.io"),
+      (3L, "call +1 555 867 5309 now"),
+      (4L, "no pii here, just text @ nothing")) // bare @ is not an email
+      .toDF("id", "text")
+    val out = CorpusOps.piiScrub(docs, col("text"))
+      .select(col("id"), col("n_emails"), col("n_urls"), col("n_phones"),
+        col("redacted"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((1L, 0L, 0L, "mail me at <EMAIL> today")))
+    assert(out(2L) == ((0L, 2L, 0L, "docs at <URL> and <URL>")))
+    assert(out(3L) == ((0L, 0L, 1L, "call <PHONE> now")))
+    assert(out(4L) == ((0L, 0L, 0L, "no pii here, just text @ nothing")))
+  }
+
+  test("contamination finds shared n-grams and broadcasts the held-out side") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "a totally different sentence here"),
+      (3L, "THE QUICK BROWN dog runs")) // case-folded match
+      .toDF("id", "text")
+    val test = Seq((100L, "the quick brown fox"), (101L, "quick brown fox wins"))
+      .toDF("id", "text")
+    val out = CorpusOps.contamination(train, test, "id", "text", 3)
+    val got = out.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc1 shares: "the quick brown"(100), "quick brown fox"(100,101),
+    // "brown fox jumps"(neither) → 2 grams, 2 test docs
+    assert(got(1L) == ((2L, 2L)))
+    assert(got(3L) == ((1L, 1L))) // "the quick brown" via lowercasing
+    assert(!got.contains(2L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+  }
+
+  test("wordNgrams drops docs shorter than n") {
+    val out = CorpusOps.wordNgrams(
+      Seq((1L, "just two"), (2L, "one two three")).toDF("id", "text"),
+      "id", "text", 3)
+    assert(out.as[(Long, String)].collect().toSet ==
+      Set((2L, "one two three")))
+  }
+
+  test("discQuantiles returns the exact rank-ceil(p*n/100) values per group") {
+    // group g: values 1..10 → p50 = rank 5 = 5, p90 = rank 9 = 9,
+    // p99 = rank ceil(9.9)=10 → 10; duplicates collapse into the histogram
+    val df = ((1 to 10).map(v => ("g", v.toLong)) ++
+      Seq(("h", 7L), ("h", 7L), ("h", 9L))).toDF("grp", "v")
+    val out = CorpusOps.discQuantiles(df, "grp", "v", Seq(50, 90, 99))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("g") == ((10L, 5L, 9L, 10L)))
+    // h: n=3, p50 → rank 2 = 7, p90/p99 → rank 3 = 9
+    assert(out("h") == ((3L, 7L, 9L, 9L)))
+  }
+}
