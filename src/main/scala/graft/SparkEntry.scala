@@ -580,6 +580,18 @@ object SparkEntry {
         "doc_id", "text", n = 3)
     }),
 
+    // Corpus prep: mixture resampling — even-numbered sources kept at
+    // ~80%, odd at ~20%, gated by a deterministic md5 bucket so the kept
+    // set is stable across runs/engines/partitionings
+    "q49_mixture_sample" -> ((s, dir) => {
+      val even = (substring(col("source"), 4, 8).cast("int") % 2) === 0
+      CorpusOps.mixtureSample(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "#mix#v1",
+        when(even, lit(CorpusOps.pctHexBound(80)))
+          .otherwise(lit(CorpusOps.pctHexBound(20))))
+    }),
+
     // Corpus stats: exact discrete length quantiles per split via the
     // distinct-value histogram (window over |distinct values|, not |rows|)
     "q48_length_quantiles" -> ((s, dir) =>
@@ -1108,6 +1120,12 @@ object SparkEntry {
         |FROM (SELECT * FROM grams WHERE doc_id % 50 <> 0) tr
         |JOIN (SELECT * FROM grams WHERE doc_id % 50 = 0) te ON tr.g = te.g
         |GROUP BY tr.doc_id""".stripMargin,
+
+    "q49_mixture_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || '#mix#v1'), 1, 2) <
+        | CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+        |      THEN 'cc' ELSE '33' END""".stripMargin,
 
     "q48_length_quantiles" ->
       """WITH base AS (

@@ -56,6 +56,25 @@ object CorpusOps {
         (col("start_off") % budgetTokens).as("chunk_off"))
   }
 
+  /** Hex bound for [[mixtureSample]]: keep a row when its 2-hex-char md5
+    * bucket (0..255) sorts below this. Integer floor of pct·256/100 —
+    * deterministic, slightly under-samples (≤ 1/256). */
+  def pctHexBound(pct: Int): String =
+    if (pct >= 100) "zz" // every hex bucket sorts below 'z'
+    else f"${math.max(0, pct) * 256 / 100}%02x"
+
+  /** Mixture resampling: keep each row iff its deterministic md5 bucket
+    * sorts below a per-row hex bound (build bounds from per-source target
+    * rates via [[pctHexBound]]). This is how pretraining mixtures
+    * reweight sources — hash-gated, so the SAME documents are kept on
+    * every run, engine, and partitioning, and a source's sample only
+    * shrinks/grows at the margin when its weight changes (no rand(), no
+    * per-source sorts). One scan, no shuffle. */
+  def mixtureSample(df: DataFrame, idCol: String, salt: String,
+      boundCol: Column): DataFrame =
+    df.where(
+      substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 2) < boundCol)
+
   /** Regex subset treated identically by Java's engine and RE2 (no
     * backrefs, no lookaround) — the patterns must behave the same in
     * Spark and in any RE2-based engine sharing the corpus. */

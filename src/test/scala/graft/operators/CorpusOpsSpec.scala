@@ -85,6 +85,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
   }
 
+  test("mixtureSample keeps a stable hash-gated subset near the target rate") {
+    val df = (1L to 2000L).toDF("id")
+    val kept = CorpusOps.mixtureSample(df, "id", "#m1",
+      lit(CorpusOps.pctHexBound(25))).as[Long].collect().toSet
+    // binomial(2000, ~0.25): expect well within ±5 points
+    assert(kept.size > 400 && kept.size < 600, kept.size)
+    // deterministic: same salt → same set; rate bump only ADDS documents
+    val again = CorpusOps.mixtureSample(df, "id", "#m1",
+      lit(CorpusOps.pctHexBound(25))).as[Long].collect().toSet
+    assert(again == kept)
+    val more = CorpusOps.mixtureSample(df, "id", "#m1",
+      lit(CorpusOps.pctHexBound(50))).as[Long].collect().toSet
+    assert(kept.subsetOf(more))
+    // 100% keeps everything, 0% keeps nothing
+    assert(CorpusOps.mixtureSample(df, "id", "#m1",
+      lit(CorpusOps.pctHexBound(100))).count() == 2000L)
+    assert(CorpusOps.mixtureSample(df, "id", "#m1",
+      lit(CorpusOps.pctHexBound(0))).count() == 0L)
+  }
+
   test("wordNgrams drops docs shorter than n") {
     val out = CorpusOps.wordNgrams(
       Seq((1L, "just two"), (2L, "one two three")).toDF("id", "text"),
