@@ -45,10 +45,12 @@ object LastSeen {
     (rate * DayMs).toLong
   }
 
-  private def cleanupTime(keyHash: Int, dayStartMs: Long, ttlDays: Int): Long =
+  private[streaming] def cleanupTime(keyHash: Int, dayStartMs: Long,
+      ttlDays: Int): Long =
     dayStartMs + (ttlDays + 1).toLong * DayMs + pseudoRandomOffsetMs(keyHash)
 
-  private def emittedTtlSec(ttlDays: Int): Long = (ttlDays + 3).toLong * 86400L
+  private[streaming] def emittedTtlSec(ttlDays: Int): Long =
+    (ttlDays + 3).toLong * 86400L
 
   /** Pure transition: ingest in event-time order (one emission per event,
     * like the reference's processElement), then expire day buckets whose
