@@ -80,6 +80,10 @@ object CorpusOps {
     * Spark and in any RE2-based engine sharing the corpus. */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val urlPattern = "https?://[^ \\t\\n\\r]+"
+  // Deliberate precision-over-recall: requires a leading '+', so
+  // international-format numbers redact and domestic-format runs pass
+  // through (bare 8+ digit runs collide with ids, prices, timestamps).
+  // This is a detector floor, not complete PII coverage.
   val phonePattern = "\\+[0-9][0-9 ]{7,}[0-9]"
 
   /** PII detection + redaction: per-document match counts and the text
@@ -103,18 +107,26 @@ object CorpusOps {
       .withColumn("redacted", redacted)
   }
 
-  /** Distinct lowercase word n-grams per document: (id, g). Documents
-    * shorter than n words produce no rows. */
-  def wordNgrams(docs: DataFrame, idCol: String, textCol: String,
+  /** Raw lowercase word n-grams per document: (id, g), repeats included —
+    * one narrow scan+explode, no shuffle. Documents shorter than n words
+    * produce no rows. */
+  def wordNgramsRaw(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val ts = split(trim(lower(col(textCol))), "\\s+")
     docs.select(col(idCol),
-        explode(when(size(ts) >= n,
-            transform(sequence(lit(1), size(ts) - (n - 1)),
-              i => array_join(slice(ts, i, lit(n)), " ")))
-          .otherwise(array().cast("array<string>"))).as("g"))
-      .distinct()
+      explode(when(size(ts) >= n,
+          transform(sequence(lit(1), size(ts) - (n - 1)),
+            i => array_join(slice(ts, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))).as("g"))
   }
+
+  /** Distinct lowercase word n-grams per document: (id, g). The distinct
+    * is a full exchange of every gram — fine for small held-out sets,
+    * wrong for a training corpus (see [[contamination]], which joins the
+    * raw grams instead). */
+  def wordNgrams(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    wordNgramsRaw(docs, idCol, textCol, n).distinct()
 
   /** Train/test decontamination scan (the public eval-hygiene step, e.g.
     * GPT-3 appendix C / PaLM §6): find training documents sharing any
@@ -123,13 +135,17 @@ object CorpusOps {
     * pipeline anti-joins against before tokenizing.
     *
     * Scale: held-out sets are tiny next to the corpus, so the test gram
-    * set broadcasts — the training side never shuffles; per-doc distinct
-    * gram dedup happens map-side inside [[wordNgrams]]'s distinct. For
-    * gram-heavy variants swap the string gram for xxhash64(g) on both
-    * sides (counts are then hash-distinct; collisions ~n²/2⁶⁴). */
+    * set dedupes (it's small) and broadcasts; the training side joins its
+    * RAW exploded grams — the broadcast hash join filters map-side, so
+    * only grams that actually hit the test set ever reach a shuffle, and
+    * the final countDistinct dedupes per-doc repeats. (A train-side
+    * pre-distinct would exchange the entire corpus's grams — the 100 TB
+    * killer — for dedup the aggregation does anyway.) For gram-heavy
+    * variants swap the string gram for xxhash64(g) on both sides (counts
+    * are then hash-distinct; collisions ~n²/2⁶⁴). */
   def contamination(train: DataFrame, test: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
-    val tr = wordNgrams(train, idCol, textCol, n)
+    val tr = wordNgramsRaw(train, idCol, textCol, n)
     val te = wordNgrams(test, idCol, textCol, n)
       .withColumnRenamed(idCol, "__test_id")
     tr.join(broadcast(te), "g")

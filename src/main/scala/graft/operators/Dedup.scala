@@ -205,6 +205,12 @@ object Dedup {
     * entirely. Mining typically reduces even petabyte corpora to a pair
     * graph orders of magnitude smaller than the input; graphs above the
     * gate (or with non-long ids) run the distributed loop.
+    *
+    * `pairs` should be MATERIALIZED (a read-back parquet/cached frame, as
+    * the shared pair-graph artifact is): the gate probes
+    * `limit(n+1).count()` before the real pass, so an unmaterialized
+    * expensive mining plan would pay the mining twice. Pass
+    * `smallGraphMaxEdges = 0` to skip the probe entirely.
     * Output: node, component (min id in the node's component). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20, failOnMaxIter: Boolean = true,
