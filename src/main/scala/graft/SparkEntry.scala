@@ -600,6 +600,34 @@ object SparkEntry {
           .select(col("split"),
             TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
         "split", "n_tokens", Seq(50, 90, 99))),
+
+    // K4: Hudi-style merge-on-read upsert table over orders — three
+    // commits (full load; price-update + delete batch; second update that
+    // resurrects some deleted keys) with a compaction between c2 and c3,
+    // so the snapshot read merges a compacted base with a live delta.
+    // Latest-per-(partition, key) by (ver DESC, commit DESC), deletes
+    // applied; the oracle replays the same commit log as a window query
+    "q50_upsert_snapshot" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("dt"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      val c1 = base.withColumn("ver", lit(1L)).withColumn("del", lit(false))
+      val c2 = base.where(col("k") % 7 === 0 || col("k") % 13 === 0)
+        .withColumn("price_cents", col("price_cents") + 1000L)
+        .withColumn("ver", lit(2L)).withColumn("del", col("k") % 13 === 0)
+      val c3 = base.where(col("k") % 21 === 0)
+        .withColumn("price_cents", col("price_cents") + 5000L)
+        .withColumn("ver", lit(3L)).withColumn("del", lit(false))
+      val path = java.nio.file.Files.createTempDirectory("graft_upsert_q50")
+        .toString + "/t"
+      val ut = new sinks.UpsertTable(path, Seq("k"), "ver", Seq("dt"), Some("del"))
+      ut.upsert(c1)
+      ut.upsert(c2)
+      ut.compact(s)
+      ut.upsert(c3)
+      ut.snapshot(s).select("k", "dt", "price_cents", "ver")
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -1628,5 +1656,25 @@ object SparkEntry {
         |    PARTITION BY user_id, CAST(json_extract_string(props, '$.k') AS BIGINT)
         |    ORDER BY epoch_ms(ts), event_id ROWS UNBOUNDED PRECEDING) AS canonical_id
         | FROM events WHERE event_type = 'view')""".stripMargin,
+
+    // replay the upsert commit log declaratively: union the three
+    // commits with their sequence numbers, pick the latest version per
+    // (partition, key) with the same (ver DESC, commit DESC) order the
+    // merge-on-read resolver uses, drop delete-flagged winners
+    "q50_upsert_snapshot" ->
+      """WITH base AS (
+        | SELECT o_orderkey AS k, strftime(o_orderdate, '%Y-%m') AS dt,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+        | FROM orders),
+        |c1 AS (SELECT k, dt, price_cents, CAST(1 AS BIGINT) AS ver, false AS del, 1 AS cseq FROM base),
+        |c2 AS (SELECT k, dt, price_cents + 1000, CAST(2 AS BIGINT), k % 13 = 0, 2 FROM base
+        |       WHERE k % 7 = 0 OR k % 13 = 0),
+        |c3 AS (SELECT k, dt, price_cents + 5000, CAST(3 AS BIGINT), false, 3 FROM base
+        |       WHERE k % 21 = 0),
+        |allv AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY dt, k ORDER BY ver DESC, cseq DESC) AS rn
+        |      FROM allv)
+        |SELECT k, dt, price_cents, ver FROM r WHERE rn = 1 AND NOT del""".stripMargin,
   )
 }
