@@ -1,7 +1,7 @@
 package graft.sinks
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
@@ -17,6 +17,7 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   * Layout:
   * {{{
   *   <path>/_schema.json            record schema incl. partition cols
+  *   <path>/_seq                    last issued commit seq (survives compaction)
   *   <path>/base/<part dirs>/       compacted base files (RO view)
   *   <path>/delta/c<seq 9 digits>/<part dirs>/   one dir per upsert commit
   * }}}
@@ -25,7 +26,11 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   *  - each [[upsert]] is an append-only delta commit — no base rewrite on
   *    the write path, which is what makes a streaming upsert sink cheap;
   *  - the snapshot view resolves the latest row per key by
-  *    (precombine DESC, commit seq DESC) — later commit wins ties;
+  *    (precombine DESC, commit seq DESC) — later commit wins ties. Commit
+  *    seqs are issued from a persisted counter (`_seq`) so they stay
+  *    monotonic ACROSS compactions; base rows retain their original
+  *    `__commit`, and a post-compaction tie still resolves to the newer
+  *    write;
   *  - resolution scopes to (partition, key) — Hudi's non-global index, as
   *    the reference runs it: a key re-appearing under a new dt/hr is a new
   *    row, and no cross-partition shuffle is ever needed;
@@ -35,14 +40,27 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   *  - [[compact]] folds deltas into the base, rewriting ONLY partitions
   *    the deltas touched (dynamic partition overwrite — at 100 TB a day's
   *    deltas touch a handful of dt/hr dirs, not the table's history).
+  *    Delete winners are kept in the base as tombstone rows and filtered
+  *    at read time: a partition whose every live row was tombstoned still
+  *    has rows in the compaction output, so its stale base files ARE
+  *    overwritten rather than silently surviving (the resurrection bug a
+  *    row-dropping compactor would have). Tombstones are tiny (one row
+  *    per deleted key) and a later upsert of the key supersedes them.
   *
   * Single-writer, like the reference's one Flink job per table (Hudi
-  * serializes writers through its timeline lock). Readers are safe
-  * against a concurrent upsert: commits are listed once per read and a
-  * half-written commit dir is never the max listed.
+  * serializes writers through its timeline lock). Readers never see a
+  * half-written commit: each delta is written to a hidden temp dir and
+  * atomically renamed to `c<seq>` only after the write completes, and
+  * [[commits]] lists only fully-renamed dirs.
+  *
+  * File sizing: each commit is repartitioned by the partition columns
+  * before write, so a commit emits one file per touched partition (split
+  * by `maxRecordsPerFile` when set) instead of (input partitions ×
+  * touched dirs) — streaming cadence doesn't spray small files.
   */
 class UpsertTable(path: String, keyCols: Seq[String], precombineCol: String,
-    partitionCols: Seq[String], deleteCol: Option[String] = None)
+    partitionCols: Seq[String], deleteCol: Option[String] = None,
+    maxRecordsPerFile: Long = 0L)
     extends Serializable {
   require(keyCols.nonEmpty, "keyCols must be non-empty")
 
@@ -50,38 +68,72 @@ class UpsertTable(path: String, keyCols: Seq[String], precombineCol: String,
   private def basePath = s"$path/base"
   private def deltaPath = s"$path/delta"
   private def schemaPath = s"$path/_schema.json"
+  private def seqPath = s"$path/_seq"
 
   private def fs(spark: SparkSession) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readSmallFile(spark: SparkSession, p: String): Option[String] = {
+    val f = fs(spark)
+    val hp = new Path(p)
+    if (!f.exists(hp)) None
+    else {
+      val in = f.open(hp)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+  }
+
+  private def writeSmallFile(spark: SparkSession, p: String, s: String): Unit = {
+    val out = fs(spark).create(new Path(p), true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
 
   /** Stored record schema (incl. partition cols + commit col), written at
     * the first upsert. Supplying it to every read keeps partition-column
     * TYPES stable — directory-value inference would e.g. turn a
     * "dt=2024-01-01" string column into a date. */
-  private def recordedSchema(spark: SparkSession): StructType = {
-    val f = fs(spark)
-    val in = f.open(new Path(schemaPath))
-    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    DataType.fromJson(json).asInstanceOf[StructType]
-  }
+  private def recordedSchema(spark: SparkSession): Option[StructType] =
+    readSmallFile(spark, schemaPath)
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
 
-  private def writeSchemaIfAbsent(spark: SparkSession, df: DataFrame): Unit = {
-    val f = fs(spark)
-    val p = new Path(schemaPath)
-    if (!f.exists(p)) {
-      val out = f.create(p, true)
-      try out.write(df.schema.json.getBytes("UTF-8")) finally out.close()
+  /** Fail fast on schema drift: every commit after the first must carry
+    * exactly the recorded columns with the recorded types (order-free;
+    * nullability not considered drift). Without this, a drifted commit
+    * writes fine and only breaks later reads. */
+  private def validateSchema(spark: SparkSession, df: DataFrame): Unit =
+    recordedSchema(spark).foreach { rec =>
+      val want = rec.fields.filter(_.name != CommitCol)
+        .map(f => f.name -> f.dataType).toMap
+      val got = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      val missing = want.keySet -- got.keySet
+      val extra = got.keySet -- want.keySet
+      val retyped = want.keySet.intersect(got.keySet)
+        .filter(c => want(c) != got(c))
+        .map(c => s"$c: ${want(c).simpleString} -> ${got(c).simpleString}")
+      require(missing.isEmpty && extra.isEmpty && retyped.isEmpty,
+        s"upsert schema drift vs $schemaPath — missing: ${missing.mkString(",")}; " +
+          s"unexpected: ${extra.mkString(",")}; retyped: ${retyped.mkString(", ")}")
     }
-  }
 
-  /** Committed delta sequence numbers, ascending. */
+  /** Committed delta sequence numbers, ascending. Only fully-committed
+    * dirs match `c\d{9}` — in-flight writes live under a `.tmp_` name
+    * until the post-write rename, so a concurrent reader never lists a
+    * partial commit. */
   def commits(spark: SparkSession): Seq[Long] = {
     val f = fs(spark)
     val d = new Path(deltaPath)
     if (!f.exists(d)) Seq.empty
     else f.listStatus(d).toSeq.map(_.getPath.getName)
       .filter(_.matches("c\\d{9}")).map(_.drop(1).toLong).sorted
+  }
+
+  /** Last issued commit seq: the persisted counter if present (survives
+    * compaction), else the max visible delta dir (recovers a crash
+    * between rename and counter write). */
+  def lastCommitSeq(spark: SparkSession): Long = {
+    val counted = readSmallFile(spark, seqPath).map(_.trim.toLong).getOrElse(0L)
+    math.max(counted, commits(spark).lastOption.getOrElse(0L))
   }
 
   /** Append one upsert commit. `df` must carry key, precombine and
@@ -93,54 +145,88 @@ class UpsertTable(path: String, keyCols: Seq[String], precombineCol: String,
       s"missing precombine column $precombineCol")
     (keyCols ++ partitionCols).foreach(c =>
       require(df.columns.contains(c), s"missing column $c"))
-    val seq = commits(spark).lastOption.getOrElse(0L) + 1L
-    writeSchemaIfAbsent(spark, df.withColumn(CommitCol, lit(seq).cast(LongType)))
-    val w = df.withColumn(CommitCol, lit(seq).cast(LongType))
-      .write.mode("overwrite")
+    validateSchema(spark, df)
+    val seq = lastCommitSeq(spark) + 1L
+    val stamped = df.withColumn(CommitCol, lit(seq).cast(LongType))
+    if (recordedSchema(spark).isEmpty)
+      writeSmallFile(spark, schemaPath, stamped.schema.json)
+    // one output file per touched partition dir (maxRecordsPerFile splits
+    // oversized ones) — not (input partitions × dirs) small files
+    val sized =
+      if (partitionCols.nonEmpty) stamped.repartition(partitionCols.map(col): _*)
+      else stamped.coalesce(1)
+    val tmp = f"$deltaPath/.tmp_c$seq%09d"
+    val w = sized.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(f"$deltaPath/c$seq%09d")
+      .parquet(tmp)
+    val f = fs(spark)
+    require(f.rename(new Path(tmp), new Path(f"$deltaPath/c$seq%09d")),
+      s"rename failed publishing commit $seq")
+    writeSmallFile(spark, seqPath, seq.toString)
     seq
   }
 
   private def readDir(spark: SparkSession, dir: String): Option[DataFrame] = {
     val f = fs(spark)
     if (!f.exists(new Path(dir))) None
-    else Some(spark.read.schema(recordedSchema(spark))
-      .option("basePath", dir).parquet(dir))
+    else recordedSchema(spark).map(sch =>
+      spark.read.schema(sch).option("basePath", dir).parquet(dir))
+  }
+
+  private def notDeleted: Column = deleteCol match {
+    case Some(d) => !coalesce(col(d), lit(false))
+    case None => lit(true)
   }
 
   /** Latest-per-key resolution over any mix of base + delta rows. Keeps
-    * delete-flagged winners when `keepDeletes` (compaction needs them
-    * gone, parity checks sometimes want them visible). */
+    * delete-flagged winners when `keepDeletes` (compaction needs them as
+    * tombstones; the snapshot view filters them). */
   private def resolve(all: DataFrame, keepDeletes: Boolean): DataFrame = {
     val w = Window
       .partitionBy((partitionCols ++ keyCols).map(col): _*)
       .orderBy(col(precombineCol).desc, col(CommitCol).desc)
     val latest = all.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
-    deleteCol match {
-      case Some(d) if !keepDeletes => latest.where(!coalesce(col(d), lit(false)))
-      case _ => latest
-    }
+    if (keepDeletes) latest else latest.where(notDeleted)
   }
 
   /** Snapshot view (Hudi `_rt`): base merged with all deltas, latest
     * version per (partition, key), deletes applied. One shuffle on
     * (partition, key); the base side prunes to partitions the read
     * filters to, like any parquet scan. */
-  def snapshot(spark: SparkSession): DataFrame = {
-    val parts = readDir(spark, basePath).toSeq ++
-      commits(spark).map(s => readDir(spark, f"$deltaPath/c$s%09d").get)
+  def snapshot(spark: SparkSession): DataFrame = snapshotAt(spark, Long.MaxValue)
+
+  /** Time-travel snapshot as of a commit seq: the table as a reader saw
+    * it right after commit `asOfCommit`. Enabled by the commit-sequence
+    * layout (Hudi's incremental/as-of query); history older than the
+    * last compaction is folded into the base, so `asOfCommit` must be
+    * ≥ the highest seq already compacted — pinning a corpus for
+    * decontamination/mixture reproducibility only needs pins newer than
+    * the compaction horizon. */
+  def snapshotAt(spark: SparkSession, asOfCommit: Long): DataFrame = {
+    val base = readDir(spark, basePath)
+    val folded = baseMaxCommit(spark)
+    require(asOfCommit >= folded,
+      s"asOfCommit $asOfCommit predates the compaction horizon $folded")
+    val parts = base.toSeq ++ commits(spark).filter(_ <= asOfCommit)
+      .map(s => readDir(spark, f"$deltaPath/c$s%09d").get)
     require(parts.nonEmpty, s"empty upsert table at $path")
     resolve(parts.reduce(_ unionByName _), keepDeletes = false).drop(CommitCol)
   }
 
+  /** Highest commit seq folded into the base (0 when no base). */
+  private def baseMaxCommit(spark: SparkSession): Long =
+    readSmallFile(spark, s"$path/_base_max_commit").map(_.trim.toLong).getOrElse(0L)
+
   /** Read-optimized view (Hudi `_ro`): base files only — no merge cost,
-    * data as of the last compaction. */
+    * data as of the last compaction. Tombstone rows (kept by compaction
+    * so fully-deleted partitions overwrite their stale files) are
+    * filtered here. */
   def readOptimized(spark: SparkSession): DataFrame = {
     val base = readDir(spark, basePath)
     require(base.nonEmpty, s"no base files at $path — run compact() first")
-    base.get.drop(CommitCol)
+    base.get.where(notDeleted).drop(CommitCol)
   }
 
   /** Fold all delta commits into the base (Hudi compaction; the reference
@@ -148,8 +234,9 @@ class UpsertTable(path: String, keyCols: Seq[String], precombineCol: String,
     * HudiOutput.java:441-442). Reads ONLY the partitions the deltas
     * touched, merges them with the matching base partitions, and
     * dynamically overwrites just those — untouched base partitions keep
-    * their files byte-for-byte. Delete-flagged winners drop out of the
-    * base entirely. */
+    * their files byte-for-byte. Delete winners stay as tombstone rows
+    * (see class doc) so a fully-tombstoned partition is rewritten, not
+    * resurrected. */
   def compact(spark: SparkSession): Unit = {
     val seqs = commits(spark)
     if (seqs.isEmpty) return
@@ -167,27 +254,36 @@ class UpsertTable(path: String, keyCols: Seq[String], precombineCol: String,
       case Some(base) => base.unionByName(deltas)
       case None => deltas
     }
-    val resolved = resolve(merged, keepDeletes = false)
+    // cluster the rewrite by partition dir so each touched dir gets a
+    // contiguous set of writers (maxRecordsPerFile splits oversized
+    // files; a pathological single-dir compaction would salt here)
+    val resolved0 = resolve(merged, keepDeletes = true)
+    val resolved =
+      if (partitionCols.nonEmpty) resolved0.repartition(partitionCols.map(col): _*)
+      else resolved0
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
       val w = resolved.write.mode("overwrite")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(basePath)
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+    writeSmallFile(spark, s"$path/_base_max_commit", seqs.max.toString)
     val f = fs(spark)
     seqs.foreach(s => f.delete(new Path(f"$deltaPath/c$s%09d"), true))
   }
 
   /** Streaming upsert sink: each micro-batch is one delta commit, with
     * inline compaction every `compactEveryCommits` (the reference's
-    * COMPACTION_DELTA_COMMITS trigger). Commit seqs advance per batch, so
-    * a replayed batch after a failure re-runs as a LATER commit with the
-    * same precombine values — latest-version resolution makes the replay
-    * idempotent for readers, like Hudi's upsert path. */
+    * COMPACTION_DELTA_COMMITS trigger). Commit seqs advance per batch —
+    * monotonically even across compactions, via the persisted counter —
+    * so a replayed batch after a failure re-runs as a LATER commit with
+    * the same precombine values — latest-version resolution makes the
+    * replay idempotent for readers, like Hudi's upsert path. */
   def streamUpsert(df: DataFrame, checkpoint: String,
       compactEveryCommits: Int = 5): DataStreamWriter[Row] =
     df.writeStream

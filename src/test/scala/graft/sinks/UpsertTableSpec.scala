@@ -95,6 +95,81 @@ class UpsertTableSpec extends SparkSpec {
     assert(sch("dt").dataType == org.apache.spark.sql.types.StringType)
   }
 
+  test("fully-tombstoned partition stays deleted after compaction") {
+    // the resurrection bug: if compaction drops delete winners from its
+    // output, a partition whose EVERY row was tombstoned has nothing to
+    // dynamically overwrite, the stale base files survive, and the
+    // deltas holding the tombstones are then deleted
+    val (_, t) = freshTable()
+    t.upsert(frame(row(1, "d1", 1, "a"), row(2, "d2", 1, "b")))
+    t.compact(spark)
+    t.upsert(frame(row(1, "d1", 2, "x", del = true))) // d1 now fully deleted
+    t.compact(spark)
+    assert(t.snapshot(spark).select("k").as[Long].collect().toSet == Set(2L))
+    assert(t.readOptimized(spark).select("k").as[Long].collect().toSet == Set(2L))
+    // and the tombstone still loses to a later resurrect
+    t.upsert(frame(row(1, "d1", 3, "back")))
+    val got = t.snapshot(spark).select("k", "v").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "back"), (2L, "b")))
+  }
+
+  test("commit seqs stay monotonic across compaction — later write wins precombine ties") {
+    val (_, t) = freshTable()
+    t.upsert(frame(row(1, "d1", 5, "old")))   // seq 1, ver 5
+    t.compact(spark)                          // base row keeps __commit=1
+    val s2 = t.upsert(frame(row(1, "d1", 5, "new"))) // SAME ver — must win by commit
+    assert(s2 == 2L) // not restarted at 1
+    val got = t.snapshot(spark).select("v").as[String].collect().toSeq
+    assert(got == Seq("new"))
+  }
+
+  test("schema drift fails fast on upsert") {
+    val (_, t) = freshTable()
+    t.upsert(frame(row(1, "d1", 1, "a")))
+    val retyped = Seq((2L, "d1", 2L, 7)).toDF("k", "dt", "ver", "v")
+      .withColumn("del", lit(false)) // v: string -> int
+    val e = intercept[IllegalArgumentException] { t.upsert(retyped) }
+    assert(e.getMessage.contains("schema drift"))
+    val extra = frame(row(2, "d1", 2, "b")).withColumn("surprise", lit(1))
+    intercept[IllegalArgumentException] { t.upsert(extra) }
+  }
+
+  test("in-flight temp commit dirs are invisible to readers") {
+    val (dir, t) = freshTable()
+    t.upsert(frame(row(1, "d1", 1, "a")))
+    // simulate a concurrent writer mid-commit: a temp dir with garbage
+    new java.io.File(s"$dir/t/delta/.tmp_c000000002/dt=d1").mkdirs()
+    assert(t.commits(spark) == Seq(1L))
+    assert(t.snapshot(spark).count() == 1L)
+  }
+
+  test("each commit writes one file per touched partition") {
+    val (dir, t) = freshTable()
+    val wide = frame((1L to 40L).map(k => row(k, s"d${k % 2}", 1, s"v$k")): _*)
+      .repartition(8) // many input partitions; must NOT become 8 files/dir
+    t.upsert(wide)
+    for (d <- Seq("d0", "d1")) {
+      val files = new java.io.File(s"$dir/t/delta/c000000001/dt=$d")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"dt=$d has ${files.length} files")
+    }
+  }
+
+  test("snapshotAt time-travels to a prior commit; horizon enforced") {
+    val (_, t) = freshTable()
+    t.upsert(frame(row(1, "d1", 1, "v1")))
+    t.upsert(frame(row(1, "d1", 2, "v2"), row(2, "d1", 1, "b")))
+    t.upsert(frame(row(2, "d1", 2, "gone", del = true)))
+    assert(t.snapshotAt(spark, 1).select("k", "v").as[(Long, String)]
+      .collect().toSet == Set((1L, "v1")))
+    assert(t.snapshotAt(spark, 2).select("k", "v").as[(Long, String)]
+      .collect().toSet == Set((1L, "v2"), (2L, "b")))
+    assert(t.snapshot(spark).select("k").as[Long].collect().toSet == Set(1L))
+    t.compact(spark) // folds up to seq 3 — history before that is gone
+    intercept[IllegalArgumentException] { t.snapshotAt(spark, 2) }
+    assert(t.snapshotAt(spark, 3).select("k").as[Long].collect().toSet == Set(1L))
+  }
+
   test("streamUpsert commits one delta per micro-batch and compacts on schedule") {
     val (dir, t) = freshTable(deleteCol = None)
     val mem = MemoryStream[(Long, String, Long, String, Boolean)]
