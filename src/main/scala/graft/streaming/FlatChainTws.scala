@@ -53,4 +53,47 @@ object FlatChainTws {
         .as[ScopedEvent],
       maxTimeMs, outOfOrderMs, rightOuter)
   }
+
+  /** D3 as the chain's final stage (reference wiring: reduce AFTER both
+    * join stages, FlatOutputJob.java:611-624): impression pairs (stage 2
+    * output: leftId = insertionId, rightId = impressionId) union action
+    * pairs (stage 3 output: leftId = impressionId, rightId = actionId,
+    * optionally `sep`-packed with a cart item content id) feed
+    * [[RedundantReduceTws.reduceChained]]. Outer/dropped pairs are
+    * filtered — only real joins participate in the reduction.
+    *
+    * Plan note: `impPairs` also feeds stage 3's LHS, and Spark plans are
+    * trees, not DAGs — the shared stage-2 subtree is DUPLICATED into both
+    * branches (each copy deterministic and separately checkpointed, so
+    * results and recovery are correct, but stages 1-2 hold state twice).
+    * The reference's Flink DAG shares the node; at production scale you'd
+    * split at the share point into two queries over an intermediate sink
+    * (the reference materializes its flat tables anyway), or accept the
+    * 2× for the one-query form this proves out. */
+  def reduceStage(impPairs: Dataset[JoinedPairAt],
+      actPairs: Dataset[JoinedPairAt], sep: String, oooMs: Long,
+      replaceTtlMs: Long, cleanupMs: Long)(
+      implicit spark: SparkSession): Dataset[RedundantReduceTws.Reduced] = {
+    import spark.implicits._
+    def matched(df: DataFrame) =
+      df.where(col("matchType").isin("exact", "inferred"))
+    val imps = matched(impPairs.toDF()).select(
+      col("platformId"), col("logUserId"),
+      col("leftId").as("insertionId"), col("rightId").as("impressionId"),
+      lit("").as("actionId"), lit("").as("contentId"),
+      col("rightTs").as("tsMs"), col("emittedAt"))
+    val acts = matched(actPairs.toDF()).select(
+      col("platformId"), col("logUserId"), lit("").as("insertionId"),
+      col("leftId").as("impressionId"),
+      when(col("rightId").contains(sep),
+        substring_index(col("rightId"), sep, 1))
+        .otherwise(col("rightId")).as("actionId"),
+      when(col("rightId").contains(sep),
+        substring_index(col("rightId"), sep, -1))
+        .otherwise(lit("")).as("contentId"),
+      col("rightTs").as("tsMs"), col("emittedAt"))
+    RedundantReduceTws.reduceChained(
+      imps.unionByName(acts).as[RedundantReduceTws.TinyJoined],
+      oooMs, replaceTtlMs, cleanupMs)
+  }
 }
