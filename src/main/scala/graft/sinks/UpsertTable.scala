@@ -85,9 +85,22 @@ class UpsertTable(path: String, keyCols: Seq[String], precombineCol: String,
   }
 
   private def writeSmallFile(spark: SparkSession, p: String, s: String): Unit = {
-    val out = fs(spark).create(new Path(p), true)
+    // temp-then-rename (the commit-dir pattern): a concurrent reader sees
+    // the old content, no file (falls back as absent — safe for every
+    // caller), or the new content — never a half-written file
+    val f = fs(spark)
+    val tmp = new Path(p + ".tmp")
+    val out = f.create(tmp, true)
     try out.write(s.getBytes("UTF-8")) finally out.close()
+    val dst = new Path(p)
+    if (f.exists(dst)) f.delete(dst, false)
+    require(f.rename(tmp, dst), s"rename failed publishing $p")
   }
+
+  /** Tolerant numeric marker read: an absent, empty or torn file reads as
+    * None — callers fall back to recomputable state instead of throwing. */
+  private def readSmallLong(spark: SparkSession, p: String): Option[Long] =
+    readSmallFile(spark, p).flatMap(s => scala.util.Try(s.trim.toLong).toOption)
 
   /** Stored record schema (incl. partition cols + commit col), written at
     * the first upsert. Supplying it to every read keeps partition-column
@@ -128,13 +141,17 @@ class UpsertTable(path: String, keyCols: Seq[String], precombineCol: String,
       .filter(_.matches("c\\d{9}")).map(_.drop(1).toLong).sorted
   }
 
-  /** Last issued commit seq: the persisted counter if present (survives
-    * compaction), else the max visible delta dir (recovers a crash
-    * between rename and counter write). */
-  def lastCommitSeq(spark: SparkSession): Long = {
-    val counted = readSmallFile(spark, seqPath).map(_.trim.toLong).getOrElse(0L)
-    math.max(counted, commits(spark).lastOption.getOrElse(0L))
-  }
+  /** Last issued commit seq: the max of the persisted counter, the
+    * visible delta dirs, and the base compaction horizon. The dir scan
+    * recovers a crash between commit-dir rename and counter write; the
+    * horizon covers the same crash AFTER a compaction has folded (and
+    * deleted) those dirs — without it the next upsert would reissue a seq
+    * already stamped on base rows and break later-commit-wins ties.
+    * [[compact]] also heals the counter for the same reason. */
+  def lastCommitSeq(spark: SparkSession): Long =
+    Seq(readSmallLong(spark, seqPath).getOrElse(0L),
+      commits(spark).lastOption.getOrElse(0L),
+      baseMaxCommit(spark)).max
 
   /** Append one upsert commit. `df` must carry key, precombine and
     * partition columns; schema must match the first commit's. Returns the
@@ -217,7 +234,7 @@ class UpsertTable(path: String, keyCols: Seq[String], precombineCol: String,
 
   /** Highest commit seq folded into the base (0 when no base). */
   private def baseMaxCommit(spark: SparkSession): Long =
-    readSmallFile(spark, s"$path/_base_max_commit").map(_.trim.toLong).getOrElse(0L)
+    readSmallLong(spark, s"$path/_base_max_commit").getOrElse(0L)
 
   /** Read-optimized view (Hudi `_ro`): base files only — no merge cost,
     * data as of the last compaction. Tombstone rows (kept by compaction
@@ -261,6 +278,18 @@ class UpsertTable(path: String, keyCols: Seq[String], precombineCol: String,
     val resolved =
       if (partitionCols.nonEmpty) resolved0.repartition(partitionCols.map(col): _*)
       else resolved0
+    // Publish the new horizon and heal the seq counter BEFORE the base
+    // rewrite. A crash mid-rewrite then leaves a too-HIGH horizon, which
+    // fails snapshotAt pins loudly (and over-conservatively — the deltas
+    // still exist) instead of the reverse ordering's failure mode, where a
+    // stale horizon passes the pin check yet silently returns base data
+    // that already folded later commits. snapshot() stays correct either
+    // way: deltas are deleted only after a successful rewrite, and
+    // recovery is simply re-running compact(). The counter heal persists
+    // max(counter, visible dirs) before those dirs are deleted, closing
+    // the reissued-seq crash window lastCommitSeq documents.
+    writeSmallFile(spark, seqPath, lastCommitSeq(spark).toString)
+    writeSmallFile(spark, s"$path/_base_max_commit", seqs.max.toString)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
@@ -272,7 +301,6 @@ class UpsertTable(path: String, keyCols: Seq[String], precombineCol: String,
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    writeSmallFile(spark, s"$path/_base_max_commit", seqs.max.toString)
     val f = fs(spark)
     seqs.foreach(s => f.delete(new Path(f"$deltaPath/c$s%09d"), true))
   }

@@ -123,6 +123,33 @@ class UpsertTableSpec extends SparkSpec {
     assert(got == Seq("new"))
   }
 
+  test("stale seq counter survives compaction deleting the delta dirs") {
+    // crash window: commit c2 renamed, _seq write lost (still 1), then a
+    // compaction folds c1+c2 and deletes the dirs the fallback scanned —
+    // the next upsert must NOT reissue seq 2 (base rows carry __commit=2;
+    // a collision breaks later-commit-wins ties)
+    val (dir, t) = freshTable()
+    t.upsert(frame(row(1, "d1", 1, "a")))
+    t.upsert(frame(row(1, "d1", 5, "old"))) // seq 2
+    new java.io.File(s"$dir/t/._seq.crc").delete() // raw write below bypasses hadoop checksums
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/t/_seq"), "1".getBytes("UTF-8"))
+    t.compact(spark)
+    val s3 = t.upsert(frame(row(1, "d1", 5, "new"))) // same ver: wins by commit
+    assert(s3 == 3L)
+    assert(t.snapshot(spark).select("v").as[String].collect().toSeq == Seq("new"))
+  }
+
+  test("empty or garbage marker files read as absent, not as a crash") {
+    val (dir, t) = freshTable()
+    t.upsert(frame(row(1, "d1", 1, "a")))
+    new java.io.File(s"$dir/t/._seq.crc").delete() // raw write below bypasses hadoop checksums
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/t/_seq"), Array.empty[Byte])
+    assert(t.lastCommitSeq(spark) == 1L) // falls back to the visible dir
+    assert(t.upsert(frame(row(1, "d1", 2, "b"))) == 2L)
+  }
+
   test("schema drift fails fast on upsert") {
     val (_, t) = freshTable()
     t.upsert(frame(row(1, "d1", 1, "a")))
