@@ -54,46 +54,100 @@ object FlatChainTws {
       maxTimeMs, outOfOrderMs, rightOuter)
   }
 
-  /** D3 as the chain's final stage (reference wiring: reduce AFTER both
-    * join stages, FlatOutputJob.java:611-624): impression pairs (stage 2
-    * output: leftId = insertionId, rightId = impressionId) union action
-    * pairs (stage 3 output: leftId = impressionId, rightId = actionId,
-    * optionally `sep`-packed with a cart item content id) feed
-    * [[RedundantReduceTws.reduceChained]]. Outer/dropped pairs are
-    * filtered — only real joins participate in the reduction.
+  /** Reserved prefix tagging impression SELF-pairs inside the fused
+    * stage-3 output (see [[joinAndReduce]]); action ids must not start
+    * with it. */
+  val SelfMarker = "\u0002"
+
+  /** Stage 3 + D3 as the chain's tail (reference wiring: reduce AFTER
+    * both join stages, FlatOutputJob.java:611-624 — a two-input DAG
+    * node). Spark plans are trees, not DAGs, and the naive tree form —
+    * stage-2 pairs feeding the reduce from one branch and stage 3's LHS
+    * from another — both DUPLICATES the stage-1/2 subtree (state held
+    * twice) and, worse, puts the two branches at different stateful
+    * depths: the action branch's rows release one watermark hop behind
+    * the impression branch's, so the union's watermark (driven by the
+    * shallow branch) classifies them late and drops them. Instead the
+    * impression pairs are re-injected into stage 3 as SELF-pairs — for
+    * each matched (insertion, impression) pair a synthetic side-1 row
+    * with `parentId` = its own impression id, which joins exactly onto
+    * the impression LHS row and re-emerges in stage-3's output tagged
+    * [[SelfMarker]]. ONE linear chain then carries both event kinds to
+    * [[RedundantReduceTws.reduceChained]] at the same depth, and each
+    * join stage's state exists exactly once.
     *
-    * Plan note: `impPairs` also feeds stage 3's LHS, and Spark plans are
-    * trees, not DAGs — the shared stage-2 subtree is DUPLICATED into both
-    * branches (each copy deterministic and separately checkpointed, so
-    * results and recovery are correct, but stages 1-2 hold state twice).
-    * The reference's Flink DAG shares the node; at production scale you'd
-    * split at the share point into two queries over an intermediate sink
-    * (the reference materializes its flat tables anyway), or accept the
-    * 2× for the one-query form this proves out. */
-  def reduceStage(impPairs: Dataset[JoinedPairAt],
-      actPairs: Dataset[JoinedPairAt], sep: String, oooMs: Long,
+    * `impPairs` is the stage-2 output; `toLeft` builds stage-3 LHS rows
+    * from the MATCHED pairs (as in [[nextStage]]) and must additionally
+    * return a `selfRef` column — the insertion id to carry into the
+    * impression's self-pair (in the stage-3 shape that is the pair's
+    * `leftId`). `actRhs` is the raw action stream (`sep`-packed ids carry
+    * a cart item content id). Outer/dropped pairs never reach the
+    * reduction.
+    *
+    * The LHS row and its self-pair are derived in ONE pass (an explode of
+    * each matched pair into both rows), NOT as two projections of the
+    * upstream stream: a streaming self-union of the same stateful subtree
+    * plans two copies of every upstream operator and only one branch's
+    * rows survive — besides which, the single pass holds each stage's
+    * state exactly once.
+    *
+    * Sizing (see [[RedundantReduceTws.advance]]): `oooMs` ≥ the upstream
+    * join's maxTime + 2× its outOfOrder, `cleanupMs` ≥ 2× maxTime +
+    * outOfOrder — the bounds under which every election contestant and
+    * every action's impression is guaranteed to have drained out of the
+    * upstream stages before the decision that needs it. */
+  def joinAndReduce(impPairs: Dataset[JoinedPairAt],
+      toLeft: DataFrame => DataFrame,
+      actRhs: Dataset[ScopedEvent], rhsWatermarkDelay: String,
+      maxTimeMs: Long, outOfOrderMs: Long, sep: String, oooMs: Long,
       replaceTtlMs: Long, cleanupMs: Long)(
       implicit spark: SparkSession): Dataset[RedundantReduceTws.Reduced] = {
     import spark.implicits._
     def matched(df: DataFrame) =
       df.where(col("matchType").isin("exact", "inferred"))
-    val imps = matched(impPairs.toDF()).select(
+    val noIds = array().cast("array<string>")
+    val enriched = toLeft(matched(impPairs.toDF()))
+    val both = enriched.select(
+      col("platformId"), col("logUserId"), col("tsMs"), col("emittedAt"),
+      explode(array(
+        struct(col("side"), col("id"), col("parentId"), col("scopes"),
+          col("contentIds")),
+        struct(lit(1).as("side"),
+          concat(lit(SelfMarker), col("id"), lit(sep), col("selfRef")).as("id"),
+          col("id").as("parentId"),
+          noIds.as("scopes"), noIds.as("contentIds")))).as("r"))
+      .select(col("platformId"), col("logUserId"), col("r.side").as("side"),
+        col("r.id").as("id"), col("r.parentId").as("parentId"), col("tsMs"),
+        col("r.scopes").as("scopes"), col("r.contentIds").as("contentIds"),
+        col("emittedAt"))
+    val right = actRhs.toDF()
+      .withColumn("emittedAt", timestamp_millis(col("tsMs")))
+      .withWatermark("emittedAt", rhsWatermarkDelay)
+    val cols = Seq("platformId", "logUserId", "side", "id", "parentId",
+      "tsMs", "scopes", "contentIds", "emittedAt")
+    val joined = InferredJoinTws.joinScopedChained(
+      both.select(cols.map(col): _*)
+        .unionByName(right.select(cols.map(col): _*))
+        .as[ScopedEvent],
+      maxTimeMs, outOfOrderMs, rightOuter = false)
+    // one-pass output mapping, for the same no-self-union reason as above:
+    // self-pair rows (id = marker + impressionId + sep + insertionId)
+    // become impression inputs, everything else action inputs
+    val isSelf = col("rightId").startsWith(SelfMarker)
+    val tiny = matched(joined.toDF()).select(
       col("platformId"), col("logUserId"),
-      col("leftId").as("insertionId"), col("rightId").as("impressionId"),
-      lit("").as("actionId"), lit("").as("contentId"),
-      col("rightTs").as("tsMs"), col("emittedAt"))
-    val acts = matched(actPairs.toDF()).select(
-      col("platformId"), col("logUserId"), lit("").as("insertionId"),
+      when(isSelf, substring_index(col("rightId"), sep, -1))
+        .otherwise(lit("")).as("insertionId"),
       col("leftId").as("impressionId"),
-      when(col("rightId").contains(sep),
-        substring_index(col("rightId"), sep, 1))
+      when(isSelf, lit(""))
+        .when(col("rightId").contains(sep),
+          substring_index(col("rightId"), sep, 1))
         .otherwise(col("rightId")).as("actionId"),
-      when(col("rightId").contains(sep),
+      when(!isSelf && col("rightId").contains(sep),
         substring_index(col("rightId"), sep, -1))
         .otherwise(lit("")).as("contentId"),
       col("rightTs").as("tsMs"), col("emittedAt"))
     RedundantReduceTws.reduceChained(
-      imps.unionByName(acts).as[RedundantReduceTws.TinyJoined],
-      oooMs, replaceTtlMs, cleanupMs)
+      tiny.as[RedundantReduceTws.TinyJoined], oooMs, replaceTtlMs, cleanupMs)
   }
 }

@@ -16,11 +16,12 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
   *
   * Differences from the reference, both deliberate:
   *  - root election is WATERMARK-deterministic: impressions buffer until
-  *    `tsMs + oooMs ≤ wm`, then the (tsMs, impressionId)-min becomes root —
-  *    first-ARRIVAL election (the reference's) makes output depend on
-  *    network interleaving; first-EVENT-TIME makes stream ≡ batch
-  *    (Cogroup.redundantRepoint picks the same row), which is what the
-  *    parity spec pins;
+  *    `tsMs + oooMs ≤ wm` (sound in a chain because watermark VALUES stay
+  *    event-time-domain, see [[advance]]), then the (tsMs, impressionId)-
+  *    min becomes root — first-ARRIVAL election (the reference's) makes
+  *    output depend on network interleaving; first-EVENT-TIME makes
+  *    stream ≡ batch (Cogroup.redundantRepoint picks the same row), which
+  *    is what the parity spec pins;
   *  - the key is (platformId, logUserId) with the per-insertion grouping
   *    inside the state, because a re-pointed action only knows the
   *    impression id it joined to — the insertionId lookup (reference:
@@ -29,7 +30,7 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
   *
   * Emits a release-time column (`emittedAt` ≥ wm+1) like
   * [[InferredJoinTws]], so this composes as the FOURTH stateful operator
-  * of the single-query flagship chain ([[FlatChainTws.reduceStage]]).
+  * of the single-query flagship chain ([[FlatChainTws.joinAndReduce]]).
   */
 object RedundantReduceTws {
 
@@ -65,13 +66,29 @@ object RedundantReduceTws {
     * rows, resolve everything resolvable at `wm`, return (out, next).
     * `wm = Long.MaxValue` resolves all (batch mode).
     *
-    *  - `oooMs`: reorder slack before a root election is final;
+    * Buffering compares ORIGINAL event times (`tsMs`) against `wm`, which
+    * is sound even when chained behind other tws stages: the watermark
+    * VALUES flowing down a chain stay source-event-time watermarks (each
+    * stage passes its input watermark through; only emission STAMPS are
+    * inflated to ≥ wm+1 to keep the time column non-late), and an upstream
+    * join has released every matched pair with event ts ≤ T by the time
+    * its input watermark passes T + its window-close slack — rows flow
+    * through the plan at least as fast as watermarks do. So at `wm`, all
+    * potential election contestants with ts ≤ wm - oooMs have arrived,
+    * PROVIDED oooMs covers the upstream slack — see below.
+    *
+    *  - `oooMs`: reorder slack before a root election is final. Raw input:
+    *    the stream's own disorder bound. Chained behind an inferred join:
+    *    ≥ upstream maxTime + 2× upstream outOfOrder (an inferred pair
+    *    holds until ts + ooo; an exact pair can additionally wait for its
+    *    parent's own release, ≤ window + ooo later);
     *  - `replaceTtlMs`: an impression this far after the current root
     *    REPLACES it (reference replaceReducedImpressionAfter);
     *  - `cleanupMs`: unmatched actions release as `dangling` after this,
     *    and root/lookup map entries expire at 2× it (the reference keeps
     *    the root "for 2 * ttl" for late redundant-impression actions).
-    *    Size it ≥ the upstream join window. */
+    *    Size it ≥ 2× upstream window + ooo so an action can never dangle
+    *    while its impression is merely in flight upstream. */
   def advance(key: (Long, String), events: Seq[TinyJoined], st: ReduceState,
       wm: Long, oooMs: Long, replaceTtlMs: Long,
       cleanupMs: Long): (Seq[Reduced], ReduceState) = {
