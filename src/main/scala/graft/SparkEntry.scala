@@ -228,17 +228,25 @@ object SparkEntry {
         "vec_id", "embedding", 3)
     }),
 
-    // Dedup/MinHash-LSH: banded candidates, est. Jaccard >= 1/2 (no oracle:
-    // signature hashing is not SQL-expressible; see MinHashSpec)
+    // Dedup/MinHash-LSH: the full production near-dup path — banded
+    // candidates exact-verified to Jaccard >= 3/5. Oracled against exact
+    // all-pairs SQL: at r=1/b=32 a qualifying pair escapes blocking with
+    // P = (1-s)^32 (~1e-13 at the threshold), so the gate detects any
+    // recall miss as a row diff. Signature internals: MinHashSpec.
     "q21_minhash_pairs" -> ((s, dir) =>
-      Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text", 3, 32, 8)
-        .where(col("matching") * 2 >= col("num_hashes"))),
+      Dedup.minHashVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+        3, 32, 32, 3L, 5L)),
 
-    // Dedup/SimHash 64-bit fingerprints (no oracle; see SimHashSpec)
+    // Dedup/SimHash 64-bit fingerprints. Oracled: token hashes are
+    // splitMix64-finished Karp–Rabin fingerprints, replicated bit-exactly
+    // in 128-bit SQL arithmetic (q22OracleSql); bit-mix quality pinned by
+    // SimHashSpec/PolyHash64Spec.
     "q22_simhash" -> ((s, dir) =>
       Dedup.simHash64(t(s, dir, "documents"), "doc_id", "text")),
 
-    // Similarity/LSH bucketing: sign-LSH candidate pairs (no oracle)
+    // Similarity/LSH bucketing: sign-LSH candidate pairs. Oracled: e9-
+    // quantized projections against the inlined planeSigns lists — both
+    // engines compute bit-identical buckets (the q27 technique).
     "q23_lsh_ann" -> ((s, dir) =>
       Similarity.lshBucketedPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 10)),
 
@@ -330,8 +338,10 @@ object SparkEntry {
           col("n").cast("string").as("value"))
     }),
 
-    // Text analysis: Karp–Rabin rolling-hash fingerprints (no oracle:
-    // custom expression; RollingHashSpec verifies against the scala impl)
+    // Text analysis: Karp–Rabin rolling-hash fingerprints. Oracled: the
+    // window hash is a plain mod-(2^61-1) polynomial, so the oracle
+    // evaluates it positionally with precomputed power literals in
+    // HUGEINT arithmetic (q30OracleSql); RollingHashSpec pins the kernel.
     "q30_rolling_fp" -> ((s, dir) => {
       graft.functions.RollingMinHash.register(s)
       t(s, dir, "documents").select(col("doc_id"),
@@ -391,8 +401,11 @@ object SparkEntry {
     "q35_flat_chain" -> ((s, dir) => q35FlatChain(s, dir)),
 
     // Similarity/IVF: inverted-list ANN, the |corpus|·nProbe/nLists scale
-    // path (no oracle — quantizer-dependent retrieval; IvfSpec proves the
-    // retrieved scores exact and recall meaningful vs brute force)
+    // path. Oracled: the default coarse quantizer (nLists lowest-id
+    // vectors) and the e9-quantized assignment/probe/re-rank pipeline are
+    // fully deterministic, so the oracle replays list assignment, probing
+    // and re-ranking in SQL (q34OracleSql); IvfSpec proves recall vs
+    // brute force.
     "q34_ivf_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 20),
@@ -884,6 +897,128 @@ object SparkEntry {
     arms.mkString("\nUNION ALL\n")
   }
 
+  /** q23's oracle: same technique as q27 — the 10 hyperplane sign-lists
+    * inlined as literals, projections as e9-rounded BIGINT sums, bucket =
+    * OR of sign bits. Integer arithmetic end-to-end → identical buckets. */
+  private val q23OracleSql: String = {
+    val dims = 64; val planes = 10
+    val bits = (0 until planes).map { p =>
+      val signs = Similarity.planeSigns(p, dims).mkString("[", ", ", "]")
+      s"""(CASE WHEN CAST(list_sum(list_transform(list_zip(embedding, $signs),
+         |   z -> CAST(round(CAST(z[1] AS DOUBLE)*1000000000.0) AS BIGINT) * z[2])) AS BIGINT) >= 0
+         |  THEN ${1L << p} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    s"""WITH bk AS (SELECT vec_id, $bits AS bucket FROM embeddings)
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket
+       |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id""".stripMargin
+  }
+
+  /** q34's oracle replays the whole IVF pipeline in SQL: the deterministic
+    * default quantizer (16 lowest-id vectors), nearest-list assignment
+    * (rank 1) for the corpus, 4-list probing for the queries, and the
+    * exact quantized re-rank — the same e9 integer dots and (score DESC,
+    * id) tie-breaks as the Spark plan, so retrieval is bit-identical. */
+  private val q34OracleSql: String = {
+    val dot = (a: String, b: String) =>
+      s"""CAST(CAST(list_sum(list_transform(list_zip($a, $b),
+         |  z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS DOUBLE)""".stripMargin
+    s"""WITH n AS (
+       | SELECT vec_id, embedding,
+       |  CAST(list_sum(list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS nsq
+       | FROM embeddings),
+       |cent AS (
+       | SELECT vec_id AS centId, embedding AS centVec, nsq AS centN
+       | FROM n ORDER BY vec_id LIMIT 16),
+       |ca AS (
+       | SELECT n.vec_id, n.embedding, n.nsq, c.centId,
+       |  ${dot("n.embedding", "c.centVec")}
+       |   / sqrt(CAST(n.nsq AS DOUBLE) * CAST(c.centN AS DOUBLE)) AS cs
+       | FROM n CROSS JOIN cent c),
+       |assign AS (
+       | SELECT vec_id AS cid, embedding AS cvec, nsq AS cn, centId FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, centId) AS r
+       |  FROM ca) WHERE r = 1),
+       |probe AS (
+       | SELECT vec_id AS qid, embedding AS qvec, nsq AS qn, centId FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, centId) AS r
+       |  FROM ca WHERE vec_id < 20) WHERE r <= 4),
+       |s AS (
+       | SELECT p.qid, a.cid,
+       |  ${dot("p.qvec", "a.cvec")}
+       |   / sqrt(CAST(p.qn AS DOUBLE) * CAST(a.cn AS DOUBLE)) AS score
+       | FROM probe p JOIN assign a USING (centId) WHERE p.qid <> a.cid),
+       |r AS (SELECT qid, cid, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank FROM s)
+       |SELECT qid, cid, rank, CAST(round(score*1000000) AS BIGINT) AS score_e6
+       |FROM r WHERE rank <= 3""".stripMargin
+  }
+
+  /** Renders `((a * c) mod 2^64) AS UBIGINT` with the 64-bit constant split
+    * into 32-bit halves so the 128-bit intermediate never overflows
+    * DuckDB's signed HUGEINT. */
+  private def mulMod64Sql(a: String, c: Long): String = {
+    val ch = c >>> 32; val cl = c & 0xffffffffL
+    s"""CAST((CAST($a AS HUGEINT) * $cl +
+       |  ((CAST($a AS HUGEINT) * $ch) % 4294967296) * 4294967296)
+       |  % 18446744073709551616 AS UBIGINT)""".stripMargin
+  }
+
+  /** q22's oracle recomputes every token's PolyHash64 — Karp–Rabin over the
+    * characters mod 2^61-1 (list_reduce fold), then the three splitMix64
+    * rounds in UBIGINT/HUGEINT arithmetic — and re-runs the 64 bit-votes.
+    * Char codes equal UTF-8 bytes only for ASCII text; this corpus is
+    * verified all-ASCII, and a non-ASCII doc would fail the gate loudly
+    * rather than weaken it (the Spark side hashes bytes). */
+  private val q22OracleSql: String = {
+    val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
+    val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
+    val bitSums = (0 until 64).map(j =>
+      s"sum(CASE WHEN (z >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n  ")
+    val simRebuild = (0 until 64).map(j =>
+      s"(CASE WHEN b$j > 0 THEN CAST('${java.math.BigInteger.ONE.shiftLeft(j)}' AS HUGEINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       | SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       | FROM documents),
+       |k AS (
+       | SELECT doc_id, list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |   list_transform(range(1, length(w)+1), i -> CAST(unicode(w[i]) AS HUGEINT))),
+       |   (a,b) -> (a*257+b) % 2305843009213693951) AS h
+       | FROM tok),
+       |s0 AS (SELECT doc_id,
+       |  CAST((h + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z0 FROM k),
+       |s1 AS (SELECT doc_id, $z1 AS z1 FROM s0),
+       |s2 AS (SELECT doc_id, $z2 AS z2 FROM s1),
+       |hh AS (SELECT doc_id, xor(z2, z2 >> 31) AS z FROM s2),
+       |b AS (SELECT doc_id,
+       |  $bitSums
+       | FROM hh GROUP BY doc_id),
+       |u AS (SELECT doc_id, $simRebuild AS su FROM b)
+       |SELECT doc_id, CAST(CASE WHEN su >= CAST('9223372036854775808' AS HUGEINT)
+       |  THEN su - CAST('18446744073709551616' AS HUGEINT) ELSE su END AS BIGINT) AS simhash
+       |FROM u""".stripMargin
+  }
+
+  /** q30's oracle: the window-32 Karp–Rabin hash is the plain polynomial
+    * Σ byte[i+k]·257^(31-k) mod 2^61-1, so with the 32 power-of-257
+    * literals precomputed the oracle evaluates every window positionally
+    * in HUGEINT arithmetic and takes the minimum — identical to the
+    * Spark kernel's rolling recurrence by mod-homomorphism. ASCII-only
+    * corpus (chars == UTF-8 bytes; verified, fails loudly otherwise);
+    * docs shorter than the window would yield NULL and likewise fail. */
+  private val q30OracleSql: String = {
+    val w = 32; val mod = BigInt((1L << 61) - 1)
+    val pows = (0 until w).map(k => BigInt(257).modPow(BigInt(w - 1 - k), mod))
+    s"""WITH pw AS (SELECT ${pows.mkString("[", ", ", "]")}::HUGEINT[] AS pows)
+       |SELECT doc_id,
+       | CAST(list_min(list_transform(range(1, length(text)-${w - 2}),
+       |  i -> CAST(list_sum(list_transform(range(0, $w),
+       |         k -> CAST(unicode(text[i+k]) AS HUGEINT) * pows[k+1]))
+       |       % 2305843009213693951 AS BIGINT))) AS BIGINT) AS fp
+       |FROM documents, pw""".stripMargin
+  }
+
   /** q24's oracle: DuckDB has no seed-0 xxhash64, but the query vocabulary
     * (event_type) is a fixed 5-value set, so the expected hashes are
     * computed here (same `XxHash64` the Spark expression calls) and inlined
@@ -1176,6 +1311,27 @@ object SparkEntry {
         | MIN(CASE WHEN cum * 100 >= n * 99 THEN n_tokens END) AS p99
         |FROM cum GROUP BY 1""".stripMargin,
 
+    // LSH-with-verify == exact all-pairs whenever blocking recall is
+    // complete (P(miss) ~ 1e-13 at this threshold/config — see the q21
+    // gate comment), so the oracle is the exact SQL at jaccard >= 3/5.
+    "q21_minhash_pairs" ->
+      """WITH t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+        |g AS (
+        | SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+        | FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk)-2)) AS i) ix
+        | WHERE len(tk) >= 3),
+        |z AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |      FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT a_id, b_id, inter, za.n AS na, zb.n AS nb
+        |FROM p JOIN z za ON za.doc_id = a_id JOIN z zb ON zb.doc_id = b_id
+        |WHERE inter * 5 >= (za.n + zb.n - inter) * 3""".stripMargin,
+    "q22_simhash" -> q22OracleSql,
+    "q23_lsh_ann" -> q23OracleSql,
+    "q30_rolling_fp" -> q30OracleSql,
+    "q34_ivf_ann" -> q34OracleSql,
     "q24_query_hash" -> q24OracleSql,
     "q43_random_projection" -> q43OracleSql,
     "q35_flat_chain" -> q35OracleSql,

@@ -59,6 +59,56 @@ object RollingHash {
 
   def minWindowHashUtf8(s: UTF8String, window: Int): Long =
     minWindowHash(s.getBytes, window)
+
+  /** SplitMix64 finisher (Steele, Lea, Flood, "Fast Splittable Pseudorandom
+    * Number Generators", OOPSLA'14 — public constants): full-avalanche
+    * mixing of a 64-bit value with only adds/xors/shifts/multiplies, so an
+    * ANSI-SQL oracle can replicate it bit-exactly in 128-bit integer
+    * arithmetic (multiplies split into 32-bit halves mod 2^64). */
+  @inline def splitMix64(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** 64-bit string hash = splitMix64(Karp–Rabin poly hash of the UTF-8
+    * bytes, mod 2^61-1). Unlike xxhash64 (stripe/rotate lanes), every step
+    * here is SQL-expressible, so token-hash-derived operators (SimHash)
+    * can be gated against a DuckDB oracle instead of unit tests only. */
+  def polyHash64(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = (mulMod(h, Base) + (bytes(i) & 0xffL)) % Mod; i += 1 }
+    splitMix64(h)
+  }
+
+  def polyHash64Utf8(s: UTF8String): Long = polyHash64(s.getBytes)
+}
+
+/** Codegen-friendly scalar wrapper for [[RollingHash.polyHash64Utf8]]. */
+case class PolyHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHash.polyHash64Utf8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.polyHash64Utf8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash64 =
+    copy(child = newChild)
+}
+
+object PolyHash64 {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_poly_hash64", exprs => PolyHash64(exprs.head), "built-in")
+
+  /** Column helper; requires `register(spark)`. */
+  def polyHash64(c: Column): Column =
+    call_function("graft_poly_hash64", c.cast("string"))
 }
 
 /** Catalyst expression wrapper with codegen (stays in WholeStageCodegen). */

@@ -176,6 +176,34 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash-LSH candidates exact-verified to jaccard >= num/den — the full
+    * production near-dup path (block sub-quadratically, then verify), with
+    * output identical to [[ngramJaccardPairs]] WHENEVER blocking recall is
+    * complete for the threshold. Recall for a pair at jaccard s is
+    * 1-(1-s^r)^bands (r = numHashes/bands); at r=1 a qualifying pair is
+    * missed only if ALL numHashes minima differ — P(miss) = (1-s)^numHashes
+    * (~1e-13 at s=0.6, numHashes=32) — which is what lets a DuckDB oracle
+    * gate this on exact all-pairs SQL: a recall miss fails loudly as a row
+    * diff instead of hiding behind an estimate. Verification reuses the
+    * per-doc sorted hash sets and the primitive merge-intersect kernel. */
+  def minHashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int,
+      minJaccardNum: Long, minJaccardDen: Long): DataFrame = {
+    graft.functions.SortedLongIntersect.register(docs.sparkSession)
+    val cand = minHashLshPairs(docs, idCol, textCol, n, numHashes, bands)
+      .select("a_id", "b_id")
+    val sets = hashedShingleSets(docs, idCol, textCol, n)
+    cand
+      .join(sets.select(col(idCol).as("a_id"), col("__arr").as("__sa"),
+        col("__n").as("na")), "a_id")
+      .join(sets.select(col(idCol).as("b_id"), col("__arr").as("__sb"),
+        col("__n").as("nb")), "b_id")
+      .withColumn("inter",
+        graft.functions.SortedLongIntersect.intersectCount(col("__sa"), col("__sb")))
+      .where(col("inter") * minJaccardDen >= (col("na") + col("nb") - col("inter")) * minJaccardNum)
+      .select("a_id", "b_id", "inter", "na", "nb")
+  }
+
   /** Connected components over a near-duplicate pair graph — the step
     * between pair mining and actual dedup: each component keeps ONE
     * canonical document (the minimum id), everything else drops. Pairs
@@ -308,11 +336,18 @@ object Dedup {
       .repartition(col("node"))
   }
 
-  /** 64-bit SimHash over whitespace tokens (term-frequency weighted). */
+  /** 64-bit SimHash over whitespace tokens (term-frequency weighted).
+    *
+    * Token hashes are splitMix64-finished Karp–Rabin fingerprints
+    * ([[graft.functions.PolyHash64]]) rather than xxhash64: identical
+    * avalanche quality for the bit-vote, but every step is expressible in
+    * ANSI SQL, so the q22 gate compares full signatures against a DuckDB
+    * oracle instead of resting on unit tests. */
   def simHash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.PolyHash64.register(docs.sparkSession)
     val tok = docs.repartition(col(idCol)).select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .withColumn("__h", xxhash64(col("tok")))
+      .withColumn("__h", graft.functions.PolyHash64.polyHash64(col("tok")))
     val bitSums: Seq[Column] = (0 until 64).map { j =>
       sum(when(col("__h").bitwiseAND(shiftleft(lit(1L), j)) =!= 0, 1).otherwise(-1)).as(s"b$j")
     }

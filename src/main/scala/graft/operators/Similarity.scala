@@ -271,26 +271,22 @@ object Similarity {
   }
 
   /** Sign-LSH bucketing: `planes` pseudo-random ±1 hyperplanes (component
-    * signs derived from xxhash64(plane, dim)), vectors keyed by the sign
-    * pattern; near-dup candidates = equal buckets. */
+    * signs from [[planeSigns]]), vectors keyed by the sign pattern;
+    * near-dup candidates = equal buckets. Projections are e9-quantized
+    * integer sums (the same codegen'd kernel as the banded path), so any
+    * engine — including the DuckDB oracle — computes bit-identical
+    * buckets regardless of summation order. */
   def lshBucketedPairs(corpus: DataFrame, idCol: String, vecCol: String,
       planes: Int, dimsIn: Int = -1, maxBucket: Int = 0): DataFrame = {
+    VectorExpressions.register(corpus.sparkSession)
     val dims = resolveDims(corpus, vecCol, dimsIn)
     if (dims < 0)
       return corpus.select(col(idCol).as("a_id"), col(idCol).as("b_id"),
         lit(0L).as("bucket")).where(lit(false))
-    // pseudo-random ±1 planes: sign of xxhash64(plane:dim) per component.
-    // Expressed as zip_with against literal sign arrays (one small plan
-    // node per plane) rather than a dims-wide getItem tree — a 640-term
-    // codegen tree compiles into huge methods that stall the JIT.
     val bucketBits: Seq[Column] = (0 until planes).map { p =>
-      val signs = array((0 until dims).map { d =>
-        lit(if (graft.functions.XxHash64.hashString(s"$p:$d", 0L) >= 0) 1.0 else -1.0)
-      }: _*)
-      val proj = aggregate(
-        zip_with(col(vecCol), signs, (x, s) => x.cast("double") * s),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      val signVec = lit(planeSigns(p, dims).map(_.toFloat))
+      val projE9 = VectorExpressions.dotE9Fast(col(vecCol), signVec)
+      when(projE9 >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     val bucketed = corpus.repartition(col(idCol)).select(col(idCol),
       bucketBits.reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("bucket"))

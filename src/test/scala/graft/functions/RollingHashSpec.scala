@@ -33,4 +33,37 @@ class RollingHashSpec extends SparkSpec {
       assert(h == RollingHash.minWindowHash(s.getBytes("UTF-8"), 8))
     }
   }
+
+  test("polyHash64: known-answer vectors (independent reference impl)") {
+    // expected values computed by an independent big-integer
+    // implementation of KR-mod-(2^61-1) + splitMix64 — pins both the
+    // Scala kernel and (transitively) the q22 SQL oracle rendering
+    val vectors = Seq(
+      "" -> -2152535657050944081L,
+      "a" -> 5718913436695043505L,
+      "hello" -> 5958503815387553130L,
+      "The quick brown fox" -> -1025265196642470560L,
+      "naïve—café" -> -5087873173644491783L) // multi-byte UTF-8
+    vectors.foreach { case (s, want) =>
+      assert(RollingHash.polyHash64(s.getBytes("UTF-8")) == want, s"for '$s'")
+    }
+  }
+
+  test("polyHash64 expression matches kernel through codegen; bits well-spread") {
+    PolyHash64.register(spark)
+    val toks = (0 until 512).map(i => s"token$i")
+    val got = toks.toDF("t")
+      .select(col("t"), PolyHash64.polyHash64(col("t")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (s, h) =>
+      assert(h == RollingHash.polyHash64(s.getBytes("UTF-8")))
+    }
+    // avalanche sanity: every one of the 64 bit positions splits the 512
+    // hashes non-degenerately (a KR hash without the finisher fails this
+    // for the top bits, which are always zero mod 2^61-1)
+    (0 until 64).foreach { j =>
+      val ones = got.valuesIterator.count(h => ((h >>> j) & 1L) == 1L)
+      assert(ones > 512 / 8 && ones < 512 * 7 / 8, s"bit $j degenerate: $ones/512")
+    }
+  }
 }
