@@ -176,6 +176,7 @@ object Dedup {
       .distinct()
   }
 
+
   /** MinHash-LSH candidates exact-verified to jaccard >= num/den — the full
     * production near-dup path (block sub-quadratically, then verify), with
     * output identical to [[ngramJaccardPairs]] WHENEVER blocking recall is
@@ -189,10 +190,28 @@ object Dedup {
   def minHashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, bands: Int,
       minJaccardNum: Long, minJaccardDen: Long): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
     graft.functions.SortedLongIntersect.register(docs.sparkSession)
-    val cand = minHashLshPairs(docs, idCol, textCol, n, numHashes, bands)
-      .select("a_id", "b_id")
+    val r = numHashes / bands
+    // ONE shingle-set scan feeds both blocking and verification
     val sets = hashedShingleSets(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mins = (0 until numHashes).map(i =>
+      array_min(transform(col("__arr"), s => xxhash64(lit(i), s))).as(s"h$i"))
+    val sig = sets.where(col("__n") > 0).select(col(idCol) +: mins: _*)
+    val bandCols = (0 until bands).map { bIdx =>
+      struct(lit(bIdx).as("band"),
+        xxhash64((bIdx * r until (bIdx + 1) * r).map(i => col(s"h$i")): _*).as("bucket"))
+    }
+    // the signature-match estimate is pointless when exact verification
+    // follows, so each join side carries only (id, band, bucket) — not the
+    // numHashes signature columns — and the pair-dedup shuffles two longs
+    val exploded = sig.select(col(idCol), explode(array(bandCols: _*)).as("__band"))
+    val a = exploded.as("a"); val b = exploded.as("b")
+    val cand = a
+      .join(b, col("a.__band") === col("b.__band") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+      .distinct()
     cand
       .join(sets.select(col(idCol).as("a_id"), col("__arr").as("__sa"),
         col("__n").as("na")), "a_id")
