@@ -641,6 +641,38 @@ object SparkEntry {
       ut.upsert(c3)
       ut.snapshot(s).select("k", "dt", "price_cents", "ver")
     }),
+
+    // K4 incremental: the CDC pull a downstream incremental job runs —
+    // current resolved record of every key touched after the checkpointed
+    // commit, tombstones included. Same orders-derived scenario as q50
+    // plus a delete commit; sinceCommit = the compaction horizon (the
+    // furthest back Hudi semantics allow).
+    "q51_upsert_incremental" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("dt"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      val c1 = base.withColumn("ver", lit(1L)).withColumn("del", lit(false))
+      val c2 = base.where(col("k") % 7 === 0 || col("k") % 13 === 0)
+        .withColumn("price_cents", col("price_cents") + 1000L)
+        .withColumn("ver", lit(2L)).withColumn("del", col("k") % 13 === 0)
+      val c3 = base.where(col("k") % 21 === 0)
+        .withColumn("price_cents", col("price_cents") + 5000L)
+        .withColumn("ver", lit(3L)).withColumn("del", lit(false))
+      val c4 = base.where(col("k") % 35 === 0)
+        .withColumn("price_cents", col("price_cents") + 7000L)
+        .withColumn("ver", lit(4L)).withColumn("del", lit(true))
+      val path = java.nio.file.Files.createTempDirectory("graft_upsert_q51")
+        .toString + "/t"
+      val ut = new sinks.UpsertTable(path, Seq("k"), "ver", Seq("dt"), Some("del"))
+      ut.upsert(c1)
+      ut.upsert(c2)
+      ut.compact(s)
+      ut.upsert(c3)
+      ut.upsert(c4)
+      ut.incrementalRead(s, sinceCommit = 2L, includeDeletes = true)
+        .select("k", "dt", "price_cents", "ver", "del")
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -1832,5 +1864,28 @@ object SparkEntry {
         |        PARTITION BY dt, k ORDER BY ver DESC, cseq DESC) AS rn
         |      FROM allv)
         |SELECT k, dt, price_cents, ver FROM r WHERE rn = 1 AND NOT del""".stripMargin,
+
+    // changed keys = commits 3..4 (k%21 or k%35); each resolved against
+    // FULL history by (ver DESC, commit DESC) with tombstones visible —
+    // the same replay as q50 plus the delete commit
+    "q51_upsert_incremental" ->
+      """WITH base AS (
+        | SELECT o_orderkey AS k, strftime(o_orderdate, '%Y-%m') AS dt,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+        | FROM orders),
+        |c1 AS (SELECT k, dt, price_cents, CAST(1 AS BIGINT) AS ver, false AS del, 1 AS cseq FROM base),
+        |c2 AS (SELECT k, dt, price_cents + 1000, CAST(2 AS BIGINT), k % 13 = 0, 2 FROM base
+        |       WHERE k % 7 = 0 OR k % 13 = 0),
+        |c3 AS (SELECT k, dt, price_cents + 5000, CAST(3 AS BIGINT), false, 3 FROM base
+        |       WHERE k % 21 = 0),
+        |c4 AS (SELECT k, dt, price_cents + 7000, CAST(4 AS BIGINT), true, 4 FROM base
+        |       WHERE k % 35 = 0),
+        |allv AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+        |         UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY dt, k ORDER BY ver DESC, cseq DESC) AS rn
+        |      FROM allv)
+        |SELECT k, dt, price_cents, ver, del FROM r
+        |WHERE rn = 1 AND (k % 21 = 0 OR k % 35 = 0)""".stripMargin,
   )
 }

@@ -197,6 +197,43 @@ class UpsertTableSpec extends SparkSpec {
     assert(t.snapshotAt(spark, 3).select("k").as[Long].collect().toSet == Set(1L))
   }
 
+  test("incrementalRead returns changed keys at CURRENT state, tombstones opt-in") {
+    val (_, t) = freshTable()
+    t.upsert(frame(row(1, "d1", 1, "a"), row(2, "d1", 1, "b"), row(3, "d1", 1, "c")))
+    t.upsert(frame(row(2, "d1", 2, "b2"), row(3, "d1", 2, "x", del = true)))
+    // since commit 1: keys 2 (upserted) and 3 (deleted) changed; key 1 did not
+    val got = t.incrementalRead(spark, 1L).select("k", "v")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "b2")))
+    val withDel = t.incrementalRead(spark, 1L, includeDeletes = true)
+      .select("k", "del").as[(Long, Boolean)].collect().toSet
+    assert(withDel == Set((2L, false), (3L, true)))
+    // empty window → empty frame, schema intact
+    assert(t.incrementalRead(spark, 2L).count() == 0L)
+  }
+
+  test("incrementalRead resolves against full history (stale late version)") {
+    val (_, t) = freshTable()
+    t.upsert(frame(row(1, "d1", 5, "newest"))) // commit 1 carries ver 5
+    t.upsert(frame(row(1, "d1", 3, "stale")))  // commit 2 replays an older ver
+    // key 1 IS changed since commit 1, but its current record is still
+    // ver 5 — resolving only the new commits would wrongly emit "stale"
+    val got = t.incrementalRead(spark, 1L).select("ver", "v")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((5L, "newest")))
+  }
+
+  test("incrementalRead refuses windows older than the compaction horizon") {
+    val (_, t) = freshTable()
+    t.upsert(frame(row(1, "d1", 1, "a")))
+    t.upsert(frame(row(1, "d1", 2, "a2")))
+    t.compact(spark)
+    t.upsert(frame(row(1, "d1", 3, "a3")))
+    intercept[IllegalArgumentException] { t.incrementalRead(spark, 1L) }
+    val got = t.incrementalRead(spark, 2L).select("v").as[String].collect().toSet
+    assert(got == Set("a3"))
+  }
+
   test("streamUpsert commits one delta per micro-batch and compacts on schedule") {
     val (dir, t) = freshTable(deleteCol = None)
     val mem = MemoryStream[(Long, String, Long, String, Boolean)]
