@@ -621,10 +621,12 @@ object SparkEntry {
     // Latest-per-(partition, key) by (ver DESC, commit DESC), deletes
     // applied; the oracle replays the same commit log as a window query
     "q50_upsert_snapshot" -> ((s, dir) => {
+      // one orders scan feeds all three commit frames
       val base = t(s, dir, "orders").select(
         col("o_orderkey").as("k"),
         date_format(col("o_orderdate"), "yyyy-MM").as("dt"),
         round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val c1 = base.withColumn("ver", lit(1L)).withColumn("del", lit(false))
       val c2 = base.where(col("k") % 7 === 0 || col("k") % 13 === 0)
         .withColumn("price_cents", col("price_cents") + 1000L)
@@ -648,10 +650,14 @@ object SparkEntry {
     // plus a delete commit; sinceCommit = the compaction horizon (the
     // furthest back Hudi semantics allow).
     "q51_upsert_incremental" -> ((s, dir) => {
-      val base = t(s, dir, "orders").select(
-        col("o_orderkey").as("k"),
-        date_format(col("o_orderdate"), "yyyy-MM").as("dt"),
-        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      // an eighth of orders: q50 already exercises write weight; this
+      // gate is about incremental-read semantics, not write volume
+      val base = t(s, dir, "orders").where(col("o_orderkey") % 8 === 0)
+        .select(
+          col("o_orderkey").as("k"),
+          date_format(col("o_orderdate"), "yyyy").as("dt"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val c1 = base.withColumn("ver", lit(1L)).withColumn("del", lit(false))
       val c2 = base.where(col("k") % 7 === 0 || col("k") % 13 === 0)
         .withColumn("price_cents", col("price_cents") + 1000L)
@@ -1870,9 +1876,9 @@ object SparkEntry {
     // the same replay as q50 plus the delete commit
     "q51_upsert_incremental" ->
       """WITH base AS (
-        | SELECT o_orderkey AS k, strftime(o_orderdate, '%Y-%m') AS dt,
+        | SELECT o_orderkey AS k, strftime(o_orderdate, '%Y') AS dt,
         |  CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
-        | FROM orders),
+        | FROM orders WHERE o_orderkey % 8 = 0),
         |c1 AS (SELECT k, dt, price_cents, CAST(1 AS BIGINT) AS ver, false AS del, 1 AS cseq FROM base),
         |c2 AS (SELECT k, dt, price_cents + 1000, CAST(2 AS BIGINT), k % 13 = 0, 2 FROM base
         |       WHERE k % 7 = 0 OR k % 13 = 0),

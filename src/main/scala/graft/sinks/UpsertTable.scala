@@ -285,6 +285,40 @@ class UpsertTable(path: String, keyCols: Seq[String], precombineCol: String,
     (if (includeDeletes) latest else latest.where(notDeleted)).drop(CommitCol)
   }
 
+  /** Streaming incremental source (Hudi's streaming read of a table):
+    * a file stream over the delta commit dirs, so a Structured Streaming
+    * job consumes every upserted record version continuously — the
+    * push-based sibling of [[incrementalRead]] polling. Rows arrive
+    * per-commit in version order within a key (later commits are later
+    * files); downstream dedupe/resolution is the consumer's choice
+    * (e.g. `StreamOps.keepFirstRows` keyed on (partition, key, ver)).
+    *
+    * Compaction deletes delta dirs: a consumer lagging past a compaction
+    * loses unread commits (same contract as [[incrementalRead]]'s
+    * horizon). Schedule compaction beyond the consumer's max lag, or
+    * leave it off on CDC-fed tables. Requires at least one prior upsert
+    * (the recorded schema). */
+  def streamIncremental(spark: SparkSession): DataFrame = {
+    val sch = recordedSchema(spark).getOrElse(
+      throw new IllegalArgumentException(
+        s"no recorded schema at $path — upsert at least once before streaming"))
+    // Partition discovery can't span multiple commit roots (the non-kv
+    // c* segment between basePath and the kv dirs is a "conflicting
+    // directory structure" to the file source), so glob straight down to
+    // the leaf dirs with the data-column schema and re-derive each
+    // partition value from the file path (undoing Hive's %XX escaping),
+    // cast to its recorded type.
+    val dataSch = StructType(sch.fields.filterNot(f => partitionCols.contains(f.name)))
+    val glob = (s"$deltaPath/c*" +: partitionCols.map(c => s"$c=*")).mkString("/")
+    val raw = spark.readStream.schema(dataSch).parquet(glob)
+    val withParts = partitionCols.foldLeft(raw) { (df, c) =>
+      df.withColumn(c,
+        url_decode(regexp_extract(input_file_name(), s"/$c=([^/]+)/", 1))
+          .cast(sch(c).dataType))
+    }
+    withParts.select(sch.fieldNames.map(col).toSeq: _*)
+  }
+
   /** Read-optimized view (Hudi `_ro`): base files only — no merge cost,
     * data as of the last compaction. Tombstone rows (kept by compaction
     * so fully-deleted partitions overwrite their stale files) are

@@ -234,6 +234,26 @@ class UpsertTableSpec extends SparkSpec {
     assert(got == Set("a3"))
   }
 
+  test("streamIncremental: a streaming consumer sees commits as they land") {
+    val (_, t) = freshTable()
+    t.upsert(frame(row(1, "d1", 1, "a"), row(2, "d1", 1, "b")))
+    val q = t.streamIncremental(spark)
+      .writeStream.format("memory").queryName("upsert_cdc")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("upsert_cdc").select("k", "ver", "v")
+        .as[(Long, Long, String)].collect().toSet
+      assert(first == Set((1L, 1L, "a"), (2L, 1L, "b")))
+      t.upsert(frame(row(1, "d1", 2, "a2"), row(3, "d1", 1, "c", del = true)))
+      q.processAllAvailable()
+      val all = spark.table("upsert_cdc").select("k", "ver", "v", "del")
+        .as[(Long, Long, String, Boolean)].collect().toSet
+      assert(all == Set((1L, 1L, "a", false), (2L, 1L, "b", false),
+        (1L, 2L, "a2", false), (3L, 1L, "c", true)))
+    } finally q.stop()
+  }
+
   test("streamUpsert commits one delta per micro-batch and compacts on schedule") {
     val (dir, t) = freshTable(deleteCol = None)
     val mem = MemoryStream[(Long, String, Long, String, Boolean)]
