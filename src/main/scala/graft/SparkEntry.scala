@@ -412,6 +412,16 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, nLists = 16, nProbe = 4)
     }),
 
+    // Similarity/PQ: product-quantization ANN — the memory lever at
+    // 100 TB (m one-byte codes per vector instead of d floats; ADC = m
+    // lookups per candidate). Oracled: training-free codebook, integer-L2
+    // assignment and integer ADC replay bit-exactly in SQL (q52OracleSql).
+    "q52_pq_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 3, subspaces = 8, codebookSize = 16)
+    }),
+
     // Similarity: signed random projection — JL-style embedding
     // compression before ANN indexing; deterministic e9-integer
     // projections, oracled with the same inlined-sign-list technique as
@@ -992,6 +1002,48 @@ object SparkEntry {
        |FROM r WHERE rank <= 3""".stripMargin
   }
 
+  /** q52's oracle replays the PQ pipeline: codebook = subvectors of the 16
+    * lowest-id vectors (code = rank by id), assignment = integer-L2 argmin
+    * (nsq+nsq-2·dot, e9-rounded terms, lowest code on ties), ADC = sum of
+    * the 8 per-subspace LUT dots. Same integers as the Spark kernels. */
+  private val q52OracleSql: String = {
+    val subspaces = 8; val subDim = 8; val cbSize = 16
+    val dot = (a: String, b: String) =>
+      s"""CAST(list_sum(list_transform(list_zip($a, $b),
+         |  z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT)""".stripMargin
+    s"""WITH n AS (SELECT vec_id, embedding FROM embeddings),
+       |cbv AS (
+       | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code, embedding
+       | FROM (SELECT * FROM n ORDER BY vec_id LIMIT $cbSize)),
+       |cb AS (
+       | SELECT m, code, list_slice(embedding, m*$subDim+1, m*$subDim+$subDim) AS cvec
+       | FROM cbv, range(0, $subspaces) t(m)),
+       |cbn AS (SELECT m, code, cvec, ${dot("cvec", "cvec")} AS cnsq FROM cb),
+       |sv AS (
+       | SELECT vec_id, m, list_slice(embedding, m*$subDim+1, m*$subDim+$subDim) AS svec
+       | FROM n, range(0, $subspaces) t(m)),
+       |svn AS (SELECT vec_id, m, svec, ${dot("svec", "svec")} AS snsq FROM sv),
+       |dist AS (
+       | SELECT s.vec_id, s.m, c.code,
+       |  s.snsq + c.cnsq - 2 * ${dot("s.svec", "c.cvec")} AS d2
+       | FROM svn s JOIN cbn c ON c.m = s.m),
+       |codes AS (
+       | SELECT vec_id, m, code FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS r
+       |  FROM dist) WHERE r = 1),
+       |lut AS (
+       | SELECT s.vec_id AS qid, s.m, c.code, ${dot("s.svec", "c.cvec")} AS dp
+       | FROM svn s JOIN cbn c ON c.m = s.m WHERE s.vec_id < 20),
+       |adc AS (
+       | SELECT l.qid, k.vec_id AS cid, CAST(sum(l.dp) AS BIGINT) AS adc_e9
+       | FROM codes k JOIN lut l ON l.m = k.m AND l.code = k.code
+       | WHERE l.qid <> k.vec_id
+       | GROUP BY 1, 2),
+       |r AS (SELECT qid, cid, adc_e9,
+       |  row_number() OVER (PARTITION BY qid ORDER BY adc_e9 DESC, cid) AS rank FROM adc)
+       |SELECT qid, cid, rank, adc_e9 FROM r WHERE rank <= 3""".stripMargin
+  }
+
   /** Renders `((a * c) mod 2^64) AS UBIGINT` with the 64-bit constant split
     * into 32-bit halves so the 128-bit intermediate never overflows
     * DuckDB's signed HUGEINT. */
@@ -1368,6 +1420,7 @@ object SparkEntry {
         |WHERE inter * 5 >= (za.n + zb.n - inter) * 3""".stripMargin,
     "q22_simhash" -> q22OracleSql,
     "q23_lsh_ann" -> q23OracleSql,
+    "q52_pq_ann" -> q52OracleSql,
     "q30_rolling_fp" -> q30OracleSql,
     "q34_ivf_ann" -> q34OracleSql,
     "q24_query_hash" -> q24OracleSql,

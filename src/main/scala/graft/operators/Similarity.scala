@@ -270,6 +270,97 @@ object Similarity {
       .select(col("id"), col("__p.dim").as("dim"), col("__p.proj_e9").as("proj_e9"))
   }
 
+  /** Product-quantization ANN (Jégou, Douze, Schmid, "Product Quantization
+    * for Nearest Neighbor Search", TPAMI'11 — public result): split each
+    * vector into `subspaces` subvectors, quantize each against a per-
+    * subspace codebook, score query↔corpus by asymmetric distance
+    * computation (ADC) — the query meets only the m codebook entries per
+    * candidate, so a candidate costs m table lookups instead of d
+    * multiplies, and the corpus stores m bytes instead of d floats. THE
+    * memory lever at 100 TB: a 64-dim float corpus compresses 32× while
+    * scans stay sequential.
+    *
+    * Determinism: the codebook is training-free — entry `code` of
+    * subspace `m` is subvector m of the `codebookSize` lowest-id corpus
+    * vectors (the q34 quantizer convention; swap in per-subspace
+    * [[trainIvfCentroids]] output for trained codebooks, same plumbing).
+    * Assignment minimizes the e9-quantized integer L2²
+    * (nsq(a)+nsq(b)-2·dot(a,b), each term half-away rounded) with
+    * lowest-code tie-break; ADC scores are integer sums of e9 dots. Every
+    * step replays bit-exactly in the DuckDB oracle.
+    *
+    * Plan shape: the codebook is a bounded driver collect (subspaces ×
+    * codebookSize rows — the touched-partition-collect justification);
+    * encode is ONE narrow codegen pass over the corpus (codebook inlined
+    * as literals — no shuffle, no window); scoring broadcasts the query
+    * LUTs and ranks per query. Output: qid, cid, rank, adc_e9. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, subspaces: Int, codebookSize: Int,
+      dimsIn: Int = -1): DataFrame = {
+    VectorExpressions.register(corpus.sparkSession)
+    val d = resolveDims(corpus, vecCol, dimsIn)
+    if (d < 0)
+      return corpus.select(col(idCol).as("qid"), col(idCol).as("cid"),
+        lit(0).as("rank"), lit(0L).as("adc_e9")).where(lit(false))
+    require(d % subspaces == 0, s"dims $d not divisible by $subspaces subspaces")
+    val subDim = d / subspaces
+
+    // codebook: subspaces × codebookSize subvectors off the lowest ids —
+    // tiny by construction, the one (bounded) driver action here
+    val seed = corpus.orderBy(col(idCol)).limit(codebookSize)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(seed.length == codebookSize,
+      s"corpus has only ${seed.length} vectors for a $codebookSize-entry codebook")
+    val cb: Array[Array[Array[Float]]] = Array.tabulate(subspaces, codebookSize) {
+      (m, c) => seed(c).slice(m * subDim, (m + 1) * subDim)
+    }
+
+    def sub(v: Column, m: Int): Column = slice(v, m * subDim + 1, subDim)
+    // Argmin key: L2² minus the subvector's own norm² — that term is
+    // constant across codes, so cnsq - 2·dot orders (and tie-breaks)
+    // identically to full L2² while skipping a norm eval per candidate.
+    def distKey(s: Column, cent: Array[Float]): Column =
+      lit(centNsqE9(cent)) - lit(2L) * VectorExpressions.dotE9Fast(s, lit(cent))
+    // per-subspace argmin code via array_min over (dist, code) structs
+    // (struct ordering = lowest code wins ties). Each distance appears
+    // ONCE in the plan — a when-chain fold would reference its
+    // accumulator twice per step and double the expression tree 16 times.
+    def codeOf(v: Column, m: Int): Column = {
+      val s = sub(v, m)
+      val cands = array((0 until codebookSize).map(c =>
+        struct(distKey(s, cb(m)(c)).as("d"), lit(c).as("c"))): _*)
+      array_min(cands).getField("c")
+    }
+    val codes = corpus.repartition(col(idCol)).select(col(idCol).as("cid"),
+      array((0 until subspaces).map(m => codeOf(col(vecCol), m)): _*).as("__codes"))
+
+    // query LUTs: lut[m][code] = e9 dot of the query subvector with the
+    // codebook entry — one small array column per query row
+    val luts = array((0 until subspaces).map { m =>
+      array((0 until codebookSize).map(c =>
+        VectorExpressions.dotE9Fast(sub(col(vecCol), m), lit(cb(m)(c)))): _*)
+    }: _*)
+    val q = queries.select(col(idCol).as("qid"), luts.as("__luts"))
+
+    val adc = aggregate(
+      zip_with(col("__codes"), col("__luts"),
+        (code, lut) => element_at(lut, code + 1)),
+      lit(0L), (acc, x) => acc + x)
+    val scored = codes.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), adc.as("adc_e9"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc_e9").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"), col("adc_e9"))
+  }
+
+  /** e9-quantized norm² of a literal centroid, computed EXACTLY as the
+    * kernel does (per-component double product, half-away rounding —
+    * Math.round is half-up, which equals half-away on the non-negative
+    * squares). */
+  private def centNsqE9(c: Array[Float]): Long =
+    c.map(x => Math.round(x.toDouble * x.toDouble * 1e9)).sum
+
   /** Sign-LSH bucketing: `planes` pseudo-random ±1 hyperplanes (component
     * signs from [[planeSigns]]), vectors keyed by the sign pattern;
     * near-dup candidates = equal buckets. Projections are e9-quantized
