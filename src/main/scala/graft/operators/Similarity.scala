@@ -316,50 +316,26 @@ object Similarity {
       (m, c) => seed(c).slice(m * subDim, (m + 1) * subDim)
     }
 
-    def sub(v: Column, m: Int): Column = slice(v, m * subDim + 1, subDim)
-    // Argmin key: L2² minus the subvector's own norm² — that term is
-    // constant across codes, so cnsq - 2·dot orders (and tie-breaks)
-    // identically to full L2² while skipping a norm eval per candidate.
-    def distKey(s: Column, cent: Array[Float]): Column =
-      lit(centNsqE9(cent)) - lit(2L) * VectorExpressions.dotE9Fast(s, lit(cent))
-    // per-subspace argmin code via array_min over (dist, code) structs
-    // (struct ordering = lowest code wins ties). Each distance appears
-    // ONCE in the plan — a when-chain fold would reference its
-    // accumulator twice per step and double the expression tree 16 times.
-    def codeOf(v: Column, m: Int): Column = {
-      val s = sub(v, m)
-      val cands = array((0 until codebookSize).map(c =>
-        struct(distKey(s, cb(m)(c)).as("d"), lit(c).as("c"))): _*)
-      array_min(cands).getField("c")
-    }
+    // Encode, LUT-build and ADC run as single codegen'd kernel
+    // expressions (functions/PqExpressions) — a DataFrame formulation
+    // needs subspaces × codebookSize dot nodes per stage, a ~256-node
+    // tree whose generated method stalls the JIT. Arithmetic is the
+    // dotE9 convention (per-term half-away e9 rounding); the encode
+    // argmin key is cnsq - 2·dot (own-norm constant per subvector) with
+    // lowest code winning ties.
+    graft.functions.PqExpressions.register(corpus.sparkSession)
     val codes = corpus.repartition(col(idCol)).select(col(idCol).as("cid"),
-      array((0 until subspaces).map(m => codeOf(col(vecCol), m)): _*).as("__codes"))
-
-    // query LUTs: lut[m][code] = e9 dot of the query subvector with the
-    // codebook entry — one small array column per query row
-    val luts = array((0 until subspaces).map { m =>
-      array((0 until codebookSize).map(c =>
-        VectorExpressions.dotE9Fast(sub(col(vecCol), m), lit(cb(m)(c)))): _*)
-    }: _*)
-    val q = queries.select(col(idCol).as("qid"), luts.as("__luts"))
-
-    val adc = aggregate(
-      zip_with(col("__codes"), col("__luts"),
-        (code, lut) => element_at(lut, code + 1)),
-      lit(0L), (acc, x) => acc + x)
+      graft.functions.PqExpressions.pqEncode(col(vecCol), cb, subDim).as("__codes"))
+    val q = queries.select(col(idCol).as("qid"),
+      graft.functions.PqExpressions.pqLut(col(vecCol), cb, subDim).as("__luts"))
     val scored = codes.join(broadcast(q), col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), adc.as("adc_e9"))
+      .select(col("qid"), col("cid"),
+        graft.functions.PqExpressions.pqAdc(col("__codes"), col("__luts"),
+          codebookSize).as("adc_e9"))
     val w = Window.partitionBy(col("qid")).orderBy(col("adc_e9").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("qid"), col("cid"), col("rank"), col("adc_e9"))
   }
-
-  /** e9-quantized norm² of a literal centroid, computed EXACTLY as the
-    * kernel does (per-component double product, half-away rounding —
-    * Math.round is half-up, which equals half-away on the non-negative
-    * squares). */
-  private def centNsqE9(c: Array[Float]): Long =
-    c.map(x => Math.round(x.toDouble * x.toDouble * 1e9)).sum
 
   /** Sign-LSH bucketing: `planes` pseudo-random ±1 hyperplanes (component
     * signs from [[planeSigns]]), vectors keyed by the sign pattern;
