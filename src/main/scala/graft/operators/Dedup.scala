@@ -193,7 +193,14 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     graft.functions.SortedLongIntersect.register(docs.sparkSession)
     val r = numHashes / bands
-    // ONE shingle-set scan feeds both blocking and verification
+    // ONE persisted shingle-set frame feeds signature building, BOTH
+    // sides of the band self-join, and verification — without it the
+    // self-join recomputes the scan+shingle+signature subtree per side
+    // (measured 8x slower). Lifecycle contract (same as the other miners
+    // here): no action runs inside this function, so the returned plan
+    // pins the blocks until the session drops them — callers mining many
+    // corpora in one session should materialize the output and
+    // clearCache(), as the gate harness does.
     val sets = hashedShingleSets(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mins = (0 until numHashes).map(i =>

@@ -85,16 +85,21 @@ class UpsertTable(path: String, keyCols: Seq[String], precombineCol: String,
   }
 
   private def writeSmallFile(spark: SparkSession, p: String, s: String): Unit = {
-    // temp-then-rename (the commit-dir pattern): a concurrent reader sees
-    // the old content, no file (falls back as absent — safe for every
-    // caller), or the new content — never a half-written file
+    // temp-then-OVERWRITING-rename: a concurrent reader sees the old
+    // content or the new content, never a half-written file and never a
+    // no-file window (a delete-then-rename publish would let a reader of
+    // _base_max_commit observe "absent" → horizon 0 and silently pass an
+    // as-of pin that should fail). FileContext.rename(OVERWRITE) is the
+    // atomic-replace rename; plain FileSystem.rename refuses existing
+    // destinations.
     val f = fs(spark)
     val tmp = new Path(p + ".tmp")
     val out = f.create(tmp, true)
     try out.write(s.getBytes("UTF-8")) finally out.close()
-    val dst = new Path(p)
-    if (f.exists(dst)) f.delete(dst, false)
-    require(f.rename(tmp, dst), s"rename failed publishing $p")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(new Path(p)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Tolerant numeric marker read: an absent, empty or torn file reads as
@@ -312,9 +317,15 @@ class UpsertTable(path: String, keyCols: Seq[String], precombineCol: String,
     val glob = (s"$deltaPath/c*" +: partitionCols.map(c => s"$c=*")).mkString("/")
     val raw = spark.readStream.schema(dataSch).parquet(glob)
     val withParts = partitionCols.foldLeft(raw) { (df, c) =>
+      // Hive path escaping is %XX only — it does NOT escape '+', which
+      // url_decode would turn into a space; pre-escape '+' so only the
+      // %XX pairs decode. Null partitions round-trip via the Hive
+      // default-partition sentinel.
+      val rawVal = regexp_extract(input_file_name(), s"/$c=([^/]+)/", 1)
+      val unescaped = url_decode(replace(rawVal, lit("+"), lit("%2B")))
       df.withColumn(c,
-        url_decode(regexp_extract(input_file_name(), s"/$c=([^/]+)/", 1))
-          .cast(sch(c).dataType))
+        when(unescaped === "__HIVE_DEFAULT_PARTITION__", lit(null))
+          .otherwise(unescaped).cast(sch(c).dataType))
     }
     withParts.select(sch.fieldNames.map(col).toSeq: _*)
   }

@@ -92,16 +92,26 @@ object ContentLookup {
           size() > cacheSize
       }
       type Pending = (Seq[T], Map[String, Future[Map[Int, String]]])
-      // submit-time resolution: capture each id's future NOW — LRU eviction
-      // while the batch is queued must not drop an answer we still owe
+      // submit-time resolution: capture each id's future DIRECTLY (hits
+      // before any put, misses from the fetch future itself) — reading
+      // back through cache.get after the puts would NPE whenever LRU
+      // eviction (cache smaller than a batch's distinct ids, or a hit
+      // sitting at the eldest slot) dropped an entry we still owe
       def submit(batch: Seq[T]): Pending = {
         val ids = batch.map(contentIdOf).distinct.filter(_.nonEmpty)
-        val misses = ids.filterNot(cache.containsKey)
-        if (misses.nonEmpty) {
-          val f = Future(client.lookup(misses))
-          misses.foreach(id => cache.put(id, f.map(_.getOrElse(id, Map.empty))))
-        }
-        (batch, ids.map(id => id -> cache.get(id)).toMap)
+        val hits = ids.flatMap(id => Option(cache.get(id)).map(id -> _)).toMap
+        val misses = ids.filterNot(hits.contains)
+        val fetched: Map[String, Future[Map[Int, String]]] =
+          if (misses.isEmpty) Map.empty
+          else {
+            val f = Future(client.lookup(misses))
+            misses.map { id =>
+              val fid = f.map(_.getOrElse(id, Map.empty))
+              cache.put(id, fid)
+              id -> fid
+            }.toMap
+          }
+        (batch, hits ++ fetched)
       }
       val batches = it.grouped(batchSize)
       val window = scala.collection.mutable.Queue.empty[Pending]

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame, DataFrameReader, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.DataStreamReader
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -47,15 +48,18 @@ object KafkaSeam {
     * `LogRequest` definition, so codec and consumers cannot drift. */
   val envelopeSchema: StructType = Encoders.product[LogRequest].schema
 
-  /** Configured Kafka reader — the deploy-time source seam. `load()` on
+  /** Configured STREAMING Kafka reader — the deploy-time source seam
+    * (the pipeline is a continuous consumer, so this must be readStream;
+    * the batch `spark.read.format("kafka")` source ignores
+    * maxOffsetsPerTrigger and reads the whole topic once). `load()` on
     * the result requires the connector jar on the classpath (absent in
     * this container; the options are the compile-checked contract).
-    * maxOffsetsPerTrigger bounds per-batch work (backfill safety);
+    * maxOffsetsPerTrigger bounds per-micro-batch work (backfill safety);
     * minPartitions lets 32 Kafka partitions fan out to 1000 cores. */
   def reader(spark: SparkSession, brokers: String, topics: String,
       maxOffsetsPerTrigger: Long = 10000000L,
-      minPartitions: Int = 0): DataFrameReader = {
-    val r = spark.read.format("kafka")
+      minPartitions: Int = 0): DataStreamReader = {
+    val r = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", brokers)
       .option("subscribe", topics)
       .option("startingOffsets", "earliest")

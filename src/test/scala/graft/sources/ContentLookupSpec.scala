@@ -63,6 +63,20 @@ class ContentLookupSpec extends SparkSpec {
       s"no overlap observed: peak=${SlowStubClient.peak.get()}")
   }
 
+  test("async variant survives eviction pressure (cache smaller than a batch)") {
+    SlowStubClient.reset()
+    // 40 distinct ids per batch against a 4-entry cache: every batch's
+    // puts evict earlier entries (including same-batch ones and prior
+    // hits) before emission resolves — futures must be captured directly,
+    // not read back through the cache
+    val items = (1 to 200).map(i => s"e${i % 50}").toDS().coalesce(1)
+    val rows = ContentLookup.enrichWithClientAsync[String](
+      items, identity, new SlowStubClient, batchSize = 40, cacheSize = 4,
+      maxInFlight = 3).collect()
+    assert(rows.length == 200)
+    assert(rows.forall(e => e.otherContentIds(1) == s"store-of-${e.value}"))
+  }
+
   test("async variant dedups in-flight fetches of a recurring id") {
     SlowStubClient.reset()
     // the same id appears in every batch; batches 2..N are submitted while
