@@ -1005,7 +1005,8 @@ object SparkEntry {
   /** q52's oracle replays the PQ pipeline: codebook = subvectors of the 16
     * lowest-id vectors (code = rank by id), assignment = integer-L2 argmin
     * (nsq+nsq-2·dot, e9-rounded terms, lowest code on ties), ADC = sum of
-    * the 8 per-subspace LUT dots. Same integers as the Spark kernels. */
+    * the 8 per-subspace L2 table entries (2·dot − ‖cent‖²). Same integers
+    * as the Spark kernels. */
   private val q52OracleSql: String = {
     val subspaces = 8; val subDim = 8; val cbSize = 16
     val dot = (a: String, b: String) =>
@@ -1032,7 +1033,8 @@ object SparkEntry {
        |  SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS r
        |  FROM dist) WHERE r = 1),
        |lut AS (
-       | SELECT s.vec_id AS qid, s.m, c.code, ${dot("s.svec", "c.cvec")} AS dp
+       | SELECT s.vec_id AS qid, s.m, c.code,
+       |  2 * ${dot("s.svec", "c.cvec")} - c.cnsq AS dp
        | FROM svn s JOIN cbn c ON c.m = s.m WHERE s.vec_id < 20),
        |adc AS (
        | SELECT l.qid, k.vec_id AS cid, CAST(sum(l.dp) AS BIGINT) AS adc_e9

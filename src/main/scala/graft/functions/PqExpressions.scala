@@ -51,8 +51,12 @@ object PqKernel {
     new GenericArrayData(out)
   }
 
-  /** Flattened ADC lookup table: lut[m·codebookSize + c] = e9 dot of the
-    * query's m-th subvector with codebook entry c. */
+  /** Flattened ADC lookup table: lut[m·codebookSize + c] =
+    * 2·dot(q_m, cent) − ‖cent‖² in e9 quantization — the classic
+    * L2 ADC table: summing entries gives −‖q − recon(c)‖² up to the
+    * constant ‖q‖² term, so ranking DESC ranks by approximate L2
+    * (a raw-dot table would rank by inner product, which diverges from
+    * the L2/cosine neighbors the quantizer was trained for). */
   def lut(v: ArrayData, cb: Array[Array[Array[Float]]], subDim: Int): ArrayData = {
     val k = if (cb.isEmpty) 0 else cb(0).length
     val out = new Array[Long](cb.length * k)
@@ -63,13 +67,16 @@ object PqKernel {
       var c = 0
       while (c < cents.length) {
         val cent = cents(c)
-        var dot = 0L
+        var dot = 0L; var cn = 0L
         var i = 0
-        while (i < subDim && off + i < n) {
-          dot += roundAway(v.getFloat(off + i).toDouble * cent(i).toDouble * 1e9)
+        while (i < subDim) {
+          val ci = cent(i).toDouble
+          cn += roundAway(ci * ci * 1e9)
+          if (off + i < n)
+            dot += roundAway(v.getFloat(off + i).toDouble * ci * 1e9)
           i += 1
         }
-        out(m * k + c) = dot
+        out(m * k + c) = 2L * dot - cn
         c += 1
       }
       m += 1

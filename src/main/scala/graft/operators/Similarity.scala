@@ -163,7 +163,8 @@ object Similarity {
     * only the nLists centroids ever land on the driver.
     * Returns (centId, centVec) with unit-independent raw means. */
   def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nLists: Int, iters: Int): DataFrame = {
+      nLists: Int, iters: Int, metric: String = "cosine"): DataFrame = {
+    require(metric == "cosine" || metric == "l2", s"unknown metric $metric")
     VectorExpressions.register(corpus.sparkSession)
     val base = corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"),
       VectorExpressions.normSqE9Fast(col(vecCol)).as("vn"))
@@ -172,10 +173,14 @@ object Similarity {
     for (_ <- 0 until iters) {
       val c = broadcast(cents.withColumn("centN",
         VectorExpressions.normSqE9Fast(col("centVec"))))
+      // assignment score, HIGHER = closer (the .desc ordering below):
+      // cosine for IVF lists; negated integer L2² for PQ sub-quantizers
+      // (vn + cn - 2·dot in e9 quantization — classic k-means metric)
+      val dot = VectorExpressions.dotE9Fast(col("vec"), col("centVec"))
       val scored = base.join(c)
         .withColumn("__cs",
-          cosineFromE9(VectorExpressions.dotE9Fast(col("vec"), col("centVec")),
-            col("vn"), col("centN")))
+          if (metric == "cosine") cosineFromE9(dot, col("vn"), col("centN"))
+          else -(col("vn") + col("centN") - lit(2L) * dot))
       val w = Window.partitionBy(col("vid")).orderBy(col("__cs").desc, col("centId"))
       val assigned = scored.withColumn("__r", row_number().over(w))
         .where(col("__r") === 1)
@@ -296,7 +301,8 @@ object Similarity {
     * LUTs and ranks per query. Output: qid, cid, rank, adc_e9. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, subspaces: Int, codebookSize: Int,
-      dimsIn: Int = -1): DataFrame = {
+      dimsIn: Int = -1,
+      codebooks: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
     VectorExpressions.register(corpus.sparkSession)
     val d = resolveDims(corpus, vecCol, dimsIn)
     if (d < 0)
@@ -305,16 +311,24 @@ object Similarity {
     require(d % subspaces == 0, s"dims $d not divisible by $subspaces subspaces")
     val subDim = d / subspaces
 
-    // codebook: subspaces × codebookSize subvectors off the lowest ids —
-    // tiny by construction, the one (bounded) driver action here
-    val seed = corpus.orderBy(col(idCol)).limit(codebookSize)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).toArray)
-    require(seed.length == codebookSize,
-      s"corpus has only ${seed.length} vectors for a $codebookSize-entry codebook")
-    val cb: Array[Array[Array[Float]]] = Array.tabulate(subspaces, codebookSize) {
-      (m, c) => seed(c).slice(m * subDim, (m + 1) * subDim)
+    // codebook: caller-trained (e.g. per-subspace k-means, collected —
+    // codebooks are subspaces × codebookSize × subDim, inherently tiny)
+    // or the training-free default: subvectors of the codebookSize
+    // lowest-id vectors (the q34 quantizer convention; one bounded
+    // driver action)
+    val cb: Array[Array[Array[Float]]] = codebooks.getOrElse {
+      val seed = corpus.orderBy(col(idCol)).limit(codebookSize)
+        .select(col(vecCol)).collect()
+        .map(_.getSeq[Float](0).toArray)
+      require(seed.length == codebookSize,
+        s"corpus has only ${seed.length} vectors for a $codebookSize-entry codebook")
+      Array.tabulate(subspaces, codebookSize) { (m, c) =>
+        seed(c).slice(m * subDim, (m + 1) * subDim)
+      }
     }
+    require(cb.length == subspaces && cb.forall(_.length == codebookSize),
+      s"codebook shape ${cb.length}x${cb.headOption.map(_.length).getOrElse(0)} " +
+        s"!= $subspaces x $codebookSize")
 
     // Encode, LUT-build and ADC run as single codegen'd kernel
     // expressions (functions/PqExpressions) — a DataFrame formulation
