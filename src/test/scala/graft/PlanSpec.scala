@@ -91,6 +91,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), p.take(2000))
   }
 
+  test("PQ ANN: kernel encode + broadcast LUTs + partial top-k pushdown") {
+    val p = plan("q52_pq_ann")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // corpus side: ONE kernel-encode projection; query side broadcast
+    assert("pq_encode".r.findAllIn(p).size == 1, p.take(2000))
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    // rank<=k prunes per-partition BEFORE the exchange (WindowGroupLimit
+    // partial) — the top-k never shuffles the full pair set
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("incremental read prunes the base scan to touched partitions") {
+    val p = plan("q51_upsert_incremental")
+    // changed keys reach the full-history scan as a broadcast semi join,
+    // and the base file scan carries a non-empty partition filter (only
+    // dirs the new commits touched are listed)
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(p.contains("PartitionFilters: [("), p.take(3000))
+  }
+
   test("whole-stage codegen covers the relational pipeline") {
     // AQE finalizes the plan (and its codegen annotation) only when THIS
     // query execution runs — collect() on the frame itself, not count()
