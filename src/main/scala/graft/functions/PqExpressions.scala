@@ -35,10 +35,15 @@ object PqKernel {
         val cent = cents(c)
         var dot = 0L; var cn = 0L
         var i = 0
-        while (i < subDim && off + i < n) {
+        // full-width centroid norm, truncation guards only the dot —
+        // missing vector components read as zeros, the SAME metric the
+        // ADC lut kernel scores with (a truncated norm here would code
+        // short vectors under a different distance than they're scored)
+        while (i < subDim) {
           val ci = cent(i).toDouble
-          dot += roundAway(v.getFloat(off + i).toDouble * ci * 1e9)
           cn += roundAway(ci * ci * 1e9)
+          if (off + i < n)
+            dot += roundAway(v.getFloat(off + i).toDouble * ci * 1e9)
           i += 1
         }
         val d = cn - 2L * dot

@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   *    (channels, sample rate, bits/sample as little-endian fields) and
   *    the "data" chunk (payload size → duration; RIFF spec). Chunks may
   *    appear in any order with arbitrary padding chunks between, so the
-  *    walk is a bounded loop — a tiny deterministic UDF, O(#chunks).
+  *    walk is a bounded loop — ONE deterministic UDF producing the whole
+  *    parameter struct (per-field UDFs would re-walk per column),
+  *    O(#chunks), Long cursor so a crafted chunk size can't overflow
+  *    into a negative offset.
   *  - FLAC: "fLaC", then the mandatory first STREAMINFO block carries
   *    sample rate (20 bits), channels-1 (3 bits) and total samples
   *    (36 bits) bit-packed at byte 18 (FLAC format spec §METADATA_BLOCK_
@@ -22,14 +25,12 @@ import org.apache.spark.sql.functions._
   *    walk, not a header read) so metadata stays NULL here and rows route
   *    to the decode stage.
   *
-  * Unknown/truncated blobs yield NULL fields — callers route them to the
-  * decode stage or a reject channel, as with images.
+  * Unknown/truncated/malformed blobs yield NULL fields (a missing data
+  * chunk yields NULL duration, not 0) — callers route them to the decode
+  * stage or a reject channel, as with images.
   */
 object AudioHeaders {
-
-  private def u8(c: Column, i: Int): Column =
-    conv(hex(substring(c, i, 1)), 16, 10).cast("int")
-  private def ascii4(c: Column, i: Int): Column = substring(c, i, 4).cast("string")
+  import ByteCols.{ascii4, u8}
 
   /** Format sniff from magic bytes: wav | flac | mp3 | ogg | NULL. */
   def audioFormat(bytes: Column): Column =
@@ -41,40 +42,38 @@ object AudioHeaders {
       u8(bytes, 1) === 0xff && (u8(bytes, 2) >= 0xe0), "mp3")
     .when(length(bytes) >= 4 && ascii4(bytes, 1) === "OggS", "ogg")
 
-  /** Parsed WAV parameters: (channels, sampleRate, bitsPerSample,
-    * dataBytes) from the fmt/data chunk walk. */
+  /** Parsed WAV parameters from the fmt/data chunk walk; `dataBytes` is
+    * -1 when no data chunk was found (mapped to NULL duration). */
   private[multimodal] def wavParams(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
     def le16(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
     def le32(i: Int): Long = (le16(i) | (le16(i + 2).toLong << 16)) & 0xffffffffL
     if (b == null || b.length < 12) return None
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
-    var i = 12
+    var i = 12L // Long cursor: a crafted u32 chunk size must not wrap an Int
     var fmt: Option[(Int, Int, Int)] = None
-    var dataBytes: Option[Long] = None
-    while (i + 8 <= b.length && (fmt.isEmpty || dataBytes.isEmpty)) {
-      val id = new String(b, i, 4, "US-ASCII")
-      val size = le32(i + 4)
+    var dataBytes = -1L
+    while (i + 8 <= b.length && (fmt.isEmpty || dataBytes < 0)) {
+      val ii = i.toInt
+      val id = new String(b, ii, 4, "US-ASCII")
+      val size = le32(ii + 4)
       if (id == "fmt " && i + 8 + 16 <= b.length) {
-        val channels = le16(i + 10)
-        val rate = le32(i + 12).toInt
-        val bits = le16(i + 22)
+        val channels = le16(ii + 10)
+        val rate = le32(ii + 12).toInt
+        val bits = le16(ii + 22)
         fmt = Some((channels, rate, bits))
       } else if (id == "data") {
-        dataBytes = Some(size)
+        dataBytes = size
       }
       // chunks are word-aligned: odd sizes carry one pad byte (RIFF spec)
-      i += 8 + size.toInt + (size.toInt & 1)
-      if (size > Int.MaxValue - 16) return fmt.map { case (c, r, bt) =>
-        (c, r, bt, dataBytes.getOrElse(0L)) } // pathological size: stop
+      i += 8L + size + (size & 1L)
     }
-    fmt.map { case (c, r, bt) => (c, r, bt, dataBytes.getOrElse(0L)) }
+    fmt.map { case (c, r, bt) => (c, r, bt, dataBytes) }
   }
 
-  private val wavChannels = udf((b: Array[Byte]) => wavParams(b).map(_._1))
-  private val wavRate = udf((b: Array[Byte]) => wavParams(b).map(_._2))
-  private val wavBits = udf((b: Array[Byte]) => wavParams(b).map(_._3))
-  private val wavData = udf((b: Array[Byte]) => wavParams(b).map(_._4))
+  /** ONE chunk walk per row: the whole parameter tuple as a struct column
+    * (_1 channels, _2 rate, _3 bits, _4 dataBytes|-1). */
+  private val wavMetaUdf = udf((b: Array[Byte]) => wavParams(b))
 
   // FLAC STREAMINFO (mandatory first metadata block, header at byte 4,
   // payload at byte 8; 1-based substring offsets): sample rate = 20 bits
@@ -91,37 +90,42 @@ object AudioHeaders {
       u8(c, 23).cast("long") * 16777216L + u8(c, 24).cast("long") * 65536L +
       u8(c, 25).cast("long") * 256L + u8(c, 26).cast("long"))
 
-  def audioChannels(bytes: Column): Column =
-    when(audioFormat(bytes) === "wav", wavChannels(bytes))
-      .when(audioFormat(bytes) === "flac" && length(bytes) >= 26, flacChannels(bytes))
-
-  def audioSampleRate(bytes: Column): Column =
-    when(audioFormat(bytes) === "wav", wavRate(bytes))
-      .when(audioFormat(bytes) === "flac" && length(bytes) >= 26, flacRate(bytes))
-
-  def audioBitsPerSample(bytes: Column): Column =
-    when(audioFormat(bytes) === "wav", wavBits(bytes))
-      .when(audioFormat(bytes) === "flac" && length(bytes) >= 26, flacBits(bytes))
-
-  /** Stream duration in milliseconds (NULL when unknown): WAV from data
-    * bytes / byte rate; FLAC from total samples / rate (total-samples = 0
-    * means "unknown" per spec → NULL). */
-  def audioDurationMs(bytes: Column): Column = {
-    val wavDur = (wavData(bytes).cast("double") * 1000.0 /
-      (wavRate(bytes) * wavChannels(bytes) * (wavBits(bytes) / lit(8))))
-      .cast("long")
+  /** (format, channels, sample_rate, bits_per_sample, duration_ms) parsed
+    * from `bytes` — evaluates the WAV chunk walk ONCE per row. */
+  private def metaColumns(bytes: Column): Seq[(String, Column)] = {
+    val fmt = audioFormat(bytes)
+    val wav = wavMetaUdf(bytes) // struct(_1.._4) or NULL
+    val isFlac = fmt === "flac" && length(bytes) >= 26
+    val wavDataBytes = wav.getField("_4")
+    val wavDur = when(wavDataBytes >= 0,
+      (wavDataBytes.cast("double") * 1000.0 /
+        (wav.getField("_2") * wav.getField("_1") * (wav.getField("_3") / lit(8))))
+        .cast("long"))
     val flacDur = when(flacTotalSamples(bytes) > 0,
       (flacTotalSamples(bytes).cast("double") * 1000.0 / flacRate(bytes)).cast("long"))
-    when(audioFormat(bytes) === "wav", wavDur)
-      .when(audioFormat(bytes) === "flac" && length(bytes) >= 26, flacDur)
+    Seq(
+      "audio_format" -> fmt,
+      "audio_channels" -> when(fmt === "wav", wav.getField("_1"))
+        .when(isFlac, flacChannels(bytes)),
+      "audio_sample_rate" -> when(fmt === "wav", wav.getField("_2"))
+        .when(isFlac, flacRate(bytes)),
+      "audio_bits_per_sample" -> when(fmt === "wav", wav.getField("_3"))
+        .when(isFlac, flacBits(bytes)),
+      "audio_duration_ms" -> when(fmt === "wav", wavDur).when(isFlac, flacDur))
   }
+
+  def audioChannels(bytes: Column): Column = metaColumns(bytes)(1)._2
+  def audioSampleRate(bytes: Column): Column = metaColumns(bytes)(2)._2
+  def audioBitsPerSample(bytes: Column): Column = metaColumns(bytes)(3)._2
+
+  /** Stream duration in milliseconds (NULL when unknown — including a WAV
+    * missing its data chunk and a FLAC with total-samples = 0). */
+  def audioDurationMs(bytes: Column): Column = metaColumns(bytes)(4)._2
 
   /** Attach (format, channels, sample_rate, bits_per_sample, duration_ms)
     * metadata columns parsed from the binary column. */
   def withAudioMeta(df: DataFrame, bytesCol: String): DataFrame =
-    df.withColumn("audio_format", audioFormat(col(bytesCol)))
-      .withColumn("audio_channels", audioChannels(col(bytesCol)))
-      .withColumn("audio_sample_rate", audioSampleRate(col(bytesCol)))
-      .withColumn("audio_bits_per_sample", audioBitsPerSample(col(bytesCol)))
-      .withColumn("audio_duration_ms", audioDurationMs(col(bytesCol)))
+    metaColumns(col(bytesCol)).foldLeft(df) { case (d, (name, c)) =>
+      d.withColumn(name, c)
+    }
 }

@@ -22,16 +22,7 @@ import org.apache.spark.sql.functions._
   * decode stage or a reject channel).
   */
 object ImageHeaders {
-
-  /** u8 at 1-BASED position `i` of a binary column, as int (binary has no
-    * element accessor — hex the 1-byte slice and parse; codegen'd). */
-  private def u8(c: Column, i: Int): Column =
-    conv(hex(substring(c, i, 1)), 16, 10).cast("int")
-
-  private def beU16(c: Column, i: Int): Column = u8(c, i) * 256 + u8(c, i + 1)
-  private def leU16(c: Column, i: Int): Column = u8(c, i) + u8(c, i + 1) * 256
-  private def beU32(c: Column, i: Int): Column =
-    ((u8(c, i) * 256L + u8(c, i + 1)) * 256L + u8(c, i + 2)) * 256L + u8(c, i + 3)
+  import ByteCols.{beU32, leU16, u8}
 
   /** Format sniff from magic bytes: png | gif | jpeg | NULL. */
   def imageFormat(bytes: Column): Column =

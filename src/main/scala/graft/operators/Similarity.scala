@@ -326,9 +326,11 @@ object Similarity {
         seed(c).slice(m * subDim, (m + 1) * subDim)
       }
     }
-    require(cb.length == subspaces && cb.forall(_.length == codebookSize),
-      s"codebook shape ${cb.length}x${cb.headOption.map(_.length).getOrElse(0)} " +
-        s"!= $subspaces x $codebookSize")
+    require(cb.length == subspaces && cb.forall(_.length == codebookSize) &&
+      cb.forall(_.forall(_.length == subDim)),
+      s"codebook shape ${cb.length}x${cb.headOption.map(_.length).getOrElse(0)}" +
+        s"x${cb.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)} " +
+        s"!= $subspaces x $codebookSize x $subDim")
 
     // Encode, LUT-build and ADC run as single codegen'd kernel
     // expressions (functions/PqExpressions) — a DataFrame formulation

@@ -20,8 +20,14 @@ import graft.schema.WindowAggResult
 object SlidingCounterTws {
   import SlidingCounter.{Event, State}
 
-  /** Chained-query output: `emittedAt` is the RELEASE (tick) time, the
-    * column a downstream stateful stage anchors its watermark on. */
+  /** Chained-query output: `emittedAt` is the RELEASE stamp — the tick
+    * time clamped above the current watermark (the chaining contract:
+    * watermark values stay in the source event-time domain, only emission
+    * stamps are inflated; identical to the other tws ports). After a
+    * watermark jump, every tick drained in that catch-up shares one
+    * release stamp — a downstream stage windowing on `emittedAt` windows
+    * RELEASES, not cadence; window on `windowStartMs + windowSizeMs` for
+    * cadence-aligned downstream aggregation. */
   case class ResultAt(key: String, windowStartMs: Long, windowSizeMs: Long,
       count: Long, emittedAt: java.sql.Timestamp)
 
@@ -40,13 +46,39 @@ object SlidingCounterTws {
         Encoders.scalaLong, TTLConfig.NONE)
     }
 
-    /** One timer outstanding per key: next emit tick (clamped above the
-      * watermark so it can actually fire). */
+    /** Emit every tick the watermark has passed and point-rewrite the
+      * bucket map (advance only ever drops buckets outside ingest). Both
+      * the input path and the timer path run this, so a continuously-hot
+      * key emits every batch off its own input processing — timers only
+      * cover keys that go QUIET with live buckets (input processing runs
+      * before timer expiry within a batch, so a due timer on a hot key is
+      * a no-op, never the only emission path). */
+    private def drain(key: String, wmMs: Long): Seq[ResultAt] = {
+      if (!lastEmit.exists()) return Nil
+      val st = State(buckets.iterator().map(kv => kv._1 -> kv._2).toMap,
+        lastEmit.get())
+      val (out, next) = SlidingCounter.advance(key, Nil, st, wmMs, emitMs, windowsMs)
+      st.buckets.keysIterator.filterNot(next.buckets.contains)
+        .foreach(buckets.removeKey)
+      lastEmit.update(next.lastEmitMs)
+      if (next.buckets.isEmpty) { buckets.clear(); lastEmit.clear() }
+      out.map(r => ResultAt(r.key, r.windowStartMs, r.windowSizeMs,
+        r.count, new java.sql.Timestamp(
+          math.max(r.windowStartMs + r.windowSizeMs, wmMs + 1))))
+    }
+
+    /** One timer outstanding per key, at the next FUTURE tick (drain has
+      * already fired everything <= wm, so lastEmit+emitMs > wm here —
+      * never delete-and-repark a due timer, the starvation failure mode
+      * for always-active keys). */
     private def armTimer(wmMs: Long): Unit = {
+      if (!lastEmit.exists()) { // drained empty: no further ticks owed
+        if (timerAt.exists()) { getHandle.deleteTimer(timerAt.get()); timerAt.clear() }
+        return
+      }
       val next = math.max(lastEmit.get() + emitMs, wmMs + 1)
-      if (timerAt.exists() && timerAt.get() != next)
-        getHandle.deleteTimer(timerAt.get())
       if (!timerAt.exists() || timerAt.get() != next) {
+        if (timerAt.exists()) getHandle.deleteTimer(timerAt.get())
         getHandle.registerTimer(next)
         timerAt.update(next)
       }
@@ -65,27 +97,19 @@ object SlidingCounterTws {
       // earliest bucket (advance's lastEmitMs==0 convention)
       if (!lastEmit.exists() && minBucket != Long.MaxValue)
         lastEmit.update(minBucket - emitMs)
-      armTimer(timerValues.getCurrentWatermarkInMs())
-      Iterator.empty
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val out = drain(key, wm)
+      armTimer(wm)
+      out.iterator
     }
 
     override def handleExpiredTimer(key: String, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[ResultAt] = {
       timerAt.clear()
       val wm = timerValues.getCurrentWatermarkInMs()
-      val st = State(buckets.iterator().map(kv => kv._1 -> kv._2).toMap,
-        if (lastEmit.exists()) lastEmit.get() else 0L)
-      val (out, next) = SlidingCounter.advance(key, Nil, st, wm, emitMs, windowsMs)
-      // point-rewrite the bucket map: advance only ever DROPS buckets here
-      st.buckets.keysIterator.filterNot(next.buckets.contains)
-        .foreach(buckets.removeKey)
-      lastEmit.update(next.lastEmitMs)
-      if (next.buckets.isEmpty) {
-        buckets.clear(); lastEmit.clear()
-      } else armTimer(wm)
-      out.iterator.map(r => ResultAt(r.key, r.windowStartMs, r.windowSizeMs,
-        r.count, new java.sql.Timestamp(
-          math.max(r.windowStartMs + r.windowSizeMs, wm + 1))))
+      val out = drain(key, wm)
+      armTimer(wm)
+      out.iterator
     }
   }
 

@@ -65,6 +65,37 @@ class SlidingCounterTwsSpec extends SparkSpec {
     }
   }
 
+  test("a key active in EVERY batch still emits (no timer starvation)") {
+    withRocksDb {
+      // the key itself drives the watermark forward batch after batch —
+      // a design that only emits from timers starves here, because input
+      // processing re-parks the due timer above the watermark each batch
+      def runBatched(name: String,
+          mk: MemoryStream[SlidingCounter.Event] => org.apache.spark.sql.DataFrame)
+          : Set[(String, Long, Long, Long)] = {
+        val mem = MemoryStream[SlidingCounter.Event]
+        val q = mk(mem).writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          Seq(500L, 4000L, 9000L, 15000L, 22000L, 30000L).foreach { ts =>
+            mem.addData(SlidingCounter.Event("hot", ts, 1L))
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        spark.table(name)
+          .select("key", "windowStartMs", "windowSizeMs", "count")
+          .as[WindowAggResult].collect()
+          .map(r => (r.key, r.windowStartMs, r.windowSizeMs, r.count)).toSet
+      }
+      val tws = runBatched("slct_hot_tws", m => SlidingCounterTws.countStream(
+        m.toDS(), "1 second", emitMs = 1000L, windowsMs = Seq(2000L)).toDF())
+      val fmgws = runBatched("slct_hot_fmgws", m => SlidingCounter.countStream(
+        m.toDS(), "1 second", emitMs = 1000L, windowsMs = Seq(2000L)).toDF())
+      assert(tws.nonEmpty, "tws emitted nothing — timer starvation")
+      assert(tws == fmgws)
+    }
+  }
+
   test("chained: sliding counts feed a windowed aggregation in ONE query") {
     withRocksDb {
       val mem = MemoryStream[SlidingCounter.Event]
