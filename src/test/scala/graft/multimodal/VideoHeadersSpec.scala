@@ -1,0 +1,76 @@
+package graft.multimodal
+
+import java.io.ByteArrayOutputStream
+
+import graft.SparkSpec
+
+class VideoHeadersSpec extends SparkSpec {
+  import spark.implicits._
+
+  // -- bit-exact ISO BMFF builders (no media libs) -------------------------
+
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+
+  private def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+    be32(8L + payload.length) ++ tpe.getBytes("US-ASCII") ++ payload
+
+  private def ftyp = box("ftyp", "isom".getBytes ++ be32(512) ++ "isomiso2".getBytes)
+
+  /** mvhd v0: timescale+duration at payload +12/+16. */
+  private def mvhd(timescale: Long, duration: Long): Array[Byte] =
+    box("mvhd", new Array[Byte](12) ++ be32(timescale) ++ be32(duration) ++
+      new Array[Byte](80))
+
+  /** mvhd v1: 64-bit duration at +28, timescale at +20. */
+  private def mvhdV1(timescale: Long, duration: Long): Array[Byte] =
+    box("mvhd", Array[Byte](1, 0, 0, 0) ++ new Array[Byte](16) ++
+      be32(timescale) ++ be64(duration) ++ new Array[Byte](80))
+
+  /** tkhd with 16.16 width/height as the LAST 8 payload bytes. */
+  private def trak(w: Int, h: Int): Array[Byte] =
+    box("trak", box("tkhd",
+      new Array[Byte](76) ++ be32(w.toLong << 16) ++ be32(h.toLong << 16)))
+
+  private def mp4(boxes: Array[Byte]*): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    boxes.foreach(out.write)
+    out.toByteArray
+  }
+
+  private def meta(blobs: Seq[Array[Byte]]) =
+    VideoHeaders.withVideoMeta(blobs.toDF("bytes"), "bytes")
+      .select("video_format", "video_duration_ms", "video_width", "video_height")
+      .collect()
+
+  test("mp4: mvhd v0/v1 duration and first video track dims parse") {
+    val rows = meta(Seq(
+      mp4(ftyp, box("moov", mvhd(1000, 90000) ++ trak(1920, 1080))),
+      // audio track first (zero dims) — the video track must still win;
+      // v1 mvhd with a >32-bit duration value
+      mp4(ftyp, box("moov",
+        mvhdV1(600, 3000000000L) ++ trak(0, 0) ++ trak(640, 360)))))
+    assert(rows(0).getString(0) == "mp4" && rows(0).getLong(1) == 90000L &&
+      rows(0).getInt(2) == 1920 && rows(0).getInt(3) == 1080)
+    assert(rows(1).getLong(1) == 3000000000L * 1000 / 600 &&
+      rows(1).getInt(2) == 640 && rows(1).getInt(3) == 360)
+  }
+
+  test("webm/avi sniff; malformed boxes degrade to NULLs, never throw") {
+    val evil = mp4(ftyp, be32(0xFFFFFFFFL) ++ "moov".getBytes) // absurd size
+    val rows = meta(Seq(
+      Array[Byte](0x1a, 0x45.toByte, 0xdf.toByte, 0xa3.toByte, 1, 2, 3),
+      "RIFF".getBytes ++ be32(100).reverse ++ "AVI LIST".getBytes,
+      evil,
+      mp4(ftyp), // no moov at all
+      "not a video".getBytes))
+    assert(rows(0).getString(0) == "webm" && rows(0).isNullAt(1))
+    assert(rows(1).getString(0) == "avi" && rows(1).isNullAt(1))
+    assert(rows(2).getString(0) == "mp4" && rows(2).isNullAt(1) &&
+      rows(2).isNullAt(2))
+    assert(rows(3).getString(0) == "mp4" && rows(3).isNullAt(1))
+    assert(rows(4).isNullAt(0))
+  }
+}
