@@ -14,7 +14,8 @@ import graft.streaming.{InferredJoin, LastSeen, LatestImpressions,
   * transform → `writeStream` forms of the batch jobs, sharing the same
   * stage functions (the batch/streaming equivalence is pinned by
   * StreamingFlatSpec). Sources are file streams here; a Kafka deployment
-  * swaps `readStream.format("kafka")` + the envelope decoder without
+  * swaps in `sources/KafkaSeam.reader` + `KafkaSeam.decode` (the wire
+  * contract and codec are pinned broker-free by KafkaSeamSpec) without
   * touching the stages.
   *
   * Checkpointing: one checkpoint dir per query, stable query names —

@@ -17,7 +17,8 @@ import graft.functions.TextFunctions
   *    counts, not |docs|².
   *  - `minHashLshPairs`: MinHash+banded-LSH candidate generation, the
   *    sub-quadratic path at 100 TB; candidates carry the signature-estimated
-  *    Jaccard for thresholding, and can be re-ranked with exact Jaccard.
+  *    Jaccard for thresholding. `minHashVerifiedPairs` composes it with the
+  *    exact intersection kernel — block sub-quadratically, verify exactly.
   *  - `simHash64`: 64-bit SimHash fingerprints; near-dups = small Hamming
   *    distance (use `bit_count(a ^ b)`).
   */
