@@ -412,6 +412,23 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, nLists = 16, nProbe = 4)
     }),
 
+    // Corpus prep: line-level boilerplate dedup (CCNet/RefinedWeb method)
+    // — drop lines appearing in >= maxDocFreq distinct docs. The corpus
+    // has no newlines, so the gate first re-lines each doc into 3-word
+    // chunks deterministically (same derivation in the oracle); with the
+    // tiny synthetic vocabulary many chunks recur, so the threshold
+    // genuinely removes lines AND drops fully-boilerplate docs.
+    "q53_line_dedup" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val lined = t(s, dir, "documents").select(col("doc_id"),
+        array_join(
+          transform(sequence(lit(0), ((size(toks) - 1) / 3).cast("int")),
+            i => array_join(slice(toks, i * 3 + 1, lit(3)), " ")),
+          "\n").as("text"))
+      CorpusOps.lineDedup(lined, "doc_id", "text", maxDocFreq = 20L)
+        .select(col("doc_id"), col("text"))
+    }),
+
     // Similarity/PQ: product-quantization ANN — the memory lever at
     // 100 TB (m one-byte codes per vector instead of d floats; ADC = m
     // lookups per candidate). Oracled: training-free codebook, integer-L2
@@ -1423,6 +1440,23 @@ object SparkEntry {
     "q22_simhash" -> q22OracleSql,
     "q23_lsh_ann" -> q23OracleSql,
     "q52_pq_ann" -> q52OracleSql,
+    // same deterministic 3-word re-lining, df over distinct docs per
+    // line, lines under the threshold reassembled in position order
+    "q53_line_dedup" ->
+      """WITH t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+        |lined AS (
+        | SELECT doc_id, i AS pos,
+        |  array_to_string(tk[i*3+1 : i*3+3], ' ') AS line
+        | FROM t, LATERAL (SELECT unnest(generate_series(0, CAST((len(tk)-1)/3 AS BIGINT))) AS i) ix),
+        |df AS (
+        | SELECT line, count(DISTINCT doc_id) AS d FROM lined
+        | WHERE trim(line) <> '' GROUP BY 1),
+        |kept AS (
+        | SELECT l.doc_id, l.pos, l.line FROM lined l LEFT JOIN df ON df.line = l.line
+        | WHERE df.d IS NULL OR df.d < 20)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |FROM kept GROUP BY doc_id""".stripMargin,
     "q30_rolling_fp" -> q30OracleSql,
     "q34_ivf_ann" -> q34OracleSql,
     "q24_query_hash" -> q24OracleSql,

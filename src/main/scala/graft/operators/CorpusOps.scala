@@ -34,6 +34,38 @@ object CorpusOps {
     df.withColumn("bucket", bucket).withColumn("split", split)
   }
 
+  /** Line-level boilerplate dedup (CCNet / RefinedWeb line-wise filtering
+    * — public method: drop lines whose document frequency says "template",
+    * keep the rest of the document intact). A line survives when fewer
+    * than `maxDocFreq` DISTINCT documents contain it (empty/whitespace
+    * lines always survive — they are structure, not content). Documents
+    * whose every line is boilerplate drop out entirely, the
+    * fully-templated-page case.
+    *
+    * Scale shape: explode lines (one narrow pass), ONE aggregation for
+    * the df table keyed on the line text (map-side combined), an equi
+    * join back, and an ordered reassembly grouped by doc — two shuffles
+    * total, both on natural keys; no window over a global order. The df
+    * table is vastly smaller than the corpus (distinct lines), and a
+    * broadcast threshold picks the join strategy automatically.
+    *
+    * Output: (idCol, `text` rebuilt with `delim`). */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+      maxDocFreq: Long, delim: String = "\n"): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+        .as(Seq("__pos", "__line")))
+    val df = lines.where(trim(col("__line")) =!= "")
+      .groupBy(col("__line")).agg(countDistinct(col(idCol)).as("__df"))
+    lines.join(df, Seq("__line"), "left")
+      .where(col("__df").isNull || col("__df") < maxDocFreq)
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          e => e.getField("__line")),
+        delim).as("text"))
+  }
+
   /** Concat-and-chunk sequence packing — the GPT-style pretraining layout:
     * within each shard, documents concatenate into one token stream in
     * `idCol` order and the stream is cut every `budgetTokens`. Emits the

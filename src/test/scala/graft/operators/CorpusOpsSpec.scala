@@ -9,6 +9,26 @@ import org.apache.spark.sql.functions._
 class CorpusOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("lineDedup drops template lines, keeps order, preserves blanks") {
+    val boiler = "subscribe to our newsletter"
+    val docs = ((1L to 10L).map(i =>
+      (i, s"$boiler\nunique line $i\n\nsecond unique $i")) :+
+      (99L, s"$boiler\n$boiler")) // fully-boilerplate doc
+      .toDF("doc_id", "text")
+    val out = CorpusOps.lineDedup(docs, "doc_id", "text", maxDocFreq = 5L)
+      .as[(Long, String)].collect().toMap
+    // the 11-doc boilerplate line is gone; unique lines survive in order,
+    // the empty line survives as structure
+    assert(out(1L) == "unique line 1\n\nsecond unique 1")
+    assert(out.size == 10 && !out.contains(99L)) // fully-templated doc drops
+    // below-threshold repetition survives
+    val mild = ((1L to 3L).map(i => (i, s"shared header\nbody $i")))
+      .toDF("doc_id", "text")
+    val kept = CorpusOps.lineDedup(mild, "doc_id", "text", maxDocFreq = 5L)
+      .as[(Long, String)].collect().toMap
+    assert(kept(2L) == "shared header\nbody 2")
+  }
+
   test("splitAssign is deterministic and stable under corpus growth") {
     val small = (1L to 200L).toDF("id")
     val big = (1L to 400L).toDF("id")
