@@ -419,11 +419,15 @@ object SparkEntry {
     // tiny synthetic vocabulary many chunks recur, so the threshold
     // genuinely removes lines AND drops fully-boilerplate docs.
     "q53_line_dedup" -> ((s, dir) => {
-      val toks = split(trim(col("text")), "\\s+")
-      val lined = t(s, dir, "documents").select(col("doc_id"),
+      // tokenize ONCE per row behind a projection boundary — inlining the
+      // split into the chunking lambda re-splits the text per chunk
+      val tokd = t(s, dir, "documents").select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("__tk"))
+      val tk = col("__tk")
+      val lined = tokd.select(col("doc_id"),
         array_join(
-          transform(sequence(lit(0), ((size(toks) - 1) / 3).cast("int")),
-            i => array_join(slice(toks, i * 3 + 1, lit(3)), " ")),
+          transform(sequence(lit(0), ((size(tk) - 1) / 3).cast("int")),
+            i => array_join(slice(tk, i * 3 + 1, lit(3)), " ")),
           "\n").as("text"))
       CorpusOps.lineDedup(lined, "doc_id", "text", maxDocFreq = 20L)
         .select(col("doc_id"), col("text"))
