@@ -417,7 +417,8 @@ object SparkEntry {
     // has no newlines, so the gate first re-lines each doc into 3-word
     // chunks deterministically (same derivation in the oracle); with the
     // tiny synthetic vocabulary many chunks recur, so the threshold
-    // genuinely removes lines AND drops fully-boilerplate docs.
+    // genuinely removes lines (no doc in this corpus loses every line,
+    // but a fully-boilerplate doc would drop — CorpusOpsSpec pins that).
     "q53_line_dedup" -> ((s, dir) => {
       // tokenize ONCE per row behind a projection boundary — inlining the
       // split into the chunking lambda re-splits the text per chunk
@@ -1452,13 +1453,13 @@ object SparkEntry {
         |lined AS (
         | SELECT doc_id, i AS pos,
         |  array_to_string(tk[i*3+1 : i*3+3], ' ') AS line
-        | FROM t, LATERAL (SELECT unnest(generate_series(0, CAST((len(tk)-1)/3 AS BIGINT))) AS i) ix),
+        | FROM t, LATERAL (SELECT unnest(generate_series(0, (len(tk)-1)//3)) AS i) ix),
         |df AS (
         | SELECT line, count(DISTINCT doc_id) AS d FROM lined
         | WHERE trim(line) <> '' GROUP BY 1),
         |kept AS (
         | SELECT l.doc_id, l.pos, l.line FROM lined l LEFT JOIN df ON df.line = l.line
-        | WHERE df.d IS NULL OR df.d < 20)
+        | WHERE l.line IS NOT NULL AND (df.d IS NULL OR df.d < 20))
         |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
         |FROM kept GROUP BY doc_id""".stripMargin,
     "q30_rolling_fp" -> q30OracleSql,

@@ -97,7 +97,11 @@ object AudioHeaders {
     val wav = wavMetaUdf(bytes) // struct(_1.._4) or NULL
     val isFlac = fmt === "flac" && length(bytes) >= 26
     val wavDataBytes = wav.getField("_4")
-    val wavDur = when(wavDataBytes >= 0,
+    // a malformed fmt chunk can declare 0 channels/rate/bits — guard the
+    // denominator so the division yields NULL, not Infinity→Long.MaxValue
+    val wavDur = when(
+      wavDataBytes >= 0 && wav.getField("_1") > 0 && wav.getField("_2") > 0 &&
+        wav.getField("_3") >= 8,
       (wavDataBytes.cast("double") * 1000.0 /
         (wav.getField("_2") * wav.getField("_1") * (wav.getField("_3") / lit(8))))
         .cast("long"))

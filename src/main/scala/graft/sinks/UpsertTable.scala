@@ -92,13 +92,20 @@ class UpsertTable(path: String, keyCols: Seq[String], precombineCol: String,
     // as-of pin that should fail). FileContext.rename(OVERWRITE) is the
     // atomic-replace rename; plain FileSystem.rename refuses existing
     // destinations.
+    // create AND rename both go through FileContext (the raw, non-checksum
+    // fs): creating via FileSystem would drop a .crc sidecar that the
+    // FileContext rename leaves behind, accumulating stale checksums next
+    // to the markers.
     val f = fs(spark)
-    val tmp = new Path(p + ".tmp")
-    val out = f.create(tmp, true)
-    try out.write(s.getBytes("UTF-8")) finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       f.getUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(fc.makeQualified(tmp), fc.makeQualified(new Path(p)),
+    val tmp = fc.makeQualified(new Path(p + ".tmp"))
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+      org.apache.hadoop.fs.Options.CreateOpts.createParent())
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+    fc.rename(tmp, fc.makeQualified(new Path(p)),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 

@@ -121,6 +121,13 @@ object FlatChainTws {
         col("r.scopes").as("scopes"), col("r.contentIds").as("contentIds"),
         col("emittedAt"))
     val right = actRhs.toDF()
+      // enforce the reserved-prefix contract documented on [[SelfMarker]]:
+      // an adversarial action id starting with it would be silently
+      // classified as a self-pair below — fail the batch loudly instead
+      .withColumn("id", when(col("id").startsWith(SelfMarker),
+        raise_error(concat(
+          lit("action id begins with the reserved SelfMarker prefix: "),
+          col("id")))).otherwise(col("id")))
       .withColumn("emittedAt", timestamp_millis(col("tsMs")))
       .withWatermark("emittedAt", rhsWatermarkDelay)
     val cols = Seq("platformId", "logUserId", "side", "id", "parentId",

@@ -314,4 +314,26 @@ class FlatChainTwsSpec extends SparkSpec {
       assert(got == fcBatchResult)
     }
   }
+
+  test("action ids carrying the reserved SelfMarker prefix fail loudly") {
+    withRocksDb {
+      val mem1 = MemoryStream[ScopedEvent]
+      val mem2 = MemoryStream[ScopedEvent]
+      val mem3 = MemoryStream[ScopedEvent]
+      val q = fcReduced(mem1, mem2, mem3)
+        .writeStream.format("memory").queryName("flat_selfmarker_guard")
+        .outputMode("append").start()
+      // an adversarial action id that would otherwise be misclassified as
+      // an impression self-pair in the fused stage-3 output mapping
+      mem3.addData(ScopedEvent(0, "u1", 1,
+        FlatChainTws.SelfMarker + "a1", "mE", 5000L, Seq("")))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("reserved SelfMarker prefix")))
+      q.stop()
+    }
+  }
 }
