@@ -163,6 +163,84 @@ object StreamingJobs {
       .queryName("counter_families").start()
   }
 
+  /** Counter job QUERY families END-TO-END in ONE query — the reference's
+    * top-query wiring (CounterJob.java:441-499): an "emit-top-queries"
+    * frequency window marks query hashes whose count reaches
+    * `minCountThreshold`; family counts keyed by query hash GATE on that
+    * marker stream (RightSeenOutput, the J11 seen-gate); survivors encode
+    * HSET commands. THREE chained stateful operators in one query:
+    *
+    *   family SlidingCounterTws ─┐
+    *                             ├─ union → SeenGateTws (mid-chain) → sink
+    *   query-freq SlidingCounterTws → threshold (stateless) ─┘
+    *
+    * Both counter stages share the emit cadence, so a query crossing the
+    * threshold at tick T marks the gate in the same micro-batch that the
+    * tick-T family counts are released — family emissions from the
+    * crossing tick onward pass (the reference has the same
+    * arrival-order contract between its window fire and RightSeenOutput).
+    *
+    * Command encoding mirrors q29's oracled shape: key = "qu" ␟ platform ␟
+    * queryHash ␟ windowStart (the count's own window, so last-write-wins
+    * delivery leaves exactly the per-window totals), field = packed
+    * feature id, value = count, with the emission tick as the `tsMs`
+    * ordering column ([[Sinks.streamCommands]] contract for non-monotone
+    * sliding counts).
+    *
+    * Input contract: platformId, queryHash (string), metric (packed
+    * AggMetric long), tsMs. */
+  def counterQueryFamilies(events: DataFrame, client: Sinks.CommandClient,
+      checkpointDir: String, watermarkDelay: String = "1 minute",
+      emitMs: Long = 86400000L, windowMs: Long = 86400000L,
+      minCountThreshold: Long = 3L)(
+      implicit spark: SparkSession): StreamingQuery = {
+    import spark.implicits._
+    import graft.agg.{CounterFeatures => CF}
+    import graft.streaming.{SeenGateTws, SlidingCounter, SlidingCounterTws}
+    val windowCode =
+      if (windowMs >= 86400000L) CF.CountWindow.Day else CF.CountWindow.Hour
+    // stage 1a: per-(platform, queryHash, metric) family counts
+    val famCounts = SlidingCounterTws.countStreamChained(
+      events.select(
+        concat_ws(CF.Sep, lit("qu"), col("platformId"), col("queryHash"),
+          CF.featureIdCol(lit(CF.CountType.Query), col("metric"),
+            lit(windowCode)).cast("string")).as("key"),
+        col("tsMs"), lit(1L).as("n")).as[SlidingCounter.Event],
+      watermarkDelay, emitMs, Seq(windowMs))
+    // stage 1b: raw query frequency, thresholded into top-query markers
+    val topMarkers = SlidingCounterTws.countStreamChained(
+      events.select(col("queryHash").as("key"), col("tsMs"), lit(1L).as("n"))
+        .as[SlidingCounter.Event],
+      watermarkDelay, emitMs, Seq(windowMs))
+      .where(col("count") >= minCountThreshold)
+    // stage 2: the seen-gate — lefts are family emissions (gate key = the
+    // queryHash segment of the packed family key; id carries the command
+    // payload through the gate), rights are the markers
+    val sep = CF.Sep
+    val lefts = famCounts.toDF().select(
+      split(col("key"), sep).getItem(2).as("key"), lit(0).as("side"),
+      concat_ws(sep, col("key"), col("windowStartMs"), col("windowSizeMs"),
+        col("count")).as("id"),
+      (col("windowStartMs") + col("windowSizeMs")).as("tsMs"),
+      lit(false).as("immediate"), col("emittedAt"))
+    val rights = topMarkers.toDF().select(
+      col("key"), lit(1).as("side"), lit("").as("id"),
+      (col("windowStartMs") + col("windowSizeMs")).as("tsMs"),
+      lit(false).as("immediate"), col("emittedAt"))
+    val gated = SeenGateTws.gateChained(
+      lefts.unionByName(rights).as[SeenGateTws.EventAt])
+    // stage 3 (stateless): unpack the command payload → HSET frame
+    val cmd = split(col("id"), sep)
+    val commands = gated.toDF().select(
+      lit("HSET").as("cmd"),
+      concat_ws(sep, cmd.getItem(0), cmd.getItem(1), cmd.getItem(2),
+        cmd.getItem(4)).as("key"),
+      cmd.getItem(3).as("field"), cmd.getItem(6).as("value"),
+      lit(2L * windowMs / 1000L).as("ttlSec"), col("tsMs"))
+    Sinks.streamCommands(commands, client, s"$checkpointDir/query_families")
+      .queryName("counter_query_families").start()
+  }
+
   /** Counter job last-seen families: per (user, content) last timestamp +
     * rolling 90d count as HSET commands, with TTL-decrement re-emission
     * (the reference's LastTimeAndCount wiring,

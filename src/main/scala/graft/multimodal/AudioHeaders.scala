@@ -20,10 +20,16 @@ import org.apache.spark.sql.functions._
   *    sample rate (20 bits), channels-1 (3 bits) and total samples
   *    (36 bits) bit-packed at byte 18 (FLAC format spec §METADATA_BLOCK_
   *    STREAMINFO) — fixed offsets, declarative byte math.
-  *  - MP3/OGG: sniffed by magic ("ID3"/0xFFEx sync, "OggS") for routing;
-  *    their stream parameters live in per-frame headers (a full-stream
-  *    walk, not a header read) so metadata stays NULL here and rows route
-  *    to the decode stage.
+  *  - MP3: skip an ID3v2 tag (syncsafe size), scan a bounded window for
+  *    the 0xFFEx frame sync, decode the 4-byte frame header through the
+  *    MPEG-1/2/2.5 bitrate and sample-rate tables (ISO 11172-3 §2.4.2.3 /
+  *    13818-3). Duration prefers the Xing/Info or VBRI frame count (the
+  *    VBR case, where first-frame bitrate lies) and falls back to the
+  *    CBR byte-length estimate.
+  *  - OGG: codec parameters from the first page's Vorbis/Opus id header;
+  *    duration from the highest granule position over a bounded page walk
+  *    (page size = 27 + segments + segment-table sum). Opus granules run
+  *    at 48 kHz regardless of the input rate (RFC 7845 §4).
   *
   * Unknown/truncated/malformed blobs yield NULL fields (a missing data
   * chunk yields NULL duration, not 0) — callers route them to the decode

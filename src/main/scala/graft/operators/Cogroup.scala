@@ -47,11 +47,12 @@ object Cogroup {
     * collected lists are bounded by session size (the reference holds the
     * same per-session state in its window cogroup). */
   def sessionPayloadCogroup(left: DataFrame, right: DataFrame, keys: Seq[String],
-      tsMs: String, gapMs: Long, leftTie: String, rightTie: String): DataFrame = {
+      tsMs: String, gapMs: Long, leftTie: String, rightTie: String,
+      tieType: String = "long"): DataFrame = {
     val l = left.select((keys.map(col) :+ col(tsMs) :+
-      col(leftTie).cast("long").as("__tie") :+ lit(1).as("__isLeft")): _*)
+      col(leftTie).cast(tieType).as("__tie") :+ lit(1).as("__isLeft")): _*)
     val r = right.select((keys.map(col) :+ col(tsMs) :+
-      col(rightTie).cast("long").as("__tie") :+ lit(0).as("__isLeft")): _*)
+      col(rightTie).cast(tieType).as("__tie") :+ lit(0).as("__isLeft")): _*)
     def ids(isLeft: Int): Column = array_join(transform(
       sort_array(collect_list(when(col("__isLeft") === isLeft,
         struct(col(tsMs).as("t"), col("__tie").as("i"))))),

@@ -157,4 +157,84 @@ object FlatChainTws {
     RedundantReduceTws.reduceChained(
       tiny.as[RedundantReduceTws.TinyJoined], oooMs, replaceTtlMs, cleanupMs)
   }
+
+  /** J6 onto the chain's `Reduced` output, stateless — the JoinedEvent
+    * merge (reference MergeImpressionDetails / MergeActionDetails,
+    * FlatOutputJob.java:712-754): left-join the full entity payloads onto
+    * the tiny ids, label what a row is missing, keep the drop side channel
+    * in-plan as a `status` column (K6 discipline).
+    *
+    * ONE pass over the single reduced stream with per-kind required-detail
+    * sets, instead of the reference's two merge operators: splitting the
+    * stream into an impression branch and an action branch and unioning
+    * the merges back would plan the four stateful upstream stages TWICE
+    * (the self-union trap documented on [[joinAndReduce]]). Kind
+    * `impression` requires insertion + impression details; kind `action`
+    * additionally requires action details (labels = the reference's
+    * MissingEvent names). `redundant`/`dangling` rows should be filtered
+    * or side-channeled by the caller before the merge.
+    *
+    * Detail frames join on `insertionId` / `impressionId` / `actionId` and
+    * must carry uniquely-named payload columns. In streaming mode they are
+    * static (stream-static left equi-joins — watermark-preserving,
+    * broadcast when dimension-sized); at 100 TB each is one equi-join with
+    * no state, exactly like the batch `MergeDetails`. */
+  def mergeFlagshipDetails(reduced: DataFrame, insertionDetails: DataFrame,
+      impressionDetails: DataFrame, actionDetails: DataFrame): DataFrame = {
+    val j = reduced
+      .join(insertionDetails.withColumn("__has_ins", lit(1)),
+        Seq("insertionId"), "left")
+      .join(impressionDetails.withColumn("__has_imp", lit(1)),
+        Seq("impressionId"), "left")
+      .join(actionDetails.withColumn("__has_act", lit(1)),
+        Seq("actionId"), "left")
+    j.withColumn("missing", concat_ws(",",
+        when(col("__has_ins").isNull, lit("DELIVERY_LOG")),
+        when(col("__has_imp").isNull, lit("IMPRESSION")),
+        when(col("kind") === "action" && col("__has_act").isNull,
+          lit("ACTION"))))
+      .withColumn("status",
+        when(col("missing") === "", lit("ok")).otherwise(lit("dropped")))
+      .drop("__has_ins", "__has_imp", "__has_act")
+  }
+
+  /** The COMPLETE streaming flagship as one query: the fused four-stage
+    * chain's `Reduced` output → stateless JoinedEvent merge
+    * ([[mergeFlagshipDetails]]) → J7 session cogroup — FIVE stateful
+    * operators in one linear chain, emitting FlatResponseInsertion rows
+    * (reference deliverable, FlatOutputJob.java:998-1044). Root
+    * impressions and re-pointed actions of each insertion cogroup in
+    * `gapMs` event-time sessions; rows that failed the merge (`status` =
+    * dropped) never enter a session, like the reference's dropped-merge
+    * side output.
+    *
+    * `sessOooMs` ≥ the reduce stage's `oooMs` + a scheduling margin (see
+    * [[SessionCogroupTws]] sizing notes). When the JoinedEvent stream
+    * itself must also be materialized, use the two-query production split
+    * instead: sink the merged frame, then run [[SessionCogroupTws]] over a
+    * staged read (the reference materializes its flat tables anyway) —
+    * StreamingFlagshipSpec drives both shapes. */
+  def flagshipSessions(reduced: Dataset[RedundantReduceTws.Reduced],
+      insertionDetails: DataFrame, impressionDetails: DataFrame,
+      actionDetails: DataFrame, gapMs: Long, sessOooMs: Long)(
+      implicit spark: SparkSession): Dataset[SessionCogroupTws.FlatSession] = {
+    val merged = mergeFlagshipDetails(
+      reduced.toDF().where(col("kind").isin("impression", "action")),
+      insertionDetails, impressionDetails, actionDetails)
+    SessionCogroupTws.cogroupChained(
+      flatEvents(merged.where(col("status") === "ok")), gapMs, sessOooMs)
+  }
+
+  /** Detail-merged rows → the cogroup's input shape: impressions collect
+    * their impressionId, actions their actionId. */
+  def flatEvents(merged: DataFrame)(
+      implicit spark: SparkSession): Dataset[SessionCogroupTws.FlatEvent] = {
+    import spark.implicits._
+    merged.select(col("platformId"), col("logUserId"), col("insertionId"),
+        (col("kind") === "impression").as("isImpression"),
+        when(col("kind") === "impression", col("impressionId"))
+          .otherwise(col("actionId")).as("id"),
+        col("tsMs"), col("emittedAt"))
+      .as[SessionCogroupTws.FlatEvent]
+  }
 }

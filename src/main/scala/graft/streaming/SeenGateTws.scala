@@ -33,7 +33,19 @@ object SeenGateTws {
   case class GatedAt(key: String, id: String, tsMs: Long,
       emittedAt: java.sql.Timestamp)
 
-  class Processor extends StatefulProcessor[String, Event, GatedAt] {
+  /** Chained-INPUT row: [[SeenGate.Event]] plus the upstream stage's
+    * release stamp (the union's shared time column). The stamp itself is
+    * not read by the gate — it exists so a mid-chain gate's input frame
+    * carries the watermark column the tws chaining contract requires. */
+  case class EventAt(key: String, side: Int, id: String, tsMs: Long,
+      immediate: Boolean, emittedAt: java.sql.Timestamp)
+
+  /** The gate transition over any input shape that maps onto
+    * [[SeenGate.Event]] — one body for the raw-stream and mid-chain
+    * forms. */
+  abstract class GateProcessor[I] extends StatefulProcessor[String, I, GatedAt] {
+    protected def toEvent(i: I): Event
+
     @transient private var seen: ValueState[Boolean] = _
     @transient private var delayed: ListState[(Long, String)] = _
 
@@ -44,10 +56,10 @@ object SeenGateTws {
         Encoders.tuple(Encoders.scalaLong, Encoders.STRING), TTLConfig.NONE)
     }
 
-    override def handleInputRows(key: String, rows: Iterator[Event],
+    override def handleInputRows(key: String, rows: Iterator[I],
         timerValues: TimerValues): Iterator[GatedAt] = {
       val out = Seq.newBuilder[GatedAt]
-      rows.foreach { e =>
+      rows.map(toEvent).foreach { e =>
         if (e.side == 1) {
           if (!seen.exists()) seen.update(true)
         } else if (e.immediate) {
@@ -77,6 +89,16 @@ object SeenGateTws {
     }
   }
 
+  class Processor extends GateProcessor[Event] {
+    protected def toEvent(e: Event): Event = e
+  }
+
+  /** Mid-chain form of [[Processor]]: consumes [[EventAt]] rows. */
+  class ProcessorAt extends GateProcessor[EventAt] {
+    protected def toEvent(e: EventAt): Event =
+      Event(e.key, e.side, e.id, e.tsMs, e.immediate)
+  }
+
   def gateStream(events: Dataset[Event], watermarkDelay: String)(
       implicit spark: SparkSession): Dataset[Gated] = {
     import spark.implicits._
@@ -96,5 +118,18 @@ object SeenGateTws {
       .as[Event]
       .groupByKey(_.key)
       .transformWithState(new Processor, "emittedAt", OutputMode.Append())
+  }
+
+  /** MID-CHAIN gate: `events` already carry an upstream `emittedAt` time
+    * column (e.g. a [[SlidingCounterTws]] emission stream unioned with a
+    * watermarked marker stream — the reference's RightSeenOutput position
+    * in the counter job, CounterJob.java:470-499 top-query filtering).
+    * No new watermark node; the output re-anchors on its own release
+    * stamps, so FURTHER stages can chain after the gate. */
+  def gateChained(events: Dataset[EventAt])(
+      implicit spark: SparkSession): Dataset[GatedAt] = {
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .transformWithState(new ProcessorAt, "emittedAt", OutputMode.Append())
   }
 }
