@@ -81,6 +81,146 @@ object AudioHeaders {
     * (_1 channels, _2 rate, _3 bits, _4 dataBytes|-1). */
   private val wavMetaUdf = udf((b: Array[Byte]) => wavParams(b))
 
+  // MPEG audio bitrate tables, kbps (ISO 11172-3 table 3-B.2 / 13818-3):
+  // index 0 = "free format", 15 = invalid — both yield no CBR estimate.
+  private val V1L1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+  private val V1L2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+  private val V1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val V2L1 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+  private val V2L23 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+  /** MP3 (channels, sampleRate, durationMs | -1): ID3v2 skip → bounded
+    * sync scan → frame-header decode → Xing/Info/VBRI frame count when
+    * present, else the CBR byte estimate. */
+  private[multimodal] def mp3Params(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (b == null || b.length < 4) return None
+    def u32be(i: Long): Long = {
+      val ii = i.toInt
+      ((b(ii) & 0xffL) << 24) | ((b(ii + 1) & 0xffL) << 16) |
+        ((b(ii + 2) & 0xffL) << 8) | (b(ii + 3) & 0xffL)
+    }
+    var off = 0L
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      // ID3v2 size is syncsafe: 4 × 7 bits (id3v2.4 §3.1)
+      val sz = ((b(6) & 0x7fL) << 21) | ((b(7) & 0x7fL) << 14) |
+        ((b(8) & 0x7fL) << 7) | (b(9) & 0x7fL)
+      off = 10L + sz
+    }
+    // bounded scan for the frame sync — tag padding/junk happens in the
+    // wild, but an unbounded scan over a corrupt blob is a DoS on a
+    // corpus job
+    val limit = math.min(b.length - 4L, off + 8192L)
+    while (off <= limit && !((b(off.toInt) & 0xff) == 0xff &&
+        (b(off.toInt + 1) & 0xe0) == 0xe0)) off += 1
+    if (off > limit || off < 0) return None
+    val h1 = b(off.toInt + 1) & 0xff
+    val h2 = b(off.toInt + 2) & 0xff
+    val h3 = b(off.toInt + 3) & 0xff
+    val versionBits = (h1 >> 3) & 3 // 0 = MPEG2.5, 2 = MPEG2, 3 = MPEG1
+    val layerBits = (h1 >> 1) & 3 // 1 = III, 2 = II, 3 = I
+    if (versionBits == 1 || layerBits == 0) return None
+    val rateIdx = (h2 >> 2) & 3
+    if (rateIdx == 3) return None
+    val rate = versionBits match {
+      case 3 => Array(44100, 48000, 32000)(rateIdx)
+      case 2 => Array(22050, 24000, 16000)(rateIdx)
+      case _ => Array(11025, 12000, 8000)(rateIdx)
+    }
+    val channels = if (((h3 >> 6) & 3) == 3) 1 else 2
+    val v1 = versionBits == 3
+    val kbps = (if (v1) layerBits match {
+        case 3 => V1L1
+        case 2 => V1L2
+        case _ => V1L3
+      }
+      else if (layerBits == 3) V2L1
+      else V2L23)((h2 >> 4) & 15)
+    val samplesPerFrame =
+      if (layerBits == 3) 384
+      else if (layerBits == 2) 1152
+      else if (v1) 1152
+      else 576
+    var durMs = -1L
+    if (layerBits == 1) { // Xing/VBRI live after layer-III side info only
+      val sideInfo =
+        if (v1) { if (channels == 1) 17 else 32 }
+        else { if (channels == 1) 9 else 17 }
+      val xi = off + 4 + sideInfo
+      if (xi + 12 <= b.length) {
+        val tag = new String(b, xi.toInt, 4, "US-ASCII")
+        if ((tag == "Xing" || tag == "Info") && (u32be(xi + 4) & 1L) != 0) {
+          val frames = u32be(xi + 8)
+          if (frames > 0) durMs = frames * samplesPerFrame * 1000L / rate
+        }
+      }
+      val vi = off + 4 + 32 // VBRI sits at a fixed 32-byte offset
+      if (durMs < 0 && vi + 18 <= b.length &&
+          new String(b, vi.toInt, 4, "US-ASCII") == "VBRI") {
+        val frames = u32be(vi + 14)
+        if (frames > 0) durMs = frames * samplesPerFrame * 1000L / rate
+      }
+    }
+    if (durMs < 0 && kbps > 0) durMs = (b.length - off) * 8L / kbps
+    Some((channels, rate, durMs))
+  }
+
+  private val mp3MetaUdf = udf((b: Array[Byte]) => mp3Params(b))
+
+  /** OGG (channels, sampleRate, durationMs | -1): Vorbis/Opus id header on
+    * the first page, highest granule over the page walk. */
+  private[multimodal] def oggParams(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (b == null || b.length < 28) return None
+    def u32le(i: Int): Long = (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    def u64le(i: Int): Long = u32le(i) | (u32le(i + 4) << 32)
+    def isCapture(i: Long): Boolean = i + 4 <= b.length &&
+      b(i.toInt) == 'O' && b(i.toInt + 1) == 'g' && b(i.toInt + 2) == 'g' &&
+      b(i.toInt + 3) == 'S'
+    if (!isCapture(0)) return None
+    var channels = -1
+    var rate = -1
+    var granRate = -1 // granule clock: the codec rate (Vorbis) or 48 kHz (Opus)
+    var lastGranule = -1L
+    var first = true
+    var i = 0L
+    var ok = true
+    while (ok && i + 27 <= b.length && isCapture(i)) {
+      val ii = i.toInt
+      val nseg = b(ii + 26) & 0xff
+      if (i + 27 + nseg > b.length) ok = false
+      else {
+        var payload = 0L
+        var k = 0
+        while (k < nseg) { payload += (b(ii + 27 + k) & 0xff); k += 1 }
+        // granule −1 (all ones) = no packet finishes on this page
+        val g = u64le(ii + 6)
+        if (g >= 0 && g > lastGranule) lastGranule = g
+        val p = i + 27 + nseg
+        if (first && p + 19 <= b.length && payload >= 19) {
+          if ((b(p.toInt) & 0xff) == 1 &&
+              new String(b, p.toInt + 1, 6, "US-ASCII") == "vorbis") {
+            channels = b(p.toInt + 11) & 0xff // id header §4.2.2
+            rate = u32le(p.toInt + 12).toInt
+            granRate = rate
+          } else if (new String(b, p.toInt, 8, "US-ASCII") == "OpusHead") {
+            channels = b(p.toInt + 9) & 0xff // RFC 7845 §5.1
+            rate = u32le(p.toInt + 12).toInt
+            granRate = 48000
+          }
+        }
+        first = false
+        if (p + payload > b.length) ok = false else i = p + payload
+      }
+    }
+    if (channels < 0) return None
+    val durMs =
+      if (lastGranule > 0 && granRate > 0) lastGranule * 1000L / granRate
+      else -1L
+    Some((channels, rate, durMs))
+  }
+
+  private val oggMetaUdf = udf((b: Array[Byte]) => oggParams(b))
+
   // FLAC STREAMINFO (mandatory first metadata block, header at byte 4,
   // payload at byte 8; 1-based substring offsets): sample rate = 20 bits
   // starting at payload byte 10, then 3 channel bits, 5 bits/sample bits,
@@ -97,10 +237,13 @@ object AudioHeaders {
       u8(c, 25).cast("long") * 256L + u8(c, 26).cast("long"))
 
   /** (format, channels, sample_rate, bits_per_sample, duration_ms) parsed
-    * from `bytes` — evaluates the WAV chunk walk ONCE per row. */
+    * from `bytes` — evaluates each format's walk ONCE per row, behind the
+    * format sniff so only the matching parser runs. */
   private def metaColumns(bytes: Column): Seq[(String, Column)] = {
     val fmt = audioFormat(bytes)
     val wav = wavMetaUdf(bytes) // struct(_1.._4) or NULL
+    val mp3 = mp3MetaUdf(when(fmt === "mp3", bytes)) // NULL input → NULL out
+    val ogg = oggMetaUdf(when(fmt === "ogg", bytes))
     val isFlac = fmt === "flac" && length(bytes) >= 26
     val wavDataBytes = wav.getField("_4")
     // a malformed fmt chunk can declare 0 channels/rate/bits — guard the
@@ -113,15 +256,22 @@ object AudioHeaders {
         .cast("long"))
     val flacDur = when(flacTotalSamples(bytes) > 0,
       (flacTotalSamples(bytes).cast("double") * 1000.0 / flacRate(bytes)).cast("long"))
+    def dur(c: Column) = when(c.getField("_3") >= 0, c.getField("_3"))
     Seq(
       "audio_format" -> fmt,
       "audio_channels" -> when(fmt === "wav", wav.getField("_1"))
-        .when(isFlac, flacChannels(bytes)),
+        .when(isFlac, flacChannels(bytes))
+        .when(fmt === "mp3", mp3.getField("_1"))
+        .when(fmt === "ogg", ogg.getField("_1")),
       "audio_sample_rate" -> when(fmt === "wav", wav.getField("_2"))
-        .when(isFlac, flacRate(bytes)),
+        .when(isFlac, flacRate(bytes))
+        .when(fmt === "mp3", mp3.getField("_2"))
+        .when(fmt === "ogg", ogg.getField("_2")),
+      // bits/sample is a PCM notion — NULL for the lossy codecs
       "audio_bits_per_sample" -> when(fmt === "wav", wav.getField("_3"))
         .when(isFlac, flacBits(bytes)),
-      "audio_duration_ms" -> when(fmt === "wav", wavDur).when(isFlac, flacDur))
+      "audio_duration_ms" -> when(fmt === "wav", wavDur).when(isFlac, flacDur)
+        .when(fmt === "mp3", dur(mp3)).when(fmt === "ogg", dur(ogg)))
   }
 
   def audioChannels(bytes: Column): Column = metaColumns(bytes)(1)._2

@@ -16,9 +16,15 @@ import org.apache.spark.sql.functions._
   *    u32 with size==1 → 64-bit largesize; the walk uses a Long cursor
   *    and treats any malformed size as end-of-parse (NULLs, never a
   *    throw) — one bounded-loop UDF returning the whole tuple.
-  *  - WebM/MKV (EBML magic 0x1A45DFA3) and AVI ("RIFF"+"AVI ") sniff for
-  *    routing; their duration fields need an element/chunk tree walk with
-  *    float timecodes, so metadata stays NULL and rows route to decode.
+  *  - WebM/MKV (EBML magic 0x1A45DFA3): a bounded EBML element walk —
+  *    VINT ids keep their marker bit, VINT sizes strip it, the all-ones
+  *    size means unknown extent (live-muxed Segments) and extends to the
+  *    blob end. Segment → Info carries TimecodeScale (default 10⁶ ns) and
+  *    Duration (4- or 8-byte big-endian IEEE float, in timecode units);
+  *    Segment → Tracks → TrackEntry → Video carries PixelWidth/Height
+  *    (Matroska spec / RFC 9559 §4).
+  *  - AVI ("RIFF"+"AVI ") sniffs for routing only; its duration needs the
+  *    full avih/strh chunk tree, so rows route to decode.
   *
   * The first video track's dimensions win (the reference corpus shape:
   * one video track + audio tracks whose tkhd dims are zero). */
@@ -86,15 +92,93 @@ object VideoHeaders {
   /** ONE box walk per row: (durationMs|-1, width|-1, height|-1). */
   private val mp4MetaUdf = udf((b: Array[Byte]) => mp4Params(b))
 
+  /** (durationMs, width, height) from the EBML walk; -1 = field absent. */
+  private[multimodal] def webmParams(b: Array[Byte]): Option[(Long, Int, Int)] = {
+    if (b == null || b.length < 5) return None
+    if (!((b(0) & 0xff) == 0x1a && (b(1) & 0xff) == 0x45 &&
+        (b(2) & 0xff) == 0xdf && (b(3) & 0xff) == 0xa3)) return None
+    // VINT at i: (value, byteLength); value −1 = malformed, −2 = the
+    // all-ones "unknown size" marker (only meaningful for sizes)
+    def vint(i: Long, keepMarker: Boolean): (Long, Int) = {
+      if (i >= b.length) return (-1L, 0)
+      val first = b(i.toInt) & 0xff
+      if (first == 0) return (-1L, 0) // >8-byte VINT: out of scope
+      val len = java.lang.Integer.numberOfLeadingZeros(first) - 23
+      if (i + len > b.length) return (-1L, 0)
+      var v: Long = if (keepMarker) first else first & (0xff >>> len)
+      var allOnes = !keepMarker && (first & (0xff >>> len)) == (0xff >>> len)
+      var k = 1
+      while (k < len) {
+        val x = b(i.toInt + k) & 0xff
+        v = (v << 8) | x
+        if (x != 0xff) allOnes = false
+        k += 1
+      }
+      if (allOnes) (-2L, len) else (v, len)
+    }
+    // children of [from, to): f(id, payloadStart, payloadEnd)
+    def walk(from: Long, to: Long)(f: (Long, Long, Long) => Unit): Unit = {
+      var i = from
+      while (i < to) {
+        val (id, idLen) = vint(i, keepMarker = true)
+        if (idLen == 0 || id < 0) return
+        val (size, szLen) = vint(i + idLen, keepMarker = false)
+        if (szLen == 0 || size == -1L) return
+        val start = i + idLen + szLen
+        val end = if (size == -2L) to else start + size
+        if (end > to || end < start) return // malformed: stop, keep found
+        f(id, start, end)
+        i = end
+      }
+    }
+    def uint(s: Long, e: Long): Long = {
+      var v = 0L; var i = s
+      while (i < e && i - s < 8) { v = (v << 8) | (b(i.toInt) & 0xff); i += 1 }
+      v
+    }
+    def float(s: Long, e: Long): Double =
+      if (e - s == 4) java.lang.Float.intBitsToFloat(uint(s, e).toInt).toDouble
+      else if (e - s == 8) java.lang.Double.longBitsToDouble(uint(s, e))
+      else -1.0
+    var timecodeScale = 1000000L // ns per timecode unit (spec default)
+    var durationTc = -1.0
+    var w = -1; var h = -1
+    walk(0L, b.length.toLong) { (id, s, e) =>
+      if (id == 0x18538067L) walk(s, e) { (id2, s2, e2) => // Segment
+        if (id2 == 0x1549A966L) walk(s2, e2) { (id3, s3, e3) => // Info
+          if (id3 == 0x2AD7B1L && uint(s3, e3) > 0) timecodeScale = uint(s3, e3)
+          else if (id3 == 0x4489L) durationTc = float(s3, e3)
+        }
+        else if (id2 == 0x1654AE6BL) walk(s2, e2) { (id3, s3, e3) => // Tracks
+          if (id3 == 0xAEL) walk(s3, e3) { (id4, s4, e4) => // TrackEntry
+            if (id4 == 0xE0L) walk(s4, e4) { (id5, s5, e5) => // Video
+              if (id5 == 0xB0L && w <= 0) w = uint(s5, e5).toInt
+              else if (id5 == 0xBAL && h <= 0) h = uint(s5, e5).toInt
+            }
+          }
+        }
+      }
+    }
+    val durMs =
+      if (durationTc > 0) (durationTc * timecodeScale / 1e6).toLong else -1L
+    Some((durMs, w, h))
+  }
+
+  private val webmMetaUdf = udf((b: Array[Byte]) => webmParams(b))
+
   private def metaColumns(bytes: Column): Seq[(String, Column)] = {
     val fmt = videoFormat(bytes)
-    val mp4 = mp4MetaUdf(bytes)
+    val mp4 = mp4MetaUdf(when(fmt === "mp4", bytes)) // NULL input → NULL out
+    val webm = webmMetaUdf(when(fmt === "webm", bytes))
     def pos(c: Column) = when(c >= 0, c)
+    def field(i: Int): Column =
+      when(fmt === "mp4", pos(mp4.getField(s"_$i")))
+        .when(fmt === "webm", pos(webm.getField(s"_$i")))
     Seq(
       "video_format" -> fmt,
-      "video_duration_ms" -> when(fmt === "mp4", pos(mp4.getField("_1"))),
-      "video_width" -> when(fmt === "mp4", pos(mp4.getField("_2"))),
-      "video_height" -> when(fmt === "mp4", pos(mp4.getField("_3"))))
+      "video_duration_ms" -> field(1),
+      "video_width" -> field(2),
+      "video_height" -> field(3))
   }
 
   def videoDurationMs(bytes: Column): Column = metaColumns(bytes)(1)._2

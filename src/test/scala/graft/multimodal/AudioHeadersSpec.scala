@@ -110,6 +110,67 @@ class AudioHeadersSpec extends SparkSpec {
       rows(0).isNullAt(4))
   }
 
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def le64(v: Long): Array[Byte] = le32(v & 0xffffffffL) ++ le32(v >>> 32)
+
+  /** One OGG page: 27-byte header + 1-entry segment table (payload < 255). */
+  private def oggPage(typ: Int, granule: Long, payload: Array[Byte]): Array[Byte] =
+    "OggS".getBytes("US-ASCII") ++ Array[Byte](0, typ.toByte) ++
+      le64(granule) ++ le32(1) ++ le32(0) ++ le32(0) ++
+      Array[Byte](1, payload.length.toByte) ++ payload
+
+  /** Vorbis identification header (packet type 1, §4.2.2 layout). */
+  private def vorbisId(channels: Int, rate: Int): Array[Byte] =
+    Array[Byte](1) ++ "vorbis".getBytes("US-ASCII") ++ le32(0) ++
+      Array[Byte](channels.toByte) ++ le32(rate) ++ new Array[Byte](14)
+
+  /** OpusHead (RFC 7845 §5.1): version, channels, pre-skip, input rate. */
+  private def opusHead(channels: Int, inputRate: Int): Array[Byte] =
+    "OpusHead".getBytes("US-ASCII") ++ Array[Byte](1, channels.toByte) ++
+      le16(312) ++ le32(inputRate) ++ le16(0) ++ Array[Byte](0)
+
+  test("MP3: frame-header tables, ID3v2 skip, Xing frame count, V2 mono") {
+    // V1 Layer III, 128 kbps, 44.1 kHz, stereo; no Xing → CBR estimate
+    val cbr = Array(0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00.toByte) ++
+      new Array[Byte](16000)
+    // ID3v2 (syncsafe size 10) + same frame + Xing at 4+32 with frames=100
+    val xing = "ID3".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0, 0, 0, 10) ++
+      new Array[Byte](10) ++
+      Array(0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00.toByte) ++
+      new Array[Byte](32) ++ "Xing".getBytes("US-ASCII") ++ be32(1) ++
+      be32(100) ++ new Array[Byte](12)
+    // MPEG2 Layer III, 80 kbps, 22.05 kHz, mono → 576 samples/frame path
+    val v2mono = Array(0xff.toByte, 0xf3.toByte, 0x90.toByte, 0xc0.toByte) ++
+      new Array[Byte](10000)
+    val rows = meta(Seq(cbr, xing, v2mono))
+    assert(rows(0).getString(0) == "mp3" && rows(0).getInt(1) == 2 &&
+      rows(0).getInt(2) == 44100 && rows(0).isNullAt(3) &&
+      rows(0).getLong(4) == 16004L * 8 / 128)
+    assert(rows(1).getLong(4) == 100L * 1152 * 1000 / 44100, // Xing wins CBR
+      s"xing duration ${rows(1)}")
+    assert(rows(2).getInt(1) == 1 && rows(2).getInt(2) == 22050 &&
+      rows(2).getLong(4) == 10004L * 8 / 80)
+  }
+
+  test("OGG: Vorbis/Opus id headers + last-granule duration") {
+    val vorbis = oggPage(2, 0, vorbisId(2, 44100)) ++
+      oggPage(0, 44100, new Array[Byte](5)) ++
+      oggPage(4, 88200, new Array[Byte](5))
+    val opus = oggPage(2, 0, opusHead(1, 24000)) ++
+      oggPage(4, 96000, new Array[Byte](5)) // granules run at 48 kHz
+    // id page only, no data page with a granule → duration unknown
+    val headOnly = oggPage(2, 0, vorbisId(2, 48000))
+    val rows = meta(Seq(vorbis, opus, headOnly))
+    assert(rows(0).getString(0) == "ogg" && rows(0).getInt(1) == 2 &&
+      rows(0).getInt(2) == 44100 && rows(0).isNullAt(3) &&
+      rows(0).getLong(4) == 2000L)
+    assert(rows(1).getInt(1) == 1 && rows(1).getInt(2) == 24000 &&
+      rows(1).getLong(4) == 2000L)
+    assert(rows(2).getInt(2) == 48000 && rows(2).isNullAt(4))
+  }
+
   test("mp3/ogg sniff for routing; junk and truncation yield NULLs") {
     val rows = meta(Seq(
       "ID3\u0004\u0000junkjunk".getBytes("US-ASCII"),

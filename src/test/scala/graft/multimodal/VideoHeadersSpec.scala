@@ -58,6 +58,60 @@ class VideoHeadersSpec extends SparkSpec {
       rows(1).getInt(2) == 640 && rows(1).getInt(3) == 360)
   }
 
+  // -- EBML builders (Matroska / RFC 9559) ---------------------------------
+
+  /** Element id bytes verbatim (the marker bit stays in). */
+  private def ebmlId(id: Long): Array[Byte] = {
+    val n = (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8
+    (n - 1 to 0 by -1).map(k => ((id >> (8 * k)) & 0xff).toByte).toArray
+  }
+
+  /** Size VINT, 1 or 2 bytes. */
+  private def vintSize(n: Int): Array[Byte] =
+    if (n < 127) Array((0x80 | n).toByte)
+    else Array((0x40 | (n >> 8)).toByte, (n & 0xff).toByte)
+
+  private def el(id: Long, payload: Array[Byte]): Array[Byte] =
+    ebmlId(id) ++ vintSize(payload.length) ++ payload
+
+  private def webm(info: Array[Byte], tracks: Array[Byte],
+      unknownSegmentSize: Boolean): Array[Byte] = {
+    val body = info ++ tracks
+    el(0x1A45DFA3L, Array.empty[Byte]) ++ ebmlId(0x18538067L) ++
+      (if (unknownSegmentSize) Array(0xff.toByte) else vintSize(body.length)) ++
+      body
+  }
+
+  private def track(w: Int, h: Int): Array[Byte] =
+    el(0x1654AE6BL, el(0xAEL, el(0xE0L,
+      el(0xB0L, Array(((w >> 8) & 0xff).toByte, (w & 0xff).toByte)) ++
+        el(0xBAL, Array(((h >> 8) & 0xff).toByte, (h & 0xff).toByte)))))
+
+  test("webm: EBML walk reads TimecodeScale+Duration and pixel dims, " +
+      "incl. the unknown-size Segment of live-muxed files") {
+    // explicit 10⁶ ns scale + 4-byte float duration, unknown Segment size
+    val a = webm(
+      el(0x1549A966L,
+        el(0x2AD7B1L, be32(1000000L).drop(1)) ++
+          el(0x4489L, be32(java.lang.Float.floatToIntBits(2000.0f) & 0xffffffffL))),
+      track(1280, 720), unknownSegmentSize = true)
+    // default scale (element omitted) + 8-byte double duration, sized Segment
+    val b = webm(
+      el(0x1549A966L,
+        el(0x4489L, be64(java.lang.Double.doubleToLongBits(1500.0)))),
+      track(640, 360), unknownSegmentSize = false)
+    // Info present but no Duration → dims parse, duration NULL
+    val c = webm(el(0x1549A966L, Array.empty[Byte]), track(320, 240),
+      unknownSegmentSize = true)
+    val rows = meta(Seq(a, b, c))
+    assert(rows(0).getString(0) == "webm" && rows(0).getLong(1) == 2000L &&
+      rows(0).getInt(2) == 1280 && rows(0).getInt(3) == 720)
+    assert(rows(1).getLong(1) == 1500L && rows(1).getInt(2) == 640 &&
+      rows(1).getInt(3) == 360)
+    assert(rows(2).isNullAt(1) && rows(2).getInt(2) == 320 &&
+      rows(2).getInt(3) == 240)
+  }
+
   test("webm/avi sniff; malformed boxes degrade to NULLs, never throw") {
     val evil = mp4(ftyp, be32(0xFFFFFFFFL) ++ "moov".getBytes) // absurd size
     val rows = meta(Seq(
