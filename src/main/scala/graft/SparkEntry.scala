@@ -711,6 +711,47 @@ object SparkEntry {
       ut.incrementalRead(s, sinceCommit = 2L, includeDeletes = true)
         .select("k", "dt", "price_cents", "ver", "del")
     }),
+
+    // K4 consumer pattern: a CDC-MAINTAINED derived aggregate (per-year
+    // count + cents over the mutable source) refreshed incrementally after
+    // each commit pair — touched-group recompute only, with a compaction
+    // between refreshes proving the horizon contract holds for a
+    // keeping-up consumer. The gate compares the INCREMENTALLY maintained
+    // table against the oracle's full recompute of the final state.
+    "q54_derived_agg" -> ((s, dir) => {
+      val base = t(s, dir, "orders").where(col("o_orderkey") % 8 === 0)
+        .select(
+          col("o_orderkey").as("k"),
+          date_format(col("o_orderdate"), "yyyy").as("dt"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val c1 = base.withColumn("ver", lit(1L)).withColumn("del", lit(false))
+      val c2 = base.where(col("k") % 7 === 0 || col("k") % 13 === 0)
+        .withColumn("price_cents", col("price_cents") + 1000L)
+        .withColumn("ver", lit(2L)).withColumn("del", col("k") % 13 === 0)
+      val c3 = base.where(col("k") % 21 === 0)
+        .withColumn("price_cents", col("price_cents") + 5000L)
+        .withColumn("ver", lit(3L)).withColumn("del", lit(false))
+      val c4 = base.where(col("k") % 35 === 0)
+        .withColumn("price_cents", col("price_cents") + 7000L)
+        .withColumn("ver", lit(4L)).withColumn("del", lit(true))
+      val root = java.nio.file.Files.createTempDirectory("graft_upsert_q54")
+        .toString
+      val src = new sinks.UpsertTable(s"$root/src", Seq("k"), "ver",
+        Seq("dt"), Some("del"))
+      val drv = new sinks.UpsertTable(s"$root/drv", Seq("dt"), "__ver",
+        Nil, Some("__dead"))
+      val derived = new sinks.DerivedAggTable(src, drv, Seq("dt"),
+        df => df.groupBy("dt").agg(count(lit(1)).as("n"),
+          sum("price_cents").as("cents")),
+        s"$root/_cdc_ckpt")
+      src.upsert(c1); src.upsert(c2)
+      derived.refresh(s)
+      src.compact(s) // the consumer kept up: horizon == checkpoint, legal
+      src.upsert(c3); src.upsert(c4)
+      derived.refresh(s)
+      drv.snapshot(s).select("dt", "n", "cents")
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -1987,5 +2028,27 @@ object SparkEntry {
         |      FROM allv)
         |SELECT k, dt, price_cents, ver, del FROM r
         |WHERE rn = 1 AND (k % 21 = 0 OR k % 35 = 0)""".stripMargin,
+
+    // full recompute of the FINAL state — the incrementally-maintained
+    // derived table must land on exactly this
+    "q54_derived_agg" ->
+      """WITH base AS (
+        | SELECT o_orderkey AS k, strftime(o_orderdate, '%Y') AS dt,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+        | FROM orders WHERE o_orderkey % 8 = 0),
+        |c1 AS (SELECT k, dt, price_cents, CAST(1 AS BIGINT) AS ver, false AS del, 1 AS cseq FROM base),
+        |c2 AS (SELECT k, dt, price_cents + 1000, CAST(2 AS BIGINT), k % 13 = 0, 2 FROM base
+        |       WHERE k % 7 = 0 OR k % 13 = 0),
+        |c3 AS (SELECT k, dt, price_cents + 5000, CAST(3 AS BIGINT), false, 3 FROM base
+        |       WHERE k % 21 = 0),
+        |c4 AS (SELECT k, dt, price_cents + 7000, CAST(4 AS BIGINT), true, 4 FROM base
+        |       WHERE k % 35 = 0),
+        |allv AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+        |         UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY dt, k ORDER BY ver DESC, cseq DESC) AS rn
+        |      FROM allv)
+        |SELECT dt, count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS cents
+        |FROM r WHERE rn = 1 AND NOT del GROUP BY dt""".stripMargin,
   )
 }

@@ -58,9 +58,9 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   * by `maxRecordsPerFile` when set) instead of (input partitions ×
   * touched dirs) — streaming cadence doesn't spray small files.
   */
-class UpsertTable(path: String, keyCols: Seq[String], precombineCol: String,
-    partitionCols: Seq[String], deleteCol: Option[String] = None,
-    maxRecordsPerFile: Long = 0L)
+class UpsertTable(val path: String, val keyCols: Seq[String],
+    val precombineCol: String, val partitionCols: Seq[String],
+    val deleteCol: Option[String] = None, maxRecordsPerFile: Long = 0L)
     extends Serializable {
   require(keyCols.nonEmpty, "keyCols must be non-empty")
 
