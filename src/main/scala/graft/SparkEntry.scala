@@ -752,6 +752,25 @@ object SparkEntry {
       derived.refresh(s)
       drv.snapshot(s).select("dt", "n", "cents")
     }),
+
+    // Hot-key stress as a MEASURED gate (the reference's one published ops
+    // failure: an interval join degrading superlinearly on duplicate ids,
+    // pipeline/README.md:291-304). One synthetic key owns a quarter of
+    // both sides in a tight time span (~128k candidate pairs through it);
+    // the bucketed join must stay exact — SkewSpec pins the lever, this
+    // entry tracks its COST per round in BENCH. Fixture is constant-size
+    // across SFs, so the number is round-over-round comparable.
+    "q55_skew_interval" -> ((s, dir) => {
+      def side(ts: String, id: String) = s.range(20000).select(
+        when(col("id") % 4 === 0, lit("hot"))
+          .otherwise(concat(lit("k"), col("id"))).as("key"),
+        (col("id") * 100 + (if (ts == "rts") 50 else 0)).as(ts),
+        col("id").as(id))
+      operators.IntervalJoin.bucketedRangeJoin(
+          side("lts", "lid"), side("rts", "rid"),
+          Seq("key"), "lts", "rts", lowMs = 0L, highMs = 10000L)
+        .select("lid", "rid")
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -2050,5 +2069,18 @@ object SparkEntry {
         |      FROM allv)
         |SELECT dt, count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS cents
         |FROM r WHERE rn = 1 AND NOT del GROUP BY dt""".stripMargin,
+
+    "q55_skew_interval" ->
+      """WITH l AS (
+        | SELECT CASE WHEN i % 4 = 0 THEN 'hot' ELSE 'k' || i END AS key,
+        |        i*100 AS lts, i AS lid
+        | FROM range(20000) t(i)),
+        |r AS (
+        | SELECT CASE WHEN i % 4 = 0 THEN 'hot' ELSE 'k' || i END AS key,
+        |        i*100 + 50 AS rts, i AS rid
+        | FROM range(20000) t(i))
+        |SELECT l.lid, r.rid
+        |FROM l JOIN r ON l.key = r.key
+        | AND r.rts >= l.lts AND r.rts <= l.lts + 10000""".stripMargin,
   )
 }
