@@ -771,6 +771,29 @@ object SparkEntry {
           Seq("key"), "lts", "rts", lowMs = 0L, highMs = 10000L)
         .select("lid", "rid")
     }),
+
+    // PQ ANN with TRAINED codebooks — q52's pipeline with per-subspace
+    // deterministic L2 Lloyd quantizers (trainIvfCentroids: lowest-id
+    // init, e9-integer assignment, order-free integer component sums) in
+    // place of the training-free seed. The oracle replays BOTH Lloyd
+    // iterations and the encode/LUT/ADC bit-exactly (q56OracleSql), so
+    // the last untested PQ configuration — trained quantizers — carries a
+    // hash-matched gate. Training is 2 iterations over the (bounded)
+    // sample, the standard k-means-on-a-sample shape.
+    "q56_pq_trained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb: Array[Array[Array[Float]]] = Array.tabulate(8) { m =>
+        val subs = emb.select(col("vec_id"),
+          slice(col("embedding"), m * 8 + 1, 8).as("sub"))
+        operators.Similarity.trainIvfCentroids(subs, "vec_id", "sub",
+            nLists = 16, iters = 2, metric = "l2")
+          .orderBy(col("centId")).collect()
+          .map(_.getSeq[Float](1).toArray)
+      }
+      operators.Similarity.pqTopK(emb, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 3, subspaces = 8, codebookSize = 16,
+        codebooks = Some(cb))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -1123,6 +1146,75 @@ object SparkEntry {
        | FROM codes k JOIN lut l ON l.m = k.m AND l.code = k.code
        | WHERE l.qid <> k.vec_id
        | GROUP BY 1, 2),
+       |r AS (SELECT qid, cid, adc_e9,
+       |  row_number() OVER (PARTITION BY qid ORDER BY adc_e9 DESC, cid) AS rank FROM adc)
+       |SELECT qid, cid, rank, adc_e9 FROM r WHERE rank <= 3""".stripMargin
+  }
+
+  /** q56's oracle replays the trained-PQ pipeline END-TO-END: per-subspace
+    * Lloyd (init = subvectors of the 16 lowest-id vectors with their ids
+    * as centroid ids; each round assigns by integer L2 — snsq + cnsq −
+    * 2·dot, every term e9 half-away rounded, ties to the lowest centroid
+    * id — and recomputes centroids as float(Σ round(x·1e9) / n / 1e9),
+    * integer sums order-free, double divisions IEEE-identical
+    * cross-engine), then the q52 encode/LUT/ADC over the trained book
+    * with code = centroid-id rank. Clusters that empty drop, exactly as
+    * the Spark trainer's groupBy drops them. */
+  private val q56OracleSql: String = {
+    val subspaces = 8; val subDim = 8; val cbSize = 16; val iters = 2
+    val dot = (a: String, b: String) =>
+      s"""CAST(list_sum(list_transform(list_zip($a, $b),
+         |  z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""d$r AS (
+         | SELECT s.vec_id, s.m, c.centId,
+         |  s.snsq + ${dot("c.cvec", "c.cvec")} - 2*${dot("s.svec", "c.cvec")} AS d2
+         | FROM svn s JOIN cb${r - 1} c ON c.m = s.m),
+         |a$r AS (
+         | SELECT vec_id, m, centId FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, centId) AS rr
+         |  FROM d$r) WHERE rr = 1),
+         |comp$r AS (
+         | SELECT a.m, a.centId, j,
+         |  SUM(CAST(round(CAST(s.svec[j] AS DOUBLE)*1000000000.0) AS BIGINT)) AS sc,
+         |  COUNT(*) AS cnt
+         | FROM a$r a JOIN svn s ON s.vec_id = a.vec_id AND s.m = a.m,
+         |      range(1, ${subDim + 1}) t(j)
+         | GROUP BY a.m, a.centId, j),
+         |cb$r AS (
+         | SELECT m, centId,
+         |  list(CAST(CAST(sc AS DOUBLE)/CAST(cnt AS DOUBLE)/1000000000.0 AS REAL)
+         |       ORDER BY j) AS cvec
+         | FROM comp$r GROUP BY m, centId),""".stripMargin
+    }.mkString("\n")
+    s"""WITH n AS (SELECT vec_id, embedding FROM embeddings),
+       |sv AS (
+       | SELECT vec_id, m, list_slice(embedding, m*$subDim+1, m*$subDim+$subDim) AS svec
+       | FROM n, range(0, $subspaces) t(m)),
+       |svn AS (SELECT vec_id, m, svec, ${dot("svec", "svec")} AS snsq FROM sv),
+       |cb0 AS (
+       | SELECT m, vec_id AS centId, svec AS cvec FROM sv
+       | WHERE vec_id IN (SELECT vec_id FROM n ORDER BY vec_id LIMIT $cbSize)),
+       |$rounds
+       |cbf AS (
+       | SELECT m, row_number() OVER (PARTITION BY m ORDER BY centId) - 1 AS code,
+       |        cvec, ${dot("cvec", "cvec")} AS cnsq
+       | FROM cb$iters),
+       |dE AS (
+       | SELECT s.vec_id, s.m, c.code,
+       |  s.snsq + c.cnsq - 2*${dot("s.svec", "c.cvec")} AS d2
+       | FROM svn s JOIN cbf c ON c.m = s.m),
+       |codes AS (
+       | SELECT vec_id, m, code FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rr
+       |  FROM dE) WHERE rr = 1),
+       |lut AS (
+       | SELECT s.vec_id AS qid, s.m, c.code, 2*${dot("s.svec", "c.cvec")} - c.cnsq AS dp
+       | FROM svn s JOIN cbf c ON c.m = s.m WHERE s.vec_id < 20),
+       |adc AS (
+       | SELECT l.qid, k.vec_id AS cid, CAST(sum(l.dp) AS BIGINT) AS adc_e9
+       | FROM codes k JOIN lut l ON l.m = k.m AND l.code = k.code
+       | WHERE l.qid <> k.vec_id GROUP BY 1, 2),
        |r AS (SELECT qid, cid, adc_e9,
        |  row_number() OVER (PARTITION BY qid ORDER BY adc_e9 DESC, cid) AS rank FROM adc)
        |SELECT qid, cid, rank, adc_e9 FROM r WHERE rank <= 3""".stripMargin
@@ -2082,5 +2174,7 @@ object SparkEntry {
         |SELECT l.lid, r.rid
         |FROM l JOIN r ON l.key = r.key
         | AND r.rts >= l.lts AND r.rts <= l.lts + 10000""".stripMargin,
+
+    "q56_pq_trained" -> q56OracleSql,
   )
 }
