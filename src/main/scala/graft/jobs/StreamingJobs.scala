@@ -163,6 +163,106 @@ object StreamingJobs {
       .queryName("counter_families").start()
   }
 
+  /** The COMPLETE streaming flagship as a deployable job — envelopes in,
+    * `FlatResponseInsertion` rows out of ONE query with FIVE chained
+    * stateful stages (the reference's whole FlatOutputJob program,
+    * FlatOutputJob.java:368-641 joins + :712-754 merge + :998-1044
+    * cogroup):
+    *
+    *   views ∪ insertions → inferred join 1 (view→insertion, right-outer)
+    *     → enrich via `insertionMeta` → ∪ impressions → inferred join 2
+    *     → self-pair fusion → ∪ actions → inferred join 3 + D3 redundant
+    *     reduce (FlatChainTws.joinAndReduce) → stateless JoinedEvent
+    *     detail merge → J7 session cogroup → dt/hour parquet.
+    *
+    * `insertionMeta` / `impressionDetails` / `actionDetails` are STATIC
+    * dimension frames (in production: read-optimized views of the
+    * compacted raw tables — the reference reads its Hudi tables the same
+    * way); stream-static joins keep the chain's watermark intact. For the
+    * JoinedEvent stream as a SEPARATE deliverable, run the two-query
+    * production split spec'd in StreamingFlagshipSpec instead.
+    *
+    * State sizing derives from `maxTimeMs`/`oooMs` per the documented
+    * chain rules (reduce ooo ≥ W + 2·ooo; cleanup ≥ 2W + ooo; session ooo
+    * ≥ reduce ooo — see RedundantReduceTws.advance / SessionCogroupTws). */
+  def flagshipOutput(envelopes: DataFrame, insertionMeta: DataFrame,
+      impressionDetails: DataFrame, actionDetails: DataFrame,
+      outDir: String, checkpointDir: String,
+      maxTimeMs: Long = 30L * 60 * 1000, oooMs: Long = 1000L,
+      gapMs: Long = 86400000L, watermarkDelay: String = "1 minute")(
+      implicit spark: SparkSession): StreamingQuery = {
+    import spark.implicits._
+    import graft.streaming.{FlatChainTws, InferredJoinTws, SessionCogroupTws}
+    val redOoo = maxTimeMs + 2 * oooMs + 3000L
+    val redCleanup = 2 * maxTimeMs + oooMs + 9000L
+    val sessOoo = redOoo + 3000L
+    val noIds = array().cast("array<string>")
+    val views = LogRequestSplit.views(envelopes).toDF().select(
+      col("platformId"), col("userInfo.logUserId").as("logUserId"),
+      lit(0).as("side"), col("viewId").as("id"), lit("").as("parentId"),
+      col("timing.eventApiTimestamp").as("tsMs"),
+      array(col("userInfo.logUserId")).as("scopes"), noIds.as("contentIds"))
+    val ins = LogRequestSplit.deliveryLogs(envelopes).toDF().select(
+        col("platformId"), col("userInfo.logUserId").as("logUserId"),
+        col("timing.eventApiTimestamp").as("tsMs"),
+        col("request.viewId").as("fkView"), explode(col("insertions")).as("i"))
+      .select(col("platformId"), col("logUserId"), lit(1).as("side"),
+        col("i.insertionId").as("id"), col("fkView").as("parentId"),
+        col("tsMs"), array(col("logUserId")).as("scopes"), noIds.as("contentIds"))
+    val stage1 = InferredJoinTws.joinScopedStream(
+      views.unionByName(ins).as[graft.schema.ScopedEvent],
+      watermarkDelay, maxTimeMs, oooMs, rightOuter = true)
+    // stage-2 LHS enrichment: the matched insertion's request/content ids
+    // from the static meta frame (scopes = requestId, viewId, contentId)
+    val meta = insertionMeta.select(col("insertionId").as("rightId"),
+      col("requestId"), col("contentId"), col("tsMs").as("insTs"))
+    def toStage2Left(pairs: DataFrame): DataFrame =
+      pairs.join(meta, Seq("rightId"))
+        .select(col("platformId"), col("logUserId"), lit(0).as("side"),
+          col("rightId").as("id"), lit("").as("parentId"),
+          col("insTs").as("tsMs"),
+          array(col("requestId"), col("leftId"), col("contentId")).as("scopes"),
+          array(col("contentId")).as("contentIds"), col("emittedAt"))
+    val imps = LogRequestSplit.impressions(envelopes).toDF().select(
+      col("platformId"), col("userInfo.logUserId").as("logUserId"),
+      lit(1).as("side"), col("impressionId").as("id"),
+      col("insertionId").as("parentId"),
+      col("timing.eventApiTimestamp").as("tsMs"),
+      array(col("requestId"), col("viewId")).as("scopes"),
+      array(col("contentId")).as("contentIds"))
+    val p2 = FlatChainTws.nextStage(stage1, toStage2Left,
+      imps.as[graft.schema.ScopedEvent], watermarkDelay, maxTimeMs, oooMs,
+      rightOuter = false)
+    def toStage3Left(pairs: DataFrame): DataFrame =
+      pairs.select(col("platformId"), col("logUserId"), lit(0).as("side"),
+        col("rightId").as("id"), lit("").as("parentId"),
+        col("rightTs").as("tsMs"), array(col("leftId")).as("scopes"),
+        noIds.as("contentIds"), col("emittedAt"),
+        col("leftId").as("selfRef"))
+    val acts = LogRequestSplit.actions(envelopes).toDF().select(
+      col("platformId"), col("userInfo.logUserId").as("logUserId"),
+      lit(1).as("side"), col("actionId").as("id"),
+      col("impressionId").as("parentId"),
+      col("timing.eventApiTimestamp").as("tsMs"),
+      array(col("insertionId")).as("scopes"),
+      array(col("contentId")).as("contentIds"))
+    // the cart-item pk separator: no plain action id contains \u0001, so
+    // unpacked actions pass through; a cart explode upstream would pack
+    // actionId\u0001contentId ids exactly as q35 does
+    val reduced = FlatChainTws.joinAndReduce(p2, toStage3Left,
+      acts.as[graft.schema.ScopedEvent], watermarkDelay, maxTimeMs, oooMs,
+      sep = "\u0001", redOoo, replaceTtlMs = Long.MaxValue / 4, redCleanup)
+    val sessions = FlatChainTws.flagshipSessions(reduced,
+      insertionMeta.select(col("insertionId"), col("requestId"),
+        col("contentId").as("ins_content")),
+      impressionDetails, actionDetails, gapMs, sessOoo)
+    Sinks.streamPartitioned(
+        sessions.toDF().withColumn("eventApiTs", col("sessionStartMs")),
+        "eventApiTs", s"$outDir/flat_response_insertion",
+        s"$checkpointDir/flagship")
+      .queryName("flagship_flat_response_insertion").start()
+  }
+
   /** Counter job QUERY families END-TO-END in ONE query — the reference's
     * top-query wiring (CounterJob.java:441-499): an "emit-top-queries"
     * frequency window marks query hashes whose count reaches

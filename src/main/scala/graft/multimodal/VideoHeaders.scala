@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   *    Duration (4- or 8-byte big-endian IEEE float, in timecode units);
   *    Segment → Tracks → TrackEntry → Video carries PixelWidth/Height
   *    (Matroska spec / RFC 9559 §4).
-  *  - AVI ("RIFF"+"AVI ") sniffs for routing only; its duration needs the
-  *    full avih/strh chunk tree, so rows route to decode.
+  *  - AVI ("RIFF"+"AVI "): the same bounded RIFF chunk walk as WAV, into
+  *    LIST/hdrl for the `avih` main header — µs/frame, total frames,
+  *    width, height at fixed offsets (AVIMAINHEADER, OpenDML spec);
+  *    duration = µsPerFrame · totalFrames / 1000.
   *
   * The first video track's dimensions win (the reference corpus shape:
   * one video track + audio tracks whose tkhd dims are zero). */
@@ -166,14 +168,58 @@ object VideoHeaders {
 
   private val webmMetaUdf = udf((b: Array[Byte]) => webmParams(b))
 
+  /** (durationMs, width, height) from the AVI main header; -1 = absent. */
+  private[multimodal] def aviParams(b: Array[Byte]): Option[(Long, Int, Int)] = {
+    if (b == null || b.length < 12) return None
+    def le32(i: Long): Long = {
+      val ii = i.toInt
+      (b(ii) & 0xffL) | ((b(ii + 1) & 0xffL) << 8) |
+        ((b(ii + 2) & 0xffL) << 16) | ((b(ii + 3) & 0xffL) << 24)
+    }
+    def tag(i: Long): String = new String(b, i.toInt, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    var result: Option[(Long, Int, Int)] = None
+    // chunk walk with a Long cursor (same discipline as wavParams);
+    // LIST payloads open with their 4-byte list type, then children
+    def walk(from: Long, to: Long): Unit = {
+      var i = from
+      while (result.isEmpty && i + 8 <= to) {
+        val id = tag(i)
+        val size = le32(i + 4)
+        val end = i + 8 + size
+        if (size < 0 || end > to) return // malformed: stop
+        if (id == "LIST" && size >= 4) {
+          if (tag(i + 8) == "hdrl") walk(i + 12, end)
+        } else if (id == "avih" && size >= 40) {
+          val usPerFrame = le32(i + 8)
+          val totalFrames = le32(i + 24)
+          val w = le32(i + 40).toInt
+          val h = le32(i + 44).toInt
+          val dur =
+            if (usPerFrame > 0 && totalFrames > 0)
+              usPerFrame * totalFrames / 1000L
+            else -1L
+          result = Some((dur, if (w > 0) w else -1, if (h > 0) h else -1))
+        }
+        i = end + (size & 1L) // word alignment, as RIFF
+      }
+    }
+    walk(12L, b.length.toLong)
+    result
+  }
+
+  private val aviMetaUdf = udf((b: Array[Byte]) => aviParams(b))
+
   private def metaColumns(bytes: Column): Seq[(String, Column)] = {
     val fmt = videoFormat(bytes)
     val mp4 = mp4MetaUdf(when(fmt === "mp4", bytes)) // NULL input → NULL out
     val webm = webmMetaUdf(when(fmt === "webm", bytes))
+    val avi = aviMetaUdf(when(fmt === "avi", bytes))
     def pos(c: Column) = when(c >= 0, c)
     def field(i: Int): Column =
       when(fmt === "mp4", pos(mp4.getField(s"_$i")))
         .when(fmt === "webm", pos(webm.getField(s"_$i")))
+        .when(fmt === "avi", pos(avi.getField(s"_$i")))
     Seq(
       "video_format" -> fmt,
       "video_duration_ms" -> field(1),

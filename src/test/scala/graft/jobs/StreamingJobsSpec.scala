@@ -49,6 +49,53 @@ class StreamingJobsSpec extends SparkSpec {
     assert(hourly.agg(sum("view_count")).head().getLong(0) >= 6)
   }
 
+  test("flagshipOutput runs the five-stage chain end-to-end to FlatResponseInsertion files") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (tmp, env) = staged()
+      import graft.sources.LogRequestSplit
+      // dimension frames from the staged batch — the production shape reads
+      // the compacted raw tables' read-optimized views the same way
+      val insertionMeta = LogRequestSplit.deliveryLogs(env).toDF()
+        .select(col("timing.eventApiTimestamp").as("tsMs"),
+          col("request.requestId").as("requestId"),
+          explode(col("insertions")).as("i"))
+        .select(col("i.insertionId").as("insertionId"), col("requestId"),
+          col("i.contentId").as("contentId"), col("tsMs"))
+      val impDetails = LogRequestSplit.impressions(env).toDF()
+        .select(col("impressionId"), col("contentId").as("imp_content"))
+      val actDetails = LogRequestSplit.actions(env).toDF()
+        .select(col("actionId"), col("actionType").as("act_type"))
+      val stream = StreamingJobs.envelopeStream(spark, s"$tmp/in", env.schema)
+      val q = StreamingJobs.flagshipOutput(stream, insertionMeta, impDetails,
+        actDetails, s"$tmp/out", s"$tmp/ckpt",
+        maxTimeMs = 60000L, oooMs = 1000L, gapMs = 60000L)
+      q.processAllAvailable()
+      // five chained stateful stages: each appended late file is one
+      // watermark advance; the cascade needs several
+      for (r <- 1 to 8) {
+        FakeLogGenerator.generate(FakeLogGenerator.Options(users = 1,
+          startMs = 1700000000000L + r * 86400000L)).toDS().toDF()
+          .write.mode("append").parquet(s"$tmp/in")
+        q.processAllAvailable()
+      }
+      q.stop()
+      val out = spark.read.parquet(s"$tmp/out/flat_response_insertion")
+        .where(col("sessionStartMs") < 1700000000000L + 86400000L)
+      assert(out.count() > 0)
+      // sessions carry both cogroup sides and the partition columns
+      assert(out.agg(sum("nActs")).head().getLong(0) > 0)
+      assert(out.agg(sum("nImps")).head().getLong(0) > 0)
+      assert(out.columns.contains("impIds") && out.columns.contains("dt"))
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("counter streams command frames through the client") {
     val (tmp, env) = staged()
     val events = StreamingJobs.envelopeStream(spark, s"$tmp/in", env.schema)

@@ -112,6 +112,42 @@ class VideoHeadersSpec extends SparkSpec {
       rows(2).getInt(3) == 240)
   }
 
+  // -- RIFF/AVI builders ---------------------------------------------------
+
+  private def le32(v: Long): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def riffChunk(id: String, payload: Array[Byte]): Array[Byte] =
+    id.getBytes("US-ASCII") ++ le32(payload.length) ++ payload ++
+      (if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+
+  private def avi(usPerFrame: Long, totalFrames: Long, w: Long, h: Long,
+      junkFirst: Boolean = false): Array[Byte] = {
+    val avih = new Array[Byte](56)
+    le32(usPerFrame).copyToArray(avih, 0)
+    le32(totalFrames).copyToArray(avih, 16)
+    le32(w).copyToArray(avih, 32)
+    le32(h).copyToArray(avih, 36)
+    val hdrl = "hdrl".getBytes("US-ASCII") ++ riffChunk("avih", avih)
+    val body = (if (junkFirst) riffChunk("JUNK", Array[Byte](1, 2, 3))
+      else Array.empty[Byte]) ++ riffChunk("LIST", hdrl)
+    "RIFF".getBytes("US-ASCII") ++ le32(4L + body.length) ++
+      "AVI ".getBytes("US-ASCII") ++ body
+  }
+
+  test("avi: the avih main header yields duration and dimensions") {
+    val rows = meta(Seq(
+      avi(33333, 300, 640, 480),
+      avi(33333, 300, 1280, 720, junkFirst = true), // walk skips junk chunks
+      avi(0, 300, 640, 480))) // zero frame rate → duration NULL, dims parse
+    assert(rows(0).getString(0) == "avi" && rows(0).getLong(1) == 9999L &&
+      rows(0).getInt(2) == 640 && rows(0).getInt(3) == 480)
+    assert(rows(1).getLong(1) == 9999L && rows(1).getInt(2) == 1280 &&
+      rows(1).getInt(3) == 720)
+    assert(rows(2).isNullAt(1) && rows(2).getInt(2) == 640)
+  }
+
   test("webm/avi sniff; malformed boxes degrade to NULLs, never throw") {
     val evil = mp4(ftyp, be32(0xFFFFFFFFL) ++ "moov".getBytes) // absurd size
     val rows = meta(Seq(
