@@ -782,14 +782,12 @@ object SparkEntry {
     // sample, the standard k-means-on-a-sample shape.
     "q56_pq_trained" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val cb: Array[Array[Array[Float]]] = Array.tabulate(8) { m =>
-        val subs = emb.select(col("vec_id"),
-          slice(col("embedding"), m * 8 + 1, 8).as("sub"))
-        operators.Similarity.trainIvfCentroids(subs, "vec_id", "sub",
-            nLists = 16, iters = 2, metric = "l2")
-          .orderBy(col("centId")).collect()
-          .map(_.getSeq[Float](1).toArray)
-      }
+      // ONE distributed job per Lloyd iteration across all 8 subspaces;
+      // arithmetic identical to per-subspace trainIvfCentroids(l2) runs
+      // (PqSpec pins that form) — the oracle hash-gates the codebook
+      val cb = operators.Similarity.trainPqCodebooks(
+        emb, "vec_id", "embedding", subspaces = 8, codebookSize = 16,
+        iters = 2)
       operators.Similarity.pqTopK(emb, emb.where(col("vec_id") < 20),
         "vec_id", "embedding", k = 3, subspaces = 8, codebookSize = 16,
         codebooks = Some(cb))

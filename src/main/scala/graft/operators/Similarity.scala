@@ -202,6 +202,66 @@ object Similarity {
     cents
   }
 
+  /** ALL-subspace PQ codebook training in ONE distributed job per Lloyd
+    * iteration — per-subspace [[trainIvfCentroids]] loops launch
+    * subspaces × iters separate jobs whose driver round-trips dominate the
+    * wall clock; here the subspace index `m` joins the key instead, with
+    * ARITHMETIC IDENTICAL to the per-subspace L2 runs (same e9-integer
+    * assignment with lowest-centroid ties, same order-free integer
+    * component sums, same float(s/n/1e9) centroid — q56's oracle
+    * hash-gates the equality). Empty clusters drop from the book, as
+    * there; callers get subspaces × codebookSize × subDim float arrays
+    * ready for [[pqTopK]]. */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      subspaces: Int, codebookSize: Int, iters: Int,
+      dimsIn: Int = -1): Array[Array[Array[Float]]] = {
+    VectorExpressions.register(corpus.sparkSession)
+    val d = resolveDims(corpus, vecCol, dimsIn)
+    require(d > 0 && d % subspaces == 0,
+      s"dims $d not divisible by $subspaces subspaces")
+    val subDim = d / subspaces
+    val base = corpus
+      .select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
+      .select(col("vid"), explode(expr(
+        s"transform(sequence(0, ${subspaces - 1}), " +
+          s"m -> struct(m AS m, slice(v, m*$subDim+1, $subDim) AS vec))")).as("s"))
+      .select(col("vid"), col("s.m").as("m"), col("s.vec").as("vec"))
+      .withColumn("vn", VectorExpressions.normSqE9Fast(col("vec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seed = broadcast(base.select("vid").distinct()
+        .orderBy("vid").limit(codebookSize))
+      var cents = base.join(seed, "vid")
+        .select(col("m"), col("vid").as("centId"), col("vec").as("centVec"))
+      for (_ <- 0 until iters) {
+        val c = broadcast(cents.withColumn("centN",
+          VectorExpressions.normSqE9Fast(col("centVec"))))
+        val scored = base.join(c, "m").withColumn("__cs",
+          -(col("vn") + col("centN") -
+            lit(2L) * VectorExpressions.dotE9Fast(col("vec"), col("centVec"))))
+        val w = Window.partitionBy(col("m"), col("vid"))
+          .orderBy(col("__cs").desc, col("centId"))
+        val assigned = scored.withColumn("__r", row_number().over(w))
+          .where(col("__r") === 1)
+        val compSums = assigned
+          .select(col("m"), col("centId"), posexplode(col("vec")).as(Seq("pos", "x")))
+          .groupBy(col("m"), col("centId"), col("pos"))
+          .agg(sum(round(col("x").cast("double") * 1e9).cast("long")).as("s"),
+            count(lit(1)).as("cnt"))
+        cents = compSums.groupBy(col("m"), col("centId"))
+          .agg(transform(
+            sort_array(collect_list(struct(col("pos"), col("s"), col("cnt")))),
+            e => (e.getField("s") / e.getField("cnt")).cast("double") / lit(1e9))
+            .cast("array<float>").as("centVec"))
+      }
+      val rows = cents.select("m", "centId", "centVec").collect() // bounded book
+      Array.tabulate(subspaces) { m =>
+        rows.filter(_.getInt(0) == m).sortBy(_.getLong(1))
+          .map(_.getSeq[Float](2).toArray)
+      }
+    } finally { base.unpersist(); () }
+  }
+
   /** IVF-style ANN: coarse-quantize the corpus into `nLists` inverted
     * lists, probe the `nProbe` nearest lists per query, exact-rerank the
     * candidates. The 100 TB path: candidate work scales with

@@ -72,6 +72,16 @@ class PqSpec extends SparkSpec {
       Similarity.pqTopK(emb, queries, "vec_id", "embedding", 3, 8, 16,
         codebooks = Some(cb.take(4)))
     }
+    // the one-job-per-iteration all-subspace trainer is ARITHMETICALLY
+    // identical to the per-subspace Lloyd runs above — bit-equal books
+    val combined = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      subspaces = 8, codebookSize = 16, iters = 2)
+    assert(combined.length == cb.length &&
+      combined.zip(cb).forall { case (a, b) =>
+        a.length == b.length && a.zip(b).forall { case (x, y) =>
+          java.util.Arrays.equals(x, y)
+        }
+      })
   }
 
   test("pqTopK rejects non-divisible subspace splits and tiny corpora") {
