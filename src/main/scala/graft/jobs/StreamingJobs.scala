@@ -317,7 +317,15 @@ object StreamingJobs {
     // queryHash segment of the packed family key; id carries the command
     // payload through the gate), rights are the markers
     val sep = CF.Sep
-    val lefts = famCounts.toDF().select(
+    // the packed key/command payload is separator-delimited: a query hash
+    // carrying the separator would silently shift every field (reference
+    // keys are hex strings, which cannot) — fail loudly instead. One
+    // string scan per EMISSION, not per event.
+    val guarded = famCounts.toDF().withColumn("key",
+      when(size(split(col("key"), sep)) =!= 4,
+        raise_error(concat(lit("packed counter key has a stray separator: "),
+          col("key")))).otherwise(col("key")))
+    val lefts = guarded.select(
       split(col("key"), sep).getItem(2).as("key"), lit(0).as("side"),
       concat_ws(sep, col("key"), col("windowStartMs"), col("windowSizeMs"),
         col("count")).as("id"),
