@@ -792,6 +792,16 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, subspaces = 8, codebookSize = 16,
         codebooks = Some(cb))
     }),
+
+    // Corpus prep: EXACT-SUBSTRING dedup (Lee et al. 2022 §3, the
+    // ExactSubstr pass paired with document-level MinHash) — duplicated
+    // 8-token windows keep their lowest-(doc, pos) occurrence, every
+    // other occurrence's span cuts, docs reassemble from surviving
+    // tokens. The tiny synthetic vocabulary makes window collisions
+    // plentiful, so the cut path is genuinely exercised.
+    "q57_exact_substring" -> ((s, dir) =>
+      operators.CorpusOps.exactSubstringDedup(
+        t(s, dir, "documents"), "doc_id", "text", k = 8)),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -2174,5 +2184,36 @@ object SparkEntry {
         | AND r.rts >= l.lts AND r.rts <= l.lts + 10000""".stripMargin,
 
     "q56_pq_trained" -> q56OracleSql,
+
+    // same window derivation, canonical = first by (doc_id, p) per window
+    // text, non-canonical spans explode to per-token marks, anti-join,
+    // ordered reassembly; docs losing every token drop in both engines
+    "q57_exact_substring" ->
+      """WITH t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        | FROM documents),
+        |win AS (
+        | SELECT doc_id, i AS p, array_to_string(tk[i+1 : i+8], ' ') AS w
+        | FROM t, LATERAL (SELECT unnest(generate_series(0, len(tk)-8)) AS i) ix
+        | WHERE len(tk) >= 8),
+        |c AS (
+        | SELECT w, doc_id AS cd, p AS cp FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY w ORDER BY doc_id, p) AS rn,
+        |         count(*) OVER (PARTITION BY w) AS n
+        |  FROM win) WHERE rn = 1 AND n > 1),
+        |marks AS (
+        | SELECT DISTINCT x.doc_id, x.p + j AS ti
+        | FROM win x JOIN c ON c.w = x.w
+        |  AND NOT (x.doc_id = c.cd AND x.p = c.cp),
+        |  LATERAL (SELECT unnest(generate_series(0, 7)) AS j) g),
+        |tokens AS (
+        | SELECT doc_id, i-1 AS ti, tk[i] AS tok
+        | FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) ix),
+        |kept AS (
+        | SELECT k.doc_id, k.ti, k.tok FROM tokens k
+        | LEFT JOIN marks m ON m.doc_id = k.doc_id AND m.ti = k.ti
+        | WHERE m.doc_id IS NULL)
+        |SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS text
+        |FROM kept GROUP BY doc_id""".stripMargin,
   )
 }

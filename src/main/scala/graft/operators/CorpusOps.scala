@@ -66,6 +66,53 @@ object CorpusOps {
         delim).as("text"))
   }
 
+  /** Exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better" §3 — the ExactSubstr pass corpora
+    * pipelines pair with document-level MinHash): every k-token window
+    * occurring at more than one (doc, position) keeps only its canonical
+    * occurrence — the lowest (doc id, position) — and every other
+    * occurrence's token span is CUT; each document reassembles from its
+    * surviving tokens in order. Documents losing every token drop.
+    * Overlapping duplicate spans union naturally (coverage is computed
+    * per token).
+    *
+    * Plan: one window explode, ONE groupBy on the window text whose
+    * canonical-occurrence min is a partial aggregation (a boilerplate
+    * window in every doc combines map-side, the q55/SkewSpec discipline),
+    * a join-back marking non-canonical spans (k marks per duplicated
+    * occurrence, deduped), a left-anti token filter and a per-doc ordered
+    * reassembly. All shuffle keys natural; no driver actions. At 100 TB,
+    * group by xxhash64(window) and verify within the group to shrink the
+    * shuffle width — same output; the string form keeps the DuckDB oracle
+    * one-to-one (q57). */
+  def exactSubstringDedup(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"window size $k must be >= 2")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), "\\s+").as("tk"))
+    val win = tok.select(col("doc_id"), col("tk"),
+        explode(when(size(col("tk")) >= k,
+            sequence(lit(0), size(col("tk")) - k))
+          .otherwise(array().cast("array<int>"))).as("p"))
+      .select(col("doc_id"), col("p"),
+        array_join(slice(col("tk"), col("p") + 1, lit(k)), " ").as("w"))
+    val canon = win.groupBy("w").agg(
+      min(struct(col("doc_id"), col("p"))).as("c"), count(lit(1)).as("n"))
+    val marks = win.join(canon.where(col("n") > 1), "w")
+      .where(!(col("doc_id") === col("c.doc_id") && col("p") === col("c.p")))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + k - 1)).as("__ti"))
+      .distinct()
+    val tokens = tok.select(col("doc_id"),
+      posexplode(col("tk")).as(Seq("__ti", "__t")))
+    tokens.join(marks, Seq("doc_id", "__ti"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__ti"), col("__t")))),
+          e => e.getField("__t")),
+        " ").as("text"))
+  }
+
   /** Concat-and-chunk sequence packing — the GPT-style pretraining layout:
     * within each shard, documents concatenate into one token stream in
     * `idCol` order and the stream is cut every `budgetTokens`. Emits the

@@ -29,6 +29,43 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept(2L) == "shared header\nbody 2")
   }
 
+  test("exactSubstringDedup cuts duplicated spans, keeps canonical, unions overlaps") {
+    // k=3: "x1 x2 x3" duplicates between docs 1 and 2; doc 1 (lower id)
+    // keeps it, doc 2 loses exactly those three tokens. Doc 3 repeats the
+    // span INTERNALLY at two positions — the first keeps, the second cuts.
+    // Doc 4 has no duplicated window and passes through verbatim.
+    val docs = Seq(
+      (1L, "x1 x2 x3 tail1"),
+      (2L, "head2 x1 x2 x3 tail2"),
+      (3L, "x9 x8 x7 mid x9 x8 x7"),
+      (4L, "only unique words here"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.exactSubstringDedup(docs, "doc_id", "text", 3)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "x1 x2 x3 tail1")
+    assert(out(2L) == "head2 tail2")
+    assert(out(3L) == "x9 x8 x7 mid")
+    assert(out(4L) == "only unique words here")
+    // overlap union: doc 6 contains doc 5's "a b c d" shifted — windows
+    // (a b c) and (b c d) both duplicate; their spans union to all of
+    // "a b c d", never double-cut or leave a seam token behind
+    val ov = Seq((5L, "a b c d"), (6L, "z a b c d"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.exactSubstringDedup(ov, "doc_id", "text", 3)
+      .as[(Long, String)].collect().toMap
+    assert(got(5L) == "a b c d" && got(6L) == "z")
+    // a doc that loses every token drops entirely
+    val full = Seq((7L, "p q r"), (8L, "p q r")).toDF("doc_id", "text")
+    val kept = CorpusOps.exactSubstringDedup(full, "doc_id", "text", 3)
+      .as[(Long, String)].collect().toMap
+    assert(kept == Map(7L -> "p q r"))
+    // docs shorter than k contribute no windows and pass through
+    val tiny = Seq((9L, "a b"), (10L, "a b")).toDF("doc_id", "text")
+    assert(CorpusOps.exactSubstringDedup(tiny, "doc_id", "text", 3)
+      .as[(Long, String)].collect().toMap ==
+      Map(9L -> "a b", 10L -> "a b"))
+  }
+
   test("splitAssign is deterministic and stable under corpus growth") {
     val small = (1L to 200L).toDF("id")
     val big = (1L to 400L).toDF("id")
