@@ -331,7 +331,7 @@ object SparkEntry {
           metric.as("metric"))
         .agg(count(lit(1)).as("n"))
         .select(
-          concat_ws("", lit("3"), col("user_id").cast("string"),
+          concat_ws("\u001f", lit("3"), col("user_id").cast("string"),
             col("day_ms").cast("string")).as("key"),
           graft.agg.CounterFeatures.featureIdCol(lit(3L), col("metric"), lit(2L))
             .cast("string").as("field"),

@@ -67,7 +67,7 @@ object CounterFeatures {
     shiftleft(countType, 24).bitwiseOR(shiftleft(aggMetric, 8)).bitwiseOR(window)
 
   /** Redis tuple separator (reference RedisSink.java:27). */
-  val Sep = ""
+  val Sep = "\u001f"
 
   /** Key-segment type separator + markers (reference
     * P:common/counter/Constants.java:4-7 -- ASCII 0x1d group separator;

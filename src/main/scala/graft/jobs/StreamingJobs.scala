@@ -88,7 +88,7 @@ object StreamingJobs {
       "1 hour", "15 minutes")
     val commands = counts.select(
       lit("HSET").as("cmd"),
-      concat_ws("", col("platformId"), col("contentId")).as("key"),
+      concat_ws("\u001f", col("platformId"), col("contentId")).as("key"),
       col("window_start_ms").cast("string").as("field"),
       col("n").cast("string").as("value"), lit(4L * 3600).as("ttlSec"))
     Sinks.streamCommands(commands, client, s"$checkpointDir/counter")
@@ -358,7 +358,7 @@ object StreamingJobs {
       implicit spark: SparkSession): StreamingQuery = {
     import spark.implicits._
     val keyed = events.select(
-      concat_ws("", col("platformId"), col("logUserId"),
+      concat_ws("\u001f", col("platformId"), col("logUserId"),
         col("contentId")).as("key"),
       col("tsMs")).as[LastSeen.Event]
     val results = LastSeen.countStream(keyed, "1 minute", ttlDays)

@@ -181,8 +181,8 @@ class PipelineSpec extends SparkSpec {
     assert(rows.forall(_.getAs[String]("cmd") == "HSET"))
     // key families present: global (1) and content (2) keys
     val keys = rows.map(_.getAs[String]("key"))
-    assert(keys.exists(_.startsWith("1")))
-    assert(keys.exists(_.startsWith("2")))
+    assert(keys.exists(_.startsWith("1\u001f")))
+    assert(keys.exists(_.startsWith("2\u001f")))
     // counter-family fields decode: countType<<24 | metric<<8 | window
     // (last-seen features use a contentId-scoped field instead)
     val fields = rows.map(_.getAs[String]("field"))
