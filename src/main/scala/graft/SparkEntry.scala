@@ -802,6 +802,16 @@ object SparkEntry {
     "q57_exact_substring" -> ((s, dir) =>
       operators.CorpusOps.exactSubstringDedup(
         t(s, dir, "documents"), "doc_id", "text", k = 8)),
+
+    // Corpus prep: SemDeDup (Abbas et al. 2023) — SEMANTIC dedup: k-means
+    // blocks the corpus, ε-similar cluster-mates resolve by the
+    // keep-farthest-from-centroid tournament. Fully deterministic (cosine
+    // Lloyd trainer + e9-integer scoring), so the oracle replays training,
+    // assignment and the tournament end-to-end in SQL.
+    "q58_sem_dedup" -> ((s, dir) =>
+      operators.Similarity.semDedup(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 16, iters = 2, minCosE6 = 400000L)
+        .withColumnRenamed("id", "vec_id")),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -1226,6 +1236,74 @@ object SparkEntry {
        |r AS (SELECT qid, cid, adc_e9,
        |  row_number() OVER (PARTITION BY qid ORDER BY adc_e9 DESC, cid) AS rank FROM adc)
        |SELECT qid, cid, rank, adc_e9 FROM r WHERE rank <= 3""".stripMargin
+  }
+
+  /** q58's oracle replays SemDeDup end-to-end: the cosine Lloyd trainer
+    * (init = the 16 lowest-id vectors; each round assigns by e9-integer
+    * cosine — CAST(dot AS DOUBLE)/sqrt(nsq·centN) with ties to the lowest
+    * centroid id — and recomputes centroids as float(Σ round(x·1e9)/n/1e9),
+    * integer sums order-free), then the final assignment with its rounded
+    * cent_sim_e6 and the keep-farthest-from-centroid tournament: a vector
+    * drops iff an ε-similar cluster-mate has a lower (cent_sim, id) key. */
+  private val q58OracleSql: String = {
+    val cbSize = 16; val iters = 2; val dims = 64; val eps = 400000L
+    // BIGINT quantized dot: Σ round(a_j·b_j·1e9)
+    val dotI = (a: String, b: String) =>
+      s"""CAST(list_sum(list_transform(list_zip($a, $b),
+         |  z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""d$r AS (
+         | SELECT n.vec_id, c.centId,
+         |  CAST(${dotI("n.embedding", "c.cvec")} AS DOUBLE)
+         |   / sqrt(CAST(n.nsq AS DOUBLE) * CAST(${dotI("c.cvec", "c.cvec")} AS DOUBLE)) AS cs
+         | FROM n CROSS JOIN cb${r - 1} c),
+         |a$r AS (
+         | SELECT vec_id, centId FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, centId) AS rr
+         |  FROM d$r) WHERE rr = 1),
+         |comp$r AS (
+         | SELECT a.centId, j,
+         |  SUM(CAST(round(CAST(n.embedding[j] AS DOUBLE)*1000000000.0) AS BIGINT)) AS sc,
+         |  COUNT(*) AS cnt
+         | FROM a$r a JOIN n ON n.vec_id = a.vec_id, range(1, ${dims + 1}) t(j)
+         | GROUP BY a.centId, j),
+         |cb$r AS (
+         | SELECT centId,
+         |  list(CAST(CAST(sc AS DOUBLE)/CAST(cnt AS DOUBLE)/1000000000.0 AS REAL)
+         |       ORDER BY j) AS cvec
+         | FROM comp$r GROUP BY centId),""".stripMargin
+    }.mkString("\n")
+    s"""WITH n AS (
+       | SELECT vec_id, embedding,
+       |  ${dotI("embedding", "embedding")} AS nsq
+       | FROM embeddings),
+       |cb0 AS (
+       | SELECT vec_id AS centId, embedding AS cvec
+       | FROM n ORDER BY vec_id LIMIT $cbSize),
+       |$rounds
+       |ca AS (
+       | SELECT n.vec_id, n.nsq, c.centId,
+       |  CAST(${dotI("n.embedding", "c.cvec")} AS DOUBLE)
+       |   / sqrt(CAST(n.nsq AS DOUBLE) * CAST(${dotI("c.cvec", "c.cvec")} AS DOUBLE)) AS cs
+       | FROM n CROSS JOIN cb$iters c),
+       |assign AS (
+       | SELECT vec_id, centId AS cluster,
+       |  CAST(round(cs*1000000.0) AS BIGINT) AS cent_sim_e6
+       | FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, centId) AS rr
+       |  FROM ca) WHERE rr = 1),
+       |drops AS (
+       | SELECT DISTINCT a.vec_id
+       | FROM assign a JOIN assign b ON b.cluster = a.cluster
+       |  AND (b.cent_sim_e6 < a.cent_sim_e6
+       |       OR (b.cent_sim_e6 = a.cent_sim_e6 AND b.vec_id < a.vec_id))
+       | JOIN n na ON na.vec_id = a.vec_id
+       | JOIN n nb ON nb.vec_id = b.vec_id
+       | WHERE CAST(round(CAST(${dotI("na.embedding", "nb.embedding")} AS DOUBLE)
+       |   / sqrt(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE)) * 1000000.0) AS BIGINT)
+       |   >= $eps)
+       |SELECT a.vec_id, a.cluster, a.cent_sim_e6, (d.vec_id IS NULL) AS kept
+       |FROM assign a LEFT JOIN drops d ON d.vec_id = a.vec_id""".stripMargin
   }
 
   /** Renders `((a * c) mod 2^64) AS UBIGINT` with the 64-bit constant split
@@ -2215,5 +2293,7 @@ object SparkEntry {
         | WHERE m.doc_id IS NULL)
         |SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS text
         |FROM kept GROUP BY doc_id""".stripMargin,
+
+    "q58_sem_dedup" -> q58OracleSql,
   )
 }

@@ -419,6 +419,68 @@ object Similarity {
     * integer sums (the same codegen'd kernel as the banded path), so any
     * engine — including the DuckDB oracle — computes bit-identical
     * buckets regardless of summation order. */
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+    * via k-means clustering + within-cluster cosine pruning — the method
+    * large LLM corpora use to drop *semantic* (not just lexical) duplicates.
+    *
+    *  1. Train `k` centroids with [[trainIvfCentroids]] (cosine metric —
+    *     the same deterministic, SQL-replayable trainer the IVF index uses).
+    *  2. Assign every vector to its nearest centroid (cosine, ties to the
+    *     lowest centroid id): one broadcast join, no corpus shuffle.
+    *  3. Within each cluster, drop a vector when some cluster-mate with
+    *     cosine ≥ `minCosE6`/1e6 has a strictly lower (centroid-similarity,
+    *     id) key. This is the paper's keep-the-farthest-from-centroid rule
+    *     made a deterministic tournament: of any ε-similar group the member
+    *     no rival can eliminate — the lowest (cent_sim, id) — survives.
+    *
+    * Scale shape: clustering is the blocker — the pair join shuffles on the
+    * cluster id alone and per-cluster work is |C|², bounded by choosing
+    * k ∝ N/⟨target cluster size⟩ (the paper runs ~100k clusters on LAION).
+    * The corpus is never collected; only centroids ride the broadcast. For
+    * k beyond broadcast range, pre-partition with [[lshBucketedPairs]]-style
+    * coarse blocking or a two-level quantizer — the tournament rule is
+    * unchanged. The assignment frame is persisted because it feeds both
+    * pair-join sides and the output (without it the scan + assignment
+    * recompute once per consumer — the q21 trap); Bench clears the cache
+    * per query, library callers unpersist when done.
+    *
+    * Output: (id, cluster, cent_sim_e6, kept) for every corpus row. */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, minCosE6: Long): DataFrame = {
+    VectorExpressions.register(corpus.sparkSession)
+    val cents = broadcast(
+      trainIvfCentroids(corpus, idCol, vecCol, k, iters, "cosine")
+        .withColumn("centN", VectorExpressions.normSqE9Fast(col("centVec"))))
+    val base = corpus.repartition(col(idCol)).select(
+      col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+      VectorExpressions.normSqE9Fast(col(vecCol)).as("nsq"))
+    val scored = base.join(cents)
+      .withColumn("__cs",
+        cosineFromE9(VectorExpressions.dotE9Fast(col("vec"), col("centVec")),
+          col("nsq"), col("centN")))
+    val w = Window.partitionBy(col("id")).orderBy(col("__cs").desc, col("centId"))
+    val assigned = scored.withColumn("__r", row_number().over(w))
+      .where(col("__r") === 1)
+      .select(col("id"), col("vec"), col("nsq"), col("centId").as("cluster"),
+        round(col("__cs") * 1e6).cast("long").as("cent_sim_e6"))
+      .persist()
+    val aSide = assigned.select(col("cluster"), col("id").as("a_id"),
+      col("vec").as("__va"), col("nsq").as("__na"), col("cent_sim_e6").as("a_cs"))
+    val bSide = assigned.select(col("cluster"), col("id").as("b_id"),
+      col("vec").as("__vb"), col("nsq").as("__nb"), col("cent_sim_e6").as("b_cs"))
+    val dropped = aSide.join(bSide, Seq("cluster"))
+      .where(col("b_cs") < col("a_cs") ||
+        (col("b_cs") === col("a_cs") && col("b_id") < col("a_id")))
+      .where(round(cosineFromE9(
+          VectorExpressions.dotE9Fast(col("__va"), col("__vb")),
+          col("__na"), col("__nb")) * 1e6).cast("long") >= minCosE6)
+      .select(col("a_id").as("id")).distinct()
+    assigned
+      .join(dropped.withColumn("__dropped", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("cent_sim_e6"),
+        col("__dropped").isNull.as("kept"))
+  }
+
   def lshBucketedPairs(corpus: DataFrame, idCol: String, vecCol: String,
       planes: Int, dimsIn: Int = -1, maxBucket: Int = 0): DataFrame = {
     VectorExpressions.register(corpus.sparkSession)

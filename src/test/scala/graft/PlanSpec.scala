@@ -102,6 +102,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
+  test("semDedup: broadcast assignment, equi pair join, one cached assignment scan") {
+    val p = plan("q58_sem_dedup")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // centroid assignment broadcasts the (k)-row centroid side only; the
+    // within-cluster ε-pair join is an equi join keyed on the cluster id
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+    // both pair-join sides and the output read the persisted assignment,
+    // not a recomputed scan+assignment subtree
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
+  }
+
   test("incremental read prunes the base scan to touched partitions") {
     val p = plan("q51_upsert_incremental")
     // changed keys reach the full-history scan as a broadcast semi join,
