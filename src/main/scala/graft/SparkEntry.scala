@@ -812,6 +812,20 @@ object SparkEntry {
       operators.Similarity.semDedup(t(s, dir, "embeddings"),
         "vec_id", "embedding", k = 16, iters = 2, minCosE6 = 400000L)
         .withColumnRenamed("id", "vec_id")),
+
+    // Text analysis: fastText-shaped quality classifier — hashed
+    // bag-of-ngrams (uni+bigrams) linear scoring in ONE codegen pass over
+    // the text bytes, zero shuffle. Procedurally-derived weights stand in
+    // for a trained model (trained tables plug in via
+    // hashedNgramScoreTable); every step is SQL-replayable, so the oracle
+    // re-scores every doc from scratch.
+    "q59_quality_classifier" -> ((s, dir) => {
+      functions.HashedClassifier.register(s)
+      t(s, dir, "documents").select(col("doc_id"),
+        functions.HashedClassifier.hashedNgramScore(
+          col("text"), maskBits = 20, seed = 42L, bigrams = true).as("score"))
+        .withColumn("accept", col("score") >= 0L)
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -1304,6 +1318,53 @@ object SparkEntry {
        |   >= $eps)
        |SELECT a.vec_id, a.cluster, a.cent_sim_e6, (d.vec_id IS NULL) AS kept
        |FROM assign a LEFT JOIN drops d ON d.vec_id = a.vec_id""".stripMargin
+  }
+
+  /** q59's oracle re-scores every document from scratch: tokenize, build
+    * unigram + bigram strings, Karp–Rabin each (the q22 char fold),
+    * splitMix64-finish to a bucket, splitMix64 again (bucket ⊕ seed) for
+    * the procedural weight, sum per doc. Character codes equal UTF-8 bytes
+    * on this verified-ASCII corpus — a non-ASCII doc fails the gate
+    * loudly rather than weakening it. */
+  private val q59OracleSql: String = {
+    val maskBits = 20; val seed = 42L
+    val mask = (1L << maskBits) - 1
+    // renders the splitMix64 chain z0→z (three CTE stages + finish)
+    def sm(src: String, x: String, p: String): String = {
+      val z1 = mulMod64Sql(s"xor(${p}z0, ${p}z0 >> 30)", 0xBF58476D1CE4E5B9L)
+      val z2 = mulMod64Sql(s"xor(${p}z1, ${p}z1 >> 27)", 0x94D049BB133111EBL)
+      s"""${p}s0 AS (SELECT doc_id, g_id,
+         |  CAST(($x + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS ${p}z0
+         | FROM $src),
+         |${p}s1 AS (SELECT doc_id, g_id, $z1 AS ${p}z1 FROM ${p}s0),
+         |${p}s2 AS (SELECT doc_id, g_id, $z2 AS ${p}z2 FROM ${p}s1),
+         |${p}f AS (SELECT doc_id, g_id, xor(${p}z2, ${p}z2 >> 31) AS ${p}z FROM ${p}s2)"""
+        .stripMargin
+    }
+    s"""WITH t AS (
+       | SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+       | FROM documents),
+       |uni AS (
+       | SELECT doc_id, unnest(tk) AS g FROM t),
+       |big AS (
+       | SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+       | FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk)-1)) AS i) ix
+       | WHERE len(tk) >= 2),
+       |grams AS (
+       | SELECT doc_id, g, row_number() OVER () AS g_id FROM (
+       |  SELECT doc_id, g FROM uni UNION ALL SELECT doc_id, g FROM big)),
+       |k AS (
+       | SELECT doc_id, g_id, list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |   list_transform(range(1, length(g)+1), i -> CAST(unicode(g[i]) AS HUGEINT))),
+       |   (a,b) -> (a*257+b) % 2305843009213693951) AS h
+       | FROM grams),
+       |${sm("k", "h", "h")},
+       |bkt AS (SELECT doc_id, g_id, hz & $mask AS b FROM hf),
+       |${sm("bkt", s"xor(b, CAST($seed AS UBIGINT))", "w")},
+       |wt AS (SELECT doc_id, CAST((wz >> 13) % 2001 AS BIGINT) - 1000 AS w FROM wf)
+       |SELECT doc_id, CAST(sum(w) AS BIGINT) AS score,
+       |  (CAST(sum(w) AS BIGINT) >= 0) AS accept
+       |FROM wt GROUP BY doc_id""".stripMargin
   }
 
   /** Renders `((a * c) mod 2^64) AS UBIGINT` with the 64-bit constant split
@@ -2295,5 +2356,7 @@ object SparkEntry {
         |FROM kept GROUP BY doc_id""".stripMargin,
 
     "q58_sem_dedup" -> q58OracleSql,
+
+    "q59_quality_classifier" -> q59OracleSql,
   )
 }
