@@ -826,6 +826,15 @@ object SparkEntry {
           col("text"), maskBits = 20, seed = 42L, bigrams = true).as("score"))
         .withColumn("accept", col("score") >= 0L)
     }),
+
+    // Text analysis: BPE tokenizer TRAINING (Sennrich et al. 2016) — learn
+    // 8 merges from the corpus word-frequency table (deterministic ties),
+    // then count each doc's post-BPE tokens. The oracle unrolls all 8
+    // iterations in SQL — pair counts, argmax pick, greedy fold — so the
+    // whole training loop is hash-gated, not just the application.
+    "q60_bpe_train" -> ((s, dir) =>
+      operators.BpeTrainer.bpeTokenCounts(
+        t(s, dir, "documents"), "doc_id", "text", k = 8)),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -1365,6 +1374,52 @@ object SparkEntry {
        |SELECT doc_id, CAST(sum(w) AS BIGINT) AS score,
        |  (CAST(sum(w) AS BIGINT) >= 0) AS accept
        |FROM wt GROUP BY doc_id""".stripMargin
+  }
+
+  /** q60's oracle replays BPE training END-TO-END: all 8 merge iterations
+    * unroll as CTE blocks — weighted adjacent-pair counts over the symbol
+    * lists, the (count DESC, pair ASC) argmax pick, and the greedy
+    * left-to-right merge as a string fold (symbols joined by the 0x1f
+    * separator; a freshly merged symbol becomes the fold tail and cannot
+    * re-merge in the same pass, matching `BpeTrainer.mergeOnce`) — then
+    * per-doc token counts under the final vocabulary. */
+  private val q60OracleSql: String = {
+    val k = 8
+    val S = "'\u001f'" // symbol separator literal (vocab is alnum — safe)
+    val rounds = (1 to k).map { r =>
+      s"""p$r AS (
+         | SELECT ls[i] AS l, ls[i+1] AS r2, sum(cnt) AS c
+         | FROM (SELECT cnt, string_split(s, $S) AS ls FROM v${r - 1}),
+         |      LATERAL (SELECT unnest(generate_series(1, len(ls)-1)) AS i) ix
+         | WHERE len(ls) >= 2 GROUP BY 1, 2),
+         |t$r AS (SELECT l, r2 FROM p$r ORDER BY c DESC, l, r2 LIMIT 1),
+         |v$r AS (
+         | SELECT word, cnt,
+         |  list_reduce(list_prepend('', string_split(s, $S)),
+         |   (a, x) -> CASE
+         |     WHEN a = '' THEN x
+         |     WHEN string_split(a, $S)[-1] = t.l AND x = t.r2 THEN
+         |       array_to_string(list_append(
+         |         list_slice(string_split(a, $S), 1, len(string_split(a, $S))-1),
+         |         t.l || t.r2), $S)
+         |     ELSE a || $S || x END) AS s
+         | FROM v${r - 1}, t$r t),""".stripMargin
+    }.mkString("\n")
+    s"""WITH words AS (
+       | SELECT w AS word, count(*) AS cnt FROM (
+       |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |  FROM documents) WHERE length(w) > 0 GROUP BY w),
+       |v0 AS (
+       | SELECT word, cnt, array_to_string(
+       |  list_transform(range(1, length(word)+1), i -> word[i]), $S) AS s
+       | FROM words),
+       |$rounds
+       |nt AS (SELECT word, CAST(len(string_split(s, $S)) AS BIGINT) AS ntok FROM v$k),
+       |dw AS (
+       | SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       | FROM documents)
+       |SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS n_bpe_tokens
+       |FROM dw JOIN nt USING (word) GROUP BY doc_id""".stripMargin
   }
 
   /** Renders `((a * c) mod 2^64) AS UBIGINT` with the 64-bit constant split
@@ -2358,5 +2413,7 @@ object SparkEntry {
     "q58_sem_dedup" -> q58OracleSql,
 
     "q59_quality_classifier" -> q59OracleSql,
+
+    "q60_bpe_train" -> q60OracleSql,
   )
 }

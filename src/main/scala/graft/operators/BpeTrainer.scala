@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer training (Sennrich, Haddow, Birch 2016, "Neural Machine
+  * Translation of Rare Words with Subword Units" — the algorithm every
+  * modern LLM tokenizer derives from).
+  *
+  * Classic formulation: training operates on the WORD-FREQUENCY table, not
+  * the corpus — one corpus-wide shuffle counts words, then every merge
+  * iteration runs on the bounded vocabulary frame (distinct words ≪
+  * corpus size; at 100 TB the vocab of whitespace words is millions of
+  * rows while the corpus is trillions of tokens). Each iteration:
+  *
+  *  1. count adjacent symbol pairs weighted by word frequency (explode →
+  *     partial-agg groupBy on the tiny vocab frame);
+  *  2. pick the most frequent pair — ties to the lexicographically lowest
+  *     (left, right), so training is deterministic; the pick is a 1-row
+  *     collect per iteration (a bounded driver action, like the PQ
+  *     codebook collect);
+  *  3. apply the merge greedily left-to-right within every word (a merged
+  *     symbol never re-merges in the same pass — standard BPE semantics),
+  *     as a declarative `aggregate` fold, no UDF.
+  *
+  * Application to new text reuses the same fold: `applyMerges` rewrites a
+  * symbol array through the learned merge list in rank order — a scalar
+  * projection (broadcast-join the vocab or inline the merges), zero
+  * shuffle beyond the word join.
+  */
+object BpeTrainer {
+
+  /** A learned merge: 1-based rank, the two symbols joined, and the
+    * weighted pair count at pick time. */
+  final case class Merge(rank: Int, left: String, right: String, count: Long)
+
+  /** (word, cnt) — the one corpus-wide shuffle. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Splits a word column into its single-character symbol array. */
+  def charSymbols(word: Column): Column =
+    transform(sequence(lit(1), length(word)), i => substring(word, i, lit(1)))
+
+  /** One greedy left-to-right merge pass of (left, right) over a symbol
+    * array: fold symbols, merging when the accumulator's last symbol is
+    * `left` and the incoming one is `right`. The merged symbol becomes the
+    * new tail and cannot re-merge in this pass (left+right ≠ left). */
+  def mergeOnce(syms: Column, left: String, right: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) => when(
+        try_element_at(acc, lit(-1)) === lit(left) && s === lit(right),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(left + right))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Applies the learned merges in rank order. */
+  def applyMerges(syms: Column, merges: Seq[Merge]): Column =
+    merges.sortBy(_.rank).foldLeft(syms)((c, m) => mergeOnce(c, m.left, m.right))
+
+  /** Trains `k` merges on a (word, cnt) frame. */
+  def trainMerges(wordCnt: DataFrame, k: Int): Seq[Merge] = {
+    var vocab = wordCnt.select(col("word"), col("cnt"),
+      charSymbols(col("word")).as("syms"))
+    val out = Seq.newBuilder[Merge]
+    for (rank <- 1 to k) {
+      // adjacent pairs weighted by word frequency
+      val pairs = vocab
+        .where(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+      val top = pairs.orderBy(col("c").desc, col("l"), col("r")).limit(1)
+        .collect() // bounded driver action: ONE row per iteration
+      if (top.isEmpty) return out.result() // vocab fully merged
+      val m = Merge(rank, top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      out += m
+      vocab = vocab.withColumn("syms", mergeOnce(col("syms"), m.left, m.right))
+    }
+    out.result()
+  }
+
+  /** Per-document token counts under a learned BPE: train `k` merges on
+    * the corpus, then sum each document's per-word symbol counts via a
+    * broadcast join against the merged vocabulary. Output:
+    * (idCol, n_bpe_tokens). */
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val wc = wordCounts(docs, textCol)
+    val merges = trainMerges(wc, k)
+    val vocabSizes = wc.select(col("word"),
+      size(applyMerges(charSymbols(col("word")), merges)).cast("long").as("ntok"))
+    docs.select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .join(broadcast(vocabSizes), "word")
+      .groupBy(col(idCol))
+      .agg(sum(col("ntok")).as("n_bpe_tokens"))
+  }
+}
