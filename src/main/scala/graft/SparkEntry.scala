@@ -835,6 +835,24 @@ object SparkEntry {
     "q60_bpe_train" -> ((s, dir) =>
       operators.BpeTrainer.bpeTokenCounts(
         t(s, dir, "documents"), "doc_id", "text", k = 8)),
+
+    // Layout: z-order clustering + manifest data skipping — write events
+    // z-ordered by (user_id, ts_ms), read a user×time rectangle through
+    // the bucket-pruned path. The oracle filters the raw table directly,
+    // so the gate proves the skipping read is EXACT regardless of layout;
+    // ZOrderTableSpec pins that the pruning actually skips buckets on
+    // BOTH dimensions (the property a single-key sort can't give).
+    "q61_zorder_read" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_zorder_q61")
+        .toString
+      sinks.ZOrderTable.write(
+        ev(s, dir).select(col("event_id"), col("user_id"), col("ts_ms")),
+        path, Seq("user_id", "ts_ms"), buckets = 64)
+      sinks.ZOrderTable.read(s, path,
+        Map("user_id" -> (100L, 299L),
+          "ts_ms" -> (1704067200000L, 1705276799999L)))
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -2415,5 +2433,11 @@ object SparkEntry {
     "q59_quality_classifier" -> q59OracleSql,
 
     "q60_bpe_train" -> q60OracleSql,
+
+    // layout-independent truth: the raw filter over the source table
+    "q61_zorder_read" ->
+      """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events
+        |WHERE user_id BETWEEN 100 AND 299
+        |  AND epoch_ms(ts) BETWEEN 1704067200000 AND 1705276799999""".stripMargin,
   )
 }
