@@ -853,6 +853,17 @@ object SparkEntry {
           "ts_ms" -> (1704067200000L, 1705276799999L)))
         .select(col("event_id"), col("user_id"), col("ts_ms"))
     }),
+
+    // Sketches: HLL distinct-count registers per event_type — a custom
+    // TypedImperativeAggregate whose register arrays combine map-side
+    // (partial aggregation) and union by register-max. PolyHash64 input
+    // hashing makes the full register state SQL-replayable, so the gate
+    // hash-matches the SKETCH itself, not a tolerance on the estimate.
+    "q62_hll_sketch" -> ((s, dir) => {
+      agg.HllSketch.register(s)
+      ev(s, dir).groupBy(col("event_type"))
+        .agg(agg.HllSketch.hllRegisters(col("user_id"), p = 12).as("hll"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -1438,6 +1449,44 @@ object SparkEntry {
        | FROM documents)
        |SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS n_bpe_tokens
        |FROM dw JOIN nt USING (word) GROUP BY doc_id""".stripMargin
+  }
+
+  /** q62's oracle rebuilds every HLL register: per row, PolyHash64 the
+    * stringified user id (the q22 char fold + splitMix64 finish), split
+    * into p=12 bucket bits and a 52-bit remainder, rank = leading zeros in
+    * the remainder window + 1 (53 - length of the minimal binary render;
+    * zero remainder saturates at 53), then per (event_type, bucket) MAX
+    * and a bucket-ordered hex render over the full 4096-register grid. */
+  private val q62OracleSql: String = {
+    val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
+    val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
+    val wMask = (1L << 52) - 1
+    s"""WITH v AS (
+       | SELECT event_type, CAST(user_id AS VARCHAR) AS s FROM events),
+       |k AS (
+       | SELECT event_type, list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |   list_transform(range(1, length(s)+1), i -> CAST(unicode(s[i]) AS HUGEINT))),
+       |   (a,b) -> (a*257+b) % 2305843009213693951) AS h
+       | FROM v),
+       |s0 AS (SELECT event_type,
+       |  CAST((h + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z0 FROM k),
+       |s1 AS (SELECT event_type, $z1 AS z1 FROM s0),
+       |s2 AS (SELECT event_type, $z2 AS z2 FROM s1),
+       |hh AS (SELECT event_type, xor(z2, z2 >> 31) AS z FROM s2),
+       |r AS (
+       | SELECT event_type, CAST(z >> 52 AS BIGINT) AS bucket,
+       |  CASE WHEN (z & CAST($wMask AS UBIGINT)) = 0 THEN 53
+       |       ELSE 53 - length(bin(z & CAST($wMask AS UBIGINT))) END AS rank
+       | FROM hh),
+       |mx AS (SELECT event_type, bucket, max(rank) AS mr FROM r GROUP BY 1, 2),
+       |grid AS (
+       | SELECT g.event_type, t.b AS bucket, coalesce(mx.mr, 0) AS mr
+       | FROM (SELECT DISTINCT event_type FROM v) g
+       | CROSS JOIN range(0, 4096) t(b)
+       | LEFT JOIN mx ON mx.event_type = g.event_type AND mx.bucket = t.b)
+       |SELECT event_type,
+       | string_agg(lpad(lower(hex(mr)), 2, '0'), '' ORDER BY bucket) AS hll
+       |FROM grid GROUP BY event_type""".stripMargin
   }
 
   /** Renders `((a * c) mod 2^64) AS UBIGINT` with the 64-bit constant split
@@ -2439,5 +2488,7 @@ object SparkEntry {
       """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events
         |WHERE user_id BETWEEN 100 AND 299
         |  AND epoch_ms(ts) BETWEEN 1704067200000 AND 1705276799999""".stripMargin,
+
+    "q62_hll_sketch" -> q62OracleSql,
   )
 }
