@@ -864,6 +864,17 @@ object SparkEntry {
       ev(s, dir).groupBy(col("event_type"))
         .agg(agg.HllSketch.hllRegisters(col("user_id"), p = 12).as("hll"))
     }),
+
+    // Sketches: Count-Min frequency counters per event_type — counters are
+    // sums, so the sketch is order/partition-invariant and merges by
+    // elementwise add (map-side partials, slice→range composition). The
+    // gate hash-matches the full counter state via the PolyHash64 replay.
+    "q63_count_min" -> ((s, dir) => {
+      agg.CountMinSketch.register(s)
+      ev(s, dir).groupBy(col("event_type"))
+        .agg(agg.CountMinSketch.countMin(col("user_id"), depth = 4,
+          width = 1024).as("cm"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -1487,6 +1498,39 @@ object SparkEntry {
        |SELECT event_type,
        | string_agg(lpad(lower(hex(mr)), 2, '0'), '' ORDER BY bucket) AS hll
        |FROM grid GROUP BY event_type""".stripMargin
+  }
+
+  /** q63's oracle rebuilds every Count-Min cell: 4 depth-rows per event
+    * (domain-separated hash input "r:" + user id), bucket = low 10 bits of
+    * the PolyHash64, per-(event_type, cell) COUNT sums, sparse
+    * "idx:count" render ascending — the same bytes `CountMinAgg.eval`
+    * emits. */
+  private val q63OracleSql: String = {
+    val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
+    val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
+    s"""WITH v AS (
+       | SELECT event_type,
+       |  CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR) AS s, r
+       | FROM events, range(0, 4) t(r)),
+       |k AS (
+       | SELECT event_type, r, list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |   list_transform(range(1, length(s)+1), i -> CAST(unicode(s[i]) AS HUGEINT))),
+       |   (a,b) -> (a*257+b) % 2305843009213693951) AS h
+       | FROM v),
+       |s0 AS (SELECT event_type, r,
+       |  CAST((h + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z0 FROM k),
+       |s1 AS (SELECT event_type, r, $z1 AS z1 FROM s0),
+       |s2 AS (SELECT event_type, r, $z2 AS z2 FROM s1),
+       |hh AS (SELECT event_type, r, xor(z2, z2 >> 31) AS z FROM s2),
+       |cells AS (
+       | SELECT event_type,
+       |  r * 1024 + CAST(z & CAST(1023 AS UBIGINT) AS BIGINT) AS idx,
+       |  count(*) AS c
+       | FROM hh GROUP BY 1, 2)
+       |SELECT event_type,
+       | string_agg(CAST(idx AS VARCHAR) || ':' || CAST(c AS VARCHAR), ','
+       |   ORDER BY idx) AS cm
+       |FROM cells GROUP BY event_type""".stripMargin
   }
 
   /** Renders `((a * c) mod 2^64) AS UBIGINT` with the 64-bit constant split
@@ -2490,5 +2534,7 @@ object SparkEntry {
         |  AND epoch_ms(ts) BETWEEN 1704067200000 AND 1705276799999""".stripMargin,
 
     "q62_hll_sketch" -> q62OracleSql,
+
+    "q63_count_min" -> q63OracleSql,
   )
 }
