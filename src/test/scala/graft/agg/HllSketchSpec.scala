@@ -70,6 +70,31 @@ class HllSketchSpec extends SparkSpec {
       "no partial (map-side) sketch aggregation\n" + plan.take(1500))
   }
 
+  test("sketch aggregates run in streaming group-bys with batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    HllSketch.register(spark)
+    CountMinSketch.register(spark)
+    val data = (0 until 3000).map(i => ((i % 3).toLong, s"u${i % 400}"))
+    val mem = MemoryStream[(Long, String)]
+    val sdf = mem.toDS().toDF("g", "v").groupBy("g")
+      .agg(HllSketch.hllRegisters(col("v"), p).as("h"),
+        CountMinSketch.countMin(col("v"), 4, 1024).as("cm"))
+    val q = sdf.writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    try {
+      // two batches: the state-store buffer must merge across them
+      mem.addData(data.take(1000): _*); q.processAllAvailable()
+      mem.addData(data.drop(1000): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("hll_stream")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val batch = data.toDF("g", "v").groupBy("g")
+      .agg(HllSketch.hllRegisters(col("v"), p).as("h"),
+        CountMinSketch.countMin(col("v"), 4, 1024).as("cm"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(streamed == batch)
+  }
+
   test("null inputs are ignored; empty group renders all-zero registers") {
     HllSketch.register(spark)
     val df = Seq(Some("x"), None, Some("y"), None).toDF("v")
