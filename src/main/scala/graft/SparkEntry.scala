@@ -875,6 +875,14 @@ object SparkEntry {
         .agg(agg.CountMinSketch.countMin(col("user_id"), depth = 4,
           width = 1024).as("cm"))
     }),
+
+    // Analytics: ordered funnel (view → click → purchase within 7 days of
+    // the first view, each stage strictly after the previous) — the
+    // conversion query of the reference's attribution domain, one shuffle
+    // on the user key, no self-joins or window sorts.
+    "q64_funnel" -> ((s, dir) =>
+      operators.Funnel.funnelTimes(ev(s, dir), "user_id", "event_type",
+        "ts_ms", Seq("view", "click", "purchase"), 7L * 86400000L)),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -2536,5 +2544,30 @@ object SparkEntry {
     "q62_hll_sketch" -> q62OracleSql,
 
     "q63_count_min" -> q63OracleSql,
+
+    // greedy-earliest funnel: stage i = first event strictly after stage
+    // i-1 within the window of t1 — one conditional-min pass per stage
+    "q64_funnel" ->
+      """WITH e AS (
+        | SELECT user_id AS u, event_type AS et, epoch_ms(ts) AS ts
+        | FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (
+        | SELECT u, min(CASE WHEN et = 'view' THEN ts END) AS t1
+        | FROM e GROUP BY u),
+        |s1f AS (SELECT u, t1 FROM s1 WHERE t1 IS NOT NULL),
+        |s2 AS (
+        | SELECT e.u, t1, min(CASE WHEN et = 'click' AND ts > t1
+        |    AND ts <= t1 + 604800000 THEN ts END) AS t2
+        | FROM e JOIN s1f USING (u) GROUP BY e.u, t1),
+        |s3 AS (
+        | SELECT e.u, t1, t2, min(CASE WHEN et = 'purchase' AND t2 IS NOT NULL
+        |    AND ts > t2 AND ts <= t1 + 604800000 THEN ts END) AS t3
+        | FROM e JOIN s2 USING (u) GROUP BY e.u, t1, t2)
+        |SELECT u AS user_id, t1, t2, t3,
+        | CAST((CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
+        |    + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+        |    + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS stages_reached
+        |FROM s3""".stripMargin,
   )
 }

@@ -59,10 +59,17 @@ object BpeTrainer {
   def applyMerges(syms: Column, merges: Seq[Merge]): Column =
     merges.sortBy(_.rank).foldLeft(syms)((c, m) => mergeOnce(c, m.left, m.right))
 
-  /** Trains `k` merges on a (word, cnt) frame. */
+  /** Trains `k` merges on a (word, cnt) frame.
+    *
+    * Each iteration ends in a `localCheckpoint`: without it, iteration i's
+    * plan nests i merge folds and the optimizer re-analyzes (and the pair
+    * count re-executes) the whole stack on every pick — O(k²) plan growth
+    * that measured 45 s for k=8 on a 31-word vocab. Checkpointing caps
+    * every iteration at one fold over materialized rows (measured ~2 s). */
   def trainMerges(wordCnt: DataFrame, k: Int): Seq[Merge] = {
     var vocab = wordCnt.select(col("word"), col("cnt"),
       charSymbols(col("word")).as("syms"))
+      .localCheckpoint(true)
     val out = Seq.newBuilder[Merge]
     for (rank <- 1 to k) {
       // adjacent pairs weighted by word frequency
@@ -80,6 +87,7 @@ object BpeTrainer {
       val m = Merge(rank, top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       out += m
       vocab = vocab.withColumn("syms", mergeOnce(col("syms"), m.left, m.right))
+        .localCheckpoint(true)
     }
     out.result()
   }
@@ -90,7 +98,11 @@ object BpeTrainer {
     * (idCol, n_bpe_tokens). */
   def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
+    // ONE corpus scan: training and the vocab-size join both read this
+    // frame (without the persist the corpus word count re-runs per
+    // consumer — the q21 trap)
     val wc = wordCounts(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = trainMerges(wc, k)
     val vocabSizes = wc.select(col("word"),
       size(applyMerges(charSymbols(col("word")), merges)).cast("long").as("ntok"))

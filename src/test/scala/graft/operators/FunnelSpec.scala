@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The one-shuffle funnel must reproduce a sequential greedy-earliest
+  * reference on both a hand fixture (edge semantics) and the real events
+  * table. */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val stages = Seq("view", "click", "purchase")
+
+  private def refTimes(evs: Seq[(String, Long)], windowMs: Long)
+      : (Seq[Option[Long]], Long) = {
+    val t = Array.fill[Option[Long]](stages.size)(None)
+    t(0) = evs.filter(_._1 == stages.head).map(_._2).minOption
+    for (i <- 1 until stages.size) {
+      t(i) = t(i - 1).flatMap { prev =>
+        evs.filter { case (et, ts) =>
+          et == stages(i) && ts > prev && ts <= t(0).get + windowMs
+        }.map(_._2).minOption
+      }
+    }
+    (t.toSeq, t.count(_.isDefined).toLong)
+  }
+
+  test("edge semantics: strict order, window cut, missing stages") {
+    val w = 1000L
+    val evs = Seq(
+      // u1: clean traversal
+      ("u1", "view", 100L), ("u1", "click", 200L), ("u1", "purchase", 300L),
+      // u2: click BEFORE the first view never counts; the later one does
+      ("u2", "click", 50L), ("u2", "view", 100L), ("u2", "click", 150L),
+      // u3: purchase outside the window of t1
+      ("u3", "view", 0L), ("u3", "click", 10L), ("u3", "purchase", 2000L),
+      // u4: equal timestamp does not advance (strictly after)
+      ("u4", "view", 100L), ("u4", "click", 100L),
+      // u5: no view at all → absent from output
+      ("u5", "click", 10L), ("u5", "purchase", 20L))
+    val df = evs.toDF("u", "et", "ts")
+    val got = Funnel.funnelTimes(df, "u", "et", "ts", stages, w)
+      .collect().map(r => r.getString(0) ->
+        ((1 to 3).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i))),
+          r.getLong(4))).toMap
+    assert(!got.contains("u5"))
+    evs.map(_._1).distinct.filter(_ != "u5").foreach { u =>
+      val exp = refTimes(evs.filter(_._1 == u).map(t => (t._2, t._3)), w)
+      assert(got(u) == ((exp._1, exp._2)), s"user $u")
+    }
+    assert(got("u1")._2 == 3L)
+    assert(got("u2")._1(1).contains(150L))
+    assert(got("u3")._2 == 2L)
+    assert(got("u4")._2 == 1L)
+  }
+
+  test("matches the sequential reference on the real events table") {
+    val w = 7L * 86400000L
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("ts_ms", unix_millis(col("ts")))
+    val byUser = ev.select("user_id", "event_type", "ts_ms").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    val got = Funnel.funnelTimes(ev, "user_id", "event_type", "ts_ms", stages, w)
+      .collect().map(r => r.getLong(0) ->
+        ((1 to 3).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i))),
+          r.getLong(4))).toMap
+    val exp = byUser.flatMap { case (u, evs) =>
+      val r = refTimes(evs.map(t => (t._2, t._3)).toSeq, w)
+      if (r._1.head.isDefined) Some(u -> ((r._1, r._2))) else None
+    }
+    assert(got == exp)
+    assert(got.nonEmpty && got.values.exists(_._2 == 3L))
+  }
+
+  test("stage rollup counts are monotone non-increasing") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("ts_ms", unix_millis(col("ts")))
+    val counts = Funnel.funnelCounts(ev, "user_id", "event_type", "ts_ms",
+        stages, 7L * 86400000L)
+      .orderBy("stage").collect().map(_.getLong(2))
+    assert(counts.length == 3)
+    assert(counts.sliding(2).forall(p => p(0) >= p(1)), counts.toSeq)
+  }
+}
