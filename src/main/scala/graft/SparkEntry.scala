@@ -883,6 +883,21 @@ object SparkEntry {
     "q64_funnel" -> ((s, dir) =>
       operators.Funnel.funnelTimes(ev(s, dir), "user_id", "event_type",
         "ts_ms", Seq("view", "click", "purchase"), 7L * 86400000L)),
+
+    // Analytics: cohort retention triangle — each user's first-seen day
+    // buckets the cohort; cells count distinct users active at each
+    // offset. One user-key shuffle + one bounded-cell distinct agg.
+    "q65_retention" -> ((s, dir) =>
+      operators.Retention.cohortRetention(ev(s, dir), "user_id", "ts_ms",
+        86400000L)),
+
+    // Sketches: KMV bottom-k set-operation sketch — per-event-type
+    // bottom-128 distinct user hashes; every pair's union bottom-k derives
+    // from the samples alone (the KMV closure property) and yields INTEGER
+    // Jaccard match counts, hash-gated end-to-end.
+    "q66_kmv_jaccard" -> ((s, dir) =>
+      agg.KmvSketch.jaccardMatchCounts(ev(s, dir), "event_type", "user_id",
+        k = 128)),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -1539,6 +1554,55 @@ object SparkEntry {
        | string_agg(CAST(idx AS VARCHAR) || ':' || CAST(c AS VARCHAR), ','
        |   ORDER BY idx) AS cm
        |FROM cells GROUP BY event_type""".stripMargin
+  }
+
+  /** q66's oracle replays the KMV pipeline: PolyHash64 each distinct
+    * (event_type, user) pair, convert to SIGNED 64-bit (Spark orders the
+    * hash column as a signed long), rank bottom-128 per group, build every
+    * pair's union bottom-k from the two samples and count both-member
+    * hashes. */
+  private val q66OracleSql: String = {
+    val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
+    val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
+    s"""WITH v AS (
+       | SELECT DISTINCT event_type AS g, CAST(user_id AS VARCHAR) AS s
+       | FROM events),
+       |k AS (
+       | SELECT g, list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |   list_transform(range(1, length(s)+1), i -> CAST(unicode(s[i]) AS HUGEINT))),
+       |   (a,b) -> (a*257+b) % 2305843009213693951) AS h
+       | FROM v),
+       |s0 AS (SELECT g,
+       |  CAST((h + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z0 FROM k),
+       |s1 AS (SELECT g, $z1 AS z1 FROM s0),
+       |s2 AS (SELECT g, $z2 AS z2 FROM s1),
+       |hh AS (SELECT g, xor(z2, z2 >> 31) AS z FROM s2),
+       |sh AS (SELECT DISTINCT g,
+       |  CAST(CASE WHEN z >= CAST('9223372036854775808' AS HUGEINT)
+       |    THEN z - CAST('18446744073709551616' AS HUGEINT) ELSE z END AS BIGINT) AS h
+       | FROM hh),
+       |sk AS (
+       | SELECT g, h FROM (
+       |  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM sh)
+       | WHERE rn <= 128),
+       |gp AS (
+       | SELECT a.g AS g_a, b.g AS g_b
+       | FROM (SELECT DISTINCT g FROM sk) a JOIN (SELECT DISTINCT g FROM sk) b
+       | ON a.g < b.g),
+       |u0 AS (
+       | SELECT g_a, g_b, h, max(inA) AS inA, max(inB) AS inB FROM (
+       |  SELECT gp.g_a, gp.g_b, s.h, 1 AS inA, 0 AS inB
+       |  FROM gp JOIN sk s ON s.g = gp.g_a
+       |  UNION ALL
+       |  SELECT gp.g_a, gp.g_b, s.h, 0 AS inA, 1 AS inB
+       |  FROM gp JOIN sk s ON s.g = gp.g_b)
+       | GROUP BY 1, 2, 3),
+       |uk AS (
+       | SELECT *, row_number() OVER (PARTITION BY g_a, g_b ORDER BY h) AS rn
+       | FROM u0)
+       |SELECT g_a, g_b, CAST(count(*) AS BIGINT) AS union_k,
+       | CAST(sum(inA * inB) AS BIGINT) AS matches
+       |FROM uk WHERE rn <= 128 GROUP BY g_a, g_b""".stripMargin
   }
 
   /** Renders `((a * c) mod 2^64) AS UBIGINT` with the 64-bit constant split
@@ -2547,6 +2611,18 @@ object SparkEntry {
 
     // greedy-earliest funnel: stage i = first event strictly after stage
     // i-1 within the window of t1 — one conditional-min pass per stage
+    "q65_retention" ->
+      """WITH e AS (
+        | SELECT DISTINCT user_id AS u,
+        |  epoch_ms(ts) - epoch_ms(ts) % 86400000 AS b
+        | FROM events),
+        |c AS (SELECT u, min(b) AS cohort_ms FROM e GROUP BY u)
+        |SELECT cohort_ms, (b - cohort_ms) // 86400000 AS offset,
+        | CAST(count(DISTINCT u) AS BIGINT) AS users
+        |FROM e JOIN c USING (u) GROUP BY 1, 2""".stripMargin,
+
+    "q66_kmv_jaccard" -> q66OracleSql,
+
     "q64_funnel" ->
       """WITH e AS (
         | SELECT user_id AS u, event_type AS et, epoch_ms(ts) AS ts

@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class RetentionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cells match a sequential reference on the real events table") {
+    val day = 86400000L
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("ts_ms", unix_millis(col("ts")))
+    val rows = ev.select("user_id", "ts_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1) - r.getLong(1) % day))
+    val firstSeen = rows.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val exp = rows.distinct
+      .groupBy { case (u, b) => (firstSeen(u), (b - firstSeen(u)) / day) }
+      .view.mapValues(_.map(_._1).distinct.size.toLong).toMap
+    val got = Retention.cohortRetention(ev, "user_id", "ts_ms", day)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == exp)
+    // offset-0 cells exist for every cohort and dominate later offsets
+    got.keys.map(_._1).foreach(c => assert(got.contains((c, 0L)), s"cohort $c"))
+  }
+
+  test("single-bucket users land only in offset 0") {
+    val day = 100L
+    val df = Seq((1L, 10L), (1L, 50L), (2L, 110L), (2L, 130L), (3L, 10L), (3L, 250L))
+      .toDF("u", "ts")
+    val got = Retention.cohortRetention(df, "u", "ts", day)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 0L) -> 2L, (100L, 0L) -> 1L, (0L, 2L) -> 1L))
+  }
+}
