@@ -898,6 +898,15 @@ object SparkEntry {
     "q66_kmv_jaccard" -> ((s, dir) =>
       agg.KmvSketch.jaccardMatchCounts(ev(s, dir), "event_type", "user_id",
         k = 128)),
+
+    // Time series: gap fill + forward fill — densify each user's hourly
+    // buckets across their span and carry the last value forward; gaps
+    // generate from per-key sequence explodes (no calendar cross join),
+    // one window pass carries values, runaway spans raise.
+    "q67_gap_fill" -> ((s, dir) =>
+      operators.GapFill.forwardFill(
+        ev(s, dir).where(col("user_id") < 50), "user_id", "ts_ms", "value",
+        bucketMs = 3600000L)),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -2622,6 +2631,22 @@ object SparkEntry {
         |FROM e JOIN c USING (u) GROUP BY 1, 2""".stripMargin,
 
     "q66_kmv_jaccard" -> q66OracleSql,
+
+    // pass-through doubles (bucket max, then carried) — no cross-engine
+    // float arithmetic, so the fill is exactly comparable
+    "q67_gap_fill" ->
+      """WITH o AS (
+        | SELECT user_id AS k, epoch_ms(ts) - epoch_ms(ts) % 3600000 AS b,
+        |  max(value) AS v
+        | FROM events WHERE user_id < 50 GROUP BY 1, 2),
+        |s AS (SELECT k, min(b) AS lo, max(b) AS hi FROM o GROUP BY k),
+        |g AS (SELECT k, unnest(generate_series(lo, hi, 3600000)) AS b FROM s),
+        |j AS (SELECT g.k, g.b, o.v FROM g LEFT JOIN o ON o.k = g.k AND o.b = g.b)
+        |SELECT k AS user_id, b AS bucket_ms,
+        | last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY b
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        | (v IS NOT NULL) AS observed
+        |FROM j""".stripMargin,
 
     "q64_funnel" ->
       """WITH e AS (
