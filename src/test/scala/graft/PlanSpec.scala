@@ -115,6 +115,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), p.take(2000))
   }
 
+  test("funnel stages join on the user key only — never a cross product") {
+    val p = plan("q64_funnel")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("gap fill explodes per-key spans — no calendar cross join") {
+    val p = plan("q67_gap_fill")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("Generate"), p.take(2000)) // the sequence explode
+  }
+
   test("incremental read prunes the base scan to touched partitions") {
     val p = plan("q51_upsert_incremental")
     // changed keys reach the full-history scan as a broadcast semi join,
