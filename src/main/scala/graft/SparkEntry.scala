@@ -843,8 +843,9 @@ object SparkEntry {
     // ZOrderTableSpec pins that the pruning actually skips buckets on
     // BOTH dimensions (the property a single-key sort can't give).
     "q61_zorder_read" -> ((s, dir) => {
-      val path = java.nio.file.Files.createTempDirectory("graft_zorder_q61")
-        .toString
+      // fixed per-process location: repeated invocations overwrite (write
+      // is mode=overwrite) instead of leaking a parquet copy per run
+      val path = s"$sharedTmp/zorder_q61_${Integer.toHexString(dir.hashCode)}"
       sinks.ZOrderTable.write(
         ev(s, dir).select(col("event_id"), col("user_id"), col("ts_ms")),
         path, Seq("user_id", "ts_ms"), buckets = 64)
@@ -1423,7 +1424,8 @@ object SparkEntry {
         .stripMargin
     }
     s"""WITH t AS (
-       | SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+       | SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |   x -> length(x) > 0) AS tk
        | FROM documents),
        |uni AS (
        | SELECT doc_id, unnest(tk) AS g FROM t),
@@ -1464,7 +1466,9 @@ object SparkEntry {
          | FROM (SELECT cnt, string_split(s, $S) AS ls FROM v${r - 1}),
          |      LATERAL (SELECT unnest(generate_series(1, len(ls)-1)) AS i) ix
          | WHERE len(ls) >= 2 GROUP BY 1, 2),
-         |t$r AS (SELECT l, r2 FROM p$r ORDER BY c DESC, l, r2 LIMIT 1),
+         |t$r AS (
+         | SELECT max(l) AS l, max(r2) AS r2 FROM (
+         |  SELECT l, r2 FROM p$r ORDER BY c DESC, l, r2 LIMIT 1)),
          |v$r AS (
          | SELECT word, cnt,
          |  list_reduce(list_prepend('', string_split(s, $S)),

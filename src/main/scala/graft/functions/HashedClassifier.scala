@@ -59,15 +59,17 @@ object HashedClassifierOps {
     var prevKr = -1L // Karp–Rabin of the previous token; -1 = none yet
     var i = 0
     val n = bytes.length
+    // whitespace = RE2's \s set [\t\n\f\r ] — matching the oracle's
+    // regexp_split semantics exactly (Java's \s adds \x0B; don't use it)
+    @inline def ws(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == '\f' || b == '\r'
     while (i < n) {
       // skip whitespace
-      while (i < n && (bytes(i) == ' ' || bytes(i) == '\t' ||
-        bytes(i) == '\n' || bytes(i) == '\r')) i += 1
+      while (i < n && ws(bytes(i))) i += 1
       if (i < n) {
         var kr = 0L // token hash
         var pw = 1L // 257^len(token) — folds the bigram without re-scanning
-        while (i < n && bytes(i) != ' ' && bytes(i) != '\t' &&
-          bytes(i) != '\n' && bytes(i) != '\r') {
+        while (i < n && !ws(bytes(i))) {
           kr = (mulMod(kr, Base) + (bytes(i) & 0xffL)) % Mod
           pw = mulMod(pw, Base)
           i += 1

@@ -34,9 +34,14 @@ object BpeTrainer {
     * weighted pair count at pick time. */
   final case class Merge(rank: Int, left: String, right: String, count: Long)
 
+  /** Whitespace class == RE2's \s ([\t\n\f\r ]): Java's \s adds \x0B,
+    * which a DuckDB (RE2) oracle would keep inside a word — the explicit
+    * class keeps both engines' tokenizations identical. */
+  private val Ws = "[ \t\n\f\r]+"
+
   /** (word, cnt) — the one corpus-wide shuffle. */
   def wordCounts(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
+    docs.select(explode(split(trim(col(textCol)), Ws)).as("word"))
       .where(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
@@ -106,7 +111,7 @@ object BpeTrainer {
     val merges = trainMerges(wc, k)
     val vocabSizes = wc.select(col("word"),
       size(applyMerges(charSymbols(col("word")), merges)).cast("long").as("ntok"))
-    docs.select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("word"))
+    docs.select(col(idCol), explode(split(trim(col(textCol)), Ws)).as("word"))
       .where(length(col("word")) > 0)
       .join(broadcast(vocabSizes), "word")
       .groupBy(col(idCol))

@@ -63,7 +63,9 @@ object Funnel {
       tsCol: String, stages: Seq[String], windowMs: Long): DataFrame = {
     val t = funnelTimes(events, userCol, typeCol, tsCol, stages, windowMs)
     val arms = stages.zipWithIndex.map { case (st, i) =>
-      (i + 1, st, sum(when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L)))
+      // coalesce: sum over ZERO rows (nobody reached stage 1) is NULL
+      (i + 1, st,
+        coalesce(sum(when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L)), lit(0L)))
     }
     t.agg(arms.head._3.as("c1"),
         arms.tail.map { case (i, _, c) => c.as(s"c$i") }: _*)

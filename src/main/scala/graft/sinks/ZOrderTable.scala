@@ -45,16 +45,20 @@ object ZOrderTable {
   }
 
   /** Quantizes a long column's [lo,hi] range onto [0, 2^bits). A constant
-    * column (hi == lo) maps to 0. The scaling division is double-valued
-    * (Spark `/` on longs); for ranges past 2^53 the last few quantization
-    * steps blur — bucket LOCALITY degrades marginally, but pruning stays
-    * exact because the manifest records actual per-bucket extents and the
-    * read re-applies the precise predicate. The clamp pins the codomain. */
+    * column (hi == lo) maps to 0. The scaling runs in DOUBLE from the
+    * first operation — `(c-lo)*mask` in long arithmetic would wrap
+    * negative for ranges past ~2^47 and silently collapse the upper range
+    * onto quantum 0 — so wide domains lose only sub-quantum PRECISION
+    * (past 2^53 the last few steps blur): bucket locality degrades
+    * marginally, while pruning stays exact because the manifest records
+    * actual per-bucket extents and the read re-applies the precise
+    * predicate. The clamp pins the codomain. */
   def quantize(c: Column, lo: Long, hi: Long, bits: Int): Column = {
     val mask = (1L << bits) - 1
     if (hi == lo) lit(0L)
     else least(lit(mask), greatest(lit(0L),
-      ((c - lit(lo)) * lit(mask) / lit(hi - lo)).cast("long")))
+      ((c - lit(lo)).cast("double") * lit(mask.toDouble) / lit((hi - lo).toDouble))
+        .cast("long")))
   }
 
   /** Writes `df` z-ordered by `zCols` (long-valued columns) into
@@ -63,25 +67,41 @@ object ZOrderTable {
   def write(df: DataFrame, dir: String, zCols: Seq[String], buckets: Int,
       bits: Int = 16): Unit = {
     require(zCols.nonEmpty && buckets > 0)
-    // bounded driver action: ONE row of per-column extents
-    val stats = df.select(zCols.flatMap(c =>
-      Seq(min(col(c)).cast("long").as(s"lo_$c"),
-        max(col(c)).cast("long").as(s"hi_$c"))): _*).collect()(0)
-    val ext = zCols.zipWithIndex.map { case (c, i) =>
-      c -> ((stats.getLong(2 * i), stats.getLong(2 * i + 1)))
-    }.toMap
-    val q = zCols.map(c => quantize(col(c), ext(c)._1, ext(c)._2, bits))
     val zDomainBits = bits * zCols.size
     require(zDomainBits + 64 - java.lang.Long.numberOfLeadingZeros(buckets.toLong) < 63,
       s"bits=$bits × ${zCols.size} cols with $buckets buckets overflows a long")
-    val z = interleave(q, bits)
-    val bucketed = df.withColumn("zbucket",
-      (z * lit(buckets.toLong) / lit(1L << zDomainBits)).cast("long"))
-    bucketed.write.mode("overwrite").partitionBy("zbucket").parquet(dir)
-    val aggs = zCols.flatMap(c => Seq(min(col(c)).cast("long").as(s"lo_$c"),
-      max(col(c)).cast("long").as(s"hi_$c")))
-    bucketed.groupBy(col("zbucket")).agg(aggs.head, aggs.tail: _*)
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_zmanifest")
+    // ONE source pass feeds the extents collect, the data write and the
+    // manifest aggregate (write() is eager, so the unpersist is safe)
+    val src = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bounded driver action: ONE row of per-column extents
+      val stats = src.select(zCols.flatMap(c =>
+        Seq(min(col(c)).cast("long").as(s"lo_$c"),
+          max(col(c)).cast("long").as(s"hi_$c"))): _*).collect()(0)
+      val aggs = zCols.flatMap(c => Seq(min(col(c)).cast("long").as(s"lo_$c"),
+        max(col(c)).cast("long").as(s"hi_$c")))
+      if (stats.isNullAt(0)) {
+        // empty input: a partitioned write would emit NO files (schema
+        // inference on read then fails) — write unpartitioned so the
+        // empty table keeps its schema, plus an empty readable manifest
+        src.withColumn("zbucket", lit(0L))
+          .write.mode("overwrite").parquet(dir)
+        src.withColumn("zbucket", lit(0L)).groupBy(col("zbucket"))
+          .agg(aggs.head, aggs.tail: _*).where(lit(false))
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/_zmanifest")
+        return
+      }
+      val ext = zCols.zipWithIndex.map { case (c, i) =>
+        c -> ((stats.getLong(2 * i), stats.getLong(2 * i + 1)))
+      }.toMap
+      val q = zCols.map(c => quantize(col(c), ext(c)._1, ext(c)._2, bits))
+      val z = interleave(q, bits)
+      val bucketed = src.withColumn("zbucket",
+        (z * lit(buckets.toLong) / lit(1L << zDomainBits)).cast("long"))
+      bucketed.write.mode("overwrite").partitionBy("zbucket").parquet(dir)
+      bucketed.groupBy(col("zbucket")).agg(aggs.head, aggs.tail: _*)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/_zmanifest")
+    } finally { src.unpersist(); () }
   }
 
   /** Buckets whose min/max box intersects every predicate interval.

@@ -73,6 +73,14 @@ class FunnelSpec extends SparkSpec {
     assert(got.nonEmpty && got.values.exists(_._2 == 3L))
   }
 
+  test("rollup over a corpus with no stage-1 events yields zeros, not nulls") {
+    val df = Seq(("u1", "click", 10L), ("u2", "purchase", 20L)).toDF("u", "et", "ts")
+    val counts = Funnel.funnelCounts(df, "u", "et", "ts", stages, 1000L)
+      .orderBy("stage").collect()
+    assert(counts.forall(!_.isNullAt(2)))
+    assert(counts.forall(_.getLong(2) == 0L))
+  }
+
   test("stage rollup counts are monotone non-increasing") {
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
       .withColumn("ts_ms", unix_millis(col("ts")))

@@ -74,6 +74,14 @@ class ZOrderTableSpec extends SparkSpec {
       plan.take(1500))
   }
 
+  test("empty input writes an empty, readable table instead of an NPE") {
+    val dir = freshDir
+    val df = spark.range(10).select(col("id").as("u"), col("id").as("t"))
+      .where(lit(false))
+    ZOrderTable.write(df, dir, Seq("u", "t"), buckets = 4)
+    assert(ZOrderTable.read(spark, dir, Map("u" -> (0L, 100L))).count() == 0)
+  }
+
   test("degenerate shapes: constant column, empty predicate result, one bucket") {
     val dir = freshDir
     val df = spark.range(100).select(lit(7L).as("u"), col("id").as("t"))
