@@ -908,6 +908,14 @@ object SparkEntry {
       operators.GapFill.forwardFill(
         ev(s, dir).where(col("user_id") < 50), "user_id", "ts_ms", "value",
         bucketMs = 3600000L)),
+
+    // Corpus prep: EXACT-proportion stratified split (complement of q44's
+    // stable hash split) — within every language exactly ⌊8n/10⌋ train /
+    // next ⌊9n/10⌋−⌊8n/10⌋ val / rest test, ranked by (PolyHash64, id),
+    // integer thresholds only.
+    "q68_stratified_split" -> ((s, dir) =>
+      operators.CorpusOps.stratifiedSplit(t(s, dir, "documents"),
+        "doc_id", "lang", Seq("train" -> 8L, "val" -> 1L, "test" -> 1L))),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -1616,6 +1624,40 @@ object SparkEntry {
        |SELECT g_a, g_b, CAST(count(*) AS BIGINT) AS union_k,
        | CAST(sum(inA * inB) AS BIGINT) AS matches
        |FROM uk WHERE rn <= 128 GROUP BY g_a, g_b""".stripMargin
+  }
+
+  /** q68's oracle replays the stratified ranking: PolyHash64 each doc id
+    * (signed conversion — Spark orders the hash long signed), rank within
+    * the language by (h, doc_id), then the integer-threshold split. */
+  private val q68OracleSql: String = {
+    val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
+    val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
+    s"""WITH v AS (
+       | SELECT doc_id, lang, CAST(doc_id AS VARCHAR) AS s FROM documents),
+       |k AS (
+       | SELECT doc_id, lang, list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |   list_transform(range(1, length(s)+1), i -> CAST(unicode(s[i]) AS HUGEINT))),
+       |   (a,b) -> (a*257+b) % 2305843009213693951) AS h
+       | FROM v),
+       |s0 AS (SELECT doc_id, lang,
+       |  CAST((h + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z0 FROM k),
+       |s1 AS (SELECT doc_id, lang, $z1 AS z1 FROM s0),
+       |s2 AS (SELECT doc_id, lang, $z2 AS z2 FROM s1),
+       |hh AS (SELECT doc_id, lang, xor(z2, z2 >> 31) AS z FROM s2),
+       |sh AS (SELECT doc_id, lang,
+       |  CAST(CASE WHEN z >= CAST('9223372036854775808' AS HUGEINT)
+       |    THEN z - CAST('18446744073709551616' AS HUGEINT) ELSE z END AS BIGINT) AS h
+       | FROM hh),
+       |r AS (
+       | SELECT doc_id, lang,
+       |  row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn,
+       |  count(*) OVER (PARTITION BY lang) AS n
+       | FROM sh)
+       |SELECT doc_id, lang,
+       | CASE WHEN rn * 10 <= 8 * n THEN 'train'
+       |      WHEN rn * 10 <= 9 * n THEN 'val'
+       |      ELSE 'test' END AS split
+       |FROM r""".stripMargin
   }
 
   /** Renders `((a * c) mod 2^64) AS UBIGINT` with the 64-bit constant split
@@ -2638,6 +2680,8 @@ object SparkEntry {
 
     // pass-through doubles (bucket max, then carried) — no cross-engine
     // float arithmetic, so the fill is exactly comparable
+    "q68_stratified_split" -> q68OracleSql,
+
     "q67_gap_fill" ->
       """WITH o AS (
         | SELECT user_id AS k, epoch_ms(ts) - epoch_ms(ts) % 3600000 AS b,

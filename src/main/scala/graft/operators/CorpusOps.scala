@@ -34,6 +34,40 @@ object CorpusOps {
     df.withColumn("bucket", bucket).withColumn("split", split)
   }
 
+  /** EXACT-proportion stratified split — the complement of [[splitAssign]]:
+    * hash splits are stable but only approximate proportions; evaluation
+    * protocols often need per-stratum counts to be exact (e.g. exactly
+    * 10% of EVERY language in val). Within each stratum, rows rank by
+    * (PolyHash64(id), id) — content-independent, deterministic, engine-
+    * reproducible — and the rank partitions by integer threshold
+    * comparisons (`rn·W ≤ cum·n`), so each stratum's split sizes are
+    * ⌊cum·n/W⌋-exact with no float boundaries.
+    *
+    * Shape: one shuffle on the stratum key, one window sort within it —
+    * strata are assumed numerous (languages, sources, shards), so
+    * per-stratum sort is bounded; a single giant stratum degrades to a
+    * global sort and should be pre-sharded by the caller.
+    *
+    * Output: (idCol, stratumCol, split). */
+  def stratifiedSplit(df: DataFrame, idCol: String, stratumCol: String,
+      weights: Seq[(String, Long)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0))
+    graft.functions.PolyHash64.register(df.sparkSession)
+    val total = weights.map(_._2).sum
+    val cum = weights.scanLeft(0L)(_ + _._2).tail
+    val h = graft.functions.PolyHash64.polyHash64(col(idCol).cast("string"))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(h, col(idCol))
+    val wn = Window.partitionBy(col(stratumCol))
+    val ranked = df.select(col(idCol), col(stratumCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wn))
+    val split = weights.zip(cum).init.foldRight(lit(weights.last._1): Column) {
+      case (((label, _), c), rest) =>
+        when(col("__rn") * total <= lit(c) * col("__n"), label).otherwise(rest)
+    }
+    ranked.select(col(idCol), col(stratumCol), split.as("split"))
+  }
+
   /** Line-level boilerplate dedup (CCNet / RefinedWeb line-wise filtering
     * — public method: drop lines whose document frequency says "template",
     * keep the rest of the document intact). A line survives when fewer

@@ -66,6 +66,38 @@ class CorpusOpsSpec extends SparkSpec {
       Map(9L -> "a b", 10L -> "a b"))
   }
 
+  test("stratifiedSplit hits exact per-stratum proportions, deterministically") {
+    val df = (0 until 1000).map(i => (i.toLong, "s" + i % 7)).toDF("id", "g")
+    val weights = Seq("train" -> 8L, "val" -> 1L, "test" -> 1L)
+    def run() = CorpusOps.stratifiedSplit(df, "id", "g", weights)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val a = run()
+    assert(a.toSet == run().toSet) // deterministic
+    // exact integer proportions per stratum: |train| = floor(8n/10), etc.
+    a.groupBy(_._2).foreach { case (g, rows) =>
+      val n = rows.size
+      val counts = rows.groupBy(_._3).view.mapValues(_.size).toMap
+      val train = 8 * n / 10
+      val valC = 9 * n / 10 - train
+      assert(counts.getOrElse("train", 0) == train, s"$g train")
+      assert(counts.getOrElse("val", 0) == valC, s"$g val")
+      assert(counts.getOrElse("test", 0) == n - train - valC, s"$g test")
+    }
+    // rank order is the hash order: recompute the reference assignment
+    val ref = a.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.toSeq.sortBy(t =>
+        (graft.functions.RollingHash.polyHash64(t._1.toString.getBytes("UTF-8")), t._1))
+      val n = sorted.size
+      sorted.zipWithIndex.map { case (t, i) =>
+        val rn = i + 1L
+        val s = if (rn * 10 <= 8L * n) "train"
+          else if (rn * 10 <= 9L * n) "val" else "test"
+        (t._1, t._2, s)
+      }
+    }.toSet
+    assert(a.toSet == ref)
+  }
+
   test("splitAssign is deterministic and stable under corpus growth") {
     val small = (1L to 200L).toDF("id")
     val big = (1L to 400L).toDF("id")
