@@ -916,6 +916,22 @@ object SparkEntry {
     "q68_stratified_split" -> ((s, dir) =>
       operators.CorpusOps.stratifiedSplit(t(s, dir, "documents"),
         "doc_id", "lang", Seq("train" -> 8L, "val" -> 1L, "test" -> 1L))),
+
+    // Sketches × windows: ROLLING 7-day distinct-user HLL per event type —
+    // the feature-store pattern (store per-window sketches, union for
+    // ranges). The sliding explode is the A2/A3 counter shape; the sketch
+    // agg merges map-side; registers hash-gate per window.
+    "q69_sliding_hll" -> ((s, dir) => {
+      agg.HllSketch.register(s)
+      val day = 86400000L
+      ev(s, dir).select(col("event_type"), col("user_id"),
+          (col("ts_ms") - pmod(col("ts_ms"), lit(day))).as("d"))
+        .select(col("event_type"), col("user_id"),
+          explode(sequence(col("d"), col("d") + lit(6L * day), lit(day)))
+            .as("win_end"))
+        .groupBy(col("event_type"), col("win_end"))
+        .agg(agg.HllSketch.hllRegisters(col("user_id"), p = 10).as("hll"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -1658,6 +1674,47 @@ object SparkEntry {
        |      WHEN rn * 10 <= 9 * n THEN 'val'
        |      ELSE 'test' END AS split
        |FROM r""".stripMargin
+  }
+
+  /** q69's oracle: the q62 register replay with p=10 (bucket = top 10
+    * bits, 54-bit remainder window) per (event_type, rolling-window end) —
+    * each event lands in the 7 window-ends its day participates in. */
+  private val q69OracleSql: String = {
+    val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
+    val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
+    val wMask = (1L << 54) - 1
+    s"""WITH e AS (
+       | SELECT event_type,
+       |  (epoch_ms(ts) - epoch_ms(ts) % 86400000) + i * 86400000 AS win_end,
+       |  CAST(user_id AS VARCHAR) AS s
+       | FROM events, range(0, 7) t(i)),
+       |v AS (SELECT DISTINCT event_type, win_end, s FROM e),
+       |k AS (
+       | SELECT event_type, win_end, list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |   list_transform(range(1, length(s)+1), i -> CAST(unicode(s[i]) AS HUGEINT))),
+       |   (a,b) -> (a*257+b) % 2305843009213693951) AS h
+       | FROM v),
+       |s0 AS (SELECT event_type, win_end,
+       |  CAST((h + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z0 FROM k),
+       |s1 AS (SELECT event_type, win_end, $z1 AS z1 FROM s0),
+       |s2 AS (SELECT event_type, win_end, $z2 AS z2 FROM s1),
+       |hh AS (SELECT event_type, win_end, xor(z2, z2 >> 31) AS z FROM s2),
+       |r AS (
+       | SELECT event_type, win_end, CAST(z >> 54 AS BIGINT) AS bucket,
+       |  CASE WHEN (z & CAST($wMask AS UBIGINT)) = 0 THEN 55
+       |       ELSE 55 - length(bin(z & CAST($wMask AS UBIGINT))) END AS rank
+       | FROM hh),
+       |mx AS (SELECT event_type, win_end, bucket, max(rank) AS mr
+       | FROM r GROUP BY 1, 2, 3),
+       |grid AS (
+       | SELECT g.event_type, g.win_end, t.b AS bucket, coalesce(mx.mr, 0) AS mr
+       | FROM (SELECT DISTINCT event_type, win_end FROM v) g
+       | CROSS JOIN range(0, 1024) t(b)
+       | LEFT JOIN mx ON mx.event_type = g.event_type
+       |   AND mx.win_end = g.win_end AND mx.bucket = t.b)
+       |SELECT event_type, win_end,
+       | string_agg(lpad(lower(hex(mr)), 2, '0'), '' ORDER BY bucket) AS hll
+       |FROM grid GROUP BY event_type, win_end""".stripMargin
   }
 
   /** Renders `((a * c) mod 2^64) AS UBIGINT` with the 64-bit constant split
@@ -2681,6 +2738,8 @@ object SparkEntry {
     // pass-through doubles (bucket max, then carried) — no cross-engine
     // float arithmetic, so the fill is exactly comparable
     "q68_stratified_split" -> q68OracleSql,
+
+    "q69_sliding_hll" -> q69OracleSql,
 
     "q67_gap_fill" ->
       """WITH o AS (
