@@ -932,6 +932,13 @@ object SparkEntry {
         .groupBy(col("event_type"), col("win_end"))
         .agg(agg.HllSketch.hllRegisters(col("user_id"), p = 10).as("hll"))
     }),
+
+    // Analytics: robust MAD outlier flagging (|x − median| > 3·MAD) —
+    // lower medians by integer rank selection over value histograms, so
+    // even the raw-double verdicts hash-gate cross-engine.
+    "q70_mad_outliers" -> ((s, dir) =>
+      operators.Anomaly.madOutliers(ev(s, dir).where(col("user_id") < 50),
+        "user_id", "ts_ms", "value", thresholdNum = 3L)),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -2740,6 +2747,33 @@ object SparkEntry {
     "q68_stratified_split" -> q68OracleSql,
 
     "q69_sliding_hll" -> q69OracleSql,
+
+    // lower medians by the same integer rank selection (min v with
+    // 2·cum ≥ n); deviation = one IEEE subtraction, threshold = one
+    // multiply — verdicts on raw doubles stay bit-identical
+    "q70_mad_outliers" ->
+      """WITH e AS (
+        | SELECT user_id AS k, epoch_ms(ts) AS ts, value AS v
+        | FROM events WHERE user_id < 50),
+        |h1 AS (SELECT k, v, count(*) AS c FROM e GROUP BY 1, 2),
+        |c1 AS (SELECT k, v,
+        |  sum(c) OVER (PARTITION BY k ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(c) OVER (PARTITION BY k) AS n FROM h1),
+        |med AS (SELECT k, min(CASE WHEN cum*2 >= n THEN v END) AS med
+        | FROM c1 GROUP BY k),
+        |d AS (SELECT e.k, e.ts, e.v, abs(e.v - med.med) AS dev
+        | FROM e JOIN med USING (k)),
+        |h2 AS (SELECT k, dev, count(*) AS c FROM d GROUP BY 1, 2),
+        |c2 AS (SELECT k, dev,
+        |  sum(c) OVER (PARTITION BY k ORDER BY dev
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(c) OVER (PARTITION BY k) AS n FROM h2),
+        |mad AS (SELECT k, min(CASE WHEN cum*2 >= n THEN dev END) AS mad
+        | FROM c2 GROUP BY k)
+        |SELECT d.k AS user_id, d.ts AS ts_ms, d.v AS value,
+        | d.dev AS deviation, (d.dev * 1.0 > mad.mad * 3.0) AS is_outlier
+        |FROM d JOIN mad USING (k)""".stripMargin,
 
     "q67_gap_fill" ->
       """WITH o AS (

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robust per-key outlier flagging by median absolute deviation — the
+  * telemetry anomaly rule (|x − median| > t·MAD) that, unlike z-scores,
+  * is not itself dragged by the outliers it hunts (50% breakdown point;
+  * Hampel 1974).
+  *
+  * Exactness discipline: medians are LOWER medians picked by integer rank
+  * selection over a (key, value) histogram — the q48 quantile shape: a
+  * partial-agg histogram, a cumulative-count window, and
+  * `min(value | 2·cum ≥ n)`. No interpolation, no float averaging of two
+  * middle elements, so every produced number is either an input value or
+  * a single IEEE subtraction/multiply of input values — bit-reproducible
+  * across engines, which is what lets the q70 gate hash-match outlier
+  * verdicts on raw doubles.
+  *
+  * Shape: two histogram aggregations + two joins, all keyed on the series
+  * key (one shuffle partitioning reused); histograms are |distinct
+  * values| per key, far below row counts for real telemetry. */
+object Anomaly {
+
+  /** Lower median per key via integer rank selection. */
+  private def lowerMedian(df: DataFrame, out: String): DataFrame = {
+    val hist = df.groupBy(col("k"), col("v")).agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy(col("k")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cum", sum(col("c")).over(cumW))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("k"))))
+      .groupBy(col("k"))
+      .agg(min(when(col("cum") * 2 >= col("n"), col("v"))).as(out))
+  }
+
+  /** Flags rows where |value − median| > (num/den)·MAD. Output:
+    * (keyCol, tsCol, valueCol, deviation, is_outlier). A key whose MAD is
+    * 0 (over half its values identical) flags every deviating row — the
+    * standard MAD-rule degeneracy, deliberate and documented. */
+  def madOutliers(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, thresholdNum: Long, thresholdDen: Long = 1L)
+      : DataFrame = {
+    require(thresholdNum > 0 && thresholdDen > 0)
+    val e = df.select(col(keyCol).as("k"), col(tsCol).as("ts"),
+      col(valueCol).as("v"))
+    val med = lowerMedian(e, "med")
+    val dev = e.join(med, "k").withColumn("dev", abs(col("v") - col("med")))
+    val mad = lowerMedian(dev.select(col("k"), col("dev").as("v")), "mad")
+    dev.join(mad, "k")
+      .select(col("k").as(keyCol), col("ts").as(tsCol),
+        col("v").as(valueCol), col("dev").as("deviation"),
+        (col("dev") * lit(thresholdDen.toDouble) >
+          col("mad") * lit(thresholdNum.toDouble)).as("is_outlier"))
+  }
+}
