@@ -939,6 +939,23 @@ object SparkEntry {
     "q70_mad_outliers" -> ((s, dir) =>
       operators.Anomaly.madOutliers(ev(s, dir).where(col("user_id") < 50),
         "user_id", "ts_ms", "value", thresholdNum = 3L)),
+
+    // Runtime filters: Bloom-pruned semi-join — build the filter over the
+    // selective dim's keys (bitsets OR map-side; the exchange carries
+    // numBits/8 bytes, not keys), broadcast the one-row bitset, and drop
+    // fact rows BELOW the join's exchange. The exact semi-join finishes
+    // (false positives removed, false negatives impossible), so the gate
+    // replays as a plain IN subquery.
+    "q71_bloom_join" -> ((s, dir) =>
+      operators.RuntimeFilter.bloomSemiJoin(
+        t(s, dir, "lineitem"), "l_orderkey",
+        t(s, dir, "orders").where(col("o_totalprice") > 400000)
+          .select("o_orderkey"),
+        "o_orderkey", numBits = 1 << 20, numHashes = 7)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 100).cast("long")).as("revenue_cents"))),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -2788,6 +2805,17 @@ object SparkEntry {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
         | (v IS NOT NULL) AS observed
         |FROM j""".stripMargin,
+
+    // the Bloom prune is a pre-filter whose false positives the exact
+    // semi-join removes — the oracle is the plain IN-subquery answer
+    "q71_bloom_join" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+        |   AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q64_funnel" ->
       """WITH e AS (

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.agg.BloomSketch
+
+/** Explicit Bloom runtime-filter join pruning — the build-side filter the
+  * reference gets implicitly from Flink's hash-join build side and Spark
+  * gets (sometimes) from AQE's `InjectRuntimeFilter`: at 100 TB the fact
+  * shuffle dominates a selective fact⋈dim join, and dropping rows that
+  * cannot match BEFORE the exchange cuts the shuffle to
+  * ~(selectivity + fpp) of the scan. Making the pattern explicit (rather
+  * than trusting the injection heuristics) guarantees the prune fires,
+  * lets the filter size be chosen from the known dim cardinality, and —
+  * because [[graft.agg.BloomSketch]] filters are deterministic bytes —
+  * lets the same filter be persisted and reused across queries against an
+  * unchanged dim snapshot.
+  *
+  * Plan shape (pinned in PlanSpec): dim agg → one-row bitset broadcast
+  * (BroadcastNestedLoopJoin) → `bloom_might_contain` Filter directly over
+  * the fact scan, BELOW the join's exchange → exact join. False positives
+  * are removed by the exact join; false negatives are impossible; the
+  * result is exactly the un-pruned join's.
+  */
+object RuntimeFilter {
+
+  /** `fact` rows whose `factKey` passes a Bloom filter built from
+    * `dim(dimKey)`. Purely a pre-filter: keeps all matching rows, plus a
+    * ~fpp fraction of non-matching ones. */
+  def bloomPrune(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, numBits: Int, numHashes: Int): DataFrame = {
+    BloomSketch.register(fact.sparkSession)
+    val bloom = dim.agg(
+      BloomSketch.bloomBits(col(dimKey), numBits, numHashes).as("__bloom"))
+    fact.join(broadcast(bloom))
+      .where(BloomSketch.mightContain(col("__bloom"), col(factKey)))
+      .drop("__bloom")
+  }
+
+  /** Exact left-semi join, Bloom-pruned: semantically identical to
+    * `fact.join(dim, fact(factKey) === dim(dimKey), "left_semi")`, with
+    * the fact side cut down before the exchange. */
+  def bloomSemiJoin(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, numBits: Int, numHashes: Int): DataFrame = {
+    val pruned = bloomPrune(fact, factKey, dim, dimKey, numBits, numHashes)
+    val keys = dim.select(col(dimKey).as("__rk")).distinct()
+    pruned.join(keys, pruned(factKey) === col("__rk"), "left_semi")
+  }
+}
