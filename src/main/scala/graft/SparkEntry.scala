@@ -956,6 +956,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
             * 100).cast("long")).as("revenue_cents"))),
+
+    // Retrieval: BM25 relevance ranking over the corpus for a fixed term
+    // set — one tokenize pass feeds dl and tf, df/global stats broadcast
+    // back, per-term contributions integer-scaled BEFORE the long sum
+    // (never hash-gate a raw double sum), rank total-ordered.
+    "q72_bm25" -> ((s, dir) =>
+      operators.TextRank.bm25(t(s, dir, "documents"), "doc_id", "text",
+        Seq("hash", "join", "window", "spark"))),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -2816,6 +2824,35 @@ object SparkEntry {
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
         |GROUP BY 1, 2""".stripMargin,
+
+    // mirrors TextRank.bm25's pinned double pipeline: (1.2 + 1.0) is
+    // spelled as a SUM (double(1.2)+1.0 != double(2.2)); every contribution
+    // rounds to micro-units before the order-independent BIGINT sum
+    "q72_bm25" ->
+      """WITH tok AS (
+        | SELECT doc_id AS id,
+        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        | FROM documents),
+        |dl AS (SELECT id, count(*) AS dl FROM tok GROUP BY 1),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        |tf AS (SELECT id, tok, count(*) AS tf FROM tok
+        | WHERE tok IN ('hash', 'join', 'window', 'spark') GROUP BY 1, 2),
+        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |c AS (SELECT tf.id,
+        |  CAST(round(
+        |    ln(1.0 + ((g.n_docs - df.df) + 0.5) / (df.df + 0.5))
+        |    * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+        |       / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+        |          + 0.75 * (CAST(dl.dl AS DOUBLE)
+        |             / (CAST(g.sum_dl AS DOUBLE) / CAST(g.n_docs AS DOUBLE))))))
+        |    * 1000000.0) AS BIGINT) AS c_e6
+        | FROM tf JOIN df USING (tok) JOIN dl USING (id) CROSS JOIN g),
+        |s AS (SELECT id, CAST(count(*) AS BIGINT) AS terms_matched,
+        |  CAST(sum(c_e6) AS BIGINT) AS score_e6 FROM c GROUP BY 1)
+        |SELECT id AS doc_id, terms_matched, score_e6,
+        | CAST(row_number() OVER (ORDER BY score_e6 DESC, id) AS BIGINT) AS rank
+        |FROM s""".stripMargin,
 
     "q64_funnel" ->
       """WITH e AS (

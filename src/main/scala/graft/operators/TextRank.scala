@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 relevance ranking (Robertson–Spärck Jones; the Okapi BM25 used by
+  * Lucene/Elasticsearch, idf = ln(1 + (N − df + 0.5)/(df + 0.5))) — the
+  * retrieval scorer a training-data pipeline runs to mine query-relevant
+  * documents from a crawl.
+  *
+  * Scale shape: one tokenize pass feeds BOTH the doc-length frame and the
+  * term-frequency frame; df and the global (N, Σdl) stats are tiny
+  * aggregates broadcast back; the only full-data shuffle is the per-doc
+  * tf groupBy on bounded keys (|terms| ≤ a few dozen rows per doc).
+  *
+  * Exactness discipline (the q01/q70 rule — never hash-gate a raw double
+  * SUM): each per-term contribution is computed as a double in ONE pinned
+  * operation order — ln and divisions on values derived from integer
+  * tf/df/dl — then scaled to integer micro-units and rounded; the per-doc
+  * score is a LONG sum of those, order-independent and replayable. The
+  * single transcendental (ln) is evaluated on ≤|terms| distinct inputs by
+  * both engines' libm; a last-ulp divergence would need to move a product
+  * within 5e-7 of a rounding boundary to flip a gate bit.
+  */
+object TextRank {
+
+  /** Per-document BM25 over a fixed term set. Output: (idCol,
+    * terms_matched, score_e6, rank) for documents matching ≥1 term; rank
+    * is total-ordered (score desc, id asc — the deterministic tie-break).
+    * `k1`/`b` are the standard free parameters (1.2 / 0.75). */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty)
+    val tok = docs.select(col(idCol).as("id"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+    val dl = tok.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val g = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = tok.where(col("tok").isin(terms.map(lit): _*))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+
+    // Pinned double pipeline (mirrored literally in the q72 oracle):
+    //   avgdl = double(sum_dl) / double(n_docs)
+    //   norm  = (1 − b) + b · (double(dl) / avgdl)
+    //   idf   = ln(1 + ((n_docs − df) + 0.5) / (df + 0.5))
+    //   c_e6  = round(idf · ((double(tf) · (k1+1)) / (double(tf) + k1·norm)) · 1e6)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val norm = lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)
+    val idf = log(lit(1.0) +
+      ((col("n_docs") - col("df")) + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = round(idf *
+      ((col("tf").cast("double") * lit(k1 + 1.0)) /
+        (col("tf").cast("double") + lit(k1) * norm)) * lit(1000000.0))
+      .cast("long")
+
+    val scored = tf.join(broadcast(df), "tok").join(dl, "id")
+      .crossJoin(broadcast(g))
+      .select(col("id"), contrib.as("c_e6"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("terms_matched"), sum(col("c_e6")).as("score_e6"))
+    scored.withColumn("rank", row_number().over(
+        Window.orderBy(col("score_e6").desc, col("id"))).cast("long"))
+      .select(col("id").as(idCol), col("terms_matched"), col("score_e6"),
+        col("rank"))
+  }
+}

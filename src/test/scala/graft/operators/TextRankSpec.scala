@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** BM25 must match a sequential reference computed with the same pinned
+  * operation order, rank rare-term matches above common-term matches, and
+  * be invariant to partitioning (the long-sum discipline). */
+class TextRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark shuffle join join join"),
+    (2L, "spark spark spark filter scan"),
+    (3L, "join elephant"),
+    (4L, "scan scan scan scan scan scan scan scan"),
+    (5L, "nothing relevant here at all"))
+
+  private val terms = Seq("join", "elephant")
+
+  private def reference: Map[Long, (Long, Long)] = {
+    val tok = docs.map { case (id, t) => id -> t.trim.toLowerCase.split("\\s+").toSeq }
+    val dl = tok.map { case (id, ts) => id -> ts.size.toLong }.toMap
+    val nDocs = docs.size.toLong
+    val sumDl = dl.values.sum
+    val avgdl = sumDl.toDouble / nDocs.toDouble
+    val tf = tok.flatMap { case (id, ts) =>
+      terms.flatMap { t =>
+        val c = ts.count(_ == t).toLong
+        if (c > 0) Some((id, t, c)) else None
+      }
+    }
+    val df = tf.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+    tf.groupBy(_._1).map { case (id, xs) =>
+      val score = xs.map { case (_, t, c) =>
+        val norm = (1.0 - 0.75) + 0.75 * (dl(id).toDouble / avgdl)
+        val idf = math.log(1.0 + ((nDocs - df(t)) + 0.5) / (df(t) + 0.5))
+        math.round(idf * ((c.toDouble * (1.2 + 1.0)) / (c.toDouble + 1.2 * norm)) * 1000000.0)
+      }.sum
+      id -> (xs.size.toLong, score)
+    }
+  }
+
+  test("scores match the sequential reference; ranking is deterministic") {
+    val out = TextRank.bm25(docs.toDF("doc_id", "text"), "doc_id", "text", terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ref = reference
+    assert(out.length == ref.size)
+    out.foreach { case (id, matched, score, _) =>
+      assert(ref(id) == ((matched, score)), s"doc $id diverges")
+    }
+    // doc 3 holds the only 'elephant' (df=1, high idf) → outranks the
+    // common-term docs despite a single occurrence of each term.
+    val rankOf = out.map(r => r._1 -> r._4).toMap
+    assert(rankOf(3L) == 1L, s"rare-term doc not first: $rankOf")
+    // ranks are a 1..n permutation, tie-broken by id
+    assert(out.map(_._4).sorted.toSeq == (1L to out.length).toSeq)
+  }
+
+  test("long-sum scores are partition-invariant") {
+    val df = docs.toDF("doc_id", "text")
+    val a = TextRank.bm25(df.repartition(1), "doc_id", "text", terms)
+      .orderBy("doc_id").collect().toSeq
+    val b = TextRank.bm25(df.repartition(7), "doc_id", "text", terms)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+}
