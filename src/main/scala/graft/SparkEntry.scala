@@ -964,6 +964,14 @@ object SparkEntry {
     "q72_bm25" -> ((s, dir) =>
       operators.TextRank.bm25(t(s, dir, "documents"), "doc_id", "text",
         Seq("hash", "join", "window", "spark"))),
+
+    // Corpus prep: weighted reservoir sampling (Efraimidis–Spirakis A-ES)
+    // — 20 docs per language, length-weighted, hash-uniforms instead of
+    // rand() so the draw is stable across runs/engines/partitionings;
+    // the ranked window pushes a partial top-k below the exchange.
+    "q73_weighted_sample" -> ((s, dir) =>
+      operators.CorpusOps.weightedSample(t(s, dir, "documents"),
+        "doc_id", "lang", "n_chars", "#ws#v1", k = 20)),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -1552,6 +1560,38 @@ object SparkEntry {
        | FROM documents)
        |SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS n_bpe_tokens
        |FROM dw JOIN nt USING (word) GROUP BY doc_id""".stripMargin
+  }
+
+  /** q73's oracle replays the A-ES draw: PolyHash64(doc_id + salt) via
+    * the q68 splitMix chain, 53 hash bits (low bit forced odd) mapped
+    * into (0,1) by an exact power-of-two division, priority ln(u)/w, and
+    * the per-language top-20 ranked window. Only membership and rank are
+    * compared — the double priority never leaves either engine. */
+  private val q73OracleSql: String = {
+    val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
+    val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
+    s"""WITH v AS (
+       | SELECT doc_id, lang, n_chars,
+       |  CAST(doc_id AS VARCHAR) || '#ws#v1' AS s FROM documents),
+       |k AS (
+       | SELECT doc_id, lang, n_chars, list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |   list_transform(range(1, length(s)+1), i -> CAST(unicode(s[i]) AS HUGEINT))),
+       |   (a,b) -> (a*257+b) % 2305843009213693951) AS h
+       | FROM v),
+       |s0 AS (SELECT doc_id, lang, n_chars,
+       |  CAST((h + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z0 FROM k),
+       |s1 AS (SELECT doc_id, lang, n_chars, $z1 AS z1 FROM s0),
+       |s2 AS (SELECT doc_id, lang, n_chars, $z2 AS z2 FROM s1),
+       |hh AS (SELECT doc_id, lang, n_chars, xor(z2, z2 >> 31) AS z FROM s2),
+       |p AS (SELECT doc_id, lang, n_chars,
+       |  ln(CAST((CAST(z >> 11 AS BIGINT) | 1) AS DOUBLE) / 9007199254740992.0)
+       |    / CAST(n_chars AS DOUBLE) AS pr
+       | FROM hh),
+       |r AS (SELECT lang, doc_id, n_chars,
+       |  CAST(row_number() OVER (PARTITION BY lang ORDER BY pr DESC, doc_id)
+       |    AS BIGINT) AS rn
+       | FROM p)
+       |SELECT lang, doc_id, n_chars, rn FROM r WHERE rn <= 20""".stripMargin
   }
 
   /** q62's oracle rebuilds every HLL register: per row, PolyHash64 the
@@ -2853,6 +2893,8 @@ object SparkEntry {
         |SELECT id AS doc_id, terms_matched, score_e6,
         | CAST(row_number() OVER (ORDER BY score_e6 DESC, id) AS BIGINT) AS rank
         |FROM s""".stripMargin,
+
+    "q73_weighted_sample" -> q73OracleSql,
 
     "q64_funnel" ->
       """WITH e AS (

@@ -188,6 +188,39 @@ object CorpusOps {
     df.where(
       substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 2) < boundCol)
 
+  /** Weighted reservoir sampling without replacement (Efraimidis &
+    * Spirakis 2006, algorithm A-ES): per group, keep the k items
+    * maximizing u^(1/w) — each item's inclusion probability is then
+    * proportional to its weight, the one-pass/mergeable classic for
+    * "sample 10k docs per language, quality-weighted" jobs.
+    *
+    * Determinism discipline: u is not rand() but 53 bits of
+    * [[graft.functions.PolyHash64]] of (id + salt) mapped into (0,1)
+    * (low bit forced to 1 so ln never sees 0) — stable across runs,
+    * partitionings, and engines, and replayable in the oracle's splitMix
+    * chain. Priorities compare as ln(u)/w (the monotone transform of
+    * u^(1/w)); only membership and rank are emitted, never the double.
+    *
+    * Scale shape: one scan; the per-group top-k ranked window pushes a
+    * partial top-k below the exchange (WindowGroupLimit), so the shuffle
+    * carries ~k rows per group, not the corpus. */
+  def weightedSample(df: DataFrame, idCol: String, groupCol: String,
+      weightCol: String, salt: String, k: Int): DataFrame = {
+    require(k >= 1)
+    graft.functions.PolyHash64.register(df.sparkSession)
+    val h = graft.functions.PolyHash64.polyHash64(
+      concat(col(idCol).cast("string"), lit(salt)))
+    val bits = shiftright(h, 11).bitwiseAND(lit((1L << 53) - 1L))
+      .bitwiseOR(lit(1L))
+    val u = bits.cast("double") / lit(9007199254740992.0) // 2^53
+    val priority = log(u) / col(weightCol).cast("double")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(priority.desc, col(idCol))
+    df.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+      .select(col(groupCol), col(idCol), col(weightCol), col("rn"))
+  }
+
   /** Regex subset treated identically by Java's engine and RE2 (no
     * backrefs, no lookaround) — the patterns must behave the same in
     * Spark and in any RE2-based engine sharing the corpus. */
