@@ -972,6 +972,31 @@ object SparkEntry {
     "q73_weighted_sample" -> ((s, dir) =>
       operators.CorpusOps.weightedSample(t(s, dir, "documents"),
         "doc_id", "lang", "n_chars", "#ws#v1", k = 20)),
+
+    // Layout: bucketed co-located fact⋈fact join — pay the shuffle once
+    // at write time (16 buckets on the order key, per-bucket sorted),
+    // then the merge join runs with NO exchange on either side (pinned in
+    // BucketedTableSpec); the gate checks the write→catalog→join
+    // round-trip against the plain-join oracle.
+    "q74_bucketed_join" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_bucketed_q74").toString
+      sinks.BucketedTable.writeBucketed(
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        "graft_q74_li", root + "/li", 16, "l_orderkey", "l_orderkey")
+      sinks.BucketedTable.writeBucketed(
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        "graft_q74_ord", root + "/ord", 16, "o_orderkey", "o_orderkey")
+      sinks.BucketedTable.coLocatedJoin(s, "graft_q74_li", "graft_q74_ord",
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 100).cast("long")).as("revenue_cents"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -2895,6 +2920,16 @@ object SparkEntry {
         |FROM s""".stripMargin,
 
     "q73_weighted_sample" -> q73OracleSql,
+
+    // the bucketed layout changes the PLAN, not the answer — the oracle
+    // is the plain equi-join aggregate
+    "q74_bucketed_join" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
+        | count(*) AS cnt,
+        | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+        |   AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
 
     "q64_funnel" ->
       """WITH e AS (
