@@ -997,6 +997,14 @@ object SparkEntry {
           sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
             * 100).cast("long")).as("revenue_cents"))
     }),
+
+    // Time series: EWMA forecast residuals (Roberts control chart) — a
+    // pinned per-key left fold of exact IEEE ops, so even the raw double
+    // smoothed value hash-gates; the newest point flags when it misses
+    // the prefix forecast by more than the band.
+    "q75_ewma" -> ((s, dir) =>
+      operators.Anomaly.ewmaResiduals(ev(s, dir).where(col("user_id") < 50),
+        "user_id", "ts_ms", "value", alpha = 0.2, band = 60.0)),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -2920,6 +2928,26 @@ object SparkEntry {
         |FROM s""".stripMargin,
 
     "q73_weighted_sample" -> q73OracleSql,
+
+    // list_reduce replays the identical left fold (init = first element,
+    // acc first); (1.0 - 0.2) is spelled as the subtraction — double(0.8)
+    // is a different double
+    "q75_ewma" ->
+      """WITH e AS (
+        | SELECT user_id AS k, epoch_ms(ts) AS ts, value AS v
+        | FROM events WHERE user_id < 50),
+        |l AS (SELECT k, list(v ORDER BY ts, v) AS vs,
+        |  CAST(count(*) AS BIGINT) AS n_obs FROM e GROUP BY k),
+        |f AS (SELECT k, n_obs, vs[len(vs)] AS last_value,
+        |  list_reduce(vs, (acc, x) -> 0.2 * x + (1.0 - 0.2) * acc) AS ewma,
+        |  CASE WHEN n_obs >= 2 THEN
+        |    vs[len(vs)] - list_reduce(vs[1: len(vs)-1],
+        |      (acc, x) -> 0.2 * x + (1.0 - 0.2) * acc)
+        |  END AS residual
+        | FROM l)
+        |SELECT k AS user_id, n_obs, ewma, last_value, residual,
+        | coalesce(abs(residual) > 60.0, false) AS is_spike
+        |FROM f""".stripMargin,
 
     // the bucketed layout changes the PLAN, not the answer — the oracle
     // is the plain equi-join aggregate

@@ -34,6 +34,47 @@ object Anomaly {
       .agg(min(when(col("cum") * 2 >= col("n"), col("v"))).as(out))
   }
 
+  /** EWMA forecast residuals (the control-chart rule of Roberts 1959:
+    * smooth s_i = α·x_i + (1−α)·s_{i−1}, s_1 = x_1; flag the newest
+    * observation when it deviates from the forecast — the EWMA of its
+    * prefix — by more than a caller-supplied band, e.g. L·σ with σ from
+    * [[madOutliers]]'s robust scale).
+    *
+    * Exactness discipline: the fold is multiplies and adds of doubles in
+    * ONE pinned left-fold order (sorted by (ts, value)), no
+    * transcendentals — so even the raw double EWMA is bit-reproducible
+    * cross-engine (the q75 gate hashes it). β = 1−α is spelled as the
+    * SUBTRACTION on both engines: double(1.0−0.2) ≠ double(0.8).
+    *
+    * Scale shape: one groupBy; each key's series is collected and folded
+    * in its executor — the same per-key-sequence-fits-in-memory contract
+    * as the reference's keyed process functions (and this engine's
+    * sessionize/cogroup). Keys are independent; skewed series lengths
+    * cost memory on one executor, never a driver hop. */
+  def ewmaResiduals(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, alpha: Double, band: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0 && band > 0.0)
+    val beta = 1.0 - alpha
+    def fold(arr: org.apache.spark.sql.Column) = aggregate(
+      slice(arr, lit(2), size(arr) - 1), element_at(arr, 1),
+      (acc, x) => lit(alpha) * x + lit(beta) * acc)
+    val series = df
+      .select(col(keyCol).as("k"), col(tsCol).as("ts"), col(valueCol).as("v"))
+      .groupBy(col("k"))
+      .agg(array_sort(collect_list(struct(col("ts"), col("v")))).as("arr"),
+        count(lit(1)).as("n_obs"))
+      .withColumn("vs", transform(col("arr"), e => e.getField("v")))
+    series.select(
+        col("k").as(keyCol), col("n_obs"),
+        fold(col("vs")).as("ewma"),
+        element_at(col("vs"), -1).as("last_value"),
+        when(col("n_obs") >= 2,
+          element_at(col("vs"), -1) -
+            fold(slice(col("vs"), lit(1), size(col("vs")) - 1))).as("residual"))
+      .withColumn("is_spike",
+        coalesce(abs(col("residual")) > lit(band), lit(false)))
+  }
+
   /** Flags rows where |value − median| > (num/den)·MAD. Output:
     * (keyCol, tsCol, valueCol, deviation, is_outlier). A key whose MAD is
     * 0 (over half its values identical) flags every deviating row — the

@@ -38,4 +38,33 @@ class AnomalySpec extends SparkSpec {
     assert(got(5.0) == false)
     assert(got(100.0) == true) // dev 95 > 3 × MAD 0
   }
+
+  private def refEwma(vs: Seq[Double], alpha: Double): Double =
+    vs.tail.foldLeft(vs.head)((acc, x) => alpha * x + (1.0 - alpha) * acc)
+
+  test("EWMA matches the sequential fold; spike on the last point flags") {
+    val steady = (0L until 20L).map(i => ("s", i, 10.0 + (i % 3).toDouble))
+    val spiky = (0L until 19L).map(i => ("x", i, 10.0)) :+ (("x", 19L, 90.0))
+    val single = Seq(("one", 0L, 7.0))
+    val df = (steady ++ spiky ++ single).toDF("k", "ts", "v")
+    val got = Anomaly.ewmaResiduals(df, "k", "ts", "v", alpha = 0.2, band = 20.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]), r.getBoolean(5)))).toMap
+    val sVs = steady.map(_._3)
+    assert(got("s")._2 == refEwma(sVs, 0.2))
+    assert(got("s")._4.get == sVs.last - refEwma(sVs.init, 0.2))
+    assert(!got("s")._5, "steady series must not flag")
+    assert(got("x")._5, "80-point jump against a flat forecast must flag")
+    assert(got("one") == ((1L, 7.0, 7.0, None, false)), "n=1: no residual")
+  }
+
+  test("EWMA is partition-invariant (pinned fold order)") {
+    val df = (0L until 300L)
+      .map(i => (i % 7L, i, (i * 37 % 101).toDouble)).toDF("k", "ts", "v")
+    def run(parts: Int) = Anomaly
+      .ewmaResiduals(df.repartition(parts), "k", "ts", "v", 0.3, 10.0)
+      .orderBy("k").collect().toSeq
+    assert(run(1) == run(13))
+  }
 }
