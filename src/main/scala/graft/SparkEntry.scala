@@ -1005,6 +1005,28 @@ object SparkEntry {
     "q75_ewma" -> ((s, dir) =>
       operators.Anomaly.ewmaResiduals(ev(s, dir).where(col("user_id") < 50),
         "user_id", "ts_ms", "value", alpha = 0.2, band = 60.0)),
+
+    // Layout: Bloom-augmented z-order manifest — point lookups on a
+    // SCATTERED key (event_id, uncorrelated with the (user_id, ts)
+    // Morton order, so every bucket's min/max covers it) prune via the
+    // per-bucket bloom bitsets instead of scanning all 64 directories.
+    // Probes are the five smallest event_ids ≡ 7 (mod 1000) — a bounded
+    // driver action the oracle replays as a subquery.
+    "q76_bloom_skip" -> ((s, dir) => {
+      val path = s"$sharedTmp/zorder_q76_${Integer.toHexString(dir.hashCode)}"
+      val e = ev(s, dir).select(col("event_id"), col("user_id"),
+        col("ts_ms"), col("event_type"))
+      sinks.ZOrderTable.write(e, path, Seq("user_id", "ts_ms"),
+        buckets = 64, bloomCols = Seq("event_id"))
+      val probes = e.where(col("event_id") % 1000 === 7)
+        .select(col("event_id")).orderBy(col("event_id")).limit(5)
+        .collect().map(_.getLong(0)).toSeq
+      probes.map(id => sinks.ZOrderTable.readEq(s, path, Map.empty,
+          Map("event_id" -> id)))
+        .reduce(_ unionByName _)
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          col("event_type"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -2928,6 +2950,15 @@ object SparkEntry {
         |FROM s""".stripMargin,
 
     "q73_weighted_sample" -> q73OracleSql,
+
+    // the bloom skip changes which DIRECTORIES are opened, not the
+    // answer: the oracle replays the probe selection as a subquery
+    "q76_bloom_skip" ->
+      """WITH p AS (
+        | SELECT event_id FROM events WHERE event_id % 1000 = 7
+        | ORDER BY event_id LIMIT 5)
+        |SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms, e.event_type
+        |FROM events e JOIN p USING (event_id)""".stripMargin,
 
     // list_reduce replays the identical left fold (init = first element,
     // acc first); (1.0 - 0.2) is spelled as the subtraction — double(0.8)

@@ -63,10 +63,22 @@ object ZOrderTable {
 
   /** Writes `df` z-ordered by `zCols` (long-valued columns) into
     * `buckets` bucket directories under `dir`, with a per-bucket min/max
-    * manifest for read-side skipping. */
+    * manifest for read-side skipping.
+    *
+    * `bloomCols` (long-valued) additionally store a per-bucket
+    * [[graft.agg.BloomSketch]] bitset in the manifest — the skipping
+    * index for EQUALITY predicates on columns the Morton order does NOT
+    * cluster: a point lookup on a scattered secondary key defeats
+    * min/max (every bucket's range covers everything) but a Bloom probe
+    * prunes to the buckets that genuinely hold the key, false positives
+    * only ever costing an extra scan, never a missed row. This mirrors
+    * Parquet's own column-index blooms one level up, where whole bucket
+    * DIRECTORIES are skipped before any footer is opened. */
   def write(df: DataFrame, dir: String, zCols: Seq[String], buckets: Int,
-      bits: Int = 16): Unit = {
+      bits: Int = 16, bloomCols: Seq[String] = Nil,
+      bloomBits: Int = 1 << 16, bloomHashes: Int = 5): Unit = {
     require(zCols.nonEmpty && buckets > 0)
+    if (bloomCols.nonEmpty) graft.agg.BloomSketch.register(df.sparkSession)
     val zDomainBits = bits * zCols.size
     require(zDomainBits + 64 - java.lang.Long.numberOfLeadingZeros(buckets.toLong) < 63,
       s"bits=$bits × ${zCols.size} cols with $buckets buckets overflows a long")
@@ -79,7 +91,9 @@ object ZOrderTable {
         Seq(min(col(c)).cast("long").as(s"lo_$c"),
           max(col(c)).cast("long").as(s"hi_$c"))): _*).collect()(0)
       val aggs = zCols.flatMap(c => Seq(min(col(c)).cast("long").as(s"lo_$c"),
-        max(col(c)).cast("long").as(s"hi_$c")))
+        max(col(c)).cast("long").as(s"hi_$c"))) ++
+        bloomCols.map(c => graft.agg.BloomSketch
+          .bloomBits(col(c), bloomBits, bloomHashes).as(s"bloom_$c"))
       if (stats.isNullAt(0)) {
         // empty input: a partitioned write would emit NO files (schema
         // inference on read then fails) — write unpartitioned so the
@@ -124,6 +138,48 @@ object ZOrderTable {
     val exact = preds.map { case (c, (lo, hi)) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)
     }.reduce(_ && _)
+    spark.read.parquet(dir)
+      .where(col("zbucket").isin(keep: _*))
+      .where(exact)
+      .drop("zbucket")
+  }
+
+  /** Buckets surviving BOTH the min/max boxes (`rangePreds`, may be
+    * empty) and a Bloom membership probe for every equality predicate
+    * (cols must have been in `write`'s `bloomCols`). The probe runs
+    * driver-side over the collected manifest — the same bounded action
+    * `selectBuckets` already performs (one row per bucket). */
+  def selectBucketsEq(spark: SparkSession, dir: String,
+      rangePreds: Map[String, (Long, Long)],
+      eqPreds: Map[String, Long]): Seq[Long] = {
+    require(eqPreds.nonEmpty)
+    val eqCols = eqPreds.keys.toSeq
+    val m = spark.read.parquet(s"$dir/_zmanifest")
+    val rangeCond = rangePreds.map { case (c, (lo, hi)) =>
+      col(s"lo_$c") <= lit(hi) && col(s"hi_$c") >= lit(lo)
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    m.where(rangeCond)
+      .select(col("zbucket") +: eqCols.map(c => col(s"bloom_$c")): _*)
+      .collect()
+      .filter(r => eqCols.zipWithIndex.forall { case (c, i) =>
+        graft.agg.BloomSketch.mightContain(
+          r.getAs[Array[Byte]](i + 1), eqPreds(c))
+      })
+      .map(_.getLong(0)).toSeq
+  }
+
+  /** Point-lookup read: Bloom-prunes bucket directories on the equality
+    * predicates (plus optional min/max boxes), then scans survivors and
+    * re-applies the exact predicates — false positives cost a scan,
+    * never a wrong row. */
+  def readEq(spark: SparkSession, dir: String,
+      rangePreds: Map[String, (Long, Long)],
+      eqPreds: Map[String, Long]): DataFrame = {
+    val keep = selectBucketsEq(spark, dir, rangePreds, eqPreds)
+    val exact = (rangePreds.map { case (c, (lo, hi)) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    } ++ eqPreds.map { case (c, v) => col(c) === lit(v) })
+      .reduce(_ && _)
     spark.read.parquet(dir)
       .where(col("zbucket").isin(keep: _*))
       .where(exact)

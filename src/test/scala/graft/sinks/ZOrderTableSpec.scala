@@ -82,6 +82,35 @@ class ZOrderTableSpec extends SparkSpec {
     assert(ZOrderTable.read(spark, dir, Map("u" -> (0L, 100L))).count() == 0)
   }
 
+  test("bloom manifest prunes point lookups min/max cannot") {
+    val dir = freshDir
+    // secondary key `sk` is scattered: every bucket's [min,max] covers
+    // nearly the full sk domain, so min/max pruning is useless for it —
+    // exactly the case the bloom column exists for.
+    val df = spark.range(4096).select(
+      col("id").as("u"), col("id").as("t"),
+      (col("id") * 2654435761L % 4093L).as("sk"))
+    ZOrderTable.write(df, dir, Seq("u", "t"), buckets = 16,
+      bloomCols = Seq("sk"))
+    val probe = 5L * 2654435761L % 4093L // sk of id=5 — present
+    val kept = ZOrderTable.selectBucketsEq(spark, dir, Map.empty,
+      Map("sk" -> probe))
+    assert(kept.nonEmpty && kept.size < 16,
+      s"bloom pruned nothing: kept ${kept.size}/16")
+    val rows = ZOrderTable.readEq(spark, dir, Map.empty, Map("sk" -> probe))
+      .select("u").collect().map(_.getLong(0)).toSet
+    val expected = (0L until 4096L).filter(i => i * 2654435761L % 4093L == probe).toSet
+    assert(rows == expected, "bloom-pruned read lost or invented rows")
+    // absent key: nothing survives the probe (no false negatives needed)
+    val missing = ZOrderTable.readEq(spark, dir, Map.empty, Map("sk" -> 4094L))
+    assert(missing.count() == 0)
+    // combined with a range pred on a z column
+    val combined = ZOrderTable.readEq(spark, dir,
+      Map("u" -> (0L, 2047L)), Map("sk" -> probe))
+      .select("u").collect().map(_.getLong(0)).toSet
+    assert(combined == expected.filter(_ <= 2047L))
+  }
+
   test("degenerate shapes: constant column, empty predicate result, one bucket") {
     val dir = freshDir
     val df = spark.range(100).select(lit(7L).as("u"), col("id").as("t"))
