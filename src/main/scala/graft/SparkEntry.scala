@@ -1027,6 +1027,21 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts_ms"),
           col("event_type"))
     }),
+
+    // Graph analytics: PageRank over the supplier co-occurrence graph
+    // (suppliers sharing an order, both directions) — five power
+    // iterations in BIGINT e9 fixed-point, so the oracle unrolls the
+    // identical truncating arithmetic round by round.
+    "q77_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val pairs = li.join(
+          li.select(col("l_orderkey"), col("l_suppkey").as("dst_supp")),
+          "l_orderkey")
+        .where(col("l_suppkey") =!= col("dst_supp"))
+        .select(col("l_suppkey"), col("dst_supp"))
+      operators.Graph.pageRankE9(pairs, "l_suppkey", "dst_supp",
+        iterations = 5)
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -1647,6 +1662,32 @@ object SparkEntry {
        |    AS BIGINT) AS rn
        | FROM p)
        |SELECT lang, doc_id, n_chars, rn FROM r WHERE rn <= 20""".stripMargin
+  }
+
+  /** q77's oracle unrolls five PageRank rounds of the IDENTICAL integer
+    * fixed-point update (BIGINT e9 ranks, truncating `//`, damped 85/100)
+    * over the supplier co-occurrence graph. Each round references the
+    * previous exactly once (linear CTE inlining — the q60 lesson); sums
+    * are cast back to BIGINT per round because DuckDB widens sum(BIGINT)
+    * to HUGEINT. */
+  private val q77OracleSql: String = {
+    def round(i: Int): String =
+      s"""r$i AS (SELECT n.id,
+         | CAST(150000000 + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS r
+         | FROM nodes n LEFT JOIN (
+         |  SELECT p.dst AS id, sum(rr.r // d.d) AS m
+         |  FROM pairs p JOIN r${i - 1} rr ON rr.id = p.src
+         |   JOIN deg d ON d.src = p.src
+         |  GROUP BY 1) s ON s.id = n.id)""".stripMargin
+    s"""WITH pairs AS (
+       | SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+       | FROM lineitem a JOIN lineitem b
+       |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+       |nodes AS (SELECT DISTINCT src AS id FROM pairs),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM pairs GROUP BY 1),
+       |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+       |${(1 to 5).map(round).mkString(",\n")}
+       |SELECT id AS l_suppkey, r AS rank_e9 FROM r5""".stripMargin
   }
 
   /** q62's oracle rebuilds every HLL register: per row, PolyHash64 the
@@ -2950,6 +2991,8 @@ object SparkEntry {
         |FROM s""".stripMargin,
 
     "q73_weighted_sample" -> q73OracleSql,
+
+    "q77_pagerank" -> q77OracleSql,
 
     // the bloom skip changes which DIRECTORIES are opened, not the
     // answer: the oracle replays the probe selection as a subquery

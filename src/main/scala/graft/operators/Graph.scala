@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank (Brin & Page 1998) over an edge DataFrame — the graph
+  * centrality pass a crawl pipeline runs to weight documents by link
+  * authority (host graphs, citation graphs, co-purchase graphs).
+  *
+  * Exactness discipline: ranks are BIGINT fixed-point in 1e-9 units
+  * ("e9"), updates use only integer multiply/truncating-divide/sum —
+  * r' = base + (num · Σ_{u→v} (r_u div d_u)) div den — so a fixed
+  * iteration count is bit-reproducible across engines and partitionings
+  * (double-arithmetic PageRank sums in nondeterministic order). The
+  * truncation loses < 1e-9 of mass per hop — noise four orders below any
+  * ranking decision, and a price worth paying for a hash-gateable score.
+  * Dangling nodes (no out-edges) evaporate their mass, the standard
+  * simplification; every node keeps the base term, so none disappears.
+  *
+  * Scale shape: per iteration ONE join of the edge list with the rank
+  * frame on `src` (both shuffle-partitioned on the same key; Catalyst
+  * reuses the exchange) and one `dst` aggregation with map-side partial
+  * sums. The rank frame is `localCheckpoint`ed each round — iterative
+  * lineage otherwise nests k plans deep and re-executes the whole stack
+  * per action. Edges and nodes persist once and feed every round.
+  */
+object Graph {
+
+  /** `iterations` rounds of damped PageRank over distinct (src, dst)
+    * edges. Output: (idCol = srcCol's name, rank_e9). Damping is the
+    * rational num/den (default 85/100). */
+  def pageRankE9(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1 && dampNum > 0 && dampDen >= dampNum)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val base = (1000000000L * (dampDen - dampNum)) / dampDen
+    var r = nodes.withColumn("r", lit(1000000000L)).localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val contrib = e.join(deg, "src")
+        .join(r.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("r div d").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("m"))
+      r = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"), (lit(base) +
+          expr(s"($dampNum * coalesce(m, CAST(0 AS BIGINT))) div $dampDen"))
+          .as("r"))
+        .localCheckpoint(true)
+    }
+    e.unpersist(); nodes.unpersist()
+    r.select(col("id").as(srcCol), col("r").as("rank_e9"))
+  }
+}

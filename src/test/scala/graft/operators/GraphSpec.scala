@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Integer-fixed-point PageRank must match a sequential reference doing
+  * the identical truncating arithmetic, handle dangling nodes, and be
+  * invariant to partitioning and iteration-over-iteration deterministic. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 1→2, 1→3, 2→3, 3→1, 4→3 (4 is a source; no one links to 4;
+  // 4 has out-edges, 3 is the authority)
+  private val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L))
+
+  private def reference(iters: Int): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val deg = edges.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+    var r = nodes.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).map { case (d, xs) =>
+        d -> xs.map(e => r(e._1) / deg(e._1)).sum
+      }
+      r = nodes.map(n => n -> (150000000L + (85L * in.getOrElse(n, 0L)) / 100L)).toMap
+    }
+    r
+  }
+
+  test("ranks match the sequential truncating-arithmetic reference") {
+    for (iters <- Seq(1, 5)) {
+      val got = Graph.pageRankE9(edges.toDF("s", "d"), "s", "d", iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == reference(iters), s"diverged at $iters iterations")
+    }
+    // 2 only ever receives half of 1's mass → weakest non-source; 1 and 3
+    // trade the full circuit (3's sole out-edge feeds 1, so 1 edges ahead)
+    val r5 = reference(5)
+    assert(r5(1L) > r5(3L) && r5(3L) > r5(2L) && r5(2L) > r5(4L),
+      s"rank ordering wrong: $r5")
+    // node 4 has no in-edges: exactly the base term
+    assert(r5(4L) == 150000000L)
+  }
+
+  test("partition-invariant; duplicate edges collapse") {
+    val dup = (edges ++ edges).toDF("s", "d")
+    def run(parts: Int) = Graph
+      .pageRankE9(dup.repartition(parts), "s", "d", 3)
+      .orderBy("s").collect().toSeq
+    assert(run(1) == run(9))
+    assert(run(9) == Graph.pageRankE9(edges.toDF("s", "d"), "s", "d", 3)
+      .orderBy("s").collect().toSeq)
+  }
+}
