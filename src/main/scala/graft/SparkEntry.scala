@@ -1028,6 +1028,14 @@ object SparkEntry {
           col("event_type"))
     }),
 
+    // Tokenizer apply: full-document BPE ENCODE under the fixed merge
+    // list below (trained once at build time — the q52 codebook pattern;
+    // q60 gates training itself). Folds run once per distinct word; docs
+    // reassemble in word order.
+    "q78_bpe_encode" -> ((s, dir) =>
+      operators.BpeTrainer.encode(t(s, dir, "documents"), "doc_id", "text",
+        q78Merges)),
+
     // Graph analytics: PageRank over the supplier co-occurrence graph
     // (suppliers sharing an order, both directions) — five power
     // iterations in BIGINT e9 fixed-point, so the oracle unrolls the
@@ -1662,6 +1670,56 @@ object SparkEntry {
        |    AS BIGINT) AS rn
        | FROM p)
        |SELECT lang, doc_id, n_chars, rn FROM r WHERE rn <= 20""".stripMargin
+  }
+
+  /** q78's fixed merge list: 8 merges trained on the sf0.01 corpus at
+    * build time (ranks 1-8; rank 6 merges a TWO-char right symbol, so
+    * symbol-level — not char-level — semantics are exercised). Applied as
+    * config, GPT-2-merges-file style; correctness does not depend on the
+    * corpus matching the training corpus. */
+  private val q78Merges: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r",
+    "s" -> "t", "m" -> "er", "a" -> "t", "l" -> "u")
+
+  /** q78's oracle replays the encode with the q60 fold pattern: symbols
+    * ride a chr(31)-joined string (the corpus is alnum), each merge round
+    * is one list_reduce whose greedy-left semantics match
+    * [[graft.operators.BpeTrainer.mergeOnce]] exactly (the merged tail
+    * cannot re-merge in its round), rounds chain linearly (one reference
+    * each), and documents reassemble by word position. */
+  private val q78OracleSql: String = {
+    val S = "chr(31)"
+    val rounds = q78Merges.zipWithIndex.map { case ((l, r), i) =>
+      s"""s${i + 1} AS (SELECT word,
+         | list_reduce(list_prepend('', string_split(s, $S)),
+         |  (a, x) -> CASE
+         |    WHEN a = '' THEN x
+         |    WHEN string_split(a, $S)[-1] = '$l' AND x = '$r' THEN
+         |      array_to_string(list_append(
+         |        list_slice(string_split(a, $S), 1, len(string_split(a, $S))-1),
+         |        '${l + r}'), $S)
+         |    ELSE a || $S || x END) AS s
+         | FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (
+       | SELECT doc_id, i AS pos, ws[i] AS word
+       | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+       |       FROM documents) t,
+       |  LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) ix
+       | WHERE length(ws[i]) > 0),
+       |v AS (SELECT DISTINCT word FROM w),
+       |s0 AS (
+       | SELECT word, array_to_string(
+       |  list_transform(range(1, length(word)+1), i -> word[i]), $S) AS s
+       | FROM v),
+       |$rounds,
+       |tok AS (SELECT word,
+       |  CAST(len(string_split(s, $S)) AS BIGINT) AS ntok,
+       |  replace(s, $S, ' ') AS tokstr FROM s${q78Merges.size})
+       |SELECT w.doc_id, CAST(sum(tok.ntok) AS BIGINT) AS n_bpe_tokens,
+       | string_agg(tok.tokstr, ' ' ORDER BY w.pos) AS bpe_text
+       |FROM w JOIN tok ON tok.word = w.word
+       |GROUP BY w.doc_id""".stripMargin
   }
 
   /** q77's oracle unrolls five PageRank rounds of the IDENTICAL integer
@@ -2993,6 +3051,8 @@ object SparkEntry {
     "q73_weighted_sample" -> q73OracleSql,
 
     "q77_pagerank" -> q77OracleSql,
+
+    "q78_bpe_encode" -> q78OracleSql,
 
     // the bloom skip changes which DIRECTORIES are opened, not the
     // answer: the oracle replays the probe selection as a subquery

@@ -97,6 +97,41 @@ object BpeTrainer {
     out.result()
   }
 
+  /** Full-document BPE ENCODE under a fixed merge list — the apply half
+    * of the tokenizer loop ([[trainMerges]] learns the list; this is the
+    * GPT-2-style "ship the merges file, encode any corpus" step, so the
+    * merges are config, not necessarily trained on `docs`).
+    *
+    * Scale shape: the merge folds run once per DISTINCT word (the
+    * bounded vocab frame), never per occurrence; occurrences take a
+    * broadcast join and a per-doc ordered reassembly (the q53 shape).
+    * Tokens of a word never contain whitespace, so the space-joined
+    * `bpe_text` is an unambiguous serialization of the token sequence.
+    *
+    * Output: (idCol, n_bpe_tokens, bpe_text); documents whose text
+    * whitespace-trims to nothing have no words and drop out. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty)
+    val ms = merges.zipWithIndex.map { case ((l, r), i) => Merge(i + 1, l, r, 0L) }
+    val words = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(trim(col(textCol)), Ws)).as(Seq("pos", "word")))
+      .where(length(col("word")) > 0)
+    val vocab = words.select(col("word")).distinct()
+      .select(col("word"),
+        applyMerges(charSymbols(col("word")), ms).as("toks"))
+      .select(col("word"), size(col("toks")).cast("long").as("ntok"),
+        array_join(col("toks"), " ").as("tokstr"))
+    words.join(broadcast(vocab), "word")
+      .groupBy(col("id"))
+      .agg(sum(col("ntok")).as("n_bpe_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tokstr")))),
+            e => e.getField("tokstr")), " ").as("bpe_text"))
+      .select(col("id").as(idCol), col("n_bpe_tokens"), col("bpe_text"))
+  }
+
   /** Per-document token counts under a learned BPE: train `k` merges on
     * the corpus, then sum each document's per-word symbol counts via a
     * broadcast join against the merged vocabulary. Output:

@@ -84,4 +84,37 @@ class BpeTrainerSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(got.values.sum < chars)
   }
+
+  test("encode applies merges greedily left-to-right, per rank") {
+    // hand-computed folds, incl. the overlapping-run and chained-symbol
+    // cases where naive string replacement diverges from BPE
+    val docs = Seq((1L, "aaaa abab banana"), (2L, "  "), (3L, "banana aaaa"))
+      .toDF("doc_id", "text")
+    val got = BpeTrainer.encode(docs, "doc_id", "text",
+        Seq("a" -> "a", "a" -> "b", "b" -> "an"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // aaaa → (aa)(aa); abab → (ab)(ab); banana untouched (no 'an' symbol
+    // exists — (b,an) only fires on a prior (a,n) merge)
+    assert(got(1L) == ((10L, "aa aa ab ab b a n a n a")))
+    assert(!got.contains(2L), "whitespace-only doc must drop")
+    assert(got(3L) == ((8L, "b a n a n a aa aa")))
+
+    val chained = BpeTrainer.encode(docs, "doc_id", "text",
+        Seq("a" -> "n", "b" -> "an"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // banana: (a,n) → b(an)(an)a? no — fold: [b,an,an,a]; then (b,an) →
+    // [ban,an,a]
+    assert(chained(1L) == "a a a a a b a b ban an a")
+    assert(chained(3L) == "ban an a a a a a")
+  }
+
+  test("encode is partition-invariant") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val ms = Seq("e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r",
+      "s" -> "t", "m" -> "er", "a" -> "t", "l" -> "u")
+    def run(parts: Int) = BpeTrainer
+      .encode(docs.repartition(parts), "doc_id", "text", ms)
+      .orderBy("doc_id").collect().toSeq
+    assert(run(1) == run(7))
+  }
 }
