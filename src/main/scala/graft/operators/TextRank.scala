@@ -32,11 +32,19 @@ object TextRank {
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty)
-    val tok = docs.select(col(idCol).as("id"),
-      explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
-    val dl = tok.groupBy(col("id")).agg(count(lit(1)).as("dl"))
-    val g = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val tf = tok.where(col("tok").isin(terms.map(lit): _*))
+    // ONE corpus pass: doc length comes from size(split) with no explode,
+    // and only QUERY-TERM tokens survive into the exploded frame — the
+    // persisted `base` carries two longs plus matched terms per doc, so
+    // at 100 TB the scan runs once and nothing corpus-sized is cached.
+    val base = docs
+      .select(col(idCol).as("id"),
+        split(trim(lower(col(textCol))), "\\s+").as("toks"))
+      .select(col("id"), size(col("toks")).cast("long").as("dl"),
+        filter(col("toks"), t => t.isin(terms.map(lit): _*)).as("qtoks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = base.select(col("id"), col("dl"))
+    val g = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = base.select(col("id"), explode(col("qtoks")).as("tok"))
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
 
