@@ -50,6 +50,28 @@ class BloomSketchSpec extends SparkSpec {
     assert(probeAt >= 0, s"no bloom probe in plan:\n$plan")
   }
 
+  test("bloom aggregate runs in streaming group-bys with batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    BloomSketch.register(spark)
+    val data = (0 until 2000).map(i => ((i % 3).toLong, (i % 700).toLong))
+    val mem = MemoryStream[(Long, Long)]
+    val sdf = mem.toDS().toDF("g", "k").groupBy("g")
+      .agg(BloomSketch.bloomBits(col("k"), 8192, 5).as("bf"))
+    val q = sdf.writeStream.format("memory").queryName("bloom_stream")
+      .outputMode("complete").start()
+    try {
+      // two batches: the state-store buffer must OR across them
+      mem.addData(data.take(800): _*); q.processAllAvailable()
+      mem.addData(data.drop(800): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("bloom_stream").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val batch = data.toDF("g", "k").groupBy("g")
+      .agg(BloomSketch.bloomBits(col("k"), 8192, 5).as("bf")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(streamed == batch)
+  }
+
   test("nulls are skipped, not inserted") {
     BloomSketch.register(spark)
     val bf = Seq(Some(5L), None, Some(9L)).toDF("k")
