@@ -1028,6 +1028,16 @@ object SparkEntry {
           col("event_type"))
     }),
 
+    // Data profiling: the pre-ingest census — per-column null/distinct
+    // counts and min/max for five lineitem columns in ONE scan (a single
+    // Expand feeds every countDistinct; stack unpivots the one-row agg).
+    // Integral/text columns only, so min/max strings render identically
+    // cross-engine.
+    "q79_profile" -> ((s, dir) =>
+      operators.Profile.profile(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+          "l_linestatus"))),
+
     // Tokenizer apply: full-document BPE ENCODE under the fixed merge
     // list below (trained once at build time — the q52 codebook pattern;
     // q60 gates training itself). Folds run once per distinct word; docs
@@ -3053,6 +3063,19 @@ object SparkEntry {
     "q77_pagerank" -> q77OracleSql,
 
     "q78_bpe_encode" -> q78OracleSql,
+
+    // per-column stats as a UNION of scalar selects (oracle-side
+    // simplicity; the engine side is the one-scan Expand plan)
+    "q79_profile" ->
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+        "l_linestatus").map(c =>
+        s"""SELECT '$c' AS column, count(*) AS n_rows,
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_null,
+           | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           | CAST(min($c) AS VARCHAR) AS min_value,
+           | CAST(max($c) AS VARCHAR) AS max_value
+           |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n"),
 
     // the bloom skip changes which DIRECTORIES are opened, not the
     // answer: the oracle replays the probe selection as a subquery

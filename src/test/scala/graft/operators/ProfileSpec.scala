@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The one-pass profile must report exact per-column stats, handle nulls
+  * and heterogeneous types, and scan the source exactly once. */
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (1L, Some("a"), Some(10L)),
+    (2L, Some("b"), None),
+    (3L, None, Some(30L)),
+    (4L, Some("a"), Some(10L))).toDF("id", "s", "v")
+
+  test("stats are exact per column") {
+    val got = Profile.profile(df, Seq("id", "s", "v")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    assert(got("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(got("s") == ((4L, 1L, 2L, "a", "b")))
+    assert(got("v") == ((4L, 1L, 2L, "10", "30")))
+    // column order preserved
+    assert(Profile.profile(df, Seq("v", "id")).select("column")
+      .collect().map(_.getString(0)).toSeq == Seq("v", "id"))
+  }
+
+  test("one scan: a single Expand feeds every distinct count") {
+    val plan = Profile.profile(df, Seq("id", "s", "v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"no Expand in plan:\n$plan")
+    assert("(?s)LocalTableScan|Scan".r.findAllIn(plan).size >= 1)
+    assert(!plan.contains("Union"), s"per-column scans unioned:\n$plan")
+  }
+
+  test("all-null and empty frames profile without errors") {
+    val nulls = Seq[(java.lang.Long, String)]((null, null), (null, null))
+      .toDF("a", "b")
+    val got = Profile.profile(nulls, Seq("a", "b")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.isNullAt(4)))).toMap
+    assert(got("a") == ((2L, 2L, 0L, true)))
+    val empty = Profile.profile(nulls.where(lit(false)), Seq("a"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(empty.toSeq == Seq((0L, 0L, 0L)))
+  }
+}
