@@ -1038,6 +1038,18 @@ object SparkEntry {
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
           "l_linestatus"))),
 
+    // Data quality: the constraint gate before publishing a snapshot —
+    // null/duplicate counts in one lineitem scan, referential integrity
+    // as left-anti joins against orders and part. unique:l_orderkey
+    // genuinely FAILS (multi-line orders), so both verdicts exercise.
+    "q80_quality_checks" -> ((s, dir) =>
+      operators.Profile.checks(t(s, dir, "lineitem"),
+        completeness = Seq("l_orderkey", "l_returnflag"),
+        uniqueness = Seq("l_orderkey"),
+        referential = Seq(
+          ("l_orderkey", t(s, dir, "orders"), "o_orderkey"),
+          ("l_partkey", t(s, dir, "part"), "p_partkey")))),
+
     // Tokenizer apply: full-document BPE ENCODE under the fixed merge
     // list below (trained once at build time — the q52 codebook pattern;
     // q60 gates training itself). Folds run once per distinct word; docs
@@ -3063,6 +3075,29 @@ object SparkEntry {
     "q77_pagerank" -> q77OracleSql,
 
     "q78_bpe_encode" -> q78OracleSql,
+
+    "q80_quality_checks" ->
+      """WITH v AS (
+        | SELECT 'complete:l_orderkey' AS check_name,
+        |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS violations FROM lineitem
+        | UNION ALL
+        | SELECT 'complete:l_returnflag',
+        |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        | UNION ALL
+        | SELECT 'unique:l_orderkey',
+        |  CAST(count(l_orderkey) - count(DISTINCT l_orderkey) AS BIGINT)
+        |  FROM lineitem
+        | UNION ALL
+        | SELECT 'ref:l_orderkey->o_orderkey', CAST(count(*) AS BIGINT)
+        | FROM lineitem WHERE l_orderkey IS NOT NULL
+        |  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        | UNION ALL
+        | SELECT 'ref:l_partkey->p_partkey', CAST(count(*) AS BIGINT)
+        | FROM lineitem WHERE l_partkey IS NOT NULL
+        |  AND l_partkey NOT IN (SELECT p_partkey FROM part))
+        |SELECT check_name, violations, violations = 0 AS passed FROM v""".stripMargin,
 
     // per-column stats as a UNION of scalar selects (oracle-side
     // simplicity; the engine side is the one-scan Expand plan)

@@ -45,4 +45,50 @@ object Profile {
       .select(col("column"), col("n_rows"), col("n_null"),
         col("n_distinct"), col("min_value"), col("max_value"))
   }
+
+  /** Declarative data-quality checks (the Deequ constraint suite shape):
+    * each check reduces to ONE aggregate-able violation count, evaluated
+    * in a single pass per source frame, emitted as
+    * (check_name, violations, passed) rows — the contract gate a pipeline
+    * runs before publishing a snapshot.
+    *
+    *  - `completeness`: null count of a column must be 0;
+    *  - `uniqueness`: duplicate-key rows (n − distinct) must be 0;
+    *  - `referential`: child keys absent from the parent must be 0 —
+    *    a left-anti join, which Catalyst runs broadcast when the parent
+    *    key set is small and shuffled otherwise.
+    *
+    * All violation counts are exact longs; `passed` is their == 0. */
+  def checks(df: DataFrame,
+      completeness: Seq[String] = Nil,
+      uniqueness: Seq[String] = Nil,
+      referential: Seq[(String, DataFrame, String)] = Nil): DataFrame = {
+    require(completeness.nonEmpty || uniqueness.nonEmpty || referential.nonEmpty)
+    val inlineDefs: Seq[(String, org.apache.spark.sql.Column)] =
+      completeness.map(c => s"complete:$c" ->
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))) ++
+      uniqueness.map(c => s"unique:$c" ->
+        (count(col(c)) - countDistinct(col(c))))
+    val inline: Seq[DataFrame] =
+      if (inlineDefs.isEmpty) Nil
+      else {
+        // one scan for every inline check; stack unpivots the single row
+        val aggs = inlineDefs.zipWithIndex.map { case ((_, c), i) => c.as(s"v$i") }
+        val one = df.agg(aggs.head, aggs.tail: _*)
+        val stackArgs = inlineDefs.zipWithIndex
+          .map { case ((n, _), i) => s"'$n', v$i" }.mkString(", ")
+        Seq(one.select(expr(
+          s"stack(${inlineDefs.size}, $stackArgs) AS (check_name, violations)")))
+      }
+    val refs = referential.map { case (childKey, parent, parentKey) =>
+      df.select(col(childKey)).where(col(childKey).isNotNull)
+        .join(parent.select(col(parentKey).as(childKey)),
+          Seq(childKey), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit(s"ref:$childKey->$parentKey").as("check_name"),
+          col("violations"))
+    }
+    (inline ++ refs).reduce(_ unionByName _)
+      .withColumn("passed", col("violations") === 0L)
+  }
 }

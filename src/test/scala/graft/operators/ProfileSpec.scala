@@ -35,6 +35,27 @@ class ProfileSpec extends SparkSpec {
     assert(!plan.contains("Union"), s"per-column scans unioned:\n$plan")
   }
 
+  test("checks report exact violation counts for every constraint kind") {
+    val child = Seq(
+      (Some(1L), "a"), (Some(1L), "b"), (Some(2L), "c"), (None, "d"))
+      .toDF("fk", "payload")
+    val parent = Seq(1L, 3L).toDF("pk")
+    val got = Profile.checks(child,
+        completeness = Seq("fk", "payload"),
+        uniqueness = Seq("fk", "payload"),
+        referential = Seq(("fk", parent, "pk")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(got("complete:fk") == ((1L, false)))
+    assert(got("complete:payload") == ((0L, true)))
+    // count(fk)=3 non-null, 2 distinct → 1 duplicate
+    assert(got("unique:fk") == ((1L, false)))
+    assert(got("unique:payload") == ((0L, true)))
+    // fk=2 has no parent (one row); the NULL fk is not a violation
+    assert(got("ref:fk->pk") == ((1L, false)))
+    assert(got.size == 5)
+  }
+
   test("all-null and empty frames profile without errors") {
     val nulls = Seq[(java.lang.Long, String)]((null, null), (null, null))
       .toDF("a", "b")
