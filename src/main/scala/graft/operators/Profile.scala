@@ -8,15 +8,21 @@ import org.apache.spark.sql.functions._
   * computed in a SINGLE scan — the pre-ingest census every pipeline runs
   * before trusting a new drop of data.
   *
-  * Shape: all per-column aggregates ride one `agg` (Catalyst plans the
-  * multi-`countDistinct` via Expand — k× rows through ONE scan, partial
-  * aggregation below the exchange, no per-column re-reads), producing a
-  * single row that unpivots into (column, stats) rows with a literal
-  * `stack`. At 100 TB this is one pass over the table versus the naive
-  * k-scan loop.
+  * Shape: TWO passes regardless of column count. Pass 1 computes every
+  * null count and typed min/max in one plain hash aggregate (one row,
+  * unpivoted with a literal `stack`). Pass 2 computes every distinct
+  * count by exploding each row into (column, rendered value) pairs and
+  * double-aggregating — the map-side partial collapse means the exchange
+  * carries ~|distinct values| rows per column, and the rendering is used
+  * only for IDENTITY (injective for integral/text types), never for
+  * ordering. A single `agg` with k `countDistinct`s reads nicer but
+  * Catalyst plans the multi-distinct rewrite as a SET-buffered
+  * SortAggregate over the k×-expanded scan — measured 13 s vs 2 s on 600k
+  * rows — so the two-pass form is the scale-shaped one.
   *
   * min/max are rendered as strings so heterogeneous column types share a
-  * schema; longs and strings render identically across engines (doubles
+  * schema — but only AFTER the typed aggregation, so numeric ordering is
+  * correct; longs and strings render identically across engines (doubles
   * and timestamps have engine-specific text forms — callers gating
   * cross-engine should profile integral/text columns, as q79 does).
   */
@@ -26,24 +32,35 @@ object Profile {
     * min_value, max_value) in `cols` order. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty)
+    // pass 1: nulls + typed min/max + row count in one hash aggregate
     val aggs = cols.flatMap { c =>
       Seq(
         // sum over ZERO rows is NULL, not 0 — coalesce so an empty
         // table profiles as all-zero counts
         coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
           .as(s"null_$c"),
-        countDistinct(col(c)).as(s"dist_$c"),
         min(col(c)).cast("string").as(s"min_$c"),
         max(col(c)).cast("string").as(s"max_$c"))
     } :+ count(lit(1)).as("n_rows")
     val one = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols.map(c =>
-      s"'$c', `null_$c`, `dist_$c`, `min_$c`, `max_$c`"
+      s"'$c', `null_$c`, `min_$c`, `max_$c`"
     ).mkString(", ")
-    one.select(col("n_rows"), expr(
-        s"stack(${cols.size}, $stackArgs) AS (column, n_null, n_distinct, min_value, max_value)"))
+    val scalar = one.select(col("n_rows"), expr(
+        s"stack(${cols.size}, $stackArgs) AS (column, n_null, min_value, max_value)"))
+    // pass 2: distinct counts via (column, value) pairs, collapsed
+    // map-side; NULL values drop (countDistinct semantics)
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"), col(c).cast("string").as("v"))): _*))
+        .as("p"))
+      .select(col("p.column").as("column"), col("p.v").as("v"))
+      .where(col("v").isNotNull)
+      .groupBy(col("column"), col("v")).agg(count(lit(1)))
+      .groupBy(col("column")).agg(count(lit(1)).as("n_distinct"))
+    scalar.join(pairs, Seq("column"), "left")
       .select(col("column"), col("n_rows"), col("n_null"),
-        col("n_distinct"), col("min_value"), col("max_value"))
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_value"), col("max_value"))
   }
 
   /** Declarative data-quality checks (the Deequ constraint suite shape):
