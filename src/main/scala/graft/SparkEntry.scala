@@ -1038,6 +1038,21 @@ object SparkEntry {
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
           "l_linestatus"))),
 
+    // Ops: keyed snapshot diff — classify inserts/deletes/updates between
+    // orders and a derived second version (deletes %17, price bumps %13,
+    // key-shifted inserts %50) in one full-outer shuffle; unchanged keys
+    // drop before output. Null-safe struct equality does the compare.
+    "q81_table_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val newv = o.where(col("o_orderkey") % 17 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+        .unionByName(o.where(col("o_orderkey") % 50 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      operators.TableDiff.diff(o, newv, Seq("o_orderkey"))
+    }),
+
     // Data quality: the constraint gate before publishing a snapshot —
     // null/duplicate counts in one lineitem scan, referential integrity
     // as left-anti joins against orders and part. unique:l_orderkey
@@ -3075,6 +3090,33 @@ object SparkEntry {
     "q77_pagerank" -> q77OracleSql,
 
     "q78_bpe_encode" -> q78OracleSql,
+
+    // replays the derived second snapshot, then classifies via the same
+    // full-outer + IS DISTINCT FROM comparison
+    "q81_table_diff" ->
+      """WITH o AS (SELECT * FROM orders),
+        |n AS (
+        | SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        | FROM orders WHERE o_orderkey % 17 <> 0
+        | UNION ALL
+        | SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        |  o_totalprice, o_orderdate, o_orderpriority
+        | FROM orders WHERE o_orderkey % 50 = 0),
+        |j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |       WHEN n.o_orderkey IS NULL THEN 'delete'
+        |       WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+        |         OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |         OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |         OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+        |         OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+        |       THEN 'update' END AS ct
+        | FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey)
+        |SELECT k AS o_orderkey, ct AS change_type FROM j
+        |WHERE ct IS NOT NULL""".stripMargin,
 
     "q80_quality_checks" ->
       """WITH v AS (

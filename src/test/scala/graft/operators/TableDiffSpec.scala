@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** The keyed diff must classify inserts/deletes/updates exactly, treat
+  * NULL-valued columns null-safely, drop unchanged keys, and support
+  * composite keys. */
+class TableDiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("classification is exact; unchanged keys drop; nulls compare null-safe") {
+    val old = Seq(
+      (1L, Some("a"), Some(10L)), // unchanged
+      (2L, Some("b"), None),      // unchanged (null payload both sides)
+      (3L, Some("c"), Some(30L)), // updated value
+      (4L, None, Some(40L)),      // updated null→value
+      (5L, Some("e"), Some(50L))) // deleted
+      .toDF("k", "s", "v")
+    val neu = Seq(
+      (1L, Some("a"), Some(10L)),
+      (2L, Some("b"), Option.empty[Long]),
+      (3L, Some("c"), Some(31L)),
+      (4L, Some("d"), Some(40L)),
+      (6L, Some("f"), Some(60L))) // inserted
+      .toDF("k", "s", "v")
+    val got = TableDiff.diff(old, neu, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(3L -> "update", 4L -> "update",
+      5L -> "delete", 6L -> "insert"))
+  }
+
+  test("composite keys and column order independence") {
+    val old = Seq((1L, "x", 10L), (1L, "y", 20L)).toDF("a", "b", "v")
+    val neu = Seq((1L, "x", 10L), (1L, "z", 30L)).toDF("a", "b", "v")
+      .select("b", "v", "a") // shuffled column order must not matter
+    val got = TableDiff.diff(old, neu, Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(got == Map((1L, "y") -> "delete", (1L, "z") -> "insert"))
+  }
+
+  test("mismatched schemas are rejected") {
+    val a = Seq((1L, "x")).toDF("k", "s")
+    val b = Seq((1L, 2L)).toDF("k", "n")
+    intercept[IllegalArgumentException](TableDiff.diff(a, b, Seq("k")))
+  }
+}
