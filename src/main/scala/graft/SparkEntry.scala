@@ -1038,6 +1038,13 @@ object SparkEntry {
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
           "l_linestatus"))),
 
+    // Path analysis: first-order Markov transitions over per-user event
+    // streams — every observed hop with exact integer-millionth row
+    // probabilities (truncating div, so the matrix hash-gates).
+    "q82_transitions" -> ((s, dir) =>
+      operators.Funnel.transitions(ev(s, dir),
+        "user_id", "ts_ms", "event_type", "event_id")),
+
     // Ops: keyed snapshot diff — classify inserts/deletes/updates between
     // orders and a derived second version (deletes %17, price bumps %13,
     // key-shifted inserts %50) in one full-outer shuffle; unchanged keys
@@ -3090,6 +3097,20 @@ object SparkEntry {
     "q77_pagerank" -> q77OracleSql,
 
     "q78_bpe_encode" -> q78OracleSql,
+
+    "q82_transitions" ->
+      """WITH p AS (
+        | SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ms(ts), event_id) AS to_type
+        | FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS cnt FROM p
+        | WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(cnt) AS BIGINT) AS row_total
+        | FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.cnt,
+        | CAST((c.cnt * 1000000) // t.row_total AS BIGINT) AS prob_e6
+        |FROM c JOIN t USING (from_type)""".stripMargin,
 
     // replays the derived second snapshot, then classifies via the same
     // full-outer + IS DISTINCT FROM comparison

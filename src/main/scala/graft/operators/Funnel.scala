@@ -75,4 +75,35 @@ object Funnel {
       }: _*)).as("s"))
       .select(col("s.stage"), col("s.stage_name"), col("s.users"))
   }
+
+  /** First-order Markov transition matrix over per-user event paths —
+    * the clickstream "what happens after X" census (the path-analysis
+    * complement of the ordered funnel: funnels test ONE hypothesized
+    * sequence, transitions surface every observed hop).
+    *
+    * Each user's events order by (ts, tie-break col); consecutive pairs
+    * count into (from_type, to_type) cells with row probabilities as
+    * exact integer millionths — (cnt · 1e6) div row-total, truncating —
+    * so the matrix hash-gates cross-engine (a double ratio would not).
+    *
+    * Shape: one shuffle to order within user keys (the lead window),
+    * then a bounded groupBy on |event types|² cells with map-side
+    * partial counts. */
+  def transitions(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = df
+      .select(col(userCol), col(tsCol), col(tieCol),
+        col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("cnt")).as("row_total"))
+    pairs.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("cnt"),
+        expr("(cnt * 1000000) div row_total").as("prob_e6"))
+  }
 }

@@ -90,4 +90,30 @@ class FunnelSpec extends SparkSpec {
     assert(counts.length == 3)
     assert(counts.sliding(2).forall(p => p(0) >= p(1)), counts.toSeq)
   }
+
+  test("transition matrix counts every consecutive hop with exact probs") {
+    // user 1: a→b→b→c; user 2: a→b (tie at t=10 broken by id: 20 before 21)
+    val ev = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "b"), (1L, 4L, 4L, "c"),
+      (2L, 10L, 21L, "b"), (2L, 10L, 20L, "a"))
+      .toDF("u", "ts", "id", "et")
+    val got = Funnel.transitions(ev, "u", "ts", "et", "id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // a→b ×2 (prob 1.0 of a's hops), b→b ×1, b→c ×1 (each 1/2 of b's)
+    assert(got == Map(
+      ("a", "b") -> ((2L, 1000000L)),
+      ("b", "b") -> ((1L, 500000L)),
+      ("b", "c") -> ((1L, 500000L))))
+  }
+
+  test("transitions are partition-invariant") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("ts_ms", unix_millis(col("ts")))
+    def run(parts: Int) = Funnel
+      .transitions(ev.repartition(parts), "user_id", "ts_ms", "event_type",
+        "event_id")
+      .orderBy("from_type", "to_type").collect().toSeq
+    assert(run(1) == run(9))
+  }
 }
