@@ -1028,6 +1028,18 @@ object SparkEntry {
           col("event_type"))
     }),
 
+    // Similarity/IVF-PQ: IVFADC, the combined billion-scale index —
+    // coarse inverted lists + PQ codes of the RESIDUALS, per-list ADC
+    // with the −‖q−c‖² correction so candidates from different probed
+    // lists rank on one scale. Oracled end-to-end: coarse assignment,
+    // float32 residuals, residual codebook, encode, ADC (q83OracleSql).
+    "q83_ivfpq_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 3, nLists = 16, nProbe = 4,
+        subspaces = 8, codebookSize = 16)
+    }),
+
     // Data profiling: the pre-ingest census — per-column null/distinct
     // counts and min/max for five lineitem columns in ONE scan (a single
     // Expand feeds every countDistinct; stack unpivots the one-row agg).
@@ -1449,6 +1461,79 @@ object SparkEntry {
        |r AS (SELECT qid, cid, adc_e9,
        |  row_number() OVER (PARTITION BY qid ORDER BY adc_e9 DESC, cid) AS rank FROM adc)
        |SELECT qid, cid, rank, adc_e9 FROM r WHERE rank <= 3""".stripMargin
+  }
+
+  /** q83's oracle replays the IVF-PQ (IVFADC) pipeline end-to-end: the
+    * q34 coarse quantizer (16 lowest-id vectors, cosine rank-1 assignment),
+    * float32 residuals (double-subtract cast REAL ≡ fsub by the 2p+2
+    * double-rounding bound), a residual codebook from the vectors ranked
+    * [16, 32) by id, the q52 integer-L2 encode on residuals, and per-list
+    * ADC scores corrected by −‖q−c‖² so probed lists share one scale.
+    * Every term is the e9-integer convention — bit-identical retrieval. */
+  private val q83OracleSql: String = {
+    val nLists = 16; val nProbe = 4; val subspaces = 8; val subDim = 8
+    val cbSize = 16; val k = 3
+    val dotI = (a: String, b: String) =>
+      s"""CAST(list_sum(list_transform(list_zip($a, $b),
+         |  z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT)""".stripMargin
+    val resid =
+      """list_transform(list_zip(embedding, centVec),
+        |   z -> CAST(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE) AS REAL))""".stripMargin
+    s"""WITH n AS (
+       | SELECT vec_id, embedding,
+       |  CAST(list_sum(list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS nsq
+       | FROM embeddings),
+       |cent AS (
+       | SELECT vec_id AS centId, embedding AS centVec, nsq AS centN
+       | FROM n ORDER BY vec_id LIMIT $nLists),
+       |ca AS (
+       | SELECT n.vec_id, n.embedding, n.nsq, c.centId, c.centVec,
+       |  CAST(${dotI("n.embedding", "c.centVec")} AS DOUBLE)
+       |   / sqrt(CAST(n.nsq AS DOUBLE) * CAST(c.centN AS DOUBLE)) AS cs
+       | FROM n CROSS JOIN cent c),
+       |assign AS (
+       | SELECT vec_id AS cid, centId, $resid AS rvec FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, centId) AS r
+       |  FROM ca) WHERE r = 1),
+       |cbv AS (
+       | SELECT CAST(row_number() OVER (ORDER BY cid) - 1 AS BIGINT) AS code, rvec
+       | FROM (SELECT cid, rvec FROM assign ORDER BY cid LIMIT $cbSize OFFSET $nLists)),
+       |cbn AS (
+       | SELECT m, code, cvec, ${dotI("cvec", "cvec")} AS cnsq FROM (
+       |  SELECT m, code, list_slice(rvec, m*$subDim+1, m*$subDim+$subDim) AS cvec
+       |  FROM cbv, range(0, $subspaces) t(m))),
+       |svn AS (
+       | SELECT cid, centId, m, list_slice(rvec, m*$subDim+1, m*$subDim+$subDim) AS svec
+       | FROM assign, range(0, $subspaces) t(m)),
+       |dist AS (
+       | SELECT s.cid, s.centId, s.m, c.code, c.cnsq - 2*${dotI("s.svec", "c.cvec")} AS d2
+       | FROM svn s JOIN cbn c ON c.m = s.m),
+       |codes AS (
+       | SELECT cid, centId, m, code FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY cid, m ORDER BY d2, code) AS r
+       |  FROM dist) WHERE r = 1),
+       |probe AS (
+       | SELECT vec_id AS qid, centId, $resid AS rvec FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, centId) AS r
+       |  FROM ca WHERE vec_id < 20) WHERE r <= $nProbe),
+       |qn AS (SELECT qid, centId, ${dotI("rvec", "rvec")} AS qrn FROM probe),
+       |lut AS (
+       | SELECT s.qid, s.centId, s.m, c.code, 2*${dotI("s.svec", "c.cvec")} - c.cnsq AS dp
+       | FROM (
+       |  SELECT qid, centId, m, list_slice(rvec, m*$subDim+1, m*$subDim+$subDim) AS svec
+       |  FROM probe, range(0, $subspaces) t(m)) s
+       | JOIN cbn c ON c.m = s.m),
+       |adc AS (
+       | SELECT l.qid, k.cid, k.centId, CAST(sum(l.dp) AS BIGINT) AS sdp
+       | FROM codes k JOIN lut l ON l.centId = k.centId AND l.m = k.m AND l.code = k.code
+       | WHERE l.qid <> k.cid GROUP BY 1, 2, 3),
+       |sc AS (
+       | SELECT a.qid, a.cid, a.sdp - q.qrn AS adc_e9
+       | FROM adc a JOIN qn q ON q.qid = a.qid AND q.centId = a.centId),
+       |r AS (SELECT qid, cid, adc_e9,
+       |  row_number() OVER (PARTITION BY qid ORDER BY adc_e9 DESC, cid) AS rank FROM sc)
+       |SELECT qid, cid, rank, adc_e9 FROM r WHERE rank <= $k""".stripMargin
   }
 
   /** q56's oracle replays the trained-PQ pipeline END-TO-END: per-subspace
@@ -2364,6 +2449,7 @@ object SparkEntry {
     "q22_simhash" -> q22OracleSql,
     "q23_lsh_ann" -> q23OracleSql,
     "q52_pq_ann" -> q52OracleSql,
+    "q83_ivfpq_ann" -> q83OracleSql,
     // same deterministic 3-word re-lining, df over distinct docs per
     // line, lines under the threshold reassembled in position order
     "q53_line_dedup" ->

@@ -413,6 +413,139 @@ object Similarity {
       .select(col("qid"), col("cid"), col("rank"), col("adc_e9"))
   }
 
+  /** The IVF residual frame: each corpus vector's nearest-list id (the
+    * [[ivfTopK]] cosine convention, ties to the lowest centroid) and its
+    * float32 residual against that centroid — the training input for a
+    * residual PQ codebook (run [[trainPqCodebooks]] over (cid, cres) and
+    * feed the result to [[ivfPqTopK]]'s `codebooks`). Centroids are the
+    * `nLists` lowest-id vectors, broadcast; one narrow pass, no corpus
+    * shuffle. */
+  def ivfResiduals(corpus: DataFrame, idCol: String, vecCol: String,
+      nLists: Int): DataFrame = {
+    VectorExpressions.register(corpus.sparkSession)
+    val cents = broadcast(corpus.orderBy(col(idCol)).limit(nLists)
+      .select(col(idCol).cast("long").as("centId"), col(vecCol).as("centVec"),
+        VectorExpressions.normSqE9Fast(col(vecCol)).as("centN")))
+    val scored = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+        VectorExpressions.normSqE9Fast(col(vecCol)).as("cn"))
+      .join(cents)
+      .withColumn("__cs",
+        cosineFromE9(VectorExpressions.dotE9Fast(col("cvec"), col("centVec")),
+          col("cn"), col("centN")))
+    val w = Window.partitionBy(col("cid")).orderBy(col("__cs").desc, col("centId"))
+    scored.withColumn("__r", row_number().over(w)).where(col("__r") === 1)
+      .select(col("cid"), col("centId"),
+        zip_with(col("cvec"), col("centVec"), (x, y) => x - y).as("cres"))
+  }
+
+  /** IVF-PQ ANN (IVFADC — Jégou, Douze, Schmid, "Product Quantization for
+    * Nearest Neighbor Search", TPAMI'11 §IV — public result): the
+    * billion-scale index layout, combining the two levers this file
+    * provides separately. Corpus vectors coarse-quantize into `nLists`
+    * inverted lists (cosine, the [[ivfTopK]] convention); each vector then
+    * stores only the PQ codes of its RESIDUAL (vec − centroid) —
+    * `subspaces` small codes instead of d floats. A query probes its
+    * `nProbe` nearest lists and scores candidates per-list by asymmetric
+    * distance: the LUT is built from the query residual (q − centroid)
+    * against the shared residual codebook, and
+    * −‖(q−c) − recon(codes)‖² = Σ_m lut[m, code_m] − ‖q−c‖² ranks DESC.
+    * Residuals are what make PQ accurate inside an IVF list (they span a
+    * far smaller cell than raw vectors), and the combination is what makes
+    * 100 TB ANN feasible: candidate work scales with |corpus|·nProbe/nLists
+    * AND each candidate costs m table lookups over m bytes — at d=64,
+    * m=8 the index shrinks 32×, so whole shards stay resident.
+    *
+    * Determinism (the oracle contract): coarse centroids are the `nLists`
+    * lowest-id vectors; the residual codebook entries are the residuals of
+    * the NEXT `codebookSize` vectors by id (ranks
+    * [nLists, nLists+codebookSize) — the lowest-id vectors ARE the
+    * centroids, so their own residuals are ~zero and would collapse the
+    * book). Residual subtraction is float32 — the oracle's
+    * double-subtract-then-cast-REAL equals fsub by the 2p+2 double-
+    * rounding bound (53 ≥ 2·24+2) — and assignment/encode/ADC reuse the
+    * e9-integer conventions of [[ivfTopK]]/[[pqTopK]] with
+    * lowest-centId/lowest-code ties, so retrieval replays bit-exactly.
+    *
+    * Plan shape: centroids ride a broadcast (bounded); encode is one
+    * narrow codegen pass over the assigned corpus; probes
+    * (queries × nProbe LUT rows) broadcast into the candidate join keyed
+    * on the list id; per-query top-k window. The corpus never collects —
+    * only the nLists + codebookSize seed rows land on the driver.
+    * Output: qid, cid, rank, adc_e9 (−e9·‖residual error‖², DESC). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nLists: Int, nProbe: Int, subspaces: Int,
+      codebookSize: Int, dimsIn: Int = -1,
+      codebooks: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
+    VectorExpressions.register(corpus.sparkSession)
+    graft.functions.PqExpressions.register(corpus.sparkSession)
+    val d = resolveDims(corpus, vecCol, dimsIn)
+    if (d < 0)
+      return corpus.select(col(idCol).as("qid"), col(idCol).as("cid"),
+        lit(0).as("rank"), lit(0L).as("adc_e9")).where(lit(false))
+    require(d % subspaces == 0, s"dims $d not divisible by $subspaces subspaces")
+    val subDim = d / subspaces
+
+    val cents = broadcast(corpus.orderBy(col(idCol)).limit(nLists)
+      .select(col(idCol).cast("long").as("centId"), col(vecCol).as("centVec"),
+        VectorExpressions.normSqE9Fast(col(vecCol)).as("centN")))
+
+    // nearest-list assignment (rank 1 for the corpus, nProbe for queries)
+    // plus the float32 residual against each winning centroid
+    def assignResidual(df: DataFrame, p: String, keep: Int): DataFrame = {
+      val scored = df.select(col(idCol).as(s"${p}id"), col(vecCol).as(s"${p}vec"),
+          VectorExpressions.normSqE9Fast(col(vecCol)).as(s"${p}n"))
+        .join(cents)
+        .withColumn("__cs",
+          cosineFromE9(VectorExpressions.dotE9Fast(col(s"${p}vec"), col("centVec")),
+            col(s"${p}n"), col("centN")))
+      val w = Window.partitionBy(col(s"${p}id"))
+        .orderBy(col("__cs").desc, col("centId"))
+      scored.withColumn("__r", row_number().over(w)).where(col("__r") <= keep)
+        .select(col(s"${p}id"), col("centId"),
+          zip_with(col(s"${p}vec"), col("centVec"), (x, y) => x - y).as(s"${p}res"))
+    }
+
+    // residual codebook: caller-trained (run [[trainPqCodebooks]] over
+    // [[ivfResiduals]] — the production path; residual distributions are
+    // what PQ should be fit to) or the training-free default seed — one
+    // bounded driver collect of nLists + codebookSize rows (the pqTopK
+    // justification)
+    val cb: Array[Array[Array[Float]]] = codebooks.getOrElse {
+      val seedRows = assignResidual(
+          corpus.orderBy(col(idCol)).limit(nLists + codebookSize), "s", 1)
+        .orderBy(col("sid")).collect().drop(nLists)
+      require(seedRows.length == codebookSize,
+        s"corpus has only ${seedRows.length + nLists} vectors for a " +
+          s"$nLists-list + $codebookSize-entry IVF-PQ seed")
+      Array.tabulate(subspaces, codebookSize) { (m, c) =>
+        seedRows(c).getSeq[Float](2).toArray.slice(m * subDim, (m + 1) * subDim)
+      }
+    }
+    // strict: the ADC kernel strides its flat LUT by codebookSize, so a
+    // ragged or short book (empty trained clusters) must be rejected here
+    require(cb.length == subspaces && cb.forall(_.length == codebookSize) &&
+      cb.forall(_.forall(_.length == subDim)),
+      s"codebook shape ${cb.length}x${cb.headOption.map(_.length).getOrElse(0)}" +
+        s"x${cb.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)} " +
+        s"!= $subspaces x $codebookSize x $subDim")
+
+    val codes = assignResidual(corpus.repartition(col(idCol)), "c", 1)
+      .select(col("cid"), col("centId"),
+        graft.functions.PqExpressions.pqEncode(col("cres"), cb, subDim).as("__codes"))
+    val probes = assignResidual(queries, "q", nProbe)
+      .select(col("qid"), col("centId"),
+        graft.functions.PqExpressions.pqLut(col("qres"), cb, subDim).as("__lut"),
+        VectorExpressions.normSqE9Fast(col("qres")).as("__qrn"))
+    val scored = codes.join(broadcast(probes), Seq("centId"))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (graft.functions.PqExpressions.pqAdc(col("__codes"), col("__lut"),
+          codebookSize) - col("__qrn")).as("adc_e9"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc_e9").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"), col("adc_e9"))
+  }
+
   /** Sign-LSH bucketing: `planes` pseudo-random ±1 hyperplanes (component
     * signs from [[planeSigns]]), vectors keyed by the sign pattern;
     * near-dup candidates = equal buckets. Projections are e9-quantized
