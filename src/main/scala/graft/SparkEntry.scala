@@ -1106,6 +1106,22 @@ object SparkEntry {
       operators.Graph.pageRankE9(pairs, "l_suppkey", "dst_supp",
         iterations = 5)
     }),
+
+    // Graph analytics: label-propagation communities over the same
+    // supplier co-occurrence graph — synchronous rounds with the
+    // (count DESC, label ASC) argmax, so the oracle unrolls the
+    // identical update round by round. Distinct from components (q41):
+    // density-based labels, not reachability.
+    "q84_label_prop" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val pairs = li.join(
+          li.select(col("l_orderkey"), col("l_suppkey").as("dst_supp")),
+          "l_orderkey")
+        .where(col("l_suppkey") =!= col("dst_supp"))
+        .select(col("l_suppkey"), col("dst_supp"))
+      operators.Graph.labelPropagation(pairs, "l_suppkey", "dst_supp",
+        iterations = 4)
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -1875,6 +1891,34 @@ object SparkEntry {
        |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM nodes),
        |${(1 to 5).map(round).mkString(",\n")}
        |SELECT id AS l_suppkey, r AS rank_e9 FROM r5""".stripMargin
+  }
+
+  /** q84's oracle unrolls the synchronous label-propagation rounds: each
+    * round counts in-neighbor labels from the PREVIOUS round's frame and
+    * takes the (count DESC, label ASC) argmax, nodes without in-edges
+    * keeping their label. The label chain is referenced twice per round
+    * (the count and the carry-forward) — within DuckDB's inline-growth
+    * budget at 4 rounds (2⁴ copies; the q60 precedent ran 2⁸). */
+  private val q84OracleSql: String = {
+    def round(i: Int): String =
+      s"""c$i AS (
+         | SELECT p.dst AS id, l.lab, count(*) AS c
+         | FROM pairs p JOIN l${i - 1} l ON l.id = p.src GROUP BY 1, 2),
+         |n$i AS (
+         | SELECT id, lab FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY c DESC, lab) AS r
+         |  FROM c$i) WHERE r = 1),
+         |l$i AS (
+         | SELECT o.id, coalesce(n.lab, o.lab) AS lab
+         | FROM l${i - 1} o LEFT JOIN n$i n USING (id))""".stripMargin
+    s"""WITH pairs AS (
+       | SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+       | FROM lineitem a JOIN lineitem b
+       |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+       |nodes AS (SELECT DISTINCT src AS id FROM pairs),
+       |l0 AS (SELECT id, id AS lab FROM nodes),
+       |${(1 to 4).map(round).mkString(",\n")}
+       |SELECT id AS l_suppkey, lab AS community FROM l4""".stripMargin
   }
 
   /** q62's oracle rebuilds every HLL register: per row, PolyHash64 the
@@ -3181,6 +3225,8 @@ object SparkEntry {
     "q73_weighted_sample" -> q73OracleSql,
 
     "q77_pagerank" -> q77OracleSql,
+
+    "q84_label_prop" -> q84OracleSql,
 
     "q78_bpe_encode" -> q78OracleSql,
 

@@ -63,4 +63,51 @@ object Graph {
     // clearCache()/unpersist discipline — the q21 shared-subtree rule)
     r.select(col("id").as(srcCol), col("r").as("rank_e9"))
   }
+
+  /** Synchronous label propagation (Raghavan, Albert, Kumara 2007, "Near
+    * linear time algorithm to detect community structures" — public
+    * result): every node starts labeled with its own id; each round it
+    * adopts the most frequent label among its in-neighbors. Communities —
+    * unlike connected components (which min-label propagation would
+    * reproduce) — reflect edge DENSITY: a node inside a tight cluster
+    * hears that cluster's label more often than any bridge label.
+    *
+    * Determinism discipline: rounds are SYNCHRONOUS (all nodes update from
+    * the round-(i−1) labels — asynchronous LPA is update-order dependent)
+    * and the frequency argmax breaks ties as (count DESC, label ASC), so a
+    * fixed iteration count is bit-reproducible across engines and
+    * partitionings. Nodes with no in-edges keep their current label.
+    *
+    * Scale shape: per round ONE join of the (distinct, persisted) edge
+    * list with the label frame on `src` and one (dst, label) count with
+    * map-side partial aggregation — label cardinality only shrinks, so
+    * rounds get cheaper as communities coalesce. No per-round action; the
+    * nested plan runs as one job, with a localCheckpoint every
+    * `checkpointEvery` rounds to bound deep-run DAG depth (the pageRank
+    * trade, measured there). Output: (idCol = srcCol's name, community). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, checkpointEvery: Int = 8): DataFrame = {
+    require(iterations >= 1 && checkpointEvery >= 1)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var lab = nodes.withColumn("lab", col("id"))
+    for (i <- 1 to iterations) {
+      val cnt = e.join(lab.select(col("id").as("src"), col("lab").as("nl")), "src")
+        .groupBy(col("dst").as("id"), col("nl"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("c").desc, col("nl"))
+      val next = cnt.withColumn("__r", row_number().over(w))
+        .where(col("__r") === 1).select(col("id"), col("nl"))
+      lab = lab.join(next, Seq("id"), "left")
+        .select(col("id"), coalesce(col("nl"), col("lab")).as("lab"))
+      if (i % checkpointEvery == 0 && i < iterations)
+        lab = lab.localCheckpoint(true)
+    }
+    lab.select(col("id").as(srcCol), col("lab").as("community"))
+  }
 }

@@ -49,4 +49,61 @@ class GraphSpec extends SparkSpec {
     assert(run(9) == Graph.pageRankE9(edges.toDF("s", "d"), "s", "d", 3)
       .orderBy("s").collect().toSeq)
   }
+
+  // ---- label propagation ----
+
+  // two triangles {1,2,3} and {4,5,6} bridged by 3–4, undirected
+  // (both directions materialized, as the co-occurrence graph builds them)
+  private val triangles: Seq[(Long, Long)] = {
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L))
+    und ++ und.map(_.swap)
+  }
+
+  private def lpaReference(es: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val byDst = es.distinct.groupBy(_._2)
+    var lab = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      val prev = lab
+      lab = nodes.map { n =>
+        byDst.get(n) match {
+          case None => n -> prev(n)
+          case Some(in) =>
+            val cnts = in.groupBy(e => prev(e._1)).map { case (l, xs) => (l, xs.size) }
+            n -> cnts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        }
+      }.toMap
+    }
+    lab
+  }
+
+  test("label propagation matches the sequential synchronous reference") {
+    for (iters <- Seq(1, 2, 4)) {
+      val got = Graph.labelPropagation(triangles.toDF("s", "d"), "s", "d", iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == lpaReference(triangles, iters), s"diverged at $iters rounds")
+    }
+    // after 4 rounds the bridge has NOT merged the triangles: density wins
+    // (each triangle hears its own label twice, the bridge label once)
+    val r4 = lpaReference(triangles, 4)
+    assert(Set(1L, 2L, 3L).map(r4) == Set(1L) &&
+      Set(4L, 5L, 6L).map(r4) == Set(3L), s"communities wrong: $r4")
+  }
+
+  test("label propagation: no-in-edge nodes keep labels; partition-invariant") {
+    // 10→1 only: 10 never hears a label and must keep its own
+    val withSource = triangles :+ (10L, 1L)
+    val got = Graph.labelPropagation(withSource.toDF("s", "d"), "s", "d", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(10L) == 10L)
+    assert(got == lpaReference(withSource, 3))
+    val dup = (triangles ++ triangles).toDF("s", "d")
+    def run(parts: Int) = Graph
+      .labelPropagation(dup.repartition(parts), "s", "d", 4)
+      .orderBy("s").collect().toSeq
+    assert(run(1) == run(9))
+    assert(run(9) == Graph.labelPropagation(triangles.toDF("s", "d"), "s", "d", 4)
+      .orderBy("s").collect().toSeq)
+  }
 }
