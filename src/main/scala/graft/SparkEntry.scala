@@ -1107,6 +1107,22 @@ object SparkEntry {
         iterations = 5)
     }),
 
+    // Graph analytics: per-node triangle counts with degree orientation
+    // (Suri-Vassilvitskii) over the thresholded supplier co-occurrence
+    // graph — ≥5 shared orders keeps the sf0.1 graph sparse enough that
+    // the wedge step stays bounded while sf0.01 remains near-complete.
+    "q85_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val pairs = li.join(
+          li.select(col("l_orderkey"), col("l_suppkey").as("dst_supp")),
+          "l_orderkey")
+        .where(col("l_suppkey") < col("dst_supp"))
+        .groupBy(col("l_suppkey"), col("dst_supp"))
+        .agg(count(lit(1)).as("w")).where(col("w") >= 5)
+        .select(col("l_suppkey"), col("dst_supp"))
+      operators.Graph.triangleCounts(pairs, "l_suppkey", "dst_supp")
+    }),
+
     // Graph analytics: label-propagation communities over the same
     // supplier co-occurrence graph — synchronous rounds with the
     // (count DESC, label ASC) argmax, so the oracle unrolls the
@@ -1920,6 +1936,37 @@ object SparkEntry {
        |${(1 to 4).map(round).mkString(",\n")}
        |SELECT id AS l_suppkey, lab AS community FROM l4""".stripMargin
   }
+
+  /** q85's oracle mirrors the degree-oriented triangle count: canonical
+    * thresholded edges, (degree, id) row-value orientation, the ordered
+    * wedge build, one closure join, corner credit via UNION ALL — exact
+    * integers, no tie-breaks needed. */
+  private val q85OracleSql: String =
+    """WITH raw AS (
+      | SELECT a.l_suppkey AS u, b.l_suppkey AS v
+      | FROM lineitem a JOIN lineitem b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      | GROUP BY 1, 2 HAVING count(*) >= 5),
+      |e AS (SELECT u AS a, v AS b FROM raw),
+      |nodes AS (SELECT a AS id FROM e UNION SELECT b FROM e),
+      |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d
+      | FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+      |o AS (
+      | SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS src,
+      |        CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS dst,
+      |        CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d END AS dd
+      | FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b),
+      |w AS (
+      | SELECT o1.src AS x, o1.dst AS y, o2.dst AS z
+      | FROM o o1 JOIN o o2 ON o1.src = o2.src
+      |  AND (o1.dd, o1.dst) < (o2.dd, o2.dst)),
+      |tri AS (SELECT x, y, z FROM w JOIN o ON o.src = w.y AND o.dst = w.z),
+      |corners AS (
+      | SELECT id, CAST(count(*) AS BIGINT) AS t FROM (
+      |  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+      |  UNION ALL SELECT z FROM tri) GROUP BY 1)
+      |SELECT n.id AS l_suppkey, coalesce(c.t, 0) AS triangles
+      |FROM nodes n LEFT JOIN corners c ON c.id = n.id""".stripMargin
 
   /** q62's oracle rebuilds every HLL register: per row, PolyHash64 the
     * stringified user id (the q22 char fold + splitMix64 finish), split
@@ -3227,6 +3274,8 @@ object SparkEntry {
     "q77_pagerank" -> q77OracleSql,
 
     "q84_label_prop" -> q84OracleSql,
+
+    "q85_triangles" -> q85OracleSql,
 
     "q78_bpe_encode" -> q78OracleSql,
 

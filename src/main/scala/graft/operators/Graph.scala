@@ -110,4 +110,57 @@ object Graph {
     }
     lab.select(col("id").as(srcCol), col("lab").as("community"))
   }
+
+  /** Per-node triangle counts via degree orientation (Suri &
+    * Vassilvitskii, WWW'11, "Counting triangles and the curse of the last
+    * reducer" — public result). Edges canonicalize undirected, then each
+    * orients from the endpoint with the SMALLER (degree, id) key to the
+    * larger. That caps every out-degree at O(√m), which is the whole
+    * point at scale: wedge generation — the quadratic step — is
+    * Σ d_out(v)², so an unoriented hub of degree D would emit D² wedges
+    * into one reducer (the "last reducer" curse) while the oriented
+    * build spreads O(m^{3/2}) wedges evenly. A wedge (y, z) hanging off
+    * x closes iff the oriented edge y→z exists; each triangle
+    * materializes exactly once (at its smallest-key corner) and credits
+    * all three corners.
+    *
+    * Plan shape: canonical edges persist once and feed the degree count,
+    * the orientation, both wedge sides and the closure probe; closure is
+    * ONE equi-join on (y, z) — no cartesian; corners explode + count with
+    * map-side partials; zero-triangle nodes survive via left join.
+    * Counts are exact integers — deterministic with no tie-break needed.
+    * Output: (idCol = srcCol's name, triangles). */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("a").as("id"))
+      .union(e.select(col("b").as("id"))).distinct()
+    val deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val ka = struct(col("da").as("d"), col("a").as("i"))
+    val kb = struct(col("db").as("d"), col("b").as("i"))
+    val aFirst = ka < kb
+    val o = e
+      .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
+      .select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, kb).otherwise(ka).as("kdst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wedges = o.select(col("src"), col("dst").as("y"), col("kdst").as("ky"))
+      .join(o.select(col("src"), col("dst").as("z"), col("kdst").as("kz")), Seq("src"))
+      .where(col("ky") < col("kz"))
+      .select(col("src").as("x"), col("y"), col("z"))
+    val tri = wedges
+      .join(o.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"))
+    val corners = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("t"))
+    nodes.join(corners, Seq("id"), "left")
+      .select(col("id").as(srcCol), coalesce(col("t"), lit(0L)).as("triangles"))
+  }
 }

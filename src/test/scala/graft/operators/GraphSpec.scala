@@ -106,4 +106,45 @@ class GraphSpec extends SparkSpec {
     assert(run(9) == Graph.labelPropagation(triangles.toDF("s", "d"), "s", "d", 4)
       .orderBy("s").collect().toSeq)
   }
+
+  // ---- triangle counting ----
+
+  private def bruteTriangles(es: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = es.flatMap(e => Seq(e, e.swap)).filter(e => e._1 != e._2).distinct
+    val adj = und.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
+    val nodes = und.map(_._1).distinct
+    nodes.map { n =>
+      val nb = adj(n).toSeq
+      n -> nb.combinations(2).count(p => adj(p(0)).contains(p(1))).toLong
+    }.toMap
+  }
+
+  test("triangle counts match brute force; K4, pendant, and star cases") {
+    // K4 on {1,2,3,4} (3 triangles per corner), pendant 5–1 (zero), and a
+    // star hub 6 touching every K4 corner (hub in C(4,2) minus non-edges)
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 1L), (6L, 1L), (6L, 2L), (6L, 3L), (6L, 4L))
+    val got = Graph.triangleCounts(es.toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == bruteTriangles(es), s"got $got")
+    assert(got(5L) == 0L) // pendant closes nothing
+    // a pure star has no triangles at all
+    val star = (2L to 9L).map(l => (1L, l))
+    val starGot = Graph.triangleCounts(star.toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starGot.values.forall(_ == 0L), s"star produced $starGot")
+  }
+
+  test("triangle counts: direction/duplicate-insensitive, partition-invariant") {
+    val seeded = new scala.util.Random(7)
+    val rand = (for (_ <- 1 to 60)
+      yield (seeded.nextInt(12).toLong, seeded.nextInt(12).toLong))
+      .filter(e => e._1 != e._2)
+    val noisy = rand ++ rand.map(_.swap) ++ rand // dups + both directions
+    def run(parts: Int) = Graph
+      .triangleCounts(noisy.toDF("s", "d").repartition(parts), "s", "d")
+      .orderBy("s").collect().toSeq.map(r => r.getLong(0) -> r.getLong(1))
+    assert(run(1) == run(9))
+    assert(run(9).toMap == bruteTriangles(rand))
+  }
 }
