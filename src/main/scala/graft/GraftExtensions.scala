@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Cluster-wide injection point for every graft SQL function:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * (or `SparkSession.builder().withExtensions(new GraftExtensions)`).
+  * Sessions built this way — including pure-SQL ones (Thrift server,
+  * `spark.sql(...)` notebooks) — see `graft_xxhash64_0`, the e9 vector
+  * kernels, the PQ kernels, the sketch aggregates, etc. without any
+  * driver-side `register(spark)` call. Backed by the same
+  * [[graft.functions.GraftRegistry]] inventory the per-session helpers
+  * use, so both paths always expose the identical function set.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    graft.functions.GraftRegistry.all.foreach { case (name, builder) =>
+      extensions.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
+}

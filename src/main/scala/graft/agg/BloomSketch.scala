@@ -141,18 +141,15 @@ object BloomSketch {
     true
   }
 
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_bits",
-      exprs => BloomBitsAgg(exprs.head,
-        exprs(1).eval(null).toString.toInt,
-        exprs(2).eval(null).toString.toInt).toAggregateExpression(),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_might_contain",
-      exprs => BloomMightContain(exprs.head, exprs(1)),
-      "built-in")
-  }
+  private[graft] val builders: graft.functions.GraftRegistry.Builders = Seq(
+    "graft_bloom_bits" -> (exprs => BloomBitsAgg(exprs.head,
+      exprs(1).eval(null).toString.toInt,
+      exprs(2).eval(null).toString.toInt).toAggregateExpression()),
+    "graft_bloom_might_contain" ->
+      (exprs => BloomMightContain(exprs.head, exprs(1))))
+
+  def register(spark: SparkSession): Unit =
+    graft.functions.GraftRegistry.registerTemp(spark, builders)
 
   /** Aggregate column: serialized Bloom filter of the long input.
     * Requires `register(spark)`. */

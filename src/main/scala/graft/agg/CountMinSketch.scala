@@ -91,13 +91,13 @@ case class CountMinAgg(child: Expression, depth: Int, width: Int,
 }
 
 object CountMinSketch {
+  private[graft] val builders: graft.functions.GraftRegistry.Builders = Seq(
+    "graft_count_min" -> (exprs => CountMinAgg(exprs.head,
+      exprs(1).eval(null).toString.toInt,
+      exprs(2).eval(null).toString.toInt).toAggregateExpression()))
+
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_count_min",
-      exprs => CountMinAgg(exprs.head,
-        exprs(1).eval(null).toString.toInt,
-        exprs(2).eval(null).toString.toInt).toAggregateExpression(),
-      "built-in")
+    graft.functions.GraftRegistry.registerTemp(spark, builders)
 
   /** Aggregate column: sparse-rendered CM counters of the (stringified)
     * input. Requires `register(spark)`. */

@@ -89,12 +89,12 @@ case class HllRegistersAgg(child: Expression, p: Int,
 }
 
 object HllSketch {
+  private[graft] val builders: graft.functions.GraftRegistry.Builders = Seq(
+    "graft_hll_registers" -> (exprs => HllRegistersAgg(exprs.head,
+      exprs(1).eval(null).toString.toInt).toAggregateExpression()))
+
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_hll_registers",
-      exprs => HllRegistersAgg(exprs.head,
-        exprs(1).eval(null).toString.toInt).toAggregateExpression(),
-      "built-in")
+    graft.functions.GraftRegistry.registerTemp(spark, builders)
 
   /** Aggregate column: hex-rendered HLL registers of the (stringified)
     * input. Requires `register(spark)`. */

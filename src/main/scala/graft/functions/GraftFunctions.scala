@@ -32,11 +32,12 @@ case class XxHash64Utf8(child: Expression, seed: Long)
 
 /** Registration + Column helpers for graft's custom expressions. */
 object GraftFunctions {
+  private[graft] val builders: GraftRegistry.Builders = Seq(
+    "graft_xxhash64_0" -> (exprs => XxHash64Utf8(exprs.head, 0L)))
+
   /** Idempotent per-session registration of graft SQL functions. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_xxhash64_0", exprs => XxHash64Utf8(exprs.head, 0L), "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    GraftRegistry.registerTemp(spark, builders)
 
   /** xxhash64 with seed 0 (byte-compatible with cespare Sum64String).
     * Requires `register(spark)` first (queries call it on entry). */

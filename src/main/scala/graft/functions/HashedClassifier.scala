@@ -129,25 +129,22 @@ case class HashedNgramScoreTable(child: Expression, maskBits: Int,
 }
 
 object HashedClassifier {
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_hashed_ngram_score",
-      exprs => HashedNgramScore(exprs.head,
-        exprs(1).eval(null).toString.toInt,
-        exprs(2).eval(null).toString.toLong,
-        exprs(3).eval(null).toString.toBoolean),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_hashed_ngram_score_table",
-      // the weight literal decodes ONCE at expression-build time into the
-      // reference object (same pattern as the PQ codebook literals)
-      exprs => HashedNgramScoreTable(exprs.head,
-        exprs(1).eval(null).toString.toInt,
-        exprs(2).eval(null).asInstanceOf[
-          org.apache.spark.sql.catalyst.util.ArrayData].toIntArray(),
-        exprs(3).eval(null).toString.toBoolean),
-      "built-in")
-  }
+  private[graft] val builders: GraftRegistry.Builders = Seq(
+    "graft_hashed_ngram_score" -> (exprs => HashedNgramScore(exprs.head,
+      exprs(1).eval(null).toString.toInt,
+      exprs(2).eval(null).toString.toLong,
+      exprs(3).eval(null).toString.toBoolean)),
+    // the weight literal decodes ONCE at expression-build time into the
+    // reference object (same pattern as the PQ codebook literals)
+    "graft_hashed_ngram_score_table" -> (exprs => HashedNgramScoreTable(
+      exprs.head,
+      exprs(1).eval(null).toString.toInt,
+      exprs(2).eval(null).asInstanceOf[
+        org.apache.spark.sql.catalyst.util.ArrayData].toIntArray(),
+      exprs(3).eval(null).toString.toBoolean)))
+
+  def register(spark: SparkSession): Unit =
+    GraftRegistry.registerTemp(spark, builders)
 
   /** Column helper (procedural weights); requires `register(spark)`. */
   def hashedNgramScore(c: Column, maskBits: Int, seed: Long,

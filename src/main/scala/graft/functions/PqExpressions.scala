@@ -150,17 +150,16 @@ object PqExpressions {
       }
   }
 
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_pq_encode", exprs => PqEncode(exprs.head,
-        decodeCodebook(exprs(1)), exprs(2).eval(null).toString.toInt), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_pq_lut", exprs => PqLut(exprs.head,
-        decodeCodebook(exprs(1)), exprs(2).eval(null).toString.toInt), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_pq_adc", exprs => PqAdc(exprs(0), exprs(1),
-        exprs(2).eval(null).toString.toInt), "built-in")
-  }
+  private[graft] val builders: GraftRegistry.Builders = Seq(
+    "graft_pq_encode" -> (exprs => PqEncode(exprs.head,
+      decodeCodebook(exprs(1)), exprs(2).eval(null).toString.toInt)),
+    "graft_pq_lut" -> (exprs => PqLut(exprs.head,
+      decodeCodebook(exprs(1)), exprs(2).eval(null).toString.toInt)),
+    "graft_pq_adc" -> (exprs => PqAdc(exprs(0), exprs(1),
+      exprs(2).eval(null).toString.toInt)))
+
+  def register(spark: SparkSession): Unit =
+    GraftRegistry.registerTemp(spark, builders)
 
   private def cbLit(cb: Array[Array[Array[Float]]]): Column =
     typedlit[Seq[Seq[Seq[Float]]]](cb.map(_.map(_.toSeq).toSeq).toSeq)

@@ -102,9 +102,11 @@ case class PolyHash64(child: Expression) extends UnaryExpression {
 }
 
 object PolyHash64 {
+  private[graft] val builders: GraftRegistry.Builders = Seq(
+    "graft_poly_hash64" -> (exprs => PolyHash64(exprs.head)))
+
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_poly_hash64", exprs => PolyHash64(exprs.head), "built-in")
+    GraftRegistry.registerTemp(spark, builders)
 
   /** Column helper; requires `register(spark)`. */
   def polyHash64(c: Column): Column =
@@ -129,12 +131,12 @@ case class RollingMinHash(child: Expression, window: Int)
 }
 
 object RollingMinHash {
+  private[graft] val builders: GraftRegistry.Builders = Seq(
+    "graft_rolling_min_hash" -> (exprs => RollingMinHash(exprs.head,
+      exprs.lift(1).map(_.eval(null).toString.toInt).getOrElse(32))))
+
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_rolling_min_hash",
-      exprs => RollingMinHash(exprs.head,
-        exprs.lift(1).map(_.eval(null).toString.toInt).getOrElse(32)),
-      "built-in")
+    GraftRegistry.registerTemp(spark, builders)
 
   /** Column helper; requires `register(spark)`. */
   def rollingMinHash(c: Column, window: Int): Column =

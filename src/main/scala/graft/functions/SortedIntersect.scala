@@ -47,10 +47,12 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
 }
 
 object SortedLongIntersect {
+  private[graft] val builders: GraftRegistry.Builders = Seq(
+    "graft_sorted_intersect_count" ->
+      (exprs => SortedLongIntersectCount(exprs.head, exprs(1))))
+
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_sorted_intersect_count",
-      exprs => SortedLongIntersectCount(exprs.head, exprs(1)), "built-in")
+    GraftRegistry.registerTemp(spark, builders)
 
   /** Requires `register(spark)`; both arrays must be ascending-sorted. */
   def intersectCount(a: Column, b: Column): Column =

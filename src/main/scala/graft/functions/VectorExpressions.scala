@@ -61,9 +61,11 @@ case class QuantizedDotE9(left: Expression, right: Expression)
 }
 
 object VectorExpressions {
+  private[graft] val builders: GraftRegistry.Builders = Seq(
+    "graft_dot_e9" -> (exprs => QuantizedDotE9(exprs(0), exprs(1))))
+
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot_e9", exprs => QuantizedDotE9(exprs(0), exprs(1)), "built-in")
+    GraftRegistry.registerTemp(spark, builders)
 
   /** Requires `register(spark)` — operators register on entry. */
   def dotE9Fast(a: Column, b: Column): Column = call_function("graft_dot_e9", a, b)

@@ -118,18 +118,14 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object WordShingles {
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_word_shingles",
-      exprs => WordShingles(exprs.head,
-        exprs.lift(1).map(_.eval(null).toString.toInt).getOrElse(3)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_word_shingle_hashes",
-      exprs => WordShingleHashes(exprs.head,
-        exprs.lift(1).map(_.eval(null).toString.toInt).getOrElse(3)),
-      "built-in")
-  }
+  private[graft] val builders: GraftRegistry.Builders = Seq(
+    "graft_word_shingles" -> (exprs => WordShingles(exprs.head,
+      exprs.lift(1).map(_.eval(null).toString.toInt).getOrElse(3))),
+    "graft_word_shingle_hashes" -> (exprs => WordShingleHashes(exprs.head,
+      exprs.lift(1).map(_.eval(null).toString.toInt).getOrElse(3))))
+
+  def register(spark: SparkSession): Unit =
+    GraftRegistry.registerTemp(spark, builders)
 
   /** Requires `register(spark)`. */
   def wordShingles(c: Column, n: Int): Column =
