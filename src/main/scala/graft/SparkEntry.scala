@@ -1123,6 +1123,31 @@ object SparkEntry {
       operators.Graph.triangleCounts(pairs, "l_suppkey", "dst_supp")
     }),
 
+    // Graph analytics: exact-integer modularity of an LPA partition —
+    // the evaluate step after community detection. Q·(2m)² decomposes as
+    // Σ_c (4m·E_c − D_c²), all BIGINTs, so per-community contributions
+    // hash-gate with no doubles anywhere. The raw co-occurrence graph is
+    // structureless (LPA honestly collapses it to ONE community), so this
+    // gate restricts edges to same-nation supplier pairs — block-diagonal
+    // structure LPA must recover, one community row per block.
+    "q86_modularity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val pairs = li.join(
+          li.select(col("l_orderkey"), col("l_suppkey").as("dst_supp")),
+          "l_orderkey")
+        .where(col("l_suppkey") =!= col("dst_supp"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .withColumnRenamed("s_nationkey", "src_nation").drop("s_suppkey")
+        .join(broadcast(sup), col("dst_supp") === col("s_suppkey"))
+        .where(col("src_nation") === col("s_nationkey"))
+        .select(col("l_suppkey"), col("dst_supp"))
+      val labels = operators.Graph.labelPropagation(pairs, "l_suppkey",
+        "dst_supp", iterations = 4)
+      operators.Graph.modularityParts(pairs, "l_suppkey", "dst_supp",
+        labels, "l_suppkey", "community")
+    }),
+
     // Graph analytics: label-propagation communities over the same
     // supplier co-occurrence graph — synchronous rounds with the
     // (count DESC, label ASC) argmax, so the oracle unrolls the
@@ -1935,6 +1960,55 @@ object SparkEntry {
        |l0 AS (SELECT id, id AS lab FROM nodes),
        |${(1 to 4).map(round).mkString(",\n")}
        |SELECT id AS l_suppkey, lab AS community FROM l4""".stripMargin
+  }
+
+  /** q86's oracle: the q84 label chain (referenced exactly ONCE — the
+    * endpoint unpivot consumes the labels a single time, and degree sums
+    * fall out as plain counts of the unpivot join), then the integer
+    * modularity decomposition 4m·E_c − D_c² per community. */
+  private val q86OracleSql: String = {
+    def round(i: Int): String =
+      s"""c$i AS (
+         | SELECT p.dst AS id, l.lab, count(*) AS c
+         | FROM pairs p JOIN l${i - 1} l ON l.id = p.src GROUP BY 1, 2),
+         |n$i AS (
+         | SELECT id, lab FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY c DESC, lab) AS r
+         |  FROM c$i) WHERE r = 1),
+         |l$i AS (
+         | SELECT o.id, coalesce(n.lab, o.lab) AS lab
+         | FROM l${i - 1} o LEFT JOIN n$i n USING (id))""".stripMargin
+    s"""WITH pairs AS (
+       | SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+       | FROM lineitem a JOIN lineitem b
+       |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+       | JOIN supplier sa ON sa.s_suppkey = a.l_suppkey
+       | JOIN supplier sb ON sb.s_suppkey = b.l_suppkey
+       | WHERE sa.s_nationkey = sb.s_nationkey),
+       |nodes AS (SELECT DISTINCT src AS id FROM pairs),
+       |l0 AS (SELECT id, id AS lab FROM nodes),
+       |${(1 to 4).map(round).mkString(",\n")},
+       |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |      FROM pairs),
+       |ends AS (SELECT a, b, a AS node FROM e
+       |         UNION ALL SELECT a, b, b AS node FROM e),
+       |el AS (SELECT en.a, en.b, en.node, l.lab
+       |       FROM ends en JOIN l4 l ON l.id = en.node),
+       |ds AS (SELECT lab AS community,
+       |        CAST(count(DISTINCT node) AS BIGINT) AS nodes,
+       |        CAST(count(*) AS BIGINT) AS degree_sum
+       |       FROM el GROUP BY 1),
+       |ec AS (SELECT a, b, min(lab) AS ca, max(lab) AS cb
+       |       FROM el GROUP BY a, b),
+       |ie AS (SELECT ca AS community,
+       |        CAST(count(*) AS BIGINT) AS internal_edges
+       |       FROM ec WHERE ca = cb GROUP BY 1),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e)
+       |SELECT d.community, d.nodes, d.degree_sum,
+       | coalesce(i.internal_edges, 0) AS internal_edges,
+       | 4 * mm.m * coalesce(i.internal_edges, 0)
+       |   - d.degree_sum * d.degree_sum AS q_num
+       |FROM ds d LEFT JOIN ie i USING (community) CROSS JOIN mm""".stripMargin
   }
 
   /** q85's oracle mirrors the degree-oriented triangle count: canonical
@@ -3276,6 +3350,8 @@ object SparkEntry {
     "q84_label_prop" -> q84OracleSql,
 
     "q85_triangles" -> q85OracleSql,
+
+    "q86_modularity" -> q86OracleSql,
 
     "q78_bpe_encode" -> q78OracleSql,
 

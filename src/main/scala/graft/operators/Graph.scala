@@ -163,4 +163,55 @@ object Graph {
     nodes.join(corners, Seq("id"), "left")
       .select(col("id").as(srcCol), coalesce(col("t"), lit(0L)).as("triangles"))
   }
+
+  /** Per-community modularity contributions (Newman & Girvan 2004,
+    * "Finding and evaluating community structure in networks" — public
+    * result) in EXACT integer arithmetic: with m undirected edges,
+    * community degree sum D_c and internal edge count E_c,
+    *
+    *   Q · (2m)² = Σ_c (4m·E_c − D_c²)
+    *
+    * so `q_num` here is each community's exact integer share and global
+    * modularity is Σ q_num / (2m)² — no doubles anywhere, hash-gateable.
+    * This is the evaluation step a pipeline runs AFTER community
+    * detection ([[labelPropagation]]): is the partition better than
+    * chance (q_num sum > 0), and which communities carry it.
+    *
+    * Shape: one endpoint unpivot (2|E| rows) joined ONCE against the
+    * label frame — degree sums fall out as plain counts because a node
+    * appears once per incident edge; per-edge community pairs regroup the
+    * same join output, so the (possibly expensive) label lineage is
+    * consumed a single time. The edge count rides a broadcast one-row
+    * frame. Labels must cover every edge endpoint (inner join drops
+    * unlabeled nodes — feed the SAME edge set the labels came from).
+    * Output: (community, nodes, degree_sum, internal_edges, q_num). */
+  def modularityParts(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, idCol: String, labelCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lab = labels.select(col(idCol).as("node"), col(labelCol).as("lab"))
+    val ends = e.select(col("a"), col("b"), col("a").as("node"))
+      .unionByName(e.select(col("a"), col("b"), col("b").as("node")))
+    val el = ends.join(lab, "node")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val degSum = el.groupBy(col("lab").as("community"))
+      .agg(count_distinct(col("node")).as("nodes"),
+        count(lit(1)).as("degree_sum"))
+    val intra = el
+      .groupBy(col("a"), col("b"))
+      .agg(min(col("lab")).as("ca"), max(col("lab")).as("cb"))
+      .where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("internal_edges"))
+    val m = broadcast(e.agg(count(lit(1)).as("m")))
+    degSum.join(intra, Seq("community"), "left")
+      .crossJoin(m)
+      .select(col("community"), col("nodes"), col("degree_sum"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        (lit(4L) * col("m") * coalesce(col("internal_edges"), lit(0L)) -
+          col("degree_sum") * col("degree_sum")).as("q_num"))
+  }
 }

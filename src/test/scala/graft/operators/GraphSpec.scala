@@ -107,6 +107,30 @@ class GraphSpec extends SparkSpec {
       .orderBy("s").collect().toSeq)
   }
 
+  // ---- modularity ----
+
+  test("modularity parts are exact integers matching hand computation") {
+    // two triangles bridged by 3–4 (m = 7 canonical edges), labeled with
+    // the 4-round LPA result {1,2,3}→1, {4,5,6}→3:
+    //   community 1: E=3, D=2+2+3=7 → 4·7·3 − 49 = 35
+    //   community 3: E=3, D=3+2+2=7 → 35
+    // positive q_num both sides — the partition beats chance
+    val labels = Graph.labelPropagation(triangles.toDF("s", "d"), "s", "d", 4)
+    val got = Graph.modularityParts(triangles.toDF("s", "d"), "s", "d",
+        labels, "s", "community")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(1L -> ((3L, 7L, 3L, 35L)), 3L -> ((3L, 7L, 3L, 35L))),
+      s"got $got")
+    // degenerate one-community partition: Q·(2m)² = 4m·m − (2m)² = 0
+    val one = triangles.map(_._1).distinct.map(n => (n, 0L))
+      .toDF("id", "community")
+    val all = Graph.modularityParts(triangles.toDF("s", "d"), "s", "d",
+        one, "id", "community")
+      .collect().map(r => r.getLong(4))
+    assert(all.toSeq == Seq(0L), s"one-community q_num should be 0: ${all.toSeq}")
+  }
+
   // ---- triangle counting ----
 
   private def bruteTriangles(es: Seq[(Long, Long)]): Map[Long, Long] = {
