@@ -1123,6 +1123,23 @@ object SparkEntry {
       operators.Graph.triangleCounts(pairs, "l_suppkey", "dst_supp")
     }),
 
+    // Graph analytics: PERSONALIZED PageRank — teleport mass pinned to
+    // the nation-0 suppliers, so rank measures proximity to that seed
+    // set instead of global authority; the same e9 fixed-point rounds as
+    // q77, oracled with a seed CASE in each unrolled round.
+    "q87_ppr" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val pairs = li.join(
+          li.select(col("l_orderkey"), col("l_suppkey").as("dst_supp")),
+          "l_orderkey")
+        .where(col("l_suppkey") =!= col("dst_supp"))
+        .select(col("l_suppkey"), col("dst_supp"))
+      val seeds = t(s, dir, "supplier").where(col("s_nationkey") === 0)
+        .select(col("s_suppkey"))
+      operators.Graph.pageRankE9(pairs, "l_suppkey", "dst_supp",
+        iterations = 5, seeds = Some(seeds), seedIdCol = "s_suppkey")
+    }),
+
     // Graph analytics: exact-integer modularity of an LPA partition —
     // the evaluate step after community detection. Q·(2m)² decomposes as
     // Σ_c (4m·E_c − D_c²), all BIGINTs, so per-community contributions
@@ -1960,6 +1977,37 @@ object SparkEntry {
        |l0 AS (SELECT id, id AS lab FROM nodes),
        |${(1 to 4).map(round).mkString(",\n")}
        |SELECT id AS l_suppkey, lab AS community FROM l4""".stripMargin
+  }
+
+  /** q87's oracle: the q77 unroll with the teleport CASE — initial mass
+    * and the 150000000 base term only on seed rows; `//` floors like
+    * Spark's `div` truncates because every term stays non-negative. */
+  private val q87OracleSql: String = {
+    def round(i: Int): String =
+      s"""r$i AS (SELECT n.id,
+         | CAST(CASE WHEN n.isSeed THEN 150000000 ELSE 0 END
+         |   + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS r
+         | FROM n LEFT JOIN (
+         |  SELECT p.dst AS id, sum(rr.r // d.d) AS m
+         |  FROM pairs p JOIN r${i - 1} rr ON rr.id = p.src
+         |   JOIN deg d ON d.src = p.src
+         |  GROUP BY 1) s ON s.id = n.id)""".stripMargin
+    s"""WITH pairs AS (
+       | SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+       | FROM lineitem a JOIN lineitem b
+       |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+       |nodes AS (SELECT DISTINCT src AS id FROM pairs),
+       |n AS (
+       | SELECT nodes.id, (sd.id IS NOT NULL) AS isSeed
+       | FROM nodes LEFT JOIN (
+       |  SELECT s_suppkey AS id FROM supplier WHERE s_nationkey = 0) sd
+       |  ON sd.id = nodes.id),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM pairs GROUP BY 1),
+       |r0 AS (SELECT id,
+       |  CAST(CASE WHEN isSeed THEN 1000000000 ELSE 0 END AS BIGINT) AS r
+       | FROM n),
+       |${(1 to 5).map(round).mkString(",\n")}
+       |SELECT id AS l_suppkey, r AS rank_e9 FROM r5""".stripMargin
   }
 
   /** q86's oracle: the q84 label chain (referenced exactly ONCE — the
@@ -3352,6 +3400,8 @@ object SparkEntry {
     "q85_triangles" -> q85OracleSql,
 
     "q86_modularity" -> q86OracleSql,
+
+    "q87_ppr" -> q87OracleSql,
 
     "q78_bpe_encode" -> q78OracleSql,
 

@@ -31,29 +31,50 @@ object Graph {
 
   /** `iterations` rounds of damped PageRank over distinct (src, dst)
     * edges. Output: (idCol = srcCol's name, rank_e9). Damping is the
-    * rational num/den (default 85/100). */
+    * rational num/den (default 85/100).
+    *
+    * With `seeds`, this is PERSONALIZED PageRank (Page et al. 1999 §6 /
+    * Jeh & Widom 2003 — the recommender/trust-propagation variant):
+    * initial mass and the teleport (base) term land ONLY on the seed
+    * nodes, so steady-state rank measures proximity TO THE SEED SET
+    * rather than global authority; non-seeds hold rank only through
+    * in-links. Same integer fixed-point discipline — seeds carry
+    * 1e9 + base exactly as every node does globally — so both flavors
+    * hash-gate with one arithmetic. */
   def pageRankE9(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, dampNum: Long = 85L, dampDen: Long = 100L,
-      checkpointEvery: Int = 8): DataFrame = {
+      checkpointEvery: Int = 8,
+      seeds: Option[DataFrame] = None, seedIdCol: String = "id"): DataFrame = {
     require(iterations >= 1 && dampNum > 0 && dampDen >= dampNum)
     require(checkpointEvery >= 1)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("id"))
+    val nodesPlain = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // seed flag rides the node frame so every round's base term is one
+    // conditional projection — no per-round join against the seed set
+    val nodes = (seeds match {
+      case None => nodesPlain.withColumn("isSeed", lit(true))
+      case Some(s) => nodesPlain.join(
+          broadcast(s.select(col(seedIdCol).as("id")).distinct()
+            .withColumn("isSeed", lit(true))),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("isSeed"), lit(false)).as("isSeed"))
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = (1000000000L * (dampDen - dampNum)) / dampDen
-    var r = nodes.withColumn("r", lit(1000000000L))
+    val baseCol = when(col("isSeed"), lit(base)).otherwise(lit(0L))
+    var r = nodes.select(col("id"),
+      when(col("isSeed"), lit(1000000000L)).otherwise(lit(0L)).as("r"))
     for (i <- 1 to iterations) {
       val contrib = e.join(deg, "src")
         .join(r.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), expr("r div d").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("m"))
       r = nodes.join(contrib, Seq("id"), "left")
-        .select(col("id"), (lit(base) +
+        .select(col("id"), (baseCol +
           expr(s"($dampNum * coalesce(m, CAST(0 AS BIGINT))) div $dampDen"))
           .as("r"))
       if (i % checkpointEvery == 0 && i < iterations)

@@ -12,15 +12,18 @@ class GraphSpec extends SparkSpec {
   // 4 has out-edges, 3 is the authority)
   private val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L))
 
-  private def reference(iters: Int): Map[Long, Long] = {
+  private def reference(iters: Int,
+      seedSet: Option[Set[Long]] = None): Map[Long, Long] = {
     val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
     val deg = edges.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
-    var r = nodes.map(_ -> 1000000000L).toMap
+    def isSeed(n: Long) = seedSet.forall(_.contains(n))
+    var r = nodes.map(n => n -> (if (isSeed(n)) 1000000000L else 0L)).toMap
     for (_ <- 1 to iters) {
       val in = edges.groupBy(_._2).map { case (d, xs) =>
         d -> xs.map(e => r(e._1) / deg(e._1)).sum
       }
-      r = nodes.map(n => n -> (150000000L + (85L * in.getOrElse(n, 0L)) / 100L)).toMap
+      r = nodes.map(n => n -> ((if (isSeed(n)) 150000000L else 0L) +
+        (85L * in.getOrElse(n, 0L)) / 100L)).toMap
     }
     r
   }
@@ -38,6 +41,24 @@ class GraphSpec extends SparkSpec {
       s"rank ordering wrong: $r5")
     // node 4 has no in-edges: exactly the base term
     assert(r5(4L) == 150000000L)
+  }
+
+  test("personalized PageRank: teleport mass pinned to the seed set") {
+    val seeds = Seq(Tuple1(1L)).toDF("sid")
+    val got = Graph.pageRankE9(edges.toDF("s", "d"), "s", "d", 5,
+        seeds = Some(seeds), seedIdCol = "sid")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == reference(5, Some(Set(1L))), s"diverged: $got")
+    // the seed outranks everything; node 4 (unreachable from 1) holds zero
+    assert(got(4L) == 0L && got.values.max == got(1L), s"shape wrong: $got")
+    // seeding EVERY node degenerates to global PageRank exactly
+    val allSeeds = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(Tuple1(_)).toDF("sid")
+    val global = Graph.pageRankE9(edges.toDF("s", "d"), "s", "d", 3)
+      .orderBy("s").collect().toSeq
+    assert(Graph.pageRankE9(edges.toDF("s", "d"), "s", "d", 3,
+      seeds = Some(allSeeds), seedIdCol = "sid").orderBy("s").collect().toSeq
+      == global)
   }
 
   test("partition-invariant; duplicate edges collapse") {
