@@ -102,13 +102,22 @@ object Graph {
     * Scale shape: per round ONE join of the (distinct, persisted) edge
     * list with the label frame on `src` and one (dst, label) count with
     * map-side partial aggregation — label cardinality only shrinks, so
-    * rounds get cheaper as communities coalesce. No per-round action; the
-    * nested plan runs as one job, with a localCheckpoint every
-    * `checkpointEvery` rounds to bound deep-run DAG depth (the pageRank
-    * trade, measured there). Output: (idCol = srcCol's name, community). */
+    * rounds get cheaper as communities coalesce. Unlike pageRank, whose
+    * rank frame is consumed ONCE per round (a linear nested plan, best run
+    * as one job), the label frame feeds BOTH next-round consumers — the
+    * vote count and the keep-old-label fallback — so a nested logical plan
+    * doubles the label subtree per round: 2^k copies that the analyzer and
+    * every optimizer rule walk even when a cache dedups execution
+    * (measured: lazy persist still left ~8 s of pure plan overhead at k=4,
+    * sf-independent). Each round therefore ends in an EAGER
+    * localCheckpoint, truncating the plan to a LogicalRDD leaf — k small
+    * jobs buy O(1)-size plans per round: a post-fix round runs in ~0.5 s
+    * at sf0.1 (907k edges), and the LPA+modularity gate dropped 19.1 s →
+    * 7.0 s; what remains of q84's wall is the one-time edge-set build.
+    * Output: (idCol = srcCol's name, community). */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int, checkpointEvery: Int = 8): DataFrame = {
-    require(iterations >= 1 && checkpointEvery >= 1)
+      iterations: Int): DataFrame = {
+    require(iterations >= 1)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -126,8 +135,7 @@ object Graph {
         .where(col("__r") === 1).select(col("id"), col("nl"))
       lab = lab.join(next, Seq("id"), "left")
         .select(col("id"), coalesce(col("nl"), col("lab")).as("lab"))
-      if (i % checkpointEvery == 0 && i < iterations)
-        lab = lab.localCheckpoint(true)
+      if (i < iterations) lab = lab.localCheckpoint(true)
     }
     lab.select(col("id").as(srcCol), col("lab").as("community"))
   }
