@@ -1140,6 +1140,22 @@ object SparkEntry {
         iterations = 5, seeds = Some(seeds), seedIdCol = "s_suppkey")
     }),
 
+    // EXACT φ-heavy hitters via Misra–Gries candidates + broadcast
+    // verify: the two-pass shape that answers "which values exceed 1% of
+    // the stream" shuffling O(k) rows instead of O(distinct). The fixture
+    // mixes 8 hot keys (l_partkey ≡ 0 mod 3, keyed by mod 8 — ~4% of
+    // rows each) into a sea of per-row-unique singletons, so the sketch
+    // path genuinely churns; the oracle is the plain GROUP BY/HAVING the
+    // operator's exact verify pass reproduces bit-for-bit.
+    "q88_heavy_hitters" -> ((s, dir) => {
+      val keyed = t(s, dir, "lineitem").select(
+        when(col("l_partkey") % 3 === 0,
+            concat(lit("p"), (col("l_partkey") % 8).cast("string")))
+          .otherwise(concat(lit("u"), col("l_orderkey").cast("string"),
+            lit("-"), col("l_linenumber").cast("string"))).as("value"))
+      agg.MisraGries.heavyHitters(keyed, col("value"), phiDen = 100, k = 512)
+    }),
+
     // Graph analytics: exact-integer modularity of an LPA partition —
     // the evaluate step after community detection. Q·(2m)² decomposes as
     // Σ_c (4m·E_c − D_c²), all BIGINTs, so per-community contributions
@@ -3402,6 +3418,21 @@ object SparkEntry {
     "q86_modularity" -> q86OracleSql,
 
     "q87_ppr" -> q87OracleSql,
+
+    // q88: the exact semantics heavyHitters guarantees — plain
+    // GROUP BY/HAVING at ceil(n/100); the MG sketch is an internal
+    // candidate generator the oracle never needs to see.
+    "q88_heavy_hitters" ->
+      """WITH v AS (
+        | SELECT CASE WHEN l_partkey % 3 = 0
+        |   THEN 'p' || CAST(l_partkey % 8 AS VARCHAR)
+        |   ELSE 'u' || CAST(l_orderkey AS VARCHAR) || '-'
+        |     || CAST(l_linenumber AS VARCHAR) END AS value
+        | FROM lineitem)
+        |SELECT value, CAST(count(*) AS BIGINT) AS cnt
+        |FROM v
+        |GROUP BY value
+        |HAVING count(*) >= ((SELECT count(*) + 99 FROM v) // 100)""".stripMargin,
 
     "q78_bpe_encode" -> q78OracleSql,
 

@@ -32,7 +32,8 @@ object GraftRegistry {
       HashedClassifier.builders ++
       graft.agg.HllSketch.builders ++
       graft.agg.CountMinSketch.builders ++
-      graft.agg.BloomSketch.builders
+      graft.agg.BloomSketch.builders ++
+      graft.agg.MisraGries.builders
 
   /** Register every graft function on a live session in one call. */
   def registerAll(spark: SparkSession): Unit = registerTemp(spark, all)

@@ -115,6 +115,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), p.take(2000))
   }
 
+  test("heavy-hitters verify pass: broadcast candidates, no wide shuffle") {
+    // returned frame is pass 2 — the exact count must semi-filter via a
+    // broadcast hash join (≤k candidates) so the exchange never carries
+    // the column's full cardinality
+    val p = plan("q88_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("funnel stages join on the user key only — never a cross product") {
     val p = plan("q64_funnel")
     assert(!p.contains("CartesianProduct"), p.take(2000))
