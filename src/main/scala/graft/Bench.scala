@@ -7,6 +7,8 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -16,6 +18,7 @@ object Bench {
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).schema)
     // optional args: comma-separated query-name filter (dev iteration)
     val only: Option[Set[String]] = args.lift(0).map(_.split(",").toSet)
+    var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -25,15 +28,43 @@ object Bench {
       // a 16 s wall on a 0.5 s plan in round 1).
       System.gc()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // A failing query must FAIL LOUDLY: round 8 swallowed 34 analysis
+      // errors here and recorded them as plausible ~0.1 s "runs", hiding
+      // an environment breakage from every driver artifact.
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}"
+        System.err.println(s"[bench] FAILED $name — $msg")
+        errors ::= (name -> msg)
+      }
       val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // drop per-query persisted frames
+      spark.catalog.clearCache()    // drop per-query persisted frames
+      SparkEntry.cleanupQueryTmp()  // reclaim per-query upsert/bucket roots
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val errored = errors.map(_._1).toSet
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.collect { case (k, v) if !errored(k) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.reverse
+      .map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }.mkString("{", ",", "}")
+    val total = results.collect { case (k, v) if !errored(k) => v }.sum
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+    // Belt and braces against stdout tail-truncation (round 8 lost the
+    // first 26 queries of the only copy): persist the line to a file too.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), line)
+    catch { case e: Throwable => System.err.println(s"[bench] write failed: $e") }
+    println(line)
     spark.stop()
+    // rc stays 0 — the driver records the JSON line either way, and a
+    // nonzero rc could void the whole round's bench; `"failed"` + stderr
+    // carry the loudness.
   }
 }

@@ -48,9 +48,12 @@ object ContentMetrics {
         metricCols.tail.map(c => sum(col(c)).as(c)): _*)
   }
 
+  // cast("timestamp") is a no-op for session-TZ inputs and converts
+  // TIMESTAMP_NTZ wall-clocks under the UTC session TZ — keeps these
+  // rollups working over either parquet timestamp flavor.
   def hourly(events: DataFrame): DataFrame =
-    rollup(unifiedMetrics(events), unix_millis(col("ts")), 3600 * 1000L)
+    rollup(unifiedMetrics(events), unix_millis(col("ts").cast("timestamp")), 3600 * 1000L)
 
   def daily(events: DataFrame): DataFrame =
-    rollup(unifiedMetrics(events), unix_millis(col("ts")), 86400 * 1000L)
+    rollup(unifiedMetrics(events), unix_millis(col("ts").cast("timestamp")), 86400 * 1000L)
 }

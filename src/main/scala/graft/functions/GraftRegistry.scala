@@ -13,11 +13,19 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftRegistry {
   type Builders = Seq[(String, Seq[Expression] => Expression)]
 
-  /** Idempotent per-session registration (temp functions). */
+  /** Idempotent per-session registration (temp functions). Skips names the
+    * session registry already holds: every graft builder is a static object,
+    * so re-registering can only produce the exact same function — and the
+    * `WARN SimpleFunctionRegistry: replaced a previously registered
+    * function` it triggers (thousands of lines across an 88-query bench)
+    * buries real warnings. Graft names never collide with Spark built-ins
+    * (first registration is warning-free), so exists ⇒ already ours. */
   def registerTemp(spark: SparkSession, builders: Builders): Unit =
     builders.foreach { case (name, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "built-in")
+      val registry = spark.sessionState.functionRegistry
+      if (!registry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
 
   /** Every graft function, across all families. */

@@ -24,10 +24,13 @@ import graft.streaming.{InferredJoin, LastSeen, LatestImpressions,
   */
 object StreamingJobs {
 
-  /** Envelope file stream with the given schema (from a batch sample). */
+  /** Envelope file stream with the given schema (from a batch sample).
+    * The schema is NTZ-sanitized: a batch sample inferred from an
+    * NTZ-written upstream table must not poison the stream with
+    * TIMESTAMP_NTZ columns (see [[StreamOps.ntzFree]]). */
   def envelopeStream(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(path)
+    spark.readStream.schema(StreamOps.ntzFree(schema)).parquet(path)
 
   /** Raw job: split → validate → watermark dedupe → dt/hour parquet.
     * Returns the started queries (one per output type). */

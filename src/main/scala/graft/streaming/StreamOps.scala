@@ -9,6 +9,31 @@ import org.apache.spark.sql.functions._
   */
 object StreamOps {
 
+  /** Replace TIMESTAMP_NTZ with session-TZ TIMESTAMP throughout a schema
+    * (recursing into structs/arrays/maps). An upstream table written by
+    * another engine with `isAdjustedToUTC=0` otherwise injects NTZ columns
+    * into a restarted stream's schema, and every epoch/watermark function
+    * downstream is LTZ-only — the round-8 environment shift, applied to
+    * streaming. Parquet NTZ data reads fine into an LTZ column (the
+    * pre-3.4 behavior); under the UTC session TZ the values are identical.
+    */
+  def ntzFree(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case TimestampNTZType => TimestampType
+      case s: StructType =>
+        StructType(s.fields.map(f => f.copy(dataType = ntzFree(f.dataType))))
+      case a: ArrayType => a.copy(elementType = ntzFree(a.elementType))
+      case m: MapType =>
+        m.copy(keyType = ntzFree(m.keyType), valueType = ntzFree(m.valueType))
+      case other => other
+    }
+  }
+
+  def ntzFree(s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    ntzFree(s: org.apache.spark.sql.types.DataType)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
   /** KeepFirstRow (reference D1, P:common/functions/KeepFirstRow.java:14-48):
     * keyed first-wins dedupe whose state is dropped once the watermark
     * passes — exactly `dropDuplicatesWithinWatermark`. `tsCol` must be a
