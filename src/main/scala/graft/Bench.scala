@@ -13,9 +13,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/parquet-footer paths so the first timed query
-    // measures the operator, not session startup.
+    // measures the operator, not session startup. The shuffle+scan warm
+    // queries absorb the whole-stage-codegen/exchange/vectorized-reader
+    // first-use costs (~1 s combined; see tools/Q24Probe findings — the
+    // q24 "band breach" was exactly this cold cost landing on whichever
+    // small query ran first).
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).schema)
+    spark.range(100000).selectExpr("cast(id % 97 as string) AS q")
+      .groupBy("q").count().where(org.apache.spark.sql.functions.col("count") >= 0).count()
+    Tables.load(spark, sfDir, "lineitem")
+      .selectExpr("l_returnflag AS q").groupBy("q").count().count()
     // optional args: comma-separated query-name filter (dev iteration)
     val only: Option[Set[String]] = args.lift(0).map(_.split(",").toSet)
     var errors = List.empty[(String, String)]
