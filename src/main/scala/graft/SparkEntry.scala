@@ -1227,6 +1227,23 @@ object SparkEntry {
     "q84_label_prop" -> ((s, dir) =>
       operators.Graph.labelPropagation(coSupplierPairs(s, dir), "l_suppkey",
         "dst_supp", iterations = 4)),
+
+    // EXACT per-group quantiles over a continuous domain via bounded
+    // uniform sample → rank bracket → band refinement (Munro–Paterson
+    // lineage): O(k + band) shuffle instead of the O(distinct) histogram
+    // shuffle q48 uses on its small integer domain. Price cents per
+    // return flag — ~119k distinct values at sf0.1, of which only the
+    // ~2δ/m band reaches the second shuffle. The sample's randomness
+    // never reaches the output (any verified bracket yields the same
+    // exact quantile), so the gate is the plain cumulative-rank answer.
+    "q89_exact_quantiles" -> ((s, dir) =>
+      operators.ExactQuantiles.quantiles(
+        t(s, dir, "lineitem"),
+        Seq("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")),
+        percents = Seq(25, 50, 75, 95))),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -3464,6 +3481,28 @@ object SparkEntry {
         |FROM v
         |GROUP BY value
         |HAVING count(*) >= ((SELECT count(*) + 99 FROM v) // 100)""".stripMargin,
+
+    // Exact discrete quantile: smallest v with cum count >= ceil(n*p/100),
+    // all-integer arithmetic — the unique answer any verified bracket
+    // refines to.
+    "q89_exact_quantiles" ->
+      """WITH base AS (
+        | SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        | FROM lineitem),
+        |n AS (SELECT l_returnflag, count(*) AS n FROM base GROUP BY 1),
+        |hist AS (SELECT l_returnflag, v, count(*) AS c FROM base GROUP BY 1, 2),
+        |cum AS (
+        | SELECT l_returnflag, v,
+        |  SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM hist),
+        |p AS (SELECT * FROM (VALUES (25), (50), (75), (95)) t(percent))
+        |SELECT cum.l_returnflag, CAST(p.percent AS BIGINT) AS percent,
+        |  MIN(cum.v) AS quantile
+        |FROM cum
+        |JOIN n ON n.l_returnflag = cum.l_returnflag
+        |JOIN p ON cum.cum >= ((n.n * p.percent + 99) // 100)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q78_bpe_encode" -> q78OracleSql,
 

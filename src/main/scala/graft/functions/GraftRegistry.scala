@@ -41,7 +41,8 @@ object GraftRegistry {
       graft.agg.HllSketch.builders ++
       graft.agg.CountMinSketch.builders ++
       graft.agg.BloomSketch.builders ++
-      graft.agg.MisraGries.builders
+      graft.agg.MisraGries.builders ++
+      graft.agg.BoundedSample.builders
 
   /** Register every graft function on a live session in one call. */
   def registerAll(spark: SparkSession): Unit = registerTemp(spark, all)

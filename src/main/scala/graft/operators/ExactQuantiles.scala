@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.agg.BoundedSample
+
+/** EXACT per-group quantiles over a continuous (high-cardinality) BIGINT
+  * domain, at O(sample + band) shuffle cost instead of O(distinct).
+  *
+  * [[graft.operators.CorpusOps.discQuantiles]] (q48) is the right shape
+  * when the value domain is small (histogram + cumulative window). On a
+  * continuous column — prices, latencies, scores — its GROUP BY value
+  * shuffles every distinct value. This operator is the classic
+  * sample-then-refine distributed selection (Munro–Paterson 1980 lineage;
+  * Spark's own RangePartitioner bounds-sketching is the same idea):
+  *
+  *  1. ONE scan: per group, `count` + a [[graft.agg.BoundedSampleAgg]]
+  *     uniform sample of k values (mergeable bottom-k-by-hash-priority, so
+  *     map-side partials combine; deterministic given a row-unique key).
+  *     Result: one ≤k-array row per group to the driver — a bounded
+  *     action, same posture as Misra–Gries' candidate fetch (q88). This
+  *     operator targets the few-groups × huge-rows shape; for many small
+  *     groups use the histogram form.
+  *  2. driver: for each (group, percent), the target rank is
+  *     ceil(n·p/100) in pure integer arithmetic, and the sample's order
+  *     statistics around position p·m/100 give a bracket [lo, hi] whose
+  *     true ranks almost surely straddle the target (δ = 3√m sample
+  *     positions of slack ≈ 3σ of the binomial sample-rank deviation).
+  *  3. ONE scan: rows join the broadcast bracket spec; everything ≤ lo
+  *     collapses to a single 'below' counter per (group, percent),
+  *     everything > hi is dropped, and only the band (lo, hi] — expected
+  *     ≈ 2δ/m of the rows — reaches the shuffle keyed by value. A
+  *     cumulative window over the tiny band frame then picks the smallest
+  *     value whose exact rank reaches the target.
+  *  4. the bracket is VERIFIED from the same output (rank(lo) < target ≤
+  *     rank(hi)); a miss (probability ~2e-3 per quantile) widens δ and
+  *     repeats — the loop is driver-side, bounded, and converges to the
+  *     degenerate full-range bracket which is plainly exact.
+  *
+  * The sample's randomness never reaches the output: any bracket that
+  * passes verification yields the same unique exact quantile, so results
+  * are bit-deterministic (plain ORDER BY rank semantics) under every
+  * partitioning, merge order, and AQE re-plan.
+  */
+object ExactQuantiles {
+
+  /** Exact discrete quantiles: for each group and percent p, the smallest
+    * value v with |{rows: value ≤ v}| ≥ ceil(n·p/100).
+    *
+    * @param df        input frame
+    * @param groupCols grouping columns (few groups; see scaladoc)
+    * @param value     BIGINT value column (fixed-point for money)
+    * @param rowKey    row-unique key column (drives the deterministic
+    *                  sample priorities via seed-0 xxhash64)
+    * @param percents  percentiles in (0, 100]
+    * @param k         sample size per group (default 4096)
+    * Output: groupCols ++ (percent BIGINT, quantile BIGINT).
+    */
+  def quantiles(df: DataFrame, groupCols: Seq[String], value: Column,
+      rowKey: Column, percents: Seq[Int], k: Int = 4096): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p > 0 && p <= 100),
+      s"percents=$percents out of (0, 100]")
+    val spark = df.sparkSession
+    BoundedSample.register(spark)
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+
+    val prio = graft.functions.GraftFunctions
+      .xxhash64Seed0(rowKey.cast("string"))
+    val base = df
+      .select(groupCols.map(col) :+ value.cast("long").as("__v")
+        :+ prio.as("__p"): _*)
+      .where(col("__v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Pass 1: per-group n + sorted k-sample. Bounded driver fetch.
+      val sampled = base.groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("__n"),
+          BoundedSample.boundedSample(col("__v"), col("__p"), k).as("__s"))
+        .collect()
+
+      var delta = math.max(3, math.ceil(3 * math.sqrt(k)).toInt)
+      var result: Option[DataFrame] = None
+      val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      while (result.isEmpty) {
+        // Bracket spec: one row per (group, percent).
+        val spec = sampled.toSeq.flatMap { r =>
+          val gs = groupCols.indices.map(r.get)
+          val n = r.getLong(groupCols.length)
+          val s = r.getSeq[Long](groupCols.length + 1)
+          val m = s.length
+          percents.map { p =>
+            val target = (n * p + 99L) / 100L // ceil(n*p/100)
+            val pos = if (m == 0) 0 else ((m.toLong * p) / 100L).toInt
+            val loI = pos - delta
+            val hiI = pos + delta
+            // Positions off either end degrade to an open bound — the
+            // fully-open bracket is the plain exact computation.
+            val lo = if (m == 0 || loI < 0) Long.MinValue
+                     else s(math.min(loI, m - 1))
+            val hi = if (m == 0 || hiI >= m) Long.MaxValue
+                     else s(hiI)
+            (gs, p.toLong, target, lo, hi)
+          }
+        }
+        val specDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(spec.map { case (gs, p, t, lo, hi) =>
+            org.apache.spark.sql.Row.fromSeq(gs ++ Seq(p, t, lo, hi))
+          }),
+          org.apache.spark.sql.types.StructType(
+            groupCols.map(g => base.schema(g).copy(name = s"__g_$g")) ++
+              Seq("__percent", "__target", "__lo", "__hi").map(n =>
+                org.apache.spark.sql.types.StructField(n,
+                  org.apache.spark.sql.types.LongType, nullable = false))))
+
+        // Pass 2: bucketize against the broadcast spec — 'below' collapses
+        // map-side, band values shuffle individually, above drops.
+        val joinCond = groupCols.map(g => col(g) === col(s"__g_$g"))
+          .reduce(_ && _)
+        val bucketed = base.join(broadcast(specDf), joinCond)
+          .where(col("__v") <= col("__hi"))
+          .groupBy((groupCols.map(col) :+ col("__percent") :+
+            col("__target") :+ col("__lo") :+
+            when(col("__v") <= col("__lo"), lit(null))
+              .otherwise(col("__v")).as("__band_v")): _*)
+          .agg(count(lit(1)).as("__c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        persisted += bucketed
+
+        val keyCols = groupCols.map(col) :+ col("__percent")
+        val belowDf = bucketed.where(col("__band_v").isNull)
+          .select((keyCols :+ col("__c").as("__below")): _*)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols: _*).orderBy(col("__band_v"))
+        val ranked = bucketed.where(col("__band_v").isNotNull)
+          .join(belowDf, (groupCols :+ "__percent"), "left")
+          .na.fill(0L, Seq("__below"))
+          .withColumn("__rank", col("__below") + sum(col("__c")).over(w))
+
+        // Bracket verification: rank(lo) < target ≤ rank(hi) per spec row.
+        val checks = ranked
+          .groupBy((keyCols :+ col("__target")): _*)
+          .agg(max(col("__rank")).as("__rank_hi"),
+            min(col("__below")).as("__rank_lo"))
+          .withColumn("__ok",
+            col("__rank_lo") < col("__target") &&
+              col("__target") <= col("__rank_hi"))
+          .select((keyCols :+ col("__ok")): _*)
+          .collect()
+        val allOk = checks.nonEmpty && checks.forall(!_.isNullAt(
+          groupCols.length + 1)) && checks.forall(_.getBoolean(groupCols.length + 1))
+        // Specs whose band came back EMPTY don't appear in `checks`; they
+        // also need a retry unless the group itself is empty.
+        val expected = spec.count { case (_, _, t, _, _) => t > 0 }
+        if (allOk && checks.length == expected) {
+          result = Some(ranked
+            .where(col("__rank") >= col("__target"))
+            .groupBy(keyCols: _*)
+            .agg(min(col("__band_v")).as("quantile"))
+            .withColumnRenamed("__percent", "percent"))
+        } else {
+          delta = delta * 4
+        }
+      }
+      // Materialize before unpersisting the lineage the result reads.
+      val out = result.get.localCheckpoint(true)
+      persisted.foreach(_.unpersist())
+      out
+    } finally base.unpersist(): Unit
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.agg.BoundedSample
+import graft.operators.ExactQuantiles
+
+class ExactQuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brute(rows: Seq[(String, Long)], percents: Seq[Int]): Set[(String, Long, Long)] =
+    rows.groupBy(_._1).flatMap { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.length.toLong
+      percents.map { p =>
+        val target = ((n * p + 99L) / 100L).toInt
+        (g, p.toLong, sorted(target - 1))
+      }
+    }.toSet
+
+  test("bounded sample is deterministic across partitionings and merges") {
+    BoundedSample.register(spark)
+    graft.functions.GraftFunctions.register(spark)
+    val df = spark.range(10000)
+      .select(col("id"), (col("id") * 7919 % 104729).as("v"))
+      .withColumn("p", graft.functions.GraftFunctions
+        .xxhash64Seed0(col("id").cast("string")))
+    val s1 = df.repartition(1)
+      .agg(BoundedSample.boundedSample(col("v"), col("p"), 64)).head.getSeq[Long](0)
+    val s13 = df.repartition(13)
+      .agg(BoundedSample.boundedSample(col("v"), col("p"), 64)).head.getSeq[Long](0)
+    assert(s1 == s13)
+    assert(s1.length == 64)
+    assert(s1 == s1.sorted)
+  }
+
+  test("exact quantiles match brute force on a continuous-ish domain") {
+    // values with many distinct levels + duplicates + skew
+    val rows = (1 to 5000).map { i =>
+      val g = if (i % 3 == 0) "a" else "b"
+      val v = if (i % 10 == 0) 42L else (i.toLong * 2654435761L) % 1000003L
+      (g, v)
+    }
+    val df = rows.toDF("g", "v").withColumn("k", monotonically_increasing_id())
+    val got = ExactQuantiles.quantiles(df, Seq("g"), col("v"),
+        concat(col("g"), col("v"), col("k")), Seq(10, 50, 90, 100))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == brute(rows, Seq(10, 50, 90, 100)))
+  }
+
+  test("tiny k exercises the bracket-retry path and stays exact") {
+    val rows = (1 to 2000).map(i => ("g", (i.toLong * 48271) % 65537))
+    val df = rows.toDF("g", "v").withColumn("k", monotonically_increasing_id())
+    // k=4 gives a sample far too small to bracket reliably — the widen
+    // loop must degrade to open bounds and still land the exact answer.
+    val got = ExactQuantiles.quantiles(df, Seq("g"), col("v"),
+        col("k"), Seq(1, 50, 99), k = 4)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == brute(rows, Seq(1, 50, 99)))
+  }
+
+  test("single-row and all-equal groups") {
+    val rows = Seq(("one", 7L), ("eq", 5L), ("eq", 5L), ("eq", 5L))
+    val df = rows.toDF("g", "v").withColumn("k", monotonically_increasing_id())
+    val got = ExactQuantiles.quantiles(df, Seq("g"), col("v"),
+        col("k"), Seq(50, 100))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("one", 50L, 7L), ("one", 100L, 7L),
+      ("eq", 50L, 5L), ("eq", 100L, 5L)))
+  }
+}
