@@ -406,6 +406,65 @@ class UpsertTable(val path: String, val keyCols: Seq[String],
     seqs.foreach(s => f.delete(new Path(f"$deltaPath/c$s%09d"), true))
   }
 
+  /** Hudi-cleaner-style tombstone retention. Post-compaction, delete
+    * winners live on in the base as tombstone rows — required so
+    * [[incrementalRead]] can emit the delete signal to lagging consumers
+    * and so a fully-tombstoned partition keeps its (empty) identity. They
+    * are NOT needed forever: once every consumer's checkpoint has passed
+    * commit c, a tombstone with `__commit` < c informs nobody. `vacuum`
+    * rewrites ONLY the partitions holding such expired tombstones
+    * (dynamic partition overwrite, same pruned-rewrite shape as
+    * [[compact]]) and drops those rows.
+    *
+    * Correctness: compaction keeps exactly one resolved row per key, so a
+    * base tombstone masks nothing — removing it cannot change
+    * [[snapshot]]/[[snapshotAt]] output (the snapshot filter drops it
+    * anyway); only `incrementalRead(sinceCommit < beforeCommit)` loses
+    * the delete signal, which is precisely the retention contract the
+    * caller asserts (Hudi's "cleaner retain commits" semantics).
+    * Tombstones newer than the compaction horizon live in delta dirs and
+    * are never touched. Returns the number of purged tombstone rows. */
+  def vacuum(spark: SparkSession, beforeCommit: Long): Long = {
+    require(deleteCol.nonEmpty, "vacuum needs a delete column")
+    readDir(spark, basePath) match {
+      case None => 0L
+      case Some(base) =>
+        val horizon = baseMaxCommit(spark)
+        val expired = base.where(!notDeleted &&
+          col(CommitCol) < math.min(beforeCommit, horizon + 1))
+        val touched =
+          if (partitionCols.isEmpty) Array.empty[org.apache.spark.sql.Row]
+          else expired.select(partitionCols.map(col): _*).distinct().collect()
+        val purged = expired.count()
+        if (purged == 0L) return 0L
+        val keep =
+          if (partitionCols.isEmpty) base.where(notDeleted ||
+            col(CommitCol) >= math.min(beforeCommit, horizon + 1))
+          else {
+            val cond = touched.map(r => partitionCols.zipWithIndex.map {
+              case (c, i) => col(c) <=> lit(r.get(i))
+            }.reduce(_ && _)).reduce(_ || _)
+            base.where(cond).where(notDeleted ||
+              col(CommitCol) >= math.min(beforeCommit, horizon + 1))
+          }
+        val clustered =
+          if (partitionCols.nonEmpty) keep.repartition(partitionCols.map(col): _*)
+          else keep
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try {
+          val w = clustered.write.mode("overwrite")
+            .option("maxRecordsPerFile", maxRecordsPerFile)
+          (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+            .parquet(basePath)
+        } finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        purged
+    }
+  }
+
   /** Streaming upsert sink: each micro-batch is one delta commit, with
     * inline compaction every `compactEveryCommits` (the reference's
     * COMPACTION_DELTA_COMMITS trigger). Commit seqs advance per batch —

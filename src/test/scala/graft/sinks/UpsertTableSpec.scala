@@ -269,4 +269,30 @@ class UpsertTableSpec extends SparkSpec {
     val got = t.snapshot(spark).select("k", "v").as[(Long, String)].collect().toSet
     assert(got == Set((1L, "a2"), (2L, "b")))
   }
+
+  test("vacuum purges expired tombstones; snapshot and newer CDC unchanged") {
+    val (_, t) = freshTable()
+    t.upsert(frame(row(1, "d1", 1, "a"), row(2, "d1", 1, "b"), row(3, "d2", 1, "c")))
+    t.upsert(frame(row(1, "d1", 2, "x", del = true)))       // c2: delete k1
+    t.compact(spark)                                        // tombstone → base
+    t.upsert(frame(row(3, "d2", 2, "gone", del = true)))    // c3: delta delete
+    val snapBefore = t.snapshot(spark).select("k", "v")
+      .as[(Long, String)].collect().toSet
+    // Retention horizon 3: the c2 tombstone (k1) has expired; the c3
+    // delete lives in a delta dir and must survive.
+    val purged = t.vacuum(spark, beforeCommit = 3L)
+    assert(purged == 1L)
+    assert(t.snapshot(spark).select("k", "v")
+      .as[(Long, String)].collect().toSet == snapBefore)
+    // CDC from the horizon still carries the newer delete signal…
+    val cdc = t.incrementalRead(spark, sinceCommit = 2L, includeDeletes = true)
+      .select("k", "del").as[(Long, Boolean)].collect().toSet
+    assert(cdc == Set((3L, true)))
+    // …and the expired tombstone row is physically gone from the base.
+    val baseRows = spark.read.parquet(s"${t.path}/base")
+      .select("k").as[Long].collect().toSet
+    assert(!baseRows.contains(1L))
+    // Idempotent: nothing left to purge.
+    assert(t.vacuum(spark, beforeCommit = 3L) == 0L)
+  }
 }
