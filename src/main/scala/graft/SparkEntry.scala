@@ -1228,6 +1228,22 @@ object SparkEntry {
       operators.Graph.labelPropagation(coSupplierPairs(s, dir), "l_suppkey",
         "dst_supp", iterations = 4)),
 
+    // Training-shard export: deterministic pmod sharding + per-shard dirs
+    // + manifest — the corpus→trainer hop. The gate returns the manifest
+    // (docs/tokens/bytes per shard), which the oracle recomputes from the
+    // same deterministic assignment; the round-trip through the written
+    // layout (one repartition shuffle, partitionBy dirs, manifest read)
+    // is what's actually under test.
+    "q90_shard_export" -> ((s, dir) => {
+      val out = queryTmp("graft_shards_q90") + "/shards"
+      sinks.ShardExport.write(
+        t(s, dir, "documents"), out, 16,
+        shardKey = col("doc_id"),
+        orderBy = col("doc_id"),
+        tokens = TextFunctions.tokenCount(col("text")),
+        bytes = octet_length(col("text")))
+    }),
+
     // EXACT per-group quantiles over a continuous domain via bounded
     // uniform sample → rank bracket → band refinement (Munro–Paterson
     // lineage): O(k + band) shuffle instead of the O(distinct) histogram
@@ -3481,6 +3497,13 @@ object SparkEntry {
         |FROM v
         |GROUP BY value
         |HAVING count(*) >= ((SELECT count(*) + 99 FROM v) // 100)""".stripMargin,
+
+    "q90_shard_export" ->
+      """SELECT doc_id % 16 AS shard, CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens,
+        |  CAST(SUM(strlen(text)) AS BIGINT) AS bytes
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
 
     // Exact discrete quantile: smallest v with cum count >= ceil(n*p/100),
     // all-integer arithmetic — the unique answer any verified bracket
