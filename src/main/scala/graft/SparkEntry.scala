@@ -1228,6 +1228,21 @@ object SparkEntry {
       operators.Graph.labelPropagation(coSupplierPairs(s, dir), "l_suppkey",
         "dst_supp", iterations = 4)),
 
+    // Incremental corpus ingestion: new batch (doc_id ≡ 0 mod 3) vs
+    // historical corpus (the rest) — exact tier (hash-keyed, text-
+    // verified) + MinHash-banded near tier (batch probes history buckets;
+    // cost scales with the batch, not history²), with greedy-by-id
+    // batch-internal semantics so the full decision table is exactly
+    // SQL-expressible. Same τ=1/2 trigram Jaccard as q19.
+    "q91_incremental_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.IncrementalIngest.ingest(
+        docs.where(col("doc_id") % 3 =!= 0),
+        docs.where(col("doc_id") % 3 === 0),
+        "doc_id", "text", n = 3, numHashes = 32,
+        minJacNum = 1L, minJacDen = 2L)
+    }),
+
     // Training-shard export: deterministic pmod sharding + per-shard dirs
     // + manifest — the corpus→trainer hop. The gate returns the manifest
     // (docs/tokens/bytes per shard), which the oracle recomputes from the
@@ -3497,6 +3512,44 @@ object SparkEntry {
         |FROM v
         |GROUP BY value
         |HAVING count(*) >= ((SELECT count(*) + 99 FROM v) // 100)""".stripMargin,
+
+    // Decision-table replay: the greedy-by-id + precedence semantics are
+    // deliberately non-transitive so this stays a plain SQL program (the
+    // q19 trigram machinery + equality tiers + CASE precedence).
+    "q91_incremental_ingest" ->
+      """WITH h AS (SELECT doc_id, trim(text) AS t FROM documents WHERE doc_id % 3 <> 0),
+        |b AS (SELECT doc_id, trim(text) AS t FROM documents WHERE doc_id % 3 = 0),
+        |tb AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+        |g AS (
+        | SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+        | FROM tb, LATERAL (SELECT unnest(generate_series(1, len(tk)-2)) AS i) ix
+        | WHERE len(tk) >= 3),
+        |z AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |jac AS (SELECT x.doc_id AS x, y.doc_id AS y, count(*) AS inter
+        |        FROM g x JOIN g y ON x.s = y.s AND x.doc_id <> y.doc_id
+        |        GROUP BY 1, 2),
+        |near AS (SELECT jac.x, jac.y FROM jac
+        |         JOIN z zx ON zx.doc_id = jac.x JOIN z zy ON zy.doc_id = jac.y
+        |         WHERE inter * 2 >= (zx.n + zy.n - inter) * 1),
+        |eh AS (SELECT b.doc_id, MIN(h.doc_id) AS r FROM b JOIN h ON b.t = h.t GROUP BY 1),
+        |eb AS (SELECT y.doc_id, MIN(x.doc_id) AS r FROM b y
+        |       JOIN b x ON x.t = y.t AND x.doc_id < y.doc_id GROUP BY 1),
+        |nh AS (SELECT y AS doc_id, MIN(x) AS r FROM near
+        |       WHERE x % 3 <> 0 AND y % 3 = 0 GROUP BY 1),
+        |nb AS (SELECT y AS doc_id, MIN(x) AS r FROM near
+        |       WHERE x % 3 = 0 AND y % 3 = 0 AND x < y GROUP BY 1)
+        |SELECT b.doc_id,
+        |  CASE WHEN eh.r IS NOT NULL THEN 'dup_exact_history'
+        |       WHEN eb.r IS NOT NULL THEN 'dup_exact_batch'
+        |       WHEN nh.r IS NOT NULL THEN 'dup_near_history'
+        |       WHEN nb.r IS NOT NULL THEN 'dup_near_batch'
+        |       ELSE 'new' END AS verdict,
+        |  CAST(COALESCE(eh.r, eb.r, nh.r, nb.r) AS BIGINT) AS ref_id
+        |FROM b
+        |LEFT JOIN eh ON eh.doc_id = b.doc_id
+        |LEFT JOIN eb ON eb.doc_id = b.doc_id
+        |LEFT JOIN nh ON nh.doc_id = b.doc_id
+        |LEFT JOIN nb ON nb.doc_id = b.doc_id""".stripMargin,
 
     "q90_shard_export" ->
       """SELECT doc_id % 16 AS shard, CAST(count(*) AS BIGINT) AS docs,
