@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   *  - documents are sorted WITHIN shards by the caller's order column
   *    (e.g. a curriculum score or packed-sequence id) without any global
   *    sort barrier.
-  *  - a `_manifest` parquet (one row per shard: docs, tokens, bytes) is
+  *  - a sibling manifest parquet (one row per shard: docs, tokens, bytes) is
   *    both the integrity check (recount == manifest) and what a training
   *    launcher reads to size epochs/mixtures without touching the data.
   */
@@ -27,7 +27,7 @@ object ShardExport {
 
   /** Write `df` as `n` shards under `dir` and return the manifest
     * (shard, docs, tokens, bytes), which is also persisted to
-    * `dir/_manifest`. `shardKey` must be non-null BIGINT-castable. */
+    * the sibling manifest path. `shardKey` must be non-null BIGINT-castable. */
   def write(df: DataFrame, dir: String, n: Int, shardKey: Column,
       orderBy: Column, tokens: Column, bytes: Column): DataFrame = {
     require(n >= 1 && n <= 1000000, s"n=$n out of range")
@@ -45,8 +45,8 @@ object ShardExport {
       .agg(count(lit(1)).as("docs"),
         sum(col("__tokens")).as("tokens"),
         sum(col("__bytes")).as("bytes"))
-    manifest.coalesce(1).write.mode("overwrite").parquet(s"$dir/_manifest")
-    spark.read.parquet(s"$dir/_manifest")
+    manifest.coalesce(1).write.mode("overwrite").parquet(manifestPath(dir))
+    spark.read.parquet(manifestPath(dir))
   }
 
   /** One shard's documents — scans only `shard=k/` (directory pruning). */
@@ -56,5 +56,11 @@ object ShardExport {
 
   /** The persisted manifest. */
   def manifest(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/_manifest")
+    spark.read.parquet(manifestPath(dir))
+
+  /** Sibling of the shard root (underscore-prefixed paths inside the root
+    * are hidden from Spark listings, which is what keeps the shard read
+    * clean — but also makes writes INTO them warn noisily). */
+  private def manifestPath(dir: String): String =
+    dir.stripSuffix("/") + "__manifest"
 }
