@@ -1228,6 +1228,18 @@ object SparkEntry {
       operators.Graph.labelPropagation(coSupplierPairs(s, dir), "l_suppkey",
         "dst_supp", iterations = 4)),
 
+    // Fuzzy (edit-distance ≤ 2) self-join over part names: q-gram count
+    // blocking (Gravano et al. VLDB'99 — a NECESSARY condition, so no
+    // qualifying pair is lost) + built-in levenshtein verify on the
+    // survivors only. The quarter-subset keeps the DuckDB oracle's
+    // all-pairs check tractable; Spark runs the blocked plan.
+    "q92_fuzzy_join" -> ((s, dir) =>
+      operators.FuzzyJoin.selfJoin(
+        t(s, dir, "part").where(col("p_partkey") % 4 === 0)
+          .select(col("p_partkey"), col("p_name")),
+        "p_partkey", "p_name", q = 3, maxDist = 2)
+        .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))),
+
     // Incremental corpus ingestion: new batch (doc_id ≡ 0 mod 3) vs
     // historical corpus (the rest) — exact tier (hash-keyed, text-
     // verified) + MinHash-banded near tier (batch probes history buckets;
@@ -3512,6 +3524,13 @@ object SparkEntry {
         |FROM v
         |GROUP BY value
         |HAVING count(*) >= ((SELECT count(*) + 99 FROM v) // 100)""".stripMargin,
+
+    "q92_fuzzy_join" ->
+      """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey % 4 = 0)
+        |SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
 
     // Decision-table replay: the greedy-by-id + precedence semantics are
     // deliberately non-transitive so this stays a plain SQL program (the

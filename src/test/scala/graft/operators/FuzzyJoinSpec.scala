@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class FuzzyJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private def brute(rows: Seq[(Long, String)], maxDist: Int) =
+    (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && lev(sa, sb) <= maxDist
+    } yield (ia, ib, lev(sa, sb))).toSet
+
+  test("matches brute force, including short-string and boundary pairs") {
+    val words = Seq("almond", "almonds", "salmon", "lemon", "melon",
+      "chartreuse", "chartreuze", "cat", "hat", "bat", "catt", "chartreux",
+      "a", "ab", "abc", "abcd", "abcde", "abcdef", "abcdefg",
+      "powder", "powdery", "pewter", "ponder", "thunder")
+    val rows = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    val got = FuzzyJoin.selfJoin(rows.toDF("id", "name"), "id", "name",
+        q = 3, maxDist = 2)
+      .select("a_id", "b_id", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(got == brute(rows, 2))
+  }
+
+  test("pseudo-random corpus sweep stays exact") {
+    // deterministic generator: perturbations of a few stems
+    val stems = Seq("periwinkle", "turquoise", "vermilion", "celadon")
+    val rows = (0 until 300).map { i =>
+      val s = stems(i % stems.length)
+      val mut = i % 5 match {
+        case 0 => s
+        case 1 => s.updated(i % s.length, ('a' + i % 26).toChar)
+        case 2 => s.take(i % s.length) + s.drop(i % s.length + 1) // deletion
+        case 3 => s.take(i % s.length) + ('a' + i % 26).toChar + s.drop(i % s.length)
+        case 4 => s.reverse
+      }
+      (i.toLong, mut)
+    }
+    val got = FuzzyJoin.selfJoin(rows.toDF("id", "name"), "id", "name",
+        q = 2, maxDist = 1)
+      .select("a_id", "b_id", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(got == brute(rows, 1))
+  }
+}
