@@ -26,18 +26,28 @@ import org.apache.spark.sql.functions._
   * fall back to a length-bucketed cross join, which is bounded because
   * the strings are short and the bucket width is 2d+1.
   *
-  * Skew note: a scorching-hot q-gram (e.g. "aaa" in synthetic data)
-  * concentrates its join group; production deployments over adversarial
-  * text should pre-salt the gram join or drop ultra-hot grams and weaken
-  * the per-pair bound by each side's dropped-gram count (exactness-
-  * preserving). Not needed for name-like domains.
+  * Skew (`maxGramDf`): a scorching-hot q-gram concentrates its join group
+  * — the known failure mode of gram blocking at scale. With
+  * `maxGramDf = Some(t)`, grams occurring more than t times corpus-wide
+  * are EXCLUDED from candidate generation, exactness-preserved by two
+  * adjustments. (1) Common occurrences inside dropped grams number at
+  * most min(dropA, dropB) (each side's own dropped-occurrence count), so
+  * the pair bound weakens to B − least(dropA, dropB). (2) A string whose
+  * own guarantee (len − q + 1 − q·d − drop) is no longer positive can't
+  * promise a surviving shared gram with anyone, so it joins the bounded
+  * fallback tier — and for a non-fallback pair, the side attaining the
+  * min drop still satisfies its positive individual guarantee, so the
+  * pair is always enumerated by some kept gram. Hot grams carry the
+  * least blocking information anyway (df counts everyone), so the
+  * candidate set barely widens while the worst join group shrinks from
+  * the hot gram's df² to t·df.
   *
   * Output: (a_id, b_id, a_val, b_val, dist), a_id < b_id, dist ≤ maxDist.
   */
 object FuzzyJoin {
 
   def selfJoin(df: DataFrame, idCol: String, strCol: String,
-      q: Int, maxDist: Int): DataFrame = {
+      q: Int, maxDist: Int, maxGramDf: Option[Long] = None): DataFrame = {
     require(q >= 2 && maxDist >= 1, s"q=$q maxDist=$maxDist out of range")
     val base = df.select(col(idCol).cast("long").as("id"),
         col(strCol).cast("string").as("s"))
@@ -46,33 +56,69 @@ object FuzzyJoin {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val minBlockableLen = q * maxDist + q // bound > 0 ⇔ len−q+1 > q·d
-    val long = base.where(col("len") >= minBlockableLen)
-    val short = base.where(col("len") < minBlockableLen)
 
     // grams: overlapping substrings of length q, with multiplicity —
     // the count bound is on gram OCCURRENCES, so no distinct here.
-    val grams = long.select(col("id"), col("len"),
+    val allGrams = base.where(col("len") >= minBlockableLen)
+      .select(col("id"), col("len"),
         explode(expr(s"transform(sequence(1, len - $q + 1), " +
           s"i -> substring(s, i, $q))")).as("g"))
-    val a = grams.as("a"); val b = grams.as("b")
+
+    // Stop-gram tier: tag each occurrence with its gram's corpus df (one
+    // window exchange on the gram — no groupBy + join-back), drop hot
+    // grams from blocking, and carry each string's dropped-occurrence
+    // count into the bound.
+    val (grams, dropCnt) = maxGramDf match {
+      case None =>
+        (allGrams, base.select(col("id"), lit(0L).as("drop_cnt")))
+      case Some(t) =>
+        val withDf = allGrams.withColumn("__df",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("g"))))
+        val kept = withDf.where(col("__df") <= t).drop("__df")
+        val drops = withDf
+          .groupBy("id")
+          .agg(sum(when(col("__df") > t, 1L).otherwise(0L)).as("drop_cnt"))
+        (kept, base.select(col("id"))
+          .join(drops, Seq("id"), "left").na.fill(0L, Seq("drop_cnt")))
+    }
+
+    // A string is gram-blockable only while its OWN guarantee survives
+    // the dropped grams; the rest (including all below minBlockableLen)
+    // go to the bounded fallback tier.
+    val guarantee = base.join(dropCnt, "id")
+      .withColumn("__guar",
+        col("len") - lit(q - 1) - lit(q * maxDist) - col("drop_cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blockableIds = guarantee.where(col("__guar") > 0)
+      .select(col("id"), col("drop_cnt"))
+    val fallback = guarantee.where(col("__guar") <= 0)
+      .select(col("id"), col("len"))
+
+    val keptBlockable = grams
+      .join(blockableIds.select(col("id"), col("drop_cnt")), "id")
+    val a = keptBlockable.as("a"); val b = keptBlockable.as("b")
     val blocked = a.join(b,
         col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
           abs(col("a.len") - col("b.len")) <= maxDist)
       .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        col("a.len").as("la"), col("b.len").as("lb"))
+        col("a.len").as("la"), col("b.len").as("lb"),
+        col("a.drop_cnt").as("da"), col("b.drop_cnt").as("db"))
       .agg(count(lit(1)).as("shared"))
       // shared counts gram-PAIRS; a string's gram can match several of
       // the other's. That only over-counts, and the bound is a lower
-      // bound on true common occurrences — still exactness-preserving.
+      // bound on true common KEPT occurrences — still exactness-
+      // preserving.
       .where(col("shared") >=
-        greatest(col("la"), col("lb")) - lit(q - 1) - lit(q * maxDist))
+        greatest(col("la"), col("lb")) - lit(q - 1) - lit(q * maxDist) -
+          least(col("da"), col("db")))
       .select("a_id", "b_id")
 
-    // Short strings pair against EVERYTHING within the length filter
-    // (including long partners just over the blockable boundary — pairs
-    // the gram tier can't see because one side has no positive bound).
-    // Both-short pairs arrive twice (once per side) — normalize + distinct.
-    val shortPairs = short.as("a").join(base.as("b"),
+    // Fallback strings pair against EVERYTHING within the length filter
+    // (including blockable partners — pairs the gram tier can't see
+    // because one side lost its positive bound). Both-fallback pairs
+    // arrive twice (once per side) — normalize + distinct.
+    val shortPairs = fallback.as("a").join(base.as("b"),
         col("a.id") =!= col("b.id") &&
           abs(col("a.len") - col("b.len")) <= maxDist)
       .select(least(col("a.id"), col("b.id")).as("a_id"),

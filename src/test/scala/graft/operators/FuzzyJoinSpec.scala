@@ -52,4 +52,28 @@ class FuzzyJoinSpec extends SparkSpec {
       .select("a_id", "b_id", "dist").as[(Long, Long, Int)].collect().toSet
     assert(got == brute(rows, 1))
   }
+
+  test("stop-gram tier stays exact under an engineered hot gram") {
+    // Every string shares the hot prefix; tails are near-misses of a few
+    // stems. With maxGramDf well below the corpus size, the prefix grams
+    // are all dropped from blocking — matches must still be exact.
+    val stems = Seq("salamander", "salamanders", "velocirapt", "velociraptor")
+    val rows = (0 until 120).map { i =>
+      val tail = stems(i % stems.length)
+      val mut = if (i % 7 == 0) tail.updated(i % tail.length,
+        ('a' + i % 26).toChar) else tail
+      (i.toLong, "sharedhotprefix" + mut)
+    }
+    for (t <- Seq(10L, 40L)) {
+      val got = FuzzyJoin.selfJoin(rows.toDF("id", "name"), "id", "name",
+          q = 3, maxDist = 2, maxGramDf = Some(t))
+        .select("a_id", "b_id", "dist").as[(Long, Long, Int)].collect().toSet
+      assert(got == brute(rows, 2), s"maxGramDf=$t")
+    }
+    // And the unthrottled plan agrees with itself.
+    val open = FuzzyJoin.selfJoin(rows.toDF("id", "name"), "id", "name",
+        q = 3, maxDist = 2)
+      .select("a_id", "b_id", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(open == brute(rows, 2))
+  }
 }
