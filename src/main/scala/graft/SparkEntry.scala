@@ -1228,6 +1228,14 @@ object SparkEntry {
       operators.Graph.labelPropagation(coSupplierPairs(s, dir), "l_suppkey",
         "dst_supp", iterations = 4)),
 
+    // Gopher-rules quality pre-filter (Rae et al. 2021 §A1.1): per-rule
+    // boolean decision table over documents, all integer-arithmetic
+    // thresholds, one scan, no UDFs. minWords=20 so the 10..99-word
+    // corpus discriminates on the word-count rule.
+    "q93_gopher_rules" -> ((s, dir) =>
+      operators.GopherRules.decisions(
+        t(s, dir, "documents"), "doc_id", "text", minWords = 20L)),
+
     // Fuzzy (edit-distance ≤ 2) self-join over part names: q-gram count
     // blocking (Gravano et al. VLDB'99 — a NECESSARY condition, so no
     // qualifying pair is lost) + built-in levenshtein verify on the
@@ -3524,6 +3532,44 @@ object SparkEntry {
         |FROM v
         |GROUP BY value
         |HAVING count(*) >= ((SELECT count(*) + 99 FROM v) // 100)""".stripMargin,
+
+    // Engine-parity notes: DuckDB regexp_replace needs the 'g' flag to
+    // match Spark's replace-all; the corpus has no newlines, so the line
+    // splits agree despite trailing-empty semantics differing (the
+    // synthetic-text line rules are pinned engine-side in GopherRulesSpec).
+    "q93_gopher_rules" ->
+      """WITH d AS (
+        | SELECT doc_id, text,
+        |  regexp_split_to_array(trim(text), '\s+') AS words,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+        |  CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS BIGINT) AS n_chars,
+        |  string_split(text, chr(10)) AS lines
+        | FROM documents),
+        |r AS (
+        | SELECT doc_id,
+        |  (n_words >= 20 AND n_words <= 100000) AS ok_word_count,
+        |  (n_chars >= n_words * 3 AND n_chars <= n_words * 10) AS ok_mean_word_len,
+        |  ((CAST(length(text) - length(regexp_replace(text, '#', '', 'g')) AS BIGINT)
+        |    + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT))
+        |    * 10 <= n_words) AS ok_symbol_ratio,
+        |  (CAST(len(list_filter(lines, l -> starts_with(trim(l), '-')
+        |      OR starts_with(trim(l), '*'))) AS BIGINT) * 10
+        |    <= CAST(len(lines) AS BIGINT) * 9) AS ok_bullet_lines,
+        |  (CAST(len(list_filter(lines, l -> trim(l) LIKE '%...')) AS BIGINT) * 10
+        |    <= CAST(len(lines) AS BIGINT) * 3) AS ok_ellipsis_lines,
+        |  (CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+        |    * 10 >= n_words * 8) AS ok_alpha_words,
+        |  (CAST(len(list_intersect(
+        |      list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')),
+        |      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS BIGINT)
+        |    >= 2) AS ok_stop_words
+        | FROM d)
+        |SELECT doc_id, ok_word_count, ok_mean_word_len, ok_symbol_ratio,
+        |  ok_bullet_lines, ok_ellipsis_lines, ok_alpha_words, ok_stop_words,
+        |  (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+        |   AND ok_bullet_lines AND ok_ellipsis_lines AND ok_alpha_words
+        |   AND ok_stop_words) AS pass
+        |FROM r""".stripMargin,
 
     "q92_fuzzy_join" ->
       """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey % 4 = 0)
