@@ -1228,6 +1228,26 @@ object SparkEntry {
       operators.Graph.labelPropagation(coSupplierPairs(s, dir), "l_suppkey",
         "dst_supp", iterations = 4)),
 
+    // Winsorization on the exact-quantile machinery: per-flag [5, 95]
+    // envelope, clip broadcast back onto the scan (no extra shuffle),
+    // gated on the aggregate integer profile of the clipped column.
+    "q94_winsorize" -> ((s, dir) => {
+      val clipped = operators.ExactQuantiles.winsorize(
+        t(s, dir, "lineitem"),
+        Seq("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")),
+        pLow = 5, pHigh = 95, valueAs = "cents_w")
+      clipped
+        .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents_w")).as("sum_clipped"),
+          sum(when(col("cents") < col("cents_w"), 1L).otherwise(0L)).as("n_raised"),
+          sum(when(col("cents") > col("cents_w"), 1L).otherwise(0L)).as("n_lowered"))
+    }),
+
     // Gopher-rules quality pre-filter (Rae et al. 2021 §A1.1): per-rule
     // boolean decision table over documents, all integer-arithmetic
     // thresholds, one scan, no UDFs. minWords=20 so the 10..99-word
@@ -3532,6 +3552,35 @@ object SparkEntry {
         |FROM v
         |GROUP BY value
         |HAVING count(*) >= ((SELECT count(*) + 99 FROM v) // 100)""".stripMargin,
+
+    "q94_winsorize" ->
+      """WITH base AS (
+        | SELECT l_returnflag AS grp, CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        | FROM lineitem),
+        |n AS (SELECT grp, count(*) AS n FROM base GROUP BY 1),
+        |hist AS (SELECT grp, v, count(*) AS c FROM base GROUP BY 1, 2),
+        |cum AS (
+        | SELECT grp, v,
+        |  SUM(c) OVER (PARTITION BY grp ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM hist),
+        |p AS (SELECT * FROM (VALUES (5), (95)) t(percent)),
+        |qv AS (
+        | SELECT cum.grp, p.percent, MIN(cum.v) AS q
+        | FROM cum JOIN n ON n.grp = cum.grp
+        | JOIN p ON cum.cum >= ((n.n * p.percent + 99) // 100)
+        | GROUP BY 1, 2),
+        |b AS (
+        | SELECT grp,
+        |  MIN(CASE WHEN percent = 5 THEN q END) AS qlo,
+        |  MAX(CASE WHEN percent = 95 THEN q END) AS qhi
+        | FROM qv GROUP BY 1)
+        |SELECT base.grp AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(LEAST(GREATEST(v, qlo), qhi)) AS BIGINT) AS sum_clipped,
+        |  CAST(SUM(CASE WHEN v < qlo THEN 1 ELSE 0 END) AS BIGINT) AS n_raised,
+        |  CAST(SUM(CASE WHEN v > qhi THEN 1 ELSE 0 END) AS BIGINT) AS n_lowered
+        |FROM base JOIN b ON b.grp = base.grp
+        |GROUP BY 1""".stripMargin,
 
     // Engine-parity notes: DuckDB regexp_replace needs the 'g' flag to
     // match Spark's replace-all; the corpus has no newlines, so the line

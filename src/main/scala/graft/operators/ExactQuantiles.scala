@@ -169,4 +169,23 @@ object ExactQuantiles {
       out
     } finally base.unpersist(): Unit
   }
+
+  /** Winsorize: clip `value` into its group's [pLow, pHigh] exact-quantile
+    * envelope — the standard robust feature-preprocessing step, composed
+    * on [[quantiles]]: the (tiny) per-group bounds broadcast back onto the
+    * scan, so the clip itself adds no shuffle. Output: the input columns
+    * plus `<valueAs>` (clipped BIGINT). */
+  def winsorize(df: DataFrame, groupCols: Seq[String], value: Column,
+      rowKey: Column, pLow: Int, pHigh: Int, valueAs: String,
+      k: Int = 4096): DataFrame = {
+    require(pLow < pHigh, s"pLow=$pLow must be < pHigh=$pHigh")
+    val qs = quantiles(df, groupCols, value, rowKey, Seq(pLow, pHigh), k)
+    val bounds = qs.groupBy(groupCols.map(col): _*)
+      .agg(min(when(col("percent") === pLow, col("quantile"))).as("__qlo"),
+        max(when(col("percent") === pHigh, col("quantile"))).as("__qhi"))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn(valueAs,
+        least(greatest(value.cast("long"), col("__qlo")), col("__qhi")))
+      .drop("__qlo", "__qhi")
+  }
 }

@@ -59,6 +59,20 @@ class ExactQuantilesSpec extends SparkSpec {
     assert(got == brute(rows, Seq(1, 50, 99)))
   }
 
+  test("winsorize clips to the exact envelope, ties included") {
+    val rows = (1 to 1000).map(i => ("g", (i.toLong * 48271) % 997))
+    val df = rows.toDF("g", "v").withColumn("k", monotonically_increasing_id())
+    val sorted = rows.map(_._2).sorted
+    def q(p: Int) = sorted(((rows.length.toLong * p + 99) / 100).toInt - 1)
+    val (lo, hi) = (q(10), q(90))
+    val got = ExactQuantiles.winsorize(df, Seq("g"), col("v"), col("k"),
+        10, 90, "w").select("v", "w").as[(Long, Long)].collect()
+    assert(got.length == rows.length)
+    got.foreach { case (v, w) =>
+      assert(w == math.min(math.max(v, lo), hi), s"v=$v w=$w lo=$lo hi=$hi")
+    }
+  }
+
   test("single-row and all-equal groups") {
     val rows = Seq(("one", 7L), ("eq", 5L), ("eq", 5L), ("eq", 5L))
     val df = rows.toDF("g", "v").withColumn("k", monotonically_increasing_id())
