@@ -1228,6 +1228,24 @@ object SparkEntry {
       operators.Graph.labelPropagation(coSupplierPairs(s, dir), "l_suppkey",
         "dst_supp", iterations = 4)),
 
+    // Fuzzy-join HOT-GRAM stress (the q55 pattern, for string blocking):
+    // every synthetic name carries a corpus-wide shared prefix whose
+    // grams have df=1200 — the exact shape that melts a naive gram join.
+    // maxGramDf=400 drops them from blocking via the exactness-preserving
+    // stop-gram tier; the oracle is the brute-force levenshtein join, so
+    // any lost pair fails loudly as a row diff.
+    "q95_fuzzy_stress" -> ((s, dir) => {
+      val stems = array(lit("salamander"), lit("salamanders"),
+        lit("velocirapt"), lit("velociraptor"))
+      val rows = s.range(1200).select(col("id"),
+        concat(lit("sharedhotprefix"),
+          element_at(stems, (col("id") % 4 + 1).cast("int")),
+          lit("-"), (col("id") % 211).cast("string")).as("name"))
+      operators.FuzzyJoin.selfJoin(rows, "id", "name",
+          q = 3, maxDist = 2, maxGramDf = Some(400L))
+        .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
+    }),
+
     // Winsorization on the exact-quantile machinery: per-flag [5, 95]
     // envelope, clip broadcast back onto the scan (no extra shuffle),
     // gated on the aggregate integer profile of the clipped column.
@@ -3552,6 +3570,19 @@ object SparkEntry {
         |FROM v
         |GROUP BY value
         |HAVING count(*) >= ((SELECT count(*) + 99 FROM v) // 100)""".stripMargin,
+
+    "q95_fuzzy_stress" ->
+      """WITH s AS (
+        | SELECT i AS id, 'sharedhotprefix' ||
+        |   CASE WHEN i % 4 = 0 THEN 'salamander'
+        |        WHEN i % 4 = 1 THEN 'salamanders'
+        |        WHEN i % 4 = 2 THEN 'velocirapt'
+        |        ELSE 'velociraptor' END || '-' || CAST(i % 211 AS VARCHAR) AS name
+        | FROM range(1200) t(i))
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM s a JOIN s b ON a.id < b.id
+        |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin,
 
     "q94_winsorize" ->
       """WITH base AS (
