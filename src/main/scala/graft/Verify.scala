@@ -2,33 +2,56 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Queries run in small CONCURRENT batches (local Spark schedules the
+  * independent jobs across its cores; wall time drops ~3×, which matters
+  * because the driver's per-round check is time-boxed — a faster dump
+  * means more queries get a recorded correctness row). Batches are
+  * awaited before `clearCache`/`cleanupQueryTmp` so one query's persisted
+  * frames and temp roots are never yanked from under a concurrent one.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1)
     // optional 3rd arg: comma-separated query-name filter (dev iteration)
     val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "4").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // pinned globally so UpsertTable's set-and-restore of the same
+      // value is a no-op — a concurrent batch must never observe the
+      // static overwrite semantics mid-flight
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      .grouped(par).foreach { batch =>
+        val fs = batch.map { case (name, fn) =>
+          scala.concurrent.Future {
+            try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            catch { case e: Throwable =>
+              System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            }
+          }
+        }
+        fs.foreach(f => scala.concurrent.Await.ready(f,
+          scala.concurrent.duration.Duration.Inf))
+        spark.catalog.clearCache()   // drop per-query persisted frames
+        SparkEntry.cleanupQueryTmp() // reclaim per-query upsert/bucket roots
       }
-      spark.catalog.clearCache() // drop per-query persisted frames
-      SparkEntry.cleanupQueryTmp() // reclaim per-query upsert/bucket roots
-    }
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
