@@ -1228,6 +1228,19 @@ object SparkEntry {
       operators.Graph.labelPropagation(coSupplierPairs(s, dir), "l_suppkey",
         "dst_supp", iterations = 4)),
 
+    // Two-stage retrieval: PQ-ADC shortlist (k'=10, recall stage) →
+    // exact e9-cosine re-rank (precision stage) — the deployed ANN
+    // pattern (Jégou et al. 2011 §V). The oracle replays BOTH stages,
+    // so shortlist membership and the exact re-order are hash-gated.
+    "q96_pq_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id") < 20)
+      val shortlist = operators.Similarity.pqTopK(emb, qs, "vec_id",
+        "embedding", k = 10, subspaces = 8, codebookSize = 16)
+      operators.Similarity.rerankExact(emb, qs, "vec_id", "embedding",
+        shortlist, k = 3)
+    }),
+
     // Fuzzy-join HOT-GRAM stress (the q55 pattern, for string blocking):
     // every synthetic name carries a corpus-wide shared prefix whose
     // grams have df=1200 — the exact shape that melts a naive gram join.
@@ -1651,6 +1664,65 @@ object SparkEntry {
     * (nsq+nsq-2·dot, e9-rounded terms, lowest code on ties), ADC = sum of
     * the 8 per-subspace L2 table entries (2·dot − ‖cent‖²). Same integers
     * as the Spark kernels. */
+  /** q96's oracle: the q52 PQ chain emitting a k'=10 shortlist, then the
+    * q20 exact e9-cosine scoring restricted to shortlist pairs and
+    * re-ranked to 3 — both retrieval stages replayed bit-exactly. */
+  private val q96OracleSql: String = {
+    val subspaces = 8; val subDim = 8; val cbSize = 16
+    val dot = (a: String, b: String) =>
+      s"""CAST(list_sum(list_transform(list_zip($a, $b),
+         |  z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT)""".stripMargin
+    s"""WITH n AS (SELECT vec_id, embedding FROM embeddings),
+       |cbv AS (
+       | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code, embedding
+       | FROM (SELECT * FROM n ORDER BY vec_id LIMIT $cbSize)),
+       |cb AS (
+       | SELECT m, code, list_slice(embedding, m*$subDim+1, m*$subDim+$subDim) AS cvec
+       | FROM cbv, range(0, $subspaces) t(m)),
+       |cbn AS (SELECT m, code, cvec, ${dot("cvec", "cvec")} AS cnsq FROM cb),
+       |sv AS (
+       | SELECT vec_id, m, list_slice(embedding, m*$subDim+1, m*$subDim+$subDim) AS svec
+       | FROM n, range(0, $subspaces) t(m)),
+       |svn AS (SELECT vec_id, m, svec, ${dot("svec", "svec")} AS snsq FROM sv),
+       |dist AS (
+       | SELECT s.vec_id, s.m, c.code,
+       |  s.snsq + c.cnsq - 2 * ${dot("s.svec", "c.cvec")} AS d2
+       | FROM svn s JOIN cbn c ON c.m = s.m),
+       |codes AS (
+       | SELECT vec_id, m, code FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS r
+       |  FROM dist) WHERE r = 1),
+       |lut AS (
+       | SELECT s.vec_id AS qid, s.m, c.code,
+       |  2 * ${dot("s.svec", "c.cvec")} - c.cnsq AS dp
+       | FROM svn s JOIN cbn c ON c.m = s.m WHERE s.vec_id < 20),
+       |adc AS (
+       | SELECT l.qid, k.vec_id AS cid, CAST(sum(l.dp) AS BIGINT) AS adc_e9
+       | FROM codes k JOIN lut l ON l.m = k.m AND l.code = k.code
+       | WHERE l.qid <> k.vec_id
+       | GROUP BY 1, 2),
+       |short AS (
+       | SELECT qid, cid FROM (SELECT qid, cid,
+       |   row_number() OVER (PARTITION BY qid ORDER BY adc_e9 DESC, cid) AS rank
+       |  FROM adc) WHERE rank <= 10),
+       |nn AS (
+       | SELECT vec_id, embedding,
+       |  ${dot("embedding", "embedding")} AS nsq
+       | FROM n),
+       |ex AS (
+       | SELECT sh.qid, sh.cid,
+       |  CAST(${dot("q.embedding", "c.embedding")} AS DOUBLE)
+       |   / sqrt(CAST(q.nsq AS DOUBLE) * CAST(c.nsq AS DOUBLE)) AS score
+       | FROM short sh
+       | JOIN nn q ON q.vec_id = sh.qid
+       | JOIN nn c ON c.vec_id = sh.cid),
+       |r2 AS (SELECT qid, cid, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
+       | FROM ex)
+       |SELECT qid, cid, rank, CAST(round(score*1000000) AS BIGINT) AS score_e6
+       |FROM r2 WHERE rank <= 3""".stripMargin
+  }
+
   private val q52OracleSql: String = {
     val subspaces = 8; val subDim = 8; val cbSize = 16
     val dot = (a: String, b: String) =>
@@ -2815,6 +2887,7 @@ object SparkEntry {
     "q22_simhash" -> q22OracleSql,
     "q23_lsh_ann" -> q23OracleSql,
     "q52_pq_ann" -> q52OracleSql,
+    "q96_pq_rerank" -> q96OracleSql,
     "q83_ivfpq_ann" -> q83OracleSql,
     // same deterministic 3-word re-lining, df over distinct docs per
     // line, lines under the threshold reassembled in position order

@@ -21,6 +21,33 @@ import graft.functions.VectorExpressions
   */
 object Similarity {
 
+  /** Exact re-rank of an ANN shortlist — the second stage of standard
+    * two-stage retrieval (IVFADC/PQ shortlist for recall, exact scoring
+    * for precision; Jégou et al. 2011 §V deploys exactly this). The
+    * shortlist (`qid`, `cid`) joins back to its vectors and only those
+    * |queries|·k' pairs pay the exact dot — at 100 TB the exact pass
+    * touches a few hundred candidates per query instead of the corpus.
+    * Output: qid, cid, rank, score_e6 (same contract as bruteForceTopK,
+    * same (score DESC, cid) total order). */
+  def rerankExact(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, shortlist: DataFrame, k: Int): DataFrame = {
+    VectorExpressions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+      VectorExpressions.normSqE9Fast(col(vecCol)).as("cn"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      VectorExpressions.normSqE9Fast(col(vecCol)).as("qn"))
+    val scored = shortlist.select(col("qid"), col("cid"))
+      .join(c, "cid")
+      .join(broadcast(q), "qid")
+      .withColumn("__score",
+        cosineFromE9(VectorExpressions.dotE9Fast(col("qvec"), col("cvec")),
+          col("qn"), col("cn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("__score").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"),
+        round(col("__score") * 1e6).cast("long").as("score_e6"))
+  }
+
   /** Exact top-k neighbors for each query vector.
     * Output: qid, cid, rank, score_e6 (cosine ·1e6, rounded). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
