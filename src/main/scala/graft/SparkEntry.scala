@@ -1228,6 +1228,28 @@ object SparkEntry {
       operators.Graph.labelPropagation(coSupplierPairs(s, dir), "l_suppkey",
         "dst_supp", iterations = 4)),
 
+    // Multi-round ingestion: batch 1 dedups against history, its ACCEPTED
+    // docs append to the corpus, batch 2 dedups against the grown corpus
+    // — the shape a daily pipeline actually runs, pinning that today's
+    // accepted near-dup source blocks tomorrow's copy of it. Rounds are
+    // doc_id ≡ 0 and ≡ 3 (mod 6); history is everything else.
+    "q97_ingest_rounds" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val h0 = docs.where(col("doc_id") % 3 =!= 0)
+      val b1 = docs.where(col("doc_id") % 6 === 0)
+      val b2 = docs.where(col("doc_id") % 6 === 3)
+      val d1 = operators.IncrementalIngest.ingest(h0, b1, "doc_id", "text",
+          n = 3, numHashes = 32, minJacNum = 1L, minJacDen = 2L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val accepted1 = docs.join(
+        d1.where(col("verdict") === "new").select("doc_id"), "doc_id")
+      val d2 = operators.IncrementalIngest.ingest(
+        h0.unionByName(accepted1), b2, "doc_id", "text",
+        n = 3, numHashes = 32, minJacNum = 1L, minJacDen = 2L)
+      d1.withColumn("round", lit(1L))
+        .unionByName(d2.withColumn("round", lit(2L)))
+    }),
+
     // Two-stage retrieval: PQ-ADC shortlist (k'=10, recall stage) →
     // exact e9-cosine re-rank (precision stage) — the deployed ANN
     // pattern (Jégou et al. 2011 §V). The oracle replays BOTH stages,
@@ -3643,6 +3665,74 @@ object SparkEntry {
         |FROM v
         |GROUP BY value
         |HAVING count(*) >= ((SELECT count(*) + 99 FROM v) // 100)""".stripMargin,
+
+    // Two sequential q91 rounds: round 2's history is h0 plus round 1's
+    // accepted docs, so the oracle replays the grown-corpus semantics.
+    "q97_ingest_rounds" ->
+      """WITH docs AS (SELECT doc_id, trim(text) AS t FROM documents),
+        |tb AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+        |g AS (
+        | SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+        | FROM tb, LATERAL (SELECT unnest(generate_series(1, len(tk)-2)) AS i) ix
+        | WHERE len(tk) >= 3),
+        |z AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |jac AS (SELECT x.doc_id AS x, y.doc_id AS y, count(*) AS inter
+        |        FROM g x JOIN g y ON x.s = y.s AND x.doc_id <> y.doc_id
+        |        GROUP BY 1, 2),
+        |near AS (SELECT jac.x, jac.y FROM jac
+        |         JOIN z zx ON zx.doc_id = jac.x JOIN z zy ON zy.doc_id = jac.y
+        |         WHERE inter * 2 >= (zx.n + zy.n - inter) * 1),
+        |h0 AS (SELECT * FROM docs WHERE doc_id % 3 <> 0),
+        |b1 AS (SELECT * FROM docs WHERE doc_id % 6 = 0),
+        |b2 AS (SELECT * FROM docs WHERE doc_id % 6 = 3),
+        |eh1 AS (SELECT b.doc_id, MIN(h.doc_id) AS r FROM b1 b JOIN h0 h ON b.t = h.t GROUP BY 1),
+        |eb1 AS (SELECT y.doc_id, MIN(x.doc_id) AS r FROM b1 y
+        |        JOIN b1 x ON x.t = y.t AND x.doc_id < y.doc_id GROUP BY 1),
+        |nh1 AS (SELECT near.y AS doc_id, MIN(near.x) AS r FROM near
+        |        JOIN h0 ON h0.doc_id = near.x JOIN b1 ON b1.doc_id = near.y GROUP BY 1),
+        |nb1 AS (SELECT near.y AS doc_id, MIN(near.x) AS r FROM near
+        |        JOIN b1 p ON p.doc_id = near.x JOIN b1 w ON w.doc_id = near.y
+        |        WHERE near.x < near.y GROUP BY 1),
+        |v1 AS (
+        | SELECT b1.doc_id,
+        |  CASE WHEN eh1.r IS NOT NULL THEN 'dup_exact_history'
+        |       WHEN eb1.r IS NOT NULL THEN 'dup_exact_batch'
+        |       WHEN nh1.r IS NOT NULL THEN 'dup_near_history'
+        |       WHEN nb1.r IS NOT NULL THEN 'dup_near_batch'
+        |       ELSE 'new' END AS verdict,
+        |  CAST(COALESCE(eh1.r, eb1.r, nh1.r, nb1.r) AS BIGINT) AS ref_id
+        | FROM b1
+        | LEFT JOIN eh1 ON eh1.doc_id = b1.doc_id
+        | LEFT JOIN eb1 ON eb1.doc_id = b1.doc_id
+        | LEFT JOIN nh1 ON nh1.doc_id = b1.doc_id
+        | LEFT JOIN nb1 ON nb1.doc_id = b1.doc_id),
+        |h1 AS (SELECT * FROM h0 UNION ALL
+        |       SELECT docs.* FROM docs JOIN v1 ON v1.doc_id = docs.doc_id
+        |       WHERE v1.verdict = 'new'),
+        |eh2 AS (SELECT b.doc_id, MIN(h.doc_id) AS r FROM b2 b JOIN h1 h ON b.t = h.t GROUP BY 1),
+        |eb2 AS (SELECT y.doc_id, MIN(x.doc_id) AS r FROM b2 y
+        |        JOIN b2 x ON x.t = y.t AND x.doc_id < y.doc_id GROUP BY 1),
+        |nh2 AS (SELECT near.y AS doc_id, MIN(near.x) AS r FROM near
+        |        JOIN h1 ON h1.doc_id = near.x JOIN b2 ON b2.doc_id = near.y GROUP BY 1),
+        |nb2 AS (SELECT near.y AS doc_id, MIN(near.x) AS r FROM near
+        |        JOIN b2 p ON p.doc_id = near.x JOIN b2 w ON w.doc_id = near.y
+        |        WHERE near.x < near.y GROUP BY 1),
+        |v2 AS (
+        | SELECT b2.doc_id,
+        |  CASE WHEN eh2.r IS NOT NULL THEN 'dup_exact_history'
+        |       WHEN eb2.r IS NOT NULL THEN 'dup_exact_batch'
+        |       WHEN nh2.r IS NOT NULL THEN 'dup_near_history'
+        |       WHEN nb2.r IS NOT NULL THEN 'dup_near_batch'
+        |       ELSE 'new' END AS verdict,
+        |  CAST(COALESCE(eh2.r, eb2.r, nh2.r, nb2.r) AS BIGINT) AS ref_id
+        | FROM b2
+        | LEFT JOIN eh2 ON eh2.doc_id = b2.doc_id
+        | LEFT JOIN eb2 ON eb2.doc_id = b2.doc_id
+        | LEFT JOIN nh2 ON nh2.doc_id = b2.doc_id
+        | LEFT JOIN nb2 ON nb2.doc_id = b2.doc_id)
+        |SELECT doc_id, verdict, ref_id, CAST(1 AS BIGINT) AS round FROM v1
+        |UNION ALL
+        |SELECT doc_id, verdict, ref_id, CAST(2 AS BIGINT) AS round FROM v2""".stripMargin,
 
     "q95_fuzzy_stress" ->
       """WITH s AS (
