@@ -1228,6 +1228,23 @@ object SparkEntry {
       operators.Graph.labelPropagation(coSupplierPairs(s, dir), "l_suppkey",
         "dst_supp", iterations = 4)),
 
+    // Grouped top-k (A8 at group granularity): rank()<=k over a window
+    // triggers Catalyst's WindowGroupLimit rewrite — each map task keeps
+    // only its local top-k per group BEFORE the shuffle, so the exchange
+    // carries O(groups·k) per partition instead of the full table (the
+    // same partial-top-k shape KmvSketch's spec pins). Total order via
+    // (cents DESC, orderkey ASC).
+    "q98_grouped_topk" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("cents").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+    }),
+
     // Multi-round ingestion: batch 1 dedups against history, its ACCEPTED
     // docs append to the corpus, batch 2 dedups against the grown corpus
     // — the shape a daily pipeline actually runs, pinning that today's
@@ -3665,6 +3682,14 @@ object SparkEntry {
         |FROM v
         |GROUP BY value
         |HAVING count(*) >= ((SELECT count(*) + 99 FROM v) // 100)""".stripMargin,
+
+    "q98_grouped_topk" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY round(o_totalprice * 100) DESC, o_orderkey) AS BIGINT) AS rank
+        |FROM orders
+        |QUALIFY rank <= 3""".stripMargin,
 
     // Two sequential q91 rounds: round 2's history is h0 plus round 1's
     // accepted docs, so the oracle replays the grown-corpus semantics.
