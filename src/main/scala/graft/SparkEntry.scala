@@ -1228,6 +1228,54 @@ object SparkEntry {
       operators.Graph.labelPropagation(coSupplierPairs(s, dir), "l_suppkey",
         "dst_supp", iterations = 4)),
 
+    // Sliding-window chunking (embedding/RAG ingestion): 16-token windows
+    // advancing by 8 (50% overlap) + the tail-aligned final window. Pure
+    // narrow op — chunk key is the token start offset.
+    "q99_chunk_overlap" -> ((s, dir) =>
+      operators.CorpusOps.chunkTokens(t(s, dir, "documents"), "doc_id",
+        "text", window = 16, stride = 8)),
+
+    // CCNet-style bigram-LM perplexity filter: fit an add-one-smoothed
+    // bigram LM on the trusted (English) slice, score EVERY document by
+    // average per-pair negative log-likelihood in integer micro-nats.
+    "q100_bigram_lm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.NgramLm.perplexityScore(docs.where(col("lang") === "en"),
+        docs, "doc_id", "text")
+    }),
+
+    // DSIR importance weights: hashed-token (B=1024) distributions for
+    // target (English slice) vs raw (whole corpus); every document gets
+    // the summed log importance ratio + a total-ordered rank.
+    "q101_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Dsir.importanceWeights(docs.where(col("lang") === "en"),
+        docs, docs, "doc_id", "text", buckets = 1024)
+    }),
+
+    // One-sided CUSUM drift monitor per user: accumulated above-baseline
+    // deviation via the two-window prefix form (running sum − clipped
+    // running min) — no fold, no collected series.
+    "q102_cusum_drift" -> ((s, dir) =>
+      operators.Anomaly.cusumDrift(
+        ev(s, dir).select(col("user_id"), col("ts_ms"), col("value")),
+        "user_id", "ts_ms", "value",
+        slackE6 = 5000000L, thresholdE6 = 500000000L)),
+
+    // ROLLUP hierarchy (§2.6 grouping-set analogue): per-(event_type, day)
+    // metrics plus per-type and grand totals in ONE pass — Catalyst's
+    // Expand feeds a single hash aggregate, vs three scans done naively.
+    "q103_rollup_metrics" -> ((s, dir) =>
+      ev(s, dir)
+        .select(col("event_type"),
+          (col("ts_ms") - col("ts_ms") % 86400000L).as("day_ms"),
+          cents(col("value")).as("cents"))
+        .rollup(col("event_type"), col("day_ms"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("day_ms"), lit(-1L)).as("day_ms"),
+          col("n"), col("sum_cents"))),
+
     // Grouped top-k (A8 at group granularity): rank()<=k over a window
     // triggers Catalyst's WindowGroupLimit rewrite — each map task keeps
     // only its local top-k per group BEFORE the shuffle, so the exchange
@@ -2112,6 +2160,49 @@ object SparkEntry {
     * into (0,1) by an exact power-of-two division, priority ln(u)/w, and
     * the per-language top-20 ranked window. Only membership and rank are
     * compared — the double priority never leaves either engine. */
+  /** q101's oracle replays DSIR end-to-end: each DISTINCT token runs the
+    * full PolyHash64 chain (the q73 KR fold + splitMix64 finish — char
+    * codes equal UTF-8 bytes on this verified-ASCII corpus), buckets by
+    * the low 10 bits (power-of-two mask ≡ unsigned mod, so the UBIGINT
+    * and Spark's signed-long bitmask agree), rebuilds both bucket
+    * censuses, and re-scores every token through the pinned two-ln
+    * pipeline. */
+  private val q101OracleSql: String = {
+    val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
+    val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
+    s"""WITH tok AS (
+       | SELECT doc_id, lang,
+       |  unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+       | FROM documents),
+       |dt AS (SELECT DISTINCT tok FROM tok),
+       |k AS (SELECT tok, list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |   list_transform(range(1, length(tok)+1), i -> CAST(unicode(tok[i]) AS HUGEINT))),
+       |   (a,b) -> (a*257+b) % 2305843009213693951) AS h
+       | FROM dt),
+       |s0 AS (SELECT tok,
+       |  CAST((h + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z0 FROM k),
+       |s1 AS (SELECT tok, $z1 AS z1 FROM s0),
+       |s2 AS (SELECT tok, $z2 AS z2 FROM s1),
+       |bk AS (SELECT tok, CAST(xor(z2, z2 >> 31) & 1023 AS BIGINT) AS bucket FROM s2),
+       |tb AS (SELECT t.doc_id, t.lang, bk.bucket FROM tok t JOIN bk USING (tok)),
+       |ct AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM tb
+       | WHERE lang = 'en' GROUP BY 1),
+       |cr AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM tb GROUP BY 1),
+       |g AS (SELECT (SELECT count(*) FROM tb WHERE lang = 'en') AS nt,
+       |  (SELECT count(*) FROM tb) AS nr),
+       |c AS (SELECT tb.doc_id,
+       |  CAST(round((ln(CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE)
+       |      / CAST(g.nt + 1024 AS DOUBLE))
+       |    - ln(CAST(coalesce(cr.cr, 0) + 1 AS DOUBLE)
+       |      / CAST(g.nr + 1024 AS DOUBLE))) * 1000000.0) AS BIGINT) AS c
+       | FROM tb LEFT JOIN ct USING (bucket) LEFT JOIN cr USING (bucket) CROSS JOIN g),
+       |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(c) AS BIGINT) AS w_micro FROM c GROUP BY 1)
+       |SELECT doc_id, n_tokens, w_micro,
+       | CAST(row_number() OVER (ORDER BY w_micro DESC, doc_id) AS BIGINT) AS rank
+       |FROM s""".stripMargin
+  }
+
   private val q73OracleSql: String = {
     val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
     val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
@@ -3682,6 +3773,79 @@ object SparkEntry {
         |FROM v
         |GROUP BY value
         |HAVING count(*) >= ((SELECT count(*) + 99 FROM v) // 100)""".stripMargin,
+
+    // Chunk rows rebuild from the same stride grid + tail-aligned start;
+    // DuckDB range() is stop-exclusive where Spark sequence() is
+    // inclusive, hence the +1. List slices are 1-based inclusive on both.
+    "q99_chunk_overlap" ->
+      """WITH d AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+        |ls AS (SELECT doc_id, greatest(len(toks) - 15, 1) AS last_start FROM d),
+        |st AS (SELECT DISTINCT doc_id, start FROM (
+        |  SELECT doc_id, unnest(range(1, last_start + 1, 8)) AS start FROM ls
+        |  UNION ALL SELECT doc_id, last_start AS start FROM ls))
+        |SELECT d.doc_id, CAST(start AS BIGINT) AS start,
+        |  CAST(len(toks[start:start+15]) AS BIGINT) AS n_tokens,
+        |  array_to_string(toks[start:start+15], ' ') AS chunk
+        |FROM st JOIN d USING (doc_id)""".stripMargin,
+
+    // Full model replay: the bigram/context/vocab counts of the English
+    // slice, then every document's pair stream scored through the same
+    // pinned ln pipeline (integer micro-nats before the sum — q72 rule).
+    "q100_bigram_lm" ->
+      """WITH tb AS (SELECT doc_id, lang,
+        |  list_prepend('<s>', regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+        | FROM documents),
+        |pr AS (SELECT doc_id, lang, toks, unnest(range(2, len(toks) + 1)) AS i FROM tb),
+        |p AS (SELECT doc_id, lang, toks[i-1] AS prev, toks[i] AS cur FROM pr),
+        |cb AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cb FROM p
+        | WHERE lang = 'en' GROUP BY 1, 2),
+        |cu AS (SELECT prev, CAST(count(*) AS BIGINT) AS cu FROM p
+        | WHERE lang = 'en' GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT cur) + 1 AS BIGINT) AS v FROM p
+        | WHERE lang = 'en'),
+        |c AS (SELECT doc_id,
+        |  CAST(round(ln(CAST(coalesce(cb.cb, 0) + 1 AS DOUBLE)
+        |    / CAST(coalesce(cu.cu, 0) + v.v AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp
+        | FROM p LEFT JOIN cb USING (prev, cur) LEFT JOIN cu USING (prev) CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST((-sum(lp)) // count(*) AS BIGINT) AS avg_nll_micro
+        |FROM c GROUP BY 1""".stripMargin,
+
+    "q101_dsir_weights" -> q101OracleSql,
+
+    // The two-window prefix form replayed verbatim: running deviation sum,
+    // clipped running min, S = P − min(0, min P). All-BIGINT arithmetic.
+    "q102_cusum_drift" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms,
+        |  CAST(round(value * 1000000) AS BIGINT) AS v_e6 FROM events),
+        |m AS (SELECT user_id, ts_ms, v_e6,
+        |  sum(v_e6) OVER (PARTITION BY user_id)
+        |    // count(*) OVER (PARTITION BY user_id) AS mu FROM e),
+        |pp AS (SELECT user_id, ts_ms, v_e6,
+        |  sum(v_e6 - mu - 5000000) OVER (PARTITION BY user_id
+        |    ORDER BY ts_ms, v_e6
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p FROM m),
+        |ps AS (SELECT user_id, ts_ms,
+        |  p - least(min(p) OVER (PARTITION BY user_id ORDER BY ts_ms, v_e6
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS s
+        | FROM pp)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+        |  CAST(max(s) AS BIGINT) AS max_s_e6,
+        |  CAST(sum(CASE WHEN s > 500000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+        |  CAST(coalesce(min(CASE WHEN s > 500000000 THEN ts_ms END), -1) AS BIGINT)
+        |    AS first_alarm_ts
+        |FROM ps GROUP BY 1""".stripMargin,
+
+    "q103_rollup_metrics" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  CAST(coalesce(day_ms, -1) AS BIGINT) AS day_ms,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM (SELECT event_type,
+        |    epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day_ms,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |GROUP BY ROLLUP(event_type, day_ms)""".stripMargin,
 
     "q98_grouped_topk" ->
       """SELECT o_orderpriority, o_orderkey,

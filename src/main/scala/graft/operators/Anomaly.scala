@@ -75,6 +75,70 @@ object Anomaly {
         coalesce(abs(col("residual")) > lit(band), lit(false)))
   }
 
+  /** One-sided CUSUM drift detection (Page 1954; the control-chart form) —
+    * per key, accumulate deviations above the key's own baseline and flag
+    * when the accumulation crosses a threshold: the standard changepoint
+    * monitor for "this metric has drifted up", complementary to the
+    * point-spike EWMA residual and the distributional MAD rule.
+    *
+    * S_i = max(0, S_{i−1} + (v_i − μ_k − κ)) has the closed prefix form
+    * S_i = P_i − min(0, min_{j≤i} P_j) with P the running sum of
+    * deviations — so the whole recurrence is TWO window functions over one
+    * (key, ts, id) sort: no fold, no collected series, no state. That is
+    * the load-bearing scale decision: a 100 TB events table runs this as
+    * one exchange + one sort per key partition, streaming through rows.
+    *
+    * Exactness: values quantize to e6 BIGINTs first; baseline μ_k is the
+    * truncating integer mean over the key; every P/S/threshold compare is
+    * LONG arithmetic — bit-identical on any engine, any partitioning.
+    *
+    * Output per key: n_obs, max_s_e6 (peak accumulated drift), n_alarms
+    * (observations with S > threshold), first_alarm_ts (ms; −1 when the
+    * key never alarms — a sentinel, not null, so gate comparison and
+    * downstream filters stay integer-typed). */
+  def cusumDrift(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, slackE6: Long, thresholdE6: Long): DataFrame = {
+    require(thresholdE6 > 0)
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(col("k"))
+    val ordered = byKey.orderBy(col("ts"), col("v_e6"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = df.select(col(keyCol).as("k"), col(tsCol).as("ts"),
+      round(col(valueCol) * lit(1000000.0)).cast("long").as("v_e6"))
+    e.withColumn("v_sum", sum(col("v_e6")).over(byKey))
+      .withColumn("v_cnt", count(lit(1)).over(byKey))
+      .withColumn("mu", expr("v_sum div v_cnt"))
+      .withColumn("p", sum(col("v_e6") - col("mu") - lit(slackE6)).over(ordered))
+      .withColumn("s", col("p") - least(min(col("p")).over(ordered), lit(0L)))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_obs"), max(col("s")).as("max_s_e6"),
+        sum(when(col("s") > lit(thresholdE6), 1L).otherwise(0L)).as("n_alarms"),
+        coalesce(min(when(col("s") > lit(thresholdE6), col("ts"))), lit(-1L))
+          .as("first_alarm_ts"))
+      .select(col("k").as(keyCol), col("n_obs"), col("max_s_e6"),
+        col("n_alarms"), col("first_alarm_ts"))
+  }
+
+  /** Per-event CUSUM points under a KNOWN target — the batch replay of
+    * [[graft.streaming.CusumTws]]'s online fold (same two-window prefix
+    * form as [[cusumDrift]], fixed μ instead of the per-key empirical
+    * mean; CusumTwsSpec pins streaming ≡ this). Output: (keyCol, tsCol,
+    * v_e6, s_e6, alarmed). */
+  def cusumPoints(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, targetE6: Long, slackE6: Long, thresholdE6: Long)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ordered = Window.partitionBy(col("k")).orderBy(col("ts"), col("v_e6"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(keyCol).as("k"), col(tsCol).as("ts"),
+        round(col(valueCol) * lit(1000000.0)).cast("long").as("v_e6"))
+      .withColumn("p",
+        sum(col("v_e6") - lit(targetE6) - lit(slackE6)).over(ordered))
+      .withColumn("s_e6", col("p") - least(min(col("p")).over(ordered), lit(0L)))
+      .select(col("k").as(keyCol), col("ts").as(tsCol), col("v_e6"),
+        col("s_e6"), (col("s_e6") > lit(thresholdE6)).as("alarmed"))
+  }
+
   /** Flags rows where |value − median| > (num/den)·MAD. Output:
     * (keyCol, tsCol, valueCol, deviation, is_outlier). A key whose MAD is
     * 0 (over half its values identical) flags every deviating row — the

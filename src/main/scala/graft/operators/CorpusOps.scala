@@ -253,6 +253,37 @@ object CorpusOps {
       .withColumn("redacted", redacted)
   }
 
+  /** Sliding-window document chunking — the embedding/RAG ingestion
+    * primitive: cut each document's token stream into windows of `window`
+    * tokens advancing by `stride` (overlap = window − stride), plus a
+    * tail-aligned final window so the document's end is always covered at
+    * full width (the LangChain/retrieval-chunker convention; without it
+    * the last ≤stride tokens would only appear in a runt or not at all).
+    *
+    * Pure narrow op: one tokenize + one explode per document, zero
+    * shuffles — chunk count per doc is ⌈(len−window)/stride⌉+1, so output
+    * scales linearly and partitioning is inherited from the scan. The
+    * chunk key is the 1-based token start offset (deterministic; no
+    * row_number, no sort).
+    *
+    * Output: (idCol, start, n_tokens, chunk). Documents shorter than
+    * `window` produce exactly one chunk at start 1. */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window)
+    val ts = split(trim(lower(col(textCol))), "\\s+")
+    val lastStart = greatest(size(ts) - (window - 1), lit(1))
+    val starts = array_distinct(concat(
+      sequence(lit(1), lastStart, lit(stride)), array(lastStart)))
+    docs
+      .select(col(idCol), ts.as("toks"), explode(starts).as("start"))
+      .select(col(idCol), col("start").cast("long").as("start"),
+        size(slice(col("toks"), col("start"), lit(window))).cast("long")
+          .as("n_tokens"),
+        array_join(slice(col("toks"), col("start"), lit(window)), " ")
+          .as("chunk"))
+  }
+
   /** Raw lowercase word n-grams per document: (id, g), repeats included —
     * one narrow scan+explode, no shuffle. Documents shorter than n words
     * produce no rows. */

@@ -67,4 +67,47 @@ class AnomalySpec extends SparkSpec {
       .orderBy("k").collect().toSeq
     assert(run(1) == run(13))
   }
+
+  /** Sequential reference for the CUSUM recurrence S_i = max(0, S_{i−1} +
+    * v_i − μ − κ), alarms counted where S crosses the threshold. */
+  private def refCusum(vs: Seq[(Long, Long)], slack: Long, thr: Long)
+      : (Long, Long, Long) = {
+    val mu = vs.map(_._2).sum / vs.size
+    var s = 0L; var maxS = 0L; var alarms = 0L; var firstTs = -1L
+    vs.foreach { case (ts, v) =>
+      s = math.max(0L, s + v - mu - slack)
+      maxS = math.max(maxS, s)
+      if (s > thr) { alarms += 1; if (firstTs < 0) firstTs = ts }
+    }
+    (maxS, alarms, firstTs)
+  }
+
+  test("CUSUM window form matches the sequential recurrence; drift alarms, noise doesn't") {
+    // flat-then-shifted key drifts up and must alarm; a noisy-but-centered
+    // key must not; a strictly-below-baseline tail resets S to zero.
+    val drift = (0L until 30L).map(i =>
+      ("drift", i, if (i < 15) 10.0 else 25.0))
+    val noise = (0L until 30L).map(i => ("noise", i, 10.0 + (i % 3).toDouble))
+    val df = (drift ++ noise).toDF("k", "ts", "v")
+    val got = Anomaly.cusumDrift(df, "k", "ts", "v",
+        slackE6 = 1000000L, thresholdE6 = 50000000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    Seq("drift" -> drift, "noise" -> noise).foreach { case (k, rows) =>
+      val vs = rows.map(t => (t._2, math.round(t._3 * 1000000.0)))
+      val (maxS, alarms, firstTs) = refCusum(vs, 1000000L, 50000000L)
+      assert(got(k) == ((rows.size.toLong, maxS, alarms, firstTs)), k)
+    }
+    assert(got("drift")._3 > 0, "upward shift must alarm")
+    assert(got("noise")._3 == 0L, "centered noise must not alarm")
+  }
+
+  test("CUSUM is partition-invariant (exact integers, window form)") {
+    val df = (0L until 400L)
+      .map(i => (i % 5L, i, (i * 53 % 97).toDouble)).toDF("k", "ts", "v")
+    def run(parts: Int) = Anomaly
+      .cusumDrift(df.repartition(parts), "k", "ts", "v", 0L, 1000000000L)
+      .orderBy("k").collect().toSeq
+    assert(run(1) == run(17))
+  }
 }

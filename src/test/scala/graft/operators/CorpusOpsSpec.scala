@@ -202,6 +202,34 @@ class CorpusOpsSpec extends SparkSpec {
       Set((2L, "one two three")))
   }
 
+  test("chunkTokens: stride grid + tail alignment, full coverage, no shuffle") {
+    // 10 tokens, window 4, stride 3 → grid starts 1, 4, 7 plus tail 7
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
+    val got = CorpusOps.chunkTokens(docs, "doc_id", "text", window = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    assert(got((1L, 1L)) == ((4L, "t1 t2 t3 t4")))
+    assert(got((1L, 4L)) == ((4L, "t4 t5 t6 t7")))
+    assert(got((1L, 7L)) == ((4L, "t7 t8 t9 t10")))
+    // short docs: exactly one chunk at start 1, runt width
+    assert(got((2L, 1L)) == ((2L, "a b")))
+    assert(got((3L, 1L)) == ((1L, "solo")))
+    assert(got.size == 5)
+
+    // tail NOT on the grid: 9 tokens, window 4, stride 3 → 1, 4 grid + 6 tail
+    val nine = Seq((9L, (1 to 9).map(i => s"x$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val tails = CorpusOps.chunkTokens(nine, "doc_id", "text", 4, 3)
+      .collect().map(r => r.getLong(1)).sorted.toSeq
+    assert(tails == Seq(1L, 4L, 6L))
+
+    // narrow plan: no exchange anywhere
+    val plan = CorpusOps.chunkTokens(docs, "doc_id", "text", 4, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
   test("discQuantiles returns the exact rank-ceil(p*n/100) values per group") {
     // group g: values 1..10 → p50 = rank 5 = 5, p90 = rank 9 = 9,
     // p99 = rank ceil(9.9)=10 → 10; duplicates collapse into the histogram
