@@ -1276,6 +1276,13 @@ object SparkEntry {
           coalesce(col("day_ms"), lit(-1L)).as("day_ms"),
           col("n"), col("sum_cents"))),
 
+    // Temperature-scaled mixture weights (α=0.7, budget 100k docs):
+    // per-source shares ∝ n^α — the small-source upweighting recipe. One
+    // tiny count aggregate; pow rounds to micro-units before any sum.
+    "q104_mixture_weights" -> ((s, dir) =>
+      operators.CorpusOps.temperatureWeights(t(s, dir, "documents"),
+        "source", alpha = 0.7, budget = 100000L)),
+
     // Grouped top-k (A8 at group granularity): rank()<=k over a window
     // triggers Catalyst's WindowGroupLimit rewrite — each map task keeps
     // only its local top-k per group BEFORE the shuffle, so the exchange
@@ -3846,6 +3853,21 @@ object SparkEntry {
         |    epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day_ms,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events)
         |GROUP BY ROLLUP(event_type, day_ms)""".stripMargin,
+
+    // Same pinned pipeline: one pow per source → micro round → integer
+    // normalization (both engines' libm pow on identical integer inputs).
+    "q104_mixture_weights" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        | FROM documents GROUP BY 1),
+        |u AS (SELECT source, n_docs,
+        |  CAST(round(pow(CAST(n_docs AS DOUBLE), 0.7) * 1000000.0) AS BIGINT)
+        |    AS u_micro FROM c),
+        |g AS (SELECT CAST(sum(u_micro) AS BIGINT) AS u_total FROM u)
+        |SELECT source, n_docs,
+        |  CAST((u_micro * 1000000) // u_total AS BIGINT) AS share_ppm,
+        |  CAST(((u_micro * 1000000) // u_total) * 100000 // 1000000 AS BIGINT)
+        |    AS quota
+        |FROM u CROSS JOIN g""".stripMargin,
 
     "q98_grouped_topk" ->
       """SELECT o_orderpriority, o_orderkey,

@@ -188,6 +188,39 @@ object CorpusOps {
     df.where(
       substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 2) < boundCol)
 
+  /** Temperature-scaled mixture weights — the multilingual/multi-source
+    * sampling recipe (exponentiated counts, mT5/XLM-R style: share_s ∝
+    * n_s^α with α < 1 upweighting small sources): per-source document
+    * counts raise to α, normalize to parts-per-million shares, and cut a
+    * document budget into per-source quotas. Feed the shares to
+    * [[mixtureSample]]/[[weightedSample]] to materialize the draw.
+    *
+    * Scale: one map-side-combined count aggregate (sources are few);
+    * everything after runs on the tiny source frame.
+    *
+    * Exactness: the single transcendental (pow) evaluates once per source
+    * and rounds to integer micro-units immediately (the q72 rule); shares
+    * and quotas are truncating integer divisions of LONG sums, so the
+    * table hash-gates. Quotas sum to ≤ budget (truncation never
+    * over-allocates). Range envelope: share_ppm's intermediate
+    * `u_micro · 10^6` needs u_micro < 9.2e12, i.e. per-source counts
+    * under ~10^9 at α=0.7 (10^16 at α=0.5) — beyond that, drop the micro
+    * scaling to e3 at the call site. */
+  def temperatureWeights(df: DataFrame, srcCol: String, alpha: Double,
+      budget: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0 && budget > 0)
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("u_micro",
+        round(pow(col("n_docs").cast("double"), lit(alpha)) * lit(1000000.0))
+          .cast("long"))
+    counts
+      .withColumn("u_total",
+        sum(col("u_micro")).over(Window.partitionBy()))
+      .withColumn("share_ppm", expr("(u_micro * 1000000) div u_total"))
+      .withColumn("quota", expr(s"(share_ppm * ${budget}L) div 1000000"))
+      .select(col(srcCol), col("n_docs"), col("share_ppm"), col("quota"))
+  }
+
   /** Weighted reservoir sampling without replacement (Efraimidis &
     * Spirakis 2006, algorithm A-ES): per group, keep the k items
     * maximizing u^(1/w) — each item's inclusion probability is then

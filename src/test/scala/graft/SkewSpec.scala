@@ -101,6 +101,41 @@ class SkewSpec extends SparkSpec {
     assert(nPairs == 20L * 19 / 2, s"got $nPairs pairs") // 190, not 79800
   }
 
+  test("bigram LM: a stop-word context dominating the corpus stays exact") {
+    // natural-language skew: 'the' precedes half of all tokens, so the
+    // context-count join key is massively hot. The model-side frames are
+    // VOCABULARY-bounded aggregates (the hot context collapses to one row
+    // before any join), so the scoring join is hot only on the probe side
+    // — a broadcast/AQE concern, never a correctness one. Gate exactness
+    // against the sequential model.
+    val docs = (0L until 400L).map { i =>
+      val w = Seq("the", s"w${i % 17}", "the", s"w${(i * 3) % 11}",
+        "the", s"w${(i * 7) % 5}")
+      (i, w.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = operators.NgramLm
+      .perplexityScore(df, df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // independent sequential model (same add-one bigram arithmetic)
+    def pairs(t: String) =
+      ("<s>" +: t.split(" ").toSeq).sliding(2).map(p => (p(0), p(1))).toSeq
+    val tp = docs.flatMap(d => pairs(d._2))
+    val cb = tp.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cu = tp.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val v = tp.map(_._2).distinct.size.toLong + 1
+    docs.foreach { case (id, t) =>
+      val lps = pairs(t).map(p => math.round(math.log(
+        (cb(p) + 1).toDouble / (cu(p._1) + v).toDouble) * 1e6))
+      assert(got(id) == -lps.sum / lps.size, s"doc $id")
+    }
+    // the lever: the hot context is ONE row in the context-count frame
+    val cuFrame = df.select(
+        explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+      .groupBy("t").count()
+    assert(cuFrame.where(col("t") === "the").count() == 1L)
+  }
+
   test("hot-key aggregation combines map-side before the shuffle") {
     // 90% of rows on one key: partial aggregation must reduce the hot key
     // to one row per map partition before the exchange

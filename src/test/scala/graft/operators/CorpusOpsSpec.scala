@@ -230,6 +230,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
 
+  test("temperatureWeights: α<1 upweights small sources, quotas never overspend") {
+    val df = (Seq.fill(800)("big") ++ Seq.fill(100)("mid") ++ Seq.fill(8)("tiny"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "source")
+    val got = CorpusOps.temperatureWeights(df, "source", alpha = 0.5, budget = 1000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // sequential reference
+    val ns = Map("big" -> 800L, "mid" -> 100L, "tiny" -> 8L)
+    val us = ns.map { case (k, n) => k -> math.round(math.pow(n.toDouble, 0.5) * 1e6) }
+    val tot = us.values.sum
+    ns.keys.foreach { k =>
+      val share = us(k) * 1000000L / tot
+      assert(got(k) == ((ns(k), share, share * 1000L / 1000000L)), k)
+    }
+    // the temperature effect: tiny's share exceeds its raw proportion
+    assert(got("tiny")._2 > 8L * 1000000L / 908L)
+    assert(got.values.map(_._3).sum <= 1000L, "quotas must not overspend")
+  }
+
   test("discQuantiles returns the exact rank-ceil(p*n/100) values per group") {
     // group g: values 1..10 → p50 = rank 5 = 5, p90 = rank 9 = 9,
     // p99 = rank ceil(9.9)=10 → 10; duplicates collapse into the histogram
