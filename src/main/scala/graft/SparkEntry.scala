@@ -1276,6 +1276,19 @@ object SparkEntry {
           coalesce(col("day_ms"), lit(-1L)).as("day_ms"),
           col("n"), col("sum_cents"))),
 
+    // Aho–Corasick blocklist filter (the C4 banned-word rule: any hit
+    // blocks): one automaton pass per document counts ALL occurrences
+    // (overlaps + nested suffixes included) of the whole pattern set.
+    "q105_blocklist" -> ((s, dir) => {
+      functions.Blocklist.register(s)
+      t(s, dir, "documents").select(col("doc_id"),
+        functions.Blocklist.blocklistHits(
+          trim(lower(col("text"))), blocklistPats).as("n_hits"),
+        functions.Blocklist.blocklistTerms(
+          trim(lower(col("text"))), blocklistPats).as("n_terms"))
+        .withColumn("blocked", col("n_hits") > lit(0L))
+    }),
+
     // Temperature-scaled mixture weights (α=0.7, budget 100k docs):
     // per-source shares ∝ n^α — the small-source upweighting recipe. One
     // tiny count aggregate; pow rounds to micro-units before any sum.
@@ -2167,6 +2180,31 @@ object SparkEntry {
     * into (0,1) by an exact power-of-two division, priority ln(u)/w, and
     * the per-language top-20 ranked window. Only membership and rank are
     * compared — the double priority never leaves either engine. */
+  /** q105's fixed pattern set — 'scan'⊃'can'⊃'an' exercises the
+    * dictionary-suffix-link chain (three hits per 'scan'). */
+  private val blocklistPats = Seq("scan", "can", "an", "row", "merge")
+
+  /** q105's oracle counts every occurrence of every pattern positionally
+    * (substring equality at each start — overlaps and nested matches
+    * included, the automaton's exact semantics). */
+  private val q105OracleSql: String = {
+    val occ = blocklistPats.zipWithIndex.map { case (p, i) =>
+      s"len(list_filter(range(1, length(t) - ${p.length} + 2), " +
+        s"i -> t[i:i+${p.length - 1}] = '$p')) AS o$i"
+    }.mkString(",\n  ")
+    val hits = blocklistPats.indices.map(i => s"o$i").mkString(" + ")
+    val terms = blocklistPats.indices
+      .map(i => s"(CASE WHEN o$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, trim(lower(text)) AS t FROM documents),
+       |o AS (SELECT doc_id,
+       |  $occ
+       | FROM d)
+       |SELECT doc_id, CAST($hits AS BIGINT) AS n_hits,
+       |  CAST($terms AS BIGINT) AS n_terms,
+       |  ($hits) > 0 AS blocked
+       |FROM o""".stripMargin
+  }
+
   /** q101's oracle replays DSIR end-to-end: each DISTINCT token runs the
     * full PolyHash64 chain (the q73 KR fold + splitMix64 finish — char
     * codes equal UTF-8 bytes on this verified-ASCII corpus), buckets by
@@ -3853,6 +3891,8 @@ object SparkEntry {
         |    epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day_ms,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events)
         |GROUP BY ROLLUP(event_type, day_ms)""".stripMargin,
+
+    "q105_blocklist" -> q105OracleSql,
 
     // Same pinned pipeline: one pow per source → micro round → integer
     // normalization (both engines' libm pow on identical integer inputs).

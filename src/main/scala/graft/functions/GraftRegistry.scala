@@ -38,6 +38,7 @@ object GraftRegistry {
       SortedLongIntersect.builders ++
       WordShingles.builders ++
       HashedClassifier.builders ++
+      Blocklist.builders ++
       graft.agg.HllSketch.builders ++
       graft.agg.CountMinSketch.builders ++
       graft.agg.BloomSketch.builders ++
