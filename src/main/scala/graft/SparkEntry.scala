@@ -1276,6 +1276,37 @@ object SparkEntry {
           coalesce(col("day_ms"), lit(-1L)).as("day_ms"),
           col("n"), col("sum_cents"))),
 
+    // Composed pre-dedup filter stack (the RefinedWeb/C4 cleaning DAG's
+    // scalar stage): blocklist + entropy + the Gopher rule bundle as ONE
+    // decision table over ONE scan — every signal is codegen'd scalar
+    // work, so the whole stack costs a single pass at 100 TB (the spec
+    // pins zero exchanges and one parquet scan).
+    "q107_filter_stack" -> ((s, dir) => {
+      functions.Blocklist.register(s)
+      functions.CharEntropyFn.register(s)
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"),
+        functions.Blocklist.blocklistHits(
+          trim(lower(col("text"))), blocklistPats).as("n_hits"),
+        functions.CharEntropyFn.charEntropy(col("text")).as("entropy_micro"))
+      operators.GopherRules.decisions(base, "doc_id", "text",
+          minWords = 20L, carry = Seq("n_hits", "entropy_micro"))
+        .select(col("doc_id"), (col("n_hits") === 0L).as("ok_blocklist"),
+          (col("entropy_micro") >= 2500000L).as("ok_entropy"),
+          col("pass").as("ok_gopher"))
+        .withColumn("keep",
+          col("ok_blocklist") && col("ok_entropy") && col("ok_gopher"))
+    }),
+
+    // Character-entropy quality signal (compression-ratio proxy): one
+    // byte-histogram pass per document, entropy in integer micro-nats.
+    "q106_char_entropy" -> ((s, dir) => {
+      functions.CharEntropyFn.register(s)
+      t(s, dir, "documents").select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_actual"),
+        functions.CharEntropyFn.charEntropy(col("text")).as("entropy_micro"))
+        .withColumn("low_entropy", col("entropy_micro") < lit(2500000L))
+    }),
+
     // Aho–Corasick blocklist filter (the C4 banned-word rule: any hit
     // blocks): one automaton pass per document counts ALL occurrences
     // (overlaps + nested suffixes included) of the whole pattern set.
@@ -2204,6 +2235,65 @@ object SparkEntry {
        |  ($hits) > 0 AS blocked
        |FROM o""".stripMargin
   }
+
+  private val q93OracleSql: String =
+      """WITH d AS (
+        | SELECT doc_id, text,
+        |  regexp_split_to_array(trim(text), '\s+') AS words,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+        |  CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS BIGINT) AS n_chars,
+        |  string_split(text, chr(10)) AS lines
+        | FROM documents),
+        |r AS (
+        | SELECT doc_id,
+        |  (n_words >= 20 AND n_words <= 100000) AS ok_word_count,
+        |  (n_chars >= n_words * 3 AND n_chars <= n_words * 10) AS ok_mean_word_len,
+        |  ((CAST(length(text) - length(regexp_replace(text, '#', '', 'g')) AS BIGINT)
+        |    + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT))
+        |    * 10 <= n_words) AS ok_symbol_ratio,
+        |  (CAST(len(list_filter(lines, l -> starts_with(trim(l), '-')
+        |      OR starts_with(trim(l), '*'))) AS BIGINT) * 10
+        |    <= CAST(len(lines) AS BIGINT) * 9) AS ok_bullet_lines,
+        |  (CAST(len(list_filter(lines, l -> trim(l) LIKE '%...')) AS BIGINT) * 10
+        |    <= CAST(len(lines) AS BIGINT) * 3) AS ok_ellipsis_lines,
+        |  (CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+        |    * 10 >= n_words * 8) AS ok_alpha_words,
+        |  (CAST(len(list_intersect(
+        |      list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')),
+        |      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS BIGINT)
+        |    >= 2) AS ok_stop_words
+        | FROM d)
+        |SELECT doc_id, ok_word_count, ok_mean_word_len, ok_symbol_ratio,
+        |  ok_bullet_lines, ok_ellipsis_lines, ok_alpha_words, ok_stop_words,
+        |  (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+        |   AND ok_bullet_lines AND ok_ellipsis_lines AND ok_alpha_words
+        |   AND ok_stop_words) AS pass
+        |FROM r""".stripMargin
+
+  private val q106OracleSql: String =
+      """WITH d AS (SELECT doc_id, text AS t, length(text) AS n FROM documents),
+        |ix AS (SELECT doc_id, n, t, unnest(range(1, n + 1)) AS i FROM d),
+        |cnt AS (SELECT doc_id, n, t[i:i] AS c, count(*) AS nc
+        | FROM ix GROUP BY 1, 2, 3),
+        |e AS (SELECT doc_id, CAST(sum(CAST(round(
+        |    CAST(nc AS DOUBLE) * (ln(CAST(n AS DOUBLE)) - ln(CAST(nc AS DOUBLE)))
+        |      * 1000000.0 / CAST(n AS DOUBLE)) AS BIGINT)) AS BIGINT)
+        |  AS entropy_micro
+        | FROM cnt GROUP BY 1)
+        |SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_chars_actual,
+        |  e.entropy_micro, e.entropy_micro < 2500000 AS low_entropy
+        |FROM d JOIN e USING (doc_id)""".stripMargin
+
+  /** q107's oracle: the three family oracles (Gopher table, blocklist
+    * census, entropy census) joined as subqueries — row-level equality of
+    * each fragment makes the conjunction exact. */
+  private val q107OracleSql: String =
+    s"""SELECT g.doc_id, b.n_hits = 0 AS ok_blocklist,
+       |  e.entropy_micro >= 2500000 AS ok_entropy, g.pass AS ok_gopher,
+       |  ((b.n_hits = 0) AND e.entropy_micro >= 2500000 AND g.pass) AS keep
+       |FROM ($q93OracleSql) g
+       |JOIN ($q105OracleSql) b USING (doc_id)
+       |JOIN ($q106OracleSql) e USING (doc_id)""".stripMargin
 
   /** q101's oracle replays DSIR end-to-end: each DISTINCT token runs the
     * full PolyHash64 chain (the q73 KR fold + splitMix64 finish — char
@@ -3892,6 +3982,13 @@ object SparkEntry {
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events)
         |GROUP BY ROLLUP(event_type, day_ms)""".stripMargin,
 
+    // Character census → per-term pinned pipeline
+    // round(n_c · (ln n − ln n_c) · 10^6 / n), integer-summed: the same
+    // left-associative double chain the expression's byte walk runs.
+    "q107_filter_stack" -> q107OracleSql,
+
+    "q106_char_entropy" -> q106OracleSql,
+
     "q105_blocklist" -> q105OracleSql,
 
     // Same pinned pipeline: one pow per source → micro round → integer
@@ -4031,39 +4128,7 @@ object SparkEntry {
     // match Spark's replace-all; the corpus has no newlines, so the line
     // splits agree despite trailing-empty semantics differing (the
     // synthetic-text line rules are pinned engine-side in GopherRulesSpec).
-    "q93_gopher_rules" ->
-      """WITH d AS (
-        | SELECT doc_id, text,
-        |  regexp_split_to_array(trim(text), '\s+') AS words,
-        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
-        |  CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS BIGINT) AS n_chars,
-        |  string_split(text, chr(10)) AS lines
-        | FROM documents),
-        |r AS (
-        | SELECT doc_id,
-        |  (n_words >= 20 AND n_words <= 100000) AS ok_word_count,
-        |  (n_chars >= n_words * 3 AND n_chars <= n_words * 10) AS ok_mean_word_len,
-        |  ((CAST(length(text) - length(regexp_replace(text, '#', '', 'g')) AS BIGINT)
-        |    + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT))
-        |    * 10 <= n_words) AS ok_symbol_ratio,
-        |  (CAST(len(list_filter(lines, l -> starts_with(trim(l), '-')
-        |      OR starts_with(trim(l), '*'))) AS BIGINT) * 10
-        |    <= CAST(len(lines) AS BIGINT) * 9) AS ok_bullet_lines,
-        |  (CAST(len(list_filter(lines, l -> trim(l) LIKE '%...')) AS BIGINT) * 10
-        |    <= CAST(len(lines) AS BIGINT) * 3) AS ok_ellipsis_lines,
-        |  (CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
-        |    * 10 >= n_words * 8) AS ok_alpha_words,
-        |  (CAST(len(list_intersect(
-        |      list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')),
-        |      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS BIGINT)
-        |    >= 2) AS ok_stop_words
-        | FROM d)
-        |SELECT doc_id, ok_word_count, ok_mean_word_len, ok_symbol_ratio,
-        |  ok_bullet_lines, ok_ellipsis_lines, ok_alpha_words, ok_stop_words,
-        |  (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
-        |   AND ok_bullet_lines AND ok_ellipsis_lines AND ok_alpha_words
-        |   AND ok_stop_words) AS pass
-        |FROM r""".stripMargin,
+    "q93_gopher_rules" -> q93OracleSql,
 
     "q92_fuzzy_join" ->
       """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey % 4 = 0)

@@ -109,6 +109,52 @@ final class AhoCorasick(patterns: Seq[String]) extends Serializable {
   }
 }
 
+/** Shannon character entropy in integer micro-nats — the cheap
+  * compression-ratio proxy for gibberish/binary-spill detection (low
+  * entropy = repeated filler, high = random bytes; natural text sits in a
+  * band). ONE byte pass builds a 256-bucket histogram, then ≤256 log
+  * terms: each term is the pinned pipeline
+  * round(n_b · (ln n − ln n_b) · 10^6 / n) — integer-summed, so the
+  * result is exact-per-input and a positional SQL oracle replays it.
+  * Byte entropy ≡ character entropy on ASCII; on multi-byte text it is
+  * byte-level (deterministic either way, documented). */
+object CharEntropyOps {
+  def entropyMicroNats(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n == 0) return 0L
+    val hist = new Array[Int](256)
+    var i = 0
+    while (i < n) { hist(bytes(i) & 0xff) += 1; i += 1 }
+    val lnN = math.log(n.toDouble)
+    var total = 0L
+    var b = 0
+    while (b < 256) {
+      val c = hist(b)
+      if (c > 0)
+        total += math.round(c * (lnN - math.log(c.toDouble)) * 1000000.0 / n)
+      b += 1
+    }
+    total
+  }
+}
+
+/** Codegen scalar wrapper for [[CharEntropyOps.entropyMicroNats]]. */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "char_entropy"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharEntropyOps.entropyMicroNats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CharEntropyOps.entropyMicroNats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
 /** Codegen scalar: total blocklist occurrences in the input string. */
 case class BlocklistHits(child: Expression, patterns: Seq[String])
     extends UnaryExpression {
@@ -152,6 +198,18 @@ case class BlocklistTerms(child: Expression, patterns: Seq[String])
 
   override protected def withNewChildInternal(newChild: Expression): BlocklistTerms =
     copy(child = newChild)
+}
+
+object CharEntropyFn {
+  private[graft] val builders: GraftRegistry.Builders = Seq(
+    "graft_char_entropy" -> (exprs => CharEntropy(exprs.head)))
+
+  def register(spark: SparkSession): Unit =
+    GraftRegistry.registerTemp(spark, builders)
+
+  /** Column helper; requires `register(spark)`. */
+  def charEntropy(c: Column): Column =
+    call_function("graft_char_entropy", c)
 }
 
 object Blocklist {

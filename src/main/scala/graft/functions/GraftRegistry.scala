@@ -39,6 +39,7 @@ object GraftRegistry {
       WordShingles.builders ++
       HashedClassifier.builders ++
       Blocklist.builders ++
+      CharEntropyFn.builders ++
       graft.agg.HllSketch.builders ++
       graft.agg.CountMinSketch.builders ++
       graft.agg.BloomSketch.builders ++

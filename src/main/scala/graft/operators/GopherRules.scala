@@ -31,9 +31,14 @@ object GopherRules {
   val stopWords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  /** Decision table: doc_id, the per-rule booleans, and `pass`. */
+  /** Decision table: doc_id, the per-rule booleans, and `pass`. `carry`
+    * names input columns to pass through unchanged — how the composed
+    * filter stack (q107) keeps sibling-family signals (blocklist hits,
+    * entropy) riding the SAME single scan instead of re-reading the
+    * corpus per family. */
   def decisions(docs: DataFrame, idCol: String, textCol: String,
-      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      carry: Seq[String] = Nil): DataFrame = {
     val text = col(textCol)
     val words = TextFunctions.tokens(text)
     val nWords = size(words).cast("long")
@@ -54,7 +59,7 @@ object GopherRules {
     val distinctStops = size(array_intersect(
       array_distinct(TextFunctions.tokens(lower(text))), stopArr)).cast("long")
 
-    docs.select(col(idCol),
+    docs.select((col(idCol) +: carry.map(col)) ++ Seq(
       (nWords >= minWords && nWords <= maxWords).as("ok_word_count"),
       // 3 ≤ chars/words ≤ 10, integers: 3·words ≤ chars ≤ 10·words
       (nChars >= nWords * 3L && nChars <= nWords * 10L).as("ok_mean_word_len"),
@@ -62,7 +67,7 @@ object GopherRules {
       (bulletLines * 10L <= nLines * 9L).as("ok_bullet_lines"),
       (ellipsisLines * 10L <= nLines * 3L).as("ok_ellipsis_lines"),
       (alphaWords * 10L >= nWords * 8L).as("ok_alpha_words"),
-      (distinctStops >= 2L).as("ok_stop_words"))
+      (distinctStops >= 2L).as("ok_stop_words")): _*)
       .withColumn("pass",
         col("ok_word_count") && col("ok_mean_word_len") &&
           col("ok_symbol_ratio") && col("ok_bullet_lines") &&

@@ -57,6 +57,35 @@ class BlocklistSpec extends SparkSpec {
     }
   }
 
+  /** Sequential entropy reference mirroring the expression's exact
+    * double pipeline. */
+  private def refEntropy(t: String): Long = {
+    val bytes = t.getBytes("UTF-8")
+    if (bytes.isEmpty) return 0L
+    val n = bytes.length
+    bytes.groupBy(identity).values.map { g =>
+      val c = g.length
+      math.round(c * (math.log(n.toDouble) - math.log(c.toDouble)) * 1e6 / n)
+    }.sum
+  }
+
+  test("char entropy: constant text 0, uniform text ln(k), matches reference") {
+    CharEntropyFn.register(spark)
+    val texts = Seq("aaaaaaaa", "abcdabcd", "the quick brown fox", "", "x")
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select(col("id"), CharEntropyFn.charEntropy(col("t")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == refEntropy(t), s"text '$t'")
+    }
+    assert(got(0L) == 0L, "constant text has zero entropy")
+    // 4 equiprobable symbols → ln 4 ≈ 1.386294 nats (±1 micro-nat
+    // rounding per symbol term)
+    assert(math.abs(got(1L) - 1386294L) <= 4L)
+    assert(got(3L) == 0L, "empty text")
+  }
+
   test("stays inside whole-stage codegen") {
     Blocklist.register(spark)
     // non-foldable input (a literal row folds to LocalTableScan at plan

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class GopherRulesSpec extends SparkSpec {
   import spark.implicits._
@@ -47,5 +48,27 @@ class GopherRulesSpec extends SparkSpec {
     val got = GopherRules.decisions(docs, "doc_id", "text", minWords = 10L)
       .select("doc_id", "ok_mean_word_len").as[(Long, Boolean)].collect().toMap
     assert(got(1L) && got(2L))
+  }
+
+  test("composed filter stack runs as ONE scan with zero exchanges") {
+    graft.functions.Blocklist.register(spark)
+    graft.functions.CharEntropyFn.register(spark)
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val base = docs.select(col("doc_id"), col("text"),
+      graft.functions.Blocklist.blocklistHits(
+        trim(lower(col("text"))), Seq("scan", "row")).as("n_hits"),
+      graft.functions.CharEntropyFn.charEntropy(col("text")).as("entropy_micro"))
+    val stack = GopherRules.decisions(base, "doc_id", "text",
+        minWords = 20L, carry = Seq("n_hits", "entropy_micro"))
+      .withColumn("keep", col("pass") && col("n_hits") === 0L &&
+        col("entropy_micro") >= 2500000L)
+    val plan = stack.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"stack must not shuffle:\n${plan.take(1500)}")
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"stack must read the corpus once:\n${plan.take(1500)}")
+    // carried columns survive next to the rule booleans
+    assert(stack.columns.toSet.contains("n_hits") &&
+      stack.columns.contains("entropy_micro"))
+    assert(stack.count() > 0)
   }
 }
