@@ -1276,6 +1276,28 @@ object SparkEntry {
           coalesce(col("day_ms"), lit(-1L)).as("day_ms"),
           col("n"), col("sum_cents"))),
 
+    // Sliding-window distinct users by HLL slice→range merge: hourly
+    // sketches aggregate the corpus ONCE, then every 6h window merges its
+    // six covering slices by register max (HllMergeAgg) — m bytes per
+    // slice through the window exchange instead of re-scanning events per
+    // window. Slice-merged registers are byte-identical to direct
+    // aggregation (pinned in HllSketchSpec), and the oracle rebuilds every
+    // window's registers from the raw rows.
+    "q108_sliding_distinct" -> ((s, dir) => {
+      agg.HllSketch.register(s)
+      val hourly = ev(s, dir)
+        .withColumn("hour_ms", col("ts_ms") - col("ts_ms") % 3600000L)
+        .groupBy(col("hour_ms"))
+        .agg(agg.HllSketch.hllRegisters(col("user_id"), p = 12).as("hll"))
+      hourly
+        .select(col("hour_ms"), col("hll"),
+          explode(sequence(lit(0L), lit(5L))).as("k"))
+        .select((col("hour_ms") - col("k") * lit(3600000L))
+          .as("window_start_ms"), col("hll"))
+        .groupBy(col("window_start_ms"))
+        .agg(agg.HllSketch.hllMerge(col("hll"), p = 12).as("hll"))
+    }),
+
     // Composed pre-dedup filter stack (the RefinedWeb/C4 cleaning DAG's
     // scalar stage): blocklist + entropy + the Gopher rule bundle as ONE
     // decision table over ONE scan — every signal is codegen'd scalar
@@ -2283,6 +2305,45 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_chars_actual,
         |  e.entropy_micro, e.entropy_micro < 2500000 AS low_entropy
         |FROM d JOIN e USING (doc_id)""".stripMargin
+
+  /** q108's oracle: the q62 register rebuild with the group key swapped
+    * for the window start — each event lands in its six covering windows,
+    * then per-(window, bucket) max rank over the full 4096-register grid.
+    * Slice merging has no oracle-side counterpart BECAUSE register max is
+    * associative: direct per-window rebuild IS the slice-merged state. */
+  private val q108OracleSql: String = {
+    val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
+    val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
+    val wMask = (1L << 52) - 1
+    s"""WITH v AS (
+       | SELECT (epoch_ms(ts) - epoch_ms(ts) % 3600000) - t.k * 3600000 AS w,
+       |  CAST(user_id AS VARCHAR) AS s
+       | FROM events, range(0, 6) t(k)),
+       |k AS (
+       | SELECT w, list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |   list_transform(range(1, length(s)+1), i -> CAST(unicode(s[i]) AS HUGEINT))),
+       |   (a,b) -> (a*257+b) % 2305843009213693951) AS h
+       | FROM v),
+       |s0 AS (SELECT w,
+       |  CAST((h + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z0 FROM k),
+       |s1 AS (SELECT w, $z1 AS z1 FROM s0),
+       |s2 AS (SELECT w, $z2 AS z2 FROM s1),
+       |hh AS (SELECT w, xor(z2, z2 >> 31) AS z FROM s2),
+       |r AS (
+       | SELECT w, CAST(z >> 52 AS BIGINT) AS bucket,
+       |  CASE WHEN (z & CAST($wMask AS UBIGINT)) = 0 THEN 53
+       |       ELSE 53 - length(bin(z & CAST($wMask AS UBIGINT))) END AS rank
+       | FROM hh),
+       |mx AS (SELECT w, bucket, max(rank) AS mr FROM r GROUP BY 1, 2),
+       |grid AS (
+       | SELECT g.w, t.b AS bucket, coalesce(mx.mr, 0) AS mr
+       | FROM (SELECT DISTINCT w FROM v) g
+       | CROSS JOIN range(0, 4096) t(b)
+       | LEFT JOIN mx ON mx.w = g.w AND mx.bucket = t.b)
+       |SELECT w AS window_start_ms,
+       | string_agg(lpad(lower(hex(mr)), 2, '0'), '' ORDER BY bucket) AS hll
+       |FROM grid GROUP BY w""".stripMargin
+  }
 
   /** q107's oracle: the three family oracles (Gopher table, blocklist
     * census, entropy census) joined as subqueries — row-level equality of
@@ -3985,6 +4046,8 @@ object SparkEntry {
     // Character census → per-term pinned pipeline
     // round(n_c · (ln n − ln n_c) · 10^6 / n), integer-summed: the same
     // left-associative double chain the expression's byte walk runs.
+    "q108_sliding_distinct" -> q108OracleSql,
+
     "q107_filter_stack" -> q107OracleSql,
 
     "q106_char_entropy" -> q106OracleSql,

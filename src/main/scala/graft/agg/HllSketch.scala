@@ -88,9 +88,76 @@ case class HllRegistersAgg(child: Expression, p: Int,
     copy(child = c.head)
 }
 
+/** Re-aggregation of STORED sketches: unions hex-rendered register
+  * strings (the [[HllRegistersAgg]] output) by register max. This is the
+  * production slice→range pattern — aggregate each hour/partition ONCE,
+  * store the sketch next to the key, and answer any ad-hoc window by
+  * merging the covering slices (m bytes each) instead of rescanning the
+  * events. Same state, same eval rendering, so slice-merged output is
+  * byte-identical to direct aggregation over the union of rows. */
+case class HllMergeAgg(child: Expression, p: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+  require(p >= 4 && p <= 16, s"p=$p out of range")
+  private val m = 1 << p
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "hll_merge"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], row: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[Byte] = {
+    val v = child.eval(row)
+    if (v != null) {
+      val hex = v.asInstanceOf[UTF8String].toString
+      require(hex.length == 2 * m, s"sketch length ${hex.length} != ${2 * m}")
+      var i = 0
+      while (i < m) {
+        val r = (Character.digit(hex.charAt(2 * i), 16) << 4 |
+          Character.digit(hex.charAt(2 * i + 1), 16)).toByte
+        if (r > buf(i)) buf(i) = r
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    val sb = new java.lang.StringBuilder(2 * m)
+    var i = 0
+    while (i < m) {
+      val v = buf(i) & 0xff
+      sb.append(Character.forDigit(v >> 4, 16)).append(Character.forDigit(v & 15, 16))
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(off: Int): HllMergeAgg =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): HllMergeAgg =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(child = c.head)
+}
+
 object HllSketch {
   private[graft] val builders: graft.functions.GraftRegistry.Builders = Seq(
     "graft_hll_registers" -> (exprs => HllRegistersAgg(exprs.head,
+      exprs(1).eval(null).toString.toInt).toAggregateExpression()),
+    "graft_hll_merge" -> (exprs => HllMergeAgg(exprs.head,
       exprs(1).eval(null).toString.toInt).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit =
@@ -100,6 +167,12 @@ object HllSketch {
     * input. Requires `register(spark)`. */
   def hllRegisters(c: Column, p: Int): Column =
     call_function("graft_hll_registers", c.cast("string"),
+      org.apache.spark.sql.functions.lit(p))
+
+  /** Aggregate column: register-max union of stored sketch strings.
+    * Requires `register(spark)`. */
+  def hllMerge(c: Column, p: Int): Column =
+    call_function("graft_hll_merge", c,
       org.apache.spark.sql.functions.lit(p))
 
   /** Parses an `hllRegisters` hex string back to registers. */

@@ -95,6 +95,26 @@ class HllSketchSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("slice-merged sketches equal direct aggregation over the union") {
+    HllSketch.register(spark)
+    // 9 hourly slices, users overlapping across hours
+    val rows = (0 until 900).map(i =>
+      (i % 9L, s"user${(i * 7) % 140}")).toDF("hour", "v")
+    val slices = rows.groupBy(col("hour"))
+      .agg(HllSketch.hllRegisters(col("v"), p).as("hll"))
+    // window = hours {0,1,2} vs direct aggregation of those hours' rows
+    val merged = slices.where(col("hour") < 3)
+      .agg(HllSketch.hllMerge(col("hll"), p)).collect().head.getString(0)
+    val direct = rows.where(col("hour") < 3)
+      .agg(HllSketch.hllRegisters(col("v"), p)).collect().head.getString(0)
+    assert(merged == direct,
+      "slice->range merge must be byte-identical to direct aggregation")
+    // and the merge is partition-order independent
+    val merged13 = slices.where(col("hour") < 3).repartition(13)
+      .agg(HllSketch.hllMerge(col("hll"), p)).collect().head.getString(0)
+    assert(merged13 == merged)
+  }
+
   test("null inputs are ignored; empty group renders all-zero registers") {
     HllSketch.register(spark)
     val df = Seq(Some("x"), None, Some("y"), None).toDF("v")
