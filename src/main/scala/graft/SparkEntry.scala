@@ -1276,6 +1276,28 @@ object SparkEntry {
           coalesce(col("day_ms"), lit(-1L)).as("day_ms"),
           col("n"), col("sum_cents"))),
 
+    // Sliding-window frequency sketches by Count-Min slice→range ADD: the
+    // q108 pattern with + instead of max — hourly counter sketches scan
+    // the stream once, every 6h window sums its six covering slices
+    // cell-wise (CountMinMergeAgg). Point queries against the merged
+    // window sketch never underestimate true in-window frequency.
+    "q109_sliding_freq" -> ((s, dir) => {
+      agg.CountMinSketch.register(s)
+      val hourly = ev(s, dir)
+        .withColumn("hour_ms", col("ts_ms") - col("ts_ms") % 3600000L)
+        .groupBy(col("hour_ms"))
+        .agg(agg.CountMinSketch.countMin(col("user_id"),
+          depth = 4, width = 1024).as("cm"))
+      hourly
+        .select(col("hour_ms"), col("cm"),
+          explode(sequence(lit(0L), lit(5L))).as("k"))
+        .select((col("hour_ms") - col("k") * lit(3600000L))
+          .as("window_start_ms"), col("cm"))
+        .groupBy(col("window_start_ms"))
+        .agg(agg.CountMinSketch.countMinMerge(col("cm"),
+          depth = 4, width = 1024).as("cm"))
+    }),
+
     // Sliding-window distinct users by HLL slice→range merge: hourly
     // sketches aggregate the corpus ONCE, then every 6h window merges its
     // six covering slices by register max (HllMergeAgg) — m bytes per
@@ -2343,6 +2365,38 @@ object SparkEntry {
        |SELECT w AS window_start_ms,
        | string_agg(lpad(lower(hex(mr)), 2, '0'), '' ORDER BY bucket) AS hll
        |FROM grid GROUP BY w""".stripMargin
+  }
+
+  /** q109's oracle: the q63 cell rebuild keyed by covering window —
+    * cell-wise slice ADDITION has no oracle counterpart because counter
+    * sums are associative: the direct per-window census IS the
+    * slice-summed state. */
+  private val q109OracleSql: String = {
+    val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
+    val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
+    s"""WITH v AS (
+       | SELECT (epoch_ms(ts) - epoch_ms(ts) % 3600000) - t.k * 3600000 AS w,
+       |  CAST(r.r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR) AS s, r.r
+       | FROM events, range(0, 6) t(k), range(0, 4) r(r)),
+       |k AS (
+       | SELECT w, r, list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |   list_transform(range(1, length(s)+1), i -> CAST(unicode(s[i]) AS HUGEINT))),
+       |   (a,b) -> (a*257+b) % 2305843009213693951) AS h
+       | FROM v),
+       |s0 AS (SELECT w, r,
+       |  CAST((h + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z0 FROM k),
+       |s1 AS (SELECT w, r, $z1 AS z1 FROM s0),
+       |s2 AS (SELECT w, r, $z2 AS z2 FROM s1),
+       |hh AS (SELECT w, r, xor(z2, z2 >> 31) AS z FROM s2),
+       |cells AS (
+       | SELECT w,
+       |  r * 1024 + CAST(z & CAST(1023 AS UBIGINT) AS BIGINT) AS idx,
+       |  count(*) AS c
+       | FROM hh GROUP BY 1, 2)
+       |SELECT w AS window_start_ms,
+       | string_agg(CAST(idx AS VARCHAR) || ':' || CAST(c AS VARCHAR), ','
+       |   ORDER BY idx) AS cm
+       |FROM cells GROUP BY w""".stripMargin
   }
 
   /** q107's oracle: the three family oracles (Gopher table, blocklist
@@ -4046,6 +4100,8 @@ object SparkEntry {
     // Character census → per-term pinned pipeline
     // round(n_c · (ln n − ln n_c) · 10^6 / n), integer-summed: the same
     // left-associative double chain the expression's byte walk runs.
+    "q109_sliding_freq" -> q109OracleSql,
+
     "q108_sliding_distinct" -> q108OracleSql,
 
     "q107_filter_stack" -> q107OracleSql,

@@ -90,9 +90,82 @@ case class CountMinAgg(child: Expression, depth: Int, width: Int,
     copy(child = c.head)
 }
 
+/** Re-aggregation of STORED Count-Min sketches: sums the sparse
+  * "idx:count" renderings ([[CountMinAgg]] output) cell-wise — counters
+  * are sums, so slice sketches ADD into range sketches exactly (the
+  * [[HllMergeAgg]] pattern with + instead of max): aggregate each
+  * hour/partition once, answer any window by adding its covering slices. */
+case class CountMinMergeAgg(child: Expression, depth: Int, width: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+  require(depth >= 1 && depth <= 8 && width >= 16)
+  private val cells = depth * width
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "count_min_merge"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](cells)
+
+  override def update(buf: Array[Long], row: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[Long] = {
+    val v = child.eval(row)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String].toString
+      if (s.nonEmpty) s.split(',').foreach { kv =>
+        val c = kv.indexOf(':')
+        val idx = java.lang.Integer.parseInt(kv.substring(0, c))
+        require(idx < cells, s"cell $idx out of range for $depth x $width")
+        buf(idx) += java.lang.Long.parseLong(kv.substring(c + 1))
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < cells) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < buf.length) {
+      if (buf(i) != 0L) {
+        if (sb.length > 0) sb.append(',')
+        sb.append(i).append(':').append(buf(i))
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(off: Int): CountMinMergeAgg =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): CountMinMergeAgg =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(child = c.head)
+}
+
 object CountMinSketch {
   private[graft] val builders: graft.functions.GraftRegistry.Builders = Seq(
     "graft_count_min" -> (exprs => CountMinAgg(exprs.head,
+      exprs(1).eval(null).toString.toInt,
+      exprs(2).eval(null).toString.toInt).toAggregateExpression()),
+    "graft_count_min_merge" -> (exprs => CountMinMergeAgg(exprs.head,
       exprs(1).eval(null).toString.toInt,
       exprs(2).eval(null).toString.toInt).toAggregateExpression()))
 
@@ -103,6 +176,13 @@ object CountMinSketch {
     * input. Requires `register(spark)`. */
   def countMin(c: Column, depth: Int, width: Int): Column =
     call_function("graft_count_min", c.cast("string"),
+      org.apache.spark.sql.functions.lit(depth),
+      org.apache.spark.sql.functions.lit(width))
+
+  /** Aggregate column: cell-wise SUM of stored sketch renders.
+    * Requires `register(spark)`. */
+  def countMinMerge(c: Column, depth: Int, width: Int): Column =
+    call_function("graft_count_min_merge", c,
       org.apache.spark.sql.functions.lit(depth),
       org.apache.spark.sql.functions.lit(width))
 

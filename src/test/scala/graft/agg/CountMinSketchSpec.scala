@@ -57,6 +57,25 @@ class CountMinSketchSpec extends SparkSpec {
       == refSketch(a ++ b).toSeq)
   }
 
+  test("stored-sketch re-aggregation equals direct aggregation (engine-side)") {
+    CountMinSketch.register(spark)
+    val rows = (0 until 600).map(i => (i % 6L, s"u${(i * 11) % 80}"))
+      .toDF("hour", "v")
+    val slices = rows.groupBy(col("hour"))
+      .agg(CountMinSketch.countMin(col("v"), 4, 1024).as("cm"))
+    val merged = slices.where(col("hour") < 3)
+      .agg(CountMinSketch.countMinMerge(col("cm"), 4, 1024))
+      .collect().head.getString(0)
+    val direct = rows.where(col("hour") < 3)
+      .agg(CountMinSketch.countMin(col("v"), 4, 1024))
+      .collect().head.getString(0)
+    assert(merged == direct)
+    val merged7 = slices.where(col("hour") < 3).repartition(7)
+      .agg(CountMinSketch.countMinMerge(col("cm"), 4, 1024))
+      .collect().head.getString(0)
+    assert(merged7 == direct, "merge must be partition-order independent")
+  }
+
   test("map-side partial aggregation appears in the plan") {
     CountMinSketch.register(spark)
     val df = spark.range(5000).select((col("id") % 5).as("g"),
