@@ -1276,6 +1276,18 @@ object SparkEntry {
           coalesce(col("day_ms"), lit(-1L)).as("day_ms"),
           col("n"), col("sum_cents"))),
 
+    // Last-touch attribution (J4 at metric level): every purchase credits
+    // the user's latest STRICTLY-earlier click within 7 days — one
+    // user-key window pass (range frame, no self-join), tie-broken to the
+    // smallest click id.
+    "q110_attribution" -> ((s, dir) =>
+      operators.Attribution.lastTouch(
+        ev(s, dir).select(col("user_id"), col("event_id"),
+          col("ts_ms"), col("event_type")),
+        "user_id", "event_id", "ts_ms", "event_type",
+        touchType = "click", convType = "purchase",
+        lookbackMs = 7L * 86400000L)),
+
     // Sliding-window frequency sketches by Count-Min slice→range ADD: the
     // q108 pattern with + instead of max — hourly counter sketches scan
     // the stream once, every 6h window sums its six covering slices
@@ -4100,6 +4112,31 @@ object SparkEntry {
     // Character census → per-term pinned pipeline
     // round(n_c · (ln n − ln n_c) · 10^6 / n), integer-summed: the same
     // left-associative double chain the expression's byte walk runs.
+    // Same window shape: strictly-earlier range frame for the candidate
+    // touch time, min-id tie-break on the touch join, integer lookback.
+    "q110_attribution" ->
+      """WITH e AS (SELECT user_id AS u, event_id AS id, epoch_ms(ts) AS ts,
+        |  event_type AS et FROM events
+        | WHERE event_type IN ('click', 'purchase')),
+        |c AS (SELECT u, id AS conv_id, ts AS conv_ts, last_touch_ts FROM (
+        |  SELECT u, id, ts, et,
+        |   max(CASE WHEN et = 'click' THEN ts END) OVER (PARTITION BY u
+        |     ORDER BY ts RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |     AS last_touch_ts
+        |  FROM e) WHERE et = 'purchase'),
+        |t AS (SELECT u, ts AS touch_ts, min(id) AS touch_id FROM e
+        | WHERE et = 'click' GROUP BY 1, 2),
+        |j AS (SELECT c.u, c.conv_id, c.conv_ts, t.touch_id, t.touch_ts,
+        |  (t.touch_ts IS NOT NULL
+        |   AND c.conv_ts - t.touch_ts <= 604800000) AS in_window
+        | FROM c LEFT JOIN t ON c.u = t.u AND c.last_touch_ts = t.touch_ts)
+        |SELECT u AS user_id, conv_id, conv_ts,
+        |  CASE WHEN in_window THEN touch_id ELSE -1 END AS touch_id,
+        |  CASE WHEN in_window THEN touch_ts ELSE -1 END AS touch_ts,
+        |  CASE WHEN in_window THEN conv_ts - touch_ts ELSE -1 END AS lag_ms,
+        |  in_window AS attributed
+        |FROM j""".stripMargin,
+
     "q109_sliding_freq" -> q109OracleSql,
 
     "q108_sliding_distinct" -> q108OracleSql,

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Last-touch attribution — the metric-level form of the reference's
+  * impression→action join chain (SURVEY §2.4 J4: actions credit the
+  * engagement that preceded them): each conversion event credits the
+  * user's LATEST preceding touch event within a lookback window.
+  *
+  * Shape: ONE window pass over the (user, time) sort finds every
+  * conversion's candidate touch time (running max of touch timestamps
+  * over preceding rows — no self-join, no per-conversion probe), then one
+  * narrow equi-join on (user, ts) recovers the touch's id. Ties (several
+  * touches on one timestamp) resolve to the smallest touch id — a total
+  * order, so the output hash-gates.
+  *
+  * At 100 TB this is the q09/as-of discipline: the heavy step is a single
+  * hash exchange on the user key + one sort; the tie-resolving touch
+  * frame aggregates BEFORE its join (bounded by distinct (user, ts)), and
+  * the lookback filter decides in integer millis. */
+object Attribution {
+
+  /** Credit each `convType` event to the user's latest preceding
+    * `touchType` event at most `lookbackMs` older. Output: (userCol,
+    * conv_id, conv_ts, touch_id, touch_ts, lag_ms, attributed) — the
+    * touch columns are −1 sentinels when no touch qualifies. */
+  def lastTouch(events: DataFrame, userCol: String, idCol: String,
+      tsCol: String, typeCol: String, touchType: String, convType: String,
+      lookbackMs: Long): DataFrame = {
+    require(lookbackMs > 0)
+    val e = events.select(col(userCol).as("u"), col(idCol).as("id"),
+      col(tsCol).as("ts"), col(typeCol).as("et"))
+      .where(col("et").isin(touchType, convType))
+    // running latest touch time STRICTLY BEFORE each row: a RANGE frame
+    // ending 1ms back makes equal-timestamp touches invisible (the
+    // strictly-earlier rule), with no dependence on intra-ts row order
+    val ordered = Window.partitionBy(col("u")).orderBy(col("ts"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val convs = e
+      .withColumn("last_touch_ts",
+        max(when(col("et") === touchType, col("ts"))).over(ordered))
+      .where(col("et") === convType)
+      .select(col("u"), col("id").as("conv_id"), col("ts").as("conv_ts"),
+        col("last_touch_ts"))
+    // smallest touch id per (user, ts) — the deterministic tie-break
+    val touches = e.where(col("et") === touchType)
+      .groupBy(col("u"), col("ts").as("touch_ts"))
+      .agg(min(col("id")).as("touch_id"))
+    convs
+      .join(touches, convs("u") === touches("u") &&
+        convs("last_touch_ts") === touches("touch_ts"), "left")
+      .select(convs("u").as(userCol), col("conv_id"), col("conv_ts"),
+        col("touch_id"), col("touch_ts"))
+      .withColumn("in_window",
+        col("touch_ts").isNotNull &&
+          col("conv_ts") - col("touch_ts") <= lit(lookbackMs))
+      .select(col(userCol), col("conv_id"), col("conv_ts"),
+        when(col("in_window"), col("touch_id")).otherwise(lit(-1L))
+          .as("touch_id"),
+        when(col("in_window"), col("touch_ts")).otherwise(lit(-1L))
+          .as("touch_ts"),
+        when(col("in_window"), col("conv_ts") - col("touch_ts"))
+          .otherwise(lit(-1L)).as("lag_ms"),
+        col("in_window").as("attributed"))
+  }
+}

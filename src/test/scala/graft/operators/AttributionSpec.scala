@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class AttributionSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (user, id, ts, type)
+  private val events = Seq(
+    ("u1", 1L, 1000L, "click"),
+    ("u1", 2L, 2000L, "click"),
+    ("u1", 3L, 5000L, "purchase"),   // credits click 2 (latest earlier)
+    ("u1", 4L, 5000L, "click"),      // same-ts click must NOT be credited
+    ("u1", 5L, 5000L, "purchase"),   // still credits click 2
+    ("u1", 6L, 900000L, "purchase"), // beyond 10s lookback → unattributed
+    ("u2", 7L, 3000L, "purchase"),   // no click ever → unattributed
+    ("u3", 8L, 4000L, "click"),
+    ("u3", 9L, 4000L, "click"),      // tie: same user+ts, min id wins
+    ("u3", 10L, 6000L, "purchase"))
+
+  test("latest strictly-earlier touch wins; ties break to min id; lookback gates") {
+    val got = Attribution.lastTouch(
+        events.toDF("user_id", "event_id", "ts_ms", "event_type"),
+        "user_id", "event_id", "ts_ms", "event_type",
+        touchType = "click", convType = "purchase", lookbackMs = 10000L)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(got(3L) == ((2L, 2000L, 3000L, true)))
+    assert(got(5L) == ((2L, 2000L, 3000L, true)),
+      "the same-timestamp click must be invisible to the purchase")
+    assert(got(6L) == ((-1L, -1L, -1L, false)), "outside the lookback")
+    assert(got(7L) == ((-1L, -1L, -1L, false)), "no touch at all")
+    assert(got(10L) == ((8L, 4000L, 2000L, true)), "tie resolves to min id")
+    assert(got.size == 5, "every conversion emits exactly one row")
+  }
+
+  test("attribution is partition-invariant") {
+    val big = (0L until 600L).map { i =>
+      val et = if (i % 3 == 0) "purchase" else "click"
+      (s"u${i % 7}", i, (i * 97) % 10000, et)
+    }
+    def run(parts: Int) = Attribution.lastTouch(
+        big.toDF("user_id", "event_id", "ts_ms", "event_type")
+          .repartition(parts),
+        "user_id", "event_id", "ts_ms", "event_type",
+        "click", "purchase", 5000L)
+      .orderBy("conv_id").collect().toSeq
+    assert(run(1) == run(13))
+  }
+}
