@@ -1288,6 +1288,18 @@ object SparkEntry {
         touchType = "click", convType = "purchase",
         lookbackMs = 7L * 86400000L)),
 
+    // Linear multi-touch attribution: every click in the 7d lookback
+    // shares the purchase's credit equally in exact ppm (truncation
+    // remainder to the latest touch, so shares sum to 1e6 per purchase).
+    // Pair set via the bucketed interval join (skew lever), one window.
+    "q111_linear_attribution" -> ((s, dir) =>
+      operators.Attribution.linearTouch(
+        ev(s, dir).select(col("user_id"), col("event_id"),
+          col("ts_ms"), col("event_type")),
+        "user_id", "event_id", "ts_ms", "event_type",
+        touchType = "click", convType = "purchase",
+        lookbackMs = 7L * 86400000L)),
+
     // Sliding-window frequency sketches by Count-Min slice→range ADD: the
     // q108 pattern with + instead of max — hourly counter sketches scan
     // the stream once, every 6h window sums its six covering slices
@@ -4114,6 +4126,28 @@ object SparkEntry {
     // left-associative double chain the expression's byte walk runs.
     // Same window shape: strictly-earlier range frame for the candidate
     // touch time, min-id tie-break on the touch join, integer lookback.
+    "q111_linear_attribution" ->
+      """WITH e AS (SELECT user_id AS u, event_id AS id, epoch_ms(ts) AS ts,
+        |  event_type AS et FROM events
+        | WHERE event_type IN ('click', 'purchase')),
+        |c AS (SELECT u, id AS conv_id, ts AS conv_ts FROM e
+        | WHERE et = 'purchase'),
+        |t AS (SELECT u, id AS touch_id, ts AS touch_ts FROM e
+        | WHERE et = 'click'),
+        |p AS (SELECT c.u, c.conv_id, c.conv_ts, t.touch_id, t.touch_ts
+        | FROM c JOIN t ON c.u = t.u
+        |  AND t.touch_ts >= c.conv_ts - 604800000
+        |  AND t.touch_ts <= c.conv_ts - 1),
+        |r AS (SELECT u, conv_id, conv_ts, touch_id, touch_ts,
+        |  count(*) OVER (PARTITION BY conv_id) AS n,
+        |  row_number() OVER (PARTITION BY conv_id
+        |    ORDER BY touch_ts DESC, touch_id) AS rk
+        | FROM p)
+        |SELECT u AS user_id, conv_id, conv_ts, touch_id, touch_ts,
+        |  CAST(1000000 // n + (CASE WHEN rk = 1 THEN 1000000 % n ELSE 0 END)
+        |    AS BIGINT) AS share_ppm
+        |FROM r""".stripMargin,
+
     "q110_attribution" ->
       """WITH e AS (SELECT user_id AS u, event_id AS id, epoch_ms(ts) AS ts,
         |  event_type AS et FROM events

@@ -22,6 +22,46 @@ import org.apache.spark.sql.functions._
   * the lookback filter decides in integer millis. */
 object Attribution {
 
+  /** Linear multi-touch attribution: every touch in the lookback shares
+    * the conversion's credit equally — integer parts-per-million with the
+    * truncation remainder assigned to the LATEST touch, so each
+    * conversion's shares sum to exactly 1,000,000 (no double drift, no
+    * lost ppm). Conversions with zero in-window touches emit nothing
+    * (the [[lastTouch]] sentinel form covers the unattributed census).
+    *
+    * Shape: the (conversion × touch) pair set comes from
+    * [[IntervalJoin.bucketedRangeJoin]] — coarse time buckets fold into
+    * the join key, so one user's burst meets per bucket, not all-at-once
+    * (the reference's interval-join-degradation lever) — then one window
+    * over the pair frame ranks touches and deals the shares. */
+  def linearTouch(events: DataFrame, userCol: String, idCol: String,
+      tsCol: String, typeCol: String, touchType: String, convType: String,
+      lookbackMs: Long): DataFrame = {
+    require(lookbackMs > 1)
+    val e = events.select(col(userCol).as("u"), col(idCol).as("id"),
+      col(tsCol).as("ts"), col(typeCol).as("et"))
+    val convs = e.where(col("et") === convType)
+      .select(col("u"), col("id").as("conv_id"), col("ts").as("conv_ts"))
+    val touches = e.where(col("et") === touchType)
+      .select(col("u"), col("id").as("touch_id"), col("ts").as("touch_ts"))
+    // the range join keeps both sides' key columns; rename positionally
+    // (left columns first) and drop the duplicate
+    val pairs = IntervalJoin.bucketedRangeJoin(convs, touches, Seq("u"),
+        "conv_ts", "touch_ts", lowMs = -lookbackMs, highMs = -1L)
+      .toDF("u", "conv_id", "conv_ts", "u2", "touch_id", "touch_ts")
+      .drop("u2")
+    val w = Window.partitionBy(col("conv_id"))
+    val byRecency = w.orderBy(col("touch_ts").desc, col("touch_id"))
+    pairs
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("rk", row_number().over(byRecency))
+      .select(col("u").as(userCol), col("conv_id"), col("conv_ts"),
+        col("touch_id"), col("touch_ts"),
+        (expr("1000000L div n") +
+          when(col("rk") === 1, expr("1000000L % n")).otherwise(lit(0L)))
+          .as("share_ppm"))
+  }
+
   /** Credit each `convType` event to the user's latest preceding
     * `touchType` event at most `lookbackMs` older. Output: (userCol,
     * conv_id, conv_ts, touch_id, touch_ts, lag_ms, attributed) — the

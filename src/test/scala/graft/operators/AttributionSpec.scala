@@ -34,6 +34,34 @@ class AttributionSpec extends SparkSpec {
     assert(got.size == 5, "every conversion emits exactly one row")
   }
 
+  test("linear shares deal exactly 1e6 ppm per conversion, remainder to latest") {
+    val got = Attribution.linearTouch(
+        events.toDF("user_id", "event_id", "ts_ms", "event_type"),
+        "user_id", "event_id", "ts_ms", "event_type",
+        "click", "purchase", lookbackMs = 10000L)
+      .collect().map(r => (r.getLong(1), r.getLong(3)) -> r.getLong(5)).toMap
+    // purchase 3 (u1): touches 1, 2 → 500000 each
+    assert(got((3L, 1L)) == 500000L && got((3L, 2L)) == 500000L)
+    // purchase 5 (u1, ts 5000): touches 1, 2 only (click 4 at the same ts
+    // is NOT strictly earlier)
+    assert(got((5L, 1L)) == 500000L && got((5L, 2L)) == 500000L)
+    assert(!got.contains((5L, 4L)))
+    // purchase 10 (u3): 3 in-window touches? only ids 8, 9 at ts 4000 →
+    // 500000 each; purchase 6/7 out of window/no touches → absent
+    assert(got((10L, 8L)) == 500000L && got((10L, 9L)) == 500000L)
+    assert(!got.keys.exists(_._1 == 6L) && !got.keys.exists(_._1 == 7L))
+    // remainder: 3 touches split 333333 + remainder 1 to the latest
+    val three = Seq(("w", 1L, 100L, "click"), ("w", 2L, 200L, "click"),
+      ("w", 3L, 300L, "click"), ("w", 4L, 400L, "purchase"))
+    val g3 = Attribution.linearTouch(
+        three.toDF("user_id", "event_id", "ts_ms", "event_type"),
+        "user_id", "event_id", "ts_ms", "event_type",
+        "click", "purchase", 10000L)
+      .collect().map(r => r.getLong(3) -> r.getLong(5)).toMap
+    assert(g3 == Map(3L -> 333334L, 2L -> 333333L, 1L -> 333333L))
+    assert(g3.values.sum == 1000000L)
+  }
+
   test("attribution is partition-invariant") {
     val big = (0L until 600L).map { i =>
       val et = if (i % 3 == 0) "purchase" else "click"
