@@ -1300,6 +1300,94 @@ object SparkEntry {
         touchType = "click", convType = "purchase",
         lookbackMs = 7L * 86400000L)),
 
+    // EXACT heavy hitters per SLIDING window (q88 × q108): hourly MG(64)
+    // slices merge slice→range per 6h window (MisraGriesMergeAgg —
+    // summaries through the exchange, not rows), candidate completeness
+    // from k ≥ phiDen, then the broadcast exact-verify restores plain
+    // per-window GROUP BY/HAVING semantics at O(windows·k) shuffle.
+    "q112_sliding_heavy" -> ((s, dir) =>
+      agg.MisraGries.slidingHeavyHitters(
+        ev(s, dir).select(
+          when(col("user_id") % 3 === 0,
+              concat(lit("h"), (col("user_id") % 7).cast("string")))
+            .otherwise(concat(lit("u"), col("event_id").cast("string")))
+            .as("value"),
+          col("ts_ms")),
+        col("value"), col("ts_ms"), sliceMs = 3600000L, slicesPerWindow = 6,
+        phiDen = 50, k = 64)),
+
+    // Equi-depth feature discretization: exact decile cut points from the
+    // bounded-sample quantile machinery (no global sort), assignment as a
+    // literal codegen'd fold (boundary ties collapse left), then the
+    // 10-group census. The ntile() alternative is a single-partition
+    // global sort — unrunnable at 100 TB.
+    "q113_equi_depth" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        cents(col("l_extendedprice")).as("x"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("key"))
+      operators.ExactQuantiles.equiDepthBins(li, col("x"), col("key"),
+          buckets = 10, bucketAs = "bucket")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"), min(col("x")).as("min_cents"),
+          max(col("x")).as("max_cents"), sum(col("x")).as("sum_cents"))
+    }),
+
+    // Pre-flight join-size/skew estimator: the exact Σ nl·nr
+    // decomposition of a self-join on l_partkey from two count
+    // aggregations — the skew diagnosis (salt factor, broadcast side)
+    // computed WITHOUT running the join it predicts.
+    "q114_join_size" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      operators.JoinStats.joinSizeByKey(li, col("l_partkey"),
+        li, col("l_partkey"), topK = 20)
+    }),
+
+    // Token frequency-of-frequencies (Good–Turing/Zipf spectrum): raw
+    // token counts re-keyed by count — the vocabulary-health census whose
+    // exchange carries |vocab| then |distinct counts| rows, never tokens.
+    "q115_freq_spectrum" -> ((s, dir) =>
+      operators.CorpusOps.frequencySpectrum(
+        t(s, dir, "documents"), "doc_id", "text")),
+
+    // Asymmetric CONTAINMENT dedup pairs (|A∩B|/|A| ≥ 1/2 over 3-gram
+    // sets): catches a short document embedded in a longer one, which
+    // Jaccard's symmetric denominator structurally caps out on. Probe-side
+    // prefix filtering (index side posts all tokens), integer threshold,
+    // sorted-merge exact verify.
+    "q116_containment" -> ((s, dir) =>
+      operators.Dedup.containmentPairs(t(s, dir, "documents"),
+        "doc_id", "text", 3, 1L, 2L)),
+
+    // Exact second-moment profile: per-event-type sufficient statistics
+    // (n, Σx, Σy, Σx², Σy², Σxy + the variance/correlation numerators)
+    // as pure BIGINTs — one scan, map-side combine, mergeable across
+    // shards by addition. x = value cents, y = UTC hour-of-day.
+    "q117_moment_profile" -> ((s, dir) =>
+      operators.Profile.momentProfile(
+        ev(s, dir).select(col("event_type"), cents(col("value")).as("x"),
+          ((col("ts_ms") % 86400000L) / 3600000L).cast("long").as("y")),
+        "event_type", col("x"), col("y"))),
+
+    // Seasonal-naive residuals: each event minus the user's latest value
+    // one day earlier (2h staleness tolerance) — ONE range-frame window
+    // pass (max of (ts, id, value) struct = latest-ts/largest-id
+    // deterministic pick), no self-join, no gap-fill.
+    "q118_seasonal_residual" -> ((s, dir) =>
+      operators.Anomaly.seasonalResiduals(
+        ev(s, dir).select(col("user_id"), col("event_id"), col("ts_ms"),
+          cents(col("value")).as("v")),
+        "user_id", "event_id", "ts_ms", "v",
+        periodMs = 86400000L, toleranceMs = 7200000L)
+        .where(col("baseline_ts").isNotNull)),
+
+    // tf/df keyword extraction: per-doc top-3 salient terms by the exact
+    // integer ratio ⌊tf·10⁶/df⌋ (stopwords sink, distinctive repeats
+    // rise); the rk<=3 predicate rewrites to WindowGroupLimit so map
+    // tasks keep local top-k heaps BEFORE the exchange.
+    "q119_tfdf_keywords" -> ((s, dir) =>
+      operators.TextRank.tfDfKeywords(t(s, dir, "documents"),
+        "doc_id", "text", topK = 3)),
+
     // Sliding-window frequency sketches by Count-Min slice→range ADD: the
     // q108 pattern with + instead of max — hourly counter sketches scan
     // the stream once, every 6h window sums its six covering slices
@@ -4124,6 +4212,137 @@ object SparkEntry {
     // Character census → per-term pinned pipeline
     // round(n_c · (ln n − ln n_c) · 10^6 / n), integer-summed: the same
     // left-associative double chain the expression's byte walk runs.
+    // q112: the exact per-window semantics slidingHeavyHitters
+    // guarantees — every 6h-covering window from the hourly slice grid,
+    // plain GROUP BY/HAVING at ceil(win_n/50); the MG slice sketches and
+    // their merge are internal candidate generators the oracle never
+    // needs to see (exactly the q88 contract, lifted to sliding windows).
+    "q112_sliding_heavy" ->
+      """WITH e AS (
+        | SELECT CASE WHEN user_id % 3 = 0
+        |    THEN 'h' || CAST(user_id % 7 AS VARCHAR)
+        |    ELSE 'u' || CAST(event_id AS VARCHAR) END AS value,
+        |  epoch_ms(ts) - epoch_ms(ts) % 3600000 AS slice_ms
+        | FROM events),
+        |x AS (SELECT value, slice_ms - k.k * 3600000 AS window_start_ms
+        |      FROM e, (SELECT unnest(range(0, 6)) AS k) k(k)),
+        |t AS (SELECT window_start_ms, count(*) AS wn FROM x GROUP BY 1),
+        |g AS (SELECT window_start_ms, value, count(*) AS cnt
+        |      FROM x GROUP BY 1, 2)
+        |SELECT g.window_start_ms, g.value, CAST(g.cnt AS BIGINT) AS cnt
+        |FROM g JOIN t USING (window_start_ms)
+        |WHERE g.cnt >= (t.wn + 49) // 50""".stripMargin,
+
+    // q113: cut points = values at ranks ceil(n·b/10) of the (value, key)
+    // order — identical to "smallest v with cumulative count ≥ target",
+    // which is what the bounded-sample selection computes; bucket = 1 +
+    // |cuts strictly below v| (boundary ties collapse left on both sides).
+    "q113_equi_depth" ->
+      """WITH v AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS x,
+        |  l_orderkey*10 + l_linenumber AS key FROM lineitem),
+        |n AS (SELECT count(*) AS c FROM v),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, key) AS rn FROM v),
+        |cuts AS (SELECT r.x AS cut FROM r, n
+        | WHERE r.rn IN (SELECT (n.c*b + 9)//10
+        |   FROM (SELECT unnest(range(1,10)) AS b) bb(b), n)),
+        |b AS (SELECT v.x,
+        |  1 + (SELECT count(*) FROM cuts WHERE cut < v.x) AS bucket FROM v)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(x) AS min_cents, max(x) AS max_cents,
+        |  CAST(sum(x) AS BIGINT) AS sum_cents
+        |FROM b GROUP BY bucket""".stripMargin,
+
+    // q114: the exact Σ nl·nr join-size decomposition, top-20 keys by
+    // contribution with exact integer ppm shares of the total.
+    "q114_join_size" ->
+      """WITH l AS (SELECT l_partkey AS key, count(*) AS nl
+        |           FROM lineitem GROUP BY 1),
+        |r AS (SELECT l_partkey AS key, count(*) AS nr
+        |      FROM lineitem GROUP BY 1),
+        |c AS (SELECT key, nl, nr, nl*nr AS rows_ FROM l JOIN r USING (key)),
+        |t AS (SELECT sum(rows_) AS total FROM c)
+        |SELECT CAST(key AS BIGINT) AS key, CAST(nl AS BIGINT) AS nl,
+        |  CAST(nr AS BIGINT) AS nr, CAST(rows_ AS BIGINT) AS "rows",
+        |  CAST(rows_*1000000//t.total AS BIGINT) AS share_ppm
+        |FROM c, t ORDER BY rows_ DESC, key LIMIT 20""".stripMargin,
+
+    // q115: raw-token census re-keyed by count — N_c spectrum.
+    "q115_freq_spectrum" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(
+        |   trim(lower(text)), '\s+')) AS g FROM documents),
+        |c AS (SELECT g, count(*) AS cnt FROM toks GROUP BY 1)
+        |SELECT CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(count(*) AS BIGINT) AS n_terms
+        |FROM c GROUP BY cnt""".stripMargin,
+
+    // q116: exact all-pairs DIRECTED containment over distinct 3-gram
+    // sets (the q19 replay with an asymmetric threshold on |A|): the
+    // prefix/size/positional filters are exactness-preserving, so the
+    // oracle never needs to see them.
+    "q116_containment" ->
+      """WITH t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        | FROM documents),
+        |g AS (
+        | SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+        | FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk)-2)) AS i) ix
+        | WHERE len(tk) >= 3),
+        |z AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |      FROM g a JOIN g b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter,
+        |  za.n AS na, zb.n AS nb
+        |FROM p JOIN z za ON za.doc_id = a_id JOIN z zb ON zb.doc_id = b_id
+        |WHERE inter * 2 >= za.n * 1""".stripMargin,
+
+    // q117: sufficient statistics as exact BIGINTs; x = cents, y = UTC
+    // hour-of-day; numerators n·Σ·· − Σ·Σ.
+    "q117_moment_profile" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+        |  CAST(sum(x*x) AS BIGINT) AS sum_xx,
+        |  CAST(sum(y*y) AS BIGINT) AS sum_yy,
+        |  CAST(sum(x*y) AS BIGINT) AS sum_xy,
+        |  CAST(count(*)*sum(x*x) - sum(x)*sum(x) AS BIGINT) AS var_x_num,
+        |  CAST(count(*)*sum(y*y) - sum(y)*sum(y) AS BIGINT) AS var_y_num,
+        |  CAST(count(*)*sum(x*y) - sum(x)*sum(y) AS BIGINT) AS corr_num
+        |FROM (SELECT event_type, CAST(round(value*100) AS BIGINT) AS x,
+        |       (epoch_ms(ts) % 86400000) // 3600000 AS y FROM events)
+        |GROUP BY event_type""".stripMargin,
+
+    // q118: the same latest-in-[t−period−tol, t−period] baseline via a
+    // struct-max range frame — (ts, id, value) lexicographic max IS the
+    // latest-ts/largest-id deterministic pick.
+    "q118_seasonal_residual" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |  CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |b AS (SELECT user_id, event_id, ts_ms, v,
+        |  max(struct_pack(ts := ts_ms, id := event_id, vv := v))
+        |   OVER (PARTITION BY user_id ORDER BY ts_ms
+        |    RANGE BETWEEN 93600000 PRECEDING AND 86400000 PRECEDING) AS bl
+        | FROM e)
+        |SELECT user_id, event_id, ts_ms, v,
+        |  bl.ts AS baseline_ts, bl.vv AS baseline_value,
+        |  v - bl.vv AS residual
+        |FROM b WHERE bl.ts IS NOT NULL""".stripMargin,
+
+    // q119: per-doc top-3 by ⌊tf·10⁶/df⌋, (score desc, term asc) ties.
+    "q119_tfdf_keywords" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(
+        |   trim(lower(text)), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE length(term) > 0 GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |  tf.tf * 1000000 // df.df AS score_e6 FROM tf JOIN df USING (term)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY score_e6 DESC, term) AS rk FROM s)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+        |  CAST(df AS BIGINT) AS df, CAST(score_e6 AS BIGINT) AS score_e6,
+        |  CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3""".stripMargin,
+
     // Same window shape: strictly-earlier range frame for the candidate
     // touch time, min-id tie-break on the touch join, integer lookback.
     "q111_linear_attribution" ->

@@ -158,4 +158,38 @@ object Anomaly {
         (col("dev") * lit(thresholdDen.toDouble) >
           col("mad") * lit(thresholdNum.toDouble)).as("is_outlier"))
   }
+
+  /** Seasonal-naive residuals: each point minus the key's latest value
+    * observed one season (`periodMs`) earlier, within a ±0 / −`toleranceMs`
+    * staleness allowance — i.e. the baseline row is the latest event with
+    * ts ∈ [t − periodMs − toleranceMs, t − periodMs]. The standard
+    * first-difference-at-lag-one-season detrending for daily/weekly
+    * periodicity; residuals then feed any of the repo's outlier rules
+    * (fixed threshold, MAD, CUSUM).
+    *
+    * Shape: ONE window pass per key — a RANGE frame over the event-time
+    * millis picks `max(struct(ts, rowKey, value))`, whose lexicographic
+    * order IS the deterministic "latest ts, tie to largest rowKey"
+    * semantics, with no self-join and no per-point probe. Irregular
+    * series need no gap-fill: the range frame is defined in time, not
+    * rows. Points with an empty frame emit NULL baseline (the warm-up
+    * season), left to the caller to filter — dropping them here would
+    * hide coverage gaps.
+    *
+    * Output: key, rowKey, ts, value, baseline_ts, baseline_value,
+    * residual (all value math on the caller's integer fixed-point). */
+  def seasonalResiduals(df: DataFrame, keyCol: String, rowKeyCol: String,
+      tsCol: String, valueCol: String, periodMs: Long,
+      toleranceMs: Long): DataFrame = {
+    require(periodMs > 0 && toleranceMs >= 0)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+      .rangeBetween(-periodMs - toleranceMs, -periodMs)
+    df
+      .withColumn("__b",
+        max(struct(col(tsCol), col(rowKeyCol), col(valueCol))).over(w))
+      .select(col(keyCol), col(rowKeyCol), col(tsCol), col(valueCol),
+        col(s"__b.$tsCol").as("baseline_ts"),
+        col(s"__b.$valueCol").as("baseline_value"),
+        (col(valueCol) - col(s"__b.$valueCol")).as("residual"))
+  }
 }

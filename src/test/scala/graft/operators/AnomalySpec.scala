@@ -110,4 +110,36 @@ class AnomalySpec extends SparkSpec {
       .orderBy("k").collect().toSeq
     assert(run(1) == run(17))
   }
+
+  test("seasonalResiduals picks latest baseline in the lag window, ties to largest id") {
+    val day = 86400000L
+    val rows = Seq(
+      // key A: two candidate baselines in [t-day-2h, t-day]; latest wins
+      ("A", 1L, 0L, 100L),
+      ("A", 2L, 3600000L, 110L),            // latest in window for t=day+1h+...
+      ("A", 3L, day + 3600000L, 130L),      // frame [1h-2h...1h] wait: [t-day-2h, t-day] = [-3600000, 3600000] -> rows 1,2 -> latest ts=3600000 -> 110
+      // key A tie: two events at the same baseline ts; larger id wins
+      ("A", 4L, 3600000L, 115L),            // same ts as id 2
+      // key B: baseline exactly at t-day (inclusive upper edge)
+      ("B", 5L, 0L, 50L),
+      ("B", 6L, day, 57L),
+      // key B: nothing within [t-day-2h, t-day] -> null baseline
+      ("B", 7L, 3L * day, 99L)
+    ).toDF("k", "id", "ts", "v").repartition(5)
+    val got = Anomaly.seasonalResiduals(rows, "k", "id", "ts", "v",
+        periodMs = day, toleranceMs = 7200000L)
+      .collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(4)) None
+        else Some((r.getLong(4), r.getLong(5), r.getLong(6))))).toMap
+    // id 3: frame over A = ts in [3600000+... ] -> rows {1,2,4}: ts range
+    // [t-day-2h, t-day] = [-3600000, 3600000]; latest ts 3600000, ids
+    // {2,4} tie -> id 4 -> baseline 115, residual 130-115=15
+    assert(got(3L) == Some((3600000L, 115L, 15L)))
+    // id 6: frame [day-day-2h, 0] includes ts=0 -> baseline 50, residual 7
+    assert(got(6L) == Some((0L, 50L, 7L)))
+    // id 7: nearest candidate (day) is older than t-day-2h -> no baseline
+    assert(got(7L) == None)
+    // warm-up rows with empty frames are emitted with null baselines
+    assert(got(1L) == None && got(2L) == None)
+  }
 }

@@ -261,4 +261,16 @@ class CorpusOpsSpec extends SparkSpec {
     // h: n=3, p50 → rank 2 = 7, p90/p99 → rank 3 = 9
     assert(out("h") == ((3L, 7L, 9L, 9L)))
   }
+
+  test("frequencySpectrum: N_c census over raw tokens, case-folded") {
+    val docs = Seq(
+      (1L, "a a a b b c"),
+      (2L, "A b c d"),
+      (3L, "e")
+    ).toDF("doc_id", "text")
+    // counts: a=4 (case-folded), b=3, c=2, d=1, e=1
+    val got = CorpusOps.frequencySpectrum(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(4L -> 1L, 3L -> 1L, 2L -> 1L, 1L -> 2L))
+  }
 }

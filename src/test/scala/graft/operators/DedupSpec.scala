@@ -115,4 +115,53 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("containmentPairs: directed, catches short-doc-inside-long-doc Jaccard misses") {
+    // doc 6 is doc 5's opening third: containment(6→5) = 1 but Jaccard
+    // is small, so the symmetric measure misses it at t = 1/2
+    val cdocs = Seq(
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (6L, "alpha beta gamma delta epsilon zeta"),
+      (7L, "unrelated words entirely elsewhere in vocabulary space now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(cdocs, "doc_id", "text", 3, 1L, 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((6L, 5L)), "short-in-long containment missed")
+    assert(!got.contains((5L, 6L)), "containment must stay directed")
+    assert(!got.exists { case (a, b) => a == 7L || b == 7L })
+    val jac = Dedup.ngramJaccardPairs(cdocs, "doc_id", "text", 3, 1L, 2L)
+      .collect()
+    assert(jac.isEmpty, "fixture should be invisible to symmetric Jaccard")
+  }
+
+  test("containmentPairs matches brute force on random corpora") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 30).map(i => s"w$i")
+    for (trial <- 0 until 3) {
+      val docs2 = (0L until 20L).map { i =>
+        val len = 4 + rnd.nextInt(12)
+        (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = docs2.toDF("doc_id", "text").repartition(5)
+      for ((num, den) <- Seq((1L, 2L), (3L, 4L))) {
+        val got = Dedup.containmentPairs(df, "doc_id", "text", 2, num, den)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)) ->
+            (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+        // brute: distinct word 2-grams per doc, all directed pairs
+        val sets = docs2.map { case (i, t) =>
+          val toks = t.split("\\s+").toSeq
+          i -> toks.sliding(2).map(_.mkString(" ")).toSet
+        }.toMap
+        val brute = (for {
+          (a, sa) <- sets; (b, sb) <- sets
+          if a != b && sa.nonEmpty
+          inter = (sa & sb).size.toLong
+          if inter * den >= sa.size.toLong * num
+        } yield (a, b) -> (inter, sa.size.toLong, sb.size.toLong)).toMap
+        assert(got == brute, s"trial=$trial t=$num/$den")
+      }
+    }
+  }
 }

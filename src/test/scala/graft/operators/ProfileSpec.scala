@@ -71,4 +71,34 @@ class ProfileSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(empty.toSeq == Seq((0L, 0L, 0L)))
   }
+
+  test("momentProfile: exact sufficient statistics, null rows dropped, partition-invariant") {
+    val rows = Seq(
+      ("g1", Some(2L), Some(10L)), ("g1", Some(4L), Some(20L)),
+      ("g1", Some(6L), Some(31L)), ("g1", None, Some(5L)),
+      ("g2", Some(-3L), Some(7L)), ("g2", Some(3L), Some(-7L)))
+    def model(g: String) = {
+      val xs = rows.filter(r => r._1 == g && r._2.isDefined && r._3.isDefined)
+        .map(r => (r._2.get, r._3.get))
+      val n = xs.size.toLong
+      val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+      val (sxx, syy, sxy) = (xs.map(v => v._1 * v._1).sum,
+        xs.map(v => v._2 * v._2).sum, xs.map(v => v._1 * v._2).sum)
+      (n, sx, sy, sxx, syy, sxy,
+        n * sxx - sx * sx, n * syy - sy * sy, n * sxy - sx * sy)
+    }
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("g", "x", "y").repartition(parts)
+      val got = Profile.momentProfile(df, "g", col("x"), col("y"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7), r.getLong(8), r.getLong(9))).toMap
+      assert(got == Map("g1" -> model("g1"), "g2" -> model("g2")), s"parts=$parts")
+    }
+    // perfect positive linear relation: corr_num^2 == var_x_num*var_y_num
+    val lin = (1L to 9L).map(i => ("L", i, 3 * i + 1)).toDF("g", "x", "y")
+    val r = Profile.momentProfile(lin, "g", col("x"), col("y")).collect().head
+    val (vx, vy, cn) = (r.getLong(7), r.getLong(8), r.getLong(9))
+    assert(cn * cn == vx * vy && cn > 0)
+  }
 }

@@ -64,4 +64,26 @@ class TextRankSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("tfDfKeywords: stopwords sink, distinctive repeats rise, ties break on term") {
+    val kdocs = Seq(
+      (1L, "the the the zebra zebra the quark"),
+      (2L, "the the apple apple apple banana"),
+      (3L, "the banana banana cherry")
+    ).toDF("doc_id", "text")
+    val got = TextRank.tfDfKeywords(kdocs, "doc_id", "text", topK = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(5)) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // doc 1: zebra tf=2 df=1 -> 2e6 tops; "the" tf=4 df=3 -> 1333333
+    // outranks quark 1/1 -> 1e6 (pure tf/df has no log dampening)
+    assert(got((1L, 1L)) == (("zebra", 2L, 1L, 2000000L)))
+    assert(got((1L, 2L)) == (("the", 4L, 3L, 1333333L)))
+    // doc 2: apple 3/1 -> 3e6 beats banana 1/2 -> 500000 and the 2/3
+    assert(got((2L, 1L))._1 == "apple")
+    // doc 3: banana 2/2 -> 1e6 tops; cherry 1/1 -> 1e6 ties, term asc
+    assert(got((3L, 1L))._1 == "banana")
+    assert(got((3L, 2L))._1 == "cherry")
+  }
 }
