@@ -1300,6 +1300,17 @@ object SparkEntry {
         touchType = "click", convType = "purchase",
         lookbackMs = 7L * 86400000L)),
 
+    // Contrastive triplet mining (metric-learning data generation): per
+    // anchor, nearest same-label (positive) + nearest different-label
+    // (HARD negative) by quantized cosine — one anchor broadcast, two-
+    // branch WindowGroupLimit top-1, single-row pivot; margin_e6 is the
+    // triplet-loss driver.
+    "q120_triplet_mining" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.tripletMining(emb, "vec_id", "embedding", "label",
+        emb.where(col("vec_id") < 50))
+    }),
+
     // EXACT heavy hitters per SLIDING window (q88 × q108): hourly MG(64)
     // slices merge slice→range per 6h window (MisraGriesMergeAgg —
     // summaries through the exchange, not rows), candidate completeness
@@ -4212,6 +4223,36 @@ object SparkEntry {
     // Character census → per-term pinned pipeline
     // round(n_c · (ln n − ln n_c) · 10^6 / n), integer-summed: the same
     // left-associative double chain the expression's byte walk runs.
+    // q120: the q20 replay with labels — per-(anchor, same?) rank-1 over
+    // the identical quantized-integer cosine, pivoted per anchor.
+    "q120_triplet_mining" ->
+      """WITH n AS (
+        | SELECT vec_id, embedding, label,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS nsq
+        | FROM embeddings),
+        |q AS (SELECT * FROM n WHERE vec_id < 50),
+        |s AS (
+        | SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |  q.label = c.label AS same,
+        |  CAST(CAST(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |    z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS DOUBLE)
+        |   / sqrt(CAST(q.nsq AS DOUBLE) * CAST(c.nsq AS DOUBLE)) AS score
+        | FROM q JOIN n c ON q.vec_id <> c.vec_id),
+        |r AS (SELECT qid, cid, same, score,
+        |  row_number() OVER (PARTITION BY qid, same
+        |    ORDER BY score DESC, cid) AS rk
+        | FROM s),
+        |t AS (SELECT qid,
+        |  max(CASE WHEN same THEN cid END) AS pos_id,
+        |  max(CASE WHEN same THEN CAST(round(score*1000000) AS BIGINT) END) AS pos_e6,
+        |  max(CASE WHEN NOT same THEN cid END) AS neg_id,
+        |  max(CASE WHEN NOT same THEN CAST(round(score*1000000) AS BIGINT) END) AS neg_e6
+        | FROM r WHERE rk = 1 GROUP BY qid)
+        |SELECT qid AS anchor_id, pos_id, pos_e6, neg_id, neg_e6,
+        |  pos_e6 - neg_e6 AS margin_e6
+        |FROM t WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL""".stripMargin,
+
     // q112: the exact per-window semantics slidingHeavyHitters
     // guarantees — every 6h-covering window from the hourly slice grid,
     // plain GROUP BY/HAVING at ceil(win_n/50); the MG slice sketches and

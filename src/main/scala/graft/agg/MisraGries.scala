@@ -189,7 +189,7 @@ case class MisraGriesMergeAgg(child: Expression, k: Int,
 object MisraGries {
   /** Mergeable-MG prune to ≤ k entries: subtract the (k+1)-th largest
     * counter from all, drop the non-positive. No-op at ≤ k entries. */
-  private[agg] def prune(m: mutable.HashMap[String, Long], k: Int): Unit = {
+  private[graft] def prune(m: mutable.HashMap[String, Long], k: Int): Unit = {
     if (m.size <= k) return
     val counts = m.values.toArray
     java.util.Arrays.sort(counts)
@@ -223,7 +223,7 @@ object MisraGries {
   /** Escapes a value for the render: raw 0x1e/0x1f appear ONLY as
     * separators afterwards, so arbitrary input (including the separator
     * bytes themselves) round-trips through parse. */
-  private[agg] def escape(s: String): String = {
+  private[graft] def escape(s: String): String = {
     val sb = new java.lang.StringBuilder
     s.foreach {
       case '\\'     => sb.append("\\\\")

@@ -69,6 +69,52 @@ object Similarity {
         round(col("__score") * 1e6).cast("long").as("score_e6"))
   }
 
+  /** Contrastive triplet mining — the training-pair generator for metric
+    * learning / embedding finetuning (the FaceNet/SimCLR data shape): for
+    * each anchor, the most similar SAME-label vector (the positive) and
+    * the most similar DIFFERENT-label vector (the HARD negative — the
+    * mistake the model is closest to making; random negatives are
+    * uninformative once training starts). Margin = pos − neg in e6 is the
+    * quantity a triplet loss drives positive.
+    *
+    * Shape: one broadcast of the (small) anchor set against the corpus
+    * scan, per-(anchor, same?) rank-1 via a two-branch window (the
+    * rk=1 predicate rewrites to WindowGroupLimit: map-side top-1 heaps
+    * BEFORE the exchange), then a single-row pivot per anchor. Quantized
+    * integer dots → bit-deterministic scores; (score desc, id) total
+    * order. Anchors lacking a positive or negative peer are dropped (a
+    * triplet needs both). Output: anchor_id, pos_id, pos_e6, neg_id,
+    * neg_e6, margin_e6. */
+  def tripletMining(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, anchors: DataFrame): DataFrame = {
+    VectorExpressions.register(emb.sparkSession)
+    val c = emb.repartition(col(idCol)).select(col(idCol).as("cid"),
+      col(vecCol).as("cvec"), col(labelCol).as("clabel"),
+      VectorExpressions.normSqE9Fast(col(vecCol)).as("cn"))
+    val q = anchors.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      col(labelCol).as("qlabel"),
+      VectorExpressions.normSqE9Fast(col(vecCol)).as("qn"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("__score",
+        cosineFromE9(VectorExpressions.dotE9Fast(col("qvec"), col("cvec")),
+          col("qn"), col("cn")))
+      .withColumn("same", col("qlabel") === col("clabel"))
+    val w = Window.partitionBy(col("qid"), col("same"))
+      .orderBy(col("__score").desc, col("cid"))
+    val top = scored.withColumn("__r", row_number().over(w))
+      .where(col("__r") === 1)
+      .select(col("qid"), col("same"), col("cid"),
+        round(col("__score") * 1e6).cast("long").as("s_e6"))
+    top.groupBy(col("qid"))
+      .agg(max(when(col("same"), struct(col("cid"), col("s_e6")))).as("p"),
+        max(when(!col("same"), struct(col("cid"), col("s_e6")))).as("ng"))
+      .where(col("p").isNotNull && col("ng").isNotNull)
+      .select(col("qid").as("anchor_id"),
+        col("p.cid").as("pos_id"), col("p.s_e6").as("pos_e6"),
+        col("ng.cid").as("neg_id"), col("ng.s_e6").as("neg_e6"),
+        (col("p.s_e6") - col("ng.s_e6")).as("margin_e6"))
+  }
+
   /** Deterministic ±1 hyperplane component signs, shared by the Spark plans
     * and the SQL-oracle rendering so both engines block identically. */
   def planeSigns(plane: Int, dims: Int): Array[Long] =
