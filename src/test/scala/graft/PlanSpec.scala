@@ -146,6 +146,50 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PartitionFilters: [("), p.take(3000))
   }
 
+  test("tf/df keyword top-k pushes WindowGroupLimit below the rank exchange") {
+    val p = plan("q119_tfdf_keywords")
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    // partial mode appears before the final: map tasks keep local top-k
+    // heaps, so the exchange never carries a doc's full term list
+    assert(p.indexOf("WindowGroupLimit") != p.lastIndexOf("WindowGroupLimit"),
+      p.take(3000))
+  }
+
+  test("equi-depth assignment is literal codegen — no join, no extra exchange") {
+    val df = SparkEntry.queries("q113_equi_depth")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the returned plan is scan → project(bucket literals) → one agg
+    // exchange; a join-based assignment would show Broadcast/SortMerge
+    assert(!p.contains("Join"), p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("sliding heavy hitters verify via broadcast candidates, summaries through the window exchange") {
+    val p = plan("q112_sliding_heavy")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("triplet mining: anchors broadcast, two-branch rank keeps WindowGroupLimit") {
+    val p = plan("q120_triplet_mining")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
+
+  test("join-size estimator never executes the join it predicts") {
+    val df = SparkEntry.queries("q114_join_size")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the only join is count-frame vs count-frame (post-aggregation);
+    // both join children must be aggregates, not raw scans
+    val smj = p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin")
+    assert(smj, p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000)) // top-k, no global sort
+  }
+
   test("whole-stage codegen covers the relational pipeline") {
     // AQE finalizes the plan (and its codegen annotation) only when THIS
     // query execution runs — collect() on the frame itself, not count()
