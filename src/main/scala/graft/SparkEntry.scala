@@ -1300,6 +1300,35 @@ object SparkEntry {
         touchType = "click", convType = "purchase",
         lookbackMs = 7L * 86400000L)),
 
+    // Trimmed robust totals: per-returnflag count/sum over only the
+    // values inside the exact [p5, p95] envelope — outliers dropped (vs
+    // q94's winsorize clip), fences from the bounded-sample machinery,
+    // one extra broadcast-fence scan, no sort.
+    "q121_trimmed_stats" -> ((s, dir) =>
+      operators.ExactQuantiles.trimmedStats(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          cents(col("l_extendedprice")).as("x"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("key")),
+        Seq("l_returnflag"), col("x"), col("key"), pLow = 5, pHigh = 95)),
+
+    // Perplexity curriculum: bigram-LM difficulty scores (q100's exact
+    // pipeline) cut into quartiles by the equi-depth machinery — the
+    // easy→hard staging table of curriculum training. The LM scoring runs
+    // once into a persisted frame; the quantile pass and the assignment
+    // read it, not the corpus.
+    "q122_curriculum" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = operators.NgramLm.perplexityScore(
+          docs.where(col("lang") === "en"), docs, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      operators.ExactQuantiles.equiDepthBins(scored, col("avg_nll_micro"),
+          col("doc_id"), buckets = 4, bucketAs = "bucket")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("avg_nll_micro")).as("min_nll"),
+          max(col("avg_nll_micro")).as("max_nll"))
+    }),
+
     // Contrastive triplet mining (metric-learning data generation): per
     // anchor, nearest same-label (positive) + nearest different-label
     // (HARD negative) by quantized cosine — one anchor broadcast, two-
@@ -4223,6 +4252,57 @@ object SparkEntry {
     // Character census → per-term pinned pipeline
     // round(n_c · (ln n − ln n_c) · 10^6 / n), integer-summed: the same
     // left-associative double chain the expression's byte walk runs.
+    // q121: rank-selected [p5, p95] fences per group (value at rank
+    // ceil(n·p/100) in (x, key) order = smallest x with cum ≥ target),
+    // then plain filtered aggregates — outliers dropped, all integers.
+    "q121_trimmed_stats" ->
+      """WITH v AS (SELECT l_returnflag AS g,
+        |  CAST(round(l_extendedprice*100) AS BIGINT) AS x,
+        |  l_orderkey*10 + l_linenumber AS key FROM lineitem),
+        |r AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x, key) AS rn,
+        |      count(*) OVER (PARTITION BY g) AS n FROM v),
+        |c AS (SELECT g,
+        |   max(CASE WHEN rn = (n*5 + 99)//100 THEN x END) AS q_lo,
+        |   max(CASE WHEN rn = (n*95 + 99)//100 THEN x END) AS q_hi
+        |  FROM r GROUP BY g)
+        |SELECT g AS l_returnflag, q_lo, q_hi,
+        |  CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(count(*) FILTER (x >= q_lo AND x <= q_hi) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(sum(x) FILTER (x >= q_lo AND x <= q_hi), 0) AS BIGINT)
+        |    AS sum_kept
+        |FROM v JOIN c USING (g) GROUP BY g, q_lo, q_hi""".stripMargin,
+
+    // q122: the q100 LM replay feeding q113's rank-cut binning — quartile
+    // cuts at ceil(n·b/4) over (score, doc_id), collapse-left boundaries.
+    "q122_curriculum" ->
+      """WITH tb AS (SELECT doc_id, lang,
+        |  list_prepend('<s>', regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+        | FROM documents),
+        |pr AS (SELECT doc_id, lang, toks, unnest(range(2, len(toks) + 1)) AS i FROM tb),
+        |p AS (SELECT doc_id, lang, toks[i-1] AS prev, toks[i] AS cur FROM pr),
+        |cb AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cb FROM p
+        | WHERE lang = 'en' GROUP BY 1, 2),
+        |cu AS (SELECT prev, CAST(count(*) AS BIGINT) AS cu FROM p
+        | WHERE lang = 'en' GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT cur) + 1 AS BIGINT) AS v FROM p
+        | WHERE lang = 'en'),
+        |c AS (SELECT doc_id,
+        |  CAST(round(ln(CAST(coalesce(cb.cb, 0) + 1 AS DOUBLE)
+        |    / CAST(coalesce(cu.cu, 0) + v.v AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp
+        | FROM p LEFT JOIN cb USING (prev, cur) LEFT JOIN cu USING (prev) CROSS JOIN v),
+        |sc AS (SELECT doc_id, CAST((-sum(lp)) // count(*) AS BIGINT) AS s
+        | FROM c GROUP BY 1),
+        |n2 AS (SELECT count(*) AS c2 FROM sc),
+        |r2 AS (SELECT s, doc_id, row_number() OVER (ORDER BY s, doc_id) AS rn FROM sc),
+        |cuts AS (SELECT r2.s AS cut FROM r2, n2
+        | WHERE r2.rn IN (SELECT (n2.c2*b*25 + 99)//100
+        |   FROM (SELECT unnest(range(1, 4)) AS b) bb(b), n2)),
+        |b2 AS (SELECT sc.s,
+        |  1 + (SELECT count(*) FROM cuts WHERE cut < sc.s) AS bucket FROM sc)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(s) AS min_nll, max(s) AS max_nll
+        |FROM b2 GROUP BY bucket""".stripMargin,
+
     // q120: the q20 replay with labels — per-(anchor, same?) rank-1 over
     // the identical quantized-integer cosine, pivoted per anchor.
     "q120_triplet_mining" ->

@@ -189,6 +189,35 @@ object ExactQuantiles {
       .drop("__qlo", "__qhi")
   }
 
+  /** Trimmed aggregate: per-group count/sum over only the values inside
+    * the group's [pLow, pHigh] exact-quantile envelope — the
+    * trimmed-mean/robust-total building block (outliers DROPPED, where
+    * [[winsorize]] clips them to the fence). Exact-integer semantics: the
+    * fences are the same rank-selected cut values quantiles() returns
+    * (boundary values INCLUSIVE on both sides), so n_kept/sum_kept are
+    * plain filtered aggregates any engine replays. The mean itself stays
+    * a (sum_kept, n_kept) pair — integer sufficient statistics, divided
+    * only when a float is finally wanted.
+    *
+    * Cost: the two bounded-sample quantile scans + ONE more scan with the
+    * (tiny) fences broadcast back — no sort, no re-shuffle of the data.
+    * Output: groupCols ++ (q_lo, q_hi, n_total, n_kept, sum_kept). */
+  def trimmedStats(df: DataFrame, groupCols: Seq[String], value: Column,
+      rowKey: Column, pLow: Int, pHigh: Int, k: Int = 4096): DataFrame = {
+    require(pLow < pHigh, s"pLow=$pLow must be < pHigh=$pHigh")
+    val qs = quantiles(df, groupCols, value, rowKey, Seq(pLow, pHigh), k)
+    val bounds = qs.groupBy(groupCols.map(col): _*)
+      .agg(min(when(col("percent") === pLow, col("quantile"))).as("q_lo"),
+        max(when(col("percent") === pHigh, col("quantile"))).as("q_hi"))
+    val v = value.cast("long")
+    val kept = v >= col("q_lo") && v <= col("q_hi")
+    df.join(broadcast(bounds), groupCols)
+      .groupBy((groupCols.map(col) :+ col("q_lo") :+ col("q_hi")): _*)
+      .agg(count(lit(1)).as("n_total"),
+        coalesce(sum(when(kept, 1L)), lit(0L)).as("n_kept"),
+        coalesce(sum(when(kept, v)), lit(0L)).as("sum_kept"))
+  }
+
   /** Equi-depth (quantile) discretization — the feature-binning step of a
     * training pipeline: `buckets` bins whose cut points are the exact
     * b·(100/buckets)-percentiles of `value`, assigned map-side. Rows land

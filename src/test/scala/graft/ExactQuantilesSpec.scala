@@ -83,6 +83,21 @@ class ExactQuantilesSpec extends SparkSpec {
       ("eq", 50L, 5L), ("eq", 100L, 5L)))
   }
 
+  test("trimmedStats drops outliers outside the exact [pLow, pHigh] fences") {
+    // 1..100 per group: p5 fence = 5, p95 fence = 95 (value at rank
+    // ceil(n·p/100)); kept = 5..95 inclusive → 91 values, sum = 4550
+    val rows = (1L to 100L).map(v => ("g", v)) ++ Seq(("h", 7L), ("h", 1000L))
+    val df = rows.toDF("grp", "v").withColumn("k", monotonically_increasing_id())
+    val got = ExactQuantiles.trimmedStats(df, Seq("grp"), col("v"), col("k"),
+        pLow = 5, pHigh = 95)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got("g") == ((5L, 95L, 100L, 91L, (5L to 95L).sum)))
+    // n=2: p5 fence = value at rank ceil(2*5/100)=1 → 7; p95 → rank
+    // ceil(1.9)=2 → 1000; everything kept
+    assert(got("h") == ((7L, 1000L, 2L, 2L, 1007L)))
+  }
+
   test("equiDepthBins matches rank-derived buckets, ties collapse left") {
     val rnd = new scala.util.Random(11)
     // duplicates on purpose: values drawn from a small range force cut
