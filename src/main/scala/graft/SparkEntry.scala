@@ -1300,6 +1300,30 @@ object SparkEntry {
         touchType = "click", convType = "purchase",
         lookbackMs = 7L * 86400000L)),
 
+    // Dedup audit report: component-size histogram over the mined
+    // near-dup graph (singletons included) — the dedup-rate data card a
+    // corpus pipeline publishes; rides the materialized component map.
+    "q123_dedup_audit" -> ((s, dir) => {
+      val comp = minedDocComponents(s, dir).withColumnRenamed("node", "doc_id")
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(coalesce(col("component"), col("doc_id")).as("component"))
+        .groupBy(col("component")).agg(count(lit(1)).as("size"))
+        .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
+    }),
+
+    // PSI drift report between the month's two halves: bins from the
+    // REFERENCE half's exact deciles, per-bin (p_t − p_r)·ln(p_t/p_r) in
+    // pinned micro-units — the feature-drift monitor (stationary target
+    // ⇒ ≈ 0 by construction; per-bin terms localize moved mass).
+    "q124_psi_drift" -> ((s, dir) => {
+      val e = ev(s, dir).select(cents(col("value")).as("x"),
+        col("event_id").as("key"), col("ts_ms"))
+      val split = 1705363200000L // 2024-01-16T00:00:00Z, the month's midpoint
+      operators.Drift.psiBins(e.where(col("ts_ms") < split),
+        e.where(col("ts_ms") >= split), col("x"), col("key"), buckets = 10)
+    }),
+
     // Trimmed robust totals: per-returnflag count/sum over only the
     // values inside the exact [p5, p95] envelope — outliers dropped (vs
     // q94's winsorize clip), fences from the bounded-sample machinery,
@@ -4252,6 +4276,71 @@ object SparkEntry {
     // Character census → per-term pinned pipeline
     // round(n_c · (ln n − ln n_c) · 10^6 / n), integer-summed: the same
     // left-associative double chain the expression's byte walk runs.
+    // q123: q41's component replay + the size histogram (singletons via
+    // the left-join coalesce).
+    "q123_dedup_audit" ->
+      """WITH RECURSIVE t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+        |g AS (
+        | SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+        | FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk)-2)) AS i) ix
+        | WHERE len(tk) >= 3),
+        |z AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |      FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |p AS (
+        | SELECT a_id, b_id FROM p0
+        | JOIN z za ON za.doc_id = a_id JOIN z zb ON zb.doc_id = b_id
+        | WHERE inter * 2 >= (za.n + zb.n - inter) * 1),
+        |e AS (SELECT a_id AS a, b_id AS b FROM p
+        |      UNION SELECT b_id, a_id FROM p),
+        |reach(src, dst) AS (
+        | SELECT a, a FROM e
+        | UNION
+        | SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst),
+        |comp AS (SELECT src AS doc_id, min(dst) AS component
+        |         FROM reach GROUP BY src),
+        |sizes AS (SELECT coalesce(c.component, d.doc_id) AS component,
+        |   count(*) AS size
+        |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        |  GROUP BY 1)
+        |SELECT CAST(size AS BIGINT) AS size,
+        |  CAST(count(*) AS BIGINT) AS n_components
+        |FROM sizes GROUP BY size""".stripMargin,
+
+    // q124: reference-decile cuts by rank selection, collapse-left bins
+    // on both halves, the identical pinned double pipeline per bin.
+    "q124_psi_drift" ->
+      """WITH e AS (SELECT CAST(round(value*100) AS BIGINT) AS x,
+        |  event_id AS key, epoch_ms(ts) AS ts_ms FROM events),
+        |ref AS (SELECT * FROM e WHERE ts_ms < 1705363200000),
+        |tgt AS (SELECT * FROM e WHERE ts_ms >= 1705363200000),
+        |n AS (SELECT count(*) AS c FROM ref),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, key) AS rn FROM ref),
+        |cuts AS (SELECT r.x AS cut FROM r, n
+        | WHERE r.rn IN (SELECT (n.c*b + 9)//10
+        |   FROM (SELECT unnest(range(1, 10)) AS b) bb(b), n)),
+        |br AS (SELECT 1 + (SELECT count(*) FROM cuts WHERE cut < x) AS bucket
+        |       FROM ref),
+        |bt AS (SELECT 1 + (SELECT count(*) FROM cuts WHERE cut < x) AS bucket
+        |       FROM tgt),
+        |cr AS (SELECT bucket, count(*) AS n_ref FROM br GROUP BY 1),
+        |ct AS (SELECT bucket, count(*) AS n_tgt FROM bt GROUP BY 1),
+        |j AS (SELECT coalesce(cr.bucket, ct.bucket) AS bucket,
+        |  coalesce(n_ref, 0) AS n_ref, coalesce(n_tgt, 0) AS n_tgt
+        | FROM cr FULL JOIN ct ON cr.bucket = ct.bucket),
+        |tot AS (SELECT (SELECT count(*) FROM ref) AS nr,
+        |  (SELECT count(*) FROM tgt) AS nt)
+        |SELECT bucket, CAST(n_ref AS BIGINT) AS n_ref,
+        |  CAST(n_tgt AS BIGINT) AS n_tgt,
+        |  CAST(round((greatest(CAST(n_tgt AS DOUBLE)/CAST(nt AS DOUBLE), 1e-6)
+        |    - greatest(CAST(n_ref AS DOUBLE)/CAST(nr AS DOUBLE), 1e-6))
+        |   * ln(greatest(CAST(n_tgt AS DOUBLE)/CAST(nt AS DOUBLE), 1e-6)
+        |     / greatest(CAST(n_ref AS DOUBLE)/CAST(nr AS DOUBLE), 1e-6))
+        |   * 1000000.0) AS BIGINT) AS psi_term_e6
+        |FROM j, tot""".stripMargin,
+
     // q121: rank-selected [p5, p95] fences per group (value at rank
     // ceil(n·p/100) in (x, key) order = smallest x with cum ≥ target),
     // then plain filtered aggregates — outliers dropped, all integers.

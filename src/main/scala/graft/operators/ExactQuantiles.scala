@@ -233,18 +233,31 @@ object ExactQuantiles {
     * sort — unrunnable at 100 TB. `buckets` must divide 100 (integer
     * percent grid). Output: input columns + `<bucketAs>` (1-based INT). */
   def equiDepthBins(df: DataFrame, value: Column, rowKey: Column,
-      buckets: Int, bucketAs: String, k: Int = 4096): DataFrame = {
+      buckets: Int, bucketAs: String, k: Int = 4096): DataFrame =
+    df.withColumn(bucketAs,
+      binColumn(equiDepthCuts(df, value, rowKey, buckets, k), value))
+
+  /** The B−1 exact equi-depth cut values of `value` (the b·(100/B)
+    * percentiles), as a sorted array — the reusable half of
+    * [[equiDepthBins]] for callers that bin a DIFFERENT frame against
+    * this one's distribution (CDF featurization, PSI drift bins). A
+    * bounded driver action: B−1 longs. */
+  def equiDepthCuts(df: DataFrame, value: Column, rowKey: Column,
+      buckets: Int, k: Int = 4096): Array[Long] = {
     require(buckets >= 2 && 100 % buckets == 0,
       s"buckets=$buckets must be >= 2 and divide 100")
     val percents = (1 until buckets).map(_ * (100 / buckets))
     // quantiles() wants at least one grouping column; a constant gives the
     // global computation (one group → one bounded sample row)
-    val cuts = quantiles(df.withColumn("__all", lit(1)), Seq("__all"),
+    quantiles(df.withColumn("__all", lit(1)), Seq("__all"),
         value, rowKey, percents, k)
       .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).map(_._2)
-    df.withColumn(bucketAs,
-      cuts.foldLeft(lit(1)) { (acc, c) =>
-        acc + when(value.cast("long") > lit(c), 1).otherwise(0)
-      })
   }
+
+  /** Bucket assignment against fixed cut values: 1 + |cuts strictly below
+    * v| — a literal codegen'd fold, boundary ties collapse left. */
+  def binColumn(cuts: Array[Long], value: Column): Column =
+    cuts.foldLeft(lit(1)) { (acc, c) =>
+      acc + when(value.cast("long") > lit(c), 1).otherwise(0)
+    }
 }
