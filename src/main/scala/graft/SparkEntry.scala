@@ -1300,6 +1300,13 @@ object SparkEntry {
         touchType = "click", convType = "purchase",
         lookbackMs = 7L * 86400000L)),
 
+    // Collocation mining by PMI (Church–Hanks): adjacent-pair census vs
+    // unigram chance, min-count floor against the rare-pair magnet,
+    // pinned three-ln micro-nat scoring, top-20 via TakeOrderedAndProject.
+    "q125_collocations" -> ((s, dir) =>
+      operators.TextRank.collocations(t(s, dir, "documents"),
+        "doc_id", "text", minCount = 5L, topK = 20)),
+
     // Dedup audit report: component-size histogram over the mined
     // near-dup graph (singletons included) — the dedup-rate data card a
     // corpus pipeline publishes; rides the materialized component map.
@@ -4276,6 +4283,30 @@ object SparkEntry {
     // Character census → per-term pinned pipeline
     // round(n_c · (ln n − ln n_c) · 10^6 / n), integer-summed: the same
     // left-associative double chain the expression's byte walk runs.
+    // q125: the same unigram/bigram censuses and the identical pinned
+    // ln-chain; order + limit replicated (pmi desc, a, b).
+    "q125_collocations" ->
+      """WITH tk AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        |u AS (SELECT unnest(t) AS w FROM tk),
+        |cu AS (SELECT w, count(*) AS c FROM u GROUP BY 1),
+        |n1 AS (SELECT count(*) AS c FROM u),
+        |bg AS (SELECT t[i] AS a, t[i+1] AS b FROM tk,
+        |  LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) ix
+        | WHERE len(t) >= 2),
+        |n2 AS (SELECT count(*) AS c FROM bg),
+        |cb AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY 1, 2
+        |       HAVING count(*) >= 5)
+        |SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
+        |  CAST(ca.c AS BIGINT) AS c_a, CAST(cbb.c AS BIGINT) AS c_b,
+        |  CAST(round((ln(CAST(c_ab AS DOUBLE) / CAST(n2.c AS DOUBLE))
+        |    - ln(CAST(ca.c AS DOUBLE) / CAST(n1.c AS DOUBLE))
+        |    - ln(CAST(cbb.c AS DOUBLE) / CAST(n1.c AS DOUBLE)))
+        |   * 1000000.0) AS BIGINT) AS pmi_e6
+        |FROM cb JOIN cu ca ON ca.w = cb.a JOIN cu cbb ON cbb.w = cb.b,
+        |  n1, n2
+        |ORDER BY pmi_e6 DESC, a, b LIMIT 20""".stripMargin,
+
     // q123: q41's component replay + the size histogram (singletons via
     // the left-join coalesce).
     "q123_dedup_audit" ->

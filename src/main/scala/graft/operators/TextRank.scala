@@ -105,4 +105,45 @@ object TextRank {
       .select(col("id").as(idCol), col("term"), col("tf"), col("df"),
         col("score_e6"), col("rk"))
   }
+
+  /** Collocation discovery by pointwise mutual information — the corpus
+    * phrase-mining step (Church & Hanks 1990): adjacent token pairs
+    * whose co-occurrence beats chance, PMI = ln(p(a,b)/(p(a)p(b))),
+    * with a minimum-count floor (raw PMI is a rare-pair magnet — the
+    * floor is the standard fix).
+    *
+    * Determinism: PMI evaluates as the pinned three-ln chain
+    * ln(c_ab/N₂) − ln(c_a/N₁) − ln(c_b/N₁) rounded to micro-nats — the
+    * same double-pipeline discipline as BM25/bigram-LM, replayed by the
+    * oracle. Shape: unigram and bigram censuses are two map-side-combined
+    * aggregations of narrow exploded scans; the minCount filter shrinks
+    * the bigram side BEFORE its two term joins, and the final top-k is
+    * TakeOrderedAndProject (no global sort materializes). Output:
+    * (a, b, c_ab, c_a, c_b, pmi_e6), top `topK` by (pmi desc, a, b). */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long, topK: Int): DataFrame = {
+    require(minCount >= 1 && topK >= 1)
+    val uniRaw = CorpusOps.wordNgramsRaw(docs, idCol, textCol, 1)
+    val biRaw = CorpusOps.wordNgramsRaw(docs, idCol, textCol, 2)
+    val uni = uniRaw.groupBy(col("g")).agg(count(lit(1)).as("c"))
+    val n1 = uniRaw.count()
+    val n2 = biRaw.count()
+    val bi = biRaw.groupBy(col("g")).agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+      .select(element_at(split(col("g"), " "), 1).as("a"),
+        element_at(split(col("g"), " "), 2).as("b"), col("c_ab"))
+    val pmi = round((
+      log(col("c_ab").cast("double") / lit(n2.toDouble)) -
+      log(col("c_a").cast("double") / lit(n1.toDouble)) -
+      log(col("c_b").cast("double") / lit(n1.toDouble))) * lit(1000000.0))
+      .cast("long")
+    bi
+      .join(uni.select(col("g").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("g").as("b"), col("c").as("c_b")), "b")
+      .withColumn("pmi_e6", pmi)
+      .orderBy(col("pmi_e6").desc, col("a"), col("b"))
+      .limit(topK)
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        col("pmi_e6"))
+  }
 }
