@@ -1300,6 +1300,37 @@ object SparkEntry {
         touchType = "click", convType = "purchase",
         lookbackMs = 7L * 86400000L)),
 
+    // EXACT sliding-window percentiles (the latency-SLO report): per-
+    // slice value histograms merge slice→range per 6h window, cumulative
+    // rank selects smallest value with cum ≥ ceil(n·p/100) — histogram
+    // rows through the exchanges, never raw events.
+    "q126_sliding_percentiles" -> ((s, dir) =>
+      agg.Windows.slidingPercentiles(ev(s, dir),
+        cents(col("value")), col("ts_ms"),
+        sliceMs = 3600000L, slicesPerWindow = 6, percents = Seq(50, 95, 99))),
+
+    // Trending risers per sliding window: top-5 users by count delta vs
+    // the window one slide back — slice counts re-aggregate into window
+    // counts, previous-window counts arrive by a shifted self-join, the
+    // rank rides WindowGroupLimit.
+    "q127_trending" -> ((s, dir) =>
+      agg.Windows.trendingTopK(ev(s, dir), col("user_id"), col("ts_ms"),
+        sliceMs = 3600000L, slicesPerWindow = 6, topK = 5)),
+
+    // Bounded-round k-core peel over the part co-occurrence graph: two
+    // synchronous drop-and-induce rounds at k=80 — a real cascade on this
+    // data (round 2 removes nodes round 1 exposed). The dense-subgraph
+    // extractor of graph cleaning.
+    "q128_kcore" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val co = li.join(
+          li.select(col("l_orderkey"), col("l_partkey").as("dst_part")),
+          "l_orderkey")
+        .where(col("l_partkey") =!= col("dst_part"))
+      operators.Graph.kCorePeel(co, "l_partkey", "dst_part", k = 80,
+        rounds = 2)
+    }),
+
     // Collocation mining by PMI (Church–Hanks): adjacent-pair census vs
     // unigram chance, min-count floor against the rare-pair magnet,
     // pinned three-ln micro-nat scoring, top-20 via TakeOrderedAndProject.
@@ -4283,6 +4314,56 @@ object SparkEntry {
     // Character census → per-term pinned pipeline
     // round(n_c · (ln n − ln n_c) · 10^6 / n), integer-summed: the same
     // left-associative double chain the expression's byte walk runs.
+    // q126: the same slice→window histogram and the discrete-quantile
+    // rank rule (cum·100 ≥ n·p ⟺ cum ≥ ceil(n·p/100) for integers).
+    "q126_sliding_percentiles" ->
+      """WITH e AS (SELECT CAST(round(value*100) AS BIGINT) AS v,
+        |  epoch_ms(ts) - epoch_ms(ts) % 3600000 AS slice FROM events),
+        |x AS (SELECT v, slice - k.k * 3600000 AS w
+        |      FROM e, (SELECT unnest(range(0, 6)) AS k) k(k)),
+        |g AS (SELECT w, v, count(*) AS c FROM x GROUP BY 1, 2),
+        |cum AS (SELECT w, v,
+        |  sum(c) OVER (PARTITION BY w ORDER BY v) AS cum,
+        |  sum(c) OVER (PARTITION BY w) AS n FROM g),
+        |p AS (SELECT * FROM cum,
+        |  (SELECT unnest([50, 95, 99]) AS percent) pp)
+        |SELECT w AS window_start_ms, CAST(percent AS BIGINT) AS percent,
+        |  min(v) AS quantile
+        |FROM p WHERE cum * 100 >= n * percent GROUP BY 1, 2""".stripMargin,
+
+    // q127: window counts, shifted self-join for the previous window,
+    // (delta desc, key) rank ≤ 5.
+    "q127_trending" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS key,
+        |  epoch_ms(ts) - epoch_ms(ts) % 3600000 AS slice FROM events),
+        |x AS (SELECT key, slice - k.k * 3600000 AS w
+        |      FROM e, (SELECT unnest(range(0, 6)) AS k) k(k)),
+        |g AS (SELECT w, key, CAST(count(*) AS BIGINT) AS n
+        |      FROM x GROUP BY 1, 2),
+        |j AS (SELECT g.w, g.key, g.n,
+        |  g.n - coalesce(p.n, 0) AS delta
+        | FROM g LEFT JOIN g p ON p.key = g.key AND p.w = g.w - 3600000),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY w
+        |  ORDER BY delta DESC, key) AS rk FROM j)
+        |SELECT w AS window_start_ms, key, n, CAST(delta AS BIGINT) AS delta,
+        |  CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 5""".stripMargin,
+
+    // q128: two unrolled drop-and-induce rounds at k=80, then the
+    // surviving subgraph's degrees.
+    "q128_kcore" ->
+      """WITH co AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |k1 AS (SELECT a FROM co GROUP BY a HAVING count(*) >= 80),
+        |e1 AS (SELECT co.a, co.b FROM co
+        |  JOIN k1 ka ON ka.a = co.a JOIN k1 kb ON kb.a = co.b),
+        |k2 AS (SELECT a FROM e1 GROUP BY a HAVING count(*) >= 80),
+        |e2 AS (SELECT e1.a, e1.b FROM e1
+        |  JOIN k2 ka ON ka.a = e1.a JOIN k2 kb ON kb.a = e1.b)
+        |SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+        |FROM e2 GROUP BY a""".stripMargin,
+
     // q125: the same unigram/bigram censuses and the identical pinned
     // ln-chain; order + limit replicated (pmi desc, a, b).
     "q125_collocations" ->

@@ -243,4 +243,37 @@ object Graph {
         (lit(4L) * col("m") * coalesce(col("internal_edges"), lit(0L)) -
           col("degree_sum") * col("degree_sum")).as("q_num"))
   }
+
+  /** Bounded-round k-core peeling (Seidman 1983 coreness, the
+    * Batagelj–Zaveršnik peel run synchronously): each round drops every
+    * node whose CURRENT degree is < k and induces the surviving
+    * subgraph; `rounds` rounds of the cascade (run to a fixpoint this IS
+    * the k-core — bounded rounds keep the oracle unrollable and the
+    * lineage finite, the q84 LPA discipline). The dense-subgraph /
+    * spam-ring extractor of graph cleaning.
+    *
+    * Input: DISTINCT directed edge pairs with both directions present
+    * (the co-occurrence-graph convention here); degree = out-degree
+    * then. Per round: one map-side-combined degree aggregation + two
+    * semi-joins to induce, localCheckpoint truncates the per-round plan
+    * (bounded-round iterative lineage, same as PageRank). Output:
+    * (node, deg) of the subgraph after the final round. */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 64)
+    var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var i = 0
+    while (i < rounds) {
+      val keep = e.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("a"))
+      e = e.join(keep, "a")
+        .join(keep.withColumnRenamed("a", "b"), "b")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    e.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+  }
 }

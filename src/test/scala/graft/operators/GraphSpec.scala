@@ -192,4 +192,48 @@ class GraphSpec extends SparkSpec {
     assert(run(1) == run(9))
     assert(run(9).toMap == bruteTriangles(rand))
   }
+
+  test("kCorePeel: synchronous drop-and-induce rounds match a model, cascade included") {
+    // pentagon 1-2-3-4-5 plus a tail 5-6: k=2 peel round 1 drops 6
+    // (deg 1); round 2 then drops 5 (its degree FELL to 2? no — 5 keeps
+    // edges to 1 and 4 → deg 2, stays). Fixpoint = the pentagon.
+    val penta = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L), (5L, 6L))
+    val both = penta ++ penta.map(_.swap)
+    val got = Graph.kCorePeel(both.toDF("a", "b"), "a", "b", k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 2L))
+
+    // chain 1-2-3-4: k=2 cascades — round 1 drops endpoints 1,4; round 2
+    // drops the newly-exposed 2,3; empty at the fixpoint
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val chainBoth = chain ++ chain.map(_.swap)
+    val r1 = Graph.kCorePeel(chainBoth.toDF("a", "b"), "a", "b", 2, 1)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(r1 == Set(2L, 3L), "round 1 keeps the middle (degrees computed pre-drop)")
+    val r2 = Graph.kCorePeel(chainBoth.toDF("a", "b"), "a", "b", 2, 2)
+      .collect()
+    assert(r2.isEmpty, "round 2 must see the cascaded degree drop")
+
+    // randomized parity vs a reference model across partitionings
+    val rnd = new scala.util.Random(3)
+    val edges = (for (_ <- 1 to 80)
+      yield (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val all = (edges ++ edges.map(_.swap)).distinct
+    def model(k: Int, rounds: Int): Map[Long, Long] = {
+      var adj = all.groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+      var alive = adj.keySet
+      for (_ <- 1 to rounds) {
+        val keep = alive.filter(n => (adj(n) & alive).size >= k)
+        alive = keep
+      }
+      alive.map(n => n -> (adj(n) & alive).size.toLong).toMap
+    }
+    for (k <- Seq(3, 5); parts <- Seq(1, 7)) {
+      val got2 = Graph.kCorePeel(all.toDF("a", "b").repartition(parts),
+          "a", "b", k, 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got2 == model(k, 4), s"k=$k parts=$parts")
+    }
+  }
 }
