@@ -1300,6 +1300,41 @@ object SparkEntry {
         touchType = "click", convType = "purchase",
         lookbackMs = 7L * 86400000L)),
 
+    // Wilson-score quality gate: per-source pass rate (quality ≥ 75)
+    // with the statistically honest LOWER confidence bound — small
+    // samples can't sneak through on a lucky point rate. Pinned IEEE
+    // chain incl. correctly-rounded sqrt; one counting aggregation.
+    "q129_wilson_gate" -> ((s, dir) =>
+      operators.Profile.wilsonLowerBound(
+        t(s, dir, "documents").select(col("source"),
+          TextFunctions.qualityScore(col("text")).as("q")),
+        "source", col("q") >= 75L)),
+
+    // Session-duration percentiles (p50/p90/p99): q08's sessionization
+    // feeding the histogram-and-cumulative-rank discrete-quantile rule —
+    // the duration frame collapses to |distinct durations| rows before
+    // the (bounded) rank window.
+    "q130_session_percentiles" -> ((s, dir) => {
+      val sess = Sessionize.sessionBounds(
+        ev(s, dir).select(col("user_id"), col("ts_ms"), col("event_id")),
+        Seq("user_id"), "ts_ms", 4L * 3600000L, "event_id")
+      val hist = sess
+        .select((col("session_end_ms") - col("session_start_ms")).as("dur"))
+        .groupBy(col("dur")).agg(count(lit(1)).as("c"))
+      // single-partition rank window over the HISTOGRAM (|distinct
+      // durations| rows), not the session frame — the q48 discipline
+      val byDur = org.apache.spark.sql.expressions.Window.orderBy(col("dur"))
+      val all = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+      hist
+        .withColumn("cum", sum(col("c")).over(byDur))
+        .withColumn("n", sum(col("c")).over(all))
+        .select(col("dur"), col("cum"), col("n"),
+          explode(array(lit(50L), lit(90L), lit(99L))).as("percent"))
+        .where(col("cum") * lit(100L) >= col("n") * col("percent"))
+        .groupBy(col("percent")).agg(min(col("dur")).as("quantile_ms"))
+    }),
+
     // EXACT sliding-window percentiles (the latency-SLO report): per-
     // slice value histograms merge slice→range per 6h window, cumulative
     // rank selects smallest value with cum ≥ ceil(n·p/100) — histogram
@@ -4314,6 +4349,55 @@ object SparkEntry {
     // Character census → per-term pinned pipeline
     // round(n_c · (ln n − ln n_c) · 10^6 / n), integer-summed: the same
     // left-associative double chain the expression's byte walk runs.
+    // q129: the q16 quality replay feeding the literal Wilson expression
+    // tree — identical IEEE op order, sqrt correctly rounded both sides.
+    "q129_wilson_gate" ->
+      """WITH q AS (SELECT source,
+        | greatest(least(
+        |   CAST(floor(least(len(regexp_split_to_array(trim(text), '\s+')), 40) * 25 / 40) AS BIGINT)
+        |   + CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 0
+        |      THEN CAST(floor(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) * 50
+        |                      / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+        |      ELSE 0 END
+        |   + (25 - CASE WHEN length(text) > 0
+        |      THEN least(CAST(floor((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 100 / length(text)) AS BIGINT), 25)
+        |      ELSE 0 END),
+        |  100), 0) AS quality
+        | FROM documents),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) FILTER (quality >= 75) AS BIGINT) AS n_pass
+        | FROM q GROUP BY 1)
+        |SELECT source, n, n_pass,
+        | CAST(round((CAST(n_pass AS DOUBLE)/CAST(n AS DOUBLE)
+        |    + (1.96*1.96)/(2.0*CAST(n AS DOUBLE))
+        |    - 1.96*sqrt(CAST(n_pass AS DOUBLE)/CAST(n AS DOUBLE)
+        |        *(1.0 - CAST(n_pass AS DOUBLE)/CAST(n AS DOUBLE))
+        |        /CAST(n AS DOUBLE)
+        |      + (1.96*1.96)/(4.0*CAST(n AS DOUBLE)*CAST(n AS DOUBLE))))
+        |   /(1.0 + (1.96*1.96)/CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |  AS wilson_lb_e6
+        |FROM g""".stripMargin,
+
+    // q130: the q08 session replay + duration histogram + the discrete-
+    // quantile rank rule.
+    "q130_session_percentiles" ->
+      """WITH o AS (
+        | SELECT user_id, epoch_ms(ts) AS ms, event_id,
+        |  CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |        OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 14400000
+        |       THEN 1 ELSE 0 END AS brk
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+        |d AS (SELECT max(ms) - min(ms) AS dur FROM s GROUP BY user_id, sid),
+        |g AS (SELECT dur, count(*) AS c FROM d GROUP BY 1),
+        |cum AS (SELECT dur, sum(c) OVER (ORDER BY dur) AS cum,
+        |  sum(c) OVER () AS n FROM g),
+        |p AS (SELECT * FROM cum, (SELECT unnest([50, 90, 99]) AS percent) pp)
+        |SELECT CAST(percent AS BIGINT) AS percent, min(dur) AS quantile_ms
+        |FROM p WHERE cum * 100 >= n * percent GROUP BY 1""".stripMargin,
+
     // q126: the same slice→window histogram and the discrete-quantile
     // rank rule (cum·100 ≥ n·p ⟺ cum ≥ ceil(n·p/100) for integers).
     "q126_sliding_percentiles" ->

@@ -125,6 +125,34 @@ object Profile {
     * must be pre-scaled fixed-point (cents etc.); with |x|,|y| ≤ 10⁶ and
     * n ≤ 10⁹ the products stay inside int64 — callers at larger scale
     * drop to the e3 scale, not to doubles. */
+  /** Per-group pass-rate with a Wilson-score LOWER confidence bound
+    * (Wilson 1927; the Agresti–Coull-recommended interval) — the
+    * statistically honest quality gate: a source passing 9/10 docs and
+    * one passing 900/1000 share p̂ = 0.9 but NOT the same evidence; the
+    * Wilson bound separates them, and gating on the bound instead of the
+    * point rate stops small samples from sneaking through.
+    *
+    * Determinism: one pinned double chain (IEEE +,·,/ and sqrt — sqrt is
+    * correctly rounded by both engines, so parity is exact)
+    *   lb = (p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+    * rounded to e6 — the oracle mirrors the expression tree literally.
+    * ONE counting aggregation (map-side combine), `groups` rows out.
+    * Output: (groupCol, n, n_pass, wilson_lb_e6). */
+  def wilsonLowerBound(df: DataFrame, groupCol: String, pass: Column,
+      z: Double = 1.96): DataFrame = {
+    val agged = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(pass, 1L).otherwise(0L)), lit(0L)).as("n_pass"))
+    val n = col("n").cast("double")
+    val p = col("n_pass").cast("double") / n
+    val z2 = lit(z * z)
+    val lb = (p + z2 / (lit(2.0) * n) -
+      lit(z) * sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))) /
+      (lit(1.0) + z2 / n)
+    agged.select(col(groupCol), col("n"), col("n_pass"),
+      round(lb * lit(1000000.0)).cast("long").as("wilson_lb_e6"))
+  }
+
   def momentProfile(df: DataFrame, groupCol: String, x: Column,
       y: Column): DataFrame =
     df.select(col(groupCol), x.cast("long").as("__x"), y.cast("long").as("__y"))

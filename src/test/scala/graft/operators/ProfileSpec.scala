@@ -101,4 +101,25 @@ class ProfileSpec extends SparkSpec {
     val (vx, vy, cn) = (r.getLong(7), r.getLong(8), r.getLong(9))
     assert(cn * cn == vx * vy && cn > 0)
   }
+
+  test("wilsonLowerBound: same point rate, more evidence, higher bound") {
+    val rows = (0 until 10).map(i => ("small", i < 9)) ++
+      (0 until 1000).map(i => ("large", i < 900)) ++
+      Seq(("zero", false), ("zero", false), ("full", true))
+    val got = Profile.wilsonLowerBound(rows.toDF("g", "ok"), "g", col("ok"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // p̂ = 0.9 both, but n=1000 must beat n=10 decisively
+    assert(got("small")._3 < got("large")._3)
+    assert(got("large")._3 > 870000L && got("large")._3 < 900000L)
+    assert(got("small")._3 < 800000L)
+    // closed-form spot check at n=10, pass=9, z=1.96
+    val (n, pass, z) = (10.0, 9.0, 1.96)
+    val p = pass / n
+    val lb = (p + z * z / (2 * n) -
+      z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))) / (1 + z * z / n)
+    assert(got("small")._3 == math.round(lb * 1e6))
+    // degenerate rates stay inside [0, 1e6]
+    assert(got("zero")._3 >= 0L && got("full")._3 <= 1000000L)
+  }
 }
