@@ -1318,22 +1318,31 @@ object SparkEntry {
       val sess = Sessionize.sessionBounds(
         ev(s, dir).select(col("user_id"), col("ts_ms"), col("event_id")),
         Seq("user_id"), "ts_ms", 4L * 3600000L, "event_id")
-      val hist = sess
-        .select((col("session_end_ms") - col("session_start_ms")).as("dur"))
-        .groupBy(col("dur")).agg(count(lit(1)).as("c"))
-      // single-partition rank window over the HISTOGRAM (|distinct
-      // durations| rows), not the session frame — the q48 discipline
-      val byDur = org.apache.spark.sql.expressions.Window.orderBy(col("dur"))
-      val all = org.apache.spark.sql.expressions.Window
-        .partitionBy(lit(1))
-      hist
-        .withColumn("cum", sum(col("c")).over(byDur))
-        .withColumn("n", sum(col("c")).over(all))
-        .select(col("dur"), col("cum"), col("n"),
-          explode(array(lit(50L), lit(90L), lit(99L))).as("percent"))
-        .where(col("cum") * lit(100L) >= col("n") * col("percent"))
-        .groupBy(col("percent")).agg(min(col("dur")).as("quantile_ms"))
+      operators.ExactQuantiles.histogramPercentiles(sess,
+          col("session_end_ms") - col("session_start_ms"), Seq(50, 90, 99))
+        .withColumnRenamed("quantile", "quantile_ms")
     }),
+
+    // Funnel latency report: time-to-convert (t3 − t1) percentiles for
+    // completed view→click→purchase funnels — q64's stage times feeding
+    // the histogram discrete-quantile rule.
+    "q131_funnel_latency" -> ((s, dir) => {
+      val f = operators.Funnel.funnelTimes(ev(s, dir), "user_id",
+        "event_type", "ts_ms", Seq("view", "click", "purchase"),
+        7L * 86400000L)
+      operators.ExactQuantiles.histogramPercentiles(
+          f.where(col("t3").isNotNull), col("t3") - col("t1"),
+          Seq(50, 90, 99))
+        .withColumnRenamed("quantile", "quantile_ms")
+    }),
+
+    // Content-defined chunking (LBFS/rsync boundaries on tokens): chunk
+    // ids from a per-doc cumulative boundary census, ordered reassembly,
+    // PolyHash64 fingerprints — identical passages fingerprint
+    // identically wherever they sit, the storage-dedup primitive.
+    "q132_cdc_chunks" -> ((s, dir) =>
+      operators.CorpusOps.cdcChunks(t(s, dir, "documents"),
+        "doc_id", "text", boundaryMod = 8)),
 
     // EXACT sliding-window percentiles (the latency-SLO report): per-
     // slice value histograms merge slice→range per 6h window, cumulative
@@ -3149,6 +3158,51 @@ object SparkEntry {
        |  % 18446744073709551616 AS UBIGINT)""".stripMargin
   }
 
+  /** q132's oracle: the q22 PolyHash64 recipe (Karp–Rabin fold +
+    * splitMix64 rounds in HUGEINT/UBIGINT arithmetic) applied TWICE —
+    * per token to decide boundaries (divisibility by 8 is sign-safe:
+    * 8 | 2^64, so the unsigned test equals the signed one), and per
+    * reassembled chunk for the fingerprint. */
+  private lazy val q132OracleSql: String = {
+    val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
+    val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
+    def kr(expr: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |    list_transform(range(1, length($expr)+1),
+         |      i -> CAST(unicode($expr[i]) AS HUGEINT))),
+         |    (a,b) -> (a*257+b) % 2305843009213693951)""".stripMargin
+    s"""WITH tk AS (SELECT doc_id,
+       |  regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
+       |tok AS (SELECT doc_id, i - 1 AS pos, t[i] AS w FROM tk,
+       |  LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) ix),
+       |kr0 AS (SELECT doc_id, pos, w, ${kr("w")} AS h FROM tok),
+       |t0 AS (SELECT doc_id, pos, w,
+       |  CAST((h + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z0 FROM kr0),
+       |t1 AS (SELECT doc_id, pos, w, $z1 AS z1 FROM t0),
+       |t2 AS (SELECT doc_id, pos, w, $z2 AS z2 FROM t1),
+       |tz AS (SELECT doc_id, pos, w, xor(z2, z2 >> 31) AS z FROM t2),
+       |b AS (SELECT doc_id, pos, w,
+       |  CASE WHEN z % 8 = 0 THEN 1 ELSE 0 END AS brk FROM tz),
+       |c AS (SELECT doc_id, pos, w,
+       |  coalesce(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+       | FROM b),
+       |g AS (SELECT doc_id, chunk_idx, count(*) AS n_tokens,
+       |  string_agg(w, ' ' ORDER BY pos) AS chunk FROM c GROUP BY 1, 2),
+       |ck AS (SELECT doc_id, chunk_idx, n_tokens, ${kr("chunk")} AS h FROM g),
+       |c0 AS (SELECT doc_id, chunk_idx, n_tokens,
+       |  CAST((h + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z0 FROM ck),
+       |c1 AS (SELECT doc_id, chunk_idx, n_tokens, $z1 AS z1 FROM c0),
+       |c2 AS (SELECT doc_id, chunk_idx, n_tokens, $z2 AS z2 FROM c1),
+       |cz AS (SELECT doc_id, chunk_idx, n_tokens, xor(z2, z2 >> 31) AS z FROM c2)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(CASE WHEN z >= CAST('9223372036854775808' AS HUGEINT)
+       |    THEN z - CAST('18446744073709551616' AS HUGEINT)
+       |    ELSE z END AS BIGINT) AS fp
+       |FROM cz""".stripMargin
+  }
+
   /** q22's oracle recomputes every token's PolyHash64 — Karp–Rabin over the
     * characters mod 2^61-1 (list_reduce fold), then the three splitMix64
     * rounds in UBIGINT/HUGEINT arithmetic — and re-runs the 64 bit-votes.
@@ -4349,6 +4403,35 @@ object SparkEntry {
     // Character census → per-term pinned pipeline
     // round(n_c · (ln n − ln n_c) · 10^6 / n), integer-summed: the same
     // left-associative double chain the expression's byte walk runs.
+    // q131: q64's funnel replay + the duration histogram rank rule.
+    "q131_funnel_latency" ->
+      """WITH e AS (
+        | SELECT user_id AS u, event_type AS et, epoch_ms(ts) AS ts
+        | FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (
+        | SELECT u, min(CASE WHEN et = 'view' THEN ts END) AS t1
+        | FROM e GROUP BY u),
+        |s1f AS (SELECT u, t1 FROM s1 WHERE t1 IS NOT NULL),
+        |s2 AS (
+        | SELECT e.u, t1, min(CASE WHEN et = 'click' AND ts > t1
+        |    AND ts <= t1 + 604800000 THEN ts END) AS t2
+        | FROM e JOIN s1f USING (u) GROUP BY e.u, t1),
+        |s3 AS (
+        | SELECT e.u, t1, t2, min(CASE WHEN et = 'purchase' AND t2 IS NOT NULL
+        |    AND ts > t2 AND ts <= t1 + 604800000 THEN ts END) AS t3
+        | FROM e JOIN s2 USING (u) GROUP BY e.u, t1, t2),
+        |d AS (SELECT t3 - t1 AS dur FROM s3 WHERE t3 IS NOT NULL),
+        |g AS (SELECT dur, count(*) AS c FROM d GROUP BY 1),
+        |cum AS (SELECT dur, sum(c) OVER (ORDER BY dur) AS cum,
+        |  sum(c) OVER () AS n FROM g),
+        |p AS (SELECT * FROM cum, (SELECT unnest([50, 90, 99]) AS percent) pp)
+        |SELECT CAST(percent AS BIGINT) AS percent, min(dur) AS quantile_ms
+        |FROM p WHERE cum * 100 >= n * percent GROUP BY 1""".stripMargin,
+
+    // q132: the full PolyHash64 chain (KR fold + splitMix64) replayed
+    // per token for boundaries and per chunk for fingerprints.
+    "q132_cdc_chunks" -> q132OracleSql,
+
     // q129: the q16 quality replay feeding the literal Wilson expression
     // tree — identical IEEE op order, sqrt correctly rounded both sides.
     "q129_wilson_gate" ->

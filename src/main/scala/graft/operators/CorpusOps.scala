@@ -330,6 +330,44 @@ object CorpusOps {
         .otherwise(array().cast("array<string>"))).as("g"))
   }
 
+  /** Content-defined chunking (the LBFS/rsync boundary rule, lifted to
+    * tokens): a chunk boundary falls AFTER every token whose PolyHash64
+    * is ≡ 0 (mod `boundaryMod`) — boundaries depend only on local
+    * content, so an insertion re-chunks O(1) chunks instead of shifting
+    * every downstream boundary the way fixed-stride chunking does. The
+    * byte-dedup/storage shape of corpus management: identical passages
+    * yield identical chunk fingerprints wherever they appear.
+    *
+    * One narrow scan: posexplode → codegen'd per-token hash → a per-doc
+    * cumulative window assigns chunk ids → per-(doc, chunk) ordered
+    * reassembly (sort_array over (pos, token) structs — deterministic,
+    * no collect_list order reliance) → PolyHash64 fingerprint of the
+    * chunk text. Expected chunk length ≈ boundaryMod tokens. Output:
+    * (idCol, chunk_idx, n_tokens, fp). */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      boundaryMod: Int): DataFrame = {
+    require(boundaryMod >= 2)
+    graft.functions.PolyHash64.register(docs.sparkSession)
+    val toks = docs.select(col(idCol),
+      posexplode(split(trim(lower(col(textCol))), "\\s+"))
+        .as(Seq("pos", "tok")))
+    val boundary = (graft.functions.PolyHash64.polyHash64(col("tok"))
+      % boundaryMod === 0).cast("int")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("chunk_idx",
+        coalesce(sum(boundary).over(w), lit(0L)).cast("long"))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("tok"))))
+        .as("__parts"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__parts")).cast("long").as("n_tokens"),
+        graft.functions.PolyHash64.polyHash64(
+          array_join(transform(col("__parts"), p => p.getField("tok")), " "))
+          .as("fp"))
+  }
+
   /** Token frequency-of-frequencies census (the Zipf/Good–Turing spectrum
     * N_c = |{terms occurring exactly c times}|): the two-stage aggregation
     * over raw corpus tokens. N_1 (hapax count) estimates unseen-vocabulary

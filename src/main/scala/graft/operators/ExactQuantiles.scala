@@ -260,4 +260,30 @@ object ExactQuantiles {
     cuts.foldLeft(lit(1)) { (acc, c) =>
       acc + when(value.cast("long") > lit(c), 1).otherwise(0)
     }
+
+  /** GLOBAL discrete percentiles by the histogram-and-cumulative-rank
+    * rule: collapse to (value → count) first (map-side combine — the
+    * only full-data pass), then a rank window over the HISTOGRAM picks
+    * the smallest value with cum ≥ ⌈n·p/100⌉ per percent. The
+    * single-partition window touches |distinct values| rows, not data —
+    * exact and cheap for quantized metrics (durations, cents); for few
+    * known groups prefix `df` with a per-group loop, for unbounded value
+    * domains use [[quantiles]] (bounded-sample) or the one-pass
+    * [[graft.agg.QuantileSketch]]. Output: (percent, quantile). */
+  def histogramPercentiles(df: DataFrame, value: Column,
+      percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p > 0 && p <= 100))
+    val hist = df.select(value.cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+      .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    val byV = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    hist
+      .withColumn("__cum", sum(col("__c")).over(byV))
+      .withColumn("__n", sum(col("__c")).over(all))
+      .select(col("__v"), col("__cum"), col("__n"),
+        explode(array(percents.map(p => lit(p.toLong)): _*)).as("percent"))
+      .where(col("__cum") * lit(100L) >= col("__n") * col("percent"))
+      .groupBy(col("percent")).agg(min(col("__v")).as("quantile"))
+  }
 }

@@ -262,6 +262,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out("h") == ((3L, 7L, 9L, 9L)))
   }
 
+  test("cdcChunks: content-defined boundaries survive an insertion (the CDC property)") {
+    // find a token whose PolyHash64 is ≡ 0 mod 4 to use as a boundary
+    val boundaryTok = (1 to 1000).map(i => s"tok$i").find { t =>
+      graft.functions.RollingHash.polyHash64(t.getBytes("UTF-8")) % 4 == 0
+    }.get
+    val tail = s"alpha beta $boundaryTok gamma delta epsilon"
+    val docs = Seq(
+      (1L, tail),
+      (2L, s"INSERTED PREFIX WORDS $boundaryTok $tail") // prefix added
+    ).toDF("doc_id", "text")
+    val chunks = CorpusOps.cdcChunks(docs, "doc_id", "text", boundaryMod = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byDoc = chunks.groupBy(_._1)
+    // doc 2's final chunk must fingerprint identically to doc 1's final
+    // chunk: the boundary isolates the shared tail from the edit
+    val fp1 = byDoc(1L).maxBy(_._2)
+    val fp2 = byDoc(2L).maxBy(_._2)
+    assert(fp1._4 == fp2._4, s"shared tail must share a fingerprint: $chunks")
+    assert(fp1._3 == fp2._3, "and the same token count")
+    // token counts per doc are preserved across chunks
+    assert(byDoc(1L).map(_._3).sum == 6L)
+    assert(byDoc(2L).map(_._3).sum == 10L)
+  }
+
   test("frequencySpectrum: N_c census over raw tokens, case-folded") {
     val docs = Seq(
       (1L, "a a a b b c"),
