@@ -44,7 +44,8 @@ object GraftRegistry {
       graft.agg.CountMinSketch.builders ++
       graft.agg.BloomSketch.builders ++
       graft.agg.MisraGries.builders ++
-      graft.agg.BoundedSample.builders
+      graft.agg.BoundedSample.builders ++
+      graft.agg.QuantileSketch.builders
 
   /** Register every graft function on a live session in one call. */
   def registerAll(spark: SparkSession): Unit = registerTemp(spark, all)

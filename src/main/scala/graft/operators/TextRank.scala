@@ -123,13 +123,17 @@ object TextRank {
   def collocations(docs: DataFrame, idCol: String, textCol: String,
       minCount: Long, topK: Int): DataFrame = {
     require(minCount >= 1 && topK >= 1)
-    val uniRaw = CorpusOps.wordNgramsRaw(docs, idCol, textCol, 1)
-    val biRaw = CorpusOps.wordNgramsRaw(docs, idCol, textCol, 2)
-    val uni = uniRaw.groupBy(col("g")).agg(count(lit(1)).as("c"))
-    val n1 = uniRaw.count()
-    val n2 = biRaw.count()
-    val bi = biRaw.groupBy(col("g")).agg(count(lit(1)).as("c_ab"))
-      .where(col("c_ab") >= minCount)
+    // one explode scan per n-gram order; totals derive from the (small)
+    // persisted censuses, never from a second pass over raw tokens
+    val uni = CorpusOps.wordNgramsRaw(docs, idCol, textCol, 1)
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val biAll = CorpusOps.wordNgramsRaw(docs, idCol, textCol, 2)
+      .groupBy(col("g")).agg(count(lit(1)).as("c_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n1 = uni.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+    val n2 = biAll.agg(coalesce(sum(col("c_ab")), lit(0L))).head().getLong(0)
+    val bi = biAll.where(col("c_ab") >= minCount)
       .select(element_at(split(col("g"), " "), 1).as("a"),
         element_at(split(col("g"), " "), 2).as("b"), col("c_ab"))
     val pmi = round((
