@@ -1300,6 +1300,14 @@ object SparkEntry {
         touchType = "click", convType = "purchase",
         lookbackMs = 7L * 86400000L)),
 
+    // Recency-weighted engagement: per-user exponentially decayed score
+    // (1-week half-life, pinned as-of instant) — per-event contributions
+    // round to micro-units BEFORE the integer sum, so the freshness
+    // feature hash-gates under any partitioning.
+    "q133_decayed_score" -> ((s, dir) =>
+      agg.Windows.decayedScore(ev(s, dir), Seq("user_id"), "ts_ms",
+        halfLifeMs = 604800000L, asOfMs = 1706745600000L)),
+
     // Wilson-score quality gate: per-source pass rate (quality ≥ 75)
     // with the statistically honest LOWER confidence bound — small
     // samples can't sneak through on a lucky point rate. Pinned IEEE
@@ -4403,6 +4411,16 @@ object SparkEntry {
     // Character census → per-term pinned pipeline
     // round(n_c · (ln n − ln n_c) · 10^6 / n), integer-summed: the same
     // left-associative double chain the expression's byte walk runs.
+    // q133: identical per-event pow(2, −age/hl) micro-unit rounding,
+    // integer-summed.
+    "q133_decayed_score" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(pow(2.0,
+        |    -((1706745600000 - epoch_ms(ts)) / 604800000.0))
+        |    * 1000000.0) AS BIGINT)) AS BIGINT) AS score_e6
+        |FROM events WHERE epoch_ms(ts) <= 1706745600000
+        |GROUP BY user_id""".stripMargin,
+
     // q131: q64's funnel replay + the duration histogram rank rule.
     "q131_funnel_latency" ->
       """WITH e AS (

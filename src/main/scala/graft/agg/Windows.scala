@@ -108,6 +108,29 @@ object Windows {
       .agg(min(col("v")).as("quantile"))
   }
 
+  /** Exponentially time-decayed score per key — the recency-weighted
+    * engagement feature (each event contributes 2^(−age/halfLife),
+    * so a week-old action counts half as much at a 1-week half-life):
+    * the standard freshness-aware counter where a plain window count
+    * forgets nothing and a tumbling window forgets everything.
+    *
+    * Determinism: the per-EVENT contribution rounds to integer
+    * micro-units BEFORE the sum (the no-raw-double-SUM rule — double
+    * addition doesn't associate across partitionings; integer addition
+    * does), and `asOfMs` is an explicit pinned instant, never now().
+    * One scan, map-side combine. Output: keys..., n, score_e6. */
+  def decayedScore(df: DataFrame, keys: Seq[String], tsMs: String,
+      halfLifeMs: Long, asOfMs: Long): DataFrame = {
+    require(halfLifeMs > 0)
+    val age = (lit(asOfMs) - col(tsMs)).cast("double")
+    val term = round(
+      pow(lit(2.0), -(age / lit(halfLifeMs.toDouble))) * lit(1000000.0))
+      .cast("long")
+    df.where(col(tsMs) <= asOfMs)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(term).as("score_e6"))
+  }
+
   /** "Trending" risers per sliding window: the top-`topK` keys by count
     * DELTA versus the window one slide earlier — the momentum signal
     * (rising queries/items), which a plain per-window top-k can't give

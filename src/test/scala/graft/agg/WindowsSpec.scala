@@ -43,6 +43,25 @@ class WindowsSpec extends SparkSpec {
     assert(got == Map("a" -> (9L, 2L), "b" -> (1L, 1L)))
   }
 
+  test("decayedScore: half-life semantics, future events excluded, partition-invariant") {
+    val hl = 1000L
+    val asOf = 10000L
+    val rows = Seq(
+      ("u", asOf),           // age 0 -> 1e6
+      ("u", asOf - hl),      // one half-life -> 500000
+      ("u", asOf - 2 * hl),  // two -> 250000
+      ("u", asOf + 1),       // future -> excluded
+      ("v", asOf - hl))
+    def run(parts: Int) = Windows
+      .decayedScore(rows.toDF("k", "ts").repartition(parts), Seq("k"), "ts",
+        hl, asOf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = run(1)
+    assert(got("u") == ((3L, 1750000L)))
+    assert(got("v") == ((1L, 500000L)))
+    assert(run(7) == got)
+  }
+
   test("slidingPercentiles matches brute rank selection per window") {
     val sliceMs = 1000L
     val rows = (0 until 300).map(i =>
