@@ -1300,6 +1300,46 @@ object SparkEntry {
         touchType = "click", convType = "purchase",
         lookbackMs = 7L * 86400000L)),
 
+    // Quality-aware canonicalization: each near-dup cluster keeps its
+    // HIGHEST-quality member (tie → smallest id) instead of the min-id —
+    // the production keep rule (RefinedWeb keeps the best duplicate, not
+    // an arbitrary one); one struct-argmax over the materialized
+    // component map, no window sort.
+    "q134_quality_canon" -> ((s, dir) => {
+      val comp = minedDocComponents(s, dir).withColumnRenamed("node", "doc_id")
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("q"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(coalesce(col("component"), col("doc_id")).as("component"),
+          col("doc_id"), col("q"))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("q"), (-col("doc_id")).as("neg_id"))).as("k"))
+        .select(col("component"), col("n_members"),
+          (-col("k.neg_id")).as("keeper_doc_id"),
+          col("k.q").as("keeper_quality"))
+    }),
+
+    // Per-language corpus report card (the data-card table a corpus
+    // release ships): docs, tokens, near-dup non-canonical count, summed
+    // quality — three signal families joined on the doc key, grouped
+    // once; all-integer cells.
+    "q135_lang_report" -> ((s, dir) => {
+      val comp = minedDocComponents(s, dir).withColumnRenamed("node", "doc_id")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+          TextFunctions.qualityScore(col("text")).as("q"))
+        .join(comp, Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          coalesce(sum(when(col("component").isNotNull &&
+            col("component") =!= col("doc_id"), 1L).otherwise(0L)), lit(0L))
+            .as("n_noncanonical"),
+          sum(col("q")).as("sum_quality"))
+    }),
+
     // Recency-weighted engagement: per-user exponentially decayed score
     // (1-week half-life, pinned as-of instant) — per-event contributions
     // round to micro-units BEFORE the integer sum, so the freshness
@@ -3166,6 +3206,72 @@ object SparkEntry {
        |  % 18446744073709551616 AS UBIGINT)""".stripMargin
   }
 
+  /** The q41 near-dup component chain (pair mining + recursive closure)
+    * and the q16 quality scalar, as reusable CTE/expression text for the
+    * composed report oracles (q134, q135). */
+  private val componentCtesSql: String =
+    """t AS (
+      | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+      |g AS (
+      | SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+      | FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk)-2)) AS i) ix
+      | WHERE len(tk) >= 3),
+      |z AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+      |p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+      |      FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2),
+      |p AS (
+      | SELECT a_id, b_id FROM p0
+      | JOIN z za ON za.doc_id = a_id JOIN z zb ON zb.doc_id = b_id
+      | WHERE inter * 2 >= (za.n + zb.n - inter) * 1),
+      |e AS (SELECT a_id AS a, b_id AS b FROM p
+      |      UNION SELECT b_id, a_id FROM p),
+      |reach(src, dst) AS (
+      | SELECT a, a FROM e
+      | UNION
+      | SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst),
+      |comp AS (SELECT src AS doc_id, min(dst) AS component
+      |         FROM reach GROUP BY src)""".stripMargin
+
+  private val qualityExprSql: String =
+    """greatest(least(
+      |   CAST(floor(least(len(regexp_split_to_array(trim(text), '\s+')), 40) * 25 / 40) AS BIGINT)
+      |   + CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 0
+      |      THEN CAST(floor(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) * 50
+      |                      / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+      |      ELSE 0 END
+      |   + (25 - CASE WHEN length(text) > 0
+      |      THEN least(CAST(floor((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 100 / length(text)) AS BIGINT), 25)
+      |      ELSE 0 END),
+      |  100), 0)""".stripMargin
+
+  private lazy val q134OracleSql: String =
+    s"""WITH RECURSIVE $componentCtesSql,
+       |q AS (SELECT doc_id, $qualityExprSql AS q FROM documents),
+       |j AS (SELECT coalesce(c.component, q.doc_id) AS component,
+       |   q.doc_id, q.q
+       |  FROM q LEFT JOIN comp c ON c.doc_id = q.doc_id),
+       |sel AS (SELECT component, doc_id, q,
+       |  row_number() OVER (PARTITION BY component
+       |    ORDER BY q DESC, doc_id) AS rk,
+       |  count(*) OVER (PARTITION BY component) AS nm FROM j)
+       |SELECT component, CAST(nm AS BIGINT) AS n_members,
+       |  doc_id AS keeper_doc_id, q AS keeper_quality
+       |FROM sel WHERE rk = 1""".stripMargin
+
+  private lazy val q135OracleSql: String =
+    s"""WITH RECURSIVE $componentCtesSql,
+       |q AS (SELECT doc_id, lang,
+       |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |  $qualityExprSql AS q FROM documents)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(count(*) FILTER (c.component IS NOT NULL
+       |    AND c.component <> q.doc_id) AS BIGINT) AS n_noncanonical,
+       |  CAST(sum(q.q) AS BIGINT) AS sum_quality
+       |FROM q LEFT JOIN comp c ON c.doc_id = q.doc_id
+       |GROUP BY lang""".stripMargin
+
   /** q132's oracle: the q22 PolyHash64 recipe (Karp–Rabin fold +
     * splitMix64 rounds in HUGEINT/UBIGINT arithmetic) applied TWICE —
     * per token to decide boundaries (divisibility by 8 is sign-safe:
@@ -4411,6 +4517,10 @@ object SparkEntry {
     // Character census → per-term pinned pipeline
     // round(n_c · (ln n − ln n_c) · 10^6 / n), integer-summed: the same
     // left-associative double chain the expression's byte walk runs.
+    // q134/q135: component chain + quality replay composed.
+    "q134_quality_canon" -> q134OracleSql,
+    "q135_lang_report" -> q135OracleSql,
+
     // q133: identical per-event pow(2, −age/hl) micro-unit rounding,
     // integer-summed.
     "q133_decayed_score" ->
