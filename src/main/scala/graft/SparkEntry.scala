@@ -1300,6 +1300,20 @@ object SparkEntry {
         touchType = "click", convType = "purchase",
         lookbackMs = 7L * 86400000L)),
 
+    // Class-prototype table: per-(label, dim) member count + e9 component
+    // sum — integer sufficient statistics of the class means (mergeable
+    // by addition, the vector-column momentProfile).
+    "q136_label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroidsE9(t(s, dir, "embeddings"),
+        "embedding", "label")),
+
+    // Nearest-centroid confusion matrix: shift-invariant all-integer
+    // scoring (positive e3 quantization → div == floor both engines),
+    // argmin by (distance, label) struct-min, labels×dims broadcast.
+    "q137_centroid_confusion" -> ((s, dir) =>
+      Similarity.nearestCentroidConfusion(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label")),
+
     // Quality-aware canonicalization: each near-dup cluster keeps its
     // HIGHEST-quality member (tie → smallest id) instead of the min-id —
     // the production keep rule (RefinedWeb keeps the best duplicate, not
@@ -4517,6 +4531,35 @@ object SparkEntry {
     // Character census → per-term pinned pipeline
     // round(n_c · (ln n − ln n_c) · 10^6 / n), integer-summed: the same
     // left-associative double chain the expression's byte walk runs.
+    // q136: per-dimension e9 quantized sums, positional unnest.
+    "q136_label_centroids" ->
+      """SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000000.0)
+        |    AS BIGINT)) AS BIGINT) AS sum_e9
+        |FROM embeddings,
+        |  LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) ix
+        |GROUP BY label, i""".stripMargin,
+
+    // q137: identical shifted-e3 chain — quantize, floor-div centroids
+    // (positive, so // == div), integer distances, (dist, label) argmin.
+    "q137_centroid_confusion" ->
+      """WITH c AS (SELECT vec_id AS id, label, i - 1 AS dim,
+        |  CAST(round((CAST(embedding[i] AS DOUBLE) + 1.0) * 1000.0) AS BIGINT) AS x
+        | FROM embeddings,
+        |  LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) ix),
+        |cm AS (SELECT label AS clabel, dim, sum(x) // count(*) AS c_e3
+        |       FROM c GROUP BY 1, 2),
+        |s AS (SELECT c.id, c.label, cm.clabel,
+        |  sum((c.x - cm.c_e3) * (c.x - cm.c_e3)) AS dist
+        | FROM c JOIN cm USING (dim) GROUP BY 1, 2, 3),
+        |p AS (SELECT id, label, clabel,
+        |  row_number() OVER (PARTITION BY id ORDER BY dist, clabel) AS rk
+        | FROM s)
+        |SELECT label AS true_label, clabel AS pred_label,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM p WHERE rk = 1 GROUP BY 1, 2""".stripMargin,
+
     // q134/q135: component chain + quality replay composed.
     "q134_quality_canon" -> q134OracleSql,
     "q135_lang_report" -> q135OracleSql,

@@ -115,6 +115,59 @@ object Similarity {
         (col("p.s_e6") - col("ng.s_e6")).as("margin_e6"))
   }
 
+  /** Per-label centroid sufficient statistics — the class-prototype table
+    * (nearest-class-mean classifiers, clustering seeds, per-class drift
+    * monitors): for every (label, dimension), the member count and the
+    * e9-quantized component sum. Kept as (n, Σ) INTEGER pairs, never a
+    * divided mean — sums merge across shards by addition and hash-gate
+    * exactly (the momentProfile discipline, lifted to vector columns).
+    * One posexplode scan, map-side combine, labels×dims rows out. */
+  def labelCentroidsE9(emb: DataFrame, vecCol: String,
+      labelCol: String): DataFrame =
+    emb.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        round(col("x").cast("double") * lit(1e9)).cast("long").as("x_e9"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x_e9")).as("sum_e9"))
+
+  /** Nearest-centroid-classifier confusion matrix — the embedding-space
+    * eval (how separable are the labels under their own class means):
+    * each vector is assigned the label of its nearest class centroid and
+    * the (true, predicted) census comes back.
+    *
+    * All-integer scoring: components shift by +1 (distances are
+    * shift-invariant; the shift makes every quantized value and centroid
+    * sum POSITIVE, so truncating and flooring division coincide — no
+    * engine disagreement on negative division), quantize to e3, centroid
+    * component = Σ div n, distance = Σ(x−c)² in BIGINTs, argmin by
+    * (distance, label) struct-min — a total order. Shape: centroids are
+    * a labels×dims broadcast; the exploded scan joins per dim, partial
+    * sums collapse map-side; the exchange carries |vectors|·|labels|
+    * distance rows pre-combined. Output: (true_label, pred_label, n). */
+  def nearestCentroidConfusion(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val comps = emb.select(col(idCol).as("id"), col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("id"), col("label"), col("dim"),
+        round((col("x").cast("double") + lit(1.0)) * lit(1000.0))
+          .cast("long").as("x_e3"))
+    val cent = comps.groupBy(col("label").as("clabel"), col("dim"))
+      .agg(expr("sum(x_e3) div count(1)").as("c_e3"))
+    val scored = comps
+      .join(broadcast(cent), "dim")
+      .withColumn("d2",
+        (col("x_e3") - col("c_e3")) * (col("x_e3") - col("c_e3")))
+      .groupBy(col("id"), col("label"), col("clabel"))
+      .agg(sum(col("d2")).as("dist"))
+    scored
+      .groupBy(col("id"), col("label"))
+      .agg(min(struct(col("dist"), col("clabel"))).as("k"))
+      .groupBy(col("label").as("true_label"),
+        col("k.clabel").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Deterministic ±1 hyperplane component signs, shared by the Spark plans
     * and the SQL-oracle rendering so both engines block identically. */
   def planeSigns(plane: Int, dims: Int): Array[Long] =
