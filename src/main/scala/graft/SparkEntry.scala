@@ -1300,6 +1300,12 @@ object SparkEntry {
         touchType = "click", convType = "purchase",
         lookbackMs = 7L * 86400000L)),
 
+    // Exact integer Gram matrix (the PCA/whitening second-moment input):
+    // d(d+1)/2 pair terms built in ONE codegen'd nested transform per
+    // row — no self-join — then map-side partial sums into 2080 cells.
+    "q138_gram_matrix" -> ((s, dir) =>
+      Similarity.gramMatrixE6(t(s, dir, "embeddings"), "embedding")),
+
     // Class-prototype table: per-(label, dim) member count + e9 component
     // sum — integer sufficient statistics of the class means (mergeable
     // by addition, the vector-column momentProfile).
@@ -4531,6 +4537,19 @@ object SparkEntry {
     // Character census → per-term pinned pipeline
     // round(n_c · (ln n − ln n_c) · 10^6 / n), integer-summed: the same
     // left-associative double chain the expression's byte walk runs.
+    // q138: the same e3 quantization, double LATERAL unnest i ≤ j.
+    "q138_gram_matrix" ->
+      """WITH c AS (SELECT list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS a
+        | FROM embeddings)
+        |SELECT CAST(i.i - 1 AS BIGINT) AS i, CAST(j.j - 1 AS BIGINT) AS j,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(a[i.i] * a[j.j]) AS BIGINT) AS sum_xy_e6
+        |FROM c,
+        |  LATERAL (SELECT unnest(generate_series(1, len(a))) AS i) i,
+        |  LATERAL (SELECT unnest(generate_series(i.i, len(a))) AS j) j
+        |GROUP BY i.i, j.j""".stripMargin,
+
     // q136: per-dimension e9 quantized sums, positional unnest.
     "q136_label_centroids" ->
       """SELECT label, CAST(i - 1 AS BIGINT) AS dim,

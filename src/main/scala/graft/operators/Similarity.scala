@@ -131,6 +131,33 @@ object Similarity {
       .groupBy(col("label"), col("dim"))
       .agg(count(lit(1)).as("n"), sum(col("x_e9")).as("sum_e9"))
 
+  /** Exact integer Gram matrix over an embedding column — the
+    * second-moment input to PCA / whitening / covariance-shrinkage: for
+    * every dimension pair i ≤ j, Σ_v x_i·x_j with components quantized to
+    * e3 first (integer products are exact and associative, so the matrix
+    * hash-gates and shard-partials merge by addition; paired with
+    * [[labelCentroidsE9]]'s first moments this gives the covariance
+    * numerators n·Σxy − ΣxΣy exactly). The eigen step that follows is
+    * O(d³) on a d×d table — driver/BLAS-side by design; THIS pass is the
+    * one that must scale, and it's one scan: the d(d+1)/2 pair terms are
+    * built inside a codegen'd nested transform per row (no self-join, no
+    * pre-aggregation exchange), then partial sums collapse map-side into
+    * d(d+1)/2 output cells. Output: (i, j, n, sum_xy_e6), i ≤ j. */
+  def gramMatrixE6(emb: DataFrame, vecCol: String): DataFrame = {
+    val arr = transform(col(vecCol),
+      x => round(x.cast("double") * lit(1000.0)).cast("long"))
+    emb.select(arr.as("a"))
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("a")) - 1),
+        i => transform(sequence(i, size(col("a")) - 1),
+          j => struct(i.cast("long").as("i"), j.cast("long").as("j"),
+            (element_at(col("a"), (i + 1).cast("int")) *
+              element_at(col("a"), (j + 1).cast("int"))).as("xy"))))))
+        .as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(count(lit(1)).as("n"), sum(col("p.xy")).as("sum_xy_e6"))
+  }
+
   /** Nearest-centroid-classifier confusion matrix — the embedding-space
     * eval (how separable are the labels under their own class means):
     * each vector is assigned the label of its nearest class centroid and
