@@ -1300,6 +1300,26 @@ object SparkEntry {
         touchType = "click", convType = "purchase",
         lookbackMs = 7L * 86400000L)),
 
+    // EXACT two-sample KS statistic (the unbinned drift companion to
+    // q124): D·n₁n₂ decided by integer cross-multiplication over merged
+    // value histograms, deterministic (d desc, value) witness.
+    "q139_ks_test" -> ((s, dir) => {
+      val e = ev(s, dir).select(cents(col("value")).as("x"), col("ts_ms"))
+      val split = 1705363200000L
+      operators.Drift.ksStatistic(e.where(col("ts_ms") < split),
+        e.where(col("ts_ms") >= split), col("x"))
+    }),
+
+    // EXACT ROC AUC with midrank ties as an integer ratio — quality
+    // score predicting lang=en; histogram cells + one cumulative window,
+    // no raw-data sort, no float ranks.
+    "q140_auc" -> ((s, dir) =>
+      operators.Profile.exactAuc(
+        t(s, dir, "documents").select(
+          TextFunctions.qualityScore(col("text")).as("q"),
+          (col("lang") === "en").as("is_en")),
+        col("q"), col("is_en"))),
+
     // Exact integer Gram matrix (the PCA/whitening second-moment input):
     // d(d+1)/2 pair terms built in ONE codegen'd nested transform per
     // row — no self-join — then map-side partial sums into 2080 cells.
@@ -4537,6 +4557,43 @@ object SparkEntry {
     // Character census → per-term pinned pipeline
     // round(n_c · (ln n − ln n_c) · 10^6 / n), integer-summed: the same
     // left-associative double chain the expression's byte walk runs.
+    // q139: merged histograms, integer cross-multiplied CDF gap, the
+    // same (d desc, v) witness rule.
+    "q139_ks_test" ->
+      """WITH e AS (SELECT CAST(round(value*100) AS BIGINT) AS x,
+        |  epoch_ms(ts) AS ts_ms FROM events),
+        |hr AS (SELECT x AS v, count(*) AS cr FROM e
+        |       WHERE ts_ms < 1705363200000 GROUP BY 1),
+        |ht AS (SELECT x AS v, count(*) AS ct FROM e
+        |       WHERE ts_ms >= 1705363200000 GROUP BY 1),
+        |m AS (SELECT coalesce(hr.v, ht.v) AS v, coalesce(cr, 0) AS cr,
+        |  coalesce(ct, 0) AS ct FROM hr FULL JOIN ht ON hr.v = ht.v),
+        |c AS (SELECT v,
+        |  sum(cr) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_r,
+        |  sum(ct) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_t,
+        |  sum(cr) OVER () AS n_ref, sum(ct) OVER () AS n_tgt FROM m),
+        |d AS (SELECT *, abs(cum_r*n_tgt - cum_t*n_ref) AS dd FROM c),
+        |r AS (SELECT *, row_number() OVER (ORDER BY dd DESC, v) AS rk FROM d)
+        |SELECT CAST(n_ref AS BIGINT) AS n_ref, CAST(n_tgt AS BIGINT) AS n_tgt,
+        |  CAST(dd AS BIGINT) AS d_num, v AS at_value
+        |FROM r WHERE rk = 1""".stripMargin,
+
+    // q140: quality replay + the closed-form midrank sum.
+    "q140_auc" ->
+      s"""WITH q AS (SELECT $qualityExprSql AS s,
+         |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p FROM documents),
+         |h AS (SELECT s, count(*) AS cnt, sum(p) AS pos FROM q GROUP BY 1),
+         |c AS (SELECT s, cnt, pos,
+         |  sum(cnt) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum,
+         |  sum(cnt) OVER () AS n, sum(pos) OVER () AS n_pos FROM h),
+         |t AS (SELECT n, n_pos,
+         |  sum(pos * (2*(cum - cnt) + cnt + 1)) AS sum2r FROM c GROUP BY 1, 2)
+         |SELECT CAST(n_pos AS BIGINT) AS n_pos,
+         |  CAST(n - n_pos AS BIGINT) AS n_neg,
+         |  CAST(sum2r - n_pos*(n_pos+1) AS BIGINT) AS auc_num,
+         |  CAST(2*n_pos*(n - n_pos) AS BIGINT) AS auc_den
+         |FROM t""".stripMargin,
+
     // q138: the same e3 quantization, double LATERAL unnest i ≤ j.
     "q138_gram_matrix" ->
       """WITH c AS (SELECT list_transform(embedding,

@@ -49,4 +49,42 @@ object Drift {
       round((pt - pr) * log(pt / pr) * lit(1000000.0)).cast("long")
         .as("psi_term_e6"))
   }
+
+  /** EXACT two-sample Kolmogorov–Smirnov statistic — the unbinned
+    * companion to [[psiBins]]: D = max_v |F_ref(v) − F_tgt(v)|, decided
+    * entirely in integers by cross-multiplication
+    * (D·n_ref·n_tgt = max |cum_ref·n_tgt − cum_tgt·n_ref|), so the
+    * answer is exact at any scale — no bin choice, no float CDFs. The
+    * significance threshold c(α)·√((n1+n2)/n1n2) stays caller-side.
+    *
+    * Shape: per-side value HISTOGRAMS (the only full-data passes,
+    * map-side combined), a full-outer merge on value, two cumulative
+    * windows over the |distinct values|-row frame, and a (d desc, value)
+    * argmax — a total order, so the witness value is deterministic.
+    * Output: one row (n_ref, n_tgt, d_num, at_value) with
+    * D = d_num / (n_ref·n_tgt). */
+  def ksStatistic(ref: DataFrame, target: DataFrame,
+      value: Column): DataFrame = {
+    def hist(df: DataFrame, as: String) =
+      df.select(value.cast("long").as("v")).where(col("v").isNotNull)
+        .groupBy(col("v")).agg(count(lit(1)).as(as))
+    val merged = hist(ref, "cr").join(hist(target, "ct"), Seq("v"),
+        "full_outer")
+      .select(col("v"), coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
+    val byV = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    merged
+      .withColumn("cum_r", sum(col("cr")).over(byV))
+      .withColumn("cum_t", sum(col("ct")).over(byV))
+      .withColumn("n_ref", sum(col("cr")).over(all))
+      .withColumn("n_tgt", sum(col("ct")).over(all))
+      .withColumn("d",
+        abs(col("cum_r") * col("n_tgt") - col("cum_t") * col("n_ref")))
+      .groupBy(col("n_ref"), col("n_tgt"))
+      .agg(max(struct(col("d"), (-col("v")).as("nv"))).as("k"))
+      .select(col("n_ref"), col("n_tgt"), col("k.d").as("d_num"),
+        (-col("k.nv")).as("at_value"))
+  }
 }

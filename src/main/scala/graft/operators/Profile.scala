@@ -153,6 +153,37 @@ object Profile {
       round(lb * lit(1000000.0)).cast("long").as("wilson_lb_e6"))
   }
 
+  /** EXACT ROC AUC (rank form, midrank tie handling) — the classifier
+    * evaluation that usually gets approximated by threshold sweeps:
+    * AUC = (ΣR₊ − n₊(n₊+1)/2) / (n₊n₋) with tied scores taking midranks.
+    * Doubling keeps midranks integral, so the whole statistic is an
+    * exact integer RATIO (auc_num / auc_den, auc_den = 2n₊n₋) — no
+    * float ranks, no sort of the raw data: per-score histogram cells
+    * (the only full pass, map-side combined) feed a cumulative window
+    * over |distinct scores| rows, and each cell contributes
+    * pos·(2·cum_before + cnt + 1) to 2ΣR₊ in closed form.
+    * Output: one row (n_pos, n_neg, auc_num, auc_den). */
+  def exactAuc(df: DataFrame, score: Column, positive: Column): DataFrame = {
+    val h = df.select(score.cast("long").as("s"),
+        when(positive, 1L).otherwise(0L).as("p"))
+      .where(col("s").isNotNull)
+      .groupBy(col("s")).agg(count(lit(1)).as("cnt"), sum(col("p")).as("pos"))
+    val byS = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    h
+      .withColumn("cum", sum(col("cnt")).over(byS))
+      .withColumn("n", sum(col("cnt")).over(all))
+      .withColumn("n_pos", sum(col("pos")).over(all))
+      .withColumn("term", col("pos") *
+        (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L)))
+      .groupBy(col("n"), col("n_pos"))
+      .agg(sum(col("term")).as("sum2r"))
+      .select(col("n_pos"), (col("n") - col("n_pos")).as("n_neg"),
+        (col("sum2r") - col("n_pos") * (col("n_pos") + 1L)).as("auc_num"),
+        (lit(2L) * col("n_pos") * (col("n") - col("n_pos"))).as("auc_den"))
+  }
+
   def momentProfile(df: DataFrame, groupCol: String, x: Column,
       y: Column): DataFrame =
     df.select(col(groupCol), x.cast("long").as("__x"), y.cast("long").as("__y"))

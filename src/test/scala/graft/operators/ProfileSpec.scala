@@ -102,6 +102,29 @@ class ProfileSpec extends SparkSpec {
     assert(cn * cn == vx * vy && cn > 0)
   }
 
+  test("exactAuc: perfect/inverted/chance separation and midrank ties") {
+    def auc(rows: Seq[(Long, Boolean)], parts: Int = 5): (Long, Long) = {
+      val r = Profile.exactAuc(rows.toDF("s", "y").repartition(parts),
+        col("s"), col("y")).collect().head
+      (r.getLong(2), r.getLong(3))
+    }
+    // perfect: positives all score higher → AUC = 1
+    val perfect = (1L to 5L).map(s => (s, false)) ++
+      (6L to 10L).map(s => (s, true))
+    val (pn, pd) = auc(perfect); assert(pn == pd && pd == 2L * 5 * 5)
+    // inverted → 0
+    val (in_, _) = auc(perfect.map { case (s, y) => (s, !y) })
+    assert(in_ == 0L)
+    // all-tied scores → midranks give exactly 1/2
+    val tied = Seq((7L, true), (7L, true), (7L, false), (7L, false))
+    val (tn, td) = auc(tied); assert(tn * 2 == td)
+    // hand case with a partial tie: scores pos {2,3}, neg {1,3}
+    // ranks: 1→1, {3,3} midrank 3.5, 2→2; ΣR+ = 2 + 3.5 = 5.5
+    // AUC = (5.5 − 3)/4 = 0.625 → num/den = 5/8 → (2ΣR+−n+(n++1)) = 5, den 8
+    val (hn, hd) = auc(Seq((2L, true), (3L, true), (1L, false), (3L, false)))
+    assert((hn, hd) == ((5L, 8L)))
+  }
+
   test("wilsonLowerBound: same point rate, more evidence, higher bound") {
     val rows = (0 until 10).map(i => ("small", i < 9)) ++
       (0 until 1000).map(i => ("large", i < 900)) ++
