@@ -1300,6 +1300,47 @@ object SparkEntry {
         touchType = "click", convType = "purchase",
         lookbackMs = 7L * 86400000L)),
 
+    // Calibration / reliability table (the AUC companion): per score
+    // decade, n and positives with the exact ppm rate — monotone rates =
+    // well-ordered scores; one counting aggregation.
+    "q141_calibration" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(TextFunctions.qualityScore(col("text")).as("q"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("p"))
+        .groupBy(expr("q div 10").as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("n_pos"))
+        .withColumn("rate_ppm", expr("n_pos * 1000000 div n"))),
+
+    // Worst-slice finder (slice-finder lite, 1-D slices the way real
+    // slice finders start): every lang:X and source:Y slice with n ≥ 5,
+    // the ppm deviation of its pass rate from the global — top-10 by
+    // (deviation desc, dim, slice); Expand-style union of the two
+    // groupings over ONE scored scan, plus a broadcast global row.
+    "q142_slice_finder" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("lang"), col("source"),
+          when(TextFunctions.qualityScore(col("text")) >= 75L, 1L)
+            .otherwise(0L).as("p"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def dim(name: String, c: Column) = scored
+        .groupBy(c.as("slice")).agg(count(lit(1)).as("n"),
+          sum(col("p")).as("n_pass"))
+        .withColumn("dim", lit(name))
+      val slices = dim("lang", col("lang"))
+        .unionByName(dim("source", col("source")))
+        .where(col("n") >= 5L)
+        .withColumn("rate_ppm", expr("n_pass * 1000000 div n"))
+      val global = scored.agg(count(lit(1)).as("gn"), sum(col("p")).as("gp"))
+        .withColumn("g_rate_ppm", expr("gp * 1000000 div gn"))
+        .select(col("g_rate_ppm"))
+      slices.crossJoin(broadcast(global))
+        .withColumn("dev_ppm", abs(col("rate_ppm") - col("g_rate_ppm")))
+        .orderBy(col("dev_ppm").desc, col("dim"), col("slice"))
+        .limit(10)
+        .select(col("dim"), col("slice"), col("n"), col("n_pass"),
+          col("rate_ppm"), col("g_rate_ppm"), col("dev_ppm"))
+    }),
+
     // EXACT two-sample KS statistic (the unbinned drift companion to
     // q124): D·n₁n₂ decided by integer cross-multiplication over merged
     // value histograms, deterministic (d desc, value) witness.
@@ -4557,6 +4598,37 @@ object SparkEntry {
     // Character census → per-term pinned pipeline
     // round(n_c · (ln n − ln n_c) · 10^6 / n), integer-summed: the same
     // left-associative double chain the expression's byte walk runs.
+    // q141: quality replay, decade buckets, exact ppm rates.
+    "q141_calibration" ->
+      s"""WITH q AS (SELECT $qualityExprSql AS q,
+         |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p FROM documents)
+         |SELECT q // 10 AS bucket, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(p) AS BIGINT) AS n_pos,
+         |  CAST(sum(p) * 1000000 // count(*) AS BIGINT) AS rate_ppm
+         |FROM q GROUP BY 1""".stripMargin,
+
+    // q142: the two 1-D slice censuses unioned + the global row, ppm
+    // deviations, (dev desc, dim, slice) top-10.
+    "q142_slice_finder" ->
+      s"""WITH s AS (SELECT lang, source,
+         |  CASE WHEN $qualityExprSql >= 75 THEN 1 ELSE 0 END AS p
+         | FROM documents),
+         |sl AS (
+         | SELECT 'lang' AS dim, lang AS slice, count(*) AS n,
+         |   sum(p) AS n_pass FROM s GROUP BY 2
+         | UNION ALL
+         | SELECT 'source' AS dim, source AS slice, count(*) AS n,
+         |   sum(p) AS n_pass FROM s GROUP BY 2),
+         |f AS (SELECT * FROM sl WHERE n >= 5),
+         |g AS (SELECT sum(p) * 1000000 // count(*) AS g_rate_ppm FROM s)
+         |SELECT dim, slice, CAST(n AS BIGINT) AS n,
+         |  CAST(n_pass AS BIGINT) AS n_pass,
+         |  CAST(n_pass * 1000000 // n AS BIGINT) AS rate_ppm,
+         |  CAST(g_rate_ppm AS BIGINT) AS g_rate_ppm,
+         |  CAST(abs(n_pass * 1000000 // n - g_rate_ppm) AS BIGINT) AS dev_ppm
+         |FROM f, g
+         |ORDER BY dev_ppm DESC, dim, slice LIMIT 10""".stripMargin,
+
     // q139: merged histograms, integer cross-multiplied CDF gap, the
     // same (d desc, v) witness rule.
     "q139_ks_test" ->
