@@ -190,6 +190,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000)) // top-k, no global sort
   }
 
+  test("gram matrix builds pair terms in-row: no self-join, no cartesian") {
+    val p = plan("q138_gram_matrix")
+    assert(!p.contains("Join"), p.take(3000))
+    assert(p.contains("Generate"), p.take(3000)) // the nested-transform explode
+    assert(p.contains("HashAggregate"), p.take(3000))
+  }
+
+  test("exact AUC never sorts raw rows — rank math rides the histogram") {
+    val df = SparkEntry.queries("q140_auc")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the only Sort allowed is the single-partition window over the
+    // |distinct scores| histogram — the deepest plan node (printed last)
+    // must be an aggregation of the raw scan, BELOW every Sort
+    assert(p.contains("Window"), p.take(3000))
+    assert(p.lastIndexOf("HashAggregate") > p.lastIndexOf("Sort "),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("whole-stage codegen covers the relational pipeline") {
     // AQE finalizes the plan (and its codegen annotation) only when THIS
     // query execution runs — collect() on the frame itself, not count()
