@@ -1300,6 +1300,16 @@ object SparkEntry {
         touchType = "click", convType = "purchase",
         lookbackMs = 7L * 86400000L)),
 
+    // Item-item co-engagement similarity (collaborative-filtering prep):
+    // deduped (user, item) incidence, per-user pair formation (bounded
+    // self-join with a loud hub guard), integer cos² ranking.
+    "q143_item_similarity" -> ((s, dir) =>
+      operators.ItemCF.itemSimilarity(
+        ev(s, dir).select(col("user_id"),
+          concat(lit("C"), pmod(get_json_object(col("props"), "$.k")
+            .cast("long"), lit(20)).cast("string")).as("item")),
+        col("user_id"), col("item"), minCooc = 5L)),
+
     // Calibration / reliability table (the AUC companion): per score
     // decade, n and positives with the exact ppm rate — monotone rates =
     // well-ordered scores; one counting aggregation.
@@ -4598,6 +4608,22 @@ object SparkEntry {
     // Character census → per-term pinned pipeline
     // round(n_c · (ln n − ln n_c) · 10^6 / n), integer-summed: the same
     // left-associative double chain the expression's byte walk runs.
+    // q143: deduped incidence, per-user pairs, integer cos² replay.
+    "q143_item_similarity" ->
+      """WITH inc AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS u,
+        |  'C' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 20
+        |    AS VARCHAR) AS item
+        | FROM events),
+        |n AS (SELECT item, count(*) AS n FROM inc GROUP BY 1),
+        |p AS (SELECT x.item AS item_a, y.item AS item_b, count(*) AS cooc
+        |      FROM inc x JOIN inc y ON x.u = y.u AND x.item < y.item
+        |      GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT item_a, item_b, CAST(cooc AS BIGINT) AS cooc,
+        |  CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+        |  CAST(cooc * cooc * 1000000000000 // (na.n * nb.n) AS BIGINT)
+        |    AS cos2_e12
+        |FROM p JOIN n na ON na.item = item_a JOIN n nb ON nb.item = item_b""".stripMargin,
+
     // q141: quality replay, decade buckets, exact ppm rates.
     "q141_calibration" ->
       s"""WITH q AS (SELECT $qualityExprSql AS q,
