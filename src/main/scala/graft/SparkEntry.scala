@@ -1310,6 +1310,135 @@ object SparkEntry {
             .cast("long"), lit(20)).cast("string")).as("item")),
         col("user_id"), col("item"), minCooc = 5L)),
 
+    // Retrieval audit: recall@3 of the IVF index (exact q34
+    // configuration) against exact search (q20) — the rebuild gate an
+    // ANN index must pass before it replaces brute force. The audit is
+    // one join over tiny id-pair frames; the cost lives in the two
+    // retrieval stages it compares.
+    "q144_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id") < 20)
+      RankEval.recallAtK(
+        Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 3),
+        Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
+          k = 3, nLists = 16, nProbe = 4),
+        "qid", "cid")
+    }),
+
+    // The ranked companion: MRR + NDCG@3 of the IVF ranking against the
+    // exact top-3 — integer rr (1e6 div rank) and literal-table NDCG
+    // discounts shared verbatim with the oracle.
+    "q145_ann_rank_metrics" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id") < 20)
+      RankEval.rankMetrics(
+        Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 3),
+        Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
+          k = 3, nLists = 16, nProbe = 4),
+        "qid", "cid", "rank", 3)
+    }),
+
+    // Curation trade-off skyline: undominated (quality max, length min)
+    // cells — no pairwise join, one cell census + two window minima.
+    "q146_doc_skyline" -> ((s, dir) =>
+      Skyline.frontier2D(
+        t(s, dir, "documents").select(
+          TextFunctions.qualityScore(col("text")).as("q"), col("n_chars")),
+        col("q"), col("n_chars"), "quality", "n_chars")),
+
+    // Position-based (U-shaped 40/20/40) multi-touch attribution — the
+    // third credit rule on the q110/q111 pair machinery, remainder to
+    // the last touch so shares sum to exactly 1e6.
+    "q147_position_attribution" -> ((s, dir) =>
+      operators.Attribution.positionTouch(
+        ev(s, dir).select(col("user_id"), col("event_id"),
+          col("ts_ms"), col("event_type")),
+        "user_id", "event_id", "ts_ms", "event_type",
+        touchType = "click", convType = "purchase",
+        lookbackMs = 7L * 86400000L)),
+
+    // Per-type daily revenue trend: OLS slope/intercept as exact
+    // integer sufficient-statistic ratios; x is the day index rebased
+    // near zero so every product stays in 64 bits.
+    "q148_daily_trend" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"),
+          expr("ts_ms div 86400000 - 19700").as("day_x"))
+        .agg(sum(cents(col("value"))).as("y_cents"))
+      Trend.groupedOls(daily, Seq("event_type"), col("day_x"),
+        col("y_cents"))
+    }),
+
+    // Metric pivot: the wide day × event-type cents table (the A11
+    // metric-column union inverted) — one groupBy().pivot() with the
+    // value list pinned, so the plan is a single aggregation with no
+    // value-discovery pre-pass.
+    "q149_metric_pivot" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(expr("ts_ms div 86400000").as("day_x"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sum(cents(col("value"))))),
+
+    // Length-3 behavior paths (q82 one hop deeper): gap-bounded
+    // event-type trigrams per user — one window sort, census-sized
+    // output.
+    "q151_session_paths" -> ((s, dir) =>
+      Funnel.pathTrigrams(ev(s, dir), "user_id", "ts_ms", "event_type",
+        "event_id", maxGapMs = 4L * 3600000L)),
+
+    // Inter-event gap histogram: the arrival-cadence profile that tunes
+    // session gaps / watermark slack / state TTLs — minute buckets with
+    // a one-hour tail cap, exact min/max per bucket.
+    "q152_gap_histogram" -> ((s, dir) =>
+      Profile.gapHistogram(ev(s, dir), "user_id", "ts_ms", "event_id",
+        "event_type", bucketMs = 60000L, maxBucket = 60L)),
+
+    // Exact percentile-rank normalization (curriculum/mixture input):
+    // per-doc quality percentile in ppm from a value census + one
+    // cumulative window — no row sort.
+    "q153_quality_percentile" -> ((s, dir) =>
+      Profile.percentRankPpm(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("q")),
+        "doc_id", col("q"))),
+
+    // A/B readout: per-user conversion census split by user-id parity,
+    // chi-square as an exact unreduced integer ratio.
+    "q154_ab_chi2" -> ((s, dir) => {
+      val users = ev(s, dir).groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      Profile.twoProportionChi2(users, col("user_id") % 2 === 1,
+        col("conv") === 1L)
+    }),
+
+    // Sparse tf-idf cosine pairs: topical similarity through an
+    // inverted index on shared terms, df-pruned postings capping the
+    // pair blowup — the weighted complement to q19/q21's set Jaccard.
+    "q155_tfidf_cosine" -> ((s, dir) =>
+      TextRank.tfidfCosinePairs(t(s, dir, "documents"), "doc_id", "text",
+        maxDf = 50L, minCosE6 = 300000L)),
+
+    // CUBE over (event_type, day-of-week): all four grouping-set
+    // marginals in one pass (the q103 ROLLUP widened), nulls
+    // sentinel-coalesced for the cross-engine hash.
+    "q156_cube_metrics" -> ((s, dir) =>
+      ev(s, dir)
+        .withColumn("dow", expr("(ts_ms div 86400000 + 4) % 7"))
+        .cube(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("dow"), lit(-1L)).as("dow"), col("n"),
+          col("sum_cents"))),
+
+    // Int8 min-max embedding quantization: d-row stats census broadcast
+    // back over one codegen'd encode pass; codes + reconstruction error
+    // decided in pure integers.
+    "q150_int8_quant" -> ((s, dir) =>
+      Quantize.int8MinMaxSummary(t(s, dir, "embeddings"),
+        "vec_id", "embedding")),
+
     // Calibration / reliability table (the AUC companion): per score
     // decade, n and positives with the exact ppm rate — monotone rates =
     // well-ordered scores; one counting aggregation.
@@ -2202,6 +2331,65 @@ object SparkEntry {
     * (rank 1) for the corpus, 4-list probing for the queries, and the
     * exact quantized re-rank — the same e9 integer dots and (score DESC,
     * id) tie-breaks as the Spark plan, so retrieval is bit-identical. */
+  private val q20OracleSql: String =
+    """WITH n AS (
+      | SELECT vec_id, embedding,
+      |  CAST(list_sum(list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS nsq
+      | FROM embeddings),
+      |q AS (SELECT * FROM n WHERE vec_id < 20),
+      |s AS (
+      | SELECT q.vec_id AS qid, c.vec_id AS cid,
+      |  CAST(CAST(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+      |    z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS DOUBLE)
+      |   / sqrt(CAST(q.nsq AS DOUBLE) * CAST(c.nsq AS DOUBLE)) AS score
+      | FROM q JOIN n c ON q.vec_id <> c.vec_id),
+      |r AS (SELECT qid, cid, score,
+      |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
+      | FROM s)
+      |SELECT qid, cid, rank, CAST(round(score*1000000) AS BIGINT) AS score_e6
+      |FROM r WHERE rank <= 3""".stripMargin
+
+  /** q144/q145's oracles replay BOTH retrieval stages — exact (q20) and
+    * IVF (q34) — as parenthesized CTE subqueries, then audit candidate
+    * membership/ranks against the truth set with the same integer
+    * formulas as [[operators.RankEval]] (NDCG discounts come from the
+    * SAME [[operators.RankEval.ndcgWeightsE9]] longs the Spark plan
+    * inlines). */
+  private lazy val q144OracleSql: String =
+    s"""WITH gt AS (SELECT * FROM ($q20OracleSql)),
+       |cand AS (SELECT * FROM ($q34OracleSql)),
+       |j AS (SELECT g.qid, CASE WHEN c.cid IS NOT NULL THEN 1 ELSE 0 END AS hit
+       | FROM gt g LEFT JOIN cand c ON c.qid = g.qid AND c.cid = g.cid)
+       |SELECT qid, CAST(count(*) AS BIGINT) AS n_true,
+       |  CAST(sum(hit) AS BIGINT) AS hits,
+       |  CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+       |FROM j GROUP BY 1""".stripMargin
+
+  private lazy val q145OracleSql: String = {
+    val w = operators.RankEval.ndcgWeightsE9(3)
+    val p = w.scanLeft(0L)(_ + _).tail
+    s"""WITH gt AS (SELECT * FROM ($q20OracleSql)),
+       |cand AS (SELECT * FROM ($q34OracleSql)),
+       |j AS (SELECT g.qid, c.rank FROM gt g
+       | LEFT JOIN cand c ON c.qid = g.qid AND c.cid = g.cid),
+       |a AS (SELECT qid, count(*) AS n_true,
+       |  coalesce(min(rank), 0) AS first_hit_rank,
+       |  coalesce(sum(CASE rank WHEN 1 THEN ${w(0)} WHEN 2 THEN ${w(1)}
+       |    WHEN 3 THEN ${w(2)} ELSE 0 END), 0) AS dcg_e9
+       | FROM j GROUP BY 1)
+       |SELECT qid, CAST(n_true AS BIGINT) AS n_true,
+       |  CAST(first_hit_rank AS BIGINT) AS first_hit_rank,
+       |  CAST(CASE WHEN first_hit_rank > 0 THEN 1000000 // first_hit_rank
+       |    ELSE 0 END AS BIGINT) AS rr_e6,
+       |  CAST(dcg_e9 AS BIGINT) AS dcg_e9,
+       |  CAST(CASE WHEN n_true >= 3 THEN ${p(2)} WHEN n_true = 2 THEN ${p(1)}
+       |    ELSE ${p(0)} END AS BIGINT) AS ideal_e9,
+       |  CAST(dcg_e9 * 1000000 // (CASE WHEN n_true >= 3 THEN ${p(2)}
+       |    WHEN n_true = 2 THEN ${p(1)} ELSE ${p(0)} END) AS BIGINT) AS ndcg_ppm
+       |FROM a""".stripMargin
+  }
+
   private val q34OracleSql: String = {
     val dot = (a: String, b: String) =>
       s"""CAST(CAST(list_sum(list_transform(list_zip($a, $b),
@@ -3975,24 +4163,7 @@ object SparkEntry {
         |FROM p JOIN z za ON za.doc_id = a_id JOIN z zb ON zb.doc_id = b_id
         |WHERE inter * 2 >= (za.n + zb.n - inter) * 1""".stripMargin,
 
-    "q20_knn_cosine" ->
-      """WITH n AS (
-        | SELECT vec_id, embedding,
-        |  CAST(list_sum(list_transform(embedding,
-        |    x -> CAST(round(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS nsq
-        | FROM embeddings),
-        |q AS (SELECT * FROM n WHERE vec_id < 20),
-        |s AS (
-        | SELECT q.vec_id AS qid, c.vec_id AS cid,
-        |  CAST(CAST(list_sum(list_transform(list_zip(q.embedding, c.embedding),
-        |    z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS DOUBLE)
-        |   / sqrt(CAST(q.nsq AS DOUBLE) * CAST(c.nsq AS DOUBLE)) AS score
-        | FROM q JOIN n c ON q.vec_id <> c.vec_id),
-        |r AS (SELECT qid, cid, score,
-        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
-        | FROM s)
-        |SELECT qid, cid, rank, CAST(round(score*1000000) AS BIGINT) AS score_e6
-        |FROM r WHERE rank <= 3""".stripMargin,
+    "q20_knn_cosine" -> q20OracleSql,
 
     "q25_inferred_join" ->
       """WITH v AS (
@@ -4623,6 +4794,195 @@ object SparkEntry {
         |  CAST(cooc * cooc * 1000000000000 // (na.n * nb.n) AS BIGINT)
         |    AS cos2_e12
         |FROM p JOIN n na ON na.item = item_a JOIN n nb ON nb.item = item_b""".stripMargin,
+
+    // q144/q145: both retrieval stages replayed as CTEs, then the
+    // integer recall / MRR / literal-discount NDCG audit.
+    "q144_ann_recall" -> q144OracleSql,
+
+    "q145_ann_rank_metrics" -> q145OracleSql,
+
+    // q146: same cell census + two window minima (strictly-higher-q
+    // frame as an integer RANGE bound).
+    "q146_doc_skyline" ->
+      s"""WITH s AS (SELECT $qualityExprSql AS q, n_chars AS c FROM documents),
+         |cells AS (SELECT q, c, count(*) AS n_rows FROM s GROUP BY 1, 2),
+         |w AS (SELECT q, c, n_rows,
+         |  min(c) OVER (ORDER BY q
+         |    RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS mh,
+         |  min(c) OVER (PARTITION BY q) AS ms
+         | FROM cells)
+         |SELECT CAST(q AS BIGINT) AS quality, CAST(c AS BIGINT) AS n_chars,
+         |  CAST(n_rows AS BIGINT) AS n_rows
+         |FROM w WHERE (mh IS NULL OR mh > c) AND ms = c""".stripMargin,
+
+    // q147: the q111 pair set, position rank by (touch_ts, touch_id),
+    // U-shaped shares with the remainder on the last touch.
+    "q147_position_attribution" ->
+      """WITH e AS (SELECT user_id AS u, event_id AS id, epoch_ms(ts) AS ts,
+        |  event_type AS et FROM events
+        | WHERE event_type IN ('click', 'purchase')),
+        |c AS (SELECT u, id AS conv_id, ts AS conv_ts FROM e
+        | WHERE et = 'purchase'),
+        |t AS (SELECT u, id AS touch_id, ts AS touch_ts FROM e
+        | WHERE et = 'click'),
+        |p AS (SELECT c.u, c.conv_id, c.conv_ts, t.touch_id, t.touch_ts
+        | FROM c JOIN t ON c.u = t.u
+        |  AND t.touch_ts >= c.conv_ts - 604800000
+        |  AND t.touch_ts <= c.conv_ts - 1),
+        |r AS (SELECT u, conv_id, conv_ts, touch_id, touch_ts,
+        |  count(*) OVER (PARTITION BY conv_id) AS n,
+        |  row_number() OVER (PARTITION BY conv_id
+        |    ORDER BY touch_ts, touch_id) AS rk
+        | FROM p)
+        |SELECT u AS user_id, conv_id, conv_ts, touch_id, touch_ts,
+        |  CAST(rk AS BIGINT) AS pos, CAST(n AS BIGINT) AS n_touches,
+        |  CAST(CASE WHEN n = 1 THEN 1000000 WHEN n = 2 THEN 500000
+        |    WHEN rk = 1 THEN 400000
+        |    WHEN rk = n THEN 400000 + 200000 % (n - 2)
+        |    ELSE 200000 // (n - 2) END AS BIGINT) AS share_ppm
+        |FROM r""".stripMargin,
+
+    // q148: the same five integer sums and ratio numerators.
+    "q148_daily_trend" ->
+      """WITH d AS (SELECT event_type,
+        |  epoch_ms(ts) // 86400000 - 19700 AS x,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS y
+        | FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+        |  CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS BIGINT) AS slope_num,
+        |  CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS BIGINT) AS slope_den,
+        |  CAST(sum(y) * sum(x*x) - sum(x) * sum(x*y) AS BIGINT) AS intercept_num
+        |FROM d GROUP BY 1""".stripMargin,
+
+    // q149: pivot as FILTERed aggregates, NULL for absent cells (both
+    // engines leave missing combinations NULL).
+    "q149_metric_pivot" ->
+      """SELECT epoch_ms(ts) // 86400000 AS day_x,
+        |  CAST(sum(CASE WHEN event_type = 'click'
+        |    THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error'
+        |    THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup'
+        |    THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view'
+        |    THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // q151: the same double-lead window with both hops gap-bounded.
+    "q151_session_paths" ->
+      """WITH o AS (SELECT user_id AS u, epoch_ms(ts) AS ts, event_id AS id,
+        |  event_type AS t1 FROM events),
+        |l AS (SELECT u, ts, t1,
+        |  lead(t1, 1) OVER w AS t2, lead(t1, 2) OVER w AS t3,
+        |  lead(ts, 1) OVER w AS ts2, lead(ts, 2) OVER w AS ts3
+        | FROM o WINDOW w AS (PARTITION BY u ORDER BY ts, id))
+        |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS cnt
+        |FROM l WHERE t3 IS NOT NULL
+        | AND ts2 - ts <= 14400000 AND ts3 - ts2 <= 14400000
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // q152: per-user lag gaps in (ts, id) order, minute buckets capped
+    // at 60.
+    "q152_gap_histogram" ->
+      """WITH g AS (SELECT event_type,
+        |  epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ms(ts), event_id) AS gap
+        | FROM events)
+        |SELECT event_type, CAST(least(gap // 60000, 60) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(gap) AS BIGINT) AS min_gap_ms,
+        |  CAST(max(gap) AS BIGINT) AS max_gap_ms
+        |FROM g WHERE gap IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    // q153: value census + strictly-below cumulative, percent_rank in
+    // floored ppm.
+    "q153_quality_percentile" ->
+      s"""WITH q AS (SELECT doc_id, $qualityExprSql AS v FROM documents),
+         |c AS (SELECT v, count(*) AS cnt FROM q GROUP BY 1),
+         |r AS (SELECT v, coalesce(sum(cnt) OVER (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+         |  sum(cnt) OVER () AS n FROM c)
+         |SELECT doc_id, CAST(q.v AS BIGINT) AS value,
+         |  CAST(CASE WHEN n > 1 THEN below * 1000000 // (n - 1)
+         |    ELSE 0 END AS BIGINT) AS pct_ppm
+         |FROM q JOIN r ON r.v = q.v""".stripMargin,
+
+    // q154: per-user conversion census, parity arms, unreduced integer
+    // chi-square.
+    "q154_ab_chi2" ->
+      """WITH u AS (SELECT user_id,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        | FROM events GROUP BY 1),
+        |c AS (SELECT
+        |  sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+        |  sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS x_a,
+        |  sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b,
+        |  sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS x_b
+        | FROM u)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+        |  CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+        |  CAST((n_a + n_b) * (x_a * (n_b - x_b) - x_b * (n_a - x_a))
+        |    * (x_a * (n_b - x_b) - x_b * (n_a - x_a)) AS BIGINT) AS chi2_num,
+        |  CAST(n_a * n_b * (x_a + x_b) * ((n_a - x_a) + (n_b - x_b))
+        |    AS BIGINT) AS chi2_den
+        |FROM c""".stripMargin,
+
+    // q155: same milli-unit weights, inverted-index pair dots, q20's
+    // pinned double cosine.
+    "q155_tfidf_cosine" ->
+      """WITH tok AS (SELECT doc_id AS id,
+        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        | FROM documents),
+        |t2 AS (SELECT id, term FROM tok WHERE len(term) > 0),
+        |tf AS (SELECT id, term, count(*) AS tf FROM t2 GROUP BY 1, 2),
+        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |        HAVING count(*) BETWEEN 2 AND 50),
+        |w AS (SELECT id, tf.term, tf * 1000 // df AS w
+        |      FROM tf JOIN dfr USING (term)),
+        |n AS (SELECT id, sum(w * w) AS n2 FROM w GROUP BY 1),
+        |p AS (SELECT a.id AS a_id, b.id AS b_id, sum(a.w * b.w) AS dot
+        |      FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+        |      GROUP BY 1, 2),
+        |c AS (SELECT a_id, b_id, dot, na.n2 AS na2, nb.n2 AS nb2,
+        |  CAST(round(CAST(dot AS DOUBLE)
+        |    / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+        |    * 1000000.0) AS BIGINT) AS cos_e6
+        | FROM p JOIN n na ON na.id = a_id JOIN n nb ON nb.id = b_id)
+        |SELECT a_id, b_id, CAST(dot AS BIGINT) AS dot,
+        |  CAST(na2 AS BIGINT) AS na2, CAST(nb2 AS BIGINT) AS nb2, cos_e6
+        |FROM c WHERE cos_e6 >= 300000""".stripMargin,
+
+    // q156: GROUP BY CUBE with the same sentinels.
+    "q156_cube_metrics" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  CAST(coalesce(dow, -1) AS BIGINT) AS dow,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM (SELECT event_type,
+        |    (epoch_ms(ts) // 86400000 + 4) % 7 AS dow,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |GROUP BY CUBE(event_type, dow)""".stripMargin,
+
+    // q150: e9 components, per-dim min/span census, the same integer
+    // round-half-up code ((x−mn)·510 + sp) // (2·sp) and |residual|
+    // sums (floor == trunc: operands non-negative in both engines).
+    "q150_int8_quant" ->
+      """WITH c AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS a
+        | FROM embeddings),
+        |e AS (SELECT vec_id, i, a[i + 1] AS x FROM c, range(0, 64) t(i)),
+        |s AS (SELECT i, min(x) AS mn, max(x) - min(x) AS sp FROM e GROUP BY 1),
+        |q AS (SELECT vec_id, e.i, x, mn, sp,
+        |  CASE WHEN sp > 0 THEN ((x - mn) * 510 + sp) // (2 * sp)
+        |    ELSE 0 END AS code
+        | FROM e JOIN s ON s.i = e.i)
+        |SELECT vec_id, CAST(sum(code) AS BIGINT) AS sum_code,
+        |  CAST(sum(code * (i + 1)) AS BIGINT) AS wsum_code,
+        |  CAST(sum(abs((x - mn) * 255 - code * sp)) AS BIGINT) AS err_255e9
+        |FROM q GROUP BY 1""".stripMargin,
 
     // q141: quality replay, decade buckets, exact ppm rates.
     "q141_calibration" ->

@@ -62,6 +62,49 @@ object Attribution {
           .as("share_ppm"))
   }
 
+  /** Position-based (U-shaped) multi-touch attribution: the FIRST and
+    * LAST in-window touches take 400,000 ppm each and the middles split
+    * the remaining 200,000 evenly — the standard "position decay"
+    * between the two linear/last-touch extremes. Degenerate forms stay
+    * exact: one touch takes 1,000,000; two touches take 500,000 each;
+    * with middles, the floor-division remainder of the middle pool goes
+    * to the LAST touch (the [[linearTouch]] convention), so every
+    * conversion's shares sum to exactly 1e6.
+    *
+    * Same pair-set shape as [[linearTouch]] (bucketed interval join +
+    * one window); position rank orders by (touch_ts, touch_id) — a
+    * total order, so the first/last assignment hash-gates. */
+  def positionTouch(events: DataFrame, userCol: String, idCol: String,
+      tsCol: String, typeCol: String, touchType: String, convType: String,
+      lookbackMs: Long): DataFrame = {
+    require(lookbackMs > 1)
+    val e = events.select(col(userCol).as("u"), col(idCol).as("id"),
+      col(tsCol).as("ts"), col(typeCol).as("et"))
+    val convs = e.where(col("et") === convType)
+      .select(col("u"), col("id").as("conv_id"), col("ts").as("conv_ts"))
+    val touches = e.where(col("et") === touchType)
+      .select(col("u"), col("id").as("touch_id"), col("ts").as("touch_ts"))
+    val pairs = IntervalJoin.bucketedRangeJoin(convs, touches, Seq("u"),
+        "conv_ts", "touch_ts", lowMs = -lookbackMs, highMs = -1L)
+      .toDF("u", "conv_id", "conv_ts", "u2", "touch_id", "touch_ts")
+      .drop("u2")
+    val w = Window.partitionBy(col("conv_id"))
+    val byTime = w.orderBy(col("touch_ts"), col("touch_id"))
+    pairs
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("rk", row_number().over(byTime))
+      .withColumn("share_ppm",
+        when(col("n") === 1, lit(1000000L))
+          .when(col("n") === 2, lit(500000L))
+          .when(col("rk") === 1, lit(400000L))
+          .when(col("rk") === col("n"),
+            lit(400000L) + expr("200000L % (n - 2)"))
+          .otherwise(expr("200000L div (n - 2)")))
+      .select(col("u").as(userCol), col("conv_id"), col("conv_ts"),
+        col("touch_id"), col("touch_ts"), col("rk").as("pos"),
+        col("n").as("n_touches"), col("share_ppm"))
+  }
+
   /** Credit each `convType` event to the user's latest preceding
     * `touchType` event at most `lookbackMs` older. Output: (userCol,
     * conv_id, conv_ts, touch_id, touch_ts, lag_ms, attributed) — the

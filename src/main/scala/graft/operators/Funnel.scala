@@ -106,4 +106,29 @@ object Funnel {
       .select(col("from_type"), col("to_type"), col("cnt"),
         expr("(cnt * 1000000) div row_total").as("prob_e6"))
   }
+
+  /** Length-3 behavior paths ([[transitions]] one hop deeper — the
+    * sequence-mining census "view→click→purchase happens N times"):
+    * consecutive event-type triples per user in (ts, tie) order, both
+    * hops gap-bounded so a path never spans an idle break. Same shape
+    * as transitions: ONE window sort per user partition (two leads ride
+    * the same sort), then a counting aggregation over at most
+    * |vocabulary|³ path keys — the census, not the rows, reaches the
+    * final shuffle. */
+  def pathTrigrams(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String, maxGapMs: Long): DataFrame = {
+    require(maxGapMs > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    df.select(col(userCol), col(tsCol), col(tieCol), col(typeCol).as("t1"))
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .withColumn("ts2", lead(col(tsCol), 1).over(w))
+      .withColumn("ts3", lead(col(tsCol), 2).over(w))
+      .where(col("t3").isNotNull &&
+        col("ts2") - col(tsCol) <= maxGapMs &&
+        col("ts3") - col("ts2") <= maxGapMs)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

@@ -202,4 +202,78 @@ object Profile {
           .as("var_y_num"),
         (col("n") * col("sum_xy") - col("sum_x") * col("sum_y"))
           .as("corr_num"))
+
+  /** Inter-event gap histogram — the arrival-cadence profile that tunes
+    * session gaps, watermark slack, and state TTLs: per key, the gap to
+    * the previous event (one window sort per key partition), bucketed
+    * by `bucketMs` with a cap bucket for the tail. Output per
+    * (group, bucket): n + exact min/max gap. The histogram is the only
+    * thing shuffled twice; both aggregations are census-sized. */
+  def gapHistogram(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, groupCol: String, bucketMs: Long,
+      maxBucket: Long): DataFrame = {
+    require(bucketMs > 0 && maxBucket > 0)
+    // the tie column totalizes the per-key order: equal timestamps would
+    // otherwise assign gaps to rows nondeterministically (gap VALUES are
+    // tie-invariant; which group row carries each gap is not)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__ts"), col(tieCol))
+    df.select(col(keyCol), col(groupCol), col(tieCol),
+        col(tsCol).cast("long").as("__ts"))
+      .withColumn("__gap", col("__ts") - lag(col("__ts"), 1).over(w))
+      .where(col("__gap").isNotNull)
+      .withColumn("bucket",
+        least(expr(s"__gap div ${bucketMs}L"), lit(maxBucket)))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("__gap")).as("min_gap_ms"),
+        max(col("__gap")).as("max_gap_ms"))
+  }
+
+  /** Exact percentile-rank normalization in ppm — the curriculum/
+    * mixture input "where does this score sit in the corpus": standard
+    * percent_rank ((rank − 1)/(n − 1), ppm-floored) computed WITHOUT
+    * sorting the rows — a value census + one cumulative window over
+    * |distinct values| cells, broadcast back onto the rows. Output:
+    * input id column + value + pct_ppm (single-row input pins 0). */
+  def percentRankPpm(df: DataFrame, idCol: String,
+      value: Column): DataFrame = {
+    val v = df.select(col(idCol), value.cast("long").as("v"))
+    val census = v.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val byV = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val ranked = census
+      .withColumn("below", coalesce(sum(col("cnt")).over(byV), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(all))
+      .select(col("v"), col("below"), col("n"))
+    v.join(broadcast(ranked), "v")
+      .select(col(idCol), col("v").as("value"),
+        when(col("n") > 1, expr("below * 1000000 div (n - 1)"))
+          .otherwise(lit(0L)).as("pct_ppm"))
+  }
+
+  /** Two-proportion test (the A/B readout) as an exact integer
+    * chi-square ratio: arms' (n, successes) census → one row with
+    * chi² = N·(ad − bc)² / (n₁·n₂·(a+c)·(b+d)) emitted as
+    * (chi2_num, chi2_den) — unreduced, so the readout hash-gates.
+    * Output: (n_a, x_a, n_b, x_b, chi2_num, chi2_den); den = 0 marks a
+    * degenerate table (all success or all failure). 64-bit headroom:
+    * |ad − bc| ≤ n₁·n₂, so keep N below ~55k per test cell at this
+    * precision — shard wider populations into strata and combine, or
+    * move to DECIMAL(38) sums. */
+  def twoProportionChi2(df: DataFrame, arm: Column,
+      success: Column): DataFrame = {
+    val c = df.select(when(arm, 1L).otherwise(0L).as("g"),
+        when(success, 1L).otherwise(0L).as("s"))
+      .agg(sum(when(col("g") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("g") === 0, col("s")).otherwise(0L)).as("x_a"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("g") === 1, col("s")).otherwise(0L)).as("x_b"))
+    c.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      expr("""(n_a + n_b) *
+        (x_a * (n_b - x_b) - x_b * (n_a - x_a)) *
+        (x_a * (n_b - x_b) - x_b * (n_a - x_a))""").as("chi2_num"),
+      expr("n_a * n_b * (x_a + x_b) * ((n_a - x_a) + (n_b - x_b))")
+        .as("chi2_den"))
+  }
 }

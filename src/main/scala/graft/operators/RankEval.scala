@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Retrieval-quality evaluation — the gate a production ANN index must
+  * pass before it replaces exact search (IVF/PQ recall audits run on
+  * every index rebuild; reference analogue: the delivery-log join audits
+  * that compare inferred joins against the full join, SURVEY §2.4).
+  *
+  * Both metrics are decided in exact integers so the audit itself
+  * hash-gates: recall as parts-per-million of the truth set recovered,
+  * MRR as round-free `1e6 div rank`, NDCG against a literal discount
+  * table ([[ndcgWeightsE9]]) shared verbatim with the SQL oracle — no
+  * float log2 in either engine's hot path.
+  *
+  * Shape at 100 TB: both sides arrive as (query, candidate) id pair
+  * frames (tiny relative to the corpus scans that produced them); the
+  * audit is one hash join on the query key + one aggregation — the cost
+  * lives in the retrieval stages being audited, never in the audit. */
+object RankEval {
+
+  /** e9-scaled NDCG discount weights: w(r) = round(1e9 / log2(r+1)).
+    * Computed once on the driver and inlined as plan literals; the SQL
+    * oracle embeds the SAME longs, so both engines sum identical
+    * integers. */
+  def ndcgWeightsE9(k: Int): Seq[Long] =
+    (1 to k).map(r => math.round(1e9 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** Per-query recall@k: how much of the exact `truth` top-k the
+    * `candidates` ranking recovered. Inputs are id-pair frames
+    * (queryCol, idCol); output one row per truth query:
+    * (queryCol, n_true, hits, recall_ppm). Queries the candidate side
+    * dropped entirely still appear (hits = 0) — a silent-miss audit
+    * must count the silence. */
+  def recallAtK(truth: DataFrame, candidates: DataFrame,
+      queryCol: String, idCol: String): DataFrame = {
+    val t = truth.select(col(queryCol).as("qid"), col(idCol).as("cid"))
+    val c = candidates.select(col(queryCol).as("qid"), col(idCol).as("cid"),
+      lit(1L).as("hit"))
+    t.join(c, Seq("qid", "cid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum(col("hit")), lit(0L)).as("hits"))
+      .withColumn("recall_ppm", expr("hits * 1000000 div n_true"))
+      .select(col("qid").as(queryCol), col("n_true"), col("hits"),
+        col("recall_ppm"))
+  }
+
+  /** Per-query MRR + NDCG@k of a ranked candidate list against binary
+    * truth-set membership. `ranked` carries (queryCol, idCol, rankCol)
+    * with rank 1-based and ≤ k; `truth` is the relevant id set per
+    * query. Output per truth query: (queryCol, n_true, first_hit_rank
+    * (0 = none), rr_e6 = 1e6 div rank, dcg_e9, ideal_e9, ndcg_ppm).
+    * ideal = the best achievable DCG: min(n_true, k) top discount
+    * weights. */
+  def rankMetrics(truth: DataFrame, ranked: DataFrame, queryCol: String,
+      idCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"k=$k out of supported range")
+    val w = ndcgWeightsE9(k)
+    // rank → weight as a literal CASE chain (k terms, codegen'd)
+    val weightOf = (1 to k).foldLeft(lit(0L)) { (acc, r) =>
+      when(col("rank") === r, lit(w(r - 1))).otherwise(acc)
+    }
+    // prefix sums of the weight table for the ideal DCG lookup
+    val prefix = w.scanLeft(0L)(_ + _).tail
+    val idealOf = (1 to k).foldLeft(lit(0L)) { (acc, m) =>
+      when(col("n_true") >= m, lit(prefix(m - 1))).otherwise(acc)
+    }
+    val t = truth.select(col(queryCol).as("qid"), col(idCol).as("cid"))
+    val r = ranked.select(col(queryCol).as("qid"), col(idCol).as("cid"),
+      col(rankCol).cast("long").as("rank"))
+    t.join(r, Seq("qid", "cid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(min(col("rank")), lit(0L)).as("first_hit_rank"),
+        coalesce(sum(when(col("rank").isNotNull, weightOf)), lit(0L))
+          .as("dcg_e9"))
+      .withColumn("rr_e6",
+        when(col("first_hit_rank") > 0,
+          expr("1000000 div first_hit_rank")).otherwise(lit(0L)))
+      .withColumn("ideal_e9", idealOf)
+      .withColumn("ndcg_ppm", expr("dcg_e9 * 1000000 div ideal_e9"))
+      .select(col("qid").as(queryCol), col("n_true"), col("first_hit_rank"),
+        col("rr_e6"), col("dcg_e9"), col("ideal_e9"), col("ndcg_ppm"))
+  }
+}

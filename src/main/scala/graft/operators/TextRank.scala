@@ -150,4 +150,53 @@ object TextRank {
       .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
         col("pmi_e6"))
   }
+
+  /** All-pairs cosine over SPARSE tf-idf vectors — the weighted-vector
+    * complement to the Jaccard/PPJoin set family (near-dup on sets,
+    * topical similarity on weights): documents pair through an inverted
+    * index on their SHARED terms only, never through a dense d×d or
+    * n×n product.
+    *
+    * Exactness: weights are integer milli-units (w = tf·1000 div df —
+    * the [[tfDfKeywords]] salience, df-damped), dots and norms are
+    * exact integer sums, and only the final cosine touches doubles in
+    * the q20-pinned single order (dot / √(na·nb), e6-rounded).
+    *
+    * Scale discipline: the df prune `2 ≤ df ≤ maxDf` is load-bearing,
+    * not cosmetic — a term appearing in df docs contributes O(df²)
+    * candidate pairs, so maxDf CAPS the posting-list blowup exactly
+    * like the PPJoin prefix filter; df=1 terms pair with nothing and
+    * drop. Vectors live in the pruned term space (norms computed over
+    * surviving terms), which is also what production tf-idf systems do
+    * (stopword ceiling + hapax floor). Output pairs with
+    * cos_e6 ≥ minCosE6: (a_id, b_id, dot, na2, nb2, cos_e6). */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDf: Long, minCosE6: Long): DataFrame = {
+    require(maxDf >= 2, s"maxDf=$maxDf must be >= 2")
+    val toks = docs.select(col(idCol).as("id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+    val tf = toks.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= maxDf)
+    val w = tf.join(dfr, "term")
+      .withColumn("w", expr("tf * 1000 div df"))
+      .select(col("id"), col("term"), col("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = w.groupBy(col("id")).agg(sum(col("w") * col("w")).as("n2"))
+    val pairs = w.as("a").join(w.as("b"),
+        col("a.term") === col("b.term") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+    pairs
+      .join(norms.select(col("id").as("a_id"), col("n2").as("na2")), "a_id")
+      .join(norms.select(col("id").as("b_id"), col("n2").as("nb2")), "b_id")
+      .withColumn("cos_e6", round(col("dot").cast("double") /
+        sqrt(col("na2").cast("double") * col("nb2").cast("double"))
+        * lit(1000000.0)).cast("long"))
+      .where(col("cos_e6") >= minCosE6)
+      .select(col("a_id"), col("b_id"), col("dot"), col("na2"), col("nb2"),
+        col("cos_e6"))
+  }
 }

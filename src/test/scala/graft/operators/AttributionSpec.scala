@@ -62,6 +62,30 @@ class AttributionSpec extends SparkSpec {
     assert(g3.values.sum == 1000000L)
   }
 
+  test("positionTouch: U-shaped shares sum to exactly 1e6") {
+    def run(events: Seq[(String, Long, Long, String)]) =
+      Attribution.positionTouch(
+        events.toDF("user_id", "event_id", "ts_ms", "event_type"),
+        "user_id", "event_id", "ts_ms", "event_type",
+        "click", "purchase", lookbackMs = 10000L)
+        .collect().map(r => (r.getLong(1), r.getLong(3)) -> r.getLong(7)).toMap
+    // 1 touch → full credit
+    val one = run(Seq(("u", 1L, 100L, "click"), ("u", 9L, 500L, "purchase")))
+    assert(one == Map((9L, 1L) -> 1000000L))
+    // 2 touches → 50/50
+    val two = run(Seq(("u", 1L, 100L, "click"), ("u", 2L, 200L, "click"),
+      ("u", 9L, 500L, "purchase")))
+    assert(two == Map((9L, 1L) -> 500000L, (9L, 2L) -> 500000L))
+    // 5 touches → 400000 / 66666 / 66666 / 66666+2 / 400000 by position
+    val five = run(Seq(("u", 1L, 100L, "click"), ("u", 2L, 200L, "click"),
+      ("u", 3L, 300L, "click"), ("u", 4L, 400L, "click"),
+      ("u", 5L, 500L, "click"), ("u", 9L, 900L, "purchase")))
+    assert(five((9L, 1L)) == 400000L && five((9L, 5L)) == 400002L)
+    assert(five((9L, 2L)) == 66666L && five((9L, 3L)) == 66666L &&
+      five((9L, 4L)) == 66666L)
+    assert(five.values.sum == 1000000L)
+  }
+
   test("attribution is partition-invariant") {
     val big = (0L until 600L).map { i =>
       val et = if (i % 3 == 0) "purchase" else "click"

@@ -107,6 +107,21 @@ class FunnelSpec extends SparkSpec {
       ("b", "c") -> ((1L, 500000L))))
   }
 
+  test("pathTrigrams: gap-bounded triples with deterministic tie order") {
+    // user 1: a(0) b(10) c(20) d(2000) — trigram abc in-gap; bcd blocked
+    // by the 100ms gap bound on the second hop
+    val ev = Seq(
+      (1L, 0L, 1L, "a"), (1L, 10L, 2L, "b"), (1L, 20L, 3L, "c"),
+      (1L, 2000L, 4L, "d"),
+      // user 2: tie at ts 5 ordered by id → a,b then c
+      (2L, 5L, 11L, "a"), (2L, 5L, 12L, "b"), (2L, 6L, 13L, "c"))
+      .toDF("u", "ts", "id", "et")
+    val got = Funnel.pathTrigrams(ev, "u", "ts", "et", "id", maxGapMs = 100L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    assert(got == Map(("a", "b", "c") -> 2L))
+  }
+
   test("transitions are partition-invariant") {
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
       .withColumn("ts_ms", unix_millis(col("ts")))

@@ -145,4 +145,52 @@ class ProfileSpec extends SparkSpec {
     // degenerate rates stay inside [0, 1e6]
     assert(got("zero")._3 >= 0L && got("full")._3 <= 1000000L)
   }
+
+  test("gapHistogram: buckets, tail cap, deterministic tie order") {
+    val rows = Seq(
+      ("u1", 0L, 1L, "a"), ("u1", 30000L, 2L, "b"),   // gap 30s → bucket 0
+      ("u1", 150000L, 3L, "a"),                        // gap 120s → bucket 2
+      ("u1", 9999999L, 4L, "c"),                       // huge → capped 60
+      ("u2", 100L, 5L, "a"),                           // first event: no gap
+      // tie at ts 200: id order decides which row carries the gap
+      ("u2", 200L, 6L, "x"), ("u2", 200L, 7L, "y"))
+      .toDF("u", "ts", "id", "et")
+    val got = Profile.gapHistogram(rows, "u", "ts", "id", "et", 60000L, 60L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(("b", 0L)) == ((1L, 30000L, 30000L)))
+    assert(got(("a", 2L)) == ((1L, 120000L, 120000L)))
+    assert(got(("c", 60L)) == ((1L, 9849999L, 9849999L)))
+    assert(got(("x", 0L)) == ((1L, 100L, 100L)))   // ts 200 id 6 after 100
+    assert(got(("y", 0L)) == ((1L, 0L, 0L)))       // tie gap 0 on id 7
+    assert(got.size == 5)
+  }
+
+  test("percentRankPpm: exact percent_rank with duplicate values") {
+    val rows = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 30L), (5L, 30L))
+      .toDF("id", "v")
+    val got = Profile.percentRankPpm(rows, "id", col("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // below counts: v=10 → 0; v=20 → 2; v=30 → 3; n−1 = 4
+    assert(got(1L) == 0L && got(2L) == 0L)
+    assert(got(3L) == 500000L)
+    assert(got(4L) == 750000L && got(5L) == 750000L)
+    // single row pins 0
+    val one = Profile.percentRankPpm(Seq((9L, 5L)).toDF("id", "v"),
+      "id", col("v")).collect()
+    assert(one.head.getLong(2) == 0L)
+  }
+
+  test("twoProportionChi2: hand-checked 2x2 table") {
+    // arm a: 4 users 1 success; arm b: 4 users 3 successes
+    val rows = (0 until 4).map(i => (false, i < 1)) ++
+      (0 until 4).map(i => (true, i < 3))
+    val r = Profile.twoProportionChi2(rows.toDF("arm", "s"),
+      col("arm"), col("s")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 1L, 4L, 3L)))
+    // ad − bc = 1·1 − 3·3 = −8; num = 8·64 = 512; den = 4·4·4·4 = 256
+    assert(r.getLong(4) == 512L && r.getLong(5) == 256L)
+    // chi² = 2.0 < 3.84 — not significant, as a 4v4 shouldn't be
+  }
 }

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class RankEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("recallAtK counts hits per query, keeps silent-miss queries") {
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("qid", "cid")
+    val cand = Seq((1L, 11L), (1L, 99L), (3L, 30L)).toDF("qid", "cid")
+    val got = RankEval.recallAtK(truth, cand, "qid", "cid")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((3L, 1L, 333333L)))
+    assert(got(2L) == ((2L, 0L, 0L)))   // candidate side dropped q2 entirely
+    assert(got.size == 2)               // q3 is not a truth query
+  }
+
+  test("ndcgWeightsE9 matches the closed form") {
+    assert(RankEval.ndcgWeightsE9(3) ==
+      Seq(1000000000L, 630929754L, 500000000L))
+  }
+
+  test("rankMetrics: MRR and NDCG against the literal discount table") {
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L))
+      .toDF("qid", "cid")
+    // q1: hits at ranks 2 and 3; q2: no hits
+    val ranked = Seq((1L, 11L, 2), (1L, 12L, 3), (1L, 99L, 1), (2L, 98L, 1))
+      .toDF("qid", "cid", "rank")
+    val got = RankEval.rankMetrics(truth, ranked, "qid", "cid", "rank", 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    val w = RankEval.ndcgWeightsE9(3)
+    val dcg1 = w(1) + w(2)
+    val ideal1 = w.sum
+    assert(got(1L) == ((3L, 2L, 500000L, dcg1, ideal1,
+      dcg1 * 1000000L / ideal1)))
+    // no hit: rank 0 sentinel, rr 0, dcg 0, ideal = top-1 weight
+    assert(got(2L) == ((1L, 0L, 0L, 0L, w(0), 0L)))
+  }
+}

@@ -86,4 +86,26 @@ class TextRankSpec extends SparkSpec {
     assert(got((3L, 1L))._1 == "banana")
     assert(got((3L, 2L))._1 == "cherry")
   }
+
+  test("tfidfCosinePairs: shared-term dots, df prune, exact integers") {
+    // "x y" appears in docs 1,2 (df=2); "zzz" everywhere (df=4 > maxDf=3
+    // → pruned); "solo" hapax (df=1 → pruned)
+    val docs = Seq(
+      (1L, "x y zzz"), (2L, "x y zzz"), (3L, "x solo zzz"), (4L, "q zzz"))
+      .toDF("doc_id", "text")
+    val got = TextRank.tfidfCosinePairs(docs, "doc_id", "text",
+        maxDf = 3L, minCosE6 = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // surviving terms: x (df=3, w=333), y (df=2, w=500)
+    // doc1=doc2={x:333,y:500}; doc3={x:333}; doc4={} (drops entirely)
+    val n12 = 333L * 333 + 500L * 500
+    assert(got((1L, 2L)) == ((n12, n12, n12, 1000000L)))
+    val dot13 = 333L * 333
+    val cos13 = math.round(dot13.toDouble /
+      math.sqrt(n12.toDouble * dot13.toDouble) * 1e6)
+    assert(got((1L, 3L)) == ((dot13, n12, dot13, cos13)))
+    assert(got((2L, 3L)) == ((dot13, n12, dot13, cos13)))
+    assert(got.size == 3)
+  }
 }
