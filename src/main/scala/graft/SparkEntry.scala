@@ -1432,6 +1432,51 @@ object SparkEntry {
           coalesce(col("dow"), lit(-1L)).as("dow"), col("n"),
           col("sum_cents"))),
 
+    // SCD Type-2 dimension build: keyed change stream → versioned
+    // validity intervals, consecutive repeats collapsed, one per-key
+    // sort carrying both windows.
+    "q157_scd2" -> ((s, dir) =>
+      TableDiff.scd2History(
+        ev(s, dir).select(col("user_id"), col("event_type"),
+          col("ts_ms"), col("event_id")),
+        "user_id", "event_type", "ts_ms", "event_id")),
+
+    // Hybrid retrieval: BM25 lexical ranking ⊕ dense top-50 (query
+    // vector 0) fused by reciprocal ranks — integer RRF, rank-only so
+    // score scales never meet.
+    "q158_hybrid_rrf" -> ((s, dir) => {
+      val lexical = TextRank.bm25(t(s, dir, "documents"), "doc_id", "text",
+          Seq("hash", "join", "window", "spark"))
+        .select(col("doc_id").as("id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val dense = Similarity.bruteForceTopK(emb,
+          emb.where(col("vec_id") === 0), "vec_id", "embedding", 50)
+        .select(col("cid").as("id"), col("rank"))
+      RankEval.rrfFuse(Seq(lexical, dense), "id", "rank")
+    }),
+
+    // IVF index MAINTENANCE: base vectors materialize into a
+    // list-partitioned parquet index, a second batch appends against the
+    // FROZEN quantizer (no rebuild), and the probe join dynamic-
+    // partition-prunes the read back to probed lists. The oracle is the
+    // FULL-REBUILD plan (q34): append-only maintenance must be
+    // indistinguishable from rebuilding.
+    "q159_ivf_upsert" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = emb.where(col("vec_id") < 400)
+      val adds = emb.where(col("vec_id") >= 400)
+      val cents = Similarity.defaultIvfCentroids(base, "vec_id",
+        "embedding", 16)
+      val root = queryTmp("graft_ivf")
+      Similarity.ivfAssign(base, "vec_id", "embedding", cents)
+        .write.partitionBy("centId").mode("overwrite").parquet(root)
+      Similarity.ivfAssign(adds, "vec_id", "embedding", cents)
+        .write.partitionBy("centId").mode("append").parquet(root)
+      Similarity.ivfSearchIndex(s.read.parquet(root),
+        emb.where(col("vec_id") < 20), "vec_id", "embedding",
+        k = 3, nProbe = 4, cents)
+    }),
+
     // Int8 min-max embedding quantization: d-row stats census broadcast
     // back over one codegen'd encode pass; codes + reconstruction error
     // decided in pure integers.
@@ -2331,6 +2376,60 @@ object SparkEntry {
     * (rank 1) for the corpus, 4-list probing for the queries, and the
     * exact quantized re-rank — the same e9 integer dots and (score DESC,
     * id) tie-breaks as the Spark plan, so retrieval is bit-identical. */
+  private val q72OracleSql: String =
+    """WITH tok AS (
+      | SELECT doc_id AS id,
+      |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      | FROM documents),
+      |dl AS (SELECT id, count(*) AS dl FROM tok GROUP BY 1),
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+      |tf AS (SELECT id, tok, count(*) AS tf FROM tok
+      | WHERE tok IN ('hash', 'join', 'window', 'spark') GROUP BY 1, 2),
+      |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |c AS (SELECT tf.id,
+      |  CAST(round(
+      |    ln(1.0 + ((g.n_docs - df.df) + 0.5) / (df.df + 0.5))
+      |    * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+      |       / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+      |          + 0.75 * (CAST(dl.dl AS DOUBLE)
+      |             / (CAST(g.sum_dl AS DOUBLE) / CAST(g.n_docs AS DOUBLE))))))
+      |    * 1000000.0) AS BIGINT) AS c_e6
+      | FROM tf JOIN df USING (tok) JOIN dl USING (id) CROSS JOIN g),
+      |s AS (SELECT id, CAST(count(*) AS BIGINT) AS terms_matched,
+      |  CAST(sum(c_e6) AS BIGINT) AS score_e6 FROM c GROUP BY 1)
+      |SELECT id AS doc_id, terms_matched, score_e6,
+      | CAST(row_number() OVER (ORDER BY score_e6 DESC, id) AS BIGINT) AS rank
+      |FROM s""".stripMargin
+
+  /** q158's oracle: the q72 BM25 ranking and a dense top-50 (query
+    * vector 0, the q20 e9-cosine) fused by integer reciprocal ranks. */
+  private lazy val q158OracleSql: String =
+    s"""WITH bm AS (SELECT doc_id AS id, rank FROM ($q72OracleSql)),
+       |nn AS (
+       | SELECT vec_id, embedding,
+       |  CAST(list_sum(list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS nsq
+       | FROM embeddings),
+       |qv AS (SELECT * FROM nn WHERE vec_id = 0),
+       |sc AS (
+       | SELECT c.vec_id AS id,
+       |  CAST(CAST(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+       |    z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS DOUBLE)
+       |   / sqrt(CAST(q.nsq AS DOUBLE) * CAST(c.nsq AS DOUBLE)) AS score
+       | FROM qv q JOIN nn c ON c.vec_id <> q.vec_id),
+       |dn AS (SELECT id, rank FROM (SELECT id,
+       |  row_number() OVER (ORDER BY score DESC, id) AS rank FROM sc)
+       | WHERE rank <= 50),
+       |u AS (SELECT * FROM bm UNION ALL SELECT * FROM dn),
+       |f AS (SELECT id, count(*) AS n_sources,
+       |  sum(1000000 // (60 + rank)) AS rrf_e6 FROM u GROUP BY 1)
+       |SELECT id, CAST(n_sources AS BIGINT) AS n_sources,
+       |  CAST(rrf_e6 AS BIGINT) AS rrf_e6,
+       |  CAST(row_number() OVER (ORDER BY rrf_e6 DESC, id) AS BIGINT)
+       |    AS rrf_rank
+       |FROM f""".stripMargin
+
   private val q20OracleSql: String =
     """WITH n AS (
       | SELECT vec_id, embedding,
@@ -4650,31 +4749,7 @@ object SparkEntry {
     // mirrors TextRank.bm25's pinned double pipeline: (1.2 + 1.0) is
     // spelled as a SUM (double(1.2)+1.0 != double(2.2)); every contribution
     // rounds to micro-units before the order-independent BIGINT sum
-    "q72_bm25" ->
-      """WITH tok AS (
-        | SELECT doc_id AS id,
-        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
-        | FROM documents),
-        |dl AS (SELECT id, count(*) AS dl FROM tok GROUP BY 1),
-        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
-        |tf AS (SELECT id, tok, count(*) AS tf FROM tok
-        | WHERE tok IN ('hash', 'join', 'window', 'spark') GROUP BY 1, 2),
-        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |c AS (SELECT tf.id,
-        |  CAST(round(
-        |    ln(1.0 + ((g.n_docs - df.df) + 0.5) / (df.df + 0.5))
-        |    * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
-        |       / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
-        |          + 0.75 * (CAST(dl.dl AS DOUBLE)
-        |             / (CAST(g.sum_dl AS DOUBLE) / CAST(g.n_docs AS DOUBLE))))))
-        |    * 1000000.0) AS BIGINT) AS c_e6
-        | FROM tf JOIN df USING (tok) JOIN dl USING (id) CROSS JOIN g),
-        |s AS (SELECT id, CAST(count(*) AS BIGINT) AS terms_matched,
-        |  CAST(sum(c_e6) AS BIGINT) AS score_e6 FROM c GROUP BY 1)
-        |SELECT id AS doc_id, terms_matched, score_e6,
-        | CAST(row_number() OVER (ORDER BY score_e6 DESC, id) AS BIGINT) AS rank
-        |FROM s""".stripMargin,
+    "q72_bm25" -> q72OracleSql,
 
     "q73_weighted_sample" -> q73OracleSql,
 
@@ -4965,6 +5040,29 @@ object SparkEntry {
         |    (epoch_ms(ts) // 86400000 + 4) % 7 AS dow,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events)
         |GROUP BY CUBE(event_type, dow)""".stripMargin,
+
+    // q157: IS DISTINCT FROM change filter, the same one-sort windows.
+    "q157_scd2" ->
+      """WITH e AS (SELECT user_id AS k, event_type AS value,
+        |  epoch_ms(ts) AS ts, event_id AS tie FROM events),
+        |f AS (SELECT *, lag(value) OVER (PARTITION BY k ORDER BY ts, tie)
+        |  AS prev FROM e),
+        |v AS (SELECT k, value, ts, tie FROM f
+        |      WHERE prev IS DISTINCT FROM value),
+        |o AS (SELECT k, value, ts AS valid_from,
+        |  coalesce(lead(ts) OVER w2, -1) AS valid_to,
+        |  row_number() OVER w2 AS version
+        | FROM v WINDOW w2 AS (PARTITION BY k ORDER BY ts, tie))
+        |SELECT k AS user_id, value, valid_from, valid_to,
+        |  CAST(version AS BIGINT) AS version,
+        |  valid_to = -1 AS is_current
+        |FROM o""".stripMargin,
+
+    // q158: both retrieval stages replayed, integer reciprocal-rank sum.
+    "q158_hybrid_rrf" -> q158OracleSql,
+
+    // q159: maintenance ≡ rebuild — the full-rebuild IVF oracle.
+    "q159_ivf_upsert" -> q34OracleSql,
 
     // q150: e9 components, per-dim min/span census, the same integer
     // round-half-up code ((x−mn)·510 + sp) // (2·sp) and |residual|

@@ -84,4 +84,30 @@ object RankEval {
       .select(col("qid").as(queryCol), col("n_true"), col("first_hit_rank"),
         col("rr_e6"), col("dcg_e9"), col("ideal_e9"), col("ndcg_ppm"))
   }
+
+  /** Reciprocal-rank fusion (Cormack–Clarke–Büttcher 2009) — the hybrid
+    * retrieval combiner (BM25 ⊕ dense ANN is the production pairing):
+    * each source ranking contributes 1e6 div (kConst + rank) and the
+    * integer sums re-rank. Exact by construction — RRF only reads
+    * RANKS, so heterogeneous score scales never meet.
+    *
+    * Shape: a union of narrow (id, rank) frames → one counting
+    * aggregation → one total-ordered window over the fused census.
+    * Output: (id, n_sources, rrf_e6, rrf_rank), ties (rrf_e6, then id)
+    * totalized. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+      kConst: Long = 60L): DataFrame = {
+    require(rankings.nonEmpty && kConst >= 0)
+    val parts = rankings.map(_.select(col(idCol).as("id"),
+      col(rankCol).cast("long").as("rank")))
+    val fused = parts.reduce(_ unionByName _)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(expr(s"1000000 div (${kConst}L + rank)")).as("rrf_e6"))
+    fused.withColumn("rrf_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf_e6").desc, col("id"))).cast("long"))
+      .select(col("id").as(idCol), col("n_sources"), col("rrf_e6"),
+        col("rrf_rank"))
+  }
 }

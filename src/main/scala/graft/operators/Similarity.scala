@@ -427,30 +427,74 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nLists: Int, nProbe: Int,
       centroids: Option[DataFrame] = None): DataFrame = {
-    VectorExpressions.register(corpus.sparkSession)
-    val centSrc = centroids.getOrElse(
-      corpus.orderBy(col(idCol)).limit(nLists)
-        .select(col(idCol).cast("long").as("centId"), col(vecCol).as("centVec")))
-    val cents = broadcast(centSrc
-      .select(col("centId"), col("centVec"),
-        VectorExpressions.normSqE9Fast(col("centVec")).as("centN")))
+    val centSrc = centroids.getOrElse(defaultIvfCentroids(corpus, idCol,
+      vecCol, nLists))
+    val cents = broadcastCentroids(corpus, centSrc)
+    ivfSearchAssigned(
+      nearestLists(corpus.repartition(col(idCol)), idCol, vecCol, "c", 1,
+        cents),
+      queries, idCol, vecCol, k, nProbe, cents)
+  }
 
-    def nearestLists(df: DataFrame, p: String, keep: Int): DataFrame = {
-      val scored = df.select(col(idCol).as(s"${p}id"), col(vecCol).as(s"${p}vec"),
-          VectorExpressions.normSqE9Fast(col(vecCol)).as(s"${p}n"))
-        .join(cents)
-        .withColumn("__cs",
-          cosineFromE9(VectorExpressions.dotE9Fast(col(s"${p}vec"), col("centVec")),
-            col(s"${p}n"), col("centN")))
-      val w = Window.partitionBy(col(s"${p}id"))
-        .orderBy(col("__cs").desc, col("centId"))
-      scored.withColumn("__r", row_number().over(w)).where(col("__r") <= keep)
-        .select(col(s"${p}id"), col(s"${p}vec"), col(s"${p}n"), col("centId"))
-    }
+  /** Training-free coarse quantizer: the `nLists` lowest-id vectors. */
+  def defaultIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nLists: Int): DataFrame =
+    corpus.orderBy(col(idCol)).limit(nLists)
+      .select(col(idCol).cast("long").as("centId"), col(vecCol).as("centVec"))
 
-    val assigned = nearestLists(corpus.repartition(col(idCol)), "c", 1)
-    val probes = nearestLists(queries, "q", nProbe)
-    val cand = probes.join(assigned, Seq("centId"))
+  private def broadcastCentroids(registerOn: DataFrame,
+      centSrc: DataFrame): DataFrame = {
+    VectorExpressions.register(registerOn.sparkSession)
+    broadcast(centSrc.select(col("centId"), col("centVec"),
+      VectorExpressions.normSqE9Fast(col("centVec")).as("centN")))
+  }
+
+  private def nearestLists(df: DataFrame, idCol: String, vecCol: String,
+      p: String, keep: Int, cents: DataFrame): DataFrame = {
+    val scored = df.select(col(idCol).as(s"${p}id"), col(vecCol).as(s"${p}vec"),
+        VectorExpressions.normSqE9Fast(col(vecCol)).as(s"${p}n"))
+      .join(cents)
+      .withColumn("__cs",
+        cosineFromE9(VectorExpressions.dotE9Fast(col(s"${p}vec"), col("centVec")),
+          col(s"${p}n"), col("centN")))
+    val w = Window.partitionBy(col(s"${p}id"))
+      .orderBy(col("__cs").desc, col("centId"))
+    scored.withColumn("__r", row_number().over(w)).where(col("__r") <= keep)
+      .select(col(s"${p}id"), col(s"${p}vec"), col(s"${p}n"), col("centId"))
+  }
+
+  /** The maintenance seam: assign vectors to their nearest list WITHOUT
+    * searching — the append path of an incrementally maintained IVF
+    * index (new vectors encode against the FROZEN quantizer and land in
+    * their list's partition; no rebuild). Output: (idCol, vecCol,
+    * normsq, centId) — the materialization schema
+    * [[ivfSearchAssigned]] consumes, centId last so
+    * `partitionBy("centId")` layouts work directly. */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame =
+    nearestLists(corpus.repartition(col(idCol)), idCol, vecCol, "c", 1,
+      broadcastCentroids(corpus, cents))
+      .select(col("cid").as(idCol), col("cvec").as(vecCol),
+        col("cn").as("normsq"), col("centId"))
+
+  /** Search a materialized assignment (the read side of the maintained
+    * index): probe the `nProbe` nearest lists per query and exact-rerank
+    * inside them. When `assigned` is a table PARTITIONED BY the list id,
+    * the broadcast probe join dynamic-partition-prunes the scan to the
+    * probed lists — the IVF read amplification story at 100 TB. */
+  def ivfSearchIndex(assigned: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int, cents: DataFrame): DataFrame =
+    ivfSearchAssigned(
+      assigned.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+        col("normsq").as("cn"), col("centId").cast("long").as("centId")),
+      queries, idCol, vecCol, k, nProbe,
+      broadcastCentroids(assigned, cents))
+
+  private def ivfSearchAssigned(assigned: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int,
+      cents: DataFrame): DataFrame = {
+    val probes = nearestLists(queries, idCol, vecCol, "q", nProbe, cents)
+    val cand = broadcast(probes).join(assigned, Seq("centId"))
       .where(col("qid") =!= col("cid"))
       .withColumn("__score",
         cosineFromE9(VectorExpressions.dotE9Fast(col("qvec"), col("cvec")),

@@ -35,4 +35,32 @@ object TableDiff {
       .where(col("change_type").isNotNull)
       .select(keys.map(col) :+ col("change_type"): _*)
   }
+
+  /** SCD Type-2 history build — the warehouse dimension form of the
+    * upsert/CDC family: fold a keyed change stream into versioned
+    * validity intervals. Consecutive repeats of the SAME value collapse
+    * (no phantom versions — the load-bearing SCD2 rule); each surviving
+    * version is valid [its first change ts, next version's ts), the
+    * open current version carrying a −1 sentinel end and is_current.
+    *
+    * Shape: both windows (the change filter's lag and the interval
+    * lead/version number) ride ONE per-key sort — a single hash
+    * exchange on the key, no self-join, no collect. Ties on the change
+    * timestamp totalize through `tieCol`. */
+  def scd2History(changes: DataFrame, keyCol: String, valueCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__ts"), col(tieCol))
+    val versions = changes
+      .select(col(keyCol), col(valueCol).as("value"),
+        col(tsCol).cast("long").as("__ts"), col(tieCol))
+      .withColumn("__prev", lag(col("value"), 1).over(w))
+      .where(col("__prev").isNull || !(col("__prev") <=> col("value")))
+    versions
+      .withColumn("valid_from", col("__ts"))
+      .withColumn("valid_to", coalesce(lead(col("__ts"), 1).over(w), lit(-1L)))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select(col(keyCol), col("value"), col("valid_from"), col("valid_to"),
+        col("version"), (col("valid_to") === -1L).as("is_current"))
+  }
 }

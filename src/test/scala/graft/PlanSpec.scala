@@ -210,6 +210,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("int8 quantization broadcasts the stats row — encode is map-only") {
+    val p = plan("q150_int8_quant")
+    // pass 1: d-key census partially aggregated before its exchange;
+    // pass 2: ONE broadcast of the folded stats row, no row-side shuffle
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(p.contains("partial_min"), p.take(3000))
+    // the vector side joins the broadcast stats without exchanging itself
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("skyline windows ride the cell census, never the raw rows") {
+    val p = plan("q146_doc_skyline")
+    // census (partial_count before exchange) BELOW both window minima
+    val firstWindow = p.indexOf("Window")
+    assert(firstWindow >= 0 && p.contains("partial_count"), p.take(3000))
+    assert(p.lastIndexOf("HashAggregate") > firstWindow, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("tfidf pair join keys on the term — df prune sits below it") {
+    val p = plan("q155_tfidf_cosine")
+    // the df census filter (2..maxDf) must prune postings BEFORE the
+    // pair self-join; no cross product anywhere
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("partial_count"), p.take(3000))
+  }
+
   test("whole-stage codegen covers the relational pipeline") {
     // AQE finalizes the plan (and its codegen annotation) only when THIS
     // query execution runs — collect() on the frame itself, not count()

@@ -40,4 +40,18 @@ class RankEvalSpec extends SparkSpec {
     // no hit: rank 0 sentinel, rr 0, dcg 0, ideal = top-1 weight
     assert(got(2L) == ((1L, 0L, 0L, 0L, w(0), 0L)))
   }
+
+  test("rrfFuse: integer reciprocal-rank sums, total-ordered fusion") {
+    val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
+    val b = Seq((11L, 1), (13L, 2)).toDF("id", "rank")
+    val got = RankEval.rrfFuse(Seq(a, b), "id", "rank", kConst = 60L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val w = (r: Long) => 1000000L / (60L + r)
+    // 11 fuses both sources and tops; 10 (rank 1) beats 13 (rank 2)
+    assert(got(11L) == ((2L, w(2) + w(1), 1L)))
+    assert(got(10L) == ((1L, w(1), 2L)))
+    assert(got(13L) == ((1L, w(2), 3L)))
+    assert(got(12L) == ((1L, w(3), 4L)))
+  }
 }

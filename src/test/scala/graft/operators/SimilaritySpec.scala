@@ -50,4 +50,39 @@ class SimilaritySpec extends SparkSpec {
     assert(neg == 4L, "negative must be the HARD one, not the easy 5")
     assert(margin > 0, "positive outranks the hard negative here")
   }
+
+  test("ivf maintenance: append against the frozen quantizer ≡ rebuild") {
+    import org.apache.spark.sql.functions.col
+    val all = (0L until 30L).map(i => (i, Array(
+      math.sin(i * 1.7).toFloat, math.cos(i * 2.3).toFloat,
+      math.sin(i * 0.9 + 1).toFloat, math.cos(i * 1.1 + 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val base = all.where(col("vec_id") < 20)
+    val adds = all.where(col("vec_id") >= 20)
+    val cents = Similarity.defaultIvfCentroids(base, "vec_id", "embedding", 4)
+    val root = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    try {
+      Similarity.ivfAssign(base, "vec_id", "embedding", cents)
+        .write.partitionBy("centId").mode("overwrite").parquet(root)
+      Similarity.ivfAssign(adds, "vec_id", "embedding", cents)
+        .write.partitionBy("centId").mode("append").parquet(root)
+      val queries = all.where(col("vec_id") < 5)
+      val viaIndex = Similarity.ivfSearchIndex(spark.read.parquet(root),
+        queries, "vec_id", "embedding", k = 2, nProbe = 2, cents)
+      val rebuilt = Similarity.ivfTopK(all, queries, "vec_id", "embedding",
+        k = 2, nProbe = 2, nLists = 4, centroids = Some(cents))
+      assert(viaIndex.orderBy("qid", "rank").collect().toSeq ==
+        rebuilt.orderBy("qid", "rank").collect().toSeq)
+      // the read side must prune to probed lists at planning/run time:
+      // the list-partitioned scan carries a dynamic pruning expression
+      val p = viaIndex.queryExecution.executedPlan.toString.toLowerCase
+      assert(p.contains("dynamicpruning"), p.take(3000))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(root))
+    }
+  }
 }

@@ -43,4 +43,31 @@ class TableDiffSpec extends SparkSpec {
     val b = Seq((1L, 2L)).toDF("k", "n")
     intercept[IllegalArgumentException](TableDiff.diff(a, b, Seq("k")))
   }
+
+  test("scd2History: repeats collapse, intervals chain, current open") {
+    // key a: x@10, x@20 (collapses), y@30, x@40 — three versions
+    // key b: single value — one open version
+    val rows = Seq(
+      ("a", "x", 10L, 1L), ("a", "x", 20L, 2L), ("a", "y", 30L, 3L),
+      ("a", "x", 40L, 4L), ("b", "z", 5L, 5L))
+      .toDF("k", "v", "ts", "id")
+    val got = TableDiff.scd2History(rows, "k", "v", "ts", "id")
+      .collect().map(r => (r.getString(0), r.getLong(4)) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(5))).toMap
+    assert(got(("a", 1L)) == (("x", 10L, 30L, false)))
+    assert(got(("a", 2L)) == (("y", 30L, 40L, false)))
+    assert(got(("a", 3L)) == (("x", 40L, -1L, true)))
+    assert(got(("b", 1L)) == (("z", 5L, -1L, true)))
+    assert(got.size == 4)
+  }
+
+  test("scd2History ties on ts resolve through the tie column") {
+    val rows = Seq(("k", "p", 10L, 2L), ("k", "q", 10L, 1L))
+      .toDF("k", "v", "ts", "id")
+    val got = TableDiff.scd2History(rows, "k", "v", "ts", "id")
+      .collect().map(r => r.getLong(4) -> (r.getString(1), r.getBoolean(5)))
+      .toMap
+    // id 1 (q) precedes id 2 (p) at the same ts
+    assert(got(1L) == (("q", false)) && got(2L) == (("p", true)))
+  }
 }
