@@ -1477,6 +1477,29 @@ object SparkEntry {
         k = 3, nProbe = 4, cents)
     }),
 
+    // Cohort LTV triangle: first-seen day cohorts, per-age revenue
+    // cells, running cumulative per cohort — the window rides the
+    // census, never the event rows.
+    "q160_cohort_ltv" -> ((s, dir) =>
+      Retention.cohortLtv(ev(s, dir), "user_id", "ts_ms",
+        cents(col("value")), bucketMs = 86400000L)),
+
+    // Cross-source duplicate census: two overlapping ingest slices,
+    // md5 content fingerprints over integer/string canonical fields,
+    // fingerprints seen by both sources surface with their row counts.
+    "q161_source_overlap" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("event_type"),
+        cents(col("value")).as("cents"), col("ts_ms"))
+      val splitLo = 1705017600000L   // 2024-01-12
+      val splitHi = 1705622400000L   // 2024-01-19 — a 7-day overlap
+      val tagged = e.where(col("ts_ms") < splitHi)
+        .withColumn("src", lit("a"))
+        .unionByName(e.where(col("ts_ms") >= splitLo)
+          .withColumn("src", lit("b")))
+      Dedup.crossSourceDuplicates(tagged, "src",
+        Seq("user_id", "event_type", "cents", "ts_ms"))
+    }),
+
     // Int8 min-max embedding quantization: d-row stats census broadcast
     // back over one codegen'd encode pass; codes + reconstruction error
     // decided in pure integers.
@@ -5063,6 +5086,38 @@ object SparkEntry {
 
     // q159: maintenance ≡ rebuild — the full-rebuild IVF oracle.
     "q159_ivf_upsert" -> q34OracleSql,
+
+    // q160: same cohort-min join, census cells, cumulative window.
+    "q160_cohort_ltv" ->
+      """WITH e AS (SELECT user_id AS u,
+        |  epoch_ms(ts) - epoch_ms(ts) % 86400000 AS b,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |c AS (SELECT u, min(b) AS cohort_ms FROM e GROUP BY 1),
+        |cells AS (SELECT cohort_ms, (b - cohort_ms) // 86400000 AS age,
+        |  count(*) AS n_events, sum(cents) AS sum_cents
+        | FROM e JOIN c USING (u) GROUP BY 1, 2)
+        |SELECT cohort_ms, CAST(age AS BIGINT) AS age,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(sum_cents AS BIGINT) AS sum_cents,
+        |  CAST(sum(sum_cents) OVER (PARTITION BY cohort_ms ORDER BY age
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        |FROM cells""".stripMargin,
+
+    // q161: the same md5-over-unit-separated-fields fingerprint (chr(31)
+    // = the 0x1F separator), both slices tagged, ≥2-source census.
+    "q161_source_overlap" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS cents,
+        |  epoch_ms(ts) AS ts_ms FROM events),
+        |s AS (SELECT 'a' AS src, * FROM e WHERE ts_ms < 1705622400000
+        |      UNION ALL
+        |      SELECT 'b' AS src, * FROM e WHERE ts_ms >= 1705017600000),
+        |f AS (SELECT src, md5(concat_ws(chr(31),
+        |  CAST(user_id AS VARCHAR), event_type,
+        |  CAST(cents AS VARCHAR), CAST(ts_ms AS VARCHAR))) AS fp FROM s)
+        |SELECT fp, CAST(count(DISTINCT src) AS BIGINT) AS n_sources,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM f GROUP BY 1 HAVING count(DISTINCT src) >= 2""".stripMargin,
 
     // q150: e9 components, per-dim min/span census, the same integer
     // round-half-up code ((x−mn)·510 + sp) // (2·sp) and |residual|

@@ -441,4 +441,24 @@ object Dedup {
     }.reduce((x: Column, y: Column) => x.bitwiseOR(y))
     agg.select(col(idCol), sim.as("simhash"))
   }
+
+  /** Cross-source duplicate census — the ingest-dedup question "how much
+    * of feed B did feed A already deliver": rows fingerprint by a
+    * cross-engine-stable md5 over unit-separated canonical fields (the
+    * 0x1F separator keeps "ab"+"c" and "a"+"bc" apart; callers pass
+    * INTEGER/STRING fields only — float-to-string formatting is not
+    * portable), then one hash aggregation surfaces fingerprints seen in
+    * ≥2 distinct sources. The groupBy on the 128-bit fingerprint is the
+    * exact-dedup shuffle shape — the overlap census rides it for free. */
+  def crossSourceDuplicates(df: DataFrame, sourceCol: String,
+      contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty)
+    val fp = md5(concat_ws("\u001f",
+      contentCols.map(c => col(c).cast("string")): _*))
+    df.select(col(sourceCol).as("source"), fp.as("fp"))
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("source")).as("n_sources"),
+        count(lit(1)).as("n_rows"))
+      .where(col("n_sources") >= 2)
+  }
 }

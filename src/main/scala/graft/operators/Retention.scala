@@ -29,4 +29,29 @@ object Retention {
         ((col("b") - col("cohort_ms")) / lit(bucketMs)).cast("long").as("offset"))
       .agg(countDistinct(col("u")).as("users"))
   }
+
+  /** Cohort lifetime value — the monetary companion to
+    * [[cohortRetention]]: per (first-seen cohort, whole-bucket age), the
+    * events and integer revenue contributed, plus the RUNNING total per
+    * cohort (the LTV curve finance reads off the triangle).
+    *
+    * Shape: the same cohort-assignment join on the user key, a
+    * census-sized (cohort × age) aggregation, then ONE cumulative window
+    * over the census cells — the window never sees event rows. */
+  def cohortLtv(events: DataFrame, userCol: String, tsMsCol: String,
+      valueCents: org.apache.spark.sql.Column, bucketMs: Long): DataFrame = {
+    require(bucketMs > 0)
+    val e = events.select(col(userCol).as("u"),
+      (col(tsMsCol) - pmod(col(tsMsCol), lit(bucketMs))).as("b"),
+      valueCents.cast("long").as("cents"))
+    val cohorts = e.groupBy(col("u")).agg(min(col("b")).as("cohort_ms"))
+    val cells = e.join(cohorts, "u")
+      .groupBy(col("cohort_ms"),
+        ((col("b") - col("cohort_ms")) / lit(bucketMs)).cast("long").as("age"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+    val byAge = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_ms")).orderBy(col("age"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    cells.withColumn("cum_cents", sum(col("sum_cents")).over(byAge))
+  }
 }

@@ -164,4 +164,22 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("crossSourceDuplicates: md5 fingerprints, >=2-source census") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1L, "x"), ("a", 2L, "y"),
+      ("b", 1L, "x"),                 // duplicate of a's (1, x)
+      ("b", 2L, "y"), ("b", 2L, "y"), // two b-copies of a's (2, y)
+      ("b", 3L, "z"))                 // b-only
+      .toDF("src", "k", "v")
+    val got = Dedup.crossSourceDuplicates(rows, "src", Seq("k", "v"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq.sorted
+    // (1,x): 2 sources 2 rows; (2,y): 2 sources 3 rows; (3,z) filtered
+    assert(got == Seq((2L, 2L), (2L, 3L)))
+    // separator prevents field-boundary collisions: ("ab","c") vs ("a","bc")
+    val tricky = Seq(("a", "ab", "c"), ("b", "a", "bc")).toDF("src", "k", "v")
+    assert(Dedup.crossSourceDuplicates(tricky, "src", Seq("k", "v"))
+      .collect().isEmpty)
+  }
 }

@@ -31,4 +31,19 @@ class RetentionSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got == Map((0L, 0L) -> 2L, (100L, 0L) -> 1L, (0L, 2L) -> 1L))
   }
+
+  test("cohortLtv: cells and running totals by hand") {
+    import org.apache.spark.sql.functions.col
+    val day = 100L
+    // u1 cohort 0: 10¢@d0, 20¢@d0, 30¢@d2; u2 cohort 100: 40¢@d0 (ts 150)
+    val df = Seq(("u1", 10L, 10L), ("u1", 50L, 20L), ("u1", 250L, 30L),
+      ("u2", 150L, 40L)).toDF("u", "ts", "cents")
+    val got = Retention.cohortLtv(df, "u", "ts", col("cents"), day)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got((0L, 0L)) == ((2L, 30L, 30L)))
+    assert(got((0L, 2L)) == ((1L, 30L, 60L)))   // cumulative skips empty d1
+    assert(got((100L, 0L)) == ((1L, 40L, 40L)))
+    assert(got.size == 3)
+  }
 }
