@@ -19,11 +19,15 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * use, so both paths always expose the identical function set.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     graft.functions.GraftRegistry.all.foreach { case (name, builder) =>
       extensions.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         builder))
     }
+    // opt-in COUNT(DISTINCT) → HLL estimate (off unless the session sets
+    // spark.graft.rewriteDistinctToHll=true; the rule itself gates)
+    extensions.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+  }
 }

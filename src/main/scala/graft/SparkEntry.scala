@@ -1500,6 +1500,25 @@ object SparkEntry {
         Seq("user_id", "event_type", "cents", "ts_ms"))
     }),
 
+    // Revenue half-life: the day by which half of each type's revenue
+    // had accrued — weighted median of time by money, census-windowed.
+    "q162_revenue_halflife" -> ((s, dir) =>
+      ExactQuantiles.weightedHalfPoint(
+        ev(s, dir).select(col("event_type"),
+          (col("ts_ms") - pmod(col("ts_ms"), lit(86400000L))).as("day_ms"),
+          cents(col("value")).as("c")),
+        Seq("event_type"), col("day_ms"), col("c"))
+        .withColumnRenamed("n_cells", "n_days")
+        .withColumnRenamed("total_weight", "total_cents")
+        .withColumnRenamed("half_point", "half_day_ms")),
+
+    // Gini revenue concentration per event type: exact integer
+    // numerator/denominator over the per-user census rank.
+    "q163_gini" -> ((s, dir) =>
+      Profile.giniConcentration(ev(s, dir), "event_type", "user_id",
+        cents(col("value")))
+        .withColumnRenamed("sum_val", "sum_cents")),
+
     // Int8 min-max embedding quantization: d-row stats census broadcast
     // back over one codegen'd encode pass; codes + reconstruction error
     // decided in pure integers.
@@ -5118,6 +5137,35 @@ object SparkEntry {
         |SELECT fp, CAST(count(DISTINCT src) AS BIGINT) AS n_sources,
         |  CAST(count(*) AS BIGINT) AS n_rows
         |FROM f GROUP BY 1 HAVING count(DISTINCT src) >= 2""".stripMargin,
+
+    // q162: daily census, cumulative vs doubled total, min qualifying day.
+    "q162_revenue_halflife" ->
+      """WITH d AS (SELECT event_type,
+        |  epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day_ms,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS c
+        | FROM events GROUP BY 1, 2),
+        |w AS (SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY day_ms
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  sum(c) OVER (PARTITION BY event_type) AS total,
+        |  count(*) OVER (PARTITION BY event_type) AS nd FROM d)
+        |SELECT event_type, CAST(max(nd) AS BIGINT) AS n_days,
+        |  CAST(max(total) AS BIGINT) AS total_cents,
+        |  CAST(min(day_ms) AS BIGINT) AS half_day_ms
+        |FROM w WHERE 2 * cum >= total GROUP BY 1""".stripMargin,
+
+    // q163: per-user census, (y, user) rank, the closed-form ratio.
+    "q163_gini" ->
+      """WITH p AS (SELECT event_type, user_id,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS y
+        | FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |  ORDER BY y, user_id) AS i FROM p)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(y) AS BIGINT) AS sum_cents,
+        |  CAST(2 * sum(i * y) - (count(*) + 1) * sum(y) AS BIGINT)
+        |    AS gini_num,
+        |  CAST(count(*) * sum(y) AS BIGINT) AS gini_den
+        |FROM r GROUP BY 1""".stripMargin,
 
     // q150: e9 components, per-dim min/span census, the same integer
     // round-half-up code ((x−mn)·510 + sp) // (2·sp) and |residual|

@@ -286,4 +286,32 @@ object ExactQuantiles {
       .where(col("__cum") * lit(100L) >= col("__n") * col("percent"))
       .groupBy(col("percent")).agg(min(col("__v")).as("quantile"))
   }
+
+  /** Weighted half-point per group — "by which x had half the weight
+    * accrued" (revenue half-life when x is time and the weight is
+    * money): the smallest `orderCol` cell whose cumulative weight
+    * doubles past the group total, decided in exact integers. One
+    * census aggregation, one window over census cells. Output:
+    * (group, n_cells, total_weight, half_point). */
+  def weightedHalfPoint(df: DataFrame, groupCols: Seq[String],
+      orderCol: Column, weight: Column): DataFrame = {
+    val cells = df.select((groupCols.map(col) :+
+        orderCol.cast("long").as("__x") :+ weight.cast("long").as("__w")): _*)
+      .groupBy(groupCols.map(col) :+ col("__x"): _*)
+      .agg(sum(col("__w")).as("__c"))
+    val byX = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("__x"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    cells
+      .withColumn("__cum", sum(col("__c")).over(byX))
+      .withColumn("__total", sum(col("__c")).over(all))
+      .withColumn("__nc", count(lit(1)).over(all))
+      .where(col("__cum") * 2 >= col("__total"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(col("__nc")).as("n_cells"),
+        max(col("__total")).as("total_weight"),
+        min(col("__x")).as("half_point"))
+  }
 }

@@ -276,4 +276,31 @@ object Profile {
       expr("n_a * n_b * (x_a + x_b) * ((n_a - x_a) + (n_b - x_b))")
         .as("chi2_den"))
   }
+
+  /** Gini concentration per group as an exact integer ratio — the "does
+    * 1% of users drive 90% of revenue" skew readout (also the heavy-key
+    * early warning for join/agg skew): units aggregate first, then one
+    * rank window per group over the UNIT census (|units| ≪ |rows|) and
+    * the closed form over ascending-sorted values
+    *   G = (2·Σi·yᵢ − (n+1)·Σy) / (n·Σy)
+    * emitted unreduced. Ties totalize on (y, unit). Output: (group, n,
+    * sum_val, gini_num, gini_den); den = 0 marks an empty-revenue
+    * group. */
+  def giniConcentration(df: DataFrame, groupCol: String, unitCol: String,
+      value: Column): DataFrame = {
+    val perUnit = df.select(col(groupCol), col(unitCol).as("__u"),
+        value.cast("long").as("__y"))
+      .groupBy(col(groupCol), col("__u")).agg(sum(col("__y")).as("__y"))
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__y"), col("__u"))
+    perUnit
+      .withColumn("__i", row_number().over(rank).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("sum_val"),
+        sum(col("__i") * col("__y")).as("__siy"))
+      .select(col(groupCol), col("n"), col("sum_val"),
+        (lit(2L) * col("__siy") - (col("n") + 1L) * col("sum_val"))
+          .as("gini_num"),
+        (col("n") * col("sum_val")).as("gini_den"))
+  }
 }

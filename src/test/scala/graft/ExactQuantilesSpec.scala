@@ -121,4 +121,18 @@ class ExactQuantilesSpec extends SparkSpec {
       assert(got.values.toSeq.distinct.forall(b => b >= 1 && b <= buckets))
     }
   }
+
+  test("weightedHalfPoint: smallest cell where cumulative weight doubles past total") {
+    import org.apache.spark.sql.functions.col
+    // g: weights 1@10, 2@20, 3@30 (total 6; cum 1,3,6 → 2*3>=6 at x=20)
+    // h: single cell
+    val rows = Seq(("g", 10L, 1L), ("g", 20L, 2L), ("g", 30L, 3L),
+      ("h", 5L, 7L)).toDF("k", "x", "w")
+    val got = ExactQuantiles.weightedHalfPoint(rows, Seq("k"), col("x"),
+        col("w"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("g") == ((3L, 6L, 20L)))
+    assert(got("h") == ((1L, 7L, 5L)))
+  }
 }

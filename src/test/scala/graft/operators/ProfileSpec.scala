@@ -193,4 +193,22 @@ class ProfileSpec extends SparkSpec {
     assert(r.getLong(4) == 512L && r.getLong(5) == 256L)
     // chi² = 2.0 < 3.84 — not significant, as a 4v4 shouldn't be
   }
+
+  test("giniConcentration: closed form on known distributions") {
+    // equal: y = (5,5,5,5) → G = 0; skewed: (0,0,0,12) → G = 3/4
+    val rows = (1 to 4).map(u => ("eq", s"u$u", 5L)) ++
+      Seq(("sk", "u1", 0L), ("sk", "u2", 0L), ("sk", "u3", 0L),
+        ("sk", "u4", 12L)) ++
+      // unit pre-aggregation: u1 splits 5 into 2+3
+      Seq(("ag", "u1", 2L), ("ag", "u1", 3L), ("ag", "u2", 5L))
+    val got = Profile.giniConcentration(rows.toDF("g", "u", "y"), "g", "u",
+        col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val eq = got("eq"); assert(eq._1 == 4L && eq._3 == 0L)
+    val sk = got("sk")
+    assert(sk._3 * 4 == sk._4 * 3, s"G should be 3/4: $sk")
+    val ag = got("ag")   // two equal units after pre-agg → G = 0
+    assert(ag._1 == 2L && ag._2 == 10L && ag._3 == 0L)
+  }
 }
