@@ -1519,6 +1519,16 @@ object SparkEntry {
         cents(col("value")))
         .withColumnRenamed("sum_val", "sum_cents")),
 
+    // Exact change-point finder: the day boundary maximizing the
+    // two-sample KS numerator between before/after value distributions
+    // — all work on the days × values grid, never the raw rows.
+    "q164_changepoint" -> ((s, dir) =>
+      operators.Drift.changePoint(
+        ev(s, dir).select(
+          (col("ts_ms") - pmod(col("ts_ms"), lit(86400000L))).as("day_ms"),
+          cents(col("value")).as("c")),
+        col("day_ms"), col("c"))),
+
     // Int8 min-max embedding quantization: d-row stats census broadcast
     // back over one codegen'd encode pass; codes + reconstruction error
     // decided in pure integers.
@@ -5166,6 +5176,36 @@ object SparkEntry {
         |    AS gini_num,
         |  CAST(count(*) * sum(y) AS BIGINT) AS gini_den
         |FROM r GROUP BY 1""".stripMargin,
+
+    // q164: the same census → boundary grid → per-split integer KS,
+    // (d desc, t, v) argmax.
+    "q164_changepoint" ->
+      """WITH e AS (SELECT epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day,
+        |  CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |c AS (SELECT day, v, count(*) AS n FROM e GROUP BY 1, 2),
+        |b AS (SELECT DISTINCT day AS t FROM c
+        |      WHERE day > (SELECT min(day) FROM c)),
+        |vals AS (SELECT DISTINCT v FROM c),
+        |tot AS (SELECT v, sum(n) AS cnt FROM c GROUP BY 1),
+        |tv AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cumT,
+        |  sum(cnt) OVER () AS nTotal FROM tot),
+        |cb AS (SELECT b.t, c.v, sum(c.n) AS nb FROM b JOIN c ON c.day < b.t
+        |       GROUP BY 1, 2),
+        |grid AS (SELECT b.t, vals.v, coalesce(cb.nb, 0) AS nb
+        |  FROM b CROSS JOIN vals
+        |  LEFT JOIN cb ON cb.t = b.t AND cb.v = vals.v),
+        |cum AS (SELECT t, v,
+        |  sum(nb) OVER (PARTITION BY t ORDER BY v) AS cumB FROM grid),
+        |nb2 AS (SELECT *, max(cumB) OVER (PARTITION BY t) AS nB FROM cum),
+        |d AS (SELECT nb2.t, nb2.v, nB, nTotal,
+        |  abs(cumB * (nTotal - nB) - (cumT - cumB) * nB) AS dd
+        | FROM nb2 JOIN tv ON tv.v = nb2.v),
+        |r AS (SELECT *, row_number() OVER (ORDER BY dd DESC, t, v) AS rk
+        |      FROM d)
+        |SELECT t AS split_bucket, CAST(nB AS BIGINT) AS n_before,
+        |  CAST(nTotal - nB AS BIGINT) AS n_after,
+        |  CAST(dd AS BIGINT) AS d_num, v AS at_value
+        |FROM r WHERE rk = 1""".stripMargin,
 
     // q150: e9 components, per-dim min/span census, the same integer
     // round-half-up code ((x−mn)·510 + sp) // (2·sp) and |residual|

@@ -166,6 +166,60 @@ object AudioHeaders {
 
   private val mp3MetaUdf = udf((b: Array[Byte]) => mp3Params(b))
 
+  /** ID3v2.3/2.4 TEXT frames (TIT2 title, TPE1 artist, TALB album, …) as
+    * a string map — the tag walk the format sniff already skips over,
+    * now harvested: syncsafe tag size, optional extended header, then a
+    * bounded frame walk (≤ 64 frames, sizes validated against the tag
+    * end) decoding the four standard text encodings. Malformed frames
+    * end the walk instead of throwing — corpus jobs meet hostile bytes.
+    * ID3v2.2 (3-byte frame ids) and unversioned blobs yield None. */
+  private[multimodal] def id3TextFrames(b: Array[Byte]): Option[Map[String, String]] = {
+    if (b == null || b.length < 10 || b(0) != 'I' || b(1) != 'D' || b(2) != '3')
+      return None
+    val ver = b(3) & 0xff
+    if (ver != 3 && ver != 4) return None
+    def syncsafe(i: Int): Long = ((b(i) & 0x7fL) << 21) |
+      ((b(i + 1) & 0x7fL) << 14) | ((b(i + 2) & 0x7fL) << 7) | (b(i + 3) & 0x7fL)
+    def u32(i: Int): Long = ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    val tagEnd = math.min(10L + syncsafe(6), b.length.toLong)
+    var off = 10L
+    if ((b(5) & 0x40) != 0 && off + 4 <= tagEnd) { // extended header
+      val esz = if (ver == 4) syncsafe(off.toInt) else u32(off.toInt) + 4
+      off += esz
+    }
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var frames = 0
+    while (off + 10 <= tagEnd && frames < 64 && b(off.toInt) != 0) {
+      val id = new String(b, off.toInt, 4, "US-ASCII")
+      if (!id.forall(c => (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')))
+        return Some(out.toMap)
+      val fsz = if (ver == 4) syncsafe(off.toInt + 4) else u32(off.toInt + 4)
+      val body = off + 10
+      if (fsz < 1 || body + fsz > tagEnd) return Some(out.toMap)
+      if (id.charAt(0) == 'T' && id != "TXXX") {
+        val enc = b(body.toInt) & 0xff
+        val raw = new String(b, body.toInt + 1, (fsz - 1).toInt, enc match {
+          case 0 => "ISO-8859-1"
+          case 1 => "UTF-16"   // BOM-led
+          case 2 => "UTF-16BE"
+          case _ => "UTF-8"
+        })
+        // v2.4 allows NUL-separated multi-values; keep the first
+        val clean = raw.takeWhile(_ != '\u0000')
+        if (clean.nonEmpty) out(id) = clean
+      }
+      off = body + fsz
+      frames += 1
+    }
+    Some(out.toMap)
+  }
+
+  private val id3Udf = udf((b: Array[Byte]) => id3TextFrames(b))
+
+  /** MAP<STRING,STRING> of ID3v2 text frames (NULL for non-ID3 input). */
+  def id3Tags(bytes: Column): Column = id3Udf(bytes)
+
   /** OGG (channels, sampleRate, durationMs | -1): Vorbis/Opus id header on
     * the first page, highest granule over the page walk. */
   private[multimodal] def oggParams(b: Array[Byte]): Option[(Int, Int, Long)] = {

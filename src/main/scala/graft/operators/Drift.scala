@@ -87,4 +87,64 @@ object Drift {
       .select(col("n_ref"), col("n_tgt"), col("k.d").as("d_num"),
         (-col("k.nv")).as("at_value"))
   }
+
+  /** Exact change-point finder — WHERE did the distribution shift, not
+    * just whether: over every candidate time-bucket boundary t, the
+    * two-sample KS numerator between {rows before t} and {rows at/after
+    * t}, maximized. Pure integers end to end (the [[ksStatistic]]
+    * cross-multiplication per split), argmax totalized by
+    * (d desc, t asc, v asc).
+    *
+    * Shape discipline: the raw rows collapse ONCE to a (bucket, value)
+    * census; everything after runs on the |buckets| × |distinct values|
+    * grid — per-split before-counts from a bounded boundary×census
+    * equi-join (each census cell meets ≤ |buckets| boundaries, and
+    * |buckets| is a calendar, not data, scale), per-split CDFs from one
+    * window per grid partition. A 100 TB input still yields a
+    * days×values grid. Output: one row (split_bucket, n_before,
+    * n_after, d_num, at_value) with D = d_num/(n_before·n_after). */
+  def changePoint(df: DataFrame, bucket: Column, value: Column): DataFrame = {
+    val census = df.select(bucket.cast("long").as("day"),
+        value.cast("long").as("v"))
+      .where(col("day").isNotNull && col("v").isNotNull)
+      .groupBy(col("day"), col("v")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val minDay = census.agg(min(col("day"))).head().getLong(0)
+    val bounds = census.select(col("day").as("t")).distinct()
+      .where(col("t") > minDay)
+    val vals = census.select(col("v")).distinct()
+    // global per-value totals and value-CDF (shared across splits)
+    val byV = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val allW = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val tot = census.groupBy(col("v")).agg(sum(col("n")).as("cnt"))
+      .withColumn("cumT", sum(col("cnt")).over(byV))
+      .withColumn("nTotal", sum(col("cnt")).over(allW))
+      .select(col("v"), col("cumT"), col("nTotal"))
+    // per-split before-counts: census cells meet only LATER boundaries
+    val cb = broadcast(bounds).join(census, col("day") < col("t"))
+      .groupBy(col("t"), col("v")).agg(sum(col("n")).as("nb"))
+    val grid = broadcast(bounds).crossJoin(vals)
+      .join(cb, Seq("t", "v"), "left")
+      .select(col("t"), col("v"), coalesce(col("nb"), lit(0L)).as("nb"))
+    val byVperT = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("t")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val perT = org.apache.spark.sql.expressions.Window.partitionBy(col("t"))
+    val scored = grid
+      .withColumn("cumB", sum(col("nb")).over(byVperT))
+      // cumB is monotone in v, so the per-split total is its max
+      .withColumn("nB", max(col("cumB")).over(perT))
+      .join(broadcast(tot), "v")
+      .withColumn("d", abs(col("cumB") * (col("nTotal") - col("nB")) -
+        (col("cumT") - col("cumB")) * col("nB")))
+    // census stays persisted until the caller's clearCache — an eager
+    // unpersist here would run at plan-build time, before execution
+    val top = scored
+      .select(col("t"), col("v"), col("d"), col("nB"), col("nTotal"))
+      .orderBy(col("d").desc, col("t"), col("v")).limit(1)
+    top.select(col("t").as("split_bucket"), col("nB").as("n_before"),
+      (col("nTotal") - col("nB")).as("n_after"), col("d").as("d_num"),
+      col("v").as("at_value"))
+  }
 }

@@ -184,4 +184,41 @@ class AudioHeadersSpec extends SparkSpec {
     assert(rows(3).isNullAt(0) && rows(3).isNullAt(4))
     assert(rows(4).isNullAt(0))
   }
+
+  test("ID3v2 text frames: v2.3 and v2.4 sizes, encodings, hostile stop") {
+    def syncsafe(v: Long): Array[Byte] = Array(
+      ((v >> 21) & 0x7f).toByte, ((v >> 14) & 0x7f).toByte,
+      ((v >> 7) & 0x7f).toByte, (v & 0x7f).toByte)
+    def frame(id: String, enc: Int, text: String, v4: Boolean): Array[Byte] = {
+      val body = Array(enc.toByte) ++
+        text.getBytes(if (enc == 0) "ISO-8859-1" else "UTF-8")
+      id.getBytes("US-ASCII") ++
+        (if (v4) syncsafe(body.length) else be32(body.length)) ++
+        Array[Byte](0, 0) ++ body
+    }
+    def tag(ver: Int, frames: Array[Byte]): Array[Byte] =
+      "ID3".getBytes("US-ASCII") ++ Array[Byte](ver.toByte, 0, 0) ++
+        syncsafe(frames.length + 16) ++ frames ++ new Array[Byte](16)
+
+    val v3 = tag(3, frame("TIT2", 0, "Hello", v4 = false) ++
+      frame("TPE1", 3, "Ärtist", v4 = false))
+    val got3 = AudioHeaders.id3TextFrames(v3).get
+    assert(got3 == Map("TIT2" -> "Hello", "TPE1" -> "Ärtist"))
+
+    val v4tag = tag(4, frame("TALB", 3, "Album", v4 = true))
+    assert(AudioHeaders.id3TextFrames(v4tag).get == Map("TALB" -> "Album"))
+
+    // hostile: frame size pointing past the tag end stops the walk clean
+    val evil = tag(3, frame("TIT2", 0, "ok", v4 = false) ++
+      "TXYZ".getBytes("US-ASCII") ++ be32(100000) ++ Array[Byte](0, 0))
+    assert(AudioHeaders.id3TextFrames(evil).get == Map("TIT2" -> "ok"))
+    // non-ID3 bytes → None; Column API round-trips as a map
+    assert(AudioHeaders.id3TextFrames("RIFFxxxx".getBytes).isEmpty)
+    import spark.implicits._
+    val df = Seq(Tuple1(v3)).toDF("b")
+      .select(AudioHeaders.id3Tags(org.apache.spark.sql.functions.col("b"))
+        .as("tags"))
+    val m = df.collect().head.getMap[String, String](0)
+    assert(m("TIT2") == "Hello")
+  }
 }

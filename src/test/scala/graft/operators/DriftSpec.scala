@@ -52,4 +52,33 @@ class DriftSpec extends SparkSpec {
         col("v"), col("k"), buckets = 4).orderBy("bucket").collect().toSeq
     assert(run(1) == run(13))
   }
+
+  test("changePoint finds the known shift day with the exact KS numerator") {
+    import org.apache.spark.sql.functions.col
+    // days 0-3 emit value 10 (5 rows each), days 4-7 emit value 20:
+    // the clean break at t=4 separates perfectly -> D = 1, d_num = n1*n2
+    val rows = (for (d <- 0L until 8L; i <- 0 until 5)
+      yield (d, if (d < 4) 10L else 20L)).toDF("day", "v")
+    val r = Drift.changePoint(rows, col("day"), col("v")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((4L, 20L, 20L, 400L, 10L)))
+  }
+
+  test("changePoint agrees with per-split ksStatistic brute force") {
+    import org.apache.spark.sql.functions.col
+    val data = (0L until 120L).map { i =>
+      val day = i % 6
+      val v = if (day >= 3) (i * 13 % 7) + 3 else i * 11 % 7
+      (day, v)
+    }
+    val df = data.toDF("day", "v")
+    val got = Drift.changePoint(df, col("day"), col("v")).collect().head
+    val brute = (1L until 6L).map { t =>
+      val r = Drift.ksStatistic(
+        df.where(col("day") < t), df.where(col("day") >= t),
+        col("v")).collect().head
+      (r.getLong(2), t)   // (d_num, t)
+    }.maxBy { case (d, t) => (d, -t) }
+    assert((got.getLong(3), got.getLong(0)) == brute)
+  }
 }
