@@ -1529,6 +1529,51 @@ object SparkEntry {
           cents(col("value")).as("c")),
         col("day_ms"), col("c"))),
 
+    // TPC-H Q9-shape profit rollup: the five-way star join bench anchor
+    // — fact side joins three BROADCAST dims (filtered part first, so
+    // the selective prune lands before the fact shuffle) plus the
+    // orders fact-to-fact join; integer e4 money.
+    "q165_profit" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .where(col("p_name").contains("red"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).cast("long")
+          .as("o_year"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 10000).cast("long")).as("profit_e4"),
+          count(lit(1)).as("n_lines"))),
+
+    // TPC-H Q8-shape market share: one nation's ppm share of yearly
+    // revenue into one region — conditional aggregation over the same
+    // star, exact integer ratio.
+    "q166_market_share" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation").as("cn")),
+          col("c_nationkey") === col("cn.n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("cn.n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation").as("sn")),
+          col("s_nationkey") === col("sn.n_nationkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 10000).cast("long")).as("total_e4"),
+          sum(when(col("sn.n_name") === "NATION_3",
+            round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * 10000).cast("long")).otherwise(0L)).as("nation_e4"))
+        .withColumn("share_ppm", expr("nation_e4 * 1000000 div total_e4"))),
+
     // Int8 min-max embedding quantization: d-row stats census broadcast
     // back over one codegen'd encode pass; codes + reconstruction error
     // decided in pure integers.
@@ -5206,6 +5251,42 @@ object SparkEntry {
         |  CAST(nTotal - nB AS BIGINT) AS n_after,
         |  CAST(dd AS BIGINT) AS d_num, v AS at_value
         |FROM r WHERE rk = 1""".stripMargin,
+
+    // q165: the Q9 shape with the q01 money discipline.
+    "q165_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))
+        |   AS BIGINT) AS profit_e4,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q166: the Q8 shape, conditional integer sums, exact ppm share.
+    "q166_market_share" ->
+      """WITH base AS (
+        | SELECT year(o_orderdate) AS o_year,
+        |  CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT) AS e4,
+        |  sn.n_name AS supp_nation
+        | FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation cn ON c_nationkey = cn.n_nationkey
+        | JOIN region ON cn.n_regionkey = r_regionkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation sn ON s_nationkey = sn.n_nationkey
+        | WHERE r_name = 'ASIA')
+        |SELECT CAST(o_year AS BIGINT) AS o_year,
+        | CAST(sum(e4) AS BIGINT) AS total_e4,
+        | CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN e4 ELSE 0 END)
+        |   AS BIGINT) AS nation_e4,
+        | CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN e4 ELSE 0 END)
+        |   * 1000000 // sum(e4) AS BIGINT) AS share_ppm
+        |FROM base GROUP BY 1""".stripMargin,
 
     // q150: e9 components, per-dim min/span census, the same integer
     // round-half-up code ((x−mn)·510 + sp) // (2·sp) and |residual|

@@ -238,6 +238,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p.take(3000))
   }
 
+  test("Q9-shape star: dimensions broadcast, only the fact pair shuffles") {
+    val p = plan("q165_profit")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    val shuffled = "SortMergeJoin".r.findAllIn(p).length +
+      "ShuffledHashJoin".r.findAllIn(p).length
+    assert(bhj >= 3, s"expected 3 broadcast dims:\n${p.take(2000)}")
+    assert(shuffled <= 1, s"only lineitem-orders may shuffle:\n${p.take(2000)}")
+  }
+
   test("whole-stage codegen covers the relational pipeline") {
     // AQE finalizes the plan (and its codegen annotation) only when THIS
     // query execution runs — collect() on the frame itself, not count()
