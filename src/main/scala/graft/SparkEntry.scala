@@ -1574,6 +1574,50 @@ object SparkEntry {
               * 10000).cast("long")).otherwise(0L)).as("nation_e4"))
         .withColumn("share_ppm", expr("nation_e4 * 1000000 div total_e4"))),
 
+    // Expand-free exact distinct: pre-group on (key, value) — "salt by
+    // the value itself" — then count; a hot key's distinct work spreads
+    // by value and the fact table is never Expanded.
+    "q167_distinct_pregroup" -> ((s, dir) =>
+      SkewAgg.exactDistinctPregrouped(
+        ev(s, dir).select(col("event_type"),
+          (col("ts_ms") - pmod(col("ts_ms"), lit(86400000L))).as("day_ms"),
+          col("user_id")),
+        Seq("event_type", "day_ms"), col("user_id"))),
+
+    // Two-phase salted holistic state: per-shard collect_set then per-key
+    // merge — the mergeable-state split for skewed keys; deterministic
+    // sorted output rendered as a joined string for the oracle hash.
+    "q168_salted_sets" -> ((s, dir) =>
+      SkewAgg.saltedHolistic(
+        ev(s, dir).select(col("event_type"),
+          lpad(pmod(col("user_id"), lit(50)).cast("string"), 2, "0")
+            .as("u2")),
+        Seq("event_type"), col("u2"), salts = 8)
+        .select(col("event_type"),
+          array_join(col("distinct_values"), ",").as("members"))),
+
+    // Identity stitching: users link through shared device keys (≥3
+    // co-occurrences), bipartite nodes long-encoded (user → 2i, device
+    // → 2k+1), connected components, canonical = min user per cluster.
+    "q169_identity_stitch" -> ((s, dir) => {
+      val links = ev(s, dir).select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .where(col("k").isNotNull)
+        .groupBy(col("user_id"), col("k")).agg(count(lit(1)).as("n"))
+        .where(col("n") >= 3)
+      val edges = links.select((col("user_id") * 2).as("a"),
+        (col("k") * 2 + 1).as("b"))
+      val users = Dedup.connectedComponents(edges, "a", "b")
+        .where(col("node") % 2 === 0)
+        .select((col("node") / 2).cast("long").as("user_id"),
+          col("component"))
+      val canon = users.groupBy(col("component"))
+        .agg(min(col("user_id")).as("canonical_user"),
+          count(lit(1)).as("cluster_users"))
+      users.join(canon, "component")
+        .select(col("user_id"), col("canonical_user"), col("cluster_users"))
+    }),
+
     // Int8 min-max embedding quantization: d-row stats census broadcast
     // back over one codegen'd encode pass; codes + reconstruction error
     // decided in pure integers.
@@ -5287,6 +5331,49 @@ object SparkEntry {
         | CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN e4 ELSE 0 END)
         |   * 1000000 // sum(e4) AS BIGINT) AS share_ppm
         |FROM base GROUP BY 1""".stripMargin,
+
+    // q167: plain two-level GROUP BY replay.
+    "q167_distinct_pregroup" ->
+      """WITH p AS (SELECT event_type,
+        |  epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day_ms,
+        |  user_id, count(*) AS n
+        | FROM events GROUP BY 1, 2, 3)
+        |SELECT event_type, day_ms, CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_distinct
+        |FROM p GROUP BY 1, 2""".stripMargin,
+
+    // q168: sorted distinct membership string per key.
+    "q168_salted_sets" ->
+      """SELECT event_type,
+        |  string_agg(DISTINCT lpad(CAST(user_id % 50 AS VARCHAR), 2, '0'),
+        |    ',' ORDER BY lpad(CAST(user_id % 50 AS VARCHAR), 2, '0'))
+        |    AS members
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // q169: the q41 recursive-reachability technique on the long-encoded
+    // bipartite identity graph.
+    "q169_identity_stitch" ->
+      """WITH RECURSIVE l AS (SELECT user_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  count(*) AS n FROM events
+        | WHERE json_extract_string(props, '$.k') IS NOT NULL
+        | GROUP BY 1, 2),
+        |le AS (SELECT user_id * 2 AS a, k * 2 + 1 AS b FROM l WHERE n >= 3),
+        |e AS (SELECT a, b FROM le UNION SELECT b, a FROM le),
+        |reach(src, dst) AS (
+        | SELECT a, a FROM e
+        | UNION
+        | SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst),
+        |comp AS (SELECT src AS node, min(dst) AS component
+        |         FROM reach GROUP BY 1),
+        |users AS (SELECT node // 2 AS user_id, component FROM comp
+        |          WHERE node % 2 = 0),
+        |canon AS (SELECT component, min(user_id) AS canonical_user,
+        |  count(*) AS cluster_users FROM users GROUP BY 1)
+        |SELECT CAST(u.user_id AS BIGINT) AS user_id,
+        |  CAST(canonical_user AS BIGINT) AS canonical_user,
+        |  CAST(cluster_users AS BIGINT) AS cluster_users
+        |FROM users u JOIN canon USING (component)""".stripMargin,
 
     // q150: e9 components, per-dim min/span census, the same integer
     // round-half-up code ((x−mn)·510 + sp) // (2·sp) and |residual|
