@@ -1618,6 +1618,87 @@ object SparkEntry {
         .select(col("user_id"), col("canonical_user"), col("cluster_users"))
     }),
 
+    // Span-level cleaning (the RefinedWeb line-filter shape): re-line
+    // each doc into 3-word chunks (the q53 derivation), score every
+    // chunk with the quality kernel INSIDE one array lambda — no
+    // explode, no shuffle — and keep spans ≥ 35; emits the rebuilt text
+    // plus kept/total counts and the exact ppm keep rate.
+    "q170_span_filter" -> ((s, dir) => {
+      val tokd = t(s, dir, "documents").select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("__tk"))
+      val tk = col("__tk")
+      val lined = tokd.select(col("doc_id"),
+        transform(sequence(lit(0), ((size(tk) - 1) / 3).cast("int")),
+          i => array_join(slice(tk, i * 3 + 1, lit(3)), " ")).as("chunks"))
+      lined.select(col("doc_id"),
+          size(col("chunks")).cast("long").as("total_chunks"),
+          filter(col("chunks"),
+            c => TextFunctions.qualityScore(c) >= 35).as("__kept"))
+        .select(col("doc_id"), col("total_chunks"),
+          size(col("__kept")).cast("long").as("kept_chunks"),
+          array_join(col("__kept"), "\n").as("text"))
+        .withColumn("keep_ppm",
+          expr("kept_chunks * 1000000 div total_chunks"))
+    }),
+
+    // Robust scaling (median/MAD normalization of the quality score):
+    // exact integer median from the value census, exact MAD from the
+    // deviation census, per-doc deviation emitted as the unreduced
+    // (dev, mad) ratio — the outlier-insensitive curriculum scaler.
+    "q171_robust_scale" -> ((s, dir) => {
+      val q = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      val med = ExactQuantiles.histogramPercentiles(q, col("q"), Seq(50))
+        .select(col("quantile").as("med"))
+      val dev = q.crossJoin(broadcast(med))
+        .withColumn("ad", abs(col("q") - col("med")))
+      val mad = ExactQuantiles.histogramPercentiles(dev, col("ad"), Seq(50))
+        .select(col("quantile").as("mad"))
+      dev.crossJoin(broadcast(mad))
+        .select(col("doc_id"), col("q"), col("med"),
+          (col("q") - col("med")).as("dev"), col("mad"))
+    }),
+
+    // Directional as-of (pandas merge_asof parity): each purchase
+    // attaches its NEAREST click within ±1 day — both direction probes
+    // ride RANGE frames over one (user, ts) sort.
+    "q172_asof_nearest" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_ms"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts_ms").as("click_ts"))
+      AsOfJoin.directionalAsOf(purchases, clicks, Seq("user_id"),
+        "ts_ms", "click_ts", Seq("click_id"), "click_id",
+        direction = "nearest", toleranceMs = 86400000L, dimPrefix = "m_")
+    }),
+
+    // Window-function breadth on one per-customer sort: sequence number,
+    // inter-order gap days, running revenue, ntile quartile, exact ppm
+    // share of the customer total — the classic warehouse order ledger.
+    "q173_customer_orders" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_millis(o_orderdate) div 86400000").as("day"),
+        cents(col("o_totalprice")).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("day"), col("o_orderkey"))
+      val run = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val all = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+      o.select(col("o_custkey"), col("o_orderkey"), col("c"),
+          row_number().over(w).cast("long").as("seq"),
+          coalesce(col("day") - lag(col("day"), 1).over(w), lit(-1L))
+            .as("gap_days"),
+          sum(col("c")).over(run).as("run_cents"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          sum(col("c")).over(all).as("__total"))
+        // integer div, never a double ratio: the share must floor exactly
+        .withColumn("share_ppm", expr("c * 1000000 div __total"))
+        .drop("c", "__total")
+    }),
+
     // Int8 min-max embedding quantization: d-row stats census broadcast
     // back over one codegen'd encode pass; codes + reconstruction error
     // decided in pure integers.
@@ -5374,6 +5455,94 @@ object SparkEntry {
         |  CAST(canonical_user AS BIGINT) AS canonical_user,
         |  CAST(cluster_users AS BIGINT) AS cluster_users
         |FROM users u JOIN canon USING (component)""".stripMargin,
+
+    // q170: q53's chunk derivation, per-chunk quality replay, ≥35 keep.
+    "q170_span_filter" ->
+      s"""WITH t AS (
+         | SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+         | FROM documents),
+         |lined AS (
+         | SELECT doc_id, i AS pos,
+         |  array_to_string(tk[i*3+1 : i*3+3], ' ') AS text
+         | FROM t, LATERAL (SELECT unnest(generate_series(0, (len(tk)-1)//3))
+         |   AS i) ix),
+         |scored AS (SELECT doc_id, pos, text, $qualityExprSql AS q
+         |           FROM lined),
+         |agg AS (SELECT doc_id, count(*) AS total_chunks,
+         |  count(*) FILTER (q >= 35) AS kept_chunks,
+         |  string_agg(text, chr(10) ORDER BY pos) FILTER (q >= 35) AS text
+         | FROM scored GROUP BY 1)
+         |SELECT doc_id, CAST(total_chunks AS BIGINT) AS total_chunks,
+         |  CAST(kept_chunks AS BIGINT) AS kept_chunks,
+         |  coalesce(text, '') AS text,
+         |  CAST(kept_chunks * 1000000 // total_chunks AS BIGINT) AS keep_ppm
+         |FROM agg""".stripMargin,
+
+    // q171: census medians for value and deviation, unreduced (dev, mad).
+    "q171_robust_scale" ->
+      s"""WITH q AS (SELECT doc_id, $qualityExprSql AS q FROM documents),
+         |c AS (SELECT q AS v, count(*) AS n FROM q GROUP BY 1),
+         |w AS (SELECT v, sum(n) OVER (ORDER BY v) AS cum,
+         |  sum(n) OVER () AS nn FROM c),
+         |med AS (SELECT min(v) AS med FROM w WHERE cum * 100 >= nn * 50),
+         |d AS (SELECT doc_id, q, med, abs(q - med) AS ad FROM q, med),
+         |c2 AS (SELECT ad AS v, count(*) AS n FROM d GROUP BY 1),
+         |w2 AS (SELECT v, sum(n) OVER (ORDER BY v) AS cum,
+         |  sum(n) OVER () AS nn FROM c2),
+         |mad AS (SELECT min(v) AS mad FROM w2 WHERE cum * 100 >= nn * 50)
+         |SELECT doc_id, q, CAST(med AS BIGINT) AS med,
+         |  CAST(q - med AS BIGINT) AS dev, CAST(mad AS BIGINT) AS mad
+         |FROM d, mad""".stripMargin,
+
+    // q172: per-(user, ts) click dedupe (max id), IGNORE NULLS range
+    // frames both directions, nearest with ties to backward.
+    "q172_asof_nearest" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_ms(ts) AS ts
+        | FROM events WHERE event_type = 'purchase'),
+        |c0 AS (SELECT user_id, epoch_ms(ts) AS cts, max(event_id) AS cid
+        | FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |u AS (SELECT user_id, ts, 1 AS side, event_id,
+        |   CAST(NULL AS BIGINT) AS cid, CAST(NULL AS BIGINT) AS cts FROM p
+        | UNION ALL
+        | SELECT user_id, cts, 0, NULL, cid, cts FROM c0),
+        |w AS (SELECT *,
+        |  last_value(cid IGNORE NULLS) OVER bk AS prev_id,
+        |  last_value(cts IGNORE NULLS) OVER bk AS prev_ts,
+        |  first_value(cid IGNORE NULLS) OVER fw AS next_id,
+        |  first_value(cts IGNORE NULLS) OVER fw AS next_ts
+        | FROM u WINDOW
+        |  bk AS (PARTITION BY user_id ORDER BY ts
+        |         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  fw AS (PARTITION BY user_id ORDER BY ts
+        |         RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |f AS (SELECT user_id, event_id, ts,
+        |  (prev_ts IS NOT NULL AND ts - prev_ts <= 86400000) AS pok,
+        |  (next_ts IS NOT NULL AND next_ts - ts <= 86400000) AS nok,
+        |  prev_id, prev_ts, next_id, next_ts
+        | FROM w WHERE side = 1)
+        |SELECT user_id, event_id, ts AS ts_ms,
+        |  CASE WHEN pok AND nok THEN
+        |    CASE WHEN next_ts - ts < ts - prev_ts THEN next_id ELSE prev_id END
+        |   WHEN pok THEN prev_id WHEN nok THEN next_id END AS m_click_id,
+        |  CASE WHEN pok AND nok THEN
+        |    CASE WHEN next_ts - ts < ts - prev_ts THEN next_ts ELSE prev_ts END
+        |   WHEN pok THEN prev_ts WHEN nok THEN next_ts END AS m_click_ts
+        |FROM f""".stripMargin,
+
+    // q173: same sort, same five window readouts.
+    "q173_customer_orders" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |  epoch_ms(o_orderdate) // 86400000 AS day,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER w AS BIGINT) AS seq,
+        |  CAST(coalesce(day - lag(day) OVER w, -1) AS BIGINT) AS gap_days,
+        |  CAST(sum(c) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  CAST(c * 1000000 // sum(c) OVER (PARTITION BY o_custkey)
+        |    AS BIGINT) AS share_ppm
+        |FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)""".stripMargin,
 
     // q150: e9 components, per-dim min/span census, the same integer
     // round-half-up code ((x−mn)·510 + sp) // (2·sp) and |residual|

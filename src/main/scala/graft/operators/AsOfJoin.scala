@@ -77,4 +77,79 @@ object AsOfJoin {
       factOut.map(c => col(s"__fact.$c").as(c)) ++
         dimPayloadCols.map(c => col(s"__mm.$c").as(dimPrefix + c)): _*)
   }
+
+  /** Direction-parameterized as-of join — pandas `merge_asof` parity:
+    * `backward` (latest dim ≤ factTs), `forward` (earliest dim ≥
+    * factTs), `nearest` (smaller |Δ|, ties to backward), all tolerance-
+    * gated and INCLUSIVE of equal timestamps in every direction.
+    *
+    * Shape: dim rows first collapse to one per (key, ts) — largest
+    * `dimOrder` wins, the [[leftAsOf]] tie rule — which is what lets
+    * both direction probes ride RANGE frames over ONE (key, ts) sort:
+    * prev = last non-null dim over (−∞, 0], next = first non-null dim
+    * over [0, +∞); equal-ts peers are inside both frames regardless of
+    * intra-ts order, so inclusivity needs no side column. Still a
+    * single hash exchange + one sort at any scale. */
+  def directionalAsOf(
+      fact: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      factTsMs: String,
+      dimTsMs: String,
+      dimCols: Seq[String],
+      dimOrder: String,
+      direction: String,
+      toleranceMs: Long = Long.MaxValue,
+      dimPrefix: String = ""): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction=$direction")
+    val factOut = fact.columns.toSeq
+    val dimPayloadCols = (dimCols :+ dimTsMs).distinct
+
+    // one dim row per (key, ts): max(struct(ord, payload)) — largest wins
+    val dimOne = dim
+      .groupBy(keys.map(col) :+ col(dimTsMs).cast("long").as("__ts"): _*)
+      .agg(max(struct(col(dimOrder).cast("long").as("__o"),
+        struct(dimPayloadCols.map(col): _*).as("__p"))).as("__w"))
+      .select(keys.map(col) ++ Seq(col("__ts"),
+        col("__w.__p").as("__dim")): _*)
+    val dimStructType = dimOne.schema("__dim").dataType
+    val factStruct = struct(factOut.map(col): _*)
+    val factStructType = fact.select(factStruct.as("s")).schema("s").dataType
+
+    val factSide = fact.select(
+      keys.map(col) ++ Seq(col(factTsMs).cast("long").as("__ts"),
+        lit(1).as("__side"), factStruct.as("__fact"),
+        lit(null).cast(dimStructType).as("__dim")): _*)
+    val dimSide = dimOne.select(
+      keys.map(col) ++ Seq(col("__ts"), lit(0).as("__side"),
+        lit(null).cast(factStructType).as("__fact"), col("__dim")): _*)
+
+    val base = Window.partitionBy(keys.map(col): _*).orderBy(col("__ts"))
+    val backW = base.rangeBetween(Window.unboundedPreceding, 0)
+    val fwdW = base.rangeBetween(0, Window.unboundedFollowing)
+
+    val probed = factSide.unionByName(dimSide)
+      .withColumn("__prev", last(col("__dim"), ignoreNulls = true).over(backW))
+      .withColumn("__next", first(col("__dim"), ignoreNulls = true).over(fwdW))
+      .where(col("__side") === 1)
+
+    val prevTs = col("__prev").getField(dimTsMs)
+    val nextTs = col("__next").getField(dimTsMs)
+    val prevOk = col("__prev").isNotNull && col("__ts") - prevTs <= toleranceMs
+    val nextOk = col("__next").isNotNull && nextTs - col("__ts") <= toleranceMs
+    val chosen = direction match {
+      case "backward" => when(prevOk, col("__prev"))
+      case "forward" => when(nextOk, col("__next"))
+      case "nearest" =>
+        when(prevOk && nextOk,
+          when(nextTs - col("__ts") < col("__ts") - prevTs, col("__next"))
+            .otherwise(col("__prev")))
+          .when(prevOk, col("__prev"))
+          .when(nextOk, col("__next"))
+    }
+    probed.withColumn("__mm", chosen).select(
+      factOut.map(c => col(s"__fact.$c").as(c)) ++
+        dimPayloadCols.map(c => col(s"__mm.$c").as(dimPrefix + c)): _*)
+  }
 }
