@@ -1699,6 +1699,22 @@ object SparkEntry {
         .drop("c", "__total")
     }),
 
+    // Audience churn: exact day-over-day Jaccard of active-user sets —
+    // per-bucket censuses + one shifted equi-join, all integers.
+    "q174_audience_churn" -> ((s, dir) =>
+      Retention.audienceChurn(ev(s, dir), "user_id", "ts_ms",
+        bucketMs = 86400000L)),
+
+    // Daily percentile dashboard: exact p50/p95/p99 of cents per
+    // (event_type, day) from per-group value histograms — census
+    // windows, no row sort.
+    "q175_daily_percentiles" -> ((s, dir) =>
+      ExactQuantiles.groupedHistogramPercentiles(
+        ev(s, dir).select(col("event_type"),
+          (col("ts_ms") - pmod(col("ts_ms"), lit(86400000L))).as("day_ms"),
+          cents(col("value")).as("c")),
+        Seq("event_type", "day_ms"), col("c"), Seq(50, 95, 99))),
+
     // Int8 min-max embedding quantization: d-row stats census broadcast
     // back over one codegen'd encode pass; codes + reconstruction error
     // decided in pure integers.
@@ -5543,6 +5559,38 @@ object SparkEntry {
         |  CAST(c * 1000000 // sum(c) OVER (PARTITION BY o_custkey)
         |    AS BIGINT) AS share_ppm
         |FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)""".stripMargin,
+
+    // q174: distinct (user, day), shifted self-join, integer Jaccard.
+    "q174_audience_churn" ->
+      """WITH a AS (SELECT DISTINCT user_id AS u,
+        |  epoch_ms(ts) - epoch_ms(ts) % 86400000 AS b FROM events),
+        |s AS (SELECT b, count(*) AS n FROM a GROUP BY 1),
+        |i AS (SELECT c.b, count(*) AS n_inter FROM a c
+        |      JOIN a p ON p.u = c.u AND p.b = c.b - 86400000 GROUP BY 1)
+        |SELECT s.b AS bucket_ms, CAST(s.n AS BIGINT) AS n_active,
+        |  CAST(sp.n AS BIGINT) AS n_prev,
+        |  CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+        |  CAST(coalesce(i.n_inter, 0) * 1000000
+        |    // (s.n + sp.n - coalesce(i.n_inter, 0)) AS BIGINT) AS jaccard_ppm
+        |FROM s JOIN s sp ON sp.b = s.b - 86400000
+        |LEFT JOIN i ON i.b = s.b""".stripMargin,
+
+    // q175: per-(type, day) value census, cumulative rank rule.
+    "q175_daily_percentiles" ->
+      """WITH e AS (SELECT event_type,
+        |  epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day_ms,
+        |  CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |h AS (SELECT event_type, day_ms, v, count(*) AS c
+        |      FROM e GROUP BY 1, 2, 3),
+        |w AS (SELECT *, sum(c) OVER (PARTITION BY event_type, day_ms
+        |    ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |  sum(c) OVER (PARTITION BY event_type, day_ms) AS n FROM h),
+        |x AS (SELECT event_type, day_ms, v, cum, n, p.percent
+        | FROM w, (VALUES (50), (95), (99)) p(percent)
+        | WHERE cum * 100 >= n * p.percent)
+        |SELECT event_type, day_ms, CAST(percent AS BIGINT) AS percent,
+        |  CAST(min(v) AS BIGINT) AS quantile
+        |FROM x GROUP BY 1, 2, 3""".stripMargin,
 
     // q150: e9 components, per-dim min/span census, the same integer
     // round-half-up code ((x−mn)·510 + sp) // (2·sp) and |residual|

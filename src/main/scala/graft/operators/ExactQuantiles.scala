@@ -287,6 +287,34 @@ object ExactQuantiles {
       .groupBy(col("percent")).agg(min(col("__v")).as("quantile"))
   }
 
+  /** Per-group exact percentiles from per-group value histograms — the
+    * daily-dashboard form of [[histogramPercentiles]] (p50/p95/p99 per
+    * day/service/segment): one (group, value) census, one cumulative
+    * window per group over census cells, percentile = smallest value
+    * whose cumulative rank covers p% (the same integer rule). Output:
+    * (group cols, percent, quantile). */
+  def groupedHistogramPercentiles(df: DataFrame, groupCols: Seq[String],
+      value: Column, percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p > 0 && p <= 100))
+    val hist = df.select(groupCols.map(col) :+ value.cast("long").as("__v"): _*)
+      .where(col("__v").isNotNull)
+      .groupBy(groupCols.map(col) :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val byV = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    hist
+      .withColumn("__cum", sum(col("__c")).over(byV))
+      .withColumn("__n", sum(col("__c")).over(all))
+      .select(groupCols.map(col) ++ Seq(col("__v"), col("__cum"), col("__n"),
+        explode(array(percents.map(p => lit(p.toLong)): _*)).as("percent")): _*)
+      .where(col("__cum") * lit(100L) >= col("__n") * col("percent"))
+      .groupBy(groupCols.map(col) :+ col("percent"): _*)
+      .agg(min(col("__v")).as("quantile"))
+  }
+
   /** Weighted half-point per group — "by which x had half the weight
     * accrued" (revenue half-life when x is time and the weight is
     * money): the smallest `orderCol` cell whose cumulative weight

@@ -54,4 +54,33 @@ object Retention {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     cells.withColumn("cum_cents", sum(col("sum_cents")).over(byAge))
   }
+
+  /** Bucket-over-bucket audience overlap — "how much of today's audience
+    * was here yesterday", the churn companion to the cohort triangle:
+    * exact Jaccard between consecutive buckets' distinct-user sets,
+    * decided in integers from three censuses (per-bucket sizes, the
+    * shifted equi-join intersection, never a set product). Buckets with
+    * no predecessor drop. Output: (bucket_ms, n_active, n_prev,
+    * n_inter, jaccard_ppm). */
+  def audienceChurn(events: DataFrame, userCol: String, tsMsCol: String,
+      bucketMs: Long): DataFrame = {
+    require(bucketMs > 0)
+    val act = events.select(col(userCol).as("u"),
+        (col(tsMsCol) - pmod(col(tsMsCol), lit(bucketMs))).as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = act.groupBy(col("b")).agg(count(lit(1)).as("n"))
+    val inter = act.as("cur").join(act.as("prev"),
+        col("cur.u") === col("prev.u") &&
+          col("cur.b") === col("prev.b") + bucketMs)
+      .groupBy(col("cur.b").as("b")).agg(count(lit(1)).as("n_inter"))
+    sizes
+      .join(sizes.select((col("b") + bucketMs).as("b"),
+        col("n").as("n_prev")), "b")
+      .join(inter, Seq("b"), "left")
+      .select(col("b").as("bucket_ms"), col("n").as("n_active"),
+        col("n_prev"), coalesce(col("n_inter"), lit(0L)).as("n_inter"))
+      .withColumn("jaccard_ppm",
+        expr("n_inter * 1000000 div (n_active + n_prev - n_inter)"))
+  }
 }

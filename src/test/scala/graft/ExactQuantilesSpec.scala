@@ -135,4 +135,16 @@ class ExactQuantilesSpec extends SparkSpec {
     assert(got("g") == ((3L, 6L, 20L)))
     assert(got("h") == ((1L, 7L, 5L)))
   }
+
+  test("groupedHistogramPercentiles matches the global form per group") {
+    import org.apache.spark.sql.functions.col
+    val rows = (for (g <- Seq("a", "b"); i <- 1 to 100)
+      yield (g, if (g == "a") i.toLong else i * 2L)).toDF("g", "v")
+    val got = ExactQuantiles.groupedHistogramPercentiles(rows, Seq("g"),
+        col("v"), Seq(50, 95))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got(("a", 50L)) == 50L && got(("a", 95L)) == 95L)
+    assert(got(("b", 50L)) == 100L && got(("b", 95L)) == 190L)
+  }
 }

@@ -46,4 +46,19 @@ class RetentionSpec extends SparkSpec {
     assert(got((100L, 0L)) == ((1L, 40L, 40L)))
     assert(got.size == 3)
   }
+
+  test("audienceChurn: exact day-over-day Jaccard, repeats deduped") {
+    val day = 100L
+    // d0: {u1,u2}; d1: {u2,u3,u3-dup}; d2: {u4}
+    val df = Seq(("u1", 10L), ("u2", 20L), ("u2", 110L), ("u3", 120L),
+      ("u3", 130L), ("u4", 250L)).toDF("u", "ts")
+    val got = Retention.audienceChurn(df, "u", "ts", day)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // d1 vs d0: inter {u2} = 1, union 3 -> 333333
+    assert(got(100L) == ((2L, 2L, 1L, 333333L)))
+    // d2 vs d1: disjoint -> 0
+    assert(got(200L) == ((1L, 2L, 0L, 0L)))
+    assert(got.size == 2)   // d0 has no predecessor
+  }
 }
