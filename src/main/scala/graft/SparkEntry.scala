@@ -1715,6 +1715,20 @@ object SparkEntry {
           cents(col("value")).as("c")),
         Seq("event_type", "day_ms"), col("c"), Seq(50, 95, 99))),
 
+    // Jaro–Winkler fuzzy name matching (the record-linkage scorer,
+    // prefix-weighted where Levenshtein is edit-weighted): all distinct
+    // part-name pairs ≥ 0.6, the codegen'd kernel pinned bit-for-bit
+    // against DuckDB's jaro_winkler_similarity.
+    "q176_jaro_winkler" -> ((s, dir) => {
+      graft.functions.StringSimilarity.register(s)
+      val names = t(s, dir, "part").select(col("p_name").as("nm")).distinct()
+      names.as("a").join(names.as("b"), col("a.nm") < col("b.nm"))
+        .select(col("a.nm").as("a_name"), col("b.nm").as("b_name"),
+          graft.functions.StringSimilarity.jaroWinklerE6(
+            col("a.nm"), col("b.nm")).as("jw_e6"))
+        .where(col("jw_e6") >= 600000L)
+    }),
+
     // Int8 min-max embedding quantization: d-row stats census broadcast
     // back over one codegen'd encode pass; codes + reconstruction error
     // decided in pure integers.
@@ -5591,6 +5605,16 @@ object SparkEntry {
         |SELECT event_type, day_ms, CAST(percent AS BIGINT) AS percent,
         |  CAST(min(v) AS BIGINT) AS quantile
         |FROM x GROUP BY 1, 2, 3""".stripMargin,
+
+    // q176: DuckDB's own jaro_winkler_similarity, e6-rounded.
+    "q176_jaro_winkler" ->
+      """WITH n AS (SELECT DISTINCT p_name AS nm FROM part)
+        |SELECT a.nm AS a_name, b.nm AS b_name,
+        |  CAST(round(jaro_winkler_similarity(a.nm, b.nm) * 1000000)
+        |    AS BIGINT) AS jw_e6
+        |FROM n a JOIN n b ON a.nm < b.nm
+        |WHERE round(jaro_winkler_similarity(a.nm, b.nm) * 1000000)
+        |  >= 600000""".stripMargin,
 
     // q150: e9 components, per-dim min/span census, the same integer
     // round-half-up code ((x−mn)·510 + sp) // (2·sp) and |residual|

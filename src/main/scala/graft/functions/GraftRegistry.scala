@@ -40,6 +40,7 @@ object GraftRegistry {
       HashedClassifier.builders ++
       Blocklist.builders ++
       CharEntropyFn.builders ++
+      StringSimilarity.builders ++
       graft.agg.HllSketch.builders ++
       graft.agg.CountMinSketch.builders ++
       graft.agg.BloomSketch.builders ++
