@@ -1729,6 +1729,53 @@ object SparkEntry {
         .where(col("jw_e6") >= 600000L)
     }),
 
+    // Entity resolution end-to-end: JW-scored name pairs at the match
+    // threshold become edges, connected components canonicalize, every
+    // name maps to its cluster representative (min name) + cluster size
+    // — the q176 scorer feeding the q41 component machinery.
+    "q177_entity_clusters" -> ((s, dir) => {
+      graft.functions.StringSimilarity.register(s)
+      val names = t(s, dir, "part").select(col("p_name").as("nm")).distinct()
+        .withColumn("id", xxhash64(col("nm")))
+      val pairs = names.as("a").join(names.as("b"),
+          col("a.nm") < col("b.nm"))
+        .where(graft.functions.StringSimilarity.jaroWinklerE6(
+          col("a.nm"), col("b.nm")) >= 870000L)
+        .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      val comp = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      val labeled = names.join(comp,
+          names("id") === comp("node"), "left")
+        .select(col("nm"), coalesce(col("component"), col("id"))
+          .as("component"))
+      val canon = labeled.groupBy(col("component"))
+        .agg(min(col("nm")).as("canonical"),
+          count(lit(1)).as("cluster_size"))
+      labeled.join(canon, "component")
+        .select(col("nm").as("name"), col("canonical"),
+          col("cluster_size"))
+    }),
+
+    // Time-weighted average (the step-function integral — "average
+    // concurrent value"): per event_type, Σ valueᵢ·(tᵢ₊₁−tᵢ) over each
+    // user's event sequence as an exact integer pair (area, span).
+    "q178_time_weighted" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_ms"),
+          col("event_type"), cents(col("value")).as("c"))
+        .withColumn("next_ts", lead(col("ts_ms"), 1).over(w))
+        .where(col("next_ts").isNotNull)
+        // second-granularity integers: cents × ms would sit within 10×
+        // of Long.Max at sf0.1 already — no headroom at real scale
+        .withColumn("gap_s", expr("(next_ts - ts_ms) div 1000"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_segments"),
+          sum(col("c") * col("gap_s")).as("area_cents_s"),
+          sum(col("gap_s")).as("span_s"))
+        .withColumn("twa_cents", expr("area_cents_s div span_s"))
+    }),
+
     // Int8 min-max embedding quantization: d-row stats census broadcast
     // back over one codegen'd encode pass; codes + reconstruction error
     // decided in pure integers.
@@ -5615,6 +5662,42 @@ object SparkEntry {
         |FROM n a JOIN n b ON a.nm < b.nm
         |WHERE round(jaro_winkler_similarity(a.nm, b.nm) * 1000000)
         |  >= 600000""".stripMargin,
+
+    // q177: JW ≥ 0.87 edges, recursive reachability, min-name canon.
+    "q177_entity_clusters" ->
+      """WITH RECURSIVE n AS (SELECT DISTINCT p_name AS nm FROM part),
+        |p AS (SELECT a.nm AS a_nm, b.nm AS b_nm FROM n a JOIN n b
+        |      ON a.nm < b.nm
+        |      WHERE round(jaro_winkler_similarity(a.nm, b.nm) * 1000000)
+        |        >= 870000),
+        |e AS (SELECT a_nm AS a, b_nm AS b FROM p
+        |      UNION SELECT b_nm, a_nm FROM p),
+        |reach(src, dst) AS (
+        | SELECT a, a FROM e
+        | UNION
+        | SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst),
+        |comp AS (SELECT src AS nm, min(dst) AS rep FROM reach GROUP BY 1),
+        |lab AS (SELECT n.nm, coalesce(c.rep, n.nm) AS rep FROM n
+        |        LEFT JOIN comp c ON c.nm = n.nm),
+        |canon AS (SELECT rep, min(nm) AS canonical, count(*) AS cluster_size
+        |          FROM lab GROUP BY 1)
+        |SELECT lab.nm AS name, canonical,
+        |  CAST(cluster_size AS BIGINT) AS cluster_size
+        |FROM lab JOIN canon ON canon.rep = lab.rep""".stripMargin,
+
+    // q178: one lead per user, second-granularity integer areas.
+    "q178_time_weighted" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts,
+        |  event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |l AS (SELECT *, lead(ts) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id) AS next_ts FROM e),
+        |g AS (SELECT event_type, c, (next_ts - ts) // 1000 AS gap_s
+        |      FROM l WHERE next_ts IS NOT NULL)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(sum(c * gap_s) AS BIGINT) AS area_cents_s,
+        |  CAST(sum(gap_s) AS BIGINT) AS span_s,
+        |  CAST(sum(c * gap_s) // sum(gap_s) AS BIGINT) AS twa_cents
+        |FROM g GROUP BY 1""".stripMargin,
 
     // q150: e9 components, per-dim min/span census, the same integer
     // round-half-up code ((x−mn)·510 + sp) // (2·sp) and |residual|
