@@ -1776,6 +1776,31 @@ object SparkEntry {
         .withColumn("twa_cents", expr("area_cents_s div span_s"))
     }),
 
+    // Behavioral diversity: per-user event-type entropy in micro-nats
+    // (the q106 pinned per-term ln chain, integer-summed) + the
+    // deterministic modal type — the engagement-breadth feature.
+    "q179_user_entropy" -> ((s, dir) => {
+      val cnts = ev(s, dir).groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val all = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+      cnts
+        .withColumn("n", sum(col("cnt")).over(all))
+        .withColumn("term_e6", round(col("cnt").cast("double") *
+          (log(col("n")) - log(col("cnt"))) * lit(1000000.0) / col("n"))
+          .cast("long"))
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n_events"),
+          count(lit(1)).as("n_types"),
+          sum(col("term_e6")).as("entropy_e6"),
+          // modal type, (count desc, type asc) totalized: struct-min
+          // over (−cnt, type)
+          min(struct((-col("cnt")).as("nc"), col("event_type").as("t")))
+            .as("__m"))
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          col("entropy_e6"), col("__m.t").as("mode_type"))
+    }),
+
     // Int8 min-max embedding quantization: d-row stats census broadcast
     // back over one codegen'd encode pass; codes + reconstruction error
     // decided in pure integers.
@@ -5698,6 +5723,23 @@ object SparkEntry {
         |  CAST(sum(gap_s) AS BIGINT) AS span_s,
         |  CAST(sum(c * gap_s) // sum(gap_s) AS BIGINT) AS twa_cents
         |FROM g GROUP BY 1""".stripMargin,
+
+    // q179: same census, same pinned ln chain, (-cnt, type) mode rule.
+    "q179_user_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+        | FROM events GROUP BY 1, 2),
+        |w AS (SELECT *, sum(cnt) OVER (PARTITION BY user_id) AS n FROM c),
+        |t AS (SELECT *, CAST(round(CAST(cnt AS DOUBLE)
+        |  * (ln(n) - ln(cnt)) * 1000000 / n) AS BIGINT) AS term_e6 FROM w),
+        |m AS (SELECT user_id, event_type AS mode_type FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY cnt DESC, event_type) AS rk FROM c) WHERE rk = 1)
+        |SELECT t.user_id, CAST(max(n) AS BIGINT) AS n_events,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(term_e6) AS BIGINT) AS entropy_e6,
+        |  max(mode_type) AS mode_type
+        |FROM t JOIN m ON m.user_id = t.user_id
+        |GROUP BY 1""".stripMargin,
 
     // q150: e9 components, per-dim min/span census, the same integer
     // round-half-up code ((x−mn)·510 + sp) // (2·sp) and |residual|
