@@ -2423,6 +2423,166 @@ object SparkEntry {
         concat(col("l_orderkey").cast("string"), lit("-"),
           col("l_linenumber").cast("string")),
         percents = Seq(25, 50, 75, 95))),
+
+    // Bounded-depth BFS reachability from supplier 1 over the shared
+    // co-occurrence edge set — frontier-proportional per-round work
+    // (level-sync, anti-join vs visited), exact integer hops; the oracle
+    // replays it as a depth-capped recursive CTE.
+    "q180_bfs_hops" -> ((s, dir) =>
+      Graph.bfsHops(coSupplierPairs(s, dir), "l_suppkey", "dst_supp",
+        s.range(1, 2).select(col("id").as("l_suppkey")), "l_suppkey",
+        maxHops = 3)),
+
+    // Round-bounded Bellman-Ford SSSP on the same graph, edge cost =
+    // 1e6 div multiplicity (heavier co-occurrence = cheaper hop): after
+    // 2 rounds `cost` is exact over all ≤2-edge paths — a cheap 2-hop
+    // detour legitimately beats a rare direct edge, which is the
+    // semantics the oracle's depth-capped walk reproduces in integers.
+    "q181_sssp" -> ((s, dir) =>
+      Graph.boundedSssp(
+        coSupplierPairs(s, dir)
+          .groupBy(col("l_suppkey"), col("dst_supp"))
+          .agg(expr("1000000 div count(1)").as("w")),
+        "l_suppkey", "dst_supp", "w",
+        s.range(1, 2).select(col("id").as("l_suppkey")), "l_suppkey",
+        rounds = 2)),
+
+    // Interval-union coverage: each event opens a 30-minute activity
+    // window; merged per-user islands + exact covered milliseconds
+    // (gaps-and-islands, two window passes, one shuffle).
+    "q182_interval_coverage" -> ((s, dir) =>
+      operators.IntervalJoin.unionCoverage(
+        ev(s, dir).select(col("user_id"), col("ts_ms").as("start_ms"),
+          (col("ts_ms") + lit(1800000L)).as("end_ms")),
+        Seq("user_id"), "start_ms", "end_ms")),
+
+    // Integer-exact Lloyd k-means (k=8, 2 full rounds) on the e3 grid:
+    // broadcast centroids, corpus never shuffles for assignment, final
+    // per-point (cluster, exact inertia term) hash-gates the whole
+    // trajectory — the oracle unrolls both rounds in SQL.
+    "q183_kmeans" -> ((s, dir) =>
+      operators.KMeansExact.assign(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)),
+
+    // Rank-biased overlap (p=9/10, depth 3) of the IVF ranking vs exact
+    // top-3 — the ORDER-sensitive companion to q144's recall audit,
+    // decided with literal integer tail weights shared with the oracle.
+    "q184_rbo" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id") < 20)
+      RankEval.rboMinE6(
+        Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 3),
+        Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
+          k = 3, nLists = 16, nProbe = 4),
+        "qid", "cid", "rank", k = 3)
+    }),
+
+    // Multinomial NB label audit: train on even doc_ids, score odd,
+    // per-term e6-rounded log-likelihoods summed as integers (the q179
+    // discipline), broadcast vocab×lang model — held-out confusion.
+    "q185_nb_confusion" -> ((s, dir) =>
+      operators.NaiveBayes.heldOutConfusion(
+        t(s, dir, "documents"), "doc_id", "text", "lang")),
+
+    // SAX words: per-user value series → 4 equal-count PAA segments →
+    // cents-breakpoint symbols (cross-multiplied, division-free) →
+    // one word per user.
+    "q186_sax" -> ((s, dir) =>
+      operators.Trend.saxWords(
+        ev(s, dir).withColumn("v", cents(col("value"))),
+        Seq("user_id"), Seq(col("ts_ms"), col("event_id")), col("v"),
+        segments = 4, breakpoints = Seq(2500L, 5000L, 7500L))),
+
+    // Sequential-pattern support (the pairwise core of sequence mining):
+    // users exhibiting ante→cons within a 1-day gap, per ordered type
+    // pair — an equi-join on the user key with the range as post-filter
+    // (per-user density bounds the blowup, the q143 hub caveat applies),
+    // distinct-per-user before counting so support is user-level.
+    "q188_seq_pairs" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("event_type"),
+        col("ts_ms"))
+      val a = e.as("a"); val b = e.as("b")
+      val pairs = a.join(b, col("a.user_id") === col("b.user_id") &&
+          col("b.ts_ms") > col("a.ts_ms") &&
+          col("b.ts_ms") <= col("a.ts_ms") + lit(86400000L))
+        .select(col("a.user_id").as("u"), col("a.event_type").as("ante"),
+          col("b.event_type").as("cons"))
+        .distinct()
+      val totals = e.agg(countDistinct(col("user_id")).as("n_total"))
+      pairs.groupBy(col("ante"), col("cons"))
+        .agg(countDistinct(col("u")).as("n_users"))
+        .crossJoin(broadcast(totals))
+        .withColumn("support_ppm", expr("n_users * 1000000 div n_total"))
+    }),
+
+    // TextRank keywords (Mihalcea & Tarau 2004): adjacent-token
+    // co-occurrence edges (both directions, distinct, no self-loops)
+    // fed to the SAME integer fixed-point PageRank as q77 — a pure
+    // composition gate; top-20 by (rank desc, word).
+    "q189_textrank" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(trim(lower(col("text"))), "\\s+"))
+            .as(Seq("pos", "tok")))
+      val bi = toks.as("x").join(toks.as("y"),
+          col("x.doc_id") === col("y.doc_id") &&
+          col("y.pos") === col("x.pos") + 1)
+        .select(col("x.tok").as("a"), col("y.tok").as("b"))
+        .where(length(col("a")) > 0 && length(col("b")) > 0 &&
+          col("a") =!= col("b"))
+      val edges = bi.unionByName(
+        bi.select(col("b").as("a"), col("a").as("b"))).distinct()
+      val pr = Graph.pageRankE9(edges, "a", "b", iterations = 3)
+      pr.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("rank_e9").desc, col("a"))).cast("long"))
+        .where(col("rk") <= 20)
+        .select(col("a").as("word"), col("rank_e9"), col("rk"))
+    }),
+
+    // Compaction planner: (source, lang) "files" with byte stats packed
+    // into ~64 KiB bins by contiguous cumulative-sum assignment over the
+    // (bytes desc) order — the deterministic small-file-compaction plan
+    // shape, one census + one vocab-sized window.
+    "q190_compaction_bins" -> ((s, dir) => {
+      val files = t(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(sum(octet_length(col("text"))).as("bytes"),
+          count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bytes").desc, col("source"), col("lang"))
+      files
+        .withColumn("csum", sum(col("bytes"))
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)))
+        .withColumn("bin", expr("coalesce(csum, 0L) div 65536"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("tot_bytes"),
+          sum(col("n_docs")).as("tot_docs"))
+    }),
+
+    // Tokenizer-design census: corpus token coverage of the top-N vocab
+    // for N ∈ {100, 1000, 10000} — one token scan, vocab-sized global
+    // rank window (vocab ≪ corpus), integer ppm.
+    "q187_vocab_coverage" -> ((s, dir) => {
+      val freq = t(s, dir, "documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      val ranked = freq.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("f").desc, col("tok"))).cast("long"))
+      val tot = freq.agg(sum(col("f")).as("tot_toks"))
+      val sizes = s.range(1).select(
+        explode(array(lit(100L), lit(1000L), lit(10000L))).as("n_vocab"))
+      ranked
+        .crossJoin(broadcast(sizes))
+        .where(col("rk") <= col("n_vocab"))
+        .groupBy(col("n_vocab")).agg(sum(col("f")).as("covered"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_vocab"), col("covered"), col("tot_toks"),
+          expr("covered * 1000000 div tot_toks").as("coverage_ppm"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -6722,5 +6882,246 @@ object SparkEntry {
         |    + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
         |   AS stages_reached
         |FROM s3""".stripMargin,
+
+    // q180: depth-capped recursive walk; UNION dedups (id, d) pairs so
+    // the CTE stays ≤ nodes × (maxHops+1) rows.
+    "q180_bfs_hops" ->
+      """WITH RECURSIVE e AS (
+        | SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        | FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        | WHERE a.l_suppkey <> b.l_suppkey),
+        |walk(id, d) AS (
+        | SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d
+        | UNION
+        | SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.id
+        | WHERE w.d < 3)
+        |SELECT id AS l_suppkey, MIN(d) AS hops FROM walk GROUP BY 1""".stripMargin,
+
+    // q181: same walk shape carrying integer path cost; 2-round bound
+    // keeps the pre-dedup path census quadratic, not exponential.
+    "q181_sssp" ->
+      """WITH RECURSIVE e AS (
+        | SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+        |   1000000 // count(*) AS w
+        | FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        | WHERE a.l_suppkey <> b.l_suppkey GROUP BY 1, 2),
+        |walk(id, cost, d) AS (
+        | SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT), 0
+        | UNION
+        | SELECT e.dst, w.cost + e.w, w.d + 1 FROM walk w
+        | JOIN e ON e.src = w.id WHERE w.d < 2)
+        |SELECT id AS l_suppkey, CAST(MIN(cost) AS BIGINT) AS cost
+        |FROM walk GROUP BY 1""".stripMargin,
+
+    // q182: gaps-and-islands with the same (start, end) window order and
+    // strict `start > running_max_end` island rule.
+    "q182_interval_coverage" ->
+      """WITH iv AS (SELECT user_id, epoch_ms(ts) AS s,
+        |   epoch_ms(ts) + 1800000 AS e FROM events),
+        |m AS (SELECT user_id, s, e, max(e) OVER (PARTITION BY user_id
+        |   ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |   AS pm FROM iv),
+        |i AS (SELECT user_id, s, e,
+        |   CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nw FROM m),
+        |j AS (SELECT user_id, s, e, sum(nw) OVER (PARTITION BY user_id
+        |   ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS island FROM i),
+        |g AS (SELECT user_id, island, count(*) AS n, max(e) - min(s) AS len
+        | FROM j GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_intervals,
+        | CAST(count(*) AS BIGINT) AS n_islands,
+        | CAST(sum(len) AS BIGINT) AS covered_ms
+        |FROM g GROUP BY 1""".stripMargin,
+
+    // q183: both Lloyd rounds unrolled — e3 integer grid, truncating
+    // integer centroid means, (dist, cid) assignment tie-break, empty
+    // clusters keep their previous centroid via the LEFT JOIN coalesce.
+    "q183_kmeans" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding,
+        |   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS iq
+        | FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, iq AS c FROM v ORDER BY vec_id LIMIT 8),
+        |d1 AS (SELECT v.vec_id, c.cid,
+        |   CAST(list_sum(list_transform(list_zip(v.iq, c.c),
+        |     z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS dist
+        | FROM v CROSS JOIN c0 c),
+        |a1 AS (SELECT vec_id, cid FROM (SELECT *, row_number() OVER
+        |   (PARTITION BY vec_id ORDER BY dist, cid) AS r FROM d1) WHERE r = 1),
+        |u1 AS (SELECT a1.cid, p.i, sum(v.iq[p.i]) AS s, count(*) AS n
+        | FROM a1 JOIN v USING (vec_id)
+        | CROSS JOIN (SELECT unnest(range(1, 65)) AS i) p GROUP BY 1, 2),
+        |n1 AS (SELECT cid, list(s // n ORDER BY i) AS c FROM u1 GROUP BY cid),
+        |c1 AS (SELECT c0.cid, coalesce(n1.c, c0.c) AS c
+        | FROM c0 LEFT JOIN n1 USING (cid)),
+        |d2 AS (SELECT v.vec_id, c.cid,
+        |   CAST(list_sum(list_transform(list_zip(v.iq, c.c),
+        |     z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS dist
+        | FROM v CROSS JOIN c1 c),
+        |a2 AS (SELECT vec_id, cid FROM (SELECT *, row_number() OVER
+        |   (PARTITION BY vec_id ORDER BY dist, cid) AS r FROM d2) WHERE r = 1),
+        |u2 AS (SELECT a2.cid, p.i, sum(v.iq[p.i]) AS s, count(*) AS n
+        | FROM a2 JOIN v USING (vec_id)
+        | CROSS JOIN (SELECT unnest(range(1, 65)) AS i) p GROUP BY 1, 2),
+        |n2 AS (SELECT cid, list(s // n ORDER BY i) AS c FROM u2 GROUP BY cid),
+        |c2 AS (SELECT c1.cid, coalesce(n2.c, c1.c) AS c
+        | FROM c1 LEFT JOIN n2 USING (cid)),
+        |d3 AS (SELECT v.vec_id, c.cid,
+        |   CAST(list_sum(list_transform(list_zip(v.iq, c.c),
+        |     z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS dist
+        | FROM v CROSS JOIN c2 c)
+        |SELECT vec_id, cid AS cluster, dist FROM (SELECT *, row_number()
+        |   OVER (PARTITION BY vec_id ORDER BY dist, cid) AS r FROM d3)
+        |WHERE r = 1""".stripMargin,
+
+    // q184: exact (q20) and IVF (q34) rankings replayed as CTEs, joined
+    // on (qid, cid); literal RBO tail weights W(m) for p=9/10, k=3 —
+    // 1720000/720000/270000 e6 — with the final (1−p) `div 10`.
+    "q184_rbo" ->
+      s"""WITH ex AS (SELECT qid, cid, rank FROM ($q20OracleSql)),
+         |iv AS (SELECT qid, cid, rank FROM ($q34OracleSql)),
+         |m AS (SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_common,
+         |   sum(CASE greatest(ex.rank, iv.rank)
+         |     WHEN 1 THEN 1720000 WHEN 2 THEN 720000
+         |     WHEN 3 THEN 270000 ELSE 0 END) AS wsum
+         | FROM ex JOIN iv ON iv.qid = ex.qid AND iv.cid = ex.cid
+         | WHERE ex.rank <= 3 AND iv.rank <= 3 GROUP BY 1),
+         |qs AS (SELECT DISTINCT qid FROM ex)
+         |SELECT qs.qid, coalesce(m.n_common, 0) AS n_common,
+         | CAST(coalesce(m.wsum, 0) // 10 AS BIGINT) AS rbo_e6
+         |FROM qs LEFT JOIN m USING (qid)""".stripMargin,
+
+    // q185: the NB audit replayed — per-term e6-rounded ln terms summed
+    // as integers, OOV test tokens dropped by the inner model join,
+    // (score desc, lang) argmax.
+    "q185_nb_confusion" ->
+      """WITH tk AS (SELECT doc_id, lang, tok FROM (
+        |   SELECT doc_id, lang, unnest(regexp_split_to_array(
+        |     trim(lower(text)), '\s+')) AS tok FROM documents)
+        | WHERE length(tok) > 0),
+        |tr AS (SELECT * FROM tk WHERE doc_id % 2 = 0),
+        |cnts AS (SELECT lang, tok, count(*) AS cnt FROM tr GROUP BY 1, 2),
+        |vocab AS (SELECT DISTINCT tok FROM cnts),
+        |vs AS (SELECT count(*) AS v FROM vocab),
+        |lt AS (SELECT lang, sum(cnt) AS tot FROM cnts GROUP BY 1),
+        |model AS (SELECT vo.tok, lt.lang,
+        |   CAST(round((ln(coalesce(c.cnt, 0) + 1) - ln(lt.tot + vs.v))
+        |     * 1e6) AS BIGINT) AS term_e6
+        | FROM vocab vo CROSS JOIN lt CROSS JOIN vs
+        | LEFT JOIN cnts c ON c.tok = vo.tok AND c.lang = lt.lang),
+        |td AS (SELECT DISTINCT doc_id, lang FROM tr),
+        |nd AS (SELECT lang, count(*) AS nd FROM td GROUP BY 1),
+        |ntot AS (SELECT count(*) AS n FROM td),
+        |pri AS (SELECT lang, CAST(round((ln(nd) - ln(n)) * 1e6) AS BIGINT)
+        |   AS prior_e6 FROM nd CROSS JOIN ntot),
+        |tc AS (SELECT doc_id, lang AS actual, tok, count(*) AS c
+        | FROM tk WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3),
+        |sc AS (SELECT tc.doc_id, tc.actual, m.lang,
+        |   sum(tc.c * m.term_e6) AS ll
+        | FROM tc JOIN model m ON m.tok = tc.tok GROUP BY 1, 2, 3),
+        |fin AS (SELECT sc.doc_id, sc.actual, sc.lang,
+        |   sc.ll + p.prior_e6 AS score
+        | FROM sc JOIN pri p ON p.lang = sc.lang),
+        |pred AS (SELECT doc_id, actual, lang FROM (SELECT *, row_number()
+        |   OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS r
+        |  FROM fin) WHERE r = 1)
+        |SELECT actual, lang AS predicted, CAST(count(*) AS BIGINT) AS n
+        |FROM pred GROUP BY 1, 2""".stripMargin,
+
+    // q186: same (ts, event_id) total order, integer segment id,
+    // cross-multiplied cents breakpoints, ordered word assembly.
+    "q186_sax" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+        |   CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |r AS (SELECT user_id, v, row_number() OVER (PARTITION BY user_id
+        |   ORDER BY ts_ms, event_id) AS rn,
+        |   count(*) OVER (PARTITION BY user_id) AS n FROM e),
+        |seg AS (SELECT user_id, (rn - 1) * 4 // n AS sg, sum(v) AS s,
+        |   count(*) AS m FROM r GROUP BY 1, 2),
+        |sym AS (SELECT user_id, sg, m,
+        |   CASE WHEN s >= 7500 * m THEN 'd' WHEN s >= 5000 * m THEN 'c'
+        |        WHEN s >= 2500 * m THEN 'b' ELSE 'a' END AS sym FROM seg)
+        |SELECT user_id, CAST(sum(m) AS BIGINT) AS n,
+        | string_agg(sym, '' ORDER BY sg) AS sax_word
+        |FROM sym GROUP BY 1""".stripMargin,
+
+    // q188: distinct (user, ante, cons) within-gap pairs, user-level
+    // support over the distinct-user total.
+    "q188_seq_pairs" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS t, epoch_ms(ts) AS ts
+        | FROM events),
+        |p AS (SELECT DISTINCT a.u, a.t AS ante, b.t AS cons
+        | FROM e a JOIN e b ON b.u = a.u AND b.ts > a.ts
+        |  AND b.ts <= a.ts + 86400000),
+        |tot AS (SELECT count(DISTINCT u) AS n_total FROM e)
+        |SELECT ante, cons, CAST(count(*) AS BIGINT) AS n_users,
+        | CAST(tot.n_total AS BIGINT) AS n_total,
+        | CAST(count(*) * 1000000 // tot.n_total AS BIGINT) AS support_ppm
+        |FROM p CROSS JOIN tot GROUP BY ante, cons, tot.n_total""".stripMargin,
+
+    // q189: the q77 integer PageRank unrolled 3 rounds over the bigram
+    // co-occurrence edges — base 150000000, contribution r div d,
+    // damped (85·m) div 100, dangling mass evaporates.
+    "q189_textrank" ->
+      """WITH arrs AS (SELECT doc_id,
+        |   regexp_split_to_array(trim(lower(text)), '\s+') AS a
+        | FROM documents),
+        |bi0 AS (SELECT unnest(list_zip(a, a[2:])) AS z FROM arrs),
+        |bi AS (SELECT z[1] AS a, z[2] AS b FROM bi0
+        | WHERE z[1] IS NOT NULL AND z[2] IS NOT NULL
+        |  AND length(z[1]) > 0 AND length(z[2]) > 0 AND z[1] <> z[2]),
+        |e AS (SELECT DISTINCT a, b FROM
+        | (SELECT a, b FROM bi UNION ALL SELECT b, a FROM bi)),
+        |deg AS (SELECT a, count(*) AS d FROM e GROUP BY 1),
+        |nodes AS (SELECT DISTINCT id FROM
+        | (SELECT a AS id FROM e UNION ALL SELECT b FROM e)),
+        |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (SELECT e.b AS id, sum(r0.r // deg.d) AS m FROM e
+        | JOIN deg ON deg.a = e.a JOIN r0 ON r0.id = e.a GROUP BY 1),
+        |r1 AS (SELECT n.id, CAST(150000000 + (85 * coalesce(c1.m, 0)) // 100
+        |   AS BIGINT) AS r FROM nodes n LEFT JOIN c1 USING (id)),
+        |c2 AS (SELECT e.b AS id, sum(r1.r // deg.d) AS m FROM e
+        | JOIN deg ON deg.a = e.a JOIN r1 ON r1.id = e.a GROUP BY 1),
+        |r2 AS (SELECT n.id, CAST(150000000 + (85 * coalesce(c2.m, 0)) // 100
+        |   AS BIGINT) AS r FROM nodes n LEFT JOIN c2 USING (id)),
+        |c3 AS (SELECT e.b AS id, sum(r2.r // deg.d) AS m FROM e
+        | JOIN deg ON deg.a = e.a JOIN r2 ON r2.id = e.a GROUP BY 1),
+        |r3 AS (SELECT n.id, CAST(150000000 + (85 * coalesce(c3.m, 0)) // 100
+        |   AS BIGINT) AS r FROM nodes n LEFT JOIN c3 USING (id))
+        |SELECT id AS word, r AS rank_e9, rk FROM (SELECT id, r,
+        |   CAST(row_number() OVER (ORDER BY r DESC, id) AS BIGINT) AS rk
+        |  FROM r3) WHERE rk <= 20""".stripMargin,
+
+    // q190: contiguous cumulative-sum binning over the (bytes desc,
+    // source, lang) total order, 64 KiB target.
+    "q190_compaction_bins" ->
+      """WITH f AS (SELECT source, lang, sum(strlen(text)) AS bytes,
+        |   count(*) AS n_docs FROM documents GROUP BY 1, 2),
+        |c AS (SELECT source, lang, bytes, n_docs,
+        |   coalesce(sum(bytes) OVER (ORDER BY bytes DESC, source, lang
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS csum FROM f)
+        |SELECT CAST(csum // 65536 AS BIGINT) AS bin,
+        | CAST(count(*) AS BIGINT) AS n_files,
+        | CAST(sum(bytes) AS BIGINT) AS tot_bytes,
+        | CAST(sum(n_docs) AS BIGINT) AS tot_docs
+        |FROM c GROUP BY 1""".stripMargin,
+
+    // q187: one token census, (freq desc, tok) global rank, prefix
+    // coverage at the three literal vocab sizes.
+    "q187_vocab_coverage" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(
+        |   trim(lower(text)), '\s+')) AS tok FROM documents),
+        |f AS (SELECT tok, count(*) AS f FROM toks
+        | WHERE length(tok) > 0 GROUP BY 1),
+        |r AS (SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS rk
+        | FROM f),
+        |tot AS (SELECT sum(f) AS tot_toks FROM f),
+        |sizes AS (SELECT unnest([100, 1000, 10000]) AS n_vocab)
+        |SELECT CAST(s.n_vocab AS BIGINT) AS n_vocab,
+        | CAST(sum(r.f) AS BIGINT) AS covered,
+        | CAST(tot.tot_toks AS BIGINT) AS tot_toks,
+        | CAST(sum(r.f) * 1000000 // tot.tot_toks AS BIGINT) AS coverage_ppm
+        |FROM sizes s JOIN r ON r.rk <= s.n_vocab CROSS JOIN tot
+        |GROUP BY s.n_vocab, tot.tot_toks""".stripMargin,
   )
 }

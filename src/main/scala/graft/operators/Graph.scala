@@ -276,4 +276,81 @@ object Graph {
     }
     e.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
   }
+
+  /** Bounded-depth BFS hop counts from a seed set — the reachability
+    * pass link-graph pipelines run to scope a crawl frontier or bound a
+    * neighborhood sample (seed expansion). Frontier-style level-sync
+    * BFS (Cormen et al., CLRS §22.2 — public textbook algorithm): round
+    * i joins ONLY the hop-(i−1) frontier against the edge list and
+    * anti-joins the visited set, so per-round work is proportional to
+    * the frontier, not the graph. Hops are exact integers — trivially
+    * hash-gateable, no arithmetic discipline needed.
+    *
+    * The visited frame feeds TWO consumers per round (the anti-join and
+    * the union), so like [[labelPropagation]] each round ends in an
+    * eager localCheckpoint truncating the otherwise-doubling plan.
+    * Seeds always appear in the output at hop 0, edge-connected or not.
+    * Output: (idCol = srcCol's name, hops). */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedIdCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 64)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(col(seedIdCol).as("id")).distinct()
+      .withColumn("hops", lit(0L)).localCheckpoint(true)
+    var frontier = dist
+    var i = 1
+    while (i <= maxHops) {
+      val next = frontier.select(col("id").as("src"))
+        .join(e, "src").select(col("dst").as("id")).distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .withColumn("hops", lit(i.toLong))
+        .localCheckpoint(true)
+      dist = dist.unionByName(next).localCheckpoint(true)
+      frontier = next
+      i += 1
+    }
+    e.unpersist()
+    dist.select(col("id").as(srcCol), col("hops"))
+  }
+
+  /** Round-bounded single-source shortest paths over integer edge
+    * weights — Bellman-Ford relaxation (CLRS §24.1), the form that maps
+    * to joins: round i replaxes every edge out of the current distance
+    * frame and keeps the per-node minimum, so after k rounds `cost` is
+    * exact over all paths of ≤ k edges (the bounded-horizon semantics a
+    * feed/recommendation pipeline wants: influence beyond a few hops is
+    * noise). Integer weights ⇒ integer costs ⇒ hash-gateable.
+    *
+    * Scale shape: per round ONE shuffle join of the distance frame with
+    * the (persisted) edge list on `src` and one min-aggregation with
+    * map-side partials — the SSSP twin of [[pageRankE9]]'s round shape.
+    * The distance frame feeds two consumers (relax + keep), so rounds
+    * end in an eager localCheckpoint. Output: (idCol, cost). */
+  def boundedSssp(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, seeds: DataFrame, seedIdCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(col(seedIdCol).as("id")).distinct()
+      .withColumn("cost", lit(0L)).localCheckpoint(true)
+    var i = 0
+    while (i < rounds) {
+      val relaxed = dist.withColumnRenamed("id", "src")
+        .join(e, "src")
+        .select(col("dst").as("id"), (col("cost") + col("w")).as("cost"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("id")).agg(min(col("cost")).as("cost"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    e.unpersist()
+    dist.select(col("id").as(srcCol), col("cost"))
+  }
 }

@@ -54,4 +54,39 @@ object IntervalJoin {
       rb(rightTsMs) <= lb(leftTsMs) + highMs
     lb.join(rb, keyCond && rangeCond, "inner").drop("__b")
   }
+
+  /** Per-key interval-union coverage — merge overlapping/touching
+    * [start, end) intervals and report how much of the timeline each key
+    * actually covers (the "active time" metric billing/engagement
+    * pipelines compute, and the sweep every SLA-coverage audit runs).
+    * Gaps-and-islands form (classic SQL technique): an interval starts a
+    * new island iff its start exceeds the running max end of all earlier
+    * intervals of the key; island id = running count of starts. All
+    * integer-ms arithmetic — hash-gateable.
+    *
+    * Scale: two window passes and one aggregation, all partitioned by
+    * `keys` — a single shuffle of (key, start, end) triples, O(1) state
+    * per row (the running-max frame is cumulative, not buffered).
+    * Output: keys ++ (n_intervals, n_islands, covered_ms). */
+  def unionCoverage(df: DataFrame, keys: Seq[String],
+      startMs: String, endMs: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(startMs), col(endMs))
+    val prevMax = max(col(endMs))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val marked = df
+      .withColumn("__new",
+        when(prevMax.isNull || col(startMs) > prevMax, 1L).otherwise(0L))
+      .withColumn("__island",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    marked
+      .groupBy((keys :+ "__island").map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        (max(col(endMs)) - min(col(startMs))).as("len"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("len")).as("covered_ms"))
+  }
 }

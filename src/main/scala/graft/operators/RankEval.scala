@@ -110,4 +110,59 @@ object RankEval {
       .select(col("id").as(idCol), col("n_sources"), col("rrf_e6"),
         col("rrf_rank"))
   }
+
+  /** e6-scaled prefix-bounded rank-biased-overlap tail weights for
+    * persistence p = 9/10: W(m) = Σ_{d=m..k} (9^{d−1}·1e6) div (d·10^{d−1})
+    * — an item whose worse rank across the two lists is m contributes to
+    * every depth-d agreement term with d ≥ m, so its total weight is the
+    * tail sum. Pure-integer per-d truncation, computed once on the driver
+    * and inlined as plan literals shared verbatim with the SQL oracle.
+    * k ≤ 14 keeps 9^{d−1}·1e6 inside BIGINT. */
+  def rboTailWeightsE6(k: Int): Seq[Long] = {
+    require(k >= 1 && k <= 14, s"k=$k out of supported range")
+    val perDepth = (1 to k).map { d =>
+      var num = 1000000L
+      var den = 1L
+      var i = 1
+      while (i < d) { num *= 9L; den *= 10L; i += 1 }
+      num / (d.toLong * den)
+    }
+    (1 to k).map(m => perDepth.drop(m - 1).sum)
+  }
+
+  /** Per-query rank-biased overlap (Webber, Moffat & Zobel 2010, "A
+    * similarity measure for indefinite rankings" — public result) between
+    * two top-k id rankings, the list-similarity audit that compares an
+    * approximate index's ORDER (not just membership, which recall@k
+    * already gates) against exact search: top-weighted, so disagreement
+    * at rank 1 costs more than at rank k.
+    *
+    * RBO_min = (1−p)·Σ_{d=1..k} p^{d−1}·|A_d ∩ B_d|/d with p = 9/10,
+    * decided entirely in integers: each co-retrieved id contributes the
+    * literal tail weight [[rboTailWeightsE6]](max(rankA, rankB)), the sum
+    * takes one final `div 10` for the (1−p) factor. Queries `a` retrieved
+    * but `b` lost entirely surface with rbo_e6 = 0.
+    *
+    * Scale: both inputs are (query, id, rank) audit frames; one equi hash
+    * join + one aggregation — the audit never touches the corpus.
+    * Output: (queryCol, n_common, rbo_e6). */
+  def rboMinE6(a: DataFrame, b: DataFrame, queryCol: String,
+      idCol: String, rankCol: String, k: Int): DataFrame = {
+    val w = rboTailWeightsE6(k)
+    val wCase = (1 to k).map(m => s"WHEN $m THEN ${w(m - 1)}L")
+      .mkString("CASE greatest(ra, rb) ", " ", " ELSE 0L END")
+    val ar = a.select(col(queryCol).as("qid"), col(idCol).as("cid"),
+      col(rankCol).cast("long").as("ra"))
+    val br = b.select(col(queryCol).as("qid"), col(idCol).as("cid"),
+      col(rankCol).cast("long").as("rb"))
+    val matched = ar.join(br, Seq("qid", "cid"))
+      .where(col("ra") <= k && col("rb") <= k)
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_common"), sum(expr(wCase)).as("wsum"))
+    ar.select(col("qid")).distinct()
+      .join(matched, Seq("qid"), "left")
+      .select(col("qid").as(queryCol),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        expr("coalesce(wsum, 0L) div 10").as("rbo_e6"))
+  }
 }

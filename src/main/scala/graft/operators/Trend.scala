@@ -45,4 +45,54 @@ object Trend {
       .withColumn("intercept_num", expr("sum_y * sum_xx - sum_x * sum_xy"))
       .drop("sum_xy", "sum_xx")
   }
+
+  /** SAX symbolization (Lin, Keogh, Lonardi & Chiu 2003, "A symbolic
+    * representation of time series" — public result): each key's ordered
+    * value sequence is PAA-compressed into `segments` equal-count
+    * segments, each segment's mean is binned against fixed breakpoints,
+    * and the per-segment symbols concatenate into one word per key — the
+    * alphabet-string form motif/anomaly miners index instead of raw
+    * series.
+    *
+    * Exactness discipline: segment assignment is pure integer
+    * ((rn−1)·segments div n), and the mean-vs-breakpoint comparisons are
+    * CROSS-MULTIPLIED — sum < b·n_seg instead of sum/n_seg < b — so no
+    * division ever happens and the word is bit-reproducible. Breakpoints
+    * are integer (cents-scale) plan literals shared with the oracle.
+    *
+    * Scale shape: one rank window + one (key, segment) aggregation + one
+    * per-key ordered reassembly of ≤ `segments` rows — all partitioned by
+    * the key, one shuffle of (key, value) pairs. Output:
+    * (keys..., n, sax_word). */
+  def saxWords(df: DataFrame, keys: Seq[String], orderCols: Seq[Column],
+      valueCol: Column, segments: Int, breakpoints: Seq[Long],
+      alphabet: String = "abcdefghijklmnopqrstuvwxyz"): DataFrame = {
+    require(segments >= 1 && breakpoints.nonEmpty)
+    require(breakpoints.size < alphabet.length,
+      "alphabet too small for breakpoint count")
+    require(breakpoints == breakpoints.sorted, "breakpoints must ascend")
+    require(orderCols.nonEmpty, "need a (total) segment order")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+    val seg = df
+      .withColumn("__v", valueCol.cast("long"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1))
+        .over(Window.partitionBy(keys.map(col): _*)))
+      .withColumn("__seg", expr(s"(__rn - 1) * $segments div __n"))
+      .groupBy((keys :+ "__seg").map(col): _*)
+      .agg(sum(col("__v")).as("s"), count(lit(1)).as("m"))
+    // cross-multiplied binning: symbol index = #breakpoints below mean
+    val sym = breakpoints.zipWithIndex.foldLeft(lit(alphabet.substring(0, 1))) {
+      case (acc, (b, i)) =>
+        when(col("s") >= lit(b) * col("m"),
+          lit(alphabet.substring(i + 1, i + 2))).otherwise(acc)
+    }
+    seg.withColumn("__sym", sym)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("m")).as("n"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("__seg"), col("__sym")))),
+          e => e.getField("__sym")), "").as("sax_word"))
+  }
 }

@@ -236,4 +236,34 @@ class GraphSpec extends SparkSpec {
       assert(got2 == model(k, 4), s"k=$k parts=$parts")
     }
   }
+
+  test("bfsHops: level-sync frontier matches sequential BFS, seeds at 0") {
+    // 1→2→3→4→5 chain plus a shortcut 1→4; 9 unreachable; 8 isolated seed
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L), (9L, 1L))
+    val seeds = Seq(Tuple1(1L), Tuple1(8L)).toDF("id")
+    val got = Graph.bfsHops(e.toDF("s", "d"), "s", "d", seeds, "id", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the 1→4 shortcut pulls 5 to hop 2 (not the chain's 4); 9 has only
+    // an out-edge into the component, so it stays unreached
+    assert(got == Map(1L -> 0L, 8L -> 0L, 2L -> 1L, 4L -> 1L,
+      3L -> 2L, 5L -> 2L), s"got $got")
+    // depth cap: at maxHops=1 only the first frontier lands
+    val capped = Graph.bfsHops(e.toDF("s", "d"), "s", "d",
+        Seq(Tuple1(1L)).toDF("id"), "id", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
+  }
+
+  test("boundedSssp: k-round relaxation = exact over ≤k-edge paths") {
+    // direct 1→3 costs 10; detour 1→2→3 costs 2+3=5 but needs 2 rounds
+    val e = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L), (3L, 4L, 1L))
+      .toDF("s", "d", "w")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    def run(rounds: Int): Map[Long, Long] =
+      Graph.boundedSssp(e, "s", "d", "w", seeds, "id", rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1) == Map(1L -> 0L, 2L -> 2L, 3L -> 10L))
+    assert(run(2) == Map(1L -> 0L, 2L -> 2L, 3L -> 5L, 4L -> 11L))
+    assert(run(3) == Map(1L -> 0L, 2L -> 2L, 3L -> 5L, 4L -> 6L))
+  }
 }

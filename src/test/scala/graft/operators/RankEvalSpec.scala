@@ -54,4 +54,28 @@ class RankEvalSpec extends SparkSpec {
     assert(got(13L) == ((1L, w(2), 3L)))
     assert(got(12L) == ((1L, w(3), 4L)))
   }
+
+  test("rboTailWeightsE6: per-depth truncation then tail sums") {
+    // k=3, p=9/10: per-depth 1e6, 9e6/20=450000, 81e6/300=270000
+    assert(RankEval.rboTailWeightsE6(3) == Seq(1720000L, 720000L, 270000L))
+    intercept[IllegalArgumentException](RankEval.rboTailWeightsE6(15))
+  }
+
+  test("rboMinE6: identical lists score (1-p^k)-ish max, disjoint score 0") {
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L), (2L, 21L, 2L), (2L, 22L, 3L)).toDF("q", "id", "rank")
+    // query 1: same ids, ranks 1/2 swapped; query 2: fully disjoint
+    val b = Seq((1L, 11L, 1L), (1L, 10L, 2L), (1L, 12L, 3L),
+      (2L, 30L, 1L), (2L, 31L, 2L), (2L, 32L, 3L)).toDF("q", "id", "rank")
+    val got = RankEval.rboMinE6(a, b, "q", "id", "rank", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // q1: ids 10, 11 agree only from depth 2 (W(2) each); 12 from depth 3
+    assert(got(1L) == ((3L, (720000L + 720000L + 270000L) / 10L)))
+    assert(got(2L) == ((0L, 0L)))
+    // perfect agreement = the RBO_min@3 ceiling: (W(1)+W(2)+W(3)) div 10
+    val perfect = RankEval.rboMinE6(a, a, "q", "id", "rank", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(perfect(1L) == (1720000L + 720000L + 270000L) / 10L)
+    assert(perfect(1L) == perfect(2L))
+  }
 }

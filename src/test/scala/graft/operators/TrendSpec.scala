@@ -30,4 +30,34 @@ class TrendSpec extends SparkSpec {
         .collect()
     }
   }
+
+  test("saxWords: PAA segments, cross-multiplied bins, ordered word") {
+    // 8 values → 4 segments of 2; segment means 5, 15, 25, 35 against
+    // breakpoints 10/20/30 → word "abcd"
+    val rows = (1L to 8L).map(i => ("u", i, (i - 1) / 2 * 10 + 5))
+      .toDF("k", "t", "v")
+    val got = Trend.saxWords(rows, Seq("k"), Seq(col("t")), col("v"),
+        segments = 4, breakpoints = Seq(10L, 20L, 30L))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq(("u", 8L, "abcd")))
+
+    // boundary: mean exactly at a breakpoint takes the UPPER symbol
+    // (s >= b·m), decided without division: two values summing to 2·20
+    val edge = Seq(("u", 1L, 19L), ("u", 2L, 21L)).toDF("k", "t", "v")
+    val w = Trend.saxWords(edge, Seq("k"), Seq(col("t")), col("v"),
+        segments = 1, breakpoints = Seq(10L, 20L, 30L))
+      .collect().head
+    assert(w.getString(2) == "c")
+
+    // ragged n (not divisible by segments): 5 rows → segments sized
+    // 2/1/1/1 by the (rn-1)·seg div n rule; partition-invariant
+    val ragged = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 100L),
+      ("g", 4L, 1L), ("g", 5L, 100L)).toDF("k", "t", "v")
+    for (parts <- Seq(1, 5)) {
+      val r = Trend.saxWords(ragged.repartition(parts), Seq("k"),
+          Seq(col("t")), col("v"), 4, Seq(50L))
+        .collect().head
+      assert(r.getString(2) == "abab", s"parts=$parts got ${r.getString(2)}")
+    }
+  }
 }
