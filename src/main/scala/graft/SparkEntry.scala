@@ -2493,6 +2493,67 @@ object SparkEntry {
         Seq("user_id"), Seq(col("ts_ms"), col("event_id")), col("v"),
         segments = 4, breakpoints = Seq(2500L, 5000L, 7500L))),
 
+    // Right-to-be-forgotten, end to end: tombstone every event of the
+    // erased users in the mutable source (one CDC delete commit),
+    // propagate through the CDC-maintained per-day derived aggregate
+    // (group-scoped recompute), and emit the post-erasure derived table
+    // with a zero-residue audit column — the oracle recomputes the
+    // aggregate from raw events MINUS the erased users, so any residue
+    // anywhere in the pipeline hash-mismatches.
+    "q191_erasure" -> ((s, dir) => {
+      val base = ev(s, dir).select(
+        col("event_id").as("k"),
+        date_format(col("ts"), "yyyy-MM-dd").as("dt"),
+        col("user_id"),
+        cents(col("value")).as("v_cents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val c1 = base.withColumn("ver", lit(1L)).withColumn("del", lit(false))
+      val erase = base.where(col("user_id") % 9 === 0)
+        .withColumn("ver", lit(2L)).withColumn("del", lit(true))
+      val root = queryTmp("graft_erasure_q191")
+      val src = new sinks.UpsertTable(s"$root/src", Seq("k"), "ver",
+        Seq("dt"), Some("del"))
+      val drv = new sinks.UpsertTable(s"$root/drv", Seq("dt"), "__ver",
+        Nil, Some("__dead"))
+      val derived = new sinks.DerivedAggTable(src, drv, Seq("dt"),
+        df => df.groupBy("dt").agg(count(lit(1)).as("n"),
+          sum("v_cents").as("cents"),
+          countDistinct("user_id").as("n_users")),
+        s"$root/_ckpt")
+      src.upsert(c1)
+      derived.refresh(s) // pre-erasure state is maintained, not recomputed
+      src.upsert(erase)
+      derived.refresh(s) // erasure propagates via touched-group recompute
+      val residue = src.snapshot(s).where(col("user_id") % 9 === 0)
+        .agg(count(lit(1)).as("residue_rows"))
+      drv.snapshot(s).select("dt", "n", "cents", "n_users")
+        .crossJoin(broadcast(residue))
+    }),
+
+    // Event-time dimension join against SCD2 history: each purchase
+    // picks the user-state version whose validity interval contains its
+    // timestamp (state = last NON-purchase activity type) — the lakehouse
+    // "join facts to the dimension as of event time" pattern; equi-join
+    // on the user key, interval containment as post-filter, versions
+    // partition time so each fact matches ≤ 1 row.
+    "q192_temporal_dim_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val hist = TableDiff.scd2History(
+        e.where(col("event_type") =!= "purchase")
+          .select(col("user_id"), col("event_type"), col("ts_ms"),
+            col("event_id")),
+        "user_id", "event_type", "ts_ms", "event_id").as("h")
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_ms")).as("p")
+      p.join(hist, col("h.user_id") === col("p.user_id") &&
+          col("h.valid_from") <= col("p.ts_ms") &&
+          (col("h.valid_to") === -1L || col("p.ts_ms") < col("h.valid_to")),
+          "left")
+        .select(col("p.user_id"), col("p.event_id"), col("p.ts_ms"),
+          coalesce(col("h.value"), lit("none")).as("state"),
+          coalesce(col("h.version"), lit(0L)).as("version"))
+    }),
+
     // Sequential-pattern support (the pairwise core of sequence mining):
     // users exhibiting ante→cons within a 1-day gap, per ordered type
     // pair — an equi-join on the user key with the range as post-filter
@@ -7043,6 +7104,41 @@ object SparkEntry {
         |SELECT user_id, CAST(sum(m) AS BIGINT) AS n,
         | string_agg(sym, '' ORDER BY sg) AS sax_word
         |FROM sym GROUP BY 1""".stripMargin,
+
+    // q191: the post-erasure derived table IS the aggregate of events
+    // minus the erased users; residue must be exactly zero.
+    "q191_erasure" ->
+      """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS dt, user_id,
+        |  CAST(round(value * 100) AS BIGINT) AS v_cents FROM events
+        | WHERE user_id % 9 <> 0)
+        |SELECT dt, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(v_cents) AS BIGINT) AS cents,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        | CAST(0 AS BIGINT) AS residue_rows
+        |FROM e GROUP BY 1""".stripMargin,
+
+    // q192: the q157 history machinery over non-purchase changes, then
+    // interval-containment pick per purchase (left join, 'none'/0 when
+    // the user had no prior non-purchase activity).
+    "q192_temporal_dim_join" ->
+      """WITH c AS (SELECT user_id AS k, event_type AS value,
+        |  epoch_ms(ts) AS ts, event_id AS tie FROM events
+        | WHERE event_type <> 'purchase'),
+        |f AS (SELECT *, lag(value) OVER (PARTITION BY k ORDER BY ts, tie)
+        |  AS prev FROM c),
+        |v AS (SELECT k, value, ts, tie FROM f
+        |      WHERE prev IS DISTINCT FROM value),
+        |o AS (SELECT k, value, ts AS valid_from,
+        |  coalesce(lead(ts) OVER w2, -1) AS valid_to,
+        |  row_number() OVER w2 AS version
+        | FROM v WINDOW w2 AS (PARTITION BY k ORDER BY ts, tie)),
+        |p AS (SELECT user_id AS k, event_id, epoch_ms(ts) AS ts
+        | FROM events WHERE event_type = 'purchase')
+        |SELECT p.k AS user_id, p.event_id, p.ts AS ts_ms,
+        | coalesce(o.value, 'none') AS state,
+        | CAST(coalesce(o.version, 0) AS BIGINT) AS version
+        |FROM p LEFT JOIN o ON o.k = p.k AND o.valid_from <= p.ts
+        | AND (o.valid_to = -1 OR p.ts < o.valid_to)""".stripMargin,
 
     // q188: distinct (user, ante, cons) within-gap pairs, user-level
     // support over the distinct-user total.
