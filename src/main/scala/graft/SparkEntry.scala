@@ -2554,6 +2554,30 @@ object SparkEntry {
           coalesce(col("h.version"), lit(0L)).as("version"))
     }),
 
+    // Schema-on-read JSON ingestion with a corrupt-record channel: a
+    // deterministic JSON-lines feed (1 in 37 truncated mid-object) parsed
+    // with from_json — malformed rows surface as null structs and are
+    // COUNTED, never silently dropped (the P3 reject-channel discipline
+    // applied to semi-structured ingestion); per-lang valid/corrupt
+    // census plus the extracted-field sum proving typed fields survive.
+    "q193_json_ingest" -> ((s, dir) => {
+      val feed = t(s, dir, "documents").select(col("lang"),
+        when(col("doc_id") % 37 === 0,
+          concat(lit("{\"id\":"), col("doc_id"), lit(",\"lang\":\"")))
+          .otherwise(concat(lit("{\"id\":"), col("doc_id"),
+            lit(",\"lang\":\""), col("lang"), lit("\",\"n\":"),
+            col("n_chars"), lit("}"))).as("line"))
+      feed
+        .withColumn("j", from_json(col("line"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "id BIGINT, lang STRING, n BIGINT")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_lines"),
+          count(col("j.id")).as("n_valid"),
+          sum(when(col("j.id").isNull, 1L).otherwise(0L)).as("n_corrupt"),
+          sum(col("j.n")).as("sum_n"))
+    }),
+
     // Sequential-pattern support (the pairwise core of sequence mining):
     // users exhibiting ante→cons within a 1-day gap, per ordered type
     // pair — an equi-join on the user key with the range as post-filter
@@ -7139,6 +7163,25 @@ object SparkEntry {
         | CAST(coalesce(o.version, 0) AS BIGINT) AS version
         |FROM p LEFT JOIN o ON o.k = p.k AND o.valid_from <= p.ts
         | AND (o.valid_to = -1 OR p.ts < o.valid_to)""".stripMargin,
+
+    // q193: the same deterministic feed; validity via json_valid, typed
+    // extraction only on valid lines.
+    "q193_json_ingest" ->
+      """WITH feed AS (SELECT lang,
+        |  CASE WHEN doc_id % 37 = 0
+        |   THEN '{"id":' || doc_id || ',"lang":"'
+        |   ELSE '{"id":' || doc_id || ',"lang":"' || lang || '","n":'
+        |     || n_chars || '}' END AS line
+        | FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_lines,
+        | CAST(sum(CASE WHEN json_valid(line) THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_valid,
+        | CAST(sum(CASE WHEN json_valid(line) THEN 0 ELSE 1 END) AS BIGINT)
+        |   AS n_corrupt,
+        | CAST(sum(CASE WHEN json_valid(line)
+        |   THEN CAST(json_extract(line, '$.n') AS BIGINT) END) AS BIGINT)
+        |   AS sum_n
+        |FROM feed GROUP BY 1""".stripMargin,
 
     // q188: distinct (user, ante, cons) within-gap pairs, user-level
     // support over the distinct-user total.

@@ -256,4 +256,39 @@ class PlanSpec extends SparkSpec {
     // "*(n)" prefixes mark WholeStageCodegen stages in the final plan
     assert(p.contains("isFinalPlan=true") && p.contains("*("), p.take(2000))
   }
+
+  test("k-means assignment broadcasts centroids — the corpus never shuffles to meet them") {
+    val p = plan("q183_kmeans")
+    // the k-row centroid side arrives broadcast (nested-loop on the
+    // unconditioned cross of corpus × k centroids); any SortMergeJoin
+    // here would mean the whole corpus shuffled per Lloyd round
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("sequence-pair support joins on the user key — never a cross product") {
+    val p = plan("q188_seq_pairs")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // exactly ONE nested-loop join: the broadcast of the 1-row totals
+    // frame; the event self-join itself must be an equi join on the key
+    assert(p.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") == 1, p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("temporal dimension join is an equi join on the key with the interval as post-filter") {
+    val p = plan("q192_temporal_dim_join")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("JSON ingestion parses in one pass — no shuffle before the census aggregation") {
+    val df = SparkEntry.queries("q193_json_ingest")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // exactly one exchange: the final per-lang aggregation
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      p.take(2000))
+  }
 }
