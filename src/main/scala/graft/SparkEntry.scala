@@ -2554,6 +2554,24 @@ object SparkEntry {
           coalesce(col("h.version"), lit(0L)).as("version"))
     }),
 
+    // Quantile-quantile distribution mapping (calibration table): exact
+    // deciles of the click- and purchase-value distributions matched by
+    // percent — the monotone value-mapping a score-calibration or
+    // domain-shift correction applies; two census-sized passes on the
+    // q175 cumulative-rank machinery, a 9-row join.
+    "q194_qq_map" -> ((s, dir) => {
+      val q = operators.ExactQuantiles.groupedHistogramPercentiles(
+        ev(s, dir).where(col("event_type").isin("click", "purchase")),
+        Seq("event_type"), cents(col("value")), (10 to 90 by 10))
+      val c = q.where(col("event_type") === "click")
+        .select(col("percent"), col("quantile").as("click_cents"))
+      val p = q.where(col("event_type") === "purchase")
+        .select(col("percent"), col("quantile").as("purchase_cents"))
+      c.join(p, "percent")
+        .withColumn("shift_cents",
+          col("purchase_cents") - col("click_cents"))
+    }),
+
     // Schema-on-read JSON ingestion with a corrupt-record channel: a
     // deterministic JSON-lines feed (1 in 37 truncated mid-object) parsed
     // with from_json — malformed rows surface as null structs and are
@@ -7163,6 +7181,27 @@ object SparkEntry {
         | CAST(coalesce(o.version, 0) AS BIGINT) AS version
         |FROM p LEFT JOIN o ON o.k = p.k AND o.valid_from <= p.ts
         | AND (o.valid_to = -1 OR p.ts < o.valid_to)""".stripMargin,
+
+    // q194: the q175 cumulative-rank rule per type, decile join.
+    "q194_qq_map" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS v FROM events
+        | WHERE event_type IN ('click', 'purchase')),
+        |h AS (SELECT event_type, v, count(*) AS c FROM e GROUP BY 1, 2),
+        |w AS (SELECT *, sum(c) OVER (PARTITION BY event_type
+        |    ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |  sum(c) OVER (PARTITION BY event_type) AS n FROM h),
+        |x AS (SELECT event_type, v, p.percent FROM w,
+        |  (VALUES (10),(20),(30),(40),(50),(60),(70),(80),(90)) p(percent)
+        | WHERE cum * 100 >= n * p.percent),
+        |q AS (SELECT event_type, percent, min(v) AS quantile
+        |      FROM x GROUP BY 1, 2)
+        |SELECT CAST(c.percent AS BIGINT) AS percent,
+        | CAST(c.quantile AS BIGINT) AS click_cents,
+        | CAST(p.quantile AS BIGINT) AS purchase_cents,
+        | CAST(p.quantile - c.quantile AS BIGINT) AS shift_cents
+        |FROM q c JOIN q p ON p.percent = c.percent
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'""".stripMargin,
 
     // q193: the same deterministic feed; validity via json_valid, typed
     // extraction only on valid lines.
