@@ -2554,6 +2554,75 @@ object SparkEntry {
           coalesce(col("h.version"), lit(0L)).as("version"))
     }),
 
+    // FIFO 1:1 pairing (allocation-join shape: trade matching, credit
+    // assignment): the k-th click of a user pairs the k-th purchase —
+    // two rank windows + one equi join on (user, rank), gap allowed to
+    // be negative (index order, not causality; q110 owns the causal
+    // attribution semantics).
+    "q195_fifo_match" -> ((s, dir) => {
+      val e = ev(s, dir)
+      def ranked(tpe: String, pre: String) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col(s"${pre}_ts"), col(s"${pre}_id"))
+        e.where(col("event_type") === tpe)
+          .select(col("user_id"), col("event_id").as(s"${pre}_id"),
+            col("ts_ms").as(s"${pre}_ts"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+      }
+      ranked("click", "click")
+        .join(ranked("purchase", "purchase"), Seq("user_id", "rn"))
+        .select(col("user_id"), col("rn"), col("click_id"),
+          col("purchase_id"),
+          (col("purchase_ts") - col("click_ts")).as("gap_ms"))
+    }),
+
+    // Two-level derived-table CASCADE (hour→day→week rollup shape): the
+    // daily CDC-maintained aggregate is ITSELF an UpsertTable, so a
+    // second DerivedAggTable maintains the 5-day-bucket rollup off the
+    // daily one's commits — refresh cost at each level scales with
+    // churned groups, and the bucket partition prunes the daily scan.
+    // The oracle recomputes the rollup straight from resolved raw events
+    // (bucket = epoch-ms div 5 days: pure integers, no week-numbering
+    // convention to disagree on).
+    "q196_rollup_cascade" -> ((s, dir) => {
+      val base = ev(s, dir).select(
+        col("event_id").as("k"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        expr("cast(ts_ms div 432000000 as string)").as("wk"),
+        cents(col("value")).as("v_cents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val c1 = base.withColumn("ver", lit(1L)).withColumn("del", lit(false))
+      val c2 = base.where(col("k") % 11 === 0)
+        .withColumn("v_cents", col("v_cents") + 500L)
+        .withColumn("ver", lit(2L)).withColumn("del", lit(false))
+      val root = queryTmp("graft_cascade_q196")
+      val src = new sinks.UpsertTable(s"$root/src", Seq("k"), "ver",
+        Seq("day"), Some("del"))
+      val drvDay = new sinks.UpsertTable(s"$root/day", Seq("day"), "__ver",
+        Seq("wk"), Some("__dead"))
+      val drvWk = new sinks.UpsertTable(s"$root/wk", Seq("wk"), "__ver",
+        Nil, Some("__dead"))
+      val daily = new sinks.DerivedAggTable(src, drvDay, Seq("day"),
+        df => df.groupBy("day")
+          .agg(count(lit(1)).as("n"), sum("v_cents").as("cents"))
+          // wk is functionally dependent on day — carried for the daily
+          // table's bucket partitioning (the cascade's prune key)
+          .withColumn("wk", expr(
+            "cast((unix_date(to_date(day)) * 86400000L) div 432000000 as string)"))
+          .select(col("day"), col("wk"), col("n"), col("cents")),
+        s"$root/_ckpt_day")
+      val weekly = new sinks.DerivedAggTable(drvDay, drvWk, Seq("wk"),
+        df => df.groupBy("wk").agg(sum("n").as("n"),
+          sum("cents").as("cents"), count(lit(1)).as("n_days")),
+        s"$root/_ckpt_wk")
+      src.upsert(c1)
+      daily.refresh(s); weekly.refresh(s)
+      src.upsert(c2)
+      daily.refresh(s); weekly.refresh(s)
+      drvWk.snapshot(s).select("wk", "n", "cents", "n_days")
+    }),
+
     // Quantile-quantile distribution mapping (calibration table): exact
     // deciles of the click- and purchase-value distributions matched by
     // percent — the monotone value-mapping a score-calibration or
@@ -7181,6 +7250,35 @@ object SparkEntry {
         | CAST(coalesce(o.version, 0) AS BIGINT) AS version
         |FROM p LEFT JOIN o ON o.k = p.k AND o.valid_from <= p.ts
         | AND (o.valid_to = -1 OR p.ts < o.valid_to)""".stripMargin,
+
+    // q195: same rank windows, (user, rn) equi join.
+    "q195_fifo_match" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id,
+        |  epoch_ms(ts) AS click_ts,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ms(ts), event_id) AS rn
+        | FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id,
+        |  epoch_ms(ts) AS purchase_ts,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ms(ts), event_id) AS rn
+        | FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, CAST(c.rn AS BIGINT) AS rn, c.click_id,
+        | p.purchase_id, p.purchase_ts - c.click_ts AS gap_ms
+        |FROM c JOIN p ON p.user_id = c.user_id AND p.rn = c.rn""".stripMargin,
+
+    // q196: 5-day-bucket rollup straight off resolved events (ver-2
+    // rows win for k % 11); n_days = distinct active days per bucket.
+    "q196_rollup_cascade" ->
+      """WITH e AS (SELECT event_id AS k, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(epoch_ms(ts) // 432000000 AS VARCHAR) AS wk,
+        |  CAST(round(value * 100) AS BIGINT)
+        |    + CASE WHEN event_id % 11 = 0 THEN 500 ELSE 0 END AS v_cents
+        | FROM events)
+        |SELECT wk, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(v_cents) AS BIGINT) AS cents,
+        | CAST(count(DISTINCT day) AS BIGINT) AS n_days
+        |FROM e GROUP BY 1""".stripMargin,
 
     // q194: the q175 cumulative-rank rule per type, decile join.
     "q194_qq_map" ->
