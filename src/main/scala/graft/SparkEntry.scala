@@ -2554,6 +2554,89 @@ object SparkEntry {
           coalesce(col("h.version"), lit(0L)).as("version"))
     }),
 
+    // Grouped top-p (nucleus) filtering — the sampling-prep op an LLM
+    // data/serving pipeline applies per distribution: per language, keep
+    // the smallest (freq desc, tok) prefix of the token distribution
+    // whose cumulative mass reaches 80% — strict integer rule
+    // (cum_before·100 < 80·total keeps), one rank window per group.
+    "q197_nucleus" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("f").desc, col("tok"))
+      val freq = t(s, dir, "documents")
+        .select(col("lang"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("f"))
+      freq
+        .withColumn("cum_before", coalesce(sum(col("f")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+        .withColumn("total", sum(col("f")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
+        .where(col("cum_before") * 100 < col("total") * 80)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("nucleus_size"),
+          sum(col("f")).as("nucleus_mass"),
+          max(col("total")).as("total"))
+        .withColumn("mass_ppm", expr("nucleus_mass * 1000000 div total"))
+    }),
+
+    // Split-leakage audit: group-aware train/val assignment (all of a
+    // user's events follow the user's hash) must have ZERO user overlap —
+    // the audit every supervised pipeline should run and few do. One
+    // distinct pass + a self-join-free overlap census via per-user
+    // distinct-split counts.
+    "q198_leakage_audit" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("event_id"))
+        .withColumn("split",
+          when(substring(md5(concat(col("user_id").cast("string"),
+            lit("#split#"))), 1, 2) < "cd",
+            lit("train")).otherwise(lit("val")))
+      val users = e.select(col("user_id"), col("split")).distinct()
+      val overlap = users.groupBy(col("user_id"))
+        .agg(countDistinct(col("split")).as("k"))
+        .agg(coalesce(sum(when(col("k") > 1, 1L)), lit(0L))
+          .as("leaked_users"))
+      e.groupBy(col("split"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(overlap))
+    }),
+
+    // Simpson concentration index per event type over users — the
+    // diversity companion to q179's entropy, exact ppm from pure integer
+    // sums: Σ n_i² · 1e6 div n².
+    "q199_simpson" -> ((s, dir) =>
+      ev(s, dir).groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_users"),
+          sum(col("c") * col("c")).as("sum_sq"))
+        .withColumn("simpson_ppm", expr("sum_sq * 1000000 div (n * n)"))),
+
+    // Benford first-digit audit of the value column (cents): observed
+    // per-digit census vs the literal Benford expectation table — the
+    // classic fabricated-data smoke test; one scan, digit from string
+    // prefix (values are positive cents, no sign/zero handling needed).
+    "q200_benford" -> ((s, dir) => {
+      val expected = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+        66947L, 57992L, 51153L, 45757L)
+      val expCase = (1 to 9).map(d =>
+        s"WHEN $d THEN ${expected(d - 1)}L").mkString(
+        "CASE digit ", " ", " ELSE 0L END")
+      val digits = ev(s, dir)
+        .select(substring(cents(col("value")).cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      digits
+        .crossJoin(broadcast(digits.agg(sum(col("n")).as("total"))))
+        .withColumn("obs_ppm", expr("n * 1000000 div total"))
+        .withColumn("exp_ppm", expr(expCase))
+        .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+        .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
+          col("dev_ppm"))
+    }),
+
     // FIFO 1:1 pairing (allocation-join shape: trade matching, credit
     // assignment): the k-th click of a user pairs the k-th purchase —
     // two rank windows + one equi join on (user, rank), gap allowed to
@@ -7250,6 +7333,71 @@ object SparkEntry {
         | CAST(coalesce(o.version, 0) AS BIGINT) AS version
         |FROM p LEFT JOIN o ON o.k = p.k AND o.valid_from <= p.ts
         | AND (o.valid_to = -1 OR p.ts < o.valid_to)""".stripMargin,
+
+    // q197: same strict prefix rule per language.
+    "q197_nucleus" ->
+      """WITH f AS (SELECT lang, tok, count(*) AS f FROM (
+        |  SELECT lang, unnest(regexp_split_to_array(trim(lower(text)),
+        |    '\s+')) AS tok FROM documents)
+        | WHERE length(tok) > 0 GROUP BY 1, 2),
+        |w AS (SELECT lang, tok, f,
+        |  coalesce(sum(f) OVER (PARTITION BY lang ORDER BY f DESC, tok
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS cum_before,
+        |  sum(f) OVER (PARTITION BY lang) AS total FROM f)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS nucleus_size,
+        | CAST(sum(f) AS BIGINT) AS nucleus_mass,
+        | CAST(max(total) AS BIGINT) AS total,
+        | CAST(sum(f) * 1000000 // max(total) AS BIGINT) AS mass_ppm
+        |FROM w WHERE cum_before * 100 < total * 80 GROUP BY 1""".stripMargin,
+
+    // q198: md5 group-hash split, per-user distinct-split census, zero
+    // overlap by construction — the audit must prove it.
+    "q198_leakage_audit" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || '#split#'),
+        |    1, 2) < 'cd' THEN 'train' ELSE 'val' END AS split
+        | FROM events),
+        |u AS (SELECT DISTINCT user_id, split FROM e),
+        |o AS (SELECT coalesce(sum(CASE WHEN k > 1 THEN 1 END), 0)
+        |    AS leaked_users
+        | FROM (SELECT user_id, count(DISTINCT split) AS k FROM u
+        |       GROUP BY 1))
+        |SELECT split, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(o.leaked_users AS BIGINT) AS leaked_users
+        |FROM e CROSS JOIN o GROUP BY 1, o.leaked_users""".stripMargin,
+
+    // q199: pure integer Σn², ppm by cross-multiplication-free div.
+    "q199_simpson" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS c FROM events
+        | GROUP BY 1, 2)
+        |SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+        | CAST(count(*) AS BIGINT) AS n_users,
+        | CAST(sum(c * c) AS BIGINT) AS sum_sq,
+        | CAST(sum(c * c) * 1000000 // (sum(c) * sum(c)) AS BIGINT)
+        |   AS simpson_ppm
+        |FROM c GROUP BY 1""".stripMargin,
+
+    // q200: literal Benford ppm table, first digit of positive cents.
+    "q200_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(round(value * 100)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        | FROM events),
+        |n AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT sum(n) AS total FROM n)
+        |SELECT digit, CAST(n AS BIGINT) AS n,
+        | CAST(n * 1000000 // t.total AS BIGINT) AS obs_ppm,
+        | CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+        |  WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+        |  WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+        |  WHEN 9 THEN 45757 ELSE 0 END AS BIGINT) AS exp_ppm,
+        | CAST(abs(n * 1000000 // t.total - CASE digit WHEN 1 THEN 301030
+        |  WHEN 2 THEN 176091 WHEN 3 THEN 124939 WHEN 4 THEN 96910
+        |  WHEN 5 THEN 79181 WHEN 6 THEN 66947 WHEN 7 THEN 57992
+        |  WHEN 8 THEN 51153 WHEN 9 THEN 45757 ELSE 0 END) AS BIGINT)
+        |   AS dev_ppm
+        |FROM n CROSS JOIN t""".stripMargin,
 
     // q195: same rank windows, (user, rn) equi join.
     "q195_fifo_match" ->
