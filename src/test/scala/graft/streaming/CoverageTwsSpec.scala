@@ -78,6 +78,42 @@ class CoverageTwsSpec extends SparkSpec {
     }
   }
 
+  test("restart from checkpoint: open islands and accumulators survive") {
+    withRocksDb {
+      val mem = MemoryStream[CoverageTws.Iv]
+      val cp = java.nio.file.Files.createTempDirectory("covtws_cp").toString
+      val outDir = java.nio.file.Files.createTempDirectory("covtws_out").toString
+      // the memory sink refuses checkpoint recovery — foreachBatch to
+      // parquet, the flagship restart pattern
+      def start() = CoverageTws.coverageStream(mem.toDS(), "5 seconds")
+        .writeStream.option("checkpointLocation", cp).outputMode("append")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[CoverageTws.Coverage],
+              _: Long) => b.write.mode("append").parquet(outDir)
+        }
+        .start()
+      val q1 = start()
+      mem.addData(b1: _*)
+      q1.processAllAvailable()
+      q1.stop()
+      // restart: the merge/touch against b1's islands can only succeed
+      // if the ListState came back from the checkpoint
+      val q2 = start()
+      mem.addData(b2: _*)
+      q2.processAllAvailable()
+      mem.addData(CoverageTws.Iv("zzz", 10000000L, 10000001L))
+      q2.processAllAvailable()
+      mem.addData(CoverageTws.Iv("u1", 10100000L, 10100002L))
+      q2.processAllAvailable()
+      q2.stop()
+      val rows = spark.read.parquet(outDir)
+        .select("key", "nIntervals", "nIslands", "coveredMs", "seq")
+        .as[(String, Long, Long, Long, Long)].collect()
+      val u1 = rows.filter(_._1 == "u1").maxBy(_._5)
+      assert((u1._2, u1._3, u1._4) == ((5L, 3L, 30002L)), s"got $u1")
+    }
+  }
+
   test("state actually shrinks: frozen islands leave the open list") {
     withRocksDb {
       val mem = MemoryStream[CoverageTws.Iv]
