@@ -114,6 +114,41 @@ class CoverageTwsSpec extends SparkSpec {
     }
   }
 
+  test("randomized parity: many keys, many batches, arbitrary overlap") {
+    withRocksDb {
+      val rnd = new scala.util.Random(7)
+      // ragged interval soup over 6 keys; starts strictly positive, huge
+      // watermark delay so no row is ever late (freeze path is pinned by
+      // the dedicated tests above — this one hammers the merge algebra)
+      val ivs = (1 to 300).map { _ =>
+        val k = s"k${rnd.nextInt(6)}"
+        val s0 = 1000L + rnd.nextInt(500000)
+        CoverageTws.Iv(k, s0, s0 + 1 + rnd.nextInt(30000))
+      }
+      val mem = MemoryStream[CoverageTws.Iv]
+      val q = CoverageTws.coverageStream(mem.toDS(), "1000000 seconds")
+        .writeStream.format("memory").queryName("coverage_tws_rnd")
+        .outputMode("append").start()
+      try {
+        ivs.grouped(37).foreach { b =>
+          mem.addData(b: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val latest = spark.table("coverage_tws_rnd")
+        .select("key", "nIntervals", "nIslands", "coveredMs", "seq")
+        .as[(String, Long, Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (k, rs) =>
+          val r = rs.maxBy(_._5); k -> (r._2, r._3, r._4) }
+      val batch = graft.operators.IntervalJoin.unionCoverage(
+          ivs.toDF("key", "s", "e"), Seq("key"), "s", "e")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(latest == batch,
+        s"diff: ${latest.toSet.diff(batch.toSet)} vs ${batch.toSet.diff(latest.toSet)}")
+    }
+  }
+
   test("state actually shrinks: frozen islands leave the open list") {
     withRocksDb {
       val mem = MemoryStream[CoverageTws.Iv]
