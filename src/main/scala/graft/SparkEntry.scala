@@ -2554,6 +2554,43 @@ object SparkEntry {
           coalesce(col("h.version"), lit(0L)).as("version"))
     }),
 
+    // Deterministic negative sampling (implicit-feedback training prep):
+    // per user, J=30 hash-addressed catalog probes, interacted items
+    // rejected, first k=10 survivors kept — work is users×J (linear),
+    // NEVER users×catalog (the naive anti-join-the-whole-catalog shape
+    // that dies at scale); the rejection anti-join shuffles on the same
+    // (user, item) key as the interaction set. md5-prefix arithmetic is
+    // replayed verbatim by the oracle.
+    "q201_negative_sampling" -> ((s, dir) => {
+      val inter = t(s, dir, "orders")
+        .select(col("o_custkey").as("u"), col("o_orderkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"),
+            col("l_partkey").as("item")), "o_orderkey")
+        .select(col("u"), col("item")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val np = t(s, dir, "part").agg(count(lit(1)).as("np"))
+      val att = inter.select(col("u")).distinct()
+        .crossJoin(broadcast(np))
+        .select(col("u"), col("np"),
+          explode(sequence(lit(0), lit(29))).as("j"))
+      val cand = att.withColumn("item",
+        pmod(expr("cast(conv(substring(md5(concat('neg#', " +
+          "cast(u as string), '#', cast(j as string))), 1, 12), 16, 10) " +
+          "as bigint)"), col("np")) + 1)
+      val wDup = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("u"), col("item")).orderBy(col("j"))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("u")).orderBy(col("j"))
+      cand.join(inter, Seq("u", "item"), "left_anti")
+        .withColumn("rd", row_number().over(wDup))
+        .where(col("rd") === 1)
+        .withColumn("neg_rank", row_number().over(wRank).cast("long"))
+        .where(col("neg_rank") <= 10)
+        .select(col("u").as("custkey"), col("neg_rank"),
+          col("item").as("partkey"), col("j").cast("long").as("attempt"))
+    }),
+
     // Grouped top-p (nucleus) filtering — the sampling-prep op an LLM
     // data/serving pipeline applies per distribution: per language, keep
     // the smallest (freq desc, tok) prefix of the token distribution
@@ -7333,6 +7370,28 @@ object SparkEntry {
         | CAST(coalesce(o.version, 0) AS BIGINT) AS version
         |FROM p LEFT JOIN o ON o.k = p.k AND o.valid_from <= p.ts
         | AND (o.valid_to = -1 OR p.ts < o.valid_to)""".stripMargin,
+
+    // q201: same md5-prefix probes, rejection, dedup, first-k rule.
+    "q201_negative_sampling" ->
+      """WITH inter AS (SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS item
+        | FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |p AS (SELECT count(*) AS np FROM part),
+        |users AS (SELECT DISTINCT u FROM inter),
+        |att AS (SELECT u, j FROM users,
+        |  (SELECT unnest(range(0, 30)) AS j)),
+        |cand AS (SELECT u, j,
+        |  CAST(('0x' || substr(md5('neg#' || u || '#' || j), 1, 12))
+        |    AS BIGINT) % p.np + 1 AS item FROM att CROSS JOIN p),
+        |ok AS (SELECT c.u, c.j, c.item FROM cand c
+        | LEFT JOIN inter i ON i.u = c.u AND i.item = c.item
+        | WHERE i.u IS NULL),
+        |d AS (SELECT u, j, item, row_number() OVER (PARTITION BY u, item
+        |   ORDER BY j) AS rd FROM ok),
+        |r AS (SELECT u, j, item, row_number() OVER (PARTITION BY u
+        |   ORDER BY j) AS rk FROM d WHERE rd = 1)
+        |SELECT u AS custkey, CAST(rk AS BIGINT) AS neg_rank,
+        | item AS partkey, CAST(j AS BIGINT) AS attempt
+        |FROM r WHERE rk <= 10""".stripMargin,
 
     // q197: same strict prefix rule per language.
     "q197_nucleus" ->
