@@ -2554,6 +2554,38 @@ object SparkEntry {
           coalesce(col("h.version"), lit(0L)).as("version"))
     }),
 
+    // Referential-integrity audit across the star schema: per FK
+    // relation, child-row and orphan censuses (key-grouped child side
+    // joined against parent existence — no per-relation driver action,
+    // one union of four aggregates). TPC-H ships conformant, so orphan
+    // columns gate at exactly zero — the point of an RI audit is proving
+    // the zero.
+    "q202_ref_integrity" -> ((s, dir) => {
+      def rel(name: String, child: DataFrame, fk: String,
+          parent: DataFrame, pk: String): DataFrame =
+        child.select(col(fk).as("k")).groupBy(col("k"))
+          .agg(count(lit(1)).as("cnt"))
+          .join(parent.select(col(pk).as("k")).distinct()
+            .withColumn("ex", lit(1)), Seq("k"), "left")
+          .agg(sum(col("cnt")).as("n_child"),
+            count(lit(1)).as("n_keys"),
+            coalesce(sum(when(col("ex").isNull, col("cnt"))), lit(0L))
+              .as("n_orphan_rows"),
+            coalesce(sum(when(col("ex").isNull, 1L)), lit(0L))
+              .as("n_orphan_keys"))
+          .withColumn("relation", lit(name))
+          .select(col("relation"), col("n_child"), col("n_keys"),
+            col("n_orphan_rows"), col("n_orphan_keys"))
+      rel("lineitem.orderkey", t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey")
+        .unionByName(rel("lineitem.partkey", t(s, dir, "lineitem"),
+          "l_partkey", t(s, dir, "part"), "p_partkey"))
+        .unionByName(rel("lineitem.suppkey", t(s, dir, "lineitem"),
+          "l_suppkey", t(s, dir, "supplier"), "s_suppkey"))
+        .unionByName(rel("orders.custkey", t(s, dir, "orders"),
+          "o_custkey", t(s, dir, "customer"), "c_custkey"))
+    }),
+
     // Deterministic negative sampling (implicit-feedback training prep):
     // per user, J=30 hash-addressed catalog probes, interacted items
     // rejected, first k=10 survivors kept — work is users×J (linear),
@@ -7370,6 +7402,34 @@ object SparkEntry {
         | CAST(coalesce(o.version, 0) AS BIGINT) AS version
         |FROM p LEFT JOIN o ON o.k = p.k AND o.valid_from <= p.ts
         | AND (o.valid_to = -1 OR p.ts < o.valid_to)""".stripMargin,
+
+    // q202: per-relation child/orphan censuses, zeros proven.
+    "q202_ref_integrity" ->
+      """WITH r1 AS (SELECT 'lineitem.orderkey' AS relation,
+        |  CAST(count(*) AS BIGINT) AS n_child,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_keys,
+        |  CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT)
+        |    AS n_orphan_rows,
+        |  CAST(count(DISTINCT l_orderkey) FILTER (o_orderkey IS NULL)
+        |    AS BIGINT) AS n_orphan_keys
+        | FROM lineitem LEFT JOIN orders ON o_orderkey = l_orderkey),
+        |r2 AS (SELECT 'lineitem.partkey',
+        |  CAST(count(*) AS BIGINT), CAST(count(DISTINCT l_partkey) AS BIGINT),
+        |  CAST(count(*) FILTER (p_partkey IS NULL) AS BIGINT),
+        |  CAST(count(DISTINCT l_partkey) FILTER (p_partkey IS NULL) AS BIGINT)
+        | FROM lineitem LEFT JOIN part ON p_partkey = l_partkey),
+        |r3 AS (SELECT 'lineitem.suppkey',
+        |  CAST(count(*) AS BIGINT), CAST(count(DISTINCT l_suppkey) AS BIGINT),
+        |  CAST(count(*) FILTER (s_suppkey IS NULL) AS BIGINT),
+        |  CAST(count(DISTINCT l_suppkey) FILTER (s_suppkey IS NULL) AS BIGINT)
+        | FROM lineitem LEFT JOIN supplier ON s_suppkey = l_suppkey),
+        |r4 AS (SELECT 'orders.custkey',
+        |  CAST(count(*) AS BIGINT), CAST(count(DISTINCT o_custkey) AS BIGINT),
+        |  CAST(count(*) FILTER (c_custkey IS NULL) AS BIGINT),
+        |  CAST(count(DISTINCT o_custkey) FILTER (c_custkey IS NULL) AS BIGINT)
+        | FROM orders LEFT JOIN customer ON c_custkey = o_custkey)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4""".stripMargin,
 
     // q201: same md5-prefix probes, rejection, dedup, first-k rule.
     "q201_negative_sampling" ->
