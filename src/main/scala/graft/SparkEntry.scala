@@ -2554,6 +2554,23 @@ object SparkEntry {
           coalesce(col("h.version"), lit(0L)).as("version"))
     }),
 
+    // Weighted PageRank over the co-occurrence multiset — multiplicity
+    // as edge weight, (r·w) div W_u integer contributions, same shared
+    // edge materialization as q77/q180.
+    "q203_weighted_pagerank" -> ((s, dir) =>
+      Graph.pageRankWeightedE9(
+        coSupplierPairs(s, dir)
+          .groupBy(col("l_suppkey"), col("dst_supp"))
+          .agg(count(lit(1)).as("w")),
+        "l_suppkey", "dst_supp", "w", iterations = 2)),
+
+    // Degree-assortativity sufficient statistics over the distinct
+    // co-occurrence edges — do hubs co-occur with hubs? Exact BIGINT
+    // Pearson pieces, never a double.
+    "q204_assortativity" -> ((s, dir) =>
+      Graph.degreeAssortativityStats(
+        coSupplierPairs(s, dir).distinct(), "l_suppkey", "dst_supp")),
+
     // Referential-integrity audit across the star schema: per FK
     // relation, child-row and orphan censuses (key-grouped child side
     // joined against parent existence — no per-relation driver action,
@@ -7402,6 +7419,45 @@ object SparkEntry {
         | CAST(coalesce(o.version, 0) AS BIGINT) AS version
         |FROM p LEFT JOIN o ON o.k = p.k AND o.valid_from <= p.ts
         | AND (o.valid_to = -1 OR p.ts < o.valid_to)""".stripMargin,
+
+    // q203: both weighted rounds unrolled — (r·w) // W_u contributions.
+    "q203_weighted_pagerank" ->
+      """WITH e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+        |  count(*) AS w
+        | FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        | WHERE a.l_suppkey <> b.l_suppkey GROUP BY 1, 2),
+        |ws AS (SELECT src, sum(w) AS ws FROM e GROUP BY 1),
+        |nodes AS (SELECT DISTINCT id FROM
+        | (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (SELECT e.dst AS id, sum((r0.r * e.w) // ws.ws) AS m
+        | FROM e JOIN ws ON ws.src = e.src JOIN r0 ON r0.id = e.src
+        | GROUP BY 1),
+        |r1 AS (SELECT n.id, CAST(150000000 + (85 * coalesce(c1.m, 0)) // 100
+        |   AS BIGINT) AS r FROM nodes n LEFT JOIN c1 USING (id)),
+        |c2 AS (SELECT e.dst AS id, sum((r1.r * e.w) // ws.ws) AS m
+        | FROM e JOIN ws ON ws.src = e.src JOIN r1 ON r1.id = e.src
+        | GROUP BY 1),
+        |r2 AS (SELECT n.id, CAST(150000000 + (85 * coalesce(c2.m, 0)) // 100
+        |   AS BIGINT) AS r FROM nodes n LEFT JOIN c2 USING (id))
+        |SELECT id AS l_suppkey, r AS rank_e9 FROM r2""".stripMargin,
+
+    // q204: same censuses over DISTINCT edges, integer Pearson pieces.
+    "q204_assortativity" ->
+      """WITH e AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        | FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        | WHERE a.l_suppkey <> b.l_suppkey),
+        |od AS (SELECT src, count(*) AS x FROM e GROUP BY 1),
+        |id_ AS (SELECT dst, count(*) AS y FROM e GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+        | CAST(sum(x * y) AS BIGINT) AS sum_xy,
+        | CAST(sum(x * x) AS BIGINT) AS sum_xx,
+        | CAST(sum(y * y) AS BIGINT) AS sum_yy,
+        | CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS corr_num,
+        | CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS var_x,
+        | CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT) AS var_y
+        |FROM e JOIN od USING (src) JOIN id_ ON id_.dst = e.dst""".stripMargin,
 
     // q202: per-relation child/orphan censuses, zeros proven.
     "q202_ref_integrity" ->

@@ -277,6 +277,70 @@ object Graph {
     e.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
   }
 
+  /** WEIGHTED damped PageRank — the co-occurrence-graph variant where a
+    * neighbor heard 40× deserves 40× the mass of one heard once: round
+    * update r' = base + (num · Σ_{u→v} (r_u·w_uv div W_u)) div den with
+    * W_u = Σ_w out-weights, same integer fixed-point discipline as
+    * [[pageRankE9]] (truncating divisions, order-free integer sums —
+    * hash-gateable at a fixed iteration count). Caller contract:
+    * positive integer weights with max(r)·max(w) inside BIGINT — r is
+    * bounded by 1e9·|nodes|, so multiplicity-style weights (≤ ~1e6)
+    * are safe. Same per-round single-join shape; edges arrive
+    * pre-aggregated (one row per (src, dst) with its weight). */
+  def pageRankWeightedE9(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iterations: Int, dampNum: Long = 85L,
+      dampDen: Long = 100L, checkpointEvery: Int = 8): DataFrame = {
+    require(iterations >= 1 && dampNum > 0 && dampDen >= dampNum)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wsum = e.groupBy(col("src")).agg(sum(col("w")).as("ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = (1000000000L * (dampDen - dampNum)) / dampDen
+    var r = nodes.select(col("id"), lit(1000000000L).as("r"))
+    for (i <- 1 to iterations) {
+      val contrib = e.join(wsum, "src")
+        .join(r.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("(r * w) div ws").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("m"))
+      r = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"), (lit(base) +
+          expr(s"($dampNum * coalesce(m, CAST(0 AS BIGINT))) div $dampDen"))
+          .as("r"))
+      if (i % checkpointEvery == 0 && i < iterations)
+        r = r.localCheckpoint(true)
+    }
+    r.select(col("id").as(srcCol), col("r").as("rank_e9"))
+  }
+
+  /** Degree-assortativity sufficient statistics (Newman 2002, "Assortative
+    * mixing in networks" — public result): the Pearson correlation of
+    * (out-degree(src), in-degree(dst)) over directed edges, reported as
+    * the exact BIGINT sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²)
+    * plus the cross-multiplied numerator/denominator pieces — the q148
+    * OLS discipline applied to graph structure, so the gate never hashes
+    * a double. One degree census per side + one edge join.
+    * corr = (n·Σxy − Σx·Σy) / √((n·Σx²−(Σx)²)(n·Σy²−(Σy)²)). */
+  def degreeAssortativityStats(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("x"))
+    val inDeg = e.groupBy(col("dst")).agg(count(lit(1)).as("y"))
+    e.join(outDeg, "src").join(inDeg, "dst")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_x"),
+        sum(col("y")).as("sum_y"), sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_xx"),
+        sum(col("y") * col("y")).as("sum_yy"))
+      .withColumn("corr_num", expr("n * sum_xy - sum_x * sum_y"))
+      .withColumn("var_x", expr("n * sum_xx - sum_x * sum_x"))
+      .withColumn("var_y", expr("n * sum_yy - sum_y * sum_y"))
+  }
+
   /** Bounded-depth BFS hop counts from a seed set — the reachability
     * pass link-graph pipelines run to scope a crawl frontier or bound a
     * neighborhood sample (seed expansion). Frontier-style level-sync

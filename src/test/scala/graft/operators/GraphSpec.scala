@@ -237,6 +237,51 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("weighted pageRank matches the sequential truncating model; uniform weights = unweighted") {
+    val we = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 2L), (3L, 1L, 5L),
+      (4L, 3L, 1L))
+    def model(iters: Int): Map[Long, Long] = {
+      val nodes = we.flatMap(e => Seq(e._1, e._2)).distinct
+      val ws = we.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._3).sum }
+      var r = nodes.map(_ -> 1000000000L).toMap
+      for (_ <- 1 to iters) {
+        val in = we.groupBy(_._2).map { case (d, xs) =>
+          d -> xs.map(e => (r(e._1) * e._3) / ws(e._1)).sum }
+        r = nodes.map(n => n -> (150000000L + 85L * in.getOrElse(n, 0L) / 100L)).toMap
+      }
+      r
+    }
+    for (iters <- Seq(1, 3)) {
+      val got = Graph.pageRankWeightedE9(we.toDF("s", "d", "w"),
+          "s", "d", "w", iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == model(iters), s"iters=$iters")
+    }
+    // all-equal weights reduce EXACTLY to the unweighted operator
+    val uw = we.map { case (s, d, _) => (s, d) }
+    val flat = Graph.pageRankWeightedE9(
+        uw.map { case (s, d) => (s, d, 7L) }.toDF("s", "d", "w"),
+        "s", "d", "w", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = Graph.pageRankE9(uw.toDF("s", "d"), "s", "d", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flat == plain)
+  }
+
+  test("degreeAssortativityStats: exact integer Pearson pieces") {
+    // star 1→{2,3,4} plus chain 2→3: out-degrees 1:3, 2:1; in-deg 2:1,
+    // 3:2, 4:1
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)).toDF("s", "d")
+    val r = Graph.degreeAssortativityStats(e, "s", "d").collect().head
+    val m = r.getValuesMap[Long](Seq("n", "sum_x", "sum_y", "sum_xy",
+      "sum_xx", "sum_yy", "corr_num", "var_x", "var_y"))
+    // per-edge (x=out(src), y=in(dst)): (3,1), (3,2), (3,1), (1,2)
+    assert(m("n") == 4L && m("sum_x") == 10L && m("sum_y") == 6L)
+    assert(m("sum_xy") == 14L && m("sum_xx") == 28L && m("sum_yy") == 10L)
+    assert(m("corr_num") == 4L * 14L - 10L * 6L)
+    assert(m("var_x") == 4L * 28L - 100L && m("var_y") == 4L * 10L - 36L)
+  }
+
   test("bfsHops: level-sync frontier matches sequential BFS, seeds at 0") {
     // 1→2→3→4→5 chain plus a shortcut 1→4; 9 unreachable; 8 isolated seed
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L), (9L, 1L))
