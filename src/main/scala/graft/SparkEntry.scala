@@ -2554,6 +2554,33 @@ object SparkEntry {
           coalesce(col("h.version"), lit(0L)).as("version"))
     }),
 
+    // Nested semi-structured round-trip: order documents with item
+    // ARRAYS built deterministically (line-number order), re-parsed with
+    // a nested from_json schema, array-exploded, re-aggregated — the
+    // oracle computes the same census STRAIGHT from the relational rows,
+    // so any loss or garbling anywhere in the build→parse→flatten chain
+    // mismatches. Complements q193 (scalar corrupt-channel ingestion).
+    "q205_json_nested" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") % 5 === 0)
+      val doc = li.groupBy(col("l_orderkey"))
+        .agg(concat(lit("{\"o\":"), col("l_orderkey"),
+          lit(",\"items\":["),
+          array_join(transform(
+            array_sort(collect_list(struct(col("l_linenumber"),
+              concat(lit("{\"p\":"), col("l_partkey"), lit(",\"q\":"),
+                col("l_quantity").cast("long"), lit("}")).as("s")))),
+            e => e.getField("s")), ","),
+          lit("]}")).as("line"))
+      doc
+        .withColumn("j", from_json(col("line"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "o BIGINT, items ARRAY<STRUCT<p: BIGINT, q: BIGINT>>")))
+        .select(explode(col("j.items")).as("it"))
+        .groupBy(col("it.p").as("p_partkey"))
+        .agg(sum(col("it.q")).as("total_qty"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // Weighted PageRank over the co-occurrence multiset — multiplicity
     // as edge weight, (r·w) div W_u integer contributions, same shared
     // edge materialization as q77/q180.
@@ -7419,6 +7446,13 @@ object SparkEntry {
         | CAST(coalesce(o.version, 0) AS BIGINT) AS version
         |FROM p LEFT JOIN o ON o.k = p.k AND o.valid_from <= p.ts
         | AND (o.valid_to = -1 OR p.ts < o.valid_to)""".stripMargin,
+
+    // q205: the relational truth the JSON round-trip must reproduce.
+    "q205_json_nested" ->
+      """SELECT l_partkey AS p_partkey,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+        | CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem WHERE l_orderkey % 5 = 0 GROUP BY 1""".stripMargin,
 
     // q203: both weighted rounds unrolled — (r·w) // W_u contributions.
     "q203_weighted_pagerank" ->
