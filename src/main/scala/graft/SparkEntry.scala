@@ -2554,6 +2554,51 @@ object SparkEntry {
           coalesce(col("h.version"), lit(0L)).as("version"))
     }),
 
+    // Leave-last-out recommender evaluation, end to end and
+    // leakage-free: every user's LAST interaction is held out, item-item
+    // cosine trains on the remainder only (q143 machinery), candidates
+    // score as Σ sim(history, cand) with history excluded, hit-rate@3
+    // decided in integers. The standard offline eval a recommender ships
+    // with — and the leakage trap (training on the held-out event) is
+    // exactly what the train/test split here refuses.
+    "q206_leave_last_out" -> ((s, dir) => {
+      val ev0 = ev(s, dir).select(col("user_id").cast("string").as("u"),
+        concat(lit("C"), pmod(get_json_object(col("props"), "$.k")
+          .cast("long"), lit(20)).cast("string")).as("item"),
+        col("ts_ms"), col("event_id"))
+      val wLast = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("u"))
+        .orderBy(col("ts_ms").desc, col("event_id").desc)
+      val marked = ev0.withColumn("rn", row_number().over(wLast))
+      val test = marked.where(col("rn") === 1)
+        .select(col("u"), col("item").as("held"))
+      val train = marked.where(col("rn") > 1).select(col("u"), col("item"))
+      val sims = operators.ItemCF.itemSimilarity(train, col("u"),
+        col("item"), minCooc = 5L)
+      val simBoth = sims.select(col("item_a").as("h"),
+          col("item_b").as("cand"), col("cos2_e12"))
+        .unionByName(sims.select(col("item_b").as("h"),
+          col("item_a").as("cand"), col("cos2_e12")))
+      val hist = train.distinct()
+      val scored = hist.withColumnRenamed("item", "h")
+        .join(simBoth, "h")
+        .join(hist.withColumnRenamed("item", "cand")
+          .withColumn("own", lit(1)), Seq("u", "cand"), "left")
+        .where(col("own").isNull)
+        .groupBy(col("u"), col("cand"))
+        .agg(sum(col("cos2_e12")).as("score"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("u")).orderBy(col("score").desc, col("cand"))
+      val top = scored.withColumn("rk", row_number().over(wTop))
+        .where(col("rk") <= 3)
+      test.join(top, Seq("u"), "left")
+        .withColumn("hit",
+          when(col("cand") === col("held"), 1L).otherwise(0L))
+        .agg(countDistinct(col("u")).as("n_users"),
+          coalesce(sum(col("hit")), lit(0L)).as("hits"))
+        .withColumn("hitrate_ppm", expr("hits * 1000000 div n_users"))
+    }),
+
     // Nested semi-structured round-trip: order documents with item
     // ARRAYS built deterministically (line-number order), re-parsed with
     // a nested from_json schema, array-exploded, re-aggregated — the
@@ -7446,6 +7491,41 @@ object SparkEntry {
         | CAST(coalesce(o.version, 0) AS BIGINT) AS version
         |FROM p LEFT JOIN o ON o.k = p.k AND o.valid_from <= p.ts
         | AND (o.valid_to = -1 OR p.ts < o.valid_to)""".stripMargin,
+
+    // q206: the whole eval replayed — per-user last-event cut, q143
+    // similarity over the train remainder, Σ-sim scoring with history
+    // exclusion, (score desc, cand) top-3, integer hit-rate.
+    "q206_leave_last_out" ->
+      """WITH ev0 AS (SELECT CAST(user_id AS VARCHAR) AS u,
+        |  'C' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 20
+        |    AS VARCHAR) AS item,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        | FROM events),
+        |test AS (SELECT u, item AS held FROM ev0 WHERE rn = 1),
+        |inc AS (SELECT DISTINCT u, item FROM ev0 WHERE rn > 1),
+        |n AS (SELECT item, count(*) AS n FROM inc GROUP BY 1),
+        |p AS (SELECT x.item AS item_a, y.item AS item_b, count(*) AS cooc
+        |      FROM inc x JOIN inc y ON x.u = y.u AND x.item < y.item
+        |      GROUP BY 1, 2 HAVING count(*) >= 5),
+        |sims AS (SELECT item_a, item_b,
+        |  cooc * cooc * 1000000000000 // (na.n * nb.n) AS cos2
+        | FROM p JOIN n na ON na.item = item_a JOIN n nb ON nb.item = item_b),
+        |sb AS (SELECT item_a AS h, item_b AS cand, cos2 FROM sims
+        | UNION ALL SELECT item_b, item_a, cos2 FROM sims),
+        |sc AS (SELECT i.u, s.cand, sum(s.cos2) AS score
+        | FROM inc i JOIN sb s ON s.h = i.item
+        | LEFT JOIN inc o ON o.u = i.u AND o.item = s.cand
+        | WHERE o.u IS NULL GROUP BY 1, 2),
+        |top AS (SELECT u, cand FROM (SELECT u, cand, row_number() OVER
+        |   (PARTITION BY u ORDER BY score DESC, cand) AS rk FROM sc)
+        | WHERE rk <= 3)
+        |SELECT CAST(count(DISTINCT t.u) AS BIGINT) AS n_users,
+        | CAST(coalesce(sum(CASE WHEN tp.cand = t.held THEN 1 END), 0)
+        |   AS BIGINT) AS hits,
+        | CAST(coalesce(sum(CASE WHEN tp.cand = t.held THEN 1 END), 0)
+        |   * 1000000 // count(DISTINCT t.u) AS BIGINT) AS hitrate_ppm
+        |FROM test t LEFT JOIN top tp ON tp.u = t.u""".stripMargin,
 
     // q205: the relational truth the JSON round-trip must reproduce.
     "q205_json_nested" ->
