@@ -2554,6 +2554,29 @@ object SparkEntry {
           coalesce(col("h.version"), lit(0L)).as("version"))
     }),
 
+    // Pure-SQL surface gate: the ENTIRE query is a spark.sql(...) text
+    // using the extension-registered kernel (graft_jaro_winkler_e6) over
+    // a temp view — proving the SparkSessionExtensions/SQL-consumer path
+    // end to end, not just the Column API. Length-equality blocking caps
+    // the pair space; per-length top-5 by the codegen'd JW kernel.
+    "q207_sql_surface" -> ((s, dir) => {
+      functions.GraftRegistry.registerAll(s)
+      t(s, dir, "part").select(col("p_name").as("nm")).distinct()
+        .createOrReplaceTempView("graft_q207_names")
+      s.sql("""
+        SELECT len, a_name, b_name, jw_e6, rk FROM (
+          SELECT length(a.nm) AS len, a.nm AS a_name, b.nm AS b_name,
+            graft_jaro_winkler_e6(a.nm, b.nm) AS jw_e6,
+            row_number() OVER (PARTITION BY length(a.nm)
+              ORDER BY graft_jaro_winkler_e6(a.nm, b.nm) DESC, a.nm, b.nm)
+              AS rk
+          FROM graft_q207_names a JOIN graft_q207_names b
+            ON length(a.nm) = length(b.nm) AND a.nm < b.nm)
+        WHERE rk <= 5""")
+        .select(col("len").cast("long").as("len"), col("a_name"),
+          col("b_name"), col("jw_e6"), col("rk").cast("long").as("rk"))
+    }),
+
     // Leave-last-out recommender evaluation, end to end and
     // leakage-free: every user's LAST interaction is held out, item-item
     // cosine trains on the remainder only (q143 machinery), candidates
@@ -7491,6 +7514,22 @@ object SparkEntry {
         | CAST(coalesce(o.version, 0) AS BIGINT) AS version
         |FROM p LEFT JOIN o ON o.k = p.k AND o.valid_from <= p.ts
         | AND (o.valid_to = -1 OR p.ts < o.valid_to)""".stripMargin,
+
+    // q207: DuckDB's own jaro_winkler_similarity (bit-parity pinned by
+    // q176/StringSimilaritySpec), same blocking and total order.
+    "q207_sql_surface" ->
+      """WITH nm AS (SELECT DISTINCT p_name AS nm FROM part)
+        |SELECT CAST(len AS BIGINT) AS len, a_name, b_name,
+        | CAST(jw AS BIGINT) AS jw_e6, CAST(rk AS BIGINT) AS rk FROM (
+        | SELECT length(a.nm) AS len, a.nm AS a_name, b.nm AS b_name,
+        |  CAST(round(jaro_winkler_similarity(a.nm, b.nm) * 1000000)
+        |    AS BIGINT) AS jw,
+        |  row_number() OVER (PARTITION BY length(a.nm)
+        |   ORDER BY CAST(round(jaro_winkler_similarity(a.nm, b.nm)
+        |     * 1000000) AS BIGINT) DESC, a.nm, b.nm) AS rk
+        | FROM nm a JOIN nm b
+        |  ON length(a.nm) = length(b.nm) AND a.nm < b.nm)
+        |WHERE rk <= 5""".stripMargin,
 
     // q206: the whole eval replayed — per-user last-event cut, q143
     // similarity over the train remainder, Σ-sim scoring with history
