@@ -2554,6 +2554,56 @@ object SparkEntry {
           coalesce(col("h.version"), lit(0L)).as("version"))
     }),
 
+    // Bucketed PRE-AGGREGATION layout: the aggregation twin of q74's
+    // co-located join — grouping on the bucket key of a natively
+    // bucketed table runs with NO exchange (scan partitioning satisfies
+    // the agg requirement; pinned in PlanSpec). The recurring-rollup
+    // pattern: pay the shuffle once at layout time, never per query.
+    "q208_bucketed_agg" -> ((s, dir) => {
+      val root = queryTmp("graft_bucketed_q208")
+      sinks.BucketedTable.writeBucketed(
+        t(s, dir, "lineitem")
+          .select("l_suppkey", "l_quantity", "l_extendedprice"),
+        "graft_q208_li", root + "/li", 16, "l_suppkey", "l_suppkey")
+      s.table("graft_q208_li")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as("sum_cents"))
+    }),
+
+    // Time-travel diff census: the q50 upsert scenario read at two
+    // commits (travel ACROSS a compaction boundary) and keyed-diffed —
+    // the c3 slice shows as updates, its resurrected c2-deleted subset
+    // (k % 273) as inserts; the oracle replays both resolutions and the
+    // full-outer compare.
+    "q209_time_travel_diff" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("dt"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val c1 = base.withColumn("ver", lit(1L)).withColumn("del", lit(false))
+      val c2 = base.where(col("k") % 7 === 0 || col("k") % 13 === 0)
+        .withColumn("price_cents", col("price_cents") + 1000L)
+        .withColumn("ver", lit(2L)).withColumn("del", col("k") % 13 === 0)
+      val c3 = base.where(col("k") % 21 === 0)
+        .withColumn("price_cents", col("price_cents") + 5000L)
+        .withColumn("ver", lit(3L)).withColumn("del", lit(false))
+      val path = queryTmp("graft_upsert_q209") + "/t"
+      val ut = new sinks.UpsertTable(path, Seq("k"), "ver", Seq("dt"),
+        Some("del"))
+      ut.upsert(c1)
+      val s2 = ut.upsert(c2)
+      ut.compact(s)
+      val s3 = ut.upsert(c3)
+      operators.TableDiff.diff(
+        ut.snapshotAt(s, s2).select("k", "dt", "price_cents", "ver"),
+        ut.snapshotAt(s, s3).select("k", "dt", "price_cents", "ver"),
+        Seq("k"))
+    }),
+
     // Pure-SQL surface gate: the ENTIRE query is a spark.sql(...) text
     // using the extension-registered kernel (graft_jaro_winkler_e6) over
     // a temp view — proving the SparkSessionExtensions/SQL-consumer path
@@ -7514,6 +7564,48 @@ object SparkEntry {
         | CAST(coalesce(o.version, 0) AS BIGINT) AS version
         |FROM p LEFT JOIN o ON o.k = p.k AND o.valid_from <= p.ts
         | AND (o.valid_to = -1 OR p.ts < o.valid_to)""".stripMargin,
+
+    // q208: the plain census the bucketed layout must reproduce.
+    "q208_bucketed_agg" ->
+      """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS sum_cents
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // q209: both commit states replayed (q50 resolution rule), keyed
+    // full-outer compare.
+    "q209_time_travel_diff" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |  strftime(o_orderdate, '%Y-%m') AS dt,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        | FROM orders),
+        |c1 AS (SELECT k, dt, price_cents, CAST(1 AS BIGINT) AS ver,
+        |  false AS del, 1 AS cseq FROM base),
+        |c2 AS (SELECT k, dt, price_cents + 1000, CAST(2 AS BIGINT),
+        |  k % 13 = 0, 2 FROM base WHERE k % 7 = 0 OR k % 13 = 0),
+        |c3 AS (SELECT k, dt, price_cents + 5000, CAST(3 AS BIGINT),
+        |  false, 3 FROM base WHERE k % 21 = 0),
+        |s2 AS (SELECT k, dt, price_cents, ver FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY dt, k
+        |    ORDER BY ver DESC, cseq DESC) AS rn
+        |  FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2))
+        | WHERE rn = 1 AND NOT del),
+        |s3 AS (SELECT k, dt, price_cents, ver FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY dt, k
+        |    ORDER BY ver DESC, cseq DESC) AS rn
+        |  FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+        |        UNION ALL SELECT * FROM c3))
+        | WHERE rn = 1 AND NOT del),
+        |d AS (SELECT coalesce(s3.k, s2.k) AS k,
+        |  CASE WHEN s2.k IS NULL THEN 'insert'
+        |   WHEN s3.k IS NULL THEN 'delete'
+        |   WHEN s2.dt IS DISTINCT FROM s3.dt
+        |    OR s2.price_cents IS DISTINCT FROM s3.price_cents
+        |    OR s2.ver IS DISTINCT FROM s3.ver THEN 'update' END
+        |    AS change_type
+        | FROM s2 FULL JOIN s3 ON s3.k = s2.k)
+        |SELECT k, change_type FROM d WHERE change_type IS NOT NULL""".stripMargin,
 
     // q207: DuckDB's own jaro_winkler_similarity (bit-parity pinned by
     // q176/StringSimilaritySpec), same blocking and total order.

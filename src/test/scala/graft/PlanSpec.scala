@@ -284,6 +284,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("bucketed aggregation runs with NO exchange — scan partitioning feeds the agg") {
+    val df = SparkEntry.queries("q208_bucketed_agg")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(p.contains("Bucketed: true"), p.take(2000))
+    SparkEntry.cleanupQueryTmp()
+  }
+
   test("JSON ingestion parses in one pass — no shuffle before the census aggregation") {
     val df = SparkEntry.queries("q193_json_ingest")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
