@@ -2554,6 +2554,41 @@ object SparkEntry {
           coalesce(col("h.version"), lit(0L)).as("version"))
     }),
 
+    // CEP-style pattern WITH NEGATION (the MATCH_RECOGNIZE shape the
+    // funnel family doesn't cover): purchases preceded by ≥2 views in
+    // the last 7 days with NO error between the first such view and the
+    // purchase — one equi-join on the user key with the range as
+    // post-filter, the negation counted in a second keyed phase (no
+    // anti-join, no extra scan shape).
+    "q210_pattern_negation" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("event_type"),
+        col("ts_ms"), col("event_id"))
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_ms").as("p_ts"))
+      val ctx = e.where(col("event_type").isin("view", "error"))
+        .select(col("user_id"), col("event_type").as("ct"),
+          col("ts_ms").as("c_ts"))
+      p.join(ctx.where(col("ct") === "view"), Seq("user_id"), "left")
+        .where(col("c_ts").isNull ||
+          (col("c_ts") >= col("p_ts") - 604800000L && col("c_ts") < col("p_ts")))
+        .groupBy(col("user_id"), col("purchase_id"), col("p_ts"))
+        .agg(count(col("c_ts")).as("n_views"),
+          min(col("c_ts")).as("first_view_ts"))
+        // negation phase: errors strictly inside (first_view, purchase) —
+        // the interval sits inside the week window by construction
+        .join(ctx.where(col("ct") === "error")
+            .select(col("user_id"), col("c_ts").as("e_ts")),
+          Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("purchase_id"), col("p_ts"),
+          col("n_views"), col("first_view_ts"))
+        .agg(coalesce(sum(when(col("e_ts") > col("first_view_ts") &&
+            col("e_ts") < col("p_ts"), 1L)), lit(0L)).as("n_errors_between"))
+        .where(col("n_views") >= 2 && col("n_errors_between") === 0)
+        .select(col("user_id"), col("purchase_id"), col("p_ts"),
+          col("n_views"), col("first_view_ts"))
+    }),
+
     // Bucketed PRE-AGGREGATION layout: the aggregation twin of q74's
     // co-located join — grouping on the bucket key of a natively
     // bucketed table runs with NO exchange (scan partitioning satisfies
@@ -7564,6 +7599,30 @@ object SparkEntry {
         | CAST(coalesce(o.version, 0) AS BIGINT) AS version
         |FROM p LEFT JOIN o ON o.k = p.k AND o.valid_from <= p.ts
         | AND (o.valid_to = -1 OR p.ts < o.valid_to)""".stripMargin,
+
+    // q210: same two phases — windowed view census, then the negated
+    // error-interval count.
+    "q210_pattern_negation" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts,
+        |  event_id FROM events),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+        | FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT p.user_id, p.purchase_id, p.p_ts,
+        |  count(c.ts) AS n_views, min(c.ts) AS first_view_ts
+        | FROM p LEFT JOIN e c ON c.user_id = p.user_id
+        |  AND c.event_type = 'view'
+        |  AND c.ts >= p.p_ts - 604800000 AND c.ts < p.p_ts
+        | GROUP BY 1, 2, 3),
+        |n AS (SELECT v.user_id, v.purchase_id, v.p_ts, v.n_views,
+        |  v.first_view_ts,
+        |  coalesce(sum(CASE WHEN er.ts > v.first_view_ts
+        |    AND er.ts < v.p_ts THEN 1 END), 0) AS n_err
+        | FROM v LEFT JOIN e er ON er.user_id = v.user_id
+        |  AND er.event_type = 'error'
+        | GROUP BY 1, 2, 3, 4, 5)
+        |SELECT user_id, purchase_id, p_ts, CAST(n_views AS BIGINT)
+        |  AS n_views, first_view_ts
+        |FROM n WHERE n_views >= 2 AND n_err = 0""".stripMargin,
 
     // q208: the plain census the bucketed layout must reproduce.
     "q208_bucketed_agg" ->
