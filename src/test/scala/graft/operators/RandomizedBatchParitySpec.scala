@@ -71,6 +71,85 @@ class RandomizedBatchParitySpec extends SparkSpec {
     }
   }
 
+  test("KMeansExact ≡ sequential integer Lloyd over random vectors") {
+    val rnd = new scala.util.Random(19)
+    val pts: Seq[(Long, Seq[Float])] = (0L until 60L).map(i =>
+      i -> Seq.fill(3)((rnd.nextDouble() * 20 - 10).toFloat))
+    val iq = pts.map { case (id, v) =>
+      id -> v.map(x => math.round(x.toDouble * 1000)) }.toMap
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def model(k: Int, iters: Int): Map[Long, (Long, Long)] = {
+      var cents = iq.toSeq.sortBy(_._1).take(k).toMap
+      def assign(cs: Map[Long, Seq[Long]]) = iq.map { case (id, v) =>
+        id -> cs.toSeq.map { case (c, cv) => (c, d2(v, cv)) }
+          .minBy { case (c, dd) => (dd, c) }
+      }
+      for (_ <- 0 until iters) {
+        val a = assign(cents)
+        val upd = a.groupBy(_._2._1).map { case (cid, ms) =>
+          val vs = ms.keys.map(iq).toSeq
+          cid -> vs.transpose.map(c => c.sum / vs.size).toSeq
+        }
+        cents = cents.map { case (c, old) => c -> upd.getOrElse(c, old) }
+      }
+      assign(cents)
+    }
+    for (iters <- Seq(1, 2); parts <- Seq(1, 4)) {
+      val got = KMeansExact.assign(
+          pts.toDF("vec_id", "embedding").repartition(parts),
+          "vec_id", "embedding", 4, iters)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(got == model(4, iters), s"iters=$iters parts=$parts")
+    }
+  }
+
+  test("NaiveBayes ≡ sequential e6-integer model over random corpora") {
+    val rnd = new scala.util.Random(23)
+    val vocabA = Seq("ant", "bee", "cat", "dog")
+    val vocabB = Seq("cat", "dog", "elk", "fox")
+    val docs = (0L until 40L).map { i =>
+      val (lbl, voc) = if (rnd.nextBoolean()) ("a", vocabA) else ("b", vocabB)
+      val text = Seq.fill(3 + rnd.nextInt(8))(voc(rnd.nextInt(voc.size)))
+        .mkString(" ")
+      (i, text, lbl)
+    }
+    def model(): Map[(String, String), Long] = {
+      val train = docs.filter(_._1 % 2 == 0)
+      val counts = train.flatMap { case (_, t, l) =>
+        t.split("\\s+").map(tok => (l, tok)) }
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val vocab = counts.keys.map(_._2).toSet
+      val langs = train.map(_._3).distinct.sorted
+      val tots = langs.map(l =>
+        l -> counts.collect { case ((`l`, _), c) => c }.sum).toMap
+      val v = vocab.size.toLong
+      def term(l: String, tok: String): Long =
+        math.round((math.log(counts.getOrElse((l, tok), 0L) + 1.0) -
+          math.log(tots(l) + v.toDouble)) * 1e6)
+      val nd = train.groupBy(_._3).map { case (l, d) => l -> d.size.toLong }
+      val ntot = train.size.toLong
+      def prior(l: String): Long =
+        math.round((math.log(nd(l).toDouble) - math.log(ntot.toDouble)) * 1e6)
+      docs.filter(_._1 % 2 == 1).flatMap { case (_, t, actual) =>
+        val toks = t.split("\\s+").filter(vocab)
+        if (toks.isEmpty) None
+        else Some((actual, langs.map(l =>
+          l -> (prior(l) + toks.map(term(l, _)).sum))
+          .minBy { case (l, sc) => (-sc, l) }._1))
+      }.groupBy(identity).map { case (k, v2) => k -> v2.size.toLong }
+    }
+    for (parts <- Seq(1, 4)) {
+      val got = NaiveBayes.heldOutConfusion(
+          docs.toDF("doc_id", "text", "lang").repartition(parts),
+          "doc_id", "text", "lang")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == model(), s"parts=$parts")
+    }
+  }
+
   test("bfsHops/boundedSssp ≡ sequential search over random graphs") {
     val rnd = new scala.util.Random(17)
     val edges = (1 to 120)
