@@ -3104,6 +3104,114 @@ object SparkEntry {
         .select(col("n_vocab"), col("covered"), col("tot_toks"),
           expr("covered * 1000000 div tot_toks").as("coverage_ppm"))
     }),
+
+    // Privacy audit: k-anonymity + l-diversity per quasi-identifier
+    // group. QI = (nation, segment, $1k balance bucket); sensitive =
+    // the customer's dominant order priority (ties break
+    // lexicographically). One QI hash-aggregate with a partial-distinct
+    // sensitive count — group space, not row count, bounds the output.
+    "q211_k_anonymity" -> ((s, dir) => {
+      val wDom = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("cnt").desc, col("o_orderpriority"))
+      val sens = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(wDom))
+        .where(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderpriority").as("sens"))
+      val qi = t(s, dir, "customer")
+        .join(sens, col("c_custkey") === col("o_custkey"))
+        .select(col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("segment"),
+          floor(col("c_acctbal") / 1000d).cast("long").as("bal_bucket"),
+          col("sens"))
+      operators.Privacy.kAnonymityAudit(qi,
+        Seq("nation", "segment", "bal_bucket"), "sens", k = 5)
+    }),
+
+    // Market-basket association rules over (order, supplier) baskets:
+    // exact integer support / confidence ppm / lift ppm, hub-basket
+    // guard, directional rules at support ≥ 10.
+    "q212_assoc_rules" -> ((s, dir) =>
+      operators.AssociationRules.rules(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        "l_orderkey", "l_suppkey", minSupport = 10L)),
+
+    // Sorted-neighborhood blocking (the third ER blocking strategy next
+    // to q92's gram-count filter and q176's length blocking): sort
+    // within 4-char prefix blocks, compare only rank-adjacent names
+    // (window 3), score survivors with the codegen JW kernel — n·w
+    // candidates, no index, no cross product.
+    "q213_sorted_neighborhood" -> ((s, dir) => {
+      graft.functions.StringSimilarity.register(s)
+      operators.FuzzyJoin.sortedNeighborhoodPairs(
+          t(s, dir, "part").select(col("p_name")), "p_name",
+          substring(col("p_name"), 1, 4), window = 3)
+        .withColumn("jw_e6", graft.functions.StringSimilarity
+          .jaroWinklerE6(col("a_val"), col("b_val")))
+        .where(col("jw_e6") >= 800000L)
+        .select(col("a_val").as("a_name"), col("b_val").as("b_name"),
+          col("rank_gap"), col("jw_e6"))
+    }),
+
+    // Kaplan–Meier life table for time-to-first-purchase after first
+    // view, right-censored at the study end (max event ts): per event
+    // hour, risk set, events, and the exact 1e6·d div n hazard.
+    "q214_kaplan_meier" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("event_type"),
+        col("ts_ms"))
+      val v = e.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("v_ts"))
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("ts_ms").as("p_ts"))
+      val firstP = v.join(p,
+          col("user_id") === col("p_uid") && col("p_ts") >= col("v_ts"),
+          "left")
+        .groupBy(col("user_id"), col("v_ts"))
+        .agg(min(col("p_ts")).as("p_ts"))
+      val endDf = e.agg(max(col("ts_ms")).as("end_ts"))
+      val subj = firstP.crossJoin(broadcast(endDf))
+        .select(
+          when(col("p_ts").isNotNull,
+            expr("(p_ts - v_ts) div 3600000"))
+            .otherwise(expr("(end_ts - v_ts) div 3600000")).as("dur_h"),
+          col("p_ts").isNotNull.as("obs"))
+      operators.Survival.kaplanMeier(subj, col("dur_h"), col("obs"))
+    }),
+
+    // Wide↔long round-trip: daily event counts pivoted to one column
+    // per type, melted back with stack(), gated against the straight
+    // relational census — any pivot/melt loss or null-garbling breaks
+    // the hash. The unpivot twin of q149's pivot gate.
+    "q215_melt_roundtrip" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = ev(s, dir)
+        .select(expr("ts_ms - ts_ms % 86400000").as("day_ms"),
+          col("event_type"))
+        .groupBy(col("day_ms")).pivot("event_type", types).count()
+      wide.select(col("day_ms"), expr(
+          "stack(5, " + types.map(t => s"'$t', `$t`").mkString(", ") +
+            ") AS (event_type, n)"))
+        .select(col("day_ms"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .where(col("n") > 0)
+    }),
+
+    // Functional-dependency audit over the order⋈lineitem join: exact
+    // FDs (join key → order attrs) prove 0 violating groups; the
+    // deliberately-false candidates (part→supplier, supplier→flag)
+    // report their violation census. The FD-verification half of
+    // TANE-style profiling, one partial-distinct aggregate per
+    // candidate.
+    "q216_fd_audit" -> ((s, dir) => {
+      val joined = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      operators.Profile.fdAudit(joined, Seq(
+        ("l_orderkey", "o_custkey"), ("l_orderkey", "o_orderdate"),
+        ("l_partkey", "l_suppkey"), ("l_suppkey", "l_returnflag")))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -8026,5 +8134,124 @@ object SparkEntry {
         | CAST(sum(r.f) * 1000000 // tot.tot_toks AS BIGINT) AS coverage_ppm
         |FROM sizes s JOIN r ON r.rk <= s.n_vocab CROSS JOIN tot
         |GROUP BY s.n_vocab, tot.tot_toks""".stripMargin,
+
+    // q211: dominant-priority sensitive attr, QI group census.
+    "q211_k_anonymity" ->
+      """WITH dom AS (
+        | SELECT o_custkey, o_orderpriority AS sens FROM (
+        |  SELECT o_custkey, o_orderpriority,
+        |   row_number() OVER (PARTITION BY o_custkey
+        |     ORDER BY count(*) DESC, o_orderpriority) AS rn
+        |  FROM orders GROUP BY o_custkey, o_orderpriority)
+        | WHERE rn = 1)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        | c_mktsegment AS segment,
+        | CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+        | count(*) AS group_size,
+        | CAST(count(DISTINCT sens) AS BIGINT) AS l_diversity,
+        | count(*) < 5 AS violates_k
+        |FROM customer JOIN dom ON c_custkey = o_custkey
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // q212: size-2 association rules, integer ppm confidence/lift.
+    "q212_assoc_rules" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_suppkey AS i
+        |  FROM lineitem),
+        |sized AS (SELECT b FROM bi GROUP BY b HAVING count(*) <= 200),
+        |kept AS (SELECT bi.b, bi.i FROM bi JOIN sized USING (b)),
+        |nb AS (SELECT count(DISTINCT b) AS n FROM kept),
+        |isupp AS (SELECT i, count(*) AS supp FROM kept GROUP BY i),
+        |ps AS (SELECT x.i AS antecedent, y.i AS consequent,
+        |   count(*) AS support
+        | FROM kept x JOIN kept y ON x.b = y.b AND x.i <> y.i
+        | GROUP BY 1, 2 HAVING count(*) >= 10)
+        |SELECT antecedent, consequent, support,
+        | a.supp AS antecedent_support,
+        | 1000000 * support // a.supp AS confidence_ppm,
+        | 1000000 * support * nb.n // (a.supp * c.supp) AS lift_ppm
+        |FROM ps JOIN isupp a ON ps.antecedent = a.i
+        |JOIN isupp c ON ps.consequent = c.i CROSS JOIN nb""".stripMargin,
+
+    // q213: prefix-block sorted ranks, window-3 neighbors, JW ≥ 0.9.
+    "q213_sorted_neighborhood" ->
+      """WITH n AS (SELECT DISTINCT p_name AS nm FROM part),
+        |r AS (SELECT nm, substr(nm, 1, 4) AS blk,
+        |  row_number() OVER (PARTITION BY substr(nm, 1, 4)
+        |    ORDER BY nm) AS rk FROM n)
+        |SELECT a.nm AS a_name, b.nm AS b_name,
+        | CAST(b.rk - a.rk AS BIGINT) AS rank_gap,
+        | CAST(round(jaro_winkler_similarity(a.nm, b.nm) * 1000000)
+        |   AS BIGINT) AS jw_e6
+        |FROM r a JOIN r b ON a.blk = b.blk
+        | AND b.rk - a.rk BETWEEN 1 AND 3
+        |WHERE round(jaro_winkler_similarity(a.nm, b.nm) * 1000000)
+        | >= 800000""".stripMargin,
+
+    // q214: KM life table, hour resolution, censor at max event ts.
+    "q214_kaplan_meier" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events),
+        |v AS (SELECT user_id, min(ts_ms) AS v_ts FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |fp AS (SELECT v.user_id, v.v_ts, min(p.ts_ms) AS p_ts
+        | FROM v LEFT JOIN e p ON p.user_id = v.user_id
+        |  AND p.event_type = 'purchase' AND p.ts_ms >= v.v_ts
+        | GROUP BY 1, 2),
+        |endt AS (SELECT max(ts_ms) AS end_ts FROM e),
+        |subj AS (SELECT CASE WHEN p_ts IS NOT NULL
+        |   THEN (p_ts - v_ts) // 3600000
+        |   ELSE (end_ts - v_ts) // 3600000 END AS t,
+        |  p_ts IS NOT NULL AS obs FROM fp CROSS JOIN endt),
+        |perT AS (SELECT t, count(*) AS n_at,
+        |  sum(CASE WHEN obs THEN 1 ELSE 0 END) AS n_events
+        | FROM subj GROUP BY t),
+        |km AS (SELECT t, n_at, n_events,
+        |  sum(n_at) OVER (ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        | FROM perT)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+        | CAST(n_events AS BIGINT) AS n_events,
+        | CAST(1000000 * n_events // n_risk AS BIGINT) AS hazard_ppm
+        |FROM km WHERE n_events > 0""".stripMargin,
+
+    // q215: the melt of the pivot is the straight relational census.
+    "q215_melt_roundtrip" ->
+      """SELECT epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day_ms,
+        | event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // q216: per-candidate FD verification censuses, unioned.
+    "q216_fd_audit" ->
+      """WITH j AS (SELECT * FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey),
+        |fd1 AS (SELECT CAST(l_orderkey AS VARCHAR) AS x,
+        |  count(DISTINCT coalesce(CAST(o_custkey AS VARCHAR), ' NULL'))
+        |    AS ny FROM j GROUP BY 1),
+        |fd2 AS (SELECT CAST(l_orderkey AS VARCHAR) AS x,
+        |  count(DISTINCT coalesce(CAST(o_orderdate AS VARCHAR), ' NULL'))
+        |    AS ny FROM j GROUP BY 1),
+        |fd3 AS (SELECT CAST(l_partkey AS VARCHAR) AS x,
+        |  count(DISTINCT coalesce(CAST(l_suppkey AS VARCHAR), ' NULL'))
+        |    AS ny FROM j GROUP BY 1),
+        |fd4 AS (SELECT CAST(l_suppkey AS VARCHAR) AS x,
+        |  count(DISTINCT coalesce(l_returnflag, ' NULL')) AS ny
+        | FROM j GROUP BY 1)
+        |SELECT 'l_orderkey' AS lhs, 'o_custkey' AS rhs,
+        |  count(*) AS n_groups,
+        |  CAST(sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS violating_groups,
+        |  CAST(max(ny) AS BIGINT) AS max_rhs_distinct FROM fd1
+        |UNION ALL
+        |SELECT 'l_orderkey', 'o_orderdate', count(*),
+        |  CAST(sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(max(ny) AS BIGINT) FROM fd2
+        |UNION ALL
+        |SELECT 'l_partkey', 'l_suppkey', count(*),
+        |  CAST(sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(max(ny) AS BIGINT) FROM fd3
+        |UNION ALL
+        |SELECT 'l_suppkey', 'l_returnflag', count(*),
+        |  CAST(sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(max(ny) AS BIGINT) FROM fd4""".stripMargin,
   )
 }

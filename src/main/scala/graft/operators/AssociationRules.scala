@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket association rules (Agrawal & Srikant 1994, the A-priori
+  * support/confidence frame plus Brin et al. 1997's lift) over a
+  * (basket, item) relation, restricted to size-2 itemsets — the rule
+  * family recommendation and data-audit pipelines actually ship.
+  *
+  * All metrics are exact integers: support is a basket count,
+  * confidence and lift are ppm via integer `div`, so the oracle can
+  * replay them bit-for-bit.
+  *
+  * Scale shape: pair generation is a self-equi-join on the basket key —
+  * the shuffle is sized by Σ c_b·(c_b−1) over basket sizes c_b, which a
+  * `maxBasketSize` cap keeps near-linear (hub baskets contribute
+  * quadratically and are exactly the rows a recommender discards
+  * anyway). Item supports are a second aggregate over the deduplicated
+  * relation; the final rule join keys on single items against the
+  * (small) item-support table, which Spark broadcasts.
+  */
+object AssociationRules {
+
+  /** Directional rules A→B with basket-count support ≥ `minSupport`.
+    *
+    * Output: antecedent, consequent, support (baskets with both),
+    * antecedent_support, confidence_ppm = 1e6·s(A,B) div s(A),
+    * lift_ppm = 1e6·s(A,B)·N div (s(A)·s(B)).
+    *
+    * Baskets larger than `maxBasketSize` distinct items are dropped
+    * whole (standard hub guard — quadratic pair blowup at scale).
+    */
+  def rules(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, maxBasketSize: Int = 200): DataFrame = {
+    val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .distinct()
+    val sized = bi.groupBy(col("b"))
+      .agg(count(lit(1)).as("bs"))
+      .where(col("bs") <= maxBasketSize)
+      .select(col("b"))
+    val kept = bi.join(sized, "b")
+    val n = kept.select(col("b")).distinct().count()
+    val itemSupp = kept.groupBy(col("i"))
+      .agg(count(lit(1)).as("supp"))
+    val pairSupp = kept.as("x")
+      .join(kept.as("y"),
+        col("x.b") === col("y.b") && col("x.i") =!= col("y.i"))
+      .groupBy(col("x.i").as("antecedent"), col("y.i").as("consequent"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+    pairSupp
+      .join(itemSupp.withColumnRenamed("i", "antecedent")
+        .withColumnRenamed("supp", "antecedent_support"), "antecedent")
+      .join(itemSupp.withColumnRenamed("i", "consequent")
+        .withColumnRenamed("supp", "consequent_support"), "consequent")
+      .select(col("antecedent"), col("consequent"), col("support"),
+        col("antecedent_support"),
+        expr("1000000 * support div antecedent_support")
+          .as("confidence_ppm"),
+        // 1e6·s·N stays within Long while s·N < 9.2e12 — beyond that,
+        // compute lift over per-partition-date strata instead.
+        expr(s"1000000 * support * ${n}L div " +
+          "(antecedent_support * consequent_support)").as("lift_ppm"))
+  }
+}

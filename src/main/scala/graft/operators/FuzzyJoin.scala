@@ -46,6 +46,42 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
+  /** Sorted-neighborhood blocking (Hernández & Stolfo 1995): sort the
+    * records by a blocking key and compare each record only against its
+    * `window` successors in sort order — candidate volume is n·window
+    * instead of n², with NO gram index.
+    *
+    * The distributed form partitions by a coarse `blockExpr` prefix and
+    * sorts WITHIN each block: pairs never straddle a block boundary,
+    * which is the standard multi-pass trade-off (production runs repeat
+    * with a second key to recover boundary pairs; here one pass is the
+    * contract and the oracle replays the same block semantics). This
+    * avoids the global-sort single-partition window trap — each block is
+    * an independent sorted run, so the plan is one hash partition by
+    * block + intra-partition sort, no driver bottleneck.
+    *
+    * Output: (a_val, b_val, rank_gap) for each pair with sort-rank
+    * distance 1..window inside a block, a_val in sort order before
+    * b_val. Scoring/thresholding is the caller's (compose with a
+    * similarity kernel).
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, strCol: String,
+      blockExpr: Column, window: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(strCol).cast("string").as("v"),
+        blockExpr.cast("string").as("blk"))
+      .where(col("v").isNotNull).distinct()
+    val w = Window.partitionBy(col("blk")).orderBy(col("v"))
+    val withLeads = base.select(col("blk") +: col("v").as("a_val") +:
+      (1 to window).map(i => lead(col("v"), i).over(w).as(s"n$i")): _*)
+    val stacked = withLeads.select(col("a_val"),
+      posexplode(array((1 to window).map(i => col(s"n$i")): _*))
+        .as(Seq("gap0", "b_val")))
+    stacked.where(col("b_val").isNotNull)
+      .select(col("a_val"), col("b_val"),
+        (col("gap0") + 1).cast("long").as("rank_gap"))
+  }
+
   def selfJoin(df: DataFrame, idCol: String, strCol: String,
       q: Int, maxDist: Int, maxGramDf: Option[Long] = None): DataFrame = {
     require(q >= 2 && maxDist >= 1, s"q=$q maxDist=$maxDist out of range")

@@ -303,4 +303,29 @@ object Profile {
           .as("gini_num"),
         (col("n") * col("sum_val")).as("gini_den"))
   }
+
+  /** Functional-dependency audit (the verification half of FD discovery,
+    * Huhtala et al. TANE 1999): for each candidate X→Y, count the X
+    * groups, the groups where Y is NOT single-valued (violations), and
+    * the worst |distinct Y| within one X group. An exact FD has
+    * violating_groups = 0; "approximate FDs" rank by the violation rate.
+    *
+    * One aggregate per candidate over (X, Y) then per X — both map-side
+    * combined, shuffles carry distinct (X,Y) pairs only — unioned into
+    * one result. NULL Y counts as a distinct value (a NULL among
+    * non-NULLs is a real single-valuedness break for downstream use).
+    */
+  def fdAudit(df: DataFrame, candidates: Seq[(String, String)]): DataFrame =
+    candidates.map { case (lhs, rhs) =>
+      df.select(col(lhs).cast("string").as("__x"),
+          coalesce(col(rhs).cast("string"), lit(" NULL")).as("__y"))
+        .groupBy(col("__x"))
+        .agg(count_distinct(col("__y")).as("__ny"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("__ny") > 1, 1L).otherwise(0L))
+            .as("violating_groups"),
+          max(col("__ny")).as("max_rhs_distinct"))
+        .select(lit(lhs).as("lhs"), lit(rhs).as("rhs"), col("n_groups"),
+          col("violating_groups"), col("max_rhs_distinct"))
+    }.reduce(_.unionByName(_))
 }

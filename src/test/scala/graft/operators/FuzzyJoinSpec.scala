@@ -76,4 +76,26 @@ class FuzzyJoinSpec extends SparkSpec {
       .select("a_id", "b_id", "dist").as[(Long, Long, Int)].collect().toSet
     assert(open == brute(rows, 2))
   }
+
+  test("sortedNeighborhoodPairs: intra-block rank-window candidates only") {
+    import org.apache.spark.sql.functions.substring
+    // block = first char. Block a: aa < ab < ac < ad; block b: ba, bb.
+    val df = Seq("ab", "aa", "ad", "ac", "bb", "ba", "bb").toDF("s")
+    val got = FuzzyJoin.sortedNeighborhoodPairs(df, "s",
+        substring(org.apache.spark.sql.functions.col("s"), 1, 1), 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(
+      ("aa", "ab", 1L), ("aa", "ac", 2L), ("ab", "ac", 1L),
+      ("ab", "ad", 2L), ("ac", "ad", 1L),
+      ("ba", "bb", 1L)))       // never (ad, ba): blocks don't straddle
+  }
+
+  test("sortedNeighborhoodPairs: window larger than block is safe") {
+    import org.apache.spark.sql.functions.lit
+    val df = Seq("x", "y").toDF("s")
+    val got = FuzzyJoin.sortedNeighborhoodPairs(df, "s", lit("k"), 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("x", "y", 1L)))
+  }
 }

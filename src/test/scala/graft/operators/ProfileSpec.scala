@@ -211,4 +211,19 @@ class ProfileSpec extends SparkSpec {
     val ag = got("ag")   // two equal units after pre-agg → G = 0
     assert(ag._1 == 2L && ag._2 == 10L && ag._3 == 0L)
   }
+
+  test("fdAudit: exact FD shows zero violations, broken FD is censused") {
+    val df = Seq(
+      (1, "a", 10), (1, "a", 11),     // x=1 → y single-valued
+      (2, "b", 20), (2, "c", 21),     // x=2 → two y values
+      (3, null.asInstanceOf[String], 30),
+      (3, "d", 31)                     // null among non-null breaks FD
+    ).toDF("x", "y", "z")
+    val got = Profile.fdAudit(df, Seq(("x", "y"), ("x", "x")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(("x", "y")) == ((3L, 2L, 2L)))
+    assert(got(("x", "x")) == ((3L, 0L, 1L)))   // trivially exact
+  }
 }

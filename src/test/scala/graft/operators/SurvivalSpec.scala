@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+class SurvivalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kaplanMeier: textbook life table with censoring") {
+    // durations: events at t=2 (×2), t=5; censored at t=3, t=5.
+    val df = Seq((2L, true), (2L, true), (3L, false), (5L, true),
+      (5L, false)).toDF("t", "obs")
+    val got = Survival.kaplanMeier(df, col("t"), col("obs"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // t=2: risk 5, d=2, hazard 400000. t=5: risk 2 (the t=3 censor left),
+    // d=1, hazard 500000. t=3 has no events → no row.
+    assert(got == Map(2L -> ((5L, 2L, 400000L)),
+      5L -> ((2L, 1L, 500000L))))
+  }
+
+  test("all-censored input yields an empty table") {
+    val df = Seq((1L, false), (4L, false)).toDF("t", "obs")
+    assert(Survival.kaplanMeier(df, col("t"), col("obs")).count() == 0L)
+  }
+
+  test("ties between events and censors at the same t share the risk set") {
+    val df = Seq((3L, true), (3L, false), (3L, true)).toDF("t", "obs")
+    val r = Survival.kaplanMeier(df, col("t"), col("obs")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 3L, 2L, 666666L)))
+  }
+}
