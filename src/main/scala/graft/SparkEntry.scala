@@ -3212,6 +3212,52 @@ object SparkEntry {
         ("l_orderkey", "o_custkey"), ("l_orderkey", "o_orderdate"),
         ("l_partkey", "l_suppkey"), ("l_suppkey", "l_returnflag")))
     }),
+
+    // Incremental join-view maintenance: a materialized orders⋈customer
+    // view kept in sync from BOTH sides' CDC — fact price updates, fk
+    // moves, fact deletes, dim relabels, and dim deletes all land
+    // through two refreshes; the oracle replays the final fact/dim
+    // resolutions and joins once. Complements q54 (aggregate views) —
+    // Δ(F⋈D) as churn-scoped recompute.
+    "q217_join_view" -> ((s, dir) => {
+      val base = t(s, dir, "orders").where(col("o_orderkey") % 6 === 0)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val f1 = base.withColumn("ver", lit(1L)).withColumn("del", lit(false))
+      val f2 = base.where(col("k") % 5 === 0 || col("k") % 9 === 0 ||
+          col("k") % 11 === 0)
+        .withColumn("price_cents", when(col("k") % 5 === 0,
+          col("price_cents") + 1000L).otherwise(col("price_cents")))
+        .withColumn("cust", when(col("k") % 11 === 0,
+          col("cust") % 100 + 1).otherwise(col("cust")))
+        .withColumn("ver", lit(2L)).withColumn("del", col("k") % 9 === 0)
+      val dimBase = t(s, dir, "customer")
+        .select(col("c_custkey").as("d_id"),
+          col("c_mktsegment").as("segment"))
+      val d1 = dimBase.withColumn("ver", lit(1L))
+        .withColumn("del", lit(false))
+      val d2 = dimBase.where(col("d_id") % 4 === 0 || col("d_id") % 37 === 0)
+        .withColumn("segment", when(col("d_id") % 4 === 0,
+          concat(col("segment"), lit("_v2"))).otherwise(col("segment")))
+        .withColumn("ver", lit(2L)).withColumn("del", col("d_id") % 37 === 0)
+      val root = queryTmp("graft_joinview_q217")
+      val fact = new sinks.UpsertTable(s"$root/fact", Seq("k"), "ver",
+        Nil, Some("del"))
+      val dim = new sinks.UpsertTable(s"$root/dim", Seq("d_id"), "ver",
+        Nil, Some("del"))
+      val view = new sinks.UpsertTable(s"$root/view", Seq("k"), "__ver",
+        Nil, Some("__dead"))
+      val djt = new sinks.DerivedJoinTable(fact, dim, view, Seq("cust"),
+        df => df.select(col("k"), col("cust"), col("segment"),
+          col("price_cents")),
+        s"$root/_ckpt")
+      fact.upsert(f1); dim.upsert(d1)
+      djt.refresh(s)
+      fact.upsert(f2); dim.upsert(d2)
+      djt.refresh(s)
+      view.snapshot(s).select("k", "cust", "segment", "price_cents")
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -8253,5 +8299,22 @@ object SparkEntry {
         |SELECT 'l_suppkey', 'l_returnflag', count(*),
         |  CAST(sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT),
         |  CAST(max(ny) AS BIGINT) FROM fd4""".stripMargin,
+
+    // q217: replay the final fact/dim resolutions, join once.
+    "q217_join_view" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_custkey AS cust,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        | FROM orders WHERE o_orderkey % 6 = 0),
+        |f AS (SELECT k,
+        |  CASE WHEN k % 11 = 0 THEN cust % 100 + 1 ELSE cust END AS cust,
+        |  CASE WHEN k % 5 = 0 THEN price_cents + 1000
+        |    ELSE price_cents END AS price_cents
+        | FROM base WHERE k % 9 <> 0),
+        |d AS (SELECT c_custkey AS d_id,
+        |  CASE WHEN c_custkey % 4 = 0 THEN c_mktsegment || '_v2'
+        |    ELSE c_mktsegment END AS segment
+        | FROM customer WHERE c_custkey % 37 <> 0)
+        |SELECT k, cust, segment, price_cents
+        |FROM f JOIN d ON cust = d_id""".stripMargin,
   )
 }
