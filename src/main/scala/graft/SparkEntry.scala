@@ -3258,6 +3258,30 @@ object SparkEntry {
       djt.refresh(s)
       view.snapshot(s).select("k", "cust", "segment", "price_cents")
     }),
+
+    // Grid-partitioned spatial (distance-box) self-join: customers as 2D
+    // points (balance cents shifted non-negative × a deterministic
+    // 0..100k spread), all pairs within the L∞ box found via 3×3 cell
+    // probes — hash-by-cell shuffle, no cross product; the oracle brute
+    // forces the quadratic truth.
+    "q218_grid_join" -> ((s, dir) =>
+      operators.SpatialJoin.boxSelfJoin(
+        t(s, dir, "customer").select(col("c_custkey"),
+          (round(col("c_acctbal") * 100).cast("long") + 100000L).as("x"),
+          (col("c_custkey") * 7919 % 100000).as("y")),
+        "c_custkey", col("x"), col("y"), rx = 10000L, ry = 2000L)),
+
+    // Per-edge triangle support (the k-truss primitive) over the q85
+    // thresholded co-supplier graph: each edge with the triangles it
+    // closes, zero-support edges included.
+    "q219_edge_support" -> ((s, dir) => {
+      val pairs = coSupplierPairs(s, dir)
+        .where(col("l_suppkey") < col("dst_supp"))
+        .groupBy(col("l_suppkey"), col("dst_supp"))
+        .agg(count(lit(1)).as("w")).where(col("w") >= 5)
+        .select(col("l_suppkey"), col("dst_supp"))
+      operators.Graph.edgeSupport(pairs, "l_suppkey", "dst_supp")
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -8316,5 +8340,46 @@ object SparkEntry {
         | FROM customer WHERE c_custkey % 37 <> 0)
         |SELECT k, cust, segment, price_cents
         |FROM f JOIN d ON cust = d_id""".stripMargin,
+
+    // q218: quadratic brute force is the truth the grid must match.
+    "q218_grid_join" ->
+      """WITH p AS (SELECT c_custkey AS id,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) + 100000 AS x,
+        |  (c_custkey * 7919) % 100000 AS y FROM customer)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        | abs(a.x - b.x) AS dx_abs, abs(a.y - b.y) AS dy_abs
+        |FROM p a JOIN p b ON a.id < b.id
+        |WHERE abs(a.x - b.x) <= 10000 AND abs(a.y - b.y) <= 2000""".stripMargin,
+
+    // q219: q85's oriented-wedge CTEs, each triangle charged to its
+    // three canonical edges, left join keeps support-0 edges.
+    "q219_edge_support" ->
+      """WITH raw AS (
+        | SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        | FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        | GROUP BY 1, 2 HAVING count(*) >= 5),
+        |e AS (SELECT u AS a, v AS b FROM raw),
+        |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d
+        | FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |o AS (
+        | SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS src,
+        |        CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS dst,
+        |        CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d END AS dd
+        | FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b),
+        |w AS (
+        | SELECT o1.src AS x, o1.dst AS y, o2.dst AS z
+        | FROM o o1 JOIN o o2 ON o1.src = o2.src
+        |  AND (o1.dd, o1.dst) < (o2.dd, o2.dst)),
+        |tri AS (SELECT x, y, z FROM w JOIN o ON o.src = w.y AND o.dst = w.z),
+        |te AS (
+        | SELECT least(x, y) AS a, greatest(x, y) AS b FROM tri
+        | UNION ALL SELECT least(x, z), greatest(x, z) FROM tri
+        | UNION ALL SELECT least(y, z), greatest(y, z) FROM tri),
+        |supp AS (SELECT a, b, CAST(count(*) AS BIGINT) AS support
+        | FROM te GROUP BY 1, 2)
+        |SELECT e.a AS l_suppkey, e.b AS dst_supp,
+        | coalesce(supp.support, 0) AS support
+        |FROM e LEFT JOIN supp ON supp.a = e.a AND supp.b = e.b""".stripMargin,
   )
 }

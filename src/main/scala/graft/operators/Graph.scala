@@ -193,6 +193,55 @@ object Graph {
       .select(col("id").as(srcCol), coalesce(col("t"), lit(0L)).as("triangles"))
   }
 
+  /** Per-EDGE triangle support — the k-truss building block (Cohen 2008,
+    * "Trusses: cohesive subgraphs for social network analysis"): each
+    * undirected edge (a < b) with the number of triangles it closes,
+    * 0-support edges included. Same degree-oriented wedge plan as
+    * [[triangleCounts]] (√m wedge cap, one equi-join closure); each
+    * found triangle is then charged to its three canonical edges via one
+    * explode + hash aggregate. A k-truss peel iterates this support the
+    * way k-core iterates degrees; one support pass is the per-round
+    * primitive.
+    */
+  def edgeSupport(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val ka = struct(col("da").as("d"), col("a").as("i"))
+    val kb = struct(col("db").as("d"), col("b").as("i"))
+    val aFirst = ka < kb
+    val o = e
+      .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
+      .select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, kb).otherwise(ka).as("kdst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wedges = o.select(col("src"), col("dst").as("y"), col("kdst").as("ky"))
+      .join(o.select(col("src"), col("dst").as("z"), col("kdst").as("kz")), Seq("src"))
+      .where(col("ky") < col("kz"))
+      .select(col("src").as("x"), col("y"), col("z"))
+    val tri = wedges
+      .join(o.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"))
+    val triEdges = tri.select(explode(array(
+        struct(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b")),
+        struct(least(col("x"), col("z")).as("a"),
+          greatest(col("x"), col("z")).as("b")),
+        struct(least(col("y"), col("z")).as("a"),
+          greatest(col("y"), col("z")).as("b")))).as("ed"))
+      .groupBy(col("ed.a").as("a"), col("ed.b").as("b"))
+      .agg(count(lit(1)).as("support"))
+    e.join(triEdges, Seq("a", "b"), "left")
+      .select(col("a").as(srcCol), col("b").as(dstCol),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** Per-community modularity contributions (Newman & Girvan 2004,
     * "Finding and evaluating community structure in networks" — public
     * result) in EXACT integer arithmetic: with m undirected edges,

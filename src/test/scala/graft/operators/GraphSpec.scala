@@ -311,4 +311,32 @@ class GraphSpec extends SparkSpec {
     assert(run(2) == Map(1L -> 0L, 2L -> 2L, 3L -> 5L, 4L -> 11L))
     assert(run(3) == Map(1L -> 0L, 2L -> 2L, 3L -> 5L, 4L -> 6L))
   }
+
+  test("edgeSupport: per-edge triangle counts against brute force") {
+    val rnd = new scala.util.Random(31)
+    val es = (0 until 120).map(_ =>
+      (rnd.nextInt(14).toLong, rnd.nextInt(14).toLong))
+      .filter { case (a, b) => a != b }
+    val canon = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val adj = canon.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val want = canon.map { case (a, b) =>
+      (a, b) -> (adj(a) & adj(b)).size.toLong
+    }.toMap
+    val got = Graph.edgeSupport(es.toDF("s", "d"), "s", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == want)
+  }
+
+  test("edgeSupport: triangle edges get 1, bridge edges get 0") {
+    // triangle 1-2-3 plus pendant edge 3-4
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val got = Graph.edgeSupport(es.toDF("s", "d"), "s", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map((1L, 2L) -> 1L, (2L, 3L) -> 1L, (1L, 3L) -> 1L,
+      (3L, 4L) -> 0L))
+  }
 }
