@@ -98,6 +98,10 @@ class DerivedJoinTable(fact: UpsertTable, dim: UpsertTable,
     val hF = fact.lastCommitSeq(spark)
     val hD = dim.lastCommitSeq(spark)
     if (hF <= sF && hD <= sD) return (sF, sD)
+    // bootstrap: until BOTH sides have a first commit nothing can join —
+    // no-op WITHOUT advancing, so the pre-existing side's rows replay as
+    // churn once the other side appears
+    if (hF == 0L || hD == 0L) return (sF, sD)
 
     val factKeyCols = fact.keyCols
     val fromFact =

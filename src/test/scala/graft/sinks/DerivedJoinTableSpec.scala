@@ -72,6 +72,42 @@ class DerivedJoinTableSpec extends SparkSpec {
     assert(viewState(view) == Set((12L, 9L, "i", 300L)))
   }
 
+  test("randomized op sequences keep view ≡ full recompute") {
+    for (seed <- Seq(11, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_djt_r$seed").toString
+      val (fact, dim, view, djt) = mkTables(root)
+      var ver = 0L
+      // seed both sides (fullRecompute's snapshot contract needs ≥1
+      // commit each; refresh itself no-ops until then — exercised by
+      // refreshing after the fact-only seed)
+      fact.upsert(facts((0L, 0L, 1L, 0L, false)))
+      assert(djt.refresh(spark) == ((0L, 0L))) // dim empty: bootstrap no-op
+      dim.upsert(dims((0L, "l0", 0L, false)))
+      for (step <- 1 to 8) {
+        ver += 1
+        if (rnd.nextBoolean()) {
+          val rows = (0 until 1 + rnd.nextInt(6)).map { _ =>
+            (rnd.nextInt(20).toLong, rnd.nextInt(8).toLong,
+              rnd.nextInt(1000).toLong, ver, rnd.nextInt(5) == 0)
+          }.distinct.groupBy(_._1).map(_._2.head).toSeq // one row per key
+          fact.upsert(facts(rows: _*))
+        } else {
+          val rows = (0 until 1 + rnd.nextInt(4)).map { _ =>
+            (rnd.nextInt(8).toLong, s"l${rnd.nextInt(9)}", ver,
+              rnd.nextInt(5) == 0)
+          }.distinct.groupBy(_._1).map(_._2.head).toSeq
+          dim.upsert(dims(rows: _*))
+        }
+        if (rnd.nextInt(3) == 0 || step == 8) {
+          djt.refresh(spark)
+          parity(view, djt)
+        }
+      }
+    }
+  }
+
   test("refresh is a no-op without new commits and replays idempotently") {
     val root = java.nio.file.Files.createTempDirectory("graft_djt2").toString
     val (fact, dim, view, djt) = mkTables(root)
