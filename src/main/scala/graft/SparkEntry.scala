@@ -3282,6 +3282,101 @@ object SparkEntry {
         .select(col("l_suppkey"), col("dst_supp"))
       operators.Graph.edgeSupport(pairs, "l_suppkey", "dst_supp")
     }),
+
+    // TPC-H Q17-shape: revenue trapped in unusually small orders — the
+    // correlated "quantity < 20% of this part's average" filter becomes
+    // one per-part aggregate joined back to the fact (AQE broadcasts the
+    // ~20k-row agg side); the threshold is decided in integer arithmetic
+    // (5·qty·cnt < sum_qty ⟺ qty < 0.2·avg) so no double ever compares.
+    "q220_small_qty_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .where(col("p_brand") === "Brand#1").select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"),
+          round(col("l_quantity")).cast("long").as("qty"),
+          round(col("l_extendedprice") * 10000).cast("long").as("price_e4"))
+      val perPart = li.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+      li.join(perPart, col("l_partkey") === col("pk"))
+        .where(col("qty") * 5L * col("cnt") < col("sum_qty"))
+        .agg(sum(col("price_e4")).as("small_revenue_e4"),
+          count(lit(1)).as("n_small"))
+    }),
+
+    // TPC-H Q21-shape: suppliers who alone held up a multi-supplier
+    // order ("late" = shipped >90 days after the order date, the
+    // receipt/commit-date analogue this schema supports). The classic
+    // exists/not-exists pair is re-expressed as ONE per-order aggregate
+    // (distinct suppliers, distinct late suppliers) — no quadratic
+    // self-anti-join; the fact shuffles once on orderkey.
+    "q221_waiting_supplier" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").where(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      val perOrder = l.groupBy(col("l_orderkey").as("ok"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+        .where(col("n_supp") > 1 && col("n_late") === 1)
+      l.where(col("late"))
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        .join(perOrder, col("l_orderkey") === col("ok"))
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+    }),
+
+    // TPC-H Q22-shape: well-funded customers (balance above the mean
+    // POSITIVE balance of their cohort) who never ordered — a scalar
+    // aggregate broadcast back as a cross join (bal·cnt > sum decides in
+    // integer cents) plus a LEFT ANTI join against orders, grouped by
+    // nation. The anti join build side is just distinct custkeys.
+    "q222_idle_rich_customers" -> ((s, dir) => {
+      val cohort = t(s, dir, "customer")
+        .where(col("c_nationkey").isin(0, 3, 7, 11, 13, 17, 19, 23))
+        .select(col("c_custkey"), col("c_nationkey"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      val thr = cohort.where(col("bal_cents") > 0)
+        .agg(sum(col("bal_cents")).as("pos_sum"),
+          count(lit(1)).as("pos_cnt"))
+      cohort.crossJoin(broadcast(thr))
+        .where(col("bal_cents") * col("pos_cnt") > col("pos_sum"))
+        .join(t(s, dir, "orders").select(col("o_custkey")).distinct(),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("bal_cents")).as("totacctbal_cents"))
+    }),
+
+    // TPC-H Q20-shape: suppliers who DOMINATE the 1996 supply of some
+    // red part (their shipped quantity exceeds half the part's total —
+    // the availqty-threshold analogue without a partsupp table). Nested
+    // correlated-subquery semantics become two aggregates over one
+    // broadcast-pruned scan + a semi join into supplier.
+    "q223_dominant_supplier" -> ((s, dir) => {
+      val red = t(s, dir, "lineitem")
+        .where(year(col("l_shipdate")) === 1996)
+        .join(broadcast(t(s, dir, "part")
+          .where(col("p_name").contains("red")).select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          round(col("l_quantity")).cast("long").as("qty"))
+      val perPair = red.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("qty")).as("supp_qty"))
+      val perPart = red.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("qty")).as("part_qty"))
+      val dominant = perPair.join(perPart, col("l_partkey") === col("pk"))
+        .where(col("supp_qty") * 2L > col("part_qty"))
+        .select(col("l_suppkey")).distinct()
+      t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+        .join(broadcast(dominant),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -8381,5 +8476,68 @@ object SparkEntry {
         |SELECT e.a AS l_suppkey, e.b AS dst_supp,
         | coalesce(supp.support, 0) AS support
         |FROM e LEFT JOIN supp ON supp.a = e.a AND supp.b = e.b""".stripMargin,
+
+    // q220: the textbook correlated scalar subquery — DuckDB decorrelates
+    // it its own way; the gate proves the agg-join rewrite is equivalent.
+    "q220_small_qty_revenue" ->
+      """WITH li AS (
+        | SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
+        |  CAST(round(l_extendedprice * 10000) AS BIGINT) AS price_e4
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE p_brand = 'Brand#1')
+        |SELECT CAST(sum(price_e4) AS BIGINT) AS small_revenue_e4,
+        | count(*) AS n_small
+        |FROM li a
+        |WHERE a.qty * 5 * (SELECT count(*) FROM li b
+        |    WHERE b.l_partkey = a.l_partkey)
+        |  < (SELECT sum(qty) FROM li b
+        |    WHERE b.l_partkey = a.l_partkey)""".stripMargin,
+
+    // q221: the textbook EXISTS / NOT EXISTS pair over the same lateness
+    // definition — proves the per-order-aggregate rewrite is equivalent.
+    "q221_waiting_supplier" ->
+      """WITH l AS (
+        | SELECT l_orderkey, l_suppkey,
+        |  (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE o_orderstatus = 'F')
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM l WHERE late) l1
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (SELECT 1 FROM l l2
+        |   WHERE l2.l_orderkey = l1.l_orderkey
+        |     AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l l3
+        |   WHERE l3.l_orderkey = l1.l_orderkey
+        |     AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q222: scalar subquery + NOT EXISTS, integer-cents threshold.
+    "q222_idle_rich_customers" ->
+      """WITH cohort AS (
+        | SELECT c_custkey, c_nationkey,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        | FROM customer
+        | WHERE c_nationkey IN (0, 3, 7, 11, 13, 17, 19, 23))
+        |SELECT c_nationkey, count(*) AS numcust,
+        | CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+        |FROM cohort a
+        |WHERE a.bal_cents * (SELECT count(*) FROM cohort WHERE bal_cents > 0)
+        |   > (SELECT sum(bal_cents) FROM cohort WHERE bal_cents > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = a.c_custkey)
+        |GROUP BY 1""".stripMargin,
+
+    // q223: nested IN-subqueries with a correlated half-of-total
+    // threshold — the Q20 silhouette on this schema.
+    "q223_dominant_supplier" ->
+      """WITH red AS (
+        | SELECT l_partkey, l_suppkey, CAST(round(l_quantity) AS BIGINT) AS qty
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE year(l_shipdate) = 1996 AND contains(p_name, 'red'))
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        | SELECT l_suppkey FROM red a GROUP BY l_partkey, l_suppkey
+        | HAVING sum(qty) * 2 > (SELECT sum(qty) FROM red b
+        |   WHERE b.l_partkey = a.l_partkey))""".stripMargin,
   )
 }

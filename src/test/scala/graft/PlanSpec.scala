@@ -299,4 +299,31 @@ class PlanSpec extends SparkSpec {
     assert(p.sliding("Exchange".length).count(_ == "Exchange") == 1,
       p.take(2000))
   }
+
+  test("Q17-shape correlated threshold: part filter broadcast, no cartesian") {
+    val p = plan("q220_small_qty_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("Q21-shape waiting supplier: one orderkey shuffle family, supplier dim broadcast") {
+    val p = plan("q221_waiting_supplier")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the supplier name attach must be a broadcast, not another shuffle
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("Q22-shape idle-rich: anti join present, scalar threshold broadcast") {
+    val p = plan("q222_idle_rich_customers")
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("Q20-shape dominant supplier: semi join into supplier is broadcast") {
+    val p = plan("q223_dominant_supplier")
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
