@@ -3377,6 +3377,18 @@ object SparkEntry {
         .join(broadcast(dominant),
           col("s_suppkey") === col("l_suppkey"), "left_semi")
     }),
+
+    // Local-DP private histogram: randomized response over the
+    // "high-value event" bit with per-user contribution bounding (≤3
+    // rows per user×type). true_count rides along as the gate's audit
+    // column — a production sink drops it. The oracle replays the whole
+    // mechanism: the bounding window, both PolyHash64 coin chains, and
+    // the integer debias.
+    "q224_private_histogram" -> ((s, dir) =>
+      operators.Privacy.randomizedResponse(
+        t(s, dir, "events"), idCol = "event_id", userCol = "user_id",
+        groupCol = "event_type", bit = col("value") >= 50.0,
+        salt = "rrv1", maxPerUser = 3)),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -8539,5 +8551,58 @@ object SparkEntry {
         | SELECT l_suppkey FROM red a GROUP BY l_partkey, l_suppkey
         | HAVING sum(qty) * 2 > (SELECT sum(qty) FROM red b
         |   WHERE b.l_partkey = a.l_partkey))""".stripMargin,
+
+    "q224_private_histogram" -> q224OracleSql,
   )
+
+  /** q224's oracle replays the full randomized-response mechanism: the
+    * per-(user,type) contribution-bounding window, both deterministic
+    * coins (PolyHash64 of event_id under two salt domains — the q73 KR
+    * fold + splitMix64 chain, rendered twice), the 3/4-keep / fair-coin
+    * report, and the clamped integer debias (8R−n)/6 in micro-units. */
+  private val q224OracleSql: String = {
+    // renders one PolyHash64 chain over column expression `src`.`sIn`
+    // (a VARCHAR), emitting UBIGINT column `outCol` shifted right 13
+    def chain(tag: String, src: String, sIn: String, carry: String): String = {
+      val z1 = mulMod64Sql(s"xor(${tag}z0, ${tag}z0 >> 30)", 0xBF58476D1CE4E5B9L)
+      val z2 = mulMod64Sql(s"xor(${tag}z1, ${tag}z1 >> 27)", 0x94D049BB133111EBL)
+      s"""${tag}k AS (SELECT $carry, list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |   list_transform(range(1, length($sIn)+1),
+         |     i -> CAST(unicode($sIn[i]) AS HUGEINT))),
+         |   (a,b) -> (a*257+b) % 2305843009213693951) AS ${tag}h
+         | FROM $src),
+         |${tag}s0 AS (SELECT $carry,
+         |  CAST((${tag}h + 11400714819323198485) % 18446744073709551616
+         |    AS UBIGINT) AS ${tag}z0 FROM ${tag}k),
+         |${tag}s1 AS (SELECT $carry, $z1 AS ${tag}z1 FROM ${tag}s0),
+         |${tag}s2 AS (SELECT $carry, $z2 AS ${tag}z2 FROM ${tag}s1),
+         |${tag}f AS (SELECT $carry,
+         |  xor(${tag}z2, ${tag}z2 >> 31) >> 13 AS ${tag}z FROM ${tag}s2)"""
+        .stripMargin
+    }
+    s"""WITH e AS (
+       | SELECT event_id, event_type, (value >= 50.0) AS bit,
+       |  row_number() OVER (PARTITION BY user_id, event_type
+       |    ORDER BY event_id) AS rn
+       | FROM events),
+       |b AS (
+       | SELECT event_id, event_type, bit,
+       |  CAST(event_id AS VARCHAR) || 'rrv1#keep' AS sk,
+       |  CAST(event_id AS VARCHAR) || 'rrv1#coin' AS sc
+       | FROM e WHERE rn <= 3),
+       |${chain("K", "b", "sk", "event_id, event_type, bit, sc")},
+       |${chain("C", "Kf", "sc", "event_id, event_type, bit, Kz")},
+       |rep AS (
+       | SELECT event_type, bit,
+       |  CASE WHEN Kz % 4 <> 0 THEN bit ELSE Cz % 2 = 1 END AS r
+       | FROM Cf),
+       |g AS (
+       | SELECT event_type, count(*) AS n,
+       |  CAST(sum(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS reported_true,
+       |  CAST(sum(CASE WHEN bit THEN 1 ELSE 0 END) AS BIGINT) AS true_count
+       | FROM rep GROUP BY 1)
+       |SELECT event_type, n, reported_true, true_count,
+       | greatest(reported_true * 8 - n, 0) * 1000000 // 6 AS est_true_e6
+       |FROM g""".stripMargin
+  }
 }
