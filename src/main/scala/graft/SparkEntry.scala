@@ -3389,6 +3389,16 @@ object SparkEntry {
         t(s, dir, "events"), idCol = "event_id", userCol = "user_id",
         groupCol = "event_type", bit = col("value") >= 50.0,
         salt = "rrv1", maxPerUser = 3)),
+
+    // Audience overlap via KMV/theta set-operation estimates: each order
+    // priority's ~1300-customer set sketched to its bottom-64 hashes,
+    // every pair's union AND intersection cardinality estimated from the
+    // sketches alone — the segment-overlap question HLL cannot answer.
+    // k=64 ≪ |set|, so the estimator path (not the exact under-full
+    // degenerate) is what the oracle replays.
+    "q225_kmv_overlap" -> ((s, dir) =>
+      agg.KmvSketch.intersectionEstimate(
+        t(s, dir, "orders"), "o_orderpriority", "o_custkey", k = 64)),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -8553,7 +8563,66 @@ object SparkEntry {
         |   WHERE b.l_partkey = a.l_partkey))""".stripMargin,
 
     "q224_private_histogram" -> q224OracleSql,
+
+    "q225_kmv_overlap" -> q225OracleSql,
   )
+
+  /** q225's oracle replays the sketches end-to-end: PolyHash64 of the
+    * stringified custkey, the sign-flip to unsigned order (u = z ⊕ 2^63 =
+    * h + 2^63 — signed ascending becomes unsigned ascending), per-group
+    * bottom-64, pair-union bottom-64, and the (k−1)·2^64/u_k estimator in
+    * HUGEINT. */
+  private val q225OracleSql: String = {
+    val k = 64
+    val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
+    val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
+    val num = (BigInt(k - 1) << 64).toString
+    s"""WITH vals AS (
+       | SELECT DISTINCT o_orderpriority AS g,
+       |  CAST(o_custkey AS VARCHAR) AS s FROM orders),
+       |kk AS (
+       | SELECT g, list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |   list_transform(range(1, length(s)+1),
+       |     i -> CAST(unicode(s[i]) AS HUGEINT))),
+       |   (a,b) -> (a*257+b) % 2305843009213693951) AS h
+       | FROM vals),
+       |s0 AS (SELECT g,
+       |  CAST((h + 11400714819323198485) % 18446744073709551616 AS UBIGINT)
+       |    AS z0 FROM kk),
+       |s1 AS (SELECT g, $z1 AS z1 FROM s0),
+       |s2 AS (SELECT g, $z2 AS z2 FROM s1),
+       |hz AS (SELECT g, xor(xor(z2, z2 >> 31),
+       |  CAST(9223372036854775808 AS UBIGINT)) AS u FROM s2),
+       |hd AS (SELECT DISTINCT g, u FROM hz),
+       |sk AS (SELECT g, u FROM (
+       |  SELECT g, u, row_number() OVER (PARTITION BY g ORDER BY u) AS rn
+       |  FROM hd) WHERE rn <= $k),
+       |gs AS (SELECT DISTINCT g FROM sk),
+       |gp AS (SELECT a.g AS g_a, b.g AS g_b FROM gs a JOIN gs b ON a.g < b.g),
+       |uh AS (
+       | SELECT g_a, g_b, u, max(inA) AS inA, max(inB) AS inB FROM (
+       |  SELECT gp.g_a, gp.g_b, sk.u, 1 AS inA, 0 AS inB
+       |   FROM gp JOIN sk ON sk.g = gp.g_a
+       |  UNION ALL
+       |  SELECT gp.g_a, gp.g_b, sk.u, 0, 1
+       |   FROM gp JOIN sk ON sk.g = gp.g_b) GROUP BY 1, 2, 3),
+       |uk AS (SELECT g_a, g_b, u, inA, inB, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY g_a, g_b ORDER BY u) AS rn
+       |  FROM uh) WHERE rn <= $k),
+       |ag AS (
+       | SELECT g_a, g_b, count(*) AS union_k,
+       |  CAST(sum(inA * inB) AS BIGINT) AS matches,
+       |  max(CASE WHEN rn = $k THEN u END) AS kth
+       | FROM uk GROUP BY 1, 2)
+       |SELECT g_a, g_b, union_k, matches,
+       | CASE WHEN union_k < $k THEN union_k
+       |  ELSE CAST(CAST('$num' AS HUGEINT) // CAST(kth AS HUGEINT) AS BIGINT)
+       |  END AS est_union,
+       | matches * (CASE WHEN union_k < $k THEN union_k
+       |  ELSE CAST(CAST('$num' AS HUGEINT) // CAST(kth AS HUGEINT) AS BIGINT)
+       |  END) // union_k AS est_inter
+       |FROM ag""".stripMargin
+  }
 
   /** q224's oracle replays the full randomized-response mechanism: the
     * per-(user,type) contribution-bounding window, both deterministic

@@ -58,4 +58,39 @@ class KmvSketchSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(1500))
   }
+
+  test("distinctEstimate is EXACT for under-full sketches") {
+    val df = (0 until 500).map(i => ("g" + i % 4, s"v${i % 40}"))
+      .toDF("g", "v")
+    KmvSketch.distinctEstimate(df, "g", "v", 64).collect().foreach { r =>
+      assert(r.getAs[Long]("est_distinct") == r.getAs[Long]("sketch_size"))
+      assert(r.getAs[Long]("sketch_size") <= 40L)
+    }
+  }
+
+  test("distinctEstimate lands in the KMV error envelope when over-full") {
+    // 20000 distinct values, k=128: rsd = 1/sqrt(k-2) ≈ 8.9%; a ±40%
+    // band is > 4 sigma — deterministic-hash flake-free
+    val df = (0 until 20000).map(i => ("g", s"val$i")).toDF("g", "v")
+    val est = KmvSketch.distinctEstimate(df, "g", "v", 128)
+      .collect().head.getAs[Long]("est_distinct")
+    assert(est > 12000 && est < 28000, s"est $est")
+  }
+
+  test("intersectionEstimate tracks the true overlap; disjoint pairs estimate 0") {
+    val g0 = (0 until 3000).map(i => ("A", s"x$i"))
+    val g1 = (2000 until 5000).map(i => ("B", s"x$i"))
+    val g2 = (0 until 1000).map(i => ("C", s"z$i"))
+    val got = KmvSketch.intersectionEstimate(
+      (g0 ++ g1 ++ g2).toDF("g", "v"), "g", "v", 128)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = got(("A", "B"))
+    // truth: |A∪B| = 5000, |A∩B| = 1000
+    assert(math.abs(ab.getAs[Long]("est_union") - 5000L) < 2000,
+      ab.toString)
+    assert(math.abs(ab.getAs[Long]("est_inter") - 1000L) < 600,
+      ab.toString)
+    assert(got(("B", "C")).getAs[Long]("est_inter") == 0L)
+    assert(got(("A", "C")).getAs[Long]("est_inter") == 0L)
+  }
 }
