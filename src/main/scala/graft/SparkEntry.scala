@@ -3399,6 +3399,19 @@ object SparkEntry {
     "q225_kmv_overlap" -> ((s, dir) =>
       agg.KmvSketch.intersectionEstimate(
         t(s, dir, "orders"), "o_orderpriority", "o_custkey", k = 64)),
+
+    // Holt double-exponential forecast of daily revenue per event type:
+    // α=0.2, β=0.3 as integer ratios, every smoothing step truncated to
+    // cents before the next — the whole recursion BIGINT, the 7-day
+    // forecast hash-exact. The oracle refolds the same series with
+    // list_reduce.
+    "q226_holt_forecast" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      operators.Trend.holtLinear(daily, Seq("event_type"), col("day"),
+        col("cents"), alphaNum = 2, betaNum = 3, den = 10, horizon = 7)
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -8565,6 +8578,32 @@ object SparkEntry {
     "q224_private_histogram" -> q224OracleSql,
 
     "q225_kmv_overlap" -> q225OracleSql,
+
+    // q226: list_reduce refold — state rides a 2-element BIGINT list
+    // [l, b] prepended to the series (elements lifted to [y, 0] so the
+    // accumulator and element types match); `//` and `div` both truncate
+    // toward zero, so each step's integer rounding replays exactly.
+    "q226_holt_forecast" ->
+      """WITH daily AS (
+        | SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        | FROM events GROUP BY 1, 2),
+        |ser AS (
+        | SELECT event_type, count(*) AS n_obs,
+        |  list(cents ORDER BY day) AS ys
+        | FROM daily GROUP BY 1),
+        |st AS (
+        | SELECT event_type, n_obs, list_reduce(
+        |  list_prepend([ys[1], CAST(0 AS BIGINT)],
+        |    list_transform(ys[2:], y -> [y, CAST(0 AS BIGINT)])),
+        |  (acc, e) -> [
+        |    (2*e[1] + 8*(acc[1] + acc[2])) // 10,
+        |    (3*(((2*e[1] + 8*(acc[1] + acc[2])) // 10) - acc[1])
+        |      + 7*acc[2]) // 10]) AS s
+        | FROM ser)
+        |SELECT event_type, n_obs, s[1] AS level, s[2] AS trend,
+        | s[1] + s[2] AS forecast_next, s[1] + 7*s[2] AS forecast_h
+        |FROM st""".stripMargin,
   )
 
   /** q225's oracle replays the sketches end-to-end: PolyHash64 of the

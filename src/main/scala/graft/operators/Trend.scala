@@ -95,4 +95,50 @@ object Trend {
           sort_array(collect_list(struct(col("__seg"), col("__sym")))),
           e => e.getField("__sym")), "").as("sax_word"))
   }
+
+  /** Holt double-exponential smoothing (Holt 1957 / Winters 1960, the
+    * no-seasonality form) — level + trend forecasting for "where is this
+    * metric heading", one step beyond [[groupedOls]]' global line: the
+    * smoothing adapts to recent shifts instead of fitting all history
+    * equally.
+    *
+    *   l_i = α·y_i + (1−α)·(l_{i−1} + b_{i−1})
+    *   b_i = β·(l_i − l_{i−1}) + (1−β)·b_{i−1},   l_1 = y_1, b_1 = 0
+    *
+    * Exactness discipline: α and β are integer ratios (alphaNum/den,
+    * betaNum/den) and every step rounds by truncating `div` BEFORE
+    * feeding the next step — the recursion is pure BIGINT, so the final
+    * (level, trend, forecast) hash-gates across engines (Spark `div` and
+    * DuckDB `//` both truncate toward zero, negatives included).
+    *
+    * Scale shape: one groupBy collects each key's day series and folds it
+    * in its executor via `aggregate` — the same per-key-series-fits
+    * contract as ewmaResiduals/SAX; keys fan out across the cluster, and
+    * the fold itself is codegen'd array arithmetic, no UDF. */
+  def holtLinear(df: DataFrame, keyCols: Seq[String], orderCol: Column,
+      valueCol: Column, alphaNum: Int, betaNum: Int, den: Int,
+      horizon: Int = 7): DataFrame = {
+    require(den > 0 && alphaNum > 0 && alphaNum <= den &&
+      betaNum >= 0 && betaNum <= den && horizon >= 1)
+    val base = df.select(keyCols.map(col) ++ Seq(
+      orderCol.cast("long").as("__o"), valueCol.cast("long").as("__y")): _*)
+    val series = base.groupBy(keyCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(col("__o"), col("__y"))))
+        .as("arr"), count(lit(1)).as("n_obs"))
+      .withColumn("ys", expr("transform(arr, e -> e.__y)"))
+    val (a, b, d) = (alphaNum, betaNum, den)
+    val lNew = s"(($a * y + ${d - a} * (acc.l + acc.b)) div $d)"
+    val fold =
+      s"""aggregate(slice(ys, 2, size(ys) - 1),
+         |  named_struct('l', element_at(ys, 1), 'b', CAST(0 AS BIGINT)),
+         |  (acc, y) -> named_struct(
+         |    'l', $lNew,
+         |    'b', (($b * ($lNew - acc.l) + ${d - b} * acc.b) div $d)))"""
+        .stripMargin
+    series.withColumn("st", expr(fold))
+      .select(keyCols.map(col) ++ Seq(col("n_obs"),
+        col("st.l").as("level"), col("st.b").as("trend")): _*)
+      .withColumn("forecast_next", expr("level + trend"))
+      .withColumn("forecast_h", expr(s"level + ${horizon}L * trend"))
+  }
 }

@@ -60,4 +60,56 @@ class TrendSpec extends SparkSpec {
       assert(r.getString(2) == "abab", s"parts=$parts got ${r.getString(2)}")
     }
   }
+
+  test("holtLinear replays the hand fold (alpha=0.2, beta=0.3)") {
+    // l1=100,b1=0; y=200: l=(400+800)/10=120, b=(3*20)/10=6;
+    // y=50: l=(100+1008) div 10=110, b=(3*(-10)+42) div 10=1
+    val df = Seq(("k", 1L, 100L), ("k", 2L, 200L), ("k", 3L, 50L))
+      .toDF("g", "t", "y")
+    val r = Trend.holtLinear(df, Seq("g"), col("t"), col("y"), 2, 3, 10, 7)
+      .collect().head
+    assert(r.getAs[Long]("level") == 110L)
+    assert(r.getAs[Long]("trend") == 1L)
+    assert(r.getAs[Long]("forecast_next") == 111L)
+    assert(r.getAs[Long]("forecast_h") == 117L)
+  }
+
+  test("holtLinear truncates toward zero on negative trend steps") {
+    // y=[10, 0]: l=(0+80)/10=8, b=(3*(8-10)) div 10 = -6 div 10 = 0
+    // (floor division would give -1 — the pin that keeps DuckDB parity)
+    val r = Trend.holtLinear(Seq(("k", 1L, 10L), ("k", 2L, 0L))
+        .toDF("g", "t", "y"), Seq("g"), col("t"), col("y"), 2, 3, 10)
+      .collect().head
+    assert(r.getAs[Long]("level") == 8L)
+    assert(r.getAs[Long]("trend") == 0L)
+    // and a genuinely negative accumulated trend survives exactly
+    val r2 = Trend.holtLinear(Seq(("k", 1L, 100L), ("k", 2L, 0L))
+        .toDF("g", "t", "y"), Seq("g"), col("t"), col("y"), 2, 3, 10)
+      .collect().head
+    assert(r2.getAs[Long]("level") == 80L)
+    assert(r2.getAs[Long]("trend") == -6L)
+    assert(r2.getAs[Long]("forecast_next") == 74L)
+  }
+
+  test("holtLinear on a single observation is (y, 0)") {
+    val r = Trend.holtLinear(Seq(("k", 1L, 42L)).toDF("g", "t", "y"),
+      Seq("g"), col("t"), col("y"), 2, 3, 10).collect().head
+    assert(r.getAs[Long]("level") == 42L && r.getAs[Long]("trend") == 0L)
+  }
+
+  test("holtLinear is partitioning-invariant (the sort pins fold order)") {
+    val rows = (1 to 200).map(i => ("k" + i % 3, i.toLong,
+      (i * 37 % 211).toLong))
+    for (parts <- Seq(1, 7)) {
+      val got = Trend.holtLinear(rows.toDF("g", "t", "y").repartition(parts),
+        Seq("g"), col("t"), col("y"), 2, 3, 10)
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("level"), r.getAs[Long]("trend"))).toMap
+      val one = Trend.holtLinear(rows.toDF("g", "t", "y").coalesce(1),
+        Seq("g"), col("t"), col("y"), 2, 3, 10)
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("level"), r.getAs[Long]("trend"))).toMap
+      assert(got == one, s"parts=$parts")
+    }
+  }
 }
