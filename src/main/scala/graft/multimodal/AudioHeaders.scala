@@ -30,6 +30,10 @@ import org.apache.spark.sql.functions._
   *    duration from the highest granule position over a bounded page walk
   *    (page size = 27 + segments + segment-table sum). Opus granules run
   *    at 48 kHz regardless of the input rate (RFC 7845 §4).
+  *  - ADTS AAC: 0xFFFx syncword with layer bits 00 (disambiguated from a
+  *    raw MP3 sync by (b2 & 0xF6) == 0xF0), sampling-frequency-index and
+  *    channel-configuration from the fixed header, duration by a
+  *    frame-length walk at 1024 samples/frame (ISO 13818-7 §6.2).
   *
   * Unknown/truncated/malformed blobs yield NULL fields (a missing data
   * chunk yields NULL duration, not 0) — callers route them to the decode
@@ -44,6 +48,12 @@ object AudioHeaders {
       ascii4(bytes, 1) === "RIFF" && ascii4(bytes, 9) === "WAVE", "wav")
     .when(length(bytes) >= 4 && ascii4(bytes, 1) === "fLaC", "flac")
     .when(length(bytes) >= 3 && substring(bytes, 1, 3).cast("string") === "ID3", "mp3")
+    // ADTS AAC must sniff BEFORE the raw MP3 sync: both start 0xFF Ex,
+    // but ADTS has layer bits 00 (ISO 13818-7 §6.2) where MPEG audio
+    // layers are 01/10/11 — (b2 & 0xF6) == 0xF0 is the discriminator
+    .when(length(bytes) >= 7 &&
+      u8(bytes, 1) === 0xff && u8(bytes, 2).bitwiseAND(lit(0xf6)) === 0xf0,
+      "aac")
     .when(length(bytes) >= 2 &&
       u8(bytes, 1) === 0xff && (u8(bytes, 2) >= 0xe0), "mp3")
     .when(length(bytes) >= 4 && ascii4(bytes, 1) === "OggS", "ogg")
@@ -275,6 +285,42 @@ object AudioHeaders {
 
   private val oggMetaUdf = udf((b: Array[Byte]) => oggParams(b))
 
+  /** ADTS sampling-frequency-index table (ISO/IEC 13818-7 / 14496-3). */
+  private val AdtsRates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  /** ADTS AAC parameters: (channels | -1 when PCE-carried, sample_rate,
+    * duration_ms | -1 unknown). The frame walk counts syncword-aligned
+    * frames through each header's 13-bit frame-length field (13818-7
+    * §6.2; 1024 samples per frame); trailing garbage after a desync stops
+    * the count rather than failing the blob. Hostile-byte discipline as
+    * the MP3/OGG walks: Long cursor, bounded iterations, every read
+    * length-checked. */
+  private[multimodal] def aacParams(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (b == null || b.length < 7) return None
+    def u(i: Long): Int = b(i.toInt) & 0xff
+    if (u(0) != 0xff || (u(1) & 0xf6) != 0xf0) return None
+    val sfi = (u(2) >> 2) & 0xf
+    if (sfi >= AdtsRates.length) return None
+    val rate = AdtsRates(sfi)
+    val ch = ((u(2) & 1) << 2) | (u(3) >> 6)
+    var i = 0L
+    var frames = 0L
+    var ok = true
+    while (ok && i + 7 <= b.length && frames < 4000000L) {
+      if (u(i) != 0xff || (u(i + 1) & 0xf6) != 0xf0) ok = false
+      else {
+        val flen = ((u(i + 3) & 0x03) << 11) | (u(i + 4) << 3) | (u(i + 5) >> 5)
+        if (flen < 7) ok = false
+        else { frames += 1; i += flen }
+      }
+    }
+    val durMs = if (frames > 0) frames * 1024L * 1000L / rate else -1L
+    Some((if (ch == 0) -1 else ch, rate, durMs))
+  }
+
+  private val aacMetaUdf = udf((b: Array[Byte]) => aacParams(b))
+
   // FLAC STREAMINFO (mandatory first metadata block, header at byte 4,
   // payload at byte 8; 1-based substring offsets): sample rate = 20 bits
   // starting at payload byte 10, then 3 channel bits, 5 bits/sample bits,
@@ -298,6 +344,7 @@ object AudioHeaders {
     val wav = wavMetaUdf(bytes) // struct(_1.._4) or NULL
     val mp3 = mp3MetaUdf(when(fmt === "mp3", bytes)) // NULL input → NULL out
     val ogg = oggMetaUdf(when(fmt === "ogg", bytes))
+    val aac = aacMetaUdf(when(fmt === "aac", bytes))
     val isFlac = fmt === "flac" && length(bytes) >= 26
     val wavDataBytes = wav.getField("_4")
     // a malformed fmt chunk can declare 0 channels/rate/bits — guard the
@@ -316,16 +363,20 @@ object AudioHeaders {
       "audio_channels" -> when(fmt === "wav", wav.getField("_1"))
         .when(isFlac, flacChannels(bytes))
         .when(fmt === "mp3", mp3.getField("_1"))
-        .when(fmt === "ogg", ogg.getField("_1")),
+        .when(fmt === "ogg", ogg.getField("_1"))
+        // channel_configuration 0 defers to an in-stream PCE → NULL
+        .when(fmt === "aac" && aac.getField("_1") > 0, aac.getField("_1")),
       "audio_sample_rate" -> when(fmt === "wav", wav.getField("_2"))
         .when(isFlac, flacRate(bytes))
         .when(fmt === "mp3", mp3.getField("_2"))
-        .when(fmt === "ogg", ogg.getField("_2")),
+        .when(fmt === "ogg", ogg.getField("_2"))
+        .when(fmt === "aac", aac.getField("_2")),
       // bits/sample is a PCM notion — NULL for the lossy codecs
       "audio_bits_per_sample" -> when(fmt === "wav", wav.getField("_3"))
         .when(isFlac, flacBits(bytes)),
       "audio_duration_ms" -> when(fmt === "wav", wavDur).when(isFlac, flacDur)
-        .when(fmt === "mp3", dur(mp3)).when(fmt === "ogg", dur(ogg)))
+        .when(fmt === "mp3", dur(mp3)).when(fmt === "ogg", dur(ogg))
+        .when(fmt === "aac", dur(aac)))
   }
 
   def audioChannels(bytes: Column): Column = metaColumns(bytes)(1)._2

@@ -15,5 +15,10 @@ private[multimodal] object ByteCols {
   def leU16(c: Column, i: Int): Column = u8(c, i) + u8(c, i + 1) * 256
   def beU32(c: Column, i: Int): Column =
     ((u8(c, i) * 256L + u8(c, i + 1)) * 256L + u8(c, i + 2)) * 256L + u8(c, i + 3)
+  def leU24(c: Column, i: Int): Column =
+    u8(c, i) + u8(c, i + 1) * 256 + u8(c, i + 2) * 65536
+  def leU32(c: Column, i: Int): Column =
+    u8(c, i) + u8(c, i + 1) * 256L + u8(c, i + 2) * 65536L +
+      u8(c, i + 3) * 16777216L
   def ascii4(c: Column, i: Int): Column = substring(c, i, 4).cast("string")
 }

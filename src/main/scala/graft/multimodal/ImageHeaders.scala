@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** REAL (non-stub) multimodal metadata extraction: image format sniffing
   * and dimension parsing straight from the container headers — pure byte
-  * arithmetic on the `binary` column, no media libraries. Covers the three
-  * formats whose headers are trivially self-describing:
+  * arithmetic on the `binary` column, no media libraries. Covers the
+  * formats whose headers are trivially self-describing (plus WebP's three
+  * first-chunk layouts — see [[webpDim]]):
   *
   *  - PNG: 8-byte signature, then the IHDR chunk carries big-endian
   *    width/height at fixed offsets 16 and 20 (PNG spec §11.2.2).
@@ -22,9 +23,9 @@ import org.apache.spark.sql.functions._
   * decode stage or a reject channel).
   */
 object ImageHeaders {
-  import ByteCols.{beU32, leU16, u8}
+  import ByteCols.{ascii4, beU32, leU16, leU24, leU32, u8}
 
-  /** Format sniff from magic bytes: png | gif | jpeg | NULL. */
+  /** Format sniff from magic bytes: png | gif | jpeg | webp | NULL. */
   def imageFormat(bytes: Column): Column =
     when(length(bytes) >= 8 &&
       u8(bytes, 1) === 0x89 && u8(bytes, 2) === 0x50 &&
@@ -34,6 +35,33 @@ object ImageHeaders {
       u8(bytes, 4) === 0x38 && u8(bytes, 6) === 0x61, "gif")
     .when(length(bytes) >= 4 &&
       u8(bytes, 1) === 0xff && u8(bytes, 2) === 0xd8, "jpeg")
+    .when(length(bytes) >= 16 &&
+      ascii4(bytes, 1) === "RIFF" && ascii4(bytes, 9) === "WEBP", "webp")
+
+  /** WebP dimensions — all three first-chunk layouts are fixed-offset,
+    * so the parse is fully declarative (codegen'd), no UDF:
+    *  - VP8X (extended): 24-bit LE canvas width−1 / height−1 at payload
+    *    bytes 4..9 (WebP container spec, "Extended File Format");
+    *  - "VP8 " (lossy): RFC 6386 §9.1 — 3-byte frame tag, 0x9D012A start
+    *    code, then LE u16s whose low 14 bits are width/height;
+    *  - VP8L (lossless): 0x2F signature then a LE u32 packing 14-bit
+    *    width−1 / height−1 (WebP lossless bitstream spec §3).
+    * Returns NULL on any other / truncated first chunk. */
+  private def webpDim(bytes: Column, first: Boolean): Column = {
+    val fourcc = ascii4(bytes, 13)
+    val vp8Sync = u8(bytes, 24) === 0x9d && u8(bytes, 25) === 0x01 &&
+      u8(bytes, 26) === 0x2a
+    val vp8lBits = leU32(bytes, 22)
+    when(fourcc === "VP8X" && length(bytes) >= 30,
+      (if (first) leU24(bytes, 25) else leU24(bytes, 28)) + 1)
+    .when(fourcc === "VP8 " && length(bytes) >= 30 && vp8Sync,
+      (if (first) leU16(bytes, 27) else leU16(bytes, 29))
+        .bitwiseAND(lit(0x3fff)))
+    .when(fourcc === "VP8L" && length(bytes) >= 25 && u8(bytes, 21) === 0x2f,
+      (if (first) vp8lBits.bitwiseAND(lit(0x3fffL))
+       else shiftright(vp8lBits, 14).bitwiseAND(lit(0x3fffL)))
+        .cast("int") + 1)
+  }
 
   /** JPEG SOF marker walk (bounded loop — a tiny deterministic UDF; the
     * per-row work is O(#segments), independent of blob size). Returns
@@ -80,12 +108,14 @@ object ImageHeaders {
     when(imageFormat(bytes) === "png", beU32(bytes, 17).cast("int"))
       .when(imageFormat(bytes) === "gif", leU16(bytes, 7))
       .when(imageFormat(bytes) === "jpeg", jpegW(bytes))
+      .when(imageFormat(bytes) === "webp", webpDim(bytes, first = true))
 
   /** Parsed height in pixels (NULL when not a recognized image). */
   def imageHeight(bytes: Column): Column =
     when(imageFormat(bytes) === "png", beU32(bytes, 21).cast("int"))
       .when(imageFormat(bytes) === "gif", leU16(bytes, 9))
       .when(imageFormat(bytes) === "jpeg", jpegH(bytes))
+      .when(imageFormat(bytes) === "webp", webpDim(bytes, first = false))
 
   /** Attach (format, width, height) metadata columns parsed from the
     * binary column — the real half of the multimodal metadata stage; the

@@ -221,4 +221,54 @@ class AudioHeadersSpec extends SparkSpec {
     val m = df.collect().head.getMap[String, String](0)
     assert(m("TIT2") == "Hello")
   }
+
+  /** ADTS frames: 7-byte headers (protection_absent=1), zero payload. */
+  private def adts(sfi: Int, chan: Int, frameLens: Seq[Int]): Array[Byte] =
+    frameLens.flatMap { fl =>
+      val b = Array.fill(fl)(0)
+      b(0) = 0xff; b(1) = 0xf1
+      b(2) = (1 << 6) | (sfi << 2) | ((chan >> 2) & 1)
+      b(3) = ((chan & 3) << 6) | ((fl >> 11) & 3)
+      b(4) = (fl >> 3) & 0xff
+      b(5) = ((fl & 7) << 5) | 0x1f
+      b(6) = 0xfc
+      b
+    }.map(_.toByte).toArray
+
+  test("ADTS AAC: sniff beats the raw MP3 sync; rate/channels/duration parse") {
+    // 43 frames @ 44100 Hz: 43*1024*1000/44100 = 998 ms
+    val blob = adts(sfi = 4, chan = 2, frameLens = Seq.fill(43)(200))
+    assert(AudioHeaders.aacParams(blob) == Some((2, 44100, 998L)))
+    import spark.implicits._
+    val r = AudioHeaders.withAudioMeta(
+      Seq(Tuple1(blob)).toDF("b"), "b").collect().head
+    assert(r.getAs[String]("audio_format") == "aac")
+    assert(r.getAs[Int]("audio_channels") == 2)
+    assert(r.getAs[Int]("audio_sample_rate") == 44100)
+    assert(r.getAs[Long]("audio_duration_ms") == 998L)
+    assert(r.isNullAt(r.fieldIndex("audio_bits_per_sample")))
+  }
+
+  test("ADTS AAC: trailing garbage stops the frame count cleanly") {
+    val blob = adts(4, 1, Seq.fill(10)(150)) ++
+      "garbage after the stream".getBytes("ASCII")
+    // 10 frames @ 44100: 10*1024*1000/44100 = 232 ms
+    assert(AudioHeaders.aacParams(blob) == Some((1, 44100, 232L)))
+  }
+
+  test("ADTS AAC: PCE-carried channel config 0 yields NULL channels; bad sfi yields NULLs") {
+    import spark.implicits._
+    val pce = adts(11, 0, Seq(100)) // sfi 11 = 8000 Hz, chan cfg 0
+    val r = AudioHeaders.withAudioMeta(Seq(Tuple1(pce)).toDF("b"), "b")
+      .collect().head
+    assert(r.getAs[String]("audio_format") == "aac")
+    assert(r.isNullAt(r.fieldIndex("audio_channels")))
+    assert(r.getAs[Int]("audio_sample_rate") == 8000)
+    // reserved sampling-frequency index: the parse refuses, fields NULL
+    assert(AudioHeaders.aacParams(adts(14, 2, Seq(100))).isEmpty)
+    // hostile frame length < header size cannot loop forever
+    val tiny = adts(4, 2, Seq(100))
+    tiny(4) = 0; tiny(5) = (3 << 5).toByte // frame length 3 < 7
+    assert(AudioHeaders.aacParams(tiny) == Some((2, 44100, -1L)))
+  }
 }
