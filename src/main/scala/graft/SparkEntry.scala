@@ -3412,6 +3412,30 @@ object SparkEntry {
       operators.Trend.holtLinear(daily, Seq("event_type"), col("day"),
         col("cents"), alphaNum = 2, betaNum = 3, den = 10, horizon = 7)
     }),
+
+    // Largest-remainder apportionment of a (prime) token budget across
+    // sources by total characters — quotas sum to the budget EXACTLY,
+    // unlike truncation (q104's ≤budget drift). Prime budget forces
+    // nontrivial remainders through the rank step.
+    "q227_apportion" -> ((s, dir) =>
+      operators.CorpusOps.apportion(
+        t(s, dir, "documents"), "source", "n_chars", budget = 999983L)),
+
+    // Dashboard "top-k + OTHER" rollup: per day, the top-2 revenue event
+    // types keep their names, the tail lumps into OTHER — rank window,
+    // conditional regroup, one exchange each.
+    "q228_topk_other" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(expr("ts_ms div 86400000").as("day"), col("event_type"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("day"))
+        .orderBy(col("cents").desc, col("event_type"))
+      daily.withColumn("rk", row_number().over(w))
+        .withColumn("grp", when(col("rk") <= 2, col("event_type"))
+          .otherwise("OTHER"))
+        .groupBy(col("day"), col("grp"))
+        .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n_types"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -8604,6 +8628,40 @@ object SparkEntry {
         |SELECT event_type, n_obs, s[1] AS level, s[2] AS trend,
         | s[1] + s[2] AS forecast_next, s[1] + 7*s[2] AS forecast_h
         |FROM st""".stripMargin,
+
+    // q227: Hamilton apportionment replay in HUGEINT; quotas must sum to
+    // the prime budget exactly.
+    "q227_apportion" ->
+      """WITH g AS (
+        | SELECT source, CAST(sum(n_chars) AS BIGINT) AS weight
+        | FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(weight) AS HUGEINT) AS W FROM g),
+        |a AS (
+        | SELECT source, weight,
+        |  (CAST(999983 AS HUGEINT) * weight) // W AS base,
+        |  (CAST(999983 AS HUGEINT) * weight) % W AS rem
+        | FROM g, t),
+        |d AS (
+        | SELECT *, 999983 - sum(base) OVER () AS deficit,
+        |  row_number() OVER (ORDER BY rem DESC, source) AS rk
+        | FROM a)
+        |SELECT source, weight,
+        | CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+        |  AS quota
+        |FROM d""".stripMargin,
+
+    "q228_topk_other" ->
+      """WITH daily AS (
+        | SELECT epoch_ms(ts) // 86400000 AS day, event_type,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        | FROM events GROUP BY 1, 2),
+        |r AS (
+        | SELECT day, event_type, cents, row_number() OVER (
+        |   PARTITION BY day ORDER BY cents DESC, event_type) AS rk
+        | FROM daily)
+        |SELECT day, CASE WHEN rk <= 2 THEN event_type ELSE 'OTHER' END AS grp,
+        | CAST(sum(cents) AS BIGINT) AS cents, count(*) AS n_types
+        |FROM r GROUP BY 1, 2""".stripMargin,
   )
 
   /** q225's oracle replays the sketches end-to-end: PolyHash64 of the

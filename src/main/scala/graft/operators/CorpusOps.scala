@@ -221,6 +221,40 @@ object CorpusOps {
       .select(col(srcCol), col("n_docs"), col("share_ppm"), col("quota"))
   }
 
+  /** Largest-remainder (Hamilton) apportionment: cut an integer budget
+    * into per-group quotas proportional to integer weights such that the
+    * quotas sum to the budget EXACTLY — the fix for truncation drift
+    * ([[temperatureWeights]] under-allocates by up to #groups−1 tokens,
+    * which compounds when quotas feed downstream exact-count checks).
+    * base_g = ⌊budget·w_g/W⌋, then the budget − Σbase leftover units go
+    * to the largest fractional remainders (budget·w_g mod W), total-order
+    * tie-break on the group key.
+    *
+    * All arithmetic is DECIMAL(38,0)·`div`/mod — budget·w never touches a
+    * LONG, so 100 TB-scale token weights don't overflow. The post-agg
+    * frame is one row per GROUP; the unpartitioned rank window over it is
+    * deliberate and safe at any input scale (groups ≪ rows), same
+    * contract as the KMV pair frame. */
+  def apportion(df: DataFrame, keyCol: String, weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0)
+    val grouped = df.groupBy(col(keyCol))
+      .agg(sum(col(weightCol)).cast("long").as("weight"))
+    val tot = grouped.agg(sum(col("weight")).as("W"))
+    val b = s"CAST($budget AS DECIMAL(38,0))"
+    grouped.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"$b * weight div W"))
+      .withColumn("rem",
+        expr(s"CAST($b * weight - CAST(base AS DECIMAL(38,0)) * W AS BIGINT)"))
+      .withColumn("deficit",
+        lit(budget) - sum(col("base")).over(Window.partitionBy()))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col(keyCol))))
+      .withColumn("quota",
+        col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+      .select(col(keyCol), col("weight"), col("quota"))
+  }
+
   /** Weighted reservoir sampling without replacement (Efraimidis &
     * Spirakis 2006, algorithm A-ES): per group, keep the k items
     * maximizing u^(1/w) — each item's inclusion probability is then

@@ -297,4 +297,35 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(4L -> 1L, 3L -> 1L, 2L -> 1L, 1L -> 2L))
   }
+
+  test("apportion: quotas sum EXACTLY to the budget, largest remainders win") {
+    // weights 1,1,1 / budget 10: base 3 each, deficit 1 → tie on
+    // remainder broken by key order: 'a' gets the extra unit
+    val df = Seq(("a", 1L), ("b", 1L), ("c", 1L)).toDF("k", "w")
+    val got = CorpusOps.apportion(df, "k", "w", 10L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("quota")).toMap
+    assert(got == Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+
+    // hand case: weights 5,3,2 / budget 7 → exact 3.5,2.1,1.4; bases
+    // 3,2,1 (sum 6), remainders .5,.1,.4 → 'a' takes the leftover
+    val df2 = Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("k", "w")
+    val got2 = CorpusOps.apportion(df2, "k", "w", 7L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("quota")).toMap
+    assert(got2 == Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+
+    // fuzz: many weights, prime budget — sums exactly, every quota within
+    // 1 of the real-valued share (the Hamilton quota property)
+    val big = (1 to 97).map(i => (s"k$i", (i * 31 % 17 + 1).toLong))
+      .toDF("k", "w")
+    val rows = CorpusOps.apportion(big, "k", "w", 99991L).collect()
+    val tot = rows.map(_.getAs[Long]("quota")).sum
+    assert(tot == 99991L)
+    val wSum = (1 to 97).map(i => i * 31 % 17 + 1).sum.toDouble
+    rows.foreach { r =>
+      val exact = 99991L * r.getAs[Long]("weight") / wSum
+      val q = r.getAs[Long]("quota")
+      assert(q >= math.floor(exact) && q <= math.ceil(exact),
+        s"${r.getString(0)}: $q vs $exact")
+    }
+  }
 }
