@@ -3436,6 +3436,20 @@ object SparkEntry {
         .groupBy(col("day"), col("grp"))
         .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n_types"))
     }),
+
+    // Holt–Winters additive triple smoothing over the same daily revenue
+    // series as q226, weekly cycle m=7: level+trend+rotating seasonal
+    // queue folded in pure BIGINT (α=0.3, β=0.1, γ=0.2 as integer
+    // ratios). The oracle refolds with the state flattened into one
+    // BIGINT list [l, b, s1..s7].
+    "q229_holt_winters" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      operators.Trend.holtWinters(daily, Seq("event_type"), col("day"),
+        col("cents"), m = 7, alphaNum = 3, betaNum = 1, gammaNum = 2,
+        den = 10)
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -8662,7 +8676,48 @@ object SparkEntry {
         |SELECT day, CASE WHEN rk <= 2 THEN event_type ELSE 'OTHER' END AS grp,
         | CAST(sum(cents) AS BIGINT) AS cents, count(*) AS n_types
         |FROM r GROUP BY 1, 2""".stripMargin,
+
+    "q229_holt_winters" -> q229OracleSql,
   )
+
+  /** q229: the Holt–Winters fold with state flattened to one BIGINT list
+    * [l, b, s1..s7]; the new level L is inlined at each of its three
+    * uses (no let-binding in list_reduce lambdas), exactly like the
+    * Spark-side SQL lambda. */
+  private val q229OracleSql: String = {
+    val m = 7
+    val L = s"((3*(e[1] - acc[3]) + 7*(acc[1] + acc[2])) // 10)"
+    s"""WITH daily AS (
+       | SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+       | FROM events GROUP BY 1, 2),
+       |ser AS (
+       | SELECT event_type, count(*) AS n_obs,
+       |  list(cents ORDER BY day) AS ys
+       | FROM daily GROUP BY 1),
+       |ini AS (
+       | SELECT event_type, n_obs, ys,
+       |  CAST(list_sum(ys[1:$m]) AS BIGINT) // $m AS l0
+       | FROM ser WHERE len(ys) >= $m),
+       |st AS (
+       | SELECT event_type, n_obs, list_reduce(
+       |  list_prepend(
+       |    list_concat([l0, CAST(0 AS BIGINT)],
+       |      list_transform(ys[1:$m], y -> y - l0)),
+       |    list_transform(ys[${m + 1}:], y -> [y])),
+       |  (acc, e) -> list_concat(
+       |    [$L,
+       |     (1*($L - acc[1]) + 9*acc[2]) // 10],
+       |    list_concat(acc[4:${m + 2}],
+       |      [(2*(e[1] - $L) + 8*acc[3]) // 10]))) AS s
+       | FROM ini)
+       |SELECT event_type, n_obs, s[1] AS level, s[2] AS trend,
+       | s[3] AS s_next, s[1] + s[2] + s[3] AS forecast_next
+       |FROM st
+       |UNION ALL
+       |SELECT event_type, n_obs, NULL, NULL, NULL, NULL
+       |FROM ser WHERE len(ys) < $m""".stripMargin
+  }
 
   /** q225's oracle replays the sketches end-to-end: PolyHash64 of the
     * stringified custkey, the sign-flip to unsigned order (u = z ⊕ 2^63 =

@@ -141,4 +141,58 @@ object Trend {
       .withColumn("forecast_next", expr("level + trend"))
       .withColumn("forecast_h", expr(s"level + ${horizon}L * trend"))
   }
+
+  /** Holt–Winters additive triple smoothing (Winters 1960) — level +
+    * trend + a length-m seasonal cycle, the full classical forecaster
+    * for metrics with weekly shape:
+    *
+    *   l_i = α·(y_i − s_{i−m}) + (1−α)·(l_{i−1} + b_{i−1})
+    *   b_i = β·(l_i − l_{i−1}) + (1−β)·b_{i−1}
+    *   s_i = γ·(y_i − l_i) + (1−γ)·s_{i−m}
+    *
+    * Classical init on the first full cycle: l_m = mean(y_1..y_m)
+    * (truncating), b_m = 0, s_j = y_j − l_m; the recursion folds the
+    * remaining observations with the seasonal array as a rotating queue
+    * inside the accumulator struct. Same exactness discipline as
+    * [[holtLinear]]: integer-ratio coefficients, truncating `div` per
+    * step, the whole state BIGINT — hash-exact cross-engine.
+    *
+    * Output per key: n_obs, level, trend, s_next (the seasonal index the
+    * next step will consume) and forecast_next = level + trend + s_next.
+    * Keys with fewer than m observations emit NULL smoothing fields
+    * (no cycle to initialize from). */
+  def holtWinters(df: DataFrame, keyCols: Seq[String], orderCol: Column,
+      valueCol: Column, m: Int, alphaNum: Int, betaNum: Int,
+      gammaNum: Int, den: Int): DataFrame = {
+    require(m >= 2 && den > 0 &&
+      Seq(alphaNum, betaNum, gammaNum).forall(n => n >= 0 && n <= den) &&
+      alphaNum > 0)
+    val base = df.select(keyCols.map(col) ++ Seq(
+      orderCol.cast("long").as("__o"), valueCol.cast("long").as("__y")): _*)
+    val series = base.groupBy(keyCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(col("__o"), col("__y"))))
+        .as("arr"), count(lit(1)).as("n_obs"))
+      .withColumn("ys", expr("transform(arr, e -> e.__y)"))
+      .withColumn("l0", expr(
+        s"aggregate(slice(ys, 1, $m), CAST(0 AS BIGINT), (a, y) -> a + y) div $m"))
+    val (a, b, g, d) = (alphaNum, betaNum, gammaNum, den)
+    // the new level, inlined at each use (no let-binding in SQL lambdas)
+    val L = s"(($a * (y - element_at(acc.s, 1)) + ${d - a} * (acc.l + acc.b)) div $d)"
+    val fold =
+      s"""aggregate(slice(ys, ${m + 1}, size(ys) - $m),
+         |  named_struct('l', l0, 'b', CAST(0 AS BIGINT),
+         |    's', transform(slice(ys, 1, $m), y -> y - l0)),
+         |  (acc, y) -> named_struct(
+         |    'l', $L,
+         |    'b', (($b * ($L - acc.l) + ${d - b} * acc.b) div $d),
+         |    's', concat(slice(acc.s, 2, ${m - 1}),
+         |      array(($g * (y - $L) + ${d - g} * element_at(acc.s, 1)) div $d))))"""
+        .stripMargin
+    series
+      .withColumn("st", when(size(col("ys")) >= m, expr(fold)))
+      .select(keyCols.map(col) ++ Seq(col("n_obs"),
+        col("st.l").as("level"), col("st.b").as("trend"),
+        expr("element_at(st.s, 1)").as("s_next")): _*)
+      .withColumn("forecast_next", expr("level + trend + s_next"))
+  }
 }

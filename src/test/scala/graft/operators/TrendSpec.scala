@@ -97,6 +97,42 @@ class TrendSpec extends SparkSpec {
     assert(r.getAs[Long]("level") == 42L && r.getAs[Long]("trend") == 0L)
   }
 
+  test("holtWinters replays the hand fold and rotates the seasonal queue") {
+    // m=2, a=3 b=1 g=2 den=10, y=[10,20,32]: l0=15, s=[-5,5];
+    // y=32: L=(3*37+7*15)/10=21, b=(6+0)/10=0,
+    // s_new=(2*11+8*(-5)) div 10 = -18 div 10 = -1 → s=[5,-1]
+    val df = Seq(("k", 1L, 10L), ("k", 2L, 20L), ("k", 3L, 32L))
+      .toDF("g", "t", "y")
+    val r = Trend.holtWinters(df, Seq("g"), col("t"), col("y"),
+      m = 2, alphaNum = 3, betaNum = 1, gammaNum = 2, den = 10)
+      .collect().head
+    assert(r.getAs[Long]("level") == 21L)
+    assert(r.getAs[Long]("trend") == 0L)
+    assert(r.getAs[Long]("s_next") == 5L)
+    assert(r.getAs[Long]("forecast_next") == 26L)
+  }
+
+  test("holtWinters emits NULL smoothing fields below one full cycle") {
+    val r = Trend.holtWinters(Seq(("k", 1L, 10L)).toDF("g", "t", "y"),
+      Seq("g"), col("t"), col("y"), 7, 3, 1, 2, 10).collect().head
+    assert(r.getAs[Long]("n_obs") == 1L)
+    assert(r.isNullAt(r.fieldIndex("level")))
+    assert(r.isNullAt(r.fieldIndex("forecast_next")))
+  }
+
+  test("holtWinters recovers a clean period-m pattern's seasonal sign") {
+    // strict weekly sawtooth: high on day%2==0; with m=2 the final
+    // seasonal indices must carry opposite signs
+    val rows = (1 to 40).map(i => ("k", i.toLong,
+      if (i % 2 == 0) 1000L else 200L))
+    val r = Trend.holtWinters(rows.toDF("g", "t", "y"), Seq("g"),
+      col("t"), col("y"), 2, 3, 1, 2, 10).collect().head
+    val sNext = r.getAs[Long]("s_next")
+    // 40 observations end on an even (high) day, so the NEXT slot due is
+    // the odd/low phase → strongly negative seasonal index
+    assert(sNext < -100, s"s_next $sNext")
+  }
+
   test("holtLinear is partitioning-invariant (the sort pins fold order)") {
     val rows = (1 to 200).map(i => ("k" + i % 3, i.toLong,
       (i * 37 % 211).toLong))
