@@ -3450,6 +3450,18 @@ object SparkEntry {
         col("cents"), m = 7, alphaNum = 3, betaNum = 1, gammaNum = 2,
         den = 10)
     }),
+
+    // Theil–Sen robust daily-revenue slope per event type: the median of
+    // all 435 pairwise slopes, kept as an exact rational with a
+    // deterministic lower-median tie-break; one spiked day cannot drag
+    // it (contrast q116's OLS trend, which it complements).
+    "q230_theil_sen" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      operators.Trend.theilSen(daily, Seq("event_type"), col("day"),
+        col("cents"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -8678,6 +8690,29 @@ object SparkEntry {
         |FROM r GROUP BY 1, 2""".stripMargin,
 
     "q229_holt_winters" -> q229OracleSql,
+
+    // q230: pair slopes as exact rationals; the double sort is an exact
+    // total order at these magnitudes (see Trend.theilSen), ties by
+    // (num, den), lower median at rank (p+1)//2.
+    "q230_theil_sen" ->
+      """WITH daily AS (
+        | SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        | FROM events GROUP BY 1, 2),
+        |p AS (
+        | SELECT a.event_type,
+        |  b.cents - a.cents AS num, b.day - a.day AS den
+        | FROM daily a JOIN daily b
+        |  ON a.event_type = b.event_type AND a.day < b.day),
+        |r AS (
+        | SELECT event_type, num, den,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY CAST(num AS DOUBLE) / den, num, den) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n_pairs
+        | FROM p)
+        |SELECT event_type, n_pairs, num AS med_num, den AS med_den,
+        | num * 1000000 // den AS slope_e6
+        |FROM r WHERE rn = (n_pairs + 1) // 2""".stripMargin,
   )
 
   /** q229: the Holt–Winters fold with state flattened to one BIGINT list

@@ -195,4 +195,53 @@ object Trend {
         expr("element_at(st.s, 1)").as("s_next")): _*)
       .withColumn("forecast_next", expr("level + trend + s_next"))
   }
+
+  /** Theil–Sen robust slope (Theil 1950, Sen 1968): the median of all
+    * pairwise slopes (y_j−y_i)/(x_j−x_i) over x_i < x_j — a 29%-breakdown
+    * trend estimate that one spiked day cannot drag, the robust sibling
+    * of [[groupedOls]].
+    *
+    * Exactness: slopes are exact rationals (num, den with den > 0). They
+    * sort by their DOUBLE ratio, which is an EXACT total order whenever
+    * |num| · maxDen < 2^52 (distinct rationals with den ≤ maxDen differ
+    * by ≥ 1/maxDen², far above the ulp at these magnitudes) — x must be a
+    * small index (day number), the same caller contract as groupedOls'
+    * maxAbsX guard, enforced loudly here too. Ties order by (num, den)
+    * so the LOWER median picked at rank ⌈p/2⌉ is engine-independent (no
+    * fraction averaging). Output keeps the median as (num, den) plus the
+    * truncated micro-slope.
+    *
+    * Scale shape: the pair explosion is per-key quadratic — the
+    * per-key-series-fits contract (daily/hourly series, not raw events);
+    * the self-join is a single hash exchange on the key and the ranked
+    * window rides the same partitioning. */
+  def theilSen(df: DataFrame, keyCols: Seq[String], xCol: Column,
+      yCol: Column, maxAbsX: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val guarded = df.select(keyCols.map(col) ++ Seq(
+      when(abs(xCol.cast("long")) <= maxAbsX, xCol.cast("long"))
+        .otherwise(raise_error(concat(lit(s"theilSen x exceeds $maxAbsX: "),
+          xCol.cast("string")))).as("__x"),
+      yCol.cast("long").as("__y")): _*)
+    val a = guarded.toDF(keyCols ++ Seq("__x", "__y"): _*).as("a")
+    val b = guarded.toDF(keyCols.map(_ + "__b") ++ Seq("__xb", "__yb"): _*)
+      .as("b")
+    val joinCond = keyCols.map(k => col(k) === col(k + "__b"))
+      .reduce(_ && _) && col("__x") < col("__xb")
+    val pairs = a.join(b, joinCond)
+      .select(keyCols.map(col) ++ Seq(
+        (col("__yb") - col("__y")).as("num"),
+        (col("__xb") - col("__x")).as("den")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((col("num").cast("double") / col("den")).asc,
+        col("num").asc, col("den").asc)
+    val cw = Window.partitionBy(keyCols.map(col): _*)
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_pairs", count(lit(1)).over(cw))
+      .where(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(keyCols.map(col) ++ Seq(col("n_pairs"),
+        col("num").as("med_num"), col("den").as("med_den"),
+        expr("num * 1000000 div den").as("slope_e6")): _*)
+  }
 }

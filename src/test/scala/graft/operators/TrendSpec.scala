@@ -133,6 +133,32 @@ class TrendSpec extends SparkSpec {
     assert(sNext < -100, s"s_next $sNext")
   }
 
+  test("theilSen: median pairwise slope, robust to one spiked observation") {
+    // clean y = 3x line with ONE wild spike at x=5: most pairwise slopes
+    // remain exactly 3 → median slope is 3/1
+    val rows = (1L to 11L).map(x => ("k", x, if (x == 5) 100000L else 3 * x))
+    val r = Trend.theilSen(rows.toDF("g", "x", "y"), Seq("g"),
+      col("x"), col("y")).collect().head
+    assert(r.getAs[Long]("n_pairs") == 55L)
+    assert(r.getAs[Long]("med_num") * 1L ==
+      3L * r.getAs[Long]("med_den"), r.toString)
+    assert(r.getAs[Long]("slope_e6") == 3000000L)
+  }
+
+  test("theilSen lower median is deterministic on even pair counts") {
+    // 3 points → 3 pairs (odd); 4 points → 6 pairs, median at rank 3
+    val rows = Seq(("k", 1L, 0L), ("k", 2L, 10L), ("k", 3L, 14L),
+      ("k", 4L, 30L))
+    val r = Trend.theilSen(rows.toDF("g", "x", "y"), Seq("g"),
+      col("x"), col("y")).collect().head
+    // slopes: (10/1, 7/1, 10/1, 4/1, 10/1, 16/1) sorted → 4,7,10,10,10,16;
+    // lower median (rank 3) = 10 — but ties order by (num,den):
+    // the three 10-slopes have num/den (10,1),(20,2),(30,3)
+    assert(r.getAs[Long]("n_pairs") == 6L)
+    assert(r.getAs[Long]("slope_e6") == 10000000L)
+    assert((r.getAs[Long]("med_num"), r.getAs[Long]("med_den")) == ((10L, 1L)))
+  }
+
   test("holtLinear is partitioning-invariant (the sort pins fold order)") {
     val rows = (1 to 200).map(i => ("k" + i % 3, i.toLong,
       (i * 37 % 211).toLong))
