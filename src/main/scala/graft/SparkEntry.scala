@@ -3462,6 +3462,18 @@ object SparkEntry {
       operators.Trend.theilSen(daily, Seq("event_type"), col("day"),
         col("cents"))
     }),
+
+    // Classical additive decomposition of daily revenue per event type:
+    // centered 7-day MA trend, phase-mean seasonal indices (centered to
+    // ~0), remainder by exact subtraction — y = T + S + R holds
+    // bit-exactly on every emitted row.
+    "q231_decompose" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      operators.Trend.classicalDecompose(daily, Seq("event_type"),
+        col("day"), col("cents"), m = 7)
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -8713,6 +8725,38 @@ object SparkEntry {
         |SELECT event_type, n_pairs, num AS med_num, den AS med_den,
         | num * 1000000 // den AS slope_e6
         |FROM r WHERE rn = (n_pairs + 1) // 2""".stripMargin,
+
+    // q231: same window/phase arithmetic; note pmod ≡ DuckDB % only
+    // because day indices are non-negative.
+    "q231_decompose" ->
+      """WITH daily AS (
+        | SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        | FROM events GROUP BY 1, 2),
+        |tr AS (
+        | SELECT event_type, day, cents,
+        |  sum(cents) OVER w AS wsum, count(*) OVER w AS wcnt
+        | FROM daily
+        | WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (
+        | SELECT event_type, day, cents, wsum // 7 AS trend, day % 7 AS phase,
+        |  cents - wsum // 7 AS detr
+        | FROM tr WHERE wcnt = 7),
+        |se AS (
+        | SELECT event_type, phase,
+        |  CAST(sum(detr) AS BIGINT) // count(*) AS s_raw
+        | FROM t2 GROUP BY 1, 2),
+        |ad AS (
+        | SELECT event_type, CAST(sum(s_raw) AS BIGINT) // 7 AS adj
+        | FROM se GROUP BY 1),
+        |st AS (
+        | SELECT se.event_type, phase, s_raw - adj AS seasonal
+        | FROM se JOIN ad ON se.event_type = ad.event_type)
+        |SELECT t2.event_type, day AS t, cents AS y, trend, seasonal,
+        | cents - trend - seasonal AS remainder
+        |FROM t2 JOIN st ON t2.event_type = st.event_type
+        |  AND t2.phase = st.phase""".stripMargin,
   )
 
   /** q229: the Holt–Winters fold with state flattened to one BIGINT list

@@ -244,4 +244,56 @@ object Trend {
         col("num").as("med_num"), col("den").as("med_den"),
         expr("num * 1000000 div den").as("slope_e6")): _*)
   }
+
+  /** Classical additive decomposition (the moving-average method,
+    * Macaulay 1931 / the "decompose" of every stats package): split a
+    * periodic series into trend + seasonal + remainder —
+    *
+    *   trend_t    = centered length-m moving average (m odd here; rows
+    *                without a full window are dropped, the classical
+    *                edge behavior)
+    *   seasonal_p = mean of (y − trend) over phase p = t mod m, centered
+    *                so the m indices sum to ~0
+    *   remainder  = y − trend − seasonal
+    *
+    * All means are truncating integer divisions, so the decomposition is
+    * BIGINT-exact and hash-gateable; exact additivity y = T + S + R holds
+    * by construction since R is defined as the difference.
+    *
+    * Scale shape: one window sort per key for the moving average, one
+    * tiny (key × m phases) aggregate joined back broadcast — two
+    * exchanges total, no collected series. `orderCol` must be a dense
+    * integer index (day number) — phases are `orderCol mod m`. */
+  def classicalDecompose(df: DataFrame, keyCols: Seq[String],
+      orderCol: Column, valueCol: Column, m: Int): DataFrame = {
+    require(m >= 2 && m % 2 == 1, "m must be odd (centered window)")
+    import org.apache.spark.sql.expressions.Window
+    val half = m / 2
+    val base = df.select(keyCols.map(col) ++ Seq(
+      orderCol.cast("long").as("t"), valueCol.cast("long").as("y")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("t"))
+      .rowsBetween(-half, half)
+    val withTrend = base
+      .withColumn("__wsum", sum(col("y")).over(w))
+      .withColumn("__wcnt", count(lit(1)).over(w))
+      .where(col("__wcnt") === m) // full centered window only
+      .withColumn("trend", expr(s"__wsum div $m"))
+      .withColumn("phase", pmod(col("t"), lit(m.toLong)))
+      .withColumn("detr", col("y") - col("trend"))
+    val seasonal = withTrend
+      .groupBy(keyCols.map(col) :+ col("phase"): _*)
+      .agg(sum(col("detr")).as("__ssum"), count(lit(1)).as("__scnt"))
+      .withColumn("s_raw", expr("__ssum div __scnt"))
+    val adjust = seasonal.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("s_raw")).as("__asum"))
+      .withColumn("__adj", expr(s"__asum div $m"))
+      .select(keyCols.map(col) :+ col("__adj"): _*)
+    val sTable = seasonal.join(broadcast(adjust), keyCols)
+      .withColumn("seasonal", col("s_raw") - col("__adj"))
+      .select(keyCols.map(col) ++ Seq(col("phase"), col("seasonal")): _*)
+    withTrend.join(broadcast(sTable), keyCols :+ "phase")
+      .withColumn("remainder", col("y") - col("trend") - col("seasonal"))
+      .select(keyCols.map(col) ++ Seq(col("t"), col("y"), col("trend"),
+        col("seasonal"), col("remainder")): _*)
+  }
 }

@@ -159,6 +159,36 @@ class TrendSpec extends SparkSpec {
     assert((r.getAs[Long]("med_num"), r.getAs[Long]("med_den")) == ((10L, 1L)))
   }
 
+  test("classicalDecompose recovers a clean period-3 pattern exactly") {
+    // y = 100·t + pattern(t%3) with pattern (+30, 0, −30): linear trend,
+    // zero-sum seasonality. Centered MA of 3 over a line + zero-sum
+    // cycle = the line value exactly, so S and R recover exactly too.
+    val pat = Map(0L -> 30L, 1L -> 0L, 2L -> -30L)
+    val rows = (0L to 11L).map(t => ("k", t, 100L * t + pat(t % 3)))
+    val got = Trend.classicalDecompose(rows.toDF("g", "t", "y"),
+      Seq("g"), col("t"), col("y"), m = 3)
+      .collect().map(r => r.getAs[Long]("t") ->
+        ((r.getAs[Long]("trend"), r.getAs[Long]("seasonal"),
+          r.getAs[Long]("remainder")))).toMap
+    // edge rows (t=0, t=11) drop; interior rows decompose exactly
+    assert(!got.contains(0L) && !got.contains(11L) && got.size == 10)
+    (1L to 10L).foreach { t =>
+      val (tr, s, r) = got(t)
+      assert(tr == 100L * t, s"trend at $t: $tr")
+      assert(s == pat(t % 3), s"seasonal at $t: $s")
+      assert(r == 0L, s"remainder at $t: $r")
+    }
+  }
+
+  test("classicalDecompose additivity y = T + S + R holds on every row") {
+    val rows = (0L to 29L).map(t => ("k", t, (t * 37 % 211) * 100 + t))
+    Trend.classicalDecompose(rows.toDF("g", "t", "y"), Seq("g"),
+      col("t"), col("y"), m = 7).collect().foreach { r =>
+      assert(r.getAs[Long]("y") == r.getAs[Long]("trend") +
+        r.getAs[Long]("seasonal") + r.getAs[Long]("remainder"))
+    }
+  }
+
   test("holtLinear is partitioning-invariant (the sort pins fold order)") {
     val rows = (1 to 200).map(i => ("k" + i % 3, i.toLong,
       (i * 37 % 211).toLong))
