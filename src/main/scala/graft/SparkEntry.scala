@@ -3474,6 +3474,20 @@ object SparkEntry {
       operators.Trend.classicalDecompose(daily, Seq("event_type"),
         col("day"), col("cents"), m = 7)
     }),
+
+    // Linear-interpolation gap fill: every 5th day knocked out of the
+    // daily revenue series, then rebuilt by exact integer interpolation
+    // between its bracketing observations (contrast q67's step-function
+    // forward fill).
+    "q232_linear_fill" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        .where(pmod(col("day"), lit(5L)) =!= 2L)
+        .withColumn("ts_ms", col("day") * 86400000L)
+      operators.GapFill.linearFill(daily, "event_type", "ts_ms", "cents",
+        bucketMs = 86400000L)
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -8757,6 +8771,41 @@ object SparkEntry {
         | cents - trend - seasonal AS remainder
         |FROM t2 JOIN st ON t2.event_type = st.event_type
         |  AND t2.phase = st.phase""".stripMargin,
+
+    // q232: day-scale interpolation — the ms scaling cancels exactly in
+    // the truncating division ((a·k) div (b·k) = a div b), so the
+    // day-grid replay matches the operator's ms arithmetic bit-for-bit.
+    "q232_linear_fill" ->
+      """WITH daily AS (
+        | SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        | FROM events GROUP BY 1, 2),
+        |obs AS (SELECT * FROM daily WHERE day % 5 <> 2),
+        |span AS (SELECT event_type, min(day) AS lo, max(day) AS hi
+        | FROM obs GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS day
+        | FROM span),
+        |j AS (SELECT g.event_type, g.day, o.cents
+        | FROM grid g LEFT JOIN obs o
+        |  ON g.event_type = o.event_type AND g.day = o.day),
+        |f AS (
+        | SELECT event_type, day, cents,
+        |  last_value(cents IGNORE NULLS) OVER wp AS pv,
+        |  last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+        |    OVER wp AS pb,
+        |  first_value(cents IGNORE NULLS) OVER wn AS nv,
+        |  first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+        |    OVER wn AS nb
+        | FROM j
+        | WINDOW wp AS (PARTITION BY event_type ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY event_type ORDER BY day
+        |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, day * 86400000 AS bucket_ms,
+        | CASE WHEN cents IS NOT NULL THEN cents
+        |  ELSE pv + (nv - pv) * (day - pb) // (nb - pb) END AS cents,
+        | cents IS NOT NULL AS observed
+        |FROM f""".stripMargin,
   )
 
   /** q229: the Holt–Winters fold with state flattened to one BIGINT list

@@ -54,4 +54,32 @@ class GapFillSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("linearFill interpolates gaps exactly, truncating toward zero") {
+    // observations at buckets 0,3,7: 0→90 rises 30/bucket; 90→20 falls
+    // 17.5/bucket — the falls exercise negative-numerator truncation
+    val df = Seq(("k", 0L, 0L), ("k", 30L, 90L), ("k", 70L, 20L))
+      .toDF("k", "ts", "v")
+    val got = GapFill.linearFill(df, "k", "ts", "v", 10L)
+      .collect().map(r => r.getLong(1) / 10 ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == Map(
+      0L -> ((0L, true)), 1L -> ((30L, false)), 2L -> ((60L, false)),
+      3L -> ((90L, true)),
+      // 90 + (20-90)*k/4 for k=1..3: 90-17.5k → trunc: 73, 55, 38
+      4L -> ((73L, false)), 5L -> ((55L, false)), 6L -> ((38L, false)),
+      7L -> ((20L, true))))
+  }
+
+  test("linearFill equals forwardFill on observed rows and differs only in gaps") {
+    val df = Seq(("a", 0L, 5L), ("a", 20L, 11L), ("b", 0L, 7L))
+      .toDF("k", "ts", "v")
+    val lin = GapFill.linearFill(df, "k", "ts", "v", 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(lin(("a", 0L)) == ((5L, true)))
+    assert(lin(("a", 10L)) == ((8L, false))) // (5+11)/2
+    assert(lin(("a", 20L)) == ((11L, true)))
+    assert(lin(("b", 0L)) == ((7L, true)))
+  }
 }
