@@ -3488,6 +3488,21 @@ object SparkEntry {
       operators.GapFill.linearFill(daily, "event_type", "ts_ms", "cents",
         bucketMs = 86400000L)
     }),
+
+    // Exact isotonic calibration: purchase rate over value-score bins
+    // fitted to the best monotone curve via the minimax closed form —
+    // e6 truncation BEFORE min/max commutes (monotone), so the fit is
+    // engine-exact with no PAV loop anywhere.
+    "q233_isotonic" -> ((s, dir) => {
+      val bins = t(s, dir, "events")
+        .withColumn("bin",
+          least(floor(col("value") / 50).cast("long"), lit(9L)))
+        .groupBy(col("bin"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("s"), count(lit(1)).as("c"))
+        .withColumn("grp", lit("all"))
+      operators.Isotonic.isotonicFit(bins, Seq("grp"), "bin", "s", "c")
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -8806,6 +8821,31 @@ object SparkEntry {
         |  ELSE pv + (nv - pv) * (day - pb) // (nb - pb) END AS cents,
         | cents IS NOT NULL AS observed
         |FROM f""".stripMargin,
+
+    // q233: the same minimax replay — interval means from prefix sums,
+    // min over k ≥ i then max over j ≤ i, all in e6 integers.
+    "q233_isotonic" ->
+      """WITH b AS (
+        | SELECT least(CAST(floor(value / 50) AS BIGINT), 9) AS bin,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS s,
+        |  count(*) AS c
+        | FROM events GROUP BY 1),
+        |cum AS (
+        | SELECT bin, s, c, sum(s) OVER (ORDER BY bin) AS ps,
+        |  sum(c) OVER (ORDER BY bin) AS pc FROM b),
+        |iv AS (
+        | SELECT l.bin AS j, h.bin AS k,
+        |  (h.ps - (l.ps - l.s)) * 1000000 // (h.pc - (l.pc - l.c)) AS m
+        | FROM cum l JOIN cum h ON l.bin <= h.bin),
+        |mn AS (
+        | SELECT p.bin AS i, iv.j, min(iv.m) AS mn
+        | FROM b p JOIN iv ON iv.j <= p.bin AND p.bin <= iv.k
+        | GROUP BY 1, 2),
+        |ft AS (SELECT i, max(mn) AS fitted_e6 FROM mn GROUP BY 1)
+        |SELECT 'all' AS grp, b.bin, b.s, b.c,
+        | s * 1000000 // c AS rate_e6, fitted_e6
+        |FROM b JOIN ft ON ft.i = b.bin""".stripMargin,
   )
 
   /** q229: the Holt–Winters fold with state flattened to one BIGINT list
