@@ -3503,6 +3503,25 @@ object SparkEntry {
         .withColumn("grp", lit("all"))
       operators.Isotonic.isotonicFit(bins, Seq("grp"), "bin", "s", "c")
     }),
+
+    // Data-driven Shapley channel attribution: each engagement channel's
+    // average marginal lift of the purchase rate across all 2^4 exposure
+    // coalitions, exact in phi·4!·e6 integer units — the principled
+    // complement to last/linear/U-shaped touch (q110/q111/q117).
+    // Exposure counts only on each user's assigned day-of-week (at this
+    // event density an unrestricted mask saturates to all-channels and
+    // the coalition lattice degenerates to one point).
+    "q234_shapley" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val assigned = pmod(expr("ts_ms div 86400000"), lit(7L)) ===
+        pmod(col("user_id"), lit(7L))
+      val input = e.where(
+        (assigned && col("event_type").isin("view", "click", "signup",
+          "error")) || col("event_type") === "purchase")
+      operators.Attribution.shapleyChannels(input, "user_id", "event_type",
+        channels = Seq("view", "click", "signup", "error"),
+        convType = "purchase")
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -8846,6 +8865,42 @@ object SparkEntry {
         |SELECT 'all' AS grp, b.bin, b.s, b.c,
         | s * 1000000 // c AS rate_e6, fitted_e6
         |FROM b JOIN ft ON ft.i = b.bin""".stripMargin,
+
+    // q234: full coalition replay — per-user exposure masks, v(S) as the
+    // e6 rate of EXACT-set users, integer weights s!(n−1−s)! summing to
+    // n! per channel.
+    "q234_shapley" ->
+      """WITH ein AS (
+        | SELECT user_id, event_type FROM events
+        | WHERE ((epoch_ms(ts) // 86400000) % 7 = user_id % 7
+        |    AND event_type IN ('view', 'click', 'signup', 'error'))
+        |  OR event_type = 'purchase'),
+        |u AS (
+        | SELECT user_id,
+        |  max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |  + 2 * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |  + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |  + 8 * max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |   AS mask,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        | FROM ein GROUP BY 1),
+        |pm AS (
+        | SELECT mask, CAST(sum(conv) AS BIGINT) * 1000000 // count(*) AS v
+        | FROM u GROUP BY 1),
+        |co AS (
+        | SELECT i, s, s | (1 << i) AS si,
+        |  CASE bit_count(CAST(s AS BIGINT)) WHEN 0 THEN 6 WHEN 1 THEN 2
+        |   WHEN 2 THEN 2 ELSE 6 END AS w
+        | FROM range(0, 4) t(i), range(0, 16) r(s)
+        | WHERE (s & (1 << i)) = 0),
+        |j AS (
+        | SELECT i, (coalesce(b.v, 0) - coalesce(a.v, 0)) * w AS lift
+        | FROM co LEFT JOIN pm a ON a.mask = co.s
+        |  LEFT JOIN pm b ON b.mask = co.si)
+        |SELECT CASE i WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+        |  WHEN 2 THEN 'signup' ELSE 'error' END AS channel,
+        | CAST(sum(lift) AS BIGINT) AS phi_x24_e6
+        |FROM j GROUP BY 1""".stripMargin,
   )
 
   /** q229: the Holt–Winters fold with state flattened to one BIGINT list

