@@ -3522,6 +3522,48 @@ object SparkEntry {
         channels = Seq("view", "click", "signup", "error"),
         convType = "purchase")
     }),
+
+    // Neyman-optimal stratified allocation of a 10k sample budget across
+    // event types: n_h ∝ N_h·S_h with an exact integer isqrt (double
+    // sqrt corrected by one integer step), quotas via q227's Hamilton
+    // apportionment — variance-heavy strata earn more than a uniform
+    // rate would give.
+    "q235_neyman" -> ((s, dir) =>
+      operators.CorpusOps.neymanAllocation(
+        t(s, dir, "events")
+          .withColumn("cents", round(col("value") * 100).cast("long")),
+        "event_type", "cents", budget = 10000L)),
+
+    // Nelson–Aalen cumulative hazard over the q214 view→purchase
+    // durations: additive estimator, exact e9 integers end-to-end (the
+    // KM product is a float fold; this curve never leaves BIGINT).
+    "q236_nelson_aalen" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("event_type"),
+        col("ts_ms"))
+      val v = e.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("v_ts"))
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("ts_ms").as("p_ts"))
+      val firstP = v.join(p,
+          col("user_id") === col("p_uid") && col("p_ts") >= col("v_ts"),
+          "left")
+        .groupBy(col("user_id"), col("v_ts"))
+        .agg(min(col("p_ts")).as("p_ts"))
+      val endDf = e.agg(max(col("ts_ms")).as("end_ts"))
+      val subj = firstP.crossJoin(broadcast(endDf))
+        .select(
+          when(col("p_ts").isNotNull,
+            expr("(p_ts - v_ts) div 3600000"))
+            .otherwise(expr("(end_ts - v_ts) div 3600000")).as("dur_h"),
+          col("p_ts").isNotNull.as("obs"))
+      operators.Survival.nelsonAalen(subj, col("dur_h"), col("obs"))
+    }),
+
+    // Heaps-law vocabulary growth: distinct-word count after each
+    // 100-doc ingestion bucket — exact saturation curve, no sketch.
+    "q237_vocab_growth" -> ((s, dir) =>
+      operators.CorpusOps.vocabGrowth(
+        t(s, dir, "documents"), "doc_id", "text", bucketSize = 100L)),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -8901,6 +8943,93 @@ object SparkEntry {
         |  WHEN 2 THEN 'signup' ELSE 'error' END AS channel,
         | CAST(sum(lift) AS BIGINT) AS phi_x24_e6
         |FROM j GROUP BY 1""".stripMargin,
+
+    // q235: stats → corrected isqrt → Hamilton replay.
+    "q235_neyman" ->
+      """WITH st AS (
+        | SELECT event_type, count(*) AS n_h,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sy,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)
+        |    * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS syy
+        | FROM events GROUP BY 1),
+        |v AS (
+        | SELECT event_type, n_h, n_h * syy - sy * sy AS var_num,
+        |  CAST(floor(sqrt(CAST(n_h * syy - sy * sy AS DOUBLE))) AS BIGINT)
+        |    AS s0
+        | FROM st),
+        |wt AS (
+        | SELECT event_type, n_h,
+        |  CASE WHEN s0 * s0 > var_num THEN s0 - 1
+        |   WHEN (s0 + 1) * (s0 + 1) <= var_num THEN s0 + 1
+        |   ELSE s0 END AS w
+        | FROM v),
+        |t AS (SELECT CAST(sum(w) AS HUGEINT) AS tot FROM wt),
+        |a AS (
+        | SELECT event_type, n_h, w AS weight,
+        |  (CAST(10000 AS HUGEINT) * w) // tot AS base,
+        |  (CAST(10000 AS HUGEINT) * w) % tot AS rem
+        | FROM wt, t),
+        |d AS (
+        | SELECT *, 10000 - sum(base) OVER () AS deficit,
+        |  row_number() OVER (ORDER BY rem DESC, event_type) AS rk
+        | FROM a)
+        |SELECT event_type, n_h, weight,
+        | CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+        |  AS quota
+        |FROM d""".stripMargin,
+
+    // q236: the q214 life table plus the e9 additive cumulation.
+    "q236_nelson_aalen" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events),
+        |v AS (SELECT user_id, min(ts_ms) AS v_ts FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |fp AS (SELECT v.user_id, v.v_ts, min(p.ts_ms) AS p_ts
+        | FROM v LEFT JOIN e p ON p.user_id = v.user_id
+        |  AND p.event_type = 'purchase' AND p.ts_ms >= v.v_ts
+        | GROUP BY 1, 2),
+        |endt AS (SELECT max(ts_ms) AS end_ts FROM e),
+        |subj AS (SELECT CASE WHEN p_ts IS NOT NULL
+        |   THEN (p_ts - v_ts) // 3600000
+        |   ELSE (end_ts - v_ts) // 3600000 END AS t,
+        |  p_ts IS NOT NULL AS obs FROM fp CROSS JOIN endt),
+        |perT AS (SELECT t, count(*) AS n_at,
+        |  sum(CASE WHEN obs THEN 1 ELSE 0 END) AS n_events
+        | FROM subj GROUP BY t),
+        |na AS (SELECT t, n_at, n_events,
+        |  sum(n_at) OVER (ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        | FROM perT),
+        |inc AS (SELECT t, n_risk, n_events,
+        |  CAST(1000000000 * n_events // n_risk AS BIGINT) AS inc_e9
+        | FROM na),
+        |cum AS (SELECT t, n_risk, n_events, inc_e9,
+        |  sum(CASE WHEN n_events > 0 THEN inc_e9 ELSE 0 END)
+        |   OVER (ORDER BY t ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS cum_hazard_e9
+        | FROM inc)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+        | CAST(n_events AS BIGINT) AS n_events, inc_e9,
+        | CAST(cum_hazard_e9 AS BIGINT) AS cum_hazard_e9
+        |FROM cum WHERE n_events > 0""".stripMargin,
+
+    "q237_vocab_growth" ->
+      """WITH tok AS (
+        | SELECT doc_id // 100 AS bucket,
+        |  unnest(list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    x -> length(x) > 0)) AS w
+        | FROM documents),
+        |pb AS (SELECT bucket, count(*) AS n_tokens FROM tok GROUP BY 1),
+        |fw AS (SELECT min(bucket) AS fb FROM tok GROUP BY w),
+        |nw AS (SELECT fb, count(*) AS new_words FROM fw GROUP BY 1)
+        |SELECT bucket, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST(coalesce(new_words, 0) AS BIGINT) AS new_words,
+        | CAST(sum(n_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens,
+        | CAST(sum(coalesce(new_words, 0)) OVER (ORDER BY bucket) AS BIGINT)
+        |  AS cum_vocab
+        |FROM pb LEFT JOIN nw ON nw.fb = pb.bucket""".stripMargin,
   )
 
   /** q229: the Holt–Winters fold with state flattened to one BIGINT list

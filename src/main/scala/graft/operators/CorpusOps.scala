@@ -255,6 +255,79 @@ object CorpusOps {
       .select(col(keyCol), col("weight"), col("quota"))
   }
 
+  /** Neyman-optimal stratified sample allocation (Neyman 1934): sample
+    * sizes n_h ∝ N_h·S_h — variable strata earn proportionally more of
+    * the budget than uniform-rate sampling would give them, minimizing
+    * the stratified estimator's variance at fixed total cost.
+    *
+    * Exactness: N_h·S_h = √(N_h·Σy² − (Σy)²) exactly (the N_h² cancels
+    * into the variance numerator), and the square root is an exact
+    * integer isqrt — floor(√·) computed in double then CORRECTED by one
+    * step in integer arithmetic, so the boundary cases where the IEEE
+    * sqrt rounds across a perfect square cannot flip the floor. The
+    * integer weights then feed [[apportion]], so quotas sum to the budget
+    * exactly.
+    *
+    * Domain: N_h·Σy² must fit in a LONG — y should be modest integer
+    * units (cents of a bounded metric), the callers' scaling contract.
+    * Output: (strata, n_h, weight = ⌊N_h·S_h⌋, quota). */
+  def neymanAllocation(df: DataFrame, strataCol: String, valueCol: String,
+      budget: Long): DataFrame = {
+    val y = col(valueCol).cast("long")
+    val stats = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_h"), sum(y).as("sy"),
+        sum(y * y).as("syy"))
+      .withColumn("var_num", expr("n_h * syy - sy * sy"))
+      .withColumn("s0",
+        floor(sqrt(col("var_num").cast("double"))).cast("long"))
+      .withColumn("w", expr(
+        """CASE WHEN s0 * s0 > var_num THEN s0 - 1
+          | WHEN (s0 + 1) * (s0 + 1) <= var_num THEN s0 + 1
+          | ELSE s0 END""".stripMargin))
+    val sizes = stats.select(col(strataCol).as("__k2"), col("n_h"))
+    apportion(stats, strataCol, "w", budget)
+      .join(broadcast(sizes), col(strataCol) === col("__k2"))
+      .select(col(strataCol), col("n_h"), col("weight"), col("quota"))
+  }
+
+  /** Heaps-law vocabulary growth curve (Heaps 1978; Herdan 1960): how
+    * many DISTINCT words the corpus has after each ingestion bucket —
+    * the saturation diagnostic for "is more data still adding new
+    * vocabulary", and the empirical V(n) ≈ K·n^β curve.
+    *
+    * Exactness: a word's first-occurrence bucket is a plain min, so
+    * `cum_vocab` at bucket b = #words with first bucket ≤ b — exact
+    * distinct counting without any sketch, and every point integer.
+    *
+    * Scale shape: the corpus collapses in TWO map-side-combinable
+    * aggregates (per-bucket token counts; per-word min bucket →
+    * per-bucket new-word counts); the cumulative windows then run over
+    * the BUCKET axis — bounded by the bucketing the caller chose
+    * (ingestion batches, days), never by corpus size. That bucketing is
+    * the load-bearing contract: a per-document curve at 100 TB would put
+    * the census on the wrong side of the plan. */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      bucketSize: Long): DataFrame = {
+    require(bucketSize >= 1)
+    val tok = df.select(
+        expr(s"$idCol div $bucketSize").as("bucket"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .where(length(col("w")) > 0)
+    val perBucket = tok.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val firsts = tok.groupBy(col("w"))
+      .agg(min(col("bucket")).as("fb"))
+      .groupBy(col("fb")).agg(count(lit(1)).as("new_words"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(firsts, col("bucket") === col("fb"), "left")
+      .withColumn("new_words", coalesce(col("new_words"), lit(0L)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_vocab", sum(col("new_words")).over(w))
+      .select(col("bucket"), col("n_tokens"), col("new_words"),
+        col("cum_tokens"), col("cum_vocab"))
+  }
+
   /** Weighted reservoir sampling without replacement (Efraimidis &
     * Spirakis 2006, algorithm A-ES): per group, keep the k items
     * maximizing u^(1/w) — each item's inclusion probability is then

@@ -44,4 +44,39 @@ object Survival {
       .select(col("t"), col("n_risk"), col("n_events"),
         expr("1000000 * n_events div n_risk").as("hazard_ppm"))
   }
+
+  /** Nelson–Aalen cumulative-hazard estimator (Nelson 1972, Aalen 1978)
+    * — [[kaplanMeier]]'s additive sibling: H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ.
+    * Because the estimator is a SUM of per-time ratios (not a product),
+    * it stays exact in integers end-to-end: each increment truncates to
+    * e9 and the cumulation is a LONG prefix sum over the same
+    * time-census frame — no float ever, unlike the KM product which
+    * callers fold themselves.
+    *
+    * Output per event time: n_risk, n_events, the e9 increment, and
+    * `cum_hazard_e9` = Σ increments (the curve point). Same scale shape
+    * as kaplanMeier: one subject-collapsing aggregate, then windows over
+    * the tiny time axis. */
+  def nelsonAalen(df: DataFrame, duration: Column,
+      observed: Column): DataFrame = {
+    val perT = df.select(duration.cast("long").as("t"),
+        observed.cast("boolean").as("obs"))
+      .where(col("t").isNotNull && col("t") >= 0)
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_at"),
+        sum(when(col("obs"), 1L).otherwise(0L)).as("n_events"))
+    val wRisk = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCum = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perT.withColumn("n_risk", sum(col("n_at")).over(wRisk))
+      .withColumn("inc_e9",
+        expr("1000000000 * n_events div n_risk"))
+      .withColumn("cum_hazard_e9",
+        sum(when(col("n_events") > 0, col("inc_e9")).otherwise(0L))
+          .over(wCum))
+      .where(col("n_events") > 0)
+      .select(col("t"), col("n_risk"), col("n_events"), col("inc_e9"),
+        col("cum_hazard_e9"))
+  }
 }

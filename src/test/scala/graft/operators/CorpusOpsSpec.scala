@@ -328,4 +328,39 @@ class CorpusOpsSpec extends SparkSpec {
         s"${r.getString(0)}: $q vs $exact")
     }
   }
+
+  test("neymanAllocation: exact isqrt weights, variance-heavy strata earn more") {
+    // stratum a: constant values → S=0 → weight 0;
+    // stratum b: 4 values {0,0,10,10}: N·Σy²−(Σy)² = 4·200−400=400 → w=20
+    // stratum c: same size, wilder {0,0,0,100}: 4·10000−10000=30000 →
+    //   isqrt = 173 (173²=29929 ≤ 30000 < 174²=30276) — perfect-square
+    //   correction path exercised
+    val df = Seq.fill(4)(("a", 5L)) ++
+      Seq(("b", 0L), ("b", 0L), ("b", 10L), ("b", 10L)) ++
+      Seq(("c", 0L), ("c", 0L), ("c", 0L), ("c", 100L))
+    val got = CorpusOps.neymanAllocation(df.toDF("g", "v"), "g", "v", 193L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("weight"), r.getAs[Long]("quota")))).toMap
+    assert(got("a")._1 == 0L)
+    assert(got("b")._1 == 20L)
+    assert(got("c")._1 == 173L)
+    assert(got.values.map(_._2).sum == 193L)
+    // 193·20/193 = 20 exactly; 193·173/193 = 173 exactly
+    assert(got("b")._2 == 20L && got("c")._2 == 173L && got("a")._2 == 0L)
+  }
+
+  test("vocabGrowth counts each word's first bucket once; curve is cumulative") {
+    val docs = Seq(
+      (0L, "a b a"), (1L, "b c"),      // bucket 0: tokens 5, vocab {a,b,c}
+      (2L, "c d"),                     // bucket 1: +d
+      (4L, "a b c d"))                 // bucket 2: nothing new
+      .toDF("doc_id", "text")
+    val got = CorpusOps.vocabGrowth(docs, "doc_id", "text", 2L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      0L -> ((5L, 3L, 5L, 3L)),
+      1L -> ((2L, 1L, 7L, 4L)),
+      2L -> ((4L, 0L, 11L, 4L))))
+  }
 }

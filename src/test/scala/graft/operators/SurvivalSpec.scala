@@ -32,4 +32,19 @@ class SurvivalSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
       ((3L, 3L, 2L, 666666L)))
   }
+
+  test("nelsonAalen accumulates d/n increments past censored times") {
+    // t=1: 1 event of 4 at risk → inc 250000000, H = 250000000
+    // t=2: censored only — no row, but it shrinks the risk set
+    // t=3: 1 event of 2 at risk → inc 500000000, H = 750000000
+    val df = Seq((1L, true), (2L, false), (3L, true), (3L, false))
+      .toDF("t", "obs")
+    val got = Survival.nelsonAalen(df, col("t"), col("obs"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == Map(
+      1L -> ((4L, 1L, 250000000L, 250000000L)),
+      3L -> ((2L, 1L, 500000000L, 750000000L))))
+  }
 }
