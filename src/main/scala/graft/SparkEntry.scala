@@ -3564,6 +3564,20 @@ object SparkEntry {
     "q237_vocab_growth" -> ((s, dir) =>
       operators.CorpusOps.vocabGrowth(
         t(s, dir, "documents"), "doc_id", "text", bucketSize = 100L)),
+
+    // Difference-in-differences readout: even-id users "treated", the
+    // observation window split at its midpoint — four cell means
+    // e6-truncated in a pinned order, then pure LONG differences; the
+    // sufficient statistics ride along.
+    "q238_diff_in_diff" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val mid = e.agg(min(col("ts_ms")).as("mn"), max(col("ts_ms")).as("mx"))
+        .select(expr("(mn + mx) div 2").as("mid"))
+      operators.Causal.diffInDiff(e.crossJoin(broadcast(mid)),
+        treated = pmod(col("user_id"), lit(2L)) === 0L,
+        post = col("ts_ms") >= col("mid"),
+        outcome = round(col("value") * 100).cast("long"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -9030,6 +9044,49 @@ object SparkEntry {
         | CAST(sum(coalesce(new_words, 0)) OVER (ORDER BY bucket) AS BIGINT)
         |  AS cum_vocab
         |FROM pb LEFT JOIN nw ON nw.fb = pb.bucket""".stripMargin,
+
+    // q238: same pinned order — four e6 cell means, then differences.
+    // Integer midpoint (min+max) div 2 — never a double cast, whose
+    // rounding differs between engines.
+    "q238_diff_in_diff" ->
+      """WITH e AS (
+        | SELECT user_id % 2 = 0 AS treated,
+        |  CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+        |  CAST(round(value * 100) AS BIGINT) AS y
+        | FROM events),
+        |m AS (SELECT (min(ts_ms) + max(ts_ms)) // 2 AS mid FROM e),
+        |c AS (
+        | SELECT
+        |  CAST(sum(CASE WHEN treated AND ts_ms < mid THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_t_pre,
+        |  CAST(sum(CASE WHEN treated AND ts_ms < mid THEN y ELSE 0 END)
+        |    AS BIGINT) AS sum_t_pre,
+        |  CAST(sum(CASE WHEN treated AND ts_ms >= mid THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_t_post,
+        |  CAST(sum(CASE WHEN treated AND ts_ms >= mid THEN y ELSE 0 END)
+        |    AS BIGINT) AS sum_t_post,
+        |  CAST(sum(CASE WHEN NOT treated AND ts_ms < mid THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_c_pre,
+        |  CAST(sum(CASE WHEN NOT treated AND ts_ms < mid THEN y ELSE 0 END)
+        |    AS BIGINT) AS sum_c_pre,
+        |  CAST(sum(CASE WHEN NOT treated AND ts_ms >= mid THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_c_post,
+        |  CAST(sum(CASE WHEN NOT treated AND ts_ms >= mid THEN y ELSE 0 END)
+        |    AS BIGINT) AS sum_c_post
+        | FROM e, m)
+        |SELECT *,
+        | (m_t_post_e6 - m_t_pre_e6) - (m_c_post_e6 - m_c_pre_e6) AS did_e6
+        |FROM (
+        | SELECT *,
+        |  CASE WHEN n_t_pre > 0 THEN sum_t_pre * 1000000 // n_t_pre END
+        |    AS m_t_pre_e6,
+        |  CASE WHEN n_t_post > 0 THEN sum_t_post * 1000000 // n_t_post END
+        |    AS m_t_post_e6,
+        |  CASE WHEN n_c_pre > 0 THEN sum_c_pre * 1000000 // n_c_pre END
+        |    AS m_c_pre_e6,
+        |  CASE WHEN n_c_post > 0 THEN sum_c_post * 1000000 // n_c_post END
+        |    AS m_c_post_e6
+        | FROM c)""".stripMargin,
   )
 
   /** q229: the Holt–Winters fold with state flattened to one BIGINT list

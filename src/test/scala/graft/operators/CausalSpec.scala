@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CausalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("diffInDiff recovers a planted treatment effect exactly") {
+    // control: 10 → 12 (trend +2); treated: 20 → 27 (trend +2, effect +5)
+    val rows =
+      Seq.fill(4)((false, false, 10L)) ++ Seq.fill(4)((false, true, 12L)) ++
+      Seq.fill(3)((true, false, 20L)) ++ Seq.fill(3)((true, true, 27L))
+    val r = Causal.diffInDiff(rows.toDF("tr", "po", "y"),
+      col("tr"), col("po"), col("y")).collect().head
+    assert(r.getAs[Long]("m_t_pre_e6") == 20000000L)
+    assert(r.getAs[Long]("m_c_post_e6") == 12000000L)
+    assert(r.getAs[Long]("did_e6") == 5000000L)
+  }
+
+  test("diffInDiff with an empty cell yields NULL did, not zero") {
+    val rows = Seq((false, false, 10L), (false, true, 12L),
+      (true, true, 30L)) // no treated-pre cell
+    val r = Causal.diffInDiff(rows.toDF("tr", "po", "y"),
+      col("tr"), col("po"), col("y")).collect().head
+    assert(r.isNullAt(r.fieldIndex("m_t_pre_e6")))
+    assert(r.isNullAt(r.fieldIndex("did_e6")))
+    assert(r.getAs[Long]("n_t_pre") == 0L)
+  }
+
+  test("diffInDiff truncation order is the pinned one (means first)") {
+    // treated pre {1,2}: mean 1.5 → 1500000; post {2}: 2000000
+    // control pre {0}: 0; post {0}: 0 → DiD = 500000 exactly in e6
+    val rows = Seq((true, false, 1L), (true, false, 2L), (true, true, 2L),
+      (false, false, 0L), (false, true, 0L))
+    val r = Causal.diffInDiff(rows.toDF("tr", "po", "y"),
+      col("tr"), col("po"), col("y")).collect().head
+    assert(r.getAs[Long]("did_e6") == 500000L)
+  }
+}
