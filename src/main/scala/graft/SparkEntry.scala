@@ -3578,6 +3578,17 @@ object SparkEntry {
         post = col("ts_ms") >= col("mid"),
         outcome = round(col("value") * 100).cast("long"))
     }),
+
+    // Markov-chain removal-effect attribution over pre-first-purchase
+    // journeys: first-order transition chain START→touches→CONV/NULL,
+    // conversion probability by 8 rounds of e9 value iteration, each
+    // channel credited by the drop when its inbound edges redirect to
+    // NULL. The oracle unrolls all 5 chains × 8 rounds.
+    "q239_markov_removal" -> ((s, dir) =>
+      operators.Attribution.markovRemoval(ev(s, dir), "user_id",
+        "event_id", "ts_ms", "event_type",
+        channels = Seq("view", "click", "signup", "error"),
+        convType = "purchase", rounds = 8)),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -9048,6 +9059,8 @@ object SparkEntry {
     // q238: same pinned order — four e6 cell means, then differences.
     // Integer midpoint (min+max) div 2 — never a double cast, whose
     // rounding differs between engines.
+    "q239_markov_removal" -> q239OracleSql,
+
     "q238_diff_in_diff" ->
       """WITH e AS (
         | SELECT user_id % 2 = 0 AS treated,
@@ -9088,6 +9101,87 @@ object SparkEntry {
         |    AS m_c_post_e6
         | FROM c)""".stripMargin,
   )
+
+  /** q239's oracle: the journey chain rebuilt in SQL (window lag for
+    * step edges, last-touch terminal edges, direct START→CONV for
+    * touchless converters), then each of the 5 scenarios (base + one
+    * removal per channel) unrolled through all 8 value-iteration rounds
+    * in e9 truncating arithmetic — the q77 unroll discipline on an
+    * absorbing chain. */
+  private val q239OracleSql: String = {
+    val channels = Seq("view", "click", "signup", "error")
+    val rounds = 8
+    val states = channels :+ "_START"
+    def scenario(sfx: String, removed: Option[String]): String = {
+      val trFilter = removed.map(r => s" WHERE src <> '$r'").getOrElse("")
+      val dstExpr = removed
+        .map(r => s"CASE WHEN dst = '$r' THEN '_NULL' ELSE dst END")
+        .getOrElse("dst")
+      val liveStates = states.filterNot(removed.contains)
+      val v0 = (Seq("SELECT '_CONV' AS st, CAST(1000000000 AS BIGINT) AS v",
+        "SELECT '_NULL', CAST(0 AS BIGINT)") ++
+        liveStates.map(s => s"SELECT '$s', CAST(0 AS BIGINT)"))
+        .mkString(" UNION ALL ")
+      val roundCtes = (1 to rounds).map { k =>
+        s"""v$sfx$k AS (
+           | SELECT t.src AS st,
+           |  CAST(sum(t.n * pv.v) // max(tt.tot) AS BIGINT) AS v
+           | FROM tr$sfx t JOIN v$sfx${k - 1} pv ON pv.st = t.dst
+           |  JOIN tot$sfx tt ON tt.src = t.src
+           | GROUP BY t.src
+           | UNION ALL SELECT '_CONV', 1000000000
+           | UNION ALL SELECT '_NULL', 0)""".stripMargin
+      }.mkString(",\n")
+      s"""tr$sfx AS (
+         | SELECT src, $dstExpr AS dst, CAST(sum(n) AS BIGINT) AS n
+         | FROM edges$trFilter GROUP BY 1, 2),
+         |tot$sfx AS (SELECT src, sum(n) AS tot FROM tr$sfx GROUP BY 1),
+         |v${sfx}0 AS ($v0),
+         |$roundCtes""".stripMargin
+    }
+    val scenarios = scenario("b", None) + ",\n" +
+      channels.zipWithIndex.map { case (c, i) =>
+        scenario(s"r$i", Some(c))
+      }.mkString(",\n")
+    val finalRows = channels.zipWithIndex.map { case (c, i) =>
+      s"""SELECT '$c' AS channel,
+         | (SELECT v FROM vb$rounds WHERE st = '_START') AS p_base_e9,
+         | (SELECT v FROM vr$i$rounds WHERE st = '_START') AS p_removed_e9"""
+        .stripMargin
+    }.mkString(" UNION ALL ")
+    s"""WITH e AS (
+       | SELECT user_id AS u, event_id AS i,
+       |  CAST(epoch_ms(ts) AS BIGINT) AS ts, event_type AS t FROM events),
+       |fc AS (SELECT u, min(ts) AS cts FROM e WHERE t = 'purchase'
+       |  GROUP BY 1),
+       |tch AS (
+       | SELECT e.u, e.i, e.ts, e.t, fc.cts IS NOT NULL AS conv
+       | FROM e LEFT JOIN fc ON fc.u = e.u
+       | WHERE e.t IN (${channels.map(c => s"'$c'").mkString(", ")})
+       |  AND (fc.cts IS NULL OR e.ts < fc.cts)),
+       |sq AS (
+       | SELECT u, t AS dst, coalesce(lag(t) OVER (
+       |   PARTITION BY u ORDER BY ts, i), '_START') AS src FROM tch),
+       |te AS (
+       | SELECT t AS src,
+       |  CASE WHEN conv THEN '_CONV' ELSE '_NULL' END AS dst
+       | FROM (SELECT u, t, conv, row_number() OVER (
+       |   PARTITION BY u ORDER BY ts DESC, i DESC) AS rn FROM tch)
+       | WHERE rn = 1),
+       |dc AS (
+       | SELECT '_START' AS src, '_CONV' AS dst FROM fc
+       | WHERE u NOT IN (SELECT DISTINCT u FROM tch)),
+       |edges AS (
+       | SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM (
+       |  SELECT src, dst FROM sq UNION ALL SELECT src, dst FROM te
+       |  UNION ALL SELECT src, dst FROM dc) GROUP BY 1, 2),
+       |$scenarios
+       |SELECT channel, p_base_e9, p_removed_e9,
+       | CASE WHEN p_base_e9 = 0 THEN 0
+       |  ELSE (p_base_e9 - p_removed_e9) * 1000000 // p_base_e9 END
+       |  AS removal_e6
+       |FROM ($finalRows)""".stripMargin
+  }
 
   /** q229: the Holt–Winters fold with state flattened to one BIGINT list
     * [l, b, s1..s7]; the new level L is inlined at each of its three

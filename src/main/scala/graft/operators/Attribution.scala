@@ -209,4 +209,91 @@ object Attribution {
     joined.groupBy(col("channel"))
       .agg(sum(col("lift")).as(s"phi_x${fact(n)}_e6"))
   }
+
+  /** Markov-chain removal-effect attribution (Anderl et al. 2014,
+    * "Mapping the customer journey"): model journeys as a first-order
+    * chain START → touches → CONV/NULL, and credit each channel by how
+    * much the chain's conversion probability DROPS when the channel is
+    * removed (its inbound edges redirected to NULL) — the third member
+    * of the attribution family next to heuristic touch rules (q110/
+    * q111/q117) and Shapley (q234).
+    *
+    * Exactness: absorption probabilities come from `rounds` steps of
+    * value iteration in e9 fixed-point with truncating division per
+    * step — a deterministic integer recurrence (the q77 PageRank
+    * discipline), identical on any engine that replays the same
+    * transition counts and rounds.
+    *
+    * Scale shape: journey building and transition counting are the
+    * distributed passes (one window over the (user, ts) sort + one
+    * aggregate); the chain itself is ≤ (channels+3)² counts — a bounded
+    * census the driver solves directly (the documented bounded-collect
+    * class: MG candidate row, ZOrder manifest). Output per channel:
+    * p_base_e9, p_removed_e9, removal_e6 = (base−removed)·1e6 div base.
+    */
+  def markovRemoval(df: DataFrame, userCol: String, idCol: String,
+      tsCol: String, typeCol: String, channels: Seq[String],
+      convType: String, rounds: Int = 8): DataFrame = {
+    require(channels.nonEmpty && rounds >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val e = df.select(col(userCol).as("u"), col(idCol).as("i"),
+      col(tsCol).cast("long").as("ts"), col(typeCol).as("t"))
+    val firstConv = e.where(col("t") === convType)
+      .groupBy(col("u")).agg(min(col("ts")).as("cts"))
+    val touches = e.where(col("t").isin(channels: _*))
+      .join(firstConv.withColumnRenamed("u", "u2"),
+        col("u") === col("u2"), "left")
+      .where(col("cts").isNull || col("ts") < col("cts"))
+      .select(col("u"), col("i"), col("ts"), col("t"),
+        col("cts").isNotNull.as("conv"))
+    val w = Window.partitionBy(col("u")).orderBy(col("ts"), col("i"))
+    val wDesc = Window.partitionBy(col("u"))
+      .orderBy(col("ts").desc, col("i").desc)
+    val stepEdges = touches
+      .withColumn("src", coalesce(lag(col("t"), 1).over(w), lit("_START")))
+      .select(col("src"), col("t").as("dst"))
+    val termEdges = touches
+      .withColumn("rn", row_number().over(wDesc)).where(col("rn") === 1)
+      .select(col("t").as("src"),
+        when(col("conv"), "_CONV").otherwise("_NULL").as("dst"))
+    // converting users with zero pre-conversion touches: START → CONV
+    val directConv = firstConv
+      .join(touches.select(col("u")).distinct()
+          .withColumnRenamed("u", "u3"),
+        col("u") === col("u3"), "left_anti")
+      .select(lit("_START").as("src"), lit("_CONV").as("dst"))
+    val counts = stepEdges.unionByName(termEdges).unionByName(directConv)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // driver-side value iteration over the bounded chain
+    def absorb(removed: Option[String]): Long = {
+      val edges = counts
+        .filter { case (s, _, _) => !removed.contains(s) }
+        .map { case (s, d, n) =>
+          (s, if (removed.contains(d)) "_NULL" else d, n) }
+      val bySrc = edges.groupBy(_._1)
+      val states = (channels :+ "_START").filterNot(removed.contains)
+      var v = states.map(_ -> 0L).toMap + ("_CONV" -> 1000000000L) +
+        ("_NULL" -> 0L)
+      (1 to rounds).foreach { _ =>
+        val next = states.map { s =>
+          val out = bySrc.getOrElse(s, Array.empty[(String, String, Long)])
+          val tot = out.map(_._3).sum
+          val num = out.map { case (_, d, n) => n * v.getOrElse(d, 0L) }.sum
+          s -> (if (tot == 0) 0L else num / tot)
+        }.toMap
+        v = next + ("_CONV" -> 1000000000L) + ("_NULL" -> 0L)
+      }
+      v("_START")
+    }
+    val base = absorb(None)
+    val rows = channels.map { c =>
+      val removedP = absorb(Some(c))
+      val eff = if (base == 0) 0L else (base - removedP) * 1000000L / base
+      (c, base, removedP, eff)
+    }
+    spark.createDataset(rows)
+      .toDF("channel", "p_base_e9", "p_removed_e9", "removal_e6")
+  }
 }

@@ -129,6 +129,37 @@ class AttributionSpec extends SparkSpec {
     assert(got("a") + got("b") == 2000000L)
   }
 
+  test("markovRemoval solves the hand chain exactly") {
+    // u1: a→buy, u2: a→(null), u3: b→buy
+    // chain: START→{a:2, b:1}; a→{CONV:1, NULL:1}; b→{CONV:1}
+    // v(a)=5e8, v(b)=1e9, v(START)=(2·5e8+1e9) div 3 = 666666666
+    // remove a: START→{NULL:2, b:1} → 333333333; remove b symmetric
+    val rows = Seq(
+      (1L, 1L, 10L, "a"), (1L, 2L, 20L, "buy"),
+      (2L, 3L, 10L, "a"),
+      (3L, 4L, 10L, "b"), (3L, 5L, 20L, "buy"))
+    val got = Attribution.markovRemoval(rows.toDF("u", "i", "ts", "t"),
+      "u", "i", "ts", "t", Seq("a", "b"), "buy")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a") == ((666666666L, 333333333L, 500000L)))
+    assert(got("b") == ((666666666L, 333333333L, 500000L)))
+  }
+
+  test("markovRemoval: touchless converters keep START→CONV mass") {
+    // one user converts with no touches, one touches a and converts:
+    // base = (1·v(a) + 1·1e9) div 2 with v(a)=1e9 → 1e9;
+    // removing a: START→{NULL:1, CONV:1} → 5e8 → removal 500000
+    val rows = Seq(
+      (1L, 1L, 10L, "buy"),
+      (2L, 2L, 10L, "a"), (2L, 3L, 20L, "buy"))
+    val got = Attribution.markovRemoval(rows.toDF("u", "i", "ts", "t"),
+      "u", "i", "ts", "t", Seq("a"), "buy").collect().head
+    assert(got.getLong(1) == 1000000000L)
+    assert(got.getLong(2) == 500000000L)
+    assert(got.getLong(3) == 500000L)
+  }
+
   test("shapleyChannels on events is partitioning-invariant") {
     val rows = (1L to 300L).flatMap { i =>
       val types = Seq("a", "b", "c").filter(t => (i + t.hashCode) % 3 != 0)
