@@ -3589,6 +3589,26 @@ object SparkEntry {
         "event_id", "ts_ms", "event_type",
         channels = Seq("view", "click", "signup", "error"),
         convType = "purchase", rounds = 8)),
+
+    // Uplift decile curve: users ranked by total engagement cents and
+    // cut into 10 tiles; cumulative treated-vs-control "big spender"
+    // (purchase cents ≥ the ~median 59k) rate difference per tile — the
+    // Qini evaluation table, exact e6. Unit grain is pre-aggregated so
+    // conversion is a USER property, not a row property (a row-level
+    // bit saturates to 1.0 at this event density).
+    "q240_uplift_curve" -> ((s, dir) => {
+      val units = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("score_c"),
+          sum(when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).otherwise(0L))
+            .as("pc"))
+      operators.Causal.upliftCurve(units, "user_id",
+        scoreAgg = max(col("score_c")),
+        treated = pmod(col("user_id"), lit(2L)) === 0L,
+        converted = col("pc") >= 59000L,
+        nTiles = 10)
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -9060,6 +9080,48 @@ object SparkEntry {
     // Integer midpoint (min+max) div 2 — never a double cast, whose
     // rounding differs between engines.
     "q239_markov_removal" -> q239OracleSql,
+
+    // q240: same ntile over the same total order; cumulative counts
+    // then e6 rates.
+    "q240_uplift_curve" ->
+      """WITH u AS (
+        | SELECT user_id,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS score,
+        |  max(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS tr,
+        |  CASE WHEN sum(CASE WHEN event_type = 'purchase'
+        |     THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) >= 59000
+        |   THEN 1 ELSE 0 END AS cv
+        | FROM events GROUP BY 1),
+        |td AS (
+        | SELECT *, ntile(10) OVER (ORDER BY score DESC, user_id) AS tile
+        | FROM u),
+        |pt AS (
+        | SELECT tile, count(*) AS n,
+        |  CAST(sum(tr) AS BIGINT) AS n_t,
+        |  CAST(sum(tr * cv) AS BIGINT) AS conv_t,
+        |  CAST(sum(1 - tr) AS BIGINT) AS n_c,
+        |  CAST(sum((1 - tr) * cv) AS BIGINT) AS conv_c
+        | FROM td GROUP BY 1),
+        |cm AS (
+        | SELECT *, sum(n_t) OVER w AS cum_n_t,
+        |  sum(conv_t) OVER w AS cum_conv_t,
+        |  sum(n_c) OVER w AS cum_n_c, sum(conv_c) OVER w AS cum_conv_c
+        | FROM pt WINDOW w AS (ORDER BY tile
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT tile, n, n_t, conv_t, n_c, conv_c,
+        | CAST(cum_n_t AS BIGINT) AS cum_n_t,
+        | CAST(cum_conv_t AS BIGINT) AS cum_conv_t,
+        | CAST(cum_n_c AS BIGINT) AS cum_n_c,
+        | CAST(cum_conv_c AS BIGINT) AS cum_conv_c,
+        | CASE WHEN cum_n_t > 0
+        |  THEN cum_conv_t * 1000000 // cum_n_t END AS rate_t_e6,
+        | CASE WHEN cum_n_c > 0
+        |  THEN cum_conv_c * 1000000 // cum_n_c END AS rate_c_e6,
+        | (CASE WHEN cum_n_t > 0
+        |   THEN cum_conv_t * 1000000 // cum_n_t END)
+        | - (CASE WHEN cum_n_c > 0
+        |   THEN cum_conv_c * 1000000 // cum_n_c END) AS uplift_e6
+        |FROM cm""".stripMargin,
 
     "q238_diff_in_diff" ->
       """WITH e AS (

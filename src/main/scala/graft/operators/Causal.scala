@@ -46,4 +46,51 @@ object Causal {
         (col("m_t_post_e6") - col("m_t_pre_e6")) -
           (col("m_c_post_e6") - col("m_c_pre_e6")))
   }
+
+  /** Uplift decile curve (the Qini/uplift evaluation table — Radcliffe
+    * 2007): units ranked by a targeting score and cut into n_tiles
+    * equal tiles; each tile row carries cumulative treated/control
+    * conversion rates and their difference — "if we target the top k
+    * tiles, how much incremental conversion do we buy". The standard
+    * readout for uplift models and campaign targeting.
+    *
+    * Determinism: tiles come from ntile() over (score DESC, unit id) —
+    * a total order, and ntile's earlier-tiles-get-the-remainder rule is
+    * engine-standard; rates truncate to e6 from cumulative LONG counts.
+    *
+    * Scale shape: one aggregate to unit grain, one global sort for the
+    * ranked tiles (the inherent cost of exact global deciles — swap in
+    * the MRL sketch cuts when approximate tiles suffice), then a tiny
+    * per-tile census with cumulative windows. */
+  def upliftCurve(df: DataFrame, unitCol: String, scoreAgg: Column,
+      treated: Column, converted: Column, nTiles: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nTiles >= 2)
+    // scoreAgg is an AGGREGATE expression evaluated at unit grain (e.g.
+    // sum(cents)); treated/converted are row predicates max-folded
+    val units = df.groupBy(col(unitCol))
+      .agg(scoreAgg.as("score"),
+        max(treated.cast("long")).as("tr"),
+        max(converted.cast("long")).as("cv"))
+    val tiled = units.withColumn("tile",
+      ntile(nTiles).over(Window.orderBy(col("score").desc, col(unitCol))))
+    val perTile = tiled.groupBy(col("tile"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("tr")).as("n_t"),
+        sum(col("tr") * col("cv")).as("conv_t"),
+        sum((lit(1L) - col("tr"))).as("n_c"),
+        sum((lit(1L) - col("tr")) * col("cv")).as("conv_c"))
+    val w = Window.orderBy(col("tile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perTile
+      .withColumn("cum_n_t", sum(col("n_t")).over(w))
+      .withColumn("cum_conv_t", sum(col("conv_t")).over(w))
+      .withColumn("cum_n_c", sum(col("n_c")).over(w))
+      .withColumn("cum_conv_c", sum(col("conv_c")).over(w))
+      .withColumn("rate_t_e6",
+        when(col("cum_n_t") > 0, expr("cum_conv_t * 1000000 div cum_n_t")))
+      .withColumn("rate_c_e6",
+        when(col("cum_n_c") > 0, expr("cum_conv_c * 1000000 div cum_n_c")))
+      .withColumn("uplift_e6", col("rate_t_e6") - col("rate_c_e6"))
+  }
 }

@@ -29,6 +29,22 @@ class CausalSpec extends SparkSpec {
     assert(r.getAs[Long]("n_t_pre") == 0L)
   }
 
+  test("upliftCurve: planted top-tile effect shows only in the top tile") {
+    // 40 units, score = 100−id (so tiles follow id order); treated =
+    // even ids. In the top tile (ids 1..10) treated units convert, in
+    // the rest nobody does → tile-1 uplift 1e6, decaying cumulatively
+    val rows = (1L to 40L).map(id =>
+      (id, 100L - id, id % 2 == 0, id <= 10 && id % 2 == 0))
+    val got = Causal.upliftCurve(rows.toDF("u", "sc", "tr", "cv"),
+      "u", org.apache.spark.sql.functions.max(col("sc")),
+      col("tr"), col("cv"), nTiles = 4)
+      .collect().map(r => r.getAs[Int]("tile") ->
+        r.getAs[Long]("uplift_e6")).toMap
+    assert(got(1) == 1000000L)
+    assert(got(2) == 500000L)
+    assert(got(4) == 250000L)
+  }
+
   test("diffInDiff truncation order is the pinned one (means first)") {
     // treated pre {1,2}: mean 1.5 → 1500000; post {2}: 2000000
     // control pre {0}: 0; post {0}: 0 → DiD = 500000 exactly in e6
