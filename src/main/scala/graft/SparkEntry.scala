@@ -3609,6 +3609,14 @@ object SparkEntry {
         converted = col("pc") >= 59000L,
         nTiles = 10)
     }),
+
+    // Dominant principal direction of the embedding table: 6 rounds of
+    // integer power iteration on the exact q138 Gram, max-norm
+    // renormalization (no sqrt anywhere); the oracle unrolls every
+    // round in HUGEINT.
+    "q241_top_component" -> ((s, dir) =>
+      operators.Similarity.powerIterationTopComponent(
+        t(s, dir, "embeddings"), "embedding", rounds = 6)),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -9081,6 +9089,8 @@ object SparkEntry {
     // rounding differs between engines.
     "q239_markov_removal" -> q239OracleSql,
 
+    "q241_top_component" -> q241OracleSql,
+
     // q240: same ntile over the same total order; cumulative counts
     // then e6 rates.
     "q240_uplift_curve" ->
@@ -9163,6 +9173,40 @@ object SparkEntry {
         |    AS m_c_post_e6
         | FROM c)""".stripMargin,
   )
+
+  /** q241's oracle: the q138 Gram symmetrized, then every power-iteration
+    * round unrolled — matrix·vector as one join+agg, max-norm scale, and
+    * the e6 renormalization in HUGEINT with `//` (= the operator's BigInt
+    * truncation). */
+  private val q241OracleSql: String = {
+    val rounds = 6
+    val roundCtes = (1 to rounds).map { k =>
+      s"""u$k AS (
+         | SELECT g.i AS dim, CAST(sum(g.x * p.v) AS BIGINT) AS u
+         | FROM g JOIN v${k - 1} p ON p.dim = g.j GROUP BY 1),
+         |s$k AS (SELECT max(abs(u)) AS m FROM u$k),
+         |v$k AS (
+         | SELECT dim, CAST(CAST(u AS HUGEINT) * 1000000 // m AS BIGINT) AS v
+         | FROM u$k, s$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c AS (SELECT list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS a
+       | FROM embeddings),
+       |gU AS (
+       | SELECT CAST(i.i - 1 AS BIGINT) AS i, CAST(j.j - 1 AS BIGINT) AS j,
+       |  CAST(sum(a[i.i] * a[j.j]) AS BIGINT) AS x
+       | FROM c,
+       |  LATERAL (SELECT unnest(generate_series(1, len(a))) AS i) i,
+       |  LATERAL (SELECT unnest(generate_series(i.i, len(a))) AS j) j
+       | GROUP BY i.i, j.j),
+       |g AS (SELECT i, j, x FROM gU
+       | UNION ALL SELECT j, i, x FROM gU WHERE i <> j),
+       |v0 AS (SELECT unnest(generate_series(0, 63)) AS dim,
+       | CAST(1000000 AS BIGINT) AS v),
+       |$roundCtes
+       |SELECT dim, v AS v_e6, (SELECT m FROM s$rounds) AS scale
+       |FROM v$rounds""".stripMargin
+  }
 
   /** q239's oracle: the journey chain rebuilt in SQL (window lag for
     * step edges, last-touch terminal edges, direct START→CONV for

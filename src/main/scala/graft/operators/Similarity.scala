@@ -143,6 +143,49 @@ object Similarity {
     * built inside a codegen'd nested transform per row (no self-join, no
     * pre-aggregation exchange), then partial sums collapse map-side into
     * d(d+1)/2 output cells. Output: (i, j, n, sum_xy_e6), i ≤ j. */
+  /** Dominant principal direction by integer power iteration on the
+    * [[gramMatrixE6]] output — the "what single direction explains this
+    * embedding table" readout, with the documented labor split: the ONE
+    * corpus scan builds the Gram (distributed, exact); the d×d eigen
+    * step runs on the collected d(d+1)/2-cell census (the bounded-collect
+    * class — markovRemoval's chain, MG's candidate row).
+    *
+    * Determinism: v₀ = [10⁶]^d; each round u = G·v (exact LONG — |u_i| ≤
+    * d·|G|·10⁶, within range for e3-quantized unit-ish embeddings), then
+    * renormalize v = u·10⁶ div max|u| (truncating; max-norm avoids any
+    * sqrt). The Gram is PSD so iterates converge without sign flips; ties
+    * and truncation are identical on any engine replaying the same
+    * integer recurrence (the oracle unrolls all rounds in SQL). Output:
+    * one row per dimension (i, v_e6) plus the final pre-normalization
+    * max |u| as `scale` — the dominant-eigenvalue readout (λ ≈ scale/10⁶
+    * in Gram units). */
+  def powerIterationTopComponent(emb: DataFrame, vecCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val upper = gramMatrixE6(emb, vecCol)
+      .select(col("i"), col("j"), col("sum_xy_e6")).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2)))
+    val d = upper.map(t => math.max(t._1, t._2)).max + 1
+    val g = Array.ofDim[Long](d, d)
+    upper.foreach { case (i, j, x) => g(i)(j) = x; g(j)(i) = x }
+    var v = Array.fill(d)(1000000L)
+    var scale = 0L
+    (1 to rounds).foreach { _ =>
+      val u = Array.tabulate(d)(i =>
+        (0 until d).map(j => g(i)(j) * v(j)).sum)
+      scale = u.map(math.abs).max
+      // u·10⁶ exceeds a LONG before the division — normalize in BigInt
+      // (the oracle's HUGEINT), truncating toward zero like `div`
+      v = u.map(x => if (scale == 0) 0L
+        else (BigInt(x) * 1000000 / scale).toLong)
+    }
+    spark.createDataset(v.toSeq.zipWithIndex
+        .map { case (x, i) => (i.toLong, x, scale) })
+      .toDF("dim", "v_e6", "scale")
+  }
+
   def gramMatrixE6(emb: DataFrame, vecCol: String): DataFrame = {
     val arr = transform(col(vecCol),
       x => round(x.cast("double") * lit(1000.0)).cast("long"))

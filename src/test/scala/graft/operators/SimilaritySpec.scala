@@ -85,4 +85,32 @@ class SimilaritySpec extends SparkSpec {
       rm(new java.io.File(root))
     }
   }
+
+  test("power iteration recovers a planted dominant direction") {
+    import spark.implicits._
+    // vectors clustered along (0.6, 0.8) with small deterministic jitter
+    val rows = (1 to 200).map { i =>
+      val s = if (i % 2 == 0) 1.0f else -1.0f // direction sign-symmetric
+      val j = (i % 7 - 3) * 0.01f
+      (i.toLong, Array(0.6f * s + j, 0.8f * s - j))
+    }
+    val r = Similarity.powerIterationTopComponent(
+      rows.toDF("vec_id", "embedding"), "embedding", rounds = 8)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // max-norm puts the larger component at ±1e6; ratio ≈ 0.6/0.8
+    val ratio = math.abs(r(0L).toDouble / r(1L))
+    assert(math.abs(ratio - 0.75) < 0.05, s"ratio $ratio, v=$r")
+    assert(math.abs(r(1L)) == 1000000L)
+  }
+
+  test("power iteration is a fixed point on an axis-aligned Gram") {
+    import spark.implicits._
+    // diag-dominant: all mass on dim 1
+    val rows = (1 to 50).map(i => (i.toLong, Array(0.001f, 0.9f)))
+    val r = Similarity.powerIterationTopComponent(
+      rows.toDF("vec_id", "embedding"), "embedding", rounds = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) == 1000000L)
+    assert(math.abs(r(0L)) < 5000, r.toString) // ≈ 0.001/0.9 in e6
+  }
 }
