@@ -3617,6 +3617,45 @@ object SparkEntry {
     "q241_top_component" -> ((s, dir) =>
       operators.Similarity.powerIterationTopComponent(
         t(s, dir, "embeddings"), "embedding", rounds = 6)),
+
+    // TPC-H Q18-shape: large-quantity orders — the IN-subquery-with-
+    // HAVING silhouette as one per-order aggregate reused as a semi
+    // filter (AQE broadcasts the small qualifying set); customer dim
+    // broadcast for the name attach.
+    "q242_large_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("total_qty"))
+        .where(col("total_qty") > 300L)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"),
+          round(col("o_totalprice") * 100).cast("long")
+            .as("o_totalprice_cents"),
+          col("total_qty"))
+    }),
+
+    // TPC-H Q15-shape: top supplier(s) by a quarter's revenue — the
+    // max-equality scalar subquery WITH TIES: revenue census, one-row
+    // max broadcast back, equality join keeps every tied supplier.
+    "q243_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .where(year(col("l_shipdate")) === 1996 &&
+          month(col("l_shipdate")) <= 3)
+        .groupBy(col("l_suppkey"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 10000).cast("long")).as("total_rev_e4"))
+      val mx = rev.agg(max(col("total_rev_e4")).as("mx"))
+      t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .crossJoin(broadcast(mx))
+        .where(col("total_rev_e4") === col("mx"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_e4"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -9090,6 +9129,31 @@ object SparkEntry {
     "q239_markov_removal" -> q239OracleSql,
 
     "q241_top_component" -> q241OracleSql,
+
+    // q242: the textbook IN-subquery formulation.
+    "q242_large_orders" ->
+      """SELECT c_name, o_custkey, o_orderkey, o_orderdate,
+        | CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_cents,
+        | (SELECT CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |   FROM lineitem WHERE l_orderkey = o_orderkey) AS total_qty
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey IN (
+        | SELECT l_orderkey FROM lineitem GROUP BY 1
+        | HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300)""".stripMargin,
+
+    // q243: the textbook view + scalar-max formulation, ties kept.
+    "q243_top_supplier" ->
+      """WITH rev AS (
+        | SELECT l_suppkey, CAST(sum(CAST(round(
+        |   l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+        |   AS BIGINT) AS total_rev_e4
+        | FROM lineitem
+        | WHERE year(l_shipdate) = 1996 AND month(l_shipdate) <= 3
+        | GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev_e4
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)"""
+        .stripMargin,
 
     // q240: same ntile over the same total order; cumulative counts
     // then e6 rates.
