@@ -3656,6 +3656,18 @@ object SparkEntry {
         .where(col("total_rev_e4") === col("mx"))
         .select(col("s_suppkey"), col("s_name"), col("total_rev_e4"))
     }),
+
+    // HITS hubs/authorities over the directed customer→supplier
+    // purchase graph: mutual-reinforcement scoring (good buyers certify
+    // good sellers) that the q77 random walk can't express; 4 rounds of
+    // max-norm integer iteration, every round oracle-unrolled.
+    "q244_hits" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey"))
+      operators.Graph.hitsE6(edges, "o_custkey", "l_suppkey",
+        iterations = 4)
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -9130,6 +9142,8 @@ object SparkEntry {
 
     "q241_top_component" -> q241OracleSql,
 
+    "q244_hits" -> q244OracleSql,
+
     // q242: the textbook IN-subquery formulation.
     "q242_large_orders" ->
       """SELECT c_name, o_custkey, o_orderkey, o_orderdate,
@@ -9237,6 +9251,34 @@ object SparkEntry {
         |    AS m_c_post_e6
         | FROM c)""".stripMargin,
   )
+
+  /** q244's oracle: the HITS rounds unrolled — per round an authority
+    * join+agg, a one-row max, the e6 renorm, then the hub mirror. */
+  private val q244OracleSql: String = {
+    val rounds = 4
+    val roundCtes = (1 to rounds).map { k =>
+      s"""ar$k AS (
+         | SELECT dst AS id, CAST(sum(h.v) AS BIGINT) AS v
+         | FROM ed JOIN h${k - 1} h ON h.id = ed.src GROUP BY 1),
+         |am$k AS (SELECT max(v) AS m FROM ar$k),
+         |a$k AS (SELECT id, v * 1000000 // m AS v FROM ar$k, am$k),
+         |hr$k AS (
+         | SELECT src AS id, CAST(sum(a.v) AS BIGINT) AS v
+         | FROM ed JOIN a$k a ON a.id = ed.dst GROUP BY 1),
+         |hm$k AS (SELECT max(v) AS m FROM hr$k),
+         |h$k AS (SELECT id, v * 1000000 // m AS v FROM hr$k, hm$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS (
+       | SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+       | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |h0 AS (SELECT DISTINCT src AS id, CAST(1000000 AS BIGINT) AS v
+       | FROM ed),
+       |$roundCtes
+       |SELECT 'hub' AS role, id, v AS score_e6 FROM h$rounds
+       |UNION ALL
+       |SELECT 'auth', id, v FROM a$rounds""".stripMargin
+  }
 
   /** q241's oracle: the q138 Gram symmetrized, then every power-iteration
     * round unrolled — matrix·vector as one join+agg, max-norm scale, and

@@ -466,4 +466,51 @@ object Graph {
     e.unpersist()
     dist.select(col("id").as(srcCol), col("cost"))
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999, "Authoritative sources in
+    * a hyperlinked environment"): over a DIRECTED graph, authority score
+    * = Σ hub scores pointing at you, hub score = Σ authority scores you
+    * point at — mutual reinforcement that PageRank's single random walk
+    * does not express, and the natural scorer for bipartite buyer→seller
+    * graphs (good buyers certify good sellers and vice versa).
+    *
+    * Integer discipline (the q77 family rule): both vectors renormalize
+    * per round to max = 10⁶ by truncating division (max-norm, no sqrt),
+    * so a fixed iteration count is bit-reproducible and the oracle
+    * unrolls every round. Raw sums stay ≤ degree·10⁶ — LONG-safe before
+    * each renormalization at any realistic degree.
+    *
+    * Shape: per round TWO edge joins + map-side-partial aggregations +
+    * two one-row max frames broadcast back; localCheckpoint truncates
+    * the iterative lineage on the same cadence as pageRankE9. Output:
+    * (role ∈ hub|auth, id, score_e6). */
+  def hitsE6(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, checkpointEvery: Int = 4): DataFrame = {
+    require(iterations >= 1 && checkpointEvery >= 1)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var h = e.select(col("src").as("id")).distinct()
+      .withColumn("v", lit(1000000L))
+    var a = e.select(col("dst").as("id")).distinct()
+      .withColumn("v", lit(0L))
+    def renorm(raw: DataFrame): DataFrame = {
+      val m = raw.agg(max(col("v")).as("m"))
+      raw.crossJoin(broadcast(m))
+        .select(col("id"), expr("v * 1000000 div m").as("v"))
+    }
+    for (i <- 1 to iterations) {
+      a = renorm(e.join(h.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("v")).as("v")))
+      h = renorm(e.join(a.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(sum(col("v")).as("v")))
+      if (i % checkpointEvery == 0 && i < iterations) {
+        a = a.localCheckpoint(true)
+        h = h.localCheckpoint(true)
+      }
+    }
+    h.select(lit("hub").as("role"), col("id"), col("v").as("score_e6"))
+      .unionByName(a.select(lit("auth").as("role"), col("id"),
+        col("v").as("score_e6")))
+  }
 }

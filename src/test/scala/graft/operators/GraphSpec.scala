@@ -339,4 +339,28 @@ class GraphSpec extends SparkSpec {
     assert(got == Map((1L, 2L) -> 1L, (2L, 3L) -> 1L, (1L, 3L) -> 1L,
       (3L, 4L) -> 0L))
   }
+
+  test("hitsE6: the authority every hub cites dominates; hubs rank by reach") {
+    import spark.implicits._
+    // hubs 1,2,3 all point at authority 10; only hub 1 also points at 11
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L))
+      .toDF("s", "d")
+    val got = Graph.hitsE6(edges, "s", "d", iterations = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got(("auth", 10L)) == 1000000L) // cited by all hubs
+    assert(got(("auth", 11L)) < got(("auth", 10L)))
+    assert(got(("hub", 1L)) == 1000000L) // reaches both authorities
+    assert(got(("hub", 2L)) == got(("hub", 3L)))
+    assert(got(("hub", 2L)) < got(("hub", 1L)))
+  }
+
+  test("hitsE6 is partitioning-invariant") {
+    import spark.implicits._
+    val edges = (1L to 400L).map(i => (i % 37, i % 11)).toDF("s", "d")
+    def run(parts: Int) = Graph.hitsE6(edges.repartition(parts),
+      "s", "d", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(run(1) == run(13))
+  }
 }
