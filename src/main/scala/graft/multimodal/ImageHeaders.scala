@@ -37,6 +37,8 @@ object ImageHeaders {
       u8(bytes, 1) === 0xff && u8(bytes, 2) === 0xd8, "jpeg")
     .when(length(bytes) >= 16 &&
       ascii4(bytes, 1) === "RIFF" && ascii4(bytes, 9) === "WEBP", "webp")
+    .when(length(bytes) >= 26 &&
+      u8(bytes, 1) === 0x42 && u8(bytes, 2) === 0x4d, "bmp")
 
   /** WebP dimensions — all three first-chunk layouts are fixed-offset,
     * so the parse is fully declarative (codegen'd), no UDF:
@@ -103,12 +105,29 @@ object ImageHeaders {
   private val jpegH = udf((b: Array[Byte]) => jpegDims(b).map(_._1))
   private val jpegW = udf((b: Array[Byte]) => jpegDims(b).map(_._2))
 
+  /** BMP dimensions: BITMAPINFOHEADER (size ≥ 40 at offset 14) carries
+    * LE i32 width/height at 18/22 — height SIGNED (negative = top-down
+    * rows, same pixel size → abs); the ancient BITMAPCOREHEADER
+    * (size 12) carries LE u16s at 18/20. Fixed offsets, declarative. */
+  private def bmpDim(bytes: Column, first: Boolean): Column = {
+    val hdr = leU32(bytes, 15)
+    def i32(at: Int): Column = {
+      val v = leU32(bytes, at)
+      abs(when(v >= 2147483648L, v - 4294967296L).otherwise(v)).cast("int")
+    }
+    when(hdr >= 40L && length(bytes) >= 26,
+      if (first) i32(19) else i32(23))
+    .when(hdr === 12L && length(bytes) >= 22,
+      if (first) leU16(bytes, 19) else leU16(bytes, 21))
+  }
+
   /** Parsed width in pixels (NULL when not a recognized image). */
   def imageWidth(bytes: Column): Column =
     when(imageFormat(bytes) === "png", beU32(bytes, 17).cast("int"))
       .when(imageFormat(bytes) === "gif", leU16(bytes, 7))
       .when(imageFormat(bytes) === "jpeg", jpegW(bytes))
       .when(imageFormat(bytes) === "webp", webpDim(bytes, first = true))
+      .when(imageFormat(bytes) === "bmp", bmpDim(bytes, first = true))
 
   /** Parsed height in pixels (NULL when not a recognized image). */
   def imageHeight(bytes: Column): Column =
@@ -116,6 +135,7 @@ object ImageHeaders {
       .when(imageFormat(bytes) === "gif", leU16(bytes, 9))
       .when(imageFormat(bytes) === "jpeg", jpegH(bytes))
       .when(imageFormat(bytes) === "webp", webpDim(bytes, first = false))
+      .when(imageFormat(bytes) === "bmp", bmpDim(bytes, first = false))
 
   /** Attach (format, width, height) metadata columns parsed from the
     * binary column — the real half of the multimodal metadata stage; the
