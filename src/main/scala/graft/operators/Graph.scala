@@ -481,12 +481,16 @@ object Graph {
     * each renormalization at any realistic degree.
     *
     * Shape: per round TWO edge joins + map-side-partial aggregations +
-    * two one-row max frames broadcast back; localCheckpoint truncates
-    * the iterative lineage on the same cadence as pageRankE9. Output:
+    * two one-row max frames broadcast back. Unlike pageRankE9 (whose
+    * score frame has ONE downstream consumer per round), `renorm` reads
+    * its input TWICE (max agg + crossJoin) — so without truncation the
+    * plan DOUBLES per round; every round therefore ends in an eager
+    * localCheckpoint on the tiny (id, v) frames, same rule as
+    * [[labelPropagationRounds]]'s two-consumer recurrence. Output:
     * (role ∈ hub|auth, id, score_e6). */
   def hitsE6(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int, checkpointEvery: Int = 4): DataFrame = {
-    require(iterations >= 1 && checkpointEvery >= 1)
+      iterations: Int): DataFrame = {
+    require(iterations >= 1)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -498,17 +502,15 @@ object Graph {
       val m = raw.agg(max(col("v")).as("m"))
       raw.crossJoin(broadcast(m))
         .select(col("id"), expr("v * 1000000 div m").as("v"))
+        .localCheckpoint(true)
     }
-    for (i <- 1 to iterations) {
+    for (_ <- 1 to iterations) {
       a = renorm(e.join(h.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(sum(col("v")).as("v")))
       h = renorm(e.join(a.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(sum(col("v")).as("v")))
-      if (i % checkpointEvery == 0 && i < iterations) {
-        a = a.localCheckpoint(true)
-        h = h.localCheckpoint(true)
-      }
     }
+    e.unpersist()
     h.select(lit("hub").as("role"), col("id"), col("v").as("score_e6"))
       .unionByName(a.select(lit("auth").as("role"), col("id"),
         col("v").as("score_e6")))
