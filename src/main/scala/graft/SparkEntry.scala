@@ -3668,6 +3668,27 @@ object SparkEntry {
       operators.Graph.hitsE6(edges, "o_custkey", "l_suppkey",
         iterations = 4)
     }),
+
+    // Spearman rank correlation (exact): does ordering MORE OFTEN go
+    // with spending MORE, monotone but not linear (q117's Pearson
+    // moments can't see a convex relationship; ranks can)? Doubled
+    // midranks keep ties integral; the three quadratic forms determine
+    // ρ² exactly — no float ranks, no raw-data sort.
+    "q245_spearman" -> ((s, dir) =>
+      operators.RankStats.spearmanSuffStats(
+        t(s, dir, "orders").groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(cents(col("o_totalprice"))).as("spend_cents")),
+        col("n_orders"), col("spend_cents"))),
+
+    // Wilcoxon rank-sum / Mann–Whitney U (exact, tie-corrected): do
+    // even-id users' event values stochastically dominate odd-id users'?
+    // The DISTRIBUTION-free two-sample test (q139's KS is the sup-gap
+    // twin; this is the rank-sum form with the Σ(t³−t) tie term its
+    // variance needs), all integers off one value histogram.
+    "q246_rank_sum" -> ((s, dir) =>
+      operators.RankStats.mannWhitney(t(s, dir, "events"),
+        cents(col("value")), pmod(col("user_id"), lit(2)) === 0)),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -9250,6 +9271,47 @@ object SparkEntry {
         |  CASE WHEN n_c_post > 0 THEN sum_c_post * 1000000 // n_c_post END
         |    AS m_c_post_e6
         | FROM c)""".stripMargin,
+
+    // q245: same doubled-midrank closed form (2·cum_before + cnt + 1)
+    // per variable, quadratic forms in HUGEINT, emitted DECIMAL(38,0).
+    "q245_spearman" ->
+      """WITH pc AS (SELECT o_custkey, count(*) AS xv,
+        |  sum(CAST(round(o_totalprice*100) AS BIGINT)) AS yv
+        | FROM orders GROUP BY 1),
+        |hx AS (SELECT xv AS v, count(*) AS cnt FROM pc GROUP BY 1),
+        |rx AS (SELECT v,
+        |  2*(sum(cnt) OVER (ORDER BY v) - cnt) + cnt + 1 AS r FROM hx),
+        |hy AS (SELECT yv AS v, count(*) AS cnt FROM pc GROUP BY 1),
+        |ry AS (SELECT v,
+        |  2*(sum(cnt) OVER (ORDER BY v) - cnt) + cnt + 1 AS r FROM hy),
+        |j AS (SELECT CAST(rx.r AS HUGEINT) AS rx, CAST(ry.r AS HUGEINT) AS ry
+        | FROM pc JOIN rx ON rx.v = pc.xv JOIN ry ON ry.v = pc.yv),
+        |a AS (SELECT count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+        |  sum(rx*ry) AS sxy, sum(rx*rx) AS sxx, sum(ry*ry) AS syy FROM j)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(n*sxy - sx*sy AS DECIMAL(38,0)) AS cov_num,
+        |  CAST(n*sxx - sx*sx AS DECIMAL(38,0)) AS var_x_num,
+        |  CAST(n*syy - sy*sy AS DECIMAL(38,0)) AS var_y_num
+        |FROM a""".stripMargin,
+
+    // q246: one combined-value histogram; R₁ from sample-1 counts times
+    // the doubled midrank; tie term in HUGEINT.
+    "q246_rank_sum" ->
+      """WITH e AS (SELECT CAST(round(value*100) AS BIGINT) AS v,
+        |  CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS s1
+        | FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT v, count(*) AS cnt, sum(s1) AS cnt1 FROM e GROUP BY 1),
+        |c AS (SELECT v, cnt, cnt1,
+        |  sum(cnt) OVER (ORDER BY v) AS cum,
+        |  sum(cnt) OVER () AS n, sum(cnt1) OVER () AS n1 FROM h),
+        |t AS (SELECT n, n1,
+        |  sum(cnt1*(2*(cum-cnt)+cnt+1)) AS sum_r1x2,
+        |  sum(CAST(cnt AS HUGEINT)*cnt*cnt - cnt) AS tie FROM c
+        | GROUP BY 1, 2)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n - n1 AS BIGINT) AS n2,
+        |  CAST(sum_r1x2 - n1*(n1+1) AS BIGINT) AS u1_x2,
+        |  CAST(tie AS DECIMAL(38,0)) AS tie_term
+        |FROM t""".stripMargin,
   )
 
   /** q244's oracle: the HITS rounds unrolled — per round an authority

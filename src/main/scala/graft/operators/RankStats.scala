@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rank statistics on integer-valued columns, exact end-to-end.
+  *
+  * Both operators share one trick with [[Profile.exactAuc]]: ranks are
+  * never assigned to raw rows by a global sort. Instead a per-value
+  * histogram (the only full-data pass, map-side combined) feeds a
+  * cumulative window over |distinct values| rows, and the DOUBLED
+  * midrank of every distinct value is the closed form
+  * 2·cum_before + cnt + 1 — integral even under ties, so every
+  * downstream statistic stays an exact integer (DECIMAL(38,0) where
+  * fourth-power magnitudes can exceed LONG).
+  *
+  * Scale shape: histogram group-bys shuffle |distinct| cells, the rank
+  * maps join back value→rank (broadcast-sized whenever the domain is
+  * materially smaller than the data; AQE picks the strategy), and the
+  * final reductions are single-row. Nothing sorts the raw data.
+  */
+object RankStats {
+
+  /** value → (cnt, rank2) map for one column: rank2 = doubled midrank. */
+  private def rank2Map(df: DataFrame, v: Column, out: String): DataFrame = {
+    val byV = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.select(v.cast("long").as("__v")).where(col("__v").isNotNull)
+      .groupBy(col("__v")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__cum", sum(col("__cnt")).over(byV))
+      .select(col("__v").as(s"${out}_v"),
+        (lit(2L) * (col("__cum") - col("__cnt")) + col("__cnt") + lit(1L))
+          .as(out))
+  }
+
+  /** Spearman rank correlation — sufficient statistics, exact.
+    *
+    * ρ = Pearson correlation of the (midrank_x, midrank_y) pairs; with
+    * doubled midranks every moment is integral, and the three quadratic
+    * forms determine ρ² = cov²/(var_x·var_y) as an exact rational:
+    *   cov_num   = n·Σ(rx·ry) − (Σrx)(Σry)
+    *   var_•_num = n·Σr•²    − (Σr•)²
+    * (Σrx = Σry = n(n+1) identically — rank sums are tie-invariant —
+    * but they are computed, not assumed, so the algebra is visible.)
+    * Fourth-power magnitudes (n·Σr² ~ 4n⁴) leave LONG near n ≈ 2·10⁵,
+    * so the quadratic forms are DECIMAL(38,0) — good to n ≈ 10⁹ rows.
+    * Output: one row (n, cov_num, var_x_num, var_y_num). */
+  def spearmanSuffStats(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val base = df.select(x.cast("long").as("__x"), y.cast("long").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    val ranked = base
+      .join(rank2Map(base, col("__x"), "rx"), col("__x") === col("rx_v"))
+      .join(rank2Map(base, col("__y"), "ry"), col("__y") === col("ry_v"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    ranked.agg(
+        count(lit(1)).as("n"),
+        sum(d(col("rx"))).as("sx"), sum(d(col("ry"))).as("sy"),
+        sum(d(col("rx")) * d(col("ry"))).as("sxy"),
+        sum(d(col("rx")) * d(col("rx"))).as("sxx"),
+        sum(d(col("ry")) * d(col("ry"))).as("syy"))
+      .select(col("n"),
+        (d(col("n")) * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+        (d(col("n")) * col("sxx") - col("sx") * col("sx")).as("var_x_num"),
+        (d(col("n")) * col("syy") - col("sy") * col("sy")).as("var_y_num"))
+  }
+
+  /** Wilcoxon rank-sum / Mann–Whitney U with tie correction, exact.
+    *
+    * Sample 1 = rows where `inSample1`; U₁ = R₁ − n₁(n₁+1)/2 with R₁
+    * the sample-1 midrank sum over the COMBINED ordering. Doubling keeps
+    * everything integral: u1_x2 = 2R₁ − n₁(n₁+1) (so u1_x2/2 = U₁ and
+    * u1_x2 + u2_x2 = 2n₁n₂). The tie term Σ(t³−t) over tied-value
+    * groups is what the normal-approximation variance
+    *   σ² = n₁n₂/12 · [(n+1) − Σ(t³−t)/(n(n−1))]
+    * needs — emitted exactly (DECIMAL(38,0): t³ leaves LONG near
+    * t ≈ 2·10⁶ duplicates of one value).
+    * Output: one row (n1, n2, u1_x2, tie_term). */
+  def mannWhitney(df: DataFrame, value: Column,
+      inSample1: Column): DataFrame = {
+    val byV = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.partitionBy(lit(1))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    df.select(value.cast("long").as("__v"),
+        when(inSample1, 1L).otherwise(0L).as("__s1"))
+      .where(col("__v").isNotNull)
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("cnt"), sum(col("__s1")).as("cnt1"))
+      .withColumn("cum", sum(col("cnt")).over(byV))
+      .withColumn("n", sum(col("cnt")).over(all))
+      .withColumn("n1", sum(col("cnt1")).over(all))
+      .withColumn("r1x2", col("cnt1") *
+        (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L)))
+      .groupBy(col("n"), col("n1"))
+      .agg(sum(col("r1x2")).as("sum_r1x2"),
+        sum(d(col("cnt")) * d(col("cnt")) * d(col("cnt")) - d(col("cnt")))
+          .as("tie_term"))
+      .select(col("n1"), (col("n") - col("n1")).as("n2"),
+        (col("sum_r1x2") - col("n1") * (col("n1") + 1L)).as("u1_x2"),
+        col("tie_term"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Rank statistics must reproduce the textbook closed forms exactly —
+  * including midrank tie handling — and stay partitioning-invariant. */
+class RankStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("spearman: perfect monotone (tie-free) gives cov² = varx·vary") {
+    // y = x³ — monotone, wildly non-linear; Spearman must see ρ = 1
+    val df = Seq.tabulate(20)(i => (i.toLong + 1, (i.toLong + 1) * (i + 1) * (i + 1)))
+      .toDF("x", "y")
+    val r = RankStats.spearmanSuffStats(df, col("x"), col("y")).head()
+    val (cov, vx, vy) = (BigInt(r.getDecimal(1).toBigInteger),
+      BigInt(r.getDecimal(2).toBigInteger), BigInt(r.getDecimal(3).toBigInteger))
+    assert(r.getLong(0) == 20L)
+    assert(cov * cov == vx * vy && cov > 0)
+    // tie-free doubled ranks: var_num = n·Σ(2i)² − (n(n+1))² = known form
+    val n = BigInt(20)
+    val sxx = (1 to 20).map(i => BigInt(2 * i) * BigInt(2 * i)).sum
+    assert(vx == n * sxx - (n * (n + 1)) * (n * (n + 1)))
+  }
+
+  test("spearman: reversal gives cov = -varx; ties take midranks") {
+    val df = Seq((1L, 30L), (2L, 20L), (3L, 10L)).toDF("x", "y")
+    val r = RankStats.spearmanSuffStats(df, col("x"), col("y")).head()
+    assert(BigInt(r.getDecimal(1).toBigInteger) ==
+      -BigInt(r.getDecimal(2).toBigInteger))
+    // all-tied y: var_y_num = 0 → ρ undefined, stats still exact
+    val t = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("x", "y")
+    val rt = RankStats.spearmanSuffStats(t, col("x"), col("y")).head()
+    assert(BigInt(rt.getDecimal(3).toBigInteger) == 0)
+    assert(BigInt(rt.getDecimal(1).toBigInteger) == 0)
+  }
+
+  test("mann-whitney: hand-computed midrank example with ties") {
+    // sample1 = {1, 3, 3}, sample2 = {2, 3, 5}
+    // sorted: 1(r1) 2(r2) 3,3,3(midrank 4) 5(r6)
+    // R1 = 1 + 4 + 4 = 9, U1 = 9 - 3·4/2 = 3 → u1_x2 = 6
+    // ties: one group of t=3 → t³−t = 24
+    val df = Seq((1L, true), (3L, true), (3L, true),
+      (2L, false), (3L, false), (5L, false)).toDF("v", "s1")
+    val r = RankStats.mannWhitney(df, col("v"), col("s1")).head()
+    assert((r.getLong(0), r.getLong(1)) == (3L, 3L))
+    assert(r.getLong(2) == 6L)
+    assert(BigInt(r.getDecimal(3).toBigInteger) == 24)
+  }
+
+  test("mann-whitney: u1 + u2 = 2·n1·n2; partitioning-invariant") {
+    val vs = (1 to 200).map(i => ((i * 7919L) % 50, i % 3 == 0))
+    def stats(parts: Int) = {
+      val r = RankStats.mannWhitney(
+        vs.toDF("v", "s1").repartition(parts), col("v"), col("s1")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        BigInt(r.getDecimal(3).toBigInteger))
+    }
+    val a = stats(1)
+    assert(a == stats(13))
+    // complement identity: 2U1 + 2U2 = 2·2·n1n2 with 2U2 from swapped roles
+    val sw = RankStats.mannWhitney(vs.toDF("v", "s1"), col("v"), !col("s1")).head()
+    assert(a._3 + sw.getLong(2) == 2L * a._1 * a._2)
+  }
+}
