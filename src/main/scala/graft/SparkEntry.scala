@@ -3689,6 +3689,32 @@ object SparkEntry {
     "q246_rank_sum" -> ((s, dir) =>
       operators.RankStats.mannWhitney(t(s, dir, "events"),
         cents(col("value")), pmod(col("user_id"), lit(2)) === 0)),
+
+    // TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
+    // BOTH join sides — the disjunction that naive planners evaluate
+    // post-join on every row. Catalyst must split it: the per-side
+    // residuals (p_brand IN (…), the l_quantity range hull) are
+    // extractable and push to each parquet scan, the part side
+    // broadcasts, and the full disjunction evaluates only on the
+    // pre-filtered join output (PlanSpec pins brand pushdown +
+    // broadcast). One row out: item count + revenue in e4.
+    "q247_disjunct_revenue" -> ((s, dir) => {
+      val qty = round(col("l_quantity")).cast("long")
+      val pred =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          qty.between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          qty.between(10, 20)) ||
+        (col("p_brand") === "Brand#21" && col("p_size").between(1, 15) &&
+          qty.between(20, 30))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .where(pred)
+        .agg(count(lit(1)).as("n_items"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 10000).cast("long")).as("revenue_e4"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -9312,6 +9338,20 @@ object SparkEntry {
         |  CAST(sum_r1x2 - n1*(n1+1) AS BIGINT) AS u1_x2,
         |  CAST(tie AS DECIMAL(38,0)) AS tie_term
         |FROM t""".stripMargin,
+
+    // q247: the textbook WHERE-clause formulation.
+    "q247_disjunct_revenue" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000)
+        |    AS BIGINT)) AS BIGINT) AS revenue_e4
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |    AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |    AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 15
+        |    AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)"""
+        .stripMargin,
   )
 
   /** q244's oracle: the HITS rounds unrolled — per round an authority

@@ -326,4 +326,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("Q19-shape disjunction: per-side residuals reach the scans, part broadcasts") {
+    val p = formatted("q247_disjunct_revenue")
+    // the brand/size disjunction is extractable from the OR-of-ANDs and
+    // must reach the part parquet scan as a pushed Or filter
+    assert(p.contains("And(EqualTo(p_brand,Brand#12),LessThanOrEqual(p_size,5))"),
+      p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
 }
