@@ -3715,6 +3715,18 @@ object SparkEntry {
           sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
             * 10000).cast("long")).as("revenue_e4"))
     }),
+
+    // Maximum drawdown of the daily revenue level per event type — the
+    // worst peak-to-trough collapse, with the day it bottomed and the
+    // peak it fell from (q102's CUSUM flags drift onset; this measures
+    // total damage). Running-max + pick windows, one exchange.
+    "q248_drawdown" -> ((s, dir) => {
+      val daily = ev(s, dir).where(col("value").isNotNull)
+        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      operators.Trend.maxDrawdown(daily, Seq("event_type"), col("day"),
+        col("cents"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -9352,6 +9364,21 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 15
         |    AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)"""
         .stripMargin,
+
+    // q248: same running-max + (dd DESC, day) witness windows.
+    "q248_drawdown" ->
+      """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |  sum(CAST(round(value*100) AS BIGINT)) AS cents
+        | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT event_type, day, cents,
+        |  max(cents) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS peak FROM d),
+        |k AS (SELECT event_type, peak - cents AS dd, day, peak,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY peak - cents DESC, day) AS rk FROM r)
+        |SELECT event_type, CAST(dd AS BIGINT) AS max_dd,
+        |  CAST(day AS BIGINT) AS at_t, CAST(peak AS BIGINT) AS peak_at
+        |FROM k WHERE rk = 1""".stripMargin,
   )
 
   /** q244's oracle: the HITS rounds unrolled — per round an authority

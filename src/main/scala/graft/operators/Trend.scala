@@ -296,4 +296,34 @@ object Trend {
       .select(keyCols.map(col) ++ Seq(col("t"), col("y"), col("trend"),
         col("seasonal"), col("remainder")): _*)
   }
+
+  /** Maximum drawdown of a per-group integer series — the largest
+    * peak-to-trough decline max_t (max_{s≤t} y_s − y_t), the standard
+    * "how badly did this metric collapse from its best" readout
+    * (finance's risk measure, equally apt for daily revenue or QPS).
+    * Witness rule: the earliest time achieving the max (dd DESC, t ASC),
+    * with the running peak at that moment riding along — fully ordered,
+    * hash-stable. `orderCol` must be unique per group (a day index).
+    *
+    * Shape: one running-max window + one pick window, BOTH partitioned
+    * by the group keys — one exchange, the second pass is a re-sort of
+    * already-co-located partitions. No self-join, no collect.
+    * Output: keyCols + (max_dd, at_t, peak_at). */
+  def maxDrawdown(df: DataFrame, keyCols: Seq[String], orderCol: Column,
+      valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = keyCols.map(col)
+    val wRun = Window.partitionBy(keys: _*).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wPick = Window.partitionBy(keys: _*)
+      .orderBy(col("__dd").desc, col("__t"))
+    df.select(keys :+ orderCol.cast("long").as("__t") :+
+        valueCol.cast("long").as("__y"): _*)
+      .withColumn("__peak", max(col("__y")).over(wRun))
+      .withColumn("__dd", col("__peak") - col("__y"))
+      .withColumn("__rk", row_number().over(wPick))
+      .where(col("__rk") === 1)
+      .select(keys :+ col("__dd").as("max_dd") :+ col("__t").as("at_t") :+
+        col("__peak").as("peak_at"): _*)
+  }
 }

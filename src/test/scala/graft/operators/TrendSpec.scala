@@ -204,4 +204,21 @@ class TrendSpec extends SparkSpec {
       assert(got == one, s"parts=$parts")
     }
   }
+
+  test("maxDrawdown: hand example, earliest-witness tie-break, monotone = 0") {
+    // peaks 10, 8 → troughs: 10→3 (dd 7 at t=4) beats 10→6 (dd 4 at t=2)
+    val a = Seq(("a", 1L, 10L), ("a", 2L, 6L), ("a", 3L, 8L),
+      ("a", 4L, 3L), ("a", 5L, 9L),
+      // b: strictly rising → dd 0, witness = FIRST row (all tie at 0)
+      ("b", 1L, 1L), ("b", 2L, 5L),
+      // c: the max dd value occurs twice → earliest t wins
+      ("c", 1L, 9L), ("c", 2L, 4L), ("c", 3L, 9L), ("c", 4L, 4L))
+    val got = Trend.maxDrawdown(a.toDF("g", "t", "y").repartition(7),
+        Seq("g"), col("t"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("a") == ((7L, 4L, 10L)))
+    assert(got("b") == ((0L, 1L, 1L)))
+    assert(got("c") == ((5L, 2L, 9L)))
+  }
 }
