@@ -3727,6 +3727,19 @@ object SparkEntry {
       operators.Trend.maxDrawdown(daily, Seq("event_type"), col("day"),
         col("cents"))
     }),
+
+    // Cohen's κ: chance-corrected agreement between two deterministic
+    // document raters — the quality-score tercile gate vs the length
+    // tercile gate. High raw agreement with κ ≈ 0 is the classic
+    // "both raters mostly say the same bucket by base rate alone" trap
+    // that raw accuracy (q185's confusion census) can't see.
+    "q249_cohen_kappa" -> ((s, dir) => {
+      val q = TextFunctions.qualityScore(col("text"))
+      operators.Profile.cohenKappa(t(s, dir, "documents"),
+        when(q < 40, 0L).when(q < 70, 1L).otherwise(2L),
+        when(col("n_chars") < 200, 0L).when(col("n_chars") < 350, 1L)
+          .otherwise(2L))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -9379,6 +9392,29 @@ object SparkEntry {
         |SELECT event_type, CAST(dd AS BIGINT) AS max_dd,
         |  CAST(day AS BIGINT) AS at_t, CAST(peak AS BIGINT) AS peak_at
         |FROM k WHERE rk = 1""".stripMargin,
+
+    // q249: quality replay + the marginal-product chance correction.
+    "q249_cohen_kappa" ->
+      s"""WITH r AS (SELECT
+         |  CASE WHEN q < 40 THEN 0 WHEN q < 70 THEN 1 ELSE 2 END AS a,
+         |  CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 350 THEN 1
+         |    ELSE 2 END AS b
+         | FROM (SELECT $qualityExprSql AS q, n_chars FROM documents)),
+         |c AS (SELECT a, b, count(*) AS cnt FROM r GROUP BY 1, 2),
+         |rw AS (SELECT a AS cat, sum(cnt) AS row_n FROM c GROUP BY 1),
+         |cl AS (SELECT b AS cat, sum(cnt) AS col_n FROM c GROUP BY 1),
+         |pe AS (SELECT coalesce(sum(CAST(row_n AS HUGEINT) * col_n), 0)
+         |  AS pe_num FROM rw JOIN cl USING (cat)),
+         |t AS (SELECT sum(cnt) AS n,
+         |  coalesce(sum(CASE WHEN a = b THEN cnt END), 0) AS n_agree
+         | FROM c)
+         |SELECT CAST(n AS BIGINT) AS n, CAST(n_agree AS BIGINT) AS n_agree,
+         |  CAST(pe_num AS DECIMAL(38,0)) AS pe_num,
+         |  CAST(CAST(n AS HUGEINT)*n_agree - pe_num AS DECIMAL(38,0))
+         |    AS kappa_num,
+         |  CAST(CAST(n AS HUGEINT)*n - pe_num AS DECIMAL(38,0))
+         |    AS kappa_den
+         |FROM t, pe""".stripMargin,
   )
 
   /** q244's oracle: the HITS rounds unrolled — per round an authority

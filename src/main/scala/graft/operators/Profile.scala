@@ -184,6 +184,41 @@ object Profile {
         (lit(2L) * col("n_pos") * (col("n") - col("n_pos"))).as("auc_den"))
   }
 
+  /** Cohen's κ — chance-corrected agreement between two deterministic
+    * raters (multi-category): κ = (p_o − p_e)/(1 − p_e) with p_o the
+    * observed agreement and p_e the marginal-product chance agreement.
+    * Emitted as the exact integer ratio
+    *   kappa_num = n·n_agree − Σ_c row_c·col_c,
+    *   kappa_den = n²        − Σ_c row_c·col_c
+    * (DECIMAL(38,0): n² leaves LONG near n ≈ 3·10⁹).
+    *
+    * Shape: ONE full pass into a k² confusion census (map-side
+    * combined, persisted — it feeds the marginal, agreement, and total
+    * reductions), then k-row frames only. Output: one row
+    * (n, n_agree, pe_num, kappa_num, kappa_den). */
+  def cohenKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val census = df
+      .select(raterA.cast("long").as("a"), raterB.cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val pe = census.groupBy(col("a").as("cat"))
+      .agg(sum(col("cnt")).as("row_n"))
+      .join(census.groupBy(col("b").as("cat"))
+        .agg(sum(col("cnt")).as("col_n")), "cat")
+      .agg(coalesce(sum(d(col("row_n")) * d(col("col_n"))),
+        lit(0).cast("decimal(38,0)")).as("pe_num"))
+    census
+      .agg(sum(col("cnt")).as("n"),
+        coalesce(sum(when(col("a") === col("b"), col("cnt"))), lit(0L))
+          .as("n_agree"))
+      .crossJoin(pe)
+      .select(col("n"), col("n_agree"), col("pe_num"),
+        (d(col("n")) * d(col("n_agree")) - col("pe_num")).as("kappa_num"),
+        (d(col("n")) * d(col("n")) - col("pe_num")).as("kappa_den"))
+  }
+
   def momentProfile(df: DataFrame, groupCol: String, x: Column,
       y: Column): DataFrame =
     df.select(col(groupCol), x.cast("long").as("__x"), y.cast("long").as("__y"))

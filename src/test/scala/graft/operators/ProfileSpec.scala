@@ -226,4 +226,22 @@ class ProfileSpec extends SparkSpec {
     assert(got(("x", "y")) == ((3L, 2L, 2L)))
     assert(got(("x", "x")) == ((3L, 0L, 1L)))   // trivially exact
   }
+
+  test("cohenKappa: textbook 2×2 example and the identity-rater bound") {
+    import org.apache.spark.sql.functions.col
+    // classic: a=yes/no vs b=yes/no with cells yes/yes=20, yes/no=5,
+    // no/yes=10, no/no=15 → po=35/50, pe=(25·30 + 25·20)/2500=1250/2500
+    // → κ = (35·50 − 1250)/(2500 − 1250) = 500/1250 = 0.4
+    val rows = Seq.fill(20)((1L, 1L)) ++ Seq.fill(5)((1L, 0L)) ++
+      Seq.fill(10)((0L, 1L)) ++ Seq.fill(15)((0L, 0L))
+    val r = Profile.cohenKappa(rows.toDF("a", "b").repartition(7),
+      col("a"), col("b")).head()
+    assert(r.getLong(0) == 50L && r.getLong(1) == 35L)
+    assert(BigInt(r.getDecimal(2).toBigInteger) == 1250)
+    assert(BigInt(r.getDecimal(3).toBigInteger) == 500)
+    assert(BigInt(r.getDecimal(4).toBigInteger) == 1250)
+    // rater agreeing with itself: κ_num = κ_den (κ = 1)
+    val id = Profile.cohenKappa(rows.toDF("a", "b"), col("a"), col("a")).head()
+    assert(id.getDecimal(3) == id.getDecimal(4))
+  }
 }
