@@ -3740,6 +3740,31 @@ object SparkEntry {
         when(col("n_chars") < 200, 0L).when(col("n_chars") < 350, 1L)
           .otherwise(2L))
     }),
+
+    // t-closeness (the rung above q211's k/l audit): a QI group can
+    // satisfy k and l yet leak by SKEW — its sensitive distribution far
+    // from the table's. Ordered EMD against the global order-priority
+    // distribution as an exact integer ratio, threshold t = 1/2 decided
+    // by cross-multiplication. Same QI grouping as q211.
+    "q250_t_closeness" -> ((s, dir) => {
+      val wDom = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("cnt").desc, col("o_orderpriority"))
+      val sens = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(wDom))
+        .where(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderpriority").as("sens"))
+      val qi = t(s, dir, "customer")
+        .join(sens, col("c_custkey") === col("o_custkey"))
+        .select(col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("segment"),
+          floor(col("c_acctbal") / 1000d).cast("long").as("bal_bucket"),
+          col("sens"))
+      operators.Privacy.tClosenessAudit(qi,
+        Seq("nation", "segment", "bal_bucket"), "sens", tNum = 1, tDen = 2)
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -9415,6 +9440,49 @@ object SparkEntry {
          |  CAST(CAST(n AS HUGEINT)*n - pe_num AS DECIMAL(38,0))
          |    AS kappa_den
          |FROM t, pe""".stripMargin,
+
+    // q250: q211's dom/qi CTEs, then the ordered-EMD unroll — per-group
+    // cumulative against the global cumulative, cross-multiplied.
+    "q250_t_closeness" ->
+      """WITH dom AS (
+        | SELECT o_custkey, o_orderpriority AS sens FROM (
+        |  SELECT o_custkey, o_orderpriority,
+        |   row_number() OVER (PARTITION BY o_custkey
+        |     ORDER BY count(*) DESC, o_orderpriority) AS rn
+        |  FROM orders GROUP BY o_custkey, o_orderpriority)
+        | WHERE rn = 1),
+        |qi AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |  c_mktsegment AS segment,
+        |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket, sens
+        | FROM customer JOIN dom ON c_custkey = o_custkey),
+        |cells AS (SELECT nation, segment, bal_bucket, sens AS s,
+        |  count(*) AS g FROM qi GROUP BY 1, 2, 3, 4),
+        |cats AS (SELECT s, sum(g) AS ns FROM cells GROUP BY 1),
+        |catc AS (SELECT s, sum(ns) OVER (ORDER BY s) AS cum_n,
+        |  row_number() OVER (ORDER BY s) AS rk,
+        |  count(*) OVER () AS mm, sum(ns) OVER () AS nt FROM cats),
+        |grp AS (SELECT nation, segment, bal_bucket, sum(g) AS n
+        | FROM cells GROUP BY 1, 2, 3),
+        |x AS (SELECT grp.nation, grp.segment, grp.bal_bucket, grp.n,
+        |  catc.s, catc.cum_n, catc.rk, catc.mm, catc.nt,
+        |  coalesce(cells.g, 0) AS gg
+        | FROM grp CROSS JOIN catc
+        | LEFT JOIN cells ON cells.nation = grp.nation
+        |  AND cells.segment = grp.segment
+        |  AND cells.bal_bucket = grp.bal_bucket AND cells.s = catc.s),
+        |c2 AS (SELECT nation, segment, bal_bucket, n, mm, nt, rk, cum_n,
+        |  sum(gg) OVER (PARTITION BY nation, segment, bal_bucket
+        |    ORDER BY s) AS cum_g FROM x),
+        |a AS (SELECT nation, segment, bal_bucket, n, mm, nt,
+        |  coalesce(sum(CASE WHEN rk < mm THEN
+        |    abs(CAST(cum_g AS HUGEINT)*nt - CAST(cum_n AS HUGEINT)*n)
+        |   END), 0) AS emd_num
+        | FROM c2 GROUP BY 1, 2, 3, 4, 5, 6)
+        |SELECT nation, segment, bal_bucket, CAST(n AS BIGINT) AS n,
+        |  CAST(emd_num AS DECIMAL(38,0)) AS emd_num,
+        |  CAST(CAST(n AS HUGEINT)*nt*(mm-1) AS DECIMAL(38,0)) AS emd_den,
+        |  emd_num*2 > CAST(n AS HUGEINT)*nt*(mm-1) AS violates_t
+        |FROM a""".stripMargin,
   )
 
   /** q244's oracle: the HITS rounds unrolled — per round an authority

@@ -51,6 +51,62 @@ object Privacy {
         min(when(!col("violates_k"), col("l_diversity")))
           .as("min_l_of_k_groups"))
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    * third rung of the k-anonymity ladder: a QI group can satisfy k AND
+    * l yet still leak by SKEW (its sensitive distribution far from the
+    * table's). For an ORDERED sensitive attribute the distance is the
+    * Earth Mover's Distance with unit ground spacing, normalized by
+    * (m−1) categories:
+    *   D(P,Q) = (1/(m−1)) · Σ_{j<m} |Σ_{i≤j} (p_i − q_i)|
+    * — exact as the integer pair
+    *   emd_num = Σ_{j<m} |cumG_j·N − cumN_j·n_g|,
+    *   emd_den = n_g·N·(m−1)
+    * (DECIMAL(38,0): cum·N reaches n_g·N ~ N²). The group violates t
+    * (= tNum/tDen) iff emd_num·tDen > tNum·emd_den — all integers,
+    * never a float division.
+    *
+    * Scale shape: ONE pass into the (QI, s) cell census (persisted — it
+    * feeds the group totals, the m-row global histogram, and the cells
+    * themselves), the m-row category frame broadcast onto the groups,
+    * and one per-group cumulative window over m rows each. Output per
+    * QI group: qiCols + (n, emd_num, emd_den, violates_t). */
+  def tClosenessAudit(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, tNum: Long, tDen: Long): DataFrame = {
+    require(tDen > 0 && tNum >= 0)
+    val keys = qiCols.map(col)
+    val cells = df.select(keys :+ col(sensitiveCol).as("__s"): _*)
+      .where(col("__s").isNotNull)
+      .groupBy(keys :+ col("__s"): _*).agg(count(lit(1)).as("__g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wCat = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(lit(1))
+    val cats = cells.groupBy(col("__s")).agg(sum(col("__g")).as("__ns"))
+      .withColumn("__cum_n", sum(col("__ns")).over(wCat))
+      .withColumn("__rk", row_number().over(Window.orderBy(col("__s"))))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("__N", sum(col("__ns")).over(wAll))
+      .select(col("__s"), col("__cum_n"), col("__rk"), col("__m"), col("__N"))
+    val groups = cells.groupBy(keys: _*).agg(sum(col("__g")).as("n"))
+    val wGrp = Window.partitionBy(keys: _*).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    groups.crossJoin(broadcast(cats))
+      .join(cells, qiCols :+ "__s", "left")
+      .withColumn("__cum_g", sum(coalesce(col("__g"), lit(0L))).over(wGrp))
+      .withColumn("__term",
+        abs(d(col("__cum_g")) * d(col("__N")) -
+          d(col("__cum_n")) * d(col("n"))))
+      .groupBy(keys :+ col("n") :+ col("__m") :+ col("__N"): _*)
+      .agg(coalesce(sum(when(col("__rk") < col("__m"), col("__term"))),
+        lit(0).cast("decimal(38,0)")).as("emd_num"))
+      .select(keys ++ Seq(col("n"), col("emd_num"),
+        (d(col("n")) * d(col("__N")) * d(col("__m") - 1)).as("emd_den"),
+        (col("emd_num") * d(lit(tDen)) >
+          d(lit(tNum)) * d(col("n")) * d(col("__N")) * d(col("__m") - 1))
+          .as("violates_t")): _*)
+  }
+
   /** Local-DP private histogram of a sensitive bit: randomized response
     * (Warner 1965; the RAPPOR permanent-response shape, Erlingsson et al.
     * CCS'14) with per-user contribution bounding (Wilson et al. VLDB'20,

@@ -95,4 +95,31 @@ class PrivacySpec extends SparkSpec {
     // never reached the hash, all 10 group counts would coincide
     assert(counts("saltA") != counts("saltB"))
   }
+
+  test("tClosenessAudit: hand-unrolled ordered EMD, missing categories count") {
+    import org.apache.spark.sql.functions.col
+    // global: s ∈ {1,2,3} each ×2 (N=6, m=3)
+    // group A = {1,1}:   cums 2,2,2 → |2·6−2·2| + |2·6−4·2| = 8+4 = 12 / (2·6·2)
+    // group B = {2,2,3,3}: cums 0,2,4 → |0−2·4| + |12−16|  = 8+4 = 12 / (4·6·2)
+    val rows = Seq(("A", 1L), ("A", 1L),
+      ("B", 2L), ("B", 2L), ("B", 3L), ("B", 3L))
+    val got = Privacy.tClosenessAudit(rows.toDF("grp", "s").repartition(5),
+        Seq("grp"), "s", tNum = 1, tDen = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), BigInt(r.getDecimal(2).toBigInteger),
+          BigInt(r.getDecimal(3).toBigInteger), r.getBoolean(4))).toMap
+    // A: EMD = 12/24 = 1/2, NOT > 1/2 → no violation (strict threshold)
+    assert(got("A") == ((2L, BigInt(12), BigInt(24), false)))
+    // B: EMD = 12/48 = 1/4 → under t
+    assert(got("B") == ((4L, BigInt(12), BigInt(48), false)))
+    // a singleton group concentrated at the far end: its missing
+    // categories still contribute cumulative-gap terms
+    // group C = {3}: cums 0,0,1 vs global now 1:2,2:2,3:3 (N=7, m=3)
+    val rows2 = rows ++ Seq(("C", 3L))
+    val v = Privacy.tClosenessAudit(rows2.toDF("grp", "s"),
+      Seq("grp"), "s", 1, 2).where(col("grp") === "C").head()
+    // C: |0·7−2·1| + |0·7−4·1| = 6, den = 1·7·2 = 14 → 3/7 < 1/2
+    assert(BigInt(v.getDecimal(2).toBigInteger) == 6 &&
+      BigInt(v.getDecimal(3).toBigInteger) == 14 && !v.getBoolean(4))
+  }
 }
