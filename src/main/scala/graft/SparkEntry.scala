@@ -3765,6 +3765,19 @@ object SparkEntry {
       operators.Privacy.tClosenessAudit(qi,
         Seq("nation", "segment", "bal_bucket"), "sens", tNum = 1, tDen = 2)
     }),
+
+    // Exact ACF at lags 1..7 of the daily revenue level per event type —
+    // measures which lag actually rings instead of ASSUMING the weekly
+    // cycle q118/q229/q231 hard-code (their m=7 is exactly the lag this
+    // readout should spike at). Equi-join lag pairing, n² scaling,
+    // DECIMAL(38,0) quadratics.
+    "q251_acf" -> ((s, dir) => {
+      val daily = ev(s, dir).where(col("value").isNotNull)
+        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      operators.Trend.acfSuffStats(daily, Seq("event_type"), col("day"),
+        col("cents"), maxLag = 7)
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -9483,6 +9496,30 @@ object SparkEntry {
         |  CAST(CAST(n AS HUGEINT)*nt*(mm-1) AS DECIMAL(38,0)) AS emd_den,
         |  emd_num*2 > CAST(n AS HUGEINT)*nt*(mm-1) AS violates_t
         |FROM a""".stripMargin,
+
+    // q251: rank index, lag self-join, the same n²-scaled closed form
+    // in HUGEINT.
+    "q251_acf" ->
+      """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |  sum(CAST(round(value*100) AS BIGINT)) AS y
+        | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |ix AS (SELECT event_type, y,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+        | FROM d),
+        |tot AS (SELECT event_type, count(*) AS n,
+        |  sum(CAST(y AS HUGEINT)) AS s,
+        |  sum(CAST(y AS HUGEINT)*y) AS syy FROM ix GROUP BY 1),
+        |p AS (SELECT a.event_type, b.t - a.t AS lag, count(*) AS cnt,
+        |  sum(CAST(a.y AS HUGEINT)) AS h, sum(CAST(b.y AS HUGEINT)) AS tl,
+        |  sum(CAST(a.y AS HUGEINT)*b.y) AS sab
+        | FROM ix a JOIN ix b ON a.event_type = b.event_type
+        |  AND b.t - a.t BETWEEN 1 AND 7
+        | GROUP BY 1, 2)
+        |SELECT p.event_type, CAST(lag AS BIGINT) AS lag,
+        |  CAST(n AS BIGINT) AS n,
+        |  CAST(n*n*sab - n*s*(h+tl) + cnt*s*s AS DECIMAL(38,0)) AS acf_num,
+        |  CAST(n*(n*syy - s*s) AS DECIMAL(38,0)) AS acf_den
+        |FROM p JOIN tot ON p.event_type = tot.event_type""".stripMargin,
   )
 
   /** q244's oracle: the HITS rounds unrolled — per round an authority

@@ -326,4 +326,54 @@ object Trend {
       .select(keys :+ col("__dd").as("max_dd") :+ col("__t").as("at_t") :+
         col("__peak").as("peak_at"): _*)
   }
+
+  /** Sample autocorrelation function — exact sufficient statistics per
+    * (group, lag): with t the per-group rank of `orderCol` (so gaps in
+    * the raw axis never mis-pair) and ȳ the FULL-series mean,
+    *   r_k = Σ_{t≤n−k}(y_t−ȳ)(y_{t+k}−ȳ) / Σ(y_t−ȳ)²
+    * is the exact integer ratio (multiply through by n²)
+    *   acf_num = n²·Σ(y_t·y_{t+k}) − n·S·(H_k+T_k) + (n−k)·S²
+    *   acf_den = n·(n·Σy² − S²)
+    * with H_k/T_k the head/tail partial sums — which fall out of the
+    * SAME lag-pair aggregation (each t ≤ n−k appears in exactly one
+    * k-pair). DECIMAL(38,0) throughout: S² alone leaves LONG for cent
+    * series. The seasonality detector behind q118/q231's FIXED weekly
+    * assumption — this measures which lag actually rings.
+    *
+    * Shape: lag pairing is a pure EQUI join — the lagged side explodes
+    * each row into maxLag (t−k) keys, so no band scan and no n² blowup:
+    * n·maxLag join rows per group, one aggregation each side. Output:
+    * keyCols + (lag, n, acf_num, acf_den). */
+  def acfSuffStats(df: DataFrame, keyCols: Seq[String], orderCol: Column,
+      valueCol: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col("__o"))
+    val base = df
+      .select(keys :+ orderCol.as("__o") :+ valueCol.cast("long").as("__y"): _*)
+      .withColumn("__t", row_number().over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val totals = base.groupBy(keys: _*).agg(count(lit(1)).as("n"),
+      sum(d(col("__y"))).as("s"),
+      sum(d(col("__y")) * d(col("__y"))).as("syy"))
+    val lead = base.select(keys :+ col("__t").as("__tb") :+
+        col("__y").as("__yb"): _*)
+      .withColumn("lag", explode(sequence(lit(1), lit(maxLag))))
+      .withColumn("__ta", col("__tb") - col("lag"))
+    base.select(keys :+ col("__t").as("__ta") :+ col("__y").as("__ya"): _*)
+      .join(lead, keyCols :+ "__ta")
+      .groupBy(keys :+ col("lag"): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(d(col("__ya"))).as("h"), sum(d(col("__yb"))).as("tl"),
+        sum(d(col("__ya")) * d(col("__yb"))).as("sab"))
+      .join(totals, keyCols)
+      .select(keys ++ Seq(col("lag").cast("long").as("lag"), col("n"),
+        (d(col("n")) * d(col("n")) * col("sab")
+          - d(col("n")) * col("s") * (col("h") + col("tl"))
+          + d(col("cnt")) * col("s") * col("s")).as("acf_num"),
+        (d(col("n")) * (d(col("n")) * col("syy") - col("s") * col("s")))
+          .as("acf_den")): _*)
+  }
 }

@@ -221,4 +221,23 @@ class TrendSpec extends SparkSpec {
     assert(got("b") == ((0L, 1L, 1L)))
     assert(got("c") == ((5L, 2L, 9L)))
   }
+
+  test("acfSuffStats: alternating series hits the ±(n−k)/n closed form") {
+    // y = +c,−c,… with even n has mean 0, so r_k = sign·(n−k)/n exactly
+    val n = 10
+    val rows = (1 to n).map(t => ("g", t.toLong * 100, // gappy axis: rank pairs
+      if (t % 2 == 1) 7L else -7L))
+    val got = Trend.acfSuffStats(rows.toDF("g", "d", "y").repartition(5),
+        Seq("g"), col("d"), col("y"), maxLag = 3)
+      .collect().map(r => r.getLong(1) -> // lag is column 1
+        (BigInt(r.getDecimal(3).toBigInteger),
+          BigInt(r.getDecimal(4).toBigInteger))).toMap
+    def ratioIs(k: Int, num: Int, den: Int): Boolean = {
+      val (a, b) = got(k.toLong)
+      a * den == b * num // cross-multiplied equality of the rationals
+    }
+    assert(ratioIs(1, -(n - 1), n))
+    assert(ratioIs(2, n - 2, n))
+    assert(ratioIs(3, -(n - 3), n))
+  }
 }
