@@ -25,7 +25,9 @@ import org.apache.spark.sql.functions._
 object ImageHeaders {
   import ByteCols.{ascii4, beU32, leU16, leU24, leU32, u8}
 
-  /** Format sniff from magic bytes: png | gif | jpeg | webp | NULL. */
+  /** Format sniff from magic bytes: png | gif | jpeg | webp | bmp |
+    * heif | avif | NULL. HEIF/AVIF are ISOBMFF like MP4 — same "ftyp"
+    * box, distinguished from video by the major brand. */
   def imageFormat(bytes: Column): Column =
     when(length(bytes) >= 8 &&
       u8(bytes, 1) === 0x89 && u8(bytes, 2) === 0x50 &&
@@ -39,6 +41,11 @@ object ImageHeaders {
       ascii4(bytes, 1) === "RIFF" && ascii4(bytes, 9) === "WEBP", "webp")
     .when(length(bytes) >= 26 &&
       u8(bytes, 1) === 0x42 && u8(bytes, 2) === 0x4d, "bmp")
+    .when(length(bytes) >= 16 && ascii4(bytes, 5) === "ftyp" &&
+      (ascii4(bytes, 9) === "avif" || ascii4(bytes, 9) === "avis"), "avif")
+    .when(length(bytes) >= 16 && ascii4(bytes, 5) === "ftyp" &&
+      (ascii4(bytes, 9) === "heic" || ascii4(bytes, 9) === "heix" ||
+        ascii4(bytes, 9) === "mif1" || ascii4(bytes, 9) === "msf1"), "heif")
 
   /** WebP dimensions — all three first-chunk layouts are fixed-offset,
     * so the parse is fully declarative (codegen'd), no UDF:
@@ -105,6 +112,58 @@ object ImageHeaders {
   private val jpegH = udf((b: Array[Byte]) => jpegDims(b).map(_._1))
   private val jpegW = udf((b: Array[Byte]) => jpegDims(b).map(_._2))
 
+  /** HEIF/AVIF dimensions: ISOBMFF box walk (the mp4Params idiom —
+    * VideoHeaders.scala) to `meta` (a FULL box: 4 version/flags bytes
+    * after the header) → `iprp` → `ipco` → the first `ispe` property
+    * (ISO 23008-12 §6.5.3: 4 version/flags bytes, then BE u32
+    * width/height). Bounded hostile-byte walk: size 1 → 64-bit
+    * largesize, size 0 → to end, non-advancing or out-of-range boxes
+    * abort to None. */
+  private[multimodal] def heifDims(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b == null || b.length < 16) return None
+    def u32(i: Long): Long = {
+      if (i < 0 || i + 4 > b.length) return -1L
+      ((b(i.toInt) & 0xffL) << 24) | ((b(i.toInt + 1) & 0xffL) << 16) |
+        ((b(i.toInt + 2) & 0xffL) << 8) | (b(i.toInt + 3) & 0xffL)
+    }
+    def boxType(i: Long): String =
+      if (i + 8 > b.length) "" else new String(b, i.toInt + 4, 4, "US-ASCII")
+    // walks [from, to); f gets (type, payloadStart, payloadEnd)
+    def walk(from: Long, to: Long)(f: (String, Long, Long) => Unit): Boolean = {
+      var i = from
+      while (i + 8 <= to) {
+        val sz = u32(i)
+        val (start, end) =
+          if (sz == 1L) {
+            if (i + 16 > to) return false
+            val large = (u32(i + 8) << 32) | u32(i + 12)
+            (i + 16, i + large)
+          } else if (sz == 0L) (i + 8, to)
+          else (i + 8, i + sz)
+        if (end <= start || end > to) return false
+        f(boxType(i), start, end)
+        i = end
+      }
+      true
+    }
+    if (boxType(0) != "ftyp") return None
+    var dims: Option[(Int, Int)] = None
+    walk(0, b.length.toLong) { (t, s, e) =>
+      if (t == "meta" && e - s > 4) walk(s + 4, e) { (t2, s2, e2) =>
+        if (t2 == "iprp") walk(s2, e2) { (t3, s3, e3) =>
+          if (t3 == "ipco") walk(s3, e3) { (t4, s4, e4) =>
+            if (t4 == "ispe" && e4 - s4 >= 12 && dims.isEmpty)
+              dims = Some((u32(s4 + 8).toInt, u32(s4 + 4).toInt))
+          }
+        }
+      }
+    }
+    dims.filter { case (h, w) => h > 0 && w > 0 }
+  }
+
+  private val heifH = udf((b: Array[Byte]) => heifDims(b).map(_._1))
+  private val heifW = udf((b: Array[Byte]) => heifDims(b).map(_._2))
+
   /** BMP dimensions: BITMAPINFOHEADER (size ≥ 40 at offset 14) carries
     * LE i32 width/height at 18/22 — height SIGNED (negative = top-down
     * rows, same pixel size → abs); the ancient BITMAPCOREHEADER
@@ -128,6 +187,7 @@ object ImageHeaders {
       .when(imageFormat(bytes) === "jpeg", jpegW(bytes))
       .when(imageFormat(bytes) === "webp", webpDim(bytes, first = true))
       .when(imageFormat(bytes) === "bmp", bmpDim(bytes, first = true))
+      .when(imageFormat(bytes).isin("heif", "avif"), heifW(bytes))
 
   /** Parsed height in pixels (NULL when not a recognized image). */
   def imageHeight(bytes: Column): Column =
@@ -136,6 +196,7 @@ object ImageHeaders {
       .when(imageFormat(bytes) === "jpeg", jpegH(bytes))
       .when(imageFormat(bytes) === "webp", webpDim(bytes, first = false))
       .when(imageFormat(bytes) === "bmp", bmpDim(bytes, first = false))
+      .when(imageFormat(bytes).isin("heif", "avif"), heifH(bytes))
 
   /** Attach (format, width, height) metadata columns parsed from the
     * binary column — the real half of the multimodal metadata stage; the
