@@ -3778,6 +3778,26 @@ object SparkEntry {
       operators.Trend.acfSuffStats(daily, Seq("event_type"), col("day"),
         col("cents"), maxLag = 7)
     }),
+
+    // Kendall τ-b between order count and spend BUCKET ($1000-wide) per
+    // customer — the concordance complement to q245's Spearman: τ counts
+    // pair inversions, ρ measures rank displacement; both domain-bounded
+    // so the pair census is |domain|², independent of row count.
+    "q252_kendall_tau" -> ((s, dir) =>
+      operators.RankStats.kendallTauB(
+        t(s, dir, "orders").groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(cents(col("o_totalprice"))).as("spend_cents")),
+        col("n_orders"), expr("spend_cents div 100000"))),
+
+    // A-priori frequent supplier TRIPLES over order baskets (q212 stops
+    // at pairs): level-wise downward-closure pruning — F1-filtered
+    // items, F2-filtered pair occurrences, (i2,i3)-leg semi-check —
+    // so the level-3 join consumes survivors, not raw baskets.
+    "q253_freq_triples" -> ((s, dir) =>
+      operators.AssociationRules.frequentTriples(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        "l_orderkey", "l_suppkey", minSupport = 5L)),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -9520,6 +9540,43 @@ object SparkEntry {
         |  CAST(n*n*sab - n*s*(h+tl) + cnt*s*s AS DECIMAL(38,0)) AS acf_num,
         |  CAST(n*(n*syy - s*s) AS DECIMAL(38,0)) AS acf_den
         |FROM p JOIN tot ON p.event_type = tot.event_type""".stripMargin,
+
+    // q252: cell census, xa<xb pair sweep, doubled tie terms.
+    "q252_kendall_tau" ->
+      """WITH pc AS (SELECT count(*) AS x,
+        |  sum(CAST(round(o_totalprice*100) AS BIGINT)) // 100000 AS y
+        | FROM orders GROUP BY o_custkey),
+        |c AS (SELECT x, y, count(*) AS g FROM pc GROUP BY 1, 2),
+        |cd AS (SELECT
+        |  coalesce(sum(CASE WHEN a.y < b.y THEN
+        |    CAST(a.g AS HUGEINT)*b.g END), 0) AS concordant,
+        |  coalesce(sum(CASE WHEN a.y > b.y THEN
+        |    CAST(a.g AS HUGEINT)*b.g END), 0) AS discordant
+        | FROM c a JOIN c b ON a.x < b.x),
+        |tx AS (SELECT coalesce(sum(CAST(m AS HUGEINT)*(m-1)), 0) AS tie_x2
+        | FROM (SELECT sum(g) AS m FROM c GROUP BY x)),
+        |ty AS (SELECT coalesce(sum(CAST(m AS HUGEINT)*(m-1)), 0) AS tie_y2
+        | FROM (SELECT sum(g) AS m FROM c GROUP BY y)),
+        |n AS (SELECT sum(g) AS n FROM c)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(concordant AS DECIMAL(38,0)) AS concordant,
+        |  CAST(discordant AS DECIMAL(38,0)) AS discordant,
+        |  CAST(tie_x2 AS DECIMAL(38,0)) AS tie_x2,
+        |  CAST(tie_y2 AS DECIMAL(38,0)) AS tie_y2
+        |FROM n, cd, tx, ty""".stripMargin,
+
+    // q253: the unpruned three-way formulation — downward closure
+    // guarantees the pruned plan returns the identical set.
+    "q253_freq_triples" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_suppkey AS i
+        |  FROM lineitem),
+        |sized AS (SELECT b FROM bi GROUP BY b HAVING count(*) <= 200),
+        |kept AS (SELECT bi.b, bi.i FROM bi JOIN sized USING (b))
+        |SELECT x.i AS i1, y.i AS i2, z.i AS i3,
+        |  CAST(count(*) AS BIGINT) AS support
+        |FROM kept x JOIN kept y ON x.b = y.b AND x.i < y.i
+        | JOIN kept z ON x.b = z.b AND y.i < z.i
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 5""".stripMargin,
   )
 
   /** q244's oracle: the HITS rounds unrolled — per round an authority

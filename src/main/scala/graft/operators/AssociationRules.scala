@@ -63,4 +63,43 @@ object AssociationRules {
         expr(s"1000000 * support * ${n}L div " +
           "(antecedent_support * consequent_support)").as("lift_ppm"))
   }
+
+  /** Frequent itemsets of size 3 via A-priori level-wise pruning
+    * (Agrawal & Srikant, VLDB 1994): only baskets' FREQUENT items form
+    * pairs, only frequent (i₁<i₂) pair occurrences extend to a third
+    * item, and the (i₂,i₃) leg is semi-checked against F₂ before the
+    * final count — the downward-closure property means no frequent
+    * triple is lost, while the candidate stream shrinks at every level
+    * (the point at 100 TB: the k-th level's join input is the (k−1)-th
+    * level's SURVIVORS inside each basket, not the raw basket cross).
+    * Same dedup + hub-basket guard as [[rules]]. Output:
+    * (i1, i2, i3, support) with i1 < i2 < i3, support ≥ minSupport. */
+  def frequentTriples(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, maxBasketSize: Int = 200): DataFrame = {
+    val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .distinct()
+    val sized = bi.groupBy(col("b"))
+      .agg(count(lit(1)).as("bs")).where(col("bs") <= maxBasketSize)
+      .select(col("b"))
+    val kept = bi.join(sized, "b")
+    val f1 = kept.groupBy(col("i")).agg(count(lit(1)).as("s1"))
+      .where(col("s1") >= minSupport).select(col("i"))
+    val k1 = kept.join(f1, Seq("i"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = k1.as("x").join(k1.as("y"),
+        col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+      .select(col("x.b").as("b"), col("x.i").as("i1"), col("y.i").as("i2"))
+    val f2 = pairs.groupBy(col("i1"), col("i2"))
+      .agg(count(lit(1)).as("s2")).where(col("s2") >= minSupport)
+      .select(col("i1"), col("i2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.join(f2, Seq("i1", "i2"), "left_semi")
+      .join(k1.as("z").select(col("b"), col("i").as("i3")), Seq("b"))
+      .where(col("i3") > col("i2"))
+      .join(f2.select(col("i1").as("i2"), col("i2").as("i3")),
+        Seq("i2", "i3"), "left_semi")
+      .groupBy(col("i1"), col("i2"), col("i3"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+  }
 }

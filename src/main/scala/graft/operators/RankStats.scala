@@ -100,4 +100,44 @@ object RankStats {
         (col("sum_r1x2") - col("n1") * (col("n1") + 1L)).as("u1_x2"),
         col("tie_term"))
   }
+
+  /** Kendall τ-b — concordance census over DOMAIN-BOUNDED variables,
+    * exact: τ_b = (C−D)/√((n₀−t_x)(n₀−t_y)) with C/D the concordant/
+    * discordant pair counts and t_• the pairs tied on each variable.
+    * Everything is emitted doubled-or-raw so no halving ever divides:
+    * (n, concordant, discordant, tie_x2 = Σn_x(n_x−1), tie_y2) — the
+    * doubled pair counts cancel inside the ratio. The concordance
+    * complement to [[spearmanSuffStats]]: τ counts pair inversions,
+    * ρ measures rank displacement.
+    *
+    * Scale shape: the raw data collapses to a (x, y) CELL census first
+    * (one map-side-combined pass, persisted — feeds the pair join and
+    * both marginals); the pair join is cells×cells under x_a < x_b with
+    * the tiny census broadcast — cost is |domain|², INDEPENDENT of row
+    * count, which is why the inputs must be bucketed/categorical (the
+    * caller owns that; raw cents would make |domain| ≈ n). */
+  def kendallTauB(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val cells = df.select(x.cast("long").as("x"), y.cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val zero = lit(0).cast("decimal(38,0)")
+    val cd = cells.select(col("x").as("xa"), col("y").as("ya"),
+        col("g").as("ga"))
+      .join(broadcast(cells.select(col("x").as("xb"), col("y").as("yb"),
+        col("g").as("gb"))), col("xa") < col("xb"))
+      .agg(
+        coalesce(sum(when(col("ya") < col("yb"),
+          d(col("ga")) * d(col("gb")))), zero).as("concordant"),
+        coalesce(sum(when(col("ya") > col("yb"),
+          d(col("ga")) * d(col("gb")))), zero).as("discordant"))
+    def tie2(c: String, out: String) = cells.groupBy(col(c))
+      .agg(sum(col("g")).as("m"))
+      .agg(coalesce(sum(d(col("m")) * (d(col("m")) - 1)), zero).as(out))
+    cells.agg(sum(col("g")).as("n")).crossJoin(cd)
+      .crossJoin(tie2("x", "tie_x2")).crossJoin(tie2("y", "tie_y2"))
+      .select(col("n"), col("concordant"), col("discordant"),
+        col("tie_x2"), col("tie_y2"))
+  }
 }

@@ -40,4 +40,21 @@ class AssociationRulesSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == Set(("A", "B"), ("B", "A")))
   }
+
+  test("frequentTriples: downward-closure pruning returns the exact census") {
+    import org.apache.spark.sql.functions.col
+    // (a,b,c) ×2, (a,b,d) ×1; duplicates within a basket collapse
+    val rows = Seq((1L, "a"), (1L, "b"), (1L, "c"), (1L, "a"),
+      (2L, "a"), (2L, "b"), (2L, "c"),
+      (3L, "a"), (3L, "b"), (3L, "d"))
+    val got = AssociationRules.frequentTriples(
+        rows.toDF("b", "i").repartition(4), "b", "i", minSupport = 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    assert(got == Map(("a", "b", "c") -> 2L))
+    // minSupport above the max triple support → empty, not an error
+    assert(AssociationRules.frequentTriples(rows.toDF("b", "i"), "b", "i",
+      minSupport = 3L).count() == 0L)
+  }
 }

@@ -62,4 +62,27 @@ class RankStatsSpec extends SparkSpec {
     val sw = RankStats.mannWhitney(vs.toDF("v", "s1"), col("v"), !col("s1")).head()
     assert(a._3 + sw.getLong(2) == 2L * a._1 * a._2)
   }
+
+  test("kendallTauB: textbook concordance census with ties") {
+    // pairs over (x,y): (1,1),(1,2),(2,1),(3,3),(3,3)
+    // C: (1,1)-(2,?)no(y not <1? (2,1): y 1<1 no) … hand count:
+    //   (1,1)⋈(3,3)×2 C, (1,2)⋈(3,3)×2 C, (2,1)⋈(3,3)×2 C → C=6
+    //   (1,2)⋈(2,1): x↑ y↓ → D=1
+    //   (1,1)⋈(2,1): y tied → neither
+    // tie_x2: n_1=2,n_2=1,n_3=2 → 2·1+0+2·1 = 4
+    // tie_y2: n_1=2,n_2=1,n_3=2 → 4
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 1L), (3L, 3L), (3L, 3L))
+      .toDF("x", "y")
+    val r = RankStats.kendallTauB(df.repartition(3), col("x"), col("y")).head()
+    assert(r.getLong(0) == 5L)
+    assert(BigInt(r.getDecimal(1).toBigInteger) == 6)
+    assert(BigInt(r.getDecimal(2).toBigInteger) == 1)
+    assert(BigInt(r.getDecimal(3).toBigInteger) == 4)
+    assert(BigInt(r.getDecimal(4).toBigInteger) == 4)
+    // perfect agreement: C = n(n−1)/2, D = 0, no ties
+    val p = RankStats.kendallTauB(
+      (1L to 10L).map(i => (i, i * i)).toDF("x", "y"), col("x"), col("y")).head()
+    assert(BigInt(p.getDecimal(1).toBigInteger) == 45 &&
+      BigInt(p.getDecimal(2).toBigInteger) == 0)
+  }
 }
