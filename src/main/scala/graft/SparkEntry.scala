@@ -3798,6 +3798,29 @@ object SparkEntry {
       operators.AssociationRules.frequentTriples(
         t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
         "l_orderkey", "l_suppkey", minSupport = 5L)),
+
+    // Rolling 7-day OLS slope of daily revenue per event type — the
+    // LOCAL trend readout (q116's global slope averages a regime change
+    // away; this one shows it). Five running sums share one sort.
+    "q254_rolling_ols" -> ((s, dir) => {
+      val daily = ev(s, dir).where(col("value").isNotNull)
+        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      operators.Trend.rollingOls(daily, Seq("event_type"), col("day"),
+        col("cents"), window = 7)
+    }),
+
+    // Order-invariant table checksum over the canonical customer
+    // projection — the O(1)-output replica comparator (q81's full diff
+    // at three-scalars cost); poly_hash64 rows, XOR + SUM combine, the
+    // whole fingerprint replayed bit-exactly by the oracle.
+    "q255_table_checksum" -> ((s, dir) =>
+      operators.TableDiff.checksum(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+          col("c_nationkey"), cents(col("c_acctbal")).as("bal_cents"),
+          col("c_mktsegment")),
+        Seq("c_custkey", "c_name", "c_nationkey", "bal_cents",
+          "c_mktsegment"))),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -9577,7 +9600,59 @@ object SparkEntry {
         |FROM kept x JOIN kept y ON x.b = y.b AND x.i < y.i
         | JOIN kept z ON x.b = z.b AND y.i < z.i
         |GROUP BY 1, 2, 3 HAVING count(*) >= 5""".stripMargin,
+
+    // q254: the same five running sums over a ROWS 6 PRECEDING frame.
+    "q254_rolling_ols" ->
+      """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |  sum(CAST(round(value*100) AS BIGINT)) AS y
+        | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT event_type, day,
+        |  count(*) OVER w AS n,
+        |  sum(CAST(day AS HUGEINT)) OVER w AS sx,
+        |  sum(CAST(y AS HUGEINT)) OVER w AS sy,
+        |  sum(CAST(day AS HUGEINT)*y) OVER w AS sxy,
+        |  sum(CAST(day AS HUGEINT)*day) OVER w AS sxx
+        | FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, CAST(day AS BIGINT) AS t, CAST(n AS BIGINT) AS n,
+        |  CAST(n*sxy - sx*sy AS DECIMAL(38,0)) AS slope_num,
+        |  CAST(n*sxx - sx*sx AS DECIMAL(38,0)) AS slope_den
+        |FROM r""".stripMargin,
+
+    "q255_table_checksum" -> q255OracleSql,
   )
+
+  /** q255's oracle: the checksum replayed — canonical US-joined (0x1f) row
+    * serialization, KR fold mod 2⁶¹−1, the splitMix64 chain in UBIGINT,
+    * signed reinterpretation, then the same XOR + SUM combine. */
+  private val q255OracleSql: String = {
+    val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
+    val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
+    s"""WITH v AS (SELECT concat_ws(chr(31),
+       |  CAST(c_custkey AS VARCHAR), c_name, CAST(c_nationkey AS VARCHAR),
+       |  CAST(CAST(round(c_acctbal*100) AS BIGINT) AS VARCHAR),
+       |  c_mktsegment) AS s
+       | FROM customer),
+       |k AS (SELECT list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |   list_transform(range(1, length(s)+1),
+       |     i -> CAST(unicode(s[i]) AS HUGEINT))),
+       |   (a,b) -> (a*257+b) % 2305843009213693951) AS h FROM v),
+       |s0 AS (SELECT
+       |  CAST((h + 11400714819323198485) % 18446744073709551616 AS UBIGINT)
+       |   AS z0 FROM k),
+       |s1 AS (SELECT $z1 AS z1 FROM s0),
+       |s2 AS (SELECT $z2 AS z2 FROM s1),
+       |hh AS (SELECT xor(z2, z2 >> 31) AS z FROM s2),
+       |sg AS (SELECT CAST(CASE
+       |   WHEN z >= CAST('9223372036854775808' AS HUGEINT)
+       |   THEN z - CAST('18446744073709551616' AS HUGEINT)
+       |   ELSE z END AS BIGINT) AS h FROM hh)
+       |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |  coalesce(bit_xor(h), 0) AS xor_hash,
+       |  CAST(coalesce(sum(CAST(h AS HUGEINT)), 0) AS DECIMAL(38,0))
+       |   AS sum_hash
+       |FROM sg""".stripMargin
+  }
 
   /** q244's oracle: the HITS rounds unrolled — per round an authority
     * join+agg, a one-row max, the e6 renorm, then the hub mirror. */

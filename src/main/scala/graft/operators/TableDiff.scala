@@ -63,4 +63,33 @@ object TableDiff {
       .select(col(keyCol), col("value"), col("valid_from"), col("valid_to"),
         col("version"), (col("valid_to") === -1L).as("is_current"))
   }
+
+  /** Order-invariant table checksum — the O(1)-output replica/migration
+    * comparator: when [[diff]]'s full-outer join is too expensive to run
+    * routinely, two sides each compute (n_rows, xor_hash, sum_hash) over
+    * a canonical row serialization and compare three scalars. XOR and
+    * SUM are both commutative+associative, so the fingerprint is
+    * independent of row order AND partitioning; keeping both closes each
+    * other's blind spots (XOR misses duplicate-pair swaps, SUM misses
+    * compensating edits). Row hash = the SQL-replicable poly_hash64
+    * kernel (KR mod 2⁶¹−1 + splitMix64), so a DuckDB/ANSI oracle can
+    * recompute the checksum bit-exactly — the point of a cross-engine
+    * reconciliation tool.
+    *
+    * One map-side-combinable pass, three scalars out, no shuffle beyond
+    * the final single-row combine. Callers pre-project the columns to
+    * integer/string form (float formatting is engine-specific) and own
+    * the column ORDER; NULLs serialize as `nullToken`. */
+  def checksum(df: DataFrame, cols: Seq[String],
+      nullToken: String = "\u0001"): DataFrame = {
+    require(cols.nonEmpty)
+    graft.functions.PolyHash64.register(df.sparkSession)
+    val ser = concat_ws("\u001f",
+      cols.map(c => coalesce(col(c).cast("string"), lit(nullToken))): _*)
+    df.select(graft.functions.PolyHash64.polyHash64(ser).as("__h"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(expr("bit_xor(__h)"), lit(0L)).as("xor_hash"),
+        coalesce(sum(col("__h").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("sum_hash"))
+  }
 }

@@ -376,4 +376,36 @@ object Trend {
         (d(col("n")) * (d(col("n")) * col("syy") - col("s") * col("s")))
           .as("acf_den")): _*)
   }
+
+  /** ROLLING ordinary least squares — [[groupedOls]]'s closed form over
+    * a trailing `window`-row frame per key, one row per observation:
+    * the LOCAL trend a monitoring dashboard actually plots (the global
+    * slope averages a regime change away; the rolling one shows it).
+    * Same unreduced-exact-ratio discipline (slope_num/slope_den,
+    * den = 0 ⇔ degenerate frame), quadratics in DECIMAL(38,0).
+    *
+    * Shape: five windowed running sums sharing ONE (key, order) sort —
+    * a single exchange + sort, no self-join, no per-frame recompute.
+    * Output: keyCols + (t, n, slope_num, slope_den). */
+  def rollingOls(df: DataFrame, keyCols: Seq[String], orderCol: Column,
+      valueCol: Column, window: Int): DataFrame = {
+    require(window >= 2)
+    import org.apache.spark.sql.expressions.Window
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col("__x"))
+      .rowsBetween(-(window - 1), 0)
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    df.select(keys :+ orderCol.cast("long").as("__x") :+
+        valueCol.cast("long").as("__y"): _*)
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sx", sum(d(col("__x"))).over(w))
+      .withColumn("__sy", sum(d(col("__y"))).over(w))
+      .withColumn("__sxy", sum(d(col("__x")) * d(col("__y"))).over(w))
+      .withColumn("__sxx", sum(d(col("__x")) * d(col("__x"))).over(w))
+      .select(keys ++ Seq(col("__x").as("t"), col("__n").as("n"),
+        (d(col("__n")) * col("__sxy") - col("__sx") * col("__sy"))
+          .as("slope_num"),
+        (d(col("__n")) * col("__sxx") - col("__sx") * col("__sx"))
+          .as("slope_den")): _*)
+  }
 }

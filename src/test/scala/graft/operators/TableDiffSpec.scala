@@ -70,4 +70,28 @@ class TableDiffSpec extends SparkSpec {
     // id 1 (q) precedes id 2 (p) at the same ts
     assert(got(1L) == (("q", false)) && got(2L) == (("p", true)))
   }
+
+  test("checksum: order/partitioning-invariant, edit-sensitive, null-tokened") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, null, 30L))
+    def sum3(df: org.apache.spark.sql.DataFrame) = {
+      val r = TableDiff.checksum(df, Seq("k", "s", "v")).head()
+      (r.getLong(0), r.getLong(1), BigInt(r.getDecimal(2).toBigInteger))
+    }
+    val base = sum3(rows.toDF("k", "s", "v"))
+    assert(base._1 == 3L)
+    // row order and partitioning must not matter
+    assert(sum3(rows.reverse.toDF("k", "s", "v").repartition(7)) == base)
+    // a single-field edit must move the fingerprint
+    val edited = sum3(Seq((1L, "a", 10L), (2L, "b", 21L), (3L, null, 30L))
+      .toDF("k", "s", "v"))
+    assert(edited != base)
+    // NULL is a value, not an empty string: (3,null,30) ≠ (3,"",30)
+    val empt = sum3(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "", 30L))
+      .toDF("k", "s", "v"))
+    assert(empt != base)
+    // empty input → zeros, not nulls
+    val z = sum3(rows.toDF("k", "s", "v").where(col("v") > 100))
+    assert(z == ((0L, 0L, BigInt(0))))
+  }
 }

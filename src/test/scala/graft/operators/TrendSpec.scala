@@ -240,4 +240,21 @@ class TrendSpec extends SparkSpec {
     assert(ratioIs(2, n - 2, n))
     assert(ratioIs(3, -(n - 3), n))
   }
+
+  test("rollingOls: exact line recovers slope in every frame, incl. partial") {
+    // y = 3x + 5 → slope_num/slope_den ≡ 3 wherever den ≠ 0
+    val rows = (1 to 12).map(t => ("g", t.toLong, 3L * t + 5))
+    val got = Trend.rollingOls(rows.toDF("g", "t", "y").repartition(4),
+      Seq("g"), col("t"), col("y"), window = 7).collect()
+    assert(got.length == 12)
+    got.foreach { r =>
+      val n = r.getLong(2)
+      val (num, den) = (BigInt(r.getDecimal(3).toBigInteger),
+        BigInt(r.getDecimal(4).toBigInteger))
+      if (n == 1) assert(den == 0) // degenerate single-row frame
+      else assert(num == den * 3, s"t=${r.getLong(1)}")
+    }
+    // window trims: t=12's frame is rows 6..12 → n = 7
+    assert(got.map(r => r.getLong(1) -> r.getLong(2)).toMap.apply(12L) == 7L)
+  }
 }
