@@ -3821,6 +3821,40 @@ object SparkEntry {
           col("c_mktsegment")),
         Seq("c_custkey", "c_name", "c_nationkey", "bal_cents",
           "c_mktsegment"))),
+
+    // NOT IN is NOT an anti join when the subquery can yield NULL —
+    // three-valued logic empties the result — and Spark must plan the
+    // null-aware variant without a cartesian blowup. Both semantics
+    // gated side by side: the clean branch is a true anti join (59
+    // nation-less customers at sf0.01), the nullable branch is the
+    // SQL-standard empty set.
+    "q256_notin_nullaware" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("q256_customer")
+      t(s, dir, "supplier").createOrReplaceTempView("q256_supplier")
+      s.sql("""
+        SELECT 'clean' AS variant, count(*) AS n_customers
+        FROM q256_customer
+        WHERE c_nationkey NOT IN (SELECT s_nationkey FROM q256_supplier
+                                  WHERE s_acctbal >= 1000)
+        UNION ALL
+        SELECT 'nullable' AS variant, count(*) AS n_customers
+        FROM q256_customer
+        WHERE c_nationkey NOT IN (SELECT nullif(s_nationkey, 15)
+                                  FROM q256_supplier
+                                  WHERE s_acctbal >= 1000)""")
+    }),
+
+    // GraphSAGE-shape 2-hop neighborhood aggregation over the
+    // co-supplier graph, feature = account balance cents: layer 2
+    // re-aggregates layer-1 summaries instead of enumerating 2-hop
+    // paths — the associativity trick that keeps k-hop features linear
+    // in |E| per layer.
+    "q257_two_hop_agg" -> ((s, dir) =>
+      operators.Graph.twoHopAggregate(
+        coSupplierPairs(s, dir), "l_suppkey", "dst_supp",
+        t(s, dir, "supplier").select(col("s_suppkey"),
+          cents(col("s_acctbal")).as("bal")),
+        "s_suppkey", "bal")),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -9620,6 +9654,37 @@ object SparkEntry {
         |FROM r""".stripMargin,
 
     "q255_table_checksum" -> q255OracleSql,
+
+    // q256: identical three-valued-logic semantics in DuckDB.
+    "q256_notin_nullaware" ->
+      """SELECT 'clean' AS variant, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM customer
+        |WHERE c_nationkey NOT IN (SELECT s_nationkey FROM supplier
+        |                          WHERE s_acctbal >= 1000)
+        |UNION ALL
+        |SELECT 'nullable', CAST(count(*) AS BIGINT)
+        |FROM customer
+        |WHERE c_nationkey NOT IN (SELECT nullif(s_nationkey, 15)
+        |                          FROM supplier
+        |                          WHERE s_acctbal >= 1000)""".stripMargin,
+
+    // q257: the two-layer re-aggregation unrolled.
+    "q257_two_hop_agg" ->
+      """WITH e AS (SELECT DISTINCT x.l_suppkey AS src, y.l_suppkey AS dst
+        |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+        |   AND x.l_suppkey <> y.l_suppkey),
+        |f AS (SELECT s_suppkey AS id,
+        |  CAST(round(s_acctbal*100) AS BIGINT) AS x FROM supplier),
+        |h1 AS (SELECT src AS id, count(*) AS deg,
+        |  sum(CAST(f.x AS HUGEINT)) AS sum1
+        | FROM e JOIN f ON f.id = e.dst GROUP BY 1),
+        |h2 AS (SELECT src AS id, sum(deg) AS n2, sum(sum1) AS sum2
+        | FROM e JOIN h1 ON h1.id = e.dst GROUP BY 1)
+        |SELECT h1.id AS id, CAST(deg AS BIGINT) AS deg,
+        |  CAST(sum1 AS DECIMAL(38,0)) AS sum1,
+        |  CAST(coalesce(n2, 0) AS BIGINT) AS n2,
+        |  CAST(coalesce(sum2, 0) AS DECIMAL(38,0)) AS sum2
+        |FROM h1 LEFT JOIN h2 ON h1.id = h2.id""".stripMargin,
   )
 
   /** q255's oracle: the checksum replayed — canonical US-joined (0x1f) row

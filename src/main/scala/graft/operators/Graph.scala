@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** PageRank (Brin & Page 1998) over an edge DataFrame — the graph
@@ -514,5 +514,40 @@ object Graph {
     h.select(lit("hub").as("role"), col("id"), col("v").as("score_e6"))
       .unionByName(a.select(lit("auth").as("role"), col("id"),
         col("v").as("score_e6")))
+  }
+
+  /** Two-hop neighborhood aggregation — the GraphSAGE/GCN message-
+    * passing layer (Hamilton et al. 2017) as exact integer sufficient
+    * statistics: per node, layer 1 collects (deg, Σ neighbor feature)
+    * and layer 2 RE-AGGREGATES those summaries over the same edges, so
+    * (n2, sum2) cover the full 2-hop frontier WITHOUT enumerating
+    * 2-hop paths per node pair — the associativity trick that makes
+    * k-hop features linear in |E| per layer instead of |paths|.
+    * Mean/normalized variants divide downstream; sums stay mergeable.
+    *
+    * Shape: per layer ONE shuffle join of the (persisted, deduped) edge
+    * list with the previous layer's node frame + a map-side-partial
+    * aggregation — the pageRankE9 round shape, depth 2. Output:
+    * (id, deg, sum1, n2, sum2); nodes whose neighbors carry no layer-1
+    * row emit zeros. */
+  def twoHopAggregate(edges: DataFrame, srcCol: String, dstCol: String,
+      feats: DataFrame, idCol: String, featCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val f = feats.select(col(idCol).as("id"), col(featCol).cast("long").as("x"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val h1 = e.join(f.withColumnRenamed("id", "dst"), "dst")
+      .groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"), sum(d(col("x"))).as("sum1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val h2 = e.join(h1.withColumnRenamed("id", "dst"), "dst")
+      .groupBy(col("src").as("id"))
+      .agg(sum(col("deg")).as("n2"), sum(col("sum1")).as("sum2"))
+    h1.join(h2, Seq("id"), "left")
+      .select(col("id"), col("deg"), col("sum1"),
+        coalesce(col("n2"), lit(0L)).as("n2"),
+        coalesce(col("sum2"), lit(0).cast("decimal(38,0)")).as("sum2"))
   }
 }

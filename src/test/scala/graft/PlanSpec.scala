@@ -327,6 +327,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("null-aware NOT IN plans as a broadcast anti join, no cartesian") {
+    val p = plan("q256_notin_nullaware")
+    assert(p.contains("LeftAnti"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
   test("Q19-shape disjunction: per-side residuals reach the scans, part broadcasts") {
     val p = formatted("q247_disjunct_revenue")
     // the brand/size disjunction is extractable from the OR-of-ANDs and

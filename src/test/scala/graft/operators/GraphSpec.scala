@@ -363,4 +363,23 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(run(1) == run(13))
   }
+
+  test("twoHopAggregate: layer-2 re-aggregation equals the path census") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // path graph 1→2→3→4 plus 1→3; features x(v) = 10·v
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)).toDF("s", "d")
+    val f = Seq(1L, 2L, 3L, 4L).map(v => (v, 10L * v)).toDF("id", "x")
+    val got = Graph.twoHopAggregate(e.repartition(3), "s", "d", f, "id", "x")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), BigInt(r.getDecimal(2).toBigInteger), r.getLong(3),
+          BigInt(r.getDecimal(4).toBigInteger))).toMap
+    // 1: N={2,3} sum1=50; 2-hop multiset {3 (via 2), 4 (via 3)} → n2=2, sum2=70
+    assert(got(1L) == ((2L, BigInt(50), 2L, BigInt(70))))
+    // 3: N={4}, 4 has no out-neighbors → layer-2 zeros
+    assert(got(3L) == ((1L, BigInt(40), 0L, BigInt(0))))
+    // 2: N={3}; 3's layer-1 = (1, 40) → n2=1, sum2=40
+    assert(got(2L) == ((1L, BigInt(30), 1L, BigInt(40))))
+    assert(!got.contains(4L)) // no out-edges → no layer-1 row
+  }
 }
