@@ -3855,6 +3855,21 @@ object SparkEntry {
         t(s, dir, "supplier").select(col("s_suppkey"),
           cents(col("s_acctbal")).as("bal")),
         "s_suppkey", "bal")),
+
+    // Grid-density clustering (cell-DBSCAN) over the q218 point cloud:
+    // cells holding ≥ 4 points are core, clusters are 8-connected
+    // components of core cells via 8 pairs of min-label sweep + pointer
+    // shortcut — reach doubles per pair, so even the fully-core sf0.1
+    // grid (one diameter-54 component) resolves with margin (a plain
+    // 16-sweep version converges at sf0.01 but provably not there).
+    // Density-prunes BEFORE any pairing.
+    "q258_grid_dbscan" -> ((s, dir) =>
+      operators.SpatialJoin.gridDbscan(
+        t(s, dir, "customer").select(
+          (round(col("c_acctbal") * 100).cast("long") + 100000L).as("x"),
+          (col("c_custkey") * 7919 % 100000).as("y")),
+        col("x"), col("y"), cellX = 20000L, cellY = 10000L,
+        minPts = 4L, rounds = 8)),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -9685,7 +9700,46 @@ object SparkEntry {
         |  CAST(coalesce(n2, 0) AS BIGINT) AS n2,
         |  CAST(coalesce(sum2, 0) AS DECIMAL(38,0)) AS sum2
         |FROM h1 LEFT JOIN h2 ON h1.id = h2.id""".stripMargin,
+
+    "q258_grid_dbscan" -> q258OracleSql,
   )
+
+  /** q258's oracle: the 8 sweep+shortcut pairs unrolled — per pair a
+    * neighbor-min join over the 8-adjacency edge set (self-loops
+    * included, so the left join never coalesces) then one label-chase
+    * self-join. Every label CTE is MATERIALIZED: each step reads its
+    * predecessor TWICE, and DuckDB's default CTE inlining would
+    * otherwise expand 4⁸ scan trees — the SQL mirror of the
+    * two-consumer rule that makes the Spark side localCheckpoint each
+    * step. */
+  private val q258OracleSql: String = {
+    val rounds = 8
+    val roundCtes = (1 to rounds).map { k =>
+      s"""n$k AS (SELECT e.a AS cid, min(l.lab) AS nb
+         | FROM e JOIN l${k - 1} l ON l.cid = e.b GROUP BY 1),
+         |m$k AS MATERIALIZED (
+         | SELECT l.cid, least(l.lab, coalesce(n.nb, l.lab)) AS lab
+         | FROM l${k - 1} l LEFT JOIN n$k n ON n.cid = l.cid),
+         |l$k AS MATERIALIZED (
+         | SELECT a.cid, b.lab FROM m$k a JOIN m$k b ON b.cid = a.lab)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (SELECT CAST(round(c_acctbal*100) AS BIGINT)+100000 AS x,
+       |  c_custkey*7919 % 100000 AS y FROM customer),
+       |cells AS (SELECT x // 20000 AS cx, y // 10000 AS cy,
+       |  count(*) AS n_points FROM p GROUP BY 1, 2),
+       |core AS MATERIALIZED (
+       | SELECT cx, cy, n_points, cx*4294967296 + cy AS cid
+       | FROM cells WHERE n_points >= 4),
+       |e AS MATERIALIZED (
+       | SELECT a.cid AS a, b.cid AS b FROM core a JOIN core b
+       | ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1),
+       |l0 AS (SELECT cid, cid AS lab FROM core),
+       |$roundCtes
+       |SELECT core.cx, core.cy, CAST(core.n_points AS BIGINT) AS n_points,
+       |  CAST(l.lab AS BIGINT) AS cluster
+       |FROM core JOIN l$rounds l ON l.cid = core.cid""".stripMargin
+  }
 
   /** q255's oracle: the checksum replayed — canonical US-joined (0x1f) row
     * serialization, KR fold mod 2⁶¹−1, the splitMix64 chain in UBIGINT,

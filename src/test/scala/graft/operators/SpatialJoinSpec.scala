@@ -41,4 +41,28 @@ class SpatialJoinSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("negative")))
   }
+
+  test("gridDbscan: blobs cluster, noise drops, long snakes need the shortcut") {
+    import org.apache.spark.sql.functions.col
+    def blob(cx: Long, cy: Long, n: Int): Seq[(Long, Long)] =
+      Seq.fill(n)((cx * 10 + 5, cy * 10 + 5))
+    // blob A: core cells (0,0)+(1,1) — diagonal adjacency joins them;
+    // blob B: core cell (5,5), far away; one lone noise point at (9,9)
+    val pts = blob(0, 0, 3) ++ blob(1, 1, 4) ++ blob(5, 5, 3) ++
+      Seq((95L, 95L))
+    val got = SpatialJoin.gridDbscan(pts.toDF("x", "y").repartition(5),
+        col("x"), col("y"), 10, 10, minPts = 3, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == Set((0L, 0L), (1L, 1L), (5L, 5L))) // noise gone
+    assert(got((0L, 0L))._2 == got((1L, 1L))._2)            // A merged
+    assert(got((0L, 0L))._2 != got((5L, 5L))._2)            // B separate
+    // a 40-cell horizontal snake: plain sweeps would need 40 rounds;
+    // 6 shortcut pairs must collapse it to ONE cluster
+    val snake = (0 until 40).flatMap(i => blob(i.toLong, 8, 3))
+    val labs = SpatialJoin.gridDbscan(snake.toDF("x", "y"),
+        col("x"), col("y"), 10, 10, minPts = 3, rounds = 6)
+      .collect().map(_.getLong(3)).toSet
+    assert(labs.size == 1)
+  }
 }
