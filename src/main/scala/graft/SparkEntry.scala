@@ -3870,6 +3870,57 @@ object SparkEntry {
           (col("c_custkey") * 7919 % 100000).as("y")),
         col("x"), col("y"), cellX = 20000L, cellY = 10000L,
         minPts = 4L, rounds = 8)),
+
+    // CUPED variance-reduced lift (the industry A/B readout): each
+    // user's post-period spend adjusted by their PRE-period spend with
+    // the pooled θ = cov/var — the whole estimate as exact integer
+    // ratios over common denominators. q238's split/cohort conventions;
+    // completes the experimentation family (DiD, chi², Simpson, Qini).
+    "q259_cuped" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val mid = e.agg(min(col("ts_ms")).as("mn"), max(col("ts_ms")).as("mx"))
+        .select(expr("(mn + mx) div 2").as("mid"))
+      operators.Causal.cupedAdjustedLift(e.crossJoin(broadcast(mid)),
+        unitCol = col("user_id"),
+        treated = pmod(col("user_id"), lit(2L)) === 0L,
+        pre = col("ts_ms") < col("mid"),
+        outcome = round(col("value") * 100).cast("long"))
+    }),
+
+    // Split-conformal prediction intervals (Mondrian, per event type):
+    // md5-split calibration half fits the predictor and the exact
+    // ⌈0.9(n+1)⌉-th residual order statistic q̂ (ExactQuantiles'
+    // sample-then-refine selection — no per-group sort), test half
+    // audits the distribution-free ≥90% coverage promise.
+    "q260_conformal" -> ((s, dir) => {
+      val e = ev(s, dir)
+      operators.Conformal.splitConformal(e,
+        groupCol = col("event_type"),
+        isCalib = substring(md5(concat(col("event_id").cast("string"),
+          lit("#conf#v1"))), 1, 1) < "8",
+        outcome = round(col("value") * 100).cast("long"),
+        rowKey = col("event_id"), alphaPct = 90)
+        .withColumnRenamed("grp", "event_type")
+    }),
+
+    // RLE layout advisor: per-column run counts under two candidate
+    // sort orders — distributed run counting (range-sort + one
+    // mapPartitions pass + boundary-seam stitch), never a global-order
+    // window. The run ratio between orders IS the sort-key decision.
+    "q261_rle_layout" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cols = Seq("l_suppkey", "l_partkey", "l_returnflag",
+        "l_shipmode", "l_shipdate")
+      operators.RunLength.runProfile(li,
+          Seq(col("l_orderkey"), col("l_linenumber")), cols)
+        .withColumn("sort_order", lit("natural"))
+        .unionByName(operators.RunLength.runProfile(li,
+          Seq(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+            col("l_linenumber")), cols)
+          .withColumn("sort_order", lit("supplier_ship")))
+        .select(col("sort_order"), col("col_name"), col("runs"),
+          col("n_rows"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -9702,6 +9753,99 @@ object SparkEntry {
         |FROM h1 LEFT JOIN h2 ON h1.id = h2.id""".stripMargin,
 
     "q258_grid_dbscan" -> q258OracleSql,
+
+    // q259: unit-grain conditional sums, pooled quadratics, the same
+    // common-denominator algebra in HUGEINT.
+    "q259_cuped" ->
+      """WITH b AS (SELECT epoch_ms(ts) AS ts_ms, user_id,
+        |  CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |m AS (SELECT (min(ts_ms) + max(ts_ms)) // 2 AS mid FROM b),
+        |u AS (SELECT user_id,
+        |  max(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS t,
+        |  sum(CASE WHEN ts_ms < mid THEN v ELSE 0 END) AS x,
+        |  sum(CASE WHEN ts_ms >= mid THEN v ELSE 0 END) AS y
+        | FROM b, m GROUP BY 1),
+        |a AS (SELECT count(*) AS n,
+        |  sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS n_t,
+        |  sum(CASE WHEN t = 1 THEN x ELSE 0 END) AS sx_t,
+        |  sum(CASE WHEN t <> 1 THEN x ELSE 0 END) AS sx_c,
+        |  sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS sy_t,
+        |  sum(CASE WHEN t <> 1 THEN y ELSE 0 END) AS sy_c,
+        |  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |  sum(CAST(x AS HUGEINT)*x) AS sxx, sum(CAST(x AS HUGEINT)*y) AS sxy
+        | FROM u),
+        |c AS (SELECT n_t, n - n_t AS n_c,
+        |  CAST(sy_t AS HUGEINT)*(n - n_t) - CAST(sy_c AS HUGEINT)*n_t
+        |    AS raw_num,
+        |  CAST(n_t AS HUGEINT)*(n - n_t) AS raw_den,
+        |  CAST(sx_t AS HUGEINT)*(n - n_t) - CAST(sx_c AS HUGEINT)*n_t
+        |    AS xdiff_num,
+        |  n*sxy - sx*sy AS theta_num, n*sxx - sx*sx AS theta_den
+        | FROM a)
+        |SELECT CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+        |  CAST(raw_num AS DECIMAL(38,0)) AS raw_num,
+        |  CAST(raw_den AS DECIMAL(38,0)) AS raw_den,
+        |  CAST(theta_num AS DECIMAL(38,0)) AS theta_num,
+        |  CAST(theta_den AS DECIMAL(38,0)) AS theta_den,
+        |  CAST(raw_num*theta_den - theta_num*xdiff_num AS DECIMAL(38,0))
+        |    AS cuped_num,
+        |  CAST(raw_den*theta_den AS DECIMAL(38,0)) AS cuped_den
+        |FROM c""".stripMargin,
+
+    // q260: same md5 split, calibration mean via floor-div, q̂ as the
+    // capped ⌈0.9(n+1)⌉-th order statistic off a cumulative histogram.
+    "q260_conformal" ->
+      """WITH b AS (SELECT event_type,
+        |  CAST(round(value*100) AS BIGINT) AS y,
+        |  substr(md5(CAST(event_id AS VARCHAR) || '#conf#v1'), 1, 1) < '8'
+        |    AS cal
+        | FROM events WHERE value IS NOT NULL),
+        |p AS (SELECT event_type, count(*) AS n_cal,
+        |  CAST(sum(y) // count(*) AS BIGINT) AS pred
+        | FROM b WHERE cal GROUP BY 1),
+        |r AS (SELECT b.event_type, abs(y - pred) AS r, cal, n_cal, pred
+        | FROM b JOIN p USING (event_type)),
+        |t AS (SELECT event_type, any_value(n_cal) AS n,
+        |  least(any_value(n_cal),
+        |        ((any_value(n_cal) + 1) * 90 + 99) // 100) AS target
+        | FROM r WHERE cal GROUP BY 1),
+        |h AS (SELECT event_type, r, count(*) AS c
+        | FROM r WHERE cal GROUP BY 1, 2),
+        |cum AS (SELECT event_type, r,
+        |  sum(c) OVER (PARTITION BY event_type ORDER BY r) AS cum FROM h),
+        |q AS (SELECT cum.event_type, min(r) AS qhat
+        | FROM cum JOIN t USING (event_type)
+        | WHERE cum >= target GROUP BY 1)
+        |SELECT r.event_type, any_value(pred) AS pred,
+        |  any_value(n_cal) AS n_cal, any_value(qhat) AS qhat,
+        |  count(*) AS n_test,
+        |  CAST(sum(CASE WHEN r <= qhat THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS covered
+        |FROM r JOIN q USING (event_type)
+        |WHERE NOT cal GROUP BY 1""".stripMargin,
+
+    // q261: the single-node replay IS the global-order window the Spark
+    // side exists to avoid — runs = rows where the value differs from
+    // its lag (IS DISTINCT FROM: null runs merge), +1 for row 1.
+    "q261_rle_layout" -> {
+      val cols = Seq("l_suppkey", "l_partkey", "l_returnflag",
+        "l_shipmode", "l_shipdate")
+      def cte(alias: String, order: String) =
+        s"""$alias AS (
+           | SELECT ${cols.mkString(", ")}, row_number() OVER w AS rn,
+           |  ${cols.map(c => s"lag($c) OVER w AS p_$c").mkString(", ")}
+           | FROM lineitem WINDOW w AS (ORDER BY $order))""".stripMargin
+      def branches(alias: String, label: String) = cols.map(c =>
+        s"""SELECT '$label' AS sort_order, '$c' AS col_name,
+           | CAST(sum(CASE WHEN rn = 1 OR $c IS DISTINCT FROM p_$c
+           |   THEN 1 ELSE 0 END) AS BIGINT) AS runs,
+           | count(*) AS n_rows FROM $alias""".stripMargin)
+      s"""WITH ${cte("nat", "l_orderkey, l_linenumber")},
+         |${cte("sup", "l_suppkey, l_shipdate, l_orderkey, l_linenumber")}
+         |${(branches("nat", "natural") ++
+             branches("sup", "supplier_ship")).mkString("\nUNION ALL\n")}
+         |""".stripMargin
+    },
   )
 
   /** q258's oracle: the 8 sweep+shortcut pairs unrolled — per pair a

@@ -45,6 +45,37 @@ class CausalSpec extends SparkSpec {
     assert(got(4) == 250000L)
   }
 
+  test("cupedAdjustedLift removes planted pre-period imbalance exactly") {
+    // treated units: y = x + 5 with pre x ∈ {20,30}; control: y = x with
+    // pre x ∈ {10,20}. Raw lift = 30−15 = 15 (10 of it pre-imbalance);
+    // pooled θ = 1000/800, CUPED = 15 − θ·10 = 2.5 = 8000/3200 exactly.
+    val rows = Seq(
+      (1L, true, true, 20L), (1L, true, false, 25L),
+      (2L, true, true, 30L), (2L, true, false, 35L),
+      (3L, false, true, 10L), (3L, false, false, 10L),
+      (4L, false, true, 20L), (4L, false, false, 20L))
+    val r = Causal.cupedAdjustedLift(rows.toDF("u", "tr", "pre", "v"),
+      col("u"), col("tr"), col("pre"), col("v")).collect().head
+    def bd(n: String) = r.getAs[java.math.BigDecimal](n).longValueExact()
+    assert(r.getAs[Long]("n_t") == 2L && r.getAs[Long]("n_c") == 2L)
+    assert(bd("raw_num") == 60L && bd("raw_den") == 4L)      // raw = 15
+    assert(bd("theta_num") == 1000L && bd("theta_den") == 800L)
+    assert(bd("cuped_num") == 8000L && bd("cuped_den") == 3200L) // 2.5
+  }
+
+  test("cupedAdjustedLift flags a degenerate covariate via theta_den=0") {
+    // every unit has the same pre value → var(x)=0; raw lift must still
+    // be exact while theta_den==0 tells consumers θ is undefined
+    val rows = Seq(
+      (1L, true, true, 7L), (1L, true, false, 9L),
+      (2L, false, true, 7L), (2L, false, false, 4L))
+    val r = Causal.cupedAdjustedLift(rows.toDF("u", "tr", "pre", "v"),
+      col("u"), col("tr"), col("pre"), col("v")).collect().head
+    def bd(n: String) = r.getAs[java.math.BigDecimal](n).longValueExact()
+    assert(bd("theta_den") == 0L)
+    assert(bd("raw_num") == 5L && bd("raw_den") == 1L) // 9 − 4 = 5
+  }
+
   test("diffInDiff truncation order is the pinned one (means first)") {
     // treated pre {1,2}: mean 1.5 → 1500000; post {2}: 2000000
     // control pre {0}: 0; post {0}: 0 → DiD = 500000 exactly in e6
