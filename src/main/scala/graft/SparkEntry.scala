@@ -3910,7 +3910,7 @@ object SparkEntry {
     "q261_rle_layout" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val cols = Seq("l_suppkey", "l_partkey", "l_returnflag",
-        "l_shipmode", "l_shipdate")
+        "l_linestatus", "l_shipdate")
       operators.RunLength.runProfile(li,
           Seq(col("l_orderkey"), col("l_linenumber")), cols)
         .withColumn("sort_order", lit("natural"))
@@ -9829,7 +9829,7 @@ object SparkEntry {
     // its lag (IS DISTINCT FROM: null runs merge), +1 for row 1.
     "q261_rle_layout" -> {
       val cols = Seq("l_suppkey", "l_partkey", "l_returnflag",
-        "l_shipmode", "l_shipdate")
+        "l_linestatus", "l_shipdate")
       def cte(alias: String, order: String) =
         s"""$alias AS (
            | SELECT ${cols.mkString(", ")}, row_number() OVER w AS rn,

@@ -58,7 +58,8 @@ object ExactQuantiles {
     * Output: groupCols ++ (percent BIGINT, quantile BIGINT).
     */
   def quantiles(df: DataFrame, groupCols: Seq[String], value: Column,
-      rowKey: Column, percents: Seq[Int], k: Int = 4096): DataFrame = {
+      rowKey: Column, percents: Seq[Int], k: Int = 4096,
+      plusOne: Boolean = false): DataFrame = {
     require(percents.nonEmpty && percents.forall(p => p > 0 && p <= 100),
       s"percents=$percents out of (0, 100]")
     val spark = df.sparkSession
@@ -91,7 +92,13 @@ object ExactQuantiles {
           val s = r.getSeq[Long](groupCols.length + 1)
           val m = s.length
           percents.map { p =>
-            val target = (n * p + 99L) / 100L // ceil(n*p/100)
+            // ceil(n·p/100), or the finite-sample conformal rank
+            // ceil((n+1)·p/100) capped at n (split-conformal's q̂ index;
+            // the cap is the degenerate small-group max, documented at
+            // the [[Conformal]] call site)
+            val target =
+              if (plusOne) math.min(n, ((n + 1) * p + 99L) / 100L)
+              else (n * p + 99L) / 100L
             val pos = if (m == 0) 0 else ((m.toLong * p) / 100L).toInt
             val loI = pos - delta
             val hiI = pos + delta
