@@ -3921,6 +3921,21 @@ object SparkEntry {
         .select(col("sort_order"), col("col_name"), col("runs"),
           col("n_rows"))
     }),
+
+    // Post-stratified ATE: pre-period spend bit-length strata remove
+    // the scale confound, within-stratum differences reweight by
+    // stratum size into the stratum = −1 rollup. q259's split/cohort
+    // conventions; ≤64 strata regardless of data size.
+    "q262_poststrat_ate" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val mid = e.agg(min(col("ts_ms")).as("mn"), max(col("ts_ms")).as("mx"))
+        .select(expr("(mn + mx) div 2").as("mid"))
+      operators.Causal.postStratifiedAte(e.crossJoin(broadcast(mid)),
+        unitCol = col("user_id"),
+        treated = pmod(col("user_id"), lit(2L)) === 0L,
+        pre = col("ts_ms") < col("mid"),
+        outcome = round(col("value") * 100).cast("long"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -9846,6 +9861,37 @@ object SparkEntry {
              branches("sup", "supplier_ship")).mkString("\nUNION ALL\n")}
          |""".stripMargin
     },
+
+    // q262: same unit grain as q259; strata via format('{:b}') bit
+    // length, HUGEINT cross-multiplication, // truncation parity.
+    "q262_poststrat_ate" ->
+      """WITH b AS (SELECT user_id, epoch_ms(ts) AS ts_ms,
+        |  CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |m AS (SELECT (min(ts_ms) + max(ts_ms)) // 2 AS mid FROM b),
+        |u AS (SELECT user_id,
+        |  max(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS t,
+        |  CAST(sum(CASE WHEN ts_ms < mid THEN v ELSE 0 END) AS BIGINT) AS x,
+        |  sum(CASE WHEN ts_ms >= mid THEN v ELSE 0 END) AS y
+        | FROM b, m GROUP BY 1),
+        |s AS (SELECT CAST(length(format('{:b}', x)) AS BIGINT) AS stratum,
+        |  count(*) AS n_units,
+        |  CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |  CAST(sum(CASE WHEN t <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |  sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS sy_t,
+        |  sum(CASE WHEN t <> 1 THEN y ELSE 0 END) AS sy_c
+        | FROM u GROUP BY 1),
+        |d AS (SELECT stratum, n_units, n_t, n_c,
+        |  CASE WHEN n_t > 0 AND n_c > 0 THEN
+        |   CAST((CAST(sy_t AS HUGEINT)*n_c - CAST(sy_c AS HUGEINT)*n_t)
+        |     * 1000000 // (CAST(n_t AS HUGEINT)*n_c) AS BIGINT)
+        |  END AS diff_e6 FROM s)
+        |SELECT stratum, n_units, n_t, n_c, diff_e6 FROM d
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), CAST(sum(n_units) AS BIGINT),
+        |  CAST(sum(n_t) AS BIGINT), CAST(sum(n_c) AS BIGINT),
+        |  CAST(sum(CAST(n_units AS HUGEINT) * diff_e6)
+        |    // sum(CAST(n_units AS HUGEINT)) AS BIGINT)
+        |FROM d WHERE diff_e6 IS NOT NULL""".stripMargin,
   )
 
   /** q258's oracle: the 8 sweep+shortcut pairs unrolled — per pair a

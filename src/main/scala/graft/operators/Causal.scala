@@ -144,4 +144,60 @@ object Causal {
           - col("theta_num") * col("xdiff_num")).as("cuped_num"),
         (col("raw_den") * col("theta_den")).as("cuped_den"))
   }
+
+  /** Post-stratified ATE (the classic observational adjustment;
+    * Cochran 1968's subclassification, the estimator behind "stratify
+    * on a pre-treatment covariate, difference within, reweight by
+    * stratum size"): strata are the BIT LENGTH of each unit's
+    * pre-period outcome — a log₂-spaced scale bucket that is exact
+    * integer arithmetic in any engine (`length(bin(x))`), needs no
+    * quantile pass, and puts the heavy-spender / light-spender
+    * confound into separate cells.
+    *
+    * Within each stratum with BOTH arms present:
+    *   diff_e6 = trunc((sy_t·n_c − sy_c·n_t)·10⁶ / (n_t·n_c))
+    * (DECIMAL(38,0) cross-multiplication, truncation toward zero —
+    * DuckDB `//` parity); single-arm strata emit NULL diff and are
+    * excluded from the rollup. The stratum = −1 row is the
+    * post-stratified estimate: Σ n_s·diff_e6 div Σ n_s over eligible
+    * strata (two-stage truncation, pinned).
+    *
+    * Scale shape: one shuffle to unit grain, one to the ≤64 strata,
+    * then a single-row rollup — stratum count is bounded by the bit
+    * width, so nothing here grows with the data. */
+  def postStratifiedAte(df: DataFrame, unitCol: Column, treated: Column,
+      pre: Column, outcome: Column): DataFrame = {
+    val y = outcome.cast("long")
+    val units = df.groupBy(unitCol.as("__u"))
+      .agg(max(when(treated, 1L).otherwise(0L)).as("__t"),
+        sum(when(pre, y).otherwise(0L)).as("__x"),
+        sum(when(!pre, y).otherwise(0L)).as("__y"))
+      .withColumn("stratum", length(bin(col("__x"))).cast("long"))
+    val strata = units.groupBy("stratum")
+      .agg(count(lit(1)).as("n_units"),
+        sum(when(col("__t") === 1L, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("__t") =!= 1L, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("__t") === 1L, col("__y")).otherwise(0L)).as("__sy_t"),
+        sum(when(col("__t") =!= 1L, col("__y")).otherwise(0L)).as("__sy_c"))
+      .withColumn("diff_e6", when(col("n_t") > 0 && col("n_c") > 0,
+        expr("""CAST((CAST(__sy_t AS DECIMAL(38,0)) * n_c
+                 - CAST(__sy_c AS DECIMAL(38,0)) * n_t) * 1000000
+                div CAST(n_t * n_c AS DECIMAL(38,0)) AS BIGINT)""")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perStratum = strata
+      .select(col("stratum"), col("n_units"), col("n_t"), col("n_c"),
+        col("diff_e6"))
+    val overall = strata.where(col("diff_e6").isNotNull)
+      .agg(sum(col("n_units")).as("n_units"),
+        sum(col("n_t")).as("n_t"), sum(col("n_c")).as("n_c"),
+        expr("""CAST(sum(CAST(n_units AS DECIMAL(38,0)) * diff_e6)
+                div CAST(sum(n_units) AS DECIMAL(38,0)) AS BIGINT)""")
+          .as("diff_e6"))
+      .withColumn("stratum", lit(-1L))
+      .where(col("n_units").isNotNull)
+      .select(col("stratum"), col("n_units"), col("n_t"), col("n_c"),
+        col("diff_e6"))
+    perStratum.unionByName(overall).localCheckpoint(true)
+      .transform { out => strata.unpersist(); out }
+  }
 }

@@ -76,6 +76,26 @@ class CausalSpec extends SparkSpec {
     assert(bd("raw_num") == 5L && bd("raw_den") == 1L) // 9 − 4 = 5
   }
 
+  test("postStratifiedAte: within-stratum diffs, single-arm exclusion") {
+    // stratum 1 (x=1): diff 10−6 = 4e6; stratum 2 (x=2): 20−10 = 10e6;
+    // stratum 3 (x=4): treated-only → NULL diff, excluded from rollup;
+    // overall = (2·4e6 + 2·10e6) div 4 = 7e6
+    val rows = Seq(
+      (1L, true, true, 1L), (1L, true, false, 10L),
+      (2L, false, true, 1L), (2L, false, false, 6L),
+      (3L, true, true, 2L), (3L, true, false, 20L),
+      (4L, false, true, 2L), (4L, false, false, 10L),
+      (5L, true, true, 4L), (5L, true, false, 99L))
+    val got = Causal.postStratifiedAte(rows.toDF("u", "tr", "pre", "v"),
+        col("u"), col("tr"), col("pre"), col("v"))
+      .collect().map(r => r.getAs[Long]("stratum") -> r).toMap
+    assert(got(1L).getAs[Long]("diff_e6") == 4000000L)
+    assert(got(2L).getAs[Long]("diff_e6") == 10000000L)
+    assert(got(3L).isNullAt(got(3L).fieldIndex("diff_e6")))
+    assert(got(-1L).getAs[Long]("n_units") == 4L)
+    assert(got(-1L).getAs[Long]("diff_e6") == 7000000L)
+  }
+
   test("diffInDiff truncation order is the pinned one (means first)") {
     // treated pre {1,2}: mean 1.5 → 1500000; post {2}: 2000000
     // control pre {0}: 0; post {0}: 0 → DiD = 500000 exactly in e6
