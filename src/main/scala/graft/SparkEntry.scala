@@ -3936,6 +3936,13 @@ object SparkEntry {
         pre = col("ts_ms") < col("mid"),
         outcome = round(col("value") * 100).cast("long"))
     }),
+
+    // Positional phrase search: postings pruned to the phrase's own
+    // terms before any shuffle, L−1 adjacency equi-joins on
+    // (doc, normalized start) — quoted-query retrieval over documents.
+    "q263_phrase_search" -> ((s, dir) =>
+      operators.PhraseIndex.phraseMatches(t(s, dir, "documents"),
+        col("doc_id"), col("text"), Seq("row", "column", "sort"))),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -9892,6 +9899,23 @@ object SparkEntry {
         |  CAST(sum(CAST(n_units AS HUGEINT) * diff_e6)
         |    // sum(CAST(n_units AS HUGEINT)) AS BIGINT)
         |FROM d WHERE diff_e6 IS NOT NULL""".stripMargin,
+
+    // q263: positional postings via generate_subscripts/unnest (which
+    // zip positionally), then the same adjacency self-joins.
+    "q263_phrase_search" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
+        |  FROM documents),
+        |w AS (SELECT doc_id, generate_subscripts(l, 1) AS pos,
+        |  unnest(l) AS term FROM d),
+        |m AS (SELECT a.doc_id, a.pos AS start FROM w a
+        | JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |   AND b.term = 'column'
+        | JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |   AND c.term = 'sort'
+        | WHERE a.term = 'row')
+        |SELECT doc_id, count(*) AS n_matches,
+        |  CAST(min(start) AS BIGINT) AS first_pos
+        |FROM m GROUP BY 1""".stripMargin,
   )
 
   /** q258's oracle: the 8 sweep+shortcut pairs unrolled — per pair a
