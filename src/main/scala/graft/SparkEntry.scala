@@ -3943,6 +3943,22 @@ object SparkEntry {
     "q263_phrase_search" -> ((s, dir) =>
       operators.PhraseIndex.phraseMatches(t(s, dir, "documents"),
         col("doc_id"), col("text"), Seq("row", "column", "sort"))),
+
+    // Frequency-ranked dictionary encode (the Parquet/ORC dictionary-
+    // page decision as a query): codes by (count desc, term) via the
+    // distributed global row-number — no single-reducer window — and
+    // per-term encoded-size contribution cnt·bitlen(code).
+    "q264_dict_encode" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      operators.GlobalRank.withGlobalRowNumber(counts,
+          Seq(col("cnt").desc, col("term").asc), "rn")
+        .withColumn("code", col("rn") - 1)
+        .withColumn("bits_total",
+          col("cnt") * length(bin(col("code"))).cast("long"))
+        .select(col("term"), col("cnt"), col("code"), col("bits_total"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -9916,6 +9932,18 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_matches,
         |  CAST(min(start) AS BIGINT) AS first_pos
         |FROM m GROUP BY 1""".stripMargin,
+
+    // q264: the single-node replay IS the global-order window the
+    // operator avoids; bit length via format('{:b}').
+    "q264_dict_encode" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+        |r AS (SELECT term, cnt,
+        |  row_number() OVER (ORDER BY cnt DESC, term) - 1 AS code FROM c)
+        |SELECT term, cnt, code,
+        |  CAST(cnt * length(format('{:b}', code)) AS BIGINT) AS bits_total
+        |FROM r""".stripMargin,
   )
 
   /** q258's oracle: the 8 sweep+shortcut pairs unrolled — per pair a
