@@ -10,8 +10,9 @@ class GlobalRankSpec extends SparkSpec {
   test("withGlobalRowNumber matches a window row_number, any partitioning") {
     val df = Seq((5L, "e"), (3L, "c"), (9L, "a"), (3L, "a"), (1L, "z"))
       .toDF("v", "t")
-    val want = Map(("a", 9L) -> 1L, ("a", 3L) -> 2L, ("c", 3L) -> 3L,
-      ("e", 5L) -> 4L, ("z", 1L) -> 5L)
+    // v desc, tie on v=3 broken by t asc
+    val want = Map(("a", 9L) -> 1L, ("e", 5L) -> 2L, ("a", 3L) -> 3L,
+      ("c", 3L) -> 4L, ("z", 1L) -> 5L)
     for (p <- Seq(1, 2, 3, 8)) {
       val got = GlobalRank.withGlobalRowNumber(df,
           Seq(col("v").desc, col("t").asc), "rn", partitions = p)
