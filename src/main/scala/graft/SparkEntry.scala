@@ -3959,6 +3959,20 @@ object SparkEntry {
           col("cnt") * length(bin(col("code"))).cast("long"))
         .select(col("term"), col("cnt"), col("code"), col("bits_total"))
     }),
+
+    // Off-policy evaluation: learn a per-segment argmax policy on the
+    // first half, score it on the second via replay + uniform-K IPS —
+    // counterfactual "what would this targeting have earned" from logs.
+    "q265_replay_ips" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val mid = e.agg(min(col("ts_ms")).as("mn"), max(col("ts_ms")).as("mx"))
+        .select(expr("(mn + mx) div 2").as("mid"))
+      operators.OffPolicy.replayIps(e.crossJoin(broadcast(mid)),
+        segment = pmod(col("user_id"), lit(4L)),
+        arm = col("event_type"),
+        reward = round(col("value") * 100).cast("long"),
+        isTrain = col("ts_ms") < col("mid"), nArms = 5)
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -9944,6 +9958,31 @@ object SparkEntry {
         |SELECT term, cnt, code,
         |  CAST(cnt * length(format('{:b}', code)) AS BIGINT) AS bits_total
         |FROM r""".stripMargin,
+
+    // q265: argmax by the same truncated mean_e6, ties to first arm;
+    // uniform-5 IPS as exact integer ratio.
+    "q265_replay_ips" ->
+      """WITH b AS (SELECT user_id % 4 AS segment, event_type AS arm,
+        |  CAST(round(value*100) AS BIGINT) AS r,
+        |  epoch_ms(ts) AS ts_ms FROM events),
+        |m AS (SELECT (min(ts_ms) + max(ts_ms)) // 2 AS mid FROM b),
+        |tr AS (SELECT segment, arm, sum(r) AS s, count(*) AS n
+        | FROM b, m WHERE ts_ms < mid GROUP BY 1, 2),
+        |p AS (SELECT segment, arm AS chosen_arm FROM (
+        |  SELECT segment, arm, row_number() OVER (PARTITION BY segment
+        |    ORDER BY (s * 1000000) // n DESC, arm) AS rk FROM tr)
+        | WHERE rk = 1)
+        |SELECT b.segment, chosen_arm, count(*) AS n_eval,
+        |  CAST(sum(CASE WHEN arm = chosen_arm THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_matched,
+        |  CAST(sum(CASE WHEN arm = chosen_arm THEN r ELSE 0 END)
+        |    AS BIGINT) AS sum_matched,
+        |  CAST(sum(CASE WHEN arm = chosen_arm THEN r ELSE 0 END) * 5
+        |    AS BIGINT) AS ips_num,
+        |  count(*) AS ips_den
+        |FROM b, m, p
+        |WHERE b.ts_ms >= mid AND p.segment = b.segment
+        |GROUP BY 1, 2""".stripMargin,
   )
 
   /** q258's oracle: the 8 sweep+shortcut pairs unrolled — per pair a
