@@ -3973,6 +3973,33 @@ object SparkEntry {
         reward = round(col("value") * 100).cast("long"),
         isTrain = col("ts_ms") < col("mid"), nArms = 5)
     }),
+
+    // Fellegi–Sunter probabilistic record linkage (1969; the Splink/
+    // dedupe.io scoring core): candidate pairs from noun-token blocking
+    // (pairs scale with Σ block², never n² — the blocking key IS the
+    // scale decision), then fixed integer log-odds agreement weights
+    // per field (first token, brand, type, size band) summed and
+    // thresholded into link / possible / non_link. Bounded output:
+    // per-(block, class) pair counts + score mass.
+    "q266_fs_linkage" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey").as("id"),
+        element_at(split(col("p_name"), " "), 1).as("tok1"),
+        element_at(split(col("p_name"), " "), 2).as("blk"),
+        col("p_brand").as("brand"), col("p_type").as("typ"),
+        col("p_size").as("size"))
+      val a = p.columns.foldLeft(p)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+      val b = p.columns.foldLeft(p)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+      a.join(b, col("a_blk") === col("b_blk") && col("a_id") < col("b_id"))
+        .withColumn("score",
+          when(col("a_tok1") === col("b_tok1"), 240L).otherwise(-80L) +
+          when(col("a_brand") === col("b_brand"), 160L).otherwise(-60L) +
+          when(col("a_typ") === col("b_typ"), 120L).otherwise(-40L) +
+          when(abs(col("a_size") - col("b_size")) <= 2, 80L).otherwise(-30L))
+        .withColumn("class", when(col("score") >= 400L, "link")
+          .when(col("score") >= 100L, "possible").otherwise("non_link"))
+        .groupBy(col("a_blk").as("block"), col("class"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("score")).as("sum_score"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -9983,6 +10010,27 @@ object SparkEntry {
         |FROM b, m, p
         |WHERE b.ts_ms >= mid AND p.segment = b.segment
         |GROUP BY 1, 2""".stripMargin,
+
+    // q266: same blocking, same fixed agreement weights.
+    "q266_fs_linkage" ->
+      """WITH p AS (SELECT p_partkey AS id,
+        |  string_split(p_name, ' ')[1] AS tok1,
+        |  string_split(p_name, ' ')[2] AS blk,
+        |  p_brand AS brand, p_type AS typ, p_size AS size FROM part),
+        |pairs AS (SELECT a.blk AS block,
+        |  (CASE WHEN a.tok1 = b.tok1 THEN 240 ELSE -80 END) +
+        |  (CASE WHEN a.brand = b.brand THEN 160 ELSE -60 END) +
+        |  (CASE WHEN a.typ = b.typ THEN 120 ELSE -40 END) +
+        |  (CASE WHEN abs(a.size - b.size) <= 2 THEN 80 ELSE -30 END)
+        |    AS score
+        | FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id)
+        |SELECT block,
+        |  CASE WHEN score >= 400 THEN 'link'
+        |       WHEN score >= 100 THEN 'possible'
+        |       ELSE 'non_link' END AS class,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(score) AS BIGINT) AS sum_score
+        |FROM pairs GROUP BY 1, 2""".stripMargin,
   )
 
   /** q258's oracle: the 8 sweep+shortcut pairs unrolled — per pair a
