@@ -4000,6 +4000,36 @@ object SparkEntry {
         .groupBy(col("a_blk").as("block"), col("class"))
         .agg(count(lit(1)).as("n_pairs"), sum(col("score")).as("sum_score"))
     }),
+
+    // Decision-stump feature ranking by EXACT weighted Gini impurity —
+    // the feature-selection pass before training: binary Gini of a
+    // split value is (n² − n_pos² − n_neg²)/n², weighted by n_v/N;
+    // per-value terms truncate at e9 over the value's own denominator,
+    // then roll up over N (two-stage truncation, pinned). One narrow
+    // unpivot scan → per-(feature,value) cells → per-feature rows;
+    // nothing scales past the feature-value cardinality.
+    "q267_gini_stump" -> ((s, dir) => {
+      val e = ev(s, dir).withColumn("label",
+        when(col("event_type") === "purchase", 1L).otherwise(0L))
+      val cells = e.select(col("label"), expr(
+          """stack(3,
+             | 'hour_of_day', CAST((ts_ms div 3600000) % 24 AS STRING),
+             | 'user_bucket', CAST(user_id % 7 AS STRING),
+             | 'value_band',  CAST(length(bin(CAST(round(value * 100)
+             |                AS BIGINT))) AS STRING)
+             |) AS (feature, val)""".stripMargin))
+        .groupBy(col("feature"), col("val"))
+        .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"))
+        .withColumn("term_e9", expr(
+          """CAST((CAST(n AS DECIMAL(38,0)) * n
+              - CAST(n_pos AS DECIMAL(38,0)) * n_pos
+              - CAST(n - n_pos AS DECIMAL(38,0)) * (n - n_pos))
+             * 1000000000 div CAST(n AS DECIMAL(38,0)) AS BIGINT)"""))
+      cells.groupBy(col("feature"))
+        .agg(count(lit(1)).as("n_values"), sum(col("n")).as("n_rows"),
+          expr("CAST(sum(CAST(term_e9 AS DECIMAL(38,0))) div sum(n) AS BIGINT)")
+            .as("gini_e9"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -10031,6 +10061,32 @@ object SparkEntry {
         |  count(*) AS n_pairs,
         |  CAST(sum(score) AS BIGINT) AS sum_score
         |FROM pairs GROUP BY 1, 2""".stripMargin,
+
+    // q267: same unpivot, same two-stage e9 truncation in HUGEINT.
+    "q267_gini_stump" ->
+      """WITH e AS (SELECT
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+        |  epoch_ms(ts) AS ts_ms, user_id,
+        |  CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |u AS (
+        | SELECT 'hour_of_day' AS feature,
+        |  CAST((ts_ms // 3600000) % 24 AS VARCHAR) AS val, label FROM e
+        | UNION ALL SELECT 'user_bucket',
+        |  CAST(user_id % 7 AS VARCHAR), label FROM e
+        | UNION ALL SELECT 'value_band',
+        |  CAST(length(format('{:b}', v)) AS VARCHAR), label FROM e),
+        |c AS (SELECT feature, val, count(*) AS n, sum(label) AS n_pos
+        | FROM u GROUP BY 1, 2),
+        |t AS (SELECT feature, n,
+        |  CAST((CAST(n AS HUGEINT)*n - CAST(n_pos AS HUGEINT)*n_pos
+        |        - CAST(n - n_pos AS HUGEINT)*(n - n_pos))
+        |   * 1000000000 // CAST(n AS HUGEINT) AS BIGINT) AS term_e9
+        | FROM c)
+        |SELECT feature, count(*) AS n_values, CAST(sum(n) AS BIGINT)
+        |  AS n_rows,
+        | CAST(sum(CAST(term_e9 AS HUGEINT))
+        |   // sum(CAST(n AS HUGEINT)) AS BIGINT) AS gini_e9
+        |FROM t GROUP BY 1""".stripMargin,
   )
 
   /** q258's oracle: the 8 sweep+shortcut pairs unrolled — per pair a
