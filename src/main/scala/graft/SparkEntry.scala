@@ -4030,6 +4030,14 @@ object SparkEntry {
           expr("CAST(sum(CAST(term_e9 AS DECIMAL(38,0))) div sum(n) AS BIGINT)")
             .as("gini_e9"))
     }),
+
+    // Greedy k-center coreset (farthest-point traversal): k−1 rounds of
+    // literal-center distance fold + TakeOrdered argmax, one nearest-
+    // center assignment pass — diversity sampling over embeddings with
+    // the oracle replaying every round as an unrolled MATERIALIZED CTE.
+    "q268_kcenter_coreset" -> ((s, dir) =>
+      operators.Coreset.kCenter(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 4)),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -10087,6 +10095,8 @@ object SparkEntry {
         | CAST(sum(CAST(term_e9 AS HUGEINT))
         |   // sum(CAST(n AS HUGEINT)) AS BIGINT) AS gini_e9
         |FROM t GROUP BY 1""".stripMargin,
+
+    "q268_kcenter_coreset" -> q268OracleSql,
   )
 
   /** q258's oracle: the 8 sweep+shortcut pairs unrolled — per pair a
@@ -10097,6 +10107,53 @@ object SparkEntry {
     * otherwise expand 4⁸ scan trees — the SQL mirror of the
     * two-consumer rule that makes the Spark side localCheckpoint each
     * step. */
+  /** q268's oracle: Gonzalez unrolled — each selection round a
+    * MATERIALIZED CTE (argmax by (mind DESC, id), then a least() fold
+    * against the new center), the assignment a ≤-chain CASE so exact
+    * distance ties resolve to the earlier round, exactly like the
+    * Spark side's (dist, round) struct-min. */
+  private val q268OracleSql: String = {
+    def dist(a: String, b: String) =
+      s"""CAST(list_sum(list_transform(list_zip($a, $b),
+         |  z -> CAST(round((CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+         |    * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+         |    * 1000000000.0) AS BIGINT))) AS BIGINT)""".stripMargin
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |c1 AS MATERIALIZED (SELECT id, v FROM e ORDER BY id LIMIT 1),
+       |d1 AS MATERIALIZED (SELECT e.id, e.v,
+       |  ${dist("e.v", "c1.v")} AS mind FROM e, c1),
+       |c2 AS MATERIALIZED (SELECT id, v, mind FROM d1
+       |  ORDER BY mind DESC, id LIMIT 1),
+       |d2 AS MATERIALIZED (SELECT d1.id, d1.v,
+       |  least(d1.mind, ${dist("d1.v", "c2.v")}) AS mind FROM d1, c2),
+       |c3 AS MATERIALIZED (SELECT id, v, mind FROM d2
+       |  ORDER BY mind DESC, id LIMIT 1),
+       |d3 AS MATERIALIZED (SELECT d2.id, d2.v,
+       |  least(d2.mind, ${dist("d2.v", "c3.v")}) AS mind FROM d2, c3),
+       |c4 AS MATERIALIZED (SELECT id, v, mind FROM d3
+       |  ORDER BY mind DESC, id LIMIT 1),
+       |a AS MATERIALIZED (SELECT e.id,
+       |  ${dist("e.v", "(SELECT v FROM c1)")} AS da,
+       |  ${dist("e.v", "(SELECT v FROM c2)")} AS db,
+       |  ${dist("e.v", "(SELECT v FROM c3)")} AS dc,
+       |  ${dist("e.v", "(SELECT v FROM c4)")} AS dd FROM e),
+       |asg AS (SELECT id, CAST(CASE
+       |  WHEN da <= db AND da <= dc AND da <= dd THEN 1
+       |  WHEN db <= dc AND db <= dd THEN 2
+       |  WHEN dc <= dd THEN 3 ELSE 4 END AS BIGINT) AS sel_round FROM a),
+       |cnt AS (SELECT sel_round, count(*) AS n_assigned
+       | FROM asg GROUP BY 1),
+       |sel AS (
+       | SELECT (SELECT id FROM c1) AS center_id,
+       |   CAST(1 AS BIGINT) AS sel_round, CAST(NULL AS BIGINT) AS sel_dist
+       | UNION ALL SELECT (SELECT id FROM c2), 2, (SELECT mind FROM c2)
+       | UNION ALL SELECT (SELECT id FROM c3), 3, (SELECT mind FROM c3)
+       | UNION ALL SELECT (SELECT id FROM c4), 4, (SELECT mind FROM c4))
+       |SELECT center_id, sel_round, sel_dist,
+       |  coalesce(n_assigned, 0) AS n_assigned
+       |FROM sel LEFT JOIN cnt USING (sel_round)""".stripMargin
+  }
+
   private val q258OracleSql: String = {
     val rounds = 8
     val roundCtes = (1 to rounds).map { k =>
