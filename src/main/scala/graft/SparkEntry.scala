@@ -4038,6 +4038,27 @@ object SparkEntry {
     "q268_kcenter_coreset" -> ((s, dir) =>
       operators.Coreset.kCenter(t(s, dir, "embeddings"),
         "vec_id", "embedding", k = 4)),
+
+    // Watermark lateness audit: event-time high-water-mark over the
+    // ARRIVAL order via the distributed prefix scan (no single-reducer
+    // window), lateness histogram in power-of-two bands — the exact
+    // evidence a streaming job needs to size withWatermark at
+    // 100 TB/day. Arrival order modeled as hour-batched file ingest
+    // shuffled within each hour (md5 permutation) — the file-drop
+    // pattern that actually produces late data.
+    "q269_lateness_audit" -> ((s, dir) => {
+      val e = ev(s, dir).where(col("ts").isNotNull)
+        .select(col("event_id"), col("ts_ms"))
+      operators.PrefixScan.runningMax(e,
+          Seq(expr("ts_ms div 3600000"),
+            md5(col("event_id").cast("string"))),
+          col("ts_ms"), "hwm")
+        .withColumn("late_ms", col("hwm") - col("ts_ms"))
+        .withColumn("bucket", when(col("late_ms") === 0L, 0L)
+          .otherwise(length(bin(col("late_ms"))).cast("long")))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), max(col("late_ms")).as("max_late_ms"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -10097,6 +10118,20 @@ object SparkEntry {
         |FROM t GROUP BY 1""".stripMargin,
 
     "q268_kcenter_coreset" -> q268OracleSql,
+
+    // q269: the running max the operator avoids, as a plain window.
+    "q269_lateness_audit" ->
+      """WITH b AS (SELECT event_id, epoch_ms(ts) AS ts_ms FROM events
+        |  WHERE ts IS NOT NULL),
+        |r AS (SELECT ts_ms, max(ts_ms) OVER (ORDER BY ts_ms // 3600000,
+        |   md5(CAST(event_id AS VARCHAR))) AS hwm
+        | FROM b),
+        |l AS (SELECT hwm - ts_ms AS late_ms FROM r)
+        |SELECT CASE WHEN late_ms = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST(length(format('{:b}', late_ms)) AS BIGINT) END
+        |    AS bucket,
+        | count(*) AS n, CAST(max(late_ms) AS BIGINT) AS max_late_ms
+        |FROM l GROUP BY 1""".stripMargin,
   )
 
   /** q258's oracle: the 8 sweep+shortcut pairs unrolled — per pair a
