@@ -4059,6 +4059,27 @@ object SparkEntry {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"), max(col("late_ms")).as("max_late_ms"))
     }),
+
+    // Interval concurrency sweep: each event holds a resource for 1h;
+    // ±1 boundary deltas → the distributed running sum IS the
+    // concurrency step function (unbounded boundary domain — the
+    // single-reducer cumsum window this operator exists to avoid),
+    // censused into power-of-two bands. Capacity planning: "how many
+    // concurrent sessions must the serving tier hold".
+    "q270_concurrency" -> ((s, dir) => {
+      val e = ev(s, dir).where(col("ts").isNotNull)
+      val deltas = e.select(col("ts_ms").as("b"), lit(1L).as("d"))
+        .unionAll(e.select((col("ts_ms") + 3600000L).as("b"),
+          lit(-1L).as("d")))
+        .groupBy("b").agg(sum(col("d")).as("delta"))
+      operators.PrefixScan.runningSum(deltas, Seq(col("b")),
+          col("delta"), "conc")
+        .withColumn("bucket", when(col("conc") === 0L, 0L)
+          .otherwise(length(bin(col("conc"))).cast("long")))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_boundaries"),
+          max(col("conc")).as("max_conc"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -10132,6 +10153,21 @@ object SparkEntry {
         |    AS bucket,
         | count(*) AS n, CAST(max(late_ms) AS BIGINT) AS max_late_ms
         |FROM l GROUP BY 1""".stripMargin,
+
+    // q270: the cumsum window the operator avoids, over net deltas.
+    "q270_concurrency" ->
+      """WITH e AS (SELECT epoch_ms(ts) AS ts_ms FROM events
+        |  WHERE ts IS NOT NULL),
+        |d AS (SELECT b, CAST(sum(x) AS BIGINT) AS delta FROM (
+        |  SELECT ts_ms AS b, 1 AS x FROM e
+        |  UNION ALL SELECT ts_ms + 3600000, -1 FROM e)
+        | GROUP BY 1),
+        |r AS (SELECT CAST(sum(delta) OVER (ORDER BY b) AS BIGINT)
+        |  AS conc FROM d)
+        |SELECT CASE WHEN conc = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST(length(format('{:b}', conc)) AS BIGINT) END AS bucket,
+        | count(*) AS n_boundaries, CAST(max(conc) AS BIGINT) AS max_conc
+        |FROM r GROUP BY 1""".stripMargin,
   )
 
   /** q258's oracle: the 8 sweep+shortcut pairs unrolled — per pair a

@@ -19,7 +19,20 @@ object PrefixScan {
     * the current one under the total order `orderCols` (inclusive
     * running max). `valueCol` must be BIGINT-castable and non-null. */
   def runningMax(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
-      outCol: String, partitions: Int = 0): DataFrame = {
+      outCol: String, partitions: Int = 0): DataFrame =
+    scanLong(df, orderCols, valueCol, outCol, Long.MinValue, math.max,
+      partitions)
+
+  /** Inclusive running SUM under a total order — same two-pass shape,
+    * + as the carried monoid. The interval-concurrency sweep's engine:
+    * +1/−1 boundary deltas in, the step function out. */
+  def runningSum(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
+      outCol: String, partitions: Int = 0): DataFrame =
+    scanLong(df, orderCols, valueCol, outCol, 0L, _ + _, partitions)
+
+  private def scanLong(df: DataFrame, orderCols: Seq[Column],
+      valueCol: Column, outCol: String, zero: Long,
+      op: (Long, Long) => Long, partitions: Int): DataFrame = {
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions
             else spark.sessionState.conf.numShufflePartitions
@@ -32,17 +45,17 @@ object PrefixScan {
       val sumSchema = StructType(Seq(
         StructField("pid", LongType, nullable = false),
         StructField("mx", LongType, nullable = false)))
-      val maxes = sorted.mapPartitions { it =>
-        var mx = Long.MinValue; var any = false
-        while (it.hasNext) { mx = math.max(mx, it.next().getLong(vIdx)); any = true }
+      val partials = sorted.mapPartitions { it =>
+        var agg = zero; var any = false
+        while (it.hasNext) { agg = op(agg, it.next().getLong(vIdx)); any = true }
         if (!any) Iterator.empty
-        else Iterator.single(Row(TaskContext.getPartitionId().toLong, mx))
+        else Iterator.single(Row(TaskContext.getPartitionId().toLong, agg))
       }(org.apache.spark.sql.Encoders.row(sumSchema))
         .collect() // bounded: one row per partition
       val prefix: Map[Long, Long] = {
-        var acc = Long.MinValue
-        maxes.sortBy(_.getLong(0)).map { r =>
-          val o = r.getLong(0) -> acc; acc = math.max(acc, r.getLong(1)); o
+        var acc = zero
+        partials.sortBy(_.getLong(0)).map { r =>
+          val o = r.getLong(0) -> acc; acc = op(acc, r.getLong(1)); o
         }.toMap
       }
       val bc = spark.sparkContext.broadcast(prefix)
@@ -50,9 +63,9 @@ object PrefixScan {
         StructField(outCol, LongType, nullable = false))
       val out = sorted.mapPartitions { it =>
         var run = bc.value.getOrElse(
-          TaskContext.getPartitionId().toLong, Long.MinValue)
+          TaskContext.getPartitionId().toLong, zero)
         it.map { r =>
-          run = math.max(run, r.getLong(vIdx))
+          run = op(run, r.getLong(vIdx))
           Row.fromSeq(r.toSeq :+ run)
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))

@@ -22,6 +22,19 @@ class PrefixScanSpec extends SparkSpec {
     }
   }
 
+  test("runningSum equals the window cumsum for every partition count") {
+    val df = Seq((1L, 1L), (2L, -1L), (3L, 2L), (4L, -2L), (5L, 5L),
+      (6L, -3L)).toDF("k", "v")
+    val want = Map(1L -> 1L, 2L -> 0L, 3L -> 2L, 4L -> 0L, 5L -> 5L,
+      6L -> 2L)
+    for (p <- Seq(1, 2, 3, 6)) {
+      val got = PrefixScan.runningSum(df, Seq(col("k")), col("v"), "s",
+          partitions = p)
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("s")).toMap
+      assert(got == want, s"partitions=$p")
+    }
+  }
+
   test("runningMax on a larger shuffled input is a monotone envelope") {
     val df = spark.range(2000).select(col("id").as("k"),
       (col("id") * 7919 % 1000).as("v"))
