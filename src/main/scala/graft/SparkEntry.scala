@@ -4080,6 +4080,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_boundaries"),
           max(col("conc")).as("max_conc"))
     }),
+
+    // Weighted interval scheduling per supplier (top-10 candidates,
+    // 7-day half-open ship windows): group-local DP via typed
+    // mapGroups — sequential within a key, parallel across keys; the
+    // oracle proves OPTIMALITY by brute-forcing all 2^K subsets with a
+    // pairwise-overlap invalidation join.
+    "q271_interval_sched" -> ((s, dir) => {
+      val start = unix_millis(col("l_shipdate").cast("timestamp"))
+      operators.Scheduling.bestNonOverlapping(
+          t(s, dir, "lineitem").where(col("l_suppkey") < 100),
+        groupCol = col("l_suppkey"), startCol = start,
+        endCol = start + lit(604800000L),
+        weightCol = round(col("l_extendedprice") * 100).cast("long"),
+        idCol = col("l_orderkey") * 8 + col("l_linenumber"), topK = 10)
+        .withColumnRenamed("g", "suppkey")
+        .withColumnRenamed("best", "best_cents")
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -10168,6 +10185,38 @@ object SparkEntry {
         |  ELSE CAST(length(format('{:b}', conc)) AS BIGINT) END AS bucket,
         | count(*) AS n_boundaries, CAST(max(conc) AS BIGINT) AS max_conc
         |FROM r GROUP BY 1""".stripMargin,
+
+    // q271: optimality by exhaustion — every mask < 2^n_jobs, masks
+    // containing any overlapping pair invalidated, max valid sum.
+    "q271_interval_sched" ->
+      """WITH j0 AS (SELECT l_suppkey AS g, epoch_ms(l_shipdate) AS s,
+        |  epoch_ms(l_shipdate) + 604800000 AS e,
+        |  CAST(round(l_extendedprice*100) AS BIGINT) AS w,
+        |  l_orderkey*8 + l_linenumber AS id
+        | FROM lineitem WHERE l_suppkey < 100),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY g
+        |  ORDER BY w DESC, id) AS rk FROM j0),
+        |j AS (SELECT g, s, e, w,
+        |  row_number() OVER (PARTITION BY g ORDER BY id) - 1 AS bit
+        | FROM r WHERE rk <= 10),
+        |n AS (SELECT g, count(*) AS n_jobs FROM j GROUP BY 1),
+        |m AS (SELECT n.g, t.range AS mask FROM n
+        | JOIN range(0, 1024) t ON t.range < (1 << n.n_jobs)),
+        |sel AS (SELECT m.g, m.mask, j.s, j.e, j.w, j.bit
+        | FROM m JOIN j ON j.g = m.g AND ((m.mask >> j.bit) & 1) = 1),
+        |inv AS (SELECT DISTINCT s1.g, s1.mask FROM sel s1
+        | JOIN sel s2 ON s1.g = s2.g AND s1.mask = s2.mask
+        |  AND s1.bit < s2.bit AND s1.s < s2.e AND s2.s < s1.e),
+        |sums AS (SELECT g, mask, sum(w) AS tot FROM sel GROUP BY 1, 2),
+        |valid AS (SELECT sums.g, sums.mask, sums.tot
+        |  FROM sums LEFT JOIN inv
+        |    ON inv.g = sums.g AND inv.mask = sums.mask
+        |  WHERE inv.mask IS NULL
+        | UNION ALL SELECT g, 0, 0 FROM n)
+        |SELECT n.g AS suppkey, CAST(n.n_jobs AS BIGINT) AS n_jobs,
+        |  CAST(max(valid.tot) AS BIGINT) AS best_cents
+        |FROM n JOIN valid ON valid.g = n.g
+        |GROUP BY 1, 2""".stripMargin,
   )
 
   /** q258's oracle: the 8 sweep+shortcut pairs unrolled — per pair a
