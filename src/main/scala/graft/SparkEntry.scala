@@ -4097,6 +4097,32 @@ object SparkEntry {
         .withColumnRenamed("g", "suppkey")
         .withColumnRenamed("best", "best_cents")
     }),
+
+    // Incremental session-window maintenance (IVM for q08's sessions):
+    // a late batch (last 20% of time) invalidates ONLY its users —
+    // keep everyone else's sessions as-is (anti join), recompute the
+    // churned keys over their full history (semi join; a late event can
+    // merge two old sessions, so key-scoped full recompute is the
+    // correct granularity — DerivedAggTable's rule, session-shaped).
+    // The oracle is the FULL recompute: equivalence IS the gate.
+    "q272_session_ivm" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("ts_ms"),
+        col("event_id"))
+      val rng = e.agg(min("ts_ms").as("mn"), max("ts_ms").as("mx"))
+        .select(expr("mn + (mx - mn) * 4 div 5").as("cut"))
+      val ec = e.crossJoin(broadcast(rng))
+      val gap = 4L * 3600000L
+      val affected = ec.where(col("ts_ms") >= col("cut"))
+        .select("user_id").distinct()
+      val kept = Sessionize.sessionBounds(
+          ec.where(col("ts_ms") < col("cut")).drop("cut"),
+          Seq("user_id"), "ts_ms", gap, "event_id")
+        .join(affected, Seq("user_id"), "left_anti")
+      val recomputed = Sessionize.sessionBounds(
+        e.join(affected, Seq("user_id"), "left_semi"),
+        Seq("user_id"), "ts_ms", gap, "event_id")
+      kept.unionByName(recomputed)
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -10217,6 +10243,22 @@ object SparkEntry {
         |  CAST(max(valid.tot) AS BIGINT) AS best_cents
         |FROM n JOIN valid ON valid.g = n.g
         |GROUP BY 1, 2""".stripMargin,
+
+    // q272: the oracle is q08's FULL recompute over all events — the
+    // incremental path must be indistinguishable from it.
+    "q272_session_ivm" ->
+      """WITH o AS (
+        | SELECT user_id, epoch_ms(ts) AS ms, event_id,
+        |  CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |        OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 14400000
+        |       THEN 1 ELSE 0 END AS brk
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+        |SELECT user_id, min(ms) AS session_start_ms, max(ms) AS session_end_ms,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
   )
 
   /** q258's oracle: the 8 sweep+shortcut pairs unrolled — per pair a
