@@ -4123,6 +4123,25 @@ object SparkEntry {
         Seq("user_id"), "ts_ms", gap, "event_id")
       kept.unionByName(recomputed)
     }),
+
+    // Systematic PPS (probability-proportional-to-size) sampling:
+    // cumulate doc sizes over a fixed order (distributed prefix sum),
+    // take every doc whose cumulative range [cum−size, cum) contains a
+    // multiple of step = total div 100 — exactly ~100 docs, selection
+    // probability ∝ size, zero randomness. The size-weighted corpus
+    // downsampler (big docs can't be missed, tiny ones enter at fair
+    // odds) — inclusion is a pure integer-division flip.
+    "q273_pps_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val cum = operators.PrefixScan.runningSum(d, Seq(col("doc_id")),
+        col("n_chars"), "cum")
+      val tot = cum.agg(max(col("cum")).as("total"))
+        .select(expr("total div 100").as("step"))
+      cum.crossJoin(broadcast(tot))
+        .where(expr("(cum - 1) div step > (cum - 1 - n_chars) div step"))
+        .select(col("doc_id"), col("n_chars"), col("cum"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -10259,6 +10278,15 @@ object SparkEntry {
         |SELECT user_id, min(ms) AS session_start_ms, max(ms) AS session_end_ms,
         |       count(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // q273: the cumsum window + the same integer-division flip.
+    "q273_pps_sample" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+        |  CAST(sum(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+        | FROM documents),
+        |t AS (SELECT max(cum) // 100 AS step FROM c)
+        |SELECT doc_id, n_chars, cum FROM c, t
+        |WHERE (cum - 1) // step > (cum - 1 - n_chars) // step""".stripMargin,
   )
 
   /** q258's oracle: the 8 sweep+shortcut pairs unrolled — per pair a
