@@ -4142,6 +4142,47 @@ object SparkEntry {
         .where(expr("(cum - 1) div step > (cum - 1 - n_chars) div step"))
         .select(col("doc_id"), col("n_chars"), col("cum"))
     }),
+
+    // Bitemporal as-of read: every row carries BOTH a valid-time and a
+    // transaction-time interval (corrections restate history — r2
+    // re-asserts the old price for the pre-change validity range, r3
+    // carries the new price, both born at the correction's tx time).
+    // The read is two independent as-of filters (tx ≤ T2 < tx_to AND
+    // valid ≤ T1 < valid_to) — "what did we BELIEVE at T2 about the
+    // state AT T1" — the audit/backtest question SCD2 (q157) and time
+    // travel (q209) each answer only half of. Pure scans + one
+    // bounded agg; interval construction needs no window.
+    "q274_bitemporal" -> ((s, dir) => {
+      val INF = 9000000000000000L
+      val D10 = 864000000L; val D15 = 1296000000L; val D30 = 2592000000L
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("prio"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("od"),
+        round(col("o_totalprice") * 100).cast("long").as("p"),
+        (col("o_orderkey") % 5 === 0).as("corr"))
+      val plain = o.where(!col("corr")).select(col("k"), col("prio"),
+        col("od").as("vf"), lit(INF).as("vt"),
+        col("od").as("tf"), lit(INF).as("tt"), col("p"))
+      val r1 = o.where(col("corr")).select(col("k"), col("prio"),
+        col("od").as("vf"), lit(INF).as("vt"),
+        col("od").as("tf"), (col("od") + D15).as("tt"), col("p"))
+      val r2 = o.where(col("corr")).select(col("k"), col("prio"),
+        col("od").as("vf"), (col("od") + D10).as("vt"),
+        (col("od") + D15).as("tf"), lit(INF).as("tt"), col("p"))
+      val r3 = o.where(col("corr")).select(col("k"), col("prio"),
+        (col("od") + D10).as("vf"), lit(INF).as("vt"),
+        (col("od") + D15).as("tf"), lit(INF).as("tt"),
+        expr("p * 9 div 10").as("p"))
+      val tab = plain.unionByName(r1).unionByName(r2).unionByName(r3)
+      val ts = o.agg(min("od").as("mn"), max("od").as("mx"))
+        .select(expr("(mn + mx) div 2").as("t2"),
+          expr(s"(mn + mx) div 2 - $D30").as("t1"))
+      tab.crossJoin(broadcast(ts))
+        .where(col("tf") <= col("t2") && col("t2") < col("tt") &&
+          col("vf") <= col("t1") && col("t1") < col("vt"))
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("p")).as("sum_cents"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -10287,6 +10328,30 @@ object SparkEntry {
         |t AS (SELECT max(cum) // 100 AS step FROM c)
         |SELECT doc_id, n_chars, cum FROM c, t
         |WHERE (cum - 1) // step > (cum - 1 - n_chars) // step""".stripMargin,
+
+    // q274: identical construction, identical two-axis as-of filter.
+    "q274_bitemporal" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |  epoch_ms(o_orderdate) AS od,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS p,
+        |  o_orderkey % 5 = 0 AS corr FROM orders),
+        |tab AS (
+        | SELECT k, prio, od AS vf, 9000000000000000 AS vt,
+        |        od AS tf, 9000000000000000 AS tt, p FROM o WHERE NOT corr
+        | UNION ALL SELECT k, prio, od, 9000000000000000,
+        |        od, od + 1296000000, p FROM o WHERE corr
+        | UNION ALL SELECT k, prio, od, od + 864000000,
+        |        od + 1296000000, 9000000000000000, p FROM o WHERE corr
+        | UNION ALL SELECT k, prio, od + 864000000, 9000000000000000,
+        |        od + 1296000000, 9000000000000000, p * 9 // 10
+        |   FROM o WHERE corr),
+        |ts AS (SELECT (min(od) + max(od)) // 2 AS t2,
+        |  (min(od) + max(od)) // 2 - 2592000000 AS t1 FROM o)
+        |SELECT prio, count(*) AS n_orders,
+        |  CAST(sum(p) AS BIGINT) AS sum_cents
+        |FROM tab, ts
+        |WHERE tf <= t2 AND t2 < tt AND vf <= t1 AND t1 < vt
+        |GROUP BY 1""".stripMargin,
   )
 
   /** q258's oracle: the 8 sweep+shortcut pairs unrolled — per pair a
