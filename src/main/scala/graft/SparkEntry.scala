@@ -4183,6 +4183,35 @@ object SparkEntry {
         .groupBy(col("prio"))
         .agg(count(lit(1)).as("n_orders"), sum(col("p")).as("sum_cents"))
     }),
+
+    // Consistent-hash ring rebalance audit: md5 hex-string ring (16
+    // vnodes per node — positions and key hashes compare as plain hex
+    // strings, no numeric conversion), assignment = first vnode at or
+    // after the key (wrap to the ring minimum). The 8-node vs 9-node
+    // transition matrix PROVES the consistent-hashing promise: only
+    // ~1/9 of keys move, and every move lands on the new node. The
+    // ring is a ~144-struct literal in the plan — O(1) per key,
+    // no join, no shuffle beyond the final count.
+    "q275_hash_ring" -> ((s, dir) => {
+      def ring(nNodes: Int): Column = {
+        val vs = for (node <- 0 until nNodes; r <- 0 until 16)
+          yield (org.apache.commons.codec.digest.DigestUtils
+            .md5Hex(s"n$node#$r"), s"n$node")
+        array(vs.sortBy(_._1).map { case (h, n) =>
+          struct(lit(h).as("h"), lit(n).as("node")) }: _*)
+      }
+      def assign(kh: Column, arr: Column): Column = {
+        val ge = filter(arr, x => x.getField("h") >= kh)
+        when(size(ge) > 0, array_min(ge).getField("node"))
+          .otherwise(array_min(arr).getField("node"))
+      }
+      t(s, dir, "customer")
+        .select(md5(col("c_custkey").cast("string")).as("kh"))
+        .select(assign(col("kh"), ring(8)).as("node_before"),
+          assign(col("kh"), ring(9)).as("node_after"))
+        .groupBy("node_before", "node_after")
+        .agg(count(lit(1)).as("n_keys"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -10352,6 +10381,29 @@ object SparkEntry {
         |FROM tab, ts
         |WHERE tf <= t2 AND t2 < tt AND vf <= t1 AND t1 < vt
         |GROUP BY 1""".stripMargin,
+
+    // q275: same ring, assignment via arg_min with a >= filter + wrap.
+    "q275_hash_ring" ->
+      """WITH k AS (SELECT md5(CAST(c_custkey AS VARCHAR)) AS kh
+        |  FROM customer),
+        |v8 AS (SELECT 'n' || CAST(t.n AS VARCHAR) AS node,
+        |  md5('n' || CAST(t.n AS VARCHAR) || '#' || CAST(u.r AS VARCHAR))
+        |    AS h
+        | FROM range(0, 8) AS t(n), range(0, 16) AS u(r)),
+        |v9 AS (SELECT 'n' || CAST(t.n AS VARCHAR) AS node,
+        |  md5('n' || CAST(t.n AS VARCHAR) || '#' || CAST(u.r AS VARCHAR))
+        |    AS h
+        | FROM range(0, 9) AS t(n), range(0, 16) AS u(r)),
+        |a8 AS (SELECT kh, coalesce(
+        |   arg_min(node, h) FILTER (WHERE h >= kh), arg_min(node, h))
+        |     AS node_before
+        | FROM k CROSS JOIN v8 GROUP BY kh),
+        |a9 AS (SELECT kh, coalesce(
+        |   arg_min(node, h) FILTER (WHERE h >= kh), arg_min(node, h))
+        |     AS node_after
+        | FROM k CROSS JOIN v9 GROUP BY kh)
+        |SELECT node_before, node_after, count(*) AS n_keys
+        |FROM a8 JOIN a9 USING (kh) GROUP BY 1, 2""".stripMargin,
   )
 
   /** q258's oracle: the 8 sweep+shortcut pairs unrolled — per pair a
