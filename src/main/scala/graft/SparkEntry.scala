@@ -4212,6 +4212,25 @@ object SparkEntry {
         .groupBy("node_before", "node_after")
         .agg(count(lit(1)).as("n_keys"))
     }),
+
+    // Delta-encoding advisor: zigzag-delta bit mass per numeric column
+    // under the q261 sort orders — DELTA_BINARY_PACKED's payload size,
+    // computed in one scan with seam re-pricing; with q261 (RLE runs)
+    // and q264 (dict codes) this completes the three-way encoding
+    // decision a columnar writer makes per column.
+    "q276_delta_layout" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey")
+      operators.RunLength.deltaProfile(li,
+          Seq(col("l_orderkey"), col("l_linenumber")), cols)
+        .withColumn("sort_order", lit("natural"))
+        .unionByName(operators.RunLength.deltaProfile(li,
+          Seq(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+            col("l_linenumber")), cols)
+          .withColumn("sort_order", lit("supplier_ship")))
+        .select(col("sort_order"), col("col_name"), col("delta_bits"),
+          col("n_rows"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -10404,6 +10423,30 @@ object SparkEntry {
         | FROM k CROSS JOIN v9 GROUP BY kh)
         |SELECT node_before, node_after, count(*) AS n_keys
         |FROM a8 JOIN a9 USING (kh) GROUP BY 1, 2""".stripMargin,
+
+    // q276: the global-order lag replay; zigzag as a CASE, first row
+    // deltas from 0 via coalesce.
+    "q276_delta_layout" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey")
+      def cte(alias: String, order: String) =
+        s"""$alias AS (
+           | SELECT ${cols.mkString(", ")},
+           |  ${cols.map(c => s"lag($c) OVER w AS p_$c").mkString(", ")}
+           | FROM lineitem WINDOW w AS (ORDER BY $order))""".stripMargin
+      def branches(alias: String, label: String) = cols.map { c =>
+        val d = s"($c - coalesce(p_$c, 0))"
+        s"""SELECT '$label' AS sort_order, '$c' AS col_name,
+           | CAST(sum(length(format('{:b}',
+           |   CASE WHEN $d >= 0 THEN 2*$d ELSE -2*$d - 1 END)))
+           |  AS BIGINT) AS delta_bits,
+           | count(*) AS n_rows FROM $alias""".stripMargin
+      }
+      s"""WITH ${cte("nat", "l_orderkey, l_linenumber")},
+         |${cte("sup", "l_suppkey, l_shipdate, l_orderkey, l_linenumber")}
+         |${(branches("nat", "natural") ++
+             branches("sup", "supplier_ship")).mkString("\nUNION ALL\n")}
+         |""".stripMargin
+    },
   )
 
   /** q258's oracle: the 8 sweep+shortcut pairs unrolled — per pair a

@@ -106,4 +106,85 @@ object RunLength {
         StructField("runs", LongType, nullable = false),
         StructField("n_rows", LongType, nullable = false))))
   }
+
+  private def zigzag(d: Long): Long = (d << 1) ^ (d >> 63)
+  private def bitlen(x: Long): Long =
+    if (x == 0L) 1L else 64L - java.lang.Long.numberOfLeadingZeros(x)
+
+  /** Delta-encoding advisor — the numeric sibling of [[runProfile]]:
+    * total zigzag-delta bit mass Σ bitlen(zigzag(vᵢ − vᵢ₋₁)) per
+    * non-null BIGINT column under the total order (first row deltas
+    * from 0), i.e. the payload a Parquet DELTA_BINARY_PACKED page would
+    * carry. Same one-scan shape: per-partition accumulation, bounded
+    * (first, last, bits) stitch that re-prices each seam's first delta
+    * against the previous partition's last value.
+    * Output: (col_name, delta_bits, n_rows). */
+  def deltaProfile(df: DataFrame, sortCols: Seq[Column],
+      longCols: Seq[String], partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val sortKeys = sortCols.zipWithIndex.map { case (c, i) => c.as(s"__s$i") }
+    val proj = df.select(sortKeys ++
+      longCols.map(c => col(c).cast("long").as(c)): _*)
+    val keyRefs = sortCols.indices.map(i => col(s"__s$i"))
+    val n = if (partitions > 0) partitions
+            else spark.sessionState.conf.numShufflePartitions
+    val sorted = proj.repartitionByRange(n, keyRefs: _*)
+      .sortWithinPartitions(keyRefs: _*)
+    val nSort = sortCols.length
+    val names = longCols.toArray
+    val schema = StructType(Seq(
+      StructField("pid", IntegerType, nullable = false),
+      StructField("col_name", StringType, nullable = false),
+      StructField("bits", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("first_v", LongType, nullable = false),
+      StructField("last_v", LongType, nullable = false)))
+    val partRows = sorted.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = TaskContext.getPartitionId()
+        val k = names.length
+        val bits = new Array[Long](k)
+        val first = new Array[Long](k)
+        val prev = new Array[Long](k)
+        var rows = 0L
+        while (it.hasNext) {
+          val r = it.next()
+          var i = 0
+          while (i < k) {
+            val v = r.getLong(nSort + i)
+            val d = if (rows == 0L) { first(i) = v; v } else v - prev(i)
+            bits(i) += bitlen(zigzag(d))
+            prev(i) = v
+            i += 1
+          }
+          rows += 1L
+        }
+        (0 until k).iterator.map(i =>
+          Row(pid, names(i), bits(i), rows, first(i), prev(i)))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema)).collect()
+
+    val totals = names.map { cn =>
+      val per = partRows.filter(_.getString(1) == cn).sortBy(_.getInt(0))
+      var bits = 0L; var rows = 0L
+      var havePrev = false; var prevLast = 0L
+      per.foreach { r =>
+        bits += r.getLong(2); rows += r.getLong(3)
+        if (havePrev) {
+          val f = r.getLong(4)
+          bits -= bitlen(zigzag(f))              // was priced as delta-from-0
+          bits += bitlen(zigzag(f - prevLast))   // re-price against the seam
+        }
+        prevLast = r.getLong(5); havePrev = true
+      }
+      Row(cn, bits, rows)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(totals.toSeq, 1),
+      StructType(Seq(
+        StructField("col_name", StringType, nullable = false),
+        StructField("delta_bits", LongType, nullable = false),
+        StructField("n_rows", LongType, nullable = false))))
+  }
 }

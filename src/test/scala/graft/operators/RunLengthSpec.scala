@@ -26,6 +26,18 @@ class RunLengthSpec extends SparkSpec {
     for (p <- Seq(1, 2, 5)) assert(runsOf(rows, p) == 3L, s"parts=$p")
   }
 
+  test("deltaProfile is partition-invariant and zigzag-prices negatives") {
+    // values 10, 7, 7, 100 → deltas from 0: 10, −3, 0, 93
+    // zigzag: 20(5b), 5(3b), 0(1b), 186(8b) → 17 bits total
+    val rows = Seq((1L, 10L), (2L, 7L), (3L, 7L), (4L, 100L))
+    for (p <- Seq(1, 2, 4)) {
+      val r = RunLength.deltaProfile(rows.toDF("k", "v"), Seq(col("k")),
+        Seq("v"), partitions = p).collect().head
+      assert(r.getAs[Long]("delta_bits") == 17L, s"parts=$p")
+      assert(r.getAs[Long]("n_rows") == 4L)
+    }
+  }
+
   test("runProfile: n_rows totals and multi-column independence") {
     val df = Seq((1L, 1L, "x"), (2L, 1L, "y"), (3L, 2L, "y"))
       .toDF("k", "a", "b")
