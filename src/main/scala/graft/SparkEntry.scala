@@ -4231,6 +4231,77 @@ object SparkEntry {
         .select(col("sort_order"), col("col_name"), col("delta_bits"),
           col("n_rows"))
     }),
+
+    // Golden-record survivorship (MDM merge): two sources disagree per
+    // FIELD — each field independently survives by (freshest ts, then
+    // source priority) among non-null candidates, as one max(struct)
+    // aggregation per field (no per-field joins, one shuffle total).
+    // Sources synthesized deterministically from customer: CRM drops
+    // bal for key%3=0, WEB uppercases names and drops segment for
+    // key%2=0; per-source freshness varies by key.
+    "q277_survivorship" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val a = c.select(col("c_custkey").as("k"),
+        (lit(100L) + col("c_custkey") % 7).as("ts"), lit(2L).as("pri"),
+        col("c_name").as("name"),
+        when(col("c_custkey") % 3 =!= 0,
+          round(col("c_acctbal") * 100).cast("long")).as("bal"),
+        col("c_mktsegment").as("seg"))
+      val b = c.select(col("c_custkey").as("k"),
+        (lit(100L) + col("c_custkey") % 5).as("ts"), lit(1L).as("pri"),
+        upper(col("c_name")).as("name"),
+        round(col("c_acctbal") * 100).cast("long").as("bal"),
+        when(col("c_custkey") % 2 =!= 0, col("c_mktsegment")).as("seg"))
+      def survive(v: String, out: String) =
+        max(when(col(v).isNotNull,
+          struct(col("ts"), col("pri"), col(v).as("v"))))
+          .getField("v").as(out)
+      a.unionByName(b).groupBy(col("k"))
+        .agg(survive("name", "name"), survive("bal", "bal_cents"),
+          survive("seg", "segment"))
+    }),
+
+    // Foreign-key inference (schema discovery over a lake): for each
+    // candidate (child.col → parent.col) pair, distinct-value
+    // containment + parent uniqueness — the Spider/metanome-style
+    // IND-detection core. Distinct sets first (the shuffle carries
+    // |distinct|, not |rows|), then one left join per pair. The
+    // l_suppkey→p_partkey row is the honest false positive pure
+    // containment yields (dense integer ranges) — the verdict column
+    // reports exactly what the signals support, nothing more.
+    "q278_fk_inference" -> ((s, dir) => {
+      def pair(label: String, child: DataFrame, cc: String,
+          parent: DataFrame, pc: String) = {
+        val cd = child.select(col(cc).as("v")).where(col("v").isNotNull)
+          .distinct()
+        val pd = parent.groupBy(col(pc).as("v"))
+          .agg(count(lit(1)).as("__n"))
+        val parentUnique = pd.agg(
+          max(col("__n")).as("mx"), count(lit(1)).as("n_parent"))
+        cd.join(pd.select(col("v"), lit(1L).as("__hit")), Seq("v"), "left")
+          .agg(count(lit(1)).as("n_child_distinct"),
+            sum(coalesce(col("__hit"), lit(0L))).as("n_contained"))
+          .crossJoin(parentUnique)
+          .select(lit(label).as("candidate"), col("n_child_distinct"),
+            col("n_parent").as("n_parent_distinct"), col("n_contained"),
+            expr("n_contained * 1000000 div n_child_distinct")
+              .as("containment_ppm"),
+            (col("mx") === 1L).as("parent_unique"),
+            (col("mx") === 1L &&
+              col("n_contained") === col("n_child_distinct")).as("is_fk"))
+      }
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      pair("lineitem.l_orderkey->orders.o_orderkey", li, "l_orderkey",
+          o, "o_orderkey")
+        .unionByName(pair("lineitem.l_partkey->part.p_partkey", li,
+          "l_partkey", t(s, dir, "part"), "p_partkey"))
+        .unionByName(pair("orders.o_custkey->customer.c_custkey", o,
+          "o_custkey", t(s, dir, "customer"), "c_custkey"))
+        .unionByName(pair("lineitem.l_suppkey->part.p_partkey", li,
+          "l_suppkey", t(s, dir, "part"), "p_partkey"))
+        .unionByName(pair("customer.c_custkey->orders.o_orderkey",
+          t(s, dir, "customer"), "c_custkey", o, "o_orderkey"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -10446,6 +10517,62 @@ object SparkEntry {
          |${(branches("nat", "natural") ++
              branches("sup", "supplier_ship")).mkString("\nUNION ALL\n")}
          |""".stripMargin
+    },
+
+    // q277: arg_max over the [ts, pri] list key, filtered to non-null —
+    // field-independent survivorship, same tie discipline.
+    "q277_survivorship" ->
+      """WITH a AS (SELECT c_custkey AS k, 100 + c_custkey % 7 AS ts,
+        |  2 AS pri, c_name AS name,
+        |  CASE WHEN c_custkey % 3 <> 0
+        |       THEN CAST(round(c_acctbal*100) AS BIGINT) END AS bal,
+        |  c_mktsegment AS seg FROM customer),
+        |b AS (SELECT c_custkey, 100 + c_custkey % 5, 1, upper(c_name),
+        |  CAST(round(c_acctbal*100) AS BIGINT),
+        |  CASE WHEN c_custkey % 2 <> 0 THEN c_mktsegment END
+        | FROM customer),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |SELECT k,
+        |  arg_max(name, ts * 10 + pri) FILTER (WHERE name IS NOT NULL)
+        |    AS name,
+        |  arg_max(bal, ts * 10 + pri) FILTER (WHERE bal IS NOT NULL)
+        |    AS bal_cents,
+        |  arg_max(seg, ts * 10 + pri) FILTER (WHERE seg IS NOT NULL)
+        |    AS segment
+        |FROM u GROUP BY 1""".stripMargin,
+
+    // q278: per-pair scalar subqueries — distinct censuses, containment
+    // join, uniqueness probe; same ppm truncation.
+    "q278_fk_inference" -> {
+      def pair(label: String, child: String, cc: String, parent: String,
+          pc: String) =
+        s"""SELECT '$label' AS candidate,
+           | cd.n AS n_child_distinct, pd.n AS n_parent_distinct,
+           | j.n AS n_contained, j.n * 1000000 // cd.n AS containment_ppm,
+           | pd.mx = 1 AS parent_unique,
+           | (pd.mx = 1 AND j.n = cd.n) AS is_fk
+           |FROM
+           | (SELECT count(DISTINCT $cc) AS n FROM $child
+           |   WHERE $cc IS NOT NULL) cd,
+           | (SELECT count(*) AS n, max(c) AS mx FROM
+           |   (SELECT $pc, count(*) AS c FROM $parent GROUP BY 1)) pd,
+           | (SELECT count(*) AS n FROM
+           |   (SELECT DISTINCT $cc AS v FROM $child
+           |     WHERE $cc IS NOT NULL) x
+           |   JOIN (SELECT DISTINCT $pc AS v FROM $parent) y
+           |     ON x.v = y.v) j""".stripMargin
+      Seq(
+        pair("lineitem.l_orderkey->orders.o_orderkey", "lineitem",
+          "l_orderkey", "orders", "o_orderkey"),
+        pair("lineitem.l_partkey->part.p_partkey", "lineitem",
+          "l_partkey", "part", "p_partkey"),
+        pair("orders.o_custkey->customer.c_custkey", "orders",
+          "o_custkey", "customer", "c_custkey"),
+        pair("lineitem.l_suppkey->part.p_partkey", "lineitem",
+          "l_suppkey", "part", "p_partkey"),
+        pair("customer.c_custkey->orders.o_orderkey", "customer",
+          "c_custkey", "orders", "o_orderkey"),
+      ).mkString("\nUNION ALL\n")
     },
   )
 
