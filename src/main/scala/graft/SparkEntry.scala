@@ -4302,6 +4302,40 @@ object SparkEntry {
         .unionByName(pair("customer.c_custkey->orders.o_orderkey",
           t(s, dir, "customer"), "c_custkey", o, "o_orderkey"))
     }),
+
+    // Two-sample Cramér–von Mises: U = Σ_pooled (m·F_A − n·F_B)² —
+    // the INTEGRATED ECDF gap (whole-distribution sensitivity) next to
+    // KS's max gap (q139) and rank-sum's location shift (q246).
+    // Cumulative sums run over the bounded VALUE-domain histogram
+    // (cents axis), never the row axis; the quadratic accumulates in
+    // DECIMAL(38,0) and ships as exact (quotient, remainder) mod n·m
+    // so both halves stay float64-exact in any downstream reader.
+    "q279_cvm_test" -> ((s, dir) => {
+      val e = ev(s, dir).where(col("value").isNotNull)
+        .withColumn("v", round(col("value") * 100).cast("long"))
+      val hist = e.where(col("event_type").isin("purchase", "click"))
+        .groupBy(col("v"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("ca"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("cb"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val tot = hist.agg(sum(col("ca")).as("n"), sum(col("cb")).as("m"))
+      hist.withColumn("cuma", sum(col("ca")).over(w))
+        .withColumn("cumb", sum(col("cb")).over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("gap", expr(
+          "CAST(m AS DECIMAL(38,0)) * cuma - CAST(n AS DECIMAL(38,0)) * cumb"))
+        .agg(max(col("n")).as("n"), max(col("m")).as("m"),
+          sum(expr("CAST(ca + cb AS DECIMAL(38,0)) * gap * gap")).as("u"))
+        .select(col("n"), col("m"),
+          expr("CAST(u div CAST(n * m AS DECIMAL(38,0)) AS BIGINT)")
+            .as("u_quot"),
+          expr("CAST(u % CAST(n * m AS DECIMAL(38,0)) AS BIGINT)")
+            .as("u_rem"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -10574,6 +10608,32 @@ object SparkEntry {
           "c_custkey", "orders", "o_orderkey"),
       ).mkString("\nUNION ALL\n")
     },
+
+    // q279: same histogram-axis cumulative ECDFs, HUGEINT quadratic,
+    // same (quotient, remainder) exact shipping.
+    "q279_cvm_test" ->
+      """WITH b AS (SELECT event_type,
+        |  CAST(round(value*100) AS BIGINT) AS v FROM events
+        | WHERE value IS NOT NULL
+        |   AND event_type IN ('purchase', 'click')),
+        |h AS (SELECT v,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cb
+        | FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n,
+        |  CAST(sum(cb) AS BIGINT) AS m FROM h),
+        |c AS (SELECT ca, cb,
+        |  sum(ca) OVER (ORDER BY v) AS cuma,
+        |  sum(cb) OVER (ORDER BY v) AS cumb FROM h),
+        |g AS (SELECT ca, cb,
+        |  CAST(m AS HUGEINT) * cuma - CAST(n AS HUGEINT) * cumb AS gap
+        | FROM c, t),
+        |u AS (SELECT CAST(sum(CAST(ca + cb AS HUGEINT) * gap * gap)
+        |  AS HUGEINT) AS u FROM g)
+        |SELECT n, m,
+        |  CAST(u // (CAST(n AS HUGEINT) * m) AS BIGINT) AS u_quot,
+        |  CAST(u % (CAST(n AS HUGEINT) * m) AS BIGINT) AS u_rem
+        |FROM u, t""".stripMargin,
   )
 
   /** q258's oracle: the 8 sweep+shortcut pairs unrolled — per pair a
