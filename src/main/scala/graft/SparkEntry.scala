@@ -4336,6 +4336,39 @@ object SparkEntry {
           expr("CAST(u % CAST(n * m AS DECIMAL(38,0)) AS BIGINT)")
             .as("u_rem"))
     }),
+
+    // Hilbert vs Z-order locality audit: index every occupied cell of
+    // a 256×256 grid under both curves (pure codegen column
+    // expressions, xy2d unrolled over 8 bits), then for three 2-D
+    // query boxes count the CONTIGUOUS index ranges a scan would
+    // touch — the fragmentation metric that decides which curve to
+    // cluster a 100 TB table by (Hilbert's adjacent-positions-are-
+    // adjacent-cells property shows up as fewer ranges).
+    "q280_hilbert_locality" -> ((s, dir) => {
+      import graft.functions.SpaceCurves
+      SpaceCurves.register(s)
+      val cells = t(s, dir, "customer").select(
+          pmod(col("c_custkey") * 7919, lit(32L)).as("x"),
+          pmod(expr("c_custkey div 32") * 104729, lit(32L)).as("y"))
+        .distinct()
+      val boxes = Seq(("box_a", 3, 19, 5, 11),
+        ("box_b", 0, 31, 12, 16), ("box_c", 9, 25, 9, 25))
+      val curves: Seq[(String, (Column, Column) => Column)] = Seq(
+        ("hilbert", (x, y) => SpaceCurves.hilbertIndex(x, y, 5)),
+        ("zorder", (x, y) => SpaceCurves.zOrderIndex(x, y, 5)))
+      val pts = (for ((bn, x0, x1, y0, y1) <- boxes; (cn, f) <- curves)
+        yield cells
+          .where(col("x").between(x0, x1) && col("y").between(y0, y1))
+          .select(lit(cn).as("curve"), lit(bn).as("box"),
+            f(col("x"), col("y")).as("i"))).reduce(_ unionByName _)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("curve"), col("box")).orderBy(col("i"))
+      pts.withColumn("p", lag(col("i"), 1).over(w))
+        .groupBy(col("curve"), col("box"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(when(col("p").isNull || col("i") =!= col("p") + 1, 1L)
+            .otherwise(0L)).as("n_ranges"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -10634,6 +10667,38 @@ object SparkEntry {
         |  CAST(u // (CAST(n AS HUGEINT) * m) AS BIGINT) AS u_quot,
         |  CAST(u % (CAST(n AS HUGEINT) * m) AS BIGINT) AS u_rem
         |FROM u, t""".stripMargin,
+
+    // q280: the identical unrolled xy2d (emitted by the same Scala
+    // helper as the Spark expression), Morton by shift-interleave.
+    "q280_hilbert_locality" -> {
+      val ctes = graft.functions.SpaceCurves
+        .hilbertSqlCtes("h0", 5, Seq("ox", "oy"))
+      val z = (0 until 5).map(i =>
+        s"(((ox >> $i) & 1) << ${2 * i}) + (((oy >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      val boxes = Seq(("box_a", 3, 19, 5, 11),
+        ("box_b", 0, 31, 12, 16), ("box_c", 9, 25, 9, 25))
+      val branches = for ((bn, x0, x1, y0, y1) <- boxes;
+          cn <- Seq("hilbert", "zorder")) yield {
+        val ic = if (cn == "hilbert") "hil" else "zo"
+        s"""SELECT '$cn' AS curve, '$bn' AS box, $ic AS i FROM idx
+           | WHERE ox BETWEEN $x0 AND $x1 AND oy BETWEEN $y0 AND $y1"""
+          .stripMargin
+      }
+      s"""WITH cells AS (SELECT DISTINCT (c_custkey*7919) % 32 AS x,
+         |  ((c_custkey // 32) * 104729) % 32 AS y FROM customer),
+         |h0 AS (SELECT x AS ox, y AS oy, x, y, 0 AS d FROM cells),
+         |$ctes,
+         |idx AS (SELECT ox, oy, d AS hil, $z AS zo FROM h5),
+         |pts AS (${branches.mkString("\nUNION ALL\n")}),
+         |r AS (SELECT curve, box, i,
+         |  lag(i) OVER (PARTITION BY curve, box ORDER BY i) AS p
+         | FROM pts)
+         |SELECT curve, box, count(*) AS n_cells,
+         |  CAST(sum(CASE WHEN p IS NULL OR i <> p + 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_ranges
+         |FROM r GROUP BY 1, 2""".stripMargin
+    },
   )
 
   /** q258's oracle: the 8 sweep+shortcut pairs unrolled — per pair a
