@@ -4369,6 +4369,57 @@ object SparkEntry {
           sum(when(col("p").isNull || col("i") =!= col("p") + 1, 1L)
             .otherwise(0L)).as("n_ranges"))
     }),
+
+    // Autocomplete index build (serving prep): explode every term into
+    // its 1–4-char prefixes, keep the top 3 completions per prefix by
+    // (count desc, term) — the per-prefix window runs over prefix
+    // groups (bounded by vocabulary), never corpus rows.
+    "q281_autocomplete" -> ((s, dir) => {
+      val terms = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+        .where(length(col("term")) > 0)
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("prefix"))
+        .orderBy(col("cnt").desc, col("term").asc)
+      terms.select(col("term"), col("cnt"),
+          explode(sequence(lit(1), least(lit(4), length(col("term")))))
+            .as("plen"))
+        .withColumn("prefix", expr("substr(term, 1, plen)"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("prefix"), col("rank"), col("term"), col("cnt"))
+    }),
+
+    // FK-closed sampling (referentially consistent test-data
+    // extraction): hash-sample the FACT (orders), then close over the
+    // graph — lineitems of sampled orders, customers of sampled
+    // orders — with semi joins; the anti-join orphan audits prove the
+    // closure (all zero). The subsetting recipe that makes a 100 TB
+    // lake shrink to a runnable integration fixture.
+    "q282_fk_closed_sample" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val sample = o.where(substring(md5(concat(
+        col("o_orderkey").cast("string"), lit("#samp#v1"))), 1, 2) < "08")
+      val li = t(s, dir, "lineitem").join(
+        sample.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      val cust = t(s, dir, "customer").join(
+        sample.select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      val liOrphans = li.join(sample.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      val ordOrphans = sample.join(cust.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      def row(name: String, d: DataFrame, orphans: DataFrame) =
+        d.agg(count(lit(1)).as("n_rows")).select(lit(name).as("table_name"),
+          col("n_rows")).crossJoin(
+          orphans.agg(count(lit(1)).as("orphans")))
+      row("orders", sample, ordOrphans)
+        .unionByName(row("lineitem", li, liOrphans))
+        .unionByName(row("customer", cust,
+          cust.where(lit(false))))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -10699,6 +10750,38 @@ object SparkEntry {
          |    AS BIGINT) AS n_ranges
          |FROM r GROUP BY 1, 2""".stripMargin
     },
+
+    // q281: same prefix explode via generate_series, same window.
+    "q281_autocomplete" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM tok
+        | WHERE length(term) > 0 GROUP BY 1),
+        |p AS (SELECT substr(term, 1, g.plen) AS prefix, term, cnt
+        | FROM c JOIN range(1, 5) AS g(plen)
+        |   ON g.plen <= least(4, length(term))),
+        |r AS (SELECT prefix, term, cnt, row_number() OVER (
+        |  PARTITION BY prefix ORDER BY cnt DESC, term) AS rank FROM p)
+        |SELECT prefix, CAST(rank AS INT) AS rank, term, cnt
+        |FROM r WHERE rank <= 3""".stripMargin,
+
+    // q282: same hash sample, same closure + audits.
+    "q282_fk_closed_sample" ->
+      """WITH s AS (SELECT * FROM orders
+        | WHERE substr(md5(CAST(o_orderkey AS VARCHAR) || '#samp#v1'),
+        |   1, 2) < '08'),
+        |li AS (SELECT * FROM lineitem
+        | WHERE l_orderkey IN (SELECT o_orderkey FROM s)),
+        |cu AS (SELECT * FROM customer
+        | WHERE c_custkey IN (SELECT o_custkey FROM s))
+        |SELECT 'orders' AS table_name, (SELECT count(*) FROM s) AS n_rows,
+        | (SELECT count(*) FROM s WHERE o_custkey NOT IN
+        |   (SELECT c_custkey FROM cu)) AS orphans
+        |UNION ALL SELECT 'lineitem', (SELECT count(*) FROM li),
+        | (SELECT count(*) FROM li WHERE l_orderkey NOT IN
+        |   (SELECT o_orderkey FROM s))
+        |UNION ALL SELECT 'customer', (SELECT count(*) FROM cu), 0"""
+        .stripMargin,
   )
 
   /** q258's oracle: the 8 sweep+shortcut pairs unrolled — per pair a
