@@ -4420,6 +4420,20 @@ object SparkEntry {
         .unionByName(row("customer", cust,
           cust.where(lit(false))))
     }),
+
+    // LTTB dashboard downsampling: daily per-type revenue series →
+    // the visually-optimal 12-point polyline per series; sequential
+    // per series (prev pick is a triangle vertex), parallel across
+    // series, centroid division eliminated by n₃-scaled exact areas.
+    "q283_lttb" -> ((s, dir) => {
+      val daily = ev(s, dir).where(col("value").isNotNull)
+        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      operators.Lttb.downsample(daily, col("event_type"), col("day"),
+          col("cents"), buckets = 10)
+        .select(col("series").as("event_type"), col("x").as("day"),
+          col("y").as("cents"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -10782,7 +10796,57 @@ object SparkEntry {
         |   (SELECT o_orderkey FROM s))
         |UNION ALL SELECT 'customer', (SELECT count(*) FROM cu), 0"""
         .stripMargin,
+
+    "q283_lttb" -> q283OracleSql,
   )
+
+  /** q283's oracle: LTTB unrolled — per bucket a MATERIALIZED pick CTE
+    * (window argmax on the n₃-scaled exact area against the previous
+    * pick and the next bucket's sums), chained s0→s10, then first ∪
+    * picks ∪ last. Same bucket formula ((rk−2)·B div (n−2)) and the
+    * same tie (area DESC, x ASC) as the Spark fold. */
+  private val q283OracleSql: String = {
+    val B = 10
+    val steps = (0 until B).map { i =>
+      val vertex =
+        if (i + 1 < B)
+          s"""(SELECT s, count(*) AS n3,
+             |  CAST(sum(x) AS HUGEINT) AS sx3,
+             |  CAST(sum(y) AS HUGEINT) AS sy3
+             | FROM mid WHERE b = ${i + 1} GROUP BY s)"""
+        else
+          s"""(SELECT s, 1 AS n3, CAST(x AS HUGEINT) AS sx3,
+             |  CAST(y AS HUGEINT) AS sy3 FROM lst)"""
+      s"""v$i AS MATERIALIZED ${vertex.stripMargin},
+         |s${i + 1} AS MATERIALIZED (SELECT s, x, y FROM (
+         | SELECT c.s, c.x, c.y, row_number() OVER (PARTITION BY c.s
+         |  ORDER BY abs((CAST(p.x AS HUGEINT) * v.n3 - v.sx3)
+         |      * (c.y - p.y)
+         |    - CAST(p.x - c.x AS HUGEINT)
+         |      * (v.sy3 - CAST(p.y AS HUGEINT) * v.n3)) DESC, c.x)
+         |    AS rnk
+         | FROM mid c JOIN s$i p ON p.s = c.s JOIN v$i v ON v.s = c.s
+         | WHERE c.b = $i) WHERE rnk = 1)""".stripMargin
+    }
+    val picks = (1 to B).map(i => s"SELECT s, x, y FROM s$i")
+      .mkString("\n UNION ALL ")
+    s"""WITH d AS (SELECT event_type AS s,
+       |  epoch_ms(ts) // 86400000 AS x,
+       |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS y
+       | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       |r AS (SELECT s, x, y, row_number() OVER (PARTITION BY s
+       |  ORDER BY x) AS rk, count(*) OVER (PARTITION BY s) AS n FROM d),
+       |mid AS (SELECT s, x, y,
+       |  CAST(rk - 2 AS BIGINT) * $B // (n - 2) AS b
+       | FROM r WHERE rk > 1 AND rk < n),
+       |fst AS (SELECT s, x, y FROM r WHERE rk = 1),
+       |lst AS (SELECT s, x, y FROM r WHERE rk = n),
+       |s0 AS (SELECT s, x, y FROM fst),
+       |${steps.mkString(",\n")}
+       |SELECT s AS event_type, x AS day, y AS cents FROM fst
+       | UNION ALL $picks
+       | UNION ALL SELECT s, x, y FROM lst""".stripMargin
+  }
 
   /** q258's oracle: the 8 sweep+shortcut pairs unrolled — per pair a
     * neighbor-min join over the 8-adjacency edge set (self-loops
