@@ -3982,9 +3982,14 @@ object SparkEntry {
     // thresholded into link / possible / non_link. Bounded output:
     // per-(block, class) pair counts + score mass.
     "q266_fs_linkage" -> ((s, dir) => {
+      // block = (noun, size div 8): the second key is the standard
+      // multi-key blocking refinement — pairs drop ~8x while the
+      // size-band agreement field (|diff| <= 2) stays decided within
+      // +-1 band of the block, documented as the recall trade
       val p = t(s, dir, "part").select(col("p_partkey").as("id"),
         element_at(split(col("p_name"), " "), 1).as("tok1"),
-        element_at(split(col("p_name"), " "), 2).as("blk"),
+        concat(element_at(split(col("p_name"), " "), 2), lit("#"),
+          expr("p_size div 8")).as("blk"),
         col("p_brand").as("brand"), col("p_type").as("typ"),
         col("p_size").as("size"))
       val a = p.columns.foldLeft(p)((d, c) => d.withColumnRenamed(c, s"a_$c"))
@@ -10449,7 +10454,8 @@ object SparkEntry {
     "q266_fs_linkage" ->
       """WITH p AS (SELECT p_partkey AS id,
         |  string_split(p_name, ' ')[1] AS tok1,
-        |  string_split(p_name, ' ')[2] AS blk,
+        |  string_split(p_name, ' ')[2] || '#' ||
+        |    CAST(p_size // 8 AS VARCHAR) AS blk,
         |  p_brand AS brand, p_type AS typ, p_size AS size FROM part),
         |pairs AS (SELECT a.blk AS block,
         |  (CASE WHEN a.tok1 = b.tok1 THEN 240 ELSE -80 END) +
