@@ -4439,6 +4439,27 @@ object SparkEntry {
         .select(col("series").as("event_type"), col("x").as("day"),
           col("y").as("cents"))
     }),
+
+    // Posting-list compression estimator: per term, delta-gap the
+    // sorted doc ids and price each gap in LEB128 varint bytes —
+    // the inverted-index size model (gap+varint is how Lucene stores
+    // postings) that decides df-pruning and tiering for a 100 TB
+    // corpus index. Windows run per term (posting lists), one scan.
+    "q284_postings_cost" -> ((s, dir) => {
+      val posts = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .where(length(col("term")) > 0)
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term")).orderBy(col("doc_id"))
+      posts.withColumn("gap",
+          col("doc_id") - coalesce(lag(col("doc_id"), 1).over(w), lit(0L)))
+        .withColumn("vbytes",
+          expr("(length(bin(greatest(gap, 1))) + 6) div 7"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("vbytes")).as("varint_bytes"),
+          (count(lit(1)) * 8).as("raw_bytes"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -10804,6 +10825,20 @@ object SparkEntry {
         .stripMargin,
 
     "q283_lttb" -> q283OracleSql,
+
+    // q284: same gaps, same LEB128 byte pricing.
+    "q284_postings_cost" ->
+      """WITH p AS (SELECT DISTINCT doc_id,
+        |  unnest(string_split(text, ' ')) AS term FROM documents),
+        |g AS (SELECT term,
+        |  doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term
+        |    ORDER BY doc_id), 0) AS gap
+        | FROM p WHERE length(term) > 0)
+        |SELECT term, count(*) AS df,
+        |  CAST(sum((length(format('{:b}', greatest(gap, 1))) + 6) // 7)
+        |    AS BIGINT) AS varint_bytes,
+        |  count(*) * 8 AS raw_bytes
+        |FROM g GROUP BY 1""".stripMargin,
   )
 
   /** q283's oracle: LTTB unrolled — per bucket a MATERIALIZED pick CTE
