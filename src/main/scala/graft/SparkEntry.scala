@@ -4460,6 +4460,79 @@ object SparkEntry {
         .agg(count(lit(1)).as("df"), sum(col("vbytes")).as("varint_bytes"),
           (count(lit(1)) * 8).as("raw_bytes"))
     }),
+
+    // Quantile treatment effects: the DISTRIBUTIONAL readout the mean
+    // lift (q259/q262) hides — exact per-arm quantiles at five percents
+    // via ExactQuantiles' sample-then-refine selection, differenced
+    // into QTE(p). Heterogeneity shows as a non-constant qte column.
+    "q285_qte" -> ((s, dir) => {
+      val e = ev(s, dir).where(col("value").isNotNull)
+        .withColumn("arm", when(pmod(col("user_id"), lit(2L)) === 0L,
+          "treated").otherwise("control"))
+      val q = operators.ExactQuantiles.quantiles(e, Seq("arm"),
+        round(col("value") * 100).cast("long"), col("event_id"),
+        percents = Seq(10, 25, 50, 75, 90))
+      q.where(col("arm") === "treated")
+        .select(col("percent"), col("quantile").as("q_treated"))
+        .join(q.where(col("arm") === "control")
+          .select(col("percent"), col("quantile").as("q_control")),
+          Seq("percent"))
+        .withColumn("qte", col("q_treated") - col("q_control"))
+    }),
+
+    // Covariate balance audit: standardized mean differences over
+    // PRE-period covariates (spend, activity, breadth) between arms —
+    // THE applied-causal diagnostic (|SMD| < 0.1 = balanced). Exact
+    // integer pipeline: cross-multiplied mean gaps, truncated sample
+    // variances, q235's corrected integer isqrt for the pooled SD.
+    "q286_balance_audit" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val mid = e.agg(min(col("ts_ms")).as("mn"), max(col("ts_ms")).as("mx"))
+        .select(expr("(mn + mx) div 2").as("mid"))
+      val u = e.crossJoin(broadcast(mid))
+        .where(col("ts_ms") < col("mid") && col("value").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(max(when(pmod(col("user_id"), lit(2L)) === 0L, 1L)
+          .otherwise(0L)).as("t"),
+          sum(round(col("value") * 100).cast("long")).as("x_spend"),
+          count(lit(1)).as("x_events"),
+          countDistinct(col("event_type")).as("x_breadth"))
+      val cells = u.select(col("t"), expr(
+        """stack(3, 'pre_spend', x_spend, 'pre_events', x_events,
+           |'pre_breadth', x_breadth) AS (covariate, x)""".stripMargin))
+      cells.groupBy(col("covariate"))
+        .agg(sum(when(col("t") === 1L, 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("t") =!= 1L, 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("t") === 1L, col("x")).otherwise(0L)).as("__st"),
+          sum(when(col("t") =!= 1L, col("x")).otherwise(0L)).as("__sc"),
+          sum(when(col("t") === 1L,
+            expr("CAST(x AS DECIMAL(38,0)) * x")).otherwise(
+            expr("CAST(0 AS DECIMAL(38,0))"))).as("__sst"),
+          sum(when(col("t") =!= 1L,
+            expr("CAST(x AS DECIMAL(38,0)) * x")).otherwise(
+            expr("CAST(0 AS DECIMAL(38,0))"))).as("__ssc"))
+        .withColumn("mean_diff_e6", expr(
+          """CAST((CAST(__st AS DECIMAL(38,0)) * n_c
+             - CAST(__sc AS DECIMAL(38,0)) * n_t) * 1000000
+            div CAST(n_t * n_c AS DECIMAL(38,0)) AS BIGINT)"""))
+        .withColumn("__vt", expr(
+          """CAST((n_t * __sst - CAST(__st AS DECIMAL(38,0)) * __st)
+            div CAST(n_t * (n_t - 1) AS DECIMAL(38,0)) AS BIGINT)"""))
+        .withColumn("__vc", expr(
+          """CAST((n_c * __ssc - CAST(__sc AS DECIMAL(38,0)) * __sc)
+            div CAST(n_c * (n_c - 1) AS DECIMAL(38,0)) AS BIGINT)"""))
+        .withColumn("__pool", expr("(__vt + __vc) div 2"))
+        .withColumn("__s0",
+          floor(sqrt(col("__pool").cast("double"))).cast("long"))
+        .withColumn("sd", expr(
+          """CASE WHEN __s0 * __s0 > __pool THEN __s0 - 1
+             WHEN (__s0 + 1) * (__s0 + 1) <= __pool THEN __s0 + 1
+             ELSE __s0 END"""))
+        .withColumn("smd_e4", when(col("sd") > 0,
+          expr("mean_diff_e6 div (sd * 100)")))
+        .select(col("covariate"), col("n_t"), col("n_c"),
+          col("mean_diff_e6"), col("sd"), col("smd_e4"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -10839,6 +10912,77 @@ object SparkEntry {
         |    AS BIGINT) AS varint_bytes,
         |  count(*) * 8 AS raw_bytes
         |FROM g GROUP BY 1""".stripMargin,
+
+    // q285: per-arm cumulative histogram quantiles (q89's oracle shape)
+    // at ceil(n·p/100), pivoted and differenced.
+    "q285_qte" ->
+      """WITH b AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'treated'
+        |   ELSE 'control' END AS arm,
+        |  CAST(round(value*100) AS BIGINT) AS v FROM events
+        | WHERE value IS NOT NULL),
+        |n AS (SELECT arm, count(*) AS n FROM b GROUP BY 1),
+        |h AS (SELECT arm, v, count(*) AS c FROM b GROUP BY 1, 2),
+        |cum AS (SELECT arm, v, sum(c) OVER (PARTITION BY arm ORDER BY v)
+        |  AS cum FROM h),
+        |p AS (SELECT * FROM (VALUES (10), (25), (50), (75), (90))
+        |  t(percent)),
+        |q AS (SELECT cum.arm, CAST(p.percent AS BIGINT) AS percent,
+        |  min(v) AS quantile
+        | FROM cum JOIN n ON n.arm = cum.arm
+        | JOIN p ON cum.cum >= (n.n * p.percent + 99) // 100
+        | GROUP BY 1, 2)
+        |SELECT t.percent, t.quantile AS q_treated,
+        |  c.quantile AS q_control,
+        |  t.quantile - c.quantile AS qte
+        |FROM q t JOIN q c ON t.percent = c.percent
+        |WHERE t.arm = 'treated' AND c.arm = 'control'""".stripMargin,
+
+    // q286: same sufficient statistics in HUGEINT, same truncations,
+    // same corrected isqrt (q235's pattern).
+    "q286_balance_audit" ->
+      """WITH b AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_type,
+        |  CAST(round(value*100) AS BIGINT) AS v FROM events
+        | WHERE value IS NOT NULL),
+        |m AS (SELECT (min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2 AS mid
+        |  FROM events),
+        |u AS (SELECT user_id,
+        |  max(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS t,
+        |  CAST(sum(v) AS BIGINT) AS x_spend,
+        |  count(*) AS x_events,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS x_breadth
+        | FROM b, m WHERE ts_ms < mid GROUP BY 1),
+        |cells AS (
+        | SELECT 'pre_spend' AS covariate, t, x_spend AS x FROM u
+        | UNION ALL SELECT 'pre_events', t, x_events FROM u
+        | UNION ALL SELECT 'pre_breadth', t, x_breadth FROM u),
+        |a AS (SELECT covariate,
+        |  CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |  CAST(sum(CASE WHEN t <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |  CAST(sum(CASE WHEN t = 1 THEN x ELSE 0 END) AS HUGEINT) AS st,
+        |  CAST(sum(CASE WHEN t <> 1 THEN x ELSE 0 END) AS HUGEINT) AS sc,
+        |  sum(CASE WHEN t = 1 THEN CAST(x AS HUGEINT) * x ELSE 0 END)
+        |    AS sst,
+        |  sum(CASE WHEN t <> 1 THEN CAST(x AS HUGEINT) * x ELSE 0 END)
+        |    AS ssc
+        | FROM cells GROUP BY 1),
+        |d AS (SELECT covariate, n_t, n_c,
+        |  CAST((st * n_c - sc * n_t) * 1000000
+        |    // (CAST(n_t AS HUGEINT) * n_c) AS BIGINT) AS mean_diff_e6,
+        |  CAST((n_t * sst - st * st)
+        |    // (CAST(n_t AS HUGEINT) * (n_t - 1)) AS BIGINT) AS vt,
+        |  CAST((n_c * ssc - sc * sc)
+        |    // (CAST(n_c AS HUGEINT) * (n_c - 1)) AS BIGINT) AS vc
+        | FROM a),
+        |e2 AS (SELECT *, (vt + vc) // 2 AS pool,
+        |  CAST(floor(sqrt(CAST((vt + vc) // 2 AS DOUBLE))) AS BIGINT)
+        |    AS s0
+        | FROM d),
+        |f AS (SELECT *, CASE WHEN s0 * s0 > pool THEN s0 - 1
+        |  WHEN (s0 + 1) * (s0 + 1) <= pool THEN s0 + 1
+        |  ELSE s0 END AS sd FROM e2)
+        |SELECT covariate, n_t, n_c, mean_diff_e6, sd,
+        |  CASE WHEN sd > 0 THEN mean_diff_e6 // (sd * 100) END AS smd_e4
+        |FROM f""".stripMargin,
   )
 
   /** q283's oracle: LTTB unrolled — per bucket a MATERIALIZED pick CTE
