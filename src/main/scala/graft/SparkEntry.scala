@@ -4533,6 +4533,56 @@ object SparkEntry {
         .select(col("covariate"), col("n_t"), col("n_c"),
           col("mean_diff_e6"), col("sd"), col("smd_e4"))
     }),
+
+    // Rendezvous (HRW) hashing — the ring's stateless sibling (q275):
+    // every key goes to argmax_node md5(key || node); adding a node
+    // moves EXACTLY the keys whose new score wins (≈1/(N+1), provably
+    // minimal, no vnode variance). Per key the N scores are computed
+    // inline — no ring table at all, the purest O(1)-metadata sharding.
+    "q287_hrw_hashing" -> ((s, dir) => {
+      def assign(kh: Column, nodes: Seq[String]): Column =
+        array_max(array(nodes.map(n =>
+          struct(md5(concat(kh, lit("|"), lit(n))).as("h"),
+            lit(n).as("node"))): _*)).getField("node")
+      val nodes8 = (0 until 8).map(i => s"n$i")
+      val nodes9 = (0 until 9).map(i => s"n$i")
+      t(s, dir, "customer")
+        .select(col("c_custkey").cast("string").as("k"))
+        .select(assign(col("k"), nodes8).as("node_before"),
+          assign(col("k"), nodes9).as("node_after"))
+        .groupBy("node_before", "node_after")
+        .agg(count(lit(1)).as("n_keys"))
+    }),
+
+    // Event-sourcing state rebuild: replay an op log (signup = SET,
+    // purchase = INCR, error = RESET) to final per-key state WITHOUT
+    // per-key ordered windows — the last reset is one max(struct)
+    // aggregation, increments after it one filtered sum (struct
+    // comparison gives the (ts, id) total order), stitched by a full
+    // outer join. The CQRS read-model rebuild at table scale.
+    "q288_event_sourcing" -> ((s, dir) => {
+      val ops = ev(s, dir).where(col("value").isNotNull &&
+          col("event_type").isin("signup", "purchase", "error"))
+        .select(col("user_id"), col("ts_ms"), col("event_id"),
+          col("event_type"), round(col("value") * 100).cast("long")
+            .as("cents"))
+      val resets = ops.where(col("event_type").isin("signup", "error"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts_ms"), col("event_id"),
+          col("event_type").as("rtype"), col("cents").as("rcents")))
+          .as("r"))
+      val incr = ops.where(col("event_type") === "purchase")
+        .join(resets, Seq("user_id"), "left")
+        .where(col("r").isNull ||
+          struct(col("ts_ms"), col("event_id")) >
+            struct(col("r.ts_ms"), col("r.event_id")))
+        .groupBy(col("user_id")).agg(sum(col("cents")).as("incr"))
+      resets.join(incr, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          (coalesce(when(col("r.rtype") === "signup", col("r.rcents"))
+            .otherwise(0L), lit(0L)) + coalesce(col("incr"), lit(0L)))
+            .as("balance_cents"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -10983,6 +11033,42 @@ object SparkEntry {
         |SELECT covariate, n_t, n_c, mean_diff_e6, sd,
         |  CASE WHEN sd > 0 THEN mean_diff_e6 // (sd * 100) END AS smd_e4
         |FROM f""".stripMargin,
+
+    // q287: arg_max over the same per-(key,node) md5 scores.
+    "q287_hrw_hashing" ->
+      """WITH k AS (SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer),
+        |n8 AS (SELECT 'n' || CAST(t.n AS VARCHAR) AS node
+        |  FROM range(0, 8) AS t(n)),
+        |n9 AS (SELECT 'n' || CAST(t.n AS VARCHAR) AS node
+        |  FROM range(0, 9) AS t(n)),
+        |a8 AS (SELECT k, arg_max(node, md5(k || '|' || node))
+        |  AS node_before FROM k CROSS JOIN n8 GROUP BY k),
+        |a9 AS (SELECT k, arg_max(node, md5(k || '|' || node))
+        |  AS node_after FROM k CROSS JOIN n9 GROUP BY k)
+        |SELECT node_before, node_after, count(*) AS n_keys
+        |FROM a8 JOIN a9 USING (k) GROUP BY 1, 2""".stripMargin,
+
+    // q288: last reset via window rank, increments after it via row
+    // comparison, same full-outer stitch.
+    "q288_event_sourcing" ->
+      """WITH o AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+        |  event_type, CAST(round(value*100) AS BIGINT) AS cents
+        | FROM events WHERE value IS NOT NULL
+        |   AND event_type IN ('signup', 'purchase', 'error')),
+        |r AS (SELECT user_id, event_type AS rtype, cents AS rcents,
+        |  ts_ms AS rts, event_id AS rid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts_ms DESC, event_id DESC) AS rn
+        |  FROM o WHERE event_type IN ('signup', 'error')) WHERE rn = 1),
+        |p AS (SELECT o.user_id, CAST(sum(o.cents) AS BIGINT) AS incr
+        | FROM o LEFT JOIN r USING (user_id)
+        | WHERE o.event_type = 'purchase'
+        |   AND (r.user_id IS NULL OR (o.ts_ms, o.event_id) > (rts, rid))
+        | GROUP BY 1)
+        |SELECT coalesce(r.user_id, p.user_id) AS user_id,
+        |  coalesce(CASE WHEN rtype = 'signup' THEN rcents ELSE 0 END, 0)
+        |    + coalesce(incr, 0) AS balance_cents
+        |FROM r FULL JOIN p ON r.user_id = p.user_id""".stripMargin,
   )
 
   /** q283's oracle: LTTB unrolled — per bucket a MATERIALIZED pick CTE
