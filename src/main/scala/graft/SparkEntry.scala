@@ -4441,17 +4441,21 @@ object SparkEntry {
     }),
 
     // Posting-list compression estimator: per term, delta-gap the
-    // sorted doc ids and price each gap in LEB128 varint bytes —
-    // the inverted-index size model (gap+varint is how Lucene stores
-    // postings) that decides df-pruning and tiering for a 100 TB
-    // corpus index. Windows run per term (posting lists), one scan.
+    // sorted doc ids and price each gap in LEB128 varint bytes — the
+    // inverted-index size model that decides df-pruning and tiering
+    // for a 100 TB corpus index. Gaps are BLOCK-LOCAL (128-doc-id
+    // blocks, each starting from an absolute id) — Lucene's actual
+    // postings layout, and the scale guard: a stopword's billion-doc
+    // posting list would make a per-term window one reducer; the
+    // (term, block) window partition is bounded at 128 by construction.
     "q284_postings_cost" -> ((s, dir) => {
       val posts = t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .where(length(col("term")) > 0)
         .distinct()
+        .withColumn("blk", expr("doc_id div 128"))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("term")).orderBy(col("doc_id"))
+        .partitionBy(col("term"), col("blk")).orderBy(col("doc_id"))
       posts.withColumn("gap",
           col("doc_id") - coalesce(lag(col("doc_id"), 1).over(w), lit(0L)))
         .withColumn("vbytes",
@@ -10949,13 +10953,13 @@ object SparkEntry {
 
     "q283_lttb" -> q283OracleSql,
 
-    // q284: same gaps, same LEB128 byte pricing.
+    // q284: same block-local gaps, same LEB128 byte pricing.
     "q284_postings_cost" ->
       """WITH p AS (SELECT DISTINCT doc_id,
         |  unnest(string_split(text, ' ')) AS term FROM documents),
         |g AS (SELECT term,
-        |  doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term
-        |    ORDER BY doc_id), 0) AS gap
+        |  doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term,
+        |    doc_id // 128 ORDER BY doc_id), 0) AS gap
         | FROM p WHERE length(term) > 0)
         |SELECT term, count(*) AS df,
         |  CAST(sum((length(format('{:b}', greatest(gap, 1))) + 6) // 7)
