@@ -4587,6 +4587,41 @@ object SparkEntry {
             .otherwise(0L), lit(0L)) + coalesce(col("incr"), lit(0L)))
             .as("balance_cents"))
     }),
+
+    // Walk-forward forecast backtest: for every day with a full 7-day
+    // trailing window, fit the q254 OLS on days t−7..t−1 (running sums
+    // off one sort, no refit loop), predict ŷ(t) as an exact rational
+    // num/den (den = 7·(7Σx²−(Σx)²) > 0 for distinct days), score
+    // |actual·den − num|·10⁶ div den — per-day e6-truncated absolute
+    // error rolled into MAE. The honest out-of-sample eval a forecast
+    // family (q226/q229/q254) needs before anyone trusts it.
+    "q289_forecast_backtest" -> ((s, dir) => {
+      val daily = ev(s, dir).where(col("value").isNotNull)
+        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("x"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      val w7 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("x"))
+        .rowsBetween(-7, -1)
+      daily
+        .withColumn("n", count(lit(1)).over(w7))
+        .withColumn("sx", sum(col("x")).over(w7))
+        .withColumn("sy", sum(col("y")).over(w7))
+        .withColumn("sxx", sum(expr("CAST(x AS DECIMAL(38,0)) * x")).over(w7))
+        .withColumn("sxy", sum(expr("CAST(x AS DECIMAL(38,0)) * y")).over(w7))
+        .where(col("n") === 7)
+        .withColumn("sn", expr("7 * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+        .withColumn("sd", expr("7 * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+        .withColumn("num", expr(
+          "CAST(sy AS DECIMAL(38,0)) * sd + sn * (7 * x - sx)"))
+        .withColumn("den", expr("7 * sd"))
+        .withColumn("abs_err_e6", expr(
+          """CAST(abs(CAST(y AS DECIMAL(38,0)) * den - num) * 1000000
+             div den AS BIGINT)"""))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_eval"),
+          expr("CAST(sum(CAST(abs_err_e6 AS DECIMAL(38,0))) div count(1) AS BIGINT)")
+            .as("mae_e6"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -11073,6 +11108,33 @@ object SparkEntry {
         |  coalesce(CASE WHEN rtype = 'signup' THEN rcents ELSE 0 END, 0)
         |    + coalesce(incr, 0) AS balance_cents
         |FROM r FULL JOIN p ON r.user_id = p.user_id""".stripMargin,
+
+    // q289: identical trailing-window sums in HUGEINT, identical
+    // rational prediction and e6 truncation.
+    "q289_forecast_backtest" ->
+      """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS x,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS y
+        | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |wn AS (SELECT event_type, x, y,
+        |  count(*) OVER w AS n,
+        |  CAST(sum(x) OVER w AS HUGEINT) AS sx,
+        |  CAST(sum(y) OVER w AS HUGEINT) AS sy,
+        |  sum(CAST(x AS HUGEINT) * x) OVER w AS sxx,
+        |  sum(CAST(x AS HUGEINT) * y) OVER w AS sxy
+        | FROM d WINDOW w AS (PARTITION BY event_type ORDER BY x
+        |   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |f AS (SELECT event_type, x, y, sx, sy,
+        |  7 * sxy - sx * sy AS sn, 7 * sxx - sx * sx AS sd
+        | FROM wn WHERE n = 7),
+        |e2 AS (SELECT event_type,
+        |  CAST(abs(CAST(y AS HUGEINT) * (7 * sd)
+        |      - (sy * sd + sn * (7 * x - sx))) * 1000000
+        |    // (7 * sd) AS BIGINT) AS abs_err_e6
+        | FROM f)
+        |SELECT event_type, count(*) AS n_eval,
+        |  CAST(sum(CAST(abs_err_e6 AS HUGEINT)) // count(*) AS BIGINT)
+        |    AS mae_e6
+        |FROM e2 GROUP BY 1""".stripMargin,
   )
 
   /** q283's oracle: LTTB unrolled — per bucket a MATERIALIZED pick CTE
