@@ -4622,6 +4622,53 @@ object SparkEntry {
           expr("CAST(sum(CAST(abs_err_e6 AS DECIMAL(38,0))) div count(1) AS BIGINT)")
             .as("mae_e6"))
     }),
+
+    // Hierarchy flattening by POINTER DOUBLING: each round the
+    // ancestor pointer jumps 2× as far (anc ← anc.anc, dist adds), so
+    // a depth-D tree flattens in ⌈log₂D⌉ self-joins instead of D
+    // chained ones — the dimension-tree (category/org) flatten that a
+    // per-level loop would make 100-round-deep on real taxonomies.
+    // Tree: parent(k) = k div 4 over custkeys, root 0. Output: every
+    // node's (root, depth) — the oracle walks the chain recursively.
+    "q290_tree_flatten" -> ((s, dir) => {
+      val nodes = t(s, dir, "customer")
+        .select(col("c_custkey").as("node"))
+      var f = nodes.select(col("node"),
+        when(col("node") === 0L, col("node"))
+          .otherwise(expr("node div 4")).as("anc"),
+        when(col("node") === 0L, 0L).otherwise(1L).as("dist"))
+      for (_ <- 1 to 4) { // 2^4 = 16 ≥ max depth of div-4 over ≤ 2^63
+        val g = f.select(col("node").as("g_node"), col("anc").as("g_anc"),
+          col("dist").as("g_dist"))
+        f = f.join(g, col("anc") === col("g_node"))
+          .select(col("node"), col("g_anc").as("anc"),
+            (col("dist") + col("g_dist")).as("dist"))
+          .localCheckpoint(true) // two consumers next round: truncate
+      }
+      f.select(col("node"), col("anc").as("root"),
+        col("dist").as("depth"))
+    }),
+
+    // Subtree rollup over q290's tree: every customer's order revenue
+    // accumulates into ALL its ancestors by exploding the ancestor
+    // chain (bounded by tree depth) and one re-aggregation — the
+    // category-tree revenue report, no recursion at query time.
+    "q291_subtree_rollup" -> ((s, dir) => {
+      val rev = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("node"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+      rev.select(col("node"), col("cents"),
+          explode(sequence(lit(0), lit(10))).as("i"))
+        .where(col("i") === 0 ||
+          expr("node div shiftleft(CAST(1 AS BIGINT), 2 * (i - 1))") > 0L)
+        .withColumn("anc",
+          expr("node div shiftleft(CAST(1 AS BIGINT), 2 * i)"))
+        .where(col("anc") < 64)
+        .groupBy(col("anc").as("node"))
+        .agg(count(lit(1)).as("n_contrib"),
+          sum(col("cents")).as("subtree_cents"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -11135,6 +11182,30 @@ object SparkEntry {
         |  CAST(sum(CAST(abs_err_e6 AS HUGEINT)) // count(*) AS BIGINT)
         |    AS mae_e6
         |FROM e2 GROUP BY 1""".stripMargin,
+
+    // q290: the sequential chain walk the doubling avoids.
+    "q290_tree_flatten" ->
+      """WITH RECURSIVE n AS (SELECT c_custkey AS node FROM customer),
+        |walk AS (
+        | SELECT node, node AS cur, 0 AS depth FROM n
+        | UNION ALL
+        | SELECT node, cur // 4, depth + 1 FROM walk WHERE cur <> 0)
+        |SELECT node, CAST(0 AS BIGINT) AS root,
+        |  CAST(max(depth) AS BIGINT) AS depth
+        |FROM walk GROUP BY 1""".stripMargin,
+
+    // q291: same ancestor explode over the div-4 chain.
+    "q291_subtree_rollup" ->
+      """WITH rev AS (SELECT o_custkey AS node,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        | FROM orders GROUP BY 1),
+        |a AS (SELECT r.node // (1 << (2 * g.i)) AS anc, r.cents
+        | FROM rev r JOIN range(0, 11) AS g(i)
+        |  ON g.i = 0 OR r.node // (1 << (2 * (g.i - 1))) > 0)
+        |SELECT anc AS node, count(*) AS n_contrib,
+        |  CAST(sum(cents) AS BIGINT) AS subtree_cents
+        |FROM a WHERE anc < 64 GROUP BY 1""".stripMargin,
   )
 
   /** q283's oracle: LTTB unrolled — per bucket a MATERIALIZED pick CTE
