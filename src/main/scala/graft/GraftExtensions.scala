@@ -29,5 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in COUNT(DISTINCT) → HLL estimate (off unless the session sets
     // spark.graft.rewriteDistinctToHll=true; the rule itself gates)
     extensions.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+    // semantics-preserving date_trunc-equality → sargable range (on by
+    // default; kill switch spark.graft.rewriteTruncEq=false)
+    extensions.injectOptimizerRule(_ => graft.plans.TruncEqRewrite)
   }
 }

@@ -4669,6 +4669,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_contrib"),
           sum(col("cents")).as("subtree_cents"))
     }),
+
+    // date_trunc-equality day filter through the TruncEqRewrite rule:
+    // the analyst-shaped predicate becomes a sargable ts range at the
+    // scan (TruncEqRewriteSpec pins the PushedFilters); the day literal
+    // is min(ts)'s day + 10 (one-row bounded driver fetch).
+    "q292_trunc_pushdown" -> ((s, dir) => {
+      if (!s.experimental.extraOptimizations.contains(plans.TruncEqRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ plans.TruncEqRewrite
+      val e = t(s, dir, "events")
+      val day0 = e.agg(min(col("ts")).as("mn"))
+        .select(date_trunc("DAY", col("mn")).as("d0"))
+        .collect().head.getTimestamp(0)
+      val target = new java.sql.Timestamp(
+        day0.getTime + 10L * 86400000L)
+      e.where(date_trunc("DAY", col("ts")) === lit(target))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -11206,6 +11226,16 @@ object SparkEntry {
         |SELECT anc AS node, count(*) AS n_contrib,
         |  CAST(sum(cents) AS BIGINT) AS subtree_cents
         |FROM a WHERE anc < 64 GROUP BY 1""".stripMargin,
+
+    // q292: the same day filter written directly.
+    "q292_trunc_pushdown" ->
+      """WITH d0 AS (SELECT date_trunc('day', min(ts))
+        |  + INTERVAL 10 DAY AS d FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events, d0
+        |WHERE date_trunc('day', ts) = d
+        |GROUP BY 1""".stripMargin,
   )
 
   /** q283's oracle: LTTB unrolled — per bucket a MATERIALIZED pick CTE
