@@ -4689,6 +4689,56 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(round(col("value") * 100).cast("long")).as("cents"))
     }),
+
+    // Source-format parity: the SAME events projection written to CSV
+    // and JSON-lines, re-read through Spark's csv/json readers with
+    // explicit schemas, and aggregated identically to the parquet
+    // original — one result set with a format label per row proves the
+    // ingestion surface (parquet/CSV/JSON) is semantics-identical.
+    "q293_format_parity" -> ((s, dir) => {
+      val base = ev(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"),
+          col("ts_ms"))
+      val root = queryTmp("graft_fmt")
+      base.coalesce(4).write.mode("overwrite")
+        .option("header", "true").csv(s"$root/csv")
+      base.coalesce(4).write.mode("overwrite").json(s"$root/json")
+      val schema = base.schema
+      def agg(d: DataFrame, fmt: String) =
+        d.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+            sum(col("ts_ms") % 1000003L).as("ts_check"))
+          .withColumn("format", lit(fmt))
+      agg(base, "parquet")
+        .unionByName(agg(s.read.schema(schema)
+          .option("header", "true").csv(s"$root/csv"), "csv"))
+        .unionByName(agg(s.read.schema(schema).json(s"$root/json"),
+          "json"))
+    }),
+
+    // Schema evolution: an old batch written WITHOUT the column a new
+    // batch carries, read back as ONE table via mergeSchema — the
+    // add-a-column lake migration that must not rewrite history; rows
+    // from the pre-schema batch surface as a labeled NULL group.
+    "q294_schema_evolution" -> ((s, dir) => {
+      val root = queryTmp("graft_evo")
+      val o = t(s, dir, "orders")
+      o.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .write.mode("overwrite").parquet(s"$root/b1")
+      o.where(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderpriority").as("priority"))
+        .write.mode("overwrite").parquet(s"$root/b2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$root/b1", s"$root/b2")
+        .groupBy(coalesce(col("priority"), lit("(pre-schema)"))
+          .as("priority"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -11236,6 +11286,31 @@ object SparkEntry {
         |FROM events, d0
         |WHERE date_trunc('day', ts) = d
         |GROUP BY 1""".stripMargin,
+
+    // q293: one aggregate replicated under three format labels — the
+    // parity claim is that all three rows per type are identical.
+    "q293_format_parity" ->
+      """WITH a AS (SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(sum(epoch_ms(ts) % 1000003) AS BIGINT) AS ts_check
+        | FROM events GROUP BY 1)
+        |SELECT event_type, n, cents, ts_check, 'parquet' AS format FROM a
+        |UNION ALL SELECT event_type, n, cents, ts_check, 'csv' FROM a
+        |UNION ALL SELECT event_type, n, cents, ts_check, 'json' FROM a"""
+        .stripMargin,
+
+    // q294: the merged read replayed as a NULL-padded union.
+    "q294_schema_evolution" ->
+      """WITH m AS (
+        | SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |   CAST(NULL AS VARCHAR) AS priority
+        | FROM orders WHERE o_orderkey % 2 = 0
+        | UNION ALL
+        | SELECT CAST(round(o_totalprice*100) AS BIGINT), o_orderpriority
+        | FROM orders WHERE o_orderkey % 2 <> 0)
+        |SELECT coalesce(priority, '(pre-schema)') AS priority,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        |FROM m GROUP BY 1""".stripMargin,
   )
 
   /** q283's oracle: LTTB unrolled — per bucket a MATERIALIZED pick CTE
