@@ -32,5 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // semantics-preserving date_trunc-equality → sargable range (on by
     // default; kill switch spark.graft.rewriteTruncEq=false)
     extensions.injectOptimizerRule(_ => graft.plans.TruncEqRewrite)
+    // unix_micros/millis/seconds comparisons → sargable ts range (on by
+    // default; kill switch spark.graft.rewriteEpochCmp=false)
+    extensions.injectOptimizerRule(_ => graft.plans.EpochCmpRewrite)
   }
 }

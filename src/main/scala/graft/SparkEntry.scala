@@ -4739,6 +4739,223 @@ object SparkEntry {
           .as("priority"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
     }),
+
+    // Link prediction (graph family): resource-allocation index over the
+    // top-4000-weight co-supplier edges — every non-adjacent distance-2
+    // pair scored Σ 1e12 div deg(common neighbor) + common-neighbor
+    // count; top 20 under a total order. Edge selection is top-K by
+    // weight under the GlobalRank distributed row-number (a fixed
+    // HAVING threshold is scale-brittle: it saturates small graphs to a
+    // candidate-free clique and empties big ones), which is also the
+    // hub gate the wedge budget needs. The "which suppliers will
+    // co-occur next" readout a recommender bootstrap runs.
+    "q296_link_predict" -> ((s, dir) => {
+      val weighted = coSupplierPairs(s, dir)
+        .where(col("l_suppkey") < col("dst_supp"))
+        .groupBy(col("l_suppkey"), col("dst_supp"))
+        .agg(count(lit(1)).as("w"))
+      val top = operators.GlobalRank.withGlobalRowNumber(weighted,
+          Seq(col("w").desc, col("l_suppkey"), col("dst_supp")), "rk")
+        .where(col("rk") <= 4000)
+        .select(col("l_suppkey"), col("dst_supp"))
+      operators.Graph.linkPredictionRA(top, "l_suppkey", "dst_supp")
+        .orderBy(col("ra_e12").desc, col("cn").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
+    // Privacy (third audit): recursive (c,l)-diversity over the
+    // (nation, segment) QI grid with order priority as the sensitive
+    // attribute — c = 1/3 sits at the uniform-distribution boundary so
+    // both verdicts genuinely occur; the test is all-integer.
+    "q297_l_diversity" -> ((s, dir) => {
+      val joined = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+      operators.Privacy.recursiveLDiversity(joined,
+        Seq("c_nationkey", "c_mktsegment"), "o_orderpriority",
+        cNum = 1L, cDen = 3L, l = 3)
+    }),
+
+    // Feature engineering: leave-one-out + prior-smoothed target
+    // encoding of order priority against order value — per-row integer
+    // codes (the leakage-safe categorical transform), rolled up to
+    // per-category checksums so the gate output stays bounded.
+    "q298_target_encode" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .where(col("o_totalprice").isNotNull)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      operators.TargetEncode.looMeanE6(o, "o_orderpriority", "cents",
+          priorWeight = 20L)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("loo_e6") % 1000003L).as("loo_check"),
+          min(col("loo_e6")).as("loo_min"),
+          max(col("loo_e6")).as("loo_max"),
+          sum(col("smooth_e6") % 1000003L).as("smooth_check"))
+    }),
+
+    // Trend monitoring: Mann–Kendall over per-type daily revenue — the
+    // nonparametric drift gate (S statistic, tie-corrected variance,
+    // sqrt-free significance) on the calendar-bounded grid.
+    "q299_mann_kendall" -> ((s, dir) => {
+      val daily = ev(s, dir).where(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          expr("ts_ms div 86400000").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      operators.Drift.mannKendall(daily, "event_type", "day", "cents")
+    }),
+
+    // Experimentation: Benjamini–Hochberg FDR control over 25 per-slice
+    // chi² tests (a planted effect in slices 0–5 where user parity
+    // gates extra clicks) — exact integer chi² e6, the literal df=1
+    // threshold ladder, and the step-up cutoff as a one-row max.
+    "q300_bh_fdr" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("event_type").isNotNull)
+        .withColumn("slice", col("user_id") % 25)
+        .withColumn("v", (col("user_id") % 2).cast("int"))
+        .withColumn("y",
+          (col("event_type") === "purchase" ||
+            (col("slice") < 6 && col("user_id") % 6 === 1 &&
+              col("event_type") === "click")).cast("int"))
+      val cells = e.groupBy(col("slice")).agg(
+        sum(when(col("v") === 0 && col("y") === 1, 1L).otherwise(0L)).as("a"),
+        sum(when(col("v") === 0 && col("y") === 0, 1L).otherwise(0L)).as("b"),
+        sum(when(col("v") === 1 && col("y") === 1, 1L).otherwise(0L)).as("c"),
+        sum(when(col("v") === 1 && col("y") === 0, 1L).otherwise(0L)).as("dd"))
+      val chi = cells.withColumn("chi2_e6", expr(
+        """CASE WHEN (a+b)*(c+dd)*(a+c)*(b+dd) = 0 THEN 0
+          |ELSE CAST(CAST(a+b+c+dd AS DECIMAL(38,0))
+          |  * (CAST(a AS DECIMAL(38,0))*dd - CAST(b AS DECIMAL(38,0))*c)
+          |  * (CAST(a AS DECIMAL(38,0))*dd - CAST(b AS DECIMAL(38,0))*c)
+          |  * 1000000
+          |  div (CAST(a+b AS DECIMAL(38,0))*(c+dd)*(a+c)*(b+dd))
+          |  AS BIGINT) END""".stripMargin))
+      val thr = s.createDataFrame(
+        s.sparkContext.parallelize(q300Thresholds.map {
+          case (k, t) => org.apache.spark.sql.Row(k, t) }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("thr_e6",
+            org.apache.spark.sql.types.LongType))))
+      val ranked = chi.withColumn("k",
+          row_number().over(Window.orderBy(col("chi2_e6").desc,
+            col("slice"))).cast("long"))
+        .join(broadcast(thr), "k")
+      val kstar = ranked.agg(
+        max(when(col("chi2_e6") >= col("thr_e6"), col("k"))).as("kstar"))
+      ranked.crossJoin(broadcast(kstar))
+        .select(col("slice"), col("a"), col("b"), col("c"), col("dd"),
+          col("chi2_e6"), col("k"), col("thr_e6"),
+          (col("k") <= coalesce(col("kstar"), lit(0L))).as("discovered"))
+    }),
+
+    // Incremental JOIN-view maintenance: the materialized per-segment
+    // revenue view (orders ⋈ customer, aggregated) maintained under a
+    // CDC batch by DELTA-JOIN — only the changed orders (price updates
+    // on %31 keys as new−old retraction deltas, inserts on %40 keys)
+    // touch the broadcast dimension; the base table is never rescanned.
+    // The oracle is the FULL recompute over the post-batch state, so
+    // the gate is the IVM equivalence proof itself (q272's discipline,
+    // now for the join+agg view every BI layer materializes).
+    "q301_join_ivm" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val v0 = o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("cents"))
+      val updates = o.where(col("o_orderkey") % 31 === 0)
+        .select(col("o_custkey"), lit(0L).as("dn"),
+          (round((col("o_totalprice") + 10) * 100).cast("long") - cents)
+            .as("dcents"))
+      val inserts = o.where(col("o_orderkey") % 40 === 0)
+        .select(col("o_custkey"), lit(1L).as("dn"), cents.as("dcents"))
+      val dAgg = updates.unionByName(inserts)
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("dn")).as("dn"), sum(col("dcents")).as("dcents"))
+      v0.join(dAgg, Seq("c_mktsegment"), "full_outer")
+        .select(col("c_mktsegment"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n"),
+          (coalesce(col("cents"), lit(0L)) +
+            coalesce(col("dcents"), lit(0L))).as("cents"))
+    }),
+
+    // RAKE keyphrase extraction (Rose et al. 2010): candidate phrases =
+    // maximal non-stopword runs (1–4 words), word score = deg/freq over
+    // phrase co-membership, phrase score = Σ word scores — all integer
+    // (e6-truncated per word). One per-doc position window builds the
+    // islands; the word table (≤ vocabulary) broadcasts back onto the
+    // distinct phrases. Top 25 under a total order.
+    "q302_rake" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents")
+        .where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("i", "w")))
+      val isStop = col("w").isin(q302Stopwords: _*)
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      val phrases = toks
+        .withColumn("ph", sum(isStop.cast("long")).over(w))
+        .where(!isStop)
+        .groupBy(col("doc_id"), col("ph"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, w))), x -> x.w)")
+          .as("ws"))
+        .where(size(col("ws")).between(1, 4))
+      val words = phrases
+        .select(explode(col("ws")).as("w"), size(col("ws")).as("len"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+        .withColumn("wscore_e6", expr("deg * 1000000L div freq"))
+      val phraseCounts = phrases
+        .groupBy(array_join(col("ws"), " ").as("phrase"))
+        .agg(count(lit(1)).as("n"))
+      val phraseScores = phrases
+        .select(array_join(col("ws"), " ").as("phrase"), col("ws")).distinct()
+        .select(col("phrase"), explode(col("ws")).as("w"))
+        .join(broadcast(words.select(col("w"), col("wscore_e6"))), "w")
+        .groupBy(col("phrase")).agg(sum(col("wscore_e6")).as("score_e6"))
+      phraseCounts.join(phraseScores, "phrase")
+        .orderBy(col("score_e6").desc, col("phrase")).limit(25)
+    }),
+
+    // Croston intermittent-demand forecast: the %17 user slice makes
+    // per-type daily demand genuinely gappy at sf0.01; size/interval SES
+    // over occurrences only (zero days never materialize — the sparse
+    // series IS the data), rate as one e6 integer ratio.
+    "q303_croston" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .where(col("user_id") % 17 === 3)
+        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+        .agg(count(lit(1)).as("q"))
+      operators.Trend.croston(daily, Seq("event_type"), col("day"),
+        col("q"), alphaNum = 2, den = 10)
+    }),
+
+    // Epoch-millis range filter through the EpochCmpRewrite rule: the
+    // engine's own ts_ms seam (`ev()` projects unix_millis(ts) once and
+    // every downstream filter compares the millis column) becomes a
+    // sargable ts range at the scan (EpochCmpRewriteSpec pins the
+    // PushedFilters and the floor-division edge semantics). Bounds are
+    // min(ts_ms) + 5/15 days — one bounded driver fetch.
+    "q295_epoch_pushdown" -> ((s, dir) => {
+      if (!s.experimental.extraOptimizations.contains(plans.EpochCmpRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ plans.EpochCmpRewrite
+      val e = ev(s, dir)
+      val mn = e.agg(min(col("ts_ms")).as("mn")).collect().head.getLong(0)
+      e.where(col("ts_ms") >= mn + 5L * 86400000L &&
+          col("ts_ms") < mn + 15L * 86400000L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"),
+          sum(col("ts_ms") % 1000003L).as("ts_check"))
+    }),
   )
 
   /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
@@ -4753,6 +4970,34 @@ object SparkEntry {
       "Linux", "Firefox"),
     ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 " +
       "(KHTML, like Gecko) Version/16.6 Safari/605.1.15", "Mac OS X", "Safari"))
+
+  /** q300's Benjamini–Hochberg ladder: df=1 chi² quantiles at
+    * 1 − 0.05·k/25, e6-truncated — (Φ⁻¹(1 − 0.025·k/25))², computed once
+    * offline (the normal inverse CDF belongs in neither engine; a fixed
+    * critical-value ladder is part of the test's specification, exactly
+    * like 1.96 is). k=25 is the classical 3.841459 single-test value. */
+  private val q300Thresholds: Seq[(Long, Long)] = Seq(
+    1L -> 9549535L, 2L -> 8283814L, 3L -> 7550302L, 4L -> 7033474L,
+    5L -> 6634896L, 6L -> 6310869L, 7L -> 6038143L, 8L -> 5802874L,
+    9L -> 5596149L, 10L -> 5411894L, 11L -> 5245785L, 12L -> 5094632L,
+    13L -> 4956018L, 14L -> 4828067L, 15L -> 4709292L, 16L -> 4598496L,
+    17L -> 4494703L, 18L -> 4397104L, 19L -> 4305022L, 20L -> 4217884L,
+    21L -> 4135204L, 22L -> 4056561L, 23L -> 3981594L, 24L -> 3909985L,
+    25L -> 3841458L)
+
+  private val q300ThrSqlValues: String =
+    q300Thresholds.map { case (k, t) => s"($k, $t)" }.mkString(", ")
+
+  /** q302's stoplist: the two function words plus the eight highest-df
+    * generic terms of the synthetic vocabulary — RAKE's stoplist is a
+    * corpus parameter (the paper uses Fox's list for English prose);
+    * pinning it keeps candidate runs in the 1–4-word window. */
+  private val q302Stopwords: Seq[String] = Seq(
+    "a", "the", "table", "value", "part", "row", "data", "key",
+    "line", "scan")
+
+  private val q302StopSql: String =
+    q302Stopwords.map(s => s"'$s'").mkString(", ")
 
   /** q36 top-query threshold: splits the 50-word vocabulary roughly in
     * half at sf0.01 (per-query totals span ~166-229), so the gate path is
@@ -11311,6 +11556,230 @@ object SparkEntry {
         |SELECT coalesce(priority, '(pre-schema)') AS priority,
         |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
         |FROM m GROUP BY 1""".stripMargin,
+
+    // q296: wedge/degree replay of linkPredictionRA over the top-4000
+    // co-supplier edges (GlobalRank's total order as a window rank),
+    // ANTI JOIN dropping adjacency.
+    "q296_link_predict" ->
+      """WITH raw AS (
+        | SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+        |   count(*) AS w
+        | FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        | GROUP BY 1, 2),
+        |e AS (SELECT u AS a, v AS b FROM (
+        |  SELECT u, v, row_number() OVER (ORDER BY w DESC, u, v) AS rk
+        |  FROM raw) WHERE rk <= 4000),
+        |adj AS (SELECT a AS w, b AS n FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT w, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        |wedge AS (
+        | SELECT x.n AS a, y.n AS b, dg.d
+        | FROM adj x JOIN adj y ON x.w = y.w AND x.n < y.n
+        | JOIN deg dg ON dg.w = x.w),
+        |sc AS (
+        | SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
+        |   CAST(sum(1000000000000 // d) AS BIGINT) AS ra_e12
+        | FROM wedge GROUP BY 1, 2),
+        |cand AS (
+        | SELECT sc.a, sc.b, sc.cn, sc.ra_e12 FROM sc
+        | ANTI JOIN e ON e.a = sc.a AND e.b = sc.b)
+        |SELECT a, b, cn, ra_e12 FROM cand
+        |ORDER BY ra_e12 DESC, cn DESC, a, b LIMIT 20""".stripMargin,
+
+    // q297: ranked sensitive-value counts per QI group, recursive (c,l)
+    // test cross-multiplied.
+    "q297_l_diversity" ->
+      """WITH j AS (
+        | SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority AS s
+        | FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        | WHERE o.o_orderpriority IS NOT NULL),
+        |cells AS (SELECT c_nationkey, c_mktsegment, s,
+        |  CAST(count(*) AS BIGINT) AS r
+        | FROM j GROUP BY 1, 2, 3),
+        |rk AS (SELECT *, row_number() OVER (
+        |  PARTITION BY c_nationkey, c_mktsegment
+        |  ORDER BY r DESC, s) AS rnk FROM cells)
+        |SELECT c_nationkey, c_mktsegment,
+        |  CAST(sum(r) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS m_distinct,
+        |  CAST(max(CASE WHEN rnk = 1 THEN r END) AS BIGINT) AS r1,
+        |  CAST(coalesce(sum(CASE WHEN rnk >= 3 THEN r END), 0) AS BIGINT)
+        |    AS tail_sum,
+        |  (count(*) >= 3 AND
+        |   max(CASE WHEN rnk = 1 THEN r END) * 3 <
+        |     coalesce(sum(CASE WHEN rnk >= 3 THEN r END), 0) * 1)
+        |    AS satisfies_cl
+        |FROM rk GROUP BY 1, 2""".stripMargin,
+
+    // q298: per-row LOO/smoothed encodings replayed with HUGEINT
+    // cross-multiplication, rolled to per-category checksums.
+    "q298_target_encode" ->
+      """WITH b AS (SELECT o_orderpriority,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS y FROM orders
+        | WHERE o_totalprice IS NOT NULL),
+        |cat AS (SELECT o_orderpriority, CAST(sum(y) AS HUGEINT) AS s,
+        |  CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+        |g AS (SELECT CAST(sum(s) AS HUGEINT) AS gnum,
+        |  CAST(sum(n) AS HUGEINT) AS gden FROM cat),
+        |enc AS (
+        | SELECT b.o_orderpriority,
+        |  CASE WHEN c.n > 1 THEN CAST(
+        |   (c.s - b.y) * 1000000 // (c.n - 1) AS BIGINT) END AS loo_e6,
+        |  CAST(((c.s - b.y) * g.gden + 20 * g.gnum) * 1000000
+        |   // ((c.n - 1 + 20) * g.gden) AS BIGINT) AS smooth_e6
+        | FROM b JOIN cat c USING (o_orderpriority) CROSS JOIN g)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(loo_e6 % 1000003) AS BIGINT) AS loo_check,
+        |  CAST(min(loo_e6) AS BIGINT) AS loo_min,
+        |  CAST(max(loo_e6) AS BIGINT) AS loo_max,
+        |  CAST(sum(smooth_e6 % 1000003) AS BIGINT) AS smooth_check
+        |FROM enc GROUP BY 1""".stripMargin,
+
+    // q299: pairwise sign sums + tie census, significance decided by the
+    // same sqrt-free cross-multiplication.
+    "q299_mann_kendall" ->
+      """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS x
+        | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |p AS (SELECT a.event_type, CAST(sum(
+        |   CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END)
+        |   AS BIGINT) AS s_stat
+        | FROM d a JOIN d b
+        |  ON a.event_type = b.event_type AND a.day < b.day GROUP BY 1),
+        |tc AS (SELECT event_type, x, CAST(count(*) AS BIGINT) AS tt
+        | FROM d GROUP BY 1, 2),
+        |v AS (SELECT event_type, CAST(sum(tt) AS BIGINT) AS n,
+        |  CAST(sum(tt*(tt-1)*(2*tt+5)) AS BIGINT) AS tie18
+        | FROM tc GROUP BY 1)
+        |SELECT p.event_type, v.n, p.s_stat,
+        |  CAST(v.n*(v.n-1)*(2*v.n+5) - v.tie18 AS BIGINT) AS var18,
+        |  CASE WHEN p.s_stat <> 0 AND
+        |    CAST(abs(p.s_stat)-1 AS HUGEINT)*(abs(p.s_stat)-1)
+        |      * 18 * 1000000000000 >
+        |    CAST(1959964 AS HUGEINT) * 1959964
+        |      * (v.n*(v.n-1)*(2*v.n+5) - v.tie18)
+        |   THEN CASE WHEN p.s_stat > 0 THEN 'increasing'
+        |     ELSE 'decreasing' END ELSE 'none' END AS trend
+        |FROM p JOIN v USING (event_type)""".stripMargin,
+
+    // q300: the 25 slice chi² tests and the BH step-up replayed with the
+    // same literal threshold ladder.
+    "q300_bh_fdr" ->
+      s"""WITH e AS (SELECT user_id % 25 AS slice,
+        |  CAST(user_id % 2 AS INT) AS v,
+        |  CASE WHEN event_type = 'purchase' OR (user_id % 25 < 6
+        |    AND user_id % 6 = 1 AND event_type = 'click')
+        |   THEN 1 ELSE 0 END AS y
+        | FROM events WHERE user_id IS NOT NULL
+        |  AND event_type IS NOT NULL),
+        |cells AS (SELECT slice,
+        |  CAST(sum(CASE WHEN v=0 AND y=1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |  CAST(sum(CASE WHEN v=0 AND y=0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |  CAST(sum(CASE WHEN v=1 AND y=1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |  CAST(sum(CASE WHEN v=1 AND y=0 THEN 1 ELSE 0 END) AS BIGINT) AS dd
+        | FROM e GROUP BY 1),
+        |chi AS (SELECT slice, a, b, c, dd,
+        |  CASE WHEN (a+b)*(c+dd)*(a+c)*(b+dd) = 0 THEN 0
+        |   ELSE CAST(CAST(a+b+c+dd AS HUGEINT)
+        |     * (CAST(a AS HUGEINT)*dd - CAST(b AS HUGEINT)*c)
+        |     * (CAST(a AS HUGEINT)*dd - CAST(b AS HUGEINT)*c) * 1000000
+        |     // (CAST(a+b AS HUGEINT)*(c+dd)*(a+c)*(b+dd)) AS BIGINT)
+        |   END AS chi2_e6
+        | FROM cells),
+        |thr(k, thr_e6) AS (VALUES ${q300ThrSqlValues}),
+        |ranked AS (SELECT chi.*, row_number() OVER (
+        |   ORDER BY chi2_e6 DESC, slice) AS k FROM chi),
+        |rt AS (SELECT ranked.*, thr.thr_e6 FROM ranked
+        | JOIN thr ON thr.k = ranked.k),
+        |ks AS (SELECT max(CASE WHEN chi2_e6 >= thr_e6 THEN k END) AS kstar
+        | FROM rt)
+        |SELECT slice, a, b, c, dd, chi2_e6, k, thr_e6,
+        |  (k <= coalesce(ks.kstar, 0)) AS discovered
+        |FROM rt CROSS JOIN ks""".stripMargin,
+
+    // q301: the IVM equivalence proof — FULL recompute over post-batch
+    // state (updates applied, inserts appended).
+    "q301_join_ivm" ->
+      """WITH o2 AS (
+        | SELECT o_custkey, CASE WHEN o_orderkey % 31 = 0
+        |   THEN CAST(round((o_totalprice + 10) * 100) AS BIGINT)
+        |   ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents
+        | FROM orders
+        | UNION ALL
+        | SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT)
+        | FROM orders WHERE o_orderkey % 40 = 0)
+        |SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o2.cents) AS BIGINT) AS cents
+        |FROM o2 JOIN customer c ON o2.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin,
+
+    // q302: islands by running stopword count, word deg/freq census,
+    // distinct-phrase scoring — the identical integer pipeline.
+    "q302_rake" ->
+      s"""WITH tk AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(text), '\\s+') AS t
+        | FROM documents WHERE length(trim(text)) > 0),
+        |pos AS (SELECT doc_id, i, t[i] AS w FROM tk,
+        |  LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) ix),
+        |m AS (SELECT doc_id, i, w,
+        |  CASE WHEN w IN ($q302StopSql) THEN 1 ELSE 0 END AS st,
+        |  sum(CASE WHEN w IN ($q302StopSql) THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY i) AS ph
+        | FROM pos),
+        |phr AS (SELECT doc_id, ph, list(w ORDER BY i) AS ws
+        | FROM m WHERE st = 0 GROUP BY 1, 2
+        | HAVING count(*) BETWEEN 1 AND 4),
+        |wstat AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+        |  CAST(sum(l) AS BIGINT) AS deg
+        | FROM (SELECT unnest(ws) AS w, len(ws) AS l FROM phr) GROUP BY 1),
+        |wsc AS (SELECT w, deg * 1000000 // freq AS wscore FROM wstat),
+        |pc AS (SELECT array_to_string(ws, ' ') AS phrase,
+        |  CAST(count(*) AS BIGINT) AS n FROM phr GROUP BY 1),
+        |pw AS (SELECT DISTINCT array_to_string(ws, ' ') AS phrase, ws
+        | FROM phr),
+        |psc AS (SELECT phrase, CAST(sum(wscore) AS BIGINT) AS score_e6
+        | FROM (SELECT phrase, unnest(ws) AS w FROM pw)
+        | JOIN wsc USING (w) GROUP BY 1)
+        |SELECT pc.phrase, pc.n, psc.score_e6
+        |FROM pc JOIN psc USING (phrase)
+        |ORDER BY score_e6 DESC, phrase LIMIT 25""".stripMargin,
+
+    // q303: list_reduce refold with [z, p, lastday] state — both
+    // engines' integer division truncates identically on the
+    // non-negative series.
+    "q303_croston" ->
+      """WITH daily AS (
+        | SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |  CAST(count(*) AS BIGINT) AS q
+        | FROM events WHERE user_id % 17 = 3 GROUP BY 1, 2),
+        |ser AS (
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n_demands,
+        |  list([day, q] ORDER BY day) AS dq
+        | FROM daily GROUP BY 1),
+        |st AS (
+        | SELECT event_type, n_demands, list_reduce(
+        |  list_prepend([dq[1][2], CAST(1 AS BIGINT), dq[1][1]],
+        |    list_transform(dq[2:], e -> [e[2], CAST(0 AS BIGINT), e[1]])),
+        |  (acc, e) -> [
+        |    (2*e[1] + 8*acc[1]) // 10,
+        |    (2*(e[3] - acc[3]) + 8*acc[2]) // 10,
+        |    e[3]]) AS s
+        | FROM ser)
+        |SELECT event_type, n_demands, s[1] AS size_level,
+        |  s[2] AS interval_level,
+        |  s[1] * 1000000 // greatest(s[2], 1) AS rate_e6
+        |FROM st""".stripMargin,
+
+    // q295: the same epoch-millis range filter written directly.
+    "q295_epoch_pushdown" ->
+      """WITH b AS (SELECT min(epoch_ms(ts)) + 5*86400000 AS lo,
+        |  min(epoch_ms(ts)) + 15*86400000 AS hi FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(sum(epoch_ms(ts) % 1000003) AS BIGINT) AS ts_check
+        |FROM events, b
+        |WHERE epoch_ms(ts) >= lo AND epoch_ms(ts) < hi
+        |GROUP BY 1""".stripMargin,
   )
 
   /** q283's oracle: LTTB unrolled — per bucket a MATERIALIZED pick CTE

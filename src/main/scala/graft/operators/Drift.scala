@@ -147,4 +147,55 @@ object Drift {
       (col("nTotal") - col("nB")).as("n_after"), col("d").as("d_num"),
       col("v").as("at_value"))
   }
+
+  /** Mann–Kendall trend test (Mann 1945, Kendall 1975) per series — the
+    * nonparametric "is this metric drifting monotonically" gate used on
+    * daily KPIs, where seasonality and outliers disqualify OLS-on-time:
+    *   S = Σ_{i<j} sign(x_j − x_i)
+    * with the tie-corrected variance (Kendall §4) kept as the exact
+    * integer numerator of 18·Var:
+    *   var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5).
+    * Two-sided normal test at |Z| > zCritE6/1e6 with continuity
+    * correction, decided WITHOUT sqrt or floats by cross-multiplying:
+    *   Z² > z²  ⇔  (|S|−1)² · 18 · 1e12 > zCritE6² · var18
+    * (S = 0 is never significant). Output per series: n, s_stat, var18,
+    * and trend ∈ {increasing, decreasing, none}.
+    *
+    * Scale shape: the input is a per-(series, bucket) aggregate — a
+    * calendar×series grid, NOT raw rows — so the i<j self-join is
+    * bounded at (days²)/2 per series regardless of input volume; ties
+    * census is one more tiny aggregate over the same grid. This is the
+    * standard two-stage shape: 100 TB collapses to the grid first, the
+    * quadratic statistic runs on the grid. */
+  def mannKendall(series: DataFrame, seriesCol: String, bucketCol: String,
+      valueCol: String, zCritE6: Long = 1959964L): DataFrame = {
+    val g = series.select(col(seriesCol).as("s"),
+        col(bucketCol).cast("long").as("t"),
+        col(valueCol).cast("long").as("x"))
+      .where(col("t").isNotNull && col("x").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = g.select(col("s"), col("t").as("ti"), col("x").as("xi"))
+      .join(g.select(col("s"), col("t").as("tj"), col("x").as("xj")), Seq("s"))
+      .where(col("ti") < col("tj"))
+      .groupBy(col("s"))
+      .agg(sum(signum(col("xj") - col("xi")).cast("long")).as("s_stat"))
+    val ties = g.groupBy(col("s"), col("x")).agg(count(lit(1)).as("tt"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(col("tt")).as("n"),
+        sum(col("tt") * (col("tt") - 1) * (col("tt") * 2 + 5)).as("tie18"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    pairs.join(ties, "s")
+      .withColumn("var18",
+        col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tie18"))
+      .withColumn("__sig",
+        col("s_stat") =!= 0L &&
+          d((abs(col("s_stat")) - 1) * (abs(col("s_stat")) - 1)) *
+            d(lit(18L)) * d(lit(1000000000000L)) >
+            d(lit(zCritE6)) * d(lit(zCritE6)) * d(col("var18")))
+      .select(col("s").as(seriesCol), col("n"), col("s_stat"), col("var18"),
+        when(!col("__sig"), "none")
+          .when(col("s_stat") > 0, "increasing")
+          .otherwise("decreasing").as("trend"))
+  }
 }

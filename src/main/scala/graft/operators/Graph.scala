@@ -530,6 +530,45 @@ object Graph {
     * aggregation — the pageRankE9 round shape, depth 2. Output:
     * (id, deg, sum1, n2, sum2); nodes whose neighbors carry no layer-1
     * row emit zeros. */
+  /** Link prediction over an undirected simple graph: every non-adjacent
+    * pair at distance 2, scored by common-neighbor count and the
+    * resource-allocation index (Zhou, Lü & Zhang 2009, "Predicting
+    * missing links via local information") — RA = Σ_{w∈Γ(a)∩Γ(b)}
+    * 1/deg(w), here in e12 fixed point with a truncating per-term
+    * divide (1e12 div deg(w)) so scores are integers and hash-gate
+    * cross-engine. RA needs no transcendental log (unlike Adamic–Adar)
+    * and outperforms it on dense co-occurrence graphs.
+    *
+    * Scale shape: wedges enumerate by joining the symmetrized adjacency
+    * with itself on the CENTER node — Σ deg(w)² rows, the same budget as
+    * the triangle pass — and the per-term 1e12 div deg(w) rides the
+    * wedge row, so scoring is ONE hash aggregate with map-side partials.
+    * Existing edges drop via one left-anti join against the canonical
+    * (a<b) edge set. Hub gating is the caller's job (threshold the input
+    * edges, as the gates do): a stopword-grade hub in a 100 TB
+    * co-occurrence graph must be cut before ANY quadratic neighborhood
+    * op, not re-discovered inside each one. */
+  def linkPredictionRA(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = e.select(col("a").as("w"), col("b").as("n"))
+      .union(e.select(col("b").as("w"), col("a").as("n")))
+    val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("d"))
+    val adjd = adj.join(deg, "w")
+    val wedges = adjd.select(col("w"), col("n").as("x"), col("d"))
+      .join(adjd.select(col("w"), col("n").as("y")), Seq("w"))
+      .where(col("x") < col("y"))
+    val scored = wedges.groupBy(col("x").as("a"), col("y").as("b"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("CAST(1000000000000 AS BIGINT) div d")).as("ra_e12"))
+    scored.join(e, Seq("a", "b"), "left_anti")
+  }
+
   def twoHopAggregate(edges: DataFrame, srcCol: String, dstCol: String,
       feats: DataFrame, idCol: String, featCol: String): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))

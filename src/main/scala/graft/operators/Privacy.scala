@@ -51,6 +51,42 @@ object Privacy {
         min(when(!col("violates_k"), col("l_diversity")))
           .as("min_l_of_k_groups"))
 
+  /** Recursive (c,l)-diversity audit (Machanavajjhala et al., TKDD 2007
+    * §4.2) — the sharper rung between distinct-l and t-closeness: a QI
+    * group is recursively (c,l)-diverse iff, with its sensitive-value
+    * counts ranked r₁ ≥ r₂ ≥ … ≥ r_m,
+    *   r₁ < c · (r_l + r_{l+1} + … + r_m)
+    * — the most common sensitive value must not dominate even after an
+    * adversary eliminates the l−2 next-most-likely values. Distinct-l
+    * (m ≥ l) rides along. c is the rational cNum/cDen and the test is
+    * cross-multiplied, so the audit is all-integer and hash-gates.
+    *
+    * Scale shape: one (QI, s) cell census, one per-group ranked window
+    * over ≤ m sensitive categories (the sensitive domain, tiny), one
+    * re-aggregation. Output is bounded by QI-group cardinality. NULL
+    * sensitive values are excluded (they are suppressions, not values).
+    */
+  def recursiveLDiversity(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, cNum: Long, cDen: Long, l: Int): DataFrame = {
+    require(l >= 2 && cNum > 0 && cDen > 0)
+    val keys = qiCols.map(col)
+    val cells = df.select(keys :+ col(sensitiveCol).as("__s"): _*)
+      .where(col("__s").isNotNull)
+      .groupBy(keys :+ col("__s"): _*).agg(count(lit(1)).as("__r"))
+    val w = Window.partitionBy(keys: _*)
+      .orderBy(col("__r").desc, col("__s"))
+    cells.withColumn("__rk", row_number().over(w))
+      .groupBy(keys: _*)
+      .agg(sum(col("__r")).as("n"),
+        count(lit(1)).as("m_distinct"),
+        max(when(col("__rk") === 1, col("__r"))).as("r1"),
+        coalesce(sum(when(col("__rk") >= l, col("__r"))), lit(0L))
+          .as("tail_sum"))
+      .withColumn("satisfies_cl",
+        col("m_distinct") >= l &&
+          col("r1") * cDen < col("tail_sum") * cNum)
+  }
+
   /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
     * third rung of the k-anonymity ladder: a QI group can satisfy k AND
     * l yet still leak by SKEW (its sensitive distribution far from the

@@ -142,6 +142,52 @@ object Trend {
       .withColumn("forecast_h", expr(s"level + ${horizon}L * trend"))
   }
 
+  /** Croston's method (Croston 1972, "Forecasting and stock control for
+    * intermittent demands") — THE forecaster for series that are mostly
+    * zeros (spare parts, rare-event revenue, long-tail SKUs), where SES
+    * on the raw series chases zeros and Holt extrapolates noise. Two
+    * coupled SES recursions run over DEMAND OCCURRENCES only:
+    *
+    *   size:     z_i = α·q_i + (1−α)·z_{i−1}
+    *   interval: p_i = α·I_i + (1−α)·p_{i−1},  I_i = gap since last demand
+    *
+    * with the per-period demand rate forecast ẑ/p̂. Initialization is
+    * pinned (z₁ = first demand, p₁ = 1, fold from the second
+    * occurrence) so the whole recursion is deterministic. Same
+    * exactness discipline as [[holtLinear]]: integer-ratio α, each step
+    * truncates to BIGINT before the next, rate emitted e6-truncated
+    * alongside the exact (level, interval) pair.
+    *
+    * Scale shape: identical to holtLinear — occurrences are ALREADY the
+    * sparse series (zero periods never materialize, which is the whole
+    * point at 100 TB: a 99%-zero daily grid never exists), one groupBy
+    * collects each key's occurrence list, the fold is codegen'd array
+    * arithmetic in the executor. */
+  def croston(df: DataFrame, keyCols: Seq[String], orderCol: Column,
+      valueCol: Column, alphaNum: Int, den: Int): DataFrame = {
+    require(den > 0 && alphaNum > 0 && alphaNum <= den)
+    val base = df.select(keyCols.map(col) ++ Seq(
+      orderCol.cast("long").as("__o"), valueCol.cast("long").as("__y")): _*)
+      .where(col("__y").isNotNull && col("__y") =!= 0L)
+    val series = base.groupBy(keyCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(col("__o"), col("__y"))))
+        .as("arr"), count(lit(1)).as("n_demands"))
+    val (a, d) = (alphaNum, den)
+    val fold =
+      s"""aggregate(slice(arr, 2, size(arr) - 1),
+         |  named_struct('z', element_at(arr, 1).__y, 'p', 1L,
+         |    'd', element_at(arr, 1).__o),
+         |  (acc, e) -> named_struct(
+         |    'z', (($a * e.__y + ${d - a} * acc.z) div $d),
+         |    'p', (($a * (e.__o - acc.d) + ${d - a} * acc.p) div $d),
+         |    'd', e.__o))""".stripMargin
+    series.withColumn("st", expr(fold))
+      .select(keyCols.map(col) ++ Seq(col("n_demands"),
+        col("st.z").as("size_level"), col("st.p").as("interval_level")): _*)
+      .withColumn("rate_e6",
+        expr("size_level * 1000000L div greatest(interval_level, 1L)"))
+  }
+
   /** Holt–Winters additive triple smoothing (Winters 1960) — level +
     * trend + a length-m seasonal cycle, the full classical forecaster
     * for metrics with weekly shape:

@@ -81,4 +81,24 @@ class DriftSpec extends SparkSpec {
     }.maxBy { case (d, t) => (d, -t) }
     assert((got.getLong(3), got.getLong(0)) == brute)
   }
+  test("mannKendall: hand S/var18, tie collapse, boundary significance") {
+    val rows =
+      (1 to 5).map(d => ("up", d.toLong, d.toLong)) ++          // S=10
+      (1 to 5).map(d => ("flat", d.toLong, 7L)) ++              // S=0, ties
+      (1 to 5).map(d => ("down", d.toLong, (10 - d).toLong)) ++ // S=-10
+      (1 to 4).map(d => ("short", d.toLong, d.toLong))          // S=6, n=4
+    val got = Drift.mannKendall(rows.toDF("s", "t", "x").repartition(4),
+        "s", "t", "x")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // n=5 no ties: var18 = 5·4·15 = 300; (10−1)²·18e12 > 1.96²e12·300
+    assert(got("up") == ((5L, 10L, 300L, "increasing")))
+    assert(got("down") == ((5L, -10L, 300L, "decreasing")))
+    // all tied: S=0, tie18 = 5·4·15 → var18 = 0, never significant
+    assert(got("flat") == ((5L, 0L, 0L, "none")))
+    // n=4 strictly increasing is NOT significant at 1.96:
+    // (6−1)²·18e12 = 4.5e14 < 3.8416e12·156 ≈ 5.99e14
+    assert(got("short") == ((4L, 6L, 156L, "none")))
+  }
+
 }

@@ -382,4 +382,21 @@ class GraphSpec extends SparkSpec {
     assert(got(2L) == ((1L, BigInt(30), 1L, BigInt(40))))
     assert(!got.contains(4L)) // no out-edges → no layer-1 row
   }
+  test("linkPredictionRA: path + star hand graph, adjacency excluded") {
+    // path 1-2-3 and star 4-{5,6,7}
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (4L, 6L), (4L, 7L))
+      .toDF("u", "v")
+    val got = Graph.linkPredictionRA(edges, "u", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // (1,3) share center 2 (deg 2): ra = 1e12 div 2
+    assert(got(1L -> 3L) == ((1L, 500000000000L)))
+    // star leaves pair through hub 4 (deg 3): ra = 1e12 div 3
+    for (p <- Seq(5L -> 6L, 5L -> 7L, 6L -> 7L))
+      assert(got(p) == ((1L, 333333333333L)))
+    // existing edges never reappear as candidates
+    assert(!got.contains(1L -> 2L) && !got.contains(4L -> 5L))
+    assert(got.size == 4)
+  }
+
 }

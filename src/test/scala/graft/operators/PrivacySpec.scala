@@ -122,4 +122,28 @@ class PrivacySpec extends SparkSpec {
     assert(BigInt(v.getDecimal(2).toBigInteger) == 6 &&
       BigInt(v.getDecimal(3).toBigInteger) == 14 && !v.getBoolean(4))
   }
+  test("recursiveLDiversity: ranked-tail test, distinct-l floor, NULLs") {
+    // G1 counts a:5 b:2 c:1 → r1=5, tail(l=3)=1
+    val rows = Seq.fill(5)(("G1", "a")) ++ Seq(("G1", "b"), ("G1", "b"),
+      ("G1", "c")) ++
+      Seq(("G2", "x"), ("G2", "y")) ++ // m=2 < l → fails regardless
+      Seq(("G3", null), ("G3", "z"), ("G3", "z"), ("G3", "w"),
+        ("G3", "u")) // null excluded: counts z:2 w:1 u:1
+    val df = rows.toDF("grp", "s").repartition(4)
+    def audit(cNum: Long, cDen: Long) =
+      Privacy.recursiveLDiversity(df, Seq("grp"), "s", cNum, cDen, l = 3)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getBoolean(5))).toMap
+    val strict = audit(2, 1) // r1 < 2·tail ⇔ 5 < 2 → fail
+    assert(strict("G1") == ((8L, 3L, 5L, 1L, false)))
+    assert(strict("G2")._5 == false && strict("G2")._2 == 2L)
+    // G3: n counts only non-null (4), r1=2, tail=1 → 2 < 2·1 false
+    assert(strict("G3") == ((4L, 3L, 2L, 1L, false)))
+    val loose = audit(6, 1) // 5 < 6·1 → G1 passes
+    assert(loose("G1")._5 == true)
+    // G3 under c=6: 2 < 6 → passes
+    assert(loose("G3")._5 == true)
+  }
+
 }

@@ -257,4 +257,19 @@ class TrendSpec extends SparkSpec {
     // window trims: t=12's frame is rows 6..12 → n = 7
     assert(got.map(r => r.getLong(1) -> r.getLong(2)).toMap.apply(12L) == 7L)
   }
+  test("croston: hand fold over gappy demand, zero rows dropped") {
+    // demands (day,q): (1,10) (3,20) (7,30); day 2 zero row must drop
+    val rows = Seq(("k", 1L, 10L), ("k", 2L, 0L), ("k", 3L, 20L),
+      ("k", 7L, 30L), ("solo", 4L, 9L))
+    val got = Trend.croston(rows.toDF("g", "d", "q").repartition(3),
+        Seq("g"), col("d"), col("q"), alphaNum = 2, den = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // init z=10 p=1 d=1; (3,20): z=(40+80)/10=12, p=(4+8)/10=1
+    // (7,30): z=(60+96)/10=15, p=(8+8)/10=1 → rate 15e6
+    assert(got("k") == ((3L, 15L, 1L, 15000000L)))
+    // single demand: fold never runs, init state emits
+    assert(got("solo") == ((1L, 9L, 1L, 9000000L)))
+  }
+
 }
