@@ -4924,6 +4924,95 @@ object SparkEntry {
         .orderBy(col("score_e6").desc, col("phrase")).limit(25)
     }),
 
+    // Page–Hinkley drift detector (Page 1954; Hinkley 1971) over daily
+    // revenue per type: deviations from the RUNNING mean accumulate,
+    // PH_t = U_t − min_{i≤t} U_i alarms when the level shifts — the
+    // classic sequential change detector CUSUM (q102) approximates
+    // with a fixed reference. All-window composition on the calendar
+    // grid, e6 integer deviations (running mean truncated before the
+    // subtraction), λ = 2× the series mean.
+    "q305_page_hinkley" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = ev(s, dir).where(col("value").isNotNull)
+        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      val order = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val run = order.rowsBetween(Window.unboundedPreceding, 0)
+      val all = Window.partitionBy(col("event_type"))
+      val scored = daily
+        .withColumn("i", row_number().over(order).cast("long"))
+        .withColumn("cumx", sum(col("x")).over(run))
+        .withColumn("dev",
+          col("x") * lit(1000000L) - expr("cumx * 1000000L div i"))
+        .withColumn("u", sum(col("dev")).over(run))
+        .withColumn("ph", col("u") - min(col("u")).over(run))
+        .withColumn("tot", sum(col("x")).over(all))
+        .withColumn("n", count(lit(1)).over(all))
+        .withColumn("alarm", col("ph") > expr("2 * (tot * 1000000L div n)"))
+      scored.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_days"),
+          max(struct(col("ph"), (-col("day")).as("nd"))).as("k"),
+          min(when(col("alarm"), col("day"))).as("first_alarm_day"),
+          sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarms"))
+        .select(col("event_type"), col("n_days"),
+          col("k.ph").as("ph_max_e6"), (-col("k.nd")).as("ph_argmax_day"),
+          col("first_alarm_day"), col("n_alarms"))
+    }),
+
+    // k-anonymity generalization LADDER: the DGH walk (Sweeney's
+    // full-domain generalization) — five QI granularities from
+    // (nation, segment, balance band) up to ∅, audited in one pass
+    // each; the published level is the FIRST whose minimum group size
+    // clears k (suppression-free full-domain generalization). Balance
+    // bands shift +1e5 cents before the integer div so Spark's
+    // truncation and DuckDB's floor agree on negative balances.
+    "q306_gen_ladder" -> ((s, dir) => {
+      val k = 20L
+      val c = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .withColumn("band",
+          expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 200000"))
+      val levels: Seq[(Long, Seq[Column])] = Seq(
+        0L -> Seq(col("c_nationkey"), col("c_mktsegment"), col("band")),
+        1L -> Seq(col("c_nationkey"), col("c_mktsegment")),
+        2L -> Seq(col("n_regionkey"), col("c_mktsegment")),
+        3L -> Seq(col("n_regionkey")),
+        4L -> Seq(lit(0L)))
+      val audits = levels.map { case (lvl, qi) =>
+        c.groupBy(qi: _*).agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_groups"), min(col("sz")).as("min_size"),
+            sum(when(col("sz") < k, col("sz")).otherwise(0L))
+              .as("suppressed"))
+          .withColumn("level", lit(lvl))
+          .withColumn("satisfies", col("min_size") >= k)
+      }.reduce(_ unionByName _)
+      val chosen = audits.where(col("satisfies"))
+        .agg(min(col("level")).as("chosen_level"))
+      audits.crossJoin(broadcast(chosen))
+        .select(col("level"), col("n_groups"), col("min_size"),
+          col("suppressed"), col("satisfies"),
+          (col("level") === col("chosen_level")).as("chosen"))
+    }),
+
+    // DataSource V2 surface: the graft-synth deterministic generator
+    // table read through Spark's connector API — id-range filters
+    // narrow the GENERATED range (source-side partition pruning,
+    // SynthSourceSpec pins the scan description + pruned schema), and
+    // the oracle replays splitMix64 in unsigned SQL arithmetic, so the
+    // source's bit-exactness is itself the gate.
+    "q304_synth_source" -> ((s, _) => {
+      s.read.format("graft-synth")
+        .option("rows", 200000L).option("seed", 7L)
+        .option("partitions", 32)
+        .load()
+        .where(col("id") >= 50000L && col("id") < 150000L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          sum(col("user_id") % 97).as("user_check"),
+          sum(col("day")).as("day_sum"))
+    }),
+
     // Croston intermittent-demand forecast: the %17 user slice makes
     // per-type daily demand genuinely gappy at sf0.01; size/interval SES
     // over occurrences only (zero days never materialize — the sparse
@@ -6462,6 +6551,34 @@ object SparkEntry {
   /** Renders `((a * c) mod 2^64) AS UBIGINT` with the 64-bit constant split
     * into 32-bit halves so the 128-bit intermediate never overflows
     * DuckDB's signed HUGEINT. */
+  /** q304's oracle: the graft-synth generator replayed in unsigned SQL —
+    * splitMix64 via the same mod-2^64 multiply chain q62 uses, fields by
+    * the identical shift/modulus derivations
+    * ([[graft.sources.v2.SynthSource]]). */
+  private lazy val q304OracleSql: String = {
+    val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
+    val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
+    s"""WITH ids AS (
+       | SELECT unnest(generate_series(50000, 149999)) AS id),
+       |h0 AS (SELECT id, CAST((CAST(id AS HUGEINT) + 7
+       |  + 11400714819323198485) % 18446744073709551616 AS UBIGINT)
+       |  AS z0 FROM ids),
+       |h1 AS (SELECT id, $z1 AS z1 FROM h0),
+       |h2 AS (SELECT id, $z2 AS z2 FROM h1),
+       |hh AS (SELECT id, xor(z2, z2 >> 31) AS h FROM h2),
+       |r AS (SELECT id,
+       |  (h >> 1) % 10000 AS user_id,
+       |  ['view', 'click', 'purchase', 'signup', 'error']
+       |    [CAST((h >> 8) % 5 AS INT) + 1] AS event_type,
+       |  (h >> 16) % 100000 AS cents,
+       |  (h >> 24) % 90 AS day FROM hh)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(cents) AS BIGINT) AS cents,
+       |  CAST(sum(user_id % 97) AS BIGINT) AS user_check,
+       |  CAST(sum(day) AS BIGINT) AS day_sum
+       |FROM r GROUP BY 1""".stripMargin
+  }
+
   private def mulMod64Sql(a: String, c: Long): String = {
     val ch = c >>> 32; val cl = c & 0xffffffffL
     s"""CAST((CAST($a AS HUGEINT) * $cl +
@@ -11743,6 +11860,75 @@ object SparkEntry {
         |SELECT pc.phrase, pc.n, psc.score_e6
         |FROM pc JOIN psc USING (phrase)
         |ORDER BY score_e6 DESC, phrase LIMIT 25""".stripMargin,
+
+    // q304: the generator replayed in unsigned SQL (splitMix64 chain).
+    "q304_synth_source" -> q304OracleSql,
+
+    // q305: the same window composition; argmax totalized by a rank.
+    "q305_page_hinkley" ->
+      """WITH daily AS (
+        | SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS x
+        | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |w AS (
+        | SELECT event_type, day, x,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+        |  sum(x) OVER (PARTITION BY event_type ORDER BY day) AS cumx,
+        |  sum(x) OVER (PARTITION BY event_type) AS tot,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM daily),
+        |d AS (SELECT *, x*1000000 - (cumx*1000000 // i) AS dev FROM w),
+        |u AS (SELECT *, sum(dev) OVER (PARTITION BY event_type
+        |  ORDER BY day) AS uu FROM d),
+        |p AS (SELECT *, uu - min(uu) OVER (PARTITION BY event_type
+        |  ORDER BY day) AS ph FROM u),
+        |a AS (SELECT *, ph > 2*(tot*1000000 // n) AS alarm FROM p),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |  ORDER BY ph DESC, day) AS rk FROM a)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+        | CAST(max(CASE WHEN rk = 1 THEN ph END) AS BIGINT) AS ph_max_e6,
+        | CAST(max(CASE WHEN rk = 1 THEN day END) AS BIGINT)
+        |   AS ph_argmax_day,
+        | CAST(min(CASE WHEN alarm THEN day END) AS BIGINT)
+        |   AS first_alarm_day,
+        | CAST(sum(CASE WHEN alarm THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_alarms
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // q306: five grouping granularities, first-satisfying pick.
+    "q306_gen_ladder" ->
+      """WITH c AS (
+        | SELECT c_nationkey, c_mktsegment, n_regionkey,
+        |  (CAST(round(c_acctbal*100) AS BIGINT) + 100000) // 200000
+        |    AS band
+        | FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |l0 AS (SELECT count(*) AS sz FROM c
+        |  GROUP BY c_nationkey, c_mktsegment, band),
+        |l1 AS (SELECT count(*) AS sz FROM c
+        |  GROUP BY c_nationkey, c_mktsegment),
+        |l2 AS (SELECT count(*) AS sz FROM c
+        |  GROUP BY n_regionkey, c_mktsegment),
+        |l3 AS (SELECT count(*) AS sz FROM c GROUP BY n_regionkey),
+        |l4 AS (SELECT count(*) AS sz FROM c),
+        |a AS (
+        | SELECT 0 AS level, count(*) AS n_groups, min(sz) AS min_size,
+        |  sum(CASE WHEN sz < 20 THEN sz ELSE 0 END) AS suppressed FROM l0
+        | UNION ALL SELECT 1, count(*), min(sz),
+        |  sum(CASE WHEN sz < 20 THEN sz ELSE 0 END) FROM l1
+        | UNION ALL SELECT 2, count(*), min(sz),
+        |  sum(CASE WHEN sz < 20 THEN sz ELSE 0 END) FROM l2
+        | UNION ALL SELECT 3, count(*), min(sz),
+        |  sum(CASE WHEN sz < 20 THEN sz ELSE 0 END) FROM l3
+        | UNION ALL SELECT 4, count(*), min(sz),
+        |  sum(CASE WHEN sz < 20 THEN sz ELSE 0 END) FROM l4),
+        |s AS (SELECT *, min_size >= 20 AS satisfies FROM a),
+        |ch AS (SELECT min(level) AS chosen_level FROM s WHERE satisfies)
+        |SELECT CAST(level AS BIGINT) AS level,
+        | CAST(n_groups AS BIGINT) AS n_groups,
+        | CAST(min_size AS BIGINT) AS min_size,
+        | CAST(suppressed AS BIGINT) AS suppressed, satisfies,
+        | (level = ch.chosen_level) AS chosen
+        |FROM s CROSS JOIN ch""".stripMargin,
 
     // q303: list_reduce refold with [z, p, lastday] state — both
     // engines' integer division truncates identically on the
