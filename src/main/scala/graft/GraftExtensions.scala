@@ -35,5 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // unix_micros/millis/seconds comparisons → sargable ts range (on by
     // default; kill switch spark.graft.rewriteEpochCmp=false)
     extensions.injectOptimizerRule(_ => graft.plans.EpochCmpRewrite)
+    // plans IntervalLookupJoin nodes (broadcast interval-tree join)
+    extensions.injectPlannerStrategy(_ => graft.plans.IntervalLookupStrategy)
   }
 }

@@ -4924,6 +4924,27 @@ object SparkEntry {
         .orderBy(col("score_e6").desc, col("phrase")).limit(25)
     }),
 
+    // Custom physical operator end-to-end: the broadcast interval-tree
+    // lookup join (plans/IntervalLookup: LogicalPlan + Strategy +
+    // SparkPlan — IntervalLookupSpec pins the plan node and BNLJ
+    // parity) enriching event cents against 70 OVERLAPPING price tiers;
+    // left-outer keeps unmatched facts under tier −1. The oracle is the
+    // plain non-equi join, so the gate proves the custom operator's
+    // semantics at table scale.
+    "q307_interval_lookup" -> ((s, dir) => {
+      val facts = ev(s, dir)
+        .select(col("event_id"), round(col("value") * 100).cast("long")
+          .as("cents"))
+        .where(col("cents").isNotNull)
+      val tiers = s.range(70).selectExpr("id AS tier",
+        "id * 700 AS lo", "id * 700 + 1200 AS hi")
+      operators.IntervalLookup.join(facts, tiers, "cents", "lo", "hi",
+          "left_outer")
+        .groupBy(coalesce(col("tier"), lit(-1L)).as("tier"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          sum(col("event_id") % 1000003L).as("id_check"))
+    }),
+
     // Page–Hinkley drift detector (Page 1954; Hinkley 1971) over daily
     // revenue per type: deviations from the RUNNING mean accumulate,
     // PH_t = U_t − min_{i≤t} U_i alarms when the level shifts — the
@@ -11863,6 +11884,21 @@ object SparkEntry {
 
     // q304: the generator replayed in unsigned SQL (splitMix64 chain).
     "q304_synth_source" -> q304OracleSql,
+
+    // q307: the plain non-equi join the custom operator replaces.
+    "q307_interval_lookup" ->
+      """WITH f AS (SELECT event_id,
+        |  CAST(round(value*100) AS BIGINT) AS cents
+        | FROM events WHERE value IS NOT NULL),
+        |t AS (SELECT i AS tier, i*700 AS lo, i*700 + 1200 AS hi
+        | FROM (SELECT unnest(generate_series(0, 69)) AS i)),
+        |j AS (SELECT f.event_id, f.cents, t.tier FROM f
+        | LEFT JOIN t ON t.lo <= f.cents AND f.cents < t.hi)
+        |SELECT coalesce(tier, -1) AS tier,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(cents) AS BIGINT) AS cents,
+        | CAST(sum(event_id % 1000003) AS BIGINT) AS id_check
+        |FROM j GROUP BY 1""".stripMargin,
 
     // q305: the same window composition; argmax totalized by a rank.
     "q305_page_hinkley" ->
