@@ -37,5 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectOptimizerRule(_ => graft.plans.EpochCmpRewrite)
     // plans IntervalLookupJoin nodes (broadcast interval-tree join)
     extensions.injectPlannerStrategy(_ => graft.plans.IntervalLookupStrategy)
+    // aggregate-over-base → registered-summary rewrite (fires only on
+    // MatviewRegistry entries; kill switch spark.graft.matviewRewrite)
+    extensions.injectOptimizerRule(_ => graft.plans.MatviewRewrite)
   }
 }

@@ -79,6 +79,9 @@ object SparkEntry {
     p
   }
   def cleanupQueryTmp(): Unit = {
+    // a registered matview may point into a query temp root about to be
+    // deleted — registrations never outlive their files
+    plans.MatviewRegistry.clear()
     var p = queryTmpRoots.poll()
     while (p != null) {
       deleteRecursively(new java.io.File(p))
@@ -4922,6 +4925,31 @@ object SparkEntry {
         .groupBy(col("phrase")).agg(sum(col("wscore_e6")).as("score_e6"))
       phraseCounts.join(phraseScores, "phrase")
         .orderBy(col("score_e6").desc, col("phrase")).limit(25)
+    }),
+
+    // Materialized-view query rewrite end-to-end: a per-(priority,
+    // status) summary registers as a matview for the cents projection;
+    // the dashboard-shaped coarser rollup (status filter + priority
+    // group) re-plans onto the summary scan (MatviewRewriteSpec pins
+    // the plan swap and the unsound-shape bails) while the oracle
+    // recomputes from the base — result parity IS the soundness proof.
+    "q308_matview_rewrite" -> ((s, dir) => {
+      if (!s.experimental.extraOptimizations.contains(plans.MatviewRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ plans.MatviewRewrite
+      val root = queryTmp("graft_mv")
+      val base = t(s, dir, "orders").select(col("o_orderpriority"),
+        col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      base.groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(s"$root/view")
+      plans.MatviewRegistry.register(base, s.read.parquet(s"$root/view"),
+        dims = Seq("o_orderpriority", "o_orderstatus"),
+        sums = Map("cents" -> "sum_cents"), countCol = "cnt")
+      base.where(col("o_orderstatus") =!= "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n"))
     }),
 
     // Custom physical operator end-to-end: the broadcast interval-tree
@@ -11884,6 +11912,15 @@ object SparkEntry {
 
     // q304: the generator replayed in unsigned SQL (splitMix64 chain).
     "q304_synth_source" -> q304OracleSql,
+
+    // q308: the base recompute the rewrite must equal.
+    "q308_matview_rewrite" ->
+      """SELECT o_orderpriority,
+        | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |   AS cents,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |GROUP BY 1""".stripMargin,
 
     // q307: the plain non-equi join the custom operator replaces.
     "q307_interval_lookup" ->
