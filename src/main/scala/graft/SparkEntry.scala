@@ -4927,6 +4927,62 @@ object SparkEntry {
         .orderBy(col("score_e6").desc, col("phrase")).limit(25)
     }),
 
+    // Ranking evaluation: AVERAGE PRECISION per source — documents
+    // ranked by length (desc, doc_id tiebreak), relevance = lang 'en';
+    // prec@k needs NO second pass: the running relevant-count r at a
+    // relevant row IS the numerator, so AP = (Σ r·1e6 div k) div P off
+    // one partitioned window. Completes MRR/NDCG (q145) + AUC (q140).
+    "q309_avg_precision" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val ranked = t(s, dir, "documents")
+        .withColumn("rel", (col("lang") === "en").cast("long"))
+        .withColumn("k", count(lit(1)).over(w))
+        .withColumn("r", sum(col("rel")).over(w))
+      ranked.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("rel")).as("n_pos"),
+          expr("""sum(CASE WHEN rel = 1 THEN r * 1000000L div k END)
+            div sum(rel)""").as("ap_e6"))
+    }),
+
+    // Poisson bootstrap CI (Chamandy et al. 2012 — THE at-scale
+    // bootstrap: no resample materialization, each row independently
+    // carries Poisson(1) multiplicities per replicate) on mean event
+    // cents per type: B=64 replicates, weights from a splitMix64 draw
+    // against the 2^63-scaled Poisson CDF ladder (indicator sums — no
+    // branching), replicate means e6-truncated, CI = ranks 2/63 of the
+    // sorted means (~95%). The oracle replays hash, ladder, and ranks.
+    "q310_poisson_bootstrap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      functions.PolyHash64.register(s)
+      val b = 64
+      val base = ev(s, dir).where(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("x"))
+      val rep = base.select(col("event_id"), col("event_type"), col("x"),
+          explode(sequence(lit(0), lit(b - 1))).as("b"))
+        .withColumn("u", expr(
+          "shiftrightunsigned(graft_splitmix64(event_id + b * 2654435769L), 1)"))
+        .withColumn("w", q310Thresholds.map(th =>
+          when(col("u") >= th, 1L).otherwise(0L)).reduce(_ + _))
+      val means = rep.groupBy(col("event_type"), col("b"))
+        .agg(sum(col("w")).as("nw"), sum(col("w") * col("x")).as("sw"))
+        .where(col("nw") > 0)
+        .withColumn("mean_e6", expr("sw * 1000000L div nw"))
+      val rk = Window.partitionBy(col("event_type"))
+        .orderBy(col("mean_e6"), col("b"))
+      val ci = means.withColumn("rk", row_number().over(rk))
+        .groupBy(col("event_type"))
+        .agg(max(when(col("rk") === 2, col("mean_e6"))).as("ci_lo_e6"),
+          max(when(col("rk") === b - 1, col("mean_e6"))).as("ci_hi_e6"))
+      base.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("sum(x) * 1000000L div count(1)").as("mean_e6"))
+        .join(ci, "event_type")
+    }),
+
     // Materialized-view query rewrite end-to-end: a per-(priority,
     // status) summary registers as a matview for the cents projection;
     // the dashboard-shaped coarser rollup (status filter + priority
@@ -5125,6 +5181,20 @@ object SparkEntry {
 
   private val q300ThrSqlValues: String =
     q300Thresholds.map { case (k, t) => s"($k, $t)" }.mkString(", ")
+
+  /** q310's Poisson(1) CDF ladder, scaled to 2^63 (floor) — weight =
+    * Σ_k [u63 ≥ T_k] over k = 0..7 gives the Poisson multiplicity of a
+    * 63-bit uniform draw; constants computed offline at 50-digit
+    * precision (e is in neither engine; a fixed ladder is part of the
+    * mechanism's specification, like any critical value). */
+  private val q310Thresholds: Seq[Long] = Seq(
+    3393088950634442637L, 6786177901268885274L, 8482722376586106593L,
+    9048237201691847032L, 9189615907968282142L, 9217891649223569164L,
+    9222604272766117001L, 9223277504700766692L)
+
+  private val q310ThrSqlSum: String =
+    q310Thresholds.map(t =>
+      s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)").mkString(" + ")
 
   /** q302's stoplist: the two function words plus the eight highest-df
     * generic terms of the synthetic vocabulary — RAKE's stoplist is a
@@ -6626,6 +6696,46 @@ object SparkEntry {
        |  CAST(sum(user_id % 97) AS BIGINT) AS user_check,
        |  CAST(sum(day) AS BIGINT) AS day_sum
        |FROM r GROUP BY 1""".stripMargin
+  }
+
+  /** q310's oracle: the Poisson-bootstrap mechanism replayed — the
+    * splitMix64 chain per (row, replicate), the 2^63 CDF ladder, the
+    * same truncating replicate means and rank-2/63 CI. */
+  private lazy val q310OracleSql: String = {
+    val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
+    val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
+    s"""WITH base AS (
+       | SELECT event_id, event_type,
+       |  CAST(round(value*100) AS BIGINT) AS x
+       | FROM events WHERE value IS NOT NULL),
+       |bs AS (SELECT unnest(generate_series(0, 63)) AS b),
+       |h0 AS (SELECT e.event_type, e.x, bs.b,
+       |  CAST((CAST(e.event_id + bs.b * 2654435769 AS HUGEINT)
+       |    + 11400714819323198485) % 18446744073709551616 AS UBIGINT)
+       |    AS z0
+       | FROM base e CROSS JOIN bs),
+       |h1 AS (SELECT event_type, x, b, $z1 AS z1 FROM h0),
+       |h2 AS (SELECT event_type, x, b, $z2 AS z2 FROM h1),
+       |hh AS (SELECT event_type, x, b,
+       |  CAST(xor(z2, z2 >> 31) >> 1 AS BIGINT) AS u FROM h2),
+       |wt AS (SELECT event_type, x, b, $q310ThrSqlSum AS w FROM hh),
+       |m AS (SELECT event_type, b, CAST(sum(w) AS BIGINT) AS nw,
+       |  CAST(sum(w * x) AS BIGINT) AS sw FROM wt GROUP BY 1, 2),
+       |mm AS (SELECT event_type, b, sw * 1000000 // nw AS mean_e6
+       | FROM m WHERE nw > 0),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+       |  ORDER BY mean_e6, b) AS rk FROM mm),
+       |ci AS (SELECT event_type,
+       |  CAST(max(CASE WHEN rk = 2 THEN mean_e6 END) AS BIGINT)
+       |    AS ci_lo_e6,
+       |  CAST(max(CASE WHEN rk = 63 THEN mean_e6 END) AS BIGINT)
+       |    AS ci_hi_e6
+       | FROM rk GROUP BY 1),
+       |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(x) * 1000000 // count(*) AS BIGINT) AS mean_e6
+       | FROM base GROUP BY 1)
+       |SELECT pt.event_type, pt.n, pt.mean_e6, ci.ci_lo_e6, ci.ci_hi_e6
+       |FROM pt JOIN ci USING (event_type)""".stripMargin
   }
 
   private def mulMod64Sql(a: String, c: Long): String = {
@@ -11912,6 +12022,29 @@ object SparkEntry {
 
     // q304: the generator replayed in unsigned SQL (splitMix64 chain).
     "q304_synth_source" -> q304OracleSql,
+
+    // q309: the same partitioned running-count windows.
+    "q309_avg_precision" ->
+      """WITH r AS (
+        | SELECT source, lang,
+        |  count(*) OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id) AS k,
+        |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id) AS rr
+        | FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_pos,
+        | CAST(CASE WHEN sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) = 0
+        |  THEN NULL
+        |  ELSE sum(CASE WHEN lang = 'en' THEN rr * 1000000 // k END)
+        |    // sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) END
+        |  AS BIGINT) AS ap_e6
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // q310: the full mechanism replay (hash chain + ladder + ranks).
+    "q310_poisson_bootstrap" -> q310OracleSql,
 
     // q308: the base recompute the rewrite must equal.
     "q308_matview_rewrite" ->

@@ -101,9 +101,28 @@ case class PolyHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen-friendly scalar wrapper for [[RollingHash.splitMix64]] — the
+  * engine-standard 64-bit finisher exposed directly for LONG inputs
+  * (deterministic per-row draws: bootstrap weights, salt derivation),
+  * replayable in unsigned SQL via the q62 mod-2^64 multiply chain. */
+case class SplitMix64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "splitmix64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHash.splitMix64(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.splitMix64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SplitMix64Expr =
+    copy(child = newChild)
+}
+
 object PolyHash64 {
   private[graft] val builders: GraftRegistry.Builders = Seq(
-    "graft_poly_hash64" -> (exprs => PolyHash64(exprs.head)))
+    "graft_poly_hash64" -> (exprs => PolyHash64(exprs.head)),
+    "graft_splitmix64" -> (exprs => SplitMix64Expr(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     GraftRegistry.registerTemp(spark, builders)
