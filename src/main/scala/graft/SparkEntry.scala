@@ -4927,6 +4927,72 @@ object SparkEntry {
         .orderBy(col("score_e6").desc, col("phrase")).limit(25)
     }),
 
+    // Sequential A/B monitoring with a Hoeffding boundary: per day, the
+    // CUMULATIVE two-proportion lift against the anytime-valid radius
+    // diff² > ln(2/δ)·(n_c+n_t)/(2·n_c·n_t) (δ=0.05 → the e12 literal;
+    // union-bounded two-sided Hoeffding, the peek-safe alternative to
+    // daily chi²) — decided sqrt-free by cross-multiplication on the
+    // calendar grid. The "can we stop the experiment yet" readout.
+    "q311_hoeffding_sequential" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = ev(s, dir)
+        .where(col("user_id").isNotNull && col("event_type").isNotNull)
+        .withColumn("day", expr("ts_ms div 86400000"))
+        .withColumn("arm", (col("user_id") % 2).cast("int"))
+        .withColumn("conv", (col("event_type") === "purchase").cast("long"))
+      val daily = e.groupBy(col("day")).agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("dn_c"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("dc_c"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("dn_t"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("dc_t"))
+      val run = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      daily
+        .withColumn("n_c", sum(col("dn_c")).over(run))
+        .withColumn("n_t", sum(col("dn_t")).over(run))
+        .withColumn("c_c", sum(col("dc_c")).over(run))
+        .withColumn("c_t", sum(col("dc_t")).over(run))
+        .where(col("n_c") > 0 && col("n_t") > 0)
+        .withColumn("diff_e6",
+          expr("c_t * 1000000L div n_t - c_c * 1000000L div n_c"))
+        .withColumn("decided", expr(
+          """CAST(diff_e6 AS DECIMAL(38,0)) * diff_e6 * 2 * n_c * n_t >
+            |CAST(3688879454113 AS DECIMAL(38,0)) * (n_c + n_t)"""
+            .stripMargin))
+        .select(col("day"), col("n_c"), col("n_t"), col("c_c"),
+          col("c_t"), col("diff_e6"), col("decided"))
+    }),
+
+    // Crypto-shredding erasure (the at-scale GDPR mechanism q191's hard
+    // delete complements): payloads encrypt at ingest under per-user
+    // keys (toy XOR stream from graft_splitmix64 — production swaps in
+    // AES-GCM; the PIPELINE — key table, shred = key delete, ciphertext
+    // never rewritten — is the real shape); shredding the %7 users'
+    // keys leaves their rows unreadable. The oracle computes the stats
+    // WITHOUT the cipher, so parity proves the encrypt→shred→decrypt
+    // round trip is lossless on surviving keys.
+    "q312_crypto_shred" -> ((s, dir) => {
+      functions.PolyHash64.register(s)
+      val e = ev(s, dir)
+        .where(col("value").isNotNull && col("user_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("x"))
+      // XOR salting (a wrapping multiply trips ANSI overflow checks)
+      val keyOf = "graft_splitmix64(user_id ^ 1442695040888963407L)"
+      val ciphertext = e.withColumn("c", expr(s"x ^ ($keyOf)"))
+        .drop("x")
+      val keys = e.select(col("user_id")).distinct()
+        .where(col("user_id") % 7 =!= 0)
+        .withColumn("k", expr(keyOf))
+      ciphertext.join(broadcast(keys), Seq("user_id"), "left")
+        .withColumn("x", expr("c ^ k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("k").isNotNull, 1L).otherwise(0L)).as("readable"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("shredded"),
+          sum(col("x")).as("readable_cents"))
+    }),
+
     // Ranking evaluation: AVERAGE PRECISION per source — documents
     // ranked by length (desc, doc_id tiebreak), relevance = lang 'en';
     // prec@k needs NO second pass: the running relevant-count r at a
@@ -12022,6 +12088,51 @@ object SparkEntry {
 
     // q304: the generator replayed in unsigned SQL (splitMix64 chain).
     "q304_synth_source" -> q304OracleSql,
+
+    // q311: the same cumulative grid + cross-multiplied boundary.
+    "q311_hoeffding_sequential" ->
+      """WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |  CAST(user_id % 2 AS INT) AS arm,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        | FROM events WHERE user_id IS NOT NULL
+        |  AND event_type IS NOT NULL),
+        |d AS (SELECT day,
+        |  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dn_c,
+        |  CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+        |    AS dc_c,
+        |  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dn_t,
+        |  CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+        |    AS dc_t
+        | FROM e GROUP BY 1),
+        |c AS (SELECT day,
+        |  sum(dn_c) OVER w AS n_c, sum(dn_t) OVER w AS n_t,
+        |  sum(dc_c) OVER w AS c_c, sum(dc_t) OVER w AS c_t
+        | FROM d WINDOW w AS (ORDER BY day
+        |   ROWS UNBOUNDED PRECEDING)),
+        |s AS (SELECT *, c_t * 1000000 // n_t - c_c * 1000000 // n_c
+        |   AS diff_e6
+        | FROM c WHERE n_c > 0 AND n_t > 0)
+        |SELECT day, n_c, n_t, c_c, c_t, diff_e6,
+        | (CAST(diff_e6 AS HUGEINT) * diff_e6 * 2 * n_c * n_t >
+        |  CAST(3688879454113 AS HUGEINT) * (n_c + n_t)) AS decided
+        |FROM s""".stripMargin,
+
+    // q312: the cipher-free recompute — parity proves the
+    // encrypt→shred→decrypt round trip lossless.
+    "q312_crypto_shred" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CASE WHEN user_id % 7 <> 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS readable,
+        | CAST(sum(CASE WHEN user_id % 7 = 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS shredded,
+        | CAST(sum(CASE WHEN user_id % 7 <> 0
+        |   THEN CAST(round(value*100) AS BIGINT) END) AS BIGINT)
+        |   AS readable_cents
+        |FROM events
+        |WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |GROUP BY 1""".stripMargin,
 
     // q309: the same partitioned running-count windows.
     "q309_avg_precision" ->
