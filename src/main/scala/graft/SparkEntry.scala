@@ -4927,6 +4927,25 @@ object SparkEntry {
         .orderBy(col("score_e6").desc, col("phrase")).limit(25)
     }),
 
+    // DataSource V2 WRITE path end-to-end: events stream through the
+    // graft-audit sink (per-task accumulators → commit messages →
+    // driver-side summary on job commit — the exactly-once accounting
+    // seam; AuditSinkSpec pins partition invariance and null handling)
+    // and the gate reads the committed summary back; the oracle is the
+    // direct aggregate, so parity proves the write-path accounting.
+    "q313_audit_sink" -> ((s, dir) => {
+      val root = queryTmp("graft_audit")
+      ev(s, dir).where(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"),
+          (col("user_id") % 1000003L).as("uid_check"))
+        .write.format("graft-audit").option("path", root)
+        .option("sumCols", "cents,uid_check").mode("append").save()
+      s.read.json(s"$root/summary.json")
+        .select(col("rows"), col("sums.cents").as("cents"),
+          col("sums.uid_check").as("uid_check"))
+    }),
+
     // Sequential A/B monitoring with a Hoeffding boundary: per day, the
     // CUMULATIVE two-proportion lift against the anytime-valid radius
     // diff² > ln(2/δ)·(n_c+n_t)/(2·n_c·n_t) (δ=0.05 → the e12 literal;
@@ -12088,6 +12107,13 @@ object SparkEntry {
 
     // q304: the generator replayed in unsigned SQL (splitMix64 chain).
     "q304_synth_source" -> q304OracleSql,
+
+    // q313: the direct aggregate the committed summary must equal.
+    "q313_audit_sink" ->
+      """SELECT CAST(count(*) AS BIGINT) AS rows,
+        | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents,
+        | CAST(sum(user_id % 1000003) AS BIGINT) AS uid_check
+        |FROM events WHERE value IS NOT NULL""".stripMargin,
 
     // q311: the same cumulative grid + cross-multiplied boundary.
     "q311_hoeffding_sequential" ->
