@@ -4927,6 +4927,77 @@ object SparkEntry {
         .orderBy(col("score_e6").desc, col("phrase")).limit(25)
     }),
 
+    // "Why did the metric move": Oaxaca-style decomposition of the
+    // period-over-period change in revenue-per-event into per-segment
+    // MIX (share shift at old rate), RATE (rate shift at old share) and
+    // INTERACTION terms — Δavg = Σ (w₂−w₁)r₁ + w₁(r₂−r₁) + Δw·Δr. All
+    // terms e6-truncated integers; truncation breaks exact additivity,
+    // so the per-segment RESIDUAL vs the true Δ contribution is emitted
+    // rather than hidden (the honest version of every BI contribution
+    // report). Periods split at the midpoint day via a one-row
+    // broadcast, no driver fetch.
+    "q314_mix_shift" -> ((s, dir) => {
+      val e = ev(s, dir).where(col("value").isNotNull)
+        .select(col("event_type"), expr("ts_ms div 86400000").as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val split = e.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+      val seg = e.crossJoin(broadcast(split))
+        .withColumn("p", when(col("day") < col("mid"), 1).otherwise(2))
+        .groupBy(col("event_type"), col("p"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      val tot = seg.groupBy(col("p")).agg(sum(col("n")).as("np"))
+      val wide = seg.join(tot, "p")
+        .withColumn("w_e6", expr("n * 1000000L div np"))
+        .withColumn("r_e6", expr("c * 1000000L div n"))
+        .groupBy(col("event_type"))
+        .agg(
+          max(when(col("p") === 1, col("w_e6"))).as("w1"),
+          max(when(col("p") === 1, col("r_e6"))).as("r1"),
+          max(when(col("p") === 2, col("w_e6"))).as("w2"),
+          max(when(col("p") === 2, col("r_e6"))).as("r2"))
+        .na.fill(0L, Seq("w1", "r1", "w2", "r2"))
+      wide.select(col("event_type"),
+          expr("(w2 - w1) * r1 div 1000000L").as("mix_e6"),
+          expr("w1 * (r2 - r1) div 1000000L").as("rate_e6"),
+          expr("(w2 - w1) * (r2 - r1) div 1000000L").as("inter_e6"),
+          expr("""w2 * r2 div 1000000L - w1 * r1 div 1000000L
+            - (w2 - w1) * r1 div 1000000L
+            - w1 * (r2 - r1) div 1000000L
+            - (w2 - w1) * (r2 - r1) div 1000000L""").as("residual_e6"))
+    }),
+
+    // RFM segmentation: per customer recency/frequency/monetary exact
+    // quintiles off the VALUE CENSUS — q(v) = (cum(v)−1)·5 div n + 1,
+    // so ties share a bucket by construction and no per-row global rank
+    // ever exists (the census window runs over distinct VALUES; the
+    // PrefixScan operator is the full-scale path for that step). Output
+    // is the 5×5×5 segment census with revenue — the classic CRM cut.
+    "q315_rfm" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .withColumn("day", expr(
+          "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)"))
+      val rfm = o.groupBy(col("o_custkey"))
+        .agg(max(col("day")).as("r"), count(lit(1)).as("f"),
+          sum(col("cents")).as("m"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def quintile(df: DataFrame, c: String): DataFrame = {
+        val byV = Window.orderBy(col(c))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val census = df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum(col("cnt")).over(byV))
+          .withColumn("n", sum(col("cnt")).over(
+            Window.partitionBy(lit(1))))
+          .select(col(c),
+            expr("(cum - 1) * 5 div n + 1").as(s"${c}_q"))
+        df.join(census, c)
+      }
+      val scored = quintile(quintile(quintile(rfm, "r"), "f"), "m")
+      scored.groupBy(col("r_q"), col("f_q"), col("m_q"))
+        .agg(count(lit(1)).as("customers"), sum(col("m")).as("cents"))
+    }),
+
     // DataSource V2 WRITE path end-to-end: events stream through the
     // graft-audit sink (per-task accumulators → commit messages →
     // driver-side summary on job commit — the exactly-once accounting
@@ -12107,6 +12178,62 @@ object SparkEntry {
 
     // q304: the generator replayed in unsigned SQL (splitMix64 chain).
     "q304_synth_source" -> q304OracleSql,
+
+    // q314: the identical decomposition arithmetic (// ≡ div: both
+    // truncate toward zero, signed terms included).
+    "q314_mix_shift" ->
+      """WITH e AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |  CAST(round(value*100) AS BIGINT) AS cents
+        | FROM events WHERE value IS NOT NULL),
+        |sp AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
+        |seg AS (SELECT event_type,
+        |  CASE WHEN day < mid THEN 1 ELSE 2 END AS p,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS c
+        | FROM e, sp GROUP BY 1, 2),
+        |tot AS (SELECT p, CAST(sum(n) AS BIGINT) AS np FROM seg
+        | GROUP BY 1),
+        |wr AS (SELECT event_type, p, n * 1000000 // np AS w,
+        |  c * 1000000 // n AS r FROM seg JOIN tot USING (p)),
+        |wide AS (SELECT event_type,
+        |  coalesce(max(CASE WHEN p = 1 THEN w END), 0) AS w1,
+        |  coalesce(max(CASE WHEN p = 1 THEN r END), 0) AS r1,
+        |  coalesce(max(CASE WHEN p = 2 THEN w END), 0) AS w2,
+        |  coalesce(max(CASE WHEN p = 2 THEN r END), 0) AS r2
+        | FROM wr GROUP BY 1)
+        |SELECT event_type,
+        | CAST((w2 - w1) * r1 // 1000000 AS BIGINT) AS mix_e6,
+        | CAST(w1 * (r2 - r1) // 1000000 AS BIGINT) AS rate_e6,
+        | CAST((w2 - w1) * (r2 - r1) // 1000000 AS BIGINT) AS inter_e6,
+        | CAST(w2 * r2 // 1000000 - w1 * r1 // 1000000
+        |  - (w2 - w1) * r1 // 1000000 - w1 * (r2 - r1) // 1000000
+        |  - (w2 - w1) * (r2 - r1) // 1000000 AS BIGINT) AS residual_e6
+        |FROM wide""".stripMargin,
+
+    // q315: the same census quintile rule per dimension.
+    "q315_rfm" ->
+      """WITH rfm AS (
+        | SELECT o_custkey,
+        |  CAST(max(datediff('day', TIMESTAMP '1992-01-01', o_orderdate))
+        |    AS BIGINT) AS r,
+        |  CAST(count(*) AS BIGINT) AS f,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |    AS m
+        | FROM orders GROUP BY 1),
+        |qr AS (SELECT r AS v, (sum(count(*)) OVER (ORDER BY r) - 1) * 5
+        |  // (SELECT count(*) FROM rfm) + 1 AS q
+        | FROM rfm GROUP BY r),
+        |qf AS (SELECT f AS v, (sum(count(*)) OVER (ORDER BY f) - 1) * 5
+        |  // (SELECT count(*) FROM rfm) + 1 AS q
+        | FROM rfm GROUP BY f),
+        |qm AS (SELECT m AS v, (sum(count(*)) OVER (ORDER BY m) - 1) * 5
+        |  // (SELECT count(*) FROM rfm) + 1 AS q
+        | FROM rfm GROUP BY m)
+        |SELECT qr.q AS r_q, qf.q AS f_q, qm.q AS m_q,
+        | CAST(count(*) AS BIGINT) AS customers,
+        | CAST(sum(rfm.m) AS BIGINT) AS cents
+        |FROM rfm JOIN qr ON qr.v = rfm.r JOIN qf ON qf.v = rfm.f
+        | JOIN qm ON qm.v = rfm.m
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // q313: the direct aggregate the committed summary must equal.
     "q313_audit_sink" ->
