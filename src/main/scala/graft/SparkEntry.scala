@@ -4927,6 +4927,61 @@ object SparkEntry {
         .orderBy(col("score_e6").desc, col("phrase")).limit(25)
     }),
 
+    // Star-schema rollup: the 6-way star (lineitem ⋈ orders ⋈ customer
+    // ⋈ nation ⋈ region ⋈ part) aggregated at THREE granularities in
+    // one pass via ROLLUP((region, brand) → (region) → ()) — the
+    // dashboard cube a BI layer asks the warehouse for. Tiny dims
+    // broadcast explicitly; one fact scan feeds the whole cube
+    // (Expand), never one scan per granularity.
+    "q316_star_rollup" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").where(col("l_quantity") <= 30)
+      li.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("r_name"), col("p_brand"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 10000).cast("long").as("rev_e4"))
+        .rollup(col("r_name"), col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("rev_e4")).as("rev_e4"))
+        .select(coalesce(col("r_name"), lit("(all)")).as("r_name"),
+          coalesce(col("p_brand"), lit("(all)")).as("p_brand"),
+          col("n"), col("rev_e4"))
+    }),
+
+    // Model-eval gains table: documents scored (length as the ranking
+    // score), labeled by containing the token 'spark'; DECILES off the
+    // value census (q315's rule at 10), per decile positives + the
+    // cumulative capture rate e6 — the lift/gains readout every
+    // classifier ships with.
+    "q317_gains_table" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").as("score"),
+          (concat(lit(" "), col("text"), lit(" "))
+            .contains(" spark ")).cast("long").as("pos"))
+      val byV = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val census = d.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(byV))
+        .withColumn("nn", sum(col("cnt")).over(Window.partitionBy(lit(1))))
+        .select(col("score"), expr("(cum - 1) * 10 div nn + 1").as("decile"))
+      val run = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      d.join(census, "score")
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("positives"))
+        .withColumn("cum_pos", sum(col("positives")).over(run))
+        .withColumn("total_pos", sum(col("positives")).over(
+          Window.partitionBy(lit(1))))
+        .withColumn("capture_e6", expr("cum_pos * 1000000L div total_pos"))
+        .select(col("decile"), col("n"), col("positives"),
+          col("capture_e6"))
+    }),
+
     // "Why did the metric move": Oaxaca-style decomposition of the
     // period-over-period change in revenue-per-event into per-segment
     // MIX (share shift at old rate), RATE (rate shift at old share) and
@@ -12178,6 +12233,40 @@ object SparkEntry {
 
     // q304: the generator replayed in unsigned SQL (splitMix64 chain).
     "q304_synth_source" -> q304OracleSql,
+
+    // q316: the same star + ROLLUP.
+    "q316_star_rollup" ->
+      """SELECT coalesce(r_name, '(all)') AS r_name,
+        | coalesce(p_brand, '(all)') AS p_brand,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |   AS BIGINT)) AS BIGINT) AS rev_e4
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity <= 30
+        |GROUP BY ROLLUP (r_name, p_brand)""".stripMargin,
+
+    // q317: census deciles + running capture.
+    "q317_gains_table" ->
+      """WITH d AS (SELECT doc_id, n_chars AS score,
+        |  CASE WHEN ' ' || text || ' ' LIKE '% spark %' THEN 1 ELSE 0
+        |   END AS pos
+        | FROM documents),
+        |c AS (SELECT score,
+        |  (sum(count(*)) OVER (ORDER BY score DESC) - 1) * 10
+        |    // (SELECT count(*) FROM d) + 1 AS decile
+        | FROM d GROUP BY score),
+        |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(pos) AS BIGINT) AS positives
+        | FROM d JOIN c USING (score) GROUP BY 1)
+        |SELECT decile, n, positives,
+        | CAST(sum(positives) OVER (ORDER BY decile) * 1000000
+        |  // (SELECT sum(positives) FROM g) AS BIGINT) AS capture_e6
+        |FROM g""".stripMargin,
 
     // q314: the identical decomposition arithmetic (// ≡ div: both
     // truncate toward zero, signed terms included).
