@@ -4927,6 +4927,27 @@ object SparkEntry {
         .orderBy(col("score_e6").desc, col("phrase")).limit(25)
     }),
 
+    // The BNLJ reference for q307: the IDENTICAL tier enrichment
+    // through Spark's own plan (BroadcastNestedLoopJoin — no equi-key),
+    // kept as a first-class gate so (a) the oracle proves the custom
+    // operator and the engine's own join agree end-to-end, and (b) the
+    // bench carries a direct q307-vs-q318 wall-clock A/B of the
+    // interval-tree probe against the O(n·m) nested loop.
+    "q318_interval_bnlj_ref" -> ((s, dir) => {
+      val facts = ev(s, dir)
+        .select(col("event_id"), round(col("value") * 100).cast("long")
+          .as("cents"))
+        .where(col("cents").isNotNull)
+      val tiers = s.range(70).selectExpr("id AS tier",
+        "id * 700 AS lo", "id * 700 + 1200 AS hi")
+      facts.join(broadcast(tiers),
+          col("lo") <= col("cents") && col("cents") < col("hi"),
+          "left")
+        .groupBy(coalesce(col("tier"), lit(-1L)).as("tier"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          sum(col("event_id") % 1000003L).as("id_check"))
+    }),
+
     // Star-schema rollup: the 6-way star (lineitem ⋈ orders ⋈ customer
     // ⋈ nation ⋈ region ⋈ part) aggregated at THREE granularities in
     // one pass via ROLLUP((region, brand) → (region) → ()) — the
@@ -12233,6 +12254,21 @@ object SparkEntry {
 
     // q304: the generator replayed in unsigned SQL (splitMix64 chain).
     "q304_synth_source" -> q304OracleSql,
+
+    // q318: same oracle text as q307 — both engines' plans must agree.
+    "q318_interval_bnlj_ref" ->
+      """WITH f AS (SELECT event_id,
+        |  CAST(round(value*100) AS BIGINT) AS cents
+        | FROM events WHERE value IS NOT NULL),
+        |t AS (SELECT i AS tier, i*700 AS lo, i*700 + 1200 AS hi
+        | FROM (SELECT unnest(generate_series(0, 69)) AS i)),
+        |j AS (SELECT f.event_id, f.cents, t.tier FROM f
+        | LEFT JOIN t ON t.lo <= f.cents AND f.cents < t.hi)
+        |SELECT coalesce(tier, -1) AS tier,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(cents) AS BIGINT) AS cents,
+        | CAST(sum(event_id % 1000003) AS BIGINT) AS id_check
+        |FROM j GROUP BY 1""".stripMargin,
 
     // q316: the same star + ROLLUP.
     "q316_star_rollup" ->

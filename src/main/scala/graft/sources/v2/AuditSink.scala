@@ -8,6 +8,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StructType}
@@ -58,7 +59,8 @@ class AuditTable(writeSchema: StructType, options: CaseInsensitiveStringMap)
   override def name(): String = s"graft-audit(${options.get("path")})"
   override def schema(): StructType = writeSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE).asJava
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -71,6 +73,7 @@ class AuditTable(writeSchema: StructType, options: CaseInsensitiveStringMap)
 
 class AuditWrite(info: LogicalWriteInfo) extends Write {
   override def toBatch: BatchWrite = new AuditBatchWrite(info)
+  override def toStreaming: StreamingWrite = new AuditStreamingWrite(info)
 }
 
 case class AuditTaskStats(rows: Long, sums: Map[String, Long])
@@ -99,7 +102,11 @@ class AuditBatchWrite(info: LogicalWriteInfo) extends BatchWrite {
     new AuditWriterFactory(idx)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    commitAs("summary.json", messages)
+
+  private[v2] def commitAs(fileName: String,
+      messages: Array[WriterCommitMessage]): Unit = {
     val stats = messages.collect { case s: AuditTaskStats => s }
     val rows = stats.map(_.rows).sum
     val sums = sumCols.map { c =>
@@ -116,17 +123,43 @@ class AuditBatchWrite(info: LogicalWriteInfo) extends BatchWrite {
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
     // create + rename so a reader never sees a partial summary
-    val tmp = new Path(dir, s"_summary.json.tmp")
+    val tmp = new Path(dir, s"_$fileName.tmp")
     val out = fs.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
-    fs.rename(tmp, new Path(dir, "summary.json")): Unit
+    val dst = new Path(dir, fileName)
+    fs.delete(dst, false) // replayed epoch: last write wins, idempotent
+    fs.rename(tmp, dst): Unit
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
+/** Per-epoch streaming flavor: identical accumulator writers; each
+  * micro-batch commit publishes `summary_epoch_<id>.json`, so the audit
+  * trail is one tiny file per epoch (sum them downstream) and a replayed
+  * epoch overwrites its own file idempotently — exactly-once accounting
+  * under retries. */
+class AuditStreamingWrite(info: LogicalWriteInfo) extends StreamingWrite {
+  private val batch = new AuditBatchWrite(info)
+
+  override def createStreamingWriterFactory(
+      pInfo: PhysicalWriteInfo): StreamingDataWriterFactory =
+    batch.createBatchWriterFactory(pInfo)
+      .asInstanceOf[AuditWriterFactory]
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    batch.commitAs(s"summary_epoch_$epochId.json", messages)
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
+}
+
 class AuditWriterFactory(sumIdx: Seq[(String, Int)])
-    extends DataWriterFactory {
+    extends DataWriterFactory with StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    createWriter(partitionId, taskId)
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {

@@ -52,6 +52,28 @@ class AuditSinkSpec extends SparkSpec {
       Option(err.getCause).exists(_.getMessage.contains("LongType")))
   }
 
+  test("streaming epochs each publish a summary; totals add up") {
+    val dir = java.nio.file.Files.createTempDirectory("audit5").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("audit5ck").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)](spark)
+    val q = mem.toDS().toDF("id", "v")
+      .writeStream.format("graft-audit")
+      .option("path", dir).option("sumCols", "v")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 10L), (2L, 20L))
+      q.processAllAvailable()
+      mem.addData((3L, 30L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val eps = spark.read.json(s"$dir/summary_epoch_*.json")
+    val tot = eps.agg(sum(col("rows")), sum(col("sums.v"))).collect().head
+    assert(tot.getLong(0) == 3L && tot.getLong(1) == 60L)
+    assert(eps.count() >= 2L) // one summary per non-trivial epoch
+  }
+
   test("overwrite mode is accepted (truncate is a no-op on a pure audit)") {
     val dir = java.nio.file.Files.createTempDirectory("audit4").toString
     data.write.format("graft-audit").option("path", dir)
