@@ -4927,6 +4927,59 @@ object SparkEntry {
         .orderBy(col("score_e6").desc, col("phrase")).limit(25)
     }),
 
+    // ANN tuning curve: recall@3 of the IVF index vs the exact top-3 at
+    // nprobe ∈ {1, 2, 4, 8} — the recall/cost frontier an index owner
+    // reads before picking the serving config (q144 pins one point;
+    // this sweeps the knob). One brute-force truth set feeds all four
+    // evaluations; corpus-level recall as exact hit ratios.
+    "q320_ivf_sweep" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qs = emb.where(col("vec_id") < 20)
+      val truth = Similarity.bruteForceTopK(emb, qs, "vec_id",
+        "embedding", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Seq(1, 2, 4, 8).map { np =>
+        RankEval.recallAtK(truth,
+            Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
+              k = 3, nLists = 16, nProbe = np), "qid", "cid")
+          .agg(sum(col("n_true")).as("n_true"),
+            sum(col("hits")).as("hits"))
+          .withColumn("recall_ppm", expr("hits * 1000000 div n_true"))
+          .withColumn("nprobe", lit(np.toLong))
+      }.reduce(_ unionByName _)
+        .select(col("nprobe"), col("n_true"), col("hits"),
+          col("recall_ppm"))
+    }),
+
+    // Two-sample LOG-RANK test over q214's view→purchase durations,
+    // split by user parity: O−E against the hypergeometric expectation
+    // per event time, e9/e12 per-term truncation, χ²₁ verdict at the
+    // e6 literal — the "do the curves differ" inference completing the
+    // KM/Nelson–Aalen estimators.
+    "q319_logrank" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("event_type"),
+        col("ts_ms"))
+      val v = e.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("v_ts"))
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("ts_ms").as("p_ts"))
+      val firstP = v.join(p,
+          col("user_id") === col("p_uid") && col("p_ts") >= col("v_ts"),
+          "left")
+        .groupBy(col("user_id"), col("v_ts"))
+        .agg(min(col("p_ts")).as("p_ts"))
+      val endDf = e.agg(max(col("ts_ms")).as("end_ts"))
+      val subj = firstP.crossJoin(broadcast(endDf))
+        .select(col("user_id"),
+          when(col("p_ts").isNotNull,
+            expr("(p_ts - v_ts) div 3600000"))
+            .otherwise(expr("(end_ts - v_ts) div 3600000")).as("dur_h"),
+          col("p_ts").isNotNull.as("obs"))
+      operators.Survival.logRank(subj, col("dur_h"), col("obs"),
+        col("user_id") % 2 === 0)
+    }),
+
     // The BNLJ reference for q307: the IDENTICAL tier enrichment
     // through Spark's own plan (BroadcastNestedLoopJoin — no equi-key),
     // kept as a first-class gate so (a) the oracle proves the custom
@@ -5814,7 +5867,26 @@ object SparkEntry {
        |FROM a""".stripMargin
   }
 
-  private val q34OracleSql: String = {
+  private val q34OracleSql: String = q34OracleSqlFor(4)
+
+  /** q320's oracle: the q144 recall audit at each probe width, rolled to
+    * corpus level and unioned under the nprobe label. */
+  private lazy val q320OracleSql: String =
+    Seq(1, 2, 4, 8).map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe,
+         | CAST(count(*) AS BIGINT) AS n_true,
+         | CAST(sum(hit) AS BIGINT) AS hits,
+         | CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+         |FROM (
+         | SELECT CASE WHEN c.cid IS NOT NULL THEN 1 ELSE 0 END AS hit
+         | FROM ($q20OracleSql) g
+         | LEFT JOIN (${q34OracleSqlFor(np)}) c
+         |  ON c.qid = g.qid AND c.cid = g.cid)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  /** The q34 IVF replay with a parameterized probe width — shared by the
+    * single-config gates (nProbe=4) and the q320 sweep. */
+  private def q34OracleSqlFor(nProbe: Int): String = {
     val dot = (a: String, b: String) =>
       s"""CAST(CAST(list_sum(list_transform(list_zip($a, $b),
          |  z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS DOUBLE)""".stripMargin
@@ -5838,7 +5910,7 @@ object SparkEntry {
        |probe AS (
        | SELECT vec_id AS qid, embedding AS qvec, nsq AS qn, centId FROM (
        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, centId) AS r
-       |  FROM ca WHERE vec_id < 20) WHERE r <= 4),
+       |  FROM ca WHERE vec_id < 20) WHERE r <= $nProbe),
        |s AS (
        | SELECT p.qid, a.cid,
        |  ${dot("p.qvec", "a.cvec")}
@@ -8266,6 +8338,7 @@ object SparkEntry {
     // q144/q145: both retrieval stages replayed as CTEs, then the
     // integer recall / MRR / literal-discount NDCG audit.
     "q144_ann_recall" -> q144OracleSql,
+    "q320_ivf_sweep" -> q320OracleSql,
 
     "q145_ann_rank_metrics" -> q145OracleSql,
 
@@ -12254,6 +12327,55 @@ object SparkEntry {
 
     // q304: the generator replayed in unsigned SQL (splitMix64 chain).
     "q304_synth_source" -> q304OracleSql,
+
+    // q319: q214's subject CTE with the parity flag + the same
+    // truncated O−E/V terms.
+    "q319_logrank" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events),
+        |v AS (SELECT user_id, min(ts_ms) AS v_ts FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |fp AS (SELECT v.user_id, v.v_ts, min(p.ts_ms) AS p_ts
+        | FROM v LEFT JOIN e p ON p.user_id = v.user_id
+        |  AND p.event_type = 'purchase' AND p.ts_ms >= v.v_ts
+        | GROUP BY 1, 2),
+        |endt AS (SELECT max(ts_ms) AS end_ts FROM e),
+        |subj AS (SELECT CASE WHEN p_ts IS NOT NULL
+        |   THEN (p_ts - v_ts) // 3600000
+        |   ELSE (end_ts - v_ts) // 3600000 END AS t,
+        |  p_ts IS NOT NULL AS obs, user_id % 2 = 0 AS g1
+        | FROM fp CROSS JOIN endt),
+        |perT AS (SELECT t,
+        |  sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS a1,
+        |  sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS a2,
+        |  sum(CASE WHEN g1 AND obs THEN 1 ELSE 0 END) AS d1,
+        |  sum(CASE WHEN NOT g1 AND obs THEN 1 ELSE 0 END) AS d2
+        | FROM subj GROUP BY t),
+        |risk AS (SELECT t, d1, d2,
+        |  sum(a1) OVER w AS n1, sum(a2) OVER w AS n2
+        | FROM perT WINDOW w AS (ORDER BY t DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |terms AS (SELECT d1, d1 + d2 AS d, n1, n2, n1 + n2 AS n
+        | FROM risk WHERE d1 + d2 > 0),
+        |tt AS (SELECT d1,
+        |  d * n1 * 1000000000 // n AS e1_e9,
+        |  CASE WHEN n > 1 THEN CAST(CAST(n1 AS HUGEINT) * n2 * d * (n - d)
+        |    * 1000000000000 // (CAST(n AS HUGEINT) * n * (n - 1))
+        |    AS BIGINT) ELSE 0 END AS v_e12
+        | FROM terms),
+        |agg AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
+        |  CAST(sum(e1_e9) AS BIGINT) AS e1_e9,
+        |  CAST(sum(v_e12) AS BIGINT) AS var_e12 FROM tt)
+        |SELECT o1, e1_e9, var_e12,
+        | CASE WHEN var_e12 = 0 THEN NULL ELSE CAST(
+        |  CAST(o1 * 1000000000 - e1_e9 AS HUGEINT)
+        |  * (o1 * 1000000000 - e1_e9) // var_e12 AS BIGINT) END
+        |  AS chi2_e6,
+        | coalesce(CASE WHEN var_e12 = 0 THEN NULL ELSE
+        |  CAST(CAST(o1 * 1000000000 - e1_e9 AS HUGEINT)
+        |   * (o1 * 1000000000 - e1_e9) // var_e12 AS BIGINT) END
+        |  > 3841458, false) AS significant_95
+        |FROM agg""".stripMargin,
 
     // q318: same oracle text as q307 — both engines' plans must agree.
     "q318_interval_bnlj_ref" ->

@@ -79,4 +79,61 @@ object Survival {
       .select(col("t"), col("n_risk"), col("n_events"), col("inc_e9"),
         col("cum_hazard_e9"))
   }
+
+  /** Two-sample LOG-RANK test (Mantel 1966; Peto & Peto 1972) — "do two
+    * survival curves differ", the inferential companion to the q214/q236
+    * estimators: at each event time, group 1's observed events compare
+    * against the hypergeometric expectation under H₀,
+    *
+    *   E₁ⱼ = dⱼ·n₁ⱼ/nⱼ,
+    *   Vⱼ  = n₁ⱼ·n₂ⱼ·dⱼ·(nⱼ−dⱼ) / (nⱼ²·(nⱼ−1)),
+    *   χ²  = (ΣO₁ − ΣE₁)² / ΣV   ~  χ²₁.
+    *
+    * Integer discipline: E-terms truncate to e9 and V-terms to e12
+    * BEFORE summation (the no-raw-double-SUM rule; per-term truncation
+    * is deterministic in any partitioning), the statistic lands as
+    * chi2_e6 = (O·1e9 − E_e9)² div V_e12 in DECIMAL(38,0), and the 95%
+    * verdict compares against the literal 3841458 (χ²₁ 0.95, e6).
+    * Single-event times with nⱼ ≤ 1 contribute no variance and are
+    * skipped in V (standard).
+    *
+    * Scale shape: one subject-collapsing census per (time, group
+    * arrivals/events), two descending windows over the tiny time axis,
+    * one single-row reduction. Output: one row
+    * (o1, e1_e9, var_e12, chi2_e6, significant_95). */
+  def logRank(df: DataFrame, duration: Column, observed: Column,
+      group1: Column): DataFrame = {
+    val perT = df.select(duration.cast("long").as("t"),
+        observed.cast("boolean").as("obs"),
+        group1.cast("boolean").as("g1"))
+      .where(col("t").isNotNull && col("t") >= 0)
+      .groupBy(col("t"))
+      .agg(
+        sum(when(col("g1"), 1L).otherwise(0L)).as("a1"),
+        sum(when(!col("g1"), 1L).otherwise(0L)).as("a2"),
+        sum(when(col("g1") && col("obs"), 1L).otherwise(0L)).as("d1"),
+        sum(when(!col("g1") && col("obs"), 1L).otherwise(0L)).as("d2"))
+    val w = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val terms = perT
+      .withColumn("n1", sum(col("a1")).over(w))
+      .withColumn("n2", sum(col("a2")).over(w))
+      .withColumn("n", col("n1") + col("n2"))
+      .withColumn("d", col("d1") + col("d2"))
+      .where(col("d") > 0)
+      .withColumn("e1_e9", expr("d * n1 * 1000000000L div n"))
+      .withColumn("v_e12", when(col("n") > 1, expr(
+        """CAST(n1 AS DECIMAL(38,0)) * n2 * d * (n - d) * 1000000000000
+          |div (CAST(n AS DECIMAL(38,0)) * n * (n - 1))"""
+          .stripMargin).cast("long")).otherwise(0L))
+    terms.agg(sum(col("d1")).as("o1"), sum(col("e1_e9")).as("e1_e9"),
+        sum(col("v_e12")).as("var_e12"))
+      .withColumn("chi2_e6", expr(
+        """CASE WHEN var_e12 = 0 THEN NULL ELSE CAST(
+          |  CAST(o1 * 1000000000L - e1_e9 AS DECIMAL(38,0))
+          |  * (o1 * 1000000000L - e1_e9) div var_e12 AS BIGINT) END"""
+          .stripMargin))
+      .withColumn("significant_95",
+        coalesce(col("chi2_e6") > 3841458L, lit(false)))
+  }
 }
