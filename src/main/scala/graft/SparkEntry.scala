@@ -4927,6 +4927,46 @@ object SparkEntry {
         .orderBy(col("score_e6").desc, col("phrase")).limit(25)
     }),
 
+    // Two-way fixed effects (the panel workhorse generalizing q238's
+    // 2×2 diff-in-diff): on the BALANCED type×day revenue grid
+    // (0-filled), the within transform ỹ·UT = y·UT − S_u·U − S_t·T + S
+    // is pure integers because balance makes every mean's denominator
+    // uniform; β̂ = Σ ỹD̃ / Σ D̃² emitted as the exact (num, den) pair +
+    // e6 ratio. Treatment = {purchase, click} after the midpoint day.
+    "q321_twfe" -> ((s, dir) => {
+      val e = ev(s, dir).where(col("value").isNotNull)
+        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val types = e.select(col("event_type")).distinct()
+      val days = e.select(col("day")).distinct()
+      val mid = e.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+      val grid = types.crossJoin(days)
+        .join(e, Seq("event_type", "day"), "left")
+        .na.fill(0L, Seq("cents"))
+        .crossJoin(broadcast(mid))
+        .withColumn("d",
+          (col("event_type").isin("purchase", "click") &&
+            col("day") >= col("mid")).cast("long"))
+      val dims = grid.agg(countDistinct(col("event_type")).as("uu"),
+        countDistinct(col("day")).as("tt"),
+        sum(col("cents")).as("sy"), sum(col("d")).as("sd"))
+      val su = grid.groupBy(col("event_type"))
+        .agg(sum(col("cents")).as("su_y"), sum(col("d")).as("su_d"))
+      val st = grid.groupBy(col("day"))
+        .agg(sum(col("cents")).as("st_y"), sum(col("d")).as("st_d"))
+      grid.join(broadcast(su), "event_type").join(broadcast(st), "day")
+        .crossJoin(broadcast(dims))
+        .withColumn("yt", expr(
+          "cents * uu * tt - su_y * uu - st_y * tt + sy"))
+        .withColumn("dt", expr(
+          "d * uu * tt - su_d * uu - st_d * tt + sd"))
+        .agg(sum(expr("CAST(yt AS DECIMAL(38,0)) * dt")).as("numd"),
+          sum(expr("CAST(dt AS DECIMAL(38,0)) * dt")).as("dend"))
+        .select(col("numd").cast("decimal(38,0)").as("num"),
+          col("dend").cast("decimal(38,0)").as("den"),
+          expr("CAST(numd * 1000000 div dend AS BIGINT)").as("beta_e6"))
+    }),
+
     // ANN tuning curve: recall@3 of the IVF index vs the exact top-3 at
     // nprobe ∈ {1, 2, 4, 8} — the recall/cost frontier an index owner
     // reads before picking the serving config (q144 pins one point;
@@ -12327,6 +12367,41 @@ object SparkEntry {
 
     // q304: the generator replayed in unsigned SQL (splitMix64 chain).
     "q304_synth_source" -> q304OracleSql,
+
+    // q321: the balanced-grid within transform replayed in HUGEINT.
+    "q321_twfe" ->
+      """WITH e AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+        | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |ty AS (SELECT DISTINCT event_type FROM e),
+        |dy AS (SELECT DISTINCT day FROM e),
+        |mid AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
+        |grid AS (SELECT ty.event_type, dy.day,
+        |  coalesce(e.cents, 0) AS cents,
+        |  CASE WHEN ty.event_type IN ('purchase', 'click')
+        |    AND dy.day >= mid.mid THEN 1 ELSE 0 END AS d
+        | FROM ty CROSS JOIN dy CROSS JOIN mid
+        | LEFT JOIN e ON e.event_type = ty.event_type AND e.day = dy.day),
+        |dims AS (SELECT count(DISTINCT event_type) AS uu,
+        |  count(DISTINCT day) AS tt, CAST(sum(cents) AS BIGINT) AS sy,
+        |  CAST(sum(d) AS BIGINT) AS sd FROM grid),
+        |su AS (SELECT event_type, CAST(sum(cents) AS BIGINT) AS su_y,
+        |  CAST(sum(d) AS BIGINT) AS su_d FROM grid GROUP BY 1),
+        |st AS (SELECT day, CAST(sum(cents) AS BIGINT) AS st_y,
+        |  CAST(sum(d) AS BIGINT) AS st_d FROM grid GROUP BY 1),
+        |w AS (SELECT
+        |  g.cents * dims.uu * dims.tt - su.su_y * dims.uu
+        |    - st.st_y * dims.tt + dims.sy AS yt,
+        |  g.d * dims.uu * dims.tt - su.su_d * dims.uu
+        |    - st.st_d * dims.tt + dims.sd AS dt
+        | FROM grid g JOIN su USING (event_type) JOIN st USING (day)
+        | CROSS JOIN dims),
+        |agg AS (SELECT sum(CAST(yt AS HUGEINT) * dt) AS numd,
+        |  sum(CAST(dt AS HUGEINT) * dt) AS dend FROM w)
+        |SELECT CAST(numd AS DECIMAL(38,0)) AS num,
+        | CAST(dend AS DECIMAL(38,0)) AS den,
+        | CAST(numd * 1000000 // dend AS BIGINT) AS beta_e6
+        |FROM agg""".stripMargin,
 
     // q319: q214's subject CTE with the parity flag + the same
     // truncated O−E/V terms.
