@@ -86,17 +86,20 @@ class SynthTable(options: CaseInsensitiveStringMap)
   private val rows = options.getLong("rows", 1000L)
   private val partitions = options.getInt("partitions", 4)
   private val seed = options.getLong("seed", 0L)
-  require(rows >= 0 && partitions >= 1)
+  private val rowsPerBatch = options.getLong("rowsPerBatch", 100L)
+  require(rows >= 0 && partitions >= 1 && rowsPerBatch >= 1)
 
   override def name(): String = s"graft-synth(rows=$rows, seed=$seed)"
   override def schema(): StructType = SynthSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(rows, partitions, seed)
+    new SynthScanBuilder(rows, partitions, seed, rowsPerBatch)
 }
 
-class SynthScanBuilder(rows: Long, partitions: Int, seed: Long)
+class SynthScanBuilder(rows: Long, partitions: Int, seed: Long,
+    rowsPerBatch: Long = 100L)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var lo = 0L
@@ -127,15 +130,21 @@ class SynthScanBuilder(rows: Long, partitions: Int, seed: Long)
     required = requiredSchema
 
   override def build(): Scan =
-    new SynthScan(math.min(lo, hi), hi, partitions, seed, required)
+    new SynthScan(math.min(lo, hi), hi, partitions, seed, required,
+      rowsPerBatch)
 }
 
 case class SynthRange(lo: Long, hi: Long) extends InputPartition
 
 class SynthScan(lo: Long, hi: Long, partitions: Int, seed: Long,
-    required: StructType) extends Scan with Batch {
+    required: StructType, rowsPerBatch: Long = 100L)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SynthMicroBatchStream(lo, hi, partitions, seed, required,
+      rowsPerBatch)
   override def description(): String =
     s"graft-synth [$lo, $hi) seed=$seed cols=${required.fieldNames.mkString(",")}"
 
@@ -146,6 +155,59 @@ class SynthScan(lo: Long, hi: Long, partitions: Int, seed: Long,
       val a = lo + span * p / partitions
       val b = lo + span * (p + 1) / partitions
       SynthRange(a, b)
+    }.filter(r => r.hi > r.lo).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(seed, required.fieldNames)
+}
+
+/** Micro-batch flavor: the id space [lo, hi) is the offset axis — each
+  * trigger advances by at most `rowsPerBatch` ids through the
+  * SupportsAdmissionControl path (latestOffset(start, limit) is
+  * STATELESS: the engine hands back the committed offset, so restarts
+  * resume exactly — instance state here would desync from the offset
+  * log, and measurably re-emitted the gap in an earlier stateful
+  * version). A batch replays [start, end) deterministically with the
+  * same splitMix64 derivations as the batch scan — the replayable-source
+  * contract Structured Streaming's exactly-once model needs, in its
+  * minimal honest form (the shape Kafka offsets have). Offsets
+  * serialize as the plain id long; parsing goes through Offset.json()
+  * so the engine's SerializedOffset wrappers work too. */
+class SynthMicroBatchStream(lo: Long, hi: Long, partitions: Int,
+    seed: Long, required: StructType, rowsPerBatch: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private case class SynthOffset(id: Long) extends Offset {
+    override def json(): String = id.toString
+  }
+
+  private def idOf(o: Offset): Long = o.json().trim.toLong
+
+  override def initialOffset(): Offset = SynthOffset(lo)
+  override def deserializeOffset(json: String): Offset =
+    SynthOffset(json.trim.toLong)
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(rowsPerBatch)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    SynthOffset(math.min(idOf(start) + rowsPerBatch, hi))
+  override def reportLatestOffset(): Offset = SynthOffset(hi)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-control latestOffset(start, limit) is the only path")
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = idOf(start)
+    val e = math.min(idOf(end), hi)
+    val span = math.max(0L, e - s)
+    if (span == 0L) Array.empty
+    else (0 until partitions).iterator.map { p =>
+      SynthRange(s + span * p / partitions, s + span * (p + 1) / partitions)
     }.filter(r => r.hi > r.lo).toArray
   }
 
