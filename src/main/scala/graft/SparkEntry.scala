@@ -4927,6 +4927,43 @@ object SparkEntry {
         .orderBy(col("score_e6").desc, col("phrase")).limit(25)
     }),
 
+    // Alert DEBOUNCE on q305's Page–Hinkley alarms: raw daily alarms
+    // collapse into episodes of CONSECUTIVE firing days (the day−rn
+    // islands trick per type) and only episodes ≥ 2 days page a human —
+    // flap suppression, the ops layer every detector needs before a
+    // pager sees it. Output: one row per surviving episode.
+    "q322_alert_debounce" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = ev(s, dir).where(col("value").isNotNull)
+        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      val order = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val run = order.rowsBetween(Window.unboundedPreceding, 0)
+      val all = Window.partitionBy(col("event_type"))
+      val alarms = daily
+        .withColumn("i", row_number().over(order).cast("long"))
+        .withColumn("cumx", sum(col("x")).over(run))
+        .withColumn("dev",
+          col("x") * lit(1000000L) - expr("cumx * 1000000L div i"))
+        .withColumn("u", sum(col("dev")).over(run))
+        .withColumn("ph", col("u") - min(col("u")).over(run))
+        .withColumn("tot", sum(col("x")).over(all))
+        .withColumn("n", count(lit(1)).over(all))
+        // tighter λ than q305 (1×mean) so episodes genuinely occur
+        .where(col("ph") > expr("tot * 1000000L div n"))
+      val epi = alarms
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("day")))
+          .cast("long"))
+        .withColumn("grp", col("day") - col("rn"))
+        .groupBy(col("event_type"), col("grp"))
+        .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+          count(lit(1)).as("n_alarm_days"))
+      epi.where(col("n_alarm_days") >= 2)
+        .select(col("event_type"), col("start_day"), col("end_day"),
+          col("n_alarm_days"))
+    }),
+
     // Two-way fixed effects (the panel workhorse generalizing q238's
     // 2×2 diff-in-diff): on the BALANCED type×day revenue grid
     // (0-filled), the within transform ỹ·UT = y·UT − S_u·U − S_t·T + S
@@ -12367,6 +12404,37 @@ object SparkEntry {
 
     // q304: the generator replayed in unsigned SQL (splitMix64 chain).
     "q304_synth_source" -> q304OracleSql,
+
+    // q322: the q305 pipeline at λ = 1×mean, then day−rn islands.
+    "q322_alert_debounce" ->
+      """WITH daily AS (
+        | SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS x
+        | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |w AS (
+        | SELECT event_type, day, x,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+        |  sum(x) OVER (PARTITION BY event_type ORDER BY day) AS cumx,
+        |  sum(x) OVER (PARTITION BY event_type) AS tot,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM daily),
+        |d AS (SELECT *, x*1000000 - (cumx*1000000 // i) AS dev FROM w),
+        |u AS (SELECT *, sum(dev) OVER (PARTITION BY event_type
+        |  ORDER BY day) AS uu FROM d),
+        |p AS (SELECT *, uu - min(uu) OVER (PARTITION BY event_type
+        |  ORDER BY day) AS ph FROM u),
+        |a AS (SELECT event_type, day FROM p
+        | WHERE ph > tot*1000000 // n),
+        |g AS (SELECT event_type, day,
+        |  day - row_number() OVER (PARTITION BY event_type
+        |    ORDER BY day) AS grp FROM a),
+        |e AS (SELECT event_type, grp,
+        |  CAST(min(day) AS BIGINT) AS start_day,
+        |  CAST(max(day) AS BIGINT) AS end_day,
+        |  CAST(count(*) AS BIGINT) AS n_alarm_days
+        | FROM g GROUP BY 1, 2)
+        |SELECT event_type, start_day, end_day, n_alarm_days
+        |FROM e WHERE n_alarm_days >= 2""".stripMargin,
 
     // q321: the balanced-grid within transform replayed in HUGEINT.
     "q321_twfe" ->
