@@ -38,20 +38,56 @@ object TruncEqRewrite extends Rule[LogicalPlan] {
     "hour" -> 3600L * 1000000L,
     "day" -> 86400L * 1000000L)
 
-  private def rewrite(fmt: Expression, ts: Expression,
-      lit: Literal): Option[Expression] = fmt match {
+  private def unitOf(fmt: Expression, ts: Expression,
+      lit: Literal): Option[Long] = fmt match {
     case Literal(f: UTF8String, StringType) if lit.value != null &&
         lit.dataType == TimestampType && ts.dataType == TimestampType =>
       unitMicros.get(f.toString.toLowerCase(java.util.Locale.ROOT))
-        .map { unit =>
-          val v = lit.value.asInstanceOf[Long]
-          if (v % unit == 0)
-            And(GreaterThanOrEqual(ts, lit),
-              LessThan(ts, Literal(v + unit, TimestampType)))
-          else LessThan(ts, ts) // impossible; NULL iff ts is NULL
-        }
     case _ => None
   }
+
+  private def rewrite(fmt: Expression, ts: Expression,
+      lit: Literal): Option[Expression] =
+    unitOf(fmt, ts, lit).map { unit =>
+      val v = lit.value.asInstanceOf[Long]
+      if (v % unit == 0)
+        And(GreaterThanOrEqual(ts, lit),
+          LessThan(ts, Literal(v + unit, TimestampType)))
+      else LessThan(ts, ts) // impossible; NULL iff ts is NULL
+    }
+
+  /** Inequalities on the truncated value — alignment-aware preimage
+    * bounds (floorDiv alignment handles pre-epoch literals; the
+    * truncated value is always the multiple-of-unit at or below ts):
+    *   trunc(ts) >= L ⇔ ts >= ceilAlign(L)
+    *   trunc(ts) >  L ⇔ ts >= floorAlign(L) + unit
+    *   trunc(ts) <= L ⇔ ts <  floorAlign(L) + unit
+    *   trunc(ts) <  L ⇔ ts <  ceilAlign(L)
+    * `litLeft` flips the comparison first. addExact bails on overflow. */
+  private def rewriteCmp(cmp: BinaryComparison, fmt: Expression,
+      ts: Expression, lit: Literal, litLeft: Boolean): Option[Expression] =
+    unitOf(fmt, ts, lit).flatMap { unit =>
+      val v = lit.value.asInstanceOf[Long]
+      val floorA = Math.floorDiv(v, unit) * unit
+      try {
+        val ceilA = if (v % unit == 0) v
+          else Math.addExact(floorA, unit)
+        val nextB = Math.addExact(floorA, unit)
+        def ge(b: Long) = GreaterThanOrEqual(ts, Literal(b, TimestampType))
+        def lt(b: Long) = LessThan(ts, Literal(b, TimestampType))
+        Some(cmp match {
+          case _: GreaterThanOrEqual =>
+            if (litLeft) lt(nextB) else ge(ceilA) // L >= t ⇔ t <= L
+          case _: GreaterThan =>
+            if (litLeft) lt(ceilA) else ge(nextB) // L > t ⇔ t < L
+          case _: LessThanOrEqual =>
+            if (litLeft) ge(ceilA) else lt(nextB) // L <= t ⇔ t >= L
+          case _: LessThan =>
+            if (litLeft) ge(nextB) else lt(ceilA) // L < t ⇔ t > L
+          case _ => return None
+        })
+      } catch { case _: ArithmeticException => None }
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!conf.getConfString(flagKey, "true").toBoolean ||
@@ -61,5 +97,11 @@ object TruncEqRewrite extends Rule[LogicalPlan] {
         rewrite(fmt, ts, l).getOrElse(eq)
       case eq @ EqualTo(l: Literal, TruncTimestamp(fmt, ts, _)) =>
         rewrite(fmt, ts, l).getOrElse(eq)
+      case cmp @ BinaryComparison(TruncTimestamp(fmt, ts, _), l: Literal)
+          if !cmp.isInstanceOf[EqualTo] =>
+        rewriteCmp(cmp, fmt, ts, l, litLeft = false).getOrElse(cmp)
+      case cmp @ BinaryComparison(l: Literal, TruncTimestamp(fmt, ts, _))
+          if !cmp.isInstanceOf[EqualTo] =>
+        rewriteCmp(cmp, fmt, ts, l, litLeft = true).getOrElse(cmp)
     }
 }

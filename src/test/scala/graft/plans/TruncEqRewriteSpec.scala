@@ -56,6 +56,27 @@ class TruncEqRewriteSpec extends SparkSpec {
     }
   }
 
+  test("inequalities: aligned + misaligned bounds match brute force") {
+    // all four ops × both literal sides × aligned/misaligned literals
+    val lits = Seq("1970-01-02 00:00:00", "1970-01-02 07:00:00")
+    val ops = Seq(">=", ">", "<=", "<")
+    for (l <- lits; op <- ops; flip <- Seq(false, true)) {
+      val cond =
+        if (flip) s"timestamp'$l' $op date_trunc('DAY', ts)"
+        else s"date_trunc('DAY', ts) $op timestamp'$l'"
+      val q = () => spark.read.parquet(path).where(expr(cond))
+      val (rewritten, plain) = (
+        withRule(flag = true)(q().count()),
+        withRule(flag = false)(q().count()))
+      assert(rewritten == plain, s"$cond: $rewritten vs $plain")
+      // and the truncation is gone from the rewritten filter
+      withRule(flag = true) {
+        assert(!q().queryExecution.optimizedPlan.toString
+          .contains("date_trunc"), cond)
+      }
+    }
+  }
+
   test("unsupported units (WEEK) pass through untouched") {
     withRule(flag = true) {
       val q = spark.read.parquet(path)
