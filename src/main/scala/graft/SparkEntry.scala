@@ -4927,6 +4927,32 @@ object SparkEntry {
         .orderBy(col("score_e6").desc, col("phrase")).limit(25)
     }),
 
+    // Corpus DATA CARD: the one-row nutrition label published next to a
+    // training corpus (docs/tokens/chars, source+language spread, exact
+    // duplicate mass by full-text md5, English share, length profile) —
+    // every figure integer and ONE scan plus the distinct censuses; the
+    // composed headline over the q16/q13/q135 machinery.
+    "q323_data_card" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("toks", size(split(trim(col("text")), "\\s+"))
+          .cast("long"))
+        .withColumn("fp", md5(col("text")))
+      d.agg(
+        count(lit(1)).as("docs"),
+        countDistinct(col("source")).as("sources"),
+        countDistinct(col("lang")).as("langs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("toks")).as("total_tokens"),
+        countDistinct(col("fp")).as("distinct_texts"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("en_docs"),
+        min(col("toks")).as("min_tokens"), max(col("toks")).as("max_tokens"))
+        .withColumn("dup_ppm",
+          expr("(docs - distinct_texts) * 1000000L div docs"))
+        .withColumn("en_ppm", expr("en_docs * 1000000L div docs"))
+        .withColumn("mean_tokens_e2",
+          expr("total_tokens * 100L div docs"))
+    }),
+
     // Alert DEBOUNCE on q305's Page–Hinkley alarms: raw daily alarms
     // collapse into episodes of CONSECUTIVE firing days (the day−rn
     // islands trick per type) and only episodes ≥ 2 days page a human —
@@ -12404,6 +12430,30 @@ object SparkEntry {
 
     // q304: the generator replayed in unsigned SQL (splitMix64 chain).
     "q304_synth_source" -> q304OracleSql,
+
+    // q323: the same one-row census (md5 hex matches across engines).
+    "q323_data_card" ->
+      """WITH d AS (SELECT source, lang, n_chars,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |    AS toks,
+        |  md5(text) AS fp
+        | FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS docs,
+        | CAST(count(DISTINCT source) AS BIGINT) AS sources,
+        | CAST(count(DISTINCT lang) AS BIGINT) AS langs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | CAST(sum(toks) AS BIGINT) AS total_tokens,
+        | CAST(count(DISTINCT fp) AS BIGINT) AS distinct_texts,
+        | CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS en_docs,
+        | CAST(min(toks) AS BIGINT) AS min_tokens,
+        | CAST(max(toks) AS BIGINT) AS max_tokens,
+        | CAST((count(*) - count(DISTINCT fp)) * 1000000 // count(*)
+        |   AS BIGINT) AS dup_ppm,
+        | CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000
+        |   // count(*) AS BIGINT) AS en_ppm,
+        | CAST(sum(toks) * 100 // count(*) AS BIGINT) AS mean_tokens_e2
+        |FROM d""".stripMargin,
 
     // q322: the q305 pipeline at λ = 1×mean, then day−rn islands.
     "q322_alert_debounce" ->
