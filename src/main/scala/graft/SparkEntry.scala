@@ -4927,6 +4927,26 @@ object SparkEntry {
         .orderBy(col("score_e6").desc, col("phrase")).limit(25)
     }),
 
+    // The interval-tree operator in its HOME regime: 20 000 overlapping
+    // ranges, where BroadcastNestedLoopJoin multiplies the fact scan by
+    // m — tools/IntervalAb measures 0.5 s (tree) vs 11.9 s (BNLJ) warm
+    // at sf0.1, ~20×; q307/q318 showed tiny-m constants favoring BNLJ,
+    // this is the other side of that crossover. Probe cost is
+    // O(log 20000 + ~2 matches) per fact; output re-aggregates per
+    // range.
+    "q324_interval_large" -> ((s, dir) => {
+      val facts = ev(s, dir)
+        .select(col("event_id"), round(col("value") * 100).cast("long")
+          .as("cents"))
+        .where(col("cents").isNotNull)
+      val tiers = s.range(20000).selectExpr("id AS tier",
+        "(id * 2399) % 48800 AS lo", "(id * 2399) % 48800 + 5 AS hi")
+      operators.IntervalLookup.join(facts, tiers, "cents", "lo", "hi")
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          sum(col("event_id") % 1000003L).as("id_check"))
+    }),
+
     // Corpus DATA CARD: the one-row nutrition label published next to a
     // training corpus (docs/tokens/chars, source+language spread, exact
     // duplicate mass by full-text md5, English share, length profile) —
@@ -12430,6 +12450,21 @@ object SparkEntry {
 
     // q304: the generator replayed in unsigned SQL (splitMix64 chain).
     "q304_synth_source" -> q304OracleSql,
+
+    // q324: DuckDB's IEJoin handles the 20k-range inequality join.
+    "q324_interval_large" ->
+      """WITH f AS (SELECT event_id,
+        |  CAST(round(value*100) AS BIGINT) AS cents
+        | FROM events WHERE value IS NOT NULL),
+        |t AS (SELECT i AS tier, (i * 2399) % 48800 AS lo,
+        |  (i * 2399) % 48800 + 5 AS hi
+        | FROM (SELECT unnest(generate_series(0, 19999)) AS i)),
+        |j AS (SELECT f.event_id, f.cents, t.tier FROM f
+        | JOIN t ON t.lo <= f.cents AND f.cents < t.hi)
+        |SELECT tier, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(cents) AS BIGINT) AS cents,
+        | CAST(sum(event_id % 1000003) AS BIGINT) AS id_check
+        |FROM j GROUP BY 1""".stripMargin,
 
     // q323: the same one-row census (md5 hex matches across engines).
     "q323_data_card" ->
