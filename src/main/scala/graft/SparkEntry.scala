@@ -4927,6 +4927,52 @@ object SparkEntry {
         .orderBy(col("score_e6").desc, col("phrase")).limit(25)
     }),
 
+    // The full materialized-view LOOP: an upsert-managed base (commit,
+    // then an update+delete batch), its summary CDC-REFRESHED by
+    // DerivedAggTable, the refreshed summary registered in
+    // MatviewRegistry, and the dashboard rollup planned through
+    // MatviewRewrite — maintenance (q54) and rewrite (q308) composed
+    // end-to-end. The oracle recomputes from the FINAL logical state,
+    // so parity proves the whole loop: CDC deltas landed, the summary
+    // is current, and the rewrite serves it soundly.
+    // (MatviewRewriteSpec's upsert-snapshot case pins that the rewrite
+    // actually fires on this view shape.)
+    "q325_matview_e2e" -> ((s, dir) => {
+      if (!s.experimental.extraOptimizations.contains(plans.MatviewRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ plans.MatviewRewrite
+      val root = queryTmp("graft_mv_e2e")
+      val base0 = t(s, dir, "orders").where(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey").as("k"),
+          col("o_orderpriority").as("prio"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val c1 = base0.withColumn("ver", lit(1L))
+        .withColumn("del", lit(false))
+      val c2 = base0.where(col("k") % 9 === 0 || col("k") % 25 === 0)
+        .withColumn("cents", col("cents") + 1000L)
+        .withColumn("ver", lit(2L)).withColumn("del", col("k") % 25 === 0)
+      // prio is a PARTITION column of the source — DerivedAggTable's
+      // soundness contract (an update may never move a row between
+      // groups), and the natural layout for a priority-partitioned lake
+      val src = new sinks.UpsertTable(s"$root/src", Seq("k"), "ver",
+        Seq("prio"), Some("del"))
+      val drv = new sinks.UpsertTable(s"$root/drv", Seq("prio"), "__ver",
+        Nil, Some("__dead"))
+      val derived = new sinks.DerivedAggTable(src, drv, Seq("prio"),
+        df => df.groupBy("prio").agg(sum(col("cents")).as("sum_cents"),
+          count(lit(1)).as("cnt")),
+        s"$root/_ckpt")
+      src.upsert(c1); derived.refresh(s)
+      src.upsert(c2); derived.refresh(s)
+      val baseView = src.snapshot(s).select(col("prio"), col("cents"))
+      plans.MatviewRegistry.register(baseView,
+        drv.snapshot(s).select(col("prio"), col("sum_cents"), col("cnt")),
+        dims = Seq("prio"), sums = Map("cents" -> "sum_cents"),
+        countCol = "cnt")
+      baseView.groupBy(col("prio"))
+        .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n"))
+    }),
+
     // The interval-tree operator in its HOME regime: 20 000 overlapping
     // ranges, where BroadcastNestedLoopJoin multiplies the fact scan by
     // m — tools/IntervalAb measures 0.5 s (tree) vs 11.9 s (BNLJ) warm
@@ -12450,6 +12496,19 @@ object SparkEntry {
 
     // q304: the generator replayed in unsigned SQL (splitMix64 chain).
     "q304_synth_source" -> q304OracleSql,
+
+    // q325: the FINAL logical state recomputed directly — parity proves
+    // the CDC maintenance + rewrite loop.
+    "q325_matview_e2e" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS cents
+        | FROM orders WHERE o_orderkey % 4 = 0),
+        |f AS (SELECT prio,
+        |  CASE WHEN k % 9 = 0 THEN cents + 1000 ELSE cents END AS cents
+        | FROM b WHERE k % 25 <> 0)
+        |SELECT prio, CAST(sum(cents) AS BIGINT) AS cents,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM f GROUP BY 1""".stripMargin,
 
     // q324: DuckDB's IEJoin handles the 20k-range inequality join.
     "q324_interval_large" ->

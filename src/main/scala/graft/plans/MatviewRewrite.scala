@@ -58,8 +58,14 @@ object MatviewRegistry {
   def register(base: DataFrame, view: DataFrame, dims: Seq[String],
       sums: Map[String, String], countCol: String): Unit = {
     val b = base.queryExecution.analyzed
-    entries.put(b.canonicalized,
-      Matview(b, view.queryExecution.analyzed, dims.toSet, sums, countCol))
+    val mv = Matview(b, view.queryExecution.analyzed, dims.toSet, sums,
+      countCol)
+    entries.put(b.canonicalized, mv)
+    // a non-trivial base (e.g. an UpsertTable snapshot view) reaches the
+    // rule AFTER the optimizer has reshaped it (WindowGroupLimit, split
+    // filters …): the OPTIMIZED form is the canonical key that matches
+    // there, so register both
+    entries.put(base.queryExecution.optimizedPlan.canonicalized, mv)
   }
 
   def clear(): Unit = entries.clear()
@@ -113,21 +119,28 @@ object MatviewRewrite extends Rule[LogicalPlan] {
   }
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
-    // Walk through pure-pruning Projects (attribute-only lists — the
-    // shapes ColumnPruning interleaves) and collect pushed Filters so
-    // the optimizer's own rewrites between Aggregate and base never
-    // hide a match.
+    // Walk down through pure-pruning Projects (attribute-only lists —
+    // the shapes ColumnPruning interleaves) and pushed Filters,
+    // attempting the registry match AT EVERY LEVEL — a registered base
+    // that is itself a Project/Filter subtree (an UpsertTable snapshot
+    // view) must match before its own layers get stripped.
     var child = agg.child
     var conds = List.empty[Expression]
-    var walking = true
+    var hit = MatviewRegistry.lookup(child)
+    var walking = hit.isEmpty
     while (walking) child match {
       case Project(l, c) if l.forall(_.isInstanceOf[AttributeReference]) =>
         child = c
-      case Filter(c, grand) => conds ::= c; child = grand
+        hit = MatviewRegistry.lookup(child)
+        walking = hit.isEmpty
+      case Filter(c, grand) =>
+        conds ::= c; child = grand
+        hit = MatviewRegistry.lookup(child)
+        walking = hit.isEmpty
       case _ => walking = false
     }
     val cond = conds.reduceOption(And)
-    MatviewRegistry.lookup(child).flatMap { mv =>
+    hit.flatMap { mv =>
       val groupsOk = agg.groupingExpressions.nonEmpty &&
         agg.groupingExpressions.forall {
           case a: AttributeReference => mv.dims.contains(a.name)

@@ -112,6 +112,39 @@ class MatviewRewriteSpec extends SparkSpec {
     }
   }
 
+  test("the rewrite fires on an UpsertTable snapshot view (q325's shape)") {
+    withRule(flag = true) {
+      import graft.sinks.UpsertTable
+      val root = java.nio.file.Files.createTempDirectory("mv_up").toString
+      val rows = (0 until 300).map(i =>
+        (i.toLong, s"P${i % 3}", (i % 97).toLong, 1L, false))
+        .toDF("k", "prio", "cents", "ver", "del")
+      val src = new UpsertTable(s"$root/src", Seq("k"), "ver",
+        Nil, Some("del"))
+      src.upsert(rows)
+      val baseView = src.snapshot(spark).select(col("prio"), col("cents"))
+      baseView.groupBy(col("prio"))
+        .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(s"$root/view")
+      MatviewRegistry.register(baseView, spark.read.parquet(s"$root/view"),
+        Seq("prio"), Map("cents" -> "sum_cents"), "cnt")
+      val q = baseView.groupBy(col("prio"))
+        .agg(sum(col("cents")).as("c"), count(lit(1)).as("n"))
+      // the plan must scan the summary, NOT the upsert table's files
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains(s"$root/view") && !plan.contains(s"$root/src"),
+        plan.take(2000))
+      val got = q.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val want = baseView.groupBy(col("prio"))
+        .agg(sum(col("cents")), count(lit(1)))
+      MatviewRegistry.clear() // recompute the truth WITHOUT the rewrite
+      val truth = want.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == truth)
+    }
+  }
+
   test("a fresh read of the same path still matches (canonical compare)") {
     withRule(flag = true) {
       registered()
