@@ -4937,6 +4937,26 @@ object SparkEntry {
     // is current, and the rewrite serves it soundly.
     // (MatviewRewriteSpec's upsert-snapshot case pins that the rewrite
     // actually fires on this view shape.)
+    // DSv2 aggregate pushdown (`SupportsPushDownAggregates`): the
+    // grouped COUNT/SUM/MIN/MAX computes INSIDE the generator source —
+    // each partition ships one partial row per group instead of 200k
+    // generated rows, and Spark's final aggregate merges the partials
+    // (SUM of counts/sums, MIN of mins, MAX of maxes). SynthSourceSpec
+    // pins PushedAggregates/PushedGroupByExpressions in the scan plus
+    // the decline paths (distinct, expression aggregates). The oracle
+    // replays the generator chain in unsigned SQL over the RAW rows —
+    // parity proves the pushed partials compose to the unpushed answer.
+    "q326_synth_agg" -> ((s, _) => {
+      s.read.format("graft-synth")
+        .option("rows", 300000L).option("seed", 11L).option("partitions", 16)
+        .load()
+        .where(col("id") >= 60000L && col("id") < 260000L)
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(col("id")).as("n"), sum(col("cents")).as("cents"),
+          min(col("user_id")).as("min_uid"),
+          max(col("user_id")).as("max_uid"))
+    }),
+
     "q325_matview_e2e" -> ((s, dir) => {
       if (!s.experimental.extraOptimizations.contains(plans.MatviewRewrite))
         s.experimental.extraOptimizations =
@@ -7209,6 +7229,33 @@ object SparkEntry {
        | FROM base GROUP BY 1)
        |SELECT pt.event_type, pt.n, pt.mean_e6, ci.ci_lo_e6, ci.ci_hi_e6
        |FROM pt JOIN ci USING (event_type)""".stripMargin
+  }
+
+  /** q326's oracle: the q304 generator replay (seed 11, [60000, 260000))
+    * aggregated over the RAW rows — the pushed-partials answer must
+    * equal the unpushed one. */
+  private lazy val q326OracleSql: String = {
+    val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
+    val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
+    s"""WITH ids AS (
+       | SELECT unnest(generate_series(60000, 259999)) AS id),
+       |h0 AS (SELECT id, CAST((CAST(id AS HUGEINT) + 11
+       |  + 11400714819323198485) % 18446744073709551616 AS UBIGINT)
+       |  AS z0 FROM ids),
+       |h1 AS (SELECT id, $z1 AS z1 FROM h0),
+       |h2 AS (SELECT id, $z2 AS z2 FROM h1),
+       |hh AS (SELECT id, xor(z2, z2 >> 31) AS h FROM h2),
+       |r AS (SELECT id,
+       |  (h >> 1) % 10000 AS user_id,
+       |  ['view', 'click', 'purchase', 'signup', 'error']
+       |    [CAST((h >> 8) % 5 AS INT) + 1] AS event_type,
+       |  (h >> 16) % 100000 AS cents,
+       |  CAST((h >> 24) % 90 AS BIGINT) AS day FROM hh)
+       |SELECT day, event_type, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(cents) AS BIGINT) AS cents,
+       |  CAST(min(user_id) AS BIGINT) AS min_uid,
+       |  CAST(max(user_id) AS BIGINT) AS max_uid
+       |FROM r GROUP BY 1, 2""".stripMargin
   }
 
   private def mulMod64Sql(a: String, c: Long): String = {
@@ -12496,6 +12543,9 @@ object SparkEntry {
 
     // q304: the generator replayed in unsigned SQL (splitMix64 chain).
     "q304_synth_source" -> q304OracleSql,
+
+    // q326: same replay, aggregated raw — proves the pushed partials.
+    "q326_synth_agg" -> q326OracleSql,
 
     // q325: the FINAL logical state recomputed directly — parity proves
     // the CDC maintenance + rewrite loop.

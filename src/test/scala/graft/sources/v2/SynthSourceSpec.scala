@@ -17,7 +17,12 @@ class SynthSourceSpec extends SparkSpec {
   private def scanDesc(df: DataFrame): String =
     df.queryExecution.executedPlan.collectFirst {
       case b: BatchScanExec => b.scan.description()
-    }.getOrElse(sys.error("no BatchScanExec in plan"))
+    }.orElse(df.queryExecution.optimizedPlan.collectFirst {
+      // aggregate plans sit under AQE, which hides the physical scan —
+      // the optimized logical plan carries the same Scan instance
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.description()
+    }).getOrElse(sys.error("no v2 scan in plan"))
 
   test("rows generate deterministically and match the hand splitMix64") {
     val df = synth(100, seed = 0, partitions = 4)
@@ -100,6 +105,52 @@ class SynthSourceSpec extends SparkSpec {
     runAudit() // resume: no new ids → no new committed rows
     val eps = spark.read.json(s"$audit/summary_epoch_*.json")
     assert(eps.agg(sum(col("rows"))).head().getLong(0) == 500L)
+  }
+
+  test("aggregate pushdown: partials computed inside the source") {
+    val df = synth(100000, seed = 7, partitions = 8)
+      .where(col("id") >= 10000L && col("id") < 60000L)
+      .groupBy(col("day"))
+      .agg(count(col("id")).as("n"), sum(col("cents")).as("cents"),
+        min(col("user_id")).as("mn"), max(col("user_id")).as("mx"))
+    val desc = scanDesc(df)
+    assert(desc.contains("PushedAggregates"), desc)
+    assert(desc.contains("SUM(cents)") && desc.contains("COUNT"), desc)
+    assert(desc.contains("PushedGroupByExpressions: [day]"), desc)
+    // values equal a brute-force replay over the raw generator
+    val brute = synth(100000, 7, 8).collect()
+      .filter(r => r.getLong(0) >= 10000L && r.getLong(0) < 60000L)
+      .groupBy(_.getLong(4))
+      .map { case (day, rs) =>
+        (day, rs.length.toLong, rs.map(_.getLong(3)).sum,
+          rs.map(_.getLong(1)).min, rs.map(_.getLong(1)).max)
+      }.toSet
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == brute)
+  }
+
+  test("aggregate pushdown: string group key + min/max on event_type") {
+    val df = synth(20000, seed = 3, partitions = 4)
+      .groupBy(col("event_type"))
+      .agg(count(col("id")).as("n"), max(col("day")).as("mxd"))
+    assert(scanDesc(df).contains("PushedGroupByExpressions: [event_type]"),
+      scanDesc(df))
+    val brute = synth(20000, 3, 4).collect()
+      .groupBy(_.getString(2))
+      .map { case (t, rs) => (t, rs.length.toLong, rs.map(_.getLong(4)).max) }
+      .toSet
+    assert(df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet == brute)
+  }
+
+  test("aggregate pushdown declines distinct and expression aggregates") {
+    // count(DISTINCT …) and sum of an arithmetic expression must fall
+    // back to the raw scan — results still correct, no PushedAggregates
+    val dd = synth(5000, seed = 1, partitions = 2)
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("u"))
+    assert(!scanDesc(dd).contains("PushedAggregates"), scanDesc(dd))
+    assert(dd.agg(sum(col("u"))).head().getLong(0) > 0L)
   }
 
   test("empty range and id equality behave") {
