@@ -37,6 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectOptimizerRule(_ => graft.plans.EpochCmpRewrite)
     // plans IntervalLookupJoin nodes (broadcast interval-tree join)
     extensions.injectPlannerStrategy(_ => graft.plans.IntervalLookupStrategy)
+    // constraint-based join elimination (declared PK/FK via
+    // ConstraintRegistry; kill switch spark.graft.joinElimination)
+    extensions.injectOptimizerRule(_ => graft.plans.JoinEliminationRewrite)
     // aggregate-over-base → registered-summary rewrite (fires only on
     // MatviewRegistry entries; kill switch spark.graft.matviewRewrite)
     extensions.injectOptimizerRule(_ => graft.plans.MatviewRewrite)

@@ -4937,6 +4937,33 @@ object SparkEntry {
     // is current, and the rewrite serves it soundly.
     // (MatviewRewriteSpec's upsert-snapshot case pins that the rewrite
     // actually fires on this view shape.)
+    // Constraint-based join elimination (JoinEliminationRewrite): the
+    // query SAYS lineitem ⋈ orders (inner, declared FK) ⋈ supplier
+    // (left outer, declared unique pk) but reads only lineitem columns —
+    // the declared constraints prove both joins are the identity on the
+    // fact side, and the optimized plan aggregates the bare lineitem
+    // scan (JoinEliminationSpec pins the no-Join plan, the blockers,
+    // and the kill switch). The oracle RUNS both joins in DuckDB —
+    // parity proves elimination is invisible. The BI-layer win at scale:
+    // machine-emitted star plans pay only for dimensions actually read.
+    "q327_join_elim" -> ((s, dir) => {
+      if (!s.experimental.extraOptimizations.contains(plans.JoinEliminationRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ plans.JoinEliminationRewrite
+      plans.ConstraintRegistry.declareForeignKey("/lineitem.parquet",
+        "l_orderkey", "/orders.parquet", "o_orderkey")
+      plans.ConstraintRegistry.declareUnique("/supplier.parquet", "s_suppkey")
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val sup = t(s, dir, "supplier")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey"), "left")
+        .groupBy(li("l_returnflag").as("rf"))
+        .agg(count(lit(1)).as("n"),
+          sum(li("l_quantity")).cast("long").as("qty"),
+          sum(cents(li("l_extendedprice"))).as("price_cents"))
+    }),
+
     // DSv2 aggregate pushdown (`SupportsPushDownAggregates`): the
     // grouped COUNT/SUM/MIN/MAX computes INSIDE the generator source —
     // each partition ships one partial row per group instead of 200k
@@ -12546,6 +12573,17 @@ object SparkEntry {
 
     // q326: same replay, aggregated raw — proves the pushed partials.
     "q326_synth_agg" -> q326OracleSql,
+
+    // q327: the oracle RUNS the joins the optimizer removed.
+    "q327_join_elim" ->
+      """SELECT l_returnflag AS rf, count(*) AS n,
+        | CAST(sum(l_quantity) AS BIGINT) AS qty,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |   AS price_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1""".stripMargin,
 
     // q325: the FINAL logical state recomputed directly — parity proves
     // the CDC maintenance + rewrite loop.

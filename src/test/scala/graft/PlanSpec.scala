@@ -333,6 +333,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(4000))
   }
 
+  test("q327 join elimination fires on the real gate plan (no joins left)") {
+    val df = SparkEntry.queries("q327_join_elim")(spark, dir)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.isEmpty, df.queryExecution.optimizedPlan.toString.take(4000))
+    // and the physical plan reads ONLY lineitem
+    val p = plan("q327_join_elim")
+    assert(!p.contains("orders.parquet") && !p.contains("supplier.parquet"),
+      p.take(4000))
+  }
+
   test("Q19-shape disjunction: per-side residuals reach the scans, part broadcasts") {
     val p = formatted("q247_disjunct_revenue")
     // the brand/size disjunction is extractable from the OR-of-ANDs and
