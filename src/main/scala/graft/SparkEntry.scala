@@ -4937,6 +4937,26 @@ object SparkEntry {
     // is current, and the rewrite serves it soundly.
     // (MatviewRewriteSpec's upsert-snapshot case pins that the rewrite
     // actually fires on this view shape.)
+    // Connected components the diameter-proof way: alternating
+    // large-star/small-star contraction (Kiveris et al. 2014) over the
+    // SAME mined near-dup pair graph q41 labels by propagation — the
+    // O(log² n)-rounds scale path for 100 TB graphs whose components
+    // are deep (propagation pays per hop; star contraction doesn't).
+    // Identical output contract to q41, so the recursive-closure oracle
+    // proves the two algorithms agree on real data; GraphSpec pins the
+    // deep-path case (300-node chain) and brute-force/label-prop parity.
+    "q328_cc_bigstar" -> ((s, dir) => {
+      val comp = operators.Graph.alternatingComponents(
+          minedDocPairs(s, dir), "a_id", "b_id")
+        .withColumnRenamed("node", "doc_id")
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"),
+          (col("component").isNull ||
+            col("component") === col("doc_id")).as("is_canonical"))
+    }),
+
     // Constraint-based join elimination (JoinEliminationRewrite): the
     // query SAYS lineitem ⋈ orders (inner, declared FK) ⋈ supplier
     // (left outer, declared unique pk) but reads only lineitem columns —
@@ -12573,6 +12593,15 @@ object SparkEntry {
 
     // q326: same replay, aggregated raw — proves the pushed partials.
     "q326_synth_agg" -> q326OracleSql,
+
+    // q328: q41's recursive-closure truth — algorithm-independent, so
+    // the star-contraction result must match it exactly.
+    "q328_cc_bigstar" ->
+      s"""WITH RECURSIVE $componentCtesSql
+         |SELECT d.doc_id,
+         | coalesce(c.component, d.doc_id) AS component,
+         | (c.component IS NULL OR c.component = d.doc_id) AS is_canonical
+         |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin,
 
     // q327: the oracle RUNS the joins the optimizer removed.
     "q327_join_elim" ->

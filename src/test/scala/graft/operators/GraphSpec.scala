@@ -399,4 +399,49 @@ class GraphSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  private def ccOf(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.alternatingComponents(pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Brute-force components: min reachable id per node. */
+  private def ccBrute(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = adj.keySet
+    nodes.map { n =>
+      var seen = Set(n); var frontier = Set(n)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        seen ++= frontier
+      }
+      n -> seen.min
+    }.toMap
+  }
+
+  test("alternating large/small-star components match brute force") {
+    // two components + a triangle + a chain tail
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (10L, 11L), (11L, 12L))
+    assert(ccOf(pairs) == ccBrute(pairs))
+  }
+
+  test("alternating stars: deep path converges (diameter >> rounds)") {
+    // a 300-node path — per-hop propagation needs ~150 rounds even with
+    // halving from scratch; the star contraction lands well inside 40
+    val pairs = (1L until 300L).map(i => (i, i + 1))
+    val got = ccOf(pairs)
+    assert(got.values.toSet == Set(1L))
+    assert(got.size == 300)
+  }
+
+  test("alternating stars agree with connectedComponents on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(400)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(p => p._1 != p._2)
+    val viaStars = ccOf(pairs)
+    val viaLabels = Dedup.connectedComponents(pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStars == viaLabels)
+    assert(viaStars == ccBrute(pairs))
+  }
 }
