@@ -4937,6 +4937,30 @@ object SparkEntry {
     // is current, and the rewrite serves it soundly.
     // (MatviewRewriteSpec's upsert-snapshot case pins that the rewrite
     // actually fires on this view shape.)
+    // Matrix-profile motif/discord discovery over per-type daily-count
+    // series: every length-4 window's nearest other window (trivial
+    // matches excluded) by EXACT integer squared distance — low profile
+    // = repeated structure (motifs), high = discords, the anomaly probe
+    // the drift family (q102/q164/q305) doesn't cover. Windows build as
+    // m−1 leads in one pass (no explode); the quadratic step joins on
+    // the key only, so many-keys/bounded-series parallelizes flat.
+    "q330_matrix_profile" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      operators.Motif.nearestWindow(daily, Seq("event_type"),
+        col("day"), col("n"), m = 4)
+    }),
+
+    // Weight-of-evidence + information value over order priority vs
+    // final status — the scorecard categorical encoding and the feature-
+    // screening statistic (Siddiqi 2006). Adjusted-WoE +0.5 smoothing,
+    // e6-rounded pinned double pipeline; one cardinality-bounded hash
+    // aggregate + broadcast totals, nothing row-scaled shuffles twice.
+    "q329_woe_iv" -> ((s, dir) =>
+      operators.TargetEncode.woeIv(t(s, dir, "orders"),
+        "o_orderpriority", col("o_orderstatus") === "F")),
+
     // Connected components the diameter-proof way: alternating
     // large-star/small-star contraction (Kiveris et al. 2014) over the
     // SAME mined near-dup pair graph q41 labels by propagation — the
@@ -12593,6 +12617,44 @@ object SparkEntry {
 
     // q326: same replay, aggregated raw — proves the pushed partials.
     "q326_synth_agg" -> q326OracleSql,
+
+    // q330: window construction + the O(w²) self-join replayed verbatim.
+    "q330_matrix_profile" ->
+      """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |  count(*) AS n FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS pos,
+        |  n AS v0,
+        |  lead(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS v1,
+        |  lead(n, 2) OVER (PARTITION BY event_type ORDER BY day) AS v2,
+        |  lead(n, 3) OVER (PARTITION BY event_type ORDER BY day) AS v3
+        | FROM d),
+        |ww AS (SELECT * FROM w WHERE v3 IS NOT NULL),
+        |p AS (SELECT a.event_type, a.pos AS i, b.pos AS j,
+        |  (a.v0-b.v0)*(a.v0-b.v0) + (a.v1-b.v1)*(a.v1-b.v1)
+        |   + (a.v2-b.v2)*(a.v2-b.v2) + (a.v3-b.v3)*(a.v3-b.v3) AS d2
+        | FROM ww a JOIN ww b
+        |   ON a.event_type = b.event_type AND abs(a.pos - b.pos) >= 4),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type, i
+        |  ORDER BY d2, j) AS rn FROM p)
+        |SELECT event_type, i, j AS nn_j, CAST(d2 AS BIGINT) AS nn_d2
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // q329: the WoE/IV double pipeline mirrored term for term (DuckDB
+    // BIGINT '/' is double division, matching Spark's Divide).
+    "q329_woe_iv" ->
+      """WITH c AS (SELECT o_orderpriority AS cat,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS pos,
+        |  sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS neg
+        | FROM orders GROUP BY 1),
+        |t AS (SELECT sum(pos) AS tp, sum(neg) AS tn FROM c)
+        |SELECT cat, CAST(pos AS BIGINT) AS pos, CAST(neg AS BIGINT) AS neg,
+        | CAST(round(ln(((pos + 0.5) * tn) / ((neg + 0.5) * tp)) * 1000000.0)
+        |   AS BIGINT) AS woe_e6,
+        | CAST(round((pos / tp - neg / tn) *
+        |   ln(((pos + 0.5) * tn) / ((neg + 0.5) * tp)) * 1000000.0)
+        |   AS BIGINT) AS iv_e6
+        |FROM c CROSS JOIN t""".stripMargin,
 
     // q328: q41's recursive-closure truth — algorithm-independent, so
     // the star-contraction result must match it exactly.

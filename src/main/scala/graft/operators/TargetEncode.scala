@@ -53,4 +53,39 @@ object TargetEncode {
            |  AS BIGINT)""".stripMargin))
       .drop("__y", "__sum", "__n", "__gnum", "__gden")
   }
+
+  /** Weight-of-evidence encoding + information value — the
+    * credit-scoring categorical transform (Siddiqi 2006, "Credit Risk
+    * Scorecards" §6): per category,
+    *   woe = ln( ((pos+0.5)/tot_pos) / ((neg+0.5)/tot_neg) )
+    * (+0.5 is the standard adjusted-WoE smoothing: zero-count cells stay
+    * finite), and the category's information-value term
+    *   iv = (pos/tot_pos − neg/tot_neg) · woe
+    * whose sum over categories is the feature's IV — the screening
+    * statistic (<0.02 useless, >0.3 strong) feature pipelines rank
+    * candidate columns by.
+    *
+    * Pinned double pipeline (mirrored literally in the q329 oracle):
+    *   woe_e6 = round(ln(((pos+0.5)·tn) / ((neg+0.5)·tp)) · 1e6)
+    *   iv_e6  = round((pos/tp − neg/tn) · woe · 1e6)
+    * with every division a double division in exactly this association
+    * order. Assumes both classes occur somewhere (tp, tn > 0) — the
+    * usual precondition for the statistic to mean anything.
+    *
+    * Scale shape: ONE hash aggregate bounded by category cardinality,
+    * one-row totals cross-joined onto it — nothing row-scaled leaves the
+    * scan, no second shuffle. */
+  def woeIv(df: DataFrame, catCol: String, posCond: Column): DataFrame = {
+    val c = df.groupBy(col(catCol).as("cat"))
+      .agg(sum(when(posCond, 1L).otherwise(0L)).as("pos"),
+        sum(when(posCond, 0L).otherwise(1L)).as("neg"))
+    val t = c.agg(sum(col("pos")).as("tp"), sum(col("neg")).as("tn"))
+    val woe = log(((col("pos") + lit(0.5)) * col("tn")) /
+      ((col("neg") + lit(0.5)) * col("tp")))
+    c.crossJoin(broadcast(t))
+      .select(col("cat"), col("pos"), col("neg"),
+        round(woe * lit(1000000.0)).cast("long").as("woe_e6"),
+        round((col("pos") / col("tp") - col("neg") / col("tn")) * woe *
+          lit(1000000.0)).cast("long").as("iv_e6"))
+  }
 }
