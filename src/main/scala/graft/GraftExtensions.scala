@@ -40,6 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // constraint-based join elimination (declared PK/FK via
     // ConstraintRegistry; kill switch spark.graft.joinElimination)
     extensions.injectOptimizerRule(_ => graft.plans.JoinEliminationRewrite)
+    // SELECT DISTINCT over a declared-unique projection is the identity
+    // (kill switch spark.graft.distinctElimination)
+    extensions.injectOptimizerRule(_ => graft.plans.DistinctEliminationRewrite)
     // aggregate-over-base → registered-summary rewrite (fires only on
     // MatviewRegistry entries; kill switch spark.graft.matviewRewrite)
     extensions.injectOptimizerRule(_ => graft.plans.MatviewRewrite)

@@ -4937,6 +4937,27 @@ object SparkEntry {
     // is current, and the rewrite serves it soundly.
     // (MatviewRewriteSpec's upsert-snapshot case pins that the rewrite
     // actually fires on this view shape.)
+    // Distinct elimination from the declared pk (DistinctEliminationRewrite):
+    // the dedup-by-habit `.distinct()` over an orders projection carrying
+    // o_orderkey is provably the identity and its whole hash-aggregate
+    // exchange vanishes — the optimized plan runs ONE aggregate (the
+    // rollup), not two (JoinEliminationSpec pins the vanish/stay/
+    // fan-out-blocked cases; PlanSpec pins this gate's single-Aggregate
+    // plan). The oracle executes the DISTINCT for real.
+    "q331_distinct_elim" -> ((s, dir) => {
+      if (!s.experimental.extraOptimizations
+          .contains(plans.DistinctEliminationRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ plans.DistinctEliminationRewrite
+      plans.ConstraintRegistry.declareUnique("/orders.parquet", "o_orderkey")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+        .distinct()
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_custkey") % 1000003L).as("cust_check"))
+    }),
+
     // Matrix-profile motif/discord discovery over per-type daily-count
     // series: every length-4 window's nearest other window (trivial
     // matches excluded) by EXACT integer squared distance — low profile
@@ -12617,6 +12638,14 @@ object SparkEntry {
 
     // q326: same replay, aggregated raw — proves the pushed partials.
     "q326_synth_agg" -> q326OracleSql,
+
+    // q331: the oracle executes the DISTINCT the optimizer deleted.
+    "q331_distinct_elim" ->
+      """WITH d AS (SELECT DISTINCT o_orderkey, o_custkey, o_orderpriority
+        |           FROM orders)
+        |SELECT o_orderpriority AS prio, count(*) AS n,
+        | CAST(sum(o_custkey % 1000003) AS BIGINT) AS cust_check
+        |FROM d GROUP BY 1""".stripMargin,
 
     // q330: window construction + the O(w²) self-join replayed verbatim.
     "q330_matrix_profile" ->

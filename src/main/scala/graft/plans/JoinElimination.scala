@@ -52,6 +52,35 @@ object ConstraintRegistry {
   def clear(): Unit = { uniqueKeys.clear(); foreignKeys.clear() }
 }
 
+private[plans] object ConstraintPlanUtils {
+  /** The base-relation location suffix and base attribute name for
+    * `attr`, traced through Project/Filter pass-throughs by exprId. */
+  def baseOf(plan: LogicalPlan,
+      attr: Attribute): Option[(String, String)] = plan match {
+    case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+      lr.output.find(_.exprId == attr.exprId)
+        .flatMap(a => fs.location.rootPaths.headOption
+          .map(p => (p.toString, a.name)))
+    case p: Project =>
+      // only pass-through (non-Alias) of the attr keeps identity
+      if (p.projectList.exists(e => e.isInstanceOf[Attribute] &&
+          e.exprId == attr.exprId)) baseOf(p.child, attr) else None
+    case f: Filter => baseOf(f.child, attr)
+    case _ => None
+  }
+
+  /** True iff `plan` emits at most one row per base-scan row —
+    * Project/Filter chains over a single relation (no joins, explodes,
+    * unions), so a base-unique column stays row-unique in the output. */
+  def duplicateFree(plan: LogicalPlan): Boolean = plan match {
+    case _: LogicalRelation => true
+    case p: Project => p.projectList.forall(_.deterministic) &&
+      duplicateFree(p.child)
+    case f: Filter => duplicateFree(f.child)
+    case _ => false
+  }
+}
+
 /** Join elimination from declared constraints — the rewrite that makes
   * "SELECT fact columns FROM fact JOIN dim ..." cost the same as not
   * writing the join. Two sound cases, both requiring that NO dimension
@@ -80,21 +109,7 @@ object ConstraintRegistry {
 object JoinEliminationRewrite extends Rule[LogicalPlan] with PredicateHelper {
   val flagKey = "spark.graft.joinElimination"
 
-  /** The base-relation location suffix and base attribute name for
-    * `attr`, traced through Project/Filter pass-throughs by exprId. */
-  private def baseOf(plan: LogicalPlan,
-      attr: Attribute): Option[(String, String)] = plan match {
-    case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-      lr.output.find(_.exprId == attr.exprId)
-        .flatMap(a => fs.location.rootPaths.headOption
-          .map(p => (p.toString, a.name)))
-    case p: Project =>
-      // only pass-through (non-Alias) of the attr keeps identity
-      if (p.projectList.exists(e => e.isInstanceOf[Attribute] &&
-          e.exprId == attr.exprId)) baseOf(p.child, attr) else None
-    case f: Filter => baseOf(f.child, attr)
-    case _ => None
-  }
+  import ConstraintPlanUtils.baseOf
 
   /** True iff `plan` is Project/Filter over a single base scan and `pk`
     * traces to a column declared unique there. Filters are fine: they
@@ -161,5 +176,47 @@ object JoinEliminationRewrite extends Rule[LogicalPlan] with PredicateHelper {
         tryElim(j, p.references).map(nl => p.copy(child = nl)).getOrElse(p)
       case a @ Aggregate(_, _, j: Join, _) =>
         tryElim(j, a.references).map(nl => a.copy(child = nl)).getOrElse(a)
+    }
+}
+
+/** Distinct elimination from declared unique keys: `SELECT DISTINCT`
+  * over rows that provably carry a unique column is the identity — the
+  * whole hash-aggregate exchange vanishes. By rewrite time Catalyst has
+  * already turned Distinct into `Aggregate(out, out, child)` (grouping =
+  * aggregate list = the child's attributes), so the rule matches that
+  * shape, requires every expression to be a plain attribute, one of them
+  * tracing to a ConstraintRegistry-unique column of the base scan, and
+  * the child to be duplicate-free (Project/Filter over one relation —
+  * a join fan-out would repeat dim pk values and the distinct would be
+  * real). Replaced by a no-op Project preserving output order/ids.
+  *
+  * The 100 TB case: dedup-by-habit (`.distinct()` sprinkled after
+  * projections of keyed tables) costs a full shuffle of the projected
+  * data per call; with the pk declared the optimizer deletes them all.
+  * Kill switch `spark.graft.distinctElimination=false`.
+  */
+object DistinctEliminationRewrite extends Rule[LogicalPlan] {
+  val flagKey = "spark.graft.distinctElimination"
+
+  import ConstraintPlanUtils.{baseOf, duplicateFree}
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(flagKey, "true").toBoolean) plan
+    else plan.transformDown {
+      // a distinct-shaped Aggregate: no aggregate functions, output ⊆
+      // grouping (column pruning may have dropped the unique key from
+      // the output while it still anchors the grouping)
+      case a @ Aggregate(grouping, aggs, child, _)
+          if grouping.nonEmpty &&
+            grouping.forall(_.isInstanceOf[Attribute]) &&
+            aggs.forall(_.isInstanceOf[Attribute]) &&
+            aggs.map(_.exprId).toSet.subsetOf(
+              grouping.map(_.asInstanceOf[Attribute].exprId).toSet) &&
+            duplicateFree(child) &&
+            grouping.exists(e =>
+              baseOf(child, e.asInstanceOf[Attribute]).exists {
+                case (path, colName) =>
+                  ConstraintRegistry.isUnique(path, colName) }) =>
+        Project(aggs, child)
     }
 }

@@ -345,6 +345,14 @@ class PlanSpec extends SparkSpec {
       p.take(4000))
   }
 
+  test("q331 distinct elimination: one Aggregate (the rollup), not two") {
+    val df = SparkEntry.queries("q331_distinct_elim")(spark, dir)
+    val aggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.size == 1, df.queryExecution.optimizedPlan.toString.take(4000))
+  }
+
   test("Q19-shape disjunction: per-side residuals reach the scans, part broadcasts") {
     val p = formatted("q247_disjunct_revenue")
     // the brand/size disjunction is extractable from the OR-of-ANDs and

@@ -120,6 +120,60 @@ class JoinEliminationSpec extends SparkSpec {
     }
   }
 
+  private def withDistinctRule[T](flag: Boolean = true)(body: => T): T = {
+    if (!spark.experimental.extraOptimizations
+        .contains(DistinctEliminationRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ DistinctEliminationRewrite
+    spark.conf.set(DistinctEliminationRewrite.flagKey, flag.toString)
+    try body finally spark.conf.unset(DistinctEliminationRewrite.flagKey)
+  }
+
+  private def aggsIn(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size
+
+  test("distinct over a declared-unique projection vanishes") {
+    ConstraintRegistry.declareUnique("/dim.parquet", "pk")
+    withDistinctRule() {
+      val q = dim.select(col("pk"), col("name")).distinct()
+      assert(aggsIn(q) == 0, q.queryExecution.optimizedPlan.toString)
+      assert(q.count() == 10L)
+      // and under a filter too
+      val qf = dim.where(col("pk") > 3L).distinct()
+      assert(aggsIn(qf) == 0)
+      assert(qf.count() == 7L)
+    }
+  }
+
+  test("distinct without the unique column is a real dedup and stays") {
+    ConstraintRegistry.declareUnique("/dim.parquet", "pk")
+    withDistinctRule() {
+      val q = fact.select(col("fk")).distinct()
+      assert(aggsIn(q) == 1)
+      assert(q.count() == 10L)
+    }
+  }
+
+  test("distinct after a fan-out join stays (pk repeats per fact row)") {
+    ConstraintRegistry.declareUnique("/dim.parquet", "pk")
+    withDistinctRule() {
+      val q = fact.join(dim, fact("fk") === dim("pk"))
+        .select(col("pk"), col("name")).distinct()
+      assert(aggsIn(q) == 1, q.queryExecution.optimizedPlan.toString)
+      assert(q.count() == 10L)
+    }
+  }
+
+  test("distinct elimination kill switch") {
+    ConstraintRegistry.declareUnique("/dim.parquet", "pk")
+    withDistinctRule(flag = false) {
+      val q = dim.distinct()
+      assert(aggsIn(q) == 1)
+    }
+  }
+
   test("kill switch restores the join") {
     ConstraintRegistry.declareUnique("/dim.parquet", "pk")
     withRule(flag = false) {
