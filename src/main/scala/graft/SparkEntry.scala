@@ -4937,6 +4937,29 @@ object SparkEntry {
     // is current, and the rewrite serves it soundly.
     // (MatviewRewriteSpec's upsert-snapshot case pins that the rewrite
     // actually fires on this view shape.)
+    // Bounded-horizon betweenness centrality (Brandes 2001 with the two
+    // production truncations made explicit: source pivots per
+    // Brandes–Pich 2007 + the q180/q181 depth-horizon discipline) over
+    // the q85-thresholded co-supplier graph — the brokerage centrality
+    // completing degree/PageRank/HITS/k-core. Exact integer path counts
+    // forward; dependencies e6-scaled BEFORE the sum with truncating
+    // division backward, so the oracle unrolls all three BFS levels and
+    // both accumulation steps bit-exactly. GraphSpec pins the sequential
+    // integer-Brandes reference and horizon truncation.
+    "q332_betweenness" -> ((s, dir) => {
+      val und = coSupplierPairs(s, dir)
+        .where(col("l_suppkey") < col("dst_supp"))
+        .groupBy(col("l_suppkey"), col("dst_supp"))
+        .agg(count(lit(1)).as("w")).where(col("w") >= 5)
+        .select(col("l_suppkey"), col("dst_supp"))
+      val edges = und.unionByName(und.select(
+        col("dst_supp").as("l_suppkey"), col("l_suppkey").as("dst_supp")))
+      val seeds = edges.select(col("l_suppkey").as("id")).distinct()
+        .where(col("id") % 5 === 1)
+      operators.Graph.betweennessE6(edges, "l_suppkey", "dst_supp",
+        seeds, "id", maxDepth = 3)
+    }),
+
     // Distinct elimination from the declared pk (DistinctEliminationRewrite):
     // the dedup-by-habit `.distinct()` over an orders projection carrying
     // o_orderkey is provably the identity and its whole hash-aggregate
@@ -12638,6 +12661,57 @@ object SparkEntry {
 
     // q326: same replay, aggregated raw — proves the pushed partials.
     "q326_synth_agg" -> q326OracleSql,
+
+    // q332: Brandes unrolled — 3 BFS levels (path-count sums, anti-joins
+    // against reached), then both dependency accumulations with the
+    // identical e6 truncating-division terms.
+    "q332_betweenness" ->
+      """WITH e0 AS (
+        | SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+        | FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        | WHERE a.l_suppkey < b.l_suppkey
+        | GROUP BY 1, 2 HAVING count(*) >= 5),
+        |e AS (SELECT s1 AS src, s2 AS dst FROM e0
+        |      UNION ALL SELECT s2, s1 FROM e0),
+        |r0 AS (SELECT DISTINCT src AS s, src AS v, CAST(1 AS BIGINT) AS sigma
+        |       FROM e WHERE src % 5 = 1),
+        |c1 AS (SELECT l.s, e.dst AS v, CAST(sum(l.sigma) AS BIGINT) AS sigma
+        |       FROM r0 l JOIN e ON e.src = l.v GROUP BY 1, 2),
+        |r1 AS (SELECT c.s, c.v, c.sigma FROM c1 c
+        |       LEFT JOIN r0 p ON p.s = c.s AND p.v = c.v WHERE p.v IS NULL),
+        |c2 AS (SELECT l.s, e.dst AS v, CAST(sum(l.sigma) AS BIGINT) AS sigma
+        |       FROM r1 l JOIN e ON e.src = l.v GROUP BY 1, 2),
+        |r2 AS (SELECT c.s, c.v, c.sigma FROM c2 c
+        |       LEFT JOIN r0 p0 ON p0.s = c.s AND p0.v = c.v
+        |       LEFT JOIN r1 p1 ON p1.s = c.s AND p1.v = c.v
+        |       WHERE p0.v IS NULL AND p1.v IS NULL),
+        |c3 AS (SELECT l.s, e.dst AS v, CAST(sum(l.sigma) AS BIGINT) AS sigma
+        |       FROM r2 l JOIN e ON e.src = l.v GROUP BY 1, 2),
+        |r3 AS (SELECT c.s, c.v, c.sigma FROM c3 c
+        |       LEFT JOIN r0 p0 ON p0.s = c.s AND p0.v = c.v
+        |       LEFT JOIN r1 p1 ON p1.s = c.s AND p1.v = c.v
+        |       LEFT JOIN r2 p2 ON p2.s = c.s AND p2.v = c.v
+        |       WHERE p0.v IS NULL AND p1.v IS NULL AND p2.v IS NULL),
+        |d2 AS (SELECT v2.s, v2.v,
+        |        CAST(sum(v2.sigma * 1000000 // v3.sigma) AS BIGINT) AS delta
+        |       FROM r2 v2 JOIN e ON e.src = v2.v
+        |       JOIN r3 v3 ON v3.s = v2.s AND v3.v = e.dst
+        |       GROUP BY 1, 2),
+        |dd2 AS (SELECT r2.s, r2.v, r2.sigma,
+        |        coalesce(d2.delta, 0) AS delta
+        |        FROM r2 LEFT JOIN d2 ON d2.s = r2.s AND d2.v = r2.v),
+        |d1 AS (SELECT v1.s, v1.v,
+        |        CAST(sum(v1.sigma * (1000000 + w.delta) // w.sigma)
+        |          AS BIGINT) AS delta
+        |       FROM r1 v1 JOIN e ON e.src = v1.v
+        |       JOIN dd2 w ON w.s = v1.s AND w.v = e.dst
+        |       GROUP BY 1, 2),
+        |dd1 AS (SELECT r1.s, r1.v, coalesce(d1.delta, 0) AS delta
+        |        FROM r1 LEFT JOIN d1 ON d1.s = r1.s AND d1.v = r1.v)
+        |SELECT v AS node, CAST(sum(delta) AS BIGINT) AS bc_e6
+        |FROM (SELECT s, v, delta FROM dd1
+        |      UNION ALL SELECT s, v, delta FROM dd2)
+        |GROUP BY 1""".stripMargin,
 
     // q331: the oracle executes the DISTINCT the optimizer deleted.
     "q331_distinct_elim" ->

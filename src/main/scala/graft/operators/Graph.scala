@@ -590,6 +590,93 @@ object Graph {
         coalesce(col("sum2"), lit(0).cast("decimal(38,0)")).as("sum2"))
   }
 
+  /** Bounded-horizon betweenness centrality (Brandes 2001) from a seed
+    * source set — the "who brokers the flow" centrality the family's
+    * other members (degree, PageRank authority, HITS, k-core) don't
+    * measure. Exact Brandes is Θ(|V|·|E|); the two standard production
+    * truncations compose here and are both EXPLICIT semantics, not
+    * approximations smuggled in:
+    *
+    *  - SOURCE PIVOTS (Brandes–Pich 2007): dependencies accumulate from
+    *    `seeds` only — centrality "as seen from" the pivot set, the
+    *    estimator production graph stacks ship;
+    *  - DEPTH HORIZON `maxDepth`: shortest paths longer than the horizon
+    *    carry no dependency (q180/q181's bounded-walk discipline —
+    *    influence beyond a few hops is noise in behavioral graphs).
+    *
+    * Forward: level-synchronous multi-source BFS carrying EXACT integer
+    * path counts σ(s,v) — per level one join of the frontier with the
+    * edge list + one (s,v) partial-sum aggregate + one anti-join against
+    * the reached set. Backward (the Brandes accumulation): for v at
+    * depth d with successor w at d+1,
+    *   δ(s,v) = Σ_w σ_v · (1e6 + δ(s,w)) div σ_w
+    * — the dependency fraction integer-scaled to e6 BEFORE the sum
+    * (truncating div, all-positive operands), so the result is
+    * bit-stable and a SQL oracle replays it with `//`. bc_e6(v) =
+    * Σ_s δ(s,v). e6 (not e9) keeps σ·(1e6+δ) summed over hub fan-in
+    * far from Long overflow on dense graphs.
+    *
+    * Output: (node, bc_e6) for every non-source node within the horizon
+    * of some seed (sources score their OWN paths' interior nodes;
+    * endpoint convention excludes s and the path's far end, per
+    * Brandes). All frames are bounded by |seeds|·|V(horizon)| — the
+    * inherent cost of exact-per-pivot betweenness; scale the seed count,
+    * not the algorithm. */
+  def betweennessE6(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedIdCol: String, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 2 && maxDepth <= 8)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // forward: levels(d) = (s, v, sigma) at exact distance d
+    val l0 = seeds.select(col(seedIdCol).as("s")).distinct()
+      .select(col("s"), col("s").as("v"), lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    var levels = Vector(l0)
+    var reached = l0.select(col("s"), col("v")).localCheckpoint(true)
+    var d = 1
+    while (d <= maxDepth) {
+      val next = levels.last
+        .select(col("s"), col("v").as("src"), col("sigma"))
+        .join(e, "src")
+        .groupBy(col("s"), col("dst").as("v"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(reached, Seq("s", "v"), "left_anti")
+        .localCheckpoint(true)
+      levels :+= next
+      reached = reached.unionByName(next.select(col("s"), col("v")))
+        .localCheckpoint(true)
+      d += 1
+    }
+    // backward: deepest level contributes nothing (horizon truncation)
+    var delta = levels(maxDepth)
+      .select(col("s"), col("v"), lit(0L).as("delta"))
+    var acc: Option[DataFrame] = None
+    var dd = maxDepth - 1
+    while (dd >= 1) {
+      val succ = levels(dd + 1).join(delta, Seq("s", "v"))
+        .select(col("s"), col("v").as("dst"),
+          col("sigma").as("ws"), col("delta").as("wd"))
+      val contrib = levels(dd)
+        .join(e, col("v") === col("src"))
+        .join(succ, Seq("s", "dst"))
+        .groupBy(col("s"), col("v"))
+        .agg(sum(expr("sigma * (1000000 + wd) div ws")).as("delta"))
+      delta = levels(dd).select(col("s"), col("v"))
+        .join(contrib, Seq("s", "v"), "left")
+        .select(col("s"), col("v"),
+          coalesce(col("delta"), lit(0L)).as("delta"))
+        .localCheckpoint(true)
+      acc = Some(acc.map(_.unionByName(delta)).getOrElse(delta))
+      dd -= 1
+    }
+    e.unpersist()
+    acc.get.groupBy(col("v").as("node"))
+      .agg(sum(col("delta")).as("bc_e6"))
+  }
+
   /** Connected components by ALTERNATING large-star / small-star rounds
     * (Kiveris–Lattanzi–Mirrokni–Rastogi–Vassilvitskii 2014, "Connected
     * Components in MapReduce and Beyond" §3) — the scale path when

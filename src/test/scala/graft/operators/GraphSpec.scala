@@ -434,6 +434,67 @@ class GraphSpec extends SparkSpec {
     assert(got.size == 300)
   }
 
+  /** Sequential Brandes with the operator's exact integer discipline:
+    * bounded depth, e6 scaling, truncating division. */
+  private def refBetweenness(pairs: Seq[(Long, Long)], seedSet: Seq[Long],
+      maxDepth: Int): Map[Long, Long] = {
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1))).distinct
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val bc = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    val touched = scala.collection.mutable.Set.empty[Long]
+    for (s <- seedSet) {
+      var levels = Vector(Map(s -> 1L))
+      var seen = Set(s)
+      for (_ <- 1 to maxDepth) {
+        val next = scala.collection.mutable.Map.empty[Long, Long]
+          .withDefaultValue(0L)
+        for ((v, sig) <- levels.last;
+             w <- adj.getOrElse(v, Set.empty) if !seen(w))
+          next(w) += sig
+        levels :+= next.toMap
+        seen ++= next.keySet
+      }
+      var delta = levels(maxDepth).map { case (v, _) => v -> 0L }
+      for (d <- (maxDepth - 1) to 1 by -1) {
+        val deeper = levels(d + 1)
+        val nd = levels(d).map { case (v, sig) =>
+          v -> adj.getOrElse(v, Set.empty).toSeq.filter(deeper.contains)
+            .map(w => sig * (1000000L + delta(w)) / deeper(w)).sum
+        }
+        nd.foreach { case (v, x) => bc(v) += x; touched += v }
+        delta = nd
+      }
+    }
+    touched.map(v => v -> bc(v)).toMap
+  }
+
+  test("betweenness matches the sequential integer Brandes reference") {
+    // path with a bridge node and a side triangle:
+    //   1-2-3-4-5, 3-6, 6-7, 2-7 (cycle through 7)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 6L),
+      (6L, 7L), (2L, 7L))
+    val both = pairs ++ pairs.map(p => (p._2, p._1))
+    val seedSet = Seq(1L, 4L, 7L)
+    val got = Graph.betweennessE6(both.toDF("a", "b"), "a", "b",
+        seedSet.toDF("id"), "id", maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refBetweenness(pairs, seedSet, 3))
+    // the path's interior (2, 3) must broker more than leaves
+    assert(got(2L) > got(5L) && got(3L) > got(5L))
+  }
+
+  test("betweenness: depth horizon truncates dependencies") {
+    val pairs = (1L until 8L).map(i => (i, i + 1)) // a 8-node path
+    val both = pairs ++ pairs.map(p => (p._2, p._1))
+    val got = Graph.betweennessE6(both.toDF("a", "b"), "a", "b",
+        Seq(1L).toDF("id"), "id", maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refBetweenness(pairs, Seq(1L), 4))
+    // beyond the horizon nothing accumulates: node 5+ score 0 or absent
+    assert(!got.contains(6L) && !got.contains(7L))
+  }
+
   test("alternating stars agree with connectedComponents on a random graph") {
     val rnd = new scala.util.Random(7)
     val pairs = Seq.fill(400)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
