@@ -4927,16 +4927,6 @@ object SparkEntry {
         .orderBy(col("score_e6").desc, col("phrase")).limit(25)
     }),
 
-    // The full materialized-view LOOP: an upsert-managed base (commit,
-    // then an update+delete batch), its summary CDC-REFRESHED by
-    // DerivedAggTable, the refreshed summary registered in
-    // MatviewRegistry, and the dashboard rollup planned through
-    // MatviewRewrite — maintenance (q54) and rewrite (q308) composed
-    // end-to-end. The oracle recomputes from the FINAL logical state,
-    // so parity proves the whole loop: CDC deltas landed, the summary
-    // is current, and the rewrite serves it soundly.
-    // (MatviewRewriteSpec's upsert-snapshot case pins that the rewrite
-    // actually fires on this view shape.)
     // Bounded-horizon betweenness centrality (Brandes 2001 with the two
     // production truncations made explicit: source pivots per
     // Brandes–Pich 2007 + the q180/q181 depth-horizon discipline) over
@@ -5072,6 +5062,16 @@ object SparkEntry {
           max(col("user_id")).as("max_uid"))
     }),
 
+    // The full materialized-view LOOP: an upsert-managed base (commit,
+    // then an update+delete batch), its summary CDC-REFRESHED by
+    // DerivedAggTable, the refreshed summary registered in
+    // MatviewRegistry, and the dashboard rollup planned through
+    // MatviewRewrite — maintenance (q54) and rewrite (q308) composed
+    // end-to-end. The oracle recomputes from the FINAL logical state,
+    // so parity proves the whole loop: CDC deltas landed, the summary
+    // is current, and the rewrite serves it soundly.
+    // (MatviewRewriteSpec's upsert-snapshot case pins that the rewrite
+    // actually fires on this view shape.)
     "q325_matview_e2e" -> ((s, dir) => {
       if (!s.experimental.extraOptimizations.contains(plans.MatviewRewrite))
         s.experimental.extraOptimizations =
