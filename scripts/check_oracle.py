@@ -33,11 +33,20 @@ for name in sorted(oracles):
     schema = cols == ocols
     rows = len(spark_df) == len(oracle_df)
     match = False
+    dtype_ok = True
     if schema and rows:
         sd = spark_df[cols].sort_values(by=cols).reset_index(drop=True)
         od = oracle_df[cols].sort_values(by=cols).reset_index(drop=True)
+        # Dtype-strict pre-check: stringified "1.0" (float64) vs "1" (int64)
+        # is a driver FAIL even with equal values; surface the dtype drift
+        # explicitly instead of letting astype(str) obscure the cause.
+        bad = [(c, str(sd[c].dtype), str(od[c].dtype))
+               for c in cols if sd[c].dtype != od[c].dtype]
+        if bad:
+            dtype_ok = False
+            print(f"{name}: DTYPE {bad}")
         match = sd.astype(str).equals(od.astype(str))
-    status = "OK" if (schema and rows and match) else "FAIL"
+    status = "OK" if (schema and rows and match and dtype_ok) else "FAIL"
     if status == "FAIL":
         fails.append(name)
     print(f"{name}: {status} rows={len(spark_df)}/{len(oracle_df)} "

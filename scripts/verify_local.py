@@ -60,10 +60,19 @@ for name in sorted(set(list(oracle.keys()))):
     elif len(got) != len(want):
         print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); ok = False
     else:
-        try:
-            pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
-        except AssertionError as e:
-            print(f"FAIL {name}: {str(e)[:400]}"); ok = False
+        # Dtype-strict: the driver compares stringified values, so a float64
+        # oracle column ("1.0") vs a Spark int64 ("1") is a driver FAIL even
+        # when values are numerically equal. Enforce dtype equality locally
+        # so that class can never hide behind check_dtype=False again.
+        dt_bad = [(c, str(got[c].dtype), str(want[c].dtype))
+                  for c in got.columns if got[c].dtype != want[c].dtype]
+        if dt_bad:
+            print(f"FAIL {name}: dtype mismatch (spark vs oracle) {dt_bad}"); ok = False
+        else:
+            try:
+                pd.testing.assert_frame_equal(got, want, check_dtype=True, check_exact=True)
+            except AssertionError as e:
+                print(f"FAIL {name}: {str(e)[:400]}"); ok = False
     if ok:
         n_pass += 1; results[name] = "pass"
         print(f"PASS {name} ({len(got)} rows)")

@@ -62,15 +62,24 @@ object Bench {
     val errJson = errors.reverse
       .map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }.mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !errored(k) => v }.sum
-    val line =
+    val fullLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
-    // Belt and braces against stdout tail-truncation (round 8 lost the
-    // first 26 queries of the only copy): persist the line to a file too.
+    // Persist the FULL per-query map to a file; stdout gets only a compact
+    // summary. Rounds 7–10 printed the full ~6 KB line to stdout and the
+    // driver's bounded tail window clipped its head every time → four
+    // straight rounds of `"parsed": null`. The compact line (<1 KB) fits the
+    // window whole, with a small headline-query map to keep the documented
+    // {"metric",…,"queries",…} shape parseable.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), line)
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), fullLine)
     catch { case e: Throwable => System.err.println(s"[bench] write failed: $e") }
-    println(line)
+    val headline = results.collect {
+      case (k, v) if !errored(k) && k.matches("q(0[1-9]|1[0-5])_.*") => f""""$k":$v%.3f"""
+    }.mkString("{", ",", "}")
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":$headline,"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
     // rc stays 0 — the driver records the JSON line either way, and a
     // nonzero rc could void the whole round's bench; `"failed"` + stderr

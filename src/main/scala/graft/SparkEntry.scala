@@ -41,6 +41,21 @@ object SparkEntry {
 
   private def cents(c: Column): Column = ContentMetrics.cents(c)
 
+  /** Emit DECIMAL output columns as exact integer STRINGS at the gate
+    * boundary. DECIMAL(38,0) is the right type for the quadratic rank/
+    * covariance forms INSIDE the operators (they exceed LONG at SF≥1),
+    * but as a dump dtype it is reader-dependent — pyarrow maps it to
+    * object(Decimal), DuckDB's fetchdf to float64 or object depending on
+    * version — which made the r09 driver flap on value-identical frames.
+    * A decimal→string cast is plain digits in both engines, so the
+    * stringified compare is exact at every scale. */
+  private def decStr(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.map { f =>
+      if (f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+        col(f.name).cast("string").as(f.name)
+      else col(f.name)
+    }.toIndexedSeq: _*)
+
   /** Materialize-once near-dup pair graph over `documents` — the mining
     * stage (inverted index + AllPairs/PPJoin filters + exact verify) is
     * the expensive part shared by q19 (the pairs themselves), q41
@@ -3678,11 +3693,11 @@ object SparkEntry {
     // midranks keep ties integral; the three quadratic forms determine
     // ρ² exactly — no float ranks, no raw-data sort.
     "q245_spearman" -> ((s, dir) =>
-      operators.RankStats.spearmanSuffStats(
+      decStr(operators.RankStats.spearmanSuffStats(
         t(s, dir, "orders").groupBy(col("o_custkey"))
           .agg(count(lit(1)).as("n_orders"),
             sum(cents(col("o_totalprice"))).as("spend_cents")),
-        col("n_orders"), col("spend_cents"))),
+        col("n_orders"), col("spend_cents")))),
 
     // Wilcoxon rank-sum / Mann–Whitney U (exact, tie-corrected): do
     // even-id users' event values stochastically dominate odd-id users'?
@@ -3690,8 +3705,8 @@ object SparkEntry {
     // twin; this is the rank-sum form with the Σ(t³−t) tie term its
     // variance needs), all integers off one value histogram.
     "q246_rank_sum" -> ((s, dir) =>
-      operators.RankStats.mannWhitney(t(s, dir, "events"),
-        cents(col("value")), pmod(col("user_id"), lit(2)) === 0)),
+      decStr(operators.RankStats.mannWhitney(t(s, dir, "events"),
+        cents(col("value")), pmod(col("user_id"), lit(2)) === 0))),
 
     // TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
     // BOTH join sides — the disjunction that naive planners evaluate
@@ -3738,10 +3753,10 @@ object SparkEntry {
     // that raw accuracy (q185's confusion census) can't see.
     "q249_cohen_kappa" -> ((s, dir) => {
       val q = TextFunctions.qualityScore(col("text"))
-      operators.Profile.cohenKappa(t(s, dir, "documents"),
+      decStr(operators.Profile.cohenKappa(t(s, dir, "documents"),
         when(q < 40, 0L).when(q < 70, 1L).otherwise(2L),
         when(col("n_chars") < 200, 0L).when(col("n_chars") < 350, 1L)
-          .otherwise(2L))
+          .otherwise(2L)))
     }),
 
     // t-closeness (the rung above q211's k/l audit): a QI group can
@@ -3765,8 +3780,8 @@ object SparkEntry {
           col("c_mktsegment").as("segment"),
           floor(col("c_acctbal") / 1000d).cast("long").as("bal_bucket"),
           col("sens"))
-      operators.Privacy.tClosenessAudit(qi,
-        Seq("nation", "segment", "bal_bucket"), "sens", tNum = 1, tDen = 2)
+      decStr(operators.Privacy.tClosenessAudit(qi,
+        Seq("nation", "segment", "bal_bucket"), "sens", tNum = 1, tDen = 2))
     }),
 
     // Exact ACF at lags 1..7 of the daily revenue level per event type —
@@ -3778,8 +3793,8 @@ object SparkEntry {
       val daily = ev(s, dir).where(col("value").isNotNull)
         .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
         .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
-      operators.Trend.acfSuffStats(daily, Seq("event_type"), col("day"),
-        col("cents"), maxLag = 7)
+      decStr(operators.Trend.acfSuffStats(daily, Seq("event_type"),
+        col("day"), col("cents"), maxLag = 7))
     }),
 
     // Kendall τ-b between order count and spend BUCKET ($1000-wide) per
@@ -3787,11 +3802,11 @@ object SparkEntry {
     // pair inversions, ρ measures rank displacement; both domain-bounded
     // so the pair census is |domain|², independent of row count.
     "q252_kendall_tau" -> ((s, dir) =>
-      operators.RankStats.kendallTauB(
+      decStr(operators.RankStats.kendallTauB(
         t(s, dir, "orders").groupBy(col("o_custkey"))
           .agg(count(lit(1)).as("n_orders"),
             sum(cents(col("o_totalprice"))).as("spend_cents")),
-        col("n_orders"), expr("spend_cents div 100000"))),
+        col("n_orders"), expr("spend_cents div 100000")))),
 
     // A-priori frequent supplier TRIPLES over order baskets (q212 stops
     // at pairs): level-wise downward-closure pruning — F1-filtered
@@ -3809,8 +3824,8 @@ object SparkEntry {
       val daily = ev(s, dir).where(col("value").isNotNull)
         .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
         .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
-      operators.Trend.rollingOls(daily, Seq("event_type"), col("day"),
-        col("cents"), window = 7)
+      decStr(operators.Trend.rollingOls(daily, Seq("event_type"),
+        col("day"), col("cents"), window = 7))
     }),
 
     // Order-invariant table checksum over the canonical customer
@@ -3818,12 +3833,12 @@ object SparkEntry {
     // at three-scalars cost); poly_hash64 rows, XOR + SUM combine, the
     // whole fingerprint replayed bit-exactly by the oracle.
     "q255_table_checksum" -> ((s, dir) =>
-      operators.TableDiff.checksum(
+      decStr(operators.TableDiff.checksum(
         t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
           col("c_nationkey"), cents(col("c_acctbal")).as("bal_cents"),
           col("c_mktsegment")),
         Seq("c_custkey", "c_name", "c_nationkey", "bal_cents",
-          "c_mktsegment"))),
+          "c_mktsegment")))),
 
     // NOT IN is NOT an anti join when the subquery can yield NULL —
     // three-valued logic empties the result — and Spark must plan the
@@ -3853,11 +3868,11 @@ object SparkEntry {
     // paths — the associativity trick that keeps k-hop features linear
     // in |E| per layer.
     "q257_two_hop_agg" -> ((s, dir) =>
-      operators.Graph.twoHopAggregate(
+      decStr(operators.Graph.twoHopAggregate(
         coSupplierPairs(s, dir), "l_suppkey", "dst_supp",
         t(s, dir, "supplier").select(col("s_suppkey"),
           cents(col("s_acctbal")).as("bal")),
-        "s_suppkey", "bal")),
+        "s_suppkey", "bal"))),
 
     // Grid-density clustering (cell-DBSCAN) over the q218 point cloud:
     // cells holding ≥ 4 points are core, clusters are 8-connected
@@ -3883,11 +3898,11 @@ object SparkEntry {
       val e = ev(s, dir)
       val mid = e.agg(min(col("ts_ms")).as("mn"), max(col("ts_ms")).as("mx"))
         .select(expr("(mn + mx) div 2").as("mid"))
-      operators.Causal.cupedAdjustedLift(e.crossJoin(broadcast(mid)),
+      decStr(operators.Causal.cupedAdjustedLift(e.crossJoin(broadcast(mid)),
         unitCol = col("user_id"),
         treated = pmod(col("user_id"), lit(2L)) === 0L,
         pre = col("ts_ms") < col("mid"),
-        outcome = round(col("value") * 100).cast("long"))
+        outcome = round(col("value") * 100).cast("long")))
     }),
 
     // Split-conformal prediction intervals (Mondrian, per event type):
@@ -5226,8 +5241,8 @@ object SparkEntry {
           "d * uu * tt - su_d * uu - st_d * tt + sd"))
         .agg(sum(expr("CAST(yt AS DECIMAL(38,0)) * dt")).as("numd"),
           sum(expr("CAST(dt AS DECIMAL(38,0)) * dt")).as("dend"))
-        .select(col("numd").cast("decimal(38,0)").as("num"),
-          col("dend").cast("decimal(38,0)").as("den"),
+        .select(col("numd").cast("decimal(38,0)").cast("string").as("num"),
+          col("dend").cast("decimal(38,0)").cast("string").as("den"),
           expr("CAST(numd * 1000000 div dend AS BIGINT)").as("beta_e6"))
     }),
 
@@ -6049,7 +6064,8 @@ object SparkEntry {
          |  THEN ${1L << p} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
     s"""WITH bk AS (SELECT vec_id, $bits AS bucket FROM embeddings)
-       |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       | CAST(a.bucket AS BIGINT) AS bucket
        |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id""".stripMargin
   }
 
@@ -6128,7 +6144,7 @@ object SparkEntry {
       |r AS (SELECT qid, cid, score,
       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
       | FROM s)
-      |SELECT qid, cid, rank, CAST(round(score*1000000) AS BIGINT) AS score_e6
+      |SELECT qid, cid, CAST(rank AS INTEGER) AS rank, CAST(round(score*1000000) AS BIGINT) AS score_e6
       |FROM r WHERE rank <= 3""".stripMargin
 
   /** q144/q145's oracles replay BOTH retrieval stages — exact (q20) and
@@ -6222,7 +6238,7 @@ object SparkEntry {
        | FROM probe p JOIN assign a USING (centId) WHERE p.qid <> a.cid),
        |r AS (SELECT qid, cid, score,
        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank FROM s)
-       |SELECT qid, cid, rank, CAST(round(score*1000000) AS BIGINT) AS score_e6
+       |SELECT qid, cid, CAST(rank AS INTEGER) AS rank, CAST(round(score*1000000) AS BIGINT) AS score_e6
        |FROM r WHERE rank <= 3""".stripMargin
   }
 
@@ -6286,7 +6302,7 @@ object SparkEntry {
        |r2 AS (SELECT qid, cid, score,
        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
        | FROM ex)
-       |SELECT qid, cid, rank, CAST(round(score*1000000) AS BIGINT) AS score_e6
+       |SELECT qid, cid, CAST(rank AS INTEGER) AS rank, CAST(round(score*1000000) AS BIGINT) AS score_e6
        |FROM r2 WHERE rank <= 3""".stripMargin
   }
 
@@ -6326,7 +6342,7 @@ object SparkEntry {
        | GROUP BY 1, 2),
        |r AS (SELECT qid, cid, adc_e9,
        |  row_number() OVER (PARTITION BY qid ORDER BY adc_e9 DESC, cid) AS rank FROM adc)
-       |SELECT qid, cid, rank, adc_e9 FROM r WHERE rank <= 3""".stripMargin
+       |SELECT qid, cid, CAST(rank AS INTEGER) AS rank, adc_e9 FROM r WHERE rank <= 3""".stripMargin
   }
 
   /** q83's oracle replays the IVF-PQ (IVFADC) pipeline end-to-end: the
@@ -6399,7 +6415,7 @@ object SparkEntry {
        | FROM adc a JOIN qn q ON q.qid = a.qid AND q.centId = a.centId),
        |r AS (SELECT qid, cid, adc_e9,
        |  row_number() OVER (PARTITION BY qid ORDER BY adc_e9 DESC, cid) AS rank FROM sc)
-       |SELECT qid, cid, rank, adc_e9 FROM r WHERE rank <= $k""".stripMargin
+       |SELECT qid, cid, CAST(rank AS INTEGER) AS rank, adc_e9 FROM r WHERE rank <= $k""".stripMargin
   }
 
   /** q56's oracle replays the trained-PQ pipeline END-TO-END: per-subspace
@@ -6468,7 +6484,7 @@ object SparkEntry {
        | WHERE l.qid <> k.vec_id GROUP BY 1, 2),
        |r AS (SELECT qid, cid, adc_e9,
        |  row_number() OVER (PARTITION BY qid ORDER BY adc_e9 DESC, cid) AS rank FROM adc)
-       |SELECT qid, cid, rank, adc_e9 FROM r WHERE rank <= 3""".stripMargin
+       |SELECT qid, cid, CAST(rank AS INTEGER) AS rank, adc_e9 FROM r WHERE rank <= 3""".stripMargin
   }
 
   /** q58's oracle replays SemDeDup end-to-end: the cosine Lloyd trainer
@@ -7903,7 +7919,8 @@ object SparkEntry {
         |GROUP BY r_name, n_name""".stripMargin,
 
     "q03_top_orders" ->
-      """SELECT o_orderpriority, rank, o_orderkey, total_cents FROM (
+      """SELECT o_orderpriority, CAST(rank AS INTEGER) AS rank, o_orderkey,
+        | total_cents FROM (
         | SELECT o_orderpriority,
         |  row_number() OVER (PARTITION BY o_orderpriority
         |                     ORDER BY o_totalprice DESC, o_orderkey) AS rank,
@@ -8307,7 +8324,7 @@ object SparkEntry {
         |   SELECT 1 FROM p a WHERE a.user_id = k.user_id
         |     AND a.content_id = k.content_id AND a.ts_ms <= k.ts_ms))
         |SELECT user_id, purchase_id, ts_ms, content_id, view_id, view_ts_ms,
-        |       rank
+        |       CAST(rank AS INTEGER) AS rank
         |FROM (SELECT *, row_number() OVER (PARTITION BY purchase_id
         |        ORDER BY view_ts_ms DESC, view_id DESC) AS rank
         |      FROM kept) WHERE rank <= 3""".stripMargin,
@@ -8707,7 +8724,7 @@ object SparkEntry {
         |    ORDER BY touch_ts, touch_id) AS rk
         | FROM p)
         |SELECT u AS user_id, conv_id, conv_ts, touch_id, touch_ts,
-        |  CAST(rk AS BIGINT) AS pos, CAST(n AS BIGINT) AS n_touches,
+        |  CAST(rk AS INTEGER) AS pos, CAST(n AS BIGINT) AS n_touches,
         |  CAST(CASE WHEN n = 1 THEN 1000000 WHEN n = 2 THEN 500000
         |    WHEN rk = 1 THEN 400000
         |    WHEN rk = n THEN 400000 + 200000 % (n - 2)
@@ -9564,7 +9581,8 @@ object SparkEntry {
         | FROM cr FULL JOIN ct ON cr.bucket = ct.bucket),
         |tot AS (SELECT (SELECT count(*) FROM ref) AS nr,
         |  (SELECT count(*) FROM tgt) AS nt)
-        |SELECT bucket, CAST(n_ref AS BIGINT) AS n_ref,
+        |SELECT CAST(bucket AS INTEGER) AS bucket,
+        |  CAST(n_ref AS BIGINT) AS n_ref,
         |  CAST(n_tgt AS BIGINT) AS n_tgt,
         |  CAST(round((greatest(CAST(n_tgt AS DOUBLE)/CAST(nt AS DOUBLE), 1e-6)
         |    - greatest(CAST(n_ref AS DOUBLE)/CAST(nr AS DOUBLE), 1e-6))
@@ -9620,7 +9638,8 @@ object SparkEntry {
         |   FROM (SELECT unnest(range(1, 4)) AS b) bb(b), n2)),
         |b2 AS (SELECT sc.s,
         |  1 + (SELECT count(*) FROM cuts WHERE cut < sc.s) AS bucket FROM sc)
-        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |SELECT CAST(bucket AS INTEGER) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
         |  min(s) AS min_nll, max(s) AS max_nll
         |FROM b2 GROUP BY bucket""".stripMargin,
 
@@ -9689,7 +9708,8 @@ object SparkEntry {
         |   FROM (SELECT unnest(range(1,10)) AS b) bb(b), n)),
         |b AS (SELECT v.x,
         |  1 + (SELECT count(*) FROM cuts WHERE cut < v.x) AS bucket FROM v)
-        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |SELECT CAST(bucket AS INTEGER) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
         |  min(x) AS min_cents, max(x) AS max_cents,
         |  CAST(sum(x) AS BIGINT) AS sum_cents
         |FROM b GROUP BY bucket""".stripMargin,
@@ -11175,8 +11195,9 @@ object SparkEntry {
         |st AS (
         | SELECT se.event_type, phase, s_raw - adj AS seasonal
         | FROM se JOIN ad ON se.event_type = ad.event_type)
-        |SELECT t2.event_type, day AS t, cents AS y, trend, seasonal,
-        | cents - trend - seasonal AS remainder
+        |SELECT t2.event_type, day AS t, cents AS y,
+        | CAST(trend AS BIGINT) AS trend, CAST(seasonal AS BIGINT) AS seasonal,
+        | CAST(cents - trend - seasonal AS BIGINT) AS remainder
         |FROM t2 JOIN st ON t2.event_type = st.event_type
         |  AND t2.phase = st.phase""".stripMargin,
 
@@ -11237,7 +11258,8 @@ object SparkEntry {
         | GROUP BY 1, 2),
         |ft AS (SELECT i, max(mn) AS fitted_e6 FROM mn GROUP BY 1)
         |SELECT 'all' AS grp, b.bin, b.s, b.c,
-        | s * 1000000 // c AS rate_e6, fitted_e6
+        | CAST(s * 1000000 // c AS BIGINT) AS rate_e6,
+        | CAST(fitted_e6 AS BIGINT) AS fitted_e6
         |FROM b JOIN ft ON ft.i = b.bin""".stripMargin,
 
     // q234: full coalition replay — per-user exposure masks, v(S) as the
@@ -11424,19 +11446,19 @@ object SparkEntry {
         |  sum(n_c) OVER w AS cum_n_c, sum(conv_c) OVER w AS cum_conv_c
         | FROM pt WINDOW w AS (ORDER BY tile
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT tile, n, n_t, conv_t, n_c, conv_c,
+        |SELECT CAST(tile AS INTEGER) AS tile, n, n_t, conv_t, n_c, conv_c,
         | CAST(cum_n_t AS BIGINT) AS cum_n_t,
         | CAST(cum_conv_t AS BIGINT) AS cum_conv_t,
         | CAST(cum_n_c AS BIGINT) AS cum_n_c,
         | CAST(cum_conv_c AS BIGINT) AS cum_conv_c,
-        | CASE WHEN cum_n_t > 0
-        |  THEN cum_conv_t * 1000000 // cum_n_t END AS rate_t_e6,
-        | CASE WHEN cum_n_c > 0
-        |  THEN cum_conv_c * 1000000 // cum_n_c END AS rate_c_e6,
-        | (CASE WHEN cum_n_t > 0
+        | CAST(CASE WHEN cum_n_t > 0
+        |  THEN cum_conv_t * 1000000 // cum_n_t END AS BIGINT) AS rate_t_e6,
+        | CAST(CASE WHEN cum_n_c > 0
+        |  THEN cum_conv_c * 1000000 // cum_n_c END AS BIGINT) AS rate_c_e6,
+        | CAST((CASE WHEN cum_n_t > 0
         |   THEN cum_conv_t * 1000000 // cum_n_t END)
         | - (CASE WHEN cum_n_c > 0
-        |   THEN cum_conv_c * 1000000 // cum_n_c END) AS uplift_e6
+        |   THEN cum_conv_c * 1000000 // cum_n_c END) AS BIGINT) AS uplift_e6
         |FROM cm""".stripMargin,
 
     "q238_diff_in_diff" ->
@@ -11496,9 +11518,9 @@ object SparkEntry {
         |a AS (SELECT count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
         |  sum(rx*ry) AS sxy, sum(rx*rx) AS sxx, sum(ry*ry) AS syy FROM j)
         |SELECT CAST(n AS BIGINT) AS n,
-        |  CAST(n*sxy - sx*sy AS DECIMAL(38,0)) AS cov_num,
-        |  CAST(n*sxx - sx*sx AS DECIMAL(38,0)) AS var_x_num,
-        |  CAST(n*syy - sy*sy AS DECIMAL(38,0)) AS var_y_num
+        |  CAST(CAST(n*sxy - sx*sy AS DECIMAL(38,0)) AS VARCHAR) AS cov_num,
+        |  CAST(CAST(n*sxx - sx*sx AS DECIMAL(38,0)) AS VARCHAR) AS var_x_num,
+        |  CAST(CAST(n*syy - sy*sy AS DECIMAL(38,0)) AS VARCHAR) AS var_y_num
         |FROM a""".stripMargin,
 
     // q246: one combined-value histogram; R₁ from sample-1 counts times
@@ -11517,7 +11539,7 @@ object SparkEntry {
         | GROUP BY 1, 2)
         |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n - n1 AS BIGINT) AS n2,
         |  CAST(sum_r1x2 - n1*(n1+1) AS BIGINT) AS u1_x2,
-        |  CAST(tie AS DECIMAL(38,0)) AS tie_term
+        |  CAST(CAST(tie AS DECIMAL(38,0)) AS VARCHAR) AS tie_term
         |FROM t""".stripMargin,
 
     // q247: the textbook WHERE-clause formulation.
@@ -11565,11 +11587,11 @@ object SparkEntry {
          |  coalesce(sum(CASE WHEN a = b THEN cnt END), 0) AS n_agree
          | FROM c)
          |SELECT CAST(n AS BIGINT) AS n, CAST(n_agree AS BIGINT) AS n_agree,
-         |  CAST(pe_num AS DECIMAL(38,0)) AS pe_num,
-         |  CAST(CAST(n AS HUGEINT)*n_agree - pe_num AS DECIMAL(38,0))
-         |    AS kappa_num,
-         |  CAST(CAST(n AS HUGEINT)*n - pe_num AS DECIMAL(38,0))
-         |    AS kappa_den
+         |  CAST(CAST(pe_num AS DECIMAL(38,0)) AS VARCHAR) AS pe_num,
+         |  CAST(CAST(CAST(n AS HUGEINT)*n_agree - pe_num AS DECIMAL(38,0))
+         |    AS VARCHAR) AS kappa_num,
+         |  CAST(CAST(CAST(n AS HUGEINT)*n - pe_num AS DECIMAL(38,0))
+         |    AS VARCHAR) AS kappa_den
          |FROM t, pe""".stripMargin,
 
     // q250: q211's dom/qi CTEs, then the ordered-EMD unroll — per-group
@@ -11610,8 +11632,9 @@ object SparkEntry {
         |   END), 0) AS emd_num
         | FROM c2 GROUP BY 1, 2, 3, 4, 5, 6)
         |SELECT nation, segment, bal_bucket, CAST(n AS BIGINT) AS n,
-        |  CAST(emd_num AS DECIMAL(38,0)) AS emd_num,
-        |  CAST(CAST(n AS HUGEINT)*nt*(mm-1) AS DECIMAL(38,0)) AS emd_den,
+        |  CAST(CAST(emd_num AS DECIMAL(38,0)) AS VARCHAR) AS emd_num,
+        |  CAST(CAST(CAST(n AS HUGEINT)*nt*(mm-1) AS DECIMAL(38,0))
+        |    AS VARCHAR) AS emd_den,
         |  emd_num*2 > CAST(n AS HUGEINT)*nt*(mm-1) AS violates_t
         |FROM a""".stripMargin,
 
@@ -11635,8 +11658,9 @@ object SparkEntry {
         | GROUP BY 1, 2)
         |SELECT p.event_type, CAST(lag AS BIGINT) AS lag,
         |  CAST(n AS BIGINT) AS n,
-        |  CAST(n*n*sab - n*s*(h+tl) + cnt*s*s AS DECIMAL(38,0)) AS acf_num,
-        |  CAST(n*(n*syy - s*s) AS DECIMAL(38,0)) AS acf_den
+        |  CAST(CAST(n*n*sab - n*s*(h+tl) + cnt*s*s AS DECIMAL(38,0))
+        |    AS VARCHAR) AS acf_num,
+        |  CAST(CAST(n*(n*syy - s*s) AS DECIMAL(38,0)) AS VARCHAR) AS acf_den
         |FROM p JOIN tot ON p.event_type = tot.event_type""".stripMargin,
 
     // q252: cell census, xa<xb pair sweep, doubled tie terms.
@@ -11657,10 +11681,10 @@ object SparkEntry {
         | FROM (SELECT sum(g) AS m FROM c GROUP BY y)),
         |n AS (SELECT sum(g) AS n FROM c)
         |SELECT CAST(n AS BIGINT) AS n,
-        |  CAST(concordant AS DECIMAL(38,0)) AS concordant,
-        |  CAST(discordant AS DECIMAL(38,0)) AS discordant,
-        |  CAST(tie_x2 AS DECIMAL(38,0)) AS tie_x2,
-        |  CAST(tie_y2 AS DECIMAL(38,0)) AS tie_y2
+        |  CAST(CAST(concordant AS DECIMAL(38,0)) AS VARCHAR) AS concordant,
+        |  CAST(CAST(discordant AS DECIMAL(38,0)) AS VARCHAR) AS discordant,
+        |  CAST(CAST(tie_x2 AS DECIMAL(38,0)) AS VARCHAR) AS tie_x2,
+        |  CAST(CAST(tie_y2 AS DECIMAL(38,0)) AS VARCHAR) AS tie_y2
         |FROM n, cd, tx, ty""".stripMargin,
 
     // q253: the unpruned three-way formulation — downward closure
@@ -11690,8 +11714,8 @@ object SparkEntry {
         | FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
         |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
         |SELECT event_type, CAST(day AS BIGINT) AS t, CAST(n AS BIGINT) AS n,
-        |  CAST(n*sxy - sx*sy AS DECIMAL(38,0)) AS slope_num,
-        |  CAST(n*sxx - sx*sx AS DECIMAL(38,0)) AS slope_den
+        |  CAST(CAST(n*sxy - sx*sy AS DECIMAL(38,0)) AS VARCHAR) AS slope_num,
+        |  CAST(CAST(n*sxx - sx*sx AS DECIMAL(38,0)) AS VARCHAR) AS slope_den
         |FROM r""".stripMargin,
 
     "q255_table_checksum" -> q255OracleSql,
@@ -11722,9 +11746,9 @@ object SparkEntry {
         |h2 AS (SELECT src AS id, sum(deg) AS n2, sum(sum1) AS sum2
         | FROM e JOIN h1 ON h1.id = e.dst GROUP BY 1)
         |SELECT h1.id AS id, CAST(deg AS BIGINT) AS deg,
-        |  CAST(sum1 AS DECIMAL(38,0)) AS sum1,
+        |  CAST(CAST(sum1 AS DECIMAL(38,0)) AS VARCHAR) AS sum1,
         |  CAST(coalesce(n2, 0) AS BIGINT) AS n2,
-        |  CAST(coalesce(sum2, 0) AS DECIMAL(38,0)) AS sum2
+        |  CAST(CAST(coalesce(sum2, 0) AS DECIMAL(38,0)) AS VARCHAR) AS sum2
         |FROM h1 LEFT JOIN h2 ON h1.id = h2.id""".stripMargin,
 
     "q258_grid_dbscan" -> q258OracleSql,
@@ -11758,13 +11782,14 @@ object SparkEntry {
         |  n*sxy - sx*sy AS theta_num, n*sxx - sx*sx AS theta_den
         | FROM a)
         |SELECT CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
-        |  CAST(raw_num AS DECIMAL(38,0)) AS raw_num,
-        |  CAST(raw_den AS DECIMAL(38,0)) AS raw_den,
-        |  CAST(theta_num AS DECIMAL(38,0)) AS theta_num,
-        |  CAST(theta_den AS DECIMAL(38,0)) AS theta_den,
-        |  CAST(raw_num*theta_den - theta_num*xdiff_num AS DECIMAL(38,0))
-        |    AS cuped_num,
-        |  CAST(raw_den*theta_den AS DECIMAL(38,0)) AS cuped_den
+        |  CAST(CAST(raw_num AS DECIMAL(38,0)) AS VARCHAR) AS raw_num,
+        |  CAST(CAST(raw_den AS DECIMAL(38,0)) AS VARCHAR) AS raw_den,
+        |  CAST(CAST(theta_num AS DECIMAL(38,0)) AS VARCHAR) AS theta_num,
+        |  CAST(CAST(theta_den AS DECIMAL(38,0)) AS VARCHAR) AS theta_den,
+        |  CAST(CAST(raw_num*theta_den - theta_num*xdiff_num
+        |    AS DECIMAL(38,0)) AS VARCHAR) AS cuped_num,
+        |  CAST(CAST(raw_den*theta_den AS DECIMAL(38,0)) AS VARCHAR)
+        |    AS cuped_den
         |FROM c""".stripMargin,
 
     // q260: same md5 split, calibration mean via floor-div, q̂ as the
@@ -12605,7 +12630,8 @@ object SparkEntry {
         | JOIN thr ON thr.k = ranked.k),
         |ks AS (SELECT max(CASE WHEN chi2_e6 >= thr_e6 THEN k END) AS kstar
         | FROM rt)
-        |SELECT slice, a, b, c, dd, chi2_e6, k, thr_e6,
+        |SELECT slice, a, b, c, dd, chi2_e6, k,
+        |  CAST(thr_e6 AS BIGINT) AS thr_e6,
         |  (k <= coalesce(ks.kstar, 0)) AS discovered
         |FROM rt CROSS JOIN ks""".stripMargin,
 
@@ -12892,8 +12918,8 @@ object SparkEntry {
         | CROSS JOIN dims),
         |agg AS (SELECT sum(CAST(yt AS HUGEINT) * dt) AS numd,
         |  sum(CAST(dt AS HUGEINT) * dt) AS dend FROM w)
-        |SELECT CAST(numd AS DECIMAL(38,0)) AS num,
-        | CAST(dend AS DECIMAL(38,0)) AS den,
+        |SELECT CAST(CAST(numd AS DECIMAL(38,0)) AS VARCHAR) AS num,
+        | CAST(CAST(dend AS DECIMAL(38,0)) AS VARCHAR) AS den,
         | CAST(numd * 1000000 // dend AS BIGINT) AS beta_e6
         |FROM agg""".stripMargin,
 
@@ -12987,7 +13013,8 @@ object SparkEntry {
         |  (sum(count(*)) OVER (ORDER BY score DESC) - 1) * 10
         |    // (SELECT count(*) FROM d) + 1 AS decile
         | FROM d GROUP BY score),
-        |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+        |g AS (SELECT CAST(decile AS BIGINT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(pos) AS BIGINT) AS positives
         | FROM d JOIN c USING (score) GROUP BY 1)
         |SELECT decile, n, positives,
@@ -13044,7 +13071,8 @@ object SparkEntry {
         |qm AS (SELECT m AS v, (sum(count(*)) OVER (ORDER BY m) - 1) * 5
         |  // (SELECT count(*) FROM rfm) + 1 AS q
         | FROM rfm GROUP BY m)
-        |SELECT qr.q AS r_q, qf.q AS f_q, qm.q AS m_q,
+        |SELECT CAST(qr.q AS BIGINT) AS r_q, CAST(qf.q AS BIGINT) AS f_q,
+        | CAST(qm.q AS BIGINT) AS m_q,
         | CAST(count(*) AS BIGINT) AS customers,
         | CAST(sum(rfm.m) AS BIGINT) AS cents
         |FROM rfm JOIN qr ON qr.v = rfm.r JOIN qf ON qf.v = rfm.f
@@ -13083,7 +13111,9 @@ object SparkEntry {
         |s AS (SELECT *, c_t * 1000000 // n_t - c_c * 1000000 // n_c
         |   AS diff_e6
         | FROM c WHERE n_c > 0 AND n_t > 0)
-        |SELECT day, n_c, n_t, c_c, c_t, diff_e6,
+        |SELECT day, CAST(n_c AS BIGINT) AS n_c, CAST(n_t AS BIGINT) AS n_t,
+        | CAST(c_c AS BIGINT) AS c_c, CAST(c_t AS BIGINT) AS c_t,
+        | CAST(diff_e6 AS BIGINT) AS diff_e6,
         | (CAST(diff_e6 AS HUGEINT) * diff_e6 * 2 * n_c * n_t >
         |  CAST(3688879454113 AS HUGEINT) * (n_c + n_t)) AS decided
         |FROM s""".stripMargin,
@@ -13413,8 +13443,8 @@ object SparkEntry {
        |   ELSE z END AS BIGINT) AS h FROM hh)
        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
        |  coalesce(bit_xor(h), 0) AS xor_hash,
-       |  CAST(coalesce(sum(CAST(h AS HUGEINT)), 0) AS DECIMAL(38,0))
-       |   AS sum_hash
+       |  CAST(CAST(coalesce(sum(CAST(h AS HUGEINT)), 0) AS DECIMAL(38,0))
+       |   AS VARCHAR) AS sum_hash
        |FROM sg""".stripMargin
   }
 

@@ -55,11 +55,16 @@ object ExactQuantiles {
     *                  sample priorities via seed-0 xxhash64)
     * @param percents  percentiles in (0, 100]
     * @param k         sample size per group (default 4096)
+    * @param maxGroups cardinality guard on the pass-1 driver fetch (one
+    *                  row of ≤ k longs per group, ~32 KiB at the default
+    *                  k): above this the call fails loudly instead of
+    *                  silently OOMing the driver — high-cardinality
+    *                  groupings belong on a mergeable sketch instead
     * Output: groupCols ++ (percent BIGINT, quantile BIGINT).
     */
   def quantiles(df: DataFrame, groupCols: Seq[String], value: Column,
       rowKey: Column, percents: Seq[Int], k: Int = 4096,
-      plusOne: Boolean = false): DataFrame = {
+      plusOne: Boolean = false, maxGroups: Int = 10000): DataFrame = {
     require(percents.nonEmpty && percents.forall(p => p > 0 && p <= 100),
       s"percents=$percents out of (0, 100]")
     val spark = df.sparkSession
@@ -75,11 +80,19 @@ object ExactQuantiles {
       .where(col("__v").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // Pass 1: per-group n + sorted k-sample. Bounded driver fetch.
+      // Pass 1: per-group n + sorted k-sample. Bounded driver fetch:
+      // the limit() bounds the fetch ITSELF to maxGroups+1 rows, so an
+      // unexpectedly-high-cardinality grouping fails at the require
+      // below rather than OOMing the driver mid-collect.
       val sampled = base.groupBy(groupCols.map(col): _*)
         .agg(count(lit(1)).as("__n"),
           BoundedSample.boundedSample(col("__v"), col("__p"), k).as("__s"))
+        .limit(maxGroups + 1)
         .collect()
+      require(sampled.length <= maxGroups,
+        s"quantiles: grouping exceeds maxGroups=$maxGroups groups; " +
+          "use a mergeable quantile sketch for high-cardinality keys " +
+          "or raise maxGroups explicitly")
 
       var delta = math.max(3, math.ceil(3 * math.sqrt(k)).toInt)
       var result: Option[DataFrame] = None

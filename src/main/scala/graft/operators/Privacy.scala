@@ -169,6 +169,14 @@ object Privacy {
     * exchange, so the shuffle carries ≤ maxPerUser rows per (user,group);
     * the mechanism itself is one codegen'd scalar pass and the histogram
     * a partial-agg groupBy. Output is one row per group.
+    *
+    * ⚠ PRIVACY WARNING — the output frame is NOT private as returned:
+    * the `true_count` column is the EXACT sensitive tally, emitted
+    * beside the DP estimate strictly as a test/audit aid (the oracle
+    * gates on it). Any release boundary — a sink, an export, a report —
+    * must `.drop("true_count")` first; shipping it voids the ε
+    * guarantee entirely. Only `n`, `reported_true`, and `est_true_e6`
+    * are safe to publish.
     */
   def randomizedResponse(df: DataFrame, idCol: String, userCol: String,
       groupCol: String, bit: Column, salt: String,

@@ -121,7 +121,13 @@ object Survival {
       .withColumn("n", col("n1") + col("n2"))
       .withColumn("d", col("d1") + col("d2"))
       .where(col("d") > 0)
-      .withColumn("e1_e9", expr("d * n1 * 1000000000L div n"))
+      // DECIMAL(38,0) intermediate like v_e12 below: pure-LONG
+      // d·n1·1e9 overflows once d·n1 ≳ 9.2e9 (a few thousand deaths at
+      // a few-million-subject risk set) — silently wrong chi2 non-ANSI,
+      // runtime error under ANSI. The quotient itself always fits LONG
+      // (e1_e9 ≤ d·1e9).
+      .withColumn("e1_e9", expr(
+        "CAST(CAST(d AS DECIMAL(38,0)) * n1 * 1000000000 div n AS BIGINT)"))
       .withColumn("v_e12", when(col("n") > 1, expr(
         """CAST(n1 AS DECIMAL(38,0)) * n2 * d * (n - d) * 1000000000000
           |div (CAST(n AS DECIMAL(38,0)) * n * (n - 1))"""

@@ -88,6 +88,12 @@ object EpochCmpRewrite extends Rule[LogicalPlan] {
         def ltExclusive(): Expression =
           LessThan(ts, tsLit(Math.multiplyExact(l, k), ts))
         Some(cmp match {
+          // The equality rewrite duplicates `ts` into both bounds; a
+          // non-deterministic child would be drawn twice (Spark's
+          // UnwrapCastInBinaryComparison guards the same way). The
+          // single-use inequality branches below are draw-preserving
+          // either way.
+          case _: EqualTo if !ts.deterministic => return None
           case _: EqualTo => And(ge(ts, l, k), lt(ts, l, k))
           // litLeft flips the comparison: L >= f(ts) means f(ts) <= L.
           case _: GreaterThanOrEqual =>

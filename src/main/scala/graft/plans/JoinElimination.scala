@@ -41,12 +41,23 @@ object ConstraintRegistry {
     declareUnique(dimSuffix, pkCol)
   }
 
+  /** Suffix match at a path-component boundary: a bare `endsWith` lets a
+    * declared suffix "orders" claim ".../customer_orders", and the
+    * registry would then eliminate joins/distincts against the wrong
+    * table. The character before the matched suffix must be '/' (or the
+    * suffix itself starts with '/', or consumes the whole path). */
+  private def suffixAtBoundary(path: String, s: String): Boolean =
+    path == s || (path.endsWith(s) &&
+      (s.startsWith("/") || path.charAt(path.length - s.length - 1) == '/'))
+
   def isUnique(pathSuffix: String, col: String): Boolean =
-    uniqueKeys.keys.exists { case (s, c) => c == col && pathSuffix.endsWith(s) }
+    uniqueKeys.keys.exists {
+      case (s, c) => c == col && suffixAtBoundary(pathSuffix, s)
+    }
 
   def fkTarget(factSuffix: String, fkCol: String): Option[(String, String)] =
     foreignKeys.collectFirst {
-      case ((s, c), tgt) if c == fkCol && factSuffix.endsWith(s) => tgt
+      case ((s, c), tgt) if c == fkCol && suffixAtBoundary(factSuffix, s) => tgt
     }
 
   def clear(): Unit = { uniqueKeys.clear(); foreignKeys.clear() }

@@ -146,7 +146,13 @@ object MatviewRewrite extends Rule[LogicalPlan] {
           case a: AttributeReference => mv.dims.contains(a.name)
           case _ => false
         }
-      val filterOk = cond.forall(allDims(mv, _))
+      // Deterministic + reference-bearing guard: `allDims` walks the
+      // predicate's attribute references, so a reference-FREE condition
+      // (e.g. `rand() < 0.1`) passes it vacuously — rewriting a sampling
+      // filter onto one-row-per-dim summary rows changes the aggregate.
+      // Mirrors UnwrapCastInBinaryComparison's determinism discipline.
+      val filterOk = cond.forall(c =>
+        c.deterministic && c.references.nonEmpty && allDims(mv, c))
       if (!groupsOk || !filterOk) None
       else {
         val results = agg.aggregateExpressions.map(mapResult(mv, _))

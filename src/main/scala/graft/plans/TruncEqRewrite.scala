@@ -40,8 +40,13 @@ object TruncEqRewrite extends Rule[LogicalPlan] {
 
   private def unitOf(fmt: Expression, ts: Expression,
       lit: Literal): Option[Long] = fmt match {
+    // ts.deterministic: every rewrite below duplicates `ts` into two
+    // bounds (or `ts < ts` for the misaligned case) — a non-deterministic
+    // child would be evaluated twice with different draws, changing the
+    // predicate. Spark's UnwrapCastInBinaryComparison guards identically.
     case Literal(f: UTF8String, StringType) if lit.value != null &&
-        lit.dataType == TimestampType && ts.dataType == TimestampType =>
+        lit.dataType == TimestampType && ts.dataType == TimestampType &&
+        ts.deterministic =>
       unitMicros.get(f.toString.toLowerCase(java.util.Locale.ROOT))
     case _ => None
   }

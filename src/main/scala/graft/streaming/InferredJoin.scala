@@ -94,6 +94,12 @@ object InferredJoin {
     //    candidates FIFO-dedupe by RHS pk
     var pendingFk = st.pendingFk
     var pendingInfer = st.pendingInfer
+    // O(1) FIFO dedupe: a per-event `pendingInfer.exists(_.id == …)` scan
+    // is O(n²) on a hot key (10k duplicate RHS pks in one batch = 5·10⁷
+    // comparisons). The pk set is derived from the deserialized list once
+    // per invocation — same cost class as reading the state — so the
+    // persisted state shape stays unchanged.
+    var pendingInferIds = pendingInfer.iterator.map(_.id).toSet
     events.foreach { e =>
       if (e.side == 1) {
         if (e.parentId.nonEmpty) {
@@ -101,7 +107,10 @@ object InferredJoin {
             case Some((lts, _)) => emit(e.parentId, lts, e.id, e.tsMs, "exact")
             case None => pendingFk ::= e
           }
-        } else if (!pendingInfer.exists(_.id == e.id)) pendingInfer ::= e
+        } else if (!pendingInferIds.contains(e.id)) {
+          pendingInfer ::= e
+          pendingInferIds += e.id
+        }
       }
     }
 

@@ -48,6 +48,23 @@ class ExactQuantilesSpec extends SparkSpec {
     assert(got == brute(rows, Seq(10, 50, 90, 100)))
   }
 
+  test("maxGroups guard fails loudly on high-cardinality groupings") {
+    val df = spark.range(500)
+      .select(col("id").cast("string").as("g"), col("id").as("v"),
+        col("id").as("k"))
+    // 500 groups > maxGroups=100: the fetch is limit-bounded and the
+    // require fires (instead of an unbounded driver collect)
+    val e = intercept[IllegalArgumentException] {
+      ExactQuantiles.quantiles(df, Seq("g"), col("v"), col("k"),
+        Seq(50), maxGroups = 100)
+    }
+    assert(e.getMessage.contains("maxGroups"))
+    // at exactly the cardinality bound the computation still runs
+    val ok = ExactQuantiles.quantiles(df, Seq("g"), col("v"), col("k"),
+      Seq(50), maxGroups = 500)
+    assert(ok.count() == 500L)
+  }
+
   test("tiny k exercises the bracket-retry path and stays exact") {
     val rows = (1 to 2000).map(i => ("g", (i.toLong * 48271) % 65537))
     val df = rows.toDF("g", "v").withColumn("k", monotonically_increasing_id())

@@ -33,6 +33,22 @@ class SurvivalSpec extends SparkSpec {
       ((3L, 3L, 2L, 666666L)))
   }
 
+  test("logRank is exact when d·n1·1e9 exceeds Long.MaxValue") {
+    // One event time: 150k group-1 subjects (100k observed) vs 50k
+    // group-2 (10k observed). d·n1 = 110000·150000 = 1.65e10, so the
+    // pre-guard pure-LONG `d * n1 * 1000000000` wrapped (1.65e19 >
+    // 2^63−1). Exact expectation: e1_e9 = 1.65e19 / 200000 = 8.25e13.
+    val df = spark.range(200000L).selectExpr(
+      "1L AS t",
+      "CASE WHEN id < 150000 THEN id < 100000 ELSE id < 160000 END AS obs",
+      "id < 150000 AS g1")
+    val r = Survival.logRank(df, col("t"), col("obs"), col("g1"))
+      .collect().head
+    assert(r.getAs[Long]("o1") == 100000L)
+    assert(r.getAs[Long]("e1_e9") == 82500000000000L)
+    assert(r.getAs[Long]("chi2_e6") > 0L)
+  }
+
   test("nelsonAalen accumulates d/n increments past censored times") {
     // t=1: 1 event of 4 at risk → inc 250000000, H = 250000000
     // t=2: censored only — no row, but it shrinks the risk set

@@ -107,6 +107,18 @@ class EpochCmpRewriteSpec extends SparkSpec {
     }
   }
 
+  test("equality on a non-deterministic child passes through untouched") {
+    withRule(flag = true) {
+      // The equality range duplicates the seam child into both bounds;
+      // a per-row random timestamp would be drawn twice. Must bail.
+      val q = spark.range(100)
+        .where(expr("""unix_millis(
+          timestamp_millis(CAST(rand(7) * 1000 AS LONG))) = 5"""))
+      assert(q.queryExecution.optimizedPlan.toString.contains("unix_millis"),
+        q.queryExecution.optimizedPlan.toString.take(2000))
+    }
+  }
+
   test("kill switch restores the unrewritten plan, same rows") {
     withRule(flag = false) {
       val q = spark.read.parquet(path)

@@ -120,6 +120,27 @@ class JoinEliminationSpec extends SparkSpec {
     }
   }
 
+  test("registry suffix match requires a path-component boundary") {
+    ConstraintRegistry.clear()
+    // "orders.parquet" must not claim ".../customer_orders.parquet":
+    // a bare endsWith there would eliminate joins/distincts against
+    // the wrong table.
+    ConstraintRegistry.declareUnique("orders.parquet", "pk")
+    assert(ConstraintRegistry.isUnique("/data/orders.parquet", "pk"))
+    assert(ConstraintRegistry.isUnique("orders.parquet", "pk"))
+    assert(!ConstraintRegistry.isUnique("/data/customer_orders.parquet", "pk"))
+    ConstraintRegistry.declareForeignKey(
+      "fact.parquet", "fk", "dim.parquet", "pk")
+    assert(ConstraintRegistry.fkTarget("/x/fact.parquet", "fk")
+      .contains(("dim.parquet", "pk")))
+    assert(ConstraintRegistry.fkTarget("/x/big_fact.parquet", "fk").isEmpty)
+    // slash-anchored declarations keep their exact-component behavior
+    ConstraintRegistry.declareUnique("/dim.parquet", "c")
+    assert(ConstraintRegistry.isUnique("/tmp/t1/dim.parquet", "c"))
+    assert(!ConstraintRegistry.isUnique("/tmp/t1/odim.parquet", "c"))
+    ConstraintRegistry.clear()
+  }
+
   private def withDistinctRule[T](flag: Boolean = true)(body: => T): T = {
     if (!spark.experimental.extraOptimizations
         .contains(DistinctEliminationRewrite))

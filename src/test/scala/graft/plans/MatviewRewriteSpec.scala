@@ -97,6 +97,18 @@ class MatviewRewriteSpec extends SparkSpec {
     }
   }
 
+  test("a non-deterministic filter (sampling) never rewrites") {
+    withRule(flag = true) {
+      val base = registered()
+      // rand() references no column, so the old allDims walk passed it
+      // vacuously — rewriting a row-level sample onto one-row-per-dim
+      // summary rows would change every aggregate.
+      val q = base.where(rand(7) < 0.5).groupBy(col("priority"))
+        .agg(sum(col("cents")).as("c"))
+      assert(!scansView(q), q.queryExecution.optimizedPlan.toString.take(2000))
+    }
+  }
+
   test("kill switch and clear() both restore the base scan") {
     withRule(flag = false) {
       val base = registered()

@@ -77,6 +77,20 @@ class TruncEqRewriteSpec extends SparkSpec {
     }
   }
 
+  test("a non-deterministic timestamp child passes through untouched") {
+    withRule(flag = true) {
+      // The rewrite duplicates the child into two bounds; a per-row
+      // random timestamp would be drawn twice. Must bail, like Spark's
+      // UnwrapCastInBinaryComparison.
+      val q = spark.range(100)
+        .where(expr("""date_trunc('DAY',
+          timestamp_millis(CAST(rand(7) * 172800000 AS LONG)))
+          = timestamp'1970-01-02 00:00:00'"""))
+      assert(q.queryExecution.optimizedPlan.toString.contains("date_trunc"),
+        q.queryExecution.optimizedPlan.toString.take(2000))
+    }
+  }
+
   test("unsupported units (WEEK) pass through untouched") {
     withRule(flag = true) {
       val q = spark.read.parquet(path)

@@ -58,4 +58,29 @@ class InferredJoinSpec extends SparkSpec {
     assert(out("i1") == ("v1", "exact"))
     assert(out("i2") == ("v1", "inferred"))
   }
+
+  test("hot key: 100k pending inference candidates stay linear") {
+    import graft.schema.ScopedEvent
+    // Worst case for a per-event list scan: every no-FK RHS pk is
+    // distinct, so the pending list grows to n and the old
+    // `pendingInfer.exists(_.id == …)` dedupe was n²/2 ≈ 5e9 compares
+    // (tens of seconds). The set-backed dedupe is O(n) total.
+    val n = 100000
+    val events = (0 until n).map(i =>
+      ScopedEvent(P, "hot", 1, s"r$i", "", 1000L + i, scopes = Seq("hot")))
+    val dup = events.take(1000) // and re-sends must still dedupe
+    val t0 = System.nanoTime()
+    val (pairs, st) = InferredJoin.advanceScoped((P, "hot"), events ++ dup,
+      InferredJoin.emptyScopedState, watermarkMs = Long.MinValue,
+      maxTimeMs = 10000L, outOfOrderMs = 1000L, rightOuter = false)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(pairs.isEmpty) // nothing resolvable below the watermark
+    assert(st.pendingInfer.size == n) // duplicates dropped, order kept
+    assert(secs < 20.0, f"advanceScoped took $secs%.1f s — dedupe is not linear")
+    // and the FIFO winner is the first arrival, as before
+    val (resolved, _) = InferredJoin.advanceScoped((P, "hot"), Nil, st,
+      watermarkMs = Long.MaxValue, maxTimeMs = 10000L, outOfOrderMs = 1000L,
+      rightOuter = false)
+    assert(resolved.size == n && resolved.forall(_.matchType == "dropped"))
+  }
 }
