@@ -491,6 +491,12 @@ object Graph {
   def hitsE6(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int): DataFrame = {
     require(iterations >= 1)
+    // Eager per-round localCheckpoint is LOAD-BEARING here: each round's
+    // max-renorm embeds a scalar broadcast subquery, and a lazy
+    // 2·iterations-round nested plan of those overflows the planner's
+    // tree recursion under AQE (measured: StackOverflow in plan-string
+    // generation at 4 rounds). Truncating to a LogicalRDD leaf per round
+    // keeps the plan depth constant; rounds are few by contract.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -625,6 +631,15 @@ object Graph {
   def betweennessE6(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedIdCol: String, maxDepth: Int): DataFrame = {
     require(maxDepth >= 2 && maxDepth <= 8)
+    // Materialization: eager localCheckpoint per level — constant plan
+    // depth regardless of maxDepth (a fully lazy chain at depth 8 risks
+    // the same planner-recursion blowup measured in hitsE6). The counts
+    // below are near-free on the checkpointed RDDs and buy two things:
+    // early stop once the BFS exhausts (an empty level makes every
+    // deeper join a no-op — equivalent output, since depths past the
+    // last non-empty level carry no paths), and the backward join-order
+    // choice (CBO is off; Catalyst won't reorder a 3-way join by
+    // cardinality on its own).
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
@@ -635,9 +650,13 @@ object Graph {
       .select(col("s"), col("s").as("v"), lit(1L).as("sigma"))
       .localCheckpoint(true)
     var levels = Vector(l0)
-    var reached = l0.select(col("s"), col("v")).localCheckpoint(true)
+    var sizes = Vector(1L) // l0 is one row per seed; exact count unneeded
     var d = 1
-    while (d <= maxDepth) {
+    while (d <= maxDepth && sizes.last > 0) {
+      // visited set = union of the (checkpointed) earlier levels — no
+      // separately-materialized cumulative frame to maintain
+      val reached = levels.map(_.select(col("s"), col("v")))
+        .reduce(_ unionByName _)
       val next = levels.last
         .select(col("s"), col("v").as("src"), col("sigma"))
         .join(e, "src")
@@ -646,22 +665,35 @@ object Graph {
         .join(reached, Seq("s", "v"), "left_anti")
         .localCheckpoint(true)
       levels :+= next
-      reached = reached.unionByName(next.select(col("s"), col("v")))
-        .localCheckpoint(true)
+      sizes :+= next.count()
       d += 1
     }
-    // backward: deepest level contributes nothing (horizon truncation)
-    var delta = levels(maxDepth)
+    val deepest = levels.length - 1
+    // backward: the deepest level contributes nothing (horizon
+    // truncation when deepest == maxDepth; no successors otherwise)
+    var delta = levels(deepest)
       .select(col("s"), col("v"), lit(0L).as("delta"))
     var acc: Option[DataFrame] = None
-    var dd = maxDepth - 1
+    var dd = deepest - 1
     while (dd >= 1) {
       val succ = levels(dd + 1).join(delta, Seq("s", "v"))
         .select(col("s"), col("v").as("dst"),
           col("sigma").as("ws"), col("delta").as("wd"))
-      val contrib = levels(dd)
-        .join(e, col("v") === col("src"))
-        .join(succ, Seq("s", "dst"))
+      // Same 3-way join either way; expand e through the SMALLER side
+      // first. On a saturated horizon the deepest level can be a few
+      // dozen rows while the level below holds |seeds|·|V| — expanding
+      // the big side first materializes Σ deg(v) over the big frame
+      // (measured 17.5M intermediate rows vs 4.4k at sf0.1).
+      val threeWay =
+        if (sizes(dd + 1) <= sizes(dd))
+          succ.join(e, "dst")
+            .select(col("s"), col("src").as("v"), col("ws"), col("wd"))
+            .join(levels(dd), Seq("s", "v"))
+        else
+          levels(dd)
+            .join(e, col("v") === col("src"))
+            .join(succ, Seq("s", "dst"))
+      val contrib = threeWay
         .groupBy(col("s"), col("v"))
         .agg(sum(expr("sigma * (1000000 + wd) div ws")).as("delta"))
       delta = levels(dd).select(col("s"), col("v"))
@@ -673,7 +705,10 @@ object Graph {
       dd -= 1
     }
     e.unpersist()
-    acc.get.groupBy(col("v").as("node"))
+    // acc is None only when the BFS died at depth 1 (no interior nodes
+    // anywhere) — the result is then correctly empty
+    acc.getOrElse(delta.where(lit(false)))
+      .groupBy(col("v").as("node"))
       .agg(sum(col("delta")).as("bc_e6"))
   }
 
