@@ -4965,6 +4965,46 @@ object SparkEntry {
         seeds, "id", maxDepth = 3)
     }),
 
+    // Bradley–Terry preference-rating aggregation (Hunter 2004 MM) — the
+    // preference-data curation op: pairwise "wins" (here: the pricier
+    // supplier of each within-order supplier duel, ties to the lower
+    // key) fit to per-item strength ratings in e6 fixed point, 3
+    // synchronous integer rounds, max-renormalized — the oracle unrolls
+    // every round with `//`. PreferenceSpec pins ordering, the 50/50
+    // fixpoint, and partition invariance.
+    "q333_bradley_terry" -> ((s, dir) => {
+      val os = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(sum(cents(col("l_extendedprice"))).as("c"))
+      val x = os.select(col("l_orderkey").as("o"), col("l_suppkey").as("s1"),
+        col("c").as("c1"))
+      val y = os.select(col("l_orderkey").as("o"), col("l_suppkey").as("s2"),
+        col("c").as("c2"))
+      val duels = x.join(y, Seq("o")).where(col("s1") < col("s2"))
+        .select(
+          when(col("c2") > col("c1"), col("s2")).otherwise(col("s1")).as("w"),
+          when(col("c2") > col("c1"), col("s1")).otherwise(col("s2")).as("l"))
+      operators.Preference.bradleyTerryE6(duels, col("w"), col("l"),
+        iterations = 3)
+    }),
+
+    // Embedding-truncation recall audit (the MRL/dim-reduction serving
+    // question): recall@3 of brute-force cosine over the FIRST 16 of 64
+    // dims against the full-dim exact top-3 — the measurement an index
+    // owner reads before shipping truncated vectors. Both retrieval
+    // stages replay bit-exactly in the oracle (q20's e9-quantized
+    // cosine, sliced lists).
+    "q334_trunc_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val trEmb = emb.withColumn("embedding", slice(col("embedding"), 1, 16))
+      RankEval.recallAtK(
+        Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 20),
+          "vec_id", "embedding", 3),
+        Similarity.bruteForceTopK(trEmb, trEmb.where(col("vec_id") < 20),
+          "vec_id", "embedding", 3),
+        "qid", "cid")
+    }),
+
     // Distinct elimination from the declared pk (DistinctEliminationRewrite):
     // the dedup-by-habit `.distinct()` over an orders projection carrying
     // o_orderkey is provably the identity and its whole hash-aggregate
@@ -6127,6 +6167,77 @@ object SparkEntry {
        |  CAST(row_number() OVER (ORDER BY rrf_e6 DESC, id) AS BIGINT)
        |    AS rrf_rank
        |FROM f""".stripMargin
+
+  /** q20's exact-cosine replay with a parameterized embedding expression —
+    * shared by the full-dim truth and q334's truncated (16-dim) candidate
+    * stage. Same e9-quantized per-term products and (score DESC, cid)
+    * tie-break as [[operators.Similarity.bruteForceTopK]]. */
+  private def bruteCosineSqlFor(embExpr: String): String =
+    s"""WITH n AS (
+       | SELECT vec_id, $embExpr AS emb,
+       |  CAST(list_sum(list_transform($embExpr,
+       |    x -> CAST(round(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS nsq
+       | FROM embeddings),
+       |q AS (SELECT * FROM n WHERE vec_id < 20),
+       |s AS (
+       | SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |  CAST(CAST(list_sum(list_transform(list_zip(q.emb, c.emb),
+       |    z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS DOUBLE)
+       |   / sqrt(CAST(q.nsq AS DOUBLE) * CAST(c.nsq AS DOUBLE)) AS score
+       | FROM q JOIN n c ON q.vec_id <> c.vec_id),
+       |r AS (SELECT qid, cid, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
+       | FROM s)
+       |SELECT qid, cid, CAST(rank AS INTEGER) AS rank,
+       | CAST(round(score*1000000) AS BIGINT) AS score_e6
+       |FROM r WHERE rank <= 3""".stripMargin
+
+  /** q333's oracle: the Bradley–Terry MM rounds of
+    * [[operators.Preference.bradleyTerryE6]] unrolled — pair terms
+    * n·1e12 // (r_a + r_b) off the previous round's ratings, denominator
+    * sums, the ≥1-clamped update W·1e12 // D, and the ≥1-clamped max
+    * renorm to 1e6 — every operand non-negative BIGINT so `//` ≡ div. */
+  private val q333OracleSql: String = {
+    val rounds = 3
+    val roundCtes = (1 to rounds).map { k =>
+      s"""t$k AS (SELECT a, b, n * 1000000000000 // (ra.r + rb.r) AS t
+         | FROM und JOIN r${k - 1} ra ON ra.id = a
+         |  JOIN r${k - 1} rb ON rb.id = b),
+         |d$k AS (SELECT id, CAST(sum(t) AS BIGINT) AS dd FROM (
+         |  SELECT a AS id, t FROM t$k
+         |  UNION ALL SELECT b AS id, t FROM t$k) GROUP BY 1),
+         |w$k AS (SELECT it.id,
+         |  greatest(1, wins * 1000000000000 // dd) AS r
+         | FROM it JOIN d$k ON d$k.id = it.id),
+         |m$k AS (SELECT max(r) AS m FROM w$k),
+         |r$k AS (SELECT id, greatest(1, r * 1000000 // m) AS r
+         | FROM w$k, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH os AS (SELECT l_orderkey AS o, l_suppkey AS s,
+       |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+       |   AS c
+       | FROM lineitem GROUP BY 1, 2),
+       |duel AS (SELECT
+       |  CASE WHEN y.c > x.c THEN y.s ELSE x.s END AS w,
+       |  CASE WHEN y.c > x.c THEN x.s ELSE y.s END AS l
+       | FROM os x JOIN os y ON x.o = y.o AND x.s < y.s),
+       |und AS (SELECT least(w, l) AS a, greatest(w, l) AS b,
+       |  CAST(count(*) AS BIGINT) AS n
+       | FROM duel GROUP BY 1, 2),
+       |wn AS (SELECT w AS id, CAST(count(*) AS BIGINT) AS wins
+       | FROM duel GROUP BY 1),
+       |cm AS (SELECT id, CAST(sum(n) AS BIGINT) AS comparisons FROM (
+       |  SELECT a AS id, n FROM und
+       |  UNION ALL SELECT b AS id, n FROM und) GROUP BY 1),
+       |it AS (SELECT cm.id, CAST(coalesce(wins, 0) AS BIGINT) AS wins,
+       |  comparisons
+       | FROM cm LEFT JOIN wn ON wn.id = cm.id),
+       |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM it),
+       |$roundCtes
+       |SELECT it.id AS item, CAST(r$rounds.r AS BIGINT) AS rating_e6,
+       | wins, comparisons
+       |FROM it JOIN r$rounds ON r$rounds.id = it.id""".stripMargin
+  }
 
   private val q20OracleSql: String =
     """WITH n AS (
@@ -12738,6 +12849,24 @@ object SparkEntry {
         |FROM (SELECT s, v, delta FROM dd1
         |      UNION ALL SELECT s, v, delta FROM dd2)
         |GROUP BY 1""".stripMargin,
+
+    // q333: the MM rounds unrolled — per round the pair terms off the
+    // previous ratings, the denominator sums, the clamped update, the
+    // max renorm; all `//` on non-negative BIGINTs.
+    "q333_bradley_terry" -> q333OracleSql,
+
+    // q334: the q144 recall audit with the candidate stage replayed on
+    // the sliced (16-dim) lists — same e9-quantized cosine both sides.
+    "q334_trunc_recall" ->
+      s"""WITH gt AS (SELECT * FROM (${bruteCosineSqlFor("embedding")})),
+         |cand AS (SELECT * FROM (${bruteCosineSqlFor("embedding[1:16]")})),
+         |j AS (SELECT g.qid,
+         |  CASE WHEN c.cid IS NOT NULL THEN 1 ELSE 0 END AS hit
+         | FROM gt g LEFT JOIN cand c ON c.qid = g.qid AND c.cid = g.cid)
+         |SELECT qid, CAST(count(*) AS BIGINT) AS n_true,
+         |  CAST(sum(hit) AS BIGINT) AS hits,
+         |  CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+         |FROM j GROUP BY 1""".stripMargin,
 
     // q331: the oracle executes the DISTINCT the optimizer deleted.
     "q331_distinct_elim" ->
