@@ -5005,6 +5005,22 @@ object SparkEntry {
         "qid", "cid")
     }),
 
+    // Group-relative advantage normalization (the GRPO-style reward
+    // shaping of group-sampled RL data prep): each user's event rewards
+    // normalized against their OWN group's exact mean/sd —
+    // (r·n − Σr)·1e6 div isqrt(n·Σr² − (Σr)²), the Neyman cancellation
+    // with the corrected integer isqrt, truncating div on the signed
+    // numerator (DuckDB `//` ≡ Spark `div`, both toward zero).
+    // Degenerate single-row groups emit 0.
+    "q335_group_advantage" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .where(col("value").isNotNull && col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          cents(col("value")).as("reward"))
+      operators.Preference.groupAdvantageE6(e, Seq("user_id"),
+        col("reward"))
+    }),
+
     // Distinct elimination from the declared pk (DistinctEliminationRewrite):
     // the dedup-by-habit `.distinct()` over an orders projection carrying
     // o_orderkey is provably the identity and its whole hash-aggregate
@@ -12867,6 +12883,28 @@ object SparkEntry {
          |  CAST(sum(hit) AS BIGINT) AS hits,
          |  CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS recall_ppm
          |FROM j GROUP BY 1""".stripMargin,
+
+    // q335: the same window census, corrected isqrt, and signed
+    // truncating division (// ≡ div toward zero on both engines).
+    "q335_group_advantage" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  CAST(round(value*100) AS BIGINT) AS reward
+        | FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |g AS (SELECT user_id, event_id, reward,
+        |  count(*) OVER w AS n,
+        |  CAST(sum(reward) OVER w AS BIGINT) AS s,
+        |  CAST(sum(reward*reward) OVER w AS BIGINT) AS ss
+        | FROM e WINDOW w AS (PARTITION BY user_id)),
+        |v AS (SELECT *, n*ss - s*s AS vn,
+        |  CAST(floor(sqrt(CAST(n*ss - s*s AS DOUBLE))) AS BIGINT) AS s0
+        | FROM g),
+        |c AS (SELECT *, CASE WHEN s0*s0 > vn THEN s0 - 1
+        |  WHEN (s0+1)*(s0+1) <= vn THEN s0 + 1 ELSE s0 END AS sd
+        | FROM v)
+        |SELECT user_id, event_id, reward,
+        | CAST(CASE WHEN n < 2 OR sd <= 0 THEN 0
+        |  ELSE (reward*n - s) * 1000000 // sd END AS BIGINT) AS adv_e6
+        |FROM c""".stripMargin,
 
     // q331: the oracle executes the DISTINCT the optimizer deleted.
     "q331_distinct_elim" ->

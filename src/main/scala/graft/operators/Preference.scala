@@ -46,6 +46,48 @@ import org.apache.spark.sql.functions._
   */
 object Preference {
 
+  /** Group-relative advantage normalization — the reward-shaping step of
+    * group-sampled RL training-data prep (k responses per prompt, each
+    * reward normalized against its OWN group): adv = (r − mean) / sd,
+    * computed EXACTLY in integers via the same cancellation
+    * [[CorpusOps.neymanAllocation]] uses — with n·sd = isqrt(n·Σr² −
+    * (Σr)²) (exact corrected isqrt),
+    *   adv_e6 = (r·n − Σr) · 1e6 div isqrt(n·Σr² − (Σr)²)
+    * since (r − Σr/n)/sd = (r·n − Σr)/(n·sd). Truncating div on the
+    * signed numerator (toward zero, matching SQL `//`... `div`), so an
+    * oracle replays it bit-exactly. Degenerate groups (n < 2 or zero
+    * variance) emit 0.
+    *
+    * Shape: one window partition by the group keys (groups are small by
+    * construction — k responses per prompt — so the per-partition sort
+    * is trivial and there is no second join shuffle); the isqrt
+    * correction is a codegen'd per-row CASE.
+    *
+    * Domain: r·n and n·Σr² must fit in a LONG — rewards in modest
+    * integer units (the Neyman scaling contract).
+    *
+    * Output: the input columns + `advAs` (BIGINT, e6 fixed point). */
+  def groupAdvantageE6(df: DataFrame, groupCols: Seq[String],
+      reward: Column, advAs: String = "adv_e6"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    df.withColumn("__r", reward.cast("long"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s", sum(col("__r")).over(w))
+      .withColumn("__ss", sum(expr("__r * __r")).over(w))
+      .withColumn("__vn", expr("__n * __ss - __s * __s"))
+      .withColumn("__s0",
+        floor(sqrt(col("__vn").cast("double"))).cast("long"))
+      .withColumn("__sd", expr(
+        """CASE WHEN __s0 * __s0 > __vn THEN __s0 - 1
+          | WHEN (__s0 + 1) * (__s0 + 1) <= __vn THEN __s0 + 1
+          | ELSE __s0 END""".stripMargin))
+      .withColumn(advAs, expr(
+        """CASE WHEN __n < 2 OR __sd <= 0 THEN 0L
+          | ELSE (__r * __n - __s) * 1000000L div __sd END""".stripMargin))
+      .drop("__r", "__n", "__s", "__ss", "__vn", "__s0", "__sd")
+  }
+
   def bradleyTerryE6(pairs: DataFrame, winner: Column, loser: Column,
       iterations: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 16)

@@ -46,6 +46,42 @@ class PreferenceSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("groupAdvantageE6: hand-computed two-row group is exact") {
+    // group g: rewards {0, 200}: n=2, s=200, ss=40000, vn=40000,
+    // isqrt=200 → adv(0) = (0·2−200)·1e6/200 = −1e6; adv(200) = +1e6.
+    val df = Seq(("g", 1L, 0L), ("g", 2L, 200L), ("solo", 3L, 77L))
+      .toDF("grp", "id", "r")
+    val got = Preference.groupAdvantageE6(df, Seq("grp"), col("r"))
+      .collect().map(x => x.getLong(1) -> x.getLong(3)).toMap
+    assert(got(1L) == -1000000L && got(2L) == 1000000L)
+    assert(got(3L) == 0L) // degenerate single-row group
+  }
+
+  test("groupAdvantageE6: zero-variance group emits 0; sums center") {
+    val rows = Seq.tabulate(60)(i => ("a", i.toLong, (i % 7) * 100L)) ++
+      Seq.tabulate(5)(i => ("flat", 100L + i, 500L))
+    val out = Preference.groupAdvantageE6(
+        rows.toDF("grp", "id", "r"), Seq("grp"), col("r"))
+      .collect().map(x => (x.getString(0), x.getLong(3)))
+    assert(out.filter(_._1 == "flat").forall(_._2 == 0L))
+    // truncation keeps the group sum near zero: |Σ adv| < n · 1 unit
+    val sumA = out.filter(_._1 == "a").map(_._2).sum
+    assert(math.abs(sumA) < 60L, s"sumA=$sumA")
+  }
+
+  test("groupAdvantageE6 is invariant to partitioning") {
+    val rows = (0 until 400).map(i =>
+      ((i % 23).toString, i.toLong, (i * 7919L) % 1000))
+    val a = Preference.groupAdvantageE6(
+        rows.toDF("grp", "id", "r").repartition(1), Seq("grp"), col("r"))
+      .collect().map(x => x.getLong(1) -> x.getLong(3)).toMap
+    val b = Preference.groupAdvantageE6(
+        rows.reverse.toDF("grp", "id", "r").repartition(13),
+        Seq("grp"), col("r"))
+      .collect().map(x => x.getLong(1) -> x.getLong(3)).toMap
+    assert(a == b)
+  }
+
   test("self-comparisons and nulls are dropped") {
     val df = Seq((Some(1L), Some(1L)), (Some(1L), Some(2L)),
       (None, Some(2L)), (Some(2L), None)).toDF("w", "l")
