@@ -77,8 +77,11 @@ object Bench {
     val headline = results.collect {
       case (k, v) if !errored(k) && k.matches("q(0[1-9]|1[0-5])_.*") => f""""$k":$v%.3f"""
     }.mkString("{", ",", "}")
+    // "queries_truncated" marks the headline map as PARTIAL (q01–q15
+    // only) so a stdout parser can't mistake it for the full per-query
+    // map, which lives at the "full" path.
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":$headline,"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":$headline,"queries_truncated":true,"full":"BENCH_LOCAL.json","failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
     println(compact)
     spark.stop()
     // rc stays 0 — the driver records the JSON line either way, and a

@@ -5021,6 +5021,17 @@ object SparkEntry {
         col("reward"))
     }),
 
+    // Krippendorff's alpha (nominal) — annotator-agreement reliability,
+    // the q249 kappa's many-raters/missing-data generalization: unit =
+    // order, "raters" = its line items (bounded ≤ 13 by construction),
+    // category = return flag. Per-unit 1/(m−1) weights scale exactly by
+    // S = lcm(1..15) = 360360, so α lands as a DECIMAL(38,0) ratio plus
+    // a truncating-div e6 headline — bit-replayable in SQL.
+    "q336_krippendorff" -> ((s, dir) =>
+      decStr(operators.Preference.krippendorffAlphaNominal(
+        t(s, dir, "lineitem"), col("l_orderkey"), col("l_returnflag"),
+        maxRaters = 16))),
+
     // Distinct elimination from the declared pk (DistinctEliminationRewrite):
     // the dedup-by-habit `.distinct()` over an orders projection carrying
     // o_orderkey is provably the identity and its whole hash-aggregate
@@ -12884,8 +12895,10 @@ object SparkEntry {
          |  CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS recall_ppm
          |FROM j GROUP BY 1""".stripMargin,
 
-    // q335: the same window census, corrected isqrt, and signed
-    // truncating division (// ≡ div toward zero on both engines).
+    // q335: the same window census, corrected isqrt (squares widened to
+    // HUGEINT, mirroring the Spark side's DECIMAL(38,0) — near-Long.Max
+    // vn must not overflow either engine), and signed truncating
+    // division (// ≡ div toward zero on both engines).
     "q335_group_advantage" ->
       """WITH e AS (SELECT user_id, event_id,
         |  CAST(round(value*100) AS BIGINT) AS reward
@@ -12898,13 +12911,42 @@ object SparkEntry {
         |v AS (SELECT *, n*ss - s*s AS vn,
         |  CAST(floor(sqrt(CAST(n*ss - s*s AS DOUBLE))) AS BIGINT) AS s0
         | FROM g),
-        |c AS (SELECT *, CASE WHEN s0*s0 > vn THEN s0 - 1
-        |  WHEN (s0+1)*(s0+1) <= vn THEN s0 + 1 ELSE s0 END AS sd
+        |c AS (SELECT *,
+        |  CASE WHEN CAST(s0 AS HUGEINT)*s0 > vn THEN s0 - 1
+        |  WHEN (CAST(s0 AS HUGEINT)+1)*(s0+1) <= vn THEN s0 + 1
+        |  ELSE s0 END AS sd
         | FROM v)
         |SELECT user_id, event_id, reward,
         | CAST(CASE WHEN n < 2 OR sd <= 0 THEN 0
         |  ELSE (reward*n - s) * 1000000 // sd END AS BIGINT) AS adv_e6
         |FROM c""".stripMargin,
+
+    // q336: the lcm-scaled coincidence identity replayed in HUGEINT;
+    // S = 360360 divides every (m−1) for m ≤ 16, so `//` is exact.
+    "q336_krippendorff" ->
+      """WITH cell AS (SELECT l_orderkey AS u, l_returnflag AS c,
+        |  count(*) AS o FROM lineitem GROUP BY 1, 2),
+        |pu AS (SELECT u, sum(o) AS m, sum(o*(o-1)) AS dd
+        | FROM cell GROUP BY 1 HAVING sum(o) >= 2),
+        |ua AS (SELECT CAST(sum(m) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_units,
+        |  sum(CAST(dd * (360360 // (m - 1)) AS HUGEINT)) AS a
+        | FROM pu),
+        |nc AS (SELECT c, sum(o) AS ncnt
+        | FROM cell JOIN pu USING (u) GROUP BY 1),
+        |ca AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
+        |  sum(CAST(ncnt AS HUGEINT) * ncnt) AS n2 FROM nc)
+        |SELECT n, n_units, n_categories,
+        | CAST(CAST((n - 1) * a + 360360 * (n - n2) AS DECIMAL(38,0))
+        |   AS VARCHAR) AS alpha_num,
+        | CAST(CAST(360360 * (CAST(n AS HUGEINT) * n - n2) AS DECIMAL(38,0))
+        |   AS VARCHAR) AS alpha_den,
+        | CAST(CASE WHEN 360360 * (CAST(n AS HUGEINT) * n - n2) = 0
+        |  THEN NULL
+        |  ELSE (((n - 1) * a + 360360 * (n - n2)) * 1000000)
+        |    // (360360 * (CAST(n AS HUGEINT) * n - n2)) END
+        |  AS BIGINT) AS alpha_e6
+        |FROM ua CROSS JOIN ca""".stripMargin,
 
     // q331: the oracle executes the DISTINCT the optimizer deleted.
     "q331_distinct_elim" ->

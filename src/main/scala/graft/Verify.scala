@@ -39,10 +39,22 @@ object Verify {
       .grouped(par).foreach { batch =>
         val fs = batch.map { case (name, fn) =>
           scala.concurrent.Future {
-            try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-              .parquet(s"$outDir/$name")
-            catch { case e: Throwable =>
+            // One compact JSON progress line per dump, flushed as it
+            // lands: a time-boxed/killed driver sweep still leaves
+            // parseable per-query evidence in its log (rounds 10–11
+            // produced empty CORRECTNESS artifacts with zero partial
+            // signal). println is stream-synchronized, so concurrent
+            // batch lines never interleave mid-line.
+            try {
+              fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+                .parquet(s"$outDir/$name")
+              val rows = spark.read.parquet(s"$outDir/$name").count()
+              println(s"""{"q":"$name","rows":$rows,"ok":true}""")
+            } catch { case e: Throwable =>
+              val m = Option(e.getMessage).getOrElse("").take(120)
+                .replaceAll("[\"\\\\\\n\\r\\t]", " ")
               System.err.println(s"[verify] $name failed: ${e.getMessage}")
+              println(s"""{"q":"$name","ok":false,"error":"$m"}""")
             }
           }
         }

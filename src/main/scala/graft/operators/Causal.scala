@@ -54,39 +54,63 @@ object Causal {
     * tiles, how much incremental conversion do we buy". The standard
     * readout for uplift models and campaign targeting.
     *
-    * Determinism: tiles come from ntile() over (score DESC, unit id) —
-    * a total order, and ntile's earlier-tiles-get-the-remainder rule is
-    * engine-standard; rates truncate to e6 from cumulative LONG counts.
+    * Determinism: tiles reproduce ntile() over (score DESC, unit id) —
+    * a total order — EXACTLY (earlier-tiles-get-the-remainder: with
+    * n = q·t + r the first r tiles hold q+1 units), but WITHOUT the
+    * single-reducer window ntile plans to: unit ranks come from
+    * [[GlobalRank.withGlobalRowNumberAndTotal]] (range-repartitioned,
+    * no one-partition sort of the unit frame) and the tile is the
+    * closed form of ntile's two regimes over (rank, n, t). Rates
+    * truncate to e6 from cumulative LONG counts.
     *
-    * Scale shape: one aggregate to unit grain, one global sort for the
-    * ranked tiles (the inherent cost of exact global deciles — swap in
-    * the MRL sketch cuts when approximate tiles suffice), then a tiny
-    * per-tile census with cumulative windows. */
+    * Scale shape: one aggregate to unit grain, one RANGE exchange for
+    * the ranked tiles (the inherent cost of exact global deciles —
+    * swap in the MRL sketch cuts when approximate tiles suffice; no
+    * partition ever holds more than its range slice), then a tiny
+    * per-tile census whose cumulations run as a broadcast triangular
+    * self-join over ≤ nTiles rows — no unpartitioned window anywhere
+    * in the plan. */
   def upliftCurve(df: DataFrame, unitCol: String, scoreAgg: Column,
       treated: Column, converted: Column, nTiles: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(nTiles >= 2)
+    require(nTiles >= 2 && nTiles <= 4096,
+      s"nTiles=$nTiles out of [2, 4096] (the cumulative census is " +
+        "materialized tile×tile)")
     // scoreAgg is an AGGREGATE expression evaluated at unit grain (e.g.
     // sum(cents)); treated/converted are row predicates max-folded
     val units = df.groupBy(col(unitCol))
       .agg(scoreAgg.as("score"),
         max(treated.cast("long")).as("tr"),
         max(converted.cast("long")).as("cv"))
-    val tiled = units.withColumn("tile",
-      ntile(nTiles).over(Window.orderBy(col("score").desc, col(unitCol))))
+    val (ranked, n) = GlobalRank.withGlobalRowNumberAndTotal(
+      units, Seq(col("score").desc, col(unitCol)), "__rn")
+    // ntile's exact closed form: q = n div t, r = n mod t; the first
+    // r tiles take q+1 rows (ranks 1..r(q+1)), the rest take q. With
+    // n < t (q = 0) every row is its own tile 1..n — ntile's rule too.
+    val q = if (nTiles > 0) n / nTiles else 0L
+    val r = n % nTiles
+    val cut = r * (q + 1L)
+    val tileExpr =
+      if (q == 0L) col("__rn")
+      else expr(s"CASE WHEN __rn <= $cut THEN (__rn - 1) div ${q + 1L} + 1" +
+        s" ELSE $r + (__rn - 1 - $cut) div $q + 1 END")
+    val tiled = ranked.withColumn("tile", tileExpr.cast("int")).drop("__rn")
     val perTile = tiled.groupBy(col("tile"))
       .agg(count(lit(1)).as("n"),
         sum(col("tr")).as("n_t"),
         sum(col("tr") * col("cv")).as("conv_t"),
         sum((lit(1L) - col("tr"))).as("n_c"),
         sum((lit(1L) - col("tr")) * col("cv")).as("conv_c"))
-    val w = Window.orderBy(col("tile"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perTile
-      .withColumn("cum_n_t", sum(col("n_t")).over(w))
-      .withColumn("cum_conv_t", sum(col("conv_t")).over(w))
-      .withColumn("cum_n_c", sum(col("n_c")).over(w))
-      .withColumn("cum_conv_c", sum(col("conv_c")).over(w))
+      .localCheckpoint(true) // ≤ nTiles rows; feeds both join sides once
+    val prior = perTile.select(col("tile").as("__t2"),
+      col("n_t").as("__nt"), col("conv_t").as("__ct"),
+      col("n_c").as("__nc"), col("conv_c").as("__cc"))
+    perTile.join(broadcast(prior), col("__t2") <= col("tile"))
+      .groupBy(col("tile"), col("n"), col("n_t"), col("conv_t"),
+        col("n_c"), col("conv_c"))
+      .agg(sum(col("__nt")).as("cum_n_t"),
+        sum(col("__ct")).as("cum_conv_t"),
+        sum(col("__nc")).as("cum_n_c"),
+        sum(col("__cc")).as("cum_conv_c"))
       .withColumn("rate_t_e6",
         when(col("cum_n_t") > 0, expr("cum_conv_t * 1000000 div cum_n_t")))
       .withColumn("rate_c_e6",

@@ -76,7 +76,8 @@ object Drift {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
     merged
-      .withColumn("cum_r", sum(col("cr")).over(byV))
+      .withColumn("cum_r", Census.guardLong(sum(col("cr")).over(byV),
+        count(lit(1)).over(all), "Drift.ksStatistic"))
       .withColumn("cum_t", sum(col("ct")).over(byV))
       .withColumn("n_ref", sum(col("cr")).over(all))
       .withColumn("n_tgt", sum(col("ct")).over(all))

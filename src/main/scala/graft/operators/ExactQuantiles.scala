@@ -48,6 +48,15 @@ object ExactQuantiles {
   /** Exact discrete quantiles: for each group and percent p, the smallest
     * value v with |{rows: value ≤ v}| ≥ ceil(n·p/100).
     *
+    * BEHAVIOR CHANGE (round 11): the call now FAILS LOUDLY with
+    * `IllegalArgumentException` when the grouping exceeds `maxGroups`
+    * (default 10000) instead of attempting the driver fetch — callers
+    * that previously completed on >10k groups by silently risking a
+    * driver OOM must now either pass an explicit larger bound (accepting
+    * the ~k·8-byte-per-group driver footprint) or move to the
+    * histogram-census form ([[CorpusOps.discQuantiles]]) / a mergeable
+    * sketch, which is the right shape for high-cardinality groupings.
+    *
     * @param df        input frame
     * @param groupCols grouping columns (few groups; see scaladoc)
     * @param value     BIGINT value column (fixed-point for money)

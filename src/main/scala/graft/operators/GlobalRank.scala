@@ -23,7 +23,15 @@ object GlobalRank {
     * `orderCols`. Two passes over the (persisted) sorted frame, zero
     * wide shuffles beyond the range exchange. */
   def withGlobalRowNumber(df: DataFrame, orderCols: Seq[Column],
-      outCol: String, partitions: Int = 0): DataFrame = {
+      outCol: String, partitions: Int = 0): DataFrame =
+    withGlobalRowNumberAndTotal(df, orderCols, outCol, partitions)._1
+
+  /** [[withGlobalRowNumber]] plus the TOTAL row count — free on the
+    * driver (the per-partition count collect already sums to it), so
+    * callers needing (rank, n) closed forms (exact ntile tiling, CDF
+    * denominators) pay no extra action. */
+  def withGlobalRowNumberAndTotal(df: DataFrame, orderCols: Seq[Column],
+      outCol: String, partitions: Int = 0): (DataFrame, Long) = {
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions
             else spark.sessionState.conf.numShufflePartitions
@@ -40,11 +48,14 @@ object GlobalRank {
         else Iterator.single(Row(TaskContext.getPartitionId().toLong, c))
       }(org.apache.spark.sql.Encoders.row(countSchema))
         .collect() // bounded: one row per partition
+      var total = 0L
       val offsets: Map[Long, Long] = {
         var acc = 0L
-        counts.sortBy(_.getLong(0)).map { r =>
+        val m = counts.sortBy(_.getLong(0)).map { r =>
           val o = r.getLong(0) -> acc; acc += r.getLong(1); o
         }.toMap
+        total = acc
+        m
       }
       val bc = spark.sparkContext.broadcast(offsets)
       val outSchema = StructType(sorted.schema.fields :+
@@ -55,7 +66,7 @@ object GlobalRank {
         it.map { r => i += 1L; Row.fromSeq(r.toSeq :+ (base + i)) }
       }(org.apache.spark.sql.Encoders.row(outSchema))
       // Pin before unpersisting the lineage the result reads.
-      out.localCheckpoint(true)
+      (out.localCheckpoint(true), total)
     } finally sorted.unpersist(): Unit
   }
 }

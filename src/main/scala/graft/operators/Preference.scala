@@ -41,8 +41,21 @@ import org.apache.spark.sql.functions._
   * max-renorm embeds a scalar broadcast subquery per round and a lazy
   * nested chain of those overflows plan-tree recursion under AQE.
   *
+  * Domain contract (documented like [[groupAdvantageE6]]'s): the
+  * per-round denominator D_i = Σ_j n_ij·1e12 div (r_i + r_j) is a LONG
+  * sum whose worst case is comparisons_i · 5e11 (every opponent pinned
+  * at the clamp r = 1, so r_i + r_j ≥ 2) — it fits LONG while any one
+  * item carries < ~1.8e7 comparisons against minimum-rated opponents.
+  * Real preference corpora sit orders of magnitude under that (and
+  * opponents at r = 1 means the item's own rating is ≥ theirs, pushing
+  * the divisor up); past it, Spark wraps while the DuckDB oracle
+  * raises. Callers with adversarial comparison mass should pre-split
+  * items or rescale the fixed point.
+  *
   * Output: (item, rating_e6, wins, comparisons) for every item seen on
-  * either side of any comparison.
+  * either side of any comparison. The returned frame is an EAGER
+  * localCheckpoint — the internal pair/item caches are unpersisted
+  * before returning, so callers inherit no cached state.
   */
 object Preference {
 
@@ -78,14 +91,100 @@ object Preference {
       .withColumn("__vn", expr("__n * __ss - __s * __s"))
       .withColumn("__s0",
         floor(sqrt(col("__vn").cast("double"))).cast("long"))
+      // correction squares in DECIMAL(38,0): for vn within ~6e9 of
+      // Long.MaxValue the LONG square wraps silently (non-ANSI) while
+      // the DuckDB oracle raises — widening keeps both engines exact
+      // and identical over the full LONG domain of vn
       .withColumn("__sd", expr(
-        """CASE WHEN __s0 * __s0 > __vn THEN __s0 - 1
-          | WHEN (__s0 + 1) * (__s0 + 1) <= __vn THEN __s0 + 1
+        """CASE WHEN CAST(__s0 AS DECIMAL(38,0)) * __s0 > __vn
+          |  THEN __s0 - 1
+          | WHEN (CAST(__s0 AS DECIMAL(38,0)) + 1) * (__s0 + 1) <= __vn
+          |  THEN __s0 + 1
           | ELSE __s0 END""".stripMargin))
       .withColumn(advAs, expr(
         """CASE WHEN __n < 2 OR __sd <= 0 THEN 0L
           | ELSE (__r * __n - __s) * 1000000L div __sd END""".stripMargin))
       .drop("__r", "__n", "__s", "__ss", "__vn", "__s0", "__sd")
+  }
+
+  /** Krippendorff's alpha, nominal metric (Krippendorff 1970/2004;
+    * Hayes & Krippendorff 2007 computational form) — the rating-
+    * RELIABILITY readout of annotation curation: "do the raters of a
+    * unit agree beyond chance", robust to varying raters-per-unit and
+    * missing ratings (unlike Cohen's κ, which needs exactly two fixed
+    * raters — [[Profile.cohenKappa]], q249). The number every
+    * preference-data pipeline reads before trusting its labels.
+    *
+    * Coincidence-matrix identity used (algebraically equal to
+    * 1 − D_o/D_e for the nominal metric):
+    *   α = ((n−1)·Σ_c o_cc + (n − Σ_c n_c²)) / (n·(n−1) − (Σ_c n_c² − n))
+    * with o_cc = Σ_u o_uc(o_uc−1)/(m_u−1), n_c = Σ_u o_uc, n = Σ_u m_u,
+    * over units with m_u ≥ 2 ratings (single-rating units are
+    * unpairable and drop — the standard rule).
+    *
+    * Exact-integer discipline: the only fractions are the per-unit
+    * 1/(m_u−1) factors, so everything scales by S = lcm(1…maxRaters−1)
+    * — (m_u−1) | S exactly — and α = alpha_num/alpha_den emerges as a
+    * ratio of DECIMAL(38,0) integers plus a truncating-div e6 headline
+    * (div toward zero ≡ DuckDB `//`). Magnitude contract: alpha_num ~
+    * n²·S·maxRaters² must fit DECIMAL(38,0) — at S = 360360 (the
+    * default's lcm(1…15)) that is good past 10¹² ratings.
+    *
+    * Scale shape: one (unit, category) hash aggregate (map-side
+    * combined — the only pass over raw ratings), one per-unit and one
+    * per-category aggregate off it, two single-row reductions crossed
+    * at the end. No window, no sort, no driver data. Units with
+    * m_u > maxRaters RAISE in-plan (assert_true — S stops dividing
+    * (m_u−1) exactly past the bound); pre-filter or raise `maxRaters`
+    * deliberately rather than silently mis-weighting.
+    *
+    * Output: one row (n, n_units, n_categories, alpha_num DECIMAL,
+    * alpha_den DECIMAL, alpha_e6 BIGINT — NULL when α is undefined,
+    * i.e. a single observed category). */
+  def krippendorffAlphaNominal(df: DataFrame, unit: Column,
+      category: Column, maxRaters: Int = 16): DataFrame = {
+    require(maxRaters >= 2 && maxRaters <= 36,
+      s"maxRaters=$maxRaters out of [2, 36] (S = lcm(1..k-1) must keep " +
+        "per-unit terms in LONG)")
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0L) a else gcd(b, a % b)
+    val s = (1 until maxRaters).foldLeft(1L)((acc, k) => acc / gcd(acc, k) * k)
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cell = df.select(unit.as("__u"), category.cast("string").as("__c"))
+      .where(col("__u").isNotNull && col("__c").isNotNull)
+      .groupBy(col("__u"), col("__c")).agg(count(lit(1)).as("__o"))
+      .persist(mem)
+    val perUnit = cell.groupBy(col("__u"))
+      .agg(sum(col("__o")).as("__m"),
+        sum(expr("__o * (__o - 1)")).as("__dd"))
+      .where(col("__m") >= 2L)
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    // per-unit diagonal mass, exactly scaled by S; m > maxRaters raises
+    val unitAgg = perUnit.agg(
+      sum(col("__m")).as("n"),
+      count(lit(1)).as("n_units"),
+      sum(d(expr(s"__dd * ($s div (__m - 1))") +
+        coalesce(assert_true(col("__m") <= lit(maxRaters.toLong),
+          concat(lit(s"krippendorffAlphaNominal: unit with more than " +
+            s"$maxRaters ratings ("), col("__m").cast("string"),
+            lit(") — raise maxRaters or pre-cap units")))
+          .cast("long"), lit(0L)))).as("__a"))
+    val byCat = cell.join(perUnit.select(col("__u")), Seq("__u"))
+      .groupBy(col("__c")).agg(sum(col("__o")).as("__nc"))
+    val catAgg = byCat.agg(count(lit(1)).as("n_categories"),
+      sum(d(col("__nc")) * d(col("__nc"))).as("__n2"))
+    val out = unitAgg.crossJoin(catAgg)
+      .select(col("n"), col("n_units"), col("n_categories"),
+        (d(col("n") - 1L) * col("__a") +
+          lit(s) * (d(col("n")) - col("__n2"))).as("alpha_num"),
+        (lit(s) * (d(col("n")) * d(col("n")) - col("__n2"))).as("alpha_den"))
+      .withColumn("alpha_e6", expr(
+        """CASE WHEN alpha_den = 0 THEN NULL
+          | ELSE CAST(alpha_num * 1000000 div alpha_den AS BIGINT) END"""
+          .stripMargin))
+      .localCheckpoint(true)
+    cell.unpersist()
+    out
   }
 
   def bradleyTerryE6(pairs: DataFrame, winner: Column, loser: Column,
@@ -125,8 +224,12 @@ object Preference {
           greatest(lit(1L), expr("r * 1000000 div m")).as("r"))
         .localCheckpoint(true)
     }
-    items.join(r, Seq("id"))
+    val out = items.join(r, Seq("id"))
       .select(col("id").as("item"), col("r").as("rating_e6"),
         col("wins"), col("comparisons"))
+      .localCheckpoint(true) // pin before dropping the caches it reads
+    und.unpersist()
+    items.unpersist()
+    out
   }
 }

@@ -22,16 +22,21 @@ import org.apache.spark.sql.functions._
   */
 object RankStats {
 
-  /** value → (cnt, rank2) map for one column: rank2 = doubled midrank. */
+  /** value → (cnt, rank2) map for one column: rank2 = doubled midrank.
+    * [[Census.guardLong]] raises if the distinct-value census exceeds
+    * the bounded-domain contract instead of sorting it on one task. */
   private def rank2Map(df: DataFrame, v: Column, out: String): DataFrame = {
     val byV = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, 0)
+    val whole = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     df.select(v.cast("long").as("__v")).where(col("__v").isNotNull)
       .groupBy(col("__v")).agg(count(lit(1)).as("__cnt"))
       .withColumn("__cum", sum(col("__cnt")).over(byV))
       .select(col("__v").as(s"${out}_v"),
-        (lit(2L) * (col("__cum") - col("__cnt")) + col("__cnt") + lit(1L))
-          .as(out))
+        Census.guardLong(
+          lit(2L) * (col("__cum") - col("__cnt")) + col("__cnt") + lit(1L),
+          count(lit(1)).over(whole), "RankStats.rank2Map").as(out))
   }
 
   /** Spearman rank correlation — sufficient statistics, exact.
@@ -91,7 +96,9 @@ object RankStats {
       .withColumn("n", sum(col("cnt")).over(all))
       .withColumn("n1", sum(col("cnt1")).over(all))
       .withColumn("r1x2", col("cnt1") *
-        (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L)))
+        Census.guardLong(
+          lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L),
+          count(lit(1)).over(all), "RankStats.mannWhitney"))
       .groupBy(col("n"), col("n1"))
       .agg(sum(col("r1x2")).as("sum_r1x2"),
         sum(d(col("cnt")) * d(col("cnt")) * d(col("cnt")) - d(col("cnt")))

@@ -39,7 +39,10 @@ object Survival {
         sum(when(col("obs"), 1L).otherwise(0L)).as("n_events"))
     val w = Window.orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perT.withColumn("n_risk", sum(col("n_at")).over(w))
+    val whole = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perT.withColumn("n_risk", Census.guardLong(sum(col("n_at")).over(w),
+        count(lit(1)).over(whole), "Survival.kaplanMeier"))
       .where(col("n_events") > 0)
       .select(col("t"), col("n_risk"), col("n_events"),
         expr("1000000 * n_events div n_risk").as("hazard_ppm"))
@@ -69,7 +72,10 @@ object Survival {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wCum = Window.orderBy(col("t").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perT.withColumn("n_risk", sum(col("n_at")).over(wRisk))
+    val whole = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perT.withColumn("n_risk", Census.guardLong(sum(col("n_at")).over(wRisk),
+        count(lit(1)).over(whole), "Survival.nelsonAalen"))
       .withColumn("inc_e9",
         expr("1000000000 * n_events div n_risk"))
       .withColumn("cum_hazard_e9",
@@ -115,8 +121,11 @@ object Survival {
         sum(when(!col("g1") && col("obs"), 1L).otherwise(0L)).as("d2"))
     val w = Window.orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val terms = perT
-      .withColumn("n1", sum(col("a1")).over(w))
+      .withColumn("n1", Census.guardLong(sum(col("a1")).over(w),
+        count(lit(1)).over(whole), "Survival.logRank"))
       .withColumn("n2", sum(col("a2")).over(w))
       .withColumn("n", col("n1") + col("n2"))
       .withColumn("d", col("d1") + col("d2"))

@@ -67,10 +67,15 @@ object TextRank {
       .select(col("id"), contrib.as("c_e6"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("terms_matched"), sum(col("c_e6")).as("score_e6"))
-    scored.withColumn("rank", row_number().over(
-        Window.orderBy(col("score_e6").desc, col("id"))).cast("long"))
-      .select(col("id").as(idCol), col("terms_matched"), col("score_e6"),
-        col("rank"))
+    // Global rank WITHOUT the single-reducer row_number window (at
+    // corpus scale "all matched docs" is the corpus): GlobalRank's
+    // range-repartitioned two-pass numbering under the same total order.
+    // GlobalRank returns an eager localCheckpoint, so `base` is done.
+    val ranked = GlobalRank.withGlobalRowNumber(scored,
+      Seq(col("score_e6").desc, col("id")), "rank")
+    base.unpersist()
+    ranked.select(col("id").as(idCol), col("terms_matched"),
+      col("score_e6"), col("rank"))
   }
 
   /** Per-document top-`topK` keyword extraction by tf/df salience — the

@@ -45,6 +45,36 @@ class CausalSpec extends SparkSpec {
     assert(got(4) == 250000L)
   }
 
+  test("upliftCurve tiling reproduces ntile exactly, remainder cases included") {
+    // The GlobalRank closed form must match engine ntile bit-for-bit —
+    // including the earlier-tiles-take-the-remainder rule (n=17,t=5 →
+    // 4,4,3,3,3) and the n<t degenerate (every row its own tile).
+    for ((n, t) <- Seq((17, 5), (40, 4), (10, 4), (3, 7), (100, 9))) {
+      val rows = (1L to n.toLong).map(id => (id, (id * 7919L) % 101L))
+      val df = rows.toDF("u", "sc")
+      val gotSizes = Causal.upliftCurve(df, "u",
+          org.apache.spark.sql.functions.max(col("sc")),
+          col("u") % 2 === 0, col("sc") > 50, nTiles = math.max(t, 2))
+        .collect().map(r => r.getAs[Int]("tile") -> r.getAs[Long]("n")).toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("sc").desc, col("u"))
+      val wantSizes = df.withColumn("tile", ntile(math.max(t, 2)).over(w))
+        .groupBy("tile").count()
+        .collect().map(r => r.getAs[Int]("tile") -> r.getAs[Long]("count"))
+        .toMap
+      assert(gotSizes == wantSizes, s"n=$n t=$t")
+    }
+  }
+
+  test("upliftCurve plans with NO window operator (single-reducer trap)") {
+    val df = (1L to 50L).map(id => (id, id % 13L)).toDF("u", "sc")
+    val plan = Causal.upliftCurve(df, "u",
+        org.apache.spark.sql.functions.max(col("sc")),
+        col("u") % 2 === 0, col("sc") > 5, nTiles = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected Window in plan:\n$plan")
+  }
+
   test("cupedAdjustedLift removes planted pre-period imbalance exactly") {
     // treated units: y = x + 5 with pre x ∈ {20,30}; control: y = x with
     // pre x ∈ {10,20}. Raw lift = 30−15 = 15 (10 of it pre-imbalance);

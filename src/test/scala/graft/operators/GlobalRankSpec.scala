@@ -22,6 +22,17 @@ class GlobalRankSpec extends SparkSpec {
     }
   }
 
+  test("withGlobalRowNumberAndTotal returns the exact row count for free") {
+    val df = spark.range(137).select(col("id").as("v"))
+    val (out, n) = GlobalRank.withGlobalRowNumberAndTotal(df,
+      Seq(col("v").asc), "rn", partitions = 5)
+    assert(n == 137L)
+    assert(out.count() == 137L)
+    val (_, zero) = GlobalRank.withGlobalRowNumberAndTotal(
+      df.where(col("v") < 0), Seq(col("v").asc), "rn")
+    assert(zero == 0L)
+  }
+
   test("withGlobalRowNumber is dense from 1 on a larger shuffled input") {
     val df = spark.range(1000).select(
       (col("id") * 7919 % 1000).as("v"), col("id").as("k"))

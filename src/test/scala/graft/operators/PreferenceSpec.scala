@@ -82,6 +82,86 @@ class PreferenceSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("groupAdvantageE6 isqrt correction is exact at the LONG-domain edge") {
+    // n=2, rewards a=1518500250, b=−1518500249: n·Σr² ≈ 9.2e18 (fits
+    // LONG, within contract), vn = (a−b)² = 3037000499² — the largest
+    // perfect square below Long.Max. The pre-fix LONG correction wrapped
+    // (s0+1)² negative and picked sd = 3037000500 → adv 999999; the
+    // DECIMAL(38,0) squares keep sd = 3037000499 → adv exactly ±1e6.
+    val a = 1518500250L; val b = -1518500249L
+    val df = Seq(("g", 1L, a), ("g", 2L, b)).toDF("grp", "id", "r")
+    val got = Preference.groupAdvantageE6(df, Seq("grp"), col("r"))
+      .collect().map(x => x.getLong(1) -> x.getLong(3)).toMap
+    assert(got(1L) == 1000000L && got(2L) == -1000000L, s"got=$got")
+  }
+
+  test("bradleyTerryE6 leaves no cached frames behind (eager + unpersist)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val rows = (1L to 30L).map(i => (i % 5 + 1, i % 7 + 1))
+      .filter(p => p._1 != p._2)
+    val out = Preference.bradleyTerryE6(rows.toDF("w", "l"),
+      col("w"), col("l"), 3)
+    assert(out.count() > 0)
+    // The only NEW persisted RDDs allowed are localCheckpoint artifacts
+    // (isCheckpointed); the und/items MEMORY_AND_DISK persists must be
+    // unpersisted by the operator itself, no caller clearCache needed.
+    val leaked = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, rdd) => !before(id) && !rdd.isCheckpointed }
+    assert(leaked.isEmpty, s"leaked caches: ${leaked.keys}")
+  }
+
+  test("krippendorffAlphaNominal matches hand-computed coincidence cases") {
+    // Perfect agreement across two categories → α = 1.
+    val perfect = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"),
+      (3L, "a"), (3L, "a"))
+    val p = Preference.krippendorffAlphaNominal(
+      perfect.toDF("u", "c"), col("u"), col("c")).collect().head
+    assert(p.getAs[Long]("alpha_e6") == 1000000L)
+    assert(p.getAs[Long]("n") == 6L && p.getAs[Long]("n_units") == 3L)
+    // One agreeing pair + one disagreeing pair → α = 0 exactly
+    // (Do = 2, De = (n²−Σn_c²)/(n−1) = (16−10)/3 = 2).
+    val mixed = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"))
+    val m = Preference.krippendorffAlphaNominal(
+      mixed.toDF("u", "c"), col("u"), col("c")).collect().head
+    assert(m.getAs[Long]("alpha_e6") == 0L)
+    // Single observed category → α undefined (NULL), not a crash.
+    val one = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a"))
+    val o = Preference.krippendorffAlphaNominal(
+      one.toDF("u", "c"), col("u"), col("c")).collect().head
+    assert(o.isNullAt(o.fieldIndex("alpha_e6")))
+    // Single-rating units drop (unpairable, the standard rule): adding
+    // one changes nothing.
+    val withSolo = perfect :+ (9L, "b")
+    val s = Preference.krippendorffAlphaNominal(
+      withSolo.toDF("u", "c"), col("u"), col("c")).collect().head
+    assert(s.getAs[Long]("alpha_e6") == 1000000L &&
+      s.getAs[Long]("n_units") == 3L)
+  }
+
+  test("krippendorffAlphaNominal is partition-invariant and guards maxRaters") {
+    val rows = (0 until 300).map(i =>
+      ((i % 40).toLong, if ((i * 7919) % 10 < 7) "x" else "y"))
+    val a = Preference.krippendorffAlphaNominal(
+      rows.toDF("u", "c").repartition(1), col("u"), col("c"))
+      .collect().head
+    val b = Preference.krippendorffAlphaNominal(
+      rows.reverse.toDF("u", "c").repartition(13), col("u"), col("c"))
+      .collect().head
+    assert(a.getAs[Long]("alpha_e6") == b.getAs[Long]("alpha_e6"))
+    assert(a.getAs[java.math.BigDecimal]("alpha_num") ==
+      b.getAs[java.math.BigDecimal]("alpha_num"))
+    // a 9-rating unit under maxRaters = 3 must raise loudly
+    val e = intercept[Exception] {
+      Preference.krippendorffAlphaNominal(
+        (1 to 9).map(i => (1L, s"c${i % 2}")).toDF("u", "c"),
+        col("u"), col("c"), maxRaters = 3).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).mkString.contains("raise maxRaters"))
+  }
+
   test("self-comparisons and nulls are dropped") {
     val df = Seq((Some(1L), Some(1L)), (Some(1L), Some(2L)),
       (None, Some(2L)), (Some(2L), None)).toDF("w", "l")

@@ -56,6 +56,13 @@ class TextRankSpec extends SparkSpec {
     assert(out.map(_._4).sorted.toSeq == (1L to out.length).toSeq)
   }
 
+  test("bm25 plans with NO window operator (single-reducer global rank trap)") {
+    val plan = TextRank.bm25(docs.toDF("doc_id", "text"), "doc_id", "text",
+        terms)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected Window in plan:\n$plan")
+  }
+
   test("long-sum scores are partition-invariant") {
     val df = docs.toDF("doc_id", "text")
     val a = TextRank.bm25(df.repartition(1), "doc_id", "text", terms)
