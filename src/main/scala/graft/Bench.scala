@@ -10,6 +10,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // v2 committer: task-side renames instead of a sequential job-commit
+      // rename per partition dir — the table-scenario gates write dozens
+      // of small partition dirs per commit and the v1 job commit is pure
+      // driver-side latency there
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

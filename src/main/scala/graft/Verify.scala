@@ -27,6 +27,9 @@ object Verify {
       // value is a no-op — a concurrent batch must never observe the
       // static overwrite semantics mid-flight
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // v2 committer — see Bench.scala: cuts the sequential job-commit
+      // renames the multi-partition-dir table scenarios pay per commit
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -91,8 +91,21 @@ class DerivedAggTable(source: UpsertTable, derived: UpsertTable,
     val since = checkpoint(spark)
     val head = source.lastCommitSeq(spark)
     if (head <= since) return since
-    val changes = source.incrementalRead(spark, since, includeDeletes = true)
-    val touched = changes.select(groupCols.map(col): _*).distinct()
+    if (since == 0L) {
+      // bootstrap: EVERY group is new — churn scoping, pruning and
+      // tombstones are all no-ops, so write the full aggregate in one
+      // pass (skips the delta scan + collect + anti-join)
+      val delCol = derived.deleteCol.get
+      derived.upsert(aggregate(source.snapshot(spark))
+        .withColumn(delCol, lit(false))
+        .withColumn(derived.precombineCol, lit(head)))
+      writeCheckpoint(spark, head)
+      return head
+    }
+    // raw-delta churn scope: the touched-group set needs no per-key
+    // resolution (changedDistinct scaladoc) — one delta-dir scan instead
+    // of incrementalRead's full-history resolve per refresh
+    val touched = source.changedDistinct(spark, since, groupCols)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val scoped =
@@ -108,22 +121,27 @@ class DerivedAggTable(source: UpsertTable, derived: UpsertTable,
           source.snapshot(spark)
             .join(broadcast(touched), groupCols, "left_semi")
         }
-      val fresh = aggregate(scoped)
-      val aggCols = fresh.columns.filterNot(groupCols.contains)
-      // groups in the touched set with no surviving rows → tombstones,
-      // carrying typed NULL aggregate columns (exact-schema upserts)
-      val dead = aggCols.foldLeft(
-          touched.join(fresh.select(groupCols.map(col): _*),
-            groupCols, "left_anti")) { (d, c) =>
-        d.withColumn(c, lit(null).cast(fresh.schema(c).dataType))
-      }
-      val delCol = derived.deleteCol.get
-      derived.upsert(
-        fresh.withColumn(delCol, lit(false))
-          .unionByName(dead.withColumn(delCol, lit(true)))
-          .withColumn(derived.precombineCol, lit(head)))
-      writeCheckpoint(spark, head)
-      head
+      // fresh feeds BOTH the upsert rows and the tombstone anti-join:
+      // persisted so the scoped snapshot+aggregate runs once, not twice
+      // inside the write job (|churned groups| rows — bounded cache)
+      val fresh = aggregate(scoped).persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val aggCols = fresh.columns.filterNot(groupCols.contains)
+        // groups in the touched set with no surviving rows → tombstones,
+        // carrying typed NULL aggregate columns (exact-schema upserts)
+        val dead = aggCols.foldLeft(
+            touched.join(fresh.select(groupCols.map(col): _*),
+              groupCols, "left_anti")) { (d, c) =>
+          d.withColumn(c, lit(null).cast(fresh.schema(c).dataType))
+        }
+        val delCol = derived.deleteCol.get
+        derived.upsert(
+          fresh.withColumn(delCol, lit(false))
+            .unionByName(dead.withColumn(delCol, lit(true)))
+            .withColumn(derived.precombineCol, lit(head)))
+        writeCheckpoint(spark, head)
+        head
+      } finally { fresh.unpersist(); () }
     } finally { touched.unpersist(); () }
   }
 

@@ -102,12 +102,23 @@ class DerivedJoinTable(fact: UpsertTable, dim: UpsertTable,
     // no-op WITHOUT advancing, so the pre-existing side's rows replay as
     // churn once the other side appears
     if (hF == 0L || hD == 0L) return (sF, sD)
+    if (sF == 0L && sD == 0L) {
+      // first real refresh: EVERY joined key is new — churn scoping and
+      // tombstones are no-ops, write the full projected join in one pass
+      val delCol = view.deleteCol.get
+      view.upsert(fullRecompute(spark)
+        .withColumn(delCol, lit(false))
+        .withColumn(view.precombineCol, lit(math.max(hF, hD))))
+      writeCheckpoint(spark, hF, hD)
+      return (hF, hD)
+    }
 
     val factKeyCols = fact.keyCols
+    // raw-delta churn scope on both sides: the touched KEY set is
+    // identical raw vs resolved (changedDistinct scaladoc), so skip the
+    // two full-history resolves incrementalRead would pay
     val fromFact =
-      if (hF > sF)
-        fact.incrementalRead(spark, sF, includeDeletes = true)
-          .select(factKeyCols.map(col): _*)
+      if (hF > sF) fact.changedDistinct(spark, sF, factKeyCols)
       else fact.snapshot(spark).where(lit(false))
         .select(factKeyCols.map(col): _*)
     val factSnap = fact.snapshot(spark)
@@ -115,8 +126,7 @@ class DerivedJoinTable(fact: UpsertTable, dim: UpsertTable,
     try {
       val fromDim =
         if (hD > sD) {
-          val dimKeys = dim.incrementalRead(spark, sD, includeDeletes = true)
-            .select(dim.keyCols.map(col): _*).distinct()
+          val dimKeys = dim.changedDistinct(spark, sD, dim.keyCols)
           factSnap.join(broadcast(dimKeys),
               fkCols.zip(dim.keyCols)
                 .map { case (f, d) => col(f) <=> col(d) }
@@ -131,25 +141,31 @@ class DerivedJoinTable(fact: UpsertTable, dim: UpsertTable,
       try {
         val factScoped = factSnap
           .join(broadcast(touched), factKeyCols, "left_semi")
+        // fresh feeds BOTH the upsert rows and the tombstone anti-join:
+        // persisted so the scoped join runs once inside the write job
+        // (|churned fact keys| rows — bounded cache)
         val fresh = project(factScoped
             .join(dim.snapshot(spark),
               fkCols.zip(dim.keyCols)
                 .map { case (f, d) => col(f) === col(d) }
                 .reduce(_ && _),
               "inner"))
-        val aggCols = fresh.columns.filterNot(factKeyCols.contains)
-        val dead = aggCols.foldLeft(
-            touched.join(fresh.select(factKeyCols.map(col): _*),
-              factKeyCols, "left_anti")) { (d, c) =>
-          d.withColumn(c, lit(null).cast(fresh.schema(c).dataType))
-        }
-        val delCol = view.deleteCol.get
-        view.upsert(
-          fresh.withColumn(delCol, lit(false))
-            .unionByName(dead.withColumn(delCol, lit(true)))
-            .withColumn(view.precombineCol, lit(math.max(hF, hD))))
-        writeCheckpoint(spark, hF, hD)
-        (hF, hD)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val aggCols = fresh.columns.filterNot(factKeyCols.contains)
+          val dead = aggCols.foldLeft(
+              touched.join(fresh.select(factKeyCols.map(col): _*),
+                factKeyCols, "left_anti")) { (d, c) =>
+            d.withColumn(c, lit(null).cast(fresh.schema(c).dataType))
+          }
+          val delCol = view.deleteCol.get
+          view.upsert(
+            fresh.withColumn(delCol, lit(false))
+              .unionByName(dead.withColumn(delCol, lit(true)))
+              .withColumn(view.precombineCol, lit(math.max(hF, hD))))
+          writeCheckpoint(spark, hF, hD)
+          (hF, hD)
+        } finally { fresh.unpersist(); () }
       } finally { touched.unpersist(); () }
     } finally { factSnap.unpersist(); () }
   }

@@ -297,6 +297,29 @@ class UpsertTable(val path: String, val keyCols: Seq[String],
     (if (includeDeletes) latest else latest.where(notDeleted)).drop(CommitCol)
   }
 
+  /** Distinct values of `cols` over the RAW delta rows of commits >
+    * `sinceCommit` — the churn-scoping read derived-view maintenance
+    * needs: WHICH groups/keys were touched, not who won. Skips the
+    * full-history resolution [[incrementalRead]] pays (no base scan, no
+    * per-key window): over key/partition columns the raw touched-set
+    * equals the resolved one (a record's identity never changes across
+    * versions), and over value-derived group columns it is a SAFE
+    * superset (a stale version contributes its old group, which then
+    * recomputes to an identical derived row or tombstones out). Same
+    * compaction-horizon contract as [[incrementalRead]]. */
+  def changedDistinct(spark: SparkSession, sinceCommit: Long,
+      cols: Seq[String]): DataFrame = {
+    val folded = baseMaxCommit(spark)
+    require(sinceCommit >= folded,
+      s"incremental window ($sinceCommit, now] predates the compaction " +
+        s"horizon $folded — that history is folded into the base")
+    val newSeqs = commits(spark).filter(_ > sinceCommit)
+    if (newSeqs.isEmpty)
+      snapshot(spark).where(lit(false)).select(cols.map(col): _*)
+    else newSeqs.map(s => readDir(spark, f"$deltaPath/c$s%09d").get)
+      .reduce(_ unionByName _).select(cols.map(col): _*).distinct()
+  }
+
   /** Streaming incremental source (Hudi's streaming read of a table):
     * a file stream over the delta commit dirs, so a Structured Streaming
     * job consumes every upserted record version continuously — the

@@ -212,6 +212,24 @@ class UpsertTableSpec extends SparkSpec {
     assert(t.incrementalRead(spark, 2L).count() == 0L)
   }
 
+  test("changedDistinct: raw touched set without resolution; horizon kept") {
+    val (_, t) = freshTable()
+    t.upsert(frame(row(1, "d1", 1, "a"), row(2, "d2", 1, "b")))
+    t.upsert(frame(row(2, "d2", 2, "b2"), row(3, "d3", 2, "c", del = true)))
+    // since commit 1: only commit-2 rows count (deletes included — they
+    // are churn), no per-key resolution happens
+    val keys = t.changedDistinct(spark, 1L, Seq("k"))
+      .as[Long].collect().toSet
+    assert(keys == Set(2L, 3L))
+    val parts = t.changedDistinct(spark, 1L, Seq("dt"))
+      .as[String].collect().toSet
+    assert(parts == Set("d2", "d3"))
+    // empty window → empty frame; horizon contract matches incrementalRead
+    assert(t.changedDistinct(spark, 2L, Seq("k")).count() == 0L)
+    t.compact(spark)
+    intercept[IllegalArgumentException] { t.changedDistinct(spark, 1L, Seq("k")) }
+  }
+
   test("incrementalRead resolves against full history (stale late version)") {
     val (_, t) = freshTable()
     t.upsert(frame(row(1, "d1", 5, "newest"))) // commit 1 carries ver 5
