@@ -5032,6 +5032,31 @@ object SparkEntry {
         t(s, dir, "lineitem"), col("l_orderkey"), col("l_returnflag"),
         maxRaters = 16))),
 
+    // DPO-pair margin histogram over the q333 duel frame: each duel's
+    // fitted-rating margin (winner − loser, e6) bucketed at 0.1-rating
+    // width with explicit nonnegative-operand floor division; negative
+    // buckets = fitted-model-vs-label disagreements (the label-noise
+    // review queue). Pairs stream through broadcast rating joins; the
+    // share denominator reduces the HISTOGRAM, not the pairs.
+    "q337_dpo_margins" -> ((s, dir) => {
+      val os = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(sum(cents(col("l_extendedprice"))).as("c"))
+      val x = os.select(col("l_orderkey").as("o"), col("l_suppkey").as("s1"),
+        col("c").as("c1"))
+      val y = os.select(col("l_orderkey").as("o"), col("l_suppkey").as("s2"),
+        col("c").as("c2"))
+      val duels = x.join(y, Seq("o")).where(col("s1") < col("s2"))
+        .select(
+          when(col("c2") > col("c1"), col("s2")).otherwise(col("s1")).as("w"),
+          when(col("c2") > col("c1"), col("s1")).otherwise(col("s2")).as("l"))
+        .localCheckpoint(true) // feeds the BT fit AND the margin join
+      val ratings = operators.Preference.bradleyTerryE6(duels,
+        col("w"), col("l"), iterations = 3)
+      operators.Preference.pairMarginHistogramE6(duels, col("w"), col("l"),
+        ratings, bucketE6 = 100000L)
+    }),
+
     // Distinct elimination from the declared pk (DistinctEliminationRewrite):
     // the dedup-by-habit `.distinct()` over an orders projection carrying
     // o_orderkey is provably the identity and its whole hash-aggregate
@@ -12920,6 +12945,30 @@ object SparkEntry {
         | CAST(CASE WHEN n < 2 OR sd <= 0 THEN 0
         |  ELSE (reward*n - s) * 1000000 // sd END AS BIGINT) AS adv_e6
         |FROM c""".stripMargin,
+
+    // q337: the q333 fit replayed as a CTE, margins bucketed with the
+    // same nonnegative-operand floor division (// ≡ div toward zero).
+    "q337_dpo_margins" ->
+      s"""WITH bt AS ($q333OracleSql),
+         |os2 AS (SELECT l_orderkey AS o, l_suppkey AS s,
+         |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+         |   AS c
+         | FROM lineitem GROUP BY 1, 2),
+         |duel2 AS (SELECT
+         |  CASE WHEN y.c > x.c THEN y.s ELSE x.s END AS w,
+         |  CASE WHEN y.c > x.c THEN x.s ELSE y.s END AS l
+         | FROM os2 x JOIN os2 y ON x.o = y.o AND x.s < y.s),
+         |j AS (SELECT bw.rating_e6 - bl.rating_e6 AS m
+         | FROM duel2 d JOIN bt bw ON bw.item = d.w
+         |  JOIN bt bl ON bl.item = d.l),
+         |h AS (SELECT CASE WHEN m >= 0 THEN m // 100000
+         |   ELSE -((-m + 99999) // 100000) END AS margin_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         | FROM j GROUP BY 1),
+         |tot AS (SELECT sum(n_pairs) AS t FROM h)
+         |SELECT margin_bucket, n_pairs,
+         | CAST(n_pairs * 1000000 // t AS BIGINT) AS share_e6
+         |FROM h CROSS JOIN tot""".stripMargin,
 
     // q336: the lcm-scaled coincidence identity replayed in HUGEINT;
     // S = 360360 divides every (m−1) for m ≤ 16, so `//` is exact.

@@ -67,6 +67,22 @@ object Verify {
         SparkEntry.cleanupQueryTmp() // reclaim per-query upsert/bucket roots
       }
     pool.shutdown()
+    // DuckDB inlines non-recursive CTEs by default; an unrolled-rounds
+    // oracle (q241/q244/q258/q333: each round references the previous
+    // CTE twice) then expands ~2^rounds and a 0.2 s query takes minutes
+    // (measured: q333 plain 282 s vs MATERIALIZED 0.2 s, identical
+    // rows) — enough to blow the driver's time-boxed sweep, the likely
+    // cause of two rounds of empty CORRECTNESS artifacts. Hint every
+    // CTE MATERIALIZED at the dump boundary (results are unchanged by
+    // definition; at sf0.01 materializing small frames costs nothing).
+    // RECURSIVE blocks are left alone (materialization is invalid
+    // there); window specs are safe because a CTE body starts with
+    // SELECT and a window spec cannot.
+    def materializeCtes(sql: String): String =
+      if (sql.contains("RECURSIVE")) sql
+      else sql.replaceAll("(?i)\\bAS\\s*\\(\\s*(?=SELECT\\b)",
+        "AS MATERIALIZED (")
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -80,7 +96,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(materializeCtes(v))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

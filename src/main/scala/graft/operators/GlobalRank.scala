@@ -35,7 +35,11 @@ object GlobalRank {
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions
             else spark.sessionState.conf.numShufflePartitions
-    val sorted = df.repartitionByRange(n, orderCols: _*)
+    // repartitionByRange SAMPLES its input before shuffling it — on an
+    // unpersisted upstream pipeline that evaluates the whole lineage
+    // twice. Cache the input for the sample+shuffle pair.
+    val in = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sorted = in.repartitionByRange(n, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -67,6 +71,6 @@ object GlobalRank {
       }(org.apache.spark.sql.Encoders.row(outSchema))
       // Pin before unpersisting the lineage the result reads.
       (out.localCheckpoint(true), total)
-    } finally sorted.unpersist(): Unit
+    } finally { sorted.unpersist(); in.unpersist(): Unit }
   }
 }

@@ -187,6 +187,53 @@ object Preference {
     out
   }
 
+  /** DPO-pair construction stats: the margin distribution of observed
+    * preference pairs under fitted ratings — the readout a
+    * preference-data curator reads before exporting chosen/rejected
+    * pairs (Rafailov et al. 2023's data side): margin = r_winner −
+    * r_loser per pair; big positive margins are easy pairs (candidates
+    * for down-sampling), near-zero margins are the informative ones,
+    * and NEGATIVE margins are fitted-model-vs-label disagreements —
+    * the label-noise review queue.
+    *
+    * Exactness: margins are e6 LONG differences; buckets use explicit
+    * FLOOR division written with nonnegative operands only (CASE on
+    * sign), so truncating `div`/`//` replays it identically; shares are
+    * n·1e6 div total.
+    *
+    * Scale shape: pairs stream through two broadcast joins against the
+    * (small) ratings frame — comparisons never shuffle; the histogram
+    * aggregate is map-side combined onto |buckets| cells, and the share
+    * denominator is a single-row reduction OF THE HISTOGRAM (the pair
+    * scan runs once).
+    *
+    * `ratings` must carry (item, rating_e6) — [[bradleyTerryE6]]'s
+    * output shape. Output: (margin_bucket, n_pairs, share_e6). */
+  def pairMarginHistogramE6(pairs: DataFrame, winner: Column,
+      loser: Column, ratings: DataFrame,
+      bucketE6: Long = 100000L): DataFrame = {
+    require(bucketE6 >= 1L, s"bucketE6=$bucketE6 must be >= 1")
+    val cmp = pairs.select(winner.as("__w"), loser.as("__l"))
+      .where(col("__w").isNotNull && col("__l").isNotNull &&
+        col("__w") =!= col("__l"))
+    val rw = ratings.select(col("item").as("__w"),
+      col("rating_e6").as("__rw"))
+    val rl = ratings.select(col("item").as("__l"),
+      col("rating_e6").as("__rl"))
+    val h = cmp.join(broadcast(rw), Seq("__w"))
+      .join(broadcast(rl), Seq("__l"))
+      .withColumn("__m", col("__rw") - col("__rl"))
+      .withColumn("margin_bucket", expr(
+        s"""CASE WHEN __m >= 0 THEN __m div $bucketE6
+           | ELSE -((-__m + ${bucketE6 - 1L}) div $bucketE6) END"""
+          .stripMargin))
+      .groupBy(col("margin_bucket")).agg(count(lit(1)).as("n_pairs"))
+      .localCheckpoint(true) // |buckets| rows; feeds rows + denominator
+    h.crossJoin(broadcast(h.agg(sum(col("n_pairs")).as("__tot"))))
+      .select(col("margin_bucket"), col("n_pairs"),
+        expr("n_pairs * 1000000 div __tot").as("share_e6"))
+  }
+
   def bradleyTerryE6(pairs: DataFrame, winner: Column, loser: Column,
       iterations: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 16)

@@ -36,7 +36,10 @@ object PrefixScan {
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions
             else spark.sessionState.conf.numShufflePartitions
+    // cached for repartitionByRange's sample+shuffle double read (the
+    // GlobalRank rule — an unpersisted lineage would evaluate twice)
     val withV = df.withColumn("__psv", valueCol.cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sorted = withV.repartitionByRange(n, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -70,6 +73,6 @@ object PrefixScan {
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
       out.localCheckpoint(true).drop("__psv")
-    } finally sorted.unpersist(): Unit
+    } finally { sorted.unpersist(); withV.unpersist(): Unit }
   }
 }

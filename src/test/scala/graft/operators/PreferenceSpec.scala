@@ -162,6 +162,23 @@ class PreferenceSpec extends SparkSpec {
     assert(msgs(e).mkString.contains("raise maxRaters"))
   }
 
+  test("pairMarginHistogramE6: hand-computed buckets, floor on negatives") {
+    val ratings = Seq((1L, 1000000L), (2L, 500000L), (3L, 949999L))
+      .toDF("item", "rating_e6")
+    // margins: 1>2 three times (+500000 → bucket 5), 2>1 once
+    // (−500000 → floor bucket −5), 1>3 once (+50001 → bucket 0),
+    // 3>1 once (−50001 → bucket −1: floor, not truncation)
+    val pairs = Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L), (1L, 3L),
+      (3L, 1L)).toDF("w", "l")
+    val got = Preference.pairMarginHistogramE6(pairs, col("w"), col("l"),
+        ratings)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == Map(
+      5L -> (3L, 500000L), -5L -> (1L, 166666L),
+      0L -> (1L, 166666L), -1L -> (1L, 166666L)), s"got=$got")
+  }
+
   test("self-comparisons and nulls are dropped") {
     val df = Seq((Some(1L), Some(1L)), (Some(1L), Some(2L)),
       (None, Some(2L)), (Some(2L), None)).toDF("w", "l")
