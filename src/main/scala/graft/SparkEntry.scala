@@ -5023,14 +5023,16 @@ object SparkEntry {
 
     // Krippendorff's alpha (nominal) — annotator-agreement reliability,
     // the q249 kappa's many-raters/missing-data generalization: unit =
-    // order, "raters" = its line items (bounded ≤ 13 by construction),
-    // category = return flag. Per-unit 1/(m−1) weights scale exactly by
-    // S = lcm(1..15) = 360360, so α lands as a DECIMAL(38,0) ratio plus
-    // a truncating-div e6 headline — bit-replayable in SQL.
+    // order, "raters" = its line items (12 at sf0.001 → 17 at sf0.1 —
+    // the Poisson tail grows with SF, so the bound is the operator max,
+    // 36; past it the plan raises loudly by contract), category =
+    // return flag. Per-unit 1/(m−1) weights scale exactly by
+    // S = lcm(1..35) = 144403552893600, so α lands as a DECIMAL(38,0)
+    // ratio plus a truncating-div e6 headline — bit-replayable in SQL.
     "q336_krippendorff" -> ((s, dir) =>
       decStr(operators.Preference.krippendorffAlphaNominal(
         t(s, dir, "lineitem"), col("l_orderkey"), col("l_returnflag"),
-        maxRaters = 16))),
+        maxRaters = 36))),
 
     // DPO-pair margin histogram over the q333 duel frame: each duel's
     // fitted-rating margin (winner − loser, e6) bucketed at 0.1-rating
@@ -12971,7 +12973,7 @@ object SparkEntry {
          |FROM h CROSS JOIN tot""".stripMargin,
 
     // q336: the lcm-scaled coincidence identity replayed in HUGEINT;
-    // S = 360360 divides every (m−1) for m ≤ 16, so `//` is exact.
+    // S = lcm(1..35) = 144403552893600 divides every (m−1) for m ≤ 36.
     "q336_krippendorff" ->
       """WITH cell AS (SELECT l_orderkey AS u, l_returnflag AS c,
         |  count(*) AS o FROM lineitem GROUP BY 1, 2),
@@ -12979,21 +12981,21 @@ object SparkEntry {
         | FROM cell GROUP BY 1 HAVING sum(o) >= 2),
         |ua AS (SELECT CAST(sum(m) AS BIGINT) AS n,
         |  CAST(count(*) AS BIGINT) AS n_units,
-        |  sum(CAST(dd * (360360 // (m - 1)) AS HUGEINT)) AS a
+        |  sum(CAST(dd * (144403552893600 // (m - 1)) AS HUGEINT)) AS a
         | FROM pu),
         |nc AS (SELECT c, sum(o) AS ncnt
         | FROM cell JOIN pu USING (u) GROUP BY 1),
         |ca AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
         |  sum(CAST(ncnt AS HUGEINT) * ncnt) AS n2 FROM nc)
         |SELECT n, n_units, n_categories,
-        | CAST(CAST((n - 1) * a + 360360 * (n - n2) AS DECIMAL(38,0))
+        | CAST(CAST((n - 1) * a + 144403552893600 * (n - n2) AS DECIMAL(38,0))
         |   AS VARCHAR) AS alpha_num,
-        | CAST(CAST(360360 * (CAST(n AS HUGEINT) * n - n2) AS DECIMAL(38,0))
+        | CAST(CAST(144403552893600 * (CAST(n AS HUGEINT) * n - n2) AS DECIMAL(38,0))
         |   AS VARCHAR) AS alpha_den,
-        | CAST(CASE WHEN 360360 * (CAST(n AS HUGEINT) * n - n2) = 0
+        | CAST(CASE WHEN 144403552893600 * (CAST(n AS HUGEINT) * n - n2) = 0
         |  THEN NULL
-        |  ELSE (((n - 1) * a + 360360 * (n - n2)) * 1000000)
-        |    // (360360 * (CAST(n AS HUGEINT) * n - n2)) END
+        |  ELSE (((n - 1) * a + 144403552893600 * (n - n2)) * 1000000)
+        |    // (144403552893600 * (CAST(n AS HUGEINT) * n - n2)) END
         |  AS BIGINT) AS alpha_e6
         |FROM ua CROSS JOIN ca""".stripMargin,
 

@@ -12,12 +12,33 @@ import java.nio.file.{Files, Paths}
   * frames and temp roots are never yanked from under a concurrent one.
   */
 object Verify {
+
+  /** DuckDB inlines non-recursive CTEs by default; an unrolled-rounds
+    * oracle (q241/q244/q258/q333: each round references the previous
+    * CTE twice) then expands ~2^rounds and a 0.2 s query takes minutes
+    * (measured: q333 plain 282 s vs MATERIALIZED 0.2 s, identical
+    * rows) — enough to blow the driver's time-boxed sweep, the likely
+    * cause of two rounds of empty CORRECTNESS artifacts. Hint every
+    * CTE MATERIALIZED at the dump boundary (results are unchanged by
+    * definition; at sf0.01 materializing small frames costs nothing).
+    * RECURSIVE blocks are left alone (materialization is invalid
+    * there); window specs are safe because a CTE body starts with
+    * SELECT and a window spec cannot. */
+  def materializeCtes(sql: String): String =
+    if (sql.contains("RECURSIVE")) sql
+    else sql.replaceAll("(?i)\\bAS\\s*\\(\\s*(?=SELECT\\b)",
+      "AS MATERIALIZED (")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1)
     // optional 3rd arg: comma-separated query-name filter (dev iteration)
     val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "4").toInt.max(1)
+    // With the DuckDB compare down to ~41 s (MATERIALIZED CTEs), the
+    // Spark dump dominates the driver's time-boxed sweep — default to
+    // wider cores/batches when the env doesn't pin them (measured green
+    // at 16/6 on the 128 GiB container; env overrides still win).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "6").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -67,22 +88,6 @@ object Verify {
         SparkEntry.cleanupQueryTmp() // reclaim per-query upsert/bucket roots
       }
     pool.shutdown()
-    // DuckDB inlines non-recursive CTEs by default; an unrolled-rounds
-    // oracle (q241/q244/q258/q333: each round references the previous
-    // CTE twice) then expands ~2^rounds and a 0.2 s query takes minutes
-    // (measured: q333 plain 282 s vs MATERIALIZED 0.2 s, identical
-    // rows) — enough to blow the driver's time-boxed sweep, the likely
-    // cause of two rounds of empty CORRECTNESS artifacts. Hint every
-    // CTE MATERIALIZED at the dump boundary (results are unchanged by
-    // definition; at sf0.01 materializing small frames costs nothing).
-    // RECURSIVE blocks are left alone (materialization is invalid
-    // there); window specs are safe because a CTE body starts with
-    // SELECT and a window spec cannot.
-    def materializeCtes(sql: String): String =
-      if (sql.contains("RECURSIVE")) sql
-      else sql.replaceAll("(?i)\\bAS\\s*\\(\\s*(?=SELECT\\b)",
-        "AS MATERIALIZED (")
-
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
