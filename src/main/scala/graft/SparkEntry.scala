@@ -5034,6 +5034,18 @@ object SparkEntry {
         t(s, dir, "lineitem"), col("l_orderkey"), col("l_returnflag"),
         maxRaters = 36))),
 
+    // One-coin Dawid–Skene noisy-label aggregation (hard-EM / iterative
+    // weighted majority): suppliers "annotate" their orders with return
+    // flags; two reweighting rounds estimate per-supplier reliability
+    // (Laplace-smoothed exact e6) and re-label each order by log-odds
+    // weighted vote (integer-rounded weights BEFORE summation — the BM25
+    // pinned-double rule; ties score desc, label asc). The oracle
+    // replays both rounds term for term.
+    "q338_dawid_skene" -> ((s, dir) =>
+      operators.Preference.dawidSkeneOneCoinE6(t(s, dir, "lineitem"),
+        col("l_orderkey"), col("l_suppkey"), col("l_returnflag"),
+        iterations = 2)),
+
     // DPO-pair margin histogram over the q333 duel frame: each duel's
     // fitted-rating margin (winner − loser, e6) bucketed at 0.1-rating
     // width with explicit nonnegative-operand floor division; negative
@@ -12947,6 +12959,50 @@ object SparkEntry {
         | CAST(CASE WHEN n < 2 OR sd <= 0 THEN 0
         |  ELSE (reward*n - s) * 1000000 // sd END AS BIGINT) AS adv_e6
         |FROM c""".stripMargin,
+
+    // q338: both hard-EM rounds unrolled — majority seed, per-annotator
+    // smoothed accuracy, the pinned ln log-odds weight (same operation
+    // order as the Spark expr), weighted-vote argmax per round.
+    "q338_dawid_skene" ->
+      """WITH v AS (SELECT l_orderkey AS i, l_suppkey AS a,
+        |  l_returnflag AS l FROM lineitem),
+        |kk AS (SELECT count(DISTINCT l) AS k FROM v),
+        |c0 AS (SELECT i, l, count(*) AS n FROM v GROUP BY 1, 2),
+        |r0 AS (SELECT i, l AS cl FROM (SELECT i, l,
+        |   row_number() OVER (PARTITION BY i ORDER BY n DESC, l) AS rn
+        |  FROM c0) WHERE rn = 1),
+        |a1 AS (SELECT a, count(*) AS na,
+        |  sum(CASE WHEN v.l = r.cl THEN 1 ELSE 0 END) AS ma
+        | FROM v JOIN r0 r USING (i) GROUP BY 1),
+        |w1 AS (SELECT a,
+        |  CAST(round(ln(CAST((ma + 1) * 1000000 // (na + 2) AS DOUBLE)
+        |    / 1000000.0 * (k - 1)
+        |    / (1.0 - CAST((ma + 1) * 1000000 // (na + 2) AS DOUBLE)
+        |      / 1000000.0)) * 1000000.0) AS BIGINT) AS w
+        | FROM a1 CROSS JOIN kk),
+        |s1 AS (SELECT i, l, CAST(sum(w) AS BIGINT) AS s
+        | FROM v JOIN w1 USING (a) GROUP BY 1, 2),
+        |r1 AS (SELECT i, l AS cl FROM (SELECT i, l,
+        |   row_number() OVER (PARTITION BY i ORDER BY s DESC, l) AS rn
+        |  FROM s1) WHERE rn = 1),
+        |a2 AS (SELECT a, count(*) AS na,
+        |  sum(CASE WHEN v.l = r.cl THEN 1 ELSE 0 END) AS ma
+        | FROM v JOIN r1 r USING (i) GROUP BY 1),
+        |w2 AS (SELECT a,
+        |  CAST(round(ln(CAST((ma + 1) * 1000000 // (na + 2) AS DOUBLE)
+        |    / 1000000.0 * (k - 1)
+        |    / (1.0 - CAST((ma + 1) * 1000000 // (na + 2) AS DOUBLE)
+        |      / 1000000.0)) * 1000000.0) AS BIGINT) AS w
+        | FROM a2 CROSS JOIN kk),
+        |s2 AS (SELECT i, l, CAST(sum(w) AS BIGINT) AS s
+        | FROM v JOIN w2 USING (a) GROUP BY 1, 2),
+        |r2 AS (SELECT i, l AS cl FROM (SELECT i, l,
+        |   row_number() OVER (PARTITION BY i ORDER BY s DESC, l) AS rn
+        |  FROM s2) WHERE rn = 1),
+        |nv AS (SELECT i, CAST(count(*) AS BIGINT) AS n_votes
+        | FROM v GROUP BY 1)
+        |SELECT r2.i AS item, r2.cl AS label, nv.n_votes
+        |FROM r2 JOIN nv USING (i)""".stripMargin,
 
     // q337: the q333 fit replayed as a CTE, margins bucketed with the
     // same nonnegative-operand floor division (// ≡ div toward zero).

@@ -234,6 +234,77 @@ object Preference {
         expr("n_pairs * 1000000 div __tot").as("share_e6"))
   }
 
+  /** Noisy-label aggregation with annotator reliability — the one-coin
+    * Dawid–Skene model (Dawid & Skene 1979) in its deterministic
+    * hard-EM form (iterative weighted majority vote): each round
+    * re-estimates every annotator's accuracy against the current
+    * consensus labels, converts it to a log-odds vote weight, and
+    * re-labels every item by weighted vote. Two fixed rounds recover
+    * most of soft-EM's gain (Li & Yu 2014's analysis of weighted
+    * majority voting) while staying hash-gateable — soft posteriors
+    * are float products that no cross-engine gate can pin.
+    *
+    * Exactness discipline: accuracies are Laplace-smoothed exact
+    * integers acc_e6 = (matches+1)·1e6 div (n+2) (never 0 or 1e6, so
+    * the log-odds is finite); each weight is ONE pinned double
+    * pipeline w = round(ln(p·(K−1)/(1−p))·1e6) on those integers (the
+    * BM25 rule: integer-rounded BEFORE summation, so per-item tallies
+    * are exact LONG sums); argmaxes break ties (score desc, label asc)
+    * — a total order. K = distinct labels, a one-row census collect.
+    *
+    * Scale shape: votes collapse once per round through two hash
+    * aggregates (per-annotator accuracy, per-(item,label) tally) and
+    * one key join each — no window, no driver data beyond the K
+    * scalar; per-round eager localCheckpoint (the bradleyTerryE6 /
+    * hitsE6 planner-recursion rule). Each annotator row weighs every
+    * one of their votes; duplicate (item, annotator) votes count once
+    * each by design (a row is a vote).
+    *
+    * Output: (item, label, n_votes) — the consensus label after
+    * `iterations` reweighting rounds and the item's total vote count. */
+  def dawidSkeneOneCoinE6(votes0: DataFrame, item: Column,
+      annotator: Column, label: Column, iterations: Int = 2): DataFrame = {
+    require(iterations >= 1 && iterations <= 8)
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val votes = votes0.select(item.as("i"), annotator.as("a"),
+        label.cast("string").as("l"))
+      .where(col("i").isNotNull && col("a").isNotNull && col("l").isNotNull)
+      .persist(mem)
+    val k = votes.select(col("l")).distinct().count()
+    def argmax(scored: DataFrame, score: Column): DataFrame =
+      scored.groupBy(col("i"))
+        .agg(min(struct((-score).as("ns"), col("l").as("l"))).as("m"))
+        .select(col("i"), col("m.l").as("cl"))
+    var cur = argmax(
+      votes.groupBy(col("i"), col("l")).agg(count(lit(1)).as("n")),
+      col("n")).localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val acc = votes.join(cur, Seq("i"))
+        .groupBy(col("a"))
+        .agg(count(lit(1)).as("na"),
+          sum(when(col("l") === col("cl"), 1L).otherwise(0L)).as("ma"))
+        .withColumn("acc_e6", expr("(ma + 1) * 1000000 div (na + 2)"))
+      // pinned double pipeline, mirrored literally in the oracle SQL
+      val w =
+        if (k > 1) expr(
+          s"""CAST(round(ln(CAST(acc_e6 AS DOUBLE) / 1000000.0
+             | * ${k - 1}.0
+             | / (1.0 - CAST(acc_e6 AS DOUBLE) / 1000000.0))
+             | * 1000000.0) AS BIGINT)""".stripMargin)
+        else lit(0L)
+      val tally = votes.join(acc.select(col("a"), w.as("w")), Seq("a"))
+        .groupBy(col("i"), col("l")).agg(sum(col("w")).as("s"))
+      cur = argmax(tally, col("s")).localCheckpoint(true)
+    }
+    val out = cur
+      .join(votes.groupBy(col("i")).agg(count(lit(1)).as("n_votes")),
+        Seq("i"))
+      .select(col("i").as("item"), col("cl").as("label"), col("n_votes"))
+      .localCheckpoint(true)
+    votes.unpersist()
+    out
+  }
+
   def bradleyTerryE6(pairs: DataFrame, winner: Column, loser: Column,
       iterations: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 16)

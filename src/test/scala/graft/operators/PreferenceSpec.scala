@@ -179,6 +179,39 @@ class PreferenceSpec extends SparkSpec {
       0L -> (1L, 166666L), -1L -> (1L, 166666L)), s"got=$got")
   }
 
+  test("dawidSkeneOneCoinE6: reliability reweighting overturns a bad majority") {
+    // A, B, E are truthful; C, D are adversarial. Item i5 has votes
+    // (A=y, C=x, D=x): plain majority says x, but after one accuracy
+    // round C and D earn NEGATIVE log-odds weights and the consensus
+    // flips to A's y — the point of Dawid–Skene over majority vote.
+    val votes = Seq(
+      (1L, "A", "x"), (1L, "B", "x"), (1L, "E", "x"), (1L, "C", "y"), (1L, "D", "y"),
+      (2L, "A", "x"), (2L, "B", "x"), (2L, "E", "x"), (2L, "C", "y"), (2L, "D", "y"),
+      (3L, "A", "y"), (3L, "B", "y"), (3L, "E", "y"), (3L, "C", "x"), (3L, "D", "x"),
+      (5L, "A", "y"), (5L, "C", "x"), (5L, "D", "x"))
+    val got = Preference.dawidSkeneOneCoinE6(votes.toDF("i", "a", "l"),
+        col("i"), col("a"), col("l"), iterations = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(got == Map(1L -> ("x", 5L), 2L -> ("x", 5L),
+      3L -> ("y", 5L), 5L -> ("y", 3L)), s"got=$got")
+    // partition invariance (the long-sum + total-order discipline)
+    val shuffled = Preference.dawidSkeneOneCoinE6(
+        votes.reverse.toDF("i", "a", "l").repartition(13),
+        col("i"), col("a"), col("l"), iterations = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(shuffled == got)
+  }
+
+  test("dawidSkeneOneCoinE6: single-label corpus is a fixpoint, not a crash") {
+    val votes = Seq((1L, "A", "x"), (1L, "B", "x"), (2L, "A", "x"))
+    val got = Preference.dawidSkeneOneCoinE6(votes.toDF("i", "a", "l"),
+        col("i"), col("a"), col("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "x", 2L -> "x"))
+  }
+
   test("self-comparisons and nulls are dropped") {
     val df = Seq((Some(1L), Some(1L)), (Some(1L), Some(2L)),
       (None, Some(2L)), (Some(2L), None)).toDF("w", "l")
