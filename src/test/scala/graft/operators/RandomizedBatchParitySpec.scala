@@ -191,4 +191,140 @@ class RandomizedBatchParitySpec extends SparkSpec {
       assert(gotS == bf(k), s"sssp k=$k")
     }
   }
+
+  test("groupAdvantageE6 ≡ BigInt isqrt reference over random groups") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 600).map { i =>
+      (s"g${rnd.nextInt(25)}", i.toLong,
+        (rnd.nextLong() % 1000000L)) // signed rewards, |r| < 1e6
+    }
+    def ref: Map[Long, Long] = {
+      val byG = rows.groupBy(_._1)
+      rows.map { case (g, id, _) =>
+        val rs = byG(g).map(_._3).map(BigInt(_))
+        val n = BigInt(rs.size)
+        val s = rs.sum
+        val vn = n * rs.map(x => x * x).sum - s * s
+        val sd = BigInt(vn.bigInteger.sqrt())
+        val r = BigInt(rows.find(_._2 == id).get._3)
+        val adv =
+          if (n < 2 || sd <= 0) BigInt(0)
+          else (r * n - s) * 1000000 / sd // BigInt / truncates toward zero
+        id -> adv.toLong
+      }.toMap
+    }
+    for (parts <- Seq(1, 7)) {
+      val got = Preference.groupAdvantageE6(
+          rows.toDF("g", "id", "r").repartition(parts), Seq("g"), col("r"))
+        .collect().map(x => x.getLong(1) -> x.getLong(3)).toMap
+      assert(got == ref, s"parts=$parts")
+    }
+  }
+
+  test("krippendorffAlphaNominal ≡ sequential coincidence model") {
+    val rnd = new scala.util.Random(19)
+    val rows = (0 until 50).flatMap { u =>
+      val m = 1 + rnd.nextInt(10) // includes unpairable single-rating units
+      (1 to m).map(_ => (u.toLong, s"c${rnd.nextInt(4)}"))
+    }
+    def lcmTo(k: Int): Long = {
+      @annotation.tailrec
+      def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+      (1 until k).foldLeft(1L)((acc, x) => acc / gcd(acc, x) * x)
+    }
+    val s = BigInt(lcmTo(16))
+    val units = rows.groupBy(_._1).filter(_._2.size >= 2)
+    val n = BigInt(units.values.map(_.size).sum)
+    val a = units.values.map { vs =>
+      val m = vs.size
+      vs.groupBy(_._2).values
+        .map(g => BigInt(g.size) * (g.size - 1) * (s / (m - 1))).sum
+    }.sum
+    val ncs = units.values.flatten.groupBy(_._2).values.map(g => BigInt(g.size))
+    val n2 = ncs.map(x => x * x).sum
+    val num = (n - 1) * a + s * (n - n2)
+    val den = s * (n * n - n2)
+    val wantE6 = if (den == 0) None else Some((num * 1000000 / den).toLong)
+    val got = Preference.krippendorffAlphaNominal(
+      rows.toDF("u", "c"), col("u"), col("c")).collect().head
+    assert(BigInt(got.getAs[java.math.BigDecimal]("alpha_num")
+      .toBigIntegerExact) == num)
+    assert(BigInt(got.getAs[java.math.BigDecimal]("alpha_den")
+      .toBigIntegerExact) == den)
+    assert(Option(got.getAs[java.lang.Long]("alpha_e6")).map(_.toLong)
+      == wantE6)
+    assert(got.getAs[Long]("n") == n.toLong)
+  }
+
+  test("dawidSkeneOneCoinE6 ≡ sequential hard-EM over random noisy votes") {
+    val rnd = new scala.util.Random(23)
+    val truth = (0 until 60).map(i => i.toLong -> s"l${rnd.nextInt(3)}").toMap
+    // 8 annotators with mixed reliability vote on random item subsets
+    val rows = (0 until 8).flatMap { aIdx =>
+      val flip = Seq(0, 0, 1, 2, 4, 6, 8, 9)(aIdx) // wrong votes out of 10
+      (0 until 60).filter(_ => rnd.nextInt(10) < 7).map { i =>
+        val l = if (rnd.nextInt(10) < flip)
+          s"l${rnd.nextInt(3)}" else truth(i.toLong)
+        (i.toLong, s"a$aIdx", l)
+      }
+    }
+    val k = rows.map(_._3).distinct.size
+    def round1e6(x: Double): Long =
+      new java.math.BigDecimal(x).setScale(0,
+        java.math.RoundingMode.HALF_UP).longValueExact()
+    def argmax(scores: Map[(Long, String), Long]): Map[Long, String] =
+      scores.groupBy(_._1._1).map { case (i, m) =>
+        i -> m.toSeq.map { case ((_, l), sc) => (-sc, l) }.min._2
+      }
+    def em: Map[Long, String] = {
+      var cur = argmax(rows.groupBy(r => (r._1, r._3)).view
+        .mapValues(_.size.toLong).toMap)
+      for (_ <- 1 to 2) {
+        val ws = rows.groupBy(_._2).map { case (a, vs) =>
+          val na = vs.size
+          val ma = vs.count(v => cur(v._1) == v._3)
+          val acc = (ma + 1L) * 1000000L / (na + 2L)
+          val p = acc.toDouble / 1000000.0
+          a -> round1e6(math.log(p * (k - 1).toDouble / (1.0 - p)) * 1000000.0)
+        }
+        cur = argmax(rows.groupBy(r => (r._1, r._3)).view
+          .mapValues(_.map(v => ws(v._2)).sum).toMap)
+      }
+      cur
+    }
+    val want = em
+    for (parts <- Seq(1, 9)) {
+      val got = Preference.dawidSkeneOneCoinE6(
+          rows.toDF("i", "a", "l").repartition(parts),
+          col("i"), col("a"), col("l"), iterations = 2)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("pairMarginHistogramE6 ≡ brute floor-bucket histogram") {
+    val rnd = new scala.util.Random(29)
+    val ratings = (0L until 40L).map(i =>
+      (i, 1L + rnd.nextInt(999999).toLong))
+    val pairs = (0 until 500).map { _ =>
+      val w = rnd.nextInt(40).toLong
+      var l = rnd.nextInt(40).toLong
+      if (l == w) l = (l + 1) % 40
+      (w, l)
+    }
+    val rmap = ratings.toMap
+    val b = 100000L
+    def bucket(m: Long): Long =
+      if (m >= 0) m / b else -((-m + b - 1) / b)
+    val margins = pairs.map { case (w, l) => bucket(rmap(w) - rmap(l)) }
+    val tot = margins.size.toLong
+    val want = margins.groupBy(identity).map { case (bk, xs) =>
+      bk -> (xs.size.toLong, xs.size.toLong * 1000000L / tot) }
+    val got = Preference.pairMarginHistogramE6(
+        pairs.toDF("w", "l"), col("w"), col("l"),
+        ratings.toDF("item", "rating_e6"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == want)
+  }
 }
