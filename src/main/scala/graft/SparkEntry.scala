@@ -4676,10 +4676,15 @@ object SparkEntry {
         .groupBy(col("o_custkey").as("node"))
         .agg(sum(round(col("o_totalprice") * 100).cast("long"))
           .as("cents"))
+      // the i−1 shift is clamped at 0: vectorized engines (DuckDB) may
+      // evaluate BOTH disjuncts, and a negative shift raises there —
+      // the clamped value is only read when i = 0, where the left
+      // disjunct already keeps the row (found by the sf0.1 full sweep)
       rev.select(col("node"), col("cents"),
           explode(sequence(lit(0), lit(10))).as("i"))
         .where(col("i") === 0 ||
-          expr("node div shiftleft(CAST(1 AS BIGINT), 2 * (i - 1))") > 0L)
+          expr("node div shiftleft(CAST(1 AS BIGINT)," +
+            " 2 * greatest(i - 1, 0))") > 0L)
         .withColumn("anc",
           expr("node div shiftleft(CAST(1 AS BIGINT), 2 * i)"))
         .where(col("anc") < 64)
@@ -12631,7 +12636,7 @@ object SparkEntry {
         | FROM orders GROUP BY 1),
         |a AS (SELECT r.node // (1 << (2 * g.i)) AS anc, r.cents
         | FROM rev r JOIN range(0, 11) AS g(i)
-        |  ON g.i = 0 OR r.node // (1 << (2 * (g.i - 1))) > 0)
+        |  ON g.i = 0 OR r.node // (1 << (2 * greatest(g.i - 1, 0))) > 0)
         |SELECT anc AS node, count(*) AS n_contrib,
         |  CAST(sum(cents) AS BIGINT) AS subtree_cents
         |FROM a WHERE anc < 64 GROUP BY 1""".stripMargin,
