@@ -5039,6 +5039,15 @@ object SparkEntry {
         t(s, dir, "lineitem"), col("l_orderkey"), col("l_returnflag"),
         maxRaters = 36))),
 
+    // Krippendorff's alpha, INTERVAL metric — q336's numeric-rating
+    // sibling: δ² = squared distance collapses the coincidence matrix
+    // into per-unit variance statistics (one pass to unit grain, one
+    // one-row reduction). Unit = order, ratings = its line quantities.
+    "q339_krippendorff_interval" -> ((s, dir) =>
+      decStr(operators.Preference.krippendorffAlphaInterval(
+        t(s, dir, "lineitem"), col("l_orderkey"),
+        round(col("l_quantity")).cast("long"), maxRaters = 36))),
+
     // One-coin Dawid–Skene noisy-label aggregation (hard-EM / iterative
     // weighted majority): suppliers "annotate" their orders with return
     // flags; two reweighting rounds estimate per-supplier reliability
@@ -12964,6 +12973,38 @@ object SparkEntry {
         | CAST(CASE WHEN n < 2 OR sd <= 0 THEN 0
         |  ELSE (reward*n - s) * 1000000 // sd END AS BIGINT) AS adv_e6
         |FROM c""".stripMargin,
+
+    // q339: the per-unit variance identity, same S scaling as q336;
+    // products widened to HUGEINT before the S multiply.
+    "q339_krippendorff_interval" ->
+      """WITH v AS (SELECT l_orderkey AS u,
+        |  CAST(round(l_quantity) AS BIGINT) AS x FROM lineitem),
+        |pu AS (SELECT u, count(*) AS m, CAST(sum(x) AS BIGINT) AS s,
+        |  CAST(sum(x*x) AS BIGINT) AS ss
+        | FROM v GROUP BY 1 HAVING count(*) >= 2),
+        |ag AS (SELECT CAST(sum(m) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_units,
+        |  sum(CAST(2*(m*ss - s*s) AS HUGEINT)
+        |    * (144403552893600 // (m - 1))) AS a2,
+        |  sum(CAST(s AS HUGEINT)) AS sums,
+        |  sum(CAST(ss AS HUGEINT)) AS sstot
+        | FROM pu)
+        |SELECT n, n_units,
+        | CAST(CAST(144403552893600
+        |   * (2*(CAST(n AS HUGEINT)*sstot - sums*sums))
+        |   - (n-1)*a2 AS DECIMAL(38,0)) AS VARCHAR) AS alpha_num,
+        | CAST(CAST(144403552893600
+        |   * (2*(CAST(n AS HUGEINT)*sstot - sums*sums))
+        |   AS DECIMAL(38,0)) AS VARCHAR) AS alpha_den,
+        | CAST(CASE WHEN 144403552893600
+        |    * (2*(CAST(n AS HUGEINT)*sstot - sums*sums)) = 0 THEN NULL
+        |  ELSE (144403552893600
+        |    * (2*(CAST(n AS HUGEINT)*sstot - sums*sums)) - (n-1)*a2)
+        |    * 1000000
+        |   // (144403552893600
+        |    * (2*(CAST(n AS HUGEINT)*sstot - sums*sums))) END
+        |  AS BIGINT) AS alpha_e6
+        |FROM ag""".stripMargin,
 
     // q338: both hard-EM rounds unrolled — majority seed, per-annotator
     // smoothed accuracy, the pinned ln log-odds weight (same operation

@@ -234,6 +234,68 @@ object Preference {
         expr("n_pairs * 1000000 div __tot").as("share_e6"))
   }
 
+  /** Krippendorff's alpha, INTERVAL metric — [[krippendorffAlphaNominal]]
+    * for NUMERIC ratings, where disagreement is squared distance
+    * δ²(c,k) = (c−k)² (Krippendorff 2004 §11.3). The δ² weighting
+    * collapses the whole coincidence matrix into per-unit variance
+    * sufficient statistics:
+    *   Σ_{c,k} o_uc·o_uk·(c−k)² = 2·(m_u·Σx² − (Σx)²)   per unit,
+    *   Σ_{c,k} n_c·n_k·(c−k)²  = 2·(n·ΣX² − (ΣX)²)     globally,
+    * so α = (S·E − (n−1)·A) / (S·E) with A = Σ_u 2(m·ss−s²)·S/(m_u−1)
+    * and E = 2(n·SS − SUMS²) — ONE pass to unit grain and ONE one-row
+    * reduction; the global sums reuse the per-unit (s, ss), so the raw
+    * ratings are scanned exactly once. Same S = lcm(1…maxRaters−1)
+    * exact-fraction scaling, DECIMAL(38,0) ratio + truncating-div e6
+    * headline, and in-plan m ≤ maxRaters assert as the nominal form.
+    *
+    * Domain: m·Σx² and (Σx)² must fit LONG per unit — |rating| up to
+    * ~2·10⁷ at maxRaters = 36 (integer star-ratings, bucketed scores
+    * and fixed-point grades all sit far inside).
+    *
+    * Output: one row (n, n_units, alpha_num DECIMAL, alpha_den DECIMAL,
+    * alpha_e6 BIGINT — NULL when every rating is identical). */
+  def krippendorffAlphaInterval(df: DataFrame, unit: Column,
+      value: Column, maxRaters: Int = 16): DataFrame = {
+    require(maxRaters >= 2 && maxRaters <= 36,
+      s"maxRaters=$maxRaters out of [2, 36]")
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0L) a else gcd(b, a % b)
+    val s = (1 until maxRaters).foldLeft(1L)((acc, k) => acc / gcd(acc, k) * k)
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val perUnit = df.select(unit.as("__u"), value.cast("long").as("__x"))
+      .where(col("__u").isNotNull && col("__x").isNotNull)
+      .groupBy(col("__u"))
+      .agg(count(lit(1)).as("__m"), sum(col("__x")).as("__s"),
+        sum(expr("__x * __x")).as("__ss"))
+      .where(col("__m") >= 2L)
+    // per-unit observed-disagreement mass, exactly S-scaled; the guard
+    // rides the LONG half of the product so overflow can't precede it
+    val a2Term = d(expr("2 * (__m * __ss - __s * __s)") +
+        coalesce(assert_true(col("__m") <= lit(maxRaters.toLong),
+          concat(lit(s"krippendorffAlphaInterval: unit with more than " +
+            s"$maxRaters ratings ("), col("__m").cast("string"),
+            lit(") — raise maxRaters or pre-cap units")))
+          .cast("long"), lit(0L))) *
+      expr(s"$s div (__m - 1)")
+    val two = lit(2).cast("decimal(38,0)")
+    perUnit.agg(
+        sum(col("__m")).as("n"),
+        count(lit(1)).as("n_units"),
+        sum(a2Term).as("__a2"),
+        sum(d(col("__s"))).as("__sums"),
+        sum(d(col("__ss"))).as("__sstot"))
+      .select(col("n"), col("n_units"),
+        (lit(s) * (two * (d(col("n")) * col("__sstot") -
+            col("__sums") * col("__sums"))) -
+          d(col("n") - 1L) * col("__a2")).as("alpha_num"),
+        (lit(s) * (two * (d(col("n")) * col("__sstot") -
+          col("__sums") * col("__sums")))).as("alpha_den"))
+      .withColumn("alpha_e6", expr(
+        """CASE WHEN alpha_den = 0 THEN NULL
+          | ELSE CAST(alpha_num * 1000000 div alpha_den AS BIGINT) END"""
+          .stripMargin))
+  }
+
   /** Noisy-label aggregation with annotator reliability — the one-coin
     * Dawid–Skene model (Dawid & Skene 1979) in its deterministic
     * hard-EM form (iterative weighted majority vote): each round

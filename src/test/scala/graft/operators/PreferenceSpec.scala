@@ -179,6 +179,41 @@ class PreferenceSpec extends SparkSpec {
       0L -> (1L, 166666L), -1L -> (1L, 166666L)), s"got=$got")
   }
 
+  test("krippendorffAlphaInterval matches hand-computed variance cases") {
+    // Within-unit agreement despite different unit levels → α = 1.
+    val perfect = Seq((1L, 3L), (1L, 3L), (2L, 7L), (2L, 7L))
+    val p = Preference.krippendorffAlphaInterval(
+      perfect.toDF("u", "x"), col("u"), col("x")).collect().head
+    assert(p.getAs[Long]("alpha_e6") == 1000000L)
+    // Small within-unit diffs vs large between-unit spread:
+    // units (0,1) and (10,11): A = 4S, E = 2(4·222 − 484) = 808,
+    // α = (808S − 3·4S)/808S = 796/808 → 985148 truncated e6.
+    val near = Seq((1L, 0L), (1L, 1L), (2L, 10L), (2L, 11L))
+    val m = Preference.krippendorffAlphaInterval(
+      near.toDF("u", "x"), col("u"), col("x")).collect().head
+    assert(m.getAs[Long]("alpha_e6") == 985148L)
+    // One maximally-disagreeing unit → α = 0 exactly.
+    val one = Seq((1L, 0L), (1L, 10L))
+    val o = Preference.krippendorffAlphaInterval(
+      one.toDF("u", "x"), col("u"), col("x")).collect().head
+    assert(o.getAs[Long]("alpha_e6") == 0L)
+    // All ratings identical → zero expected disagreement → NULL α.
+    val flat = Seq((1L, 5L), (1L, 5L), (2L, 5L), (2L, 5L))
+    val f = Preference.krippendorffAlphaInterval(
+      flat.toDF("u", "x"), col("u"), col("x")).collect().head
+    assert(f.isNullAt(f.fieldIndex("alpha_e6")))
+    // the maxRaters guard raises loudly
+    val e = intercept[Exception] {
+      Preference.krippendorffAlphaInterval(
+        (1 to 5).map(i => (1L, i.toLong)).toDF("u", "x"),
+        col("u"), col("x"), maxRaters = 3).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).mkString.contains("raise maxRaters"))
+  }
+
   test("dawidSkeneOneCoinE6: reliability reweighting overturns a bad majority") {
     // A, B, E are truthful; C, D are adversarial. Item i5 has votes
     // (A=y, C=x, D=x): plain majority says x, but after one accuracy
