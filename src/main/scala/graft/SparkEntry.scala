@@ -5048,6 +5048,35 @@ object SparkEntry {
         t(s, dir, "lineitem"), col("l_orderkey"),
         round(col("l_quantity")).cast("long"), maxRaters = 36))),
 
+    // pass@k curve (Chen et al. 2021 unbiased estimator): per "problem"
+    // (order) the samples are its lineitems, "success" = a returned
+    // line; the binomial ratio is two exact DECIMAL(38,0) falling-
+    // factorial products, curve at k = 1, 2, 3. One hash aggregate to
+    // problem grain; each curve point a single-row reduction.
+    "q340_pass_at_k" -> ((s, dir) =>
+      decStr(operators.EvalCurves.passAtKCurve(
+        t(s, dir, "lineitem"), col("l_orderkey"),
+        col("l_returnflag") === "R", ks = Seq(1, 2, 3), maxN = 16))),
+
+    // Unbiased best-of-n reward curve (WebGPT app. I order-statistics
+    // estimator): prompt = order, reward = line price in cents, tie =
+    // line number; group-local rank window + exact falling-factorial
+    // subset weights, curve at n = 1, 2, 3.
+    "q341_best_of_n" -> ((s, dir) =>
+      decStr(operators.EvalCurves.bestOfNCurve(
+        t(s, dir, "lineitem"), col("l_orderkey"),
+        cents(col("l_extendedprice")), col("l_linenumber"),
+        ns = Seq(1, 2, 3), maxN = 16))),
+
+    // Wilson lower-bound win-rate ranking (z = 49/25 = 1.96): per
+    // supplier, wins = returned lines; the bound in cleared-denominator
+    // exact integers with a corrected isqrt — the fix for 1/1
+    // outranking 90/100 in naive win-rate sorts.
+    "q342_wilson_lb" -> ((s, dir) =>
+      operators.EvalCurves.wilsonLowerBoundE6(
+        t(s, dir, "lineitem"), col("l_suppkey"),
+        col("l_returnflag") === "R")),
+
     // One-coin Dawid–Skene noisy-label aggregation (hard-EM / iterative
     // weighted majority): suppliers "annotate" their orders with return
     // flags; two reweighting rounds estimate per-supplier reliability
@@ -12973,6 +13002,81 @@ object SparkEntry {
         | CAST(CASE WHEN n < 2 OR sd <= 0 THEN 0
         |  ELSE (reward*n - s) * 1000000 // sd END AS BIGINT) AS adv_e6
         |FROM c""".stripMargin,
+
+    // q340: the k=1..3 binomial ratios unrolled as HUGEINT falling
+    // factorials — same products the Spark side builds per curve point.
+    "q340_pass_at_k" ->
+      """WITH per AS (SELECT l_orderkey AS p, count(*) AS n,
+        |  sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS c
+        | FROM lineitem GROUP BY 1),
+        |pe AS (SELECT k, CASE WHEN n - c < k THEN 1000000
+        |   ELSE 1000000 - (CASE k
+        |     WHEN 1 THEN CAST(n-c AS HUGEINT)
+        |     WHEN 2 THEN CAST(n-c AS HUGEINT)*(n-c-1)
+        |     ELSE CAST(n-c AS HUGEINT)*(n-c-1)*(n-c-2) END * 1000000
+        |    // (CASE k WHEN 1 THEN CAST(n AS HUGEINT)
+        |     WHEN 2 THEN CAST(n AS HUGEINT)*(n-1)
+        |     ELSE CAST(n AS HUGEINT)*(n-1)*(n-2) END)) END AS pass_e6
+        | FROM per CROSS JOIN (VALUES (1),(2),(3)) ks(k) WHERE n >= k)
+        |SELECT k, count(*) AS n_problems,
+        | CAST(CAST(sum(pass_e6) AS HUGEINT) AS VARCHAR) AS sum_pass_e6,
+        | CAST(CAST(sum(pass_e6) AS HUGEINT) // count(*) AS BIGINT)
+        |   AS mean_pass_e6
+        |FROM pe GROUP BY 1""".stripMargin,
+
+    // q341: group-local rank window, then the n=1..3 falling-factorial
+    // subset weights; the (n−1)!/n! pair cancels to a single ×n.
+    "q341_best_of_n" ->
+      """WITH s AS (SELECT l_orderkey AS p,
+        |  CAST(round(l_extendedprice*100) AS BIGINT) AS r,
+        |  l_linenumber AS t FROM lineitem),
+        |rk AS (SELECT p, r,
+        |  row_number() OVER (PARTITION BY p ORDER BY r, t) AS i,
+        |  count(*) OVER (PARTITION BY p) AS nn
+        | FROM s),
+        |pp AS (SELECT n, p,
+        |  sum((CASE n WHEN 1 THEN CAST(1 AS HUGEINT)
+        |      WHEN 2 THEN CAST(i-1 AS HUGEINT)
+        |      ELSE CAST(i-1 AS HUGEINT)*(i-2) END) * r) AS num,
+        |  max(CASE n WHEN 1 THEN CAST(nn AS HUGEINT)
+        |      WHEN 2 THEN CAST(nn AS HUGEINT)*(nn-1)
+        |      ELSE CAST(nn AS HUGEINT)*(nn-1)*(nn-2) END) AS dn
+        | FROM rk CROSS JOIN (VALUES (1),(2),(3)) ns(n)
+        | WHERE nn >= n AND i >= n GROUP BY 1, 2),
+        |pe AS (SELECT n,
+        |  CAST(num * n * 1000000 // dn AS BIGINT) AS best_e6 FROM pp)
+        |SELECT n, count(*) AS n_prompts,
+        | CAST(CAST(sum(best_e6) AS HUGEINT) AS VARCHAR) AS sum_best_e6,
+        | CAST(CAST(sum(best_e6) AS HUGEINT) // count(*) AS BIGINT)
+        |   AS mean_best_e6
+        |FROM pe GROUP BY 1""".stripMargin,
+
+    // q342: the cleared-denominator Wilson form with the corrected
+    // isqrt CASE — term for term the Spark expression.
+    "q342_wilson_lb" ->
+      """WITH per AS (SELECT l_suppkey AS item,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS wins,
+        |  count(*) AS trials
+        | FROM lineitem GROUP BY 1),
+        |v AS (SELECT item, wins, trials,
+        |  CAST(trials AS HUGEINT) * (2500 * CAST(wins AS HUGEINT)
+        |    * (trials - wins) + 2401 * CAST(trials AS HUGEINT)) AS vn
+        | FROM per),
+        |r0 AS (SELECT *,
+        |  CAST(floor(sqrt(CAST(vn AS DOUBLE))) AS BIGINT) AS s0 FROM v),
+        |r AS (SELECT item, wins, trials, vn,
+        |  CASE WHEN CAST(s0 AS HUGEINT)*s0 > vn THEN s0 - 1
+        |   WHEN (CAST(s0 AS HUGEINT)+1)*(s0+1) <= vn THEN s0 + 1
+        |   ELSE s0 END AS rt
+        | FROM r0)
+        |SELECT item, wins, trials,
+        | CAST((1250 * CAST(trials AS HUGEINT) * wins
+        |    + 2401 * CAST(trials AS HUGEINT) - 49 * CAST(rt AS HUGEINT))
+        |   * 1000000
+        |  // (1250 * CAST(trials AS HUGEINT) * trials
+        |    + 4802 * CAST(trials AS HUGEINT)) AS BIGINT) AS wilson_lb_e6
+        |FROM r""".stripMargin,
 
     // q339: the per-unit variance identity, same S scaling as q336;
     // products widened to HUGEINT before the S multiply.
