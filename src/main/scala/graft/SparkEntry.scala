@@ -5077,6 +5077,69 @@ object SparkEntry {
         t(s, dir, "lineitem"), col("l_suppkey"),
         col("l_returnflag") === "R")),
 
+    // Fellegi–Sunter record linkage: customers vs a deterministically
+    // perturbed copy (typo'd names, shifted balances, corrupted
+    // segments), blocked on nation; data-estimated u probabilities,
+    // pinned-ln integer weights, score histogram with true-pair counts
+    // (id equality) showing the match/non-match separation.
+    "q343_record_linkage" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val aSide = c.select(col("c_custkey").as("rid"),
+        col("c_nationkey").as("blk"),
+        lower(col("c_name")).as("k_name"),
+        expr("CAST(round(c_acctbal*100) AS BIGINT) div 10000").as("k_bal"),
+        col("c_mktsegment").as("k_seg"))
+      val bSide = c.select(col("c_custkey").as("rid"),
+        col("c_nationkey").as("blk"),
+        when(col("c_custkey") % 11 === 0,
+          concat(lower(col("c_name")), lit("x")))
+          .otherwise(lower(col("c_name"))).as("k_name"),
+        expr("(CAST(round(c_acctbal*100) AS BIGINT)" +
+          " + (c_custkey % 7 - 3) * 600) div 10000").as("k_bal"),
+        when(col("c_custkey") % 5 === 0, lit("UNKNOWN"))
+          .otherwise(col("c_mktsegment")).as("k_seg"))
+      operators.RecordLinkage.fellegiSunterScores(aSide, bSide, "rid",
+          Seq("blk"),
+          Seq(("k_name", 900000L), ("k_bal", 850000L), ("k_seg", 800000L)))
+        // floor-bucket via offset (scores go negative; div truncates
+        // toward zero): weights bound |score| ≪ 1024 units
+        .withColumn("bucket",
+          expr("(score_e6 + 1024000000) div 1000000 - 1024"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("id_a") === col("id_b"), 1L).otherwise(0L))
+            .as("n_true"))
+    }),
+
+    // ANALYZE-style per-column statistics (row count, nulls, exact NDV,
+    // stringified min/max) in one scan — the CBO stats-collection
+    // surface; money pre-projected to cents so no double ever reaches
+    // a stringified min/max.
+    "q345_analyze" -> ((s, dir) =>
+      operators.Profile.columnStats(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+          col("c_nationkey"), cents(col("c_acctbal")).as("c_acctbal_cents"),
+          col("c_mktsegment")),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal_cents",
+          "c_mktsegment"))),
+
+    // Rao–Kupper Bradley–Terry WITH TIES (θ = 5/4 fixed, 3 MM rounds):
+    // the q333 duel frame re-drawn on per-(order,supplier) quantity so
+    // equal-quantity duels become genuine ties instead of a coin-flip
+    // to one side; per-item denominator sums ride DECIMAL(38,0).
+    "q344_bt_ties" -> ((s, dir) => {
+      val os = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("q"))
+      val duel = os.as("x").join(os.as("y"),
+          col("x.o") === col("y.o") && col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("a"), col("y.sk").as("b"),
+          when(col("x.q") > col("y.q"), 1)
+            .when(col("x.q") < col("y.q"), -1).otherwise(0).as("oc"))
+      operators.Preference.bradleyTerryTiesE6(duel, col("a"), col("b"),
+        col("oc"), thetaE6 = 1250000L, iterations = 3)
+    }),
+
     // One-coin Dawid–Skene noisy-label aggregation (hard-EM / iterative
     // weighted majority): suppliers "annotate" their orders with return
     // flags; two reweighting rounds estimate per-supplier reliability
@@ -6346,6 +6409,128 @@ object SparkEntry {
        |SELECT it.id AS item, CAST(r$rounds.r AS BIGINT) AS rating_e6,
        | wins, comparisons
        |FROM it JOIN r$rounds ON r$rounds.id = it.id""".stripMargin
+  }
+
+  // q344: Rao–Kupper MM rounds unrolled — θ-scaled opposing ratings,
+  // the two-term per-side denominator in HUGEINT (Spark's LONG terms
+  // + DECIMAL(38,0) sums), then the same clamp/renorm as q333.
+  private val q344OracleSql: String = {
+    val rounds = 3
+    val theta = 1250000L
+    val roundCtes = (1 to rounds).map { k =>
+      s"""t$k AS (SELECT u.a, u.b, wab, wba, tab,
+         |  ra.r AS ra, rb.r AS rb,
+         |  $theta * ra.r // 1000000 AS tra,
+         |  $theta * rb.r // 1000000 AS trb
+         | FROM und u JOIN r${k - 1} ra ON ra.id = u.a
+         |  JOIN r${k - 1} rb ON rb.id = u.b),
+         |d$k AS (SELECT id, sum(d) AS dd FROM (
+         |  SELECT a AS id,
+         |    CAST(wab + tab AS HUGEINT) * 1000000000000 // (ra + trb)
+         |  + CAST(wba + tab AS HUGEINT) * $theta * 1000000 // (rb + tra)
+         |    AS d FROM t$k
+         |  UNION ALL SELECT b,
+         |    CAST(wba + tab AS HUGEINT) * 1000000000000 // (rb + tra)
+         |  + CAST(wab + tab AS HUGEINT) * $theta * 1000000 // (ra + trb)
+         |   FROM t$k) GROUP BY 1),
+         |w$k AS (SELECT it.id, greatest(1, CAST(
+         |   CAST(wins + ties AS HUGEINT) * 1000000000000 // dd
+         |  AS BIGINT)) AS r
+         | FROM it JOIN d$k ON d$k.id = it.id),
+         |m$k AS (SELECT max(r) AS m FROM w$k),
+         |r$k AS (SELECT id, greatest(1, r * 1000000 // m) AS r
+         | FROM w$k, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH os AS (SELECT l_orderkey AS o, l_suppkey AS s,
+       |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+       | FROM lineitem GROUP BY 1, 2),
+       |duel AS (SELECT x.s AS a, y.s AS b,
+       |  CASE WHEN x.q > y.q THEN 1 WHEN x.q < y.q THEN -1 ELSE 0 END
+       |    AS oa
+       | FROM os x JOIN os y ON x.o = y.o AND x.s < y.s),
+       |und AS (SELECT a, b,
+       |  CAST(sum(CASE WHEN oa = 1 THEN 1 ELSE 0 END) AS BIGINT) AS wab,
+       |  CAST(sum(CASE WHEN oa = -1 THEN 1 ELSE 0 END) AS BIGINT) AS wba,
+       |  CAST(sum(CASE WHEN oa = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tab
+       | FROM duel GROUP BY 1, 2),
+       |it AS (SELECT id, CAST(sum(w) AS BIGINT) AS wins,
+       |  CAST(sum(t) AS BIGINT) AS ties,
+       |  CAST(sum(n) AS BIGINT) AS comparisons FROM (
+       |  SELECT a AS id, wab AS w, tab AS t, wab + wba + tab AS n
+       |   FROM und
+       |  UNION ALL SELECT b, wba, tab, wab + wba + tab FROM und)
+       | GROUP BY 1),
+       |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM it),
+       |$roundCtes
+       |SELECT it.id AS item, CAST(r$rounds.r AS BIGINT) AS rating_e6,
+       | wins, ties, comparisons
+       |FROM it JOIN r$rounds ON r$rounds.id = it.id""".stripMargin
+  }
+
+  // q343: the FS pipeline replayed — per-field u as exact ppm off the
+  // perturbed side's value frequencies, the same pinned-ln weight
+  // pipeline, blocked pairs, offset floor-buckets.
+  private val q343OracleSql: String = {
+    val fields = Seq(("k_name", 900000L), ("k_bal", 850000L),
+      ("k_seg", 800000L))
+    val uCtes = fields.map { case (f, _) =>
+      s"""u_$f AS (SELECT greatest(least(coalesce(
+         |  CAST(sum(CAST(c AS HUGEINT) * c) * 1000000
+         |    // (SELECT CAST(count(*) AS HUGEINT) * count(*) FROM cb)
+         |   AS BIGINT), 1), 999999), 1) AS u
+         | FROM (SELECT count(*) AS c FROM cb WHERE $f IS NOT NULL
+         |   GROUP BY $f))""".stripMargin
+    }.mkString(",\n")
+    val wCols = fields.map { case (f, m) =>
+      s"""CAST(round(ln(CAST($m AS DOUBLE) / CAST(u_$f.u AS DOUBLE))
+         |   * 1000000.0) AS BIGINT) AS wa_$f,
+         | CAST(round(ln((1000000.0 - $m) / (1000000.0 - u_$f.u))
+         |   * 1000000.0) AS BIGINT) AS wd_$f""".stripMargin
+    }.mkString(",\n ")
+    val scoreSum = fields.map { case (f, _) =>
+      s"CASE WHEN a.$f = b.$f THEN wa_$f ELSE wd_$f END"
+    }.mkString(" + ")
+    s"""WITH ca AS (SELECT c_custkey AS rid, c_nationkey AS blk,
+       |  lower(c_name) AS k_name,
+       |  CAST(round(c_acctbal*100) AS BIGINT) // 10000 AS k_bal,
+       |  c_mktsegment AS k_seg FROM customer),
+       |cb AS (SELECT c_custkey AS rid, c_nationkey AS blk,
+       |  CASE WHEN c_custkey % 11 = 0 THEN lower(c_name) || 'x'
+       |   ELSE lower(c_name) END AS k_name,
+       |  (CAST(round(c_acctbal*100) AS BIGINT)
+       |   + (c_custkey % 7 - 3) * 600) // 10000 AS k_bal,
+       |  CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN'
+       |   ELSE c_mktsegment END AS k_seg FROM customer),
+       |$uCtes,
+       |w AS (SELECT $wCols FROM u_k_name, u_k_bal, u_k_seg),
+       |p AS (SELECT a.rid AS id_a, b.rid AS id_b,
+       |  ($scoreSum) AS score_e6
+       | FROM ca a JOIN cb b ON a.blk = b.blk, w)
+       |SELECT (score_e6 + 1024000000) // 1000000 - 1024 AS bucket,
+       | count(*) AS n_pairs,
+       | CAST(sum(CASE WHEN id_a = id_b THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_true
+       |FROM p GROUP BY 1""".stripMargin
+  }
+
+  // q345: one UNION ALL branch per column over the cents-projected
+  // base — count/nulls/exact-NDV/min/max with VARCHAR casts mirroring
+  // the Spark side's stringified stack.
+  private val q345OracleSql: String = {
+    val cols = Seq("c_custkey", "c_name", "c_nationkey",
+      "c_acctbal_cents", "c_mktsegment")
+    val branches = cols.map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_nulls,
+         | CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+         | CAST(min($c) AS VARCHAR) AS min_val,
+         | CAST(max($c) AS VARCHAR) AS max_val FROM b""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH b AS (SELECT c_custkey, c_name, c_nationkey,
+       |  CAST(round(c_acctbal*100) AS BIGINT) AS c_acctbal_cents,
+       |  c_mktsegment FROM customer)
+       |$branches""".stripMargin
   }
 
   private val q20OracleSql: String =
@@ -12963,6 +13148,12 @@ object SparkEntry {
     // previous ratings, the denominator sums, the clamped update, the
     // max renorm; all `//` on non-negative BIGINTs.
     "q333_bradley_terry" -> q333OracleSql,
+
+    "q344_bt_ties" -> q344OracleSql,
+
+    "q343_record_linkage" -> q343OracleSql,
+
+    "q345_analyze" -> q345OracleSql,
 
     // q334: the q144 recall audit with the candidate stage replayed on
     // the sliced (16-dim) lists — same e9-quantized cosine both sides.

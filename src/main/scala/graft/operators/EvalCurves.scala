@@ -165,7 +165,16 @@ object EvalCurves {
   }
 
   /** Wilson score lower bound (z = 1.96, the two-sided 95% normal
-    * quantile) per item, in exact integers. With z = 49/25 the bound
+    * quantile) per item, in exact integers.
+    *
+    * Relation to [[Profile.wilsonLowerBound]] (q129): that form takes
+    * an ARBITRARY z and achieves cross-engine parity through a pinned
+    * IEEE double chain; this one fixes z at the rational 49/25 and in
+    * exchange eliminates floating point entirely — every intermediate
+    * is a DECIMAL(38,0) integer, so the bound is exact by construction
+    * rather than by both engines rounding identically. Use Profile's
+    * when the caller chooses z; use this one in hash-gated ranking
+    * pipelines. With z = 49/25 the bound
     *   lb = (w + z²/2 − z·√(w(n−w)/n + z²/4)) / (n + z²)
     * clears denominators to
     *   lb_e6 = (1250·n·w + 2401·n − 49·isqrt(n·(2500·w·(n−w) + 2401·n)))

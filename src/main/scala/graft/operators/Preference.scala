@@ -412,4 +412,106 @@ object Preference {
     items.unpersist()
     out
   }
+
+  /** Bradley–Terry with ties — the Rao–Kupper model (Rao & Kupper
+    * 1967) at a FIXED tie threshold θ > 1, fit by Hunter 2004's MM
+    * (§5): P(i beats j) = r_i/(r_i + θr_j), P(tie) follows from the
+    * threshold. Preference corpora with "both responses equal" labels
+    * need this — dropping ties biases ratings toward items that duel
+    * decisive opponents. θ stays a caller-fixed rational (estimating
+    * it adds a non-integer root; at fixed θ the MM update keeps the
+    * [[bradleyTerryE6]] shape exactly):
+    *
+    *   r_i ← (W_i + T_i) div Σ_j [ (w_ij + t_ij)/(r_i + θr_j)
+    *                             + θ(w_ji + t_ij)/(r_j + θr_i) ]
+    *
+    * in the same e6/e12 fixed point, θ applied as θr = θ_e6·r div 1e6.
+    * The per-ITEM denominator sums ride DECIMAL(38,0) (the oracle's
+    * HUGEINT), so unlike [[bradleyTerryE6]]'s documented bound an
+    * item's total comparison mass is unbounded; the remaining LONG
+    * contract is per-PAIR — a single unordered pair needs < ~9e6
+    * duels while both ratings sit at the clamp (the two-term side sum
+    * is ≤ n·1e12 div 2), far beyond any real duplicate-duel count. Same per-round eager
+    * localCheckpoint (max-renorm broadcast subquery chain), same ≥1
+    * clamps, same synchronous rounds.
+    *
+    * Scale shape: duels collapse once to unordered-pair sufficient
+    * statistics (w_ab, w_ba, t_ab); each round is one join + one
+    * partial-sum aggregate over |pairs| rows.
+    *
+    * Output: (item, rating_e6, wins, ties, comparisons); `outcome` is
+    * +1 (a wins), −1 (b wins), or 0 (tie). */
+  def bradleyTerryTiesE6(duels: DataFrame, itemA: Column, itemB: Column,
+      outcome: Column, thetaE6: Long, iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 16)
+    require(thetaE6 > 1000000L && thetaE6 <= 100000000L,
+      s"thetaE6=$thetaE6 must be in (1e6, 1e8] — Rao–Kupper needs θ > 1")
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cmp = duels
+      .select(itemA.as("x"), itemB.as("y"), outcome.cast("int").as("o"))
+      .where(col("x").isNotNull && col("y").isNotNull &&
+        col("x") =!= col("y") && col("o").isin(1, -1, 0))
+    // unordered-pair sufficient statistics: a < b, a's wins / b's wins /
+    // ties — the only pass over raw duels
+    val und = cmp
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"),
+        // outcome re-expressed relative to the (a, b) ordering
+        when(col("o") === 0, lit(0))
+          .when((col("x") < col("y")) === (col("o") === 1), lit(1))
+          .otherwise(lit(-1)).as("oa"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(when(col("oa") === 1, 1L).otherwise(0L)).as("wab"),
+        sum(when(col("oa") === -1, 1L).otherwise(0L)).as("wba"),
+        sum(when(col("oa") === 0, 1L).otherwise(0L)).as("tab"))
+      .persist(mem)
+    val side = und.select(col("a").as("id"), col("wab").as("w"),
+        col("tab").as("t"), (col("wab") + col("wba") + col("tab")).as("n"))
+      .unionByName(und.select(col("b").as("id"), col("wba").as("w"),
+        col("tab").as("t"), (col("wab") + col("wba") + col("tab")).as("n")))
+    val items = side.groupBy(col("id"))
+      .agg(sum(col("w")).as("wins"), sum(col("t")).as("ties"),
+        sum(col("n")).as("comparisons"))
+      .persist(mem)
+    var r = items.select(col("id"), lit(1000000L).as("r"))
+    for (_ <- 1 to iterations) {
+      val terms = und
+        .join(r.select(col("id").as("a"), col("r").as("ra")), "a")
+        .join(r.select(col("id").as("b"), col("r").as("rb")), "b")
+        // θ-scaled opposing ratings; DECIMAL(38,0) term pair so heavy
+        // pairs can't wrap (HUGEINT replays exactly)
+        .withColumn("tra", expr(s"$thetaE6 * ra div 1000000"))
+        .withColumn("trb", expr(s"$thetaE6 * rb div 1000000"))
+        .withColumn("da", expr(
+          s"""CAST(wab + tab AS DECIMAL(38,0)) * 1000000000000
+             |  div (ra + trb)
+             |+ CAST(wba + tab AS DECIMAL(38,0)) * $thetaE6 * 1000000
+             |  div (rb + tra)""".stripMargin))
+        .withColumn("db", expr(
+          s"""CAST(wba + tab AS DECIMAL(38,0)) * 1000000000000
+             |  div (rb + tra)
+             |+ CAST(wab + tab AS DECIMAL(38,0)) * $thetaE6 * 1000000
+             |  div (ra + trb)""".stripMargin))
+      val denom = terms.select(col("a").as("id"), col("da").as("d"))
+        .unionByName(terms.select(col("b").as("id"), col("db").as("d")))
+        .groupBy(col("id"))
+        .agg(sum(col("d").cast("decimal(38,0)")).as("dd"))
+      val raw = items.join(denom, Seq("id"))
+        .select(col("id"), greatest(lit(1L),
+          expr("CAST(CAST(wins + ties AS DECIMAL(38,0)) * 1000000000000" +
+            " div dd AS BIGINT)")).as("r"))
+      val m = raw.agg(max(col("r")).as("m"))
+      r = raw.crossJoin(broadcast(m))
+        .select(col("id"),
+          greatest(lit(1L), expr("r * 1000000 div m")).as("r"))
+        .localCheckpoint(true)
+    }
+    val out = items.join(r, Seq("id"))
+      .select(col("id").as("item"), col("r").as("rating_e6"),
+        col("wins"), col("ties"), col("comparisons"))
+      .localCheckpoint(true)
+    und.unpersist()
+    items.unpersist()
+    out
+  }
 }

@@ -126,7 +126,10 @@ object Profile {
     * n ≤ 10⁹ the products stay inside int64 — callers at larger scale
     * drop to the e3 scale, not to doubles. */
   /** Per-group pass-rate with a Wilson-score LOWER confidence bound
-    * (Wilson 1927; the Agresti–Coull-recommended interval) — the
+    * (Wilson 1927; the Agresti–Coull-recommended interval; see
+    * [[EvalCurves.wilsonLowerBoundE6]] for the z = 1.96-only sibling
+    * that trades the arbitrary-z parameter for fully integer-exact
+    * arithmetic) — the
     * statistically honest quality gate: a source passing 9/10 docs and
     * one passing 900/1000 share p̂ = 0.9 but NOT the same evidence; the
     * Wilson bound separates them, and gating on the bound instead of the
@@ -350,10 +353,48 @@ object Profile {
     * one result. NULL Y counts as a distinct value (a NULL among
     * non-NULLs is a real single-valuedness break for downstream use).
     */
+  /** ANALYZE-style per-column statistics in ONE input scan — the
+    * CBO-statistics collection every warehouse exposes (`ANALYZE TABLE
+    * … COMPUTE STATISTICS FOR COLUMNS`): row count, null count, exact
+    * NDV, min and max (stringified for type-generality) per column.
+    *
+    * Plan shape: a single wide aggregate row (count + per-column
+    * null-sum/count_distinct/min/max); the multiple DISTINCT aggregates
+    * make Catalyst plan one Expand over the scan — still ONE pass over
+    * the data, widened |cols|× in flight, which is the exact-NDV price.
+    * At corpus scale pass `exact = false` to swap in
+    * approx_count_distinct (HLL++, no Expand) — same output schema,
+    * ndv becomes an estimate. The wide row is eagerly checkpointed
+    * before the stack() unpivot so the scan runs once, not per column.
+    *
+    * min/max cast to string AT THE AGGREGATE's input (order is still
+    * the column's native order — the cast happens after min/max). */
+  def columnStats(df: DataFrame, cols: Seq[String],
+      exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "columnStats: need at least one column")
+    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        (if (exact) count_distinct(col(c))
+         else approx_count_distinct(col(c))).as(s"__ndv_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+    val stackArgs = cols
+      .map(c => s"'$c', __nulls_$c, __ndv_$c, __min_$c, __max_$c")
+      .mkString(", ")
+    wide.selectExpr("__n AS n_rows",
+        s"stack(${cols.size}, $stackArgs) AS " +
+          "(col_name, n_nulls, ndv, min_val, max_val)")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("ndv"),
+        col("min_val"), col("max_val"))
+  }
+
   def fdAudit(df: DataFrame, candidates: Seq[(String, String)]): DataFrame =
     candidates.map { case (lhs, rhs) =>
       df.select(col(lhs).cast("string").as("__x"),
-          coalesce(col(rhs).cast("string"), lit(" NULL")).as("__y"))
+          coalesce(col(rhs).cast("string"), lit("\u0000NULL")).as("__y"))
         .groupBy(col("__x"))
         .agg(count_distinct(col("__y")).as("__ny"))
         .agg(count(lit(1)).as("n_groups"),

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter 1969;
+  * the model behind every production entity-resolution system —
+  * Splink, dedupe.io, the Census Bureau matchers).
+  *
+  * Where [[FuzzyJoin]] (q92) finds candidate pairs by string
+  * similarity, this scores BLOCKED candidate pairs by evidence: each
+  * field's agreement contributes the log-likelihood ratio
+  * ln(m/u) (agree) or ln((1−m)/(1−u)) (disagree), where m =
+  * P(agree | same entity) is a caller-supplied prior and u =
+  * P(agree | different entities) is estimated from the data itself —
+  * the classic frequency identity u = Σ_v (f_v/n)², the probability
+  * two random records agree on the field. High total score → link,
+  * low → non-link, the middle band → clerical review.
+  *
+  * Exactness: u lands as exact ppm (Σ f_v² · 1e6 div n², DECIMAL(38,0)
+  * products); each weight is ONE pinned double pipeline
+  * round(ln(·)·1e6) on those integers (the [[Preference]] /
+  * Dawid–Skene rule: integer-rounded BEFORE summation, so per-pair
+  * scores are exact LONG sums both engines replay). u clamps to
+  * [1, 999999] ppm so both log arguments stay finite.
+  *
+  * NULL semantics: a NULL key never agrees (Spark `===` is
+  * null-rejecting and the CASE falls to the disagreement weight) —
+  * the standard conservative choice when a missing-value γ state
+  * isn't modeled.
+  *
+  * Scale shape: pairs come ONLY from the equi-join on `blockCols`
+  * (never all-pairs — blocking is the caller's cardinality lever);
+  * the u estimates are per-field value-frequency aggregates (map-side
+  * combined) collapsed to ONE broadcast row; scoring is a codegen'd
+  * scalar expression over the joined stream. Skewed blocks are
+  * ordinary join skew — AQE's skew-join split applies.
+  *
+  * Output: (id_a, id_b, score_e6, n_agree) per blocked pair. */
+object RecordLinkage {
+
+  def fellegiSunterScores(a: DataFrame, b: DataFrame, idCol: String,
+      blockCols: Seq[String], fields: Seq[(String, Long)]): DataFrame = {
+    require(blockCols.nonEmpty, "fellegiSunter: blocking keys required")
+    require(fields.nonEmpty, "fellegiSunter: at least one field")
+    fields.foreach { case (f, m) =>
+      require(m > 0L && m < 1000000L, s"m_ppm for $f must be in (0, 1e6)")
+    }
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val names = idCol +: (blockCols ++ fields.map(_._1))
+    val bKeep = b.select(names.map(col): _*).persist(mem)
+    // one exact-ppm u per field: Σ f_v²·1e6 div n², clamped into
+    // (0, 1) open interval so both log arguments stay finite
+    val uRow = fields.map { case (f, _) =>
+      bKeep.where(col(f).isNotNull)
+        .groupBy(col(f)).agg(count(lit(1)).as("c"))
+        .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("s2"))
+        .crossJoin(bKeep.agg(count(lit(1)).as("nb")))
+        .select(greatest(least(coalesce(
+          expr("CAST(s2 * 1000000 div (CAST(nb AS DECIMAL(38,0)) * nb)" +
+            " AS BIGINT)"), lit(1L)), lit(999999L)), lit(1L))
+          .as(s"__u_$f"))
+    }.reduce(_ crossJoin _).localCheckpoint(true)
+    // the persist amortizes b across the |fields|+1 u aggregates, all
+    // materialized by the eager checkpoint above; the pair join below
+    // re-reads the source instead of holding the cache for the
+    // caller's lifetime (the bradleyTerryE6 unpersist discipline)
+    bKeep.unpersist()
+    val aa = a.select((col(idCol).as("id_a") +: blockCols.map(col)) ++
+      fields.map { case (f, _) => col(f).as(s"__a_$f") }: _*)
+    val bb = bKeep.select((col(idCol).as("id_b") +: blockCols.map(col)) ++
+      fields.map { case (f, _) => col(f).as(s"__b_$f") }: _*)
+    def wAgree(f: String, m: Long): Column = expr(
+      s"CAST(round(ln(CAST($m AS DOUBLE) / CAST(__u_$f AS DOUBLE))" +
+        " * 1000000.0) AS BIGINT)")
+    def wDisagree(f: String, m: Long): Column = expr(
+      s"CAST(round(ln((1000000.0 - $m) / (1000000.0 - __u_$f))" +
+        " * 1000000.0) AS BIGINT)")
+    val agree = (f: String) => col(s"__a_$f") === col(s"__b_$f")
+    val out = aa.join(bb, blockCols)
+      .crossJoin(broadcast(uRow))
+      .withColumn("score_e6", fields.map { case (f, m) =>
+        when(agree(f), wAgree(f, m)).otherwise(wDisagree(f, m))
+      }.reduce(_ + _))
+      .withColumn("n_agree", fields.map { case (f, _) =>
+        when(agree(f), 1L).otherwise(0L)
+      }.reduce(_ + _))
+      .select(col("id_a"), col("id_b"), col("score_e6"), col("n_agree"))
+    out
+  }
+}

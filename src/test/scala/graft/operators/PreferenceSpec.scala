@@ -254,4 +254,48 @@ class PreferenceSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 2L)) // only the one real comparison's items
   }
+
+  private def tiesRatings(rows: Seq[(Long, Long, Int)], iters: Int = 3) =
+    Preference.bradleyTerryTiesE6(rows.toDF("a", "b", "o"), col("a"),
+        col("b"), col("o"), thetaE6 = 1250000L, iterations = iters)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+
+  test("btTies: an all-tie corpus lands every item at the same rating") {
+    val got = tiesRatings(Seq((1L, 2L, 0), (2L, 3L, 0), (1L, 3L, 0)))
+    assert(got.values.map(_._1).toSet.size == 1)
+    assert(got(1L)._1 == 1000000L)
+    assert(got(1L)._3 == 2L && got(1L)._2 == 0L) // ties=2, wins=0
+  }
+
+  test("btTies: dominance survives ties; stats count all three kinds") {
+    // A beats B twice, ties B once; B beats C twice
+    val got = tiesRatings(Seq((1L, 2L, 1), (1L, 2L, 1), (1L, 2L, 0),
+      (2L, 3L, 1), (2L, 3L, 1)))
+    val (ra, rb, rc) = (got(1L)._1, got(2L)._1, got(3L)._1)
+    assert(ra > rb && rb > rc, s"A=$ra B=$rb C=$rc")
+    assert(ra == 1000000L)
+    assert(got(1L) == ((ra, 2L, 1L, 3L))) // wins=2 ties=1 comparisons=3
+    assert(got(2L) == ((rb, 2L, 1L, 5L)))
+    assert(got(3L) == ((rc, 0L, 0L, 2L)))
+  }
+
+  test("btTies: invariant to duel orientation and partitioning") {
+    val rows = (0 until 400).map { i =>
+      val a = (i * 7919L) % 11; val b = (i * 104729L) % 11
+      val o = (i % 5) match { case 0 => 0; case 1 | 2 => 1; case _ => -1 }
+      if (a == b) ((a + 1) % 11, b, o) else (a, b, o)
+    }
+    val flipped = rows.map { case (a, b, o) => (b, a, -o) }
+    val one = Preference.bradleyTerryTiesE6(rows.toDF("a", "b", "o")
+        .repartition(1), col("a"), col("b"), col("o"), 1250000L, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val many = Preference.bradleyTerryTiesE6(
+        flipped.reverse.toDF("a", "b", "o").repartition(13),
+        col("a"), col("b"), col("o"), 1250000L, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == many)
+  }
 }

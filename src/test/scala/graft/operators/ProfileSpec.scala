@@ -244,4 +244,26 @@ class ProfileSpec extends SparkSpec {
     val id = Profile.cohenKappa(rows.toDF("a", "b"), col("a"), col("a")).head()
     assert(id.getDecimal(3) == id.getDecimal(4))
   }
+
+  test("columnStats: one-scan ANALYZE stats are exact, nulls and NDV included") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), Some("b")),
+      (Some(2L), None), (None, Some("b"))
+    ).toDF("k", "v")
+    val got = Profile.columnStats(df, Seq("k", "v"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.getString(4)), Option(r.getString(5)))))
+      .toMap
+    assert(got("k") == ((4L, 1L, 2L, Some("1"), Some("2"))))
+    assert(got("v") == ((4L, 1L, 2L, Some("a"), Some("b"))))
+  }
+
+  test("columnStats: all-null column yields ndv 0 and null min/max") {
+    val df = Seq((1, Option.empty[String]), (2, None)).toDF("k", "v")
+    val got = Profile.columnStats(df, Seq("v")).collect().head
+    assert(got.getLong(1) == 2L && got.getLong(2) == 2L &&
+      got.getLong(3) == 0L && got.isNullAt(4) && got.isNullAt(5))
+  }
 }
