@@ -5056,7 +5056,7 @@ object SparkEntry {
     "q340_pass_at_k" -> ((s, dir) =>
       decStr(operators.EvalCurves.passAtKCurve(
         t(s, dir, "lineitem"), col("l_orderkey"),
-        col("l_returnflag") === "R", ks = Seq(1, 2, 3), maxN = 16))),
+        col("l_returnflag") === "R", ks = Seq(1, 2, 3), maxN = 64))),
 
     // Unbiased best-of-n reward curve (WebGPT app. I order-statistics
     // estimator): prompt = order, reward = line price in cents, tie =
@@ -5066,7 +5066,7 @@ object SparkEntry {
       decStr(operators.EvalCurves.bestOfNCurve(
         t(s, dir, "lineitem"), col("l_orderkey"),
         cents(col("l_extendedprice")), col("l_linenumber"),
-        ns = Seq(1, 2, 3), maxN = 16))),
+        ns = Seq(1, 2, 3), maxN = 64))),
 
     // Wilson lower-bound win-rate ranking (z = 49/25 = 1.96): per
     // supplier, wins = returned lines; the bound in cleared-denominator

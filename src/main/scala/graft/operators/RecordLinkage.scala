@@ -51,6 +51,16 @@ object RecordLinkage {
     val bKeep = b.select(names.map(col): _*).persist(mem)
     // one exact-ppm u per field: Σ f_v²·1e6 div n², clamped into
     // (0, 1) open interval so both log arguments stay finite
+    def wAgree(f: String, m: Long): Column = expr(
+      s"CAST(round(ln(CAST($m AS DOUBLE) / CAST(__u_$f AS DOUBLE))" +
+        " * 1000000.0) AS BIGINT)")
+    def wDisagree(f: String, m: Long): Column = expr(
+      s"CAST(round(ln((1000000.0 - $m) / (1000000.0 - __u_$f))" +
+        " * 1000000.0) AS BIGINT)")
+    // weights are per-FIELD constants — computed here on the one-row
+    // frame, never per pair (Spark's round(double) rides BigDecimal;
+    // evaluating 6 of them per blocked pair measured 44 s at sf0.1 vs
+    // <1 s as broadcast columns)
     val uRow = fields.map { case (f, _) =>
       bKeep.where(col(f).isNotNull)
         .groupBy(col(f)).agg(count(lit(1)).as("c"))
@@ -60,7 +70,12 @@ object RecordLinkage {
           expr("CAST(s2 * 1000000 div (CAST(nb AS DECIMAL(38,0)) * nb)" +
             " AS BIGINT)"), lit(1L)), lit(999999L)), lit(1L))
           .as(s"__u_$f"))
-    }.reduce(_ crossJoin _).localCheckpoint(true)
+    }.reduce(_ crossJoin _)
+      .select(fields.flatMap { case (f, m) =>
+        Seq(col(s"__u_$f"), wAgree(f, m).as(s"__wa_$f"),
+          wDisagree(f, m).as(s"__wd_$f"))
+      }: _*)
+      .localCheckpoint(true)
     // the persist amortizes b across the |fields|+1 u aggregates, all
     // materialized by the eager checkpoint above; the pair join below
     // re-reads the source instead of holding the cache for the
@@ -70,17 +85,11 @@ object RecordLinkage {
       fields.map { case (f, _) => col(f).as(s"__a_$f") }: _*)
     val bb = bKeep.select((col(idCol).as("id_b") +: blockCols.map(col)) ++
       fields.map { case (f, _) => col(f).as(s"__b_$f") }: _*)
-    def wAgree(f: String, m: Long): Column = expr(
-      s"CAST(round(ln(CAST($m AS DOUBLE) / CAST(__u_$f AS DOUBLE))" +
-        " * 1000000.0) AS BIGINT)")
-    def wDisagree(f: String, m: Long): Column = expr(
-      s"CAST(round(ln((1000000.0 - $m) / (1000000.0 - __u_$f))" +
-        " * 1000000.0) AS BIGINT)")
     val agree = (f: String) => col(s"__a_$f") === col(s"__b_$f")
     val out = aa.join(bb, blockCols)
       .crossJoin(broadcast(uRow))
-      .withColumn("score_e6", fields.map { case (f, m) =>
-        when(agree(f), wAgree(f, m)).otherwise(wDisagree(f, m))
+      .withColumn("score_e6", fields.map { case (f, _) =>
+        when(agree(f), col(s"__wa_$f")).otherwise(col(s"__wd_$f"))
       }.reduce(_ + _))
       .withColumn("n_agree", fields.map { case (f, _) =>
         when(agree(f), 1L).otherwise(0L)
