@@ -41,6 +41,30 @@ object SparkEntry {
 
   private def cents(c: Column): Column = ContentMetrics.cents(c)
 
+  /** Shared record-linkage fixture (q343/q346/q347): customers vs a
+    * deterministically perturbed copy — typo'd names (every 11th),
+    * shifted balances (±1800 cents by key), corrupted segments (every
+    * 5th) — blocked on nation. */
+  private def q343Sides(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val c = t(s, dir, "customer")
+    val aSide = c.select(col("c_custkey").as("rid"),
+      col("c_nationkey").as("blk"),
+      lower(col("c_name")).as("k_name"),
+      expr("CAST(round(c_acctbal*100) AS BIGINT) div 10000").as("k_bal"),
+      col("c_mktsegment").as("k_seg"))
+    val bSide = c.select(col("c_custkey").as("rid"),
+      col("c_nationkey").as("blk"),
+      when(col("c_custkey") % 11 === 0,
+        concat(lower(col("c_name")), lit("x")))
+        .otherwise(lower(col("c_name"))).as("k_name"),
+      expr("(CAST(round(c_acctbal*100) AS BIGINT)" +
+        " + (c_custkey % 7 - 3) * 600) div 10000").as("k_bal"),
+      when(col("c_custkey") % 5 === 0, lit("UNKNOWN"))
+        .otherwise(col("c_mktsegment")).as("k_seg"))
+    (aSide, bSide)
+  }
+
   /** Emit DECIMAL output columns as exact integer STRINGS at the gate
     * boundary. DECIMAL(38,0) is the right type for the quadratic rank/
     * covariance forms INSIDE the operators (they exceed LONG at SF≥1),
@@ -5083,21 +5107,7 @@ object SparkEntry {
     // pinned-ln integer weights, score histogram with true-pair counts
     // (id equality) showing the match/non-match separation.
     "q343_record_linkage" -> ((s, dir) => {
-      val c = t(s, dir, "customer")
-      val aSide = c.select(col("c_custkey").as("rid"),
-        col("c_nationkey").as("blk"),
-        lower(col("c_name")).as("k_name"),
-        expr("CAST(round(c_acctbal*100) AS BIGINT) div 10000").as("k_bal"),
-        col("c_mktsegment").as("k_seg"))
-      val bSide = c.select(col("c_custkey").as("rid"),
-        col("c_nationkey").as("blk"),
-        when(col("c_custkey") % 11 === 0,
-          concat(lower(col("c_name")), lit("x")))
-          .otherwise(lower(col("c_name"))).as("k_name"),
-        expr("(CAST(round(c_acctbal*100) AS BIGINT)" +
-          " + (c_custkey % 7 - 3) * 600) div 10000").as("k_bal"),
-        when(col("c_custkey") % 5 === 0, lit("UNKNOWN"))
-          .otherwise(col("c_mktsegment")).as("k_seg"))
+      val (aSide, bSide) = q343Sides(s, dir)
       operators.RecordLinkage.fellegiSunterScores(aSide, bSide, "rid",
           Seq("blk"),
           Seq(("k_name", 900000L), ("k_bal", 850000L), ("k_seg", 800000L)))
@@ -5109,6 +5119,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(col("id_a") === col("id_b"), 1L).otherwise(0L))
             .as("n_true"))
+    }),
+
+    // Unsupervised FS parameter fitting: hard EM over the agreement-
+    // pattern histogram (ONE blocked-join pass; the 2^3-row pattern
+    // frame carries all rounds). Starts from a deliberately-wrong
+    // uniform m = 0.8 and recovers each field's linked-agreement rate.
+    "q346_linkage_em" -> ((s, dir) => {
+      val (aSide, bSide) = q343Sides(s, dir)
+      operators.RecordLinkage.fellegiSunterEmM(aSide, bSide, "rid",
+        Seq("blk"),
+        Seq(("k_name", 800000L), ("k_bal", 800000L), ("k_seg", 800000L)),
+        thresholdE6 = 0L, rounds = 2)
+    }),
+
+    // Entity consolidation: FS links above threshold → undirected match
+    // graph → alternating large-star/small-star components (q328's CC)
+    // → cluster-size census. The linkage-to-golden-record step every
+    // MDM pipeline runs after scoring.
+    "q347_link_clusters" -> ((s, dir) => {
+      val (aSide, bSide) = q343Sides(s, dir)
+      val scored = operators.RecordLinkage.fellegiSunterScores(
+        aSide, bSide, "rid", Seq("blk"),
+        Seq(("k_name", 900000L), ("k_bal", 850000L), ("k_seg", 800000L)))
+      val links = scored
+        .where(col("score_e6") >= 3000000L && col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      operators.Graph.alternatingComponents(links, "id_a", "id_b")
+        .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
     }),
 
     // ANALYZE-style per-column statistics (row count, nulls, exact NDV,
@@ -6470,10 +6509,15 @@ object SparkEntry {
   // q343: the FS pipeline replayed — per-field u as exact ppm off the
   // perturbed side's value frequencies, the same pinned-ln weight
   // pipeline, blocked pairs, offset floor-buckets.
-  private val q343OracleSql: String = {
-    val fields = Seq(("k_name", 900000L), ("k_bal", 850000L),
-      ("k_seg", 800000L))
-    val uCtes = fields.map { case (f, _) =>
+  private val linkFields = Seq("k_name", "k_bal", "k_seg")
+
+  private val linkPriors = Seq(("k_name", 900000L), ("k_bal", 850000L),
+    ("k_seg", 800000L))
+
+  /** Shared q343/q346/q347 oracle base: the two customer projections
+    * and the per-field exact-ppm u CTEs. */
+  private val linkBaseCtes: String = {
+    val uCtes = linkFields.map { f =>
       s"""u_$f AS (SELECT greatest(least(coalesce(
          |  CAST(sum(CAST(c AS HUGEINT) * c) * 1000000
          |    // (SELECT CAST(count(*) AS HUGEINT) * count(*) FROM cb)
@@ -6481,16 +6525,7 @@ object SparkEntry {
          | FROM (SELECT count(*) AS c FROM cb WHERE $f IS NOT NULL
          |   GROUP BY $f))""".stripMargin
     }.mkString(",\n")
-    val wCols = fields.map { case (f, m) =>
-      s"""CAST(round(ln(CAST($m AS DOUBLE) / CAST(u_$f.u AS DOUBLE))
-         |   * 1000000.0) AS BIGINT) AS wa_$f,
-         | CAST(round(ln((1000000.0 - $m) / (1000000.0 - u_$f.u))
-         |   * 1000000.0) AS BIGINT) AS wd_$f""".stripMargin
-    }.mkString(",\n ")
-    val scoreSum = fields.map { case (f, _) =>
-      s"CASE WHEN a.$f = b.$f THEN wa_$f ELSE wd_$f END"
-    }.mkString(" + ")
-    s"""WITH ca AS (SELECT c_custkey AS rid, c_nationkey AS blk,
+    s"""ca AS (SELECT c_custkey AS rid, c_nationkey AS blk,
        |  lower(c_name) AS k_name,
        |  CAST(round(c_acctbal*100) AS BIGINT) // 10000 AS k_bal,
        |  c_mktsegment AS k_seg FROM customer),
@@ -6501,17 +6536,101 @@ object SparkEntry {
        |   + (c_custkey % 7 - 3) * 600) // 10000 AS k_bal,
        |  CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN'
        |   ELSE c_mktsegment END AS k_seg FROM customer),
-       |$uCtes,
-       |w AS (SELECT $wCols FROM u_k_name, u_k_bal, u_k_seg),
+       |$uCtes""".stripMargin
+  }
+
+  /** w (weight row from the fixed priors) + p (scored pairs). */
+  private val linkScoredCtes: String = {
+    val wCols = linkPriors.map { case (f, m) =>
+      s"""CAST(round(ln(CAST($m AS DOUBLE) / CAST(u_$f.u AS DOUBLE))
+         |   * 1000000.0) AS BIGINT) AS wa_$f,
+         | CAST(round(ln((1000000.0 - $m) / (1000000.0 - u_$f.u))
+         |   * 1000000.0) AS BIGINT) AS wd_$f""".stripMargin
+    }.mkString(",\n ")
+    val scoreSum = linkFields.map { f =>
+      s"CASE WHEN a.$f = b.$f THEN wa_$f ELSE wd_$f END"
+    }.mkString(" + ")
+    s"""w AS (SELECT $wCols FROM u_k_name, u_k_bal, u_k_seg),
        |p AS (SELECT a.rid AS id_a, b.rid AS id_b,
        |  ($scoreSum) AS score_e6
-       | FROM ca a JOIN cb b ON a.blk = b.blk, w)
+       | FROM ca a JOIN cb b ON a.blk = b.blk, w)""".stripMargin
+  }
+
+  private val q343OracleSql: String =
+    s"""WITH $linkBaseCtes,
+       |$linkScoredCtes
        |SELECT (score_e6 + 1024000000) // 1000000 - 1024 AS bucket,
        | count(*) AS n_pairs,
        | CAST(sum(CASE WHEN id_a = id_b THEN 1 ELSE 0 END) AS BIGINT)
        |   AS n_true
        |FROM p GROUP BY 1""".stripMargin
+
+  // q346: the pattern histogram once, then both hard-EM rounds
+  // unrolled — weight row per round from the previous m state, linked
+  // classification, Laplace-exact m update.
+  private val q346OracleSql: String = {
+    val gCols = linkFields.map(f =>
+      s"CASE WHEN a.$f = b.$f THEN 1 ELSE 0 END AS g_$f").mkString(",\n  ")
+    def wCte(name: String, mFrom: String, mCol: String => String) =
+      s"""$name AS (SELECT ${linkFields.map { f =>
+        s"""CAST(round(ln(CAST(${mCol(f)} AS DOUBLE)
+           |    / CAST(u_$f.u AS DOUBLE)) * 1000000.0) AS BIGINT)
+           |   AS wa_$f,
+           | CAST(round(ln((1000000.0 - ${mCol(f)})
+           |    / (1000000.0 - u_$f.u)) * 1000000.0) AS BIGINT)
+           |   AS wd_$f""".stripMargin
+      }.mkString(",\n ")}
+         | FROM $mFrom, u_k_name, u_k_bal, u_k_seg)""".stripMargin
+    val score = linkFields.map(f =>
+      s"CASE WHEN g_$f = 1 THEN wa_$f ELSE wd_$f END").mkString(" + ")
+    def mCte(name: String, wFrom: String) =
+      s"""$name AS (SELECT ${linkFields.map { f =>
+        s"""greatest(least((coalesce(sum(cnt * g_$f), 0) + 1) * 1000000
+           |   // (coalesce(sum(cnt), 0) + 2), 999999), 1) AS m_$f"""
+          .stripMargin
+      }.mkString(",\n ")}
+         | FROM pat, $wFrom WHERE ($score) >= 0)""".stripMargin
+    s"""WITH $linkBaseCtes,
+       |pat AS (SELECT g_k_name, g_k_bal, g_k_seg, count(*) AS cnt
+       | FROM (SELECT
+       |  $gCols
+       |  FROM ca a JOIN cb b ON a.blk = b.blk) GROUP BY 1, 2, 3),
+       |m0 AS (SELECT ${linkFields.map(f => s"800000 AS m_$f")
+        .mkString(", ")}),
+       |${wCte("w1", "m0", f => s"m_$f")},
+       |${mCte("m1", "w1")},
+       |${wCte("w2", "m1", f => s"m_$f")},
+       |${mCte("m2", "w2")},
+       |${wCte("wf", "m2", f => s"m_$f")},
+       |lf AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS nl
+       | FROM pat, wf WHERE ($score) >= 0)
+       |${linkFields.map { f =>
+        s"""SELECT '$f' AS field, CAST(m_$f AS BIGINT) AS m_ppm,
+           | u_$f.u AS u_ppm, wa_$f AS wa_e6, wd_$f AS wd_e6,
+           | nl AS n_linked
+           |FROM m2, u_$f, wf, lf""".stripMargin
+      }.mkString("\nUNION ALL ")}""".stripMargin
   }
+
+  // q347: scored pairs → thresholded undirected edges → recursive
+  // transitive closure (clusters are tiny by construction) →
+  // min-labeled components → size census.
+  private val q347OracleSql: String =
+    s"""WITH RECURSIVE $linkBaseCtes,
+       |$linkScoredCtes,
+       |e AS (SELECT id_a AS a, id_b AS b FROM p
+       |  WHERE score_e6 >= 3000000 AND id_a <> id_b
+       | UNION SELECT id_b, id_a FROM p
+       |  WHERE score_e6 >= 3000000 AND id_a <> id_b),
+       |reach(src, dst) AS (
+       | SELECT a, a FROM e
+       | UNION
+       | SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst),
+       |comp AS (SELECT src AS node, min(dst) AS component
+       | FROM reach GROUP BY src),
+       |szc AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1)
+       |SELECT sz, count(*) AS n_clusters FROM szc GROUP BY 1"""
+      .stripMargin
 
   // q345: one UNION ALL branch per column over the cents-projected
   // base — count/nulls/exact-NDV/min/max with VARCHAR casts mirroring
@@ -13152,6 +13271,10 @@ object SparkEntry {
     "q344_bt_ties" -> q344OracleSql,
 
     "q343_record_linkage" -> q343OracleSql,
+
+    "q346_linkage_em" -> q346OracleSql,
+
+    "q347_link_clusters" -> q347OracleSql,
 
     "q345_analyze" -> q345OracleSql,
 
