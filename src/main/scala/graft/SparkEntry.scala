@@ -5121,6 +5121,49 @@ object SparkEntry {
             .as("n_true"))
     }),
 
+    // Aggregate elimination on a declared-unique grouping key
+    // (AggregateEliminationRewrite): GROUP BY the orders PK makes every
+    // group one row, so the whole hash-aggregate exchange rewrites to a
+    // Project (sum→cast, count→1/null-test, avg widens). The oracle
+    // RUNS the aggregation — parity proves elimination is invisible.
+    "q348_agg_elim" -> ((s, dir) => {
+      if (!s.experimental.extraOptimizations
+          .contains(plans.AggregateEliminationRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+
+            plans.AggregateEliminationRewrite
+      plans.ConstraintRegistry.declareUnique("/orders.parquet",
+        "o_orderkey")
+      t(s, dir, "orders")
+        .groupBy(col("o_orderkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("cents"),
+          count(lit(1)).as("n"),
+          max(col("o_orderpriority")).as("prio"))
+    }),
+
+    // Contradiction folding from a declared CHECK range
+    // (RangeContradictionRewrite): l_linenumber is declared [1, 7], so
+    // the `> 50` branch folds to an empty LocalRelation before any
+    // storage is touched (Catalyst's empty propagation then collapses
+    // the aggregate to its one empty-count row); the satisfiable branch
+    // scans normally. The oracle runs both branches for real.
+    "q349_range_prune" -> ((s, dir) => {
+      if (!s.experimental.extraOptimizations
+          .contains(plans.RangeContradictionRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+
+            plans.RangeContradictionRewrite
+      plans.ConstraintRegistry.declareRange("/lineitem.parquet",
+        "l_linenumber", 1L, 7L)
+      val impossible = t(s, dir, "lineitem")
+        .where(col("l_linenumber") > 50)
+        .agg(count(lit(1)).as("impossible_n"))
+      t(s, dir, "lineitem").where(col("l_linenumber") <= 2)
+        .groupBy(col("l_returnflag").as("rf"))
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(impossible))
+    }),
+
     // Unsupervised FS parameter fitting: hard EM over the agreement-
     // pattern histogram (ONE blocked-join pass; the 2^3-row pattern
     // frame carries all rounds). Starts from a deliberately-wrong
@@ -13273,6 +13316,23 @@ object SparkEntry {
     "q343_record_linkage" -> q343OracleSql,
 
     "q346_linkage_em" -> q346OracleSql,
+
+    // q348: the oracle RUNS the aggregation the optimizer deleted.
+    "q348_agg_elim" ->
+      """SELECT o_orderkey,
+        | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |   AS cents,
+        | count(*) AS n,
+        | max(o_orderpriority) AS prio
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // q349: both branches run for real in DuckDB.
+    "q349_range_prune" ->
+      """WITH imp AS (SELECT count(*) AS impossible_n FROM lineitem
+        | WHERE l_linenumber > 50)
+        |SELECT l_returnflag AS rf, count(*) AS n, impossible_n
+        |FROM lineitem, imp WHERE l_linenumber <= 2
+        |GROUP BY 1, 3""".stripMargin,
 
     "q347_link_clusters" -> q347OracleSql,
 

@@ -32,8 +32,26 @@ object ConstraintRegistry {
     * the fact table (TPC-H-style NOT NULL REFERENCES). */
   private val foreignKeys = TrieMap.empty[(String, String), (String, String)]
 
+  /** (location suffix, column) → inclusive [lo, hi] CHECK range the
+    * pipeline owner declares for an integral column (RELY semantics,
+    * like the keys). NULLs are permitted by the declaration — a range
+    * contradiction still folds to empty because NULL fails every
+    * comparison anyway. */
+  private val ranges = TrieMap.empty[(String, String), (Long, Long)]
+
   def declareUnique(pathSuffix: String, col: String): Unit =
     uniqueKeys.put((pathSuffix, col), ())
+
+  def declareRange(pathSuffix: String, col: String, lo: Long, hi: Long)
+      : Unit = {
+    require(lo <= hi, s"declareRange: lo $lo > hi $hi")
+    ranges.put((pathSuffix, col), (lo, hi))
+  }
+
+  def rangeOf(pathSuffix: String, col: String): Option[(Long, Long)] =
+    ranges.collectFirst {
+      case ((s, c), r) if c == col && suffixAtBoundary(pathSuffix, s) => r
+    }
 
   def declareForeignKey(factSuffix: String, fkCol: String,
       dimSuffix: String, pkCol: String): Unit = {
@@ -60,7 +78,9 @@ object ConstraintRegistry {
       case ((s, c), tgt) if c == fkCol && suffixAtBoundary(factSuffix, s) => tgt
     }
 
-  def clear(): Unit = { uniqueKeys.clear(); foreignKeys.clear() }
+  def clear(): Unit = {
+    uniqueKeys.clear(); foreignKeys.clear(); ranges.clear()
+  }
 }
 
 private[plans] object ConstraintPlanUtils {
