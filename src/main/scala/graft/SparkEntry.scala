@@ -5121,6 +5121,28 @@ object SparkEntry {
             .as("n_true"))
     }),
 
+    // Unigram-LM tokenizer training (SentencePiece's model, hard-EM
+    // Viterbi form) — BPE's sibling: seed substring vocabulary with
+    // char coverage, two Viterbi-count EM rounds under pinned-ln e6
+    // log-probs, longer-piece tie-breaks. The oracle unrolls the whole
+    // thing: 8 forward DP positions + 8 backtrack steps per round.
+    "q351_unigram_lm" -> ((s, dir) =>
+      operators.UnigramLm.train(t(s, dir, "documents"), "text",
+        vocabSize = 60, pieceMaxLen = 4, maxWordLen = 8, emRounds = 2)),
+
+    // Deterministic negative sampling (BPR/two-tower training
+    // negatives): per customer, 5 Lehmer-LCG item draws rejected
+    // against the real interaction set — wrap-free modular arithmetic
+    // is the only PRNG both engines replay (Spark wraps LONG overflow
+    // silently, DuckDB raises).
+    "q350_negative_sampling" -> ((s, dir) => {
+      val inter = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("u"), (col("l_partkey") % 1000).as("it"))
+      operators.NegativeSampling.negativeSample(inter, col("u"),
+        col("it"), nItems = 1000L, k = 5, oversample = 4)
+    }),
+
     // Aggregate elimination on a declared-unique grouping key
     // (AggregateEliminationRewrite): GROUP BY the orders PK makes every
     // group one row, so the whole hash-aggregate exchange rewrites to a
@@ -6674,6 +6696,88 @@ object SparkEntry {
        |szc AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1)
        |SELECT sz, count(*) AS n_clusters FROM szc GROUP BY 1"""
       .stripMargin
+
+  // q351: the full unigram-LM hard-EM replayed — seed vocabulary with
+  // the same top-V/char-coverage cut, then per EM round the 8 forward
+  // Viterbi positions (row_number tie-break ≡ Spark's max(struct)) and
+  // 8 backtrack steps, Laplace counts, pinned-ln re-estimation.
+  private val q351OracleSql: String = {
+    val V = 60; val P = 4; val W = 8; val R = 2
+    def fwd(r: Int): String = {
+      val b0 = s"b${r}_0 AS (SELECT word, 0 AS pos," +
+        s" CAST(0 AS BIGINT) AS score, -1 AS bstart FROM wc)"
+      val steps = (1 to W).map { p =>
+        s"""b${r}_$p AS (SELECT * FROM b${r}_${p - 1}
+           | UNION ALL SELECT word, $p AS pos, score, bstart FROM (
+           |  SELECT e.word, b.score + v.lp AS score, e.start AS bstart,
+           |   row_number() OVER (PARTITION BY e.word
+           |     ORDER BY b.score + v.lp DESC, e.start ASC) AS rn
+           |  FROM e JOIN v${r - 1} v ON v.piece = e.piece
+           |   JOIN b${r}_${p - 1} b ON b.word = e.word AND b.pos = e.start
+           |  WHERE e.e_end = $p) q WHERE rn = 1)""".stripMargin
+      }
+      (b0 +: steps).mkString(",\n")
+    }
+    def back(r: Int): String = {
+      val k0 = s"k${r}_0 AS (SELECT word, cnt, length(word) AS pos FROM wc)"
+      val steps = (1 to W).flatMap { j =>
+        Seq(
+          s"""s${r}_$j AS (SELECT k.word, k.cnt,
+             |  substring(k.word, b.bstart + 1, k.pos - b.bstart) AS piece,
+             |  b.bstart AS pos
+             | FROM k${r}_${j - 1} k JOIN b${r}_$W b
+             |  ON b.word = k.word AND b.pos = k.pos
+             | WHERE k.pos > 0)""".stripMargin,
+          s"k${r}_$j AS (SELECT word, cnt, pos FROM s${r}_$j)")
+      }
+      (k0 +: steps).mkString(",\n")
+    }
+    def mv(r: Int): String = {
+      val emits = (1 to W).map(j => s"SELECT piece, cnt FROM s${r}_$j")
+        .mkString(" UNION ALL ")
+      s"""em$r AS ($emits),
+         |c$r AS (SELECT vo.piece, coalesce(e2.s, 0) + 1 AS vcnt
+         | FROM vocab vo LEFT JOIN (SELECT piece, sum(cnt) AS s
+         |   FROM em$r GROUP BY 1) e2
+         |  ON e2.piece = vo.piece),
+         |v$r AS (SELECT piece, CAST(round(ln(CAST(vcnt AS DOUBLE)
+         |   / CAST((SELECT sum(vcnt) FROM c$r) AS DOUBLE)) * 1000000.0)
+         |  AS BIGINT) AS lp FROM c$r)""".stripMargin
+    }
+    val rounds = (1 to R)
+      .map(r => Seq(fwd(r), back(r), mv(r)).mkString(",\n")).mkString(",\n")
+    s"""WITH wc AS (SELECT substring(word, 1, $W) AS word, sum(cnt) AS cnt
+       | FROM (SELECT word, count(*) AS cnt FROM (
+       |   SELECT lower(unnest(regexp_split_to_array(trim(text),
+       |     '[ \t\n\f\r]+'))) AS word FROM documents) z
+       |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1) y
+       | GROUP BY 1),
+       |sub AS (SELECT substring(word, start + 1, l) AS piece,
+       |  sum(cnt) AS scnt
+       | FROM wc, (SELECT unnest(generate_series(0, ${W - 1})) AS start) st,
+       |  (SELECT unnest(generate_series(1, $P)) AS l) ll
+       | WHERE start < length(word) AND l <= length(word) - start
+       | GROUP BY 1),
+       |top AS (SELECT piece, scnt FROM (SELECT piece, scnt,
+       |  row_number() OVER (ORDER BY scnt DESC, piece ASC) AS r FROM sub) q
+       | WHERE r <= $V),
+       |chars AS (SELECT piece, scnt FROM sub WHERE length(piece) = 1),
+       |vocab AS (SELECT piece, max(scnt) AS scnt FROM (
+       |  SELECT * FROM top UNION ALL SELECT * FROM chars) u GROUP BY 1),
+       |v0 AS (SELECT piece, CAST(round(ln(CAST(scnt AS DOUBLE)
+       |   / CAST((SELECT sum(scnt) FROM vocab) AS DOUBLE)) * 1000000.0)
+       |  AS BIGINT) AS lp FROM vocab),
+       |e AS (SELECT word, cnt, start, start + l AS e_end,
+       |  substring(word, start + 1, l) AS piece
+       | FROM wc, (SELECT unnest(generate_series(0, ${W - 1})) AS start) st,
+       |  (SELECT unnest(generate_series(1, $P)) AS l) ll
+       | WHERE start < length(word) AND l <= length(word) - start
+       |  AND substring(word, start + 1, l) IN (SELECT piece FROM vocab)),
+       |$rounds
+       |SELECT c.piece, CAST(c.vcnt - 1 AS BIGINT) AS n_viterbi,
+       | v.lp AS logp_e6
+       |FROM c$R c JOIN v$R v ON v.piece = c.piece""".stripMargin
+  }
 
   // q345: one UNION ALL branch per column over the cents-projected
   // base — count/nulls/exact-NDV/min/max with VARCHAR casts mirroring
@@ -13316,6 +13420,30 @@ object SparkEntry {
     "q343_record_linkage" -> q343OracleSql,
 
     "q346_linkage_em" -> q346OracleSql,
+
+    "q351_unigram_lm" -> q351OracleSql,
+
+    // q350: the Lehmer draw replayed arithmetically; the anti-join as
+    // LEFT JOIN … IS NULL (no NULL keys by construction).
+    "q350_negative_sampling" ->
+      """WITH inter AS (SELECT o_custkey AS "user",
+        |  l_partkey % 1000 AS item
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |u AS (SELECT DISTINCT "user" FROM inter),
+        |cand AS (SELECT "user", slot,
+        |  ((48271 * ((("user" % 2147483647) * 65537 + slot + 1)
+        |    % 2147483647)) % 2147483647) % 1000 AS item
+        | FROM u, (SELECT unnest(generate_series(0, 19)) AS slot)),
+        |neg AS (SELECT c."user", c.item, c.slot FROM cand c
+        | LEFT JOIN (SELECT DISTINCT "user", item FROM inter) i
+        |  ON i."user" = c."user" AND i.item = c.item
+        | WHERE i."user" IS NULL),
+        |ded AS (SELECT "user", item, min(slot) AS slot FROM neg
+        | GROUP BY 1, 2),
+        |rk AS (SELECT "user", item, slot,
+        |  row_number() OVER (PARTITION BY "user" ORDER BY slot) AS r
+        | FROM ded)
+        |SELECT "user", item, slot FROM rk WHERE r <= 5""".stripMargin,
 
     // q348: the oracle RUNS the aggregation the optimizer deleted.
     "q348_agg_elim" ->

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer training (Kudo 2018, the SentencePiece unigram
+  * model) in its deterministic hard-EM form — the subword sibling of
+  * [[BpeTrainer]]: where BPE greedily merges pairs, the unigram model
+  * keeps a piece vocabulary with log-probabilities and segments every
+  * word by VITERBI (best-scoring split), then re-estimates piece
+  * probabilities from the Viterbi counts. Hard EM (Viterbi counts, not
+  * forward-backward expectations) for the [[Preference]] Dawid–Skene
+  * reason: soft posteriors are float products no cross-engine gate can
+  * pin, while the Viterbi argmax under integer e6 log-probs with a
+  * total-order tie-break replays bit-exactly in SQL.
+  *
+  * Determinism ledger:
+  *  - seed vocabulary = top `vocabSize` substrings (≤ pieceMaxLen) by
+  *    (weighted count DESC, piece ASC) ∪ every single character —
+  *    char coverage guarantees every word stays segmentable;
+  *  - log-probs are the ONE pinned double pipeline
+  *    round(ln(cnt/total)·1e6) on exact integer counts (Laplace +1 at
+  *    every M-step so no piece hits −∞);
+  *  - Viterbi DP maximizes the integer score sum; ties break toward
+  *    the LONGER piece (smaller split point), which with fixed (start,
+  *    end) determines the piece uniquely — a total order.
+  *
+  * Scale shape: the corpus collapses ONCE to distinct-word grain
+  * (wordCounts' shuffle — the only pass over raw text); the substring
+  * seed and the edge table are bounded explodes of that frame
+  * (≤ maxWordLen·pieceMaxLen rows per word) joined against a vocab
+  * small enough to broadcast. The DP is position-synchronous: at most
+  * `maxWordLen` forward rounds and `maxWordLen` backtrack rounds per
+  * EM iteration, each a join on word-grain frames with an eager
+  * per-round localCheckpoint (the Graph/BpeTrainer fixed-point rule —
+  * without it round i re-optimizes i nested plans). Words truncate to
+  * `maxWordLen` chars — the documented cap that bounds the rounds.
+  *
+  * Output: (piece, n_viterbi, logp_e6) for the full vocabulary — the
+  * final Viterbi count (0 for never-chosen pieces) and the final
+  * e6 log-probability. */
+object UnigramLm {
+
+  def train(docs: DataFrame, textCol: String, vocabSize: Int,
+      pieceMaxLen: Int = 4, maxWordLen: Int = 8,
+      emRounds: Int = 2): DataFrame = {
+    require(vocabSize >= 1 && pieceMaxLen >= 1 && pieceMaxLen <= maxWordLen)
+    require(maxWordLen <= 16, "DP rounds = maxWordLen; cap at 16")
+    require(emRounds >= 1 && emRounds <= 4)
+    val wc = BpeTrainer.wordCounts(docs, textCol)
+      .select(lower(col("word")).as("word"), col("cnt"))
+      .where(col("word").rlike("^[a-z]+$"))
+      .select(substring(col("word"), 1, maxWordLen).as("word"), col("cnt"))
+      .groupBy("word").agg(sum("cnt").as("cnt"))
+      .localCheckpoint(true) // distinct-word grain; every stage reads it
+    // weighted counts of every substring up to pieceMaxLen
+    val sub = wc.select(col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(0, length(word) - 1), s ->
+           |  transform(sequence(1, least($pieceMaxLen, length(word) - s)),
+           |    l -> substring(word, s + 1, l))))""".stripMargin))
+        .as("piece"))
+      .groupBy("piece").agg(sum("cnt").as("scnt"))
+      .localCheckpoint(true)
+    val top = sub.orderBy(col("scnt").desc, col("piece").asc)
+      .limit(vocabSize)
+    val chars = sub.where(length(col("piece")) === 1)
+    val vocab = top.unionByName(chars)
+      .groupBy("piece").agg(max("scnt").as("scnt"))
+      .localCheckpoint(true)
+    def logProbs(counts: DataFrame, cntCol: String): DataFrame = {
+      val tot = counts.agg(sum(col(cntCol)).as("__t"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("piece"), expr(
+          s"""CAST(round(ln(CAST($cntCol AS DOUBLE) / CAST(__t AS DOUBLE))
+             | * 1000000.0) AS BIGINT)""".stripMargin).as("logp_e6"))
+        .localCheckpoint(true)
+    }
+    // segmentation edges: (word, start, end, piece) for in-vocab pieces;
+    // static across EM rounds — only the log-probs move
+    val e = wc.select(col("word"), col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(0, length(word) - 1), s ->
+           |  transform(sequence(1, least($pieceMaxLen, length(word) - s)),
+           |    l -> named_struct('start', s, 'end', s + l,
+           |      'piece', substring(word, s + 1, l)))))""".stripMargin))
+        .as("sp"))
+      .select(col("word"), col("cnt"), col("sp.start").as("start"),
+        col("sp.end").as("end"), col("sp.piece").as("piece"))
+      .join(vocab.select("piece"), Seq("piece"))
+      .localCheckpoint(true)
+    var v = logProbs(vocab, "scnt")
+    var counts: DataFrame = null
+    for (_ <- 1 to emRounds) {
+      val ew = e.join(v, Seq("piece")).localCheckpoint(true)
+      // forward: best score into every position, longer-piece tie-break
+      var best = wc.select(col("word"), lit(0).as("pos"),
+        lit(0L).as("score"), lit(-1).as("bstart")).localCheckpoint(true)
+      for (p <- 1 to maxWordLen) {
+        val bp = ew.where(col("end") === p)
+          .join(best.select(col("word"), col("pos").as("start"),
+            col("score").as("ps")), Seq("word", "start"))
+          .groupBy("word")
+          .agg(max(struct((col("ps") + col("logp_e6")).as("s"),
+            (-col("start")).as("ns"))).as("m"))
+          .select(col("word"), lit(p).as("pos"), col("m.s").as("score"),
+            (-col("m.ns")).as("bstart"))
+        best = best.unionByName(bp).localCheckpoint(true)
+      }
+      // backtrack from each word's end, emitting the chosen pieces
+      var walk = wc.select(col("word"), col("cnt"),
+        length(col("word")).as("pos"))
+      var emits: DataFrame = null
+      for (_ <- 1 to maxWordLen) {
+        val step = walk.where(col("pos") > 0)
+          .join(best, Seq("word", "pos"))
+          .select(col("word"), col("cnt"),
+            expr("substring(word, bstart + 1, pos - bstart)").as("piece"),
+            col("bstart").as("pos"))
+          .localCheckpoint(true)
+        val em = step.select(col("piece"), col("cnt"))
+        emits = if (emits == null) em else emits.unionByName(em)
+        walk = step.select("word", "cnt", "pos")
+      }
+      counts = vocab.select("piece")
+        .join(emits.groupBy("piece").agg(sum("cnt").as("ecnt")),
+          Seq("piece"), "left")
+        .select(col("piece"),
+          (coalesce(col("ecnt"), lit(0L)) + 1L).as("vcnt")) // Laplace
+        .localCheckpoint(true)
+      v = logProbs(counts, "vcnt")
+    }
+    counts.join(v, Seq("piece"))
+      .select(col("piece"), (col("vcnt") - 1L).as("n_viterbi"),
+        col("logp_e6"))
+  }
+}
