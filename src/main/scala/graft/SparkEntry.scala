@@ -5130,6 +5130,30 @@ object SparkEntry {
       operators.UnigramLm.train(t(s, dir, "documents"), "text",
         vocabSize = 60, pieceMaxLen = 4, maxWordLen = 8, emRounds = 2)),
 
+    // Unigram-LM ENCODE: train one EM round, then Viterbi-segment every
+    // document word under the learned log-probs — per-source token
+    // accounting (the tokens-per-word budget every data-mixture plan
+    // needs, under the real tokenizer rather than a whitespace proxy).
+    "q352_unigram_encode" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val v = operators.UnigramLm.train(d, "text", vocabSize = 60,
+          pieceMaxLen = 4, maxWordLen = 8, emRounds = 1)
+        .select(col("piece"), col("logp_e6"))
+      val wpc = operators.UnigramLm.wordPieceCounts(d, "text", v,
+        pieceMaxLen = 4, maxWordLen = 8)
+      d.select(col("source"), col("doc_id"),
+          explode(split(trim(col("text")), "[ \t\n\f\r]+")).as("w0"))
+        .select(col("source"), col("doc_id"), lower(col("w0")).as("w1"))
+        .where(col("w1").rlike("^[a-z]+$"))
+        .select(col("source"), col("doc_id"),
+          substring(col("w1"), 1, 8).as("word"))
+        .join(wpc, Seq("word"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_words"),
+          sum(col("n_pieces")).as("n_tokens"))
+    }),
+
     // Deterministic negative sampling (BPR/two-tower training
     // negatives): per customer, 5 Lehmer-LCG item draws rejected
     // against the real interaction set — wrap-free modular arithmetic
@@ -6702,7 +6726,37 @@ object SparkEntry {
   // Viterbi positions (row_number tie-break ≡ Spark's max(struct)) and
   // 8 backtrack steps, Laplace counts, pinned-ln re-estimation.
   private val q351OracleSql: String = {
-    val V = 60; val P = 4; val W = 8; val R = 2
+    val W = 8; val R = 2
+    s"""WITH ${unigramOracleCtes(V = 60, P = 4, W = W, R = R)}
+       |SELECT c.piece, CAST(c.vcnt - 1 AS BIGINT) AS n_viterbi,
+       | v.lp AS logp_e6
+       |FROM c$R c JOIN v$R v ON v.piece = c.piece""".stripMargin
+  }
+
+  // q352: train (1 EM round) then ENCODE — per-word Viterbi piece
+  // counts off the round-1 backtrack emissions, joined back to
+  // doc-grain words for the per-source token accounting.
+  private val q352OracleSql: String = {
+    val W = 8
+    val emitWords = (1 to W).map(j => s"SELECT word FROM s1_$j")
+      .mkString(" UNION ALL ")
+    s"""WITH ${unigramOracleCtes(V = 60, P = 4, W = W, R = 1)},
+       |wpc AS (SELECT word, count(*) AS n_pieces
+       | FROM ($emitWords) ew GROUP BY 1),
+       |dw AS (SELECT source, doc_id, substring(word, 1, $W) AS word
+       | FROM (SELECT source, doc_id,
+       |   lower(unnest(regexp_split_to_array(trim(text),
+       |     '[ \t\n\f\r]+'))) AS word FROM documents) z
+       | WHERE regexp_matches(word, '^[a-z]+$$'))
+       |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       | count(*) AS n_words,
+       | CAST(sum(n_pieces) AS BIGINT) AS n_tokens
+       |FROM dw JOIN wpc USING (word) GROUP BY 1""".stripMargin
+  }
+
+  /** The unigram-LM oracle CTE body (through c\$R / v\$R), shared by
+    * q351 (train) and q352 (train-then-encode). */
+  private def unigramOracleCtes(V: Int, P: Int, W: Int, R: Int): String = {
     def fwd(r: Int): String = {
       val b0 = s"b${r}_0 AS (SELECT word, 0 AS pos," +
         s" CAST(0 AS BIGINT) AS score, -1 AS bstart FROM wc)"
@@ -6746,7 +6800,7 @@ object SparkEntry {
     }
     val rounds = (1 to R)
       .map(r => Seq(fwd(r), back(r), mv(r)).mkString(",\n")).mkString(",\n")
-    s"""WITH wc AS (SELECT substring(word, 1, $W) AS word, sum(cnt) AS cnt
+    s"""wc AS (SELECT substring(word, 1, $W) AS word, sum(cnt) AS cnt
        | FROM (SELECT word, count(*) AS cnt FROM (
        |   SELECT lower(unnest(regexp_split_to_array(trim(text),
        |     '[ \t\n\f\r]+'))) AS word FROM documents) z
@@ -6773,10 +6827,7 @@ object SparkEntry {
        |  (SELECT unnest(generate_series(1, $P)) AS l) ll
        | WHERE start < length(word) AND l <= length(word) - start
        |  AND substring(word, start + 1, l) IN (SELECT piece FROM vocab)),
-       |$rounds
-       |SELECT c.piece, CAST(c.vcnt - 1 AS BIGINT) AS n_viterbi,
-       | v.lp AS logp_e6
-       |FROM c$R c JOIN v$R v ON v.piece = c.piece""".stripMargin
+       |$rounds""".stripMargin
   }
 
   // q345: one UNION ALL branch per column over the cents-projected
@@ -13422,6 +13473,8 @@ object SparkEntry {
     "q346_linkage_em" -> q346OracleSql,
 
     "q351_unigram_lm" -> q351OracleSql,
+
+    "q352_unigram_encode" -> q352OracleSql,
 
     // q350: the Lehmer draw replayed arithmetically; the anti-join as
     // LEFT JOIN … IS NULL (no NULL keys by construction).

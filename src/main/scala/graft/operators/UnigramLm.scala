@@ -41,18 +41,76 @@ import org.apache.spark.sql.functions._
   * e6 log-probability. */
 object UnigramLm {
 
+  /** (word, cnt) at distinct-word grain under the shared normalization
+    * (lowercase, [a-z]+ only, truncated to maxWordLen) — train and
+    * encode must tokenize identically, so both go through here. */
+  def wordFrame(docs: DataFrame, textCol: String,
+      maxWordLen: Int): DataFrame =
+    BpeTrainer.wordCounts(docs, textCol)
+      .select(lower(col("word")).as("word"), col("cnt"))
+      .where(col("word").rlike("^[a-z]+$"))
+      .select(substring(col("word"), 1, maxWordLen).as("word"), col("cnt"))
+      .groupBy("word").agg(sum("cnt").as("cnt"))
+      .localCheckpoint(true) // distinct-word grain; every stage reads it
+
+  /** Segmentation edges (word, cnt, start, end, piece) for in-vocab
+    * pieces — static across EM rounds, only the log-probs move. */
+  private def edgeFrame(wc: DataFrame, vocabPieces: DataFrame,
+      pieceMaxLen: Int): DataFrame =
+    wc.select(col("word"), col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(0, length(word) - 1), s ->
+           |  transform(sequence(1, least($pieceMaxLen, length(word) - s)),
+           |    l -> named_struct('start', s, 'end', s + l,
+           |      'piece', substring(word, s + 1, l)))))""".stripMargin))
+        .as("sp"))
+      .select(col("word"), col("cnt"), col("sp.start").as("start"),
+        col("sp.end").as("end"), col("sp.piece").as("piece"))
+      .join(vocabPieces.select("piece"), Seq("piece"))
+      .localCheckpoint(true)
+
+  /** One Viterbi pass: forward DP (position-synchronous rounds,
+    * longer-piece tie-break) + backtrack, emitting one (word, cnt,
+    * piece) row per chosen piece per word. */
+  private def viterbiEmits(wc: DataFrame, e: DataFrame, v: DataFrame,
+      maxWordLen: Int): DataFrame = {
+    val ew = e.join(v, Seq("piece")).localCheckpoint(true)
+    var best = wc.select(col("word"), lit(0).as("pos"),
+      lit(0L).as("score"), lit(-1).as("bstart")).localCheckpoint(true)
+    for (p <- 1 to maxWordLen) {
+      val bp = ew.where(col("end") === p)
+        .join(best.select(col("word"), col("pos").as("start"),
+          col("score").as("ps")), Seq("word", "start"))
+        .groupBy("word")
+        .agg(max(struct((col("ps") + col("logp_e6")).as("s"),
+          (-col("start")).as("ns"))).as("m"))
+        .select(col("word"), lit(p).as("pos"), col("m.s").as("score"),
+          (-col("m.ns")).as("bstart"))
+      best = best.unionByName(bp).localCheckpoint(true)
+    }
+    var walk = wc.select(col("word"), col("cnt"),
+      length(col("word")).as("pos"))
+    var emits: DataFrame = null
+    for (_ <- 1 to maxWordLen) {
+      val step = walk.where(col("pos") > 0)
+        .join(best, Seq("word", "pos"))
+        .select(col("word"), col("cnt"),
+          expr("substring(word, bstart + 1, pos - bstart)").as("piece"),
+          col("bstart").as("pos"))
+        .localCheckpoint(true)
+      val em = step.select(col("word"), col("cnt"), col("piece"))
+      emits = if (emits == null) em else emits.unionByName(em)
+      walk = step.select("word", "cnt", "pos")
+    }
+    emits
+  }
+
   def train(docs: DataFrame, textCol: String, vocabSize: Int,
       pieceMaxLen: Int = 4, maxWordLen: Int = 8,
       emRounds: Int = 2): DataFrame = {
     require(vocabSize >= 1 && pieceMaxLen >= 1 && pieceMaxLen <= maxWordLen)
     require(maxWordLen <= 16, "DP rounds = maxWordLen; cap at 16")
     require(emRounds >= 1 && emRounds <= 4)
-    val wc = BpeTrainer.wordCounts(docs, textCol)
-      .select(lower(col("word")).as("word"), col("cnt"))
-      .where(col("word").rlike("^[a-z]+$"))
-      .select(substring(col("word"), 1, maxWordLen).as("word"), col("cnt"))
-      .groupBy("word").agg(sum("cnt").as("cnt"))
-      .localCheckpoint(true) // distinct-word grain; every stage reads it
+    val wc = wordFrame(docs, textCol, maxWordLen)
     // weighted counts of every substring up to pieceMaxLen
     val sub = wc.select(col("cnt"), explode(expr(
         s"""flatten(transform(sequence(0, length(word) - 1), s ->
@@ -75,51 +133,11 @@ object UnigramLm {
              | * 1000000.0) AS BIGINT)""".stripMargin).as("logp_e6"))
         .localCheckpoint(true)
     }
-    // segmentation edges: (word, start, end, piece) for in-vocab pieces;
-    // static across EM rounds — only the log-probs move
-    val e = wc.select(col("word"), col("cnt"), explode(expr(
-        s"""flatten(transform(sequence(0, length(word) - 1), s ->
-           |  transform(sequence(1, least($pieceMaxLen, length(word) - s)),
-           |    l -> named_struct('start', s, 'end', s + l,
-           |      'piece', substring(word, s + 1, l)))))""".stripMargin))
-        .as("sp"))
-      .select(col("word"), col("cnt"), col("sp.start").as("start"),
-        col("sp.end").as("end"), col("sp.piece").as("piece"))
-      .join(vocab.select("piece"), Seq("piece"))
-      .localCheckpoint(true)
+    val e = edgeFrame(wc, vocab, pieceMaxLen)
     var v = logProbs(vocab, "scnt")
     var counts: DataFrame = null
     for (_ <- 1 to emRounds) {
-      val ew = e.join(v, Seq("piece")).localCheckpoint(true)
-      // forward: best score into every position, longer-piece tie-break
-      var best = wc.select(col("word"), lit(0).as("pos"),
-        lit(0L).as("score"), lit(-1).as("bstart")).localCheckpoint(true)
-      for (p <- 1 to maxWordLen) {
-        val bp = ew.where(col("end") === p)
-          .join(best.select(col("word"), col("pos").as("start"),
-            col("score").as("ps")), Seq("word", "start"))
-          .groupBy("word")
-          .agg(max(struct((col("ps") + col("logp_e6")).as("s"),
-            (-col("start")).as("ns"))).as("m"))
-          .select(col("word"), lit(p).as("pos"), col("m.s").as("score"),
-            (-col("m.ns")).as("bstart"))
-        best = best.unionByName(bp).localCheckpoint(true)
-      }
-      // backtrack from each word's end, emitting the chosen pieces
-      var walk = wc.select(col("word"), col("cnt"),
-        length(col("word")).as("pos"))
-      var emits: DataFrame = null
-      for (_ <- 1 to maxWordLen) {
-        val step = walk.where(col("pos") > 0)
-          .join(best, Seq("word", "pos"))
-          .select(col("word"), col("cnt"),
-            expr("substring(word, bstart + 1, pos - bstart)").as("piece"),
-            col("bstart").as("pos"))
-          .localCheckpoint(true)
-        val em = step.select(col("piece"), col("cnt"))
-        emits = if (emits == null) em else emits.unionByName(em)
-        walk = step.select("word", "cnt", "pos")
-      }
+      val emits = viterbiEmits(wc, e, v, maxWordLen)
       counts = vocab.select("piece")
         .join(emits.groupBy("piece").agg(sum("cnt").as("ecnt")),
           Seq("piece"), "left")
@@ -131,5 +149,19 @@ object UnigramLm {
     counts.join(v, Seq("piece"))
       .select(col("piece"), (col("vcnt") - 1L).as("n_viterbi"),
         col("logp_e6"))
+  }
+
+  /** ENCODE under a trained vocabulary: per normalized word, the
+    * Viterbi piece count (tokens-per-word). `v` is a (piece, logp_e6)
+    * frame — the train() output projected, or any caller-supplied
+    * model. Same DP, same tie-breaks, same normalization as training.
+    * Output: (word, n_pieces). */
+  def wordPieceCounts(docs: DataFrame, textCol: String, v: DataFrame,
+      pieceMaxLen: Int = 4, maxWordLen: Int = 8): DataFrame = {
+    require(pieceMaxLen >= 1 && maxWordLen <= 16)
+    val wc = wordFrame(docs, textCol, maxWordLen)
+    val e = edgeFrame(wc, v, pieceMaxLen)
+    viterbiEmits(wc, e, v.select(col("piece"), col("logp_e6")), maxWordLen)
+      .groupBy("word").agg(count(lit(1)).as("n_pieces"))
   }
 }

@@ -50,4 +50,16 @@ class UnigramLmSpec extends SparkSpec {
       .toSet
     assert(one == many && one.nonEmpty)
   }
+
+  test("encode: Viterbi piece counts under the trained model") {
+    val docs = Seq("abab abab ab").toDF("text")
+    val v = UnigramLm.train(docs, "text", vocabSize = 3,
+        pieceMaxLen = 2, maxWordLen = 8, emRounds = 2)
+      .select(org.apache.spark.sql.functions.col("piece"),
+        org.apache.spark.sql.functions.col("logp_e6"))
+    val got = UnigramLm.wordPieceCounts(docs, "text", v,
+        pieceMaxLen = 2, maxWordLen = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("abab" -> 2L, "ab" -> 1L)) // ab+ab / ab
+  }
 }
