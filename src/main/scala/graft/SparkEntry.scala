@@ -5121,6 +5121,49 @@ object SparkEntry {
             .as("n_true"))
     }),
 
+    // Column masking policies (MaskingRewrite): a gate-private customer
+    // copy declares c_name → sha256 tokenization and c_mktsegment →
+    // partial; every consumer — including the post-mask filter — sees
+    // only masked values, exactly like querying a secure view. The
+    // private path keeps the session-global registry from touching any
+    // other gate's scans.
+    "q353_masking" -> ((s, dir) => {
+      if (!s.experimental.extraOptimizations.contains(plans.MaskingRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ plans.MaskingRewrite
+      val p = queryTmp("graft_mask") + "/masked_customer.parquet"
+      t(s, dir, "customer").where(col("c_custkey") <= 200)
+        .write.mode("overwrite").parquet(p)
+      plans.MaskingRegistry.declareMask("/masked_customer.parquet",
+        "c_name", "sha256")
+      plans.MaskingRegistry.declareMask("/masked_customer.parquet",
+        "c_mktsegment", "partial")
+      s.read.parquet(p)
+        .where(col("c_custkey") <= 150)
+        .select(col("c_custkey"), col("c_name").as("name_token"),
+          col("c_mktsegment").as("seg_masked"))
+    }),
+
+    // Statistics-driven broadcast (StatsBroadcastRewrite): nation is
+    // DECLARED 25 rows, so the supplier⋈nation join carries an explicit
+    // BROADCAST hint regardless of size estimates — the CBO lever for
+    // lake tables whose scan estimate lies. Results are provably
+    // unchanged (the oracle runs the join); the spec pins the plan flip
+    // under a disabled autoBroadcast threshold.
+    "q354_stats_broadcast" -> ((s, dir) => {
+      if (!s.experimental.extraOptimizations
+          .contains(plans.StatsBroadcastRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ plans.StatsBroadcastRewrite
+      plans.StatsBroadcastRewrite.declareRowCount("/nation.parquet", 25L)
+      t(s, dir, "supplier")
+        .join(t(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("suppliers"),
+          sum(cents(col("s_acctbal"))).as("acctbal_cents"))
+    }),
+
     // Unigram-LM tokenizer training (SentencePiece's model, hard-EM
     // Viterbi form) — BPE's sibling: seed substring vocabulary with
     // char coverage, two Viterbi-count EM rounds under pinned-ln e6
@@ -13473,6 +13516,23 @@ object SparkEntry {
     "q346_linkage_em" -> q346OracleSql,
 
     "q351_unigram_lm" -> q351OracleSql,
+
+    // q353: the masking policies applied by hand — DuckDB's sha256 and
+    // Spark's sha2(cast-to-binary, 256) agree on lowercase hex.
+    "q353_masking" ->
+      """SELECT c_custkey,
+        | sha256(c_name) AS name_token,
+        | substring(c_mktsegment, 1, 2) || '***' AS seg_masked
+        |FROM customer WHERE c_custkey <= 150""".stripMargin,
+
+    // q354: the oracle RUNS the join — parity proves the broadcast
+    // hint is semantics-invisible.
+    "q354_stats_broadcast" ->
+      """SELECT n_name AS nation, count(*) AS suppliers,
+        | CAST(sum(CAST(round(s_acctbal*100) AS BIGINT)) AS BIGINT)
+        |   AS acctbal_cents
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
 
     "q352_unigram_encode" -> q352OracleSql,
 

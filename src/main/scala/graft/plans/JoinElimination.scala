@@ -68,6 +68,10 @@ object ConstraintRegistry {
     path == s || (path.endsWith(s) &&
       (s.startsWith("/") || path.charAt(path.length - s.length - 1) == '/'))
 
+  /** Boundary-safe suffix identity, shared by the sibling registries
+    * (masking policies, declared row counts). */
+  def suffixOk(path: String, s: String): Boolean = suffixAtBoundary(path, s)
+
   def isUnique(pathSuffix: String, col: String): Boolean =
     uniqueKeys.keys.exists {
       case (s, c) => c == col && suffixAtBoundary(pathSuffix, s)
