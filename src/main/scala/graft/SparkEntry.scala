@@ -5017,6 +5017,67 @@ object SparkEntry {
         iterations = 3)
     }),
 
+    // Length-bias audit for preference data (the RLHF confound check):
+    // pair consecutive docs per source, score with the q16 quality
+    // stack, and measure P(longer wins) per length-gap bucket with the
+    // exact-integer Wilson lower bound — quality/length ties excluded.
+    "q355_length_bias" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      val d = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          functions.TextFunctions.qualityScore(col("text")).as("q"))
+        .withColumn("rn", row_number().over(w))
+      val p1 = d.where(col("rn") % 2 === 1)
+        .select(col("source"), expr("(rn + 1) div 2").as("pr"),
+          col("n_chars").as("len1"), col("q").as("q1"))
+      val p2 = d.where(col("rn") % 2 === 0)
+        .select(col("source"), expr("(rn + 1) div 2").as("pr"),
+          col("n_chars").as("len2"), col("q").as("q2"))
+      val pa = p1.join(p2, Seq("source", "pr"))
+        .where(col("q1") =!= col("q2") && col("len1") =!= col("len2"))
+        .select(least(expr("abs(len1 - len2) div 100"), lit(5L)).as("bk"),
+          ((col("len1") > col("len2")) === (col("q1") > col("q2")))
+            .as("s"))
+      operators.EvalCurves.wilsonLowerBoundE6(pa, col("bk"), col("s"))
+        .select(col("item").as("bucket"), col("wins"), col("trials"),
+          col("wilson_lb_e6"))
+    }),
+
+    // Reward-model calibration audit: refit q333's BT ratings, predict
+    // every duel as p = r_a·1e6 div (r_a + r_b), and compare mean
+    // predicted win probability to the actual win share per prediction
+    // decile — the calibration table every preference model ships with.
+    "q356_bt_calibration" -> ((s, dir) => {
+      val os = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
+        .agg(sum(cents(col("l_extendedprice"))).as("c"))
+      val du = os.as("x").join(os.as("y"),
+          col("x.o") === col("y.o") && col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("a"), col("y.sk").as("b"),
+          when(col("x.c") >= col("y.c"), 1L).otherwise(0L).as("wa"))
+        .localCheckpoint(true) // feeds both the fit and the audit
+      val duelWL = du.select(
+        when(col("wa") === 1L, col("a")).otherwise(col("b")).as("w"),
+        when(col("wa") === 1L, col("b")).otherwise(col("a")).as("l"))
+      val ratings = operators.Preference
+        .bradleyTerryE6(duelWL, col("w"), col("l"), iterations = 3)
+        .select(col("item"), col("rating_e6"))
+      du.join(ratings.select(col("item").as("a"),
+          col("rating_e6").as("ra")), Seq("a"))
+        .join(ratings.select(col("item").as("b"),
+          col("rating_e6").as("rb")), Seq("b"))
+        .select(col("wa"),
+          expr("CAST(ra * 1000000 div (ra + rb) AS BIGINT)").as("p_e6"))
+        .groupBy(expr("CAST(p_e6 div 100000 AS BIGINT)").as("bucket"))
+        .agg(count(lit(1)).as("trials"), sum(col("wa")).as("wins_a"),
+          sum(col("p_e6")).as("__sp"))
+        .select(col("bucket"), col("trials"), col("wins_a"),
+          expr("CAST(__sp div trials AS BIGINT)").as("mean_pred_e6"),
+          expr("CAST(wins_a * 1000000 div trials AS BIGINT)")
+            .as("actual_e6"))
+    }),
+
     // Embedding-truncation recall audit (the MRL/dim-reduction serving
     // question): recall@3 of brute-force cosine over the FIRST 16 of 64
     // dims against the full-dim exact top-3 — the measurement an index
@@ -6542,6 +6603,72 @@ object SparkEntry {
     * renorm to 1e6 — every operand non-negative BIGINT so `//` ≡ div. */
   private val q333OracleSql: String = {
     val rounds = 3
+    s"""WITH ${btOracleCtes(rounds)}
+       |SELECT it.id AS item, CAST(r$rounds.r AS BIGINT) AS rating_e6,
+       | wins, comparisons
+       |FROM it JOIN r$rounds ON r$rounds.id = it.id""".stripMargin
+  }
+
+  // q355: consecutive-doc pairs per source under the q16 quality
+  // expression, P(longer wins) per length-gap bucket, then the exact
+  // Wilson lower-bound chain (the q342 form, item = bucket).
+  private lazy val q355OracleSql: String =
+    s"""WITH d AS (SELECT source, doc_id, n_chars, $qualityExprSql AS q,
+       |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       | FROM documents),
+       |p1 AS (SELECT source, (rn + 1) // 2 AS pr, n_chars AS len1,
+       |  q AS q1 FROM d WHERE rn % 2 = 1),
+       |p2 AS (SELECT source, (rn + 1) // 2 AS pr, n_chars AS len2,
+       |  q AS q2 FROM d WHERE rn % 2 = 0),
+       |pa AS (SELECT least(abs(len1 - len2) // 100, 5) AS item,
+       |  CASE WHEN (len1 > len2) = (q1 > q2) THEN 1 ELSE 0 END AS sc
+       | FROM p1 JOIN p2 USING (source, pr)
+       | WHERE q1 <> q2 AND len1 <> len2),
+       |per AS (SELECT item, CAST(sum(sc) AS BIGINT) AS wins,
+       |  count(*) AS trials FROM pa GROUP BY 1),
+       |v AS (SELECT item, wins, trials,
+       |  CAST(trials AS HUGEINT) * (2500 * CAST(wins AS HUGEINT)
+       |    * (trials - wins) + 2401 * CAST(trials AS HUGEINT)) AS vn
+       | FROM per),
+       |r0c AS (SELECT *,
+       |  CAST(floor(sqrt(CAST(vn AS DOUBLE))) AS BIGINT) AS s0 FROM v),
+       |rr AS (SELECT item, wins, trials, vn,
+       |  CASE WHEN CAST(s0 AS HUGEINT)*s0 > vn THEN s0 - 1
+       |   WHEN (CAST(s0 AS HUGEINT)+1)*(s0+1) <= vn THEN s0 + 1
+       |   ELSE s0 END AS rt
+       | FROM r0c)
+       |SELECT item AS bucket, wins, trials,
+       | CAST((1250 * CAST(trials AS HUGEINT) * wins
+       |    + 2401 * CAST(trials AS HUGEINT) - 49 * CAST(rt AS HUGEINT))
+       |   * 1000000
+       |  // (1250 * CAST(trials AS HUGEINT) * trials
+       |    + 4802 * CAST(trials AS HUGEINT)) AS BIGINT) AS wilson_lb_e6
+       |FROM rr""".stripMargin
+
+  // q356: the q333 fit replayed, then per-prediction-decile calibration
+  // — mean predicted win probability vs the actual win share.
+  private val q356OracleSql: String = {
+    val rounds = 3
+    s"""WITH ${btOracleCtes(rounds)},
+       |du AS (SELECT x.s AS a, y.s AS b,
+       |  CASE WHEN x.c >= y.c THEN 1 ELSE 0 END AS wa
+       | FROM os x JOIN os y ON x.o = y.o AND x.s < y.s),
+       |cal AS (SELECT du.a, du.b, wa,
+       |  CAST(ra.r AS HUGEINT) * 1000000 // (ra.r + rb.r) AS p_e6
+       | FROM du JOIN r$rounds ra ON ra.id = du.a
+       |  JOIN r$rounds rb ON rb.id = du.b)
+       |SELECT CAST(p_e6 // 100000 AS BIGINT) AS bucket,
+       | count(*) AS trials,
+       | CAST(sum(wa) AS BIGINT) AS wins_a,
+       | CAST(CAST(sum(p_e6) AS HUGEINT) // count(*) AS BIGINT)
+       |   AS mean_pred_e6,
+       | CAST(CAST(sum(wa) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+       |   AS actual_e6
+       |FROM cal GROUP BY 1""".stripMargin
+  }
+
+  /** q333's oracle CTE body (through r\$rounds), shared with q356. */
+  private def btOracleCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { k =>
       s"""t$k AS (SELECT a, b, n * 1000000000000 // (ra.r + rb.r) AS t
          | FROM und JOIN r${k - 1} ra ON ra.id = a
@@ -6556,7 +6683,7 @@ object SparkEntry {
          |r$k AS (SELECT id, greatest(1, r * 1000000 // m) AS r
          | FROM w$k, m$k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH os AS (SELECT l_orderkey AS o, l_suppkey AS s,
+    s"""os AS (SELECT l_orderkey AS o, l_suppkey AS s,
        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
        |   AS c
        | FROM lineitem GROUP BY 1, 2),
@@ -6576,10 +6703,7 @@ object SparkEntry {
        |  comparisons
        | FROM cm LEFT JOIN wn ON wn.id = cm.id),
        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM it),
-       |$roundCtes
-       |SELECT it.id AS item, CAST(r$rounds.r AS BIGINT) AS rating_e6,
-       | wins, comparisons
-       |FROM it JOIN r$rounds ON r$rounds.id = it.id""".stripMargin
+       |$roundCtes""".stripMargin
   }
 
   // q344: Rao–Kupper MM rounds unrolled — θ-scaled opposing ratings,
@@ -13516,6 +13640,10 @@ object SparkEntry {
     "q346_linkage_em" -> q346OracleSql,
 
     "q351_unigram_lm" -> q351OracleSql,
+
+    "q355_length_bias" -> q355OracleSql,
+
+    "q356_bt_calibration" -> q356OracleSql,
 
     // q353: the masking policies applied by hand — DuckDB's sha256 and
     // Spark's sha2(cast-to-binary, 256) agree on lowercase hex.
