@@ -46,5 +46,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // aggregate-over-base → registered-summary rewrite (fires only on
     // MatviewRegistry entries; kill switch spark.graft.matviewRewrite)
     extensions.injectOptimizerRule(_ => graft.plans.MatviewRewrite)
+    // GROUP BY a declared-unique key → Project (kill switch
+    // spark.graft.aggElimination)
+    extensions.injectOptimizerRule(_ => graft.plans.AggregateEliminationRewrite)
+    // declared-CHECK-range contradictions fold to empty relations
+    // (kill switch spark.graft.rangeContradiction)
+    extensions.injectOptimizerRule(_ => graft.plans.RangeContradictionRewrite)
+    // column masking policies at the scan (kill switch
+    // spark.graft.masking — the exempt role)
+    extensions.injectOptimizerRule(_ => graft.plans.MaskingRewrite)
+    // declared row counts → BROADCAST join hints (kill switch
+    // spark.graft.statsBroadcast)
+    extensions.injectOptimizerRule(_ => graft.plans.StatsBroadcastRewrite)
   }
 }

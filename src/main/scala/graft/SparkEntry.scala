@@ -5017,6 +5017,19 @@ object SparkEntry {
         iterations = 3)
     }),
 
+    // Mutual information between two categoricals (multi-class feature
+    // selection — q329 WoE/IV's generalization): census-grain pass,
+    // pinned-ln per-cell log-ratios rounded BEFORE the weighted sum.
+    "q357_mutual_info" -> ((s, dir) =>
+      decStr(operators.Profile.mutualInformationE6(
+        t(s, dir, "documents"), col("lang"), col("source")))),
+
+    // r×c chi-square + Cramér's V in EXACT integers (no logs, no
+    // doubles): per-cell truncating div, corrected isqrt for V.
+    "q358_cramers_v" -> ((s, dir) =>
+      operators.Profile.chiSquareCramersV(
+        t(s, dir, "lineitem"), col("l_returnflag"), col("l_linestatus"))),
+
     // Length-bias audit for preference data (the RLHF confound check):
     // pair consecutive docs per source, score with the q16 quality
     // stack, and measure P(longer wins) per length-gap bucket with the
@@ -13644,6 +13657,59 @@ object SparkEntry {
     "q355_length_bias" -> q355OracleSql,
 
     "q356_bt_calibration" -> q356OracleSql,
+
+    // q357: census + margins + the same pinned ln(nxy·N/(nx·ny)) term.
+    "q357_mutual_info" ->
+      """WITH cells AS (SELECT lang AS x, source AS y, count(*) AS nxy
+        | FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        | GROUP BY 1, 2),
+        |nx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM cells
+        | GROUP BY 1),
+        |ny AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM cells
+        | GROUP BY 1),
+        |nt AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM cells),
+        |t AS (SELECT n, nxy * CAST(round(ln(CAST(nxy AS DOUBLE)
+        |   * CAST(n AS DOUBLE)
+        |   / (CAST(nx.nx AS DOUBLE) * CAST(ny.ny AS DOUBLE)))
+        |  * 1000000.0) AS BIGINT) AS tt
+        | FROM cells JOIN nx USING (x) JOIN ny USING (y), nt)
+        |SELECT n, count(*) AS cells,
+        | CAST(CAST(sum(tt) AS DECIMAL(38,0)) AS VARCHAR) AS mi_num,
+        | CAST(CAST(sum(tt) AS HUGEINT) // n AS BIGINT) AS mi_e6
+        |FROM t GROUP BY 1""".stripMargin,
+
+    // q358: the exact-integer chi-square identity Σ nxy²·N/(nx·ny) − N
+    // with per-cell truncating div, then the corrected isqrt for V.
+    "q358_cramers_v" ->
+      """WITH cells AS (SELECT l_returnflag AS x, l_linestatus AS y,
+        |  count(*) AS nxy
+        | FROM lineitem GROUP BY 1, 2),
+        |nx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM cells
+        | GROUP BY 1),
+        |ny AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM cells
+        | GROUP BY 1),
+        |nt AS (SELECT CAST(sum(nxy) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT x) AS BIGINT) AS r,
+        |  CAST(count(DISTINCT y) AS BIGINT) AS c FROM cells),
+        |t AS (SELECT n, r, c,
+        |  CAST(CAST(nxy AS HUGEINT) * nxy * n * 1000000
+        |   // (CAST(nx.nx AS HUGEINT) * ny.ny) AS BIGINT) AS tt
+        | FROM cells JOIN nx USING (x) JOIN ny USING (y), nt),
+        |ag AS (SELECT n, r, c,
+        |  CAST(sum(CAST(tt AS HUGEINT)) - CAST(n AS HUGEINT) * 1000000
+        |   AS HUGEINT) AS chi2
+        | FROM t GROUP BY 1, 2, 3),
+        |v AS (SELECT *, greatest(chi2 * 1000000
+        |   // (CAST(n AS HUGEINT) * least(r - 1, c - 1)),
+        |  CAST(0 AS HUGEINT)) AS vn FROM ag),
+        |s0c AS (SELECT *,
+        |  CAST(floor(sqrt(CAST(vn AS DOUBLE))) AS BIGINT) AS s0 FROM v)
+        |SELECT n, r, c, CAST(chi2 AS VARCHAR) AS chi2_e6,
+        | CAST(CASE WHEN least(r - 1, c - 1) = 0 THEN NULL
+        |  WHEN CAST(s0 AS HUGEINT) * s0 > vn THEN s0 - 1
+        |  WHEN (CAST(s0 AS HUGEINT) + 1) * (s0 + 1) <= vn THEN s0 + 1
+        |  ELSE s0 END AS BIGINT) AS cramers_v_e6
+        |FROM s0c""".stripMargin,
 
     // q353: the masking policies applied by hand — DuckDB's sha256 and
     // Spark's sha2(cast-to-binary, 256) agree on lowercase hex.

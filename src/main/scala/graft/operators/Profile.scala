@@ -391,6 +391,87 @@ object Profile {
         col("min_val"), col("max_val"))
   }
 
+  /** Mutual information between two categoricals, e6-scaled — the
+    * feature-selection number (how much knowing x says about y) that
+    * [[woeIv]]'s binary IV generalizes to multi-class:
+    * MI = Σ_xy p(x,y)·ln(p(x,y)/(p(x)p(y))). One pass to the (x,y)
+    * census; margins re-aggregate the census, never the data. Each
+    * cell's log-ratio is ONE pinned double pipeline
+    * round(ln(n_xy·N/(n_x·n_y))·1e6) on exact integer counts
+    * (integer-rounded BEFORE the weighted sum — the Dawid–Skene/BM25
+    * rule), so the final sum replays in SQL bit-for-bit.
+    * Output: one row (n, cells, mi_num, mi_e6) where mi_num =
+    * Σ n_xy·term_e6 (DECIMAL-exact) and mi_e6 = mi_num div N. */
+  def mutualInformationE6(df: DataFrame, x: Column, y: Column)
+      : DataFrame = {
+    val cells = df.select(x.cast("string").as("__x"),
+        y.cast("string").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("nxy"))
+      .localCheckpoint(true) // census grain: margins re-read this
+    val nx = cells.groupBy(col("__x")).agg(sum(col("nxy")).as("nx"))
+    val ny = cells.groupBy(col("__y")).agg(sum(col("nxy")).as("ny"))
+    val nTot = cells.agg(sum(col("nxy")).as("n"))
+    cells.join(nx, Seq("__x")).join(ny, Seq("__y"))
+      .crossJoin(broadcast(nTot))
+      .select(col("n"), col("nxy"), expr(
+        """nxy * CAST(round(ln(CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE)
+          |  / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))
+          | * 1000000.0) AS BIGINT)""".stripMargin).as("__t"))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("cells"),
+        sum(col("__t").cast("decimal(38,0)")).as("mi_num"))
+      .select(col("n"), col("cells"), col("mi_num"),
+        expr("CAST(mi_num div n AS BIGINT)").as("mi_e6"))
+  }
+
+  /** r×c chi-square and Cramér's V in EXACT integers — no logs, no
+    * doubles anywhere: χ² = Σ n_xy²·N/(n_x·n_y) − N, computed with a
+    * per-cell truncating div (deterministic; the truncation bias is
+    * < cells·1e-6 of a χ² unit), and V = √(χ²/(N·min(r−1,c−1))) via
+    * the corrected isqrt on the e12-scaled ratio. Same census shape
+    * as [[mutualInformationE6]].
+    * Output: one row (n, r, c, chi2_e6, cramers_v_e6). */
+  def chiSquareCramersV(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val cells = df.select(x.cast("string").as("__x"),
+        y.cast("string").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("nxy"))
+      .localCheckpoint(true)
+    val nx = cells.groupBy(col("__x")).agg(sum(col("nxy")).as("nx"))
+    val ny = cells.groupBy(col("__y")).agg(sum(col("nxy")).as("ny"))
+    val nTot = cells.agg(sum(col("nxy")).as("n"),
+      count_distinct(col("__x")).as("r"), count_distinct(col("__y")).as("c"))
+    cells.join(nx, Seq("__x")).join(ny, Seq("__y"))
+      .crossJoin(broadcast(nTot))
+      .select(col("n"), col("r"), col("c"), expr(
+        """CAST(CAST(nxy AS DECIMAL(38,0)) * nxy * n * 1000000
+          | div (CAST(nx AS DECIMAL(38,0)) * ny) AS BIGINT)"""
+          .stripMargin).as("__t"))
+      .groupBy(col("n"), col("r"), col("c"))
+      .agg(sum(col("__t").cast("decimal(38,0)")).as("__s"))
+      .select(col("n"), col("r"), col("c"),
+        expr("CAST(__s - CAST(n AS DECIMAL(38,0)) * 1000000 AS " +
+          "DECIMAL(38,0))").as("chi2_e6"))
+      // per-cell truncation can leave a tiny NEGATIVE chi2 on exactly
+      // independent variables — clamp before the root, not after
+      .withColumn("__vn", expr(
+        """greatest(CAST(chi2_e6 * 1000000
+          | div (n * least(r - 1, c - 1)) AS DECIMAL(38,0)),
+          | CAST(0 AS DECIMAL(38,0)))""".stripMargin))
+      .withColumn("__s0",
+        expr("CAST(floor(sqrt(CAST(__vn AS DOUBLE))) AS BIGINT)"))
+      .withColumn("cramers_v_e6", expr(
+        """CASE WHEN least(r - 1, c - 1) = 0 THEN NULL
+          | WHEN CAST(__s0 AS DECIMAL(38,0)) * __s0 > __vn THEN __s0 - 1
+          | WHEN (CAST(__s0 AS DECIMAL(38,0)) + 1) * (__s0 + 1) <= __vn
+          |   THEN __s0 + 1
+          | ELSE __s0 END""".stripMargin))
+      .select(col("n"), col("r"), col("c"),
+        col("chi2_e6").cast("string").as("chi2_e6"),
+        col("cramers_v_e6"))
+  }
+
   def fdAudit(df: DataFrame, candidates: Seq[(String, String)]): DataFrame =
     candidates.map { case (lhs, rhs) =>
       df.select(col(lhs).cast("string").as("__x"),

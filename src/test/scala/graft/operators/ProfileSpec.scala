@@ -266,4 +266,28 @@ class ProfileSpec extends SparkSpec {
     assert(got.getLong(1) == 2L && got.getLong(2) == 2L &&
       got.getLong(3) == 0L && got.isNullAt(4) && got.isNullAt(5))
   }
+
+  test("mutualInformationE6: hand-computed 2x2 census is exact") {
+    // cells (a,p):2 (a,q):1 (b,q):1 — N=4, nx={a:3,b:1}, ny={p:2,q:2}
+    val df = Seq(("a","p"),("a","p"),("a","q"),("b","q")).toDF("x","y")
+    val r = Profile.mutualInformationE6(df, col("x"), col("y"))
+      .collect().head
+    def t(nxy: Long, nx: Long, ny: Long): Long =
+      nxy * math.round(math.log(nxy.toDouble * 4 / (nx * ny).toDouble) * 1e6)
+    val num = t(2,3,2) + t(1,3,2) + t(1,1,2)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L)
+    assert(BigDecimal(r.getDecimal(2)).toLongExact == num)
+    assert(r.getLong(3) == num / 4)
+  }
+
+  test("chiSquareCramersV: 2x2 exact identity and corrected root") {
+    val df = Seq(("a","p"),("a","p"),("a","q"),("b","q")).toDF("x","y")
+    val r = Profile.chiSquareCramersV(df, col("x"), col("y"))
+      .collect().head
+    // chi2_e6 = 4*4e6/6 + 4e6/6 + 4e6/2 - 4e6 = 1333332 (χ² = 4/3)
+    assert(r.getString(3) == "1333332")
+    // V = sqrt(1333332e6/4) → isqrt(333333000000) = 577349 (0.57735)
+    assert(r.getLong(4) == 577349L)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+  }
 }
