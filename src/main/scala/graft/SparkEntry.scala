@@ -4002,6 +4002,23 @@ object SparkEntry {
         .select(col("term"), col("cnt"), col("code"), col("bits_total"))
     }),
 
+    // Off-policy evaluation under LOGGED (non-uniform) propensities:
+    // SNIPS + doubly-robust for the q265 policy — the production
+    // estimator pair when logging wasn't uniform. Propensity is a
+    // deterministic e6 column (the estimator consumes it as data).
+    "q359_snips_dr" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val mid = e.agg(min(col("ts_ms")).as("mn"), max(col("ts_ms")).as("mx"))
+        .select(expr("(mn + mx) div 2").as("mid"))
+      decStr(operators.OffPolicy.snipsDr(e.crossJoin(broadcast(mid)),
+        segment = pmod(col("user_id"), lit(4L)),
+        arm = col("event_type"),
+        reward = round(col("value") * 100).cast("long"),
+        propensityPpm = lit(100000L) + pmod(col("event_id"), lit(5L))
+          * lit(150000L),
+        isTrain = col("ts_ms") < col("mid")))
+    }),
+
     // Off-policy evaluation: learn a per-segment argmax policy on the
     // first half, score it on the second via replay + uniform-K IPS —
     // counterfactual "what would this targeting have earned" from logs.
@@ -12811,6 +12828,50 @@ object SparkEntry {
 
     // q265: argmax by the same truncated mean_e6, ties to first arm;
     // uniform-5 IPS as exact integer ratio.
+    // q359: the same policy CTEs, then per-row SNIPS/DR contributions
+    // with truncating e-scale divisions replayed literally.
+    "q359_snips_dr" ->
+      """WITH b AS (SELECT user_id % 4 AS segment, event_type AS arm,
+        |  CAST(round(value*100) AS BIGINT) AS r,
+        |  100000 + (event_id % 5) * 150000 AS p,
+        |  epoch_ms(ts) AS ts_ms FROM events),
+        |m AS (SELECT (min(ts_ms) + max(ts_ms)) // 2 AS mid FROM b),
+        |q AS (SELECT segment, arm,
+        |  (sum(r) * 1000000) // count(*) AS q_e6
+        | FROM b, m WHERE ts_ms < mid GROUP BY 1, 2),
+        |pol AS (SELECT segment, arm AS chosen_arm, q_e6 AS q_pi FROM (
+        |  SELECT segment, arm, q_e6, row_number() OVER (
+        |    PARTITION BY segment ORDER BY q_e6 DESC, arm) AS rk FROM q) z
+        | WHERE rk = 1),
+        |evl AS (SELECT b.segment, pol.chosen_arm,
+        |  b.arm = pol.chosen_arm AS m2,
+        |  q2.q_e6 IS NULL AS miss,
+        |  CASE WHEN b.arm = pol.chosen_arm
+        |   THEN b.r * 1000000000000 // b.p ELSE 0 END AS sn,
+        |  CASE WHEN b.arm = pol.chosen_arm
+        |   THEN 1000000000000 // b.p ELSE 0 END AS sd,
+        |  pol.q_pi + CASE WHEN b.arm = pol.chosen_arm
+        |   THEN (b.r * 1000000 - coalesce(q2.q_e6, 0)) * 1000000 // b.p
+        |   ELSE 0 END AS dr
+        | FROM b CROSS JOIN m
+        | JOIN pol ON pol.segment = b.segment
+        | LEFT JOIN q q2 ON q2.segment = b.segment AND q2.arm = b.arm
+        | WHERE b.ts_ms >= mid)
+        |SELECT segment, chosen_arm, count(*) AS n_eval,
+        | CAST(sum(CASE WHEN m2 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_matched,
+        | CAST(sum(CASE WHEN miss THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_train_miss,
+        | CAST(CAST(sum(sn) AS DECIMAL(38,0)) AS VARCHAR) AS snips_num,
+        | CAST(CAST(sum(sd) AS DECIMAL(38,0)) AS VARCHAR) AS snips_den,
+        | CAST(CASE WHEN sum(sd) = 0 THEN NULL
+        |  ELSE CAST(sum(sn) AS HUGEINT) * 1000000 // sum(sd) END
+        |  AS BIGINT) AS snips_e6,
+        | CAST(CAST(sum(dr) AS DECIMAL(38,0)) AS VARCHAR) AS dr_sum_e6,
+        | CAST(CAST(sum(dr) AS HUGEINT) // count(*) AS BIGINT)
+        |   AS dr_mean_e6
+        |FROM evl GROUP BY 1, 2""".stripMargin,
+
     "q265_replay_ips" ->
       """WITH b AS (SELECT user_id % 4 AS segment, event_type AS arm,
         |  CAST(round(value*100) AS BIGINT) AS r,

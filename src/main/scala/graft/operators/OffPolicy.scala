@@ -57,4 +57,78 @@ object OffPolicy {
       .withColumn("ips_num", col("sum_matched") * nArms)
       .withColumn("ips_den", col("n_eval"))
   }
+
+  /** SNIPS + doubly-robust evaluation under LOGGED propensities — the
+    * production pair when logging was NOT uniform (Swaminathan & Joachims
+    * 2015 for the self-normalized estimator; Dudík, Langford & Li 2011
+    * for DR). The candidate policy is the same train-period truncated-
+    * mean argmax as [[replayIps]]; for a deterministic policy only rows
+    * whose logged arm matches carry importance weight, so
+    *
+    *   SNIPS = Σ_matched r·1e12 div p_ppm  /  Σ_matched 1e12 div p_ppm
+    *   DR_i  = q̂(x, π(x)) + 1{a=π(x)}·(r·1e6 − q̂(x,a))·1e6 div p_ppm
+    *
+    * with q̂ the train-period (segment, arm) truncated mean (e6 cents;
+    * arms unseen in training back off to 0 — documented, not hidden:
+    * the n_train_miss column counts those rows). Every per-row division
+    * is a truncating integer div on e-scaled integers, every sum rides
+    * DECIMAL(38,0) — the oracle replays each row.
+    *
+    * Scale shape: one train aggregate to (segments × arms), broadcast
+    * twice onto one eval-side scan (policy arm + logged-arm q̂); one
+    * final per-segment aggregate. No windows over data, no collects.
+    *
+    * Output per segment: (segment, chosen_arm, n_eval, n_matched,
+    * n_train_miss, snips_num, snips_den, snips_e6, dr_sum_e6,
+    * dr_mean_e6). */
+  def snipsDr(df: DataFrame, segment: Column, arm: Column,
+      reward: Column, propensityPpm: Column, isTrain: Column): DataFrame = {
+    val base = df.select(segment.as("segment"), arm.as("__arm"),
+      reward.cast("long").as("__r"),
+      propensityPpm.cast("long").as("__p"), isTrain.as("__train"))
+      .where(col("__p") > 0L)
+    val qhat = base.where(col("__train"))
+      .groupBy(col("segment"), col("__arm"))
+      .agg(sum(col("__r")).as("__s"), count(lit(1)).as("__n"))
+      .withColumn("__q_e6", expr("__s * 1000000 div __n"))
+      .select(col("segment"), col("__arm"), col("__q_e6"))
+    val policy = qhat
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("segment"))
+          .orderBy(col("__q_e6").desc, col("__arm").asc)))
+      .where(col("__rk") === 1)
+      .select(col("segment"), col("__arm").as("chosen_arm"),
+        col("__q_e6").as("__q_pi"))
+    base.where(!col("__train"))
+      .join(broadcast(policy), Seq("segment"))
+      .join(broadcast(qhat.select(col("segment"), col("__arm"),
+        col("__q_e6").as("__q_a"))), Seq("segment", "__arm"), "left")
+      .select(col("segment"), col("chosen_arm"), col("__r"), col("__p"),
+        (col("__arm") === col("chosen_arm")).as("__m"),
+        col("__q_pi"), coalesce(col("__q_a"), lit(0L)).as("__qa"),
+        col("__q_a").isNull.as("__miss"))
+      .select(col("segment"), col("chosen_arm"), col("__m"), col("__miss"),
+        expr("CASE WHEN __m THEN __r * 1000000000000 div __p ELSE 0 END")
+          .as("__sn"),
+        expr("CASE WHEN __m THEN 1000000000000 div __p ELSE 0 END")
+          .as("__sd"),
+        expr("""__q_pi + CASE WHEN __m
+               | THEN (__r * 1000000 - __qa) * 1000000 div __p
+               | ELSE 0 END""".stripMargin).as("__dr"))
+      .groupBy(col("segment"), col("chosen_arm"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("__m"), 1L).otherwise(0L)).as("n_matched"),
+        sum(when(col("__miss"), 1L).otherwise(0L)).as("n_train_miss"),
+        sum(col("__sn").cast("decimal(38,0)")).as("snips_num"),
+        sum(col("__sd").cast("decimal(38,0)")).as("snips_den"),
+        sum(col("__dr").cast("decimal(38,0)")).as("dr_sum_e6"))
+      .select(col("segment"), col("chosen_arm"), col("n_eval"),
+        col("n_matched"), col("n_train_miss"),
+        col("snips_num"), col("snips_den"),
+        expr("""CASE WHEN snips_den = 0 THEN NULL
+               | ELSE CAST(snips_num * 1000000 div snips_den AS BIGINT)
+               | END""".stripMargin).as("snips_e6"),
+        col("dr_sum_e6"),
+        expr("CAST(dr_sum_e6 div n_eval AS BIGINT)").as("dr_mean_e6"))
+  }
 }

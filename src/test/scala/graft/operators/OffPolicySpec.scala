@@ -33,4 +33,35 @@ class OffPolicySpec extends SparkSpec {
     assert(r.getAs[String]("chosen_arm") == "a")
     assert(r.getAs[Long]("n_matched") == 0L)
   }
+
+  test("snipsDr: hand-computed single-segment estimates are exact") {
+    // train: A r=100, B r=10 → policy A, q(A)=1e8, q(B)=1e7 (e6 cents)
+    // eval: (A, r=50, p=5e5) matched; (B, r=20, p=2.5e5) unmatched
+    val rows = Seq(
+      (0L, "A", 100L, 500000L, true), (0L, "B", 10L, 500000L, true),
+      (0L, "A", 50L, 500000L, false), (0L, "B", 20L, 250000L, false))
+      .toDF("seg", "arm", "r", "p", "tr")
+    val got = OffPolicy.snipsDr(rows, col("seg"), col("arm"), col("r"),
+      col("p"), col("tr")).collect().head
+    assert(got.getLong(0) == 0L && got.getString(1) == "A")
+    assert(got.getLong(2) == 2L && got.getLong(3) == 1L
+      && got.getLong(4) == 0L)                       // eval/matched/miss
+    assert(BigDecimal(got.getDecimal(5)).toLongExact == 100000000L) // sn
+    assert(BigDecimal(got.getDecimal(6)).toLongExact == 2000000L)   // sd
+    assert(got.getLong(7) == 50000000L)              // SNIPS = 50 cents
+    // DR rows: matched A → 1e8 + (5e7−1e8)·1e6 div 5e5 = 0; B → 1e8
+    assert(BigDecimal(got.getDecimal(8)).toLongExact == 100000000L)
+    assert(got.getLong(9) == 50000000L)
+  }
+
+  test("snipsDr: arms unseen in training back off to 0 and are counted") {
+    val rows = Seq(
+      (0L, "A", 100L, 500000L, true),
+      (0L, "C", 30L, 500000L, false))
+      .toDF("seg", "arm", "r", "p", "tr")
+    val got = OffPolicy.snipsDr(rows, col("seg"), col("arm"), col("r"),
+      col("p"), col("tr")).collect().head
+    assert(got.getLong(4) == 1L)        // n_train_miss
+    assert(got.isNullAt(7))             // no matched rows → SNIPS NULL
+  }
 }
