@@ -5034,6 +5034,28 @@ object SparkEntry {
         iterations = 3)
     }),
 
+    // Effective sample size (Kish): how many unweighted rows each
+    // source's revenue-weighted lineitems are worth — ESS ≪ n flags
+    // weight collapse in importance-sampled data.
+    "q361_ess" -> ((s, dir) =>
+      decStr(operators.CorpusOps.effectiveSampleSize(
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            cents(col("l_extendedprice")).as("wt")),
+        "l_returnflag", "wt"))),
+
+    // Weighted discrete quantiles: quantity distribution per return
+    // flag, each row weighted by its revenue — the importance-weighted
+    // percentile importance-sampled corpora need; exact cum·100 ≥ W·p
+    // on DECIMAL(38,0).
+    "q360_weighted_quantiles" -> ((s, dir) =>
+      operators.CorpusOps.weightedDiscQuantiles(
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            round(col("l_quantity")).cast("long").as("qty"),
+            cents(col("l_extendedprice")).as("wt")),
+        "l_returnflag", "qty", "wt", Seq(25, 50, 75, 95))),
+
     // Mutual information between two categoricals (multi-class feature
     // selection — q329 WoE/IV's generalization): census-grain pass,
     // pinned-ln per-cell log-ratios rounded BEFORE the weighted sum.
@@ -13718,6 +13740,45 @@ object SparkEntry {
     "q355_length_bias" -> q355OracleSql,
 
     "q356_bt_calibration" -> q356OracleSql,
+
+    // q361: Kish ESS on HUGEINT sums.
+    "q361_ess" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+        |  CAST(round(l_extendedprice*100) AS BIGINT) AS w FROM lineitem
+        | WHERE round(l_extendedprice*100) > 0),
+        |a AS (SELECT g, count(*) AS n,
+        |  sum(CAST(w AS HUGEINT)) AS sw,
+        |  sum(CAST(w AS HUGEINT) * w) AS sw2 FROM b GROUP BY 1)
+        |SELECT g AS l_returnflag, n,
+        | CAST(CAST(sw AS DECIMAL(38,0)) AS VARCHAR) AS sum_w,
+        | CAST(CAST(sw2 AS DECIMAL(38,0)) AS VARCHAR) AS sum_w2,
+        | CAST(sw * sw * 1000000 // sw2 AS BIGINT) AS ess_e6,
+        | CAST(sw * sw * 1000000 // sw2 // n AS BIGINT) AS ess_per_n_e6
+        |FROM a""".stripMargin,
+
+    // q360: weighted census + cumulative window, the exact
+    // cum·100 ≥ W·p rule per percentile.
+    "q360_weighted_quantiles" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+        |  CAST(round(l_quantity) AS BIGINT) AS v,
+        |  CAST(round(l_extendedprice*100) AS BIGINT) AS w
+        | FROM lineitem),
+        |h AS (SELECT g, v, CAST(sum(w) AS BIGINT) AS w FROM b
+        | WHERE w > 0 GROUP BY 1, 2),
+        |c AS (SELECT g, v,
+        |  sum(w) OVER (PARTITION BY g ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  sum(w) OVER (PARTITION BY g) AS tw FROM h)
+        |SELECT g AS l_returnflag, CAST(max(tw) AS BIGINT) AS total_weight,
+        | min(CASE WHEN CAST(cum AS HUGEINT)*100 >= CAST(tw AS HUGEINT)*25
+        |   THEN v END) AS p25,
+        | min(CASE WHEN CAST(cum AS HUGEINT)*100 >= CAST(tw AS HUGEINT)*50
+        |   THEN v END) AS p50,
+        | min(CASE WHEN CAST(cum AS HUGEINT)*100 >= CAST(tw AS HUGEINT)*75
+        |   THEN v END) AS p75,
+        | min(CASE WHEN CAST(cum AS HUGEINT)*100 >= CAST(tw AS HUGEINT)*95
+        |   THEN v END) AS p95
+        |FROM c GROUP BY 1""".stripMargin,
 
     // q357: census + margins + the same pinned ln(nxy·N/(nx·ny)) term.
     "q357_mutual_info" ->

@@ -555,4 +555,58 @@ object CorpusOps {
           .as(s"p$p"))
     withCum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** WEIGHTED discrete quantiles — [[discQuantiles]] with a mass column
+    * (importance weights, token counts, revenue): the p-th weighted
+    * quantile is the smallest value whose cumulative weight reaches
+    * p% of the group's total, exactly — cum·100 ≥ W·p on DECIMAL(38,0)
+    * integers (weights can be planet-scale sums; LONG·100 is not safe
+    * at 100 TB). Same bounded-VALUE-domain contract as discQuantiles
+    * (the census shuffles one row per distinct (group, value)); rows
+    * with non-positive weight carry no mass and are dropped. */
+  /** Effective sample size of an importance-weighted frame (Kish 1965;
+    * the standard IS diagnostic): ESS = (Σw)²/Σw² — how many UNWEIGHTED
+    * samples the weighted set is worth; ESS ≪ n flags weight collapse
+    * (a handful of rows carrying all the mass — the failure mode of
+    * aggressive importance sampling / DSIR reweighting). Exact:
+    * DECIMAL(38,0) sums, ess_e6 = (Σw)²·1e6 div Σw²; one hash
+    * aggregate, rows with non-positive weight carry nothing.
+    * Domain contract: (Σw)²·1e6 must fit DECIMAL(38,0) — Σw ≤ ~5.6e15
+    * per group. ESS is scale-invariant in w, so callers past that just
+    * downscale the weights first.
+    * Output: (group, n, sum_w, sum_w2, ess_e6, ess_per_n_e6). */
+  def effectiveSampleSize(df: DataFrame, groupCol: String,
+      weightCol: String): DataFrame =
+    df.where(col(weightCol) > 0)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(weightCol).cast("decimal(38,0)")).as("sum_w"),
+        sum(expr(s"CAST($weightCol AS DECIMAL(38,0)) * $weightCol"))
+          .as("sum_w2"))
+      .select(col(groupCol), col("n"), col("sum_w"), col("sum_w2"),
+        expr("CAST(sum_w * sum_w * 1000000 div sum_w2 AS BIGINT)")
+          .as("ess_e6"),
+        expr("CAST(sum_w * sum_w * 1000000 div sum_w2 div n AS BIGINT)")
+          .as("ess_per_n_e6"))
+
+  def weightedDiscQuantiles(df: DataFrame, groupCol: String,
+      valueCol: String, weightCol: String,
+      percentiles: Seq[Int]): DataFrame = {
+    require(percentiles.nonEmpty &&
+      percentiles.forall(p => p >= 1 && p <= 100))
+    val hist = df.where(col(weightCol) > 0)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(sum(col(weightCol)).as("__w"))
+    val cumW = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = hist.withColumn("__cum", sum(col("__w")).over(cumW))
+      .withColumn("__tw",
+        sum(col("__w")).over(Window.partitionBy(col(groupCol))))
+    val aggs = max(col("__tw")).as("total_weight") +:
+      percentiles.map(p =>
+        min(when(expr(s"CAST(__cum AS DECIMAL(38,0)) * 100" +
+            s" >= CAST(__tw AS DECIMAL(38,0)) * $p"), col(valueCol)))
+          .as(s"p$p"))
+    withCum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -363,4 +363,29 @@ class CorpusOpsSpec extends SparkSpec {
       1L -> ((2L, 1L, 7L, 4L)),
       2L -> ((4L, 0L, 11L, 4L))))
   }
+
+  test("weightedDiscQuantiles: mass, not row count, places the cut") {
+    val df = Seq(("g", 1L, 30L), ("g", 2L, 30L), ("g", 3L, 40L),
+      ("g", 4L, 0L), ("g", 5L, -7L)) // non-positive weights carry nothing
+      .toDF("grp", "v", "w")
+    val r = CorpusOps.weightedDiscQuantiles(df, "grp", "v", "w",
+      Seq(25, 50, 75, 95)).collect().head
+    assert(r.getLong(1) == 100L)              // total_weight
+    assert(r.getLong(2) == 1L)                // p25: cum 30 ≥ 25
+    assert(r.getLong(3) == 2L)                // p50: cum 60 ≥ 50
+    assert(r.getLong(4) == 3L)                // p75: needs the 40 at 3
+    assert(r.getLong(5) == 3L)                // p95
+  }
+
+  test("effectiveSampleSize: uniform weights give ESS = n; collapse shows") {
+    val df = Seq(("u", 5L), ("u", 5L), ("u", 5L), ("u", 5L),
+      ("k", 97L), ("k", 1L), ("k", 1L), ("k", 1L))
+      .toDF("grp", "w")
+    val got = CorpusOps.effectiveSampleSize(df, "grp", "w")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(4)))
+      .toMap
+    assert(got("u") == (4L, 4000000L))   // uniform → exactly n
+    // collapsed: (100)²·1e6 div (9409+3) = 1e10 div 9412 = 1062473
+    assert(got("k") == (4L, 1062473L))   // worth ~1.06 samples, not 4
+  }
 }
