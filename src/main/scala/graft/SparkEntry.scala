@@ -111,6 +111,21 @@ object SparkEntry {
     * leaves ~GBs of dead upsert commits under /tmp, and the accumulated
     * disk/page-cache pressure inflated late-alphabet round-8 suite times
     * 3-7× over isolated runs. */
+  /** Idempotent, RACE-SAFE optimizer-rule registration: Verify/Bench run
+    * gates concurrently in one session, and `extraOptimizations` is a
+    * plain var — two unsynchronized read-modify-append cycles can lose
+    * one rule. Harmless for parity-only rules, semantics-bearing for
+    * MaskingRewrite; every gate registers through this lock. */
+  private val ruleLock = new Object
+  private def registerRule(s: SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit =
+    ruleLock.synchronized {
+      if (!s.experimental.extraOptimizations.contains(rule))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ rule
+    }
+
   private val queryTmpRoots = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private def queryTmp(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix).toString
@@ -4739,9 +4754,7 @@ object SparkEntry {
     // scan (TruncEqRewriteSpec pins the PushedFilters); the day literal
     // is min(ts)'s day + 10 (one-row bounded driver fetch).
     "q292_trunc_pushdown" -> ((s, dir) => {
-      if (!s.experimental.extraOptimizations.contains(plans.TruncEqRewrite))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ plans.TruncEqRewrite
+      registerRule(s, plans.TruncEqRewrite)
       val e = t(s, dir, "events")
       val day0 = e.agg(min(col("ts")).as("mn"))
         .select(date_trunc("DAY", col("mn")).as("d0"))
@@ -5241,9 +5254,7 @@ object SparkEntry {
     // private path keeps the session-global registry from touching any
     // other gate's scans.
     "q353_masking" -> ((s, dir) => {
-      if (!s.experimental.extraOptimizations.contains(plans.MaskingRewrite))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ plans.MaskingRewrite
+      registerRule(s, plans.MaskingRewrite)
       val p = queryTmp("graft_mask") + "/masked_customer.parquet"
       t(s, dir, "customer").where(col("c_custkey") <= 200)
         .write.mode("overwrite").parquet(p)
@@ -5264,10 +5275,7 @@ object SparkEntry {
     // unchanged (the oracle runs the join); the spec pins the plan flip
     // under a disabled autoBroadcast threshold.
     "q354_stats_broadcast" -> ((s, dir) => {
-      if (!s.experimental.extraOptimizations
-          .contains(plans.StatsBroadcastRewrite))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ plans.StatsBroadcastRewrite
+      registerRule(s, plans.StatsBroadcastRewrite)
       plans.StatsBroadcastRewrite.declareRowCount("/nation.parquet", 25L)
       t(s, dir, "supplier")
         .join(t(s, dir, "nation"),
@@ -5329,11 +5337,7 @@ object SparkEntry {
     // Project (sum→cast, count→1/null-test, avg widens). The oracle
     // RUNS the aggregation — parity proves elimination is invisible.
     "q348_agg_elim" -> ((s, dir) => {
-      if (!s.experimental.extraOptimizations
-          .contains(plans.AggregateEliminationRewrite))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+
-            plans.AggregateEliminationRewrite
+      registerRule(s, plans.AggregateEliminationRewrite)
       plans.ConstraintRegistry.declareUnique("/orders.parquet",
         "o_orderkey")
       t(s, dir, "orders")
@@ -5350,11 +5354,7 @@ object SparkEntry {
     // the aggregate to its one empty-count row); the satisfiable branch
     // scans normally. The oracle runs both branches for real.
     "q349_range_prune" -> ((s, dir) => {
-      if (!s.experimental.extraOptimizations
-          .contains(plans.RangeContradictionRewrite))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+
-            plans.RangeContradictionRewrite
+      registerRule(s, plans.RangeContradictionRewrite)
       plans.ConstraintRegistry.declareRange("/lineitem.parquet",
         "l_linenumber", 1L, 7L)
       val impossible = t(s, dir, "lineitem")
@@ -5469,10 +5469,7 @@ object SparkEntry {
     // fan-out-blocked cases; PlanSpec pins this gate's single-Aggregate
     // plan). The oracle executes the DISTINCT for real.
     "q331_distinct_elim" -> ((s, dir) => {
-      if (!s.experimental.extraOptimizations
-          .contains(plans.DistinctEliminationRewrite))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ plans.DistinctEliminationRewrite
+      registerRule(s, plans.DistinctEliminationRewrite)
       plans.ConstraintRegistry.declareUnique("/orders.parquet", "o_orderkey")
       t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
@@ -5536,9 +5533,7 @@ object SparkEntry {
     // parity proves elimination is invisible. The BI-layer win at scale:
     // machine-emitted star plans pay only for dimensions actually read.
     "q327_join_elim" -> ((s, dir) => {
-      if (!s.experimental.extraOptimizations.contains(plans.JoinEliminationRewrite))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ plans.JoinEliminationRewrite
+      registerRule(s, plans.JoinEliminationRewrite)
       plans.ConstraintRegistry.declareForeignKey("/lineitem.parquet",
         "l_orderkey", "/orders.parquet", "o_orderkey")
       plans.ConstraintRegistry.declareUnique("/supplier.parquet", "s_suppkey")
@@ -5584,9 +5579,7 @@ object SparkEntry {
     // (MatviewRewriteSpec's upsert-snapshot case pins that the rewrite
     // actually fires on this view shape.)
     "q325_matview_e2e" -> ((s, dir) => {
-      if (!s.experimental.extraOptimizations.contains(plans.MatviewRewrite))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ plans.MatviewRewrite
+      registerRule(s, plans.MatviewRewrite)
       val root = queryTmp("graft_mv_e2e")
       val base0 = t(s, dir, "orders").where(col("o_orderkey") % 4 === 0)
         .select(col("o_orderkey").as("k"),
@@ -6090,9 +6083,7 @@ object SparkEntry {
     // the plan swap and the unsound-shape bails) while the oracle
     // recomputes from the base — result parity IS the soundness proof.
     "q308_matview_rewrite" -> ((s, dir) => {
-      if (!s.experimental.extraOptimizations.contains(plans.MatviewRewrite))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ plans.MatviewRewrite
+      registerRule(s, plans.MatviewRewrite)
       val root = queryTmp("graft_mv")
       val base = t(s, dir, "orders").select(col("o_orderpriority"),
         col("o_orderstatus"),
@@ -6238,9 +6229,7 @@ object SparkEntry {
     // PushedFilters and the floor-division edge semantics). Bounds are
     // min(ts_ms) + 5/15 days — one bounded driver fetch.
     "q295_epoch_pushdown" -> ((s, dir) => {
-      if (!s.experimental.extraOptimizations.contains(plans.EpochCmpRewrite))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ plans.EpochCmpRewrite
+      registerRule(s, plans.EpochCmpRewrite)
       val e = ev(s, dir)
       val mn = e.agg(min(col("ts_ms")).as("mn")).collect().head.getLong(0)
       e.where(col("ts_ms") >= mn + 5L * 86400000L &&
