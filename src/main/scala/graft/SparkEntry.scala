@@ -5109,6 +5109,63 @@ object SparkEntry {
           col("wilson_lb_e6"))
     }),
 
+    // Murphy decomposition of the Brier score over the q356 calibration
+    // frame: reliability / resolution / uncertainty as exact DECIMAL
+    // numerators over n·1e12 (bucket means are truncating e6 integers —
+    // OUR convention, documented; the classical identity holds up to
+    // that truncation). The one-number completion of the q356 table.
+    "q362_brier_decomp" -> ((s, dir) => {
+      val os = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
+        .agg(sum(cents(col("l_extendedprice"))).as("c"))
+      val du = os.as("x").join(os.as("y"),
+          col("x.o") === col("y.o") && col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("a"), col("y.sk").as("b"),
+          when(col("x.c") >= col("y.c"), 1L).otherwise(0L).as("wa"))
+        .localCheckpoint(true)
+      val duelWL = du.select(
+        when(col("wa") === 1L, col("a")).otherwise(col("b")).as("w"),
+        when(col("wa") === 1L, col("b")).otherwise(col("a")).as("l"))
+      val ratings = operators.Preference
+        .bradleyTerryE6(duelWL, col("w"), col("l"), iterations = 3)
+        .select(col("item"), col("rating_e6"))
+      val cal = du
+        .join(ratings.select(col("item").as("a"),
+          col("rating_e6").as("ra")), Seq("a"))
+        .join(ratings.select(col("item").as("b"),
+          col("rating_e6").as("rb")), Seq("b"))
+        .select(col("wa"),
+          expr("CAST(ra * 1000000 div (ra + rb) AS BIGINT)").as("p"))
+        .localCheckpoint(true) // duel grain; three aggregates read it
+      val bk = cal.groupBy(expr("CAST(p div 100000 AS BIGINT)").as("bk"))
+        .agg(count(lit(1)).as("nk"), sum(col("p")).as("sp"),
+          sum(col("wa")).as("swa"))
+        .select(col("bk"), col("nk"),
+          expr("sp div nk").as("pbar"),
+          expr("swa * 1000000 div nk").as("obar"))
+      val tot = cal.agg(count(lit(1)).as("n"), sum(col("wa")).as("sw"))
+        .select(col("n"), expr("sw * 1000000 div n").as("ob"))
+        .localCheckpoint(true)
+      val brier = cal.crossJoin(broadcast(tot))
+        .select(expr("CAST(p - wa * 1000000 AS DECIMAL(38,0))" +
+          " * (p - wa * 1000000)").as("sq"))
+        .agg(sum(col("sq")).as("brier_num"))
+      decStr(bk.crossJoin(broadcast(tot))
+        .select(col("n"), col("ob"),
+          expr("""CAST(nk AS DECIMAL(38,0))
+                 | * (pbar - obar) * (pbar - obar)""".stripMargin)
+            .as("__rel"),
+          expr("""CAST(nk AS DECIMAL(38,0))
+                 | * (obar - ob) * (obar - ob)""".stripMargin).as("__res"))
+        .groupBy(col("n"), col("ob"))
+        .agg(sum(col("__rel")).as("rel_num"), sum(col("__res")).as("res_num"))
+        .crossJoin(broadcast(brier))
+        .select(col("n"), col("ob").as("obar_e6"),
+          col("brier_num"), col("rel_num"), col("res_num"),
+          expr("CAST(ob AS DECIMAL(38,0)) * (1000000 - ob)")
+            .as("unc_num")))
+    }),
+
     // Reward-model calibration audit: refit q333's BT ratings, predict
     // every duel as p = r_a·1e6 div (r_a + r_b), and compare mean
     // predicted win probability to the actual win share per prediction
@@ -6706,6 +6763,42 @@ object SparkEntry {
        | CAST(CAST(sum(wa) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
        |   AS actual_e6
        |FROM cal GROUP BY 1""".stripMargin
+  }
+
+  // q362: the q356 calibration frame rolled into Murphy's three terms —
+  // truncating e6 bucket means, DECIMAL numerators over n·1e12.
+  private val q362OracleSql: String = {
+    val rounds = 3
+    s"""WITH ${btOracleCtes(rounds)},
+       |du AS (SELECT x.s AS a, y.s AS b,
+       |  CASE WHEN x.c >= y.c THEN 1 ELSE 0 END AS wa
+       | FROM os x JOIN os y ON x.o = y.o AND x.s < y.s),
+       |cal AS (SELECT wa,
+       |  CAST(CAST(ra.r AS HUGEINT) * 1000000 // (ra.r + rb.r)
+       |   AS BIGINT) AS p
+       | FROM du JOIN r$rounds ra ON ra.id = du.a
+       |  JOIN r$rounds rb ON rb.id = du.b),
+       |bk AS (SELECT p // 100000 AS bk, count(*) AS nk,
+       |  CAST(CAST(sum(p) AS HUGEINT) // count(*) AS BIGINT) AS pbar,
+       |  CAST(CAST(sum(wa) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+       |    AS obar
+       | FROM cal GROUP BY 1),
+       |tot AS (SELECT count(*) AS n,
+       |  CAST(CAST(sum(wa) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+       |    AS ob FROM cal),
+       |br AS (SELECT sum(CAST(p - wa * 1000000 AS HUGEINT)
+       |    * (p - wa * 1000000)) AS brier_num FROM cal),
+       |rr AS (SELECT sum(CAST(nk AS HUGEINT) * (pbar - obar)
+       |     * (pbar - obar)) AS rel_num,
+       |  sum(CAST(nk AS HUGEINT) * (obar - ob) * (obar - ob)) AS res_num
+       | FROM bk, tot)
+       |SELECT n, ob AS obar_e6,
+       | CAST(CAST(brier_num AS DECIMAL(38,0)) AS VARCHAR) AS brier_num,
+       | CAST(CAST(rel_num AS DECIMAL(38,0)) AS VARCHAR) AS rel_num,
+       | CAST(CAST(res_num AS DECIMAL(38,0)) AS VARCHAR) AS res_num,
+       | CAST(CAST(CAST(ob AS HUGEINT) * (1000000 - ob) AS DECIMAL(38,0))
+       |   AS VARCHAR) AS unc_num
+       |FROM tot, br, rr""".stripMargin
   }
 
   /** q333's oracle CTE body (through r\$rounds), shared with q356. */
@@ -13729,6 +13822,8 @@ object SparkEntry {
     "q355_length_bias" -> q355OracleSql,
 
     "q356_bt_calibration" -> q356OracleSql,
+
+    "q362_brier_decomp" -> q362OracleSql,
 
     // q361: Kish ESS on HUGEINT sums.
     "q361_ess" ->
