@@ -186,8 +186,7 @@ object StatsBroadcastRewrite extends Rule[LogicalPlan] {
       plan.transformUp {
         case j: Join =>
           val leftSmall = j.hint.leftHint.isEmpty &&
-            declaredRows(j.left).exists(_ <= maxRows) &&
-            j.joinType != LeftOuter_NoBuildLeft(j)
+            declaredRows(j.left).exists(_ <= maxRows) && canBuildLeft(j)
           val rightSmall = j.hint.rightHint.isEmpty &&
             declaredRows(j.right).exists(_ <= maxRows) &&
             canBuildRight(j)
@@ -211,11 +210,10 @@ object StatsBroadcastRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  private def LeftOuter_NoBuildLeft(j: Join): Boolean = j.joinType match {
-    // build-left allowed for inner/cross/right-outer only
+  private def canBuildLeft(j: Join): Boolean = j.joinType match {
     case org.apache.spark.sql.catalyst.plans.Inner |
          org.apache.spark.sql.catalyst.plans.Cross |
-         org.apache.spark.sql.catalyst.plans.RightOuter => false
-    case _ => true
+         org.apache.spark.sql.catalyst.plans.RightOuter => true
+    case _ => false
   }
 }

@@ -106,4 +106,24 @@ class GovernanceRewritesSpec extends SparkSpec {
       MaskingRegistry.clear()
     }
   }
+
+  test("a declared-small LEFT side is not hinted where Spark can't build it") {
+    StatsBroadcastRewrite.clearCounts()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try withRules() {
+      StatsBroadcastRewrite.declareRowCount("/refs.parquet", 3L)
+      // refs on the LEFT of a LEFT OUTER join: only build-right is
+      // legal there, so the declared-small left must stay un-hinted
+      val q = refs.join(ppl, col("rid") === col("id"), "left")
+      assert(joinPlan(q) == ((false, true)),
+        q.queryExecution.executedPlan.toString)
+      // the same declared table on the RIGHT of an inner join broadcasts
+      val ok = ppl.join(refs, col("id") === col("rid"))
+      assert(joinPlan(ok) == ((true, false)))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      StatsBroadcastRewrite.clearCounts()
+    }
+  }
 }
