@@ -5109,6 +5109,15 @@ object SparkEntry {
           col("wilson_lb_e6"))
     }),
 
+    // Pairwise inter-annotator kappa matrix over the q338 vote frame
+    // (suppliers "label" their orders with return flags): per supplier
+    // pair with ≥ 5 shared orders, exact Cohen's κ on the shared set —
+    // the structural drill-down under corpus-level α.
+    "q363_pairwise_kappa" -> ((s, dir) =>
+      decStr(operators.Preference.pairwiseKappaE6(
+        t(s, dir, "lineitem"), col("l_orderkey"), col("l_suppkey"),
+        col("l_returnflag"), minShared = 5L))),
+
     // Murphy decomposition of the Brier score over the q356 calibration
     // frame: reliability / resolution / uncertainty as exact DECIMAL
     // numerators over n·1e12 (bucket means are truncating e6 integers —
@@ -13824,6 +13833,34 @@ object SparkEntry {
     "q356_bt_calibration" -> q356OracleSql,
 
     "q362_brier_decomp" -> q362OracleSql,
+
+    // q363: the shared-set pair expansion, per-pair label-histogram
+    // cross mass, and the exact κ ratio.
+    "q363_pairwise_kappa" ->
+      """WITH v AS (SELECT l_orderkey AS i, l_suppkey AS a,
+        |  min(l_returnflag) AS l
+        | FROM lineitem GROUP BY 1, 2),
+        |p AS (SELECT x.a AS a1, y.a AS a2, x.l AS l1, y.l AS l2
+        | FROM v x JOIN v y ON x.i = y.i AND x.a < y.a),
+        |b AS (SELECT a1, a2, count(*) AS n_shared,
+        |  CAST(sum(CASE WHEN l1 = l2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_agree
+        | FROM p GROUP BY 1, 2 HAVING count(*) >= 5),
+        |c1 AS (SELECT a1, a2, l1 AS l, count(*) AS c1 FROM p
+        | GROUP BY 1, 2, 3),
+        |c2 AS (SELECT a1, a2, l2 AS l, count(*) AS c2 FROM p
+        | GROUP BY 1, 2, 3),
+        |pe AS (SELECT a1, a2,
+        |  sum(CAST(c1 AS HUGEINT) * c2) AS pe_num
+        | FROM c1 JOIN c2 USING (a1, a2, l) GROUP BY 1, 2)
+        |SELECT b.a1, b.a2, n_shared, n_agree,
+        | CAST(CAST(pe_num AS DECIMAL(38,0)) AS VARCHAR) AS pe_num,
+        | CAST(CASE WHEN CAST(n_shared AS HUGEINT) * n_shared = pe_num
+        |   THEN NULL
+        |  ELSE (CAST(n_agree AS HUGEINT) * n_shared - pe_num) * 1000000
+        |   // (CAST(n_shared AS HUGEINT) * n_shared - pe_num) END
+        |  AS BIGINT) AS kappa_e6
+        |FROM b JOIN pe ON pe.a1 = b.a1 AND pe.a2 = b.a2""".stripMargin,
 
     // q361: Kish ESS on HUGEINT sums.
     "q361_ess" ->

@@ -441,6 +441,62 @@ object Preference {
     *
     * Output: (item, rating_e6, wins, ties, comparisons); `outcome` is
     * +1 (a wins), −1 (b wins), or 0 (tie). */
+  /** Pairwise inter-annotator agreement matrix — per annotator PAIR,
+    * Cohen's κ over their SHARED items: the structural view the
+    * corpus-level α ([[krippendorffAlphaNominal]]) and the per-annotator
+    * reliabilities ([[dawidSkeneOneCoinE6]]) both summarize away, and
+    * the tool that finds the one annotator pair that disagrees with
+    * each other while agreeing with everyone else (rubric drift,
+    * shared-account artifacts).
+    *
+    * Exact integers throughout: with n shared items, observed-agreement
+    * count po and expected-agreement mass pe_num = Σ_l c1(l)·c2(l)
+    * (each annotator's label histogram over the SHARED set),
+    *   κ = (po·n − pe_num) / (n² − pe_num)
+    * as a DECIMAL(38,0) ratio + truncating-div e6 headline. One label
+    * per (item, annotator) — duplicate votes collapse to the MINIMUM
+    * label (a total order, documented).
+    *
+    * Scale shape: the self-join expands each item into its annotator
+    * pairs (Σ per-item k², the standard blocked quadratic — the item
+    * IS the block); per-pair label-cross masses are two hash
+    * aggregates off that pair stream. `minShared` prunes the long tail
+    * of incidental pairs before output.
+    *
+    * Output: (a1, a2, n_shared, n_agree, pe_num, kappa_e6), a1 < a2. */
+  def pairwiseKappaE6(votes: DataFrame, item: Column, annotator: Column,
+      label: Column, minShared: Long = 1L): DataFrame = {
+    val v = votes.select(item.as("i"), annotator.as("a"),
+        label.cast("string").as("l"))
+      .where(col("i").isNotNull && col("a").isNotNull && col("l").isNotNull)
+      .groupBy(col("i"), col("a")).agg(min(col("l")).as("l"))
+    val pairs = v.as("x").join(v.as("y"),
+        col("x.i") === col("y.i") && col("x.a") < col("y.a"))
+      .select(col("x.a").as("a1"), col("y.a").as("a2"),
+        col("x.l").as("l1"), col("y.l").as("l2"))
+    val base = pairs.groupBy(col("a1"), col("a2"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(when(col("l1") === col("l2"), 1L).otherwise(0L)).as("n_agree"))
+      .where(col("n_shared") >= minShared)
+    val c1 = pairs.groupBy(col("a1"), col("a2"), col("l1").as("l"))
+      .agg(count(lit(1)).as("c1"))
+    val c2 = pairs.groupBy(col("a1"), col("a2"), col("l2").as("l"))
+      .agg(count(lit(1)).as("c2"))
+    val pe = c1.join(c2, Seq("a1", "a2", "l"))
+      .groupBy(col("a1"), col("a2"))
+      .agg(sum(expr("CAST(c1 AS DECIMAL(38,0)) * c2")).as("pe_num"))
+    base.join(pe, Seq("a1", "a2"))
+      .select(col("a1"), col("a2"), col("n_shared"), col("n_agree"),
+        col("pe_num"),
+        expr("""CASE WHEN CAST(n_shared AS DECIMAL(38,0)) * n_shared
+               |   = pe_num THEN NULL
+               | ELSE CAST((CAST(n_agree AS DECIMAL(38,0)) * n_shared
+               |    - pe_num) * 1000000
+               |  div (CAST(n_shared AS DECIMAL(38,0)) * n_shared
+               |    - pe_num) AS BIGINT) END""".stripMargin)
+          .as("kappa_e6"))
+  }
+
   def bradleyTerryTiesE6(duels: DataFrame, itemA: Column, itemB: Column,
       outcome: Column, thetaE6: Long, iterations: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 16)

@@ -298,4 +298,29 @@ class PreferenceSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(one == many)
   }
+
+  test("pairwiseKappaE6: hand-computed pair is exact") {
+    // shared items 1..4: a1 = A,A,B,B; a2 = A,B,B,B → po=3/4,
+    // pe_num = 2·1 + 2·3 = 8, κ = (12−8)/(16−8) = 0.5
+    val votes = Seq(
+      (1L, 10L, "A"), (2L, 10L, "A"), (3L, 10L, "B"), (4L, 10L, "B"),
+      (1L, 20L, "A"), (2L, 20L, "B"), (3L, 20L, "B"), (4L, 20L, "B"))
+      .toDF("i", "a", "l")
+    val r = Preference.pairwiseKappaE6(votes, col("i"), col("a"),
+      col("l")).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((10L, 20L)))
+    assert(r.getLong(2) == 4L && r.getLong(3) == 3L)
+    assert(BigDecimal(r.getDecimal(4)).toLongExact == 8L)
+    assert(r.getLong(5) == 500000L)
+  }
+
+  test("pairwiseKappaE6: chance-only agreement lands at kappa 0; " +
+      "degenerate all-same is NULL") {
+    // both annotators always vote A → po = 1, pe = 1 → κ undefined
+    val same = Seq((1L, 1L, "A"), (2L, 1L, "A"),
+      (1L, 2L, "A"), (2L, 2L, "A")).toDF("i", "a", "l")
+    val r = Preference.pairwiseKappaE6(same, col("i"), col("a"),
+      col("l")).collect().head
+    assert(r.isNullAt(5))
+  }
 }
