@@ -5109,6 +5109,47 @@ object SparkEntry {
           col("wilson_lb_e6"))
     }),
 
+    // McNemar's paired-model test per supplier nation: two rule models
+    // predict returns on the SAME lineitems (A: quantity > 25, B:
+    // discount > 0.05), truth = l_returnflag = 'R'; per nation the
+    // paired 2×2 and the continuity-corrected statistic on the
+    // discordant cells — the "is B actually better on the same items"
+    // gate an eval harness runs before promoting a checkpoint.
+    "q364_mcnemar" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").as("nation"))
+      val j = li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("nation"),
+          ((col("l_quantity") > 25.0) === (col("l_returnflag") === "R"))
+            .as("ca"),
+          ((col("l_discount") > 0.05) === (col("l_returnflag") === "R"))
+            .as("cb"))
+      operators.PairedTests.mcnemarE6(j, Seq("nation"), col("ca"),
+        col("cb"))
+    }),
+
+    // Mantel–Haenszel common odds ratio + continuity-corrected CMH
+    // statistic, stratified by ship month: treated = discount > 0.05,
+    // outcome = returned — the stratified A/B readout when assignment
+    // is confounded with a blocking factor (here: seasonality).
+    "q365_mantel_haenszel" -> ((s, dir) =>
+      decStr(operators.PairedTests.mantelHaenszelE6(
+        t(s, dir, "lineitem").withColumn("st",
+          expr("CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)")),
+        Seq("st"), col("l_discount") > 0.05,
+        col("l_returnflag") === "R"))),
+
+    // Delete-one-bucket jackknife for a ratio metric (price cents per
+    // unit quantity) per return flag, 32 order-hash buckets — the
+    // production error bar for ratio metrics, where the delta method
+    // is the approximation and the bucket jackknife is what ships.
+    "q366_jackknife_ratio" -> ((s, dir) =>
+      decStr(operators.PairedTests.jackknifeRatioE6(
+        t(s, dir, "lineitem"), Seq("l_returnflag"),
+        pmod(col("l_orderkey"), lit(32L)),
+        cents(col("l_extendedprice")), round(col("l_quantity")).cast("long")))),
+
     // Pairwise inter-annotator kappa matrix over the q338 vote frame
     // (suppliers "label" their orders with return flags): per supplier
     // pair with ≥ 5 shared orders, exact Cohen's κ on the shared set —
@@ -13833,6 +13874,116 @@ object SparkEntry {
     "q356_bt_calibration" -> q356OracleSql,
 
     "q362_brier_decomp" -> q362OracleSql,
+
+    // q364: the paired 2×2 per nation and the clamped continuity-
+    // corrected statistic on the discordant cells.
+    "q364_mcnemar" ->
+      """WITH j AS (SELECT s_nationkey AS nation,
+        |  (l_quantity > 25) = (l_returnflag = 'R') AS ca,
+        |  (l_discount > 0.05) = (l_returnflag = 'R') AS cb
+        | FROM lineitem JOIN supplier ON s_suppkey = l_suppkey),
+        |g AS (SELECT nation,
+        |  CAST(sum(CASE WHEN ca AND cb THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n11,
+        |  CAST(sum(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n10,
+        |  CAST(sum(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n01,
+        |  CAST(sum(CASE WHEN NOT ca AND NOT cb THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n00
+        | FROM j GROUP BY 1)
+        |SELECT nation, n11, n10, n01, n00, n10 + n01 AS discordant,
+        | CASE WHEN n10 + n01 = 0 THEN NULL
+        |  ELSE CAST(CAST(greatest(abs(n10 - n01) - 1, 0) AS HUGEINT)
+        |    * greatest(abs(n10 - n01) - 1, 0) * 1000000
+        |    // (n10 + n01) AS BIGINT) END AS mcnemar_e6
+        |FROM g""".stripMargin,
+
+    // q365: per-stratum e6-truncated MH/CMH terms (two-stage truncation
+    // on the variance, pinned), then one global sum.
+    "q365_mantel_haenszel" ->
+      """WITH c0 AS (SELECT
+        |  CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+        |    AS st,
+        |  l_discount > 0.05 AS t, l_returnflag = 'R' AS o
+        | FROM lineitem),
+        |s AS (SELECT st,
+        |  CAST(sum(CASE WHEN t AND o THEN 1 ELSE 0 END) AS HUGEINT) AS a,
+        |  CAST(sum(CASE WHEN t AND NOT o THEN 1 ELSE 0 END) AS HUGEINT)
+        |    AS b,
+        |  CAST(sum(CASE WHEN NOT t AND o THEN 1 ELSE 0 END) AS HUGEINT)
+        |    AS c,
+        |  CAST(sum(CASE WHEN NOT t AND NOT o THEN 1 ELSE 0 END)
+        |    AS HUGEINT) AS d
+        | FROM c0 GROUP BY 1),
+        |tm AS (SELECT st, a, b, c, d, a + b + c + d AS n FROM s
+        | WHERE a + b + c + d > 0),
+        |t2 AS (SELECT st, n,
+        |  a * d * 1000000 // n AS r,
+        |  b * c * 1000000 // n AS sx,
+        |  (a * n - (a + b) * (a + c)) * 1000000 // n AS dev,
+        |  CASE WHEN n < 2 THEN CAST(0 AS HUGEINT)
+        |   ELSE ((a + b) * (c + d) * 1000000 // n) * (a + c) * (b + d)
+        |    // (n * (n - 1)) END AS v
+        | FROM tm)
+        |SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        | CAST(sum(n) AS BIGINT) AS n_total,
+        | CAST(CAST(sum(r) AS DECIMAL(38,0)) AS VARCHAR) AS r_num,
+        | CAST(CAST(sum(sx) AS DECIMAL(38,0)) AS VARCHAR) AS s_num,
+        | CASE WHEN sum(sx) = 0 THEN NULL
+        |  ELSE CAST(sum(r) * 1000000 // sum(sx) AS BIGINT) END
+        |   AS or_mh_e6,
+        | CAST(sum(dev) AS BIGINT) AS dev_e6,
+        | CAST(CAST(sum(v) AS DECIMAL(38,0)) AS VARCHAR) AS var_e6,
+        | CASE WHEN sum(v) = 0 THEN NULL
+        |  ELSE CAST(CAST(greatest(abs(sum(dev)) - 500000, 0) AS HUGEINT)
+        |    * greatest(abs(sum(dev)) - 500000, 0) // sum(v) AS BIGINT)
+        |  END AS cmh_e6
+        |FROM t2""".stripMargin,
+
+    // q366: bucket census → leave-one-out ratios → exact jackknife
+    // moments, corrected isqrt for the standard error.
+    "q366_jackknife_ratio" ->
+      """WITH b AS (SELECT l_returnflag AS g, l_orderkey % 32 AS bk,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS num,
+        |  CAST(round(l_quantity) AS BIGINT) AS den FROM lineitem),
+        |pb AS (SELECT g, bk, sum(num) AS s_i, sum(den) AS n_i FROM b
+        | GROUP BY 1, 2),
+        |w AS (SELECT g, bk, s_i, n_i,
+        |  sum(s_i) OVER (PARTITION BY g) AS st,
+        |  sum(n_i) OVER (PARTITION BY g) AS nt FROM pb),
+        |l AS (SELECT *, CASE WHEN nt - n_i <= 0 THEN NULL
+        |   ELSE CAST(CAST(st - s_i AS HUGEINT) * 1000000 // (nt - n_i)
+        |    AS BIGINT) END AS loo FROM w),
+        |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(count(loo) AS BIGINT) AS b_eff,
+        |  max(st) AS st, max(nt) AS nt,
+        |  CASE WHEN count(loo) = 0 THEN NULL
+        |   ELSE CAST(sum(CAST(loo AS HUGEINT)) // count(loo) AS BIGINT)
+        |  END AS jk_mean_e6
+        | FROM l GROUP BY g),
+        |ss AS (SELECT l.g,
+        |  sum(CASE WHEN loo IS NULL THEN CAST(0 AS HUGEINT)
+        |   ELSE CAST(loo - jk_mean_e6 AS HUGEINT) * (loo - jk_mean_e6)
+        |   END) AS ssq
+        | FROM l JOIN m ON m.g = l.g GROUP BY 1),
+        |f AS (SELECT m.g, n_buckets, b_eff,
+        |  CASE WHEN nt <= 0 THEN NULL
+        |   ELSE CAST(CAST(st AS HUGEINT) * 1000000 // nt AS BIGINT) END
+        |    AS theta_e6,
+        |  jk_mean_e6,
+        |  CASE WHEN b_eff <= 1 THEN NULL
+        |   ELSE CAST(b_eff - 1 AS HUGEINT) * ssq // b_eff END AS var
+        | FROM m JOIN ss ON ss.g = m.g),
+        |s0c AS (SELECT *,
+        |  CAST(floor(sqrt(CAST(var AS DOUBLE))) AS BIGINT) AS s0 FROM f)
+        |SELECT g AS l_returnflag, n_buckets, b_eff, theta_e6, jk_mean_e6,
+        | CAST(CAST(var AS DECIMAL(38,0)) AS VARCHAR) AS jk_var_e12,
+        | CASE WHEN var IS NULL THEN NULL
+        |  WHEN CAST(s0 AS HUGEINT) * s0 > var THEN s0 - 1
+        |  WHEN (CAST(s0 AS HUGEINT) + 1) * (s0 + 1) <= var THEN s0 + 1
+        |  ELSE s0 END AS jk_se_e6
+        |FROM s0c""".stripMargin,
 
     // q363: the shared-set pair expansion, per-pair label-histogram
     // cross mass, and the exact κ ratio.
