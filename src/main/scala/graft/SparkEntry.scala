@@ -5109,6 +5109,33 @@ object SparkEntry {
           col("wilson_lb_e6"))
     }),
 
+    // Conductance of the nation partition over the co-supplier graph:
+    // per nation, cut / min(vol, 2m − vol) in exact integers — the
+    // boundary-leakage readout modularity (q86) can't see. The
+    // partition is DECLARED (supplier → nation), so the oracle needs no
+    // iterative replay.
+    "q367_conductance" -> ((s, dir) =>
+      operators.Graph.conductanceParts(coSupplierPairs(s, dir),
+        "l_suppkey", "dst_supp",
+        t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+        "s_suppkey", "s_nationkey")),
+
+    // Transcript/dialog structural QA over the events stream read as
+    // chat sessions (user_id = session, click/view/signup = user
+    // turns, purchase/error = assistant turns): per session the turn
+    // counts, first/last role, alternation violations, longest
+    // same-role run, and inter-turn gap totals — the validation pass
+    // SFT data runs before a conversation enters the training mix.
+    "q368_transcript_audit" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        unix_millis(col("ts").cast("timestamp")).as("ts_ms"),
+        col("event_id"),
+        when(col("event_type").isin("click", "view", "signup"), "user")
+          .otherwise("assistant").as("role"))
+      operators.DialogQa.transcriptAudit(ev, col("user_id"),
+        col("ts_ms"), col("role"), col("event_id"))
+    }),
+
     // McNemar's paired-model test per supplier nation: two rule models
     // predict returns on the SAME lineitems (A: quantity > 25, B:
     // discount > 0.05), truth = l_returnflag = 'R'; per nation the
@@ -13874,6 +13901,74 @@ object SparkEntry {
     "q356_bt_calibration" -> q356OracleSql,
 
     "q362_brier_decomp" -> q362OracleSql,
+
+    // q367: canonical distinct edges → endpoint-label join → part-grain
+    // census; cross-part edges charged to both sides.
+    "q367_conductance" ->
+      """WITH pairs AS (SELECT DISTINCT a.l_suppkey AS src,
+        |  b.l_suppkey AS dst
+        | FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+        |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst)
+        |   AS b FROM pairs),
+        |lab AS (SELECT s_suppkey AS node, s_nationkey AS lab
+        | FROM supplier),
+        |ends AS (SELECT a, b, a AS node FROM e
+        |         UNION ALL SELECT a, b, b AS node FROM e),
+        |el AS (SELECT en.a, en.b, en.node, l.lab FROM ends en
+        | JOIN lab l ON l.node = en.node),
+        |vol AS (SELECT lab AS community,
+        |  CAST(count(DISTINCT node) AS BIGINT) AS nodes,
+        |  CAST(count(*) AS BIGINT) AS volume FROM el GROUP BY 1),
+        |pe AS (SELECT a, b, min(lab) AS ca, max(lab) AS cb FROM el
+        | GROUP BY 1, 2),
+        |ie AS (SELECT ca AS community,
+        |  CAST(count(*) AS BIGINT) AS internal_edges FROM pe
+        | WHERE ca = cb GROUP BY 1),
+        |ce AS (SELECT community, CAST(count(*) AS BIGINT) AS cut_edges
+        | FROM (SELECT ca AS community FROM pe WHERE ca <> cb
+        |       UNION ALL SELECT cb FROM pe WHERE ca <> cb)
+        | GROUP BY 1),
+        |mm AS (SELECT CAST(count(*) * 2 AS BIGINT) AS vt FROM e)
+        |SELECT v.community, v.nodes, v.volume,
+        | coalesce(ie.internal_edges, 0) AS internal_edges,
+        | coalesce(ce.cut_edges, 0) AS cut_edges,
+        | CASE WHEN least(v.volume, mm.vt - v.volume) = 0 THEN NULL
+        |  ELSE CAST(CAST(coalesce(ce.cut_edges, 0) AS HUGEINT) * 1000000
+        |   // least(v.volume, mm.vt - v.volume) AS BIGINT) END
+        |  AS conductance_e6
+        |FROM vol v LEFT JOIN ie USING (community)
+        | LEFT JOIN ce USING (community) CROSS JOIN mm""".stripMargin,
+
+    // q368: session-partitioned windows (lag + running sum for the
+    // gaps-and-islands run ids), then one session-grain census.
+    "q368_transcript_audit" ->
+      """WITH b AS (SELECT user_id AS session, epoch_ms(ts) AS ts_ms,
+        |  event_id AS tie,
+        |  CASE WHEN event_type IN ('click', 'view', 'signup')
+        |   THEN 'user' ELSE 'assistant' END AS role
+        | FROM events),
+        |t AS (SELECT *, lag(role) OVER w AS prev_role,
+        |  ts_ms - lag(ts_ms) OVER w AS gap_ms
+        | FROM b WINDOW w AS (PARTITION BY session ORDER BY ts_ms, tie)),
+        |r AS (SELECT *, sum(CASE WHEN prev_role IS NULL
+        |    OR prev_role <> role THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY session ORDER BY ts_ms, tie
+        |    ROWS UNBOUNDED PRECEDING) AS run_id FROM t),
+        |rl AS (SELECT session, CAST(max(cnt) AS BIGINT) AS max_role_run
+        | FROM (SELECT session, run_id, count(*) AS cnt FROM r
+        |       GROUP BY 1, 2) GROUP BY 1),
+        |ps AS (SELECT session, CAST(count(*) AS BIGINT) AS n_turns,
+        |  CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
+        |  first(role ORDER BY ts_ms, tie) AS first_role,
+        |  last(role ORDER BY ts_ms, tie) AS last_role,
+        |  CAST(sum(CASE WHEN prev_role = role THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS alternation_violations,
+        |  max(gap_ms) AS max_gap_ms,
+        |  CAST(coalesce(sum(gap_ms), 0) AS BIGINT) AS total_gap_ms
+        | FROM t GROUP BY 1)
+        |SELECT ps.*, rl.max_role_run FROM ps
+        | JOIN rl USING (session)""".stripMargin,
 
     // q364: the paired 2×2 per nation and the clamped continuity-
     // corrected statistic on the discordant cells.

@@ -307,6 +307,67 @@ object Graph {
     * semi-joins to induce, localCheckpoint truncates the per-round plan
     * (bounded-round iterative lineage, same as PageRank). Output:
     * (node, deg) of the subgraph after the final round. */
+  /** Conductance (cut quality) of a DECLARED node partition over an
+    * undirected graph — the companion readout to [[modularityParts]]:
+    * modularity rewards dense insides, conductance exposes leaky
+    * boundaries. For each part S,
+    *
+    *   φ(S)·1e6 = cut(S) · 1e6 div min(vol(S), 2m − vol(S))
+    *
+    * with vol(S) = Σ_{v∈S} deg(v) over the canonicalized distinct edge
+    * set, cut(S) = #edges with exactly one endpoint in S, and NULL when
+    * the min is 0 (an empty or everything part has no boundary to
+    * grade). Exact integers end to end — counts and one truncating div.
+    *
+    * Shape: one distinct over the edge list, one join of edge
+    * endpoints to the (node→part) map, then hash aggregates at part
+    * grain; the cross-part cut mass is charged to BOTH sides via a
+    * 2-element explode of the per-edge label pair, never a second scan.
+    * One broadcast scalar (2m). No iteration — the partition is input,
+    * so cost is one shuffle of the edge list regardless of data scale. */
+  def conductanceParts(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, idCol: String, labelCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lab = labels.select(col(idCol).as("node"), col(labelCol).as("lab"))
+    val ends = e.select(col("a"), col("b"), col("a").as("node"))
+      .unionByName(e.select(col("a"), col("b"), col("b").as("node")))
+    val el = ends.join(lab, "node")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vol = el.groupBy(col("lab").as("community"))
+      .agg(count_distinct(col("node")).as("nodes"),
+        count(lit(1)).as("volume"))
+    val perEdge = el.groupBy(col("a"), col("b"))
+      .agg(min(col("lab")).as("ca"), max(col("lab")).as("cb"))
+    val internal = perEdge.where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("internal_edges"))
+    val cut = perEdge.where(col("ca") =!= col("cb"))
+      .select(explode(array(col("ca"), col("cb"))).as("community"))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("cut_edges"))
+    val twoM = broadcast(e.agg((count(lit(1)) * lit(2L)).as("__vt")))
+    val out = vol
+      .join(internal, Seq("community"), "left")
+      .join(cut, Seq("community"), "left")
+      .crossJoin(twoM)
+      .select(col("community"), col("nodes"), col("volume"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        coalesce(col("cut_edges"), lit(0L)).as("cut_edges"),
+        expr(
+          """CASE WHEN least(volume, __vt - volume) = 0 THEN NULL
+            | ELSE CAST(CAST(coalesce(cut_edges, 0) AS DECIMAL(38,0))
+            |   * 1000000 div least(volume, __vt - volume) AS BIGINT)
+            | END""".stripMargin).as("conductance_e6"))
+    // e/el stay persisted until the caller's clearCache (same contract
+    // as modularityParts — the consumers above share them lazily).
+    out
+  }
+
   def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1 && rounds <= 64)

@@ -152,6 +152,30 @@ class GraphSpec extends SparkSpec {
     assert(all.toSeq == Seq(0L), s"one-community q_num should be 0: ${all.toSeq}")
   }
 
+  // ---- conductance ----
+
+  test("conductance of the two-triangle split charges the bridge to both sides") {
+    // partition {1,2,3} / {4,5,6}: vol = 7 each, 2m = 14, cut = 1 (the
+    // 3–4 bridge) → φ·1e6 = 1e6 div 7 = 142857 on both sides.
+    val labels = triangles.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => (n, if (n <= 3L) 10L else 20L)).toDF("id", "part")
+    val got = Graph.conductanceParts(triangles.toDF("s", "d"), "s", "d",
+        labels, "id", "part")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    assert(got == Map(
+      10L -> ((3L, 7L, 3L, 1L, 142857L)),
+      20L -> ((3L, 7L, 3L, 1L, 142857L))), s"got $got")
+    // everything-in-one-part: no boundary → NULL conductance
+    val one = triangles.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => (n, 0L)).toDF("id", "part")
+    val all = Graph.conductanceParts(triangles.toDF("s", "d"), "s", "d",
+      one, "id", "part").collect()
+    assert(all.length == 1 && all.head.getLong(4) == 0L &&
+      all.head.isNullAt(5))
+  }
+
   // ---- triangle counting ----
 
   private def bruteTriangles(es: Seq[(Long, Long)]): Map[Long, Long] = {
