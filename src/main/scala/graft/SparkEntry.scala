@@ -5109,6 +5109,22 @@ object SparkEntry {
           col("wilson_lb_e6"))
     }),
 
+    // Simplified (centroid-based) silhouette per embedding label — the
+    // O(n·k) clustering-quality audit on the q137 shifted-e3 grid:
+    // a = d² to own centroid, b = min d² to a foreign one,
+    // s·1e6 = (b−a)·1e6 div max(a,b); per label the census plus the
+    // misplaced-point count (the actionable list).
+    "q369_silhouette" -> ((s, dir) =>
+      decStr(Similarity.silhouetteSimplifiedE6(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label"))),
+
+    // Davies–Bouldin terms per label on the same grid: within-cluster
+    // squared scatter, worst-peer ratio max_j (S_i+S_j)·1e6 div m²_ij,
+    // coincident-centroid pairs counted loudly instead of imputed.
+    "q370_davies_bouldin" -> ((s, dir) =>
+      Similarity.daviesBouldinE6(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label")),
+
     // Conductance of the nation partition over the co-supplier graph:
     // per nation, cut / min(vol, 2m − vol) in exact integers — the
     // boundary-leakage readout modularity (q86) can't see. The
@@ -13901,6 +13917,77 @@ object SparkEntry {
     "q356_bt_calibration" -> q356OracleSql,
 
     "q362_brier_decomp" -> q362OracleSql,
+
+    // q369: q137's shifted-e3 chain → per-point own/min-foreign
+    // distances → label census with the exact e6 silhouette.
+    "q369_silhouette" ->
+      """WITH c AS (SELECT vec_id AS id, label, i - 1 AS dim,
+        |  CAST(round((CAST(embedding[i] AS DOUBLE) + 1.0) * 1000.0)
+        |    AS BIGINT) AS x
+        | FROM embeddings,
+        |  LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+        |    AS i) ix),
+        |cm AS (SELECT label AS clabel, dim, sum(x) // count(*) AS c_e3
+        |       FROM c GROUP BY 1, 2),
+        |s AS (SELECT c.id, c.label, cm.clabel,
+        |  sum((c.x - cm.c_e3) * (c.x - cm.c_e3)) AS dist
+        | FROM c JOIN cm USING (dim) GROUP BY 1, 2, 3),
+        |p AS (SELECT id, label,
+        |  min(CASE WHEN clabel = label THEN dist END) AS a,
+        |  min(CASE WHEN clabel <> label THEN dist END) AS b
+        | FROM s GROUP BY 1, 2),
+        |sc AS (SELECT *, CASE WHEN b IS NULL THEN NULL
+        |   WHEN greatest(a, b) = 0 THEN 0
+        |   ELSE CAST(CAST(b - a AS HUGEINT) * 1000000
+        |    // greatest(a, b) AS BIGINT) END AS s_e6 FROM p)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_points,
+        | CAST(count(s_e6) AS BIGINT) AS n_scored,
+        | CAST(sum(CASE WHEN b IS NOT NULL AND b < a THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_misplaced,
+        | CAST(CAST(sum(CAST(s_e6 AS HUGEINT)) AS DECIMAL(38,0))
+        |   AS VARCHAR) AS sum_s_e6,
+        | CASE WHEN count(s_e6) = 0 THEN NULL
+        |  ELSE CAST(sum(CAST(s_e6 AS HUGEINT)) // count(s_e6) AS BIGINT)
+        |  END AS mean_silhouette_e6
+        |FROM sc GROUP BY 1""".stripMargin,
+
+    // q370: own-centroid scatters + k² centroid separations, worst
+    // peer by (r DESC NULLS LAST, peer DESC) — the struct-max order.
+    "q370_davies_bouldin" ->
+      """WITH c AS (SELECT vec_id AS id, label, i - 1 AS dim,
+        |  CAST(round((CAST(embedding[i] AS DOUBLE) + 1.0) * 1000.0)
+        |    AS BIGINT) AS x
+        | FROM embeddings,
+        |  LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+        |    AS i) ix),
+        |cm AS (SELECT label AS clabel, dim, sum(x) // count(*) AS c_e3
+        |       FROM c GROUP BY 1, 2),
+        |own AS (SELECT c.id, c.label,
+        |  sum((c.x - cm.c_e3) * (c.x - cm.c_e3)) AS dist
+        | FROM c JOIN cm ON cm.dim = c.dim AND cm.clabel = c.label
+        | GROUP BY 1, 2),
+        |sc AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(dist) // count(*) AS BIGINT) AS s2 FROM own
+        | GROUP BY 1),
+        |m2 AS (SELECT x.clabel AS la, y.clabel AS lb,
+        |  sum((x.c_e3 - y.c_e3) * (x.c_e3 - y.c_e3)) AS m2
+        | FROM cm x JOIN cm y ON x.dim = y.dim AND x.clabel <> y.clabel
+        | GROUP BY 1, 2),
+        |r AS (SELECT la, lb, CASE WHEN m2 = 0 THEN NULL
+        |   ELSE CAST(CAST(sa.s2 + sb.s2 AS HUGEINT) * 1000000 // m2
+        |    AS BIGINT) END AS r_e6
+        | FROM m2 JOIN sc sa ON sa.label = la JOIN sc sb ON sb.label = lb),
+        |wd AS (SELECT la AS label,
+        |  CAST(sum(CASE WHEN r_e6 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS degenerate_pairs FROM r GROUP BY 1),
+        |wb AS (SELECT la AS label, lb AS worst_peer, r_e6 AS db_term_e6
+        | FROM (SELECT *, row_number() OVER (PARTITION BY la
+        |    ORDER BY r_e6 DESC NULLS LAST, lb DESC) AS rk FROM r)
+        | WHERE rk = 1)
+        |SELECT sc.label, sc.n, sc.s2, wb.worst_peer, wb.db_term_e6,
+        | coalesce(wd.degenerate_pairs, 0) AS degenerate_pairs
+        |FROM sc LEFT JOIN wb ON wb.label = sc.label
+        | LEFT JOIN wd ON wd.label = sc.label""".stripMargin,
 
     // q367: canonical distinct edges → endpoint-label join → part-grain
     // census; cross-part edges charged to both sides.

@@ -238,6 +238,122 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Shifted-e3 quantized (point × centroid) squared-distance frame —
+    * the shared front half of [[nearestCentroidConfusion]],
+    * [[silhouetteSimplifiedE6]] and [[daviesBouldinE6]]: quantize each
+    * component on the positive e3 grid (floor-div == truncating div, so
+    * the centroid means replay exactly in any engine), centroid table
+    * at (label × dim) grain broadcast, integer squared distances summed
+    * per (point, centroid). ONE corpus scan; k×d stays driver-small. */
+  private def centroidDistances(emb: DataFrame, idCol: String,
+      vecCol: String, labelCol: String): (DataFrame, DataFrame) = {
+    val comps = emb.select(col(idCol).as("id"), col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("id"), col("label"), col("dim"),
+        round((col("x").cast("double") + lit(1.0)) * lit(1000.0))
+          .cast("long").as("x_e3"))
+    val cent = comps.groupBy(col("label").as("clabel"), col("dim"))
+      .agg(expr("sum(x_e3) div count(1)").as("c_e3"),
+        count(lit(1)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scored = comps
+      .join(broadcast(cent.drop("__n")), "dim")
+      .withColumn("d2",
+        (col("x_e3") - col("c_e3")) * (col("x_e3") - col("c_e3")))
+      .groupBy(col("id"), col("label"), col("clabel"))
+      .agg(sum(col("d2")).as("dist"))
+    (scored, cent)
+  }
+
+  /** Simplified (centroid-based) silhouette per label — the clustering
+    * quality audit that scales: a(i) = d²(x, own centroid), b(i) = min
+    * over OTHER labels of d²(x, centroid), s(i)·1e6 = (b−a)·1e6 div
+    * max(a,b). Squared distances throughout (documented variant — the
+    * O(n·k) silhouette every large-scale pipeline substitutes for the
+    * O(n²) exact one; sign and ordering semantics are preserved). A
+    * point equal to both centroids (max = 0) pins s = 0; a corpus with
+    * a single label leaves b undefined → s NULL and the point counted
+    * in n_points but not n_scored.
+    *
+    * Output per label: n_points, n_scored, n_misplaced (closer to a
+    * foreign centroid — the actionable list), sum_s_e6 (DECIMAL, exact
+    * mergeable), mean_silhouette_e6.
+    *
+    * Shape: one corpus scan to (point × k) distances against a
+    * broadcast k×d centroid table, one point-grain reduce, one
+    * label-grain census. No pairwise point joins anywhere. */
+  def silhouetteSimplifiedE6(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val (scored, _) = centroidDistances(emb, idCol, vecCol, labelCol)
+    val per = scored.groupBy(col("id"), col("label"))
+      .agg(
+        min(when(col("clabel") === col("label"), col("dist"))).as("a"),
+        min(when(col("clabel") =!= col("label"), col("dist"))).as("b"))
+      .withColumn("s_e6", expr(
+        """CASE WHEN b IS NULL THEN NULL
+          | WHEN greatest(a, b) = 0 THEN 0
+          | ELSE CAST(CAST(b - a AS DECIMAL(38,0)) * 1000000
+          |   div greatest(a, b) AS BIGINT) END""".stripMargin))
+    per.groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        count(col("s_e6")).as("n_scored"),
+        sum(when(col("b").isNotNull && col("b") < col("a"), 1L)
+          .otherwise(0L)).as("n_misplaced"),
+        sum(col("s_e6").cast("decimal(38,0)")).cast("decimal(38,0)")
+          .as("sum_s_e6"))
+      .withColumn("mean_silhouette_e6", expr(
+        """CASE WHEN n_scored = 0 THEN NULL
+          | ELSE CAST(sum_s_e6 div n_scored AS BIGINT) END""".stripMargin))
+  }
+
+  /** Davies–Bouldin terms per label on the same shifted-e3 grid:
+    * within-cluster squared scatter S_i = Σ d²(x, c_i) div n_i, pairwise
+    * centroid separation m²_ij, ratio R_ij·1e6 = (S_i + S_j)·1e6 div
+    * m²_ij, and each cluster's worst peer D_i = max_j R_ij (the DB
+    * index is the mean of D_i — left to the reader of the k-row table,
+    * which is the actionable per-cluster diagnostic). Coincident
+    * centroids (m² = 0) make the pair's ratio undefined → that pair is
+    * skipped and `degenerate_pairs` counts it, loudly.
+    *
+    * Shape: one corpus scan for the scatters (own-centroid distances
+    * only), then all pair arithmetic on the k-row centroid census —
+    * k² stays trivial for any real label space. */
+  def daviesBouldinE6(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val (scored, cent) = centroidDistances(emb, idCol, vecCol, labelCol)
+    val scatter = scored.where(col("clabel") === col("label"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("dist")).as("__sd"))
+      .withColumn("s2", expr("CAST(__sd AS DECIMAL(38,0)) div n")
+        .cast("long"))
+      .select(col("label"), col("n"), col("s2"))
+    val m2 = cent.as("x").join(cent.as("y"),
+        col("x.clabel") =!= col("y.clabel") &&
+        col("x.dim") === col("y.dim"))
+      .groupBy(col("x.clabel").as("la"), col("y.clabel").as("lb"))
+      .agg(sum((col("x.c_e3") - col("y.c_e3")) *
+        (col("x.c_e3") - col("y.c_e3"))).as("m2"))
+    val ratios = m2
+      .join(scatter.select(col("label").as("la"), col("s2").as("sa")), "la")
+      .join(scatter.select(col("label").as("lb"), col("s2").as("sb")), "lb")
+      .withColumn("r_e6", expr(
+        """CASE WHEN m2 = 0 THEN NULL
+          | ELSE CAST(CAST(sa + sb AS DECIMAL(38,0)) * 1000000
+          |   div m2 AS BIGINT) END""".stripMargin))
+    val worst = ratios.groupBy(col("la").as("label"))
+      .agg(
+        sum(when(col("r_e6").isNull, 1L).otherwise(0L))
+          .as("degenerate_pairs"),
+        max(struct(col("r_e6"), col("lb"))).as("__w"))
+      .select(col("label"), col("degenerate_pairs"),
+        col("__w.lb").as("worst_peer"), col("__w.r_e6").as("db_term_e6"))
+    scatter.join(worst, Seq("label"), "left")
+      .select(col("label"), col("n"), col("s2"),
+        col("worst_peer"), col("db_term_e6"),
+        coalesce(col("degenerate_pairs"), lit(0L)).as("degenerate_pairs"))
+  }
+
   /** Deterministic ±1 hyperplane component signs, shared by the Spark plans
     * and the SQL-oracle rendering so both engines block identically. */
   def planeSigns(plane: Int, dims: Int): Array[Long] =

@@ -86,6 +86,52 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("silhouetteSimplifiedE6: hand-computed two-cluster case") {
+    import org.apache.spark.sql.functions.col
+    // e3 grid: A = {(1000,1000), (1200,1000)} centroid (1100,1000);
+    //          B = {(2000,1000), (2000,1200)} centroid (2000,1100).
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f), "A"), (2L, Array(0.2f, 0.0f), "A"),
+      (3L, Array(1.0f, 0.0f), "B"), (4L, Array(1.0f, 0.2f), "B"))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.silhouetteSimplifiedE6(df, "vec_id", "embedding",
+        "label")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDecimal(4).toBigInteger.longValue, r.getLong(5)))).toMap
+    // A: s = {990099, 984615} → sum 1974714, mean 987357; no misplaced
+    assert(got("A") == ((2L, 2L, 0L, 1974714L, 987357L)), s"got $got")
+    // B: s = {987654, 988235} → sum 1975889, mean 987944 (trunc .5)
+    assert(got("B") == ((2L, 2L, 0L, 1975889L, 987944L)), s"got $got")
+    // single-label corpus: b undefined → scored 0, mean NULL
+    val solo = Similarity.silhouetteSimplifiedE6(
+      df.where(col("label") === "A"), "vec_id", "embedding", "label")
+      .collect().head
+    assert(solo.getLong(2) == 0L && solo.isNullAt(5))
+  }
+
+  test("daviesBouldinE6: scatters, worst peer, and the degenerate count") {
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f), "A"), (2L, Array(0.2f, 0.0f), "A"),
+      (3L, Array(1.0f, 0.0f), "B"), (4L, Array(1.0f, 0.2f), "B"))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.daviesBouldinE6(df, "vec_id", "embedding", "label")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // s2 = 10000 both; m² = 900² + 100² = 820000;
+    // R·1e6 = 20000·1e6 div 820000 = 24390
+    assert(got("A") == ((2L, 10000L, "B", 24390L, 0L)), s"got $got")
+    assert(got("B") == ((2L, 10000L, "A", 24390L, 0L)), s"got $got")
+    // coincident centroids → NULL term, counted loudly
+    val dup = Seq((1L, Array(0.5f, 0.5f), "A"), (2L, Array(0.5f, 0.5f), "B"))
+      .toDF("vec_id", "embedding", "label")
+    val deg = Similarity.daviesBouldinE6(dup, "vec_id", "embedding", "label")
+      .collect().map(r => (r.getString(0), r.isNullAt(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(deg.toSeq == Seq(("A", true, 1L), ("B", true, 1L)))
+  }
+
   test("power iteration recovers a planted dominant direction") {
     import spark.implicits._
     // vectors clustered along (0.6, 0.8) with small deterministic jitter
