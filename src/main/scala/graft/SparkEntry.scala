@@ -5109,6 +5109,24 @@ object SparkEntry {
           col("wilson_lb_e6"))
     }),
 
+    // Flesch / Flesch–Kincaid readability per source — the prose-
+    // difficulty index every corpus data card reports, exact e3
+    // integers under pinned counting rules (vowel-group syllables,
+    // [.!?]+ sentence runs, min-1 clamps); one scan, the token work
+    // stays inside each row's array (no token-grain shuffle).
+    "q371_readability" -> ((s, dir) =>
+      operators.Readability.fleschKincaid(t(s, dir, "documents"),
+        col("text"), Seq("source"))),
+
+    // Windowed PPMI co-occurrence (the skip-gram statistic SGNS
+    // factorizes — Levy & Goldberg 2014): directed (word, context)
+    // pairs at offsets 1–2 built inside each token array, PMI by the
+    // q125-pinned three-ln chain, clamped at 0, min-count 5, top-30
+    // with a total order.
+    "q372_ppmi_window" -> ((s, dir) =>
+      operators.TextRank.ppmiWindow(t(s, dir, "documents"),
+        "doc_id", "text", minCount = 5L, topK = 30)),
+
     // Simplified (centroid-based) silhouette per embedding label — the
     // O(n·k) clustering-quality audit on the q137 shifted-e3 grid:
     // a = d² to own centroid, b = min d² to a foreign one,
@@ -13917,6 +13935,72 @@ object SparkEntry {
     "q356_bt_calibration" -> q356OracleSql,
 
     "q362_brier_decomp" -> q362OracleSql,
+
+    // q371: identical pinned counting rules (list lambdas mirror the
+    // Spark higher-order functions), HUGEINT-widened e3 formula.
+    "q371_readability" ->
+      """WITH d AS (SELECT source,
+        |  list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    w -> w <> '') AS t,
+        |  greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+        |    AS sents
+        | FROM documents),
+        |p AS (SELECT source, sents, len(t) AS words,
+        |  CAST(coalesce(list_sum(list_transform(t, w ->
+        |    greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))), 0)
+        |   AS BIGINT) AS syls
+        | FROM d),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(words) AS BIGINT) AS words,
+        |  CAST(sum(sents) AS BIGINT) AS sentences,
+        |  CAST(sum(syls) AS BIGINT) AS syllables FROM p GROUP BY 1)
+        |SELECT source, n_docs, words, sentences, syllables,
+        | CAST(CAST(words AS HUGEINT) * 1000 // sentences AS BIGINT)
+        |   AS wps_e3,
+        | CASE WHEN words = 0 THEN NULL
+        |  ELSE CAST(CAST(syllables AS HUGEINT) * 1000 // words
+        |   AS BIGINT) END AS spw_e3,
+        | CASE WHEN words = 0 THEN NULL
+        |  ELSE CAST(206835
+        |   - CAST(1015 AS HUGEINT) * words // sentences
+        |   - CAST(84600 AS HUGEINT) * syllables // words AS BIGINT) END
+        |  AS flesch_e3,
+        | CASE WHEN words = 0 THEN NULL
+        |  ELSE CAST(CAST(390 AS HUGEINT) * words // sentences
+        |   + CAST(11800 AS HUGEINT) * syllables // words
+        |   - 15590 AS BIGINT) END AS fk_grade_e3
+        |FROM g""".stripMargin,
+
+    // q372: the two offset pair sets via array indexing, the q125
+    // three-ln chain, the 0 clamp, and the total-order top-30.
+    "q372_ppmi_window" ->
+      """WITH tk AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        | FROM documents),
+        |u AS (SELECT unnest(t) AS w FROM tk),
+        |cu AS (SELECT w, count(*) AS c FROM u GROUP BY 1),
+        |n1 AS (SELECT count(*) AS c FROM u),
+        |pr AS (
+        | SELECT t[i] AS a, t[i+1] AS b FROM tk,
+        |  LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) ix
+        | WHERE len(t) >= 2
+        | UNION ALL
+        | SELECT t[i] AS a, t[i+2] AS b FROM tk,
+        |  LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) iy
+        | WHERE len(t) >= 3),
+        |n2 AS (SELECT count(*) AS c FROM pr),
+        |cb AS (SELECT a, b, count(*) AS c_ab FROM pr GROUP BY 1, 2
+        |       HAVING count(*) >= 5)
+        |SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
+        |  CAST(ca.c AS BIGINT) AS c_a, CAST(cbb.c AS BIGINT) AS c_b,
+        |  greatest(CAST(0 AS BIGINT),
+        |   CAST(round((ln(CAST(c_ab AS DOUBLE) / CAST(n2.c AS DOUBLE))
+        |    - ln(CAST(ca.c AS DOUBLE) / CAST(n1.c AS DOUBLE))
+        |    - ln(CAST(cbb.c AS DOUBLE) / CAST(n1.c AS DOUBLE)))
+        |   * 1000000.0) AS BIGINT)) AS ppmi_e6
+        |FROM cb JOIN cu ca ON ca.w = cb.a JOIN cu cbb ON cbb.w = cb.b,
+        |  n1, n2
+        |ORDER BY ppmi_e6 DESC, a, b LIMIT 30""".stripMargin,
 
     // q369: q137's shifted-e3 chain → per-point own/min-foreign
     // distances → label census with the exact e6 silhouette.

@@ -125,6 +125,58 @@ object TextRank {
     * the bigram side BEFORE its two term joins, and the final top-k is
     * TakeOrderedAndProject (no global sort materializes). Output:
     * (a, b, c_ab, c_a, c_b, pmi_e6), top `topK` by (pmi desc, a, b). */
+  /** Windowed PPMI co-occurrence — the skip-gram statistic word-vector
+    * training factorizes (Levy & Goldberg 2014: SGNS ≈ shifted-PPMI
+    * factorization): directed (word, context) pairs for contexts 1 and
+    * 2 positions to the right, PMI by the q125-pinned three-ln chain
+    * against the unigram census, clamped at 0 (POSITIVE pointwise
+    * mutual information), min-count floor against the rare-pair
+    * magnet, top-k with a total (ppmi desc, a, b) order.
+    *
+    * Shape: pairs are built INSIDE each row's token array (the
+    * wordNgramsRaw pattern — one codegen'd transform per offset, no
+    * token-grain shuffle, no window, no self-join), so nothing moves
+    * until the pair/unigram censuses reduce map-side; the two corpus
+    * totals ride a broadcast one-row frame. The final top-k is
+    * TakeOrderedAndProject over the (bounded) surviving pair census. */
+  def ppmiWindow(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long, topK: Int): DataFrame = {
+    require(minCount >= 1 && topK >= 1)
+    val toks = docs.select(
+      split(trim(lower(col(textCol))), "\\s+").as("__ts"))
+    def offsetPairs(off: Int): DataFrame = toks.select(
+      explode(when(size(col("__ts")) >= off + 1,
+          transform(sequence(lit(1), size(col("__ts")) - off), i =>
+            struct(element_at(col("__ts"), i).as("a"),
+              element_at(col("__ts"), i + off).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>")))
+        .as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+    val uni = toks.select(explode(col("__ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = offsetPairs(1).unionByName(offsetPairs(2))
+    val pairCensus = pairs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = broadcast(uni.agg(coalesce(sum(col("c")), lit(0L)).as("__n1"))
+      .crossJoin(pairCensus.agg(
+        coalesce(sum(col("c_ab")), lit(0L)).as("__n2"))))
+    pairCensus.where(col("c_ab") >= minCount)
+      .join(uni.select(col("w").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("w").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(totals)
+      .withColumn("ppmi_e6", greatest(lit(0L), round((
+        log(col("c_ab").cast("double") / col("__n2").cast("double")) -
+        log(col("c_a").cast("double") / col("__n1").cast("double")) -
+        log(col("c_b").cast("double") / col("__n1").cast("double"))) *
+        lit(1000000.0)).cast("long")))
+      .orderBy(col("ppmi_e6").desc, col("a"), col("b"))
+      .limit(topK)
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        col("ppmi_e6"))
+  }
+
   def collocations(docs: DataFrame, idCol: String, textCol: String,
       minCount: Long, topK: Int): DataFrame = {
     require(minCount >= 1 && topK >= 1)

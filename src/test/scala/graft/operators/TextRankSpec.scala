@@ -72,6 +72,32 @@ class TextRankSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("ppmiWindow: negative PMI clamps to 0, equal-structure pairs tie") {
+    // "a b" ×1, "a c" ×9, "d b" ×9: unigrams a=10 b=10 c=9 d=9 (n1=38),
+    // pairs (a,b)=1 (a,c)=9 (d,b)=9 (n2=19).
+    // PMI(a,b) = ln(0.76) < 0 → clamped; PMI(a,c) = PMI(d,b)
+    //          = ln(7.6)·1e6 → 2028148.
+    val corpus = (Seq.fill(1)("a b") ++ Seq.fill(9)("a c") ++
+      Seq.fill(9)("d b")).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = TextRank.ppmiWindow(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", minCount = 1L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(5)))
+    assert(got.toSeq == Seq(("a", "c", 9L, 2028148L),
+      ("d", "b", 9L, 2028148L), ("a", "b", 1L, 0L)), s"got ${got.toSeq}")
+  }
+
+  test("ppmiWindow: offset-2 contexts pair across one gap") {
+    // "p q r": pairs (p,q) (q,r) at offset 1, (p,r) at offset 2;
+    // every pair PMI = ln(3)·1e6 = 1098612.
+    val got = TextRank.ppmiWindow(Seq((1L, "p q r")).toDF("doc_id", "text"),
+        "doc_id", "text", minCount = 1L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(5)))
+    assert(got.length == 3 && got.forall(_._3 == 1098612L), s"got ${got.toSeq}")
+    assert(got.map(p => (p._1, p._2)).toSet ==
+      Set(("p", "q"), ("q", "r"), ("p", "r")))
+  }
+
   test("tfDfKeywords: stopwords sink, distinctive repeats rise, ties break on term") {
     val kdocs = Seq(
       (1L, "the the the zebra zebra the quark"),
