@@ -5109,6 +5109,51 @@ object SparkEntry {
           col("wilson_lb_e6"))
     }),
 
+    // Cochran's Q over THREE rule models on the same lineitems (the
+    // k-model generalization of q364's McNemar): one item-grain pass
+    // carries L_i and the completeness mask, the model census sits on
+    // top — "did any checkpoint actually behave differently".
+    "q373_cochran_q" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val truth = col("l_returnflag") === "R"
+      // row key: (okey, linenumber, partkey, suppkey) is the unique
+      // lineitem grain in this synthetic data (linenumber alone repeats)
+      def arm(name: String, pred: Column) =
+        li.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          (pred === truth).as("x"), lit(name).as("m"))
+      val long = arm("qty", col("l_quantity") > 25.0)
+        .unionByName(arm("disc", col("l_discount") > 0.05))
+        .unionByName(arm("tax", col("l_tax") > 0.04))
+      decStr(operators.PairedTests.cochranQE6(long,
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        col("m"), col("x")))
+    }),
+
+    // Jensen–Shannon divergence of each source's unigram distribution
+    // against the pooled corpus (entropy form, q357-pinned per-cell
+    // micro-nat terms) — the source-similarity table a data-mixture
+    // plan reads: ≈ ln 2 is alien, ≈ 0 is redundant.
+    "q374_js_divergence" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      operators.Drift.jsDivergenceE6(toks, col("source"), col("w"))
+        .withColumnRenamed("group", "source")
+    }),
+
+    // OOV audit: vocabulary from the train split (doc_id % 10 < 8,
+    // count ≥ 2), token- and type-level out-of-vocabulary rates per
+    // source on the held-out docs — the coverage check run before
+    // freezing a tokenizer vocab.
+    "q375_oov_rate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      operators.CorpusOps.oovRate(
+        d.where(pmod(col("doc_id"), lit(10L)) < 8L),
+        d.where(pmod(col("doc_id"), lit(10L)) >= 8L),
+        "text", "source", minCount = 2L)
+        .withColumnRenamed("group", "source")
+    }),
+
     // Flesch / Flesch–Kincaid readability per source — the prose-
     // difficulty index every corpus data card reports, exact e3
     // integers under pinned counting rules (vowel-group syllables,
@@ -13935,6 +13980,108 @@ object SparkEntry {
     "q356_bt_calibration" -> q356OracleSql,
 
     "q362_brier_decomp" -> q362OracleSql,
+
+    // q373: per-item L and per-model G censuses, the exact Q identity
+    // (complete block by construction → n_dropped = 0).
+    "q373_cochran_q" ->
+      """WITH it AS (SELECT l_orderkey, l_linenumber,
+        |  CAST((l_quantity > 25) = (l_returnflag = 'R') AS INTEGER)
+        |  + CAST((l_discount > 0.05) = (l_returnflag = 'R') AS INTEGER)
+        |  + CAST((l_tax > 0.04) = (l_returnflag = 'R') AS INTEGER) AS l
+        | FROM lineitem),
+        |ist AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(l) AS BIGINT) AS t,
+        |  sum(CAST(l AS HUGEINT) * l) AS sum_l2 FROM it),
+        |g AS (SELECT sum(CAST(gg AS HUGEINT) * gg) AS sum_g2 FROM (
+        |  SELECT sum(CASE WHEN (l_quantity > 25) = (l_returnflag = 'R')
+        |    THEN 1 ELSE 0 END) AS gg FROM lineitem
+        |  UNION ALL
+        |  SELECT sum(CASE WHEN (l_discount > 0.05) = (l_returnflag = 'R')
+        |    THEN 1 ELSE 0 END) FROM lineitem
+        |  UNION ALL
+        |  SELECT sum(CASE WHEN (l_tax > 0.04) = (l_returnflag = 'R')
+        |    THEN 1 ELSE 0 END) FROM lineitem))
+        |SELECT CAST(3 AS BIGINT) AS k, n_items,
+        | CAST(0 AS BIGINT) AS n_dropped, t,
+        | CAST(CAST(sum_g2 AS DECIMAL(38,0)) AS VARCHAR) AS sum_g2,
+        | CAST(CAST(sum_l2 AS DECIMAL(38,0)) AS VARCHAR) AS sum_l2,
+        | CASE WHEN CAST(3 AS HUGEINT) * t - sum_l2 = 0 THEN NULL
+        |  ELSE CAST(2 * (3 * sum_g2 - CAST(t AS HUGEINT) * t) * 1000000
+        |   // (CAST(3 AS HUGEINT) * t - sum_l2) AS BIGINT) END AS q_e6
+        |FROM ist, g""".stripMargin,
+
+    // q374: the entropy-form identity with q357-pinned per-cell chains;
+    // absent-value H(M) mass arrives as the corpus TQ scalar minus the
+    // present cells' tq terms.
+    "q374_js_divergence" ->
+      """WITH tok AS (SELECT source AS g,
+        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS v
+        | FROM documents),
+        |cells AS (SELECT g, v, count(*) AS c FROM tok GROUP BY 1, 2),
+        |corpus AS (SELECT v, CAST(sum(c) AS BIGINT) AS cc FROM cells
+        | GROUP BY 1),
+        |ng AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng FROM cells
+        | GROUP BY 1),
+        |nt AS (SELECT CAST(sum(cc) AS BIGINT) AS n FROM corpus),
+        |ct AS (SELECT
+        |  sum(CAST(round(-(CAST(cc AS DOUBLE) / n / 2.0)
+        |    * ln(CAST(cc AS DOUBLE) / n / 2.0) * 1000000.0) AS BIGINT))
+        |   AS tq,
+        |  sum(CAST(round(-(CAST(cc AS DOUBLE) / n)
+        |    * ln(CAST(cc AS DOUBLE) / n) * 1000000.0) AS BIGINT)) AS hq
+        | FROM corpus, nt),
+        |pc AS (SELECT cells.g,
+        |  CAST(round(-((CAST(c AS DOUBLE) / ng.ng
+        |      + CAST(cc AS DOUBLE) / n) / 2.0)
+        |    * ln((CAST(c AS DOUBLE) / ng.ng
+        |      + CAST(cc AS DOUBLE) / n) / 2.0) * 1000000.0) AS BIGINT)
+        |   AS tm,
+        |  CAST(round(-(CAST(cc AS DOUBLE) / n / 2.0)
+        |    * ln(CAST(cc AS DOUBLE) / n / 2.0) * 1000000.0) AS BIGINT)
+        |   AS tqc,
+        |  CAST(round(-(CAST(c AS DOUBLE) / ng.ng)
+        |    * ln(CAST(c AS DOUBLE) / ng.ng) * 1000000.0) AS BIGINT)
+        |   AS tp
+        | FROM cells JOIN corpus USING (v) JOIN ng USING (g), nt),
+        |agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_values,
+        |  sum(CAST(tm AS HUGEINT)) AS sm,
+        |  sum(CAST(tqc AS HUGEINT)) AS sq,
+        |  sum(CAST(tp AS HUGEINT)) AS hp
+        | FROM pc GROUP BY 1)
+        |SELECT agg.g AS source, n_values, ng.ng AS n_tokens,
+        | CAST(greatest(CAST(0 AS HUGEINT),
+        |   sm + (ct.tq - sq) - (hp + ct.hq) // 2) AS BIGINT) AS jsd_e6
+        |FROM agg JOIN ng ON ng.g = agg.g, ct""".stripMargin,
+
+    // q375: train-census vocab (count ≥ 2) probed by a census-to-census
+    // left join; exact e6 token/type rates.
+    "q375_oov_rate" ->
+      """WITH tr AS (SELECT
+        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        | FROM documents WHERE doc_id % 10 < 8),
+        |vocab AS (SELECT w FROM (SELECT w, count(*) AS c FROM tr
+        |  GROUP BY 1) WHERE c >= 2),
+        |ev AS (SELECT source AS g,
+        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        | FROM documents WHERE doc_id % 10 >= 8),
+        |cen AS (SELECT g, w, count(*) AS c FROM ev GROUP BY 1, 2),
+        |j AS (SELECT cen.g, cen.c, vocab.w AS vw FROM cen
+        | LEFT JOIN vocab ON vocab.w = cen.w),
+        |a AS (SELECT g AS source, CAST(sum(c) AS BIGINT) AS tokens,
+        |  CAST(count(*) AS BIGINT) AS types,
+        |  CAST(sum(CASE WHEN vw IS NULL THEN c ELSE 0 END) AS BIGINT)
+        |    AS oov_tokens,
+        |  CAST(sum(CASE WHEN vw IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS oov_types
+        | FROM j GROUP BY 1)
+        |SELECT source, tokens, types, oov_tokens, oov_types,
+        | CASE WHEN tokens = 0 THEN NULL
+        |  ELSE CAST(CAST(oov_tokens AS HUGEINT) * 1000000 // tokens
+        |   AS BIGINT) END AS oov_rate_e6,
+        | CASE WHEN types = 0 THEN NULL
+        |  ELSE CAST(CAST(oov_types AS HUGEINT) * 1000000 // types
+        |   AS BIGINT) END AS oov_type_rate_e6
+        |FROM a""".stripMargin,
 
     // q371: identical pinned counting rules (list lambdas mirror the
     // Spark higher-order functions), HUGEINT-widened e3 formula.

@@ -609,4 +609,43 @@ object CorpusOps {
           .as(s"p$p"))
     withCum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Out-of-vocabulary rate of an eval corpus under a train-derived
+    * vocabulary — the tokenizer/coverage audit run before freezing a
+    * vocab (a source whose OOV rate spikes is about to be butchered
+    * into bytes). Vocabulary = train tokens with count ≥ `minCount`
+    * (the standard rare-word floor); per eval group both the TOKEN
+    * rate (mass that falls out) and the TYPE rate (distinct words that
+    * fall out) in exact truncating e6.
+    *
+    * Shape: both corpora collapse to word-grain censuses first (the
+    * only raw-data passes); the membership probe is a census-to-census
+    * left join on the word key — token grain never shuffles, and no
+    * broadcast assumption is made about vocabulary size. */
+  def oovRate(train: DataFrame, eval: DataFrame, textCol: String,
+      groupCol: String, minCount: Long): DataFrame = {
+    def toks(df: DataFrame, extra: Seq[Column]) = df.select(extra :+
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("w"): _*)
+    val vocab = toks(train, Seq.empty)
+      .groupBy(col("w")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= minCount)
+      .select(col("w"), lit(1L).as("__in"))
+    val ev = toks(eval, Seq(col(groupCol).as("group")))
+      .groupBy(col("group"), col("w")).agg(count(lit(1)).as("c"))
+    ev.join(vocab, Seq("w"), "left")
+      .groupBy(col("group"))
+      .agg(sum(col("c")).as("tokens"),
+        count(lit(1)).as("types"),
+        sum(when(col("__in").isNull, col("c")).otherwise(0L))
+          .as("oov_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("oov_types"))
+      .withColumn("oov_rate_e6", expr(
+        """CASE WHEN tokens = 0 THEN NULL
+          | ELSE CAST(CAST(oov_tokens AS DECIMAL(38,0)) * 1000000
+          |   div tokens AS BIGINT) END""".stripMargin))
+      .withColumn("oov_type_rate_e6", expr(
+        """CASE WHEN types = 0 THEN NULL
+          | ELSE CAST(CAST(oov_types AS DECIMAL(38,0)) * 1000000
+          |   div types AS BIGINT) END""".stripMargin))
+  }
 }

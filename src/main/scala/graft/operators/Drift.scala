@@ -199,4 +199,85 @@ object Drift {
           .when(col("s_stat") > 0, "increasing")
           .otherwise("decreasing").as("trend"))
   }
+
+  /** Jensen–Shannon divergence of each group's value distribution
+    * against the pooled corpus distribution — the source-similarity
+    * table data-mixture planning reads (a source with JSD ≈ ln 2 is
+    * alien to the mix; ≈ 0 is redundant with it).
+    *
+    * Computed in the entropy form JSD(P,Q) = H((P+Q)/2) − (H(P)+H(Q))/2,
+    * which needs only PRESENT (group, value) census cells: the part of
+    * H(M) contributed by values ABSENT from the group is exactly the
+    * corpus term −(q/2)·ln(q/2) for those values, so
+    * H(M)_g = Σ_present t_m + (TQ − Σ_present t_q) with TQ the
+    * corpus-wide Σ −(q/2)·ln(q/2) — one broadcast scalar, no
+    * group × vocabulary cross join ever materializes.
+    *
+    * Determinism discipline (q357's): every per-cell term is ONE pinned
+    * double pipeline — p as a double divide, −p·ln(p)·1e6, rounded to
+    * integer micro-nats BEFORE summation — and the halving of
+    * (H(P)+H(Q)) is a truncating integer div. Up to that documented
+    * per-term truncation the classical identity holds, and the output
+    * hash-gates cross-engine. Degenerate one-value groups get H(P) = 0
+    * naturally; jsd_e6 is clamped at 0 against ±1-micro-nat rounding
+    * drift so redundancy reads as exactly 0, never −0.000001.
+    *
+    * Shape: one hash aggregate to (group, value) census grain — the
+    * only raw-data pass; the corpus census re-aggregates the group
+    * census; totals ride broadcast one-row frames. */
+  def jsDivergenceE6(df: DataFrame, groupCol: Column,
+      valueCol: Column): DataFrame = {
+    val cells = df.select(groupCol.as("g"), valueCol.as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = cells.groupBy(col("v")).agg(sum(col("c")).as("cc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ng = cells.groupBy(col("g")).agg(sum(col("c")).as("ng"))
+    val nTotal = broadcast(corpus.agg(
+      coalesce(sum(col("cc")), lit(0L)).as("n")))
+    // corpus-level scalars: TQ = Σ −(q/2)ln(q/2), HQ = Σ −q·ln(q)
+    val corpusTerms = corpus.crossJoin(nTotal)
+      .select(
+        round(-(col("cc").cast("double") / col("n").cast("double") / lit(2.0)) *
+          log(col("cc").cast("double") / col("n").cast("double") / lit(2.0)) *
+          lit(1000000.0)).cast("long").as("tq"),
+        round(-(col("cc").cast("double") / col("n").cast("double")) *
+          log(col("cc").cast("double") / col("n").cast("double")) *
+          lit(1000000.0)).cast("long").as("thq"))
+      .agg(sum(dec(col("tq"))).cast("decimal(38,0)").as("__tq"),
+        sum(dec(col("thq"))).cast("decimal(38,0)").as("__hq"))
+    val perCell = cells
+      .join(ng, "g")
+      .join(corpus, "v")
+      .crossJoin(nTotal)
+      .select(col("g"),
+        // m = (p + q)/2, one pinned chain
+        round(-((col("c").cast("double") / col("ng").cast("double") +
+            col("cc").cast("double") / col("n").cast("double")) / lit(2.0)) *
+          log((col("c").cast("double") / col("ng").cast("double") +
+            col("cc").cast("double") / col("n").cast("double")) / lit(2.0)) *
+          lit(1000000.0)).cast("long").as("tm"),
+        round(-(col("cc").cast("double") / col("n").cast("double") / lit(2.0)) *
+          log(col("cc").cast("double") / col("n").cast("double") / lit(2.0)) *
+          lit(1000000.0)).cast("long").as("tq"),
+        round(-(col("c").cast("double") / col("ng").cast("double")) *
+          log(col("c").cast("double") / col("ng").cast("double")) *
+          lit(1000000.0)).cast("long").as("tp"))
+    perCell.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_values"),
+        sum(dec(col("tm"))).cast("decimal(38,0)").as("__sm"),
+        sum(dec(col("tq"))).cast("decimal(38,0)").as("__sq"),
+        sum(dec(col("tp"))).cast("decimal(38,0)").as("__hp"))
+      .join(ng, "g")
+      .crossJoin(broadcast(corpusTerms))
+      .select(col("g").as("group"), col("n_values"),
+        col("ng").as("n_tokens"),
+        expr("""CAST(greatest(CAST(0 AS DECIMAL(38,0)),
+               |  __sm + (__tq - __sq)
+               |   - (__hp + __hq) div 2) AS BIGINT)""".stripMargin)
+          .as("jsd_e6"))
+  }
+
+  private def dec(c: Column): Column = c.cast("decimal(38,0)")
 }

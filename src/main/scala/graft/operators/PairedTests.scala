@@ -97,6 +97,59 @@ object PairedTests {
           |   div (n10 + n01) AS BIGINT) END""".stripMargin))
   }
 
+  /** Cochran's Q — the k-model generalization of [[mcnemarE6]]: did
+    * ANY of k classifiers, scored on the SAME items, perform
+    * differently? With x_ij ∈ {0,1}, G_j = per-model successes,
+    * L_i = per-item successes, T = ΣG = ΣL:
+    *
+    *   q_e6 = (k−1) · (k·ΣG² − T²) · 1e6 div (k·T − ΣL²)
+    *
+    * (χ², k−1 df; NULL when the denominator is 0 — every item all-
+    * correct or all-wrong carries no discrimination and a frame made
+    * only of those has no test). Items missing some model's verdict
+    * violate the complete-block design: they are DROPPED and counted
+    * in `n_dropped` rather than silently biasing T.
+    *
+    * Shape: one hash aggregate to item grain (the only raw-data pass —
+    * it carries L_i and the per-item model mask), one model-grain and
+    * one scalar aggregate on top. Everything widens to DECIMAL(38,0)
+    * before squaring, so T up to ~1e18 is safe. */
+  def cochranQE6(df: DataFrame, itemCols: Seq[String], model: Column,
+      correct: Column): DataFrame = {
+    val base = df.select(itemCols.map(col) :+ model.as("__m") :+
+        correct.cast("boolean").as("__x"): _*)
+      .where(col("__m").isNotNull && col("__x").isNotNull)
+    val models = base.agg(count_distinct(col("__m")).as("k"))
+    val items = base.groupBy(itemCols.map(col): _*)
+      .agg(count_distinct(col("__m")).as("__km"),
+        sum(when(col("__x"), 1L).otherwise(0L)).as("__l"))
+    val complete = items.crossJoin(broadcast(models))
+      .withColumn("__keep", col("__km") === col("k"))
+    val itemStats = complete.agg(
+      max(col("k")).as("k"),
+      sum(when(col("__keep"), 1L).otherwise(0L)).as("n_items"),
+      sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_dropped"),
+      sum(when(col("__keep"), col("__l")).otherwise(lit(0L))).as("t"),
+      sum(when(col("__keep"), dec(col("__l")) * col("__l"))
+        .otherwise(dec(lit(0)))).cast("decimal(38,0)").as("sum_l2"))
+    val kept = complete.where(col("__keep"))
+      .select(itemCols.map(col): _*)
+    val g = base.join(kept, itemCols, "left_semi")
+      .groupBy(col("__m"))
+      .agg(sum(when(col("__x"), 1L).otherwise(0L)).as("__g"))
+      .agg(sum(dec(col("__g")) * col("__g")).cast("decimal(38,0)")
+        .as("sum_g2"))
+    itemStats.crossJoin(broadcast(g))
+      .withColumn("q_e6", expr(
+        """CASE WHEN CAST(k AS DECIMAL(38,0)) * t - sum_l2 = 0 THEN NULL
+          | ELSE CAST((k - 1) * (k * sum_g2
+          |    - CAST(t AS DECIMAL(38,0)) * t) * 1000000
+          |   div (CAST(k AS DECIMAL(38,0)) * t - sum_l2) AS BIGINT) END"""
+          .stripMargin))
+      .select(col("k"), col("n_items"), col("n_dropped"), col("t"),
+        col("sum_g2"), col("sum_l2"), col("q_e6"))
+  }
+
   /** Mantel–Haenszel common odds ratio + continuity-corrected CMH
     * statistic over stratified 2×2 tables, one output row.
     *

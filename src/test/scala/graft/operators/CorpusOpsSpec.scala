@@ -388,4 +388,24 @@ class CorpusOpsSpec extends SparkSpec {
     // collapsed: (100)²·1e6 div (9409+3) = 1e10 div 9412 = 1062473
     assert(got("k") == (4L, 1062473L))   // worth ~1.06 samples, not 4
   }
+
+  test("oovRate: min-count floor shapes the vocab; token vs type rates") {
+    import org.apache.spark.sql.functions.col
+    // train: "a b a" + "c a" → vocab (count ≥ 2) = {a} only
+    val train = Seq((1L, "a b a"), (2L, "c a")).toDF("doc_id", "text")
+    // eval g1: "a b d d" → 4 tokens, 3 types; OOV tokens {b, d, d} = 3,
+    // OOV types {b, d} = 2
+    val eval = Seq(("g1", "a b d d")).toDF("source", "text")
+    val r = CorpusOps.oovRate(train, eval, "text", "source", minCount = 2L)
+      .collect().head
+    assert(r.getString(0) == "g1")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((4L, 3L, 3L, 2L)))
+    assert(r.getLong(5) == 750000L && r.getLong(6) == 666666L)
+    // an in-vocab-only group reads 0 / 0
+    val clean = CorpusOps.oovRate(train,
+      Seq(("g2", "a a")).toDF("source", "text"), "text", "source", 2L)
+      .collect().head
+    assert(clean.getLong(3) == 0L && clean.getLong(5) == 0L)
+  }
 }

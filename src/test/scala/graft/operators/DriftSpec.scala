@@ -81,6 +81,28 @@ class DriftSpec extends SparkSpec {
     }.maxBy { case (d, t) => (d, -t) }
     assert((got.getLong(3), got.getLong(0)) == brute)
   }
+  test("jsDivergenceE6: hand two-group case under the pinned micro-nat chains") {
+    // X = {a,a,b}, Y = {b,b,b}; corpus = {a:2, b:4}.
+    // Pinned e6 terms give jsd_X = 56634, jsd_Y = 132305 (entropy form,
+    // per-term rounding then truncating halving — see scaladoc).
+    val rows = Seq(("X", "a"), ("X", "a"), ("X", "b"),
+      ("Y", "b"), ("Y", "b"), ("Y", "b"))
+    val got = Drift.jsDivergenceE6(rows.toDF("g", "v"), col("g"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("X") == ((2L, 3L, 56634L)), s"got $got")
+    assert(got("Y") == ((1L, 3L, 132305L)), s"got $got")
+  }
+
+  test("jsDivergenceE6: a group identical to the corpus reads 0") {
+    // one group = the whole corpus → P = Q → JSD exactly 0 (the clamp
+    // absorbs ±1 micro-nat term rounding)
+    val rows = Seq(("X", "a"), ("X", "a"), ("X", "b"))
+    val got = Drift.jsDivergenceE6(rows.toDF("g", "v"), col("g"), col("v"))
+      .collect().head
+    assert(got.getLong(3) == 0L)
+  }
+
   test("mannKendall: hand S/var18, tie collapse, boundary significance") {
     val rows =
       (1 to 5).map(d => ("up", d.toLong, d.toLong)) ++          // S=10

@@ -61,6 +61,33 @@ class PairedTestsSpec extends SparkSpec {
     assert(r.isNullAt(4)) // S = 0 → OR undefined
   }
 
+  test("cochranQE6: textbook 4-item 3-model block; incomplete item drops") {
+    // L = {2,1,3,0}, G = {3,2,1}, T = 6, ΣG² = 14, ΣL² = 14,
+    // Q = 2·(3·14 − 36)/(3·6 − 14) = 3 → 3_000_000.
+    val rows = Seq(
+      (1L, "A", true), (1L, "B", true), (1L, "C", false),
+      (2L, "A", true), (2L, "B", false), (2L, "C", false),
+      (3L, "A", true), (3L, "B", true), (3L, "C", true),
+      (4L, "A", false), (4L, "B", false), (4L, "C", false),
+      // item 5 misses model C → dropped, must not pollute T or G
+      (5L, "A", true), (5L, "B", true))
+    val r = PairedTests.cochranQE6(rows.toDF("item", "m", "x"),
+      Seq("item"), col("m"), col("x")).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L && r.getLong(2) == 1L)
+    assert(r.getLong(3) == 6L)
+    assert(r.getDecimal(4).toBigInteger.longValue == 14L)
+    assert(r.getDecimal(5).toBigInteger.longValue == 14L)
+    assert(r.getLong(6) == 3000000L)
+  }
+
+  test("cochranQE6: all-agree frame has no discrimination → NULL") {
+    val rows = Seq((1L, "A", true), (1L, "B", true),
+      (2L, "A", false), (2L, "B", false))
+    val r = PairedTests.cochranQE6(rows.toDF("item", "m", "x"),
+      Seq("item"), col("m"), col("x")).collect().head
+    assert(r.isNullAt(6)) // k·T − ΣL² = 2·2 − 4 = 0
+  }
+
   test("jackknifeRatioE6: three equal-size buckets, exact moments") {
     // buckets (s,n): (10,1) (20,1) (30,1): theta = 20e6,
     // loo = {25e6, 20e6, 15e6}, mean 20e6, ss = 2·(5e6)² = 5e13,
