@@ -116,14 +116,24 @@ object PairedTests {
     * before squaring, so T up to ~1e18 is safe. */
   def cochranQE6(df: DataFrame, itemCols: Seq[String], model: Column,
       correct: Column): DataFrame = {
+    // ONE pass to item grain carrying L_i, the completeness count, and
+    // the per-model verdict list (k-bounded per item) — the model
+    // census then explodes the KEPT items' lists off the persisted
+    // item frame instead of semi-joining a second source scan (the
+    // join shape cost a second scan + two sorted big shuffles).
+    // Input contract: one verdict per (item, model).
     val base = df.select(itemCols.map(col) :+ model.as("__m") :+
         correct.cast("boolean").as("__x"): _*)
       .where(col("__m").isNotNull && col("__x").isNotNull)
-    val models = base.agg(count_distinct(col("__m")).as("k"))
     val items = base.groupBy(itemCols.map(col): _*)
       .agg(count_distinct(col("__m")).as("__km"),
-        sum(when(col("__x"), 1L).otherwise(0L)).as("__l"))
-    val complete = items.crossJoin(broadcast(models))
+        sum(when(col("__x"), 1L).otherwise(0L)).as("__l"),
+        collect_list(struct(col("__m").as("m"), col("__x").as("x")))
+          .as("__mx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val models = broadcast(items.select(explode(col("__mx")).as("e"))
+      .agg(count_distinct(col("e.m")).as("k")))
+    val complete = items.crossJoin(models)
       .withColumn("__keep", col("__km") === col("k"))
     val itemStats = complete.agg(
       max(col("k")).as("k"),
@@ -132,11 +142,10 @@ object PairedTests {
       sum(when(col("__keep"), col("__l")).otherwise(lit(0L))).as("t"),
       sum(when(col("__keep"), dec(col("__l")) * col("__l"))
         .otherwise(dec(lit(0)))).cast("decimal(38,0)").as("sum_l2"))
-    val kept = complete.where(col("__keep"))
-      .select(itemCols.map(col): _*)
-    val g = base.join(kept, itemCols, "left_semi")
-      .groupBy(col("__m"))
-      .agg(sum(when(col("__x"), 1L).otherwise(0L)).as("__g"))
+    val g = complete.where(col("__keep"))
+      .select(explode(col("__mx")).as("e"))
+      .groupBy(col("e.m"))
+      .agg(sum(when(col("e.x"), 1L).otherwise(0L)).as("__g"))
       .agg(sum(dec(col("__g")) * col("__g")).cast("decimal(38,0)")
         .as("sum_g2"))
     itemStats.crossJoin(broadcast(g))
