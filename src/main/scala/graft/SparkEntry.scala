@@ -5109,6 +5109,14 @@ object SparkEntry {
           col("wilson_lb_e6"))
     }),
 
+    // Experiment power planner per segment: exact sample variance,
+    // required per-arm n for a 1%-of-mean lift (ceil division), and
+    // the minimum detectable effect at the CURRENT n (corrected
+    // isqrt) — pinned e3 z-scores (α 5% two-sided, 80% power).
+    "q376_power_mde" -> ((s, dir) =>
+      operators.PowerAnalysis.mdeSampleSize(t(s, dir, "lineitem"),
+        Seq("l_returnflag"), cents(col("l_extendedprice")))),
+
     // Cochran's Q over THREE rule models on the same lineitems (the
     // k-model generalization of q364's McNemar): one item-grain pass
     // carries L_i and the completeness mask, the model census sits on
@@ -13980,6 +13988,41 @@ object SparkEntry {
     "q356_bt_calibration" -> q356OracleSql,
 
     "q362_brier_decomp" -> q362OracleSql,
+
+    // q376: the same pinned planner arithmetic — HUGEINT widening,
+    // ceil via (num + den − 1) // den, corrected isqrt for the MDE.
+    "q376_power_mde" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS x
+        | FROM lineitem),
+        |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(x AS HUGEINT)) AS s,
+        |  sum(CAST(x AS HUGEINT) * x) AS ss FROM b GROUP BY 1),
+        |v AS (SELECT g, n, CAST(s // n AS BIGINT) AS mean,
+        |  CASE WHEN n < 2 THEN NULL
+        |   ELSE CAST((n * ss - s * s)
+        |    // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) END
+        |   AS var_cents2 FROM a),
+        |d AS (SELECT *, CAST(mean // 100 AS BIGINT) AS delta FROM v),
+        |r AS (SELECT *, CASE WHEN var_cents2 IS NULL OR delta = 0
+        |   THEN NULL
+        |   ELSE CAST((CAST(2 AS HUGEINT) * 7851204 * var_cents2
+        |      + CAST(delta AS HUGEINT) * delta * 1000000 - 1)
+        |     // (CAST(delta AS HUGEINT) * delta * 1000000) AS BIGINT)
+        |   END AS n_required,
+        |  CASE WHEN var_cents2 IS NULL THEN CAST(0 AS HUGEINT)
+        |   ELSE CAST(2 AS HUGEINT) * var_cents2 * 1000000000000 // n
+        |   END AS r2 FROM d),
+        |s0 AS (SELECT *, CAST(floor(sqrt(CAST(r2 AS DOUBLE)))
+        |   AS BIGINT) AS s0 FROM r)
+        |SELECT g AS l_returnflag, n, mean, var_cents2, delta,
+        | n_required,
+        | CASE WHEN var_cents2 IS NULL THEN NULL
+        |  ELSE CAST(CAST(2802 AS HUGEINT) * (CASE
+        |    WHEN CAST(s0 AS HUGEINT) * s0 > r2 THEN s0 - 1
+        |    WHEN (CAST(s0 AS HUGEINT) + 1) * (s0 + 1) <= r2 THEN s0 + 1
+        |    ELSE s0 END) // 1000 AS BIGINT) END AS mde_e6
+        |FROM s0""".stripMargin,
 
     // q373: per-item L and per-model G censuses, the exact Q identity
     // (complete block by construction → n_dropped = 0).

@@ -31,6 +31,15 @@ class ReadabilitySpec extends SparkSpec {
     assert(r.getLong(2) == 2L && r.getLong(3) == 1L && r.getLong(4) == 2L)
   }
 
+  test("plan: no generator below the group aggregate (tokens stay in-array)") {
+    val plan = Readability.fleschKincaid(
+        Seq(("s", "a b. c")).toDF("source", "text"), col("text"),
+        Seq("source"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), plan.take(800))
+    assert(!plan.contains("WindowExec"), plan.take(800))
+  }
+
   test("group census is partitioning-invariant") {
     val rows = (0 until 500).map(i =>
       (s"src${i % 4}", s"word$i text. more words number $i!"))

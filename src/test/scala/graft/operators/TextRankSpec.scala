@@ -87,6 +87,13 @@ class TextRankSpec extends SparkSpec {
       ("d", "b", 9L, 2028148L), ("a", "b", 1L, 0L)), s"got ${got.toSeq}")
   }
 
+  test("ppmiWindow plans with NO window operator (pairs built in-array)") {
+    val plan = TextRank.ppmiWindow(Seq((1L, "p q r")).toDF("doc_id", "text"),
+        "doc_id", "text", minCount = 1L, topK = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), plan.take(800))
+  }
+
   test("ppmiWindow: offset-2 contexts pair across one gap") {
     // "p q r": pairs (p,q) (q,r) at offset 1, (p,r) at offset 2;
     // every pair PMI = ln(3)·1e6 = 1098612.
