@@ -5109,6 +5109,18 @@ object SparkEntry {
           col("wilson_lb_e6"))
     }),
 
+    // Deterministic Poisson bootstrap CI (Chamandy 2012 — the
+    // production one-pass bootstrap) for price-per-unit per return
+    // flag: 40 replicates via pinned Lehmer Poisson(1) weights, e6
+    // replicate ratios, order-statistic interval (ranks 2 and 39).
+    "q377_poisson_bootstrap" -> ((s, dir) =>
+      operators.PairedTests.poissonBootstrapRatioE6(
+        t(s, dir, "lineitem"), Seq("l_returnflag"),
+        col("l_orderkey") * 131L + col("l_linenumber") * 7L +
+          col("l_partkey"),
+        cents(col("l_extendedprice")),
+        round(col("l_quantity")).cast("long"), reps = 40)),
+
     // Experiment power planner per segment: exact sample variance,
     // required per-arm n for a 1%-of-mean lift (ceil division), and
     // the minimum detectable effect at the CURRENT n (corrected
@@ -13988,6 +14000,51 @@ object SparkEntry {
     "q356_bt_calibration" -> q356OracleSql,
 
     "q362_brier_decomp" -> q362OracleSql,
+
+    // q377: the full Lehmer→Poisson(1)→replicate-ratio→order-statistic
+    // chain replayed literally (wrap-free BIGINT throughout).
+    "q377_poisson_bootstrap" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+        |  l_orderkey * 131 + l_linenumber * 7 + l_partkey AS rk,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS num,
+        |  CAST(round(l_quantity) AS BIGINT) AS den FROM lineitem),
+        |e AS (SELECT g, r, num, den,
+        |  ((((rk % 2147483647) * 65537 + r + 1) * 48271) % 2147483647)
+        |   AS h1
+        | FROM b, (SELECT unnest(generate_series(0, 39)) AS r) rr),
+        |e2 AS (SELECT g, r, num, den,
+        |  (xor(h1, h1 // 65536) * 69621 % 2147483647)
+        |   * 1000000000 // 2147483647 AS u FROM e),
+        |ww AS (SELECT g, r, num, den,
+        |  CAST(CASE WHEN u < 367879441 THEN 0
+        |   WHEN u < 735758882 THEN 1
+        |   WHEN u < 919698602 THEN 2
+        |   WHEN u < 981011843 THEN 3
+        |   WHEN u < 996340153 THEN 4
+        |   WHEN u < 999405815 THEN 5
+        |   ELSE 6 END AS BIGINT) AS w FROM e2),
+        |rs AS (SELECT g, r,
+        |  sum(CAST(w * num AS HUGEINT)) AS sn,
+        |  sum(CAST(w * den AS HUGEINT)) AS sd,
+        |  sum(CAST(num AS HUGEINT)) AS pn,
+        |  sum(CAST(den AS HUGEINT)) AS pd
+        | FROM ww GROUP BY 1, 2),
+        |th AS (SELECT *, CASE WHEN sd <= 0 THEN NULL
+        |   ELSE CAST(sn * 1000000 // sd AS BIGINT) END AS theta
+        | FROM rs),
+        |rk2 AS (SELECT *, row_number() OVER
+        |   (PARTITION BY g ORDER BY theta ASC NULLS LAST, r) AS rnk,
+        |  count(theta) OVER (PARTITION BY g) AS valid FROM th)
+        |SELECT g AS l_returnflag,
+        | CAST(max(valid) AS BIGINT) AS reps_valid,
+        | max(CASE WHEN pd > 0
+        |   THEN CAST(pn * 1000000 // pd AS BIGINT) END) AS theta_e6,
+        | CASE WHEN max(valid) < 4 THEN NULL
+        |  ELSE max(CASE WHEN rnk = 2 THEN theta END) END AS ci_lo_e6,
+        | CASE WHEN max(valid) < 4 THEN NULL
+        |  ELSE max(CASE WHEN rnk = valid - 1 THEN theta END) END
+        |   AS ci_hi_e6
+        |FROM rk2 GROUP BY 1""".stripMargin,
 
     // q376: the same pinned planner arithmetic — HUGEINT widening,
     // ceil via (num + den − 1) // den, corrected isqrt for the MDE.

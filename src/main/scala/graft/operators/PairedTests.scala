@@ -236,6 +236,102 @@ object PairedTests {
         col("or_mh_e6"), col("dev_e6"), col("var_e6"), col("cmh_e6"))
   }
 
+  /** Deterministic Poisson bootstrap CI for a ratio metric, per group —
+    * the OTHER production error bar (the jackknife's resampling
+    * sibling): every row joins replicate r with a Poisson(1) weight, so
+    * a replicate is one map-side-combinable weighted sum and the whole
+    * bootstrap is ONE pass (Chamandy et al. 2012, "Estimating
+    * uncertainty for massive data streams" — the Google production
+    * scheme).
+    *
+    * Determinism (pinned, mirrored in the oracle): the weight for
+    * (row, r) is Poisson(1) by inverse-CDF over a Lehmer chain,
+    *
+    *   s     = pmod(rowKey, 2³¹−1)
+    *   h     = pmod((s·65537 + r + 1) · 48271, 2³¹−1)
+    *   u_e9  = h·1e9 div (2³¹−1)
+    *   w     = #{thresholds ≤ u_e9} over the e9-floored Poisson(1) CDF
+    *           {367879441, 735758882, 919698602, 981011843, 996340153,
+    *            999405815}, capped at 6
+    *
+    * — wrap-free LONG arithmetic both engines replay exactly (q350's
+    * PRNG discipline). Replicate estimates are truncating e6 ratios;
+    * the interval is the PINNED order statistic pair (2nd smallest,
+    * (valid−1)-th) over the ≤`reps` replicate estimates — ≈ the
+    * 2.5/97.5 percentile pair at the default reps = 40. Replicates
+    * whose resampled denominator is 0 are excluded and counted;
+    * fewer than 4 valid replicates → NULL interval.
+    *
+    * Shape: one explode of `reps` replicate ids per row (CPU ×reps on
+    * the scan, embarrassingly parallel) feeding ONE hash aggregate to
+    * (group, replicate) grain — partial aggregation collapses the
+    * blow-up map-side, so the shuffle carries groups×reps rows only;
+    * the order statistics are windows over ≤reps rows per group. */
+  def poissonBootstrapRatioE6(df: DataFrame, groupCols: Seq[String],
+      rowKey: Column, num: Column, den: Column,
+      reps: Int = 40): DataFrame = {
+    require(reps >= 4 && reps <= 1000)
+    val m = 2147483647L
+    val base = df.select(groupCols.map(col) :+
+        rowKey.cast("long").as("__rk") :+
+        num.cast("long").as("__num") :+ den.cast("long").as("__den"): _*)
+      .where(col("__rk").isNotNull)
+      .withColumn("__r", explode(sequence(lit(0), lit(reps - 1))))
+      // two Lehmer steps with an XOR-fold between them: a purely
+      // multiplicative chain is AFFINE in rk mod m, and an affine map
+      // preserves arithmetic structure shared with the metric (a
+      // partkey-derived price correlated with a partkey-derived rk made
+      // every replicate 0.3% hot in testing); the fold breaks affinity
+      // with operations both engines replay wrap-free on BIGINT
+      .withColumn("__h1", expr(
+        s"pmod((pmod(__rk, ${m}L) * 65537 + __r + 1) * 48271, ${m}L)"))
+      .withColumn("__u", expr(
+        s"""pmod((__h1 ^ (__h1 div 65536)) * 69621, ${m}L)
+           | * 1000000000 div ${m}L""".stripMargin))
+      .withColumn("__w", expr(
+        """CAST(CASE WHEN __u < 367879441 THEN 0
+          | WHEN __u < 735758882 THEN 1
+          | WHEN __u < 919698602 THEN 2
+          | WHEN __u < 981011843 THEN 3
+          | WHEN __u < 996340153 THEN 4
+          | WHEN __u < 999405815 THEN 5
+          | ELSE 6 END AS BIGINT)""".stripMargin))
+    val repSums = base.groupBy(groupCols.map(col) :+ col("__r"): _*)
+      .agg(sum((col("__w") * col("__num")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("__sn"),
+        sum((col("__w") * col("__den")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("__sd"),
+        sum(col("__num").cast("decimal(38,0)")).cast("decimal(38,0)")
+          .as("__pn"),
+        sum(col("__den").cast("decimal(38,0)")).cast("decimal(38,0)")
+          .as("__pd"))
+      .withColumn("__theta", expr(
+        """CASE WHEN __sd <= 0 THEN NULL
+          | ELSE CAST(__sn * 1000000 div __sd AS BIGINT) END"""
+          .stripMargin))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__theta").asc_nulls_last, col("__r"))
+    val ranked = repSums
+      .withColumn("__rank", row_number().over(w))
+      .withColumn("__valid",
+        count(col("__theta")).over(Window.partitionBy(
+          groupCols.map(col): _*)))
+    ranked.groupBy(groupCols.map(col): _*)
+      .agg(max(col("__valid")).as("reps_valid"),
+        max(when(col("__pd") > 0,
+          expr("CAST(__pn * 1000000 div __pd AS BIGINT)")))
+          .as("theta_e6"),
+        max(when(col("__rank") === 2, col("__theta"))).as("__lo"),
+        max(when(col("__rank") === col("__valid") - 1, col("__theta")))
+          .as("__hi"))
+      .select(groupCols.map(col) ++ Seq(col("reps_valid"),
+        col("theta_e6"),
+        when(col("reps_valid") < 4, lit(null).cast("long"))
+          .otherwise(col("__lo")).as("ci_lo_e6"),
+        when(col("reps_valid") < 4, lit(null).cast("long"))
+          .otherwise(col("__hi")).as("ci_hi_e6")): _*)
+  }
+
   /** Delete-one-bucket jackknife variance for a ratio metric, per
     * group.
     *

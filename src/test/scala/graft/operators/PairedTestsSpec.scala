@@ -114,6 +114,48 @@ class PairedTestsSpec extends SparkSpec {
     assert(r.isNullAt(5) && r.isNullAt(6)) // variance needs b_eff ≥ 2
   }
 
+  test("poissonBootstrapRatioE6 matches the sequential Lehmer mirror") {
+    val m = 2147483647L
+    val ths = Seq(367879441L, 735758882L, 919698602L, 981011843L,
+      996340153L, 999405815L)
+    def w(rk: Long, r: Int): Long = {
+      val s = ((rk % m) + m) % m
+      val h1 = (((s * 65537 + r + 1) * 48271) % m + m) % m
+      val h2 = (((h1 ^ (h1 / 65536)) * 69621) % m + m) % m
+      ths.count(_ <= h2 * 1000000000L / m).toLong
+    }
+    val rows = (1 to 200).map(i =>
+      ("g" + (i % 2), i * 7919L, 100L + i, 1L + (i % 3)))
+    val reps = 8
+    // sequential mirror
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      val thetas = (0 until reps).flatMap { r =>
+        val sn = rs.map(x => w(x._2, r) * x._3).sum
+        val sd = rs.map(x => w(x._2, r) * x._4).sum
+        if (sd <= 0) None else Some(BigInt(sn) * 1000000 / sd)
+      }.sorted
+      val pn = rs.map(x => BigInt(x._3)).sum
+      val pd = rs.map(x => BigInt(x._4)).sum
+      g -> ((thetas.length.toLong, (pn * 1000000 / pd).toLong,
+        thetas(1).toLong, thetas(thetas.length - 2).toLong))
+    }
+    val got = PairedTests.poissonBootstrapRatioE6(
+        rows.toDF("g", "rk", "x", "y"), Seq("g"), col("rk"), col("x"),
+        col("y"), reps = reps)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected, s"got $got\nexp $expected")
+  }
+
+  test("poissonBootstrapRatioE6: zero denominators excluded, CI NULLs out") {
+    val rows = (1 to 20).map(i => ("g", i.toLong, 10L, 0L))
+    val r = PairedTests.poissonBootstrapRatioE6(
+      rows.toDF("g", "rk", "x", "y"), Seq("g"), col("rk"), col("x"),
+      col("y"), reps = 8).collect().head
+    assert(r.getLong(1) == 0L && r.isNullAt(2) && r.isNullAt(3) &&
+      r.isNullAt(4))
+  }
+
   test("paired tests are invariant to partitioning and input order") {
     val rows = (0 until 4000).map { i =>
       (i % 7L, (i * 7919) % 2 == 0, (i * 104729) % 3 == 0)
