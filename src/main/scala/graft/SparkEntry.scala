@@ -5129,6 +5129,16 @@ object SparkEntry {
           col("wilson_lb_e6"))
     }),
 
+    // Winnowing fingerprint sharing (Schleimer et al. 2003 — MOSS's
+    // selection rule): word-3-gram Karp–Rabin+splitmix hashes, window-4
+    // minima with rightmost ties via ONE struct-min aggregate (no
+    // window function), then the shared-fingerprint pair report —
+    // the plagiarism/near-copy candidate list.
+    "q378_winnowing" -> ((s, dir) =>
+      operators.Dedup.winnowingSharedPairs(
+        operators.Dedup.winnowingFingerprints(t(s, dir, "documents"),
+          "doc_id", "text", k = 3, w = 4), minShared = 2L)),
+
     // Deterministic Poisson bootstrap CI (Chamandy 2012 — the
     // production one-pass bootstrap) for price-per-unit per return
     // flag: 40 replicates via pinned Lehmer Poisson(1) weights, e6
@@ -13986,6 +13996,49 @@ object SparkEntry {
     "q356_bt_calibration" -> q356OracleSql,
 
     "q362_brier_decomp" -> q362OracleSql,
+
+    // q378: the full winnowing chain replayed — char-fold Karp–Rabin
+    // mod 2⁶¹−1, the splitmix64 finisher in 128-bit halves, >>1 to the
+    // signed-safe domain, window membership by generate_series, the
+    // struct-min (h, −pos) rightmost-tie argmin, pair join.
+    "q378_winnowing" -> {
+      val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
+      val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
+      s"""WITH t AS (SELECT doc_id AS doc,
+         |  list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |    x -> x <> '') AS tk
+         | FROM documents),
+         |g0 AS (SELECT doc, len(tk) - 2 AS ng, i AS pos,
+         |  array_to_string(tk[i:i+2], ' ') AS g
+         | FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk)-2))
+         |   AS i) ix
+         | WHERE len(tk) >= 3),
+         |k0 AS (SELECT doc, ng, pos,
+         |  list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |    list_transform(range(1, length(g)+1),
+         |      i -> CAST(unicode(g[i]) AS HUGEINT))),
+         |   (a,b) -> (a*257+b) % 2305843009213693951) AS h0
+         | FROM g0),
+         |s0 AS (SELECT doc, ng, pos,
+         |  CAST((h0 + 11400714819323198485) % 18446744073709551616
+         |   AS UBIGINT) AS z0 FROM k0),
+         |s1 AS (SELECT doc, ng, pos, $z1 AS z1 FROM s0),
+         |s2 AS (SELECT doc, ng, pos, $z2 AS z2 FROM s1),
+         |f AS (SELECT doc, ng, pos,
+         |  CAST(xor(z2, z2 >> 31) >> 1 AS BIGINT) AS h FROM s2),
+         |m AS (SELECT doc, pos, h, ws FROM f,
+         |  LATERAL (SELECT unnest(generate_series(greatest(1, pos - 3),
+         |    least(pos, greatest(1, ng - 3)))) AS ws) wx),
+         |mn AS (SELECT doc, ws,
+         |  struct_extract(min(struct_pack(h := h, np := -pos)), 'h')
+         |    AS h
+         | FROM m GROUP BY 1, 2),
+         |fp AS (SELECT DISTINCT doc, h FROM mn)
+         |SELECT x.doc AS doc_a, y.doc AS doc_b,
+         | CAST(count(*) AS BIGINT) AS shared
+         |FROM fp x JOIN fp y ON x.h = y.h AND x.doc < y.doc
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+    },
 
     // q377: the full Lehmer→Poisson(1)→replicate-ratio→order-statistic
     // chain replayed literally (wrap-free BIGINT throughout).

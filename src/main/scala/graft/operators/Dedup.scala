@@ -450,6 +450,75 @@ object Dedup {
     * portable), then one hash aggregation surfaces fingerprints seen in
     * ≥2 distinct sources. The groupBy on the 128-bit fingerprint is the
     * exact-dedup shuffle shape — the overlap census rides it for free. */
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+    * plagiarism detector's selection rule): hash every word k-gram, then
+    * from each window of `w` consecutive k-gram hashes keep the minimum,
+    * ties to the RIGHTMOST position; the guarantee is that any shared
+    * run of ≥ w+k−1 words yields at least one shared fingerprint, while
+    * only ~2/(w+1) of grams are kept.
+    *
+    * Determinism (pinned, oracle-replayed): tokens = whitespace split of
+    * trim(lower(text)) with empties dropped; gram hash =
+    * splitmix64(Karp–Rabin mod 2⁶¹−1 over the space-joined gram's bytes)
+    * logically right-shifted 1 (nonnegative, so signed-LONG order ==
+    * the oracle's UBIGINT order); the per-window argmin rides ONE
+    * struct-min aggregate over (h, −pos) — both engines compare the
+    * pair lexicographically, so the rightmost-tie rule needs no window
+    * function at all.
+    *
+    * Shape: grams explode into their ≤ w member windows (a ×w row
+    * blow-up of the gram frame that partial aggregation collapses
+    * map-side), one hash aggregate to (doc, window) grain, one distinct
+    * to the fingerprint set. All keys carry doc_id — no skewed global
+    * state, no window over raw tokens. */
+  def winnowingFingerprints(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1)
+    graft.functions.PolyHash64.register(docs.sparkSession)
+    val toks = docs.select(col(idCol).as("doc"),
+      filter(split(trim(lower(col(textCol))), "\\s+"), t => t =!= "")
+        .as("__ts"))
+    val grams = toks
+      .select(col("doc"), (size(col("__ts")) - (k - 1)).as("__ng"),
+        posexplode(when(size(col("__ts")) >= k,
+            transform(sequence(lit(1), size(col("__ts")) - (k - 1)), i =>
+              array_join(slice(col("__ts"), i, lit(k)), " ")))
+          .otherwise(array().cast("array<string>"))).as(Seq("__p0", "g")))
+      .select(col("doc"), col("__ng"), (col("__p0") + 1).as("pos"),
+        shiftrightunsigned(
+          graft.functions.PolyHash64.polyHash64(col("g")), 1).as("h"))
+    // each gram at pos joins windows ws ∈ [pos−w+1, pos] clipped to the
+    // valid start range [1, max(1, ng−w+1)]
+    val member = grams
+      .select(col("doc"), col("pos"), col("h"),
+        explode(sequence(
+          greatest(lit(1), col("pos") - (w - 1)),
+          least(col("pos"), greatest(lit(1), col("__ng") - (w - 1)))))
+          .as("ws"))
+    member.groupBy(col("doc"), col("ws"))
+      .agg(min(struct(col("h"), (-col("pos")).as("np"))).as("__m"))
+      .select(col("doc"), col("__m.h").as("fingerprint"),
+        (-col("__m.np")).cast("long").as("pos"))
+      .distinct()
+  }
+
+  /** Shared-fingerprint document pairs over [[winnowingFingerprints]] —
+    * the plagiarism-candidate report: pairs sharing ≥ `minShared`
+    * selected fingerprints, with the shared count. Join key is the
+    * fingerprint VALUE (hash-partitioned — no doc×doc product); the
+    * distinct fingerprint set per doc bounds the blow-up at ~2/(w+1) of
+    * the gram count. */
+  def winnowingSharedPairs(fingerprints: DataFrame,
+      minShared: Long): DataFrame = {
+    val fp = fingerprints.select(col("doc"), col("fingerprint")).distinct()
+    fp.as("x").join(fp.as("y"),
+        col("x.fingerprint") === col("y.fingerprint") &&
+        col("x.doc") < col("y.doc"))
+      .groupBy(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
   def crossSourceDuplicates(df: DataFrame, sourceCol: String,
       contentCols: Seq[String]): DataFrame = {
     require(contentCols.nonEmpty)

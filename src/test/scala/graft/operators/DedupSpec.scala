@@ -165,6 +165,46 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("winnowingFingerprints match the sequential MOSS-rule mirror") {
+    import graft.functions.RollingHash
+    val k = 3; val w = 4
+    def mirror(text: String): Set[(Long, Long)] = {
+      val tk = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (tk.length < k) return Set.empty
+      val hs = (0 to tk.length - k).map(i =>
+        RollingHash.polyHash64(
+          tk.slice(i, i + k).mkString(" ").getBytes("UTF-8")) >>> 1)
+      val ng = hs.length
+      (1 to math.max(1, ng - w + 1)).map { ws =>
+        val win = (ws to math.min(ws + w - 1, ng)).map(p => (hs(p - 1), p))
+        val m = win.minBy { case (h, p) => (h, -p) }
+        (m._1, m._2.toLong)
+      }.toSet
+    }
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different words appear in this sentence here"),
+      (5L, "tiny doc"),                     // < k words → no fingerprints
+      (6L, "exactly three words"))          // ng=1 < w → one window
+    val got = Dedup.winnowingFingerprints(texts.toDF("doc_id", "text"),
+        "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    texts.foreach { case (id, tx) =>
+      val exp = mirror(tx)
+      assert(got.getOrElse(id, Set.empty) == exp, s"doc $id")
+    }
+    // docs 1 and 2 share the 9-word prefix ≥ w+k−1 = 6 → the winnowing
+    // guarantee promises ≥ 1 shared fingerprint
+    val pairs = Dedup.winnowingSharedPairs(
+      Dedup.winnowingFingerprints(texts.toDF("doc_id", "text"),
+        "doc_id", "text", k, w), minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"pairs $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("crossSourceDuplicates: md5 fingerprints, >=2-source census") {
     import spark.implicits._
     val rows = Seq(
