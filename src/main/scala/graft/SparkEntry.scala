@@ -5129,6 +5129,29 @@ object SparkEntry {
           col("wilson_lb_e6"))
     }),
 
+    // Zipf-law slope of the corpus rank–frequency head (top-1000 by
+    // (count DESC, word)): exact integer OLS of ln-freq on ln-rank —
+    // the one-number vocabulary-health summary next to q115's
+    // spectrum; natural text sits near −1.
+    "q379_zipf_slope" -> ((s, dir) =>
+      decStr(operators.CorpusOps.zipfSlopeE6(t(s, dir, "documents"),
+        "doc_id", "text", topK = 1000))),
+
+    // Lead–lag cross-correlation between the daily view and purchase
+    // revenue series (lags 0–7): exact Pearson pieces per lag + the
+    // pinned two-root e6 correlation — "do purchases follow views,
+    // and by how many days".
+    "q380_lead_lag" -> ((s, dir) => {
+      val daily = ev(s, dir).where(col("value").isNotNull)
+        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      decStr(operators.Trend.crossCorrE6(
+        daily.where(col("event_type") === "view"), col("day"),
+        col("cents"),
+        daily.where(col("event_type") === "purchase"), col("day"),
+        col("cents"), maxLag = 7))
+    }),
+
     // Winnowing fingerprint sharing (Schleimer et al. 2003 — MOSS's
     // selection rule): word-3-gram Karp–Rabin+splitmix hashes, window-4
     // minima with rightmost ties via ONE struct-min aggregate (no
@@ -13996,6 +14019,81 @@ object SparkEntry {
     "q356_bt_calibration" -> q356OracleSql,
 
     "q362_brier_decomp" -> q362OracleSql,
+
+    // q379: head census → total-order rank → one pinned-ln OLS row.
+    "q379_zipf_slope" ->
+      """WITH tk AS (SELECT
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        | FROM documents),
+        |u AS (SELECT unnest(t) AS w FROM tk),
+        |c0 AS (SELECT w, count(*) AS c FROM u GROUP BY 1
+        | ORDER BY c DESC, w LIMIT 1000),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r
+        | FROM c0),
+        |p AS (SELECT
+        |  CAST(round(ln(CAST(r AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+        |  CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+        | FROM r),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |  sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |  sum(CAST(x AS HUGEINT) * y) AS sxy FROM p),
+        |s AS (SELECT n,
+        |  CAST(CAST(sx AS DECIMAL(38,0)) AS VARCHAR) AS sx_s,
+        |  CAST(CAST(sy AS DECIMAL(38,0)) AS VARCHAR) AS sy_s,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |   ELSE CAST((n * sxy - sx * sy) * 1000000
+        |    // (n * sxx - sx * sx) AS BIGINT) END AS slope_e6,
+        |  sx, sy FROM a)
+        |SELECT n, sx_s AS sx, sy_s AS sy, slope_e6,
+        | CASE WHEN slope_e6 IS NULL THEN NULL
+        |  ELSE CAST((sy * 1000000 - CAST(slope_e6 AS HUGEINT) * sx)
+        |   // 1000000 // n AS BIGINT) END AS intercept_e6
+        |FROM s""".stripMargin,
+
+    // q380: shifted-copy equi join per lag, exact Pearson pieces, the
+    // two-root corrected-isqrt correlation.
+    "q380_lead_lag" ->
+      """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |x AS (SELECT day AS o, cents AS xa FROM d
+        | WHERE event_type = 'view'),
+        |y0 AS (SELECT day, cents AS yb FROM d
+        | WHERE event_type = 'purchase'),
+        |y AS (SELECT day - lag AS o, lag, yb FROM y0,
+        | (SELECT unnest(generate_series(0, 7)) AS lag) ll),
+        |st AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(xa AS HUGEINT)) AS sx, sum(CAST(yb AS HUGEINT)) AS sy,
+        |  sum(CAST(xa AS HUGEINT) * xa) AS sxx,
+        |  sum(CAST(yb AS HUGEINT) * yb) AS syy,
+        |  sum(CAST(xa AS HUGEINT) * yb) AS sxy
+        | FROM x JOIN y USING (o) GROUP BY 1),
+        |q AS (SELECT CAST(lag AS BIGINT) AS lag, n,
+        |  n * sxy - sx * sy AS num, n * sxx - sx * sx AS dx,
+        |  n * syy - sy * sy AS dy FROM st),
+        |s0x AS (SELECT *,
+        |  CAST(floor(sqrt(CAST(greatest(dx, 0) AS DOUBLE))) AS BIGINT)
+        |    AS s0a,
+        |  CAST(floor(sqrt(CAST(greatest(dy, 0) AS DOUBLE))) AS BIGINT)
+        |    AS s0b FROM q),
+        |rr AS (SELECT *,
+        |  CASE WHEN CAST(s0a AS HUGEINT) * s0a > greatest(dx, 0)
+        |    THEN s0a - 1
+        |   WHEN (CAST(s0a AS HUGEINT) + 1) * (s0a + 1) <= greatest(dx, 0)
+        |    THEN s0a + 1 ELSE s0a END AS rx,
+        |  CASE WHEN CAST(s0b AS HUGEINT) * s0b > greatest(dy, 0)
+        |    THEN s0b - 1
+        |   WHEN (CAST(s0b AS HUGEINT) + 1) * (s0b + 1) <= greatest(dy, 0)
+        |    THEN s0b + 1 ELSE s0b END AS ry FROM s0x)
+        |SELECT lag, n, CAST(CAST(num AS DECIMAL(38,0)) AS VARCHAR) AS num,
+        | CAST(CAST(dx AS DECIMAL(38,0)) AS VARCHAR) AS dx,
+        | CAST(CAST(dy AS DECIMAL(38,0)) AS VARCHAR) AS dy,
+        | CASE WHEN dx <= 0 OR dy <= 0 THEN NULL
+        |  ELSE CAST(num * 1000000 // (CAST(rx AS HUGEINT) * ry)
+        |   AS BIGINT) END AS xcorr_e6
+        |FROM rr""".stripMargin,
 
     // q378: the full winnowing chain replayed — char-fold Karp–Rabin
     // mod 2⁶¹−1, the splitmix64 finisher in 128-bit halves, >>1 to the

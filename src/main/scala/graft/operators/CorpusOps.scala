@@ -610,6 +610,60 @@ object CorpusOps {
     withCum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Zipf-law slope of the corpus rank–frequency curve — the one-number
+    * vocabulary-health summary next to the q115 spectrum (natural text
+    * sits near −1; a pipeline bug, boilerplate flood, or synthetic
+    * collapse bends it): exact integer OLS of ln(freq) on ln(rank) over
+    * the top `topK` words by (count DESC, word) — the standard head fit
+    * (the spectrum tail is the Good–Turing regime, not Zipf's).
+    *
+    * Pinned arithmetic: x = round(ln(rank)·1e6), y = round(ln(c)·1e6)
+    * (one ln chain each), every OLS sum in DECIMAL(38,0),
+    *
+    *   slope_e6     = (n·Σxy − Σx·Σy)·1e6 div (n·Σxx − (Σx)²)
+    *   intercept_e6 = (Σy·1e6 − slope_e6·Σx) div 1000000 div n
+    *
+    * (two-stage truncation on the intercept, documented). NULL when
+    * fewer than 2 distinct ranks survive.
+    *
+    * Shape: one token pass to the word census, TakeOrderedAndProject
+    * for the top-k head (no global sort), ranks by a window over the
+    * k-row head (bounded by construction), scalar OLS on one row. */
+  def zipfSlopeE6(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int = 1000): DataFrame = {
+    require(topK >= 2)
+    import org.apache.spark.sql.expressions.Window
+    val census = wordNgramsRaw(docs, idCol, textCol, 1)
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("g")).limit(topK)
+    val ranked = census.withColumn("r",
+      row_number().over(Window.orderBy(col("c").desc, col("g"))))
+    val pts = ranked.select(
+      round(log(col("r").cast("double")) * lit(1000000.0)).cast("long")
+        .as("x"),
+      round(log(col("c").cast("double")) * lit(1000000.0)).cast("long")
+        .as("y"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    pts.agg(count(lit(1)).as("n"),
+        sum(d(col("x"))).cast("decimal(38,0)").as("sx"),
+        sum(d(col("y"))).cast("decimal(38,0)").as("sy"),
+        sum(d(col("x")) * col("x")).cast("decimal(38,0)").as("sxx"),
+        sum(d(col("x")) * col("y")).cast("decimal(38,0)").as("sxy"))
+      .withColumn("slope_e6", expr(
+        """CASE WHEN CAST(n AS DECIMAL(38,0)) * sxx - sx * sx = 0
+          |   THEN NULL
+          | ELSE CAST((CAST(n AS DECIMAL(38,0)) * sxy - sx * sy)
+          |    * 1000000
+          |   div (CAST(n AS DECIMAL(38,0)) * sxx - sx * sx)
+          |  AS BIGINT) END""".stripMargin))
+      .withColumn("intercept_e6", expr(
+        """CASE WHEN slope_e6 IS NULL THEN NULL
+          | ELSE CAST((sy * 1000000 - CAST(slope_e6 AS DECIMAL(38,0))
+          |    * sx) div 1000000 div n AS BIGINT) END""".stripMargin))
+      .select(col("n"), col("sx"), col("sy"), col("slope_e6"),
+        col("intercept_e6"))
+  }
+
   /** Out-of-vocabulary rate of an eval corpus under a train-derived
     * vocabulary — the tokenizer/coverage audit run before freezing a
     * vocab (a source whose OOV rate spikes is about to be butchered

@@ -390,6 +390,79 @@ object Trend {
     * each row into maxLag (t−k) keys, so no band scan and no n² blowup:
     * n·maxLag join rows per group, one aggregation each side. Output:
     * keyCols + (lag, n, acf_num, acf_den). */
+  /** Lead–lag cross-correlation between two series on a shared integer
+    * grid — "do purchases follow views, and by how many days?": for
+    * each lag ∈ [0, maxLag], Pearson pieces over the pairs
+    * (x at t, y at t+lag), all sums exact DECIMAL(38,0), plus the
+    * pinned TWO-ROOT correlation
+    *
+    *   xcorr_e6 = (n·sxy − sx·sy)·1e6 div (isqrt(n·sxx−sx²) ·
+    *              isqrt(n·syy−sy²))
+    *
+    * (isqrt(a)·isqrt(b), NOT isqrt(a·b) — the product of the variance
+    * numerators overflows DECIMAL(38,0) at real magnitudes; the
+    * two-root form is the documented convention, off the classical
+    * value by at most the two ±1-ulp root truncations, and replayed
+    * identically by the oracle). NULL when either variance numerator
+    * is ≤ 0 (a constant side has no correlation to report).
+    *
+    * Shape: the lagged side explodes into maxLag+1 shifted copies and
+    * pairs by EQUI join on the grid key (the acfSuffStats rule — no
+    * band scan); everything downstream is lag-grain. Inputs are
+    * expected at grid grain (daily/hourly census), so cost is
+    * grid-bound, never raw-event-bound. */
+  def crossCorrE6(x: DataFrame, xOrder: Column, xVal: Column,
+      y: DataFrame, yOrder: Column, yVal: Column,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 0)
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val xa = x.select(xOrder.cast("long").as("__o"),
+      xVal.cast("long").as("__xa"))
+    val yb = y.select(yOrder.cast("long").as("__ob"),
+        yVal.cast("long").as("__yb"))
+      .withColumn("lag", explode(sequence(lit(0), lit(maxLag))))
+      .withColumn("__o", col("__ob") - col("lag"))
+    val stats = xa.join(yb, "__o")
+      .groupBy(col("lag").cast("long").as("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("__xa"))).cast("decimal(38,0)").as("__sx"),
+        sum(d(col("__yb"))).cast("decimal(38,0)").as("__sy"),
+        sum(d(col("__xa")) * col("__xa")).cast("decimal(38,0)").as("__sxx"),
+        sum(d(col("__yb")) * col("__yb")).cast("decimal(38,0)").as("__syy"),
+        sum(d(col("__xa")) * col("__yb")).cast("decimal(38,0)").as("__sxy"))
+      .withColumn("num",
+        (d(col("n")) * col("__sxy") - col("__sx") * col("__sy"))
+          .cast("decimal(38,0)"))
+      .withColumn("dx",
+        (d(col("n")) * col("__sxx") - col("__sx") * col("__sx"))
+          .cast("decimal(38,0)"))
+      .withColumn("dy",
+        (d(col("n")) * col("__syy") - col("__sy") * col("__sy"))
+          .cast("decimal(38,0)"))
+    def isqrt(in: String, out: String)(df: DataFrame): DataFrame =
+      df.withColumn("__s0",
+          expr(s"CAST(floor(sqrt(CAST($in AS DOUBLE))) AS BIGINT)"))
+        .withColumn(out, expr(
+          s"""CASE WHEN CAST(__s0 AS DECIMAL(38,0)) * __s0 > $in
+             |   THEN __s0 - 1
+             | WHEN (CAST(__s0 AS DECIMAL(38,0)) + 1) * (__s0 + 1) <= $in
+             |   THEN __s0 + 1
+             | ELSE __s0 END""".stripMargin))
+        .drop("__s0")
+    val rooted = isqrt("__dy2", "__ry")(
+      isqrt("__dx2", "__rx")(
+        stats
+          .withColumn("__dx2", expr(
+            "greatest(dx, CAST(0 AS DECIMAL(38,0)))"))
+          .withColumn("__dy2", expr(
+            "greatest(dy, CAST(0 AS DECIMAL(38,0)))"))))
+    rooted.select(col("lag"), col("n"), col("num"), col("dx"), col("dy"),
+      expr("""CASE WHEN dx <= 0 OR dy <= 0 THEN NULL
+             | ELSE CAST(num * 1000000
+             |   div (CAST(__rx AS DECIMAL(38,0)) * __ry) AS BIGINT)
+             | END""".stripMargin).as("xcorr_e6"))
+  }
+
   def acfSuffStats(df: DataFrame, keyCols: Seq[String], orderCol: Column,
       valueCol: Column, maxLag: Int): DataFrame = {
     require(maxLag >= 1)

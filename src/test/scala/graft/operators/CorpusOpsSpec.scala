@@ -389,6 +389,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got("k") == (4L, 1062473L))   // worth ~1.06 samples, not 4
   }
 
+  test("zipfSlopeE6: three-point head matches the BigInt OLS mirror") {
+    import org.apache.spark.sql.functions.col
+    // counts a:4 b:2 c:1 → ranks 1,2,3; mirror the pinned e6 chain
+    val docs = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
+    val r = CorpusOps.zipfSlopeE6(docs, "doc_id", "text", topK = 10)
+      .collect().head
+    val xs = Seq(1L, 2L, 3L).map(v => math.round(math.log(v.toDouble) * 1e6))
+    val ys = Seq(4L, 2L, 1L).map(v => math.round(math.log(v.toDouble) * 1e6))
+    val n = BigInt(3)
+    val (sx, sy) = (BigInt(xs.sum), BigInt(ys.sum))
+    val sxx = xs.map(x => BigInt(x) * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => BigInt(x) * y }.sum
+    val slope = (n * sxy - sx * sy) * 1000000 / (n * sxx - sx * sx)
+    val icept = (sy * 1000000 - slope * sx) / 1000000 / n
+    assert(r.getLong(0) == 3L)
+    assert(r.getLong(3) == slope.toLong && r.getLong(4) == icept.toLong)
+    assert(slope < -1100000L && slope > -1400000L) // near-Zipf head
+    // a single-word corpus has one rank → no fit
+    val solo = CorpusOps.zipfSlopeE6(
+      Seq((1L, "x x x")).toDF("doc_id", "text"), "doc_id", "text", 10)
+      .collect().head
+    assert(solo.isNullAt(3) && solo.isNullAt(4))
+  }
+
   test("oovRate: min-count floor shapes the vocab; token vs type rates") {
     import org.apache.spark.sql.functions.col
     // train: "a b a" + "c a" → vocab (count ≥ 2) = {a} only

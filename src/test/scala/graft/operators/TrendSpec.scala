@@ -31,6 +31,47 @@ class TrendSpec extends SparkSpec {
     }
   }
 
+  test("crossCorrE6: lag-1 planted dependence matches the BigInt mirror") {
+    import org.apache.spark.sql.functions.col
+    // y(d) = 2·x(d−1): the lag-1 pairs are perfectly linear
+    val xs = Seq((1L, 1000L), (2L, 3000L), (3L, 2000L), (4L, 4000L))
+    val ys = xs.map { case (d, v) => (d + 1, v * 2) }
+    def mirror(lag: Int): Option[(Long, Long)] = {
+      val ym = ys.toMap
+      val pairs = xs.flatMap { case (d, xv) => ym.get(d + lag).map((xv, _)) }
+      if (pairs.isEmpty) return None
+      val n = BigInt(pairs.length)
+      val sx = BigInt(pairs.map(_._1).sum); val sy = BigInt(pairs.map(_._2).sum)
+      val sxx = pairs.map(p => BigInt(p._1) * p._1).sum
+      val syy = pairs.map(p => BigInt(p._2) * p._2).sum
+      val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+      val (num, dx, dy) = (n * sxy - sx * sy, n * sxx - sx * sx,
+        n * syy - sy * sy)
+      if (dx <= 0 || dy <= 0) return Some((pairs.length.toLong, Long.MinValue))
+      def isqrt(v: BigInt): BigInt = {
+        var s = BigInt(math.sqrt(v.toDouble).toLong)
+        while (s * s > v) s -= 1
+        while ((s + 1) * (s + 1) <= v) s += 1
+        s
+      }
+      Some((pairs.length.toLong,
+        (num * 1000000 / (isqrt(dx) * isqrt(dy))).toLong))
+    }
+    val got = Trend.crossCorrE6(
+        xs.toDF("d", "v"), col("d"), col("v"),
+        ys.toDF("d", "v"), col("d"), col("v"), maxLag = 3)
+      .collect().map(r => r.getLong(0).toInt ->
+        ((r.getLong(1), if (r.isNullAt(5)) Long.MinValue else r.getLong(5))))
+      .toMap
+    (0 to 3).foreach { lag =>
+      mirror(lag).foreach { exp =>
+        assert(got(lag) == exp, s"lag $lag: got ${got(lag)} exp $exp")
+      }
+    }
+    // the planted lag dominates and sits within two-root truncation of 1
+    assert(got(1)._2 > 1000000L - 200L && got(1)._2 < 1000000L + 200L)
+  }
+
   test("saxWords: PAA segments, cross-multiplied bins, ordered word") {
     // 8 values → 4 segments of 2; segment means 5, 15, 25, 35 against
     // breakpoints 10/20/30 → word "abcd"
