@@ -5189,17 +5189,23 @@ object SparkEntry {
     "q373_cochran_q" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val truth = col("l_returnflag") === "R"
-      // row key: (okey, linenumber, partkey, suppkey) is the unique
-      // lineitem grain in this synthetic data (linenumber alone repeats)
+      // row key: even (okey, linenumber, partkey, suppkey) collides
+      // once at sf0.001 — widen with the integerized measures; FULL
+      // rows are unique at every SF, so the key is the whole row
       def arm(name: String, pred: Column) =
         li.select(col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"),
+          cents(col("l_extendedprice")).as("pk_price"),
+          round(col("l_quantity") * 100).cast("long").as("pk_qty"),
+          round(col("l_discount") * 100).cast("long").as("pk_disc"),
+          round(col("l_tax") * 100).cast("long").as("pk_tax"),
           (pred === truth).as("x"), lit(name).as("m"))
       val long = arm("qty", col("l_quantity") > 25.0)
         .unionByName(arm("disc", col("l_discount") > 0.05))
         .unionByName(arm("tax", col("l_tax") > 0.04))
       decStr(operators.PairedTests.cochranQE6(long,
-        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "pk_price", "pk_qty", "pk_disc", "pk_tax"),
         col("m"), col("x")))
     }),
 

@@ -224,7 +224,8 @@ object Drift {
     *
     * Shape: one hash aggregate to (group, value) census grain — the
     * only raw-data pass; the corpus census re-aggregates the group
-    * census; totals ride broadcast one-row frames. */
+    * census; totals ride broadcast one-row frames. Persisted censuses
+    * live until the caller's clearCache (the collocations contract). */
   def jsDivergenceE6(df: DataFrame, groupCol: Column,
       valueCol: Column): DataFrame = {
     val cells = df.select(groupCol.as("g"), valueCol.as("v"))

@@ -113,7 +113,10 @@ object PairedTests {
     * Shape: one hash aggregate to item grain (the only raw-data pass —
     * it carries L_i and the per-item model mask), one model-grain and
     * one scalar aggregate on top. Everything widens to DECIMAL(38,0)
-    * before squaring, so T up to ~1e18 is safe. */
+    * before squaring, so T up to ~1e18 is safe; q_e6 = Q·1e6 with
+    * Q ≤ n·(k−1), so the LONG output holds to n ≈ 9e12/k rows. The
+    * persisted item frame lives until the caller's clearCache (the
+    * collocations contract — three consumers share it lazily). */
   def cochranQE6(df: DataFrame, itemCols: Seq[String], model: Column,
       correct: Column): DataFrame = {
     // ONE pass to item grain carrying L_i, the completeness count, and
@@ -175,6 +178,11 @@ object PairedTests {
     *   var_e6 = Σ_{k: n≥2} (((a+b)·(c+d)·1e6) div n) · (a+c) · (b+d)
     *                        div (n·(n−1))
     *   cmh_e6 = max(|dev_e6| − 5e5, 0)² div var_e6    [χ², 1 df, e6]
+    *
+    * Domain contract: cmh_e6 is the χ² value at e6 scale and must fit
+    * LONG — since χ² ≤ n for a 2×2 family, that holds to
+    * n_total ≈ 9e12 rows; past it Spark's decimal `div` NULLs while
+    * DuckDB keeps going (same contract class as q344's).
     *
     * or_mh_e6 is NULL when S = 0 (no discordant product mass);
     * cmh_e6 is NULL when var_e6 = 0. The var term's two-stage
@@ -395,10 +403,15 @@ object PairedTests {
         """CASE WHEN __N <= 0 THEN NULL
           | ELSE CAST(CAST(__S AS DECIMAL(38,0)) * 1000000
           |   div __N AS BIGINT) END""".stripMargin))
+      // (b_eff−1)·Σ(loo−m)² can exceed BIGINT·b_eff, and Spark's `div`
+      // yields LONG (it wrapped negative at sf0.001) — floor-divide in
+      // DECIMAL via the exact (a − a mod b)/b identity instead
+      .withColumn("__ja", expr(
+        "CAST(CAST(b_eff - 1 AS DECIMAL(38,0)) * __ss AS DECIMAL(38,0))"))
       .withColumn("jk_var_e12", expr(
         """CASE WHEN b_eff <= 1 THEN NULL
-          | ELSE CAST(CAST(b_eff - 1 AS DECIMAL(38,0)) * __ss
-          |   div b_eff AS DECIMAL(38,0)) END""".stripMargin))
+          | ELSE CAST((__ja - pmod(__ja, b_eff)) / b_eff
+          |  AS DECIMAL(38,0)) END""".stripMargin))
     isqrtCols(
         agg.withColumn("__v", coalesce(col("jk_var_e12"), dec(lit(0)))),
         "__v", "__se")

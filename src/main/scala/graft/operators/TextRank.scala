@@ -138,7 +138,9 @@ object TextRank {
     * token-grain shuffle, no window, no self-join), so nothing moves
     * until the pair/unigram censuses reduce map-side; the two corpus
     * totals ride a broadcast one-row frame. The final top-k is
-    * TakeOrderedAndProject over the (bounded) surviving pair census. */
+    * TakeOrderedAndProject over the (bounded) surviving pair census.
+    * Persisted censuses live until the caller's clearCache (the
+    * collocations contract). */
   def ppmiWindow(docs: DataFrame, idCol: String, textCol: String,
       minCount: Long, topK: Int): DataFrame = {
     require(minCount >= 1 && topK >= 1)
