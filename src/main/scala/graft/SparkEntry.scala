@@ -5152,6 +5152,100 @@ object SparkEntry {
         col("cents"), maxLag = 7))
     }),
 
+    // Survey raking / IPF (Deming–Stephan): the acctbal>0 "responder"
+    // sample re-weighted so its nation and market-segment margins match
+    // the FULL customer population — 3 pinned rows-then-columns rounds
+    // on the (nation × segment) cell census, e6 integer weights. The
+    // oracle unrolls all six scaling steps in HUGEINT.
+    "q381_raking" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val sample = c.where(col("c_acctbal") > 0.0)
+      val rowT = c.groupBy(col("c_nationkey").cast("long").as("rk"))
+        .agg(count(lit(1)).as("rt"))
+      val colT = c.groupBy(col("c_mktsegment").as("ck"))
+        .agg(count(lit(1)).as("ctg"))
+      operators.Raking.rakeE6(sample,
+          col("c_nationkey").cast("long"), col("c_mktsegment"),
+          rowT, colT, rounds = 3)
+        .select(col("rk").as("nation"), col("ck").as("segment"),
+          col("n"), col("w_e6"))
+    }),
+
+    // Vocabulary richness per source: frequency-of-frequencies → the
+    // bias-corrected Chao1 richness lower bound plus the Good–Turing
+    // unseen-mass / Turing-coverage estimates — "is another crawl of
+    // this source going to surface new vocabulary".
+    "q382_chao_richness" -> ((s, dir) =>
+      operators.Richness.richnessProfileE6(
+        t(s, dir, "documents").select(col("source"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+          .where(length(col("w")) > 0),
+        col("source"), col("w"))
+        .select(col("g").as("source"), col("n_tokens"), col("d_types"),
+          col("f1"), col("f2"), col("chao1_e6"), col("gt_unseen_ppm"),
+          col("coverage_ppm"))),
+
+    // AMS tug-of-war F2 sketch vs exact self-join size of lineitem on
+    // partkey: 5×16 sign-sum estimators in ONE map-side-combined pass
+    // (80 codegen'd sums), median-of-means, and the err_ppm audit
+    // against the exact key census — the join-size/skew early warning.
+    "q383_ams_f2" -> ((s, dir) => {
+      functions.PolyHash64.register(s)
+      decStr(operators.AmsSketch.f2AuditE6(t(s, dir, "lineitem"),
+        col("l_partkey"), groups = 5, reps = 16))
+    }),
+
+    // Interpolated Kneser–Ney bigram table (top 25 bigrams by count):
+    // absolute discount D=0.75 + continuation-count backoff, exact e6
+    // integers — the smoothing a count-based LM ships instead of
+    // q100's add-one.
+    "q384_kneser_ney" -> ((s, dir) =>
+      operators.NgramLm.kneserNeyTopE6(t(s, dir, "documents"),
+        "doc_id", "text", discountE6 = 750000L, topK = 25)),
+
+    // Aalen–Johansen cumulative incidence under competing risks:
+    // per user, first purchase (cause 1) vs first error (cause 2)
+    // after the first view, hour grain, censored at the stream end —
+    // the coherent split of 1−KM that per-cause KM overstates. The
+    // truncating product recurrence folds driver-side over the guarded
+    // time census; the oracle replays it as a recursive CTE.
+    "q385_competing_risks" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("event_type"),
+        col("ts_ms"))
+      val v = e.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("v_ts"))
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("ts_ms").as("p_ts"))
+      val er = e.where(col("event_type") === "error")
+        .select(col("user_id").as("e_uid"), col("ts_ms").as("e_ts"))
+      val firstP = v.join(p,
+          col("user_id") === col("p_uid") && col("p_ts") >= col("v_ts"),
+          "left")
+        .groupBy(col("user_id"), col("v_ts"))
+        .agg(min(col("p_ts")).as("p_ts"))
+      val firstBoth = firstP.join(er,
+          col("user_id") === col("e_uid") && col("e_ts") >= col("v_ts"),
+          "left")
+        .groupBy(col("user_id"), col("v_ts"), col("p_ts"))
+        .agg(min(col("e_ts")).as("e_ts"))
+      val endDf = e.agg(max(col("ts_ms")).as("end_ts"))
+      // ties purchase-first (pinned): cause 1 iff p_ts ≤ e_ts
+      val subj = firstBoth.crossJoin(broadcast(endDf))
+        .select(
+          expr("""CASE
+                | WHEN p_ts IS NOT NULL AND (e_ts IS NULL OR p_ts <= e_ts)
+                |  THEN (p_ts - v_ts) div 3600000
+                | WHEN e_ts IS NOT NULL THEN (e_ts - v_ts) div 3600000
+                | ELSE (end_ts - v_ts) div 3600000 END""".stripMargin)
+            .as("dur_h"),
+          expr("""CASE
+                | WHEN p_ts IS NOT NULL AND (e_ts IS NULL OR p_ts <= e_ts)
+                |  THEN 1
+                | WHEN e_ts IS NOT NULL THEN 2
+                | ELSE 0 END""".stripMargin).as("cause"))
+      operators.Survival.competingRisks(subj, col("dur_h"), col("cause"))
+    }),
+
     // Winnowing fingerprint sharing (Schleimer et al. 2003 — MOSS's
     // selection rule): word-3-gram Karp–Rabin+splitmix hashes, window-4
     // minima with rightmost ties via ONE struct-min aggregate (no
@@ -8618,6 +8712,53 @@ object SparkEntry {
     s"""CAST((CAST($a AS HUGEINT) * $cl +
        |  ((CAST($a AS HUGEINT) * $ch) % 4294967296) * 4294967296)
        |  % 18446744073709551616 AS UBIGINT)""".stripMargin
+  }
+
+  /** q383's oracle: the identical tug-of-war sums computed over the key
+    * census (Σ_rows signⱼ = Σ_keys c·signⱼ — same integer), splitmix64
+    * replayed in 128-bit halves, squares/median/err in HUGEINT. */
+  private val q383OracleSql: String = {
+    val (groups, reps) = (5, 16)
+    def m1(z: String) = mulMod64Sql(s"xor($z, $z >> 30)", 0xBF58476D1CE4E5B9L)
+    def m2(z: String) = mulMod64Sql(s"xor($z, $z >> 27)", 0x94D049BB133111EBL)
+    val signSums = (0 until groups * reps).map { j =>
+      val h = if (j < 64) "h0" else "h1"
+      val bit = if (j < 64) j else j - 64
+      s"sum(c * (CASE WHEN ($h >> $bit) & 1 = 1 THEN 1 ELSE -1 END)) AS x$j"
+    }.mkString(",\n  ")
+    val groupSums = (0 until groups).map { g =>
+      (0 until reps).map(r => s"CAST(x${g * reps + r} AS HUGEINT)" +
+        s" * x${g * reps + r}").mkString(" + ") + s" AS m$g"
+    }.mkString(",\n  ")
+    val medList = (0 until groups).map(g => s"m$g").mkString(", ")
+    s"""WITH k AS (SELECT CAST(l_partkey AS UBIGINT) AS kk,
+       |  CAST(count(*) AS HUGEINT) AS c FROM lineitem GROUP BY 1),
+       |s0 AS (SELECT c,
+       |  CAST((kk + 11400714819323198485)
+       |   % 18446744073709551616 AS UBIGINT) AS az0,
+       |  CAST((xor(kk, 25214903917) + 11400714819323198485)
+       |   % 18446744073709551616 AS UBIGINT) AS bz0 FROM k),
+       |s1 AS (SELECT c, ${m1("az0")} AS az1, ${m1("bz0")} AS bz1
+       | FROM s0),
+       |s2 AS (SELECT c, ${m2("az1")} AS az2, ${m2("bz1")} AS bz2
+       | FROM s1),
+       |h AS (SELECT c,
+       |  xor(az2, az2 >> 31) AS h0, xor(bz2, bz2 >> 31) AS h1 FROM s2),
+       |x AS (SELECT
+       |  $signSums
+       | FROM h),
+       |g AS (SELECT
+       |  $groupSums
+       | FROM x),
+       |med AS (SELECT list_sort([$medList])[${groups / 2 + 1}] AS ms
+       | FROM g),
+       |est AS (SELECT ms // $reps AS f2_est FROM med),
+       |exact AS (SELECT sum(c * c) AS f2_exact FROM k)
+       |SELECT CAST(f2_exact AS VARCHAR) AS f2_exact,
+       | CAST(f2_est AS VARCHAR) AS f2_est,
+       | CAST(abs(f2_est - f2_exact) * 1000000 // f2_exact AS BIGINT)
+       |  AS err_ppm
+       |FROM exact CROSS JOIN est""".stripMargin
   }
 
   /** The q41 near-dup component chain (pair mining + recursive closure)
@@ -14100,6 +14241,149 @@ object SparkEntry {
         |  ELSE CAST(num * 1000000 // (CAST(rx AS HUGEINT) * ry)
         |   AS BIGINT) END AS xcorr_e6
         |FROM rr""".stripMargin,
+
+    // q381: all six IPF scaling steps unrolled in HUGEINT; margin sums
+    // as windows over the cell census (same integers as the join form).
+    "q381_raking" -> {
+      def rowStep(src: String, out: String) =
+        s"""$out AS (SELECT rk, ck, n,
+           | CASE WHEN sum(w) OVER (PARTITION BY rk) > 0
+           |  THEN w * coalesce(tg, 0) * 1000000
+           |   // sum(w) OVER (PARTITION BY rk)
+           |  ELSE CAST(0 AS HUGEINT) END AS w
+           | FROM $src LEFT JOIN rt USING (rk))""".stripMargin
+      def colStep(src: String, out: String) =
+        s"""$out AS (SELECT rk, ck, n,
+           | CASE WHEN sum(w) OVER (PARTITION BY ck) > 0
+           |  THEN w * coalesce(tg, 0) * 1000000
+           |   // sum(w) OVER (PARTITION BY ck)
+           |  ELSE CAST(0 AS HUGEINT) END AS w
+           | FROM $src LEFT JOIN ct USING (ck))""".stripMargin
+      s"""WITH samp AS (SELECT CAST(c_nationkey AS BIGINT) AS rk,
+         |  c_mktsegment AS ck FROM customer WHERE c_acctbal > 0),
+         |c0 AS (SELECT rk, ck, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(*) AS HUGEINT) * 1000000 AS w
+         | FROM samp GROUP BY 1, 2),
+         |rt AS (SELECT CAST(c_nationkey AS BIGINT) AS rk,
+         |  CAST(count(*) AS HUGEINT) AS tg FROM customer GROUP BY 1),
+         |ct AS (SELECT c_mktsegment AS ck,
+         |  CAST(count(*) AS HUGEINT) AS tg FROM customer GROUP BY 1),
+         |${rowStep("c0", "r1")},
+         |${colStep("r1", "d1")},
+         |${rowStep("d1", "r2")},
+         |${colStep("r2", "d2")},
+         |${rowStep("d2", "r3")},
+         |${colStep("r3", "d3")}
+         |SELECT rk AS nation, ck AS segment, n,
+         | CAST(w AS BIGINT) AS w_e6
+         |FROM d3""".stripMargin
+    },
+
+    // q382: frequency-of-frequencies → Chao1 (bias-corrected) and
+    // Good–Turing missing mass, all-integer in HUGEINT.
+    "q382_chao_richness" ->
+      """WITH tok AS (SELECT source, unnest(list_filter(
+        |   regexp_split_to_array(trim(lower(text)), '\s+'),
+        |   x -> length(x) > 0)) AS w
+        | FROM documents),
+        |ty AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS d_types,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        | FROM ty GROUP BY 1)
+        |SELECT source, n_tokens, d_types, f1, f2,
+        | CAST(d_types * 1000000 + CAST(f1 AS HUGEINT) * (f1 - 1)
+        |  * 1000000 // (2 * (f2 + 1)) AS BIGINT) AS chao1_e6,
+        | CAST(f1 * 1000000 // n_tokens AS BIGINT) AS gt_unseen_ppm,
+        | CAST(1000000 - f1 * 1000000 // n_tokens AS BIGINT)
+        |  AS coverage_ppm
+        |FROM st""".stripMargin,
+
+    "q383_ams_f2" -> q383OracleSql,
+
+    // q384: the q100 tokenization verbatim, then the interpolated
+    // Kneser–Ney components in the pinned truncation order.
+    "q384_kneser_ney" ->
+      """WITH tb AS (SELECT doc_id, list_prepend('<s>',
+        |   regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+        | FROM documents),
+        |pr AS (SELECT doc_id, toks, unnest(range(2, len(toks) + 1)) AS i
+        | FROM tb),
+        |p AS (SELECT toks[i-1] AS prev, toks[i] AS cur FROM pr),
+        |cb AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cb
+        | FROM p GROUP BY 1, 2),
+        |cu AS (SELECT prev, CAST(sum(cb) AS BIGINT) AS cu,
+        |  CAST(count(*) AS BIGINT) AS n1p_right FROM cb GROUP BY 1),
+        |cl AS (SELECT cur, CAST(count(*) AS BIGINT) AS n1p_left
+        | FROM cb GROUP BY 1),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS b FROM cb),
+        |j AS (SELECT prev, cur, cb, cu, n1p_right, n1p_left,
+        |  CAST(greatest(cb * 1000000 - 750000, 0) // cu AS BIGINT)
+        |   AS term1_e6,
+        |  CAST(750000 * n1p_right // cu AS BIGINT) AS lam_e6,
+        |  CAST(n1p_left * 1000000 // b AS BIGINT) AS pcont_e6
+        | FROM cb JOIN cu USING (prev) JOIN cl USING (cur)
+        | CROSS JOIN b)
+        |SELECT prev, cur, cb, cu, n1p_right, n1p_left, term1_e6,
+        | lam_e6, pcont_e6,
+        | CAST(term1_e6 + lam_e6 * pcont_e6 // 1000000 AS BIGINT)
+        |  AS pkn_e6
+        |FROM j ORDER BY cb DESC, prev, cur LIMIT 25""".stripMargin,
+
+    // q385: the q214 subject frame widened to two causes; the
+    // truncating AJ product recurrence replayed as a recursive CTE
+    // over the ranked time census in HUGEINT.
+    "q385_competing_risks" ->
+      """WITH RECURSIVE e AS (SELECT user_id, event_type,
+        |  CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events),
+        |v AS (SELECT user_id, min(ts_ms) AS v_ts FROM e
+        | WHERE event_type = 'view' GROUP BY 1),
+        |fp AS (SELECT v.user_id, v.v_ts, min(p.ts_ms) AS p_ts
+        | FROM v LEFT JOIN e p ON p.user_id = v.user_id
+        |  AND p.event_type = 'purchase' AND p.ts_ms >= v.v_ts
+        | GROUP BY 1, 2),
+        |fb AS (SELECT fp.user_id, fp.v_ts, fp.p_ts,
+        |  min(er.ts_ms) AS e_ts
+        | FROM fp LEFT JOIN e er ON er.user_id = fp.user_id
+        |  AND er.event_type = 'error' AND er.ts_ms >= fp.v_ts
+        | GROUP BY 1, 2, 3),
+        |endt AS (SELECT max(ts_ms) AS end_ts FROM e),
+        |subj AS (SELECT
+        |  CASE WHEN p_ts IS NOT NULL AND (e_ts IS NULL OR p_ts <= e_ts)
+        |    THEN (p_ts - v_ts) // 3600000
+        |   WHEN e_ts IS NOT NULL THEN (e_ts - v_ts) // 3600000
+        |   ELSE (end_ts - v_ts) // 3600000 END AS t,
+        |  CASE WHEN p_ts IS NOT NULL AND (e_ts IS NULL OR p_ts <= e_ts)
+        |    THEN 1
+        |   WHEN e_ts IS NOT NULL THEN 2 ELSE 0 END AS k
+        | FROM fb CROSS JOIN endt),
+        |perT AS (SELECT t, count(*) AS n_at,
+        |  sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS d1,
+        |  sum(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS d2
+        | FROM subj GROUP BY 1),
+        |rk AS (SELECT t, n_at, d1, d2,
+        |  row_number() OVER (ORDER BY t) AS r,
+        |  sum(n_at) OVER (ORDER BY t DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        | FROM perT),
+        |walk(r, s, c1, c2) AS (
+        | SELECT CAST(0 AS BIGINT), CAST(1000000 AS HUGEINT),
+        |  CAST(0 AS HUGEINT), CAST(0 AS HUGEINT)
+        | UNION ALL
+        | SELECT rk.r,
+        |  w.s * (rk.n_risk - rk.d1 - rk.d2) // rk.n_risk,
+        |  w.c1 + w.s * rk.d1 // rk.n_risk,
+        |  w.c2 + w.s * rk.d2 // rk.n_risk
+        | FROM walk w JOIN rk ON rk.r = w.r + 1)
+        |SELECT rk.t, CAST(rk.n_risk AS BIGINT) AS n_risk,
+        | CAST(rk.d1 AS BIGINT) AS d1, CAST(rk.d2 AS BIGINT) AS d2,
+        | CAST(wp.s AS BIGINT) AS s_minus_e6,
+        | CAST(wc.c1 AS BIGINT) AS cif1_e6,
+        | CAST(wc.c2 AS BIGINT) AS cif2_e6
+        |FROM rk JOIN walk wp ON wp.r = rk.r - 1
+        |JOIN walk wc ON wc.r = rk.r
+        |WHERE rk.d1 + rk.d2 > 0""".stripMargin,
 
     // q378: the full winnowing chain replayed — char-fold Karp–Rabin
     // mod 2⁶¹−1, the splitmix64 finisher in 128-bit halves, >>1 to the

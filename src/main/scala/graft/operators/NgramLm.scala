@@ -75,4 +75,57 @@ object NgramLm {
       .select(col("id").as(idCol), col("n_pairs"),
         expr("(-sum_lp) div n_pairs").as("avg_nll_micro"))
   }
+
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman 1998 interpolated form) — the smoothing every
+    * serious count-based LM ships instead of add-one: absolute
+    * discount on the bigram term plus a CONTINUATION-count unigram
+    * backoff ("how many distinct contexts does w complete" rather than
+    * "how often does w occur" — the San-Francisco/Francisco fix).
+    *
+    * With discount D (e6 scale), context count c(p) = Σ_w c(p,w),
+    * right fan-out N₁₊(p·) = |{w : c(p,w) > 0}|, left fan-in
+    * N₁₊(·w) = |{p : c(p,w) > 0}|, and B = total distinct bigram
+    * types:
+    *
+    *   term1_e6 = max(c(p,w)·1e6 − D_e6, 0) div c(p)
+    *   lam_e6   = D_e6 · N₁₊(p·) div c(p)
+    *   pcont_e6 = N₁₊(·w)·1e6 div B
+    *   pkn_e6   = term1_e6 + lam_e6 · pcont_e6 div 1e6
+    *
+    * All LONG with truncating `div` in the pinned order above (the
+    * per-term-truncation convention; c·1e6 fits LONG under the
+    * documented N·1e6 contract, lam·pcont ≤ 1e12). λ is exactly the
+    * mass the discount removed, so Σ_w pkn(w|p) ≈ 1 up to truncation —
+    * the spec checks that identity on a hand corpus.
+    *
+    * Output: the `topK` bigrams by (count DESC, prev, cur) — a unique
+    * total order — with all components. Scale shape: one tokenize
+    * pass → bigram hash aggregate; fan-outs/fan-ins are aggregates of
+    * the bigram-TYPE frame (vocabulary-bounded, not corpus-bounded);
+    * the top-k is a TakeOrderedAndProject, never a global sort. */
+  def kneserNeyTopE6(docs: DataFrame, idCol: String, textCol: String,
+      discountE6: Long = 750000L, topK: Int = 25): DataFrame = {
+    require(discountE6 >= 0L && discountE6 <= 1000000L,
+      s"NgramLm.kneserNeyTopE6: discount must be in [0, 1e6], got $discountE6")
+    val cb = pairs(docs, idCol, textCol)
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
+    val cu = cb.groupBy(col("prev"))
+      .agg(sum(col("cb")).as("cu"), count(lit(1)).as("n1p_right"))
+    val cl = cb.groupBy(col("cur")).agg(count(lit(1)).as("n1p_left"))
+    val b = cb.agg(count(lit(1)).as("b"))
+    cb.join(cu, Seq("prev"))
+      .join(cl, Seq("cur"))
+      .crossJoin(broadcast(b))
+      .select(col("prev"), col("cur"), col("cb"), col("cu"),
+        col("n1p_right"), col("n1p_left"),
+        expr(s"greatest(cb * 1000000 - $discountE6, 0) div cu")
+          .as("term1_e6"),
+        expr(s"$discountE6 * n1p_right div cu").as("lam_e6"),
+        expr("n1p_left * 1000000 div b").as("pcont_e6"))
+      .withColumn("pkn_e6",
+        expr("term1_e6 + lam_e6 * pcont_e6 div 1000000"))
+      .orderBy(col("cb").desc, col("prev"), col("cur"))
+      .limit(topK)
+  }
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vocabulary-richness and unseen-mass estimation — the "how much of
+  * this corpus' vocabulary have we actually seen" readout that sits
+  * next to Heaps-law growth (q237) and OOV auditing (q375) in a
+  * training-data pipeline: is another crawl round going to surface new
+  * types, and how much probability mass do unseen types carry?
+  *
+  * Per group the sufficient statistics are the frequency-of-frequencies
+  * profile: N (tokens), D (observed types), F1 (hapax types), F2
+  * (dis legomena). From those, in exact integers:
+  *
+  *  - `chao1_e6` — the bias-corrected Chao1 lower bound on true
+  *    richness (Chao 1984; Colwell 2012 bias-corrected form, defined
+  *    even when F2 = 0):
+  *      D·1e6 + (F1·(F1−1)·1e6) div (2·(F2+1))
+  *  - `gt_unseen_ppm` — the Good–Turing missing-mass estimate (Good
+  *    1953): probability the NEXT token is an unseen type, F1·1e6 div N
+  *  - `coverage_ppm` — Turing sample coverage, 1e6 − gt_unseen_ppm.
+  *
+  * Products widen to DECIMAL(38,0) before multiplying and every
+  * division is the truncating `div` (DuckDB `//` on HUGEINT), per the
+  * house exactness convention.
+  *
+  * Scale shape: two map-side-combined hash aggregates — token grain →
+  * (group, type) counts, then → (group, count) frequency-of-frequency
+  * cells — and a per-group conditional sum over that census. Nothing
+  * after the first aggregate is data-sized; the census is bounded by
+  * the vocabulary, the profile by distinct frequencies.
+  */
+object Richness {
+
+  /** `df` at token grain: one row per token occurrence with a group
+    * column and a token column. One output row per group. */
+  def richnessProfileE6(df: DataFrame, group: Column,
+      token: Column): DataFrame = {
+    val types = df.select(group.as("g"), token.as("w"))
+      .groupBy(col("g"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    types.groupBy(col("g"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("d_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("g"), col("n_tokens"), col("d_types"), col("f1"),
+        col("f2"),
+        expr("""CAST(d_types * 1000000 +
+              | CAST(f1 AS DECIMAL(38,0)) * (f1 - 1) * 1000000
+              |  div (2 * (f2 + 1)) AS BIGINT)""".stripMargin)
+          .as("chao1_e6"),
+        expr("f1 * 1000000 div n_tokens").as("gt_unseen_ppm"),
+        expr("1000000 - f1 * 1000000 div n_tokens").as("coverage_ppm"))
+  }
+}

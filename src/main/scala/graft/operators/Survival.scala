@@ -151,4 +151,73 @@ object Survival {
       .withColumn("significant_95",
         coalesce(col("chi2_e6") > 3841458L, lit(false)))
   }
+
+  /** Aalen–Johansen cumulative-incidence estimator under COMPETING
+    * RISKS (Aalen & Johansen 1978) — the correct replacement for
+    * "1 − KM per cause" when subjects can exit by more than one first
+    * event (converted vs churned, purchased vs errored-out): naive
+    * per-cause KM treats the competing event as censoring and
+    * overstates every curve; the AJ estimator splits the overall
+    * survival mass among causes so the CIFs and overall survival are
+    * jointly coherent (CIF₁ + CIF₂ + S = 1 up to truncation).
+    *
+    * Input: one row per subject, integer `duration`, `cause` ∈
+    * {0 = censored, 1, 2}. At each distinct time t with risk set n and
+    * cause-k events d_k, with S(t−) the e6 survival just before t:
+    *
+    *   inc_k    = S(t−) · d_k div n          (e6)
+    *   CIF_k(t) = Σ_{s ≤ t} inc_k(s)
+    *   S(t)     = S(t−) · (n − d₁ − d₂) div n
+    *
+    * — a LINEAR RECURRENCE in S (a running truncating product, not a
+    * sum), which no window aggregate expresses. The house resolution,
+    * same as [[ExactQuantiles]]: the raw pass is still the ONE
+    * subject-collapsing hash aggregate to the time census; the fold
+    * runs driver-side over that census behind a loud `maxCensusRows`
+    * guard (bounded-fetch: `limit(max+1)` so even a violating plan
+    * never drags data to the driver), in BigInt so no intermediate
+    * overflows. The oracle replays the recurrence as a recursive CTE
+    * over the ranked census in HUGEINT.
+    *
+    * Output: one row per EVENT time (d₁+d₂ > 0): t, n_risk, d1, d2,
+    * s_minus_e6 (survival entering t), cif1_e6, cif2_e6. Bounded-
+    * domain contract: distinct durations ≤ `maxCensusRows` (time
+    * resolution, e.g. hour grain — the q319 discipline). */
+  def competingRisks(df: DataFrame, duration: Column, cause: Column,
+      maxCensusRows: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val perT = df.select(duration.cast("long").as("t"),
+        cause.cast("int").as("k"))
+      .where(col("t").isNotNull && col("t") >= 0)
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_at"),
+        sum(when(col("k") === 1, 1L).otherwise(0L)).as("d1"),
+        sum(when(col("k") === 2, 1L).otherwise(0L)).as("d2"))
+    val census = perT.orderBy(col("t"))
+      .limit(maxCensusRows + 1).collect()
+    require(census.length <= maxCensusRows,
+      s"Survival.competingRisks: time census exceeds $maxCensusRows rows" +
+        " — durations are data-grain, not domain-grain; bucket them" +
+        " (e.g. to hours) before calling")
+    var nRisk = census.iterator.map(_.getLong(1)).sum
+    var s = BigInt(1000000)
+    var c1 = BigInt(0)
+    var c2 = BigInt(0)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long, Long)]
+    census.foreach { r =>
+      val t = r.getLong(0); val nAt = r.getLong(1)
+      val d1 = r.getLong(2); val d2 = r.getLong(3)
+      c1 += s * d1 / nRisk
+      c2 += s * d2 / nRisk
+      val sNext = s * (BigInt(nRisk) - d1 - d2) / nRisk
+      if (d1 + d2 > 0)
+        out += ((t, nRisk, d1, d2, s.toLong, c1.toLong, c2.toLong))
+      s = sNext
+      nRisk -= nAt
+    }
+    out.toSeq.toDF("t", "n_risk", "d1", "d2", "s_minus_e6", "cif1_e6",
+      "cif2_e6")
+  }
 }

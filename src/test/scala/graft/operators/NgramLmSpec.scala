@@ -54,4 +54,35 @@ class NgramLmSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(run(1) == run(13))
   }
+
+  test("kneserNeyTopE6: hand corpus matches the pinned arithmetic") {
+    import spark.implicits._
+    // docs: "a b", "a b", "a c" → pairs (<s>,a)×3, (a,b)×2, (a,c)×1
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val got = NgramLm.kneserNeyTopE6(docs, "doc_id", "text",
+        discountE6 = 750000L, topK = 25)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r)
+      .toMap
+    // (<s>,a): cu=3, fanout 1 → term1 = 2_250_000 div 3 = 750_000,
+    //   λ = 250_000, pcont(a) = 1e6 div 3 = 333_333,
+    //   pkn = 750_000 + 83_333 = 833_333
+    val sa = got(("<s>", "a"))
+    assert(sa.getLong(2) == 3L && sa.getLong(3) == 3L)
+    assert(sa.getLong(4) == 1L && sa.getLong(5) == 1L)
+    assert(sa.getLong(6) == 750000L && sa.getLong(7) == 250000L)
+    assert(sa.getLong(8) == 333333L && sa.getLong(9) == 833333L)
+    // (a,b): term1 = 1_250_000 div 3 = 416_666, λ = 500_000,
+    //   pkn = 416_666 + 166_666 = 583_332
+    val ab = got(("a", "b"))
+    assert(ab.getLong(6) == 416666L && ab.getLong(7) == 500000L)
+    assert(ab.getLong(9) == 583332L)
+    // (a,c): term1 = 250_000 div 3 = 83_333, pkn = 249_999
+    val ac = got(("a", "c"))
+    assert(ac.getLong(6) == 83333L && ac.getLong(9) == 249999L)
+    // discount mass identity for context a: Σ term1 = 499_999
+    // ≈ (c − D·fanout)/c = 0.5, λ carries the removed 0.5
+    assert(ab.getLong(6) + ac.getLong(6) == 499999L)
+  }
 }

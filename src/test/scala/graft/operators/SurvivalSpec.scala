@@ -63,4 +63,31 @@ class SurvivalSpec extends SparkSpec {
       1L -> ((4L, 1L, 250000000L, 250000000L)),
       3L -> ((2L, 1L, 500000000L, 750000000L))))
   }
+
+  test("competingRisks: hand-computed AJ fold, coherence, and the " +
+      "census guard") {
+    import spark.implicits._
+    // subjects: (t=1, cause1), (t=2, cause2), (t=2, censored),
+    // (t=3, cause1)
+    val subj = Seq((1L, 1), (2L, 2), (2L, 0), (3L, 1)).toDF("t", "k")
+    val rows = Survival.competingRisks(subj, col("t"), col("k"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // t=1: n=4, S(−)=1e6, inc1=250000 → S→750000
+    assert(rows(1L) == ((4L, 1L, 0L, 1000000L, 250000L, 0L)))
+    // t=2: n=3, S(−)=750000, inc2=250000 → S→500000 (censor leaves too)
+    assert(rows(2L) == ((3L, 0L, 1L, 750000L, 250000L, 250000L)))
+    // t=3: n=1, S(−)=500000, inc1=500000 → CIF1=750000
+    assert(rows(3L) == ((1L, 1L, 0L, 500000L, 750000L, 250000L)))
+    // coherence: CIF1 + CIF2 + S(final) = 750000 + 250000 + 0 = 1e6
+    // (exact here; ≤ |census| ulps of truncation in general)
+
+    val err = intercept[IllegalArgumentException] {
+      Survival.competingRisks(subj, col("t"), col("k"),
+        maxCensusRows = 2)
+    }
+    assert(err.getMessage.contains("time census exceeds"))
+  }
 }
