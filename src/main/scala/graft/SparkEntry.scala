@@ -5246,6 +5246,85 @@ object SparkEntry {
       operators.Survival.competingRisks(subj, col("dur_h"), col("cause"))
     }),
 
+    // Rich-club profile of the q85 thresholded co-supplier graph:
+    // density among nodes with degree > k for k ∈ {2,4,8,16,32} — do
+    // the hub suppliers form a club, the density-profile companion to
+    // q203's assortativity correlation.
+    "q386_rich_club" -> ((s, dir) => {
+      val pairs = coSupplierPairs(s, dir)
+        .where(col("l_suppkey") < col("dst_supp"))
+        .groupBy(col("l_suppkey"), col("dst_supp"))
+        .agg(count(lit(1)).as("w")).where(col("w") >= 5)
+        .select(col("l_suppkey"), col("dst_supp"))
+      operators.Graph.richClubE6(pairs, "l_suppkey", "dst_supp",
+        ks = Seq(2, 4, 8, 16, 32))
+    }),
+
+    // Theil-T revenue inequality across customers, decomposed by
+    // nation: per-nation within index + between term (additively
+    // exact, unlike Gini) — "is revenue inequality across nations or
+    // within them".
+    "q387_theil_index" -> ((s, dir) => {
+      val rev = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast("long")
+          .as("nation"))
+      operators.Inequality.theilDecompositionE6(
+        rev.join(cust, col("o_custkey") === col("c_custkey")),
+        col("nation"), col("rev_cents"))
+        .withColumnRenamed("g", "nation")
+    }),
+
+    // Fano-factor / negative-binomial dispersion audit of the hourly
+    // event-type streams (zero hours gap-filled over the global span):
+    // Poisson ⇒ Fano = 1; the NB MoM (r, p) describes the burstiness
+    // the alerting thresholds must absorb.
+    "q388_dispersion" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("event_type"),
+        expr("ts_ms div 3600000").as("h"))
+      val span = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val hours = span.select(explode(sequence(col("h0"), col("h1")))
+        .as("h"))
+      val grid = e.select(col("event_type")).distinct()
+        .crossJoin(broadcast(hours))
+      val cnt = e.groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("c"))
+      val full = grid.join(cnt, Seq("event_type", "h"), "left")
+        .select(col("event_type"), coalesce(col("c"), lit(0L)).as("c"))
+      decStr(operators.Dispersion.fanoNbE6(full, Seq("event_type"),
+        col("c")))
+    }),
+
+    // Chapman capture–recapture: estimate the part-catalog size from
+    // two bimonthly shipment snapshots (Jan–Feb vs Mar–Apr 1996) and
+    // audit against the true part count — the crawl-frontier-size
+    // estimate next to q382's vocabulary bound.
+    "q389_capture_recapture" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def snap(m0: Int, m1: Int) = li
+        .where(year(col("l_shipdate")) === 1996 &&
+          month(col("l_shipdate")).between(m0, m1))
+        .select(col("l_partkey"))
+      val truth = t(s, dir, "part")
+        .agg(count(lit(1)).cast("long").as("truth"))
+      operators.Richness.chapmanE6(snap(1, 2), snap(3, 4), Some(truth))
+    }),
+
+    // Wald–Wolfowitz runs test on the daily revenue series per return
+    // flag: are above-mean days clustered (regimes) or alternating —
+    // the model-free serial-randomness screen next to q251's ACF.
+    "q390_runs_test" -> ((s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          expr("unix_millis(CAST(l_shipdate AS TIMESTAMP)) div 86400000")
+            .as("day"))
+        .agg(sum(cents(col("l_extendedprice"))).as("day_cents"))
+      decStr(operators.Trend.runsTestE3(daily, Seq("l_returnflag"),
+        col("day"), col("day_cents")))
+    }),
+
     // Winnowing fingerprint sharing (Schleimer et al. 2003 — MOSS's
     // selection rule): word-3-gram Karp–Rabin+splitmix hashes, window-4
     // minima with rightmost ties via ONE struct-min aggregate (no
@@ -14384,6 +14463,161 @@ object SparkEntry {
         |FROM rk JOIN walk wp ON wp.r = rk.r - 1
         |JOIN walk wc ON wc.r = rk.r
         |WHERE rk.d1 + rk.d2 > 0""".stripMargin,
+
+    // q386: q85's thresholded edge CTE + per-k correlated counts.
+    "q386_rich_club" ->
+      """WITH raw AS (
+        | SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        | FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        | GROUP BY 1, 2 HAVING count(*) >= 5),
+        |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d
+        | FROM (SELECT u AS id FROM raw UNION ALL SELECT v FROM raw)
+        | GROUP BY 1),
+        |ks AS (SELECT unnest([2, 4, 8, 16, 32]) AS k),
+        |st AS (SELECT k,
+        |  (SELECT count(*) FROM deg WHERE d > k) AS n_nodes,
+        |  (SELECT count(*) FROM raw
+        |    JOIN deg da ON da.id = raw.u JOIN deg db ON db.id = raw.v
+        |    WHERE da.d > k AND db.d > k) AS n_edges
+        | FROM ks)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n_nodes AS BIGINT) AS n_nodes,
+        | CAST(n_edges AS BIGINT) AS n_edges,
+        | CASE WHEN n_nodes >= 2 THEN
+        |  CAST(2 * CAST(n_edges AS HUGEINT) * 1000000
+        |   // (CAST(n_nodes AS HUGEINT) * (n_nodes - 1)) AS BIGINT)
+        | END AS phi_e6
+        |FROM st""".stripMargin,
+
+    // q387: the pinned double pipeline (the q100 ln rule) mirrored
+    // character-for-character; integer sufficient stats everywhere
+    // else.
+    "q387_theil_index" ->
+      """WITH rev AS (SELECT o_custkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS x
+        | FROM orders GROUP BY 1),
+        |u AS (SELECT CAST(c_nationkey AS BIGINT) AS g, x
+        | FROM rev JOIN customer ON o_custkey = c_custkey WHERE x > 0),
+        |gs AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |  CAST(sum(x) AS BIGINT) AS xg FROM u GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+        |  CAST(sum(xg) AS BIGINT) AS x FROM gs),
+        |wt AS (SELECT u.g,
+        |  CAST(round(CAST(u.x AS DOUBLE) * 1000000.0 / gs.xg
+        |   * ln(CAST(u.x AS DOUBLE) * gs.ng / gs.xg)) AS BIGINT) AS t
+        | FROM u JOIN gs USING (g)),
+        |wi AS (SELECT g, CAST(sum(t) AS BIGINT) AS theil_within_e6
+        | FROM wt GROUP BY 1)
+        |SELECT g AS nation, ng AS n, xg AS sum_v,
+        | CAST(CAST(xg AS HUGEINT) * 1000000 // x AS BIGINT) AS share_e6,
+        | theil_within_e6,
+        | CAST(round(CAST(xg AS DOUBLE) * 1000000.0 / x
+        |  * ln(CAST(xg AS DOUBLE) * tot.n / (CAST(x AS DOUBLE) * ng)))
+        |  AS BIGINT) AS between_term_e6
+        |FROM gs JOIN wi USING (g) CROSS JOIN tot""".stripMargin,
+
+    // q388: zero-filled hourly grid, then the cleared MoM identities
+    // in HUGEINT — one truncating division per statistic.
+    "q388_dispersion" ->
+      """WITH e AS (SELECT event_type, epoch_ms(ts) // 3600000 AS h
+        | FROM events),
+        |span AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+        |hours AS (SELECT unnest(generate_series(h0, h1)) AS h
+        | FROM span),
+        |grid AS (SELECT t.event_type, hours.h
+        | FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN hours),
+        |cnt AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS c
+        | FROM e GROUP BY 1, 2),
+        |f AS (SELECT g.event_type, coalesce(cnt.c, 0) AS c
+        | FROM grid g LEFT JOIN cnt
+        |  ON cnt.event_type = g.event_type AND cnt.h = g.h),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(c) AS BIGINT) AS s,
+        |  sum(CAST(c AS HUGEINT) * c) AS q FROM f GROUP BY 1),
+        |vn AS (SELECT *, n * q - CAST(s AS HUGEINT) * s AS vnum
+        | FROM st)
+        |SELECT event_type, n, s,
+        | CAST(CAST(s AS HUGEINT) * 1000000 // n AS BIGINT) AS mean_e6,
+        | CASE WHEN s > 0 THEN
+        |  CAST(vnum * 1000000 // (n * CAST(s AS HUGEINT)) AS BIGINT)
+        | END AS fano_e6,
+        | CASE WHEN vnum > n * CAST(s AS HUGEINT) THEN
+        |  CAST(CAST(s AS HUGEINT) * s * 1000000
+        |   // (vnum - n * CAST(s AS HUGEINT)) AS BIGINT)
+        | END AS nb_r_e6,
+        | CASE WHEN vnum > 0 THEN
+        |  CAST(n * CAST(s AS HUGEINT) * 1000000 // vnum AS BIGINT)
+        | END AS nb_p_e6
+        |FROM vn""".stripMargin,
+
+    // q389: Chapman with the true part count riding along for err_ppm.
+    "q389_capture_recapture" ->
+      """WITH s1 AS (SELECT DISTINCT l_partkey AS k FROM lineitem
+        | WHERE year(l_shipdate) = 1996
+        |  AND month(l_shipdate) BETWEEN 1 AND 2),
+        |s2 AS (SELECT DISTINCT l_partkey AS k FROM lineitem
+        | WHERE year(l_shipdate) = 1996
+        |  AND month(l_shipdate) BETWEEN 3 AND 4),
+        |nn AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s1 JOIN s2 USING (k))
+        |   AS m,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM part) AS truth),
+        |est AS (SELECT *,
+        |  CAST(CAST(n1 + 1 AS HUGEINT) * (n2 + 1) * 1000000
+        |   // (m + 1) - 1000000 AS BIGINT) AS chapman_e6 FROM nn)
+        |SELECT n1, n2, m, chapman_e6, truth,
+        | CAST(CAST(abs(chapman_e6 - truth * 1000000) AS HUGEINT)
+        |  * 1000000 // (truth * 1000000) AS BIGINT) AS err_ppm
+        |FROM est""".stripMargin,
+
+    // q390: sign-vs-mean by exact cross-multiplication, runs via lag
+    // over the day census, null moments in HUGEINT, corrected isqrt.
+    "q390_runs_test" ->
+      """WITH daily AS (SELECT l_returnflag,
+        |  epoch_ms(l_shipdate) // 86400000 AS day,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |   AS BIGINT) AS v
+        | FROM lineitem GROUP BY 1, 2),
+        |st AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS s FROM daily GROUP BY 1),
+        |sg AS (SELECT d.l_returnflag, d.day,
+        |  CASE WHEN CAST(d.v AS HUGEINT) * st.n > st.s THEN 1 ELSE 0
+        |   END AS sgn
+        | FROM daily d JOIN st USING (l_returnflag)),
+        |fl AS (SELECT l_returnflag, sgn,
+        |  CASE WHEN lag(sgn) OVER w IS NULL THEN 1
+        |   WHEN lag(sgn) OVER w <> sgn THEN 1 ELSE 0 END AS flip
+        | FROM sg WINDOW w AS (PARTITION BY l_returnflag ORDER BY day)),
+        |pg AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(sgn) AS BIGINT) AS n1,
+        |  CAST(sum(1 - sgn) AS BIGINT) AS n2,
+        |  CAST(sum(flip) AS BIGINT) AS runs FROM fl GROUP BY 1),
+        |mm AS (SELECT *,
+        |  CAST(2 * CAST(n1 AS HUGEINT) * n2 * 1000000 // n + 1000000
+        |   AS BIGINT) AS mean_runs_e6,
+        |  CASE WHEN n > 1 THEN
+        |   2 * CAST(n1 AS HUGEINT) * n2
+        |    * (2 * CAST(n1 AS HUGEINT) * n2 - n) * 1000000000000
+        |    // (CAST(n AS HUGEINT) * n * (n - 1))
+        |  ELSE CAST(0 AS HUGEINT) END AS var_e12 FROM pg),
+        |rr AS (SELECT *,
+        |  CAST(floor(sqrt(CAST(var_e12 AS DOUBLE))) AS BIGINT) AS s0
+        | FROM mm),
+        |rc AS (SELECT *,
+        |  CASE WHEN CAST(s0 AS HUGEINT) * s0 > var_e12 THEN s0 - 1
+        |   WHEN (CAST(s0 AS HUGEINT) + 1) * (s0 + 1) <= var_e12
+        |    THEN s0 + 1
+        |   ELSE s0 END AS r FROM rr)
+        |SELECT l_returnflag, n, n1, n2, runs, mean_runs_e6,
+        | CAST(CAST(var_e12 AS DECIMAL(38,0)) AS VARCHAR) AS var_e12,
+        | CASE WHEN n1 > 0 AND n2 > 0 AND n > 1 AND r > 0 THEN
+        |  CAST(CAST(runs * 1000000 - mean_runs_e6 AS HUGEINT) * 1000
+        |   // r AS BIGINT)
+        | END AS z_e3
+        |FROM rc""".stripMargin,
 
     // q378: the full winnowing chain replayed — char-fold Karp–Rabin
     // mod 2⁶¹−1, the splitmix64 finisher in 128-bit halves, >>1 to the

@@ -861,4 +861,57 @@ object Graph {
       .unionByName(edges.select(col("v").as("node"), col("v").as("component")))
       .distinct()
   }
+
+  /** Rich-club coefficient (Zhou & Mondragón 2004; Colizza et al. 2006
+    * for the normalization discussion — we report the RAW φ, the
+    * normalization being a null-model choice): for each degree
+    * threshold k, restrict the graph to nodes with degree > k and
+    * measure how densely THEY interconnect,
+    *
+    *   φ(k)·1e6 = 2·E₍₎·1e6 div (N₍₎·(N₍₎−1))
+    *
+    * — the "do the hubs form a club" summary that complements
+    * assortativity (q203): assortativity is a correlation over ALL
+    * edges, φ(k) is the density profile of the core.
+    *
+    * Input: UNIQUE UNDIRECTED edges (src < dst, already thresholded —
+    * the caller's q85 convention). Degrees are computed within this
+    * graph. NULL φ when fewer than 2 qualifying nodes.
+    *
+    * Exactness: 2·E·1e6 and N·(N−1) widen to DECIMAL(38,0); the
+    * division is the truncating `div`.
+    *
+    * Scale shape: one degree census (hash aggregate over both
+    * endpoints), two joins to tag each edge with endpoint degrees
+    * (node-keyed shuffles — broadcast under AQE when the census is
+    * small), then ONE pass of |ks| conditional sums over edges and one
+    * over the degree census; the k-profile never re-scans the graph
+    * per threshold. */
+  def richClubE6(edges: DataFrame, src: String, dst: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.size <= 64,
+      s"Graph.richClubE6: need 1..64 thresholds, got ${ks.size}")
+    val e = edges.select(col(src).as("a"), col(dst).as("b"))
+    val deg = e.select(col("a").as("id"))
+      .unionByName(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val nAggs = ks.map(k =>
+      sum(when(col("d") > k, 1L).otherwise(0L)).as(s"n$k"))
+    val nodeCounts = deg.agg(nAggs.head, nAggs.tail: _*)
+    val ed = e.join(deg.select(col("id").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
+    val eAggs = ks.map(k =>
+      sum(when(col("da") > k && col("db") > k, 1L).otherwise(0L))
+        .as(s"e$k"))
+    val edgeCounts = ed.agg(eAggs.head, eAggs.tail: _*)
+    val stackExpr = s"stack(${ks.size}, " +
+      ks.map(k => s"${k}L, n$k, e$k").mkString(", ") +
+      ") AS (k, n_nodes, n_edges)"
+    nodeCounts.crossJoin(edgeCounts)
+      .select(expr(stackExpr))
+      .withColumn("phi_e6", when(col("n_nodes") >= 2, expr(
+        """CAST(2 * CAST(n_edges AS DECIMAL(38,0)) * 1000000
+          |div (CAST(n_nodes AS DECIMAL(38,0)) * (n_nodes - 1))
+          |AS BIGINT)""".stripMargin)))
+  }
 }

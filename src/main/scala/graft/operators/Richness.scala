@@ -54,4 +54,46 @@ object Richness {
         expr("f1 * 1000000 div n_tokens").as("gt_unseen_ppm"),
         expr("1000000 - f1 * 1000000 div n_tokens").as("coverage_ppm"))
   }
+
+  /** Chapman capture–recapture estimator (Chapman 1951; the
+    * bias-corrected Lincoln–Petersen): estimate a POPULATION size from
+    * two overlapping samples —
+    *
+    *   N̂·1e6 = (n₁+1)·(n₂+1)·1e6 div (m+1) − 1e6
+    *
+    * with n₁, n₂ the distinct items captured by each sample and m the
+    * items captured by both. The pipeline use: estimate catalog /
+    * crawl-frontier size from two partial snapshots before paying for
+    * the full scan (the companion to [[richnessProfileE6]]'s
+    * vocabulary bound). Defined for m ≥ 0 (the +1s are the point of
+    * Chapman's correction).
+    *
+    * Input: two item-key frames (any duplicates collapse). Output one
+    * row: n1, n2, m, chapman_e6. If `truthDf` is provided (a one-row
+    * frame with the exact population count, for audit gates), adds
+    * truth and err_ppm = |N̂ − truth·1e6|·1e6 div (truth·1e6).
+    *
+    * Scale shape: two distinct-aggregates and an inner join on the
+    * item key (all map-side-combinable), three one-row counts. */
+  def chapmanE6(sample1: DataFrame, sample2: DataFrame,
+      truthDf: Option[DataFrame] = None): DataFrame = {
+    val a = sample1.toDF("k").distinct()
+    val b = sample2.toDF("k").distinct()
+    val n1 = a.agg(count(lit(1)).as("n1"))
+    val n2 = b.agg(count(lit(1)).as("n2"))
+    val m = a.join(b, Seq("k")).agg(count(lit(1)).as("m"))
+    val base = n1.crossJoin(broadcast(n2)).crossJoin(broadcast(m))
+      .select(col("n1"), col("n2"), col("m"),
+        expr("""CAST(CAST(n1 + 1 AS DECIMAL(38,0)) * (n2 + 1) * 1000000
+              |div (m + 1) - 1000000 AS BIGINT)""".stripMargin)
+          .as("chapman_e6"))
+    truthDf match {
+      case None => base
+      case Some(t) =>
+        base.crossJoin(broadcast(t.toDF("truth")))
+          .withColumn("err_ppm", expr(
+            """CAST(CAST(abs(chapman_e6 - truth * 1000000) AS DECIMAL(38,0))
+              | * 1000000 div (truth * 1000000) AS BIGINT)""".stripMargin))
+    }
+  }
 }

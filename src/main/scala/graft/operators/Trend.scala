@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Per-group linear trend (ordinary least squares on one regressor) via
@@ -526,5 +527,77 @@ object Trend {
           .as("slope_num"),
         (d(col("__n")) * col("__sxx") - col("__sx") * col("__sx"))
           .as("slope_den")): _*)
+  }
+
+  /** Wald–Wolfowitz runs test for serial randomness (Wald & Wolfowitz
+    * 1940) over an ORDERED series census: dichotomize each point
+    * against the series mean (above = 1; at-or-below = 0, pinned),
+    * count runs R of consecutive equal signs, and compare against the
+    * null moments for n₁ above / n₂ below points:
+    *
+    *   E[R]·1e6   = 2·n₁·n₂·1e6 div n + 1e6
+    *   Var[R]·1e12 = 2n₁n₂(2n₁n₂−n)·1e12 div (n²(n−1))
+    *   z_e3       = (R·1e6 − E_e6)·1e3 div isqrt(Var_e12)
+    *
+    * — "are the above/below-mean days clustered (trend/regime) or
+    * alternating (negative autocorrelation)", the model-free sibling
+    * of [[acfSuffStats]]. All moments are exact DECIMAL(38,0) ratios
+    * with one truncating division each; the root is the corrected
+    * isqrt (exact). NULL z when n₁n₂ = 0 or n < 2 (degenerate).
+    *
+    * Scale shape: the input is already a bucket census (e.g. daily
+    * totals — the caller's aggregate of the raw stream); the sign/lag
+    * pass is one window over that census partitioned by the group
+    * keys, then one aggregate to group grain. Census contract, not
+    * data contract. */
+  def runsTestE3(df: DataFrame, groupCols: Seq[String], orderCol: Column,
+      value: Column): DataFrame = {
+    val gs = if (groupCols.isEmpty) Seq(lit(1).as("__g")) else groupCols.map(col)
+    val gNames = if (groupCols.isEmpty) Seq("__g") else groupCols
+    val base = df.select(gs :+ orderCol.cast("long").as("__o") :+
+      value.cast("long").as("__v"): _*)
+    val stats = base.groupBy(gNames.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"))
+    val w = Window.partitionBy(gNames.map(col): _*).orderBy(col("__o"))
+    val signed = base.join(broadcast(stats), gNames)
+      // above mean ⟺ v·n > S (exact cross-multiplication, no division)
+      .withColumn("__sgn",
+        when(expr("CAST(__v AS DECIMAL(38,0)) * __n > __s"), 1L)
+          .otherwise(0L))
+      .withColumn("__flip",
+        when(lag(col("__sgn"), 1).over(w).isNull, 1L)
+          .when(lag(col("__sgn"), 1).over(w) =!= col("__sgn"), 1L)
+          .otherwise(0L))
+    val perG = signed.groupBy(gNames.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__sgn")).as("n1"),
+        sum(lit(1L) - col("__sgn")).as("n2"),
+        sum(col("__flip")).as("runs"))
+    perG.select(gNames.map(col) :+ col("n") :+ col("n1") :+ col("n2") :+
+      col("runs") :+
+      expr("""CAST(2 * CAST(n1 AS DECIMAL(38,0)) * n2 * 1000000 div n
+            | + 1000000 AS BIGINT)""".stripMargin).as("mean_runs_e6") :+
+      when(col("n") > 1L, expr(
+        """CAST(2 * CAST(n1 AS DECIMAL(38,0)) * n2
+          | * (2 * CAST(n1 AS DECIMAL(38,0)) * n2 - n)
+          | * 1000000000000
+          | div (CAST(n AS DECIMAL(38,0)) * n * (n - 1))
+          | AS DECIMAL(38,0))""".stripMargin))
+        .otherwise(expr("CAST(0 AS DECIMAL(38,0))")).as("var_e12"): _*)
+      .withColumn("__s0",
+        expr("CAST(floor(sqrt(CAST(var_e12 AS DOUBLE))) AS BIGINT)"))
+      .withColumn("__r", expr(
+        """CASE WHEN CAST(__s0 AS DECIMAL(38,0)) * __s0 > var_e12
+          |  THEN __s0 - 1
+          | WHEN (CAST(__s0 AS DECIMAL(38,0)) + 1) * (__s0 + 1) <= var_e12
+          |  THEN __s0 + 1
+          | ELSE __s0 END""".stripMargin))
+      .withColumn("z_e3",
+        when(col("n1") > 0L && col("n2") > 0L && col("n") > 1L &&
+            col("__r") > 0L,
+          expr("""CAST(CAST(runs * 1000000 - mean_runs_e6
+                | AS DECIMAL(38,0)) * 1000 div __r AS BIGINT)"""
+            .stripMargin)))
+      .drop("__s0", "__r")
   }
 }

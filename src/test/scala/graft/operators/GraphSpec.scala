@@ -529,4 +529,20 @@ class GraphSpec extends SparkSpec {
     assert(viaStars == viaLabels)
     assert(viaStars == ccBrute(pairs))
   }
+
+  test("richClubE6: K4 plus a pendant — hand-computed profile") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} plus pendant edge (4,5):
+    // degrees 1,2,3 → 3; 4 → 4; 5 → 1
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = Graph.richClubE6(edges, "a", "b", ks = Seq(2, 3))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    // k=2: club {1,2,3,4} is the complete K4 → φ = 1e6 exactly
+    assert(got(2L) == ((4L, 6L, 1000000L)))
+    // k=3: only node 4 qualifies → no pairs, φ NULL
+    assert(got(3L) == ((1L, 0L, -1L)))
+  }
 }

@@ -28,4 +28,22 @@ class RichnessSpec extends SparkSpec {
     assert(g2.getLong(5) == 3000000L)
     assert(g2.getLong(6) == 1000000L && g2.getLong(7) == 0L)
   }
+
+  test("chapmanE6: hand samples with and without the truth audit") {
+    import spark.implicits._
+    // s1 = {1,2,3,4}, s2 = {3,4,5} (with dups to collapse), m = 2
+    // chapman = 5·4·1e6 div 3 − 1e6 = 5_666_666
+    val s1 = Seq(1L, 2L, 3L, 4L, 4L).toDF("k")
+    val s2 = Seq(3L, 4L, 5L, 5L).toDF("k")
+    val base = Richness.chapmanE6(s1, s2).collect().head
+    assert((base.getLong(0), base.getLong(1), base.getLong(2)) ==
+      ((4L, 3L, 2L)))
+    assert(base.getLong(3) == 5666666L)
+
+    val truth = Seq(6L).toDF("truth")
+    val audited = Richness.chapmanE6(s1, s2, Some(truth)).collect().head
+    assert(audited.getLong(4) == 6L)
+    // err = |5_666_666 − 6_000_000|·1e6 div 6_000_000 = 55_555
+    assert(audited.getLong(5) == 55555L)
+  }
 }

@@ -313,4 +313,46 @@ class TrendSpec extends SparkSpec {
     assert(got("solo") == ((1L, 9L, 1L, 9000000L)))
   }
 
+  test("runsTestE3: perfect alternation and one-run series, " +
+      "BigInt-mirrored moments") {
+    import spark.implicits._
+    // alt: 5,1,5,1,5 → signs 1,0,1,0,1 (mean 3.4), runs 5, n1=3 n2=2
+    // blk: 1,1,9,9 → signs 0,0,1,1 (mean 5), runs 2, n1=2 n2=2
+    val df = (Seq((1L, 5L), (2L, 1L), (3L, 5L), (4L, 1L), (5L, 5L))
+      .map { case (o, v) => ("alt", o, v) } ++
+      Seq((1L, 1L), (2L, 1L), (3L, 9L), (4L, 9L))
+        .map { case (o, v) => ("blk", o, v) }).toDF("g", "o", "v")
+    val got = Trend.runsTestE3(df, Seq("g"), col("o"), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    def mirror(n: Long, n1: Long, n2: Long, runs: Long)
+        : (Long, BigInt, Long) = {
+      val mean = 2 * n1 * n2 * 1000000L / n + 1000000L
+      val varE12 = BigInt(2) * n1 * n2 * (2 * n1 * n2 - n) *
+        BigInt("1000000000000") / (BigInt(n) * n * (n - 1))
+      def isqrt(v: BigInt): BigInt = {
+        var s = BigInt(math.sqrt(v.toDouble).toLong)
+        while (s * s > v) s -= 1
+        while ((s + 1) * (s + 1) <= v) s += 1
+        s
+      }
+      val z = (BigInt(runs) * 1000000 - mean) * 1000 / isqrt(varE12)
+      (mean, varE12, z.toLong)
+    }
+
+    val alt = got("alt")
+    assert((alt.getLong(1), alt.getLong(2), alt.getLong(3),
+      alt.getLong(4)) == ((5L, 3L, 2L, 5L)))
+    val (mA, vA, zA) = mirror(5, 3, 2, 5)
+    assert(alt.getLong(5) == mA)
+    assert(BigInt(alt.getDecimal(6).toBigInteger) == vA)
+    assert(alt.getLong(7) == zA && zA > 0)
+
+    val blk = got("blk")
+    assert(blk.getLong(4) == 2L)
+    val (mB, vB, zB) = mirror(4, 2, 2, 2)
+    assert(blk.getLong(5) == mB)
+    assert(BigInt(blk.getDecimal(6).toBigInteger) == vB)
+    assert(blk.getLong(7) == zB && zB < 0)
+  }
 }
