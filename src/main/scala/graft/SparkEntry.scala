@@ -5325,6 +5325,44 @@ object SparkEntry {
         col("day"), col("day_cents")))
     }),
 
+    // Székely energy distance between the F- and O-status order-value
+    // distributions (dollar grid): the binning-free two-sample test
+    // that sees location+scale+shape at once, via the sorted-census
+    // prefix trick — never a pairwise join.
+    "q391_energy_distance" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .where(col("o_orderstatus").isin("F", "O"))
+        .withColumn("__c", cents(col("o_totalprice")))
+        .select(expr("__c div 100").as("v"),
+          (col("o_orderstatus") === "O").as("b"))
+      operators.EnergyDistance.energyE6(o, col("v"), col("b"))
+    }),
+
+    // Hill tail-index of the per-customer revenue distribution
+    // (k = 100): how heavy is the whale tail — the order-statistics
+    // companion to q379's Zipf HEAD slope.
+    "q392_hill_tail" -> ((s, dir) => {
+      val rev = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("x"))
+      operators.Inequality.hillTailE6(rev, col("x"), col("o_custkey"),
+        k = 100)
+    }),
+
+    // Cronbach's alpha of a 3-item "order-line value scale" (scaled
+    // quantity, gross price, net price) per return flag — do the items
+    // cohere as one construct; the eval-harness scale-reliability
+    // number beside the rater-agreement family.
+    "q393_cronbach_alpha" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("__c1", cents(col("l_extendedprice")))
+        .withColumn("__c2",
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+      operators.Reliability.cronbachAlphaE6(li, Seq("l_returnflag"),
+        Seq(round(col("l_quantity")).cast("long") * lit(100L),
+          expr("__c1 div 1000"), expr("__c2 div 1000")))
+    }),
+
     // Winnowing fingerprint sharing (Schleimer et al. 2003 — MOSS's
     // selection rule): word-3-gram Karp–Rabin+splitmix hashes, window-4
     // minima with rightmost ties via ONE struct-min aggregate (no
@@ -14618,6 +14656,108 @@ object SparkEntry {
         |   // r AS BIGINT)
         | END AS z_e3
         |FROM rc""".stripMargin,
+
+    // q391: the sorted-census prefix trick for Σ|v−u| replayed in
+    // HUGEINT windows; V-statistic form (self-pairs in), per-term
+    // e6 truncation in the pinned 2A−B−C order.
+    "q391_energy_distance" ->
+      """WITH r0 AS (SELECT
+        |  CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS v,
+        |  o_orderstatus = 'O' AS b
+        | FROM orders WHERE o_orderstatus IN ('F', 'O')),
+        |census AS (SELECT v,
+        |  CAST(sum(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |  CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        | FROM r0 GROUP BY 1),
+        |cum AS (SELECT v, na, nb,
+        |  sum(na) OVER wle AS cnta_le, sum(nb) OVER wle AS cntb_le,
+        |  sum(CAST(na AS HUGEINT) * v) OVER wle AS suma_le,
+        |  sum(CAST(nb AS HUGEINT) * v) OVER wle AS sumb_le,
+        |  sum(na) OVER () AS cnta, sum(nb) OVER () AS cntb,
+        |  sum(CAST(na AS HUGEINT) * v) OVER () AS suma,
+        |  sum(CAST(nb AS HUGEINT) * v) OVER () AS sumb
+        | FROM census WINDOW wle AS (ORDER BY v
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |ag AS (SELECT max(cnta) AS na2, max(cntb) AS nb2,
+        |  sum(CAST(na AS HUGEINT) * (CAST(v AS HUGEINT) * cnta_le
+        |   - suma_le + (suma - suma_le)
+        |   - CAST(v AS HUGEINT) * (cnta - cnta_le))) AS wa_num,
+        |  sum(CAST(nb AS HUGEINT) * (CAST(v AS HUGEINT) * cntb_le
+        |   - sumb_le + (sumb - sumb_le)
+        |   - CAST(v AS HUGEINT) * (cntb - cntb_le))) AS wb_num,
+        |  sum(CAST(na AS HUGEINT) * (CAST(v AS HUGEINT) * cntb_le
+        |   - sumb_le + (sumb - sumb_le)
+        |   - CAST(v AS HUGEINT) * (cntb - cntb_le))) AS cross_num
+        | FROM cum),
+        |fin AS (SELECT CAST(na2 AS BIGINT) AS na,
+        |  CAST(nb2 AS BIGINT) AS nb,
+        |  CAST(cross_num * 1000000
+        |   // (CAST(na2 AS HUGEINT) * nb2) AS BIGINT) AS e_cross_e6,
+        |  CAST(wa_num * 1000000
+        |   // (CAST(na2 AS HUGEINT) * na2) AS BIGINT) AS e_within_a_e6,
+        |  CAST(wb_num * 1000000
+        |   // (CAST(nb2 AS HUGEINT) * nb2) AS BIGINT) AS e_within_b_e6
+        | FROM ag)
+        |SELECT *, CAST(2 * e_cross_e6 - e_within_a_e6 - e_within_b_e6
+        | AS BIGINT) AS energy_e6
+        |FROM fin""".stripMargin,
+
+    // q392: top-(k+1) by the unique order, threshold = min of the
+    // selected set, pinned-double ln terms.
+    "q392_hill_tail" ->
+      """WITH rev AS (SELECT o_custkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS x
+        | FROM orders GROUP BY 1),
+        |top AS (SELECT x, o_custkey FROM rev WHERE x > 0
+        | ORDER BY x DESC, o_custkey LIMIT 101),
+        |th AS (SELECT min(x) AS xk1 FROM top),
+        |tm AS (SELECT xk1,
+        |  CAST(round(ln(CAST(x AS DOUBLE) / xk1) * 1000000.0) AS BIGINT)
+        |   AS t
+        | FROM top CROSS JOIN th)
+        |SELECT CAST(100 AS BIGINT) AS k, xk1,
+        | CAST(sum(t) // 100 AS BIGINT) AS hill_e6,
+        | CASE WHEN sum(t) // 100 > 0 THEN
+        |  CAST(1000000000000 // (sum(t) // 100) AS BIGINT)
+        | END AS alpha_e6
+        |FROM tm GROUP BY xk1""".stripMargin,
+
+    // q393: cleared-denominator variance numerators in HUGEINT; the
+    // two pinned truncating divisions of the alpha identity.
+    "q393_cronbach_alpha" ->
+      """WITH b AS (SELECT l_returnflag,
+        |  CAST(round(l_quantity) AS BIGINT) * 100 AS x0,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) // 1000 AS x1,
+        |  CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |   AS BIGINT) // 1000 AS x2
+        | FROM lineitem),
+        |tt AS (SELECT l_returnflag, x0, x1, x2, x0 + x1 + x2 AS t
+        | FROM b),
+        |ss AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x0) AS BIGINT) AS s0,
+        |  sum(CAST(x0 AS HUGEINT) * x0) AS q0,
+        |  CAST(sum(x1) AS BIGINT) AS s1,
+        |  sum(CAST(x1 AS HUGEINT) * x1) AS q1,
+        |  CAST(sum(x2) AS BIGINT) AS s2,
+        |  sum(CAST(x2 AS HUGEINT) * x2) AS q2,
+        |  CAST(sum(t) AS BIGINT) AS stt,
+        |  sum(CAST(t AS HUGEINT) * t) AS qtt
+        | FROM tt GROUP BY 1),
+        |vv AS (SELECT *, n * qtt - CAST(stt AS HUGEINT) * stt AS vt
+        | FROM ss),
+        |rr AS (SELECT l_returnflag, n,
+        |  CASE WHEN vt > 0 THEN CAST(
+        |   ((n * q0 - CAST(s0 AS HUGEINT) * s0)
+        |    + (n * q1 - CAST(s1 AS HUGEINT) * s1)
+        |    + (n * q2 - CAST(s2 AS HUGEINT) * s2)) * 1000000 // vt
+        |   AS BIGINT) END AS ratio_e6
+        | FROM vv)
+        |SELECT l_returnflag, n, CAST(3 AS BIGINT) AS k, ratio_e6,
+        | CASE WHEN ratio_e6 IS NOT NULL THEN
+        |  CAST(3 * (1000000 - ratio_e6) // 2 AS BIGINT)
+        | END AS alpha_e6
+        |FROM rr""".stripMargin,
 
     // q378: the full winnowing chain replayed — char-fold Karp–Rabin
     // mod 2⁶¹−1, the splitmix64 finisher in 128-bit halves, >>1 to the

@@ -62,4 +62,43 @@ object Inequality {
               | * ln(CAST(xg AS DOUBLE) * n / (CAST(x AS DOUBLE) * ng)))
               | AS BIGINT)""".stripMargin).as("between_term_e6"))
   }
+
+  /** Hill estimator of the power-law tail index (Hill 1975) over the
+    * top-k order statistics — the tail-side companion to the
+    * rank–frequency HEAD slope (q379 Zipf fit): how heavy is the
+    * extreme tail of revenue / degree / token-frequency,
+    *
+    *   H·1e6 = (Σ_{i≤k} round(ln(x_(i)/x_(k+1))·1e6)) div k
+    *   α·1e6 = 1e12 div H_e6            (the tail exponent, 1/H)
+    *
+    * ln terms follow the pinned-double q100 rule (one double division,
+    * one ln, one round — every term ≥ 0 since x_(i) ≥ x_(k+1));
+    * the top-(k+1) set is selected by the UNIQUE order
+    * (value DESC, tieBreak ASC), so boundary ties are deterministic —
+    * tied rows contribute ln(1) = 0 regardless of which side of the
+    * cut they land on.
+    *
+    * Scale shape: one TakeOrderedAndProject (distributed top-k, never
+    * a global sort), a broadcast one-row threshold, a k-row sum. */
+  def hillTailE6(df: DataFrame, value: Column, tieBreak: Column,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000000,
+      s"Inequality.hillTailE6: need 1 ≤ k ≤ 1e6, got $k")
+    val top = df.select(value.cast("long").as("x"), tieBreak.as("tb"))
+      .where(col("x") > 0L)
+      .orderBy(col("x").desc, col("tb"))
+      .limit(k + 1)
+    val thresh = top.agg(min(col("x")).as("xk1"))
+    top.crossJoin(broadcast(thresh))
+      .select(col("xk1"), expr(
+        """CAST(round(ln(CAST(x AS DOUBLE) / xk1) * 1000000.0)
+          |AS BIGINT)""".stripMargin).as("t"))
+      .groupBy(col("xk1"))
+      .agg(sum(col("t")).as("__num"), count(lit(1)).as("__sel"))
+      .select(lit(k.toLong).as("k"), col("xk1"),
+        expr(s"__num div ${k}L").as("hill_e6"))
+      .withColumn("alpha_e6",
+        when(col("hill_e6") > 0L,
+          expr("1000000000000 div hill_e6")))
+  }
 }

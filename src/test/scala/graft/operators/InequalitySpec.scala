@@ -47,4 +47,24 @@ class InequalitySpec extends SparkSpec {
     assert(got.forall(_.getLong(4) == 0L))
     assert(got.forall(_.getLong(5) == 0L))
   }
+
+  test("hillTailE6: hand top-k with the double mirror; boundary ties " +
+      "contribute zero either way") {
+    val df = Seq((100L, 1L), (50L, 2L), (20L, 3L), (10L, 4L), (5L, 5L),
+      (1L, 6L)).toDF("x", "id")
+    val got = Inequality.hillTailE6(df, col("x"), col("id"), k = 2)
+      .collect().head
+    def t(x: Long) = r6(math.log(x.toDouble / 20L) * 1000000.0)
+    val hill = (t(100) + t(50) + t(20)) / 2
+    assert(got.getLong(0) == 2L && got.getLong(1) == 20L)
+    assert(got.getLong(2) == hill)
+    assert(got.getLong(3) == 1000000000000L / hill)
+
+    // tie at the cut: {9,9,9,9} top-3 all equal → hill 0, alpha NULL
+    val tied = Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L))
+      .toDF("x", "id")
+    val z = Inequality.hillTailE6(tied, col("x"), col("id"), k = 2)
+      .collect().head
+    assert(z.getLong(2) == 0L && z.isNullAt(3))
+  }
 }
