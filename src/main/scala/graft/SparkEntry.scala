@@ -5363,6 +5363,30 @@ object SparkEntry {
           expr("__c1 div 1000"), expr("__c2 div 1000")))
     }),
 
+    // Kendall's W: do the three heuristic "raters" (quantity,
+    // discount, tax) rank the same order-lines concordantly —
+    // tie-corrected, doubled-midrank exact; the RANKING-agreement
+    // sibling of the κ/α label-agreement family.
+    "q394_kendalls_w" -> ((s, dir) =>
+      decStr(operators.RankStats.kendallsWE6(t(s, dir, "lineitem"),
+        Seq(round(col("l_quantity")).cast("long"),
+          round(col("l_discount") * 100).cast("long"),
+          round(col("l_tax") * 100).cast("long"))))),
+
+    // Newey–West long-run variance components of the daily revenue
+    // series (Bartlett kernel, L = 5): the autocorrelation-robust
+    // error bar for time-sliced readouts, lag structure emitted
+    // per-row like q380.
+    "q395_newey_west" -> ((s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(expr(
+          "unix_millis(CAST(l_shipdate AS TIMESTAMP)) div 86400000")
+          .as("day"))
+        .agg(sum(cents(col("l_extendedprice"))).as("day_cents"))
+      decStr(operators.Trend.neweyWestE12(daily, col("day"),
+        col("day_cents"), maxLag = 5))
+    }),
+
     // Winnowing fingerprint sharing (Schleimer et al. 2003 — MOSS's
     // selection rule): word-3-gram Karp–Rabin+splitmix hashes, window-4
     // minima with rightmost ties via ONE struct-min aggregate (no
@@ -14656,6 +14680,76 @@ object SparkEntry {
         |   // r AS BIGINT)
         | END AS z_e3
         |FROM rc""".stripMargin,
+
+    // q394: rank2 maps per rater as cumulative censuses, the
+    // tie-invariant S2 identity, tie terms t³−t in HUGEINT.
+    "q394_kendalls_w" ->
+      """WITH b AS (SELECT CAST(round(l_quantity) AS BIGINT) AS r0,
+        |  CAST(round(l_discount * 100) AS BIGINT) AS r1,
+        |  CAST(round(l_tax * 100) AS BIGINT) AS r2
+        | FROM lineitem),
+        |m0 AS (SELECT r0 AS v, count(*) AS c FROM b GROUP BY 1),
+        |m1 AS (SELECT r1 AS v, count(*) AS c FROM b GROUP BY 1),
+        |m2 AS (SELECT r2 AS v, count(*) AS c FROM b GROUP BY 1),
+        |k0 AS (SELECT v, 2 * (sum(c) OVER (ORDER BY v
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+        |  + c + 1 AS rk FROM m0),
+        |k1 AS (SELECT v, 2 * (sum(c) OVER (ORDER BY v
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+        |  + c + 1 AS rk FROM m1),
+        |k2 AS (SELECT v, 2 * (sum(c) OVER (ORDER BY v
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+        |  + c + 1 AS rk FROM m2),
+        |j AS (SELECT k0.rk + k1.rk + k2.rk AS rs
+        | FROM b JOIN k0 ON k0.v = b.r0 JOIN k1 ON k1.v = b.r1
+        |  JOIN k2 ON k2.v = b.r2),
+        |core AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(rs AS HUGEINT) * rs) AS sr2 FROM j),
+        |t0 AS (SELECT sum(CAST(c AS HUGEINT) * c * c - c) AS t FROM m0),
+        |t1 AS (SELECT sum(CAST(c AS HUGEINT) * c * c - c) AS t FROM m1),
+        |t2 AS (SELECT sum(CAST(c AS HUGEINT) * c * c - c) AS t FROM m2),
+        |tt AS (SELECT t0.t + t1.t + t2.t AS sum_t FROM t0, t1, t2),
+        |fin AS (SELECT n,
+        |  sr2 - CAST(n AS HUGEINT) * 9 * (n + 1) * (n + 1) AS s2,
+        |  sum_t,
+        |  9 * (CAST(n AS HUGEINT) * n * n - n) - 3 * sum_t AS den
+        | FROM core, tt)
+        |SELECT n, CAST(3 AS BIGINT) AS m,
+        | CAST(CAST(s2 AS DECIMAL(38,0)) AS VARCHAR) AS s2,
+        | CAST(CAST(sum_t AS DECIMAL(38,0)) AS VARCHAR) AS sum_t,
+        | CASE WHEN den > 0 THEN
+        |  CAST(3 * s2 * 1000000 // den AS BIGINT) END AS w_e6,
+        | CASE WHEN den > 0 THEN
+        |  CAST(3 * (n - 1) * (3 * s2 * 1000000 // den) AS BIGINT)
+        | END AS chi2_e6
+        |FROM fin""".stripMargin,
+
+    // q395: banded census self-join; all quotients truncate toward
+    // zero (HUGEINT // ≡ the operator's tz() DECIMAL division).
+    "q395_newey_west" ->
+      """WITH daily AS (SELECT epoch_ms(l_shipdate) // 86400000 AS o,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |   AS BIGINT) AS v
+        | FROM lineitem GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS s FROM daily),
+        |stm AS (SELECT n,
+        |  CAST(CAST(s AS HUGEINT) * 1000000 // n AS BIGINT) AS m_e6
+        | FROM st),
+        |dev AS (SELECT o, n, CAST(v AS HUGEINT) * 1000000 - m_e6 AS d
+        | FROM daily CROSS JOIN stm),
+        |pr AS (SELECT y.o - x.o AS lag, x.n, x.d * y.d AS p
+        | FROM dev x JOIN dev y ON y.o - x.o BETWEEN 0 AND 5),
+        |ag AS (SELECT lag, max(n) AS n, sum(p) AS gnum
+        | FROM pr GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, n,
+        | CAST(CAST(gnum // n AS DECIMAL(38,0)) AS VARCHAR)
+        |  AS gamma_e12,
+        | CAST((6 - lag) * 1000000 // 6 AS BIGINT) AS bartlett_w_e6,
+        | CAST(CAST(CASE WHEN lag = 0 THEN gnum // n
+        |  ELSE (2 * (6 - lag) * gnum) // (6 * CAST(n AS HUGEINT)) END
+        |  AS DECIMAL(38,0)) AS VARCHAR) AS term_e12
+        |FROM ag""".stripMargin,
 
     // q391: the sorted-census prefix trick for Σ|v−u| replayed in
     // HUGEINT windows; V-statistic form (self-pairs in), per-term

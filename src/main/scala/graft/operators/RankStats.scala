@@ -147,4 +147,70 @@ object RankStats {
       .select(col("n"), col("concordant"), col("discordant"),
         col("tie_x2"), col("tie_y2"))
   }
+
+  /** Kendall's coefficient of concordance W (Kendall & Babington Smith
+    * 1939), tie-corrected — m raters rank the SAME n items; W ∈ [0,1]
+    * measures how far the m rankings agree as a whole (the multi-rater
+    * generalization of pairwise rank correlation, and the
+    * RANKING-agreement sibling of the label-agreement κ/α family).
+    *
+    * With doubled midranks (tie-safe, integral — the rank2Map trick),
+    * the item's doubled rank sum is R2ᵢ = Σⱼ rank2ⱼ(xᵢⱼ) and the
+    * doubled deviation sum collapses by the tie-invariant identity
+    * mean(R2) = m·(n+1):
+    *
+    *   S2 = Σᵢ R2ᵢ² − n·m²·(n+1)²          (= 4·S classical)
+    *   W·1e6 = 3·S2·1e6 div (m²·(n³−n) − m·ΣⱼTⱼ),  Tⱼ = Σ(t³−t)
+    *
+    * (3·S2 = 12·S). χ²(n−1) = m·(n−1)·W rides along for the
+    * significance readout. NULL W when the denominator is 0 (every
+    * rater ties everything).
+    *
+    * Scale shape: one value-census rank map per rater (bounded-domain
+    * contract, guarded), joined back value→rank (broadcast-sized
+    * domains), ONE aggregate over items for S2 and one tiny census
+    * aggregate per rater for Tⱼ. n³ magnitudes live in DECIMAL(38,0) —
+    * good to n ≈ 10¹², never sorted globally. */
+  def kendallsWE6(df: DataFrame, raters: Seq[Column]): DataFrame = {
+    val m = raters.size
+    require(m >= 2 && m <= 16,
+      s"RankStats.kendallsWE6: need 2..16 raters, got $m")
+    val named = raters.zipWithIndex.map { case (c, i) =>
+      c.cast("long").as(s"__r$i") }
+    val base = df.select(named: _*)
+      .where((0 until m).map(i => col(s"__r$i").isNotNull)
+        .reduce(_ && _))
+    var ranked = base
+    (0 until m).foreach { i =>
+      ranked = ranked.join(rank2Map(base, col(s"__r$i"), s"rk$i"),
+        col(s"__r$i") === col(s"rk${i}_v"))
+    }
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val r2 = expr((0 until m).map(i => s"rk$i").mkString(" + "))
+    val core = ranked
+      .select(d(r2).as("__r2"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__r2") * col("__r2")).as("sr2"))
+    val ties = (0 until m).map { i =>
+      base.groupBy(col(s"__r$i")).agg(count(lit(1)).as("t"))
+        .agg(coalesce(sum(
+          d(col("t")) * col("t") * col("t") - col("t")),
+          lit(0).cast("decimal(38,0)")).as(s"t$i"))
+    }
+    val allT = ties.reduce(_.crossJoin(_))
+      .select((0 until m).map(i => col(s"t$i"))
+        .reduce(_ + _).as("sum_t"))
+    core.crossJoin(broadcast(allT))
+      .withColumn("s2", expr(
+        s"sr2 - CAST(n AS DECIMAL(38,0)) * ${m * m} * (n + 1) * (n + 1)"))
+      .withColumn("__den", expr(
+        s"""${m * m} * (CAST(n AS DECIMAL(38,0)) * n * n - n)
+           | - $m * sum_t""".stripMargin))
+      .select(col("n"), lit(m.toLong).as("m"), col("s2"), col("sum_t"),
+        when(col("__den") > 0L,
+          expr("CAST(3 * s2 * 1000000 div __den AS BIGINT)"))
+          .as("w_e6"))
+      .withColumn("chi2_e6",
+        when(col("w_e6").isNotNull, expr(s"$m * (n - 1) * w_e6")))
+  }
 }

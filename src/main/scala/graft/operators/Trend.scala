@@ -600,4 +600,72 @@ object Trend {
             .stripMargin)))
       .drop("__s0", "__r")
   }
+
+  /** Newey–West / Bartlett-kernel long-run variance components (Newey
+    * & West 1987) over an ordered series census — the
+    * autocorrelation-robust error bar a time-sliced experiment readout
+    * needs where the iid variance (q376) understates: consecutive
+    * days co-move, so the effective sample is smaller.
+    *
+    * With m_e6 = S·1e6 div n (truncating) and the exact e6 deviations
+    * d_t = v_t·1e6 − m_e6, per lag l ∈ [0, L]:
+    *
+    *   gamma_num(l) = Σ_t d_t·d_{t+l}        (calendar lag: pairs at
+    *                                          order-distance exactly l
+    *                                          on the observed grid)
+    *   gamma_e12(l) = gamma_num div n         (NW convention: always n)
+    *   bartlett_w_e6 = (L+1−l)·1e6 div (L+1)
+    *   term_e12(l)  = gamma_e12              for l = 0
+    *                = 2·(L+1−l)·gamma_num div ((L+1)·n)   for l > 0
+    *
+    * Σ_l term_e12 is the long-run variance; terms are emitted per lag
+    * (the q380 lead–lag convention) so the consumer sees the
+    * correlation structure, not just the sum. Products are
+    * DECIMAL(38,0), divisions truncating, order pinned.
+    *
+    * Scale shape: the caller supplies the BUCKETED series (the raw
+    * pass is their one aggregate); here a one-row stats broadcast, a
+    * banded self-join on the census (|Δorder| ≤ L — census², bounded
+    * by the time domain, never by data), one per-lag aggregate. */
+  def neweyWestE12(df: DataFrame, orderCol: Column, value: Column,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64,
+      s"Trend.neweyWestE12: need 1 ≤ maxLag ≤ 64, got $maxLag")
+    val base = df.select(orderCol.cast("long").as("o"),
+        value.cast("long").as("v"))
+      .where(col("o").isNotNull && col("v").isNotNull)
+    val stats = base.agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .select(col("n"), expr(
+        "CAST(CAST(s AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)")
+        .as("m_e6"))
+    val dev = base.crossJoin(broadcast(stats))
+      .select(col("o"), col("n"),
+        expr("v * 1000000 - m_e6").as("d"))
+    val pairs = dev.as("x").join(
+        dev.select(col("o").as("o2"), col("d").as("d2")).as("y"),
+        expr(s"o2 - o BETWEEN 0 AND $maxLag"))
+      .select((col("o2") - col("o")).as("lag"), col("n"),
+        expr("CAST(d AS DECIMAL(38,0)) * d2").as("p"))
+    // γ magnitudes are value²·1e12 — far past LONG, so quotients stay
+    // DECIMAL(38,0) via an explicit truncate-TOWARD-ZERO division
+    // (Spark `div` would silently NULL past BIGINT; `(a−pmod)/b` alone
+    // floors toward −inf on negative cross-covariances, which DuckDB's
+    // toward-zero `//` does not match)
+    def tz(a: String, b: String): String =
+      s"""CASE WHEN $a >= 0
+         | THEN CAST(($a - pmod($a, $b)) / $b AS DECIMAL(38,0))
+         | ELSE CAST(-((-($a) - pmod(-($a), $b)) / $b) AS DECIMAL(38,0))
+         |END""".stripMargin
+    pairs.groupBy(col("lag"))
+      .agg(max(col("n")).as("n"), sum(col("p")).as("gamma_num"))
+      .select(col("lag"), col("n"),
+        expr(tz("gamma_num", "n")).as("gamma_e12"),
+        expr(s"(${maxLag + 1} - lag) * 1000000 div ${maxLag + 1}")
+          .as("bartlett_w_e6"),
+        when(col("lag") === 0L, expr(tz("gamma_num", "n")))
+          .otherwise(expr(tz(
+            s"(2 * (${maxLag + 1} - lag) * gamma_num)",
+            s"(${maxLag + 1} * CAST(n AS DECIMAL(38,0)))")))
+          .as("term_e12"))
+  }
 }

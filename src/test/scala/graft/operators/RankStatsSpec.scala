@@ -85,4 +85,33 @@ class RankStatsSpec extends SparkSpec {
     assert(BigInt(p.getDecimal(1).toBigInteger) == 45 &&
       BigInt(p.getDecimal(2).toBigInteger) == 0)
   }
+
+  test("kendallsWE6: perfect concordance, perfect discordance, and a " +
+      "hand-computed tied case") {
+    // perfect: three raters rank three items identically → W = 1
+    val perfect = Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 300L))
+      .toDF("a", "b", "c")
+    val p = RankStats.kendallsWE6(perfect,
+      Seq(col("a"), col("b"), col("c"))).collect().head
+    assert(p.getLong(0) == 3L && p.getLong(1) == 3L)
+    assert(BigInt(p.getDecimal(2).toBigInteger) == 72)
+    assert(p.getLong(4) == 1000000L)
+    assert(p.getLong(5) == 6000000L) // χ² = m(n−1)W = 3·2·1e6
+
+    // two raters, reversed → rank sums all equal → W = 0
+    val rev = Seq((1L, 3L), (2L, 2L), (3L, 1L)).toDF("a", "b")
+    val r = RankStats.kendallsWE6(rev, Seq(col("a"), col("b")))
+      .collect().head
+    assert(BigInt(r.getDecimal(2).toBigInteger) == 0 &&
+      r.getLong(4) == 0L)
+
+    // ties: a = 1,2,3; b = 1,1,2 → S2 = 26, ΣT = 6, den = 84,
+    // W = 78e6 div 84 = 928_571
+    val tied = Seq((1L, 1L), (2L, 1L), (3L, 2L)).toDF("a", "b")
+    val t = RankStats.kendallsWE6(tied, Seq(col("a"), col("b")))
+      .collect().head
+    assert(BigInt(t.getDecimal(2).toBigInteger) == 26)
+    assert(BigInt(t.getDecimal(3).toBigInteger) == 6)
+    assert(t.getLong(4) == 928571L)
+  }
 }

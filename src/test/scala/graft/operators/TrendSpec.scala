@@ -355,4 +355,26 @@ class TrendSpec extends SparkSpec {
     assert(BigInt(blk.getDecimal(6).toBigInteger) == vB)
     assert(blk.getLong(7) == zB && zB < 0)
   }
+
+  test("neweyWestE12: alternating series — hand gammas, toward-zero " +
+      "quotients on negative covariances") {
+    import spark.implicits._
+    // days 0..3, v = 0,2,0,2 → mean_e6 = 1e6, d = ∓1e6
+    val df = Seq((0L, 0L), (1L, 2L), (2L, 0L), (3L, 2L)).toDF("o", "v")
+    val got = Trend.neweyWestE12(df, col("o"), col("v"), maxLag = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((BigInt(r.getDecimal(2).toBigInteger),
+        r.getLong(3), BigInt(r.getDecimal(4).toBigInteger)))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L)) // only observed lags
+    assert(got(0L) == ((BigInt("1000000000000"), 1000000L,
+      BigInt("1000000000000"))))
+    // lag1: gnum = −3e12 → γ = −3e12 div 4 toward zero = −75e10;
+    // term = 2·5·(−3e12) div 24 = −1.25e12
+    assert(got(1L) == ((BigInt("-750000000000"), 833333L,
+      BigInt("-1250000000000"))))
+    assert(got(2L) == ((BigInt("500000000000"), 666666L,
+      BigInt("666666666666"))))
+    assert(got(3L) == ((BigInt("-250000000000"), 500000L,
+      BigInt("-250000000000"))))
+  }
 }
