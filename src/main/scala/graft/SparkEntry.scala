@@ -5387,6 +5387,38 @@ object SparkEntry {
         col("day_cents"), maxLag = 5))
     }),
 
+    // Pivot-sampled harmonic closeness over the q85 thresholded
+    // co-supplier graph (8 lowest-id pivots, 6-hop horizon): which
+    // suppliers sit nearest the network core — the per-node
+    // centrality beside q332's betweenness.
+    "q396_closeness" -> ((s, dir) => {
+      val pairs = coSupplierPairs(s, dir)
+        .where(col("l_suppkey") < col("dst_supp"))
+        .groupBy(col("l_suppkey"), col("dst_supp"))
+        .agg(count(lit(1)).as("w")).where(col("w") >= 5)
+        .select(col("l_suppkey"), col("dst_supp"))
+      val piv = pairs.select(col("l_suppkey").as("id"))
+        .unionByName(pairs.select(col("dst_supp").as("id")))
+        .distinct().orderBy(col("id")).limit(8)
+      operators.Graph.harmonicClosenessE6(pairs, "l_suppkey",
+        "dst_supp", piv, "id", maxHops = 6)
+    }),
+
+    // Calinski–Harabasz variance-ratio criterion on the embedding
+    // labels — the third leg of the q369/q370 cluster-quality triad,
+    // same shifted-e3 grid and truncated-mean centroids.
+    "q397_calinski_harabasz" -> ((s, dir) =>
+      decStr(Similarity.calinskiHarabaszE6(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label"))),
+
+    // Adjusted Rand Index between the language and source partitions
+    // of the document corpus: does provenance carve the corpus the
+    // same way language does — chance-corrected, label names
+    // irrelevant; the PARTITION-agreement member of the κ/α family.
+    "q398_adjusted_rand" -> ((s, dir) =>
+      decStr(operators.PartitionCompare.adjustedRandE6(
+        t(s, dir, "documents"), col("lang"), col("source")))),
+
     // Winnowing fingerprint sharing (Schleimer et al. 2003 — MOSS's
     // selection rule): word-3-gram Karp–Rabin+splitmix hashes, window-4
     // minima with rightmost ties via ONE struct-min aggregate (no
@@ -14680,6 +14712,88 @@ object SparkEntry {
         |   // r AS BIGINT)
         | END AS z_e3
         |FROM rc""".stripMargin,
+
+    // q396: labeled multi-source BFS as a recursive CTE (UNION
+    // dedups, min(hops) recovers first-visit), then Σ 1e6 // hops.
+    "q396_closeness" ->
+      """WITH RECURSIVE raw AS (
+        | SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        | FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        | GROUP BY 1, 2 HAVING count(*) >= 5),
+        |e AS (SELECT u AS src, v AS dst FROM raw
+        | UNION SELECT v, u FROM raw),
+        |nodes AS (SELECT DISTINCT src AS id FROM e),
+        |piv AS (SELECT id AS p FROM nodes ORDER BY id LIMIT 8),
+        |walk(p, id, hops) AS (
+        | SELECT p, p, 0 FROM piv
+        | UNION
+        | SELECT w.p, e.dst, w.hops + 1 FROM walk w
+        |  JOIN e ON e.src = w.id WHERE w.hops < 6),
+        |md AS (SELECT p, id, min(hops) AS hops FROM walk GROUP BY 1, 2)
+        |SELECT id AS l_suppkey, CAST(count(*) AS BIGINT)
+        |  AS n_pivots_reached,
+        | CAST(sum(1000000 // hops) AS BIGINT) AS harmonic_e6
+        |FROM md WHERE hops > 0 GROUP BY 1""".stripMargin,
+
+    // q397: the q369 grid verbatim; B from the centroid census against
+    // the global truncated-mean centroid, one clearing division.
+    "q397_calinski_harabasz" ->
+      """WITH c AS (SELECT vec_id AS id, label, i - 1 AS dim,
+        |  CAST(round((CAST(embedding[i] AS DOUBLE) + 1.0) * 1000.0)
+        |    AS BIGINT) AS x
+        | FROM embeddings,
+        |  LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+        |    AS i) ix),
+        |cm AS (SELECT label AS clabel, dim, sum(x) // count(*) AS c_e3
+        | FROM c GROUP BY 1, 2),
+        |w0 AS (SELECT c.id, sum((c.x - cm.c_e3) * (c.x - cm.c_e3))
+        |   AS d2
+        | FROM c JOIN cm ON cm.clabel = c.label AND cm.dim = c.dim
+        | GROUP BY 1),
+        |w AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(d2 AS HUGEINT)) AS w_num FROM w0),
+        |g AS (SELECT dim, sum(x) // count(*) AS g_e3 FROM c GROUP BY 1),
+        |sz AS (SELECT label, CAST(count(DISTINCT id) AS BIGINT) AS nl
+        | FROM c GROUP BY 1),
+        |bt AS (SELECT cm.clabel,
+        |  sum((cm.c_e3 - g.g_e3) * (cm.c_e3 - g.g_e3)) AS d2
+        | FROM cm JOIN g USING (dim) GROUP BY 1),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  sum(CAST(sz.nl AS HUGEINT) * bt.d2) AS b_num
+        | FROM bt JOIN sz ON sz.label = bt.clabel)
+        |SELECT n, k,
+        | CAST(CAST(b_num AS DECIMAL(38,0)) AS VARCHAR) AS b_num,
+        | CAST(CAST(w_num AS DECIMAL(38,0)) AS VARCHAR) AS w_num,
+        | CASE WHEN k > 1 AND w_num > 0 THEN
+        |  CAST(b_num * (n - k) * 1000000 // (w_num * (k - 1))
+        |   AS BIGINT) END AS ch_e6
+        |FROM w CROSS JOIN b""".stripMargin,
+
+    // q398: contingency census + doubled pair counts; the one division
+    // truncates toward zero (num may be negative).
+    "q398_adjusted_rand" ->
+      """WITH cont AS (SELECT lang AS la, source AS lb,
+        |  CAST(count(*) AS BIGINT) AS nij
+        | FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        | GROUP BY 1, 2),
+        |cells AS (SELECT CAST(sum(nij) AS BIGINT) AS n,
+        |  sum(CAST(nij AS HUGEINT) * (nij - 1)) AS sq_ij FROM cont),
+        |ra AS (SELECT sum(CAST(ai AS HUGEINT) * (ai - 1)) AS sq_a
+        | FROM (SELECT la, sum(nij) AS ai FROM cont GROUP BY 1)),
+        |cb AS (SELECT sum(CAST(bj AS HUGEINT) * (bj - 1)) AS sq_b
+        | FROM (SELECT lb, sum(nij) AS bj FROM cont GROUP BY 1)),
+        |f AS (SELECT n, sq_ij, sq_a, sq_b,
+        |  CAST(n AS HUGEINT) * (n - 1) AS qn FROM cells, ra, cb),
+        |f2 AS (SELECT *, qn * sq_ij - sq_a * sq_b AS num,
+        |  qn * (sq_a + sq_b) // 2 - sq_a * sq_b AS den FROM f)
+        |SELECT n,
+        | CAST(CAST(sq_ij AS DECIMAL(38,0)) AS VARCHAR) AS sq_ij,
+        | CAST(CAST(sq_a AS DECIMAL(38,0)) AS VARCHAR) AS sq_a,
+        | CAST(CAST(sq_b AS DECIMAL(38,0)) AS VARCHAR) AS sq_b,
+        | CASE WHEN den <> 0 THEN
+        |  CAST(num * 1000000 // den AS BIGINT) END AS ari_e6
+        |FROM f2""".stripMargin,
 
     // q394: rank2 maps per rater as cumulative censuses, the
     // tie-invariant S2 identity, tie terms t³−t in HUGEINT.

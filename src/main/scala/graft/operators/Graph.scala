@@ -887,6 +887,60 @@ object Graph {
     * small), then ONE pass of |ks| conditional sums over edges and one
     * over the degree census; the k-profile never re-scans the graph
     * per threshold. */
+  /** Pivot-sampled HARMONIC closeness centrality (Marchiori & Latora
+    * 2000 for the harmonic form; Eppstein & Wang 2004 for pivot
+    * sampling): for each node, Σ over pivots of 1/d(pivot, node) —
+    * the "how near the core is this node" readout that, unlike
+    * classic closeness, stays defined under disconnection (unreached
+    * pivots contribute 0 instead of ∞). Exact integers:
+    * harmonic_e6 = Σ (1e6 div hops), hop distances from a LABELED
+    * multi-source BFS ([[bfsHops]] extended with a pivot tag so the
+    * per-pivot distances stay separate).
+    *
+    * Same horizon semantics as [[boundedSssp]]: contributions beyond
+    * `maxHops` are treated as unreachable (documented truncation —
+    * 1e6 div h < 1e6/maxHops is noise at the horizon anyway).
+    *
+    * Scale shape: per round ONE join of the (pivot, node) frontier
+    * with the edge list + distinct + anti-join — frontier-sized, k·|V|
+    * worst case, never |V|²; rounds end in eager localCheckpoints
+    * (two consumers per round, the bfsHops necessity). Output:
+    * (idCol named srcCol, n_pivots_reached, harmonic_e6). Nodes
+    * reaching no pivot don't appear (they'd be all-zero rows of the
+    * complement — the caller left-joins if absence matters). */
+  def harmonicClosenessE6(edges: DataFrame, srcCol: String,
+      dstCol: String, pivots: DataFrame, pivotIdCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 32)
+    val half = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val e = half.unionByName(half.select(col("dst").as("src"),
+        col("src").as("dst"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = pivots.select(col(pivotIdCol).as("p")).distinct()
+      .withColumn("id", col("p")).withColumn("hops", lit(0L))
+      .localCheckpoint(true)
+    var frontier = dist
+    var i = 1
+    while (i <= maxHops) {
+      val next = frontier.select(col("p"), col("id").as("src"))
+        .join(e, "src").select(col("p"), col("dst").as("id")).distinct()
+        .join(dist, Seq("p", "id"), "left_anti")
+        .withColumn("hops", lit(i.toLong))
+        .localCheckpoint(true)
+      dist = dist.unionByName(next).localCheckpoint(true)
+      frontier = next
+      i += 1
+    }
+    e.unpersist()
+    dist.where(col("hops") > 0L)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_pivots_reached"),
+        sum(expr("1000000 div hops")).as("harmonic_e6"))
+      .withColumnRenamed("id", srcCol)
+  }
+
   def richClubE6(edges: DataFrame, src: String, dst: String,
       ks: Seq[Int]): DataFrame = {
     require(ks.nonEmpty && ks.size <= 64,

@@ -354,6 +354,54 @@ object Similarity {
         coalesce(col("degenerate_pairs"), lit(0L)).as("degenerate_pairs"))
   }
 
+  /** Calinski–Harabasz variance-ratio criterion (Caliński & Harabasz
+    * 1974) on the same shifted-e3 grid as the q369/q370 audits — the
+    * third leg of the cluster-quality triad: between-cluster scatter
+    * against within-cluster scatter, DoF-corrected,
+    *
+    *   B = Σ_l n_l·d²(c_l, g),  W = Σ_points d²(x, c_own),
+    *   ch_e6 = (B·(n−k))·1e6 div (W·(k−1))
+    *
+    * with g the global centroid on the identical truncated-mean
+    * convention (sum div count per dimension). Higher = tighter,
+    * better-separated clusters. NULL when k < 2 or W = 0 (degenerate —
+    * any value would be a lie). Exact: squared e3 distances are LONGs
+    * summed into DECIMAL(38,0); ONE truncating division.
+    *
+    * Shape: the [[silhouetteSimplifiedE6]] scan for W (own-centroid
+    * distances), centroid-census arithmetic for B, a single-row
+    * output (n, k, b_num, w_num, ch_e6). */
+  def calinskiHarabaszE6(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val (scored, cent) = centroidDistances(emb, idCol, vecCol, labelCol)
+    val w = scored.where(col("clabel") === col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dist").cast("decimal(38,0)")).as("w_num"))
+    val comps = emb.select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("dim"),
+        round((col("x").cast("double") + lit(1.0)) * lit(1000.0))
+          .cast("long").as("x_e3"))
+    val global = comps.groupBy(col("dim"))
+      .agg(expr("sum(x_e3) div count(1)").as("g_e3"))
+    val sizes = scored.where(col("clabel") === col("label"))
+      .groupBy(col("label")).agg(count(lit(1)).as("nl"))
+    val b = cent.join(broadcast(global), "dim")
+      .groupBy(col("clabel"))
+      .agg(sum((col("c_e3") - col("g_e3")) * (col("c_e3") - col("g_e3")))
+        .as("d2"))
+      .join(sizes, col("clabel") === col("label"))
+      .agg(count(lit(1)).as("k"),
+        sum(expr("CAST(nl AS DECIMAL(38,0)) * d2")).as("b_num"))
+    cent.unpersist()
+    w.crossJoin(broadcast(b))
+      .select(col("n"), col("k"), col("b_num"), col("w_num"),
+        when(col("k") > 1L && col("w_num") > 0L, expr(
+          """CAST(b_num * (n - k) * 1000000
+            |div (w_num * (k - 1)) AS BIGINT)""".stripMargin))
+          .as("ch_e6"))
+  }
+
   /** Deterministic ±1 hyperplane component signs, shared by the Spark plans
     * and the SQL-oracle rendering so both engines block identically. */
   def planeSigns(plane: Int, dims: Int): Array[Long] =

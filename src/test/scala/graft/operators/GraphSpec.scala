@@ -545,4 +545,28 @@ class GraphSpec extends SparkSpec {
     // k=3: only node 4 qualifies → no pairs, φ NULL
     assert(got(3L) == ((1L, 0L, -1L)))
   }
+
+  test("harmonicClosenessE6: path graph from two pivots; horizon cuts") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val piv = Seq(1L, 5L).toDF("id")
+    val got = Graph.harmonicClosenessE6(edges, "a", "b", piv, "id", 6)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // distances from 1: 0..4; from 5: 4..0
+    assert(got(1L) == ((1L, 250000L)))          // only pivot 5, d=4
+    assert(got(2L) == ((2L, 1000000L + 333333L)))
+    assert(got(3L) == ((2L, 1000000L)))         // 500000 + 500000
+    assert(got(4L) == ((2L, 1333333L)))
+    assert(got(5L) == ((1L, 250000L)))
+
+    // horizon 2: node 4 sees only pivot 5 (d=1); node 1's view of 5
+    // is cut entirely
+    val cut = Graph.harmonicClosenessE6(edges, "a", "b", piv, "id", 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(cut(4L) == ((1L, 1000000L)))
+    assert(!cut.contains(1L) || cut(1L)._1 == 0L)
+  }
 }

@@ -159,4 +159,27 @@ class SimilaritySpec extends SparkSpec {
     assert(r(1L) == 1000000L)
     assert(math.abs(r(0L)) < 5000, r.toString) // ≈ 0.001/0.9 in e6
   }
+
+  test("calinskiHarabaszE6: hand 1-D labels; degenerate k=1 → NULL") {
+    import spark.implicits._
+    // grid: A → 1000, 1200 (centroid 1100); B → 500, 300 (centroid
+    // 400); global 750. W = 4·100² = 40000;
+    // B = 2·350² + 2·350² = 490000 → ch = 490000·2·1e6/40000
+    val emb = Seq(
+      (1L, Array(0.0f), "A"), (2L, Array(0.2f), "A"),
+      (3L, Array(-0.5f), "B"), (4L, Array(-0.7f), "B"))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.calinskiHarabaszE6(emb, "vec_id", "embedding",
+      "label").collect().head
+    assert(got.getLong(0) == 4L && got.getLong(1) == 2L)
+    assert(BigInt(got.getDecimal(2).toBigInteger) == 490000)
+    assert(BigInt(got.getDecimal(3).toBigInteger) == 40000)
+    assert(got.getLong(4) == 24500000L)
+
+    val one = Seq((1L, Array(0.1f), "A"), (2L, Array(0.3f), "A"))
+      .toDF("vec_id", "embedding", "label")
+    val g1 = Similarity.calinskiHarabaszE6(one, "vec_id", "embedding",
+      "label").collect().head
+    assert(g1.isNullAt(4))
+  }
 }
