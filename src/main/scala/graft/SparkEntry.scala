@@ -5419,6 +5419,62 @@ object SparkEntry {
       decStr(operators.PartitionCompare.adjustedRandE6(
         t(s, dir, "documents"), col("lang"), col("source")))),
 
+    // Log-log price elasticity of demand per part brand: exact OLS
+    // sufficient statistics over e3-integerized ln(price), ln(qty)
+    // (pinned-double ln, q100 rule), quadratic forms in DECIMAL —
+    // the econ readout a pricing pipeline fits nightly.
+    "q399_price_elasticity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          round(col("l_quantity")).cast("long").as("qty"))
+      val pt = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"),
+          cents(col("p_retailprice")).as("pc"))
+      val j = li.join(pt, col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          expr("CAST(round(ln(CAST(pc AS DOUBLE)) * 1000.0) AS BIGINT)")
+            .as("x"),
+          expr("CAST(round(ln(CAST(qty AS DOUBLE)) * 1000.0) AS BIGINT)")
+            .as("y"))
+      decStr(j.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("__sxy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("__sxx"))
+        .withColumn("slope_num",
+          expr("n * __sxy - CAST(sum_x AS DECIMAL(38,0)) * sum_y"))
+        .withColumn("slope_den",
+          expr("n * __sxx - CAST(sum_x AS DECIMAL(38,0)) * sum_x"))
+        .select(col("p_brand"), col("n"), col("sum_x"), col("sum_y"),
+          col("slope_num"), col("slope_den"),
+          when(col("slope_den") > 0L,
+            expr("CAST(slope_num * 1000000 div slope_den AS BIGINT)"))
+            .as("elasticity_e6")))
+    }),
+
+    // Trend/seasonal strength (tsfeatures F_T/F_S) of the daily
+    // revenue series per return flag over the q231 classical
+    // decomposition — "is there actually a trend / weekly cycle".
+    "q400_seasonal_strength" -> ((s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), expr(
+          "unix_millis(CAST(l_shipdate AS TIMESTAMP)) div 86400000")
+          .as("day"))
+        .agg(sum(cents(col("l_extendedprice"))).as("cents"))
+      operators.Trend.seasonalStrengthE6(
+        operators.Trend.classicalDecompose(daily, Seq("l_returnflag"),
+          col("day"), col("cents"), m = 7),
+        Seq("l_returnflag"))
+    }),
+
+    // MMR diversified re-ranking (λ=0.7) of the exact top-10 pool for
+    // query vec 0: relevant-but-not-redundant selection between ANN
+    // recall and the context window; greedy phase on the bounded pool,
+    // every pick's components emitted.
+    "q401_mmr_rerank" -> ((s, dir) =>
+      Similarity.mmrRerankE6(t(s, dir, "embeddings"), "vec_id",
+        "embedding", queryId = 0L, poolK = 10, selectK = 5)),
+
     // Winnowing fingerprint sharing (Schleimer et al. 2003 — MOSS's
     // selection rule): word-3-gram Karp–Rabin+splitmix hashes, window-4
     // minima with rightmost ties via ONE struct-min aggregate (no
@@ -7637,6 +7693,73 @@ object SparkEntry {
       | FROM s)
       |SELECT qid, cid, CAST(rank AS INTEGER) AS rank, CAST(round(score*1000000) AS BIGINT) AS score_e6
       |FROM r WHERE rank <= 3""".stripMargin
+
+  /** q401's oracle: the q20 cosine replay restricted to query vec 0 →
+    * top-10 pool, all pairwise pool cosines, then the five greedy MMR
+    * rounds unrolled — each round a struct-min argmax over
+    * (−mmr, cid), selected sets accumulated CTE by CTE. */
+  private val q401OracleSql: String = {
+    def round2(i: Int): String = {
+      val prevSel = s"sel${i - 1}"
+      s"""m$i AS (SELECT c.cid, c.rel, max(pb.sim) AS ms FROM cand c
+         | JOIN pb ON pb.x = c.cid
+         | JOIN $prevSel s ON pb.y = s.cid
+         | WHERE c.cid NOT IN (SELECT cid FROM $prevSel)
+         | GROUP BY 1, 2),
+         |p$i AS (SELECT min(struct_pack(
+         |  m := -((7 * rel - 3 * ms) // 10), c := cid, r := rel,
+         |  ms := ms)) AS pk FROM m$i),
+         |sel$i AS (SELECT cid FROM $prevSel
+         | UNION ALL SELECT pk.c FROM p$i)"""
+        .stripMargin
+    }
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |  CAST(list_sum(list_transform(embedding,
+       |   x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+       |    * 1000000000.0) AS BIGINT))) AS BIGINT) AS nsq
+       | FROM embeddings),
+       |q AS (SELECT * FROM n WHERE vec_id = 0),
+       |sc AS (SELECT c.vec_id AS cid,
+       |  CAST(CAST(list_sum(list_transform(
+       |    list_zip(q.embedding, c.embedding),
+       |    z -> CAST(round(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)
+       |     * 1000000000.0) AS BIGINT))) AS BIGINT) AS DOUBLE)
+       |   / sqrt(CAST(q.nsq AS DOUBLE) * CAST(c.nsq AS DOUBLE))
+       |   AS score
+       | FROM q JOIN n c ON q.vec_id <> c.vec_id),
+       |cand AS (SELECT cid, CAST(round(score * 1000000) AS BIGINT)
+       |  AS rel
+       | FROM (SELECT cid, score, row_number() OVER (ORDER BY score
+       |   DESC, cid) AS rank FROM sc)
+       | WHERE rank <= 10),
+       |cv AS (SELECT n.vec_id AS cid, n.embedding, n.nsq
+       | FROM n JOIN cand ON cand.cid = n.vec_id),
+       |pr AS (SELECT a.cid AS x, b.cid AS y,
+       |  CAST(round(CAST(CAST(list_sum(list_transform(
+       |    list_zip(a.embedding, b.embedding),
+       |    z -> CAST(round(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)
+       |     * 1000000000.0) AS BIGINT))) AS BIGINT) AS DOUBLE)
+       |   / sqrt(CAST(a.nsq AS DOUBLE) * CAST(b.nsq AS DOUBLE))
+       |   * 1000000) AS BIGINT) AS sim
+       | FROM cv a JOIN cv b ON a.cid < b.cid),
+       |pb AS (SELECT x, y, sim FROM pr
+       | UNION ALL SELECT y, x, sim FROM pr),
+       |p1 AS (SELECT min(struct_pack(m := -((7 * rel) // 10),
+       |  c := cid, r := rel, ms := CAST(0 AS BIGINT))) AS pk
+       | FROM cand),
+       |sel1 AS (SELECT pk.c AS cid FROM p1),
+       |${round2(2)},
+       |${round2(3)},
+       |${round2(4)},
+       |${round2(5)}
+       |SELECT CAST(1 AS BIGINT) AS pick_rank, pk.c AS cid,
+       | pk.r AS rel_e6, pk.ms AS maxsim_e6, -(pk.m) AS mmr_e6 FROM p1
+       |UNION ALL SELECT 2, pk.c, pk.r, pk.ms, -(pk.m) FROM p2
+       |UNION ALL SELECT 3, pk.c, pk.r, pk.ms, -(pk.m) FROM p3
+       |UNION ALL SELECT 4, pk.c, pk.r, pk.ms, -(pk.m) FROM p4
+       |UNION ALL SELECT 5, pk.c, pk.r, pk.ms, -(pk.m) FROM p5"""
+      .stripMargin
+  }
 
   /** q144/q145's oracles replay BOTH retrieval stages — exact (q20) and
     * IVF (q34) — as parenthesized CTE subqueries, then audit candidate
@@ -14712,6 +14835,87 @@ object SparkEntry {
         |   // r AS BIGINT)
         | END AS z_e3
         |FROM rc""".stripMargin,
+
+    // q399: the pinned ln-e3 pipeline, quadratic forms in HUGEINT,
+    // toward-zero elasticity quotient.
+    "q399_price_elasticity" ->
+      """WITH j AS (SELECT p_brand,
+        |  CAST(round(ln(CAST(CAST(round(p_retailprice * 100) AS BIGINT)
+        |   AS DOUBLE)) * 1000.0) AS BIGINT) AS x,
+        |  CAST(round(ln(CAST(CAST(round(l_quantity) AS BIGINT)
+        |   AS DOUBLE)) * 1000.0) AS BIGINT) AS y
+        | FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |g AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sum_x,
+        |  CAST(sum(y) AS BIGINT) AS sum_y,
+        |  sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |  sum(CAST(x AS HUGEINT) * x) AS sxx
+        | FROM j GROUP BY 1),
+        |f AS (SELECT p_brand, n, sum_x, sum_y,
+        |  n * sxy - CAST(sum_x AS HUGEINT) * sum_y AS slope_num,
+        |  n * sxx - CAST(sum_x AS HUGEINT) * sum_x AS slope_den
+        | FROM g)
+        |SELECT p_brand, n, sum_x, sum_y,
+        | CAST(CAST(slope_num AS DECIMAL(38,0)) AS VARCHAR) AS slope_num,
+        | CAST(CAST(slope_den AS DECIMAL(38,0)) AS VARCHAR) AS slope_den,
+        | CASE WHEN slope_den > 0 THEN
+        |  CAST(slope_num * 1000000 // slope_den AS BIGINT)
+        | END AS elasticity_e6
+        |FROM f""".stripMargin,
+
+    // q400: the q231 decomposition CTEs on the lineitem series, then
+    // the cleared-variance strength ratios with greatest-0 clamps.
+    "q400_seasonal_strength" ->
+      """WITH daily AS (SELECT l_returnflag,
+        |  epoch_ms(l_shipdate) // 86400000 AS day,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |   AS BIGINT) AS cents
+        | FROM lineitem GROUP BY 1, 2),
+        |tr AS (SELECT l_returnflag, day, cents,
+        |  sum(cents) OVER w AS wsum, count(*) OVER w AS wcnt
+        | FROM daily WINDOW w AS (PARTITION BY l_returnflag
+        |  ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (SELECT l_returnflag, day, cents, wsum // 7 AS trend,
+        |  day % 7 AS phase, cents - wsum // 7 AS detr
+        | FROM tr WHERE wcnt = 7),
+        |se AS (SELECT l_returnflag, phase,
+        |  CAST(sum(detr) AS BIGINT) // count(*) AS s_raw
+        | FROM t2 GROUP BY 1, 2),
+        |ad AS (SELECT l_returnflag, CAST(sum(s_raw) AS BIGINT) // 7
+        |  AS adj FROM se GROUP BY 1),
+        |st AS (SELECT se.l_returnflag, phase, s_raw - adj AS seasonal
+        | FROM se JOIN ad ON se.l_returnflag = ad.l_returnflag),
+        |dc AS (SELECT t2.l_returnflag,
+        |  cents - trend - seasonal AS r,
+        |  cents - seasonal AS u,
+        |  cents - trend AS s
+        | FROM t2 JOIN st ON t2.l_returnflag = st.l_returnflag
+        |  AND t2.phase = st.phase),
+        |ag AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(r) AS BIGINT) AS sr, sum(CAST(r AS HUGEINT) * r)
+        |   AS qr,
+        |  CAST(sum(u) AS BIGINT) AS su, sum(CAST(u AS HUGEINT) * u)
+        |   AS qu,
+        |  CAST(sum(s) AS BIGINT) AS ss, sum(CAST(s AS HUGEINT) * s)
+        |   AS qs
+        | FROM dc GROUP BY 1),
+        |vv AS (SELECT l_returnflag, n,
+        |  n * qr - CAST(sr AS HUGEINT) * sr AS vr,
+        |  n * qu - CAST(su AS HUGEINT) * su AS vu,
+        |  n * qs - CAST(ss AS HUGEINT) * ss AS vs
+        | FROM ag)
+        |SELECT l_returnflag, n,
+        | CASE WHEN vu > 0 THEN greatest(CAST(0 AS BIGINT),
+        |  CAST(1000000 - vr * 1000000 // vu AS BIGINT))
+        | END AS trend_strength_e6,
+        | CASE WHEN vs > 0 THEN greatest(CAST(0 AS BIGINT),
+        |  CAST(1000000 - vr * 1000000 // vs AS BIGINT))
+        | END AS seasonal_strength_e6
+        |FROM vv""".stripMargin,
+
+    // q401: q20's cosine replay for the pool, pairwise sims among the
+    // pool, five unrolled greedy rounds via struct-min argmax.
+    "q401_mmr_rerank" -> q401OracleSql,
 
     // q396: labeled multi-source BFS as a recursive CTE (UNION
     // dedups, min(hops) recovers first-visit), then Σ 1e6 // hops.

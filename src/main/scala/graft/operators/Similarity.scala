@@ -402,6 +402,72 @@ object Similarity {
           .as("ch_e6"))
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998) — the diversified-retrieval step between ANN recall and
+    * the final context window: greedily pick items that are RELEVANT
+    * to the query but NOT redundant with what's already picked,
+    *
+    *   mmr = (7·rel_e6 − 3·maxsim_e6) div 10        (λ = 0.7 pinned)
+    *
+    * with rel = cosine to the query and maxsim = max cosine to the
+    * already-selected set (0 for the first pick, pinned). Ties break
+    * on the lower candidate id; the truncating division rounds toward
+    * zero in both engines (mmr can go negative when redundancy
+    * dominates).
+    *
+    * Scale shape: relevance is the [[bruteForceTopK]] distributed scan
+    * (or any ANN stage) — the GREEDY phase runs on the poolK-bounded
+    * candidate set only: poolK² pairwise cosines (one tiny join) and a
+    * driver-side fold over ≤ 64 rows (the [[ExactQuantiles]]
+    * bounded-fetch pattern; selection is inherently sequential, and
+    * bounding the pool is what makes MMR tractable at ANY scale).
+    * Output: (pick_rank, cid, rel_e6, maxsim_e6, mmr_e6). */
+  def mmrRerankE6(corpus: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, poolK: Int, selectK: Int): DataFrame = {
+    require(poolK >= selectK && selectK >= 1 && poolK <= 64,
+      s"Similarity.mmrRerankE6: need 1 ≤ selectK ≤ poolK ≤ 64")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    VectorExpressions.register(spark)
+    val cand = bruteForceTopK(corpus,
+        corpus.where(col(idCol) === queryId), idCol, vecCol, poolK)
+      .select(col("cid"), col("score_e6").as("rel"))
+    val cvec = corpus.join(cand, corpus(idCol) === cand("cid"))
+      .select(col("cid"), col(vecCol).as("v"),
+        VectorExpressions.normSqE9Fast(col(vecCol)).as("nn"))
+    val pairs = cvec.select(col("cid").as("x"), col("v").as("xv"),
+        col("nn").as("xn"))
+      .join(cvec.select(col("cid").as("y"), col("v").as("yv"),
+        col("nn").as("yn")), col("x") < col("y"))
+      .withColumn("sim", round(graft.functions.VectorFunctions
+        .cosineFromE9(VectorExpressions.dotE9Fast(col("xv"), col("yv")),
+          col("xn"), col("yn")) * 1e6).cast("long"))
+      .select(col("x"), col("y"), col("sim"))
+    val candRows = cand.orderBy(col("cid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val simMap = pairs.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    def simOf(i: Long, j: Long): Long =
+      if (i < j) simMap.getOrElse((i, j), 0L)
+      else simMap.getOrElse((j, i), 0L)
+    var remaining = candRows.toVector
+    val sel = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long)]
+    var k = 1
+    while (k <= selectK && remaining.nonEmpty) {
+      val scored = remaining.map { case (cid, rel) =>
+        val ms = if (sel.isEmpty) 0L
+          else sel.iterator.map(s => simOf(cid, s._2)).max
+        ((7L * rel - 3L * ms) / 10L, cid, rel, ms)
+      }
+      val best = scored.minBy(t => (-t._1, t._2))
+      sel += ((k.toLong, best._2, best._3, best._4, best._1))
+      remaining = remaining.filterNot(_._1 == best._2)
+      k += 1
+    }
+    sel.toSeq.toDF("pick_rank", "cid", "rel_e6", "maxsim_e6", "mmr_e6")
+  }
+
   /** Deterministic ±1 hyperplane component signs, shared by the Spark plans
     * and the SQL-oracle rendering so both engines block identically. */
   def planeSigns(plane: Int, dims: Int): Array[Long] =

@@ -668,4 +668,48 @@ object Trend {
             s"(${maxLag + 1} * CAST(n AS DECIMAL(38,0)))")))
           .as("term_e12"))
   }
+
+  /** Trend/seasonal STRENGTH of a decomposed series (Wang, Smith &
+    * Hyndman 2006; the tsfeatures F_T/F_S): how much of the
+    * detrended/deseasonalized variation the remainder fails to
+    * explain,
+    *
+    *   F_T·1e6 = max(0, 1e6 − Var(R)·1e6 div Var(T+R))
+    *   F_S·1e6 = max(0, 1e6 − Var(R)·1e6 div Var(S+R))
+    *
+    * over the [[classicalDecompose]] output — the two-number "is there
+    * actually a trend / a weekly cycle here" summary a monitoring
+    * pipeline gates alerts on. Variances are cleared-denominator exact
+    * DECIMAL numerators (the q376 identity — the n² cancels in the
+    * ratio); one truncating division each, clamp at 0 via greatest
+    * (the ratio exceeds 1 when the remainder out-varies the
+    * component). NULL when the denominator variance is 0.
+    *
+    * Shape: ONE aggregate over the decomposed census per key. */
+  def seasonalStrengthE6(decomposed: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val base = decomposed.select(keyCols.map(col) ++ Seq(
+      col("remainder").as("r"),
+      (col("trend") + col("remainder")).as("u"),
+      (col("seasonal") + col("remainder")).as("s")): _*)
+    base.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("r")).as("sr"), sum(d(col("r")) * col("r")).as("qr"),
+        sum(col("u")).as("su"), sum(d(col("u")) * col("u")).as("qu"),
+        sum(col("s")).as("ss"), sum(d(col("s")) * col("s")).as("qs"))
+      .withColumn("__vr",
+        expr("n * qr - CAST(sr AS DECIMAL(38,0)) * sr"))
+      .withColumn("__vu",
+        expr("n * qu - CAST(su AS DECIMAL(38,0)) * su"))
+      .withColumn("__vs",
+        expr("n * qs - CAST(ss AS DECIMAL(38,0)) * ss"))
+      .select(keyCols.map(col) :+ col("n") :+
+        when(col("__vu") > 0L, greatest(lit(0L), expr(
+          "CAST(1000000 - __vr * 1000000 div __vu AS BIGINT)")))
+          .as("trend_strength_e6") :+
+        when(col("__vs") > 0L, greatest(lit(0L), expr(
+          "CAST(1000000 - __vr * 1000000 div __vs AS BIGINT)")))
+          .as("seasonal_strength_e6"): _*)
+  }
 }

@@ -182,4 +182,28 @@ class SimilaritySpec extends SparkSpec {
       "label").collect().head
     assert(g1.isNullAt(4))
   }
+
+  test("mmrRerankE6: redundancy demotes the near-duplicate; the mmr " +
+      "identity holds row by row") {
+    import spark.implicits._
+    // 0 = query (1,0); 1 identical (rel 1e6); 2 similar to both;
+    // 3 orthogonal (rel 0, diverse)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.8f, 0.6f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.mmrRerankE6(emb, "vec_id", "embedding",
+      queryId = 0L, poolK = 3, selectK = 3).orderBy("pick_rank")
+      .collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.head.getLong(2) == 1000000L) // identical vector
+    assert(rows.head.getLong(3) == 0L)       // first pick: maxsim 0
+    rows.foreach { r =>
+      val (rel, ms, mmr) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(mmr == (7L * rel - 3L * ms) / 10L)
+    }
+    // the diverse orthogonal pick carries negative MMR (redundancy-
+    // free but irrelevant), still selected last
+    assert(rows.last.getLong(4) <= 0L)
+  }
 }

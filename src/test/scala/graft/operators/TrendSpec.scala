@@ -377,4 +377,19 @@ class TrendSpec extends SparkSpec {
     assert(got(3L) == ((BigInt("-250000000000"), 500000L,
       BigInt("-250000000000"))))
   }
+
+  test("seasonalStrengthE6: perfect fit → 1e6; pure-noise series → 0") {
+    import spark.implicits._
+    val dec = Seq(
+      // g: remainder ≡ 0, trend and seasonal both vary → both 1e6
+      ("g", 10L, 1L, 0L), ("g", 20L, -1L, 0L), ("g", 30L, 1L, 0L),
+      // h: flat trend, zero seasonal, noisy remainder → both 0
+      ("h", 5L, 0L, 1L), ("h", 5L, 0L, -1L), ("h", 5L, 0L, 3L))
+      .toDF("g", "trend", "seasonal", "remainder")
+    val got = Trend.seasonalStrengthE6(dec, Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got("g") == ((1000000L, 1000000L)))
+    assert(got("h") == ((0L, 0L)))
+  }
 }
