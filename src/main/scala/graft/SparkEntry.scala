@@ -5475,6 +5475,69 @@ object SparkEntry {
       Similarity.mmrRerankE6(t(s, dir, "embeddings"), "vec_id",
         "embedding", queryId = 0L, poolK = 10, selectK = 5)),
 
+    // DerSimonian–Laird meta-analysis of the per-nation discount
+    // effect on quantity (Welch mean-difference effects + variances
+    // per stratum): fixed effect, Cochran's Q, the DL τ², and the
+    // random-effects pooled estimate — "combine the per-segment
+    // readouts into one number, heterogeneity-honest".
+    "q402_meta_analysis" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").cast("long")
+          .as("nat"))
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("nat"), (col("l_discount") > 0.05).as("tr"),
+          round(col("l_quantity")).cast("long").as("y"))
+      val dz = expr("CAST(0 AS DECIMAL(38,0))")
+      val arms = li.groupBy(col("nat"))
+        .agg(sum(when(col("tr"), 1L).otherwise(0L)).as("nt"),
+          sum(when(col("tr"), col("y")).otherwise(0L)).as("st"),
+          sum(when(col("tr"), expr("CAST(y AS DECIMAL(38,0)) * y"))
+            .otherwise(dz)).as("qt"),
+          sum(when(!col("tr"), 1L).otherwise(0L)).as("nc"),
+          sum(when(!col("tr"), col("y")).otherwise(0L)).as("sc"),
+          sum(when(!col("tr"), expr("CAST(y AS DECIMAL(38,0)) * y"))
+            .otherwise(dz)).as("qc"))
+        .where(col("nt") > 1L && col("nc") > 1L)
+        .withColumn("d_e6",
+          expr("st * 1000000 div nt - sc * 1000000 div nc"))
+        .withColumn("v_e12", expr(
+          """CAST((nt * qt - CAST(st AS DECIMAL(38,0)) * st)
+            | * 1000000000000
+            | div (CAST(nt AS DECIMAL(38,0)) * nt * (nt - 1)) AS BIGINT)
+            |+ CAST((nc * qc - CAST(sc AS DECIMAL(38,0)) * sc)
+            | * 1000000000000
+            | div (CAST(nc AS DECIMAL(38,0)) * nc * (nc - 1)) AS BIGINT)"""
+            .stripMargin))
+      operators.MetaAnalysis.derSimonianLairdE6(arms, col("d_e6"),
+        col("v_e12"))
+    }),
+
+    // Youden-J optimal threshold for "discount level predicts return"
+    // — the full ROC-census cut table with the J-maximizing threshold
+    // marked; the "where do we actually cut" companion to the AUC.
+    "q403_youden" -> ((s, dir) =>
+      operators.EvalCurves.youdenTableE6(t(s, dir, "lineitem"),
+        round(col("l_discount") * 100).cast("long"),
+        col("l_returnflag") === "R")),
+
+    // Luhn extractive summarization (simplified density form): each
+    // document's most significant-word-dense sentence, significance =
+    // the mid-band of the corpus frequency spectrum — the cheap
+    // self-summary a curation pipeline attaches to every doc.
+    "q404_luhn_summary" -> ((s, dir) =>
+      operators.Summarize.luhnBest(t(s, dir, "documents"), "doc_id",
+        "text", minFreq = 10L, maxFreq = 1000L)),
+
+    // Win ratio (Pocock) for the hierarchical composite endpoint
+    // (primary: returned; secondary: quantity) between discounted and
+    // undiscounted order-lines — pairwise preference counts from
+    // censuses, never materialized pairs.
+    "q405_win_ratio" -> ((s, dir) =>
+      decStr(operators.Preference.winRatioE6(t(s, dir, "lineitem"),
+        col("l_discount") > 0.05, col("l_returnflag") === "R",
+        round(col("l_quantity")).cast("long")))),
+
     // Winnowing fingerprint sharing (Schleimer et al. 2003 — MOSS's
     // selection rule): word-3-gram Karp–Rabin+splitmix hashes, window-4
     // minima with rightmost ties via ONE struct-min aggregate (no
@@ -14916,6 +14979,150 @@ object SparkEntry {
     // q401: q20's cosine replay for the pool, pairwise sims among the
     // pool, five unrolled greedy rounds via struct-min argmax.
     "q401_mmr_rerank" -> q401OracleSql,
+
+    // q402: the whole DL chain replayed — HUGEINT weights (up to 1e24,
+    // hence never BIGINT), // quotients matching the operator's
+    // positive floor identity, greatest-0 τ² clamp.
+    "q402_meta_analysis" ->
+      """WITH li AS (SELECT CAST(s_nationkey AS BIGINT) AS nat,
+        |  l_discount > 0.05 AS tr, CAST(round(l_quantity) AS BIGINT)
+        |   AS y
+        | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+        |arms AS (SELECT nat,
+        |  CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |  CAST(sum(CASE WHEN tr THEN y ELSE 0 END) AS BIGINT) AS st,
+        |  sum(CASE WHEN tr THEN CAST(y AS HUGEINT) * y
+        |   ELSE CAST(0 AS HUGEINT) END) AS qt,
+        |  CAST(sum(CASE WHEN tr THEN 0 ELSE 1 END) AS BIGINT) AS nc,
+        |  CAST(sum(CASE WHEN tr THEN 0 ELSE y END) AS BIGINT) AS sc,
+        |  sum(CASE WHEN tr THEN CAST(0 AS HUGEINT)
+        |   ELSE CAST(y AS HUGEINT) * y END) AS qc
+        | FROM li GROUP BY 1),
+        |eff AS (SELECT nat,
+        |  st * 1000000 // nt - sc * 1000000 // nc AS d,
+        |  CAST((nt * qt - CAST(st AS HUGEINT) * st) * 1000000000000
+        |   // (CAST(nt AS HUGEINT) * nt * (nt - 1)) AS BIGINT)
+        |  + CAST((nc * qc - CAST(sc AS HUGEINT) * sc) * 1000000000000
+        |   // (CAST(nc AS HUGEINT) * nc * (nc - 1)) AS BIGINT) AS v
+        | FROM arms WHERE nt > 1 AND nc > 1),
+        |good AS (SELECT d, v,
+        |  CAST(1000000000000 AS HUGEINT) * 1000000000000 // v AS w
+        | FROM eff WHERE v > 0),
+        |drop0 AS (SELECT CAST(coalesce(sum(CASE WHEN v <= 0 THEN 1
+        |  ELSE 0 END), 0) AS BIGINT) AS k_dropped FROM eff),
+        |fix AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  sum(w * d) AS swd, sum(w) AS sw, sum(w * w) AS sww
+        | FROM good),
+        |f2 AS (SELECT k, sw, sww,
+        |  CAST(swd // sw AS BIGINT) AS fixed_e6 FROM fix),
+        |qq AS (SELECT CAST(sum(w * (d - fixed_e6) * (d - fixed_e6))
+        |  // 1000000000000000000 AS BIGINT) AS q_e6
+        | FROM good, f2),
+        |tt AS (SELECT k, fixed_e6, q_e6,
+        |  greatest(CAST(0 AS BIGINT),
+        |   CAST(CAST(q_e6 - (k - 1) * 1000000 AS HUGEINT)
+        |    * 1000000000000 * 1000000
+        |    // (sw - sww // sw) AS BIGINT)) AS tau2_e12
+        | FROM f2, qq),
+        |rnd AS (SELECT CAST(sum(w2 * d) // sum(w2) AS BIGINT)
+        |  AS random_e6
+        | FROM (SELECT g.d, CAST(1000000000000 AS HUGEINT)
+        |   * 1000000000000 // (CAST(g.v AS HUGEINT) + tt.tau2_e12)
+        |   AS w2 FROM good g, tt))
+        |SELECT k, k_dropped, fixed_e6, q_e6, tau2_e12, random_e6
+        |FROM tt, drop0, rnd""".stripMargin,
+
+    // q403: descending ROC-census windows; best-J by struct-min
+    // (−j, t) — lower threshold wins ties.
+    "q403_youden" ->
+      """WITH b AS (SELECT CAST(round(l_discount * 100) AS BIGINT) AS t,
+        |  l_returnflag = 'R' AS p FROM lineitem),
+        |census AS (SELECT t,
+        |  CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |  CAST(sum(CASE WHEN p THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        | FROM b GROUP BY 1),
+        |cum AS (SELECT t, np, nn,
+        |  sum(np) OVER wge AS tp, sum(nn) OVER wge AS fp,
+        |  sum(np) OVER () AS pp, sum(nn) OVER () AS nneg
+        | FROM census WINDOW wge AS (ORDER BY t DESC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |j AS (SELECT t, CAST(tp AS BIGINT) AS tp,
+        |  CAST(fp AS BIGINT) AS fp,
+        |  CAST(tp * 1000000 // pp AS BIGINT) AS tpr_e6,
+        |  CAST(fp * 1000000 // nneg AS BIGINT) AS fpr_e6
+        | FROM cum WHERE pp > 0 AND nneg > 0),
+        |jj AS (SELECT *, tpr_e6 - fpr_e6 AS j_e6 FROM j),
+        |bb AS (SELECT min(struct_pack(nj := -j_e6, t := t)) AS b
+        | FROM jj)
+        |SELECT jj.t, tp, fp, tpr_e6, fpr_e6, j_e6,
+        | (j_e6 = -(bb.b.nj) AND jj.t = bb.b.t) AS is_best
+        |FROM jj, bb""".stripMargin,
+
+    // q404: frequency band-pass significance set, sentence split with
+    // aligned 0-based indices, struct-min argmax per doc.
+    "q404_luhn_summary" ->
+      """WITH wf AS (SELECT w, count(*) AS f FROM (
+        |  SELECT unnest(list_filter(regexp_split_to_array(
+        |   trim(lower(text)), '\s+'), x -> length(x) > 0)) AS w
+        |  FROM documents) GROUP BY 1),
+        |sig AS (SELECT w FROM wf WHERE f BETWEEN 10 AND 1000),
+        |sa AS (SELECT doc_id,
+        |  regexp_split_to_array(text, '\.') AS arr FROM documents),
+        |sent AS (SELECT doc_id, i - 1 AS sidx,
+        |  unnest(list_filter(regexp_split_to_array(
+        |   trim(lower(arr[i])), '\s+'), x -> length(x) > 0)) AS w
+        | FROM sa, LATERAL (SELECT unnest(
+        |   generate_series(1, len(arr))) AS i) ix),
+        |sc AS (SELECT doc_id, sidx,
+        |  CAST(count(*) AS BIGINT) AS nwords,
+        |  CAST(sum(CASE WHEN sig.w IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS nsig
+        | FROM sent LEFT JOIN sig ON sig.w = sent.w
+        | GROUP BY 1, 2),
+        |sc2 AS (SELECT doc_id, sidx, nsig, nwords,
+        |  nsig * nsig * 1000000 // nwords AS score FROM sc),
+        |best AS (SELECT doc_id, min(struct_pack(ns := -score,
+        |  sidx := CAST(sidx AS BIGINT), nsig := nsig,
+        |  nw := nwords)) AS b
+        | FROM sc2 GROUP BY 1)
+        |SELECT doc_id, b.sidx AS best_sidx, b.nsig AS nsig,
+        | b.nw AS nwords, -(b.ns) AS score_e6
+        |FROM best""".stripMargin,
+
+    // q405: (bad, secondary) cell censuses per arm, census×census
+    // pair mass in HUGEINT.
+    "q405_win_ratio" ->
+      """WITH b AS (SELECT l_discount > 0.05 AS tr,
+        |  l_returnflag = 'R' AS bad,
+        |  CAST(round(l_quantity) AS BIGINT) AS sec FROM lineitem),
+        |cells AS (SELECT tr, bad, sec, CAST(count(*) AS BIGINT) AS n
+        | FROM b GROUP BY 1, 2, 3),
+        |t AS (SELECT bad AS tb, sec AS ts, n AS nt FROM cells
+        | WHERE tr),
+        |c AS (SELECT bad AS cb, sec AS cs, n AS nc FROM cells
+        | WHERE NOT tr),
+        |ag AS (SELECT
+        |  coalesce(sum(CASE WHEN (NOT tb AND cb)
+        |    OR (tb = cb AND ts > cs)
+        |   THEN CAST(nt AS HUGEINT) * nc END), 0) AS wins,
+        |  coalesce(sum(CASE WHEN (tb AND NOT cb)
+        |    OR (tb = cb AND ts < cs)
+        |   THEN CAST(nt AS HUGEINT) * nc END), 0) AS losses,
+        |  coalesce(sum(CASE WHEN tb = cb AND ts = cs
+        |   THEN CAST(nt AS HUGEINT) * nc END), 0) AS ties
+        | FROM t, c),
+        |nt2 AS (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT)
+        |  AS n_treated FROM t),
+        |nc2 AS (SELECT CAST(coalesce(sum(nc), 0) AS BIGINT)
+        |  AS n_control FROM c)
+        |SELECT n_treated, n_control,
+        | CAST(CAST(wins AS DECIMAL(38,0)) AS VARCHAR) AS wins,
+        | CAST(CAST(losses AS DECIMAL(38,0)) AS VARCHAR) AS losses,
+        | CAST(CAST(ties AS DECIMAL(38,0)) AS VARCHAR) AS ties,
+        | CASE WHEN losses > 0 THEN
+        |  CAST(wins * 1000000 // losses AS BIGINT)
+        | END AS win_ratio_e6
+        |FROM ag, nt2, nc2""".stripMargin,
 
     // q396: labeled multi-source BFS as a recursive CTE (UNION
     // dedups, min(hops) recovers first-visit), then Σ 1e6 // hops.

@@ -221,4 +221,51 @@ object EvalCurves {
           .stripMargin))
       .select(col("item"), col("wins"), col("trials"), col("wilson_lb_e6"))
   }
+
+  /** Youden-J optimal threshold table (Youden 1950) over a
+    * bounded-domain integer score — the "where do we actually cut"
+    * companion to the q171 AUC: per candidate threshold t (classify
+    * positive when score ≥ t),
+    *
+    *   tpr_e6 = tp·1e6 div P,  fpr_e6 = fp·1e6 div N,
+    *   j_e6 = tpr_e6 − fpr_e6
+    *
+    * with `is_best` marking the J-maximizing threshold (ties → LOWER
+    * threshold, pinned — the more sensitive cut). Exact integers; the
+    * cumulative tp/fp come from descending windows over the score
+    * census ([[Census.guardLong]]-guarded bounded-domain contract,
+    * same as every ROC-census operator here).
+    *
+    * Scale shape: ONE hash aggregate to the score census; windows and
+    * the argmax run census-side. */
+  def youdenTableE6(df: DataFrame, score: Column,
+      positive: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val census = df.select(score.cast("long").as("t"),
+        positive.cast("boolean").as("p"))
+      .where(col("t").isNotNull && col("p").isNotNull)
+      .groupBy(col("t"))
+      .agg(sum(when(col("p"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("p"), 1L).otherwise(0L)).as("nn"))
+    val wGe = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    census
+      .withColumn("tp", Census.guardLong(sum(col("np")).over(wGe),
+        count(lit(1)).over(whole), "EvalCurves.youdenTableE6"))
+      .withColumn("fp", sum(col("nn")).over(wGe))
+      .withColumn("__P", sum(col("np")).over(whole))
+      .withColumn("__N", sum(col("nn")).over(whole))
+      .where(col("__P") > 0L && col("__N") > 0L)
+      .withColumn("tpr_e6", expr("tp * 1000000 div __P"))
+      .withColumn("fpr_e6", expr("fp * 1000000 div __N"))
+      .withColumn("j_e6", col("tpr_e6") - col("fpr_e6"))
+      .withColumn("__b",
+        min(struct((-col("j_e6")).as("nj"), col("t"))).over(whole))
+      .select(col("t"), col("tp"), col("fp"), col("tpr_e6"),
+        col("fpr_e6"), col("j_e6"),
+        (col("j_e6") === -col("__b.nj") && col("t") === col("__b.t"))
+          .as("is_best"))
+  }
 }

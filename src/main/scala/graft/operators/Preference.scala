@@ -570,4 +570,60 @@ object Preference {
     items.unpersist()
     out
   }
+
+  /** Win ratio for hierarchical composite endpoints (Pocock et al.
+    * 2012): every treated×control pair compares first on the PRIMARY
+    * outcome (bad event: treated wins iff only the control had it),
+    * falling through to the SECONDARY integer outcome on primary
+    * ties — the clinical-trials shape that maps directly onto
+    * preference data (primary = hard fail, secondary = graded score).
+    *
+    *   win_ratio_e6 = wins·1e6 div losses    (NULL when losses = 0)
+    *
+    * The nt·nc pairwise counts NEVER materialize pairs: both arms
+    * collapse to (bad, secondary) cell censuses (bounded by the
+    * outcome domains — the caller buckets a continuous secondary),
+    * and the census×census join carries domain², not data². Products
+    * widen to DECIMAL(38,0); counts are emitted exactly so the
+    * consumer can re-derive any ratio.
+    *
+    * Output one row: (n_treated, n_control, wins, losses, ties,
+    * win_ratio_e6 — counts DECIMAL). */
+  def winRatioE6(df: DataFrame, treated: Column, primaryBad: Column,
+      secondary: Column): DataFrame = {
+    val cells = df.select(treated.cast("boolean").as("tr"),
+        primaryBad.cast("boolean").as("bad"),
+        secondary.cast("long").as("sec"))
+      .where(col("tr").isNotNull && col("bad").isNotNull &&
+        col("sec").isNotNull)
+      .groupBy(col("tr"), col("bad"), col("sec"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // both arms read the census
+    val t = cells.where(col("tr")).select(col("bad").as("tb"),
+      col("sec").as("ts"), col("n").as("nt"))
+    val c = cells.where(!col("tr")).select(col("bad").as("cb"),
+      col("sec").as("cs"), col("n").as("nc"))
+    val d = (x: Column) => x.cast("decimal(38,0)")
+    val zero = lit(0).cast("decimal(38,0)")
+    t.crossJoin(c)
+      .agg(
+        coalesce(sum(when((!col("tb") && col("cb")) ||
+            (col("tb") === col("cb") && col("ts") > col("cs")),
+          d(col("nt")) * col("nc"))), zero).as("wins"),
+        coalesce(sum(when((col("tb") && !col("cb")) ||
+            (col("tb") === col("cb") && col("ts") < col("cs")),
+          d(col("nt")) * col("nc"))), zero).as("losses"),
+        coalesce(sum(when(col("tb") === col("cb") &&
+            col("ts") === col("cs"),
+          d(col("nt")) * col("nc"))), zero).as("ties"))
+      .crossJoin(broadcast(
+        t.agg(coalesce(sum(col("nt")), lit(0L)).as("n_treated"))))
+      .crossJoin(broadcast(
+        c.agg(coalesce(sum(col("nc")), lit(0L)).as("n_control"))))
+      .select(col("n_treated"), col("n_control"), col("wins"),
+        col("losses"), col("ties"),
+        when(col("losses") > 0L,
+          expr("CAST(wins * 1000000 div losses AS BIGINT)"))
+          .as("win_ratio_e6"))
+  }
 }

@@ -93,4 +93,25 @@ class EvalCurvesSpec extends SparkSpec {
     // the point of the lower bound: 1/1 must NOT outrank 90/100
     assert(got("one") < got("ninety"))
   }
+
+  test("youdenTableE6: hand ROC census; J ties break to the lower " +
+      "threshold") {
+    import spark.implicits._
+    // score 2: 4 pos / 1 neg; score 1: 1 pos / 4 neg → J best at t=2
+    val df = (Seq.fill(4)((2L, true)) ++ Seq((2L, false)) ++
+      Seq((1L, true)) ++ Seq.fill(4)((1L, false))).toDF("s", "p")
+    val got = EvalCurves.youdenTableE6(df, col("s"), col("p"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))))
+      .toMap
+    assert(got(2L) == ((800000L, 200000L, 600000L, true)))
+    assert(got(1L) == ((1000000L, 1000000L, 0L, false)))
+
+    // uniform: every threshold has J = 0 → best is the LOWEST t
+    val flat = (Seq((2L, true), (2L, false), (1L, true), (1L, false)))
+      .toDF("s", "p")
+    val f = EvalCurves.youdenTableE6(flat, col("s"), col("p"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(f(1L) && !f(2L))
+  }
 }

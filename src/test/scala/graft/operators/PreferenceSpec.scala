@@ -323,4 +323,28 @@ class PreferenceSpec extends SparkSpec {
       col("l")).collect().head
     assert(r.isNullAt(5))
   }
+
+  test("winRatioE6: hand pairwise census — hierarchy falls through " +
+      "to the secondary on primary ties") {
+    import spark.implicits._
+    // treated: (ok,5)×2, (bad,1); control: (ok,3), (bad,9)
+    // 6 pairs → wins 4 (2 secondary + 2 primary), losses 2, ties 0
+    val df = (Seq.fill(2)((true, false, 5L)) :+ ((true, true, 1L)) :+
+      ((false, false, 3L)) :+ ((false, true, 9L)))
+      .toDF("tr", "bad", "sec")
+    val got = Preference.winRatioE6(df, col("tr"), col("bad"),
+      col("sec")).collect().head
+    assert((got.getLong(0), got.getLong(1)) == ((3L, 2L)))
+    assert(BigInt(got.getDecimal(2).toBigInteger) == 4)
+    assert(BigInt(got.getDecimal(3).toBigInteger) == 2)
+    assert(BigInt(got.getDecimal(4).toBigInteger) == 0)
+    assert(got.getLong(5) == 2000000L)
+
+    // all-win arm: losses 0 → NULL ratio, never infinity
+    val aw = Seq((true, false, 9L), (false, true, 1L)).toDF("tr",
+      "bad", "sec")
+    val g2 = Preference.winRatioE6(aw, col("tr"), col("bad"),
+      col("sec")).collect().head
+    assert(g2.isNullAt(5))
+  }
 }
