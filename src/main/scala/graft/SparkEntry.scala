@@ -5538,6 +5538,87 @@ object SparkEntry {
         col("l_discount") > 0.05, col("l_returnflag") === "R",
         round(col("l_quantity")).cast("long")))),
 
+    // Cox score test at β = 0 over the q319 view→purchase survival
+    // frame with an integer user-tier covariate (user_id mod 5): does
+    // the tier SHIFT the conversion hazard — the log-rank trend test,
+    // covariate-valued.
+    "q406_cox_score" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("event_type"),
+        col("ts_ms"))
+      val v = e.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("v_ts"))
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("ts_ms").as("p_ts"))
+      val firstP = v.join(p,
+          col("user_id") === col("p_uid") && col("p_ts") >= col("v_ts"),
+          "left")
+        .groupBy(col("user_id"), col("v_ts"))
+        .agg(min(col("p_ts")).as("p_ts"))
+      val endDf = e.agg(max(col("ts_ms")).as("end_ts"))
+      val subj = firstP.crossJoin(broadcast(endDf))
+        .select(col("user_id"),
+          when(col("p_ts").isNotNull,
+            expr("(p_ts - v_ts) div 3600000"))
+            .otherwise(expr("(end_ts - v_ts) div 3600000")).as("dur_h"),
+          col("p_ts").isNotNull.as("obs"))
+      decStr(operators.Survival.coxScoreTest(subj, col("dur_h"),
+        col("obs"), pmod(col("user_id"), lit(5L))))
+    }),
+
+    // Gehan–Wilcoxon weighted log-rank on the same frame/groups as
+    // q319: risk-set-size weights make EARLY curve separation count
+    // for more — the companion readout when hazards cross late.
+    "q407_gehan_wilcoxon" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("event_type"),
+        col("ts_ms"))
+      val v = e.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("v_ts"))
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("ts_ms").as("p_ts"))
+      val firstP = v.join(p,
+          col("user_id") === col("p_uid") && col("p_ts") >= col("v_ts"),
+          "left")
+        .groupBy(col("user_id"), col("v_ts"))
+        .agg(min(col("p_ts")).as("p_ts"))
+      val endDf = e.agg(max(col("ts_ms")).as("end_ts"))
+      val subj = firstP.crossJoin(broadcast(endDf))
+        .select(col("user_id"),
+          when(col("p_ts").isNotNull,
+            expr("(p_ts - v_ts) div 3600000"))
+            .otherwise(expr("(end_ts - v_ts) div 3600000")).as("dur_h"),
+          col("p_ts").isNotNull.as("obs"))
+      decStr(operators.Survival.gehanWilcoxon(subj, col("dur_h"),
+        col("obs"), col("user_id") % 2 === 0))
+    }),
+
+    // Restricted mean survival time to τ = 168 h (one week) on the
+    // q214 frame: average conversion-free hours in the first week —
+    // the robust effect measure when proportional hazards fail; the
+    // KM product folds driver-side over the guarded hour census, the
+    // oracle replays it as a recursive CTE.
+    "q408_rmst" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("event_type"),
+        col("ts_ms"))
+      val v = e.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("v_ts"))
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("ts_ms").as("p_ts"))
+      val firstP = v.join(p,
+          col("user_id") === col("p_uid") && col("p_ts") >= col("v_ts"),
+          "left")
+        .groupBy(col("user_id"), col("v_ts"))
+        .agg(min(col("p_ts")).as("p_ts"))
+      val endDf = e.agg(max(col("ts_ms")).as("end_ts"))
+      val subj = firstP.crossJoin(broadcast(endDf))
+        .select(
+          when(col("p_ts").isNotNull,
+            expr("(p_ts - v_ts) div 3600000"))
+            .otherwise(expr("(end_ts - v_ts) div 3600000")).as("dur_h"),
+          col("p_ts").isNotNull.as("obs"))
+      operators.Survival.restrictedMeanSurvival(subj, col("dur_h"),
+        col("obs"), tau = 168L)
+    }),
+
     // Winnowing fingerprint sharing (Schleimer et al. 2003 — MOSS's
     // selection rule): word-3-gram Karp–Rabin+splitmix hashes, window-4
     // minima with rightmost ties via ONE struct-min aggregate (no
@@ -15123,6 +15204,158 @@ object SparkEntry {
         |  CAST(wins * 1000000 // losses AS BIGINT)
         | END AS win_ratio_e6
         |FROM ag, nt2, nc2""".stripMargin,
+
+    // q406: risk-set covariate moments via descending census windows;
+    // hypergeometric score terms per event time.
+    "q406_cox_score" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events),
+        |v AS (SELECT user_id, min(ts_ms) AS v_ts FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |fp AS (SELECT v.user_id, v.v_ts, min(p.ts_ms) AS p_ts
+        | FROM v LEFT JOIN e p ON p.user_id = v.user_id
+        |  AND p.event_type = 'purchase' AND p.ts_ms >= v.v_ts
+        | GROUP BY 1, 2),
+        |endt AS (SELECT max(ts_ms) AS end_ts FROM e),
+        |subj AS (SELECT CASE WHEN p_ts IS NOT NULL
+        |   THEN (p_ts - v_ts) // 3600000
+        |   ELSE (end_ts - v_ts) // 3600000 END AS t,
+        |  p_ts IS NOT NULL AS obs,
+        |  CAST(user_id % 5 AS BIGINT) AS x
+        | FROM fp CROSS JOIN endt),
+        |perT AS (SELECT t, count(*) AS n_at,
+        |  CAST(sum(x) AS BIGINT) AS sx_at,
+        |  sum(CAST(x AS HUGEINT) * x) AS sxx_at,
+        |  sum(CASE WHEN obs THEN 1 ELSE 0 END) AS d,
+        |  CAST(sum(CASE WHEN obs THEN x ELSE 0 END) AS BIGINT) AS sxd
+        | FROM subj GROUP BY 1),
+        |cum AS (SELECT t, d, sxd,
+        |  sum(n_at) OVER w AS n, sum(sx_at) OVER w AS sx,
+        |  sum(sxx_at) OVER w AS sxx
+        | FROM perT WINDOW w AS (ORDER BY t DESC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |terms AS (SELECT d, sxd,
+        |  sxd * 1000000000 - CAST(CAST(d AS HUGEINT) * sx
+        |   * 1000000000 // n AS BIGINT) AS u_e9,
+        |  CASE WHEN n > 1 THEN
+        |   CAST(d AS HUGEINT) * (n * sxx - CAST(sx AS HUGEINT) * sx)
+        |    * (n - d) * 1000000000000
+        |    // (CAST(n AS HUGEINT) * n * (n - 1))
+        |  ELSE CAST(0 AS HUGEINT) END AS v_e12
+        | FROM cum WHERE d > 0),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_times,
+        |  CAST(sum(sxd) AS BIGINT) AS o_sxd,
+        |  CAST(sum(u_e9) AS BIGINT) AS u_e9,
+        |  sum(v_e12) AS var_e12 FROM terms)
+        |SELECT n_times, o_sxd, u_e9,
+        | CAST(CAST(var_e12 AS DECIMAL(38,0)) AS VARCHAR) AS var_e12,
+        | CASE WHEN var_e12 > 0 THEN
+        |  CAST(CAST(u_e9 AS HUGEINT) * u_e9 // var_e12 AS BIGINT)
+        | END AS chi2_e6,
+        | coalesce(CASE WHEN var_e12 > 0 THEN
+        |  CAST(CAST(u_e9 AS HUGEINT) * u_e9 // var_e12 AS BIGINT)
+        | END > 3841458, false) AS significant_95
+        |FROM agg""".stripMargin,
+
+    // q407: the q319 per-time terms, n-weighted before summation
+    // (pinned order: truncate per term, then weight).
+    "q407_gehan_wilcoxon" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events),
+        |v AS (SELECT user_id, min(ts_ms) AS v_ts FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |fp AS (SELECT v.user_id, v.v_ts, min(p.ts_ms) AS p_ts
+        | FROM v LEFT JOIN e p ON p.user_id = v.user_id
+        |  AND p.event_type = 'purchase' AND p.ts_ms >= v.v_ts
+        | GROUP BY 1, 2),
+        |endt AS (SELECT max(ts_ms) AS end_ts FROM e),
+        |subj AS (SELECT CASE WHEN p_ts IS NOT NULL
+        |   THEN (p_ts - v_ts) // 3600000
+        |   ELSE (end_ts - v_ts) // 3600000 END AS t,
+        |  p_ts IS NOT NULL AS obs, user_id % 2 = 0 AS g1
+        | FROM fp CROSS JOIN endt),
+        |perT AS (SELECT t,
+        |  sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS a1,
+        |  sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS a2,
+        |  sum(CASE WHEN g1 AND obs THEN 1 ELSE 0 END) AS d1,
+        |  sum(CASE WHEN NOT g1 AND obs THEN 1 ELSE 0 END) AS d2
+        | FROM subj GROUP BY t),
+        |risk AS (SELECT t, d1, d2,
+        |  sum(a1) OVER w AS n1, sum(a2) OVER w AS n2
+        | FROM perT WINDOW w AS (ORDER BY t DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |terms AS (SELECT d1, d1 + d2 AS d, n1, n2, n1 + n2 AS n
+        | FROM risk WHERE d1 + d2 > 0),
+        |tt AS (SELECT d1, n,
+        |  d * n1 * 1000000000 // n AS e1_e9,
+        |  CASE WHEN n > 1 THEN CAST(CAST(n1 AS HUGEINT) * n2 * d
+        |    * (n - d) * 1000000000000
+        |    // (CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT)
+        |   ELSE 0 END AS v_e12
+        | FROM terms),
+        |agg AS (SELECT sum(CAST(n AS HUGEINT) * d1) AS o_w,
+        |  sum(CAST(n AS HUGEINT) * e1_e9) AS e_w_e9,
+        |  sum(CAST(n AS HUGEINT) * n * v_e12) AS v_w_e12 FROM tt)
+        |SELECT CAST(CAST(o_w AS DECIMAL(38,0)) AS VARCHAR) AS o_w,
+        | CAST(CAST(e_w_e9 AS DECIMAL(38,0)) AS VARCHAR) AS e_w_e9,
+        | CAST(CAST(v_w_e12 AS DECIMAL(38,0)) AS VARCHAR) AS v_w_e12,
+        | CASE WHEN v_w_e12 > 0 THEN
+        |  CAST((o_w * 1000000000 - e_w_e9)
+        |   * (o_w * 1000000000 - e_w_e9) // v_w_e12 AS BIGINT)
+        | END AS chi2_e6,
+        | coalesce(CASE WHEN v_w_e12 > 0 THEN
+        |  CAST((o_w * 1000000000 - e_w_e9)
+        |   * (o_w * 1000000000 - e_w_e9) // v_w_e12 AS BIGINT)
+        | END > 3841458, false) AS significant_95
+        |FROM agg""".stripMargin,
+
+    // q408: the KM product recurrence as a recursive CTE over the
+    // ranked hour census, RMST accumulating pre-update S per step.
+    "q408_rmst" ->
+      """WITH RECURSIVE e AS (SELECT user_id, event_type,
+        |  CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events),
+        |v AS (SELECT user_id, min(ts_ms) AS v_ts FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |fp AS (SELECT v.user_id, v.v_ts, min(p.ts_ms) AS p_ts
+        | FROM v LEFT JOIN e p ON p.user_id = v.user_id
+        |  AND p.event_type = 'purchase' AND p.ts_ms >= v.v_ts
+        | GROUP BY 1, 2),
+        |endt AS (SELECT max(ts_ms) AS end_ts FROM e),
+        |subj AS (SELECT CASE WHEN p_ts IS NOT NULL
+        |   THEN (p_ts - v_ts) // 3600000
+        |   ELSE (end_ts - v_ts) // 3600000 END AS t,
+        |  p_ts IS NOT NULL AS obs
+        | FROM fp CROSS JOIN endt),
+        |perT AS (SELECT t, count(*) AS n_at,
+        |  sum(CASE WHEN obs THEN 1 ELSE 0 END) AS d
+        | FROM subj GROUP BY 1),
+        |rk AS (SELECT t, n_at, d,
+        |  row_number() OVER (ORDER BY t) AS r,
+        |  sum(n_at) OVER (ORDER BY t DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        | FROM perT),
+        |walk(r, s, rm, lastt) AS (
+        | SELECT CAST(0 AS BIGINT), CAST(1000000 AS HUGEINT),
+        |  CAST(0 AS HUGEINT), CAST(0 AS BIGINT)
+        | UNION ALL
+        | SELECT rk.r,
+        |  CASE WHEN rk.d > 0 AND rk.t <= 168
+        |   THEN w.s * (rk.n_risk - rk.d) // rk.n_risk ELSE w.s END,
+        |  w.rm + CASE WHEN w.lastt < 168
+        |   THEN w.s * (least(rk.t, 168) - w.lastt)
+        |   ELSE CAST(0 AS HUGEINT) END,
+        |  CASE WHEN w.lastt < 168 THEN least(rk.t, 168)
+        |   ELSE w.lastt END
+        | FROM walk w JOIN rk ON rk.r = w.r + 1),
+        |lastw AS (SELECT * FROM walk ORDER BY r DESC LIMIT 1),
+        |tot AS (SELECT CAST(sum(n_at) AS BIGINT) AS n_subjects,
+        |  CAST(sum(CASE WHEN t <= 168 THEN d ELSE 0 END) AS BIGINT)
+        |   AS n_events_le_tau FROM perT)
+        |SELECT CAST(168 AS BIGINT) AS tau, n_subjects,
+        | n_events_le_tau, CAST(l.s AS BIGINT) AS s_tau_e6,
+        | CAST(l.rm + CASE WHEN l.lastt < 168
+        |  THEN l.s * (168 - l.lastt) ELSE 0 END AS BIGINT) AS rmst_e6
+        |FROM lastw l, tot""".stripMargin,
 
     // q396: labeled multi-source BFS as a recursive CTE (UNION
     // dedups, min(hops) recovers first-visit), then Σ 1e6 // hops.

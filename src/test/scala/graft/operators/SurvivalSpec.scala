@@ -90,4 +90,53 @@ class SurvivalSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("time census exceeds"))
   }
+
+  test("coxScoreTest: hand risk-set covariate moments") {
+    import spark.implicits._
+    // A(t1, event, x=2), B(t1, cens, x=0), C(t2, event, x=1)
+    val subj = Seq((1L, true, 2L), (1L, false, 0L), (2L, true, 1L))
+      .toDF("t", "obs", "x")
+    val r = Survival.coxScoreTest(subj, col("t"), col("obs"),
+      col("x")).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L)
+    // t1: u = 2e9 − 3·1e9/3 = 1e9, v = 6·2·1e12/18; t2: u = 0, v = 0
+    assert(r.getLong(2) == 1000000000L)
+    assert(BigInt(r.getDecimal(3).toBigInteger) ==
+      BigInt("666666666666"))
+    assert(r.getLong(4) == (BigInt("1000000000000000000") /
+      BigInt("666666666666")).toLong)
+  }
+
+  test("gehanWilcoxon: n-weighted log-rank matches the BigInt mirror") {
+    import spark.implicits._
+    // g1: (1, event), (2, cens); g2: (1, event), (2, event)
+    val subj = Seq((1L, true, true), (2L, false, true),
+      (1L, true, false), (2L, true, false)).toDF("t", "obs", "g1")
+    val r = Survival.gehanWilcoxon(subj, col("t"), col("obs"),
+      col("g1")).collect().head
+    assert(BigInt(r.getDecimal(0).toBigInteger) == 4)   // o_w
+    assert(BigInt(r.getDecimal(1).toBigInteger) ==
+      BigInt("5000000000"))                              // e_w_e9
+    val vw = BigInt(16) * 333333333333L + BigInt(4) * 250000000000L
+    assert(BigInt(r.getDecimal(2).toBigInteger) == vw)
+    val diff = BigInt(4) * 1000000000 - BigInt("5000000000")
+    assert(r.getLong(3) == (diff * diff / vw).toLong)
+  }
+
+  test("restrictedMeanSurvival: hand KM area with the horizon cut") {
+    import spark.implicits._
+    val subj = Seq((1L, true), (2L, false), (3L, true)).toDF("t", "o")
+    val r = Survival.restrictedMeanSurvival(subj, col("t"), col("o"),
+      tau = 2L).collect().head
+    // S drops to 2/3 at t=1; area = 1e6·1 + 666666·1 = 1_666_666
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 3L, 1L)))
+    assert(r.getLong(3) == 666666L)
+    assert(r.getLong(4) == 1666666L)
+
+    // curve outliving τ: no events → RMST = τ·1e6 exactly
+    val cens = Seq((5L, false), (6L, false)).toDF("t", "o")
+    val c = Survival.restrictedMeanSurvival(cens, col("t"), col("o"),
+      tau = 3L).collect().head
+    assert(c.getLong(3) == 1000000L && c.getLong(4) == 3000000L)
+  }
 }
