@@ -5619,6 +5619,51 @@ object SparkEntry {
         col("obs"), tau = 168L)
     }),
 
+    // Fleiss' kappa over the supplier-vote frame: orders with ≥3
+    // supplier "raters" keep their 3 lowest-id raters (complete
+    // design, pinned), each voting its min return flag on the order —
+    // the fixed-m agreement number between Cohen's κ and
+    // Krippendorff's α.
+    "q409_fleiss_kappa" -> ((s, dir) => {
+      val votes = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(min(col("l_returnflag")).as("cat"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey")).orderBy(col("l_suppkey"))
+      val top3 = votes.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+      operators.Preference.fleissKappaE6(top3, col("l_orderkey"),
+        col("l_suppkey"), col("cat"), raters = 3)
+    }),
+
+    // Nominal assortativity of the co-supplier graph by nation: do
+    // suppliers co-appear within their nation more than chance — the
+    // categorical twin of q203, exact cleared-integer Newman r.
+    "q410_attr_assortativity" -> ((s, dir) => {
+      val pairs = coSupplierPairs(s, dir)
+        .where(col("l_suppkey") < col("dst_supp"))
+        .groupBy(col("l_suppkey"), col("dst_supp"))
+        .agg(count(lit(1)).as("w")).where(col("w") >= 5)
+        .select(col("l_suppkey"), col("dst_supp"))
+      decStr(operators.Graph.attributeAssortativityE6(pairs,
+        "l_suppkey", "dst_supp",
+        t(s, dir, "supplier").select(col("s_suppkey"),
+          col("s_nationkey").cast("long").as("nat")),
+        "s_suppkey", "nat"))
+    }),
+
+    // Kruskal–Wallis across the five order priorities on order value
+    // (dollar grid): do priorities differ in location — k-sample,
+    // rank-based, tie-corrected, never a global sort.
+    "q411_kruskal_wallis" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("__c", cents(col("o_totalprice")))
+        .select(col("o_orderpriority"),
+          expr("__c div 100").as("dollars"))
+      decStr(operators.RankStats.kruskalWallisE6(o,
+        col("o_orderpriority"), col("dollars")))
+    }),
+
     // Winnowing fingerprint sharing (Schleimer et al. 2003 — MOSS's
     // selection rule): word-3-gram Karp–Rabin+splitmix hashes, window-4
     // minima with rightmost ties via ONE struct-min aggregate (no
@@ -15204,6 +15249,99 @@ object SparkEntry {
         |  CAST(wins * 1000000 // losses AS BIGINT)
         | END AS win_ratio_e6
         |FROM ag, nt2, nc2""".stripMargin,
+
+    // q409: complete-design filter (exactly 3 raters kept by rank),
+    // the cross-multiplied κ ratio in HUGEINT.
+    "q409_fleiss_kappa" ->
+      """WITH votes AS (SELECT l_orderkey AS i, l_suppkey AS r,
+        |  min(l_returnflag) AS c
+        | FROM lineitem GROUP BY 1, 2),
+        |rk AS (SELECT i, r, c, row_number() OVER (PARTITION BY i
+        |  ORDER BY r) AS rn FROM votes),
+        |top3 AS (SELECT i, r, c FROM rk WHERE rn <= 3),
+        |sized AS (SELECT i, count(*) AS nr FROM top3 GROUP BY 1),
+        |complete AS (SELECT i FROM sized WHERE nr = 3),
+        |dropped AS (SELECT CAST(coalesce(sum(CASE WHEN nr <> 3 THEN 1
+        |  ELSE 0 END), 0) AS BIGINT) AS n_dropped FROM sized),
+        |cells AS (SELECT t.i, t.c, CAST(count(*) AS BIGINT) AS cc
+        | FROM top3 t JOIN complete USING (i) GROUP BY 1, 2),
+        |ist AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(sq - 3 AS HUGEINT)) AS pbar_num
+        | FROM (SELECT i, sum(cc * cc) AS sq FROM cells GROUP BY 1)),
+        |mst AS (SELECT sum(CAST(sc AS HUGEINT) * sc) AS pe_num
+        | FROM (SELECT c, sum(cc) AS sc FROM cells GROUP BY 1)),
+        |f AS (SELECT n, pbar_num, pe_num, n_dropped,
+        |  CAST(n AS HUGEINT) * 3 * 2 AS s1,
+        |  CAST(n AS HUGEINT) * 3 * n * 3 AS s2
+        | FROM ist, mst, dropped)
+        |SELECT n AS n_items, CAST(3 AS BIGINT) AS m, n_dropped,
+        | CAST(pbar_num * 1000000 // s1 AS BIGINT) AS pbar_e6,
+        | CAST(pe_num * 1000000 // s2 AS BIGINT) AS pe_e6,
+        | CASE WHEN s2 - pe_num > 0 THEN
+        |  CAST((pbar_num * s2 - pe_num * s1) * 1000000
+        |   // (s1 * (s2 - pe_num)) AS BIGINT) END AS kappa_e6
+        |FROM f""".stripMargin,
+
+    // q410: symmetrized edge tagging, cleared Newman r in HUGEINT,
+    // toward-zero for disassortative (negative) mixing.
+    "q410_attr_assortativity" ->
+      """WITH raw AS (
+        | SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        | FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        | GROUP BY 1, 2 HAVING count(*) >= 5),
+        |dir AS (SELECT u, v FROM raw UNION ALL SELECT v, u FROM raw),
+        |att AS (SELECT s_suppkey AS nn, CAST(s_nationkey AS BIGINT)
+        |  AS aa FROM supplier),
+        |tg AS (SELECT x.aa AS au, y.aa AS av FROM dir
+        | JOIN att x ON x.nn = dir.u JOIN att y ON y.nn = dir.v),
+        |ea AS (SELECT CAST(count(*) AS BIGINT) AS m_directed,
+        |  CAST(sum(CASE WHEN au = av THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS same_attr FROM tg),
+        |rw AS (SELECT coalesce(sum(CAST(rr AS HUGEINT) * rr),
+        |  CAST(0 AS HUGEINT)) AS sum_row2
+        | FROM (SELECT au, count(*) AS rr FROM tg GROUP BY 1))
+        |SELECT m_directed, same_attr,
+        | CAST(CAST(sum_row2 AS DECIMAL(38,0)) AS VARCHAR) AS sum_row2,
+        | CASE WHEN CAST(m_directed AS HUGEINT) * m_directed - sum_row2
+        |   > 0 THEN
+        |  CAST((CAST(same_attr AS HUGEINT) * m_directed - sum_row2)
+        |   * 1000000
+        |   // (CAST(m_directed AS HUGEINT) * m_directed - sum_row2)
+        |   AS BIGINT) END AS r_e6
+        |FROM ea, rw""".stripMargin,
+
+    // q411: the rank2 census map, per-group doubled rank sums, the
+    // pinned truncation chain, tie correction by cross-multiplication.
+    "q411_kruskal_wallis" ->
+      """WITH b AS (SELECT o_orderpriority AS g,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS v
+        | FROM orders),
+        |m AS (SELECT v, count(*) AS c FROM b GROUP BY 1),
+        |k AS (SELECT v, 2 * (sum(c) OVER (ORDER BY v
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+        |  + c + 1 AS rk FROM m),
+        |j AS (SELECT b.g, k.rk FROM b JOIN k ON k.v = b.v),
+        |pg AS (SELECT g, CAST(count(*) AS BIGINT) AS nj,
+        |  CAST(sum(rk) AS BIGINT) AS r2j FROM j GROUP BY 1),
+        |core AS (SELECT CAST(sum(nj) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS k,
+        |  sum(CAST(r2j AS HUGEINT) * r2j * 1000000 // nj) AS sq
+        | FROM pg),
+        |tiesq AS (SELECT coalesce(sum(CAST(c AS HUGEINT) * c * c - c),
+        |  CAST(0 AS HUGEINT)) AS tie_term FROM m),
+        |hh AS (SELECT n, k,
+        |  CAST(3 * sq // (CAST(n AS HUGEINT) * (n + 1)) AS BIGINT)
+        |   - 3 * (n + 1) * 1000000 AS h_e6, tie_term
+        | FROM core, tiesq)
+        |SELECT n, k, h_e6,
+        | CAST(CAST(tie_term AS DECIMAL(38,0)) AS VARCHAR) AS tie_term,
+        | CASE WHEN CAST(n AS HUGEINT) * n * n - n - tie_term > 0 THEN
+        |  CAST(CAST(h_e6 AS HUGEINT)
+        |   * (CAST(n AS HUGEINT) * n * n - n)
+        |   // (CAST(n AS HUGEINT) * n * n - n - tie_term) AS BIGINT)
+        | END AS h_corr_e6
+        |FROM hh""".stripMargin,
 
     // q406: risk-set covariate moments via descending census windows;
     // hypergeometric score terms per event time.

@@ -941,6 +941,57 @@ object Graph {
       .withColumnRenamed("id", srcCol)
   }
 
+  /** Nominal-attribute assortativity coefficient (Newman 2003, "Mixing
+    * patterns in networks", eq. 2): do edges prefer SAME-attribute
+    * endpoints — the categorical twin of q203's degree assortativity,
+    *
+    *   r = (Σᵢ eᵢᵢ − Σᵢ aᵢbᵢ) / (1 − Σᵢ aᵢbᵢ)
+    *
+    * over the undirected graph symmetrized to M = 2|E| directed edges
+    * (aᵢ = bᵢ by symmetry), cleared to exact integers:
+    *
+    *   r_e6 = (same·M − Σ rowᵢ²)·1e6 div (M² − Σ rowᵢ²)
+    *
+    * with `same` = directed edges joining equal attributes and rowᵢ =
+    * directed edges leaving attribute i. Truncates toward zero (r is
+    * negative for disassortative mixing). NULL when the denominator is
+    * 0 (all edges inside one attribute — r is undefined, not 1).
+    *
+    * Scale shape: two node-keyed joins to tag endpoints, one edge
+    * aggregate, one attribute-census aggregate (squares in
+    * DECIMAL(38,0)). Output one row: (m_directed, same_attr,
+    * sum_row2, r_e6). */
+  def attributeAssortativityE6(edges: DataFrame, src: String,
+      dst: String, attrs: DataFrame, nodeCol: String,
+      attrCol: String): DataFrame = {
+    val a = attrs.select(col(nodeCol).as("__n"), col(attrCol).as("__a"))
+    val half = edges.select(col(src).as("u"), col(dst).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+    val dir = half.unionByName(
+      half.select(col("v").as("u"), col("u").as("v")))
+    val tagged = dir
+      .join(a.select(col("__n").as("u"), col("__a").as("au")), "u")
+      .join(a.select(col("__n").as("v"), col("__a").as("av")), "v")
+      .localCheckpoint(true) // edge agg + row census both read it
+    val eAgg = tagged.agg(count(lit(1)).as("m_directed"),
+      sum(when(col("au") === col("av"), 1L).otherwise(0L))
+        .as("same_attr"))
+    val rows = tagged.groupBy(col("au"))
+      .agg(count(lit(1)).as("row"))
+      .agg(coalesce(sum(expr("CAST(row AS DECIMAL(38,0)) * row")),
+        expr("CAST(0 AS DECIMAL(38,0))")).as("sum_row2"))
+    eAgg.crossJoin(broadcast(rows))
+      .select(col("m_directed"), col("same_attr"), col("sum_row2"),
+        when(expr(
+          "CAST(m_directed AS DECIMAL(38,0)) * m_directed - sum_row2")
+            > 0L, expr(
+          """CAST((CAST(same_attr AS DECIMAL(38,0)) * m_directed
+            | - sum_row2) * 1000000
+            |div (CAST(m_directed AS DECIMAL(38,0)) * m_directed
+            | - sum_row2) AS BIGINT)""".stripMargin)).as("r_e6"))
+  }
+
   def richClubE6(edges: DataFrame, src: String, dst: String,
       ks: Seq[Int]): DataFrame = {
     require(ks.nonEmpty && ks.size <= 64,

@@ -589,6 +589,71 @@ object Preference {
     *
     * Output one row: (n_treated, n_control, wins, losses, ties,
     * win_ratio_e6 — counts DECIMAL). */
+  /** Fleiss' kappa (Fleiss 1971) — chance-corrected agreement when a
+    * FIXED number m of (interchangeable) raters label every item: the
+    * missing middle between Cohen's κ (exactly 2 fixed raters, q249)
+    * and Krippendorff's α (arbitrary incomplete designs, q338).
+    *
+    * With per-item category counts c_ic (Σ_c c_ic = m), N complete
+    * items, and category marginals s_c = Σ_i c_ic:
+    *
+    *   P̄  = Σᵢ(Σ_c c²_ic − m) / (N·m·(m−1))
+    *   P̄e = Σ_c s²_c / (N·m)²
+    *   κ  = (P̄ − P̄e) / (1 − P̄e)
+    *
+    * computed as ONE exact cross-multiplied ratio (S1 = N·m(m−1),
+    * S2 = (Nm)²):  κ_e6 = (pbar_num·S2 − pe_num·S1)·1e6
+    * div (S1·(S2 − pe_num)) — truncating toward zero (κ can be
+    * negative), all products DECIMAL(38,0). Items with a rater count
+    * ≠ m are EXCLUDED and counted (n_dropped) — Fleiss requires the
+    * complete design; silently padding would fake agreement.
+    *
+    * Scale shape: one (item, category) hash aggregate, one item
+    * census aggregate, one category-marginal aggregate — nothing
+    * beyond the label censuses. Output one row: (n_items, m,
+    * n_dropped, pbar_e6, pe_e6, kappa_e6). */
+  def fleissKappaE6(df: DataFrame, item: Column, rater: Column,
+      category: Column, raters: Int): DataFrame = {
+    require(raters >= 2 && raters <= 1000,
+      s"Preference.fleissKappaE6: need 2 ≤ raters ≤ 1000, got $raters")
+    val m = raters.toLong
+    val votes = df.select(item.as("i"), rater.as("r"),
+        category.as("c"))
+      .where(col("i").isNotNull && col("r").isNotNull &&
+        col("c").isNotNull)
+      .groupBy(col("i"), col("r")).agg(min(col("c")).as("c"))
+    val sized = votes.groupBy(col("i"))
+      .agg(count(lit(1)).as("nr"))
+    val complete = sized.where(col("nr") === m).select(col("i"))
+      .localCheckpoint(true)
+    val dropped = sized.agg(
+      sum(when(col("nr") =!= m, 1L).otherwise(0L)).as("n_dropped"))
+    val cells = votes.join(complete, Seq("i"))
+      .groupBy(col("i"), col("c")).agg(count(lit(1)).as("cc"))
+      .localCheckpoint(true) // item census + marginals both read it
+    val itemStats = cells.groupBy(col("i"))
+      .agg(sum(expr("cc * cc")).as("sq"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr(s"CAST(sq - $m AS DECIMAL(38,0))")).as("pbar_num"))
+    val margStats = cells.groupBy(col("c"))
+      .agg(sum(col("cc")).as("sc"))
+      .agg(sum(expr("CAST(sc AS DECIMAL(38,0)) * sc")).as("pe_num"))
+    itemStats.crossJoin(broadcast(margStats))
+      .crossJoin(broadcast(dropped))
+      .withColumn("__s1", expr(s"CAST(n AS DECIMAL(38,0)) * $m * ${m - 1}"))
+      .withColumn("__s2", expr(
+        s"CAST(n AS DECIMAL(38,0)) * $m * n * $m"))
+      .select(col("n").as("n_items"), lit(m).as("m"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        expr("CAST(pbar_num * 1000000 div __s1 AS BIGINT)")
+          .as("pbar_e6"),
+        expr("CAST(pe_num * 1000000 div __s2 AS BIGINT)").as("pe_e6"),
+        when(expr("__s2 - pe_num") > 0L, expr(
+          """CAST((pbar_num * __s2 - pe_num * __s1) * 1000000
+            |div (__s1 * (__s2 - pe_num)) AS BIGINT)""".stripMargin))
+          .as("kappa_e6"))
+  }
+
   def winRatioE6(df: DataFrame, treated: Column, primaryBad: Column,
       secondary: Column): DataFrame = {
     val cells = df.select(treated.cast("boolean").as("tr"),

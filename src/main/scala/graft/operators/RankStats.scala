@@ -171,6 +171,60 @@ object RankStats {
     * domains), ONE aggregate over items for S2 and one tiny census
     * aggregate per rater for Tⱼ. n³ magnitudes live in DECIMAL(38,0) —
     * good to n ≈ 10¹², never sorted globally. */
+  /** Kruskal–Wallis H (Kruskal & Wallis 1952), tie-corrected — the
+    * k-sample generalization of [[mannWhitney]]: do k groups share a
+    * location, rank-based and distribution-free. With doubled midranks
+    * (tie-safe integral, the rank2Map trick) and doubled group rank
+    * sums R2ⱼ:
+    *
+    *   qⱼ_e6 = R2ⱼ²·1e6 div nⱼ               (per-group truncation)
+    *   h_e6  = 3·Σqⱼ div (N·(N+1)) − 3·(N+1)·1e6
+    *   h_corr_e6 = h_e6·(N³−N) div ((N³−N) − ΣT),  T = Σ(t³−t)
+    *
+    * (3·ΣR2²/n = 12·ΣR²/n; the classical constants fall out of the
+    * doubling). All quadratics DECIMAL(38,0); h compares against
+    * χ²_{k−1}. NULL corrected H when every value ties (denominator
+    * ≤ 0 — the test is undefined).
+    *
+    * Scale shape: ONE value-census rank map (bounded-domain, guarded)
+    * joined back, one group aggregate, one tie census — never a
+    * global sort of the data. Output one row: (n, k, h_e6, tie_term,
+    * h_corr_e6). */
+  def kruskalWallisE6(df: DataFrame, group: Column,
+      value: Column): DataFrame = {
+    val base = df.select(group.as("g"), value.cast("long").as("__v"))
+      .where(col("g").isNotNull && col("__v").isNotNull)
+    val ranked = base.join(rank2Map(base, col("__v"), "rk"),
+      col("__v") === col("rk_v"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val perG = ranked.groupBy(col("g"))
+      .agg(count(lit(1)).as("nj"), sum(d(col("rk"))).as("r2j"))
+    // R2ⱼ²·1e6 leaves LONG fast and its quotient can too — widen
+    // before squaring and keep the quotient DECIMAL via the positive
+    // floor identity (≡ HUGEINT // on nonnegative operands)
+    val core = perG
+      .withColumn("__num",
+        expr("CAST(r2j AS DECIMAL(38,0)) * r2j * 1000000"))
+      .agg(sum(col("nj")).as("n"), count(lit(1)).as("k"),
+        sum(expr(
+          "CAST((__num - pmod(__num, nj)) / nj AS DECIMAL(38,0))"))
+          .as("__sq"))
+    val ties = base.groupBy(col("__v")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(d(col("t")) * col("t") * col("t") - col("t")),
+        lit(0).cast("decimal(38,0)")).as("tie_term"))
+    core.crossJoin(broadcast(ties))
+      .withColumn("h_e6", expr(
+        """CAST(3 * __sq div (CAST(n AS DECIMAL(38,0)) * (n + 1))
+          |AS BIGINT) - 3 * (n + 1) * 1000000""".stripMargin))
+      .withColumn("__den", expr(
+        "CAST(n AS DECIMAL(38,0)) * n * n - n - tie_term"))
+      .select(col("n"), col("k"), col("h_e6"), col("tie_term"),
+        when(col("__den") > 0L, expr(
+          """CAST(CAST(h_e6 AS DECIMAL(38,0))
+            | * (CAST(n AS DECIMAL(38,0)) * n * n - n)
+            | div __den AS BIGINT)""".stripMargin)).as("h_corr_e6"))
+  }
+
   def kendallsWE6(df: DataFrame, raters: Seq[Column]): DataFrame = {
     val m = raters.size
     require(m >= 2 && m <= 16,

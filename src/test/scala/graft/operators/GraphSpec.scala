@@ -569,4 +569,26 @@ class GraphSpec extends SparkSpec {
     assert(cut(4L) == ((1L, 1000000L)))
     assert(!cut.contains(1L) || cut(1L)._1 == 0L)
   }
+
+  test("attributeAssortativityE6: hand mixing matrix; all-same " +
+      "degenerate → NULL") {
+    import spark.implicits._
+    // edges (1,2),(3,4) within-attr, (1,3) across; X={1,2}, Y={3,4}
+    // r = (4·6 − 18)·1e6 div (36 − 18) = 333_333
+    val edges = Seq((1L, 2L), (3L, 4L), (1L, 3L)).toDF("a", "b")
+    val attrs = Seq((1L, "X"), (2L, "X"), (3L, "Y"), (4L, "Y"))
+      .toDF("n", "at")
+    val r = Graph.attributeAssortativityE6(edges, "a", "b", attrs,
+      "n", "at").collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((6L, 4L)))
+    assert(BigInt(r.getDecimal(2).toBigInteger) == 18)
+    assert(r.getLong(3) == 333333L)
+
+    // single-attribute graph: denominator 0 → NULL, not 1
+    val one = Graph.attributeAssortativityE6(
+      Seq((1L, 2L)).toDF("a", "b"), "a", "b",
+      Seq((1L, "X"), (2L, "X")).toDF("n", "at"), "n", "at")
+      .collect().head
+    assert(one.isNullAt(3))
+  }
 }

@@ -347,4 +347,19 @@ class PreferenceSpec extends SparkSpec {
       col("sec")).collect().head
     assert(g2.isNullAt(5))
   }
+
+  test("fleissKappaE6: hand two-rater design; incomplete item " +
+      "dropped loudly") {
+    import spark.implicits._
+    // i1: A,A (agree); i2: A,B (disagree); i3: one rater → dropped
+    // P̄ = 1/2, Pe = 10/16 → κ = −1/3
+    val df = Seq((1L, 1L, "A"), (1L, 2L, "A"), (2L, 1L, "A"),
+      (2L, 2L, "B"), (3L, 1L, "A")).toDF("i", "r", "c")
+    val got = Preference.fleissKappaE6(df, col("i"), col("r"),
+      col("c"), raters = 2).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ==
+      ((2L, 2L, 1L)))
+    assert(got.getLong(3) == 500000L && got.getLong(4) == 625000L)
+    assert(got.getLong(5) == -333333L) // toward-zero negative κ
+  }
 }

@@ -114,4 +114,25 @@ class RankStatsSpec extends SparkSpec {
     assert(BigInt(t.getDecimal(3).toBigInteger) == 6)
     assert(t.getLong(4) == 928571L)
   }
+
+  test("kruskalWallisE6: textbook two-group H; full ties correct " +
+      "to the maximum") {
+    // a: 1,2; b: 3,4 → H = 2.4 exactly, no ties
+    val clean = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L))
+      .toDF("g", "v")
+    val c = RankStats.kruskalWallisE6(clean, col("g"), col("v"))
+      .collect().head
+    assert((c.getLong(0), c.getLong(1)) == ((4L, 2L)))
+    assert(c.getLong(2) == 2400000L)
+    assert(BigInt(c.getDecimal(3).toBigInteger) == 0)
+    assert(c.getLong(4) == 2400000L)
+
+    // a: 1,1; b: 2,2 → tie-corrected H = N−1 = 3 (the maximum)
+    val tied = Seq(("a", 1L), ("a", 1L), ("b", 2L), ("b", 2L))
+      .toDF("g", "v")
+    val t = RankStats.kruskalWallisE6(tied, col("g"), col("v"))
+      .collect().head
+    assert(BigInt(t.getDecimal(3).toBigInteger) == 12)
+    assert(t.getLong(4) == 3000000L)
+  }
 }
