@@ -5664,6 +5664,42 @@ object SparkEntry {
         col("o_orderpriority"), col("dollars")))
     }),
 
+    // Moran's I of supplier account balance over the q85 co-supplier
+    // graph: do connected suppliers carry similar balances — numeric
+    // graph autocorrelation beside q410's categorical mixing.
+    "q412_morans_i" -> ((s, dir) => {
+      val pairs = coSupplierPairs(s, dir)
+        .where(col("l_suppkey") < col("dst_supp"))
+        .groupBy(col("l_suppkey"), col("dst_supp"))
+        .agg(count(lit(1)).as("w")).where(col("w") >= 5)
+        .select(col("l_suppkey"), col("dst_supp"))
+      decStr(operators.Graph.moransIE6(pairs, "l_suppkey", "dst_supp",
+        t(s, dir, "supplier").select(col("s_suppkey"),
+          cents(col("s_acctbal")).as("bal")),
+        "s_suppkey", "bal"))
+    }),
+
+    // Empirical-Bayes beta-binomial smoothing of per-part return
+    // rates: MoM prior over the part census pulls thin-data rates
+    // toward the population — the CTR-smoothing recipe, exact.
+    "q413_eb_smoothing" -> ((s, dir) => {
+      val parts = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("x"), count(lit(1)).as("n"))
+      operators.EmpiricalBayes.betaBinomialSmooth(parts,
+        col("l_partkey"), col("x"), col("n"), topK = 10)
+    }),
+
+    // Burrows' Delta provenance attribution: each document's top-30
+    // function-word z-profile matched to the nearest SOURCE profile —
+    // the stylometric "which source does this style belong to" audit,
+    // with per-doc correctness against the actual source.
+    "q414_burrows_delta" -> ((s, dir) =>
+      operators.Stylometry.burrowsDeltaAttribution(
+        t(s, dir, "documents"), "doc_id", "text", "source",
+        topWords = 30)),
+
     // Winnowing fingerprint sharing (Schleimer et al. 2003 — MOSS's
     // selection rule): word-3-gram Karp–Rabin+splitmix hashes, window-4
     // minima with rightmost ties via ONE struct-min aggregate (no
@@ -15249,6 +15285,141 @@ object SparkEntry {
         |  CAST(wins * 1000000 // losses AS BIGINT)
         | END AS win_ratio_e6
         |FROM ag, nt2, nc2""".stripMargin,
+
+    // q412: cleared centering z′ = n·x − S (the n² cancels in the
+    // ratio); cross term over symmetrized edges in HUGEINT.
+    "q412_morans_i" ->
+      """WITH raw AS (
+        | SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        | FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        | GROUP BY 1, 2 HAVING count(*) >= 5),
+        |nodes AS (SELECT DISTINCT id FROM
+        | (SELECT u AS id FROM raw UNION ALL SELECT v FROM raw)),
+        |vals AS (SELECT s_suppkey AS id,
+        |  CAST(round(s_acctbal * 100) AS BIGINT) AS x FROM supplier),
+        |nv AS (SELECT nodes.id, vals.x FROM nodes
+        | JOIN vals USING (id)),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS s FROM nv),
+        |z AS (SELECT id, CAST(n AS HUGEINT) * x - s AS z, n
+        | FROM nv, st),
+        |ssq AS (SELECT max(n) AS n,
+        |  coalesce(sum(z * z), CAST(0 AS HUGEINT)) AS sum_z2 FROM z),
+        |dir AS (SELECT u, v FROM raw UNION ALL SELECT v, u FROM raw),
+        |cr AS (SELECT CAST(count(*) AS BIGINT) AS m_directed,
+        |  coalesce(sum(a.z * b.z), CAST(0 AS HUGEINT)) AS cross_zz
+        | FROM dir JOIN z a ON a.id = dir.u JOIN z b ON b.id = dir.v)
+        |SELECT n AS n_nodes, m_directed,
+        | CAST(CAST(cross_zz AS DECIMAL(38,0)) AS VARCHAR) AS cross_zz,
+        | CAST(CAST(sum_z2 AS DECIMAL(38,0)) AS VARCHAR) AS sum_z2,
+        | CASE WHEN m_directed * sum_z2 > 0 THEN
+        |  CAST(CAST(n AS HUGEINT) * cross_zz * 1000000
+        |   // (m_directed * sum_z2) AS BIGINT) END AS moran_i_e6,
+        | CASE WHEN n > 1 THEN -(1000000 // (n - 1)) END AS e_null_e6
+        |FROM ssq, cr""".stripMargin,
+
+    // q413: the MoM prior chain with every clamp/NULL branch
+    // replayed; smoothing and top-k on the part census.
+    "q413_eb_smoothing" ->
+      """WITH parts AS (SELECT l_partkey AS item,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS x,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM lineitem GROUP BY 1),
+        |b AS (SELECT item, x, n, x * 1000000 // n AS raw FROM parts
+        | WHERE n > 0),
+        |pri AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(raw) AS BIGINT) AS sr,
+        |  sum(CAST(raw AS HUGEINT) * raw) AS qr FROM b),
+        |p2 AS (SELECT k, sr // k AS m,
+        |  CASE WHEN k > 1 THEN
+        |   CAST((k * qr - CAST(sr AS HUGEINT) * sr)
+        |    // (CAST(k AS HUGEINT) * (k - 1)) AS BIGINT) END AS v
+        | FROM pri),
+        |p3 AS (SELECT m, CASE WHEN v > 0 THEN
+        |  CAST(CAST(m AS HUGEINT) * (1000000 - m) * 1000000 // v
+        |   - 1000000 AS BIGINT) END AS ab0 FROM p2),
+        |p4 AS (SELECT m, CASE WHEN ab0 > 0 THEN ab0 END AS ab
+        | FROM p3),
+        |p5 AS (SELECT ab,
+        |  CAST(CAST(m AS HUGEINT) * ab // 1000000 AS BIGINT) AS alpha
+        | FROM p4)
+        |SELECT item, x, n, CAST(raw AS BIGINT) AS raw_e6,
+        | CASE WHEN ab IS NOT NULL THEN
+        |  CAST((x * 1000000 + alpha) * CAST(1000000 AS HUGEINT)
+        |   // (n * 1000000 + ab) AS BIGINT) END AS smoothed_e6,
+        | alpha AS alpha_e6, ab AS ab_e6
+        |FROM b, p5 ORDER BY n DESC, item LIMIT 10""".stripMargin,
+
+    // q414: the full stylometric chain — top-30 word list, zero-filled
+    // source/doc grids, cross-profile moments with the corrected
+    // isqrt, toward-zero z, struct-min attribution.
+    "q414_burrows_delta" ->
+      """WITH toks AS (SELECT doc_id AS id, source AS g,
+        |  unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+        |   '\s+'), x -> length(x) > 0)) AS w
+        | FROM documents),
+        |topw AS (SELECT w FROM (SELECT w, count(*) AS f FROM toks
+        | GROUP BY 1 ORDER BY f DESC, w LIMIT 30)),
+        |grp AS (SELECT DISTINCT g FROM toks),
+        |gt AS (SELECT g, CAST(count(*) AS BIGINT) AS gt FROM toks
+        | GROUP BY 1),
+        |gc AS (SELECT g, w, CAST(count(*) AS BIGINT) AS c
+        | FROM toks JOIN topw USING (w) GROUP BY 1, 2),
+        |gg AS (SELECT grp.g, topw.w,
+        |  coalesce(gc.c, 0) * 1000000000 // gt.gt AS rf
+        | FROM grp CROSS JOIN topw
+        | LEFT JOIN gc ON gc.g = grp.g AND gc.w = topw.w
+        | JOIN gt ON gt.g = grp.g),
+        |ws AS (SELECT w, CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(rf) AS BIGINT) AS srf,
+        |  sum(CAST(rf AS HUGEINT) * rf) AS qrf FROM gg GROUP BY 1),
+        |w2 AS (SELECT w, k, srf,
+        |  k * qrf - CAST(srf AS HUGEINT) * srf AS var_num FROM ws),
+        |w3 AS (SELECT w, k, srf,
+        |  CAST(k AS HUGEINT) * var_num // (k - 1) AS v2 FROM w2),
+        |w4 AS (SELECT w, k, srf, v2,
+        |  CAST(floor(sqrt(CAST(v2 AS DOUBLE))) AS BIGINT) AS s0
+        | FROM w3),
+        |w5 AS (SELECT w, k, srf,
+        |  CASE WHEN CAST(s0 AS HUGEINT) * s0 > v2 THEN s0 - 1
+        |   WHEN (CAST(s0 AS HUGEINT) + 1) * (s0 + 1) <= v2 THEN s0 + 1
+        |   ELSE s0 END AS den
+        | FROM w4),
+        |wok AS (SELECT * FROM w5 WHERE den > 0),
+        |gz AS (SELECT gg.g, gg.w,
+        |  CASE WHEN k * rf - srf >= 0
+        |   THEN CAST((k * rf - srf) * 1000000 // den AS BIGINT)
+        |   ELSE -CAST((-(k * rf - srf)) * 1000000 // den AS BIGINT)
+        |  END AS zg
+        | FROM gg JOIN wok ON wok.w = gg.w),
+        |dt AS (SELECT id, g AS actual, CAST(count(*) AS BIGINT) AS dt
+        | FROM toks GROUP BY 1, 2),
+        |dc AS (SELECT id, w, CAST(count(*) AS BIGINT) AS c
+        | FROM toks JOIN topw USING (w) GROUP BY 1, 2),
+        |dg AS (SELECT dt.id, dt.actual, topw.w,
+        |  coalesce(dc.c, 0) * 1000000000 // dt.dt AS rf
+        | FROM dt CROSS JOIN topw
+        | LEFT JOIN dc ON dc.id = dt.id AND dc.w = topw.w),
+        |dz AS (SELECT dg.id, dg.actual, dg.w,
+        |  CASE WHEN k * rf - srf >= 0
+        |   THEN CAST((k * rf - srf) * 1000000 // den AS BIGINT)
+        |   ELSE -CAST((-(k * rf - srf)) * 1000000 // den AS BIGINT)
+        |  END AS zd
+        | FROM dg JOIN wok ON wok.w = dg.w),
+        |dl AS (SELECT dz.id, dz.actual, gz.g,
+        |  CAST(count(*) AS BIGINT) AS nw,
+        |  CAST(sum(abs(zd - zg)) AS BIGINT) AS sumabs
+        | FROM dz JOIN gz ON gz.w = dz.w GROUP BY 1, 2, 3),
+        |d2 AS (SELECT id, actual, g, nw, sumabs // nw AS delta
+        | FROM dl),
+        |best AS (SELECT id, actual, min(struct_pack(delta := delta,
+        |  g := g, nw := nw)) AS b FROM d2 GROUP BY 1, 2)
+        |SELECT id AS doc_id, actual, b.g AS best,
+        | CAST(b.delta AS BIGINT) AS delta_e6,
+        | actual = b.g AS is_correct, b.nw AS n_words_used
+        |FROM best""".stripMargin,
 
     // q409: complete-design filter (exactly 3 raters kept by rank),
     // the cross-multiplied κ ratio in HUGEINT.

@@ -961,6 +961,76 @@ object Graph {
     * aggregate, one attribute-census aggregate (squares in
     * DECIMAL(38,0)). Output one row: (m_directed, same_attr,
     * sum_row2, r_e6). */
+  /** Moran's I spatial/graph autocorrelation (Moran 1950) for an
+    * integer node VALUE over an unweighted neighbor graph — "do
+    * connected nodes carry similar values", the numeric companion to
+    * [[attributeAssortativityE6]]'s categorical mixing:
+    *
+    *   I = (n · Σ_{ij∈E} zᵢzⱼ) / (M · Σᵢ zᵢ²)
+    *
+    * with centered values. Centering divides nothing: z′ᵢ = n·xᵢ − S
+    * is n·(xᵢ − x̄), and the n² factor cancels in the ratio, so every
+    * term stays an exact integer (DECIMAL(38,0) quadratics). The
+    * cross-product sum runs over the symmetrized M = 2|E| directed
+    * edges; i_e6 truncates toward zero (negative I = dispersal). The
+    * null expectation −1/(n−1) rides along for the readout.
+    *
+    * Nodes are the graph's nodes; `values` must cover them (inner
+    * join — missing values drop the node and its edges, loudly
+    * visible in n/M).
+    *
+    * Scale shape: one degree-free node census (distinct endpoints ∪
+    * values join), one broadcast of the two global sums, one edge
+    * pass for the cross term, one node pass for Σz². Output one row:
+    * (n_nodes, m_directed, cross_zz, sum_z2, moran_i_e6,
+    * e_null_e6). */
+  def moransIE6(edges: DataFrame, src: String, dst: String,
+      values: DataFrame, nodeCol: String, valueCol: String): DataFrame = {
+    val vals = values.select(col(nodeCol).as("__n"),
+      col(valueCol).cast("long").as("__x"))
+    val half = edges.select(col(src).as("u"), col(dst).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+    val nodes = half.select(col("u").as("__n"))
+      .unionByName(half.select(col("v").as("__n"))).distinct()
+      .join(vals, Seq("__n"))
+      .localCheckpoint(true) // stats + z census + edge tag read it
+    val stats = nodes.agg(count(lit(1)).as("n"), sum(col("__x")).as("s"))
+    val z = nodes.crossJoin(broadcast(stats))
+      .select(col("__n"),
+        expr("CAST(n AS DECIMAL(38,0)) * __x - s").as("z"),
+        col("n"))
+      .localCheckpoint(true)
+    val ssq = z.agg(max(col("n")).as("n"),
+      coalesce(sum(expr("z * z")), expr("CAST(0 AS DECIMAL(38,0))"))
+        .as("sum_z2"))
+    val dir = half.unionByName(
+      half.select(col("v").as("u"), col("u").as("v")))
+    val cross = dir
+      .join(z.select(col("__n").as("u"), col("z").as("zu")), "u")
+      .join(z.select(col("__n").as("v"), col("z").as("zv")), "v")
+      .agg(count(lit(1)).as("m_directed"),
+        coalesce(sum(expr("zu * zv")), expr("CAST(0 AS DECIMAL(38,0))"))
+          .as("cross_zz"))
+    ssq.crossJoin(broadcast(cross))
+      .select(col("n").as("n_nodes"), col("m_directed"),
+        col("cross_zz"), col("sum_z2"),
+        when(expr("m_directed * sum_z2") > 0L, expr(
+          """CASE WHEN cross_zz >= 0
+            | THEN CAST((CAST(n AS DECIMAL(38,0)) * cross_zz * 1000000
+            |  - pmod(CAST(n AS DECIMAL(38,0)) * cross_zz * 1000000,
+            |     m_directed * sum_z2))
+            |  / (m_directed * sum_z2) AS BIGINT)
+            | ELSE -CAST((-(CAST(n AS DECIMAL(38,0)) * cross_zz
+            |   * 1000000)
+            |  - pmod(-(CAST(n AS DECIMAL(38,0)) * cross_zz * 1000000),
+            |     m_directed * sum_z2))
+            |  / (m_directed * sum_z2) AS BIGINT)
+            |END""".stripMargin)).as("moran_i_e6"),
+        when(col("n") > 1L, expr("-(1000000 div (n - 1))"))
+          .as("e_null_e6"))
+  }
+
   def attributeAssortativityE6(edges: DataFrame, src: String,
       dst: String, attrs: DataFrame, nodeCol: String,
       attrCol: String): DataFrame = {

@@ -591,4 +591,22 @@ class GraphSpec extends SparkSpec {
       .collect().head
     assert(one.isNullAt(3))
   }
+
+  test("moransIE6: perfectly assortative components → I = 1; " +
+      "crossed pairing → I = −1") {
+    import spark.implicits._
+    val vals = Seq((1L, 1L), (2L, 1L), (3L, 9L), (4L, 9L))
+      .toDF("id", "x")
+    val assort = Graph.moransIE6(
+      Seq((1L, 2L), (3L, 4L)).toDF("a", "b"), "a", "b", vals, "id",
+      "x").collect().head
+    assert((assort.getLong(0), assort.getLong(1)) == ((4L, 4L)))
+    assert(assort.getLong(4) == 1000000L)
+    assert(assort.getLong(5) == -333333L) // −1e6 div (n−1)
+
+    val crossed = Graph.moransIE6(
+      Seq((1L, 3L), (2L, 4L)).toDF("a", "b"), "a", "b", vals, "id",
+      "x").collect().head
+    assert(crossed.getLong(4) == -1000000L)
+  }
 }
