@@ -5700,6 +5700,45 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", "source",
         topWords = 30)),
 
+    // Chatterjee's ξ of demand on price over the part census: the
+    // dependence coefficient that sees NON-monotone relationships
+    // Spearman/Kendall miss — x-order via GlobalRank (no single
+    // reducer), y-ranks from the value census, adjacency by equi join.
+    "q415_chatterjee_xi" -> ((s, dir) => {
+      val qty = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("y"))
+      val base = t(s, dir, "part")
+        .join(qty, col("p_partkey") === col("l_partkey"))
+        .select(cents(col("p_retailprice")).as("x"), col("y"),
+          col("p_partkey"))
+      operators.Dependence.chatterjeeXiE6(base, col("x"), col("y"),
+        col("p_partkey"))
+    }),
+
+    // Laspeyres / Paasche / Fisher price indices, 1995 → 1996, over
+    // the matched part basket (unit-value prices) — the index-number
+    // summary a marketplace publishes; Fisher via corrected isqrt.
+    "q416_price_index" -> ((s, dir) => {
+      def year(y: Int) = t(s, dir, "lineitem")
+        .where(org.apache.spark.sql.functions.year(
+          col("l_shipdate")) === y)
+        .withColumn("__vc", cents(col("l_extendedprice")))
+        .withColumn("__q", round(col("l_quantity")).cast("long"))
+      operators.PriceIndex.bilateralE6(year(1995), year(1996),
+        col("l_partkey"), col("__vc"), col("__q"))
+    }),
+
+    // Sample L-moments of order value (dollar grid): λ₁, λ₂, L-CV,
+    // L-skewness, L-kurtosis — the order-statistics shape summary,
+    // closed-form on the value census (never a row ranking).
+    "q417_l_moments" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("__c", cents(col("o_totalprice")))
+        .select(expr("__c div 100").as("dollars"))
+      operators.LMoments.lMomentsE6(o, col("dollars"))
+    }),
+
     // Winnowing fingerprint sharing (Schleimer et al. 2003 — MOSS's
     // selection rule): word-3-gram Karp–Rabin+splitmix hashes, window-4
     // minima with rightmost ties via ONE struct-min aggregate (no
@@ -15285,6 +15324,130 @@ object SparkEntry {
         |  CAST(wins * 1000000 // losses AS BIGINT)
         | END AS win_ratio_e6
         |FROM ag, nt2, nc2""".stripMargin,
+
+    // q415: row_number over the unique (x, id) order, rank2 census
+    // for y, adjacent-rank jumps by rn+1 equi join.
+    "q415_chatterjee_xi" ->
+      """WITH qty AS (SELECT l_partkey AS pk,
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS y
+        | FROM lineitem GROUP BY 1),
+        |base AS (SELECT CAST(round(p_retailprice * 100) AS BIGINT)
+        |  AS x, y, p_partkey AS tb
+        | FROM part JOIN qty ON pk = p_partkey),
+        |m AS (SELECT y AS v, count(*) AS c FROM base GROUP BY 1),
+        |k AS (SELECT v, 2 * (sum(c) OVER (ORDER BY v
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+        |  + c + 1 AS r2 FROM m),
+        |rn AS (SELECT row_number() OVER (ORDER BY x, tb) AS rn, k.r2
+        | FROM base JOIN k ON k.v = base.y),
+        |adj AS (SELECT a.r2 AS r2, b.r2 AS r2n FROM rn a
+        | JOIN rn b ON b.rn = a.rn + 1),
+        |st AS (SELECT CAST(coalesce(sum(abs(r2n - r2)), 0) AS BIGINT)
+        |  AS sum_abs_dr2 FROM adj),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base)
+        |SELECT n, sum_abs_dr2,
+        | CASE WHEN n > 1 THEN 1000000 -
+        |  CAST(3 * CAST(sum_abs_dr2 AS HUGEINT) * 1000000
+        |   // (2 * (CAST(n AS HUGEINT) * n - 1)) AS BIGINT)
+        | END AS xi_e6
+        |FROM nn, st""".stripMargin,
+
+    // q416: unit-value prices per period, matched-basket sums in
+    // HUGEINT, Fisher via the corrected isqrt.
+    "q416_price_index" ->
+      """WITH b AS (SELECT l_partkey AS item,
+        |  CAST(sum(vc) AS BIGINT) AS bv, CAST(sum(q) AS BIGINT) AS bq
+        | FROM (SELECT l_partkey,
+        |   CAST(round(l_extendedprice * 100) AS BIGINT) AS vc,
+        |   CAST(round(l_quantity) AS BIGINT) AS q
+        |  FROM lineitem WHERE year(l_shipdate) = 1995)
+        | WHERE q > 0 GROUP BY 1),
+        |c AS (SELECT l_partkey AS item,
+        |  CAST(sum(vc) AS BIGINT) AS cv, CAST(sum(q) AS BIGINT) AS cq
+        | FROM (SELECT l_partkey,
+        |   CAST(round(l_extendedprice * 100) AS BIGINT) AS vc,
+        |   CAST(round(l_quantity) AS BIGINT) AS q
+        |  FROM lineitem WHERE year(l_shipdate) = 1996)
+        | WHERE q > 0 GROUP BY 1),
+        |bp AS (SELECT item, bv // bq AS bp, bq FROM b),
+        |cp AS (SELECT item, cv // cq AS cp, cq FROM c),
+        |mm AS (SELECT bp.item, bp.bp, bp.bq, cp.cp, cp.cq
+        | FROM bp JOIN cp USING (item)),
+        |cnt AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM bp
+        |   WHERE item NOT IN (SELECT item FROM cp)) AS n_only_base,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cp
+        |   WHERE item NOT IN (SELECT item FROM bp)) AS n_only_curr),
+        |sums AS (SELECT CAST(count(*) AS BIGINT) AS n_matched,
+        |  sum(CAST(cp AS HUGEINT) * bq) AS p1q0,
+        |  sum(CAST(bp AS HUGEINT) * bq) AS p0q0,
+        |  sum(CAST(cp AS HUGEINT) * cq) AS p1q1,
+        |  sum(CAST(bp AS HUGEINT) * cq) AS p0q1 FROM mm),
+        |lp AS (SELECT n_matched, n_only_base, n_only_curr,
+        |  CASE WHEN p0q0 > 0 THEN
+        |   CAST(p1q0 * 1000000 // p0q0 AS BIGINT) END AS laspeyres_e6,
+        |  CASE WHEN p0q1 > 0 THEN
+        |   CAST(p1q1 * 1000000 // p0q1 AS BIGINT) END AS paasche_e6
+        | FROM sums, cnt),
+        |f0 AS (SELECT *,
+        |  CAST(laspeyres_e6 AS HUGEINT) * paasche_e6 AS f2 FROM lp),
+        |f1 AS (SELECT *, CAST(floor(sqrt(CAST(f2 AS DOUBLE)))
+        |  AS BIGINT) AS s0 FROM f0)
+        |SELECT n_matched, n_only_base, n_only_curr, laspeyres_e6,
+        | paasche_e6,
+        | CASE WHEN f2 IS NOT NULL THEN
+        |  CASE WHEN CAST(s0 AS HUGEINT) * s0 > f2 THEN s0 - 1
+        |   WHEN (CAST(s0 AS HUGEINT) + 1) * (s0 + 1) <= f2
+        |    THEN s0 + 1
+        |   ELSE s0 END END AS fisher_e6
+        |FROM f1""".stripMargin,
+
+    // q417: position-polynomial span sums on the cumulative value
+    // census; factorial denominators cleared, // everywhere (exactly
+    // divisible or toward-zero on the signed ratio numerators).
+    "q417_l_moments" ->
+      """WITH v0 AS (SELECT
+        |  CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS v
+        | FROM orders),
+        |m AS (SELECT v, count(*) AS c FROM v0 GROUP BY 1),
+        |cu AS (SELECT v, c, sum(c) OVER (ORDER BY v
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM m),
+        |ag AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |  sum(CAST(v AS HUGEINT) * c) AS a0,
+        |  sum(CAST(v AS HUGEINT)
+        |   * ((CAST(c AS HUGEINT) * (2 * cum - c - 1)) // 2)) AS a1,
+        |  sum(CAST(v AS HUGEINT)
+        |   * ((CAST(cum AS HUGEINT) * (cum - 1) * (cum - 2)
+        |       - CAST(cum - c AS HUGEINT) * (cum - c - 1)
+        |         * (cum - c - 2)) // 3)) AS a2,
+        |  sum(CAST(v AS HUGEINT)
+        |   * ((CAST(cum AS HUGEINT) * (cum - 1) * (cum - 2) * (cum - 3)
+        |       - CAST(cum - c AS HUGEINT) * (cum - c - 1)
+        |         * (cum - c - 2) * (cum - c - 3)) // 4)) AS a3
+        | FROM cu),
+        |lam AS (SELECT n, a0,
+        |  2 * a1 - a0 * (n - 1) AS l2n,
+        |  6 * a2 - 6 * a1 * (n - 2) + a0 * (n - 1) * (n - 2) AS l3n,
+        |  20 * a3 - 30 * a2 * (n - 3)
+        |   + 12 * a1 * (n - 2) * (n - 3)
+        |   - a0 * (n - 1) * (n - 2) * (n - 3) AS l4n
+        | FROM ag)
+        |SELECT n,
+        | CASE WHEN n > 0 THEN CAST(a0 * 1000000 // n AS BIGINT) END
+        |  AS lambda1_e6,
+        | CASE WHEN n > 1 THEN CAST(l2n * 1000000
+        |  // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) END
+        |  AS lambda2_e6,
+        | CASE WHEN n > 1 AND a0 > 0 THEN
+        |  CAST(l2n * 1000000 // (a0 * (n - 1)) AS BIGINT) END AS t_e6,
+        | CASE WHEN n > 2 AND l2n > 0 THEN
+        |  CAST(l3n * 1000000 // (l2n * (n - 2)) AS BIGINT) END
+        |  AS t3_e6,
+        | CASE WHEN n > 3 AND l2n > 0 THEN
+        |  CAST(l4n * 1000000 // (l2n * (n - 2) * (n - 3)) AS BIGINT)
+        | END AS t4_e6
+        |FROM lam""".stripMargin,
 
     // q412: cleared centering z′ = n·x − S (the n² cancels in the
     // ratio); cross term over symmetrized edges in HUGEINT.

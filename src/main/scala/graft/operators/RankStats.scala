@@ -39,6 +39,10 @@ object RankStats {
           count(lit(1)).over(whole), "RankStats.rank2Map").as(out))
   }
 
+  /** The rank2 census map for sibling operators (Chatterjee ξ). */
+  private[operators] def rank2MapFor(df: DataFrame, v: Column,
+      out: String): DataFrame = rank2Map(df, v, out)
+
   /** Spearman rank correlation — sufficient statistics, exact.
     *
     * ρ = Pearson correlation of the (midrank_x, midrank_y) pairs; with
