@@ -5739,6 +5739,37 @@ object SparkEntry {
       operators.LMoments.lMomentsE6(o, col("dollars"))
     }),
 
+    // Cliff's δ of quantity between discounted and undiscounted
+    // lines: the ordinal EFFECT SIZE the q156 significance test
+    // doesn't report — census×census, never pairwise rows.
+    "q418_cliffs_delta" -> ((s, dir) =>
+      decStr(operators.OrdinalTests.cliffsDeltaE6(t(s, dir, "lineitem"),
+        col("l_discount") > 0.05, round(col("l_quantity")).cast("long")))),
+
+    // Jonckheere–Terpstra ordered-alternative test: does order value
+    // trend monotonically across the 1→5 priority ladder — the
+    // dose–response test Kruskal–Wallis can't focus.
+    "q419_jonckheere" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("__c", cents(col("o_totalprice")))
+        .select(expr(
+          "CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("ord"),
+          expr("__c div 100").as("dollars"))
+      decStr(operators.OrdinalTests.jonckheereE3(o, col("ord"),
+        col("dollars")))
+    }),
+
+    // Mood's median test across order priorities: counts above/at-or-
+    // below the pooled lower median, exact cleared chi² — the blunt
+    // k-sample location screen.
+    "q420_moods_median" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("__c", cents(col("o_totalprice")))
+        .select(col("o_orderpriority"), expr("__c div 100").as("dollars"))
+      operators.OrdinalTests.moodsMedianChi2E6(o,
+        col("o_orderpriority"), col("dollars"))
+    }),
+
     // Winnowing fingerprint sharing (Schleimer et al. 2003 — MOSS's
     // selection rule): word-3-gram Karp–Rabin+splitmix hashes, window-4
     // minima with rightmost ties via ONE struct-min aggregate (no
@@ -15324,6 +15355,129 @@ object SparkEntry {
         |  CAST(wins * 1000000 // losses AS BIGINT)
         | END AS win_ratio_e6
         |FROM ag, nt2, nc2""".stripMargin,
+
+    // q418: per-arm value censuses, census×census comparison mass.
+    "q418_cliffs_delta" ->
+      """WITH b AS (SELECT l_discount > 0.05 AS a,
+        |  CAST(round(l_quantity) AS BIGINT) AS v FROM lineitem),
+        |cells AS (SELECT a, v, CAST(count(*) AS BIGINT) AS c
+        | FROM b GROUP BY 1, 2),
+        |av AS (SELECT v AS va, c AS ca FROM cells WHERE a),
+        |bv AS (SELECT v AS vb, c AS cb FROM cells WHERE NOT a),
+        |ag AS (SELECT
+        |  coalesce(sum(CASE WHEN va > vb THEN CAST(ca AS HUGEINT) * cb
+        |   END), 0) AS gt,
+        |  coalesce(sum(CASE WHEN va < vb THEN CAST(ca AS HUGEINT) * cb
+        |   END), 0) AS lt,
+        |  coalesce(sum(CASE WHEN va = vb THEN CAST(ca AS HUGEINT) * cb
+        |   END), 0) AS ties
+        | FROM av, bv),
+        |na AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS n_a
+        | FROM av),
+        |nb AS (SELECT CAST(coalesce(sum(cb), 0) AS BIGINT) AS n_b
+        | FROM bv)
+        |SELECT n_a, n_b,
+        | CAST(CAST(gt AS DECIMAL(38,0)) AS VARCHAR) AS gt,
+        | CAST(CAST(lt AS DECIMAL(38,0)) AS VARCHAR) AS lt,
+        | CAST(CAST(ties AS DECIMAL(38,0)) AS VARCHAR) AS ties,
+        | CASE WHEN CAST(n_a AS HUGEINT) * n_b > 0 THEN
+        |  CAST((gt - lt) * 1000000
+        |   // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) END AS delta_e6
+        |FROM ag, na, nb""".stripMargin,
+
+    // q419: zero-filled (value × group) grid with per-group STRICT
+    // cumulative counts, comparison mass by EQUI join on the value
+    // (the census×census inequality join is quadratic in the domain —
+    // same reformulation as the operator); no-tie null moments,
+    // isqrt(V·1e6/18) for the doubled-scale sigma.
+    "q419_jonckheere" ->
+      """WITH b AS (SELECT
+        |  CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS g,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS v
+        | FROM orders),
+        |cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+        | FROM b GROUP BY 1, 2),
+        |grid AS (SELECT gs.g, vs.v, coalesce(cells.c, 0) AS c
+        | FROM (SELECT DISTINCT v FROM cells) vs
+        | CROSS JOIN (SELECT DISTINCT g FROM cells) gs
+        | LEFT JOIN cells ON cells.g = gs.g AND cells.v = vs.v),
+        |cum AS (SELECT g, v, c,
+        |  coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS lt FROM grid),
+        |jt AS (SELECT coalesce(sum(CAST(y.c AS HUGEINT)
+        |   * (2 * x.lt + x.c)), 0) AS jt2
+        | FROM cum x JOIN cum y ON x.v = y.v AND x.g < y.g
+        | WHERE y.c > 0),
+        |sz AS (SELECT g, CAST(sum(c) AS BIGINT) AS nj FROM cells
+        | GROUP BY 1),
+        |st AS (SELECT CAST(sum(nj) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS k,
+        |  sum(CAST(nj AS HUGEINT) * nj) AS sn2,
+        |  sum(CAST(nj AS HUGEINT) * nj * (2 * nj + 3)) AS sn23
+        | FROM sz),
+        |mm AS (SELECT n, k,
+        |  (CAST(n AS HUGEINT) * n - sn2) // 2 AS mean2,
+        |  CAST(n AS HUGEINT) * n * (2 * n + 3) - sn23 AS v72 FROM st),
+        |rt AS (SELECT *, (v72 * 1000000) // 18 AS v18 FROM mm),
+        |r0 AS (SELECT *, CAST(floor(sqrt(CAST(v18 AS DOUBLE)))
+        |  AS BIGINT) AS s0 FROM rt),
+        |r1 AS (SELECT *, CASE WHEN CAST(s0 AS HUGEINT) * s0 > v18
+        |   THEN s0 - 1
+        |  WHEN (CAST(s0 AS HUGEINT) + 1) * (s0 + 1) <= v18
+        |   THEN s0 + 1 ELSE s0 END AS ts FROM r0)
+        |SELECT n, k,
+        | CAST(CAST(jt2 AS DECIMAL(38,0)) AS VARCHAR) AS jt2,
+        | CAST(CAST(mean2 AS DECIMAL(38,0)) AS VARCHAR) AS mean2,
+        | CAST(CAST(v72 AS DECIMAL(38,0)) AS VARCHAR) AS v72,
+        | CASE WHEN ts > 0 THEN
+        |  CAST((jt2 - mean2) * 1000000 // ts AS BIGINT) END AS z_e3
+        |FROM r1, jt""".stripMargin,
+
+    // q420: pooled lower median off the cumulative census, exact
+    // cleared per-cell chi² truncated before summing.
+    "q420_moods_median" ->
+      """WITH b AS (SELECT o_orderpriority AS g,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS v
+        | FROM orders),
+        |m AS (SELECT v, count(*) AS c FROM b GROUP BY 1),
+        |cu AS (SELECT v, c,
+        |  sum(c) OVER (ORDER BY v
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(c) OVER () AS n FROM m),
+        |med AS (SELECT min(v) AS median_v FROM cu
+        | WHERE 2 * cum >= n + 1),
+        |cnts AS (SELECT g,
+        |  CAST(sum(CASE WHEN v <= median_v THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS le,
+        |  CAST(sum(CASE WHEN v > median_v THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS gtc
+        | FROM b, med GROUP BY 1),
+        |tot AS (SELECT CAST(sum(le + gtc) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(le) AS BIGINT) AS cle,
+        |  CAST(sum(gtc) AS BIGINT) AS cgt FROM cnts),
+        |cell AS (SELECT
+        |  CASE WHEN (le + gtc) * CAST(cle AS HUGEINT) > 0 THEN
+        |   CAST((CAST(le AS HUGEINT) * n
+        |     - CAST(le + gtc AS HUGEINT) * cle)
+        |    * (CAST(le AS HUGEINT) * n
+        |     - CAST(le + gtc AS HUGEINT) * cle) * 1000000
+        |    // (CAST(n AS HUGEINT) * (le + gtc) * cle) AS BIGINT)
+        |  ELSE 0 END AS t0,
+        |  CASE WHEN (le + gtc) * CAST(cgt AS HUGEINT) > 0 THEN
+        |   CAST((CAST(gtc AS HUGEINT) * n
+        |     - CAST(le + gtc AS HUGEINT) * cgt)
+        |    * (CAST(gtc AS HUGEINT) * n
+        |     - CAST(le + gtc AS HUGEINT) * cgt) * 1000000
+        |    // (CAST(n AS HUGEINT) * (le + gtc) * cgt) AS BIGINT)
+        |  ELSE 0 END AS t1,
+        |  n, k
+        | FROM cnts, tot)
+        |SELECT max(n) AS n, max(k) AS k,
+        | (SELECT median_v FROM med) AS median_v,
+        | CAST(sum(t0 + t1) AS BIGINT) AS chi2_e6
+        |FROM cell""".stripMargin,
 
     // q415: row_number over the unique (x, id) order, rank2 census
     // for y, adjacent-rank jumps by rn+1 equi join.

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordinal two/k-sample tests on bounded-domain integer values, exact
+  * via value-census cross terms — three members the rank family
+  * (q156 Mann–Whitney, q411 Kruskal–Wallis) still lacked:
+  *
+  *  - [[cliffsDeltaE6]] — Cliff's δ (Cliff 1993), the ordinal effect
+  *    SIZE: P(X>Y) − P(X<Y), what a significance test's p-value
+  *    doesn't tell you;
+  *  - [[jonckheereE3]] — Jonckheere–Terpstra (Jonckheere 1954) for
+  *    ORDERED alternatives: does the value trend monotonically across
+  *    ordered groups (dose–response), strictly more powerful there
+  *    than Kruskal–Wallis' any-difference alternative;
+  *  - [[moodsMedianChi2E6]] — Mood's median test: the blunt,
+  *    assumption-light k-sample screen on counts above/below the
+  *    pooled median.
+  *
+  * All three collapse the data to per-group VALUE CENSUSES (one
+  * map-side hash aggregate); every pairwise count is a census×census
+  * cross term (domain², never data²), and the arithmetic is
+  * DECIMAL(38,0) with pinned truncating divisions.
+  */
+object OrdinalTests {
+
+  /** δ_e6 = (#(a>b) − #(a<b))·1e6 div (n_a·n_b), toward zero.
+    * Output: (n_a, n_b, gt, lt, ties — DECIMAL, delta_e6). */
+  def cliffsDeltaE6(df: DataFrame, inA: Column,
+      value: Column): DataFrame = {
+    val cells = df.select(inA.cast("boolean").as("a"),
+        value.cast("long").as("v"))
+      .where(col("a").isNotNull && col("v").isNotNull)
+      .groupBy(col("a"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val zero = lit(0).cast("decimal(38,0)")
+    val av = cells.where(col("a")).select(col("v").as("va"),
+      col("c").as("ca"))
+    val bv = cells.where(!col("a")).select(col("v").as("vb"),
+      col("c").as("cb"))
+    av.crossJoin(bv)
+      .agg(
+        coalesce(sum(when(col("va") > col("vb"),
+          d(col("ca")) * col("cb"))), zero).as("gt"),
+        coalesce(sum(when(col("va") < col("vb"),
+          d(col("ca")) * col("cb"))), zero).as("lt"),
+        coalesce(sum(when(col("va") === col("vb"),
+          d(col("ca")) * col("cb"))), zero).as("ties"))
+      .crossJoin(broadcast(av.agg(
+        coalesce(sum(col("ca")), lit(0L)).as("n_a"))))
+      .crossJoin(broadcast(bv.agg(
+        coalesce(sum(col("cb")), lit(0L)).as("n_b"))))
+      .select(col("n_a"), col("n_b"), col("gt"), col("lt"),
+        col("ties"),
+        when(expr("n_a * CAST(n_b AS DECIMAL(38,0))") > 0L, expr(
+          """CASE WHEN gt >= lt
+            | THEN CAST((gt - lt) * 1000000
+            |   div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)
+            | ELSE -CAST((lt - gt) * 1000000
+            |   div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)
+            |END""".stripMargin)).as("delta_e6"))
+  }
+
+  /** DOUBLED JT statistic (ties count 1): JT2 = Σ_{g<h} (2·#(x_g<x_h)
+    * + #(=)); null mean2 = Σ_{g<h} n_g·n_h; the no-tie null variance
+    * V72·1/72 = [N²(2N+3) − Σn_j²(2n_j+3)]/72 (documented
+    * approximation under ties — the classical normal reading), and
+    *
+    *   twoSigma_e3 = isqrt(V72·1e6 div 18)
+    *   z_e3 = (JT2 − mean2)·1e6 div twoSigma_e3
+    *
+    * `groupOrd` must be an INTEGER encoding the hypothesized order.
+    * Output: (n, k, jt2, mean2, v72 — DECIMAL, z_e3). */
+  def jonckheereE3(df: DataFrame, groupOrd: Column,
+      value: Column): DataFrame = {
+    val cells = df.select(groupOrd.cast("long").as("g"),
+        value.cast("long").as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val zero = lit(0).cast("decimal(38,0)")
+    // A naive census×census ON g_a < g_b is a nested-loop join that
+    // goes quadratic in |value domain|. Instead: zero-filled
+    // (value × group) grid, per-group STRICT cumulative counts
+    // (group-partitioned windows), then an EQUI join on the value —
+    // #(x_g < v) is a lookup, never a scan.
+    val grid = cells.select(col("v")).distinct()
+      .crossJoin(broadcast(cells.select(col("g")).distinct()))
+      .join(cells, Seq("g", "v"), "left")
+      .select(col("g"), col("v"), coalesce(col("c"), lit(0L)).as("c"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val cum = grid.withColumn("lt",
+      coalesce(sum(col("c")).over(wg), lit(0L)))
+    val jt = cum.select(col("g").as("ga"), col("v"),
+        col("c").as("ca"), col("lt").as("lta"))
+      .join(cum.select(col("g").as("gb"), col("v"),
+        col("c").as("cb")), "v")
+      .where(col("ga") < col("gb") && col("cb") > 0L)
+      .agg(coalesce(sum(expr(
+        "CAST(cb AS DECIMAL(38,0)) * (2 * lta + ca)")), zero)
+        .as("jt2"))
+    val sizes = cells.groupBy(col("g")).agg(sum(col("c")).as("nj"))
+    val stats = sizes.agg(sum(col("nj")).as("n"),
+        count(lit(1)).as("k"),
+        sum(expr("CAST(nj AS DECIMAL(38,0)) * nj")).as("__sn2"),
+        sum(expr(
+          "CAST(nj AS DECIMAL(38,0)) * nj * (2 * nj + 3)")).as("__sn23"))
+      .withColumn("mean2", expr(
+        """CAST((CAST(n AS DECIMAL(38,0)) * n - __sn2) / 2
+          |AS DECIMAL(38,0))""".stripMargin))
+      .withColumn("v72", expr(
+        "CAST(n AS DECIMAL(38,0)) * n * (2 * n + 3) - __sn23"))
+    stats.crossJoin(broadcast(jt))
+      .withColumn("__v18", expr(
+        """CAST((v72 * 1000000 - pmod(v72 * 1000000, 18)) / 18
+          |AS DECIMAL(38,0))""".stripMargin))
+      .withColumn("__s0",
+        expr("CAST(floor(sqrt(CAST(__v18 AS DOUBLE))) AS BIGINT)"))
+      .withColumn("__ts", expr(
+        """CASE WHEN CAST(__s0 AS DECIMAL(38,0)) * __s0 > __v18
+          |  THEN __s0 - 1
+          | WHEN (CAST(__s0 AS DECIMAL(38,0)) + 1) * (__s0 + 1) <= __v18
+          |  THEN __s0 + 1
+          | ELSE __s0 END""".stripMargin))
+      .select(col("n"), col("k"), col("jt2"), col("mean2"), col("v72"),
+        when(col("__ts") > 0L, expr(
+          """CASE WHEN jt2 >= mean2
+            | THEN CAST((jt2 - mean2) * 1000000 div __ts AS BIGINT)
+            | ELSE -CAST((mean2 - jt2) * 1000000 div __ts AS BIGINT)
+            |END""".stripMargin)).as("z_e3"))
+  }
+
+  /** Pooled LOWER median (smallest v with 2·cum ≥ n+1, pinned), then
+    * the k×2 above/at-or-below table and the exact cleared chi²:
+    * per cell (O·N − row·col)²·1e6 div (N·row·col), truncated per
+    * cell before summing. Output: (n, k, median_v, chi2_e6). */
+  def moodsMedianChi2E6(df: DataFrame, group: Column,
+      value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(group.as("g"), value.cast("long").as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+      .localCheckpoint(true)
+    val wLe = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val med = base.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", Census.guardLong(sum(col("c")).over(wLe),
+        count(lit(1)).over(whole), "OrdinalTests.moodsMedianChi2E6"))
+      .withColumn("n", sum(col("c")).over(whole))
+      .where(expr("2 * cum >= n + 1"))
+      .agg(min(col("v")).as("median_v"))
+    val counts = base.crossJoin(broadcast(med))
+      .groupBy(col("g"))
+      .agg(sum(when(col("v") <= col("median_v"), 1L).otherwise(0L))
+        .as("le"),
+        sum(when(col("v") > col("median_v"), 1L).otherwise(0L))
+        .as("gtc"))
+      .localCheckpoint(true)
+    val tot = counts.agg(sum(col("le") + col("gtc")).as("n"),
+      count(lit(1)).as("k"), sum(col("le")).as("cle"),
+      sum(col("gtc")).as("cgt"))
+    val cellCols: Seq[Column] = Seq(col("n"), col("k")) ++
+      (0 until 2).map { i =>
+        val (o, colTot) = if (i == 0) ("le", "cle") else ("gtc", "cgt")
+        expr(s"""CASE WHEN (le + gtc) * CAST($colTot AS DECIMAL(38,0))
+                | > 0 THEN
+                | CAST((CAST($o AS DECIMAL(38,0)) * n
+                |  - CAST(le + gtc AS DECIMAL(38,0)) * $colTot)
+                |  * (CAST($o AS DECIMAL(38,0)) * n
+                |  - CAST(le + gtc AS DECIMAL(38,0)) * $colTot)
+                |  * 1000000
+                |  div (CAST(n AS DECIMAL(38,0)) * (le + gtc)
+                |   * $colTot) AS BIGINT)
+                |ELSE 0 END""".stripMargin).as(s"__t$i")
+      }
+    val chi = counts.crossJoin(broadcast(tot))
+      .select(cellCols: _*)
+      .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+        sum(expr("__t0 + __t1")).as("__chi"))
+    chi.crossJoin(broadcast(med))
+      .select(col("n"), col("k"), col("median_v"),
+        col("__chi").as("chi2_e6"))
+  }
+}
