@@ -5770,6 +5770,34 @@ object SparkEntry {
         col("o_orderpriority"), col("dollars"))
     }),
 
+    // Little's-law audit over user activity spans: λ·W ≡ the exact
+    // interval-integral L by construction; the emitted residual is
+    // the gap to GRID-SAMPLED concurrency — does the hourly dashboard
+    // alias the workload.
+    "q421_littles_law" -> ((s, dir) =>
+      operators.Queueing.littlesLawAudit(ev(s, dir), col("user_id"),
+        col("ts_ms"))),
+
+    // Taylor's power law across parts: variance ≈ a·mean^b of
+    // quantities — the cross-group fluctuation-scaling exponent that
+    // completes the Zipf/Hill/Heaps power-law family.
+    "q422_taylors_law" -> ((s, dir) =>
+      decStr(operators.Dispersion.taylorsLawE6(t(s, dir, "lineitem"),
+        col("l_partkey"), round(col("l_quantity")).cast("long")))),
+
+    // Hurst exponent (R/S) of the daily revenue series at window
+    // sizes 8/16/32/64: long-range dependence — persistent trending
+    // vs memoryless — beside q251's single-scale ACF.
+    "q423_hurst" -> ((s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(expr(
+          "unix_millis(CAST(l_shipdate AS TIMESTAMP)) div 86400000")
+          .as("day"))
+        .agg(sum(cents(col("l_extendedprice"))).as("cents"))
+      operators.Trend.hurstRsE6(daily, col("day"), col("cents"),
+        windows = Seq(8, 16, 32, 64))
+    }),
+
     // Winnowing fingerprint sharing (Schleimer et al. 2003 — MOSS's
     // selection rule): word-3-gram Karp–Rabin+splitmix hashes, window-4
     // minima with rightmost ties via ONE struct-min aggregate (no
@@ -15355,6 +15383,129 @@ object SparkEntry {
         |  CAST(wins * 1000000 // losses AS BIGINT)
         | END AS win_ratio_e6
         |FROM ag, nt2, nc2""".stripMargin,
+
+    // q421: user spans, ceil-aligned hourly grid, half-open
+    // containment; the λW ≡ L identity is construction-exact, the
+    // residual audits the grid sampling.
+    "q421_littles_law" ->
+      """WITH sp AS (SELECT user_id AS u,
+        |  CAST(min(epoch_ms(ts)) AS BIGINT) AS s,
+        |  CAST(max(epoch_ms(ts)) AS BIGINT) AS e
+        | FROM events GROUP BY 1),
+        |sp2 AS (SELECT u, s, e, e - s AS dur FROM sp),
+        |hz AS (SELECT min(s) AS h0, max(e) AS h1,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(dur) AS BIGINT) AS sumdur FROM sp2),
+        |h2 AS (SELECT *, h1 - h0 AS hms FROM hz),
+        |grid AS (SELECT unnest(generate_series(
+        |  (h0 + 3599999) // 3600000, h1 // 3600000)) * 3600000 AS g
+        | FROM h2),
+        |act AS (SELECT CAST(count(*) AS BIGINT) AS n_active
+        | FROM sp2, grid WHERE s <= g AND g < e),
+        |ng AS (SELECT CAST(count(*) AS BIGINT) AS n_grid FROM grid),
+        |f AS (SELECT n AS n_units, hms AS horizon_ms, n_grid,
+        |  CASE WHEN hms > 0 THEN CAST(CAST(n AS HUGEINT) * 3600000
+        |   * 1000000 // hms AS BIGINT) END AS lambda_per_hour_e6,
+        |  CAST(sumdur // n AS BIGINT) AS w_ms,
+        |  CASE WHEN hms > 0 THEN CAST(CAST(sumdur AS HUGEINT)
+        |   * 1000000 // hms AS BIGINT) END AS l_exact_e6,
+        |  CASE WHEN n_grid > 0 THEN
+        |   CAST(n_active * 1000000 // n_grid AS BIGINT) END
+        |   AS l_grid_e6
+        | FROM h2, act, ng)
+        |SELECT *, CASE WHEN l_exact_e6 > 0 THEN
+        |  CAST(CAST(abs(l_grid_e6 - l_exact_e6) AS HUGEINT) * 1000000
+        |   // l_exact_e6 AS BIGINT) END AS grid_residual_ppm
+        |FROM f""".stripMargin,
+
+    // q422: per-group cleared moments, pinned-ln e3 points, exact
+    // integer OLS slope.
+    "q422_taylors_law" ->
+      """WITH g AS (SELECT l_partkey AS g, CAST(count(*) AS BIGINT)
+        |  AS n,
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS s,
+        |  sum(CAST(CAST(round(l_quantity) AS BIGINT) AS HUGEINT)
+        |   * CAST(round(l_quantity) AS BIGINT)) AS q
+        | FROM lineitem GROUP BY 1),
+        |m AS (SELECT g, n,
+        |  CAST(CAST(s AS HUGEINT) * 1000 // n AS BIGINT) AS m_e3,
+        |  CAST((n * q - CAST(s AS HUGEINT) * s) * 1000000
+        |   // (CAST(n AS HUGEINT) * n) AS BIGINT) AS v_e6 FROM g),
+        |pts AS (SELECT
+        |  CAST(round(ln(CAST(m_e3 AS DOUBLE)) * 1000.0) AS BIGINT)
+        |   AS lx,
+        |  CAST(round(ln(CAST(v_e6 AS DOUBLE)) * 1000.0) AS BIGINT)
+        |   AS ly
+        | FROM m WHERE n > 1 AND v_e6 > 0 AND m_e3 > 0),
+        |dr AS (SELECT CAST(coalesce(sum(CASE WHEN n <= 1 OR v_e6 <= 0
+        |  OR m_e3 <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dropped
+        | FROM m),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(lx) AS BIGINT) AS sx,
+        |  CAST(sum(ly) AS BIGINT) AS sy,
+        |  sum(CAST(lx AS HUGEINT) * ly) AS sxy,
+        |  sum(CAST(lx AS HUGEINT) * lx) AS sxx FROM pts)
+        |SELECT n_groups, n_dropped,
+        | CAST(CAST(n_groups * sxy - CAST(sx AS HUGEINT) * sy
+        |  AS DECIMAL(38,0)) AS VARCHAR) AS slope_num,
+        | CAST(CAST(n_groups * sxx - CAST(sx AS HUGEINT) * sx
+        |  AS DECIMAL(38,0)) AS VARCHAR) AS slope_den,
+        | CASE WHEN n_groups * sxx - CAST(sx AS HUGEINT) * sx > 0 THEN
+        |  CAST((n_groups * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+        |   // (n_groups * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+        | END AS taylor_b_e6
+        |FROM ag, dr""".stripMargin,
+
+    // q423: rn-indexed census, per-(w, block) cleared cumulative
+    // deviations, corrected-isqrt sd, |windows|-point integer OLS.
+    "q423_hurst" ->
+      """WITH daily AS (SELECT epoch_ms(l_shipdate) // 86400000 AS o,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |   AS BIGINT) AS x
+        | FROM lineitem GROUP BY 1),
+        |rn AS (SELECT o, x, CAST(row_number() OVER (ORDER BY o)
+        |  AS BIGINT) AS rn FROM daily),
+        |tg AS (SELECT rn.*, ws.w FROM rn,
+        | (SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS w) ws),
+        |bl AS (SELECT *, (rn - 1) // w AS blk,
+        |  rn - ((rn - 1) // w) * w AS kin FROM tg),
+        |st AS (SELECT w, blk, kin, x,
+        |  count(*) OVER pb AS nb, sum(x) OVER pb AS sb,
+        |  sum(x) OVER (PARTITION BY w, blk ORDER BY rn
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM bl WINDOW pb AS (PARTITION BY w, blk)),
+        |fl AS (SELECT * FROM st WHERE nb = w),
+        |dv AS (SELECT w, blk, x, sb, w * cum - kin * sb AS c FROM fl),
+        |bk AS (SELECT w, blk, max(c) - min(c) AS rcl, max(sb) AS sb,
+        |  sum(CAST(x AS HUGEINT) * x) AS qb FROM dv GROUP BY 1, 2),
+        |v0 AS (SELECT w, blk, rcl,
+        |  w * qb - CAST(sb AS HUGEINT) * sb AS v FROM bk),
+        |s0 AS (SELECT *, CAST(floor(sqrt(CAST(v AS DOUBLE)))
+        |  AS BIGINT) AS sq0 FROM v0),
+        |s1 AS (SELECT w, blk, rcl,
+        |  CASE WHEN CAST(sq0 AS HUGEINT) * sq0 > v THEN sq0 - 1
+        |   WHEN (CAST(sq0 AS HUGEINT) + 1) * (sq0 + 1) <= v
+        |    THEN sq0 + 1 ELSE sq0 END AS sd FROM s0),
+        |rs AS (SELECT w, blk, CAST(CAST(rcl AS HUGEINT) * 1000000
+        |  // sd AS BIGINT) AS rs FROM s1 WHERE sd > 0),
+        |pw AS (SELECT w, CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(sum(rs) // count(*) AS BIGINT) AS mean_rs_e6
+        | FROM rs GROUP BY 1),
+        |pts AS (SELECT
+        |  CAST(round(ln(CAST(w AS DOUBLE)) * 1000.0) AS BIGINT) AS lx,
+        |  CAST(round(ln(CAST(mean_rs_e6 AS DOUBLE)) * 1000.0)
+        |   AS BIGINT) AS ly FROM pw),
+        |ols AS (SELECT CAST(count(*) AS BIGINT) AS np,
+        |  CAST(sum(lx) AS BIGINT) AS sx,
+        |  CAST(sum(ly) AS BIGINT) AS sy,
+        |  CAST(sum(lx * ly) AS BIGINT) AS sxy,
+        |  CAST(sum(lx * lx) AS BIGINT) AS sxx FROM pts),
+        |hh AS (SELECT CASE WHEN np * sxx - sx * sx > 0 THEN
+        |  CAST(CAST(np * sxy - sx * sy AS HUGEINT) * 1000000
+        |   // (np * sxx - sx * sx) AS BIGINT) END AS hurst_e6
+        | FROM ols)
+        |SELECT pw.w, pw.n_blocks, pw.mean_rs_e6, hh.hurst_e6
+        |FROM pw, hh""".stripMargin,
 
     // q418: per-arm value censuses, census×census comparison mass.
     "q418_cliffs_delta" ->

@@ -669,6 +669,93 @@ object Trend {
           .as("term_e12"))
   }
 
+  /** Hurst exponent by rescaled-range analysis (Hurst 1951; the R/S
+    * method as in Mandelbrot & Wallis 1969) — long-range dependence of
+    * a series: H ≈ 0.5 for a memoryless walk, H > 0.5 for persistent
+    * (trending) series — the "is this metric self-similar across
+    * scales" readout beside the single-scale ACF (q251) and runs test
+    * (q390).
+    *
+    * Per window size w: split the rn-indexed census into FULL blocks
+    * of w; within a block with sum S and cumulative sums cum_k, the
+    * CLEARED cumulative deviations c_k = w·cum_k − k·S (≡ w·(cum_k −
+    * k·x̄), integers; c_w = 0 so the zero anchor is included),
+    * R_cleared = max c − min c, sd_cleared = isqrt(w·Q − S²)
+    * (≡ w·σ_pop, corrected isqrt), and rs_e6 = R_cleared·1e6 div
+    * sd_cleared — the w factors cancel exactly. mean_rs_e6 averages
+    * blocks (div); H is the exact integer OLS slope of
+    * round(ln(mean_rs)·1e3) on round(ln(w)·1e3) over the window sizes
+    * (pinned-double lns, q100 rule).
+    *
+    * Scale shape: the input is a bucketed series census; the ×|windows|
+    * union stays census-sized, block windows partition by (w, block)
+    * (bounded frames), aggregates per block, a |windows|-row OLS.
+    * Output one row per w: (w, n_blocks, mean_rs_e6, hurst_e6 — the
+    * shared slope repeated). */
+  def hurstRsE6(df: DataFrame, orderCol: Column, value: Column,
+      windows: Seq[Int]): DataFrame = {
+    require(windows.nonEmpty && windows.forall(_ >= 2),
+      "Trend.hurstRsE6: window sizes must be ≥ 2")
+    val base0 = df.select(orderCol.cast("long").as("o"),
+      value.cast("long").as("x"))
+    val wOrd = Window.orderBy(col("o"))
+    val whole = Window.orderBy(col("o"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val base = base0.withColumn("rn",
+        Census.guardLong(row_number().over(wOrd).cast("long"),
+          count(lit(1)).over(whole), "Trend.hurstRsE6"))
+      .localCheckpoint(true)
+    val tagged = windows.map(w => base.withColumn("w", lit(w.toLong)))
+      .reduce(_ unionByName _)
+      .withColumn("blk", expr("(rn - 1) div w"))
+      .withColumn("kin", expr("rn - blk * w"))
+    val wb = Window.partitionBy(col("w"), col("blk")).orderBy(col("rn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wbAll = Window.partitionBy(col("w"), col("blk"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dev = tagged
+      .withColumn("nb", count(lit(1)).over(wbAll))
+      .where(col("nb") === col("w"))
+      .withColumn("cum", sum(col("x")).over(wb))
+      .withColumn("sb", sum(col("x")).over(wbAll))
+      .withColumn("c", expr("w * cum - kin * sb"))
+    val blocks = dev.groupBy(col("w"), col("blk"))
+      .agg((max(col("c")) - min(col("c"))).as("r_cleared"),
+        max(col("sb")).as("sb"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("qb"))
+      .withColumn("__v", expr(
+        "w * qb - CAST(sb AS DECIMAL(38,0)) * sb"))
+      .withColumn("__s0",
+        expr("CAST(floor(sqrt(CAST(__v AS DOUBLE))) AS BIGINT)"))
+      .withColumn("sd_cleared", expr(
+        """CASE WHEN CAST(__s0 AS DECIMAL(38,0)) * __s0 > __v
+          |  THEN __s0 - 1
+          | WHEN (CAST(__s0 AS DECIMAL(38,0)) + 1) * (__s0 + 1) <= __v
+          |  THEN __s0 + 1
+          | ELSE __s0 END""".stripMargin))
+      .where(col("sd_cleared") > 0L)
+      .withColumn("rs_e6", expr(
+        "CAST(CAST(r_cleared AS DECIMAL(38,0)) * 1000000 div sd_cleared AS BIGINT)"))
+    val perW = blocks.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("rs_e6")).as("__srs"))
+      .withColumn("mean_rs_e6", expr("__srs div n_blocks"))
+      .localCheckpoint(true)
+    val pts = perW.select(
+      expr("CAST(round(ln(CAST(w AS DOUBLE)) * 1000.0) AS BIGINT)")
+        .as("lx"),
+      expr("CAST(round(ln(CAST(mean_rs_e6 AS DOUBLE)) * 1000.0) AS BIGINT)")
+        .as("ly"))
+    val ols = pts.agg(count(lit(1)).as("np"),
+        sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+        sum(expr("lx * ly")).as("sxy"), sum(expr("lx * lx")).as("sxx"))
+      .select(when(expr("np * sxx - sx * sx") > 0L, expr(
+        """CAST(CAST(np * sxy - sx * sy AS DECIMAL(38,0)) * 1000000
+          |div (np * sxx - sx * sx) AS BIGINT)""".stripMargin))
+        .as("hurst_e6"))
+    perW.select(col("w"), col("n_blocks"), col("mean_rs_e6"))
+      .crossJoin(broadcast(ols))
+  }
+
   /** Trend/seasonal STRENGTH of a decomposed series (Wang, Smith &
     * Hyndman 2006; the tsfeatures F_T/F_S): how much of the
     * detrended/deseasonalized variation the remainder fails to

@@ -34,4 +34,17 @@ class DispersionSpec extends SparkSpec {
       Seq("g"), col("c")).collect().head
     assert(eq.getLong(4) == 0L && eq.isNullAt(5) && eq.isNullAt(6))
   }
+
+  test("taylorsLawE6: variance quadrupling when the mean doubles " +
+      "fits b = 2 exactly; singleton group dropped") {
+    import spark.implicits._
+    // g1: {1,3} → mean 2, var 1; g2: {2,6} → mean 4, var 4; g3
+    // singleton → dropped. Δln(var)/Δln(mean) = ln4/ln2 = 2.
+    val df = Seq(("g1", 1L), ("g1", 3L), ("g2", 2L), ("g2", 6L),
+      ("g3", 5L)).toDF("g", "x")
+    val r = Dispersion.taylorsLawE6(df, col("g"), col("x"))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 1L)))
+    assert(r.getLong(4) == 2000000L)
+  }
 }

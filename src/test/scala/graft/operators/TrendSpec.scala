@@ -378,6 +378,24 @@ class TrendSpec extends SparkSpec {
       BigInt("-250000000000"))))
   }
 
+  test("hurstRsE6: perfect alternation gives scale-invariant R/S " +
+      "and H = 0; constant series yields no usable blocks") {
+    import spark.implicits._
+    // 0,10,0,10,… over 16 points: every block at w = 4 and w = 8 has
+    // R_cleared/sd_cleared = 1 exactly → slope across scales = 0
+    val alt = (1L to 16L).map(i => (i, if (i % 2 == 1) 0L else 10L))
+      .toDF("o", "x")
+    val got = Trend.hurstRsE6(alt, col("o"), col("x"), Seq(4, 8))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(4L) == ((4L, 1000000L, 0L)))
+    assert(got(8L) == ((2L, 1000000L, 0L)))
+
+    val const = (1L to 16L).map(i => (i, 5L)).toDF("o", "x")
+    assert(Trend.hurstRsE6(const, col("o"), col("x"), Seq(4, 8))
+      .collect().isEmpty)
+  }
+
   test("seasonalStrengthE6: perfect fit → 1e6; pure-noise series → 0") {
     import spark.implicits._
     val dec = Seq(
