@@ -150,11 +150,18 @@ object SparkEntry {
     * once and run every audit off the stored table; mirroring that
     * (the [[coSupplierPairs]] rule) retires three redundant ~8 s MM
     * fits from the bench without touching any gate's semantics. */
+  /** Collision-resistant cache key for a data dir: two distinct dirs in one
+    * JVM must never share a shared-tmp path (a 32-bit `String.hashCode`
+    * collision would silently serve one dir's cached frame to the other). */
+  private def dirDigest(d: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
   private val btPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def btSupplierDuelsAndRatings(s: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     val root = btPaths.computeIfAbsent(dir, { d =>
-      val p = s"$sharedTmp/bt_${Integer.toHexString(d.hashCode)}"
+      val p = s"$sharedTmp/bt_${dirDigest(d)}"
       val os = t(s, d, "lineitem")
         .groupBy(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
         .agg(sum(cents(col("l_extendedprice"))).as("c"))
@@ -178,7 +185,7 @@ object SparkEntry {
   private val minedPairPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def minedDocPairs(s: SparkSession, dir: String): DataFrame = {
     val path = minedPairPaths.computeIfAbsent(dir, { d =>
-      val p = s"$sharedTmp/pairs_${Integer.toHexString(d.hashCode)}"
+      val p = s"$sharedTmp/pairs_${dirDigest(d)}"
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", 3, 1L, 2L)
         .write.mode("overwrite").parquet(p)
       p
@@ -192,7 +199,7 @@ object SparkEntry {
   private val componentPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def minedDocComponents(s: SparkSession, dir: String): DataFrame = {
     val path = componentPaths.computeIfAbsent(dir, { d =>
-      val p = s"$sharedTmp/components_${Integer.toHexString(d.hashCode)}"
+      val p = s"$sharedTmp/components_${dirDigest(d)}"
       Dedup.connectedComponents(minedDocPairs(s, d), "a_id", "b_id")
         .write.mode("overwrite").parquet(p)
       p
@@ -212,7 +219,7 @@ object SparkEntry {
   private val coSupplierPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def coSupplierPairs(s: SparkSession, dir: String): DataFrame = {
     val path = coSupplierPaths.computeIfAbsent(dir, { d =>
-      val p = s"$sharedTmp/cosupp_${Integer.toHexString(d.hashCode)}"
+      val p = s"$sharedTmp/cosupp_${dirDigest(d)}"
       val li = t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
       li.join(
           li.select(col("l_orderkey"), col("l_suppkey").as("dst_supp")),
@@ -224,6 +231,55 @@ object SparkEntry {
     })
     s.read.parquet(path)
   }
+
+  /** Materialize-once view→first-conversion survival subject frame: per
+    * user, first view ts, min purchase ≥ view, min error ≥ view, and the
+    * stream-end censor instant. SEVEN gates consume it (KM q214,
+    * Nelson–Aalen q236, log-rank q319, competing risks q385, Cox score
+    * q406, Gehan–Wilcoxon q407, RMST q408) — a survival pipeline builds
+    * its subject table once and runs every estimator off the stored
+    * frame; rebuilding it per gate repeated the same two event-table
+    * joins six extra times per bench run (r12 ADVICE). */
+  private val survivalPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def survivalSubjects(s: SparkSession, dir: String): DataFrame = {
+    val path = survivalPaths.computeIfAbsent(dir, { d =>
+      val p = s"$sharedTmp/surv_${dirDigest(d)}"
+      val e = ev(s, d).select(col("user_id"), col("event_type"),
+        col("ts_ms"))
+      val v = e.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("v_ts"))
+      val pu = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("ts_ms").as("p_ts"))
+      val er = e.where(col("event_type") === "error")
+        .select(col("user_id").as("e_uid"), col("ts_ms").as("e_ts"))
+      val firstP = v.join(pu,
+          col("user_id") === col("p_uid") && col("p_ts") >= col("v_ts"),
+          "left")
+        .groupBy(col("user_id"), col("v_ts"))
+        .agg(min(col("p_ts")).as("p_ts"))
+      val firstBoth = firstP.join(er,
+          col("user_id") === col("e_uid") && col("e_ts") >= col("v_ts"),
+          "left")
+        .groupBy(col("user_id"), col("v_ts"), col("p_ts"))
+        .agg(min(col("e_ts")).as("e_ts"))
+      val endDf = e.agg(max(col("ts_ms")).as("end_ts"))
+      firstBoth.crossJoin(broadcast(endDf))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  /** The (dur_h, obs) projection of [[survivalSubjects]] shared by the
+    * single-endpoint estimators: purchase observed at hour grain, else
+    * censored at stream end. `keep` carries extra columns (user_id for
+    * the grouped tests). */
+  private def survivalDurObs(subj: DataFrame, keep: Column*): DataFrame =
+    subj.select(keep :+
+      when(col("p_ts").isNotNull,
+        expr("(p_ts - v_ts) div 3600000"))
+        .otherwise(expr("(end_ts - v_ts) div 3600000")).as("dur_h") :+
+      col("p_ts").isNotNull.as("obs"): _*)
 
   // ---------------------------------------------------------------- queries
 
@@ -993,7 +1049,7 @@ object SparkEntry {
     "q61_zorder_read" -> ((s, dir) => {
       // fixed per-process location: repeated invocations overwrite (write
       // is mode=overwrite) instead of leaking a parquet copy per run
-      val path = s"$sharedTmp/zorder_q61_${Integer.toHexString(dir.hashCode)}"
+      val path = s"$sharedTmp/zorder_q61_${dirDigest(dir)}"
       sinks.ZOrderTable.write(
         ev(s, dir).select(col("event_id"), col("user_id"), col("ts_ms")),
         path, Seq("user_id", "ts_ms"), buckets = 64)
@@ -1160,7 +1216,7 @@ object SparkEntry {
     // Probes are the five smallest event_ids ≡ 7 (mod 1000) — a bounded
     // driver action the oracle replays as a subquery.
     "q76_bloom_skip" -> ((s, dir) => {
-      val path = s"$sharedTmp/zorder_q76_${Integer.toHexString(dir.hashCode)}"
+      val path = s"$sharedTmp/zorder_q76_${dirDigest(dir)}"
       val e = ev(s, dir).select(col("event_id"), col("user_id"),
         col("ts_ms"), col("event_type"))
       sinks.ZOrderTable.write(e, path, Seq("user_id", "ts_ms"),
@@ -3248,27 +3304,10 @@ object SparkEntry {
     // Kaplan–Meier life table for time-to-first-purchase after first
     // view, right-censored at the study end (max event ts): per event
     // hour, risk set, events, and the exact 1e6·d div n hazard.
-    "q214_kaplan_meier" -> ((s, dir) => {
-      val e = ev(s, dir).select(col("user_id"), col("event_type"),
-        col("ts_ms"))
-      val v = e.where(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("v_ts"))
-      val p = e.where(col("event_type") === "purchase")
-        .select(col("user_id").as("p_uid"), col("ts_ms").as("p_ts"))
-      val firstP = v.join(p,
-          col("user_id") === col("p_uid") && col("p_ts") >= col("v_ts"),
-          "left")
-        .groupBy(col("user_id"), col("v_ts"))
-        .agg(min(col("p_ts")).as("p_ts"))
-      val endDf = e.agg(max(col("ts_ms")).as("end_ts"))
-      val subj = firstP.crossJoin(broadcast(endDf))
-        .select(
-          when(col("p_ts").isNotNull,
-            expr("(p_ts - v_ts) div 3600000"))
-            .otherwise(expr("(end_ts - v_ts) div 3600000")).as("dur_h"),
-          col("p_ts").isNotNull.as("obs"))
-      operators.Survival.kaplanMeier(subj, col("dur_h"), col("obs"))
-    }),
+    "q214_kaplan_meier" -> ((s, dir) =>
+      operators.Survival.kaplanMeier(
+        survivalDurObs(survivalSubjects(s, dir)), col("dur_h"),
+        col("obs"))),
 
     // Wide↔long round-trip: daily event counts pivoted to one column
     // per type, melted back with stack(), gated against the straight
@@ -3627,27 +3666,10 @@ object SparkEntry {
     // Nelson–Aalen cumulative hazard over the q214 view→purchase
     // durations: additive estimator, exact e9 integers end-to-end (the
     // KM product is a float fold; this curve never leaves BIGINT).
-    "q236_nelson_aalen" -> ((s, dir) => {
-      val e = ev(s, dir).select(col("user_id"), col("event_type"),
-        col("ts_ms"))
-      val v = e.where(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("v_ts"))
-      val p = e.where(col("event_type") === "purchase")
-        .select(col("user_id").as("p_uid"), col("ts_ms").as("p_ts"))
-      val firstP = v.join(p,
-          col("user_id") === col("p_uid") && col("p_ts") >= col("v_ts"),
-          "left")
-        .groupBy(col("user_id"), col("v_ts"))
-        .agg(min(col("p_ts")).as("p_ts"))
-      val endDf = e.agg(max(col("ts_ms")).as("end_ts"))
-      val subj = firstP.crossJoin(broadcast(endDf))
-        .select(
-          when(col("p_ts").isNotNull,
-            expr("(p_ts - v_ts) div 3600000"))
-            .otherwise(expr("(end_ts - v_ts) div 3600000")).as("dur_h"),
-          col("p_ts").isNotNull.as("obs"))
-      operators.Survival.nelsonAalen(subj, col("dur_h"), col("obs"))
-    }),
+    "q236_nelson_aalen" -> ((s, dir) =>
+      operators.Survival.nelsonAalen(
+        survivalDurObs(survivalSubjects(s, dir)), col("dur_h"),
+        col("obs"))),
 
     // Heaps-law vocabulary growth: distinct-word count after each
     // 100-doc ingestion bucket — exact saturation curve, no sketch.
@@ -5210,27 +5232,8 @@ object SparkEntry {
     // truncating product recurrence folds driver-side over the guarded
     // time census; the oracle replays it as a recursive CTE.
     "q385_competing_risks" -> ((s, dir) => {
-      val e = ev(s, dir).select(col("user_id"), col("event_type"),
-        col("ts_ms"))
-      val v = e.where(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("v_ts"))
-      val p = e.where(col("event_type") === "purchase")
-        .select(col("user_id").as("p_uid"), col("ts_ms").as("p_ts"))
-      val er = e.where(col("event_type") === "error")
-        .select(col("user_id").as("e_uid"), col("ts_ms").as("e_ts"))
-      val firstP = v.join(p,
-          col("user_id") === col("p_uid") && col("p_ts") >= col("v_ts"),
-          "left")
-        .groupBy(col("user_id"), col("v_ts"))
-        .agg(min(col("p_ts")).as("p_ts"))
-      val firstBoth = firstP.join(er,
-          col("user_id") === col("e_uid") && col("e_ts") >= col("v_ts"),
-          "left")
-        .groupBy(col("user_id"), col("v_ts"), col("p_ts"))
-        .agg(min(col("e_ts")).as("e_ts"))
-      val endDf = e.agg(max(col("ts_ms")).as("end_ts"))
       // ties purchase-first (pinned): cause 1 iff p_ts ≤ e_ts
-      val subj = firstBoth.crossJoin(broadcast(endDf))
+      val subj = survivalSubjects(s, dir)
         .select(
           expr("""CASE
                 | WHEN p_ts IS NOT NULL AND (e_ts IS NULL OR p_ts <= e_ts)
@@ -5542,82 +5545,28 @@ object SparkEntry {
     // frame with an integer user-tier covariate (user_id mod 5): does
     // the tier SHIFT the conversion hazard — the log-rank trend test,
     // covariate-valued.
-    "q406_cox_score" -> ((s, dir) => {
-      val e = ev(s, dir).select(col("user_id"), col("event_type"),
-        col("ts_ms"))
-      val v = e.where(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("v_ts"))
-      val p = e.where(col("event_type") === "purchase")
-        .select(col("user_id").as("p_uid"), col("ts_ms").as("p_ts"))
-      val firstP = v.join(p,
-          col("user_id") === col("p_uid") && col("p_ts") >= col("v_ts"),
-          "left")
-        .groupBy(col("user_id"), col("v_ts"))
-        .agg(min(col("p_ts")).as("p_ts"))
-      val endDf = e.agg(max(col("ts_ms")).as("end_ts"))
-      val subj = firstP.crossJoin(broadcast(endDf))
-        .select(col("user_id"),
-          when(col("p_ts").isNotNull,
-            expr("(p_ts - v_ts) div 3600000"))
-            .otherwise(expr("(end_ts - v_ts) div 3600000")).as("dur_h"),
-          col("p_ts").isNotNull.as("obs"))
-      decStr(operators.Survival.coxScoreTest(subj, col("dur_h"),
-        col("obs"), pmod(col("user_id"), lit(5L))))
-    }),
+    "q406_cox_score" -> ((s, dir) =>
+      decStr(operators.Survival.coxScoreTest(
+        survivalDurObs(survivalSubjects(s, dir), col("user_id")),
+        col("dur_h"), col("obs"), pmod(col("user_id"), lit(5L))))),
 
     // Gehan–Wilcoxon weighted log-rank on the same frame/groups as
     // q319: risk-set-size weights make EARLY curve separation count
     // for more — the companion readout when hazards cross late.
-    "q407_gehan_wilcoxon" -> ((s, dir) => {
-      val e = ev(s, dir).select(col("user_id"), col("event_type"),
-        col("ts_ms"))
-      val v = e.where(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("v_ts"))
-      val p = e.where(col("event_type") === "purchase")
-        .select(col("user_id").as("p_uid"), col("ts_ms").as("p_ts"))
-      val firstP = v.join(p,
-          col("user_id") === col("p_uid") && col("p_ts") >= col("v_ts"),
-          "left")
-        .groupBy(col("user_id"), col("v_ts"))
-        .agg(min(col("p_ts")).as("p_ts"))
-      val endDf = e.agg(max(col("ts_ms")).as("end_ts"))
-      val subj = firstP.crossJoin(broadcast(endDf))
-        .select(col("user_id"),
-          when(col("p_ts").isNotNull,
-            expr("(p_ts - v_ts) div 3600000"))
-            .otherwise(expr("(end_ts - v_ts) div 3600000")).as("dur_h"),
-          col("p_ts").isNotNull.as("obs"))
-      decStr(operators.Survival.gehanWilcoxon(subj, col("dur_h"),
-        col("obs"), col("user_id") % 2 === 0))
-    }),
+    "q407_gehan_wilcoxon" -> ((s, dir) =>
+      decStr(operators.Survival.gehanWilcoxon(
+        survivalDurObs(survivalSubjects(s, dir), col("user_id")),
+        col("dur_h"), col("obs"), col("user_id") % 2 === 0))),
 
     // Restricted mean survival time to τ = 168 h (one week) on the
     // q214 frame: average conversion-free hours in the first week —
     // the robust effect measure when proportional hazards fail; the
     // KM product folds driver-side over the guarded hour census, the
     // oracle replays it as a recursive CTE.
-    "q408_rmst" -> ((s, dir) => {
-      val e = ev(s, dir).select(col("user_id"), col("event_type"),
-        col("ts_ms"))
-      val v = e.where(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("v_ts"))
-      val p = e.where(col("event_type") === "purchase")
-        .select(col("user_id").as("p_uid"), col("ts_ms").as("p_ts"))
-      val firstP = v.join(p,
-          col("user_id") === col("p_uid") && col("p_ts") >= col("v_ts"),
-          "left")
-        .groupBy(col("user_id"), col("v_ts"))
-        .agg(min(col("p_ts")).as("p_ts"))
-      val endDf = e.agg(max(col("ts_ms")).as("end_ts"))
-      val subj = firstP.crossJoin(broadcast(endDf))
-        .select(
-          when(col("p_ts").isNotNull,
-            expr("(p_ts - v_ts) div 3600000"))
-            .otherwise(expr("(end_ts - v_ts) div 3600000")).as("dur_h"),
-          col("p_ts").isNotNull.as("obs"))
-      operators.Survival.restrictedMeanSurvival(subj, col("dur_h"),
-        col("obs"), tau = 168L)
-    }),
+    "q408_rmst" -> ((s, dir) =>
+      operators.Survival.restrictedMeanSurvival(
+        survivalDurObs(survivalSubjects(s, dir)), col("dur_h"),
+        col("obs"), tau = 168L)),
 
     // Fleiss' kappa over the supplier-vote frame: orders with ≥3
     // supplier "raters" keep their 3 lowest-id raters (complete
@@ -5837,18 +5786,22 @@ object SparkEntry {
       val truth = col("l_returnflag") === "R"
       // row key: even (okey, linenumber, partkey, suppkey) collides
       // once at sf0.001 — widen with the integerized measures; FULL
-      // rows are unique at every SF, so the key is the whole row
-      def arm(name: String, pred: Column) =
-        li.select(col("l_orderkey"), col("l_linenumber"),
+      // rows are unique at every SF, so the key is the whole row.
+      // ONE scan: each row carries all three measures, so stack()
+      // emits the three (m, x) arms without re-reading lineitem
+      // (the 3-arm unionByName scanned the table 3× — r12 verdict).
+      val long = li.select(col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"),
           cents(col("l_extendedprice")).as("pk_price"),
           round(col("l_quantity") * 100).cast("long").as("pk_qty"),
           round(col("l_discount") * 100).cast("long").as("pk_disc"),
           round(col("l_tax") * 100).cast("long").as("pk_tax"),
-          (pred === truth).as("x"), lit(name).as("m"))
-      val long = arm("qty", col("l_quantity") > 25.0)
-        .unionByName(arm("disc", col("l_discount") > 0.05))
-        .unionByName(arm("tax", col("l_tax") > 0.04))
+          ((col("l_quantity") > 25.0) === truth).as("x_qty"),
+          ((col("l_discount") > 0.05) === truth).as("x_disc"),
+          ((col("l_tax") > 0.04) === truth).as("x_tax"))
+        .selectExpr("l_orderkey", "l_linenumber", "l_partkey",
+          "l_suppkey", "pk_price", "pk_qty", "pk_disc", "pk_tax",
+          "stack(3, 'qty', x_qty, 'disc', x_disc, 'tax', x_tax) AS (m, x)")
       decStr(operators.PairedTests.cochranQE6(long,
         Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
           "pk_price", "pk_qty", "pk_disc", "pk_tax"),
@@ -6669,28 +6622,10 @@ object SparkEntry {
     // per event time, e9/e12 per-term truncation, χ²₁ verdict at the
     // e6 literal — the "do the curves differ" inference completing the
     // KM/Nelson–Aalen estimators.
-    "q319_logrank" -> ((s, dir) => {
-      val e = ev(s, dir).select(col("user_id"), col("event_type"),
-        col("ts_ms"))
-      val v = e.where(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("v_ts"))
-      val p = e.where(col("event_type") === "purchase")
-        .select(col("user_id").as("p_uid"), col("ts_ms").as("p_ts"))
-      val firstP = v.join(p,
-          col("user_id") === col("p_uid") && col("p_ts") >= col("v_ts"),
-          "left")
-        .groupBy(col("user_id"), col("v_ts"))
-        .agg(min(col("p_ts")).as("p_ts"))
-      val endDf = e.agg(max(col("ts_ms")).as("end_ts"))
-      val subj = firstP.crossJoin(broadcast(endDf))
-        .select(col("user_id"),
-          when(col("p_ts").isNotNull,
-            expr("(p_ts - v_ts) div 3600000"))
-            .otherwise(expr("(end_ts - v_ts) div 3600000")).as("dur_h"),
-          col("p_ts").isNotNull.as("obs"))
-      operators.Survival.logRank(subj, col("dur_h"), col("obs"),
-        col("user_id") % 2 === 0)
-    }),
+    "q319_logrank" -> ((s, dir) =>
+      operators.Survival.logRank(
+        survivalDurObs(survivalSubjects(s, dir), col("user_id")),
+        col("dur_h"), col("obs"), col("user_id") % 2 === 0)),
 
     // The BNLJ reference for q307: the IDENTICAL tier enrichment
     // through Spark's own plan (BroadcastNestedLoopJoin — no equi-key),

@@ -40,9 +40,18 @@ object Queueing {
     val horizon = spans.agg(min(col("s")).as("h0"), max(col("e")).as("h1"),
         count(lit(1)).as("n"), sum(col("dur")).as("sumdur"))
       .withColumn("hms", col("h1") - col("h0"))
-    val grid = horizon.select(explode(sequence(
-        expr(s"CAST((h0 + ${gridStepMs - 1}) div $gridStepMs AS BIGINT)"),
-        expr(s"h1 div $gridStepMs"))).as("gidx"))
+    // Sub-step unaligned horizons make ceil(h0/step) > floor(h1/step);
+    // Spark's sequence would then emit a DESCENDING run of bogus instants
+    // outside [h0, h1] while SQL generate_series returns empty — guard to
+    // an empty grid so both engines agree on degenerate streams.
+    val grid = horizon.select(explode(
+        expr(s"""CASE WHEN CAST((h0 + ${gridStepMs - 1}) div $gridStepMs AS BIGINT)
+                |          <= h1 div $gridStepMs
+                |     THEN sequence(
+                |       CAST((h0 + ${gridStepMs - 1}) div $gridStepMs AS BIGINT),
+                |       h1 div $gridStepMs)
+                |     ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
+        .as("gidx"))
       .select((col("gidx") * gridStepMs).as("g"))
     val active = spans.join(broadcast(grid),
         col("s") <= col("g") && col("g") < col("e"))
