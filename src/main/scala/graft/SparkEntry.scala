@@ -4453,7 +4453,7 @@ object SparkEntry {
           .as("ca"),
           sum(when(col("event_type") === "click", 1L).otherwise(0L))
           .as("cb"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(operators.Census.onePartKey(col("v"))).orderBy(col("v"))
         .rowsBetween(org.apache.spark.sql.expressions.Window
           .unboundedPreceding, 0)
       val tot = hist.agg(sum(col("ca")).as("n"), sum(col("cb")).as("m"))
@@ -4973,7 +4973,7 @@ object SparkEntry {
           org.apache.spark.sql.types.StructField("thr_e6",
             org.apache.spark.sql.types.LongType))))
       val ranked = chi.withColumn("k",
-          row_number().over(Window.orderBy(col("chi2_e6").desc,
+          row_number().over(Window.partitionBy(operators.Census.onePartKey(col("chi2_e6"))).orderBy(col("chi2_e6").desc,
             col("slice"))).cast("long"))
         .join(broadcast(thr), "k")
       val kstar = ranked.agg(
@@ -6684,20 +6684,21 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars").as("score"),
           (concat(lit(" "), col("text"), lit(" "))
             .contains(" spark ")).cast("long").as("pos"))
-      val byV = Window.orderBy(col("score").desc)
+      val byV = Window.partitionBy(operators.Census.onePartKey(col("score"))).orderBy(col("score").desc)
         .rowsBetween(Window.unboundedPreceding, 0)
       val census = d.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
         .withColumn("cum", sum(col("cnt")).over(byV))
-        .withColumn("nn", sum(col("cnt")).over(Window.partitionBy(lit(1))))
+        .withColumn("nn", sum(col("cnt")).over(
+          Window.partitionBy(operators.Census.onePartKey(col("score")))))
         .select(col("score"), expr("(cum - 1) * 10 div nn + 1").as("decile"))
-      val run = Window.orderBy(col("decile"))
+      val run = Window.partitionBy(operators.Census.onePartKey(col("decile"))).orderBy(col("decile"))
         .rowsBetween(Window.unboundedPreceding, 0)
       d.join(census, "score")
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n"), sum(col("pos")).as("positives"))
         .withColumn("cum_pos", sum(col("positives")).over(run))
         .withColumn("total_pos", sum(col("positives")).over(
-          Window.partitionBy(lit(1))))
+          Window.partitionBy(operators.Census.onePartKey(col("decile")))))
         .withColumn("capture_e6", expr("cum_pos * 1000000L div total_pos"))
         .select(col("decile"), col("n"), col("positives"),
           col("capture_e6"))
@@ -6759,12 +6760,12 @@ object SparkEntry {
           sum(col("cents")).as("m"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def quintile(df: DataFrame, c: String): DataFrame = {
-        val byV = Window.orderBy(col(c))
+        val byV = Window.partitionBy(operators.Census.onePartKey(col(c))).orderBy(col(c))
           .rowsBetween(Window.unboundedPreceding, 0)
         val census = df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
           .withColumn("cum", sum(col("cnt")).over(byV))
           .withColumn("n", sum(col("cnt")).over(
-            Window.partitionBy(lit(1))))
+            Window.partitionBy(operators.Census.onePartKey(col(c)))))
           .select(col(c),
             expr("(cum - 1) * 5 div n + 1").as(s"${c}_q"))
         df.join(census, c)
@@ -6811,7 +6812,7 @@ object SparkEntry {
         sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("dc_c"),
         sum(when(col("arm") === 1, 1L).otherwise(0L)).as("dn_t"),
         sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("dc_t"))
-      val run = Window.orderBy(col("day"))
+      val run = Window.partitionBy(operators.Census.onePartKey(col("day"))).orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, 0)
       daily
         .withColumn("n_c", sum(col("dn_c")).over(run))

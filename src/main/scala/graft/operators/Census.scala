@@ -44,4 +44,20 @@ object Census {
             " monoid, distributed) instead of the census window")))
         .cast("long"),
       lit(0L))
+
+  /** Constant-zero partition key for a bounded-census window. A census
+    * cumulation INTENDS a single partition (the frame is domain-bounded
+    * and guarded by [[guardLong]]), but an empty partition spec makes
+    * every WindowExec log "No Partition Defined … serious performance
+    * degradation", drowning real offenders in plan audits. The key must
+    * be constant per row yet OPAQUE to the optimizer: `hash(c)*0` is
+    * constant-folded to a literal in aggregate-fed plans (Spark 4's
+    * ReorderAssociativeOperator + EliminateWindowPartitions then strip
+    * the partition entirely — measured on q214's plan), so instead use
+    * `hash(c) div 2³²`: always 0 because a 32-bit hash's magnitude is
+    * < 2³², but no folding rule does that range analysis. hash is never
+    * null, so every row lands in the same partition — identical results,
+    * single-partition execution (intended), silent log. */
+  def onePartKey(c: Column): Column =
+    call_function("div", hash(c).cast("long"), lit(4294967296L))
 }

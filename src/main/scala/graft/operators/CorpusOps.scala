@@ -249,7 +249,7 @@ object CorpusOps {
       .withColumn("deficit",
         lit(budget) - sum(col("base")).over(Window.partitionBy()))
       .withColumn("rk", row_number().over(
-        Window.orderBy(col("rem").desc, col(keyCol))))
+        Window.partitionBy(Census.onePartKey(col("rem"))).orderBy(col("rem").desc, col(keyCol))))
       .withColumn("quota",
         col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
       .select(col(keyCol), col("weight"), col("quota"))
@@ -318,7 +318,7 @@ object CorpusOps {
     val firsts = tok.groupBy(col("w"))
       .agg(min(col("bucket")).as("fb"))
       .groupBy(col("fb")).agg(count(lit(1)).as("new_words"))
-    val w = Window.orderBy(col("bucket"))
+    val w = Window.partitionBy(Census.onePartKey(col("bucket"))).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perBucket.join(firsts, col("bucket") === col("fb"), "left")
       .withColumn("new_words", coalesce(col("new_words"), lit(0L)))
@@ -637,7 +637,7 @@ object CorpusOps {
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("g")).limit(topK)
     val ranked = census.withColumn("r",
-      row_number().over(Window.orderBy(col("c").desc, col("g"))))
+      row_number().over(Window.partitionBy(Census.onePartKey(col("c"))).orderBy(col("c").desc, col("g"))))
     val pts = ranked.select(
       round(log(col("r").cast("double")) * lit(1000000.0)).cast("long")
         .as("x"),

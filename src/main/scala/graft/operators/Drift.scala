@@ -72,9 +72,9 @@ object Drift {
         "full_outer")
       .select(col("v"), coalesce(col("cr"), lit(0L)).as("cr"),
         coalesce(col("ct"), lit(0L)).as("ct"))
-    val byV = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+    val byV = org.apache.spark.sql.expressions.Window.partitionBy(Census.onePartKey(col("v"))).orderBy(col("v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(Census.onePartKey(col("v")))
     merged
       .withColumn("cum_r", Census.guardLong(sum(col("cr")).over(byV),
         count(lit(1)).over(all), "Drift.ksStatistic"))
@@ -115,9 +115,9 @@ object Drift {
       .where(col("t") > minDay)
     val vals = census.select(col("v")).distinct()
     // global per-value totals and value-CDF (shared across splits)
-    val byV = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+    val byV = org.apache.spark.sql.expressions.Window.partitionBy(Census.onePartKey(col("v"))).orderBy(col("v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val allW = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val allW = org.apache.spark.sql.expressions.Window.partitionBy(Census.onePartKey(col("v")))
     val tot = census.groupBy(col("v")).agg(sum(col("n")).as("cnt"))
       .withColumn("cumT", sum(col("cnt")).over(byV))
       .withColumn("nTotal", sum(col("cnt")).over(allW))

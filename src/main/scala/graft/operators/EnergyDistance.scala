@@ -45,9 +45,9 @@ object EnergyDistance {
       .groupBy(col("v"))
       .agg(sum(when(!col("b"), 1L).otherwise(0L)).as("na"),
         sum(when(col("b"), 1L).otherwise(0L)).as("nb"))
-    val wLe = Window.orderBy(col("v"))
+    val wLe = Window.partitionBy(Census.onePartKey(col("v"))).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val whole = Window.orderBy(col("v"))
+    val whole = Window.partitionBy(Census.onePartKey(col("v"))).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = census
       .withColumn("cntA_le", Census.guardLong(sum(col("na")).over(wLe),

@@ -247,9 +247,9 @@ object EvalCurves {
       .groupBy(col("t"))
       .agg(sum(when(col("p"), 1L).otherwise(0L)).as("np"),
         sum(when(!col("p"), 1L).otherwise(0L)).as("nn"))
-    val wGe = Window.orderBy(col("t").desc)
+    val wGe = Window.partitionBy(Census.onePartKey(col("t"))).orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val whole = Window.orderBy(col("t").desc)
+    val whole = Window.partitionBy(Census.onePartKey(col("t"))).orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     census
       .withColumn("tp", Census.guardLong(sum(col("np")).over(wGe),

@@ -305,8 +305,8 @@ object ExactQuantiles {
     val hist = df.select(value.cast("long").as("__v"))
       .where(col("__v").isNotNull)
       .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
-    val byV = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
-    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val byV = org.apache.spark.sql.expressions.Window.partitionBy(Census.onePartKey(col("__v"))).orderBy(col("__v"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(Census.onePartKey(col("__v")))
     hist
       .withColumn("__cum", sum(col("__c")).over(byV))
       .withColumn("__n", sum(col("__c")).over(all))

@@ -50,9 +50,9 @@ object LMoments {
     val census = df.select(value.cast("long").as("v"))
       .where(col("v").isNotNull)
       .groupBy(col("v")).agg(count(lit(1)).as("c"))
-    val wLe = Window.orderBy(col("v"))
+    val wLe = Window.partitionBy(Census.onePartKey(col("v"))).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val whole = Window.orderBy(col("v"))
+    val whole = Window.partitionBy(Census.onePartKey(col("v"))).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = census
       .withColumn("cum", Census.guardLong(sum(col("c")).over(wLe),

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DoReMi-shape data-mixture reweighting (Xie et al. 2023, "DoReMi:
+  * Optimizing Data Mixtures Speeds Up Language Model Pretraining"),
+  * reduced to its count-based core: a domain's EXCESS LOSS under the
+  * pooled reference model is the per-token KL(P_d ‖ Q) of the domain's
+  * unigram distribution against the corpus distribution — the loss gap
+  * between the shared reference model and the best domain-specific one
+  * (DoReMi's Group-DRO signal, with the trained proxy replaced by the
+  * exact count-based optimum) — and the mixture weights follow
+  * multiplicative-weights rounds that boost high-excess (hard,
+  * under-served) domains.
+  *
+  * Exact-integer discipline:
+  *   excess_e6(d) = max(0, Σ_v round((c/ng)·ln((c/ng)/(cc/n))·1e6))
+  *     — per-cell ONE pinned double chain rounded to micro-nats BEFORE
+  *     summation (the q357/q374 rule), clamped at 0 (KL ≥ 0; per-term
+  *     truncation can drift a few micro-nats negative).
+  *   w⁰_d = 1_000_000 div D                      (uniform, truncating)
+  *   round t:  f_d  = 1_000_000 + (etaE6·excess_e6(d)) div 1_000_000
+  *             w'_d = w_d · f_d div 1_000_000    (linearized Hedge)
+  *             w_d  = w'_d · 1_000_000 div Σ w'_d
+  *     — all LONG/DECIMAL(38,0); the LINEARIZED update keeps every
+  *     round rational (no exp), so the oracle unrolls rounds as plain
+  *     CTEs with HUGEINT `//` and the output hash-gates cross-engine.
+  *
+  * Scale shape: ONE hash aggregate collapses the corpus to (domain,
+  * value) census grain — the only data-scale pass; the corpus census
+  * re-aggregates it; totals ride broadcast one-row frames; the update
+  * rounds run on the DOMAIN frame (|D| rows, localCheckpointed per
+  * round), never on tokens. */
+object Mixture {
+
+  def doremiWeightsE6(df: DataFrame, domainCol: Column, valueCol: Column,
+      rounds: Int, etaE6: Long): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"Mixture.doremiWeightsE6: need 1 ≤ rounds ≤ 16, got $rounds")
+    require(etaE6 > 0L && etaE6 <= 10000000L,
+      s"Mixture.doremiWeightsE6: need 0 < etaE6 ≤ 1e7, got $etaE6")
+    val cells = df.select(domainCol.as("d"), valueCol.as("v"))
+      .where(col("d").isNotNull && col("v").isNotNull)
+      .groupBy(col("d"), col("v")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = cells.groupBy(col("v")).agg(sum(col("c")).as("cc"))
+    val ng = cells.groupBy(col("d")).agg(sum(col("c")).as("ng"),
+      count(lit(1)).as("n_values"))
+    val nTotal = broadcast(corpus.agg(
+      coalesce(sum(col("cc")), lit(0L)).as("n")))
+    val excess = cells
+      .join(corpus, "v").join(ng.select(col("d"), col("ng")), "d")
+      .crossJoin(nTotal)
+      .select(col("d"),
+        round((col("c").cast("double") / col("ng").cast("double")) *
+          log((col("c").cast("double") / col("ng").cast("double")) /
+            (col("cc").cast("double") / col("n").cast("double"))) *
+          lit(1000000.0)).cast("long").as("t"))
+      .groupBy(col("d"))
+      .agg(sum(col("t").cast("decimal(38,0)")).as("kl"))
+      .select(col("d"), expr(
+        "CAST(greatest(CAST(0 AS DECIMAL(38,0)), kl) AS BIGINT)")
+        .as("excess_e6"))
+    val dom = ng.join(excess, "d").crossJoin(nTotal)
+      .select(col("d"), col("ng"), col("n_values"),
+        expr("CAST(CAST(ng AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)")
+          .as("share_e6"),
+        col("excess_e6"))
+      .localCheckpoint(true)
+    cells.unpersist()
+    // domains are FEW by contract (the mixture is over sources/shards,
+    // not rows) — the rounds loop collapses to |D|-row frames, and a
+    // data-grain "domain" column would make the loop itself the scan
+    val dCount = dom.count()
+    require(dCount >= 1 && dCount <= 100000,
+      s"Mixture.doremiWeightsE6: $dCount domains — the mixture frame " +
+        "must be domain-grain (≤ 1e5), not data-grain")
+    var w = dom.withColumn("w_e6", lit(1000000L / dCount))
+    for (_ <- 1 to rounds) {
+      val boosted = w.withColumn("wp", expr(
+        s"""CAST(CAST(w_e6 AS DECIMAL(38,0))
+           | * (1000000 + (($etaE6 * excess_e6) div 1000000))
+           | div 1000000 AS BIGINT)""".stripMargin))
+      val tot = boosted.agg(
+        sum(col("wp").cast("decimal(38,0)")).as("tw"))
+      w = boosted.crossJoin(broadcast(tot))
+        .select(col("d"), col("ng"), col("n_values"), col("share_e6"),
+          col("excess_e6"),
+          expr("CAST(CAST(wp AS DECIMAL(38,0)) * 1000000 div tw AS BIGINT)")
+            .as("w_e6"))
+        .localCheckpoint(true)
+    }
+    w.select(col("d").as("domain"), col("n_values"),
+      col("ng").as("n_tokens"), col("share_e6"), col("excess_e6"),
+      col("w_e6"))
+  }
+}

@@ -145,9 +145,9 @@ object OrdinalTests {
     val base = df.select(group.as("g"), value.cast("long").as("v"))
       .where(col("g").isNotNull && col("v").isNotNull)
       .localCheckpoint(true)
-    val wLe = Window.orderBy(col("v"))
+    val wLe = Window.partitionBy(Census.onePartKey(col("v"))).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val whole = Window.orderBy(col("v"))
+    val whole = Window.partitionBy(Census.onePartKey(col("v"))).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val med = base.groupBy(col("v")).agg(count(lit(1)).as("c"))
       .withColumn("cum", Census.guardLong(sum(col("c")).over(wLe),

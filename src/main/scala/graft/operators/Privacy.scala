@@ -114,12 +114,12 @@ object Privacy {
       .where(col("__s").isNotNull)
       .groupBy(keys :+ col("__s"): _*).agg(count(lit(1)).as("__g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wCat = Window.orderBy(col("__s"))
+    val wCat = Window.partitionBy(Census.onePartKey(col("__s"))).orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.partitionBy(lit(1))
+    val wAll = Window.partitionBy(Census.onePartKey(col("__s")))
     val cats = cells.groupBy(col("__s")).agg(sum(col("__g")).as("__ns"))
       .withColumn("__cum_n", sum(col("__ns")).over(wCat))
-      .withColumn("__rk", row_number().over(Window.orderBy(col("__s"))))
+      .withColumn("__rk", row_number().over(Window.partitionBy(Census.onePartKey(col("__s"))).orderBy(col("__s"))))
       .withColumn("__m", count(lit(1)).over(wAll))
       .withColumn("__N", sum(col("__ns")).over(wAll))
       .select(col("__s"), col("__cum_n"), col("__rk"), col("__m"), col("__N"))

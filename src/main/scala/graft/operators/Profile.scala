@@ -171,9 +171,9 @@ object Profile {
         when(positive, 1L).otherwise(0L).as("p"))
       .where(col("s").isNotNull)
       .groupBy(col("s")).agg(count(lit(1)).as("cnt"), sum(col("p")).as("pos"))
-    val byS = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+    val byS = org.apache.spark.sql.expressions.Window.partitionBy(Census.onePartKey(col("s"))).orderBy(col("s"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(Census.onePartKey(col("s")))
     h
       .withColumn("cum", sum(col("cnt")).over(byS))
       .withColumn("n", sum(col("cnt")).over(all))
@@ -277,9 +277,9 @@ object Profile {
       value: Column): DataFrame = {
     val v = df.select(col(idCol), value.cast("long").as("v"))
     val census = v.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
-    val byV = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+    val byV = org.apache.spark.sql.expressions.Window.partitionBy(Census.onePartKey(col("v"))).orderBy(col("v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(Census.onePartKey(col("v")))
     val ranked = census
       .withColumn("below", coalesce(sum(col("cnt")).over(byV), lit(0L)))
       .withColumn("n", sum(col("cnt")).over(all))

@@ -26,9 +26,9 @@ object RankStats {
     * [[Census.guardLong]] raises if the distinct-value census exceeds
     * the bounded-domain contract instead of sorting it on one task. */
   private def rank2Map(df: DataFrame, v: Column, out: String): DataFrame = {
-    val byV = Window.orderBy(col("__v"))
+    val byV = Window.partitionBy(Census.onePartKey(col("__v"))).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val whole = Window.orderBy(col("__v"))
+    val whole = Window.partitionBy(Census.onePartKey(col("__v"))).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     df.select(v.cast("long").as("__v")).where(col("__v").isNotNull)
       .groupBy(col("__v")).agg(count(lit(1)).as("__cnt"))
@@ -87,9 +87,9 @@ object RankStats {
     * Output: one row (n1, n2, u1_x2, tie_term). */
   def mannWhitney(df: DataFrame, value: Column,
       inSample1: Column): DataFrame = {
-    val byV = Window.orderBy(col("__v"))
+    val byV = Window.partitionBy(Census.onePartKey(col("__v"))).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val all = Window.partitionBy(lit(1))
+    val all = Window.partitionBy(Census.onePartKey(col("__v")))
     val d = (c: Column) => c.cast("decimal(38,0)")
     df.select(value.cast("long").as("__v"),
         when(inSample1, 1L).otherwise(0L).as("__s1"))

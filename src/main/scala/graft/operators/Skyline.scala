@@ -33,7 +33,7 @@ object Skyline {
       .groupBy(col("q"), col("c")).agg(count(lit(1)).as("n_rows"))
     // min cost among cells with strictly higher quality: ascending sort,
     // frame = everything from q+1 upward
-    val higher = Window.orderBy(col("q"))
+    val higher = Window.partitionBy(Census.onePartKey(col("q"))).orderBy(col("q"))
       .rangeBetween(1L, Window.unboundedFollowing)
     val sameQ = Window.partitionBy(col("q"))
     cells

@@ -37,9 +37,9 @@ object Survival {
       .groupBy(col("t"))
       .agg(count(lit(1)).as("n_at"),
         sum(when(col("obs"), 1L).otherwise(0L)).as("n_events"))
-    val w = Window.orderBy(col("t").desc)
+    val w = Window.partitionBy(Census.onePartKey(col("t"))).orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val whole = Window.orderBy(col("t").desc)
+    val whole = Window.partitionBy(Census.onePartKey(col("t"))).orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     perT.withColumn("n_risk", Census.guardLong(sum(col("n_at")).over(w),
         count(lit(1)).over(whole), "Survival.kaplanMeier"))
@@ -68,11 +68,11 @@ object Survival {
       .groupBy(col("t"))
       .agg(count(lit(1)).as("n_at"),
         sum(when(col("obs"), 1L).otherwise(0L)).as("n_events"))
-    val wRisk = Window.orderBy(col("t").desc)
+    val wRisk = Window.partitionBy(Census.onePartKey(col("t"))).orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wCum = Window.orderBy(col("t").asc)
+    val wCum = Window.partitionBy(Census.onePartKey(col("t"))).orderBy(col("t").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val whole = Window.orderBy(col("t").desc)
+    val whole = Window.partitionBy(Census.onePartKey(col("t"))).orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     perT.withColumn("n_risk", Census.guardLong(sum(col("n_at")).over(wRisk),
         count(lit(1)).over(whole), "Survival.nelsonAalen"))
@@ -119,9 +119,9 @@ object Survival {
         sum(when(!col("g1"), 1L).otherwise(0L)).as("a2"),
         sum(when(col("g1") && col("obs"), 1L).otherwise(0L)).as("d1"),
         sum(when(!col("g1") && col("obs"), 1L).otherwise(0L)).as("d2"))
-    val w = Window.orderBy(col("t").desc)
+    val w = Window.partitionBy(Census.onePartKey(col("t"))).orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val whole = Window.orderBy(col("t").desc)
+    val whole = Window.partitionBy(Census.onePartKey(col("t"))).orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val terms = perT
       .withColumn("n1", Census.guardLong(sum(col("a1")).over(w),
@@ -216,9 +216,9 @@ object Survival {
         sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx_at"),
         sum(when(col("obs"), 1L).otherwise(0L)).as("d"),
         sum(when(col("obs"), col("x")).otherwise(0L)).as("sxd"))
-    val w = Window.orderBy(col("t").desc)
+    val w = Window.partitionBy(Census.onePartKey(col("t"))).orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val whole = Window.orderBy(col("t").desc)
+    val whole = Window.partitionBy(Census.onePartKey(col("t"))).orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val terms = perT
       .withColumn("n", Census.guardLong(sum(col("n_at")).over(w),
@@ -270,9 +270,9 @@ object Survival {
         sum(when(!col("g1"), 1L).otherwise(0L)).as("a2"),
         sum(when(col("g1") && col("obs"), 1L).otherwise(0L)).as("d1"),
         sum(when(!col("g1") && col("obs"), 1L).otherwise(0L)).as("d2"))
-    val w = Window.orderBy(col("t").desc)
+    val w = Window.partitionBy(Census.onePartKey(col("t"))).orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val whole = Window.orderBy(col("t").desc)
+    val whole = Window.partitionBy(Census.onePartKey(col("t"))).orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val terms = perT
       .withColumn("n1", Census.guardLong(sum(col("a1")).over(w),

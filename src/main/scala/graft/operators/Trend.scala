@@ -698,8 +698,8 @@ object Trend {
       "Trend.hurstRsE6: window sizes must be ≥ 2")
     val base0 = df.select(orderCol.cast("long").as("o"),
       value.cast("long").as("x"))
-    val wOrd = Window.orderBy(col("o"))
-    val whole = Window.orderBy(col("o"))
+    val wOrd = Window.partitionBy(Census.onePartKey(col("o"))).orderBy(col("o"))
+    val whole = Window.partitionBy(Census.onePartKey(col("o"))).orderBy(col("o"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val base = base0.withColumn("rn",
         Census.guardLong(row_number().over(wOrd).cast("long"),
