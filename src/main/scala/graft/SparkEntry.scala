@@ -5747,6 +5747,19 @@ object SparkEntry {
         windows = Seq(8, 16, 32, 64))
     }),
 
+    // DoReMi-shape mixture reweighting (Xie et al. 2023): per-source
+    // excess loss = KL(source unigram ‖ corpus unigram) in q374-pinned
+    // micro-nats, then 3 linearized multiplicative-weights rounds
+    // (η = 0.5) that boost hard/under-served sources — the data-mixture
+    // planner's OUTPUT table beside q374's similarity readout; rounds
+    // run on the |sources| frame, never tokens.
+    "q424_doremi_mixture" -> ((s, dir) =>
+      operators.Mixture.doremiWeightsE6(
+        t(s, dir, "documents").select(col("source"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("v")),
+        col("source"), col("v"), rounds = 3, etaE6 = 500000L)
+        .withColumnRenamed("domain", "source")),
+
     // Winnowing fingerprint sharing (Schleimer et al. 2003 — MOSS's
     // selection rule): word-3-gram Karp–Rabin+splitmix hashes, window-4
     // minima with rightmost ties via ONE struct-min aggregate (no
@@ -15442,6 +15455,51 @@ object SparkEntry {
         | FROM ols)
         |SELECT pw.w, pw.n_blocks, pw.mean_rs_e6, hh.hurst_e6
         |FROM pw, hh""".stripMargin,
+
+    // q424: q374-pinned per-cell KL micro-nats; the 3 MW rounds unroll
+    // as plain HUGEINT CTEs (the linearized update is rational — no exp).
+    "q424_doremi_mixture" ->
+      """WITH tok AS (SELECT source AS d,
+        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS v
+        | FROM documents),
+        |cells AS (SELECT d, v, count(*) AS c FROM tok GROUP BY 1, 2),
+        |corpus AS (SELECT v, CAST(sum(c) AS BIGINT) AS cc FROM cells
+        | GROUP BY 1),
+        |ng AS (SELECT d, CAST(sum(c) AS BIGINT) AS ng,
+        |  CAST(count(*) AS BIGINT) AS n_values FROM cells GROUP BY 1),
+        |nt AS (SELECT CAST(sum(cc) AS BIGINT) AS n FROM corpus),
+        |ex AS (SELECT cells.d,
+        |  CAST(greatest(CAST(0 AS HUGEINT),
+        |    sum(CAST(round((CAST(c AS DOUBLE) / ng.ng)
+        |      * ln((CAST(c AS DOUBLE) / ng.ng) / (CAST(cc AS DOUBLE) / n))
+        |      * 1000000.0) AS HUGEINT))) AS BIGINT) AS excess_e6
+        | FROM cells JOIN corpus USING (v) JOIN ng USING (d), nt
+        | GROUP BY cells.d),
+        |dom AS (SELECT ng.d, ng.ng, ng.n_values,
+        |  CAST(CAST(ng.ng AS HUGEINT) * 1000000 // n AS BIGINT)
+        |   AS share_e6, ex.excess_e6
+        | FROM ng JOIN ex ON ex.d = ng.d, nt),
+        |dc AS (SELECT CAST(count(*) AS BIGINT) AS dn FROM dom),
+        |r0 AS (SELECT d, CAST(1000000 // dn AS HUGEINT) AS w
+        | FROM dom, dc),
+        |b1 AS (SELECT r0.d, r0.w * (1000000
+        |   + ((500000 * CAST(dom.excess_e6 AS HUGEINT)) // 1000000))
+        |  // 1000000 AS wp FROM r0 JOIN dom USING (d)),
+        |t1 AS (SELECT sum(wp) AS tw FROM b1),
+        |r1 AS (SELECT d, wp * 1000000 // tw AS w FROM b1, t1),
+        |b2 AS (SELECT r1.d, r1.w * (1000000
+        |   + ((500000 * CAST(dom.excess_e6 AS HUGEINT)) // 1000000))
+        |  // 1000000 AS wp FROM r1 JOIN dom USING (d)),
+        |t2 AS (SELECT sum(wp) AS tw FROM b2),
+        |r2 AS (SELECT d, wp * 1000000 // tw AS w FROM b2, t2),
+        |b3 AS (SELECT r2.d, r2.w * (1000000
+        |   + ((500000 * CAST(dom.excess_e6 AS HUGEINT)) // 1000000))
+        |  // 1000000 AS wp FROM r2 JOIN dom USING (d)),
+        |t3 AS (SELECT sum(wp) AS tw FROM b3),
+        |r3 AS (SELECT d, wp * 1000000 // tw AS w FROM b3, t3)
+        |SELECT dom.d AS source, dom.n_values, dom.ng AS n_tokens,
+        | dom.share_e6, dom.excess_e6, CAST(r3.w AS BIGINT) AS w_e6
+        |FROM dom JOIN r3 ON r3.d = dom.d""".stripMargin,
 
     // q418: per-arm value censuses, census×census comparison mass.
     "q418_cliffs_delta" ->
