@@ -5760,6 +5760,60 @@ object SparkEntry {
         col("source"), col("v"), rounds = 3, etaE6 = 500000L)
         .withColumnRenamed("domain", "source")),
 
+    // Exact KNN-Shapley data valuation (Jia et al. 2019) over the
+    // embedding pool: probe set = vec_id < 20 (the q20 convention),
+    // K = 5, exact closed-form rank recurrence in pinned e9 integers;
+    // top 25 most valuable training points — negative values flag
+    // harmful/mislabeled data, the curation signal a cleaning pass
+    // acts on.
+    "q425_knn_shapley" -> ((s, dir) =>
+      operators.Similarity.knnShapleyE9(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", col("vec_id") < 20, k = 5,
+        topN = 25)),
+
+    // CCNet-shape perplexity filter (Wenzek et al. 2020): held-out docs
+    // scored by mean per-token cost under the train-split add-one
+    // unigram LM, fixed half-nat bands per source — the quality-cut
+    // histogram a filtering pass reads. Split strides WITHIN each
+    // source ((doc_id div 20) mod 5 — source is doc_id mod 20 in this
+    // corpus, so a bare mod split would hold out whole sources). Fixed
+    // bands, not CCNet's terciles: the output stays (source × band)
+    // census grain at any scale.
+    "q426_ppl_filter" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      operators.CorpusOps.pplFilterBands(
+        d.where(pmod(expr("doc_id div 20"), lit(5L)) < 4L),
+        d.where(pmod(expr("doc_id div 20"), lit(5L)) >= 4L),
+        "text", "doc_id", "source", bandNatsE6 = 500000L, maxBand = 20L)
+        .withColumnRenamed("group", "source")
+    }),
+
+    // Tokenizer fertility audit per source under the fixed q78 BPE
+    // merge list: tokens-per-word and chars-per-token in truncating e6
+    // — the data-card row that flags a source the vocab encodes poorly
+    // (high fertility = words shattering to near-characters).
+    "q427_bpe_fertility" -> ((s, dir) =>
+      operators.BpeTrainer.fertilityByGroup(t(s, dir, "documents"),
+        "text", "source", q78Merges)
+        .withColumnRenamed("group", "source")),
+
+    // Pivot-set eccentricity on the q85/q386 thresholded co-supplier
+    // graph (8 smallest nodes, exact BFS each, one pivot-tagged
+    // level-sync loop): max(ecc) is the standard diameter lower bound
+    // (Magnien et al. 2009) — "how many hops across the supplier
+    // network", the companion scale readout to q332's betweenness.
+    "q428_eccentricity" -> ((s, dir) => {
+      val und = coSupplierPairs(s, dir)
+        .where(col("l_suppkey") < col("dst_supp"))
+        .groupBy(col("l_suppkey"), col("dst_supp"))
+        .agg(count(lit(1)).as("w")).where(col("w") >= 5)
+      val pairs = und.select(col("l_suppkey").as("u"), col("dst_supp").as("v"))
+        .unionByName(und.select(col("dst_supp").as("u"),
+          col("l_suppkey").as("v")))
+      operators.Graph.eccentricityPivots(pairs, "u", "v",
+        nPivots = 8, maxHops = 16)
+    }),
+
     // Winnowing fingerprint sharing (Schleimer et al. 2003 — MOSS's
     // selection rule): word-3-gram Karp–Rabin+splitmix hashes, window-4
     // minima with rightmost ties via ONE struct-min aggregate (no
@@ -8782,9 +8836,10 @@ object SparkEntry {
     * [[graft.operators.BpeTrainer.mergeOnce]] exactly (the merged tail
     * cannot re-merge in its round), rounds chain linearly (one reference
     * each), and documents reassemble by word position. */
-  private val q78OracleSql: String = {
-    val S = "chr(31)"
-    val rounds = q78Merges.zipWithIndex.map { case ((l, r), i) =>
+  /** The q78 merge-replay rounds (one CTE per learned merge) — shared
+    * by q78's encode oracle and q427's fertility oracle. */
+  private def q78MergeRoundsSql(S: String): String =
+    q78Merges.zipWithIndex.map { case ((l, r), i) =>
       s"""s${i + 1} AS (SELECT word,
          | list_reduce(list_prepend('', string_split(s, $S)),
          |  (a, x) -> CASE
@@ -8796,6 +8851,10 @@ object SparkEntry {
          |    ELSE a || $S || x END) AS s
          | FROM s$i)""".stripMargin
     }.mkString(",\n")
+
+  private val q78OracleSql: String = {
+    val S = "chr(31)"
+    val rounds = q78MergeRoundsSql(S)
     s"""WITH w AS (
        | SELECT doc_id, i AS pos, ws[i] AS word
        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
@@ -8815,6 +8874,40 @@ object SparkEntry {
        | string_agg(tok.tokstr, ' ' ORDER BY w.pos) AS bpe_text
        |FROM w JOIN tok ON tok.word = w.word
        |GROUP BY w.doc_id""".stripMargin
+  }
+
+  /** q427's oracle: the q78 merge replay aggregated to (source) grain —
+    * per-word token/char counts over the distinct vocab, then one group
+    * aggregate with the truncating e6 ratios. */
+  private val q427OracleSql: String = {
+    val S = "chr(31)"
+    val rounds = q78MergeRoundsSql(S)
+    s"""WITH w AS (
+       | SELECT source, ws[i] AS word
+       | FROM (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS ws
+       |       FROM documents) t,
+       |  LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) ix
+       | WHERE length(ws[i]) > 0),
+       |v AS (SELECT DISTINCT word FROM w),
+       |s0 AS (
+       | SELECT word, array_to_string(
+       |  list_transform(range(1, length(word)+1), i -> word[i]), $S) AS s
+       | FROM v),
+       |$rounds,
+       |tok AS (SELECT word,
+       |  CAST(len(string_split(s, $S)) AS BIGINT) AS ntok,
+       |  CAST(length(word) AS BIGINT) AS nchr FROM s${q78Merges.size}),
+       |a AS (SELECT w.source,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(tok.ntok) AS BIGINT) AS n_tokens,
+       |  CAST(sum(tok.nchr) AS BIGINT) AS n_chars
+       | FROM w JOIN tok ON tok.word = w.word GROUP BY 1)
+       |SELECT source, n_words, n_tokens, n_chars,
+       | CAST(CAST(n_tokens AS HUGEINT) * 1000000 // n_words AS BIGINT)
+       |  AS fertility_e6,
+       | CAST(CAST(n_chars AS HUGEINT) * 1000000 // n_tokens AS BIGINT)
+       |  AS chars_per_token_e6
+       |FROM a""".stripMargin
   }
 
   /** q77's oracle unrolls five PageRank rounds of the IDENTICAL integer
@@ -15500,6 +15593,104 @@ object SparkEntry {
         |SELECT dom.d AS source, dom.n_values, dom.ng AS n_tokens,
         | dom.share_e6, dom.excess_e6, CAST(r3.w AS BIGINT) AS w_e6
         |FROM dom JOIN r3 ON r3.d = dom.d""".stripMargin,
+
+    // q425: the q20 quantized-cosine replay, per-test rank recurrence
+    // as a rank-descending window prefix sum, truncating mean over
+    // probes; signs handled by multiplying Δ AFTER the positive div.
+    "q425_knn_shapley" ->
+      """WITH n AS (SELECT vec_id, embedding, label,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)
+        |      *1000000000.0) AS BIGINT))) AS BIGINT) AS nsq
+        | FROM embeddings),
+        |q AS (SELECT * FROM n WHERE vec_id < 20),
+        |c AS (SELECT * FROM n WHERE NOT (vec_id < 20)),
+        |s AS (SELECT q.vec_id AS qid, q.label AS qlab,
+        |  c.vec_id AS cid, c.label AS clab,
+        |  CAST(CAST(list_sum(list_transform(
+        |     list_zip(q.embedding, c.embedding),
+        |     z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)
+        |       *1000000000.0) AS BIGINT))) AS BIGINT) AS DOUBLE)
+        |   / sqrt(CAST(q.nsq AS DOUBLE) * CAST(c.nsq AS DOUBLE)) AS score
+        | FROM q, c),
+        |r AS (SELECT qid, cid, clab,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid)
+        |   AS r,
+        |  count(*) OVER (PARTITION BY qid) AS nt,
+        |  CASE WHEN qlab = clab THEN 1 ELSE 0 END AS m FROM s),
+        |t AS (SELECT *, lead(m) OVER (PARTITION BY qid ORDER BY r) AS mn
+        | FROM r),
+        |t2 AS (SELECT *, CASE WHEN mn IS NULL THEN 0 ELSE
+        |  (m - mn) * ((CAST(1000000000 AS BIGINT) * least(5, r))
+        |    // (CAST(5 AS BIGINT) * r)) END AS term FROM t),
+        |sv AS (SELECT qid, cid, clab, nt, term,
+        |  max(CASE WHEN r = nt THEN m END) OVER (PARTITION BY qid)
+        |   AS mlast,
+        |  sum(term) OVER (PARTITION BY qid ORDER BY r DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM t2),
+        |sval AS (SELECT cid, clab,
+        |  ((mlast * 1000000000) // nt) + cum AS s_e9 FROM sv),
+        |phi AS (SELECT cid, clab AS label,
+        |  CAST(sum(s_e9) // count(*) AS BIGINT) AS phi_e9
+        | FROM sval GROUP BY 1, 2),
+        |tops AS (SELECT *, row_number()
+        |  OVER (ORDER BY phi_e9 DESC, cid) AS rank FROM phi)
+        |SELECT CAST(rank AS BIGINT) AS rank, cid, label, phi_e9
+        |FROM tops WHERE rank <= 25""".stripMargin,
+
+    // q426: train word census + add-one cost per TYPE (one pinned ln
+    // chain), doc totals from (doc, word, k) cells, fixed-band histogram.
+    "q426_ppl_filter" ->
+      """WITH tr AS (SELECT
+        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        | FROM documents WHERE (doc_id // 20) % 5 < 4),
+        |cen AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tr
+        | GROUP BY 1),
+        |sc AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS v FROM cen),
+        |evt AS (SELECT doc_id, source AS g,
+        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        | FROM documents WHERE (doc_id // 20) % 5 >= 4),
+        |cells AS (SELECT doc_id, g, w, CAST(count(*) AS BIGINT) AS k
+        | FROM evt GROUP BY 1, 2, 3),
+        |costs AS (SELECT doc_id, g, k,
+        |  CAST(round(-ln((CAST(coalesce(cen.c, 0) AS DOUBLE) + 1.0)
+        |    / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000.0)
+        |   AS BIGINT) AS cost
+        | FROM cells LEFT JOIN cen USING (w), sc),
+        |docs AS (SELECT g,
+        |  CAST(sum(CAST(k AS HUGEINT) * cost) // sum(k) AS BIGINT)
+        |   AS ppl,
+        |  CAST(sum(k) AS BIGINT) AS nt
+        | FROM costs GROUP BY doc_id, g)
+        |SELECT g AS source, least(ppl // 500000, 20) AS band,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(nt) AS BIGINT) AS n_tokens
+        |FROM docs GROUP BY 1, 2""".stripMargin,
+
+    "q427_bpe_fertility" -> q427OracleSql,
+
+    // q428: recursive-CTE BFS (UNION dedups; min-hops per (p, id)),
+    // over the q386 thresholded graph symmetrized.
+    "q428_eccentricity" ->
+      """WITH RECURSIVE und AS (
+        | SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        | FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        | GROUP BY 1, 2 HAVING count(*) >= 5),
+        |e AS (SELECT u, v FROM und UNION SELECT v, u FROM und),
+        |pv AS (SELECT u AS p FROM (SELECT DISTINCT u FROM e)
+        | ORDER BY p LIMIT 8),
+        |walk(p, id, hops) AS (
+        | SELECT p, p, 0 FROM pv
+        | UNION
+        | SELECT w.p, e.v, w.hops + 1 FROM walk w JOIN e ON e.u = w.id
+        | WHERE w.hops < 16),
+        |d AS (SELECT p, id, min(hops) AS h FROM walk GROUP BY 1, 2)
+        |SELECT p AS pivot, CAST(max(h) AS BIGINT) AS ecc,
+        | CAST(count(*) AS BIGINT) AS n_reached
+        |FROM d GROUP BY 1""".stripMargin,
 
     // q418: per-arm value censuses, census×census comparison mass.
     "q418_cliffs_delta" ->

@@ -152,4 +152,41 @@ object BpeTrainer {
       .groupBy(col(idCol))
       .agg(sum(col("ntok")).as("n_bpe_tokens"))
   }
+
+  /** Tokenizer fertility/compression audit per group under a FIXED
+    * merge list: words, BPE tokens, chars, fertility = tokens per word
+    * and chars per token in truncating e6 — the data-card row that
+    * flags a source the learned vocab encodes poorly (fertility ≫ the
+    * corpus norm means domain mismatch: its words shatter into
+    * near-character pieces).
+    *
+    * Shape: per-word token counts are computed ONCE on the
+    * distinct-word frame and broadcast back (the [[encode]] contract);
+    * the group stats are one hash aggregate. No token-grain shuffle. */
+  def fertilityByGroup(docs: DataFrame, textCol: String, groupCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty)
+    val ms = merges.zipWithIndex.map { case ((l, r), i) =>
+      Merge(i + 1, l, r, 0L) }
+    val words = docs.select(col(groupCol).as("group"),
+        explode(split(trim(col(textCol)), Ws)).as("word"))
+      .where(length(col("word")) > 0)
+    val vocab = words.select(col("word")).distinct()
+      .select(col("word"),
+        size(applyMerges(charSymbols(col("word")), ms)).cast("long")
+          .as("ntok"),
+        length(col("word")).cast("long").as("nchr"))
+    words.join(broadcast(vocab), "word")
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_tokens"),
+        sum(col("nchr")).as("n_chars"))
+      .select(col("group"), col("n_words"), col("n_tokens"),
+        col("n_chars"),
+        expr("""CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000
+               | div n_words AS BIGINT)""".stripMargin).as("fertility_e6"),
+        expr("""CAST(CAST(n_chars AS DECIMAL(38,0)) * 1000000
+               | div n_tokens AS BIGINT)""".stripMargin)
+          .as("chars_per_token_e6"))
+  }
 }
+

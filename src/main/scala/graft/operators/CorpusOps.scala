@@ -702,4 +702,56 @@ object CorpusOps {
           | ELSE CAST(CAST(oov_types AS DECIMAL(38,0)) * 1000000
           |   div types AS BIGINT) END""".stripMargin))
   }
+
+  /** CCNet-style perplexity-filter audit (Wenzek et al. 2020): held-out
+    * docs scored by MEAN PER-TOKEN COST under a train-split unigram LM
+    * with add-one smoothing (OOV words get the +1 floor mass), bucketed
+    * into fixed-width nat bands per group — the head/middle/tail
+    * histogram a quality-filtering pass cuts on. CCNet's terciles would
+    * need a data-grain quantile; FIXED bands keep the output at
+    * (group × band) census grain at any scale.
+    *
+    * Pinned arithmetic: per word TYPE,
+    *   cost_e6 = round(−ln((c+1)/(N+V))·1e6)   — ONE double chain
+    * (the q374 rule); per doc, total = Σ k·cost_e6 over its (word, k)
+    * cells; ppl_e6 = total div n_tokens (mean micro-nats, truncating);
+    * band = least(ppl_e6 div bandNatsE6, maxBand).
+    *
+    * Shape: train collapses once to a word census (persisted — the
+    * scalar totals and the probe join both read it; lives until the
+    * caller's clearCache, the collocations contract); held-out docs
+    * collapse to (doc, word) cells; the probe is a census-to-census
+    * LEFT join; the doc aggregate and the (group, band) histogram are
+    * hash aggregates. Nothing sorts at data grain. */
+  def pplFilterBands(train: DataFrame, eval: DataFrame, textCol: String,
+      idCol: String, groupCol: String, bandNatsE6: Long,
+      maxBand: Long): DataFrame = {
+    require(bandNatsE6 > 0L && maxBand >= 1L)
+    val census = train
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scal = broadcast(census.agg(
+      coalesce(sum(col("c")), lit(0L)).as("n"),
+      count(lit(1)).as("v")))
+    val cells = eval.select(col(idCol).as("id"), col(groupCol).as("g"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .groupBy(col("id"), col("g"), col("w"))
+      .agg(count(lit(1)).as("k"))
+    val costs = cells.join(census, Seq("w"), "left").crossJoin(scal)
+      .select(col("id"), col("g"), col("k"),
+        round(-log((coalesce(col("c"), lit(0L)).cast("double") + lit(1.0))
+            / (col("n").cast("double") + col("v").cast("double")))
+          * lit(1000000.0)).cast("long").as("cost_e6"))
+    costs.groupBy(col("id"), col("g"))
+      .agg(sum(col("k")).as("n_tokens"),
+        sum(col("k").cast("decimal(38,0)") * col("cost_e6")).as("total"))
+      .select(col("g").as("group"),
+        least(expr(s"CAST(total div n_tokens AS BIGINT) div $bandNatsE6"),
+          lit(maxBand)).as("band"),
+        col("n_tokens"))
+      .groupBy(col("group"), col("band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+  }
 }
+

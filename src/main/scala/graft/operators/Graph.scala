@@ -1089,4 +1089,51 @@ object Graph {
           |div (CAST(n_nodes AS DECIMAL(38,0)) * (n_nodes - 1))
           |AS BIGINT)""".stripMargin)))
   }
+
+  /** Pivot-set eccentricity and the standard diameter LOWER bound
+    * (Magnien, Latapy, Habib 2009 — BFS from a pivot set brackets the
+    * diameter): exact eccentricity of the `nPivots` smallest node ids,
+    * all pivots advancing through ONE level-synchronous BFS loop keyed
+    * (pivot, node) — per round a single frontier⋈edges join + anti-join
+    * against the visited frame (the [[bfsHops]] shape, pivot-tagged),
+    * with an early exit when every pivot's frontier drains. max(ecc)
+    * over the output rows IS the diameter lower bound; eccentricities
+    * are within each pivot's component, capped at `maxHops` (hops are
+    * exact integers — no arithmetic discipline needed).
+    *
+    * Scale: per-round work is |frontier|·deg, ≤ nPivots × the single
+    * BFS cost; rounds ≤ the true eccentricity (early exit), never
+    * maxHops on small-world graphs. Visited state is (pivot, node) —
+    * nPivots × |V|, the documented budget. */
+  def eccentricityPivots(edges: DataFrame, srcCol: String, dstCol: String,
+      nPivots: Int, maxHops: Int): DataFrame = {
+    require(nPivots >= 1 && nPivots <= 64, s"nPivots: $nPivots")
+    require(maxHops >= 1 && maxHops <= 64, s"maxHops: $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pivots = e.select(col("src").as("p")).distinct()
+      .orderBy(col("p")).limit(nPivots)
+    var dist = pivots.select(col("p"), col("p").as("id"))
+      .withColumn("hops", lit(0L)).localCheckpoint(true)
+    var frontier = dist
+    var i = 1
+    var live = true
+    while (i <= maxHops && live) {
+      val next = frontier.select(col("p"), col("id").as("src"))
+        .join(e, "src").select(col("p"), col("dst").as("id")).distinct()
+        .join(dist, Seq("p", "id"), "left_anti")
+        .withColumn("hops", lit(i.toLong))
+        .localCheckpoint(true)
+      live = !next.isEmpty
+      if (live) dist = dist.unionByName(next).localCheckpoint(true)
+      frontier = next
+      i += 1
+    }
+    e.unpersist()
+    dist.groupBy(col("p").as("pivot"))
+      .agg(max(col("hops")).as("ecc"), count(lit(1)).as("n_reached"))
+  }
 }
+

@@ -1110,4 +1110,71 @@ object Similarity {
     a.join(b, col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"), col("a.bucket"))
   }
+
+  /** Exact KNN-Shapley data valuation (Jia et al. 2019, "Efficient
+    * Task-Specific Data Valuation for Nearest Neighbor Algorithms"):
+    * each training point's EXACT Shapley value for a K-NN classifier,
+    * via the closed-form rank recurrence
+    *   s_(N)  = 1[y_(N) = y] / N
+    *   s_(i)  = s_(i+1) + (1[y_(i)=y] − 1[y_(i+1)=y]) · min(K,i)/(K·i)
+    * folded as a rank-descending prefix sum of pinned per-term e9
+    * integers: term(j) = Δ_j · ((1e9·min(K,j)) div (K·j)) with
+    * Δ ∈ {−1,0,1} applied AFTER the positive-operand truncating div,
+    * so both engines agree signwise. A point's value is the truncating
+    * mean of its per-test values (div, toward zero — negative values
+    * mark HARMFUL points, the mislabeled-data signal curation acts on).
+    *
+    * Scale shape: the probe set broadcasts against one candidate-pool
+    * scan (the q20 brute-force contract — at scale the pool is an ANN
+    * shortlist, not the corpus); ranks/prefix sums run in REAL
+    * per-test partitions; the final top-N rides one bounded window
+    * over the pool-grain value frame. Scores are the house quantized
+    * e9 cosine chain — bit-deterministic, (score desc, id) total
+    * order. */
+  def knnShapleyE9(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, testPred: Column, k: Int, topN: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"knnShapleyE9: 1 ≤ k ≤ 1000, got $k")
+    require(topN >= 1, s"knnShapleyE9: topN ≥ 1, got $topN")
+    VectorExpressions.register(emb.sparkSession)
+    def prep(df: DataFrame, p: String) = df.select(
+      col(idCol).as(s"${p}id"), col(vecCol).as(s"${p}vec"),
+      col(labelCol).as(s"${p}lab"),
+      VectorExpressions.normSqE9Fast(col(vecCol)).as(s"${p}n"))
+    val q = prep(emb.where(testPred), "q")
+    val c = prep(emb.where(!testPred).repartition(col(idCol)), "c")
+    val scored = c.join(broadcast(q), lit(true))
+      .withColumn("__score",
+        cosineFromE9(VectorExpressions.dotE9Fast(col("qvec"), col("cvec")),
+          col("qn"), col("cn")))
+      .select(col("qid"), col("qlab"), col("cid"), col("clab"),
+        col("__score"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("__score").desc, col("cid"))
+    val wPart = Window.partitionBy(col("qid"))
+    val ranked = scored
+      .withColumn("r", row_number().over(wRank))
+      .withColumn("nt", count(lit(1)).over(wPart))
+      .withColumn("m", (col("qlab") === col("clab")).cast("long"))
+    val wLead = Window.partitionBy(col("qid")).orderBy(col("r"))
+    val wCum = Window.partitionBy(col("qid")).orderBy(col("r").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sVals = ranked
+      .withColumn("mn", lead(col("m"), 1).over(wLead))
+      .withColumn("term", when(col("mn").isNull, 0L).otherwise(
+        (col("m") - col("mn")) * expr(
+          s"(CAST(1000000000 AS BIGINT) * least($k, r)) div (CAST($k AS BIGINT) * r)")))
+      .withColumn("mlast",
+        max(when(col("r") === col("nt"), col("m"))).over(wPart))
+      .withColumn("s_e9",
+        expr("(mlast * 1000000000) div nt") + sum(col("term")).over(wCum))
+    val phi = sVals.groupBy(col("cid"), col("clab").as("label"))
+      .agg(sum(col("s_e9")).as("ssum"), count(lit(1)).as("mt"))
+      .select(col("cid"), col("label"),
+        expr("ssum div mt").as("phi_e9"))
+    phi.withColumn("rank", row_number().over(
+        Window.partitionBy(Census.onePartKey(col("cid")))
+          .orderBy(col("phi_e9").desc, col("cid"))).cast("long"))
+      .where(col("rank") <= topN)
+      .select(col("rank"), col("cid"), col("label"), col("phi_e9"))
+  }
 }
