@@ -5802,6 +5802,17 @@ object SparkEntry {
     // level-sync loop): max(ecc) is the standard diameter lower bound
     // (Magnien et al. 2009) — "how many hops across the supplier
     // network", the companion scale readout to q332's betweenness.
+    // Confident-learning-style label-noise audit (Northcutt et al.
+    // 2021, KNN-agreement form) over the embedding pool: per point the
+    // k=5 nearest-neighbor label agreement + majority suggestion,
+    // collapsed to the (label, suggested) relabeling census —
+    // off-diagonal rows with many flags are systematic annotation
+    // confusions. Pool = vec_id < 200 (audit sample; the operator
+    // rejects corpus-grain pools loudly).
+    "q429_label_noise" -> ((s, dir) =>
+      operators.Similarity.labelNoiseKnn(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", col("vec_id") < 200, k = 5)),
+
     "q428_eccentricity" -> ((s, dir) => {
       val und = coSupplierPairs(s, dir)
         .where(col("l_suppkey") < col("dst_supp"))
@@ -15670,6 +15681,39 @@ object SparkEntry {
         |FROM docs GROUP BY 1, 2""".stripMargin,
 
     "q427_bpe_fertility" -> q427OracleSql,
+
+    // q429: the q20 cosine replay pool×pool, top-5 by (score desc,
+    // clab), struct-min majority (most count, then smallest label).
+    "q429_label_noise" ->
+      """WITH n AS (SELECT vec_id, embedding, label,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)
+        |      *1000000000.0) AS BIGINT))) AS BIGINT) AS nsq
+        | FROM embeddings),
+        |p AS (SELECT * FROM n WHERE vec_id < 200),
+        |s AS (SELECT q.vec_id AS qid, q.label AS qlab, c.label AS clab,
+        |  CAST(CAST(list_sum(list_transform(
+        |     list_zip(q.embedding, c.embedding),
+        |     z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)
+        |       *1000000000.0) AS BIGINT))) AS BIGINT) AS DOUBLE)
+        |   / sqrt(CAST(q.nsq AS DOUBLE) * CAST(c.nsq AS DOUBLE)) AS score
+        | FROM p q JOIN p c ON q.vec_id <> c.vec_id),
+        |r AS (SELECT qid, qlab, clab, row_number()
+        |  OVER (PARTITION BY qid ORDER BY score DESC, clab) AS r FROM s),
+        |pc AS (SELECT qid, qlab, clab, CAST(count(*) AS BIGINT) AS cnt
+        | FROM r WHERE r <= 5 GROUP BY 1, 2, 3),
+        |pp AS (SELECT qid, qlab,
+        |  CAST(sum(CASE WHEN clab = qlab THEN cnt ELSE 0 END) AS BIGINT)
+        |   AS agree,
+        |  min(struct_pack(nc := -cnt, l := clab)) AS mj
+        | FROM pc GROUP BY 1, 2)
+        |SELECT qlab AS label, mj.l AS suggested,
+        | CAST(count(*) AS BIGINT) AS n_points,
+        | CAST(sum(CASE WHEN agree * 2 < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_flagged,
+        | CAST(sum(agree) * 1000000 // (count(*) * 5) AS BIGINT)
+        |  AS mean_agree_e6
+        |FROM pp GROUP BY 1, 2""".stripMargin,
 
     // q428: recursive-CTE BFS (UNION dedups; min-hops per (p, id)),
     // over the q386 thresholded graph symmetrized.

@@ -1177,4 +1177,66 @@ object Similarity {
       .where(col("rank") <= topN)
       .select(col("rank"), col("cid"), col("label"), col("phi_e9"))
   }
+
+  /** Confident-learning-style label-noise audit (Northcutt, Jiang,
+    * Chuang 2021, simplified to the KNN-agreement form): for every
+    * point in the audit pool, the fraction of its k nearest neighbors
+    * sharing its label, plus the neighbors' MAJORITY label (ties to the
+    * smallest label — pinned). Grouped to the (label, suggested) census:
+    * the relabeling table a cleaning pass reads — off-diagonal rows
+    * with many flagged points are systematic annotation confusions,
+    * not random noise.
+    *
+    * flagged ⟺ 2·agree < k (strict minority). Arithmetic is pure
+    * integer counts off the house quantized-cosine rank (score desc,
+    * id total order); agreement rates are truncating e6.
+    *
+    * Shape: pool×pool scoring under the q20 brute-force contract (the
+    * pool is an audit SAMPLE or ANN shortlist at scale — enforced by
+    * maxPool), per-point top-k via one windowed rank in real per-point
+    * partitions, then two hash aggregates to the label-pair census. */
+  def labelNoiseKnn(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, poolPred: Column, k: Int,
+      maxPool: Long = 100000L): DataFrame = {
+    require(k >= 1 && k <= 100, s"labelNoiseKnn: 1 ≤ k ≤ 100, got $k")
+    VectorExpressions.register(emb.sparkSession)
+    val pool = emb.where(poolPred).select(col(idCol).as("id"),
+        col(vecCol).as("vec"), col(labelCol).as("lab"),
+        VectorExpressions.normSqE9Fast(col(vecCol)).as("nsq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = pool.count()
+    require(n >= 2 && n <= maxPool,
+      s"labelNoiseKnn: pool has $n rows — pass an audit sample or ANN " +
+        s"shortlist (≤ $maxPool), not the corpus")
+    val q = pool.select(col("id").as("qid"), col("vec").as("qvec"),
+      col("lab").as("qlab"), col("nsq").as("qn"))
+    val c = pool.select(col("id").as("cid"), col("vec").as("cvec"),
+      col("lab").as("clab"), col("nsq").as("cn"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("__score",
+        cosineFromE9(VectorExpressions.dotE9Fast(col("qvec"), col("cvec")),
+          col("qn"), col("cn")))
+      .select(col("qid"), col("qlab"), col("clab"), col("__score"))
+    val wR = Window.partitionBy(col("qid"))
+      .orderBy(col("__score").desc, col("clab"))
+    val top = scored.withColumn("r", row_number().over(wR))
+      .where(col("r") <= k)
+    val perPoint = top.groupBy(col("qid"), col("qlab"), col("clab"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("qid"), col("qlab"))
+      .agg(sum(when(col("clab") === col("qlab"), col("cnt"))
+          .otherwise(0L)).as("agree"),
+        min(struct((-col("cnt")).as("nc"), col("clab").as("l")))
+          .as("mj"))
+      .select(col("qid"), col("qlab"), col("agree"),
+        col("mj.l").as("suggested"))
+    pool.unpersist()
+    perPoint.groupBy(col("qlab").as("label"),
+        col("suggested"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(when(col("agree") * 2 < k, 1L).otherwise(0L)).as("n_flagged"),
+        expr(s"CAST(sum(agree) * 1000000 div (count(1) * $k) AS BIGINT)")
+          .as("mean_agree_e6"))
+  }
 }
+
