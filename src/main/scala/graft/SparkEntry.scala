@@ -5802,6 +5802,24 @@ object SparkEntry {
     // level-sync loop): max(ecc) is the standard diameter lower bound
     // (Magnien et al. 2009) — "how many hops across the supplier
     // network", the companion scale readout to q332's betweenness.
+    // Split-conformal coverage audit (α = 1/10): per-label conformal
+    // quantile of shifted-e3 centroid distances on the calibration
+    // split (vec_id % 5 < 4), held-out coverage vs the ≥ 90% guarantee
+    // — the prediction-set deployment check.
+    "q431_conformal" -> ((s, dir) =>
+      operators.Similarity.conformalCoverageE6(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", pmod(col("vec_id"), lit(5L)) < 4L,
+        alphaNum = 1L, alphaDen = 10L)),
+
+    // Retrieval eval — nDCG@10 + MRR per probe (the RAG-corpus
+    // acceptance metrics): graded relevance 2 = exact label match,
+    // 1 = coarse (label mod 5) match; per-term pinned DCG chains, the
+    // ideal ordering re-sorts what was retrieved (nDCG@k convention).
+    "q430_retrieval_eval" -> ((s, dir) =>
+      operators.Similarity.retrievalEvalE6(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", col("vec_id") < 20, k = 10,
+        (q, c) => pmod(q, lit(5)) === pmod(c, lit(5)))),
+
     // Confident-learning-style label-noise audit (Northcutt et al.
     // 2021, KNN-agreement form) over the embedding pool: per point the
     // k=5 nearest-neighbor label agreement + majority suggestion,
@@ -5880,10 +5898,12 @@ object SparkEntry {
         .selectExpr("l_orderkey", "l_linenumber", "l_partkey",
           "l_suppkey", "pk_price", "pk_qty", "pk_disc", "pk_tax",
           "stack(3, 'qty', x_qty, 'disc', x_disc, 'tax', x_tax) AS (m, x)")
+      // complete-block design holds STRUCTURALLY: all three verdicts
+      // come off one row, so the declared-complete fast path applies
       decStr(operators.PairedTests.cochranQE6(long,
         Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
           "pk_price", "pk_qty", "pk_disc", "pk_tax"),
-        col("m"), col("x")))
+        col("m"), col("x"), assumeComplete = true))
     }),
 
     // Jensen–Shannon divergence of each source's unigram distribution
@@ -15681,6 +15701,87 @@ object SparkEntry {
         |FROM docs GROUP BY 1, 2""".stripMargin,
 
     "q427_bpe_fertility" -> q427OracleSql,
+
+    // q431: shifted-e3 components, cal-split centroids, windowed k-th
+    // smallest per label, label-grain coverage census.
+    "q431_conformal" ->
+      """WITH comps AS (SELECT vec_id AS id, label,
+        |  (vec_id % 5 < 4) AS cal, i AS dim,
+        |  CAST(round((CAST(embedding[i] AS DOUBLE) + 1.0) * 1000.0)
+        |   AS BIGINT) AS x_e3
+        | FROM embeddings,
+        |  LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+        |    AS i) ix),
+        |cent AS (SELECT label, dim,
+        |  CAST(sum(x_e3) // count(*) AS BIGINT) AS c_e3
+        | FROM comps WHERE cal GROUP BY 1, 2),
+        |scores AS (SELECT id, comps.label, cal,
+        |  CAST(sum((x_e3 - c_e3) * (x_e3 - c_e3)) AS BIGINT) AS s
+        | FROM comps JOIN cent USING (label, dim) GROUP BY 1, 2, 3),
+        |calr AS (SELECT label, id, s,
+        |  row_number() OVER (PARTITION BY label ORDER BY s, id) AS r,
+        |  count(*) OVER (PARTITION BY label) AS n_cal
+        | FROM scores WHERE cal),
+        |qhat AS (SELECT label, s AS qhat_d2, n_cal FROM calr
+        | WHERE r = ((n_cal + 1) * 9 + 9) // 10),
+        |t AS (SELECT scores.label, s, qhat_d2, n_cal
+        | FROM scores LEFT JOIN qhat USING (label) WHERE NOT cal)
+        |SELECT label, CAST(max(n_cal) AS BIGINT) AS n_cal,
+        | CAST(max(qhat_d2) AS BIGINT) AS qhat_d2,
+        | CAST(count(*) AS BIGINT) AS n_test,
+        | CAST(sum(CASE WHEN qhat_d2 IS NULL OR s <= qhat_d2
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        | CAST(CAST(sum(CASE WHEN qhat_d2 IS NULL OR s <= qhat_d2
+        |   THEN 1 ELSE 0 END) AS HUGEINT) * 1000000 // count(*)
+        |  AS BIGINT) AS coverage_e6
+        |FROM t GROUP BY 1""".stripMargin,
+
+    // q430: the q20 cosine replay, graded rel, per-term pinned DCG
+    // terms at both the retrieved and ideal orderings.
+    "q430_retrieval_eval" ->
+      """WITH n AS (SELECT vec_id, embedding, label,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)
+        |      *1000000000.0) AS BIGINT))) AS BIGINT) AS nsq
+        | FROM embeddings),
+        |q AS (SELECT * FROM n WHERE vec_id < 20),
+        |c AS (SELECT * FROM n WHERE NOT (vec_id < 20)),
+        |s AS (SELECT q.vec_id AS qid, q.label AS qlab,
+        |  c.vec_id AS cid, c.label AS clab,
+        |  CAST(CAST(list_sum(list_transform(
+        |     list_zip(q.embedding, c.embedding),
+        |     z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)
+        |       *1000000000.0) AS BIGINT))) AS BIGINT) AS DOUBLE)
+        |   / sqrt(CAST(q.nsq AS DOUBLE) * CAST(c.nsq AS DOUBLE)) AS score
+        | FROM q, c),
+        |top AS (SELECT qid, qlab, clab,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid)
+        |   AS r
+        | FROM s QUALIFY r <= 10),
+        |rel AS (SELECT *, CASE WHEN clab = qlab THEN 2
+        |  WHEN clab % 5 = qlab % 5 THEN 1 ELSE 0 END AS rel FROM top),
+        |terms AS (SELECT *,
+        |  row_number() OVER (PARTITION BY qid ORDER BY rel DESC, r)
+        |   AS ir FROM rel),
+        |g AS (SELECT qid, qlab, r, rel,
+        |  CAST(round((pow(2.0, CAST(rel AS DOUBLE)) - 1.0) * 1000000.0
+        |    / log2(CAST(r AS DOUBLE) + 1.0)) AS BIGINT) AS g,
+        |  CAST(round((pow(2.0, CAST(rel AS DOUBLE)) - 1.0) * 1000000.0
+        |    / log2(CAST(ir AS DOUBLE) + 1.0)) AS BIGINT) AS ig
+        | FROM terms),
+        |agg AS (SELECT qid, qlab AS label,
+        |  CAST(sum(g) AS BIGINT) AS dcg_e6,
+        |  CAST(sum(ig) AS BIGINT) AS idcg_e6,
+        |  min(CASE WHEN rel >= 2 THEN r END) AS fh
+        | FROM g GROUP BY 1, 2)
+        |SELECT qid, label, dcg_e6, idcg_e6,
+        | CASE WHEN idcg_e6 > 0 THEN
+        |  CAST(CAST(dcg_e6 AS HUGEINT) * 1000000 // idcg_e6 AS BIGINT)
+        |  ELSE 0 END AS ndcg_e6,
+        | CAST(coalesce(fh, 0) AS BIGINT) AS first_hit,
+        | CASE WHEN fh IS NOT NULL THEN CAST(1000000 // fh AS BIGINT)
+        |  ELSE 0 END AS rr_e6
+        |FROM agg""".stripMargin,
 
     // q429: the q20 cosine replay pool×pool, top-5 by (score desc,
     // clab), struct-min majority (most count, then smallest label).

@@ -1238,5 +1238,124 @@ object Similarity {
         expr(s"CAST(sum(agree) * 1000000 div (count(1) * $k) AS BIGINT)")
           .as("mean_agree_e6"))
   }
+
+  /** Retrieval-quality evaluation — nDCG@k and MRR (Järvelin &
+    * Kekäläinen 2002; the RAG-corpus acceptance metrics): each probe's
+    * brute-force top-k under the house quantized cosine, graded
+    * relevance from the label structure, then
+    *   dcg  = Σ round((2^rel − 1)·1e6 / log2(rank+1))   per-term pinned
+    *   idcg = the same terms over rel re-sorted (desc, rank) — the
+    *          ideal ordering of WHAT WAS RETRIEVED (nDCG@k convention)
+    *   ndcg_e6 = dcg·1e6 div idcg;  rr_e6 = 1e6 div first rank with
+    *   rel ≥ 2 (0 when none).
+    * rel is caller-supplied as an (exact, partial) pair of predicates:
+    * 2 for an exact label match, 1 for a partial/coarse match, 0 else.
+    *
+    * Shape: probes broadcast against one pool scan (q20 contract);
+    * ranks and both DCG sums run in real per-probe partitions; output
+    * is probe-grain. */
+  def retrievalEvalE6(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, probePred: Column, k: Int,
+      partialMatch: (Column, Column) => Column): DataFrame = {
+    require(k >= 1 && k <= 1000, s"retrievalEvalE6: 1 ≤ k ≤ 1000, got $k")
+    VectorExpressions.register(emb.sparkSession)
+    def prep(df: DataFrame, p: String) = df.select(
+      col(idCol).as(s"${p}id"), col(vecCol).as(s"${p}vec"),
+      col(labelCol).as(s"${p}lab"),
+      VectorExpressions.normSqE9Fast(col(vecCol)).as(s"${p}n"))
+    val q = prep(emb.where(probePred), "q")
+    val c = prep(emb.where(!probePred).repartition(col(idCol)), "c")
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("__score").desc, col("cid"))
+    val top = c.join(broadcast(q), lit(true))
+      .withColumn("__score",
+        cosineFromE9(VectorExpressions.dotE9Fast(col("qvec"), col("cvec")),
+          col("qn"), col("cn")))
+      .select(col("qid"), col("qlab"), col("cid"), col("clab"),
+        col("__score"))
+      .withColumn("r", row_number().over(wRank))
+      .where(col("r") <= k)
+      .withColumn("rel",
+        when(col("clab") === col("qlab"), 2L)
+          .when(partialMatch(col("qlab"), col("clab")), 1L)
+          .otherwise(0L))
+    val wIdeal = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("r"))
+    val terms = top
+      .withColumn("ir", row_number().over(wIdeal))
+      .withColumn("g", expr(
+        "CAST(round((pow(2.0, CAST(rel AS DOUBLE)) - 1.0) * 1000000.0" +
+          " / log2(CAST(r AS DOUBLE) + 1.0)) AS BIGINT)"))
+      .withColumn("ig", expr(
+        "CAST(round((pow(2.0, CAST(rel AS DOUBLE)) - 1.0) * 1000000.0" +
+          " / log2(CAST(ir AS DOUBLE) + 1.0)) AS BIGINT)"))
+    terms.groupBy(col("qid"), col("qlab").as("label"))
+      .agg(sum(col("g")).as("dcg_e6"), sum(col("ig")).as("idcg_e6"),
+        min(when(col("rel") >= 2L, col("r"))).as("first_hit"))
+      .select(col("qid"), col("label"), col("dcg_e6"), col("idcg_e6"),
+        when(col("idcg_e6") > 0L, expr(
+          "CAST(CAST(dcg_e6 AS DECIMAL(38,0)) * 1000000 div idcg_e6" +
+            " AS BIGINT)")).otherwise(0L).as("ndcg_e6"),
+        coalesce(col("first_hit").cast("long"), lit(0L)).as("first_hit"),
+        when(col("first_hit").isNotNull,
+          expr("1000000 div first_hit")).otherwise(0L).as("rr_e6"))
+  }
+
+  /** Split-conformal calibration + coverage audit (Vovk's conformal
+    * prediction; Angelopoulos & Bates 2023 exposition): nonconformity =
+    * shifted-e3 integer squared distance to the OWN-label centroid
+    * (the [[silhouetteSimplifiedE6]] grid, centroids fit on the
+    * CALIBRATION split only), per-label conformal quantile
+    *   q̂ = the k-th smallest calibration score,
+    *   k  = ⌈(n_cal+1)·(1−α)⌉ = ((n_cal+1)·(d−a) + d−1) div d
+    * for α = a/d, then held-out coverage = share of test scores ≤ q̂ —
+    * the finite-sample ≥ 1−α guarantee a prediction-set deployment
+    * audits before shipping. k > n_cal ⇒ q̂ = ∞ (everything covered,
+    * NULL q̂); labels absent from calibration have no prototype and are
+    * excluded.
+    *
+    * Shape: one scan to (point × dim) components, calibration centroid
+    * table at (label × dim) grain broadcast, own-label scores by one
+    * hash aggregate; the quantile is a windowed rank in REAL per-label
+    * partitions; coverage is a label-grain census. */
+  def conformalCoverageE6(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, calPred: Column, alphaNum: Long,
+      alphaDen: Long): DataFrame = {
+    require(alphaDen > 0L && alphaNum > 0L && alphaNum < alphaDen,
+      s"conformalCoverageE6: need 0 < α < 1, got $alphaNum/$alphaDen")
+    val comps = emb.select(col(idCol).as("id"), col(labelCol).as("label"),
+        calPred.as("cal"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("id"), col("label"), col("cal"), col("dim"),
+        round((col("x").cast("double") + lit(1.0)) * lit(1000.0))
+          .cast("long").as("x_e3"))
+    val cent = comps.where(col("cal"))
+      .groupBy(col("label"), col("dim"))
+      .agg(expr("sum(x_e3) div count(1)").as("c_e3"))
+    val scores = comps.join(broadcast(cent), Seq("label", "dim"))
+      .withColumn("d2",
+        (col("x_e3") - col("c_e3")) * (col("x_e3") - col("c_e3")))
+      .groupBy(col("id"), col("label"), col("cal"))
+      .agg(sum(col("d2")).as("s"))
+    val wL = Window.partitionBy(col("label")).orderBy(col("s"), col("id"))
+    val kExpr = s"((n_cal + 1) * ${alphaDen - alphaNum}" +
+      s" + ${alphaDen - 1}) div $alphaDen"
+    val qhat = scores.where(col("cal"))
+      .withColumn("r", row_number().over(wL))
+      .withColumn("n_cal",
+        count(lit(1)).over(Window.partitionBy(col("label"))))
+      .where(col("r").cast("long") === expr(kExpr))
+      .select(col("label"), col("s").as("qhat_d2"), col("n_cal"))
+    scores.where(!col("cal"))
+      .join(broadcast(qhat), Seq("label"), "left")
+      .groupBy(col("label"))
+      .agg(max(col("n_cal")).as("n_cal"),
+        max(col("qhat_d2")).as("qhat_d2"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("qhat_d2").isNull || col("s") <= col("qhat_d2"), 1L)
+          .otherwise(0L)).as("n_covered"))
+      .withColumn("coverage_e6", expr(
+        """CAST(CAST(n_covered AS DECIMAL(38,0)) * 1000000
+          | div n_test AS BIGINT)""".stripMargin))
+  }
 }
 

@@ -80,6 +80,20 @@ class PairedTestsSpec extends SparkSpec {
     assert(r.getLong(6) == 3000000L)
   }
 
+  test("cochranQE6: declared-complete fast path equals the general path") {
+    val rows = Seq(
+      (1L, "A", true), (1L, "B", true), (1L, "C", false),
+      (2L, "A", true), (2L, "B", false), (2L, "C", false),
+      (3L, "A", true), (3L, "B", true), (3L, "C", true),
+      (4L, "A", false), (4L, "B", false), (4L, "C", false))
+    val gen = PairedTests.cochranQE6(rows.toDF("item", "m", "x"),
+      Seq("item"), col("m"), col("x")).collect().head
+    val fast = PairedTests.cochranQE6(rows.toDF("item", "m", "x"),
+      Seq("item"), col("m"), col("x"), assumeComplete = true)
+      .collect().head
+    assert(fast.toSeq == gen.toSeq, s"fast $fast vs general $gen")
+  }
+
   test("cochranQE6: all-agree frame has no discrimination → NULL") {
     val rows = Seq((1L, "A", true), (1L, "B", true),
       (2L, "A", false), (2L, "B", false))
