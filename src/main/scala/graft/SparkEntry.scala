@@ -5802,6 +5802,15 @@ object SparkEntry {
     // level-sync loop): max(ecc) is the standard diameter lower bound
     // (Magnien et al. 2009) — "how many hops across the supplier
     // network", the companion scale readout to q332's betweenness.
+    // Central-DP noisy histogram via the geometric mechanism (discrete
+    // Laplace, ε = 1): per event type, count + symmetric-geometric
+    // noise from two PolyHash64 chains — deterministic, so the gate
+    // hash-verifies the mechanism itself; true count rides along as
+    // the audit column.
+    "q432_dp_counts" -> ((s, dir) =>
+      operators.Privacy.geometricNoisyCounts(ev(s, dir), "event_type",
+        salt = "dp1", epsilonE6 = 1000000L)),
+
     // Split-conformal coverage audit (α = 1/10): per-label conformal
     // quantile of shifted-e3 centroid distances on the calibration
     // split (vec_id % 5 < 4), held-out coverage vs the ≥ 90% guarantee
@@ -15702,6 +15711,8 @@ object SparkEntry {
 
     "q427_bpe_fertility" -> q427OracleSql,
 
+    "q432_dp_counts" -> q432OracleSql,
+
     // q431: shifted-e3 components, cal-split centroids, windowed k-th
     // smallest per label, label-grain coverage census.
     "q431_conformal" ->
@@ -18679,4 +18690,43 @@ object SparkEntry {
        | greatest(reported_true * 8 - n, 0) * 1000000 // 6 AS est_true_e6
        |FROM g""".stripMargin
   }
+
+  /** q432's oracle: the group census, both PolyHash64 chains (the q224
+    * replay discipline), and the pinned geometric-magnitude ln chain. */
+  private val q432OracleSql: String = {
+    def chain(tag: String, src: String, sIn: String, carry: String): String = {
+      val z1 = mulMod64Sql(s"xor(${tag}z0, ${tag}z0 >> 30)", 0xBF58476D1CE4E5B9L)
+      val z2 = mulMod64Sql(s"xor(${tag}z1, ${tag}z1 >> 27)", 0x94D049BB133111EBL)
+      s"""${tag}k AS (SELECT $carry, list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |   list_transform(range(1, length($sIn)+1),
+         |     i -> CAST(unicode($sIn[i]) AS HUGEINT))),
+         |   (a,b) -> (a*257+b) % 2305843009213693951) AS ${tag}h
+         | FROM $src),
+         |${tag}s0 AS (SELECT $carry,
+         |  CAST((${tag}h + 11400714819323198485) % 18446744073709551616
+         |    AS UBIGINT) AS ${tag}z0 FROM ${tag}k),
+         |${tag}s1 AS (SELECT $carry, $z1 AS ${tag}z1 FROM ${tag}s0),
+         |${tag}s2 AS (SELECT $carry, $z2 AS ${tag}z2 FROM ${tag}s1),
+         |${tag}f AS (SELECT $carry,
+         |  xor(${tag}z2, ${tag}z2 >> 31) >> 13 AS ${tag}z FROM ${tag}s2)"""
+        .stripMargin
+    }
+    s"""WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+       | FROM events GROUP BY 1),
+       |b AS (SELECT event_type, n,
+       |  event_type || 'dp1#sign' AS ss,
+       |  event_type || 'dp1#mag' AS sm FROM g),
+       |${chain("S", "b", "ss", "event_type, n, sm")},
+       |${chain("M", "Sf", "sm", "event_type, n, Sz")},
+       |fin AS (SELECT event_type, n,
+       |  CASE WHEN Sz % 2 = 1 THEN 1 ELSE -1 END AS sgn,
+       |  CAST(floor(ln(1.0 - CAST(Mz AS DOUBLE) / 2251799813685248.0)
+       |    * 1000000.0 / (0.0 - 1000000)) AS BIGINT) AS mag
+       | FROM Mf)
+       |SELECT event_type, n, CAST(sgn * mag AS BIGINT) AS noise,
+       | CAST(n + sgn * mag AS BIGINT) AS noised,
+       | CAST(abs(sgn * mag) AS BIGINT) AS abs_err
+       |FROM fin""".stripMargin
+  }
 }
+

@@ -203,4 +203,40 @@ object Privacy {
       .withColumn("est_true_e6",
         expr("greatest(reported_true * 8 - n, 0) * 1000000 div 6"))
   }
+
+  /** Central-DP noisy counts via the geometric mechanism (Ghosh,
+    * Roughgarden, Sundararajan 2009 — the discrete Laplace): per group,
+    * count + sign·mag with mag = floor(ln(1−u)·1e6 / (−ε_e6)), a
+    * symmetric geometric draw at α = e^(−ε). Noise is DETERMINISTIC per
+    * (group, salt) — two independent PolyHash64 chains (sign,
+    * magnitude), the [[randomizedResponse]] replay discipline — so the
+    * gate hash-verifies the whole mechanism cross-engine. The true
+    * count rides along as the audit column (a production sink drops
+    * it); the symmetric-geometric recipe doubles the 0 mass — a pinned
+    * mechanism audit, not a certified ε accountant.
+    *
+    * Shape: one hash aggregate to group grain; the noise chains are
+    * scalar projections on the group census. */
+  def geometricNoisyCounts(df: DataFrame, groupCol: String, salt: String,
+      epsilonE6: Long): DataFrame = {
+    require(epsilonE6 > 0L, s"geometricNoisyCounts: ε_e6 = $epsilonE6")
+    PolyHash64.register(df.sparkSession)
+    val g = df.where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    def draw(dom: String): Column = shiftrightunsigned(
+      PolyHash64.polyHash64(
+        concat(col(groupCol).cast("string"), lit(s"$salt#$dom"))), 13)
+    g.withColumn("__sgn",
+        when(pmod(draw("sign"), lit(2L)) === 1L, 1L).otherwise(-1L))
+      .withColumn("__u",
+        draw("mag").cast("double") / lit(2251799813685248.0)) // 2^51
+      .withColumn("__mag", expr(
+        s"CAST(floor(ln(1.0 - __u) * 1000000.0 / (0.0 - $epsilonE6))" +
+          " AS BIGINT)"))
+      .select(col(groupCol), col("n"),
+        (col("__sgn") * col("__mag")).as("noise"),
+        (col("n") + col("__sgn") * col("__mag")).as("noised"),
+        abs(col("__sgn") * col("__mag")).as("abs_err"))
+  }
 }
+
