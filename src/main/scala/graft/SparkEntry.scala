@@ -5797,11 +5797,25 @@ object SparkEntry {
         "text", "source", q78Merges)
         .withColumnRenamed("group", "source")),
 
-    // Pivot-set eccentricity on the q85/q386 thresholded co-supplier
-    // graph (8 smallest nodes, exact BFS each, one pivot-tagged
-    // level-sync loop): max(ecc) is the standard diameter lower bound
-    // (Magnien et al. 2009) — "how many hops across the supplier
-    // network", the companion scale readout to q332's betweenness.
+    // MinHash-LSH parameter planner: the (bands, rows) S-curve table
+    // for a 64-hash signature at threshold 0.6 — p at threshold and
+    // FP/FN grid areas, the knob-tuning readout consulted before any
+    // corpus-scale dedup run. Pure constants table, no data scan.
+    "q434_lsh_planner" -> ((s, dir) =>
+      operators.Dedup.lshPlannerE6(s, signatureSize = 64,
+        thresholdE6 = 600000L)),
+
+    // Wald SPRT trajectory (hour grain): is the purchase share of
+    // view+purchase traffic 10% (H0) or 15% (H1)? Cumulative Bernoulli
+    // LLR against Wald's α = β = 5% boundaries, every constant one
+    // pinned ln chain — the always-on early-stopping A/B monitor.
+    "q433_sprt" -> ((s, dir) =>
+      operators.Sequential.sprtTrajectoryE6(
+        ev(s, dir).where(col("event_type").isin("view", "purchase")),
+        expr("ts_ms div 3600000"), col("event_type") === "purchase",
+        p0E6 = 100000L, p1E6 = 150000L,
+        alphaE6 = 50000L, betaE6 = 50000L)),
+
     // Central-DP noisy histogram via the geometric mechanism (discrete
     // Laplace, ε = 1): per event type, count + symmetric-geometric
     // noise from two PolyHash64 chains — deterministic, so the gate
@@ -5811,10 +5825,12 @@ object SparkEntry {
       operators.Privacy.geometricNoisyCounts(ev(s, dir), "event_type",
         salt = "dp1", epsilonE6 = 1000000L)),
 
-    // Split-conformal coverage audit (α = 1/10): per-label conformal
-    // quantile of shifted-e3 centroid distances on the calibration
-    // split (vec_id % 5 < 4), held-out coverage vs the ≥ 90% guarantee
-    // — the prediction-set deployment check.
+    // Split-conformal coverage audit (α = 1/10) — q260's guarantee on
+    // the CLASSIFICATION side: q260 calibrates ±q̂ intervals on scalar
+    // residuals (Conformal.splitConformal); this gate calibrates a
+    // per-label conformal quantile of shifted-e3 embedding-centroid
+    // distances (cal split vec_id % 5 < 4) and audits held-out
+    // coverage vs the ≥ 90% guarantee — the prediction-SET check.
     "q431_conformal" -> ((s, dir) =>
       operators.Similarity.conformalCoverageE6(t(s, dir, "embeddings"),
         "vec_id", "embedding", "label", pmod(col("vec_id"), lit(5L)) < 4L,
@@ -5840,6 +5856,11 @@ object SparkEntry {
       operators.Similarity.labelNoiseKnn(t(s, dir, "embeddings"),
         "vec_id", "embedding", "label", col("vec_id") < 200, k = 5)),
 
+    // Pivot-set eccentricity on the q85/q386 thresholded co-supplier
+    // graph (8 smallest nodes, exact BFS each, one pivot-tagged
+    // level-sync loop): max(ecc) is the standard diameter lower bound
+    // (Magnien et al. 2009) — "how many hops across the supplier
+    // network", the companion scale readout to q332's betweenness.
     "q428_eccentricity" -> ((s, dir) => {
       val und = coSupplierPairs(s, dir)
         .where(col("l_suppkey") < col("dst_supp"))
@@ -15712,6 +15733,66 @@ object SparkEntry {
     "q427_bpe_fertility" -> q427OracleSql,
 
     "q432_dp_counts" -> q432OracleSql,
+
+    // q434: divisor layouts × the 1%-step grid, per-point pinned pow
+    // chain, truncating grid means.
+    "q434_lsh_planner" ->
+      """WITH l AS (SELECT b, 64 // b AS r
+        | FROM (SELECT unnest(generate_series(1, 64)) AS b)
+        | WHERE 64 % b = 0),
+        |g AS (SELECT CAST(s * 10000 AS BIGINT) AS s_e6
+        | FROM (SELECT unnest(generate_series(1, 99)) AS s)),
+        |pc AS (SELECT b, r, s_e6,
+        |  CAST(round((1.0 - pow(1.0 - pow(s_e6 / 1000000.0,
+        |    CAST(r AS DOUBLE)), CAST(b AS DOUBLE))) * 1000000.0)
+        |   AS BIGINT) AS p_e6
+        | FROM l, g)
+        |SELECT CAST(b AS INTEGER) AS b, CAST(r AS INTEGER) AS r,
+        | CAST(max(CASE WHEN s_e6 = 600000 THEN p_e6 END) AS BIGINT)
+        |  AS p_at_threshold_e6,
+        | CAST(sum(CASE WHEN s_e6 < 600000 THEN p_e6 ELSE 0 END) // 99
+        |  AS BIGINT) AS fp_area_e6,
+        | CAST(sum(CASE WHEN s_e6 >= 600000 THEN 1000000 - p_e6
+        |   ELSE 0 END) // 99 AS BIGINT) AS fn_area_e6,
+        | CAST((sum(CASE WHEN s_e6 < 600000 THEN p_e6 ELSE 0 END)
+        |   + sum(CASE WHEN s_e6 >= 600000 THEN 1000000 - p_e6
+        |      ELSE 0 END)) // 99 AS BIGINT) AS total_err_e6
+        |FROM pc GROUP BY 1, 2""".stripMargin,
+
+    // q433: hour census + cumulative window; the four SPRT constants
+    // are the identical pinned ln chains.
+    "q433_sprt" ->
+      """WITH e AS (SELECT epoch_ms(ts) // 3600000 AS b,
+        |  (event_type = 'purchase') AS x
+        | FROM events WHERE event_type IN ('view', 'purchase')),
+        |c AS (SELECT b, CAST(count(*) AS BIGINT) AS n_at,
+        |  CAST(sum(CASE WHEN x THEN 1 ELSE 0 END) AS BIGINT) AS s_at
+        | FROM e GROUP BY 1),
+        |k AS (SELECT
+        |  CAST(round(ln((0.0 + 150000) / 100000) * 1000000.0) AS BIGINT)
+        |   AS l1,
+        |  CAST(round(ln((0.0 + 850000) / 900000) * 1000000.0) AS BIGINT)
+        |   AS l0,
+        |  CAST(round(ln((0.0 + 950000) / 50000) * 1000000.0) AS BIGINT)
+        |   AS up,
+        |  CAST(round(ln((0.0 + 50000) / 950000) * 1000000.0) AS BIGINT)
+        |   AS lo),
+        |cum AS (SELECT b, n_at, s_at,
+        |  CAST(sum(n_at) OVER (ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS n_cum,
+        |  CAST(sum(s_at) OVER (ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS s_cum
+        | FROM c)
+        |SELECT b AS bucket, n_at, s_at, n_cum, s_cum,
+        | CAST(s_cum * l1 + (n_cum - s_cum) * l0 AS BIGINT) AS llr_e6,
+        | CASE WHEN s_cum * l1 + (n_cum - s_cum) * l0 >= up
+        |   THEN 'reject_h0'
+        |  WHEN s_cum * l1 + (n_cum - s_cum) * l0 <= lo
+        |   THEN 'accept_h0'
+        |  ELSE 'continue' END AS decision
+        |FROM cum, k""".stripMargin,
 
     // q431: shifted-e3 components, cal-split centroids, windowed k-th
     // smallest per label, label-grain coverage census.

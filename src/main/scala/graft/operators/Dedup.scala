@@ -530,4 +530,45 @@ object Dedup {
         count(lit(1)).as("n_rows"))
       .where(col("n_sources") >= 2)
   }
+
+  /** MinHash-LSH parameter planner (Leskovec/Rajaraman/Ullman MMDS
+    * §3.4): for every (bands b, rows r) layout of a signature budget,
+    * the S-curve p(s) = 1 − (1 − s^r)^b evaluated on a fixed 1%-step
+    * similarity grid, its value at the target threshold, and the
+    * false-positive / false-negative areas below/above the threshold —
+    * the table that picks (b, r) BEFORE burning a corpus pass on a bad
+    * layout. Grid areas are Σ of per-point pinned double chains rounded
+    * to e6 BEFORE summation (the q374 rule), so the table hash-gates.
+    *
+    * Shape: |layouts| × 99 grid rows — a constants table; no data scan
+    * at all. Layouts enumerate divisor pairs b·r = `signatureSize`. */
+  def lshPlannerE6(spark: org.apache.spark.sql.SparkSession,
+      signatureSize: Int, thresholdE6: Long): DataFrame = {
+    require(signatureSize >= 2 && signatureSize <= 4096)
+    require(thresholdE6 > 0L && thresholdE6 < 1000000L)
+    import spark.implicits._
+    val layouts = (1 to signatureSize)
+      .filter(b => signatureSize % b == 0)
+      .map(b => (b, signatureSize / b))
+    val base = layouts.toDF("b", "r")
+    base.crossJoin(
+        spark.range(1, 100).select((col("id") * 10000L).as("s_e6")))
+      .withColumn("p_e6", expr(
+        """CAST(round((1.0 - pow(1.0 - pow(s_e6 / 1000000.0,
+          |  CAST(r AS DOUBLE)), CAST(b AS DOUBLE))) * 1000000.0)
+          | AS BIGINT)""".stripMargin))
+      .groupBy(col("b"), col("r"))
+      .agg(
+        max(when(col("s_e6") === lit((thresholdE6 / 10000L) * 10000L),
+          col("p_e6"))).as("p_at_threshold_e6"),
+        sum(when(col("s_e6") < thresholdE6, col("p_e6")).otherwise(0L))
+          .as("__fp"),
+        sum(when(col("s_e6") >= thresholdE6,
+          lit(1000000L) - col("p_e6")).otherwise(0L)).as("__fn"))
+      .select(col("b"), col("r"), col("p_at_threshold_e6"),
+        expr("__fp div 99").as("fp_area_e6"),
+        expr("__fn div 99").as("fn_area_e6"),
+        expr("(__fp + __fn) div 99").as("total_err_e6"))
+  }
 }
+

@@ -1302,7 +1302,9 @@ object Similarity {
   }
 
   /** Split-conformal calibration + coverage audit (Vovk's conformal
-    * prediction; Angelopoulos & Bates 2023 exposition): nonconformity =
+    * prediction; Angelopoulos & Bates 2023 exposition) — the
+    * CLASSIFICATION companion to [[Conformal.splitConformal]]'s scalar
+    * intervals: nonconformity =
     * shifted-e3 integer squared distance to the OWN-label centroid
     * (the [[silhouetteSimplifiedE6]] grid, centroids fit on the
     * CALIBRATION split only), per-label conformal quantile
