@@ -5797,6 +5797,20 @@ object SparkEntry {
         "text", "source", q78Merges)
         .withColumnRenamed("group", "source")),
 
+    // Horvitz–Thompson audit under Poisson-PPS sampling: orders enter
+    // with π ∝ a COARSE size proxy (totalprice cents div 10000,
+    // expected m = 200 draws from PolyHash64 uniforms), the HT
+    // estimator reconstructs the exact revenue total and population
+    // count with the Poisson variance estimate — the "was the sampled
+    // dashboard design sound" readout beside q273's systematic PPS.
+    "q435_horvitz_thompson" -> ((s, dir) =>
+      operators.HorvitzThompson.poissonPpsAudit(
+        t(s, dir, "orders")
+          .withColumn("cents", cents(col("o_totalprice"))),
+        col("o_orderkey"),
+        greatest(lit(1L), expr("cents div 10000")), col("cents"),
+        expectedSample = 200L, salt = "ht1")),
+
     // MinHash-LSH parameter planner: the (bands, rows) S-curve table
     // for a 64-hash signature at threshold 0.6 — p at threshold and
     // FP/FN grid areas, the knob-tuning readout consulted before any
@@ -15734,6 +15748,8 @@ object SparkEntry {
 
     "q432_dp_counts" -> q432OracleSql,
 
+    "q435_horvitz_thompson" -> q435OracleSql,
+
     // q434: divisor layouts × the 1%-step grid, per-point pinned pow
     // chain, truncating grid means.
     "q434_lsh_planner" ->
@@ -18808,6 +18824,61 @@ object SparkEntry {
        | CAST(n + sgn * mag AS BIGINT) AS noised,
        | CAST(abs(sgn * mag) AS BIGINT) AS abs_err
        |FROM fin""".stripMargin
+  }
+
+  /** q435's oracle: the PolyHash64 chain per order (q224 replay
+    * discipline), the exact-integer inclusion test, and the truncating
+    * HT weight/variance chains. */
+  private val q435OracleSql: String = {
+    def chain(tag: String, src: String, sIn: String, carry: String): String = {
+      val z1 = mulMod64Sql(s"xor(${tag}z0, ${tag}z0 >> 30)", 0xBF58476D1CE4E5B9L)
+      val z2 = mulMod64Sql(s"xor(${tag}z1, ${tag}z1 >> 27)", 0x94D049BB133111EBL)
+      s"""${tag}k AS (SELECT $carry, list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |   list_transform(range(1, length($sIn)+1),
+         |     i -> CAST(unicode($sIn[i]) AS HUGEINT))),
+         |   (a,b) -> (a*257+b) % 2305843009213693951) AS ${tag}h
+         | FROM $src),
+         |${tag}s0 AS (SELECT $carry,
+         |  CAST((${tag}h + 11400714819323198485) % 18446744073709551616
+         |    AS UBIGINT) AS ${tag}z0 FROM ${tag}k),
+         |${tag}s1 AS (SELECT $carry, $z1 AS ${tag}z1 FROM ${tag}s0),
+         |${tag}s2 AS (SELECT $carry, $z2 AS ${tag}z2 FROM ${tag}s1),
+         |${tag}f AS (SELECT $carry,
+         |  xor(${tag}z2, ${tag}z2 >> 31) >> 11 AS ${tag}z FROM ${tag}s2)"""
+        .stripMargin
+    }
+    s"""WITH b AS (SELECT
+       | greatest(1, CAST(round(o_totalprice * 100) AS BIGINT) // 10000)
+       |  AS s,
+       | CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+       | CAST(o_orderkey AS VARCHAR) || '#ht1' AS sk
+       | FROM orders),
+       |t AS (SELECT CAST(sum(s) AS HUGEINT) AS big_s,
+       |  CAST(count(*) AS BIGINT) AS n_pop,
+       |  CAST(sum(y) AS HUGEINT) AS true_total FROM b),
+       |${chain("H", "b", "sk", "s, y")},
+       |sel AS (SELECT s, y, CAST(200 AS HUGEINT) * s AS pin
+       | FROM Hf, t
+       | WHERE CAST(Hz AS HUGEINT) * big_s
+       |   < CAST(200 AS HUGEINT) * s * 9007199254740992),
+       |terms AS (SELECT
+       |  CASE WHEN pin >= big_s THEN 1000000
+       |   ELSE CAST(big_s * 1000000 // pin AS BIGINT) END AS w_e6,
+       |  CASE WHEN pin >= big_s THEN y
+       |   ELSE CAST(CAST(y AS HUGEINT) * big_s // pin AS BIGINT) END
+       |   AS yht,
+       |  CASE WHEN pin >= big_s THEN 0
+       |   ELSE CAST((big_s - pin) * big_s * 1000000 // (pin * pin)
+       |    AS BIGINT) END AS vterm
+       | FROM sel, t)
+       |SELECT n_pop, CAST(true_total AS BIGINT) AS true_total,
+       | CAST(count(*) AS BIGINT) AS n_sampled,
+       | CAST(sum(CAST(w_e6 AS HUGEINT)) AS BIGINT) AS n_hat_e6,
+       | CAST(sum(CAST(yht AS HUGEINT)) AS BIGINT) AS total_hat,
+       | CAST(sum(CAST(vterm AS HUGEINT)) AS BIGINT) AS var_nhat_e6,
+       | CAST(abs(sum(CAST(yht AS HUGEINT)) - true_total) * 1000000
+       |   // true_total AS BIGINT) AS total_err_ppm
+       |FROM terms, t GROUP BY n_pop, true_total""".stripMargin
   }
 }
 
