@@ -103,9 +103,12 @@ object LinkageClustersTws {
       nRec.update(rec); nLink.update(lk)
       val n = (if (seq.exists()) seq.get() else 0L) + 1L
       seq.update(n)
-      // cluster-size census: one pass over the parent map
+      // cluster-size census: materialize the key set FIRST — root()
+      // path-compresses (updates the map) and mutating state under a
+      // live state-store iterator is undefined
+      val keys = parent.keys().toArray
       val sizes = scala.collection.mutable.Map.empty[Long, Long]
-      parent.keys().foreach { k =>
+      keys.foreach { k =>
         val r = root(k)
         sizes(r) = sizes.getOrElse(r, 0L) + 1L
       }
