@@ -3202,6 +3202,7 @@ object SparkEntry {
       val pr = Graph.pageRankE9(edges, "a", "b", iterations = 3)
       pr.withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window
+            .partitionBy(operators.Census.onePartKey(col("rank_e9")))
             .orderBy(col("rank_e9").desc, col("a"))).cast("long"))
         .where(col("rk") <= 20)
         .select(col("a").as("word"), col("rank_e9"), col("rk"))
@@ -3217,7 +3218,8 @@ object SparkEntry {
         .agg(sum(octet_length(col("text"))).as("bytes"),
           count(lit(1)).as("n_docs"))
       val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("bytes").desc, col("source"), col("lang"))
+        .partitionBy(operators.Census.onePartKey(col("bytes")))
+            .orderBy(col("bytes").desc, col("source"), col("lang"))
       files
         .withColumn("csum", sum(col("bytes"))
           .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
@@ -3238,7 +3240,8 @@ object SparkEntry {
         .groupBy(col("tok")).agg(count(lit(1)).as("f"))
       val ranked = freq.withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .orderBy(col("f").desc, col("tok"))).cast("long"))
+          .partitionBy(operators.Census.onePartKey(col("f")))
+            .orderBy(col("f").desc, col("tok"))).cast("long"))
       val tot = freq.agg(sum(col("f")).as("tot_toks"))
       val sizes = s.range(1).select(
         explode(array(lit(100L), lit(1000L), lit(10000L))).as("n_vocab"))

@@ -77,7 +77,8 @@ object Dsir {
 
     scored.withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("w_micro").desc, col("id"))).cast("long"))
+          .partitionBy(Census.onePartKey(col("w_micro")))
+            .orderBy(col("w_micro").desc, col("id"))).cast("long"))
       .select(col("id").as(idCol), col("n_tokens"), col("w_micro"), col("rank"))
   }
 }

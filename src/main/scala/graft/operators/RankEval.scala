@@ -106,7 +106,8 @@ object RankEval {
         sum(expr(s"1000000 div (${kConst}L + rank)")).as("rrf_e6"))
     fused.withColumn("rrf_rank",
         row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("rrf_e6").desc, col("id"))).cast("long"))
+          .partitionBy(Census.onePartKey(col("rrf_e6")))
+            .orderBy(col("rrf_e6").desc, col("id"))).cast("long"))
       .select(col("id").as(idCol), col("n_sources"), col("rrf_e6"),
         col("rrf_rank"))
   }
