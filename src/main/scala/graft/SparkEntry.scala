@@ -5800,6 +5800,43 @@ object SparkEntry {
         "text", "source", q78Merges)
         .withColumnRenamed("group", "source")),
 
+    // Directly-follows conformance (van der Aalst process mining): the
+    // observed event-type DFG per user vs the DECLARED process model —
+    // per observed edge, traffic + legality + the source activity's
+    // conforming share; off-model edges with real mass are the
+    // production/process drift list. The q82 transition census with a
+    // broadcast literal model on top.
+    "q436_conformance" -> ((s, dir) =>
+      operators.ProcessMining.dfgConformanceE6(ev(s, dir),
+        col("user_id"), col("ts_ms"), col("event_id"), col("event_type"),
+        model = Seq(
+          ("view", "view"), ("view", "click"), ("view", "signup"),
+          ("click", "view"), ("click", "purchase"),
+          ("purchase", "view"), ("signup", "view")))),
+
+    // Chapman capture–recapture (bias-corrected Lincoln–Petersen):
+    // users "captured" in even vs odd weeks, the recapture overlap
+    // estimates the active population — with the true distinct count
+    // riding along as the audit column.
+    "q437_capture_recapture" -> ((s, dir) =>
+      operators.CaptureRecapture.chapmanAudit(ev(s, dir), col("user_id"),
+        expr("(ts_ms div 604800000) % 2 = 0"),
+        expr("(ts_ms div 604800000) % 2 = 1"))),
+
+    // Global transitivity + mean local clustering coefficient of the
+    // q85 thresholded co-supplier graph — the small-world/cohesion
+    // readout (3T/W and the Watts–Strogatz mean) beside q203/q204's
+    // assortativity and q386's rich club.
+    "q438_clustering_coeff" -> ((s, dir) => {
+      val pairs = coSupplierPairs(s, dir)
+        .where(col("l_suppkey") < col("dst_supp"))
+        .groupBy(col("l_suppkey"), col("dst_supp"))
+        .agg(count(lit(1)).as("w")).where(col("w") >= 5)
+        .select(col("l_suppkey"), col("dst_supp"))
+      operators.Graph.clusteringCoefficientE6(pairs, "l_suppkey",
+        "dst_supp")
+    }),
+
     // Horvitz–Thompson audit under Poisson-PPS sampling: orders enter
     // with π ∝ a COARSE size proxy (totalprice cents div 10000,
     // expected m = 200 draws from PolyHash64 uniforms), the HT
@@ -15752,6 +15789,92 @@ object SparkEntry {
     "q432_dp_counts" -> q432OracleSql,
 
     "q435_horvitz_thompson" -> q435OracleSql,
+
+    // q436: the q82 lead() census + a VALUES model, window shares.
+    "q436_conformance" ->
+      """WITH p AS (SELECT event_type AS a,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ms(ts), event_id) AS next
+        | FROM events),
+        |c AS (SELECT a AS from_act, next AS to_act,
+        |  CAST(count(*) AS BIGINT) AS n FROM p
+        | WHERE next IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT * FROM (VALUES
+        |  ('view','view'), ('view','click'), ('view','signup'),
+        |  ('click','view'), ('click','purchase'),
+        |  ('purchase','view'), ('signup','view')) AS t(mf, mt)),
+        |f AS (SELECT from_act, to_act, n, (mf IS NOT NULL) AS allowed
+        | FROM c LEFT JOIN m ON m.mf = c.from_act AND m.mt = c.to_act),
+        |w AS (SELECT *,
+        |  CAST(sum(n) OVER (PARTITION BY from_act) AS BIGINT)
+        |   AS from_total,
+        |  CAST(sum(CASE WHEN allowed THEN n ELSE 0 END)
+        |    OVER (PARTITION BY from_act) AS BIGINT) AS conf
+        | FROM f)
+        |SELECT from_act, to_act, n, allowed, from_total,
+        | CAST(n * 1000000 // from_total AS BIGINT) AS share_of_from_e6,
+        | CAST(conf * 1000000 // from_total AS BIGINT)
+        |  AS conforming_of_from_e6
+        |FROM w""".stripMargin,
+
+    // q437: occupancy bits per user, Chapman algebra in HUGEINT.
+    "q437_capture_recapture" ->
+      """WITH b AS (SELECT user_id AS u,
+        |  max(CASE WHEN (epoch_ms(ts) // 604800000) % 2 = 0
+        |    THEN 1 ELSE 0 END) AS in1,
+        |  max(CASE WHEN (epoch_ms(ts) // 604800000) % 2 = 1
+        |    THEN 1 ELSE 0 END) AS in2
+        | FROM events GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_true,
+        |  CAST(sum(in1) AS BIGINT) AS n1,
+        |  CAST(sum(in2) AS BIGINT) AS n2,
+        |  CAST(sum(in1 * in2) AS BIGINT) AS m FROM b)
+        |SELECT n_true, n1, n2, m,
+        | CAST(CAST(n1 + 1 AS HUGEINT) * (n2 + 1) // (m + 1) - 1
+        |  AS BIGINT) AS chapman_nhat,
+        | CAST(CAST(n1 + 1 AS HUGEINT) * (n2 + 1) * (n1 - m) * (n2 - m)
+        |   // (CAST(m + 1 AS HUGEINT) * (m + 1) * (m + 2)) AS BIGINT)
+        |  AS var_nhat
+        |FROM s""".stripMargin,
+
+    // q438: canonical a<b edges, a<b<c triangle join, corner census,
+    // degree-census wedge arithmetic, per-node truncation before the
+    // local-CC mean.
+    "q438_clustering_coeff" ->
+      """WITH und AS (
+        | SELECT a.l_suppkey AS a, b.l_suppkey AS b
+        | FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        | GROUP BY 1, 2 HAVING count(*) >= 5),
+        |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d
+        | FROM (SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+        | GROUP BY 1),
+        |tri AS (SELECT ab.a AS x, ab.b AS y, bc.b AS z
+        | FROM und ab JOIN und bc ON bc.a = ab.b
+        | JOIN und ac ON ac.a = ab.a AND ac.b = bc.b),
+        |corners AS (SELECT id, CAST(count(*) AS BIGINT) AS t
+        | FROM (SELECT unnest([x, y, z]) AS id FROM tri) GROUP BY 1),
+        |pn AS (SELECT deg.id, deg.d, coalesce(corners.t, 0) AS t,
+        |  (deg.d * (deg.d - 1)) // 2 AS w
+        | FROM deg LEFT JOIN corners ON corners.id = deg.id),
+        |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(w) AS BIGINT) AS wedges,
+        |  CAST(sum(t) AS BIGINT) AS triangle_corners,
+        |  CAST(sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_cc_nodes,
+        |  CAST(sum(CASE WHEN d >= 2
+        |    THEN CAST(t AS HUGEINT) * 1000000 // w ELSE 0 END)
+        |   AS HUGEINT) AS lcc
+        | FROM pn)
+        |SELECT n_nodes, n_edges, wedges, triangle_corners,
+        | CASE WHEN wedges > 0 THEN
+        |  CAST(CAST(triangle_corners AS HUGEINT) * 1000000 // wedges
+        |   AS BIGINT) END AS transitivity_e6,
+        | n_cc_nodes,
+        | CASE WHEN n_cc_nodes > 0 THEN
+        |  CAST(lcc // n_cc_nodes AS BIGINT) END AS mean_local_cc_e6
+        |FROM agg, ne""".stripMargin,
 
     // q434: divisor layouts × the 1%-step grid, per-point pinned pow
     // chain, truncating grid means.

@@ -1135,5 +1135,57 @@ object Graph {
     dist.groupBy(col("p").as("pivot"))
       .agg(max(col("hops")).as("ecc"), count(lit(1)).as("n_reached"))
   }
+
+  /** Global and mean-local clustering coefficients (Watts–Strogatz
+    * local CC; Newman transitivity 3T/W) over an undirected simple
+    * graph: per-node triangle corners from [[triangleCounts]]'s
+    * degree-oriented wedge plan, degrees and wedge counts from the
+    * canonical edge census, then
+    *   transitivity_e6  = Σ_v t_v · 1e6 div W,  W = Σ_v C(d_v, 2)
+    *   mean_local_cc_e6 = (Σ_{d_v ≥ 2} (t_v·1e6 div C(d_v,2))) div n₂
+    * — per-node truncation BEFORE the mean (pinned). One output row:
+    * (n_nodes, n_edges, wedges, triangle_corners, transitivity_e6,
+    * n_cc_nodes, mean_local_cc_e6).
+    *
+    * Shape: the oriented wedge join is the only super-linear step and
+    * inherits triangleCounts' √m out-degree cap; everything else is
+    * degree-census arithmetic. */
+  def clusteringCoefficientE6(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("a").as("id"))
+      .union(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val tri = triangleCounts(e, "a", "b")
+      .select(col("a").as("id"), col("triangles").as("t"))
+    val nEdges = broadcast(e.agg(count(lit(1)).as("n_edges")))
+    val out = deg.join(tri, Seq("id"))
+      .select(col("d"), col("t"),
+        expr("(d * (d - 1)) div 2").as("w"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("w")).as("wedges"),
+        sum(col("t")).as("triangle_corners"),
+        sum(when(col("d") >= 2, 1L).otherwise(0L)).as("n_cc_nodes"),
+        sum(when(col("d") >= 2,
+          expr("CAST(t AS DECIMAL(38,0)) * 1000000 div w"))
+          .otherwise(lit(0L))).as("__lcc"))
+    out.crossJoin(nEdges)
+      .select(col("n_nodes"), col("n_edges"), col("wedges"),
+        col("triangle_corners"),
+        when(col("wedges") > 0L, expr(
+          """CAST(CAST(triangle_corners AS DECIMAL(38,0)) * 1000000
+            | div wedges AS BIGINT)""".stripMargin))
+          .as("transitivity_e6"),
+        col("n_cc_nodes"),
+        when(col("n_cc_nodes") > 0L,
+          expr("CAST(__lcc div n_cc_nodes AS BIGINT)"))
+          .as("mean_local_cc_e6"))
+  }
 }
 
