@@ -19002,8 +19002,9 @@ object SparkEntry {
        | CAST(sum(CAST(w_e6 AS HUGEINT)) AS BIGINT) AS n_hat_e6,
        | CAST(sum(CAST(yht AS HUGEINT)) AS BIGINT) AS total_hat,
        | CAST(sum(CAST(vterm AS HUGEINT)) AS BIGINT) AS var_nhat_e6,
-       | CAST(abs(sum(CAST(yht AS HUGEINT)) - true_total) * 1000000
-       |   // true_total AS BIGINT) AS total_err_ppm
+       | CASE WHEN true_total = 0 THEN 0
+       |  ELSE CAST(abs(sum(CAST(yht AS HUGEINT)) - true_total) * 1000000
+       |   // true_total AS BIGINT) END AS total_err_ppm
        |FROM terms, t GROUP BY n_pop, true_total""".stripMargin
   }
 }

@@ -545,7 +545,14 @@ object Dedup {
   def lshPlannerE6(spark: org.apache.spark.sql.SparkSession,
       signatureSize: Int, thresholdE6: Long): DataFrame = {
     require(signatureSize >= 2 && signatureSize <= 4096)
-    require(thresholdE6 > 0L && thresholdE6 < 1000000L)
+    // the threshold must sit ON the 1%-step grid: p_at_threshold_e6 reads
+    // the grid point s_e6 = thresholdE6 exactly, and the FP/FN areas split
+    // at the same value — an off-grid threshold would silently snap the
+    // point readout while splitting the areas elsewhere (r13 ADVICE)
+    require(thresholdE6 % 10000L == 0L &&
+        thresholdE6 >= 10000L && thresholdE6 <= 990000L,
+      s"lshPlannerE6: thresholdE6 must be a 1%-grid multiple of 10000 in " +
+        s"[10000, 990000], got $thresholdE6")
     import spark.implicits._
     val layouts = (1 to signatureSize)
       .filter(b => signatureSize % b == 0)
@@ -559,7 +566,7 @@ object Dedup {
           | AS BIGINT)""".stripMargin))
       .groupBy(col("b"), col("r"))
       .agg(
-        max(when(col("s_e6") === lit((thresholdE6 / 10000L) * 10000L),
+        max(when(col("s_e6") === lit(thresholdE6),
           col("p_e6"))).as("p_at_threshold_e6"),
         sum(when(col("s_e6") < thresholdE6, col("p_e6")).otherwise(0L))
           .as("__fp"),

@@ -1101,6 +1101,12 @@ object Graph {
     * are within each pivot's component, capped at `maxHops` (hops are
     * exact integers — no arithmetic discipline needed).
     *
+    * The edge list is SYMMETRIZED internally (union of reversed edges
+    * before dedup) — eccentricity is an undirected-graph notion, and
+    * this also makes dst-only nodes pivot-eligible; callers may pass
+    * either orientation of each edge (an already-symmetric input is
+    * unchanged by the union+distinct).
+    *
     * Scale: per-round work is |frontier|·deg, ≤ nPivots × the single
     * BFS cost; rounds ≤ the true eccentricity (early exit), never
     * maxHops on small-world graphs. Visited state is (pivot, node) —
@@ -1109,7 +1115,9 @@ object Graph {
       nPivots: Int, maxHops: Int): DataFrame = {
     require(nPivots >= 1 && nPivots <= 64, s"nPivots: $nPivots")
     require(maxHops >= 1 && maxHops <= 64, s"maxHops: $maxHops")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val raw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = raw
+      .unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -73,8 +73,9 @@ object HorvitzThompson {
         expr("CAST(__nhat AS BIGINT)").as("n_hat_e6"),
         expr("CAST(__that AS BIGINT)").as("total_hat"),
         expr("CAST(__vhat AS BIGINT)").as("var_nhat_e6"),
-        expr("""CAST(abs(__that - true_total) * 1000000
-               | div true_total AS BIGINT)""".stripMargin)
+        expr("""CASE WHEN true_total = 0 THEN 0
+               | ELSE CAST(abs(__that - true_total) * 1000000
+               |   div true_total AS BIGINT) END""".stripMargin)
           .as("total_err_ppm"))
   }
 }

@@ -1130,9 +1130,12 @@ object Similarity {
     * per-test partitions; the final top-N rides one bounded window
     * over the pool-grain value frame. Scores are the house quantized
     * e9 cosine chain — bit-deterministic, (score desc, id) total
-    * order. */
+    * order. The probe side is guarded (≤ `maxProbes`, counted before
+    * the broadcast) — a mis-called testPred must fail loudly, not
+    * silently build a corpus-sized broadcast. */
   def knnShapleyE9(emb: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, testPred: Column, k: Int, topN: Int): DataFrame = {
+      labelCol: String, testPred: Column, k: Int, topN: Int,
+      maxProbes: Long = 100000L): DataFrame = {
     require(k >= 1 && k <= 1000, s"knnShapleyE9: 1 ≤ k ≤ 1000, got $k")
     require(topN >= 1, s"knnShapleyE9: topN ≥ 1, got $topN")
     VectorExpressions.register(emb.sparkSession)
@@ -1141,6 +1144,11 @@ object Similarity {
       col(labelCol).as(s"${p}lab"),
       VectorExpressions.normSqE9Fast(col(vecCol)).as(s"${p}n"))
     val q = prep(emb.where(testPred), "q")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nProbes = q.count()
+    require(nProbes >= 1L && nProbes <= maxProbes,
+      s"knnShapleyE9: probe set has $nProbes rows — pass a bounded " +
+        s"test/probe sample (≤ $maxProbes), not the corpus")
     val c = prep(emb.where(!testPred).repartition(col(idCol)), "c")
     val scored = c.join(broadcast(q), lit(true))
       .withColumn("__score",
@@ -1253,10 +1261,13 @@ object Similarity {
     *
     * Shape: probes broadcast against one pool scan (q20 contract);
     * ranks and both DCG sums run in real per-probe partitions; output
-    * is probe-grain. */
+    * is probe-grain. The probe side is guarded (≤ `maxProbes`, counted
+    * before the broadcast) — a mis-called probePred must fail loudly,
+    * not silently build a corpus-sized broadcast. */
   def retrievalEvalE6(emb: DataFrame, idCol: String, vecCol: String,
       labelCol: String, probePred: Column, k: Int,
-      partialMatch: (Column, Column) => Column): DataFrame = {
+      partialMatch: (Column, Column) => Column,
+      maxProbes: Long = 100000L): DataFrame = {
     require(k >= 1 && k <= 1000, s"retrievalEvalE6: 1 ≤ k ≤ 1000, got $k")
     VectorExpressions.register(emb.sparkSession)
     def prep(df: DataFrame, p: String) = df.select(
@@ -1264,6 +1275,11 @@ object Similarity {
       col(labelCol).as(s"${p}lab"),
       VectorExpressions.normSqE9Fast(col(vecCol)).as(s"${p}n"))
     val q = prep(emb.where(probePred), "q")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nProbes = q.count()
+    require(nProbes >= 1L && nProbes <= maxProbes,
+      s"retrievalEvalE6: probe set has $nProbes rows — pass a bounded " +
+        s"probe sample (≤ $maxProbes), not the corpus")
     val c = prep(emb.where(!probePred).repartition(col(idCol)), "c")
     val wRank = Window.partitionBy(col("qid"))
       .orderBy(col("__score").desc, col("cid"))
