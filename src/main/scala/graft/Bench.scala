@@ -32,28 +32,42 @@ object Bench {
       .selectExpr("l_returnflag AS q").groupBy("q").count().count()
     // optional args: comma-separated query-name filter (dev iteration)
     val only: Option[Set[String]] = args.lift(0).map(_.split(",").toSet)
+    // Opt-in warm-repetition mode (SPARK_GRAFT_BENCH_REPS=k, default 1 —
+    // the driver's convention stays single-shot): each gate runs k times
+    // in the SAME JVM and the artifact carries BOTH the cold (first) wall
+    // and the min-of-k warm wall. Rationale (r13 verdict): identical code
+    // measured 540.7 s vs 644.6 s suite-total across runs and ±2× per
+    // gate — cold-JIT + oversubscribed-vCPU jitter, not regressions. The
+    // warm min is the number regression triage should read (the Q244Probe
+    // finding, generalized); the cold number stays the headline so
+    // cross-round comparisons keep one convention.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .map(_.toInt).getOrElse(1).max(1)
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      // Collect leftover garbage from the previous query so a major GC
-      // doesn't land inside this one's timing window (the VM's 32 vCPUs
-      // are oversubscribed; a stop-the-world pause mid-query showed up as
-      // a 16 s wall on a 0.5 s plan in round 1).
-      System.gc()
-      val t0 = System.nanoTime()
-      // A failing query must FAIL LOUDLY: round 8 swallowed 34 analysis
-      // errors here and recorded them as plausible ~0.1 s "runs", hiding
-      // an environment breakage from every driver artifact.
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}"
-        System.err.println(s"[bench] FAILED $name — $msg")
-        errors ::= (name -> msg)
+      val walls = (1 to reps).map { rep =>
+        // Collect leftover garbage from the previous query so a major GC
+        // doesn't land inside this one's timing window (the VM's 32 vCPUs
+        // are oversubscribed; a stop-the-world pause mid-query showed up
+        // as a 16 s wall on a 0.5 s plan in round 1).
+        System.gc()
+        val t0 = System.nanoTime()
+        // A failing query must FAIL LOUDLY: round 8 swallowed 34 analysis
+        // errors here and recorded them as plausible ~0.1 s "runs", hiding
+        // an environment breakage from every driver artifact.
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}"
+          System.err.println(s"[bench] FAILED $name — $msg")
+          if (rep == 1) errors ::= (name -> msg)
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()    // drop per-query persisted frames
+        SparkEntry.cleanupQueryTmp()  // reclaim per-query upsert/bucket roots
+        dt
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()    // drop per-query persisted frames
-      SparkEntry.cleanupQueryTmp()  // reclaim per-query upsert/bucket roots
-      name -> dt
+      name -> walls
     }
     val errored = errors.map(_._1).toSet
     def jstr(s: String): String =
@@ -62,13 +76,22 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.collect { case (k, v) if !errored(k) => f""""$k":$v%.3f""" }
+    // "queries" stays the COLD (first-run) wall at every reps setting —
+    // one convention across rounds; "queries_warm" (reps > 1 only) is the
+    // min-of-k steady-state wall for regression triage.
+    val qs = results.collect { case (k, v) if !errored(k) => f""""$k":${v.head}%.3f""" }
       .mkString("{", ",", "}")
+    val warmJson = if (reps > 1)
+      results.collect { case (k, v) if !errored(k) => f""""$k":${v.min}%.3f""" }
+        .mkString(""","queries_warm":{""", ",", "}")
+    else ""
     val errJson = errors.reverse
       .map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }.mkString("{", ",", "}")
-    val total = results.collect { case (k, v) if !errored(k) => v }.sum
+    val total = results.collect { case (k, v) if !errored(k) => v.head }.sum
+    val warmTotal = results.collect { case (k, v) if !errored(k) => v.min }.sum
+    val warmTotalJson = if (reps > 1) f""","warm_total":$warmTotal%.3f""" else ""
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps$warmTotalJson,"queries":$qs$warmJson,"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
     // Persist the FULL per-query map to a file; stdout gets only a compact
     // summary. Rounds 7–10 printed the full ~6 KB line to stdout and the
     // driver's bounded tail window clipped its head every time → four
@@ -80,7 +103,7 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), fullLine)
     catch { case e: Throwable => System.err.println(s"[bench] write failed: $e") }
     val headline = results.collect {
-      case (k, v) if !errored(k) && k.matches("q(0[1-9]|1[0-5])_.*") => f""""$k":$v%.3f"""
+      case (k, v) if !errored(k) && k.matches("q(0[1-9]|1[0-5])_.*") => f""""$k":${v.head}%.3f"""
     }.mkString("{", ",", "}")
     // "queries_truncated" marks the headline map as PARTIAL (q01–q15
     // only) so a stdout parser can't mistake it for the full per-query
