@@ -1,17 +1,18 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.agg.{ContentMetrics, Windows}
-import graft.functions.{GraftFunctions, TextFunctions}
-import graft.operators._
-import graft.schema.{DeliveryLogLite, JoinSideEvent, ScopedEvent}
-import graft.streaming.{CombineDeliveryLog, InferredJoin}
+import graft.agg.ContentMetrics
 
 /** Driver contract: the operator catalog (SURVEY.md §2 batch analogues +
   * LLM-pipeline extensions), each entry paired with an ANSI-SQL oracle that
   * DuckDB executes over the same parquet tables.
+  *
+  * The catalog itself lives in per-family registries under
+  * [[graft.catalog]] (round-14 split — SparkEntry.scala had grown to
+  * 19k LoC, ~40% of the repo, one compile unit and one place for
+  * cache-key bugs to hide); this object only assembles the
+  * driver-contract maps and rejects duplicate gate ids.
   *
   * Output conventions (chosen for bit-exact cross-engine comparison and for
   * partition-order independence at scale):
@@ -29,18983 +30,40 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ContentMetrics.hourly(Tables.load(spark, "/root/testdata/sf0.001", "events"))
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.load(s, dir, name)
-
-  /** events with ts projected to epoch millis. The cast is a no-op for
-    * session-TZ timestamps and converts TIMESTAMP_NTZ under the UTC
-    * session TZ — robust to either parquet flavor reaching this seam
-    * (Tables.load normalizes, but belt-and-braces per round-8 verdict). */
-  private def ev(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts_ms", unix_millis(col("ts").cast("timestamp")))
-
-  private def cents(c: Column): Column = ContentMetrics.cents(c)
-
-  /** Shared record-linkage fixture (q343/q346/q347): customers vs a
-    * deterministically perturbed copy — typo'd names (every 11th),
-    * shifted balances (±1800 cents by key), corrupted segments (every
-    * 5th) — blocked on nation. */
-  private def q343Sides(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
-    val c = t(s, dir, "customer")
-    val aSide = c.select(col("c_custkey").as("rid"),
-      col("c_nationkey").as("blk"),
-      lower(col("c_name")).as("k_name"),
-      expr("CAST(round(c_acctbal*100) AS BIGINT) div 10000").as("k_bal"),
-      col("c_mktsegment").as("k_seg"))
-    val bSide = c.select(col("c_custkey").as("rid"),
-      col("c_nationkey").as("blk"),
-      when(col("c_custkey") % 11 === 0,
-        concat(lower(col("c_name")), lit("x")))
-        .otherwise(lower(col("c_name"))).as("k_name"),
-      expr("(CAST(round(c_acctbal*100) AS BIGINT)" +
-        " + (c_custkey % 7 - 3) * 600) div 10000").as("k_bal"),
-      when(col("c_custkey") % 5 === 0, lit("UNKNOWN"))
-        .otherwise(col("c_mktsegment")).as("k_seg"))
-    (aSide, bSide)
-  }
-
-  /** Emit DECIMAL output columns as exact integer STRINGS at the gate
-    * boundary. DECIMAL(38,0) is the right type for the quadratic rank/
-    * covariance forms INSIDE the operators (they exceed LONG at SF≥1),
-    * but as a dump dtype it is reader-dependent — pyarrow maps it to
-    * object(Decimal), DuckDB's fetchdf to float64 or object depending on
-    * version — which made the r09 driver flap on value-identical frames.
-    * A decimal→string cast is plain digits in both engines, so the
-    * stringified compare is exact at every scale. */
-  private def decStr(df: DataFrame): DataFrame =
-    df.select(df.schema.fields.map { f =>
-      if (f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
-        col(f.name).cast("string").as(f.name)
-      else col(f.name)
-    }.toIndexedSeq: _*)
-
-  /** Materialize-once near-dup pair graph over `documents` — the mining
-    * stage (inverted index + AllPairs/PPJoin filters + exact verify) is
-    * the expensive part shared by q19 (the pairs themselves), q41
-    * (components) and q42 (the cleaning pipeline). Production pipelines
-    * materialize the pair graph once and run every downstream dedup step
-    * off it; mirroring that here, the first consumer writes it to a
-    * per-process temp parquet and the rest read the (tiny) file — robust
-    * to `catalog.clearCache()` between queries, deterministic, and paid
-    * once per scale factor. */
-  private lazy val sharedTmp = {
-    val p = java.nio.file.Files.createTempDirectory("graft_shared").toString
-    // Session-lifetime artifacts (mined pairs, z-order fixtures): reclaim
-    // the disk when the JVM exits so repeated bench/verify runs don't
-    // accumulate under /tmp.
-    sys.addShutdownHook(deleteRecursively(new java.io.File(p)))
-    p
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty)
-      .foreach(deleteRecursively)
-    f.delete(): Unit
-  }
-
-  /** Temp roots scoped to ONE query invocation (upsert-table scenarios and
-    * the like). The returned DataFrame reads from the root lazily, so the
-    * query fn can't clean up itself — harnesses call [[cleanupQueryTmp]]
-    * after consuming each result. Without this, an 88-query bench session
-    * leaves ~GBs of dead upsert commits under /tmp, and the accumulated
-    * disk/page-cache pressure inflated late-alphabet round-8 suite times
-    * 3-7× over isolated runs. */
-  /** Idempotent, RACE-SAFE optimizer-rule registration: Verify/Bench run
-    * gates concurrently in one session, and `extraOptimizations` is a
-    * plain var — two unsynchronized read-modify-append cycles can lose
-    * one rule. Harmless for parity-only rules, semantics-bearing for
-    * MaskingRewrite; every gate registers through this lock. */
-  private val ruleLock = new Object
-  private def registerRule(s: SparkSession,
-      rule: org.apache.spark.sql.catalyst.rules.Rule[
-        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit =
-    ruleLock.synchronized {
-      if (!s.experimental.extraOptimizations.contains(rule))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ rule
-    }
-
-  private val queryTmpRoots = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-  private def queryTmp(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix).toString
-    queryTmpRoots.add(p)
-    p
-  }
-  def cleanupQueryTmp(): Unit = {
-    // a registered matview may point into a query temp root about to be
-    // deleted — registrations never outlive their files
-    plans.MatviewRegistry.clear()
-    var p = queryTmpRoots.poll()
-    while (p != null) {
-      deleteRecursively(new java.io.File(p))
-      p = queryTmpRoots.poll()
-    }
-  }
-  /** Materialize-once supplier Bradley–Terry frame: the oriented duel
-    * stream (a < b, wa = ties-to-a) AND the 3-round e6 ratings over it
-    * are the shared front half of FOUR gates — the fit itself (q333),
-    * DPO margins (q337), reward-model calibration (q356) and the Brier
-    * decomposition (q362). Production preference pipelines fit ratings
-    * once and run every audit off the stored table; mirroring that
-    * (the [[coSupplierPairs]] rule) retires three redundant ~8 s MM
-    * fits from the bench without touching any gate's semantics. */
-  /** Collision-resistant cache key for a data dir: two distinct dirs in one
-    * JVM must never share a shared-tmp path (a 32-bit `String.hashCode`
-    * collision would silently serve one dir's cached frame to the other). */
-  private def dirDigest(d: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  }
-  private val btPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def btSupplierDuelsAndRatings(s: SparkSession,
-      dir: String): (DataFrame, DataFrame) = {
-    val root = btPaths.computeIfAbsent(dir, { d =>
-      val p = s"$sharedTmp/bt_${dirDigest(d)}"
-      val os = t(s, d, "lineitem")
-        .groupBy(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
-        .agg(sum(cents(col("l_extendedprice"))).as("c"))
-      os.as("x").join(os.as("y"),
-          col("x.o") === col("y.o") && col("x.sk") < col("y.sk"))
-        .select(col("x.sk").as("a"), col("y.sk").as("b"),
-          when(col("x.c") >= col("y.c"), 1L).otherwise(0L).as("wa"))
-        .write.mode("overwrite").parquet(s"$p/duels")
-      val du = s.read.parquet(s"$p/duels")
-      operators.Preference.bradleyTerryE6(
-          du.select(
-            when(col("wa") === 1L, col("a")).otherwise(col("b")).as("w"),
-            when(col("wa") === 1L, col("b")).otherwise(col("a")).as("l")),
-          col("w"), col("l"), iterations = 3)
-        .write.mode("overwrite").parquet(s"$p/ratings")
-      p
-    })
-    (s.read.parquet(s"$root/duels"), s.read.parquet(s"$root/ratings"))
-  }
-
-  private val minedPairPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def minedDocPairs(s: SparkSession, dir: String): DataFrame = {
-    val path = minedPairPaths.computeIfAbsent(dir, { d =>
-      val p = s"$sharedTmp/pairs_${dirDigest(d)}"
-      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", 3, 1L, 2L)
-        .write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
-
-  /** The component (canonical-id) map over [[minedDocPairs]] — likewise a
-    * materialized artifact: label propagation runs once, q41 and q42 both
-    * read the result. */
-  private val componentPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def minedDocComponents(s: SparkSession, dir: String): DataFrame = {
-    val path = componentPaths.computeIfAbsent(dir, { d =>
-      val p = s"$sharedTmp/components_${dirDigest(d)}"
-      Dedup.connectedComponents(minedDocPairs(s, d), "a_id", "b_id")
-        .write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
-
-  /** Materialize-once supplier co-occurrence edge multiset — the lineitem
-    * self-join on l_orderkey (both directions, self-loops dropped,
-    * duplicates kept: multiplicity is the edge weight the fixed-point
-    * oracles unroll). q77/q84/q87 consume it directly; q85 (orient +
-    * threshold) and q86 (same-nation restriction) filter it further. The
-    * self-join is the dominant cost of every graph gate (round-8 verdict:
-    * 5× rebuilt per bench session), and a production graph pipeline
-    * materializes its edge list once — mirrored here exactly like
-    * [[minedDocPairs]]. */
-  private val coSupplierPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def coSupplierPairs(s: SparkSession, dir: String): DataFrame = {
-    val path = coSupplierPaths.computeIfAbsent(dir, { d =>
-      val p = s"$sharedTmp/cosupp_${dirDigest(d)}"
-      val li = t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
-      li.join(
-          li.select(col("l_orderkey"), col("l_suppkey").as("dst_supp")),
-          "l_orderkey")
-        .where(col("l_suppkey") =!= col("dst_supp"))
-        .select(col("l_suppkey"), col("dst_supp"))
-        .write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
-
-  /** Materialize-once view→first-conversion survival subject frame: per
-    * user, first view ts, min purchase ≥ view, min error ≥ view, and the
-    * stream-end censor instant. SEVEN gates consume it (KM q214,
-    * Nelson–Aalen q236, log-rank q319, competing risks q385, Cox score
-    * q406, Gehan–Wilcoxon q407, RMST q408) — a survival pipeline builds
-    * its subject table once and runs every estimator off the stored
-    * frame; rebuilding it per gate repeated the same two event-table
-    * joins six extra times per bench run (r12 ADVICE). */
-  private val survivalPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def survivalSubjects(s: SparkSession, dir: String): DataFrame = {
-    val path = survivalPaths.computeIfAbsent(dir, { d =>
-      val p = s"$sharedTmp/surv_${dirDigest(d)}"
-      val e = ev(s, d).select(col("user_id"), col("event_type"),
-        col("ts_ms"))
-      val v = e.where(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("v_ts"))
-      val pu = e.where(col("event_type") === "purchase")
-        .select(col("user_id").as("p_uid"), col("ts_ms").as("p_ts"))
-      val er = e.where(col("event_type") === "error")
-        .select(col("user_id").as("e_uid"), col("ts_ms").as("e_ts"))
-      val firstP = v.join(pu,
-          col("user_id") === col("p_uid") && col("p_ts") >= col("v_ts"),
-          "left")
-        .groupBy(col("user_id"), col("v_ts"))
-        .agg(min(col("p_ts")).as("p_ts"))
-      val firstBoth = firstP.join(er,
-          col("user_id") === col("e_uid") && col("e_ts") >= col("v_ts"),
-          "left")
-        .groupBy(col("user_id"), col("v_ts"), col("p_ts"))
-        .agg(min(col("e_ts")).as("e_ts"))
-      val endDf = e.agg(max(col("ts_ms")).as("end_ts"))
-      firstBoth.crossJoin(broadcast(endDf))
-        .write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
-
-  /** The (dur_h, obs) projection of [[survivalSubjects]] shared by the
-    * single-endpoint estimators: purchase observed at hour grain, else
-    * censored at stream end. `keep` carries extra columns (user_id for
-    * the grouped tests). */
-  private def survivalDurObs(subj: DataFrame, keep: Column*): DataFrame =
-    subj.select(keep :+
-      when(col("p_ts").isNotNull,
-        expr("(p_ts - v_ts) div 3600000"))
-        .otherwise(expr("(end_ts - v_ts) div 3600000")).as("dur_h") :+
-      col("p_ts").isNotNull.as("obs"): _*)
-
-  // ---------------------------------------------------------------- queries
-
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // A1/A7+P9: grouped fixed-point aggregation (TPC-H Q1 shape)
-    "q01_pricing_summary" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          sum(col("l_quantity")).cast("long").as("sum_qty"),
-          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_base_cents"),
-          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
-            .cast("long")).as("sum_disc_e4"),
-          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
-            * (lit(1) + col("l_tax")) * 1000000).cast("long")).as("sum_charge_e6"),
-          count(lit(1)).as("count_order"))
-    }),
-
-    // S3+A6: fact-to-dimension star join, dims broadcast (no fact shuffle)
-    "q02_region_revenue" -> ((s, dir) => {
-      t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("r_name"), col("n_name"))
-        .agg(sum(cents(col("o_totalprice"))).as("revenue_cents"),
-          count(lit(1)).as("n_orders"))
-    }),
-
-    // A8: top-N per group
-    "q03_top_orders" -> ((s, dir) =>
-      TopN.topN(t(s, dir, "orders"), Seq("o_orderpriority"),
-          Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
-        .select(col("o_orderpriority"), col("rank"), col("o_orderkey"),
-          cents(col("o_totalprice")).as("total_cents"))),
-
-    // A9+A11: sparse metric-column union + hourly tumble
-    "q04_hourly_metrics" -> ((s, dir) =>
-      ContentMetrics.hourly(t(s, dir, "events"))),
-
-    // A2: sliding 1h/15m counts
-    "q05_sliding_counts" -> ((s, dir) =>
-      Windows.slidingCount(ev(s, dir), Seq("event_type"), "ts_ms",
-        3600000L, 900000L)),
-
-    // A3: sliding 7d/1d counts
-    "q06_weekly_counts" -> ((s, dir) =>
-      Windows.slidingCount(ev(s, dir), Seq("event_type"), "ts_ms",
-        7L * 86400000L, 86400000L)),
-
-    // A10: CUMULATE — hourly-stepped day-to-date totals
-    "q07_cumulate" -> ((s, dir) =>
-      Windows.cumulativeCount(ev(s, dir), Seq("event_type"), "ts_ms",
-        86400000L, 3600000L)),
-
-    // J7: event-time session windows (4h gap)
-    "q08_sessionize" -> ((s, dir) =>
-      Sessionize.sessionBounds(
-        ev(s, dir).select(col("user_id"), col("ts_ms"), col("event_id")),
-        Seq("user_id"), "ts_ms", 4L * 3600000L, "event_id")),
-
-    // J9/J10: as-of (temporal) join, 1-day tolerance
-    "q09_asof_join" -> ((s, dir) => {
-      val e = ev(s, dir)
-      val fact = e.where(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts_ms"))
-      val dim = e.where(col("event_type") === "click")
-        .select(col("user_id"), col("event_id").as("click_id"),
-          col("ts_ms").as("click_ts_ms"))
-      AsOfJoin.leftAsOf(fact, dim, Seq("user_id"), "ts_ms", "click_ts_ms",
-        Seq("click_id"), "click_id", 86400000L)
-    }),
-
-    // J1-J4 exact-key fast path: equi-key interval join ([-30m, 0])
-    "q10_interval_join" -> ((s, dir) => {
-      val e = ev(s, dir)
-      IntervalJoin.countInRange(
-        e.where(col("event_type") === "purchase")
-          .select(col("event_id"), col("user_id"), col("ts_ms")),
-        e.where(col("event_type") === "click")
-          .select(col("user_id"), col("ts_ms")),
-        Seq("user_id"), "ts_ms", "ts_ms", -1800000L, 0L,
-        "event_id", "n_clicks")
-    }),
-
-    // J11: seen-gate (left-semi join against a thresholded key set)
-    "q11_semi_gate" -> ((s, dir) => {
-      val e = ev(s, dir)
-      val hot = e.where(col("event_type") === "purchase")
-        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-        .where(col("n") >= 20).select("user_id")
-      e.join(hot, Seq("user_id"), "left_semi")
-        .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ms"))
-    }),
-
-    // D1: keyed first-wins dedupe
-    "q12_dedup_first" -> ((s, dir) =>
-      Dedup.keepFirst(
-        ev(s, dir).select(col("user_id"), col("event_type"), col("event_id"), col("ts_ms")),
-        Seq("user_id", "event_type"), Seq(col("ts_ms"), col("event_id")))),
-
-    // Dedup/exact: hash-groupBy duplicate groups
-    "q13_dedup_exact" -> ((s, dir) =>
-      ev(s, dir)
-        .groupBy(col("event_type"), cents(col("value")).as("value_cents"))
-        .agg(min(col("event_id")).as("first_event_id"), count(lit(1)).as("n_dups"))
-        .where(col("n_dups") >= 2)),
-
-    // A4: last-seen + count per key
-    "q14_last_seen" -> ((s, dir) =>
-      Windows.lastTimeAndCount(ev(s, dir), Seq("user_id", "event_type"), "ts_ms")),
-
-    // A5-shape: thresholded key frequency over JSON-extracted props
-    "q15_hot_keys" -> ((s, dir) =>
-      t(s, dir, "events")
-        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
-        .groupBy(col("k")).agg(count(lit(1)).as("n"))
-        .where(col("n") >= 10)),
-
-    // Text analysis: token/char/quality per document
-    "q16_text_stats" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      d.select(col("doc_id"),
-        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TextFunctions.distinctTokenCount(col("text")).cast("long").as("n_uniq_tokens"),
-        length(col("text")).cast("long").as("n_chars_actual"),
-        TextFunctions.qualityScore(col("text")).as("quality"))
-    }),
-
-    // Text analysis: language-ID heuristic vs labeled lang
-    "q17_lang_stats" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      d.select(col("lang"),
-          TextFunctions.langIdHeuristic(col("text")).as("detected"),
-          TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
-        .groupBy(col("lang"), col("detected"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("sum_tokens"))
-    }),
-
-    // Dedup/fingerprint: md5 of normalized text
-    "q18_fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
-        TextFunctions.fingerprint(col("text")).as("fp"))),
-
-    // Dedup/near-dup: exact n-gram Jaccard via inverted-index join
-    // (materialized once; q41/q42 consume the same pair graph)
-    "q19_ngram_jaccard" -> ((s, dir) => minedDocPairs(s, dir)),
-
-    // Similarity: exact cosine top-k (quantized deterministic scoring)
-    "q20_knn_cosine" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 20),
-        "vec_id", "embedding", 3)
-    }),
-
-    // Dedup/MinHash-LSH: the full production near-dup path — banded
-    // candidates exact-verified to Jaccard >= 3/5. Oracled against exact
-    // all-pairs SQL: at r=1/b=32 a qualifying pair escapes blocking with
-    // P = (1-s)^32 (~1e-13 at the threshold), so the gate detects any
-    // recall miss as a row diff. Signature internals: MinHashSpec.
-    "q21_minhash_pairs" -> ((s, dir) =>
-      Dedup.minHashVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
-        3, 32, 32, 3L, 5L)),
-
-    // Dedup/SimHash 64-bit fingerprints. Oracled: token hashes are
-    // splitMix64-finished Karp–Rabin fingerprints, replicated bit-exactly
-    // in 128-bit SQL arithmetic (q22OracleSql); bit-mix quality pinned by
-    // SimHashSpec/PolyHash64Spec.
-    "q22_simhash" -> ((s, dir) =>
-      Dedup.simHash64(t(s, dir, "documents"), "doc_id", "text")),
-
-    // Similarity/LSH bucketing: sign-LSH candidate pairs. Oracled: e9-
-    // quantized projections against the inlined planeSigns lists — both
-    // engines compute bit-identical buckets (the q27 technique).
-    "q23_lsh_ann" -> ((s, dir) =>
-      Similarity.lshBucketedPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 10)),
-
-    // §2.9: seed-0 xxhash64 feature keys. Oracled: the expected seed-0
-    // hashes for the (fixed, 5-value) event-type vocabulary are inlined
-    // into the oracle SQL as literals; XxHash64Spec holds the public
-    // test vectors that pin the hash itself.
-    "q24_query_hash" -> ((s, dir) => {
-      GraftFunctions.register(s)
-      t(s, dir, "events")
-        .select(lower(col("event_type")).as("q"))
-        .where(length(col("q")) <= 100)
-        .select(GraftFunctions.xxhash64Seed0(col("q")).as("query_hash"))
-        .groupBy(col("query_hash")).agg(count(lit(1)).as("n"))
-        .where(col("n") >= 100)
-    }),
-
-    // J1 core: inferred-reference join (nearest-in-time fallback) run in
-    // batch mode — purchases attributed to the closest view per user within
-    // [-30m, +1s]; unmatched emit as the dropped side channel
-    "q25_inferred_join" -> ((s, dir) => {
-      import s.implicits._
-      val e = ev(s, dir)
-      val pid = lpad(col("event_id").cast("string"), 12, "0")
-      val mk = (side: Int) => Seq(lit(0L).as("platformId"),
-        col("user_id").cast("string").as("logUserId"), lit(side).as("side"),
-        pid.as("id"), lit("").as("parentId"), col("ts_ms").as("tsMs"))
-      val lefts = e.where(col("event_type") === "view").select(mk(0): _*)
-      val rights = e.where(col("event_type") === "purchase").select(mk(1): _*)
-      InferredJoin.joinBatch(lefts.unionByName(rights).as[JoinSideEvent],
-          maxTimeMs = 1800000L, outOfOrderMs = 1000L)(s)
-        .select(col("logUserId").as("log_user_id"), col("leftId").as("left_id"),
-          col("rightId").as("right_id"), col("leftTs").as("left_ts_ms"),
-          col("rightTs").as("right_ts_ms"), col("matchType").as("match_type"))
-    }),
-
-    // J5: CombineDeliveryLog batch merge — view=API / click=SDK logs
-    // sharing a synthetic clientRequestId (user × 10m bucket) collapse to
-    // the highest-priority producer
-    "q26_combine_dlog" -> ((s, dir) => {
-      import s.implicits._
-      val e = ev(s, dir).where(col("event_type").isin("view", "click"))
-        .select(lit(0L).as("platformId"),
-          col("user_id").cast("string").as("logUserId"),
-          concat_ws(":", col("user_id"),
-            (col("ts_ms") - pmod(col("ts_ms"), lit(600000L)))).as("clientRequestId"),
-          lpad(col("event_id").cast("string"), 12, "0").as("requestId"),
-          when(col("event_type") === "view", "API").otherwise("SDK").as("executionServer"),
-          col("ts_ms").as("tsMs"))
-      CombineDeliveryLog.combineBatch(e.as[DeliveryLogLite])(s)
-        .select(col("clientRequestId").as("client_request_id"),
-          col("requestId").as("request_id"),
-          col("executionServer").as("execution_server"), col("tsMs").as("ts_ms"))
-    }),
-
-    // Dedup/embedding: banded sign-LSH blocking → exact quantized re-rank —
-    // the sub-quadratic production path (all-pairs cosineNearDupPairs is the
-    // tests-only recall baseline). The oracle mirrors the integer-quantized
-    // blocking exactly, so the gate checks the whole shipped pipeline.
-    "q27_embed_neardup" -> ((s, dir) =>
-      Similarity.lshBandedNearDupPairs(
-        t(s, dir, "embeddings").where(col("vec_id") < 1000),
-        "vec_id", "embedding", 400000L, bands = 8, rowsPerBand = 4)),
-
-    // Text analysis: BPE-ish pre-tokenization counts
-    "q28_bpe_tokens" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
-        TextFunctions.bpeIshTokenCount(col("text")).cast("long").as("n_bpe"),
-        size(TextFunctions.bpeIshTokens(lower(col("text")))).cast("long").as("n_bpe_lower"))),
-
-    // A6+K3 shape: counter key families with packed feature ids as an
-    // HSET-frame stream over the events table
-    "q29_counter_family" -> ((s, dir) => {
-      val metric = when(col("event_type") === "view", 1L)
-        .when(col("event_type") === "click", 2L)
-        .when(col("event_type") === "purchase", 3L)
-        .when(col("event_type") === "signup", 4L)
-        .otherwise(8L)
-      ev(s, dir)
-        .groupBy(col("user_id"),
-          graft.agg.Windows.bucket(col("ts_ms"), 86400000L).as("day_ms"),
-          metric.as("metric"))
-        .agg(count(lit(1)).as("n"))
-        .select(
-          concat_ws("\u001f", lit("3"), col("user_id").cast("string"),
-            col("day_ms").cast("string")).as("key"),
-          graft.agg.CounterFeatures.featureIdCol(lit(3L), col("metric"), lit(2L))
-            .cast("string").as("field"),
-          col("n").cast("string").as("value"))
-    }),
-
-    // Text analysis: Karp–Rabin rolling-hash fingerprints. Oracled: the
-    // window hash is a plain mod-(2^61-1) polynomial, so the oracle
-    // evaluates it positionally with precomputed power literals in
-    // HUGEINT arithmetic (q30OracleSql); RollingHashSpec pins the kernel.
-    "q30_rolling_fp" -> ((s, dir) => {
-      graft.functions.RollingMinHash.register(s)
-      t(s, dir, "documents").select(col("doc_id"),
-        graft.functions.RollingMinHash.rollingMinHash(col("text"), 32).as("fp"))
-    }),
-
-    // J7: full-outer session cogroup — purchases × clicks per user in 4h
-    // sessions (FlatResponseInsertion shape: N left + M right per window)
-    "q31_session_cogroup" -> ((s, dir) => {
-      val e = ev(s, dir)
-      Cogroup.sessionCogroup(
-        e.where(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts_ms"), col("event_id")),
-        e.where(col("event_type") === "click")
-          .select(col("user_id"), col("ts_ms"), col("event_id")),
-        Seq("user_id"), "ts_ms", 4L * 3600000L, "event_id", "event_id")
-    }),
-
-    // J8 full parity: attach the ≤3 most recent prior views to each
-    // purchase (6h lookback) with the reference's exclusion semantics —
-    // views whose content the user already actioned (incl. the purchase's
-    // own content) drop, duplicate content keeps only the newest view
-    // (AddLatestImpressions.java:355-374); content = props.k mod 20
-    "q32_latest_impressions" -> ((s, dir) => {
-      val e = ev(s, dir).withColumn("content_id",
-        concat(lit("C"), pmod(get_json_object(col("props"), "$.k").cast("long"),
-          lit(20)).cast("string")))
-      Cogroup.attachLatestExcluding(
-        e.where(col("event_type") === "purchase")
-          .select(col("user_id"), col("event_id").as("purchase_id"),
-            col("ts_ms"), col("content_id")),
-        e.where(col("event_type") === "view")
-          .select(col("user_id"), col("event_id").as("view_id"),
-            col("ts_ms").as("view_ts_ms"), col("content_id")),
-        Seq("user_id"), "ts_ms", "view_ts_ms", "purchase_id", "view_id",
-        "content_id", 3, 6L * 3600000L)
-    }),
-
-    // D3: redundant-event canonicalization — every view re-points to the
-    // first view of its (user, props.k) group
-    "q33_redundant_repoint" -> ((s, dir) =>
-      Cogroup.redundantRepoint(
-        ev(s, dir).where(col("event_type") === "view")
-          .select(col("user_id"),
-            get_json_object(col("props"), "$.k").cast("long").as("k"),
-            col("event_id"), col("ts_ms")),
-        Seq("user_id", "k"), "event_id", "ts_ms")),
-
-    // J1+J2+J3+J4: the full flagship join chain — view ×(right-outer)
-    // insertion × impression × action — with the reference's ancestor-scope
-    // cascade, ContentId filter, and cart-item pk split
-    // (BaseInferred.java:524-547, ViewResponseInsertionProcessFunction,
-    // ImpressionActionProcessFunction.java:18-35). Fixture derives exact-FK
-    // and scope ids from the events table via as-of lookups; match paths
-    // split by event_id % 4: 0→exact FK, 1→first scope, 2→second scope,
-    // 3→invalid scopes then view-scope fallback (multi-level cascade).
-    "q35_flat_chain" -> ((s, dir) => q35FlatChain(s, dir)),
-
-    // Similarity/IVF: inverted-list ANN, the |corpus|·nProbe/nLists scale
-    // path. Oracled: the default coarse quantizer (nLists lowest-id
-    // vectors) and the e9-quantized assignment/probe/re-rank pipeline are
-    // fully deterministic, so the oracle replays list assignment, probing
-    // and re-ranking in SQL (q34OracleSql); IvfSpec proves recall vs
-    // brute force.
-    "q34_ivf_ann" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 20),
-        "vec_id", "embedding", k = 3, nLists = 16, nProbe = 4)
-    }),
-
-    // Corpus prep: line-level boilerplate dedup (CCNet/RefinedWeb method)
-    // — drop lines appearing in >= maxDocFreq distinct docs. The corpus
-    // has no newlines, so the gate first re-lines each doc into 3-word
-    // chunks deterministically (same derivation in the oracle); with the
-    // tiny synthetic vocabulary many chunks recur, so the threshold
-    // genuinely removes lines (no doc in this corpus loses every line,
-    // but a fully-boilerplate doc would drop — CorpusOpsSpec pins that).
-    "q53_line_dedup" -> ((s, dir) => {
-      // tokenize ONCE per row behind a projection boundary — inlining the
-      // split into the chunking lambda re-splits the text per chunk
-      val tokd = t(s, dir, "documents").select(col("doc_id"),
-        split(trim(col("text")), "\\s+").as("__tk"))
-      val tk = col("__tk")
-      val lined = tokd.select(col("doc_id"),
-        array_join(
-          transform(sequence(lit(0), ((size(tk) - 1) / 3).cast("int")),
-            i => array_join(slice(tk, i * 3 + 1, lit(3)), " ")),
-          "\n").as("text"))
-      CorpusOps.lineDedup(lined, "doc_id", "text", maxDocFreq = 20L)
-        .select(col("doc_id"), col("text"))
-    }),
-
-    // Similarity/PQ: product-quantization ANN — the memory lever at
-    // 100 TB (m one-byte codes per vector instead of d floats; ADC = m
-    // lookups per candidate). Oracled: training-free codebook, integer-L2
-    // assignment and integer ADC replay bit-exactly in SQL (q52OracleSql).
-    "q52_pq_ann" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.pqTopK(emb, emb.where(col("vec_id") < 20),
-        "vec_id", "embedding", k = 3, subspaces = 8, codebookSize = 16)
-    }),
-
-    // Similarity: signed random projection — JL-style embedding
-    // compression before ANN indexing; deterministic e9-integer
-    // projections, oracled with the same inlined-sign-list technique as
-    // the banded-LSH gate
-    "q43_random_projection" -> ((s, dir) =>
-      Similarity.signedRandomProjection(
-        t(s, dir, "embeddings").where(col("vec_id") < 200),
-        "vec_id", "embedding", outDims = 8)),
-
-    // The composed cleaning pipeline — what a training-data user actually
-    // runs: quality floor + language filter + repetition cap + near-dup
-    // canonical-only, one declarative plan over the four signal families
-    "q42_clean_corpus" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val signals = d.select(col("doc_id"),
-        TextFunctions.qualityScore(col("text")).as("quality"),
-        TextFunctions.langIdHeuristic(col("text")).as("detected"))
-      val rep = TextFunctions.repetitionStats(d, "doc_id", "text", "\\s+")
-        .select(col("doc_id"), col("dup_unit_chars"), col("total_unit_chars"))
-      val comp = minedDocComponents(s, dir).withColumnRenamed("node", "doc_id")
-      signals
-        .join(rep, Seq("doc_id"))
-        .join(comp, Seq("doc_id"), "left")
-        .where(col("quality") >= 72 &&
-          col("detected") === "en" &&
-          col("dup_unit_chars") * 10 <= col("total_unit_chars") * 7 &&
-          (col("component").isNull || col("component") === col("doc_id")))
-        .select(col("doc_id"), col("quality"), col("detected"),
-          coalesce(col("component"), col("doc_id")).as("component"))
-    }),
-
-    // Dedup complete: near-dup pairs → connected components → canonical
-    // doc per component (dedup keeps the minimum id, everything else
-    // drops — the step real pipelines run after pair mining)
-    "q41_neardup_components" -> ((s, dir) => {
-      val comp = minedDocComponents(s, dir)
-      t(s, dir, "documents").select(col("doc_id"))
-        .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("component"), col("doc_id")).as("component"),
-          (col("component").isNull ||
-            col("component") === col("doc_id")).as("is_canonical"))
-    }),
-
-    // Text analysis: Gopher-style repetition census (duplicate-unit and
-    // duplicate-unit-character numerators/denominators, Rae et al. 2021
-    // §A1.1.3) at word granularity — the dup-line rule's instantiation for
-    // this corpus; thresholds divide these integers downstream
-    "q40_repetition" -> ((s, dir) =>
-      TextFunctions.repetitionStats(t(s, dir, "documents"), "doc_id", "text",
-        "\\s+")),
-
-    // J6 complete: MergeDetails with drop tracking — purchases resolve
-    // insertion (nearest prior click) and impression (nearest prior
-    // signup) references, then merge the full detail rows back on; details
-    // tables are punched (clicks ≡0 mod 5, signups ≡0 mod 3 withheld) so
-    // the dropped channel (DroppedMergeDetailsEvent analogue) is genuinely
-    // exercised; `missing` carries the MissingEvent labels
-    "q39_merge_details" -> ((s, dir) => {
-      val e = ev(s, dir)
-      val acts = e.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("action_id"), col("ts_ms"))
-      val clicks = e.where(col("event_type") === "click")
-        .select(col("user_id"), col("event_id").as("ins_id"),
-          col("ts_ms").as("ins_ts"))
-      val signups = e.where(col("event_type") === "signup")
-        .select(col("user_id"), col("event_id").as("imp_id"),
-          col("ts_ms").as("imp_ts"))
-      val withIns = AsOfJoin.leftAsOf(acts, clicks, Seq("user_id"),
-        "ts_ms", "ins_ts", Seq("ins_id"), "ins_id", 86400000L)
-      val tiny = AsOfJoin.leftAsOf(withIns, signups, Seq("user_id"),
-          "ts_ms", "imp_ts", Seq("imp_id"), "imp_id", 86400000L)
-        .select(col("user_id"), col("action_id"), col("ts_ms"),
-          col("ins_id"), col("imp_id"))
-      val insDetails = clicks.where(col("ins_id") % 5 =!= 0)
-        .select(col("ins_id"), col("ins_ts").as("ins_detail_ts_ms"))
-      val impDetails = signups.where(col("imp_id") % 3 =!= 0)
-        .select(col("imp_id"), col("imp_ts").as("imp_detail_ts_ms"))
-      MergeDetails.mergeWithDropTracking(tiny, Seq(
-          MergeDetails.DetailSource(insDetails, "ins_id", "DELIVERY_LOG"),
-          MergeDetails.DetailSource(impDetails, "imp_id", "IMPRESSION")))
-        .select(col("user_id"), col("action_id"), col("ts_ms"),
-          coalesce(col("ins_id"), lit(-1L)).as("ins_id"),
-          coalesce(col("imp_id"), lit(-1L)).as("imp_id"),
-          coalesce(col("ins_detail_ts_ms"), lit(-1L)).as("ins_detail_ts_ms"),
-          coalesce(col("imp_detail_ts_ms"), lit(-1L)).as("imp_detail_ts_ms"),
-          col("missing"), col("status"))
-    }),
-
-    // J7 complete: the session cogroup with COLLECTED payload lists —
-    // purchases + clicks per user in 4h sessions, each session emitting
-    // its sorted member-id lists (the FlatResponseInsertion record shape:
-    // insertion + repeated impressions + repeated actions,
-    // FlatOutputJob.java:1016-1025), serialized for the oracle compare
-    "q38_session_payload" -> ((s, dir) => {
-      val e = ev(s, dir)
-      Cogroup.sessionPayloadCogroup(
-        e.where(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts_ms"), col("event_id")),
-        e.where(col("event_type") === "click")
-          .select(col("user_id"), col("ts_ms"), col("event_id")),
-        Seq("user_id"), "ts_ms", 4L * 3600000L, "event_id", "event_id")
-    }),
-
-    // D3 complete: actions re-pointed through the redundant-impression
-    // canonical map (ReduceRedundantTinyImpressions.java:120-180) — each
-    // purchase resolves its impression (nearest prior view within 1d, the
-    // as-of convention) and rewrites it to the canonical first view of
-    // that view's (user, props.k) group
-    "q37_redundant_actions" -> ((s, dir) => {
-      val e = ev(s, dir)
-      val views = e.where(col("event_type") === "view")
-        .select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"),
-          col("event_id"), col("ts_ms"))
-      val canon = Cogroup.redundantRepoint(views, Seq("user_id", "k"),
-        "event_id", "ts_ms")
-      val acts = e.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("action_id"), col("ts_ms"))
-      val withImp = AsOfJoin.leftAsOf(acts,
-        views.select(col("user_id"), col("event_id").as("imp_id"),
-          col("ts_ms").as("imp_ts_ms")),
-        Seq("user_id"), "ts_ms", "imp_ts_ms", Seq("imp_id"), "imp_id",
-        86400000L)
-        .where(col("imp_id").isNotNull)
-      Cogroup.repointReferences(withImp,
-          canon.select(col("event_id"), col("canonical_id")),
-          "event_id", "imp_id")
-        .select(col("user_id"), col("action_id"), col("ts_ms"),
-          col("imp_id"), col("imp_ts_ms"),
-          col("canonical_imp_id"))
-    }),
-
-    // A6 complete: the ten counter key families (CounterKeys.java:40-365)
-    // over a synthesized joined-event frame — query hash from props.k
-    // (50-word vocabulary, thresholded top-query gate), device families
-    // from a fixed UA vocabulary through the UserAgents parser, metric
-    // from event_type, last-seen families emitting ts + 90d-count pairs.
-    "q36_counter_all" -> ((s, dir) => q36CounterAll(s, dir)),
-
-    // Corpus prep: deterministic hash split — stable under corpus growth,
-    // engine- and partitioning-independent (no rand(), no global order)
-    "q44_split_assign" -> ((s, dir) =>
-      CorpusOps.splitAssign(t(s, dir, "documents").select(col("doc_id")),
-        "doc_id", "#split#v1")),
-
-    // Corpus prep: concat-and-chunk sequence packing per source shard —
-    // the GPT-style pretraining layout; sharded windows keep it
-    // distributed (no global-order single-partition window)
-    "q45_pack_sequences" -> ((s, dir) =>
-      CorpusOps.packSequences(t(s, dir, "documents"), "doc_id", "source",
-        TextFunctions.tokenCount(col("text")), budgetTokens = 512L)),
-
-    // Corpus prep: PII detect + redact. The synthetic corpus carries no
-    // natural PII, so deterministic markers are injected from doc_id
-    // residues first — the detect/redact path is then exercised on
-    // genuinely varied positives AND true negatives in both engines
-    "q46_pii_scrub" -> ((s, dir) => {
-      val injected = concat(col("text"),
-        when(col("doc_id") % 5 === 0, concat(lit(" contact user"),
-          col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
-        when(col("doc_id") % 7 === 0, concat(lit(" see https://example.org/d/"),
-          col("doc_id").cast("string"))).otherwise(lit("")),
-        when(col("doc_id") % 11 === 0, lit(" call +1 555 867 5309"))
-          .otherwise(lit("")))
-      CorpusOps.piiScrub(t(s, dir, "documents"), injected)
-        .select(col("doc_id"), col("n_emails"), col("n_urls"),
-          col("n_phones"), col("redacted"))
-    }),
-
-    // Corpus prep: train/test n-gram decontamination — training docs
-    // sharing any word 3-gram with the held-out set (doc_id ≡ 0 mod 50);
-    // the pipeline anti-joins this frame before tokenizing
-    "q47_contamination" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      CorpusOps.contamination(
-        d.where(col("doc_id") % 50 =!= 0),
-        d.where(col("doc_id") % 50 === 0),
-        "doc_id", "text", n = 3)
-    }),
-
-    // Corpus prep: mixture resampling — even-numbered sources kept at
-    // ~80%, odd at ~20%, gated by a deterministic md5 bucket so the kept
-    // set is stable across runs/engines/partitionings
-    "q49_mixture_sample" -> ((s, dir) => {
-      val even = (substring(col("source"), 4, 8).cast("int") % 2) === 0
-      CorpusOps.mixtureSample(
-        t(s, dir, "documents").select(col("doc_id"), col("source")),
-        "doc_id", "#mix#v1",
-        when(even, lit(CorpusOps.pctHexBound(80)))
-          .otherwise(lit(CorpusOps.pctHexBound(20))))
-    }),
-
-    // Corpus stats: exact discrete length quantiles per split via the
-    // distinct-value histogram (window over |distinct values|, not |rows|)
-    "q48_length_quantiles" -> ((s, dir) =>
-      CorpusOps.discQuantiles(
-        CorpusOps.splitAssign(t(s, dir, "documents"), "doc_id", "#split#v1")
-          .select(col("split"),
-            TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
-        "split", "n_tokens", Seq(50, 90, 99))),
-
-    // K4: Hudi-style merge-on-read upsert table over orders — three
-    // commits (full load; price-update + delete batch; second update that
-    // resurrects some deleted keys) with a compaction between c2 and c3,
-    // so the snapshot read merges a compacted base with a live delta.
-    // Latest-per-(partition, key) by (ver DESC, commit DESC), deletes
-    // applied; the oracle replays the same commit log as a window query
-    "q50_upsert_snapshot" -> ((s, dir) => {
-      // one orders scan feeds all three commit frames
-      val base = t(s, dir, "orders").select(
-        col("o_orderkey").as("k"),
-        date_format(col("o_orderdate"), "yyyy-MM").as("dt"),
-        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val c1 = base.withColumn("ver", lit(1L)).withColumn("del", lit(false))
-      val c2 = base.where(col("k") % 7 === 0 || col("k") % 13 === 0)
-        .withColumn("price_cents", col("price_cents") + 1000L)
-        .withColumn("ver", lit(2L)).withColumn("del", col("k") % 13 === 0)
-      val c3 = base.where(col("k") % 21 === 0)
-        .withColumn("price_cents", col("price_cents") + 5000L)
-        .withColumn("ver", lit(3L)).withColumn("del", lit(false))
-      val path = queryTmp("graft_upsert_q50") + "/t"
-      val ut = new sinks.UpsertTable(path, Seq("k"), "ver", Seq("dt"), Some("del"))
-      ut.upsert(c1)
-      ut.upsert(c2)
-      ut.compact(s)
-      ut.upsert(c3)
-      ut.snapshot(s).select("k", "dt", "price_cents", "ver")
-    }),
-
-    // K4 incremental: the CDC pull a downstream incremental job runs —
-    // current resolved record of every key touched after the checkpointed
-    // commit, tombstones included. Same orders-derived scenario as q50
-    // plus a delete commit; sinceCommit = the compaction horizon (the
-    // furthest back Hudi semantics allow).
-    "q51_upsert_incremental" -> ((s, dir) => {
-      // an eighth of orders: q50 already exercises write weight; this
-      // gate is about incremental-read semantics, not write volume
-      val base = t(s, dir, "orders").where(col("o_orderkey") % 8 === 0)
-        .select(
-          col("o_orderkey").as("k"),
-          date_format(col("o_orderdate"), "yyyy").as("dt"),
-          round(col("o_totalprice") * 100).cast("long").as("price_cents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val c1 = base.withColumn("ver", lit(1L)).withColumn("del", lit(false))
-      val c2 = base.where(col("k") % 7 === 0 || col("k") % 13 === 0)
-        .withColumn("price_cents", col("price_cents") + 1000L)
-        .withColumn("ver", lit(2L)).withColumn("del", col("k") % 13 === 0)
-      val c3 = base.where(col("k") % 21 === 0)
-        .withColumn("price_cents", col("price_cents") + 5000L)
-        .withColumn("ver", lit(3L)).withColumn("del", lit(false))
-      val c4 = base.where(col("k") % 35 === 0)
-        .withColumn("price_cents", col("price_cents") + 7000L)
-        .withColumn("ver", lit(4L)).withColumn("del", lit(true))
-      val path = queryTmp("graft_upsert_q51") + "/t"
-      val ut = new sinks.UpsertTable(path, Seq("k"), "ver", Seq("dt"), Some("del"))
-      ut.upsert(c1)
-      ut.upsert(c2)
-      ut.compact(s)
-      ut.upsert(c3)
-      ut.upsert(c4)
-      ut.incrementalRead(s, sinceCommit = 2L, includeDeletes = true)
-        .select("k", "dt", "price_cents", "ver", "del")
-    }),
-
-    // K4 consumer pattern: a CDC-MAINTAINED derived aggregate (per-year
-    // count + cents over the mutable source) refreshed incrementally after
-    // each commit pair — touched-group recompute only, with a compaction
-    // between refreshes proving the horizon contract holds for a
-    // keeping-up consumer. The gate compares the INCREMENTALLY maintained
-    // table against the oracle's full recompute of the final state.
-    "q54_derived_agg" -> ((s, dir) => {
-      val base = t(s, dir, "orders").where(col("o_orderkey") % 8 === 0)
-        .select(
-          col("o_orderkey").as("k"),
-          date_format(col("o_orderdate"), "yyyy").as("dt"),
-          round(col("o_totalprice") * 100).cast("long").as("price_cents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val c1 = base.withColumn("ver", lit(1L)).withColumn("del", lit(false))
-      val c2 = base.where(col("k") % 7 === 0 || col("k") % 13 === 0)
-        .withColumn("price_cents", col("price_cents") + 1000L)
-        .withColumn("ver", lit(2L)).withColumn("del", col("k") % 13 === 0)
-      val c3 = base.where(col("k") % 21 === 0)
-        .withColumn("price_cents", col("price_cents") + 5000L)
-        .withColumn("ver", lit(3L)).withColumn("del", lit(false))
-      val c4 = base.where(col("k") % 35 === 0)
-        .withColumn("price_cents", col("price_cents") + 7000L)
-        .withColumn("ver", lit(4L)).withColumn("del", lit(true))
-      val root = queryTmp("graft_upsert_q54")
-      val src = new sinks.UpsertTable(s"$root/src", Seq("k"), "ver",
-        Seq("dt"), Some("del"))
-      val drv = new sinks.UpsertTable(s"$root/drv", Seq("dt"), "__ver",
-        Nil, Some("__dead"))
-      val derived = new sinks.DerivedAggTable(src, drv, Seq("dt"),
-        df => df.groupBy("dt").agg(count(lit(1)).as("n"),
-          sum("price_cents").as("cents")),
-        s"$root/_cdc_ckpt")
-      src.upsert(c1); src.upsert(c2)
-      derived.refresh(s)
-      src.compact(s) // the consumer kept up: horizon == checkpoint, legal
-      src.upsert(c3); src.upsert(c4)
-      derived.refresh(s)
-      drv.snapshot(s).select("dt", "n", "cents")
-    }),
-
-    // Hot-key stress as a MEASURED gate (the reference's one published ops
-    // failure: an interval join degrading superlinearly on duplicate ids,
-    // pipeline/README.md:291-304). One synthetic key owns a quarter of
-    // both sides in a tight time span (~128k candidate pairs through it);
-    // the bucketed join must stay exact — SkewSpec pins the lever, this
-    // entry tracks its COST per round in BENCH. Fixture is constant-size
-    // across SFs, so the number is round-over-round comparable.
-    "q55_skew_interval" -> ((s, dir) => {
-      def side(ts: String, id: String) = s.range(20000).select(
-        when(col("id") % 4 === 0, lit("hot"))
-          .otherwise(concat(lit("k"), col("id"))).as("key"),
-        (col("id") * 100 + (if (ts == "rts") 50 else 0)).as(ts),
-        col("id").as(id))
-      operators.IntervalJoin.bucketedRangeJoin(
-          side("lts", "lid"), side("rts", "rid"),
-          Seq("key"), "lts", "rts", lowMs = 0L, highMs = 10000L)
-        .select("lid", "rid")
-    }),
-
-    // PQ ANN with TRAINED codebooks — q52's pipeline with per-subspace
-    // deterministic L2 Lloyd quantizers (trainIvfCentroids: lowest-id
-    // init, e9-integer assignment, order-free integer component sums) in
-    // place of the training-free seed. The oracle replays BOTH Lloyd
-    // iterations and the encode/LUT/ADC bit-exactly (q56OracleSql), so
-    // the last untested PQ configuration — trained quantizers — carries a
-    // hash-matched gate. Training is 2 iterations over the (bounded)
-    // sample, the standard k-means-on-a-sample shape.
-    "q56_pq_trained" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      // ONE distributed job per Lloyd iteration across all 8 subspaces;
-      // arithmetic identical to per-subspace trainIvfCentroids(l2) runs
-      // (PqSpec pins that form) — the oracle hash-gates the codebook
-      val cb = operators.Similarity.trainPqCodebooks(
-        emb, "vec_id", "embedding", subspaces = 8, codebookSize = 16,
-        iters = 2)
-      operators.Similarity.pqTopK(emb, emb.where(col("vec_id") < 20),
-        "vec_id", "embedding", k = 3, subspaces = 8, codebookSize = 16,
-        codebooks = Some(cb))
-    }),
-
-    // Corpus prep: EXACT-SUBSTRING dedup (Lee et al. 2022 §3, the
-    // ExactSubstr pass paired with document-level MinHash) — duplicated
-    // 8-token windows keep their lowest-(doc, pos) occurrence, every
-    // other occurrence's span cuts, docs reassemble from surviving
-    // tokens. The tiny synthetic vocabulary makes window collisions
-    // plentiful, so the cut path is genuinely exercised.
-    "q57_exact_substring" -> ((s, dir) =>
-      operators.CorpusOps.exactSubstringDedup(
-        t(s, dir, "documents"), "doc_id", "text", k = 8)),
-
-    // Corpus prep: SemDeDup (Abbas et al. 2023) — SEMANTIC dedup: k-means
-    // blocks the corpus, ε-similar cluster-mates resolve by the
-    // keep-farthest-from-centroid tournament. Fully deterministic (cosine
-    // Lloyd trainer + e9-integer scoring), so the oracle replays training,
-    // assignment and the tournament end-to-end in SQL.
-    "q58_sem_dedup" -> ((s, dir) =>
-      operators.Similarity.semDedup(t(s, dir, "embeddings"),
-        "vec_id", "embedding", k = 16, iters = 2, minCosE6 = 400000L)
-        .withColumnRenamed("id", "vec_id")),
-
-    // Text analysis: fastText-shaped quality classifier — hashed
-    // bag-of-ngrams (uni+bigrams) linear scoring in ONE codegen pass over
-    // the text bytes, zero shuffle. Procedurally-derived weights stand in
-    // for a trained model (trained tables plug in via
-    // hashedNgramScoreTable); every step is SQL-replayable, so the oracle
-    // re-scores every doc from scratch.
-    "q59_quality_classifier" -> ((s, dir) => {
-      functions.HashedClassifier.register(s)
-      t(s, dir, "documents").select(col("doc_id"),
-        functions.HashedClassifier.hashedNgramScore(
-          col("text"), maskBits = 20, seed = 42L, bigrams = true).as("score"))
-        .withColumn("accept", col("score") >= 0L)
-    }),
-
-    // Text analysis: BPE tokenizer TRAINING (Sennrich et al. 2016) — learn
-    // 8 merges from the corpus word-frequency table (deterministic ties),
-    // then count each doc's post-BPE tokens. The oracle unrolls all 8
-    // iterations in SQL — pair counts, argmax pick, greedy fold — so the
-    // whole training loop is hash-gated, not just the application.
-    "q60_bpe_train" -> ((s, dir) =>
-      operators.BpeTrainer.bpeTokenCounts(
-        t(s, dir, "documents"), "doc_id", "text", k = 8)),
-
-    // Layout: z-order clustering + manifest data skipping — write events
-    // z-ordered by (user_id, ts_ms), read a user×time rectangle through
-    // the bucket-pruned path. The oracle filters the raw table directly,
-    // so the gate proves the skipping read is EXACT regardless of layout;
-    // ZOrderTableSpec pins that the pruning actually skips buckets on
-    // BOTH dimensions (the property a single-key sort can't give).
-    "q61_zorder_read" -> ((s, dir) => {
-      // fixed per-process location: repeated invocations overwrite (write
-      // is mode=overwrite) instead of leaking a parquet copy per run
-      val path = s"$sharedTmp/zorder_q61_${dirDigest(dir)}"
-      sinks.ZOrderTable.write(
-        ev(s, dir).select(col("event_id"), col("user_id"), col("ts_ms")),
-        path, Seq("user_id", "ts_ms"), buckets = 64)
-      sinks.ZOrderTable.read(s, path,
-        Map("user_id" -> (100L, 299L),
-          "ts_ms" -> (1704067200000L, 1705276799999L)))
-        .select(col("event_id"), col("user_id"), col("ts_ms"))
-    }),
-
-    // Sketches: HLL distinct-count registers per event_type — a custom
-    // TypedImperativeAggregate whose register arrays combine map-side
-    // (partial aggregation) and union by register-max. PolyHash64 input
-    // hashing makes the full register state SQL-replayable, so the gate
-    // hash-matches the SKETCH itself, not a tolerance on the estimate.
-    "q62_hll_sketch" -> ((s, dir) => {
-      agg.HllSketch.register(s)
-      ev(s, dir).groupBy(col("event_type"))
-        .agg(agg.HllSketch.hllRegisters(col("user_id"), p = 12).as("hll"))
-    }),
-
-    // Sketches: Count-Min frequency counters per event_type — counters are
-    // sums, so the sketch is order/partition-invariant and merges by
-    // elementwise add (map-side partials, slice→range composition). The
-    // gate hash-matches the full counter state via the PolyHash64 replay.
-    "q63_count_min" -> ((s, dir) => {
-      agg.CountMinSketch.register(s)
-      ev(s, dir).groupBy(col("event_type"))
-        .agg(agg.CountMinSketch.countMin(col("user_id"), depth = 4,
-          width = 1024).as("cm"))
-    }),
-
-    // Analytics: ordered funnel (view → click → purchase within 7 days of
-    // the first view, each stage strictly after the previous) — the
-    // conversion query of the reference's attribution domain, one shuffle
-    // on the user key, no self-joins or window sorts.
-    "q64_funnel" -> ((s, dir) =>
-      operators.Funnel.funnelTimes(ev(s, dir), "user_id", "event_type",
-        "ts_ms", Seq("view", "click", "purchase"), 7L * 86400000L)),
-
-    // Analytics: cohort retention triangle — each user's first-seen day
-    // buckets the cohort; cells count distinct users active at each
-    // offset. One user-key shuffle + one bounded-cell distinct agg.
-    "q65_retention" -> ((s, dir) =>
-      operators.Retention.cohortRetention(ev(s, dir), "user_id", "ts_ms",
-        86400000L)),
-
-    // Sketches: KMV bottom-k set-operation sketch — per-event-type
-    // bottom-128 distinct user hashes; every pair's union bottom-k derives
-    // from the samples alone (the KMV closure property) and yields INTEGER
-    // Jaccard match counts, hash-gated end-to-end.
-    "q66_kmv_jaccard" -> ((s, dir) =>
-      agg.KmvSketch.jaccardMatchCounts(ev(s, dir), "event_type", "user_id",
-        k = 128)),
-
-    // Time series: gap fill + forward fill — densify each user's hourly
-    // buckets across their span and carry the last value forward; gaps
-    // generate from per-key sequence explodes (no calendar cross join),
-    // one window pass carries values, runaway spans raise.
-    "q67_gap_fill" -> ((s, dir) =>
-      operators.GapFill.forwardFill(
-        ev(s, dir).where(col("user_id") < 50), "user_id", "ts_ms", "value",
-        bucketMs = 3600000L)),
-
-    // Corpus prep: EXACT-proportion stratified split (complement of q44's
-    // stable hash split) — within every language exactly ⌊8n/10⌋ train /
-    // next ⌊9n/10⌋−⌊8n/10⌋ val / rest test, ranked by (PolyHash64, id),
-    // integer thresholds only.
-    "q68_stratified_split" -> ((s, dir) =>
-      operators.CorpusOps.stratifiedSplit(t(s, dir, "documents"),
-        "doc_id", "lang", Seq("train" -> 8L, "val" -> 1L, "test" -> 1L))),
-
-    // Sketches × windows: ROLLING 7-day distinct-user HLL per event type —
-    // the feature-store pattern (store per-window sketches, union for
-    // ranges). The sliding explode is the A2/A3 counter shape; the sketch
-    // agg merges map-side; registers hash-gate per window.
-    "q69_sliding_hll" -> ((s, dir) => {
-      agg.HllSketch.register(s)
-      val day = 86400000L
-      ev(s, dir).select(col("event_type"), col("user_id"),
-          (col("ts_ms") - pmod(col("ts_ms"), lit(day))).as("d"))
-        .select(col("event_type"), col("user_id"),
-          explode(sequence(col("d"), col("d") + lit(6L * day), lit(day)))
-            .as("win_end"))
-        .groupBy(col("event_type"), col("win_end"))
-        .agg(agg.HllSketch.hllRegisters(col("user_id"), p = 10).as("hll"))
-    }),
-
-    // Analytics: robust MAD outlier flagging (|x − median| > 3·MAD) —
-    // lower medians by integer rank selection over value histograms, so
-    // even the raw-double verdicts hash-gate cross-engine.
-    "q70_mad_outliers" -> ((s, dir) =>
-      operators.Anomaly.madOutliers(ev(s, dir).where(col("user_id") < 50),
-        "user_id", "ts_ms", "value", thresholdNum = 3L)),
-
-    // Runtime filters: Bloom-pruned semi-join — build the filter over the
-    // selective dim's keys (bitsets OR map-side; the exchange carries
-    // numBits/8 bytes, not keys), broadcast the one-row bitset, and drop
-    // fact rows BELOW the join's exchange. The exact semi-join finishes
-    // (false positives removed, false negatives impossible), so the gate
-    // replays as a plain IN subquery.
-    "q71_bloom_join" -> ((s, dir) =>
-      operators.RuntimeFilter.bloomSemiJoin(
-        t(s, dir, "lineitem"), "l_orderkey",
-        t(s, dir, "orders").where(col("o_totalprice") > 400000)
-          .select("o_orderkey"),
-        "o_orderkey", numBits = 1 << 20, numHashes = 7)
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("cnt"),
-          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
-            * 100).cast("long")).as("revenue_cents"))),
-
-    // Retrieval: BM25 relevance ranking over the corpus for a fixed term
-    // set — one tokenize pass feeds dl and tf, df/global stats broadcast
-    // back, per-term contributions integer-scaled BEFORE the long sum
-    // (never hash-gate a raw double sum), rank total-ordered.
-    "q72_bm25" -> ((s, dir) =>
-      operators.TextRank.bm25(t(s, dir, "documents"), "doc_id", "text",
-        Seq("hash", "join", "window", "spark"))),
-
-    // Corpus prep: weighted reservoir sampling (Efraimidis–Spirakis A-ES)
-    // — 20 docs per language, length-weighted, hash-uniforms instead of
-    // rand() so the draw is stable across runs/engines/partitionings;
-    // the ranked window pushes a partial top-k below the exchange.
-    "q73_weighted_sample" -> ((s, dir) =>
-      operators.CorpusOps.weightedSample(t(s, dir, "documents"),
-        "doc_id", "lang", "n_chars", "#ws#v1", k = 20)),
-
-    // Layout: bucketed co-located fact⋈fact join — pay the shuffle once
-    // at write time (16 buckets on the order key, per-bucket sorted),
-    // then the merge join runs with NO exchange on either side (pinned in
-    // BucketedTableSpec); the gate checks the write→catalog→join
-    // round-trip against the plain-join oracle.
-    "q74_bucketed_join" -> ((s, dir) => {
-      val root = queryTmp("graft_bucketed_q74")
-      sinks.BucketedTable.writeBucketed(
-        t(s, dir, "lineitem")
-          .select("l_orderkey", "l_extendedprice", "l_discount"),
-        "graft_q74_li", root + "/li", 16, "l_orderkey", "l_orderkey")
-      sinks.BucketedTable.writeBucketed(
-        t(s, dir, "orders")
-          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
-        "graft_q74_ord", root + "/ord", 16, "o_orderkey", "o_orderkey")
-      sinks.BucketedTable.coLocatedJoin(s, "graft_q74_li", "graft_q74_ord",
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
-          col("o_orderpriority"))
-        .agg(count(lit(1)).as("cnt"),
-          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
-            * 100).cast("long")).as("revenue_cents"))
-    }),
-
-    // Time series: EWMA forecast residuals (Roberts control chart) — a
-    // pinned per-key left fold of exact IEEE ops, so even the raw double
-    // smoothed value hash-gates; the newest point flags when it misses
-    // the prefix forecast by more than the band.
-    "q75_ewma" -> ((s, dir) =>
-      operators.Anomaly.ewmaResiduals(ev(s, dir).where(col("user_id") < 50),
-        "user_id", "ts_ms", "value", alpha = 0.2, band = 60.0)),
-
-    // Layout: Bloom-augmented z-order manifest — point lookups on a
-    // SCATTERED key (event_id, uncorrelated with the (user_id, ts)
-    // Morton order, so every bucket's min/max covers it) prune via the
-    // per-bucket bloom bitsets instead of scanning all 64 directories.
-    // Probes are the five smallest event_ids ≡ 7 (mod 1000) — a bounded
-    // driver action the oracle replays as a subquery.
-    "q76_bloom_skip" -> ((s, dir) => {
-      val path = s"$sharedTmp/zorder_q76_${dirDigest(dir)}"
-      val e = ev(s, dir).select(col("event_id"), col("user_id"),
-        col("ts_ms"), col("event_type"))
-      sinks.ZOrderTable.write(e, path, Seq("user_id", "ts_ms"),
-        buckets = 64, bloomCols = Seq("event_id"))
-      val probes = e.where(col("event_id") % 1000 === 7)
-        .select(col("event_id")).orderBy(col("event_id")).limit(5)
-        .collect().map(_.getLong(0)).toSeq
-      probes.map(id => sinks.ZOrderTable.readEq(s, path, Map.empty,
-          Map("event_id" -> id)))
-        .reduce(_ unionByName _)
-        .select(col("event_id"), col("user_id"), col("ts_ms"),
-          col("event_type"))
-    }),
-
-    // Similarity/IVF-PQ: IVFADC, the combined billion-scale index —
-    // coarse inverted lists + PQ codes of the RESIDUALS, per-list ADC
-    // with the −‖q−c‖² correction so candidates from different probed
-    // lists rank on one scale. Oracled end-to-end: coarse assignment,
-    // float32 residuals, residual codebook, encode, ADC (q83OracleSql).
-    "q83_ivfpq_ann" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.ivfPqTopK(emb, emb.where(col("vec_id") < 20),
-        "vec_id", "embedding", k = 3, nLists = 16, nProbe = 4,
-        subspaces = 8, codebookSize = 16)
-    }),
-
-    // Data profiling: the pre-ingest census — per-column null/distinct
-    // counts and min/max for five lineitem columns in ONE scan (a single
-    // Expand feeds every countDistinct; stack unpivots the one-row agg).
-    // Integral/text columns only, so min/max strings render identically
-    // cross-engine.
-    "q79_profile" -> ((s, dir) =>
-      operators.Profile.profile(t(s, dir, "lineitem"),
-        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
-          "l_linestatus"))),
-
-    // Path analysis: first-order Markov transitions over per-user event
-    // streams — every observed hop with exact integer-millionth row
-    // probabilities (truncating div, so the matrix hash-gates).
-    "q82_transitions" -> ((s, dir) =>
-      operators.Funnel.transitions(ev(s, dir),
-        "user_id", "ts_ms", "event_type", "event_id")),
-
-    // Ops: keyed snapshot diff — classify inserts/deletes/updates between
-    // orders and a derived second version (deletes %17, price bumps %13,
-    // key-shifted inserts %50) in one full-outer shuffle; unchanged keys
-    // drop before output. Null-safe struct equality does the compare.
-    "q81_table_diff" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      val newv = o.where(col("o_orderkey") % 17 =!= 0)
-        .withColumn("o_totalprice",
-          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1)
-            .otherwise(col("o_totalprice")))
-        .unionByName(o.where(col("o_orderkey") % 50 === 0)
-          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
-      operators.TableDiff.diff(o, newv, Seq("o_orderkey"))
-    }),
-
-    // Data quality: the constraint gate before publishing a snapshot —
-    // null/duplicate counts in one lineitem scan, referential integrity
-    // as left-anti joins against orders and part. unique:l_orderkey
-    // genuinely FAILS (multi-line orders), so both verdicts exercise.
-    "q80_quality_checks" -> ((s, dir) =>
-      operators.Profile.checks(t(s, dir, "lineitem"),
-        completeness = Seq("l_orderkey", "l_returnflag"),
-        uniqueness = Seq("l_orderkey"),
-        referential = Seq(
-          ("l_orderkey", t(s, dir, "orders"), "o_orderkey"),
-          ("l_partkey", t(s, dir, "part"), "p_partkey")))),
-
-    // Tokenizer apply: full-document BPE ENCODE under the fixed merge
-    // list below (trained once at build time — the q52 codebook pattern;
-    // q60 gates training itself). Folds run once per distinct word; docs
-    // reassemble in word order.
-    "q78_bpe_encode" -> ((s, dir) =>
-      operators.BpeTrainer.encode(t(s, dir, "documents"), "doc_id", "text",
-        q78Merges)),
-
-    // Graph analytics: PageRank over the supplier co-occurrence graph
-    // (suppliers sharing an order, both directions) — five power
-    // iterations in BIGINT e9 fixed-point, so the oracle unrolls the
-    // identical truncating arithmetic round by round.
-    "q77_pagerank" -> ((s, dir) =>
-      operators.Graph.pageRankE9(coSupplierPairs(s, dir), "l_suppkey",
-        "dst_supp", iterations = 5)),
-
-    // Graph analytics: per-node triangle counts with degree orientation
-    // (Suri-Vassilvitskii) over the thresholded supplier co-occurrence
-    // graph — ≥5 shared orders keeps the sf0.1 graph sparse enough that
-    // the wedge step stays bounded while sf0.01 remains near-complete.
-    "q85_triangles" -> ((s, dir) => {
-      val pairs = coSupplierPairs(s, dir)
-        .where(col("l_suppkey") < col("dst_supp"))
-        .groupBy(col("l_suppkey"), col("dst_supp"))
-        .agg(count(lit(1)).as("w")).where(col("w") >= 5)
-        .select(col("l_suppkey"), col("dst_supp"))
-      operators.Graph.triangleCounts(pairs, "l_suppkey", "dst_supp")
-    }),
-
-    // Graph analytics: PERSONALIZED PageRank — teleport mass pinned to
-    // the nation-0 suppliers, so rank measures proximity to that seed
-    // set instead of global authority; the same e9 fixed-point rounds as
-    // q77, oracled with a seed CASE in each unrolled round.
-    "q87_ppr" -> ((s, dir) => {
-      val pairs = coSupplierPairs(s, dir)
-      val seeds = t(s, dir, "supplier").where(col("s_nationkey") === 0)
-        .select(col("s_suppkey"))
-      operators.Graph.pageRankE9(pairs, "l_suppkey", "dst_supp",
-        iterations = 5, seeds = Some(seeds), seedIdCol = "s_suppkey")
-    }),
-
-    // EXACT φ-heavy hitters via Misra–Gries candidates + broadcast
-    // verify: the two-pass shape that answers "which values exceed 1% of
-    // the stream" shuffling O(k) rows instead of O(distinct). The fixture
-    // mixes 8 hot keys (l_partkey ≡ 0 mod 3, keyed by mod 8 — ~4% of
-    // rows each) into a sea of per-row-unique singletons, so the sketch
-    // path genuinely churns; the oracle is the plain GROUP BY/HAVING the
-    // operator's exact verify pass reproduces bit-for-bit.
-    "q88_heavy_hitters" -> ((s, dir) => {
-      val keyed = t(s, dir, "lineitem").select(
-        when(col("l_partkey") % 3 === 0,
-            concat(lit("p"), (col("l_partkey") % 8).cast("string")))
-          .otherwise(concat(lit("u"), col("l_orderkey").cast("string"),
-            lit("-"), col("l_linenumber").cast("string"))).as("value"))
-      agg.MisraGries.heavyHitters(keyed, col("value"), phiDen = 100, k = 512)
-    }),
-
-    // Graph analytics: exact-integer modularity of an LPA partition —
-    // the evaluate step after community detection. Q·(2m)² decomposes as
-    // Σ_c (4m·E_c − D_c²), all BIGINTs, so per-community contributions
-    // hash-gate with no doubles anywhere. The raw co-occurrence graph is
-    // structureless (LPA honestly collapses it to ONE community), so this
-    // gate restricts edges to same-nation supplier pairs — block-diagonal
-    // structure LPA must recover, one community row per block.
-    "q86_modularity" -> ((s, dir) => {
-      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
-      val pairs = coSupplierPairs(s, dir)
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .withColumnRenamed("s_nationkey", "src_nation").drop("s_suppkey")
-        .join(broadcast(sup), col("dst_supp") === col("s_suppkey"))
-        .where(col("src_nation") === col("s_nationkey"))
-        .select(col("l_suppkey"), col("dst_supp"))
-      val labels = operators.Graph.labelPropagation(pairs, "l_suppkey",
-        "dst_supp", iterations = 4)
-      operators.Graph.modularityParts(pairs, "l_suppkey", "dst_supp",
-        labels, "l_suppkey", "community")
-    }),
-
-    // Graph analytics: label-propagation communities over the same
-    // supplier co-occurrence graph — synchronous rounds with the
-    // (count DESC, label ASC) argmax, so the oracle unrolls the
-    // identical update round by round. Distinct from components (q41):
-    // density-based labels, not reachability.
-    "q84_label_prop" -> ((s, dir) =>
-      operators.Graph.labelPropagation(coSupplierPairs(s, dir), "l_suppkey",
-        "dst_supp", iterations = 4)),
-
-    // Sliding-window chunking (embedding/RAG ingestion): 16-token windows
-    // advancing by 8 (50% overlap) + the tail-aligned final window. Pure
-    // narrow op — chunk key is the token start offset.
-    "q99_chunk_overlap" -> ((s, dir) =>
-      operators.CorpusOps.chunkTokens(t(s, dir, "documents"), "doc_id",
-        "text", window = 16, stride = 8)),
-
-    // CCNet-style bigram-LM perplexity filter: fit an add-one-smoothed
-    // bigram LM on the trusted (English) slice, score EVERY document by
-    // average per-pair negative log-likelihood in integer micro-nats.
-    "q100_bigram_lm" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      operators.NgramLm.perplexityScore(docs.where(col("lang") === "en"),
-        docs, "doc_id", "text")
-    }),
-
-    // DSIR importance weights: hashed-token (B=1024) distributions for
-    // target (English slice) vs raw (whole corpus); every document gets
-    // the summed log importance ratio + a total-ordered rank.
-    "q101_dsir_weights" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      operators.Dsir.importanceWeights(docs.where(col("lang") === "en"),
-        docs, docs, "doc_id", "text", buckets = 1024)
-    }),
-
-    // One-sided CUSUM drift monitor per user: accumulated above-baseline
-    // deviation via the two-window prefix form (running sum − clipped
-    // running min) — no fold, no collected series.
-    "q102_cusum_drift" -> ((s, dir) =>
-      operators.Anomaly.cusumDrift(
-        ev(s, dir).select(col("user_id"), col("ts_ms"), col("value")),
-        "user_id", "ts_ms", "value",
-        slackE6 = 5000000L, thresholdE6 = 500000000L)),
-
-    // ROLLUP hierarchy (§2.6 grouping-set analogue): per-(event_type, day)
-    // metrics plus per-type and grand totals in ONE pass — Catalyst's
-    // Expand feeds a single hash aggregate, vs three scans done naively.
-    "q103_rollup_metrics" -> ((s, dir) =>
-      ev(s, dir)
-        .select(col("event_type"),
-          (col("ts_ms") - col("ts_ms") % 86400000L).as("day_ms"),
-          cents(col("value")).as("cents"))
-        .rollup(col("event_type"), col("day_ms"))
-        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
-        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
-          coalesce(col("day_ms"), lit(-1L)).as("day_ms"),
-          col("n"), col("sum_cents"))),
-
-    // Last-touch attribution (J4 at metric level): every purchase credits
-    // the user's latest STRICTLY-earlier click within 7 days — one
-    // user-key window pass (range frame, no self-join), tie-broken to the
-    // smallest click id.
-    "q110_attribution" -> ((s, dir) =>
-      operators.Attribution.lastTouch(
-        ev(s, dir).select(col("user_id"), col("event_id"),
-          col("ts_ms"), col("event_type")),
-        "user_id", "event_id", "ts_ms", "event_type",
-        touchType = "click", convType = "purchase",
-        lookbackMs = 7L * 86400000L)),
-
-    // Linear multi-touch attribution: every click in the 7d lookback
-    // shares the purchase's credit equally in exact ppm (truncation
-    // remainder to the latest touch, so shares sum to 1e6 per purchase).
-    // Pair set via the bucketed interval join (skew lever), one window.
-    "q111_linear_attribution" -> ((s, dir) =>
-      operators.Attribution.linearTouch(
-        ev(s, dir).select(col("user_id"), col("event_id"),
-          col("ts_ms"), col("event_type")),
-        "user_id", "event_id", "ts_ms", "event_type",
-        touchType = "click", convType = "purchase",
-        lookbackMs = 7L * 86400000L)),
-
-    // Item-item co-engagement similarity (collaborative-filtering prep):
-    // deduped (user, item) incidence, per-user pair formation (bounded
-    // self-join with a loud hub guard), integer cos² ranking.
-    "q143_item_similarity" -> ((s, dir) =>
-      operators.ItemCF.itemSimilarity(
-        ev(s, dir).select(col("user_id"),
-          concat(lit("C"), pmod(get_json_object(col("props"), "$.k")
-            .cast("long"), lit(20)).cast("string")).as("item")),
-        col("user_id"), col("item"), minCooc = 5L)),
-
-    // Retrieval audit: recall@3 of the IVF index (exact q34
-    // configuration) against exact search (q20) — the rebuild gate an
-    // ANN index must pass before it replaces brute force. The audit is
-    // one join over tiny id-pair frames; the cost lives in the two
-    // retrieval stages it compares.
-    "q144_ann_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val qs = emb.where(col("vec_id") < 20)
-      RankEval.recallAtK(
-        Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 3),
-        Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
-          k = 3, nLists = 16, nProbe = 4),
-        "qid", "cid")
-    }),
-
-    // The ranked companion: MRR + NDCG@3 of the IVF ranking against the
-    // exact top-3 — integer rr (1e6 div rank) and literal-table NDCG
-    // discounts shared verbatim with the oracle.
-    "q145_ann_rank_metrics" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val qs = emb.where(col("vec_id") < 20)
-      RankEval.rankMetrics(
-        Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 3),
-        Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
-          k = 3, nLists = 16, nProbe = 4),
-        "qid", "cid", "rank", 3)
-    }),
-
-    // Curation trade-off skyline: undominated (quality max, length min)
-    // cells — no pairwise join, one cell census + two window minima.
-    "q146_doc_skyline" -> ((s, dir) =>
-      Skyline.frontier2D(
-        t(s, dir, "documents").select(
-          TextFunctions.qualityScore(col("text")).as("q"), col("n_chars")),
-        col("q"), col("n_chars"), "quality", "n_chars")),
-
-    // Position-based (U-shaped 40/20/40) multi-touch attribution — the
-    // third credit rule on the q110/q111 pair machinery, remainder to
-    // the last touch so shares sum to exactly 1e6.
-    "q147_position_attribution" -> ((s, dir) =>
-      operators.Attribution.positionTouch(
-        ev(s, dir).select(col("user_id"), col("event_id"),
-          col("ts_ms"), col("event_type")),
-        "user_id", "event_id", "ts_ms", "event_type",
-        touchType = "click", convType = "purchase",
-        lookbackMs = 7L * 86400000L)),
-
-    // Per-type daily revenue trend: OLS slope/intercept as exact
-    // integer sufficient-statistic ratios; x is the day index rebased
-    // near zero so every product stays in 64 bits.
-    "q148_daily_trend" -> ((s, dir) => {
-      val daily = ev(s, dir)
-        .groupBy(col("event_type"),
-          expr("ts_ms div 86400000 - 19700").as("day_x"))
-        .agg(sum(cents(col("value"))).as("y_cents"))
-      Trend.groupedOls(daily, Seq("event_type"), col("day_x"),
-        col("y_cents"))
-    }),
-
-    // Metric pivot: the wide day × event-type cents table (the A11
-    // metric-column union inverted) — one groupBy().pivot() with the
-    // value list pinned, so the plan is a single aggregation with no
-    // value-discovery pre-pass.
-    "q149_metric_pivot" -> ((s, dir) =>
-      ev(s, dir)
-        .groupBy(expr("ts_ms div 86400000").as("day_x"))
-        .pivot("event_type",
-          Seq("click", "error", "purchase", "signup", "view"))
-        .agg(sum(cents(col("value"))))),
-
-    // Length-3 behavior paths (q82 one hop deeper): gap-bounded
-    // event-type trigrams per user — one window sort, census-sized
-    // output.
-    "q151_session_paths" -> ((s, dir) =>
-      Funnel.pathTrigrams(ev(s, dir), "user_id", "ts_ms", "event_type",
-        "event_id", maxGapMs = 4L * 3600000L)),
-
-    // Inter-event gap histogram: the arrival-cadence profile that tunes
-    // session gaps / watermark slack / state TTLs — minute buckets with
-    // a one-hour tail cap, exact min/max per bucket.
-    "q152_gap_histogram" -> ((s, dir) =>
-      Profile.gapHistogram(ev(s, dir), "user_id", "ts_ms", "event_id",
-        "event_type", bucketMs = 60000L, maxBucket = 60L)),
-
-    // Exact percentile-rank normalization (curriculum/mixture input):
-    // per-doc quality percentile in ppm from a value census + one
-    // cumulative window — no row sort.
-    "q153_quality_percentile" -> ((s, dir) =>
-      Profile.percentRankPpm(
-        t(s, dir, "documents").select(col("doc_id"),
-          TextFunctions.qualityScore(col("text")).as("q")),
-        "doc_id", col("q"))),
-
-    // A/B readout: per-user conversion census split by user-id parity,
-    // chi-square as an exact unreduced integer ratio.
-    "q154_ab_chi2" -> ((s, dir) => {
-      val users = ev(s, dir).groupBy(col("user_id"))
-        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
-          .as("conv"))
-      Profile.twoProportionChi2(users, col("user_id") % 2 === 1,
-        col("conv") === 1L)
-    }),
-
-    // Sparse tf-idf cosine pairs: topical similarity through an
-    // inverted index on shared terms, df-pruned postings capping the
-    // pair blowup — the weighted complement to q19/q21's set Jaccard.
-    "q155_tfidf_cosine" -> ((s, dir) =>
-      TextRank.tfidfCosinePairs(t(s, dir, "documents"), "doc_id", "text",
-        maxDf = 50L, minCosE6 = 300000L)),
-
-    // CUBE over (event_type, day-of-week): all four grouping-set
-    // marginals in one pass (the q103 ROLLUP widened), nulls
-    // sentinel-coalesced for the cross-engine hash.
-    "q156_cube_metrics" -> ((s, dir) =>
-      ev(s, dir)
-        .withColumn("dow", expr("(ts_ms div 86400000 + 4) % 7"))
-        .cube(col("event_type"), col("dow"))
-        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
-        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
-          coalesce(col("dow"), lit(-1L)).as("dow"), col("n"),
-          col("sum_cents"))),
-
-    // SCD Type-2 dimension build: keyed change stream → versioned
-    // validity intervals, consecutive repeats collapsed, one per-key
-    // sort carrying both windows.
-    "q157_scd2" -> ((s, dir) =>
-      TableDiff.scd2History(
-        ev(s, dir).select(col("user_id"), col("event_type"),
-          col("ts_ms"), col("event_id")),
-        "user_id", "event_type", "ts_ms", "event_id")),
-
-    // Hybrid retrieval: BM25 lexical ranking ⊕ dense top-50 (query
-    // vector 0) fused by reciprocal ranks — integer RRF, rank-only so
-    // score scales never meet.
-    "q158_hybrid_rrf" -> ((s, dir) => {
-      val lexical = TextRank.bm25(t(s, dir, "documents"), "doc_id", "text",
-          Seq("hash", "join", "window", "spark"))
-        .select(col("doc_id").as("id"), col("rank"))
-      val emb = t(s, dir, "embeddings")
-      val dense = Similarity.bruteForceTopK(emb,
-          emb.where(col("vec_id") === 0), "vec_id", "embedding", 50)
-        .select(col("cid").as("id"), col("rank"))
-      RankEval.rrfFuse(Seq(lexical, dense), "id", "rank")
-    }),
-
-    // IVF index MAINTENANCE: base vectors materialize into a
-    // list-partitioned parquet index, a second batch appends against the
-    // FROZEN quantizer (no rebuild), and the probe join dynamic-
-    // partition-prunes the read back to probed lists. The oracle is the
-    // FULL-REBUILD plan (q34): append-only maintenance must be
-    // indistinguishable from rebuilding.
-    "q159_ivf_upsert" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val base = emb.where(col("vec_id") < 400)
-      val adds = emb.where(col("vec_id") >= 400)
-      val cents = Similarity.defaultIvfCentroids(base, "vec_id",
-        "embedding", 16)
-      val root = queryTmp("graft_ivf")
-      Similarity.ivfAssign(base, "vec_id", "embedding", cents)
-        .write.partitionBy("centId").mode("overwrite").parquet(root)
-      Similarity.ivfAssign(adds, "vec_id", "embedding", cents)
-        .write.partitionBy("centId").mode("append").parquet(root)
-      Similarity.ivfSearchIndex(s.read.parquet(root),
-        emb.where(col("vec_id") < 20), "vec_id", "embedding",
-        k = 3, nProbe = 4, cents)
-    }),
-
-    // Cohort LTV triangle: first-seen day cohorts, per-age revenue
-    // cells, running cumulative per cohort — the window rides the
-    // census, never the event rows.
-    "q160_cohort_ltv" -> ((s, dir) =>
-      Retention.cohortLtv(ev(s, dir), "user_id", "ts_ms",
-        cents(col("value")), bucketMs = 86400000L)),
-
-    // Cross-source duplicate census: two overlapping ingest slices,
-    // md5 content fingerprints over integer/string canonical fields,
-    // fingerprints seen by both sources surface with their row counts.
-    "q161_source_overlap" -> ((s, dir) => {
-      val e = ev(s, dir).select(col("user_id"), col("event_type"),
-        cents(col("value")).as("cents"), col("ts_ms"))
-      val splitLo = 1705017600000L   // 2024-01-12
-      val splitHi = 1705622400000L   // 2024-01-19 — a 7-day overlap
-      val tagged = e.where(col("ts_ms") < splitHi)
-        .withColumn("src", lit("a"))
-        .unionByName(e.where(col("ts_ms") >= splitLo)
-          .withColumn("src", lit("b")))
-      Dedup.crossSourceDuplicates(tagged, "src",
-        Seq("user_id", "event_type", "cents", "ts_ms"))
-    }),
-
-    // Revenue half-life: the day by which half of each type's revenue
-    // had accrued — weighted median of time by money, census-windowed.
-    "q162_revenue_halflife" -> ((s, dir) =>
-      ExactQuantiles.weightedHalfPoint(
-        ev(s, dir).select(col("event_type"),
-          (col("ts_ms") - pmod(col("ts_ms"), lit(86400000L))).as("day_ms"),
-          cents(col("value")).as("c")),
-        Seq("event_type"), col("day_ms"), col("c"))
-        .withColumnRenamed("n_cells", "n_days")
-        .withColumnRenamed("total_weight", "total_cents")
-        .withColumnRenamed("half_point", "half_day_ms")),
-
-    // Gini revenue concentration per event type: exact integer
-    // numerator/denominator over the per-user census rank.
-    "q163_gini" -> ((s, dir) =>
-      Profile.giniConcentration(ev(s, dir), "event_type", "user_id",
-        cents(col("value")))
-        .withColumnRenamed("sum_val", "sum_cents")),
-
-    // Exact change-point finder: the day boundary maximizing the
-    // two-sample KS numerator between before/after value distributions
-    // — all work on the days × values grid, never the raw rows.
-    "q164_changepoint" -> ((s, dir) =>
-      operators.Drift.changePoint(
-        ev(s, dir).select(
-          (col("ts_ms") - pmod(col("ts_ms"), lit(86400000L))).as("day_ms"),
-          cents(col("value")).as("c")),
-        col("day_ms"), col("c"))),
-
-    // TPC-H Q9-shape profit rollup: the five-way star join bench anchor
-    // — fact side joins three BROADCAST dims (filtered part first, so
-    // the selective prune lands before the fact shuffle) plus the
-    // orders fact-to-fact join; integer e4 money.
-    "q165_profit" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")
-          .where(col("p_name").contains("red"))),
-          col("l_partkey") === col("p_partkey"))
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "supplier")),
-          col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(t(s, dir, "nation")),
-          col("s_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name"), year(col("o_orderdate")).cast("long")
-          .as("o_year"))
-        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
-            * 10000).cast("long")).as("profit_e4"),
-          count(lit(1)).as("n_lines"))),
-
-    // TPC-H Q8-shape market share: one nation's ppm share of yearly
-    // revenue into one region — conditional aggregation over the same
-    // star, exact integer ratio.
-    "q166_market_share" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")),
-          col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, dir, "nation").as("cn")),
-          col("c_nationkey") === col("cn.n_nationkey"))
-        .join(broadcast(t(s, dir, "region")),
-          col("cn.n_regionkey") === col("r_regionkey"))
-        .where(col("r_name") === "ASIA")
-        .join(broadcast(t(s, dir, "supplier")),
-          col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(t(s, dir, "nation").as("sn")),
-          col("s_nationkey") === col("sn.n_nationkey"))
-        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
-        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
-            * 10000).cast("long")).as("total_e4"),
-          sum(when(col("sn.n_name") === "NATION_3",
-            round(col("l_extendedprice") * (lit(1) - col("l_discount"))
-              * 10000).cast("long")).otherwise(0L)).as("nation_e4"))
-        .withColumn("share_ppm", expr("nation_e4 * 1000000 div total_e4"))),
-
-    // Expand-free exact distinct: pre-group on (key, value) — "salt by
-    // the value itself" — then count; a hot key's distinct work spreads
-    // by value and the fact table is never Expanded.
-    "q167_distinct_pregroup" -> ((s, dir) =>
-      SkewAgg.exactDistinctPregrouped(
-        ev(s, dir).select(col("event_type"),
-          (col("ts_ms") - pmod(col("ts_ms"), lit(86400000L))).as("day_ms"),
-          col("user_id")),
-        Seq("event_type", "day_ms"), col("user_id"))),
-
-    // Two-phase salted holistic state: per-shard collect_set then per-key
-    // merge — the mergeable-state split for skewed keys; deterministic
-    // sorted output rendered as a joined string for the oracle hash.
-    "q168_salted_sets" -> ((s, dir) =>
-      SkewAgg.saltedHolistic(
-        ev(s, dir).select(col("event_type"),
-          lpad(pmod(col("user_id"), lit(50)).cast("string"), 2, "0")
-            .as("u2")),
-        Seq("event_type"), col("u2"), salts = 8)
-        .select(col("event_type"),
-          array_join(col("distinct_values"), ",").as("members"))),
-
-    // Identity stitching: users link through shared device keys (≥3
-    // co-occurrences), bipartite nodes long-encoded (user → 2i, device
-    // → 2k+1), connected components, canonical = min user per cluster.
-    "q169_identity_stitch" -> ((s, dir) => {
-      val links = ev(s, dir).select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
-        .where(col("k").isNotNull)
-        .groupBy(col("user_id"), col("k")).agg(count(lit(1)).as("n"))
-        .where(col("n") >= 3)
-      val edges = links.select((col("user_id") * 2).as("a"),
-        (col("k") * 2 + 1).as("b"))
-      val users = Dedup.connectedComponents(edges, "a", "b")
-        .where(col("node") % 2 === 0)
-        .select((col("node") / 2).cast("long").as("user_id"),
-          col("component"))
-      val canon = users.groupBy(col("component"))
-        .agg(min(col("user_id")).as("canonical_user"),
-          count(lit(1)).as("cluster_users"))
-      users.join(canon, "component")
-        .select(col("user_id"), col("canonical_user"), col("cluster_users"))
-    }),
-
-    // Span-level cleaning (the RefinedWeb line-filter shape): re-line
-    // each doc into 3-word chunks (the q53 derivation), score every
-    // chunk with the quality kernel INSIDE one array lambda — no
-    // explode, no shuffle — and keep spans ≥ 35; emits the rebuilt text
-    // plus kept/total counts and the exact ppm keep rate.
-    "q170_span_filter" -> ((s, dir) => {
-      val tokd = t(s, dir, "documents").select(col("doc_id"),
-        split(trim(col("text")), "\\s+").as("__tk"))
-      val tk = col("__tk")
-      val lined = tokd.select(col("doc_id"),
-        transform(sequence(lit(0), ((size(tk) - 1) / 3).cast("int")),
-          i => array_join(slice(tk, i * 3 + 1, lit(3)), " ")).as("chunks"))
-      lined.select(col("doc_id"),
-          size(col("chunks")).cast("long").as("total_chunks"),
-          filter(col("chunks"),
-            c => TextFunctions.qualityScore(c) >= 35).as("__kept"))
-        .select(col("doc_id"), col("total_chunks"),
-          size(col("__kept")).cast("long").as("kept_chunks"),
-          array_join(col("__kept"), "\n").as("text"))
-        .withColumn("keep_ppm",
-          expr("kept_chunks * 1000000 div total_chunks"))
-    }),
-
-    // Robust scaling (median/MAD normalization of the quality score):
-    // exact integer median from the value census, exact MAD from the
-    // deviation census, per-doc deviation emitted as the unreduced
-    // (dev, mad) ratio — the outlier-insensitive curriculum scaler.
-    "q171_robust_scale" -> ((s, dir) => {
-      val q = t(s, dir, "documents").select(col("doc_id"),
-        TextFunctions.qualityScore(col("text")).as("q"))
-      val med = ExactQuantiles.histogramPercentiles(q, col("q"), Seq(50))
-        .select(col("quantile").as("med"))
-      val dev = q.crossJoin(broadcast(med))
-        .withColumn("ad", abs(col("q") - col("med")))
-      val mad = ExactQuantiles.histogramPercentiles(dev, col("ad"), Seq(50))
-        .select(col("quantile").as("mad"))
-      dev.crossJoin(broadcast(mad))
-        .select(col("doc_id"), col("q"), col("med"),
-          (col("q") - col("med")).as("dev"), col("mad"))
-    }),
-
-    // Directional as-of (pandas merge_asof parity): each purchase
-    // attaches its NEAREST click within ±1 day — both direction probes
-    // ride RANGE frames over one (user, ts) sort.
-    "q172_asof_nearest" -> ((s, dir) => {
-      val e = ev(s, dir)
-      val purchases = e.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"), col("ts_ms"))
-      val clicks = e.where(col("event_type") === "click")
-        .select(col("user_id"), col("event_id").as("click_id"),
-          col("ts_ms").as("click_ts"))
-      AsOfJoin.directionalAsOf(purchases, clicks, Seq("user_id"),
-        "ts_ms", "click_ts", Seq("click_id"), "click_id",
-        direction = "nearest", toleranceMs = 86400000L, dimPrefix = "m_")
-    }),
-
-    // Window-function breadth on one per-customer sort: sequence number,
-    // inter-order gap days, running revenue, ntile quartile, exact ppm
-    // share of the customer total — the classic warehouse order ledger.
-    "q173_customer_orders" -> ((s, dir) => {
-      val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
-        expr("unix_millis(o_orderdate) div 86400000").as("day"),
-        cents(col("o_totalprice")).as("c"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("o_custkey")).orderBy(col("day"), col("o_orderkey"))
-      val run = w.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val all = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("o_custkey"))
-      o.select(col("o_custkey"), col("o_orderkey"), col("c"),
-          row_number().over(w).cast("long").as("seq"),
-          coalesce(col("day") - lag(col("day"), 1).over(w), lit(-1L))
-            .as("gap_days"),
-          sum(col("c")).over(run).as("run_cents"),
-          ntile(4).over(w).cast("long").as("quartile"),
-          sum(col("c")).over(all).as("__total"))
-        // integer div, never a double ratio: the share must floor exactly
-        .withColumn("share_ppm", expr("c * 1000000 div __total"))
-        .drop("c", "__total")
-    }),
-
-    // Audience churn: exact day-over-day Jaccard of active-user sets —
-    // per-bucket censuses + one shifted equi-join, all integers.
-    "q174_audience_churn" -> ((s, dir) =>
-      Retention.audienceChurn(ev(s, dir), "user_id", "ts_ms",
-        bucketMs = 86400000L)),
-
-    // Daily percentile dashboard: exact p50/p95/p99 of cents per
-    // (event_type, day) from per-group value histograms — census
-    // windows, no row sort.
-    "q175_daily_percentiles" -> ((s, dir) =>
-      ExactQuantiles.groupedHistogramPercentiles(
-        ev(s, dir).select(col("event_type"),
-          (col("ts_ms") - pmod(col("ts_ms"), lit(86400000L))).as("day_ms"),
-          cents(col("value")).as("c")),
-        Seq("event_type", "day_ms"), col("c"), Seq(50, 95, 99))),
-
-    // Jaro–Winkler fuzzy name matching (the record-linkage scorer,
-    // prefix-weighted where Levenshtein is edit-weighted): all distinct
-    // part-name pairs ≥ 0.6, the codegen'd kernel pinned bit-for-bit
-    // against DuckDB's jaro_winkler_similarity.
-    "q176_jaro_winkler" -> ((s, dir) => {
-      graft.functions.StringSimilarity.register(s)
-      val names = t(s, dir, "part").select(col("p_name").as("nm")).distinct()
-      names.as("a").join(names.as("b"), col("a.nm") < col("b.nm"))
-        .select(col("a.nm").as("a_name"), col("b.nm").as("b_name"),
-          graft.functions.StringSimilarity.jaroWinklerE6(
-            col("a.nm"), col("b.nm")).as("jw_e6"))
-        .where(col("jw_e6") >= 600000L)
-    }),
-
-    // Entity resolution end-to-end: JW-scored name pairs at the match
-    // threshold become edges, connected components canonicalize, every
-    // name maps to its cluster representative (min name) + cluster size
-    // — the q176 scorer feeding the q41 component machinery.
-    "q177_entity_clusters" -> ((s, dir) => {
-      graft.functions.StringSimilarity.register(s)
-      val names = t(s, dir, "part").select(col("p_name").as("nm")).distinct()
-        .withColumn("id", xxhash64(col("nm")))
-      val pairs = names.as("a").join(names.as("b"),
-          col("a.nm") < col("b.nm"))
-        .where(graft.functions.StringSimilarity.jaroWinklerE6(
-          col("a.nm"), col("b.nm")) >= 870000L)
-        .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-      val comp = Dedup.connectedComponents(pairs, "a_id", "b_id")
-      val labeled = names.join(comp,
-          names("id") === comp("node"), "left")
-        .select(col("nm"), coalesce(col("component"), col("id"))
-          .as("component"))
-      val canon = labeled.groupBy(col("component"))
-        .agg(min(col("nm")).as("canonical"),
-          count(lit(1)).as("cluster_size"))
-      labeled.join(canon, "component")
-        .select(col("nm").as("name"), col("canonical"),
-          col("cluster_size"))
-    }),
-
-    // Time-weighted average (the step-function integral — "average
-    // concurrent value"): per event_type, Σ valueᵢ·(tᵢ₊₁−tᵢ) over each
-    // user's event sequence as an exact integer pair (area, span).
-    "q178_time_weighted" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
-      ev(s, dir)
-        .select(col("user_id"), col("event_id"), col("ts_ms"),
-          col("event_type"), cents(col("value")).as("c"))
-        .withColumn("next_ts", lead(col("ts_ms"), 1).over(w))
-        .where(col("next_ts").isNotNull)
-        // second-granularity integers: cents × ms would sit within 10×
-        // of Long.Max at sf0.1 already — no headroom at real scale
-        .withColumn("gap_s", expr("(next_ts - ts_ms) div 1000"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_segments"),
-          sum(col("c") * col("gap_s")).as("area_cents_s"),
-          sum(col("gap_s")).as("span_s"))
-        .withColumn("twa_cents", expr("area_cents_s div span_s"))
-    }),
-
-    // Behavioral diversity: per-user event-type entropy in micro-nats
-    // (the q106 pinned per-term ln chain, integer-summed) + the
-    // deterministic modal type — the engagement-breadth feature.
-    "q179_user_entropy" -> ((s, dir) => {
-      val cnts = ev(s, dir).groupBy(col("user_id"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"))
-      val all = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id"))
-      cnts
-        .withColumn("n", sum(col("cnt")).over(all))
-        .withColumn("term_e6", round(col("cnt").cast("double") *
-          (log(col("n")) - log(col("cnt"))) * lit(1000000.0) / col("n"))
-          .cast("long"))
-        .groupBy(col("user_id"))
-        .agg(max(col("n")).as("n_events"),
-          count(lit(1)).as("n_types"),
-          sum(col("term_e6")).as("entropy_e6"),
-          // modal type, (count desc, type asc) totalized: struct-min
-          // over (−cnt, type)
-          min(struct((-col("cnt")).as("nc"), col("event_type").as("t")))
-            .as("__m"))
-        .select(col("user_id"), col("n_events"), col("n_types"),
-          col("entropy_e6"), col("__m.t").as("mode_type"))
-    }),
-
-    // Int8 min-max embedding quantization: d-row stats census broadcast
-    // back over one codegen'd encode pass; codes + reconstruction error
-    // decided in pure integers.
-    "q150_int8_quant" -> ((s, dir) =>
-      Quantize.int8MinMaxSummary(t(s, dir, "embeddings"),
-        "vec_id", "embedding")),
-
-    // Calibration / reliability table (the AUC companion): per score
-    // decade, n and positives with the exact ppm rate — monotone rates =
-    // well-ordered scores; one counting aggregation.
-    "q141_calibration" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(TextFunctions.qualityScore(col("text")).as("q"),
-          when(col("lang") === "en", 1L).otherwise(0L).as("p"))
-        .groupBy(expr("q div 10").as("bucket"))
-        .agg(count(lit(1)).as("n"), sum(col("p")).as("n_pos"))
-        .withColumn("rate_ppm", expr("n_pos * 1000000 div n"))),
-
-    // Worst-slice finder (slice-finder lite, 1-D slices the way real
-    // slice finders start): every lang:X and source:Y slice with n ≥ 5,
-    // the ppm deviation of its pass rate from the global — top-10 by
-    // (deviation desc, dim, slice); Expand-style union of the two
-    // groupings over ONE scored scan, plus a broadcast global row.
-    "q142_slice_finder" -> ((s, dir) => {
-      val scored = t(s, dir, "documents")
-        .select(col("lang"), col("source"),
-          when(TextFunctions.qualityScore(col("text")) >= 75L, 1L)
-            .otherwise(0L).as("p"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def dim(name: String, c: Column) = scored
-        .groupBy(c.as("slice")).agg(count(lit(1)).as("n"),
-          sum(col("p")).as("n_pass"))
-        .withColumn("dim", lit(name))
-      val slices = dim("lang", col("lang"))
-        .unionByName(dim("source", col("source")))
-        .where(col("n") >= 5L)
-        .withColumn("rate_ppm", expr("n_pass * 1000000 div n"))
-      val global = scored.agg(count(lit(1)).as("gn"), sum(col("p")).as("gp"))
-        .withColumn("g_rate_ppm", expr("gp * 1000000 div gn"))
-        .select(col("g_rate_ppm"))
-      slices.crossJoin(broadcast(global))
-        .withColumn("dev_ppm", abs(col("rate_ppm") - col("g_rate_ppm")))
-        .orderBy(col("dev_ppm").desc, col("dim"), col("slice"))
-        .limit(10)
-        .select(col("dim"), col("slice"), col("n"), col("n_pass"),
-          col("rate_ppm"), col("g_rate_ppm"), col("dev_ppm"))
-    }),
-
-    // EXACT two-sample KS statistic (the unbinned drift companion to
-    // q124): D·n₁n₂ decided by integer cross-multiplication over merged
-    // value histograms, deterministic (d desc, value) witness.
-    "q139_ks_test" -> ((s, dir) => {
-      val e = ev(s, dir).select(cents(col("value")).as("x"), col("ts_ms"))
-      val split = 1705363200000L
-      operators.Drift.ksStatistic(e.where(col("ts_ms") < split),
-        e.where(col("ts_ms") >= split), col("x"))
-    }),
-
-    // EXACT ROC AUC with midrank ties as an integer ratio — quality
-    // score predicting lang=en; histogram cells + one cumulative window,
-    // no raw-data sort, no float ranks.
-    "q140_auc" -> ((s, dir) =>
-      operators.Profile.exactAuc(
-        t(s, dir, "documents").select(
-          TextFunctions.qualityScore(col("text")).as("q"),
-          (col("lang") === "en").as("is_en")),
-        col("q"), col("is_en"))),
-
-    // Exact integer Gram matrix (the PCA/whitening second-moment input):
-    // d(d+1)/2 pair terms built in ONE codegen'd nested transform per
-    // row — no self-join — then map-side partial sums into 2080 cells.
-    "q138_gram_matrix" -> ((s, dir) =>
-      Similarity.gramMatrixE6(t(s, dir, "embeddings"), "embedding")),
-
-    // Class-prototype table: per-(label, dim) member count + e9 component
-    // sum — integer sufficient statistics of the class means (mergeable
-    // by addition, the vector-column momentProfile).
-    "q136_label_centroids" -> ((s, dir) =>
-      Similarity.labelCentroidsE9(t(s, dir, "embeddings"),
-        "embedding", "label")),
-
-    // Nearest-centroid confusion matrix: shift-invariant all-integer
-    // scoring (positive e3 quantization → div == floor both engines),
-    // argmin by (distance, label) struct-min, labels×dims broadcast.
-    "q137_centroid_confusion" -> ((s, dir) =>
-      Similarity.nearestCentroidConfusion(t(s, dir, "embeddings"),
-        "vec_id", "embedding", "label")),
-
-    // Quality-aware canonicalization: each near-dup cluster keeps its
-    // HIGHEST-quality member (tie → smallest id) instead of the min-id —
-    // the production keep rule (RefinedWeb keeps the best duplicate, not
-    // an arbitrary one); one struct-argmax over the materialized
-    // component map, no window sort.
-    "q134_quality_canon" -> ((s, dir) => {
-      val comp = minedDocComponents(s, dir).withColumnRenamed("node", "doc_id")
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("q"))
-        .join(comp, Seq("doc_id"), "left")
-        .select(coalesce(col("component"), col("doc_id")).as("component"),
-          col("doc_id"), col("q"))
-        .groupBy(col("component"))
-        .agg(count(lit(1)).as("n_members"),
-          max(struct(col("q"), (-col("doc_id")).as("neg_id"))).as("k"))
-        .select(col("component"), col("n_members"),
-          (-col("k.neg_id")).as("keeper_doc_id"),
-          col("k.q").as("keeper_quality"))
-    }),
-
-    // Per-language corpus report card (the data-card table a corpus
-    // release ships): docs, tokens, near-dup non-canonical count, summed
-    // quality — three signal families joined on the doc key, grouped
-    // once; all-integer cells.
-    "q135_lang_report" -> ((s, dir) => {
-      val comp = minedDocComponents(s, dir).withColumnRenamed("node", "doc_id")
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
-          TextFunctions.qualityScore(col("text")).as("q"))
-        .join(comp, Seq("doc_id"), "left")
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("sum_tokens"),
-          coalesce(sum(when(col("component").isNotNull &&
-            col("component") =!= col("doc_id"), 1L).otherwise(0L)), lit(0L))
-            .as("n_noncanonical"),
-          sum(col("q")).as("sum_quality"))
-    }),
-
-    // Recency-weighted engagement: per-user exponentially decayed score
-    // (1-week half-life, pinned as-of instant) — per-event contributions
-    // round to micro-units BEFORE the integer sum, so the freshness
-    // feature hash-gates under any partitioning.
-    "q133_decayed_score" -> ((s, dir) =>
-      agg.Windows.decayedScore(ev(s, dir), Seq("user_id"), "ts_ms",
-        halfLifeMs = 604800000L, asOfMs = 1706745600000L)),
-
-    // Wilson-score quality gate: per-source pass rate (quality ≥ 75)
-    // with the statistically honest LOWER confidence bound — small
-    // samples can't sneak through on a lucky point rate. Pinned IEEE
-    // chain incl. correctly-rounded sqrt; one counting aggregation.
-    "q129_wilson_gate" -> ((s, dir) =>
-      operators.Profile.wilsonLowerBound(
-        t(s, dir, "documents").select(col("source"),
-          TextFunctions.qualityScore(col("text")).as("q")),
-        "source", col("q") >= 75L)),
-
-    // Session-duration percentiles (p50/p90/p99): q08's sessionization
-    // feeding the histogram-and-cumulative-rank discrete-quantile rule —
-    // the duration frame collapses to |distinct durations| rows before
-    // the (bounded) rank window.
-    "q130_session_percentiles" -> ((s, dir) => {
-      val sess = Sessionize.sessionBounds(
-        ev(s, dir).select(col("user_id"), col("ts_ms"), col("event_id")),
-        Seq("user_id"), "ts_ms", 4L * 3600000L, "event_id")
-      operators.ExactQuantiles.histogramPercentiles(sess,
-          col("session_end_ms") - col("session_start_ms"), Seq(50, 90, 99))
-        .withColumnRenamed("quantile", "quantile_ms")
-    }),
-
-    // Funnel latency report: time-to-convert (t3 − t1) percentiles for
-    // completed view→click→purchase funnels — q64's stage times feeding
-    // the histogram discrete-quantile rule.
-    "q131_funnel_latency" -> ((s, dir) => {
-      val f = operators.Funnel.funnelTimes(ev(s, dir), "user_id",
-        "event_type", "ts_ms", Seq("view", "click", "purchase"),
-        7L * 86400000L)
-      operators.ExactQuantiles.histogramPercentiles(
-          f.where(col("t3").isNotNull), col("t3") - col("t1"),
-          Seq(50, 90, 99))
-        .withColumnRenamed("quantile", "quantile_ms")
-    }),
-
-    // Content-defined chunking (LBFS/rsync boundaries on tokens): chunk
-    // ids from a per-doc cumulative boundary census, ordered reassembly,
-    // PolyHash64 fingerprints — identical passages fingerprint
-    // identically wherever they sit, the storage-dedup primitive.
-    "q132_cdc_chunks" -> ((s, dir) =>
-      operators.CorpusOps.cdcChunks(t(s, dir, "documents"),
-        "doc_id", "text", boundaryMod = 8)),
-
-    // EXACT sliding-window percentiles (the latency-SLO report): per-
-    // slice value histograms merge slice→range per 6h window, cumulative
-    // rank selects smallest value with cum ≥ ceil(n·p/100) — histogram
-    // rows through the exchanges, never raw events.
-    "q126_sliding_percentiles" -> ((s, dir) =>
-      agg.Windows.slidingPercentiles(ev(s, dir),
-        cents(col("value")), col("ts_ms"),
-        sliceMs = 3600000L, slicesPerWindow = 6, percents = Seq(50, 95, 99))),
-
-    // Trending risers per sliding window: top-5 users by count delta vs
-    // the window one slide back — slice counts re-aggregate into window
-    // counts, previous-window counts arrive by a shifted self-join, the
-    // rank rides WindowGroupLimit.
-    "q127_trending" -> ((s, dir) =>
-      agg.Windows.trendingTopK(ev(s, dir), col("user_id"), col("ts_ms"),
-        sliceMs = 3600000L, slicesPerWindow = 6, topK = 5)),
-
-    // Bounded-round k-core peel over the part co-occurrence graph: two
-    // synchronous drop-and-induce rounds at k=80 — a real cascade on this
-    // data (round 2 removes nodes round 1 exposed). The dense-subgraph
-    // extractor of graph cleaning.
-    "q128_kcore" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      val co = li.join(
-          li.select(col("l_orderkey"), col("l_partkey").as("dst_part")),
-          "l_orderkey")
-        .where(col("l_partkey") =!= col("dst_part"))
-      operators.Graph.kCorePeel(co, "l_partkey", "dst_part", k = 80,
-        rounds = 2)
-    }),
-
-    // Collocation mining by PMI (Church–Hanks): adjacent-pair census vs
-    // unigram chance, min-count floor against the rare-pair magnet,
-    // pinned three-ln micro-nat scoring, top-20 via TakeOrderedAndProject.
-    "q125_collocations" -> ((s, dir) =>
-      operators.TextRank.collocations(t(s, dir, "documents"),
-        "doc_id", "text", minCount = 5L, topK = 20)),
-
-    // Dedup audit report: component-size histogram over the mined
-    // near-dup graph (singletons included) — the dedup-rate data card a
-    // corpus pipeline publishes; rides the materialized component map.
-    "q123_dedup_audit" -> ((s, dir) => {
-      val comp = minedDocComponents(s, dir).withColumnRenamed("node", "doc_id")
-      t(s, dir, "documents").select(col("doc_id"))
-        .join(comp, Seq("doc_id"), "left")
-        .select(coalesce(col("component"), col("doc_id")).as("component"))
-        .groupBy(col("component")).agg(count(lit(1)).as("size"))
-        .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
-    }),
-
-    // PSI drift report between the month's two halves: bins from the
-    // REFERENCE half's exact deciles, per-bin (p_t − p_r)·ln(p_t/p_r) in
-    // pinned micro-units — the feature-drift monitor (stationary target
-    // ⇒ ≈ 0 by construction; per-bin terms localize moved mass).
-    "q124_psi_drift" -> ((s, dir) => {
-      val e = ev(s, dir).select(cents(col("value")).as("x"),
-        col("event_id").as("key"), col("ts_ms"))
-      val split = 1705363200000L // 2024-01-16T00:00:00Z, the month's midpoint
-      operators.Drift.psiBins(e.where(col("ts_ms") < split),
-        e.where(col("ts_ms") >= split), col("x"), col("key"), buckets = 10)
-    }),
-
-    // Trimmed robust totals: per-returnflag count/sum over only the
-    // values inside the exact [p5, p95] envelope — outliers dropped (vs
-    // q94's winsorize clip), fences from the bounded-sample machinery,
-    // one extra broadcast-fence scan, no sort.
-    "q121_trimmed_stats" -> ((s, dir) =>
-      operators.ExactQuantiles.trimmedStats(
-        t(s, dir, "lineitem").select(col("l_returnflag"),
-          cents(col("l_extendedprice")).as("x"),
-          (col("l_orderkey") * 10 + col("l_linenumber")).as("key")),
-        Seq("l_returnflag"), col("x"), col("key"), pLow = 5, pHigh = 95)),
-
-    // Perplexity curriculum: bigram-LM difficulty scores (q100's exact
-    // pipeline) cut into quartiles by the equi-depth machinery — the
-    // easy→hard staging table of curriculum training. The LM scoring runs
-    // once into a persisted frame; the quantile pass and the assignment
-    // read it, not the corpus.
-    "q122_curriculum" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val scored = operators.NgramLm.perplexityScore(
-          docs.where(col("lang") === "en"), docs, "doc_id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      operators.ExactQuantiles.equiDepthBins(scored, col("avg_nll_micro"),
-          col("doc_id"), buckets = 4, bucketAs = "bucket")
-        .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n_docs"),
-          min(col("avg_nll_micro")).as("min_nll"),
-          max(col("avg_nll_micro")).as("max_nll"))
-    }),
-
-    // Contrastive triplet mining (metric-learning data generation): per
-    // anchor, nearest same-label (positive) + nearest different-label
-    // (HARD negative) by quantized cosine — one anchor broadcast, two-
-    // branch WindowGroupLimit top-1, single-row pivot; margin_e6 is the
-    // triplet-loss driver.
-    "q120_triplet_mining" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.tripletMining(emb, "vec_id", "embedding", "label",
-        emb.where(col("vec_id") < 50))
-    }),
-
-    // EXACT heavy hitters per SLIDING window (q88 × q108): hourly MG(64)
-    // slices merge slice→range per 6h window (MisraGriesMergeAgg —
-    // summaries through the exchange, not rows), candidate completeness
-    // from k ≥ phiDen, then the broadcast exact-verify restores plain
-    // per-window GROUP BY/HAVING semantics at O(windows·k) shuffle.
-    "q112_sliding_heavy" -> ((s, dir) =>
-      agg.MisraGries.slidingHeavyHitters(
-        ev(s, dir).select(
-          when(col("user_id") % 3 === 0,
-              concat(lit("h"), (col("user_id") % 7).cast("string")))
-            .otherwise(concat(lit("u"), col("event_id").cast("string")))
-            .as("value"),
-          col("ts_ms")),
-        col("value"), col("ts_ms"), sliceMs = 3600000L, slicesPerWindow = 6,
-        phiDen = 50, k = 64)),
-
-    // Equi-depth feature discretization: exact decile cut points from the
-    // bounded-sample quantile machinery (no global sort), assignment as a
-    // literal codegen'd fold (boundary ties collapse left), then the
-    // 10-group census. The ntile() alternative is a single-partition
-    // global sort — unrunnable at 100 TB.
-    "q113_equi_depth" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select(
-        cents(col("l_extendedprice")).as("x"),
-        (col("l_orderkey") * 10 + col("l_linenumber")).as("key"))
-      operators.ExactQuantiles.equiDepthBins(li, col("x"), col("key"),
-          buckets = 10, bucketAs = "bucket")
-        .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n_rows"), min(col("x")).as("min_cents"),
-          max(col("x")).as("max_cents"), sum(col("x")).as("sum_cents"))
-    }),
-
-    // Pre-flight join-size/skew estimator: the exact Σ nl·nr
-    // decomposition of a self-join on l_partkey from two count
-    // aggregations — the skew diagnosis (salt factor, broadcast side)
-    // computed WITHOUT running the join it predicts.
-    "q114_join_size" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      operators.JoinStats.joinSizeByKey(li, col("l_partkey"),
-        li, col("l_partkey"), topK = 20)
-    }),
-
-    // Token frequency-of-frequencies (Good–Turing/Zipf spectrum): raw
-    // token counts re-keyed by count — the vocabulary-health census whose
-    // exchange carries |vocab| then |distinct counts| rows, never tokens.
-    "q115_freq_spectrum" -> ((s, dir) =>
-      operators.CorpusOps.frequencySpectrum(
-        t(s, dir, "documents"), "doc_id", "text")),
-
-    // Asymmetric CONTAINMENT dedup pairs (|A∩B|/|A| ≥ 1/2 over 3-gram
-    // sets): catches a short document embedded in a longer one, which
-    // Jaccard's symmetric denominator structurally caps out on. Probe-side
-    // prefix filtering (index side posts all tokens), integer threshold,
-    // sorted-merge exact verify.
-    "q116_containment" -> ((s, dir) =>
-      operators.Dedup.containmentPairs(t(s, dir, "documents"),
-        "doc_id", "text", 3, 1L, 2L)),
-
-    // Exact second-moment profile: per-event-type sufficient statistics
-    // (n, Σx, Σy, Σx², Σy², Σxy + the variance/correlation numerators)
-    // as pure BIGINTs — one scan, map-side combine, mergeable across
-    // shards by addition. x = value cents, y = UTC hour-of-day.
-    "q117_moment_profile" -> ((s, dir) =>
-      operators.Profile.momentProfile(
-        ev(s, dir).select(col("event_type"), cents(col("value")).as("x"),
-          ((col("ts_ms") % 86400000L) / 3600000L).cast("long").as("y")),
-        "event_type", col("x"), col("y"))),
-
-    // Seasonal-naive residuals: each event minus the user's latest value
-    // one day earlier (2h staleness tolerance) — ONE range-frame window
-    // pass (max of (ts, id, value) struct = latest-ts/largest-id
-    // deterministic pick), no self-join, no gap-fill.
-    "q118_seasonal_residual" -> ((s, dir) =>
-      operators.Anomaly.seasonalResiduals(
-        ev(s, dir).select(col("user_id"), col("event_id"), col("ts_ms"),
-          cents(col("value")).as("v")),
-        "user_id", "event_id", "ts_ms", "v",
-        periodMs = 86400000L, toleranceMs = 7200000L)
-        .where(col("baseline_ts").isNotNull)),
-
-    // tf/df keyword extraction: per-doc top-3 salient terms by the exact
-    // integer ratio ⌊tf·10⁶/df⌋ (stopwords sink, distinctive repeats
-    // rise); the rk<=3 predicate rewrites to WindowGroupLimit so map
-    // tasks keep local top-k heaps BEFORE the exchange.
-    "q119_tfdf_keywords" -> ((s, dir) =>
-      operators.TextRank.tfDfKeywords(t(s, dir, "documents"),
-        "doc_id", "text", topK = 3)),
-
-    // Sliding-window frequency sketches by Count-Min slice→range ADD: the
-    // q108 pattern with + instead of max — hourly counter sketches scan
-    // the stream once, every 6h window sums its six covering slices
-    // cell-wise (CountMinMergeAgg). Point queries against the merged
-    // window sketch never underestimate true in-window frequency.
-    "q109_sliding_freq" -> ((s, dir) => {
-      agg.CountMinSketch.register(s)
-      val hourly = ev(s, dir)
-        .withColumn("hour_ms", col("ts_ms") - col("ts_ms") % 3600000L)
-        .groupBy(col("hour_ms"))
-        .agg(agg.CountMinSketch.countMin(col("user_id"),
-          depth = 4, width = 1024).as("cm"))
-      hourly
-        .select(col("hour_ms"), col("cm"),
-          explode(sequence(lit(0L), lit(5L))).as("k"))
-        .select((col("hour_ms") - col("k") * lit(3600000L))
-          .as("window_start_ms"), col("cm"))
-        .groupBy(col("window_start_ms"))
-        .agg(agg.CountMinSketch.countMinMerge(col("cm"),
-          depth = 4, width = 1024).as("cm"))
-    }),
-
-    // Sliding-window distinct users by HLL slice→range merge: hourly
-    // sketches aggregate the corpus ONCE, then every 6h window merges its
-    // six covering slices by register max (HllMergeAgg) — m bytes per
-    // slice through the window exchange instead of re-scanning events per
-    // window. Slice-merged registers are byte-identical to direct
-    // aggregation (pinned in HllSketchSpec), and the oracle rebuilds every
-    // window's registers from the raw rows.
-    "q108_sliding_distinct" -> ((s, dir) => {
-      agg.HllSketch.register(s)
-      val hourly = ev(s, dir)
-        .withColumn("hour_ms", col("ts_ms") - col("ts_ms") % 3600000L)
-        .groupBy(col("hour_ms"))
-        .agg(agg.HllSketch.hllRegisters(col("user_id"), p = 12).as("hll"))
-      hourly
-        .select(col("hour_ms"), col("hll"),
-          explode(sequence(lit(0L), lit(5L))).as("k"))
-        .select((col("hour_ms") - col("k") * lit(3600000L))
-          .as("window_start_ms"), col("hll"))
-        .groupBy(col("window_start_ms"))
-        .agg(agg.HllSketch.hllMerge(col("hll"), p = 12).as("hll"))
-    }),
-
-    // Composed pre-dedup filter stack (the RefinedWeb/C4 cleaning DAG's
-    // scalar stage): blocklist + entropy + the Gopher rule bundle as ONE
-    // decision table over ONE scan — every signal is codegen'd scalar
-    // work, so the whole stack costs a single pass at 100 TB (the spec
-    // pins zero exchanges and one parquet scan).
-    "q107_filter_stack" -> ((s, dir) => {
-      functions.Blocklist.register(s)
-      functions.CharEntropyFn.register(s)
-      val base = t(s, dir, "documents").select(col("doc_id"), col("text"),
-        functions.Blocklist.blocklistHits(
-          trim(lower(col("text"))), blocklistPats).as("n_hits"),
-        functions.CharEntropyFn.charEntropy(col("text")).as("entropy_micro"))
-      operators.GopherRules.decisions(base, "doc_id", "text",
-          minWords = 20L, carry = Seq("n_hits", "entropy_micro"))
-        .select(col("doc_id"), (col("n_hits") === 0L).as("ok_blocklist"),
-          (col("entropy_micro") >= 2500000L).as("ok_entropy"),
-          col("pass").as("ok_gopher"))
-        .withColumn("keep",
-          col("ok_blocklist") && col("ok_entropy") && col("ok_gopher"))
-    }),
-
-    // Character-entropy quality signal (compression-ratio proxy): one
-    // byte-histogram pass per document, entropy in integer micro-nats.
-    "q106_char_entropy" -> ((s, dir) => {
-      functions.CharEntropyFn.register(s)
-      t(s, dir, "documents").select(col("doc_id"),
-        length(col("text")).cast("long").as("n_chars_actual"),
-        functions.CharEntropyFn.charEntropy(col("text")).as("entropy_micro"))
-        .withColumn("low_entropy", col("entropy_micro") < lit(2500000L))
-    }),
-
-    // Aho–Corasick blocklist filter (the C4 banned-word rule: any hit
-    // blocks): one automaton pass per document counts ALL occurrences
-    // (overlaps + nested suffixes included) of the whole pattern set.
-    "q105_blocklist" -> ((s, dir) => {
-      functions.Blocklist.register(s)
-      t(s, dir, "documents").select(col("doc_id"),
-        functions.Blocklist.blocklistHits(
-          trim(lower(col("text"))), blocklistPats).as("n_hits"),
-        functions.Blocklist.blocklistTerms(
-          trim(lower(col("text"))), blocklistPats).as("n_terms"))
-        .withColumn("blocked", col("n_hits") > lit(0L))
-    }),
-
-    // Temperature-scaled mixture weights (α=0.7, budget 100k docs):
-    // per-source shares ∝ n^α — the small-source upweighting recipe. One
-    // tiny count aggregate; pow rounds to micro-units before any sum.
-    "q104_mixture_weights" -> ((s, dir) =>
-      operators.CorpusOps.temperatureWeights(t(s, dir, "documents"),
-        "source", alpha = 0.7, budget = 100000L)),
-
-    // Grouped top-k (A8 at group granularity): rank()<=k over a window
-    // triggers Catalyst's WindowGroupLimit rewrite — each map task keeps
-    // only its local top-k per group BEFORE the shuffle, so the exchange
-    // carries O(groups·k) per partition instead of the full table (the
-    // same partial-top-k shape KmvSketch's spec pins). Total order via
-    // (cents DESC, orderkey ASC).
-    "q98_grouped_topk" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("o_orderpriority"))
-        .orderBy(col("cents").desc, col("o_orderkey"))
-      t(s, dir, "orders")
-        .select(col("o_orderpriority"), col("o_orderkey"),
-          round(col("o_totalprice") * 100).cast("long").as("cents"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .where(col("rank") <= 3)
-    }),
-
-    // Multi-round ingestion: batch 1 dedups against history, its ACCEPTED
-    // docs append to the corpus, batch 2 dedups against the grown corpus
-    // — the shape a daily pipeline actually runs, pinning that today's
-    // accepted near-dup source blocks tomorrow's copy of it. Rounds are
-    // doc_id ≡ 0 and ≡ 3 (mod 6); history is everything else.
-    "q97_ingest_rounds" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val h0 = docs.where(col("doc_id") % 3 =!= 0)
-      val b1 = docs.where(col("doc_id") % 6 === 0)
-      val b2 = docs.where(col("doc_id") % 6 === 3)
-      val d1 = operators.IncrementalIngest.ingest(h0, b1, "doc_id", "text",
-          n = 3, numHashes = 32, minJacNum = 1L, minJacDen = 2L)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val accepted1 = docs.join(
-        d1.where(col("verdict") === "new").select("doc_id"), "doc_id")
-      val d2 = operators.IncrementalIngest.ingest(
-        h0.unionByName(accepted1), b2, "doc_id", "text",
-        n = 3, numHashes = 32, minJacNum = 1L, minJacDen = 2L)
-      d1.withColumn("round", lit(1L))
-        .unionByName(d2.withColumn("round", lit(2L)))
-    }),
-
-    // Two-stage retrieval: PQ-ADC shortlist (k'=10, recall stage) →
-    // exact e9-cosine re-rank (precision stage) — the deployed ANN
-    // pattern (Jégou et al. 2011 §V). The oracle replays BOTH stages,
-    // so shortlist membership and the exact re-order are hash-gated.
-    "q96_pq_rerank" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val qs = emb.where(col("vec_id") < 20)
-      val shortlist = operators.Similarity.pqTopK(emb, qs, "vec_id",
-        "embedding", k = 10, subspaces = 8, codebookSize = 16)
-      operators.Similarity.rerankExact(emb, qs, "vec_id", "embedding",
-        shortlist, k = 3)
-    }),
-
-    // Fuzzy-join HOT-GRAM stress (the q55 pattern, for string blocking):
-    // every synthetic name carries a corpus-wide shared prefix whose
-    // grams have df=1200 — the exact shape that melts a naive gram join.
-    // maxGramDf=400 drops them from blocking via the exactness-preserving
-    // stop-gram tier; the oracle is the brute-force levenshtein join, so
-    // any lost pair fails loudly as a row diff.
-    "q95_fuzzy_stress" -> ((s, dir) => {
-      val stems = array(lit("salamander"), lit("salamanders"),
-        lit("velocirapt"), lit("velociraptor"))
-      val rows = s.range(1200).select(col("id"),
-        concat(lit("sharedhotprefix"),
-          element_at(stems, (col("id") % 4 + 1).cast("int")),
-          lit("-"), (col("id") % 211).cast("string")).as("name"))
-      operators.FuzzyJoin.selfJoin(rows, "id", "name",
-          q = 3, maxDist = 2, maxGramDf = Some(400L))
-        .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
-    }),
-
-    // Winsorization on the exact-quantile machinery: per-flag [5, 95]
-    // envelope, clip broadcast back onto the scan (no extra shuffle),
-    // gated on the aggregate integer profile of the clipped column.
-    "q94_winsorize" -> ((s, dir) => {
-      val clipped = operators.ExactQuantiles.winsorize(
-        t(s, dir, "lineitem"),
-        Seq("l_returnflag"),
-        round(col("l_extendedprice") * 100).cast("long"),
-        concat(col("l_orderkey").cast("string"), lit("-"),
-          col("l_linenumber").cast("string")),
-        pLow = 5, pHigh = 95, valueAs = "cents_w")
-      clipped
-        .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"),
-          sum(col("cents_w")).as("sum_clipped"),
-          sum(when(col("cents") < col("cents_w"), 1L).otherwise(0L)).as("n_raised"),
-          sum(when(col("cents") > col("cents_w"), 1L).otherwise(0L)).as("n_lowered"))
-    }),
-
-    // Gopher-rules quality pre-filter (Rae et al. 2021 §A1.1): per-rule
-    // boolean decision table over documents, all integer-arithmetic
-    // thresholds, one scan, no UDFs. minWords=20 so the 10..99-word
-    // corpus discriminates on the word-count rule.
-    "q93_gopher_rules" -> ((s, dir) =>
-      operators.GopherRules.decisions(
-        t(s, dir, "documents"), "doc_id", "text", minWords = 20L)),
-
-    // Fuzzy (edit-distance ≤ 2) self-join over part names: q-gram count
-    // blocking (Gravano et al. VLDB'99 — a NECESSARY condition, so no
-    // qualifying pair is lost) + built-in levenshtein verify on the
-    // survivors only. The quarter-subset keeps the DuckDB oracle's
-    // all-pairs check tractable; Spark runs the blocked plan.
-    "q92_fuzzy_join" -> ((s, dir) =>
-      operators.FuzzyJoin.selfJoin(
-        t(s, dir, "part").where(col("p_partkey") % 4 === 0)
-          .select(col("p_partkey"), col("p_name")),
-        "p_partkey", "p_name", q = 3, maxDist = 2)
-        .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))),
-
-    // Incremental corpus ingestion: new batch (doc_id ≡ 0 mod 3) vs
-    // historical corpus (the rest) — exact tier (hash-keyed, text-
-    // verified) + MinHash-banded near tier (batch probes history buckets;
-    // cost scales with the batch, not history²), with greedy-by-id
-    // batch-internal semantics so the full decision table is exactly
-    // SQL-expressible. Same τ=1/2 trigram Jaccard as q19.
-    "q91_incremental_ingest" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      operators.IncrementalIngest.ingest(
-        docs.where(col("doc_id") % 3 =!= 0),
-        docs.where(col("doc_id") % 3 === 0),
-        "doc_id", "text", n = 3, numHashes = 32,
-        minJacNum = 1L, minJacDen = 2L)
-    }),
-
-    // Training-shard export: deterministic pmod sharding + per-shard dirs
-    // + manifest — the corpus→trainer hop. The gate returns the manifest
-    // (docs/tokens/bytes per shard), which the oracle recomputes from the
-    // same deterministic assignment; the round-trip through the written
-    // layout (one repartition shuffle, partitionBy dirs, manifest read)
-    // is what's actually under test.
-    "q90_shard_export" -> ((s, dir) => {
-      val out = queryTmp("graft_shards_q90") + "/shards"
-      sinks.ShardExport.write(
-        t(s, dir, "documents"), out, 16,
-        shardKey = col("doc_id"),
-        orderBy = col("doc_id"),
-        tokens = TextFunctions.tokenCount(col("text")),
-        bytes = octet_length(col("text")))
-    }),
-
-    // EXACT per-group quantiles over a continuous domain via bounded
-    // uniform sample → rank bracket → band refinement (Munro–Paterson
-    // lineage): O(k + band) shuffle instead of the O(distinct) histogram
-    // shuffle q48 uses on its small integer domain. Price cents per
-    // return flag — ~119k distinct values at sf0.1, of which only the
-    // ~2δ/m band reaches the second shuffle. The sample's randomness
-    // never reaches the output (any verified bracket yields the same
-    // exact quantile), so the gate is the plain cumulative-rank answer.
-    "q89_exact_quantiles" -> ((s, dir) =>
-      operators.ExactQuantiles.quantiles(
-        t(s, dir, "lineitem"),
-        Seq("l_returnflag"),
-        round(col("l_extendedprice") * 100).cast("long"),
-        concat(col("l_orderkey").cast("string"), lit("-"),
-          col("l_linenumber").cast("string")),
-        percents = Seq(25, 50, 75, 95))),
-
-    // Bounded-depth BFS reachability from supplier 1 over the shared
-    // co-occurrence edge set — frontier-proportional per-round work
-    // (level-sync, anti-join vs visited), exact integer hops; the oracle
-    // replays it as a depth-capped recursive CTE.
-    "q180_bfs_hops" -> ((s, dir) =>
-      Graph.bfsHops(coSupplierPairs(s, dir), "l_suppkey", "dst_supp",
-        s.range(1, 2).select(col("id").as("l_suppkey")), "l_suppkey",
-        maxHops = 3)),
-
-    // Round-bounded Bellman-Ford SSSP on the same graph, edge cost =
-    // 1e6 div multiplicity (heavier co-occurrence = cheaper hop): after
-    // 2 rounds `cost` is exact over all ≤2-edge paths — a cheap 2-hop
-    // detour legitimately beats a rare direct edge, which is the
-    // semantics the oracle's depth-capped walk reproduces in integers.
-    "q181_sssp" -> ((s, dir) =>
-      Graph.boundedSssp(
-        coSupplierPairs(s, dir)
-          .groupBy(col("l_suppkey"), col("dst_supp"))
-          .agg(expr("1000000 div count(1)").as("w")),
-        "l_suppkey", "dst_supp", "w",
-        s.range(1, 2).select(col("id").as("l_suppkey")), "l_suppkey",
-        rounds = 2)),
-
-    // Interval-union coverage: each event opens a 30-minute activity
-    // window; merged per-user islands + exact covered milliseconds
-    // (gaps-and-islands, two window passes, one shuffle).
-    "q182_interval_coverage" -> ((s, dir) =>
-      operators.IntervalJoin.unionCoverage(
-        ev(s, dir).select(col("user_id"), col("ts_ms").as("start_ms"),
-          (col("ts_ms") + lit(1800000L)).as("end_ms")),
-        Seq("user_id"), "start_ms", "end_ms")),
-
-    // Integer-exact Lloyd k-means (k=8, 2 full rounds) on the e3 grid:
-    // broadcast centroids, corpus never shuffles for assignment, final
-    // per-point (cluster, exact inertia term) hash-gates the whole
-    // trajectory — the oracle unrolls both rounds in SQL.
-    "q183_kmeans" -> ((s, dir) =>
-      operators.KMeansExact.assign(
-        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)),
-
-    // Rank-biased overlap (p=9/10, depth 3) of the IVF ranking vs exact
-    // top-3 — the ORDER-sensitive companion to q144's recall audit,
-    // decided with literal integer tail weights shared with the oracle.
-    "q184_rbo" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val qs = emb.where(col("vec_id") < 20)
-      RankEval.rboMinE6(
-        Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 3),
-        Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
-          k = 3, nLists = 16, nProbe = 4),
-        "qid", "cid", "rank", k = 3)
-    }),
-
-    // Multinomial NB label audit: train on even doc_ids, score odd,
-    // per-term e6-rounded log-likelihoods summed as integers (the q179
-    // discipline), broadcast vocab×lang model — held-out confusion.
-    "q185_nb_confusion" -> ((s, dir) =>
-      operators.NaiveBayes.heldOutConfusion(
-        t(s, dir, "documents"), "doc_id", "text", "lang")),
-
-    // SAX words: per-user value series → 4 equal-count PAA segments →
-    // cents-breakpoint symbols (cross-multiplied, division-free) →
-    // one word per user.
-    "q186_sax" -> ((s, dir) =>
-      operators.Trend.saxWords(
-        ev(s, dir).withColumn("v", cents(col("value"))),
-        Seq("user_id"), Seq(col("ts_ms"), col("event_id")), col("v"),
-        segments = 4, breakpoints = Seq(2500L, 5000L, 7500L))),
-
-    // Right-to-be-forgotten, end to end: tombstone every event of the
-    // erased users in the mutable source (one CDC delete commit),
-    // propagate through the CDC-maintained per-day derived aggregate
-    // (group-scoped recompute), and emit the post-erasure derived table
-    // with a zero-residue audit column — the oracle recomputes the
-    // aggregate from raw events MINUS the erased users, so any residue
-    // anywhere in the pipeline hash-mismatches.
-    "q191_erasure" -> ((s, dir) => {
-      val base = ev(s, dir).select(
-        col("event_id").as("k"),
-        date_format(col("ts"), "yyyy-MM-dd").as("dt"),
-        col("user_id"),
-        cents(col("value")).as("v_cents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val c1 = base.withColumn("ver", lit(1L)).withColumn("del", lit(false))
-      val erase = base.where(col("user_id") % 9 === 0)
-        .withColumn("ver", lit(2L)).withColumn("del", lit(true))
-      val root = queryTmp("graft_erasure_q191")
-      val src = new sinks.UpsertTable(s"$root/src", Seq("k"), "ver",
-        Seq("dt"), Some("del"))
-      val drv = new sinks.UpsertTable(s"$root/drv", Seq("dt"), "__ver",
-        Nil, Some("__dead"))
-      val derived = new sinks.DerivedAggTable(src, drv, Seq("dt"),
-        df => df.groupBy("dt").agg(count(lit(1)).as("n"),
-          sum("v_cents").as("cents"),
-          countDistinct("user_id").as("n_users")),
-        s"$root/_ckpt")
-      src.upsert(c1)
-      derived.refresh(s) // pre-erasure state is maintained, not recomputed
-      src.upsert(erase)
-      derived.refresh(s) // erasure propagates via touched-group recompute
-      val residue = src.snapshot(s).where(col("user_id") % 9 === 0)
-        .agg(count(lit(1)).as("residue_rows"))
-      drv.snapshot(s).select("dt", "n", "cents", "n_users")
-        .crossJoin(broadcast(residue))
-    }),
-
-    // Event-time dimension join against SCD2 history: each purchase
-    // picks the user-state version whose validity interval contains its
-    // timestamp (state = last NON-purchase activity type) — the lakehouse
-    // "join facts to the dimension as of event time" pattern; equi-join
-    // on the user key, interval containment as post-filter, versions
-    // partition time so each fact matches ≤ 1 row.
-    "q192_temporal_dim_join" -> ((s, dir) => {
-      val e = ev(s, dir)
-      val hist = TableDiff.scd2History(
-        e.where(col("event_type") =!= "purchase")
-          .select(col("user_id"), col("event_type"), col("ts_ms"),
-            col("event_id")),
-        "user_id", "event_type", "ts_ms", "event_id").as("h")
-      val p = e.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"), col("ts_ms")).as("p")
-      p.join(hist, col("h.user_id") === col("p.user_id") &&
-          col("h.valid_from") <= col("p.ts_ms") &&
-          (col("h.valid_to") === -1L || col("p.ts_ms") < col("h.valid_to")),
-          "left")
-        .select(col("p.user_id"), col("p.event_id"), col("p.ts_ms"),
-          coalesce(col("h.value"), lit("none")).as("state"),
-          coalesce(col("h.version"), lit(0L)).as("version"))
-    }),
-
-    // CEP-style pattern WITH NEGATION (the MATCH_RECOGNIZE shape the
-    // funnel family doesn't cover): purchases preceded by ≥2 views in
-    // the last 7 days with NO error between the first such view and the
-    // purchase — one equi-join on the user key with the range as
-    // post-filter, the negation counted in a second keyed phase (no
-    // anti-join, no extra scan shape).
-    "q210_pattern_negation" -> ((s, dir) => {
-      val e = ev(s, dir).select(col("user_id"), col("event_type"),
-        col("ts_ms"), col("event_id"))
-      val p = e.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("purchase_id"),
-          col("ts_ms").as("p_ts"))
-      val ctx = e.where(col("event_type").isin("view", "error"))
-        .select(col("user_id"), col("event_type").as("ct"),
-          col("ts_ms").as("c_ts"))
-      p.join(ctx.where(col("ct") === "view"), Seq("user_id"), "left")
-        .where(col("c_ts").isNull ||
-          (col("c_ts") >= col("p_ts") - 604800000L && col("c_ts") < col("p_ts")))
-        .groupBy(col("user_id"), col("purchase_id"), col("p_ts"))
-        .agg(count(col("c_ts")).as("n_views"),
-          min(col("c_ts")).as("first_view_ts"))
-        // negation phase: errors strictly inside (first_view, purchase) —
-        // the interval sits inside the week window by construction
-        .join(ctx.where(col("ct") === "error")
-            .select(col("user_id"), col("c_ts").as("e_ts")),
-          Seq("user_id"), "left")
-        .groupBy(col("user_id"), col("purchase_id"), col("p_ts"),
-          col("n_views"), col("first_view_ts"))
-        .agg(coalesce(sum(when(col("e_ts") > col("first_view_ts") &&
-            col("e_ts") < col("p_ts"), 1L)), lit(0L)).as("n_errors_between"))
-        .where(col("n_views") >= 2 && col("n_errors_between") === 0)
-        .select(col("user_id"), col("purchase_id"), col("p_ts"),
-          col("n_views"), col("first_view_ts"))
-    }),
-
-    // Bucketed PRE-AGGREGATION layout: the aggregation twin of q74's
-    // co-located join — grouping on the bucket key of a natively
-    // bucketed table runs with NO exchange (scan partitioning satisfies
-    // the agg requirement; pinned in PlanSpec). The recurring-rollup
-    // pattern: pay the shuffle once at layout time, never per query.
-    "q208_bucketed_agg" -> ((s, dir) => {
-      val root = queryTmp("graft_bucketed_q208")
-      sinks.BucketedTable.writeBucketed(
-        t(s, dir, "lineitem")
-          .select("l_suppkey", "l_quantity", "l_extendedprice"),
-        "graft_q208_li", root + "/li", 16, "l_suppkey", "l_suppkey")
-      s.table("graft_q208_li")
-        .groupBy(col("l_suppkey"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity")).cast("long").as("sum_qty"),
-          sum(round(col("l_extendedprice") * 100).cast("long"))
-            .as("sum_cents"))
-    }),
-
-    // Time-travel diff census: the q50 upsert scenario read at two
-    // commits (travel ACROSS a compaction boundary) and keyed-diffed —
-    // the c3 slice shows as updates, its resurrected c2-deleted subset
-    // (k % 273) as inserts; the oracle replays both resolutions and the
-    // full-outer compare.
-    "q209_time_travel_diff" -> ((s, dir) => {
-      val base = t(s, dir, "orders").select(
-        col("o_orderkey").as("k"),
-        date_format(col("o_orderdate"), "yyyy-MM").as("dt"),
-        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val c1 = base.withColumn("ver", lit(1L)).withColumn("del", lit(false))
-      val c2 = base.where(col("k") % 7 === 0 || col("k") % 13 === 0)
-        .withColumn("price_cents", col("price_cents") + 1000L)
-        .withColumn("ver", lit(2L)).withColumn("del", col("k") % 13 === 0)
-      val c3 = base.where(col("k") % 21 === 0)
-        .withColumn("price_cents", col("price_cents") + 5000L)
-        .withColumn("ver", lit(3L)).withColumn("del", lit(false))
-      val path = queryTmp("graft_upsert_q209") + "/t"
-      val ut = new sinks.UpsertTable(path, Seq("k"), "ver", Seq("dt"),
-        Some("del"))
-      ut.upsert(c1)
-      val s2 = ut.upsert(c2)
-      ut.compact(s)
-      val s3 = ut.upsert(c3)
-      operators.TableDiff.diff(
-        ut.snapshotAt(s, s2).select("k", "dt", "price_cents", "ver"),
-        ut.snapshotAt(s, s3).select("k", "dt", "price_cents", "ver"),
-        Seq("k"))
-    }),
-
-    // Pure-SQL surface gate: the ENTIRE query is a spark.sql(...) text
-    // using the extension-registered kernel (graft_jaro_winkler_e6) over
-    // a temp view — proving the SparkSessionExtensions/SQL-consumer path
-    // end to end, not just the Column API. Length-equality blocking caps
-    // the pair space; per-length top-5 by the codegen'd JW kernel.
-    "q207_sql_surface" -> ((s, dir) => {
-      functions.GraftRegistry.registerAll(s)
-      t(s, dir, "part").select(col("p_name").as("nm")).distinct()
-        .createOrReplaceTempView("graft_q207_names")
-      s.sql("""
-        SELECT len, a_name, b_name, jw_e6, rk FROM (
-          SELECT length(a.nm) AS len, a.nm AS a_name, b.nm AS b_name,
-            graft_jaro_winkler_e6(a.nm, b.nm) AS jw_e6,
-            row_number() OVER (PARTITION BY length(a.nm)
-              ORDER BY graft_jaro_winkler_e6(a.nm, b.nm) DESC, a.nm, b.nm)
-              AS rk
-          FROM graft_q207_names a JOIN graft_q207_names b
-            ON length(a.nm) = length(b.nm) AND a.nm < b.nm)
-        WHERE rk <= 5""")
-        .select(col("len").cast("long").as("len"), col("a_name"),
-          col("b_name"), col("jw_e6"), col("rk").cast("long").as("rk"))
-    }),
-
-    // Leave-last-out recommender evaluation, end to end and
-    // leakage-free: every user's LAST interaction is held out, item-item
-    // cosine trains on the remainder only (q143 machinery), candidates
-    // score as Σ sim(history, cand) with history excluded, hit-rate@3
-    // decided in integers. The standard offline eval a recommender ships
-    // with — and the leakage trap (training on the held-out event) is
-    // exactly what the train/test split here refuses.
-    "q206_leave_last_out" -> ((s, dir) => {
-      val ev0 = ev(s, dir).select(col("user_id").cast("string").as("u"),
-        concat(lit("C"), pmod(get_json_object(col("props"), "$.k")
-          .cast("long"), lit(20)).cast("string")).as("item"),
-        col("ts_ms"), col("event_id"))
-      val wLast = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("u"))
-        .orderBy(col("ts_ms").desc, col("event_id").desc)
-      val marked = ev0.withColumn("rn", row_number().over(wLast))
-      val test = marked.where(col("rn") === 1)
-        .select(col("u"), col("item").as("held"))
-      val train = marked.where(col("rn") > 1).select(col("u"), col("item"))
-      val sims = operators.ItemCF.itemSimilarity(train, col("u"),
-        col("item"), minCooc = 5L)
-      val simBoth = sims.select(col("item_a").as("h"),
-          col("item_b").as("cand"), col("cos2_e12"))
-        .unionByName(sims.select(col("item_b").as("h"),
-          col("item_a").as("cand"), col("cos2_e12")))
-      val hist = train.distinct()
-      val scored = hist.withColumnRenamed("item", "h")
-        .join(simBoth, "h")
-        .join(hist.withColumnRenamed("item", "cand")
-          .withColumn("own", lit(1)), Seq("u", "cand"), "left")
-        .where(col("own").isNull)
-        .groupBy(col("u"), col("cand"))
-        .agg(sum(col("cos2_e12")).as("score"))
-      val wTop = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("u")).orderBy(col("score").desc, col("cand"))
-      val top = scored.withColumn("rk", row_number().over(wTop))
-        .where(col("rk") <= 3)
-      test.join(top, Seq("u"), "left")
-        .withColumn("hit",
-          when(col("cand") === col("held"), 1L).otherwise(0L))
-        .agg(countDistinct(col("u")).as("n_users"),
-          coalesce(sum(col("hit")), lit(0L)).as("hits"))
-        .withColumn("hitrate_ppm", expr("hits * 1000000 div n_users"))
-    }),
-
-    // Nested semi-structured round-trip: order documents with item
-    // ARRAYS built deterministically (line-number order), re-parsed with
-    // a nested from_json schema, array-exploded, re-aggregated — the
-    // oracle computes the same census STRAIGHT from the relational rows,
-    // so any loss or garbling anywhere in the build→parse→flatten chain
-    // mismatches. Complements q193 (scalar corrupt-channel ingestion).
-    "q205_json_nested" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").where(col("l_orderkey") % 5 === 0)
-      val doc = li.groupBy(col("l_orderkey"))
-        .agg(concat(lit("{\"o\":"), col("l_orderkey"),
-          lit(",\"items\":["),
-          array_join(transform(
-            array_sort(collect_list(struct(col("l_linenumber"),
-              concat(lit("{\"p\":"), col("l_partkey"), lit(",\"q\":"),
-                col("l_quantity").cast("long"), lit("}")).as("s")))),
-            e => e.getField("s")), ","),
-          lit("]}")).as("line"))
-      doc
-        .withColumn("j", from_json(col("line"),
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "o BIGINT, items ARRAY<STRUCT<p: BIGINT, q: BIGINT>>")))
-        .select(explode(col("j.items")).as("it"))
-        .groupBy(col("it.p").as("p_partkey"))
-        .agg(sum(col("it.q")).as("total_qty"),
-          count(lit(1)).as("n_lines"))
-    }),
-
-    // Weighted PageRank over the co-occurrence multiset — multiplicity
-    // as edge weight, (r·w) div W_u integer contributions, same shared
-    // edge materialization as q77/q180.
-    "q203_weighted_pagerank" -> ((s, dir) =>
-      Graph.pageRankWeightedE9(
-        coSupplierPairs(s, dir)
-          .groupBy(col("l_suppkey"), col("dst_supp"))
-          .agg(count(lit(1)).as("w")),
-        "l_suppkey", "dst_supp", "w", iterations = 2)),
-
-    // Degree-assortativity sufficient statistics over the distinct
-    // co-occurrence edges — do hubs co-occur with hubs? Exact BIGINT
-    // Pearson pieces, never a double.
-    "q204_assortativity" -> ((s, dir) =>
-      Graph.degreeAssortativityStats(
-        coSupplierPairs(s, dir).distinct(), "l_suppkey", "dst_supp")),
-
-    // Referential-integrity audit across the star schema: per FK
-    // relation, child-row and orphan censuses (key-grouped child side
-    // joined against parent existence — no per-relation driver action,
-    // one union of four aggregates). TPC-H ships conformant, so orphan
-    // columns gate at exactly zero — the point of an RI audit is proving
-    // the zero.
-    "q202_ref_integrity" -> ((s, dir) => {
-      def rel(name: String, child: DataFrame, fk: String,
-          parent: DataFrame, pk: String): DataFrame =
-        child.select(col(fk).as("k")).groupBy(col("k"))
-          .agg(count(lit(1)).as("cnt"))
-          .join(parent.select(col(pk).as("k")).distinct()
-            .withColumn("ex", lit(1)), Seq("k"), "left")
-          .agg(sum(col("cnt")).as("n_child"),
-            count(lit(1)).as("n_keys"),
-            coalesce(sum(when(col("ex").isNull, col("cnt"))), lit(0L))
-              .as("n_orphan_rows"),
-            coalesce(sum(when(col("ex").isNull, 1L)), lit(0L))
-              .as("n_orphan_keys"))
-          .withColumn("relation", lit(name))
-          .select(col("relation"), col("n_child"), col("n_keys"),
-            col("n_orphan_rows"), col("n_orphan_keys"))
-      rel("lineitem.orderkey", t(s, dir, "lineitem"), "l_orderkey",
-          t(s, dir, "orders"), "o_orderkey")
-        .unionByName(rel("lineitem.partkey", t(s, dir, "lineitem"),
-          "l_partkey", t(s, dir, "part"), "p_partkey"))
-        .unionByName(rel("lineitem.suppkey", t(s, dir, "lineitem"),
-          "l_suppkey", t(s, dir, "supplier"), "s_suppkey"))
-        .unionByName(rel("orders.custkey", t(s, dir, "orders"),
-          "o_custkey", t(s, dir, "customer"), "c_custkey"))
-    }),
-
-    // Deterministic negative sampling (implicit-feedback training prep):
-    // per user, J=30 hash-addressed catalog probes, interacted items
-    // rejected, first k=10 survivors kept — work is users×J (linear),
-    // NEVER users×catalog (the naive anti-join-the-whole-catalog shape
-    // that dies at scale); the rejection anti-join shuffles on the same
-    // (user, item) key as the interaction set. md5-prefix arithmetic is
-    // replayed verbatim by the oracle.
-    "q201_negative_sampling" -> ((s, dir) => {
-      val inter = t(s, dir, "orders")
-        .select(col("o_custkey").as("u"), col("o_orderkey"))
-        .join(t(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o_orderkey"),
-            col("l_partkey").as("item")), "o_orderkey")
-        .select(col("u"), col("item")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val np = t(s, dir, "part").agg(count(lit(1)).as("np"))
-      val att = inter.select(col("u")).distinct()
-        .crossJoin(broadcast(np))
-        .select(col("u"), col("np"),
-          explode(sequence(lit(0), lit(29))).as("j"))
-      val cand = att.withColumn("item",
-        pmod(expr("cast(conv(substring(md5(concat('neg#', " +
-          "cast(u as string), '#', cast(j as string))), 1, 12), 16, 10) " +
-          "as bigint)"), col("np")) + 1)
-      val wDup = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("u"), col("item")).orderBy(col("j"))
-      val wRank = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("u")).orderBy(col("j"))
-      cand.join(inter, Seq("u", "item"), "left_anti")
-        .withColumn("rd", row_number().over(wDup))
-        .where(col("rd") === 1)
-        .withColumn("neg_rank", row_number().over(wRank).cast("long"))
-        .where(col("neg_rank") <= 10)
-        .select(col("u").as("custkey"), col("neg_rank"),
-          col("item").as("partkey"), col("j").cast("long").as("attempt"))
-    }),
-
-    // Grouped top-p (nucleus) filtering — the sampling-prep op an LLM
-    // data/serving pipeline applies per distribution: per language, keep
-    // the smallest (freq desc, tok) prefix of the token distribution
-    // whose cumulative mass reaches 80% — strict integer rule
-    // (cum_before·100 < 80·total keeps), one rank window per group.
-    "q197_nucleus" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("f").desc, col("tok"))
-      val freq = t(s, dir, "documents")
-        .select(col("lang"),
-          explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
-        .where(length(col("tok")) > 0)
-        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("f"))
-      freq
-        .withColumn("cum_before", coalesce(sum(col("f")).over(
-          w.rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding, -1)), lit(0L)))
-        .withColumn("total", sum(col("f")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
-        .where(col("cum_before") * 100 < col("total") * 80)
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("nucleus_size"),
-          sum(col("f")).as("nucleus_mass"),
-          max(col("total")).as("total"))
-        .withColumn("mass_ppm", expr("nucleus_mass * 1000000 div total"))
-    }),
-
-    // Split-leakage audit: group-aware train/val assignment (all of a
-    // user's events follow the user's hash) must have ZERO user overlap —
-    // the audit every supervised pipeline should run and few do. One
-    // distinct pass + a self-join-free overlap census via per-user
-    // distinct-split counts.
-    "q198_leakage_audit" -> ((s, dir) => {
-      val e = ev(s, dir).select(col("user_id"), col("event_id"))
-        .withColumn("split",
-          when(substring(md5(concat(col("user_id").cast("string"),
-            lit("#split#"))), 1, 2) < "cd",
-            lit("train")).otherwise(lit("val")))
-      val users = e.select(col("user_id"), col("split")).distinct()
-      val overlap = users.groupBy(col("user_id"))
-        .agg(countDistinct(col("split")).as("k"))
-        .agg(coalesce(sum(when(col("k") > 1, 1L)), lit(0L))
-          .as("leaked_users"))
-      e.groupBy(col("split"))
-        .agg(countDistinct(col("user_id")).as("n_users"),
-          count(lit(1)).as("n_events"))
-        .crossJoin(broadcast(overlap))
-    }),
-
-    // Simpson concentration index per event type over users — the
-    // diversity companion to q179's entropy, exact ppm from pure integer
-    // sums: Σ n_i² · 1e6 div n².
-    "q199_simpson" -> ((s, dir) =>
-      ev(s, dir).groupBy(col("event_type"), col("user_id"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("event_type"))
-        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_users"),
-          sum(col("c") * col("c")).as("sum_sq"))
-        .withColumn("simpson_ppm", expr("sum_sq * 1000000 div (n * n)"))),
-
-    // Benford first-digit audit of the value column (cents): observed
-    // per-digit census vs the literal Benford expectation table — the
-    // classic fabricated-data smoke test; one scan, digit from string
-    // prefix (values are positive cents, no sign/zero handling needed).
-    "q200_benford" -> ((s, dir) => {
-      val expected = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
-        66947L, 57992L, 51153L, 45757L)
-      val expCase = (1 to 9).map(d =>
-        s"WHEN $d THEN ${expected(d - 1)}L").mkString(
-        "CASE digit ", " ", " ELSE 0L END")
-      val digits = ev(s, dir)
-        .select(substring(cents(col("value")).cast("string"), 1, 1)
-          .cast("long").as("digit"))
-        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
-      digits
-        .crossJoin(broadcast(digits.agg(sum(col("n")).as("total"))))
-        .withColumn("obs_ppm", expr("n * 1000000 div total"))
-        .withColumn("exp_ppm", expr(expCase))
-        .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
-        .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
-          col("dev_ppm"))
-    }),
-
-    // FIFO 1:1 pairing (allocation-join shape: trade matching, credit
-    // assignment): the k-th click of a user pairs the k-th purchase —
-    // two rank windows + one equi join on (user, rank), gap allowed to
-    // be negative (index order, not causality; q110 owns the causal
-    // attribution semantics).
-    "q195_fifo_match" -> ((s, dir) => {
-      val e = ev(s, dir)
-      def ranked(tpe: String, pre: String) = {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("user_id"))
-          .orderBy(col(s"${pre}_ts"), col(s"${pre}_id"))
-        e.where(col("event_type") === tpe)
-          .select(col("user_id"), col("event_id").as(s"${pre}_id"),
-            col("ts_ms").as(s"${pre}_ts"))
-          .withColumn("rn", row_number().over(w).cast("long"))
-      }
-      ranked("click", "click")
-        .join(ranked("purchase", "purchase"), Seq("user_id", "rn"))
-        .select(col("user_id"), col("rn"), col("click_id"),
-          col("purchase_id"),
-          (col("purchase_ts") - col("click_ts")).as("gap_ms"))
-    }),
-
-    // Two-level derived-table CASCADE (hour→day→week rollup shape): the
-    // daily CDC-maintained aggregate is ITSELF an UpsertTable, so a
-    // second DerivedAggTable maintains the 5-day-bucket rollup off the
-    // daily one's commits — refresh cost at each level scales with
-    // churned groups, and the bucket partition prunes the daily scan.
-    // The oracle recomputes the rollup straight from resolved raw events
-    // (bucket = epoch-ms div 5 days: pure integers, no week-numbering
-    // convention to disagree on).
-    "q196_rollup_cascade" -> ((s, dir) => {
-      val base = ev(s, dir).select(
-        col("event_id").as("k"),
-        date_format(col("ts"), "yyyy-MM-dd").as("day"),
-        expr("cast(ts_ms div 432000000 as string)").as("wk"),
-        cents(col("value")).as("v_cents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val c1 = base.withColumn("ver", lit(1L)).withColumn("del", lit(false))
-      val c2 = base.where(col("k") % 11 === 0)
-        .withColumn("v_cents", col("v_cents") + 500L)
-        .withColumn("ver", lit(2L)).withColumn("del", lit(false))
-      val root = queryTmp("graft_cascade_q196")
-      val src = new sinks.UpsertTable(s"$root/src", Seq("k"), "ver",
-        Seq("day"), Some("del"))
-      val drvDay = new sinks.UpsertTable(s"$root/day", Seq("day"), "__ver",
-        Seq("wk"), Some("__dead"))
-      val drvWk = new sinks.UpsertTable(s"$root/wk", Seq("wk"), "__ver",
-        Nil, Some("__dead"))
-      val daily = new sinks.DerivedAggTable(src, drvDay, Seq("day"),
-        df => df.groupBy("day")
-          .agg(count(lit(1)).as("n"), sum("v_cents").as("cents"))
-          // wk is functionally dependent on day — carried for the daily
-          // table's bucket partitioning (the cascade's prune key)
-          .withColumn("wk", expr(
-            "cast((unix_date(to_date(day)) * 86400000L) div 432000000 as string)"))
-          .select(col("day"), col("wk"), col("n"), col("cents")),
-        s"$root/_ckpt_day")
-      val weekly = new sinks.DerivedAggTable(drvDay, drvWk, Seq("wk"),
-        df => df.groupBy("wk").agg(sum("n").as("n"),
-          sum("cents").as("cents"), count(lit(1)).as("n_days")),
-        s"$root/_ckpt_wk")
-      src.upsert(c1)
-      daily.refresh(s); weekly.refresh(s)
-      src.upsert(c2)
-      daily.refresh(s); weekly.refresh(s)
-      drvWk.snapshot(s).select("wk", "n", "cents", "n_days")
-    }),
-
-    // Quantile-quantile distribution mapping (calibration table): exact
-    // deciles of the click- and purchase-value distributions matched by
-    // percent — the monotone value-mapping a score-calibration or
-    // domain-shift correction applies; two census-sized passes on the
-    // q175 cumulative-rank machinery, a 9-row join.
-    "q194_qq_map" -> ((s, dir) => {
-      val q = operators.ExactQuantiles.groupedHistogramPercentiles(
-        ev(s, dir).where(col("event_type").isin("click", "purchase")),
-        Seq("event_type"), cents(col("value")), (10 to 90 by 10))
-      val c = q.where(col("event_type") === "click")
-        .select(col("percent"), col("quantile").as("click_cents"))
-      val p = q.where(col("event_type") === "purchase")
-        .select(col("percent"), col("quantile").as("purchase_cents"))
-      c.join(p, "percent")
-        .withColumn("shift_cents",
-          col("purchase_cents") - col("click_cents"))
-    }),
-
-    // Schema-on-read JSON ingestion with a corrupt-record channel: a
-    // deterministic JSON-lines feed (1 in 37 truncated mid-object) parsed
-    // with from_json — malformed rows surface as null structs and are
-    // COUNTED, never silently dropped (the P3 reject-channel discipline
-    // applied to semi-structured ingestion); per-lang valid/corrupt
-    // census plus the extracted-field sum proving typed fields survive.
-    "q193_json_ingest" -> ((s, dir) => {
-      val feed = t(s, dir, "documents").select(col("lang"),
-        when(col("doc_id") % 37 === 0,
-          concat(lit("{\"id\":"), col("doc_id"), lit(",\"lang\":\"")))
-          .otherwise(concat(lit("{\"id\":"), col("doc_id"),
-            lit(",\"lang\":\""), col("lang"), lit("\",\"n\":"),
-            col("n_chars"), lit("}"))).as("line"))
-      feed
-        .withColumn("j", from_json(col("line"),
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "id BIGINT, lang STRING, n BIGINT")))
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_lines"),
-          count(col("j.id")).as("n_valid"),
-          sum(when(col("j.id").isNull, 1L).otherwise(0L)).as("n_corrupt"),
-          sum(col("j.n")).as("sum_n"))
-    }),
-
-    // Sequential-pattern support (the pairwise core of sequence mining):
-    // users exhibiting ante→cons within a 1-day gap, per ordered type
-    // pair — an equi-join on the user key with the range as post-filter
-    // (per-user density bounds the blowup, the q143 hub caveat applies),
-    // distinct-per-user before counting so support is user-level.
-    "q188_seq_pairs" -> ((s, dir) => {
-      val e = ev(s, dir).select(col("user_id"), col("event_type"),
-        col("ts_ms"))
-      val a = e.as("a"); val b = e.as("b")
-      val pairs = a.join(b, col("a.user_id") === col("b.user_id") &&
-          col("b.ts_ms") > col("a.ts_ms") &&
-          col("b.ts_ms") <= col("a.ts_ms") + lit(86400000L))
-        .select(col("a.user_id").as("u"), col("a.event_type").as("ante"),
-          col("b.event_type").as("cons"))
-        .distinct()
-      val totals = e.agg(countDistinct(col("user_id")).as("n_total"))
-      pairs.groupBy(col("ante"), col("cons"))
-        .agg(countDistinct(col("u")).as("n_users"))
-        .crossJoin(broadcast(totals))
-        .withColumn("support_ppm", expr("n_users * 1000000 div n_total"))
-    }),
-
-    // TextRank keywords (Mihalcea & Tarau 2004): adjacent-token
-    // co-occurrence edges (both directions, distinct, no self-loops)
-    // fed to the SAME integer fixed-point PageRank as q77 — a pure
-    // composition gate; top-20 by (rank desc, word).
-    "q189_textrank" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"),
-          posexplode(split(trim(lower(col("text"))), "\\s+"))
-            .as(Seq("pos", "tok")))
-      val bi = toks.as("x").join(toks.as("y"),
-          col("x.doc_id") === col("y.doc_id") &&
-          col("y.pos") === col("x.pos") + 1)
-        .select(col("x.tok").as("a"), col("y.tok").as("b"))
-        .where(length(col("a")) > 0 && length(col("b")) > 0 &&
-          col("a") =!= col("b"))
-      val edges = bi.unionByName(
-        bi.select(col("b").as("a"), col("a").as("b"))).distinct()
-      val pr = Graph.pageRankE9(edges, "a", "b", iterations = 3)
-      pr.withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(operators.Census.onePartKey(col("rank_e9")))
-            .orderBy(col("rank_e9").desc, col("a"))).cast("long"))
-        .where(col("rk") <= 20)
-        .select(col("a").as("word"), col("rank_e9"), col("rk"))
-    }),
-
-    // Compaction planner: (source, lang) "files" with byte stats packed
-    // into ~64 KiB bins by contiguous cumulative-sum assignment over the
-    // (bytes desc) order — the deterministic small-file-compaction plan
-    // shape, one census + one vocab-sized window.
-    "q190_compaction_bins" -> ((s, dir) => {
-      val files = t(s, dir, "documents")
-        .groupBy(col("source"), col("lang"))
-        .agg(sum(octet_length(col("text"))).as("bytes"),
-          count(lit(1)).as("n_docs"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(operators.Census.onePartKey(col("bytes")))
-            .orderBy(col("bytes").desc, col("source"), col("lang"))
-      files
-        .withColumn("csum", sum(col("bytes"))
-          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding, -1)))
-        .withColumn("bin", expr("coalesce(csum, 0L) div 65536"))
-        .groupBy(col("bin"))
-        .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("tot_bytes"),
-          sum(col("n_docs")).as("tot_docs"))
-    }),
-
-    // Tokenizer-design census: corpus token coverage of the top-N vocab
-    // for N ∈ {100, 1000, 10000} — one token scan, vocab-sized global
-    // rank window (vocab ≪ corpus), integer ppm.
-    "q187_vocab_coverage" -> ((s, dir) => {
-      val freq = t(s, dir, "documents")
-        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
-        .where(length(col("tok")) > 0)
-        .groupBy(col("tok")).agg(count(lit(1)).as("f"))
-      val ranked = freq.withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(operators.Census.onePartKey(col("f")))
-            .orderBy(col("f").desc, col("tok"))).cast("long"))
-      val tot = freq.agg(sum(col("f")).as("tot_toks"))
-      val sizes = s.range(1).select(
-        explode(array(lit(100L), lit(1000L), lit(10000L))).as("n_vocab"))
-      ranked
-        .crossJoin(broadcast(sizes))
-        .where(col("rk") <= col("n_vocab"))
-        .groupBy(col("n_vocab")).agg(sum(col("f")).as("covered"))
-        .crossJoin(broadcast(tot))
-        .select(col("n_vocab"), col("covered"), col("tot_toks"),
-          expr("covered * 1000000 div tot_toks").as("coverage_ppm"))
-    }),
-
-    // Privacy audit: k-anonymity + l-diversity per quasi-identifier
-    // group. QI = (nation, segment, $1k balance bucket); sensitive =
-    // the customer's dominant order priority (ties break
-    // lexicographically). One QI hash-aggregate with a partial-distinct
-    // sensitive count — group space, not row count, bounds the output.
-    "q211_k_anonymity" -> ((s, dir) => {
-      val wDom = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("o_custkey"))
-        .orderBy(col("cnt").desc, col("o_orderpriority"))
-      val sens = t(s, dir, "orders")
-        .groupBy(col("o_custkey"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(wDom))
-        .where(col("rn") === 1)
-        .select(col("o_custkey"), col("o_orderpriority").as("sens"))
-      val qi = t(s, dir, "customer")
-        .join(sens, col("c_custkey") === col("o_custkey"))
-        .select(col("c_nationkey").cast("long").as("nation"),
-          col("c_mktsegment").as("segment"),
-          floor(col("c_acctbal") / 1000d).cast("long").as("bal_bucket"),
-          col("sens"))
-      operators.Privacy.kAnonymityAudit(qi,
-        Seq("nation", "segment", "bal_bucket"), "sens", k = 5)
-    }),
-
-    // Market-basket association rules over (order, supplier) baskets:
-    // exact integer support / confidence ppm / lift ppm, hub-basket
-    // guard, directional rules at support ≥ 10.
-    "q212_assoc_rules" -> ((s, dir) =>
-      operators.AssociationRules.rules(
-        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-        "l_orderkey", "l_suppkey", minSupport = 10L)),
-
-    // Sorted-neighborhood blocking (the third ER blocking strategy next
-    // to q92's gram-count filter and q176's length blocking): sort
-    // within 4-char prefix blocks, compare only rank-adjacent names
-    // (window 3), score survivors with the codegen JW kernel — n·w
-    // candidates, no index, no cross product.
-    "q213_sorted_neighborhood" -> ((s, dir) => {
-      graft.functions.StringSimilarity.register(s)
-      operators.FuzzyJoin.sortedNeighborhoodPairs(
-          t(s, dir, "part").select(col("p_name")), "p_name",
-          substring(col("p_name"), 1, 4), window = 3)
-        .withColumn("jw_e6", graft.functions.StringSimilarity
-          .jaroWinklerE6(col("a_val"), col("b_val")))
-        .where(col("jw_e6") >= 800000L)
-        .select(col("a_val").as("a_name"), col("b_val").as("b_name"),
-          col("rank_gap"), col("jw_e6"))
-    }),
-
-    // Kaplan–Meier life table for time-to-first-purchase after first
-    // view, right-censored at the study end (max event ts): per event
-    // hour, risk set, events, and the exact 1e6·d div n hazard.
-    "q214_kaplan_meier" -> ((s, dir) =>
-      operators.Survival.kaplanMeier(
-        survivalDurObs(survivalSubjects(s, dir)), col("dur_h"),
-        col("obs"))),
-
-    // Wide↔long round-trip: daily event counts pivoted to one column
-    // per type, melted back with stack(), gated against the straight
-    // relational census — any pivot/melt loss or null-garbling breaks
-    // the hash. The unpivot twin of q149's pivot gate.
-    "q215_melt_roundtrip" -> ((s, dir) => {
-      val types = Seq("click", "error", "purchase", "signup", "view")
-      val wide = ev(s, dir)
-        .select(expr("ts_ms - ts_ms % 86400000").as("day_ms"),
-          col("event_type"))
-        .groupBy(col("day_ms")).pivot("event_type", types).count()
-      wide.select(col("day_ms"), expr(
-          "stack(5, " + types.map(t => s"'$t', `$t`").mkString(", ") +
-            ") AS (event_type, n)"))
-        .select(col("day_ms"), col("event_type"),
-          coalesce(col("n"), lit(0L)).as("n"))
-        .where(col("n") > 0)
-    }),
-
-    // Functional-dependency audit over the order⋈lineitem join: exact
-    // FDs (join key → order attrs) prove 0 violating groups; the
-    // deliberately-false candidates (part→supplier, supplier→flag)
-    // report their violation census. The FD-verification half of
-    // TANE-style profiling, one partial-distinct aggregate per
-    // candidate.
-    "q216_fd_audit" -> ((s, dir) => {
-      val joined = t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"),
-          col("l_orderkey") === col("o_orderkey"))
-      operators.Profile.fdAudit(joined, Seq(
-        ("l_orderkey", "o_custkey"), ("l_orderkey", "o_orderdate"),
-        ("l_partkey", "l_suppkey"), ("l_suppkey", "l_returnflag")))
-    }),
-
-    // Incremental join-view maintenance: a materialized orders⋈customer
-    // view kept in sync from BOTH sides' CDC — fact price updates, fk
-    // moves, fact deletes, dim relabels, and dim deletes all land
-    // through two refreshes; the oracle replays the final fact/dim
-    // resolutions and joins once. Complements q54 (aggregate views) —
-    // Δ(F⋈D) as churn-scoped recompute.
-    "q217_join_view" -> ((s, dir) => {
-      val base = t(s, dir, "orders").where(col("o_orderkey") % 6 === 0)
-        .select(col("o_orderkey").as("k"), col("o_custkey").as("cust"),
-          round(col("o_totalprice") * 100).cast("long").as("price_cents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val f1 = base.withColumn("ver", lit(1L)).withColumn("del", lit(false))
-      val f2 = base.where(col("k") % 5 === 0 || col("k") % 9 === 0 ||
-          col("k") % 11 === 0)
-        .withColumn("price_cents", when(col("k") % 5 === 0,
-          col("price_cents") + 1000L).otherwise(col("price_cents")))
-        .withColumn("cust", when(col("k") % 11 === 0,
-          col("cust") % 100 + 1).otherwise(col("cust")))
-        .withColumn("ver", lit(2L)).withColumn("del", col("k") % 9 === 0)
-      val dimBase = t(s, dir, "customer")
-        .select(col("c_custkey").as("d_id"),
-          col("c_mktsegment").as("segment"))
-      val d1 = dimBase.withColumn("ver", lit(1L))
-        .withColumn("del", lit(false))
-      val d2 = dimBase.where(col("d_id") % 4 === 0 || col("d_id") % 37 === 0)
-        .withColumn("segment", when(col("d_id") % 4 === 0,
-          concat(col("segment"), lit("_v2"))).otherwise(col("segment")))
-        .withColumn("ver", lit(2L)).withColumn("del", col("d_id") % 37 === 0)
-      val root = queryTmp("graft_joinview_q217")
-      val fact = new sinks.UpsertTable(s"$root/fact", Seq("k"), "ver",
-        Nil, Some("del"))
-      val dim = new sinks.UpsertTable(s"$root/dim", Seq("d_id"), "ver",
-        Nil, Some("del"))
-      val view = new sinks.UpsertTable(s"$root/view", Seq("k"), "__ver",
-        Nil, Some("__dead"))
-      val djt = new sinks.DerivedJoinTable(fact, dim, view, Seq("cust"),
-        df => df.select(col("k"), col("cust"), col("segment"),
-          col("price_cents")),
-        s"$root/_ckpt")
-      fact.upsert(f1); dim.upsert(d1)
-      djt.refresh(s)
-      fact.upsert(f2); dim.upsert(d2)
-      djt.refresh(s)
-      view.snapshot(s).select("k", "cust", "segment", "price_cents")
-    }),
-
-    // Grid-partitioned spatial (distance-box) self-join: customers as 2D
-    // points (balance cents shifted non-negative × a deterministic
-    // 0..100k spread), all pairs within the L∞ box found via 3×3 cell
-    // probes — hash-by-cell shuffle, no cross product; the oracle brute
-    // forces the quadratic truth.
-    "q218_grid_join" -> ((s, dir) =>
-      operators.SpatialJoin.boxSelfJoin(
-        t(s, dir, "customer").select(col("c_custkey"),
-          (round(col("c_acctbal") * 100).cast("long") + 100000L).as("x"),
-          (col("c_custkey") * 7919 % 100000).as("y")),
-        "c_custkey", col("x"), col("y"), rx = 10000L, ry = 2000L)),
-
-    // Per-edge triangle support (the k-truss primitive) over the q85
-    // thresholded co-supplier graph: each edge with the triangles it
-    // closes, zero-support edges included.
-    "q219_edge_support" -> ((s, dir) => {
-      val pairs = coSupplierPairs(s, dir)
-        .where(col("l_suppkey") < col("dst_supp"))
-        .groupBy(col("l_suppkey"), col("dst_supp"))
-        .agg(count(lit(1)).as("w")).where(col("w") >= 5)
-        .select(col("l_suppkey"), col("dst_supp"))
-      operators.Graph.edgeSupport(pairs, "l_suppkey", "dst_supp")
-    }),
-
-    // TPC-H Q17-shape: revenue trapped in unusually small orders — the
-    // correlated "quantity < 20% of this part's average" filter becomes
-    // one per-part aggregate joined back to the fact (AQE broadcasts the
-    // ~20k-row agg side); the threshold is decided in integer arithmetic
-    // (5·qty·cnt < sum_qty ⟺ qty < 0.2·avg) so no double ever compares.
-    "q220_small_qty_revenue" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")
-          .where(col("p_brand") === "Brand#1").select("p_partkey")),
-          col("l_partkey") === col("p_partkey"))
-        .select(col("l_partkey"),
-          round(col("l_quantity")).cast("long").as("qty"),
-          round(col("l_extendedprice") * 10000).cast("long").as("price_e4"))
-      val perPart = li.groupBy(col("l_partkey").as("pk"))
-        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
-      li.join(perPart, col("l_partkey") === col("pk"))
-        .where(col("qty") * 5L * col("cnt") < col("sum_qty"))
-        .agg(sum(col("price_e4")).as("small_revenue_e4"),
-          count(lit(1)).as("n_small"))
-    }),
-
-    // TPC-H Q21-shape: suppliers who alone held up a multi-supplier
-    // order ("late" = shipped >90 days after the order date, the
-    // receipt/commit-date analogue this schema supports). The classic
-    // exists/not-exists pair is re-expressed as ONE per-order aggregate
-    // (distinct suppliers, distinct late suppliers) — no quadratic
-    // self-anti-join; the fact shuffles once on orderkey.
-    "q221_waiting_supplier" -> ((s, dir) => {
-      val l = t(s, dir, "lineitem")
-        .join(t(s, dir, "orders").where(col("o_orderstatus") === "F")
-          .select("o_orderkey", "o_orderdate"),
-          col("l_orderkey") === col("o_orderkey"))
-        .withColumn("late",
-          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-      val perOrder = l.groupBy(col("l_orderkey").as("ok"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
-        .where(col("n_supp") > 1 && col("n_late") === 1)
-      l.where(col("late"))
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-        .join(perOrder, col("l_orderkey") === col("ok"))
-        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
-        .join(broadcast(t(s, dir, "supplier")
-          .select(col("s_suppkey"), col("s_name"))),
-          col("l_suppkey") === col("s_suppkey"))
-        .select(col("s_suppkey"), col("s_name"), col("numwait"))
-    }),
-
-    // TPC-H Q22-shape: well-funded customers (balance above the mean
-    // POSITIVE balance of their cohort) who never ordered — a scalar
-    // aggregate broadcast back as a cross join (bal·cnt > sum decides in
-    // integer cents) plus a LEFT ANTI join against orders, grouped by
-    // nation. The anti join build side is just distinct custkeys.
-    "q222_idle_rich_customers" -> ((s, dir) => {
-      val cohort = t(s, dir, "customer")
-        .where(col("c_nationkey").isin(0, 3, 7, 11, 13, 17, 19, 23))
-        .select(col("c_custkey"), col("c_nationkey"),
-          round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
-      val thr = cohort.where(col("bal_cents") > 0)
-        .agg(sum(col("bal_cents")).as("pos_sum"),
-          count(lit(1)).as("pos_cnt"))
-      cohort.crossJoin(broadcast(thr))
-        .where(col("bal_cents") * col("pos_cnt") > col("pos_sum"))
-        .join(t(s, dir, "orders").select(col("o_custkey")).distinct(),
-          col("c_custkey") === col("o_custkey"), "left_anti")
-        .groupBy(col("c_nationkey"))
-        .agg(count(lit(1)).as("numcust"),
-          sum(col("bal_cents")).as("totacctbal_cents"))
-    }),
-
-    // TPC-H Q20-shape: suppliers who DOMINATE the 1996 supply of some
-    // red part (their shipped quantity exceeds half the part's total —
-    // the availqty-threshold analogue without a partsupp table). Nested
-    // correlated-subquery semantics become two aggregates over one
-    // broadcast-pruned scan + a semi join into supplier.
-    "q223_dominant_supplier" -> ((s, dir) => {
-      val red = t(s, dir, "lineitem")
-        .where(year(col("l_shipdate")) === 1996)
-        .join(broadcast(t(s, dir, "part")
-          .where(col("p_name").contains("red")).select("p_partkey")),
-          col("l_partkey") === col("p_partkey"))
-        .select(col("l_partkey"), col("l_suppkey"),
-          round(col("l_quantity")).cast("long").as("qty"))
-      val perPair = red.groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(sum(col("qty")).as("supp_qty"))
-      val perPart = red.groupBy(col("l_partkey").as("pk"))
-        .agg(sum(col("qty")).as("part_qty"))
-      val dominant = perPair.join(perPart, col("l_partkey") === col("pk"))
-        .where(col("supp_qty") * 2L > col("part_qty"))
-        .select(col("l_suppkey")).distinct()
-      t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
-        .join(broadcast(dominant),
-          col("s_suppkey") === col("l_suppkey"), "left_semi")
-    }),
-
-    // Local-DP private histogram: randomized response over the
-    // "high-value event" bit with per-user contribution bounding (≤3
-    // rows per user×type). true_count rides along as the gate's audit
-    // column — a production sink drops it. The oracle replays the whole
-    // mechanism: the bounding window, both PolyHash64 coin chains, and
-    // the integer debias.
-    "q224_private_histogram" -> ((s, dir) =>
-      operators.Privacy.randomizedResponse(
-        t(s, dir, "events"), idCol = "event_id", userCol = "user_id",
-        groupCol = "event_type", bit = col("value") >= 50.0,
-        salt = "rrv1", maxPerUser = 3)),
-
-    // Audience overlap via KMV/theta set-operation estimates: each order
-    // priority's ~1300-customer set sketched to its bottom-64 hashes,
-    // every pair's union AND intersection cardinality estimated from the
-    // sketches alone — the segment-overlap question HLL cannot answer.
-    // k=64 ≪ |set|, so the estimator path (not the exact under-full
-    // degenerate) is what the oracle replays.
-    "q225_kmv_overlap" -> ((s, dir) =>
-      agg.KmvSketch.intersectionEstimate(
-        t(s, dir, "orders"), "o_orderpriority", "o_custkey", k = 64)),
-
-    // Holt double-exponential forecast of daily revenue per event type:
-    // α=0.2, β=0.3 as integer ratios, every smoothing step truncated to
-    // cents before the next — the whole recursion BIGINT, the 7-day
-    // forecast hash-exact. The oracle refolds the same series with
-    // list_reduce.
-    "q226_holt_forecast" -> ((s, dir) => {
-      val daily = ev(s, dir)
-        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
-        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
-      operators.Trend.holtLinear(daily, Seq("event_type"), col("day"),
-        col("cents"), alphaNum = 2, betaNum = 3, den = 10, horizon = 7)
-    }),
-
-    // Largest-remainder apportionment of a (prime) token budget across
-    // sources by total characters — quotas sum to the budget EXACTLY,
-    // unlike truncation (q104's ≤budget drift). Prime budget forces
-    // nontrivial remainders through the rank step.
-    "q227_apportion" -> ((s, dir) =>
-      operators.CorpusOps.apportion(
-        t(s, dir, "documents"), "source", "n_chars", budget = 999983L)),
-
-    // Dashboard "top-k + OTHER" rollup: per day, the top-2 revenue event
-    // types keep their names, the tail lumps into OTHER — rank window,
-    // conditional regroup, one exchange each.
-    "q228_topk_other" -> ((s, dir) => {
-      val daily = ev(s, dir)
-        .groupBy(expr("ts_ms div 86400000").as("day"), col("event_type"))
-        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("day"))
-        .orderBy(col("cents").desc, col("event_type"))
-      daily.withColumn("rk", row_number().over(w))
-        .withColumn("grp", when(col("rk") <= 2, col("event_type"))
-          .otherwise("OTHER"))
-        .groupBy(col("day"), col("grp"))
-        .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n_types"))
-    }),
-
-    // Holt–Winters additive triple smoothing over the same daily revenue
-    // series as q226, weekly cycle m=7: level+trend+rotating seasonal
-    // queue folded in pure BIGINT (α=0.3, β=0.1, γ=0.2 as integer
-    // ratios). The oracle refolds with the state flattened into one
-    // BIGINT list [l, b, s1..s7].
-    "q229_holt_winters" -> ((s, dir) => {
-      val daily = ev(s, dir)
-        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
-        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
-      operators.Trend.holtWinters(daily, Seq("event_type"), col("day"),
-        col("cents"), m = 7, alphaNum = 3, betaNum = 1, gammaNum = 2,
-        den = 10)
-    }),
-
-    // Theil–Sen robust daily-revenue slope per event type: the median of
-    // all 435 pairwise slopes, kept as an exact rational with a
-    // deterministic lower-median tie-break; one spiked day cannot drag
-    // it (contrast q116's OLS trend, which it complements).
-    "q230_theil_sen" -> ((s, dir) => {
-      val daily = ev(s, dir)
-        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
-        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
-      operators.Trend.theilSen(daily, Seq("event_type"), col("day"),
-        col("cents"))
-    }),
-
-    // Classical additive decomposition of daily revenue per event type:
-    // centered 7-day MA trend, phase-mean seasonal indices (centered to
-    // ~0), remainder by exact subtraction — y = T + S + R holds
-    // bit-exactly on every emitted row.
-    "q231_decompose" -> ((s, dir) => {
-      val daily = ev(s, dir)
-        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
-        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
-      operators.Trend.classicalDecompose(daily, Seq("event_type"),
-        col("day"), col("cents"), m = 7)
-    }),
-
-    // Linear-interpolation gap fill: every 5th day knocked out of the
-    // daily revenue series, then rebuilt by exact integer interpolation
-    // between its bracketing observations (contrast q67's step-function
-    // forward fill).
-    "q232_linear_fill" -> ((s, dir) => {
-      val daily = ev(s, dir)
-        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
-        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
-        .where(pmod(col("day"), lit(5L)) =!= 2L)
-        .withColumn("ts_ms", col("day") * 86400000L)
-      operators.GapFill.linearFill(daily, "event_type", "ts_ms", "cents",
-        bucketMs = 86400000L)
-    }),
-
-    // Exact isotonic calibration: purchase rate over value-score bins
-    // fitted to the best monotone curve via the minimax closed form —
-    // e6 truncation BEFORE min/max commutes (monotone), so the fit is
-    // engine-exact with no PAV loop anywhere.
-    "q233_isotonic" -> ((s, dir) => {
-      val bins = t(s, dir, "events")
-        .withColumn("bin",
-          least(floor(col("value") / 50).cast("long"), lit(9L)))
-        .groupBy(col("bin"))
-        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-          .as("s"), count(lit(1)).as("c"))
-        .withColumn("grp", lit("all"))
-      operators.Isotonic.isotonicFit(bins, Seq("grp"), "bin", "s", "c")
-    }),
-
-    // Data-driven Shapley channel attribution: each engagement channel's
-    // average marginal lift of the purchase rate across all 2^4 exposure
-    // coalitions, exact in phi·4!·e6 integer units — the principled
-    // complement to last/linear/U-shaped touch (q110/q111/q117).
-    // Exposure counts only on each user's assigned day-of-week (at this
-    // event density an unrestricted mask saturates to all-channels and
-    // the coalition lattice degenerates to one point).
-    "q234_shapley" -> ((s, dir) => {
-      val e = ev(s, dir)
-      val assigned = pmod(expr("ts_ms div 86400000"), lit(7L)) ===
-        pmod(col("user_id"), lit(7L))
-      val input = e.where(
-        (assigned && col("event_type").isin("view", "click", "signup",
-          "error")) || col("event_type") === "purchase")
-      operators.Attribution.shapleyChannels(input, "user_id", "event_type",
-        channels = Seq("view", "click", "signup", "error"),
-        convType = "purchase")
-    }),
-
-    // Neyman-optimal stratified allocation of a 10k sample budget across
-    // event types: n_h ∝ N_h·S_h with an exact integer isqrt (double
-    // sqrt corrected by one integer step), quotas via q227's Hamilton
-    // apportionment — variance-heavy strata earn more than a uniform
-    // rate would give.
-    "q235_neyman" -> ((s, dir) =>
-      operators.CorpusOps.neymanAllocation(
-        t(s, dir, "events")
-          .withColumn("cents", round(col("value") * 100).cast("long")),
-        "event_type", "cents", budget = 10000L)),
-
-    // Nelson–Aalen cumulative hazard over the q214 view→purchase
-    // durations: additive estimator, exact e9 integers end-to-end (the
-    // KM product is a float fold; this curve never leaves BIGINT).
-    "q236_nelson_aalen" -> ((s, dir) =>
-      operators.Survival.nelsonAalen(
-        survivalDurObs(survivalSubjects(s, dir)), col("dur_h"),
-        col("obs"))),
-
-    // Heaps-law vocabulary growth: distinct-word count after each
-    // 100-doc ingestion bucket — exact saturation curve, no sketch.
-    "q237_vocab_growth" -> ((s, dir) =>
-      operators.CorpusOps.vocabGrowth(
-        t(s, dir, "documents"), "doc_id", "text", bucketSize = 100L)),
-
-    // Difference-in-differences readout: even-id users "treated", the
-    // observation window split at its midpoint — four cell means
-    // e6-truncated in a pinned order, then pure LONG differences; the
-    // sufficient statistics ride along.
-    "q238_diff_in_diff" -> ((s, dir) => {
-      val e = ev(s, dir)
-      val mid = e.agg(min(col("ts_ms")).as("mn"), max(col("ts_ms")).as("mx"))
-        .select(expr("(mn + mx) div 2").as("mid"))
-      operators.Causal.diffInDiff(e.crossJoin(broadcast(mid)),
-        treated = pmod(col("user_id"), lit(2L)) === 0L,
-        post = col("ts_ms") >= col("mid"),
-        outcome = round(col("value") * 100).cast("long"))
-    }),
-
-    // Markov-chain removal-effect attribution over pre-first-purchase
-    // journeys: first-order transition chain START→touches→CONV/NULL,
-    // conversion probability by 8 rounds of e9 value iteration, each
-    // channel credited by the drop when its inbound edges redirect to
-    // NULL. The oracle unrolls all 5 chains × 8 rounds.
-    "q239_markov_removal" -> ((s, dir) =>
-      operators.Attribution.markovRemoval(ev(s, dir), "user_id",
-        "event_id", "ts_ms", "event_type",
-        channels = Seq("view", "click", "signup", "error"),
-        convType = "purchase", rounds = 8)),
-
-    // Uplift decile curve: users ranked by total engagement cents and
-    // cut into 10 tiles; cumulative treated-vs-control "big spender"
-    // (purchase cents ≥ the ~median 59k) rate difference per tile — the
-    // Qini evaluation table, exact e6. Unit grain is pre-aggregated so
-    // conversion is a USER property, not a row property (a row-level
-    // bit saturates to 1.0 at this event density).
-    "q240_uplift_curve" -> ((s, dir) => {
-      val units = t(s, dir, "events")
-        .groupBy(col("user_id"))
-        .agg(sum(round(col("value") * 100).cast("long")).as("score_c"),
-          sum(when(col("event_type") === "purchase",
-            round(col("value") * 100).cast("long")).otherwise(0L))
-            .as("pc"))
-      operators.Causal.upliftCurve(units, "user_id",
-        scoreAgg = max(col("score_c")),
-        treated = pmod(col("user_id"), lit(2L)) === 0L,
-        converted = col("pc") >= 59000L,
-        nTiles = 10)
-    }),
-
-    // Dominant principal direction of the embedding table: 6 rounds of
-    // integer power iteration on the exact q138 Gram, max-norm
-    // renormalization (no sqrt anywhere); the oracle unrolls every
-    // round in HUGEINT.
-    "q241_top_component" -> ((s, dir) =>
-      operators.Similarity.powerIterationTopComponent(
-        t(s, dir, "embeddings"), "embedding", rounds = 6)),
-
-    // TPC-H Q18-shape: large-quantity orders — the IN-subquery-with-
-    // HAVING silhouette as one per-order aggregate reused as a semi
-    // filter (AQE broadcasts the small qualifying set); customer dim
-    // broadcast for the name attach.
-    "q242_large_orders" -> ((s, dir) => {
-      val big = t(s, dir, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(sum(round(col("l_quantity")).cast("long")).as("total_qty"))
-        .where(col("total_qty") > 300L)
-      t(s, dir, "orders")
-        .join(big, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_name"))),
-          col("o_custkey") === col("c_custkey"))
-        .select(col("c_name"), col("o_custkey"), col("o_orderkey"),
-          col("o_orderdate"),
-          round(col("o_totalprice") * 100).cast("long")
-            .as("o_totalprice_cents"),
-          col("total_qty"))
-    }),
-
-    // TPC-H Q15-shape: top supplier(s) by a quarter's revenue — the
-    // max-equality scalar subquery WITH TIES: revenue census, one-row
-    // max broadcast back, equality join keeps every tied supplier.
-    "q243_top_supplier" -> ((s, dir) => {
-      val rev = t(s, dir, "lineitem")
-        .where(year(col("l_shipdate")) === 1996 &&
-          month(col("l_shipdate")) <= 3)
-        .groupBy(col("l_suppkey"))
-        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
-          * 10000).cast("long")).as("total_rev_e4"))
-      val mx = rev.agg(max(col("total_rev_e4")).as("mx"))
-      t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
-        .join(rev, col("s_suppkey") === col("l_suppkey"))
-        .crossJoin(broadcast(mx))
-        .where(col("total_rev_e4") === col("mx"))
-        .select(col("s_suppkey"), col("s_name"), col("total_rev_e4"))
-    }),
-
-    // HITS hubs/authorities over the directed customer→supplier
-    // purchase graph: mutual-reinforcement scoring (good buyers certify
-    // good sellers) that the q77 random walk can't express; 4 rounds of
-    // max-norm integer iteration, every round oracle-unrolled.
-    "q244_hits" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey"), col("l_suppkey"))
-      operators.Graph.hitsE6(edges, "o_custkey", "l_suppkey",
-        iterations = 4)
-    }),
-
-    // Spearman rank correlation (exact): does ordering MORE OFTEN go
-    // with spending MORE, monotone but not linear (q117's Pearson
-    // moments can't see a convex relationship; ranks can)? Doubled
-    // midranks keep ties integral; the three quadratic forms determine
-    // ρ² exactly — no float ranks, no raw-data sort.
-    "q245_spearman" -> ((s, dir) =>
-      decStr(operators.RankStats.spearmanSuffStats(
-        t(s, dir, "orders").groupBy(col("o_custkey"))
-          .agg(count(lit(1)).as("n_orders"),
-            sum(cents(col("o_totalprice"))).as("spend_cents")),
-        col("n_orders"), col("spend_cents")))),
-
-    // Wilcoxon rank-sum / Mann–Whitney U (exact, tie-corrected): do
-    // even-id users' event values stochastically dominate odd-id users'?
-    // The DISTRIBUTION-free two-sample test (q139's KS is the sup-gap
-    // twin; this is the rank-sum form with the Σ(t³−t) tie term its
-    // variance needs), all integers off one value histogram.
-    "q246_rank_sum" -> ((s, dir) =>
-      decStr(operators.RankStats.mannWhitney(t(s, dir, "events"),
-        cents(col("value")), pmod(col("user_id"), lit(2)) === 0))),
-
-    // TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
-    // BOTH join sides — the disjunction that naive planners evaluate
-    // post-join on every row. Catalyst must split it: the per-side
-    // residuals (p_brand IN (…), the l_quantity range hull) are
-    // extractable and push to each parquet scan, the part side
-    // broadcasts, and the full disjunction evaluates only on the
-    // pre-filtered join output (PlanSpec pins brand pushdown +
-    // broadcast). One row out: item count + revenue in e4.
-    "q247_disjunct_revenue" -> ((s, dir) => {
-      val qty = round(col("l_quantity")).cast("long")
-      val pred =
-        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
-          qty.between(1, 11)) ||
-        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
-          qty.between(10, 20)) ||
-        (col("p_brand") === "Brand#21" && col("p_size").between(1, 15) &&
-          qty.between(20, 30))
-      t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")),
-          col("l_partkey") === col("p_partkey"))
-        .where(pred)
-        .agg(count(lit(1)).as("n_items"),
-          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
-            * 10000).cast("long")).as("revenue_e4"))
-    }),
-
-    // Maximum drawdown of the daily revenue level per event type — the
-    // worst peak-to-trough collapse, with the day it bottomed and the
-    // peak it fell from (q102's CUSUM flags drift onset; this measures
-    // total damage). Running-max + pick windows, one exchange.
-    "q248_drawdown" -> ((s, dir) => {
-      val daily = ev(s, dir).where(col("value").isNotNull)
-        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
-        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
-      operators.Trend.maxDrawdown(daily, Seq("event_type"), col("day"),
-        col("cents"))
-    }),
-
-    // Cohen's κ: chance-corrected agreement between two deterministic
-    // document raters — the quality-score tercile gate vs the length
-    // tercile gate. High raw agreement with κ ≈ 0 is the classic
-    // "both raters mostly say the same bucket by base rate alone" trap
-    // that raw accuracy (q185's confusion census) can't see.
-    "q249_cohen_kappa" -> ((s, dir) => {
-      val q = TextFunctions.qualityScore(col("text"))
-      decStr(operators.Profile.cohenKappa(t(s, dir, "documents"),
-        when(q < 40, 0L).when(q < 70, 1L).otherwise(2L),
-        when(col("n_chars") < 200, 0L).when(col("n_chars") < 350, 1L)
-          .otherwise(2L)))
-    }),
-
-    // t-closeness (the rung above q211's k/l audit): a QI group can
-    // satisfy k and l yet leak by SKEW — its sensitive distribution far
-    // from the table's. Ordered EMD against the global order-priority
-    // distribution as an exact integer ratio, threshold t = 1/2 decided
-    // by cross-multiplication. Same QI grouping as q211.
-    "q250_t_closeness" -> ((s, dir) => {
-      val wDom = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("o_custkey"))
-        .orderBy(col("cnt").desc, col("o_orderpriority"))
-      val sens = t(s, dir, "orders")
-        .groupBy(col("o_custkey"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(wDom))
-        .where(col("rn") === 1)
-        .select(col("o_custkey"), col("o_orderpriority").as("sens"))
-      val qi = t(s, dir, "customer")
-        .join(sens, col("c_custkey") === col("o_custkey"))
-        .select(col("c_nationkey").cast("long").as("nation"),
-          col("c_mktsegment").as("segment"),
-          floor(col("c_acctbal") / 1000d).cast("long").as("bal_bucket"),
-          col("sens"))
-      decStr(operators.Privacy.tClosenessAudit(qi,
-        Seq("nation", "segment", "bal_bucket"), "sens", tNum = 1, tDen = 2))
-    }),
-
-    // Exact ACF at lags 1..7 of the daily revenue level per event type —
-    // measures which lag actually rings instead of ASSUMING the weekly
-    // cycle q118/q229/q231 hard-code (their m=7 is exactly the lag this
-    // readout should spike at). Equi-join lag pairing, n² scaling,
-    // DECIMAL(38,0) quadratics.
-    "q251_acf" -> ((s, dir) => {
-      val daily = ev(s, dir).where(col("value").isNotNull)
-        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
-        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
-      decStr(operators.Trend.acfSuffStats(daily, Seq("event_type"),
-        col("day"), col("cents"), maxLag = 7))
-    }),
-
-    // Kendall τ-b between order count and spend BUCKET ($1000-wide) per
-    // customer — the concordance complement to q245's Spearman: τ counts
-    // pair inversions, ρ measures rank displacement; both domain-bounded
-    // so the pair census is |domain|², independent of row count.
-    "q252_kendall_tau" -> ((s, dir) =>
-      decStr(operators.RankStats.kendallTauB(
-        t(s, dir, "orders").groupBy(col("o_custkey"))
-          .agg(count(lit(1)).as("n_orders"),
-            sum(cents(col("o_totalprice"))).as("spend_cents")),
-        col("n_orders"), expr("spend_cents div 100000")))),
-
-    // A-priori frequent supplier TRIPLES over order baskets (q212 stops
-    // at pairs): level-wise downward-closure pruning — F1-filtered
-    // items, F2-filtered pair occurrences, (i2,i3)-leg semi-check —
-    // so the level-3 join consumes survivors, not raw baskets.
-    "q253_freq_triples" -> ((s, dir) =>
-      operators.AssociationRules.frequentTriples(
-        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-        "l_orderkey", "l_suppkey", minSupport = 5L)),
-
-    // Rolling 7-day OLS slope of daily revenue per event type — the
-    // LOCAL trend readout (q116's global slope averages a regime change
-    // away; this one shows it). Five running sums share one sort.
-    "q254_rolling_ols" -> ((s, dir) => {
-      val daily = ev(s, dir).where(col("value").isNotNull)
-        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
-        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
-      decStr(operators.Trend.rollingOls(daily, Seq("event_type"),
-        col("day"), col("cents"), window = 7))
-    }),
-
-    // Order-invariant table checksum over the canonical customer
-    // projection — the O(1)-output replica comparator (q81's full diff
-    // at three-scalars cost); poly_hash64 rows, XOR + SUM combine, the
-    // whole fingerprint replayed bit-exactly by the oracle.
-    "q255_table_checksum" -> ((s, dir) =>
-      decStr(operators.TableDiff.checksum(
-        t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
-          col("c_nationkey"), cents(col("c_acctbal")).as("bal_cents"),
-          col("c_mktsegment")),
-        Seq("c_custkey", "c_name", "c_nationkey", "bal_cents",
-          "c_mktsegment")))),
-
-    // NOT IN is NOT an anti join when the subquery can yield NULL —
-    // three-valued logic empties the result — and Spark must plan the
-    // null-aware variant without a cartesian blowup. Both semantics
-    // gated side by side: the clean branch is a true anti join (59
-    // nation-less customers at sf0.01), the nullable branch is the
-    // SQL-standard empty set.
-    "q256_notin_nullaware" -> ((s, dir) => {
-      t(s, dir, "customer").createOrReplaceTempView("q256_customer")
-      t(s, dir, "supplier").createOrReplaceTempView("q256_supplier")
-      s.sql("""
-        SELECT 'clean' AS variant, count(*) AS n_customers
-        FROM q256_customer
-        WHERE c_nationkey NOT IN (SELECT s_nationkey FROM q256_supplier
-                                  WHERE s_acctbal >= 1000)
-        UNION ALL
-        SELECT 'nullable' AS variant, count(*) AS n_customers
-        FROM q256_customer
-        WHERE c_nationkey NOT IN (SELECT nullif(s_nationkey, 15)
-                                  FROM q256_supplier
-                                  WHERE s_acctbal >= 1000)""")
-    }),
-
-    // GraphSAGE-shape 2-hop neighborhood aggregation over the
-    // co-supplier graph, feature = account balance cents: layer 2
-    // re-aggregates layer-1 summaries instead of enumerating 2-hop
-    // paths — the associativity trick that keeps k-hop features linear
-    // in |E| per layer.
-    "q257_two_hop_agg" -> ((s, dir) =>
-      decStr(operators.Graph.twoHopAggregate(
-        coSupplierPairs(s, dir), "l_suppkey", "dst_supp",
-        t(s, dir, "supplier").select(col("s_suppkey"),
-          cents(col("s_acctbal")).as("bal")),
-        "s_suppkey", "bal"))),
-
-    // Grid-density clustering (cell-DBSCAN) over the q218 point cloud:
-    // cells holding ≥ 4 points are core, clusters are 8-connected
-    // components of core cells via 8 pairs of min-label sweep + pointer
-    // shortcut — reach doubles per pair, so even the fully-core sf0.1
-    // grid (one diameter-54 component) resolves with margin (a plain
-    // 16-sweep version converges at sf0.01 but provably not there).
-    // Density-prunes BEFORE any pairing.
-    "q258_grid_dbscan" -> ((s, dir) =>
-      operators.SpatialJoin.gridDbscan(
-        t(s, dir, "customer").select(
-          (round(col("c_acctbal") * 100).cast("long") + 100000L).as("x"),
-          (col("c_custkey") * 7919 % 100000).as("y")),
-        col("x"), col("y"), cellX = 20000L, cellY = 10000L,
-        minPts = 4L, rounds = 8)),
-
-    // CUPED variance-reduced lift (the industry A/B readout): each
-    // user's post-period spend adjusted by their PRE-period spend with
-    // the pooled θ = cov/var — the whole estimate as exact integer
-    // ratios over common denominators. q238's split/cohort conventions;
-    // completes the experimentation family (DiD, chi², Simpson, Qini).
-    "q259_cuped" -> ((s, dir) => {
-      val e = ev(s, dir)
-      val mid = e.agg(min(col("ts_ms")).as("mn"), max(col("ts_ms")).as("mx"))
-        .select(expr("(mn + mx) div 2").as("mid"))
-      decStr(operators.Causal.cupedAdjustedLift(e.crossJoin(broadcast(mid)),
-        unitCol = col("user_id"),
-        treated = pmod(col("user_id"), lit(2L)) === 0L,
-        pre = col("ts_ms") < col("mid"),
-        outcome = round(col("value") * 100).cast("long")))
-    }),
-
-    // Split-conformal prediction intervals (Mondrian, per event type):
-    // md5-split calibration half fits the predictor and the exact
-    // ⌈0.9(n+1)⌉-th residual order statistic q̂ (ExactQuantiles'
-    // sample-then-refine selection — no per-group sort), test half
-    // audits the distribution-free ≥90% coverage promise.
-    "q260_conformal" -> ((s, dir) => {
-      val e = ev(s, dir)
-      operators.Conformal.splitConformal(e,
-        groupCol = col("event_type"),
-        isCalib = substring(md5(concat(col("event_id").cast("string"),
-          lit("#conf#v1"))), 1, 1) < "8",
-        outcome = round(col("value") * 100).cast("long"),
-        rowKey = col("event_id"), alphaPct = 90)
-        .withColumnRenamed("grp", "event_type")
-    }),
-
-    // RLE layout advisor: per-column run counts under two candidate
-    // sort orders — distributed run counting (range-sort + one
-    // mapPartitions pass + boundary-seam stitch), never a global-order
-    // window. The run ratio between orders IS the sort-key decision.
-    "q261_rle_layout" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val cols = Seq("l_suppkey", "l_partkey", "l_returnflag",
-        "l_linestatus", "l_shipdate")
-      operators.RunLength.runProfile(li,
-          Seq(col("l_orderkey"), col("l_linenumber")), cols)
-        .withColumn("sort_order", lit("natural"))
-        .unionByName(operators.RunLength.runProfile(li,
-          Seq(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
-            col("l_linenumber")), cols)
-          .withColumn("sort_order", lit("supplier_ship")))
-        .select(col("sort_order"), col("col_name"), col("runs"),
-          col("n_rows"))
-    }),
-
-    // Post-stratified ATE: pre-period spend bit-length strata remove
-    // the scale confound, within-stratum differences reweight by
-    // stratum size into the stratum = −1 rollup. q259's split/cohort
-    // conventions; ≤64 strata regardless of data size.
-    "q262_poststrat_ate" -> ((s, dir) => {
-      val e = ev(s, dir)
-      val mid = e.agg(min(col("ts_ms")).as("mn"), max(col("ts_ms")).as("mx"))
-        .select(expr("(mn + mx) div 2").as("mid"))
-      operators.Causal.postStratifiedAte(e.crossJoin(broadcast(mid)),
-        unitCol = col("user_id"),
-        treated = pmod(col("user_id"), lit(2L)) === 0L,
-        pre = col("ts_ms") < col("mid"),
-        outcome = round(col("value") * 100).cast("long"))
-    }),
-
-    // Positional phrase search: postings pruned to the phrase's own
-    // terms before any shuffle, L−1 adjacency equi-joins on
-    // (doc, normalized start) — quoted-query retrieval over documents.
-    "q263_phrase_search" -> ((s, dir) =>
-      operators.PhraseIndex.phraseMatches(t(s, dir, "documents"),
-        col("doc_id"), col("text"), Seq("row", "column", "sort"))),
-
-    // Frequency-ranked dictionary encode (the Parquet/ORC dictionary-
-    // page decision as a query): codes by (count desc, term) via the
-    // distributed global row-number — no single-reducer window — and
-    // per-term encoded-size contribution cnt·bitlen(code).
-    "q264_dict_encode" -> ((s, dir) => {
-      val counts = t(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("cnt"))
-      operators.GlobalRank.withGlobalRowNumber(counts,
-          Seq(col("cnt").desc, col("term").asc), "rn")
-        .withColumn("code", col("rn") - 1)
-        .withColumn("bits_total",
-          col("cnt") * length(bin(col("code"))).cast("long"))
-        .select(col("term"), col("cnt"), col("code"), col("bits_total"))
-    }),
-
-    // Off-policy evaluation under LOGGED (non-uniform) propensities:
-    // SNIPS + doubly-robust for the q265 policy — the production
-    // estimator pair when logging wasn't uniform. Propensity is a
-    // deterministic e6 column (the estimator consumes it as data).
-    "q359_snips_dr" -> ((s, dir) => {
-      val e = ev(s, dir)
-      val mid = e.agg(min(col("ts_ms")).as("mn"), max(col("ts_ms")).as("mx"))
-        .select(expr("(mn + mx) div 2").as("mid"))
-      decStr(operators.OffPolicy.snipsDr(e.crossJoin(broadcast(mid)),
-        segment = pmod(col("user_id"), lit(4L)),
-        arm = col("event_type"),
-        reward = round(col("value") * 100).cast("long"),
-        propensityPpm = lit(100000L) + pmod(col("event_id"), lit(5L))
-          * lit(150000L),
-        isTrain = col("ts_ms") < col("mid")))
-    }),
-
-    // Off-policy evaluation: learn a per-segment argmax policy on the
-    // first half, score it on the second via replay + uniform-K IPS —
-    // counterfactual "what would this targeting have earned" from logs.
-    "q265_replay_ips" -> ((s, dir) => {
-      val e = ev(s, dir)
-      val mid = e.agg(min(col("ts_ms")).as("mn"), max(col("ts_ms")).as("mx"))
-        .select(expr("(mn + mx) div 2").as("mid"))
-      operators.OffPolicy.replayIps(e.crossJoin(broadcast(mid)),
-        segment = pmod(col("user_id"), lit(4L)),
-        arm = col("event_type"),
-        reward = round(col("value") * 100).cast("long"),
-        isTrain = col("ts_ms") < col("mid"), nArms = 5)
-    }),
-
-    // Fellegi–Sunter probabilistic record linkage (1969; the Splink/
-    // dedupe.io scoring core): candidate pairs from noun-token blocking
-    // (pairs scale with Σ block², never n² — the blocking key IS the
-    // scale decision), then fixed integer log-odds agreement weights
-    // per field (first token, brand, type, size band) summed and
-    // thresholded into link / possible / non_link. Bounded output:
-    // per-(block, class) pair counts + score mass.
-    "q266_fs_linkage" -> ((s, dir) => {
-      // block = (noun, size div 8): the second key is the standard
-      // multi-key blocking refinement — pairs drop ~8x while the
-      // size-band agreement field (|diff| <= 2) stays decided within
-      // +-1 band of the block, documented as the recall trade
-      val p = t(s, dir, "part").select(col("p_partkey").as("id"),
-        element_at(split(col("p_name"), " "), 1).as("tok1"),
-        concat(element_at(split(col("p_name"), " "), 2), lit("#"),
-          expr("p_size div 8")).as("blk"),
-        col("p_brand").as("brand"), col("p_type").as("typ"),
-        col("p_size").as("size"))
-      val a = p.columns.foldLeft(p)((d, c) => d.withColumnRenamed(c, s"a_$c"))
-      val b = p.columns.foldLeft(p)((d, c) => d.withColumnRenamed(c, s"b_$c"))
-      a.join(b, col("a_blk") === col("b_blk") && col("a_id") < col("b_id"))
-        .withColumn("score",
-          when(col("a_tok1") === col("b_tok1"), 240L).otherwise(-80L) +
-          when(col("a_brand") === col("b_brand"), 160L).otherwise(-60L) +
-          when(col("a_typ") === col("b_typ"), 120L).otherwise(-40L) +
-          when(abs(col("a_size") - col("b_size")) <= 2, 80L).otherwise(-30L))
-        .withColumn("class", when(col("score") >= 400L, "link")
-          .when(col("score") >= 100L, "possible").otherwise("non_link"))
-        .groupBy(col("a_blk").as("block"), col("class"))
-        .agg(count(lit(1)).as("n_pairs"), sum(col("score")).as("sum_score"))
-    }),
-
-    // Decision-stump feature ranking by EXACT weighted Gini impurity —
-    // the feature-selection pass before training: binary Gini of a
-    // split value is (n² − n_pos² − n_neg²)/n², weighted by n_v/N;
-    // per-value terms truncate at e9 over the value's own denominator,
-    // then roll up over N (two-stage truncation, pinned). One narrow
-    // unpivot scan → per-(feature,value) cells → per-feature rows;
-    // nothing scales past the feature-value cardinality.
-    "q267_gini_stump" -> ((s, dir) => {
-      val e = ev(s, dir).withColumn("label",
-        when(col("event_type") === "purchase", 1L).otherwise(0L))
-      val cells = e.select(col("label"), expr(
-          """stack(3,
-             | 'hour_of_day', CAST((ts_ms div 3600000) % 24 AS STRING),
-             | 'user_bucket', CAST(user_id % 7 AS STRING),
-             | 'value_band',  CAST(length(bin(CAST(round(value * 100)
-             |                AS BIGINT))) AS STRING)
-             |) AS (feature, val)""".stripMargin))
-        .groupBy(col("feature"), col("val"))
-        .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"))
-        .withColumn("term_e9", expr(
-          """CAST((CAST(n AS DECIMAL(38,0)) * n
-              - CAST(n_pos AS DECIMAL(38,0)) * n_pos
-              - CAST(n - n_pos AS DECIMAL(38,0)) * (n - n_pos))
-             * 1000000000 div CAST(n AS DECIMAL(38,0)) AS BIGINT)"""))
-      cells.groupBy(col("feature"))
-        .agg(count(lit(1)).as("n_values"), sum(col("n")).as("n_rows"),
-          expr("CAST(sum(CAST(term_e9 AS DECIMAL(38,0))) div sum(n) AS BIGINT)")
-            .as("gini_e9"))
-    }),
-
-    // Greedy k-center coreset (farthest-point traversal): k−1 rounds of
-    // literal-center distance fold + TakeOrdered argmax, one nearest-
-    // center assignment pass — diversity sampling over embeddings with
-    // the oracle replaying every round as an unrolled MATERIALIZED CTE.
-    "q268_kcenter_coreset" -> ((s, dir) =>
-      operators.Coreset.kCenter(t(s, dir, "embeddings"),
-        "vec_id", "embedding", k = 4)),
-
-    // Watermark lateness audit: event-time high-water-mark over the
-    // ARRIVAL order via the distributed prefix scan (no single-reducer
-    // window), lateness histogram in power-of-two bands — the exact
-    // evidence a streaming job needs to size withWatermark at
-    // 100 TB/day. Arrival order modeled as hour-batched file ingest
-    // shuffled within each hour (md5 permutation) — the file-drop
-    // pattern that actually produces late data.
-    "q269_lateness_audit" -> ((s, dir) => {
-      val e = ev(s, dir).where(col("ts").isNotNull)
-        .select(col("event_id"), col("ts_ms"))
-      operators.PrefixScan.runningMax(e,
-          Seq(expr("ts_ms div 3600000"),
-            md5(col("event_id").cast("string"))),
-          col("ts_ms"), "hwm")
-        .withColumn("late_ms", col("hwm") - col("ts_ms"))
-        .withColumn("bucket", when(col("late_ms") === 0L, 0L)
-          .otherwise(length(bin(col("late_ms"))).cast("long")))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n"), max(col("late_ms")).as("max_late_ms"))
-    }),
-
-    // Interval concurrency sweep: each event holds a resource for 1h;
-    // ±1 boundary deltas → the distributed running sum IS the
-    // concurrency step function (unbounded boundary domain — the
-    // single-reducer cumsum window this operator exists to avoid),
-    // censused into power-of-two bands. Capacity planning: "how many
-    // concurrent sessions must the serving tier hold".
-    "q270_concurrency" -> ((s, dir) => {
-      val e = ev(s, dir).where(col("ts").isNotNull)
-      val deltas = e.select(col("ts_ms").as("b"), lit(1L).as("d"))
-        .unionAll(e.select((col("ts_ms") + 3600000L).as("b"),
-          lit(-1L).as("d")))
-        .groupBy("b").agg(sum(col("d")).as("delta"))
-      operators.PrefixScan.runningSum(deltas, Seq(col("b")),
-          col("delta"), "conc")
-        .withColumn("bucket", when(col("conc") === 0L, 0L)
-          .otherwise(length(bin(col("conc"))).cast("long")))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n_boundaries"),
-          max(col("conc")).as("max_conc"))
-    }),
-
-    // Weighted interval scheduling per supplier (top-10 candidates,
-    // 7-day half-open ship windows): group-local DP via typed
-    // mapGroups — sequential within a key, parallel across keys; the
-    // oracle proves OPTIMALITY by brute-forcing all 2^K subsets with a
-    // pairwise-overlap invalidation join.
-    "q271_interval_sched" -> ((s, dir) => {
-      val start = unix_millis(col("l_shipdate").cast("timestamp"))
-      operators.Scheduling.bestNonOverlapping(
-          t(s, dir, "lineitem").where(col("l_suppkey") < 100),
-        groupCol = col("l_suppkey"), startCol = start,
-        endCol = start + lit(604800000L),
-        weightCol = round(col("l_extendedprice") * 100).cast("long"),
-        idCol = col("l_orderkey") * 8 + col("l_linenumber"), topK = 10)
-        .withColumnRenamed("g", "suppkey")
-        .withColumnRenamed("best", "best_cents")
-    }),
-
-    // Incremental session-window maintenance (IVM for q08's sessions):
-    // a late batch (last 20% of time) invalidates ONLY its users —
-    // keep everyone else's sessions as-is (anti join), recompute the
-    // churned keys over their full history (semi join; a late event can
-    // merge two old sessions, so key-scoped full recompute is the
-    // correct granularity — DerivedAggTable's rule, session-shaped).
-    // The oracle is the FULL recompute: equivalence IS the gate.
-    "q272_session_ivm" -> ((s, dir) => {
-      val e = ev(s, dir).select(col("user_id"), col("ts_ms"),
-        col("event_id"))
-      val rng = e.agg(min("ts_ms").as("mn"), max("ts_ms").as("mx"))
-        .select(expr("mn + (mx - mn) * 4 div 5").as("cut"))
-      val ec = e.crossJoin(broadcast(rng))
-      val gap = 4L * 3600000L
-      val affected = ec.where(col("ts_ms") >= col("cut"))
-        .select("user_id").distinct()
-      val kept = Sessionize.sessionBounds(
-          ec.where(col("ts_ms") < col("cut")).drop("cut"),
-          Seq("user_id"), "ts_ms", gap, "event_id")
-        .join(affected, Seq("user_id"), "left_anti")
-      val recomputed = Sessionize.sessionBounds(
-        e.join(affected, Seq("user_id"), "left_semi"),
-        Seq("user_id"), "ts_ms", gap, "event_id")
-      kept.unionByName(recomputed)
-    }),
-
-    // Systematic PPS (probability-proportional-to-size) sampling:
-    // cumulate doc sizes over a fixed order (distributed prefix sum),
-    // take every doc whose cumulative range [cum−size, cum) contains a
-    // multiple of step = total div 100 — exactly ~100 docs, selection
-    // probability ∝ size, zero randomness. The size-weighted corpus
-    // downsampler (big docs can't be missed, tiny ones enter at fair
-    // odds) — inclusion is a pure integer-division flip.
-    "q273_pps_sample" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), col("n_chars"))
-      val cum = operators.PrefixScan.runningSum(d, Seq(col("doc_id")),
-        col("n_chars"), "cum")
-      val tot = cum.agg(max(col("cum")).as("total"))
-        .select(expr("total div 100").as("step"))
-      cum.crossJoin(broadcast(tot))
-        .where(expr("(cum - 1) div step > (cum - 1 - n_chars) div step"))
-        .select(col("doc_id"), col("n_chars"), col("cum"))
-    }),
-
-    // Bitemporal as-of read: every row carries BOTH a valid-time and a
-    // transaction-time interval (corrections restate history — r2
-    // re-asserts the old price for the pre-change validity range, r3
-    // carries the new price, both born at the correction's tx time).
-    // The read is two independent as-of filters (tx ≤ T2 < tx_to AND
-    // valid ≤ T1 < valid_to) — "what did we BELIEVE at T2 about the
-    // state AT T1" — the audit/backtest question SCD2 (q157) and time
-    // travel (q209) each answer only half of. Pure scans + one
-    // bounded agg; interval construction needs no window.
-    "q274_bitemporal" -> ((s, dir) => {
-      val INF = 9000000000000000L
-      val D10 = 864000000L; val D15 = 1296000000L; val D30 = 2592000000L
-      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
-        col("o_orderpriority").as("prio"),
-        unix_millis(col("o_orderdate").cast("timestamp")).as("od"),
-        round(col("o_totalprice") * 100).cast("long").as("p"),
-        (col("o_orderkey") % 5 === 0).as("corr"))
-      val plain = o.where(!col("corr")).select(col("k"), col("prio"),
-        col("od").as("vf"), lit(INF).as("vt"),
-        col("od").as("tf"), lit(INF).as("tt"), col("p"))
-      val r1 = o.where(col("corr")).select(col("k"), col("prio"),
-        col("od").as("vf"), lit(INF).as("vt"),
-        col("od").as("tf"), (col("od") + D15).as("tt"), col("p"))
-      val r2 = o.where(col("corr")).select(col("k"), col("prio"),
-        col("od").as("vf"), (col("od") + D10).as("vt"),
-        (col("od") + D15).as("tf"), lit(INF).as("tt"), col("p"))
-      val r3 = o.where(col("corr")).select(col("k"), col("prio"),
-        (col("od") + D10).as("vf"), lit(INF).as("vt"),
-        (col("od") + D15).as("tf"), lit(INF).as("tt"),
-        expr("p * 9 div 10").as("p"))
-      val tab = plain.unionByName(r1).unionByName(r2).unionByName(r3)
-      val ts = o.agg(min("od").as("mn"), max("od").as("mx"))
-        .select(expr("(mn + mx) div 2").as("t2"),
-          expr(s"(mn + mx) div 2 - $D30").as("t1"))
-      tab.crossJoin(broadcast(ts))
-        .where(col("tf") <= col("t2") && col("t2") < col("tt") &&
-          col("vf") <= col("t1") && col("t1") < col("vt"))
-        .groupBy(col("prio"))
-        .agg(count(lit(1)).as("n_orders"), sum(col("p")).as("sum_cents"))
-    }),
-
-    // Consistent-hash ring rebalance audit: md5 hex-string ring (16
-    // vnodes per node — positions and key hashes compare as plain hex
-    // strings, no numeric conversion), assignment = first vnode at or
-    // after the key (wrap to the ring minimum). The 8-node vs 9-node
-    // transition matrix PROVES the consistent-hashing promise: only
-    // ~1/9 of keys move, and every move lands on the new node. The
-    // ring is a ~144-struct literal in the plan — O(1) per key,
-    // no join, no shuffle beyond the final count.
-    "q275_hash_ring" -> ((s, dir) => {
-      def ring(nNodes: Int): Column = {
-        val vs = for (node <- 0 until nNodes; r <- 0 until 16)
-          yield (org.apache.commons.codec.digest.DigestUtils
-            .md5Hex(s"n$node#$r"), s"n$node")
-        array(vs.sortBy(_._1).map { case (h, n) =>
-          struct(lit(h).as("h"), lit(n).as("node")) }: _*)
-      }
-      def assign(kh: Column, arr: Column): Column = {
-        val ge = filter(arr, x => x.getField("h") >= kh)
-        when(size(ge) > 0, array_min(ge).getField("node"))
-          .otherwise(array_min(arr).getField("node"))
-      }
-      t(s, dir, "customer")
-        .select(md5(col("c_custkey").cast("string")).as("kh"))
-        .select(assign(col("kh"), ring(8)).as("node_before"),
-          assign(col("kh"), ring(9)).as("node_after"))
-        .groupBy("node_before", "node_after")
-        .agg(count(lit(1)).as("n_keys"))
-    }),
-
-    // Delta-encoding advisor: zigzag-delta bit mass per numeric column
-    // under the q261 sort orders — DELTA_BINARY_PACKED's payload size,
-    // computed in one scan with seam re-pricing; with q261 (RLE runs)
-    // and q264 (dict codes) this completes the three-way encoding
-    // decision a columnar writer makes per column.
-    "q276_delta_layout" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey")
-      operators.RunLength.deltaProfile(li,
-          Seq(col("l_orderkey"), col("l_linenumber")), cols)
-        .withColumn("sort_order", lit("natural"))
-        .unionByName(operators.RunLength.deltaProfile(li,
-          Seq(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
-            col("l_linenumber")), cols)
-          .withColumn("sort_order", lit("supplier_ship")))
-        .select(col("sort_order"), col("col_name"), col("delta_bits"),
-          col("n_rows"))
-    }),
-
-    // Golden-record survivorship (MDM merge): two sources disagree per
-    // FIELD — each field independently survives by (freshest ts, then
-    // source priority) among non-null candidates, as one max(struct)
-    // aggregation per field (no per-field joins, one shuffle total).
-    // Sources synthesized deterministically from customer: CRM drops
-    // bal for key%3=0, WEB uppercases names and drops segment for
-    // key%2=0; per-source freshness varies by key.
-    "q277_survivorship" -> ((s, dir) => {
-      val c = t(s, dir, "customer")
-      val a = c.select(col("c_custkey").as("k"),
-        (lit(100L) + col("c_custkey") % 7).as("ts"), lit(2L).as("pri"),
-        col("c_name").as("name"),
-        when(col("c_custkey") % 3 =!= 0,
-          round(col("c_acctbal") * 100).cast("long")).as("bal"),
-        col("c_mktsegment").as("seg"))
-      val b = c.select(col("c_custkey").as("k"),
-        (lit(100L) + col("c_custkey") % 5).as("ts"), lit(1L).as("pri"),
-        upper(col("c_name")).as("name"),
-        round(col("c_acctbal") * 100).cast("long").as("bal"),
-        when(col("c_custkey") % 2 =!= 0, col("c_mktsegment")).as("seg"))
-      def survive(v: String, out: String) =
-        max(when(col(v).isNotNull,
-          struct(col("ts"), col("pri"), col(v).as("v"))))
-          .getField("v").as(out)
-      a.unionByName(b).groupBy(col("k"))
-        .agg(survive("name", "name"), survive("bal", "bal_cents"),
-          survive("seg", "segment"))
-    }),
-
-    // Foreign-key inference (schema discovery over a lake): for each
-    // candidate (child.col → parent.col) pair, distinct-value
-    // containment + parent uniqueness — the Spider/metanome-style
-    // IND-detection core. Distinct sets first (the shuffle carries
-    // |distinct|, not |rows|), then one left join per pair. The
-    // l_suppkey→p_partkey row is the honest false positive pure
-    // containment yields (dense integer ranges) — the verdict column
-    // reports exactly what the signals support, nothing more.
-    "q278_fk_inference" -> ((s, dir) => {
-      def pair(label: String, child: DataFrame, cc: String,
-          parent: DataFrame, pc: String) = {
-        val cd = child.select(col(cc).as("v")).where(col("v").isNotNull)
-          .distinct()
-        val pd = parent.groupBy(col(pc).as("v"))
-          .agg(count(lit(1)).as("__n"))
-        val parentUnique = pd.agg(
-          max(col("__n")).as("mx"), count(lit(1)).as("n_parent"))
-        cd.join(pd.select(col("v"), lit(1L).as("__hit")), Seq("v"), "left")
-          .agg(count(lit(1)).as("n_child_distinct"),
-            sum(coalesce(col("__hit"), lit(0L))).as("n_contained"))
-          .crossJoin(parentUnique)
-          .select(lit(label).as("candidate"), col("n_child_distinct"),
-            col("n_parent").as("n_parent_distinct"), col("n_contained"),
-            expr("n_contained * 1000000 div n_child_distinct")
-              .as("containment_ppm"),
-            (col("mx") === 1L).as("parent_unique"),
-            (col("mx") === 1L &&
-              col("n_contained") === col("n_child_distinct")).as("is_fk"))
-      }
-      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
-      pair("lineitem.l_orderkey->orders.o_orderkey", li, "l_orderkey",
-          o, "o_orderkey")
-        .unionByName(pair("lineitem.l_partkey->part.p_partkey", li,
-          "l_partkey", t(s, dir, "part"), "p_partkey"))
-        .unionByName(pair("orders.o_custkey->customer.c_custkey", o,
-          "o_custkey", t(s, dir, "customer"), "c_custkey"))
-        .unionByName(pair("lineitem.l_suppkey->part.p_partkey", li,
-          "l_suppkey", t(s, dir, "part"), "p_partkey"))
-        .unionByName(pair("customer.c_custkey->orders.o_orderkey",
-          t(s, dir, "customer"), "c_custkey", o, "o_orderkey"))
-    }),
-
-    // Two-sample Cramér–von Mises: U = Σ_pooled (m·F_A − n·F_B)² —
-    // the INTEGRATED ECDF gap (whole-distribution sensitivity) next to
-    // KS's max gap (q139) and rank-sum's location shift (q246).
-    // Cumulative sums run over the bounded VALUE-domain histogram
-    // (cents axis), never the row axis; the quadratic accumulates in
-    // DECIMAL(38,0) and ships as exact (quotient, remainder) mod n·m
-    // so both halves stay float64-exact in any downstream reader.
-    "q279_cvm_test" -> ((s, dir) => {
-      val e = ev(s, dir).where(col("value").isNotNull)
-        .withColumn("v", round(col("value") * 100).cast("long"))
-      val hist = e.where(col("event_type").isin("purchase", "click"))
-        .groupBy(col("v"))
-        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-          .as("ca"),
-          sum(when(col("event_type") === "click", 1L).otherwise(0L))
-          .as("cb"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(operators.Census.onePartKey(col("v"))).orderBy(col("v"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding, 0)
-      val tot = hist.agg(sum(col("ca")).as("n"), sum(col("cb")).as("m"))
-      hist.withColumn("cuma", sum(col("ca")).over(w))
-        .withColumn("cumb", sum(col("cb")).over(w))
-        .crossJoin(broadcast(tot))
-        .withColumn("gap", expr(
-          "CAST(m AS DECIMAL(38,0)) * cuma - CAST(n AS DECIMAL(38,0)) * cumb"))
-        .agg(max(col("n")).as("n"), max(col("m")).as("m"),
-          sum(expr("CAST(ca + cb AS DECIMAL(38,0)) * gap * gap")).as("u"))
-        .select(col("n"), col("m"),
-          expr("CAST(u div CAST(n * m AS DECIMAL(38,0)) AS BIGINT)")
-            .as("u_quot"),
-          expr("CAST(u % CAST(n * m AS DECIMAL(38,0)) AS BIGINT)")
-            .as("u_rem"))
-    }),
-
-    // Hilbert vs Z-order locality audit: index every occupied cell of
-    // a 256×256 grid under both curves (pure codegen column
-    // expressions, xy2d unrolled over 8 bits), then for three 2-D
-    // query boxes count the CONTIGUOUS index ranges a scan would
-    // touch — the fragmentation metric that decides which curve to
-    // cluster a 100 TB table by (Hilbert's adjacent-positions-are-
-    // adjacent-cells property shows up as fewer ranges).
-    "q280_hilbert_locality" -> ((s, dir) => {
-      import graft.functions.SpaceCurves
-      SpaceCurves.register(s)
-      val cells = t(s, dir, "customer").select(
-          pmod(col("c_custkey") * 7919, lit(32L)).as("x"),
-          pmod(expr("c_custkey div 32") * 104729, lit(32L)).as("y"))
-        .distinct()
-      val boxes = Seq(("box_a", 3, 19, 5, 11),
-        ("box_b", 0, 31, 12, 16), ("box_c", 9, 25, 9, 25))
-      val curves: Seq[(String, (Column, Column) => Column)] = Seq(
-        ("hilbert", (x, y) => SpaceCurves.hilbertIndex(x, y, 5)),
-        ("zorder", (x, y) => SpaceCurves.zOrderIndex(x, y, 5)))
-      val pts = (for ((bn, x0, x1, y0, y1) <- boxes; (cn, f) <- curves)
-        yield cells
-          .where(col("x").between(x0, x1) && col("y").between(y0, y1))
-          .select(lit(cn).as("curve"), lit(bn).as("box"),
-            f(col("x"), col("y")).as("i"))).reduce(_ unionByName _)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("curve"), col("box")).orderBy(col("i"))
-      pts.withColumn("p", lag(col("i"), 1).over(w))
-        .groupBy(col("curve"), col("box"))
-        .agg(count(lit(1)).as("n_cells"),
-          sum(when(col("p").isNull || col("i") =!= col("p") + 1, 1L)
-            .otherwise(0L)).as("n_ranges"))
-    }),
-
-    // Autocomplete index build (serving prep): explode every term into
-    // its 1–4-char prefixes, keep the top 3 completions per prefix by
-    // (count desc, term) — the per-prefix window runs over prefix
-    // groups (bounded by vocabulary), never corpus rows.
-    "q281_autocomplete" -> ((s, dir) => {
-      val terms = t(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("term"))
-        .where(length(col("term")) > 0)
-        .groupBy("term").agg(count(lit(1)).as("cnt"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("prefix"))
-        .orderBy(col("cnt").desc, col("term").asc)
-      terms.select(col("term"), col("cnt"),
-          explode(sequence(lit(1), least(lit(4), length(col("term")))))
-            .as("plen"))
-        .withColumn("prefix", expr("substr(term, 1, plen)"))
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= 3)
-        .select(col("prefix"), col("rank"), col("term"), col("cnt"))
-    }),
-
-    // FK-closed sampling (referentially consistent test-data
-    // extraction): hash-sample the FACT (orders), then close over the
-    // graph — lineitems of sampled orders, customers of sampled
-    // orders — with semi joins; the anti-join orphan audits prove the
-    // closure (all zero). The subsetting recipe that makes a 100 TB
-    // lake shrink to a runnable integration fixture.
-    "q282_fk_closed_sample" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      val sample = o.where(substring(md5(concat(
-        col("o_orderkey").cast("string"), lit("#samp#v1"))), 1, 2) < "08")
-      val li = t(s, dir, "lineitem").join(
-        sample.select(col("o_orderkey")),
-        col("l_orderkey") === col("o_orderkey"), "left_semi")
-      val cust = t(s, dir, "customer").join(
-        sample.select(col("o_custkey")).distinct(),
-        col("c_custkey") === col("o_custkey"), "left_semi")
-      val liOrphans = li.join(sample.select(col("o_orderkey")),
-        col("l_orderkey") === col("o_orderkey"), "left_anti")
-      val ordOrphans = sample.join(cust.select(col("c_custkey")),
-        col("o_custkey") === col("c_custkey"), "left_anti")
-      def row(name: String, d: DataFrame, orphans: DataFrame) =
-        d.agg(count(lit(1)).as("n_rows")).select(lit(name).as("table_name"),
-          col("n_rows")).crossJoin(
-          orphans.agg(count(lit(1)).as("orphans")))
-      row("orders", sample, ordOrphans)
-        .unionByName(row("lineitem", li, liOrphans))
-        .unionByName(row("customer", cust,
-          cust.where(lit(false))))
-    }),
-
-    // LTTB dashboard downsampling: daily per-type revenue series →
-    // the visually-optimal 12-point polyline per series; sequential
-    // per series (prev pick is a triangle vertex), parallel across
-    // series, centroid division eliminated by n₃-scaled exact areas.
-    "q283_lttb" -> ((s, dir) => {
-      val daily = ev(s, dir).where(col("value").isNotNull)
-        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
-        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
-      operators.Lttb.downsample(daily, col("event_type"), col("day"),
-          col("cents"), buckets = 10)
-        .select(col("series").as("event_type"), col("x").as("day"),
-          col("y").as("cents"))
-    }),
-
-    // Posting-list compression estimator: per term, delta-gap the
-    // sorted doc ids and price each gap in LEB128 varint bytes — the
-    // inverted-index size model that decides df-pruning and tiering
-    // for a 100 TB corpus index. Gaps are BLOCK-LOCAL (128-doc-id
-    // blocks, each starting from an absolute id) — Lucene's actual
-    // postings layout, and the scale guard: a stopword's billion-doc
-    // posting list would make a per-term window one reducer; the
-    // (term, block) window partition is bounded at 128 by construction.
-    "q284_postings_cost" -> ((s, dir) => {
-      val posts = t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .where(length(col("term")) > 0)
-        .distinct()
-        .withColumn("blk", expr("doc_id div 128"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("term"), col("blk")).orderBy(col("doc_id"))
-      posts.withColumn("gap",
-          col("doc_id") - coalesce(lag(col("doc_id"), 1).over(w), lit(0L)))
-        .withColumn("vbytes",
-          expr("(length(bin(greatest(gap, 1))) + 6) div 7"))
-        .groupBy(col("term"))
-        .agg(count(lit(1)).as("df"), sum(col("vbytes")).as("varint_bytes"),
-          (count(lit(1)) * 8).as("raw_bytes"))
-    }),
-
-    // Quantile treatment effects: the DISTRIBUTIONAL readout the mean
-    // lift (q259/q262) hides — exact per-arm quantiles at five percents
-    // via ExactQuantiles' sample-then-refine selection, differenced
-    // into QTE(p). Heterogeneity shows as a non-constant qte column.
-    "q285_qte" -> ((s, dir) => {
-      val e = ev(s, dir).where(col("value").isNotNull)
-        .withColumn("arm", when(pmod(col("user_id"), lit(2L)) === 0L,
-          "treated").otherwise("control"))
-      val q = operators.ExactQuantiles.quantiles(e, Seq("arm"),
-        round(col("value") * 100).cast("long"), col("event_id"),
-        percents = Seq(10, 25, 50, 75, 90))
-      q.where(col("arm") === "treated")
-        .select(col("percent"), col("quantile").as("q_treated"))
-        .join(q.where(col("arm") === "control")
-          .select(col("percent"), col("quantile").as("q_control")),
-          Seq("percent"))
-        .withColumn("qte", col("q_treated") - col("q_control"))
-    }),
-
-    // Covariate balance audit: standardized mean differences over
-    // PRE-period covariates (spend, activity, breadth) between arms —
-    // THE applied-causal diagnostic (|SMD| < 0.1 = balanced). Exact
-    // integer pipeline: cross-multiplied mean gaps, truncated sample
-    // variances, q235's corrected integer isqrt for the pooled SD.
-    "q286_balance_audit" -> ((s, dir) => {
-      val e = ev(s, dir)
-      val mid = e.agg(min(col("ts_ms")).as("mn"), max(col("ts_ms")).as("mx"))
-        .select(expr("(mn + mx) div 2").as("mid"))
-      val u = e.crossJoin(broadcast(mid))
-        .where(col("ts_ms") < col("mid") && col("value").isNotNull)
-        .groupBy(col("user_id"))
-        .agg(max(when(pmod(col("user_id"), lit(2L)) === 0L, 1L)
-          .otherwise(0L)).as("t"),
-          sum(round(col("value") * 100).cast("long")).as("x_spend"),
-          count(lit(1)).as("x_events"),
-          countDistinct(col("event_type")).as("x_breadth"))
-      val cells = u.select(col("t"), expr(
-        """stack(3, 'pre_spend', x_spend, 'pre_events', x_events,
-           |'pre_breadth', x_breadth) AS (covariate, x)""".stripMargin))
-      cells.groupBy(col("covariate"))
-        .agg(sum(when(col("t") === 1L, 1L).otherwise(0L)).as("n_t"),
-          sum(when(col("t") =!= 1L, 1L).otherwise(0L)).as("n_c"),
-          sum(when(col("t") === 1L, col("x")).otherwise(0L)).as("__st"),
-          sum(when(col("t") =!= 1L, col("x")).otherwise(0L)).as("__sc"),
-          sum(when(col("t") === 1L,
-            expr("CAST(x AS DECIMAL(38,0)) * x")).otherwise(
-            expr("CAST(0 AS DECIMAL(38,0))"))).as("__sst"),
-          sum(when(col("t") =!= 1L,
-            expr("CAST(x AS DECIMAL(38,0)) * x")).otherwise(
-            expr("CAST(0 AS DECIMAL(38,0))"))).as("__ssc"))
-        .withColumn("mean_diff_e6", expr(
-          """CAST((CAST(__st AS DECIMAL(38,0)) * n_c
-             - CAST(__sc AS DECIMAL(38,0)) * n_t) * 1000000
-            div CAST(n_t * n_c AS DECIMAL(38,0)) AS BIGINT)"""))
-        .withColumn("__vt", expr(
-          """CAST((n_t * __sst - CAST(__st AS DECIMAL(38,0)) * __st)
-            div CAST(n_t * (n_t - 1) AS DECIMAL(38,0)) AS BIGINT)"""))
-        .withColumn("__vc", expr(
-          """CAST((n_c * __ssc - CAST(__sc AS DECIMAL(38,0)) * __sc)
-            div CAST(n_c * (n_c - 1) AS DECIMAL(38,0)) AS BIGINT)"""))
-        .withColumn("__pool", expr("(__vt + __vc) div 2"))
-        .withColumn("__s0",
-          floor(sqrt(col("__pool").cast("double"))).cast("long"))
-        .withColumn("sd", expr(
-          """CASE WHEN __s0 * __s0 > __pool THEN __s0 - 1
-             WHEN (__s0 + 1) * (__s0 + 1) <= __pool THEN __s0 + 1
-             ELSE __s0 END"""))
-        .withColumn("smd_e4", when(col("sd") > 0,
-          expr("mean_diff_e6 div (sd * 100)")))
-        .select(col("covariate"), col("n_t"), col("n_c"),
-          col("mean_diff_e6"), col("sd"), col("smd_e4"))
-    }),
-
-    // Rendezvous (HRW) hashing — the ring's stateless sibling (q275):
-    // every key goes to argmax_node md5(key || node); adding a node
-    // moves EXACTLY the keys whose new score wins (≈1/(N+1), provably
-    // minimal, no vnode variance). Per key the N scores are computed
-    // inline — no ring table at all, the purest O(1)-metadata sharding.
-    "q287_hrw_hashing" -> ((s, dir) => {
-      def assign(kh: Column, nodes: Seq[String]): Column =
-        array_max(array(nodes.map(n =>
-          struct(md5(concat(kh, lit("|"), lit(n))).as("h"),
-            lit(n).as("node"))): _*)).getField("node")
-      val nodes8 = (0 until 8).map(i => s"n$i")
-      val nodes9 = (0 until 9).map(i => s"n$i")
-      t(s, dir, "customer")
-        .select(col("c_custkey").cast("string").as("k"))
-        .select(assign(col("k"), nodes8).as("node_before"),
-          assign(col("k"), nodes9).as("node_after"))
-        .groupBy("node_before", "node_after")
-        .agg(count(lit(1)).as("n_keys"))
-    }),
-
-    // Event-sourcing state rebuild: replay an op log (signup = SET,
-    // purchase = INCR, error = RESET) to final per-key state WITHOUT
-    // per-key ordered windows — the last reset is one max(struct)
-    // aggregation, increments after it one filtered sum (struct
-    // comparison gives the (ts, id) total order), stitched by a full
-    // outer join. The CQRS read-model rebuild at table scale.
-    "q288_event_sourcing" -> ((s, dir) => {
-      val ops = ev(s, dir).where(col("value").isNotNull &&
-          col("event_type").isin("signup", "purchase", "error"))
-        .select(col("user_id"), col("ts_ms"), col("event_id"),
-          col("event_type"), round(col("value") * 100).cast("long")
-            .as("cents"))
-      val resets = ops.where(col("event_type").isin("signup", "error"))
-        .groupBy(col("user_id"))
-        .agg(max(struct(col("ts_ms"), col("event_id"),
-          col("event_type").as("rtype"), col("cents").as("rcents")))
-          .as("r"))
-      val incr = ops.where(col("event_type") === "purchase")
-        .join(resets, Seq("user_id"), "left")
-        .where(col("r").isNull ||
-          struct(col("ts_ms"), col("event_id")) >
-            struct(col("r.ts_ms"), col("r.event_id")))
-        .groupBy(col("user_id")).agg(sum(col("cents")).as("incr"))
-      resets.join(incr, Seq("user_id"), "full_outer")
-        .select(col("user_id"),
-          (coalesce(when(col("r.rtype") === "signup", col("r.rcents"))
-            .otherwise(0L), lit(0L)) + coalesce(col("incr"), lit(0L)))
-            .as("balance_cents"))
-    }),
-
-    // Walk-forward forecast backtest: for every day with a full 7-day
-    // trailing window, fit the q254 OLS on days t−7..t−1 (running sums
-    // off one sort, no refit loop), predict ŷ(t) as an exact rational
-    // num/den (den = 7·(7Σx²−(Σx)²) > 0 for distinct days), score
-    // |actual·den − num|·10⁶ div den — per-day e6-truncated absolute
-    // error rolled into MAE. The honest out-of-sample eval a forecast
-    // family (q226/q229/q254) needs before anyone trusts it.
-    "q289_forecast_backtest" -> ((s, dir) => {
-      val daily = ev(s, dir).where(col("value").isNotNull)
-        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("x"))
-        .agg(sum(round(col("value") * 100).cast("long")).as("y"))
-      val w7 = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type")).orderBy(col("x"))
-        .rowsBetween(-7, -1)
-      daily
-        .withColumn("n", count(lit(1)).over(w7))
-        .withColumn("sx", sum(col("x")).over(w7))
-        .withColumn("sy", sum(col("y")).over(w7))
-        .withColumn("sxx", sum(expr("CAST(x AS DECIMAL(38,0)) * x")).over(w7))
-        .withColumn("sxy", sum(expr("CAST(x AS DECIMAL(38,0)) * y")).over(w7))
-        .where(col("n") === 7)
-        .withColumn("sn", expr("7 * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
-        .withColumn("sd", expr("7 * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
-        .withColumn("num", expr(
-          "CAST(sy AS DECIMAL(38,0)) * sd + sn * (7 * x - sx)"))
-        .withColumn("den", expr("7 * sd"))
-        .withColumn("abs_err_e6", expr(
-          """CAST(abs(CAST(y AS DECIMAL(38,0)) * den - num) * 1000000
-             div den AS BIGINT)"""))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_eval"),
-          expr("CAST(sum(CAST(abs_err_e6 AS DECIMAL(38,0))) div count(1) AS BIGINT)")
-            .as("mae_e6"))
-    }),
-
-    // Hierarchy flattening by POINTER DOUBLING: each round the
-    // ancestor pointer jumps 2× as far (anc ← anc.anc, dist adds), so
-    // a depth-D tree flattens in ⌈log₂D⌉ self-joins instead of D
-    // chained ones — the dimension-tree (category/org) flatten that a
-    // per-level loop would make 100-round-deep on real taxonomies.
-    // Tree: parent(k) = k div 4 over custkeys, root 0. Output: every
-    // node's (root, depth) — the oracle walks the chain recursively.
-    "q290_tree_flatten" -> ((s, dir) => {
-      val nodes = t(s, dir, "customer")
-        .select(col("c_custkey").as("node"))
-      var f = nodes.select(col("node"),
-        when(col("node") === 0L, col("node"))
-          .otherwise(expr("node div 4")).as("anc"),
-        when(col("node") === 0L, 0L).otherwise(1L).as("dist"))
-      for (_ <- 1 to 4) { // 2^4 = 16 ≥ max depth of div-4 over ≤ 2^63
-        val g = f.select(col("node").as("g_node"), col("anc").as("g_anc"),
-          col("dist").as("g_dist"))
-        f = f.join(g, col("anc") === col("g_node"))
-          .select(col("node"), col("g_anc").as("anc"),
-            (col("dist") + col("g_dist")).as("dist"))
-          .localCheckpoint(true) // two consumers next round: truncate
-      }
-      f.select(col("node"), col("anc").as("root"),
-        col("dist").as("depth"))
-    }),
-
-    // Subtree rollup over q290's tree: every customer's order revenue
-    // accumulates into ALL its ancestors by exploding the ancestor
-    // chain (bounded by tree depth) and one re-aggregation — the
-    // category-tree revenue report, no recursion at query time.
-    "q291_subtree_rollup" -> ((s, dir) => {
-      val rev = t(s, dir, "orders")
-        .groupBy(col("o_custkey").as("node"))
-        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
-          .as("cents"))
-      // the i−1 shift is clamped at 0: vectorized engines (DuckDB) may
-      // evaluate BOTH disjuncts, and a negative shift raises there —
-      // the clamped value is only read when i = 0, where the left
-      // disjunct already keeps the row (found by the sf0.1 full sweep)
-      rev.select(col("node"), col("cents"),
-          explode(sequence(lit(0), lit(10))).as("i"))
-        .where(col("i") === 0 ||
-          expr("node div shiftleft(CAST(1 AS BIGINT)," +
-            " 2 * greatest(i - 1, 0))") > 0L)
-        .withColumn("anc",
-          expr("node div shiftleft(CAST(1 AS BIGINT), 2 * i)"))
-        .where(col("anc") < 64)
-        .groupBy(col("anc").as("node"))
-        .agg(count(lit(1)).as("n_contrib"),
-          sum(col("cents")).as("subtree_cents"))
-    }),
-
-    // date_trunc-equality day filter through the TruncEqRewrite rule:
-    // the analyst-shaped predicate becomes a sargable ts range at the
-    // scan (TruncEqRewriteSpec pins the PushedFilters); the day literal
-    // is min(ts)'s day + 10 (one-row bounded driver fetch).
-    "q292_trunc_pushdown" -> ((s, dir) => {
-      registerRule(s, plans.TruncEqRewrite)
-      val e = t(s, dir, "events")
-      val day0 = e.agg(min(col("ts")).as("mn"))
-        .select(date_trunc("DAY", col("mn")).as("d0"))
-        .collect().head.getTimestamp(0)
-      val target = new java.sql.Timestamp(
-        day0.getTime + 10L * 86400000L)
-      e.where(date_trunc("DAY", col("ts")) === lit(target))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(round(col("value") * 100).cast("long")).as("cents"))
-    }),
-
-    // Source-format parity: the SAME events projection written to CSV
-    // and JSON-lines, re-read through Spark's csv/json readers with
-    // explicit schemas, and aggregated identically to the parquet
-    // original — one result set with a format label per row proves the
-    // ingestion surface (parquet/CSV/JSON) is semantics-identical.
-    "q293_format_parity" -> ((s, dir) => {
-      val base = ev(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          round(col("value") * 100).cast("long").as("cents"),
-          col("ts_ms"))
-      val root = queryTmp("graft_fmt")
-      base.coalesce(4).write.mode("overwrite")
-        .option("header", "true").csv(s"$root/csv")
-      base.coalesce(4).write.mode("overwrite").json(s"$root/json")
-      val schema = base.schema
-      def agg(d: DataFrame, fmt: String) =
-        d.groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
-            sum(col("ts_ms") % 1000003L).as("ts_check"))
-          .withColumn("format", lit(fmt))
-      agg(base, "parquet")
-        .unionByName(agg(s.read.schema(schema)
-          .option("header", "true").csv(s"$root/csv"), "csv"))
-        .unionByName(agg(s.read.schema(schema).json(s"$root/json"),
-          "json"))
-    }),
-
-    // Schema evolution: an old batch written WITHOUT the column a new
-    // batch carries, read back as ONE table via mergeSchema — the
-    // add-a-column lake migration that must not rewrite history; rows
-    // from the pre-schema batch surface as a labeled NULL group.
-    "q294_schema_evolution" -> ((s, dir) => {
-      val root = queryTmp("graft_evo")
-      val o = t(s, dir, "orders")
-      o.where(col("o_orderkey") % 2 === 0)
-        .select(col("o_orderkey"), col("o_custkey"),
-          round(col("o_totalprice") * 100).cast("long").as("cents"))
-        .write.mode("overwrite").parquet(s"$root/b1")
-      o.where(col("o_orderkey") % 2 =!= 0)
-        .select(col("o_orderkey"), col("o_custkey"),
-          round(col("o_totalprice") * 100).cast("long").as("cents"),
-          col("o_orderpriority").as("priority"))
-        .write.mode("overwrite").parquet(s"$root/b2")
-      s.read.option("mergeSchema", "true")
-        .parquet(s"$root/b1", s"$root/b2")
-        .groupBy(coalesce(col("priority"), lit("(pre-schema)"))
-          .as("priority"))
-        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
-    }),
-
-    // Link prediction (graph family): resource-allocation index over the
-    // top-4000-weight co-supplier edges — every non-adjacent distance-2
-    // pair scored Σ 1e12 div deg(common neighbor) + common-neighbor
-    // count; top 20 under a total order. Edge selection is top-K by
-    // weight under the GlobalRank distributed row-number (a fixed
-    // HAVING threshold is scale-brittle: it saturates small graphs to a
-    // candidate-free clique and empties big ones), which is also the
-    // hub gate the wedge budget needs. The "which suppliers will
-    // co-occur next" readout a recommender bootstrap runs.
-    "q296_link_predict" -> ((s, dir) => {
-      val weighted = coSupplierPairs(s, dir)
-        .where(col("l_suppkey") < col("dst_supp"))
-        .groupBy(col("l_suppkey"), col("dst_supp"))
-        .agg(count(lit(1)).as("w"))
-      val top = operators.GlobalRank.withGlobalRowNumber(weighted,
-          Seq(col("w").desc, col("l_suppkey"), col("dst_supp")), "rk")
-        .where(col("rk") <= 4000)
-        .select(col("l_suppkey"), col("dst_supp"))
-      operators.Graph.linkPredictionRA(top, "l_suppkey", "dst_supp")
-        .orderBy(col("ra_e12").desc, col("cn").desc, col("a"), col("b"))
-        .limit(20)
-    }),
-
-    // Privacy (third audit): recursive (c,l)-diversity over the
-    // (nation, segment) QI grid with order priority as the sensitive
-    // attribute — c = 1/3 sits at the uniform-distribution boundary so
-    // both verdicts genuinely occur; the test is all-integer.
-    "q297_l_diversity" -> ((s, dir) => {
-      val joined = t(s, dir, "orders")
-        .join(t(s, dir, "customer"),
-          col("o_custkey") === col("c_custkey"))
-      operators.Privacy.recursiveLDiversity(joined,
-        Seq("c_nationkey", "c_mktsegment"), "o_orderpriority",
-        cNum = 1L, cDen = 3L, l = 3)
-    }),
-
-    // Feature engineering: leave-one-out + prior-smoothed target
-    // encoding of order priority against order value — per-row integer
-    // codes (the leakage-safe categorical transform), rolled up to
-    // per-category checksums so the gate output stays bounded.
-    "q298_target_encode" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-        .where(col("o_totalprice").isNotNull)
-        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
-      operators.TargetEncode.looMeanE6(o, "o_orderpriority", "cents",
-          priorWeight = 20L)
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("loo_e6") % 1000003L).as("loo_check"),
-          min(col("loo_e6")).as("loo_min"),
-          max(col("loo_e6")).as("loo_max"),
-          sum(col("smooth_e6") % 1000003L).as("smooth_check"))
-    }),
-
-    // Trend monitoring: Mann–Kendall over per-type daily revenue — the
-    // nonparametric drift gate (S statistic, tie-corrected variance,
-    // sqrt-free significance) on the calendar-bounded grid.
-    "q299_mann_kendall" -> ((s, dir) => {
-      val daily = ev(s, dir).where(col("value").isNotNull)
-        .groupBy(col("event_type"),
-          expr("ts_ms div 86400000").as("day"))
-        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
-      operators.Drift.mannKendall(daily, "event_type", "day", "cents")
-    }),
-
-    // Experimentation: Benjamini–Hochberg FDR control over 25 per-slice
-    // chi² tests (a planted effect in slices 0–5 where user parity
-    // gates extra clicks) — exact integer chi² e6, the literal df=1
-    // threshold ladder, and the step-up cutoff as a one-row max.
-    "q300_bh_fdr" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val e = t(s, dir, "events")
-        .where(col("user_id").isNotNull && col("event_type").isNotNull)
-        .withColumn("slice", col("user_id") % 25)
-        .withColumn("v", (col("user_id") % 2).cast("int"))
-        .withColumn("y",
-          (col("event_type") === "purchase" ||
-            (col("slice") < 6 && col("user_id") % 6 === 1 &&
-              col("event_type") === "click")).cast("int"))
-      val cells = e.groupBy(col("slice")).agg(
-        sum(when(col("v") === 0 && col("y") === 1, 1L).otherwise(0L)).as("a"),
-        sum(when(col("v") === 0 && col("y") === 0, 1L).otherwise(0L)).as("b"),
-        sum(when(col("v") === 1 && col("y") === 1, 1L).otherwise(0L)).as("c"),
-        sum(when(col("v") === 1 && col("y") === 0, 1L).otherwise(0L)).as("dd"))
-      val chi = cells.withColumn("chi2_e6", expr(
-        """CASE WHEN (a+b)*(c+dd)*(a+c)*(b+dd) = 0 THEN 0
-          |ELSE CAST(CAST(a+b+c+dd AS DECIMAL(38,0))
-          |  * (CAST(a AS DECIMAL(38,0))*dd - CAST(b AS DECIMAL(38,0))*c)
-          |  * (CAST(a AS DECIMAL(38,0))*dd - CAST(b AS DECIMAL(38,0))*c)
-          |  * 1000000
-          |  div (CAST(a+b AS DECIMAL(38,0))*(c+dd)*(a+c)*(b+dd))
-          |  AS BIGINT) END""".stripMargin))
-      val thr = s.createDataFrame(
-        s.sparkContext.parallelize(q300Thresholds.map {
-          case (k, t) => org.apache.spark.sql.Row(k, t) }, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("k",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("thr_e6",
-            org.apache.spark.sql.types.LongType))))
-      val ranked = chi.withColumn("k",
-          row_number().over(Window.partitionBy(operators.Census.onePartKey(col("chi2_e6"))).orderBy(col("chi2_e6").desc,
-            col("slice"))).cast("long"))
-        .join(broadcast(thr), "k")
-      val kstar = ranked.agg(
-        max(when(col("chi2_e6") >= col("thr_e6"), col("k"))).as("kstar"))
-      ranked.crossJoin(broadcast(kstar))
-        .select(col("slice"), col("a"), col("b"), col("c"), col("dd"),
-          col("chi2_e6"), col("k"), col("thr_e6"),
-          (col("k") <= coalesce(col("kstar"), lit(0L))).as("discovered"))
-    }),
-
-    // Incremental JOIN-view maintenance: the materialized per-segment
-    // revenue view (orders ⋈ customer, aggregated) maintained under a
-    // CDC batch by DELTA-JOIN — only the changed orders (price updates
-    // on %31 keys as new−old retraction deltas, inserts on %40 keys)
-    // touch the broadcast dimension; the base table is never rescanned.
-    // The oracle is the FULL recompute over the post-batch state, so
-    // the gate is the IVM equivalence proof itself (q272's discipline,
-    // now for the join+agg view every BI layer materializes).
-    "q301_join_ivm" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      val c = t(s, dir, "customer")
-        .select(col("c_custkey"), col("c_mktsegment"))
-      val cents = round(col("o_totalprice") * 100).cast("long")
-      val v0 = o.join(c, col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n"), sum(cents).as("cents"))
-      val updates = o.where(col("o_orderkey") % 31 === 0)
-        .select(col("o_custkey"), lit(0L).as("dn"),
-          (round((col("o_totalprice") + 10) * 100).cast("long") - cents)
-            .as("dcents"))
-      val inserts = o.where(col("o_orderkey") % 40 === 0)
-        .select(col("o_custkey"), lit(1L).as("dn"), cents.as("dcents"))
-      val dAgg = updates.unionByName(inserts)
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_mktsegment"))
-        .agg(sum(col("dn")).as("dn"), sum(col("dcents")).as("dcents"))
-      v0.join(dAgg, Seq("c_mktsegment"), "full_outer")
-        .select(col("c_mktsegment"),
-          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
-            .as("n"),
-          (coalesce(col("cents"), lit(0L)) +
-            coalesce(col("dcents"), lit(0L))).as("cents"))
-    }),
-
-    // RAKE keyphrase extraction (Rose et al. 2010): candidate phrases =
-    // maximal non-stopword runs (1–4 words), word score = deg/freq over
-    // phrase co-membership, phrase score = Σ word scores — all integer
-    // (e6-truncated per word). One per-doc position window builds the
-    // islands; the word table (≤ vocabulary) broadcasts back onto the
-    // distinct phrases. Top 25 under a total order.
-    "q302_rake" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val toks = t(s, dir, "documents")
-        .where(length(trim(col("text"))) > 0)
-        .select(col("doc_id"),
-          posexplode(split(trim(col("text")), "\\s+")).as(Seq("i", "w")))
-      val isStop = col("w").isin(q302Stopwords: _*)
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      val phrases = toks
-        .withColumn("ph", sum(isStop.cast("long")).over(w))
-        .where(!isStop)
-        .groupBy(col("doc_id"), col("ph"))
-        .agg(expr("transform(array_sort(collect_list(struct(i, w))), x -> x.w)")
-          .as("ws"))
-        .where(size(col("ws")).between(1, 4))
-      val words = phrases
-        .select(explode(col("ws")).as("w"), size(col("ws")).as("len"))
-        .groupBy(col("w"))
-        .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
-        .withColumn("wscore_e6", expr("deg * 1000000L div freq"))
-      val phraseCounts = phrases
-        .groupBy(array_join(col("ws"), " ").as("phrase"))
-        .agg(count(lit(1)).as("n"))
-      val phraseScores = phrases
-        .select(array_join(col("ws"), " ").as("phrase"), col("ws")).distinct()
-        .select(col("phrase"), explode(col("ws")).as("w"))
-        .join(broadcast(words.select(col("w"), col("wscore_e6"))), "w")
-        .groupBy(col("phrase")).agg(sum(col("wscore_e6")).as("score_e6"))
-      phraseCounts.join(phraseScores, "phrase")
-        .orderBy(col("score_e6").desc, col("phrase")).limit(25)
-    }),
-
-    // Bounded-horizon betweenness centrality (Brandes 2001 with the two
-    // production truncations made explicit: source pivots per
-    // Brandes–Pich 2007 + the q180/q181 depth-horizon discipline) over
-    // the q85-thresholded co-supplier graph — the brokerage centrality
-    // completing degree/PageRank/HITS/k-core. Exact integer path counts
-    // forward; dependencies e6-scaled BEFORE the sum with truncating
-    // division backward, so the oracle unrolls all three BFS levels and
-    // both accumulation steps bit-exactly. GraphSpec pins the sequential
-    // integer-Brandes reference and horizon truncation.
-    "q332_betweenness" -> ((s, dir) => {
-      val und = coSupplierPairs(s, dir)
-        .where(col("l_suppkey") < col("dst_supp"))
-        .groupBy(col("l_suppkey"), col("dst_supp"))
-        .agg(count(lit(1)).as("w")).where(col("w") >= 5)
-        .select(col("l_suppkey"), col("dst_supp"))
-      val edges = und.unionByName(und.select(
-        col("dst_supp").as("l_suppkey"), col("l_suppkey").as("dst_supp")))
-      val seeds = edges.select(col("l_suppkey").as("id")).distinct()
-        .where(col("id") % 5 === 1)
-      operators.Graph.betweennessE6(edges, "l_suppkey", "dst_supp",
-        seeds, "id", maxDepth = 3)
-    }),
-
-    // Bradley–Terry preference-rating aggregation (Hunter 2004 MM) — the
-    // preference-data curation op: pairwise "wins" (here: the pricier
-    // supplier of each within-order supplier duel, ties to the lower
-    // key) fit to per-item strength ratings in e6 fixed point, 3
-    // synchronous integer rounds, max-renormalized — the oracle unrolls
-    // every round with `//`. PreferenceSpec pins ordering, the 50/50
-    // fixpoint, and partition invariance.
-    "q333_bradley_terry" -> ((s, dir) =>
-      btSupplierDuelsAndRatings(s, dir)._2),
-
-    // Effective sample size (Kish): how many unweighted rows each
-    // source's revenue-weighted lineitems are worth — ESS ≪ n flags
-    // weight collapse in importance-sampled data.
-    "q361_ess" -> ((s, dir) =>
-      decStr(operators.CorpusOps.effectiveSampleSize(
-        t(s, dir, "lineitem")
-          .select(col("l_returnflag"),
-            cents(col("l_extendedprice")).as("wt")),
-        "l_returnflag", "wt"))),
-
-    // Weighted discrete quantiles: quantity distribution per return
-    // flag, each row weighted by its revenue — the importance-weighted
-    // percentile importance-sampled corpora need; exact cum·100 ≥ W·p
-    // on DECIMAL(38,0).
-    "q360_weighted_quantiles" -> ((s, dir) =>
-      operators.CorpusOps.weightedDiscQuantiles(
-        t(s, dir, "lineitem")
-          .select(col("l_returnflag"),
-            round(col("l_quantity")).cast("long").as("qty"),
-            cents(col("l_extendedprice")).as("wt")),
-        "l_returnflag", "qty", "wt", Seq(25, 50, 75, 95))),
-
-    // Mutual information between two categoricals (multi-class feature
-    // selection — q329 WoE/IV's generalization): census-grain pass,
-    // pinned-ln per-cell log-ratios rounded BEFORE the weighted sum.
-    "q357_mutual_info" -> ((s, dir) =>
-      decStr(operators.Profile.mutualInformationE6(
-        t(s, dir, "documents"), col("lang"), col("source")))),
-
-    // r×c chi-square + Cramér's V in EXACT integers (no logs, no
-    // doubles): per-cell truncating div, corrected isqrt for V.
-    "q358_cramers_v" -> ((s, dir) =>
-      operators.Profile.chiSquareCramersV(
-        t(s, dir, "lineitem"), col("l_returnflag"), col("l_linestatus"))),
-
-    // Length-bias audit for preference data (the RLHF confound check):
-    // pair consecutive docs per source, score with the q16 quality
-    // stack, and measure P(longer wins) per length-gap bucket with the
-    // exact-integer Wilson lower bound — quality/length ties excluded.
-    "q355_length_bias" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("doc_id"))
-      val d = t(s, dir, "documents")
-        .select(col("source"), col("doc_id"), col("n_chars"),
-          functions.TextFunctions.qualityScore(col("text")).as("q"))
-        .withColumn("rn", row_number().over(w))
-      val p1 = d.where(col("rn") % 2 === 1)
-        .select(col("source"), expr("(rn + 1) div 2").as("pr"),
-          col("n_chars").as("len1"), col("q").as("q1"))
-      val p2 = d.where(col("rn") % 2 === 0)
-        .select(col("source"), expr("(rn + 1) div 2").as("pr"),
-          col("n_chars").as("len2"), col("q").as("q2"))
-      val pa = p1.join(p2, Seq("source", "pr"))
-        .where(col("q1") =!= col("q2") && col("len1") =!= col("len2"))
-        .select(least(expr("abs(len1 - len2) div 100"), lit(5L)).as("bk"),
-          ((col("len1") > col("len2")) === (col("q1") > col("q2")))
-            .as("s"))
-      operators.EvalCurves.wilsonLowerBoundE6(pa, col("bk"), col("s"))
-        .select(col("item").as("bucket"), col("wins"), col("trials"),
-          col("wilson_lb_e6"))
-    }),
-
-    // Zipf-law slope of the corpus rank–frequency head (top-1000 by
-    // (count DESC, word)): exact integer OLS of ln-freq on ln-rank —
-    // the one-number vocabulary-health summary next to q115's
-    // spectrum; natural text sits near −1.
-    "q379_zipf_slope" -> ((s, dir) =>
-      decStr(operators.CorpusOps.zipfSlopeE6(t(s, dir, "documents"),
-        "doc_id", "text", topK = 1000))),
-
-    // Lead–lag cross-correlation between the daily view and purchase
-    // revenue series (lags 0–7): exact Pearson pieces per lag + the
-    // pinned two-root e6 correlation — "do purchases follow views,
-    // and by how many days".
-    "q380_lead_lag" -> ((s, dir) => {
-      val daily = ev(s, dir).where(col("value").isNotNull)
-        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
-        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
-      decStr(operators.Trend.crossCorrE6(
-        daily.where(col("event_type") === "view"), col("day"),
-        col("cents"),
-        daily.where(col("event_type") === "purchase"), col("day"),
-        col("cents"), maxLag = 7))
-    }),
-
-    // Survey raking / IPF (Deming–Stephan): the acctbal>0 "responder"
-    // sample re-weighted so its nation and market-segment margins match
-    // the FULL customer population — 3 pinned rows-then-columns rounds
-    // on the (nation × segment) cell census, e6 integer weights. The
-    // oracle unrolls all six scaling steps in HUGEINT.
-    "q381_raking" -> ((s, dir) => {
-      val c = t(s, dir, "customer")
-      val sample = c.where(col("c_acctbal") > 0.0)
-      val rowT = c.groupBy(col("c_nationkey").cast("long").as("rk"))
-        .agg(count(lit(1)).as("rt"))
-      val colT = c.groupBy(col("c_mktsegment").as("ck"))
-        .agg(count(lit(1)).as("ctg"))
-      operators.Raking.rakeE6(sample,
-          col("c_nationkey").cast("long"), col("c_mktsegment"),
-          rowT, colT, rounds = 3)
-        .select(col("rk").as("nation"), col("ck").as("segment"),
-          col("n"), col("w_e6"))
-    }),
-
-    // Vocabulary richness per source: frequency-of-frequencies → the
-    // bias-corrected Chao1 richness lower bound plus the Good–Turing
-    // unseen-mass / Turing-coverage estimates — "is another crawl of
-    // this source going to surface new vocabulary".
-    "q382_chao_richness" -> ((s, dir) =>
-      operators.Richness.richnessProfileE6(
-        t(s, dir, "documents").select(col("source"),
-          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
-          .where(length(col("w")) > 0),
-        col("source"), col("w"))
-        .select(col("g").as("source"), col("n_tokens"), col("d_types"),
-          col("f1"), col("f2"), col("chao1_e6"), col("gt_unseen_ppm"),
-          col("coverage_ppm"))),
-
-    // AMS tug-of-war F2 sketch vs exact self-join size of lineitem on
-    // partkey: 5×16 sign-sum estimators in ONE map-side-combined pass
-    // (80 codegen'd sums), median-of-means, and the err_ppm audit
-    // against the exact key census — the join-size/skew early warning.
-    "q383_ams_f2" -> ((s, dir) => {
-      functions.PolyHash64.register(s)
-      decStr(operators.AmsSketch.f2AuditE6(t(s, dir, "lineitem"),
-        col("l_partkey"), groups = 5, reps = 16))
-    }),
-
-    // Interpolated Kneser–Ney bigram table (top 25 bigrams by count):
-    // absolute discount D=0.75 + continuation-count backoff, exact e6
-    // integers — the smoothing a count-based LM ships instead of
-    // q100's add-one.
-    "q384_kneser_ney" -> ((s, dir) =>
-      operators.NgramLm.kneserNeyTopE6(t(s, dir, "documents"),
-        "doc_id", "text", discountE6 = 750000L, topK = 25)),
-
-    // Aalen–Johansen cumulative incidence under competing risks:
-    // per user, first purchase (cause 1) vs first error (cause 2)
-    // after the first view, hour grain, censored at the stream end —
-    // the coherent split of 1−KM that per-cause KM overstates. The
-    // truncating product recurrence folds driver-side over the guarded
-    // time census; the oracle replays it as a recursive CTE.
-    "q385_competing_risks" -> ((s, dir) => {
-      // ties purchase-first (pinned): cause 1 iff p_ts ≤ e_ts
-      val subj = survivalSubjects(s, dir)
-        .select(
-          expr("""CASE
-                | WHEN p_ts IS NOT NULL AND (e_ts IS NULL OR p_ts <= e_ts)
-                |  THEN (p_ts - v_ts) div 3600000
-                | WHEN e_ts IS NOT NULL THEN (e_ts - v_ts) div 3600000
-                | ELSE (end_ts - v_ts) div 3600000 END""".stripMargin)
-            .as("dur_h"),
-          expr("""CASE
-                | WHEN p_ts IS NOT NULL AND (e_ts IS NULL OR p_ts <= e_ts)
-                |  THEN 1
-                | WHEN e_ts IS NOT NULL THEN 2
-                | ELSE 0 END""".stripMargin).as("cause"))
-      operators.Survival.competingRisks(subj, col("dur_h"), col("cause"))
-    }),
-
-    // Rich-club profile of the q85 thresholded co-supplier graph:
-    // density among nodes with degree > k for k ∈ {2,4,8,16,32} — do
-    // the hub suppliers form a club, the density-profile companion to
-    // q203's assortativity correlation.
-    "q386_rich_club" -> ((s, dir) => {
-      val pairs = coSupplierPairs(s, dir)
-        .where(col("l_suppkey") < col("dst_supp"))
-        .groupBy(col("l_suppkey"), col("dst_supp"))
-        .agg(count(lit(1)).as("w")).where(col("w") >= 5)
-        .select(col("l_suppkey"), col("dst_supp"))
-      operators.Graph.richClubE6(pairs, "l_suppkey", "dst_supp",
-        ks = Seq(2, 4, 8, 16, 32))
-    }),
-
-    // Theil-T revenue inequality across customers, decomposed by
-    // nation: per-nation within index + between term (additively
-    // exact, unlike Gini) — "is revenue inequality across nations or
-    // within them".
-    "q387_theil_index" -> ((s, dir) => {
-      val rev = t(s, dir, "orders")
-        .groupBy(col("o_custkey"))
-        .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
-      val cust = t(s, dir, "customer")
-        .select(col("c_custkey"), col("c_nationkey").cast("long")
-          .as("nation"))
-      operators.Inequality.theilDecompositionE6(
-        rev.join(cust, col("o_custkey") === col("c_custkey")),
-        col("nation"), col("rev_cents"))
-        .withColumnRenamed("g", "nation")
-    }),
-
-    // Fano-factor / negative-binomial dispersion audit of the hourly
-    // event-type streams (zero hours gap-filled over the global span):
-    // Poisson ⇒ Fano = 1; the NB MoM (r, p) describes the burstiness
-    // the alerting thresholds must absorb.
-    "q388_dispersion" -> ((s, dir) => {
-      val e = ev(s, dir).select(col("event_type"),
-        expr("ts_ms div 3600000").as("h"))
-      val span = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-      val hours = span.select(explode(sequence(col("h0"), col("h1")))
-        .as("h"))
-      val grid = e.select(col("event_type")).distinct()
-        .crossJoin(broadcast(hours))
-      val cnt = e.groupBy(col("event_type"), col("h"))
-        .agg(count(lit(1)).as("c"))
-      val full = grid.join(cnt, Seq("event_type", "h"), "left")
-        .select(col("event_type"), coalesce(col("c"), lit(0L)).as("c"))
-      decStr(operators.Dispersion.fanoNbE6(full, Seq("event_type"),
-        col("c")))
-    }),
-
-    // Chapman capture–recapture: estimate the part-catalog size from
-    // two bimonthly shipment snapshots (Jan–Feb vs Mar–Apr 1996) and
-    // audit against the true part count — the crawl-frontier-size
-    // estimate next to q382's vocabulary bound.
-    "q389_capture_recapture" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      def snap(m0: Int, m1: Int) = li
-        .where(year(col("l_shipdate")) === 1996 &&
-          month(col("l_shipdate")).between(m0, m1))
-        .select(col("l_partkey"))
-      val truth = t(s, dir, "part")
-        .agg(count(lit(1)).cast("long").as("truth"))
-      operators.Richness.chapmanE6(snap(1, 2), snap(3, 4), Some(truth))
-    }),
-
-    // Wald–Wolfowitz runs test on the daily revenue series per return
-    // flag: are above-mean days clustered (regimes) or alternating —
-    // the model-free serial-randomness screen next to q251's ACF.
-    "q390_runs_test" -> ((s, dir) => {
-      val daily = t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"),
-          expr("unix_millis(CAST(l_shipdate AS TIMESTAMP)) div 86400000")
-            .as("day"))
-        .agg(sum(cents(col("l_extendedprice"))).as("day_cents"))
-      decStr(operators.Trend.runsTestE3(daily, Seq("l_returnflag"),
-        col("day"), col("day_cents")))
-    }),
-
-    // Székely energy distance between the F- and O-status order-value
-    // distributions (dollar grid): the binning-free two-sample test
-    // that sees location+scale+shape at once, via the sorted-census
-    // prefix trick — never a pairwise join.
-    "q391_energy_distance" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-        .where(col("o_orderstatus").isin("F", "O"))
-        .withColumn("__c", cents(col("o_totalprice")))
-        .select(expr("__c div 100").as("v"),
-          (col("o_orderstatus") === "O").as("b"))
-      operators.EnergyDistance.energyE6(o, col("v"), col("b"))
-    }),
-
-    // Hill tail-index of the per-customer revenue distribution
-    // (k = 100): how heavy is the whale tail — the order-statistics
-    // companion to q379's Zipf HEAD slope.
-    "q392_hill_tail" -> ((s, dir) => {
-      val rev = t(s, dir, "orders")
-        .groupBy(col("o_custkey"))
-        .agg(sum(cents(col("o_totalprice"))).as("x"))
-      operators.Inequality.hillTailE6(rev, col("x"), col("o_custkey"),
-        k = 100)
-    }),
-
-    // Cronbach's alpha of a 3-item "order-line value scale" (scaled
-    // quantity, gross price, net price) per return flag — do the items
-    // cohere as one construct; the eval-harness scale-reliability
-    // number beside the rater-agreement family.
-    "q393_cronbach_alpha" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .withColumn("__c1", cents(col("l_extendedprice")))
-        .withColumn("__c2",
-          cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-      operators.Reliability.cronbachAlphaE6(li, Seq("l_returnflag"),
-        Seq(round(col("l_quantity")).cast("long") * lit(100L),
-          expr("__c1 div 1000"), expr("__c2 div 1000")))
-    }),
-
-    // Kendall's W: do the three heuristic "raters" (quantity,
-    // discount, tax) rank the same order-lines concordantly —
-    // tie-corrected, doubled-midrank exact; the RANKING-agreement
-    // sibling of the κ/α label-agreement family.
-    "q394_kendalls_w" -> ((s, dir) =>
-      decStr(operators.RankStats.kendallsWE6(t(s, dir, "lineitem"),
-        Seq(round(col("l_quantity")).cast("long"),
-          round(col("l_discount") * 100).cast("long"),
-          round(col("l_tax") * 100).cast("long"))))),
-
-    // Newey–West long-run variance components of the daily revenue
-    // series (Bartlett kernel, L = 5): the autocorrelation-robust
-    // error bar for time-sliced readouts, lag structure emitted
-    // per-row like q380.
-    "q395_newey_west" -> ((s, dir) => {
-      val daily = t(s, dir, "lineitem")
-        .groupBy(expr(
-          "unix_millis(CAST(l_shipdate AS TIMESTAMP)) div 86400000")
-          .as("day"))
-        .agg(sum(cents(col("l_extendedprice"))).as("day_cents"))
-      decStr(operators.Trend.neweyWestE12(daily, col("day"),
-        col("day_cents"), maxLag = 5))
-    }),
-
-    // Pivot-sampled harmonic closeness over the q85 thresholded
-    // co-supplier graph (8 lowest-id pivots, 6-hop horizon): which
-    // suppliers sit nearest the network core — the per-node
-    // centrality beside q332's betweenness.
-    "q396_closeness" -> ((s, dir) => {
-      val pairs = coSupplierPairs(s, dir)
-        .where(col("l_suppkey") < col("dst_supp"))
-        .groupBy(col("l_suppkey"), col("dst_supp"))
-        .agg(count(lit(1)).as("w")).where(col("w") >= 5)
-        .select(col("l_suppkey"), col("dst_supp"))
-      val piv = pairs.select(col("l_suppkey").as("id"))
-        .unionByName(pairs.select(col("dst_supp").as("id")))
-        .distinct().orderBy(col("id")).limit(8)
-      operators.Graph.harmonicClosenessE6(pairs, "l_suppkey",
-        "dst_supp", piv, "id", maxHops = 6)
-    }),
-
-    // Calinski–Harabasz variance-ratio criterion on the embedding
-    // labels — the third leg of the q369/q370 cluster-quality triad,
-    // same shifted-e3 grid and truncated-mean centroids.
-    "q397_calinski_harabasz" -> ((s, dir) =>
-      decStr(Similarity.calinskiHarabaszE6(t(s, dir, "embeddings"),
-        "vec_id", "embedding", "label"))),
-
-    // Adjusted Rand Index between the language and source partitions
-    // of the document corpus: does provenance carve the corpus the
-    // same way language does — chance-corrected, label names
-    // irrelevant; the PARTITION-agreement member of the κ/α family.
-    "q398_adjusted_rand" -> ((s, dir) =>
-      decStr(operators.PartitionCompare.adjustedRandE6(
-        t(s, dir, "documents"), col("lang"), col("source")))),
-
-    // Log-log price elasticity of demand per part brand: exact OLS
-    // sufficient statistics over e3-integerized ln(price), ln(qty)
-    // (pinned-double ln, q100 rule), quadratic forms in DECIMAL —
-    // the econ readout a pricing pipeline fits nightly.
-    "q399_price_elasticity" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_partkey"),
-          round(col("l_quantity")).cast("long").as("qty"))
-      val pt = t(s, dir, "part")
-        .select(col("p_partkey"), col("p_brand"),
-          cents(col("p_retailprice")).as("pc"))
-      val j = li.join(pt, col("l_partkey") === col("p_partkey"))
-        .select(col("p_brand"),
-          expr("CAST(round(ln(CAST(pc AS DOUBLE)) * 1000.0) AS BIGINT)")
-            .as("x"),
-          expr("CAST(round(ln(CAST(qty AS DOUBLE)) * 1000.0) AS BIGINT)")
-            .as("y"))
-      decStr(j.groupBy(col("p_brand"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
-          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("__sxy"),
-          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("__sxx"))
-        .withColumn("slope_num",
-          expr("n * __sxy - CAST(sum_x AS DECIMAL(38,0)) * sum_y"))
-        .withColumn("slope_den",
-          expr("n * __sxx - CAST(sum_x AS DECIMAL(38,0)) * sum_x"))
-        .select(col("p_brand"), col("n"), col("sum_x"), col("sum_y"),
-          col("slope_num"), col("slope_den"),
-          when(col("slope_den") > 0L,
-            expr("CAST(slope_num * 1000000 div slope_den AS BIGINT)"))
-            .as("elasticity_e6")))
-    }),
-
-    // Trend/seasonal strength (tsfeatures F_T/F_S) of the daily
-    // revenue series per return flag over the q231 classical
-    // decomposition — "is there actually a trend / weekly cycle".
-    "q400_seasonal_strength" -> ((s, dir) => {
-      val daily = t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"), expr(
-          "unix_millis(CAST(l_shipdate AS TIMESTAMP)) div 86400000")
-          .as("day"))
-        .agg(sum(cents(col("l_extendedprice"))).as("cents"))
-      operators.Trend.seasonalStrengthE6(
-        operators.Trend.classicalDecompose(daily, Seq("l_returnflag"),
-          col("day"), col("cents"), m = 7),
-        Seq("l_returnflag"))
-    }),
-
-    // MMR diversified re-ranking (λ=0.7) of the exact top-10 pool for
-    // query vec 0: relevant-but-not-redundant selection between ANN
-    // recall and the context window; greedy phase on the bounded pool,
-    // every pick's components emitted.
-    "q401_mmr_rerank" -> ((s, dir) =>
-      Similarity.mmrRerankE6(t(s, dir, "embeddings"), "vec_id",
-        "embedding", queryId = 0L, poolK = 10, selectK = 5)),
-
-    // DerSimonian–Laird meta-analysis of the per-nation discount
-    // effect on quantity (Welch mean-difference effects + variances
-    // per stratum): fixed effect, Cochran's Q, the DL τ², and the
-    // random-effects pooled estimate — "combine the per-segment
-    // readouts into one number, heterogeneity-honest".
-    "q402_meta_analysis" -> ((s, dir) => {
-      val sup = t(s, dir, "supplier")
-        .select(col("s_suppkey"), col("s_nationkey").cast("long")
-          .as("nat"))
-      val li = t(s, dir, "lineitem")
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .select(col("nat"), (col("l_discount") > 0.05).as("tr"),
-          round(col("l_quantity")).cast("long").as("y"))
-      val dz = expr("CAST(0 AS DECIMAL(38,0))")
-      val arms = li.groupBy(col("nat"))
-        .agg(sum(when(col("tr"), 1L).otherwise(0L)).as("nt"),
-          sum(when(col("tr"), col("y")).otherwise(0L)).as("st"),
-          sum(when(col("tr"), expr("CAST(y AS DECIMAL(38,0)) * y"))
-            .otherwise(dz)).as("qt"),
-          sum(when(!col("tr"), 1L).otherwise(0L)).as("nc"),
-          sum(when(!col("tr"), col("y")).otherwise(0L)).as("sc"),
-          sum(when(!col("tr"), expr("CAST(y AS DECIMAL(38,0)) * y"))
-            .otherwise(dz)).as("qc"))
-        .where(col("nt") > 1L && col("nc") > 1L)
-        .withColumn("d_e6",
-          expr("st * 1000000 div nt - sc * 1000000 div nc"))
-        .withColumn("v_e12", expr(
-          """CAST((nt * qt - CAST(st AS DECIMAL(38,0)) * st)
-            | * 1000000000000
-            | div (CAST(nt AS DECIMAL(38,0)) * nt * (nt - 1)) AS BIGINT)
-            |+ CAST((nc * qc - CAST(sc AS DECIMAL(38,0)) * sc)
-            | * 1000000000000
-            | div (CAST(nc AS DECIMAL(38,0)) * nc * (nc - 1)) AS BIGINT)"""
-            .stripMargin))
-      operators.MetaAnalysis.derSimonianLairdE6(arms, col("d_e6"),
-        col("v_e12"))
-    }),
-
-    // Youden-J optimal threshold for "discount level predicts return"
-    // — the full ROC-census cut table with the J-maximizing threshold
-    // marked; the "where do we actually cut" companion to the AUC.
-    "q403_youden" -> ((s, dir) =>
-      operators.EvalCurves.youdenTableE6(t(s, dir, "lineitem"),
-        round(col("l_discount") * 100).cast("long"),
-        col("l_returnflag") === "R")),
-
-    // Luhn extractive summarization (simplified density form): each
-    // document's most significant-word-dense sentence, significance =
-    // the mid-band of the corpus frequency spectrum — the cheap
-    // self-summary a curation pipeline attaches to every doc.
-    "q404_luhn_summary" -> ((s, dir) =>
-      operators.Summarize.luhnBest(t(s, dir, "documents"), "doc_id",
-        "text", minFreq = 10L, maxFreq = 1000L)),
-
-    // Win ratio (Pocock) for the hierarchical composite endpoint
-    // (primary: returned; secondary: quantity) between discounted and
-    // undiscounted order-lines — pairwise preference counts from
-    // censuses, never materialized pairs.
-    "q405_win_ratio" -> ((s, dir) =>
-      decStr(operators.Preference.winRatioE6(t(s, dir, "lineitem"),
-        col("l_discount") > 0.05, col("l_returnflag") === "R",
-        round(col("l_quantity")).cast("long")))),
-
-    // Cox score test at β = 0 over the q319 view→purchase survival
-    // frame with an integer user-tier covariate (user_id mod 5): does
-    // the tier SHIFT the conversion hazard — the log-rank trend test,
-    // covariate-valued.
-    "q406_cox_score" -> ((s, dir) =>
-      decStr(operators.Survival.coxScoreTest(
-        survivalDurObs(survivalSubjects(s, dir), col("user_id")),
-        col("dur_h"), col("obs"), pmod(col("user_id"), lit(5L))))),
-
-    // Gehan–Wilcoxon weighted log-rank on the same frame/groups as
-    // q319: risk-set-size weights make EARLY curve separation count
-    // for more — the companion readout when hazards cross late.
-    "q407_gehan_wilcoxon" -> ((s, dir) =>
-      decStr(operators.Survival.gehanWilcoxon(
-        survivalDurObs(survivalSubjects(s, dir), col("user_id")),
-        col("dur_h"), col("obs"), col("user_id") % 2 === 0))),
-
-    // Restricted mean survival time to τ = 168 h (one week) on the
-    // q214 frame: average conversion-free hours in the first week —
-    // the robust effect measure when proportional hazards fail; the
-    // KM product folds driver-side over the guarded hour census, the
-    // oracle replays it as a recursive CTE.
-    "q408_rmst" -> ((s, dir) =>
-      operators.Survival.restrictedMeanSurvival(
-        survivalDurObs(survivalSubjects(s, dir)), col("dur_h"),
-        col("obs"), tau = 168L)),
-
-    // Fleiss' kappa over the supplier-vote frame: orders with ≥3
-    // supplier "raters" keep their 3 lowest-id raters (complete
-    // design, pinned), each voting its min return flag on the order —
-    // the fixed-m agreement number between Cohen's κ and
-    // Krippendorff's α.
-    "q409_fleiss_kappa" -> ((s, dir) => {
-      val votes = t(s, dir, "lineitem")
-        .groupBy(col("l_orderkey"), col("l_suppkey"))
-        .agg(min(col("l_returnflag")).as("cat"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("l_orderkey")).orderBy(col("l_suppkey"))
-      val top3 = votes.withColumn("rk", row_number().over(w))
-        .where(col("rk") <= 3)
-      operators.Preference.fleissKappaE6(top3, col("l_orderkey"),
-        col("l_suppkey"), col("cat"), raters = 3)
-    }),
-
-    // Nominal assortativity of the co-supplier graph by nation: do
-    // suppliers co-appear within their nation more than chance — the
-    // categorical twin of q203, exact cleared-integer Newman r.
-    "q410_attr_assortativity" -> ((s, dir) => {
-      val pairs = coSupplierPairs(s, dir)
-        .where(col("l_suppkey") < col("dst_supp"))
-        .groupBy(col("l_suppkey"), col("dst_supp"))
-        .agg(count(lit(1)).as("w")).where(col("w") >= 5)
-        .select(col("l_suppkey"), col("dst_supp"))
-      decStr(operators.Graph.attributeAssortativityE6(pairs,
-        "l_suppkey", "dst_supp",
-        t(s, dir, "supplier").select(col("s_suppkey"),
-          col("s_nationkey").cast("long").as("nat")),
-        "s_suppkey", "nat"))
-    }),
-
-    // Kruskal–Wallis across the five order priorities on order value
-    // (dollar grid): do priorities differ in location — k-sample,
-    // rank-based, tie-corrected, never a global sort.
-    "q411_kruskal_wallis" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-        .withColumn("__c", cents(col("o_totalprice")))
-        .select(col("o_orderpriority"),
-          expr("__c div 100").as("dollars"))
-      decStr(operators.RankStats.kruskalWallisE6(o,
-        col("o_orderpriority"), col("dollars")))
-    }),
-
-    // Moran's I of supplier account balance over the q85 co-supplier
-    // graph: do connected suppliers carry similar balances — numeric
-    // graph autocorrelation beside q410's categorical mixing.
-    "q412_morans_i" -> ((s, dir) => {
-      val pairs = coSupplierPairs(s, dir)
-        .where(col("l_suppkey") < col("dst_supp"))
-        .groupBy(col("l_suppkey"), col("dst_supp"))
-        .agg(count(lit(1)).as("w")).where(col("w") >= 5)
-        .select(col("l_suppkey"), col("dst_supp"))
-      decStr(operators.Graph.moransIE6(pairs, "l_suppkey", "dst_supp",
-        t(s, dir, "supplier").select(col("s_suppkey"),
-          cents(col("s_acctbal")).as("bal")),
-        "s_suppkey", "bal"))
-    }),
-
-    // Empirical-Bayes beta-binomial smoothing of per-part return
-    // rates: MoM prior over the part census pulls thin-data rates
-    // toward the population — the CTR-smoothing recipe, exact.
-    "q413_eb_smoothing" -> ((s, dir) => {
-      val parts = t(s, dir, "lineitem")
-        .groupBy(col("l_partkey"))
-        .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
-          .as("x"), count(lit(1)).as("n"))
-      operators.EmpiricalBayes.betaBinomialSmooth(parts,
-        col("l_partkey"), col("x"), col("n"), topK = 10)
-    }),
-
-    // Burrows' Delta provenance attribution: each document's top-30
-    // function-word z-profile matched to the nearest SOURCE profile —
-    // the stylometric "which source does this style belong to" audit,
-    // with per-doc correctness against the actual source.
-    "q414_burrows_delta" -> ((s, dir) =>
-      operators.Stylometry.burrowsDeltaAttribution(
-        t(s, dir, "documents"), "doc_id", "text", "source",
-        topWords = 30)),
-
-    // Chatterjee's ξ of demand on price over the part census: the
-    // dependence coefficient that sees NON-monotone relationships
-    // Spearman/Kendall miss — x-order via GlobalRank (no single
-    // reducer), y-ranks from the value census, adjacency by equi join.
-    "q415_chatterjee_xi" -> ((s, dir) => {
-      val qty = t(s, dir, "lineitem")
-        .groupBy(col("l_partkey"))
-        .agg(sum(round(col("l_quantity")).cast("long")).as("y"))
-      val base = t(s, dir, "part")
-        .join(qty, col("p_partkey") === col("l_partkey"))
-        .select(cents(col("p_retailprice")).as("x"), col("y"),
-          col("p_partkey"))
-      operators.Dependence.chatterjeeXiE6(base, col("x"), col("y"),
-        col("p_partkey"))
-    }),
-
-    // Laspeyres / Paasche / Fisher price indices, 1995 → 1996, over
-    // the matched part basket (unit-value prices) — the index-number
-    // summary a marketplace publishes; Fisher via corrected isqrt.
-    "q416_price_index" -> ((s, dir) => {
-      def year(y: Int) = t(s, dir, "lineitem")
-        .where(org.apache.spark.sql.functions.year(
-          col("l_shipdate")) === y)
-        .withColumn("__vc", cents(col("l_extendedprice")))
-        .withColumn("__q", round(col("l_quantity")).cast("long"))
-      operators.PriceIndex.bilateralE6(year(1995), year(1996),
-        col("l_partkey"), col("__vc"), col("__q"))
-    }),
-
-    // Sample L-moments of order value (dollar grid): λ₁, λ₂, L-CV,
-    // L-skewness, L-kurtosis — the order-statistics shape summary,
-    // closed-form on the value census (never a row ranking).
-    "q417_l_moments" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-        .withColumn("__c", cents(col("o_totalprice")))
-        .select(expr("__c div 100").as("dollars"))
-      operators.LMoments.lMomentsE6(o, col("dollars"))
-    }),
-
-    // Cliff's δ of quantity between discounted and undiscounted
-    // lines: the ordinal EFFECT SIZE the q156 significance test
-    // doesn't report — census×census, never pairwise rows.
-    "q418_cliffs_delta" -> ((s, dir) =>
-      decStr(operators.OrdinalTests.cliffsDeltaE6(t(s, dir, "lineitem"),
-        col("l_discount") > 0.05, round(col("l_quantity")).cast("long")))),
-
-    // Jonckheere–Terpstra ordered-alternative test: does order value
-    // trend monotonically across the 1→5 priority ladder — the
-    // dose–response test Kruskal–Wallis can't focus.
-    "q419_jonckheere" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-        .withColumn("__c", cents(col("o_totalprice")))
-        .select(expr(
-          "CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("ord"),
-          expr("__c div 100").as("dollars"))
-      decStr(operators.OrdinalTests.jonckheereE3(o, col("ord"),
-        col("dollars")))
-    }),
-
-    // Mood's median test across order priorities: counts above/at-or-
-    // below the pooled lower median, exact cleared chi² — the blunt
-    // k-sample location screen.
-    "q420_moods_median" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-        .withColumn("__c", cents(col("o_totalprice")))
-        .select(col("o_orderpriority"), expr("__c div 100").as("dollars"))
-      operators.OrdinalTests.moodsMedianChi2E6(o,
-        col("o_orderpriority"), col("dollars"))
-    }),
-
-    // Little's-law audit over user activity spans: λ·W ≡ the exact
-    // interval-integral L by construction; the emitted residual is
-    // the gap to GRID-SAMPLED concurrency — does the hourly dashboard
-    // alias the workload.
-    "q421_littles_law" -> ((s, dir) =>
-      operators.Queueing.littlesLawAudit(ev(s, dir), col("user_id"),
-        col("ts_ms"))),
-
-    // Taylor's power law across parts: variance ≈ a·mean^b of
-    // quantities — the cross-group fluctuation-scaling exponent that
-    // completes the Zipf/Hill/Heaps power-law family.
-    "q422_taylors_law" -> ((s, dir) =>
-      decStr(operators.Dispersion.taylorsLawE6(t(s, dir, "lineitem"),
-        col("l_partkey"), round(col("l_quantity")).cast("long")))),
-
-    // Hurst exponent (R/S) of the daily revenue series at window
-    // sizes 8/16/32/64: long-range dependence — persistent trending
-    // vs memoryless — beside q251's single-scale ACF.
-    "q423_hurst" -> ((s, dir) => {
-      val daily = t(s, dir, "lineitem")
-        .groupBy(expr(
-          "unix_millis(CAST(l_shipdate AS TIMESTAMP)) div 86400000")
-          .as("day"))
-        .agg(sum(cents(col("l_extendedprice"))).as("cents"))
-      operators.Trend.hurstRsE6(daily, col("day"), col("cents"),
-        windows = Seq(8, 16, 32, 64))
-    }),
-
-    // DoReMi-shape mixture reweighting (Xie et al. 2023): per-source
-    // excess loss = KL(source unigram ‖ corpus unigram) in q374-pinned
-    // micro-nats, then 3 linearized multiplicative-weights rounds
-    // (η = 0.5) that boost hard/under-served sources — the data-mixture
-    // planner's OUTPUT table beside q374's similarity readout; rounds
-    // run on the |sources| frame, never tokens.
-    "q424_doremi_mixture" -> ((s, dir) =>
-      operators.Mixture.doremiWeightsE6(
-        t(s, dir, "documents").select(col("source"),
-          explode(split(trim(lower(col("text"))), "\\s+")).as("v")),
-        col("source"), col("v"), rounds = 3, etaE6 = 500000L)
-        .withColumnRenamed("domain", "source")),
-
-    // Exact KNN-Shapley data valuation (Jia et al. 2019) over the
-    // embedding pool: probe set = vec_id < 20 (the q20 convention),
-    // K = 5, exact closed-form rank recurrence in pinned e9 integers;
-    // top 25 most valuable training points — negative values flag
-    // harmful/mislabeled data, the curation signal a cleaning pass
-    // acts on.
-    "q425_knn_shapley" -> ((s, dir) =>
-      operators.Similarity.knnShapleyE9(t(s, dir, "embeddings"),
-        "vec_id", "embedding", "label", col("vec_id") < 20, k = 5,
-        topN = 25)),
-
-    // CCNet-shape perplexity filter (Wenzek et al. 2020): held-out docs
-    // scored by mean per-token cost under the train-split add-one
-    // unigram LM, fixed half-nat bands per source — the quality-cut
-    // histogram a filtering pass reads. Split strides WITHIN each
-    // source ((doc_id div 20) mod 5 — source is doc_id mod 20 in this
-    // corpus, so a bare mod split would hold out whole sources). Fixed
-    // bands, not CCNet's terciles: the output stays (source × band)
-    // census grain at any scale.
-    "q426_ppl_filter" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      operators.CorpusOps.pplFilterBands(
-        d.where(pmod(expr("doc_id div 20"), lit(5L)) < 4L),
-        d.where(pmod(expr("doc_id div 20"), lit(5L)) >= 4L),
-        "text", "doc_id", "source", bandNatsE6 = 500000L, maxBand = 20L)
-        .withColumnRenamed("group", "source")
-    }),
-
-    // Tokenizer fertility audit per source under the fixed q78 BPE
-    // merge list: tokens-per-word and chars-per-token in truncating e6
-    // — the data-card row that flags a source the vocab encodes poorly
-    // (high fertility = words shattering to near-characters).
-    "q427_bpe_fertility" -> ((s, dir) =>
-      operators.BpeTrainer.fertilityByGroup(t(s, dir, "documents"),
-        "text", "source", q78Merges)
-        .withColumnRenamed("group", "source")),
-
-    // Directly-follows conformance (van der Aalst process mining): the
-    // observed event-type DFG per user vs the DECLARED process model —
-    // per observed edge, traffic + legality + the source activity's
-    // conforming share; off-model edges with real mass are the
-    // production/process drift list. The q82 transition census with a
-    // broadcast literal model on top.
-    "q436_conformance" -> ((s, dir) =>
-      operators.ProcessMining.dfgConformanceE6(ev(s, dir),
-        col("user_id"), col("ts_ms"), col("event_id"), col("event_type"),
-        model = Seq(
-          ("view", "view"), ("view", "click"), ("view", "signup"),
-          ("click", "view"), ("click", "purchase"),
-          ("purchase", "view"), ("signup", "view")))),
-
-    // Chapman capture–recapture (bias-corrected Lincoln–Petersen):
-    // users "captured" in even vs odd weeks, the recapture overlap
-    // estimates the active population — with the true distinct count
-    // riding along as the audit column.
-    "q437_capture_recapture" -> ((s, dir) =>
-      operators.CaptureRecapture.chapmanAudit(ev(s, dir), col("user_id"),
-        expr("(ts_ms div 604800000) % 2 = 0"),
-        expr("(ts_ms div 604800000) % 2 = 1"))),
-
-    // Global transitivity + mean local clustering coefficient of the
-    // q85 thresholded co-supplier graph — the small-world/cohesion
-    // readout (3T/W and the Watts–Strogatz mean) beside q203/q204's
-    // assortativity and q386's rich club.
-    "q438_clustering_coeff" -> ((s, dir) => {
-      val pairs = coSupplierPairs(s, dir)
-        .where(col("l_suppkey") < col("dst_supp"))
-        .groupBy(col("l_suppkey"), col("dst_supp"))
-        .agg(count(lit(1)).as("w")).where(col("w") >= 5)
-        .select(col("l_suppkey"), col("dst_supp"))
-      operators.Graph.clusteringCoefficientE6(pairs, "l_suppkey",
-        "dst_supp")
-    }),
-
-    // Horvitz–Thompson audit under Poisson-PPS sampling: orders enter
-    // with π ∝ a COARSE size proxy (totalprice cents div 10000,
-    // expected m = 200 draws from PolyHash64 uniforms), the HT
-    // estimator reconstructs the exact revenue total and population
-    // count with the Poisson variance estimate — the "was the sampled
-    // dashboard design sound" readout beside q273's systematic PPS.
-    "q435_horvitz_thompson" -> ((s, dir) =>
-      operators.HorvitzThompson.poissonPpsAudit(
-        t(s, dir, "orders")
-          .withColumn("cents", cents(col("o_totalprice"))),
-        col("o_orderkey"),
-        greatest(lit(1L), expr("cents div 10000")), col("cents"),
-        expectedSample = 200L, salt = "ht1")),
-
-    // MinHash-LSH parameter planner: the (bands, rows) S-curve table
-    // for a 64-hash signature at threshold 0.6 — p at threshold and
-    // FP/FN grid areas, the knob-tuning readout consulted before any
-    // corpus-scale dedup run. Pure constants table, no data scan.
-    "q434_lsh_planner" -> ((s, dir) =>
-      operators.Dedup.lshPlannerE6(s, signatureSize = 64,
-        thresholdE6 = 600000L)),
-
-    // Wald SPRT trajectory (hour grain): is the purchase share of
-    // view+purchase traffic 10% (H0) or 15% (H1)? Cumulative Bernoulli
-    // LLR against Wald's α = β = 5% boundaries, every constant one
-    // pinned ln chain — the always-on early-stopping A/B monitor.
-    "q433_sprt" -> ((s, dir) =>
-      operators.Sequential.sprtTrajectoryE6(
-        ev(s, dir).where(col("event_type").isin("view", "purchase")),
-        expr("ts_ms div 3600000"), col("event_type") === "purchase",
-        p0E6 = 100000L, p1E6 = 150000L,
-        alphaE6 = 50000L, betaE6 = 50000L)),
-
-    // Central-DP noisy histogram via the geometric mechanism (discrete
-    // Laplace, ε = 1): per event type, count + symmetric-geometric
-    // noise from two PolyHash64 chains — deterministic, so the gate
-    // hash-verifies the mechanism itself; true count rides along as
-    // the audit column.
-    "q432_dp_counts" -> ((s, dir) =>
-      operators.Privacy.geometricNoisyCounts(ev(s, dir), "event_type",
-        salt = "dp1", epsilonE6 = 1000000L)),
-
-    // Split-conformal coverage audit (α = 1/10) — q260's guarantee on
-    // the CLASSIFICATION side: q260 calibrates ±q̂ intervals on scalar
-    // residuals (Conformal.splitConformal); this gate calibrates a
-    // per-label conformal quantile of shifted-e3 embedding-centroid
-    // distances (cal split vec_id % 5 < 4) and audits held-out
-    // coverage vs the ≥ 90% guarantee — the prediction-SET check.
-    "q431_conformal" -> ((s, dir) =>
-      operators.Similarity.conformalCoverageE6(t(s, dir, "embeddings"),
-        "vec_id", "embedding", "label", pmod(col("vec_id"), lit(5L)) < 4L,
-        alphaNum = 1L, alphaDen = 10L)),
-
-    // Retrieval eval — nDCG@10 + MRR per probe (the RAG-corpus
-    // acceptance metrics): graded relevance 2 = exact label match,
-    // 1 = coarse (label mod 5) match; per-term pinned DCG chains, the
-    // ideal ordering re-sorts what was retrieved (nDCG@k convention).
-    "q430_retrieval_eval" -> ((s, dir) =>
-      operators.Similarity.retrievalEvalE6(t(s, dir, "embeddings"),
-        "vec_id", "embedding", "label", col("vec_id") < 20, k = 10,
-        (q, c) => pmod(q, lit(5)) === pmod(c, lit(5)))),
-
-    // Confident-learning-style label-noise audit (Northcutt et al.
-    // 2021, KNN-agreement form) over the embedding pool: per point the
-    // k=5 nearest-neighbor label agreement + majority suggestion,
-    // collapsed to the (label, suggested) relabeling census —
-    // off-diagonal rows with many flags are systematic annotation
-    // confusions. Pool = vec_id < 200 (audit sample; the operator
-    // rejects corpus-grain pools loudly).
-    "q429_label_noise" -> ((s, dir) =>
-      operators.Similarity.labelNoiseKnn(t(s, dir, "embeddings"),
-        "vec_id", "embedding", "label", col("vec_id") < 200, k = 5)),
-
-    // Pivot-set eccentricity on the q85/q386 thresholded co-supplier
-    // graph (8 smallest nodes, exact BFS each, one pivot-tagged
-    // level-sync loop): max(ecc) is the standard diameter lower bound
-    // (Magnien et al. 2009) — "how many hops across the supplier
-    // network", the companion scale readout to q332's betweenness.
-    "q428_eccentricity" -> ((s, dir) => {
-      val und = coSupplierPairs(s, dir)
-        .where(col("l_suppkey") < col("dst_supp"))
-        .groupBy(col("l_suppkey"), col("dst_supp"))
-        .agg(count(lit(1)).as("w")).where(col("w") >= 5)
-      val pairs = und.select(col("l_suppkey").as("u"), col("dst_supp").as("v"))
-        .unionByName(und.select(col("dst_supp").as("u"),
-          col("l_suppkey").as("v")))
-      operators.Graph.eccentricityPivots(pairs, "u", "v",
-        nPivots = 8, maxHops = 16)
-    }),
-
-    // Winnowing fingerprint sharing (Schleimer et al. 2003 — MOSS's
-    // selection rule): word-3-gram Karp–Rabin+splitmix hashes, window-4
-    // minima with rightmost ties via ONE struct-min aggregate (no
-    // window function), then the shared-fingerprint pair report —
-    // the plagiarism/near-copy candidate list.
-    "q378_winnowing" -> ((s, dir) =>
-      operators.Dedup.winnowingSharedPairs(
-        operators.Dedup.winnowingFingerprints(t(s, dir, "documents"),
-          "doc_id", "text", k = 3, w = 4), minShared = 2L)),
-
-    // Deterministic Poisson bootstrap CI (Chamandy 2012 — the
-    // production one-pass bootstrap) for price-per-unit per return
-    // flag: 40 replicates via pinned Lehmer Poisson(1) weights, e6
-    // replicate ratios, order-statistic interval (ranks 2 and 39).
-    "q377_poisson_bootstrap" -> ((s, dir) =>
-      operators.PairedTests.poissonBootstrapRatioE6(
-        t(s, dir, "lineitem"), Seq("l_returnflag"),
-        col("l_orderkey") * 131L + col("l_linenumber") * 7L +
-          col("l_partkey"),
-        cents(col("l_extendedprice")),
-        round(col("l_quantity")).cast("long"), reps = 40)),
-
-    // Experiment power planner per segment: exact sample variance,
-    // required per-arm n for a 1%-of-mean lift (ceil division), and
-    // the minimum detectable effect at the CURRENT n (corrected
-    // isqrt) — pinned e3 z-scores (α 5% two-sided, 80% power).
-    "q376_power_mde" -> ((s, dir) =>
-      operators.PowerAnalysis.mdeSampleSize(t(s, dir, "lineitem"),
-        Seq("l_returnflag"), cents(col("l_extendedprice")))),
-
-    // Cochran's Q over THREE rule models on the same lineitems (the
-    // k-model generalization of q364's McNemar): one item-grain pass
-    // carries L_i and the completeness mask, the model census sits on
-    // top — "did any checkpoint actually behave differently".
-    "q373_cochran_q" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val truth = col("l_returnflag") === "R"
-      // row key: even (okey, linenumber, partkey, suppkey) collides
-      // once at sf0.001 — widen with the integerized measures; FULL
-      // rows are unique at every SF, so the key is the whole row.
-      // ONE scan: each row carries all three measures, so stack()
-      // emits the three (m, x) arms without re-reading lineitem
-      // (the 3-arm unionByName scanned the table 3× — r12 verdict).
-      val long = li.select(col("l_orderkey"), col("l_linenumber"),
-          col("l_partkey"), col("l_suppkey"),
-          cents(col("l_extendedprice")).as("pk_price"),
-          round(col("l_quantity") * 100).cast("long").as("pk_qty"),
-          round(col("l_discount") * 100).cast("long").as("pk_disc"),
-          round(col("l_tax") * 100).cast("long").as("pk_tax"),
-          ((col("l_quantity") > 25.0) === truth).as("x_qty"),
-          ((col("l_discount") > 0.05) === truth).as("x_disc"),
-          ((col("l_tax") > 0.04) === truth).as("x_tax"))
-        .selectExpr("l_orderkey", "l_linenumber", "l_partkey",
-          "l_suppkey", "pk_price", "pk_qty", "pk_disc", "pk_tax",
-          "stack(3, 'qty', x_qty, 'disc', x_disc, 'tax', x_tax) AS (m, x)")
-      // complete-block design holds STRUCTURALLY: all three verdicts
-      // come off one row, so the declared-complete fast path applies
-      decStr(operators.PairedTests.cochranQE6(long,
-        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
-          "pk_price", "pk_qty", "pk_disc", "pk_tax"),
-        col("m"), col("x"), assumeComplete = true))
-    }),
-
-    // Jensen–Shannon divergence of each source's unigram distribution
-    // against the pooled corpus (entropy form, q357-pinned per-cell
-    // micro-nat terms) — the source-similarity table a data-mixture
-    // plan reads: ≈ ln 2 is alien, ≈ 0 is redundant.
-    "q374_js_divergence" -> ((s, dir) => {
-      val toks = t(s, dir, "documents").select(col("source"),
-        explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
-      operators.Drift.jsDivergenceE6(toks, col("source"), col("w"))
-        .withColumnRenamed("group", "source")
-    }),
-
-    // OOV audit: vocabulary from the train split (doc_id % 10 < 8,
-    // count ≥ 2), token- and type-level out-of-vocabulary rates per
-    // source on the held-out docs — the coverage check run before
-    // freezing a tokenizer vocab.
-    "q375_oov_rate" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      operators.CorpusOps.oovRate(
-        d.where(pmod(col("doc_id"), lit(10L)) < 8L),
-        d.where(pmod(col("doc_id"), lit(10L)) >= 8L),
-        "text", "source", minCount = 2L)
-        .withColumnRenamed("group", "source")
-    }),
-
-    // Flesch / Flesch–Kincaid readability per source — the prose-
-    // difficulty index every corpus data card reports, exact e3
-    // integers under pinned counting rules (vowel-group syllables,
-    // [.!?]+ sentence runs, min-1 clamps); one scan, the token work
-    // stays inside each row's array (no token-grain shuffle).
-    "q371_readability" -> ((s, dir) =>
-      operators.Readability.fleschKincaid(t(s, dir, "documents"),
-        col("text"), Seq("source"))),
-
-    // Windowed PPMI co-occurrence (the skip-gram statistic SGNS
-    // factorizes — Levy & Goldberg 2014): directed (word, context)
-    // pairs at offsets 1–2 built inside each token array, PMI by the
-    // q125-pinned three-ln chain, clamped at 0, min-count 5, top-30
-    // with a total order.
-    "q372_ppmi_window" -> ((s, dir) =>
-      operators.TextRank.ppmiWindow(t(s, dir, "documents"),
-        "doc_id", "text", minCount = 5L, topK = 30)),
-
-    // Simplified (centroid-based) silhouette per embedding label — the
-    // O(n·k) clustering-quality audit on the q137 shifted-e3 grid:
-    // a = d² to own centroid, b = min d² to a foreign one,
-    // s·1e6 = (b−a)·1e6 div max(a,b); per label the census plus the
-    // misplaced-point count (the actionable list).
-    "q369_silhouette" -> ((s, dir) =>
-      decStr(Similarity.silhouetteSimplifiedE6(t(s, dir, "embeddings"),
-        "vec_id", "embedding", "label"))),
-
-    // Davies–Bouldin terms per label on the same grid: within-cluster
-    // squared scatter, worst-peer ratio max_j (S_i+S_j)·1e6 div m²_ij,
-    // coincident-centroid pairs counted loudly instead of imputed.
-    "q370_davies_bouldin" -> ((s, dir) =>
-      Similarity.daviesBouldinE6(t(s, dir, "embeddings"),
-        "vec_id", "embedding", "label")),
-
-    // Conductance of the nation partition over the co-supplier graph:
-    // per nation, cut / min(vol, 2m − vol) in exact integers — the
-    // boundary-leakage readout modularity (q86) can't see. The
-    // partition is DECLARED (supplier → nation), so the oracle needs no
-    // iterative replay.
-    "q367_conductance" -> ((s, dir) =>
-      operators.Graph.conductanceParts(coSupplierPairs(s, dir),
-        "l_suppkey", "dst_supp",
-        t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
-        "s_suppkey", "s_nationkey")),
-
-    // Transcript/dialog structural QA over the events stream read as
-    // chat sessions (user_id = session, click/view/signup = user
-    // turns, purchase/error = assistant turns): per session the turn
-    // counts, first/last role, alternation violations, longest
-    // same-role run, and inter-turn gap totals — the validation pass
-    // SFT data runs before a conversation enters the training mix.
-    "q368_transcript_audit" -> ((s, dir) => {
-      val ev = t(s, dir, "events").select(col("user_id"),
-        unix_millis(col("ts").cast("timestamp")).as("ts_ms"),
-        col("event_id"),
-        when(col("event_type").isin("click", "view", "signup"), "user")
-          .otherwise("assistant").as("role"))
-      operators.DialogQa.transcriptAudit(ev, col("user_id"),
-        col("ts_ms"), col("role"), col("event_id"))
-    }),
-
-    // McNemar's paired-model test per supplier nation: two rule models
-    // predict returns on the SAME lineitems (A: quantity > 25, B:
-    // discount > 0.05), truth = l_returnflag = 'R'; per nation the
-    // paired 2×2 and the continuity-corrected statistic on the
-    // discordant cells — the "is B actually better on the same items"
-    // gate an eval harness runs before promoting a checkpoint.
-    "q364_mcnemar" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val sup = t(s, dir, "supplier")
-        .select(col("s_suppkey"), col("s_nationkey").as("nation"))
-      val j = li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .select(col("nation"),
-          ((col("l_quantity") > 25.0) === (col("l_returnflag") === "R"))
-            .as("ca"),
-          ((col("l_discount") > 0.05) === (col("l_returnflag") === "R"))
-            .as("cb"))
-      operators.PairedTests.mcnemarE6(j, Seq("nation"), col("ca"),
-        col("cb"))
-    }),
-
-    // Mantel–Haenszel common odds ratio + continuity-corrected CMH
-    // statistic, stratified by ship month: treated = discount > 0.05,
-    // outcome = returned — the stratified A/B readout when assignment
-    // is confounded with a blocking factor (here: seasonality).
-    "q365_mantel_haenszel" -> ((s, dir) =>
-      decStr(operators.PairedTests.mantelHaenszelE6(
-        t(s, dir, "lineitem").withColumn("st",
-          expr("CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)")),
-        Seq("st"), col("l_discount") > 0.05,
-        col("l_returnflag") === "R"))),
-
-    // Delete-one-bucket jackknife for a ratio metric (price cents per
-    // unit quantity) per return flag, 32 order-hash buckets — the
-    // production error bar for ratio metrics, where the delta method
-    // is the approximation and the bucket jackknife is what ships.
-    "q366_jackknife_ratio" -> ((s, dir) =>
-      decStr(operators.PairedTests.jackknifeRatioE6(
-        t(s, dir, "lineitem"), Seq("l_returnflag"),
-        pmod(col("l_orderkey"), lit(32L)),
-        cents(col("l_extendedprice")), round(col("l_quantity")).cast("long")))),
-
-    // Pairwise inter-annotator kappa matrix over the q338 vote frame
-    // (suppliers "label" their orders with return flags): per supplier
-    // pair with ≥ 5 shared orders, exact Cohen's κ on the shared set —
-    // the structural drill-down under corpus-level α.
-    "q363_pairwise_kappa" -> ((s, dir) =>
-      decStr(operators.Preference.pairwiseKappaE6(
-        t(s, dir, "lineitem"), col("l_orderkey"), col("l_suppkey"),
-        col("l_returnflag"), minShared = 5L))),
-
-    // Murphy decomposition of the Brier score over the q356 calibration
-    // frame: reliability / resolution / uncertainty as exact DECIMAL
-    // numerators over n·1e12 (bucket means are truncating e6 integers —
-    // OUR convention, documented; the classical identity holds up to
-    // that truncation). The one-number completion of the q356 table.
-    "q362_brier_decomp" -> ((s, dir) => {
-      val (du, ratingsFull) = btSupplierDuelsAndRatings(s, dir)
-      val ratings = ratingsFull.select(col("item"), col("rating_e6"))
-      val cal = du
-        .join(ratings.select(col("item").as("a"),
-          col("rating_e6").as("ra")), Seq("a"))
-        .join(ratings.select(col("item").as("b"),
-          col("rating_e6").as("rb")), Seq("b"))
-        .select(col("wa"),
-          expr("CAST(ra * 1000000 div (ra + rb) AS BIGINT)").as("p"))
-        .localCheckpoint(true) // duel grain; three aggregates read it
-      val bk = cal.groupBy(expr("CAST(p div 100000 AS BIGINT)").as("bk"))
-        .agg(count(lit(1)).as("nk"), sum(col("p")).as("sp"),
-          sum(col("wa")).as("swa"))
-        .select(col("bk"), col("nk"),
-          expr("sp div nk").as("pbar"),
-          expr("swa * 1000000 div nk").as("obar"))
-      val tot = cal.agg(count(lit(1)).as("n"), sum(col("wa")).as("sw"))
-        .select(col("n"), expr("sw * 1000000 div n").as("ob"))
-        .localCheckpoint(true)
-      val brier = cal.crossJoin(broadcast(tot))
-        .select(expr("CAST(p - wa * 1000000 AS DECIMAL(38,0))" +
-          " * (p - wa * 1000000)").as("sq"))
-        .agg(sum(col("sq")).as("brier_num"))
-      decStr(bk.crossJoin(broadcast(tot))
-        .select(col("n"), col("ob"),
-          expr("""CAST(nk AS DECIMAL(38,0))
-                 | * (pbar - obar) * (pbar - obar)""".stripMargin)
-            .as("__rel"),
-          expr("""CAST(nk AS DECIMAL(38,0))
-                 | * (obar - ob) * (obar - ob)""".stripMargin).as("__res"))
-        .groupBy(col("n"), col("ob"))
-        .agg(sum(col("__rel")).as("rel_num"), sum(col("__res")).as("res_num"))
-        .crossJoin(broadcast(brier))
-        .select(col("n"), col("ob").as("obar_e6"),
-          col("brier_num"), col("rel_num"), col("res_num"),
-          expr("CAST(ob AS DECIMAL(38,0)) * (1000000 - ob)")
-            .as("unc_num")))
-    }),
-
-    // Reward-model calibration audit: refit q333's BT ratings, predict
-    // every duel as p = r_a·1e6 div (r_a + r_b), and compare mean
-    // predicted win probability to the actual win share per prediction
-    // decile — the calibration table every preference model ships with.
-    "q356_bt_calibration" -> ((s, dir) => {
-      val (du, ratingsFull) = btSupplierDuelsAndRatings(s, dir)
-      val ratings = ratingsFull.select(col("item"), col("rating_e6"))
-      du.join(ratings.select(col("item").as("a"),
-          col("rating_e6").as("ra")), Seq("a"))
-        .join(ratings.select(col("item").as("b"),
-          col("rating_e6").as("rb")), Seq("b"))
-        .select(col("wa"),
-          expr("CAST(ra * 1000000 div (ra + rb) AS BIGINT)").as("p_e6"))
-        .groupBy(expr("CAST(p_e6 div 100000 AS BIGINT)").as("bucket"))
-        .agg(count(lit(1)).as("trials"), sum(col("wa")).as("wins_a"),
-          sum(col("p_e6")).as("__sp"))
-        .select(col("bucket"), col("trials"), col("wins_a"),
-          expr("CAST(__sp div trials AS BIGINT)").as("mean_pred_e6"),
-          expr("CAST(wins_a * 1000000 div trials AS BIGINT)")
-            .as("actual_e6"))
-    }),
-
-    // Embedding-truncation recall audit (the MRL/dim-reduction serving
-    // question): recall@3 of brute-force cosine over the FIRST 16 of 64
-    // dims against the full-dim exact top-3 — the measurement an index
-    // owner reads before shipping truncated vectors. Both retrieval
-    // stages replay bit-exactly in the oracle (q20's e9-quantized
-    // cosine, sliced lists).
-    "q334_trunc_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val trEmb = emb.withColumn("embedding", slice(col("embedding"), 1, 16))
-      RankEval.recallAtK(
-        Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 20),
-          "vec_id", "embedding", 3),
-        Similarity.bruteForceTopK(trEmb, trEmb.where(col("vec_id") < 20),
-          "vec_id", "embedding", 3),
-        "qid", "cid")
-    }),
-
-    // Group-relative advantage normalization (the GRPO-style reward
-    // shaping of group-sampled RL data prep): each user's event rewards
-    // normalized against their OWN group's exact mean/sd —
-    // (r·n − Σr)·1e6 div isqrt(n·Σr² − (Σr)²), the Neyman cancellation
-    // with the corrected integer isqrt, truncating div on the signed
-    // numerator (DuckDB `//` ≡ Spark `div`, both toward zero).
-    // Degenerate single-row groups emit 0.
-    "q335_group_advantage" -> ((s, dir) => {
-      val e = ev(s, dir)
-        .where(col("value").isNotNull && col("user_id").isNotNull)
-        .select(col("user_id"), col("event_id"),
-          cents(col("value")).as("reward"))
-      operators.Preference.groupAdvantageE6(e, Seq("user_id"),
-        col("reward"))
-    }),
-
-    // Krippendorff's alpha (nominal) — annotator-agreement reliability,
-    // the q249 kappa's many-raters/missing-data generalization: unit =
-    // order, "raters" = its line items (12 at sf0.001 → 17 at sf0.1 —
-    // the Poisson tail grows with SF, so the bound is the operator max,
-    // 36; past it the plan raises loudly by contract), category =
-    // return flag. Per-unit 1/(m−1) weights scale exactly by
-    // S = lcm(1..35) = 144403552893600, so α lands as a DECIMAL(38,0)
-    // ratio plus a truncating-div e6 headline — bit-replayable in SQL.
-    "q336_krippendorff" -> ((s, dir) =>
-      decStr(operators.Preference.krippendorffAlphaNominal(
-        t(s, dir, "lineitem"), col("l_orderkey"), col("l_returnflag"),
-        maxRaters = 36))),
-
-    // Krippendorff's alpha, INTERVAL metric — q336's numeric-rating
-    // sibling: δ² = squared distance collapses the coincidence matrix
-    // into per-unit variance statistics (one pass to unit grain, one
-    // one-row reduction). Unit = order, ratings = its line quantities.
-    "q339_krippendorff_interval" -> ((s, dir) =>
-      decStr(operators.Preference.krippendorffAlphaInterval(
-        t(s, dir, "lineitem"), col("l_orderkey"),
-        round(col("l_quantity")).cast("long"), maxRaters = 36))),
-
-    // pass@k curve (Chen et al. 2021 unbiased estimator): per "problem"
-    // (order) the samples are its lineitems, "success" = a returned
-    // line; the binomial ratio is two exact DECIMAL(38,0) falling-
-    // factorial products, curve at k = 1, 2, 3. One hash aggregate to
-    // problem grain; each curve point a single-row reduction.
-    "q340_pass_at_k" -> ((s, dir) =>
-      decStr(operators.EvalCurves.passAtKCurve(
-        t(s, dir, "lineitem"), col("l_orderkey"),
-        col("l_returnflag") === "R", ks = Seq(1, 2, 3), maxN = 64))),
-
-    // Unbiased best-of-n reward curve (WebGPT app. I order-statistics
-    // estimator): prompt = order, reward = line price in cents, tie =
-    // line number; group-local rank window + exact falling-factorial
-    // subset weights, curve at n = 1, 2, 3.
-    "q341_best_of_n" -> ((s, dir) =>
-      decStr(operators.EvalCurves.bestOfNCurve(
-        t(s, dir, "lineitem"), col("l_orderkey"),
-        cents(col("l_extendedprice")), col("l_linenumber"),
-        ns = Seq(1, 2, 3), maxN = 64))),
-
-    // Wilson lower-bound win-rate ranking (z = 49/25 = 1.96): per
-    // supplier, wins = returned lines; the bound in cleared-denominator
-    // exact integers with a corrected isqrt — the fix for 1/1
-    // outranking 90/100 in naive win-rate sorts.
-    "q342_wilson_lb" -> ((s, dir) =>
-      operators.EvalCurves.wilsonLowerBoundE6(
-        t(s, dir, "lineitem"), col("l_suppkey"),
-        col("l_returnflag") === "R")),
-
-    // Fellegi–Sunter record linkage: customers vs a deterministically
-    // perturbed copy (typo'd names, shifted balances, corrupted
-    // segments), blocked on nation; data-estimated u probabilities,
-    // pinned-ln integer weights, score histogram with true-pair counts
-    // (id equality) showing the match/non-match separation.
-    "q343_record_linkage" -> ((s, dir) => {
-      val (aSide, bSide) = q343Sides(s, dir)
-      operators.RecordLinkage.fellegiSunterScores(aSide, bSide, "rid",
-          Seq("blk"),
-          Seq(("k_name", 900000L), ("k_bal", 850000L), ("k_seg", 800000L)))
-        // floor-bucket via offset (scores go negative; div truncates
-        // toward zero): weights bound |score| ≪ 1024 units
-        .withColumn("bucket",
-          expr("(score_e6 + 1024000000) div 1000000 - 1024"))
-        .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(when(col("id_a") === col("id_b"), 1L).otherwise(0L))
-            .as("n_true"))
-    }),
-
-    // Column masking policies (MaskingRewrite): a gate-private customer
-    // copy declares c_name → sha256 tokenization and c_mktsegment →
-    // partial; every consumer — including the post-mask filter — sees
-    // only masked values, exactly like querying a secure view. The
-    // private path keeps the session-global registry from touching any
-    // other gate's scans.
-    "q353_masking" -> ((s, dir) => {
-      registerRule(s, plans.MaskingRewrite)
-      val p = queryTmp("graft_mask") + "/masked_customer.parquet"
-      t(s, dir, "customer").where(col("c_custkey") <= 200)
-        .write.mode("overwrite").parquet(p)
-      plans.MaskingRegistry.declareMask("/masked_customer.parquet",
-        "c_name", "sha256")
-      plans.MaskingRegistry.declareMask("/masked_customer.parquet",
-        "c_mktsegment", "partial")
-      s.read.parquet(p)
-        .where(col("c_custkey") <= 150)
-        .select(col("c_custkey"), col("c_name").as("name_token"),
-          col("c_mktsegment").as("seg_masked"))
-    }),
-
-    // Statistics-driven broadcast (StatsBroadcastRewrite): nation is
-    // DECLARED 25 rows, so the supplier⋈nation join carries an explicit
-    // BROADCAST hint regardless of size estimates — the CBO lever for
-    // lake tables whose scan estimate lies. Results are provably
-    // unchanged (the oracle runs the join); the spec pins the plan flip
-    // under a disabled autoBroadcast threshold.
-    "q354_stats_broadcast" -> ((s, dir) => {
-      registerRule(s, plans.StatsBroadcastRewrite)
-      plans.StatsBroadcastRewrite.declareRowCount("/nation.parquet", 25L)
-      t(s, dir, "supplier")
-        .join(t(s, dir, "nation"),
-          col("s_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name").as("nation"))
-        .agg(count(lit(1)).as("suppliers"),
-          sum(cents(col("s_acctbal"))).as("acctbal_cents"))
-    }),
-
-    // Unigram-LM tokenizer training (SentencePiece's model, hard-EM
-    // Viterbi form) — BPE's sibling: seed substring vocabulary with
-    // char coverage, two Viterbi-count EM rounds under pinned-ln e6
-    // log-probs, longer-piece tie-breaks. The oracle unrolls the whole
-    // thing: 8 forward DP positions + 8 backtrack steps per round.
-    "q351_unigram_lm" -> ((s, dir) =>
-      operators.UnigramLm.train(t(s, dir, "documents"), "text",
-        vocabSize = 60, pieceMaxLen = 4, maxWordLen = 8, emRounds = 2)),
-
-    // Unigram-LM ENCODE: train one EM round, then Viterbi-segment every
-    // document word under the learned log-probs — per-source token
-    // accounting (the tokens-per-word budget every data-mixture plan
-    // needs, under the real tokenizer rather than a whitespace proxy).
-    "q352_unigram_encode" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val v = operators.UnigramLm.train(d, "text", vocabSize = 60,
-          pieceMaxLen = 4, maxWordLen = 8, emRounds = 1)
-        .select(col("piece"), col("logp_e6"))
-      val wpc = operators.UnigramLm.wordPieceCounts(d, "text", v,
-        pieceMaxLen = 4, maxWordLen = 8)
-      d.select(col("source"), col("doc_id"),
-          explode(split(trim(col("text")), "[ \t\n\f\r]+")).as("w0"))
-        .select(col("source"), col("doc_id"), lower(col("w0")).as("w1"))
-        .where(col("w1").rlike("^[a-z]+$"))
-        .select(col("source"), col("doc_id"),
-          substring(col("w1"), 1, 8).as("word"))
-        .join(wpc, Seq("word"))
-        .groupBy(col("source"))
-        .agg(countDistinct(col("doc_id")).as("n_docs"),
-          count(lit(1)).as("n_words"),
-          sum(col("n_pieces")).as("n_tokens"))
-    }),
-
-    // Deterministic negative sampling (BPR/two-tower training
-    // negatives): per customer, 5 Lehmer-LCG item draws rejected
-    // against the real interaction set — wrap-free modular arithmetic
-    // is the only PRNG both engines replay (Spark wraps LONG overflow
-    // silently, DuckDB raises).
-    "q350_negative_sampling" -> ((s, dir) => {
-      val inter = t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("u"), (col("l_partkey") % 1000).as("it"))
-      operators.NegativeSampling.negativeSample(inter, col("u"),
-        col("it"), nItems = 1000L, k = 5, oversample = 4)
-    }),
-
-    // Aggregate elimination on a declared-unique grouping key
-    // (AggregateEliminationRewrite): GROUP BY the orders PK makes every
-    // group one row, so the whole hash-aggregate exchange rewrites to a
-    // Project (sum→cast, count→1/null-test, avg widens). The oracle
-    // RUNS the aggregation — parity proves elimination is invisible.
-    "q348_agg_elim" -> ((s, dir) => {
-      registerRule(s, plans.AggregateEliminationRewrite)
-      plans.ConstraintRegistry.declareUnique("/orders.parquet",
-        "o_orderkey")
-      t(s, dir, "orders")
-        .groupBy(col("o_orderkey"))
-        .agg(sum(cents(col("o_totalprice"))).as("cents"),
-          count(lit(1)).as("n"),
-          max(col("o_orderpriority")).as("prio"))
-    }),
-
-    // Contradiction folding from a declared CHECK range
-    // (RangeContradictionRewrite): l_linenumber is declared [1, 7], so
-    // the `> 50` branch folds to an empty LocalRelation before any
-    // storage is touched (Catalyst's empty propagation then collapses
-    // the aggregate to its one empty-count row); the satisfiable branch
-    // scans normally. The oracle runs both branches for real.
-    "q349_range_prune" -> ((s, dir) => {
-      registerRule(s, plans.RangeContradictionRewrite)
-      plans.ConstraintRegistry.declareRange("/lineitem.parquet",
-        "l_linenumber", 1L, 7L)
-      val impossible = t(s, dir, "lineitem")
-        .where(col("l_linenumber") > 50)
-        .agg(count(lit(1)).as("impossible_n"))
-      t(s, dir, "lineitem").where(col("l_linenumber") <= 2)
-        .groupBy(col("l_returnflag").as("rf"))
-        .agg(count(lit(1)).as("n"))
-        .crossJoin(broadcast(impossible))
-    }),
-
-    // Unsupervised FS parameter fitting: hard EM over the agreement-
-    // pattern histogram (ONE blocked-join pass; the 2^3-row pattern
-    // frame carries all rounds). Starts from a deliberately-wrong
-    // uniform m = 0.8 and recovers each field's linked-agreement rate.
-    "q346_linkage_em" -> ((s, dir) => {
-      val (aSide, bSide) = q343Sides(s, dir)
-      operators.RecordLinkage.fellegiSunterEmM(aSide, bSide, "rid",
-        Seq("blk"),
-        Seq(("k_name", 800000L), ("k_bal", 800000L), ("k_seg", 800000L)),
-        thresholdE6 = 0L, rounds = 2)
-    }),
-
-    // Entity consolidation: FS links above threshold → undirected match
-    // graph → alternating large-star/small-star components (q328's CC)
-    // → cluster-size census. The linkage-to-golden-record step every
-    // MDM pipeline runs after scoring.
-    "q347_link_clusters" -> ((s, dir) => {
-      val (aSide, bSide) = q343Sides(s, dir)
-      val scored = operators.RecordLinkage.fellegiSunterScores(
-        aSide, bSide, "rid", Seq("blk"),
-        Seq(("k_name", 900000L), ("k_bal", 850000L), ("k_seg", 800000L)))
-      val links = scored
-        .where(col("score_e6") >= 3000000L && col("id_a") =!= col("id_b"))
-        .select(col("id_a"), col("id_b"))
-      operators.Graph.alternatingComponents(links, "id_a", "id_b")
-        .groupBy(col("component")).agg(count(lit(1)).as("sz"))
-        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
-    }),
-
-    // ANALYZE-style per-column statistics (row count, nulls, exact NDV,
-    // stringified min/max) in one scan — the CBO stats-collection
-    // surface; money pre-projected to cents so no double ever reaches
-    // a stringified min/max.
-    "q345_analyze" -> ((s, dir) =>
-      operators.Profile.columnStats(
-        t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
-          col("c_nationkey"), cents(col("c_acctbal")).as("c_acctbal_cents"),
-          col("c_mktsegment")),
-        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal_cents",
-          "c_mktsegment"))),
-
-    // Rao–Kupper Bradley–Terry WITH TIES (θ = 5/4 fixed, 3 MM rounds):
-    // the q333 duel frame re-drawn on per-(order,supplier) quantity so
-    // equal-quantity duels become genuine ties instead of a coin-flip
-    // to one side; per-item denominator sums ride DECIMAL(38,0).
-    "q344_bt_ties" -> ((s, dir) => {
-      val os = t(s, dir, "lineitem")
-        .groupBy(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
-        .agg(sum(round(col("l_quantity")).cast("long")).as("q"))
-      val duel = os.as("x").join(os.as("y"),
-          col("x.o") === col("y.o") && col("x.sk") < col("y.sk"))
-        .select(col("x.sk").as("a"), col("y.sk").as("b"),
-          when(col("x.q") > col("y.q"), 1)
-            .when(col("x.q") < col("y.q"), -1).otherwise(0).as("oc"))
-      operators.Preference.bradleyTerryTiesE6(duel, col("a"), col("b"),
-        col("oc"), thetaE6 = 1250000L, iterations = 3)
-    }),
-
-    // One-coin Dawid–Skene noisy-label aggregation (hard-EM / iterative
-    // weighted majority): suppliers "annotate" their orders with return
-    // flags; two reweighting rounds estimate per-supplier reliability
-    // (Laplace-smoothed exact e6) and re-label each order by log-odds
-    // weighted vote (integer-rounded weights BEFORE summation — the BM25
-    // pinned-double rule; ties score desc, label asc). The oracle
-    // replays both rounds term for term.
-    "q338_dawid_skene" -> ((s, dir) =>
-      operators.Preference.dawidSkeneOneCoinE6(t(s, dir, "lineitem"),
-        col("l_orderkey"), col("l_suppkey"), col("l_returnflag"),
-        iterations = 2)),
-
-    // DPO-pair margin histogram over the q333 duel frame: each duel's
-    // fitted-rating margin (winner − loser, e6) bucketed at 0.1-rating
-    // width with explicit nonnegative-operand floor division; negative
-    // buckets = fitted-model-vs-label disagreements (the label-noise
-    // review queue). Pairs stream through broadcast rating joins; the
-    // share denominator reduces the HISTOGRAM, not the pairs.
-    "q337_dpo_margins" -> ((s, dir) => {
-      val (du, ratings) = btSupplierDuelsAndRatings(s, dir)
-      val duels = du.select(
-        when(col("wa") === 1L, col("a")).otherwise(col("b")).as("w"),
-        when(col("wa") === 1L, col("b")).otherwise(col("a")).as("l"))
-      operators.Preference.pairMarginHistogramE6(duels, col("w"), col("l"),
-        ratings, bucketE6 = 100000L)
-    }),
-
-    // Distinct elimination from the declared pk (DistinctEliminationRewrite):
-    // the dedup-by-habit `.distinct()` over an orders projection carrying
-    // o_orderkey is provably the identity and its whole hash-aggregate
-    // exchange vanishes — the optimized plan runs ONE aggregate (the
-    // rollup), not two (JoinEliminationSpec pins the vanish/stay/
-    // fan-out-blocked cases; PlanSpec pins this gate's single-Aggregate
-    // plan). The oracle executes the DISTINCT for real.
-    "q331_distinct_elim" -> ((s, dir) => {
-      registerRule(s, plans.DistinctEliminationRewrite)
-      plans.ConstraintRegistry.declareUnique("/orders.parquet", "o_orderkey")
-      t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
-        .distinct()
-        .groupBy(col("o_orderpriority").as("prio"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("o_custkey") % 1000003L).as("cust_check"))
-    }),
-
-    // Matrix-profile motif/discord discovery over per-type daily-count
-    // series: every length-4 window's nearest other window (trivial
-    // matches excluded) by EXACT integer squared distance — low profile
-    // = repeated structure (motifs), high = discords, the anomaly probe
-    // the drift family (q102/q164/q305) doesn't cover. Windows build as
-    // m−1 leads in one pass (no explode); the quadratic step joins on
-    // the key only, so many-keys/bounded-series parallelizes flat.
-    "q330_matrix_profile" -> ((s, dir) => {
-      val daily = ev(s, dir)
-        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
-        .agg(count(lit(1)).as("n"))
-      operators.Motif.nearestWindow(daily, Seq("event_type"),
-        col("day"), col("n"), m = 4)
-    }),
-
-    // Weight-of-evidence + information value over order priority vs
-    // final status — the scorecard categorical encoding and the feature-
-    // screening statistic (Siddiqi 2006). Adjusted-WoE +0.5 smoothing,
-    // e6-rounded pinned double pipeline; one cardinality-bounded hash
-    // aggregate + broadcast totals, nothing row-scaled shuffles twice.
-    "q329_woe_iv" -> ((s, dir) =>
-      operators.TargetEncode.woeIv(t(s, dir, "orders"),
-        "o_orderpriority", col("o_orderstatus") === "F")),
-
-    // Connected components the diameter-proof way: alternating
-    // large-star/small-star contraction (Kiveris et al. 2014) over the
-    // SAME mined near-dup pair graph q41 labels by propagation — the
-    // O(log² n)-rounds scale path for 100 TB graphs whose components
-    // are deep (propagation pays per hop; star contraction doesn't).
-    // Identical output contract to q41, so the recursive-closure oracle
-    // proves the two algorithms agree on real data; GraphSpec pins the
-    // deep-path case (300-node chain) and brute-force/label-prop parity.
-    "q328_cc_bigstar" -> ((s, dir) => {
-      val comp = operators.Graph.alternatingComponents(
-          minedDocPairs(s, dir), "a_id", "b_id")
-        .withColumnRenamed("node", "doc_id")
-      t(s, dir, "documents").select(col("doc_id"))
-        .join(comp, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("component"), col("doc_id")).as("component"),
-          (col("component").isNull ||
-            col("component") === col("doc_id")).as("is_canonical"))
-    }),
-
-    // Constraint-based join elimination (JoinEliminationRewrite): the
-    // query SAYS lineitem ⋈ orders (inner, declared FK) ⋈ supplier
-    // (left outer, declared unique pk) but reads only lineitem columns —
-    // the declared constraints prove both joins are the identity on the
-    // fact side, and the optimized plan aggregates the bare lineitem
-    // scan (JoinEliminationSpec pins the no-Join plan, the blockers,
-    // and the kill switch). The oracle RUNS both joins in DuckDB —
-    // parity proves elimination is invisible. The BI-layer win at scale:
-    // machine-emitted star plans pay only for dimensions actually read.
-    "q327_join_elim" -> ((s, dir) => {
-      registerRule(s, plans.JoinEliminationRewrite)
-      plans.ConstraintRegistry.declareForeignKey("/lineitem.parquet",
-        "l_orderkey", "/orders.parquet", "o_orderkey")
-      plans.ConstraintRegistry.declareUnique("/supplier.parquet", "s_suppkey")
-      val li = t(s, dir, "lineitem")
-      val ord = t(s, dir, "orders")
-      val sup = t(s, dir, "supplier")
-      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .join(sup, li("l_suppkey") === sup("s_suppkey"), "left")
-        .groupBy(li("l_returnflag").as("rf"))
-        .agg(count(lit(1)).as("n"),
-          sum(li("l_quantity")).cast("long").as("qty"),
-          sum(cents(li("l_extendedprice"))).as("price_cents"))
-    }),
-
-    // DSv2 aggregate pushdown (`SupportsPushDownAggregates`): the
-    // grouped COUNT/SUM/MIN/MAX computes INSIDE the generator source —
-    // each partition ships one partial row per group instead of 200k
-    // generated rows, and Spark's final aggregate merges the partials
-    // (SUM of counts/sums, MIN of mins, MAX of maxes). SynthSourceSpec
-    // pins PushedAggregates/PushedGroupByExpressions in the scan plus
-    // the decline paths (distinct, expression aggregates). The oracle
-    // replays the generator chain in unsigned SQL over the RAW rows —
-    // parity proves the pushed partials compose to the unpushed answer.
-    "q326_synth_agg" -> ((s, _) => {
-      s.read.format("graft-synth")
-        .option("rows", 300000L).option("seed", 11L).option("partitions", 16)
-        .load()
-        .where(col("id") >= 60000L && col("id") < 260000L)
-        .groupBy(col("day"), col("event_type"))
-        .agg(count(col("id")).as("n"), sum(col("cents")).as("cents"),
-          min(col("user_id")).as("min_uid"),
-          max(col("user_id")).as("max_uid"))
-    }),
-
-    // The full materialized-view LOOP: an upsert-managed base (commit,
-    // then an update+delete batch), its summary CDC-REFRESHED by
-    // DerivedAggTable, the refreshed summary registered in
-    // MatviewRegistry, and the dashboard rollup planned through
-    // MatviewRewrite — maintenance (q54) and rewrite (q308) composed
-    // end-to-end. The oracle recomputes from the FINAL logical state,
-    // so parity proves the whole loop: CDC deltas landed, the summary
-    // is current, and the rewrite serves it soundly.
-    // (MatviewRewriteSpec's upsert-snapshot case pins that the rewrite
-    // actually fires on this view shape.)
-    "q325_matview_e2e" -> ((s, dir) => {
-      registerRule(s, plans.MatviewRewrite)
-      val root = queryTmp("graft_mv_e2e")
-      val base0 = t(s, dir, "orders").where(col("o_orderkey") % 4 === 0)
-        .select(col("o_orderkey").as("k"),
-          col("o_orderpriority").as("prio"),
-          round(col("o_totalprice") * 100).cast("long").as("cents"))
-      val c1 = base0.withColumn("ver", lit(1L))
-        .withColumn("del", lit(false))
-      val c2 = base0.where(col("k") % 9 === 0 || col("k") % 25 === 0)
-        .withColumn("cents", col("cents") + 1000L)
-        .withColumn("ver", lit(2L)).withColumn("del", col("k") % 25 === 0)
-      // prio is a PARTITION column of the source — DerivedAggTable's
-      // soundness contract (an update may never move a row between
-      // groups), and the natural layout for a priority-partitioned lake
-      val src = new sinks.UpsertTable(s"$root/src", Seq("k"), "ver",
-        Seq("prio"), Some("del"))
-      val drv = new sinks.UpsertTable(s"$root/drv", Seq("prio"), "__ver",
-        Nil, Some("__dead"))
-      val derived = new sinks.DerivedAggTable(src, drv, Seq("prio"),
-        df => df.groupBy("prio").agg(sum(col("cents")).as("sum_cents"),
-          count(lit(1)).as("cnt")),
-        s"$root/_ckpt")
-      src.upsert(c1); derived.refresh(s)
-      src.upsert(c2); derived.refresh(s)
-      val baseView = src.snapshot(s).select(col("prio"), col("cents"))
-      plans.MatviewRegistry.register(baseView,
-        drv.snapshot(s).select(col("prio"), col("sum_cents"), col("cnt")),
-        dims = Seq("prio"), sums = Map("cents" -> "sum_cents"),
-        countCol = "cnt")
-      baseView.groupBy(col("prio"))
-        .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n"))
-    }),
-
-    // The interval-tree operator in its HOME regime: 20 000 overlapping
-    // ranges, where BroadcastNestedLoopJoin multiplies the fact scan by
-    // m — tools/IntervalAb measures 0.5 s (tree) vs 11.9 s (BNLJ) warm
-    // at sf0.1, ~20×; q307/q318 showed tiny-m constants favoring BNLJ,
-    // this is the other side of that crossover. Probe cost is
-    // O(log 20000 + ~2 matches) per fact; output re-aggregates per
-    // range.
-    "q324_interval_large" -> ((s, dir) => {
-      val facts = ev(s, dir)
-        .select(col("event_id"), round(col("value") * 100).cast("long")
-          .as("cents"))
-        .where(col("cents").isNotNull)
-      val tiers = s.range(20000).selectExpr("id AS tier",
-        "(id * 2399) % 48800 AS lo", "(id * 2399) % 48800 + 5 AS hi")
-      operators.IntervalLookup.join(facts, tiers, "cents", "lo", "hi")
-        .groupBy(col("tier"))
-        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
-          sum(col("event_id") % 1000003L).as("id_check"))
-    }),
-
-    // Corpus DATA CARD: the one-row nutrition label published next to a
-    // training corpus (docs/tokens/chars, source+language spread, exact
-    // duplicate mass by full-text md5, English share, length profile) —
-    // every figure integer and ONE scan plus the distinct censuses; the
-    // composed headline over the q16/q13/q135 machinery.
-    "q323_data_card" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .withColumn("toks", size(split(trim(col("text")), "\\s+"))
-          .cast("long"))
-        .withColumn("fp", md5(col("text")))
-      d.agg(
-        count(lit(1)).as("docs"),
-        countDistinct(col("source")).as("sources"),
-        countDistinct(col("lang")).as("langs"),
-        sum(col("n_chars")).as("total_chars"),
-        sum(col("toks")).as("total_tokens"),
-        countDistinct(col("fp")).as("distinct_texts"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("en_docs"),
-        min(col("toks")).as("min_tokens"), max(col("toks")).as("max_tokens"))
-        .withColumn("dup_ppm",
-          expr("(docs - distinct_texts) * 1000000L div docs"))
-        .withColumn("en_ppm", expr("en_docs * 1000000L div docs"))
-        .withColumn("mean_tokens_e2",
-          expr("total_tokens * 100L div docs"))
-    }),
-
-    // Alert DEBOUNCE on q305's Page–Hinkley alarms: raw daily alarms
-    // collapse into episodes of CONSECUTIVE firing days (the day−rn
-    // islands trick per type) and only episodes ≥ 2 days page a human —
-    // flap suppression, the ops layer every detector needs before a
-    // pager sees it. Output: one row per surviving episode.
-    "q322_alert_debounce" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val daily = ev(s, dir).where(col("value").isNotNull)
-        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
-        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
-      val order = Window.partitionBy(col("event_type")).orderBy(col("day"))
-      val run = order.rowsBetween(Window.unboundedPreceding, 0)
-      val all = Window.partitionBy(col("event_type"))
-      val alarms = daily
-        .withColumn("i", row_number().over(order).cast("long"))
-        .withColumn("cumx", sum(col("x")).over(run))
-        .withColumn("dev",
-          col("x") * lit(1000000L) - expr("cumx * 1000000L div i"))
-        .withColumn("u", sum(col("dev")).over(run))
-        .withColumn("ph", col("u") - min(col("u")).over(run))
-        .withColumn("tot", sum(col("x")).over(all))
-        .withColumn("n", count(lit(1)).over(all))
-        // tighter λ than q305 (1×mean) so episodes genuinely occur
-        .where(col("ph") > expr("tot * 1000000L div n"))
-      val epi = alarms
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("event_type")).orderBy(col("day")))
-          .cast("long"))
-        .withColumn("grp", col("day") - col("rn"))
-        .groupBy(col("event_type"), col("grp"))
-        .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
-          count(lit(1)).as("n_alarm_days"))
-      epi.where(col("n_alarm_days") >= 2)
-        .select(col("event_type"), col("start_day"), col("end_day"),
-          col("n_alarm_days"))
-    }),
-
-    // Two-way fixed effects (the panel workhorse generalizing q238's
-    // 2×2 diff-in-diff): on the BALANCED type×day revenue grid
-    // (0-filled), the within transform ỹ·UT = y·UT − S_u·U − S_t·T + S
-    // is pure integers because balance makes every mean's denominator
-    // uniform; β̂ = Σ ỹD̃ / Σ D̃² emitted as the exact (num, den) pair +
-    // e6 ratio. Treatment = {purchase, click} after the midpoint day.
-    "q321_twfe" -> ((s, dir) => {
-      val e = ev(s, dir).where(col("value").isNotNull)
-        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
-        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
-      val types = e.select(col("event_type")).distinct()
-      val days = e.select(col("day")).distinct()
-      val mid = e.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
-      val grid = types.crossJoin(days)
-        .join(e, Seq("event_type", "day"), "left")
-        .na.fill(0L, Seq("cents"))
-        .crossJoin(broadcast(mid))
-        .withColumn("d",
-          (col("event_type").isin("purchase", "click") &&
-            col("day") >= col("mid")).cast("long"))
-      val dims = grid.agg(countDistinct(col("event_type")).as("uu"),
-        countDistinct(col("day")).as("tt"),
-        sum(col("cents")).as("sy"), sum(col("d")).as("sd"))
-      val su = grid.groupBy(col("event_type"))
-        .agg(sum(col("cents")).as("su_y"), sum(col("d")).as("su_d"))
-      val st = grid.groupBy(col("day"))
-        .agg(sum(col("cents")).as("st_y"), sum(col("d")).as("st_d"))
-      grid.join(broadcast(su), "event_type").join(broadcast(st), "day")
-        .crossJoin(broadcast(dims))
-        .withColumn("yt", expr(
-          "cents * uu * tt - su_y * uu - st_y * tt + sy"))
-        .withColumn("dt", expr(
-          "d * uu * tt - su_d * uu - st_d * tt + sd"))
-        .agg(sum(expr("CAST(yt AS DECIMAL(38,0)) * dt")).as("numd"),
-          sum(expr("CAST(dt AS DECIMAL(38,0)) * dt")).as("dend"))
-        .select(col("numd").cast("decimal(38,0)").cast("string").as("num"),
-          col("dend").cast("decimal(38,0)").cast("string").as("den"),
-          expr("CAST(numd * 1000000 div dend AS BIGINT)").as("beta_e6"))
-    }),
-
-    // ANN tuning curve: recall@3 of the IVF index vs the exact top-3 at
-    // nprobe ∈ {1, 2, 4, 8} — the recall/cost frontier an index owner
-    // reads before picking the serving config (q144 pins one point;
-    // this sweeps the knob). One brute-force truth set feeds all four
-    // evaluations; corpus-level recall as exact hit ratios.
-    "q320_ivf_sweep" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val qs = emb.where(col("vec_id") < 20)
-      val truth = Similarity.bruteForceTopK(emb, qs, "vec_id",
-        "embedding", 3)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Seq(1, 2, 4, 8).map { np =>
-        RankEval.recallAtK(truth,
-            Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
-              k = 3, nLists = 16, nProbe = np), "qid", "cid")
-          .agg(sum(col("n_true")).as("n_true"),
-            sum(col("hits")).as("hits"))
-          .withColumn("recall_ppm", expr("hits * 1000000 div n_true"))
-          .withColumn("nprobe", lit(np.toLong))
-      }.reduce(_ unionByName _)
-        .select(col("nprobe"), col("n_true"), col("hits"),
-          col("recall_ppm"))
-    }),
-
-    // Two-sample LOG-RANK test over q214's view→purchase durations,
-    // split by user parity: O−E against the hypergeometric expectation
-    // per event time, e9/e12 per-term truncation, χ²₁ verdict at the
-    // e6 literal — the "do the curves differ" inference completing the
-    // KM/Nelson–Aalen estimators.
-    "q319_logrank" -> ((s, dir) =>
-      operators.Survival.logRank(
-        survivalDurObs(survivalSubjects(s, dir), col("user_id")),
-        col("dur_h"), col("obs"), col("user_id") % 2 === 0)),
-
-    // The BNLJ reference for q307: the IDENTICAL tier enrichment
-    // through Spark's own plan (BroadcastNestedLoopJoin — no equi-key),
-    // kept as a first-class gate so (a) the oracle proves the custom
-    // operator and the engine's own join agree end-to-end, and (b) the
-    // bench carries a direct q307-vs-q318 wall-clock A/B of the
-    // interval-tree probe against the O(n·m) nested loop.
-    "q318_interval_bnlj_ref" -> ((s, dir) => {
-      val facts = ev(s, dir)
-        .select(col("event_id"), round(col("value") * 100).cast("long")
-          .as("cents"))
-        .where(col("cents").isNotNull)
-      val tiers = s.range(70).selectExpr("id AS tier",
-        "id * 700 AS lo", "id * 700 + 1200 AS hi")
-      facts.join(broadcast(tiers),
-          col("lo") <= col("cents") && col("cents") < col("hi"),
-          "left")
-        .groupBy(coalesce(col("tier"), lit(-1L)).as("tier"))
-        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
-          sum(col("event_id") % 1000003L).as("id_check"))
-    }),
-
-    // Star-schema rollup: the 6-way star (lineitem ⋈ orders ⋈ customer
-    // ⋈ nation ⋈ region ⋈ part) aggregated at THREE granularities in
-    // one pass via ROLLUP((region, brand) → (region) → ()) — the
-    // dashboard cube a BI layer asks the warehouse for. Tiny dims
-    // broadcast explicitly; one fact scan feeds the whole cube
-    // (Expand), never one scan per granularity.
-    "q316_star_rollup" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").where(col("l_quantity") <= 30)
-      li.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, dir, "nation")),
-          col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(t(s, dir, "region")),
-          col("n_regionkey") === col("r_regionkey"))
-        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
-        .select(col("r_name"), col("p_brand"),
-          round(col("l_extendedprice") * (lit(1) - col("l_discount"))
-            * 10000).cast("long").as("rev_e4"))
-        .rollup(col("r_name"), col("p_brand"))
-        .agg(count(lit(1)).as("n"), sum(col("rev_e4")).as("rev_e4"))
-        .select(coalesce(col("r_name"), lit("(all)")).as("r_name"),
-          coalesce(col("p_brand"), lit("(all)")).as("p_brand"),
-          col("n"), col("rev_e4"))
-    }),
-
-    // Model-eval gains table: documents scored (length as the ranking
-    // score), labeled by containing the token 'spark'; DECILES off the
-    // value census (q315's rule at 10), per decile positives + the
-    // cumulative capture rate e6 — the lift/gains readout every
-    // classifier ships with.
-    "q317_gains_table" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), col("n_chars").as("score"),
-          (concat(lit(" "), col("text"), lit(" "))
-            .contains(" spark ")).cast("long").as("pos"))
-      val byV = Window.partitionBy(operators.Census.onePartKey(col("score"))).orderBy(col("score").desc)
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val census = d.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum(col("cnt")).over(byV))
-        .withColumn("nn", sum(col("cnt")).over(
-          Window.partitionBy(operators.Census.onePartKey(col("score")))))
-        .select(col("score"), expr("(cum - 1) * 10 div nn + 1").as("decile"))
-      val run = Window.partitionBy(operators.Census.onePartKey(col("decile"))).orderBy(col("decile"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      d.join(census, "score")
-        .groupBy(col("decile"))
-        .agg(count(lit(1)).as("n"), sum(col("pos")).as("positives"))
-        .withColumn("cum_pos", sum(col("positives")).over(run))
-        .withColumn("total_pos", sum(col("positives")).over(
-          Window.partitionBy(operators.Census.onePartKey(col("decile")))))
-        .withColumn("capture_e6", expr("cum_pos * 1000000L div total_pos"))
-        .select(col("decile"), col("n"), col("positives"),
-          col("capture_e6"))
-    }),
-
-    // "Why did the metric move": Oaxaca-style decomposition of the
-    // period-over-period change in revenue-per-event into per-segment
-    // MIX (share shift at old rate), RATE (rate shift at old share) and
-    // INTERACTION terms — Δavg = Σ (w₂−w₁)r₁ + w₁(r₂−r₁) + Δw·Δr. All
-    // terms e6-truncated integers; truncation breaks exact additivity,
-    // so the per-segment RESIDUAL vs the true Δ contribution is emitted
-    // rather than hidden (the honest version of every BI contribution
-    // report). Periods split at the midpoint day via a one-row
-    // broadcast, no driver fetch.
-    "q314_mix_shift" -> ((s, dir) => {
-      val e = ev(s, dir).where(col("value").isNotNull)
-        .select(col("event_type"), expr("ts_ms div 86400000").as("day"),
-          round(col("value") * 100).cast("long").as("cents"))
-      val split = e.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
-      val seg = e.crossJoin(broadcast(split))
-        .withColumn("p", when(col("day") < col("mid"), 1).otherwise(2))
-        .groupBy(col("event_type"), col("p"))
-        .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
-      val tot = seg.groupBy(col("p")).agg(sum(col("n")).as("np"))
-      val wide = seg.join(tot, "p")
-        .withColumn("w_e6", expr("n * 1000000L div np"))
-        .withColumn("r_e6", expr("c * 1000000L div n"))
-        .groupBy(col("event_type"))
-        .agg(
-          max(when(col("p") === 1, col("w_e6"))).as("w1"),
-          max(when(col("p") === 1, col("r_e6"))).as("r1"),
-          max(when(col("p") === 2, col("w_e6"))).as("w2"),
-          max(when(col("p") === 2, col("r_e6"))).as("r2"))
-        .na.fill(0L, Seq("w1", "r1", "w2", "r2"))
-      wide.select(col("event_type"),
-          expr("(w2 - w1) * r1 div 1000000L").as("mix_e6"),
-          expr("w1 * (r2 - r1) div 1000000L").as("rate_e6"),
-          expr("(w2 - w1) * (r2 - r1) div 1000000L").as("inter_e6"),
-          expr("""w2 * r2 div 1000000L - w1 * r1 div 1000000L
-            - (w2 - w1) * r1 div 1000000L
-            - w1 * (r2 - r1) div 1000000L
-            - (w2 - w1) * (r2 - r1) div 1000000L""").as("residual_e6"))
-    }),
-
-    // RFM segmentation: per customer recency/frequency/monetary exact
-    // quintiles off the VALUE CENSUS — q(v) = (cum(v)−1)·5 div n + 1,
-    // so ties share a bucket by construction and no per-row global rank
-    // ever exists (the census window runs over distinct VALUES; the
-    // PrefixScan operator is the full-scale path for that step). Output
-    // is the 5×5×5 segment census with revenue — the classic CRM cut.
-    "q315_rfm" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val o = t(s, dir, "orders")
-        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
-        .withColumn("day", expr(
-          "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)"))
-      val rfm = o.groupBy(col("o_custkey"))
-        .agg(max(col("day")).as("r"), count(lit(1)).as("f"),
-          sum(col("cents")).as("m"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def quintile(df: DataFrame, c: String): DataFrame = {
-        val byV = Window.partitionBy(operators.Census.onePartKey(col(c))).orderBy(col(c))
-          .rowsBetween(Window.unboundedPreceding, 0)
-        val census = df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
-          .withColumn("cum", sum(col("cnt")).over(byV))
-          .withColumn("n", sum(col("cnt")).over(
-            Window.partitionBy(operators.Census.onePartKey(col(c)))))
-          .select(col(c),
-            expr("(cum - 1) * 5 div n + 1").as(s"${c}_q"))
-        df.join(census, c)
-      }
-      val scored = quintile(quintile(quintile(rfm, "r"), "f"), "m")
-      scored.groupBy(col("r_q"), col("f_q"), col("m_q"))
-        .agg(count(lit(1)).as("customers"), sum(col("m")).as("cents"))
-    }),
-
-    // DataSource V2 WRITE path end-to-end: events stream through the
-    // graft-audit sink (per-task accumulators → commit messages →
-    // driver-side summary on job commit — the exactly-once accounting
-    // seam; AuditSinkSpec pins partition invariance and null handling)
-    // and the gate reads the committed summary back; the oracle is the
-    // direct aggregate, so parity proves the write-path accounting.
-    "q313_audit_sink" -> ((s, dir) => {
-      val root = queryTmp("graft_audit")
-      ev(s, dir).where(col("value").isNotNull)
-        .select(col("event_id"), col("event_type"),
-          round(col("value") * 100).cast("long").as("cents"),
-          (col("user_id") % 1000003L).as("uid_check"))
-        .write.format("graft-audit").option("path", root)
-        .option("sumCols", "cents,uid_check").mode("append").save()
-      s.read.json(s"$root/summary.json")
-        .select(col("rows"), col("sums.cents").as("cents"),
-          col("sums.uid_check").as("uid_check"))
-    }),
-
-    // Sequential A/B monitoring with a Hoeffding boundary: per day, the
-    // CUMULATIVE two-proportion lift against the anytime-valid radius
-    // diff² > ln(2/δ)·(n_c+n_t)/(2·n_c·n_t) (δ=0.05 → the e12 literal;
-    // union-bounded two-sided Hoeffding, the peek-safe alternative to
-    // daily chi²) — decided sqrt-free by cross-multiplication on the
-    // calendar grid. The "can we stop the experiment yet" readout.
-    "q311_hoeffding_sequential" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val e = ev(s, dir)
-        .where(col("user_id").isNotNull && col("event_type").isNotNull)
-        .withColumn("day", expr("ts_ms div 86400000"))
-        .withColumn("arm", (col("user_id") % 2).cast("int"))
-        .withColumn("conv", (col("event_type") === "purchase").cast("long"))
-      val daily = e.groupBy(col("day")).agg(
-        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("dn_c"),
-        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("dc_c"),
-        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("dn_t"),
-        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("dc_t"))
-      val run = Window.partitionBy(operators.Census.onePartKey(col("day"))).orderBy(col("day"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      daily
-        .withColumn("n_c", sum(col("dn_c")).over(run))
-        .withColumn("n_t", sum(col("dn_t")).over(run))
-        .withColumn("c_c", sum(col("dc_c")).over(run))
-        .withColumn("c_t", sum(col("dc_t")).over(run))
-        .where(col("n_c") > 0 && col("n_t") > 0)
-        .withColumn("diff_e6",
-          expr("c_t * 1000000L div n_t - c_c * 1000000L div n_c"))
-        .withColumn("decided", expr(
-          """CAST(diff_e6 AS DECIMAL(38,0)) * diff_e6 * 2 * n_c * n_t >
-            |CAST(3688879454113 AS DECIMAL(38,0)) * (n_c + n_t)"""
-            .stripMargin))
-        .select(col("day"), col("n_c"), col("n_t"), col("c_c"),
-          col("c_t"), col("diff_e6"), col("decided"))
-    }),
-
-    // Crypto-shredding erasure (the at-scale GDPR mechanism q191's hard
-    // delete complements): payloads encrypt at ingest under per-user
-    // keys (toy XOR stream from graft_splitmix64 — production swaps in
-    // AES-GCM; the PIPELINE — key table, shred = key delete, ciphertext
-    // never rewritten — is the real shape); shredding the %7 users'
-    // keys leaves their rows unreadable. The oracle computes the stats
-    // WITHOUT the cipher, so parity proves the encrypt→shred→decrypt
-    // round trip is lossless on surviving keys.
-    "q312_crypto_shred" -> ((s, dir) => {
-      functions.PolyHash64.register(s)
-      val e = ev(s, dir)
-        .where(col("value").isNotNull && col("user_id").isNotNull)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          round(col("value") * 100).cast("long").as("x"))
-      // XOR salting (a wrapping multiply trips ANSI overflow checks)
-      val keyOf = "graft_splitmix64(user_id ^ 1442695040888963407L)"
-      val ciphertext = e.withColumn("c", expr(s"x ^ ($keyOf)"))
-        .drop("x")
-      val keys = e.select(col("user_id")).distinct()
-        .where(col("user_id") % 7 =!= 0)
-        .withColumn("k", expr(keyOf))
-      ciphertext.join(broadcast(keys), Seq("user_id"), "left")
-        .withColumn("x", expr("c ^ k"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("k").isNotNull, 1L).otherwise(0L)).as("readable"),
-          sum(when(col("k").isNull, 1L).otherwise(0L)).as("shredded"),
-          sum(col("x")).as("readable_cents"))
-    }),
-
-    // Ranking evaluation: AVERAGE PRECISION per source — documents
-    // ranked by length (desc, doc_id tiebreak), relevance = lang 'en';
-    // prec@k needs NO second pass: the running relevant-count r at a
-    // relevant row IS the numerator, so AP = (Σ r·1e6 div k) div P off
-    // one partitioned window. Completes MRR/NDCG (q145) + AUC (q140).
-    "q309_avg_precision" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("n_chars").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val ranked = t(s, dir, "documents")
-        .withColumn("rel", (col("lang") === "en").cast("long"))
-        .withColumn("k", count(lit(1)).over(w))
-        .withColumn("r", sum(col("rel")).over(w))
-      ranked.groupBy(col("source"))
-        .agg(count(lit(1)).as("n"), sum(col("rel")).as("n_pos"),
-          expr("""sum(CASE WHEN rel = 1 THEN r * 1000000L div k END)
-            div sum(rel)""").as("ap_e6"))
-    }),
-
-    // Poisson bootstrap CI (Chamandy et al. 2012 — THE at-scale
-    // bootstrap: no resample materialization, each row independently
-    // carries Poisson(1) multiplicities per replicate) on mean event
-    // cents per type: B=64 replicates, weights from a splitMix64 draw
-    // against the 2^63-scaled Poisson CDF ladder (indicator sums — no
-    // branching), replicate means e6-truncated, CI = ranks 2/63 of the
-    // sorted means (~95%). The oracle replays hash, ladder, and ranks.
-    "q310_poisson_bootstrap" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      functions.PolyHash64.register(s)
-      val b = 64
-      val base = ev(s, dir).where(col("value").isNotNull)
-        .select(col("event_id"), col("event_type"),
-          round(col("value") * 100).cast("long").as("x"))
-      val rep = base.select(col("event_id"), col("event_type"), col("x"),
-          explode(sequence(lit(0), lit(b - 1))).as("b"))
-        .withColumn("u", expr(
-          "shiftrightunsigned(graft_splitmix64(event_id + b * 2654435769L), 1)"))
-        .withColumn("w", q310Thresholds.map(th =>
-          when(col("u") >= th, 1L).otherwise(0L)).reduce(_ + _))
-      val means = rep.groupBy(col("event_type"), col("b"))
-        .agg(sum(col("w")).as("nw"), sum(col("w") * col("x")).as("sw"))
-        .where(col("nw") > 0)
-        .withColumn("mean_e6", expr("sw * 1000000L div nw"))
-      val rk = Window.partitionBy(col("event_type"))
-        .orderBy(col("mean_e6"), col("b"))
-      val ci = means.withColumn("rk", row_number().over(rk))
-        .groupBy(col("event_type"))
-        .agg(max(when(col("rk") === 2, col("mean_e6"))).as("ci_lo_e6"),
-          max(when(col("rk") === b - 1, col("mean_e6"))).as("ci_hi_e6"))
-      base.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          expr("sum(x) * 1000000L div count(1)").as("mean_e6"))
-        .join(ci, "event_type")
-    }),
-
-    // Materialized-view query rewrite end-to-end: a per-(priority,
-    // status) summary registers as a matview for the cents projection;
-    // the dashboard-shaped coarser rollup (status filter + priority
-    // group) re-plans onto the summary scan (MatviewRewriteSpec pins
-    // the plan swap and the unsound-shape bails) while the oracle
-    // recomputes from the base — result parity IS the soundness proof.
-    "q308_matview_rewrite" -> ((s, dir) => {
-      registerRule(s, plans.MatviewRewrite)
-      val root = queryTmp("graft_mv")
-      val base = t(s, dir, "orders").select(col("o_orderpriority"),
-        col("o_orderstatus"),
-        round(col("o_totalprice") * 100).cast("long").as("cents"))
-      base.groupBy(col("o_orderpriority"), col("o_orderstatus"))
-        .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("cnt"))
-        .write.mode("overwrite").parquet(s"$root/view")
-      plans.MatviewRegistry.register(base, s.read.parquet(s"$root/view"),
-        dims = Seq("o_orderpriority", "o_orderstatus"),
-        sums = Map("cents" -> "sum_cents"), countCol = "cnt")
-      base.where(col("o_orderstatus") =!= "F")
-        .groupBy(col("o_orderpriority"))
-        .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n"))
-    }),
-
-    // Custom physical operator end-to-end: the broadcast interval-tree
-    // lookup join (plans/IntervalLookup: LogicalPlan + Strategy +
-    // SparkPlan — IntervalLookupSpec pins the plan node and BNLJ
-    // parity) enriching event cents against 70 OVERLAPPING price tiers;
-    // left-outer keeps unmatched facts under tier −1. The oracle is the
-    // plain non-equi join, so the gate proves the custom operator's
-    // semantics at table scale.
-    "q307_interval_lookup" -> ((s, dir) => {
-      val facts = ev(s, dir)
-        .select(col("event_id"), round(col("value") * 100).cast("long")
-          .as("cents"))
-        .where(col("cents").isNotNull)
-      val tiers = s.range(70).selectExpr("id AS tier",
-        "id * 700 AS lo", "id * 700 + 1200 AS hi")
-      operators.IntervalLookup.join(facts, tiers, "cents", "lo", "hi",
-          "left_outer")
-        .groupBy(coalesce(col("tier"), lit(-1L)).as("tier"))
-        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
-          sum(col("event_id") % 1000003L).as("id_check"))
-    }),
-
-    // Page–Hinkley drift detector (Page 1954; Hinkley 1971) over daily
-    // revenue per type: deviations from the RUNNING mean accumulate,
-    // PH_t = U_t − min_{i≤t} U_i alarms when the level shifts — the
-    // classic sequential change detector CUSUM (q102) approximates
-    // with a fixed reference. All-window composition on the calendar
-    // grid, e6 integer deviations (running mean truncated before the
-    // subtraction), λ = 2× the series mean.
-    "q305_page_hinkley" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val daily = ev(s, dir).where(col("value").isNotNull)
-        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
-        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
-      val order = Window.partitionBy(col("event_type")).orderBy(col("day"))
-      val run = order.rowsBetween(Window.unboundedPreceding, 0)
-      val all = Window.partitionBy(col("event_type"))
-      val scored = daily
-        .withColumn("i", row_number().over(order).cast("long"))
-        .withColumn("cumx", sum(col("x")).over(run))
-        .withColumn("dev",
-          col("x") * lit(1000000L) - expr("cumx * 1000000L div i"))
-        .withColumn("u", sum(col("dev")).over(run))
-        .withColumn("ph", col("u") - min(col("u")).over(run))
-        .withColumn("tot", sum(col("x")).over(all))
-        .withColumn("n", count(lit(1)).over(all))
-        .withColumn("alarm", col("ph") > expr("2 * (tot * 1000000L div n)"))
-      scored.groupBy(col("event_type"))
-        .agg(max(col("n")).as("n_days"),
-          max(struct(col("ph"), (-col("day")).as("nd"))).as("k"),
-          min(when(col("alarm"), col("day"))).as("first_alarm_day"),
-          sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarms"))
-        .select(col("event_type"), col("n_days"),
-          col("k.ph").as("ph_max_e6"), (-col("k.nd")).as("ph_argmax_day"),
-          col("first_alarm_day"), col("n_alarms"))
-    }),
-
-    // k-anonymity generalization LADDER: the DGH walk (Sweeney's
-    // full-domain generalization) — five QI granularities from
-    // (nation, segment, balance band) up to ∅, audited in one pass
-    // each; the published level is the FIRST whose minimum group size
-    // clears k (suppression-free full-domain generalization). Balance
-    // bands shift +1e5 cents before the integer div so Spark's
-    // truncation and DuckDB's floor agree on negative balances.
-    "q306_gen_ladder" -> ((s, dir) => {
-      val k = 20L
-      val c = t(s, dir, "customer")
-        .join(broadcast(t(s, dir, "nation")),
-          col("c_nationkey") === col("n_nationkey"))
-        .withColumn("band",
-          expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 200000"))
-      val levels: Seq[(Long, Seq[Column])] = Seq(
-        0L -> Seq(col("c_nationkey"), col("c_mktsegment"), col("band")),
-        1L -> Seq(col("c_nationkey"), col("c_mktsegment")),
-        2L -> Seq(col("n_regionkey"), col("c_mktsegment")),
-        3L -> Seq(col("n_regionkey")),
-        4L -> Seq(lit(0L)))
-      val audits = levels.map { case (lvl, qi) =>
-        c.groupBy(qi: _*).agg(count(lit(1)).as("sz"))
-          .agg(count(lit(1)).as("n_groups"), min(col("sz")).as("min_size"),
-            sum(when(col("sz") < k, col("sz")).otherwise(0L))
-              .as("suppressed"))
-          .withColumn("level", lit(lvl))
-          .withColumn("satisfies", col("min_size") >= k)
-      }.reduce(_ unionByName _)
-      val chosen = audits.where(col("satisfies"))
-        .agg(min(col("level")).as("chosen_level"))
-      audits.crossJoin(broadcast(chosen))
-        .select(col("level"), col("n_groups"), col("min_size"),
-          col("suppressed"), col("satisfies"),
-          (col("level") === col("chosen_level")).as("chosen"))
-    }),
-
-    // DataSource V2 surface: the graft-synth deterministic generator
-    // table read through Spark's connector API — id-range filters
-    // narrow the GENERATED range (source-side partition pruning,
-    // SynthSourceSpec pins the scan description + pruned schema), and
-    // the oracle replays splitMix64 in unsigned SQL arithmetic, so the
-    // source's bit-exactness is itself the gate.
-    "q304_synth_source" -> ((s, _) => {
-      s.read.format("graft-synth")
-        .option("rows", 200000L).option("seed", 7L)
-        .option("partitions", 32)
-        .load()
-        .where(col("id") >= 50000L && col("id") < 150000L)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
-          sum(col("user_id") % 97).as("user_check"),
-          sum(col("day")).as("day_sum"))
-    }),
-
-    // Croston intermittent-demand forecast: the %17 user slice makes
-    // per-type daily demand genuinely gappy at sf0.01; size/interval SES
-    // over occurrences only (zero days never materialize — the sparse
-    // series IS the data), rate as one e6 integer ratio.
-    "q303_croston" -> ((s, dir) => {
-      val daily = ev(s, dir)
-        .where(col("user_id") % 17 === 3)
-        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
-        .agg(count(lit(1)).as("q"))
-      operators.Trend.croston(daily, Seq("event_type"), col("day"),
-        col("q"), alphaNum = 2, den = 10)
-    }),
-
-    // Epoch-millis range filter through the EpochCmpRewrite rule: the
-    // engine's own ts_ms seam (`ev()` projects unix_millis(ts) once and
-    // every downstream filter compares the millis column) becomes a
-    // sargable ts range at the scan (EpochCmpRewriteSpec pins the
-    // PushedFilters and the floor-division edge semantics). Bounds are
-    // min(ts_ms) + 5/15 days — one bounded driver fetch.
-    "q295_epoch_pushdown" -> ((s, dir) => {
-      registerRule(s, plans.EpochCmpRewrite)
-      val e = ev(s, dir)
-      val mn = e.agg(min(col("ts_ms")).as("mn")).collect().head.getLong(0)
-      e.where(col("ts_ms") >= mn + 5L * 86400000L &&
-          col("ts_ms") < mn + 15L * 86400000L)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(round(col("value") * 100).cast("long")).as("cents"),
-          sum(col("ts_ms") % 1000003L).as("ts_check"))
-    }),
-  )
-
-  /** q36's fixed UA vocabulary: (userAgent, expected os family, expected
-    * agent family), indexed by user_id % 4. The expectations are inlined
-    * into the oracle; UserAgentsSpec covers the parser more broadly. */
-  private val q36UaVocab: Seq[(String, String, String)] = Seq(
-    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 " +
-      "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36", "Windows", "Chrome"),
-    ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 " +
-      "(KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1", "iOS", "Mobile Safari"),
-    ("Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/119.0",
-      "Linux", "Firefox"),
-    ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 " +
-      "(KHTML, like Gecko) Version/16.6 Safari/605.1.15", "Mac OS X", "Safari"))
-
-  /** q300's Benjamini–Hochberg ladder: df=1 chi² quantiles at
-    * 1 − 0.05·k/25, e6-truncated — (Φ⁻¹(1 − 0.025·k/25))², computed once
-    * offline (the normal inverse CDF belongs in neither engine; a fixed
-    * critical-value ladder is part of the test's specification, exactly
-    * like 1.96 is). k=25 is the classical 3.841459 single-test value. */
-  private val q300Thresholds: Seq[(Long, Long)] = Seq(
-    1L -> 9549535L, 2L -> 8283814L, 3L -> 7550302L, 4L -> 7033474L,
-    5L -> 6634896L, 6L -> 6310869L, 7L -> 6038143L, 8L -> 5802874L,
-    9L -> 5596149L, 10L -> 5411894L, 11L -> 5245785L, 12L -> 5094632L,
-    13L -> 4956018L, 14L -> 4828067L, 15L -> 4709292L, 16L -> 4598496L,
-    17L -> 4494703L, 18L -> 4397104L, 19L -> 4305022L, 20L -> 4217884L,
-    21L -> 4135204L, 22L -> 4056561L, 23L -> 3981594L, 24L -> 3909985L,
-    25L -> 3841458L)
-
-  private val q300ThrSqlValues: String =
-    q300Thresholds.map { case (k, t) => s"($k, $t)" }.mkString(", ")
-
-  /** q310's Poisson(1) CDF ladder, scaled to 2^63 (floor) — weight =
-    * Σ_k [u63 ≥ T_k] over k = 0..7 gives the Poisson multiplicity of a
-    * 63-bit uniform draw; constants computed offline at 50-digit
-    * precision (e is in neither engine; a fixed ladder is part of the
-    * mechanism's specification, like any critical value). */
-  private val q310Thresholds: Seq[Long] = Seq(
-    3393088950634442637L, 6786177901268885274L, 8482722376586106593L,
-    9048237201691847032L, 9189615907968282142L, 9217891649223569164L,
-    9222604272766117001L, 9223277504700766692L)
-
-  private val q310ThrSqlSum: String =
-    q310Thresholds.map(t =>
-      s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)").mkString(" + ")
-
-  /** q302's stoplist: the two function words plus the eight highest-df
-    * generic terms of the synthetic vocabulary — RAKE's stoplist is a
-    * corpus parameter (the paper uses Fox's list for English prose);
-    * pinning it keeps candidate runs in the 1–4-word window. */
-  private val q302Stopwords: Seq[String] = Seq(
-    "a", "the", "table", "value", "part", "row", "data", "key",
-    "line", "scan")
-
-  private val q302StopSql: String =
-    q302Stopwords.map(s => s"'$s'").mkString(", ")
-
-  /** q36 top-query threshold: splits the 50-word vocabulary roughly in
-    * half at sf0.01 (per-query totals span ~166-229), so the gate path is
-    * genuinely exercised. */
-  private val q36MinQueryCount = 200L
-
-  /** q36: the full counter family stack (see queries map). The single
-    * scalar `nowMs` aggregate is the one driver action (the 90d-count
-    * anchor, the batch analogue of the reference's processing-time now). */
-  private def q36CounterAll(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.UserAgents
-    GraftFunctions.register(s)
-    val k = get_json_object(col("props"), "$.k").cast("long")
-    val m4 = pmod(col("user_id"), lit(4))
-    val ua = when(m4 === 0, q36UaVocab(0)._1).when(m4 === 1, q36UaVocab(1)._1)
-      .when(m4 === 2, q36UaVocab(2)._1).otherwise(q36UaVocab(3)._1)
-    val actionType = when(col("event_type") === "view", 0)
-      .when(col("event_type") === "click", 2)
-      .when(col("event_type") === "purchase", 3)
-      .when(col("event_type") === "signup", 4)
-      .otherwise(8)
-    val base = ev(s, dir).select(
-        lit(0L).as("platformId"),
-        col("user_id").cast("string").as("logUserId"),
-        concat(lit("u"), col("user_id").cast("string")).as("userId"),
-        concat(lit("C"), pmod(k, lit(20)).cast("string")).as("contentId"),
-        graft.jobs.CounterJob.queryHashCol(
-          concat(lit("kw"), pmod(k, lit(50)).cast("string"))).as("queryHash"),
-        ua.as("userAgent"), actionType.as("actionType"),
-        col("ts_ms").as("tsMs"), lit(null).cast("long").as("quantity"))
-      .withColumn("osFamily", UserAgents.osFamily(col("userAgent")))
-      .withColumn("agentFamily", UserAgents.agentFamily(col("userAgent")))
-    // max() over an empty table is NULL — default the 90d anchor to 0 so an
-    // empty input yields an empty command frame instead of an NPE
-    val nowRow = base.agg(max("tsMs")).head()
-    val nowMs = if (nowRow.isNullAt(0)) 0L else nowRow.getLong(0)
-    graft.jobs.CounterJob.runAll(base, q36MinQueryCount, nowMs)
-  }
-
-  /** q35: the flagship chain in batch form. views=view events,
-    * insertions=click events, impressions=signup events, actions=purchase
-    * events; window 1d / out-of-order 1s per stage. */
-  private def q35FlatChain(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val e = ev(s, dir)
-    def pid12(c: Column): Column = lpad(c.cast("string"), 12, "0")
-    val pid0 = lit(0L).as("platformId")
-    def luid = col("user_id").cast("string").as("logUserId")
-    val noContent = array().cast("array<string>").as("contentIds")
-    // 1-day window: the synthetic events table spaces a user's events hours
-    // apart, so a 30m window would leave the chain all-dropped
-    val W = 86400000L; val OOO = 1000L
-
-    val views = e.where(col("event_type") === "view").select(
-      col("user_id"), pid12(col("event_id")).as("vid"), col("ts_ms").as("vts"))
-    val ins = e.where(col("event_type") === "click").select(
-      col("user_id"), col("event_id").as("eid"),
-      pid12(col("event_id")).as("iid"),
-      concat(lit("R"), pid12(col("event_id"))).as("rid"),
-      concat(lit("C"), (col("event_id") % 50).cast("string")).as("content"),
-      col("ts_ms").as("its"))
-
-    // stage 1: view × insertion, right-outer, logUserId backup scope
-    val s1L = views.select(pid0, luid, lit(0).as("side"), col("vid").as("id"),
-      lit("").as("parentId"), col("vts").as("tsMs"),
-      array(col("user_id").cast("string")).as("scopes"), noContent)
-    val s1R = ins.select(pid0, luid, lit(1).as("side"), col("iid").as("id"),
-      lit("").as("parentId"), col("its").as("tsMs"),
-      array(col("user_id").cast("string")).as("scopes"), noContent)
-    val p1 = InferredJoin.joinScopedBatch(
-      s1L.unionByName(s1R).as[ScopedEvent], W, OOO, rightOuter = true)(s)
-    val flat1 = p1.toDF()
-      .select(col("rightId").as("iid"), col("leftId").as("view_id"))
-      .join(ins, "iid")
-
-    // stage 2 RHS: impressions with as-of-derived FK / scope ids
-    val impsBase = e.where(col("event_type") === "signup").select(
-      col("user_id"), col("event_id").as("eid"), pid12(col("event_id")).as("mid"),
-      col("ts_ms").as("mts"))
-    val withPc = AsOfJoin.leftAsOf(impsBase,
-      ins.select(col("user_id"), col("iid").as("pc_iid"), col("rid").as("pc_rid"),
-        col("eid").as("pc_eid"), col("its").as("pc_ts")),
-      Seq("user_id"), "mts", "pc_ts", Seq("pc_iid", "pc_rid", "pc_eid"), "pc_eid", W)
-    val withPv = AsOfJoin.leftAsOf(withPc,
-      views.select(col("user_id"), col("vid").as("pv_vid"), col("vts").as("pv_ts")),
-      Seq("user_id"), "mts", "pv_ts", Seq("pv_vid"), "pv_vid", W)
-    val m2base = withPv.select(col("user_id"), col("eid"), col("mid"), col("mts"),
-      col("pc_iid"), col("pc_eid"),
-      when(col("eid") % 4 === 0 || col("eid") % 4 === 2,
-        coalesce(col("pc_iid"), lit(""))).otherwise("").as("fk"),
-      when(col("eid") % 4 === 1, coalesce(col("pc_rid"), lit("")))
-        .when(col("eid") % 4 === 3, concat(lit("RX"), col("mid")))
-        .otherwise("").as("srid"),
-      when(col("eid") % 4 === 3, coalesce(col("pv_vid"), lit("")))
-        .otherwise("").as("svid"))
-    val m2 = m2base // single-action query: AQE exchange reuse covers the shared subtrees
-
-    val s2L = flat1.select(pid0, luid, lit(0).as("side"), col("iid").as("id"),
-      lit("").as("parentId"), col("its").as("tsMs"),
-      array(col("rid"), col("view_id"), col("content")).as("scopes"),
-      array(col("content")).as("contentIds"))
-    val s2R = m2.select(pid0, luid, lit(1).as("side"), col("mid").as("id"),
-      col("fk").as("parentId"), col("mts").as("tsMs"),
-      array(col("srid"), col("svid")).as("scopes"), noContent)
-    val p2 = InferredJoin.joinScopedBatch(
-      s2L.unionByName(s2R).as[ScopedEvent], W, OOO, rightOuter = false)(s)
-    val flat2 = p2.toDF().where(col("matchType").isin("exact", "inferred"))
-      .select(col("leftId").as("iid"), col("rightId").as("mid"),
-        col("rightTs").as("mts"))
-      .join(flat1, "iid")
-
-    // stage 3 RHS: actions, cart-split into per-content items
-    val acts = e.where(col("event_type") === "purchase").select(
-      col("user_id"), col("event_id").as("eid"), pid12(col("event_id")).as("aid"),
-      col("ts_ms").as("ats"))
-    val withPm = AsOfJoin.leftAsOf(acts,
-      m2.select(col("user_id"), col("mid").as("pm_mid"), col("pc_iid").as("pm_pc_iid"),
-        col("pc_eid").as("pm_pc_eid"), col("mts").as("pm_ts")),
-      Seq("user_id"), "ats", "pm_ts", Seq("pm_mid", "pm_pc_iid", "pm_pc_eid"),
-      "pm_mid", W)
-    val withPv3 = AsOfJoin.leftAsOf(withPm,
-      views.select(col("user_id"), col("vid").as("pv3_vid"), col("vts").as("pv3_ts")),
-      Seq("user_id"), "ats", "pv3_ts", Seq("pv3_vid"), "pv3_vid", W)
-    val cbase = coalesce(col("pm_pc_eid") % 50, lit(0L))
-    val c1 = concat(lit("C"), cbase.cast("string"))
-    val c2 = concat(lit("C"), ((cbase + 7) % 50).cast("string"))
-    val items = withPv3
-      .withColumn("item_content",
-        explode(when(col("eid") % 2 === 0, array(c1, c2)).otherwise(array(c1))))
-      .select(col("user_id"), col("eid"), col("aid"), col("ats"), col("item_content"),
-        when(col("eid") % 4 === 0, coalesce(col("pm_mid"), lit("")))
-          .otherwise("").as("fk3"),
-        when(col("eid") % 4 === 1, coalesce(col("pm_pc_iid"), lit("")))
-          .when(col("eid") % 4 === 3, concat(lit("IX"), col("aid")))
-          .otherwise("").as("said"),
-        when(col("eid") % 4 === 2, when(col("pm_pc_iid").isNotNull,
-            concat(lit("R"), col("pm_pc_iid"))).otherwise(lit("")))
-          .when(col("eid") % 4 === 3, concat(lit("RX"), col("aid")))
-          .otherwise("").as("srid3"),
-        when(col("eid") % 4 === 3, coalesce(col("pv3_vid"), lit("")))
-          .otherwise("").as("svid3"))
-
-    val SEP = "\u0001" // cart-item pk split, ImpressionActionProcessFunction.java:14
-    val s3L = flat2.select(pid0, luid, lit(0).as("side"), col("mid").as("id"),
-      lit("").as("parentId"), col("mts").as("tsMs"),
-      array(col("iid"), col("rid"), col("view_id"), col("content")).as("scopes"),
-      array(col("content")).as("contentIds"))
-    val s3R = items.select(pid0, luid, lit(1).as("side"),
-      concat(col("aid"), lit(SEP), col("item_content")).as("id"),
-      col("fk3").as("parentId"), col("ats").as("tsMs"),
-      array(col("said"), col("srid3"), col("svid3")).as("scopes"),
-      array(col("item_content")).as("contentIds"))
-    val p3 = InferredJoin.joinScopedBatch(
-      s3L.unionByName(s3R).as[ScopedEvent], W, OOO, rightOuter = false)(s)
-
-    p3.toDF()
-      .select(col("logUserId").as("log_user_id"),
-        substring_index(col("rightId"), SEP, 1).as("action_id"),
-        substring_index(col("rightId"), SEP, -1).as("content_id"),
-        col("rightTs").as("action_ts_ms"),
-        col("leftId").as("mid"), col("matchType").as("match_type"))
-      .join(flat2.select(col("mid"), col("iid"), col("rid"), col("view_id")),
-        Seq("mid"), "left")
-      .select(col("log_user_id"), col("action_id"), col("content_id"),
-        col("action_ts_ms"), col("mid").as("impression_id"),
-        coalesce(col("iid"), lit("")).as("insertion_id"),
-        coalesce(col("rid"), lit("")).as("request_id"),
-        coalesce(col("view_id"), lit("")).as("view_id"),
-        col("match_type"))
-  }
-
-  // ----------------------------------------------------------- oracle SQL
-
-  /** DuckDB rendering of the langIdHeuristic argmax. Spark's array_max over
-    * struct(hits, lang) picks max hits, ties → lexicographically-largest
-    * lang; the CASE checks langs in reverse-lexicographic order to match. */
-  private val (langHitsSql, langCaseSql) = {
-    val hits = TextFunctions.langMarkers.toSeq.sortBy(_._1).map { case (lang, ws) =>
-      val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
-      lang -> s"len(list_filter(tk, x -> list_contains($lst, x))) AS h_$lang"
-    }
-    val best = hits.map { case (l, _) => s"h_$l" }.mkString("greatest(", ", ", ")")
-    val cases = hits.reverse.map { case (lang, _) =>
-      s"WHEN h_$lang = $best THEN '$lang'" }.mkString(" ")
-    (hits.map(_._2).mkString(", "),
-      s"CASE WHEN $best = 0 THEN 'und' $cases ELSE 'und' END")
-  }
-
-  /** q27's oracle replicates the banded sign-LSH blocking bit-exactly:
-    * the hyperplane signs are inlined as list literals (from the same
-    * `Similarity.planeSigns` the Spark plan uses) and the projections are
-    * BIGINT sums of per-component e9-rounded products — integer arithmetic
-    * end-to-end, so DuckDB and Spark compute identical buckets. Candidate
-    * recall is a property of (bands, rowsPerBand), not of the engine. */
-  private val q27BandedOracleSql: String = {
-    val dims = 64; val bands = 8; val rowsPerBand = 4
-    val bandSelects = (0 until bands).map { b =>
-      val bits = (0 until rowsPerBand).map { k =>
-        val signs = Similarity.planeSigns(b * rowsPerBand + k, dims)
-          .mkString("[", ", ", "]")
-        s"""(CASE WHEN CAST(list_sum(list_transform(list_zip(embedding, $signs),
-           |   z -> CAST(round(CAST(z[1] AS DOUBLE)*1000000000.0) AS BIGINT) * z[2])) AS BIGINT) >= 0
-           |  THEN ${1L << k} ELSE 0 END)""".stripMargin
-      }.mkString(" + ")
-      s"SELECT vec_id, $b AS band, $bits AS bucket FROM n"
-    }.mkString("\n UNION ALL\n")
-    s"""WITH n AS (
-       | SELECT vec_id, embedding,
-       |  CAST(list_sum(list_transform(embedding,
-       |    x -> CAST(round(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS nsq
-       | FROM embeddings WHERE vec_id < 1000),
-       |bk AS (
-       |$bandSelects),
-       |cand AS (
-       | SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-       | FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
-       |   AND a.vec_id < b.vec_id),
-       |p AS (
-       | SELECT c.a_id, c.b_id,
-       |  CAST(CAST(list_sum(list_transform(list_zip(x.embedding, y.embedding),
-       |    z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS DOUBLE)
-       |   / sqrt(CAST(x.nsq AS DOUBLE) * CAST(y.nsq AS DOUBLE)) AS score
-       | FROM cand c JOIN n x ON x.vec_id = c.a_id JOIN n y ON y.vec_id = c.b_id)
-       |SELECT a_id, b_id, CAST(round(score*1000000) AS BIGINT) AS cos_e6
-       |FROM p WHERE CAST(round(score*1000000) AS BIGINT) >= 400000""".stripMargin
-  }
-
-  /** q43's oracle: the 8 projection sign-lists inlined as literals (the
-    * same `Similarity.planeSigns` the Spark plan uses), components as
-    * e9-rounded BIGINT sums — both engines compute identical integers. */
-  private val q43OracleSql: String = {
-    val dims = 64; val outDims = 8
-    val arms = (0 until outDims).map { k =>
-      val signs = Similarity.planeSigns(k, dims).mkString("[", ", ", "]")
-      s"""SELECT vec_id AS id, $k AS dim,
-         | CAST(list_sum(list_transform(list_zip(embedding, $signs),
-         |   z -> CAST(round(CAST(z[1] AS DOUBLE)*1000000000.0) AS BIGINT) * z[2])) AS BIGINT) AS proj_e9
-         |FROM embeddings WHERE vec_id < 200""".stripMargin
-    }
-    arms.mkString("\nUNION ALL\n")
-  }
-
-  /** q23's oracle: same technique as q27 — the 10 hyperplane sign-lists
-    * inlined as literals, projections as e9-rounded BIGINT sums, bucket =
-    * OR of sign bits. Integer arithmetic end-to-end → identical buckets. */
-  private val q23OracleSql: String = {
-    val dims = 64; val planes = 10
-    val bits = (0 until planes).map { p =>
-      val signs = Similarity.planeSigns(p, dims).mkString("[", ", ", "]")
-      s"""(CASE WHEN CAST(list_sum(list_transform(list_zip(embedding, $signs),
-         |   z -> CAST(round(CAST(z[1] AS DOUBLE)*1000000000.0) AS BIGINT) * z[2])) AS BIGINT) >= 0
-         |  THEN ${1L << p} ELSE 0 END)""".stripMargin
-    }.mkString(" + ")
-    s"""WITH bk AS (SELECT vec_id, $bits AS bucket FROM embeddings)
-       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-       | CAST(a.bucket AS BIGINT) AS bucket
-       |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id""".stripMargin
-  }
-
-  /** q34's oracle replays the whole IVF pipeline in SQL: the deterministic
-    * default quantizer (16 lowest-id vectors), nearest-list assignment
-    * (rank 1) for the corpus, 4-list probing for the queries, and the
-    * exact quantized re-rank — the same e9 integer dots and (score DESC,
-    * id) tie-breaks as the Spark plan, so retrieval is bit-identical. */
-  private val q72OracleSql: String =
-    """WITH tok AS (
-      | SELECT doc_id AS id,
-      |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
-      | FROM documents),
-      |dl AS (SELECT id, count(*) AS dl FROM tok GROUP BY 1),
-      |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-      |  CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
-      |tf AS (SELECT id, tok, count(*) AS tf FROM tok
-      | WHERE tok IN ('hash', 'join', 'window', 'spark') GROUP BY 1, 2),
-      |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-      |c AS (SELECT tf.id,
-      |  CAST(round(
-      |    ln(1.0 + ((g.n_docs - df.df) + 0.5) / (df.df + 0.5))
-      |    * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
-      |       / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
-      |          + 0.75 * (CAST(dl.dl AS DOUBLE)
-      |             / (CAST(g.sum_dl AS DOUBLE) / CAST(g.n_docs AS DOUBLE))))))
-      |    * 1000000.0) AS BIGINT) AS c_e6
-      | FROM tf JOIN df USING (tok) JOIN dl USING (id) CROSS JOIN g),
-      |s AS (SELECT id, CAST(count(*) AS BIGINT) AS terms_matched,
-      |  CAST(sum(c_e6) AS BIGINT) AS score_e6 FROM c GROUP BY 1)
-      |SELECT id AS doc_id, terms_matched, score_e6,
-      | CAST(row_number() OVER (ORDER BY score_e6 DESC, id) AS BIGINT) AS rank
-      |FROM s""".stripMargin
-
-  /** q158's oracle: the q72 BM25 ranking and a dense top-50 (query
-    * vector 0, the q20 e9-cosine) fused by integer reciprocal ranks. */
-  private lazy val q158OracleSql: String =
-    s"""WITH bm AS (SELECT doc_id AS id, rank FROM ($q72OracleSql)),
-       |nn AS (
-       | SELECT vec_id, embedding,
-       |  CAST(list_sum(list_transform(embedding,
-       |    x -> CAST(round(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS nsq
-       | FROM embeddings),
-       |qv AS (SELECT * FROM nn WHERE vec_id = 0),
-       |sc AS (
-       | SELECT c.vec_id AS id,
-       |  CAST(CAST(list_sum(list_transform(list_zip(q.embedding, c.embedding),
-       |    z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS DOUBLE)
-       |   / sqrt(CAST(q.nsq AS DOUBLE) * CAST(c.nsq AS DOUBLE)) AS score
-       | FROM qv q JOIN nn c ON c.vec_id <> q.vec_id),
-       |dn AS (SELECT id, rank FROM (SELECT id,
-       |  row_number() OVER (ORDER BY score DESC, id) AS rank FROM sc)
-       | WHERE rank <= 50),
-       |u AS (SELECT * FROM bm UNION ALL SELECT * FROM dn),
-       |f AS (SELECT id, count(*) AS n_sources,
-       |  sum(1000000 // (60 + rank)) AS rrf_e6 FROM u GROUP BY 1)
-       |SELECT id, CAST(n_sources AS BIGINT) AS n_sources,
-       |  CAST(rrf_e6 AS BIGINT) AS rrf_e6,
-       |  CAST(row_number() OVER (ORDER BY rrf_e6 DESC, id) AS BIGINT)
-       |    AS rrf_rank
-       |FROM f""".stripMargin
-
-  /** q20's exact-cosine replay with a parameterized embedding expression —
-    * shared by the full-dim truth and q334's truncated (16-dim) candidate
-    * stage. Same e9-quantized per-term products and (score DESC, cid)
-    * tie-break as [[operators.Similarity.bruteForceTopK]]. */
-  private def bruteCosineSqlFor(embExpr: String): String =
-    s"""WITH n AS (
-       | SELECT vec_id, $embExpr AS emb,
-       |  CAST(list_sum(list_transform($embExpr,
-       |    x -> CAST(round(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS nsq
-       | FROM embeddings),
-       |q AS (SELECT * FROM n WHERE vec_id < 20),
-       |s AS (
-       | SELECT q.vec_id AS qid, c.vec_id AS cid,
-       |  CAST(CAST(list_sum(list_transform(list_zip(q.emb, c.emb),
-       |    z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS DOUBLE)
-       |   / sqrt(CAST(q.nsq AS DOUBLE) * CAST(c.nsq AS DOUBLE)) AS score
-       | FROM q JOIN n c ON q.vec_id <> c.vec_id),
-       |r AS (SELECT qid, cid, score,
-       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
-       | FROM s)
-       |SELECT qid, cid, CAST(rank AS INTEGER) AS rank,
-       | CAST(round(score*1000000) AS BIGINT) AS score_e6
-       |FROM r WHERE rank <= 3""".stripMargin
-
-  /** q333's oracle: the Bradley–Terry MM rounds of
-    * [[operators.Preference.bradleyTerryE6]] unrolled — pair terms
-    * n·1e12 // (r_a + r_b) off the previous round's ratings, denominator
-    * sums, the ≥1-clamped update W·1e12 // D, and the ≥1-clamped max
-    * renorm to 1e6 — every operand non-negative BIGINT so `//` ≡ div. */
-  private val q333OracleSql: String = {
-    val rounds = 3
-    s"""WITH ${btOracleCtes(rounds)}
-       |SELECT it.id AS item, CAST(r$rounds.r AS BIGINT) AS rating_e6,
-       | wins, comparisons
-       |FROM it JOIN r$rounds ON r$rounds.id = it.id""".stripMargin
-  }
-
-  // q355: consecutive-doc pairs per source under the q16 quality
-  // expression, P(longer wins) per length-gap bucket, then the exact
-  // Wilson lower-bound chain (the q342 form, item = bucket).
-  private lazy val q355OracleSql: String =
-    s"""WITH d AS (SELECT source, doc_id, n_chars, $qualityExprSql AS q,
-       |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-       | FROM documents),
-       |p1 AS (SELECT source, (rn + 1) // 2 AS pr, n_chars AS len1,
-       |  q AS q1 FROM d WHERE rn % 2 = 1),
-       |p2 AS (SELECT source, (rn + 1) // 2 AS pr, n_chars AS len2,
-       |  q AS q2 FROM d WHERE rn % 2 = 0),
-       |pa AS (SELECT least(abs(len1 - len2) // 100, 5) AS item,
-       |  CASE WHEN (len1 > len2) = (q1 > q2) THEN 1 ELSE 0 END AS sc
-       | FROM p1 JOIN p2 USING (source, pr)
-       | WHERE q1 <> q2 AND len1 <> len2),
-       |per AS (SELECT item, CAST(sum(sc) AS BIGINT) AS wins,
-       |  count(*) AS trials FROM pa GROUP BY 1),
-       |v AS (SELECT item, wins, trials,
-       |  CAST(trials AS HUGEINT) * (2500 * CAST(wins AS HUGEINT)
-       |    * (trials - wins) + 2401 * CAST(trials AS HUGEINT)) AS vn
-       | FROM per),
-       |r0c AS (SELECT *,
-       |  CAST(floor(sqrt(CAST(vn AS DOUBLE))) AS BIGINT) AS s0 FROM v),
-       |rr AS (SELECT item, wins, trials, vn,
-       |  CASE WHEN CAST(s0 AS HUGEINT)*s0 > vn THEN s0 - 1
-       |   WHEN (CAST(s0 AS HUGEINT)+1)*(s0+1) <= vn THEN s0 + 1
-       |   ELSE s0 END AS rt
-       | FROM r0c)
-       |SELECT item AS bucket, wins, trials,
-       | CAST((1250 * CAST(trials AS HUGEINT) * wins
-       |    + 2401 * CAST(trials AS HUGEINT) - 49 * CAST(rt AS HUGEINT))
-       |   * 1000000
-       |  // (1250 * CAST(trials AS HUGEINT) * trials
-       |    + 4802 * CAST(trials AS HUGEINT)) AS BIGINT) AS wilson_lb_e6
-       |FROM rr""".stripMargin
-
-  // q356: the q333 fit replayed, then per-prediction-decile calibration
-  // — mean predicted win probability vs the actual win share.
-  private val q356OracleSql: String = {
-    val rounds = 3
-    s"""WITH ${btOracleCtes(rounds)},
-       |du AS (SELECT x.s AS a, y.s AS b,
-       |  CASE WHEN x.c >= y.c THEN 1 ELSE 0 END AS wa
-       | FROM os x JOIN os y ON x.o = y.o AND x.s < y.s),
-       |cal AS (SELECT du.a, du.b, wa,
-       |  CAST(ra.r AS HUGEINT) * 1000000 // (ra.r + rb.r) AS p_e6
-       | FROM du JOIN r$rounds ra ON ra.id = du.a
-       |  JOIN r$rounds rb ON rb.id = du.b)
-       |SELECT CAST(p_e6 // 100000 AS BIGINT) AS bucket,
-       | count(*) AS trials,
-       | CAST(sum(wa) AS BIGINT) AS wins_a,
-       | CAST(CAST(sum(p_e6) AS HUGEINT) // count(*) AS BIGINT)
-       |   AS mean_pred_e6,
-       | CAST(CAST(sum(wa) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
-       |   AS actual_e6
-       |FROM cal GROUP BY 1""".stripMargin
-  }
-
-  // q362: the q356 calibration frame rolled into Murphy's three terms —
-  // truncating e6 bucket means, DECIMAL numerators over n·1e12.
-  private val q362OracleSql: String = {
-    val rounds = 3
-    s"""WITH ${btOracleCtes(rounds)},
-       |du AS (SELECT x.s AS a, y.s AS b,
-       |  CASE WHEN x.c >= y.c THEN 1 ELSE 0 END AS wa
-       | FROM os x JOIN os y ON x.o = y.o AND x.s < y.s),
-       |cal AS (SELECT wa,
-       |  CAST(CAST(ra.r AS HUGEINT) * 1000000 // (ra.r + rb.r)
-       |   AS BIGINT) AS p
-       | FROM du JOIN r$rounds ra ON ra.id = du.a
-       |  JOIN r$rounds rb ON rb.id = du.b),
-       |bk AS (SELECT p // 100000 AS bk, count(*) AS nk,
-       |  CAST(CAST(sum(p) AS HUGEINT) // count(*) AS BIGINT) AS pbar,
-       |  CAST(CAST(sum(wa) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
-       |    AS obar
-       | FROM cal GROUP BY 1),
-       |tot AS (SELECT count(*) AS n,
-       |  CAST(CAST(sum(wa) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
-       |    AS ob FROM cal),
-       |br AS (SELECT sum(CAST(p - wa * 1000000 AS HUGEINT)
-       |    * (p - wa * 1000000)) AS brier_num FROM cal),
-       |rr AS (SELECT sum(CAST(nk AS HUGEINT) * (pbar - obar)
-       |     * (pbar - obar)) AS rel_num,
-       |  sum(CAST(nk AS HUGEINT) * (obar - ob) * (obar - ob)) AS res_num
-       | FROM bk, tot)
-       |SELECT n, ob AS obar_e6,
-       | CAST(CAST(brier_num AS DECIMAL(38,0)) AS VARCHAR) AS brier_num,
-       | CAST(CAST(rel_num AS DECIMAL(38,0)) AS VARCHAR) AS rel_num,
-       | CAST(CAST(res_num AS DECIMAL(38,0)) AS VARCHAR) AS res_num,
-       | CAST(CAST(CAST(ob AS HUGEINT) * (1000000 - ob) AS DECIMAL(38,0))
-       |   AS VARCHAR) AS unc_num
-       |FROM tot, br, rr""".stripMargin
-  }
-
-  /** q333's oracle CTE body (through r\$rounds), shared with q356. */
-  private def btOracleCtes(rounds: Int): String = {
-    val roundCtes = (1 to rounds).map { k =>
-      s"""t$k AS (SELECT a, b, n * 1000000000000 // (ra.r + rb.r) AS t
-         | FROM und JOIN r${k - 1} ra ON ra.id = a
-         |  JOIN r${k - 1} rb ON rb.id = b),
-         |d$k AS (SELECT id, CAST(sum(t) AS BIGINT) AS dd FROM (
-         |  SELECT a AS id, t FROM t$k
-         |  UNION ALL SELECT b AS id, t FROM t$k) GROUP BY 1),
-         |w$k AS (SELECT it.id,
-         |  greatest(1, wins * 1000000000000 // dd) AS r
-         | FROM it JOIN d$k ON d$k.id = it.id),
-         |m$k AS (SELECT max(r) AS m FROM w$k),
-         |r$k AS (SELECT id, greatest(1, r * 1000000 // m) AS r
-         | FROM w$k, m$k)""".stripMargin
-    }.mkString(",\n")
-    s"""os AS (SELECT l_orderkey AS o, l_suppkey AS s,
-       |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
-       |   AS c
-       | FROM lineitem GROUP BY 1, 2),
-       |duel AS (SELECT
-       |  CASE WHEN y.c > x.c THEN y.s ELSE x.s END AS w,
-       |  CASE WHEN y.c > x.c THEN x.s ELSE y.s END AS l
-       | FROM os x JOIN os y ON x.o = y.o AND x.s < y.s),
-       |und AS (SELECT least(w, l) AS a, greatest(w, l) AS b,
-       |  CAST(count(*) AS BIGINT) AS n
-       | FROM duel GROUP BY 1, 2),
-       |wn AS (SELECT w AS id, CAST(count(*) AS BIGINT) AS wins
-       | FROM duel GROUP BY 1),
-       |cm AS (SELECT id, CAST(sum(n) AS BIGINT) AS comparisons FROM (
-       |  SELECT a AS id, n FROM und
-       |  UNION ALL SELECT b AS id, n FROM und) GROUP BY 1),
-       |it AS (SELECT cm.id, CAST(coalesce(wins, 0) AS BIGINT) AS wins,
-       |  comparisons
-       | FROM cm LEFT JOIN wn ON wn.id = cm.id),
-       |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM it),
-       |$roundCtes""".stripMargin
-  }
-
-  // q344: Rao–Kupper MM rounds unrolled — θ-scaled opposing ratings,
-  // the two-term per-side denominator in HUGEINT (Spark's LONG terms
-  // + DECIMAL(38,0) sums), then the same clamp/renorm as q333.
-  private val q344OracleSql: String = {
-    val rounds = 3
-    val theta = 1250000L
-    val roundCtes = (1 to rounds).map { k =>
-      s"""t$k AS (SELECT u.a, u.b, wab, wba, tab,
-         |  ra.r AS ra, rb.r AS rb,
-         |  $theta * ra.r // 1000000 AS tra,
-         |  $theta * rb.r // 1000000 AS trb
-         | FROM und u JOIN r${k - 1} ra ON ra.id = u.a
-         |  JOIN r${k - 1} rb ON rb.id = u.b),
-         |d$k AS (SELECT id, sum(d) AS dd FROM (
-         |  SELECT a AS id,
-         |    CAST(wab + tab AS HUGEINT) * 1000000000000 // (ra + trb)
-         |  + CAST(wba + tab AS HUGEINT) * $theta * 1000000 // (rb + tra)
-         |    AS d FROM t$k
-         |  UNION ALL SELECT b,
-         |    CAST(wba + tab AS HUGEINT) * 1000000000000 // (rb + tra)
-         |  + CAST(wab + tab AS HUGEINT) * $theta * 1000000 // (ra + trb)
-         |   FROM t$k) GROUP BY 1),
-         |w$k AS (SELECT it.id, greatest(1, CAST(
-         |   CAST(wins + ties AS HUGEINT) * 1000000000000 // dd
-         |  AS BIGINT)) AS r
-         | FROM it JOIN d$k ON d$k.id = it.id),
-         |m$k AS (SELECT max(r) AS m FROM w$k),
-         |r$k AS (SELECT id, greatest(1, r * 1000000 // m) AS r
-         | FROM w$k, m$k)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH os AS (SELECT l_orderkey AS o, l_suppkey AS s,
-       |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
-       | FROM lineitem GROUP BY 1, 2),
-       |duel AS (SELECT x.s AS a, y.s AS b,
-       |  CASE WHEN x.q > y.q THEN 1 WHEN x.q < y.q THEN -1 ELSE 0 END
-       |    AS oa
-       | FROM os x JOIN os y ON x.o = y.o AND x.s < y.s),
-       |und AS (SELECT a, b,
-       |  CAST(sum(CASE WHEN oa = 1 THEN 1 ELSE 0 END) AS BIGINT) AS wab,
-       |  CAST(sum(CASE WHEN oa = -1 THEN 1 ELSE 0 END) AS BIGINT) AS wba,
-       |  CAST(sum(CASE WHEN oa = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tab
-       | FROM duel GROUP BY 1, 2),
-       |it AS (SELECT id, CAST(sum(w) AS BIGINT) AS wins,
-       |  CAST(sum(t) AS BIGINT) AS ties,
-       |  CAST(sum(n) AS BIGINT) AS comparisons FROM (
-       |  SELECT a AS id, wab AS w, tab AS t, wab + wba + tab AS n
-       |   FROM und
-       |  UNION ALL SELECT b, wba, tab, wab + wba + tab FROM und)
-       | GROUP BY 1),
-       |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM it),
-       |$roundCtes
-       |SELECT it.id AS item, CAST(r$rounds.r AS BIGINT) AS rating_e6,
-       | wins, ties, comparisons
-       |FROM it JOIN r$rounds ON r$rounds.id = it.id""".stripMargin
-  }
-
-  // q343: the FS pipeline replayed — per-field u as exact ppm off the
-  // perturbed side's value frequencies, the same pinned-ln weight
-  // pipeline, blocked pairs, offset floor-buckets.
-  private val linkFields = Seq("k_name", "k_bal", "k_seg")
-
-  private val linkPriors = Seq(("k_name", 900000L), ("k_bal", 850000L),
-    ("k_seg", 800000L))
-
-  /** Shared q343/q346/q347 oracle base: the two customer projections
-    * and the per-field exact-ppm u CTEs. */
-  private val linkBaseCtes: String = {
-    val uCtes = linkFields.map { f =>
-      s"""u_$f AS (SELECT greatest(least(coalesce(
-         |  CAST(sum(CAST(c AS HUGEINT) * c) * 1000000
-         |    // (SELECT CAST(count(*) AS HUGEINT) * count(*) FROM cb)
-         |   AS BIGINT), 1), 999999), 1) AS u
-         | FROM (SELECT count(*) AS c FROM cb WHERE $f IS NOT NULL
-         |   GROUP BY $f))""".stripMargin
-    }.mkString(",\n")
-    s"""ca AS (SELECT c_custkey AS rid, c_nationkey AS blk,
-       |  lower(c_name) AS k_name,
-       |  CAST(round(c_acctbal*100) AS BIGINT) // 10000 AS k_bal,
-       |  c_mktsegment AS k_seg FROM customer),
-       |cb AS (SELECT c_custkey AS rid, c_nationkey AS blk,
-       |  CASE WHEN c_custkey % 11 = 0 THEN lower(c_name) || 'x'
-       |   ELSE lower(c_name) END AS k_name,
-       |  (CAST(round(c_acctbal*100) AS BIGINT)
-       |   + (c_custkey % 7 - 3) * 600) // 10000 AS k_bal,
-       |  CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN'
-       |   ELSE c_mktsegment END AS k_seg FROM customer),
-       |$uCtes""".stripMargin
-  }
-
-  /** w (weight row from the fixed priors) + p (scored pairs). */
-  private val linkScoredCtes: String = {
-    val wCols = linkPriors.map { case (f, m) =>
-      s"""CAST(round(ln(CAST($m AS DOUBLE) / CAST(u_$f.u AS DOUBLE))
-         |   * 1000000.0) AS BIGINT) AS wa_$f,
-         | CAST(round(ln((1000000.0 - $m) / (1000000.0 - u_$f.u))
-         |   * 1000000.0) AS BIGINT) AS wd_$f""".stripMargin
-    }.mkString(",\n ")
-    val scoreSum = linkFields.map { f =>
-      s"CASE WHEN a.$f = b.$f THEN wa_$f ELSE wd_$f END"
-    }.mkString(" + ")
-    s"""w AS (SELECT $wCols FROM u_k_name, u_k_bal, u_k_seg),
-       |p AS (SELECT a.rid AS id_a, b.rid AS id_b,
-       |  ($scoreSum) AS score_e6
-       | FROM ca a JOIN cb b ON a.blk = b.blk, w)""".stripMargin
-  }
-
-  private val q343OracleSql: String =
-    s"""WITH $linkBaseCtes,
-       |$linkScoredCtes
-       |SELECT (score_e6 + 1024000000) // 1000000 - 1024 AS bucket,
-       | count(*) AS n_pairs,
-       | CAST(sum(CASE WHEN id_a = id_b THEN 1 ELSE 0 END) AS BIGINT)
-       |   AS n_true
-       |FROM p GROUP BY 1""".stripMargin
-
-  // q346: the pattern histogram once, then both hard-EM rounds
-  // unrolled — weight row per round from the previous m state, linked
-  // classification, Laplace-exact m update.
-  private val q346OracleSql: String = {
-    val gCols = linkFields.map(f =>
-      s"CASE WHEN a.$f = b.$f THEN 1 ELSE 0 END AS g_$f").mkString(",\n  ")
-    def wCte(name: String, mFrom: String, mCol: String => String) =
-      s"""$name AS (SELECT ${linkFields.map { f =>
-        s"""CAST(round(ln(CAST(${mCol(f)} AS DOUBLE)
-           |    / CAST(u_$f.u AS DOUBLE)) * 1000000.0) AS BIGINT)
-           |   AS wa_$f,
-           | CAST(round(ln((1000000.0 - ${mCol(f)})
-           |    / (1000000.0 - u_$f.u)) * 1000000.0) AS BIGINT)
-           |   AS wd_$f""".stripMargin
-      }.mkString(",\n ")}
-         | FROM $mFrom, u_k_name, u_k_bal, u_k_seg)""".stripMargin
-    val score = linkFields.map(f =>
-      s"CASE WHEN g_$f = 1 THEN wa_$f ELSE wd_$f END").mkString(" + ")
-    def mCte(name: String, wFrom: String) =
-      s"""$name AS (SELECT ${linkFields.map { f =>
-        s"""greatest(least((coalesce(sum(cnt * g_$f), 0) + 1) * 1000000
-           |   // (coalesce(sum(cnt), 0) + 2), 999999), 1) AS m_$f"""
-          .stripMargin
-      }.mkString(",\n ")}
-         | FROM pat, $wFrom WHERE ($score) >= 0)""".stripMargin
-    s"""WITH $linkBaseCtes,
-       |pat AS (SELECT g_k_name, g_k_bal, g_k_seg, count(*) AS cnt
-       | FROM (SELECT
-       |  $gCols
-       |  FROM ca a JOIN cb b ON a.blk = b.blk) GROUP BY 1, 2, 3),
-       |m0 AS (SELECT ${linkFields.map(f => s"800000 AS m_$f")
-        .mkString(", ")}),
-       |${wCte("w1", "m0", f => s"m_$f")},
-       |${mCte("m1", "w1")},
-       |${wCte("w2", "m1", f => s"m_$f")},
-       |${mCte("m2", "w2")},
-       |${wCte("wf", "m2", f => s"m_$f")},
-       |lf AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS nl
-       | FROM pat, wf WHERE ($score) >= 0)
-       |${linkFields.map { f =>
-        s"""SELECT '$f' AS field, CAST(m_$f AS BIGINT) AS m_ppm,
-           | u_$f.u AS u_ppm, wa_$f AS wa_e6, wd_$f AS wd_e6,
-           | nl AS n_linked
-           |FROM m2, u_$f, wf, lf""".stripMargin
-      }.mkString("\nUNION ALL ")}""".stripMargin
-  }
-
-  // q347: scored pairs → thresholded undirected edges → recursive
-  // transitive closure (clusters are tiny by construction) →
-  // min-labeled components → size census.
-  private val q347OracleSql: String =
-    s"""WITH RECURSIVE $linkBaseCtes,
-       |$linkScoredCtes,
-       |e AS (SELECT id_a AS a, id_b AS b FROM p
-       |  WHERE score_e6 >= 3000000 AND id_a <> id_b
-       | UNION SELECT id_b, id_a FROM p
-       |  WHERE score_e6 >= 3000000 AND id_a <> id_b),
-       |reach(src, dst) AS (
-       | SELECT a, a FROM e
-       | UNION
-       | SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst),
-       |comp AS (SELECT src AS node, min(dst) AS component
-       | FROM reach GROUP BY src),
-       |szc AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1)
-       |SELECT sz, count(*) AS n_clusters FROM szc GROUP BY 1"""
-      .stripMargin
-
-  // q351: the full unigram-LM hard-EM replayed — seed vocabulary with
-  // the same top-V/char-coverage cut, then per EM round the 8 forward
-  // Viterbi positions (row_number tie-break ≡ Spark's max(struct)) and
-  // 8 backtrack steps, Laplace counts, pinned-ln re-estimation.
-  private val q351OracleSql: String = {
-    val W = 8; val R = 2
-    s"""WITH ${unigramOracleCtes(V = 60, P = 4, W = W, R = R)}
-       |SELECT c.piece, CAST(c.vcnt - 1 AS BIGINT) AS n_viterbi,
-       | v.lp AS logp_e6
-       |FROM c$R c JOIN v$R v ON v.piece = c.piece""".stripMargin
-  }
-
-  // q352: train (1 EM round) then ENCODE — per-word Viterbi piece
-  // counts off the round-1 backtrack emissions, joined back to
-  // doc-grain words for the per-source token accounting.
-  private val q352OracleSql: String = {
-    val W = 8
-    val emitWords = (1 to W).map(j => s"SELECT word FROM s1_$j")
-      .mkString(" UNION ALL ")
-    s"""WITH ${unigramOracleCtes(V = 60, P = 4, W = W, R = 1)},
-       |wpc AS (SELECT word, count(*) AS n_pieces
-       | FROM ($emitWords) ew GROUP BY 1),
-       |dw AS (SELECT source, doc_id, substring(word, 1, $W) AS word
-       | FROM (SELECT source, doc_id,
-       |   lower(unnest(regexp_split_to_array(trim(text),
-       |     '[ \t\n\f\r]+'))) AS word FROM documents) z
-       | WHERE regexp_matches(word, '^[a-z]+$$'))
-       |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-       | count(*) AS n_words,
-       | CAST(sum(n_pieces) AS BIGINT) AS n_tokens
-       |FROM dw JOIN wpc USING (word) GROUP BY 1""".stripMargin
-  }
-
-  /** The unigram-LM oracle CTE body (through c\$R / v\$R), shared by
-    * q351 (train) and q352 (train-then-encode). */
-  private def unigramOracleCtes(V: Int, P: Int, W: Int, R: Int): String = {
-    def fwd(r: Int): String = {
-      val b0 = s"b${r}_0 AS (SELECT word, 0 AS pos," +
-        s" CAST(0 AS BIGINT) AS score, -1 AS bstart FROM wc)"
-      val steps = (1 to W).map { p =>
-        s"""b${r}_$p AS (SELECT * FROM b${r}_${p - 1}
-           | UNION ALL SELECT word, $p AS pos, score, bstart FROM (
-           |  SELECT e.word, b.score + v.lp AS score, e.start AS bstart,
-           |   row_number() OVER (PARTITION BY e.word
-           |     ORDER BY b.score + v.lp DESC, e.start ASC) AS rn
-           |  FROM e JOIN v${r - 1} v ON v.piece = e.piece
-           |   JOIN b${r}_${p - 1} b ON b.word = e.word AND b.pos = e.start
-           |  WHERE e.e_end = $p) q WHERE rn = 1)""".stripMargin
-      }
-      (b0 +: steps).mkString(",\n")
-    }
-    def back(r: Int): String = {
-      val k0 = s"k${r}_0 AS (SELECT word, cnt, length(word) AS pos FROM wc)"
-      val steps = (1 to W).flatMap { j =>
-        Seq(
-          s"""s${r}_$j AS (SELECT k.word, k.cnt,
-             |  substring(k.word, b.bstart + 1, k.pos - b.bstart) AS piece,
-             |  b.bstart AS pos
-             | FROM k${r}_${j - 1} k JOIN b${r}_$W b
-             |  ON b.word = k.word AND b.pos = k.pos
-             | WHERE k.pos > 0)""".stripMargin,
-          s"k${r}_$j AS (SELECT word, cnt, pos FROM s${r}_$j)")
-      }
-      (k0 +: steps).mkString(",\n")
-    }
-    def mv(r: Int): String = {
-      val emits = (1 to W).map(j => s"SELECT piece, cnt FROM s${r}_$j")
-        .mkString(" UNION ALL ")
-      s"""em$r AS ($emits),
-         |c$r AS (SELECT vo.piece, coalesce(e2.s, 0) + 1 AS vcnt
-         | FROM vocab vo LEFT JOIN (SELECT piece, sum(cnt) AS s
-         |   FROM em$r GROUP BY 1) e2
-         |  ON e2.piece = vo.piece),
-         |v$r AS (SELECT piece, CAST(round(ln(CAST(vcnt AS DOUBLE)
-         |   / CAST((SELECT sum(vcnt) FROM c$r) AS DOUBLE)) * 1000000.0)
-         |  AS BIGINT) AS lp FROM c$r)""".stripMargin
-    }
-    val rounds = (1 to R)
-      .map(r => Seq(fwd(r), back(r), mv(r)).mkString(",\n")).mkString(",\n")
-    s"""wc AS (SELECT substring(word, 1, $W) AS word, sum(cnt) AS cnt
-       | FROM (SELECT word, count(*) AS cnt FROM (
-       |   SELECT lower(unnest(regexp_split_to_array(trim(text),
-       |     '[ \t\n\f\r]+'))) AS word FROM documents) z
-       |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1) y
-       | GROUP BY 1),
-       |sub AS (SELECT substring(word, start + 1, l) AS piece,
-       |  sum(cnt) AS scnt
-       | FROM wc, (SELECT unnest(generate_series(0, ${W - 1})) AS start) st,
-       |  (SELECT unnest(generate_series(1, $P)) AS l) ll
-       | WHERE start < length(word) AND l <= length(word) - start
-       | GROUP BY 1),
-       |top AS (SELECT piece, scnt FROM (SELECT piece, scnt,
-       |  row_number() OVER (ORDER BY scnt DESC, piece ASC) AS r FROM sub) q
-       | WHERE r <= $V),
-       |chars AS (SELECT piece, scnt FROM sub WHERE length(piece) = 1),
-       |vocab AS (SELECT piece, max(scnt) AS scnt FROM (
-       |  SELECT * FROM top UNION ALL SELECT * FROM chars) u GROUP BY 1),
-       |v0 AS (SELECT piece, CAST(round(ln(CAST(scnt AS DOUBLE)
-       |   / CAST((SELECT sum(scnt) FROM vocab) AS DOUBLE)) * 1000000.0)
-       |  AS BIGINT) AS lp FROM vocab),
-       |e AS (SELECT word, cnt, start, start + l AS e_end,
-       |  substring(word, start + 1, l) AS piece
-       | FROM wc, (SELECT unnest(generate_series(0, ${W - 1})) AS start) st,
-       |  (SELECT unnest(generate_series(1, $P)) AS l) ll
-       | WHERE start < length(word) AND l <= length(word) - start
-       |  AND substring(word, start + 1, l) IN (SELECT piece FROM vocab)),
-       |$rounds""".stripMargin
-  }
-
-  // q345: one UNION ALL branch per column over the cents-projected
-  // base — count/nulls/exact-NDV/min/max with VARCHAR casts mirroring
-  // the Spark side's stringified stack.
-  private val q345OracleSql: String = {
-    val cols = Seq("c_custkey", "c_name", "c_nationkey",
-      "c_acctbal_cents", "c_mktsegment")
-    val branches = cols.map { c =>
-      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
-         | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         |   AS n_nulls,
-         | CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
-         | CAST(min($c) AS VARCHAR) AS min_val,
-         | CAST(max($c) AS VARCHAR) AS max_val FROM b""".stripMargin
-    }.mkString("\nUNION ALL ")
-    s"""WITH b AS (SELECT c_custkey, c_name, c_nationkey,
-       |  CAST(round(c_acctbal*100) AS BIGINT) AS c_acctbal_cents,
-       |  c_mktsegment FROM customer)
-       |$branches""".stripMargin
-  }
-
-  private val q20OracleSql: String =
-    """WITH n AS (
-      | SELECT vec_id, embedding,
-      |  CAST(list_sum(list_transform(embedding,
-      |    x -> CAST(round(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS nsq
-      | FROM embeddings),
-      |q AS (SELECT * FROM n WHERE vec_id < 20),
-      |s AS (
-      | SELECT q.vec_id AS qid, c.vec_id AS cid,
-      |  CAST(CAST(list_sum(list_transform(list_zip(q.embedding, c.embedding),
-      |    z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS DOUBLE)
-      |   / sqrt(CAST(q.nsq AS DOUBLE) * CAST(c.nsq AS DOUBLE)) AS score
-      | FROM q JOIN n c ON q.vec_id <> c.vec_id),
-      |r AS (SELECT qid, cid, score,
-      |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
-      | FROM s)
-      |SELECT qid, cid, CAST(rank AS INTEGER) AS rank, CAST(round(score*1000000) AS BIGINT) AS score_e6
-      |FROM r WHERE rank <= 3""".stripMargin
-
-  /** q401's oracle: the q20 cosine replay restricted to query vec 0 →
-    * top-10 pool, all pairwise pool cosines, then the five greedy MMR
-    * rounds unrolled — each round a struct-min argmax over
-    * (−mmr, cid), selected sets accumulated CTE by CTE. */
-  private val q401OracleSql: String = {
-    def round2(i: Int): String = {
-      val prevSel = s"sel${i - 1}"
-      s"""m$i AS (SELECT c.cid, c.rel, max(pb.sim) AS ms FROM cand c
-         | JOIN pb ON pb.x = c.cid
-         | JOIN $prevSel s ON pb.y = s.cid
-         | WHERE c.cid NOT IN (SELECT cid FROM $prevSel)
-         | GROUP BY 1, 2),
-         |p$i AS (SELECT min(struct_pack(
-         |  m := -((7 * rel - 3 * ms) // 10), c := cid, r := rel,
-         |  ms := ms)) AS pk FROM m$i),
-         |sel$i AS (SELECT cid FROM $prevSel
-         | UNION ALL SELECT pk.c FROM p$i)"""
-        .stripMargin
-    }
-    s"""WITH n AS (SELECT vec_id, embedding,
-       |  CAST(list_sum(list_transform(embedding,
-       |   x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-       |    * 1000000000.0) AS BIGINT))) AS BIGINT) AS nsq
-       | FROM embeddings),
-       |q AS (SELECT * FROM n WHERE vec_id = 0),
-       |sc AS (SELECT c.vec_id AS cid,
-       |  CAST(CAST(list_sum(list_transform(
-       |    list_zip(q.embedding, c.embedding),
-       |    z -> CAST(round(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)
-       |     * 1000000000.0) AS BIGINT))) AS BIGINT) AS DOUBLE)
-       |   / sqrt(CAST(q.nsq AS DOUBLE) * CAST(c.nsq AS DOUBLE))
-       |   AS score
-       | FROM q JOIN n c ON q.vec_id <> c.vec_id),
-       |cand AS (SELECT cid, CAST(round(score * 1000000) AS BIGINT)
-       |  AS rel
-       | FROM (SELECT cid, score, row_number() OVER (ORDER BY score
-       |   DESC, cid) AS rank FROM sc)
-       | WHERE rank <= 10),
-       |cv AS (SELECT n.vec_id AS cid, n.embedding, n.nsq
-       | FROM n JOIN cand ON cand.cid = n.vec_id),
-       |pr AS (SELECT a.cid AS x, b.cid AS y,
-       |  CAST(round(CAST(CAST(list_sum(list_transform(
-       |    list_zip(a.embedding, b.embedding),
-       |    z -> CAST(round(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)
-       |     * 1000000000.0) AS BIGINT))) AS BIGINT) AS DOUBLE)
-       |   / sqrt(CAST(a.nsq AS DOUBLE) * CAST(b.nsq AS DOUBLE))
-       |   * 1000000) AS BIGINT) AS sim
-       | FROM cv a JOIN cv b ON a.cid < b.cid),
-       |pb AS (SELECT x, y, sim FROM pr
-       | UNION ALL SELECT y, x, sim FROM pr),
-       |p1 AS (SELECT min(struct_pack(m := -((7 * rel) // 10),
-       |  c := cid, r := rel, ms := CAST(0 AS BIGINT))) AS pk
-       | FROM cand),
-       |sel1 AS (SELECT pk.c AS cid FROM p1),
-       |${round2(2)},
-       |${round2(3)},
-       |${round2(4)},
-       |${round2(5)}
-       |SELECT CAST(1 AS BIGINT) AS pick_rank, pk.c AS cid,
-       | pk.r AS rel_e6, pk.ms AS maxsim_e6, -(pk.m) AS mmr_e6 FROM p1
-       |UNION ALL SELECT 2, pk.c, pk.r, pk.ms, -(pk.m) FROM p2
-       |UNION ALL SELECT 3, pk.c, pk.r, pk.ms, -(pk.m) FROM p3
-       |UNION ALL SELECT 4, pk.c, pk.r, pk.ms, -(pk.m) FROM p4
-       |UNION ALL SELECT 5, pk.c, pk.r, pk.ms, -(pk.m) FROM p5"""
-      .stripMargin
-  }
-
-  /** q144/q145's oracles replay BOTH retrieval stages — exact (q20) and
-    * IVF (q34) — as parenthesized CTE subqueries, then audit candidate
-    * membership/ranks against the truth set with the same integer
-    * formulas as [[operators.RankEval]] (NDCG discounts come from the
-    * SAME [[operators.RankEval.ndcgWeightsE9]] longs the Spark plan
-    * inlines). */
-  private lazy val q144OracleSql: String =
-    s"""WITH gt AS (SELECT * FROM ($q20OracleSql)),
-       |cand AS (SELECT * FROM ($q34OracleSql)),
-       |j AS (SELECT g.qid, CASE WHEN c.cid IS NOT NULL THEN 1 ELSE 0 END AS hit
-       | FROM gt g LEFT JOIN cand c ON c.qid = g.qid AND c.cid = g.cid)
-       |SELECT qid, CAST(count(*) AS BIGINT) AS n_true,
-       |  CAST(sum(hit) AS BIGINT) AS hits,
-       |  CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS recall_ppm
-       |FROM j GROUP BY 1""".stripMargin
-
-  private lazy val q145OracleSql: String = {
-    val w = operators.RankEval.ndcgWeightsE9(3)
-    val p = w.scanLeft(0L)(_ + _).tail
-    s"""WITH gt AS (SELECT * FROM ($q20OracleSql)),
-       |cand AS (SELECT * FROM ($q34OracleSql)),
-       |j AS (SELECT g.qid, c.rank FROM gt g
-       | LEFT JOIN cand c ON c.qid = g.qid AND c.cid = g.cid),
-       |a AS (SELECT qid, count(*) AS n_true,
-       |  coalesce(min(rank), 0) AS first_hit_rank,
-       |  coalesce(sum(CASE rank WHEN 1 THEN ${w(0)} WHEN 2 THEN ${w(1)}
-       |    WHEN 3 THEN ${w(2)} ELSE 0 END), 0) AS dcg_e9
-       | FROM j GROUP BY 1)
-       |SELECT qid, CAST(n_true AS BIGINT) AS n_true,
-       |  CAST(first_hit_rank AS BIGINT) AS first_hit_rank,
-       |  CAST(CASE WHEN first_hit_rank > 0 THEN 1000000 // first_hit_rank
-       |    ELSE 0 END AS BIGINT) AS rr_e6,
-       |  CAST(dcg_e9 AS BIGINT) AS dcg_e9,
-       |  CAST(CASE WHEN n_true >= 3 THEN ${p(2)} WHEN n_true = 2 THEN ${p(1)}
-       |    ELSE ${p(0)} END AS BIGINT) AS ideal_e9,
-       |  CAST(dcg_e9 * 1000000 // (CASE WHEN n_true >= 3 THEN ${p(2)}
-       |    WHEN n_true = 2 THEN ${p(1)} ELSE ${p(0)} END) AS BIGINT) AS ndcg_ppm
-       |FROM a""".stripMargin
-  }
-
-  private val q34OracleSql: String = q34OracleSqlFor(4)
-
-  /** q320's oracle: the q144 recall audit at each probe width, rolled to
-    * corpus level and unioned under the nprobe label. */
-  private lazy val q320OracleSql: String =
-    Seq(1, 2, 4, 8).map { np =>
-      s"""SELECT CAST($np AS BIGINT) AS nprobe,
-         | CAST(count(*) AS BIGINT) AS n_true,
-         | CAST(sum(hit) AS BIGINT) AS hits,
-         | CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS recall_ppm
-         |FROM (
-         | SELECT CASE WHEN c.cid IS NOT NULL THEN 1 ELSE 0 END AS hit
-         | FROM ($q20OracleSql) g
-         | LEFT JOIN (${q34OracleSqlFor(np)}) c
-         |  ON c.qid = g.qid AND c.cid = g.cid)""".stripMargin
-    }.mkString("\nUNION ALL\n")
-
-  /** The q34 IVF replay with a parameterized probe width — shared by the
-    * single-config gates (nProbe=4) and the q320 sweep. */
-  private def q34OracleSqlFor(nProbe: Int): String = {
-    val dot = (a: String, b: String) =>
-      s"""CAST(CAST(list_sum(list_transform(list_zip($a, $b),
-         |  z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS DOUBLE)""".stripMargin
-    s"""WITH n AS (
-       | SELECT vec_id, embedding,
-       |  CAST(list_sum(list_transform(embedding,
-       |    x -> CAST(round(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS nsq
-       | FROM embeddings),
-       |cent AS (
-       | SELECT vec_id AS centId, embedding AS centVec, nsq AS centN
-       | FROM n ORDER BY vec_id LIMIT 16),
-       |ca AS (
-       | SELECT n.vec_id, n.embedding, n.nsq, c.centId,
-       |  ${dot("n.embedding", "c.centVec")}
-       |   / sqrt(CAST(n.nsq AS DOUBLE) * CAST(c.centN AS DOUBLE)) AS cs
-       | FROM n CROSS JOIN cent c),
-       |assign AS (
-       | SELECT vec_id AS cid, embedding AS cvec, nsq AS cn, centId FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, centId) AS r
-       |  FROM ca) WHERE r = 1),
-       |probe AS (
-       | SELECT vec_id AS qid, embedding AS qvec, nsq AS qn, centId FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, centId) AS r
-       |  FROM ca WHERE vec_id < 20) WHERE r <= $nProbe),
-       |s AS (
-       | SELECT p.qid, a.cid,
-       |  ${dot("p.qvec", "a.cvec")}
-       |   / sqrt(CAST(p.qn AS DOUBLE) * CAST(a.cn AS DOUBLE)) AS score
-       | FROM probe p JOIN assign a USING (centId) WHERE p.qid <> a.cid),
-       |r AS (SELECT qid, cid, score,
-       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank FROM s)
-       |SELECT qid, cid, CAST(rank AS INTEGER) AS rank, CAST(round(score*1000000) AS BIGINT) AS score_e6
-       |FROM r WHERE rank <= 3""".stripMargin
-  }
-
-  /** q52's oracle replays the PQ pipeline: codebook = subvectors of the 16
-    * lowest-id vectors (code = rank by id), assignment = integer-L2 argmin
-    * (nsq+nsq-2·dot, e9-rounded terms, lowest code on ties), ADC = sum of
-    * the 8 per-subspace L2 table entries (2·dot − ‖cent‖²). Same integers
-    * as the Spark kernels. */
-  /** q96's oracle: the q52 PQ chain emitting a k'=10 shortlist, then the
-    * q20 exact e9-cosine scoring restricted to shortlist pairs and
-    * re-ranked to 3 — both retrieval stages replayed bit-exactly. */
-  private val q96OracleSql: String = {
-    val subspaces = 8; val subDim = 8; val cbSize = 16
-    val dot = (a: String, b: String) =>
-      s"""CAST(list_sum(list_transform(list_zip($a, $b),
-         |  z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT)""".stripMargin
-    s"""WITH n AS (SELECT vec_id, embedding FROM embeddings),
-       |cbv AS (
-       | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code, embedding
-       | FROM (SELECT * FROM n ORDER BY vec_id LIMIT $cbSize)),
-       |cb AS (
-       | SELECT m, code, list_slice(embedding, m*$subDim+1, m*$subDim+$subDim) AS cvec
-       | FROM cbv, range(0, $subspaces) t(m)),
-       |cbn AS (SELECT m, code, cvec, ${dot("cvec", "cvec")} AS cnsq FROM cb),
-       |sv AS (
-       | SELECT vec_id, m, list_slice(embedding, m*$subDim+1, m*$subDim+$subDim) AS svec
-       | FROM n, range(0, $subspaces) t(m)),
-       |svn AS (SELECT vec_id, m, svec, ${dot("svec", "svec")} AS snsq FROM sv),
-       |dist AS (
-       | SELECT s.vec_id, s.m, c.code,
-       |  s.snsq + c.cnsq - 2 * ${dot("s.svec", "c.cvec")} AS d2
-       | FROM svn s JOIN cbn c ON c.m = s.m),
-       |codes AS (
-       | SELECT vec_id, m, code FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS r
-       |  FROM dist) WHERE r = 1),
-       |lut AS (
-       | SELECT s.vec_id AS qid, s.m, c.code,
-       |  2 * ${dot("s.svec", "c.cvec")} - c.cnsq AS dp
-       | FROM svn s JOIN cbn c ON c.m = s.m WHERE s.vec_id < 20),
-       |adc AS (
-       | SELECT l.qid, k.vec_id AS cid, CAST(sum(l.dp) AS BIGINT) AS adc_e9
-       | FROM codes k JOIN lut l ON l.m = k.m AND l.code = k.code
-       | WHERE l.qid <> k.vec_id
-       | GROUP BY 1, 2),
-       |short AS (
-       | SELECT qid, cid FROM (SELECT qid, cid,
-       |   row_number() OVER (PARTITION BY qid ORDER BY adc_e9 DESC, cid) AS rank
-       |  FROM adc) WHERE rank <= 10),
-       |nn AS (
-       | SELECT vec_id, embedding,
-       |  ${dot("embedding", "embedding")} AS nsq
-       | FROM n),
-       |ex AS (
-       | SELECT sh.qid, sh.cid,
-       |  CAST(${dot("q.embedding", "c.embedding")} AS DOUBLE)
-       |   / sqrt(CAST(q.nsq AS DOUBLE) * CAST(c.nsq AS DOUBLE)) AS score
-       | FROM short sh
-       | JOIN nn q ON q.vec_id = sh.qid
-       | JOIN nn c ON c.vec_id = sh.cid),
-       |r2 AS (SELECT qid, cid, score,
-       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
-       | FROM ex)
-       |SELECT qid, cid, CAST(rank AS INTEGER) AS rank, CAST(round(score*1000000) AS BIGINT) AS score_e6
-       |FROM r2 WHERE rank <= 3""".stripMargin
-  }
-
-  private val q52OracleSql: String = {
-    val subspaces = 8; val subDim = 8; val cbSize = 16
-    val dot = (a: String, b: String) =>
-      s"""CAST(list_sum(list_transform(list_zip($a, $b),
-         |  z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT)""".stripMargin
-    s"""WITH n AS (SELECT vec_id, embedding FROM embeddings),
-       |cbv AS (
-       | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code, embedding
-       | FROM (SELECT * FROM n ORDER BY vec_id LIMIT $cbSize)),
-       |cb AS (
-       | SELECT m, code, list_slice(embedding, m*$subDim+1, m*$subDim+$subDim) AS cvec
-       | FROM cbv, range(0, $subspaces) t(m)),
-       |cbn AS (SELECT m, code, cvec, ${dot("cvec", "cvec")} AS cnsq FROM cb),
-       |sv AS (
-       | SELECT vec_id, m, list_slice(embedding, m*$subDim+1, m*$subDim+$subDim) AS svec
-       | FROM n, range(0, $subspaces) t(m)),
-       |svn AS (SELECT vec_id, m, svec, ${dot("svec", "svec")} AS snsq FROM sv),
-       |dist AS (
-       | SELECT s.vec_id, s.m, c.code,
-       |  s.snsq + c.cnsq - 2 * ${dot("s.svec", "c.cvec")} AS d2
-       | FROM svn s JOIN cbn c ON c.m = s.m),
-       |codes AS (
-       | SELECT vec_id, m, code FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS r
-       |  FROM dist) WHERE r = 1),
-       |lut AS (
-       | SELECT s.vec_id AS qid, s.m, c.code,
-       |  2 * ${dot("s.svec", "c.cvec")} - c.cnsq AS dp
-       | FROM svn s JOIN cbn c ON c.m = s.m WHERE s.vec_id < 20),
-       |adc AS (
-       | SELECT l.qid, k.vec_id AS cid, CAST(sum(l.dp) AS BIGINT) AS adc_e9
-       | FROM codes k JOIN lut l ON l.m = k.m AND l.code = k.code
-       | WHERE l.qid <> k.vec_id
-       | GROUP BY 1, 2),
-       |r AS (SELECT qid, cid, adc_e9,
-       |  row_number() OVER (PARTITION BY qid ORDER BY adc_e9 DESC, cid) AS rank FROM adc)
-       |SELECT qid, cid, CAST(rank AS INTEGER) AS rank, adc_e9 FROM r WHERE rank <= 3""".stripMargin
-  }
-
-  /** q83's oracle replays the IVF-PQ (IVFADC) pipeline end-to-end: the
-    * q34 coarse quantizer (16 lowest-id vectors, cosine rank-1 assignment),
-    * float32 residuals (double-subtract cast REAL ≡ fsub by the 2p+2
-    * double-rounding bound), a residual codebook from the vectors ranked
-    * [16, 32) by id, the q52 integer-L2 encode on residuals, and per-list
-    * ADC scores corrected by −‖q−c‖² so probed lists share one scale.
-    * Every term is the e9-integer convention — bit-identical retrieval. */
-  private val q83OracleSql: String = {
-    val nLists = 16; val nProbe = 4; val subspaces = 8; val subDim = 8
-    val cbSize = 16; val k = 3
-    val dotI = (a: String, b: String) =>
-      s"""CAST(list_sum(list_transform(list_zip($a, $b),
-         |  z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT)""".stripMargin
-    val resid =
-      """list_transform(list_zip(embedding, centVec),
-        |   z -> CAST(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE) AS REAL))""".stripMargin
-    s"""WITH n AS (
-       | SELECT vec_id, embedding,
-       |  CAST(list_sum(list_transform(embedding,
-       |    x -> CAST(round(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS nsq
-       | FROM embeddings),
-       |cent AS (
-       | SELECT vec_id AS centId, embedding AS centVec, nsq AS centN
-       | FROM n ORDER BY vec_id LIMIT $nLists),
-       |ca AS (
-       | SELECT n.vec_id, n.embedding, n.nsq, c.centId, c.centVec,
-       |  CAST(${dotI("n.embedding", "c.centVec")} AS DOUBLE)
-       |   / sqrt(CAST(n.nsq AS DOUBLE) * CAST(c.centN AS DOUBLE)) AS cs
-       | FROM n CROSS JOIN cent c),
-       |assign AS (
-       | SELECT vec_id AS cid, centId, $resid AS rvec FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, centId) AS r
-       |  FROM ca) WHERE r = 1),
-       |cbv AS (
-       | SELECT CAST(row_number() OVER (ORDER BY cid) - 1 AS BIGINT) AS code, rvec
-       | FROM (SELECT cid, rvec FROM assign ORDER BY cid LIMIT $cbSize OFFSET $nLists)),
-       |cbn AS (
-       | SELECT m, code, cvec, ${dotI("cvec", "cvec")} AS cnsq FROM (
-       |  SELECT m, code, list_slice(rvec, m*$subDim+1, m*$subDim+$subDim) AS cvec
-       |  FROM cbv, range(0, $subspaces) t(m))),
-       |svn AS (
-       | SELECT cid, centId, m, list_slice(rvec, m*$subDim+1, m*$subDim+$subDim) AS svec
-       | FROM assign, range(0, $subspaces) t(m)),
-       |dist AS (
-       | SELECT s.cid, s.centId, s.m, c.code, c.cnsq - 2*${dotI("s.svec", "c.cvec")} AS d2
-       | FROM svn s JOIN cbn c ON c.m = s.m),
-       |codes AS (
-       | SELECT cid, centId, m, code FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY cid, m ORDER BY d2, code) AS r
-       |  FROM dist) WHERE r = 1),
-       |probe AS (
-       | SELECT vec_id AS qid, centId, $resid AS rvec FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, centId) AS r
-       |  FROM ca WHERE vec_id < 20) WHERE r <= $nProbe),
-       |qn AS (SELECT qid, centId, ${dotI("rvec", "rvec")} AS qrn FROM probe),
-       |lut AS (
-       | SELECT s.qid, s.centId, s.m, c.code, 2*${dotI("s.svec", "c.cvec")} - c.cnsq AS dp
-       | FROM (
-       |  SELECT qid, centId, m, list_slice(rvec, m*$subDim+1, m*$subDim+$subDim) AS svec
-       |  FROM probe, range(0, $subspaces) t(m)) s
-       | JOIN cbn c ON c.m = s.m),
-       |adc AS (
-       | SELECT l.qid, k.cid, k.centId, CAST(sum(l.dp) AS BIGINT) AS sdp
-       | FROM codes k JOIN lut l ON l.centId = k.centId AND l.m = k.m AND l.code = k.code
-       | WHERE l.qid <> k.cid GROUP BY 1, 2, 3),
-       |sc AS (
-       | SELECT a.qid, a.cid, a.sdp - q.qrn AS adc_e9
-       | FROM adc a JOIN qn q ON q.qid = a.qid AND q.centId = a.centId),
-       |r AS (SELECT qid, cid, adc_e9,
-       |  row_number() OVER (PARTITION BY qid ORDER BY adc_e9 DESC, cid) AS rank FROM sc)
-       |SELECT qid, cid, CAST(rank AS INTEGER) AS rank, adc_e9 FROM r WHERE rank <= $k""".stripMargin
-  }
-
-  /** q56's oracle replays the trained-PQ pipeline END-TO-END: per-subspace
-    * Lloyd (init = subvectors of the 16 lowest-id vectors with their ids
-    * as centroid ids; each round assigns by integer L2 — snsq + cnsq −
-    * 2·dot, every term e9 half-away rounded, ties to the lowest centroid
-    * id — and recomputes centroids as float(Σ round(x·1e9) / n / 1e9),
-    * integer sums order-free, double divisions IEEE-identical
-    * cross-engine), then the q52 encode/LUT/ADC over the trained book
-    * with code = centroid-id rank. Clusters that empty drop, exactly as
-    * the Spark trainer's groupBy drops them. */
-  private val q56OracleSql: String = {
-    val subspaces = 8; val subDim = 8; val cbSize = 16; val iters = 2
-    val dot = (a: String, b: String) =>
-      s"""CAST(list_sum(list_transform(list_zip($a, $b),
-         |  z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT)""".stripMargin
-    val rounds = (1 to iters).map { r =>
-      s"""d$r AS (
-         | SELECT s.vec_id, s.m, c.centId,
-         |  s.snsq + ${dot("c.cvec", "c.cvec")} - 2*${dot("s.svec", "c.cvec")} AS d2
-         | FROM svn s JOIN cb${r - 1} c ON c.m = s.m),
-         |a$r AS (
-         | SELECT vec_id, m, centId FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, centId) AS rr
-         |  FROM d$r) WHERE rr = 1),
-         |comp$r AS (
-         | SELECT a.m, a.centId, j,
-         |  SUM(CAST(round(CAST(s.svec[j] AS DOUBLE)*1000000000.0) AS BIGINT)) AS sc,
-         |  COUNT(*) AS cnt
-         | FROM a$r a JOIN svn s ON s.vec_id = a.vec_id AND s.m = a.m,
-         |      range(1, ${subDim + 1}) t(j)
-         | GROUP BY a.m, a.centId, j),
-         |cb$r AS (
-         | SELECT m, centId,
-         |  list(CAST(CAST(sc AS DOUBLE)/CAST(cnt AS DOUBLE)/1000000000.0 AS REAL)
-         |       ORDER BY j) AS cvec
-         | FROM comp$r GROUP BY m, centId),""".stripMargin
-    }.mkString("\n")
-    s"""WITH n AS (SELECT vec_id, embedding FROM embeddings),
-       |sv AS (
-       | SELECT vec_id, m, list_slice(embedding, m*$subDim+1, m*$subDim+$subDim) AS svec
-       | FROM n, range(0, $subspaces) t(m)),
-       |svn AS (SELECT vec_id, m, svec, ${dot("svec", "svec")} AS snsq FROM sv),
-       |cb0 AS (
-       | SELECT m, vec_id AS centId, svec AS cvec FROM sv
-       | WHERE vec_id IN (SELECT vec_id FROM n ORDER BY vec_id LIMIT $cbSize)),
-       |$rounds
-       |cbf AS (
-       | SELECT m, row_number() OVER (PARTITION BY m ORDER BY centId) - 1 AS code,
-       |        cvec, ${dot("cvec", "cvec")} AS cnsq
-       | FROM cb$iters),
-       |dE AS (
-       | SELECT s.vec_id, s.m, c.code,
-       |  s.snsq + c.cnsq - 2*${dot("s.svec", "c.cvec")} AS d2
-       | FROM svn s JOIN cbf c ON c.m = s.m),
-       |codes AS (
-       | SELECT vec_id, m, code FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rr
-       |  FROM dE) WHERE rr = 1),
-       |lut AS (
-       | SELECT s.vec_id AS qid, s.m, c.code, 2*${dot("s.svec", "c.cvec")} - c.cnsq AS dp
-       | FROM svn s JOIN cbf c ON c.m = s.m WHERE s.vec_id < 20),
-       |adc AS (
-       | SELECT l.qid, k.vec_id AS cid, CAST(sum(l.dp) AS BIGINT) AS adc_e9
-       | FROM codes k JOIN lut l ON l.m = k.m AND l.code = k.code
-       | WHERE l.qid <> k.vec_id GROUP BY 1, 2),
-       |r AS (SELECT qid, cid, adc_e9,
-       |  row_number() OVER (PARTITION BY qid ORDER BY adc_e9 DESC, cid) AS rank FROM adc)
-       |SELECT qid, cid, CAST(rank AS INTEGER) AS rank, adc_e9 FROM r WHERE rank <= 3""".stripMargin
-  }
-
-  /** q58's oracle replays SemDeDup end-to-end: the cosine Lloyd trainer
-    * (init = the 16 lowest-id vectors; each round assigns by e9-integer
-    * cosine — CAST(dot AS DOUBLE)/sqrt(nsq·centN) with ties to the lowest
-    * centroid id — and recomputes centroids as float(Σ round(x·1e9)/n/1e9),
-    * integer sums order-free), then the final assignment with its rounded
-    * cent_sim_e6 and the keep-farthest-from-centroid tournament: a vector
-    * drops iff an ε-similar cluster-mate has a lower (cent_sim, id) key. */
-  private val q58OracleSql: String = {
-    val cbSize = 16; val iters = 2; val dims = 64; val eps = 400000L
-    // BIGINT quantized dot: Σ round(a_j·b_j·1e9)
-    val dotI = (a: String, b: String) =>
-      s"""CAST(list_sum(list_transform(list_zip($a, $b),
-         |  z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT)""".stripMargin
-    val rounds = (1 to iters).map { r =>
-      s"""d$r AS (
-         | SELECT n.vec_id, c.centId,
-         |  CAST(${dotI("n.embedding", "c.cvec")} AS DOUBLE)
-         |   / sqrt(CAST(n.nsq AS DOUBLE) * CAST(${dotI("c.cvec", "c.cvec")} AS DOUBLE)) AS cs
-         | FROM n CROSS JOIN cb${r - 1} c),
-         |a$r AS (
-         | SELECT vec_id, centId FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, centId) AS rr
-         |  FROM d$r) WHERE rr = 1),
-         |comp$r AS (
-         | SELECT a.centId, j,
-         |  SUM(CAST(round(CAST(n.embedding[j] AS DOUBLE)*1000000000.0) AS BIGINT)) AS sc,
-         |  COUNT(*) AS cnt
-         | FROM a$r a JOIN n ON n.vec_id = a.vec_id, range(1, ${dims + 1}) t(j)
-         | GROUP BY a.centId, j),
-         |cb$r AS (
-         | SELECT centId,
-         |  list(CAST(CAST(sc AS DOUBLE)/CAST(cnt AS DOUBLE)/1000000000.0 AS REAL)
-         |       ORDER BY j) AS cvec
-         | FROM comp$r GROUP BY centId),""".stripMargin
-    }.mkString("\n")
-    s"""WITH n AS (
-       | SELECT vec_id, embedding,
-       |  ${dotI("embedding", "embedding")} AS nsq
-       | FROM embeddings),
-       |cb0 AS (
-       | SELECT vec_id AS centId, embedding AS cvec
-       | FROM n ORDER BY vec_id LIMIT $cbSize),
-       |$rounds
-       |ca AS (
-       | SELECT n.vec_id, n.nsq, c.centId,
-       |  CAST(${dotI("n.embedding", "c.cvec")} AS DOUBLE)
-       |   / sqrt(CAST(n.nsq AS DOUBLE) * CAST(${dotI("c.cvec", "c.cvec")} AS DOUBLE)) AS cs
-       | FROM n CROSS JOIN cb$iters c),
-       |assign AS (
-       | SELECT vec_id, centId AS cluster,
-       |  CAST(round(cs*1000000.0) AS BIGINT) AS cent_sim_e6
-       | FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, centId) AS rr
-       |  FROM ca) WHERE rr = 1),
-       |drops AS (
-       | SELECT DISTINCT a.vec_id
-       | FROM assign a JOIN assign b ON b.cluster = a.cluster
-       |  AND (b.cent_sim_e6 < a.cent_sim_e6
-       |       OR (b.cent_sim_e6 = a.cent_sim_e6 AND b.vec_id < a.vec_id))
-       | JOIN n na ON na.vec_id = a.vec_id
-       | JOIN n nb ON nb.vec_id = b.vec_id
-       | WHERE CAST(round(CAST(${dotI("na.embedding", "nb.embedding")} AS DOUBLE)
-       |   / sqrt(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE)) * 1000000.0) AS BIGINT)
-       |   >= $eps)
-       |SELECT a.vec_id, a.cluster, a.cent_sim_e6, (d.vec_id IS NULL) AS kept
-       |FROM assign a LEFT JOIN drops d ON d.vec_id = a.vec_id""".stripMargin
-  }
-
-  /** q59's oracle re-scores every document from scratch: tokenize, build
-    * unigram + bigram strings, Karp–Rabin each (the q22 char fold),
-    * splitMix64-finish to a bucket, splitMix64 again (bucket ⊕ seed) for
-    * the procedural weight, sum per doc. Character codes equal UTF-8 bytes
-    * on this verified-ASCII corpus — a non-ASCII doc fails the gate
-    * loudly rather than weakening it. */
-  private val q59OracleSql: String = {
-    val maskBits = 20; val seed = 42L
-    val mask = (1L << maskBits) - 1
-    // renders the splitMix64 chain z0→z (three CTE stages + finish)
-    def sm(src: String, x: String, p: String): String = {
-      val z1 = mulMod64Sql(s"xor(${p}z0, ${p}z0 >> 30)", 0xBF58476D1CE4E5B9L)
-      val z2 = mulMod64Sql(s"xor(${p}z1, ${p}z1 >> 27)", 0x94D049BB133111EBL)
-      s"""${p}s0 AS (SELECT doc_id, g_id,
-         |  CAST(($x + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS ${p}z0
-         | FROM $src),
-         |${p}s1 AS (SELECT doc_id, g_id, $z1 AS ${p}z1 FROM ${p}s0),
-         |${p}s2 AS (SELECT doc_id, g_id, $z2 AS ${p}z2 FROM ${p}s1),
-         |${p}f AS (SELECT doc_id, g_id, xor(${p}z2, ${p}z2 >> 31) AS ${p}z FROM ${p}s2)"""
-        .stripMargin
-    }
-    s"""WITH t AS (
-       | SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
-       |   x -> length(x) > 0) AS tk
-       | FROM documents),
-       |uni AS (
-       | SELECT doc_id, unnest(tk) AS g FROM t),
-       |big AS (
-       | SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
-       | FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk)-1)) AS i) ix
-       | WHERE len(tk) >= 2),
-       |grams AS (
-       | SELECT doc_id, g, row_number() OVER () AS g_id FROM (
-       |  SELECT doc_id, g FROM uni UNION ALL SELECT doc_id, g FROM big)),
-       |k AS (
-       | SELECT doc_id, g_id, list_reduce(list_prepend(CAST(0 AS HUGEINT),
-       |   list_transform(range(1, length(g)+1), i -> CAST(unicode(g[i]) AS HUGEINT))),
-       |   (a,b) -> (a*257+b) % 2305843009213693951) AS h
-       | FROM grams),
-       |${sm("k", "h", "h")},
-       |bkt AS (SELECT doc_id, g_id, hz & $mask AS b FROM hf),
-       |${sm("bkt", s"xor(b, CAST($seed AS UBIGINT))", "w")},
-       |wt AS (SELECT doc_id, CAST((wz >> 13) % 2001 AS BIGINT) - 1000 AS w FROM wf)
-       |SELECT doc_id, CAST(sum(w) AS BIGINT) AS score,
-       |  (CAST(sum(w) AS BIGINT) >= 0) AS accept
-       |FROM wt GROUP BY doc_id""".stripMargin
-  }
-
-  /** q60's oracle replays BPE training END-TO-END: all 8 merge iterations
-    * unroll as CTE blocks — weighted adjacent-pair counts over the symbol
-    * lists, the (count DESC, pair ASC) argmax pick, and the greedy
-    * left-to-right merge as a string fold (symbols joined by the 0x1f
-    * separator; a freshly merged symbol becomes the fold tail and cannot
-    * re-merge in the same pass, matching `BpeTrainer.mergeOnce`) — then
-    * per-doc token counts under the final vocabulary. */
-  private val q60OracleSql: String = {
-    val k = 8
-    val S = "'\u001f'" // symbol separator literal (vocab is alnum — safe)
-    val rounds = (1 to k).map { r =>
-      s"""p$r AS (
-         | SELECT ls[i] AS l, ls[i+1] AS r2, sum(cnt) AS c
-         | FROM (SELECT cnt, string_split(s, $S) AS ls FROM v${r - 1}),
-         |      LATERAL (SELECT unnest(generate_series(1, len(ls)-1)) AS i) ix
-         | WHERE len(ls) >= 2 GROUP BY 1, 2),
-         |t$r AS (
-         | SELECT max(l) AS l, max(r2) AS r2 FROM (
-         |  SELECT l, r2 FROM p$r ORDER BY c DESC, l, r2 LIMIT 1)),
-         |v$r AS (
-         | SELECT word, cnt,
-         |  list_reduce(list_prepend('', string_split(s, $S)),
-         |   (a, x) -> CASE
-         |     WHEN a = '' THEN x
-         |     WHEN string_split(a, $S)[-1] = t.l AND x = t.r2 THEN
-         |       array_to_string(list_append(
-         |         list_slice(string_split(a, $S), 1, len(string_split(a, $S))-1),
-         |         t.l || t.r2), $S)
-         |     ELSE a || $S || x END) AS s
-         | FROM v${r - 1}, t$r t),""".stripMargin
-    }.mkString("\n")
-    s"""WITH words AS (
-       | SELECT w AS word, count(*) AS cnt FROM (
-       |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
-       |  FROM documents) WHERE length(w) > 0 GROUP BY w),
-       |v0 AS (
-       | SELECT word, cnt, array_to_string(
-       |  list_transform(range(1, length(word)+1), i -> word[i]), $S) AS s
-       | FROM words),
-       |$rounds
-       |nt AS (SELECT word, CAST(len(string_split(s, $S)) AS BIGINT) AS ntok FROM v$k),
-       |dw AS (
-       | SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
-       | FROM documents)
-       |SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS n_bpe_tokens
-       |FROM dw JOIN nt USING (word) GROUP BY doc_id""".stripMargin
-  }
-
-  /** q73's oracle replays the A-ES draw: PolyHash64(doc_id + salt) via
-    * the q68 splitMix chain, 53 hash bits (low bit forced odd) mapped
-    * into (0,1) by an exact power-of-two division, priority ln(u)/w, and
-    * the per-language top-20 ranked window. Only membership and rank are
-    * compared — the double priority never leaves either engine. */
-  /** q105's fixed pattern set — 'scan'⊃'can'⊃'an' exercises the
-    * dictionary-suffix-link chain (three hits per 'scan'). */
-  private val blocklistPats = Seq("scan", "can", "an", "row", "merge")
-
-  /** q105's oracle counts every occurrence of every pattern positionally
-    * (substring equality at each start — overlaps and nested matches
-    * included, the automaton's exact semantics). */
-  private val q105OracleSql: String = {
-    val occ = blocklistPats.zipWithIndex.map { case (p, i) =>
-      s"len(list_filter(range(1, length(t) - ${p.length} + 2), " +
-        s"i -> t[i:i+${p.length - 1}] = '$p')) AS o$i"
-    }.mkString(",\n  ")
-    val hits = blocklistPats.indices.map(i => s"o$i").mkString(" + ")
-    val terms = blocklistPats.indices
-      .map(i => s"(CASE WHEN o$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH d AS (SELECT doc_id, trim(lower(text)) AS t FROM documents),
-       |o AS (SELECT doc_id,
-       |  $occ
-       | FROM d)
-       |SELECT doc_id, CAST($hits AS BIGINT) AS n_hits,
-       |  CAST($terms AS BIGINT) AS n_terms,
-       |  ($hits) > 0 AS blocked
-       |FROM o""".stripMargin
-  }
-
-  private val q93OracleSql: String =
-      """WITH d AS (
-        | SELECT doc_id, text,
-        |  regexp_split_to_array(trim(text), '\s+') AS words,
-        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
-        |  CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS BIGINT) AS n_chars,
-        |  string_split(text, chr(10)) AS lines
-        | FROM documents),
-        |r AS (
-        | SELECT doc_id,
-        |  (n_words >= 20 AND n_words <= 100000) AS ok_word_count,
-        |  (n_chars >= n_words * 3 AND n_chars <= n_words * 10) AS ok_mean_word_len,
-        |  ((CAST(length(text) - length(regexp_replace(text, '#', '', 'g')) AS BIGINT)
-        |    + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT))
-        |    * 10 <= n_words) AS ok_symbol_ratio,
-        |  (CAST(len(list_filter(lines, l -> starts_with(trim(l), '-')
-        |      OR starts_with(trim(l), '*'))) AS BIGINT) * 10
-        |    <= CAST(len(lines) AS BIGINT) * 9) AS ok_bullet_lines,
-        |  (CAST(len(list_filter(lines, l -> trim(l) LIKE '%...')) AS BIGINT) * 10
-        |    <= CAST(len(lines) AS BIGINT) * 3) AS ok_ellipsis_lines,
-        |  (CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
-        |    * 10 >= n_words * 8) AS ok_alpha_words,
-        |  (CAST(len(list_intersect(
-        |      list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')),
-        |      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS BIGINT)
-        |    >= 2) AS ok_stop_words
-        | FROM d)
-        |SELECT doc_id, ok_word_count, ok_mean_word_len, ok_symbol_ratio,
-        |  ok_bullet_lines, ok_ellipsis_lines, ok_alpha_words, ok_stop_words,
-        |  (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
-        |   AND ok_bullet_lines AND ok_ellipsis_lines AND ok_alpha_words
-        |   AND ok_stop_words) AS pass
-        |FROM r""".stripMargin
-
-  private val q106OracleSql: String =
-      """WITH d AS (SELECT doc_id, text AS t, length(text) AS n FROM documents),
-        |ix AS (SELECT doc_id, n, t, unnest(range(1, n + 1)) AS i FROM d),
-        |cnt AS (SELECT doc_id, n, t[i:i] AS c, count(*) AS nc
-        | FROM ix GROUP BY 1, 2, 3),
-        |e AS (SELECT doc_id, CAST(sum(CAST(round(
-        |    CAST(nc AS DOUBLE) * (ln(CAST(n AS DOUBLE)) - ln(CAST(nc AS DOUBLE)))
-        |      * 1000000.0 / CAST(n AS DOUBLE)) AS BIGINT)) AS BIGINT)
-        |  AS entropy_micro
-        | FROM cnt GROUP BY 1)
-        |SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_chars_actual,
-        |  e.entropy_micro, e.entropy_micro < 2500000 AS low_entropy
-        |FROM d JOIN e USING (doc_id)""".stripMargin
-
-  /** q108's oracle: the q62 register rebuild with the group key swapped
-    * for the window start — each event lands in its six covering windows,
-    * then per-(window, bucket) max rank over the full 4096-register grid.
-    * Slice merging has no oracle-side counterpart BECAUSE register max is
-    * associative: direct per-window rebuild IS the slice-merged state. */
-  private val q108OracleSql: String = {
-    val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
-    val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
-    val wMask = (1L << 52) - 1
-    s"""WITH v AS (
-       | SELECT (epoch_ms(ts) - epoch_ms(ts) % 3600000) - t.k * 3600000 AS w,
-       |  CAST(user_id AS VARCHAR) AS s
-       | FROM events, range(0, 6) t(k)),
-       |k AS (
-       | SELECT w, list_reduce(list_prepend(CAST(0 AS HUGEINT),
-       |   list_transform(range(1, length(s)+1), i -> CAST(unicode(s[i]) AS HUGEINT))),
-       |   (a,b) -> (a*257+b) % 2305843009213693951) AS h
-       | FROM v),
-       |s0 AS (SELECT w,
-       |  CAST((h + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z0 FROM k),
-       |s1 AS (SELECT w, $z1 AS z1 FROM s0),
-       |s2 AS (SELECT w, $z2 AS z2 FROM s1),
-       |hh AS (SELECT w, xor(z2, z2 >> 31) AS z FROM s2),
-       |r AS (
-       | SELECT w, CAST(z >> 52 AS BIGINT) AS bucket,
-       |  CASE WHEN (z & CAST($wMask AS UBIGINT)) = 0 THEN 53
-       |       ELSE 53 - length(bin(z & CAST($wMask AS UBIGINT))) END AS rank
-       | FROM hh),
-       |mx AS (SELECT w, bucket, max(rank) AS mr FROM r GROUP BY 1, 2),
-       |grid AS (
-       | SELECT g.w, t.b AS bucket, coalesce(mx.mr, 0) AS mr
-       | FROM (SELECT DISTINCT w FROM v) g
-       | CROSS JOIN range(0, 4096) t(b)
-       | LEFT JOIN mx ON mx.w = g.w AND mx.bucket = t.b)
-       |SELECT w AS window_start_ms,
-       | string_agg(lpad(lower(hex(mr)), 2, '0'), '' ORDER BY bucket) AS hll
-       |FROM grid GROUP BY w""".stripMargin
-  }
-
-  /** q109's oracle: the q63 cell rebuild keyed by covering window —
-    * cell-wise slice ADDITION has no oracle counterpart because counter
-    * sums are associative: the direct per-window census IS the
-    * slice-summed state. */
-  private val q109OracleSql: String = {
-    val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
-    val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
-    s"""WITH v AS (
-       | SELECT (epoch_ms(ts) - epoch_ms(ts) % 3600000) - t.k * 3600000 AS w,
-       |  CAST(r.r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR) AS s, r.r
-       | FROM events, range(0, 6) t(k), range(0, 4) r(r)),
-       |k AS (
-       | SELECT w, r, list_reduce(list_prepend(CAST(0 AS HUGEINT),
-       |   list_transform(range(1, length(s)+1), i -> CAST(unicode(s[i]) AS HUGEINT))),
-       |   (a,b) -> (a*257+b) % 2305843009213693951) AS h
-       | FROM v),
-       |s0 AS (SELECT w, r,
-       |  CAST((h + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z0 FROM k),
-       |s1 AS (SELECT w, r, $z1 AS z1 FROM s0),
-       |s2 AS (SELECT w, r, $z2 AS z2 FROM s1),
-       |hh AS (SELECT w, r, xor(z2, z2 >> 31) AS z FROM s2),
-       |cells AS (
-       | SELECT w,
-       |  r * 1024 + CAST(z & CAST(1023 AS UBIGINT) AS BIGINT) AS idx,
-       |  count(*) AS c
-       | FROM hh GROUP BY 1, 2)
-       |SELECT w AS window_start_ms,
-       | string_agg(CAST(idx AS VARCHAR) || ':' || CAST(c AS VARCHAR), ','
-       |   ORDER BY idx) AS cm
-       |FROM cells GROUP BY w""".stripMargin
-  }
-
-  /** q107's oracle: the three family oracles (Gopher table, blocklist
-    * census, entropy census) joined as subqueries — row-level equality of
-    * each fragment makes the conjunction exact. */
-  private val q107OracleSql: String =
-    s"""SELECT g.doc_id, b.n_hits = 0 AS ok_blocklist,
-       |  e.entropy_micro >= 2500000 AS ok_entropy, g.pass AS ok_gopher,
-       |  ((b.n_hits = 0) AND e.entropy_micro >= 2500000 AND g.pass) AS keep
-       |FROM ($q93OracleSql) g
-       |JOIN ($q105OracleSql) b USING (doc_id)
-       |JOIN ($q106OracleSql) e USING (doc_id)""".stripMargin
-
-  /** q101's oracle replays DSIR end-to-end: each DISTINCT token runs the
-    * full PolyHash64 chain (the q73 KR fold + splitMix64 finish — char
-    * codes equal UTF-8 bytes on this verified-ASCII corpus), buckets by
-    * the low 10 bits (power-of-two mask ≡ unsigned mod, so the UBIGINT
-    * and Spark's signed-long bitmask agree), rebuilds both bucket
-    * censuses, and re-scores every token through the pinned two-ln
-    * pipeline. */
-  private val q101OracleSql: String = {
-    val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
-    val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
-    s"""WITH tok AS (
-       | SELECT doc_id, lang,
-       |  unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
-       | FROM documents),
-       |dt AS (SELECT DISTINCT tok FROM tok),
-       |k AS (SELECT tok, list_reduce(list_prepend(CAST(0 AS HUGEINT),
-       |   list_transform(range(1, length(tok)+1), i -> CAST(unicode(tok[i]) AS HUGEINT))),
-       |   (a,b) -> (a*257+b) % 2305843009213693951) AS h
-       | FROM dt),
-       |s0 AS (SELECT tok,
-       |  CAST((h + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z0 FROM k),
-       |s1 AS (SELECT tok, $z1 AS z1 FROM s0),
-       |s2 AS (SELECT tok, $z2 AS z2 FROM s1),
-       |bk AS (SELECT tok, CAST(xor(z2, z2 >> 31) & 1023 AS BIGINT) AS bucket FROM s2),
-       |tb AS (SELECT t.doc_id, t.lang, bk.bucket FROM tok t JOIN bk USING (tok)),
-       |ct AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM tb
-       | WHERE lang = 'en' GROUP BY 1),
-       |cr AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM tb GROUP BY 1),
-       |g AS (SELECT (SELECT count(*) FROM tb WHERE lang = 'en') AS nt,
-       |  (SELECT count(*) FROM tb) AS nr),
-       |c AS (SELECT tb.doc_id,
-       |  CAST(round((ln(CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE)
-       |      / CAST(g.nt + 1024 AS DOUBLE))
-       |    - ln(CAST(coalesce(cr.cr, 0) + 1 AS DOUBLE)
-       |      / CAST(g.nr + 1024 AS DOUBLE))) * 1000000.0) AS BIGINT) AS c
-       | FROM tb LEFT JOIN ct USING (bucket) LEFT JOIN cr USING (bucket) CROSS JOIN g),
-       |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       |  CAST(sum(c) AS BIGINT) AS w_micro FROM c GROUP BY 1)
-       |SELECT doc_id, n_tokens, w_micro,
-       | CAST(row_number() OVER (ORDER BY w_micro DESC, doc_id) AS BIGINT) AS rank
-       |FROM s""".stripMargin
-  }
-
-  private val q73OracleSql: String = {
-    val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
-    val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
-    s"""WITH v AS (
-       | SELECT doc_id, lang, n_chars,
-       |  CAST(doc_id AS VARCHAR) || '#ws#v1' AS s FROM documents),
-       |k AS (
-       | SELECT doc_id, lang, n_chars, list_reduce(list_prepend(CAST(0 AS HUGEINT),
-       |   list_transform(range(1, length(s)+1), i -> CAST(unicode(s[i]) AS HUGEINT))),
-       |   (a,b) -> (a*257+b) % 2305843009213693951) AS h
-       | FROM v),
-       |s0 AS (SELECT doc_id, lang, n_chars,
-       |  CAST((h + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z0 FROM k),
-       |s1 AS (SELECT doc_id, lang, n_chars, $z1 AS z1 FROM s0),
-       |s2 AS (SELECT doc_id, lang, n_chars, $z2 AS z2 FROM s1),
-       |hh AS (SELECT doc_id, lang, n_chars, xor(z2, z2 >> 31) AS z FROM s2),
-       |p AS (SELECT doc_id, lang, n_chars,
-       |  ln(CAST((CAST(z >> 11 AS BIGINT) | 1) AS DOUBLE) / 9007199254740992.0)
-       |    / CAST(n_chars AS DOUBLE) AS pr
-       | FROM hh),
-       |r AS (SELECT lang, doc_id, n_chars,
-       |  CAST(row_number() OVER (PARTITION BY lang ORDER BY pr DESC, doc_id)
-       |    AS BIGINT) AS rn
-       | FROM p)
-       |SELECT lang, doc_id, n_chars, rn FROM r WHERE rn <= 20""".stripMargin
-  }
-
-  /** q78's fixed merge list: 8 merges trained on the sf0.01 corpus at
-    * build time (ranks 1-8; rank 6 merges a TWO-char right symbol, so
-    * symbol-level — not char-level — semantics are exercised). Applied as
-    * config, GPT-2-merges-file style; correctness does not depend on the
-    * corpus matching the training corpus. */
-  private val q78Merges: Seq[(String, String)] = Seq(
-    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r",
-    "s" -> "t", "m" -> "er", "a" -> "t", "l" -> "u")
-
-  /** q78's oracle replays the encode with the q60 fold pattern: symbols
-    * ride a chr(31)-joined string (the corpus is alnum), each merge round
-    * is one list_reduce whose greedy-left semantics match
-    * [[graft.operators.BpeTrainer.mergeOnce]] exactly (the merged tail
-    * cannot re-merge in its round), rounds chain linearly (one reference
-    * each), and documents reassemble by word position. */
-  /** The q78 merge-replay rounds (one CTE per learned merge) — shared
-    * by q78's encode oracle and q427's fertility oracle. */
-  private def q78MergeRoundsSql(S: String): String =
-    q78Merges.zipWithIndex.map { case ((l, r), i) =>
-      s"""s${i + 1} AS (SELECT word,
-         | list_reduce(list_prepend('', string_split(s, $S)),
-         |  (a, x) -> CASE
-         |    WHEN a = '' THEN x
-         |    WHEN string_split(a, $S)[-1] = '$l' AND x = '$r' THEN
-         |      array_to_string(list_append(
-         |        list_slice(string_split(a, $S), 1, len(string_split(a, $S))-1),
-         |        '${l + r}'), $S)
-         |    ELSE a || $S || x END) AS s
-         | FROM s$i)""".stripMargin
-    }.mkString(",\n")
-
-  private val q78OracleSql: String = {
-    val S = "chr(31)"
-    val rounds = q78MergeRoundsSql(S)
-    s"""WITH w AS (
-       | SELECT doc_id, i AS pos, ws[i] AS word
-       | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
-       |       FROM documents) t,
-       |  LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) ix
-       | WHERE length(ws[i]) > 0),
-       |v AS (SELECT DISTINCT word FROM w),
-       |s0 AS (
-       | SELECT word, array_to_string(
-       |  list_transform(range(1, length(word)+1), i -> word[i]), $S) AS s
-       | FROM v),
-       |$rounds,
-       |tok AS (SELECT word,
-       |  CAST(len(string_split(s, $S)) AS BIGINT) AS ntok,
-       |  replace(s, $S, ' ') AS tokstr FROM s${q78Merges.size})
-       |SELECT w.doc_id, CAST(sum(tok.ntok) AS BIGINT) AS n_bpe_tokens,
-       | string_agg(tok.tokstr, ' ' ORDER BY w.pos) AS bpe_text
-       |FROM w JOIN tok ON tok.word = w.word
-       |GROUP BY w.doc_id""".stripMargin
-  }
-
-  /** q427's oracle: the q78 merge replay aggregated to (source) grain —
-    * per-word token/char counts over the distinct vocab, then one group
-    * aggregate with the truncating e6 ratios. */
-  private val q427OracleSql: String = {
-    val S = "chr(31)"
-    val rounds = q78MergeRoundsSql(S)
-    s"""WITH w AS (
-       | SELECT source, ws[i] AS word
-       | FROM (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS ws
-       |       FROM documents) t,
-       |  LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) ix
-       | WHERE length(ws[i]) > 0),
-       |v AS (SELECT DISTINCT word FROM w),
-       |s0 AS (
-       | SELECT word, array_to_string(
-       |  list_transform(range(1, length(word)+1), i -> word[i]), $S) AS s
-       | FROM v),
-       |$rounds,
-       |tok AS (SELECT word,
-       |  CAST(len(string_split(s, $S)) AS BIGINT) AS ntok,
-       |  CAST(length(word) AS BIGINT) AS nchr FROM s${q78Merges.size}),
-       |a AS (SELECT w.source,
-       |  CAST(count(*) AS BIGINT) AS n_words,
-       |  CAST(sum(tok.ntok) AS BIGINT) AS n_tokens,
-       |  CAST(sum(tok.nchr) AS BIGINT) AS n_chars
-       | FROM w JOIN tok ON tok.word = w.word GROUP BY 1)
-       |SELECT source, n_words, n_tokens, n_chars,
-       | CAST(CAST(n_tokens AS HUGEINT) * 1000000 // n_words AS BIGINT)
-       |  AS fertility_e6,
-       | CAST(CAST(n_chars AS HUGEINT) * 1000000 // n_tokens AS BIGINT)
-       |  AS chars_per_token_e6
-       |FROM a""".stripMargin
-  }
-
-  /** q77's oracle unrolls five PageRank rounds of the IDENTICAL integer
-    * fixed-point update (BIGINT e9 ranks, truncating `//`, damped 85/100)
-    * over the supplier co-occurrence graph. Each round references the
-    * previous exactly once (linear CTE inlining — the q60 lesson); sums
-    * are cast back to BIGINT per round because DuckDB widens sum(BIGINT)
-    * to HUGEINT. */
-  private val q77OracleSql: String = {
-    def round(i: Int): String =
-      s"""r$i AS (SELECT n.id,
-         | CAST(150000000 + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS r
-         | FROM nodes n LEFT JOIN (
-         |  SELECT p.dst AS id, sum(rr.r // d.d) AS m
-         |  FROM pairs p JOIN r${i - 1} rr ON rr.id = p.src
-         |   JOIN deg d ON d.src = p.src
-         |  GROUP BY 1) s ON s.id = n.id)""".stripMargin
-    s"""WITH pairs AS (
-       | SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
-       | FROM lineitem a JOIN lineitem b
-       |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
-       |nodes AS (SELECT DISTINCT src AS id FROM pairs),
-       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM pairs GROUP BY 1),
-       |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM nodes),
-       |${(1 to 5).map(round).mkString(",\n")}
-       |SELECT id AS l_suppkey, r AS rank_e9 FROM r5""".stripMargin
-  }
-
-  /** q84's oracle unrolls the synchronous label-propagation rounds: each
-    * round counts in-neighbor labels from the PREVIOUS round's frame and
-    * takes the (count DESC, label ASC) argmax, nodes without in-edges
-    * keeping their label. The label chain is referenced twice per round
-    * (the count and the carry-forward) — within DuckDB's inline-growth
-    * budget at 4 rounds (2⁴ copies; the q60 precedent ran 2⁸). */
-  private val q84OracleSql: String = {
-    def round(i: Int): String =
-      s"""c$i AS (
-         | SELECT p.dst AS id, l.lab, count(*) AS c
-         | FROM pairs p JOIN l${i - 1} l ON l.id = p.src GROUP BY 1, 2),
-         |n$i AS (
-         | SELECT id, lab FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY c DESC, lab) AS r
-         |  FROM c$i) WHERE r = 1),
-         |l$i AS (
-         | SELECT o.id, coalesce(n.lab, o.lab) AS lab
-         | FROM l${i - 1} o LEFT JOIN n$i n USING (id))""".stripMargin
-    s"""WITH pairs AS (
-       | SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
-       | FROM lineitem a JOIN lineitem b
-       |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
-       |nodes AS (SELECT DISTINCT src AS id FROM pairs),
-       |l0 AS (SELECT id, id AS lab FROM nodes),
-       |${(1 to 4).map(round).mkString(",\n")}
-       |SELECT id AS l_suppkey, lab AS community FROM l4""".stripMargin
-  }
-
-  /** q87's oracle: the q77 unroll with the teleport CASE — initial mass
-    * and the 150000000 base term only on seed rows; `//` floors like
-    * Spark's `div` truncates because every term stays non-negative. */
-  private val q87OracleSql: String = {
-    def round(i: Int): String =
-      s"""r$i AS (SELECT n.id,
-         | CAST(CASE WHEN n.isSeed THEN 150000000 ELSE 0 END
-         |   + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS r
-         | FROM n LEFT JOIN (
-         |  SELECT p.dst AS id, sum(rr.r // d.d) AS m
-         |  FROM pairs p JOIN r${i - 1} rr ON rr.id = p.src
-         |   JOIN deg d ON d.src = p.src
-         |  GROUP BY 1) s ON s.id = n.id)""".stripMargin
-    s"""WITH pairs AS (
-       | SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
-       | FROM lineitem a JOIN lineitem b
-       |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
-       |nodes AS (SELECT DISTINCT src AS id FROM pairs),
-       |n AS (
-       | SELECT nodes.id, (sd.id IS NOT NULL) AS isSeed
-       | FROM nodes LEFT JOIN (
-       |  SELECT s_suppkey AS id FROM supplier WHERE s_nationkey = 0) sd
-       |  ON sd.id = nodes.id),
-       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM pairs GROUP BY 1),
-       |r0 AS (SELECT id,
-       |  CAST(CASE WHEN isSeed THEN 1000000000 ELSE 0 END AS BIGINT) AS r
-       | FROM n),
-       |${(1 to 5).map(round).mkString(",\n")}
-       |SELECT id AS l_suppkey, r AS rank_e9 FROM r5""".stripMargin
-  }
-
-  /** q86's oracle: the q84 label chain (referenced exactly ONCE — the
-    * endpoint unpivot consumes the labels a single time, and degree sums
-    * fall out as plain counts of the unpivot join), then the integer
-    * modularity decomposition 4m·E_c − D_c² per community. */
-  private val q86OracleSql: String = {
-    def round(i: Int): String =
-      s"""c$i AS (
-         | SELECT p.dst AS id, l.lab, count(*) AS c
-         | FROM pairs p JOIN l${i - 1} l ON l.id = p.src GROUP BY 1, 2),
-         |n$i AS (
-         | SELECT id, lab FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY c DESC, lab) AS r
-         |  FROM c$i) WHERE r = 1),
-         |l$i AS (
-         | SELECT o.id, coalesce(n.lab, o.lab) AS lab
-         | FROM l${i - 1} o LEFT JOIN n$i n USING (id))""".stripMargin
-    s"""WITH pairs AS (
-       | SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
-       | FROM lineitem a JOIN lineitem b
-       |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
-       | JOIN supplier sa ON sa.s_suppkey = a.l_suppkey
-       | JOIN supplier sb ON sb.s_suppkey = b.l_suppkey
-       | WHERE sa.s_nationkey = sb.s_nationkey),
-       |nodes AS (SELECT DISTINCT src AS id FROM pairs),
-       |l0 AS (SELECT id, id AS lab FROM nodes),
-       |${(1 to 4).map(round).mkString(",\n")},
-       |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-       |      FROM pairs),
-       |ends AS (SELECT a, b, a AS node FROM e
-       |         UNION ALL SELECT a, b, b AS node FROM e),
-       |el AS (SELECT en.a, en.b, en.node, l.lab
-       |       FROM ends en JOIN l4 l ON l.id = en.node),
-       |ds AS (SELECT lab AS community,
-       |        CAST(count(DISTINCT node) AS BIGINT) AS nodes,
-       |        CAST(count(*) AS BIGINT) AS degree_sum
-       |       FROM el GROUP BY 1),
-       |ec AS (SELECT a, b, min(lab) AS ca, max(lab) AS cb
-       |       FROM el GROUP BY a, b),
-       |ie AS (SELECT ca AS community,
-       |        CAST(count(*) AS BIGINT) AS internal_edges
-       |       FROM ec WHERE ca = cb GROUP BY 1),
-       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e)
-       |SELECT d.community, d.nodes, d.degree_sum,
-       | coalesce(i.internal_edges, 0) AS internal_edges,
-       | 4 * mm.m * coalesce(i.internal_edges, 0)
-       |   - d.degree_sum * d.degree_sum AS q_num
-       |FROM ds d LEFT JOIN ie i USING (community) CROSS JOIN mm""".stripMargin
-  }
-
-  /** q85's oracle mirrors the degree-oriented triangle count: canonical
-    * thresholded edges, (degree, id) row-value orientation, the ordered
-    * wedge build, one closure join, corner credit via UNION ALL — exact
-    * integers, no tie-breaks needed. */
-  private val q85OracleSql: String =
-    """WITH raw AS (
-      | SELECT a.l_suppkey AS u, b.l_suppkey AS v
-      | FROM lineitem a JOIN lineitem b
-      |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-      | GROUP BY 1, 2 HAVING count(*) >= 5),
-      |e AS (SELECT u AS a, v AS b FROM raw),
-      |nodes AS (SELECT a AS id FROM e UNION SELECT b FROM e),
-      |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d
-      | FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
-      |o AS (
-      | SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS src,
-      |        CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS dst,
-      |        CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d END AS dd
-      | FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b),
-      |w AS (
-      | SELECT o1.src AS x, o1.dst AS y, o2.dst AS z
-      | FROM o o1 JOIN o o2 ON o1.src = o2.src
-      |  AND (o1.dd, o1.dst) < (o2.dd, o2.dst)),
-      |tri AS (SELECT x, y, z FROM w JOIN o ON o.src = w.y AND o.dst = w.z),
-      |corners AS (
-      | SELECT id, CAST(count(*) AS BIGINT) AS t FROM (
-      |  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
-      |  UNION ALL SELECT z FROM tri) GROUP BY 1)
-      |SELECT n.id AS l_suppkey, coalesce(c.t, 0) AS triangles
-      |FROM nodes n LEFT JOIN corners c ON c.id = n.id""".stripMargin
-
-  /** q62's oracle rebuilds every HLL register: per row, PolyHash64 the
-    * stringified user id (the q22 char fold + splitMix64 finish), split
-    * into p=12 bucket bits and a 52-bit remainder, rank = leading zeros in
-    * the remainder window + 1 (53 - length of the minimal binary render;
-    * zero remainder saturates at 53), then per (event_type, bucket) MAX
-    * and a bucket-ordered hex render over the full 4096-register grid. */
-  private val q62OracleSql: String = {
-    val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
-    val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
-    val wMask = (1L << 52) - 1
-    s"""WITH v AS (
-       | SELECT event_type, CAST(user_id AS VARCHAR) AS s FROM events),
-       |k AS (
-       | SELECT event_type, list_reduce(list_prepend(CAST(0 AS HUGEINT),
-       |   list_transform(range(1, length(s)+1), i -> CAST(unicode(s[i]) AS HUGEINT))),
-       |   (a,b) -> (a*257+b) % 2305843009213693951) AS h
-       | FROM v),
-       |s0 AS (SELECT event_type,
-       |  CAST((h + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z0 FROM k),
-       |s1 AS (SELECT event_type, $z1 AS z1 FROM s0),
-       |s2 AS (SELECT event_type, $z2 AS z2 FROM s1),
-       |hh AS (SELECT event_type, xor(z2, z2 >> 31) AS z FROM s2),
-       |r AS (
-       | SELECT event_type, CAST(z >> 52 AS BIGINT) AS bucket,
-       |  CASE WHEN (z & CAST($wMask AS UBIGINT)) = 0 THEN 53
-       |       ELSE 53 - length(bin(z & CAST($wMask AS UBIGINT))) END AS rank
-       | FROM hh),
-       |mx AS (SELECT event_type, bucket, max(rank) AS mr FROM r GROUP BY 1, 2),
-       |grid AS (
-       | SELECT g.event_type, t.b AS bucket, coalesce(mx.mr, 0) AS mr
-       | FROM (SELECT DISTINCT event_type FROM v) g
-       | CROSS JOIN range(0, 4096) t(b)
-       | LEFT JOIN mx ON mx.event_type = g.event_type AND mx.bucket = t.b)
-       |SELECT event_type,
-       | string_agg(lpad(lower(hex(mr)), 2, '0'), '' ORDER BY bucket) AS hll
-       |FROM grid GROUP BY event_type""".stripMargin
-  }
-
-  /** q63's oracle rebuilds every Count-Min cell: 4 depth-rows per event
-    * (domain-separated hash input "r:" + user id), bucket = low 10 bits of
-    * the PolyHash64, per-(event_type, cell) COUNT sums, sparse
-    * "idx:count" render ascending — the same bytes `CountMinAgg.eval`
-    * emits. */
-  private val q63OracleSql: String = {
-    val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
-    val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
-    s"""WITH v AS (
-       | SELECT event_type,
-       |  CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR) AS s, r
-       | FROM events, range(0, 4) t(r)),
-       |k AS (
-       | SELECT event_type, r, list_reduce(list_prepend(CAST(0 AS HUGEINT),
-       |   list_transform(range(1, length(s)+1), i -> CAST(unicode(s[i]) AS HUGEINT))),
-       |   (a,b) -> (a*257+b) % 2305843009213693951) AS h
-       | FROM v),
-       |s0 AS (SELECT event_type, r,
-       |  CAST((h + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z0 FROM k),
-       |s1 AS (SELECT event_type, r, $z1 AS z1 FROM s0),
-       |s2 AS (SELECT event_type, r, $z2 AS z2 FROM s1),
-       |hh AS (SELECT event_type, r, xor(z2, z2 >> 31) AS z FROM s2),
-       |cells AS (
-       | SELECT event_type,
-       |  r * 1024 + CAST(z & CAST(1023 AS UBIGINT) AS BIGINT) AS idx,
-       |  count(*) AS c
-       | FROM hh GROUP BY 1, 2)
-       |SELECT event_type,
-       | string_agg(CAST(idx AS VARCHAR) || ':' || CAST(c AS VARCHAR), ','
-       |   ORDER BY idx) AS cm
-       |FROM cells GROUP BY event_type""".stripMargin
-  }
-
-  /** q66's oracle replays the KMV pipeline: PolyHash64 each distinct
-    * (event_type, user) pair, convert to SIGNED 64-bit (Spark orders the
-    * hash column as a signed long), rank bottom-128 per group, build every
-    * pair's union bottom-k from the two samples and count both-member
-    * hashes. */
-  private val q66OracleSql: String = {
-    val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
-    val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
-    s"""WITH v AS (
-       | SELECT DISTINCT event_type AS g, CAST(user_id AS VARCHAR) AS s
-       | FROM events),
-       |k AS (
-       | SELECT g, list_reduce(list_prepend(CAST(0 AS HUGEINT),
-       |   list_transform(range(1, length(s)+1), i -> CAST(unicode(s[i]) AS HUGEINT))),
-       |   (a,b) -> (a*257+b) % 2305843009213693951) AS h
-       | FROM v),
-       |s0 AS (SELECT g,
-       |  CAST((h + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z0 FROM k),
-       |s1 AS (SELECT g, $z1 AS z1 FROM s0),
-       |s2 AS (SELECT g, $z2 AS z2 FROM s1),
-       |hh AS (SELECT g, xor(z2, z2 >> 31) AS z FROM s2),
-       |sh AS (SELECT DISTINCT g,
-       |  CAST(CASE WHEN z >= CAST('9223372036854775808' AS HUGEINT)
-       |    THEN z - CAST('18446744073709551616' AS HUGEINT) ELSE z END AS BIGINT) AS h
-       | FROM hh),
-       |sk AS (
-       | SELECT g, h FROM (
-       |  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM sh)
-       | WHERE rn <= 128),
-       |gp AS (
-       | SELECT a.g AS g_a, b.g AS g_b
-       | FROM (SELECT DISTINCT g FROM sk) a JOIN (SELECT DISTINCT g FROM sk) b
-       | ON a.g < b.g),
-       |u0 AS (
-       | SELECT g_a, g_b, h, max(inA) AS inA, max(inB) AS inB FROM (
-       |  SELECT gp.g_a, gp.g_b, s.h, 1 AS inA, 0 AS inB
-       |  FROM gp JOIN sk s ON s.g = gp.g_a
-       |  UNION ALL
-       |  SELECT gp.g_a, gp.g_b, s.h, 0 AS inA, 1 AS inB
-       |  FROM gp JOIN sk s ON s.g = gp.g_b)
-       | GROUP BY 1, 2, 3),
-       |uk AS (
-       | SELECT *, row_number() OVER (PARTITION BY g_a, g_b ORDER BY h) AS rn
-       | FROM u0)
-       |SELECT g_a, g_b, CAST(count(*) AS BIGINT) AS union_k,
-       | CAST(sum(inA * inB) AS BIGINT) AS matches
-       |FROM uk WHERE rn <= 128 GROUP BY g_a, g_b""".stripMargin
-  }
-
-  /** q68's oracle replays the stratified ranking: PolyHash64 each doc id
-    * (signed conversion — Spark orders the hash long signed), rank within
-    * the language by (h, doc_id), then the integer-threshold split. */
-  private val q68OracleSql: String = {
-    val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
-    val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
-    s"""WITH v AS (
-       | SELECT doc_id, lang, CAST(doc_id AS VARCHAR) AS s FROM documents),
-       |k AS (
-       | SELECT doc_id, lang, list_reduce(list_prepend(CAST(0 AS HUGEINT),
-       |   list_transform(range(1, length(s)+1), i -> CAST(unicode(s[i]) AS HUGEINT))),
-       |   (a,b) -> (a*257+b) % 2305843009213693951) AS h
-       | FROM v),
-       |s0 AS (SELECT doc_id, lang,
-       |  CAST((h + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z0 FROM k),
-       |s1 AS (SELECT doc_id, lang, $z1 AS z1 FROM s0),
-       |s2 AS (SELECT doc_id, lang, $z2 AS z2 FROM s1),
-       |hh AS (SELECT doc_id, lang, xor(z2, z2 >> 31) AS z FROM s2),
-       |sh AS (SELECT doc_id, lang,
-       |  CAST(CASE WHEN z >= CAST('9223372036854775808' AS HUGEINT)
-       |    THEN z - CAST('18446744073709551616' AS HUGEINT) ELSE z END AS BIGINT) AS h
-       | FROM hh),
-       |r AS (
-       | SELECT doc_id, lang,
-       |  row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn,
-       |  count(*) OVER (PARTITION BY lang) AS n
-       | FROM sh)
-       |SELECT doc_id, lang,
-       | CASE WHEN rn * 10 <= 8 * n THEN 'train'
-       |      WHEN rn * 10 <= 9 * n THEN 'val'
-       |      ELSE 'test' END AS split
-       |FROM r""".stripMargin
-  }
-
-  /** q69's oracle: the q62 register replay with p=10 (bucket = top 10
-    * bits, 54-bit remainder window) per (event_type, rolling-window end) —
-    * each event lands in the 7 window-ends its day participates in. */
-  private val q69OracleSql: String = {
-    val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
-    val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
-    val wMask = (1L << 54) - 1
-    s"""WITH e AS (
-       | SELECT event_type,
-       |  (epoch_ms(ts) - epoch_ms(ts) % 86400000) + i * 86400000 AS win_end,
-       |  CAST(user_id AS VARCHAR) AS s
-       | FROM events, range(0, 7) t(i)),
-       |v AS (SELECT DISTINCT event_type, win_end, s FROM e),
-       |k AS (
-       | SELECT event_type, win_end, list_reduce(list_prepend(CAST(0 AS HUGEINT),
-       |   list_transform(range(1, length(s)+1), i -> CAST(unicode(s[i]) AS HUGEINT))),
-       |   (a,b) -> (a*257+b) % 2305843009213693951) AS h
-       | FROM v),
-       |s0 AS (SELECT event_type, win_end,
-       |  CAST((h + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z0 FROM k),
-       |s1 AS (SELECT event_type, win_end, $z1 AS z1 FROM s0),
-       |s2 AS (SELECT event_type, win_end, $z2 AS z2 FROM s1),
-       |hh AS (SELECT event_type, win_end, xor(z2, z2 >> 31) AS z FROM s2),
-       |r AS (
-       | SELECT event_type, win_end, CAST(z >> 54 AS BIGINT) AS bucket,
-       |  CASE WHEN (z & CAST($wMask AS UBIGINT)) = 0 THEN 55
-       |       ELSE 55 - length(bin(z & CAST($wMask AS UBIGINT))) END AS rank
-       | FROM hh),
-       |mx AS (SELECT event_type, win_end, bucket, max(rank) AS mr
-       | FROM r GROUP BY 1, 2, 3),
-       |grid AS (
-       | SELECT g.event_type, g.win_end, t.b AS bucket, coalesce(mx.mr, 0) AS mr
-       | FROM (SELECT DISTINCT event_type, win_end FROM v) g
-       | CROSS JOIN range(0, 1024) t(b)
-       | LEFT JOIN mx ON mx.event_type = g.event_type
-       |   AND mx.win_end = g.win_end AND mx.bucket = t.b)
-       |SELECT event_type, win_end,
-       | string_agg(lpad(lower(hex(mr)), 2, '0'), '' ORDER BY bucket) AS hll
-       |FROM grid GROUP BY event_type, win_end""".stripMargin
-  }
-
-  /** Renders `((a * c) mod 2^64) AS UBIGINT` with the 64-bit constant split
-    * into 32-bit halves so the 128-bit intermediate never overflows
-    * DuckDB's signed HUGEINT. */
-  /** q304's oracle: the graft-synth generator replayed in unsigned SQL —
-    * splitMix64 via the same mod-2^64 multiply chain q62 uses, fields by
-    * the identical shift/modulus derivations
-    * ([[graft.sources.v2.SynthSource]]). */
-  private lazy val q304OracleSql: String = {
-    val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
-    val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
-    s"""WITH ids AS (
-       | SELECT unnest(generate_series(50000, 149999)) AS id),
-       |h0 AS (SELECT id, CAST((CAST(id AS HUGEINT) + 7
-       |  + 11400714819323198485) % 18446744073709551616 AS UBIGINT)
-       |  AS z0 FROM ids),
-       |h1 AS (SELECT id, $z1 AS z1 FROM h0),
-       |h2 AS (SELECT id, $z2 AS z2 FROM h1),
-       |hh AS (SELECT id, xor(z2, z2 >> 31) AS h FROM h2),
-       |r AS (SELECT id,
-       |  (h >> 1) % 10000 AS user_id,
-       |  ['view', 'click', 'purchase', 'signup', 'error']
-       |    [CAST((h >> 8) % 5 AS INT) + 1] AS event_type,
-       |  (h >> 16) % 100000 AS cents,
-       |  (h >> 24) % 90 AS day FROM hh)
-       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-       |  CAST(sum(cents) AS BIGINT) AS cents,
-       |  CAST(sum(user_id % 97) AS BIGINT) AS user_check,
-       |  CAST(sum(day) AS BIGINT) AS day_sum
-       |FROM r GROUP BY 1""".stripMargin
-  }
-
-  /** q310's oracle: the Poisson-bootstrap mechanism replayed — the
-    * splitMix64 chain per (row, replicate), the 2^63 CDF ladder, the
-    * same truncating replicate means and rank-2/63 CI. */
-  private lazy val q310OracleSql: String = {
-    val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
-    val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
-    s"""WITH base AS (
-       | SELECT event_id, event_type,
-       |  CAST(round(value*100) AS BIGINT) AS x
-       | FROM events WHERE value IS NOT NULL),
-       |bs AS (SELECT unnest(generate_series(0, 63)) AS b),
-       |h0 AS (SELECT e.event_type, e.x, bs.b,
-       |  CAST((CAST(e.event_id + bs.b * 2654435769 AS HUGEINT)
-       |    + 11400714819323198485) % 18446744073709551616 AS UBIGINT)
-       |    AS z0
-       | FROM base e CROSS JOIN bs),
-       |h1 AS (SELECT event_type, x, b, $z1 AS z1 FROM h0),
-       |h2 AS (SELECT event_type, x, b, $z2 AS z2 FROM h1),
-       |hh AS (SELECT event_type, x, b,
-       |  CAST(xor(z2, z2 >> 31) >> 1 AS BIGINT) AS u FROM h2),
-       |wt AS (SELECT event_type, x, b, $q310ThrSqlSum AS w FROM hh),
-       |m AS (SELECT event_type, b, CAST(sum(w) AS BIGINT) AS nw,
-       |  CAST(sum(w * x) AS BIGINT) AS sw FROM wt GROUP BY 1, 2),
-       |mm AS (SELECT event_type, b, sw * 1000000 // nw AS mean_e6
-       | FROM m WHERE nw > 0),
-       |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
-       |  ORDER BY mean_e6, b) AS rk FROM mm),
-       |ci AS (SELECT event_type,
-       |  CAST(max(CASE WHEN rk = 2 THEN mean_e6 END) AS BIGINT)
-       |    AS ci_lo_e6,
-       |  CAST(max(CASE WHEN rk = 63 THEN mean_e6 END) AS BIGINT)
-       |    AS ci_hi_e6
-       | FROM rk GROUP BY 1),
-       |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-       |  CAST(sum(x) * 1000000 // count(*) AS BIGINT) AS mean_e6
-       | FROM base GROUP BY 1)
-       |SELECT pt.event_type, pt.n, pt.mean_e6, ci.ci_lo_e6, ci.ci_hi_e6
-       |FROM pt JOIN ci USING (event_type)""".stripMargin
-  }
-
-  /** q326's oracle: the q304 generator replay (seed 11, [60000, 260000))
-    * aggregated over the RAW rows — the pushed-partials answer must
-    * equal the unpushed one. */
-  private lazy val q326OracleSql: String = {
-    val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
-    val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
-    s"""WITH ids AS (
-       | SELECT unnest(generate_series(60000, 259999)) AS id),
-       |h0 AS (SELECT id, CAST((CAST(id AS HUGEINT) + 11
-       |  + 11400714819323198485) % 18446744073709551616 AS UBIGINT)
-       |  AS z0 FROM ids),
-       |h1 AS (SELECT id, $z1 AS z1 FROM h0),
-       |h2 AS (SELECT id, $z2 AS z2 FROM h1),
-       |hh AS (SELECT id, xor(z2, z2 >> 31) AS h FROM h2),
-       |r AS (SELECT id,
-       |  (h >> 1) % 10000 AS user_id,
-       |  ['view', 'click', 'purchase', 'signup', 'error']
-       |    [CAST((h >> 8) % 5 AS INT) + 1] AS event_type,
-       |  (h >> 16) % 100000 AS cents,
-       |  CAST((h >> 24) % 90 AS BIGINT) AS day FROM hh)
-       |SELECT day, event_type, CAST(count(*) AS BIGINT) AS n,
-       |  CAST(sum(cents) AS BIGINT) AS cents,
-       |  CAST(min(user_id) AS BIGINT) AS min_uid,
-       |  CAST(max(user_id) AS BIGINT) AS max_uid
-       |FROM r GROUP BY 1, 2""".stripMargin
-  }
-
-  private def mulMod64Sql(a: String, c: Long): String = {
-    val ch = c >>> 32; val cl = c & 0xffffffffL
-    s"""CAST((CAST($a AS HUGEINT) * $cl +
-       |  ((CAST($a AS HUGEINT) * $ch) % 4294967296) * 4294967296)
-       |  % 18446744073709551616 AS UBIGINT)""".stripMargin
-  }
-
-  /** q383's oracle: the identical tug-of-war sums computed over the key
-    * census (Σ_rows signⱼ = Σ_keys c·signⱼ — same integer), splitmix64
-    * replayed in 128-bit halves, squares/median/err in HUGEINT. */
-  private val q383OracleSql: String = {
-    val (groups, reps) = (5, 16)
-    def m1(z: String) = mulMod64Sql(s"xor($z, $z >> 30)", 0xBF58476D1CE4E5B9L)
-    def m2(z: String) = mulMod64Sql(s"xor($z, $z >> 27)", 0x94D049BB133111EBL)
-    val signSums = (0 until groups * reps).map { j =>
-      val h = if (j < 64) "h0" else "h1"
-      val bit = if (j < 64) j else j - 64
-      s"sum(c * (CASE WHEN ($h >> $bit) & 1 = 1 THEN 1 ELSE -1 END)) AS x$j"
-    }.mkString(",\n  ")
-    val groupSums = (0 until groups).map { g =>
-      (0 until reps).map(r => s"CAST(x${g * reps + r} AS HUGEINT)" +
-        s" * x${g * reps + r}").mkString(" + ") + s" AS m$g"
-    }.mkString(",\n  ")
-    val medList = (0 until groups).map(g => s"m$g").mkString(", ")
-    s"""WITH k AS (SELECT CAST(l_partkey AS UBIGINT) AS kk,
-       |  CAST(count(*) AS HUGEINT) AS c FROM lineitem GROUP BY 1),
-       |s0 AS (SELECT c,
-       |  CAST((kk + 11400714819323198485)
-       |   % 18446744073709551616 AS UBIGINT) AS az0,
-       |  CAST((xor(kk, 25214903917) + 11400714819323198485)
-       |   % 18446744073709551616 AS UBIGINT) AS bz0 FROM k),
-       |s1 AS (SELECT c, ${m1("az0")} AS az1, ${m1("bz0")} AS bz1
-       | FROM s0),
-       |s2 AS (SELECT c, ${m2("az1")} AS az2, ${m2("bz1")} AS bz2
-       | FROM s1),
-       |h AS (SELECT c,
-       |  xor(az2, az2 >> 31) AS h0, xor(bz2, bz2 >> 31) AS h1 FROM s2),
-       |x AS (SELECT
-       |  $signSums
-       | FROM h),
-       |g AS (SELECT
-       |  $groupSums
-       | FROM x),
-       |med AS (SELECT list_sort([$medList])[${groups / 2 + 1}] AS ms
-       | FROM g),
-       |est AS (SELECT ms // $reps AS f2_est FROM med),
-       |exact AS (SELECT sum(c * c) AS f2_exact FROM k)
-       |SELECT CAST(f2_exact AS VARCHAR) AS f2_exact,
-       | CAST(f2_est AS VARCHAR) AS f2_est,
-       | CAST(abs(f2_est - f2_exact) * 1000000 // f2_exact AS BIGINT)
-       |  AS err_ppm
-       |FROM exact CROSS JOIN est""".stripMargin
-  }
-
-  /** The q41 near-dup component chain (pair mining + recursive closure)
-    * and the q16 quality scalar, as reusable CTE/expression text for the
-    * composed report oracles (q134, q135). */
-  private val componentCtesSql: String =
-    """t AS (
-      | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
-      |g AS (
-      | SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
-      | FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk)-2)) AS i) ix
-      | WHERE len(tk) >= 3),
-      |z AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-      |p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-      |      FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
-      |      GROUP BY 1, 2),
-      |p AS (
-      | SELECT a_id, b_id FROM p0
-      | JOIN z za ON za.doc_id = a_id JOIN z zb ON zb.doc_id = b_id
-      | WHERE inter * 2 >= (za.n + zb.n - inter) * 1),
-      |e AS (SELECT a_id AS a, b_id AS b FROM p
-      |      UNION SELECT b_id, a_id FROM p),
-      |reach(src, dst) AS (
-      | SELECT a, a FROM e
-      | UNION
-      | SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst),
-      |comp AS (SELECT src AS doc_id, min(dst) AS component
-      |         FROM reach GROUP BY src)""".stripMargin
-
-  private val qualityExprSql: String =
-    """greatest(least(
-      |   CAST(floor(least(len(regexp_split_to_array(trim(text), '\s+')), 40) * 25 / 40) AS BIGINT)
-      |   + CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 0
-      |      THEN CAST(floor(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) * 50
-      |                      / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
-      |      ELSE 0 END
-      |   + (25 - CASE WHEN length(text) > 0
-      |      THEN least(CAST(floor((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 100 / length(text)) AS BIGINT), 25)
-      |      ELSE 0 END),
-      |  100), 0)""".stripMargin
-
-  private lazy val q134OracleSql: String =
-    s"""WITH RECURSIVE $componentCtesSql,
-       |q AS (SELECT doc_id, $qualityExprSql AS q FROM documents),
-       |j AS (SELECT coalesce(c.component, q.doc_id) AS component,
-       |   q.doc_id, q.q
-       |  FROM q LEFT JOIN comp c ON c.doc_id = q.doc_id),
-       |sel AS (SELECT component, doc_id, q,
-       |  row_number() OVER (PARTITION BY component
-       |    ORDER BY q DESC, doc_id) AS rk,
-       |  count(*) OVER (PARTITION BY component) AS nm FROM j)
-       |SELECT component, CAST(nm AS BIGINT) AS n_members,
-       |  doc_id AS keeper_doc_id, q AS keeper_quality
-       |FROM sel WHERE rk = 1""".stripMargin
-
-  private lazy val q135OracleSql: String =
-    s"""WITH RECURSIVE $componentCtesSql,
-       |q AS (SELECT doc_id, lang,
-       |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-       |  $qualityExprSql AS q FROM documents)
-       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
-       |  CAST(count(*) FILTER (c.component IS NOT NULL
-       |    AND c.component <> q.doc_id) AS BIGINT) AS n_noncanonical,
-       |  CAST(sum(q.q) AS BIGINT) AS sum_quality
-       |FROM q LEFT JOIN comp c ON c.doc_id = q.doc_id
-       |GROUP BY lang""".stripMargin
-
-  /** q132's oracle: the q22 PolyHash64 recipe (Karp–Rabin fold +
-    * splitMix64 rounds in HUGEINT/UBIGINT arithmetic) applied TWICE —
-    * per token to decide boundaries (divisibility by 8 is sign-safe:
-    * 8 | 2^64, so the unsigned test equals the signed one), and per
-    * reassembled chunk for the fingerprint. */
-  private lazy val q132OracleSql: String = {
-    val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
-    val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
-    def kr(expr: String) =
-      s"""list_reduce(list_prepend(CAST(0 AS HUGEINT),
-         |    list_transform(range(1, length($expr)+1),
-         |      i -> CAST(unicode($expr[i]) AS HUGEINT))),
-         |    (a,b) -> (a*257+b) % 2305843009213693951)""".stripMargin
-    s"""WITH tk AS (SELECT doc_id,
-       |  regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
-       |tok AS (SELECT doc_id, i - 1 AS pos, t[i] AS w FROM tk,
-       |  LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) ix),
-       |kr0 AS (SELECT doc_id, pos, w, ${kr("w")} AS h FROM tok),
-       |t0 AS (SELECT doc_id, pos, w,
-       |  CAST((h + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z0 FROM kr0),
-       |t1 AS (SELECT doc_id, pos, w, $z1 AS z1 FROM t0),
-       |t2 AS (SELECT doc_id, pos, w, $z2 AS z2 FROM t1),
-       |tz AS (SELECT doc_id, pos, w, xor(z2, z2 >> 31) AS z FROM t2),
-       |b AS (SELECT doc_id, pos, w,
-       |  CASE WHEN z % 8 = 0 THEN 1 ELSE 0 END AS brk FROM tz),
-       |c AS (SELECT doc_id, pos, w,
-       |  coalesce(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
-       | FROM b),
-       |g AS (SELECT doc_id, chunk_idx, count(*) AS n_tokens,
-       |  string_agg(w, ' ' ORDER BY pos) AS chunk FROM c GROUP BY 1, 2),
-       |ck AS (SELECT doc_id, chunk_idx, n_tokens, ${kr("chunk")} AS h FROM g),
-       |c0 AS (SELECT doc_id, chunk_idx, n_tokens,
-       |  CAST((h + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z0 FROM ck),
-       |c1 AS (SELECT doc_id, chunk_idx, n_tokens, $z1 AS z1 FROM c0),
-       |c2 AS (SELECT doc_id, chunk_idx, n_tokens, $z2 AS z2 FROM c1),
-       |cz AS (SELECT doc_id, chunk_idx, n_tokens, xor(z2, z2 >> 31) AS z FROM c2)
-       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
-       |  CAST(n_tokens AS BIGINT) AS n_tokens,
-       |  CAST(CASE WHEN z >= CAST('9223372036854775808' AS HUGEINT)
-       |    THEN z - CAST('18446744073709551616' AS HUGEINT)
-       |    ELSE z END AS BIGINT) AS fp
-       |FROM cz""".stripMargin
-  }
-
-  /** q22's oracle recomputes every token's PolyHash64 — Karp–Rabin over the
-    * characters mod 2^61-1 (list_reduce fold), then the three splitMix64
-    * rounds in UBIGINT/HUGEINT arithmetic — and re-runs the 64 bit-votes.
-    * Char codes equal UTF-8 bytes only for ASCII text; this corpus is
-    * verified all-ASCII, and a non-ASCII doc would fail the gate loudly
-    * rather than weaken it (the Spark side hashes bytes). */
-  private val q22OracleSql: String = {
-    val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
-    val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
-    val bitSums = (0 until 64).map(j =>
-      s"sum(CASE WHEN (z >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n  ")
-    val simRebuild = (0 until 64).map(j =>
-      s"(CASE WHEN b$j > 0 THEN CAST('${java.math.BigInteger.ONE.shiftLeft(j)}' AS HUGEINT) ELSE 0 END)")
-      .mkString(" + ")
-    s"""WITH tok AS (
-       | SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
-       | FROM documents),
-       |k AS (
-       | SELECT doc_id, list_reduce(list_prepend(CAST(0 AS HUGEINT),
-       |   list_transform(range(1, length(w)+1), i -> CAST(unicode(w[i]) AS HUGEINT))),
-       |   (a,b) -> (a*257+b) % 2305843009213693951) AS h
-       | FROM tok),
-       |s0 AS (SELECT doc_id,
-       |  CAST((h + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z0 FROM k),
-       |s1 AS (SELECT doc_id, $z1 AS z1 FROM s0),
-       |s2 AS (SELECT doc_id, $z2 AS z2 FROM s1),
-       |hh AS (SELECT doc_id, xor(z2, z2 >> 31) AS z FROM s2),
-       |b AS (SELECT doc_id,
-       |  $bitSums
-       | FROM hh GROUP BY doc_id),
-       |u AS (SELECT doc_id, $simRebuild AS su FROM b)
-       |SELECT doc_id, CAST(CASE WHEN su >= CAST('9223372036854775808' AS HUGEINT)
-       |  THEN su - CAST('18446744073709551616' AS HUGEINT) ELSE su END AS BIGINT) AS simhash
-       |FROM u""".stripMargin
-  }
-
-  /** q30's oracle: the window-32 Karp–Rabin hash is the plain polynomial
-    * Σ byte[i+k]·257^(31-k) mod 2^61-1, so with the 32 power-of-257
-    * literals precomputed the oracle evaluates every window positionally
-    * in HUGEINT arithmetic and takes the minimum — identical to the
-    * Spark kernel's rolling recurrence by mod-homomorphism. ASCII-only
-    * corpus (chars == UTF-8 bytes; verified, fails loudly otherwise);
-    * docs shorter than the window would yield NULL and likewise fail. */
-  private val q30OracleSql: String = {
-    val w = 32; val mod = BigInt((1L << 61) - 1)
-    val pows = (0 until w).map(k => BigInt(257).modPow(BigInt(w - 1 - k), mod))
-    s"""WITH pw AS (SELECT ${pows.mkString("[", ", ", "]")}::HUGEINT[] AS pows)
-       |SELECT doc_id,
-       | CAST(list_min(list_transform(range(1, length(text)-${w - 2}),
-       |  i -> CAST(list_sum(list_transform(range(0, $w),
-       |         k -> CAST(unicode(text[i+k]) AS HUGEINT) * pows[k+1]))
-       |       % 2305843009213693951 AS BIGINT))) AS BIGINT) AS fp
-       |FROM documents, pw""".stripMargin
-  }
-
-  /** q24's oracle: DuckDB has no seed-0 xxhash64, but the query vocabulary
-    * (event_type) is a fixed 5-value set, so the expected hashes are
-    * computed here (same `XxHash64` the Spark expression calls) and inlined
-    * as CASE literals. An out-of-vocabulary type would map to NULL and
-    * mismatch — that's the point: the gate fails loudly instead of
-    * silently weakening to rows-only. */
-  private val q24OracleSql: String = {
-    val vocab = Seq("view", "click", "purchase", "signup", "error")
-    val cases = vocab.map(v =>
-      s"WHEN '$v' THEN CAST(${graft.functions.XxHash64.hashString(v, 0L)} AS BIGINT)")
-      .mkString(" ")
-    s"""SELECT query_hash, count(*) AS n FROM (
-       | SELECT CASE lower(event_type) $cases END AS query_hash
-       | FROM events WHERE length(lower(event_type)) <= 100)
-       |GROUP BY query_hash HAVING count(*) >= 100""".stripMargin
-  }
-
-  /** q36's oracle replays the ten counter families in SQL. Fixed-point
-    * vocabulary trick as q24: the 50 query hashes and the 4 UA parses are
-    * precomputed here and inlined as CASE literals, so the DuckDB side
-    * needs neither xxhash64 nor a UA parser; an out-of-vocabulary value
-    * maps to NULL and fails the gate loudly. Keys join segments with the
-    * Redis 0x1f separator and 0x1d type markers, exactly as
-    * CounterFeatures emits them. */
-  private val q36OracleSql: String = {
-    val US = "chr(31)"
-    val GS = "chr(29)"
-    def seg(parts: String*): String = parts.mkString(s" || $US || ")
-    val uT = s"$GS || 'u'"
-    val qT = s"$GS || 'q'"
-    // (sizeMs, packed window tag, ttlSec) — CounterJob.StandardWindows
-    val wins = Seq((3600000L, 1L, 14400L), (86400000L, 2L, 172800L),
-      (604800000L, 3L, 1209600L), (2592000000L, 4L, 5184000L))
-    def ws(size: Long) = s"CAST(ts_ms - ts_ms % $size AS VARCHAR)"
-    def fid(ct: Long, tag: Long) = s"CAST(${(ct << 24) | tag} + metric * 256 AS VARCHAR)"
-    val qhexCases = (0 until 50).map(i =>
-      s"WHEN $i THEN '${java.lang.Long.toHexString(
-        graft.functions.XxHash64.hashString("kw" + i, 0L))}'").mkString(" ")
-    def caseM4(v: Seq[String]) =
-      s"CASE user_id % 4 WHEN 0 THEN '${v(0)}' WHEN 1 THEN '${v(1)}' " +
-        s"WHEN 2 THEN '${v(2)}' ELSE '${v(3)}' END"
-
-    // windowed count family: one SELECT per emit window
-    def countFam(src: String, key: Long => String, field: Long => String,
-        dims: Seq[String], ttlOf: Long => Long): Seq[String] =
-      wins.map { case (size, tag, ttl) =>
-        s"""SELECT 'HSET' AS cmd, ${key(size)} AS key, ${field(tag)} AS field,
-           | CAST(count(*) AS VARCHAR) AS value, CAST(${ttlOf(ttl)} AS BIGINT) AS ttlSec
-           |FROM $src GROUP BY ts_ms - ts_ms % $size, metric${
-          if (dims.nonEmpty) ", " + dims.mkString(", ") else ""}""".stripMargin
-      }
-
-    // last-seen family: a timestamp row and a 90d-count row per group
-    def lastFam(src: String, key: String, tsCt: Long, cntCt: Long,
-        dims: Seq[String]): Seq[String] = Seq(
-      s"""SELECT 'HSET' AS cmd, $key AS key, ${fid(tsCt, 7L)} AS field,
-         | CAST(max(ts_ms) AS VARCHAR) AS value, CAST(7776000 AS BIGINT) AS ttlSec
-         |FROM $src GROUP BY metric, ${dims.mkString(", ")}""".stripMargin,
-      s"""SELECT 'HSET' AS cmd, $key AS key, ${fid(cntCt, 5L)} AS field,
-         | CAST(sum(CASE WHEN ts_ms > (SELECT now_ms FROM now_t) - 7776000000 THEN 1 ELSE 0 END) AS VARCHAR) AS value,
-         | CAST(7776000 AS BIGINT) AS ttlSec
-         |FROM $src GROUP BY metric, ${dims.mkString(", ")}""".stripMargin)
-
-    val arms: Seq[String] =
-      countFam("b2", sz => seg("'0'", ws(sz)),
-        tag => seg("os", "agent", fid(7L, tag)), Seq("os", "agent"), _ => -1L) ++
-      countFam("b2", sz => seg("'0'", "cid", ws(sz)),
-        tag => seg("os", "agent", fid(7L, tag)), Seq("cid", "os", "agent"), identity) ++
-      countFam("b2", sz => seg("'0'", uT, "lu", ws(sz)), tag => fid(3L, tag), Seq("lu"), identity) ++
-      countFam("b2", sz => seg("'0'", uT, "uu", ws(sz)), tag => fid(4L, tag), Seq("uu"), identity) ++
-      countFam("g", sz => seg("'0'", qT, "qhex", ws(sz)), tag => fid(5L, tag), Seq("qhex"), identity) ++
-      countFam("g", sz => seg("'0'", "cid", qT, "qhex", ws(sz)), tag => fid(6L, tag),
-        Seq("cid", "qhex"), identity) ++
-      lastFam("b2", seg("'0'", uT, "lu", "cid"), 12L, 11L, Seq("lu", "cid")) ++
-      lastFam("b2", seg("'0'", uT, "uu", "cid"), 10L, 9L, Seq("uu", "cid")) ++
-      lastFam("g", seg("'0'", uT, "lu", qT, "qhex"), 16L, 15L, Seq("lu", "qhex")) ++
-      lastFam("g", seg("'0'", uT, "uu", qT, "qhex"), 14L, 13L, Seq("uu", "qhex"))
-
-    s"""WITH base AS (
-       | SELECT epoch_ms(ts) AS ts_ms,
-       |  CAST(user_id AS VARCHAR) AS lu,
-       |  'u' || CAST(user_id AS VARCHAR) AS uu,
-       |  'C' || CAST(CAST(json_extract_string(props, '$$.k') AS BIGINT) % 20 AS VARCHAR) AS cid,
-       |  CAST(json_extract_string(props, '$$.k') AS BIGINT) % 50 AS qk,
-       |  CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
-       |   WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 ELSE 8 END AS metric,
-       |  ${caseM4(q36UaVocab.map(_._2))} AS os,
-       |  ${caseM4(q36UaVocab.map(_._3))} AS agent
-       | FROM events),
-       |b2 AS (SELECT base.*, CASE qk $qhexCases END AS qhex FROM base),
-       |now_t AS (SELECT max(ts_ms) AS now_ms FROM base),
-       |top AS (SELECT qk FROM base GROUP BY qk HAVING count(*) >= $q36MinQueryCount),
-       |g AS (SELECT * FROM b2 WHERE qk IN (SELECT qk FROM top))
-       |${arms.mkString("\nUNION ALL\n")}""".stripMargin
-  }
-
-  /** q35's oracle replays the whole chain in SQL: stage-1 right-outer
-    * nearest-view pick, stage-2/3 exact-FK-then-scope-cascade via ordered
-    * COALESCE of lateral nearest picks (ties at equal distance → later
-    * event, then pk — BaseInferred.java:619-635), content filter as an
-    * equality predicate, cart split via unnest. */
-  private val q35OracleSql: String = {
-    val W = 86400000L; val OOO = 1000L
-    s"""WITH v AS (
-       |  SELECT user_id, lpad(CAST(event_id AS VARCHAR),12,'0') AS vid,
-       |         epoch_ms(ts) AS vts
-       |  FROM events WHERE event_type='view'),
-       |i AS (
-       |  SELECT user_id, event_id AS eid,
-       |   lpad(CAST(event_id AS VARCHAR),12,'0') AS iid,
-       |   'R' || lpad(CAST(event_id AS VARCHAR),12,'0') AS rid,
-       |   'C' || CAST(event_id % 50 AS VARCHAR) AS content,
-       |   epoch_ms(ts) AS its
-       |  FROM events WHERE event_type='click'),
-       |f1 AS (
-       |  SELECT i.*, COALESCE(
-       |   (SELECT x.vid FROM v x WHERE x.user_id = i.user_id
-       |     AND x.vts >= i.its - $W AND x.vts <= i.its + $OOO
-       |    ORDER BY abs(x.vts - i.its), x.vts DESC, x.vid LIMIT 1), '') AS view_id
-       |  FROM i),
-       |m0 AS (
-       |  SELECT user_id, event_id AS eid,
-       |   lpad(CAST(event_id AS VARCHAR),12,'0') AS mid, epoch_ms(ts) AS mts
-       |  FROM events WHERE event_type='signup'),
-       |m1 AS (
-       |  SELECT m0.*,
-       |   (SELECT struct_pack(iid := x.iid, rid := x.rid, eid := x.eid) FROM i x
-       |    WHERE x.user_id = m0.user_id AND x.its <= m0.mts AND x.its >= m0.mts - $W
-       |    ORDER BY x.its DESC, x.eid DESC LIMIT 1) AS pc,
-       |   (SELECT x.vid FROM v x
-       |    WHERE x.user_id = m0.user_id AND x.vts <= m0.mts AND x.vts >= m0.mts - $W
-       |    ORDER BY x.vts DESC, x.vid DESC LIMIT 1) AS pv
-       |  FROM m0),
-       |m2 AS (
-       |  SELECT user_id, eid, mid, mts, pc.iid AS pc_iid, pc.eid AS pc_eid,
-       |   CASE WHEN eid % 4 IN (0,2) THEN COALESCE(pc.iid, '') ELSE '' END AS fk,
-       |   CASE WHEN eid % 4 = 1 THEN COALESCE(pc.rid, '')
-       |        WHEN eid % 4 = 3 THEN 'RX' || mid ELSE '' END AS srid,
-       |   CASE WHEN eid % 4 = 3 THEN COALESCE(pv, '') ELSE '' END AS svid
-       |  FROM m1),
-       |j2 AS (
-       |  SELECT m2.*,
-       |   CASE WHEN m2.fk <> '' THEN m2.fk ELSE COALESCE(
-       |    (SELECT f.iid FROM f1 f WHERE f.user_id = m2.user_id
-       |      AND m2.srid <> '' AND f.rid = m2.srid
-       |      AND f.its >= m2.mts - $W AND f.its <= m2.mts + $OOO
-       |     ORDER BY abs(f.its - m2.mts), f.its DESC, f.iid LIMIT 1),
-       |    (SELECT f.iid FROM f1 f WHERE f.user_id = m2.user_id
-       |      AND m2.svid <> '' AND f.view_id = m2.svid
-       |      AND f.its >= m2.mts - $W AND f.its <= m2.mts + $OOO
-       |     ORDER BY abs(f.its - m2.mts), f.its DESC, f.iid LIMIT 1)) END AS joined_iid
-       |  FROM m2),
-       |f2 AS (
-       |  SELECT j.user_id, j.mid, j.mts, f.iid, f.rid, f.view_id, f.content
-       |  FROM j2 j JOIN f1 f ON f.iid = j.joined_iid),
-       |a0 AS (
-       |  SELECT user_id, event_id AS eid,
-       |   lpad(CAST(event_id AS VARCHAR),12,'0') AS aid, epoch_ms(ts) AS ats
-       |  FROM events WHERE event_type='purchase'),
-       |a1 AS (
-       |  SELECT a0.*,
-       |   (SELECT struct_pack(mid := x.mid, pc_iid := x.pc_iid, pc_eid := x.pc_eid)
-       |    FROM m2 x
-       |    WHERE x.user_id = a0.user_id AND x.mts <= a0.ats AND x.mts >= a0.ats - $W
-       |    ORDER BY x.mts DESC, x.mid DESC LIMIT 1) AS pm,
-       |   (SELECT x.vid FROM v x
-       |    WHERE x.user_id = a0.user_id AND x.vts <= a0.ats AND x.vts >= a0.ats - $W
-       |    ORDER BY x.vts DESC, x.vid DESC LIMIT 1) AS pv3
-       |  FROM a0),
-       |it AS (
-       |  SELECT user_id, eid, aid, ats,
-       |   unnest(CASE WHEN eid % 2 = 0
-       |     THEN ['C' || CAST(COALESCE(pm.pc_eid % 50, 0) AS VARCHAR),
-       |           'C' || CAST((COALESCE(pm.pc_eid % 50, 0) + 7) % 50 AS VARCHAR)]
-       |     ELSE ['C' || CAST(COALESCE(pm.pc_eid % 50, 0) AS VARCHAR)] END) AS item_content,
-       |   CASE WHEN eid % 4 = 0 THEN COALESCE(pm.mid, '') ELSE '' END AS fk3,
-       |   CASE WHEN eid % 4 = 1 THEN COALESCE(pm.pc_iid, '')
-       |        WHEN eid % 4 = 3 THEN 'IX' || aid ELSE '' END AS said,
-       |   CASE WHEN eid % 4 = 2 THEN
-       |          CASE WHEN pm.pc_iid IS NOT NULL THEN 'R' || pm.pc_iid ELSE '' END
-       |        WHEN eid % 4 = 3 THEN 'RX' || aid ELSE '' END AS srid3,
-       |   CASE WHEN eid % 4 = 3 THEN COALESCE(pv3, '') ELSE '' END AS svid3
-       |  FROM a1),
-       |j3 AS (
-       |  SELECT it.*,
-       |   CASE WHEN it.fk3 <> '' THEN
-       |     (SELECT f.mid FROM f2 f WHERE f.user_id = it.user_id AND f.mid = it.fk3)
-       |   ELSE COALESCE(
-       |    (SELECT f.mid FROM f2 f WHERE f.user_id = it.user_id
-       |      AND it.said <> '' AND f.iid = it.said AND f.content = it.item_content
-       |      AND f.mts >= it.ats - $W AND f.mts <= it.ats + $OOO
-       |     ORDER BY abs(f.mts - it.ats), f.mts DESC, f.mid LIMIT 1),
-       |    (SELECT f.mid FROM f2 f WHERE f.user_id = it.user_id
-       |      AND it.srid3 <> '' AND f.rid = it.srid3 AND f.content = it.item_content
-       |      AND f.mts >= it.ats - $W AND f.mts <= it.ats + $OOO
-       |     ORDER BY abs(f.mts - it.ats), f.mts DESC, f.mid LIMIT 1),
-       |    (SELECT f.mid FROM f2 f WHERE f.user_id = it.user_id
-       |      AND it.svid3 <> '' AND f.view_id = it.svid3 AND f.content = it.item_content
-       |      AND f.mts >= it.ats - $W AND f.mts <= it.ats + $OOO
-       |     ORDER BY abs(f.mts - it.ats), f.mts DESC, f.mid LIMIT 1)) END AS joined_mid
-       |  FROM it)
-       |SELECT CAST(j.user_id AS VARCHAR) AS log_user_id, j.aid AS action_id,
-       | j.item_content AS content_id, j.ats AS action_ts_ms,
-       | COALESCE(f.mid, '') AS impression_id, COALESCE(f.iid, '') AS insertion_id,
-       | COALESCE(f.rid, '') AS request_id, COALESCE(f.view_id, '') AS view_id,
-       | CASE WHEN f.mid IS NULL THEN 'dropped'
-       |      WHEN j.fk3 <> '' THEN 'exact' ELSE 'inferred' END AS match_type
-       |FROM j3 j LEFT JOIN f2 f ON f.mid = j.joined_mid""".stripMargin
-  }
-
-  def oracleSql: Map[String, String] = Map(
-    "q44_split_assign" ->
-      """SELECT doc_id,
-        | substr(md5(CAST(doc_id AS VARCHAR) || '#split#v1'), 1, 2) AS bucket,
-        | CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '#split#v1'), 1, 2) < '0d' THEN 'test'
-        |      WHEN substr(md5(CAST(doc_id AS VARCHAR) || '#split#v1'), 1, 2) < '1a' THEN 'val'
-        |      ELSE 'train' END AS split
-        |FROM documents""".stripMargin,
-
-    "q45_pack_sequences" ->
-      """WITH tok AS (
-        | SELECT doc_id, source,
-        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
-        | FROM documents),
-        |packed AS (
-        | SELECT doc_id, source, n_tokens,
-        |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
-        | FROM tok)
-        |SELECT doc_id, source, n_tokens,
-        | CAST(start_off // 512 AS BIGINT) AS chunk_id,
-        | CAST(start_off % 512 AS BIGINT) AS chunk_off
-        |FROM packed""".stripMargin,
-
-    "q46_pii_scrub" ->
-      """WITH inj AS (
-        | SELECT doc_id, text
-        |  || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
-        |  || CASE WHEN doc_id % 7 = 0 THEN ' see https://example.org/d/' || CAST(doc_id AS VARCHAR) ELSE '' END
-        |  || CASE WHEN doc_id % 11 = 0 THEN ' call +1 555 867 5309' ELSE '' END AS t
-        | FROM documents)
-        |SELECT doc_id,
-        | CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-        | CAST(len(regexp_extract_all(t, 'https?://[^ \t\n\r]+')) AS BIGINT) AS n_urls,
-        | CAST(len(regexp_extract_all(t, '\+[0-9][0-9 ]{7,}[0-9]')) AS BIGINT) AS n_phones,
-        | regexp_replace(regexp_replace(regexp_replace(t,
-        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |   'https?://[^ \t\n\r]+', '<URL>', 'g'),
-        |   '\+[0-9][0-9 ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
-        |FROM inj""".stripMargin,
-
-    "q47_contamination" ->
-      """WITH toks AS (
-        | SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts
-        | FROM documents),
-        |grams AS (
-        | SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS g
-        | FROM toks, UNNEST(range(1, len(ts) - 1)) AS t(i))
-        |SELECT tr.doc_id,
-        | COUNT(DISTINCT tr.g) AS n_shared_grams,
-        | COUNT(DISTINCT te.doc_id) AS n_test_docs
-        |FROM (SELECT * FROM grams WHERE doc_id % 50 <> 0) tr
-        |JOIN (SELECT * FROM grams WHERE doc_id % 50 = 0) te ON tr.g = te.g
-        |GROUP BY tr.doc_id""".stripMargin,
-
-    "q49_mixture_sample" ->
-      """SELECT doc_id, source FROM documents
-        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || '#mix#v1'), 1, 2) <
-        | CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
-        |      THEN 'cc' ELSE '33' END""".stripMargin,
-
-    "q48_length_quantiles" ->
-      """WITH base AS (
-        | SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '#split#v1'), 1, 2) < '0d' THEN 'test'
-        |             WHEN substr(md5(CAST(doc_id AS VARCHAR) || '#split#v1'), 1, 2) < '1a' THEN 'val'
-        |             ELSE 'train' END AS split,
-        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
-        | FROM documents),
-        |hist AS (
-        | SELECT split, n_tokens, COUNT(*) AS c FROM base GROUP BY 1, 2),
-        |cum AS (
-        | SELECT split, n_tokens,
-        |  SUM(c) OVER (PARTITION BY split ORDER BY n_tokens
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |  SUM(c) OVER (PARTITION BY split) AS n
-        | FROM hist)
-        |SELECT split, CAST(MAX(n) AS BIGINT) AS n_rows,
-        | MIN(CASE WHEN cum * 100 >= n * 50 THEN n_tokens END) AS p50,
-        | MIN(CASE WHEN cum * 100 >= n * 90 THEN n_tokens END) AS p90,
-        | MIN(CASE WHEN cum * 100 >= n * 99 THEN n_tokens END) AS p99
-        |FROM cum GROUP BY 1""".stripMargin,
-
-    // LSH-with-verify == exact all-pairs whenever blocking recall is
-    // complete (P(miss) ~ 1e-13 at this threshold/config — see the q21
-    // gate comment), so the oracle is the exact SQL at jaccard >= 3/5.
-    "q21_minhash_pairs" ->
-      """WITH t AS (
-        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
-        |g AS (
-        | SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
-        | FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk)-2)) AS i) ix
-        | WHERE len(tk) >= 3),
-        |z AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-        |      FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2)
-        |SELECT a_id, b_id, inter, za.n AS na, zb.n AS nb
-        |FROM p JOIN z za ON za.doc_id = a_id JOIN z zb ON zb.doc_id = b_id
-        |WHERE inter * 5 >= (za.n + zb.n - inter) * 3""".stripMargin,
-    "q22_simhash" -> q22OracleSql,
-    "q23_lsh_ann" -> q23OracleSql,
-    "q52_pq_ann" -> q52OracleSql,
-    "q96_pq_rerank" -> q96OracleSql,
-    "q83_ivfpq_ann" -> q83OracleSql,
-    // same deterministic 3-word re-lining, df over distinct docs per
-    // line, lines under the threshold reassembled in position order
-    "q53_line_dedup" ->
-      """WITH t AS (
-        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
-        |lined AS (
-        | SELECT doc_id, i AS pos,
-        |  array_to_string(tk[i*3+1 : i*3+3], ' ') AS line
-        | FROM t, LATERAL (SELECT unnest(generate_series(0, (len(tk)-1)//3)) AS i) ix),
-        |df AS (
-        | SELECT line, count(DISTINCT doc_id) AS d FROM lined
-        | WHERE trim(line) <> '' GROUP BY 1),
-        |kept AS (
-        | SELECT l.doc_id, l.pos, l.line FROM lined l LEFT JOIN df ON df.line = l.line
-        | WHERE l.line IS NOT NULL AND (df.d IS NULL OR df.d < 20))
-        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
-        |FROM kept GROUP BY doc_id""".stripMargin,
-    "q30_rolling_fp" -> q30OracleSql,
-    "q34_ivf_ann" -> q34OracleSql,
-    "q24_query_hash" -> q24OracleSql,
-    "q43_random_projection" -> q43OracleSql,
-    "q35_flat_chain" -> q35OracleSql,
-    "q36_counter_all" -> q36OracleSql,
-    "q01_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        | CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
-        | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
-        | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000) AS BIGINT)) AS BIGINT) AS sum_charge_e6,
-        | count(*) AS count_order
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
-
-    "q02_region_revenue" ->
-      """SELECT r_name, n_name,
-        | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
-        | count(*) AS n_orders
-        |FROM orders
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name, n_name""".stripMargin,
-
-    "q03_top_orders" ->
-      """SELECT o_orderpriority, CAST(rank AS INTEGER) AS rank, o_orderkey,
-        | total_cents FROM (
-        | SELECT o_orderpriority,
-        |  row_number() OVER (PARTITION BY o_orderpriority
-        |                     ORDER BY o_totalprice DESC, o_orderkey) AS rank,
-        |  o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS total_cents
-        | FROM orders) WHERE rank <= 3""".stripMargin,
-
-    "q04_hourly_metrics" ->
-      """SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS window_start_ms,
-        | CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view_count,
-        | CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click_count,
-        | CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup_count,
-        | CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error_count,
-        | CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_count,
-        | CAST(sum(CASE WHEN event_type='purchase' THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS gmv_cents
-        |FROM events GROUP BY 1""".stripMargin,
-
-    "q05_sliding_counts" ->
-      """SELECT (epoch_ms(ts) - epoch_ms(ts) % 900000) - k*900000 AS window_start_ms,
-        | event_type, count(*) AS n
-        |FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) ks
-        |GROUP BY 1, 2""".stripMargin,
-
-    "q06_weekly_counts" ->
-      """SELECT (epoch_ms(ts) - epoch_ms(ts) % 86400000) - k*86400000 AS window_start_ms,
-        | event_type, count(*) AS n
-        |FROM events CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS k) ks
-        |GROUP BY 1, 2""".stripMargin,
-
-    "q07_cumulate" ->
-      """WITH s AS (
-        | SELECT event_type,
-        |  epoch_ms(ts) - epoch_ms(ts) % 86400000 AS span_start_ms,
-        |  epoch_ms(ts) - epoch_ms(ts) % 3600000 AS step_ms,
-        |  count(*) AS n
-        | FROM events GROUP BY 1, 2, 3)
-        |SELECT span_start_ms, step_ms, event_type,
-        | CAST(sum(n) OVER (PARTITION BY event_type, span_start_ms
-        |                   ORDER BY step_ms ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
-        |FROM s""".stripMargin,
-
-    "q08_sessionize" ->
-      """WITH o AS (
-        | SELECT user_id, epoch_ms(ts) AS ms, event_id,
-        |  CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
-        |        OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 14400000
-        |       THEN 1 ELSE 0 END AS brk
-        | FROM events
-        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
-        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
-        |                               ROWS UNBOUNDED PRECEDING) AS sid FROM o)
-        |SELECT user_id, min(ms) AS session_start_ms, max(ms) AS session_end_ms,
-        |       count(*) AS n_events
-        |FROM s GROUP BY user_id, sid""".stripMargin,
-
-    "q09_asof_join" ->
-      """WITH f AS (
-        |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
-        |  FROM events WHERE event_type = 'purchase'),
-        |m AS (
-        |  SELECT f.*,
-        |   (SELECT d.event_id FROM events d
-        |    WHERE d.event_type = 'click' AND d.user_id = f.user_id
-        |      AND epoch_ms(d.ts) <= f.ts_ms
-        |      AND epoch_ms(d.ts) >= f.ts_ms - 86400000
-        |    ORDER BY epoch_ms(d.ts) DESC, d.event_id DESC LIMIT 1) AS click_id
-        |  FROM f)
-        |SELECT m.event_id, m.user_id, m.ts_ms, m.click_id,
-        |       epoch_ms(d2.ts) AS click_ts_ms
-        |FROM m LEFT JOIN events d2 ON d2.event_id = m.click_id""".stripMargin,
-
-    "q10_interval_join" ->
-      """SELECT f.event_id, f.user_id, epoch_ms(f.ts) AS ts_ms,
-        |       count(d.event_id) AS n_clicks
-        |FROM events f
-        |LEFT JOIN events d ON d.event_type = 'click' AND d.user_id = f.user_id
-        |  AND epoch_ms(d.ts) >= epoch_ms(f.ts) - 1800000
-        |  AND epoch_ms(d.ts) <= epoch_ms(f.ts)
-        |WHERE f.event_type = 'purchase'
-        |GROUP BY 1, 2, 3""".stripMargin,
-
-    "q11_semi_gate" ->
-      """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
-        |WHERE user_id IN (
-        |  SELECT user_id FROM events WHERE event_type = 'purchase'
-        |  GROUP BY 1 HAVING count(*) >= 20)""".stripMargin,
-
-    "q12_dedup_first" ->
-      """SELECT user_id, event_type, event_id, ts_ms FROM (
-        | SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms,
-        |  row_number() OVER (PARTITION BY user_id, event_type
-        |                     ORDER BY epoch_ms(ts), event_id) AS rn
-        | FROM events) WHERE rn = 1""".stripMargin,
-
-    "q13_dedup_exact" ->
-      """SELECT event_type, CAST(round(value*100) AS BIGINT) AS value_cents,
-        | min(event_id) AS first_event_id, count(*) AS n_dups
-        |FROM events GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
-
-    "q14_last_seen" ->
-      """SELECT user_id, event_type, max(epoch_ms(ts)) AS last_ts_ms,
-        | count(*) AS n
-        |FROM events GROUP BY 1, 2""".stripMargin,
-
-    "q15_hot_keys" ->
-      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-        | count(*) AS n
-        |FROM events GROUP BY 1 HAVING count(*) >= 10""".stripMargin,
-
-    "q16_text_stats" ->
-      """SELECT doc_id,
-        | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-        | CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_uniq_tokens,
-        | CAST(length(text) AS BIGINT) AS n_chars_actual,
-        | greatest(least(
-        |   CAST(floor(least(len(regexp_split_to_array(trim(text), '\s+')), 40) * 25 / 40) AS BIGINT)
-        |   + CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 0
-        |      THEN CAST(floor(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) * 50
-        |                      / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
-        |      ELSE 0 END
-        |   + (25 - CASE WHEN length(text) > 0
-        |      THEN least(CAST(floor((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 100 / length(text)) AS BIGINT), 25)
-        |      ELSE 0 END),
-        |  100), 0) AS quality
-        |FROM documents""".stripMargin,
-
-    "q17_lang_stats" ->
-      s"""WITH t AS (
-         | SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS tk
-         | FROM documents),
-         |h AS (SELECT doc_id, lang, $langHitsSql, len(tk) AS ntok FROM t)
-         |SELECT lang, $langCaseSql AS detected,
-         | count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS sum_tokens
-         |FROM h GROUP BY 1, 2""".stripMargin,
-
-    "q18_fingerprint" ->
-      """SELECT doc_id,
-        | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-        |FROM documents""".stripMargin,
-
-    "q19_ngram_jaccard" ->
-      """WITH t AS (
-        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
-        |g AS (
-        | SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
-        | FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk)-2)) AS i) ix
-        | WHERE len(tk) >= 3),
-        |z AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-        |      FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2)
-        |SELECT a_id, b_id, inter, za.n AS na, zb.n AS nb
-        |FROM p JOIN z za ON za.doc_id = a_id JOIN z zb ON zb.doc_id = b_id
-        |WHERE inter * 2 >= (za.n + zb.n - inter) * 1""".stripMargin,
-
-    "q20_knn_cosine" -> q20OracleSql,
-
-    "q25_inferred_join" ->
-      """WITH v AS (
-        | SELECT user_id, lpad(CAST(event_id AS VARCHAR), 12, '0') AS vid,
-        |        epoch_ms(ts) AS vts
-        | FROM events WHERE event_type = 'view'),
-        |p AS (
-        | SELECT user_id, lpad(CAST(event_id AS VARCHAR), 12, '0') AS pid,
-        |        epoch_ms(ts) AS pts
-        | FROM events WHERE event_type = 'purchase'),
-        |m AS (
-        | SELECT p.user_id, p.pid, p.pts,
-        |  (SELECT struct_pack(vid := v.vid, vts := v.vts) FROM v
-        |   WHERE v.user_id = p.user_id
-        |     AND v.vts >= p.pts - 1800000 AND v.vts <= p.pts + 1000
-        |   ORDER BY abs(v.vts - p.pts), v.vts DESC, v.vid LIMIT 1) AS mv
-        | FROM p)
-        |SELECT CAST(user_id AS VARCHAR) AS log_user_id,
-        | COALESCE(mv.vid, '') AS left_id, pid AS right_id,
-        | COALESCE(mv.vts, -1) AS left_ts_ms, pts AS right_ts_ms,
-        | CASE WHEN mv IS NULL THEN 'dropped' ELSE 'inferred' END AS match_type
-        |FROM m""".stripMargin,
-
-    "q26_combine_dlog" ->
-      """SELECT client_request_id, request_id, execution_server, ts_ms FROM (
-        | SELECT concat(user_id, ':', epoch_ms(ts) - epoch_ms(ts) % 600000)
-        |          AS client_request_id,
-        |  lpad(CAST(event_id AS VARCHAR), 12, '0') AS request_id,
-        |  CASE WHEN event_type = 'view' THEN 'API' ELSE 'SDK' END
-        |          AS execution_server,
-        |  epoch_ms(ts) AS ts_ms,
-        |  row_number() OVER (
-        |    PARTITION BY user_id, epoch_ms(ts) - epoch_ms(ts) % 600000
-        |    ORDER BY CASE WHEN event_type = 'view' THEN 2 ELSE 1 END DESC,
-        |             epoch_ms(ts), lpad(CAST(event_id AS VARCHAR), 12, '0')) AS rn
-        | FROM events WHERE event_type IN ('view', 'click')) WHERE rn = 1""".stripMargin,
-
-    "q27_embed_neardup" -> q27BandedOracleSql,
-
-    "q28_bpe_tokens" ->
-      """SELECT doc_id,
-        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS BIGINT) AS n_bpe,
-        | CAST(len(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS BIGINT) AS n_bpe_lower
-        |FROM documents""".stripMargin,
-
-    "q29_counter_family" ->
-      """SELECT concat('3', chr(31), CAST(user_id AS VARCHAR), chr(31),
-        |              CAST(day_ms AS VARCHAR)) AS key,
-        | CAST(3*16777216 + metric*256 + 2 AS VARCHAR) AS field,
-        | CAST(n AS VARCHAR) AS value
-        |FROM (
-        | SELECT user_id, epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day_ms,
-        |  CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
-        |   WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 ELSE 8 END AS metric,
-        |  count(*) AS n
-        | FROM events GROUP BY 1, 2, 3)""".stripMargin,
-
-    "q31_session_cogroup" ->
-      """WITH u AS (
-        | SELECT user_id, epoch_ms(ts) AS ms, event_id,
-        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isleft
-        | FROM events WHERE event_type IN ('purchase', 'click')),
-        |o AS (SELECT *, CASE WHEN lag(ms) OVER w IS NULL
-        |        OR ms - lag(ms) OVER w > 14400000 THEN 1 ELSE 0 END AS brk
-        |      FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
-        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
-        |                               ROWS UNBOUNDED PRECEDING) AS sid FROM o)
-        |SELECT user_id, min(ms) AS session_start_ms,
-        | CAST(sum(isleft) AS BIGINT) AS n_left,
-        | CAST(count(*) - sum(isleft) AS BIGINT) AS n_right
-        |FROM s GROUP BY user_id, sid""".stripMargin,
-
-    "q42_clean_corpus" ->
-      s"""WITH RECURSIVE tok AS (
-         | SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS tk
-         | FROM documents),
-         |q AS (
-         | SELECT doc_id,
-         |  greatest(least(
-         |    CAST(floor(least(len(tk), 40) * 25 / 40) AS BIGINT)
-         |    + CASE WHEN len(tk) > 0
-         |       THEN CAST(floor(len(list_distinct(tk)) * 50 / len(tk)) AS BIGINT)
-         |       ELSE 0 END
-         |    + (25 - CASE WHEN length(text) > 0
-         |       THEN least(CAST(floor((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 100 / length(text)) AS BIGINT), 25)
-         |       ELSE 0 END),
-         |   100), 0) AS quality
-         | FROM tok),
-         |h AS (SELECT doc_id, $langHitsSql FROM tok),
-         |lg AS (SELECT doc_id, $langCaseSql AS detected FROM h),
-         |ru AS (SELECT doc_id, unnest(tk) AS un FROM tok),
-         |rf AS (SELECT doc_id, un FROM ru WHERE trim(un) <> ''),
-         |rc AS (SELECT doc_id, un, count(*) AS cnt FROM rf GROUP BY 1, 2),
-         |rep AS (SELECT doc_id,
-         |  CAST(sum(CASE WHEN cnt > 1 THEN cnt * length(un) ELSE 0 END) AS BIGINT) AS dup_chars,
-         |  CAST(sum(cnt * length(un)) AS BIGINT) AS tot_chars
-         | FROM rc GROUP BY 1),
-         |g AS (
-         | SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
-         | FROM tok, LATERAL (SELECT unnest(generate_series(1, len(tk)-2)) AS i) ix
-         | WHERE len(tk) >= 3),
-         |z AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-         |p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-         |      FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
-         |      GROUP BY 1, 2),
-         |p AS (
-         | SELECT a_id, b_id FROM p0
-         | JOIN z za ON za.doc_id = a_id JOIN z zb ON zb.doc_id = b_id
-         | WHERE inter * 2 >= (za.n + zb.n - inter) * 1),
-         |e AS (SELECT a_id AS a, b_id AS b FROM p
-         |      UNION SELECT b_id, a_id FROM p),
-         |reach(src, dst) AS (
-         | SELECT a, a FROM e
-         | UNION
-         | SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst),
-         |comp AS (SELECT src AS doc_id, min(dst) AS component
-         |         FROM reach GROUP BY src)
-         |SELECT q.doc_id, q.quality, lg.detected,
-         | coalesce(c.component, q.doc_id) AS component
-         |FROM q JOIN lg ON lg.doc_id = q.doc_id
-         |JOIN rep r ON r.doc_id = q.doc_id
-         |LEFT JOIN comp c ON c.doc_id = q.doc_id
-         |WHERE q.quality >= 72 AND lg.detected = 'en'
-         |  AND r.dup_chars * 10 <= r.tot_chars * 7
-         |  AND (c.component IS NULL OR c.component = q.doc_id)""".stripMargin,
-
-    // Recursive-CTE oracle: transitive closure over the (symmetric) pair
-    // graph, component = min reachable node; docs outside the graph are
-    // their own canonical.
-    "q41_neardup_components" ->
-      """WITH RECURSIVE t AS (
-        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
-        |g AS (
-        | SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
-        | FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk)-2)) AS i) ix
-        | WHERE len(tk) >= 3),
-        |z AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-        |p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-        |      FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2),
-        |p AS (
-        | SELECT a_id, b_id FROM p0
-        | JOIN z za ON za.doc_id = a_id JOIN z zb ON zb.doc_id = b_id
-        | WHERE inter * 2 >= (za.n + zb.n - inter) * 1),
-        |e AS (SELECT a_id AS a, b_id AS b FROM p
-        |      UNION SELECT b_id, a_id FROM p),
-        |reach(src, dst) AS (
-        | SELECT a, a FROM e
-        | UNION
-        | SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst),
-        |comp AS (SELECT src AS doc_id, min(dst) AS component
-        |         FROM reach GROUP BY src)
-        |SELECT d.doc_id,
-        | coalesce(c.component, d.doc_id) AS component,
-        | (c.component IS NULL OR c.component = d.doc_id) AS is_canonical
-        |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin,
-
-    "q40_repetition" ->
-      """WITH u AS (
-        | SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS un
-        | FROM documents),
-        |f AS (SELECT doc_id, un FROM u WHERE trim(un) <> ''),
-        |c AS (SELECT doc_id, un, count(*) AS cnt FROM f GROUP BY 1, 2)
-        |SELECT doc_id,
-        | CAST(sum(cnt) AS BIGINT) AS n_units,
-        | count(*) AS n_uniq_units,
-        | CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
-        |   AS n_dup_units,
-        | CAST(sum(CASE WHEN cnt > 1 THEN cnt * length(un) ELSE 0 END) AS BIGINT)
-        |   AS dup_unit_chars,
-        | CAST(sum(cnt * length(un)) AS BIGINT) AS total_unit_chars
-        |FROM c GROUP BY doc_id""".stripMargin,
-
-    "q39_merge_details" ->
-      """WITH a AS (SELECT user_id, event_id AS action_id, epoch_ms(ts) AS ts_ms
-        |           FROM events WHERE event_type = 'purchase'),
-        |i AS (SELECT user_id, event_id AS ins_id, epoch_ms(ts) AS ms
-        |      FROM events WHERE event_type = 'click'),
-        |m AS (SELECT user_id, event_id AS imp_id, epoch_ms(ts) AS ms
-        |      FROM events WHERE event_type = 'signup'),
-        |r AS (
-        | SELECT a.*,
-        |  (SELECT x.ins_id FROM i x WHERE x.user_id = a.user_id
-        |    AND x.ms <= a.ts_ms AND x.ms >= a.ts_ms - 86400000
-        |   ORDER BY x.ms DESC, x.ins_id DESC LIMIT 1) AS ins_id,
-        |  (SELECT x.imp_id FROM m x WHERE x.user_id = a.user_id
-        |    AND x.ms <= a.ts_ms AND x.ms >= a.ts_ms - 86400000
-        |   ORDER BY x.ms DESC, x.imp_id DESC LIMIT 1) AS imp_id
-        | FROM a),
-        |d AS (
-        | SELECT r.*, di.ms AS ins_detail_ts, dm.ms AS imp_detail_ts
-        | FROM r
-        | LEFT JOIN i di ON di.ins_id = r.ins_id AND di.ins_id % 5 <> 0
-        | LEFT JOIN m dm ON dm.imp_id = r.imp_id AND dm.imp_id % 3 <> 0)
-        |SELECT user_id, action_id, ts_ms,
-        | coalesce(ins_id, -1) AS ins_id, coalesce(imp_id, -1) AS imp_id,
-        | coalesce(ins_detail_ts, -1) AS ins_detail_ts_ms,
-        | coalesce(imp_detail_ts, -1) AS imp_detail_ts_ms,
-        | concat_ws(',',
-        |   CASE WHEN ins_detail_ts IS NULL THEN 'DELIVERY_LOG' END,
-        |   CASE WHEN imp_detail_ts IS NULL THEN 'IMPRESSION' END) AS missing,
-        | CASE WHEN ins_detail_ts IS NULL OR imp_detail_ts IS NULL
-        |      THEN 'dropped' ELSE 'ok' END AS status
-        |FROM d""".stripMargin,
-
-    "q38_session_payload" ->
-      """WITH u AS (
-        | SELECT user_id, epoch_ms(ts) AS ms, event_id,
-        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isleft
-        | FROM events WHERE event_type IN ('purchase', 'click')),
-        |o AS (SELECT *, CASE WHEN lag(ms) OVER w IS NULL
-        |        OR ms - lag(ms) OVER w > 14400000 THEN 1 ELSE 0 END AS brk
-        |      FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
-        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
-        |                               ROWS UNBOUNDED PRECEDING) AS sid FROM o)
-        |SELECT user_id, min(ms) AS session_start_ms,
-        | CAST(sum(isleft) AS BIGINT) AS n_left,
-        | CAST(count(*) - sum(isleft) AS BIGINT) AS n_right,
-        | coalesce(string_agg(CASE WHEN isleft = 1
-        |   THEN CAST(event_id AS VARCHAR) END, ',' ORDER BY ms, event_id), '')
-        |   AS left_ids,
-        | coalesce(string_agg(CASE WHEN isleft = 0
-        |   THEN CAST(event_id AS VARCHAR) END, ',' ORDER BY ms, event_id), '')
-        |   AS right_ids
-        |FROM s GROUP BY user_id, sid""".stripMargin,
-
-    "q32_latest_impressions" ->
-      """WITH c AS (
-        | SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type,
-        |  'C' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 20
-        |              AS VARCHAR) AS content_id
-        | FROM events WHERE event_type IN ('purchase', 'view')),
-        |p AS (SELECT user_id, event_id AS purchase_id, ms AS ts_ms, content_id
-        |      FROM c WHERE event_type = 'purchase'),
-        |v AS (SELECT user_id, event_id AS view_id, ms AS view_ts_ms, content_id
-        |      FROM c WHERE event_type = 'view'),
-        |cand AS (
-        | SELECT p.user_id, p.purchase_id, p.ts_ms, v.content_id, v.view_id,
-        |  v.view_ts_ms,
-        |  row_number() OVER (PARTITION BY p.purchase_id, v.content_id
-        |    ORDER BY v.view_ts_ms DESC, v.view_id DESC) AS rnc
-        | FROM p JOIN v ON v.user_id = p.user_id
-        |   AND v.view_ts_ms <= p.ts_ms AND v.view_ts_ms >= p.ts_ms - 21600000),
-        |kept AS (
-        | SELECT * FROM cand k WHERE rnc = 1 AND NOT EXISTS (
-        |   SELECT 1 FROM p a WHERE a.user_id = k.user_id
-        |     AND a.content_id = k.content_id AND a.ts_ms <= k.ts_ms))
-        |SELECT user_id, purchase_id, ts_ms, content_id, view_id, view_ts_ms,
-        |       CAST(rank AS INTEGER) AS rank
-        |FROM (SELECT *, row_number() OVER (PARTITION BY purchase_id
-        |        ORDER BY view_ts_ms DESC, view_id DESC) AS rank
-        |      FROM kept) WHERE rank <= 3""".stripMargin,
-
-    "q37_redundant_actions" ->
-      """WITH v AS (
-        | SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-        |  event_id, epoch_ms(ts) AS ms
-        | FROM events WHERE event_type = 'view'),
-        |c AS (
-        | SELECT *, first_value(event_id) OVER (PARTITION BY user_id, k
-        |   ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS canonical_id
-        | FROM v),
-        |a AS (SELECT user_id, event_id AS action_id, epoch_ms(ts) AS ts_ms
-        |      FROM events WHERE event_type = 'purchase'),
-        |w AS (
-        | SELECT a.*,
-        |  (SELECT struct_pack(id := x.event_id, ms := x.ms) FROM v x
-        |   WHERE x.user_id = a.user_id AND x.ms <= a.ts_ms
-        |     AND x.ms >= a.ts_ms - 86400000
-        |   ORDER BY x.ms DESC, x.event_id DESC LIMIT 1) AS imp
-        | FROM a)
-        |SELECT w.user_id, w.action_id, w.ts_ms, w.imp.id AS imp_id,
-        | w.imp.ms AS imp_ts_ms, c.canonical_id AS canonical_imp_id
-        |FROM w JOIN c ON c.event_id = w.imp.id""".stripMargin,
-
-    "q33_redundant_repoint" ->
-      """SELECT user_id, k, event_id, ts_ms, canonical_id FROM (
-        | SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-        |  event_id, epoch_ms(ts) AS ts_ms,
-        |  first_value(event_id) OVER (
-        |    PARTITION BY user_id, CAST(json_extract_string(props, '$.k') AS BIGINT)
-        |    ORDER BY epoch_ms(ts), event_id ROWS UNBOUNDED PRECEDING) AS canonical_id
-        | FROM events WHERE event_type = 'view')""".stripMargin,
-
-    // replay the upsert commit log declaratively: union the three
-    // commits with their sequence numbers, pick the latest version per
-    // (partition, key) with the same (ver DESC, commit DESC) order the
-    // merge-on-read resolver uses, drop delete-flagged winners
-    "q50_upsert_snapshot" ->
-      """WITH base AS (
-        | SELECT o_orderkey AS k, strftime(o_orderdate, '%Y-%m') AS dt,
-        |  CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
-        | FROM orders),
-        |c1 AS (SELECT k, dt, price_cents, CAST(1 AS BIGINT) AS ver, false AS del, 1 AS cseq FROM base),
-        |c2 AS (SELECT k, dt, price_cents + 1000, CAST(2 AS BIGINT), k % 13 = 0, 2 FROM base
-        |       WHERE k % 7 = 0 OR k % 13 = 0),
-        |c3 AS (SELECT k, dt, price_cents + 5000, CAST(3 AS BIGINT), false, 3 FROM base
-        |       WHERE k % 21 = 0),
-        |allv AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3),
-        |r AS (SELECT *, row_number() OVER (
-        |        PARTITION BY dt, k ORDER BY ver DESC, cseq DESC) AS rn
-        |      FROM allv)
-        |SELECT k, dt, price_cents, ver FROM r WHERE rn = 1 AND NOT del""".stripMargin,
-
-    // changed keys = commits 3..4 (k%21 or k%35); each resolved against
-    // FULL history by (ver DESC, commit DESC) with tombstones visible —
-    // the same replay as q50 plus the delete commit
-    "q51_upsert_incremental" ->
-      """WITH base AS (
-        | SELECT o_orderkey AS k, strftime(o_orderdate, '%Y') AS dt,
-        |  CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
-        | FROM orders WHERE o_orderkey % 8 = 0),
-        |c1 AS (SELECT k, dt, price_cents, CAST(1 AS BIGINT) AS ver, false AS del, 1 AS cseq FROM base),
-        |c2 AS (SELECT k, dt, price_cents + 1000, CAST(2 AS BIGINT), k % 13 = 0, 2 FROM base
-        |       WHERE k % 7 = 0 OR k % 13 = 0),
-        |c3 AS (SELECT k, dt, price_cents + 5000, CAST(3 AS BIGINT), false, 3 FROM base
-        |       WHERE k % 21 = 0),
-        |c4 AS (SELECT k, dt, price_cents + 7000, CAST(4 AS BIGINT), true, 4 FROM base
-        |       WHERE k % 35 = 0),
-        |allv AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
-        |         UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4),
-        |r AS (SELECT *, row_number() OVER (
-        |        PARTITION BY dt, k ORDER BY ver DESC, cseq DESC) AS rn
-        |      FROM allv)
-        |SELECT k, dt, price_cents, ver, del FROM r
-        |WHERE rn = 1 AND (k % 21 = 0 OR k % 35 = 0)""".stripMargin,
-
-    // full recompute of the FINAL state — the incrementally-maintained
-    // derived table must land on exactly this
-    "q54_derived_agg" ->
-      """WITH base AS (
-        | SELECT o_orderkey AS k, strftime(o_orderdate, '%Y') AS dt,
-        |  CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
-        | FROM orders WHERE o_orderkey % 8 = 0),
-        |c1 AS (SELECT k, dt, price_cents, CAST(1 AS BIGINT) AS ver, false AS del, 1 AS cseq FROM base),
-        |c2 AS (SELECT k, dt, price_cents + 1000, CAST(2 AS BIGINT), k % 13 = 0, 2 FROM base
-        |       WHERE k % 7 = 0 OR k % 13 = 0),
-        |c3 AS (SELECT k, dt, price_cents + 5000, CAST(3 AS BIGINT), false, 3 FROM base
-        |       WHERE k % 21 = 0),
-        |c4 AS (SELECT k, dt, price_cents + 7000, CAST(4 AS BIGINT), true, 4 FROM base
-        |       WHERE k % 35 = 0),
-        |allv AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
-        |         UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4),
-        |r AS (SELECT *, row_number() OVER (
-        |        PARTITION BY dt, k ORDER BY ver DESC, cseq DESC) AS rn
-        |      FROM allv)
-        |SELECT dt, count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS cents
-        |FROM r WHERE rn = 1 AND NOT del GROUP BY dt""".stripMargin,
-
-    "q55_skew_interval" ->
-      """WITH l AS (
-        | SELECT CASE WHEN i % 4 = 0 THEN 'hot' ELSE 'k' || i END AS key,
-        |        i*100 AS lts, i AS lid
-        | FROM range(20000) t(i)),
-        |r AS (
-        | SELECT CASE WHEN i % 4 = 0 THEN 'hot' ELSE 'k' || i END AS key,
-        |        i*100 + 50 AS rts, i AS rid
-        | FROM range(20000) t(i))
-        |SELECT l.lid, r.rid
-        |FROM l JOIN r ON l.key = r.key
-        | AND r.rts >= l.lts AND r.rts <= l.lts + 10000""".stripMargin,
-
-    "q56_pq_trained" -> q56OracleSql,
-
-    // same window derivation, canonical = first by (doc_id, p) per window
-    // text, non-canonical spans explode to per-token marks, anti-join,
-    // ordered reassembly; docs losing every token drop in both engines
-    "q57_exact_substring" ->
-      """WITH t AS (
-        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
-        | FROM documents),
-        |win AS (
-        | SELECT doc_id, i AS p, array_to_string(tk[i+1 : i+8], ' ') AS w
-        | FROM t, LATERAL (SELECT unnest(generate_series(0, len(tk)-8)) AS i) ix
-        | WHERE len(tk) >= 8),
-        |c AS (
-        | SELECT w, doc_id AS cd, p AS cp FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY w ORDER BY doc_id, p) AS rn,
-        |         count(*) OVER (PARTITION BY w) AS n
-        |  FROM win) WHERE rn = 1 AND n > 1),
-        |marks AS (
-        | SELECT DISTINCT x.doc_id, x.p + j AS ti
-        | FROM win x JOIN c ON c.w = x.w
-        |  AND NOT (x.doc_id = c.cd AND x.p = c.cp),
-        |  LATERAL (SELECT unnest(generate_series(0, 7)) AS j) g),
-        |tokens AS (
-        | SELECT doc_id, i-1 AS ti, tk[i] AS tok
-        | FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) ix),
-        |kept AS (
-        | SELECT k.doc_id, k.ti, k.tok FROM tokens k
-        | LEFT JOIN marks m ON m.doc_id = k.doc_id AND m.ti = k.ti
-        | WHERE m.doc_id IS NULL)
-        |SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS text
-        |FROM kept GROUP BY doc_id""".stripMargin,
-
-    "q58_sem_dedup" -> q58OracleSql,
-
-    "q59_quality_classifier" -> q59OracleSql,
-
-    "q60_bpe_train" -> q60OracleSql,
-
-    // layout-independent truth: the raw filter over the source table
-    "q61_zorder_read" ->
-      """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events
-        |WHERE user_id BETWEEN 100 AND 299
-        |  AND epoch_ms(ts) BETWEEN 1704067200000 AND 1705276799999""".stripMargin,
-
-    "q62_hll_sketch" -> q62OracleSql,
-
-    "q63_count_min" -> q63OracleSql,
-
-    // greedy-earliest funnel: stage i = first event strictly after stage
-    // i-1 within the window of t1 — one conditional-min pass per stage
-    "q65_retention" ->
-      """WITH e AS (
-        | SELECT DISTINCT user_id AS u,
-        |  epoch_ms(ts) - epoch_ms(ts) % 86400000 AS b
-        | FROM events),
-        |c AS (SELECT u, min(b) AS cohort_ms FROM e GROUP BY u)
-        |SELECT cohort_ms, (b - cohort_ms) // 86400000 AS offset,
-        | CAST(count(DISTINCT u) AS BIGINT) AS users
-        |FROM e JOIN c USING (u) GROUP BY 1, 2""".stripMargin,
-
-    "q66_kmv_jaccard" -> q66OracleSql,
-
-    // pass-through doubles (bucket max, then carried) — no cross-engine
-    // float arithmetic, so the fill is exactly comparable
-    "q68_stratified_split" -> q68OracleSql,
-
-    "q69_sliding_hll" -> q69OracleSql,
-
-    // lower medians by the same integer rank selection (min v with
-    // 2·cum ≥ n); deviation = one IEEE subtraction, threshold = one
-    // multiply — verdicts on raw doubles stay bit-identical
-    "q70_mad_outliers" ->
-      """WITH e AS (
-        | SELECT user_id AS k, epoch_ms(ts) AS ts, value AS v
-        | FROM events WHERE user_id < 50),
-        |h1 AS (SELECT k, v, count(*) AS c FROM e GROUP BY 1, 2),
-        |c1 AS (SELECT k, v,
-        |  sum(c) OVER (PARTITION BY k ORDER BY v
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |  sum(c) OVER (PARTITION BY k) AS n FROM h1),
-        |med AS (SELECT k, min(CASE WHEN cum*2 >= n THEN v END) AS med
-        | FROM c1 GROUP BY k),
-        |d AS (SELECT e.k, e.ts, e.v, abs(e.v - med.med) AS dev
-        | FROM e JOIN med USING (k)),
-        |h2 AS (SELECT k, dev, count(*) AS c FROM d GROUP BY 1, 2),
-        |c2 AS (SELECT k, dev,
-        |  sum(c) OVER (PARTITION BY k ORDER BY dev
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |  sum(c) OVER (PARTITION BY k) AS n FROM h2),
-        |mad AS (SELECT k, min(CASE WHEN cum*2 >= n THEN dev END) AS mad
-        | FROM c2 GROUP BY k)
-        |SELECT d.k AS user_id, d.ts AS ts_ms, d.v AS value,
-        | d.dev AS deviation, (d.dev * 1.0 > mad.mad * 3.0) AS is_outlier
-        |FROM d JOIN mad USING (k)""".stripMargin,
-
-    "q67_gap_fill" ->
-      """WITH o AS (
-        | SELECT user_id AS k, epoch_ms(ts) - epoch_ms(ts) % 3600000 AS b,
-        |  max(value) AS v
-        | FROM events WHERE user_id < 50 GROUP BY 1, 2),
-        |s AS (SELECT k, min(b) AS lo, max(b) AS hi FROM o GROUP BY k),
-        |g AS (SELECT k, unnest(generate_series(lo, hi, 3600000)) AS b FROM s),
-        |j AS (SELECT g.k, g.b, o.v FROM g LEFT JOIN o ON o.k = g.k AND o.b = g.b)
-        |SELECT k AS user_id, b AS bucket_ms,
-        | last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY b
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
-        | (v IS NOT NULL) AS observed
-        |FROM j""".stripMargin,
-
-    // the Bloom prune is a pre-filter whose false positives the exact
-    // semi-join removes — the oracle is the plain IN-subquery answer
-    "q71_bloom_join" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-        | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
-        |   AS BIGINT) AS revenue_cents
-        |FROM lineitem
-        |WHERE l_orderkey IN
-        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
-        |GROUP BY 1, 2""".stripMargin,
-
-    // mirrors TextRank.bm25's pinned double pipeline: (1.2 + 1.0) is
-    // spelled as a SUM (double(1.2)+1.0 != double(2.2)); every contribution
-    // rounds to micro-units before the order-independent BIGINT sum
-    "q72_bm25" -> q72OracleSql,
-
-    "q73_weighted_sample" -> q73OracleSql,
-
-    "q77_pagerank" -> q77OracleSql,
-
-    "q84_label_prop" -> q84OracleSql,
-
-    "q85_triangles" -> q85OracleSql,
-
-    "q86_modularity" -> q86OracleSql,
-
-    "q87_ppr" -> q87OracleSql,
-
-    // q88: the exact semantics heavyHitters guarantees — plain
-    // GROUP BY/HAVING at ceil(n/100); the MG sketch is an internal
-    // candidate generator the oracle never needs to see.
-    "q88_heavy_hitters" ->
-      """WITH v AS (
-        | SELECT CASE WHEN l_partkey % 3 = 0
-        |   THEN 'p' || CAST(l_partkey % 8 AS VARCHAR)
-        |   ELSE 'u' || CAST(l_orderkey AS VARCHAR) || '-'
-        |     || CAST(l_linenumber AS VARCHAR) END AS value
-        | FROM lineitem)
-        |SELECT value, CAST(count(*) AS BIGINT) AS cnt
-        |FROM v
-        |GROUP BY value
-        |HAVING count(*) >= ((SELECT count(*) + 99 FROM v) // 100)""".stripMargin,
-
-    // Chunk rows rebuild from the same stride grid + tail-aligned start;
-    // DuckDB range() is stop-exclusive where Spark sequence() is
-    // inclusive, hence the +1. List slices are 1-based inclusive on both.
-    "q99_chunk_overlap" ->
-      """WITH d AS (SELECT doc_id,
-        |  regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
-        |ls AS (SELECT doc_id, greatest(len(toks) - 15, 1) AS last_start FROM d),
-        |st AS (SELECT DISTINCT doc_id, start FROM (
-        |  SELECT doc_id, unnest(range(1, last_start + 1, 8)) AS start FROM ls
-        |  UNION ALL SELECT doc_id, last_start AS start FROM ls))
-        |SELECT d.doc_id, CAST(start AS BIGINT) AS start,
-        |  CAST(len(toks[start:start+15]) AS BIGINT) AS n_tokens,
-        |  array_to_string(toks[start:start+15], ' ') AS chunk
-        |FROM st JOIN d USING (doc_id)""".stripMargin,
-
-    // Full model replay: the bigram/context/vocab counts of the English
-    // slice, then every document's pair stream scored through the same
-    // pinned ln pipeline (integer micro-nats before the sum — q72 rule).
-    "q100_bigram_lm" ->
-      """WITH tb AS (SELECT doc_id, lang,
-        |  list_prepend('<s>', regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
-        | FROM documents),
-        |pr AS (SELECT doc_id, lang, toks, unnest(range(2, len(toks) + 1)) AS i FROM tb),
-        |p AS (SELECT doc_id, lang, toks[i-1] AS prev, toks[i] AS cur FROM pr),
-        |cb AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cb FROM p
-        | WHERE lang = 'en' GROUP BY 1, 2),
-        |cu AS (SELECT prev, CAST(count(*) AS BIGINT) AS cu FROM p
-        | WHERE lang = 'en' GROUP BY 1),
-        |v AS (SELECT CAST(count(DISTINCT cur) + 1 AS BIGINT) AS v FROM p
-        | WHERE lang = 'en'),
-        |c AS (SELECT doc_id,
-        |  CAST(round(ln(CAST(coalesce(cb.cb, 0) + 1 AS DOUBLE)
-        |    / CAST(coalesce(cu.cu, 0) + v.v AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp
-        | FROM p LEFT JOIN cb USING (prev, cur) LEFT JOIN cu USING (prev) CROSS JOIN v)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
-        |  CAST((-sum(lp)) // count(*) AS BIGINT) AS avg_nll_micro
-        |FROM c GROUP BY 1""".stripMargin,
-
-    "q101_dsir_weights" -> q101OracleSql,
-
-    // The two-window prefix form replayed verbatim: running deviation sum,
-    // clipped running min, S = P − min(0, min P). All-BIGINT arithmetic.
-    "q102_cusum_drift" ->
-      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms,
-        |  CAST(round(value * 1000000) AS BIGINT) AS v_e6 FROM events),
-        |m AS (SELECT user_id, ts_ms, v_e6,
-        |  sum(v_e6) OVER (PARTITION BY user_id)
-        |    // count(*) OVER (PARTITION BY user_id) AS mu FROM e),
-        |pp AS (SELECT user_id, ts_ms, v_e6,
-        |  sum(v_e6 - mu - 5000000) OVER (PARTITION BY user_id
-        |    ORDER BY ts_ms, v_e6
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p FROM m),
-        |ps AS (SELECT user_id, ts_ms,
-        |  p - least(min(p) OVER (PARTITION BY user_id ORDER BY ts_ms, v_e6
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS s
-        | FROM pp)
-        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
-        |  CAST(max(s) AS BIGINT) AS max_s_e6,
-        |  CAST(sum(CASE WHEN s > 500000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
-        |  CAST(coalesce(min(CASE WHEN s > 500000000 THEN ts_ms END), -1) AS BIGINT)
-        |    AS first_alarm_ts
-        |FROM ps GROUP BY 1""".stripMargin,
-
-    "q103_rollup_metrics" ->
-      """SELECT coalesce(event_type, 'ALL') AS event_type,
-        |  CAST(coalesce(day_ms, -1) AS BIGINT) AS day_ms,
-        |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(cents) AS BIGINT) AS sum_cents
-        |FROM (SELECT event_type,
-        |    epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day_ms,
-        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events)
-        |GROUP BY ROLLUP(event_type, day_ms)""".stripMargin,
-
-    // Character census → per-term pinned pipeline
-    // round(n_c · (ln n − ln n_c) · 10^6 / n), integer-summed: the same
-    // left-associative double chain the expression's byte walk runs.
-    // q143: deduped incidence, per-user pairs, integer cos² replay.
-    "q143_item_similarity" ->
-      """WITH inc AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS u,
-        |  'C' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 20
-        |    AS VARCHAR) AS item
-        | FROM events),
-        |n AS (SELECT item, count(*) AS n FROM inc GROUP BY 1),
-        |p AS (SELECT x.item AS item_a, y.item AS item_b, count(*) AS cooc
-        |      FROM inc x JOIN inc y ON x.u = y.u AND x.item < y.item
-        |      GROUP BY 1, 2 HAVING count(*) >= 5)
-        |SELECT item_a, item_b, CAST(cooc AS BIGINT) AS cooc,
-        |  CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
-        |  CAST(cooc * cooc * 1000000000000 // (na.n * nb.n) AS BIGINT)
-        |    AS cos2_e12
-        |FROM p JOIN n na ON na.item = item_a JOIN n nb ON nb.item = item_b""".stripMargin,
-
-    // q144/q145: both retrieval stages replayed as CTEs, then the
-    // integer recall / MRR / literal-discount NDCG audit.
-    "q144_ann_recall" -> q144OracleSql,
-    "q320_ivf_sweep" -> q320OracleSql,
-
-    "q145_ann_rank_metrics" -> q145OracleSql,
-
-    // q146: same cell census + two window minima (strictly-higher-q
-    // frame as an integer RANGE bound).
-    "q146_doc_skyline" ->
-      s"""WITH s AS (SELECT $qualityExprSql AS q, n_chars AS c FROM documents),
-         |cells AS (SELECT q, c, count(*) AS n_rows FROM s GROUP BY 1, 2),
-         |w AS (SELECT q, c, n_rows,
-         |  min(c) OVER (ORDER BY q
-         |    RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS mh,
-         |  min(c) OVER (PARTITION BY q) AS ms
-         | FROM cells)
-         |SELECT CAST(q AS BIGINT) AS quality, CAST(c AS BIGINT) AS n_chars,
-         |  CAST(n_rows AS BIGINT) AS n_rows
-         |FROM w WHERE (mh IS NULL OR mh > c) AND ms = c""".stripMargin,
-
-    // q147: the q111 pair set, position rank by (touch_ts, touch_id),
-    // U-shaped shares with the remainder on the last touch.
-    "q147_position_attribution" ->
-      """WITH e AS (SELECT user_id AS u, event_id AS id, epoch_ms(ts) AS ts,
-        |  event_type AS et FROM events
-        | WHERE event_type IN ('click', 'purchase')),
-        |c AS (SELECT u, id AS conv_id, ts AS conv_ts FROM e
-        | WHERE et = 'purchase'),
-        |t AS (SELECT u, id AS touch_id, ts AS touch_ts FROM e
-        | WHERE et = 'click'),
-        |p AS (SELECT c.u, c.conv_id, c.conv_ts, t.touch_id, t.touch_ts
-        | FROM c JOIN t ON c.u = t.u
-        |  AND t.touch_ts >= c.conv_ts - 604800000
-        |  AND t.touch_ts <= c.conv_ts - 1),
-        |r AS (SELECT u, conv_id, conv_ts, touch_id, touch_ts,
-        |  count(*) OVER (PARTITION BY conv_id) AS n,
-        |  row_number() OVER (PARTITION BY conv_id
-        |    ORDER BY touch_ts, touch_id) AS rk
-        | FROM p)
-        |SELECT u AS user_id, conv_id, conv_ts, touch_id, touch_ts,
-        |  CAST(rk AS INTEGER) AS pos, CAST(n AS BIGINT) AS n_touches,
-        |  CAST(CASE WHEN n = 1 THEN 1000000 WHEN n = 2 THEN 500000
-        |    WHEN rk = 1 THEN 400000
-        |    WHEN rk = n THEN 400000 + 200000 % (n - 2)
-        |    ELSE 200000 // (n - 2) END AS BIGINT) AS share_ppm
-        |FROM r""".stripMargin,
-
-    // q148: the same five integer sums and ratio numerators.
-    "q148_daily_trend" ->
-      """WITH d AS (SELECT event_type,
-        |  epoch_ms(ts) // 86400000 - 19700 AS x,
-        |  sum(CAST(round(value * 100) AS BIGINT)) AS y
-        | FROM events GROUP BY 1, 2)
-        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
-        |  CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS BIGINT) AS slope_num,
-        |  CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS BIGINT) AS slope_den,
-        |  CAST(sum(y) * sum(x*x) - sum(x) * sum(x*y) AS BIGINT) AS intercept_num
-        |FROM d GROUP BY 1""".stripMargin,
-
-    // q149: pivot as FILTERed aggregates, NULL for absent cells (both
-    // engines leave missing combinations NULL).
-    "q149_metric_pivot" ->
-      """SELECT epoch_ms(ts) // 86400000 AS day_x,
-        |  CAST(sum(CASE WHEN event_type = 'click'
-        |    THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS click,
-        |  CAST(sum(CASE WHEN event_type = 'error'
-        |    THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS error,
-        |  CAST(sum(CASE WHEN event_type = 'purchase'
-        |    THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS purchase,
-        |  CAST(sum(CASE WHEN event_type = 'signup'
-        |    THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS signup,
-        |  CAST(sum(CASE WHEN event_type = 'view'
-        |    THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS view
-        |FROM events GROUP BY 1""".stripMargin,
-
-    // q151: the same double-lead window with both hops gap-bounded.
-    "q151_session_paths" ->
-      """WITH o AS (SELECT user_id AS u, epoch_ms(ts) AS ts, event_id AS id,
-        |  event_type AS t1 FROM events),
-        |l AS (SELECT u, ts, t1,
-        |  lead(t1, 1) OVER w AS t2, lead(t1, 2) OVER w AS t3,
-        |  lead(ts, 1) OVER w AS ts2, lead(ts, 2) OVER w AS ts3
-        | FROM o WINDOW w AS (PARTITION BY u ORDER BY ts, id))
-        |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS cnt
-        |FROM l WHERE t3 IS NOT NULL
-        | AND ts2 - ts <= 14400000 AND ts3 - ts2 <= 14400000
-        |GROUP BY 1, 2, 3""".stripMargin,
-
-    // q152: per-user lag gaps in (ts, id) order, minute buckets capped
-    // at 60.
-    "q152_gap_histogram" ->
-      """WITH g AS (SELECT event_type,
-        |  epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id
-        |    ORDER BY epoch_ms(ts), event_id) AS gap
-        | FROM events)
-        |SELECT event_type, CAST(least(gap // 60000, 60) AS BIGINT) AS bucket,
-        |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(min(gap) AS BIGINT) AS min_gap_ms,
-        |  CAST(max(gap) AS BIGINT) AS max_gap_ms
-        |FROM g WHERE gap IS NOT NULL GROUP BY 1, 2""".stripMargin,
-
-    // q153: value census + strictly-below cumulative, percent_rank in
-    // floored ppm.
-    "q153_quality_percentile" ->
-      s"""WITH q AS (SELECT doc_id, $qualityExprSql AS v FROM documents),
-         |c AS (SELECT v, count(*) AS cnt FROM q GROUP BY 1),
-         |r AS (SELECT v, coalesce(sum(cnt) OVER (ORDER BY v
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
-         |  sum(cnt) OVER () AS n FROM c)
-         |SELECT doc_id, CAST(q.v AS BIGINT) AS value,
-         |  CAST(CASE WHEN n > 1 THEN below * 1000000 // (n - 1)
-         |    ELSE 0 END AS BIGINT) AS pct_ppm
-         |FROM q JOIN r ON r.v = q.v""".stripMargin,
-
-    // q154: per-user conversion census, parity arms, unreduced integer
-    // chi-square.
-    "q154_ab_chi2" ->
-      """WITH u AS (SELECT user_id,
-        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
-        | FROM events GROUP BY 1),
-        |c AS (SELECT
-        |  sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
-        |  sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS x_a,
-        |  sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b,
-        |  sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS x_b
-        | FROM u)
-        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
-        |  CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
-        |  CAST((n_a + n_b) * (x_a * (n_b - x_b) - x_b * (n_a - x_a))
-        |    * (x_a * (n_b - x_b) - x_b * (n_a - x_a)) AS BIGINT) AS chi2_num,
-        |  CAST(n_a * n_b * (x_a + x_b) * ((n_a - x_a) + (n_b - x_b))
-        |    AS BIGINT) AS chi2_den
-        |FROM c""".stripMargin,
-
-    // q155: same milli-unit weights, inverted-index pair dots, q20's
-    // pinned double cosine.
-    "q155_tfidf_cosine" ->
-      """WITH tok AS (SELECT doc_id AS id,
-        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
-        | FROM documents),
-        |t2 AS (SELECT id, term FROM tok WHERE len(term) > 0),
-        |tf AS (SELECT id, term, count(*) AS tf FROM t2 GROUP BY 1, 2),
-        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1
-        |        HAVING count(*) BETWEEN 2 AND 50),
-        |w AS (SELECT id, tf.term, tf * 1000 // df AS w
-        |      FROM tf JOIN dfr USING (term)),
-        |n AS (SELECT id, sum(w * w) AS n2 FROM w GROUP BY 1),
-        |p AS (SELECT a.id AS a_id, b.id AS b_id, sum(a.w * b.w) AS dot
-        |      FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
-        |      GROUP BY 1, 2),
-        |c AS (SELECT a_id, b_id, dot, na.n2 AS na2, nb.n2 AS nb2,
-        |  CAST(round(CAST(dot AS DOUBLE)
-        |    / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
-        |    * 1000000.0) AS BIGINT) AS cos_e6
-        | FROM p JOIN n na ON na.id = a_id JOIN n nb ON nb.id = b_id)
-        |SELECT a_id, b_id, CAST(dot AS BIGINT) AS dot,
-        |  CAST(na2 AS BIGINT) AS na2, CAST(nb2 AS BIGINT) AS nb2, cos_e6
-        |FROM c WHERE cos_e6 >= 300000""".stripMargin,
-
-    // q156: GROUP BY CUBE with the same sentinels.
-    "q156_cube_metrics" ->
-      """SELECT coalesce(event_type, 'ALL') AS event_type,
-        |  CAST(coalesce(dow, -1) AS BIGINT) AS dow,
-        |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(cents) AS BIGINT) AS sum_cents
-        |FROM (SELECT event_type,
-        |    (epoch_ms(ts) // 86400000 + 4) % 7 AS dow,
-        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events)
-        |GROUP BY CUBE(event_type, dow)""".stripMargin,
-
-    // q157: IS DISTINCT FROM change filter, the same one-sort windows.
-    "q157_scd2" ->
-      """WITH e AS (SELECT user_id AS k, event_type AS value,
-        |  epoch_ms(ts) AS ts, event_id AS tie FROM events),
-        |f AS (SELECT *, lag(value) OVER (PARTITION BY k ORDER BY ts, tie)
-        |  AS prev FROM e),
-        |v AS (SELECT k, value, ts, tie FROM f
-        |      WHERE prev IS DISTINCT FROM value),
-        |o AS (SELECT k, value, ts AS valid_from,
-        |  coalesce(lead(ts) OVER w2, -1) AS valid_to,
-        |  row_number() OVER w2 AS version
-        | FROM v WINDOW w2 AS (PARTITION BY k ORDER BY ts, tie))
-        |SELECT k AS user_id, value, valid_from, valid_to,
-        |  CAST(version AS BIGINT) AS version,
-        |  valid_to = -1 AS is_current
-        |FROM o""".stripMargin,
-
-    // q158: both retrieval stages replayed, integer reciprocal-rank sum.
-    "q158_hybrid_rrf" -> q158OracleSql,
-
-    // q159: maintenance ≡ rebuild — the full-rebuild IVF oracle.
-    "q159_ivf_upsert" -> q34OracleSql,
-
-    // q160: same cohort-min join, census cells, cumulative window.
-    "q160_cohort_ltv" ->
-      """WITH e AS (SELECT user_id AS u,
-        |  epoch_ms(ts) - epoch_ms(ts) % 86400000 AS b,
-        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
-        |c AS (SELECT u, min(b) AS cohort_ms FROM e GROUP BY 1),
-        |cells AS (SELECT cohort_ms, (b - cohort_ms) // 86400000 AS age,
-        |  count(*) AS n_events, sum(cents) AS sum_cents
-        | FROM e JOIN c USING (u) GROUP BY 1, 2)
-        |SELECT cohort_ms, CAST(age AS BIGINT) AS age,
-        |  CAST(n_events AS BIGINT) AS n_events,
-        |  CAST(sum_cents AS BIGINT) AS sum_cents,
-        |  CAST(sum(sum_cents) OVER (PARTITION BY cohort_ms ORDER BY age
-        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
-        |FROM cells""".stripMargin,
-
-    // q161: the same md5-over-unit-separated-fields fingerprint (chr(31)
-    // = the 0x1F separator), both slices tagged, ≥2-source census.
-    "q161_source_overlap" ->
-      """WITH e AS (SELECT user_id, event_type,
-        |  CAST(round(value * 100) AS BIGINT) AS cents,
-        |  epoch_ms(ts) AS ts_ms FROM events),
-        |s AS (SELECT 'a' AS src, * FROM e WHERE ts_ms < 1705622400000
-        |      UNION ALL
-        |      SELECT 'b' AS src, * FROM e WHERE ts_ms >= 1705017600000),
-        |f AS (SELECT src, md5(concat_ws(chr(31),
-        |  CAST(user_id AS VARCHAR), event_type,
-        |  CAST(cents AS VARCHAR), CAST(ts_ms AS VARCHAR))) AS fp FROM s)
-        |SELECT fp, CAST(count(DISTINCT src) AS BIGINT) AS n_sources,
-        |  CAST(count(*) AS BIGINT) AS n_rows
-        |FROM f GROUP BY 1 HAVING count(DISTINCT src) >= 2""".stripMargin,
-
-    // q162: daily census, cumulative vs doubled total, min qualifying day.
-    "q162_revenue_halflife" ->
-      """WITH d AS (SELECT event_type,
-        |  epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day_ms,
-        |  sum(CAST(round(value * 100) AS BIGINT)) AS c
-        | FROM events GROUP BY 1, 2),
-        |w AS (SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY day_ms
-        |    ROWS UNBOUNDED PRECEDING) AS cum,
-        |  sum(c) OVER (PARTITION BY event_type) AS total,
-        |  count(*) OVER (PARTITION BY event_type) AS nd FROM d)
-        |SELECT event_type, CAST(max(nd) AS BIGINT) AS n_days,
-        |  CAST(max(total) AS BIGINT) AS total_cents,
-        |  CAST(min(day_ms) AS BIGINT) AS half_day_ms
-        |FROM w WHERE 2 * cum >= total GROUP BY 1""".stripMargin,
-
-    // q163: per-user census, (y, user) rank, the closed-form ratio.
-    "q163_gini" ->
-      """WITH p AS (SELECT event_type, user_id,
-        |  sum(CAST(round(value * 100) AS BIGINT)) AS y
-        | FROM events GROUP BY 1, 2),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
-        |  ORDER BY y, user_id) AS i FROM p)
-        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(y) AS BIGINT) AS sum_cents,
-        |  CAST(2 * sum(i * y) - (count(*) + 1) * sum(y) AS BIGINT)
-        |    AS gini_num,
-        |  CAST(count(*) * sum(y) AS BIGINT) AS gini_den
-        |FROM r GROUP BY 1""".stripMargin,
-
-    // q164: the same census → boundary grid → per-split integer KS,
-    // (d desc, t, v) argmax.
-    "q164_changepoint" ->
-      """WITH e AS (SELECT epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day,
-        |  CAST(round(value * 100) AS BIGINT) AS v FROM events),
-        |c AS (SELECT day, v, count(*) AS n FROM e GROUP BY 1, 2),
-        |b AS (SELECT DISTINCT day AS t FROM c
-        |      WHERE day > (SELECT min(day) FROM c)),
-        |vals AS (SELECT DISTINCT v FROM c),
-        |tot AS (SELECT v, sum(n) AS cnt FROM c GROUP BY 1),
-        |tv AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cumT,
-        |  sum(cnt) OVER () AS nTotal FROM tot),
-        |cb AS (SELECT b.t, c.v, sum(c.n) AS nb FROM b JOIN c ON c.day < b.t
-        |       GROUP BY 1, 2),
-        |grid AS (SELECT b.t, vals.v, coalesce(cb.nb, 0) AS nb
-        |  FROM b CROSS JOIN vals
-        |  LEFT JOIN cb ON cb.t = b.t AND cb.v = vals.v),
-        |cum AS (SELECT t, v,
-        |  sum(nb) OVER (PARTITION BY t ORDER BY v) AS cumB FROM grid),
-        |nb2 AS (SELECT *, max(cumB) OVER (PARTITION BY t) AS nB FROM cum),
-        |d AS (SELECT nb2.t, nb2.v, nB, nTotal,
-        |  abs(cumB * (nTotal - nB) - (cumT - cumB) * nB) AS dd
-        | FROM nb2 JOIN tv ON tv.v = nb2.v),
-        |r AS (SELECT *, row_number() OVER (ORDER BY dd DESC, t, v) AS rk
-        |      FROM d)
-        |SELECT t AS split_bucket, CAST(nB AS BIGINT) AS n_before,
-        |  CAST(nTotal - nB AS BIGINT) AS n_after,
-        |  CAST(dd AS BIGINT) AS d_num, v AS at_value
-        |FROM r WHERE rk = 1""".stripMargin,
-
-    // q165: the Q9 shape with the q01 money discipline.
-    "q165_profit" ->
-      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))
-        |   AS BIGINT) AS profit_e4,
-        | count(*) AS n_lines
-        |FROM lineitem
-        |JOIN part ON l_partkey = p_partkey
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |WHERE p_name LIKE '%red%'
-        |GROUP BY 1, 2""".stripMargin,
-
-    // q166: the Q8 shape, conditional integer sums, exact ppm share.
-    "q166_market_share" ->
-      """WITH base AS (
-        | SELECT year(o_orderdate) AS o_year,
-        |  CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT) AS e4,
-        |  sn.n_name AS supp_nation
-        | FROM lineitem
-        | JOIN orders ON l_orderkey = o_orderkey
-        | JOIN customer ON o_custkey = c_custkey
-        | JOIN nation cn ON c_nationkey = cn.n_nationkey
-        | JOIN region ON cn.n_regionkey = r_regionkey
-        | JOIN supplier ON l_suppkey = s_suppkey
-        | JOIN nation sn ON s_nationkey = sn.n_nationkey
-        | WHERE r_name = 'ASIA')
-        |SELECT CAST(o_year AS BIGINT) AS o_year,
-        | CAST(sum(e4) AS BIGINT) AS total_e4,
-        | CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN e4 ELSE 0 END)
-        |   AS BIGINT) AS nation_e4,
-        | CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN e4 ELSE 0 END)
-        |   * 1000000 // sum(e4) AS BIGINT) AS share_ppm
-        |FROM base GROUP BY 1""".stripMargin,
-
-    // q167: plain two-level GROUP BY replay.
-    "q167_distinct_pregroup" ->
-      """WITH p AS (SELECT event_type,
-        |  epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day_ms,
-        |  user_id, count(*) AS n
-        | FROM events GROUP BY 1, 2, 3)
-        |SELECT event_type, day_ms, CAST(sum(n) AS BIGINT) AS n_rows,
-        |  CAST(count(*) AS BIGINT) AS n_distinct
-        |FROM p GROUP BY 1, 2""".stripMargin,
-
-    // q168: sorted distinct membership string per key.
-    "q168_salted_sets" ->
-      """SELECT event_type,
-        |  string_agg(DISTINCT lpad(CAST(user_id % 50 AS VARCHAR), 2, '0'),
-        |    ',' ORDER BY lpad(CAST(user_id % 50 AS VARCHAR), 2, '0'))
-        |    AS members
-        |FROM events GROUP BY 1""".stripMargin,
-
-    // q169: the q41 recursive-reachability technique on the long-encoded
-    // bipartite identity graph.
-    "q169_identity_stitch" ->
-      """WITH RECURSIVE l AS (SELECT user_id,
-        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-        |  count(*) AS n FROM events
-        | WHERE json_extract_string(props, '$.k') IS NOT NULL
-        | GROUP BY 1, 2),
-        |le AS (SELECT user_id * 2 AS a, k * 2 + 1 AS b FROM l WHERE n >= 3),
-        |e AS (SELECT a, b FROM le UNION SELECT b, a FROM le),
-        |reach(src, dst) AS (
-        | SELECT a, a FROM e
-        | UNION
-        | SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst),
-        |comp AS (SELECT src AS node, min(dst) AS component
-        |         FROM reach GROUP BY 1),
-        |users AS (SELECT node // 2 AS user_id, component FROM comp
-        |          WHERE node % 2 = 0),
-        |canon AS (SELECT component, min(user_id) AS canonical_user,
-        |  count(*) AS cluster_users FROM users GROUP BY 1)
-        |SELECT CAST(u.user_id AS BIGINT) AS user_id,
-        |  CAST(canonical_user AS BIGINT) AS canonical_user,
-        |  CAST(cluster_users AS BIGINT) AS cluster_users
-        |FROM users u JOIN canon USING (component)""".stripMargin,
-
-    // q170: q53's chunk derivation, per-chunk quality replay, ≥35 keep.
-    "q170_span_filter" ->
-      s"""WITH t AS (
-         | SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
-         | FROM documents),
-         |lined AS (
-         | SELECT doc_id, i AS pos,
-         |  array_to_string(tk[i*3+1 : i*3+3], ' ') AS text
-         | FROM t, LATERAL (SELECT unnest(generate_series(0, (len(tk)-1)//3))
-         |   AS i) ix),
-         |scored AS (SELECT doc_id, pos, text, $qualityExprSql AS q
-         |           FROM lined),
-         |agg AS (SELECT doc_id, count(*) AS total_chunks,
-         |  count(*) FILTER (q >= 35) AS kept_chunks,
-         |  string_agg(text, chr(10) ORDER BY pos) FILTER (q >= 35) AS text
-         | FROM scored GROUP BY 1)
-         |SELECT doc_id, CAST(total_chunks AS BIGINT) AS total_chunks,
-         |  CAST(kept_chunks AS BIGINT) AS kept_chunks,
-         |  coalesce(text, '') AS text,
-         |  CAST(kept_chunks * 1000000 // total_chunks AS BIGINT) AS keep_ppm
-         |FROM agg""".stripMargin,
-
-    // q171: census medians for value and deviation, unreduced (dev, mad).
-    "q171_robust_scale" ->
-      s"""WITH q AS (SELECT doc_id, $qualityExprSql AS q FROM documents),
-         |c AS (SELECT q AS v, count(*) AS n FROM q GROUP BY 1),
-         |w AS (SELECT v, sum(n) OVER (ORDER BY v) AS cum,
-         |  sum(n) OVER () AS nn FROM c),
-         |med AS (SELECT min(v) AS med FROM w WHERE cum * 100 >= nn * 50),
-         |d AS (SELECT doc_id, q, med, abs(q - med) AS ad FROM q, med),
-         |c2 AS (SELECT ad AS v, count(*) AS n FROM d GROUP BY 1),
-         |w2 AS (SELECT v, sum(n) OVER (ORDER BY v) AS cum,
-         |  sum(n) OVER () AS nn FROM c2),
-         |mad AS (SELECT min(v) AS mad FROM w2 WHERE cum * 100 >= nn * 50)
-         |SELECT doc_id, q, CAST(med AS BIGINT) AS med,
-         |  CAST(q - med AS BIGINT) AS dev, CAST(mad AS BIGINT) AS mad
-         |FROM d, mad""".stripMargin,
-
-    // q172: per-(user, ts) click dedupe (max id), IGNORE NULLS range
-    // frames both directions, nearest with ties to backward.
-    "q172_asof_nearest" ->
-      """WITH p AS (SELECT user_id, event_id, epoch_ms(ts) AS ts
-        | FROM events WHERE event_type = 'purchase'),
-        |c0 AS (SELECT user_id, epoch_ms(ts) AS cts, max(event_id) AS cid
-        | FROM events WHERE event_type = 'click' GROUP BY 1, 2),
-        |u AS (SELECT user_id, ts, 1 AS side, event_id,
-        |   CAST(NULL AS BIGINT) AS cid, CAST(NULL AS BIGINT) AS cts FROM p
-        | UNION ALL
-        | SELECT user_id, cts, 0, NULL, cid, cts FROM c0),
-        |w AS (SELECT *,
-        |  last_value(cid IGNORE NULLS) OVER bk AS prev_id,
-        |  last_value(cts IGNORE NULLS) OVER bk AS prev_ts,
-        |  first_value(cid IGNORE NULLS) OVER fw AS next_id,
-        |  first_value(cts IGNORE NULLS) OVER fw AS next_ts
-        | FROM u WINDOW
-        |  bk AS (PARTITION BY user_id ORDER BY ts
-        |         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |  fw AS (PARTITION BY user_id ORDER BY ts
-        |         RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
-        |f AS (SELECT user_id, event_id, ts,
-        |  (prev_ts IS NOT NULL AND ts - prev_ts <= 86400000) AS pok,
-        |  (next_ts IS NOT NULL AND next_ts - ts <= 86400000) AS nok,
-        |  prev_id, prev_ts, next_id, next_ts
-        | FROM w WHERE side = 1)
-        |SELECT user_id, event_id, ts AS ts_ms,
-        |  CASE WHEN pok AND nok THEN
-        |    CASE WHEN next_ts - ts < ts - prev_ts THEN next_id ELSE prev_id END
-        |   WHEN pok THEN prev_id WHEN nok THEN next_id END AS m_click_id,
-        |  CASE WHEN pok AND nok THEN
-        |    CASE WHEN next_ts - ts < ts - prev_ts THEN next_ts ELSE prev_ts END
-        |   WHEN pok THEN prev_ts WHEN nok THEN next_ts END AS m_click_ts
-        |FROM f""".stripMargin,
-
-    // q173: same sort, same five window readouts.
-    "q173_customer_orders" ->
-      """WITH o AS (SELECT o_custkey, o_orderkey,
-        |  epoch_ms(o_orderdate) // 86400000 AS day,
-        |  CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders)
-        |SELECT o_custkey, o_orderkey,
-        |  CAST(row_number() OVER w AS BIGINT) AS seq,
-        |  CAST(coalesce(day - lag(day) OVER w, -1) AS BIGINT) AS gap_days,
-        |  CAST(sum(c) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey
-        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents,
-        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-        |  CAST(c * 1000000 // sum(c) OVER (PARTITION BY o_custkey)
-        |    AS BIGINT) AS share_ppm
-        |FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)""".stripMargin,
-
-    // q174: distinct (user, day), shifted self-join, integer Jaccard.
-    "q174_audience_churn" ->
-      """WITH a AS (SELECT DISTINCT user_id AS u,
-        |  epoch_ms(ts) - epoch_ms(ts) % 86400000 AS b FROM events),
-        |s AS (SELECT b, count(*) AS n FROM a GROUP BY 1),
-        |i AS (SELECT c.b, count(*) AS n_inter FROM a c
-        |      JOIN a p ON p.u = c.u AND p.b = c.b - 86400000 GROUP BY 1)
-        |SELECT s.b AS bucket_ms, CAST(s.n AS BIGINT) AS n_active,
-        |  CAST(sp.n AS BIGINT) AS n_prev,
-        |  CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
-        |  CAST(coalesce(i.n_inter, 0) * 1000000
-        |    // (s.n + sp.n - coalesce(i.n_inter, 0)) AS BIGINT) AS jaccard_ppm
-        |FROM s JOIN s sp ON sp.b = s.b - 86400000
-        |LEFT JOIN i ON i.b = s.b""".stripMargin,
-
-    // q175: per-(type, day) value census, cumulative rank rule.
-    "q175_daily_percentiles" ->
-      """WITH e AS (SELECT event_type,
-        |  epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day_ms,
-        |  CAST(round(value * 100) AS BIGINT) AS v FROM events),
-        |h AS (SELECT event_type, day_ms, v, count(*) AS c
-        |      FROM e GROUP BY 1, 2, 3),
-        |w AS (SELECT *, sum(c) OVER (PARTITION BY event_type, day_ms
-        |    ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
-        |  sum(c) OVER (PARTITION BY event_type, day_ms) AS n FROM h),
-        |x AS (SELECT event_type, day_ms, v, cum, n, p.percent
-        | FROM w, (VALUES (50), (95), (99)) p(percent)
-        | WHERE cum * 100 >= n * p.percent)
-        |SELECT event_type, day_ms, CAST(percent AS BIGINT) AS percent,
-        |  CAST(min(v) AS BIGINT) AS quantile
-        |FROM x GROUP BY 1, 2, 3""".stripMargin,
-
-    // q176: DuckDB's own jaro_winkler_similarity, e6-rounded.
-    "q176_jaro_winkler" ->
-      """WITH n AS (SELECT DISTINCT p_name AS nm FROM part)
-        |SELECT a.nm AS a_name, b.nm AS b_name,
-        |  CAST(round(jaro_winkler_similarity(a.nm, b.nm) * 1000000)
-        |    AS BIGINT) AS jw_e6
-        |FROM n a JOIN n b ON a.nm < b.nm
-        |WHERE round(jaro_winkler_similarity(a.nm, b.nm) * 1000000)
-        |  >= 600000""".stripMargin,
-
-    // q177: JW ≥ 0.87 edges, recursive reachability, min-name canon.
-    "q177_entity_clusters" ->
-      """WITH RECURSIVE n AS (SELECT DISTINCT p_name AS nm FROM part),
-        |p AS (SELECT a.nm AS a_nm, b.nm AS b_nm FROM n a JOIN n b
-        |      ON a.nm < b.nm
-        |      WHERE round(jaro_winkler_similarity(a.nm, b.nm) * 1000000)
-        |        >= 870000),
-        |e AS (SELECT a_nm AS a, b_nm AS b FROM p
-        |      UNION SELECT b_nm, a_nm FROM p),
-        |reach(src, dst) AS (
-        | SELECT a, a FROM e
-        | UNION
-        | SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst),
-        |comp AS (SELECT src AS nm, min(dst) AS rep FROM reach GROUP BY 1),
-        |lab AS (SELECT n.nm, coalesce(c.rep, n.nm) AS rep FROM n
-        |        LEFT JOIN comp c ON c.nm = n.nm),
-        |canon AS (SELECT rep, min(nm) AS canonical, count(*) AS cluster_size
-        |          FROM lab GROUP BY 1)
-        |SELECT lab.nm AS name, canonical,
-        |  CAST(cluster_size AS BIGINT) AS cluster_size
-        |FROM lab JOIN canon ON canon.rep = lab.rep""".stripMargin,
-
-    // q178: one lead per user, second-granularity integer areas.
-    "q178_time_weighted" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts,
-        |  event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
-        |l AS (SELECT *, lead(ts) OVER (PARTITION BY user_id
-        |  ORDER BY ts, event_id) AS next_ts FROM e),
-        |g AS (SELECT event_type, c, (next_ts - ts) // 1000 AS gap_s
-        |      FROM l WHERE next_ts IS NOT NULL)
-        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_segments,
-        |  CAST(sum(c * gap_s) AS BIGINT) AS area_cents_s,
-        |  CAST(sum(gap_s) AS BIGINT) AS span_s,
-        |  CAST(sum(c * gap_s) // sum(gap_s) AS BIGINT) AS twa_cents
-        |FROM g GROUP BY 1""".stripMargin,
-
-    // q179: same census, same pinned ln chain, (-cnt, type) mode rule.
-    "q179_user_entropy" ->
-      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
-        | FROM events GROUP BY 1, 2),
-        |w AS (SELECT *, sum(cnt) OVER (PARTITION BY user_id) AS n FROM c),
-        |t AS (SELECT *, CAST(round(CAST(cnt AS DOUBLE)
-        |  * (ln(n) - ln(cnt)) * 1000000 / n) AS BIGINT) AS term_e6 FROM w),
-        |m AS (SELECT user_id, event_type AS mode_type FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY user_id
-        |    ORDER BY cnt DESC, event_type) AS rk FROM c) WHERE rk = 1)
-        |SELECT t.user_id, CAST(max(n) AS BIGINT) AS n_events,
-        |  CAST(count(*) AS BIGINT) AS n_types,
-        |  CAST(sum(term_e6) AS BIGINT) AS entropy_e6,
-        |  max(mode_type) AS mode_type
-        |FROM t JOIN m ON m.user_id = t.user_id
-        |GROUP BY 1""".stripMargin,
-
-    // q150: e9 components, per-dim min/span census, the same integer
-    // round-half-up code ((x−mn)·510 + sp) // (2·sp) and |residual|
-    // sums (floor == trunc: operands non-negative in both engines).
-    "q150_int8_quant" ->
-      """WITH c AS (SELECT vec_id, list_transform(embedding,
-        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS a
-        | FROM embeddings),
-        |e AS (SELECT vec_id, i, a[i + 1] AS x FROM c, range(0, 64) t(i)),
-        |s AS (SELECT i, min(x) AS mn, max(x) - min(x) AS sp FROM e GROUP BY 1),
-        |q AS (SELECT vec_id, e.i, x, mn, sp,
-        |  CASE WHEN sp > 0 THEN ((x - mn) * 510 + sp) // (2 * sp)
-        |    ELSE 0 END AS code
-        | FROM e JOIN s ON s.i = e.i)
-        |SELECT vec_id, CAST(sum(code) AS BIGINT) AS sum_code,
-        |  CAST(sum(code * (i + 1)) AS BIGINT) AS wsum_code,
-        |  CAST(sum(abs((x - mn) * 255 - code * sp)) AS BIGINT) AS err_255e9
-        |FROM q GROUP BY 1""".stripMargin,
-
-    // q141: quality replay, decade buckets, exact ppm rates.
-    "q141_calibration" ->
-      s"""WITH q AS (SELECT $qualityExprSql AS q,
-         |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p FROM documents)
-         |SELECT q // 10 AS bucket, CAST(count(*) AS BIGINT) AS n,
-         |  CAST(sum(p) AS BIGINT) AS n_pos,
-         |  CAST(sum(p) * 1000000 // count(*) AS BIGINT) AS rate_ppm
-         |FROM q GROUP BY 1""".stripMargin,
-
-    // q142: the two 1-D slice censuses unioned + the global row, ppm
-    // deviations, (dev desc, dim, slice) top-10.
-    "q142_slice_finder" ->
-      s"""WITH s AS (SELECT lang, source,
-         |  CASE WHEN $qualityExprSql >= 75 THEN 1 ELSE 0 END AS p
-         | FROM documents),
-         |sl AS (
-         | SELECT 'lang' AS dim, lang AS slice, count(*) AS n,
-         |   sum(p) AS n_pass FROM s GROUP BY 2
-         | UNION ALL
-         | SELECT 'source' AS dim, source AS slice, count(*) AS n,
-         |   sum(p) AS n_pass FROM s GROUP BY 2),
-         |f AS (SELECT * FROM sl WHERE n >= 5),
-         |g AS (SELECT sum(p) * 1000000 // count(*) AS g_rate_ppm FROM s)
-         |SELECT dim, slice, CAST(n AS BIGINT) AS n,
-         |  CAST(n_pass AS BIGINT) AS n_pass,
-         |  CAST(n_pass * 1000000 // n AS BIGINT) AS rate_ppm,
-         |  CAST(g_rate_ppm AS BIGINT) AS g_rate_ppm,
-         |  CAST(abs(n_pass * 1000000 // n - g_rate_ppm) AS BIGINT) AS dev_ppm
-         |FROM f, g
-         |ORDER BY dev_ppm DESC, dim, slice LIMIT 10""".stripMargin,
-
-    // q139: merged histograms, integer cross-multiplied CDF gap, the
-    // same (d desc, v) witness rule.
-    "q139_ks_test" ->
-      """WITH e AS (SELECT CAST(round(value*100) AS BIGINT) AS x,
-        |  epoch_ms(ts) AS ts_ms FROM events),
-        |hr AS (SELECT x AS v, count(*) AS cr FROM e
-        |       WHERE ts_ms < 1705363200000 GROUP BY 1),
-        |ht AS (SELECT x AS v, count(*) AS ct FROM e
-        |       WHERE ts_ms >= 1705363200000 GROUP BY 1),
-        |m AS (SELECT coalesce(hr.v, ht.v) AS v, coalesce(cr, 0) AS cr,
-        |  coalesce(ct, 0) AS ct FROM hr FULL JOIN ht ON hr.v = ht.v),
-        |c AS (SELECT v,
-        |  sum(cr) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_r,
-        |  sum(ct) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_t,
-        |  sum(cr) OVER () AS n_ref, sum(ct) OVER () AS n_tgt FROM m),
-        |d AS (SELECT *, abs(cum_r*n_tgt - cum_t*n_ref) AS dd FROM c),
-        |r AS (SELECT *, row_number() OVER (ORDER BY dd DESC, v) AS rk FROM d)
-        |SELECT CAST(n_ref AS BIGINT) AS n_ref, CAST(n_tgt AS BIGINT) AS n_tgt,
-        |  CAST(dd AS BIGINT) AS d_num, v AS at_value
-        |FROM r WHERE rk = 1""".stripMargin,
-
-    // q140: quality replay + the closed-form midrank sum.
-    "q140_auc" ->
-      s"""WITH q AS (SELECT $qualityExprSql AS s,
-         |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p FROM documents),
-         |h AS (SELECT s, count(*) AS cnt, sum(p) AS pos FROM q GROUP BY 1),
-         |c AS (SELECT s, cnt, pos,
-         |  sum(cnt) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum,
-         |  sum(cnt) OVER () AS n, sum(pos) OVER () AS n_pos FROM h),
-         |t AS (SELECT n, n_pos,
-         |  sum(pos * (2*(cum - cnt) + cnt + 1)) AS sum2r FROM c GROUP BY 1, 2)
-         |SELECT CAST(n_pos AS BIGINT) AS n_pos,
-         |  CAST(n - n_pos AS BIGINT) AS n_neg,
-         |  CAST(sum2r - n_pos*(n_pos+1) AS BIGINT) AS auc_num,
-         |  CAST(2*n_pos*(n - n_pos) AS BIGINT) AS auc_den
-         |FROM t""".stripMargin,
-
-    // q138: the same e3 quantization, double LATERAL unnest i ≤ j.
-    "q138_gram_matrix" ->
-      """WITH c AS (SELECT list_transform(embedding,
-        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS a
-        | FROM embeddings)
-        |SELECT CAST(i.i - 1 AS BIGINT) AS i, CAST(j.j - 1 AS BIGINT) AS j,
-        |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(a[i.i] * a[j.j]) AS BIGINT) AS sum_xy_e6
-        |FROM c,
-        |  LATERAL (SELECT unnest(generate_series(1, len(a))) AS i) i,
-        |  LATERAL (SELECT unnest(generate_series(i.i, len(a))) AS j) j
-        |GROUP BY i.i, j.j""".stripMargin,
-
-    // q136: per-dimension e9 quantized sums, positional unnest.
-    "q136_label_centroids" ->
-      """SELECT label, CAST(i - 1 AS BIGINT) AS dim,
-        |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000000.0)
-        |    AS BIGINT)) AS BIGINT) AS sum_e9
-        |FROM embeddings,
-        |  LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) ix
-        |GROUP BY label, i""".stripMargin,
-
-    // q137: identical shifted-e3 chain — quantize, floor-div centroids
-    // (positive, so // == div), integer distances, (dist, label) argmin.
-    "q137_centroid_confusion" ->
-      """WITH c AS (SELECT vec_id AS id, label, i - 1 AS dim,
-        |  CAST(round((CAST(embedding[i] AS DOUBLE) + 1.0) * 1000.0) AS BIGINT) AS x
-        | FROM embeddings,
-        |  LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) ix),
-        |cm AS (SELECT label AS clabel, dim, sum(x) // count(*) AS c_e3
-        |       FROM c GROUP BY 1, 2),
-        |s AS (SELECT c.id, c.label, cm.clabel,
-        |  sum((c.x - cm.c_e3) * (c.x - cm.c_e3)) AS dist
-        | FROM c JOIN cm USING (dim) GROUP BY 1, 2, 3),
-        |p AS (SELECT id, label, clabel,
-        |  row_number() OVER (PARTITION BY id ORDER BY dist, clabel) AS rk
-        | FROM s)
-        |SELECT label AS true_label, clabel AS pred_label,
-        |  CAST(count(*) AS BIGINT) AS n
-        |FROM p WHERE rk = 1 GROUP BY 1, 2""".stripMargin,
-
-    // q134/q135: component chain + quality replay composed.
-    "q134_quality_canon" -> q134OracleSql,
-    "q135_lang_report" -> q135OracleSql,
-
-    // q133: identical per-event pow(2, −age/hl) micro-unit rounding,
-    // integer-summed.
-    "q133_decayed_score" ->
-      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CAST(round(pow(2.0,
-        |    -((1706745600000 - epoch_ms(ts)) / 604800000.0))
-        |    * 1000000.0) AS BIGINT)) AS BIGINT) AS score_e6
-        |FROM events WHERE epoch_ms(ts) <= 1706745600000
-        |GROUP BY user_id""".stripMargin,
-
-    // q131: q64's funnel replay + the duration histogram rank rule.
-    "q131_funnel_latency" ->
-      """WITH e AS (
-        | SELECT user_id AS u, event_type AS et, epoch_ms(ts) AS ts
-        | FROM events WHERE event_type IN ('view', 'click', 'purchase')),
-        |s1 AS (
-        | SELECT u, min(CASE WHEN et = 'view' THEN ts END) AS t1
-        | FROM e GROUP BY u),
-        |s1f AS (SELECT u, t1 FROM s1 WHERE t1 IS NOT NULL),
-        |s2 AS (
-        | SELECT e.u, t1, min(CASE WHEN et = 'click' AND ts > t1
-        |    AND ts <= t1 + 604800000 THEN ts END) AS t2
-        | FROM e JOIN s1f USING (u) GROUP BY e.u, t1),
-        |s3 AS (
-        | SELECT e.u, t1, t2, min(CASE WHEN et = 'purchase' AND t2 IS NOT NULL
-        |    AND ts > t2 AND ts <= t1 + 604800000 THEN ts END) AS t3
-        | FROM e JOIN s2 USING (u) GROUP BY e.u, t1, t2),
-        |d AS (SELECT t3 - t1 AS dur FROM s3 WHERE t3 IS NOT NULL),
-        |g AS (SELECT dur, count(*) AS c FROM d GROUP BY 1),
-        |cum AS (SELECT dur, sum(c) OVER (ORDER BY dur) AS cum,
-        |  sum(c) OVER () AS n FROM g),
-        |p AS (SELECT * FROM cum, (SELECT unnest([50, 90, 99]) AS percent) pp)
-        |SELECT CAST(percent AS BIGINT) AS percent, min(dur) AS quantile_ms
-        |FROM p WHERE cum * 100 >= n * percent GROUP BY 1""".stripMargin,
-
-    // q132: the full PolyHash64 chain (KR fold + splitMix64) replayed
-    // per token for boundaries and per chunk for fingerprints.
-    "q132_cdc_chunks" -> q132OracleSql,
-
-    // q129: the q16 quality replay feeding the literal Wilson expression
-    // tree — identical IEEE op order, sqrt correctly rounded both sides.
-    "q129_wilson_gate" ->
-      """WITH q AS (SELECT source,
-        | greatest(least(
-        |   CAST(floor(least(len(regexp_split_to_array(trim(text), '\s+')), 40) * 25 / 40) AS BIGINT)
-        |   + CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 0
-        |      THEN CAST(floor(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) * 50
-        |                      / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
-        |      ELSE 0 END
-        |   + (25 - CASE WHEN length(text) > 0
-        |      THEN least(CAST(floor((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 100 / length(text)) AS BIGINT), 25)
-        |      ELSE 0 END),
-        |  100), 0) AS quality
-        | FROM documents),
-        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(count(*) FILTER (quality >= 75) AS BIGINT) AS n_pass
-        | FROM q GROUP BY 1)
-        |SELECT source, n, n_pass,
-        | CAST(round((CAST(n_pass AS DOUBLE)/CAST(n AS DOUBLE)
-        |    + (1.96*1.96)/(2.0*CAST(n AS DOUBLE))
-        |    - 1.96*sqrt(CAST(n_pass AS DOUBLE)/CAST(n AS DOUBLE)
-        |        *(1.0 - CAST(n_pass AS DOUBLE)/CAST(n AS DOUBLE))
-        |        /CAST(n AS DOUBLE)
-        |      + (1.96*1.96)/(4.0*CAST(n AS DOUBLE)*CAST(n AS DOUBLE))))
-        |   /(1.0 + (1.96*1.96)/CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
-        |  AS wilson_lb_e6
-        |FROM g""".stripMargin,
-
-    // q130: the q08 session replay + duration histogram + the discrete-
-    // quantile rank rule.
-    "q130_session_percentiles" ->
-      """WITH o AS (
-        | SELECT user_id, epoch_ms(ts) AS ms, event_id,
-        |  CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
-        |        OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 14400000
-        |       THEN 1 ELSE 0 END AS brk
-        | FROM events
-        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
-        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
-        |                               ROWS UNBOUNDED PRECEDING) AS sid FROM o),
-        |d AS (SELECT max(ms) - min(ms) AS dur FROM s GROUP BY user_id, sid),
-        |g AS (SELECT dur, count(*) AS c FROM d GROUP BY 1),
-        |cum AS (SELECT dur, sum(c) OVER (ORDER BY dur) AS cum,
-        |  sum(c) OVER () AS n FROM g),
-        |p AS (SELECT * FROM cum, (SELECT unnest([50, 90, 99]) AS percent) pp)
-        |SELECT CAST(percent AS BIGINT) AS percent, min(dur) AS quantile_ms
-        |FROM p WHERE cum * 100 >= n * percent GROUP BY 1""".stripMargin,
-
-    // q126: the same slice→window histogram and the discrete-quantile
-    // rank rule (cum·100 ≥ n·p ⟺ cum ≥ ceil(n·p/100) for integers).
-    "q126_sliding_percentiles" ->
-      """WITH e AS (SELECT CAST(round(value*100) AS BIGINT) AS v,
-        |  epoch_ms(ts) - epoch_ms(ts) % 3600000 AS slice FROM events),
-        |x AS (SELECT v, slice - k.k * 3600000 AS w
-        |      FROM e, (SELECT unnest(range(0, 6)) AS k) k(k)),
-        |g AS (SELECT w, v, count(*) AS c FROM x GROUP BY 1, 2),
-        |cum AS (SELECT w, v,
-        |  sum(c) OVER (PARTITION BY w ORDER BY v) AS cum,
-        |  sum(c) OVER (PARTITION BY w) AS n FROM g),
-        |p AS (SELECT * FROM cum,
-        |  (SELECT unnest([50, 95, 99]) AS percent) pp)
-        |SELECT w AS window_start_ms, CAST(percent AS BIGINT) AS percent,
-        |  min(v) AS quantile
-        |FROM p WHERE cum * 100 >= n * percent GROUP BY 1, 2""".stripMargin,
-
-    // q127: window counts, shifted self-join for the previous window,
-    // (delta desc, key) rank ≤ 5.
-    "q127_trending" ->
-      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS key,
-        |  epoch_ms(ts) - epoch_ms(ts) % 3600000 AS slice FROM events),
-        |x AS (SELECT key, slice - k.k * 3600000 AS w
-        |      FROM e, (SELECT unnest(range(0, 6)) AS k) k(k)),
-        |g AS (SELECT w, key, CAST(count(*) AS BIGINT) AS n
-        |      FROM x GROUP BY 1, 2),
-        |j AS (SELECT g.w, g.key, g.n,
-        |  g.n - coalesce(p.n, 0) AS delta
-        | FROM g LEFT JOIN g p ON p.key = g.key AND p.w = g.w - 3600000),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY w
-        |  ORDER BY delta DESC, key) AS rk FROM j)
-        |SELECT w AS window_start_ms, key, n, CAST(delta AS BIGINT) AS delta,
-        |  CAST(rk AS BIGINT) AS rk
-        |FROM r WHERE rk <= 5""".stripMargin,
-
-    // q128: two unrolled drop-and-induce rounds at k=80, then the
-    // surviving subgraph's degrees.
-    "q128_kcore" ->
-      """WITH co AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-        |k1 AS (SELECT a FROM co GROUP BY a HAVING count(*) >= 80),
-        |e1 AS (SELECT co.a, co.b FROM co
-        |  JOIN k1 ka ON ka.a = co.a JOIN k1 kb ON kb.a = co.b),
-        |k2 AS (SELECT a FROM e1 GROUP BY a HAVING count(*) >= 80),
-        |e2 AS (SELECT e1.a, e1.b FROM e1
-        |  JOIN k2 ka ON ka.a = e1.a JOIN k2 kb ON kb.a = e1.b)
-        |SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
-        |FROM e2 GROUP BY a""".stripMargin,
-
-    // q125: the same unigram/bigram censuses and the identical pinned
-    // ln-chain; order + limit replicated (pmi desc, a, b).
-    "q125_collocations" ->
-      """WITH tk AS (SELECT doc_id,
-        |  regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
-        |u AS (SELECT unnest(t) AS w FROM tk),
-        |cu AS (SELECT w, count(*) AS c FROM u GROUP BY 1),
-        |n1 AS (SELECT count(*) AS c FROM u),
-        |bg AS (SELECT t[i] AS a, t[i+1] AS b FROM tk,
-        |  LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) ix
-        | WHERE len(t) >= 2),
-        |n2 AS (SELECT count(*) AS c FROM bg),
-        |cb AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY 1, 2
-        |       HAVING count(*) >= 5)
-        |SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
-        |  CAST(ca.c AS BIGINT) AS c_a, CAST(cbb.c AS BIGINT) AS c_b,
-        |  CAST(round((ln(CAST(c_ab AS DOUBLE) / CAST(n2.c AS DOUBLE))
-        |    - ln(CAST(ca.c AS DOUBLE) / CAST(n1.c AS DOUBLE))
-        |    - ln(CAST(cbb.c AS DOUBLE) / CAST(n1.c AS DOUBLE)))
-        |   * 1000000.0) AS BIGINT) AS pmi_e6
-        |FROM cb JOIN cu ca ON ca.w = cb.a JOIN cu cbb ON cbb.w = cb.b,
-        |  n1, n2
-        |ORDER BY pmi_e6 DESC, a, b LIMIT 20""".stripMargin,
-
-    // q123: q41's component replay + the size histogram (singletons via
-    // the left-join coalesce).
-    "q123_dedup_audit" ->
-      """WITH RECURSIVE t AS (
-        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
-        |g AS (
-        | SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
-        | FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk)-2)) AS i) ix
-        | WHERE len(tk) >= 3),
-        |z AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-        |p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-        |      FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2),
-        |p AS (
-        | SELECT a_id, b_id FROM p0
-        | JOIN z za ON za.doc_id = a_id JOIN z zb ON zb.doc_id = b_id
-        | WHERE inter * 2 >= (za.n + zb.n - inter) * 1),
-        |e AS (SELECT a_id AS a, b_id AS b FROM p
-        |      UNION SELECT b_id, a_id FROM p),
-        |reach(src, dst) AS (
-        | SELECT a, a FROM e
-        | UNION
-        | SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst),
-        |comp AS (SELECT src AS doc_id, min(dst) AS component
-        |         FROM reach GROUP BY src),
-        |sizes AS (SELECT coalesce(c.component, d.doc_id) AS component,
-        |   count(*) AS size
-        |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
-        |  GROUP BY 1)
-        |SELECT CAST(size AS BIGINT) AS size,
-        |  CAST(count(*) AS BIGINT) AS n_components
-        |FROM sizes GROUP BY size""".stripMargin,
-
-    // q124: reference-decile cuts by rank selection, collapse-left bins
-    // on both halves, the identical pinned double pipeline per bin.
-    "q124_psi_drift" ->
-      """WITH e AS (SELECT CAST(round(value*100) AS BIGINT) AS x,
-        |  event_id AS key, epoch_ms(ts) AS ts_ms FROM events),
-        |ref AS (SELECT * FROM e WHERE ts_ms < 1705363200000),
-        |tgt AS (SELECT * FROM e WHERE ts_ms >= 1705363200000),
-        |n AS (SELECT count(*) AS c FROM ref),
-        |r AS (SELECT x, row_number() OVER (ORDER BY x, key) AS rn FROM ref),
-        |cuts AS (SELECT r.x AS cut FROM r, n
-        | WHERE r.rn IN (SELECT (n.c*b + 9)//10
-        |   FROM (SELECT unnest(range(1, 10)) AS b) bb(b), n)),
-        |br AS (SELECT 1 + (SELECT count(*) FROM cuts WHERE cut < x) AS bucket
-        |       FROM ref),
-        |bt AS (SELECT 1 + (SELECT count(*) FROM cuts WHERE cut < x) AS bucket
-        |       FROM tgt),
-        |cr AS (SELECT bucket, count(*) AS n_ref FROM br GROUP BY 1),
-        |ct AS (SELECT bucket, count(*) AS n_tgt FROM bt GROUP BY 1),
-        |j AS (SELECT coalesce(cr.bucket, ct.bucket) AS bucket,
-        |  coalesce(n_ref, 0) AS n_ref, coalesce(n_tgt, 0) AS n_tgt
-        | FROM cr FULL JOIN ct ON cr.bucket = ct.bucket),
-        |tot AS (SELECT (SELECT count(*) FROM ref) AS nr,
-        |  (SELECT count(*) FROM tgt) AS nt)
-        |SELECT CAST(bucket AS INTEGER) AS bucket,
-        |  CAST(n_ref AS BIGINT) AS n_ref,
-        |  CAST(n_tgt AS BIGINT) AS n_tgt,
-        |  CAST(round((greatest(CAST(n_tgt AS DOUBLE)/CAST(nt AS DOUBLE), 1e-6)
-        |    - greatest(CAST(n_ref AS DOUBLE)/CAST(nr AS DOUBLE), 1e-6))
-        |   * ln(greatest(CAST(n_tgt AS DOUBLE)/CAST(nt AS DOUBLE), 1e-6)
-        |     / greatest(CAST(n_ref AS DOUBLE)/CAST(nr AS DOUBLE), 1e-6))
-        |   * 1000000.0) AS BIGINT) AS psi_term_e6
-        |FROM j, tot""".stripMargin,
-
-    // q121: rank-selected [p5, p95] fences per group (value at rank
-    // ceil(n·p/100) in (x, key) order = smallest x with cum ≥ target),
-    // then plain filtered aggregates — outliers dropped, all integers.
-    "q121_trimmed_stats" ->
-      """WITH v AS (SELECT l_returnflag AS g,
-        |  CAST(round(l_extendedprice*100) AS BIGINT) AS x,
-        |  l_orderkey*10 + l_linenumber AS key FROM lineitem),
-        |r AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x, key) AS rn,
-        |      count(*) OVER (PARTITION BY g) AS n FROM v),
-        |c AS (SELECT g,
-        |   max(CASE WHEN rn = (n*5 + 99)//100 THEN x END) AS q_lo,
-        |   max(CASE WHEN rn = (n*95 + 99)//100 THEN x END) AS q_hi
-        |  FROM r GROUP BY g)
-        |SELECT g AS l_returnflag, q_lo, q_hi,
-        |  CAST(count(*) AS BIGINT) AS n_total,
-        |  CAST(count(*) FILTER (x >= q_lo AND x <= q_hi) AS BIGINT) AS n_kept,
-        |  CAST(coalesce(sum(x) FILTER (x >= q_lo AND x <= q_hi), 0) AS BIGINT)
-        |    AS sum_kept
-        |FROM v JOIN c USING (g) GROUP BY g, q_lo, q_hi""".stripMargin,
-
-    // q122: the q100 LM replay feeding q113's rank-cut binning — quartile
-    // cuts at ceil(n·b/4) over (score, doc_id), collapse-left boundaries.
-    "q122_curriculum" ->
-      """WITH tb AS (SELECT doc_id, lang,
-        |  list_prepend('<s>', regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
-        | FROM documents),
-        |pr AS (SELECT doc_id, lang, toks, unnest(range(2, len(toks) + 1)) AS i FROM tb),
-        |p AS (SELECT doc_id, lang, toks[i-1] AS prev, toks[i] AS cur FROM pr),
-        |cb AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cb FROM p
-        | WHERE lang = 'en' GROUP BY 1, 2),
-        |cu AS (SELECT prev, CAST(count(*) AS BIGINT) AS cu FROM p
-        | WHERE lang = 'en' GROUP BY 1),
-        |v AS (SELECT CAST(count(DISTINCT cur) + 1 AS BIGINT) AS v FROM p
-        | WHERE lang = 'en'),
-        |c AS (SELECT doc_id,
-        |  CAST(round(ln(CAST(coalesce(cb.cb, 0) + 1 AS DOUBLE)
-        |    / CAST(coalesce(cu.cu, 0) + v.v AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp
-        | FROM p LEFT JOIN cb USING (prev, cur) LEFT JOIN cu USING (prev) CROSS JOIN v),
-        |sc AS (SELECT doc_id, CAST((-sum(lp)) // count(*) AS BIGINT) AS s
-        | FROM c GROUP BY 1),
-        |n2 AS (SELECT count(*) AS c2 FROM sc),
-        |r2 AS (SELECT s, doc_id, row_number() OVER (ORDER BY s, doc_id) AS rn FROM sc),
-        |cuts AS (SELECT r2.s AS cut FROM r2, n2
-        | WHERE r2.rn IN (SELECT (n2.c2*b*25 + 99)//100
-        |   FROM (SELECT unnest(range(1, 4)) AS b) bb(b), n2)),
-        |b2 AS (SELECT sc.s,
-        |  1 + (SELECT count(*) FROM cuts WHERE cut < sc.s) AS bucket FROM sc)
-        |SELECT CAST(bucket AS INTEGER) AS bucket,
-        |  CAST(count(*) AS BIGINT) AS n_docs,
-        |  min(s) AS min_nll, max(s) AS max_nll
-        |FROM b2 GROUP BY bucket""".stripMargin,
-
-    // q120: the q20 replay with labels — per-(anchor, same?) rank-1 over
-    // the identical quantized-integer cosine, pivoted per anchor.
-    "q120_triplet_mining" ->
-      """WITH n AS (
-        | SELECT vec_id, embedding, label,
-        |  CAST(list_sum(list_transform(embedding,
-        |    x -> CAST(round(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS nsq
-        | FROM embeddings),
-        |q AS (SELECT * FROM n WHERE vec_id < 50),
-        |s AS (
-        | SELECT q.vec_id AS qid, c.vec_id AS cid,
-        |  q.label = c.label AS same,
-        |  CAST(CAST(list_sum(list_transform(list_zip(q.embedding, c.embedding),
-        |    z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1000000000.0) AS BIGINT))) AS BIGINT) AS DOUBLE)
-        |   / sqrt(CAST(q.nsq AS DOUBLE) * CAST(c.nsq AS DOUBLE)) AS score
-        | FROM q JOIN n c ON q.vec_id <> c.vec_id),
-        |r AS (SELECT qid, cid, same, score,
-        |  row_number() OVER (PARTITION BY qid, same
-        |    ORDER BY score DESC, cid) AS rk
-        | FROM s),
-        |t AS (SELECT qid,
-        |  max(CASE WHEN same THEN cid END) AS pos_id,
-        |  max(CASE WHEN same THEN CAST(round(score*1000000) AS BIGINT) END) AS pos_e6,
-        |  max(CASE WHEN NOT same THEN cid END) AS neg_id,
-        |  max(CASE WHEN NOT same THEN CAST(round(score*1000000) AS BIGINT) END) AS neg_e6
-        | FROM r WHERE rk = 1 GROUP BY qid)
-        |SELECT qid AS anchor_id, pos_id, pos_e6, neg_id, neg_e6,
-        |  pos_e6 - neg_e6 AS margin_e6
-        |FROM t WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL""".stripMargin,
-
-    // q112: the exact per-window semantics slidingHeavyHitters
-    // guarantees — every 6h-covering window from the hourly slice grid,
-    // plain GROUP BY/HAVING at ceil(win_n/50); the MG slice sketches and
-    // their merge are internal candidate generators the oracle never
-    // needs to see (exactly the q88 contract, lifted to sliding windows).
-    "q112_sliding_heavy" ->
-      """WITH e AS (
-        | SELECT CASE WHEN user_id % 3 = 0
-        |    THEN 'h' || CAST(user_id % 7 AS VARCHAR)
-        |    ELSE 'u' || CAST(event_id AS VARCHAR) END AS value,
-        |  epoch_ms(ts) - epoch_ms(ts) % 3600000 AS slice_ms
-        | FROM events),
-        |x AS (SELECT value, slice_ms - k.k * 3600000 AS window_start_ms
-        |      FROM e, (SELECT unnest(range(0, 6)) AS k) k(k)),
-        |t AS (SELECT window_start_ms, count(*) AS wn FROM x GROUP BY 1),
-        |g AS (SELECT window_start_ms, value, count(*) AS cnt
-        |      FROM x GROUP BY 1, 2)
-        |SELECT g.window_start_ms, g.value, CAST(g.cnt AS BIGINT) AS cnt
-        |FROM g JOIN t USING (window_start_ms)
-        |WHERE g.cnt >= (t.wn + 49) // 50""".stripMargin,
-
-    // q113: cut points = values at ranks ceil(n·b/10) of the (value, key)
-    // order — identical to "smallest v with cumulative count ≥ target",
-    // which is what the bounded-sample selection computes; bucket = 1 +
-    // |cuts strictly below v| (boundary ties collapse left on both sides).
-    "q113_equi_depth" ->
-      """WITH v AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS x,
-        |  l_orderkey*10 + l_linenumber AS key FROM lineitem),
-        |n AS (SELECT count(*) AS c FROM v),
-        |r AS (SELECT x, row_number() OVER (ORDER BY x, key) AS rn FROM v),
-        |cuts AS (SELECT r.x AS cut FROM r, n
-        | WHERE r.rn IN (SELECT (n.c*b + 9)//10
-        |   FROM (SELECT unnest(range(1,10)) AS b) bb(b), n)),
-        |b AS (SELECT v.x,
-        |  1 + (SELECT count(*) FROM cuts WHERE cut < v.x) AS bucket FROM v)
-        |SELECT CAST(bucket AS INTEGER) AS bucket,
-        |  CAST(count(*) AS BIGINT) AS n_rows,
-        |  min(x) AS min_cents, max(x) AS max_cents,
-        |  CAST(sum(x) AS BIGINT) AS sum_cents
-        |FROM b GROUP BY bucket""".stripMargin,
-
-    // q114: the exact Σ nl·nr join-size decomposition, top-20 keys by
-    // contribution with exact integer ppm shares of the total.
-    "q114_join_size" ->
-      """WITH l AS (SELECT l_partkey AS key, count(*) AS nl
-        |           FROM lineitem GROUP BY 1),
-        |r AS (SELECT l_partkey AS key, count(*) AS nr
-        |      FROM lineitem GROUP BY 1),
-        |c AS (SELECT key, nl, nr, nl*nr AS rows_ FROM l JOIN r USING (key)),
-        |t AS (SELECT sum(rows_) AS total FROM c)
-        |SELECT CAST(key AS BIGINT) AS key, CAST(nl AS BIGINT) AS nl,
-        |  CAST(nr AS BIGINT) AS nr, CAST(rows_ AS BIGINT) AS "rows",
-        |  CAST(rows_*1000000//t.total AS BIGINT) AS share_ppm
-        |FROM c, t ORDER BY rows_ DESC, key LIMIT 20""".stripMargin,
-
-    // q115: raw-token census re-keyed by count — N_c spectrum.
-    "q115_freq_spectrum" ->
-      """WITH toks AS (SELECT unnest(regexp_split_to_array(
-        |   trim(lower(text)), '\s+')) AS g FROM documents),
-        |c AS (SELECT g, count(*) AS cnt FROM toks GROUP BY 1)
-        |SELECT CAST(cnt AS BIGINT) AS cnt,
-        |  CAST(count(*) AS BIGINT) AS n_terms
-        |FROM c GROUP BY cnt""".stripMargin,
-
-    // q116: exact all-pairs DIRECTED containment over distinct 3-gram
-    // sets (the q19 replay with an asymmetric threshold on |A|): the
-    // prefix/size/positional filters are exactness-preserving, so the
-    // oracle never needs to see them.
-    "q116_containment" ->
-      """WITH t AS (
-        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
-        | FROM documents),
-        |g AS (
-        | SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
-        | FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk)-2)) AS i) ix
-        | WHERE len(tk) >= 3),
-        |z AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-        |      FROM g a JOIN g b ON a.s = b.s AND a.doc_id <> b.doc_id
-        |      GROUP BY 1, 2)
-        |SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter,
-        |  za.n AS na, zb.n AS nb
-        |FROM p JOIN z za ON za.doc_id = a_id JOIN z zb ON zb.doc_id = b_id
-        |WHERE inter * 2 >= za.n * 1""".stripMargin,
-
-    // q117: sufficient statistics as exact BIGINTs; x = cents, y = UTC
-    // hour-of-day; numerators n·Σ·· − Σ·Σ.
-    "q117_moment_profile" ->
-      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
-        |  CAST(sum(x*x) AS BIGINT) AS sum_xx,
-        |  CAST(sum(y*y) AS BIGINT) AS sum_yy,
-        |  CAST(sum(x*y) AS BIGINT) AS sum_xy,
-        |  CAST(count(*)*sum(x*x) - sum(x)*sum(x) AS BIGINT) AS var_x_num,
-        |  CAST(count(*)*sum(y*y) - sum(y)*sum(y) AS BIGINT) AS var_y_num,
-        |  CAST(count(*)*sum(x*y) - sum(x)*sum(y) AS BIGINT) AS corr_num
-        |FROM (SELECT event_type, CAST(round(value*100) AS BIGINT) AS x,
-        |       (epoch_ms(ts) % 86400000) // 3600000 AS y FROM events)
-        |GROUP BY event_type""".stripMargin,
-
-    // q118: the same latest-in-[t−period−tol, t−period] baseline via a
-    // struct-max range frame — (ts, id, value) lexicographic max IS the
-    // latest-ts/largest-id deterministic pick.
-    "q118_seasonal_residual" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
-        |  CAST(round(value*100) AS BIGINT) AS v FROM events),
-        |b AS (SELECT user_id, event_id, ts_ms, v,
-        |  max(struct_pack(ts := ts_ms, id := event_id, vv := v))
-        |   OVER (PARTITION BY user_id ORDER BY ts_ms
-        |    RANGE BETWEEN 93600000 PRECEDING AND 86400000 PRECEDING) AS bl
-        | FROM e)
-        |SELECT user_id, event_id, ts_ms, v,
-        |  bl.ts AS baseline_ts, bl.vv AS baseline_value,
-        |  v - bl.vv AS residual
-        |FROM b WHERE bl.ts IS NOT NULL""".stripMargin,
-
-    // q119: per-doc top-3 by ⌊tf·10⁶/df⌋, (score desc, term asc) ties.
-    "q119_tfdf_keywords" ->
-      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(
-        |   trim(lower(text)), '\s+')) AS term FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
-        |       WHERE length(term) > 0 GROUP BY 1, 2),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
-        |  tf.tf * 1000000 // df.df AS score_e6 FROM tf JOIN df USING (term)),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
-        |   ORDER BY score_e6 DESC, term) AS rk FROM s)
-        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
-        |  CAST(df AS BIGINT) AS df, CAST(score_e6 AS BIGINT) AS score_e6,
-        |  CAST(rk AS BIGINT) AS rk
-        |FROM r WHERE rk <= 3""".stripMargin,
-
-    // Same window shape: strictly-earlier range frame for the candidate
-    // touch time, min-id tie-break on the touch join, integer lookback.
-    "q111_linear_attribution" ->
-      """WITH e AS (SELECT user_id AS u, event_id AS id, epoch_ms(ts) AS ts,
-        |  event_type AS et FROM events
-        | WHERE event_type IN ('click', 'purchase')),
-        |c AS (SELECT u, id AS conv_id, ts AS conv_ts FROM e
-        | WHERE et = 'purchase'),
-        |t AS (SELECT u, id AS touch_id, ts AS touch_ts FROM e
-        | WHERE et = 'click'),
-        |p AS (SELECT c.u, c.conv_id, c.conv_ts, t.touch_id, t.touch_ts
-        | FROM c JOIN t ON c.u = t.u
-        |  AND t.touch_ts >= c.conv_ts - 604800000
-        |  AND t.touch_ts <= c.conv_ts - 1),
-        |r AS (SELECT u, conv_id, conv_ts, touch_id, touch_ts,
-        |  count(*) OVER (PARTITION BY conv_id) AS n,
-        |  row_number() OVER (PARTITION BY conv_id
-        |    ORDER BY touch_ts DESC, touch_id) AS rk
-        | FROM p)
-        |SELECT u AS user_id, conv_id, conv_ts, touch_id, touch_ts,
-        |  CAST(1000000 // n + (CASE WHEN rk = 1 THEN 1000000 % n ELSE 0 END)
-        |    AS BIGINT) AS share_ppm
-        |FROM r""".stripMargin,
-
-    "q110_attribution" ->
-      """WITH e AS (SELECT user_id AS u, event_id AS id, epoch_ms(ts) AS ts,
-        |  event_type AS et FROM events
-        | WHERE event_type IN ('click', 'purchase')),
-        |c AS (SELECT u, id AS conv_id, ts AS conv_ts, last_touch_ts FROM (
-        |  SELECT u, id, ts, et,
-        |   max(CASE WHEN et = 'click' THEN ts END) OVER (PARTITION BY u
-        |     ORDER BY ts RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |     AS last_touch_ts
-        |  FROM e) WHERE et = 'purchase'),
-        |t AS (SELECT u, ts AS touch_ts, min(id) AS touch_id FROM e
-        | WHERE et = 'click' GROUP BY 1, 2),
-        |j AS (SELECT c.u, c.conv_id, c.conv_ts, t.touch_id, t.touch_ts,
-        |  (t.touch_ts IS NOT NULL
-        |   AND c.conv_ts - t.touch_ts <= 604800000) AS in_window
-        | FROM c LEFT JOIN t ON c.u = t.u AND c.last_touch_ts = t.touch_ts)
-        |SELECT u AS user_id, conv_id, conv_ts,
-        |  CASE WHEN in_window THEN touch_id ELSE -1 END AS touch_id,
-        |  CASE WHEN in_window THEN touch_ts ELSE -1 END AS touch_ts,
-        |  CASE WHEN in_window THEN conv_ts - touch_ts ELSE -1 END AS lag_ms,
-        |  in_window AS attributed
-        |FROM j""".stripMargin,
-
-    "q109_sliding_freq" -> q109OracleSql,
-
-    "q108_sliding_distinct" -> q108OracleSql,
-
-    "q107_filter_stack" -> q107OracleSql,
-
-    "q106_char_entropy" -> q106OracleSql,
-
-    "q105_blocklist" -> q105OracleSql,
-
-    // Same pinned pipeline: one pow per source → micro round → integer
-    // normalization (both engines' libm pow on identical integer inputs).
-    "q104_mixture_weights" ->
-      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
-        | FROM documents GROUP BY 1),
-        |u AS (SELECT source, n_docs,
-        |  CAST(round(pow(CAST(n_docs AS DOUBLE), 0.7) * 1000000.0) AS BIGINT)
-        |    AS u_micro FROM c),
-        |g AS (SELECT CAST(sum(u_micro) AS BIGINT) AS u_total FROM u)
-        |SELECT source, n_docs,
-        |  CAST((u_micro * 1000000) // u_total AS BIGINT) AS share_ppm,
-        |  CAST(((u_micro * 1000000) // u_total) * 100000 // 1000000 AS BIGINT)
-        |    AS quota
-        |FROM u CROSS JOIN g""".stripMargin,
-
-    "q98_grouped_topk" ->
-      """SELECT o_orderpriority, o_orderkey,
-        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-        |  CAST(row_number() OVER (PARTITION BY o_orderpriority
-        |    ORDER BY round(o_totalprice * 100) DESC, o_orderkey) AS BIGINT) AS rank
-        |FROM orders
-        |QUALIFY rank <= 3""".stripMargin,
-
-    // Two sequential q91 rounds: round 2's history is h0 plus round 1's
-    // accepted docs, so the oracle replays the grown-corpus semantics.
-    "q97_ingest_rounds" ->
-      """WITH docs AS (SELECT doc_id, trim(text) AS t FROM documents),
-        |tb AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
-        |g AS (
-        | SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
-        | FROM tb, LATERAL (SELECT unnest(generate_series(1, len(tk)-2)) AS i) ix
-        | WHERE len(tk) >= 3),
-        |z AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-        |jac AS (SELECT x.doc_id AS x, y.doc_id AS y, count(*) AS inter
-        |        FROM g x JOIN g y ON x.s = y.s AND x.doc_id <> y.doc_id
-        |        GROUP BY 1, 2),
-        |near AS (SELECT jac.x, jac.y FROM jac
-        |         JOIN z zx ON zx.doc_id = jac.x JOIN z zy ON zy.doc_id = jac.y
-        |         WHERE inter * 2 >= (zx.n + zy.n - inter) * 1),
-        |h0 AS (SELECT * FROM docs WHERE doc_id % 3 <> 0),
-        |b1 AS (SELECT * FROM docs WHERE doc_id % 6 = 0),
-        |b2 AS (SELECT * FROM docs WHERE doc_id % 6 = 3),
-        |eh1 AS (SELECT b.doc_id, MIN(h.doc_id) AS r FROM b1 b JOIN h0 h ON b.t = h.t GROUP BY 1),
-        |eb1 AS (SELECT y.doc_id, MIN(x.doc_id) AS r FROM b1 y
-        |        JOIN b1 x ON x.t = y.t AND x.doc_id < y.doc_id GROUP BY 1),
-        |nh1 AS (SELECT near.y AS doc_id, MIN(near.x) AS r FROM near
-        |        JOIN h0 ON h0.doc_id = near.x JOIN b1 ON b1.doc_id = near.y GROUP BY 1),
-        |nb1 AS (SELECT near.y AS doc_id, MIN(near.x) AS r FROM near
-        |        JOIN b1 p ON p.doc_id = near.x JOIN b1 w ON w.doc_id = near.y
-        |        WHERE near.x < near.y GROUP BY 1),
-        |v1 AS (
-        | SELECT b1.doc_id,
-        |  CASE WHEN eh1.r IS NOT NULL THEN 'dup_exact_history'
-        |       WHEN eb1.r IS NOT NULL THEN 'dup_exact_batch'
-        |       WHEN nh1.r IS NOT NULL THEN 'dup_near_history'
-        |       WHEN nb1.r IS NOT NULL THEN 'dup_near_batch'
-        |       ELSE 'new' END AS verdict,
-        |  CAST(COALESCE(eh1.r, eb1.r, nh1.r, nb1.r) AS BIGINT) AS ref_id
-        | FROM b1
-        | LEFT JOIN eh1 ON eh1.doc_id = b1.doc_id
-        | LEFT JOIN eb1 ON eb1.doc_id = b1.doc_id
-        | LEFT JOIN nh1 ON nh1.doc_id = b1.doc_id
-        | LEFT JOIN nb1 ON nb1.doc_id = b1.doc_id),
-        |h1 AS (SELECT * FROM h0 UNION ALL
-        |       SELECT docs.* FROM docs JOIN v1 ON v1.doc_id = docs.doc_id
-        |       WHERE v1.verdict = 'new'),
-        |eh2 AS (SELECT b.doc_id, MIN(h.doc_id) AS r FROM b2 b JOIN h1 h ON b.t = h.t GROUP BY 1),
-        |eb2 AS (SELECT y.doc_id, MIN(x.doc_id) AS r FROM b2 y
-        |        JOIN b2 x ON x.t = y.t AND x.doc_id < y.doc_id GROUP BY 1),
-        |nh2 AS (SELECT near.y AS doc_id, MIN(near.x) AS r FROM near
-        |        JOIN h1 ON h1.doc_id = near.x JOIN b2 ON b2.doc_id = near.y GROUP BY 1),
-        |nb2 AS (SELECT near.y AS doc_id, MIN(near.x) AS r FROM near
-        |        JOIN b2 p ON p.doc_id = near.x JOIN b2 w ON w.doc_id = near.y
-        |        WHERE near.x < near.y GROUP BY 1),
-        |v2 AS (
-        | SELECT b2.doc_id,
-        |  CASE WHEN eh2.r IS NOT NULL THEN 'dup_exact_history'
-        |       WHEN eb2.r IS NOT NULL THEN 'dup_exact_batch'
-        |       WHEN nh2.r IS NOT NULL THEN 'dup_near_history'
-        |       WHEN nb2.r IS NOT NULL THEN 'dup_near_batch'
-        |       ELSE 'new' END AS verdict,
-        |  CAST(COALESCE(eh2.r, eb2.r, nh2.r, nb2.r) AS BIGINT) AS ref_id
-        | FROM b2
-        | LEFT JOIN eh2 ON eh2.doc_id = b2.doc_id
-        | LEFT JOIN eb2 ON eb2.doc_id = b2.doc_id
-        | LEFT JOIN nh2 ON nh2.doc_id = b2.doc_id
-        | LEFT JOIN nb2 ON nb2.doc_id = b2.doc_id)
-        |SELECT doc_id, verdict, ref_id, CAST(1 AS BIGINT) AS round FROM v1
-        |UNION ALL
-        |SELECT doc_id, verdict, ref_id, CAST(2 AS BIGINT) AS round FROM v2""".stripMargin,
-
-    "q95_fuzzy_stress" ->
-      """WITH s AS (
-        | SELECT i AS id, 'sharedhotprefix' ||
-        |   CASE WHEN i % 4 = 0 THEN 'salamander'
-        |        WHEN i % 4 = 1 THEN 'salamanders'
-        |        WHEN i % 4 = 2 THEN 'velocirapt'
-        |        ELSE 'velociraptor' END || '-' || CAST(i % 211 AS VARCHAR) AS name
-        | FROM range(1200) t(i))
-        |SELECT a.id AS a_id, b.id AS b_id,
-        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
-        |FROM s a JOIN s b ON a.id < b.id
-        |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin,
-
-    "q94_winsorize" ->
-      """WITH base AS (
-        | SELECT l_returnflag AS grp, CAST(round(l_extendedprice * 100) AS BIGINT) AS v
-        | FROM lineitem),
-        |n AS (SELECT grp, count(*) AS n FROM base GROUP BY 1),
-        |hist AS (SELECT grp, v, count(*) AS c FROM base GROUP BY 1, 2),
-        |cum AS (
-        | SELECT grp, v,
-        |  SUM(c) OVER (PARTITION BY grp ORDER BY v
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        | FROM hist),
-        |p AS (SELECT * FROM (VALUES (5), (95)) t(percent)),
-        |qv AS (
-        | SELECT cum.grp, p.percent, MIN(cum.v) AS q
-        | FROM cum JOIN n ON n.grp = cum.grp
-        | JOIN p ON cum.cum >= ((n.n * p.percent + 99) // 100)
-        | GROUP BY 1, 2),
-        |b AS (
-        | SELECT grp,
-        |  MIN(CASE WHEN percent = 5 THEN q END) AS qlo,
-        |  MAX(CASE WHEN percent = 95 THEN q END) AS qhi
-        | FROM qv GROUP BY 1)
-        |SELECT base.grp AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(SUM(LEAST(GREATEST(v, qlo), qhi)) AS BIGINT) AS sum_clipped,
-        |  CAST(SUM(CASE WHEN v < qlo THEN 1 ELSE 0 END) AS BIGINT) AS n_raised,
-        |  CAST(SUM(CASE WHEN v > qhi THEN 1 ELSE 0 END) AS BIGINT) AS n_lowered
-        |FROM base JOIN b ON b.grp = base.grp
-        |GROUP BY 1""".stripMargin,
-
-    // Engine-parity notes: DuckDB regexp_replace needs the 'g' flag to
-    // match Spark's replace-all; the corpus has no newlines, so the line
-    // splits agree despite trailing-empty semantics differing (the
-    // synthetic-text line rules are pinned engine-side in GopherRulesSpec).
-    "q93_gopher_rules" -> q93OracleSql,
-
-    "q92_fuzzy_join" ->
-      """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey % 4 = 0)
-        |SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
-        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-        |FROM p a JOIN p b ON a.p_partkey < b.p_partkey
-        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
-
-    // Decision-table replay: the greedy-by-id + precedence semantics are
-    // deliberately non-transitive so this stays a plain SQL program (the
-    // q19 trigram machinery + equality tiers + CASE precedence).
-    "q91_incremental_ingest" ->
-      """WITH h AS (SELECT doc_id, trim(text) AS t FROM documents WHERE doc_id % 3 <> 0),
-        |b AS (SELECT doc_id, trim(text) AS t FROM documents WHERE doc_id % 3 = 0),
-        |tb AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
-        |g AS (
-        | SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
-        | FROM tb, LATERAL (SELECT unnest(generate_series(1, len(tk)-2)) AS i) ix
-        | WHERE len(tk) >= 3),
-        |z AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-        |jac AS (SELECT x.doc_id AS x, y.doc_id AS y, count(*) AS inter
-        |        FROM g x JOIN g y ON x.s = y.s AND x.doc_id <> y.doc_id
-        |        GROUP BY 1, 2),
-        |near AS (SELECT jac.x, jac.y FROM jac
-        |         JOIN z zx ON zx.doc_id = jac.x JOIN z zy ON zy.doc_id = jac.y
-        |         WHERE inter * 2 >= (zx.n + zy.n - inter) * 1),
-        |eh AS (SELECT b.doc_id, MIN(h.doc_id) AS r FROM b JOIN h ON b.t = h.t GROUP BY 1),
-        |eb AS (SELECT y.doc_id, MIN(x.doc_id) AS r FROM b y
-        |       JOIN b x ON x.t = y.t AND x.doc_id < y.doc_id GROUP BY 1),
-        |nh AS (SELECT y AS doc_id, MIN(x) AS r FROM near
-        |       WHERE x % 3 <> 0 AND y % 3 = 0 GROUP BY 1),
-        |nb AS (SELECT y AS doc_id, MIN(x) AS r FROM near
-        |       WHERE x % 3 = 0 AND y % 3 = 0 AND x < y GROUP BY 1)
-        |SELECT b.doc_id,
-        |  CASE WHEN eh.r IS NOT NULL THEN 'dup_exact_history'
-        |       WHEN eb.r IS NOT NULL THEN 'dup_exact_batch'
-        |       WHEN nh.r IS NOT NULL THEN 'dup_near_history'
-        |       WHEN nb.r IS NOT NULL THEN 'dup_near_batch'
-        |       ELSE 'new' END AS verdict,
-        |  CAST(COALESCE(eh.r, eb.r, nh.r, nb.r) AS BIGINT) AS ref_id
-        |FROM b
-        |LEFT JOIN eh ON eh.doc_id = b.doc_id
-        |LEFT JOIN eb ON eb.doc_id = b.doc_id
-        |LEFT JOIN nh ON nh.doc_id = b.doc_id
-        |LEFT JOIN nb ON nb.doc_id = b.doc_id""".stripMargin,
-
-    "q90_shard_export" ->
-      """SELECT doc_id % 16 AS shard, CAST(count(*) AS BIGINT) AS docs,
-        |  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens,
-        |  CAST(SUM(strlen(text)) AS BIGINT) AS bytes
-        |FROM documents
-        |GROUP BY 1""".stripMargin,
-
-    // Exact discrete quantile: smallest v with cum count >= ceil(n*p/100),
-    // all-integer arithmetic — the unique answer any verified bracket
-    // refines to.
-    "q89_exact_quantiles" ->
-      """WITH base AS (
-        | SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v
-        | FROM lineitem),
-        |n AS (SELECT l_returnflag, count(*) AS n FROM base GROUP BY 1),
-        |hist AS (SELECT l_returnflag, v, count(*) AS c FROM base GROUP BY 1, 2),
-        |cum AS (
-        | SELECT l_returnflag, v,
-        |  SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        | FROM hist),
-        |p AS (SELECT * FROM (VALUES (25), (50), (75), (95)) t(percent))
-        |SELECT cum.l_returnflag, CAST(p.percent AS BIGINT) AS percent,
-        |  MIN(cum.v) AS quantile
-        |FROM cum
-        |JOIN n ON n.l_returnflag = cum.l_returnflag
-        |JOIN p ON cum.cum >= ((n.n * p.percent + 99) // 100)
-        |GROUP BY 1, 2""".stripMargin,
-
-    "q78_bpe_encode" -> q78OracleSql,
-
-    "q82_transitions" ->
-      """WITH p AS (
-        | SELECT event_type AS from_type,
-        |  lead(event_type) OVER (PARTITION BY user_id
-        |    ORDER BY epoch_ms(ts), event_id) AS to_type
-        | FROM events),
-        |c AS (SELECT from_type, to_type, count(*) AS cnt FROM p
-        | WHERE to_type IS NOT NULL GROUP BY 1, 2),
-        |t AS (SELECT from_type, CAST(sum(cnt) AS BIGINT) AS row_total
-        | FROM c GROUP BY 1)
-        |SELECT c.from_type, c.to_type, c.cnt,
-        | CAST((c.cnt * 1000000) // t.row_total AS BIGINT) AS prob_e6
-        |FROM c JOIN t USING (from_type)""".stripMargin,
-
-    // replays the derived second snapshot, then classifies via the same
-    // full-outer + IS DISTINCT FROM comparison
-    "q81_table_diff" ->
-      """WITH o AS (SELECT * FROM orders),
-        |n AS (
-        | SELECT o_orderkey, o_custkey, o_orderstatus,
-        |  CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1
-        |       ELSE o_totalprice END AS o_totalprice,
-        |  o_orderdate, o_orderpriority
-        | FROM orders WHERE o_orderkey % 17 <> 0
-        | UNION ALL
-        | SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
-        |  o_totalprice, o_orderdate, o_orderpriority
-        | FROM orders WHERE o_orderkey % 50 = 0),
-        |j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
-        |  CASE WHEN o.o_orderkey IS NULL THEN 'insert'
-        |       WHEN n.o_orderkey IS NULL THEN 'delete'
-        |       WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
-        |         OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
-        |         OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
-        |         OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
-        |         OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
-        |       THEN 'update' END AS ct
-        | FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey)
-        |SELECT k AS o_orderkey, ct AS change_type FROM j
-        |WHERE ct IS NOT NULL""".stripMargin,
-
-    "q80_quality_checks" ->
-      """WITH v AS (
-        | SELECT 'complete:l_orderkey' AS check_name,
-        |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS violations FROM lineitem
-        | UNION ALL
-        | SELECT 'complete:l_returnflag',
-        |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |  FROM lineitem
-        | UNION ALL
-        | SELECT 'unique:l_orderkey',
-        |  CAST(count(l_orderkey) - count(DISTINCT l_orderkey) AS BIGINT)
-        |  FROM lineitem
-        | UNION ALL
-        | SELECT 'ref:l_orderkey->o_orderkey', CAST(count(*) AS BIGINT)
-        | FROM lineitem WHERE l_orderkey IS NOT NULL
-        |  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
-        | UNION ALL
-        | SELECT 'ref:l_partkey->p_partkey', CAST(count(*) AS BIGINT)
-        | FROM lineitem WHERE l_partkey IS NOT NULL
-        |  AND l_partkey NOT IN (SELECT p_partkey FROM part))
-        |SELECT check_name, violations, violations = 0 AS passed FROM v""".stripMargin,
-
-    // per-column stats as a UNION of scalar selects (oracle-side
-    // simplicity; the engine side is the one-scan Expand plan)
-    "q79_profile" ->
-      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
-        "l_linestatus").map(c =>
-        s"""SELECT '$c' AS column, count(*) AS n_rows,
-           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-           |   AS n_null,
-           | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
-           | CAST(min($c) AS VARCHAR) AS min_value,
-           | CAST(max($c) AS VARCHAR) AS max_value
-           |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n"),
-
-    // the bloom skip changes which DIRECTORIES are opened, not the
-    // answer: the oracle replays the probe selection as a subquery
-    "q76_bloom_skip" ->
-      """WITH p AS (
-        | SELECT event_id FROM events WHERE event_id % 1000 = 7
-        | ORDER BY event_id LIMIT 5)
-        |SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms, e.event_type
-        |FROM events e JOIN p USING (event_id)""".stripMargin,
-
-    // list_reduce replays the identical left fold (init = first element,
-    // acc first); (1.0 - 0.2) is spelled as the subtraction — double(0.8)
-    // is a different double
-    "q75_ewma" ->
-      """WITH e AS (
-        | SELECT user_id AS k, epoch_ms(ts) AS ts, value AS v
-        | FROM events WHERE user_id < 50),
-        |l AS (SELECT k, list(v ORDER BY ts, v) AS vs,
-        |  CAST(count(*) AS BIGINT) AS n_obs FROM e GROUP BY k),
-        |f AS (SELECT k, n_obs, vs[len(vs)] AS last_value,
-        |  list_reduce(vs, (acc, x) -> 0.2 * x + (1.0 - 0.2) * acc) AS ewma,
-        |  CASE WHEN n_obs >= 2 THEN
-        |    vs[len(vs)] - list_reduce(vs[1: len(vs)-1],
-        |      (acc, x) -> 0.2 * x + (1.0 - 0.2) * acc)
-        |  END AS residual
-        | FROM l)
-        |SELECT k AS user_id, n_obs, ewma, last_value, residual,
-        | coalesce(abs(residual) > 60.0, false) AS is_spike
-        |FROM f""".stripMargin,
-
-    // the bucketed layout changes the PLAN, not the answer — the oracle
-    // is the plain equi-join aggregate
-    "q74_bucketed_join" ->
-      """SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
-        | count(*) AS cnt,
-        | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
-        |   AS BIGINT) AS revenue_cents
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1, 2""".stripMargin,
-
-    "q64_funnel" ->
-      """WITH e AS (
-        | SELECT user_id AS u, event_type AS et, epoch_ms(ts) AS ts
-        | FROM events WHERE event_type IN ('view', 'click', 'purchase')),
-        |s1 AS (
-        | SELECT u, min(CASE WHEN et = 'view' THEN ts END) AS t1
-        | FROM e GROUP BY u),
-        |s1f AS (SELECT u, t1 FROM s1 WHERE t1 IS NOT NULL),
-        |s2 AS (
-        | SELECT e.u, t1, min(CASE WHEN et = 'click' AND ts > t1
-        |    AND ts <= t1 + 604800000 THEN ts END) AS t2
-        | FROM e JOIN s1f USING (u) GROUP BY e.u, t1),
-        |s3 AS (
-        | SELECT e.u, t1, t2, min(CASE WHEN et = 'purchase' AND t2 IS NOT NULL
-        |    AND ts > t2 AND ts <= t1 + 604800000 THEN ts END) AS t3
-        | FROM e JOIN s2 USING (u) GROUP BY e.u, t1, t2)
-        |SELECT u AS user_id, t1, t2, t3,
-        | CAST((CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
-        |    + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
-        |    + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |   AS stages_reached
-        |FROM s3""".stripMargin,
-
-    // q180: depth-capped recursive walk; UNION dedups (id, d) pairs so
-    // the CTE stays ≤ nodes × (maxHops+1) rows.
-    "q180_bfs_hops" ->
-      """WITH RECURSIVE e AS (
-        | SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
-        | FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-        | WHERE a.l_suppkey <> b.l_suppkey),
-        |walk(id, d) AS (
-        | SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d
-        | UNION
-        | SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.id
-        | WHERE w.d < 3)
-        |SELECT id AS l_suppkey, MIN(d) AS hops FROM walk GROUP BY 1""".stripMargin,
-
-    // q181: same walk shape carrying integer path cost; 2-round bound
-    // keeps the pre-dedup path census quadratic, not exponential.
-    "q181_sssp" ->
-      """WITH RECURSIVE e AS (
-        | SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
-        |   1000000 // count(*) AS w
-        | FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-        | WHERE a.l_suppkey <> b.l_suppkey GROUP BY 1, 2),
-        |walk(id, cost, d) AS (
-        | SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT), 0
-        | UNION
-        | SELECT e.dst, w.cost + e.w, w.d + 1 FROM walk w
-        | JOIN e ON e.src = w.id WHERE w.d < 2)
-        |SELECT id AS l_suppkey, CAST(MIN(cost) AS BIGINT) AS cost
-        |FROM walk GROUP BY 1""".stripMargin,
-
-    // q182: gaps-and-islands with the same (start, end) window order and
-    // strict `start > running_max_end` island rule.
-    "q182_interval_coverage" ->
-      """WITH iv AS (SELECT user_id, epoch_ms(ts) AS s,
-        |   epoch_ms(ts) + 1800000 AS e FROM events),
-        |m AS (SELECT user_id, s, e, max(e) OVER (PARTITION BY user_id
-        |   ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |   AS pm FROM iv),
-        |i AS (SELECT user_id, s, e,
-        |   CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nw FROM m),
-        |j AS (SELECT user_id, s, e, sum(nw) OVER (PARTITION BY user_id
-        |   ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |   AS island FROM i),
-        |g AS (SELECT user_id, island, count(*) AS n, max(e) - min(s) AS len
-        | FROM j GROUP BY 1, 2)
-        |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_intervals,
-        | CAST(count(*) AS BIGINT) AS n_islands,
-        | CAST(sum(len) AS BIGINT) AS covered_ms
-        |FROM g GROUP BY 1""".stripMargin,
-
-    // q183: both Lloyd rounds unrolled — e3 integer grid, truncating
-    // integer centroid means, (dist, cid) assignment tie-break, empty
-    // clusters keep their previous centroid via the LEFT JOIN coalesce.
-    "q183_kmeans" ->
-      """WITH v AS (SELECT vec_id, list_transform(embedding,
-        |   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS iq
-        | FROM embeddings),
-        |c0 AS (SELECT vec_id AS cid, iq AS c FROM v ORDER BY vec_id LIMIT 8),
-        |d1 AS (SELECT v.vec_id, c.cid,
-        |   CAST(list_sum(list_transform(list_zip(v.iq, c.c),
-        |     z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS dist
-        | FROM v CROSS JOIN c0 c),
-        |a1 AS (SELECT vec_id, cid FROM (SELECT *, row_number() OVER
-        |   (PARTITION BY vec_id ORDER BY dist, cid) AS r FROM d1) WHERE r = 1),
-        |u1 AS (SELECT a1.cid, p.i, sum(v.iq[p.i]) AS s, count(*) AS n
-        | FROM a1 JOIN v USING (vec_id)
-        | CROSS JOIN (SELECT unnest(range(1, 65)) AS i) p GROUP BY 1, 2),
-        |n1 AS (SELECT cid, list(s // n ORDER BY i) AS c FROM u1 GROUP BY cid),
-        |c1 AS (SELECT c0.cid, coalesce(n1.c, c0.c) AS c
-        | FROM c0 LEFT JOIN n1 USING (cid)),
-        |d2 AS (SELECT v.vec_id, c.cid,
-        |   CAST(list_sum(list_transform(list_zip(v.iq, c.c),
-        |     z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS dist
-        | FROM v CROSS JOIN c1 c),
-        |a2 AS (SELECT vec_id, cid FROM (SELECT *, row_number() OVER
-        |   (PARTITION BY vec_id ORDER BY dist, cid) AS r FROM d2) WHERE r = 1),
-        |u2 AS (SELECT a2.cid, p.i, sum(v.iq[p.i]) AS s, count(*) AS n
-        | FROM a2 JOIN v USING (vec_id)
-        | CROSS JOIN (SELECT unnest(range(1, 65)) AS i) p GROUP BY 1, 2),
-        |n2 AS (SELECT cid, list(s // n ORDER BY i) AS c FROM u2 GROUP BY cid),
-        |c2 AS (SELECT c1.cid, coalesce(n2.c, c1.c) AS c
-        | FROM c1 LEFT JOIN n2 USING (cid)),
-        |d3 AS (SELECT v.vec_id, c.cid,
-        |   CAST(list_sum(list_transform(list_zip(v.iq, c.c),
-        |     z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS dist
-        | FROM v CROSS JOIN c2 c)
-        |SELECT vec_id, cid AS cluster, dist FROM (SELECT *, row_number()
-        |   OVER (PARTITION BY vec_id ORDER BY dist, cid) AS r FROM d3)
-        |WHERE r = 1""".stripMargin,
-
-    // q184: exact (q20) and IVF (q34) rankings replayed as CTEs, joined
-    // on (qid, cid); literal RBO tail weights W(m) for p=9/10, k=3 —
-    // 1720000/720000/270000 e6 — with the final (1−p) `div 10`.
-    "q184_rbo" ->
-      s"""WITH ex AS (SELECT qid, cid, rank FROM ($q20OracleSql)),
-         |iv AS (SELECT qid, cid, rank FROM ($q34OracleSql)),
-         |m AS (SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_common,
-         |   sum(CASE greatest(ex.rank, iv.rank)
-         |     WHEN 1 THEN 1720000 WHEN 2 THEN 720000
-         |     WHEN 3 THEN 270000 ELSE 0 END) AS wsum
-         | FROM ex JOIN iv ON iv.qid = ex.qid AND iv.cid = ex.cid
-         | WHERE ex.rank <= 3 AND iv.rank <= 3 GROUP BY 1),
-         |qs AS (SELECT DISTINCT qid FROM ex)
-         |SELECT qs.qid, coalesce(m.n_common, 0) AS n_common,
-         | CAST(coalesce(m.wsum, 0) // 10 AS BIGINT) AS rbo_e6
-         |FROM qs LEFT JOIN m USING (qid)""".stripMargin,
-
-    // q185: the NB audit replayed — per-term e6-rounded ln terms summed
-    // as integers, OOV test tokens dropped by the inner model join,
-    // (score desc, lang) argmax.
-    "q185_nb_confusion" ->
-      """WITH tk AS (SELECT doc_id, lang, tok FROM (
-        |   SELECT doc_id, lang, unnest(regexp_split_to_array(
-        |     trim(lower(text)), '\s+')) AS tok FROM documents)
-        | WHERE length(tok) > 0),
-        |tr AS (SELECT * FROM tk WHERE doc_id % 2 = 0),
-        |cnts AS (SELECT lang, tok, count(*) AS cnt FROM tr GROUP BY 1, 2),
-        |vocab AS (SELECT DISTINCT tok FROM cnts),
-        |vs AS (SELECT count(*) AS v FROM vocab),
-        |lt AS (SELECT lang, sum(cnt) AS tot FROM cnts GROUP BY 1),
-        |model AS (SELECT vo.tok, lt.lang,
-        |   CAST(round((ln(coalesce(c.cnt, 0) + 1) - ln(lt.tot + vs.v))
-        |     * 1e6) AS BIGINT) AS term_e6
-        | FROM vocab vo CROSS JOIN lt CROSS JOIN vs
-        | LEFT JOIN cnts c ON c.tok = vo.tok AND c.lang = lt.lang),
-        |td AS (SELECT DISTINCT doc_id, lang FROM tr),
-        |nd AS (SELECT lang, count(*) AS nd FROM td GROUP BY 1),
-        |ntot AS (SELECT count(*) AS n FROM td),
-        |pri AS (SELECT lang, CAST(round((ln(nd) - ln(n)) * 1e6) AS BIGINT)
-        |   AS prior_e6 FROM nd CROSS JOIN ntot),
-        |tc AS (SELECT doc_id, lang AS actual, tok, count(*) AS c
-        | FROM tk WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3),
-        |sc AS (SELECT tc.doc_id, tc.actual, m.lang,
-        |   sum(tc.c * m.term_e6) AS ll
-        | FROM tc JOIN model m ON m.tok = tc.tok GROUP BY 1, 2, 3),
-        |fin AS (SELECT sc.doc_id, sc.actual, sc.lang,
-        |   sc.ll + p.prior_e6 AS score
-        | FROM sc JOIN pri p ON p.lang = sc.lang),
-        |pred AS (SELECT doc_id, actual, lang FROM (SELECT *, row_number()
-        |   OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS r
-        |  FROM fin) WHERE r = 1)
-        |SELECT actual, lang AS predicted, CAST(count(*) AS BIGINT) AS n
-        |FROM pred GROUP BY 1, 2""".stripMargin,
-
-    // q186: same (ts, event_id) total order, integer segment id,
-    // cross-multiplied cents breakpoints, ordered word assembly.
-    "q186_sax" ->
-      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
-        |   CAST(round(value * 100) AS BIGINT) AS v FROM events),
-        |r AS (SELECT user_id, v, row_number() OVER (PARTITION BY user_id
-        |   ORDER BY ts_ms, event_id) AS rn,
-        |   count(*) OVER (PARTITION BY user_id) AS n FROM e),
-        |seg AS (SELECT user_id, (rn - 1) * 4 // n AS sg, sum(v) AS s,
-        |   count(*) AS m FROM r GROUP BY 1, 2),
-        |sym AS (SELECT user_id, sg, m,
-        |   CASE WHEN s >= 7500 * m THEN 'd' WHEN s >= 5000 * m THEN 'c'
-        |        WHEN s >= 2500 * m THEN 'b' ELSE 'a' END AS sym FROM seg)
-        |SELECT user_id, CAST(sum(m) AS BIGINT) AS n,
-        | string_agg(sym, '' ORDER BY sg) AS sax_word
-        |FROM sym GROUP BY 1""".stripMargin,
-
-    // q191: the post-erasure derived table IS the aggregate of events
-    // minus the erased users; residue must be exactly zero.
-    "q191_erasure" ->
-      """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS dt, user_id,
-        |  CAST(round(value * 100) AS BIGINT) AS v_cents FROM events
-        | WHERE user_id % 9 <> 0)
-        |SELECT dt, CAST(count(*) AS BIGINT) AS n,
-        | CAST(sum(v_cents) AS BIGINT) AS cents,
-        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-        | CAST(0 AS BIGINT) AS residue_rows
-        |FROM e GROUP BY 1""".stripMargin,
-
-    // q192: the q157 history machinery over non-purchase changes, then
-    // interval-containment pick per purchase (left join, 'none'/0 when
-    // the user had no prior non-purchase activity).
-    "q192_temporal_dim_join" ->
-      """WITH c AS (SELECT user_id AS k, event_type AS value,
-        |  epoch_ms(ts) AS ts, event_id AS tie FROM events
-        | WHERE event_type <> 'purchase'),
-        |f AS (SELECT *, lag(value) OVER (PARTITION BY k ORDER BY ts, tie)
-        |  AS prev FROM c),
-        |v AS (SELECT k, value, ts, tie FROM f
-        |      WHERE prev IS DISTINCT FROM value),
-        |o AS (SELECT k, value, ts AS valid_from,
-        |  coalesce(lead(ts) OVER w2, -1) AS valid_to,
-        |  row_number() OVER w2 AS version
-        | FROM v WINDOW w2 AS (PARTITION BY k ORDER BY ts, tie)),
-        |p AS (SELECT user_id AS k, event_id, epoch_ms(ts) AS ts
-        | FROM events WHERE event_type = 'purchase')
-        |SELECT p.k AS user_id, p.event_id, p.ts AS ts_ms,
-        | coalesce(o.value, 'none') AS state,
-        | CAST(coalesce(o.version, 0) AS BIGINT) AS version
-        |FROM p LEFT JOIN o ON o.k = p.k AND o.valid_from <= p.ts
-        | AND (o.valid_to = -1 OR p.ts < o.valid_to)""".stripMargin,
-
-    // q210: same two phases — windowed view census, then the negated
-    // error-interval count.
-    "q210_pattern_negation" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts,
-        |  event_id FROM events),
-        |p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
-        | FROM e WHERE event_type = 'purchase'),
-        |v AS (SELECT p.user_id, p.purchase_id, p.p_ts,
-        |  count(c.ts) AS n_views, min(c.ts) AS first_view_ts
-        | FROM p LEFT JOIN e c ON c.user_id = p.user_id
-        |  AND c.event_type = 'view'
-        |  AND c.ts >= p.p_ts - 604800000 AND c.ts < p.p_ts
-        | GROUP BY 1, 2, 3),
-        |n AS (SELECT v.user_id, v.purchase_id, v.p_ts, v.n_views,
-        |  v.first_view_ts,
-        |  coalesce(sum(CASE WHEN er.ts > v.first_view_ts
-        |    AND er.ts < v.p_ts THEN 1 END), 0) AS n_err
-        | FROM v LEFT JOIN e er ON er.user_id = v.user_id
-        |  AND er.event_type = 'error'
-        | GROUP BY 1, 2, 3, 4, 5)
-        |SELECT user_id, purchase_id, p_ts, CAST(n_views AS BIGINT)
-        |  AS n_views, first_view_ts
-        |FROM n WHERE n_views >= 2 AND n_err = 0""".stripMargin,
-
-    // q208: the plain census the bucketed layout must reproduce.
-    "q208_bucketed_agg" ->
-      """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
-        | CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
-        |   AS sum_cents
-        |FROM lineitem GROUP BY 1""".stripMargin,
-
-    // q209: both commit states replayed (q50 resolution rule), keyed
-    // full-outer compare.
-    "q209_time_travel_diff" ->
-      """WITH base AS (SELECT o_orderkey AS k,
-        |  strftime(o_orderdate, '%Y-%m') AS dt,
-        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
-        | FROM orders),
-        |c1 AS (SELECT k, dt, price_cents, CAST(1 AS BIGINT) AS ver,
-        |  false AS del, 1 AS cseq FROM base),
-        |c2 AS (SELECT k, dt, price_cents + 1000, CAST(2 AS BIGINT),
-        |  k % 13 = 0, 2 FROM base WHERE k % 7 = 0 OR k % 13 = 0),
-        |c3 AS (SELECT k, dt, price_cents + 5000, CAST(3 AS BIGINT),
-        |  false, 3 FROM base WHERE k % 21 = 0),
-        |s2 AS (SELECT k, dt, price_cents, ver FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY dt, k
-        |    ORDER BY ver DESC, cseq DESC) AS rn
-        |  FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2))
-        | WHERE rn = 1 AND NOT del),
-        |s3 AS (SELECT k, dt, price_cents, ver FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY dt, k
-        |    ORDER BY ver DESC, cseq DESC) AS rn
-        |  FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2
-        |        UNION ALL SELECT * FROM c3))
-        | WHERE rn = 1 AND NOT del),
-        |d AS (SELECT coalesce(s3.k, s2.k) AS k,
-        |  CASE WHEN s2.k IS NULL THEN 'insert'
-        |   WHEN s3.k IS NULL THEN 'delete'
-        |   WHEN s2.dt IS DISTINCT FROM s3.dt
-        |    OR s2.price_cents IS DISTINCT FROM s3.price_cents
-        |    OR s2.ver IS DISTINCT FROM s3.ver THEN 'update' END
-        |    AS change_type
-        | FROM s2 FULL JOIN s3 ON s3.k = s2.k)
-        |SELECT k, change_type FROM d WHERE change_type IS NOT NULL""".stripMargin,
-
-    // q207: DuckDB's own jaro_winkler_similarity (bit-parity pinned by
-    // q176/StringSimilaritySpec), same blocking and total order.
-    "q207_sql_surface" ->
-      """WITH nm AS (SELECT DISTINCT p_name AS nm FROM part)
-        |SELECT CAST(len AS BIGINT) AS len, a_name, b_name,
-        | CAST(jw AS BIGINT) AS jw_e6, CAST(rk AS BIGINT) AS rk FROM (
-        | SELECT length(a.nm) AS len, a.nm AS a_name, b.nm AS b_name,
-        |  CAST(round(jaro_winkler_similarity(a.nm, b.nm) * 1000000)
-        |    AS BIGINT) AS jw,
-        |  row_number() OVER (PARTITION BY length(a.nm)
-        |   ORDER BY CAST(round(jaro_winkler_similarity(a.nm, b.nm)
-        |     * 1000000) AS BIGINT) DESC, a.nm, b.nm) AS rk
-        | FROM nm a JOIN nm b
-        |  ON length(a.nm) = length(b.nm) AND a.nm < b.nm)
-        |WHERE rk <= 5""".stripMargin,
-
-    // q206: the whole eval replayed — per-user last-event cut, q143
-    // similarity over the train remainder, Σ-sim scoring with history
-    // exclusion, (score desc, cand) top-3, integer hit-rate.
-    "q206_leave_last_out" ->
-      """WITH ev0 AS (SELECT CAST(user_id AS VARCHAR) AS u,
-        |  'C' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 20
-        |    AS VARCHAR) AS item,
-        |  row_number() OVER (PARTITION BY user_id
-        |    ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
-        | FROM events),
-        |test AS (SELECT u, item AS held FROM ev0 WHERE rn = 1),
-        |inc AS (SELECT DISTINCT u, item FROM ev0 WHERE rn > 1),
-        |n AS (SELECT item, count(*) AS n FROM inc GROUP BY 1),
-        |p AS (SELECT x.item AS item_a, y.item AS item_b, count(*) AS cooc
-        |      FROM inc x JOIN inc y ON x.u = y.u AND x.item < y.item
-        |      GROUP BY 1, 2 HAVING count(*) >= 5),
-        |sims AS (SELECT item_a, item_b,
-        |  cooc * cooc * 1000000000000 // (na.n * nb.n) AS cos2
-        | FROM p JOIN n na ON na.item = item_a JOIN n nb ON nb.item = item_b),
-        |sb AS (SELECT item_a AS h, item_b AS cand, cos2 FROM sims
-        | UNION ALL SELECT item_b, item_a, cos2 FROM sims),
-        |sc AS (SELECT i.u, s.cand, sum(s.cos2) AS score
-        | FROM inc i JOIN sb s ON s.h = i.item
-        | LEFT JOIN inc o ON o.u = i.u AND o.item = s.cand
-        | WHERE o.u IS NULL GROUP BY 1, 2),
-        |top AS (SELECT u, cand FROM (SELECT u, cand, row_number() OVER
-        |   (PARTITION BY u ORDER BY score DESC, cand) AS rk FROM sc)
-        | WHERE rk <= 3)
-        |SELECT CAST(count(DISTINCT t.u) AS BIGINT) AS n_users,
-        | CAST(coalesce(sum(CASE WHEN tp.cand = t.held THEN 1 END), 0)
-        |   AS BIGINT) AS hits,
-        | CAST(coalesce(sum(CASE WHEN tp.cand = t.held THEN 1 END), 0)
-        |   * 1000000 // count(DISTINCT t.u) AS BIGINT) AS hitrate_ppm
-        |FROM test t LEFT JOIN top tp ON tp.u = t.u""".stripMargin,
-
-    // q205: the relational truth the JSON round-trip must reproduce.
-    "q205_json_nested" ->
-      """SELECT l_partkey AS p_partkey,
-        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
-        | CAST(count(*) AS BIGINT) AS n_lines
-        |FROM lineitem WHERE l_orderkey % 5 = 0 GROUP BY 1""".stripMargin,
-
-    // q203: both weighted rounds unrolled — (r·w) // W_u contributions.
-    "q203_weighted_pagerank" ->
-      """WITH e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
-        |  count(*) AS w
-        | FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-        | WHERE a.l_suppkey <> b.l_suppkey GROUP BY 1, 2),
-        |ws AS (SELECT src, sum(w) AS ws FROM e GROUP BY 1),
-        |nodes AS (SELECT DISTINCT id FROM
-        | (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
-        |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM nodes),
-        |c1 AS (SELECT e.dst AS id, sum((r0.r * e.w) // ws.ws) AS m
-        | FROM e JOIN ws ON ws.src = e.src JOIN r0 ON r0.id = e.src
-        | GROUP BY 1),
-        |r1 AS (SELECT n.id, CAST(150000000 + (85 * coalesce(c1.m, 0)) // 100
-        |   AS BIGINT) AS r FROM nodes n LEFT JOIN c1 USING (id)),
-        |c2 AS (SELECT e.dst AS id, sum((r1.r * e.w) // ws.ws) AS m
-        | FROM e JOIN ws ON ws.src = e.src JOIN r1 ON r1.id = e.src
-        | GROUP BY 1),
-        |r2 AS (SELECT n.id, CAST(150000000 + (85 * coalesce(c2.m, 0)) // 100
-        |   AS BIGINT) AS r FROM nodes n LEFT JOIN c2 USING (id))
-        |SELECT id AS l_suppkey, r AS rank_e9 FROM r2""".stripMargin,
-
-    // q204: same censuses over DISTINCT edges, integer Pearson pieces.
-    "q204_assortativity" ->
-      """WITH e AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
-        | FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-        | WHERE a.l_suppkey <> b.l_suppkey),
-        |od AS (SELECT src, count(*) AS x FROM e GROUP BY 1),
-        |id_ AS (SELECT dst, count(*) AS y FROM e GROUP BY 1)
-        |SELECT CAST(count(*) AS BIGINT) AS n,
-        | CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
-        | CAST(sum(x * y) AS BIGINT) AS sum_xy,
-        | CAST(sum(x * x) AS BIGINT) AS sum_xx,
-        | CAST(sum(y * y) AS BIGINT) AS sum_yy,
-        | CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS corr_num,
-        | CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS var_x,
-        | CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT) AS var_y
-        |FROM e JOIN od USING (src) JOIN id_ ON id_.dst = e.dst""".stripMargin,
-
-    // q202: per-relation child/orphan censuses, zeros proven.
-    "q202_ref_integrity" ->
-      """WITH r1 AS (SELECT 'lineitem.orderkey' AS relation,
-        |  CAST(count(*) AS BIGINT) AS n_child,
-        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_keys,
-        |  CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT)
-        |    AS n_orphan_rows,
-        |  CAST(count(DISTINCT l_orderkey) FILTER (o_orderkey IS NULL)
-        |    AS BIGINT) AS n_orphan_keys
-        | FROM lineitem LEFT JOIN orders ON o_orderkey = l_orderkey),
-        |r2 AS (SELECT 'lineitem.partkey',
-        |  CAST(count(*) AS BIGINT), CAST(count(DISTINCT l_partkey) AS BIGINT),
-        |  CAST(count(*) FILTER (p_partkey IS NULL) AS BIGINT),
-        |  CAST(count(DISTINCT l_partkey) FILTER (p_partkey IS NULL) AS BIGINT)
-        | FROM lineitem LEFT JOIN part ON p_partkey = l_partkey),
-        |r3 AS (SELECT 'lineitem.suppkey',
-        |  CAST(count(*) AS BIGINT), CAST(count(DISTINCT l_suppkey) AS BIGINT),
-        |  CAST(count(*) FILTER (s_suppkey IS NULL) AS BIGINT),
-        |  CAST(count(DISTINCT l_suppkey) FILTER (s_suppkey IS NULL) AS BIGINT)
-        | FROM lineitem LEFT JOIN supplier ON s_suppkey = l_suppkey),
-        |r4 AS (SELECT 'orders.custkey',
-        |  CAST(count(*) AS BIGINT), CAST(count(DISTINCT o_custkey) AS BIGINT),
-        |  CAST(count(*) FILTER (c_custkey IS NULL) AS BIGINT),
-        |  CAST(count(DISTINCT o_custkey) FILTER (c_custkey IS NULL) AS BIGINT)
-        | FROM orders LEFT JOIN customer ON c_custkey = o_custkey)
-        |SELECT * FROM r1 UNION ALL SELECT * FROM r2
-        |UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4""".stripMargin,
-
-    // q201: same md5-prefix probes, rejection, dedup, first-k rule.
-    "q201_negative_sampling" ->
-      """WITH inter AS (SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS item
-        | FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-        |p AS (SELECT count(*) AS np FROM part),
-        |users AS (SELECT DISTINCT u FROM inter),
-        |att AS (SELECT u, j FROM users,
-        |  (SELECT unnest(range(0, 30)) AS j)),
-        |cand AS (SELECT u, j,
-        |  CAST(('0x' || substr(md5('neg#' || u || '#' || j), 1, 12))
-        |    AS BIGINT) % p.np + 1 AS item FROM att CROSS JOIN p),
-        |ok AS (SELECT c.u, c.j, c.item FROM cand c
-        | LEFT JOIN inter i ON i.u = c.u AND i.item = c.item
-        | WHERE i.u IS NULL),
-        |d AS (SELECT u, j, item, row_number() OVER (PARTITION BY u, item
-        |   ORDER BY j) AS rd FROM ok),
-        |r AS (SELECT u, j, item, row_number() OVER (PARTITION BY u
-        |   ORDER BY j) AS rk FROM d WHERE rd = 1)
-        |SELECT u AS custkey, CAST(rk AS BIGINT) AS neg_rank,
-        | item AS partkey, CAST(j AS BIGINT) AS attempt
-        |FROM r WHERE rk <= 10""".stripMargin,
-
-    // q197: same strict prefix rule per language.
-    "q197_nucleus" ->
-      """WITH f AS (SELECT lang, tok, count(*) AS f FROM (
-        |  SELECT lang, unnest(regexp_split_to_array(trim(lower(text)),
-        |    '\s+')) AS tok FROM documents)
-        | WHERE length(tok) > 0 GROUP BY 1, 2),
-        |w AS (SELECT lang, tok, f,
-        |  coalesce(sum(f) OVER (PARTITION BY lang ORDER BY f DESC, tok
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |    AS cum_before,
-        |  sum(f) OVER (PARTITION BY lang) AS total FROM f)
-        |SELECT lang, CAST(count(*) AS BIGINT) AS nucleus_size,
-        | CAST(sum(f) AS BIGINT) AS nucleus_mass,
-        | CAST(max(total) AS BIGINT) AS total,
-        | CAST(sum(f) * 1000000 // max(total) AS BIGINT) AS mass_ppm
-        |FROM w WHERE cum_before * 100 < total * 80 GROUP BY 1""".stripMargin,
-
-    // q198: md5 group-hash split, per-user distinct-split census, zero
-    // overlap by construction — the audit must prove it.
-    "q198_leakage_audit" ->
-      """WITH e AS (SELECT user_id, event_id,
-        |  CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || '#split#'),
-        |    1, 2) < 'cd' THEN 'train' ELSE 'val' END AS split
-        | FROM events),
-        |u AS (SELECT DISTINCT user_id, split FROM e),
-        |o AS (SELECT coalesce(sum(CASE WHEN k > 1 THEN 1 END), 0)
-        |    AS leaked_users
-        | FROM (SELECT user_id, count(DISTINCT split) AS k FROM u
-        |       GROUP BY 1))
-        |SELECT split, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-        | CAST(count(*) AS BIGINT) AS n_events,
-        | CAST(o.leaked_users AS BIGINT) AS leaked_users
-        |FROM e CROSS JOIN o GROUP BY 1, o.leaked_users""".stripMargin,
-
-    // q199: pure integer Σn², ppm by cross-multiplication-free div.
-    "q199_simpson" ->
-      """WITH c AS (SELECT event_type, user_id, count(*) AS c FROM events
-        | GROUP BY 1, 2)
-        |SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
-        | CAST(count(*) AS BIGINT) AS n_users,
-        | CAST(sum(c * c) AS BIGINT) AS sum_sq,
-        | CAST(sum(c * c) * 1000000 // (sum(c) * sum(c)) AS BIGINT)
-        |   AS simpson_ppm
-        |FROM c GROUP BY 1""".stripMargin,
-
-    // q200: literal Benford ppm table, first digit of positive cents.
-    "q200_benford" ->
-      """WITH d AS (SELECT CAST(substr(CAST(CAST(round(value * 100)
-        |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
-        | FROM events),
-        |n AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
-        |t AS (SELECT sum(n) AS total FROM n)
-        |SELECT digit, CAST(n AS BIGINT) AS n,
-        | CAST(n * 1000000 // t.total AS BIGINT) AS obs_ppm,
-        | CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
-        |  WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
-        |  WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
-        |  WHEN 9 THEN 45757 ELSE 0 END AS BIGINT) AS exp_ppm,
-        | CAST(abs(n * 1000000 // t.total - CASE digit WHEN 1 THEN 301030
-        |  WHEN 2 THEN 176091 WHEN 3 THEN 124939 WHEN 4 THEN 96910
-        |  WHEN 5 THEN 79181 WHEN 6 THEN 66947 WHEN 7 THEN 57992
-        |  WHEN 8 THEN 51153 WHEN 9 THEN 45757 ELSE 0 END) AS BIGINT)
-        |   AS dev_ppm
-        |FROM n CROSS JOIN t""".stripMargin,
-
-    // q195: same rank windows, (user, rn) equi join.
-    "q195_fifo_match" ->
-      """WITH c AS (SELECT user_id, event_id AS click_id,
-        |  epoch_ms(ts) AS click_ts,
-        |  row_number() OVER (PARTITION BY user_id
-        |    ORDER BY epoch_ms(ts), event_id) AS rn
-        | FROM events WHERE event_type = 'click'),
-        |p AS (SELECT user_id, event_id AS purchase_id,
-        |  epoch_ms(ts) AS purchase_ts,
-        |  row_number() OVER (PARTITION BY user_id
-        |    ORDER BY epoch_ms(ts), event_id) AS rn
-        | FROM events WHERE event_type = 'purchase')
-        |SELECT c.user_id, CAST(c.rn AS BIGINT) AS rn, c.click_id,
-        | p.purchase_id, p.purchase_ts - c.click_ts AS gap_ms
-        |FROM c JOIN p ON p.user_id = c.user_id AND p.rn = c.rn""".stripMargin,
-
-    // q196: 5-day-bucket rollup straight off resolved events (ver-2
-    // rows win for k % 11); n_days = distinct active days per bucket.
-    "q196_rollup_cascade" ->
-      """WITH e AS (SELECT event_id AS k, strftime(ts, '%Y-%m-%d') AS day,
-        |  CAST(epoch_ms(ts) // 432000000 AS VARCHAR) AS wk,
-        |  CAST(round(value * 100) AS BIGINT)
-        |    + CASE WHEN event_id % 11 = 0 THEN 500 ELSE 0 END AS v_cents
-        | FROM events)
-        |SELECT wk, CAST(count(*) AS BIGINT) AS n,
-        | CAST(sum(v_cents) AS BIGINT) AS cents,
-        | CAST(count(DISTINCT day) AS BIGINT) AS n_days
-        |FROM e GROUP BY 1""".stripMargin,
-
-    // q194: the q175 cumulative-rank rule per type, decile join.
-    "q194_qq_map" ->
-      """WITH e AS (SELECT event_type,
-        |  CAST(round(value * 100) AS BIGINT) AS v FROM events
-        | WHERE event_type IN ('click', 'purchase')),
-        |h AS (SELECT event_type, v, count(*) AS c FROM e GROUP BY 1, 2),
-        |w AS (SELECT *, sum(c) OVER (PARTITION BY event_type
-        |    ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
-        |  sum(c) OVER (PARTITION BY event_type) AS n FROM h),
-        |x AS (SELECT event_type, v, p.percent FROM w,
-        |  (VALUES (10),(20),(30),(40),(50),(60),(70),(80),(90)) p(percent)
-        | WHERE cum * 100 >= n * p.percent),
-        |q AS (SELECT event_type, percent, min(v) AS quantile
-        |      FROM x GROUP BY 1, 2)
-        |SELECT CAST(c.percent AS BIGINT) AS percent,
-        | CAST(c.quantile AS BIGINT) AS click_cents,
-        | CAST(p.quantile AS BIGINT) AS purchase_cents,
-        | CAST(p.quantile - c.quantile AS BIGINT) AS shift_cents
-        |FROM q c JOIN q p ON p.percent = c.percent
-        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'""".stripMargin,
-
-    // q193: the same deterministic feed; validity via json_valid, typed
-    // extraction only on valid lines.
-    "q193_json_ingest" ->
-      """WITH feed AS (SELECT lang,
-        |  CASE WHEN doc_id % 37 = 0
-        |   THEN '{"id":' || doc_id || ',"lang":"'
-        |   ELSE '{"id":' || doc_id || ',"lang":"' || lang || '","n":'
-        |     || n_chars || '}' END AS line
-        | FROM documents)
-        |SELECT lang, CAST(count(*) AS BIGINT) AS n_lines,
-        | CAST(sum(CASE WHEN json_valid(line) THEN 1 ELSE 0 END) AS BIGINT)
-        |   AS n_valid,
-        | CAST(sum(CASE WHEN json_valid(line) THEN 0 ELSE 1 END) AS BIGINT)
-        |   AS n_corrupt,
-        | CAST(sum(CASE WHEN json_valid(line)
-        |   THEN CAST(json_extract(line, '$.n') AS BIGINT) END) AS BIGINT)
-        |   AS sum_n
-        |FROM feed GROUP BY 1""".stripMargin,
-
-    // q188: distinct (user, ante, cons) within-gap pairs, user-level
-    // support over the distinct-user total.
-    "q188_seq_pairs" ->
-      """WITH e AS (SELECT user_id AS u, event_type AS t, epoch_ms(ts) AS ts
-        | FROM events),
-        |p AS (SELECT DISTINCT a.u, a.t AS ante, b.t AS cons
-        | FROM e a JOIN e b ON b.u = a.u AND b.ts > a.ts
-        |  AND b.ts <= a.ts + 86400000),
-        |tot AS (SELECT count(DISTINCT u) AS n_total FROM e)
-        |SELECT ante, cons, CAST(count(*) AS BIGINT) AS n_users,
-        | CAST(tot.n_total AS BIGINT) AS n_total,
-        | CAST(count(*) * 1000000 // tot.n_total AS BIGINT) AS support_ppm
-        |FROM p CROSS JOIN tot GROUP BY ante, cons, tot.n_total""".stripMargin,
-
-    // q189: the q77 integer PageRank unrolled 3 rounds over the bigram
-    // co-occurrence edges — base 150000000, contribution r div d,
-    // damped (85·m) div 100, dangling mass evaporates.
-    "q189_textrank" ->
-      """WITH arrs AS (SELECT doc_id,
-        |   regexp_split_to_array(trim(lower(text)), '\s+') AS a
-        | FROM documents),
-        |bi0 AS (SELECT unnest(list_zip(a, a[2:])) AS z FROM arrs),
-        |bi AS (SELECT z[1] AS a, z[2] AS b FROM bi0
-        | WHERE z[1] IS NOT NULL AND z[2] IS NOT NULL
-        |  AND length(z[1]) > 0 AND length(z[2]) > 0 AND z[1] <> z[2]),
-        |e AS (SELECT DISTINCT a, b FROM
-        | (SELECT a, b FROM bi UNION ALL SELECT b, a FROM bi)),
-        |deg AS (SELECT a, count(*) AS d FROM e GROUP BY 1),
-        |nodes AS (SELECT DISTINCT id FROM
-        | (SELECT a AS id FROM e UNION ALL SELECT b FROM e)),
-        |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM nodes),
-        |c1 AS (SELECT e.b AS id, sum(r0.r // deg.d) AS m FROM e
-        | JOIN deg ON deg.a = e.a JOIN r0 ON r0.id = e.a GROUP BY 1),
-        |r1 AS (SELECT n.id, CAST(150000000 + (85 * coalesce(c1.m, 0)) // 100
-        |   AS BIGINT) AS r FROM nodes n LEFT JOIN c1 USING (id)),
-        |c2 AS (SELECT e.b AS id, sum(r1.r // deg.d) AS m FROM e
-        | JOIN deg ON deg.a = e.a JOIN r1 ON r1.id = e.a GROUP BY 1),
-        |r2 AS (SELECT n.id, CAST(150000000 + (85 * coalesce(c2.m, 0)) // 100
-        |   AS BIGINT) AS r FROM nodes n LEFT JOIN c2 USING (id)),
-        |c3 AS (SELECT e.b AS id, sum(r2.r // deg.d) AS m FROM e
-        | JOIN deg ON deg.a = e.a JOIN r2 ON r2.id = e.a GROUP BY 1),
-        |r3 AS (SELECT n.id, CAST(150000000 + (85 * coalesce(c3.m, 0)) // 100
-        |   AS BIGINT) AS r FROM nodes n LEFT JOIN c3 USING (id))
-        |SELECT id AS word, r AS rank_e9, rk FROM (SELECT id, r,
-        |   CAST(row_number() OVER (ORDER BY r DESC, id) AS BIGINT) AS rk
-        |  FROM r3) WHERE rk <= 20""".stripMargin,
-
-    // q190: contiguous cumulative-sum binning over the (bytes desc,
-    // source, lang) total order, 64 KiB target.
-    "q190_compaction_bins" ->
-      """WITH f AS (SELECT source, lang, sum(strlen(text)) AS bytes,
-        |   count(*) AS n_docs FROM documents GROUP BY 1, 2),
-        |c AS (SELECT source, lang, bytes, n_docs,
-        |   coalesce(sum(bytes) OVER (ORDER BY bytes DESC, source, lang
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |   AS csum FROM f)
-        |SELECT CAST(csum // 65536 AS BIGINT) AS bin,
-        | CAST(count(*) AS BIGINT) AS n_files,
-        | CAST(sum(bytes) AS BIGINT) AS tot_bytes,
-        | CAST(sum(n_docs) AS BIGINT) AS tot_docs
-        |FROM c GROUP BY 1""".stripMargin,
-
-    // q187: one token census, (freq desc, tok) global rank, prefix
-    // coverage at the three literal vocab sizes.
-    "q187_vocab_coverage" ->
-      """WITH toks AS (SELECT unnest(regexp_split_to_array(
-        |   trim(lower(text)), '\s+')) AS tok FROM documents),
-        |f AS (SELECT tok, count(*) AS f FROM toks
-        | WHERE length(tok) > 0 GROUP BY 1),
-        |r AS (SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS rk
-        | FROM f),
-        |tot AS (SELECT sum(f) AS tot_toks FROM f),
-        |sizes AS (SELECT unnest([100, 1000, 10000]) AS n_vocab)
-        |SELECT CAST(s.n_vocab AS BIGINT) AS n_vocab,
-        | CAST(sum(r.f) AS BIGINT) AS covered,
-        | CAST(tot.tot_toks AS BIGINT) AS tot_toks,
-        | CAST(sum(r.f) * 1000000 // tot.tot_toks AS BIGINT) AS coverage_ppm
-        |FROM sizes s JOIN r ON r.rk <= s.n_vocab CROSS JOIN tot
-        |GROUP BY s.n_vocab, tot.tot_toks""".stripMargin,
-
-    // q211: dominant-priority sensitive attr, QI group census.
-    "q211_k_anonymity" ->
-      """WITH dom AS (
-        | SELECT o_custkey, o_orderpriority AS sens FROM (
-        |  SELECT o_custkey, o_orderpriority,
-        |   row_number() OVER (PARTITION BY o_custkey
-        |     ORDER BY count(*) DESC, o_orderpriority) AS rn
-        |  FROM orders GROUP BY o_custkey, o_orderpriority)
-        | WHERE rn = 1)
-        |SELECT CAST(c_nationkey AS BIGINT) AS nation,
-        | c_mktsegment AS segment,
-        | CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
-        | count(*) AS group_size,
-        | CAST(count(DISTINCT sens) AS BIGINT) AS l_diversity,
-        | count(*) < 5 AS violates_k
-        |FROM customer JOIN dom ON c_custkey = o_custkey
-        |GROUP BY 1, 2, 3""".stripMargin,
-
-    // q212: size-2 association rules, integer ppm confidence/lift.
-    "q212_assoc_rules" ->
-      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_suppkey AS i
-        |  FROM lineitem),
-        |sized AS (SELECT b FROM bi GROUP BY b HAVING count(*) <= 200),
-        |kept AS (SELECT bi.b, bi.i FROM bi JOIN sized USING (b)),
-        |nb AS (SELECT count(DISTINCT b) AS n FROM kept),
-        |isupp AS (SELECT i, count(*) AS supp FROM kept GROUP BY i),
-        |ps AS (SELECT x.i AS antecedent, y.i AS consequent,
-        |   count(*) AS support
-        | FROM kept x JOIN kept y ON x.b = y.b AND x.i <> y.i
-        | GROUP BY 1, 2 HAVING count(*) >= 10)
-        |SELECT antecedent, consequent, support,
-        | a.supp AS antecedent_support,
-        | 1000000 * support // a.supp AS confidence_ppm,
-        | 1000000 * support * nb.n // (a.supp * c.supp) AS lift_ppm
-        |FROM ps JOIN isupp a ON ps.antecedent = a.i
-        |JOIN isupp c ON ps.consequent = c.i CROSS JOIN nb""".stripMargin,
-
-    // q213: prefix-block sorted ranks, window-3 neighbors, JW ≥ 0.9.
-    "q213_sorted_neighborhood" ->
-      """WITH n AS (SELECT DISTINCT p_name AS nm FROM part),
-        |r AS (SELECT nm, substr(nm, 1, 4) AS blk,
-        |  row_number() OVER (PARTITION BY substr(nm, 1, 4)
-        |    ORDER BY nm) AS rk FROM n)
-        |SELECT a.nm AS a_name, b.nm AS b_name,
-        | CAST(b.rk - a.rk AS BIGINT) AS rank_gap,
-        | CAST(round(jaro_winkler_similarity(a.nm, b.nm) * 1000000)
-        |   AS BIGINT) AS jw_e6
-        |FROM r a JOIN r b ON a.blk = b.blk
-        | AND b.rk - a.rk BETWEEN 1 AND 3
-        |WHERE round(jaro_winkler_similarity(a.nm, b.nm) * 1000000)
-        | >= 800000""".stripMargin,
-
-    // q214: KM life table, hour resolution, censor at max event ts.
-    "q214_kaplan_meier" ->
-      """WITH e AS (SELECT user_id, event_type,
-        |  CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events),
-        |v AS (SELECT user_id, min(ts_ms) AS v_ts FROM e
-        |  WHERE event_type = 'view' GROUP BY 1),
-        |fp AS (SELECT v.user_id, v.v_ts, min(p.ts_ms) AS p_ts
-        | FROM v LEFT JOIN e p ON p.user_id = v.user_id
-        |  AND p.event_type = 'purchase' AND p.ts_ms >= v.v_ts
-        | GROUP BY 1, 2),
-        |endt AS (SELECT max(ts_ms) AS end_ts FROM e),
-        |subj AS (SELECT CASE WHEN p_ts IS NOT NULL
-        |   THEN (p_ts - v_ts) // 3600000
-        |   ELSE (end_ts - v_ts) // 3600000 END AS t,
-        |  p_ts IS NOT NULL AS obs FROM fp CROSS JOIN endt),
-        |perT AS (SELECT t, count(*) AS n_at,
-        |  sum(CASE WHEN obs THEN 1 ELSE 0 END) AS n_events
-        | FROM subj GROUP BY t),
-        |km AS (SELECT t, n_at, n_events,
-        |  sum(n_at) OVER (ORDER BY t DESC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
-        | FROM perT)
-        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
-        | CAST(n_events AS BIGINT) AS n_events,
-        | CAST(1000000 * n_events // n_risk AS BIGINT) AS hazard_ppm
-        |FROM km WHERE n_events > 0""".stripMargin,
-
-    // q215: the melt of the pivot is the straight relational census.
-    "q215_melt_roundtrip" ->
-      """SELECT epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day_ms,
-        | event_type, count(*) AS n
-        |FROM events GROUP BY 1, 2""".stripMargin,
-
-    // q216: per-candidate FD verification censuses, unioned.
-    "q216_fd_audit" ->
-      """WITH j AS (SELECT * FROM lineitem
-        |  JOIN orders ON l_orderkey = o_orderkey),
-        |fd1 AS (SELECT CAST(l_orderkey AS VARCHAR) AS x,
-        |  count(DISTINCT coalesce(CAST(o_custkey AS VARCHAR), ' NULL'))
-        |    AS ny FROM j GROUP BY 1),
-        |fd2 AS (SELECT CAST(l_orderkey AS VARCHAR) AS x,
-        |  count(DISTINCT coalesce(CAST(o_orderdate AS VARCHAR), ' NULL'))
-        |    AS ny FROM j GROUP BY 1),
-        |fd3 AS (SELECT CAST(l_partkey AS VARCHAR) AS x,
-        |  count(DISTINCT coalesce(CAST(l_suppkey AS VARCHAR), ' NULL'))
-        |    AS ny FROM j GROUP BY 1),
-        |fd4 AS (SELECT CAST(l_suppkey AS VARCHAR) AS x,
-        |  count(DISTINCT coalesce(l_returnflag, ' NULL')) AS ny
-        | FROM j GROUP BY 1)
-        |SELECT 'l_orderkey' AS lhs, 'o_custkey' AS rhs,
-        |  count(*) AS n_groups,
-        |  CAST(sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS violating_groups,
-        |  CAST(max(ny) AS BIGINT) AS max_rhs_distinct FROM fd1
-        |UNION ALL
-        |SELECT 'l_orderkey', 'o_orderdate', count(*),
-        |  CAST(sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT),
-        |  CAST(max(ny) AS BIGINT) FROM fd2
-        |UNION ALL
-        |SELECT 'l_partkey', 'l_suppkey', count(*),
-        |  CAST(sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT),
-        |  CAST(max(ny) AS BIGINT) FROM fd3
-        |UNION ALL
-        |SELECT 'l_suppkey', 'l_returnflag', count(*),
-        |  CAST(sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT),
-        |  CAST(max(ny) AS BIGINT) FROM fd4""".stripMargin,
-
-    // q217: replay the final fact/dim resolutions, join once.
-    "q217_join_view" ->
-      """WITH base AS (SELECT o_orderkey AS k, o_custkey AS cust,
-        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
-        | FROM orders WHERE o_orderkey % 6 = 0),
-        |f AS (SELECT k,
-        |  CASE WHEN k % 11 = 0 THEN cust % 100 + 1 ELSE cust END AS cust,
-        |  CASE WHEN k % 5 = 0 THEN price_cents + 1000
-        |    ELSE price_cents END AS price_cents
-        | FROM base WHERE k % 9 <> 0),
-        |d AS (SELECT c_custkey AS d_id,
-        |  CASE WHEN c_custkey % 4 = 0 THEN c_mktsegment || '_v2'
-        |    ELSE c_mktsegment END AS segment
-        | FROM customer WHERE c_custkey % 37 <> 0)
-        |SELECT k, cust, segment, price_cents
-        |FROM f JOIN d ON cust = d_id""".stripMargin,
-
-    // q218: quadratic brute force is the truth the grid must match.
-    "q218_grid_join" ->
-      """WITH p AS (SELECT c_custkey AS id,
-        |  CAST(round(c_acctbal * 100) AS BIGINT) + 100000 AS x,
-        |  (c_custkey * 7919) % 100000 AS y FROM customer)
-        |SELECT a.id AS a_id, b.id AS b_id,
-        | abs(a.x - b.x) AS dx_abs, abs(a.y - b.y) AS dy_abs
-        |FROM p a JOIN p b ON a.id < b.id
-        |WHERE abs(a.x - b.x) <= 10000 AND abs(a.y - b.y) <= 2000""".stripMargin,
-
-    // q219: q85's oriented-wedge CTEs, each triangle charged to its
-    // three canonical edges, left join keeps support-0 edges.
-    "q219_edge_support" ->
-      """WITH raw AS (
-        | SELECT a.l_suppkey AS u, b.l_suppkey AS v
-        | FROM lineitem a JOIN lineitem b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-        | GROUP BY 1, 2 HAVING count(*) >= 5),
-        |e AS (SELECT u AS a, v AS b FROM raw),
-        |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d
-        | FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
-        |o AS (
-        | SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS src,
-        |        CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS dst,
-        |        CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d END AS dd
-        | FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b),
-        |w AS (
-        | SELECT o1.src AS x, o1.dst AS y, o2.dst AS z
-        | FROM o o1 JOIN o o2 ON o1.src = o2.src
-        |  AND (o1.dd, o1.dst) < (o2.dd, o2.dst)),
-        |tri AS (SELECT x, y, z FROM w JOIN o ON o.src = w.y AND o.dst = w.z),
-        |te AS (
-        | SELECT least(x, y) AS a, greatest(x, y) AS b FROM tri
-        | UNION ALL SELECT least(x, z), greatest(x, z) FROM tri
-        | UNION ALL SELECT least(y, z), greatest(y, z) FROM tri),
-        |supp AS (SELECT a, b, CAST(count(*) AS BIGINT) AS support
-        | FROM te GROUP BY 1, 2)
-        |SELECT e.a AS l_suppkey, e.b AS dst_supp,
-        | coalesce(supp.support, 0) AS support
-        |FROM e LEFT JOIN supp ON supp.a = e.a AND supp.b = e.b""".stripMargin,
-
-    // q220: the textbook correlated scalar subquery — DuckDB decorrelates
-    // it its own way; the gate proves the agg-join rewrite is equivalent.
-    "q220_small_qty_revenue" ->
-      """WITH li AS (
-        | SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
-        |  CAST(round(l_extendedprice * 10000) AS BIGINT) AS price_e4
-        | FROM lineitem JOIN part ON l_partkey = p_partkey
-        | WHERE p_brand = 'Brand#1')
-        |SELECT CAST(sum(price_e4) AS BIGINT) AS small_revenue_e4,
-        | count(*) AS n_small
-        |FROM li a
-        |WHERE a.qty * 5 * (SELECT count(*) FROM li b
-        |    WHERE b.l_partkey = a.l_partkey)
-        |  < (SELECT sum(qty) FROM li b
-        |    WHERE b.l_partkey = a.l_partkey)""".stripMargin,
-
-    // q221: the textbook EXISTS / NOT EXISTS pair over the same lateness
-    // definition — proves the per-order-aggregate rewrite is equivalent.
-    "q221_waiting_supplier" ->
-      """WITH l AS (
-        | SELECT l_orderkey, l_suppkey,
-        |  (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
-        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        | WHERE o_orderstatus = 'F')
-        |SELECT s_suppkey, s_name, count(*) AS numwait
-        |FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM l WHERE late) l1
-        |JOIN supplier ON s_suppkey = l1.l_suppkey
-        |WHERE EXISTS (SELECT 1 FROM l l2
-        |   WHERE l2.l_orderkey = l1.l_orderkey
-        |     AND l2.l_suppkey <> l1.l_suppkey)
-        |  AND NOT EXISTS (SELECT 1 FROM l l3
-        |   WHERE l3.l_orderkey = l1.l_orderkey
-        |     AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
-        |GROUP BY 1, 2""".stripMargin,
-
-    // q222: scalar subquery + NOT EXISTS, integer-cents threshold.
-    "q222_idle_rich_customers" ->
-      """WITH cohort AS (
-        | SELECT c_custkey, c_nationkey,
-        |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
-        | FROM customer
-        | WHERE c_nationkey IN (0, 3, 7, 11, 13, 17, 19, 23))
-        |SELECT c_nationkey, count(*) AS numcust,
-        | CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
-        |FROM cohort a
-        |WHERE a.bal_cents * (SELECT count(*) FROM cohort WHERE bal_cents > 0)
-        |   > (SELECT sum(bal_cents) FROM cohort WHERE bal_cents > 0)
-        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = a.c_custkey)
-        |GROUP BY 1""".stripMargin,
-
-    // q223: nested IN-subqueries with a correlated half-of-total
-    // threshold — the Q20 silhouette on this schema.
-    "q223_dominant_supplier" ->
-      """WITH red AS (
-        | SELECT l_partkey, l_suppkey, CAST(round(l_quantity) AS BIGINT) AS qty
-        | FROM lineitem JOIN part ON l_partkey = p_partkey
-        | WHERE year(l_shipdate) = 1996 AND contains(p_name, 'red'))
-        |SELECT s_suppkey, s_name FROM supplier
-        |WHERE s_suppkey IN (
-        | SELECT l_suppkey FROM red a GROUP BY l_partkey, l_suppkey
-        | HAVING sum(qty) * 2 > (SELECT sum(qty) FROM red b
-        |   WHERE b.l_partkey = a.l_partkey))""".stripMargin,
-
-    "q224_private_histogram" -> q224OracleSql,
-
-    "q225_kmv_overlap" -> q225OracleSql,
-
-    // q226: list_reduce refold — state rides a 2-element BIGINT list
-    // [l, b] prepended to the series (elements lifted to [y, 0] so the
-    // accumulator and element types match); `//` and `div` both truncate
-    // toward zero, so each step's integer rounding replays exactly.
-    "q226_holt_forecast" ->
-      """WITH daily AS (
-        | SELECT event_type, epoch_ms(ts) // 86400000 AS day,
-        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-        | FROM events GROUP BY 1, 2),
-        |ser AS (
-        | SELECT event_type, count(*) AS n_obs,
-        |  list(cents ORDER BY day) AS ys
-        | FROM daily GROUP BY 1),
-        |st AS (
-        | SELECT event_type, n_obs, list_reduce(
-        |  list_prepend([ys[1], CAST(0 AS BIGINT)],
-        |    list_transform(ys[2:], y -> [y, CAST(0 AS BIGINT)])),
-        |  (acc, e) -> [
-        |    (2*e[1] + 8*(acc[1] + acc[2])) // 10,
-        |    (3*(((2*e[1] + 8*(acc[1] + acc[2])) // 10) - acc[1])
-        |      + 7*acc[2]) // 10]) AS s
-        | FROM ser)
-        |SELECT event_type, n_obs, s[1] AS level, s[2] AS trend,
-        | s[1] + s[2] AS forecast_next, s[1] + 7*s[2] AS forecast_h
-        |FROM st""".stripMargin,
-
-    // q227: Hamilton apportionment replay in HUGEINT; quotas must sum to
-    // the prime budget exactly.
-    "q227_apportion" ->
-      """WITH g AS (
-        | SELECT source, CAST(sum(n_chars) AS BIGINT) AS weight
-        | FROM documents GROUP BY 1),
-        |t AS (SELECT CAST(sum(weight) AS HUGEINT) AS W FROM g),
-        |a AS (
-        | SELECT source, weight,
-        |  (CAST(999983 AS HUGEINT) * weight) // W AS base,
-        |  (CAST(999983 AS HUGEINT) * weight) % W AS rem
-        | FROM g, t),
-        |d AS (
-        | SELECT *, 999983 - sum(base) OVER () AS deficit,
-        |  row_number() OVER (ORDER BY rem DESC, source) AS rk
-        | FROM a)
-        |SELECT source, weight,
-        | CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
-        |  AS quota
-        |FROM d""".stripMargin,
-
-    "q228_topk_other" ->
-      """WITH daily AS (
-        | SELECT epoch_ms(ts) // 86400000 AS day, event_type,
-        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-        | FROM events GROUP BY 1, 2),
-        |r AS (
-        | SELECT day, event_type, cents, row_number() OVER (
-        |   PARTITION BY day ORDER BY cents DESC, event_type) AS rk
-        | FROM daily)
-        |SELECT day, CASE WHEN rk <= 2 THEN event_type ELSE 'OTHER' END AS grp,
-        | CAST(sum(cents) AS BIGINT) AS cents, count(*) AS n_types
-        |FROM r GROUP BY 1, 2""".stripMargin,
-
-    "q229_holt_winters" -> q229OracleSql,
-
-    // q230: pair slopes as exact rationals; the double sort is an exact
-    // total order at these magnitudes (see Trend.theilSen), ties by
-    // (num, den), lower median at rank (p+1)//2.
-    "q230_theil_sen" ->
-      """WITH daily AS (
-        | SELECT event_type, epoch_ms(ts) // 86400000 AS day,
-        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-        | FROM events GROUP BY 1, 2),
-        |p AS (
-        | SELECT a.event_type,
-        |  b.cents - a.cents AS num, b.day - a.day AS den
-        | FROM daily a JOIN daily b
-        |  ON a.event_type = b.event_type AND a.day < b.day),
-        |r AS (
-        | SELECT event_type, num, den,
-        |  row_number() OVER (PARTITION BY event_type
-        |    ORDER BY CAST(num AS DOUBLE) / den, num, den) AS rn,
-        |  count(*) OVER (PARTITION BY event_type) AS n_pairs
-        | FROM p)
-        |SELECT event_type, n_pairs, num AS med_num, den AS med_den,
-        | num * 1000000 // den AS slope_e6
-        |FROM r WHERE rn = (n_pairs + 1) // 2""".stripMargin,
-
-    // q231: same window/phase arithmetic; note pmod ≡ DuckDB % only
-    // because day indices are non-negative.
-    "q231_decompose" ->
-      """WITH daily AS (
-        | SELECT event_type, epoch_ms(ts) // 86400000 AS day,
-        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-        | FROM events GROUP BY 1, 2),
-        |tr AS (
-        | SELECT event_type, day, cents,
-        |  sum(cents) OVER w AS wsum, count(*) OVER w AS wcnt
-        | FROM daily
-        | WINDOW w AS (PARTITION BY event_type ORDER BY day
-        |   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-        |t2 AS (
-        | SELECT event_type, day, cents, wsum // 7 AS trend, day % 7 AS phase,
-        |  cents - wsum // 7 AS detr
-        | FROM tr WHERE wcnt = 7),
-        |se AS (
-        | SELECT event_type, phase,
-        |  CAST(sum(detr) AS BIGINT) // count(*) AS s_raw
-        | FROM t2 GROUP BY 1, 2),
-        |ad AS (
-        | SELECT event_type, CAST(sum(s_raw) AS BIGINT) // 7 AS adj
-        | FROM se GROUP BY 1),
-        |st AS (
-        | SELECT se.event_type, phase, s_raw - adj AS seasonal
-        | FROM se JOIN ad ON se.event_type = ad.event_type)
-        |SELECT t2.event_type, day AS t, cents AS y,
-        | CAST(trend AS BIGINT) AS trend, CAST(seasonal AS BIGINT) AS seasonal,
-        | CAST(cents - trend - seasonal AS BIGINT) AS remainder
-        |FROM t2 JOIN st ON t2.event_type = st.event_type
-        |  AND t2.phase = st.phase""".stripMargin,
-
-    // q232: day-scale interpolation — the ms scaling cancels exactly in
-    // the truncating division ((a·k) div (b·k) = a div b), so the
-    // day-grid replay matches the operator's ms arithmetic bit-for-bit.
-    "q232_linear_fill" ->
-      """WITH daily AS (
-        | SELECT event_type, epoch_ms(ts) // 86400000 AS day,
-        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-        | FROM events GROUP BY 1, 2),
-        |obs AS (SELECT * FROM daily WHERE day % 5 <> 2),
-        |span AS (SELECT event_type, min(day) AS lo, max(day) AS hi
-        | FROM obs GROUP BY 1),
-        |grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS day
-        | FROM span),
-        |j AS (SELECT g.event_type, g.day, o.cents
-        | FROM grid g LEFT JOIN obs o
-        |  ON g.event_type = o.event_type AND g.day = o.day),
-        |f AS (
-        | SELECT event_type, day, cents,
-        |  last_value(cents IGNORE NULLS) OVER wp AS pv,
-        |  last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
-        |    OVER wp AS pb,
-        |  first_value(cents IGNORE NULLS) OVER wn AS nv,
-        |  first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
-        |    OVER wn AS nb
-        | FROM j
-        | WINDOW wp AS (PARTITION BY event_type ORDER BY day
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |  wn AS (PARTITION BY event_type ORDER BY day
-        |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-        |SELECT event_type, day * 86400000 AS bucket_ms,
-        | CASE WHEN cents IS NOT NULL THEN cents
-        |  ELSE pv + (nv - pv) * (day - pb) // (nb - pb) END AS cents,
-        | cents IS NOT NULL AS observed
-        |FROM f""".stripMargin,
-
-    // q233: the same minimax replay — interval means from prefix sums,
-    // min over k ≥ i then max over j ≤ i, all in e6 integers.
-    "q233_isotonic" ->
-      """WITH b AS (
-        | SELECT least(CAST(floor(value / 50) AS BIGINT), 9) AS bin,
-        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS s,
-        |  count(*) AS c
-        | FROM events GROUP BY 1),
-        |cum AS (
-        | SELECT bin, s, c, sum(s) OVER (ORDER BY bin) AS ps,
-        |  sum(c) OVER (ORDER BY bin) AS pc FROM b),
-        |iv AS (
-        | SELECT l.bin AS j, h.bin AS k,
-        |  (h.ps - (l.ps - l.s)) * 1000000 // (h.pc - (l.pc - l.c)) AS m
-        | FROM cum l JOIN cum h ON l.bin <= h.bin),
-        |mn AS (
-        | SELECT p.bin AS i, iv.j, min(iv.m) AS mn
-        | FROM b p JOIN iv ON iv.j <= p.bin AND p.bin <= iv.k
-        | GROUP BY 1, 2),
-        |ft AS (SELECT i, max(mn) AS fitted_e6 FROM mn GROUP BY 1)
-        |SELECT 'all' AS grp, b.bin, b.s, b.c,
-        | CAST(s * 1000000 // c AS BIGINT) AS rate_e6,
-        | CAST(fitted_e6 AS BIGINT) AS fitted_e6
-        |FROM b JOIN ft ON ft.i = b.bin""".stripMargin,
-
-    // q234: full coalition replay — per-user exposure masks, v(S) as the
-    // e6 rate of EXACT-set users, integer weights s!(n−1−s)! summing to
-    // n! per channel.
-    "q234_shapley" ->
-      """WITH ein AS (
-        | SELECT user_id, event_type FROM events
-        | WHERE ((epoch_ms(ts) // 86400000) % 7 = user_id % 7
-        |    AND event_type IN ('view', 'click', 'signup', 'error'))
-        |  OR event_type = 'purchase'),
-        |u AS (
-        | SELECT user_id,
-        |  max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-        |  + 2 * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-        |  + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
-        |  + 8 * max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-        |   AS mask,
-        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
-        | FROM ein GROUP BY 1),
-        |pm AS (
-        | SELECT mask, CAST(sum(conv) AS BIGINT) * 1000000 // count(*) AS v
-        | FROM u GROUP BY 1),
-        |co AS (
-        | SELECT i, s, s | (1 << i) AS si,
-        |  CASE bit_count(CAST(s AS BIGINT)) WHEN 0 THEN 6 WHEN 1 THEN 2
-        |   WHEN 2 THEN 2 ELSE 6 END AS w
-        | FROM range(0, 4) t(i), range(0, 16) r(s)
-        | WHERE (s & (1 << i)) = 0),
-        |j AS (
-        | SELECT i, (coalesce(b.v, 0) - coalesce(a.v, 0)) * w AS lift
-        | FROM co LEFT JOIN pm a ON a.mask = co.s
-        |  LEFT JOIN pm b ON b.mask = co.si)
-        |SELECT CASE i WHEN 0 THEN 'view' WHEN 1 THEN 'click'
-        |  WHEN 2 THEN 'signup' ELSE 'error' END AS channel,
-        | CAST(sum(lift) AS BIGINT) AS phi_x24_e6
-        |FROM j GROUP BY 1""".stripMargin,
-
-    // q235: stats → corrected isqrt → Hamilton replay.
-    "q235_neyman" ->
-      """WITH st AS (
-        | SELECT event_type, count(*) AS n_h,
-        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sy,
-        |  CAST(sum(CAST(round(value * 100) AS BIGINT)
-        |    * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS syy
-        | FROM events GROUP BY 1),
-        |v AS (
-        | SELECT event_type, n_h, n_h * syy - sy * sy AS var_num,
-        |  CAST(floor(sqrt(CAST(n_h * syy - sy * sy AS DOUBLE))) AS BIGINT)
-        |    AS s0
-        | FROM st),
-        |wt AS (
-        | SELECT event_type, n_h,
-        |  CASE WHEN s0 * s0 > var_num THEN s0 - 1
-        |   WHEN (s0 + 1) * (s0 + 1) <= var_num THEN s0 + 1
-        |   ELSE s0 END AS w
-        | FROM v),
-        |t AS (SELECT CAST(sum(w) AS HUGEINT) AS tot FROM wt),
-        |a AS (
-        | SELECT event_type, n_h, w AS weight,
-        |  (CAST(10000 AS HUGEINT) * w) // tot AS base,
-        |  (CAST(10000 AS HUGEINT) * w) % tot AS rem
-        | FROM wt, t),
-        |d AS (
-        | SELECT *, 10000 - sum(base) OVER () AS deficit,
-        |  row_number() OVER (ORDER BY rem DESC, event_type) AS rk
-        | FROM a)
-        |SELECT event_type, n_h, weight,
-        | CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
-        |  AS quota
-        |FROM d""".stripMargin,
-
-    // q236: the q214 life table plus the e9 additive cumulation.
-    "q236_nelson_aalen" ->
-      """WITH e AS (SELECT user_id, event_type,
-        |  CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events),
-        |v AS (SELECT user_id, min(ts_ms) AS v_ts FROM e
-        |  WHERE event_type = 'view' GROUP BY 1),
-        |fp AS (SELECT v.user_id, v.v_ts, min(p.ts_ms) AS p_ts
-        | FROM v LEFT JOIN e p ON p.user_id = v.user_id
-        |  AND p.event_type = 'purchase' AND p.ts_ms >= v.v_ts
-        | GROUP BY 1, 2),
-        |endt AS (SELECT max(ts_ms) AS end_ts FROM e),
-        |subj AS (SELECT CASE WHEN p_ts IS NOT NULL
-        |   THEN (p_ts - v_ts) // 3600000
-        |   ELSE (end_ts - v_ts) // 3600000 END AS t,
-        |  p_ts IS NOT NULL AS obs FROM fp CROSS JOIN endt),
-        |perT AS (SELECT t, count(*) AS n_at,
-        |  sum(CASE WHEN obs THEN 1 ELSE 0 END) AS n_events
-        | FROM subj GROUP BY t),
-        |na AS (SELECT t, n_at, n_events,
-        |  sum(n_at) OVER (ORDER BY t DESC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
-        | FROM perT),
-        |inc AS (SELECT t, n_risk, n_events,
-        |  CAST(1000000000 * n_events // n_risk AS BIGINT) AS inc_e9
-        | FROM na),
-        |cum AS (SELECT t, n_risk, n_events, inc_e9,
-        |  sum(CASE WHEN n_events > 0 THEN inc_e9 ELSE 0 END)
-        |   OVER (ORDER BY t ASC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |   AS cum_hazard_e9
-        | FROM inc)
-        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
-        | CAST(n_events AS BIGINT) AS n_events, inc_e9,
-        | CAST(cum_hazard_e9 AS BIGINT) AS cum_hazard_e9
-        |FROM cum WHERE n_events > 0""".stripMargin,
-
-    "q237_vocab_growth" ->
-      """WITH tok AS (
-        | SELECT doc_id // 100 AS bucket,
-        |  unnest(list_filter(
-        |    regexp_split_to_array(trim(lower(text)), '\s+'),
-        |    x -> length(x) > 0)) AS w
-        | FROM documents),
-        |pb AS (SELECT bucket, count(*) AS n_tokens FROM tok GROUP BY 1),
-        |fw AS (SELECT min(bucket) AS fb FROM tok GROUP BY w),
-        |nw AS (SELECT fb, count(*) AS new_words FROM fw GROUP BY 1)
-        |SELECT bucket, CAST(n_tokens AS BIGINT) AS n_tokens,
-        | CAST(coalesce(new_words, 0) AS BIGINT) AS new_words,
-        | CAST(sum(n_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens,
-        | CAST(sum(coalesce(new_words, 0)) OVER (ORDER BY bucket) AS BIGINT)
-        |  AS cum_vocab
-        |FROM pb LEFT JOIN nw ON nw.fb = pb.bucket""".stripMargin,
-
-    // q238: same pinned order — four e6 cell means, then differences.
-    // Integer midpoint (min+max) div 2 — never a double cast, whose
-    // rounding differs between engines.
-    "q239_markov_removal" -> q239OracleSql,
-
-    "q241_top_component" -> q241OracleSql,
-
-    "q244_hits" -> q244OracleSql,
-
-    // q242: the textbook IN-subquery formulation.
-    "q242_large_orders" ->
-      """SELECT c_name, o_custkey, o_orderkey, o_orderdate,
-        | CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_cents,
-        | (SELECT CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
-        |   FROM lineitem WHERE l_orderkey = o_orderkey) AS total_qty
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |WHERE o_orderkey IN (
-        | SELECT l_orderkey FROM lineitem GROUP BY 1
-        | HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300)""".stripMargin,
-
-    // q243: the textbook view + scalar-max formulation, ties kept.
-    "q243_top_supplier" ->
-      """WITH rev AS (
-        | SELECT l_suppkey, CAST(sum(CAST(round(
-        |   l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
-        |   AS BIGINT) AS total_rev_e4
-        | FROM lineitem
-        | WHERE year(l_shipdate) = 1996 AND month(l_shipdate) <= 3
-        | GROUP BY 1)
-        |SELECT s_suppkey, s_name, total_rev_e4
-        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
-        |WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)"""
-        .stripMargin,
-
-    // q240: same ntile over the same total order; cumulative counts
-    // then e6 rates.
-    "q240_uplift_curve" ->
-      """WITH u AS (
-        | SELECT user_id,
-        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS score,
-        |  max(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS tr,
-        |  CASE WHEN sum(CASE WHEN event_type = 'purchase'
-        |     THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) >= 59000
-        |   THEN 1 ELSE 0 END AS cv
-        | FROM events GROUP BY 1),
-        |td AS (
-        | SELECT *, ntile(10) OVER (ORDER BY score DESC, user_id) AS tile
-        | FROM u),
-        |pt AS (
-        | SELECT tile, count(*) AS n,
-        |  CAST(sum(tr) AS BIGINT) AS n_t,
-        |  CAST(sum(tr * cv) AS BIGINT) AS conv_t,
-        |  CAST(sum(1 - tr) AS BIGINT) AS n_c,
-        |  CAST(sum((1 - tr) * cv) AS BIGINT) AS conv_c
-        | FROM td GROUP BY 1),
-        |cm AS (
-        | SELECT *, sum(n_t) OVER w AS cum_n_t,
-        |  sum(conv_t) OVER w AS cum_conv_t,
-        |  sum(n_c) OVER w AS cum_n_c, sum(conv_c) OVER w AS cum_conv_c
-        | FROM pt WINDOW w AS (ORDER BY tile
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT CAST(tile AS INTEGER) AS tile, n, n_t, conv_t, n_c, conv_c,
-        | CAST(cum_n_t AS BIGINT) AS cum_n_t,
-        | CAST(cum_conv_t AS BIGINT) AS cum_conv_t,
-        | CAST(cum_n_c AS BIGINT) AS cum_n_c,
-        | CAST(cum_conv_c AS BIGINT) AS cum_conv_c,
-        | CAST(CASE WHEN cum_n_t > 0
-        |  THEN cum_conv_t * 1000000 // cum_n_t END AS BIGINT) AS rate_t_e6,
-        | CAST(CASE WHEN cum_n_c > 0
-        |  THEN cum_conv_c * 1000000 // cum_n_c END AS BIGINT) AS rate_c_e6,
-        | CAST((CASE WHEN cum_n_t > 0
-        |   THEN cum_conv_t * 1000000 // cum_n_t END)
-        | - (CASE WHEN cum_n_c > 0
-        |   THEN cum_conv_c * 1000000 // cum_n_c END) AS BIGINT) AS uplift_e6
-        |FROM cm""".stripMargin,
-
-    "q238_diff_in_diff" ->
-      """WITH e AS (
-        | SELECT user_id % 2 = 0 AS treated,
-        |  CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
-        |  CAST(round(value * 100) AS BIGINT) AS y
-        | FROM events),
-        |m AS (SELECT (min(ts_ms) + max(ts_ms)) // 2 AS mid FROM e),
-        |c AS (
-        | SELECT
-        |  CAST(sum(CASE WHEN treated AND ts_ms < mid THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_t_pre,
-        |  CAST(sum(CASE WHEN treated AND ts_ms < mid THEN y ELSE 0 END)
-        |    AS BIGINT) AS sum_t_pre,
-        |  CAST(sum(CASE WHEN treated AND ts_ms >= mid THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_t_post,
-        |  CAST(sum(CASE WHEN treated AND ts_ms >= mid THEN y ELSE 0 END)
-        |    AS BIGINT) AS sum_t_post,
-        |  CAST(sum(CASE WHEN NOT treated AND ts_ms < mid THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_c_pre,
-        |  CAST(sum(CASE WHEN NOT treated AND ts_ms < mid THEN y ELSE 0 END)
-        |    AS BIGINT) AS sum_c_pre,
-        |  CAST(sum(CASE WHEN NOT treated AND ts_ms >= mid THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_c_post,
-        |  CAST(sum(CASE WHEN NOT treated AND ts_ms >= mid THEN y ELSE 0 END)
-        |    AS BIGINT) AS sum_c_post
-        | FROM e, m)
-        |SELECT *,
-        | (m_t_post_e6 - m_t_pre_e6) - (m_c_post_e6 - m_c_pre_e6) AS did_e6
-        |FROM (
-        | SELECT *,
-        |  CASE WHEN n_t_pre > 0 THEN sum_t_pre * 1000000 // n_t_pre END
-        |    AS m_t_pre_e6,
-        |  CASE WHEN n_t_post > 0 THEN sum_t_post * 1000000 // n_t_post END
-        |    AS m_t_post_e6,
-        |  CASE WHEN n_c_pre > 0 THEN sum_c_pre * 1000000 // n_c_pre END
-        |    AS m_c_pre_e6,
-        |  CASE WHEN n_c_post > 0 THEN sum_c_post * 1000000 // n_c_post END
-        |    AS m_c_post_e6
-        | FROM c)""".stripMargin,
-
-    // q245: same doubled-midrank closed form (2·cum_before + cnt + 1)
-    // per variable, quadratic forms in HUGEINT, emitted DECIMAL(38,0).
-    "q245_spearman" ->
-      """WITH pc AS (SELECT o_custkey, count(*) AS xv,
-        |  sum(CAST(round(o_totalprice*100) AS BIGINT)) AS yv
-        | FROM orders GROUP BY 1),
-        |hx AS (SELECT xv AS v, count(*) AS cnt FROM pc GROUP BY 1),
-        |rx AS (SELECT v,
-        |  2*(sum(cnt) OVER (ORDER BY v) - cnt) + cnt + 1 AS r FROM hx),
-        |hy AS (SELECT yv AS v, count(*) AS cnt FROM pc GROUP BY 1),
-        |ry AS (SELECT v,
-        |  2*(sum(cnt) OVER (ORDER BY v) - cnt) + cnt + 1 AS r FROM hy),
-        |j AS (SELECT CAST(rx.r AS HUGEINT) AS rx, CAST(ry.r AS HUGEINT) AS ry
-        | FROM pc JOIN rx ON rx.v = pc.xv JOIN ry ON ry.v = pc.yv),
-        |a AS (SELECT count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
-        |  sum(rx*ry) AS sxy, sum(rx*rx) AS sxx, sum(ry*ry) AS syy FROM j)
-        |SELECT CAST(n AS BIGINT) AS n,
-        |  CAST(CAST(n*sxy - sx*sy AS DECIMAL(38,0)) AS VARCHAR) AS cov_num,
-        |  CAST(CAST(n*sxx - sx*sx AS DECIMAL(38,0)) AS VARCHAR) AS var_x_num,
-        |  CAST(CAST(n*syy - sy*sy AS DECIMAL(38,0)) AS VARCHAR) AS var_y_num
-        |FROM a""".stripMargin,
-
-    // q246: one combined-value histogram; R₁ from sample-1 counts times
-    // the doubled midrank; tie term in HUGEINT.
-    "q246_rank_sum" ->
-      """WITH e AS (SELECT CAST(round(value*100) AS BIGINT) AS v,
-        |  CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS s1
-        | FROM events WHERE value IS NOT NULL),
-        |h AS (SELECT v, count(*) AS cnt, sum(s1) AS cnt1 FROM e GROUP BY 1),
-        |c AS (SELECT v, cnt, cnt1,
-        |  sum(cnt) OVER (ORDER BY v) AS cum,
-        |  sum(cnt) OVER () AS n, sum(cnt1) OVER () AS n1 FROM h),
-        |t AS (SELECT n, n1,
-        |  sum(cnt1*(2*(cum-cnt)+cnt+1)) AS sum_r1x2,
-        |  sum(CAST(cnt AS HUGEINT)*cnt*cnt - cnt) AS tie FROM c
-        | GROUP BY 1, 2)
-        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n - n1 AS BIGINT) AS n2,
-        |  CAST(sum_r1x2 - n1*(n1+1) AS BIGINT) AS u1_x2,
-        |  CAST(CAST(tie AS DECIMAL(38,0)) AS VARCHAR) AS tie_term
-        |FROM t""".stripMargin,
-
-    // q247: the textbook WHERE-clause formulation.
-    "q247_disjunct_revenue" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_items,
-        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000)
-        |    AS BIGINT)) AS BIGINT) AS revenue_e4
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
-        |    AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 11)
-        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
-        |    AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20)
-        |   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 15
-        |    AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)"""
-        .stripMargin,
-
-    // q248: same running-max + (dd DESC, day) witness windows.
-    "q248_drawdown" ->
-      """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
-        |  sum(CAST(round(value*100) AS BIGINT)) AS cents
-        | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
-        |r AS (SELECT event_type, day, cents,
-        |  max(cents) OVER (PARTITION BY event_type ORDER BY day
-        |    ROWS UNBOUNDED PRECEDING) AS peak FROM d),
-        |k AS (SELECT event_type, peak - cents AS dd, day, peak,
-        |  row_number() OVER (PARTITION BY event_type
-        |    ORDER BY peak - cents DESC, day) AS rk FROM r)
-        |SELECT event_type, CAST(dd AS BIGINT) AS max_dd,
-        |  CAST(day AS BIGINT) AS at_t, CAST(peak AS BIGINT) AS peak_at
-        |FROM k WHERE rk = 1""".stripMargin,
-
-    // q249: quality replay + the marginal-product chance correction.
-    "q249_cohen_kappa" ->
-      s"""WITH r AS (SELECT
-         |  CASE WHEN q < 40 THEN 0 WHEN q < 70 THEN 1 ELSE 2 END AS a,
-         |  CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 350 THEN 1
-         |    ELSE 2 END AS b
-         | FROM (SELECT $qualityExprSql AS q, n_chars FROM documents)),
-         |c AS (SELECT a, b, count(*) AS cnt FROM r GROUP BY 1, 2),
-         |rw AS (SELECT a AS cat, sum(cnt) AS row_n FROM c GROUP BY 1),
-         |cl AS (SELECT b AS cat, sum(cnt) AS col_n FROM c GROUP BY 1),
-         |pe AS (SELECT coalesce(sum(CAST(row_n AS HUGEINT) * col_n), 0)
-         |  AS pe_num FROM rw JOIN cl USING (cat)),
-         |t AS (SELECT sum(cnt) AS n,
-         |  coalesce(sum(CASE WHEN a = b THEN cnt END), 0) AS n_agree
-         | FROM c)
-         |SELECT CAST(n AS BIGINT) AS n, CAST(n_agree AS BIGINT) AS n_agree,
-         |  CAST(CAST(pe_num AS DECIMAL(38,0)) AS VARCHAR) AS pe_num,
-         |  CAST(CAST(CAST(n AS HUGEINT)*n_agree - pe_num AS DECIMAL(38,0))
-         |    AS VARCHAR) AS kappa_num,
-         |  CAST(CAST(CAST(n AS HUGEINT)*n - pe_num AS DECIMAL(38,0))
-         |    AS VARCHAR) AS kappa_den
-         |FROM t, pe""".stripMargin,
-
-    // q250: q211's dom/qi CTEs, then the ordered-EMD unroll — per-group
-    // cumulative against the global cumulative, cross-multiplied.
-    "q250_t_closeness" ->
-      """WITH dom AS (
-        | SELECT o_custkey, o_orderpriority AS sens FROM (
-        |  SELECT o_custkey, o_orderpriority,
-        |   row_number() OVER (PARTITION BY o_custkey
-        |     ORDER BY count(*) DESC, o_orderpriority) AS rn
-        |  FROM orders GROUP BY o_custkey, o_orderpriority)
-        | WHERE rn = 1),
-        |qi AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
-        |  c_mktsegment AS segment,
-        |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket, sens
-        | FROM customer JOIN dom ON c_custkey = o_custkey),
-        |cells AS (SELECT nation, segment, bal_bucket, sens AS s,
-        |  count(*) AS g FROM qi GROUP BY 1, 2, 3, 4),
-        |cats AS (SELECT s, sum(g) AS ns FROM cells GROUP BY 1),
-        |catc AS (SELECT s, sum(ns) OVER (ORDER BY s) AS cum_n,
-        |  row_number() OVER (ORDER BY s) AS rk,
-        |  count(*) OVER () AS mm, sum(ns) OVER () AS nt FROM cats),
-        |grp AS (SELECT nation, segment, bal_bucket, sum(g) AS n
-        | FROM cells GROUP BY 1, 2, 3),
-        |x AS (SELECT grp.nation, grp.segment, grp.bal_bucket, grp.n,
-        |  catc.s, catc.cum_n, catc.rk, catc.mm, catc.nt,
-        |  coalesce(cells.g, 0) AS gg
-        | FROM grp CROSS JOIN catc
-        | LEFT JOIN cells ON cells.nation = grp.nation
-        |  AND cells.segment = grp.segment
-        |  AND cells.bal_bucket = grp.bal_bucket AND cells.s = catc.s),
-        |c2 AS (SELECT nation, segment, bal_bucket, n, mm, nt, rk, cum_n,
-        |  sum(gg) OVER (PARTITION BY nation, segment, bal_bucket
-        |    ORDER BY s) AS cum_g FROM x),
-        |a AS (SELECT nation, segment, bal_bucket, n, mm, nt,
-        |  coalesce(sum(CASE WHEN rk < mm THEN
-        |    abs(CAST(cum_g AS HUGEINT)*nt - CAST(cum_n AS HUGEINT)*n)
-        |   END), 0) AS emd_num
-        | FROM c2 GROUP BY 1, 2, 3, 4, 5, 6)
-        |SELECT nation, segment, bal_bucket, CAST(n AS BIGINT) AS n,
-        |  CAST(CAST(emd_num AS DECIMAL(38,0)) AS VARCHAR) AS emd_num,
-        |  CAST(CAST(CAST(n AS HUGEINT)*nt*(mm-1) AS DECIMAL(38,0))
-        |    AS VARCHAR) AS emd_den,
-        |  emd_num*2 > CAST(n AS HUGEINT)*nt*(mm-1) AS violates_t
-        |FROM a""".stripMargin,
-
-    // q251: rank index, lag self-join, the same n²-scaled closed form
-    // in HUGEINT.
-    "q251_acf" ->
-      """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
-        |  sum(CAST(round(value*100) AS BIGINT)) AS y
-        | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
-        |ix AS (SELECT event_type, y,
-        |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
-        | FROM d),
-        |tot AS (SELECT event_type, count(*) AS n,
-        |  sum(CAST(y AS HUGEINT)) AS s,
-        |  sum(CAST(y AS HUGEINT)*y) AS syy FROM ix GROUP BY 1),
-        |p AS (SELECT a.event_type, b.t - a.t AS lag, count(*) AS cnt,
-        |  sum(CAST(a.y AS HUGEINT)) AS h, sum(CAST(b.y AS HUGEINT)) AS tl,
-        |  sum(CAST(a.y AS HUGEINT)*b.y) AS sab
-        | FROM ix a JOIN ix b ON a.event_type = b.event_type
-        |  AND b.t - a.t BETWEEN 1 AND 7
-        | GROUP BY 1, 2)
-        |SELECT p.event_type, CAST(lag AS BIGINT) AS lag,
-        |  CAST(n AS BIGINT) AS n,
-        |  CAST(CAST(n*n*sab - n*s*(h+tl) + cnt*s*s AS DECIMAL(38,0))
-        |    AS VARCHAR) AS acf_num,
-        |  CAST(CAST(n*(n*syy - s*s) AS DECIMAL(38,0)) AS VARCHAR) AS acf_den
-        |FROM p JOIN tot ON p.event_type = tot.event_type""".stripMargin,
-
-    // q252: cell census, xa<xb pair sweep, doubled tie terms.
-    "q252_kendall_tau" ->
-      """WITH pc AS (SELECT count(*) AS x,
-        |  sum(CAST(round(o_totalprice*100) AS BIGINT)) // 100000 AS y
-        | FROM orders GROUP BY o_custkey),
-        |c AS (SELECT x, y, count(*) AS g FROM pc GROUP BY 1, 2),
-        |cd AS (SELECT
-        |  coalesce(sum(CASE WHEN a.y < b.y THEN
-        |    CAST(a.g AS HUGEINT)*b.g END), 0) AS concordant,
-        |  coalesce(sum(CASE WHEN a.y > b.y THEN
-        |    CAST(a.g AS HUGEINT)*b.g END), 0) AS discordant
-        | FROM c a JOIN c b ON a.x < b.x),
-        |tx AS (SELECT coalesce(sum(CAST(m AS HUGEINT)*(m-1)), 0) AS tie_x2
-        | FROM (SELECT sum(g) AS m FROM c GROUP BY x)),
-        |ty AS (SELECT coalesce(sum(CAST(m AS HUGEINT)*(m-1)), 0) AS tie_y2
-        | FROM (SELECT sum(g) AS m FROM c GROUP BY y)),
-        |n AS (SELECT sum(g) AS n FROM c)
-        |SELECT CAST(n AS BIGINT) AS n,
-        |  CAST(CAST(concordant AS DECIMAL(38,0)) AS VARCHAR) AS concordant,
-        |  CAST(CAST(discordant AS DECIMAL(38,0)) AS VARCHAR) AS discordant,
-        |  CAST(CAST(tie_x2 AS DECIMAL(38,0)) AS VARCHAR) AS tie_x2,
-        |  CAST(CAST(tie_y2 AS DECIMAL(38,0)) AS VARCHAR) AS tie_y2
-        |FROM n, cd, tx, ty""".stripMargin,
-
-    // q253: the unpruned three-way formulation — downward closure
-    // guarantees the pruned plan returns the identical set.
-    "q253_freq_triples" ->
-      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_suppkey AS i
-        |  FROM lineitem),
-        |sized AS (SELECT b FROM bi GROUP BY b HAVING count(*) <= 200),
-        |kept AS (SELECT bi.b, bi.i FROM bi JOIN sized USING (b))
-        |SELECT x.i AS i1, y.i AS i2, z.i AS i3,
-        |  CAST(count(*) AS BIGINT) AS support
-        |FROM kept x JOIN kept y ON x.b = y.b AND x.i < y.i
-        | JOIN kept z ON x.b = z.b AND y.i < z.i
-        |GROUP BY 1, 2, 3 HAVING count(*) >= 5""".stripMargin,
-
-    // q254: the same five running sums over a ROWS 6 PRECEDING frame.
-    "q254_rolling_ols" ->
-      """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
-        |  sum(CAST(round(value*100) AS BIGINT)) AS y
-        | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
-        |r AS (SELECT event_type, day,
-        |  count(*) OVER w AS n,
-        |  sum(CAST(day AS HUGEINT)) OVER w AS sx,
-        |  sum(CAST(y AS HUGEINT)) OVER w AS sy,
-        |  sum(CAST(day AS HUGEINT)*y) OVER w AS sxy,
-        |  sum(CAST(day AS HUGEINT)*day) OVER w AS sxx
-        | FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
-        |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
-        |SELECT event_type, CAST(day AS BIGINT) AS t, CAST(n AS BIGINT) AS n,
-        |  CAST(CAST(n*sxy - sx*sy AS DECIMAL(38,0)) AS VARCHAR) AS slope_num,
-        |  CAST(CAST(n*sxx - sx*sx AS DECIMAL(38,0)) AS VARCHAR) AS slope_den
-        |FROM r""".stripMargin,
-
-    "q255_table_checksum" -> q255OracleSql,
-
-    // q256: identical three-valued-logic semantics in DuckDB.
-    "q256_notin_nullaware" ->
-      """SELECT 'clean' AS variant, CAST(count(*) AS BIGINT) AS n_customers
-        |FROM customer
-        |WHERE c_nationkey NOT IN (SELECT s_nationkey FROM supplier
-        |                          WHERE s_acctbal >= 1000)
-        |UNION ALL
-        |SELECT 'nullable', CAST(count(*) AS BIGINT)
-        |FROM customer
-        |WHERE c_nationkey NOT IN (SELECT nullif(s_nationkey, 15)
-        |                          FROM supplier
-        |                          WHERE s_acctbal >= 1000)""".stripMargin,
-
-    // q257: the two-layer re-aggregation unrolled.
-    "q257_two_hop_agg" ->
-      """WITH e AS (SELECT DISTINCT x.l_suppkey AS src, y.l_suppkey AS dst
-        |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
-        |   AND x.l_suppkey <> y.l_suppkey),
-        |f AS (SELECT s_suppkey AS id,
-        |  CAST(round(s_acctbal*100) AS BIGINT) AS x FROM supplier),
-        |h1 AS (SELECT src AS id, count(*) AS deg,
-        |  sum(CAST(f.x AS HUGEINT)) AS sum1
-        | FROM e JOIN f ON f.id = e.dst GROUP BY 1),
-        |h2 AS (SELECT src AS id, sum(deg) AS n2, sum(sum1) AS sum2
-        | FROM e JOIN h1 ON h1.id = e.dst GROUP BY 1)
-        |SELECT h1.id AS id, CAST(deg AS BIGINT) AS deg,
-        |  CAST(CAST(sum1 AS DECIMAL(38,0)) AS VARCHAR) AS sum1,
-        |  CAST(coalesce(n2, 0) AS BIGINT) AS n2,
-        |  CAST(CAST(coalesce(sum2, 0) AS DECIMAL(38,0)) AS VARCHAR) AS sum2
-        |FROM h1 LEFT JOIN h2 ON h1.id = h2.id""".stripMargin,
-
-    "q258_grid_dbscan" -> q258OracleSql,
-
-    // q259: unit-grain conditional sums, pooled quadratics, the same
-    // common-denominator algebra in HUGEINT.
-    "q259_cuped" ->
-      """WITH b AS (SELECT epoch_ms(ts) AS ts_ms, user_id,
-        |  CAST(round(value*100) AS BIGINT) AS v FROM events),
-        |m AS (SELECT (min(ts_ms) + max(ts_ms)) // 2 AS mid FROM b),
-        |u AS (SELECT user_id,
-        |  max(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS t,
-        |  sum(CASE WHEN ts_ms < mid THEN v ELSE 0 END) AS x,
-        |  sum(CASE WHEN ts_ms >= mid THEN v ELSE 0 END) AS y
-        | FROM b, m GROUP BY 1),
-        |a AS (SELECT count(*) AS n,
-        |  sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS n_t,
-        |  sum(CASE WHEN t = 1 THEN x ELSE 0 END) AS sx_t,
-        |  sum(CASE WHEN t <> 1 THEN x ELSE 0 END) AS sx_c,
-        |  sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS sy_t,
-        |  sum(CASE WHEN t <> 1 THEN y ELSE 0 END) AS sy_c,
-        |  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
-        |  sum(CAST(x AS HUGEINT)*x) AS sxx, sum(CAST(x AS HUGEINT)*y) AS sxy
-        | FROM u),
-        |c AS (SELECT n_t, n - n_t AS n_c,
-        |  CAST(sy_t AS HUGEINT)*(n - n_t) - CAST(sy_c AS HUGEINT)*n_t
-        |    AS raw_num,
-        |  CAST(n_t AS HUGEINT)*(n - n_t) AS raw_den,
-        |  CAST(sx_t AS HUGEINT)*(n - n_t) - CAST(sx_c AS HUGEINT)*n_t
-        |    AS xdiff_num,
-        |  n*sxy - sx*sy AS theta_num, n*sxx - sx*sx AS theta_den
-        | FROM a)
-        |SELECT CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
-        |  CAST(CAST(raw_num AS DECIMAL(38,0)) AS VARCHAR) AS raw_num,
-        |  CAST(CAST(raw_den AS DECIMAL(38,0)) AS VARCHAR) AS raw_den,
-        |  CAST(CAST(theta_num AS DECIMAL(38,0)) AS VARCHAR) AS theta_num,
-        |  CAST(CAST(theta_den AS DECIMAL(38,0)) AS VARCHAR) AS theta_den,
-        |  CAST(CAST(raw_num*theta_den - theta_num*xdiff_num
-        |    AS DECIMAL(38,0)) AS VARCHAR) AS cuped_num,
-        |  CAST(CAST(raw_den*theta_den AS DECIMAL(38,0)) AS VARCHAR)
-        |    AS cuped_den
-        |FROM c""".stripMargin,
-
-    // q260: same md5 split, calibration mean via floor-div, q̂ as the
-    // capped ⌈0.9(n+1)⌉-th order statistic off a cumulative histogram.
-    "q260_conformal" ->
-      """WITH b AS (SELECT event_type,
-        |  CAST(round(value*100) AS BIGINT) AS y,
-        |  substr(md5(CAST(event_id AS VARCHAR) || '#conf#v1'), 1, 1) < '8'
-        |    AS cal
-        | FROM events WHERE value IS NOT NULL),
-        |p AS (SELECT event_type, count(*) AS n_cal,
-        |  CAST(sum(y) // count(*) AS BIGINT) AS pred
-        | FROM b WHERE cal GROUP BY 1),
-        |r AS (SELECT b.event_type, abs(y - pred) AS r, cal, n_cal, pred
-        | FROM b JOIN p USING (event_type)),
-        |t AS (SELECT event_type, any_value(n_cal) AS n,
-        |  least(any_value(n_cal),
-        |        ((any_value(n_cal) + 1) * 90 + 99) // 100) AS target
-        | FROM r WHERE cal GROUP BY 1),
-        |h AS (SELECT event_type, r, count(*) AS c
-        | FROM r WHERE cal GROUP BY 1, 2),
-        |cum AS (SELECT event_type, r,
-        |  sum(c) OVER (PARTITION BY event_type ORDER BY r) AS cum FROM h),
-        |q AS (SELECT cum.event_type, min(r) AS qhat
-        | FROM cum JOIN t USING (event_type)
-        | WHERE cum >= target GROUP BY 1)
-        |SELECT r.event_type, any_value(pred) AS pred,
-        |  any_value(n_cal) AS n_cal, any_value(qhat) AS qhat,
-        |  count(*) AS n_test,
-        |  CAST(sum(CASE WHEN r <= qhat THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS covered
-        |FROM r JOIN q USING (event_type)
-        |WHERE NOT cal GROUP BY 1""".stripMargin,
-
-    // q261: the single-node replay IS the global-order window the Spark
-    // side exists to avoid — runs = rows where the value differs from
-    // its lag (IS DISTINCT FROM: null runs merge), +1 for row 1.
-    "q261_rle_layout" -> {
-      val cols = Seq("l_suppkey", "l_partkey", "l_returnflag",
-        "l_linestatus", "l_shipdate")
-      def cte(alias: String, order: String) =
-        s"""$alias AS (
-           | SELECT ${cols.mkString(", ")}, row_number() OVER w AS rn,
-           |  ${cols.map(c => s"lag($c) OVER w AS p_$c").mkString(", ")}
-           | FROM lineitem WINDOW w AS (ORDER BY $order))""".stripMargin
-      def branches(alias: String, label: String) = cols.map(c =>
-        s"""SELECT '$label' AS sort_order, '$c' AS col_name,
-           | CAST(sum(CASE WHEN rn = 1 OR $c IS DISTINCT FROM p_$c
-           |   THEN 1 ELSE 0 END) AS BIGINT) AS runs,
-           | count(*) AS n_rows FROM $alias""".stripMargin)
-      s"""WITH ${cte("nat", "l_orderkey, l_linenumber")},
-         |${cte("sup", "l_suppkey, l_shipdate, l_orderkey, l_linenumber")}
-         |${(branches("nat", "natural") ++
-             branches("sup", "supplier_ship")).mkString("\nUNION ALL\n")}
-         |""".stripMargin
-    },
-
-    // q262: same unit grain as q259; strata via format('{:b}') bit
-    // length, HUGEINT cross-multiplication, // truncation parity.
-    "q262_poststrat_ate" ->
-      """WITH b AS (SELECT user_id, epoch_ms(ts) AS ts_ms,
-        |  CAST(round(value*100) AS BIGINT) AS v FROM events),
-        |m AS (SELECT (min(ts_ms) + max(ts_ms)) // 2 AS mid FROM b),
-        |u AS (SELECT user_id,
-        |  max(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS t,
-        |  CAST(sum(CASE WHEN ts_ms < mid THEN v ELSE 0 END) AS BIGINT) AS x,
-        |  sum(CASE WHEN ts_ms >= mid THEN v ELSE 0 END) AS y
-        | FROM b, m GROUP BY 1),
-        |s AS (SELECT CAST(length(format('{:b}', x)) AS BIGINT) AS stratum,
-        |  count(*) AS n_units,
-        |  CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
-        |  CAST(sum(CASE WHEN t <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
-        |  sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS sy_t,
-        |  sum(CASE WHEN t <> 1 THEN y ELSE 0 END) AS sy_c
-        | FROM u GROUP BY 1),
-        |d AS (SELECT stratum, n_units, n_t, n_c,
-        |  CASE WHEN n_t > 0 AND n_c > 0 THEN
-        |   CAST((CAST(sy_t AS HUGEINT)*n_c - CAST(sy_c AS HUGEINT)*n_t)
-        |     * 1000000 // (CAST(n_t AS HUGEINT)*n_c) AS BIGINT)
-        |  END AS diff_e6 FROM s)
-        |SELECT stratum, n_units, n_t, n_c, diff_e6 FROM d
-        |UNION ALL
-        |SELECT CAST(-1 AS BIGINT), CAST(sum(n_units) AS BIGINT),
-        |  CAST(sum(n_t) AS BIGINT), CAST(sum(n_c) AS BIGINT),
-        |  CAST(sum(CAST(n_units AS HUGEINT) * diff_e6)
-        |    // sum(CAST(n_units AS HUGEINT)) AS BIGINT)
-        |FROM d WHERE diff_e6 IS NOT NULL""".stripMargin,
-
-    // q263: positional postings via generate_subscripts/unnest (which
-    // zip positionally), then the same adjacency self-joins.
-    "q263_phrase_search" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
-        |  FROM documents),
-        |w AS (SELECT doc_id, generate_subscripts(l, 1) AS pos,
-        |  unnest(l) AS term FROM d),
-        |m AS (SELECT a.doc_id, a.pos AS start FROM w a
-        | JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-        |   AND b.term = 'column'
-        | JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
-        |   AND c.term = 'sort'
-        | WHERE a.term = 'row')
-        |SELECT doc_id, count(*) AS n_matches,
-        |  CAST(min(start) AS BIGINT) AS first_pos
-        |FROM m GROUP BY 1""".stripMargin,
-
-    // q264: the single-node replay IS the global-order window the
-    // operator avoids; bit length via format('{:b}').
-    "q264_dict_encode" ->
-      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
-        |  FROM documents),
-        |c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
-        |r AS (SELECT term, cnt,
-        |  row_number() OVER (ORDER BY cnt DESC, term) - 1 AS code FROM c)
-        |SELECT term, cnt, code,
-        |  CAST(cnt * length(format('{:b}', code)) AS BIGINT) AS bits_total
-        |FROM r""".stripMargin,
-
-    // q265: argmax by the same truncated mean_e6, ties to first arm;
-    // uniform-5 IPS as exact integer ratio.
-    // q359: the same policy CTEs, then per-row SNIPS/DR contributions
-    // with truncating e-scale divisions replayed literally.
-    "q359_snips_dr" ->
-      """WITH b AS (SELECT user_id % 4 AS segment, event_type AS arm,
-        |  CAST(round(value*100) AS BIGINT) AS r,
-        |  100000 + (event_id % 5) * 150000 AS p,
-        |  epoch_ms(ts) AS ts_ms FROM events),
-        |m AS (SELECT (min(ts_ms) + max(ts_ms)) // 2 AS mid FROM b),
-        |q AS (SELECT segment, arm,
-        |  (sum(r) * 1000000) // count(*) AS q_e6
-        | FROM b, m WHERE ts_ms < mid GROUP BY 1, 2),
-        |pol AS (SELECT segment, arm AS chosen_arm, q_e6 AS q_pi FROM (
-        |  SELECT segment, arm, q_e6, row_number() OVER (
-        |    PARTITION BY segment ORDER BY q_e6 DESC, arm) AS rk FROM q) z
-        | WHERE rk = 1),
-        |evl AS (SELECT b.segment, pol.chosen_arm,
-        |  b.arm = pol.chosen_arm AS m2,
-        |  q2.q_e6 IS NULL AS miss,
-        |  CASE WHEN b.arm = pol.chosen_arm
-        |   THEN b.r * 1000000000000 // b.p ELSE 0 END AS sn,
-        |  CASE WHEN b.arm = pol.chosen_arm
-        |   THEN 1000000000000 // b.p ELSE 0 END AS sd,
-        |  pol.q_pi + CASE WHEN b.arm = pol.chosen_arm
-        |   THEN (b.r * 1000000 - coalesce(q2.q_e6, 0)) * 1000000 // b.p
-        |   ELSE 0 END AS dr
-        | FROM b CROSS JOIN m
-        | JOIN pol ON pol.segment = b.segment
-        | LEFT JOIN q q2 ON q2.segment = b.segment AND q2.arm = b.arm
-        | WHERE b.ts_ms >= mid)
-        |SELECT segment, chosen_arm, count(*) AS n_eval,
-        | CAST(sum(CASE WHEN m2 THEN 1 ELSE 0 END) AS BIGINT)
-        |   AS n_matched,
-        | CAST(sum(CASE WHEN miss THEN 1 ELSE 0 END) AS BIGINT)
-        |   AS n_train_miss,
-        | CAST(CAST(sum(sn) AS DECIMAL(38,0)) AS VARCHAR) AS snips_num,
-        | CAST(CAST(sum(sd) AS DECIMAL(38,0)) AS VARCHAR) AS snips_den,
-        | CAST(CASE WHEN sum(sd) = 0 THEN NULL
-        |  ELSE CAST(sum(sn) AS HUGEINT) * 1000000 // sum(sd) END
-        |  AS BIGINT) AS snips_e6,
-        | CAST(CAST(sum(dr) AS DECIMAL(38,0)) AS VARCHAR) AS dr_sum_e6,
-        | CAST(CAST(sum(dr) AS HUGEINT) // count(*) AS BIGINT)
-        |   AS dr_mean_e6
-        |FROM evl GROUP BY 1, 2""".stripMargin,
-
-    "q265_replay_ips" ->
-      """WITH b AS (SELECT user_id % 4 AS segment, event_type AS arm,
-        |  CAST(round(value*100) AS BIGINT) AS r,
-        |  epoch_ms(ts) AS ts_ms FROM events),
-        |m AS (SELECT (min(ts_ms) + max(ts_ms)) // 2 AS mid FROM b),
-        |tr AS (SELECT segment, arm, sum(r) AS s, count(*) AS n
-        | FROM b, m WHERE ts_ms < mid GROUP BY 1, 2),
-        |p AS (SELECT segment, arm AS chosen_arm FROM (
-        |  SELECT segment, arm, row_number() OVER (PARTITION BY segment
-        |    ORDER BY (s * 1000000) // n DESC, arm) AS rk FROM tr)
-        | WHERE rk = 1)
-        |SELECT b.segment, chosen_arm, count(*) AS n_eval,
-        |  CAST(sum(CASE WHEN arm = chosen_arm THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_matched,
-        |  CAST(sum(CASE WHEN arm = chosen_arm THEN r ELSE 0 END)
-        |    AS BIGINT) AS sum_matched,
-        |  CAST(sum(CASE WHEN arm = chosen_arm THEN r ELSE 0 END) * 5
-        |    AS BIGINT) AS ips_num,
-        |  count(*) AS ips_den
-        |FROM b, m, p
-        |WHERE b.ts_ms >= mid AND p.segment = b.segment
-        |GROUP BY 1, 2""".stripMargin,
-
-    // q266: same blocking, same fixed agreement weights.
-    "q266_fs_linkage" ->
-      """WITH p AS (SELECT p_partkey AS id,
-        |  string_split(p_name, ' ')[1] AS tok1,
-        |  string_split(p_name, ' ')[2] || '#' ||
-        |    CAST(p_size // 8 AS VARCHAR) AS blk,
-        |  p_brand AS brand, p_type AS typ, p_size AS size FROM part),
-        |pairs AS (SELECT a.blk AS block,
-        |  (CASE WHEN a.tok1 = b.tok1 THEN 240 ELSE -80 END) +
-        |  (CASE WHEN a.brand = b.brand THEN 160 ELSE -60 END) +
-        |  (CASE WHEN a.typ = b.typ THEN 120 ELSE -40 END) +
-        |  (CASE WHEN abs(a.size - b.size) <= 2 THEN 80 ELSE -30 END)
-        |    AS score
-        | FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id)
-        |SELECT block,
-        |  CASE WHEN score >= 400 THEN 'link'
-        |       WHEN score >= 100 THEN 'possible'
-        |       ELSE 'non_link' END AS class,
-        |  count(*) AS n_pairs,
-        |  CAST(sum(score) AS BIGINT) AS sum_score
-        |FROM pairs GROUP BY 1, 2""".stripMargin,
-
-    // q267: same unpivot, same two-stage e9 truncation in HUGEINT.
-    "q267_gini_stump" ->
-      """WITH e AS (SELECT
-        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
-        |  epoch_ms(ts) AS ts_ms, user_id,
-        |  CAST(round(value*100) AS BIGINT) AS v FROM events),
-        |u AS (
-        | SELECT 'hour_of_day' AS feature,
-        |  CAST((ts_ms // 3600000) % 24 AS VARCHAR) AS val, label FROM e
-        | UNION ALL SELECT 'user_bucket',
-        |  CAST(user_id % 7 AS VARCHAR), label FROM e
-        | UNION ALL SELECT 'value_band',
-        |  CAST(length(format('{:b}', v)) AS VARCHAR), label FROM e),
-        |c AS (SELECT feature, val, count(*) AS n, sum(label) AS n_pos
-        | FROM u GROUP BY 1, 2),
-        |t AS (SELECT feature, n,
-        |  CAST((CAST(n AS HUGEINT)*n - CAST(n_pos AS HUGEINT)*n_pos
-        |        - CAST(n - n_pos AS HUGEINT)*(n - n_pos))
-        |   * 1000000000 // CAST(n AS HUGEINT) AS BIGINT) AS term_e9
-        | FROM c)
-        |SELECT feature, count(*) AS n_values, CAST(sum(n) AS BIGINT)
-        |  AS n_rows,
-        | CAST(sum(CAST(term_e9 AS HUGEINT))
-        |   // sum(CAST(n AS HUGEINT)) AS BIGINT) AS gini_e9
-        |FROM t GROUP BY 1""".stripMargin,
-
-    "q268_kcenter_coreset" -> q268OracleSql,
-
-    // q269: the running max the operator avoids, as a plain window.
-    "q269_lateness_audit" ->
-      """WITH b AS (SELECT event_id, epoch_ms(ts) AS ts_ms FROM events
-        |  WHERE ts IS NOT NULL),
-        |r AS (SELECT ts_ms, max(ts_ms) OVER (ORDER BY ts_ms // 3600000,
-        |   md5(CAST(event_id AS VARCHAR))) AS hwm
-        | FROM b),
-        |l AS (SELECT hwm - ts_ms AS late_ms FROM r)
-        |SELECT CASE WHEN late_ms = 0 THEN CAST(0 AS BIGINT)
-        |  ELSE CAST(length(format('{:b}', late_ms)) AS BIGINT) END
-        |    AS bucket,
-        | count(*) AS n, CAST(max(late_ms) AS BIGINT) AS max_late_ms
-        |FROM l GROUP BY 1""".stripMargin,
-
-    // q270: the cumsum window the operator avoids, over net deltas.
-    "q270_concurrency" ->
-      """WITH e AS (SELECT epoch_ms(ts) AS ts_ms FROM events
-        |  WHERE ts IS NOT NULL),
-        |d AS (SELECT b, CAST(sum(x) AS BIGINT) AS delta FROM (
-        |  SELECT ts_ms AS b, 1 AS x FROM e
-        |  UNION ALL SELECT ts_ms + 3600000, -1 FROM e)
-        | GROUP BY 1),
-        |r AS (SELECT CAST(sum(delta) OVER (ORDER BY b) AS BIGINT)
-        |  AS conc FROM d)
-        |SELECT CASE WHEN conc = 0 THEN CAST(0 AS BIGINT)
-        |  ELSE CAST(length(format('{:b}', conc)) AS BIGINT) END AS bucket,
-        | count(*) AS n_boundaries, CAST(max(conc) AS BIGINT) AS max_conc
-        |FROM r GROUP BY 1""".stripMargin,
-
-    // q271: optimality by exhaustion — every mask < 2^n_jobs, masks
-    // containing any overlapping pair invalidated, max valid sum.
-    "q271_interval_sched" ->
-      """WITH j0 AS (SELECT l_suppkey AS g, epoch_ms(l_shipdate) AS s,
-        |  epoch_ms(l_shipdate) + 604800000 AS e,
-        |  CAST(round(l_extendedprice*100) AS BIGINT) AS w,
-        |  l_orderkey*8 + l_linenumber AS id
-        | FROM lineitem WHERE l_suppkey < 100),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY g
-        |  ORDER BY w DESC, id) AS rk FROM j0),
-        |j AS (SELECT g, s, e, w,
-        |  row_number() OVER (PARTITION BY g ORDER BY id) - 1 AS bit
-        | FROM r WHERE rk <= 10),
-        |n AS (SELECT g, count(*) AS n_jobs FROM j GROUP BY 1),
-        |m AS (SELECT n.g, t.range AS mask FROM n
-        | JOIN range(0, 1024) t ON t.range < (1 << n.n_jobs)),
-        |sel AS (SELECT m.g, m.mask, j.s, j.e, j.w, j.bit
-        | FROM m JOIN j ON j.g = m.g AND ((m.mask >> j.bit) & 1) = 1),
-        |inv AS (SELECT DISTINCT s1.g, s1.mask FROM sel s1
-        | JOIN sel s2 ON s1.g = s2.g AND s1.mask = s2.mask
-        |  AND s1.bit < s2.bit AND s1.s < s2.e AND s2.s < s1.e),
-        |sums AS (SELECT g, mask, sum(w) AS tot FROM sel GROUP BY 1, 2),
-        |valid AS (SELECT sums.g, sums.mask, sums.tot
-        |  FROM sums LEFT JOIN inv
-        |    ON inv.g = sums.g AND inv.mask = sums.mask
-        |  WHERE inv.mask IS NULL
-        | UNION ALL SELECT g, 0, 0 FROM n)
-        |SELECT n.g AS suppkey, CAST(n.n_jobs AS BIGINT) AS n_jobs,
-        |  CAST(max(valid.tot) AS BIGINT) AS best_cents
-        |FROM n JOIN valid ON valid.g = n.g
-        |GROUP BY 1, 2""".stripMargin,
-
-    // q272: the oracle is q08's FULL recompute over all events — the
-    // incremental path must be indistinguishable from it.
-    "q272_session_ivm" ->
-      """WITH o AS (
-        | SELECT user_id, epoch_ms(ts) AS ms, event_id,
-        |  CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
-        |        OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 14400000
-        |       THEN 1 ELSE 0 END AS brk
-        | FROM events
-        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
-        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
-        |                               ROWS UNBOUNDED PRECEDING) AS sid FROM o)
-        |SELECT user_id, min(ms) AS session_start_ms, max(ms) AS session_end_ms,
-        |       count(*) AS n_events
-        |FROM s GROUP BY user_id, sid""".stripMargin,
-
-    // q273: the cumsum window + the same integer-division flip.
-    "q273_pps_sample" ->
-      """WITH c AS (SELECT doc_id, n_chars,
-        |  CAST(sum(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cum
-        | FROM documents),
-        |t AS (SELECT max(cum) // 100 AS step FROM c)
-        |SELECT doc_id, n_chars, cum FROM c, t
-        |WHERE (cum - 1) // step > (cum - 1 - n_chars) // step""".stripMargin,
-
-    // q274: identical construction, identical two-axis as-of filter.
-    "q274_bitemporal" ->
-      """WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
-        |  epoch_ms(o_orderdate) AS od,
-        |  CAST(round(o_totalprice*100) AS BIGINT) AS p,
-        |  o_orderkey % 5 = 0 AS corr FROM orders),
-        |tab AS (
-        | SELECT k, prio, od AS vf, 9000000000000000 AS vt,
-        |        od AS tf, 9000000000000000 AS tt, p FROM o WHERE NOT corr
-        | UNION ALL SELECT k, prio, od, 9000000000000000,
-        |        od, od + 1296000000, p FROM o WHERE corr
-        | UNION ALL SELECT k, prio, od, od + 864000000,
-        |        od + 1296000000, 9000000000000000, p FROM o WHERE corr
-        | UNION ALL SELECT k, prio, od + 864000000, 9000000000000000,
-        |        od + 1296000000, 9000000000000000, p * 9 // 10
-        |   FROM o WHERE corr),
-        |ts AS (SELECT (min(od) + max(od)) // 2 AS t2,
-        |  (min(od) + max(od)) // 2 - 2592000000 AS t1 FROM o)
-        |SELECT prio, count(*) AS n_orders,
-        |  CAST(sum(p) AS BIGINT) AS sum_cents
-        |FROM tab, ts
-        |WHERE tf <= t2 AND t2 < tt AND vf <= t1 AND t1 < vt
-        |GROUP BY 1""".stripMargin,
-
-    // q275: same ring, assignment via arg_min with a >= filter + wrap.
-    "q275_hash_ring" ->
-      """WITH k AS (SELECT md5(CAST(c_custkey AS VARCHAR)) AS kh
-        |  FROM customer),
-        |v8 AS (SELECT 'n' || CAST(t.n AS VARCHAR) AS node,
-        |  md5('n' || CAST(t.n AS VARCHAR) || '#' || CAST(u.r AS VARCHAR))
-        |    AS h
-        | FROM range(0, 8) AS t(n), range(0, 16) AS u(r)),
-        |v9 AS (SELECT 'n' || CAST(t.n AS VARCHAR) AS node,
-        |  md5('n' || CAST(t.n AS VARCHAR) || '#' || CAST(u.r AS VARCHAR))
-        |    AS h
-        | FROM range(0, 9) AS t(n), range(0, 16) AS u(r)),
-        |a8 AS (SELECT kh, coalesce(
-        |   arg_min(node, h) FILTER (WHERE h >= kh), arg_min(node, h))
-        |     AS node_before
-        | FROM k CROSS JOIN v8 GROUP BY kh),
-        |a9 AS (SELECT kh, coalesce(
-        |   arg_min(node, h) FILTER (WHERE h >= kh), arg_min(node, h))
-        |     AS node_after
-        | FROM k CROSS JOIN v9 GROUP BY kh)
-        |SELECT node_before, node_after, count(*) AS n_keys
-        |FROM a8 JOIN a9 USING (kh) GROUP BY 1, 2""".stripMargin,
-
-    // q276: the global-order lag replay; zigzag as a CASE, first row
-    // deltas from 0 via coalesce.
-    "q276_delta_layout" -> {
-      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey")
-      def cte(alias: String, order: String) =
-        s"""$alias AS (
-           | SELECT ${cols.mkString(", ")},
-           |  ${cols.map(c => s"lag($c) OVER w AS p_$c").mkString(", ")}
-           | FROM lineitem WINDOW w AS (ORDER BY $order))""".stripMargin
-      def branches(alias: String, label: String) = cols.map { c =>
-        val d = s"($c - coalesce(p_$c, 0))"
-        s"""SELECT '$label' AS sort_order, '$c' AS col_name,
-           | CAST(sum(length(format('{:b}',
-           |   CASE WHEN $d >= 0 THEN 2*$d ELSE -2*$d - 1 END)))
-           |  AS BIGINT) AS delta_bits,
-           | count(*) AS n_rows FROM $alias""".stripMargin
-      }
-      s"""WITH ${cte("nat", "l_orderkey, l_linenumber")},
-         |${cte("sup", "l_suppkey, l_shipdate, l_orderkey, l_linenumber")}
-         |${(branches("nat", "natural") ++
-             branches("sup", "supplier_ship")).mkString("\nUNION ALL\n")}
-         |""".stripMargin
-    },
-
-    // q277: arg_max over the [ts, pri] list key, filtered to non-null —
-    // field-independent survivorship, same tie discipline.
-    "q277_survivorship" ->
-      """WITH a AS (SELECT c_custkey AS k, 100 + c_custkey % 7 AS ts,
-        |  2 AS pri, c_name AS name,
-        |  CASE WHEN c_custkey % 3 <> 0
-        |       THEN CAST(round(c_acctbal*100) AS BIGINT) END AS bal,
-        |  c_mktsegment AS seg FROM customer),
-        |b AS (SELECT c_custkey, 100 + c_custkey % 5, 1, upper(c_name),
-        |  CAST(round(c_acctbal*100) AS BIGINT),
-        |  CASE WHEN c_custkey % 2 <> 0 THEN c_mktsegment END
-        | FROM customer),
-        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
-        |SELECT k,
-        |  arg_max(name, ts * 10 + pri) FILTER (WHERE name IS NOT NULL)
-        |    AS name,
-        |  arg_max(bal, ts * 10 + pri) FILTER (WHERE bal IS NOT NULL)
-        |    AS bal_cents,
-        |  arg_max(seg, ts * 10 + pri) FILTER (WHERE seg IS NOT NULL)
-        |    AS segment
-        |FROM u GROUP BY 1""".stripMargin,
-
-    // q278: per-pair scalar subqueries — distinct censuses, containment
-    // join, uniqueness probe; same ppm truncation.
-    "q278_fk_inference" -> {
-      def pair(label: String, child: String, cc: String, parent: String,
-          pc: String) =
-        s"""SELECT '$label' AS candidate,
-           | cd.n AS n_child_distinct, pd.n AS n_parent_distinct,
-           | j.n AS n_contained, j.n * 1000000 // cd.n AS containment_ppm,
-           | pd.mx = 1 AS parent_unique,
-           | (pd.mx = 1 AND j.n = cd.n) AS is_fk
-           |FROM
-           | (SELECT count(DISTINCT $cc) AS n FROM $child
-           |   WHERE $cc IS NOT NULL) cd,
-           | (SELECT count(*) AS n, max(c) AS mx FROM
-           |   (SELECT $pc, count(*) AS c FROM $parent GROUP BY 1)) pd,
-           | (SELECT count(*) AS n FROM
-           |   (SELECT DISTINCT $cc AS v FROM $child
-           |     WHERE $cc IS NOT NULL) x
-           |   JOIN (SELECT DISTINCT $pc AS v FROM $parent) y
-           |     ON x.v = y.v) j""".stripMargin
-      Seq(
-        pair("lineitem.l_orderkey->orders.o_orderkey", "lineitem",
-          "l_orderkey", "orders", "o_orderkey"),
-        pair("lineitem.l_partkey->part.p_partkey", "lineitem",
-          "l_partkey", "part", "p_partkey"),
-        pair("orders.o_custkey->customer.c_custkey", "orders",
-          "o_custkey", "customer", "c_custkey"),
-        pair("lineitem.l_suppkey->part.p_partkey", "lineitem",
-          "l_suppkey", "part", "p_partkey"),
-        pair("customer.c_custkey->orders.o_orderkey", "customer",
-          "c_custkey", "orders", "o_orderkey"),
-      ).mkString("\nUNION ALL\n")
-    },
-
-    // q279: same histogram-axis cumulative ECDFs, HUGEINT quadratic,
-    // same (quotient, remainder) exact shipping.
-    "q279_cvm_test" ->
-      """WITH b AS (SELECT event_type,
-        |  CAST(round(value*100) AS BIGINT) AS v FROM events
-        | WHERE value IS NOT NULL
-        |   AND event_type IN ('purchase', 'click')),
-        |h AS (SELECT v,
-        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,
-        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cb
-        | FROM b GROUP BY 1),
-        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n,
-        |  CAST(sum(cb) AS BIGINT) AS m FROM h),
-        |c AS (SELECT ca, cb,
-        |  sum(ca) OVER (ORDER BY v) AS cuma,
-        |  sum(cb) OVER (ORDER BY v) AS cumb FROM h),
-        |g AS (SELECT ca, cb,
-        |  CAST(m AS HUGEINT) * cuma - CAST(n AS HUGEINT) * cumb AS gap
-        | FROM c, t),
-        |u AS (SELECT CAST(sum(CAST(ca + cb AS HUGEINT) * gap * gap)
-        |  AS HUGEINT) AS u FROM g)
-        |SELECT n, m,
-        |  CAST(u // (CAST(n AS HUGEINT) * m) AS BIGINT) AS u_quot,
-        |  CAST(u % (CAST(n AS HUGEINT) * m) AS BIGINT) AS u_rem
-        |FROM u, t""".stripMargin,
-
-    // q280: the identical unrolled xy2d (emitted by the same Scala
-    // helper as the Spark expression), Morton by shift-interleave.
-    "q280_hilbert_locality" -> {
-      val ctes = graft.functions.SpaceCurves
-        .hilbertSqlCtes("h0", 5, Seq("ox", "oy"))
-      val z = (0 until 5).map(i =>
-        s"(((ox >> $i) & 1) << ${2 * i}) + (((oy >> $i) & 1) << ${2 * i + 1})")
-        .mkString(" + ")
-      val boxes = Seq(("box_a", 3, 19, 5, 11),
-        ("box_b", 0, 31, 12, 16), ("box_c", 9, 25, 9, 25))
-      val branches = for ((bn, x0, x1, y0, y1) <- boxes;
-          cn <- Seq("hilbert", "zorder")) yield {
-        val ic = if (cn == "hilbert") "hil" else "zo"
-        s"""SELECT '$cn' AS curve, '$bn' AS box, $ic AS i FROM idx
-           | WHERE ox BETWEEN $x0 AND $x1 AND oy BETWEEN $y0 AND $y1"""
-          .stripMargin
-      }
-      s"""WITH cells AS (SELECT DISTINCT (c_custkey*7919) % 32 AS x,
-         |  ((c_custkey // 32) * 104729) % 32 AS y FROM customer),
-         |h0 AS (SELECT x AS ox, y AS oy, x, y, 0 AS d FROM cells),
-         |$ctes,
-         |idx AS (SELECT ox, oy, d AS hil, $z AS zo FROM h5),
-         |pts AS (${branches.mkString("\nUNION ALL\n")}),
-         |r AS (SELECT curve, box, i,
-         |  lag(i) OVER (PARTITION BY curve, box ORDER BY i) AS p
-         | FROM pts)
-         |SELECT curve, box, count(*) AS n_cells,
-         |  CAST(sum(CASE WHEN p IS NULL OR i <> p + 1 THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_ranges
-         |FROM r GROUP BY 1, 2""".stripMargin
-    },
-
-    // q281: same prefix explode via generate_series, same window.
-    "q281_autocomplete" ->
-      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
-        |  FROM documents),
-        |c AS (SELECT term, count(*) AS cnt FROM tok
-        | WHERE length(term) > 0 GROUP BY 1),
-        |p AS (SELECT substr(term, 1, g.plen) AS prefix, term, cnt
-        | FROM c JOIN range(1, 5) AS g(plen)
-        |   ON g.plen <= least(4, length(term))),
-        |r AS (SELECT prefix, term, cnt, row_number() OVER (
-        |  PARTITION BY prefix ORDER BY cnt DESC, term) AS rank FROM p)
-        |SELECT prefix, CAST(rank AS INT) AS rank, term, cnt
-        |FROM r WHERE rank <= 3""".stripMargin,
-
-    // q282: same hash sample, same closure + audits.
-    "q282_fk_closed_sample" ->
-      """WITH s AS (SELECT * FROM orders
-        | WHERE substr(md5(CAST(o_orderkey AS VARCHAR) || '#samp#v1'),
-        |   1, 2) < '08'),
-        |li AS (SELECT * FROM lineitem
-        | WHERE l_orderkey IN (SELECT o_orderkey FROM s)),
-        |cu AS (SELECT * FROM customer
-        | WHERE c_custkey IN (SELECT o_custkey FROM s))
-        |SELECT 'orders' AS table_name, (SELECT count(*) FROM s) AS n_rows,
-        | (SELECT count(*) FROM s WHERE o_custkey NOT IN
-        |   (SELECT c_custkey FROM cu)) AS orphans
-        |UNION ALL SELECT 'lineitem', (SELECT count(*) FROM li),
-        | (SELECT count(*) FROM li WHERE l_orderkey NOT IN
-        |   (SELECT o_orderkey FROM s))
-        |UNION ALL SELECT 'customer', (SELECT count(*) FROM cu), 0"""
-        .stripMargin,
-
-    "q283_lttb" -> q283OracleSql,
-
-    // q284: same block-local gaps, same LEB128 byte pricing.
-    "q284_postings_cost" ->
-      """WITH p AS (SELECT DISTINCT doc_id,
-        |  unnest(string_split(text, ' ')) AS term FROM documents),
-        |g AS (SELECT term,
-        |  doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term,
-        |    doc_id // 128 ORDER BY doc_id), 0) AS gap
-        | FROM p WHERE length(term) > 0)
-        |SELECT term, count(*) AS df,
-        |  CAST(sum((length(format('{:b}', greatest(gap, 1))) + 6) // 7)
-        |    AS BIGINT) AS varint_bytes,
-        |  count(*) * 8 AS raw_bytes
-        |FROM g GROUP BY 1""".stripMargin,
-
-    // q285: per-arm cumulative histogram quantiles (q89's oracle shape)
-    // at ceil(n·p/100), pivoted and differenced.
-    "q285_qte" ->
-      """WITH b AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'treated'
-        |   ELSE 'control' END AS arm,
-        |  CAST(round(value*100) AS BIGINT) AS v FROM events
-        | WHERE value IS NOT NULL),
-        |n AS (SELECT arm, count(*) AS n FROM b GROUP BY 1),
-        |h AS (SELECT arm, v, count(*) AS c FROM b GROUP BY 1, 2),
-        |cum AS (SELECT arm, v, sum(c) OVER (PARTITION BY arm ORDER BY v)
-        |  AS cum FROM h),
-        |p AS (SELECT * FROM (VALUES (10), (25), (50), (75), (90))
-        |  t(percent)),
-        |q AS (SELECT cum.arm, CAST(p.percent AS BIGINT) AS percent,
-        |  min(v) AS quantile
-        | FROM cum JOIN n ON n.arm = cum.arm
-        | JOIN p ON cum.cum >= (n.n * p.percent + 99) // 100
-        | GROUP BY 1, 2)
-        |SELECT t.percent, t.quantile AS q_treated,
-        |  c.quantile AS q_control,
-        |  t.quantile - c.quantile AS qte
-        |FROM q t JOIN q c ON t.percent = c.percent
-        |WHERE t.arm = 'treated' AND c.arm = 'control'""".stripMargin,
-
-    // q286: same sufficient statistics in HUGEINT, same truncations,
-    // same corrected isqrt (q235's pattern).
-    "q286_balance_audit" ->
-      """WITH b AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_type,
-        |  CAST(round(value*100) AS BIGINT) AS v FROM events
-        | WHERE value IS NOT NULL),
-        |m AS (SELECT (min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2 AS mid
-        |  FROM events),
-        |u AS (SELECT user_id,
-        |  max(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS t,
-        |  CAST(sum(v) AS BIGINT) AS x_spend,
-        |  count(*) AS x_events,
-        |  CAST(count(DISTINCT event_type) AS BIGINT) AS x_breadth
-        | FROM b, m WHERE ts_ms < mid GROUP BY 1),
-        |cells AS (
-        | SELECT 'pre_spend' AS covariate, t, x_spend AS x FROM u
-        | UNION ALL SELECT 'pre_events', t, x_events FROM u
-        | UNION ALL SELECT 'pre_breadth', t, x_breadth FROM u),
-        |a AS (SELECT covariate,
-        |  CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
-        |  CAST(sum(CASE WHEN t <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
-        |  CAST(sum(CASE WHEN t = 1 THEN x ELSE 0 END) AS HUGEINT) AS st,
-        |  CAST(sum(CASE WHEN t <> 1 THEN x ELSE 0 END) AS HUGEINT) AS sc,
-        |  sum(CASE WHEN t = 1 THEN CAST(x AS HUGEINT) * x ELSE 0 END)
-        |    AS sst,
-        |  sum(CASE WHEN t <> 1 THEN CAST(x AS HUGEINT) * x ELSE 0 END)
-        |    AS ssc
-        | FROM cells GROUP BY 1),
-        |d AS (SELECT covariate, n_t, n_c,
-        |  CAST((st * n_c - sc * n_t) * 1000000
-        |    // (CAST(n_t AS HUGEINT) * n_c) AS BIGINT) AS mean_diff_e6,
-        |  CAST((n_t * sst - st * st)
-        |    // (CAST(n_t AS HUGEINT) * (n_t - 1)) AS BIGINT) AS vt,
-        |  CAST((n_c * ssc - sc * sc)
-        |    // (CAST(n_c AS HUGEINT) * (n_c - 1)) AS BIGINT) AS vc
-        | FROM a),
-        |e2 AS (SELECT *, (vt + vc) // 2 AS pool,
-        |  CAST(floor(sqrt(CAST((vt + vc) // 2 AS DOUBLE))) AS BIGINT)
-        |    AS s0
-        | FROM d),
-        |f AS (SELECT *, CASE WHEN s0 * s0 > pool THEN s0 - 1
-        |  WHEN (s0 + 1) * (s0 + 1) <= pool THEN s0 + 1
-        |  ELSE s0 END AS sd FROM e2)
-        |SELECT covariate, n_t, n_c, mean_diff_e6, sd,
-        |  CASE WHEN sd > 0 THEN mean_diff_e6 // (sd * 100) END AS smd_e4
-        |FROM f""".stripMargin,
-
-    // q287: arg_max over the same per-(key,node) md5 scores.
-    "q287_hrw_hashing" ->
-      """WITH k AS (SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer),
-        |n8 AS (SELECT 'n' || CAST(t.n AS VARCHAR) AS node
-        |  FROM range(0, 8) AS t(n)),
-        |n9 AS (SELECT 'n' || CAST(t.n AS VARCHAR) AS node
-        |  FROM range(0, 9) AS t(n)),
-        |a8 AS (SELECT k, arg_max(node, md5(k || '|' || node))
-        |  AS node_before FROM k CROSS JOIN n8 GROUP BY k),
-        |a9 AS (SELECT k, arg_max(node, md5(k || '|' || node))
-        |  AS node_after FROM k CROSS JOIN n9 GROUP BY k)
-        |SELECT node_before, node_after, count(*) AS n_keys
-        |FROM a8 JOIN a9 USING (k) GROUP BY 1, 2""".stripMargin,
-
-    // q288: last reset via window rank, increments after it via row
-    // comparison, same full-outer stitch.
-    "q288_event_sourcing" ->
-      """WITH o AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
-        |  event_type, CAST(round(value*100) AS BIGINT) AS cents
-        | FROM events WHERE value IS NOT NULL
-        |   AND event_type IN ('signup', 'purchase', 'error')),
-        |r AS (SELECT user_id, event_type AS rtype, cents AS rcents,
-        |  ts_ms AS rts, event_id AS rid FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY user_id
-        |    ORDER BY ts_ms DESC, event_id DESC) AS rn
-        |  FROM o WHERE event_type IN ('signup', 'error')) WHERE rn = 1),
-        |p AS (SELECT o.user_id, CAST(sum(o.cents) AS BIGINT) AS incr
-        | FROM o LEFT JOIN r USING (user_id)
-        | WHERE o.event_type = 'purchase'
-        |   AND (r.user_id IS NULL OR (o.ts_ms, o.event_id) > (rts, rid))
-        | GROUP BY 1)
-        |SELECT coalesce(r.user_id, p.user_id) AS user_id,
-        |  coalesce(CASE WHEN rtype = 'signup' THEN rcents ELSE 0 END, 0)
-        |    + coalesce(incr, 0) AS balance_cents
-        |FROM r FULL JOIN p ON r.user_id = p.user_id""".stripMargin,
-
-    // q289: identical trailing-window sums in HUGEINT, identical
-    // rational prediction and e6 truncation.
-    "q289_forecast_backtest" ->
-      """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS x,
-        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS y
-        | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
-        |wn AS (SELECT event_type, x, y,
-        |  count(*) OVER w AS n,
-        |  CAST(sum(x) OVER w AS HUGEINT) AS sx,
-        |  CAST(sum(y) OVER w AS HUGEINT) AS sy,
-        |  sum(CAST(x AS HUGEINT) * x) OVER w AS sxx,
-        |  sum(CAST(x AS HUGEINT) * y) OVER w AS sxy
-        | FROM d WINDOW w AS (PARTITION BY event_type ORDER BY x
-        |   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
-        |f AS (SELECT event_type, x, y, sx, sy,
-        |  7 * sxy - sx * sy AS sn, 7 * sxx - sx * sx AS sd
-        | FROM wn WHERE n = 7),
-        |e2 AS (SELECT event_type,
-        |  CAST(abs(CAST(y AS HUGEINT) * (7 * sd)
-        |      - (sy * sd + sn * (7 * x - sx))) * 1000000
-        |    // (7 * sd) AS BIGINT) AS abs_err_e6
-        | FROM f)
-        |SELECT event_type, count(*) AS n_eval,
-        |  CAST(sum(CAST(abs_err_e6 AS HUGEINT)) // count(*) AS BIGINT)
-        |    AS mae_e6
-        |FROM e2 GROUP BY 1""".stripMargin,
-
-    // q290: the sequential chain walk the doubling avoids.
-    "q290_tree_flatten" ->
-      """WITH RECURSIVE n AS (SELECT c_custkey AS node FROM customer),
-        |walk AS (
-        | SELECT node, node AS cur, 0 AS depth FROM n
-        | UNION ALL
-        | SELECT node, cur // 4, depth + 1 FROM walk WHERE cur <> 0)
-        |SELECT node, CAST(0 AS BIGINT) AS root,
-        |  CAST(max(depth) AS BIGINT) AS depth
-        |FROM walk GROUP BY 1""".stripMargin,
-
-    // q291: same ancestor explode over the div-4 chain.
-    "q291_subtree_rollup" ->
-      """WITH rev AS (SELECT o_custkey AS node,
-        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
-        |    AS cents
-        | FROM orders GROUP BY 1),
-        |a AS (SELECT r.node // (1 << (2 * g.i)) AS anc, r.cents
-        | FROM rev r JOIN range(0, 11) AS g(i)
-        |  ON g.i = 0 OR r.node // (1 << (2 * greatest(g.i - 1, 0))) > 0)
-        |SELECT anc AS node, count(*) AS n_contrib,
-        |  CAST(sum(cents) AS BIGINT) AS subtree_cents
-        |FROM a WHERE anc < 64 GROUP BY 1""".stripMargin,
-
-    // q292: the same day filter written directly.
-    "q292_trunc_pushdown" ->
-      """WITH d0 AS (SELECT date_trunc('day', min(ts))
-        |  + INTERVAL 10 DAY AS d FROM events)
-        |SELECT event_type, count(*) AS n,
-        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
-        |FROM events, d0
-        |WHERE date_trunc('day', ts) = d
-        |GROUP BY 1""".stripMargin,
-
-    // q293: one aggregate replicated under three format labels — the
-    // parity claim is that all three rows per type are identical.
-    "q293_format_parity" ->
-      """WITH a AS (SELECT event_type, count(*) AS n,
-        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents,
-        |  CAST(sum(epoch_ms(ts) % 1000003) AS BIGINT) AS ts_check
-        | FROM events GROUP BY 1)
-        |SELECT event_type, n, cents, ts_check, 'parquet' AS format FROM a
-        |UNION ALL SELECT event_type, n, cents, ts_check, 'csv' FROM a
-        |UNION ALL SELECT event_type, n, cents, ts_check, 'json' FROM a"""
-        .stripMargin,
-
-    // q294: the merged read replayed as a NULL-padded union.
-    "q294_schema_evolution" ->
-      """WITH m AS (
-        | SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents,
-        |   CAST(NULL AS VARCHAR) AS priority
-        | FROM orders WHERE o_orderkey % 2 = 0
-        | UNION ALL
-        | SELECT CAST(round(o_totalprice*100) AS BIGINT), o_orderpriority
-        | FROM orders WHERE o_orderkey % 2 <> 0)
-        |SELECT coalesce(priority, '(pre-schema)') AS priority,
-        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
-        |FROM m GROUP BY 1""".stripMargin,
-
-    // q296: wedge/degree replay of linkPredictionRA over the top-4000
-    // co-supplier edges (GlobalRank's total order as a window rank),
-    // ANTI JOIN dropping adjacency.
-    "q296_link_predict" ->
-      """WITH raw AS (
-        | SELECT a.l_suppkey AS u, b.l_suppkey AS v,
-        |   count(*) AS w
-        | FROM lineitem a JOIN lineitem b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-        | GROUP BY 1, 2),
-        |e AS (SELECT u AS a, v AS b FROM (
-        |  SELECT u, v, row_number() OVER (ORDER BY w DESC, u, v) AS rk
-        |  FROM raw) WHERE rk <= 4000),
-        |adj AS (SELECT a AS w, b AS n FROM e UNION ALL SELECT b, a FROM e),
-        |deg AS (SELECT w, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
-        |wedge AS (
-        | SELECT x.n AS a, y.n AS b, dg.d
-        | FROM adj x JOIN adj y ON x.w = y.w AND x.n < y.n
-        | JOIN deg dg ON dg.w = x.w),
-        |sc AS (
-        | SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
-        |   CAST(sum(1000000000000 // d) AS BIGINT) AS ra_e12
-        | FROM wedge GROUP BY 1, 2),
-        |cand AS (
-        | SELECT sc.a, sc.b, sc.cn, sc.ra_e12 FROM sc
-        | ANTI JOIN e ON e.a = sc.a AND e.b = sc.b)
-        |SELECT a, b, cn, ra_e12 FROM cand
-        |ORDER BY ra_e12 DESC, cn DESC, a, b LIMIT 20""".stripMargin,
-
-    // q297: ranked sensitive-value counts per QI group, recursive (c,l)
-    // test cross-multiplied.
-    "q297_l_diversity" ->
-      """WITH j AS (
-        | SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority AS s
-        | FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        | WHERE o.o_orderpriority IS NOT NULL),
-        |cells AS (SELECT c_nationkey, c_mktsegment, s,
-        |  CAST(count(*) AS BIGINT) AS r
-        | FROM j GROUP BY 1, 2, 3),
-        |rk AS (SELECT *, row_number() OVER (
-        |  PARTITION BY c_nationkey, c_mktsegment
-        |  ORDER BY r DESC, s) AS rnk FROM cells)
-        |SELECT c_nationkey, c_mktsegment,
-        |  CAST(sum(r) AS BIGINT) AS n,
-        |  CAST(count(*) AS BIGINT) AS m_distinct,
-        |  CAST(max(CASE WHEN rnk = 1 THEN r END) AS BIGINT) AS r1,
-        |  CAST(coalesce(sum(CASE WHEN rnk >= 3 THEN r END), 0) AS BIGINT)
-        |    AS tail_sum,
-        |  (count(*) >= 3 AND
-        |   max(CASE WHEN rnk = 1 THEN r END) * 3 <
-        |     coalesce(sum(CASE WHEN rnk >= 3 THEN r END), 0) * 1)
-        |    AS satisfies_cl
-        |FROM rk GROUP BY 1, 2""".stripMargin,
-
-    // q298: per-row LOO/smoothed encodings replayed with HUGEINT
-    // cross-multiplication, rolled to per-category checksums.
-    "q298_target_encode" ->
-      """WITH b AS (SELECT o_orderpriority,
-        |  CAST(round(o_totalprice*100) AS BIGINT) AS y FROM orders
-        | WHERE o_totalprice IS NOT NULL),
-        |cat AS (SELECT o_orderpriority, CAST(sum(y) AS HUGEINT) AS s,
-        |  CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
-        |g AS (SELECT CAST(sum(s) AS HUGEINT) AS gnum,
-        |  CAST(sum(n) AS HUGEINT) AS gden FROM cat),
-        |enc AS (
-        | SELECT b.o_orderpriority,
-        |  CASE WHEN c.n > 1 THEN CAST(
-        |   (c.s - b.y) * 1000000 // (c.n - 1) AS BIGINT) END AS loo_e6,
-        |  CAST(((c.s - b.y) * g.gden + 20 * g.gnum) * 1000000
-        |   // ((c.n - 1 + 20) * g.gden) AS BIGINT) AS smooth_e6
-        | FROM b JOIN cat c USING (o_orderpriority) CROSS JOIN g)
-        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(loo_e6 % 1000003) AS BIGINT) AS loo_check,
-        |  CAST(min(loo_e6) AS BIGINT) AS loo_min,
-        |  CAST(max(loo_e6) AS BIGINT) AS loo_max,
-        |  CAST(sum(smooth_e6 % 1000003) AS BIGINT) AS smooth_check
-        |FROM enc GROUP BY 1""".stripMargin,
-
-    // q299: pairwise sign sums + tie census, significance decided by the
-    // same sqrt-free cross-multiplication.
-    "q299_mann_kendall" ->
-      """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
-        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS x
-        | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
-        |p AS (SELECT a.event_type, CAST(sum(
-        |   CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END)
-        |   AS BIGINT) AS s_stat
-        | FROM d a JOIN d b
-        |  ON a.event_type = b.event_type AND a.day < b.day GROUP BY 1),
-        |tc AS (SELECT event_type, x, CAST(count(*) AS BIGINT) AS tt
-        | FROM d GROUP BY 1, 2),
-        |v AS (SELECT event_type, CAST(sum(tt) AS BIGINT) AS n,
-        |  CAST(sum(tt*(tt-1)*(2*tt+5)) AS BIGINT) AS tie18
-        | FROM tc GROUP BY 1)
-        |SELECT p.event_type, v.n, p.s_stat,
-        |  CAST(v.n*(v.n-1)*(2*v.n+5) - v.tie18 AS BIGINT) AS var18,
-        |  CASE WHEN p.s_stat <> 0 AND
-        |    CAST(abs(p.s_stat)-1 AS HUGEINT)*(abs(p.s_stat)-1)
-        |      * 18 * 1000000000000 >
-        |    CAST(1959964 AS HUGEINT) * 1959964
-        |      * (v.n*(v.n-1)*(2*v.n+5) - v.tie18)
-        |   THEN CASE WHEN p.s_stat > 0 THEN 'increasing'
-        |     ELSE 'decreasing' END ELSE 'none' END AS trend
-        |FROM p JOIN v USING (event_type)""".stripMargin,
-
-    // q300: the 25 slice chi² tests and the BH step-up replayed with the
-    // same literal threshold ladder.
-    "q300_bh_fdr" ->
-      s"""WITH e AS (SELECT user_id % 25 AS slice,
-        |  CAST(user_id % 2 AS INT) AS v,
-        |  CASE WHEN event_type = 'purchase' OR (user_id % 25 < 6
-        |    AND user_id % 6 = 1 AND event_type = 'click')
-        |   THEN 1 ELSE 0 END AS y
-        | FROM events WHERE user_id IS NOT NULL
-        |  AND event_type IS NOT NULL),
-        |cells AS (SELECT slice,
-        |  CAST(sum(CASE WHEN v=0 AND y=1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
-        |  CAST(sum(CASE WHEN v=0 AND y=0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
-        |  CAST(sum(CASE WHEN v=1 AND y=1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
-        |  CAST(sum(CASE WHEN v=1 AND y=0 THEN 1 ELSE 0 END) AS BIGINT) AS dd
-        | FROM e GROUP BY 1),
-        |chi AS (SELECT slice, a, b, c, dd,
-        |  CASE WHEN (a+b)*(c+dd)*(a+c)*(b+dd) = 0 THEN 0
-        |   ELSE CAST(CAST(a+b+c+dd AS HUGEINT)
-        |     * (CAST(a AS HUGEINT)*dd - CAST(b AS HUGEINT)*c)
-        |     * (CAST(a AS HUGEINT)*dd - CAST(b AS HUGEINT)*c) * 1000000
-        |     // (CAST(a+b AS HUGEINT)*(c+dd)*(a+c)*(b+dd)) AS BIGINT)
-        |   END AS chi2_e6
-        | FROM cells),
-        |thr(k, thr_e6) AS (VALUES ${q300ThrSqlValues}),
-        |ranked AS (SELECT chi.*, row_number() OVER (
-        |   ORDER BY chi2_e6 DESC, slice) AS k FROM chi),
-        |rt AS (SELECT ranked.*, thr.thr_e6 FROM ranked
-        | JOIN thr ON thr.k = ranked.k),
-        |ks AS (SELECT max(CASE WHEN chi2_e6 >= thr_e6 THEN k END) AS kstar
-        | FROM rt)
-        |SELECT slice, a, b, c, dd, chi2_e6, k,
-        |  CAST(thr_e6 AS BIGINT) AS thr_e6,
-        |  (k <= coalesce(ks.kstar, 0)) AS discovered
-        |FROM rt CROSS JOIN ks""".stripMargin,
-
-    // q301: the IVM equivalence proof — FULL recompute over post-batch
-    // state (updates applied, inserts appended).
-    "q301_join_ivm" ->
-      """WITH o2 AS (
-        | SELECT o_custkey, CASE WHEN o_orderkey % 31 = 0
-        |   THEN CAST(round((o_totalprice + 10) * 100) AS BIGINT)
-        |   ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents
-        | FROM orders
-        | UNION ALL
-        | SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT)
-        | FROM orders WHERE o_orderkey % 40 = 0)
-        |SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(o2.cents) AS BIGINT) AS cents
-        |FROM o2 JOIN customer c ON o2.o_custkey = c.c_custkey
-        |GROUP BY 1""".stripMargin,
-
-    // q302: islands by running stopword count, word deg/freq census,
-    // distinct-phrase scoring — the identical integer pipeline.
-    "q302_rake" ->
-      s"""WITH tk AS (SELECT doc_id,
-        |  regexp_split_to_array(trim(text), '\\s+') AS t
-        | FROM documents WHERE length(trim(text)) > 0),
-        |pos AS (SELECT doc_id, i, t[i] AS w FROM tk,
-        |  LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) ix),
-        |m AS (SELECT doc_id, i, w,
-        |  CASE WHEN w IN ($q302StopSql) THEN 1 ELSE 0 END AS st,
-        |  sum(CASE WHEN w IN ($q302StopSql) THEN 1 ELSE 0 END)
-        |    OVER (PARTITION BY doc_id ORDER BY i) AS ph
-        | FROM pos),
-        |phr AS (SELECT doc_id, ph, list(w ORDER BY i) AS ws
-        | FROM m WHERE st = 0 GROUP BY 1, 2
-        | HAVING count(*) BETWEEN 1 AND 4),
-        |wstat AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
-        |  CAST(sum(l) AS BIGINT) AS deg
-        | FROM (SELECT unnest(ws) AS w, len(ws) AS l FROM phr) GROUP BY 1),
-        |wsc AS (SELECT w, deg * 1000000 // freq AS wscore FROM wstat),
-        |pc AS (SELECT array_to_string(ws, ' ') AS phrase,
-        |  CAST(count(*) AS BIGINT) AS n FROM phr GROUP BY 1),
-        |pw AS (SELECT DISTINCT array_to_string(ws, ' ') AS phrase, ws
-        | FROM phr),
-        |psc AS (SELECT phrase, CAST(sum(wscore) AS BIGINT) AS score_e6
-        | FROM (SELECT phrase, unnest(ws) AS w FROM pw)
-        | JOIN wsc USING (w) GROUP BY 1)
-        |SELECT pc.phrase, pc.n, psc.score_e6
-        |FROM pc JOIN psc USING (phrase)
-        |ORDER BY score_e6 DESC, phrase LIMIT 25""".stripMargin,
-
-    // q304: the generator replayed in unsigned SQL (splitMix64 chain).
-    "q304_synth_source" -> q304OracleSql,
-
-    // q326: same replay, aggregated raw — proves the pushed partials.
-    "q326_synth_agg" -> q326OracleSql,
-
-    // q332: Brandes unrolled — 3 BFS levels (path-count sums, anti-joins
-    // against reached), then both dependency accumulations with the
-    // identical e6 truncating-division terms.
-    "q332_betweenness" ->
-      """WITH e0 AS (
-        | SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
-        | FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-        | WHERE a.l_suppkey < b.l_suppkey
-        | GROUP BY 1, 2 HAVING count(*) >= 5),
-        |e AS (SELECT s1 AS src, s2 AS dst FROM e0
-        |      UNION ALL SELECT s2, s1 FROM e0),
-        |r0 AS (SELECT DISTINCT src AS s, src AS v, CAST(1 AS BIGINT) AS sigma
-        |       FROM e WHERE src % 5 = 1),
-        |c1 AS (SELECT l.s, e.dst AS v, CAST(sum(l.sigma) AS BIGINT) AS sigma
-        |       FROM r0 l JOIN e ON e.src = l.v GROUP BY 1, 2),
-        |r1 AS (SELECT c.s, c.v, c.sigma FROM c1 c
-        |       LEFT JOIN r0 p ON p.s = c.s AND p.v = c.v WHERE p.v IS NULL),
-        |c2 AS (SELECT l.s, e.dst AS v, CAST(sum(l.sigma) AS BIGINT) AS sigma
-        |       FROM r1 l JOIN e ON e.src = l.v GROUP BY 1, 2),
-        |r2 AS (SELECT c.s, c.v, c.sigma FROM c2 c
-        |       LEFT JOIN r0 p0 ON p0.s = c.s AND p0.v = c.v
-        |       LEFT JOIN r1 p1 ON p1.s = c.s AND p1.v = c.v
-        |       WHERE p0.v IS NULL AND p1.v IS NULL),
-        |c3 AS (SELECT l.s, e.dst AS v, CAST(sum(l.sigma) AS BIGINT) AS sigma
-        |       FROM r2 l JOIN e ON e.src = l.v GROUP BY 1, 2),
-        |r3 AS (SELECT c.s, c.v, c.sigma FROM c3 c
-        |       LEFT JOIN r0 p0 ON p0.s = c.s AND p0.v = c.v
-        |       LEFT JOIN r1 p1 ON p1.s = c.s AND p1.v = c.v
-        |       LEFT JOIN r2 p2 ON p2.s = c.s AND p2.v = c.v
-        |       WHERE p0.v IS NULL AND p1.v IS NULL AND p2.v IS NULL),
-        |d2 AS (SELECT v2.s, v2.v,
-        |        CAST(sum(v2.sigma * 1000000 // v3.sigma) AS BIGINT) AS delta
-        |       FROM r2 v2 JOIN e ON e.src = v2.v
-        |       JOIN r3 v3 ON v3.s = v2.s AND v3.v = e.dst
-        |       GROUP BY 1, 2),
-        |dd2 AS (SELECT r2.s, r2.v, r2.sigma,
-        |        coalesce(d2.delta, 0) AS delta
-        |        FROM r2 LEFT JOIN d2 ON d2.s = r2.s AND d2.v = r2.v),
-        |d1 AS (SELECT v1.s, v1.v,
-        |        CAST(sum(v1.sigma * (1000000 + w.delta) // w.sigma)
-        |          AS BIGINT) AS delta
-        |       FROM r1 v1 JOIN e ON e.src = v1.v
-        |       JOIN dd2 w ON w.s = v1.s AND w.v = e.dst
-        |       GROUP BY 1, 2),
-        |dd1 AS (SELECT r1.s, r1.v, coalesce(d1.delta, 0) AS delta
-        |        FROM r1 LEFT JOIN d1 ON d1.s = r1.s AND d1.v = r1.v)
-        |SELECT v AS node, CAST(sum(delta) AS BIGINT) AS bc_e6
-        |FROM (SELECT s, v, delta FROM dd1
-        |      UNION ALL SELECT s, v, delta FROM dd2)
-        |GROUP BY 1""".stripMargin,
-
-    // q333: the MM rounds unrolled — per round the pair terms off the
-    // previous ratings, the denominator sums, the clamped update, the
-    // max renorm; all `//` on non-negative BIGINTs.
-    "q333_bradley_terry" -> q333OracleSql,
-
-    "q344_bt_ties" -> q344OracleSql,
-
-    "q343_record_linkage" -> q343OracleSql,
-
-    "q346_linkage_em" -> q346OracleSql,
-
-    "q351_unigram_lm" -> q351OracleSql,
-
-    "q355_length_bias" -> q355OracleSql,
-
-    "q356_bt_calibration" -> q356OracleSql,
-
-    "q362_brier_decomp" -> q362OracleSql,
-
-    // q379: head census → total-order rank → one pinned-ln OLS row.
-    "q379_zipf_slope" ->
-      """WITH tk AS (SELECT
-        |  regexp_split_to_array(trim(lower(text)), '\s+') AS t
-        | FROM documents),
-        |u AS (SELECT unnest(t) AS w FROM tk),
-        |c0 AS (SELECT w, count(*) AS c FROM u GROUP BY 1
-        | ORDER BY c DESC, w LIMIT 1000),
-        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r
-        | FROM c0),
-        |p AS (SELECT
-        |  CAST(round(ln(CAST(r AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
-        |  CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
-        | FROM r),
-        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
-        |  sum(CAST(x AS HUGEINT) * x) AS sxx,
-        |  sum(CAST(x AS HUGEINT) * y) AS sxy FROM p),
-        |s AS (SELECT n,
-        |  CAST(CAST(sx AS DECIMAL(38,0)) AS VARCHAR) AS sx_s,
-        |  CAST(CAST(sy AS DECIMAL(38,0)) AS VARCHAR) AS sy_s,
-        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-        |   ELSE CAST((n * sxy - sx * sy) * 1000000
-        |    // (n * sxx - sx * sx) AS BIGINT) END AS slope_e6,
-        |  sx, sy FROM a)
-        |SELECT n, sx_s AS sx, sy_s AS sy, slope_e6,
-        | CASE WHEN slope_e6 IS NULL THEN NULL
-        |  ELSE CAST((sy * 1000000 - CAST(slope_e6 AS HUGEINT) * sx)
-        |   // 1000000 // n AS BIGINT) END AS intercept_e6
-        |FROM s""".stripMargin,
-
-    // q380: shifted-copy equi join per lag, exact Pearson pieces, the
-    // two-root corrected-isqrt correlation.
-    "q380_lead_lag" ->
-      """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
-        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-        |    AS cents
-        | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
-        |x AS (SELECT day AS o, cents AS xa FROM d
-        | WHERE event_type = 'view'),
-        |y0 AS (SELECT day, cents AS yb FROM d
-        | WHERE event_type = 'purchase'),
-        |y AS (SELECT day - lag AS o, lag, yb FROM y0,
-        | (SELECT unnest(generate_series(0, 7)) AS lag) ll),
-        |st AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
-        |  sum(CAST(xa AS HUGEINT)) AS sx, sum(CAST(yb AS HUGEINT)) AS sy,
-        |  sum(CAST(xa AS HUGEINT) * xa) AS sxx,
-        |  sum(CAST(yb AS HUGEINT) * yb) AS syy,
-        |  sum(CAST(xa AS HUGEINT) * yb) AS sxy
-        | FROM x JOIN y USING (o) GROUP BY 1),
-        |q AS (SELECT CAST(lag AS BIGINT) AS lag, n,
-        |  n * sxy - sx * sy AS num, n * sxx - sx * sx AS dx,
-        |  n * syy - sy * sy AS dy FROM st),
-        |s0x AS (SELECT *,
-        |  CAST(floor(sqrt(CAST(greatest(dx, 0) AS DOUBLE))) AS BIGINT)
-        |    AS s0a,
-        |  CAST(floor(sqrt(CAST(greatest(dy, 0) AS DOUBLE))) AS BIGINT)
-        |    AS s0b FROM q),
-        |rr AS (SELECT *,
-        |  CASE WHEN CAST(s0a AS HUGEINT) * s0a > greatest(dx, 0)
-        |    THEN s0a - 1
-        |   WHEN (CAST(s0a AS HUGEINT) + 1) * (s0a + 1) <= greatest(dx, 0)
-        |    THEN s0a + 1 ELSE s0a END AS rx,
-        |  CASE WHEN CAST(s0b AS HUGEINT) * s0b > greatest(dy, 0)
-        |    THEN s0b - 1
-        |   WHEN (CAST(s0b AS HUGEINT) + 1) * (s0b + 1) <= greatest(dy, 0)
-        |    THEN s0b + 1 ELSE s0b END AS ry FROM s0x)
-        |SELECT lag, n, CAST(CAST(num AS DECIMAL(38,0)) AS VARCHAR) AS num,
-        | CAST(CAST(dx AS DECIMAL(38,0)) AS VARCHAR) AS dx,
-        | CAST(CAST(dy AS DECIMAL(38,0)) AS VARCHAR) AS dy,
-        | CASE WHEN dx <= 0 OR dy <= 0 THEN NULL
-        |  ELSE CAST(num * 1000000 // (CAST(rx AS HUGEINT) * ry)
-        |   AS BIGINT) END AS xcorr_e6
-        |FROM rr""".stripMargin,
-
-    // q381: all six IPF scaling steps unrolled in HUGEINT; margin sums
-    // as windows over the cell census (same integers as the join form).
-    "q381_raking" -> {
-      def rowStep(src: String, out: String) =
-        s"""$out AS (SELECT rk, ck, n,
-           | CASE WHEN sum(w) OVER (PARTITION BY rk) > 0
-           |  THEN w * coalesce(tg, 0) * 1000000
-           |   // sum(w) OVER (PARTITION BY rk)
-           |  ELSE CAST(0 AS HUGEINT) END AS w
-           | FROM $src LEFT JOIN rt USING (rk))""".stripMargin
-      def colStep(src: String, out: String) =
-        s"""$out AS (SELECT rk, ck, n,
-           | CASE WHEN sum(w) OVER (PARTITION BY ck) > 0
-           |  THEN w * coalesce(tg, 0) * 1000000
-           |   // sum(w) OVER (PARTITION BY ck)
-           |  ELSE CAST(0 AS HUGEINT) END AS w
-           | FROM $src LEFT JOIN ct USING (ck))""".stripMargin
-      s"""WITH samp AS (SELECT CAST(c_nationkey AS BIGINT) AS rk,
-         |  c_mktsegment AS ck FROM customer WHERE c_acctbal > 0),
-         |c0 AS (SELECT rk, ck, CAST(count(*) AS BIGINT) AS n,
-         |  CAST(count(*) AS HUGEINT) * 1000000 AS w
-         | FROM samp GROUP BY 1, 2),
-         |rt AS (SELECT CAST(c_nationkey AS BIGINT) AS rk,
-         |  CAST(count(*) AS HUGEINT) AS tg FROM customer GROUP BY 1),
-         |ct AS (SELECT c_mktsegment AS ck,
-         |  CAST(count(*) AS HUGEINT) AS tg FROM customer GROUP BY 1),
-         |${rowStep("c0", "r1")},
-         |${colStep("r1", "d1")},
-         |${rowStep("d1", "r2")},
-         |${colStep("r2", "d2")},
-         |${rowStep("d2", "r3")},
-         |${colStep("r3", "d3")}
-         |SELECT rk AS nation, ck AS segment, n,
-         | CAST(w AS BIGINT) AS w_e6
-         |FROM d3""".stripMargin
-    },
-
-    // q382: frequency-of-frequencies → Chao1 (bias-corrected) and
-    // Good–Turing missing mass, all-integer in HUGEINT.
-    "q382_chao_richness" ->
-      """WITH tok AS (SELECT source, unnest(list_filter(
-        |   regexp_split_to_array(trim(lower(text)), '\s+'),
-        |   x -> length(x) > 0)) AS w
-        | FROM documents),
-        |ty AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
-        |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
-        |  CAST(count(*) AS BIGINT) AS d_types,
-        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
-        |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
-        | FROM ty GROUP BY 1)
-        |SELECT source, n_tokens, d_types, f1, f2,
-        | CAST(d_types * 1000000 + CAST(f1 AS HUGEINT) * (f1 - 1)
-        |  * 1000000 // (2 * (f2 + 1)) AS BIGINT) AS chao1_e6,
-        | CAST(f1 * 1000000 // n_tokens AS BIGINT) AS gt_unseen_ppm,
-        | CAST(1000000 - f1 * 1000000 // n_tokens AS BIGINT)
-        |  AS coverage_ppm
-        |FROM st""".stripMargin,
-
-    "q383_ams_f2" -> q383OracleSql,
-
-    // q384: the q100 tokenization verbatim, then the interpolated
-    // Kneser–Ney components in the pinned truncation order.
-    "q384_kneser_ney" ->
-      """WITH tb AS (SELECT doc_id, list_prepend('<s>',
-        |   regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
-        | FROM documents),
-        |pr AS (SELECT doc_id, toks, unnest(range(2, len(toks) + 1)) AS i
-        | FROM tb),
-        |p AS (SELECT toks[i-1] AS prev, toks[i] AS cur FROM pr),
-        |cb AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cb
-        | FROM p GROUP BY 1, 2),
-        |cu AS (SELECT prev, CAST(sum(cb) AS BIGINT) AS cu,
-        |  CAST(count(*) AS BIGINT) AS n1p_right FROM cb GROUP BY 1),
-        |cl AS (SELECT cur, CAST(count(*) AS BIGINT) AS n1p_left
-        | FROM cb GROUP BY 1),
-        |b AS (SELECT CAST(count(*) AS BIGINT) AS b FROM cb),
-        |j AS (SELECT prev, cur, cb, cu, n1p_right, n1p_left,
-        |  CAST(greatest(cb * 1000000 - 750000, 0) // cu AS BIGINT)
-        |   AS term1_e6,
-        |  CAST(750000 * n1p_right // cu AS BIGINT) AS lam_e6,
-        |  CAST(n1p_left * 1000000 // b AS BIGINT) AS pcont_e6
-        | FROM cb JOIN cu USING (prev) JOIN cl USING (cur)
-        | CROSS JOIN b)
-        |SELECT prev, cur, cb, cu, n1p_right, n1p_left, term1_e6,
-        | lam_e6, pcont_e6,
-        | CAST(term1_e6 + lam_e6 * pcont_e6 // 1000000 AS BIGINT)
-        |  AS pkn_e6
-        |FROM j ORDER BY cb DESC, prev, cur LIMIT 25""".stripMargin,
-
-    // q385: the q214 subject frame widened to two causes; the
-    // truncating AJ product recurrence replayed as a recursive CTE
-    // over the ranked time census in HUGEINT.
-    "q385_competing_risks" ->
-      """WITH RECURSIVE e AS (SELECT user_id, event_type,
-        |  CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events),
-        |v AS (SELECT user_id, min(ts_ms) AS v_ts FROM e
-        | WHERE event_type = 'view' GROUP BY 1),
-        |fp AS (SELECT v.user_id, v.v_ts, min(p.ts_ms) AS p_ts
-        | FROM v LEFT JOIN e p ON p.user_id = v.user_id
-        |  AND p.event_type = 'purchase' AND p.ts_ms >= v.v_ts
-        | GROUP BY 1, 2),
-        |fb AS (SELECT fp.user_id, fp.v_ts, fp.p_ts,
-        |  min(er.ts_ms) AS e_ts
-        | FROM fp LEFT JOIN e er ON er.user_id = fp.user_id
-        |  AND er.event_type = 'error' AND er.ts_ms >= fp.v_ts
-        | GROUP BY 1, 2, 3),
-        |endt AS (SELECT max(ts_ms) AS end_ts FROM e),
-        |subj AS (SELECT
-        |  CASE WHEN p_ts IS NOT NULL AND (e_ts IS NULL OR p_ts <= e_ts)
-        |    THEN (p_ts - v_ts) // 3600000
-        |   WHEN e_ts IS NOT NULL THEN (e_ts - v_ts) // 3600000
-        |   ELSE (end_ts - v_ts) // 3600000 END AS t,
-        |  CASE WHEN p_ts IS NOT NULL AND (e_ts IS NULL OR p_ts <= e_ts)
-        |    THEN 1
-        |   WHEN e_ts IS NOT NULL THEN 2 ELSE 0 END AS k
-        | FROM fb CROSS JOIN endt),
-        |perT AS (SELECT t, count(*) AS n_at,
-        |  sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS d1,
-        |  sum(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS d2
-        | FROM subj GROUP BY 1),
-        |rk AS (SELECT t, n_at, d1, d2,
-        |  row_number() OVER (ORDER BY t) AS r,
-        |  sum(n_at) OVER (ORDER BY t DESC
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
-        | FROM perT),
-        |walk(r, s, c1, c2) AS (
-        | SELECT CAST(0 AS BIGINT), CAST(1000000 AS HUGEINT),
-        |  CAST(0 AS HUGEINT), CAST(0 AS HUGEINT)
-        | UNION ALL
-        | SELECT rk.r,
-        |  w.s * (rk.n_risk - rk.d1 - rk.d2) // rk.n_risk,
-        |  w.c1 + w.s * rk.d1 // rk.n_risk,
-        |  w.c2 + w.s * rk.d2 // rk.n_risk
-        | FROM walk w JOIN rk ON rk.r = w.r + 1)
-        |SELECT rk.t, CAST(rk.n_risk AS BIGINT) AS n_risk,
-        | CAST(rk.d1 AS BIGINT) AS d1, CAST(rk.d2 AS BIGINT) AS d2,
-        | CAST(wp.s AS BIGINT) AS s_minus_e6,
-        | CAST(wc.c1 AS BIGINT) AS cif1_e6,
-        | CAST(wc.c2 AS BIGINT) AS cif2_e6
-        |FROM rk JOIN walk wp ON wp.r = rk.r - 1
-        |JOIN walk wc ON wc.r = rk.r
-        |WHERE rk.d1 + rk.d2 > 0""".stripMargin,
-
-    // q386: q85's thresholded edge CTE + per-k correlated counts.
-    "q386_rich_club" ->
-      """WITH raw AS (
-        | SELECT a.l_suppkey AS u, b.l_suppkey AS v
-        | FROM lineitem a JOIN lineitem b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-        | GROUP BY 1, 2 HAVING count(*) >= 5),
-        |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d
-        | FROM (SELECT u AS id FROM raw UNION ALL SELECT v FROM raw)
-        | GROUP BY 1),
-        |ks AS (SELECT unnest([2, 4, 8, 16, 32]) AS k),
-        |st AS (SELECT k,
-        |  (SELECT count(*) FROM deg WHERE d > k) AS n_nodes,
-        |  (SELECT count(*) FROM raw
-        |    JOIN deg da ON da.id = raw.u JOIN deg db ON db.id = raw.v
-        |    WHERE da.d > k AND db.d > k) AS n_edges
-        | FROM ks)
-        |SELECT CAST(k AS BIGINT) AS k, CAST(n_nodes AS BIGINT) AS n_nodes,
-        | CAST(n_edges AS BIGINT) AS n_edges,
-        | CASE WHEN n_nodes >= 2 THEN
-        |  CAST(2 * CAST(n_edges AS HUGEINT) * 1000000
-        |   // (CAST(n_nodes AS HUGEINT) * (n_nodes - 1)) AS BIGINT)
-        | END AS phi_e6
-        |FROM st""".stripMargin,
-
-    // q387: the pinned double pipeline (the q100 ln rule) mirrored
-    // character-for-character; integer sufficient stats everywhere
-    // else.
-    "q387_theil_index" ->
-      """WITH rev AS (SELECT o_custkey,
-        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-        |   AS x
-        | FROM orders GROUP BY 1),
-        |u AS (SELECT CAST(c_nationkey AS BIGINT) AS g, x
-        | FROM rev JOIN customer ON o_custkey = c_custkey WHERE x > 0),
-        |gs AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
-        |  CAST(sum(x) AS BIGINT) AS xg FROM u GROUP BY 1),
-        |tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
-        |  CAST(sum(xg) AS BIGINT) AS x FROM gs),
-        |wt AS (SELECT u.g,
-        |  CAST(round(CAST(u.x AS DOUBLE) * 1000000.0 / gs.xg
-        |   * ln(CAST(u.x AS DOUBLE) * gs.ng / gs.xg)) AS BIGINT) AS t
-        | FROM u JOIN gs USING (g)),
-        |wi AS (SELECT g, CAST(sum(t) AS BIGINT) AS theil_within_e6
-        | FROM wt GROUP BY 1)
-        |SELECT g AS nation, ng AS n, xg AS sum_v,
-        | CAST(CAST(xg AS HUGEINT) * 1000000 // x AS BIGINT) AS share_e6,
-        | theil_within_e6,
-        | CAST(round(CAST(xg AS DOUBLE) * 1000000.0 / x
-        |  * ln(CAST(xg AS DOUBLE) * tot.n / (CAST(x AS DOUBLE) * ng)))
-        |  AS BIGINT) AS between_term_e6
-        |FROM gs JOIN wi USING (g) CROSS JOIN tot""".stripMargin,
-
-    // q388: zero-filled hourly grid, then the cleared MoM identities
-    // in HUGEINT — one truncating division per statistic.
-    "q388_dispersion" ->
-      """WITH e AS (SELECT event_type, epoch_ms(ts) // 3600000 AS h
-        | FROM events),
-        |span AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
-        |hours AS (SELECT unnest(generate_series(h0, h1)) AS h
-        | FROM span),
-        |grid AS (SELECT t.event_type, hours.h
-        | FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN hours),
-        |cnt AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS c
-        | FROM e GROUP BY 1, 2),
-        |f AS (SELECT g.event_type, coalesce(cnt.c, 0) AS c
-        | FROM grid g LEFT JOIN cnt
-        |  ON cnt.event_type = g.event_type AND cnt.h = g.h),
-        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(c) AS BIGINT) AS s,
-        |  sum(CAST(c AS HUGEINT) * c) AS q FROM f GROUP BY 1),
-        |vn AS (SELECT *, n * q - CAST(s AS HUGEINT) * s AS vnum
-        | FROM st)
-        |SELECT event_type, n, s,
-        | CAST(CAST(s AS HUGEINT) * 1000000 // n AS BIGINT) AS mean_e6,
-        | CASE WHEN s > 0 THEN
-        |  CAST(vnum * 1000000 // (n * CAST(s AS HUGEINT)) AS BIGINT)
-        | END AS fano_e6,
-        | CASE WHEN vnum > n * CAST(s AS HUGEINT) THEN
-        |  CAST(CAST(s AS HUGEINT) * s * 1000000
-        |   // (vnum - n * CAST(s AS HUGEINT)) AS BIGINT)
-        | END AS nb_r_e6,
-        | CASE WHEN vnum > 0 THEN
-        |  CAST(n * CAST(s AS HUGEINT) * 1000000 // vnum AS BIGINT)
-        | END AS nb_p_e6
-        |FROM vn""".stripMargin,
-
-    // q389: Chapman with the true part count riding along for err_ppm.
-    "q389_capture_recapture" ->
-      """WITH s1 AS (SELECT DISTINCT l_partkey AS k FROM lineitem
-        | WHERE year(l_shipdate) = 1996
-        |  AND month(l_shipdate) BETWEEN 1 AND 2),
-        |s2 AS (SELECT DISTINCT l_partkey AS k FROM lineitem
-        | WHERE year(l_shipdate) = 1996
-        |  AND month(l_shipdate) BETWEEN 3 AND 4),
-        |nn AS (SELECT
-        |  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM s1 JOIN s2 USING (k))
-        |   AS m,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM part) AS truth),
-        |est AS (SELECT *,
-        |  CAST(CAST(n1 + 1 AS HUGEINT) * (n2 + 1) * 1000000
-        |   // (m + 1) - 1000000 AS BIGINT) AS chapman_e6 FROM nn)
-        |SELECT n1, n2, m, chapman_e6, truth,
-        | CAST(CAST(abs(chapman_e6 - truth * 1000000) AS HUGEINT)
-        |  * 1000000 // (truth * 1000000) AS BIGINT) AS err_ppm
-        |FROM est""".stripMargin,
-
-    // q390: sign-vs-mean by exact cross-multiplication, runs via lag
-    // over the day census, null moments in HUGEINT, corrected isqrt.
-    "q390_runs_test" ->
-      """WITH daily AS (SELECT l_returnflag,
-        |  epoch_ms(l_shipdate) // 86400000 AS day,
-        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-        |   AS BIGINT) AS v
-        | FROM lineitem GROUP BY 1, 2),
-        |st AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(v) AS BIGINT) AS s FROM daily GROUP BY 1),
-        |sg AS (SELECT d.l_returnflag, d.day,
-        |  CASE WHEN CAST(d.v AS HUGEINT) * st.n > st.s THEN 1 ELSE 0
-        |   END AS sgn
-        | FROM daily d JOIN st USING (l_returnflag)),
-        |fl AS (SELECT l_returnflag, sgn,
-        |  CASE WHEN lag(sgn) OVER w IS NULL THEN 1
-        |   WHEN lag(sgn) OVER w <> sgn THEN 1 ELSE 0 END AS flip
-        | FROM sg WINDOW w AS (PARTITION BY l_returnflag ORDER BY day)),
-        |pg AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(sgn) AS BIGINT) AS n1,
-        |  CAST(sum(1 - sgn) AS BIGINT) AS n2,
-        |  CAST(sum(flip) AS BIGINT) AS runs FROM fl GROUP BY 1),
-        |mm AS (SELECT *,
-        |  CAST(2 * CAST(n1 AS HUGEINT) * n2 * 1000000 // n + 1000000
-        |   AS BIGINT) AS mean_runs_e6,
-        |  CASE WHEN n > 1 THEN
-        |   2 * CAST(n1 AS HUGEINT) * n2
-        |    * (2 * CAST(n1 AS HUGEINT) * n2 - n) * 1000000000000
-        |    // (CAST(n AS HUGEINT) * n * (n - 1))
-        |  ELSE CAST(0 AS HUGEINT) END AS var_e12 FROM pg),
-        |rr AS (SELECT *,
-        |  CAST(floor(sqrt(CAST(var_e12 AS DOUBLE))) AS BIGINT) AS s0
-        | FROM mm),
-        |rc AS (SELECT *,
-        |  CASE WHEN CAST(s0 AS HUGEINT) * s0 > var_e12 THEN s0 - 1
-        |   WHEN (CAST(s0 AS HUGEINT) + 1) * (s0 + 1) <= var_e12
-        |    THEN s0 + 1
-        |   ELSE s0 END AS r FROM rr)
-        |SELECT l_returnflag, n, n1, n2, runs, mean_runs_e6,
-        | CAST(CAST(var_e12 AS DECIMAL(38,0)) AS VARCHAR) AS var_e12,
-        | CASE WHEN n1 > 0 AND n2 > 0 AND n > 1 AND r > 0 THEN
-        |  CAST(CAST(runs * 1000000 - mean_runs_e6 AS HUGEINT) * 1000
-        |   // r AS BIGINT)
-        | END AS z_e3
-        |FROM rc""".stripMargin,
-
-    // q399: the pinned ln-e3 pipeline, quadratic forms in HUGEINT,
-    // toward-zero elasticity quotient.
-    "q399_price_elasticity" ->
-      """WITH j AS (SELECT p_brand,
-        |  CAST(round(ln(CAST(CAST(round(p_retailprice * 100) AS BIGINT)
-        |   AS DOUBLE)) * 1000.0) AS BIGINT) AS x,
-        |  CAST(round(ln(CAST(CAST(round(l_quantity) AS BIGINT)
-        |   AS DOUBLE)) * 1000.0) AS BIGINT) AS y
-        | FROM lineitem JOIN part ON l_partkey = p_partkey),
-        |g AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(x) AS BIGINT) AS sum_x,
-        |  CAST(sum(y) AS BIGINT) AS sum_y,
-        |  sum(CAST(x AS HUGEINT) * y) AS sxy,
-        |  sum(CAST(x AS HUGEINT) * x) AS sxx
-        | FROM j GROUP BY 1),
-        |f AS (SELECT p_brand, n, sum_x, sum_y,
-        |  n * sxy - CAST(sum_x AS HUGEINT) * sum_y AS slope_num,
-        |  n * sxx - CAST(sum_x AS HUGEINT) * sum_x AS slope_den
-        | FROM g)
-        |SELECT p_brand, n, sum_x, sum_y,
-        | CAST(CAST(slope_num AS DECIMAL(38,0)) AS VARCHAR) AS slope_num,
-        | CAST(CAST(slope_den AS DECIMAL(38,0)) AS VARCHAR) AS slope_den,
-        | CASE WHEN slope_den > 0 THEN
-        |  CAST(slope_num * 1000000 // slope_den AS BIGINT)
-        | END AS elasticity_e6
-        |FROM f""".stripMargin,
-
-    // q400: the q231 decomposition CTEs on the lineitem series, then
-    // the cleared-variance strength ratios with greatest-0 clamps.
-    "q400_seasonal_strength" ->
-      """WITH daily AS (SELECT l_returnflag,
-        |  epoch_ms(l_shipdate) // 86400000 AS day,
-        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-        |   AS BIGINT) AS cents
-        | FROM lineitem GROUP BY 1, 2),
-        |tr AS (SELECT l_returnflag, day, cents,
-        |  sum(cents) OVER w AS wsum, count(*) OVER w AS wcnt
-        | FROM daily WINDOW w AS (PARTITION BY l_returnflag
-        |  ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-        |t2 AS (SELECT l_returnflag, day, cents, wsum // 7 AS trend,
-        |  day % 7 AS phase, cents - wsum // 7 AS detr
-        | FROM tr WHERE wcnt = 7),
-        |se AS (SELECT l_returnflag, phase,
-        |  CAST(sum(detr) AS BIGINT) // count(*) AS s_raw
-        | FROM t2 GROUP BY 1, 2),
-        |ad AS (SELECT l_returnflag, CAST(sum(s_raw) AS BIGINT) // 7
-        |  AS adj FROM se GROUP BY 1),
-        |st AS (SELECT se.l_returnflag, phase, s_raw - adj AS seasonal
-        | FROM se JOIN ad ON se.l_returnflag = ad.l_returnflag),
-        |dc AS (SELECT t2.l_returnflag,
-        |  cents - trend - seasonal AS r,
-        |  cents - seasonal AS u,
-        |  cents - trend AS s
-        | FROM t2 JOIN st ON t2.l_returnflag = st.l_returnflag
-        |  AND t2.phase = st.phase),
-        |ag AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(r) AS BIGINT) AS sr, sum(CAST(r AS HUGEINT) * r)
-        |   AS qr,
-        |  CAST(sum(u) AS BIGINT) AS su, sum(CAST(u AS HUGEINT) * u)
-        |   AS qu,
-        |  CAST(sum(s) AS BIGINT) AS ss, sum(CAST(s AS HUGEINT) * s)
-        |   AS qs
-        | FROM dc GROUP BY 1),
-        |vv AS (SELECT l_returnflag, n,
-        |  n * qr - CAST(sr AS HUGEINT) * sr AS vr,
-        |  n * qu - CAST(su AS HUGEINT) * su AS vu,
-        |  n * qs - CAST(ss AS HUGEINT) * ss AS vs
-        | FROM ag)
-        |SELECT l_returnflag, n,
-        | CASE WHEN vu > 0 THEN greatest(CAST(0 AS BIGINT),
-        |  CAST(1000000 - vr * 1000000 // vu AS BIGINT))
-        | END AS trend_strength_e6,
-        | CASE WHEN vs > 0 THEN greatest(CAST(0 AS BIGINT),
-        |  CAST(1000000 - vr * 1000000 // vs AS BIGINT))
-        | END AS seasonal_strength_e6
-        |FROM vv""".stripMargin,
-
-    // q401: q20's cosine replay for the pool, pairwise sims among the
-    // pool, five unrolled greedy rounds via struct-min argmax.
-    "q401_mmr_rerank" -> q401OracleSql,
-
-    // q402: the whole DL chain replayed — HUGEINT weights (up to 1e24,
-    // hence never BIGINT), // quotients matching the operator's
-    // positive floor identity, greatest-0 τ² clamp.
-    "q402_meta_analysis" ->
-      """WITH li AS (SELECT CAST(s_nationkey AS BIGINT) AS nat,
-        |  l_discount > 0.05 AS tr, CAST(round(l_quantity) AS BIGINT)
-        |   AS y
-        | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
-        |arms AS (SELECT nat,
-        |  CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS nt,
-        |  CAST(sum(CASE WHEN tr THEN y ELSE 0 END) AS BIGINT) AS st,
-        |  sum(CASE WHEN tr THEN CAST(y AS HUGEINT) * y
-        |   ELSE CAST(0 AS HUGEINT) END) AS qt,
-        |  CAST(sum(CASE WHEN tr THEN 0 ELSE 1 END) AS BIGINT) AS nc,
-        |  CAST(sum(CASE WHEN tr THEN 0 ELSE y END) AS BIGINT) AS sc,
-        |  sum(CASE WHEN tr THEN CAST(0 AS HUGEINT)
-        |   ELSE CAST(y AS HUGEINT) * y END) AS qc
-        | FROM li GROUP BY 1),
-        |eff AS (SELECT nat,
-        |  st * 1000000 // nt - sc * 1000000 // nc AS d,
-        |  CAST((nt * qt - CAST(st AS HUGEINT) * st) * 1000000000000
-        |   // (CAST(nt AS HUGEINT) * nt * (nt - 1)) AS BIGINT)
-        |  + CAST((nc * qc - CAST(sc AS HUGEINT) * sc) * 1000000000000
-        |   // (CAST(nc AS HUGEINT) * nc * (nc - 1)) AS BIGINT) AS v
-        | FROM arms WHERE nt > 1 AND nc > 1),
-        |good AS (SELECT d, v,
-        |  CAST(1000000000000 AS HUGEINT) * 1000000000000 // v AS w
-        | FROM eff WHERE v > 0),
-        |drop0 AS (SELECT CAST(coalesce(sum(CASE WHEN v <= 0 THEN 1
-        |  ELSE 0 END), 0) AS BIGINT) AS k_dropped FROM eff),
-        |fix AS (SELECT CAST(count(*) AS BIGINT) AS k,
-        |  sum(w * d) AS swd, sum(w) AS sw, sum(w * w) AS sww
-        | FROM good),
-        |f2 AS (SELECT k, sw, sww,
-        |  CAST(swd // sw AS BIGINT) AS fixed_e6 FROM fix),
-        |qq AS (SELECT CAST(sum(w * (d - fixed_e6) * (d - fixed_e6))
-        |  // 1000000000000000000 AS BIGINT) AS q_e6
-        | FROM good, f2),
-        |tt AS (SELECT k, fixed_e6, q_e6,
-        |  greatest(CAST(0 AS BIGINT),
-        |   CAST(CAST(q_e6 - (k - 1) * 1000000 AS HUGEINT)
-        |    * 1000000000000 * 1000000
-        |    // (sw - sww // sw) AS BIGINT)) AS tau2_e12
-        | FROM f2, qq),
-        |rnd AS (SELECT CAST(sum(w2 * d) // sum(w2) AS BIGINT)
-        |  AS random_e6
-        | FROM (SELECT g.d, CAST(1000000000000 AS HUGEINT)
-        |   * 1000000000000 // (CAST(g.v AS HUGEINT) + tt.tau2_e12)
-        |   AS w2 FROM good g, tt))
-        |SELECT k, k_dropped, fixed_e6, q_e6, tau2_e12, random_e6
-        |FROM tt, drop0, rnd""".stripMargin,
-
-    // q403: descending ROC-census windows; best-J by struct-min
-    // (−j, t) — lower threshold wins ties.
-    "q403_youden" ->
-      """WITH b AS (SELECT CAST(round(l_discount * 100) AS BIGINT) AS t,
-        |  l_returnflag = 'R' AS p FROM lineitem),
-        |census AS (SELECT t,
-        |  CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS np,
-        |  CAST(sum(CASE WHEN p THEN 0 ELSE 1 END) AS BIGINT) AS nn
-        | FROM b GROUP BY 1),
-        |cum AS (SELECT t, np, nn,
-        |  sum(np) OVER wge AS tp, sum(nn) OVER wge AS fp,
-        |  sum(np) OVER () AS pp, sum(nn) OVER () AS nneg
-        | FROM census WINDOW wge AS (ORDER BY t DESC
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |j AS (SELECT t, CAST(tp AS BIGINT) AS tp,
-        |  CAST(fp AS BIGINT) AS fp,
-        |  CAST(tp * 1000000 // pp AS BIGINT) AS tpr_e6,
-        |  CAST(fp * 1000000 // nneg AS BIGINT) AS fpr_e6
-        | FROM cum WHERE pp > 0 AND nneg > 0),
-        |jj AS (SELECT *, tpr_e6 - fpr_e6 AS j_e6 FROM j),
-        |bb AS (SELECT min(struct_pack(nj := -j_e6, t := t)) AS b
-        | FROM jj)
-        |SELECT jj.t, tp, fp, tpr_e6, fpr_e6, j_e6,
-        | (j_e6 = -(bb.b.nj) AND jj.t = bb.b.t) AS is_best
-        |FROM jj, bb""".stripMargin,
-
-    // q404: frequency band-pass significance set, sentence split with
-    // aligned 0-based indices, struct-min argmax per doc.
-    "q404_luhn_summary" ->
-      """WITH wf AS (SELECT w, count(*) AS f FROM (
-        |  SELECT unnest(list_filter(regexp_split_to_array(
-        |   trim(lower(text)), '\s+'), x -> length(x) > 0)) AS w
-        |  FROM documents) GROUP BY 1),
-        |sig AS (SELECT w FROM wf WHERE f BETWEEN 10 AND 1000),
-        |sa AS (SELECT doc_id,
-        |  regexp_split_to_array(text, '\.') AS arr FROM documents),
-        |sent AS (SELECT doc_id, i - 1 AS sidx,
-        |  unnest(list_filter(regexp_split_to_array(
-        |   trim(lower(arr[i])), '\s+'), x -> length(x) > 0)) AS w
-        | FROM sa, LATERAL (SELECT unnest(
-        |   generate_series(1, len(arr))) AS i) ix),
-        |sc AS (SELECT doc_id, sidx,
-        |  CAST(count(*) AS BIGINT) AS nwords,
-        |  CAST(sum(CASE WHEN sig.w IS NOT NULL THEN 1 ELSE 0 END)
-        |   AS BIGINT) AS nsig
-        | FROM sent LEFT JOIN sig ON sig.w = sent.w
-        | GROUP BY 1, 2),
-        |sc2 AS (SELECT doc_id, sidx, nsig, nwords,
-        |  nsig * nsig * 1000000 // nwords AS score FROM sc),
-        |best AS (SELECT doc_id, min(struct_pack(ns := -score,
-        |  sidx := CAST(sidx AS BIGINT), nsig := nsig,
-        |  nw := nwords)) AS b
-        | FROM sc2 GROUP BY 1)
-        |SELECT doc_id, b.sidx AS best_sidx, b.nsig AS nsig,
-        | b.nw AS nwords, -(b.ns) AS score_e6
-        |FROM best""".stripMargin,
-
-    // q405: (bad, secondary) cell censuses per arm, census×census
-    // pair mass in HUGEINT.
-    "q405_win_ratio" ->
-      """WITH b AS (SELECT l_discount > 0.05 AS tr,
-        |  l_returnflag = 'R' AS bad,
-        |  CAST(round(l_quantity) AS BIGINT) AS sec FROM lineitem),
-        |cells AS (SELECT tr, bad, sec, CAST(count(*) AS BIGINT) AS n
-        | FROM b GROUP BY 1, 2, 3),
-        |t AS (SELECT bad AS tb, sec AS ts, n AS nt FROM cells
-        | WHERE tr),
-        |c AS (SELECT bad AS cb, sec AS cs, n AS nc FROM cells
-        | WHERE NOT tr),
-        |ag AS (SELECT
-        |  coalesce(sum(CASE WHEN (NOT tb AND cb)
-        |    OR (tb = cb AND ts > cs)
-        |   THEN CAST(nt AS HUGEINT) * nc END), 0) AS wins,
-        |  coalesce(sum(CASE WHEN (tb AND NOT cb)
-        |    OR (tb = cb AND ts < cs)
-        |   THEN CAST(nt AS HUGEINT) * nc END), 0) AS losses,
-        |  coalesce(sum(CASE WHEN tb = cb AND ts = cs
-        |   THEN CAST(nt AS HUGEINT) * nc END), 0) AS ties
-        | FROM t, c),
-        |nt2 AS (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT)
-        |  AS n_treated FROM t),
-        |nc2 AS (SELECT CAST(coalesce(sum(nc), 0) AS BIGINT)
-        |  AS n_control FROM c)
-        |SELECT n_treated, n_control,
-        | CAST(CAST(wins AS DECIMAL(38,0)) AS VARCHAR) AS wins,
-        | CAST(CAST(losses AS DECIMAL(38,0)) AS VARCHAR) AS losses,
-        | CAST(CAST(ties AS DECIMAL(38,0)) AS VARCHAR) AS ties,
-        | CASE WHEN losses > 0 THEN
-        |  CAST(wins * 1000000 // losses AS BIGINT)
-        | END AS win_ratio_e6
-        |FROM ag, nt2, nc2""".stripMargin,
-
-    // q421: user spans, ceil-aligned hourly grid, half-open
-    // containment; the λW ≡ L identity is construction-exact, the
-    // residual audits the grid sampling.
-    "q421_littles_law" ->
-      """WITH sp AS (SELECT user_id AS u,
-        |  CAST(min(epoch_ms(ts)) AS BIGINT) AS s,
-        |  CAST(max(epoch_ms(ts)) AS BIGINT) AS e
-        | FROM events GROUP BY 1),
-        |sp2 AS (SELECT u, s, e, e - s AS dur FROM sp),
-        |hz AS (SELECT min(s) AS h0, max(e) AS h1,
-        |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(dur) AS BIGINT) AS sumdur FROM sp2),
-        |h2 AS (SELECT *, h1 - h0 AS hms FROM hz),
-        |grid AS (SELECT unnest(generate_series(
-        |  (h0 + 3599999) // 3600000, h1 // 3600000)) * 3600000 AS g
-        | FROM h2),
-        |act AS (SELECT CAST(count(*) AS BIGINT) AS n_active
-        | FROM sp2, grid WHERE s <= g AND g < e),
-        |ng AS (SELECT CAST(count(*) AS BIGINT) AS n_grid FROM grid),
-        |f AS (SELECT n AS n_units, hms AS horizon_ms, n_grid,
-        |  CASE WHEN hms > 0 THEN CAST(CAST(n AS HUGEINT) * 3600000
-        |   * 1000000 // hms AS BIGINT) END AS lambda_per_hour_e6,
-        |  CAST(sumdur // n AS BIGINT) AS w_ms,
-        |  CASE WHEN hms > 0 THEN CAST(CAST(sumdur AS HUGEINT)
-        |   * 1000000 // hms AS BIGINT) END AS l_exact_e6,
-        |  CASE WHEN n_grid > 0 THEN
-        |   CAST(n_active * 1000000 // n_grid AS BIGINT) END
-        |   AS l_grid_e6
-        | FROM h2, act, ng)
-        |SELECT *, CASE WHEN l_exact_e6 > 0 THEN
-        |  CAST(CAST(abs(l_grid_e6 - l_exact_e6) AS HUGEINT) * 1000000
-        |   // l_exact_e6 AS BIGINT) END AS grid_residual_ppm
-        |FROM f""".stripMargin,
-
-    // q422: per-group cleared moments, pinned-ln e3 points, exact
-    // integer OLS slope.
-    "q422_taylors_law" ->
-      """WITH g AS (SELECT l_partkey AS g, CAST(count(*) AS BIGINT)
-        |  AS n,
-        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS s,
-        |  sum(CAST(CAST(round(l_quantity) AS BIGINT) AS HUGEINT)
-        |   * CAST(round(l_quantity) AS BIGINT)) AS q
-        | FROM lineitem GROUP BY 1),
-        |m AS (SELECT g, n,
-        |  CAST(CAST(s AS HUGEINT) * 1000 // n AS BIGINT) AS m_e3,
-        |  CAST((n * q - CAST(s AS HUGEINT) * s) * 1000000
-        |   // (CAST(n AS HUGEINT) * n) AS BIGINT) AS v_e6 FROM g),
-        |pts AS (SELECT
-        |  CAST(round(ln(CAST(m_e3 AS DOUBLE)) * 1000.0) AS BIGINT)
-        |   AS lx,
-        |  CAST(round(ln(CAST(v_e6 AS DOUBLE)) * 1000.0) AS BIGINT)
-        |   AS ly
-        | FROM m WHERE n > 1 AND v_e6 > 0 AND m_e3 > 0),
-        |dr AS (SELECT CAST(coalesce(sum(CASE WHEN n <= 1 OR v_e6 <= 0
-        |  OR m_e3 <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dropped
-        | FROM m),
-        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
-        |  CAST(sum(lx) AS BIGINT) AS sx,
-        |  CAST(sum(ly) AS BIGINT) AS sy,
-        |  sum(CAST(lx AS HUGEINT) * ly) AS sxy,
-        |  sum(CAST(lx AS HUGEINT) * lx) AS sxx FROM pts)
-        |SELECT n_groups, n_dropped,
-        | CAST(CAST(n_groups * sxy - CAST(sx AS HUGEINT) * sy
-        |  AS DECIMAL(38,0)) AS VARCHAR) AS slope_num,
-        | CAST(CAST(n_groups * sxx - CAST(sx AS HUGEINT) * sx
-        |  AS DECIMAL(38,0)) AS VARCHAR) AS slope_den,
-        | CASE WHEN n_groups * sxx - CAST(sx AS HUGEINT) * sx > 0 THEN
-        |  CAST((n_groups * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
-        |   // (n_groups * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT)
-        | END AS taylor_b_e6
-        |FROM ag, dr""".stripMargin,
-
-    // q423: rn-indexed census, per-(w, block) cleared cumulative
-    // deviations, corrected-isqrt sd, |windows|-point integer OLS.
-    "q423_hurst" ->
-      """WITH daily AS (SELECT epoch_ms(l_shipdate) // 86400000 AS o,
-        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-        |   AS BIGINT) AS x
-        | FROM lineitem GROUP BY 1),
-        |rn AS (SELECT o, x, CAST(row_number() OVER (ORDER BY o)
-        |  AS BIGINT) AS rn FROM daily),
-        |tg AS (SELECT rn.*, ws.w FROM rn,
-        | (SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS w) ws),
-        |bl AS (SELECT *, (rn - 1) // w AS blk,
-        |  rn - ((rn - 1) // w) * w AS kin FROM tg),
-        |st AS (SELECT w, blk, kin, x,
-        |  count(*) OVER pb AS nb, sum(x) OVER pb AS sb,
-        |  sum(x) OVER (PARTITION BY w, blk ORDER BY rn
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        | FROM bl WINDOW pb AS (PARTITION BY w, blk)),
-        |fl AS (SELECT * FROM st WHERE nb = w),
-        |dv AS (SELECT w, blk, x, sb, w * cum - kin * sb AS c FROM fl),
-        |bk AS (SELECT w, blk, max(c) - min(c) AS rcl, max(sb) AS sb,
-        |  sum(CAST(x AS HUGEINT) * x) AS qb FROM dv GROUP BY 1, 2),
-        |v0 AS (SELECT w, blk, rcl,
-        |  w * qb - CAST(sb AS HUGEINT) * sb AS v FROM bk),
-        |s0 AS (SELECT *, CAST(floor(sqrt(CAST(v AS DOUBLE)))
-        |  AS BIGINT) AS sq0 FROM v0),
-        |s1 AS (SELECT w, blk, rcl,
-        |  CASE WHEN CAST(sq0 AS HUGEINT) * sq0 > v THEN sq0 - 1
-        |   WHEN (CAST(sq0 AS HUGEINT) + 1) * (sq0 + 1) <= v
-        |    THEN sq0 + 1 ELSE sq0 END AS sd FROM s0),
-        |rs AS (SELECT w, blk, CAST(CAST(rcl AS HUGEINT) * 1000000
-        |  // sd AS BIGINT) AS rs FROM s1 WHERE sd > 0),
-        |pw AS (SELECT w, CAST(count(*) AS BIGINT) AS n_blocks,
-        |  CAST(sum(rs) // count(*) AS BIGINT) AS mean_rs_e6
-        | FROM rs GROUP BY 1),
-        |pts AS (SELECT
-        |  CAST(round(ln(CAST(w AS DOUBLE)) * 1000.0) AS BIGINT) AS lx,
-        |  CAST(round(ln(CAST(mean_rs_e6 AS DOUBLE)) * 1000.0)
-        |   AS BIGINT) AS ly FROM pw),
-        |ols AS (SELECT CAST(count(*) AS BIGINT) AS np,
-        |  CAST(sum(lx) AS BIGINT) AS sx,
-        |  CAST(sum(ly) AS BIGINT) AS sy,
-        |  CAST(sum(lx * ly) AS BIGINT) AS sxy,
-        |  CAST(sum(lx * lx) AS BIGINT) AS sxx FROM pts),
-        |hh AS (SELECT CASE WHEN np * sxx - sx * sx > 0 THEN
-        |  CAST(CAST(np * sxy - sx * sy AS HUGEINT) * 1000000
-        |   // (np * sxx - sx * sx) AS BIGINT) END AS hurst_e6
-        | FROM ols)
-        |SELECT pw.w, pw.n_blocks, pw.mean_rs_e6, hh.hurst_e6
-        |FROM pw, hh""".stripMargin,
-
-    // q424: q374-pinned per-cell KL micro-nats; the 3 MW rounds unroll
-    // as plain HUGEINT CTEs (the linearized update is rational — no exp).
-    "q424_doremi_mixture" ->
-      """WITH tok AS (SELECT source AS d,
-        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS v
-        | FROM documents),
-        |cells AS (SELECT d, v, count(*) AS c FROM tok GROUP BY 1, 2),
-        |corpus AS (SELECT v, CAST(sum(c) AS BIGINT) AS cc FROM cells
-        | GROUP BY 1),
-        |ng AS (SELECT d, CAST(sum(c) AS BIGINT) AS ng,
-        |  CAST(count(*) AS BIGINT) AS n_values FROM cells GROUP BY 1),
-        |nt AS (SELECT CAST(sum(cc) AS BIGINT) AS n FROM corpus),
-        |ex AS (SELECT cells.d,
-        |  CAST(greatest(CAST(0 AS HUGEINT),
-        |    sum(CAST(round((CAST(c AS DOUBLE) / ng.ng)
-        |      * ln((CAST(c AS DOUBLE) / ng.ng) / (CAST(cc AS DOUBLE) / n))
-        |      * 1000000.0) AS HUGEINT))) AS BIGINT) AS excess_e6
-        | FROM cells JOIN corpus USING (v) JOIN ng USING (d), nt
-        | GROUP BY cells.d),
-        |dom AS (SELECT ng.d, ng.ng, ng.n_values,
-        |  CAST(CAST(ng.ng AS HUGEINT) * 1000000 // n AS BIGINT)
-        |   AS share_e6, ex.excess_e6
-        | FROM ng JOIN ex ON ex.d = ng.d, nt),
-        |dc AS (SELECT CAST(count(*) AS BIGINT) AS dn FROM dom),
-        |r0 AS (SELECT d, CAST(1000000 // dn AS HUGEINT) AS w
-        | FROM dom, dc),
-        |b1 AS (SELECT r0.d, r0.w * (1000000
-        |   + ((500000 * CAST(dom.excess_e6 AS HUGEINT)) // 1000000))
-        |  // 1000000 AS wp FROM r0 JOIN dom USING (d)),
-        |t1 AS (SELECT sum(wp) AS tw FROM b1),
-        |r1 AS (SELECT d, wp * 1000000 // tw AS w FROM b1, t1),
-        |b2 AS (SELECT r1.d, r1.w * (1000000
-        |   + ((500000 * CAST(dom.excess_e6 AS HUGEINT)) // 1000000))
-        |  // 1000000 AS wp FROM r1 JOIN dom USING (d)),
-        |t2 AS (SELECT sum(wp) AS tw FROM b2),
-        |r2 AS (SELECT d, wp * 1000000 // tw AS w FROM b2, t2),
-        |b3 AS (SELECT r2.d, r2.w * (1000000
-        |   + ((500000 * CAST(dom.excess_e6 AS HUGEINT)) // 1000000))
-        |  // 1000000 AS wp FROM r2 JOIN dom USING (d)),
-        |t3 AS (SELECT sum(wp) AS tw FROM b3),
-        |r3 AS (SELECT d, wp * 1000000 // tw AS w FROM b3, t3)
-        |SELECT dom.d AS source, dom.n_values, dom.ng AS n_tokens,
-        | dom.share_e6, dom.excess_e6, CAST(r3.w AS BIGINT) AS w_e6
-        |FROM dom JOIN r3 ON r3.d = dom.d""".stripMargin,
-
-    // q425: the q20 quantized-cosine replay, per-test rank recurrence
-    // as a rank-descending window prefix sum, truncating mean over
-    // probes; signs handled by multiplying Δ AFTER the positive div.
-    "q425_knn_shapley" ->
-      """WITH n AS (SELECT vec_id, embedding, label,
-        |  CAST(list_sum(list_transform(embedding,
-        |    x -> CAST(round(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)
-        |      *1000000000.0) AS BIGINT))) AS BIGINT) AS nsq
-        | FROM embeddings),
-        |q AS (SELECT * FROM n WHERE vec_id < 20),
-        |c AS (SELECT * FROM n WHERE NOT (vec_id < 20)),
-        |s AS (SELECT q.vec_id AS qid, q.label AS qlab,
-        |  c.vec_id AS cid, c.label AS clab,
-        |  CAST(CAST(list_sum(list_transform(
-        |     list_zip(q.embedding, c.embedding),
-        |     z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)
-        |       *1000000000.0) AS BIGINT))) AS BIGINT) AS DOUBLE)
-        |   / sqrt(CAST(q.nsq AS DOUBLE) * CAST(c.nsq AS DOUBLE)) AS score
-        | FROM q, c),
-        |r AS (SELECT qid, cid, clab,
-        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid)
-        |   AS r,
-        |  count(*) OVER (PARTITION BY qid) AS nt,
-        |  CASE WHEN qlab = clab THEN 1 ELSE 0 END AS m FROM s),
-        |t AS (SELECT *, lead(m) OVER (PARTITION BY qid ORDER BY r) AS mn
-        | FROM r),
-        |t2 AS (SELECT *, CASE WHEN mn IS NULL THEN 0 ELSE
-        |  (m - mn) * ((CAST(1000000000 AS BIGINT) * least(5, r))
-        |    // (CAST(5 AS BIGINT) * r)) END AS term FROM t),
-        |sv AS (SELECT qid, cid, clab, nt, term,
-        |  max(CASE WHEN r = nt THEN m END) OVER (PARTITION BY qid)
-        |   AS mlast,
-        |  sum(term) OVER (PARTITION BY qid ORDER BY r DESC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        | FROM t2),
-        |sval AS (SELECT cid, clab,
-        |  ((mlast * 1000000000) // nt) + cum AS s_e9 FROM sv),
-        |phi AS (SELECT cid, clab AS label,
-        |  CAST(sum(s_e9) // count(*) AS BIGINT) AS phi_e9
-        | FROM sval GROUP BY 1, 2),
-        |tops AS (SELECT *, row_number()
-        |  OVER (ORDER BY phi_e9 DESC, cid) AS rank FROM phi)
-        |SELECT CAST(rank AS BIGINT) AS rank, cid, label, phi_e9
-        |FROM tops WHERE rank <= 25""".stripMargin,
-
-    // q426: train word census + add-one cost per TYPE (one pinned ln
-    // chain), doc totals from (doc, word, k) cells, fixed-band histogram.
-    "q426_ppl_filter" ->
-      """WITH tr AS (SELECT
-        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
-        | FROM documents WHERE (doc_id // 20) % 5 < 4),
-        |cen AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tr
-        | GROUP BY 1),
-        |sc AS (SELECT CAST(sum(c) AS BIGINT) AS n,
-        |  CAST(count(*) AS BIGINT) AS v FROM cen),
-        |evt AS (SELECT doc_id, source AS g,
-        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
-        | FROM documents WHERE (doc_id // 20) % 5 >= 4),
-        |cells AS (SELECT doc_id, g, w, CAST(count(*) AS BIGINT) AS k
-        | FROM evt GROUP BY 1, 2, 3),
-        |costs AS (SELECT doc_id, g, k,
-        |  CAST(round(-ln((CAST(coalesce(cen.c, 0) AS DOUBLE) + 1.0)
-        |    / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000.0)
-        |   AS BIGINT) AS cost
-        | FROM cells LEFT JOIN cen USING (w), sc),
-        |docs AS (SELECT g,
-        |  CAST(sum(CAST(k AS HUGEINT) * cost) // sum(k) AS BIGINT)
-        |   AS ppl,
-        |  CAST(sum(k) AS BIGINT) AS nt
-        | FROM costs GROUP BY doc_id, g)
-        |SELECT g AS source, least(ppl // 500000, 20) AS band,
-        | CAST(count(*) AS BIGINT) AS n_docs,
-        | CAST(sum(nt) AS BIGINT) AS n_tokens
-        |FROM docs GROUP BY 1, 2""".stripMargin,
-
-    "q427_bpe_fertility" -> q427OracleSql,
-
-    "q432_dp_counts" -> q432OracleSql,
-
-    "q435_horvitz_thompson" -> q435OracleSql,
-
-    // q436: the q82 lead() census + a VALUES model, window shares.
-    "q436_conformance" ->
-      """WITH p AS (SELECT event_type AS a,
-        |  lead(event_type) OVER (PARTITION BY user_id
-        |    ORDER BY epoch_ms(ts), event_id) AS next
-        | FROM events),
-        |c AS (SELECT a AS from_act, next AS to_act,
-        |  CAST(count(*) AS BIGINT) AS n FROM p
-        | WHERE next IS NOT NULL GROUP BY 1, 2),
-        |m AS (SELECT * FROM (VALUES
-        |  ('view','view'), ('view','click'), ('view','signup'),
-        |  ('click','view'), ('click','purchase'),
-        |  ('purchase','view'), ('signup','view')) AS t(mf, mt)),
-        |f AS (SELECT from_act, to_act, n, (mf IS NOT NULL) AS allowed
-        | FROM c LEFT JOIN m ON m.mf = c.from_act AND m.mt = c.to_act),
-        |w AS (SELECT *,
-        |  CAST(sum(n) OVER (PARTITION BY from_act) AS BIGINT)
-        |   AS from_total,
-        |  CAST(sum(CASE WHEN allowed THEN n ELSE 0 END)
-        |    OVER (PARTITION BY from_act) AS BIGINT) AS conf
-        | FROM f)
-        |SELECT from_act, to_act, n, allowed, from_total,
-        | CAST(n * 1000000 // from_total AS BIGINT) AS share_of_from_e6,
-        | CAST(conf * 1000000 // from_total AS BIGINT)
-        |  AS conforming_of_from_e6
-        |FROM w""".stripMargin,
-
-    // q437: occupancy bits per user, Chapman algebra in HUGEINT.
-    "q437_capture_recapture" ->
-      """WITH b AS (SELECT user_id AS u,
-        |  max(CASE WHEN (epoch_ms(ts) // 604800000) % 2 = 0
-        |    THEN 1 ELSE 0 END) AS in1,
-        |  max(CASE WHEN (epoch_ms(ts) // 604800000) % 2 = 1
-        |    THEN 1 ELSE 0 END) AS in2
-        | FROM events GROUP BY 1),
-        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_true,
-        |  CAST(sum(in1) AS BIGINT) AS n1,
-        |  CAST(sum(in2) AS BIGINT) AS n2,
-        |  CAST(sum(in1 * in2) AS BIGINT) AS m FROM b)
-        |SELECT n_true, n1, n2, m,
-        | CAST(CAST(n1 + 1 AS HUGEINT) * (n2 + 1) // (m + 1) - 1
-        |  AS BIGINT) AS chapman_nhat,
-        | CAST(CAST(n1 + 1 AS HUGEINT) * (n2 + 1) * (n1 - m) * (n2 - m)
-        |   // (CAST(m + 1 AS HUGEINT) * (m + 1) * (m + 2)) AS BIGINT)
-        |  AS var_nhat
-        |FROM s""".stripMargin,
-
-    // q438: canonical a<b edges, a<b<c triangle join, corner census,
-    // degree-census wedge arithmetic, per-node truncation before the
-    // local-CC mean.
-    "q438_clustering_coeff" ->
-      """WITH und AS (
-        | SELECT a.l_suppkey AS a, b.l_suppkey AS b
-        | FROM lineitem a JOIN lineitem b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-        | GROUP BY 1, 2 HAVING count(*) >= 5),
-        |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d
-        | FROM (SELECT a AS id FROM und UNION ALL SELECT b FROM und)
-        | GROUP BY 1),
-        |tri AS (SELECT ab.a AS x, ab.b AS y, bc.b AS z
-        | FROM und ab JOIN und bc ON bc.a = ab.b
-        | JOIN und ac ON ac.a = ab.a AND ac.b = bc.b),
-        |corners AS (SELECT id, CAST(count(*) AS BIGINT) AS t
-        | FROM (SELECT unnest([x, y, z]) AS id FROM tri) GROUP BY 1),
-        |pn AS (SELECT deg.id, deg.d, coalesce(corners.t, 0) AS t,
-        |  (deg.d * (deg.d - 1)) // 2 AS w
-        | FROM deg LEFT JOIN corners ON corners.id = deg.id),
-        |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und),
-        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
-        |  CAST(sum(w) AS BIGINT) AS wedges,
-        |  CAST(sum(t) AS BIGINT) AS triangle_corners,
-        |  CAST(sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-        |   AS n_cc_nodes,
-        |  CAST(sum(CASE WHEN d >= 2
-        |    THEN CAST(t AS HUGEINT) * 1000000 // w ELSE 0 END)
-        |   AS HUGEINT) AS lcc
-        | FROM pn)
-        |SELECT n_nodes, n_edges, wedges, triangle_corners,
-        | CASE WHEN wedges > 0 THEN
-        |  CAST(CAST(triangle_corners AS HUGEINT) * 1000000 // wedges
-        |   AS BIGINT) END AS transitivity_e6,
-        | n_cc_nodes,
-        | CASE WHEN n_cc_nodes > 0 THEN
-        |  CAST(lcc // n_cc_nodes AS BIGINT) END AS mean_local_cc_e6
-        |FROM agg, ne""".stripMargin,
-
-    // q434: divisor layouts × the 1%-step grid, per-point pinned pow
-    // chain, truncating grid means.
-    "q434_lsh_planner" ->
-      """WITH l AS (SELECT b, 64 // b AS r
-        | FROM (SELECT unnest(generate_series(1, 64)) AS b)
-        | WHERE 64 % b = 0),
-        |g AS (SELECT CAST(s * 10000 AS BIGINT) AS s_e6
-        | FROM (SELECT unnest(generate_series(1, 99)) AS s)),
-        |pc AS (SELECT b, r, s_e6,
-        |  CAST(round((1.0 - pow(1.0 - pow(s_e6 / 1000000.0,
-        |    CAST(r AS DOUBLE)), CAST(b AS DOUBLE))) * 1000000.0)
-        |   AS BIGINT) AS p_e6
-        | FROM l, g)
-        |SELECT CAST(b AS INTEGER) AS b, CAST(r AS INTEGER) AS r,
-        | CAST(max(CASE WHEN s_e6 = 600000 THEN p_e6 END) AS BIGINT)
-        |  AS p_at_threshold_e6,
-        | CAST(sum(CASE WHEN s_e6 < 600000 THEN p_e6 ELSE 0 END) // 99
-        |  AS BIGINT) AS fp_area_e6,
-        | CAST(sum(CASE WHEN s_e6 >= 600000 THEN 1000000 - p_e6
-        |   ELSE 0 END) // 99 AS BIGINT) AS fn_area_e6,
-        | CAST((sum(CASE WHEN s_e6 < 600000 THEN p_e6 ELSE 0 END)
-        |   + sum(CASE WHEN s_e6 >= 600000 THEN 1000000 - p_e6
-        |      ELSE 0 END)) // 99 AS BIGINT) AS total_err_e6
-        |FROM pc GROUP BY 1, 2""".stripMargin,
-
-    // q433: hour census + cumulative window; the four SPRT constants
-    // are the identical pinned ln chains.
-    "q433_sprt" ->
-      """WITH e AS (SELECT epoch_ms(ts) // 3600000 AS b,
-        |  (event_type = 'purchase') AS x
-        | FROM events WHERE event_type IN ('view', 'purchase')),
-        |c AS (SELECT b, CAST(count(*) AS BIGINT) AS n_at,
-        |  CAST(sum(CASE WHEN x THEN 1 ELSE 0 END) AS BIGINT) AS s_at
-        | FROM e GROUP BY 1),
-        |k AS (SELECT
-        |  CAST(round(ln((0.0 + 150000) / 100000) * 1000000.0) AS BIGINT)
-        |   AS l1,
-        |  CAST(round(ln((0.0 + 850000) / 900000) * 1000000.0) AS BIGINT)
-        |   AS l0,
-        |  CAST(round(ln((0.0 + 950000) / 50000) * 1000000.0) AS BIGINT)
-        |   AS up,
-        |  CAST(round(ln((0.0 + 50000) / 950000) * 1000000.0) AS BIGINT)
-        |   AS lo),
-        |cum AS (SELECT b, n_at, s_at,
-        |  CAST(sum(n_at) OVER (ORDER BY b
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |   AS n_cum,
-        |  CAST(sum(s_at) OVER (ORDER BY b
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |   AS s_cum
-        | FROM c)
-        |SELECT b AS bucket, n_at, s_at, n_cum, s_cum,
-        | CAST(s_cum * l1 + (n_cum - s_cum) * l0 AS BIGINT) AS llr_e6,
-        | CASE WHEN s_cum * l1 + (n_cum - s_cum) * l0 >= up
-        |   THEN 'reject_h0'
-        |  WHEN s_cum * l1 + (n_cum - s_cum) * l0 <= lo
-        |   THEN 'accept_h0'
-        |  ELSE 'continue' END AS decision
-        |FROM cum, k""".stripMargin,
-
-    // q431: shifted-e3 components, cal-split centroids, windowed k-th
-    // smallest per label, label-grain coverage census.
-    "q431_conformal" ->
-      """WITH comps AS (SELECT vec_id AS id, label,
-        |  (vec_id % 5 < 4) AS cal, i AS dim,
-        |  CAST(round((CAST(embedding[i] AS DOUBLE) + 1.0) * 1000.0)
-        |   AS BIGINT) AS x_e3
-        | FROM embeddings,
-        |  LATERAL (SELECT unnest(generate_series(1, len(embedding)))
-        |    AS i) ix),
-        |cent AS (SELECT label, dim,
-        |  CAST(sum(x_e3) // count(*) AS BIGINT) AS c_e3
-        | FROM comps WHERE cal GROUP BY 1, 2),
-        |scores AS (SELECT id, comps.label, cal,
-        |  CAST(sum((x_e3 - c_e3) * (x_e3 - c_e3)) AS BIGINT) AS s
-        | FROM comps JOIN cent USING (label, dim) GROUP BY 1, 2, 3),
-        |calr AS (SELECT label, id, s,
-        |  row_number() OVER (PARTITION BY label ORDER BY s, id) AS r,
-        |  count(*) OVER (PARTITION BY label) AS n_cal
-        | FROM scores WHERE cal),
-        |qhat AS (SELECT label, s AS qhat_d2, n_cal FROM calr
-        | WHERE r = ((n_cal + 1) * 9 + 9) // 10),
-        |t AS (SELECT scores.label, s, qhat_d2, n_cal
-        | FROM scores LEFT JOIN qhat USING (label) WHERE NOT cal)
-        |SELECT label, CAST(max(n_cal) AS BIGINT) AS n_cal,
-        | CAST(max(qhat_d2) AS BIGINT) AS qhat_d2,
-        | CAST(count(*) AS BIGINT) AS n_test,
-        | CAST(sum(CASE WHEN qhat_d2 IS NULL OR s <= qhat_d2
-        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
-        | CAST(CAST(sum(CASE WHEN qhat_d2 IS NULL OR s <= qhat_d2
-        |   THEN 1 ELSE 0 END) AS HUGEINT) * 1000000 // count(*)
-        |  AS BIGINT) AS coverage_e6
-        |FROM t GROUP BY 1""".stripMargin,
-
-    // q430: the q20 cosine replay, graded rel, per-term pinned DCG
-    // terms at both the retrieved and ideal orderings.
-    "q430_retrieval_eval" ->
-      """WITH n AS (SELECT vec_id, embedding, label,
-        |  CAST(list_sum(list_transform(embedding,
-        |    x -> CAST(round(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)
-        |      *1000000000.0) AS BIGINT))) AS BIGINT) AS nsq
-        | FROM embeddings),
-        |q AS (SELECT * FROM n WHERE vec_id < 20),
-        |c AS (SELECT * FROM n WHERE NOT (vec_id < 20)),
-        |s AS (SELECT q.vec_id AS qid, q.label AS qlab,
-        |  c.vec_id AS cid, c.label AS clab,
-        |  CAST(CAST(list_sum(list_transform(
-        |     list_zip(q.embedding, c.embedding),
-        |     z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)
-        |       *1000000000.0) AS BIGINT))) AS BIGINT) AS DOUBLE)
-        |   / sqrt(CAST(q.nsq AS DOUBLE) * CAST(c.nsq AS DOUBLE)) AS score
-        | FROM q, c),
-        |top AS (SELECT qid, qlab, clab,
-        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid)
-        |   AS r
-        | FROM s QUALIFY r <= 10),
-        |rel AS (SELECT *, CASE WHEN clab = qlab THEN 2
-        |  WHEN clab % 5 = qlab % 5 THEN 1 ELSE 0 END AS rel FROM top),
-        |terms AS (SELECT *,
-        |  row_number() OVER (PARTITION BY qid ORDER BY rel DESC, r)
-        |   AS ir FROM rel),
-        |g AS (SELECT qid, qlab, r, rel,
-        |  CAST(round((pow(2.0, CAST(rel AS DOUBLE)) - 1.0) * 1000000.0
-        |    / log2(CAST(r AS DOUBLE) + 1.0)) AS BIGINT) AS g,
-        |  CAST(round((pow(2.0, CAST(rel AS DOUBLE)) - 1.0) * 1000000.0
-        |    / log2(CAST(ir AS DOUBLE) + 1.0)) AS BIGINT) AS ig
-        | FROM terms),
-        |agg AS (SELECT qid, qlab AS label,
-        |  CAST(sum(g) AS BIGINT) AS dcg_e6,
-        |  CAST(sum(ig) AS BIGINT) AS idcg_e6,
-        |  min(CASE WHEN rel >= 2 THEN r END) AS fh
-        | FROM g GROUP BY 1, 2)
-        |SELECT qid, label, dcg_e6, idcg_e6,
-        | CASE WHEN idcg_e6 > 0 THEN
-        |  CAST(CAST(dcg_e6 AS HUGEINT) * 1000000 // idcg_e6 AS BIGINT)
-        |  ELSE 0 END AS ndcg_e6,
-        | CAST(coalesce(fh, 0) AS BIGINT) AS first_hit,
-        | CASE WHEN fh IS NOT NULL THEN CAST(1000000 // fh AS BIGINT)
-        |  ELSE 0 END AS rr_e6
-        |FROM agg""".stripMargin,
-
-    // q429: the q20 cosine replay pool×pool, top-5 by (score desc,
-    // clab), struct-min majority (most count, then smallest label).
-    "q429_label_noise" ->
-      """WITH n AS (SELECT vec_id, embedding, label,
-        |  CAST(list_sum(list_transform(embedding,
-        |    x -> CAST(round(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)
-        |      *1000000000.0) AS BIGINT))) AS BIGINT) AS nsq
-        | FROM embeddings),
-        |p AS (SELECT * FROM n WHERE vec_id < 200),
-        |s AS (SELECT q.vec_id AS qid, q.label AS qlab, c.label AS clab,
-        |  CAST(CAST(list_sum(list_transform(
-        |     list_zip(q.embedding, c.embedding),
-        |     z -> CAST(round(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)
-        |       *1000000000.0) AS BIGINT))) AS BIGINT) AS DOUBLE)
-        |   / sqrt(CAST(q.nsq AS DOUBLE) * CAST(c.nsq AS DOUBLE)) AS score
-        | FROM p q JOIN p c ON q.vec_id <> c.vec_id),
-        |r AS (SELECT qid, qlab, clab, row_number()
-        |  OVER (PARTITION BY qid ORDER BY score DESC, clab) AS r FROM s),
-        |pc AS (SELECT qid, qlab, clab, CAST(count(*) AS BIGINT) AS cnt
-        | FROM r WHERE r <= 5 GROUP BY 1, 2, 3),
-        |pp AS (SELECT qid, qlab,
-        |  CAST(sum(CASE WHEN clab = qlab THEN cnt ELSE 0 END) AS BIGINT)
-        |   AS agree,
-        |  min(struct_pack(nc := -cnt, l := clab)) AS mj
-        | FROM pc GROUP BY 1, 2)
-        |SELECT qlab AS label, mj.l AS suggested,
-        | CAST(count(*) AS BIGINT) AS n_points,
-        | CAST(sum(CASE WHEN agree * 2 < 5 THEN 1 ELSE 0 END) AS BIGINT)
-        |  AS n_flagged,
-        | CAST(sum(agree) * 1000000 // (count(*) * 5) AS BIGINT)
-        |  AS mean_agree_e6
-        |FROM pp GROUP BY 1, 2""".stripMargin,
-
-    // q428: recursive-CTE BFS (UNION dedups; min-hops per (p, id)),
-    // over the q386 thresholded graph symmetrized.
-    "q428_eccentricity" ->
-      """WITH RECURSIVE und AS (
-        | SELECT a.l_suppkey AS u, b.l_suppkey AS v
-        | FROM lineitem a JOIN lineitem b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-        | GROUP BY 1, 2 HAVING count(*) >= 5),
-        |e AS (SELECT u, v FROM und UNION SELECT v, u FROM und),
-        |pv AS (SELECT u AS p FROM (SELECT DISTINCT u FROM e)
-        | ORDER BY p LIMIT 8),
-        |walk(p, id, hops) AS (
-        | SELECT p, p, 0 FROM pv
-        | UNION
-        | SELECT w.p, e.v, w.hops + 1 FROM walk w JOIN e ON e.u = w.id
-        | WHERE w.hops < 16),
-        |d AS (SELECT p, id, min(hops) AS h FROM walk GROUP BY 1, 2)
-        |SELECT p AS pivot, CAST(max(h) AS BIGINT) AS ecc,
-        | CAST(count(*) AS BIGINT) AS n_reached
-        |FROM d GROUP BY 1""".stripMargin,
-
-    // q418: per-arm value censuses, census×census comparison mass.
-    "q418_cliffs_delta" ->
-      """WITH b AS (SELECT l_discount > 0.05 AS a,
-        |  CAST(round(l_quantity) AS BIGINT) AS v FROM lineitem),
-        |cells AS (SELECT a, v, CAST(count(*) AS BIGINT) AS c
-        | FROM b GROUP BY 1, 2),
-        |av AS (SELECT v AS va, c AS ca FROM cells WHERE a),
-        |bv AS (SELECT v AS vb, c AS cb FROM cells WHERE NOT a),
-        |ag AS (SELECT
-        |  coalesce(sum(CASE WHEN va > vb THEN CAST(ca AS HUGEINT) * cb
-        |   END), 0) AS gt,
-        |  coalesce(sum(CASE WHEN va < vb THEN CAST(ca AS HUGEINT) * cb
-        |   END), 0) AS lt,
-        |  coalesce(sum(CASE WHEN va = vb THEN CAST(ca AS HUGEINT) * cb
-        |   END), 0) AS ties
-        | FROM av, bv),
-        |na AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS n_a
-        | FROM av),
-        |nb AS (SELECT CAST(coalesce(sum(cb), 0) AS BIGINT) AS n_b
-        | FROM bv)
-        |SELECT n_a, n_b,
-        | CAST(CAST(gt AS DECIMAL(38,0)) AS VARCHAR) AS gt,
-        | CAST(CAST(lt AS DECIMAL(38,0)) AS VARCHAR) AS lt,
-        | CAST(CAST(ties AS DECIMAL(38,0)) AS VARCHAR) AS ties,
-        | CASE WHEN CAST(n_a AS HUGEINT) * n_b > 0 THEN
-        |  CAST((gt - lt) * 1000000
-        |   // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) END AS delta_e6
-        |FROM ag, na, nb""".stripMargin,
-
-    // q419: zero-filled (value × group) grid with per-group STRICT
-    // cumulative counts, comparison mass by EQUI join on the value
-    // (the census×census inequality join is quadratic in the domain —
-    // same reformulation as the operator); no-tie null moments,
-    // isqrt(V·1e6/18) for the doubled-scale sigma.
-    "q419_jonckheere" ->
-      """WITH b AS (SELECT
-        |  CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS g,
-        |  CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS v
-        | FROM orders),
-        |cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
-        | FROM b GROUP BY 1, 2),
-        |grid AS (SELECT gs.g, vs.v, coalesce(cells.c, 0) AS c
-        | FROM (SELECT DISTINCT v FROM cells) vs
-        | CROSS JOIN (SELECT DISTINCT g FROM cells) gs
-        | LEFT JOIN cells ON cells.g = gs.g AND cells.v = vs.v),
-        |cum AS (SELECT g, v, c,
-        |  coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |   AS lt FROM grid),
-        |jt AS (SELECT coalesce(sum(CAST(y.c AS HUGEINT)
-        |   * (2 * x.lt + x.c)), 0) AS jt2
-        | FROM cum x JOIN cum y ON x.v = y.v AND x.g < y.g
-        | WHERE y.c > 0),
-        |sz AS (SELECT g, CAST(sum(c) AS BIGINT) AS nj FROM cells
-        | GROUP BY 1),
-        |st AS (SELECT CAST(sum(nj) AS BIGINT) AS n,
-        |  CAST(count(*) AS BIGINT) AS k,
-        |  sum(CAST(nj AS HUGEINT) * nj) AS sn2,
-        |  sum(CAST(nj AS HUGEINT) * nj * (2 * nj + 3)) AS sn23
-        | FROM sz),
-        |mm AS (SELECT n, k,
-        |  (CAST(n AS HUGEINT) * n - sn2) // 2 AS mean2,
-        |  CAST(n AS HUGEINT) * n * (2 * n + 3) - sn23 AS v72 FROM st),
-        |rt AS (SELECT *, (v72 * 1000000) // 18 AS v18 FROM mm),
-        |r0 AS (SELECT *, CAST(floor(sqrt(CAST(v18 AS DOUBLE)))
-        |  AS BIGINT) AS s0 FROM rt),
-        |r1 AS (SELECT *, CASE WHEN CAST(s0 AS HUGEINT) * s0 > v18
-        |   THEN s0 - 1
-        |  WHEN (CAST(s0 AS HUGEINT) + 1) * (s0 + 1) <= v18
-        |   THEN s0 + 1 ELSE s0 END AS ts FROM r0)
-        |SELECT n, k,
-        | CAST(CAST(jt2 AS DECIMAL(38,0)) AS VARCHAR) AS jt2,
-        | CAST(CAST(mean2 AS DECIMAL(38,0)) AS VARCHAR) AS mean2,
-        | CAST(CAST(v72 AS DECIMAL(38,0)) AS VARCHAR) AS v72,
-        | CASE WHEN ts > 0 THEN
-        |  CAST((jt2 - mean2) * 1000000 // ts AS BIGINT) END AS z_e3
-        |FROM r1, jt""".stripMargin,
-
-    // q420: pooled lower median off the cumulative census, exact
-    // cleared per-cell chi² truncated before summing.
-    "q420_moods_median" ->
-      """WITH b AS (SELECT o_orderpriority AS g,
-        |  CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS v
-        | FROM orders),
-        |m AS (SELECT v, count(*) AS c FROM b GROUP BY 1),
-        |cu AS (SELECT v, c,
-        |  sum(c) OVER (ORDER BY v
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |  sum(c) OVER () AS n FROM m),
-        |med AS (SELECT min(v) AS median_v FROM cu
-        | WHERE 2 * cum >= n + 1),
-        |cnts AS (SELECT g,
-        |  CAST(sum(CASE WHEN v <= median_v THEN 1 ELSE 0 END)
-        |   AS BIGINT) AS le,
-        |  CAST(sum(CASE WHEN v > median_v THEN 1 ELSE 0 END)
-        |   AS BIGINT) AS gtc
-        | FROM b, med GROUP BY 1),
-        |tot AS (SELECT CAST(sum(le + gtc) AS BIGINT) AS n,
-        |  CAST(count(*) AS BIGINT) AS k,
-        |  CAST(sum(le) AS BIGINT) AS cle,
-        |  CAST(sum(gtc) AS BIGINT) AS cgt FROM cnts),
-        |cell AS (SELECT
-        |  CASE WHEN (le + gtc) * CAST(cle AS HUGEINT) > 0 THEN
-        |   CAST((CAST(le AS HUGEINT) * n
-        |     - CAST(le + gtc AS HUGEINT) * cle)
-        |    * (CAST(le AS HUGEINT) * n
-        |     - CAST(le + gtc AS HUGEINT) * cle) * 1000000
-        |    // (CAST(n AS HUGEINT) * (le + gtc) * cle) AS BIGINT)
-        |  ELSE 0 END AS t0,
-        |  CASE WHEN (le + gtc) * CAST(cgt AS HUGEINT) > 0 THEN
-        |   CAST((CAST(gtc AS HUGEINT) * n
-        |     - CAST(le + gtc AS HUGEINT) * cgt)
-        |    * (CAST(gtc AS HUGEINT) * n
-        |     - CAST(le + gtc AS HUGEINT) * cgt) * 1000000
-        |    // (CAST(n AS HUGEINT) * (le + gtc) * cgt) AS BIGINT)
-        |  ELSE 0 END AS t1,
-        |  n, k
-        | FROM cnts, tot)
-        |SELECT max(n) AS n, max(k) AS k,
-        | (SELECT median_v FROM med) AS median_v,
-        | CAST(sum(t0 + t1) AS BIGINT) AS chi2_e6
-        |FROM cell""".stripMargin,
-
-    // q415: row_number over the unique (x, id) order, rank2 census
-    // for y, adjacent-rank jumps by rn+1 equi join.
-    "q415_chatterjee_xi" ->
-      """WITH qty AS (SELECT l_partkey AS pk,
-        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS y
-        | FROM lineitem GROUP BY 1),
-        |base AS (SELECT CAST(round(p_retailprice * 100) AS BIGINT)
-        |  AS x, y, p_partkey AS tb
-        | FROM part JOIN qty ON pk = p_partkey),
-        |m AS (SELECT y AS v, count(*) AS c FROM base GROUP BY 1),
-        |k AS (SELECT v, 2 * (sum(c) OVER (ORDER BY v
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
-        |  + c + 1 AS r2 FROM m),
-        |rn AS (SELECT row_number() OVER (ORDER BY x, tb) AS rn, k.r2
-        | FROM base JOIN k ON k.v = base.y),
-        |adj AS (SELECT a.r2 AS r2, b.r2 AS r2n FROM rn a
-        | JOIN rn b ON b.rn = a.rn + 1),
-        |st AS (SELECT CAST(coalesce(sum(abs(r2n - r2)), 0) AS BIGINT)
-        |  AS sum_abs_dr2 FROM adj),
-        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base)
-        |SELECT n, sum_abs_dr2,
-        | CASE WHEN n > 1 THEN 1000000 -
-        |  CAST(3 * CAST(sum_abs_dr2 AS HUGEINT) * 1000000
-        |   // (2 * (CAST(n AS HUGEINT) * n - 1)) AS BIGINT)
-        | END AS xi_e6
-        |FROM nn, st""".stripMargin,
-
-    // q416: unit-value prices per period, matched-basket sums in
-    // HUGEINT, Fisher via the corrected isqrt.
-    "q416_price_index" ->
-      """WITH b AS (SELECT l_partkey AS item,
-        |  CAST(sum(vc) AS BIGINT) AS bv, CAST(sum(q) AS BIGINT) AS bq
-        | FROM (SELECT l_partkey,
-        |   CAST(round(l_extendedprice * 100) AS BIGINT) AS vc,
-        |   CAST(round(l_quantity) AS BIGINT) AS q
-        |  FROM lineitem WHERE year(l_shipdate) = 1995)
-        | WHERE q > 0 GROUP BY 1),
-        |c AS (SELECT l_partkey AS item,
-        |  CAST(sum(vc) AS BIGINT) AS cv, CAST(sum(q) AS BIGINT) AS cq
-        | FROM (SELECT l_partkey,
-        |   CAST(round(l_extendedprice * 100) AS BIGINT) AS vc,
-        |   CAST(round(l_quantity) AS BIGINT) AS q
-        |  FROM lineitem WHERE year(l_shipdate) = 1996)
-        | WHERE q > 0 GROUP BY 1),
-        |bp AS (SELECT item, bv // bq AS bp, bq FROM b),
-        |cp AS (SELECT item, cv // cq AS cp, cq FROM c),
-        |mm AS (SELECT bp.item, bp.bp, bp.bq, cp.cp, cp.cq
-        | FROM bp JOIN cp USING (item)),
-        |cnt AS (SELECT
-        |  (SELECT CAST(count(*) AS BIGINT) FROM bp
-        |   WHERE item NOT IN (SELECT item FROM cp)) AS n_only_base,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM cp
-        |   WHERE item NOT IN (SELECT item FROM bp)) AS n_only_curr),
-        |sums AS (SELECT CAST(count(*) AS BIGINT) AS n_matched,
-        |  sum(CAST(cp AS HUGEINT) * bq) AS p1q0,
-        |  sum(CAST(bp AS HUGEINT) * bq) AS p0q0,
-        |  sum(CAST(cp AS HUGEINT) * cq) AS p1q1,
-        |  sum(CAST(bp AS HUGEINT) * cq) AS p0q1 FROM mm),
-        |lp AS (SELECT n_matched, n_only_base, n_only_curr,
-        |  CASE WHEN p0q0 > 0 THEN
-        |   CAST(p1q0 * 1000000 // p0q0 AS BIGINT) END AS laspeyres_e6,
-        |  CASE WHEN p0q1 > 0 THEN
-        |   CAST(p1q1 * 1000000 // p0q1 AS BIGINT) END AS paasche_e6
-        | FROM sums, cnt),
-        |f0 AS (SELECT *,
-        |  CAST(laspeyres_e6 AS HUGEINT) * paasche_e6 AS f2 FROM lp),
-        |f1 AS (SELECT *, CAST(floor(sqrt(CAST(f2 AS DOUBLE)))
-        |  AS BIGINT) AS s0 FROM f0)
-        |SELECT n_matched, n_only_base, n_only_curr, laspeyres_e6,
-        | paasche_e6,
-        | CASE WHEN f2 IS NOT NULL THEN
-        |  CASE WHEN CAST(s0 AS HUGEINT) * s0 > f2 THEN s0 - 1
-        |   WHEN (CAST(s0 AS HUGEINT) + 1) * (s0 + 1) <= f2
-        |    THEN s0 + 1
-        |   ELSE s0 END END AS fisher_e6
-        |FROM f1""".stripMargin,
-
-    // q417: position-polynomial span sums on the cumulative value
-    // census; factorial denominators cleared, // everywhere (exactly
-    // divisible or toward-zero on the signed ratio numerators).
-    "q417_l_moments" ->
-      """WITH v0 AS (SELECT
-        |  CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS v
-        | FROM orders),
-        |m AS (SELECT v, count(*) AS c FROM v0 GROUP BY 1),
-        |cu AS (SELECT v, c, sum(c) OVER (ORDER BY v
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        | FROM m),
-        |ag AS (SELECT CAST(sum(c) AS BIGINT) AS n,
-        |  sum(CAST(v AS HUGEINT) * c) AS a0,
-        |  sum(CAST(v AS HUGEINT)
-        |   * ((CAST(c AS HUGEINT) * (2 * cum - c - 1)) // 2)) AS a1,
-        |  sum(CAST(v AS HUGEINT)
-        |   * ((CAST(cum AS HUGEINT) * (cum - 1) * (cum - 2)
-        |       - CAST(cum - c AS HUGEINT) * (cum - c - 1)
-        |         * (cum - c - 2)) // 3)) AS a2,
-        |  sum(CAST(v AS HUGEINT)
-        |   * ((CAST(cum AS HUGEINT) * (cum - 1) * (cum - 2) * (cum - 3)
-        |       - CAST(cum - c AS HUGEINT) * (cum - c - 1)
-        |         * (cum - c - 2) * (cum - c - 3)) // 4)) AS a3
-        | FROM cu),
-        |lam AS (SELECT n, a0,
-        |  2 * a1 - a0 * (n - 1) AS l2n,
-        |  6 * a2 - 6 * a1 * (n - 2) + a0 * (n - 1) * (n - 2) AS l3n,
-        |  20 * a3 - 30 * a2 * (n - 3)
-        |   + 12 * a1 * (n - 2) * (n - 3)
-        |   - a0 * (n - 1) * (n - 2) * (n - 3) AS l4n
-        | FROM ag)
-        |SELECT n,
-        | CASE WHEN n > 0 THEN CAST(a0 * 1000000 // n AS BIGINT) END
-        |  AS lambda1_e6,
-        | CASE WHEN n > 1 THEN CAST(l2n * 1000000
-        |  // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) END
-        |  AS lambda2_e6,
-        | CASE WHEN n > 1 AND a0 > 0 THEN
-        |  CAST(l2n * 1000000 // (a0 * (n - 1)) AS BIGINT) END AS t_e6,
-        | CASE WHEN n > 2 AND l2n > 0 THEN
-        |  CAST(l3n * 1000000 // (l2n * (n - 2)) AS BIGINT) END
-        |  AS t3_e6,
-        | CASE WHEN n > 3 AND l2n > 0 THEN
-        |  CAST(l4n * 1000000 // (l2n * (n - 2) * (n - 3)) AS BIGINT)
-        | END AS t4_e6
-        |FROM lam""".stripMargin,
-
-    // q412: cleared centering z′ = n·x − S (the n² cancels in the
-    // ratio); cross term over symmetrized edges in HUGEINT.
-    "q412_morans_i" ->
-      """WITH raw AS (
-        | SELECT a.l_suppkey AS u, b.l_suppkey AS v
-        | FROM lineitem a JOIN lineitem b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-        | GROUP BY 1, 2 HAVING count(*) >= 5),
-        |nodes AS (SELECT DISTINCT id FROM
-        | (SELECT u AS id FROM raw UNION ALL SELECT v FROM raw)),
-        |vals AS (SELECT s_suppkey AS id,
-        |  CAST(round(s_acctbal * 100) AS BIGINT) AS x FROM supplier),
-        |nv AS (SELECT nodes.id, vals.x FROM nodes
-        | JOIN vals USING (id)),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(x) AS BIGINT) AS s FROM nv),
-        |z AS (SELECT id, CAST(n AS HUGEINT) * x - s AS z, n
-        | FROM nv, st),
-        |ssq AS (SELECT max(n) AS n,
-        |  coalesce(sum(z * z), CAST(0 AS HUGEINT)) AS sum_z2 FROM z),
-        |dir AS (SELECT u, v FROM raw UNION ALL SELECT v, u FROM raw),
-        |cr AS (SELECT CAST(count(*) AS BIGINT) AS m_directed,
-        |  coalesce(sum(a.z * b.z), CAST(0 AS HUGEINT)) AS cross_zz
-        | FROM dir JOIN z a ON a.id = dir.u JOIN z b ON b.id = dir.v)
-        |SELECT n AS n_nodes, m_directed,
-        | CAST(CAST(cross_zz AS DECIMAL(38,0)) AS VARCHAR) AS cross_zz,
-        | CAST(CAST(sum_z2 AS DECIMAL(38,0)) AS VARCHAR) AS sum_z2,
-        | CASE WHEN m_directed * sum_z2 > 0 THEN
-        |  CAST(CAST(n AS HUGEINT) * cross_zz * 1000000
-        |   // (m_directed * sum_z2) AS BIGINT) END AS moran_i_e6,
-        | CASE WHEN n > 1 THEN -(1000000 // (n - 1)) END AS e_null_e6
-        |FROM ssq, cr""".stripMargin,
-
-    // q413: the MoM prior chain with every clamp/NULL branch
-    // replayed; smoothing and top-k on the part census.
-    "q413_eb_smoothing" ->
-      """WITH parts AS (SELECT l_partkey AS item,
-        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
-        |   AS BIGINT) AS x,
-        |  CAST(count(*) AS BIGINT) AS n
-        | FROM lineitem GROUP BY 1),
-        |b AS (SELECT item, x, n, x * 1000000 // n AS raw FROM parts
-        | WHERE n > 0),
-        |pri AS (SELECT CAST(count(*) AS BIGINT) AS k,
-        |  CAST(sum(raw) AS BIGINT) AS sr,
-        |  sum(CAST(raw AS HUGEINT) * raw) AS qr FROM b),
-        |p2 AS (SELECT k, sr // k AS m,
-        |  CASE WHEN k > 1 THEN
-        |   CAST((k * qr - CAST(sr AS HUGEINT) * sr)
-        |    // (CAST(k AS HUGEINT) * (k - 1)) AS BIGINT) END AS v
-        | FROM pri),
-        |p3 AS (SELECT m, CASE WHEN v > 0 THEN
-        |  CAST(CAST(m AS HUGEINT) * (1000000 - m) * 1000000 // v
-        |   - 1000000 AS BIGINT) END AS ab0 FROM p2),
-        |p4 AS (SELECT m, CASE WHEN ab0 > 0 THEN ab0 END AS ab
-        | FROM p3),
-        |p5 AS (SELECT ab,
-        |  CAST(CAST(m AS HUGEINT) * ab // 1000000 AS BIGINT) AS alpha
-        | FROM p4)
-        |SELECT item, x, n, CAST(raw AS BIGINT) AS raw_e6,
-        | CASE WHEN ab IS NOT NULL THEN
-        |  CAST((x * 1000000 + alpha) * CAST(1000000 AS HUGEINT)
-        |   // (n * 1000000 + ab) AS BIGINT) END AS smoothed_e6,
-        | alpha AS alpha_e6, ab AS ab_e6
-        |FROM b, p5 ORDER BY n DESC, item LIMIT 10""".stripMargin,
-
-    // q414: the full stylometric chain — top-30 word list, zero-filled
-    // source/doc grids, cross-profile moments with the corrected
-    // isqrt, toward-zero z, struct-min attribution.
-    "q414_burrows_delta" ->
-      """WITH toks AS (SELECT doc_id AS id, source AS g,
-        |  unnest(list_filter(regexp_split_to_array(trim(lower(text)),
-        |   '\s+'), x -> length(x) > 0)) AS w
-        | FROM documents),
-        |topw AS (SELECT w FROM (SELECT w, count(*) AS f FROM toks
-        | GROUP BY 1 ORDER BY f DESC, w LIMIT 30)),
-        |grp AS (SELECT DISTINCT g FROM toks),
-        |gt AS (SELECT g, CAST(count(*) AS BIGINT) AS gt FROM toks
-        | GROUP BY 1),
-        |gc AS (SELECT g, w, CAST(count(*) AS BIGINT) AS c
-        | FROM toks JOIN topw USING (w) GROUP BY 1, 2),
-        |gg AS (SELECT grp.g, topw.w,
-        |  coalesce(gc.c, 0) * 1000000000 // gt.gt AS rf
-        | FROM grp CROSS JOIN topw
-        | LEFT JOIN gc ON gc.g = grp.g AND gc.w = topw.w
-        | JOIN gt ON gt.g = grp.g),
-        |ws AS (SELECT w, CAST(count(*) AS BIGINT) AS k,
-        |  CAST(sum(rf) AS BIGINT) AS srf,
-        |  sum(CAST(rf AS HUGEINT) * rf) AS qrf FROM gg GROUP BY 1),
-        |w2 AS (SELECT w, k, srf,
-        |  k * qrf - CAST(srf AS HUGEINT) * srf AS var_num FROM ws),
-        |w3 AS (SELECT w, k, srf,
-        |  CAST(k AS HUGEINT) * var_num // (k - 1) AS v2 FROM w2),
-        |w4 AS (SELECT w, k, srf, v2,
-        |  CAST(floor(sqrt(CAST(v2 AS DOUBLE))) AS BIGINT) AS s0
-        | FROM w3),
-        |w5 AS (SELECT w, k, srf,
-        |  CASE WHEN CAST(s0 AS HUGEINT) * s0 > v2 THEN s0 - 1
-        |   WHEN (CAST(s0 AS HUGEINT) + 1) * (s0 + 1) <= v2 THEN s0 + 1
-        |   ELSE s0 END AS den
-        | FROM w4),
-        |wok AS (SELECT * FROM w5 WHERE den > 0),
-        |gz AS (SELECT gg.g, gg.w,
-        |  CASE WHEN k * rf - srf >= 0
-        |   THEN CAST((k * rf - srf) * 1000000 // den AS BIGINT)
-        |   ELSE -CAST((-(k * rf - srf)) * 1000000 // den AS BIGINT)
-        |  END AS zg
-        | FROM gg JOIN wok ON wok.w = gg.w),
-        |dt AS (SELECT id, g AS actual, CAST(count(*) AS BIGINT) AS dt
-        | FROM toks GROUP BY 1, 2),
-        |dc AS (SELECT id, w, CAST(count(*) AS BIGINT) AS c
-        | FROM toks JOIN topw USING (w) GROUP BY 1, 2),
-        |dg AS (SELECT dt.id, dt.actual, topw.w,
-        |  coalesce(dc.c, 0) * 1000000000 // dt.dt AS rf
-        | FROM dt CROSS JOIN topw
-        | LEFT JOIN dc ON dc.id = dt.id AND dc.w = topw.w),
-        |dz AS (SELECT dg.id, dg.actual, dg.w,
-        |  CASE WHEN k * rf - srf >= 0
-        |   THEN CAST((k * rf - srf) * 1000000 // den AS BIGINT)
-        |   ELSE -CAST((-(k * rf - srf)) * 1000000 // den AS BIGINT)
-        |  END AS zd
-        | FROM dg JOIN wok ON wok.w = dg.w),
-        |dl AS (SELECT dz.id, dz.actual, gz.g,
-        |  CAST(count(*) AS BIGINT) AS nw,
-        |  CAST(sum(abs(zd - zg)) AS BIGINT) AS sumabs
-        | FROM dz JOIN gz ON gz.w = dz.w GROUP BY 1, 2, 3),
-        |d2 AS (SELECT id, actual, g, nw, sumabs // nw AS delta
-        | FROM dl),
-        |best AS (SELECT id, actual, min(struct_pack(delta := delta,
-        |  g := g, nw := nw)) AS b FROM d2 GROUP BY 1, 2)
-        |SELECT id AS doc_id, actual, b.g AS best,
-        | CAST(b.delta AS BIGINT) AS delta_e6,
-        | actual = b.g AS is_correct, b.nw AS n_words_used
-        |FROM best""".stripMargin,
-
-    // q409: complete-design filter (exactly 3 raters kept by rank),
-    // the cross-multiplied κ ratio in HUGEINT.
-    "q409_fleiss_kappa" ->
-      """WITH votes AS (SELECT l_orderkey AS i, l_suppkey AS r,
-        |  min(l_returnflag) AS c
-        | FROM lineitem GROUP BY 1, 2),
-        |rk AS (SELECT i, r, c, row_number() OVER (PARTITION BY i
-        |  ORDER BY r) AS rn FROM votes),
-        |top3 AS (SELECT i, r, c FROM rk WHERE rn <= 3),
-        |sized AS (SELECT i, count(*) AS nr FROM top3 GROUP BY 1),
-        |complete AS (SELECT i FROM sized WHERE nr = 3),
-        |dropped AS (SELECT CAST(coalesce(sum(CASE WHEN nr <> 3 THEN 1
-        |  ELSE 0 END), 0) AS BIGINT) AS n_dropped FROM sized),
-        |cells AS (SELECT t.i, t.c, CAST(count(*) AS BIGINT) AS cc
-        | FROM top3 t JOIN complete USING (i) GROUP BY 1, 2),
-        |ist AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |  sum(CAST(sq - 3 AS HUGEINT)) AS pbar_num
-        | FROM (SELECT i, sum(cc * cc) AS sq FROM cells GROUP BY 1)),
-        |mst AS (SELECT sum(CAST(sc AS HUGEINT) * sc) AS pe_num
-        | FROM (SELECT c, sum(cc) AS sc FROM cells GROUP BY 1)),
-        |f AS (SELECT n, pbar_num, pe_num, n_dropped,
-        |  CAST(n AS HUGEINT) * 3 * 2 AS s1,
-        |  CAST(n AS HUGEINT) * 3 * n * 3 AS s2
-        | FROM ist, mst, dropped)
-        |SELECT n AS n_items, CAST(3 AS BIGINT) AS m, n_dropped,
-        | CAST(pbar_num * 1000000 // s1 AS BIGINT) AS pbar_e6,
-        | CAST(pe_num * 1000000 // s2 AS BIGINT) AS pe_e6,
-        | CASE WHEN s2 - pe_num > 0 THEN
-        |  CAST((pbar_num * s2 - pe_num * s1) * 1000000
-        |   // (s1 * (s2 - pe_num)) AS BIGINT) END AS kappa_e6
-        |FROM f""".stripMargin,
-
-    // q410: symmetrized edge tagging, cleared Newman r in HUGEINT,
-    // toward-zero for disassortative (negative) mixing.
-    "q410_attr_assortativity" ->
-      """WITH raw AS (
-        | SELECT a.l_suppkey AS u, b.l_suppkey AS v
-        | FROM lineitem a JOIN lineitem b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-        | GROUP BY 1, 2 HAVING count(*) >= 5),
-        |dir AS (SELECT u, v FROM raw UNION ALL SELECT v, u FROM raw),
-        |att AS (SELECT s_suppkey AS nn, CAST(s_nationkey AS BIGINT)
-        |  AS aa FROM supplier),
-        |tg AS (SELECT x.aa AS au, y.aa AS av FROM dir
-        | JOIN att x ON x.nn = dir.u JOIN att y ON y.nn = dir.v),
-        |ea AS (SELECT CAST(count(*) AS BIGINT) AS m_directed,
-        |  CAST(sum(CASE WHEN au = av THEN 1 ELSE 0 END) AS BIGINT)
-        |   AS same_attr FROM tg),
-        |rw AS (SELECT coalesce(sum(CAST(rr AS HUGEINT) * rr),
-        |  CAST(0 AS HUGEINT)) AS sum_row2
-        | FROM (SELECT au, count(*) AS rr FROM tg GROUP BY 1))
-        |SELECT m_directed, same_attr,
-        | CAST(CAST(sum_row2 AS DECIMAL(38,0)) AS VARCHAR) AS sum_row2,
-        | CASE WHEN CAST(m_directed AS HUGEINT) * m_directed - sum_row2
-        |   > 0 THEN
-        |  CAST((CAST(same_attr AS HUGEINT) * m_directed - sum_row2)
-        |   * 1000000
-        |   // (CAST(m_directed AS HUGEINT) * m_directed - sum_row2)
-        |   AS BIGINT) END AS r_e6
-        |FROM ea, rw""".stripMargin,
-
-    // q411: the rank2 census map, per-group doubled rank sums, the
-    // pinned truncation chain, tie correction by cross-multiplication.
-    "q411_kruskal_wallis" ->
-      """WITH b AS (SELECT o_orderpriority AS g,
-        |  CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS v
-        | FROM orders),
-        |m AS (SELECT v, count(*) AS c FROM b GROUP BY 1),
-        |k AS (SELECT v, 2 * (sum(c) OVER (ORDER BY v
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
-        |  + c + 1 AS rk FROM m),
-        |j AS (SELECT b.g, k.rk FROM b JOIN k ON k.v = b.v),
-        |pg AS (SELECT g, CAST(count(*) AS BIGINT) AS nj,
-        |  CAST(sum(rk) AS BIGINT) AS r2j FROM j GROUP BY 1),
-        |core AS (SELECT CAST(sum(nj) AS BIGINT) AS n,
-        |  CAST(count(*) AS BIGINT) AS k,
-        |  sum(CAST(r2j AS HUGEINT) * r2j * 1000000 // nj) AS sq
-        | FROM pg),
-        |tiesq AS (SELECT coalesce(sum(CAST(c AS HUGEINT) * c * c - c),
-        |  CAST(0 AS HUGEINT)) AS tie_term FROM m),
-        |hh AS (SELECT n, k,
-        |  CAST(3 * sq // (CAST(n AS HUGEINT) * (n + 1)) AS BIGINT)
-        |   - 3 * (n + 1) * 1000000 AS h_e6, tie_term
-        | FROM core, tiesq)
-        |SELECT n, k, h_e6,
-        | CAST(CAST(tie_term AS DECIMAL(38,0)) AS VARCHAR) AS tie_term,
-        | CASE WHEN CAST(n AS HUGEINT) * n * n - n - tie_term > 0 THEN
-        |  CAST(CAST(h_e6 AS HUGEINT)
-        |   * (CAST(n AS HUGEINT) * n * n - n)
-        |   // (CAST(n AS HUGEINT) * n * n - n - tie_term) AS BIGINT)
-        | END AS h_corr_e6
-        |FROM hh""".stripMargin,
-
-    // q406: risk-set covariate moments via descending census windows;
-    // hypergeometric score terms per event time.
-    "q406_cox_score" ->
-      """WITH e AS (SELECT user_id, event_type,
-        |  CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events),
-        |v AS (SELECT user_id, min(ts_ms) AS v_ts FROM e
-        |  WHERE event_type = 'view' GROUP BY 1),
-        |fp AS (SELECT v.user_id, v.v_ts, min(p.ts_ms) AS p_ts
-        | FROM v LEFT JOIN e p ON p.user_id = v.user_id
-        |  AND p.event_type = 'purchase' AND p.ts_ms >= v.v_ts
-        | GROUP BY 1, 2),
-        |endt AS (SELECT max(ts_ms) AS end_ts FROM e),
-        |subj AS (SELECT CASE WHEN p_ts IS NOT NULL
-        |   THEN (p_ts - v_ts) // 3600000
-        |   ELSE (end_ts - v_ts) // 3600000 END AS t,
-        |  p_ts IS NOT NULL AS obs,
-        |  CAST(user_id % 5 AS BIGINT) AS x
-        | FROM fp CROSS JOIN endt),
-        |perT AS (SELECT t, count(*) AS n_at,
-        |  CAST(sum(x) AS BIGINT) AS sx_at,
-        |  sum(CAST(x AS HUGEINT) * x) AS sxx_at,
-        |  sum(CASE WHEN obs THEN 1 ELSE 0 END) AS d,
-        |  CAST(sum(CASE WHEN obs THEN x ELSE 0 END) AS BIGINT) AS sxd
-        | FROM subj GROUP BY 1),
-        |cum AS (SELECT t, d, sxd,
-        |  sum(n_at) OVER w AS n, sum(sx_at) OVER w AS sx,
-        |  sum(sxx_at) OVER w AS sxx
-        | FROM perT WINDOW w AS (ORDER BY t DESC
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |terms AS (SELECT d, sxd,
-        |  sxd * 1000000000 - CAST(CAST(d AS HUGEINT) * sx
-        |   * 1000000000 // n AS BIGINT) AS u_e9,
-        |  CASE WHEN n > 1 THEN
-        |   CAST(d AS HUGEINT) * (n * sxx - CAST(sx AS HUGEINT) * sx)
-        |    * (n - d) * 1000000000000
-        |    // (CAST(n AS HUGEINT) * n * (n - 1))
-        |  ELSE CAST(0 AS HUGEINT) END AS v_e12
-        | FROM cum WHERE d > 0),
-        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_times,
-        |  CAST(sum(sxd) AS BIGINT) AS o_sxd,
-        |  CAST(sum(u_e9) AS BIGINT) AS u_e9,
-        |  sum(v_e12) AS var_e12 FROM terms)
-        |SELECT n_times, o_sxd, u_e9,
-        | CAST(CAST(var_e12 AS DECIMAL(38,0)) AS VARCHAR) AS var_e12,
-        | CASE WHEN var_e12 > 0 THEN
-        |  CAST(CAST(u_e9 AS HUGEINT) * u_e9 // var_e12 AS BIGINT)
-        | END AS chi2_e6,
-        | coalesce(CASE WHEN var_e12 > 0 THEN
-        |  CAST(CAST(u_e9 AS HUGEINT) * u_e9 // var_e12 AS BIGINT)
-        | END > 3841458, false) AS significant_95
-        |FROM agg""".stripMargin,
-
-    // q407: the q319 per-time terms, n-weighted before summation
-    // (pinned order: truncate per term, then weight).
-    "q407_gehan_wilcoxon" ->
-      """WITH e AS (SELECT user_id, event_type,
-        |  CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events),
-        |v AS (SELECT user_id, min(ts_ms) AS v_ts FROM e
-        |  WHERE event_type = 'view' GROUP BY 1),
-        |fp AS (SELECT v.user_id, v.v_ts, min(p.ts_ms) AS p_ts
-        | FROM v LEFT JOIN e p ON p.user_id = v.user_id
-        |  AND p.event_type = 'purchase' AND p.ts_ms >= v.v_ts
-        | GROUP BY 1, 2),
-        |endt AS (SELECT max(ts_ms) AS end_ts FROM e),
-        |subj AS (SELECT CASE WHEN p_ts IS NOT NULL
-        |   THEN (p_ts - v_ts) // 3600000
-        |   ELSE (end_ts - v_ts) // 3600000 END AS t,
-        |  p_ts IS NOT NULL AS obs, user_id % 2 = 0 AS g1
-        | FROM fp CROSS JOIN endt),
-        |perT AS (SELECT t,
-        |  sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS a1,
-        |  sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS a2,
-        |  sum(CASE WHEN g1 AND obs THEN 1 ELSE 0 END) AS d1,
-        |  sum(CASE WHEN NOT g1 AND obs THEN 1 ELSE 0 END) AS d2
-        | FROM subj GROUP BY t),
-        |risk AS (SELECT t, d1, d2,
-        |  sum(a1) OVER w AS n1, sum(a2) OVER w AS n2
-        | FROM perT WINDOW w AS (ORDER BY t DESC
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |terms AS (SELECT d1, d1 + d2 AS d, n1, n2, n1 + n2 AS n
-        | FROM risk WHERE d1 + d2 > 0),
-        |tt AS (SELECT d1, n,
-        |  d * n1 * 1000000000 // n AS e1_e9,
-        |  CASE WHEN n > 1 THEN CAST(CAST(n1 AS HUGEINT) * n2 * d
-        |    * (n - d) * 1000000000000
-        |    // (CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT)
-        |   ELSE 0 END AS v_e12
-        | FROM terms),
-        |agg AS (SELECT sum(CAST(n AS HUGEINT) * d1) AS o_w,
-        |  sum(CAST(n AS HUGEINT) * e1_e9) AS e_w_e9,
-        |  sum(CAST(n AS HUGEINT) * n * v_e12) AS v_w_e12 FROM tt)
-        |SELECT CAST(CAST(o_w AS DECIMAL(38,0)) AS VARCHAR) AS o_w,
-        | CAST(CAST(e_w_e9 AS DECIMAL(38,0)) AS VARCHAR) AS e_w_e9,
-        | CAST(CAST(v_w_e12 AS DECIMAL(38,0)) AS VARCHAR) AS v_w_e12,
-        | CASE WHEN v_w_e12 > 0 THEN
-        |  CAST((o_w * 1000000000 - e_w_e9)
-        |   * (o_w * 1000000000 - e_w_e9) // v_w_e12 AS BIGINT)
-        | END AS chi2_e6,
-        | coalesce(CASE WHEN v_w_e12 > 0 THEN
-        |  CAST((o_w * 1000000000 - e_w_e9)
-        |   * (o_w * 1000000000 - e_w_e9) // v_w_e12 AS BIGINT)
-        | END > 3841458, false) AS significant_95
-        |FROM agg""".stripMargin,
-
-    // q408: the KM product recurrence as a recursive CTE over the
-    // ranked hour census, RMST accumulating pre-update S per step.
-    "q408_rmst" ->
-      """WITH RECURSIVE e AS (SELECT user_id, event_type,
-        |  CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events),
-        |v AS (SELECT user_id, min(ts_ms) AS v_ts FROM e
-        |  WHERE event_type = 'view' GROUP BY 1),
-        |fp AS (SELECT v.user_id, v.v_ts, min(p.ts_ms) AS p_ts
-        | FROM v LEFT JOIN e p ON p.user_id = v.user_id
-        |  AND p.event_type = 'purchase' AND p.ts_ms >= v.v_ts
-        | GROUP BY 1, 2),
-        |endt AS (SELECT max(ts_ms) AS end_ts FROM e),
-        |subj AS (SELECT CASE WHEN p_ts IS NOT NULL
-        |   THEN (p_ts - v_ts) // 3600000
-        |   ELSE (end_ts - v_ts) // 3600000 END AS t,
-        |  p_ts IS NOT NULL AS obs
-        | FROM fp CROSS JOIN endt),
-        |perT AS (SELECT t, count(*) AS n_at,
-        |  sum(CASE WHEN obs THEN 1 ELSE 0 END) AS d
-        | FROM subj GROUP BY 1),
-        |rk AS (SELECT t, n_at, d,
-        |  row_number() OVER (ORDER BY t) AS r,
-        |  sum(n_at) OVER (ORDER BY t DESC
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
-        | FROM perT),
-        |walk(r, s, rm, lastt) AS (
-        | SELECT CAST(0 AS BIGINT), CAST(1000000 AS HUGEINT),
-        |  CAST(0 AS HUGEINT), CAST(0 AS BIGINT)
-        | UNION ALL
-        | SELECT rk.r,
-        |  CASE WHEN rk.d > 0 AND rk.t <= 168
-        |   THEN w.s * (rk.n_risk - rk.d) // rk.n_risk ELSE w.s END,
-        |  w.rm + CASE WHEN w.lastt < 168
-        |   THEN w.s * (least(rk.t, 168) - w.lastt)
-        |   ELSE CAST(0 AS HUGEINT) END,
-        |  CASE WHEN w.lastt < 168 THEN least(rk.t, 168)
-        |   ELSE w.lastt END
-        | FROM walk w JOIN rk ON rk.r = w.r + 1),
-        |lastw AS (SELECT * FROM walk ORDER BY r DESC LIMIT 1),
-        |tot AS (SELECT CAST(sum(n_at) AS BIGINT) AS n_subjects,
-        |  CAST(sum(CASE WHEN t <= 168 THEN d ELSE 0 END) AS BIGINT)
-        |   AS n_events_le_tau FROM perT)
-        |SELECT CAST(168 AS BIGINT) AS tau, n_subjects,
-        | n_events_le_tau, CAST(l.s AS BIGINT) AS s_tau_e6,
-        | CAST(l.rm + CASE WHEN l.lastt < 168
-        |  THEN l.s * (168 - l.lastt) ELSE 0 END AS BIGINT) AS rmst_e6
-        |FROM lastw l, tot""".stripMargin,
-
-    // q396: labeled multi-source BFS as a recursive CTE (UNION
-    // dedups, min(hops) recovers first-visit), then Σ 1e6 // hops.
-    "q396_closeness" ->
-      """WITH RECURSIVE raw AS (
-        | SELECT a.l_suppkey AS u, b.l_suppkey AS v
-        | FROM lineitem a JOIN lineitem b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-        | GROUP BY 1, 2 HAVING count(*) >= 5),
-        |e AS (SELECT u AS src, v AS dst FROM raw
-        | UNION SELECT v, u FROM raw),
-        |nodes AS (SELECT DISTINCT src AS id FROM e),
-        |piv AS (SELECT id AS p FROM nodes ORDER BY id LIMIT 8),
-        |walk(p, id, hops) AS (
-        | SELECT p, p, 0 FROM piv
-        | UNION
-        | SELECT w.p, e.dst, w.hops + 1 FROM walk w
-        |  JOIN e ON e.src = w.id WHERE w.hops < 6),
-        |md AS (SELECT p, id, min(hops) AS hops FROM walk GROUP BY 1, 2)
-        |SELECT id AS l_suppkey, CAST(count(*) AS BIGINT)
-        |  AS n_pivots_reached,
-        | CAST(sum(1000000 // hops) AS BIGINT) AS harmonic_e6
-        |FROM md WHERE hops > 0 GROUP BY 1""".stripMargin,
-
-    // q397: the q369 grid verbatim; B from the centroid census against
-    // the global truncated-mean centroid, one clearing division.
-    "q397_calinski_harabasz" ->
-      """WITH c AS (SELECT vec_id AS id, label, i - 1 AS dim,
-        |  CAST(round((CAST(embedding[i] AS DOUBLE) + 1.0) * 1000.0)
-        |    AS BIGINT) AS x
-        | FROM embeddings,
-        |  LATERAL (SELECT unnest(generate_series(1, len(embedding)))
-        |    AS i) ix),
-        |cm AS (SELECT label AS clabel, dim, sum(x) // count(*) AS c_e3
-        | FROM c GROUP BY 1, 2),
-        |w0 AS (SELECT c.id, sum((c.x - cm.c_e3) * (c.x - cm.c_e3))
-        |   AS d2
-        | FROM c JOIN cm ON cm.clabel = c.label AND cm.dim = c.dim
-        | GROUP BY 1),
-        |w AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |  sum(CAST(d2 AS HUGEINT)) AS w_num FROM w0),
-        |g AS (SELECT dim, sum(x) // count(*) AS g_e3 FROM c GROUP BY 1),
-        |sz AS (SELECT label, CAST(count(DISTINCT id) AS BIGINT) AS nl
-        | FROM c GROUP BY 1),
-        |bt AS (SELECT cm.clabel,
-        |  sum((cm.c_e3 - g.g_e3) * (cm.c_e3 - g.g_e3)) AS d2
-        | FROM cm JOIN g USING (dim) GROUP BY 1),
-        |b AS (SELECT CAST(count(*) AS BIGINT) AS k,
-        |  sum(CAST(sz.nl AS HUGEINT) * bt.d2) AS b_num
-        | FROM bt JOIN sz ON sz.label = bt.clabel)
-        |SELECT n, k,
-        | CAST(CAST(b_num AS DECIMAL(38,0)) AS VARCHAR) AS b_num,
-        | CAST(CAST(w_num AS DECIMAL(38,0)) AS VARCHAR) AS w_num,
-        | CASE WHEN k > 1 AND w_num > 0 THEN
-        |  CAST(b_num * (n - k) * 1000000 // (w_num * (k - 1))
-        |   AS BIGINT) END AS ch_e6
-        |FROM w CROSS JOIN b""".stripMargin,
-
-    // q398: contingency census + doubled pair counts; the one division
-    // truncates toward zero (num may be negative).
-    "q398_adjusted_rand" ->
-      """WITH cont AS (SELECT lang AS la, source AS lb,
-        |  CAST(count(*) AS BIGINT) AS nij
-        | FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
-        | GROUP BY 1, 2),
-        |cells AS (SELECT CAST(sum(nij) AS BIGINT) AS n,
-        |  sum(CAST(nij AS HUGEINT) * (nij - 1)) AS sq_ij FROM cont),
-        |ra AS (SELECT sum(CAST(ai AS HUGEINT) * (ai - 1)) AS sq_a
-        | FROM (SELECT la, sum(nij) AS ai FROM cont GROUP BY 1)),
-        |cb AS (SELECT sum(CAST(bj AS HUGEINT) * (bj - 1)) AS sq_b
-        | FROM (SELECT lb, sum(nij) AS bj FROM cont GROUP BY 1)),
-        |f AS (SELECT n, sq_ij, sq_a, sq_b,
-        |  CAST(n AS HUGEINT) * (n - 1) AS qn FROM cells, ra, cb),
-        |f2 AS (SELECT *, qn * sq_ij - sq_a * sq_b AS num,
-        |  qn * (sq_a + sq_b) // 2 - sq_a * sq_b AS den FROM f)
-        |SELECT n,
-        | CAST(CAST(sq_ij AS DECIMAL(38,0)) AS VARCHAR) AS sq_ij,
-        | CAST(CAST(sq_a AS DECIMAL(38,0)) AS VARCHAR) AS sq_a,
-        | CAST(CAST(sq_b AS DECIMAL(38,0)) AS VARCHAR) AS sq_b,
-        | CASE WHEN den <> 0 THEN
-        |  CAST(num * 1000000 // den AS BIGINT) END AS ari_e6
-        |FROM f2""".stripMargin,
-
-    // q394: rank2 maps per rater as cumulative censuses, the
-    // tie-invariant S2 identity, tie terms t³−t in HUGEINT.
-    "q394_kendalls_w" ->
-      """WITH b AS (SELECT CAST(round(l_quantity) AS BIGINT) AS r0,
-        |  CAST(round(l_discount * 100) AS BIGINT) AS r1,
-        |  CAST(round(l_tax * 100) AS BIGINT) AS r2
-        | FROM lineitem),
-        |m0 AS (SELECT r0 AS v, count(*) AS c FROM b GROUP BY 1),
-        |m1 AS (SELECT r1 AS v, count(*) AS c FROM b GROUP BY 1),
-        |m2 AS (SELECT r2 AS v, count(*) AS c FROM b GROUP BY 1),
-        |k0 AS (SELECT v, 2 * (sum(c) OVER (ORDER BY v
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
-        |  + c + 1 AS rk FROM m0),
-        |k1 AS (SELECT v, 2 * (sum(c) OVER (ORDER BY v
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
-        |  + c + 1 AS rk FROM m1),
-        |k2 AS (SELECT v, 2 * (sum(c) OVER (ORDER BY v
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
-        |  + c + 1 AS rk FROM m2),
-        |j AS (SELECT k0.rk + k1.rk + k2.rk AS rs
-        | FROM b JOIN k0 ON k0.v = b.r0 JOIN k1 ON k1.v = b.r1
-        |  JOIN k2 ON k2.v = b.r2),
-        |core AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |  sum(CAST(rs AS HUGEINT) * rs) AS sr2 FROM j),
-        |t0 AS (SELECT sum(CAST(c AS HUGEINT) * c * c - c) AS t FROM m0),
-        |t1 AS (SELECT sum(CAST(c AS HUGEINT) * c * c - c) AS t FROM m1),
-        |t2 AS (SELECT sum(CAST(c AS HUGEINT) * c * c - c) AS t FROM m2),
-        |tt AS (SELECT t0.t + t1.t + t2.t AS sum_t FROM t0, t1, t2),
-        |fin AS (SELECT n,
-        |  sr2 - CAST(n AS HUGEINT) * 9 * (n + 1) * (n + 1) AS s2,
-        |  sum_t,
-        |  9 * (CAST(n AS HUGEINT) * n * n - n) - 3 * sum_t AS den
-        | FROM core, tt)
-        |SELECT n, CAST(3 AS BIGINT) AS m,
-        | CAST(CAST(s2 AS DECIMAL(38,0)) AS VARCHAR) AS s2,
-        | CAST(CAST(sum_t AS DECIMAL(38,0)) AS VARCHAR) AS sum_t,
-        | CASE WHEN den > 0 THEN
-        |  CAST(3 * s2 * 1000000 // den AS BIGINT) END AS w_e6,
-        | CASE WHEN den > 0 THEN
-        |  CAST(3 * (n - 1) * (3 * s2 * 1000000 // den) AS BIGINT)
-        | END AS chi2_e6
-        |FROM fin""".stripMargin,
-
-    // q395: banded census self-join; all quotients truncate toward
-    // zero (HUGEINT // ≡ the operator's tz() DECIMAL division).
-    "q395_newey_west" ->
-      """WITH daily AS (SELECT epoch_ms(l_shipdate) // 86400000 AS o,
-        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-        |   AS BIGINT) AS v
-        | FROM lineitem GROUP BY 1),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(v) AS BIGINT) AS s FROM daily),
-        |stm AS (SELECT n,
-        |  CAST(CAST(s AS HUGEINT) * 1000000 // n AS BIGINT) AS m_e6
-        | FROM st),
-        |dev AS (SELECT o, n, CAST(v AS HUGEINT) * 1000000 - m_e6 AS d
-        | FROM daily CROSS JOIN stm),
-        |pr AS (SELECT y.o - x.o AS lag, x.n, x.d * y.d AS p
-        | FROM dev x JOIN dev y ON y.o - x.o BETWEEN 0 AND 5),
-        |ag AS (SELECT lag, max(n) AS n, sum(p) AS gnum
-        | FROM pr GROUP BY 1)
-        |SELECT CAST(lag AS BIGINT) AS lag, n,
-        | CAST(CAST(gnum // n AS DECIMAL(38,0)) AS VARCHAR)
-        |  AS gamma_e12,
-        | CAST((6 - lag) * 1000000 // 6 AS BIGINT) AS bartlett_w_e6,
-        | CAST(CAST(CASE WHEN lag = 0 THEN gnum // n
-        |  ELSE (2 * (6 - lag) * gnum) // (6 * CAST(n AS HUGEINT)) END
-        |  AS DECIMAL(38,0)) AS VARCHAR) AS term_e12
-        |FROM ag""".stripMargin,
-
-    // q391: the sorted-census prefix trick for Σ|v−u| replayed in
-    // HUGEINT windows; V-statistic form (self-pairs in), per-term
-    // e6 truncation in the pinned 2A−B−C order.
-    "q391_energy_distance" ->
-      """WITH r0 AS (SELECT
-        |  CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS v,
-        |  o_orderstatus = 'O' AS b
-        | FROM orders WHERE o_orderstatus IN ('F', 'O')),
-        |census AS (SELECT v,
-        |  CAST(sum(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT) AS na,
-        |  CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS nb
-        | FROM r0 GROUP BY 1),
-        |cum AS (SELECT v, na, nb,
-        |  sum(na) OVER wle AS cnta_le, sum(nb) OVER wle AS cntb_le,
-        |  sum(CAST(na AS HUGEINT) * v) OVER wle AS suma_le,
-        |  sum(CAST(nb AS HUGEINT) * v) OVER wle AS sumb_le,
-        |  sum(na) OVER () AS cnta, sum(nb) OVER () AS cntb,
-        |  sum(CAST(na AS HUGEINT) * v) OVER () AS suma,
-        |  sum(CAST(nb AS HUGEINT) * v) OVER () AS sumb
-        | FROM census WINDOW wle AS (ORDER BY v
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |ag AS (SELECT max(cnta) AS na2, max(cntb) AS nb2,
-        |  sum(CAST(na AS HUGEINT) * (CAST(v AS HUGEINT) * cnta_le
-        |   - suma_le + (suma - suma_le)
-        |   - CAST(v AS HUGEINT) * (cnta - cnta_le))) AS wa_num,
-        |  sum(CAST(nb AS HUGEINT) * (CAST(v AS HUGEINT) * cntb_le
-        |   - sumb_le + (sumb - sumb_le)
-        |   - CAST(v AS HUGEINT) * (cntb - cntb_le))) AS wb_num,
-        |  sum(CAST(na AS HUGEINT) * (CAST(v AS HUGEINT) * cntb_le
-        |   - sumb_le + (sumb - sumb_le)
-        |   - CAST(v AS HUGEINT) * (cntb - cntb_le))) AS cross_num
-        | FROM cum),
-        |fin AS (SELECT CAST(na2 AS BIGINT) AS na,
-        |  CAST(nb2 AS BIGINT) AS nb,
-        |  CAST(cross_num * 1000000
-        |   // (CAST(na2 AS HUGEINT) * nb2) AS BIGINT) AS e_cross_e6,
-        |  CAST(wa_num * 1000000
-        |   // (CAST(na2 AS HUGEINT) * na2) AS BIGINT) AS e_within_a_e6,
-        |  CAST(wb_num * 1000000
-        |   // (CAST(nb2 AS HUGEINT) * nb2) AS BIGINT) AS e_within_b_e6
-        | FROM ag)
-        |SELECT *, CAST(2 * e_cross_e6 - e_within_a_e6 - e_within_b_e6
-        | AS BIGINT) AS energy_e6
-        |FROM fin""".stripMargin,
-
-    // q392: top-(k+1) by the unique order, threshold = min of the
-    // selected set, pinned-double ln terms.
-    "q392_hill_tail" ->
-      """WITH rev AS (SELECT o_custkey,
-        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-        |   AS x
-        | FROM orders GROUP BY 1),
-        |top AS (SELECT x, o_custkey FROM rev WHERE x > 0
-        | ORDER BY x DESC, o_custkey LIMIT 101),
-        |th AS (SELECT min(x) AS xk1 FROM top),
-        |tm AS (SELECT xk1,
-        |  CAST(round(ln(CAST(x AS DOUBLE) / xk1) * 1000000.0) AS BIGINT)
-        |   AS t
-        | FROM top CROSS JOIN th)
-        |SELECT CAST(100 AS BIGINT) AS k, xk1,
-        | CAST(sum(t) // 100 AS BIGINT) AS hill_e6,
-        | CASE WHEN sum(t) // 100 > 0 THEN
-        |  CAST(1000000000000 // (sum(t) // 100) AS BIGINT)
-        | END AS alpha_e6
-        |FROM tm GROUP BY xk1""".stripMargin,
-
-    // q393: cleared-denominator variance numerators in HUGEINT; the
-    // two pinned truncating divisions of the alpha identity.
-    "q393_cronbach_alpha" ->
-      """WITH b AS (SELECT l_returnflag,
-        |  CAST(round(l_quantity) AS BIGINT) * 100 AS x0,
-        |  CAST(round(l_extendedprice * 100) AS BIGINT) // 1000 AS x1,
-        |  CAST(round(l_extendedprice * (1 - l_discount) * 100)
-        |   AS BIGINT) // 1000 AS x2
-        | FROM lineitem),
-        |tt AS (SELECT l_returnflag, x0, x1, x2, x0 + x1 + x2 AS t
-        | FROM b),
-        |ss AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(x0) AS BIGINT) AS s0,
-        |  sum(CAST(x0 AS HUGEINT) * x0) AS q0,
-        |  CAST(sum(x1) AS BIGINT) AS s1,
-        |  sum(CAST(x1 AS HUGEINT) * x1) AS q1,
-        |  CAST(sum(x2) AS BIGINT) AS s2,
-        |  sum(CAST(x2 AS HUGEINT) * x2) AS q2,
-        |  CAST(sum(t) AS BIGINT) AS stt,
-        |  sum(CAST(t AS HUGEINT) * t) AS qtt
-        | FROM tt GROUP BY 1),
-        |vv AS (SELECT *, n * qtt - CAST(stt AS HUGEINT) * stt AS vt
-        | FROM ss),
-        |rr AS (SELECT l_returnflag, n,
-        |  CASE WHEN vt > 0 THEN CAST(
-        |   ((n * q0 - CAST(s0 AS HUGEINT) * s0)
-        |    + (n * q1 - CAST(s1 AS HUGEINT) * s1)
-        |    + (n * q2 - CAST(s2 AS HUGEINT) * s2)) * 1000000 // vt
-        |   AS BIGINT) END AS ratio_e6
-        | FROM vv)
-        |SELECT l_returnflag, n, CAST(3 AS BIGINT) AS k, ratio_e6,
-        | CASE WHEN ratio_e6 IS NOT NULL THEN
-        |  CAST(3 * (1000000 - ratio_e6) // 2 AS BIGINT)
-        | END AS alpha_e6
-        |FROM rr""".stripMargin,
-
-    // q378: the full winnowing chain replayed — char-fold Karp–Rabin
-    // mod 2⁶¹−1, the splitmix64 finisher in 128-bit halves, >>1 to the
-    // signed-safe domain, window membership by generate_series, the
-    // struct-min (h, −pos) rightmost-tie argmin, pair join.
-    "q378_winnowing" -> {
-      val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
-      val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
-      s"""WITH t AS (SELECT doc_id AS doc,
-         |  list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
-         |    x -> x <> '') AS tk
-         | FROM documents),
-         |g0 AS (SELECT doc, len(tk) - 2 AS ng, i AS pos,
-         |  array_to_string(tk[i:i+2], ' ') AS g
-         | FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk)-2))
-         |   AS i) ix
-         | WHERE len(tk) >= 3),
-         |k0 AS (SELECT doc, ng, pos,
-         |  list_reduce(list_prepend(CAST(0 AS HUGEINT),
-         |    list_transform(range(1, length(g)+1),
-         |      i -> CAST(unicode(g[i]) AS HUGEINT))),
-         |   (a,b) -> (a*257+b) % 2305843009213693951) AS h0
-         | FROM g0),
-         |s0 AS (SELECT doc, ng, pos,
-         |  CAST((h0 + 11400714819323198485) % 18446744073709551616
-         |   AS UBIGINT) AS z0 FROM k0),
-         |s1 AS (SELECT doc, ng, pos, $z1 AS z1 FROM s0),
-         |s2 AS (SELECT doc, ng, pos, $z2 AS z2 FROM s1),
-         |f AS (SELECT doc, ng, pos,
-         |  CAST(xor(z2, z2 >> 31) >> 1 AS BIGINT) AS h FROM s2),
-         |m AS (SELECT doc, pos, h, ws FROM f,
-         |  LATERAL (SELECT unnest(generate_series(greatest(1, pos - 3),
-         |    least(pos, greatest(1, ng - 3)))) AS ws) wx),
-         |mn AS (SELECT doc, ws,
-         |  struct_extract(min(struct_pack(h := h, np := -pos)), 'h')
-         |    AS h
-         | FROM m GROUP BY 1, 2),
-         |fp AS (SELECT DISTINCT doc, h FROM mn)
-         |SELECT x.doc AS doc_a, y.doc AS doc_b,
-         | CAST(count(*) AS BIGINT) AS shared
-         |FROM fp x JOIN fp y ON x.h = y.h AND x.doc < y.doc
-         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
-    },
-
-    // q377: the full Lehmer→Poisson(1)→replicate-ratio→order-statistic
-    // chain replayed literally (wrap-free BIGINT throughout).
-    "q377_poisson_bootstrap" ->
-      """WITH b AS (SELECT l_returnflag AS g,
-        |  l_orderkey * 131 + l_linenumber * 7 + l_partkey AS rk,
-        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS num,
-        |  CAST(round(l_quantity) AS BIGINT) AS den FROM lineitem),
-        |e AS (SELECT g, r, num, den,
-        |  ((((rk % 2147483647) * 65537 + r + 1) * 48271) % 2147483647)
-        |   AS h1
-        | FROM b, (SELECT unnest(generate_series(0, 39)) AS r) rr),
-        |e2 AS (SELECT g, r, num, den,
-        |  (xor(h1, h1 // 65536) * 69621 % 2147483647)
-        |   * 1000000000 // 2147483647 AS u FROM e),
-        |ww AS (SELECT g, r, num, den,
-        |  CAST(CASE WHEN u < 367879441 THEN 0
-        |   WHEN u < 735758882 THEN 1
-        |   WHEN u < 919698602 THEN 2
-        |   WHEN u < 981011843 THEN 3
-        |   WHEN u < 996340153 THEN 4
-        |   WHEN u < 999405815 THEN 5
-        |   ELSE 6 END AS BIGINT) AS w FROM e2),
-        |rs AS (SELECT g, r,
-        |  sum(CAST(w * num AS HUGEINT)) AS sn,
-        |  sum(CAST(w * den AS HUGEINT)) AS sd,
-        |  sum(CAST(num AS HUGEINT)) AS pn,
-        |  sum(CAST(den AS HUGEINT)) AS pd
-        | FROM ww GROUP BY 1, 2),
-        |th AS (SELECT *, CASE WHEN sd <= 0 THEN NULL
-        |   ELSE CAST(sn * 1000000 // sd AS BIGINT) END AS theta
-        | FROM rs),
-        |rk2 AS (SELECT *, row_number() OVER
-        |   (PARTITION BY g ORDER BY theta ASC NULLS LAST, r) AS rnk,
-        |  count(theta) OVER (PARTITION BY g) AS valid FROM th)
-        |SELECT g AS l_returnflag,
-        | CAST(max(valid) AS BIGINT) AS reps_valid,
-        | max(CASE WHEN pd > 0
-        |   THEN CAST(pn * 1000000 // pd AS BIGINT) END) AS theta_e6,
-        | CASE WHEN max(valid) < 4 THEN NULL
-        |  ELSE max(CASE WHEN rnk = 2 THEN theta END) END AS ci_lo_e6,
-        | CASE WHEN max(valid) < 4 THEN NULL
-        |  ELSE max(CASE WHEN rnk = valid - 1 THEN theta END) END
-        |   AS ci_hi_e6
-        |FROM rk2 GROUP BY 1""".stripMargin,
-
-    // q376: the same pinned planner arithmetic — HUGEINT widening,
-    // ceil via (num + den − 1) // den, corrected isqrt for the MDE.
-    "q376_power_mde" ->
-      """WITH b AS (SELECT l_returnflag AS g,
-        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS x
-        | FROM lineitem),
-        |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
-        |  sum(CAST(x AS HUGEINT)) AS s,
-        |  sum(CAST(x AS HUGEINT) * x) AS ss FROM b GROUP BY 1),
-        |v AS (SELECT g, n, CAST(s // n AS BIGINT) AS mean,
-        |  CASE WHEN n < 2 THEN NULL
-        |   ELSE CAST((n * ss - s * s)
-        |    // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) END
-        |   AS var_cents2 FROM a),
-        |d AS (SELECT *, CAST(mean // 100 AS BIGINT) AS delta FROM v),
-        |r AS (SELECT *, CASE WHEN var_cents2 IS NULL OR delta = 0
-        |   THEN NULL
-        |   ELSE CAST((CAST(2 AS HUGEINT) * 7851204 * var_cents2
-        |      + CAST(delta AS HUGEINT) * delta * 1000000 - 1)
-        |     // (CAST(delta AS HUGEINT) * delta * 1000000) AS BIGINT)
-        |   END AS n_required,
-        |  CASE WHEN var_cents2 IS NULL THEN CAST(0 AS HUGEINT)
-        |   ELSE CAST(2 AS HUGEINT) * var_cents2 * 1000000000000 // n
-        |   END AS r2 FROM d),
-        |s0 AS (SELECT *, CAST(floor(sqrt(CAST(r2 AS DOUBLE)))
-        |   AS BIGINT) AS s0 FROM r)
-        |SELECT g AS l_returnflag, n, mean, var_cents2, delta,
-        | n_required,
-        | CASE WHEN var_cents2 IS NULL THEN NULL
-        |  ELSE CAST(CAST(2802 AS HUGEINT) * (CASE
-        |    WHEN CAST(s0 AS HUGEINT) * s0 > r2 THEN s0 - 1
-        |    WHEN (CAST(s0 AS HUGEINT) + 1) * (s0 + 1) <= r2 THEN s0 + 1
-        |    ELSE s0 END) // 1000 AS BIGINT) END AS mde_e6
-        |FROM s0""".stripMargin,
-
-    // q373: per-item L and per-model G censuses, the exact Q identity
-    // (complete block by construction → n_dropped = 0).
-    "q373_cochran_q" ->
-      """WITH it AS (SELECT l_orderkey, l_linenumber,
-        |  CAST((l_quantity > 25) = (l_returnflag = 'R') AS INTEGER)
-        |  + CAST((l_discount > 0.05) = (l_returnflag = 'R') AS INTEGER)
-        |  + CAST((l_tax > 0.04) = (l_returnflag = 'R') AS INTEGER) AS l
-        | FROM lineitem),
-        |ist AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
-        |  CAST(sum(l) AS BIGINT) AS t,
-        |  sum(CAST(l AS HUGEINT) * l) AS sum_l2 FROM it),
-        |g AS (SELECT sum(CAST(gg AS HUGEINT) * gg) AS sum_g2 FROM (
-        |  SELECT sum(CASE WHEN (l_quantity > 25) = (l_returnflag = 'R')
-        |    THEN 1 ELSE 0 END) AS gg FROM lineitem
-        |  UNION ALL
-        |  SELECT sum(CASE WHEN (l_discount > 0.05) = (l_returnflag = 'R')
-        |    THEN 1 ELSE 0 END) FROM lineitem
-        |  UNION ALL
-        |  SELECT sum(CASE WHEN (l_tax > 0.04) = (l_returnflag = 'R')
-        |    THEN 1 ELSE 0 END) FROM lineitem))
-        |SELECT CAST(3 AS BIGINT) AS k, n_items,
-        | CAST(0 AS BIGINT) AS n_dropped, t,
-        | CAST(CAST(sum_g2 AS DECIMAL(38,0)) AS VARCHAR) AS sum_g2,
-        | CAST(CAST(sum_l2 AS DECIMAL(38,0)) AS VARCHAR) AS sum_l2,
-        | CASE WHEN CAST(3 AS HUGEINT) * t - sum_l2 = 0 THEN NULL
-        |  ELSE CAST(2 * (3 * sum_g2 - CAST(t AS HUGEINT) * t) * 1000000
-        |   // (CAST(3 AS HUGEINT) * t - sum_l2) AS BIGINT) END AS q_e6
-        |FROM ist, g""".stripMargin,
-
-    // q374: the entropy-form identity with q357-pinned per-cell chains;
-    // absent-value H(M) mass arrives as the corpus TQ scalar minus the
-    // present cells' tq terms.
-    "q374_js_divergence" ->
-      """WITH tok AS (SELECT source AS g,
-        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS v
-        | FROM documents),
-        |cells AS (SELECT g, v, count(*) AS c FROM tok GROUP BY 1, 2),
-        |corpus AS (SELECT v, CAST(sum(c) AS BIGINT) AS cc FROM cells
-        | GROUP BY 1),
-        |ng AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng FROM cells
-        | GROUP BY 1),
-        |nt AS (SELECT CAST(sum(cc) AS BIGINT) AS n FROM corpus),
-        |ct AS (SELECT
-        |  sum(CAST(round(-(CAST(cc AS DOUBLE) / n / 2.0)
-        |    * ln(CAST(cc AS DOUBLE) / n / 2.0) * 1000000.0) AS BIGINT))
-        |   AS tq,
-        |  sum(CAST(round(-(CAST(cc AS DOUBLE) / n)
-        |    * ln(CAST(cc AS DOUBLE) / n) * 1000000.0) AS BIGINT)) AS hq
-        | FROM corpus, nt),
-        |pc AS (SELECT cells.g,
-        |  CAST(round(-((CAST(c AS DOUBLE) / ng.ng
-        |      + CAST(cc AS DOUBLE) / n) / 2.0)
-        |    * ln((CAST(c AS DOUBLE) / ng.ng
-        |      + CAST(cc AS DOUBLE) / n) / 2.0) * 1000000.0) AS BIGINT)
-        |   AS tm,
-        |  CAST(round(-(CAST(cc AS DOUBLE) / n / 2.0)
-        |    * ln(CAST(cc AS DOUBLE) / n / 2.0) * 1000000.0) AS BIGINT)
-        |   AS tqc,
-        |  CAST(round(-(CAST(c AS DOUBLE) / ng.ng)
-        |    * ln(CAST(c AS DOUBLE) / ng.ng) * 1000000.0) AS BIGINT)
-        |   AS tp
-        | FROM cells JOIN corpus USING (v) JOIN ng USING (g), nt),
-        |agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_values,
-        |  sum(CAST(tm AS HUGEINT)) AS sm,
-        |  sum(CAST(tqc AS HUGEINT)) AS sq,
-        |  sum(CAST(tp AS HUGEINT)) AS hp
-        | FROM pc GROUP BY 1)
-        |SELECT agg.g AS source, n_values, ng.ng AS n_tokens,
-        | CAST(greatest(CAST(0 AS HUGEINT),
-        |   sm + (ct.tq - sq) - (hp + ct.hq) // 2) AS BIGINT) AS jsd_e6
-        |FROM agg JOIN ng ON ng.g = agg.g, ct""".stripMargin,
-
-    // q375: train-census vocab (count ≥ 2) probed by a census-to-census
-    // left join; exact e6 token/type rates.
-    "q375_oov_rate" ->
-      """WITH tr AS (SELECT
-        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
-        | FROM documents WHERE doc_id % 10 < 8),
-        |vocab AS (SELECT w FROM (SELECT w, count(*) AS c FROM tr
-        |  GROUP BY 1) WHERE c >= 2),
-        |ev AS (SELECT source AS g,
-        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
-        | FROM documents WHERE doc_id % 10 >= 8),
-        |cen AS (SELECT g, w, count(*) AS c FROM ev GROUP BY 1, 2),
-        |j AS (SELECT cen.g, cen.c, vocab.w AS vw FROM cen
-        | LEFT JOIN vocab ON vocab.w = cen.w),
-        |a AS (SELECT g AS source, CAST(sum(c) AS BIGINT) AS tokens,
-        |  CAST(count(*) AS BIGINT) AS types,
-        |  CAST(sum(CASE WHEN vw IS NULL THEN c ELSE 0 END) AS BIGINT)
-        |    AS oov_tokens,
-        |  CAST(sum(CASE WHEN vw IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS oov_types
-        | FROM j GROUP BY 1)
-        |SELECT source, tokens, types, oov_tokens, oov_types,
-        | CASE WHEN tokens = 0 THEN NULL
-        |  ELSE CAST(CAST(oov_tokens AS HUGEINT) * 1000000 // tokens
-        |   AS BIGINT) END AS oov_rate_e6,
-        | CASE WHEN types = 0 THEN NULL
-        |  ELSE CAST(CAST(oov_types AS HUGEINT) * 1000000 // types
-        |   AS BIGINT) END AS oov_type_rate_e6
-        |FROM a""".stripMargin,
-
-    // q371: identical pinned counting rules (list lambdas mirror the
-    // Spark higher-order functions), HUGEINT-widened e3 formula.
-    "q371_readability" ->
-      """WITH d AS (SELECT source,
-        |  list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |    w -> w <> '') AS t,
-        |  greatest(1, len(regexp_extract_all(text, '[.!?]+')))
-        |    AS sents
-        | FROM documents),
-        |p AS (SELECT source, sents, len(t) AS words,
-        |  CAST(coalesce(list_sum(list_transform(t, w ->
-        |    greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))), 0)
-        |   AS BIGINT) AS syls
-        | FROM d),
-        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(words) AS BIGINT) AS words,
-        |  CAST(sum(sents) AS BIGINT) AS sentences,
-        |  CAST(sum(syls) AS BIGINT) AS syllables FROM p GROUP BY 1)
-        |SELECT source, n_docs, words, sentences, syllables,
-        | CAST(CAST(words AS HUGEINT) * 1000 // sentences AS BIGINT)
-        |   AS wps_e3,
-        | CASE WHEN words = 0 THEN NULL
-        |  ELSE CAST(CAST(syllables AS HUGEINT) * 1000 // words
-        |   AS BIGINT) END AS spw_e3,
-        | CASE WHEN words = 0 THEN NULL
-        |  ELSE CAST(206835
-        |   - CAST(1015 AS HUGEINT) * words // sentences
-        |   - CAST(84600 AS HUGEINT) * syllables // words AS BIGINT) END
-        |  AS flesch_e3,
-        | CASE WHEN words = 0 THEN NULL
-        |  ELSE CAST(CAST(390 AS HUGEINT) * words // sentences
-        |   + CAST(11800 AS HUGEINT) * syllables // words
-        |   - 15590 AS BIGINT) END AS fk_grade_e3
-        |FROM g""".stripMargin,
-
-    // q372: the two offset pair sets via array indexing, the q125
-    // three-ln chain, the 0 clamp, and the total-order top-30.
-    "q372_ppmi_window" ->
-      """WITH tk AS (SELECT doc_id,
-        |  regexp_split_to_array(trim(lower(text)), '\s+') AS t
-        | FROM documents),
-        |u AS (SELECT unnest(t) AS w FROM tk),
-        |cu AS (SELECT w, count(*) AS c FROM u GROUP BY 1),
-        |n1 AS (SELECT count(*) AS c FROM u),
-        |pr AS (
-        | SELECT t[i] AS a, t[i+1] AS b FROM tk,
-        |  LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) ix
-        | WHERE len(t) >= 2
-        | UNION ALL
-        | SELECT t[i] AS a, t[i+2] AS b FROM tk,
-        |  LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) iy
-        | WHERE len(t) >= 3),
-        |n2 AS (SELECT count(*) AS c FROM pr),
-        |cb AS (SELECT a, b, count(*) AS c_ab FROM pr GROUP BY 1, 2
-        |       HAVING count(*) >= 5)
-        |SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
-        |  CAST(ca.c AS BIGINT) AS c_a, CAST(cbb.c AS BIGINT) AS c_b,
-        |  greatest(CAST(0 AS BIGINT),
-        |   CAST(round((ln(CAST(c_ab AS DOUBLE) / CAST(n2.c AS DOUBLE))
-        |    - ln(CAST(ca.c AS DOUBLE) / CAST(n1.c AS DOUBLE))
-        |    - ln(CAST(cbb.c AS DOUBLE) / CAST(n1.c AS DOUBLE)))
-        |   * 1000000.0) AS BIGINT)) AS ppmi_e6
-        |FROM cb JOIN cu ca ON ca.w = cb.a JOIN cu cbb ON cbb.w = cb.b,
-        |  n1, n2
-        |ORDER BY ppmi_e6 DESC, a, b LIMIT 30""".stripMargin,
-
-    // q369: q137's shifted-e3 chain → per-point own/min-foreign
-    // distances → label census with the exact e6 silhouette.
-    "q369_silhouette" ->
-      """WITH c AS (SELECT vec_id AS id, label, i - 1 AS dim,
-        |  CAST(round((CAST(embedding[i] AS DOUBLE) + 1.0) * 1000.0)
-        |    AS BIGINT) AS x
-        | FROM embeddings,
-        |  LATERAL (SELECT unnest(generate_series(1, len(embedding)))
-        |    AS i) ix),
-        |cm AS (SELECT label AS clabel, dim, sum(x) // count(*) AS c_e3
-        |       FROM c GROUP BY 1, 2),
-        |s AS (SELECT c.id, c.label, cm.clabel,
-        |  sum((c.x - cm.c_e3) * (c.x - cm.c_e3)) AS dist
-        | FROM c JOIN cm USING (dim) GROUP BY 1, 2, 3),
-        |p AS (SELECT id, label,
-        |  min(CASE WHEN clabel = label THEN dist END) AS a,
-        |  min(CASE WHEN clabel <> label THEN dist END) AS b
-        | FROM s GROUP BY 1, 2),
-        |sc AS (SELECT *, CASE WHEN b IS NULL THEN NULL
-        |   WHEN greatest(a, b) = 0 THEN 0
-        |   ELSE CAST(CAST(b - a AS HUGEINT) * 1000000
-        |    // greatest(a, b) AS BIGINT) END AS s_e6 FROM p)
-        |SELECT label, CAST(count(*) AS BIGINT) AS n_points,
-        | CAST(count(s_e6) AS BIGINT) AS n_scored,
-        | CAST(sum(CASE WHEN b IS NOT NULL AND b < a THEN 1 ELSE 0 END)
-        |   AS BIGINT) AS n_misplaced,
-        | CAST(CAST(sum(CAST(s_e6 AS HUGEINT)) AS DECIMAL(38,0))
-        |   AS VARCHAR) AS sum_s_e6,
-        | CASE WHEN count(s_e6) = 0 THEN NULL
-        |  ELSE CAST(sum(CAST(s_e6 AS HUGEINT)) // count(s_e6) AS BIGINT)
-        |  END AS mean_silhouette_e6
-        |FROM sc GROUP BY 1""".stripMargin,
-
-    // q370: own-centroid scatters + k² centroid separations, worst
-    // peer by (r DESC NULLS LAST, peer DESC) — the struct-max order.
-    "q370_davies_bouldin" ->
-      """WITH c AS (SELECT vec_id AS id, label, i - 1 AS dim,
-        |  CAST(round((CAST(embedding[i] AS DOUBLE) + 1.0) * 1000.0)
-        |    AS BIGINT) AS x
-        | FROM embeddings,
-        |  LATERAL (SELECT unnest(generate_series(1, len(embedding)))
-        |    AS i) ix),
-        |cm AS (SELECT label AS clabel, dim, sum(x) // count(*) AS c_e3
-        |       FROM c GROUP BY 1, 2),
-        |own AS (SELECT c.id, c.label,
-        |  sum((c.x - cm.c_e3) * (c.x - cm.c_e3)) AS dist
-        | FROM c JOIN cm ON cm.dim = c.dim AND cm.clabel = c.label
-        | GROUP BY 1, 2),
-        |sc AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(dist) // count(*) AS BIGINT) AS s2 FROM own
-        | GROUP BY 1),
-        |m2 AS (SELECT x.clabel AS la, y.clabel AS lb,
-        |  sum((x.c_e3 - y.c_e3) * (x.c_e3 - y.c_e3)) AS m2
-        | FROM cm x JOIN cm y ON x.dim = y.dim AND x.clabel <> y.clabel
-        | GROUP BY 1, 2),
-        |r AS (SELECT la, lb, CASE WHEN m2 = 0 THEN NULL
-        |   ELSE CAST(CAST(sa.s2 + sb.s2 AS HUGEINT) * 1000000 // m2
-        |    AS BIGINT) END AS r_e6
-        | FROM m2 JOIN sc sa ON sa.label = la JOIN sc sb ON sb.label = lb),
-        |wd AS (SELECT la AS label,
-        |  CAST(sum(CASE WHEN r_e6 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS degenerate_pairs FROM r GROUP BY 1),
-        |wb AS (SELECT la AS label, lb AS worst_peer, r_e6 AS db_term_e6
-        | FROM (SELECT *, row_number() OVER (PARTITION BY la
-        |    ORDER BY r_e6 DESC NULLS LAST, lb DESC) AS rk FROM r)
-        | WHERE rk = 1)
-        |SELECT sc.label, sc.n, sc.s2, wb.worst_peer, wb.db_term_e6,
-        | coalesce(wd.degenerate_pairs, 0) AS degenerate_pairs
-        |FROM sc LEFT JOIN wb ON wb.label = sc.label
-        | LEFT JOIN wd ON wd.label = sc.label""".stripMargin,
-
-    // q367: canonical distinct edges → endpoint-label join → part-grain
-    // census; cross-part edges charged to both sides.
-    "q367_conductance" ->
-      """WITH pairs AS (SELECT DISTINCT a.l_suppkey AS src,
-        |  b.l_suppkey AS dst
-        | FROM lineitem a JOIN lineitem b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
-        |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst)
-        |   AS b FROM pairs),
-        |lab AS (SELECT s_suppkey AS node, s_nationkey AS lab
-        | FROM supplier),
-        |ends AS (SELECT a, b, a AS node FROM e
-        |         UNION ALL SELECT a, b, b AS node FROM e),
-        |el AS (SELECT en.a, en.b, en.node, l.lab FROM ends en
-        | JOIN lab l ON l.node = en.node),
-        |vol AS (SELECT lab AS community,
-        |  CAST(count(DISTINCT node) AS BIGINT) AS nodes,
-        |  CAST(count(*) AS BIGINT) AS volume FROM el GROUP BY 1),
-        |pe AS (SELECT a, b, min(lab) AS ca, max(lab) AS cb FROM el
-        | GROUP BY 1, 2),
-        |ie AS (SELECT ca AS community,
-        |  CAST(count(*) AS BIGINT) AS internal_edges FROM pe
-        | WHERE ca = cb GROUP BY 1),
-        |ce AS (SELECT community, CAST(count(*) AS BIGINT) AS cut_edges
-        | FROM (SELECT ca AS community FROM pe WHERE ca <> cb
-        |       UNION ALL SELECT cb FROM pe WHERE ca <> cb)
-        | GROUP BY 1),
-        |mm AS (SELECT CAST(count(*) * 2 AS BIGINT) AS vt FROM e)
-        |SELECT v.community, v.nodes, v.volume,
-        | coalesce(ie.internal_edges, 0) AS internal_edges,
-        | coalesce(ce.cut_edges, 0) AS cut_edges,
-        | CASE WHEN least(v.volume, mm.vt - v.volume) = 0 THEN NULL
-        |  ELSE CAST(CAST(coalesce(ce.cut_edges, 0) AS HUGEINT) * 1000000
-        |   // least(v.volume, mm.vt - v.volume) AS BIGINT) END
-        |  AS conductance_e6
-        |FROM vol v LEFT JOIN ie USING (community)
-        | LEFT JOIN ce USING (community) CROSS JOIN mm""".stripMargin,
-
-    // q368: session-partitioned windows (lag + running sum for the
-    // gaps-and-islands run ids), then one session-grain census.
-    "q368_transcript_audit" ->
-      """WITH b AS (SELECT user_id AS session, epoch_ms(ts) AS ts_ms,
-        |  event_id AS tie,
-        |  CASE WHEN event_type IN ('click', 'view', 'signup')
-        |   THEN 'user' ELSE 'assistant' END AS role
-        | FROM events),
-        |t AS (SELECT *, lag(role) OVER w AS prev_role,
-        |  ts_ms - lag(ts_ms) OVER w AS gap_ms
-        | FROM b WINDOW w AS (PARTITION BY session ORDER BY ts_ms, tie)),
-        |r AS (SELECT *, sum(CASE WHEN prev_role IS NULL
-        |    OR prev_role <> role THEN 1 ELSE 0 END)
-        |   OVER (PARTITION BY session ORDER BY ts_ms, tie
-        |    ROWS UNBOUNDED PRECEDING) AS run_id FROM t),
-        |rl AS (SELECT session, CAST(max(cnt) AS BIGINT) AS max_role_run
-        | FROM (SELECT session, run_id, count(*) AS cnt FROM r
-        |       GROUP BY 1, 2) GROUP BY 1),
-        |ps AS (SELECT session, CAST(count(*) AS BIGINT) AS n_turns,
-        |  CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
-        |  first(role ORDER BY ts_ms, tie) AS first_role,
-        |  last(role ORDER BY ts_ms, tie) AS last_role,
-        |  CAST(sum(CASE WHEN prev_role = role THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS alternation_violations,
-        |  max(gap_ms) AS max_gap_ms,
-        |  CAST(coalesce(sum(gap_ms), 0) AS BIGINT) AS total_gap_ms
-        | FROM t GROUP BY 1)
-        |SELECT ps.*, rl.max_role_run FROM ps
-        | JOIN rl USING (session)""".stripMargin,
-
-    // q364: the paired 2×2 per nation and the clamped continuity-
-    // corrected statistic on the discordant cells.
-    "q364_mcnemar" ->
-      """WITH j AS (SELECT s_nationkey AS nation,
-        |  (l_quantity > 25) = (l_returnflag = 'R') AS ca,
-        |  (l_discount > 0.05) = (l_returnflag = 'R') AS cb
-        | FROM lineitem JOIN supplier ON s_suppkey = l_suppkey),
-        |g AS (SELECT nation,
-        |  CAST(sum(CASE WHEN ca AND cb THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n11,
-        |  CAST(sum(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n10,
-        |  CAST(sum(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n01,
-        |  CAST(sum(CASE WHEN NOT ca AND NOT cb THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n00
-        | FROM j GROUP BY 1)
-        |SELECT nation, n11, n10, n01, n00, n10 + n01 AS discordant,
-        | CASE WHEN n10 + n01 = 0 THEN NULL
-        |  ELSE CAST(CAST(greatest(abs(n10 - n01) - 1, 0) AS HUGEINT)
-        |    * greatest(abs(n10 - n01) - 1, 0) * 1000000
-        |    // (n10 + n01) AS BIGINT) END AS mcnemar_e6
-        |FROM g""".stripMargin,
-
-    // q365: per-stratum e6-truncated MH/CMH terms (two-stage truncation
-    // on the variance, pinned), then one global sum.
-    "q365_mantel_haenszel" ->
-      """WITH c0 AS (SELECT
-        |  CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
-        |    AS st,
-        |  l_discount > 0.05 AS t, l_returnflag = 'R' AS o
-        | FROM lineitem),
-        |s AS (SELECT st,
-        |  CAST(sum(CASE WHEN t AND o THEN 1 ELSE 0 END) AS HUGEINT) AS a,
-        |  CAST(sum(CASE WHEN t AND NOT o THEN 1 ELSE 0 END) AS HUGEINT)
-        |    AS b,
-        |  CAST(sum(CASE WHEN NOT t AND o THEN 1 ELSE 0 END) AS HUGEINT)
-        |    AS c,
-        |  CAST(sum(CASE WHEN NOT t AND NOT o THEN 1 ELSE 0 END)
-        |    AS HUGEINT) AS d
-        | FROM c0 GROUP BY 1),
-        |tm AS (SELECT st, a, b, c, d, a + b + c + d AS n FROM s
-        | WHERE a + b + c + d > 0),
-        |t2 AS (SELECT st, n,
-        |  a * d * 1000000 // n AS r,
-        |  b * c * 1000000 // n AS sx,
-        |  (a * n - (a + b) * (a + c)) * 1000000 // n AS dev,
-        |  CASE WHEN n < 2 THEN CAST(0 AS HUGEINT)
-        |   ELSE ((a + b) * (c + d) * 1000000 // n) * (a + c) * (b + d)
-        |    // (n * (n - 1)) END AS v
-        | FROM tm)
-        |SELECT CAST(count(*) AS BIGINT) AS n_strata,
-        | CAST(sum(n) AS BIGINT) AS n_total,
-        | CAST(CAST(sum(r) AS DECIMAL(38,0)) AS VARCHAR) AS r_num,
-        | CAST(CAST(sum(sx) AS DECIMAL(38,0)) AS VARCHAR) AS s_num,
-        | CASE WHEN sum(sx) = 0 THEN NULL
-        |  ELSE CAST(sum(r) * 1000000 // sum(sx) AS BIGINT) END
-        |   AS or_mh_e6,
-        | CAST(sum(dev) AS BIGINT) AS dev_e6,
-        | CAST(CAST(sum(v) AS DECIMAL(38,0)) AS VARCHAR) AS var_e6,
-        | CASE WHEN sum(v) = 0 THEN NULL
-        |  ELSE CAST(CAST(greatest(abs(sum(dev)) - 500000, 0) AS HUGEINT)
-        |    * greatest(abs(sum(dev)) - 500000, 0) // sum(v) AS BIGINT)
-        |  END AS cmh_e6
-        |FROM t2""".stripMargin,
-
-    // q366: bucket census → leave-one-out ratios → exact jackknife
-    // moments, corrected isqrt for the standard error.
-    "q366_jackknife_ratio" ->
-      """WITH b AS (SELECT l_returnflag AS g, l_orderkey % 32 AS bk,
-        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS num,
-        |  CAST(round(l_quantity) AS BIGINT) AS den FROM lineitem),
-        |pb AS (SELECT g, bk, sum(num) AS s_i, sum(den) AS n_i FROM b
-        | GROUP BY 1, 2),
-        |w AS (SELECT g, bk, s_i, n_i,
-        |  sum(s_i) OVER (PARTITION BY g) AS st,
-        |  sum(n_i) OVER (PARTITION BY g) AS nt FROM pb),
-        |l AS (SELECT *, CASE WHEN nt - n_i <= 0 THEN NULL
-        |   ELSE CAST(CAST(st - s_i AS HUGEINT) * 1000000 // (nt - n_i)
-        |    AS BIGINT) END AS loo FROM w),
-        |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n_buckets,
-        |  CAST(count(loo) AS BIGINT) AS b_eff,
-        |  max(st) AS st, max(nt) AS nt,
-        |  CASE WHEN count(loo) = 0 THEN NULL
-        |   ELSE CAST(sum(CAST(loo AS HUGEINT)) // count(loo) AS BIGINT)
-        |  END AS jk_mean_e6
-        | FROM l GROUP BY g),
-        |ss AS (SELECT l.g,
-        |  sum(CASE WHEN loo IS NULL THEN CAST(0 AS HUGEINT)
-        |   ELSE CAST(loo - jk_mean_e6 AS HUGEINT) * (loo - jk_mean_e6)
-        |   END) AS ssq
-        | FROM l JOIN m ON m.g = l.g GROUP BY 1),
-        |f AS (SELECT m.g, n_buckets, b_eff,
-        |  CASE WHEN nt <= 0 THEN NULL
-        |   ELSE CAST(CAST(st AS HUGEINT) * 1000000 // nt AS BIGINT) END
-        |    AS theta_e6,
-        |  jk_mean_e6,
-        |  CASE WHEN b_eff <= 1 THEN NULL
-        |   ELSE CAST(b_eff - 1 AS HUGEINT) * ssq // b_eff END AS var
-        | FROM m JOIN ss ON ss.g = m.g),
-        |s0c AS (SELECT *,
-        |  CAST(floor(sqrt(CAST(var AS DOUBLE))) AS BIGINT) AS s0 FROM f)
-        |SELECT g AS l_returnflag, n_buckets, b_eff, theta_e6, jk_mean_e6,
-        | CAST(CAST(var AS DECIMAL(38,0)) AS VARCHAR) AS jk_var_e12,
-        | CASE WHEN var IS NULL THEN NULL
-        |  WHEN CAST(s0 AS HUGEINT) * s0 > var THEN s0 - 1
-        |  WHEN (CAST(s0 AS HUGEINT) + 1) * (s0 + 1) <= var THEN s0 + 1
-        |  ELSE s0 END AS jk_se_e6
-        |FROM s0c""".stripMargin,
-
-    // q363: the shared-set pair expansion, per-pair label-histogram
-    // cross mass, and the exact κ ratio.
-    "q363_pairwise_kappa" ->
-      """WITH v AS (SELECT l_orderkey AS i, l_suppkey AS a,
-        |  min(l_returnflag) AS l
-        | FROM lineitem GROUP BY 1, 2),
-        |p AS (SELECT x.a AS a1, y.a AS a2, x.l AS l1, y.l AS l2
-        | FROM v x JOIN v y ON x.i = y.i AND x.a < y.a),
-        |b AS (SELECT a1, a2, count(*) AS n_shared,
-        |  CAST(sum(CASE WHEN l1 = l2 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_agree
-        | FROM p GROUP BY 1, 2 HAVING count(*) >= 5),
-        |c1 AS (SELECT a1, a2, l1 AS l, count(*) AS c1 FROM p
-        | GROUP BY 1, 2, 3),
-        |c2 AS (SELECT a1, a2, l2 AS l, count(*) AS c2 FROM p
-        | GROUP BY 1, 2, 3),
-        |pe AS (SELECT a1, a2,
-        |  sum(CAST(c1 AS HUGEINT) * c2) AS pe_num
-        | FROM c1 JOIN c2 USING (a1, a2, l) GROUP BY 1, 2)
-        |SELECT b.a1, b.a2, n_shared, n_agree,
-        | CAST(CAST(pe_num AS DECIMAL(38,0)) AS VARCHAR) AS pe_num,
-        | CAST(CASE WHEN CAST(n_shared AS HUGEINT) * n_shared = pe_num
-        |   THEN NULL
-        |  ELSE (CAST(n_agree AS HUGEINT) * n_shared - pe_num) * 1000000
-        |   // (CAST(n_shared AS HUGEINT) * n_shared - pe_num) END
-        |  AS BIGINT) AS kappa_e6
-        |FROM b JOIN pe ON pe.a1 = b.a1 AND pe.a2 = b.a2""".stripMargin,
-
-    // q361: Kish ESS on HUGEINT sums.
-    "q361_ess" ->
-      """WITH b AS (SELECT l_returnflag AS g,
-        |  CAST(round(l_extendedprice*100) AS BIGINT) AS w FROM lineitem
-        | WHERE round(l_extendedprice*100) > 0),
-        |a AS (SELECT g, count(*) AS n,
-        |  sum(CAST(w AS HUGEINT)) AS sw,
-        |  sum(CAST(w AS HUGEINT) * w) AS sw2 FROM b GROUP BY 1)
-        |SELECT g AS l_returnflag, n,
-        | CAST(CAST(sw AS DECIMAL(38,0)) AS VARCHAR) AS sum_w,
-        | CAST(CAST(sw2 AS DECIMAL(38,0)) AS VARCHAR) AS sum_w2,
-        | CAST(sw * sw * 1000000 // sw2 AS BIGINT) AS ess_e6,
-        | CAST(sw * sw * 1000000 // sw2 // n AS BIGINT) AS ess_per_n_e6
-        |FROM a""".stripMargin,
-
-    // q360: weighted census + cumulative window, the exact
-    // cum·100 ≥ W·p rule per percentile.
-    "q360_weighted_quantiles" ->
-      """WITH b AS (SELECT l_returnflag AS g,
-        |  CAST(round(l_quantity) AS BIGINT) AS v,
-        |  CAST(round(l_extendedprice*100) AS BIGINT) AS w
-        | FROM lineitem),
-        |h AS (SELECT g, v, CAST(sum(w) AS BIGINT) AS w FROM b
-        | WHERE w > 0 GROUP BY 1, 2),
-        |c AS (SELECT g, v,
-        |  sum(w) OVER (PARTITION BY g ORDER BY v
-        |    ROWS UNBOUNDED PRECEDING) AS cum,
-        |  sum(w) OVER (PARTITION BY g) AS tw FROM h)
-        |SELECT g AS l_returnflag, CAST(max(tw) AS BIGINT) AS total_weight,
-        | min(CASE WHEN CAST(cum AS HUGEINT)*100 >= CAST(tw AS HUGEINT)*25
-        |   THEN v END) AS p25,
-        | min(CASE WHEN CAST(cum AS HUGEINT)*100 >= CAST(tw AS HUGEINT)*50
-        |   THEN v END) AS p50,
-        | min(CASE WHEN CAST(cum AS HUGEINT)*100 >= CAST(tw AS HUGEINT)*75
-        |   THEN v END) AS p75,
-        | min(CASE WHEN CAST(cum AS HUGEINT)*100 >= CAST(tw AS HUGEINT)*95
-        |   THEN v END) AS p95
-        |FROM c GROUP BY 1""".stripMargin,
-
-    // q357: census + margins + the same pinned ln(nxy·N/(nx·ny)) term.
-    "q357_mutual_info" ->
-      """WITH cells AS (SELECT lang AS x, source AS y, count(*) AS nxy
-        | FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
-        | GROUP BY 1, 2),
-        |nx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM cells
-        | GROUP BY 1),
-        |ny AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM cells
-        | GROUP BY 1),
-        |nt AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM cells),
-        |t AS (SELECT n, nxy * CAST(round(ln(CAST(nxy AS DOUBLE)
-        |   * CAST(n AS DOUBLE)
-        |   / (CAST(nx.nx AS DOUBLE) * CAST(ny.ny AS DOUBLE)))
-        |  * 1000000.0) AS BIGINT) AS tt
-        | FROM cells JOIN nx USING (x) JOIN ny USING (y), nt)
-        |SELECT n, count(*) AS cells,
-        | CAST(CAST(sum(tt) AS DECIMAL(38,0)) AS VARCHAR) AS mi_num,
-        | CAST(CAST(sum(tt) AS HUGEINT) // n AS BIGINT) AS mi_e6
-        |FROM t GROUP BY 1""".stripMargin,
-
-    // q358: the exact-integer chi-square identity Σ nxy²·N/(nx·ny) − N
-    // with per-cell truncating div, then the corrected isqrt for V.
-    "q358_cramers_v" ->
-      """WITH cells AS (SELECT l_returnflag AS x, l_linestatus AS y,
-        |  count(*) AS nxy
-        | FROM lineitem GROUP BY 1, 2),
-        |nx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM cells
-        | GROUP BY 1),
-        |ny AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM cells
-        | GROUP BY 1),
-        |nt AS (SELECT CAST(sum(nxy) AS BIGINT) AS n,
-        |  CAST(count(DISTINCT x) AS BIGINT) AS r,
-        |  CAST(count(DISTINCT y) AS BIGINT) AS c FROM cells),
-        |t AS (SELECT n, r, c,
-        |  CAST(CAST(nxy AS HUGEINT) * nxy * n * 1000000
-        |   // (CAST(nx.nx AS HUGEINT) * ny.ny) AS BIGINT) AS tt
-        | FROM cells JOIN nx USING (x) JOIN ny USING (y), nt),
-        |ag AS (SELECT n, r, c,
-        |  CAST(sum(CAST(tt AS HUGEINT)) - CAST(n AS HUGEINT) * 1000000
-        |   AS HUGEINT) AS chi2
-        | FROM t GROUP BY 1, 2, 3),
-        |v AS (SELECT *, greatest(chi2 * 1000000
-        |   // (CAST(n AS HUGEINT) * least(r - 1, c - 1)),
-        |  CAST(0 AS HUGEINT)) AS vn FROM ag),
-        |s0c AS (SELECT *,
-        |  CAST(floor(sqrt(CAST(vn AS DOUBLE))) AS BIGINT) AS s0 FROM v)
-        |SELECT n, r, c, CAST(chi2 AS VARCHAR) AS chi2_e6,
-        | CAST(CASE WHEN least(r - 1, c - 1) = 0 THEN NULL
-        |  WHEN CAST(s0 AS HUGEINT) * s0 > vn THEN s0 - 1
-        |  WHEN (CAST(s0 AS HUGEINT) + 1) * (s0 + 1) <= vn THEN s0 + 1
-        |  ELSE s0 END AS BIGINT) AS cramers_v_e6
-        |FROM s0c""".stripMargin,
-
-    // q353: the masking policies applied by hand — DuckDB's sha256 and
-    // Spark's sha2(cast-to-binary, 256) agree on lowercase hex.
-    "q353_masking" ->
-      """SELECT c_custkey,
-        | sha256(c_name) AS name_token,
-        | substring(c_mktsegment, 1, 2) || '***' AS seg_masked
-        |FROM customer WHERE c_custkey <= 150""".stripMargin,
-
-    // q354: the oracle RUNS the join — parity proves the broadcast
-    // hint is semantics-invisible.
-    "q354_stats_broadcast" ->
-      """SELECT n_name AS nation, count(*) AS suppliers,
-        | CAST(sum(CAST(round(s_acctbal*100) AS BIGINT)) AS BIGINT)
-        |   AS acctbal_cents
-        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        |GROUP BY 1""".stripMargin,
-
-    "q352_unigram_encode" -> q352OracleSql,
-
-    // q350: the Lehmer draw replayed arithmetically; the anti-join as
-    // LEFT JOIN … IS NULL (no NULL keys by construction).
-    "q350_negative_sampling" ->
-      """WITH inter AS (SELECT o_custkey AS "user",
-        |  l_partkey % 1000 AS item
-        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        |u AS (SELECT DISTINCT "user" FROM inter),
-        |cand AS (SELECT "user", slot,
-        |  ((48271 * ((("user" % 2147483647) * 65537 + slot + 1)
-        |    % 2147483647)) % 2147483647) % 1000 AS item
-        | FROM u, (SELECT unnest(generate_series(0, 19)) AS slot)),
-        |neg AS (SELECT c."user", c.item, c.slot FROM cand c
-        | LEFT JOIN (SELECT DISTINCT "user", item FROM inter) i
-        |  ON i."user" = c."user" AND i.item = c.item
-        | WHERE i."user" IS NULL),
-        |ded AS (SELECT "user", item, min(slot) AS slot FROM neg
-        | GROUP BY 1, 2),
-        |rk AS (SELECT "user", item, slot,
-        |  row_number() OVER (PARTITION BY "user" ORDER BY slot) AS r
-        | FROM ded)
-        |SELECT "user", item, slot FROM rk WHERE r <= 5""".stripMargin,
-
-    // q348: the oracle RUNS the aggregation the optimizer deleted.
-    "q348_agg_elim" ->
-      """SELECT o_orderkey,
-        | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
-        |   AS cents,
-        | count(*) AS n,
-        | max(o_orderpriority) AS prio
-        |FROM orders GROUP BY 1""".stripMargin,
-
-    // q349: both branches run for real in DuckDB.
-    "q349_range_prune" ->
-      """WITH imp AS (SELECT count(*) AS impossible_n FROM lineitem
-        | WHERE l_linenumber > 50)
-        |SELECT l_returnflag AS rf, count(*) AS n, impossible_n
-        |FROM lineitem, imp WHERE l_linenumber <= 2
-        |GROUP BY 1, 3""".stripMargin,
-
-    "q347_link_clusters" -> q347OracleSql,
-
-    "q345_analyze" -> q345OracleSql,
-
-    // q334: the q144 recall audit with the candidate stage replayed on
-    // the sliced (16-dim) lists — same e9-quantized cosine both sides.
-    "q334_trunc_recall" ->
-      s"""WITH gt AS (SELECT * FROM (${bruteCosineSqlFor("embedding")})),
-         |cand AS (SELECT * FROM (${bruteCosineSqlFor("embedding[1:16]")})),
-         |j AS (SELECT g.qid,
-         |  CASE WHEN c.cid IS NOT NULL THEN 1 ELSE 0 END AS hit
-         | FROM gt g LEFT JOIN cand c ON c.qid = g.qid AND c.cid = g.cid)
-         |SELECT qid, CAST(count(*) AS BIGINT) AS n_true,
-         |  CAST(sum(hit) AS BIGINT) AS hits,
-         |  CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS recall_ppm
-         |FROM j GROUP BY 1""".stripMargin,
-
-    // q335: the same window census, corrected isqrt (squares widened to
-    // HUGEINT, mirroring the Spark side's DECIMAL(38,0) — near-Long.Max
-    // vn must not overflow either engine), and signed truncating
-    // division (// ≡ div toward zero on both engines).
-    "q335_group_advantage" ->
-      """WITH e AS (SELECT user_id, event_id,
-        |  CAST(round(value*100) AS BIGINT) AS reward
-        | FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
-        |g AS (SELECT user_id, event_id, reward,
-        |  count(*) OVER w AS n,
-        |  CAST(sum(reward) OVER w AS BIGINT) AS s,
-        |  CAST(sum(reward*reward) OVER w AS BIGINT) AS ss
-        | FROM e WINDOW w AS (PARTITION BY user_id)),
-        |v AS (SELECT *, n*ss - s*s AS vn,
-        |  CAST(floor(sqrt(CAST(n*ss - s*s AS DOUBLE))) AS BIGINT) AS s0
-        | FROM g),
-        |c AS (SELECT *,
-        |  CASE WHEN CAST(s0 AS HUGEINT)*s0 > vn THEN s0 - 1
-        |  WHEN (CAST(s0 AS HUGEINT)+1)*(s0+1) <= vn THEN s0 + 1
-        |  ELSE s0 END AS sd
-        | FROM v)
-        |SELECT user_id, event_id, reward,
-        | CAST(CASE WHEN n < 2 OR sd <= 0 THEN 0
-        |  ELSE (reward*n - s) * 1000000 // sd END AS BIGINT) AS adv_e6
-        |FROM c""".stripMargin,
-
-    // q340: the k=1..3 binomial ratios unrolled as HUGEINT falling
-    // factorials — same products the Spark side builds per curve point.
-    "q340_pass_at_k" ->
-      """WITH per AS (SELECT l_orderkey AS p, count(*) AS n,
-        |  sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS c
-        | FROM lineitem GROUP BY 1),
-        |pe AS (SELECT k, CASE WHEN n - c < k THEN 1000000
-        |   ELSE 1000000 - (CASE k
-        |     WHEN 1 THEN CAST(n-c AS HUGEINT)
-        |     WHEN 2 THEN CAST(n-c AS HUGEINT)*(n-c-1)
-        |     ELSE CAST(n-c AS HUGEINT)*(n-c-1)*(n-c-2) END * 1000000
-        |    // (CASE k WHEN 1 THEN CAST(n AS HUGEINT)
-        |     WHEN 2 THEN CAST(n AS HUGEINT)*(n-1)
-        |     ELSE CAST(n AS HUGEINT)*(n-1)*(n-2) END)) END AS pass_e6
-        | FROM per CROSS JOIN (VALUES (1),(2),(3)) ks(k) WHERE n >= k)
-        |SELECT k, count(*) AS n_problems,
-        | CAST(CAST(sum(pass_e6) AS HUGEINT) AS VARCHAR) AS sum_pass_e6,
-        | CAST(CAST(sum(pass_e6) AS HUGEINT) // count(*) AS BIGINT)
-        |   AS mean_pass_e6
-        |FROM pe GROUP BY 1""".stripMargin,
-
-    // q341: group-local rank window, then the n=1..3 falling-factorial
-    // subset weights; the (n−1)!/n! pair cancels to a single ×n.
-    "q341_best_of_n" ->
-      """WITH s AS (SELECT l_orderkey AS p,
-        |  CAST(round(l_extendedprice*100) AS BIGINT) AS r,
-        |  l_linenumber AS t FROM lineitem),
-        |rk AS (SELECT p, r,
-        |  row_number() OVER (PARTITION BY p ORDER BY r, t) AS i,
-        |  count(*) OVER (PARTITION BY p) AS nn
-        | FROM s),
-        |pp AS (SELECT n, p,
-        |  sum((CASE n WHEN 1 THEN CAST(1 AS HUGEINT)
-        |      WHEN 2 THEN CAST(i-1 AS HUGEINT)
-        |      ELSE CAST(i-1 AS HUGEINT)*(i-2) END) * r) AS num,
-        |  max(CASE n WHEN 1 THEN CAST(nn AS HUGEINT)
-        |      WHEN 2 THEN CAST(nn AS HUGEINT)*(nn-1)
-        |      ELSE CAST(nn AS HUGEINT)*(nn-1)*(nn-2) END) AS dn
-        | FROM rk CROSS JOIN (VALUES (1),(2),(3)) ns(n)
-        | WHERE nn >= n AND i >= n GROUP BY 1, 2),
-        |pe AS (SELECT n,
-        |  CAST(num * n * 1000000 // dn AS BIGINT) AS best_e6 FROM pp)
-        |SELECT n, count(*) AS n_prompts,
-        | CAST(CAST(sum(best_e6) AS HUGEINT) AS VARCHAR) AS sum_best_e6,
-        | CAST(CAST(sum(best_e6) AS HUGEINT) // count(*) AS BIGINT)
-        |   AS mean_best_e6
-        |FROM pe GROUP BY 1""".stripMargin,
-
-    // q342: the cleared-denominator Wilson form with the corrected
-    // isqrt CASE — term for term the Spark expression.
-    "q342_wilson_lb" ->
-      """WITH per AS (SELECT l_suppkey AS item,
-        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS wins,
-        |  count(*) AS trials
-        | FROM lineitem GROUP BY 1),
-        |v AS (SELECT item, wins, trials,
-        |  CAST(trials AS HUGEINT) * (2500 * CAST(wins AS HUGEINT)
-        |    * (trials - wins) + 2401 * CAST(trials AS HUGEINT)) AS vn
-        | FROM per),
-        |r0 AS (SELECT *,
-        |  CAST(floor(sqrt(CAST(vn AS DOUBLE))) AS BIGINT) AS s0 FROM v),
-        |r AS (SELECT item, wins, trials, vn,
-        |  CASE WHEN CAST(s0 AS HUGEINT)*s0 > vn THEN s0 - 1
-        |   WHEN (CAST(s0 AS HUGEINT)+1)*(s0+1) <= vn THEN s0 + 1
-        |   ELSE s0 END AS rt
-        | FROM r0)
-        |SELECT item, wins, trials,
-        | CAST((1250 * CAST(trials AS HUGEINT) * wins
-        |    + 2401 * CAST(trials AS HUGEINT) - 49 * CAST(rt AS HUGEINT))
-        |   * 1000000
-        |  // (1250 * CAST(trials AS HUGEINT) * trials
-        |    + 4802 * CAST(trials AS HUGEINT)) AS BIGINT) AS wilson_lb_e6
-        |FROM r""".stripMargin,
-
-    // q339: the per-unit variance identity, same S scaling as q336;
-    // products widened to HUGEINT before the S multiply.
-    "q339_krippendorff_interval" ->
-      """WITH v AS (SELECT l_orderkey AS u,
-        |  CAST(round(l_quantity) AS BIGINT) AS x FROM lineitem),
-        |pu AS (SELECT u, count(*) AS m, CAST(sum(x) AS BIGINT) AS s,
-        |  CAST(sum(x*x) AS BIGINT) AS ss
-        | FROM v GROUP BY 1 HAVING count(*) >= 2),
-        |ag AS (SELECT CAST(sum(m) AS BIGINT) AS n,
-        |  CAST(count(*) AS BIGINT) AS n_units,
-        |  sum(CAST(2*(m*ss - s*s) AS HUGEINT)
-        |    * (144403552893600 // (m - 1))) AS a2,
-        |  sum(CAST(s AS HUGEINT)) AS sums,
-        |  sum(CAST(ss AS HUGEINT)) AS sstot
-        | FROM pu)
-        |SELECT n, n_units,
-        | CAST(CAST(144403552893600
-        |   * (2*(CAST(n AS HUGEINT)*sstot - sums*sums))
-        |   - (n-1)*a2 AS DECIMAL(38,0)) AS VARCHAR) AS alpha_num,
-        | CAST(CAST(144403552893600
-        |   * (2*(CAST(n AS HUGEINT)*sstot - sums*sums))
-        |   AS DECIMAL(38,0)) AS VARCHAR) AS alpha_den,
-        | CAST(CASE WHEN 144403552893600
-        |    * (2*(CAST(n AS HUGEINT)*sstot - sums*sums)) = 0 THEN NULL
-        |  ELSE (144403552893600
-        |    * (2*(CAST(n AS HUGEINT)*sstot - sums*sums)) - (n-1)*a2)
-        |    * 1000000
-        |   // (144403552893600
-        |    * (2*(CAST(n AS HUGEINT)*sstot - sums*sums))) END
-        |  AS BIGINT) AS alpha_e6
-        |FROM ag""".stripMargin,
-
-    // q338: both hard-EM rounds unrolled — majority seed, per-annotator
-    // smoothed accuracy, the pinned ln log-odds weight (same operation
-    // order as the Spark expr), weighted-vote argmax per round.
-    "q338_dawid_skene" ->
-      """WITH v AS (SELECT l_orderkey AS i, l_suppkey AS a,
-        |  l_returnflag AS l FROM lineitem),
-        |kk AS (SELECT count(DISTINCT l) AS k FROM v),
-        |c0 AS (SELECT i, l, count(*) AS n FROM v GROUP BY 1, 2),
-        |r0 AS (SELECT i, l AS cl FROM (SELECT i, l,
-        |   row_number() OVER (PARTITION BY i ORDER BY n DESC, l) AS rn
-        |  FROM c0) WHERE rn = 1),
-        |a1 AS (SELECT a, count(*) AS na,
-        |  sum(CASE WHEN v.l = r.cl THEN 1 ELSE 0 END) AS ma
-        | FROM v JOIN r0 r USING (i) GROUP BY 1),
-        |w1 AS (SELECT a,
-        |  CAST(round(ln(CAST((ma + 1) * 1000000 // (na + 2) AS DOUBLE)
-        |    / 1000000.0 * (k - 1)
-        |    / (1.0 - CAST((ma + 1) * 1000000 // (na + 2) AS DOUBLE)
-        |      / 1000000.0)) * 1000000.0) AS BIGINT) AS w
-        | FROM a1 CROSS JOIN kk),
-        |s1 AS (SELECT i, l, CAST(sum(w) AS BIGINT) AS s
-        | FROM v JOIN w1 USING (a) GROUP BY 1, 2),
-        |r1 AS (SELECT i, l AS cl FROM (SELECT i, l,
-        |   row_number() OVER (PARTITION BY i ORDER BY s DESC, l) AS rn
-        |  FROM s1) WHERE rn = 1),
-        |a2 AS (SELECT a, count(*) AS na,
-        |  sum(CASE WHEN v.l = r.cl THEN 1 ELSE 0 END) AS ma
-        | FROM v JOIN r1 r USING (i) GROUP BY 1),
-        |w2 AS (SELECT a,
-        |  CAST(round(ln(CAST((ma + 1) * 1000000 // (na + 2) AS DOUBLE)
-        |    / 1000000.0 * (k - 1)
-        |    / (1.0 - CAST((ma + 1) * 1000000 // (na + 2) AS DOUBLE)
-        |      / 1000000.0)) * 1000000.0) AS BIGINT) AS w
-        | FROM a2 CROSS JOIN kk),
-        |s2 AS (SELECT i, l, CAST(sum(w) AS BIGINT) AS s
-        | FROM v JOIN w2 USING (a) GROUP BY 1, 2),
-        |r2 AS (SELECT i, l AS cl FROM (SELECT i, l,
-        |   row_number() OVER (PARTITION BY i ORDER BY s DESC, l) AS rn
-        |  FROM s2) WHERE rn = 1),
-        |nv AS (SELECT i, CAST(count(*) AS BIGINT) AS n_votes
-        | FROM v GROUP BY 1)
-        |SELECT r2.i AS item, r2.cl AS label, nv.n_votes
-        |FROM r2 JOIN nv USING (i)""".stripMargin,
-
-    // q337: the q333 fit replayed as a CTE, margins bucketed with the
-    // same nonnegative-operand floor division (// ≡ div toward zero).
-    "q337_dpo_margins" ->
-      s"""WITH bt AS ($q333OracleSql),
-         |os2 AS (SELECT l_orderkey AS o, l_suppkey AS s,
-         |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
-         |   AS c
-         | FROM lineitem GROUP BY 1, 2),
-         |duel2 AS (SELECT
-         |  CASE WHEN y.c > x.c THEN y.s ELSE x.s END AS w,
-         |  CASE WHEN y.c > x.c THEN x.s ELSE y.s END AS l
-         | FROM os2 x JOIN os2 y ON x.o = y.o AND x.s < y.s),
-         |j AS (SELECT bw.rating_e6 - bl.rating_e6 AS m
-         | FROM duel2 d JOIN bt bw ON bw.item = d.w
-         |  JOIN bt bl ON bl.item = d.l),
-         |h AS (SELECT CASE WHEN m >= 0 THEN m // 100000
-         |   ELSE -((-m + 99999) // 100000) END AS margin_bucket,
-         |  CAST(count(*) AS BIGINT) AS n_pairs
-         | FROM j GROUP BY 1),
-         |tot AS (SELECT sum(n_pairs) AS t FROM h)
-         |SELECT margin_bucket, n_pairs,
-         | CAST(n_pairs * 1000000 // t AS BIGINT) AS share_e6
-         |FROM h CROSS JOIN tot""".stripMargin,
-
-    // q336: the lcm-scaled coincidence identity replayed in HUGEINT;
-    // S = lcm(1..35) = 144403552893600 divides every (m−1) for m ≤ 36.
-    "q336_krippendorff" ->
-      """WITH cell AS (SELECT l_orderkey AS u, l_returnflag AS c,
-        |  count(*) AS o FROM lineitem GROUP BY 1, 2),
-        |pu AS (SELECT u, sum(o) AS m, sum(o*(o-1)) AS dd
-        | FROM cell GROUP BY 1 HAVING sum(o) >= 2),
-        |ua AS (SELECT CAST(sum(m) AS BIGINT) AS n,
-        |  CAST(count(*) AS BIGINT) AS n_units,
-        |  sum(CAST(dd * (144403552893600 // (m - 1)) AS HUGEINT)) AS a
-        | FROM pu),
-        |nc AS (SELECT c, sum(o) AS ncnt
-        | FROM cell JOIN pu USING (u) GROUP BY 1),
-        |ca AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
-        |  sum(CAST(ncnt AS HUGEINT) * ncnt) AS n2 FROM nc)
-        |SELECT n, n_units, n_categories,
-        | CAST(CAST((n - 1) * a + 144403552893600 * (n - n2) AS DECIMAL(38,0))
-        |   AS VARCHAR) AS alpha_num,
-        | CAST(CAST(144403552893600 * (CAST(n AS HUGEINT) * n - n2) AS DECIMAL(38,0))
-        |   AS VARCHAR) AS alpha_den,
-        | CAST(CASE WHEN 144403552893600 * (CAST(n AS HUGEINT) * n - n2) = 0
-        |  THEN NULL
-        |  ELSE (((n - 1) * a + 144403552893600 * (n - n2)) * 1000000)
-        |    // (144403552893600 * (CAST(n AS HUGEINT) * n - n2)) END
-        |  AS BIGINT) AS alpha_e6
-        |FROM ua CROSS JOIN ca""".stripMargin,
-
-    // q331: the oracle executes the DISTINCT the optimizer deleted.
-    "q331_distinct_elim" ->
-      """WITH d AS (SELECT DISTINCT o_orderkey, o_custkey, o_orderpriority
-        |           FROM orders)
-        |SELECT o_orderpriority AS prio, count(*) AS n,
-        | CAST(sum(o_custkey % 1000003) AS BIGINT) AS cust_check
-        |FROM d GROUP BY 1""".stripMargin,
-
-    // q330: window construction + the O(w²) self-join replayed verbatim.
-    "q330_matrix_profile" ->
-      """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
-        |  count(*) AS n FROM events GROUP BY 1, 2),
-        |w AS (SELECT event_type,
-        |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS pos,
-        |  n AS v0,
-        |  lead(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS v1,
-        |  lead(n, 2) OVER (PARTITION BY event_type ORDER BY day) AS v2,
-        |  lead(n, 3) OVER (PARTITION BY event_type ORDER BY day) AS v3
-        | FROM d),
-        |ww AS (SELECT * FROM w WHERE v3 IS NOT NULL),
-        |p AS (SELECT a.event_type, a.pos AS i, b.pos AS j,
-        |  (a.v0-b.v0)*(a.v0-b.v0) + (a.v1-b.v1)*(a.v1-b.v1)
-        |   + (a.v2-b.v2)*(a.v2-b.v2) + (a.v3-b.v3)*(a.v3-b.v3) AS d2
-        | FROM ww a JOIN ww b
-        |   ON a.event_type = b.event_type AND abs(a.pos - b.pos) >= 4),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type, i
-        |  ORDER BY d2, j) AS rn FROM p)
-        |SELECT event_type, i, j AS nn_j, CAST(d2 AS BIGINT) AS nn_d2
-        |FROM r WHERE rn = 1""".stripMargin,
-
-    // q329: the WoE/IV double pipeline mirrored term for term (DuckDB
-    // BIGINT '/' is double division, matching Spark's Divide).
-    "q329_woe_iv" ->
-      """WITH c AS (SELECT o_orderpriority AS cat,
-        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS pos,
-        |  sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS neg
-        | FROM orders GROUP BY 1),
-        |t AS (SELECT sum(pos) AS tp, sum(neg) AS tn FROM c)
-        |SELECT cat, CAST(pos AS BIGINT) AS pos, CAST(neg AS BIGINT) AS neg,
-        | CAST(round(ln(((pos + 0.5) * tn) / ((neg + 0.5) * tp)) * 1000000.0)
-        |   AS BIGINT) AS woe_e6,
-        | CAST(round((pos / tp - neg / tn) *
-        |   ln(((pos + 0.5) * tn) / ((neg + 0.5) * tp)) * 1000000.0)
-        |   AS BIGINT) AS iv_e6
-        |FROM c CROSS JOIN t""".stripMargin,
-
-    // q328: q41's recursive-closure truth — algorithm-independent, so
-    // the star-contraction result must match it exactly.
-    "q328_cc_bigstar" ->
-      s"""WITH RECURSIVE $componentCtesSql
-         |SELECT d.doc_id,
-         | coalesce(c.component, d.doc_id) AS component,
-         | (c.component IS NULL OR c.component = d.doc_id) AS is_canonical
-         |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin,
-
-    // q327: the oracle RUNS the joins the optimizer removed.
-    "q327_join_elim" ->
-      """SELECT l_returnflag AS rf, count(*) AS n,
-        | CAST(sum(l_quantity) AS BIGINT) AS qty,
-        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
-        |   AS price_cents
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |LEFT JOIN supplier ON l_suppkey = s_suppkey
-        |GROUP BY 1""".stripMargin,
-
-    // q325: the FINAL logical state recomputed directly — parity proves
-    // the CDC maintenance + rewrite loop.
-    "q325_matview_e2e" ->
-      """WITH b AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
-        |  CAST(round(o_totalprice*100) AS BIGINT) AS cents
-        | FROM orders WHERE o_orderkey % 4 = 0),
-        |f AS (SELECT prio,
-        |  CASE WHEN k % 9 = 0 THEN cents + 1000 ELSE cents END AS cents
-        | FROM b WHERE k % 25 <> 0)
-        |SELECT prio, CAST(sum(cents) AS BIGINT) AS cents,
-        | CAST(count(*) AS BIGINT) AS n
-        |FROM f GROUP BY 1""".stripMargin,
-
-    // q324: DuckDB's IEJoin handles the 20k-range inequality join.
-    "q324_interval_large" ->
-      """WITH f AS (SELECT event_id,
-        |  CAST(round(value*100) AS BIGINT) AS cents
-        | FROM events WHERE value IS NOT NULL),
-        |t AS (SELECT i AS tier, (i * 2399) % 48800 AS lo,
-        |  (i * 2399) % 48800 + 5 AS hi
-        | FROM (SELECT unnest(generate_series(0, 19999)) AS i)),
-        |j AS (SELECT f.event_id, f.cents, t.tier FROM f
-        | JOIN t ON t.lo <= f.cents AND f.cents < t.hi)
-        |SELECT tier, CAST(count(*) AS BIGINT) AS n,
-        | CAST(sum(cents) AS BIGINT) AS cents,
-        | CAST(sum(event_id % 1000003) AS BIGINT) AS id_check
-        |FROM j GROUP BY 1""".stripMargin,
-
-    // q323: the same one-row census (md5 hex matches across engines).
-    "q323_data_card" ->
-      """WITH d AS (SELECT source, lang, n_chars,
-        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-        |    AS toks,
-        |  md5(text) AS fp
-        | FROM documents)
-        |SELECT CAST(count(*) AS BIGINT) AS docs,
-        | CAST(count(DISTINCT source) AS BIGINT) AS sources,
-        | CAST(count(DISTINCT lang) AS BIGINT) AS langs,
-        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        | CAST(sum(toks) AS BIGINT) AS total_tokens,
-        | CAST(count(DISTINCT fp) AS BIGINT) AS distinct_texts,
-        | CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
-        |   AS en_docs,
-        | CAST(min(toks) AS BIGINT) AS min_tokens,
-        | CAST(max(toks) AS BIGINT) AS max_tokens,
-        | CAST((count(*) - count(DISTINCT fp)) * 1000000 // count(*)
-        |   AS BIGINT) AS dup_ppm,
-        | CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000
-        |   // count(*) AS BIGINT) AS en_ppm,
-        | CAST(sum(toks) * 100 // count(*) AS BIGINT) AS mean_tokens_e2
-        |FROM d""".stripMargin,
-
-    // q322: the q305 pipeline at λ = 1×mean, then day−rn islands.
-    "q322_alert_debounce" ->
-      """WITH daily AS (
-        | SELECT event_type, epoch_ms(ts) // 86400000 AS day,
-        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS x
-        | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
-        |w AS (
-        | SELECT event_type, day, x,
-        |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
-        |  sum(x) OVER (PARTITION BY event_type ORDER BY day) AS cumx,
-        |  sum(x) OVER (PARTITION BY event_type) AS tot,
-        |  count(*) OVER (PARTITION BY event_type) AS n
-        | FROM daily),
-        |d AS (SELECT *, x*1000000 - (cumx*1000000 // i) AS dev FROM w),
-        |u AS (SELECT *, sum(dev) OVER (PARTITION BY event_type
-        |  ORDER BY day) AS uu FROM d),
-        |p AS (SELECT *, uu - min(uu) OVER (PARTITION BY event_type
-        |  ORDER BY day) AS ph FROM u),
-        |a AS (SELECT event_type, day FROM p
-        | WHERE ph > tot*1000000 // n),
-        |g AS (SELECT event_type, day,
-        |  day - row_number() OVER (PARTITION BY event_type
-        |    ORDER BY day) AS grp FROM a),
-        |e AS (SELECT event_type, grp,
-        |  CAST(min(day) AS BIGINT) AS start_day,
-        |  CAST(max(day) AS BIGINT) AS end_day,
-        |  CAST(count(*) AS BIGINT) AS n_alarm_days
-        | FROM g GROUP BY 1, 2)
-        |SELECT event_type, start_day, end_day, n_alarm_days
-        |FROM e WHERE n_alarm_days >= 2""".stripMargin,
-
-    // q321: the balanced-grid within transform replayed in HUGEINT.
-    "q321_twfe" ->
-      """WITH e AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
-        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
-        | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
-        |ty AS (SELECT DISTINCT event_type FROM e),
-        |dy AS (SELECT DISTINCT day FROM e),
-        |mid AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
-        |grid AS (SELECT ty.event_type, dy.day,
-        |  coalesce(e.cents, 0) AS cents,
-        |  CASE WHEN ty.event_type IN ('purchase', 'click')
-        |    AND dy.day >= mid.mid THEN 1 ELSE 0 END AS d
-        | FROM ty CROSS JOIN dy CROSS JOIN mid
-        | LEFT JOIN e ON e.event_type = ty.event_type AND e.day = dy.day),
-        |dims AS (SELECT count(DISTINCT event_type) AS uu,
-        |  count(DISTINCT day) AS tt, CAST(sum(cents) AS BIGINT) AS sy,
-        |  CAST(sum(d) AS BIGINT) AS sd FROM grid),
-        |su AS (SELECT event_type, CAST(sum(cents) AS BIGINT) AS su_y,
-        |  CAST(sum(d) AS BIGINT) AS su_d FROM grid GROUP BY 1),
-        |st AS (SELECT day, CAST(sum(cents) AS BIGINT) AS st_y,
-        |  CAST(sum(d) AS BIGINT) AS st_d FROM grid GROUP BY 1),
-        |w AS (SELECT
-        |  g.cents * dims.uu * dims.tt - su.su_y * dims.uu
-        |    - st.st_y * dims.tt + dims.sy AS yt,
-        |  g.d * dims.uu * dims.tt - su.su_d * dims.uu
-        |    - st.st_d * dims.tt + dims.sd AS dt
-        | FROM grid g JOIN su USING (event_type) JOIN st USING (day)
-        | CROSS JOIN dims),
-        |agg AS (SELECT sum(CAST(yt AS HUGEINT) * dt) AS numd,
-        |  sum(CAST(dt AS HUGEINT) * dt) AS dend FROM w)
-        |SELECT CAST(CAST(numd AS DECIMAL(38,0)) AS VARCHAR) AS num,
-        | CAST(CAST(dend AS DECIMAL(38,0)) AS VARCHAR) AS den,
-        | CAST(numd * 1000000 // dend AS BIGINT) AS beta_e6
-        |FROM agg""".stripMargin,
-
-    // q319: q214's subject CTE with the parity flag + the same
-    // truncated O−E/V terms.
-    "q319_logrank" ->
-      """WITH e AS (SELECT user_id, event_type,
-        |  CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events),
-        |v AS (SELECT user_id, min(ts_ms) AS v_ts FROM e
-        |  WHERE event_type = 'view' GROUP BY 1),
-        |fp AS (SELECT v.user_id, v.v_ts, min(p.ts_ms) AS p_ts
-        | FROM v LEFT JOIN e p ON p.user_id = v.user_id
-        |  AND p.event_type = 'purchase' AND p.ts_ms >= v.v_ts
-        | GROUP BY 1, 2),
-        |endt AS (SELECT max(ts_ms) AS end_ts FROM e),
-        |subj AS (SELECT CASE WHEN p_ts IS NOT NULL
-        |   THEN (p_ts - v_ts) // 3600000
-        |   ELSE (end_ts - v_ts) // 3600000 END AS t,
-        |  p_ts IS NOT NULL AS obs, user_id % 2 = 0 AS g1
-        | FROM fp CROSS JOIN endt),
-        |perT AS (SELECT t,
-        |  sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS a1,
-        |  sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS a2,
-        |  sum(CASE WHEN g1 AND obs THEN 1 ELSE 0 END) AS d1,
-        |  sum(CASE WHEN NOT g1 AND obs THEN 1 ELSE 0 END) AS d2
-        | FROM subj GROUP BY t),
-        |risk AS (SELECT t, d1, d2,
-        |  sum(a1) OVER w AS n1, sum(a2) OVER w AS n2
-        | FROM perT WINDOW w AS (ORDER BY t DESC
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |terms AS (SELECT d1, d1 + d2 AS d, n1, n2, n1 + n2 AS n
-        | FROM risk WHERE d1 + d2 > 0),
-        |tt AS (SELECT d1,
-        |  d * n1 * 1000000000 // n AS e1_e9,
-        |  CASE WHEN n > 1 THEN CAST(CAST(n1 AS HUGEINT) * n2 * d * (n - d)
-        |    * 1000000000000 // (CAST(n AS HUGEINT) * n * (n - 1))
-        |    AS BIGINT) ELSE 0 END AS v_e12
-        | FROM terms),
-        |agg AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
-        |  CAST(sum(e1_e9) AS BIGINT) AS e1_e9,
-        |  CAST(sum(v_e12) AS BIGINT) AS var_e12 FROM tt)
-        |SELECT o1, e1_e9, var_e12,
-        | CASE WHEN var_e12 = 0 THEN NULL ELSE CAST(
-        |  CAST(o1 * 1000000000 - e1_e9 AS HUGEINT)
-        |  * (o1 * 1000000000 - e1_e9) // var_e12 AS BIGINT) END
-        |  AS chi2_e6,
-        | coalesce(CASE WHEN var_e12 = 0 THEN NULL ELSE
-        |  CAST(CAST(o1 * 1000000000 - e1_e9 AS HUGEINT)
-        |   * (o1 * 1000000000 - e1_e9) // var_e12 AS BIGINT) END
-        |  > 3841458, false) AS significant_95
-        |FROM agg""".stripMargin,
-
-    // q318: same oracle text as q307 — both engines' plans must agree.
-    "q318_interval_bnlj_ref" ->
-      """WITH f AS (SELECT event_id,
-        |  CAST(round(value*100) AS BIGINT) AS cents
-        | FROM events WHERE value IS NOT NULL),
-        |t AS (SELECT i AS tier, i*700 AS lo, i*700 + 1200 AS hi
-        | FROM (SELECT unnest(generate_series(0, 69)) AS i)),
-        |j AS (SELECT f.event_id, f.cents, t.tier FROM f
-        | LEFT JOIN t ON t.lo <= f.cents AND f.cents < t.hi)
-        |SELECT coalesce(tier, -1) AS tier,
-        | CAST(count(*) AS BIGINT) AS n,
-        | CAST(sum(cents) AS BIGINT) AS cents,
-        | CAST(sum(event_id % 1000003) AS BIGINT) AS id_check
-        |FROM j GROUP BY 1""".stripMargin,
-
-    // q316: the same star + ROLLUP.
-    "q316_star_rollup" ->
-      """SELECT coalesce(r_name, '(all)') AS r_name,
-        | coalesce(p_brand, '(all)') AS p_brand,
-        | CAST(count(*) AS BIGINT) AS n,
-        | CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
-        |   AS BIGINT)) AS BIGINT) AS rev_e4
-        |FROM lineitem
-        | JOIN orders ON l_orderkey = o_orderkey
-        | JOIN customer ON o_custkey = c_custkey
-        | JOIN nation ON c_nationkey = n_nationkey
-        | JOIN region ON n_regionkey = r_regionkey
-        | JOIN part ON l_partkey = p_partkey
-        |WHERE l_quantity <= 30
-        |GROUP BY ROLLUP (r_name, p_brand)""".stripMargin,
-
-    // q317: census deciles + running capture.
-    "q317_gains_table" ->
-      """WITH d AS (SELECT doc_id, n_chars AS score,
-        |  CASE WHEN ' ' || text || ' ' LIKE '% spark %' THEN 1 ELSE 0
-        |   END AS pos
-        | FROM documents),
-        |c AS (SELECT score,
-        |  (sum(count(*)) OVER (ORDER BY score DESC) - 1) * 10
-        |    // (SELECT count(*) FROM d) + 1 AS decile
-        | FROM d GROUP BY score),
-        |g AS (SELECT CAST(decile AS BIGINT) AS decile,
-        |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(pos) AS BIGINT) AS positives
-        | FROM d JOIN c USING (score) GROUP BY 1)
-        |SELECT decile, n, positives,
-        | CAST(sum(positives) OVER (ORDER BY decile) * 1000000
-        |  // (SELECT sum(positives) FROM g) AS BIGINT) AS capture_e6
-        |FROM g""".stripMargin,
-
-    // q314: the identical decomposition arithmetic (// ≡ div: both
-    // truncate toward zero, signed terms included).
-    "q314_mix_shift" ->
-      """WITH e AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
-        |  CAST(round(value*100) AS BIGINT) AS cents
-        | FROM events WHERE value IS NOT NULL),
-        |sp AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
-        |seg AS (SELECT event_type,
-        |  CASE WHEN day < mid THEN 1 ELSE 2 END AS p,
-        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS c
-        | FROM e, sp GROUP BY 1, 2),
-        |tot AS (SELECT p, CAST(sum(n) AS BIGINT) AS np FROM seg
-        | GROUP BY 1),
-        |wr AS (SELECT event_type, p, n * 1000000 // np AS w,
-        |  c * 1000000 // n AS r FROM seg JOIN tot USING (p)),
-        |wide AS (SELECT event_type,
-        |  coalesce(max(CASE WHEN p = 1 THEN w END), 0) AS w1,
-        |  coalesce(max(CASE WHEN p = 1 THEN r END), 0) AS r1,
-        |  coalesce(max(CASE WHEN p = 2 THEN w END), 0) AS w2,
-        |  coalesce(max(CASE WHEN p = 2 THEN r END), 0) AS r2
-        | FROM wr GROUP BY 1)
-        |SELECT event_type,
-        | CAST((w2 - w1) * r1 // 1000000 AS BIGINT) AS mix_e6,
-        | CAST(w1 * (r2 - r1) // 1000000 AS BIGINT) AS rate_e6,
-        | CAST((w2 - w1) * (r2 - r1) // 1000000 AS BIGINT) AS inter_e6,
-        | CAST(w2 * r2 // 1000000 - w1 * r1 // 1000000
-        |  - (w2 - w1) * r1 // 1000000 - w1 * (r2 - r1) // 1000000
-        |  - (w2 - w1) * (r2 - r1) // 1000000 AS BIGINT) AS residual_e6
-        |FROM wide""".stripMargin,
-
-    // q315: the same census quintile rule per dimension.
-    "q315_rfm" ->
-      """WITH rfm AS (
-        | SELECT o_custkey,
-        |  CAST(max(datediff('day', TIMESTAMP '1992-01-01', o_orderdate))
-        |    AS BIGINT) AS r,
-        |  CAST(count(*) AS BIGINT) AS f,
-        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
-        |    AS m
-        | FROM orders GROUP BY 1),
-        |qr AS (SELECT r AS v, (sum(count(*)) OVER (ORDER BY r) - 1) * 5
-        |  // (SELECT count(*) FROM rfm) + 1 AS q
-        | FROM rfm GROUP BY r),
-        |qf AS (SELECT f AS v, (sum(count(*)) OVER (ORDER BY f) - 1) * 5
-        |  // (SELECT count(*) FROM rfm) + 1 AS q
-        | FROM rfm GROUP BY f),
-        |qm AS (SELECT m AS v, (sum(count(*)) OVER (ORDER BY m) - 1) * 5
-        |  // (SELECT count(*) FROM rfm) + 1 AS q
-        | FROM rfm GROUP BY m)
-        |SELECT CAST(qr.q AS BIGINT) AS r_q, CAST(qf.q AS BIGINT) AS f_q,
-        | CAST(qm.q AS BIGINT) AS m_q,
-        | CAST(count(*) AS BIGINT) AS customers,
-        | CAST(sum(rfm.m) AS BIGINT) AS cents
-        |FROM rfm JOIN qr ON qr.v = rfm.r JOIN qf ON qf.v = rfm.f
-        | JOIN qm ON qm.v = rfm.m
-        |GROUP BY 1, 2, 3""".stripMargin,
-
-    // q313: the direct aggregate the committed summary must equal.
-    "q313_audit_sink" ->
-      """SELECT CAST(count(*) AS BIGINT) AS rows,
-        | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents,
-        | CAST(sum(user_id % 1000003) AS BIGINT) AS uid_check
-        |FROM events WHERE value IS NOT NULL""".stripMargin,
-
-    // q311: the same cumulative grid + cross-multiplied boundary.
-    "q311_hoeffding_sequential" ->
-      """WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day,
-        |  CAST(user_id % 2 AS INT) AS arm,
-        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
-        | FROM events WHERE user_id IS NOT NULL
-        |  AND event_type IS NOT NULL),
-        |d AS (SELECT day,
-        |  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS dn_c,
-        |  CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
-        |    AS dc_c,
-        |  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS dn_t,
-        |  CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
-        |    AS dc_t
-        | FROM e GROUP BY 1),
-        |c AS (SELECT day,
-        |  sum(dn_c) OVER w AS n_c, sum(dn_t) OVER w AS n_t,
-        |  sum(dc_c) OVER w AS c_c, sum(dc_t) OVER w AS c_t
-        | FROM d WINDOW w AS (ORDER BY day
-        |   ROWS UNBOUNDED PRECEDING)),
-        |s AS (SELECT *, c_t * 1000000 // n_t - c_c * 1000000 // n_c
-        |   AS diff_e6
-        | FROM c WHERE n_c > 0 AND n_t > 0)
-        |SELECT day, CAST(n_c AS BIGINT) AS n_c, CAST(n_t AS BIGINT) AS n_t,
-        | CAST(c_c AS BIGINT) AS c_c, CAST(c_t AS BIGINT) AS c_t,
-        | CAST(diff_e6 AS BIGINT) AS diff_e6,
-        | (CAST(diff_e6 AS HUGEINT) * diff_e6 * 2 * n_c * n_t >
-        |  CAST(3688879454113 AS HUGEINT) * (n_c + n_t)) AS decided
-        |FROM s""".stripMargin,
-
-    // q312: the cipher-free recompute — parity proves the
-    // encrypt→shred→decrypt round trip lossless.
-    "q312_crypto_shred" ->
-      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        | CAST(sum(CASE WHEN user_id % 7 <> 0 THEN 1 ELSE 0 END)
-        |   AS BIGINT) AS readable,
-        | CAST(sum(CASE WHEN user_id % 7 = 0 THEN 1 ELSE 0 END)
-        |   AS BIGINT) AS shredded,
-        | CAST(sum(CASE WHEN user_id % 7 <> 0
-        |   THEN CAST(round(value*100) AS BIGINT) END) AS BIGINT)
-        |   AS readable_cents
-        |FROM events
-        |WHERE value IS NOT NULL AND user_id IS NOT NULL
-        |GROUP BY 1""".stripMargin,
-
-    // q309: the same partitioned running-count windows.
-    "q309_avg_precision" ->
-      """WITH r AS (
-        | SELECT source, lang,
-        |  count(*) OVER (PARTITION BY source
-        |    ORDER BY n_chars DESC, doc_id) AS k,
-        |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
-        |    OVER (PARTITION BY source
-        |    ORDER BY n_chars DESC, doc_id) AS rr
-        | FROM documents)
-        |SELECT source, CAST(count(*) AS BIGINT) AS n,
-        | CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
-        |   AS n_pos,
-        | CAST(CASE WHEN sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) = 0
-        |  THEN NULL
-        |  ELSE sum(CASE WHEN lang = 'en' THEN rr * 1000000 // k END)
-        |    // sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) END
-        |  AS BIGINT) AS ap_e6
-        |FROM r GROUP BY 1""".stripMargin,
-
-    // q310: the full mechanism replay (hash chain + ladder + ranks).
-    "q310_poisson_bootstrap" -> q310OracleSql,
-
-    // q308: the base recompute the rewrite must equal.
-    "q308_matview_rewrite" ->
-      """SELECT o_orderpriority,
-        | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
-        |   AS cents,
-        | CAST(count(*) AS BIGINT) AS n
-        |FROM orders WHERE o_orderstatus <> 'F'
-        |GROUP BY 1""".stripMargin,
-
-    // q307: the plain non-equi join the custom operator replaces.
-    "q307_interval_lookup" ->
-      """WITH f AS (SELECT event_id,
-        |  CAST(round(value*100) AS BIGINT) AS cents
-        | FROM events WHERE value IS NOT NULL),
-        |t AS (SELECT i AS tier, i*700 AS lo, i*700 + 1200 AS hi
-        | FROM (SELECT unnest(generate_series(0, 69)) AS i)),
-        |j AS (SELECT f.event_id, f.cents, t.tier FROM f
-        | LEFT JOIN t ON t.lo <= f.cents AND f.cents < t.hi)
-        |SELECT coalesce(tier, -1) AS tier,
-        | CAST(count(*) AS BIGINT) AS n,
-        | CAST(sum(cents) AS BIGINT) AS cents,
-        | CAST(sum(event_id % 1000003) AS BIGINT) AS id_check
-        |FROM j GROUP BY 1""".stripMargin,
-
-    // q305: the same window composition; argmax totalized by a rank.
-    "q305_page_hinkley" ->
-      """WITH daily AS (
-        | SELECT event_type, epoch_ms(ts) // 86400000 AS day,
-        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS x
-        | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
-        |w AS (
-        | SELECT event_type, day, x,
-        |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
-        |  sum(x) OVER (PARTITION BY event_type ORDER BY day) AS cumx,
-        |  sum(x) OVER (PARTITION BY event_type) AS tot,
-        |  count(*) OVER (PARTITION BY event_type) AS n
-        | FROM daily),
-        |d AS (SELECT *, x*1000000 - (cumx*1000000 // i) AS dev FROM w),
-        |u AS (SELECT *, sum(dev) OVER (PARTITION BY event_type
-        |  ORDER BY day) AS uu FROM d),
-        |p AS (SELECT *, uu - min(uu) OVER (PARTITION BY event_type
-        |  ORDER BY day) AS ph FROM u),
-        |a AS (SELECT *, ph > 2*(tot*1000000 // n) AS alarm FROM p),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
-        |  ORDER BY ph DESC, day) AS rk FROM a)
-        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
-        | CAST(max(CASE WHEN rk = 1 THEN ph END) AS BIGINT) AS ph_max_e6,
-        | CAST(max(CASE WHEN rk = 1 THEN day END) AS BIGINT)
-        |   AS ph_argmax_day,
-        | CAST(min(CASE WHEN alarm THEN day END) AS BIGINT)
-        |   AS first_alarm_day,
-        | CAST(sum(CASE WHEN alarm THEN 1 ELSE 0 END) AS BIGINT)
-        |   AS n_alarms
-        |FROM r GROUP BY 1""".stripMargin,
-
-    // q306: five grouping granularities, first-satisfying pick.
-    "q306_gen_ladder" ->
-      """WITH c AS (
-        | SELECT c_nationkey, c_mktsegment, n_regionkey,
-        |  (CAST(round(c_acctbal*100) AS BIGINT) + 100000) // 200000
-        |    AS band
-        | FROM customer JOIN nation ON c_nationkey = n_nationkey),
-        |l0 AS (SELECT count(*) AS sz FROM c
-        |  GROUP BY c_nationkey, c_mktsegment, band),
-        |l1 AS (SELECT count(*) AS sz FROM c
-        |  GROUP BY c_nationkey, c_mktsegment),
-        |l2 AS (SELECT count(*) AS sz FROM c
-        |  GROUP BY n_regionkey, c_mktsegment),
-        |l3 AS (SELECT count(*) AS sz FROM c GROUP BY n_regionkey),
-        |l4 AS (SELECT count(*) AS sz FROM c),
-        |a AS (
-        | SELECT 0 AS level, count(*) AS n_groups, min(sz) AS min_size,
-        |  sum(CASE WHEN sz < 20 THEN sz ELSE 0 END) AS suppressed FROM l0
-        | UNION ALL SELECT 1, count(*), min(sz),
-        |  sum(CASE WHEN sz < 20 THEN sz ELSE 0 END) FROM l1
-        | UNION ALL SELECT 2, count(*), min(sz),
-        |  sum(CASE WHEN sz < 20 THEN sz ELSE 0 END) FROM l2
-        | UNION ALL SELECT 3, count(*), min(sz),
-        |  sum(CASE WHEN sz < 20 THEN sz ELSE 0 END) FROM l3
-        | UNION ALL SELECT 4, count(*), min(sz),
-        |  sum(CASE WHEN sz < 20 THEN sz ELSE 0 END) FROM l4),
-        |s AS (SELECT *, min_size >= 20 AS satisfies FROM a),
-        |ch AS (SELECT min(level) AS chosen_level FROM s WHERE satisfies)
-        |SELECT CAST(level AS BIGINT) AS level,
-        | CAST(n_groups AS BIGINT) AS n_groups,
-        | CAST(min_size AS BIGINT) AS min_size,
-        | CAST(suppressed AS BIGINT) AS suppressed, satisfies,
-        | (level = ch.chosen_level) AS chosen
-        |FROM s CROSS JOIN ch""".stripMargin,
-
-    // q303: list_reduce refold with [z, p, lastday] state — both
-    // engines' integer division truncates identically on the
-    // non-negative series.
-    "q303_croston" ->
-      """WITH daily AS (
-        | SELECT event_type, epoch_ms(ts) // 86400000 AS day,
-        |  CAST(count(*) AS BIGINT) AS q
-        | FROM events WHERE user_id % 17 = 3 GROUP BY 1, 2),
-        |ser AS (
-        | SELECT event_type, CAST(count(*) AS BIGINT) AS n_demands,
-        |  list([day, q] ORDER BY day) AS dq
-        | FROM daily GROUP BY 1),
-        |st AS (
-        | SELECT event_type, n_demands, list_reduce(
-        |  list_prepend([dq[1][2], CAST(1 AS BIGINT), dq[1][1]],
-        |    list_transform(dq[2:], e -> [e[2], CAST(0 AS BIGINT), e[1]])),
-        |  (acc, e) -> [
-        |    (2*e[1] + 8*acc[1]) // 10,
-        |    (2*(e[3] - acc[3]) + 8*acc[2]) // 10,
-        |    e[3]]) AS s
-        | FROM ser)
-        |SELECT event_type, n_demands, s[1] AS size_level,
-        |  s[2] AS interval_level,
-        |  s[1] * 1000000 // greatest(s[2], 1) AS rate_e6
-        |FROM st""".stripMargin,
-
-    // q295: the same epoch-millis range filter written directly.
-    "q295_epoch_pushdown" ->
-      """WITH b AS (SELECT min(epoch_ms(ts)) + 5*86400000 AS lo,
-        |  min(epoch_ms(ts)) + 15*86400000 AS hi FROM events)
-        |SELECT event_type, count(*) AS n,
-        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents,
-        |  CAST(sum(epoch_ms(ts) % 1000003) AS BIGINT) AS ts_check
-        |FROM events, b
-        |WHERE epoch_ms(ts) >= lo AND epoch_ms(ts) < hi
-        |GROUP BY 1""".stripMargin,
-  )
-
-  /** q283's oracle: LTTB unrolled — per bucket a MATERIALIZED pick CTE
-    * (window argmax on the n₃-scaled exact area against the previous
-    * pick and the next bucket's sums), chained s0→s10, then first ∪
-    * picks ∪ last. Same bucket formula ((rk−2)·B div (n−2)) and the
-    * same tie (area DESC, x ASC) as the Spark fold. */
-  private val q283OracleSql: String = {
-    val B = 10
-    val steps = (0 until B).map { i =>
-      val vertex =
-        if (i + 1 < B)
-          s"""(SELECT s, count(*) AS n3,
-             |  CAST(sum(x) AS HUGEINT) AS sx3,
-             |  CAST(sum(y) AS HUGEINT) AS sy3
-             | FROM mid WHERE b = ${i + 1} GROUP BY s)"""
-        else
-          s"""(SELECT s, 1 AS n3, CAST(x AS HUGEINT) AS sx3,
-             |  CAST(y AS HUGEINT) AS sy3 FROM lst)"""
-      s"""v$i AS MATERIALIZED ${vertex.stripMargin},
-         |s${i + 1} AS MATERIALIZED (SELECT s, x, y FROM (
-         | SELECT c.s, c.x, c.y, row_number() OVER (PARTITION BY c.s
-         |  ORDER BY abs((CAST(p.x AS HUGEINT) * v.n3 - v.sx3)
-         |      * (c.y - p.y)
-         |    - CAST(p.x - c.x AS HUGEINT)
-         |      * (v.sy3 - CAST(p.y AS HUGEINT) * v.n3)) DESC, c.x)
-         |    AS rnk
-         | FROM mid c JOIN s$i p ON p.s = c.s JOIN v$i v ON v.s = c.s
-         | WHERE c.b = $i) WHERE rnk = 1)""".stripMargin
-    }
-    val picks = (1 to B).map(i => s"SELECT s, x, y FROM s$i")
-      .mkString("\n UNION ALL ")
-    s"""WITH d AS (SELECT event_type AS s,
-       |  epoch_ms(ts) // 86400000 AS x,
-       |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS y
-       | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
-       |r AS (SELECT s, x, y, row_number() OVER (PARTITION BY s
-       |  ORDER BY x) AS rk, count(*) OVER (PARTITION BY s) AS n FROM d),
-       |mid AS (SELECT s, x, y,
-       |  CAST(rk - 2 AS BIGINT) * $B // (n - 2) AS b
-       | FROM r WHERE rk > 1 AND rk < n),
-       |fst AS (SELECT s, x, y FROM r WHERE rk = 1),
-       |lst AS (SELECT s, x, y FROM r WHERE rk = n),
-       |s0 AS (SELECT s, x, y FROM fst),
-       |${steps.mkString(",\n")}
-       |SELECT s AS event_type, x AS day, y AS cents FROM fst
-       | UNION ALL $picks
-       | UNION ALL SELECT s, x, y FROM lst""".stripMargin
-  }
-
-  /** q258's oracle: the 8 sweep+shortcut pairs unrolled — per pair a
-    * neighbor-min join over the 8-adjacency edge set (self-loops
-    * included, so the left join never coalesces) then one label-chase
-    * self-join. Every label CTE is MATERIALIZED: each step reads its
-    * predecessor TWICE, and DuckDB's default CTE inlining would
-    * otherwise expand 4⁸ scan trees — the SQL mirror of the
-    * two-consumer rule that makes the Spark side localCheckpoint each
-    * step. */
-  /** q268's oracle: Gonzalez unrolled — each selection round a
-    * MATERIALIZED CTE (argmax by (mind DESC, id), then a least() fold
-    * against the new center), the assignment a ≤-chain CASE so exact
-    * distance ties resolve to the earlier round, exactly like the
-    * Spark side's (dist, round) struct-min. */
-  private val q268OracleSql: String = {
-    def dist(a: String, b: String) =
-      s"""CAST(list_sum(list_transform(list_zip($a, $b),
-         |  z -> CAST(round((CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
-         |    * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
-         |    * 1000000000.0) AS BIGINT))) AS BIGINT)""".stripMargin
-    s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
-       |c1 AS MATERIALIZED (SELECT id, v FROM e ORDER BY id LIMIT 1),
-       |d1 AS MATERIALIZED (SELECT e.id, e.v,
-       |  ${dist("e.v", "c1.v")} AS mind FROM e, c1),
-       |c2 AS MATERIALIZED (SELECT id, v, mind FROM d1
-       |  ORDER BY mind DESC, id LIMIT 1),
-       |d2 AS MATERIALIZED (SELECT d1.id, d1.v,
-       |  least(d1.mind, ${dist("d1.v", "c2.v")}) AS mind FROM d1, c2),
-       |c3 AS MATERIALIZED (SELECT id, v, mind FROM d2
-       |  ORDER BY mind DESC, id LIMIT 1),
-       |d3 AS MATERIALIZED (SELECT d2.id, d2.v,
-       |  least(d2.mind, ${dist("d2.v", "c3.v")}) AS mind FROM d2, c3),
-       |c4 AS MATERIALIZED (SELECT id, v, mind FROM d3
-       |  ORDER BY mind DESC, id LIMIT 1),
-       |a AS MATERIALIZED (SELECT e.id,
-       |  ${dist("e.v", "(SELECT v FROM c1)")} AS da,
-       |  ${dist("e.v", "(SELECT v FROM c2)")} AS db,
-       |  ${dist("e.v", "(SELECT v FROM c3)")} AS dc,
-       |  ${dist("e.v", "(SELECT v FROM c4)")} AS dd FROM e),
-       |asg AS (SELECT id, CAST(CASE
-       |  WHEN da <= db AND da <= dc AND da <= dd THEN 1
-       |  WHEN db <= dc AND db <= dd THEN 2
-       |  WHEN dc <= dd THEN 3 ELSE 4 END AS BIGINT) AS sel_round FROM a),
-       |cnt AS (SELECT sel_round, count(*) AS n_assigned
-       | FROM asg GROUP BY 1),
-       |sel AS (
-       | SELECT (SELECT id FROM c1) AS center_id,
-       |   CAST(1 AS BIGINT) AS sel_round, CAST(NULL AS BIGINT) AS sel_dist
-       | UNION ALL SELECT (SELECT id FROM c2), 2, (SELECT mind FROM c2)
-       | UNION ALL SELECT (SELECT id FROM c3), 3, (SELECT mind FROM c3)
-       | UNION ALL SELECT (SELECT id FROM c4), 4, (SELECT mind FROM c4))
-       |SELECT center_id, sel_round, sel_dist,
-       |  coalesce(n_assigned, 0) AS n_assigned
-       |FROM sel LEFT JOIN cnt USING (sel_round)""".stripMargin
-  }
-
-  private val q258OracleSql: String = {
-    val rounds = 8
-    val roundCtes = (1 to rounds).map { k =>
-      s"""n$k AS (SELECT e.a AS cid, min(l.lab) AS nb
-         | FROM e JOIN l${k - 1} l ON l.cid = e.b GROUP BY 1),
-         |m$k AS MATERIALIZED (
-         | SELECT l.cid, least(l.lab, coalesce(n.nb, l.lab)) AS lab
-         | FROM l${k - 1} l LEFT JOIN n$k n ON n.cid = l.cid),
-         |l$k AS MATERIALIZED (
-         | SELECT a.cid, b.lab FROM m$k a JOIN m$k b ON b.cid = a.lab)"""
-        .stripMargin
-    }.mkString(",\n")
-    s"""WITH p AS (SELECT CAST(round(c_acctbal*100) AS BIGINT)+100000 AS x,
-       |  c_custkey*7919 % 100000 AS y FROM customer),
-       |cells AS (SELECT x // 20000 AS cx, y // 10000 AS cy,
-       |  count(*) AS n_points FROM p GROUP BY 1, 2),
-       |core AS MATERIALIZED (
-       | SELECT cx, cy, n_points, cx*4294967296 + cy AS cid
-       | FROM cells WHERE n_points >= 4),
-       |e AS MATERIALIZED (
-       | SELECT a.cid AS a, b.cid AS b FROM core a JOIN core b
-       | ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1),
-       |l0 AS (SELECT cid, cid AS lab FROM core),
-       |$roundCtes
-       |SELECT core.cx, core.cy, CAST(core.n_points AS BIGINT) AS n_points,
-       |  CAST(l.lab AS BIGINT) AS cluster
-       |FROM core JOIN l$rounds l ON l.cid = core.cid""".stripMargin
-  }
-
-  /** q255's oracle: the checksum replayed — canonical US-joined (0x1f) row
-    * serialization, KR fold mod 2⁶¹−1, the splitMix64 chain in UBIGINT,
-    * signed reinterpretation, then the same XOR + SUM combine. */
-  private val q255OracleSql: String = {
-    val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
-    val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
-    s"""WITH v AS (SELECT concat_ws(chr(31),
-       |  CAST(c_custkey AS VARCHAR), c_name, CAST(c_nationkey AS VARCHAR),
-       |  CAST(CAST(round(c_acctbal*100) AS BIGINT) AS VARCHAR),
-       |  c_mktsegment) AS s
-       | FROM customer),
-       |k AS (SELECT list_reduce(list_prepend(CAST(0 AS HUGEINT),
-       |   list_transform(range(1, length(s)+1),
-       |     i -> CAST(unicode(s[i]) AS HUGEINT))),
-       |   (a,b) -> (a*257+b) % 2305843009213693951) AS h FROM v),
-       |s0 AS (SELECT
-       |  CAST((h + 11400714819323198485) % 18446744073709551616 AS UBIGINT)
-       |   AS z0 FROM k),
-       |s1 AS (SELECT $z1 AS z1 FROM s0),
-       |s2 AS (SELECT $z2 AS z2 FROM s1),
-       |hh AS (SELECT xor(z2, z2 >> 31) AS z FROM s2),
-       |sg AS (SELECT CAST(CASE
-       |   WHEN z >= CAST('9223372036854775808' AS HUGEINT)
-       |   THEN z - CAST('18446744073709551616' AS HUGEINT)
-       |   ELSE z END AS BIGINT) AS h FROM hh)
-       |SELECT CAST(count(*) AS BIGINT) AS n_rows,
-       |  coalesce(bit_xor(h), 0) AS xor_hash,
-       |  CAST(CAST(coalesce(sum(CAST(h AS HUGEINT)), 0) AS DECIMAL(38,0))
-       |   AS VARCHAR) AS sum_hash
-       |FROM sg""".stripMargin
-  }
-
-  /** q244's oracle: the HITS rounds unrolled — per round an authority
-    * join+agg, a one-row max, the e6 renorm, then the hub mirror. */
-  private val q244OracleSql: String = {
-    val rounds = 4
-    val roundCtes = (1 to rounds).map { k =>
-      s"""ar$k AS (
-         | SELECT dst AS id, CAST(sum(h.v) AS BIGINT) AS v
-         | FROM ed JOIN h${k - 1} h ON h.id = ed.src GROUP BY 1),
-         |am$k AS (SELECT max(v) AS m FROM ar$k),
-         |a$k AS (SELECT id, v * 1000000 // m AS v FROM ar$k, am$k),
-         |hr$k AS (
-         | SELECT src AS id, CAST(sum(a.v) AS BIGINT) AS v
-         | FROM ed JOIN a$k a ON a.id = ed.dst GROUP BY 1),
-         |hm$k AS (SELECT max(v) AS m FROM hr$k),
-         |h$k AS (SELECT id, v * 1000000 // m AS v FROM hr$k, hm$k)"""
-        .stripMargin
-    }.mkString(",\n")
-    s"""WITH ed AS (
-       | SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
-       | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       |h0 AS (SELECT DISTINCT src AS id, CAST(1000000 AS BIGINT) AS v
-       | FROM ed),
-       |$roundCtes
-       |SELECT 'hub' AS role, id, v AS score_e6 FROM h$rounds
-       |UNION ALL
-       |SELECT 'auth', id, v FROM a$rounds""".stripMargin
-  }
-
-  /** q241's oracle: the q138 Gram symmetrized, then every power-iteration
-    * round unrolled — matrix·vector as one join+agg, max-norm scale, and
-    * the e6 renormalization in HUGEINT with `//` (= the operator's BigInt
-    * truncation). */
-  private val q241OracleSql: String = {
-    val rounds = 6
-    val roundCtes = (1 to rounds).map { k =>
-      s"""u$k AS (
-         | SELECT g.i AS dim, CAST(sum(g.x * p.v) AS BIGINT) AS u
-         | FROM g JOIN v${k - 1} p ON p.dim = g.j GROUP BY 1),
-         |s$k AS (SELECT max(abs(u)) AS m FROM u$k),
-         |v$k AS (
-         | SELECT dim, CAST(CAST(u AS HUGEINT) * 1000000 // m AS BIGINT) AS v
-         | FROM u$k, s$k)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH c AS (SELECT list_transform(embedding,
-       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS a
-       | FROM embeddings),
-       |gU AS (
-       | SELECT CAST(i.i - 1 AS BIGINT) AS i, CAST(j.j - 1 AS BIGINT) AS j,
-       |  CAST(sum(a[i.i] * a[j.j]) AS BIGINT) AS x
-       | FROM c,
-       |  LATERAL (SELECT unnest(generate_series(1, len(a))) AS i) i,
-       |  LATERAL (SELECT unnest(generate_series(i.i, len(a))) AS j) j
-       | GROUP BY i.i, j.j),
-       |g AS (SELECT i, j, x FROM gU
-       | UNION ALL SELECT j, i, x FROM gU WHERE i <> j),
-       |v0 AS (SELECT unnest(generate_series(0, 63)) AS dim,
-       | CAST(1000000 AS BIGINT) AS v),
-       |$roundCtes
-       |SELECT dim, v AS v_e6, (SELECT m FROM s$rounds) AS scale
-       |FROM v$rounds""".stripMargin
-  }
-
-  /** q239's oracle: the journey chain rebuilt in SQL (window lag for
-    * step edges, last-touch terminal edges, direct START→CONV for
-    * touchless converters), then each of the 5 scenarios (base + one
-    * removal per channel) unrolled through all 8 value-iteration rounds
-    * in e9 truncating arithmetic — the q77 unroll discipline on an
-    * absorbing chain. */
-  private val q239OracleSql: String = {
-    val channels = Seq("view", "click", "signup", "error")
-    val rounds = 8
-    val states = channels :+ "_START"
-    def scenario(sfx: String, removed: Option[String]): String = {
-      val trFilter = removed.map(r => s" WHERE src <> '$r'").getOrElse("")
-      val dstExpr = removed
-        .map(r => s"CASE WHEN dst = '$r' THEN '_NULL' ELSE dst END")
-        .getOrElse("dst")
-      val liveStates = states.filterNot(removed.contains)
-      val v0 = (Seq("SELECT '_CONV' AS st, CAST(1000000000 AS BIGINT) AS v",
-        "SELECT '_NULL', CAST(0 AS BIGINT)") ++
-        liveStates.map(s => s"SELECT '$s', CAST(0 AS BIGINT)"))
-        .mkString(" UNION ALL ")
-      val roundCtes = (1 to rounds).map { k =>
-        s"""v$sfx$k AS (
-           | SELECT t.src AS st,
-           |  CAST(sum(t.n * pv.v) // max(tt.tot) AS BIGINT) AS v
-           | FROM tr$sfx t JOIN v$sfx${k - 1} pv ON pv.st = t.dst
-           |  JOIN tot$sfx tt ON tt.src = t.src
-           | GROUP BY t.src
-           | UNION ALL SELECT '_CONV', 1000000000
-           | UNION ALL SELECT '_NULL', 0)""".stripMargin
-      }.mkString(",\n")
-      s"""tr$sfx AS (
-         | SELECT src, $dstExpr AS dst, CAST(sum(n) AS BIGINT) AS n
-         | FROM edges$trFilter GROUP BY 1, 2),
-         |tot$sfx AS (SELECT src, sum(n) AS tot FROM tr$sfx GROUP BY 1),
-         |v${sfx}0 AS ($v0),
-         |$roundCtes""".stripMargin
-    }
-    val scenarios = scenario("b", None) + ",\n" +
-      channels.zipWithIndex.map { case (c, i) =>
-        scenario(s"r$i", Some(c))
-      }.mkString(",\n")
-    val finalRows = channels.zipWithIndex.map { case (c, i) =>
-      s"""SELECT '$c' AS channel,
-         | (SELECT v FROM vb$rounds WHERE st = '_START') AS p_base_e9,
-         | (SELECT v FROM vr$i$rounds WHERE st = '_START') AS p_removed_e9"""
-        .stripMargin
-    }.mkString(" UNION ALL ")
-    s"""WITH e AS (
-       | SELECT user_id AS u, event_id AS i,
-       |  CAST(epoch_ms(ts) AS BIGINT) AS ts, event_type AS t FROM events),
-       |fc AS (SELECT u, min(ts) AS cts FROM e WHERE t = 'purchase'
-       |  GROUP BY 1),
-       |tch AS (
-       | SELECT e.u, e.i, e.ts, e.t, fc.cts IS NOT NULL AS conv
-       | FROM e LEFT JOIN fc ON fc.u = e.u
-       | WHERE e.t IN (${channels.map(c => s"'$c'").mkString(", ")})
-       |  AND (fc.cts IS NULL OR e.ts < fc.cts)),
-       |sq AS (
-       | SELECT u, t AS dst, coalesce(lag(t) OVER (
-       |   PARTITION BY u ORDER BY ts, i), '_START') AS src FROM tch),
-       |te AS (
-       | SELECT t AS src,
-       |  CASE WHEN conv THEN '_CONV' ELSE '_NULL' END AS dst
-       | FROM (SELECT u, t, conv, row_number() OVER (
-       |   PARTITION BY u ORDER BY ts DESC, i DESC) AS rn FROM tch)
-       | WHERE rn = 1),
-       |dc AS (
-       | SELECT '_START' AS src, '_CONV' AS dst FROM fc
-       | WHERE u NOT IN (SELECT DISTINCT u FROM tch)),
-       |edges AS (
-       | SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM (
-       |  SELECT src, dst FROM sq UNION ALL SELECT src, dst FROM te
-       |  UNION ALL SELECT src, dst FROM dc) GROUP BY 1, 2),
-       |$scenarios
-       |SELECT channel, p_base_e9, p_removed_e9,
-       | CASE WHEN p_base_e9 = 0 THEN 0
-       |  ELSE (p_base_e9 - p_removed_e9) * 1000000 // p_base_e9 END
-       |  AS removal_e6
-       |FROM ($finalRows)""".stripMargin
-  }
-
-  /** q229: the Holt–Winters fold with state flattened to one BIGINT list
-    * [l, b, s1..s7]; the new level L is inlined at each of its three
-    * uses (no let-binding in list_reduce lambdas), exactly like the
-    * Spark-side SQL lambda. */
-  private val q229OracleSql: String = {
-    val m = 7
-    val L = s"((3*(e[1] - acc[3]) + 7*(acc[1] + acc[2])) // 10)"
-    s"""WITH daily AS (
-       | SELECT event_type, epoch_ms(ts) // 86400000 AS day,
-       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-       | FROM events GROUP BY 1, 2),
-       |ser AS (
-       | SELECT event_type, count(*) AS n_obs,
-       |  list(cents ORDER BY day) AS ys
-       | FROM daily GROUP BY 1),
-       |ini AS (
-       | SELECT event_type, n_obs, ys,
-       |  CAST(list_sum(ys[1:$m]) AS BIGINT) // $m AS l0
-       | FROM ser WHERE len(ys) >= $m),
-       |st AS (
-       | SELECT event_type, n_obs, list_reduce(
-       |  list_prepend(
-       |    list_concat([l0, CAST(0 AS BIGINT)],
-       |      list_transform(ys[1:$m], y -> y - l0)),
-       |    list_transform(ys[${m + 1}:], y -> [y])),
-       |  (acc, e) -> list_concat(
-       |    [$L,
-       |     (1*($L - acc[1]) + 9*acc[2]) // 10],
-       |    list_concat(acc[4:${m + 2}],
-       |      [(2*(e[1] - $L) + 8*acc[3]) // 10]))) AS s
-       | FROM ini)
-       |SELECT event_type, n_obs, s[1] AS level, s[2] AS trend,
-       | s[3] AS s_next, s[1] + s[2] + s[3] AS forecast_next
-       |FROM st
-       |UNION ALL
-       |SELECT event_type, n_obs, NULL, NULL, NULL, NULL
-       |FROM ser WHERE len(ys) < $m""".stripMargin
-  }
-
-  /** q225's oracle replays the sketches end-to-end: PolyHash64 of the
-    * stringified custkey, the sign-flip to unsigned order (u = z ⊕ 2^63 =
-    * h + 2^63 — signed ascending becomes unsigned ascending), per-group
-    * bottom-64, pair-union bottom-64, and the (k−1)·2^64/u_k estimator in
-    * HUGEINT. */
-  private val q225OracleSql: String = {
-    val k = 64
-    val z1 = mulMod64Sql("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)
-    val z2 = mulMod64Sql("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)
-    val num = (BigInt(k - 1) << 64).toString
-    s"""WITH vals AS (
-       | SELECT DISTINCT o_orderpriority AS g,
-       |  CAST(o_custkey AS VARCHAR) AS s FROM orders),
-       |kk AS (
-       | SELECT g, list_reduce(list_prepend(CAST(0 AS HUGEINT),
-       |   list_transform(range(1, length(s)+1),
-       |     i -> CAST(unicode(s[i]) AS HUGEINT))),
-       |   (a,b) -> (a*257+b) % 2305843009213693951) AS h
-       | FROM vals),
-       |s0 AS (SELECT g,
-       |  CAST((h + 11400714819323198485) % 18446744073709551616 AS UBIGINT)
-       |    AS z0 FROM kk),
-       |s1 AS (SELECT g, $z1 AS z1 FROM s0),
-       |s2 AS (SELECT g, $z2 AS z2 FROM s1),
-       |hz AS (SELECT g, xor(xor(z2, z2 >> 31),
-       |  CAST(9223372036854775808 AS UBIGINT)) AS u FROM s2),
-       |hd AS (SELECT DISTINCT g, u FROM hz),
-       |sk AS (SELECT g, u FROM (
-       |  SELECT g, u, row_number() OVER (PARTITION BY g ORDER BY u) AS rn
-       |  FROM hd) WHERE rn <= $k),
-       |gs AS (SELECT DISTINCT g FROM sk),
-       |gp AS (SELECT a.g AS g_a, b.g AS g_b FROM gs a JOIN gs b ON a.g < b.g),
-       |uh AS (
-       | SELECT g_a, g_b, u, max(inA) AS inA, max(inB) AS inB FROM (
-       |  SELECT gp.g_a, gp.g_b, sk.u, 1 AS inA, 0 AS inB
-       |   FROM gp JOIN sk ON sk.g = gp.g_a
-       |  UNION ALL
-       |  SELECT gp.g_a, gp.g_b, sk.u, 0, 1
-       |   FROM gp JOIN sk ON sk.g = gp.g_b) GROUP BY 1, 2, 3),
-       |uk AS (SELECT g_a, g_b, u, inA, inB, rn FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY g_a, g_b ORDER BY u) AS rn
-       |  FROM uh) WHERE rn <= $k),
-       |ag AS (
-       | SELECT g_a, g_b, count(*) AS union_k,
-       |  CAST(sum(inA * inB) AS BIGINT) AS matches,
-       |  max(CASE WHEN rn = $k THEN u END) AS kth
-       | FROM uk GROUP BY 1, 2)
-       |SELECT g_a, g_b, union_k, matches,
-       | CASE WHEN union_k < $k THEN union_k
-       |  ELSE CAST(CAST('$num' AS HUGEINT) // CAST(kth AS HUGEINT) AS BIGINT)
-       |  END AS est_union,
-       | matches * (CASE WHEN union_k < $k THEN union_k
-       |  ELSE CAST(CAST('$num' AS HUGEINT) // CAST(kth AS HUGEINT) AS BIGINT)
-       |  END) // union_k AS est_inter
-       |FROM ag""".stripMargin
-  }
-
-  /** q224's oracle replays the full randomized-response mechanism: the
-    * per-(user,type) contribution-bounding window, both deterministic
-    * coins (PolyHash64 of event_id under two salt domains — the q73 KR
-    * fold + splitMix64 chain, rendered twice), the 3/4-keep / fair-coin
-    * report, and the clamped integer debias (8R−n)/6 in micro-units. */
-  private val q224OracleSql: String = {
-    // renders one PolyHash64 chain over column expression `src`.`sIn`
-    // (a VARCHAR), emitting UBIGINT column `outCol` shifted right 13
-    def chain(tag: String, src: String, sIn: String, carry: String): String = {
-      val z1 = mulMod64Sql(s"xor(${tag}z0, ${tag}z0 >> 30)", 0xBF58476D1CE4E5B9L)
-      val z2 = mulMod64Sql(s"xor(${tag}z1, ${tag}z1 >> 27)", 0x94D049BB133111EBL)
-      s"""${tag}k AS (SELECT $carry, list_reduce(list_prepend(CAST(0 AS HUGEINT),
-         |   list_transform(range(1, length($sIn)+1),
-         |     i -> CAST(unicode($sIn[i]) AS HUGEINT))),
-         |   (a,b) -> (a*257+b) % 2305843009213693951) AS ${tag}h
-         | FROM $src),
-         |${tag}s0 AS (SELECT $carry,
-         |  CAST((${tag}h + 11400714819323198485) % 18446744073709551616
-         |    AS UBIGINT) AS ${tag}z0 FROM ${tag}k),
-         |${tag}s1 AS (SELECT $carry, $z1 AS ${tag}z1 FROM ${tag}s0),
-         |${tag}s2 AS (SELECT $carry, $z2 AS ${tag}z2 FROM ${tag}s1),
-         |${tag}f AS (SELECT $carry,
-         |  xor(${tag}z2, ${tag}z2 >> 31) >> 13 AS ${tag}z FROM ${tag}s2)"""
-        .stripMargin
-    }
-    s"""WITH e AS (
-       | SELECT event_id, event_type, (value >= 50.0) AS bit,
-       |  row_number() OVER (PARTITION BY user_id, event_type
-       |    ORDER BY event_id) AS rn
-       | FROM events),
-       |b AS (
-       | SELECT event_id, event_type, bit,
-       |  CAST(event_id AS VARCHAR) || 'rrv1#keep' AS sk,
-       |  CAST(event_id AS VARCHAR) || 'rrv1#coin' AS sc
-       | FROM e WHERE rn <= 3),
-       |${chain("K", "b", "sk", "event_id, event_type, bit, sc")},
-       |${chain("C", "Kf", "sc", "event_id, event_type, bit, Kz")},
-       |rep AS (
-       | SELECT event_type, bit,
-       |  CASE WHEN Kz % 4 <> 0 THEN bit ELSE Cz % 2 = 1 END AS r
-       | FROM Cf),
-       |g AS (
-       | SELECT event_type, count(*) AS n,
-       |  CAST(sum(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS reported_true,
-       |  CAST(sum(CASE WHEN bit THEN 1 ELSE 0 END) AS BIGINT) AS true_count
-       | FROM rep GROUP BY 1)
-       |SELECT event_type, n, reported_true, true_count,
-       | greatest(reported_true * 8 - n, 0) * 1000000 // 6 AS est_true_e6
-       |FROM g""".stripMargin
-  }
-
-  /** q432's oracle: the group census, both PolyHash64 chains (the q224
-    * replay discipline), and the pinned geometric-magnitude ln chain. */
-  private val q432OracleSql: String = {
-    def chain(tag: String, src: String, sIn: String, carry: String): String = {
-      val z1 = mulMod64Sql(s"xor(${tag}z0, ${tag}z0 >> 30)", 0xBF58476D1CE4E5B9L)
-      val z2 = mulMod64Sql(s"xor(${tag}z1, ${tag}z1 >> 27)", 0x94D049BB133111EBL)
-      s"""${tag}k AS (SELECT $carry, list_reduce(list_prepend(CAST(0 AS HUGEINT),
-         |   list_transform(range(1, length($sIn)+1),
-         |     i -> CAST(unicode($sIn[i]) AS HUGEINT))),
-         |   (a,b) -> (a*257+b) % 2305843009213693951) AS ${tag}h
-         | FROM $src),
-         |${tag}s0 AS (SELECT $carry,
-         |  CAST((${tag}h + 11400714819323198485) % 18446744073709551616
-         |    AS UBIGINT) AS ${tag}z0 FROM ${tag}k),
-         |${tag}s1 AS (SELECT $carry, $z1 AS ${tag}z1 FROM ${tag}s0),
-         |${tag}s2 AS (SELECT $carry, $z2 AS ${tag}z2 FROM ${tag}s1),
-         |${tag}f AS (SELECT $carry,
-         |  xor(${tag}z2, ${tag}z2 >> 31) >> 13 AS ${tag}z FROM ${tag}s2)"""
-        .stripMargin
-    }
-    s"""WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
-       | FROM events GROUP BY 1),
-       |b AS (SELECT event_type, n,
-       |  event_type || 'dp1#sign' AS ss,
-       |  event_type || 'dp1#mag' AS sm FROM g),
-       |${chain("S", "b", "ss", "event_type, n, sm")},
-       |${chain("M", "Sf", "sm", "event_type, n, Sz")},
-       |fin AS (SELECT event_type, n,
-       |  CASE WHEN Sz % 2 = 1 THEN 1 ELSE -1 END AS sgn,
-       |  CAST(floor(ln(1.0 - CAST(Mz AS DOUBLE) / 2251799813685248.0)
-       |    * 1000000.0 / (0.0 - 1000000)) AS BIGINT) AS mag
-       | FROM Mf)
-       |SELECT event_type, n, CAST(sgn * mag AS BIGINT) AS noise,
-       | CAST(n + sgn * mag AS BIGINT) AS noised,
-       | CAST(abs(sgn * mag) AS BIGINT) AS abs_err
-       |FROM fin""".stripMargin
-  }
-
-  /** q435's oracle: the PolyHash64 chain per order (q224 replay
-    * discipline), the exact-integer inclusion test, and the truncating
-    * HT weight/variance chains. */
-  private val q435OracleSql: String = {
-    def chain(tag: String, src: String, sIn: String, carry: String): String = {
-      val z1 = mulMod64Sql(s"xor(${tag}z0, ${tag}z0 >> 30)", 0xBF58476D1CE4E5B9L)
-      val z2 = mulMod64Sql(s"xor(${tag}z1, ${tag}z1 >> 27)", 0x94D049BB133111EBL)
-      s"""${tag}k AS (SELECT $carry, list_reduce(list_prepend(CAST(0 AS HUGEINT),
-         |   list_transform(range(1, length($sIn)+1),
-         |     i -> CAST(unicode($sIn[i]) AS HUGEINT))),
-         |   (a,b) -> (a*257+b) % 2305843009213693951) AS ${tag}h
-         | FROM $src),
-         |${tag}s0 AS (SELECT $carry,
-         |  CAST((${tag}h + 11400714819323198485) % 18446744073709551616
-         |    AS UBIGINT) AS ${tag}z0 FROM ${tag}k),
-         |${tag}s1 AS (SELECT $carry, $z1 AS ${tag}z1 FROM ${tag}s0),
-         |${tag}s2 AS (SELECT $carry, $z2 AS ${tag}z2 FROM ${tag}s1),
-         |${tag}f AS (SELECT $carry,
-         |  xor(${tag}z2, ${tag}z2 >> 31) >> 11 AS ${tag}z FROM ${tag}s2)"""
-        .stripMargin
-    }
-    s"""WITH b AS (SELECT
-       | greatest(1, CAST(round(o_totalprice * 100) AS BIGINT) // 10000)
-       |  AS s,
-       | CAST(round(o_totalprice * 100) AS BIGINT) AS y,
-       | CAST(o_orderkey AS VARCHAR) || '#ht1' AS sk
-       | FROM orders),
-       |t AS (SELECT CAST(sum(s) AS HUGEINT) AS big_s,
-       |  CAST(count(*) AS BIGINT) AS n_pop,
-       |  CAST(sum(y) AS HUGEINT) AS true_total FROM b),
-       |${chain("H", "b", "sk", "s, y")},
-       |sel AS (SELECT s, y, CAST(200 AS HUGEINT) * s AS pin
-       | FROM Hf, t
-       | WHERE CAST(Hz AS HUGEINT) * big_s
-       |   < CAST(200 AS HUGEINT) * s * 9007199254740992),
-       |terms AS (SELECT
-       |  CASE WHEN pin >= big_s THEN 1000000
-       |   ELSE CAST(big_s * 1000000 // pin AS BIGINT) END AS w_e6,
-       |  CASE WHEN pin >= big_s THEN y
-       |   ELSE CAST(CAST(y AS HUGEINT) * big_s // pin AS BIGINT) END
-       |   AS yht,
-       |  CASE WHEN pin >= big_s THEN 0
-       |   ELSE CAST((big_s - pin) * big_s * 1000000 // (pin * pin)
-       |    AS BIGINT) END AS vterm
-       | FROM sel, t)
-       |SELECT n_pop, CAST(true_total AS BIGINT) AS true_total,
-       | CAST(count(*) AS BIGINT) AS n_sampled,
-       | CAST(sum(CAST(w_e6 AS HUGEINT)) AS BIGINT) AS n_hat_e6,
-       | CAST(sum(CAST(yht AS HUGEINT)) AS BIGINT) AS total_hat,
-       | CAST(sum(CAST(vterm AS HUGEINT)) AS BIGINT) AS var_nhat_e6,
-       | CASE WHEN true_total = 0 THEN 0
-       |  ELSE CAST(abs(sum(CAST(yht AS HUGEINT)) - true_total) * 1000000
-       |   // true_total AS BIGINT) END AS total_err_ppm
-       |FROM terms, t GROUP BY n_pop, true_total""".stripMargin
-  }
+  /** Reclaim per-query temp roots (upsert-table scenarios and the like) —
+    * harnesses call this after consuming each result. Delegates to the
+    * catalog-shared implementation. */
+  def cleanupQueryTmp(): Unit = catalog.GateSupport.cleanupQueryTmp()
+
+  private val families: Seq[catalog.GateFamily] = Seq(
+    catalog.CoreGates,
+    catalog.TableGates,
+    catalog.MachineryGates,
+    catalog.DedupGates,
+    catalog.SimilarityGates,
+    catalog.TextGates,
+    catalog.TokenizerGates,
+    catalog.SketchGates,
+    catalog.GraphGates,
+    catalog.TimeSeriesGates,
+    catalog.StatsGates,
+    catalog.ExperimentGates,
+    catalog.RankingGates,
+    catalog.PreferenceGates,
+    catalog.PrivacyGates,
+    catalog.RetailGates)
+
+  private def assemble[V](part: catalog.GateFamily => Seq[(String, V)],
+      what: String): Map[String, V] = {
+    val all = families.flatMap(part)
+    val dups = all.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty,
+      s"duplicate gate ids across families ($what): ${dups.toSeq.sorted}")
+    all.toMap
+  }
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    assemble(_.queries, "queries")
+
+  lazy val oracleSql: Map[String, String] = assemble(_.oracleSql, "oracleSql")
 }
-

@@ -1,0 +1,271 @@
+package graft
+package catalog
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.agg.{ContentMetrics, Windows}
+import graft.functions.{GraftFunctions, TextFunctions}
+import graft.operators._
+import graft.schema.{DeliveryLogLite, JoinSideEvent, ScopedEvent}
+import graft.streaming.{CombineDeliveryLog, InferredJoin}
+
+/** Shared infra for the gate catalog (round-14 split of
+  * SparkEntry.scala, all bodies verbatim): table loaders, the
+  * fixed-point/decimal output helpers, per-query temp roots, and
+  * the memoized shared materializations (near-dup pair graph,
+  * co-supplier edges, Bradley–Terry duels/ratings, survival
+  * subjects) that multiple gates consume. */
+object GateSupport {
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** events with ts projected to epoch millis. The cast is a no-op for
+    * session-TZ timestamps and converts TIMESTAMP_NTZ under the UTC
+    * session TZ — robust to either parquet flavor reaching this seam
+    * (Tables.load normalizes, but belt-and-braces per round-8 verdict). */
+  private[graft] def ev(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts_ms", unix_millis(col("ts").cast("timestamp")))
+
+  private[graft] def cents(c: Column): Column = ContentMetrics.cents(c)
+
+  /** Shared record-linkage fixture (q343/q346/q347): customers vs a
+    * deterministically perturbed copy — typo'd names (every 11th),
+    * shifted balances (±1800 cents by key), corrupted segments (every
+    * 5th) — blocked on nation. */
+  private[graft] def q343Sides(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val c = t(s, dir, "customer")
+    val aSide = c.select(col("c_custkey").as("rid"),
+      col("c_nationkey").as("blk"),
+      lower(col("c_name")).as("k_name"),
+      expr("CAST(round(c_acctbal*100) AS BIGINT) div 10000").as("k_bal"),
+      col("c_mktsegment").as("k_seg"))
+    val bSide = c.select(col("c_custkey").as("rid"),
+      col("c_nationkey").as("blk"),
+      when(col("c_custkey") % 11 === 0,
+        concat(lower(col("c_name")), lit("x")))
+        .otherwise(lower(col("c_name"))).as("k_name"),
+      expr("(CAST(round(c_acctbal*100) AS BIGINT)" +
+        " + (c_custkey % 7 - 3) * 600) div 10000").as("k_bal"),
+      when(col("c_custkey") % 5 === 0, lit("UNKNOWN"))
+        .otherwise(col("c_mktsegment")).as("k_seg"))
+    (aSide, bSide)
+  }
+
+  /** Emit DECIMAL output columns as exact integer STRINGS at the gate
+    * boundary. DECIMAL(38,0) is the right type for the quadratic rank/
+    * covariance forms INSIDE the operators (they exceed LONG at SF≥1),
+    * but as a dump dtype it is reader-dependent — pyarrow maps it to
+    * object(Decimal), DuckDB's fetchdf to float64 or object depending on
+    * version — which made the r09 driver flap on value-identical frames.
+    * A decimal→string cast is plain digits in both engines, so the
+    * stringified compare is exact at every scale. */
+  private[graft] def decStr(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.map { f =>
+      if (f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+        col(f.name).cast("string").as(f.name)
+      else col(f.name)
+    }.toIndexedSeq: _*)
+
+  /** Materialize-once near-dup pair graph over `documents` — the mining
+    * stage (inverted index + AllPairs/PPJoin filters + exact verify) is
+    * the expensive part shared by q19 (the pairs themselves), q41
+    * (components) and q42 (the cleaning pipeline). Production pipelines
+    * materialize the pair graph once and run every downstream dedup step
+    * off it; mirroring that here, the first consumer writes it to a
+    * per-process temp parquet and the rest read the (tiny) file — robust
+    * to `catalog.clearCache()` between queries, deterministic, and paid
+    * once per scale factor. */
+  private[graft] lazy val sharedTmp = {
+    val p = java.nio.file.Files.createTempDirectory("graft_shared").toString
+    // Session-lifetime artifacts (mined pairs, z-order fixtures): reclaim
+    // the disk when the JVM exits so repeated bench/verify runs don't
+    // accumulate under /tmp.
+    sys.addShutdownHook(deleteRecursively(new java.io.File(p)))
+    p
+  }
+
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty)
+      .foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** Temp roots scoped to ONE query invocation (upsert-table scenarios and
+    * the like). The returned DataFrame reads from the root lazily, so the
+    * query fn can't clean up itself — harnesses call [[cleanupQueryTmp]]
+    * after consuming each result. Without this, an 88-query bench session
+    * leaves ~GBs of dead upsert commits under /tmp, and the accumulated
+    * disk/page-cache pressure inflated late-alphabet round-8 suite times
+    * 3-7× over isolated runs. */
+  /** Idempotent, RACE-SAFE optimizer-rule registration: Verify/Bench run
+    * gates concurrently in one session, and `extraOptimizations` is a
+    * plain var — two unsynchronized read-modify-append cycles can lose
+    * one rule. Harmless for parity-only rules, semantics-bearing for
+    * MaskingRewrite; every gate registers through this lock. */
+  private[graft] val ruleLock = new Object
+  private[graft] def registerRule(s: SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit =
+    ruleLock.synchronized {
+      if (!s.experimental.extraOptimizations.contains(rule))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ rule
+    }
+
+  private[graft] val queryTmpRoots = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private[graft] def queryTmp(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix).toString
+    queryTmpRoots.add(p)
+    p
+  }
+  def cleanupQueryTmp(): Unit = {
+    // a registered matview may point into a query temp root about to be
+    // deleted — registrations never outlive their files
+    plans.MatviewRegistry.clear()
+    var p = queryTmpRoots.poll()
+    while (p != null) {
+      deleteRecursively(new java.io.File(p))
+      p = queryTmpRoots.poll()
+    }
+  }
+  /** Materialize-once supplier Bradley–Terry frame: the oriented duel
+    * stream (a < b, wa = ties-to-a) AND the 3-round e6 ratings over it
+    * are the shared front half of FOUR gates — the fit itself (q333),
+    * DPO margins (q337), reward-model calibration (q356) and the Brier
+    * decomposition (q362). Production preference pipelines fit ratings
+    * once and run every audit off the stored table; mirroring that
+    * (the [[coSupplierPairs]] rule) retires three redundant ~8 s MM
+    * fits from the bench without touching any gate's semantics. */
+  /** Collision-resistant cache key for a data dir: two distinct dirs in one
+    * JVM must never share a shared-tmp path (a 32-bit `String.hashCode`
+    * collision would silently serve one dir's cached frame to the other). */
+  private[graft] def dirDigest(d: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+  private[graft] val btPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def btSupplierDuelsAndRatings(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val root = btPaths.computeIfAbsent(dir, { d =>
+      val p = s"$sharedTmp/bt_${dirDigest(d)}"
+      val os = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
+        .agg(sum(cents(col("l_extendedprice"))).as("c"))
+      os.as("x").join(os.as("y"),
+          col("x.o") === col("y.o") && col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("a"), col("y.sk").as("b"),
+          when(col("x.c") >= col("y.c"), 1L).otherwise(0L).as("wa"))
+        .write.mode("overwrite").parquet(s"$p/duels")
+      val du = s.read.parquet(s"$p/duels")
+      operators.Preference.bradleyTerryE6(
+          du.select(
+            when(col("wa") === 1L, col("a")).otherwise(col("b")).as("w"),
+            when(col("wa") === 1L, col("b")).otherwise(col("a")).as("l")),
+          col("w"), col("l"), iterations = 3)
+        .write.mode("overwrite").parquet(s"$p/ratings")
+      p
+    })
+    (s.read.parquet(s"$root/duels"), s.read.parquet(s"$root/ratings"))
+  }
+
+  private[graft] val minedPairPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def minedDocPairs(s: SparkSession, dir: String): DataFrame = {
+    val path = minedPairPaths.computeIfAbsent(dir, { d =>
+      val p = s"$sharedTmp/pairs_${dirDigest(d)}"
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", 3, 1L, 2L)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  /** The component (canonical-id) map over [[minedDocPairs]] — likewise a
+    * materialized artifact: label propagation runs once, q41 and q42 both
+    * read the result. */
+  private[graft] val componentPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def minedDocComponents(s: SparkSession, dir: String): DataFrame = {
+    val path = componentPaths.computeIfAbsent(dir, { d =>
+      val p = s"$sharedTmp/components_${dirDigest(d)}"
+      Dedup.connectedComponents(minedDocPairs(s, d), "a_id", "b_id")
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  /** Materialize-once supplier co-occurrence edge multiset — the lineitem
+    * self-join on l_orderkey (both directions, self-loops dropped,
+    * duplicates kept: multiplicity is the edge weight the fixed-point
+    * oracles unroll). q77/q84/q87 consume it directly; q85 (orient +
+    * threshold) and q86 (same-nation restriction) filter it further. The
+    * self-join is the dominant cost of every graph gate (round-8 verdict:
+    * 5× rebuilt per bench session), and a production graph pipeline
+    * materializes its edge list once — mirrored here exactly like
+    * [[minedDocPairs]]. */
+  private[graft] val coSupplierPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def coSupplierPairs(s: SparkSession, dir: String): DataFrame = {
+    val path = coSupplierPaths.computeIfAbsent(dir, { d =>
+      val p = s"$sharedTmp/cosupp_${dirDigest(d)}"
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+      li.join(
+          li.select(col("l_orderkey"), col("l_suppkey").as("dst_supp")),
+          "l_orderkey")
+        .where(col("l_suppkey") =!= col("dst_supp"))
+        .select(col("l_suppkey"), col("dst_supp"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  /** Materialize-once view→first-conversion survival subject frame: per
+    * user, first view ts, min purchase ≥ view, min error ≥ view, and the
+    * stream-end censor instant. SEVEN gates consume it (KM q214,
+    * Nelson–Aalen q236, log-rank q319, competing risks q385, Cox score
+    * q406, Gehan–Wilcoxon q407, RMST q408) — a survival pipeline builds
+    * its subject table once and runs every estimator off the stored
+    * frame; rebuilding it per gate repeated the same two event-table
+    * joins six extra times per bench run (r12 ADVICE). */
+  private[graft] val survivalPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def survivalSubjects(s: SparkSession, dir: String): DataFrame = {
+    val path = survivalPaths.computeIfAbsent(dir, { d =>
+      val p = s"$sharedTmp/surv_${dirDigest(d)}"
+      val e = ev(s, d).select(col("user_id"), col("event_type"),
+        col("ts_ms"))
+      val v = e.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("v_ts"))
+      val pu = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("ts_ms").as("p_ts"))
+      val er = e.where(col("event_type") === "error")
+        .select(col("user_id").as("e_uid"), col("ts_ms").as("e_ts"))
+      val firstP = v.join(pu,
+          col("user_id") === col("p_uid") && col("p_ts") >= col("v_ts"),
+          "left")
+        .groupBy(col("user_id"), col("v_ts"))
+        .agg(min(col("p_ts")).as("p_ts"))
+      val firstBoth = firstP.join(er,
+          col("user_id") === col("e_uid") && col("e_ts") >= col("v_ts"),
+          "left")
+        .groupBy(col("user_id"), col("v_ts"), col("p_ts"))
+        .agg(min(col("e_ts")).as("e_ts"))
+      val endDf = e.agg(max(col("ts_ms")).as("end_ts"))
+      firstBoth.crossJoin(broadcast(endDf))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  /** The (dur_h, obs) projection of [[survivalSubjects]] shared by the
+    * single-endpoint estimators: purchase observed at hour grain, else
+    * censored at stream end. `keep` carries extra columns (user_id for
+    * the grouped tests). */
+  private[graft] def survivalDurObs(subj: DataFrame, keep: Column*): DataFrame =
+    subj.select(keep :+
+      when(col("p_ts").isNotNull,
+        expr("(p_ts - v_ts) div 3600000"))
+        .otherwise(expr("(end_ts - v_ts) div 3600000")).as("dur_h") :+
+      col("p_ts").isNotNull.as("obs"): _*)
+}

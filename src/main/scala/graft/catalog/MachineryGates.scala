@@ -1,0 +1,768 @@
+package graft
+package catalog
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.agg.{ContentMetrics, Windows}
+import graft.functions.{GraftFunctions, TextFunctions}
+import graft.operators._
+import graft.schema.{DeliveryLogLite, JoinSideEvent, ScopedEvent}
+import graft.streaming.{CombineDeliveryLog, InferredJoin}
+import GateSupport._
+import CatalogDefs._
+
+/** Catalyst machinery: rewrite rules, matviews, pushdowns, ivm, routing/hashing, sql surface.
+  *
+  * 21 gates; split from SparkEntry.scala in round 14 (pure
+  * refactor — every entry verbatim, hashes pinned by the sf0.01 sweep). */
+object MachineryGates extends GateFamily {
+
+  def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+
+    // Runtime filters: Bloom-pruned semi-join — build the filter over the
+    // selective dim's keys (bitsets OR map-side; the exchange carries
+    // numBits/8 bytes, not keys), broadcast the one-row bitset, and drop
+    // fact rows BELOW the join's exchange. The exact semi-join finishes
+    // (false positives removed, false negatives impossible), so the gate
+    // replays as a plain IN subquery.
+    "q71_bloom_join" -> ((s, dir) =>
+      operators.RuntimeFilter.bloomSemiJoin(
+        t(s, dir, "lineitem"), "l_orderkey",
+        t(s, dir, "orders").where(col("o_totalprice") > 400000)
+          .select("o_orderkey"),
+        "o_orderkey", numBits = 1 << 20, numHashes = 7)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 100).cast("long")).as("revenue_cents"))),
+
+    // Pre-flight join-size/skew estimator: the exact Σ nl·nr
+    // decomposition of a self-join on l_partkey from two count
+    // aggregations — the skew diagnosis (salt factor, broadcast side)
+    // computed WITHOUT running the join it predicts.
+    "q114_join_size" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      operators.JoinStats.joinSizeByKey(li, col("l_partkey"),
+        li, col("l_partkey"), topK = 20)
+    }),
+
+    // Pure-SQL surface gate: the ENTIRE query is a spark.sql(...) text
+    // using the extension-registered kernel (graft_jaro_winkler_e6) over
+    // a temp view — proving the SparkSessionExtensions/SQL-consumer path
+    // end to end, not just the Column API. Length-equality blocking caps
+    // the pair space; per-length top-5 by the codegen'd JW kernel.
+    "q207_sql_surface" -> ((s, dir) => {
+      functions.GraftRegistry.registerAll(s)
+      t(s, dir, "part").select(col("p_name").as("nm")).distinct()
+        .createOrReplaceTempView("graft_q207_names")
+      s.sql("""
+        SELECT len, a_name, b_name, jw_e6, rk FROM (
+          SELECT length(a.nm) AS len, a.nm AS a_name, b.nm AS b_name,
+            graft_jaro_winkler_e6(a.nm, b.nm) AS jw_e6,
+            row_number() OVER (PARTITION BY length(a.nm)
+              ORDER BY graft_jaro_winkler_e6(a.nm, b.nm) DESC, a.nm, b.nm)
+              AS rk
+          FROM graft_q207_names a JOIN graft_q207_names b
+            ON length(a.nm) = length(b.nm) AND a.nm < b.nm)
+        WHERE rk <= 5""")
+        .select(col("len").cast("long").as("len"), col("a_name"),
+          col("b_name"), col("jw_e6"), col("rk").cast("long").as("rk"))
+    }),
+
+    // Incremental join-view maintenance: a materialized orders⋈customer
+    // view kept in sync from BOTH sides' CDC — fact price updates, fk
+    // moves, fact deletes, dim relabels, and dim deletes all land
+    // through two refreshes; the oracle replays the final fact/dim
+    // resolutions and joins once. Complements q54 (aggregate views) —
+    // Δ(F⋈D) as churn-scoped recompute.
+    "q217_join_view" -> ((s, dir) => {
+      val base = t(s, dir, "orders").where(col("o_orderkey") % 6 === 0)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val f1 = base.withColumn("ver", lit(1L)).withColumn("del", lit(false))
+      val f2 = base.where(col("k") % 5 === 0 || col("k") % 9 === 0 ||
+          col("k") % 11 === 0)
+        .withColumn("price_cents", when(col("k") % 5 === 0,
+          col("price_cents") + 1000L).otherwise(col("price_cents")))
+        .withColumn("cust", when(col("k") % 11 === 0,
+          col("cust") % 100 + 1).otherwise(col("cust")))
+        .withColumn("ver", lit(2L)).withColumn("del", col("k") % 9 === 0)
+      val dimBase = t(s, dir, "customer")
+        .select(col("c_custkey").as("d_id"),
+          col("c_mktsegment").as("segment"))
+      val d1 = dimBase.withColumn("ver", lit(1L))
+        .withColumn("del", lit(false))
+      val d2 = dimBase.where(col("d_id") % 4 === 0 || col("d_id") % 37 === 0)
+        .withColumn("segment", when(col("d_id") % 4 === 0,
+          concat(col("segment"), lit("_v2"))).otherwise(col("segment")))
+        .withColumn("ver", lit(2L)).withColumn("del", col("d_id") % 37 === 0)
+      val root = queryTmp("graft_joinview_q217")
+      val fact = new sinks.UpsertTable(s"$root/fact", Seq("k"), "ver",
+        Nil, Some("del"))
+      val dim = new sinks.UpsertTable(s"$root/dim", Seq("d_id"), "ver",
+        Nil, Some("del"))
+      val view = new sinks.UpsertTable(s"$root/view", Seq("k"), "__ver",
+        Nil, Some("__dead"))
+      val djt = new sinks.DerivedJoinTable(fact, dim, view, Seq("cust"),
+        df => df.select(col("k"), col("cust"), col("segment"),
+          col("price_cents")),
+        s"$root/_ckpt")
+      fact.upsert(f1); dim.upsert(d1)
+      djt.refresh(s)
+      fact.upsert(f2); dim.upsert(d2)
+      djt.refresh(s)
+      view.snapshot(s).select("k", "cust", "segment", "price_cents")
+    }),
+
+    // NOT IN is NOT an anti join when the subquery can yield NULL —
+    // three-valued logic empties the result — and Spark must plan the
+    // null-aware variant without a cartesian blowup. Both semantics
+    // gated side by side: the clean branch is a true anti join (59
+    // nation-less customers at sf0.01), the nullable branch is the
+    // SQL-standard empty set.
+    "q256_notin_nullaware" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("q256_customer")
+      t(s, dir, "supplier").createOrReplaceTempView("q256_supplier")
+      s.sql("""
+        SELECT 'clean' AS variant, count(*) AS n_customers
+        FROM q256_customer
+        WHERE c_nationkey NOT IN (SELECT s_nationkey FROM q256_supplier
+                                  WHERE s_acctbal >= 1000)
+        UNION ALL
+        SELECT 'nullable' AS variant, count(*) AS n_customers
+        FROM q256_customer
+        WHERE c_nationkey NOT IN (SELECT nullif(s_nationkey, 15)
+                                  FROM q256_supplier
+                                  WHERE s_acctbal >= 1000)""")
+    }),
+
+    // Incremental session-window maintenance (IVM for q08's sessions):
+    // a late batch (last 20% of time) invalidates ONLY its users —
+    // keep everyone else's sessions as-is (anti join), recompute the
+    // churned keys over their full history (semi join; a late event can
+    // merge two old sessions, so key-scoped full recompute is the
+    // correct granularity — DerivedAggTable's rule, session-shaped).
+    // The oracle is the FULL recompute: equivalence IS the gate.
+    "q272_session_ivm" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("ts_ms"),
+        col("event_id"))
+      val rng = e.agg(min("ts_ms").as("mn"), max("ts_ms").as("mx"))
+        .select(expr("mn + (mx - mn) * 4 div 5").as("cut"))
+      val ec = e.crossJoin(broadcast(rng))
+      val gap = 4L * 3600000L
+      val affected = ec.where(col("ts_ms") >= col("cut"))
+        .select("user_id").distinct()
+      val kept = Sessionize.sessionBounds(
+          ec.where(col("ts_ms") < col("cut")).drop("cut"),
+          Seq("user_id"), "ts_ms", gap, "event_id")
+        .join(affected, Seq("user_id"), "left_anti")
+      val recomputed = Sessionize.sessionBounds(
+        e.join(affected, Seq("user_id"), "left_semi"),
+        Seq("user_id"), "ts_ms", gap, "event_id")
+      kept.unionByName(recomputed)
+    }),
+
+    // Consistent-hash ring rebalance audit: md5 hex-string ring (16
+    // vnodes per node — positions and key hashes compare as plain hex
+    // strings, no numeric conversion), assignment = first vnode at or
+    // after the key (wrap to the ring minimum). The 8-node vs 9-node
+    // transition matrix PROVES the consistent-hashing promise: only
+    // ~1/9 of keys move, and every move lands on the new node. The
+    // ring is a ~144-struct literal in the plan — O(1) per key,
+    // no join, no shuffle beyond the final count.
+    "q275_hash_ring" -> ((s, dir) => {
+      def ring(nNodes: Int): Column = {
+        val vs = for (node <- 0 until nNodes; r <- 0 until 16)
+          yield (org.apache.commons.codec.digest.DigestUtils
+            .md5Hex(s"n$node#$r"), s"n$node")
+        array(vs.sortBy(_._1).map { case (h, n) =>
+          struct(lit(h).as("h"), lit(n).as("node")) }: _*)
+      }
+      def assign(kh: Column, arr: Column): Column = {
+        val ge = filter(arr, x => x.getField("h") >= kh)
+        when(size(ge) > 0, array_min(ge).getField("node"))
+          .otherwise(array_min(arr).getField("node"))
+      }
+      t(s, dir, "customer")
+        .select(md5(col("c_custkey").cast("string")).as("kh"))
+        .select(assign(col("kh"), ring(8)).as("node_before"),
+          assign(col("kh"), ring(9)).as("node_after"))
+        .groupBy("node_before", "node_after")
+        .agg(count(lit(1)).as("n_keys"))
+    }),
+
+    // Posting-list compression estimator: per term, delta-gap the
+    // sorted doc ids and price each gap in LEB128 varint bytes — the
+    // inverted-index size model that decides df-pruning and tiering
+    // for a 100 TB corpus index. Gaps are BLOCK-LOCAL (128-doc-id
+    // blocks, each starting from an absolute id) — Lucene's actual
+    // postings layout, and the scale guard: a stopword's billion-doc
+    // posting list would make a per-term window one reducer; the
+    // (term, block) window partition is bounded at 128 by construction.
+    "q284_postings_cost" -> ((s, dir) => {
+      val posts = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .where(length(col("term")) > 0)
+        .distinct()
+        .withColumn("blk", expr("doc_id div 128"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term"), col("blk")).orderBy(col("doc_id"))
+      posts.withColumn("gap",
+          col("doc_id") - coalesce(lag(col("doc_id"), 1).over(w), lit(0L)))
+        .withColumn("vbytes",
+          expr("(length(bin(greatest(gap, 1))) + 6) div 7"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("vbytes")).as("varint_bytes"),
+          (count(lit(1)) * 8).as("raw_bytes"))
+    }),
+
+    // Rendezvous (HRW) hashing — the ring's stateless sibling (q275):
+    // every key goes to argmax_node md5(key || node); adding a node
+    // moves EXACTLY the keys whose new score wins (≈1/(N+1), provably
+    // minimal, no vnode variance). Per key the N scores are computed
+    // inline — no ring table at all, the purest O(1)-metadata sharding.
+    "q287_hrw_hashing" -> ((s, dir) => {
+      def assign(kh: Column, nodes: Seq[String]): Column =
+        array_max(array(nodes.map(n =>
+          struct(md5(concat(kh, lit("|"), lit(n))).as("h"),
+            lit(n).as("node"))): _*)).getField("node")
+      val nodes8 = (0 until 8).map(i => s"n$i")
+      val nodes9 = (0 until 9).map(i => s"n$i")
+      t(s, dir, "customer")
+        .select(col("c_custkey").cast("string").as("k"))
+        .select(assign(col("k"), nodes8).as("node_before"),
+          assign(col("k"), nodes9).as("node_after"))
+        .groupBy("node_before", "node_after")
+        .agg(count(lit(1)).as("n_keys"))
+    }),
+
+    // date_trunc-equality day filter through the TruncEqRewrite rule:
+    // the analyst-shaped predicate becomes a sargable ts range at the
+    // scan (TruncEqRewriteSpec pins the PushedFilters); the day literal
+    // is min(ts)'s day + 10 (one-row bounded driver fetch).
+    "q292_trunc_pushdown" -> ((s, dir) => {
+      registerRule(s, plans.TruncEqRewrite)
+      val e = t(s, dir, "events")
+      val day0 = e.agg(min(col("ts")).as("mn"))
+        .select(date_trunc("DAY", col("mn")).as("d0"))
+        .collect().head.getTimestamp(0)
+      val target = new java.sql.Timestamp(
+        day0.getTime + 10L * 86400000L)
+      e.where(date_trunc("DAY", col("ts")) === lit(target))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+    }),
+
+    // Incremental JOIN-view maintenance: the materialized per-segment
+    // revenue view (orders ⋈ customer, aggregated) maintained under a
+    // CDC batch by DELTA-JOIN — only the changed orders (price updates
+    // on %31 keys as new−old retraction deltas, inserts on %40 keys)
+    // touch the broadcast dimension; the base table is never rescanned.
+    // The oracle is the FULL recompute over the post-batch state, so
+    // the gate is the IVM equivalence proof itself (q272's discipline,
+    // now for the join+agg view every BI layer materializes).
+    "q301_join_ivm" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val v0 = o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("cents"))
+      val updates = o.where(col("o_orderkey") % 31 === 0)
+        .select(col("o_custkey"), lit(0L).as("dn"),
+          (round((col("o_totalprice") + 10) * 100).cast("long") - cents)
+            .as("dcents"))
+      val inserts = o.where(col("o_orderkey") % 40 === 0)
+        .select(col("o_custkey"), lit(1L).as("dn"), cents.as("dcents"))
+      val dAgg = updates.unionByName(inserts)
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("dn")).as("dn"), sum(col("dcents")).as("dcents"))
+      v0.join(dAgg, Seq("c_mktsegment"), "full_outer")
+        .select(col("c_mktsegment"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n"),
+          (coalesce(col("cents"), lit(0L)) +
+            coalesce(col("dcents"), lit(0L))).as("cents"))
+    }),
+
+    // Statistics-driven broadcast (StatsBroadcastRewrite): nation is
+    // DECLARED 25 rows, so the supplier⋈nation join carries an explicit
+    // BROADCAST hint regardless of size estimates — the CBO lever for
+    // lake tables whose scan estimate lies. Results are provably
+    // unchanged (the oracle runs the join); the spec pins the plan flip
+    // under a disabled autoBroadcast threshold.
+    "q354_stats_broadcast" -> ((s, dir) => {
+      registerRule(s, plans.StatsBroadcastRewrite)
+      plans.StatsBroadcastRewrite.declareRowCount("/nation.parquet", 25L)
+      t(s, dir, "supplier")
+        .join(t(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("suppliers"),
+          sum(cents(col("s_acctbal"))).as("acctbal_cents"))
+    }),
+
+    // Aggregate elimination on a declared-unique grouping key
+    // (AggregateEliminationRewrite): GROUP BY the orders PK makes every
+    // group one row, so the whole hash-aggregate exchange rewrites to a
+    // Project (sum→cast, count→1/null-test, avg widens). The oracle
+    // RUNS the aggregation — parity proves elimination is invisible.
+    "q348_agg_elim" -> ((s, dir) => {
+      registerRule(s, plans.AggregateEliminationRewrite)
+      plans.ConstraintRegistry.declareUnique("/orders.parquet",
+        "o_orderkey")
+      t(s, dir, "orders")
+        .groupBy(col("o_orderkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("cents"),
+          count(lit(1)).as("n"),
+          max(col("o_orderpriority")).as("prio"))
+    }),
+
+    // Contradiction folding from a declared CHECK range
+    // (RangeContradictionRewrite): l_linenumber is declared [1, 7], so
+    // the `> 50` branch folds to an empty LocalRelation before any
+    // storage is touched (Catalyst's empty propagation then collapses
+    // the aggregate to its one empty-count row); the satisfiable branch
+    // scans normally. The oracle runs both branches for real.
+    "q349_range_prune" -> ((s, dir) => {
+      registerRule(s, plans.RangeContradictionRewrite)
+      plans.ConstraintRegistry.declareRange("/lineitem.parquet",
+        "l_linenumber", 1L, 7L)
+      val impossible = t(s, dir, "lineitem")
+        .where(col("l_linenumber") > 50)
+        .agg(count(lit(1)).as("impossible_n"))
+      t(s, dir, "lineitem").where(col("l_linenumber") <= 2)
+        .groupBy(col("l_returnflag").as("rf"))
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(impossible))
+    }),
+
+    // ANALYZE-style per-column statistics (row count, nulls, exact NDV,
+    // stringified min/max) in one scan — the CBO stats-collection
+    // surface; money pre-projected to cents so no double ever reaches
+    // a stringified min/max.
+    "q345_analyze" -> ((s, dir) =>
+      operators.Profile.columnStats(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+          col("c_nationkey"), cents(col("c_acctbal")).as("c_acctbal_cents"),
+          col("c_mktsegment")),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal_cents",
+          "c_mktsegment"))),
+
+    // Distinct elimination from the declared pk (DistinctEliminationRewrite):
+    // the dedup-by-habit `.distinct()` over an orders projection carrying
+    // o_orderkey is provably the identity and its whole hash-aggregate
+    // exchange vanishes — the optimized plan runs ONE aggregate (the
+    // rollup), not two (JoinEliminationSpec pins the vanish/stay/
+    // fan-out-blocked cases; PlanSpec pins this gate's single-Aggregate
+    // plan). The oracle executes the DISTINCT for real.
+    "q331_distinct_elim" -> ((s, dir) => {
+      registerRule(s, plans.DistinctEliminationRewrite)
+      plans.ConstraintRegistry.declareUnique("/orders.parquet", "o_orderkey")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+        .distinct()
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_custkey") % 1000003L).as("cust_check"))
+    }),
+
+    // Constraint-based join elimination (JoinEliminationRewrite): the
+    // query SAYS lineitem ⋈ orders (inner, declared FK) ⋈ supplier
+    // (left outer, declared unique pk) but reads only lineitem columns —
+    // the declared constraints prove both joins are the identity on the
+    // fact side, and the optimized plan aggregates the bare lineitem
+    // scan (JoinEliminationSpec pins the no-Join plan, the blockers,
+    // and the kill switch). The oracle RUNS both joins in DuckDB —
+    // parity proves elimination is invisible. The BI-layer win at scale:
+    // machine-emitted star plans pay only for dimensions actually read.
+    "q327_join_elim" -> ((s, dir) => {
+      registerRule(s, plans.JoinEliminationRewrite)
+      plans.ConstraintRegistry.declareForeignKey("/lineitem.parquet",
+        "l_orderkey", "/orders.parquet", "o_orderkey")
+      plans.ConstraintRegistry.declareUnique("/supplier.parquet", "s_suppkey")
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val sup = t(s, dir, "supplier")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey"), "left")
+        .groupBy(li("l_returnflag").as("rf"))
+        .agg(count(lit(1)).as("n"),
+          sum(li("l_quantity")).cast("long").as("qty"),
+          sum(cents(li("l_extendedprice"))).as("price_cents"))
+    }),
+
+    // The full materialized-view LOOP: an upsert-managed base (commit,
+    // then an update+delete batch), its summary CDC-REFRESHED by
+    // DerivedAggTable, the refreshed summary registered in
+    // MatviewRegistry, and the dashboard rollup planned through
+    // MatviewRewrite — maintenance (q54) and rewrite (q308) composed
+    // end-to-end. The oracle recomputes from the FINAL logical state,
+    // so parity proves the whole loop: CDC deltas landed, the summary
+    // is current, and the rewrite serves it soundly.
+    // (MatviewRewriteSpec's upsert-snapshot case pins that the rewrite
+    // actually fires on this view shape.)
+    "q325_matview_e2e" -> ((s, dir) => {
+      registerRule(s, plans.MatviewRewrite)
+      val root = queryTmp("graft_mv_e2e")
+      val base0 = t(s, dir, "orders").where(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey").as("k"),
+          col("o_orderpriority").as("prio"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val c1 = base0.withColumn("ver", lit(1L))
+        .withColumn("del", lit(false))
+      val c2 = base0.where(col("k") % 9 === 0 || col("k") % 25 === 0)
+        .withColumn("cents", col("cents") + 1000L)
+        .withColumn("ver", lit(2L)).withColumn("del", col("k") % 25 === 0)
+      // prio is a PARTITION column of the source — DerivedAggTable's
+      // soundness contract (an update may never move a row between
+      // groups), and the natural layout for a priority-partitioned lake
+      val src = new sinks.UpsertTable(s"$root/src", Seq("k"), "ver",
+        Seq("prio"), Some("del"))
+      val drv = new sinks.UpsertTable(s"$root/drv", Seq("prio"), "__ver",
+        Nil, Some("__dead"))
+      val derived = new sinks.DerivedAggTable(src, drv, Seq("prio"),
+        df => df.groupBy("prio").agg(sum(col("cents")).as("sum_cents"),
+          count(lit(1)).as("cnt")),
+        s"$root/_ckpt")
+      src.upsert(c1); derived.refresh(s)
+      src.upsert(c2); derived.refresh(s)
+      val baseView = src.snapshot(s).select(col("prio"), col("cents"))
+      plans.MatviewRegistry.register(baseView,
+        drv.snapshot(s).select(col("prio"), col("sum_cents"), col("cnt")),
+        dims = Seq("prio"), sums = Map("cents" -> "sum_cents"),
+        countCol = "cnt")
+      baseView.groupBy(col("prio"))
+        .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n"))
+    }),
+
+    // Materialized-view query rewrite end-to-end: a per-(priority,
+    // status) summary registers as a matview for the cents projection;
+    // the dashboard-shaped coarser rollup (status filter + priority
+    // group) re-plans onto the summary scan (MatviewRewriteSpec pins
+    // the plan swap and the unsound-shape bails) while the oracle
+    // recomputes from the base — result parity IS the soundness proof.
+    "q308_matview_rewrite" -> ((s, dir) => {
+      registerRule(s, plans.MatviewRewrite)
+      val root = queryTmp("graft_mv")
+      val base = t(s, dir, "orders").select(col("o_orderpriority"),
+        col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      base.groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(s"$root/view")
+      plans.MatviewRegistry.register(base, s.read.parquet(s"$root/view"),
+        dims = Seq("o_orderpriority", "o_orderstatus"),
+        sums = Map("cents" -> "sum_cents"), countCol = "cnt")
+      base.where(col("o_orderstatus") =!= "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n"))
+    }),
+
+    // Custom physical operator end-to-end: the broadcast interval-tree
+    // lookup join (plans/IntervalLookup: LogicalPlan + Strategy +
+    // SparkPlan — IntervalLookupSpec pins the plan node and BNLJ
+    // parity) enriching event cents against 70 OVERLAPPING price tiers;
+    // left-outer keeps unmatched facts under tier −1. The oracle is the
+    // plain non-equi join, so the gate proves the custom operator's
+    // semantics at table scale.
+    "q307_interval_lookup" -> ((s, dir) => {
+      val facts = ev(s, dir)
+        .select(col("event_id"), round(col("value") * 100).cast("long")
+          .as("cents"))
+        .where(col("cents").isNotNull)
+      val tiers = s.range(70).selectExpr("id AS tier",
+        "id * 700 AS lo", "id * 700 + 1200 AS hi")
+      operators.IntervalLookup.join(facts, tiers, "cents", "lo", "hi",
+          "left_outer")
+        .groupBy(coalesce(col("tier"), lit(-1L)).as("tier"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          sum(col("event_id") % 1000003L).as("id_check"))
+    }),
+
+    // Epoch-millis range filter through the EpochCmpRewrite rule: the
+    // engine's own ts_ms seam (`ev()` projects unix_millis(ts) once and
+    // every downstream filter compares the millis column) becomes a
+    // sargable ts range at the scan (EpochCmpRewriteSpec pins the
+    // PushedFilters and the floor-division edge semantics). Bounds are
+    // min(ts_ms) + 5/15 days — one bounded driver fetch.
+    "q295_epoch_pushdown" -> ((s, dir) => {
+      registerRule(s, plans.EpochCmpRewrite)
+      val e = ev(s, dir)
+      val mn = e.agg(min(col("ts_ms")).as("mn")).collect().head.getLong(0)
+      e.where(col("ts_ms") >= mn + 5L * 86400000L &&
+          col("ts_ms") < mn + 15L * 86400000L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"),
+          sum(col("ts_ms") % 1000003L).as("ts_check"))
+    }),
+  )
+
+  def oracleSql: Seq[(String, String)] = Seq(
+
+    // the Bloom prune is a pre-filter whose false positives the exact
+    // semi-join removes — the oracle is the plain IN-subquery answer
+    "q71_bloom_join" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+        |   AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q114: the exact Σ nl·nr join-size decomposition, top-20 keys by
+    // contribution with exact integer ppm shares of the total.
+    "q114_join_size" ->
+      """WITH l AS (SELECT l_partkey AS key, count(*) AS nl
+        |           FROM lineitem GROUP BY 1),
+        |r AS (SELECT l_partkey AS key, count(*) AS nr
+        |      FROM lineitem GROUP BY 1),
+        |c AS (SELECT key, nl, nr, nl*nr AS rows_ FROM l JOIN r USING (key)),
+        |t AS (SELECT sum(rows_) AS total FROM c)
+        |SELECT CAST(key AS BIGINT) AS key, CAST(nl AS BIGINT) AS nl,
+        |  CAST(nr AS BIGINT) AS nr, CAST(rows_ AS BIGINT) AS "rows",
+        |  CAST(rows_*1000000//t.total AS BIGINT) AS share_ppm
+        |FROM c, t ORDER BY rows_ DESC, key LIMIT 20""".stripMargin,
+
+    // q207: DuckDB's own jaro_winkler_similarity (bit-parity pinned by
+    // q176/StringSimilaritySpec), same blocking and total order.
+    "q207_sql_surface" ->
+      """WITH nm AS (SELECT DISTINCT p_name AS nm FROM part)
+        |SELECT CAST(len AS BIGINT) AS len, a_name, b_name,
+        | CAST(jw AS BIGINT) AS jw_e6, CAST(rk AS BIGINT) AS rk FROM (
+        | SELECT length(a.nm) AS len, a.nm AS a_name, b.nm AS b_name,
+        |  CAST(round(jaro_winkler_similarity(a.nm, b.nm) * 1000000)
+        |    AS BIGINT) AS jw,
+        |  row_number() OVER (PARTITION BY length(a.nm)
+        |   ORDER BY CAST(round(jaro_winkler_similarity(a.nm, b.nm)
+        |     * 1000000) AS BIGINT) DESC, a.nm, b.nm) AS rk
+        | FROM nm a JOIN nm b
+        |  ON length(a.nm) = length(b.nm) AND a.nm < b.nm)
+        |WHERE rk <= 5""".stripMargin,
+
+    // q217: replay the final fact/dim resolutions, join once.
+    "q217_join_view" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_custkey AS cust,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        | FROM orders WHERE o_orderkey % 6 = 0),
+        |f AS (SELECT k,
+        |  CASE WHEN k % 11 = 0 THEN cust % 100 + 1 ELSE cust END AS cust,
+        |  CASE WHEN k % 5 = 0 THEN price_cents + 1000
+        |    ELSE price_cents END AS price_cents
+        | FROM base WHERE k % 9 <> 0),
+        |d AS (SELECT c_custkey AS d_id,
+        |  CASE WHEN c_custkey % 4 = 0 THEN c_mktsegment || '_v2'
+        |    ELSE c_mktsegment END AS segment
+        | FROM customer WHERE c_custkey % 37 <> 0)
+        |SELECT k, cust, segment, price_cents
+        |FROM f JOIN d ON cust = d_id""".stripMargin,
+
+    // q256: identical three-valued-logic semantics in DuckDB.
+    "q256_notin_nullaware" ->
+      """SELECT 'clean' AS variant, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM customer
+        |WHERE c_nationkey NOT IN (SELECT s_nationkey FROM supplier
+        |                          WHERE s_acctbal >= 1000)
+        |UNION ALL
+        |SELECT 'nullable', CAST(count(*) AS BIGINT)
+        |FROM customer
+        |WHERE c_nationkey NOT IN (SELECT nullif(s_nationkey, 15)
+        |                          FROM supplier
+        |                          WHERE s_acctbal >= 1000)""".stripMargin,
+
+    // q272: the oracle is q08's FULL recompute over all events — the
+    // incremental path must be indistinguishable from it.
+    "q272_session_ivm" ->
+      """WITH o AS (
+        | SELECT user_id, epoch_ms(ts) AS ms, event_id,
+        |  CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |        OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 14400000
+        |       THEN 1 ELSE 0 END AS brk
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+        |SELECT user_id, min(ms) AS session_start_ms, max(ms) AS session_end_ms,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // q275: same ring, assignment via arg_min with a >= filter + wrap.
+    "q275_hash_ring" ->
+      """WITH k AS (SELECT md5(CAST(c_custkey AS VARCHAR)) AS kh
+        |  FROM customer),
+        |v8 AS (SELECT 'n' || CAST(t.n AS VARCHAR) AS node,
+        |  md5('n' || CAST(t.n AS VARCHAR) || '#' || CAST(u.r AS VARCHAR))
+        |    AS h
+        | FROM range(0, 8) AS t(n), range(0, 16) AS u(r)),
+        |v9 AS (SELECT 'n' || CAST(t.n AS VARCHAR) AS node,
+        |  md5('n' || CAST(t.n AS VARCHAR) || '#' || CAST(u.r AS VARCHAR))
+        |    AS h
+        | FROM range(0, 9) AS t(n), range(0, 16) AS u(r)),
+        |a8 AS (SELECT kh, coalesce(
+        |   arg_min(node, h) FILTER (WHERE h >= kh), arg_min(node, h))
+        |     AS node_before
+        | FROM k CROSS JOIN v8 GROUP BY kh),
+        |a9 AS (SELECT kh, coalesce(
+        |   arg_min(node, h) FILTER (WHERE h >= kh), arg_min(node, h))
+        |     AS node_after
+        | FROM k CROSS JOIN v9 GROUP BY kh)
+        |SELECT node_before, node_after, count(*) AS n_keys
+        |FROM a8 JOIN a9 USING (kh) GROUP BY 1, 2""".stripMargin,
+
+    // q284: same block-local gaps, same LEB128 byte pricing.
+    "q284_postings_cost" ->
+      """WITH p AS (SELECT DISTINCT doc_id,
+        |  unnest(string_split(text, ' ')) AS term FROM documents),
+        |g AS (SELECT term,
+        |  doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term,
+        |    doc_id // 128 ORDER BY doc_id), 0) AS gap
+        | FROM p WHERE length(term) > 0)
+        |SELECT term, count(*) AS df,
+        |  CAST(sum((length(format('{:b}', greatest(gap, 1))) + 6) // 7)
+        |    AS BIGINT) AS varint_bytes,
+        |  count(*) * 8 AS raw_bytes
+        |FROM g GROUP BY 1""".stripMargin,
+
+    // q287: arg_max over the same per-(key,node) md5 scores.
+    "q287_hrw_hashing" ->
+      """WITH k AS (SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer),
+        |n8 AS (SELECT 'n' || CAST(t.n AS VARCHAR) AS node
+        |  FROM range(0, 8) AS t(n)),
+        |n9 AS (SELECT 'n' || CAST(t.n AS VARCHAR) AS node
+        |  FROM range(0, 9) AS t(n)),
+        |a8 AS (SELECT k, arg_max(node, md5(k || '|' || node))
+        |  AS node_before FROM k CROSS JOIN n8 GROUP BY k),
+        |a9 AS (SELECT k, arg_max(node, md5(k || '|' || node))
+        |  AS node_after FROM k CROSS JOIN n9 GROUP BY k)
+        |SELECT node_before, node_after, count(*) AS n_keys
+        |FROM a8 JOIN a9 USING (k) GROUP BY 1, 2""".stripMargin,
+
+    // q292: the same day filter written directly.
+    "q292_trunc_pushdown" ->
+      """WITH d0 AS (SELECT date_trunc('day', min(ts))
+        |  + INTERVAL 10 DAY AS d FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events, d0
+        |WHERE date_trunc('day', ts) = d
+        |GROUP BY 1""".stripMargin,
+
+    // q301: the IVM equivalence proof — FULL recompute over post-batch
+    // state (updates applied, inserts appended).
+    "q301_join_ivm" ->
+      """WITH o2 AS (
+        | SELECT o_custkey, CASE WHEN o_orderkey % 31 = 0
+        |   THEN CAST(round((o_totalprice + 10) * 100) AS BIGINT)
+        |   ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents
+        | FROM orders
+        | UNION ALL
+        | SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT)
+        | FROM orders WHERE o_orderkey % 40 = 0)
+        |SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o2.cents) AS BIGINT) AS cents
+        |FROM o2 JOIN customer c ON o2.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin,
+
+    // q354: the oracle RUNS the join — parity proves the broadcast
+    // hint is semantics-invisible.
+    "q354_stats_broadcast" ->
+      """SELECT n_name AS nation, count(*) AS suppliers,
+        | CAST(sum(CAST(round(s_acctbal*100) AS BIGINT)) AS BIGINT)
+        |   AS acctbal_cents
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+
+    // q348: the oracle RUNS the aggregation the optimizer deleted.
+    "q348_agg_elim" ->
+      """SELECT o_orderkey,
+        | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |   AS cents,
+        | count(*) AS n,
+        | max(o_orderpriority) AS prio
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // q349: both branches run for real in DuckDB.
+    "q349_range_prune" ->
+      """WITH imp AS (SELECT count(*) AS impossible_n FROM lineitem
+        | WHERE l_linenumber > 50)
+        |SELECT l_returnflag AS rf, count(*) AS n, impossible_n
+        |FROM lineitem, imp WHERE l_linenumber <= 2
+        |GROUP BY 1, 3""".stripMargin,
+
+    "q345_analyze" -> q345OracleSql,
+
+    // q331: the oracle executes the DISTINCT the optimizer deleted.
+    "q331_distinct_elim" ->
+      """WITH d AS (SELECT DISTINCT o_orderkey, o_custkey, o_orderpriority
+        |           FROM orders)
+        |SELECT o_orderpriority AS prio, count(*) AS n,
+        | CAST(sum(o_custkey % 1000003) AS BIGINT) AS cust_check
+        |FROM d GROUP BY 1""".stripMargin,
+
+    // q327: the oracle RUNS the joins the optimizer removed.
+    "q327_join_elim" ->
+      """SELECT l_returnflag AS rf, count(*) AS n,
+        | CAST(sum(l_quantity) AS BIGINT) AS qty,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |   AS price_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1""".stripMargin,
+
+    // q325: the FINAL logical state recomputed directly — parity proves
+    // the CDC maintenance + rewrite loop.
+    "q325_matview_e2e" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS cents
+        | FROM orders WHERE o_orderkey % 4 = 0),
+        |f AS (SELECT prio,
+        |  CASE WHEN k % 9 = 0 THEN cents + 1000 ELSE cents END AS cents
+        | FROM b WHERE k % 25 <> 0)
+        |SELECT prio, CAST(sum(cents) AS BIGINT) AS cents,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM f GROUP BY 1""".stripMargin,
+
+    // q308: the base recompute the rewrite must equal.
+    "q308_matview_rewrite" ->
+      """SELECT o_orderpriority,
+        | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |   AS cents,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |GROUP BY 1""".stripMargin,
+
+    // q307: the plain non-equi join the custom operator replaces.
+    "q307_interval_lookup" ->
+      """WITH f AS (SELECT event_id,
+        |  CAST(round(value*100) AS BIGINT) AS cents
+        | FROM events WHERE value IS NOT NULL),
+        |t AS (SELECT i AS tier, i*700 AS lo, i*700 + 1200 AS hi
+        | FROM (SELECT unnest(generate_series(0, 69)) AS i)),
+        |j AS (SELECT f.event_id, f.cents, t.tier FROM f
+        | LEFT JOIN t ON t.lo <= f.cents AND f.cents < t.hi)
+        |SELECT coalesce(tier, -1) AS tier,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(cents) AS BIGINT) AS cents,
+        | CAST(sum(event_id % 1000003) AS BIGINT) AS id_check
+        |FROM j GROUP BY 1""".stripMargin,
+
+    // q295: the same epoch-millis range filter written directly.
+    "q295_epoch_pushdown" ->
+      """WITH b AS (SELECT min(epoch_ms(ts)) + 5*86400000 AS lo,
+        |  min(epoch_ms(ts)) + 15*86400000 AS hi FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(sum(epoch_ms(ts) % 1000003) AS BIGINT) AS ts_check
+        |FROM events, b
+        |WHERE epoch_ms(ts) >= lo AND epoch_ms(ts) < hi
+        |GROUP BY 1""".stripMargin,
+  )
+}
