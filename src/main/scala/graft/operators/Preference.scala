@@ -41,6 +41,16 @@ import org.apache.spark.sql.functions._
   * max-renorm embeds a scalar broadcast subquery per round and a lazy
   * nested chain of those overflows plan-tree recursion under AQE.
   *
+  * Round-join strategy (r14 probe finding): the per-round rating frame
+  * is a localCheckpointed leaf whose size Catalyst can't estimate, so
+  * left alone BOTH per-round joins against the pair census ran as full
+  * shuffle joins — ~2.2 s/round on a 1.2M-pair census whose item side
+  * is 1,000 rows. The item count is known after the census builds
+  * (one count() on the persisted items frame), so ratings are wrapped
+  * in broadcast() whenever |items| ≤ [[maxBroadcastItems]] — the pair
+  * census then never re-shuffles across rounds. Above the bound the
+  * plan falls back to shuffle joins (correct at any item count).
+  *
   * Domain contract (documented like [[groupAdvantageE6]]'s): the
   * per-round denominator D_i = Σ_j n_ij·1e12 div (r_i + r_j) is a LONG
   * sum whose worst case is comparisons_i · 5e11 (every opponent pinned
@@ -367,6 +377,15 @@ object Preference {
     out
   }
 
+  /** Item-grain frames at or under this bound broadcast in the MM round
+    * joins (16 bytes/row → ~48 MB at the bound — inside Spark's default
+    * broadcast memory comfort zone); larger item sets fall back to
+    * shuffle joins. */
+  private val maxBroadcastItems = 3000000L
+
+  private def maybeBroadcast(df: DataFrame, nItems: Long): DataFrame =
+    if (nItems <= maxBroadcastItems) broadcast(df) else df
+
   def bradleyTerryE6(pairs: DataFrame, winner: Column, loser: Column,
       iterations: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 16)
@@ -386,11 +405,14 @@ object Preference {
       .select(col("id"), coalesce(col("wins"), lit(0L)).as("wins"),
         col("comparisons"))
       .persist(mem)
+    val nItems = items.count()
     var r = items.select(col("id"), lit(1000000L).as("r"))
     for (_ <- 1 to iterations) {
       val terms = und
-        .join(r.select(col("id").as("a"), col("r").as("ra")), "a")
-        .join(r.select(col("id").as("b"), col("r").as("rb")), "b")
+        .join(maybeBroadcast(
+          r.select(col("id").as("a"), col("r").as("ra")), nItems), "a")
+        .join(maybeBroadcast(
+          r.select(col("id").as("b"), col("r").as("rb")), nItems), "b")
         .withColumn("t", expr("n * 1000000000000L div (ra + rb)"))
       val denom = terms.select(col("a").as("id"), col("t"))
         .unionByName(terms.select(col("b").as("id"), col("t")))
@@ -529,11 +551,14 @@ object Preference {
       .agg(sum(col("w")).as("wins"), sum(col("t")).as("ties"),
         sum(col("n")).as("comparisons"))
       .persist(mem)
+    val nItems = items.count()
     var r = items.select(col("id"), lit(1000000L).as("r"))
     for (_ <- 1 to iterations) {
       val terms = und
-        .join(r.select(col("id").as("a"), col("r").as("ra")), "a")
-        .join(r.select(col("id").as("b"), col("r").as("rb")), "b")
+        .join(maybeBroadcast(
+          r.select(col("id").as("a"), col("r").as("ra")), nItems), "a")
+        .join(maybeBroadcast(
+          r.select(col("id").as("b"), col("r").as("rb")), nItems), "b")
         // θ-scaled opposing ratings; DECIMAL(38,0) term pair so heavy
         // pairs can't wrap (HUGEINT replays exactly)
         .withColumn("tra", expr(s"$thetaE6 * ra div 1000000"))
