@@ -443,6 +443,19 @@ object ExperimentGates extends GateFamily {
         col("source"), col("v"), rounds = 3, etaE6 = 500000L)
         .withColumnRenamed("domain", "source")),
 
+    // UniMax epoch-capped allocation (Chung et al. 2023) — the OTHER
+    // mixture planner beside q424's DoReMi: a 60k-token budget spread
+    // as uniformly as the 2.5-epoch cap allows over per-source token
+    // counts, by exact-integer waterfill (two windows over the source
+    // census — capped prefix, then R div m with the pinned remainder
+    // rule). alloc/epochs/budget-share per source, all truncating.
+    "q439_unimax_mixture" -> ((s, dir) =>
+      operators.Mixture.unimaxAllocationE6(
+        t(s, dir, "documents").select(col("source"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("v")),
+        col("source"), budget = 60000L, maxEpochsE6 = 2500000L)
+        .withColumnRenamed("domain", "source")),
+
     // Experiment power planner per segment: exact sample variance,
     // required per-arm n for a 1%-of-mean lift (ceil division), and
     // the minimum detectable effect at the CURRENT n (corrected
@@ -1199,6 +1212,44 @@ object ExperimentGates extends GateFamily {
         |SELECT dom.d AS source, dom.n_values, dom.ng AS n_tokens,
         | dom.share_e6, dom.excess_e6, CAST(r3.w AS BIGINT) AS w_e6
         |FROM dom JOIN r3 ON r3.d = dom.d""".stripMargin,
+
+    // q439: the waterfill replayed with HUGEINT window arithmetic —
+    // same capped-prefix predicate, same R // m + remainder rule.
+    "q439_unimax_mixture" ->
+      """WITH tok AS (SELECT source AS d,
+        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS v
+        | FROM documents),
+        |census AS (SELECT d, CAST(count(*) AS BIGINT) AS nd
+        | FROM tok GROUP BY 1),
+        |capd AS (SELECT d, nd,
+        |  CAST(nd AS HUGEINT) * 2500000 // 1000000 AS cap FROM census),
+        |rk AS (SELECT d, nd, cap,
+        |  CAST(row_number() OVER (ORDER BY cap, d) AS HUGEINT) AS i,
+        |  sum(cap) OVER (ORDER BY cap, d ROWS UNBOUNDED PRECEDING) AS s_i,
+        |  CAST(count(*) OVER () AS HUGEINT) AS n
+        | FROM capd),
+        |flag AS (SELECT *,
+        |  (s_i + cap * (n - i) <= CAST(60000 AS HUGEINT)) AS capped
+        | FROM rk),
+        |kk AS (SELECT
+        |  COALESCE(sum(CASE WHEN capped THEN CAST(1 AS HUGEINT) END),
+        |    CAST(0 AS HUGEINT)) AS k,
+        |  COALESCE(sum(CASE WHEN capped THEN cap END),
+        |    CAST(0 AS HUGEINT)) AS s_k FROM flag),
+        |alloc AS (SELECT f.d, f.nd, f.cap,
+        |  CASE WHEN f.i <= kk.k THEN f.cap
+        |   ELSE (CAST(60000 AS HUGEINT) - kk.s_k) // (f.n - kk.k)
+        |    + (CASE WHEN f.i - kk.k
+        |         <= (CAST(60000 AS HUGEINT) - kk.s_k) % (f.n - kk.k)
+        |       THEN 1 ELSE 0 END)
+        |  END AS a
+        | FROM flag f, kk)
+        |SELECT d AS source, nd AS n_tokens,
+        | CAST(cap AS BIGINT) AS cap_tokens,
+        | CAST(a AS BIGINT) AS alloc_tokens,
+        | CAST(a * 1000000 // nd AS BIGINT) AS epochs_e6,
+        | CAST(a * 1000000 // 60000 AS BIGINT) AS budget_share_e6
+        |FROM alloc""".stripMargin,
 
     // q416: unit-value prices per period, matched-basket sums in
     // HUGEINT, Fisher via the corrected isqrt.

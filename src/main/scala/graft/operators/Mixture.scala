@@ -95,4 +95,87 @@ object Mixture {
       col("ng").as("n_tokens"), col("share_e6"), col("excess_e6"),
       col("w_e6"))
   }
+
+  /** UniMax epoch-capped budget allocation (Chung et al. 2023, "UniMax:
+    * Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining"): spread a total token budget B as
+    * UNIFORMLY as possible across domains, subject to the per-domain
+    * repeat cap b_d ≤ cap_d = n_d · maxEpochsE6 div 1e6 — the
+    * allocation that never over-epochs a small domain while the big
+    * ones absorb the slack. The classic water-filling solution, exact
+    * in integers:
+    *
+    *   sort domains by (cap, domain) ascending with 1-based rank i,
+    *   prefix sums S_i = Σ_{j≤i} cap_j;
+    *   domain i is CAPPED  ⟺  S_i + cap_i·(n−i) ≤ B
+    *     (the predicate is monotone in i — (n−i)·(cap_{i+1}−cap_i) ≥ 0 —
+    *      so capped domains form a prefix of the sort);
+    *   K capped, R = B − S_K, m = n − K uncapped:
+    *     b_d = cap_d                     (capped)
+    *     b_d = R div m (+1 for the first R mod m uncapped domains in
+    *           sort order — the pinned remainder rule)   (uncapped)
+    *   K = n ⇒ every domain runs its full cap and B − S_n stays
+    *   unallocated (the corpus is exhausted at the epoch cap).
+    *
+    * Proof obligation carried by the sort: for any uncapped domain,
+    * cap > R/m ≥ base, so base (+1) never exceeds its cap.
+    *
+    * Output per domain: (domain, n_tokens, cap_tokens, alloc_tokens,
+    * epochs_e6 = alloc·1e6 div n_tokens, budget_share_e6 =
+    * alloc·1e6 div B) — all truncating integer chains; hash-gates
+    * cross-engine.
+    *
+    * Scale shape: ONE hash aggregate collapses the corpus to domain
+    * grain (the only data-scale pass, the [[doremiWeightsE6]]
+    * contract with the same loud ≤ 1e5 grain guard); the waterfill is
+    * two windows over the domain census (cumsum + rank, constant
+    * [[Census.onePartKey]] partition) plus scalar projections —
+    * no driver fold, no iteration. */
+  def unimaxAllocationE6(df: DataFrame, domainCol: Column, budget: Long,
+      maxEpochsE6: Long): DataFrame = {
+    require(budget >= 1L,
+      s"Mixture.unimaxAllocationE6: need budget ≥ 1, got $budget")
+    require(maxEpochsE6 >= 1L && maxEpochsE6 <= 1000000000L,
+      s"Mixture.unimaxAllocationE6: need 1 ≤ maxEpochsE6 ≤ 1e9, " +
+        s"got $maxEpochsE6")
+    val census = df.select(domainCol.as("d"))
+      .where(col("d").isNotNull)
+      .groupBy(col("d")).agg(count(lit(1)).as("nd"))
+      .localCheckpoint(true)
+    val dCount = census.count()
+    require(dCount >= 1 && dCount <= 100000,
+      s"Mixture.unimaxAllocationE6: $dCount domains — the allocation " +
+        "frame must be domain-grain (≤ 1e5), not data-grain")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Census.onePartKey(col("d")))
+      .orderBy(col("cap"), col("d"))
+    val ranked = census
+      .withColumn("cap", expr(
+        s"CAST(CAST(nd AS DECIMAL(38,0)) * $maxEpochsE6 div 1000000" +
+          " AS DECIMAL(38,0))"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("s_i", sum(col("cap")).over(w))
+      .withColumn("capped", expr(
+        s"s_i + cap * (${dCount}L - i) <= CAST($budget AS DECIMAL(38,0))"))
+    val kFrame = broadcast(ranked.agg(
+      coalesce(sum(when(col("capped"), 1L)), lit(0L)).as("k"),
+      coalesce(sum(when(col("capped"), col("cap"))),
+        expr("CAST(0 AS DECIMAL(38,0))")).as("s_k")))
+    ranked.crossJoin(kFrame)
+      .select(col("d"), col("nd"), col("cap"), col("i"), col("k"),
+        expr(s"CAST($budget AS DECIMAL(38,0)) - s_k").as("r"),
+        lit(dCount).as("n"))
+      .withColumn("alloc", expr(
+        """CASE WHEN i <= k THEN cap
+          | ELSE r div (n - k)
+          |  + (CASE WHEN i - k <= r % (n - k) THEN 1 ELSE 0 END)
+          | END""".stripMargin))
+      .select(col("d").as("domain"), col("nd").as("n_tokens"),
+        expr("CAST(cap AS BIGINT)").as("cap_tokens"),
+        expr("CAST(alloc AS BIGINT)").as("alloc_tokens"),
+        expr("CAST(CAST(alloc AS DECIMAL(38,0)) * 1000000 div nd" +
+          " AS BIGINT)").as("epochs_e6"),
+        expr(s"CAST(CAST(alloc AS DECIMAL(38,0)) * 1000000 div $budget" +
+          " AS BIGINT)").as("budget_share_e6"))
+  }
 }

@@ -92,4 +92,80 @@ class MixtureSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("domain-grain"))
   }
+
+  // sequential waterfill mirror of unimaxAllocationE6's pinned rules
+  private def waterfill(counts: Map[String, Long], budget: Long,
+      epochsE6: Long): Map[String, Long] = {
+    val caps = counts.toSeq
+      .map { case (d, n) => (d, BigInt(n) * epochsE6 / 1000000) }
+      .sortBy { case (d, c) => (c, d) }
+    val n = caps.size
+    var s = BigInt(0)
+    var k = 0
+    var sk = BigInt(0)
+    for (((_, c), i) <- caps.zipWithIndex.map { case (p, i) => (p, i + 1) }) {
+      s += c
+      if (s + c * (n - i) <= budget) { k = i; sk = s }
+    }
+    val r = BigInt(budget) - sk
+    caps.zipWithIndex.map { case ((d, c), i0) =>
+      val i = i0 + 1
+      d -> (if (i <= k) c.toLong
+            else (r / (n - k) +
+              (if (BigInt(i - k) <= r % (n - k)) 1 else 0)).toLong)
+    }.toMap
+  }
+
+  test("unimax allocation matches the waterfill mirror (mixed branch)") {
+    // caps at 2 epochs: a=20, b=40, c=200, d=400; budget 300:
+    // a and b cap (20+40), rest split 240: 120 each (< their caps)
+    val counts = Map("a" -> 10L, "b" -> 20L, "c" -> 100L, "d" -> 200L)
+    val rows = counts.toSeq.flatMap { case (d, n) =>
+      Seq.fill(n.toInt)(d) }
+    val out = Mixture.unimaxAllocationE6(rows.toDF("d"), col("d"),
+        budget = 300L, maxEpochsE6 = 2000000L)
+      .select("domain", "n_tokens", "cap_tokens", "alloc_tokens",
+        "epochs_e6", "budget_share_e6")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val exp = waterfill(counts, 300L, 2000000L)
+    assert(out.view.mapValues(_._4).toMap == exp)
+    assert(out("a")._4 == 20L && out("b")._4 == 40L)
+    assert(out("c")._4 == 120L && out("d")._4 == 120L)
+    assert(out("c")._5 == 1200000L, "c runs 1.2 epochs")
+    assert(out("a")._6 == 20L * 1000000L / 300L)
+  }
+
+  test("unimax: remainder tokens go to the first uncapped domains " +
+      "in (cap, domain) order") {
+    // no domain caps (big epoch cap); budget 10 over 3 domains:
+    // base 3, remainder 1 -> the lowest-(cap, domain) gets 4
+    val counts = Map("x" -> 5L, "y" -> 5L, "z" -> 7L)
+    val rows = counts.toSeq.flatMap { case (d, n) => Seq.fill(n.toInt)(d) }
+    val out = Mixture.unimaxAllocationE6(rows.toDF("d"), col("d"),
+        budget = 10L, maxEpochsE6 = 5000000L)
+      .select("domain", "alloc_tokens")
+      .as[(String, Long)].collect().toMap
+    assert(out == waterfill(counts, 10L, 5000000L))
+    assert(out == Map("x" -> 4L, "y" -> 3L, "z" -> 3L))
+  }
+
+  test("unimax: budget beyond every cap leaves the surplus unallocated") {
+    val counts = Map("p" -> 3L, "q" -> 4L)
+    val rows = counts.toSeq.flatMap { case (d, n) => Seq.fill(n.toInt)(d) }
+    val out = Mixture.unimaxAllocationE6(rows.toDF("d"), col("d"),
+        budget = 1000L, maxEpochsE6 = 2000000L)
+      .select("domain", "cap_tokens", "alloc_tokens")
+      .as[(String, Long, Long)].collect()
+      .map { case (d, c, a) => d -> ((c, a)) }.toMap
+    assert(out("p") == ((6L, 6L)) && out("q") == ((8L, 8L)))
+  }
+
+  test("unimax: data-grain domain column is rejected loudly") {
+    val df = spark.range(200001).selectExpr("CAST(id AS STRING) AS d")
+    val e = intercept[IllegalArgumentException] {
+      Mixture.unimaxAllocationE6(df, col("d"), 100L, 2000000L).count()
+    }
+    assert(e.getMessage.contains("domain-grain"))
+  }
 }
