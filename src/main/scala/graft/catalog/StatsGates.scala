@@ -406,6 +406,35 @@ object StatsGates extends GateFamily {
           col("f1"), col("f2"), col("chao1_e6"), col("gt_unseen_ppm"),
           col("coverage_ppm"))),
 
+    // Simple Good–Turing smoothing table (Good 1953; Gale & Sampson
+    // 1995) at r ≤ 8 per source: frequency-of-frequencies N_r and the
+    // Turing-smoothed r* = (r+1)·N_{r+1}/N_r in truncating e6 — the
+    // table an LM smoother consumes for the reliable low counts
+    // (q379's Zipf slope covers the tail). Companion to q382's scalar
+    // unseen mass.
+    "q442_good_turing" -> ((s, dir) =>
+      operators.Richness.goodTuringSmoothingE6(
+        t(s, dir, "documents").select(col("source"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+          .where(length(col("w")) > 0),
+        col("source"), col("w"), maxR = 8)
+        .select(col("g").as("source"), col("r"), col("n_r"),
+          col("r_star_e6"))),
+
+    // Hill diversity profile (Hill 1973; Jost 2006): richness ⁰D,
+    // Shannon-effective ¹D = exp(H) (micro-nat terms summed exactly,
+    // ONE pinned exp), inverse-Simpson ²D = N²/Σc² (pure integers) —
+    // per-source effective vocabulary at three rare-type
+    // sensitivities, the concentration readout beside q382/q442.
+    "q444_hill_numbers" -> ((s, dir) =>
+      operators.Richness.hillProfileE6(
+        t(s, dir, "documents").select(col("source"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+          .where(length(col("w")) > 0),
+        col("source"), col("w"))
+        .select(col("g").as("source"), col("n_tokens"), col("hill0"),
+          col("shannon_e6"), col("hill1_e6"), col("hill2_e6"))),
+
     // Aalen–Johansen cumulative incidence under competing risks:
     // per user, first purchase (cause 1) vs first error (cause 2)
     // after the first view, hour grain, censored at the stream end —
@@ -1392,6 +1421,49 @@ object StatsGates extends GateFamily {
         | CAST(1000000 - f1 * 1000000 // n_tokens AS BIGINT)
         |  AS coverage_ppm
         |FROM st""".stripMargin,
+
+    // q442: the r+1 self-join over the per-source frequency spectrum,
+    // HUGEINT truncating arithmetic.
+    "q442_good_turing" ->
+      """WITH tok AS (SELECT source AS g, unnest(list_filter(
+        |   regexp_split_to_array(trim(lower(text)), '\s+'),
+        |   x -> length(x) > 0)) AS w
+        | FROM documents),
+        |ty AS (SELECT g, w, CAST(count(*) AS BIGINT) AS r
+        | FROM tok GROUP BY 1, 2),
+        |spec AS (SELECT g, r, CAST(count(*) AS BIGINT) AS n_r
+        | FROM ty GROUP BY 1, 2)
+        |SELECT lo.g AS source, lo.r, lo.n_r,
+        | CAST(CAST(lo.r + 1 AS HUGEINT) * COALESCE(hi.n_r, 0) * 1000000
+        |  // lo.n_r AS BIGINT) AS r_star_e6
+        |FROM (SELECT * FROM spec WHERE r <= 8) lo
+        |LEFT JOIN spec hi ON hi.g = lo.g AND hi.r = lo.r + 1""".stripMargin,
+
+    // q444: micro-nat entropy terms summed exactly, one exp per group;
+    // inverse Simpson in pure HUGEINT.
+    "q444_hill_numbers" ->
+      """WITH tok AS (SELECT source AS g, unnest(list_filter(
+        |   regexp_split_to_array(trim(lower(text)), '\s+'),
+        |   x -> length(x) > 0)) AS w
+        | FROM documents),
+        |ty AS (SELECT g, w, CAST(count(*) AS BIGINT) AS c
+        | FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM ty GROUP BY 1),
+        |terms AS (SELECT ty.g, tot.n, ty.c,
+        |  CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |   * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |   * 1000000.0) AS BIGINT) AS h_term
+        | FROM ty JOIN tot ON tot.g = ty.g),
+        |agg AS (SELECT g, n, CAST(count(*) AS BIGINT) AS hill0,
+        |  CAST(sum(h_term) AS BIGINT) AS shannon_e6,
+        |  sum(CAST(c AS HUGEINT) * c) AS c2
+        | FROM terms GROUP BY 1, 2)
+        |SELECT g AS source, n AS n_tokens, hill0, shannon_e6,
+        | CAST(round(exp(CAST(shannon_e6 AS DOUBLE) / 1000000.0)
+        |  * 1000000.0) AS BIGINT) AS hill1_e6,
+        | CAST(CAST(n AS HUGEINT) * n * 1000000 // c2 AS BIGINT)
+        |  AS hill2_e6
+        |FROM agg""".stripMargin,
 
     // q385: the q214 subject frame widened to two causes; the
     // truncating AJ product recurrence replayed as a recursive CTE

@@ -54,6 +54,17 @@ object TextGates extends GateFamily {
       TextFunctions.repetitionStats(t(s, dir, "documents"), "doc_id", "text",
         "\\s+")),
 
+    // Distinct-n diversity profile (Li et al. 2016's distinct-1/-2 as
+    // a corpus readout): per source and n ∈ {1,2,3}, total vs distinct
+    // word n-grams (per-document grams — never spanning docs) and the
+    // truncating distinct share — templated/repetitive sources score
+    // low before they reach training; the corpus-grain complement to
+    // q40's within-document repetition census.
+    "q443_distinct_ngrams" -> ((s, dir) =>
+      CorpusOps.distinctNgramProfileE6(t(s, dir, "documents"),
+        "source", "text", maxN = 3)
+        .withColumnRenamed("grp", "source")),
+
     // Corpus prep: deterministic hash split — stable under corpus growth,
     // engine- and partitioning-independent (no rand(), no global order)
     "q44_split_assign" -> ((s, dir) =>
@@ -653,6 +664,37 @@ object TextGates extends GateFamily {
         |   AS dup_unit_chars,
         | CAST(sum(cnt * length(un)) AS BIGINT) AS total_unit_chars
         |FROM c GROUP BY doc_id""".stripMargin,
+
+    // q443: per-n gram frames rebuilt with 1-based inclusive slices
+    // (the q47 technique); range() stop-exclusive bounds give exactly
+    // len−n+1 grams per document.
+    "q443_distinct_ngrams" ->
+      """WITH toks AS (SELECT source AS grp,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        | FROM documents),
+        |g1 AS (SELECT grp, unnest(ts) AS g FROM toks),
+        |g2 AS (SELECT grp, array_to_string(ts[i:i+1], ' ') AS g
+        | FROM toks, UNNEST(range(1, len(ts))) AS t(i)),
+        |g3 AS (SELECT grp, array_to_string(ts[i:i+2], ' ') AS g
+        | FROM toks, UNNEST(range(1, len(ts) - 1)) AS t(i)),
+        |p1 AS (SELECT grp, CAST(1 AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS total_grams,
+        |  CAST(count(DISTINCT g) AS BIGINT) AS distinct_grams
+        | FROM g1 GROUP BY grp),
+        |p2 AS (SELECT grp, CAST(2 AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS total_grams,
+        |  CAST(count(DISTINCT g) AS BIGINT) AS distinct_grams
+        | FROM g2 GROUP BY grp),
+        |p3 AS (SELECT grp, CAST(3 AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS total_grams,
+        |  CAST(count(DISTINCT g) AS BIGINT) AS distinct_grams
+        | FROM g3 GROUP BY grp),
+        |u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+        | UNION ALL SELECT * FROM p3)
+        |SELECT grp AS source, n, total_grams, distinct_grams,
+        | CAST(CAST(distinct_grams AS HUGEINT) * 1000000 // total_grams
+        |  AS BIGINT) AS distinct_e6
+        |FROM u""".stripMargin,
 
     "q59_quality_classifier" -> q59OracleSql,
 

@@ -498,6 +498,42 @@ object CorpusOps {
       .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("cnt")).agg(count(lit(1)).as("n_terms"))
 
+  /** Distinct-n diversity profile (Li et al. 2016's distinct-1/-2,
+    * the generation-diversity metric turned corpus readout): per group
+    * and n ∈ 1..maxN, total word n-grams, distinct word n-grams, and
+    * distinct_e6 = distinct·1e6 div total — low values flag templated
+    * or repetition-heavy sources before they reach training. N-grams
+    * are built PER DOCUMENT (never spanning docs), the [[wordNgramsRaw]]
+    * tokenization verbatim.
+    *
+    * Scale shape: one tokenize+explode pass per n (narrow, no shuffle),
+    * then a per-group count-distinct — the gram exchange is the
+    * irreducible cost of exact distinctness and is map-side partially
+    * aggregated; output is (group × maxN) census grain. */
+  def distinctNgramProfileE6(docs: DataFrame, groupCol: String,
+      textCol: String, maxN: Int): DataFrame = {
+    require(maxN >= 1 && maxN <= 5,
+      s"distinctNgramProfileE6: 1 ≤ maxN ≤ 5, got $maxN")
+    val toks = docs.select(col(groupCol).as("grp"),
+      split(trim(lower(col(textCol))), "\\s+").as("__ts"))
+    (1 to maxN).map { n =>
+      val grams =
+        if (n == 1) toks.select(col("grp"), explode(col("__ts")).as("g"))
+        else toks.select(col("grp"),
+          explode(when(size(col("__ts")) >= n,
+              transform(sequence(lit(1), size(col("__ts")) - (n - 1)),
+                i => array_join(slice(col("__ts"), i, lit(n)), " ")))
+            .otherwise(array().cast("array<string>"))).as("g"))
+      grams.groupBy(col("grp"))
+        .agg(count(lit(1)).as("total_grams"),
+          countDistinct(col("g")).as("distinct_grams"))
+        .select(col("grp"), lit(n.toLong).as("n"), col("total_grams"),
+          col("distinct_grams"),
+          expr("CAST(CAST(distinct_grams AS DECIMAL(38,0)) * 1000000" +
+            " div total_grams AS BIGINT)").as("distinct_e6"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Distinct lowercase word n-grams per document: (id, g). The distinct
     * is a full exchange of every gram — fine for small held-out sets,
     * wrong for a training corpus (see [[contamination]], which joins the

@@ -55,6 +55,85 @@ object Richness {
         expr("1000000 - f1 * 1000000 div n_tokens").as("coverage_ppm"))
   }
 
+  /** Hill diversity profile (Hill 1973; Jost 2006's "effective number
+    * of species" framing) — the three standard orders over a group's
+    * token distribution, each an "effective vocabulary size":
+    *
+    *   ⁰D = D                    (richness — observed types)
+    *   ¹D = exp(H), H = −Σ p ln p  (Shannon's effective types)
+    *   ²D = 1/Σ p² = N² / Σ c²     (inverse Simpson — exact rational)
+    *
+    * The corpus-curation readout: how concentrated is a source's
+    * vocabulary REALLY, at three sensitivities to rare types. ¹D is
+    * the one pinned double chain of the house entropy convention —
+    * per-type micro-nat terms round(−(c/N)·ln(c/N)·1e6) summed as
+    * exact integers (shannon_e6), then hill1_e6 =
+    * round(exp(shannon_e6/1e6)·1e6); ²D is a pure integer chain
+    * N²·1e6 div Σc². Output per group: (g, n_tokens, hill0,
+    * shannon_e6, hill1_e6, hill2_e6).
+    *
+    * Scale shape: the same two map-side-combined hash aggregates as
+    * [[richnessProfileE6]]; nothing after the type census is
+    * data-sized. */
+  def hillProfileE6(df: DataFrame, group: Column,
+      token: Column): DataFrame = {
+    val types = df.select(group.as("g"), token.as("w"))
+      .groupBy(col("g"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val tot = types.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    types.join(tot, "g")
+      .select(col("g"), col("n"), col("c"),
+        expr("""CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+              | * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+              | * 1000000.0) AS BIGINT)""".stripMargin).as("h_term"))
+      .groupBy(col("g"), col("n"))
+      .agg(count(lit(1)).as("hill0"),
+        sum(col("h_term")).as("shannon_e6"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("__c2"))
+      .select(col("g"), col("n").as("n_tokens"), col("hill0"),
+        col("shannon_e6"),
+        expr("""CAST(round(exp(CAST(shannon_e6 AS DOUBLE) / 1000000.0)
+              | * 1000000.0) AS BIGINT)""".stripMargin).as("hill1_e6"),
+        expr("""CAST(CAST(n AS DECIMAL(38,0)) * n * 1000000 div __c2
+              | AS BIGINT)""".stripMargin).as("hill2_e6"))
+  }
+
+  /** Simple Good–Turing count smoothing table (Good 1953; Gale &
+    * Sampson 1995's presentation) for the low counts that matter:
+    * per group and observed count r ≤ `maxR`, the frequency of
+    * frequencies N_r and the Turing-smoothed count
+    *
+    *   r*·1e6 = (r+1)·N_{r+1}·1e6 div N_r
+    *
+    * (0 when N_{r+1} = 0 — the raw estimator, no tail fit; the
+    * LM-smoothing consumer switches to a Zipf fit past the reliable
+    * low-r region, q379's slope). The companion table to
+    * [[richnessProfileE6]]'s scalar unseen mass. Output per (group,
+    * r): (g, r, n_r, r_star_e6).
+    *
+    * Scale shape: type census → frequency-of-frequencies census
+    * (both map-side-combined hash aggregates), then a self-join on
+    * (g, r+1) over the ≤ maxR-row-per-group spectrum. */
+  def goodTuringSmoothingE6(df: DataFrame, group: Column, token: Column,
+      maxR: Int): DataFrame = {
+    require(maxR >= 1 && maxR <= 1000,
+      s"goodTuringSmoothingE6: 1 ≤ maxR ≤ 1000, got $maxR")
+    val spectrum = df.select(group.as("g"), token.as("w"))
+      .groupBy(col("g"), col("w"))
+      .agg(count(lit(1)).as("r"))
+      .groupBy(col("g"), col("r"))
+      .agg(count(lit(1)).as("n_r"))
+      .where(col("r") <= maxR + 1)
+      .localCheckpoint(true) // both sides of the r+1 self-join read it
+    spectrum.where(col("r") <= maxR)
+      .join(spectrum.select(col("g"), (col("r") - 1).as("r"),
+        col("n_r").as("n_r1")), Seq("g", "r"), "left")
+      .select(col("g"), col("r"), col("n_r"),
+        expr("""CAST(CAST(r + 1 AS DECIMAL(38,0))
+              | * coalesce(n_r1, 0) * 1000000 div n_r
+              | AS BIGINT)""".stripMargin).as("r_star_e6"))
+  }
+
   /** Chapman capture–recapture estimator (Chapman 1951; the
     * bias-corrected Lincoln–Petersen): estimate a POPULATION size from
     * two overlapping samples —

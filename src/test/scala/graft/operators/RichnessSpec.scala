@@ -46,4 +46,59 @@ class RichnessSpec extends SparkSpec {
     // err = |5_666_666 − 6_000_000|·1e6 div 6_000_000 = 55_555
     assert(audited.getLong(5) == 55555L)
   }
+
+  private def pin(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  test("hillProfileE6: hand distribution at all three orders") {
+    // g1: a×2, b×1, c×1 → N=4, D=3
+    //   H terms (micro-nats): −.5 ln .5, −.25 ln .25 (×2)
+    //   hill2 = 16e6 div (4+1+1) = 2_666_666
+    val toks = Seq(("g1", "a"), ("g1", "a"), ("g1", "b"), ("g1", "c"),
+      // g2: uniform over 2 types → hill1 = 2e6 exactly-ish, hill2 = 2e6
+      ("g2", "x"), ("g2", "y"))
+      .toDF("g", "w")
+    val got = Richness.hillProfileE6(toks, col("g"), col("w"))
+      .select("g", "n_tokens", "hill0", "shannon_e6", "hill1_e6",
+        "hill2_e6")
+      .as[(String, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val t1 = pin(-0.5 * math.log(0.5) * 1e6)
+    val t2 = pin(-0.25 * math.log(0.25) * 1e6)
+    val h1 = t1 + 2 * t2
+    assert(got("g1") == (("g1", 4L, 3L, h1,
+      pin(math.exp(h1 / 1e6) * 1e6), 2666666L)))
+    val hu = 2 * pin(-0.5 * math.log(0.5) * 1e6)
+    assert(got("g2") == (("g2", 2L, 2L, hu,
+      pin(math.exp(hu / 1e6) * 1e6), 2000000L)))
+  }
+
+  test("goodTuringSmoothingE6: spectrum and the r+1 smoothing rule") {
+    // counts: a×1 b×1 c×2 d×2 e×2 f×3 → N_1=2, N_2=3, N_3=1
+    //   r*=1: 2·3·1e6 div 2 = 3e6;  r*=2: 3·1·1e6 div 3 = 1e6;
+    //   r*=3: N_4=0 → 0
+    val toks = (Seq.fill(1)("a") ++ Seq.fill(1)("b") ++ Seq.fill(2)("c") ++
+      Seq.fill(2)("d") ++ Seq.fill(2)("e") ++ Seq.fill(3)("f"))
+      .map(("g1", _)).toDF("g", "w")
+    val got = Richness.goodTuringSmoothingE6(toks, col("g"), col("w"),
+        maxR = 5)
+      .select("r", "n_r", "r_star_e6")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got == Map(1L -> ((2L, 3000000L)), 2L -> ((3L, 1000000L)),
+      3L -> ((1L, 0L))))
+  }
+
+  test("distinctNgramProfileE6: per-doc grams never span documents") {
+    // two docs in one source: "a b a" and "b a"; distinct-1 = {a, b}
+    // over 5 tokens; bigrams: "a b","b a" (doc1) + "b a" (doc2) →
+    // 2 distinct of 3 total — "a b a"+"b a" would add a cross-doc gram
+    // if grams spanned docs
+    val docs = Seq(("s1", "a b a"), ("s1", "b a")).toDF("source", "text")
+    val got = CorpusOps.distinctNgramProfileE6(docs, "source", "text", 2)
+      .select("n", "total_grams", "distinct_grams", "distinct_e6")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 5L, 2L, 400000L)))
+    assert(got(2L) == ((2L, 3L, 2L, 666666L)))
+  }
 }
