@@ -699,6 +699,44 @@ object StatsGates extends GateFamily {
         expr("(ts_ms div 604800000) % 2 = 0"),
         expr("(ts_ms div 604800000) % 2 = 1"))),
 
+    // Schnabel multi-occasion capture–recapture (Schnabel 1938): days
+    // as capture occasions over the user stream, the RUNNING estimate
+    // Σ(C·M)·1e6 div ΣR per occasion — watch the population estimate
+    // converge as observation rounds accumulate; the k-sample
+    // trajectory sibling of q437's two-window Chapman audit.
+    "q445_schnabel" -> ((s, dir) =>
+      operators.CaptureRecapture.schnabelTrajectoryE6(ev(s, dir),
+        col("user_id"), expr("ts_ms div 86400000"))),
+
+    // Page's L test for ordered alternatives (Page 1963): does quantity
+    // trend monotonically across line positions 1→3 within each
+    // complete 3-line order block — doubled within-block midranks, the
+    // exact integer L2 and its null mean, one pinned-z readout; the
+    // repeated-measures trend sibling of q419's Jonckheere (independent
+    // groups) and q394's Kendall's W (any-agreement).
+    "q440_page_trend" -> ((s, dir) =>
+      operators.OrdinalTests.pageTrendE6(t(s, dir, "lineitem"),
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity")).cast("long"), k = 3)),
+
+    // Ansari–Bradley two-sample scale test (Ansari & Bradley 1960):
+    // do F-status and O-status line prices SPREAD differently —
+    // center-folded doubled-midrank scores off the pooled value
+    // census, exact conditional moments under ties, one pinned z;
+    // the nonparametric sibling of q388's parametric dispersion fits.
+    "q441_ansari_bradley" -> ((s, dir) =>
+      operators.Dispersion.ansariBradleyE6(t(s, dir, "lineitem"),
+        col("l_linestatus") === "F", cents(col("l_extendedprice")))),
+
+    // Brown–Forsythe variance-homogeneity F (Brown & Forsythe 1974):
+    // median-centered absolute deviations of line price cents per
+    // return flag, then the one-way F on the deviations — the screen
+    // every pooled-variance test (q154's chi², the t-family) should
+    // run first. Sums of squares emit as exact decimal strings.
+    "q446_brown_forsythe" -> ((s, dir) =>
+      decStr(operators.Dispersion.brownForsytheE6(t(s, dir, "lineitem"),
+        col("l_returnflag"), cents(col("l_extendedprice"))))),
+
     // Horvitz–Thompson audit under Poisson-PPS sampling: orders enter
     // with π ∝ a COARSE size proxy (totalprice cents div 10000,
     // expected m = 200 draws from PolyHash64 uniforms), the HT
@@ -1756,6 +1794,132 @@ object StatsGates extends GateFamily {
         |   // (CAST(m + 1 AS HUGEINT) * (m + 1) * (m + 2)) AS BIGINT)
         |  AS var_nhat
         |FROM s""".stripMargin,
+
+    // q445: first-capture per user, occasion census, cumulative
+    // windows; HUGEINT truncating running estimate.
+    "q445_schnabel" ->
+      """WITH caps AS (SELECT DISTINCT user_id AS u,
+        |  epoch_ms(ts) // 86400000 AS t FROM events),
+        |fc AS (SELECT u, min(t) AS ft FROM caps GROUP BY 1),
+        |occ AS (SELECT t,
+        |  CAST(count(*) AS BIGINT) AS c_t,
+        |  CAST(sum(CASE WHEN ft < t THEN 1 ELSE 0 END) AS BIGINT) AS r_t,
+        |  CAST(sum(CASE WHEN ft = t THEN 1 ELSE 0 END) AS BIGINT) AS nw
+        | FROM caps JOIN fc USING (u) GROUP BY 1),
+        |run0 AS (SELECT t, c_t, r_t,
+        |  COALESCE(sum(nw) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |   0) AS m_t
+        | FROM occ),
+        |run AS (SELECT t, c_t, r_t, m_t,
+        |  sum(CAST(c_t AS HUGEINT) * m_t)
+        |   OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum_cm,
+        |  sum(r_t) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum_r
+        | FROM run0)
+        |SELECT t, c_t, r_t, CAST(m_t AS BIGINT) AS m_t,
+        | CAST(cum_cm AS BIGINT) AS cum_cm,
+        | CAST(cum_r AS BIGINT) AS cum_r,
+        | CASE WHEN cum_r = 0 THEN 0
+        |  ELSE CAST(cum_cm * 1000000 // cum_r AS BIGINT) END AS nhat_e6
+        |FROM run""".stripMargin,
+
+    // q440: per-block doubled midranks (rank() is min-rank in both
+    // engines); the z constants inline k=3 exactly as the Spark text.
+    "q440_page_trend" ->
+      """WITH cells AS (SELECT l_orderkey AS b,
+        |  CAST(l_linenumber AS BIGINT) AS t,
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS v
+        | FROM lineitem WHERE l_linenumber BETWEEN 1 AND 3
+        | GROUP BY 1, 2),
+        |comp AS (SELECT b FROM cells GROUP BY b HAVING count(*) = 3),
+        |rk AS (SELECT c.b, c.t,
+        |  2 * rank() OVER (PARTITION BY c.b ORDER BY c.v)
+        |   + count(*) OVER (PARTITION BY c.b, c.v) - 1 AS mr2
+        | FROM cells c JOIN comp USING (b)),
+        |agg AS (SELECT CAST(count(*) // 3 AS BIGINT) AS n_blocks,
+        |  CAST(COALESCE(sum(t * mr2), 0) AS BIGINT) AS l2 FROM rk)
+        |SELECT n_blocks, CAST(3 AS BIGINT) AS k, l2,
+        | CAST(n_blocks * 3 * (4 * 4) // 2 AS BIGINT) AS e_l2,
+        | CASE WHEN n_blocks = 0 THEN 0
+        |  ELSE CAST(round((CAST(l2 AS DOUBLE)
+        |    - CAST(n_blocks * 3 * (4 * 4) // 2 AS DOUBLE))
+        |   * 6.0 / (3 * sqrt(CAST(n_blocks AS DOUBLE) * 4.0 * 8.0))
+        |   * 1000000.0) AS BIGINT) END AS z_e6
+        |FROM agg""".stripMargin,
+
+    // q441: pooled value census, doubled midranks, exact conditional
+    // tie moments in HUGEINT, the identical pinned z text.
+    "q441_ansari_bradley" ->
+      """WITH cells AS (SELECT
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS cx,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN 0 ELSE 1 END)
+        |   AS BIGINT) AS cy
+        | FROM lineitem GROUP BY 1),
+        |sc AS (SELECT v, cx, cy, cx + cy AS ct,
+        |  sum(cx + cy) OVER () AS n,
+        |  2 * COALESCE(sum(cx + cy) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   + cx + cy + 1 AS mr2
+        | FROM cells),
+        |a AS (SELECT v, cx, cy, ct, n,
+        |  least(mr2, 2 * (n + 1) - mr2) AS a2 FROM sc),
+        |agg AS (SELECT CAST(sum(cx) AS BIGINT) AS n_x,
+        |  CAST(sum(cy) AS BIGINT) AS n_y,
+        |  CAST(sum(a2 * cx) AS BIGINT) AS ab2,
+        |  sum(CAST(a2 AS HUGEINT) * ct) AS s,
+        |  sum(CAST(a2 AS HUGEINT) * a2 * ct) AS s2 FROM a),
+        |vv AS (SELECT n_x, n_y, ab2, s,
+        |  CAST(n_x AS HUGEINT) * n_y * ((n_x + n_y) * s2 - s * s)
+        |   AS vnum FROM agg)
+        |SELECT n_x, n_y, ab2,
+        | CAST(CAST(n_x AS HUGEINT) * s * 1000000 // (n_x + n_y)
+        |  AS BIGINT) AS e_ab2_e6,
+        | CASE WHEN n_x + n_y < 2 OR vnum <= 0 THEN 0
+        |  ELSE CAST(round((CAST(ab2 AS DOUBLE)
+        |    - CAST(n_x AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / (CAST(n_x AS DOUBLE) + CAST(n_y AS DOUBLE)))
+        |   / sqrt(CAST(vnum AS DOUBLE)
+        |    / ((CAST(n_x AS DOUBLE) + CAST(n_y AS DOUBLE))
+        |     * (CAST(n_x AS DOUBLE) + CAST(n_y AS DOUBLE))
+        |     * (CAST(n_x AS DOUBLE) + CAST(n_y AS DOUBLE) - 1.0)))
+        |   * 1000000.0) AS BIGINT) END AS z_e6
+        |FROM vv""".stripMargin,
+
+    // q446: lower medians per group, floored ⌊S²/n⌋ terms (HUGEINT //
+    // truncates = floors on nonnegative operands, matching the Spark
+    // pmod identity), sums of squares as exact digit strings.
+    "q446_brown_forsythe" ->
+      """WITH cells AS (SELECT l_returnflag AS g,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |  CAST(count(*) AS BIGINT) AS c
+        | FROM lineitem GROUP BY 1, 2),
+        |cum AS (SELECT g, v, c,
+        |  sum(c) OVER (PARTITION BY g ORDER BY v
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(c) OVER (PARTITION BY g) AS ng
+        | FROM cells),
+        |med AS (SELECT g, min(v) AS med FROM cum
+        | WHERE 2 * cum >= ng + 1 GROUP BY g),
+        |grp AS (SELECT c.g, CAST(sum(c.c) AS HUGEINT) AS ng,
+        |  CAST(sum(abs(c.v - m.med) * c.c) AS HUGEINT) AS sg,
+        |  sum(CAST(abs(c.v - m.med) AS HUGEINT)
+        |   * abs(c.v - m.med) * c.c) AS qg
+        | FROM cells c JOIN med m ON m.g = c.g GROUP BY c.g),
+        |g2 AS (SELECT g, ng, sg, qg, (sg * sg) // ng AS tg FROM grp),
+        |tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS k,
+        |  sum(sg) AS s, sum(qg) AS q, sum(tg) AS st FROM g2),
+        |fin AS (SELECT n, k,
+        |  greatest(CAST(0 AS HUGEINT), st - (s * s) // n) AS a_ss,
+        |  greatest(CAST(0 AS HUGEINT), q - st) AS b_ss FROM tot)
+        |SELECT n, k, CAST(a_ss AS VARCHAR) AS a_ss,
+        | CAST(b_ss AS VARCHAR) AS b_ss,
+        | CASE WHEN k < 2 OR b_ss = 0 THEN 0
+        |  ELSE CAST((n - k) * a_ss * 1000000
+        |   // (CAST(k - 1 AS HUGEINT) * b_ss) AS BIGINT) END AS f_e6
+        |FROM fin""".stripMargin,
 
     // q433: hour census + cumulative window; the four SPRT constants
     // are the identical pinned ln chains.

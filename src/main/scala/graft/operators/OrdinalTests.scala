@@ -187,4 +187,59 @@ object OrdinalTests {
       .select(col("n"), col("k"), col("median_v"),
         col("__chi").as("chi2_e6"))
   }
+
+  /** Page's L test for ORDERED alternatives in complete blocks (Page
+    * 1963) — the repeated-measures trend sibling of [[jonckheereE3]]
+    * (independent groups) and q394's Kendall's W (any-agreement): does
+    * the value trend MONOTONICALLY across the k ordered treatments,
+    * block by block. Doubled within-block midranks keep ties exact
+    * (the q394 rule: mr2 = 2·rank_min + ties − 1), so
+    *
+    *   L2 = Σ_blocks Σ_j j·mr2_{bj}   (exact integer; = 2L untied)
+    *   E[L2] = n·k·(k+1)² div 2       (always integer)
+    *   z_e6 = round((L2 − E)·6 / (k·√(n·(k+1)·(k²−1)))·1e6)
+    *
+    * — the classical no-tie normal reading (documented approximation
+    * under ties, as [[jonckheereE3]] does); the z is ONE pinned double
+    * chain over exact integers, replayable in SQL verbatim.
+    *
+    * Blocks must be complete: exactly one value per (block, treatment)
+    * — the input is canonicalized by summing duplicates, then blocks
+    * missing any treatment drop (Fleiss-style complete-design filter).
+    *
+    * Scale shape: one hash aggregate to (block, treatment) cells, a
+    * complete-block semi-join, per-BLOCK windowed midranks (real
+    * partitions — the q82 shape), one global aggregate. */
+  def pageTrendE6(df: DataFrame, block: Column, treatmentOrd: Column,
+      value: Column, k: Int): DataFrame = {
+    require(k >= 3 && k <= 64, s"pageTrendE6: 3 ≤ k ≤ 64, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.select(block.as("b"),
+        treatmentOrd.cast("long").as("t"), value.cast("long").as("v"))
+      .where(col("b").isNotNull && col("v").isNotNull &&
+        col("t").between(1L, k.toLong))
+      .groupBy(col("b"), col("t")).agg(sum(col("v")).as("v"))
+    val complete = cells.groupBy(col("b"))
+      .agg(count(lit(1)).as("__nt")).where(col("__nt") === k.toLong)
+      .select(col("b"))
+    val wR = Window.partitionBy(col("b")).orderBy(col("v"))
+    val wT = Window.partitionBy(col("b"), col("v"))
+    val ranked = cells.join(complete, "b")
+      .withColumn("mr2",
+        lit(2L) * rank().over(wR) + count(lit(1)).over(wT) - lit(1L))
+    ranked
+      .agg(expr(s"count(1) div ${k}L").as("n_blocks"),
+        coalesce(sum(col("t") * col("mr2")), lit(0L)).as("l2"))
+      .select(col("n_blocks"), lit(k.toLong).as("k"), col("l2"),
+        expr(s"n_blocks * ${k}L * (${k + 1}L * ${k + 1}L) div 2")
+          .as("e_l2"),
+        expr(
+          s"""CASE WHEN n_blocks = 0 THEN 0
+             | ELSE CAST(round((CAST(l2 AS DOUBLE)
+             |   - CAST(n_blocks * ${k}L * (${k + 1}L * ${k + 1}L) div 2
+             |       AS DOUBLE))
+             |  * 6.0 / ($k * sqrt(CAST(n_blocks AS DOUBLE)
+             |   * ${k + 1}.0 * ${k * k - 1}.0))
+             |  * 1000000.0) AS BIGINT) END""".stripMargin).as("z_e6"))
+  }
 }

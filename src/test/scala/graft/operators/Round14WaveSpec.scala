@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-computed unit fixtures for the round-14 wave operators that are
+  * otherwise oracle-gated only (Page's L, Ansari–Bradley, Schnabel,
+  * Brown–Forsythe). */
+class Round14WaveSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pin(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  test("pageTrendE6: perfect monotone trend hits the exact maximum") {
+    // 3 complete blocks, values strictly increasing with treatment →
+    // per-block mr2 = (2, 4, 6), L2 = 28 each; block b4 is incomplete
+    // (2 treatments) and must DROP
+    val rows = (1 to 3).flatMap(b => Seq((s"b$b", 1L, 10L + b),
+      (s"b$b", 2L, 20L + b), (s"b$b", 3L, 30L + b))) ++
+      Seq(("b4", 1L, 5L), ("b4", 2L, 6L))
+    val out = OrdinalTests.pageTrendE6(rows.toDF("b", "t", "v"),
+        col("b"), col("t"), col("v"), k = 3)
+      .select("n_blocks", "k", "l2", "e_l2", "z_e6")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 1)
+    val (n, k, l2, e, z) = out(0)
+    assert((n, k, l2, e) == ((3L, 3L, 84L, 72L)))
+    // z = (84 − 72)·6 / (3·√(3·4·8))
+    assert(z == pin((84.0 - 72.0) * 6.0 / (3 * math.sqrt(3.0 * 4 * 8))
+      * 1e6))
+  }
+
+  test("pageTrendE6: within-block ties take doubled midranks") {
+    // one block, values (5, 5, 9): ranks (1,1,3) → mr2 = (3, 3, 6);
+    // L2 = 1·3 + 2·3 + 3·6 = 27
+    val rows = Seq(("b1", 1L, 5L), ("b1", 2L, 5L), ("b1", 3L, 9L))
+    val out = OrdinalTests.pageTrendE6(rows.toDF("b", "t", "v"),
+        col("b"), col("t"), col("v"), k = 3)
+      .select("n_blocks", "l2").as[(Long, Long)].collect()
+    assert(out(0) == ((1L, 27L)))
+  }
+
+  test("ansariBradleyE6: hand scores on a pooled census with ties") {
+    // X = {1, 9}, Y = {5, 5}: pooled sorted (1, 5, 5, 9), N = 4
+    //   doubled midranks mr2 = 2·cumBelow + ties + 1:
+    //   v=1 → 2; v=5 → 5 (midrank 2.5); v=9 → 8
+    //   fold bound 2(N+1) = 10 → a2 = min(mr2, 10−mr2): (2, 5, 2)
+    //   AB2 = 2 + 2 = 4 (X at the extremes scores low = more spread);
+    //   S = 2 + 5·2 + 2 = 14; S2 = 4 + 25·2 + 4 = 58
+    val rows = Seq((true, 1L), (true, 9L), (false, 5L), (false, 5L))
+    val out = Dispersion.ansariBradleyE6(rows.toDF("x", "v"),
+        col("x"), col("v"))
+      .select("n_x", "n_y", "ab2", "e_ab2_e6", "z_e6")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val (nx, ny, ab2, eab, z) = out(0)
+    assert((nx, ny, ab2) == ((2L, 2L, 4L)))
+    assert(eab == 2L * 14L * 1000000L / 4L)
+    val vnum = 2.0 * 2 * (4 * 58 - 14 * 14).toDouble
+    assert(z == pin((4.0 - 2.0 * 14.0 / 4.0) /
+      math.sqrt(vnum / (4.0 * 4.0 * 3.0)) * 1e6))
+  }
+
+  test("schnabelTrajectoryE6: hand occasions converge on the estimate") {
+    // occ 1: {a,b}; occ 2: {b,c}; occ 3: {a,c,d}
+    val rows = Seq(("a", 1L), ("b", 1L), ("b", 2L), ("c", 2L),
+      ("a", 3L), ("c", 3L), ("d", 3L), ("d", 3L)) // dup collapses
+    val out = CaptureRecapture.schnabelTrajectoryE6(
+        rows.toDF("u", "t"), col("u"), col("t"))
+      .select("t", "c_t", "r_t", "m_t", "cum_cm", "cum_r", "nhat_e6")
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 2L, 0L, 0L, 0L, 0L, 0L),
+      (2L, 2L, 1L, 2L, 4L, 1L, 4000000L),
+      (3L, 3L, 2L, 3L, 13L, 3L, 13000000L / 3L)))
+  }
+
+  test("brownForsytheE6: two hand groups through the floored F chain") {
+    // g1 = (1,3,5): med 3, z = (2,0,2), S=4, Q=8, ⌊16/3⌋ = 5
+    // g2 = (10,10,20,40): pinned order stat (2cum ≥ n+1) → med 20,
+    //   z = (10,10,0,20), S=40, Q=600, ⌊1600/4⌋ = 400
+    // st=405, S=44, N=7 → ⌊1936/7⌋ = 276; A=129, B=608−405=203
+    // F_e6 = 5·129·1e6 div 203 = 3177339
+    val rows = Seq(("g1", 1L), ("g1", 3L), ("g1", 5L),
+      ("g2", 10L), ("g2", 10L), ("g2", 20L), ("g2", 40L))
+    val out = Dispersion.brownForsytheE6(rows.toDF("g", "v"),
+        col("g"), col("v"))
+      .selectExpr("n", "k", "CAST(a_ss AS STRING)", "CAST(b_ss AS STRING)",
+        "f_e6")
+      .as[(Long, Long, String, String, Long)].collect()
+    assert(out(0) == ((7L, 2L, "129", "203", 3177339L)))
+  }
+}
