@@ -456,6 +456,26 @@ object ExperimentGates extends GateFamily {
         col("source"), budget = 60000L, maxEpochsE6 = 2500000L)
         .withColumnRenamed("domain", "source")),
 
+    // Dataset-cartography map (Swayamdipta et al. 2020), count-based
+    // core: users as examples, weeks as epochs, weekly conversion as
+    // the binary hit — exact (confidence, variability) per example
+    // (n²σ² = s(n−s), corrected isqrt) bucketed into the easy/hard/
+    // ambiguous curation regions. Output is the region-census map.
+    "q447_cartography" -> ((s, dir) =>
+      operators.TrainingDynamics.cartographyE6(ev(s, dir),
+        col("user_id"), expr("ts_ms div 604800000"),
+        col("event_type") === "purchase")),
+
+    // Forgetting-event census (Toneva et al. 2019): per example the
+    // learned→forgotten transition count across ordered weekly epochs
+    // (one lead() in real per-user partitions on the zero-filled
+    // grid); ever_learned ∧ n_forget = 0 is the unforgettable
+    // (safely-prunable) class.
+    "q448_forgetting" -> ((s, dir) =>
+      operators.TrainingDynamics.forgettingCensus(ev(s, dir),
+        col("user_id"), expr("ts_ms div 604800000"),
+        col("event_type") === "purchase")),
+
     // Experiment power planner per segment: exact sample variance,
     // required per-arm n for a 1%-of-mean lift (ceil division), and
     // the minimum detectable effect at the CURRENT n (corrected
@@ -1250,6 +1270,62 @@ object ExperimentGates extends GateFamily {
         | CAST(a * 1000000 // nd AS BIGINT) AS epochs_e6,
         | CAST(a * 1000000 // 60000 AS BIGINT) AS budget_share_e6
         |FROM alloc""".stripMargin,
+
+    // q447: zero-filled (user × week) grid, the exact s(n−s) variance
+    // identity with the corrected-isqrt text mirrored verbatim.
+    "q447_cartography" ->
+      """WITH cells AS (SELECT user_id AS u,
+        |  epoch_ms(ts) // 604800000 AS ep,
+        |  CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS x
+        | FROM events GROUP BY 1, 2),
+        |eps AS (SELECT DISTINCT ep FROM cells),
+        |ne AS (SELECT CAST(count(*) AS BIGINT) AS n FROM eps),
+        |grid AS (SELECT us.u, eps.ep, COALESCE(c.x, 0) AS x
+        | FROM (SELECT DISTINCT u FROM cells) us CROSS JOIN eps
+        | LEFT JOIN cells c ON c.u = us.u AND c.ep = eps.ep),
+        |per AS (SELECT u, CAST(sum(x) AS BIGINT) AS s
+        | FROM grid GROUP BY 1),
+        |st AS (SELECT u, s, s * 1000000 // n AS conf_e6,
+        |  CAST(s AS HUGEINT) * (n - s) * 1000000000000 // (n * n) AS v
+        | FROM per, ne),
+        |sq AS (SELECT u, conf_e6, v,
+        |  CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT) AS s0 FROM st),
+        |vr AS (SELECT u, conf_e6,
+        |  CASE WHEN s0 * s0 > v THEN s0 - 1
+        |   WHEN (s0 + 1) * (s0 + 1) <= v THEN s0 + 1
+        |   ELSE s0 END AS var_e6
+        | FROM sq),
+        |reg AS (SELECT conf_e6, var_e6,
+        |  CASE WHEN var_e6 > 400000 THEN 'ambiguous'
+        |   WHEN conf_e6 >= 666667 THEN 'easy_to_learn'
+        |   WHEN conf_e6 <= 333333 THEN 'hard_to_learn'
+        |   ELSE 'middle' END AS region FROM vr)
+        |SELECT conf_e6 // 100000 AS conf_bucket,
+        | var_e6 // 100000 AS var_bucket, region,
+        | CAST(count(*) AS BIGINT) AS n_examples
+        |FROM reg GROUP BY 1, 2, 3""".stripMargin,
+
+    // q448: same grid, one lead per user, transition census.
+    "q448_forgetting" ->
+      """WITH cells AS (SELECT user_id AS u,
+        |  epoch_ms(ts) // 604800000 AS ep,
+        |  CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS x
+        | FROM events GROUP BY 1, 2),
+        |eps AS (SELECT DISTINCT ep FROM cells),
+        |grid AS (SELECT us.u, eps.ep, COALESCE(c.x, 0) AS x
+        | FROM (SELECT DISTINCT u FROM cells) us CROSS JOIN eps
+        | LEFT JOIN cells c ON c.u = us.u AND c.ep = eps.ep),
+        |tr AS (SELECT u, x,
+        |  lead(x) OVER (PARTITION BY u ORDER BY ep) AS nx FROM grid),
+        |per AS (SELECT u,
+        |  CAST(sum(CASE WHEN x = 1 AND nx = 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_forget,
+        |  max(x) AS learned FROM tr GROUP BY 1)
+        |SELECT n_forget, learned = 1 AS ever_learned,
+        | CAST(count(*) AS BIGINT) AS n_examples
+        |FROM per GROUP BY 1, 2""".stripMargin,
 
     // q416: unit-value prices per period, matched-basket sums in
     // HUGEINT, Fisher via the corrected isqrt.

@@ -91,4 +91,46 @@ class Round14WaveSpec extends SparkSpec {
       .as[(Long, Long, String, String, Long)].collect()
     assert(out(0) == ((7L, 2L, "129", "203", 3177339L)))
   }
+
+  // a: hit every epoch; b: hit-miss-hit; c: seen only at epoch 1, no hit
+  // (grid zero-fills epochs 2 and 3 for it)
+  private val dynRows = Seq(
+    ("a", 1L, true), ("a", 2L, true), ("a", 3L, true),
+    ("b", 1L, true), ("b", 2L, false), ("b", 3L, true),
+    ("c", 1L, false))
+
+  test("cartographyE6: hand map regions with the exact isqrt variability") {
+    val out = TrainingDynamics.cartographyE6(dynRows.toDF("u", "ep", "h"),
+        col("u"), col("ep"), col("h"))
+      .select("conf_bucket", "var_bucket", "region", "n_examples")
+      .as[(Long, Long, String, Long)].collect().toSet
+    // b: s=2, n=3 → conf = 666666; v = 2e12 div 9 = 222222222222,
+    // isqrt = 471404 → ambiguous (> 400000)
+    val vb = BigInt("222222222222")
+    val s0 = BigInt(math.sqrt(vb.toDouble).toLong)
+    val isq = if (s0 * s0 > vb) s0 - 1
+              else if ((s0 + 1) * (s0 + 1) <= vb) s0 + 1 else s0
+    assert(isq == 471404L && isq.toLong / 100000L == 4L)
+    assert(out == Set((10L, 0L, "easy_to_learn", 1L),
+      (6L, 4L, "ambiguous", 1L), (0L, 0L, "hard_to_learn", 1L)))
+  }
+
+  test("forgettingCensus: transition counts over the zero-filled grid") {
+    val out = TrainingDynamics.forgettingCensus(dynRows.toDF("u", "ep", "h"),
+        col("u"), col("ep"), col("h"))
+      .select("n_forget", "ever_learned", "n_examples")
+      .as[(Long, Boolean, Long)].collect().toSet
+    // a: unforgettable; b: one 1→0 transition; c: never learned
+    assert(out == Set((0L, true, 1L), (1L, true, 1L), (0L, false, 1L)))
+  }
+
+  test("TrainingDynamics rejects a data-grain epoch column loudly") {
+    val df = spark.range(1001).selectExpr("'u1' AS u", "id AS ep",
+      "true AS h")
+    val e = intercept[IllegalArgumentException] {
+      TrainingDynamics.forgettingCensus(df, col("u"), col("ep"),
+        col("h")).count()
+    }
+    assert(e.getMessage.contains("checkpoint-grain"))
+  }
 }
