@@ -332,6 +332,16 @@ object SimilarityGates extends GateFamily {
       Similarity.mmrRerankE6(t(s, dir, "embeddings"), "vec_id",
         "embedding", queryId = 0L, poolK = 10, selectK = 5)),
 
+    // Greedy facility-location exemplar selection (Lin & Bilmes 2011;
+    // Wei et al. 2015 for data selection): 8 exemplars maximizing
+    // clamped-cosine coverage of the 24-vector candidate pool —
+    // coverage-based coreset curation, the diversity-side complement
+    // of q401's MMR; per pick the exact marginal gain and the running
+    // objective.
+    "q449_facility_location" -> ((s, dir) =>
+      Similarity.facilityLocationSelectE6(t(s, dir, "embeddings"),
+        "vec_id", "embedding", col("vec_id") < 24, selectK = 8)),
+
     // Exact KNN-Shapley data valuation (Jia et al. 2019) over the
     // embedding pool: probe set = vec_id < 20 (the q20 convention),
     // K = 5, exact closed-form rank recurrence in pinned e9 integers;
@@ -417,6 +427,55 @@ object SimilarityGates extends GateFamily {
           col("recall_ppm"))
     }),
   )
+
+  /** q449's oracle: the pool×pool clamped-cosine matrix (the q401 dot/
+    * sqrt chain, clamp AFTER the e6 round — the operator's order),
+    * then the 8 greedy rounds unrolled as (gain → pick → selected →
+    * cover) CTE quads; the running objective is one window over the
+    * picks. */
+  private val q449OracleSql: String = {
+    val rounds = (2 to 8).map { r =>
+      val p = r - 1
+      s"""g$r AS (SELECT pw.y AS cid,
+         |  CAST(sum(greatest(0, pw.sim - c$p.cov)) AS BIGINT) AS gain
+         | FROM pw JOIN c$p ON c$p.vid = pw.x
+         | WHERE pw.y NOT IN (SELECT cid FROM s$p) GROUP BY pw.y),
+         |p$r AS (SELECT cid, gain FROM g$r
+         | ORDER BY gain DESC, cid LIMIT 1),
+         |s$r AS (SELECT cid FROM s$p UNION ALL SELECT cid FROM p$r),
+         |c$r AS (SELECT x AS vid, max(sim) AS cov FROM pw
+         | JOIN s$r ON pw.y = s$r.cid GROUP BY x)""".stripMargin
+    }.mkString(",\n")
+    val picks = (1 to 8).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS pick_rank, cid, gain FROM p$r")
+      .mkString("\n UNION ALL ")
+    s"""WITH n AS MATERIALIZED (SELECT vec_id, embedding,
+       |  CAST(list_sum(list_transform(embedding,
+       |   x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+       |    * 1000000000.0) AS BIGINT))) AS BIGINT) AS nsq
+       | FROM embeddings WHERE vec_id < 24),
+       |pw AS MATERIALIZED (SELECT a.vec_id AS x, b.vec_id AS y,
+       |  greatest(CAST(0 AS BIGINT),
+       |   CAST(round(CAST(CAST(list_sum(list_transform(
+       |     list_zip(a.embedding, b.embedding),
+       |     z -> CAST(round(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)
+       |      * 1000000000.0) AS BIGINT))) AS BIGINT) AS DOUBLE)
+       |    / sqrt(CAST(a.nsq AS DOUBLE) * CAST(b.nsq AS DOUBLE))
+       |    * 1000000) AS BIGINT)) AS sim
+       | FROM n a, n b),
+       |g1 AS (SELECT y AS cid, CAST(sum(sim) AS BIGINT) AS gain
+       | FROM pw GROUP BY y),
+       |p1 AS (SELECT cid, gain FROM g1 ORDER BY gain DESC, cid LIMIT 1),
+       |s1 AS (SELECT cid FROM p1),
+       |c1 AS (SELECT x AS vid, max(sim) AS cov FROM pw
+       | JOIN s1 ON pw.y = s1.cid GROUP BY x),
+       |$rounds,
+       |all_picks AS ($picks)
+       |SELECT pick_rank, cid, gain AS gain_e6,
+       | CAST(sum(gain) OVER (ORDER BY pick_rank
+       |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS objective_e6
+       |FROM all_picks""".stripMargin
+  }
 
   def oracleSql: Seq[(String, String)] = Seq(
     "q23_lsh_ann" -> q23OracleSql,
@@ -656,6 +715,7 @@ object SimilarityGates extends GateFamily {
     // q401: q20's cosine replay for the pool, pairwise sims among the
     // pool, five unrolled greedy rounds via struct-min argmax.
     "q401_mmr_rerank" -> q401OracleSql,
+    "q449_facility_location" -> q449OracleSql,
 
     // q425: the q20 quantized-cosine replay, per-test rank recurrence
     // as a rank-descending window prefix sum, truncating mean over

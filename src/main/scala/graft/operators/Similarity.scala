@@ -468,6 +468,73 @@ object Similarity {
     sel.toSeq.toDF("pick_rank", "cid", "rel_e6", "maxsim_e6", "mmr_e6")
   }
 
+  /** Greedy facility-location selection (Lin & Bilmes 2011's submodular
+    * summarization objective; Wei/Iyer/Bilmes 2015 for ML data
+    * selection): pick `selectK` exemplars maximizing the coverage
+    * F(S) = Σ_v max_{s∈S} sim⁺(v, s) over the pool, where sim⁺ is the
+    * house quantized cosine clamped at 0 (facility location needs a
+    * nonnegative kernel). The 1−1/e-approximate greedy: each round
+    * adds the candidate with the largest exact-integer marginal gain
+    * Σ_v max(0, sim⁺ − cover(v)), ties to the smaller id — the
+    * representative-subset step of coverage-based coreset curation
+    * (the diversity-side complement of [[mmrRerankE6]]'s
+    * relevance/novelty trade).
+    *
+    * Scale shape: pairwise cosines on the BOUNDED pool only (≤
+    * `maxPool` — counted, loud; at corpus scale the pool is a cluster
+    * sample or ANN shortlist) and a driver-side fold over ≤ maxPool²
+    * collected sims (the [[mmrRerankE6]] bounded-fetch pattern;
+    * greedy selection is inherently sequential). Output per pick:
+    * (pick_rank, cid, gain_e6, objective_e6 — the running F(S)). */
+  def facilityLocationSelectE6(corpus: DataFrame, idCol: String,
+      vecCol: String, poolPred: Column, selectK: Int,
+      maxPool: Int = 64): DataFrame = {
+    require(selectK >= 1 && maxPool <= 256 && selectK <= maxPool,
+      s"facilityLocationSelectE6: need 1 ≤ selectK ≤ maxPool ≤ 256")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    VectorExpressions.register(spark)
+    val pool = corpus.where(poolPred)
+      .select(col(idCol).as("vid"), col(vecCol).as("v"),
+        VectorExpressions.normSqE9Fast(col(vecCol)).as("nn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = pool.count()
+    require(n >= 1 && n <= maxPool,
+      s"facilityLocationSelectE6: pool has $n rows — pass a bounded " +
+        s"exemplar-candidate sample (≤ $maxPool), not the corpus")
+    val sims = pool.select(col("vid").as("x"), col("v").as("xv"),
+        col("nn").as("xn"))
+      .crossJoin(pool.select(col("vid").as("y"), col("v").as("yv"),
+        col("nn").as("yn")))
+      .withColumn("sim", greatest(lit(0L),
+        round(graft.functions.VectorFunctions
+          .cosineFromE9(VectorExpressions.dotE9Fast(col("xv"), col("yv")),
+            col("xn"), col("yn")) * 1e6).cast("long")))
+      .select(col("x"), col("y"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    pool.unpersist()
+    val vids = sims.keys.map(_._1).toVector.distinct.sorted
+    val cover = scala.collection.mutable.Map(vids.map(_ -> 0L): _*)
+    var objective = 0L
+    val out = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val selected = scala.collection.mutable.Set.empty[Long]
+    var k = 1
+    while (k <= selectK && selected.size < vids.size) {
+      val (gain, cid) = vids.filterNot(selected)
+        .map(c => (vids.iterator
+          .map(v => math.max(0L, sims((v, c)) - cover(v))).sum, c))
+        .minBy(t => (-t._1, t._2))
+      selected += cid
+      vids.foreach(v => cover(v) = math.max(cover(v), sims((v, cid))))
+      objective += gain
+      out += ((k.toLong, cid, gain, objective))
+      k += 1
+    }
+    out.toSeq.toDF("pick_rank", "cid", "gain_e6", "objective_e6")
+  }
+
   /** Deterministic ±1 hyperplane component signs, shared by the Spark plans
     * and the SQL-oracle rendering so both engines block identically. */
   def planeSigns(plane: Int, dims: Int): Array[Long] =

@@ -124,6 +124,36 @@ class Round14WaveSpec extends SparkSpec {
     assert(out == Set((0L, true, 1L), (1L, true, 1L), (0L, false, 1L)))
   }
 
+  test("facilityLocationSelectE6: greedy coverage picks the hub first") {
+    // v1 = (1,0), v2 = (1,0) dup, v3 = (0,1), v4 ≈ (.7,.7) hub:
+    // clamped sims: hub covers everything ≥ ~0.707e6, so round 1 picks
+    // the hub (Σsim max); round 2 adds the orthogonal axis with the
+    // larger residual
+    val rows = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.7f, 0.7f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.facilityLocationSelectE6(df, "vec_id",
+        "embedding", col("vec_id") <= 4L, selectK = 3)
+      .select("pick_rank", "cid", "gain_e6", "objective_e6")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._2) == Seq(4L, 1L, 3L),
+      s"expected hub, then the duplicated axis, then the other: $out")
+    // objective is the running gain sum and never decreases in steps
+    assert(out.map(_._4) == out.map(_._3).scanLeft(0L)(_ + _).tail)
+    // first gain = Σ_v sim(v, hub) incl. its own exact 1e6 self-sim
+    assert(out(0)._3 > 3000000L && out(0)._3 <= 4000000L)
+  }
+
+  test("facilityLocationSelectE6: pool guard trips loudly") {
+    val df = (1 to 70).map(i => (i.toLong, Array(1.0f, i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.facilityLocationSelectE6(df, "vec_id", "embedding",
+        lit(true), selectK = 3)
+    }
+    assert(e.getMessage.contains("pool has 70"))
+  }
+
   test("TrainingDynamics rejects a data-grain epoch column loudly") {
     val df = spark.range(1001).selectExpr("'u1' AS u", "id AS ep",
       "true AS h")
