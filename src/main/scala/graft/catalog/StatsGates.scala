@@ -728,6 +728,16 @@ object StatsGates extends GateFamily {
       operators.Dispersion.ansariBradleyE6(t(s, dir, "lineitem"),
         col("l_linestatus") === "F", cents(col("l_extendedprice")))),
 
+    // Yuen's trimmed-mean two-sample test (Yuen 1974): robust location
+    // comparison of F- vs O-status line prices at 10% trims — exact
+    // rank-window trimming on the value census, Winsorized-variance
+    // standard error, one pinned t; the location companion to q441's
+    // scale test and the robust alternative q446's F motivates.
+    "q450_yuen_trimmed" -> ((s, dir) =>
+      operators.OrdinalTests.yuenTrimmedTE6(t(s, dir, "lineitem"),
+        col("l_linestatus") === "F", cents(col("l_extendedprice")),
+        trimPerMille = 100)),
+
     // Brown–Forsythe variance-homogeneity F (Brown & Forsythe 1974):
     // median-centered absolute deviations of line price cents per
     // return flag, then the one-way F on the deviations — the screen
@@ -1886,6 +1896,61 @@ object StatsGates extends GateFamily {
         |     * (CAST(n_x AS DOUBLE) + CAST(n_y AS DOUBLE) - 1.0)))
         |   * 1000000.0) AS BIGINT) END AS z_e6
         |FROM vv""".stripMargin,
+
+    // q450: the same rank-window overlap on the (status × value)
+    // census; HUGEINT sufficient statistics, identical pinned t text.
+    "q450_yuen_trimmed" ->
+      """WITH cells AS (SELECT (l_linestatus = 'F') AS b,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |  CAST(count(*) AS BIGINT) AS c
+        | FROM lineitem GROUP BY 1, 2),
+        |rk AS (SELECT b, v, c,
+        |  sum(c) OVER (PARTITION BY b) AS n,
+        |  COALESCE(sum(c) OVER (PARTITION BY b ORDER BY v
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        | FROM cells),
+        |ov AS (SELECT b, v, c, n, n * 100 // 1000 AS g, cb, cb + c AS cum
+        | FROM rk),
+        |ov2 AS (SELECT *, greatest(0,
+        |   least(cum, n - g) - greatest(cb, g)) AS ov FROM ov),
+        |per AS (SELECT b, max(n) AS n, max(g) AS g,
+        |  COALESCE(sum(CAST(v AS HUGEINT) * ov), 0) AS ts,
+        |  COALESCE(sum(CAST(v AS HUGEINT) * v * ov), 0) AS wssp,
+        |  min(CASE WHEN cum >= g + 1 THEN v END) AS vlo,
+        |  min(CASE WHEN cum >= n - g THEN v END) AS vhi
+        | FROM ov2 GROUP BY b),
+        |st AS (SELECT b, n, n - 2 * g AS h, ts,
+        |  ts + CAST(g AS HUGEINT) * (vlo + vhi) AS wsum,
+        |  wssp + CAST(g AS HUGEINT) * (CAST(vlo AS HUGEINT) * vlo
+        |   + CAST(vhi AS HUGEINT) * vhi) AS wss
+        | FROM per),
+        |s2 AS (SELECT b, n, h, ts, n * wss - wsum * wsum AS ssdwn
+        | FROM st),
+        |piv AS (SELECT
+        |  max(CASE WHEN b THEN n END) AS n_x,
+        |  max(CASE WHEN b THEN h END) AS h_x,
+        |  max(CASE WHEN b THEN ts END) AS ts_x,
+        |  max(CASE WHEN b THEN ssdwn END) AS sn_x,
+        |  max(CASE WHEN NOT b THEN n END) AS n_y,
+        |  max(CASE WHEN NOT b THEN h END) AS h_y,
+        |  max(CASE WHEN NOT b THEN ts END) AS ts_y,
+        |  max(CASE WHEN NOT b THEN ssdwn END) AS sn_y FROM s2)
+        |SELECT CAST(n_x AS BIGINT) AS n_x, CAST(h_x AS BIGINT) AS h_x,
+        | CAST(ts_x * 1000000 // h_x AS BIGINT) AS tmean_x_e6,
+        | CAST(n_y AS BIGINT) AS n_y, CAST(h_y AS BIGINT) AS h_y,
+        | CAST(ts_y * 1000000 // h_y AS BIGINT) AS tmean_y_e6,
+        | CASE WHEN h_x < 2 OR h_y < 2 OR (sn_x <= 0 AND sn_y <= 0)
+        |   THEN 0
+        |  ELSE CAST(round((CAST(ts_x AS DOUBLE) / CAST(h_x AS DOUBLE)
+        |    - CAST(ts_y AS DOUBLE) / CAST(h_y AS DOUBLE))
+        |   / sqrt(CAST(sn_x AS DOUBLE)
+        |     / (CAST(n_x AS DOUBLE) * CAST(h_x AS DOUBLE)
+        |        * (CAST(h_x AS DOUBLE) - 1.0))
+        |    + CAST(sn_y AS DOUBLE)
+        |     / (CAST(n_y AS DOUBLE) * CAST(h_y AS DOUBLE)
+        |        * (CAST(h_y AS DOUBLE) - 1.0)))
+        |   * 1000000.0) AS BIGINT) END AS t_e6
+        |FROM piv""".stripMargin,
 
     // q446: lower medians per group, floored ⌊S²/n⌋ terms (HUGEINT //
     // truncates = floors on nonnegative operands, matching the Spark

@@ -242,4 +242,90 @@ object OrdinalTests {
              |   * ${k + 1}.0 * ${k * k - 1}.0))
              |  * 1000000.0) AS BIGINT) END""".stripMargin).as("z_e6"))
   }
+
+  /** Yuen's trimmed-mean two-sample test (Yuen 1974) — the robust
+    * location comparison that survives the heavy tails Brown–Forsythe
+    * flags: per sample, trim the g = ⌊n·trimPerMille/1000⌋ smallest and
+    * largest observations EXACTLY (rank-window overlap on the value
+    * census — no sampling, no sort of raw data), compare trimmed means
+    * with the Winsorized-variance standard error:
+    *
+    *   t = (t̄_x − t̄_y) / √(d_x + d_y),
+    *   d = SSD_w / (h(h−1)),  h = n − 2g,
+    *   SSD_w = Σ winsorized v² − (Σ winsorized v)²/n
+    *
+    * where winsorization clips ranks ≤ g to v₍g₊₁₎ and ranks > n−g to
+    * v₍n₋g₎ (the pinned rank-g+1 / rank-(n−g) order statistics).
+    * Every sufficient statistic is an exact DECIMAL(38,0) integer
+    * (SSD_w·n cleared of the /n); the final t is ONE pinned double
+    * chain. Output: (n_x, h_x, tmean_x_e6, n_y, h_y, tmean_y_e6,
+    * t_e6).
+    *
+    * Scale shape: one hash aggregate to the (sample × value) census,
+    * per-sample cumulative windows (two partitions), one pivot
+    * aggregate to a single row. */
+  def yuenTrimmedTE6(df: DataFrame, inX: Column, value: Column,
+      trimPerMille: Int = 100): DataFrame = {
+    require(trimPerMille >= 0 && trimPerMille < 500,
+      s"yuenTrimmedTE6: 0 ≤ trimPerMille < 500, got $trimPerMille")
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.select(inX.cast("boolean").as("b"),
+        value.cast("long").as("v"))
+      .where(col("b").isNotNull && col("v").isNotNull)
+      .groupBy(col("b"), col("v")).agg(count(lit(1)).as("c"))
+    val wBefore = Window.partitionBy(col("b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy(col("b"))
+    val ranked = cells
+      .withColumn("n", sum(col("c")).over(whole))
+      .withColumn("g", expr(s"n * $trimPerMille div 1000"))
+      .withColumn("cb", coalesce(sum(col("c")).over(wBefore), lit(0L)))
+      .withColumn("cum", col("cb") + col("c"))
+      // rank-window overlap of this value's occurrences with the kept
+      // band (g, n−g]
+      .withColumn("ov", greatest(lit(0L),
+        least(col("cum"), col("n") - col("g"))
+          - greatest(col("cb"), col("g"))))
+    val per = ranked.groupBy(col("b"))
+      .agg(max(col("n")).as("n"), max(col("g")).as("g"),
+        coalesce(sum(expr("CAST(v AS DECIMAL(38,0)) * ov")),
+          expr("CAST(0 AS DECIMAL(38,0))")).as("ts"),
+        coalesce(sum(expr("CAST(v AS DECIMAL(38,0)) * v * ov")),
+          expr("CAST(0 AS DECIMAL(38,0))")).as("wssp"),
+        min(when(col("cum") >= col("g") + 1L, col("v"))).as("vlo"),
+        min(when(col("cum") >= col("n") - col("g"), col("v"))).as("vhi"))
+      .withColumn("h", col("n") - lit(2L) * col("g"))
+      .withColumn("wsum", expr(
+        "ts + CAST(g AS DECIMAL(38,0)) * (vlo + vhi)"))
+      .withColumn("wss", expr(
+        """wssp + CAST(g AS DECIMAL(38,0))
+          | * (CAST(vlo AS DECIMAL(38,0)) * vlo
+          |  + CAST(vhi AS DECIMAL(38,0)) * vhi)""".stripMargin))
+      .withColumn("ssdwn", expr("n * wss - wsum * wsum"))
+    per.agg(
+        max(when(col("b"), col("n"))).as("n_x"),
+        max(when(col("b"), col("h"))).as("h_x"),
+        max(when(col("b"), col("ts"))).as("ts_x"),
+        max(when(col("b"), col("ssdwn"))).as("sn_x"),
+        max(when(!col("b"), col("n"))).as("n_y"),
+        max(when(!col("b"), col("h"))).as("h_y"),
+        max(when(!col("b"), col("ts"))).as("ts_y"),
+        max(when(!col("b"), col("ssdwn"))).as("sn_y"))
+      .select(col("n_x"), col("h_x"),
+        expr("CAST(ts_x * 1000000 div h_x AS BIGINT)").as("tmean_x_e6"),
+        col("n_y"), col("h_y"),
+        expr("CAST(ts_y * 1000000 div h_y AS BIGINT)").as("tmean_y_e6"),
+        expr(
+          """CASE WHEN h_x < 2 OR h_y < 2 OR (sn_x <= 0 AND sn_y <= 0)
+            |  THEN 0
+            | ELSE CAST(round((CAST(ts_x AS DOUBLE) / CAST(h_x AS DOUBLE)
+            |   - CAST(ts_y AS DOUBLE) / CAST(h_y AS DOUBLE))
+            |  / sqrt(CAST(sn_x AS DOUBLE)
+            |    / (CAST(n_x AS DOUBLE) * CAST(h_x AS DOUBLE)
+            |       * (CAST(h_x AS DOUBLE) - 1.0))
+            |   + CAST(sn_y AS DOUBLE)
+            |    / (CAST(n_y AS DOUBLE) * CAST(h_y AS DOUBLE)
+            |       * (CAST(h_y AS DOUBLE) - 1.0)))
+            |  * 1000000.0) AS BIGINT) END""".stripMargin).as("t_e6"))
+  }
 }

@@ -124,6 +124,22 @@ class Round14WaveSpec extends SparkSpec {
     assert(out == Set((0L, true, 1L), (1L, true, 1L), (0L, false, 1L)))
   }
 
+  test("yuenTrimmedTE6: hand samples through the exact trim/winsorize") {
+    // x = 0..9 (n=10, g=1, h=8): trimmed sum 36, winsorized to rank-2/
+    // rank-9 values (1, 8) → wsum 45, wss 269, ssdwn 10·269−45² = 665
+    // y = three 0s + three 10s (n=6, g=0): ts 30, ssdwn 6·300−900 = 900
+    val rows = (0 to 9).map(v => (true, v.toLong)) ++
+      Seq.fill(3)((false, 0L)) ++ Seq.fill(3)((false, 10L))
+    val out = OrdinalTests.yuenTrimmedTE6(rows.toDF("b", "v"),
+        col("b"), col("v"), trimPerMille = 100)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    val (nx, hx, tmx, ny, hy, tmy, t) = out(0)
+    assert((nx, hx, tmx) == ((10L, 8L, 4500000L)))
+    assert((ny, hy, tmy) == ((6L, 6L, 5000000L)))
+    assert(t == pin((36.0 / 8 - 30.0 / 6) /
+      math.sqrt(665.0 / (10 * 8 * 7) + 900.0 / (6 * 6 * 5)) * 1e6))
+  }
+
   test("facilityLocationSelectE6: greedy coverage picks the hub first") {
     // v1 = (1,0), v2 = (1,0) dup, v3 = (0,1), v4 ≈ (.7,.7) hub:
     // clamped sims: hub covers everything ≥ ~0.707e6, so round 1 picks
