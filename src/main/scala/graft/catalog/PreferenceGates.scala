@@ -111,6 +111,34 @@ object PreferenceGates extends GateFamily {
         col("l_suppkey"), col("cat"), raters = 3)
     }),
 
+    // Gwet's AC1 (Gwet 2008) on the q409 supplier-vote frame: the
+    // paradox-resistant agreement coefficient — under the skewed
+    // return-flag prevalence κ deflates while raters plainly agree;
+    // QA dashboards report both. Same censuses, different chance
+    // term, exact cross-multiplied ratio.
+    "q452_gwet_ac1" -> ((s, dir) => {
+      val votes = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(min(col("l_returnflag")).as("cat"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey")).orderBy(col("l_suppkey"))
+      val top3 = votes.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+      operators.Preference.gwetAc1E6(top3, col("l_orderkey"),
+        col("l_suppkey"), col("cat"), raters = 3)
+    }),
+
+    // One-way intraclass correlation ICC(1) (Shrout & Fleiss 1979):
+    // orders as targets, their first three line quantities as
+    // interchangeable "ratings" — the continuous-score reliability
+    // coefficient beside the categorical κ/AC1/α family, ONE exact
+    // integer ratio via the cleared-denominator ANOVA identity.
+    "q453_icc" -> ((s, dir) =>
+      operators.Preference.iccOneWayE6(
+        t(s, dir, "lineitem").where(col("l_linenumber") <= 3),
+        col("l_orderkey"), round(col("l_quantity")).cast("long"),
+        k = 3)),
+
     // Transcript/dialog structural QA over the events stream read as
     // chat sessions (user_id = session, click/view/signup = user
     // turns, purchase/error = assistant turns): per session the turn
@@ -407,6 +435,66 @@ object PreferenceGates extends GateFamily {
         | CASE WHEN s2 - pe_num > 0 THEN
         |  CAST((pbar_num * s2 - pe_num * s1) * 1000000
         |   // (s1 * (s2 - pe_num)) AS BIGINT) END AS kappa_e6
+        |FROM f""".stripMargin,
+
+    // q452: the q409 censuses with Gwet's chance term — C = P² − Σs²
+    // (Σs = P), D = (Q−1)P²; HUGEINT // truncates toward zero like
+    // the Spark DECIMAL div.
+    "q452_gwet_ac1" ->
+      """WITH votes AS (SELECT l_orderkey AS i, l_suppkey AS r,
+        |  min(l_returnflag) AS c
+        | FROM lineitem GROUP BY 1, 2),
+        |rk AS (SELECT i, r, c, row_number() OVER (PARTITION BY i
+        |  ORDER BY r) AS rn FROM votes),
+        |top3 AS (SELECT i, r, c FROM rk WHERE rn <= 3),
+        |sized AS (SELECT i, count(*) AS nr FROM top3 GROUP BY 1),
+        |complete AS (SELECT i FROM sized WHERE nr = 3),
+        |dropped AS (SELECT CAST(coalesce(sum(CASE WHEN nr <> 3 THEN 1
+        |  ELSE 0 END), 0) AS BIGINT) AS n_dropped FROM sized),
+        |cells AS (SELECT t.i, t.c, CAST(count(*) AS BIGINT) AS cc
+        | FROM top3 t JOIN complete USING (i) GROUP BY 1, 2),
+        |ist AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(sq - 3 AS HUGEINT)) AS a
+        | FROM (SELECT i, sum(cc * cc) AS sq FROM cells GROUP BY 1)),
+        |mst AS (SELECT CAST(count(*) AS BIGINT) AS q_cats,
+        |  CAST(sum(sc) AS HUGEINT) AS p,
+        |  sum(CAST(sc AS HUGEINT) * sc) AS s2
+        | FROM (SELECT c, sum(cc) AS sc FROM cells GROUP BY 1)),
+        |f AS (SELECT n, q_cats, a, p * p - s2 AS cterm, n_dropped,
+        |  CAST(n AS HUGEINT) * 3 * 2 AS s1,
+        |  CAST(q_cats - 1 AS HUGEINT) * p * p AS d
+        | FROM ist, mst, dropped)
+        |SELECT n AS n_items, CAST(3 AS BIGINT) AS m, q_cats, n_dropped,
+        | CAST(a * 1000000 // s1 AS BIGINT) AS pbar_e6,
+        | CASE WHEN q_cats >= 2 THEN
+        |  CAST(cterm * 1000000 // d AS BIGINT) END AS pe_e6,
+        | CASE WHEN q_cats >= 2 AND d - cterm > 0 THEN
+        |  CAST((a * d - cterm * s1) * 1000000
+        |   // (s1 * (d - cterm)) AS BIGINT) END AS ac1_e6
+        |FROM f""".stripMargin,
+
+    // q453: the cleared-denominator ANOVA identity in HUGEINT; the
+    // possibly-negative numerator truncates toward zero in both
+    // engines.
+    "q453_icc" ->
+      """WITH base AS (SELECT l_orderkey AS i,
+        |  CAST(round(l_quantity) AS BIGINT) AS x
+        | FROM lineitem WHERE l_linenumber <= 3),
+        |per AS (SELECT i, CAST(count(*) AS BIGINT) AS nr,
+        |  CAST(sum(x) AS BIGINT) AS t,
+        |  sum(CAST(x AS HUGEINT) * x) AS xx FROM base GROUP BY 1),
+        |dropped AS (SELECT CAST(coalesce(sum(CASE WHEN nr <> 3 THEN 1
+        |  ELSE 0 END), 0) AS BIGINT) AS n_dropped FROM per),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(t) AS HUGEINT) AS g,
+        |  sum(CAST(t AS HUGEINT) * t) AS tt,
+        |  sum(xx) AS sxx FROM per WHERE nr = 3),
+        |f AS (SELECT n, n * tt - g * g AS u, 3 * sxx - tt AS v,
+        |  n_dropped FROM agg, dropped)
+        |SELECT n AS n_targets, CAST(3 AS BIGINT) AS k, n_dropped,
+        | CASE WHEN 2 * (u + (n - 1) * v) > 0 THEN
+        |  CAST((u * 2 - v * (n - 1)) * 1000000
+        |   // (2 * (u + (n - 1) * v)) AS BIGINT) END AS icc_e6
         |FROM f""".stripMargin,
 
     // q394: rank2 maps per rater as cumulative censuses, the

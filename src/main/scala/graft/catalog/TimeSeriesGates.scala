@@ -346,6 +346,17 @@ object TimeSeriesGates extends GateFamily {
         col("day_cents"), maxLag = 5))
     }),
 
+    // Durbin–Watson serial-correlation statistic (Durbin & Watson
+    // 1950) on the residuals of daily revenue ~ day: DW ≈ 2 under
+    // independent errors, → 0 under positive autocorrelation — the
+    // screen that says whether q254/q395's robust errors are needed.
+    // Exact integer moments, per-residual pinned e3 rounding, pure
+    // integer DW ratio.
+    "q451_durbin_watson" -> ((s, dir) =>
+      operators.Trend.durbinWatsonE6(t(s, dir, "lineitem"),
+        expr("unix_millis(CAST(l_shipdate AS TIMESTAMP)) div 86400000"),
+        cents(col("l_extendedprice")))),
+
     // Trend/seasonal strength (tsfeatures F_T/F_S) of the daily
     // revenue series per return flag over the q231 classical
     // decomposition — "is there actually a trend / weekly cycle".
@@ -1097,6 +1108,39 @@ object TimeSeriesGates extends GateFamily {
         | FROM ols)
         |SELECT pw.w, pw.n_blocks, pw.mean_rs_e6, hh.hurst_e6
         |FROM pw, hh""".stripMargin,
+
+    // q451: exact HUGEINT OLS moments, the identical pinned residual
+    // chain rounded to e3 per point, integer DW ratio.
+    "q451_durbin_watson" ->
+      """WITH d AS (SELECT
+        |  epoch_ms(CAST(l_shipdate AS TIMESTAMP)) // 86400000 AS x0,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |   AS BIGINT) AS y
+        | FROM lineitem GROUP BY 1),
+        |mn AS (SELECT min(x0) AS m FROM d),
+        |b AS (SELECT x0 - m AS x, y FROM d, mn),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |  sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |  sum(CAST(x AS HUGEINT) * y) AS sxy FROM b),
+        |e AS (SELECT b.x, CASE WHEN (n * sxx - sx * sx) = 0 THEN NULL
+        |  ELSE CAST(round((CAST(y AS DOUBLE)
+        |   - (CAST(sy AS DOUBLE)
+        |      - (CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / CAST(n * sxx - sx * sx AS DOUBLE))
+        |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        |   - (CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE))
+        |     * CAST(x AS DOUBLE)) * 1000.0) AS BIGINT) END AS e3
+        | FROM b, s),
+        |l AS (SELECT e3, lag(e3) OVER (ORDER BY x) AS lagE FROM e)
+        |SELECT CAST(count(*) AS BIGINT) AS n_points,
+        | CASE WHEN COALESCE(sum(CAST(e3 AS HUGEINT) * e3), 0) > 0
+        |  THEN CAST(sum(CASE WHEN lagE IS NULL THEN CAST(0 AS HUGEINT)
+        |    ELSE CAST(e3 - lagE AS HUGEINT) * (e3 - lagE) END)
+        |   * 1000000
+        |   // sum(CAST(e3 AS HUGEINT) * e3) AS BIGINT) END AS dw_e6
+        |FROM l""".stripMargin,
 
     // q395: banded census self-join; all quotients truncate toward
     // zero (HUGEINT // ≡ the operator's tz() DECIMAL division).

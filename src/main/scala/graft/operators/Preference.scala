@@ -679,6 +679,116 @@ object Preference {
           .as("kappa_e6"))
   }
 
+  /** Gwet's AC1 first-order agreement coefficient (Gwet 2008, the
+    * paradox-resistant alternative to κ: under skewed category
+    * prevalence κ collapses while raters plainly agree — the "high
+    * agreement, low kappa" trap an annotation QA dashboard must not
+    * fall into). Same complete-design multi-rater input as
+    * [[fleissKappaE6]]; same observed agreement P̄; the chance term is
+    *
+    *   Pe(AC1) = (1/(Q−1)) · Σ_q π_q(1−π_q),  π_q = s_q/(N·m)
+    *
+    * over the Q OBSERVED categories. Exact cross-multiplied ratio
+    * (A = pbar numerator, S1 = N·m(m−1), C = Σ s_q(Nm − s_q),
+    * D = (Q−1)(Nm)²):  ac1_e6 = (A·D − C·S1)·1e6 div (S1·(D − C)),
+    * truncating toward zero; NULL when Q < 2 (chance agreement
+    * undefined over one category). Output one row: (n_items, m,
+    * q_cats, n_dropped, pbar_e6, pe_e6, ac1_e6).
+    *
+    * Scale shape: identical to [[fleissKappaE6]] — label censuses
+    * only. */
+  def gwetAc1E6(df: DataFrame, item: Column, rater: Column,
+      category: Column, raters: Int): DataFrame = {
+    require(raters >= 2 && raters <= 1000,
+      s"Preference.gwetAc1E6: need 2 ≤ raters ≤ 1000, got $raters")
+    val m = raters.toLong
+    val votes = df.select(item.as("i"), rater.as("r"),
+        category.as("c"))
+      .where(col("i").isNotNull && col("r").isNotNull &&
+        col("c").isNotNull)
+      .groupBy(col("i"), col("r")).agg(min(col("c")).as("c"))
+    val sized = votes.groupBy(col("i")).agg(count(lit(1)).as("nr"))
+    val complete = sized.where(col("nr") === m).select(col("i"))
+      .localCheckpoint(true)
+    val dropped = sized.agg(
+      sum(when(col("nr") =!= m, 1L).otherwise(0L)).as("n_dropped"))
+    val cells = votes.join(complete, Seq("i"))
+      .groupBy(col("i"), col("c")).agg(count(lit(1)).as("cc"))
+      .localCheckpoint(true)
+    val itemStats = cells.groupBy(col("i"))
+      .agg(sum(expr("cc * cc")).as("sq"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr(s"CAST(sq - $m AS DECIMAL(38,0))")).as("a"))
+    val margStats = cells.groupBy(col("c"))
+      .agg(sum(col("cc")).as("sc"))
+      .agg(count(lit(1)).as("q_cats"),
+        sum(col("sc").cast("decimal(38,0)")).as("__p"),
+        sum(expr("CAST(sc AS DECIMAL(38,0)) * sc")).as("__s2"))
+      .select(col("q_cats"),
+        // C = Σ s_q(P − s_q) = P·Σs − Σs² = P² − Σs²  (Σs = P)
+        expr("__p * __p - __s2").as("cterm"), col("__p").as("p"))
+    itemStats.crossJoin(broadcast(margStats))
+      .crossJoin(broadcast(dropped))
+      .withColumn("__s1", expr(s"CAST(n AS DECIMAL(38,0)) * $m * ${m - 1}"))
+      .withColumn("__d", expr("CAST(q_cats - 1 AS DECIMAL(38,0)) * p * p"))
+      .select(col("n").as("n_items"), lit(m).as("m"), col("q_cats"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        expr("CAST(a * 1000000 div __s1 AS BIGINT)").as("pbar_e6"),
+        when(col("q_cats") >= 2L,
+          expr("CAST(cterm * 1000000 div __d AS BIGINT)")).as("pe_e6"),
+        when(col("q_cats") >= 2L && expr("__d - cterm") > 0L, expr(
+          """CAST((a * __d - cterm * __s1) * 1000000
+            |div (__s1 * (__d - cterm)) AS BIGINT)""".stripMargin))
+          .as("ac1_e6"))
+  }
+
+  /** One-way random-effects intraclass correlation ICC(1) (Shrout &
+    * Fleiss 1979's ICC(1,1); Fisher's original ANOVA form) — the
+    * RELIABILITY of continuous ratings where [[fleissKappaE6]]/
+    * [[gwetAc1E6]] cover categorical ones: n targets each scored by k
+    * interchangeable raters,
+    *
+    *   ICC = (MSB − MSW) / (MSB + (k−1)·MSW)
+    *       = (U(k−1) − V(n−1)) div ((k−1)·(U + (n−1)·V))
+    *
+    * with U = n·ΣT² − G² and V = k·Σx² − ΣT² (T = per-target sum,
+    * G = grand sum) — the cleared-denominator identity makes the
+    * whole coefficient ONE exact integer ratio (toward-zero on the
+    * possibly-negative numerator). Targets with a rating count ≠ k
+    * drop and are counted. Domain: |values|·√(n·k) must keep n·ΣT²
+    * under 1e38 — integer scores and cents-grain values are fine at
+    * warehouse scale.
+    *
+    * Scale shape: one (target) hash aggregate, one global aggregate.
+    * Output one row: (n_targets, k, n_dropped, icc_e6). */
+  def iccOneWayE6(df: DataFrame, target: Column, value: Column,
+      k: Int): DataFrame = {
+    require(k >= 2 && k <= 1000,
+      s"Preference.iccOneWayE6: need 2 ≤ k ≤ 1000, got $k")
+    val base = df.select(target.as("i"), value.cast("long").as("x"))
+      .where(col("i").isNotNull && col("x").isNotNull)
+    val per = base.groupBy(col("i"))
+      .agg(count(lit(1)).as("nr"), sum(col("x")).as("t"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("xx"))
+      .localCheckpoint(true)
+    val dropped = per.agg(
+      sum(when(col("nr") =!= k.toLong, 1L).otherwise(0L)).as("n_dropped"))
+    per.where(col("nr") === k.toLong)
+      .agg(count(lit(1)).as("n"),
+        sum(col("t").cast("decimal(38,0)")).as("g"),
+        sum(expr("CAST(t AS DECIMAL(38,0)) * t")).as("tt"),
+        sum(col("xx")).as("sxx"))
+      .crossJoin(broadcast(dropped))
+      .withColumn("u", expr("n * tt - g * g"))
+      .withColumn("v", expr(s"$k * sxx - tt"))
+      .select(col("n").as("n_targets"), lit(k.toLong).as("k"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        when(expr(s"(${k - 1}) * (u + (n - 1) * v)") > 0L, expr(
+          s"""CAST((u * ${k - 1} - v * (n - 1)) * 1000000
+             |div (${k - 1} * (u + (n - 1) * v)) AS BIGINT)"""
+            .stripMargin)).as("icc_e6"))
+  }
+
   def winRatioE6(df: DataFrame, treated: Column, primaryBad: Column,
       secondary: Column): DataFrame = {
     val cells = df.select(treated.cast("boolean").as("tr"),

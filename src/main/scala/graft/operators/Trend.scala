@@ -799,4 +799,69 @@ object Trend {
           "CAST(1000000 - __vr * 1000000 div __vs AS BIGINT)")))
           .as("seasonal_strength_e6"): _*)
   }
+
+  /** Durbin–Watson autocorrelation statistic (Durbin & Watson 1950) on
+    * the residuals of the simple OLS y ~ x — the serial-correlation
+    * screen every trend regression (q254's rolling OLS, q230's
+    * Theil–Sen) should report beside its slope: DW ≈ 2 under
+    * independent errors, → 0 under positive autocorrelation (the
+    * usual time-series reality that invalidates naive OLS standard
+    * errors, the q395 Newey–West motivation).
+    *
+    * Determinism: x recenters to x − min(x) (residual-invariant;
+    * keeps the doubles well-conditioned), the OLS moments are exact
+    * DECIMAL(38,0) integers, each residual is ONE pinned double chain
+    * rounded to e3 BEFORE any summation (the q374 rule)
+    *   E_t = round((y − (Sy − b·Sx)/n − b·x)·1e3),
+    *   b = Sxyₙ / Sxxₙ as a double of exact integers,
+    * and DW_e6 = Σ(E_t − E_{t−1})²·1e6 div ΣE_t² is pure integer.
+    *
+    * Input convention: one row per x (a time-bucket census — the
+    * caller aggregates y per bucket first); duplicate x collapse by
+    * SUM. Output one row: (n_points, dw_e6 — NULL when Sxx* = 0 or
+    * every residual rounds to 0).
+    *
+    * Scale shape: one hash aggregate to the bucket census, one
+    * moments aggregate, one lag window over the census (constant
+    * [[Census.onePartKey]] partition). */
+  def durbinWatsonE6(df: DataFrame, x: Column, y: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base0 = df.select(x.cast("long").as("x0"),
+        y.cast("long").as("y"))
+      .where(col("x0").isNotNull && col("y").isNotNull)
+      .groupBy(col("x0")).agg(sum(col("y")).as("y"))
+    val mn = broadcast(base0.agg(min(col("x0")).as("__mn")))
+    val base = base0.crossJoin(mn)
+      .select((col("x0") - col("__mn")).as("x"), col("y"))
+    val s = broadcast(base.agg(count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy")))
+    val w = Window.partitionBy(Census.onePartKey(col("x")))
+      .orderBy(col("x"))
+    base.crossJoin(s)
+      .withColumn("__sxxs", expr("n * sxx - sx * sx"))
+      .withColumn("__sxys", expr("n * sxy - sx * sy"))
+      .withColumn("e3", expr(
+        """CASE WHEN __sxxs = 0 THEN NULL
+          | ELSE CAST(round((CAST(y AS DOUBLE)
+          |  - (CAST(sy AS DOUBLE)
+          |     - (CAST(__sxys AS DOUBLE) / CAST(__sxxs AS DOUBLE))
+          |       * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+          |  - (CAST(__sxys AS DOUBLE) / CAST(__sxxs AS DOUBLE))
+          |    * CAST(x AS DOUBLE)) * 1000.0) AS BIGINT) END"""
+          .stripMargin))
+      .withColumn("lagE", lag(col("e3"), 1).over(w))
+      .agg(count(lit(1)).as("n_points"),
+        sum(expr(
+          """CASE WHEN lagE IS NULL THEN CAST(0 AS DECIMAL(38,0))
+            | ELSE CAST(e3 - lagE AS DECIMAL(38,0)) * (e3 - lagE)
+            |END""".stripMargin)).as("__num"),
+        sum(expr("CAST(e3 AS DECIMAL(38,0)) * e3")).as("__den"))
+      .select(col("n_points"),
+        when(col("__den") > 0L,
+          expr("CAST(__num * 1000000 div __den AS BIGINT)"))
+          .as("dw_e6"))
+  }
 }

@@ -124,6 +124,47 @@ class Round14WaveSpec extends SparkSpec {
     assert(out == Set((0L, true, 1L), (1L, true, 1L), (0L, false, 1L)))
   }
 
+  test("durbinWatsonE6: alternating residuals give the hand DW") {
+    // x = 0..3, y = (0,1,0,1): b = 4/20, residuals (−.2,.6,−.6,.2) →
+    // E3 = (−200,600,−600,200); DW = 2720000/800000 = 3.4
+    val out = Trend.durbinWatsonE6(
+        Seq((0L, 0L), (1L, 1L), (2L, 0L), (3L, 1L)).toDF("x", "y"),
+        col("x"), col("y"))
+      .as[(Long, Option[Long])].collect()
+    assert(out(0) == ((4L, Some(3400000L))))
+    // a perfectly linear series has zero residuals → NULL DW
+    val flat = Trend.durbinWatsonE6(
+        Seq((0L, 5L), (1L, 7L), (2L, 9L)).toDF("x", "y"),
+        col("x"), col("y"))
+      .as[(Long, Option[Long])].collect()
+    assert(flat(0) == ((3L, None)))
+  }
+
+  test("gwetAc1E6: skewed-prevalence hand table") {
+    // 4 items × 2 raters: three (a,a) + one (a,b) →
+    // pa = 6/8; P = 8, C = 64 − 50 = 14, D = 64 → pe = 218750;
+    // AC1 = 272e6/400 = 680000
+    val rows = Seq(("i1", "r1", "a"), ("i1", "r2", "a"),
+      ("i2", "r1", "a"), ("i2", "r2", "a"),
+      ("i3", "r1", "a"), ("i3", "r2", "a"),
+      ("i4", "r1", "a"), ("i4", "r2", "b"))
+    val out = Preference.gwetAc1E6(rows.toDF("i", "r", "c"),
+        col("i"), col("r"), col("c"), raters = 2)
+      .select("n_items", "q_cats", "pbar_e6", "pe_e6", "ac1_e6")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect()
+    assert(out(0) == ((4L, 2L, 750000L, Some(218750L), Some(680000L))))
+  }
+
+  test("iccOneWayE6: perfect within-target agreement gives ICC = 1") {
+    val rows = Seq(("t1", 1L), ("t1", 1L), ("t2", 5L), ("t2", 5L),
+      ("t3", 9L), ("t3", 9L), ("t4", 3L)) // t4 incomplete → dropped
+    val out = Preference.iccOneWayE6(rows.toDF("i", "x"),
+        col("i"), col("x"), k = 2)
+      .select("n_targets", "k", "n_dropped", "icc_e6")
+      .as[(Long, Long, Long, Option[Long])].collect()
+    assert(out(0) == ((3L, 2L, 1L, Some(1000000L))))
+  }
+
   test("yuenTrimmedTE6: hand samples through the exact trim/winsorize") {
     // x = 0..9 (n=10, g=1, h=8): trimmed sum 36, winsorized to rank-2/
     // rank-9 values (1, 8) → wsum 45, wss 269, ssdwn 10·269−45² = 665
