@@ -87,4 +87,20 @@ for name in sorted(p.name for p in Path(OUT).iterdir() if p.is_dir()):
     print(f"ROWS {name}: {n}")
 
 print(f"\n{n_pass} pass / {n_fail} fail / {len(oracle)} oracled")
+
+# optional LOCALCHECK artifact: --json <path> [--round N]
+if "--json" in sys.argv:
+    out_path = sys.argv[sys.argv.index("--json") + 1]
+    rnd = (int(sys.argv[sys.argv.index("--round") + 1])
+           if "--round" in sys.argv else None)
+    Path(out_path).write_text(json.dumps({
+        "round": rnd,
+        "sf": SF,
+        "generated_by": "scripts/verify_local.py (dtype-strict)",
+        "summary": f"{n_pass} pass / {n_fail} fail / {len(oracle)} oracled",
+        "total": len(oracle),
+        "pass": n_pass,
+        "results": results,
+    }, indent=1))
+    print(f"wrote {out_path}")
 sys.exit(0 if n_fail == 0 else 2)
