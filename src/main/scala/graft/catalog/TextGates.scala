@@ -18,6 +18,25 @@ import CatalogDefs._
   * refactor — every entry verbatim, hashes pinned by the sf0.01 sweep). */
 object TextGates extends GateFamily {
 
+  /** Shared consecutive-pair fixture for the q454/q455/q456 pairwise
+    * text-eval gates: per source, doc rank 2k−1 is the reference and
+    * rank 2k the candidate (the q355 pairing — deterministic under
+    * the unique doc_id order). */
+  private def q454Pairs(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    val d = t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("text"))
+      .withColumn("rn", row_number().over(w))
+    val ref = d.where(col("rn") % 2 === 1)
+      .select(col("source"), expr("(rn + 1) div 2").as("pr"),
+        col("text").as("ref_t"))
+    val cand = d.where(col("rn") % 2 === 0)
+      .select(col("source"), expr("rn div 2").as("pr"),
+        col("text").as("cand_t"))
+    ref.join(cand, Seq("source", "pr"))
+  }
+
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
 
     // Text analysis: token/char/quality per document
@@ -53,6 +72,31 @@ object TextGates extends GateFamily {
     "q40_repetition" -> ((s, dir) =>
       TextFunctions.repetitionStats(t(s, dir, "documents"), "doc_id", "text",
         "\\s+")),
+
+    // ROUGE-1/2 (Lin 2004) over consecutive same-source doc pairs
+    // (odd doc = reference, even = candidate — the q355 pairing):
+    // clipped n-gram overlap recall/precision/F1, every number one
+    // truncating integer division (F1 = 2o/(r+c) exactly) — the
+    // summary-eval acceptance metric as a corpus-scale census.
+    "q454_rouge" -> ((s, dir) =>
+      operators.TextEval.rougeE6(q454Pairs(s, dir),
+        Seq("source", "pr"), col("ref_t"), col("cand_t"))),
+
+    // Sentence BLEU-2 (Papineni et al. 2002) on the same pairs:
+    // exact clipped modified precisions, brevity penalty + geometric
+    // mean as ONE pinned double chain.
+    "q455_bleu2" -> ((s, dir) =>
+      operators.TextEval.bleu2E6(q454Pairs(s, dir),
+        Seq("source", "pr"), col("ref_t"), col("cand_t"))),
+
+    // Levenshtein edit distance on 200-char prefixes of the same
+    // pairs (the bounded-cost contract — edit distance is O(len²)),
+    // max-length normalized: the character-level near-dup audit
+    // beside the token-level q19/q21 miners.
+    "q456_edit_distance" -> ((s, dir) =>
+      operators.TextEval.editDistancePairs(q454Pairs(s, dir),
+        Seq("source", "pr"), col("ref_t"), col("cand_t"),
+        capChars = 200)),
 
     // Distinct-n diversity profile (Li et al. 2016's distinct-1/-2 as
     // a corpus readout): per source and n ∈ {1,2,3}, total vs distinct
@@ -535,7 +579,118 @@ object TextGates extends GateFamily {
     }),
   )
 
+  /** Shared oracle CTEs for q454/q455/q456: the pair frame plus
+    * per-side gram censuses and per-n overlap/total stats. */
+  private val q454StatCtes: String = {
+    def gram(n: Int, tcol: String, tag: String): String =
+      if (n == 1)
+        s"""${tag}g$n AS (SELECT source, pr, g,
+           |  CAST(count(*) AS BIGINT) AS c
+           | FROM (SELECT source, pr, unnest(regexp_split_to_array(
+           |    trim(lower($tcol)), '\\s+')) AS g FROM p)
+           | GROUP BY 1, 2, 3)""".stripMargin
+      else
+        s"""${tag}g$n AS (SELECT source, pr, g,
+           |  CAST(count(*) AS BIGINT) AS c
+           | FROM (SELECT source, pr,
+           |   array_to_string(ts[i:i+${n - 1}], ' ') AS g
+           |  FROM (SELECT source, pr, regexp_split_to_array(
+           |     trim(lower($tcol)), '\\s+') AS ts FROM p),
+           |  UNNEST(range(1, len(ts) - ${n - 2})) AS t(i))
+           | GROUP BY 1, 2, 3)""".stripMargin
+    def stats(n: Int): String =
+      s"""s$n AS (SELECT p.source, p.pr,
+         |  COALESCE(ov.o, 0) AS o_$n,
+         |  COALESCE(rt.r, 0) AS r_$n,
+         |  COALESCE(cc.c, 0) AS c_$n
+         | FROM p
+         | LEFT JOIN (SELECT rg.source, rg.pr,
+         |    CAST(sum(least(rg.c, cg.c)) AS BIGINT) AS o
+         |   FROM rg$n rg JOIN cg$n cg
+         |    ON cg.source = rg.source AND cg.pr = rg.pr AND cg.g = rg.g
+         |   GROUP BY 1, 2) ov
+         |  ON ov.source = p.source AND ov.pr = p.pr
+         | LEFT JOIN (SELECT source, pr, CAST(sum(c) AS BIGINT) AS r
+         |   FROM rg$n GROUP BY 1, 2) rt
+         |  ON rt.source = p.source AND rt.pr = p.pr
+         | LEFT JOIN (SELECT source, pr, CAST(sum(c) AS BIGINT) AS c
+         |   FROM cg$n GROUP BY 1, 2) cc
+         |  ON cc.source = p.source AND cc.pr = p.pr)""".stripMargin
+    s"""d AS (SELECT source, doc_id, text,
+       |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       | FROM documents),
+       |r0 AS (SELECT source, (rn + 1) // 2 AS pr, text AS rt FROM d
+       | WHERE rn % 2 = 1),
+       |c0 AS (SELECT source, rn // 2 AS pr, text AS ct FROM d
+       | WHERE rn % 2 = 0),
+       |p AS (SELECT r0.source, r0.pr, rt, ct FROM r0 JOIN c0
+       | USING (source, pr)),
+       |${gram(1, "rt", "r")},
+       |${gram(1, "ct", "c")},
+       |${gram(2, "rt", "r")},
+       |${gram(2, "ct", "c")},
+       |${stats(1)},
+       |${stats(2)}""".stripMargin
+  }
+
+  private val q454OracleSql: String =
+    s"""WITH $q454StatCtes
+       |SELECT s1.source, s1.pr,
+       | CASE WHEN r_1 > 0 THEN o_1 * 1000000 // r_1 ELSE 0 END
+       |  AS rouge1_recall_e6,
+       | CASE WHEN c_1 > 0 THEN o_1 * 1000000 // c_1 ELSE 0 END
+       |  AS rouge1_precision_e6,
+       | CASE WHEN r_1 + c_1 > 0 THEN 2 * o_1 * 1000000 // (r_1 + c_1)
+       |  ELSE 0 END AS rouge1_f1_e6,
+       | CASE WHEN r_2 > 0 THEN o_2 * 1000000 // r_2 ELSE 0 END
+       |  AS rouge2_recall_e6,
+       | CASE WHEN c_2 > 0 THEN o_2 * 1000000 // c_2 ELSE 0 END
+       |  AS rouge2_precision_e6,
+       | CASE WHEN r_2 + c_2 > 0 THEN 2 * o_2 * 1000000 // (r_2 + c_2)
+       |  ELSE 0 END AS rouge2_f1_e6
+       |FROM s1 JOIN s2 ON s2.source = s1.source AND s2.pr = s1.pr"""
+      .stripMargin
+
+  private val q455OracleSql: String =
+    s"""WITH $q454StatCtes
+       |SELECT s1.source, s1.pr, o_1, o_2,
+       | r_1 AS ref_len, c_1 AS cand_len,
+       | CASE WHEN o_1 = 0 OR o_2 = 0 OR c_1 = 0 OR c_2 = 0 THEN 0
+       |  ELSE CAST(round(
+       |   (CASE WHEN c_1 >= r_1 THEN 1.0
+       |     ELSE exp(1.0 - CAST(r_1 AS DOUBLE)
+       |       / CAST(c_1 AS DOUBLE)) END)
+       |   * sqrt((CAST(o_1 AS DOUBLE) / CAST(c_1 AS DOUBLE))
+       |        * (CAST(o_2 AS DOUBLE) / CAST(c_2 AS DOUBLE)))
+       |   * 1000000.0) AS BIGINT) END AS bleu2_e6
+       |FROM s1 JOIN s2 ON s2.source = s1.source AND s2.pr = s1.pr"""
+      .stripMargin
+
+  private val q456OracleSql: String =
+    """WITH d AS (SELECT source, doc_id, text,
+      |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      | FROM documents),
+      |r0 AS (SELECT source, (rn + 1) // 2 AS pr, text AS rt FROM d
+      | WHERE rn % 2 = 1),
+      |c0 AS (SELECT source, rn // 2 AS pr, text AS ct FROM d
+      | WHERE rn % 2 = 0),
+      |p AS (SELECT r0.source, r0.pr,
+      |  substr(rt, 1, 200) AS a, substr(ct, 1, 200) AS b
+      | FROM r0 JOIN c0 USING (source, pr))
+      |SELECT source, pr,
+      | CAST(length(a) AS BIGINT) AS len_a,
+      | CAST(length(b) AS BIGINT) AS len_b,
+      | CAST(levenshtein(a, b) AS BIGINT) AS dist,
+      | CASE WHEN greatest(length(a), length(b)) > 0
+      |  THEN CAST(levenshtein(a, b) AS BIGINT) * 1000000
+      |   // CAST(greatest(length(a), length(b)) AS BIGINT)
+      |  ELSE 0 END AS norm_e6
+      |FROM p""".stripMargin
+
   def oracleSql: Seq[(String, String)] = Seq(
+    "q454_rouge" -> q454OracleSql,
+    "q455_bleu2" -> q455OracleSql,
+    "q456_edit_distance" -> q456OracleSql,
     "q44_split_assign" ->
       """SELECT doc_id,
         | substr(md5(CAST(doc_id AS VARCHAR) || '#split#v1'), 1, 2) AS bucket,

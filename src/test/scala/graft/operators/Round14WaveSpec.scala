@@ -124,6 +124,36 @@ class Round14WaveSpec extends SparkSpec {
     assert(out == Set((0L, true, 1L), (1L, true, 1L), (0L, false, 1L)))
   }
 
+  test("rougeE6 + bleu2E6: clipped-overlap hand pair") {
+    // ref "the cat sat" vs cand "the cat the": o1 = 2 (clipped), o2 = 1
+    val pairs = Seq(("s1", 1L, "the cat sat", "the cat the"))
+      .toDF("source", "pr", "ref_t", "cand_t")
+    val rg = TextEval.rougeE6(pairs, Seq("source", "pr"),
+        col("ref_t"), col("cand_t"))
+      .select("rouge1_recall_e6", "rouge1_precision_e6", "rouge1_f1_e6",
+        "rouge2_recall_e6", "rouge2_precision_e6", "rouge2_f1_e6")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rg(0) == ((666666L, 666666L, 666666L,
+      500000L, 500000L, 500000L)))
+    val bl = TextEval.bleu2E6(pairs, Seq("source", "pr"),
+        col("ref_t"), col("cand_t"))
+      .select("o_1", "o_2", "ref_len", "cand_len", "bleu2_e6")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // BP = 1 (cand_len = ref_len); bleu = √(2/3 · 1/2)
+    assert(bl(0) == ((2L, 1L, 3L, 3L,
+      pin(math.sqrt((2.0 / 3) * 0.5) * 1e6))))
+  }
+
+  test("editDistancePairs: the classic kitten/sitting distance") {
+    val pairs = Seq(("s1", 1L, "kitten", "sitting"))
+      .toDF("source", "pr", "a", "b")
+    val out = TextEval.editDistancePairs(pairs, Seq("source", "pr"),
+        col("a"), col("b"), capChars = 200)
+      .select("len_a", "len_b", "dist", "norm_e6")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out(0) == ((6L, 7L, 3L, 3000000L / 7L)))
+  }
+
   test("durbinWatsonE6: alternating residuals give the hand DW") {
     // x = 0..3, y = (0,1,0,1): b = 4/20, residuals (−.2,.6,−.6,.2) →
     // E3 = (−200,600,−600,200); DW = 2720000/800000 = 3.4
