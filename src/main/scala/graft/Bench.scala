@@ -57,17 +57,22 @@ object Bench {
         // A failing query must FAIL LOUDLY: round 8 swallowed 34 analysis
         // errors here and recorded them as plausible ~0.1 s "runs", hiding
         // an environment breakage from every driver artifact.
-        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        // A rep that throws — on ANY rep, not just the first — marks the
+        // gate errored: a later-rep failure would otherwise contribute its
+        // fast failure wall to the min-of-k warm number (ADVICE r14), the
+        // exact quiet-failure mode this block exists to prevent.
+        val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
           val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}"
-          System.err.println(s"[bench] FAILED $name — $msg")
-          if (rep == 1) errors ::= (name -> msg)
+          System.err.println(s"[bench] FAILED $name (rep $rep) — $msg")
+          if (!errors.exists(_._1 == name)) errors ::= (name -> msg)
+          false
         }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()    // drop per-query persisted frames
         SparkEntry.cleanupQueryTmp()  // reclaim per-query upsert/bucket roots
-        dt
+        (dt, ok)
       }
-      name -> walls
+      name -> walls.collect { case (dt, true) => dt }
     }
     val errored = errors.map(_._1).toSet
     def jstr(s: String): String =
