@@ -26,26 +26,12 @@ object TableGates extends GateFamily {
     // so the snapshot read merges a compacted base with a live delta.
     // Latest-per-(partition, key) by (ver DESC, commit DESC), deletes
     // applied; the oracle replays the same commit log as a window query
+    // The commit log is built ONCE per data dir ([[GateSupport.ordersUpsertScenario]],
+    // r15 — the write path was 75%+ of this gate AND q209 rebuilt the
+    // same table); whichever of the two gates runs first pays the build,
+    // exactly like the BT-duels family.
     "q50_upsert_snapshot" -> ((s, dir) => {
-      // one orders scan feeds all three commit frames
-      val base = t(s, dir, "orders").select(
-        col("o_orderkey").as("k"),
-        date_format(col("o_orderdate"), "yyyy-MM").as("dt"),
-        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val c1 = base.withColumn("ver", lit(1L)).withColumn("del", lit(false))
-      val c2 = base.where(col("k") % 7 === 0 || col("k") % 13 === 0)
-        .withColumn("price_cents", col("price_cents") + 1000L)
-        .withColumn("ver", lit(2L)).withColumn("del", col("k") % 13 === 0)
-      val c3 = base.where(col("k") % 21 === 0)
-        .withColumn("price_cents", col("price_cents") + 5000L)
-        .withColumn("ver", lit(3L)).withColumn("del", lit(false))
-      val path = queryTmp("graft_upsert_q50") + "/t"
-      val ut = new sinks.UpsertTable(path, Seq("k"), "ver", Seq("dt"), Some("del"))
-      ut.upsert(c1)
-      ut.upsert(c2)
-      ut.compact(s)
-      ut.upsert(c3)
+      val (ut, _, _) = ordersUpsertScenario(s, dir)
       ut.snapshot(s).select("k", "dt", "price_cents", "ver")
     }),
 
@@ -320,26 +306,11 @@ object TableGates extends GateFamily {
     // the c3 slice shows as updates, its resurrected c2-deleted subset
     // (k % 273) as inserts; the oracle replays both resolutions and the
     // full-outer compare.
+    // Shares the memoized commit log with q50 ([[GateSupport.ordersUpsertScenario]]);
+    // this gate is the time-travel READ path: two as-of resolutions
+    // across the compaction boundary plus the keyed full-outer diff.
     "q209_time_travel_diff" -> ((s, dir) => {
-      val base = t(s, dir, "orders").select(
-        col("o_orderkey").as("k"),
-        date_format(col("o_orderdate"), "yyyy-MM").as("dt"),
-        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val c1 = base.withColumn("ver", lit(1L)).withColumn("del", lit(false))
-      val c2 = base.where(col("k") % 7 === 0 || col("k") % 13 === 0)
-        .withColumn("price_cents", col("price_cents") + 1000L)
-        .withColumn("ver", lit(2L)).withColumn("del", col("k") % 13 === 0)
-      val c3 = base.where(col("k") % 21 === 0)
-        .withColumn("price_cents", col("price_cents") + 5000L)
-        .withColumn("ver", lit(3L)).withColumn("del", lit(false))
-      val path = queryTmp("graft_upsert_q209") + "/t"
-      val ut = new sinks.UpsertTable(path, Seq("k"), "ver", Seq("dt"),
-        Some("del"))
-      ut.upsert(c1)
-      val s2 = ut.upsert(c2)
-      ut.compact(s)
-      val s3 = ut.upsert(c3)
+      val (ut, s2, s3) = ordersUpsertScenario(s, dir)
       operators.TableDiff.diff(
         ut.snapshotAt(s, s2).select("k", "dt", "price_cents", "ver"),
         ut.snapshotAt(s, s3).select("k", "dt", "price_cents", "ver"),
