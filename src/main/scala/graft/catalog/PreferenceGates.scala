@@ -365,6 +365,34 @@ object PreferenceGates extends GateFamily {
           col("suppressed"), col("satisfies"),
           (col("level") === col("chosen_level")).as("chosen"))
     }),
+
+    // Exact unbiased pass@k (Chen et al. 2021 eq. 1) at TASK grain —
+    // documents as "samples" grouped by source as the "task", correct
+    // = the n_chars quality bar; exact DECIMAL(38,0) consecutive-
+    // integer products. The per-task table beside q340's aggregated
+    // curve (r15 verdict item 4).
+    "q457_pass_at_k" -> ((s, dir) =>
+      operators.Preference.passAtKE6(t(s, dir, "documents"),
+        col("source"), col("n_chars") >= 200, k = 4)),
+
+    // Online Elo over a bounded deterministic match stream (supplier-
+    // vs-part mod-64 "players", win by price-cents parity, total order
+    // = the lineitem unique key): the sequential companion of the
+    // Bradley–Terry fit — one pow(10, Δ/400) per match on INTEGER
+    // rating diffs, zero-sum ⌊x+0.5⌋-pinned updates, replayed by the
+    // oracle as a recursive CTE carrying the full rating list.
+    "q458_elo" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") % 199 === 0)
+        .select((col("l_suppkey") % 64).as("pa"),
+          (col("l_partkey") % 64).as("pb"),
+          (cents(col("l_extendedprice")) % 2 === 0).as("aw"),
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"))
+        .where(col("pa") =!= col("pb"))
+      operators.Preference.eloRatings(li, col("pa"), col("pb"), col("aw"),
+        Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey")))
+    }),
   )
 
   def oracleSql: Seq[(String, String)] = Seq(
@@ -834,5 +862,65 @@ object PreferenceGates extends GateFamily {
         | CAST(suppressed AS BIGINT) AS suppressed, satisfies,
         | (level = ch.chosen_level) AS chosen
         |FROM s CROSS JOIN ch""".stripMargin,
+
+    // q457: the k=4 products as HUGEINT consecutive integers — a zero
+    // term lands in the numerator exactly when n−c < k, so no CASE; //
+    // truncates toward zero like the Spark DECIMAL div (operands ≥ 0).
+    "q457_pass_at_k" ->
+      """WITH t AS (SELECT source AS task, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS c
+        | FROM documents GROUP BY 1),
+        |f AS (SELECT task, n, c FROM t WHERE n >= 4)
+        |SELECT task, n, c,
+        | CAST(1000000 AS BIGINT) - CAST((CAST(1000000 AS HUGEINT)
+        |   * ((n-c)::HUGEINT * (n-c-1) * (n-c-2) * (n-c-3)))
+        |  // (n::HUGEINT * (n-1) * (n-2) * (n-3)) AS BIGINT) AS pass_e6
+        |FROM f""".stripMargin,
+
+    // q458: the sequential fold replayed as a recursive CTE carrying
+    // the full (player, rating, n_matches) list; the per-step expected
+    // score pins the identical ⌊1e6/(1+10^(Δ/400)) + 0.5⌋ expression
+    // the Scala fold computes (q374 pow-parity precedent), and the
+    // K·(1e6−E)//1e6 delta truncates toward zero in both engines.
+    "q458_elo" ->
+      """WITH RECURSIVE m AS (
+        | SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+        |   l_partkey, l_suppkey) AS i,
+        |  l_suppkey % 64 AS pa, l_partkey % 64 AS pb,
+        |  (CAST(round(l_extendedprice * 100) AS BIGINT) % 2) = 0 AS aw
+        | FROM lineitem
+        | WHERE l_orderkey % 199 = 0 AND l_suppkey % 64 <> l_partkey % 64),
+        |players AS (SELECT DISTINCT p FROM
+        | (SELECT pa AS p FROM m UNION ALL SELECT pb FROM m)),
+        |init AS (SELECT list(struct_pack(p := p,
+        |  r := CAST(1500 AS BIGINT), nm := CAST(0 AS BIGINT))
+        |  ORDER BY p) AS ps FROM players),
+        |walk(i, ps) AS (
+        | SELECT CAST(0 AS BIGINT) AS i, ps FROM init
+        | UNION ALL
+        | SELECT w.i + 1,
+        |  list_transform(w.ps, x -> CASE
+        |    WHEN x.p = s.mw THEN struct_pack(p := x.p, r := x.r + s.d,
+        |      nm := x.nm + 1)
+        |    WHEN x.p = s.ml THEN struct_pack(p := x.p, r := x.r - s.d,
+        |      nm := x.nm + 1)
+        |    ELSE x END)
+        | FROM walk w JOIN m ON m.i = w.i + 1, LATERAL (
+        |   SELECT mw, ml,
+        |    CAST(32 * (1000000 - CAST(floor(1000000.0
+        |      / (1.0 + pow(10.0, (rl - rw) / 400.0)) + 0.5) AS BIGINT))
+        |     // 1000000 AS BIGINT) AS d
+        |   FROM (SELECT
+        |     CASE WHEN m.aw THEN m.pa ELSE m.pb END AS mw,
+        |     CASE WHEN m.aw THEN m.pb ELSE m.pa END AS ml,
+        |     list_filter(w.ps, x -> x.p = CASE WHEN m.aw THEN m.pa
+        |       ELSE m.pb END)[1].r AS rw,
+        |     list_filter(w.ps, x -> x.p = CASE WHEN m.aw THEN m.pb
+        |       ELSE m.pa END)[1].r AS rl)) s),
+        |last AS (SELECT ps FROM walk ORDER BY i DESC LIMIT 1),
+        |flat AS (SELECT unnest(ps) AS u FROM last)
+        |SELECT u.p AS player, u.r AS rating, u.nm AS n_matches
+        |FROM flat""".stripMargin,
   )
 }

@@ -789,6 +789,116 @@ object Preference {
             .stripMargin)).as("icc_e6"))
   }
 
+  /** Unbiased pass@k (Chen et al. 2021, "Evaluating Large Language
+    * Models Trained on Code", eq. 1) at TASK GRAIN — the per-task
+    * companion of [[EvalCurves.passAtKCurve]] (which aggregates the
+    * mean curve over k; this returns the task-level table an eval
+    * dashboard drills into). Per task with n samples of which c
+    * pass,
+    *   pass@k = 1 − C(n−c, k)/C(n, k) = 1 − ∏_{i=0..k−1} (n−c−i)/(n−i)
+    * computed EXACTLY in integers: numerator and denominator are k-term
+    * consecutive-integer products (k is a plan constant, unrolled) in
+    * DECIMAL(38,0), then
+    *   pass_e6 = 1e6 − (1e6·num) div den    (truncating; operands ≥ 0).
+    * The numerator product needs no C(n−c,k)=0 case split: its k terms
+    * are consecutive descending integers, so n−c < k puts a literal 0
+    * among them. Tasks with n < k are dropped (the estimator is
+    * undefined there) — mirror the HAVING in the oracle.
+    *
+    * Scale shape: ONE hash aggregate to task grain (map-side combined);
+    * the products are scalar projections on the task census. Guard: the
+    * counted max(n) must keep 1e6·n^k inside DECIMAL(38,0) — loud
+    * require, single-row fetch. */
+  def passAtKE6(samples: DataFrame, task: Column, correct: Column,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 16, s"k=$k out of range [1,16]")
+    val tasks = samples.groupBy(task.as("task"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(correct, 1L).otherwise(0L)).as("c"))
+      .where(col("n") >= k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxN = tasks.agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
+    require(maxN == 0L || k * math.log10(maxN.toDouble) <= 30.0,
+      s"max samples/task $maxN with k=$k overflows the DECIMAL(38,0) " +
+        "product bound (need n^k <= 1e30); reduce k or pre-sample tasks")
+    def prod(base: Column): Column =
+      (0 until k).map(i => (base - lit(i.toLong))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .reduce(_ * _)
+    val out = tasks
+      .withColumn("__num", prod(col("n") - col("c")))
+      .withColumn("__den", prod(col("n")))
+      // `div` (NOT `/`): decimal `/` rounds HALF_UP, div truncates like
+      // the oracle's `//`; operands are non-negative
+      .withColumn("pass_e6",
+        expr("1000000L - (CAST(1000000 AS DECIMAL(38,0)) * __num) div __den"))
+      .select(col("task"), col("n"), col("c"), col("pass_e6"))
+      .localCheckpoint(true)
+    tasks.unpersist()
+    out
+  }
+
+  /** Online Elo ratings — the SEQUENTIAL companion of [[bradleyTerryE6]]
+    * (Elo 1978; the zero-sum integer form chess servers run): matches
+    * fold in a caller-supplied TOTAL order, and after each match
+    *   E_w_e6 = ⌊1e6 / (1 + 10^((r_l − r_w)/400)) + 0.5⌋
+    *   d      = (K · (1e6 − E_w_e6)) div 1e6        ∈ [0, K]
+    *   r_w += d;  r_l −= d.
+    * Ratings are plain integers (start `initialRating`), so the only
+    * floating step is ONE pow(10, Δ/400) per match on an INTEGER rating
+    * diff — no compounding of doubles, and the ⌊x+0.5⌋ rounding is
+    * pinned identically in the SQL replay (`floor(x + 0.5)`), keeping
+    * the whole trajectory bit-stable cross-engine (the q374 pow-parity
+    * precedent). Zero-sum by construction: the loser loses exactly what
+    * the winner gains (the symmetric-E form would need E_l = 1e6 − E_w,
+    * which half-point rounding breaks).
+    *
+    * The fold is inherently sequential GLOBAL state (each update reads
+    * both players' current ratings), so it runs on the driver behind a
+    * bounded-fetch probe (`limit(max+1)` → loud require) — the MMR/KM
+    * contract: at production scale the stream form is
+    * [[graft.streaming.EloTws]] (watermark-ordered, same arithmetic;
+    * EloTwsSpec pins batch ≡ stream). Output: (player, rating,
+    * n_matches) for every player seen. */
+  def eloRatings(matches: DataFrame, playerA: Column, playerB: Column,
+      aWins: Column, orderBy: Seq[Column], kFactor: Long = 32L,
+      initialRating: Long = 1500L, maxMatches: Long = 20000L): DataFrame = {
+    require(kFactor > 0L && maxMatches > 0L)
+    val spark = matches.sparkSession
+    val sel = matches.select((playerA.cast("long").as("pa") +:
+      playerB.cast("long").as("pb") +: aWins.as("aw") +:
+      orderBy.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }): _*)
+      .where(col("pa").isNotNull && col("pb").isNotNull &&
+        col("pa") =!= col("pb"))
+    require(sel.limit((maxMatches + 1L).toInt).count() <= maxMatches,
+      s"eloRatings is a bounded driver fold: > $maxMatches matches — " +
+        "use the EloTws streaming form at this scale")
+    val ordered = sel
+      .orderBy(orderBy.indices.map(i => col(s"__o$i")): _*)
+      .select(col("pa"), col("pb"), col("aw"))
+      .collect()
+    val r = scala.collection.mutable.Map.empty[Long, Long]
+    val nm = scala.collection.mutable.Map.empty[Long, Long]
+    ordered.foreach { row =>
+      val (pa, pb, aw) = (row.getLong(0), row.getLong(1), row.getBoolean(2))
+      val (w, l) = if (aw) (pa, pb) else (pb, pa)
+      val rw = r.getOrElse(w, initialRating)
+      val rl = r.getOrElse(l, initialRating)
+      val eE6 = math.floor(
+        1000000.0 / (1.0 + math.pow(10.0, (rl - rw).toDouble / 400.0)) + 0.5)
+        .toLong
+      val d = (kFactor * (1000000L - eE6)) / 1000000L
+      r(w) = rw + d
+      r(l) = rl - d
+      nm(w) = nm.getOrElse(w, 0L) + 1L
+      nm(l) = nm.getOrElse(l, 0L) + 1L
+    }
+    import spark.implicits._
+    r.toSeq.sortBy(_._1)
+      .map { case (p, rating) => (p, rating, nm(p)) }
+      .toDF("player", "rating", "n_matches")
+  }
+
   def winRatioE6(df: DataFrame, treated: Column, primaryBad: Column,
       secondary: Column): DataFrame = {
     val cells = df.select(treated.cast("boolean").as("tr"),

@@ -362,4 +362,76 @@ class PreferenceSpec extends SparkSpec {
     assert(got.getLong(3) == 500000L && got.getLong(4) == 625000L)
     assert(got.getLong(5) == -333333L) // toward-zero negative κ
   }
+
+  test("passAtKE6: hand-computed tasks are exact; n<k tasks dropped") {
+    // A: n=5,c=2 -> 1-C(3,3)/C(5,3)=0.9; B: n=4,c=0 -> 0;
+    // C: n=3,c=3 -> dropped (n<k=... no: k=3, n=3 kept) -> 1e6;
+    // D: n=6,c=1 -> 1-C(5,3)/C(6,3)=0.5; E: n=2 -> dropped (n<k)
+    val rows =
+      (1 to 5).map(i => ("A", i <= 2)) ++
+      (1 to 4).map(_ => ("B", false)) ++
+      (1 to 3).map(_ => ("C", true)) ++
+      (1 to 6).map(i => ("D", i == 1)) ++
+      (1 to 2).map(_ => ("E", true))
+    val got = Preference.passAtKE6(rows.toDF("task", "ok"),
+        col("task"), col("ok"), k = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == Set("A", "B", "C", "D"))
+    assert(got("A") == ((5L, 2L, 900000L)))
+    assert(got("B") == ((4L, 0L, 0L)))
+    assert(got("C") == ((3L, 3L, 1000000L)))
+    assert(got("D") == ((6L, 1L, 500000L)))
+  }
+
+  test("passAtKE6 matches passAtKCurve's mean on a shared frame") {
+    // cross-check the two implementations of the same estimator: the
+    // curve's sum over problems must equal the task table's sum
+    val rows = (0 until 300).map { i =>
+      (s"t${i % 17}", (i * 7919) % 5 != 0)
+    }
+    val perTask = Preference.passAtKE6(rows.toDF("task", "ok"),
+      col("task"), col("ok"), k = 4)
+    val sumTask = perTask.agg(sum(col("pass_e6"))).head().getLong(0)
+    val curve = EvalCurves.passAtKCurve(rows.toDF("task", "ok"),
+        col("task"), col("ok"), ks = Seq(4), maxN = 64)
+      .collect().head
+    assert(BigDecimal(curve.getDecimal(2)) == BigDecimal(sumTask))
+  }
+
+  test("eloRatings: hand-stepped 3-match trajectory is exact") {
+    // 1 beats 2 twice then loses once: 1516/1484 -> 1530/1470 -> 1512/1488
+    val m = Seq((1L, 2L, true, 1L), (1L, 2L, true, 2L), (1L, 2L, false, 3L))
+    val got = Preference.eloRatings(m.toDF("a", "b", "aw", "o"),
+        col("a"), col("b"), col("aw"), Seq(col("o")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((1512L, 3L)))
+    assert(got(2L) == ((1488L, 3L)))
+  }
+
+  test("eloRatings: zero-sum invariant and order sensitivity") {
+    val m = (0 until 200).map { i =>
+      ((i * 7L) % 9, (i * 11L + 1) % 9, i % 3 != 0, i.toLong)
+    }.filter(r => r._1 != r._2)
+    val got = Preference.eloRatings(m.toDF("a", "b", "aw", "o"),
+      col("a"), col("b"), col("aw"), Seq(col("o"))).collect()
+    val totalDrift = got.map(_.getLong(1) - 1500L).sum
+    assert(totalDrift == 0L) // zero-sum: gains equal losses exactly
+    // reversing the order must change SOME rating (sequential, not
+    // exchangeable like BT)
+    val rev = Preference.eloRatings(m.toDF("a", "b", "aw", "o"),
+      col("a"), col("b"), col("aw"), Seq(-col("o"))).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toMap !=
+      rev.map(r => (r.getLong(0), r.getLong(1))).toMap)
+  }
+
+  test("eloRatings: bounded-fetch guard fails loudly past maxMatches") {
+    val m = (0 until 30).map(i => (i.toLong % 5, (i + 1).toLong % 5,
+      true, i.toLong)).filter(r => r._1 != r._2)
+    val ex = intercept[IllegalArgumentException] {
+      Preference.eloRatings(m.toDF("a", "b", "aw", "o"), col("a"),
+        col("b"), col("aw"), Seq(col("o")), maxMatches = 10L)
+    }
+    assert(ex.getMessage.contains("bounded driver fold"))
+  }
 }
