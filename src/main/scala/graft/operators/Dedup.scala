@@ -201,9 +201,28 @@ object Dedup {
     // `__n > 0` keeps parity with the exploded form: shingle-less docs have
     // no signature (array_min of [] would be null)
     val sets = hashedShingleSets(docs, idCol, textCol, n).where(col("__n") > 0)
-    val mins = (0 until numHashes).map(i =>
-      array_min(transform(col("__arr"), s => xxhash64(lit(i), s))).as(s"h$i"))
-    sets.select(col(idCol) +: mins: _*)
+    sets.select(col(idCol) +: minHashSigCols(col("__arr"), numHashes): _*)
+  }
+
+  /** The k salted-min signature columns over an int64 shingle-hash array
+    * column — factored so the streaming monitor
+    * ([[graft.streaming.LshDedupTws]]) computes the IDENTICAL signature
+    * the batch path does (shared expressions, not parallel formulas). */
+  def minHashSigCols(arr: Column, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map(i =>
+      array_min(transform(arr, s => xxhash64(lit(i), s))).as(s"h$i"))
+
+  /** The banded (band, bucket) struct columns over signature columns
+    * h0..h{numHashes−1} — the exact bucketing [[minHashLshPairs]] joins
+    * on, shared with the streaming monitor for the same reason. */
+  def bandStructCols(numHashes: Int, bands: Int): Seq[Column] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    (0 until bands).map { bIdx =>
+      struct(lit(bIdx).as("band"),
+        xxhash64((bIdx * r until (bIdx + 1) * r).map(i => col(s"h$i")): _*)
+          .as("bucket"))
+    }
   }
 
   /** Banded-LSH candidate pairs from MinHash signatures with the
@@ -215,15 +234,11 @@ object Dedup {
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     // signatures feed both sides of the band self-join — materialize once
     val sig = minHashSignatures(docs, idCol, textCol, n, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandCols = (0 until bands).map { bIdx =>
-      struct(lit(bIdx).as("band"),
-        xxhash64((bIdx * r until (bIdx + 1) * r).map(i => col(s"h$i")): _*).as("bucket"))
-    }
-    val exploded = sig.withColumn("__band", explode(array(bandCols: _*)))
+    val exploded = sig.withColumn("__band",
+      explode(array(bandStructCols(numHashes, bands): _*)))
     val a = exploded.as("a"); val b = exploded.as("b")
     val sigEq = (0 until numHashes)
       .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))

@@ -860,6 +860,17 @@ object Preference {
     * [[graft.streaming.EloTws]] (watermark-ordered, same arithmetic;
     * EloTwsSpec pins batch ≡ stream). Output: (player, rating,
     * n_matches) for every player seen. */
+  /** One Elo update's zero-sum transfer: what the winner at `rw` gains
+    * (and the loser at `rl` loses) — shared by the batch fold and
+    * [[graft.streaming.EloTws]] so batch ≡ stream holds by
+    * construction, not by parallel maintenance. */
+  private[graft] def eloDelta(rw: Long, rl: Long, kFactor: Long): Long = {
+    val eE6 = math.floor(
+      1000000.0 / (1.0 + math.pow(10.0, (rl - rw).toDouble / 400.0)) + 0.5)
+      .toLong
+    (kFactor * (1000000L - eE6)) / 1000000L
+  }
+
   def eloRatings(matches: DataFrame, playerA: Column, playerB: Column,
       aWins: Column, orderBy: Seq[Column], kFactor: Long = 32L,
       initialRating: Long = 1500L, maxMatches: Long = 20000L): DataFrame = {
@@ -884,10 +895,7 @@ object Preference {
       val (w, l) = if (aw) (pa, pb) else (pb, pa)
       val rw = r.getOrElse(w, initialRating)
       val rl = r.getOrElse(l, initialRating)
-      val eE6 = math.floor(
-        1000000.0 / (1.0 + math.pow(10.0, (rl - rw).toDouble / 400.0)) + 0.5)
-        .toLong
-      val d = (kFactor * (1000000L - eE6)) / 1000000L
+      val d = eloDelta(rw, rl, kFactor)
       r(w) = rw + d
       r(l) = rl - d
       nm(w) = nm.getOrElse(w, 0L) + 1L
