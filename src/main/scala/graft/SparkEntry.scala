@@ -47,6 +47,7 @@ object SparkEntry {
     catalog.GraphGates,
     catalog.TimeSeriesGates,
     catalog.StatsGates,
+    catalog.StatTestGates,
     catalog.ExperimentGates,
     catalog.RankingGates,
     catalog.PreferenceGates,
