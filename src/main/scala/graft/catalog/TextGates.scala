@@ -98,6 +98,14 @@ object TextGates extends GateFamily {
         Seq("source", "pr"), col("ref_t"), col("cand_t"),
         capChars = 200)),
 
+    // chrF2 (Popović 2015) on the same pairs: char n-gram (n=1..6)
+    // clipped precision/recall censuses + the β=2 F-score, every
+    // division truncating e6 — the tokenization-robust character-level
+    // member beside the word-gram ROUGE/BLEU (r15).
+    "q459_chrf" -> ((s, dir) =>
+      operators.TextEval.chrFE6(q454Pairs(s, dir),
+        Seq("source", "pr"), col("ref_t"), col("cand_t"), maxN = 6)),
+
     // Distinct-n diversity profile (Li et al. 2016's distinct-1/-2 as
     // a corpus readout): per source and n ∈ {1,2,3}, total vs distinct
     // word n-grams (per-document grams — never spanning docs) and the
@@ -633,6 +641,68 @@ object TextGates extends GateFamily {
        |${stats(2)}""".stripMargin
   }
 
+  /** q459: char-gram censuses for all orders in one lateral unnest
+    * chain (n from range, i correlated on len(tx) − n + 1), clipped
+    * overlap + totals per (pair, n) on the zero-filled pair × order
+    * grid, truncating e6 divisions — mirrors `TextEval.chrFE6`'s
+    * pinned conventions exactly (lowercase, whitespace stripped,
+    * empty orders contribute 0). */
+  private val q459OracleSql: String = {
+    def side(tcol: String, tag: String): String =
+      s"""${tag}t AS (SELECT source, pr,
+         |  regexp_replace(lower($tcol), '\\s+', '', 'g') AS tx FROM p),
+         |${tag}g AS (SELECT source, pr, n, substr(tx, i, n) AS g,
+         |  CAST(count(*) AS BIGINT) AS c
+         | FROM ${tag}t,
+         |  UNNEST(range(1, 7)) AS tn(n),
+         |  UNNEST(range(1, len(tx) - n + 2)) AS ti(i)
+         | WHERE len(tx) >= n
+         | GROUP BY 1, 2, 3, 4)""".stripMargin
+    s"""WITH d AS (SELECT source, doc_id, text,
+       |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       | FROM documents),
+       |r0 AS (SELECT source, (rn + 1) // 2 AS pr, text AS rt FROM d
+       | WHERE rn % 2 = 1),
+       |c0 AS (SELECT source, rn // 2 AS pr, text AS ct FROM d
+       | WHERE rn % 2 = 0),
+       |p AS (SELECT r0.source, r0.pr, rt, ct
+       | FROM r0 JOIN c0 USING (source, pr)),
+       |${side("rt", "r")},
+       |${side("ct", "c")},
+       |grid AS (SELECT source, pr, n FROM p, UNNEST(range(1, 7)) AS tn(n)),
+       |st AS (SELECT grid.source, grid.pr, grid.n,
+       |  COALESCE(ov.o, 0) AS o, COALESCE(rt2.r, 0) AS r,
+       |  COALESCE(ct2.c, 0) AS c
+       | FROM grid
+       | LEFT JOIN (SELECT rg.source, rg.pr, rg.n,
+       |    CAST(sum(least(rg.c, cg.c)) AS BIGINT) AS o
+       |   FROM rg JOIN cg ON cg.source = rg.source AND cg.pr = rg.pr
+       |    AND cg.n = rg.n AND cg.g = rg.g
+       |   GROUP BY 1, 2, 3) ov
+       |  ON ov.source = grid.source AND ov.pr = grid.pr AND ov.n = grid.n
+       | LEFT JOIN (SELECT source, pr, n, CAST(sum(c) AS BIGINT) AS r
+       |   FROM rg GROUP BY 1, 2, 3) rt2
+       |  ON rt2.source = grid.source AND rt2.pr = grid.pr
+       |   AND rt2.n = grid.n
+       | LEFT JOIN (SELECT source, pr, n, CAST(sum(c) AS BIGINT) AS c
+       |   FROM cg GROUP BY 1, 2, 3) ct2
+       |  ON ct2.source = grid.source AND ct2.pr = grid.pr
+       |   AND ct2.n = grid.n),
+       |pn AS (SELECT source, pr,
+       |  CASE WHEN c > 0 THEN o * 1000000 // c ELSE 0 END AS p_n,
+       |  CASE WHEN r > 0 THEN o * 1000000 // r ELSE 0 END AS r_n
+       | FROM st),
+       |agg AS (SELECT source, pr,
+       |  CAST(sum(p_n) // 6 AS BIGINT) AS chrp_e6,
+       |  CAST(sum(r_n) // 6 AS BIGINT) AS chrr_e6
+       | FROM pn GROUP BY 1, 2)
+       |SELECT source, pr, chrp_e6, chrr_e6,
+       | CASE WHEN 4 * chrp_e6 + chrr_e6 > 0
+       |  THEN 5 * chrp_e6 * chrr_e6 // (4 * chrp_e6 + chrr_e6)
+       |  ELSE 0 END AS chrf2_e6
+       |FROM agg""".stripMargin
+  }
+
   private val q454OracleSql: String =
     s"""WITH $q454StatCtes
        |SELECT s1.source, s1.pr,
@@ -691,6 +761,7 @@ object TextGates extends GateFamily {
     "q454_rouge" -> q454OracleSql,
     "q455_bleu2" -> q455OracleSql,
     "q456_edit_distance" -> q456OracleSql,
+    "q459_chrf" -> q459OracleSql,
     "q44_split_assign" ->
       """SELECT doc_id,
         | substr(md5(CAST(doc_id AS VARCHAR) || '#split#v1'), 1, 2) AS bucket,

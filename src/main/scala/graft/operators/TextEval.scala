@@ -105,6 +105,74 @@ object TextEval {
           .as("bleu2_e6"): _*)
   }
 
+  /** chrF with β = 2 (Popović 2015, "chrF: character n-gram F-score
+    * for automatic MT evaluation") — the character-level member of the
+    * pair-eval family, robust to tokenization and morphology where the
+    * word-gram ROUGE/BLEU are not. Pinned conventions (documented, both
+    * engines): lowercase, ALL whitespace stripped (the standard chrF
+    * prep), char n-grams for n = 1..maxN, orders where a side has no
+    * grams contribute 0 (not skipped), and every division truncates:
+    *   chrP_n = o_n·1e6 div c_n,  chrR_n = o_n·1e6 div r_n
+    *   chrP = (Σ_n chrP_n) div maxN   (chrR likewise)
+    *   chrF2 = 5·chrP·chrR div (4·chrP + chrR)   (β² = 4; 0 when both 0)
+    * 5·P·R ≤ 5e12 — far inside LONG.
+    *
+    * Scale shape: ONE explode per side emits (n, gram) rows for ALL
+    * orders (no per-order passes), one census aggregate per side, one
+    * clipped-overlap join on (keys, n, gram) + per-(pair, n) totals —
+    * gram rows shuffle, never pairs². Anchored on the pair × order grid
+    * so gram-less sides zero-fill. ASCII-safe length semantics (Spark
+    * counts UTF-16 units, DuckDB characters — identical on ASCII). */
+  def chrFE6(df: DataFrame, keyCols: Seq[String], refText: Column,
+      candText: Column, maxN: Int = 6): DataFrame = {
+    require(maxN >= 1 && maxN <= 10, s"chrF: 1 ≤ maxN ≤ 10, got $maxN")
+    def prep(t: Column): Column = regexp_replace(lower(t), "\\s+", "")
+    def grams(text: Column, side: String): DataFrame = {
+      val txt = prep(text)
+      val all = flatten(transform(sequence(lit(1), lit(maxN)), n =>
+        when(length(txt) >= n,
+          transform(sequence(lit(1), length(txt) - n + lit(1)),
+            i => struct(n.as("n"), txt.substr(i, n).as("g"))))
+          .otherwise(array().cast("array<struct<n:int,g:string>>"))))
+      df.select(keyCols.map(col) :+ explode(all).as("gn"): _*)
+        .select(keyCols.map(col) :+ col("gn.n").as("n") :+
+          col("gn.g").as("g"): _*)
+        .groupBy(keyCols.map(col) :+ col("n") :+ col("g"): _*)
+        .agg(count(lit(1)).as(s"c_$side"))
+    }
+    val r = grams(refText, "r")
+    val c = grams(candText, "c")
+    val nk = keyCols :+ "n"
+    val o = r.join(c, nk :+ "g")
+      .groupBy(nk.map(col): _*)
+      .agg(sum(least(col("c_r"), col("c_c"))).as("o"))
+    val rt = r.groupBy(nk.map(col): _*).agg(sum(col("c_r")).as("rr"))
+    val ct = c.groupBy(nk.map(col): _*).agg(sum(col("c_c")).as("cc"))
+    val grid = df.select(keyCols.map(col): _*)
+      .withColumn("n", explode(sequence(lit(1), lit(maxN))))
+    val st = grid
+      .join(rt, nk, "left").join(ct, nk, "left").join(o, nk, "left")
+      .select(keyCols.map(col) :+
+        coalesce(col("o"), lit(0L)).as("o") :+
+        coalesce(col("rr"), lit(0L)).as("rr") :+
+        coalesce(col("cc"), lit(0L)).as("cc"): _*)
+      .select(keyCols.map(col) :+
+        when(col("cc") > 0L, expr("o * 1000000 div cc"))
+          .otherwise(0L).as("p_n") :+
+        when(col("rr") > 0L, expr("o * 1000000 div rr"))
+          .otherwise(0L).as("r_n"): _*)
+    st.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("p_n")).as("__sp"), sum(col("r_n")).as("__sr"))
+      .withColumn("chrp_e6", expr(s"__sp div $maxN"))
+      .withColumn("chrr_e6", expr(s"__sr div $maxN"))
+      .withColumn("chrf2_e6",
+        when(col("chrp_e6") * 4L + col("chrr_e6") > 0L,
+          expr("(5 * chrp_e6 * chrr_e6) div (4 * chrp_e6 + chrr_e6)"))
+          .otherwise(0L))
+      .select(keyCols.map(col) :+ col("chrp_e6") :+ col("chrr_e6") :+
+        col("chrf2_e6"): _*)
+  }
+
   /** Levenshtein on `capChars`-capped prefixes + the max-length
     * normalized distance (e6). The cap is the documented per-row cost
     * bound — edit distance is O(len²) and belongs on prefixes or

@@ -250,4 +250,45 @@ class Round14WaveSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("checkpoint-grain"))
   }
+
+  test("chrFE6: hand char-gram pair with whitespace stripping") {
+    // ref "ab ab" -> "abab", cand "A ab" -> "aab" (lowercased), maxN=2:
+    //  n=1: o=3, c=3, r=4 -> p=1e6, r=750000
+    //  n=2: cand grams {aa, ab}, ref {ab:2, ba} -> o=1, c=2, r=3
+    //       -> p=500000, r=333333
+    //  P=(1e6+5e5) div 2 = 750000; R=(750000+333333) div 2 = 541666
+    //  F2 = 5·P·R div (4P + R) = 573528
+    val pairs = Seq(("s1", 1L, "ab ab", "A ab"))
+      .toDF("source", "pr", "ref_t", "cand_t")
+    val out = TextEval.chrFE6(pairs, Seq("source", "pr"),
+        col("ref_t"), col("cand_t"), maxN = 2)
+      .select("chrp_e6", "chrr_e6", "chrf2_e6")
+      .as[(Long, Long, Long)].collect()
+    assert(out(0) == ((750000L, 541666L, 573528L)))
+  }
+
+  test("chrFE6: identical texts score 1e6; disjoint score 0") {
+    val pairs = Seq(
+      ("s1", 1L, "same text here", "same text here"),
+      ("s1", 2L, "aaaa", "bbbb"))
+      .toDF("source", "pr", "ref_t", "cand_t")
+    val out = TextEval.chrFE6(pairs, Seq("source", "pr"),
+        col("ref_t"), col("cand_t"), maxN = 3)
+      .orderBy("pr")
+      .select("chrp_e6", "chrr_e6", "chrf2_e6")
+      .as[(Long, Long, Long)].collect()
+    assert(out(0) == ((1000000L, 1000000L, 1000000L)))
+    assert(out(1) == ((0L, 0L, 0L)))
+  }
+
+  test("chrFE6: an empty side zero-fills instead of dropping the pair") {
+    val pairs = Seq(("s1", 1L, "some reference", " "))
+      .toDF("source", "pr", "ref_t", "cand_t")
+    val out = TextEval.chrFE6(pairs, Seq("source", "pr"),
+        col("ref_t"), col("cand_t"))
+      .select("chrp_e6", "chrr_e6", "chrf2_e6")
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 1 && out(0) == ((0L, 0L, 0L)))
+  }
 }
+
