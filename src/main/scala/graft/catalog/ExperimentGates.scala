@@ -456,6 +456,18 @@ object ExperimentGates extends GateFamily {
         col("source"), budget = 60000L, maxEpochsE6 = 2500000L)
         .withColumnRenamed("domain", "source")),
 
+    // Temperature-sampled mixture weights (mT5's α-scaled sampling,
+    // α = 0.5) over the same source/token census — the third shipped
+    // allocator beside DoReMi (q424, learned) and UniMax (q439,
+    // epoch-capped): one pinned pow per domain, integer-exact
+    // normalization and up-sampling boost (r15).
+    "q460_temperature_mixture" -> ((s, dir) =>
+      operators.Mixture.temperatureWeightsE6(
+        t(s, dir, "documents").select(col("source"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("v")),
+        col("source"), alphaE6 = 500000L)
+        .withColumnRenamed("domain", "source")),
+
     // Dataset-cartography map (Swayamdipta et al. 2020), count-based
     // core: users as examples, weeks as epochs, weekly conversion as
     // the binary hit — exact (confidence, variability) per example
@@ -1270,6 +1282,29 @@ object ExperimentGates extends GateFamily {
         | CAST(a * 1000000 // nd AS BIGINT) AS epochs_e6,
         | CAST(a * 1000000 // 60000 AS BIGINT) AS budget_share_e6
         |FROM alloc""".stripMargin,
+
+    // q460: ONE pinned pow+round per domain (α literal written
+    // 500000 / 1000000.0 in both engines), then pure HUGEINT
+    // normalization — no double is ever summed.
+    "q460_temperature_mixture" ->
+      """WITH tok AS (SELECT source AS d,
+        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS v
+        | FROM documents),
+        |census AS (SELECT d, CAST(count(*) AS BIGINT) AS nd
+        | FROM tok GROUP BY 1),
+        |q AS (SELECT d, nd,
+        |  CAST(round(pow(CAST(nd AS DOUBLE), 500000 / 1000000.0)
+        |    * 1000000.0) AS BIGINT) AS q_e6 FROM census),
+        |t AS (SELECT CAST(sum(nd) AS HUGEINT) AS sn,
+        |  CAST(sum(q_e6) AS HUGEINT) AS sq FROM q)
+        |SELECT d AS source, nd AS n_tokens,
+        | CAST(CAST(nd AS HUGEINT) * 1000000 // sn AS BIGINT) AS share_e6,
+        | CAST(CAST(q_e6 AS HUGEINT) * 1000000 // sq AS BIGINT) AS samp_e6,
+        | CASE WHEN CAST(nd AS HUGEINT) * 1000000 // sn > 0
+        |  THEN CAST((CAST(q_e6 AS HUGEINT) * 1000000 // sq) * 1000000
+        |   // (CAST(nd AS HUGEINT) * 1000000 // sn) AS BIGINT)
+        |  ELSE 0 END AS boost_e6
+        |FROM q, t""".stripMargin,
 
     // q447: zero-filled (user × week) grid, the exact s(n−s) variance
     // identity with the corrected-isqrt text mirrored verbatim.

@@ -393,6 +393,22 @@ object PreferenceGates extends GateFamily {
         Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey")))
     }),
+
+    // GAE(γ=0.9, λ=0.95, H=4) per-step advantages over user event
+    // trajectories (reward = event cents, critic baseline = half the
+    // reward — a pinned stand-in for a value head): the PPO-side credit
+    // assignment beside q335's GRPO group baseline; per-trajectory
+    // lead() windows, pinned integer decay chain (r15).
+    "q461_gae" -> ((s, dir) =>
+      operators.Preference.gaeE6(
+        ev(s, dir).withColumn("r", cents(col("value")))
+          .withColumn("v", expr("r div 2")),
+        col("user_id"), Seq(col("ts_ms"), col("event_id")),
+        col("r"), col("v"),
+        gammaE6 = 900000L, lambdaE6 = 950000L, horizon = 4)
+        .withColumnRenamed("trajectory", "user_id")
+        .withColumnRenamed("o0", "ts_ms")
+        .withColumnRenamed("o1", "event_id")),
   )
 
   def oracleSql: Seq[(String, String)] = Seq(
@@ -922,5 +938,30 @@ object PreferenceGates extends GateFamily {
         |flat AS (SELECT unnest(ps) AS u FROM last)
         |SELECT u.p AS player, u.r AS rating, u.nm AS n_matches
         |FROM flat""".stripMargin,
+
+    // q461: gl = 900000·950000 // 1e6 = 855000; the decay chain
+    // c_k = c_{k−1}·gl // 1e6 unrolls to the literals below; every //
+    // truncates toward zero like the Spark div (signed-safe).
+    "q461_gae" ->
+      """WITH s AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS r FROM events),
+        |b AS (SELECT user_id, ts_ms, event_id, r, r // 2 AS v FROM s),
+        |d AS (SELECT user_id, ts_ms, event_id, r, v,
+        |  r + (900000 * COALESCE(lead(v) OVER w, 0)) // 1000000 - v
+        |   AS delta
+        | FROM b
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |l AS (SELECT user_id, ts_ms, event_id, r, v, delta,
+        |  COALESCE(lead(delta, 1) OVER w, 0) AS d1,
+        |  COALESCE(lead(delta, 2) OVER w, 0) AS d2,
+        |  COALESCE(lead(delta, 3) OVER w, 0) AS d3,
+        |  COALESCE(lead(delta, 4) OVER w, 0) AS d4
+        | FROM d
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
+        |SELECT user_id, ts_ms, event_id, r AS reward, v AS value, delta,
+        | (1000000 * delta) // 1000000 + (855000 * d1) // 1000000
+        |  + (731025 * d2) // 1000000 + (625026 * d3) // 1000000
+        |  + (534397 * d4) // 1000000 AS advantage
+        |FROM l""".stripMargin,
   )
 }

@@ -131,6 +131,60 @@ object Mixture {
     * two windows over the domain census (cumsum + rank, constant
     * [[Census.onePartKey]] partition) plus scalar projections —
     * no driver fold, no iteration. */
+  /** Temperature-sampled mixture weights — the multilingual-pretraining
+    * standard between proportional and uniform (Xue et al. 2021 mT5
+    * §3.1's α-scaled sampling; Raffel et al. 2020 T5 uses the same
+    * form): sampling weight w_i ∝ n_i^α with 0 < α ≤ 1 — α = 1 is
+    * proportional, α → 0 is uniform, α ≈ 0.3–0.5 is the shipped range
+    * that up-samples low-resource domains without flattening the mix.
+    * Sits beside [[doremiWeightsE6]] (learned reweighting) and
+    * [[unimaxAllocationE6]] (epoch-capped budget) as the third shipped
+    * allocator.
+    *
+    * Exactness: ONE pow+round per domain — q_i_e6 = round(n_i^α · 1e6)
+    * (the q374 pinned-double-chain precedent; the α literal is written
+    * `alphaE6 / 1000000.0` in BOTH engines) — then every downstream
+    * number is exact integer arithmetic on the q census: no double is
+    * ever summed, so the normalization cannot drift with domain order.
+    * samp_e6 = q_i·1e6 div Σq, share_e6 = n_i·1e6 div Σn, boost_e6 =
+    * samp·1e6 div share (the up/down-sampling factor vs proportional).
+    *
+    * Scale shape: ONE hash aggregate to the domain census (≤ 1e5 loud
+    * grain guard, the [[unimaxAllocationE6]] contract) + a broadcast
+    * scalar total; counted max-n guard keeps round(n^α·1e6) inside
+    * LONG. */
+  def temperatureWeightsE6(df: DataFrame, domainCol: Column,
+      alphaE6: Long): DataFrame = {
+    require(alphaE6 >= 1L && alphaE6 <= 1000000L,
+      s"Mixture.temperatureWeightsE6: need 1 ≤ alphaE6 ≤ 1e6, got $alphaE6")
+    val census = df.select(domainCol.as("d"))
+      .where(col("d").isNotNull)
+      .groupBy(col("d")).agg(count(lit(1)).as("nd"))
+      .localCheckpoint(true)
+    val dCount = census.count()
+    require(dCount >= 1 && dCount <= 100000,
+      s"Mixture.temperatureWeightsE6: $dCount domains — the weight " +
+        "frame must be domain-grain (≤ 1e5), not data-grain")
+    val maxNd = census.agg(max(col("nd"))).head().getLong(0)
+    require(maxNd <= 4000000000000L,
+      s"Mixture.temperatureWeightsE6: domain of $maxNd items overflows " +
+        "the e6-scaled pow (need n ≤ 4e12); pre-aggregate to coarser units")
+    val q = census.withColumn("q_e6", expr(
+      s"CAST(round(pow(CAST(nd AS DOUBLE), $alphaE6 / 1000000.0)" +
+        " * 1000000.0) AS BIGINT)"))
+    val totals = broadcast(q.agg(
+      sum(col("nd")).cast("decimal(38,0)").as("sn"),
+      sum(col("q_e6")).cast("decimal(38,0)").as("sq")))
+    q.crossJoin(totals)
+      .select(col("d").as("domain"), col("nd").as("n_tokens"),
+        expr("CAST(nd AS DECIMAL(38,0)) * 1000000 div sn").as("share_e6"),
+        expr("CAST(q_e6 AS DECIMAL(38,0)) * 1000000 div sq").as("samp_e6"))
+      .withColumn("boost_e6",
+        when(col("share_e6") > 0L,
+          expr("CAST(samp_e6 AS DECIMAL(38,0)) * 1000000 div share_e6"))
+          .otherwise(0L))
+  }
+
   def unimaxAllocationE6(df: DataFrame, domainCol: Column, budget: Long,
       maxEpochsE6: Long): DataFrame = {
     require(budget >= 1L,

@@ -860,6 +860,59 @@ object Preference {
     * [[graft.streaming.EloTws]] (watermark-ordered, same arithmetic;
     * EloTwsSpec pins batch ≡ stream). Output: (player, rating,
     * n_matches) for every player seen. */
+  /** Generalized Advantage Estimation with a horizon cap (Schulman et
+    * al. 2016, "High-Dimensional Continuous Control Using Generalized
+    * Advantage Estimation") — the per-step credit assignment PPO-style
+    * RLHF runs, beside [[groupAdvantageE6]]'s GRPO group baseline:
+    *   δ_t = r_t + γ·V_{t+1} − V_t        (V beyond the last step = 0)
+    *   A_t = Σ_{k=0..H} (γλ)^k · δ_{t+k}  (H = `horizon` truncation —
+    *                                       the bounded-window form
+    *                                       production stacks ship)
+    * Exactness: γ and λ arrive e6; the decay chain is pinned integer:
+    * gl = γ_e6·λ_e6 div 1e6, c_0 = 1e6, c_k = c_{k−1}·gl div 1e6, and
+    * each term contributes c_k·δ_{t+k} div 1e6 (toward-zero div, signed
+    * — both engines truncate toward zero on BIGINT). γ·V_{t+1} is
+    * likewise γ_e6·V div 1e6. Rewards/values are integer fixed-point
+    * (cents); advantages come back in the same unit.
+    *
+    * Scale shape: per-TRAJECTORY lead() windows in REAL partitions
+    * (trajectory keys — no global window), H+1 lead columns wide; no
+    * joins, no iteration. The caller's order columns must totally
+    * order each trajectory. */
+  def gaeE6(steps: DataFrame, traj: Column, orderBy: Seq[Column],
+      reward: Column, value: Column, gammaE6: Long, lambdaE6: Long,
+      horizon: Int): DataFrame = {
+    require(gammaE6 >= 0L && gammaE6 <= 1000000L, s"gammaE6 $gammaE6")
+    require(lambdaE6 >= 0L && lambdaE6 <= 1000000L, s"lambdaE6 $lambdaE6")
+    require(horizon >= 0 && horizon <= 16, s"horizon $horizon")
+    val glE6 = gammaE6 * lambdaE6 / 1000000L
+    val coefs = Iterator.iterate(1000000L)(c => c * glE6 / 1000000L)
+      .take(horizon + 1).toSeq
+    val base = steps
+      .select(traj.as("trajectory") +: orderBy.zipWithIndex.map {
+        case (c, i) => c.as(s"__o$i")
+      } :+ reward.cast("long").as("r") :+ value.cast("long").as("v"): _*)
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("trajectory"))
+      .orderBy(orderBy.indices.map(i => col(s"__o$i")): _*)
+    val d = base
+      .withColumn("__vnext", lead(col("v"), 1, 0L).over(wb))
+      .withColumn("delta",
+        col("r") + expr(s"($gammaE6 * __vnext) div 1000000") - col("v"))
+    val adv = coefs.zipWithIndex.map { case (c, k) =>
+      expr(s"($c * %s) div 1000000".format(s"__d$k"))
+    }.reduce(_ + _)
+    val withLeads = (0 to horizon).foldLeft(d) { (df, k) =>
+      df.withColumn(s"__d$k", lead(col("delta"), k, 0L).over(wb))
+    }
+    withLeads
+      .withColumn("advantage", adv)
+      .select(col("trajectory") +:
+        orderBy.indices.map(i => col(s"__o$i").as(s"o$i")) :+
+        col("r").as("reward") :+ col("v").as("value") :+
+        col("delta") :+ col("advantage"): _*)
+  }
+
   /** One Elo update's zero-sum transfer: what the winner at `rw` gains
     * (and the loser at `rl` loses) — shared by the batch fold and
     * [[graft.streaming.EloTws]] so batch ≡ stream holds by

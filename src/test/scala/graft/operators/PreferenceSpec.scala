@@ -434,4 +434,52 @@ class PreferenceSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("bounded driver fold"))
   }
+
+  test("gaeE6: hand trajectory with signed toward-zero truncation") {
+    // r=[10,-40,30], v=[20,5,7], gamma=0.5, lambda=1, H=2:
+    // deltas = [-8, -42, 23]; advantages = [-24, -31, 23]
+    val steps = Seq((1L, 1L, 10L, 20L), (1L, 2L, -40L, 5L),
+      (1L, 3L, 30L, 7L))
+      .toDF("traj", "t", "r", "v")
+    val out = Preference.gaeE6(steps, col("traj"), Seq(col("t")),
+        col("r"), col("v"), gammaE6 = 500000L, lambdaE6 = 1000000L,
+        horizon = 2)
+      .orderBy("o0")
+      .select("delta", "advantage")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((-8L, -24L), (-42L, -31L), (23L, 23L)))
+  }
+
+  test("gaeE6: horizon 0 collapses to the TD error; trajectories isolate") {
+    val steps = Seq((1L, 1L, 100L, 10L), (1L, 2L, 50L, 20L),
+      (2L, 1L, 7L, 3L))
+      .toDF("traj", "t", "r", "v")
+    val out = Preference.gaeE6(steps, col("traj"), Seq(col("t")),
+        col("r"), col("v"), gammaE6 = 900000L, lambdaE6 = 950000L,
+        horizon = 0)
+      .orderBy("trajectory", "o0")
+      .select("trajectory", "delta", "advantage")
+      .as[(Long, Long, Long)].collect().toSeq
+    // traj 1 t=1: 100 + 0.9*20 - 10 = 108; t=2: 50 - 20 = 30 (no leak
+    // from traj 2); traj 2: 7 - 3 = 4
+    assert(out == Seq((1L, 108L, 108L), (1L, 30L, 30L), (2L, 4L, 4L)))
+  }
+
+  test("temperatureWeightsE6: alpha=1 is proportional; alpha->small flattens") {
+    val rows = (Seq.fill(900)("big") ++ Seq.fill(100)("small"))
+      .map(Tuple1(_)).toDF("d")
+    val w1 = Mixture.temperatureWeightsE6(rows, col("d"), alphaE6 = 1000000L)
+      .select("domain", "share_e6", "samp_e6", "boost_e6")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(w1("big")._2 == 900000L && w1("big")._3 == 900000L)
+    assert(w1("big")._4 == 1000000L && w1("small")._4 == 1000000L)
+    val w5 = Mixture.temperatureWeightsE6(rows, col("d"), alphaE6 = 500000L)
+      .select("domain", "samp_e6", "boost_e6")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // sqrt weights: 30 vs 10 -> 750000 / 250000; small up-samples 2.5x
+    assert(w5("big")._2 == 750000L && w5("small")._2 == 250000L)
+    assert(w5("small")._3 == 2500000L && w5("big")._3 == 833333L)
+  }
 }
+
