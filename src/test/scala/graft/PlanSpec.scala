@@ -362,4 +362,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(4000))
     assert(!p.contains("CartesianProduct"), p.take(4000))
   }
+
+  test("chrF gram censuses shuffle gram keys — never a cartesian pair join") {
+    val p = plan("q459_chrf")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // map-side partial aggregation on the gram censuses
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      p.take(3000))
+  }
+
+  test("temperature mixture stays domain-grain: one scalar broadcast, no sort") {
+    val p = plan("q460_temperature_mixture")
+    // the totals frame joins back via broadcast (crossJoin of a 1-row agg)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("GAE is window-only: no join anywhere in the plan") {
+    val p = plan("q461_gae")
+    assert(!p.contains("Join"), p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+    // per-trajectory partitions, not a global single-partition window
+    assert(p.contains("hashpartitioning"), p.take(3000))
+  }
 }
+
