@@ -58,6 +58,17 @@ object DedupGates extends GateFamily {
     "q22_simhash" -> ((s, dir) =>
       Dedup.simHash64(t(s, dir, "documents"), "doc_id", "text")),
 
+    // SimHash near-dup PAIRS at Hamming ≤ 3 via Manku-style pigeonhole
+    // banding (4 disjoint 16-bit blocks — the web-scale setting; exact
+    // by construction, bit_count verify) — the pairing stage q22's
+    // fingerprints feed; the oracle is exact all-pairs over the same
+    // replicated signature chain (r15: the previously missing SimHash
+    // mining step).
+    "q462_simhash_pairs" -> ((s, dir) =>
+      Dedup.hammingPairs(
+        Dedup.simHash64(t(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", "simhash", maxDist = 3)),
+
     // Dedup/embedding: banded sign-LSH blocking → exact quantized re-rank —
     // the sub-quadratic production path (all-pairs cosineNearDupPairs is the
     // tests-only recall baseline). The oracle mirrors the integer-quantized
@@ -434,6 +445,16 @@ object DedupGates extends GateFamily {
         |FROM p JOIN z za ON za.doc_id = a_id JOIN z zb ON zb.doc_id = b_id
         |WHERE inter * 5 >= (za.n + zb.n - inter) * 3""".stripMargin,
     "q22_simhash" -> q22OracleSql,
+
+    // q462: exact all-pairs xor/bit_count over the q22 signature chain
+    // — at document counts the n² SQL is trivial, while the Spark side
+    // proves the banded plan (pigeonhole candidates ≡ all-pairs truth)
+    "q462_simhash_pairs" ->
+      s"""WITH sigs AS ($q22OracleSql)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         | CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
+         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     // same deterministic 3-word re-lining, df over distinct docs per
     // line, lines under the threshold reassembled in position order
     "q53_line_dedup" ->

@@ -457,6 +457,53 @@ object Dedup {
     agg.select(col(idCol), sim.as("simhash"))
   }
 
+  /** EXACT Hamming-≤maxDist pairs over 64-bit fingerprints by pigeonhole
+    * banding (Manku–Jain–Sarma 2007, "Detecting Near-Duplicates for Web
+    * Crawling" §3 — the production SimHash pairing): split the word into
+    * maxDist+1 disjoint bit blocks; a pair within distance d ≤ maxDist
+    * has at most maxDist differing bits, so by pigeonhole at least one
+    * block matches EXACTLY — candidates come from equi-joins on block
+    * values, and the `bit_count(a ^ b)` verify removes false positives.
+    * Unlike MinHash-LSH banding this is exact by construction: no recall
+    * loss at any distance ≤ maxDist.
+    *
+    * Scale shape: the fingerprint frame explodes ×(maxDist+1) block
+    * rows; pairs form only inside equal (block, value) buckets, so the
+    * RANDOM-collision candidate volume is ≈ n²·(maxDist+1)·2^(−64/(maxDist+1))
+    * — the block width 64/(maxDist+1) is the whole game. maxDist ≤ 3
+    * (Manku's production setting: ≥16-bit blocks, ~6e-5 of n²) is the
+    * web-scale regime; maxDist = 7 (8-bit blocks, ~3% of n²) is the
+    * ceiling this operator accepts, loud require above it — wider
+    * tolerances need multi-probe permuted tables, a different design.
+    * The one documented hot bucket is MANY IDENTICAL fingerprints
+    * (exact dups): their block buckets are cliques — run exact dedup
+    * first (the house pipeline order).
+    * Output: (a_id, b_id, dist), a_id < b_id. */
+  def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 7,
+      s"hammingPairs: 0 ≤ maxDist ≤ 7 (8-bit minimum block width — " +
+        s"see scaladoc for the candidate-volume bound), got $maxDist")
+    val b = maxDist + 1
+    val blocks = (0 until b).map { j =>
+      val lo = j * 64 / b
+      val hi = (j + 1) * 64 / b
+      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
+      struct(lit(j).as("blk"),
+        shiftrightunsigned(col(sigCol), lo).bitwiseAND(lit(mask)).as("v"))
+    }
+    val exploded = sigs.select(col(idCol), col(sigCol))
+      .withColumn("__b", explode(array(blocks: _*)))
+    val l = exploded.as("a")
+    val r = exploded.as("b")
+    l.join(r, col("a.__b") === col("b.__b") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"),
+        expr(s"bit_count(a.$sigCol ^ b.$sigCol)").cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
+      .distinct()
+  }
+
   /** Cross-source duplicate census — the ingest-dedup question "how much
     * of feed B did feed A already deliver": rows fingerprint by a
     * cross-engine-stable md5 over unit-separated canonical fields (the

@@ -136,4 +136,27 @@ class Round15PropSpec extends SparkSpec {
     assert(sampSum <= 1000000L && sampSum >= 1000000L - out.length)
     assert(shareSum <= 1000000L && shareSum >= 1000000L - out.length)
   }
+
+  test("hammingPairs equals brute-force all-pairs on seeded fingerprints") {
+    // cluster structure: base words perturbed by 0-4 bit flips plus
+    // random-ish far points, including negative (high-bit) values
+    val base = Seq(0x0123456789abcdefL, 0xfedcba9876543210L,
+      -6148914691236517206L)
+    val sigs = (0 until 120).map { i =>
+      val b = base(i % 3)
+      val flips = (0 until (i % 5)).map(k => 1L << ((i * 11 + k * 7) % 64))
+      (i.toLong, flips.foldLeft(b)(_ ^ _))
+    }
+    for (maxDist <- Seq(0, 3, 7)) {
+      val got = graft.operators.Dedup.hammingPairs(
+          sigs.toDF("id", "sig"), "id", "sig", maxDist)
+        .as[(Long, Long, Long)].collect().toSet
+      val expect = (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+        d = java.lang.Long.bitCount(sa ^ sb) if d <= maxDist
+      } yield (ia, ib, d.toLong)).toSet
+      assert(got == expect, s"maxDist=$maxDist got ${got.size} expect ${expect.size}")
+    }
+  }
 }
+
