@@ -97,4 +97,42 @@ object Multimodal {
     * tracks the typed metadata so downstream schemas stay exact). */
   def withResizedMeta(items: DataFrame, w: Int, h: Int): DataFrame =
     items.withColumn("width", lit(w)).withColumn("height", lit(h))
+
+  /** Perceptual difference-hash (Krawetz's dHash) per media item: the
+    * decoder resamples to a 9×8 luma grid (featureDim must be 72) and
+    * bit r·8+c of the 64-bit hash is grid(r,c+1) > grid(r,c) — the
+    * gradient signature that survives re-encoding, scaling and mild
+    * edits, unlike the byte-exact md5 dedup. Decoder-agnostic: the
+    * dHash math is real with ANY codec behind [[MediaDecoder]] (with
+    * the stub it is deterministic plumbing, like the rest of this
+    * module). Near-duplicates then mine with
+    * [[graft.operators.Dedup.hammingPairs]] on the hash column — the
+    * SAME exact pigeonhole pairing the text SimHash path uses, so the
+    * image-dedup pipeline is: decode → dHash → hammingPairs →
+    * components, all shared machinery. */
+  def dHashes(items: Dataset[MediaItem], decoder: MediaDecoder,
+      batchSize: Int = 64)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(decoder.featureDim == 72,
+      s"dHash needs a 9x8 grid decoder (featureDim 72), got ${decoder.featureDim}")
+    items.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val g = decoder.decode(m)
+          var h = 0L
+          var r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 8) {
+              if (g(r * 9 + c + 1) > g(r * 9 + c))
+                h |= 1L << (r * 8 + c)
+              c += 1
+            }
+            r += 1
+          }
+          (m.mediaId, m.kind, h)
+        }
+      }
+    }.toDF("mediaId", "kind", "dhash")
+  }
 }

@@ -43,4 +43,47 @@ class MultimodalSpec extends SparkSpec {
     assert(v.headOption.contains(0L))
     assert(v.forall(_ % 500 == 0))
   }
+
+  test("dHashes: controlled gradient grids set exactly the expected bits") {
+    // a decoder whose grid is fully increasing per row -> all 64 bits
+    // set; fully decreasing -> none; alternating -> checkerboard rows
+    class GridDecoder(fill: Int => Float) extends MediaDecoder {
+      override val featureDim = 72
+      override def decode(item: MediaItem): Array[Float] =
+        Array.tabulate(72)(i => fill(i))
+    }
+    implicit val s = spark
+    import spark.implicits._
+    val items = Seq(
+      MediaItem(1L, "image", Array[Byte](1)),
+      MediaItem(2L, "image", Array[Byte](2))).toDS()
+    val inc = Multimodal.dHashes(items, new GridDecoder(i => (i % 9).toFloat))
+      .select("dhash").as[Long].collect()
+    assert(inc.forall(_ == -1L)) // every left<right comparison true
+    val dec = Multimodal.dHashes(items, new GridDecoder(i => -(i % 9).toFloat))
+      .select("dhash").as[Long].collect()
+    assert(dec.forall(_ == 0L))
+  }
+
+  test("dHashes + hammingPairs: stub determinism and end-to-end mining") {
+    implicit val s = spark
+    import spark.implicits._
+    // same bytes -> same hash (near-dup at distance 0); distinct bytes
+    // -> far hashes with overwhelming probability
+    val items = Seq(
+      MediaItem(1L, "image", Array[Byte](10, 20, 30)),
+      MediaItem(2L, "image", Array[Byte](10, 20, 30)),
+      MediaItem(3L, "image", Array[Byte](99, 98, 97))).toDS()
+    val hashes = Multimodal.dHashes(items, new StubDecoder(72))
+    val again = Multimodal.dHashes(items, new StubDecoder(72))
+    assert(hashes.orderBy("mediaId").collect().toSeq ==
+      again.orderBy("mediaId").collect().toSeq) // deterministic plumbing
+    val pairs = graft.operators.Dedup.hammingPairs(hashes, "mediaId",
+        "dhash", maxDist = 7)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(new StubDecoder(72).featureDim == 72)
+  }
 }
+
