@@ -14,7 +14,7 @@ import CatalogDefs._
 
 /** Near-duplicate mining: n-gram/minhash/simhash/ppjoin/substring/winnowing, record linkage, fuzzy matching.
   *
-  * 28 gates; split from SparkEntry.scala in round 14 (pure
+  * 29 gates; split from SparkEntry.scala in round 14 (pure
   * refactor — every entry verbatim, hashes pinned by the sf0.01 sweep). */
 object DedupGates extends GateFamily {
 

@@ -14,7 +14,7 @@ import CatalogDefs._
 
 /** Experimentation + causal: cuped, uplift, did, ips/dr, raking, power, mixtures, valuation.
   *
-  * 31 gates; split from SparkEntry.scala in round 14 (pure
+  * 35 gates; split from SparkEntry.scala in round 14 (pure
   * refactor — every entry verbatim, hashes pinned by the sf0.01 sweep). */
 object ExperimentGates extends GateFamily {
 

@@ -14,7 +14,7 @@ import CatalogDefs._
 
 /** Preference/rl + annotation: bradley–terry, dpo/grpo shapes, agreement coefficients.
   *
-  * 18 gates; split from SparkEntry.scala in round 14 (pure
+  * 23 gates; split from SparkEntry.scala in round 14 (pure
   * refactor — every entry verbatim, hashes pinned by the sf0.01 sweep). */
 object PreferenceGates extends GateFamily {
 

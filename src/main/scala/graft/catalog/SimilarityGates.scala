@@ -14,7 +14,7 @@ import CatalogDefs._
 
 /** Embedding ops: brute/lsh/ivf/pq ann, clustering + indices, valuation, retrieval eval, mmr.
   *
-  * 34 gates; split from SparkEntry.scala in round 14 (pure
+  * 35 gates; split from SparkEntry.scala in round 14 (pure
   * refactor — every entry verbatim, hashes pinned by the sf0.01 sweep). */
 object SimilarityGates extends GateFamily {
 

@@ -22,1154 +22,712 @@ object StatsGates extends GateFamily {
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
 
 
-    // A/B readout: per-user conversion census split by user-id parity,
-    // chi-square as an exact unreduced integer ratio.
-    "q154_ab_chi2" -> ((s, dir) => {
-      val users = ev(s, dir).groupBy(col("user_id"))
-        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
-          .as("conv"))
-      Profile.twoProportionChi2(users, col("user_id") % 2 === 1,
-        col("conv") === 1L)
+    // Analytics: robust MAD outlier flagging (|x − median| > 3·MAD) —
+    // lower medians by integer rank selection over value histograms, so
+    // even the raw-double verdicts hash-gate cross-engine.
+    "q70_mad_outliers" -> ((s, dir) =>
+      operators.Anomaly.madOutliers(ev(s, dir).where(col("user_id") < 50),
+        "user_id", "ts_ms", "value", thresholdNum = 3L)),
+
+
+    // Gini revenue concentration per event type: exact integer
+    // numerator/denominator over the per-user census rank.
+    "q163_gini" -> ((s, dir) =>
+      Profile.giniConcentration(ev(s, dir), "event_type", "user_id",
+        cents(col("value")))
+        .withColumnRenamed("sum_val", "sum_cents")),
+
+
+    // Robust scaling (median/MAD normalization of the quality score):
+    // exact integer median from the value census, exact MAD from the
+    // deviation census, per-doc deviation emitted as the unreduced
+    // (dev, mad) ratio — the outlier-insensitive curriculum scaler.
+    "q171_robust_scale" -> ((s, dir) => {
+      val q = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      val med = ExactQuantiles.histogramPercentiles(q, col("q"), Seq(50))
+        .select(col("quantile").as("med"))
+      val dev = q.crossJoin(broadcast(med))
+        .withColumn("ad", abs(col("q") - col("med")))
+      val mad = ExactQuantiles.histogramPercentiles(dev, col("ad"), Seq(50))
+        .select(col("quantile").as("mad"))
+      dev.crossJoin(broadcast(mad))
+        .select(col("doc_id"), col("q"), col("med"),
+          (col("q") - col("med")).as("dev"), col("mad"))
     }),
 
 
-    // EXACT two-sample KS statistic (the unbinned drift companion to
-    // q124): D·n₁n₂ decided by integer cross-multiplication over merged
-    // value histograms, deterministic (d desc, value) witness.
-    "q139_ks_test" -> ((s, dir) => {
-      val e = ev(s, dir).select(cents(col("value")).as("x"), col("ts_ms"))
-      val split = 1705363200000L
-      operators.Drift.ksStatistic(e.where(col("ts_ms") < split),
-        e.where(col("ts_ms") >= split), col("x"))
+    // Trimmed robust totals: per-returnflag count/sum over only the
+    // values inside the exact [p5, p95] envelope — outliers dropped (vs
+    // q94's winsorize clip), fences from the bounded-sample machinery,
+    // one extra broadcast-fence scan, no sort.
+    "q121_trimmed_stats" -> ((s, dir) =>
+      operators.ExactQuantiles.trimmedStats(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          cents(col("l_extendedprice")).as("x"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("key")),
+        Seq("l_returnflag"), col("x"), col("key"), pLow = 5, pHigh = 95)),
+
+
+    // Exact second-moment profile: per-event-type sufficient statistics
+    // (n, Σx, Σy, Σx², Σy², Σxy + the variance/correlation numerators)
+    // as pure BIGINTs — one scan, map-side combine, mergeable across
+    // shards by addition. x = value cents, y = UTC hour-of-day.
+    "q117_moment_profile" -> ((s, dir) =>
+      operators.Profile.momentProfile(
+        ev(s, dir).select(col("event_type"), cents(col("value")).as("x"),
+          ((col("ts_ms") % 86400000L) / 3600000L).cast("long").as("y")),
+        "event_type", col("x"), col("y"))),
+
+
+    // Winsorization on the exact-quantile machinery: per-flag [5, 95]
+    // envelope, clip broadcast back onto the scan (no extra shuffle),
+    // gated on the aggregate integer profile of the clipped column.
+    "q94_winsorize" -> ((s, dir) => {
+      val clipped = operators.ExactQuantiles.winsorize(
+        t(s, dir, "lineitem"),
+        Seq("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")),
+        pLow = 5, pHigh = 95, valueAs = "cents_w")
+      clipped
+        .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents_w")).as("sum_clipped"),
+          sum(when(col("cents") < col("cents_w"), 1L).otherwise(0L)).as("n_raised"),
+          sum(when(col("cents") > col("cents_w"), 1L).otherwise(0L)).as("n_lowered"))
     }),
 
 
-    // Spearman rank correlation (exact): does ordering MORE OFTEN go
-    // with spending MORE, monotone but not linear (q117's Pearson
-    // moments can't see a convex relationship; ranks can)? Doubled
-    // midranks keep ties integral; the three quadratic forms determine
-    // ρ² exactly — no float ranks, no raw-data sort.
-    "q245_spearman" -> ((s, dir) =>
-      decStr(operators.RankStats.spearmanSuffStats(
-        t(s, dir, "orders").groupBy(col("o_custkey"))
-          .agg(count(lit(1)).as("n_orders"),
-            sum(cents(col("o_totalprice"))).as("spend_cents")),
-        col("n_orders"), col("spend_cents")))),
+    // Simpson concentration index per event type over users — the
+    // diversity companion to q179's entropy, exact ppm from pure integer
+    // sums: Σ n_i² · 1e6 div n².
+    "q199_simpson" -> ((s, dir) =>
+      ev(s, dir).groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_users"),
+          sum(col("c") * col("c")).as("sum_sq"))
+        .withColumn("simpson_ppm", expr("sum_sq * 1000000 div (n * n)"))),
 
 
-    // Wilcoxon rank-sum / Mann–Whitney U (exact, tie-corrected): do
-    // even-id users' event values stochastically dominate odd-id users'?
-    // The DISTRIBUTION-free two-sample test (q139's KS is the sup-gap
-    // twin; this is the rank-sum form with the Σ(t³−t) tie term its
-    // variance needs), all integers off one value histogram.
-    "q246_rank_sum" -> ((s, dir) =>
-      decStr(operators.RankStats.mannWhitney(t(s, dir, "events"),
-        cents(col("value")), pmod(col("user_id"), lit(2)) === 0))),
-
-
-    // Kendall τ-b between order count and spend BUCKET ($1000-wide) per
-    // customer — the concordance complement to q245's Spearman: τ counts
-    // pair inversions, ρ measures rank displacement; both domain-bounded
-    // so the pair census is |domain|², independent of row count.
-    "q252_kendall_tau" -> ((s, dir) =>
-      decStr(operators.RankStats.kendallTauB(
-        t(s, dir, "orders").groupBy(col("o_custkey"))
-          .agg(count(lit(1)).as("n_orders"),
-            sum(cents(col("o_totalprice"))).as("spend_cents")),
-        col("n_orders"), expr("spend_cents div 100000")))),
-
-
-    // Two-sample Cramér–von Mises: U = Σ_pooled (m·F_A − n·F_B)² —
-    // the INTEGRATED ECDF gap (whole-distribution sensitivity) next to
-    // KS's max gap (q139) and rank-sum's location shift (q246).
-    // Cumulative sums run over the bounded VALUE-domain histogram
-    // (cents axis), never the row axis; the quadratic accumulates in
-    // DECIMAL(38,0) and ships as exact (quotient, remainder) mod n·m
-    // so both halves stay float64-exact in any downstream reader.
-    "q279_cvm_test" -> ((s, dir) => {
-      val e = ev(s, dir).where(col("value").isNotNull)
-        .withColumn("v", round(col("value") * 100).cast("long"))
-      val hist = e.where(col("event_type").isin("purchase", "click"))
-        .groupBy(col("v"))
-        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-          .as("ca"),
-          sum(when(col("event_type") === "click", 1L).otherwise(0L))
-          .as("cb"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(operators.Census.onePartKey(col("v"))).orderBy(col("v"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding, 0)
-      val tot = hist.agg(sum(col("ca")).as("n"), sum(col("cb")).as("m"))
-      hist.withColumn("cuma", sum(col("ca")).over(w))
-        .withColumn("cumb", sum(col("cb")).over(w))
-        .crossJoin(broadcast(tot))
-        .withColumn("gap", expr(
-          "CAST(m AS DECIMAL(38,0)) * cuma - CAST(n AS DECIMAL(38,0)) * cumb"))
-        .agg(max(col("n")).as("n"), max(col("m")).as("m"),
-          sum(expr("CAST(ca + cb AS DECIMAL(38,0)) * gap * gap")).as("u"))
-        .select(col("n"), col("m"),
-          expr("CAST(u div CAST(n * m AS DECIMAL(38,0)) AS BIGINT)")
-            .as("u_quot"),
-          expr("CAST(u % CAST(n * m AS DECIMAL(38,0)) AS BIGINT)")
-            .as("u_rem"))
+    // Benford first-digit audit of the value column (cents): observed
+    // per-digit census vs the literal Benford expectation table — the
+    // classic fabricated-data smoke test; one scan, digit from string
+    // prefix (values are positive cents, no sign/zero handling needed).
+    "q200_benford" -> ((s, dir) => {
+      val expected = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+        66947L, 57992L, 51153L, 45757L)
+      val expCase = (1 to 9).map(d =>
+        s"WHEN $d THEN ${expected(d - 1)}L").mkString(
+        "CASE digit ", " ", " ELSE 0L END")
+      val digits = ev(s, dir)
+        .select(substring(cents(col("value")).cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      digits
+        .crossJoin(broadcast(digits.agg(sum(col("n")).as("total"))))
+        .withColumn("obs_ppm", expr("n * 1000000 div total"))
+        .withColumn("exp_ppm", expr(expCase))
+        .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+        .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
+          col("dev_ppm"))
     }),
 
 
-    // Experimentation: Benjamini–Hochberg FDR control over 25 per-slice
-    // chi² tests (a planted effect in slices 0–5 where user parity
-    // gates extra clicks) — exact integer chi² e6, the literal df=1
-    // threshold ladder, and the step-up cutoff as a one-row max.
-    "q300_bh_fdr" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val e = t(s, dir, "events")
-        .where(col("user_id").isNotNull && col("event_type").isNotNull)
-        .withColumn("slice", col("user_id") % 25)
-        .withColumn("v", (col("user_id") % 2).cast("int"))
-        .withColumn("y",
-          (col("event_type") === "purchase" ||
-            (col("slice") < 6 && col("user_id") % 6 === 1 &&
-              col("event_type") === "click")).cast("int"))
-      val cells = e.groupBy(col("slice")).agg(
-        sum(when(col("v") === 0 && col("y") === 1, 1L).otherwise(0L)).as("a"),
-        sum(when(col("v") === 0 && col("y") === 0, 1L).otherwise(0L)).as("b"),
-        sum(when(col("v") === 1 && col("y") === 1, 1L).otherwise(0L)).as("c"),
-        sum(when(col("v") === 1 && col("y") === 0, 1L).otherwise(0L)).as("dd"))
-      val chi = cells.withColumn("chi2_e6", expr(
-        """CASE WHEN (a+b)*(c+dd)*(a+c)*(b+dd) = 0 THEN 0
-          |ELSE CAST(CAST(a+b+c+dd AS DECIMAL(38,0))
-          |  * (CAST(a AS DECIMAL(38,0))*dd - CAST(b AS DECIMAL(38,0))*c)
-          |  * (CAST(a AS DECIMAL(38,0))*dd - CAST(b AS DECIMAL(38,0))*c)
-          |  * 1000000
-          |  div (CAST(a+b AS DECIMAL(38,0))*(c+dd)*(a+c)*(b+dd))
-          |  AS BIGINT) END""".stripMargin))
-      val thr = s.createDataFrame(
-        s.sparkContext.parallelize(q300Thresholds.map {
-          case (k, t) => org.apache.spark.sql.Row(k, t) }, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("k",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("thr_e6",
-            org.apache.spark.sql.types.LongType))))
-      val ranked = chi.withColumn("k",
-          row_number().over(Window.partitionBy(operators.Census.onePartKey(col("chi2_e6"))).orderBy(col("chi2_e6").desc,
-            col("slice"))).cast("long"))
-        .join(broadcast(thr), "k")
-      val kstar = ranked.agg(
-        max(when(col("chi2_e6") >= col("thr_e6"), col("k"))).as("kstar"))
-      ranked.crossJoin(broadcast(kstar))
-        .select(col("slice"), col("a"), col("b"), col("c"), col("dd"),
-          col("chi2_e6"), col("k"), col("thr_e6"),
-          (col("k") <= coalesce(col("kstar"), lit(0L))).as("discovered"))
+    // Quantile-quantile distribution mapping (calibration table): exact
+    // deciles of the click- and purchase-value distributions matched by
+    // percent — the monotone value-mapping a score-calibration or
+    // domain-shift correction applies; two census-sized passes on the
+    // q175 cumulative-rank machinery, a 9-row join.
+    "q194_qq_map" -> ((s, dir) => {
+      val q = operators.ExactQuantiles.groupedHistogramPercentiles(
+        ev(s, dir).where(col("event_type").isin("click", "purchase")),
+        Seq("event_type"), cents(col("value")), (10 to 90 by 10))
+      val c = q.where(col("event_type") === "click")
+        .select(col("percent"), col("quantile").as("click_cents"))
+      val p = q.where(col("event_type") === "purchase")
+        .select(col("percent"), col("quantile").as("purchase_cents"))
+      c.join(p, "percent")
+        .withColumn("shift_cents",
+          col("purchase_cents") - col("click_cents"))
     }),
 
 
-    // Mutual information between two categoricals (multi-class feature
-    // selection — q329 WoE/IV's generalization): census-grain pass,
-    // pinned-ln per-cell log-ratios rounded BEFORE the weighted sum.
-    "q357_mutual_info" -> ((s, dir) =>
-      decStr(operators.Profile.mutualInformationE6(
-        t(s, dir, "documents"), col("lang"), col("source")))),
+    // Kaplan–Meier life table for time-to-first-purchase after first
+    // view, right-censored at the study end (max event ts): per event
+    // hour, risk set, events, and the exact 1e6·d div n hazard.
+    "q214_kaplan_meier" -> ((s, dir) =>
+      operators.Survival.kaplanMeier(
+        survivalDurObs(survivalSubjects(s, dir)), col("dur_h"),
+        col("obs"))),
 
 
-    // r×c chi-square + Cramér's V in EXACT integers (no logs, no
-    // doubles): per-cell truncating div, corrected isqrt for V.
-    "q358_cramers_v" -> ((s, dir) =>
-      operators.Profile.chiSquareCramersV(
-        t(s, dir, "lineitem"), col("l_returnflag"), col("l_linestatus"))),
+    // Largest-remainder apportionment of a (prime) token budget across
+    // sources by total characters — quotas sum to the budget EXACTLY,
+    // unlike truncation (q104's ≤budget drift). Prime budget forces
+    // nontrivial remainders through the rank step.
+    "q227_apportion" -> ((s, dir) =>
+      operators.CorpusOps.apportion(
+        t(s, dir, "documents"), "source", "n_chars", budget = 999983L)),
 
 
-    // Wald–Wolfowitz runs test on the daily revenue series per return
-    // flag: are above-mean days clustered (regimes) or alternating —
-    // the model-free serial-randomness screen next to q251's ACF.
-    "q390_runs_test" -> ((s, dir) => {
-      val daily = t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"),
-          expr("unix_millis(CAST(l_shipdate AS TIMESTAMP)) div 86400000")
-            .as("day"))
-        .agg(sum(cents(col("l_extendedprice"))).as("day_cents"))
-      decStr(operators.Trend.runsTestE3(daily, Seq("l_returnflag"),
-        col("day"), col("day_cents")))
-    }),
+    // Nelson–Aalen cumulative hazard over the q214 view→purchase
+    // durations: additive estimator, exact e9 integers end-to-end (the
+    // KM product is a float fold; this curve never leaves BIGINT).
+    "q236_nelson_aalen" -> ((s, dir) =>
+      operators.Survival.nelsonAalen(
+        survivalDurObs(survivalSubjects(s, dir)), col("dur_h"),
+        col("obs"))),
 
 
-    // Székely energy distance between the F- and O-status order-value
-    // distributions (dollar grid): the binning-free two-sample test
-    // that sees location+scale+shape at once, via the sorted-census
-    // prefix trick — never a pairwise join.
-    "q391_energy_distance" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-        .where(col("o_orderstatus").isin("F", "O"))
-        .withColumn("__c", cents(col("o_totalprice")))
-        .select(expr("__c div 100").as("v"),
-          (col("o_orderstatus") === "O").as("b"))
-      operators.EnergyDistance.energyE6(o, col("v"), col("b"))
-    }),
-
-
-    // DerSimonian–Laird meta-analysis of the per-nation discount
-    // effect on quantity (Welch mean-difference effects + variances
-    // per stratum): fixed effect, Cochran's Q, the DL τ², and the
-    // random-effects pooled estimate — "combine the per-segment
-    // readouts into one number, heterogeneity-honest".
-    "q402_meta_analysis" -> ((s, dir) => {
-      val sup = t(s, dir, "supplier")
-        .select(col("s_suppkey"), col("s_nationkey").cast("long")
-          .as("nat"))
-      val li = t(s, dir, "lineitem")
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .select(col("nat"), (col("l_discount") > 0.05).as("tr"),
-          round(col("l_quantity")).cast("long").as("y"))
-      val dz = expr("CAST(0 AS DECIMAL(38,0))")
-      val arms = li.groupBy(col("nat"))
-        .agg(sum(when(col("tr"), 1L).otherwise(0L)).as("nt"),
-          sum(when(col("tr"), col("y")).otherwise(0L)).as("st"),
-          sum(when(col("tr"), expr("CAST(y AS DECIMAL(38,0)) * y"))
-            .otherwise(dz)).as("qt"),
-          sum(when(!col("tr"), 1L).otherwise(0L)).as("nc"),
-          sum(when(!col("tr"), col("y")).otherwise(0L)).as("sc"),
-          sum(when(!col("tr"), expr("CAST(y AS DECIMAL(38,0)) * y"))
-            .otherwise(dz)).as("qc"))
-        .where(col("nt") > 1L && col("nc") > 1L)
-        .withColumn("d_e6",
-          expr("st * 1000000 div nt - sc * 1000000 div nc"))
-        .withColumn("v_e12", expr(
-          """CAST((nt * qt - CAST(st AS DECIMAL(38,0)) * st)
-            | * 1000000000000
-            | div (CAST(nt AS DECIMAL(38,0)) * nt * (nt - 1)) AS BIGINT)
-            |+ CAST((nc * qc - CAST(sc AS DECIMAL(38,0)) * sc)
-            | * 1000000000000
-            | div (CAST(nc AS DECIMAL(38,0)) * nc * (nc - 1)) AS BIGINT)"""
-            .stripMargin))
-      operators.MetaAnalysis.derSimonianLairdE6(arms, col("d_e6"),
-        col("v_e12"))
-    }),
-
-
-    // Cox score test at β = 0 over the q319 view→purchase survival
-    // frame with an integer user-tier covariate (user_id mod 5): does
-    // the tier SHIFT the conversion hazard — the log-rank trend test,
-    // covariate-valued.
-    "q406_cox_score" -> ((s, dir) =>
-      decStr(operators.Survival.coxScoreTest(
-        survivalDurObs(survivalSubjects(s, dir), col("user_id")),
-        col("dur_h"), col("obs"), pmod(col("user_id"), lit(5L))))),
-
-
-    // Gehan–Wilcoxon weighted log-rank on the same frame/groups as
-    // q319: risk-set-size weights make EARLY curve separation count
-    // for more — the companion readout when hazards cross late.
-    "q407_gehan_wilcoxon" -> ((s, dir) =>
-      decStr(operators.Survival.gehanWilcoxon(
-        survivalDurObs(survivalSubjects(s, dir), col("user_id")),
-        col("dur_h"), col("obs"), col("user_id") % 2 === 0))),
-
-
-    // Kruskal–Wallis across the five order priorities on order value
-    // (dollar grid): do priorities differ in location — k-sample,
-    // rank-based, tie-corrected, never a global sort.
-    "q411_kruskal_wallis" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-        .withColumn("__c", cents(col("o_totalprice")))
-        .select(col("o_orderpriority"),
-          expr("__c div 100").as("dollars"))
-      decStr(operators.RankStats.kruskalWallisE6(o,
-        col("o_orderpriority"), col("dollars")))
-    }),
-
-
-    // Chatterjee's ξ of demand on price over the part census: the
-    // dependence coefficient that sees NON-monotone relationships
-    // Spearman/Kendall miss — x-order via GlobalRank (no single
-    // reducer), y-ranks from the value census, adjacency by equi join.
-    "q415_chatterjee_xi" -> ((s, dir) => {
-      val qty = t(s, dir, "lineitem")
-        .groupBy(col("l_partkey"))
-        .agg(sum(round(col("l_quantity")).cast("long")).as("y"))
-      val base = t(s, dir, "part")
-        .join(qty, col("p_partkey") === col("l_partkey"))
-        .select(cents(col("p_retailprice")).as("x"), col("y"),
-          col("p_partkey"))
-      operators.Dependence.chatterjeeXiE6(base, col("x"), col("y"),
-        col("p_partkey"))
-    }),
-
-
-    // Cliff's δ of quantity between discounted and undiscounted
-    // lines: the ordinal EFFECT SIZE the q156 significance test
-    // doesn't report — census×census, never pairwise rows.
-    "q418_cliffs_delta" -> ((s, dir) =>
-      decStr(operators.OrdinalTests.cliffsDeltaE6(t(s, dir, "lineitem"),
-        col("l_discount") > 0.05, round(col("l_quantity")).cast("long")))),
-
-
-    // Jonckheere–Terpstra ordered-alternative test: does order value
-    // trend monotonically across the 1→5 priority ladder — the
-    // dose–response test Kruskal–Wallis can't focus.
-    "q419_jonckheere" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-        .withColumn("__c", cents(col("o_totalprice")))
-        .select(expr(
-          "CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("ord"),
-          expr("__c div 100").as("dollars"))
-      decStr(operators.OrdinalTests.jonckheereE3(o, col("ord"),
-        col("dollars")))
-    }),
-
-
-    // Mood's median test across order priorities: counts above/at-or-
-    // below the pooled lower median, exact cleared chi² — the blunt
-    // k-sample location screen.
-    "q420_moods_median" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-        .withColumn("__c", cents(col("o_totalprice")))
-        .select(col("o_orderpriority"), expr("__c div 100").as("dollars"))
-      operators.OrdinalTests.moodsMedianChi2E6(o,
-        col("o_orderpriority"), col("dollars"))
-    }),
-
-
-    // Page's L test for ordered alternatives (Page 1963): does quantity
-    // trend monotonically across line positions 1→3 within each
-    // complete 3-line order block — doubled within-block midranks, the
-    // exact integer L2 and its null mean, one pinned-z readout; the
-    // repeated-measures trend sibling of q419's Jonckheere (independent
-    // groups) and q394's Kendall's W (any-agreement).
-    "q440_page_trend" -> ((s, dir) =>
-      operators.OrdinalTests.pageTrendE6(t(s, dir, "lineitem"),
-        col("l_orderkey"), col("l_linenumber"),
-        round(col("l_quantity")).cast("long"), k = 3)),
-
-
-    // Ansari–Bradley two-sample scale test (Ansari & Bradley 1960):
-    // do F-status and O-status line prices SPREAD differently —
-    // center-folded doubled-midrank scores off the pooled value
-    // census, exact conditional moments under ties, one pinned z;
-    // the nonparametric sibling of q388's parametric dispersion fits.
-    "q441_ansari_bradley" -> ((s, dir) =>
-      operators.Dispersion.ansariBradleyE6(t(s, dir, "lineitem"),
-        col("l_linestatus") === "F", cents(col("l_extendedprice")))),
-
-
-    // Yuen's trimmed-mean two-sample test (Yuen 1974): robust location
-    // comparison of F- vs O-status line prices at 10% trims — exact
-    // rank-window trimming on the value census, Winsorized-variance
-    // standard error, one pinned t; the location companion to q441's
-    // scale test and the robust alternative q446's F motivates.
-    "q450_yuen_trimmed" -> ((s, dir) =>
-      operators.OrdinalTests.yuenTrimmedTE6(t(s, dir, "lineitem"),
-        col("l_linestatus") === "F", cents(col("l_extendedprice")),
-        trimPerMille = 100)),
-
-
-    // Brown–Forsythe variance-homogeneity F (Brown & Forsythe 1974):
-    // median-centered absolute deviations of line price cents per
-    // return flag, then the one-way F on the deviations — the screen
-    // every pooled-variance test (q154's chi², the t-family) should
-    // run first. Sums of squares emit as exact decimal strings.
-    "q446_brown_forsythe" -> ((s, dir) =>
-      decStr(operators.Dispersion.brownForsytheE6(t(s, dir, "lineitem"),
-        col("l_returnflag"), cents(col("l_extendedprice"))))),
-
-
-    // Wald SPRT trajectory (hour grain): is the purchase share of
-    // view+purchase traffic 10% (H0) or 15% (H1)? Cumulative Bernoulli
-    // LLR against Wald's α = β = 5% boundaries, every constant one
-    // pinned ln chain — the always-on early-stopping A/B monitor.
-    "q433_sprt" -> ((s, dir) =>
-      operators.Sequential.sprtTrajectoryE6(
-        ev(s, dir).where(col("event_type").isin("view", "purchase")),
-        expr("ts_ms div 3600000"), col("event_type") === "purchase",
-        p0E6 = 100000L, p1E6 = 150000L,
-        alphaE6 = 50000L, betaE6 = 50000L)),
-
-
-    // Cochran's Q over THREE rule models on the same lineitems (the
-    // k-model generalization of q364's McNemar): one item-grain pass
-    // carries L_i and the completeness mask, the model census sits on
-    // top — "did any checkpoint actually behave differently".
-    "q373_cochran_q" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val truth = col("l_returnflag") === "R"
-      // row key: even (okey, linenumber, partkey, suppkey) collides
-      // once at sf0.001 — widen with the integerized measures; FULL
-      // rows are unique at every SF, so the key is the whole row.
-      // ONE scan: each row carries all three measures, so stack()
-      // emits the three (m, x) arms without re-reading lineitem
-      // (the 3-arm unionByName scanned the table 3× — r12 verdict).
-      val long = li.select(col("l_orderkey"), col("l_linenumber"),
-          col("l_partkey"), col("l_suppkey"),
-          cents(col("l_extendedprice")).as("pk_price"),
-          round(col("l_quantity") * 100).cast("long").as("pk_qty"),
-          round(col("l_discount") * 100).cast("long").as("pk_disc"),
-          round(col("l_tax") * 100).cast("long").as("pk_tax"),
-          ((col("l_quantity") > 25.0) === truth).as("x_qty"),
-          ((col("l_discount") > 0.05) === truth).as("x_disc"),
-          ((col("l_tax") > 0.04) === truth).as("x_tax"))
-        .selectExpr("l_orderkey", "l_linenumber", "l_partkey",
-          "l_suppkey", "pk_price", "pk_qty", "pk_disc", "pk_tax",
-          "stack(3, 'qty', x_qty, 'disc', x_disc, 'tax', x_tax) AS (m, x)")
-      // complete-block design holds STRUCTURALLY: all three verdicts
-      // come off one row, so the declared-complete fast path applies
-      decStr(operators.PairedTests.cochranQE6(long,
-        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
-          "pk_price", "pk_qty", "pk_disc", "pk_tax"),
-        col("m"), col("x"), assumeComplete = true))
-    }),
-
-
-    // Jensen–Shannon divergence of each source's unigram distribution
-    // against the pooled corpus (entropy form, q357-pinned per-cell
-    // micro-nat terms) — the source-similarity table a data-mixture
-    // plan reads: ≈ ln 2 is alien, ≈ 0 is redundant.
-    "q374_js_divergence" -> ((s, dir) => {
-      val toks = t(s, dir, "documents").select(col("source"),
-        explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
-      operators.Drift.jsDivergenceE6(toks, col("source"), col("w"))
-        .withColumnRenamed("group", "source")
-    }),
-
-
-    // McNemar's paired-model test per supplier nation: two rule models
-    // predict returns on the SAME lineitems (A: quantity > 25, B:
-    // discount > 0.05), truth = l_returnflag = 'R'; per nation the
-    // paired 2×2 and the continuity-corrected statistic on the
-    // discordant cells — the "is B actually better on the same items"
-    // gate an eval harness runs before promoting a checkpoint.
-    "q364_mcnemar" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val sup = t(s, dir, "supplier")
-        .select(col("s_suppkey"), col("s_nationkey").as("nation"))
-      val j = li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .select(col("nation"),
-          ((col("l_quantity") > 25.0) === (col("l_returnflag") === "R"))
-            .as("ca"),
-          ((col("l_discount") > 0.05) === (col("l_returnflag") === "R"))
-            .as("cb"))
-      operators.PairedTests.mcnemarE6(j, Seq("nation"), col("ca"),
-        col("cb"))
-    }),
-
-
-    // Mantel–Haenszel common odds ratio + continuity-corrected CMH
-    // statistic, stratified by ship month: treated = discount > 0.05,
-    // outcome = returned — the stratified A/B readout when assignment
-    // is confounded with a blocking factor (here: seasonality).
-    "q365_mantel_haenszel" -> ((s, dir) =>
-      decStr(operators.PairedTests.mantelHaenszelE6(
-        t(s, dir, "lineitem").withColumn("st",
-          expr("CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)")),
-        Seq("st"), col("l_discount") > 0.05,
-        col("l_returnflag") === "R"))),
-
-
-    // Two-sample LOG-RANK test over q214's view→purchase durations,
-    // split by user parity: O−E against the hypergeometric expectation
-    // per event time, e9/e12 per-term truncation, χ²₁ verdict at the
-    // e6 literal — the "do the curves differ" inference completing the
-    // KM/Nelson–Aalen estimators.
-    "q319_logrank" -> ((s, dir) =>
-      operators.Survival.logRank(
-        survivalDurObs(survivalSubjects(s, dir), col("user_id")),
-        col("dur_h"), col("obs"), col("user_id") % 2 === 0)),
-
-
-    // Sequential A/B monitoring with a Hoeffding boundary: per day, the
-    // CUMULATIVE two-proportion lift against the anytime-valid radius
-    // diff² > ln(2/δ)·(n_c+n_t)/(2·n_c·n_t) (δ=0.05 → the e12 literal;
-    // union-bounded two-sided Hoeffding, the peek-safe alternative to
-    // daily chi²) — decided sqrt-free by cross-multiplication on the
-    // calendar grid. The "can we stop the experiment yet" readout.
-    "q311_hoeffding_sequential" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+    // Split-conformal prediction intervals (Mondrian, per event type):
+    // md5-split calibration half fits the predictor and the exact
+    // ⌈0.9(n+1)⌉-th residual order statistic q̂ (ExactQuantiles'
+    // sample-then-refine selection — no per-group sort), test half
+    // audits the distribution-free ≥90% coverage promise.
+    "q260_conformal" -> ((s, dir) => {
       val e = ev(s, dir)
-        .where(col("user_id").isNotNull && col("event_type").isNotNull)
-        .withColumn("day", expr("ts_ms div 86400000"))
-        .withColumn("arm", (col("user_id") % 2).cast("int"))
-        .withColumn("conv", (col("event_type") === "purchase").cast("long"))
-      val daily = e.groupBy(col("day")).agg(
-        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("dn_c"),
-        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("dc_c"),
-        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("dn_t"),
-        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("dc_t"))
-      val run = Window.partitionBy(operators.Census.onePartKey(col("day"))).orderBy(col("day"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      daily
-        .withColumn("n_c", sum(col("dn_c")).over(run))
-        .withColumn("n_t", sum(col("dn_t")).over(run))
-        .withColumn("c_c", sum(col("dc_c")).over(run))
-        .withColumn("c_t", sum(col("dc_t")).over(run))
-        .where(col("n_c") > 0 && col("n_t") > 0)
-        .withColumn("diff_e6",
-          expr("c_t * 1000000L div n_t - c_c * 1000000L div n_c"))
-        .withColumn("decided", expr(
-          """CAST(diff_e6 AS DECIMAL(38,0)) * diff_e6 * 2 * n_c * n_t >
-            |CAST(3688879454113 AS DECIMAL(38,0)) * (n_c + n_t)"""
-            .stripMargin))
-        .select(col("day"), col("n_c"), col("n_t"), col("c_c"),
-          col("c_t"), col("diff_e6"), col("decided"))
+      operators.Conformal.splitConformal(e,
+        groupCol = col("event_type"),
+        isCalib = substring(md5(concat(col("event_id").cast("string"),
+          lit("#conf#v1"))), 1, 1) < "8",
+        outcome = round(col("value") * 100).cast("long"),
+        rowKey = col("event_id"), alphaPct = 90)
+        .withColumnRenamed("grp", "event_type")
+    }),
+
+
+    // Systematic PPS (probability-proportional-to-size) sampling:
+    // cumulate doc sizes over a fixed order (distributed prefix sum),
+    // take every doc whose cumulative range [cum−size, cum) contains a
+    // multiple of step = total div 100 — exactly ~100 docs, selection
+    // probability ∝ size, zero randomness. The size-weighted corpus
+    // downsampler (big docs can't be missed, tiny ones enter at fair
+    // odds) — inclusion is a pure integer-division flip.
+    "q273_pps_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val cum = operators.PrefixScan.runningSum(d, Seq(col("doc_id")),
+        col("n_chars"), "cum")
+      val tot = cum.agg(max(col("cum")).as("total"))
+        .select(expr("total div 100").as("step"))
+      cum.crossJoin(broadcast(tot))
+        .where(expr("(cum - 1) div step > (cum - 1 - n_chars) div step"))
+        .select(col("doc_id"), col("n_chars"), col("cum"))
+    }),
+
+
+    // FK-closed sampling (referentially consistent test-data
+    // extraction): hash-sample the FACT (orders), then close over the
+    // graph — lineitems of sampled orders, customers of sampled
+    // orders — with semi joins; the anti-join orphan audits prove the
+    // closure (all zero). The subsetting recipe that makes a 100 TB
+    // lake shrink to a runnable integration fixture.
+    "q282_fk_closed_sample" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val sample = o.where(substring(md5(concat(
+        col("o_orderkey").cast("string"), lit("#samp#v1"))), 1, 2) < "08")
+      val li = t(s, dir, "lineitem").join(
+        sample.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      val cust = t(s, dir, "customer").join(
+        sample.select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      val liOrphans = li.join(sample.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      val ordOrphans = sample.join(cust.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      def row(name: String, d: DataFrame, orphans: DataFrame) =
+        d.agg(count(lit(1)).as("n_rows")).select(lit(name).as("table_name"),
+          col("n_rows")).crossJoin(
+          orphans.agg(count(lit(1)).as("orphans")))
+      row("orders", sample, ordOrphans)
+        .unionByName(row("lineitem", li, liOrphans))
+        .unionByName(row("customer", cust,
+          cust.where(lit(false))))
+    }),
+
+
+    // Weighted discrete quantiles: quantity distribution per return
+    // flag, each row weighted by its revenue — the importance-weighted
+    // percentile importance-sampled corpora need; exact cum·100 ≥ W·p
+    // on DECIMAL(38,0).
+    "q360_weighted_quantiles" -> ((s, dir) =>
+      operators.CorpusOps.weightedDiscQuantiles(
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            round(col("l_quantity")).cast("long").as("qty"),
+            cents(col("l_extendedprice")).as("wt")),
+        "l_returnflag", "qty", "wt", Seq(25, 50, 75, 95))),
+
+
+    // Vocabulary richness per source: frequency-of-frequencies → the
+    // bias-corrected Chao1 richness lower bound plus the Good–Turing
+    // unseen-mass / Turing-coverage estimates — "is another crawl of
+    // this source going to surface new vocabulary".
+    "q382_chao_richness" -> ((s, dir) =>
+      operators.Richness.richnessProfileE6(
+        t(s, dir, "documents").select(col("source"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+          .where(length(col("w")) > 0),
+        col("source"), col("w"))
+        .select(col("g").as("source"), col("n_tokens"), col("d_types"),
+          col("f1"), col("f2"), col("chao1_e6"), col("gt_unseen_ppm"),
+          col("coverage_ppm"))),
+
+
+    // Simple Good–Turing smoothing table (Good 1953; Gale & Sampson
+    // 1995) at r ≤ 8 per source: frequency-of-frequencies N_r and the
+    // Turing-smoothed r* = (r+1)·N_{r+1}/N_r in truncating e6 — the
+    // table an LM smoother consumes for the reliable low counts
+    // (q379's Zipf slope covers the tail). Companion to q382's scalar
+    // unseen mass.
+    "q442_good_turing" -> ((s, dir) =>
+      operators.Richness.goodTuringSmoothingE6(
+        t(s, dir, "documents").select(col("source"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+          .where(length(col("w")) > 0),
+        col("source"), col("w"), maxR = 8)
+        .select(col("g").as("source"), col("r"), col("n_r"),
+          col("r_star_e6"))),
+
+
+    // Hill diversity profile (Hill 1973; Jost 2006): richness ⁰D,
+    // Shannon-effective ¹D = exp(H) (micro-nat terms summed exactly,
+    // ONE pinned exp), inverse-Simpson ²D = N²/Σc² (pure integers) —
+    // per-source effective vocabulary at three rare-type
+    // sensitivities, the concentration readout beside q382/q442.
+    "q444_hill_numbers" -> ((s, dir) =>
+      operators.Richness.hillProfileE6(
+        t(s, dir, "documents").select(col("source"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+          .where(length(col("w")) > 0),
+        col("source"), col("w"))
+        .select(col("g").as("source"), col("n_tokens"), col("hill0"),
+          col("shannon_e6"), col("hill1_e6"), col("hill2_e6"))),
+
+
+    // Aalen–Johansen cumulative incidence under competing risks:
+    // per user, first purchase (cause 1) vs first error (cause 2)
+    // after the first view, hour grain, censored at the stream end —
+    // the coherent split of 1−KM that per-cause KM overstates. The
+    // truncating product recurrence folds driver-side over the guarded
+    // time census; the oracle replays it as a recursive CTE.
+    "q385_competing_risks" -> ((s, dir) => {
+      // ties purchase-first (pinned): cause 1 iff p_ts ≤ e_ts
+      val subj = survivalSubjects(s, dir)
+        .select(
+          expr("""CASE
+                | WHEN p_ts IS NOT NULL AND (e_ts IS NULL OR p_ts <= e_ts)
+                |  THEN (p_ts - v_ts) div 3600000
+                | WHEN e_ts IS NOT NULL THEN (e_ts - v_ts) div 3600000
+                | ELSE (end_ts - v_ts) div 3600000 END""".stripMargin)
+            .as("dur_h"),
+          expr("""CASE
+                | WHEN p_ts IS NOT NULL AND (e_ts IS NULL OR p_ts <= e_ts)
+                |  THEN 1
+                | WHEN e_ts IS NOT NULL THEN 2
+                | ELSE 0 END""".stripMargin).as("cause"))
+      operators.Survival.competingRisks(subj, col("dur_h"), col("cause"))
+    }),
+
+
+    // Theil-T revenue inequality across customers, decomposed by
+    // nation: per-nation within index + between term (additively
+    // exact, unlike Gini) — "is revenue inequality across nations or
+    // within them".
+    "q387_theil_index" -> ((s, dir) => {
+      val rev = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast("long")
+          .as("nation"))
+      operators.Inequality.theilDecompositionE6(
+        rev.join(cust, col("o_custkey") === col("c_custkey")),
+        col("nation"), col("rev_cents"))
+        .withColumnRenamed("g", "nation")
+    }),
+
+
+    // Fano-factor / negative-binomial dispersion audit of the hourly
+    // event-type streams (zero hours gap-filled over the global span):
+    // Poisson ⇒ Fano = 1; the NB MoM (r, p) describes the burstiness
+    // the alerting thresholds must absorb.
+    "q388_dispersion" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("event_type"),
+        expr("ts_ms div 3600000").as("h"))
+      val span = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val hours = span.select(explode(sequence(col("h0"), col("h1")))
+        .as("h"))
+      val grid = e.select(col("event_type")).distinct()
+        .crossJoin(broadcast(hours))
+      val cnt = e.groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("c"))
+      val full = grid.join(cnt, Seq("event_type", "h"), "left")
+        .select(col("event_type"), coalesce(col("c"), lit(0L)).as("c"))
+      decStr(operators.Dispersion.fanoNbE6(full, Seq("event_type"),
+        col("c")))
+    }),
+
+
+    // Chapman capture–recapture: estimate the part-catalog size from
+    // two bimonthly shipment snapshots (Jan–Feb vs Mar–Apr 1996) and
+    // audit against the true part count — the crawl-frontier-size
+    // estimate next to q382's vocabulary bound.
+    "q389_capture_recapture" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def snap(m0: Int, m1: Int) = li
+        .where(year(col("l_shipdate")) === 1996 &&
+          month(col("l_shipdate")).between(m0, m1))
+        .select(col("l_partkey"))
+      val truth = t(s, dir, "part")
+        .agg(count(lit(1)).cast("long").as("truth"))
+      operators.Richness.chapmanE6(snap(1, 2), snap(3, 4), Some(truth))
+    }),
+
+
+    // Hill tail-index of the per-customer revenue distribution
+    // (k = 100): how heavy is the whale tail — the order-statistics
+    // companion to q379's Zipf HEAD slope.
+    "q392_hill_tail" -> ((s, dir) => {
+      val rev = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("x"))
+      operators.Inequality.hillTailE6(rev, col("x"), col("o_custkey"),
+        k = 100)
+    }),
+
+
+    // Restricted mean survival time to τ = 168 h (one week) on the
+    // q214 frame: average conversion-free hours in the first week —
+    // the robust effect measure when proportional hazards fail; the
+    // KM product folds driver-side over the guarded hour census, the
+    // oracle replays it as a recursive CTE.
+    "q408_rmst" -> ((s, dir) =>
+      operators.Survival.restrictedMeanSurvival(
+        survivalDurObs(survivalSubjects(s, dir)), col("dur_h"),
+        col("obs"), tau = 168L)),
+
+
+    // Sample L-moments of order value (dollar grid): λ₁, λ₂, L-CV,
+    // L-skewness, L-kurtosis — the order-statistics shape summary,
+    // closed-form on the value census (never a row ranking).
+    "q417_l_moments" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("__c", cents(col("o_totalprice")))
+        .select(expr("__c div 100").as("dollars"))
+      operators.LMoments.lMomentsE6(o, col("dollars"))
+    }),
+
+
+    // Little's-law audit over user activity spans: λ·W ≡ the exact
+    // interval-integral L by construction; the emitted residual is
+    // the gap to GRID-SAMPLED concurrency — does the hourly dashboard
+    // alias the workload.
+    "q421_littles_law" -> ((s, dir) =>
+      operators.Queueing.littlesLawAudit(ev(s, dir), col("user_id"),
+        col("ts_ms"))),
+
+
+    // Chapman capture–recapture (bias-corrected Lincoln–Petersen):
+    // users "captured" in even vs odd weeks, the recapture overlap
+    // estimates the active population — with the true distinct count
+    // riding along as the audit column.
+    "q437_capture_recapture" -> ((s, dir) =>
+      operators.CaptureRecapture.chapmanAudit(ev(s, dir), col("user_id"),
+        expr("(ts_ms div 604800000) % 2 = 0"),
+        expr("(ts_ms div 604800000) % 2 = 1"))),
+
+
+    // Schnabel multi-occasion capture–recapture (Schnabel 1938): days
+    // as capture occasions over the user stream, the RUNNING estimate
+    // Σ(C·M)·1e6 div ΣR per occasion — watch the population estimate
+    // converge as observation rounds accumulate; the k-sample
+    // trajectory sibling of q437's two-window Chapman audit.
+    "q445_schnabel" -> ((s, dir) =>
+      operators.CaptureRecapture.schnabelTrajectoryE6(ev(s, dir),
+        col("user_id"), expr("ts_ms div 86400000"))),
+
+
+    // Horvitz–Thompson audit under Poisson-PPS sampling: orders enter
+    // with π ∝ a COARSE size proxy (totalprice cents div 10000,
+    // expected m = 200 draws from PolyHash64 uniforms), the HT
+    // estimator reconstructs the exact revenue total and population
+    // count with the Poisson variance estimate — the "was the sampled
+    // dashboard design sound" readout beside q273's systematic PPS.
+    "q435_horvitz_thompson" -> ((s, dir) =>
+      operators.HorvitzThompson.poissonPpsAudit(
+        t(s, dir, "orders")
+          .withColumn("cents", cents(col("o_totalprice"))),
+        col("o_orderkey"),
+        greatest(lit(1L), expr("cents div 10000")), col("cents"),
+        expectedSample = 200L, salt = "ht1")),
+
+
+    // Split-conformal coverage audit (α = 1/10) — q260's guarantee on
+    // the CLASSIFICATION side: q260 calibrates ±q̂ intervals on scalar
+    // residuals (Conformal.splitConformal); this gate calibrates a
+    // per-label conformal quantile of shifted-e3 embedding-centroid
+    // distances (cal split vec_id % 5 < 4) and audits held-out
+    // coverage vs the ≥ 90% guarantee — the prediction-SET check.
+    "q431_conformal" -> ((s, dir) =>
+      operators.Similarity.conformalCoverageE6(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", pmod(col("vec_id"), lit(5L)) < 4L,
+        alphaNum = 1L, alphaDen = 10L)),
+
+
+    // Deterministic Poisson bootstrap CI (Chamandy 2012 — the
+    // production one-pass bootstrap) for price-per-unit per return
+    // flag: 40 replicates via pinned Lehmer Poisson(1) weights, e6
+    // replicate ratios, order-statistic interval (ranks 2 and 39).
+    "q377_poisson_bootstrap" -> ((s, dir) =>
+      operators.PairedTests.poissonBootstrapRatioE6(
+        t(s, dir, "lineitem"), Seq("l_returnflag"),
+        col("l_orderkey") * 131L + col("l_linenumber") * 7L +
+          col("l_partkey"),
+        cents(col("l_extendedprice")),
+        round(col("l_quantity")).cast("long"), reps = 40)),
+
+
+    // Delete-one-bucket jackknife for a ratio metric (price cents per
+    // unit quantity) per return flag, 32 order-hash buckets — the
+    // production error bar for ratio metrics, where the delta method
+    // is the approximation and the bucket jackknife is what ships.
+    "q366_jackknife_ratio" -> ((s, dir) =>
+      decStr(operators.PairedTests.jackknifeRatioE6(
+        t(s, dir, "lineitem"), Seq("l_returnflag"),
+        pmod(col("l_orderkey"), lit(32L)),
+        cents(col("l_extendedprice")), round(col("l_quantity")).cast("long")))),
+
+
+    // Poisson bootstrap CI (Chamandy et al. 2012 — THE at-scale
+    // bootstrap: no resample materialization, each row independently
+    // carries Poisson(1) multiplicities per replicate) on mean event
+    // cents per type: B=64 replicates, weights from a splitMix64 draw
+    // against the 2^63-scaled Poisson CDF ladder (indicator sums — no
+    // branching), replicate means e6-truncated, CI = ranks 2/63 of the
+    // sorted means (~95%). The oracle replays hash, ladder, and ranks.
+    "q310_poisson_bootstrap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      functions.PolyHash64.register(s)
+      val b = 64
+      val base = ev(s, dir).where(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("x"))
+      val rep = base.select(col("event_id"), col("event_type"), col("x"),
+          explode(sequence(lit(0), lit(b - 1))).as("b"))
+        .withColumn("u", expr(
+          "shiftrightunsigned(graft_splitmix64(event_id + b * 2654435769L), 1)"))
+        .withColumn("w", q310Thresholds.map(th =>
+          when(col("u") >= th, 1L).otherwise(0L)).reduce(_ + _))
+      val means = rep.groupBy(col("event_type"), col("b"))
+        .agg(sum(col("w")).as("nw"), sum(col("w") * col("x")).as("sw"))
+        .where(col("nw") > 0)
+        .withColumn("mean_e6", expr("sw * 1000000L div nw"))
+      val rk = Window.partitionBy(col("event_type"))
+        .orderBy(col("mean_e6"), col("b"))
+      val ci = means.withColumn("rk", row_number().over(rk))
+        .groupBy(col("event_type"))
+        .agg(max(when(col("rk") === 2, col("mean_e6"))).as("ci_lo_e6"),
+          max(when(col("rk") === b - 1, col("mean_e6"))).as("ci_hi_e6"))
+      base.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("sum(x) * 1000000L div count(1)").as("mean_e6"))
+        .join(ci, "event_type")
     }),
   )
 
   def oracleSql: Seq[(String, String)] = Seq(
 
 
-    // q154: per-user conversion census, parity arms, unreduced integer
-    // chi-square.
-    "q154_ab_chi2" ->
-      """WITH u AS (SELECT user_id,
-        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
-        | FROM events GROUP BY 1),
-        |c AS (SELECT
-        |  sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
-        |  sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS x_a,
-        |  sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b,
-        |  sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS x_b
-        | FROM u)
-        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
-        |  CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
-        |  CAST((n_a + n_b) * (x_a * (n_b - x_b) - x_b * (n_a - x_a))
-        |    * (x_a * (n_b - x_b) - x_b * (n_a - x_a)) AS BIGINT) AS chi2_num,
-        |  CAST(n_a * n_b * (x_a + x_b) * ((n_a - x_a) + (n_b - x_b))
-        |    AS BIGINT) AS chi2_den
-        |FROM c""".stripMargin,
+    // lower medians by the same integer rank selection (min v with
+    // 2·cum ≥ n); deviation = one IEEE subtraction, threshold = one
+    // multiply — verdicts on raw doubles stay bit-identical
+    "q70_mad_outliers" ->
+      """WITH e AS (
+        | SELECT user_id AS k, epoch_ms(ts) AS ts, value AS v
+        | FROM events WHERE user_id < 50),
+        |h1 AS (SELECT k, v, count(*) AS c FROM e GROUP BY 1, 2),
+        |c1 AS (SELECT k, v,
+        |  sum(c) OVER (PARTITION BY k ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(c) OVER (PARTITION BY k) AS n FROM h1),
+        |med AS (SELECT k, min(CASE WHEN cum*2 >= n THEN v END) AS med
+        | FROM c1 GROUP BY k),
+        |d AS (SELECT e.k, e.ts, e.v, abs(e.v - med.med) AS dev
+        | FROM e JOIN med USING (k)),
+        |h2 AS (SELECT k, dev, count(*) AS c FROM d GROUP BY 1, 2),
+        |c2 AS (SELECT k, dev,
+        |  sum(c) OVER (PARTITION BY k ORDER BY dev
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(c) OVER (PARTITION BY k) AS n FROM h2),
+        |mad AS (SELECT k, min(CASE WHEN cum*2 >= n THEN dev END) AS mad
+        | FROM c2 GROUP BY k)
+        |SELECT d.k AS user_id, d.ts AS ts_ms, d.v AS value,
+        | d.dev AS deviation, (d.dev * 1.0 > mad.mad * 3.0) AS is_outlier
+        |FROM d JOIN mad USING (k)""".stripMargin,
 
 
-    // q139: merged histograms, integer cross-multiplied CDF gap, the
-    // same (d desc, v) witness rule.
-    "q139_ks_test" ->
-      """WITH e AS (SELECT CAST(round(value*100) AS BIGINT) AS x,
-        |  epoch_ms(ts) AS ts_ms FROM events),
-        |hr AS (SELECT x AS v, count(*) AS cr FROM e
-        |       WHERE ts_ms < 1705363200000 GROUP BY 1),
-        |ht AS (SELECT x AS v, count(*) AS ct FROM e
-        |       WHERE ts_ms >= 1705363200000 GROUP BY 1),
-        |m AS (SELECT coalesce(hr.v, ht.v) AS v, coalesce(cr, 0) AS cr,
-        |  coalesce(ct, 0) AS ct FROM hr FULL JOIN ht ON hr.v = ht.v),
-        |c AS (SELECT v,
-        |  sum(cr) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_r,
-        |  sum(ct) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_t,
-        |  sum(cr) OVER () AS n_ref, sum(ct) OVER () AS n_tgt FROM m),
-        |d AS (SELECT *, abs(cum_r*n_tgt - cum_t*n_ref) AS dd FROM c),
-        |r AS (SELECT *, row_number() OVER (ORDER BY dd DESC, v) AS rk FROM d)
-        |SELECT CAST(n_ref AS BIGINT) AS n_ref, CAST(n_tgt AS BIGINT) AS n_tgt,
-        |  CAST(dd AS BIGINT) AS d_num, v AS at_value
-        |FROM r WHERE rk = 1""".stripMargin,
+    // q163: per-user census, (y, user) rank, the closed-form ratio.
+    "q163_gini" ->
+      """WITH p AS (SELECT event_type, user_id,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS y
+        | FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |  ORDER BY y, user_id) AS i FROM p)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(y) AS BIGINT) AS sum_cents,
+        |  CAST(2 * sum(i * y) - (count(*) + 1) * sum(y) AS BIGINT)
+        |    AS gini_num,
+        |  CAST(count(*) * sum(y) AS BIGINT) AS gini_den
+        |FROM r GROUP BY 1""".stripMargin,
 
 
-    // q245: same doubled-midrank closed form (2·cum_before + cnt + 1)
-    // per variable, quadratic forms in HUGEINT, emitted DECIMAL(38,0).
-    "q245_spearman" ->
-      """WITH pc AS (SELECT o_custkey, count(*) AS xv,
-        |  sum(CAST(round(o_totalprice*100) AS BIGINT)) AS yv
-        | FROM orders GROUP BY 1),
-        |hx AS (SELECT xv AS v, count(*) AS cnt FROM pc GROUP BY 1),
-        |rx AS (SELECT v,
-        |  2*(sum(cnt) OVER (ORDER BY v) - cnt) + cnt + 1 AS r FROM hx),
-        |hy AS (SELECT yv AS v, count(*) AS cnt FROM pc GROUP BY 1),
-        |ry AS (SELECT v,
-        |  2*(sum(cnt) OVER (ORDER BY v) - cnt) + cnt + 1 AS r FROM hy),
-        |j AS (SELECT CAST(rx.r AS HUGEINT) AS rx, CAST(ry.r AS HUGEINT) AS ry
-        | FROM pc JOIN rx ON rx.v = pc.xv JOIN ry ON ry.v = pc.yv),
-        |a AS (SELECT count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
-        |  sum(rx*ry) AS sxy, sum(rx*rx) AS sxx, sum(ry*ry) AS syy FROM j)
-        |SELECT CAST(n AS BIGINT) AS n,
-        |  CAST(CAST(n*sxy - sx*sy AS DECIMAL(38,0)) AS VARCHAR) AS cov_num,
-        |  CAST(CAST(n*sxx - sx*sx AS DECIMAL(38,0)) AS VARCHAR) AS var_x_num,
-        |  CAST(CAST(n*syy - sy*sy AS DECIMAL(38,0)) AS VARCHAR) AS var_y_num
-        |FROM a""".stripMargin,
+    // q171: census medians for value and deviation, unreduced (dev, mad).
+    "q171_robust_scale" ->
+      s"""WITH q AS (SELECT doc_id, $qualityExprSql AS q FROM documents),
+         |c AS (SELECT q AS v, count(*) AS n FROM q GROUP BY 1),
+         |w AS (SELECT v, sum(n) OVER (ORDER BY v) AS cum,
+         |  sum(n) OVER () AS nn FROM c),
+         |med AS (SELECT min(v) AS med FROM w WHERE cum * 100 >= nn * 50),
+         |d AS (SELECT doc_id, q, med, abs(q - med) AS ad FROM q, med),
+         |c2 AS (SELECT ad AS v, count(*) AS n FROM d GROUP BY 1),
+         |w2 AS (SELECT v, sum(n) OVER (ORDER BY v) AS cum,
+         |  sum(n) OVER () AS nn FROM c2),
+         |mad AS (SELECT min(v) AS mad FROM w2 WHERE cum * 100 >= nn * 50)
+         |SELECT doc_id, q, CAST(med AS BIGINT) AS med,
+         |  CAST(q - med AS BIGINT) AS dev, CAST(mad AS BIGINT) AS mad
+         |FROM d, mad""".stripMargin,
 
 
-    // q246: one combined-value histogram; R₁ from sample-1 counts times
-    // the doubled midrank; tie term in HUGEINT.
-    "q246_rank_sum" ->
-      """WITH e AS (SELECT CAST(round(value*100) AS BIGINT) AS v,
-        |  CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS s1
-        | FROM events WHERE value IS NOT NULL),
-        |h AS (SELECT v, count(*) AS cnt, sum(s1) AS cnt1 FROM e GROUP BY 1),
-        |c AS (SELECT v, cnt, cnt1,
-        |  sum(cnt) OVER (ORDER BY v) AS cum,
-        |  sum(cnt) OVER () AS n, sum(cnt1) OVER () AS n1 FROM h),
-        |t AS (SELECT n, n1,
-        |  sum(cnt1*(2*(cum-cnt)+cnt+1)) AS sum_r1x2,
-        |  sum(CAST(cnt AS HUGEINT)*cnt*cnt - cnt) AS tie FROM c
+    // q121: rank-selected [p5, p95] fences per group (value at rank
+    // ceil(n·p/100) in (x, key) order = smallest x with cum ≥ target),
+    // then plain filtered aggregates — outliers dropped, all integers.
+    "q121_trimmed_stats" ->
+      """WITH v AS (SELECT l_returnflag AS g,
+        |  CAST(round(l_extendedprice*100) AS BIGINT) AS x,
+        |  l_orderkey*10 + l_linenumber AS key FROM lineitem),
+        |r AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x, key) AS rn,
+        |      count(*) OVER (PARTITION BY g) AS n FROM v),
+        |c AS (SELECT g,
+        |   max(CASE WHEN rn = (n*5 + 99)//100 THEN x END) AS q_lo,
+        |   max(CASE WHEN rn = (n*95 + 99)//100 THEN x END) AS q_hi
+        |  FROM r GROUP BY g)
+        |SELECT g AS l_returnflag, q_lo, q_hi,
+        |  CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(count(*) FILTER (x >= q_lo AND x <= q_hi) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(sum(x) FILTER (x >= q_lo AND x <= q_hi), 0) AS BIGINT)
+        |    AS sum_kept
+        |FROM v JOIN c USING (g) GROUP BY g, q_lo, q_hi""".stripMargin,
+
+
+    // q117: sufficient statistics as exact BIGINTs; x = cents, y = UTC
+    // hour-of-day; numerators n·Σ·· − Σ·Σ.
+    "q117_moment_profile" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+        |  CAST(sum(x*x) AS BIGINT) AS sum_xx,
+        |  CAST(sum(y*y) AS BIGINT) AS sum_yy,
+        |  CAST(sum(x*y) AS BIGINT) AS sum_xy,
+        |  CAST(count(*)*sum(x*x) - sum(x)*sum(x) AS BIGINT) AS var_x_num,
+        |  CAST(count(*)*sum(y*y) - sum(y)*sum(y) AS BIGINT) AS var_y_num,
+        |  CAST(count(*)*sum(x*y) - sum(x)*sum(y) AS BIGINT) AS corr_num
+        |FROM (SELECT event_type, CAST(round(value*100) AS BIGINT) AS x,
+        |       (epoch_ms(ts) % 86400000) // 3600000 AS y FROM events)
+        |GROUP BY event_type""".stripMargin,
+
+
+    "q94_winsorize" ->
+      """WITH base AS (
+        | SELECT l_returnflag AS grp, CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        | FROM lineitem),
+        |n AS (SELECT grp, count(*) AS n FROM base GROUP BY 1),
+        |hist AS (SELECT grp, v, count(*) AS c FROM base GROUP BY 1, 2),
+        |cum AS (
+        | SELECT grp, v,
+        |  SUM(c) OVER (PARTITION BY grp ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM hist),
+        |p AS (SELECT * FROM (VALUES (5), (95)) t(percent)),
+        |qv AS (
+        | SELECT cum.grp, p.percent, MIN(cum.v) AS q
+        | FROM cum JOIN n ON n.grp = cum.grp
+        | JOIN p ON cum.cum >= ((n.n * p.percent + 99) // 100)
+        | GROUP BY 1, 2),
+        |b AS (
+        | SELECT grp,
+        |  MIN(CASE WHEN percent = 5 THEN q END) AS qlo,
+        |  MAX(CASE WHEN percent = 95 THEN q END) AS qhi
+        | FROM qv GROUP BY 1)
+        |SELECT base.grp AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(LEAST(GREATEST(v, qlo), qhi)) AS BIGINT) AS sum_clipped,
+        |  CAST(SUM(CASE WHEN v < qlo THEN 1 ELSE 0 END) AS BIGINT) AS n_raised,
+        |  CAST(SUM(CASE WHEN v > qhi THEN 1 ELSE 0 END) AS BIGINT) AS n_lowered
+        |FROM base JOIN b ON b.grp = base.grp
+        |GROUP BY 1""".stripMargin,
+
+
+    // q199: pure integer Σn², ppm by cross-multiplication-free div.
+    "q199_simpson" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS c FROM events
         | GROUP BY 1, 2)
-        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n - n1 AS BIGINT) AS n2,
-        |  CAST(sum_r1x2 - n1*(n1+1) AS BIGINT) AS u1_x2,
-        |  CAST(CAST(tie AS DECIMAL(38,0)) AS VARCHAR) AS tie_term
-        |FROM t""".stripMargin,
+        |SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+        | CAST(count(*) AS BIGINT) AS n_users,
+        | CAST(sum(c * c) AS BIGINT) AS sum_sq,
+        | CAST(sum(c * c) * 1000000 // (sum(c) * sum(c)) AS BIGINT)
+        |   AS simpson_ppm
+        |FROM c GROUP BY 1""".stripMargin,
 
 
-    // q252: cell census, xa<xb pair sweep, doubled tie terms.
-    "q252_kendall_tau" ->
-      """WITH pc AS (SELECT count(*) AS x,
-        |  sum(CAST(round(o_totalprice*100) AS BIGINT)) // 100000 AS y
-        | FROM orders GROUP BY o_custkey),
-        |c AS (SELECT x, y, count(*) AS g FROM pc GROUP BY 1, 2),
-        |cd AS (SELECT
-        |  coalesce(sum(CASE WHEN a.y < b.y THEN
-        |    CAST(a.g AS HUGEINT)*b.g END), 0) AS concordant,
-        |  coalesce(sum(CASE WHEN a.y > b.y THEN
-        |    CAST(a.g AS HUGEINT)*b.g END), 0) AS discordant
-        | FROM c a JOIN c b ON a.x < b.x),
-        |tx AS (SELECT coalesce(sum(CAST(m AS HUGEINT)*(m-1)), 0) AS tie_x2
-        | FROM (SELECT sum(g) AS m FROM c GROUP BY x)),
-        |ty AS (SELECT coalesce(sum(CAST(m AS HUGEINT)*(m-1)), 0) AS tie_y2
-        | FROM (SELECT sum(g) AS m FROM c GROUP BY y)),
-        |n AS (SELECT sum(g) AS n FROM c)
-        |SELECT CAST(n AS BIGINT) AS n,
-        |  CAST(CAST(concordant AS DECIMAL(38,0)) AS VARCHAR) AS concordant,
-        |  CAST(CAST(discordant AS DECIMAL(38,0)) AS VARCHAR) AS discordant,
-        |  CAST(CAST(tie_x2 AS DECIMAL(38,0)) AS VARCHAR) AS tie_x2,
-        |  CAST(CAST(tie_y2 AS DECIMAL(38,0)) AS VARCHAR) AS tie_y2
-        |FROM n, cd, tx, ty""".stripMargin,
+    // q200: literal Benford ppm table, first digit of positive cents.
+    "q200_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(round(value * 100)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        | FROM events),
+        |n AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT sum(n) AS total FROM n)
+        |SELECT digit, CAST(n AS BIGINT) AS n,
+        | CAST(n * 1000000 // t.total AS BIGINT) AS obs_ppm,
+        | CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+        |  WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+        |  WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+        |  WHEN 9 THEN 45757 ELSE 0 END AS BIGINT) AS exp_ppm,
+        | CAST(abs(n * 1000000 // t.total - CASE digit WHEN 1 THEN 301030
+        |  WHEN 2 THEN 176091 WHEN 3 THEN 124939 WHEN 4 THEN 96910
+        |  WHEN 5 THEN 79181 WHEN 6 THEN 66947 WHEN 7 THEN 57992
+        |  WHEN 8 THEN 51153 WHEN 9 THEN 45757 ELSE 0 END) AS BIGINT)
+        |   AS dev_ppm
+        |FROM n CROSS JOIN t""".stripMargin,
 
 
-    // q279: same histogram-axis cumulative ECDFs, HUGEINT quadratic,
-    // same (quotient, remainder) exact shipping.
-    "q279_cvm_test" ->
-      """WITH b AS (SELECT event_type,
-        |  CAST(round(value*100) AS BIGINT) AS v FROM events
-        | WHERE value IS NOT NULL
-        |   AND event_type IN ('purchase', 'click')),
-        |h AS (SELECT v,
-        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,
-        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cb
-        | FROM b GROUP BY 1),
-        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n,
-        |  CAST(sum(cb) AS BIGINT) AS m FROM h),
-        |c AS (SELECT ca, cb,
-        |  sum(ca) OVER (ORDER BY v) AS cuma,
-        |  sum(cb) OVER (ORDER BY v) AS cumb FROM h),
-        |g AS (SELECT ca, cb,
-        |  CAST(m AS HUGEINT) * cuma - CAST(n AS HUGEINT) * cumb AS gap
-        | FROM c, t),
-        |u AS (SELECT CAST(sum(CAST(ca + cb AS HUGEINT) * gap * gap)
-        |  AS HUGEINT) AS u FROM g)
-        |SELECT n, m,
-        |  CAST(u // (CAST(n AS HUGEINT) * m) AS BIGINT) AS u_quot,
-        |  CAST(u % (CAST(n AS HUGEINT) * m) AS BIGINT) AS u_rem
-        |FROM u, t""".stripMargin,
+    // q194: the q175 cumulative-rank rule per type, decile join.
+    "q194_qq_map" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS v FROM events
+        | WHERE event_type IN ('click', 'purchase')),
+        |h AS (SELECT event_type, v, count(*) AS c FROM e GROUP BY 1, 2),
+        |w AS (SELECT *, sum(c) OVER (PARTITION BY event_type
+        |    ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |  sum(c) OVER (PARTITION BY event_type) AS n FROM h),
+        |x AS (SELECT event_type, v, p.percent FROM w,
+        |  (VALUES (10),(20),(30),(40),(50),(60),(70),(80),(90)) p(percent)
+        | WHERE cum * 100 >= n * p.percent),
+        |q AS (SELECT event_type, percent, min(v) AS quantile
+        |      FROM x GROUP BY 1, 2)
+        |SELECT CAST(c.percent AS BIGINT) AS percent,
+        | CAST(c.quantile AS BIGINT) AS click_cents,
+        | CAST(p.quantile AS BIGINT) AS purchase_cents,
+        | CAST(p.quantile - c.quantile AS BIGINT) AS shift_cents
+        |FROM q c JOIN q p ON p.percent = c.percent
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'""".stripMargin,
 
 
-    // q300: the 25 slice chi² tests and the BH step-up replayed with the
-    // same literal threshold ladder.
-    "q300_bh_fdr" ->
-      s"""WITH e AS (SELECT user_id % 25 AS slice,
-        |  CAST(user_id % 2 AS INT) AS v,
-        |  CASE WHEN event_type = 'purchase' OR (user_id % 25 < 6
-        |    AND user_id % 6 = 1 AND event_type = 'click')
-        |   THEN 1 ELSE 0 END AS y
-        | FROM events WHERE user_id IS NOT NULL
-        |  AND event_type IS NOT NULL),
-        |cells AS (SELECT slice,
-        |  CAST(sum(CASE WHEN v=0 AND y=1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
-        |  CAST(sum(CASE WHEN v=0 AND y=0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
-        |  CAST(sum(CASE WHEN v=1 AND y=1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
-        |  CAST(sum(CASE WHEN v=1 AND y=0 THEN 1 ELSE 0 END) AS BIGINT) AS dd
-        | FROM e GROUP BY 1),
-        |chi AS (SELECT slice, a, b, c, dd,
-        |  CASE WHEN (a+b)*(c+dd)*(a+c)*(b+dd) = 0 THEN 0
-        |   ELSE CAST(CAST(a+b+c+dd AS HUGEINT)
-        |     * (CAST(a AS HUGEINT)*dd - CAST(b AS HUGEINT)*c)
-        |     * (CAST(a AS HUGEINT)*dd - CAST(b AS HUGEINT)*c) * 1000000
-        |     // (CAST(a+b AS HUGEINT)*(c+dd)*(a+c)*(b+dd)) AS BIGINT)
-        |   END AS chi2_e6
-        | FROM cells),
-        |thr(k, thr_e6) AS (VALUES ${q300ThrSqlValues}),
-        |ranked AS (SELECT chi.*, row_number() OVER (
-        |   ORDER BY chi2_e6 DESC, slice) AS k FROM chi),
-        |rt AS (SELECT ranked.*, thr.thr_e6 FROM ranked
-        | JOIN thr ON thr.k = ranked.k),
-        |ks AS (SELECT max(CASE WHEN chi2_e6 >= thr_e6 THEN k END) AS kstar
-        | FROM rt)
-        |SELECT slice, a, b, c, dd, chi2_e6, k,
-        |  CAST(thr_e6 AS BIGINT) AS thr_e6,
-        |  (k <= coalesce(ks.kstar, 0)) AS discovered
-        |FROM rt CROSS JOIN ks""".stripMargin,
-
-
-    // q390: sign-vs-mean by exact cross-multiplication, runs via lag
-    // over the day census, null moments in HUGEINT, corrected isqrt.
-    "q390_runs_test" ->
-      """WITH daily AS (SELECT l_returnflag,
-        |  epoch_ms(l_shipdate) // 86400000 AS day,
-        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-        |   AS BIGINT) AS v
-        | FROM lineitem GROUP BY 1, 2),
-        |st AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(v) AS BIGINT) AS s FROM daily GROUP BY 1),
-        |sg AS (SELECT d.l_returnflag, d.day,
-        |  CASE WHEN CAST(d.v AS HUGEINT) * st.n > st.s THEN 1 ELSE 0
-        |   END AS sgn
-        | FROM daily d JOIN st USING (l_returnflag)),
-        |fl AS (SELECT l_returnflag, sgn,
-        |  CASE WHEN lag(sgn) OVER w IS NULL THEN 1
-        |   WHEN lag(sgn) OVER w <> sgn THEN 1 ELSE 0 END AS flip
-        | FROM sg WINDOW w AS (PARTITION BY l_returnflag ORDER BY day)),
-        |pg AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(sgn) AS BIGINT) AS n1,
-        |  CAST(sum(1 - sgn) AS BIGINT) AS n2,
-        |  CAST(sum(flip) AS BIGINT) AS runs FROM fl GROUP BY 1),
-        |mm AS (SELECT *,
-        |  CAST(2 * CAST(n1 AS HUGEINT) * n2 * 1000000 // n + 1000000
-        |   AS BIGINT) AS mean_runs_e6,
-        |  CASE WHEN n > 1 THEN
-        |   2 * CAST(n1 AS HUGEINT) * n2
-        |    * (2 * CAST(n1 AS HUGEINT) * n2 - n) * 1000000000000
-        |    // (CAST(n AS HUGEINT) * n * (n - 1))
-        |  ELSE CAST(0 AS HUGEINT) END AS var_e12 FROM pg),
-        |rr AS (SELECT *,
-        |  CAST(floor(sqrt(CAST(var_e12 AS DOUBLE))) AS BIGINT) AS s0
-        | FROM mm),
-        |rc AS (SELECT *,
-        |  CASE WHEN CAST(s0 AS HUGEINT) * s0 > var_e12 THEN s0 - 1
-        |   WHEN (CAST(s0 AS HUGEINT) + 1) * (s0 + 1) <= var_e12
-        |    THEN s0 + 1
-        |   ELSE s0 END AS r FROM rr)
-        |SELECT l_returnflag, n, n1, n2, runs, mean_runs_e6,
-        | CAST(CAST(var_e12 AS DECIMAL(38,0)) AS VARCHAR) AS var_e12,
-        | CASE WHEN n1 > 0 AND n2 > 0 AND n > 1 AND r > 0 THEN
-        |  CAST(CAST(runs * 1000000 - mean_runs_e6 AS HUGEINT) * 1000
-        |   // r AS BIGINT)
-        | END AS z_e3
-        |FROM rc""".stripMargin,
-
-
-    // q402: the whole DL chain replayed — HUGEINT weights (up to 1e24,
-    // hence never BIGINT), // quotients matching the operator's
-    // positive floor identity, greatest-0 τ² clamp.
-    "q402_meta_analysis" ->
-      """WITH li AS (SELECT CAST(s_nationkey AS BIGINT) AS nat,
-        |  l_discount > 0.05 AS tr, CAST(round(l_quantity) AS BIGINT)
-        |   AS y
-        | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
-        |arms AS (SELECT nat,
-        |  CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS nt,
-        |  CAST(sum(CASE WHEN tr THEN y ELSE 0 END) AS BIGINT) AS st,
-        |  sum(CASE WHEN tr THEN CAST(y AS HUGEINT) * y
-        |   ELSE CAST(0 AS HUGEINT) END) AS qt,
-        |  CAST(sum(CASE WHEN tr THEN 0 ELSE 1 END) AS BIGINT) AS nc,
-        |  CAST(sum(CASE WHEN tr THEN 0 ELSE y END) AS BIGINT) AS sc,
-        |  sum(CASE WHEN tr THEN CAST(0 AS HUGEINT)
-        |   ELSE CAST(y AS HUGEINT) * y END) AS qc
-        | FROM li GROUP BY 1),
-        |eff AS (SELECT nat,
-        |  st * 1000000 // nt - sc * 1000000 // nc AS d,
-        |  CAST((nt * qt - CAST(st AS HUGEINT) * st) * 1000000000000
-        |   // (CAST(nt AS HUGEINT) * nt * (nt - 1)) AS BIGINT)
-        |  + CAST((nc * qc - CAST(sc AS HUGEINT) * sc) * 1000000000000
-        |   // (CAST(nc AS HUGEINT) * nc * (nc - 1)) AS BIGINT) AS v
-        | FROM arms WHERE nt > 1 AND nc > 1),
-        |good AS (SELECT d, v,
-        |  CAST(1000000000000 AS HUGEINT) * 1000000000000 // v AS w
-        | FROM eff WHERE v > 0),
-        |drop0 AS (SELECT CAST(coalesce(sum(CASE WHEN v <= 0 THEN 1
-        |  ELSE 0 END), 0) AS BIGINT) AS k_dropped FROM eff),
-        |fix AS (SELECT CAST(count(*) AS BIGINT) AS k,
-        |  sum(w * d) AS swd, sum(w) AS sw, sum(w * w) AS sww
-        | FROM good),
-        |f2 AS (SELECT k, sw, sww,
-        |  CAST(swd // sw AS BIGINT) AS fixed_e6 FROM fix),
-        |qq AS (SELECT CAST(sum(w * (d - fixed_e6) * (d - fixed_e6))
-        |  // 1000000000000000000 AS BIGINT) AS q_e6
-        | FROM good, f2),
-        |tt AS (SELECT k, fixed_e6, q_e6,
-        |  greatest(CAST(0 AS BIGINT),
-        |   CAST(CAST(q_e6 - (k - 1) * 1000000 AS HUGEINT)
-        |    * 1000000000000 * 1000000
-        |    // (sw - sww // sw) AS BIGINT)) AS tau2_e12
-        | FROM f2, qq),
-        |rnd AS (SELECT CAST(sum(w2 * d) // sum(w2) AS BIGINT)
-        |  AS random_e6
-        | FROM (SELECT g.d, CAST(1000000000000 AS HUGEINT)
-        |   * 1000000000000 // (CAST(g.v AS HUGEINT) + tt.tau2_e12)
-        |   AS w2 FROM good g, tt))
-        |SELECT k, k_dropped, fixed_e6, q_e6, tau2_e12, random_e6
-        |FROM tt, drop0, rnd""".stripMargin,
-
-
-    // q440: per-block doubled midranks (rank() is min-rank in both
-    // engines); the z constants inline k=3 exactly as the Spark text.
-    "q440_page_trend" ->
-      """WITH cells AS (SELECT l_orderkey AS b,
-        |  CAST(l_linenumber AS BIGINT) AS t,
-        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS v
-        | FROM lineitem WHERE l_linenumber BETWEEN 1 AND 3
-        | GROUP BY 1, 2),
-        |comp AS (SELECT b FROM cells GROUP BY b HAVING count(*) = 3),
-        |rk AS (SELECT c.b, c.t,
-        |  2 * rank() OVER (PARTITION BY c.b ORDER BY c.v)
-        |   + count(*) OVER (PARTITION BY c.b, c.v) - 1 AS mr2
-        | FROM cells c JOIN comp USING (b)),
-        |agg AS (SELECT CAST(count(*) // 3 AS BIGINT) AS n_blocks,
-        |  CAST(COALESCE(sum(t * mr2), 0) AS BIGINT) AS l2 FROM rk)
-        |SELECT n_blocks, CAST(3 AS BIGINT) AS k, l2,
-        | CAST(n_blocks * 3 * (4 * 4) // 2 AS BIGINT) AS e_l2,
-        | CASE WHEN n_blocks = 0 THEN 0
-        |  ELSE CAST(round((CAST(l2 AS DOUBLE)
-        |    - CAST(n_blocks * 3 * (4 * 4) // 2 AS DOUBLE))
-        |   * 6.0 / (3 * sqrt(CAST(n_blocks AS DOUBLE) * 4.0 * 8.0))
-        |   * 1000000.0) AS BIGINT) END AS z_e6
-        |FROM agg""".stripMargin,
-
-
-    // q441: pooled value census, doubled midranks, exact conditional
-    // tie moments in HUGEINT, the identical pinned z text.
-    "q441_ansari_bradley" ->
-      """WITH cells AS (SELECT
-        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
-        |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
-        |   AS BIGINT) AS cx,
-        |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN 0 ELSE 1 END)
-        |   AS BIGINT) AS cy
-        | FROM lineitem GROUP BY 1),
-        |sc AS (SELECT v, cx, cy, cx + cy AS ct,
-        |  sum(cx + cy) OVER () AS n,
-        |  2 * COALESCE(sum(cx + cy) OVER (ORDER BY v
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |   + cx + cy + 1 AS mr2
-        | FROM cells),
-        |a AS (SELECT v, cx, cy, ct, n,
-        |  least(mr2, 2 * (n + 1) - mr2) AS a2 FROM sc),
-        |agg AS (SELECT CAST(sum(cx) AS BIGINT) AS n_x,
-        |  CAST(sum(cy) AS BIGINT) AS n_y,
-        |  CAST(sum(a2 * cx) AS BIGINT) AS ab2,
-        |  sum(CAST(a2 AS HUGEINT) * ct) AS s,
-        |  sum(CAST(a2 AS HUGEINT) * a2 * ct) AS s2 FROM a),
-        |vv AS (SELECT n_x, n_y, ab2, s,
-        |  CAST(n_x AS HUGEINT) * n_y * ((n_x + n_y) * s2 - s * s)
-        |   AS vnum FROM agg)
-        |SELECT n_x, n_y, ab2,
-        | CAST(CAST(n_x AS HUGEINT) * s * 1000000 // (n_x + n_y)
-        |  AS BIGINT) AS e_ab2_e6,
-        | CASE WHEN n_x + n_y < 2 OR vnum <= 0 THEN 0
-        |  ELSE CAST(round((CAST(ab2 AS DOUBLE)
-        |    - CAST(n_x AS DOUBLE) * CAST(s AS DOUBLE)
-        |      / (CAST(n_x AS DOUBLE) + CAST(n_y AS DOUBLE)))
-        |   / sqrt(CAST(vnum AS DOUBLE)
-        |    / ((CAST(n_x AS DOUBLE) + CAST(n_y AS DOUBLE))
-        |     * (CAST(n_x AS DOUBLE) + CAST(n_y AS DOUBLE))
-        |     * (CAST(n_x AS DOUBLE) + CAST(n_y AS DOUBLE) - 1.0)))
-        |   * 1000000.0) AS BIGINT) END AS z_e6
-        |FROM vv""".stripMargin,
-
-
-    // q450: the same rank-window overlap on the (status × value)
-    // census; HUGEINT sufficient statistics, identical pinned t text.
-    "q450_yuen_trimmed" ->
-      """WITH cells AS (SELECT (l_linestatus = 'F') AS b,
-        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
-        |  CAST(count(*) AS BIGINT) AS c
-        | FROM lineitem GROUP BY 1, 2),
-        |rk AS (SELECT b, v, c,
-        |  sum(c) OVER (PARTITION BY b) AS n,
-        |  COALESCE(sum(c) OVER (PARTITION BY b ORDER BY v
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
-        | FROM cells),
-        |ov AS (SELECT b, v, c, n, n * 100 // 1000 AS g, cb, cb + c AS cum
-        | FROM rk),
-        |ov2 AS (SELECT *, greatest(0,
-        |   least(cum, n - g) - greatest(cb, g)) AS ov FROM ov),
-        |per AS (SELECT b, max(n) AS n, max(g) AS g,
-        |  COALESCE(sum(CAST(v AS HUGEINT) * ov), 0) AS ts,
-        |  COALESCE(sum(CAST(v AS HUGEINT) * v * ov), 0) AS wssp,
-        |  min(CASE WHEN cum >= g + 1 THEN v END) AS vlo,
-        |  min(CASE WHEN cum >= n - g THEN v END) AS vhi
-        | FROM ov2 GROUP BY b),
-        |st AS (SELECT b, n, n - 2 * g AS h, ts,
-        |  ts + CAST(g AS HUGEINT) * (vlo + vhi) AS wsum,
-        |  wssp + CAST(g AS HUGEINT) * (CAST(vlo AS HUGEINT) * vlo
-        |   + CAST(vhi AS HUGEINT) * vhi) AS wss
-        | FROM per),
-        |s2 AS (SELECT b, n, h, ts, n * wss - wsum * wsum AS ssdwn
-        | FROM st),
-        |piv AS (SELECT
-        |  max(CASE WHEN b THEN n END) AS n_x,
-        |  max(CASE WHEN b THEN h END) AS h_x,
-        |  max(CASE WHEN b THEN ts END) AS ts_x,
-        |  max(CASE WHEN b THEN ssdwn END) AS sn_x,
-        |  max(CASE WHEN NOT b THEN n END) AS n_y,
-        |  max(CASE WHEN NOT b THEN h END) AS h_y,
-        |  max(CASE WHEN NOT b THEN ts END) AS ts_y,
-        |  max(CASE WHEN NOT b THEN ssdwn END) AS sn_y FROM s2)
-        |SELECT CAST(n_x AS BIGINT) AS n_x, CAST(h_x AS BIGINT) AS h_x,
-        | CAST(ts_x * 1000000 // h_x AS BIGINT) AS tmean_x_e6,
-        | CAST(n_y AS BIGINT) AS n_y, CAST(h_y AS BIGINT) AS h_y,
-        | CAST(ts_y * 1000000 // h_y AS BIGINT) AS tmean_y_e6,
-        | CASE WHEN h_x < 2 OR h_y < 2 OR (sn_x <= 0 AND sn_y <= 0)
-        |   THEN 0
-        |  ELSE CAST(round((CAST(ts_x AS DOUBLE) / CAST(h_x AS DOUBLE)
-        |    - CAST(ts_y AS DOUBLE) / CAST(h_y AS DOUBLE))
-        |   / sqrt(CAST(sn_x AS DOUBLE)
-        |     / (CAST(n_x AS DOUBLE) * CAST(h_x AS DOUBLE)
-        |        * (CAST(h_x AS DOUBLE) - 1.0))
-        |    + CAST(sn_y AS DOUBLE)
-        |     / (CAST(n_y AS DOUBLE) * CAST(h_y AS DOUBLE)
-        |        * (CAST(h_y AS DOUBLE) - 1.0)))
-        |   * 1000000.0) AS BIGINT) END AS t_e6
-        |FROM piv""".stripMargin,
-
-
-    // q446: lower medians per group, floored ⌊S²/n⌋ terms (HUGEINT //
-    // truncates = floors on nonnegative operands, matching the Spark
-    // pmod identity), sums of squares as exact digit strings.
-    "q446_brown_forsythe" ->
-      """WITH cells AS (SELECT l_returnflag AS g,
-        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
-        |  CAST(count(*) AS BIGINT) AS c
-        | FROM lineitem GROUP BY 1, 2),
-        |cum AS (SELECT g, v, c,
-        |  sum(c) OVER (PARTITION BY g ORDER BY v
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |  sum(c) OVER (PARTITION BY g) AS ng
-        | FROM cells),
-        |med AS (SELECT g, min(v) AS med FROM cum
-        | WHERE 2 * cum >= ng + 1 GROUP BY g),
-        |grp AS (SELECT c.g, CAST(sum(c.c) AS HUGEINT) AS ng,
-        |  CAST(sum(abs(c.v - m.med) * c.c) AS HUGEINT) AS sg,
-        |  sum(CAST(abs(c.v - m.med) AS HUGEINT)
-        |   * abs(c.v - m.med) * c.c) AS qg
-        | FROM cells c JOIN med m ON m.g = c.g GROUP BY c.g),
-        |g2 AS (SELECT g, ng, sg, qg, (sg * sg) // ng AS tg FROM grp),
-        |tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
-        |  CAST(count(*) AS BIGINT) AS k,
-        |  sum(sg) AS s, sum(qg) AS q, sum(tg) AS st FROM g2),
-        |fin AS (SELECT n, k,
-        |  greatest(CAST(0 AS HUGEINT), st - (s * s) // n) AS a_ss,
-        |  greatest(CAST(0 AS HUGEINT), q - st) AS b_ss FROM tot)
-        |SELECT n, k, CAST(a_ss AS VARCHAR) AS a_ss,
-        | CAST(b_ss AS VARCHAR) AS b_ss,
-        | CASE WHEN k < 2 OR b_ss = 0 THEN 0
-        |  ELSE CAST((n - k) * a_ss * 1000000
-        |   // (CAST(k - 1 AS HUGEINT) * b_ss) AS BIGINT) END AS f_e6
-        |FROM fin""".stripMargin,
-
-
-    // q433: hour census + cumulative window; the four SPRT constants
-    // are the identical pinned ln chains.
-    "q433_sprt" ->
-      """WITH e AS (SELECT epoch_ms(ts) // 3600000 AS b,
-        |  (event_type = 'purchase') AS x
-        | FROM events WHERE event_type IN ('view', 'purchase')),
-        |c AS (SELECT b, CAST(count(*) AS BIGINT) AS n_at,
-        |  CAST(sum(CASE WHEN x THEN 1 ELSE 0 END) AS BIGINT) AS s_at
-        | FROM e GROUP BY 1),
-        |k AS (SELECT
-        |  CAST(round(ln((0.0 + 150000) / 100000) * 1000000.0) AS BIGINT)
-        |   AS l1,
-        |  CAST(round(ln((0.0 + 850000) / 900000) * 1000000.0) AS BIGINT)
-        |   AS l0,
-        |  CAST(round(ln((0.0 + 950000) / 50000) * 1000000.0) AS BIGINT)
-        |   AS up,
-        |  CAST(round(ln((0.0 + 50000) / 950000) * 1000000.0) AS BIGINT)
-        |   AS lo),
-        |cum AS (SELECT b, n_at, s_at,
-        |  CAST(sum(n_at) OVER (ORDER BY b
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |   AS n_cum,
-        |  CAST(sum(s_at) OVER (ORDER BY b
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |   AS s_cum
-        | FROM c)
-        |SELECT b AS bucket, n_at, s_at, n_cum, s_cum,
-        | CAST(s_cum * l1 + (n_cum - s_cum) * l0 AS BIGINT) AS llr_e6,
-        | CASE WHEN s_cum * l1 + (n_cum - s_cum) * l0 >= up
-        |   THEN 'reject_h0'
-        |  WHEN s_cum * l1 + (n_cum - s_cum) * l0 <= lo
-        |   THEN 'accept_h0'
-        |  ELSE 'continue' END AS decision
-        |FROM cum, k""".stripMargin,
-
-
-    // q418: per-arm value censuses, census×census comparison mass.
-    "q418_cliffs_delta" ->
-      """WITH b AS (SELECT l_discount > 0.05 AS a,
-        |  CAST(round(l_quantity) AS BIGINT) AS v FROM lineitem),
-        |cells AS (SELECT a, v, CAST(count(*) AS BIGINT) AS c
-        | FROM b GROUP BY 1, 2),
-        |av AS (SELECT v AS va, c AS ca FROM cells WHERE a),
-        |bv AS (SELECT v AS vb, c AS cb FROM cells WHERE NOT a),
-        |ag AS (SELECT
-        |  coalesce(sum(CASE WHEN va > vb THEN CAST(ca AS HUGEINT) * cb
-        |   END), 0) AS gt,
-        |  coalesce(sum(CASE WHEN va < vb THEN CAST(ca AS HUGEINT) * cb
-        |   END), 0) AS lt,
-        |  coalesce(sum(CASE WHEN va = vb THEN CAST(ca AS HUGEINT) * cb
-        |   END), 0) AS ties
-        | FROM av, bv),
-        |na AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS n_a
-        | FROM av),
-        |nb AS (SELECT CAST(coalesce(sum(cb), 0) AS BIGINT) AS n_b
-        | FROM bv)
-        |SELECT n_a, n_b,
-        | CAST(CAST(gt AS DECIMAL(38,0)) AS VARCHAR) AS gt,
-        | CAST(CAST(lt AS DECIMAL(38,0)) AS VARCHAR) AS lt,
-        | CAST(CAST(ties AS DECIMAL(38,0)) AS VARCHAR) AS ties,
-        | CASE WHEN CAST(n_a AS HUGEINT) * n_b > 0 THEN
-        |  CAST((gt - lt) * 1000000
-        |   // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) END AS delta_e6
-        |FROM ag, na, nb""".stripMargin,
-
-
-    // q419: zero-filled (value × group) grid with per-group STRICT
-    // cumulative counts, comparison mass by EQUI join on the value
-    // (the census×census inequality join is quadratic in the domain —
-    // same reformulation as the operator); no-tie null moments,
-    // isqrt(V·1e6/18) for the doubled-scale sigma.
-    "q419_jonckheere" ->
-      """WITH b AS (SELECT
-        |  CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS g,
-        |  CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS v
-        | FROM orders),
-        |cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
-        | FROM b GROUP BY 1, 2),
-        |grid AS (SELECT gs.g, vs.v, coalesce(cells.c, 0) AS c
-        | FROM (SELECT DISTINCT v FROM cells) vs
-        | CROSS JOIN (SELECT DISTINCT g FROM cells) gs
-        | LEFT JOIN cells ON cells.g = gs.g AND cells.v = vs.v),
-        |cum AS (SELECT g, v, c,
-        |  coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |   AS lt FROM grid),
-        |jt AS (SELECT coalesce(sum(CAST(y.c AS HUGEINT)
-        |   * (2 * x.lt + x.c)), 0) AS jt2
-        | FROM cum x JOIN cum y ON x.v = y.v AND x.g < y.g
-        | WHERE y.c > 0),
-        |sz AS (SELECT g, CAST(sum(c) AS BIGINT) AS nj FROM cells
-        | GROUP BY 1),
-        |st AS (SELECT CAST(sum(nj) AS BIGINT) AS n,
-        |  CAST(count(*) AS BIGINT) AS k,
-        |  sum(CAST(nj AS HUGEINT) * nj) AS sn2,
-        |  sum(CAST(nj AS HUGEINT) * nj * (2 * nj + 3)) AS sn23
-        | FROM sz),
-        |mm AS (SELECT n, k,
-        |  (CAST(n AS HUGEINT) * n - sn2) // 2 AS mean2,
-        |  CAST(n AS HUGEINT) * n * (2 * n + 3) - sn23 AS v72 FROM st),
-        |rt AS (SELECT *, (v72 * 1000000) // 18 AS v18 FROM mm),
-        |r0 AS (SELECT *, CAST(floor(sqrt(CAST(v18 AS DOUBLE)))
-        |  AS BIGINT) AS s0 FROM rt),
-        |r1 AS (SELECT *, CASE WHEN CAST(s0 AS HUGEINT) * s0 > v18
-        |   THEN s0 - 1
-        |  WHEN (CAST(s0 AS HUGEINT) + 1) * (s0 + 1) <= v18
-        |   THEN s0 + 1 ELSE s0 END AS ts FROM r0)
-        |SELECT n, k,
-        | CAST(CAST(jt2 AS DECIMAL(38,0)) AS VARCHAR) AS jt2,
-        | CAST(CAST(mean2 AS DECIMAL(38,0)) AS VARCHAR) AS mean2,
-        | CAST(CAST(v72 AS DECIMAL(38,0)) AS VARCHAR) AS v72,
-        | CASE WHEN ts > 0 THEN
-        |  CAST((jt2 - mean2) * 1000000 // ts AS BIGINT) END AS z_e3
-        |FROM r1, jt""".stripMargin,
-
-
-    // q420: pooled lower median off the cumulative census, exact
-    // cleared per-cell chi² truncated before summing.
-    "q420_moods_median" ->
-      """WITH b AS (SELECT o_orderpriority AS g,
-        |  CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS v
-        | FROM orders),
-        |m AS (SELECT v, count(*) AS c FROM b GROUP BY 1),
-        |cu AS (SELECT v, c,
-        |  sum(c) OVER (ORDER BY v
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |  sum(c) OVER () AS n FROM m),
-        |med AS (SELECT min(v) AS median_v FROM cu
-        | WHERE 2 * cum >= n + 1),
-        |cnts AS (SELECT g,
-        |  CAST(sum(CASE WHEN v <= median_v THEN 1 ELSE 0 END)
-        |   AS BIGINT) AS le,
-        |  CAST(sum(CASE WHEN v > median_v THEN 1 ELSE 0 END)
-        |   AS BIGINT) AS gtc
-        | FROM b, med GROUP BY 1),
-        |tot AS (SELECT CAST(sum(le + gtc) AS BIGINT) AS n,
-        |  CAST(count(*) AS BIGINT) AS k,
-        |  CAST(sum(le) AS BIGINT) AS cle,
-        |  CAST(sum(gtc) AS BIGINT) AS cgt FROM cnts),
-        |cell AS (SELECT
-        |  CASE WHEN (le + gtc) * CAST(cle AS HUGEINT) > 0 THEN
-        |   CAST((CAST(le AS HUGEINT) * n
-        |     - CAST(le + gtc AS HUGEINT) * cle)
-        |    * (CAST(le AS HUGEINT) * n
-        |     - CAST(le + gtc AS HUGEINT) * cle) * 1000000
-        |    // (CAST(n AS HUGEINT) * (le + gtc) * cle) AS BIGINT)
-        |  ELSE 0 END AS t0,
-        |  CASE WHEN (le + gtc) * CAST(cgt AS HUGEINT) > 0 THEN
-        |   CAST((CAST(gtc AS HUGEINT) * n
-        |     - CAST(le + gtc AS HUGEINT) * cgt)
-        |    * (CAST(gtc AS HUGEINT) * n
-        |     - CAST(le + gtc AS HUGEINT) * cgt) * 1000000
-        |    // (CAST(n AS HUGEINT) * (le + gtc) * cgt) AS BIGINT)
-        |  ELSE 0 END AS t1,
-        |  n, k
-        | FROM cnts, tot)
-        |SELECT max(n) AS n, max(k) AS k,
-        | (SELECT median_v FROM med) AS median_v,
-        | CAST(sum(t0 + t1) AS BIGINT) AS chi2_e6
-        |FROM cell""".stripMargin,
-
-
-    // q415: row_number over the unique (x, id) order, rank2 census
-    // for y, adjacent-rank jumps by rn+1 equi join.
-    "q415_chatterjee_xi" ->
-      """WITH qty AS (SELECT l_partkey AS pk,
-        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS y
-        | FROM lineitem GROUP BY 1),
-        |base AS (SELECT CAST(round(p_retailprice * 100) AS BIGINT)
-        |  AS x, y, p_partkey AS tb
-        | FROM part JOIN qty ON pk = p_partkey),
-        |m AS (SELECT y AS v, count(*) AS c FROM base GROUP BY 1),
-        |k AS (SELECT v, 2 * (sum(c) OVER (ORDER BY v
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
-        |  + c + 1 AS r2 FROM m),
-        |rn AS (SELECT row_number() OVER (ORDER BY x, tb) AS rn, k.r2
-        | FROM base JOIN k ON k.v = base.y),
-        |adj AS (SELECT a.r2 AS r2, b.r2 AS r2n FROM rn a
-        | JOIN rn b ON b.rn = a.rn + 1),
-        |st AS (SELECT CAST(coalesce(sum(abs(r2n - r2)), 0) AS BIGINT)
-        |  AS sum_abs_dr2 FROM adj),
-        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base)
-        |SELECT n, sum_abs_dr2,
-        | CASE WHEN n > 1 THEN 1000000 -
-        |  CAST(3 * CAST(sum_abs_dr2 AS HUGEINT) * 1000000
-        |   // (2 * (CAST(n AS HUGEINT) * n - 1)) AS BIGINT)
-        | END AS xi_e6
-        |FROM nn, st""".stripMargin,
-
-
-    // q411: the rank2 census map, per-group doubled rank sums, the
-    // pinned truncation chain, tie correction by cross-multiplication.
-    "q411_kruskal_wallis" ->
-      """WITH b AS (SELECT o_orderpriority AS g,
-        |  CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS v
-        | FROM orders),
-        |m AS (SELECT v, count(*) AS c FROM b GROUP BY 1),
-        |k AS (SELECT v, 2 * (sum(c) OVER (ORDER BY v
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
-        |  + c + 1 AS rk FROM m),
-        |j AS (SELECT b.g, k.rk FROM b JOIN k ON k.v = b.v),
-        |pg AS (SELECT g, CAST(count(*) AS BIGINT) AS nj,
-        |  CAST(sum(rk) AS BIGINT) AS r2j FROM j GROUP BY 1),
-        |core AS (SELECT CAST(sum(nj) AS BIGINT) AS n,
-        |  CAST(count(*) AS BIGINT) AS k,
-        |  sum(CAST(r2j AS HUGEINT) * r2j * 1000000 // nj) AS sq
-        | FROM pg),
-        |tiesq AS (SELECT coalesce(sum(CAST(c AS HUGEINT) * c * c - c),
-        |  CAST(0 AS HUGEINT)) AS tie_term FROM m),
-        |hh AS (SELECT n, k,
-        |  CAST(3 * sq // (CAST(n AS HUGEINT) * (n + 1)) AS BIGINT)
-        |   - 3 * (n + 1) * 1000000 AS h_e6, tie_term
-        | FROM core, tiesq)
-        |SELECT n, k, h_e6,
-        | CAST(CAST(tie_term AS DECIMAL(38,0)) AS VARCHAR) AS tie_term,
-        | CASE WHEN CAST(n AS HUGEINT) * n * n - n - tie_term > 0 THEN
-        |  CAST(CAST(h_e6 AS HUGEINT)
-        |   * (CAST(n AS HUGEINT) * n * n - n)
-        |   // (CAST(n AS HUGEINT) * n * n - n - tie_term) AS BIGINT)
-        | END AS h_corr_e6
-        |FROM hh""".stripMargin,
-
-
-    // q406: risk-set covariate moments via descending census windows;
-    // hypergeometric score terms per event time.
-    "q406_cox_score" ->
+    // q214: KM life table, hour resolution, censor at max event ts.
+    "q214_kaplan_meier" ->
       """WITH e AS (SELECT user_id, event_type,
         |  CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events),
         |v AS (SELECT user_id, min(ts_ms) AS v_ts FROM e
@@ -1182,47 +740,44 @@ object StatsGates extends GateFamily {
         |subj AS (SELECT CASE WHEN p_ts IS NOT NULL
         |   THEN (p_ts - v_ts) // 3600000
         |   ELSE (end_ts - v_ts) // 3600000 END AS t,
-        |  p_ts IS NOT NULL AS obs,
-        |  CAST(user_id % 5 AS BIGINT) AS x
-        | FROM fp CROSS JOIN endt),
+        |  p_ts IS NOT NULL AS obs FROM fp CROSS JOIN endt),
         |perT AS (SELECT t, count(*) AS n_at,
-        |  CAST(sum(x) AS BIGINT) AS sx_at,
-        |  sum(CAST(x AS HUGEINT) * x) AS sxx_at,
-        |  sum(CASE WHEN obs THEN 1 ELSE 0 END) AS d,
-        |  CAST(sum(CASE WHEN obs THEN x ELSE 0 END) AS BIGINT) AS sxd
-        | FROM subj GROUP BY 1),
-        |cum AS (SELECT t, d, sxd,
-        |  sum(n_at) OVER w AS n, sum(sx_at) OVER w AS sx,
-        |  sum(sxx_at) OVER w AS sxx
-        | FROM perT WINDOW w AS (ORDER BY t DESC
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |terms AS (SELECT d, sxd,
-        |  sxd * 1000000000 - CAST(CAST(d AS HUGEINT) * sx
-        |   * 1000000000 // n AS BIGINT) AS u_e9,
-        |  CASE WHEN n > 1 THEN
-        |   CAST(d AS HUGEINT) * (n * sxx - CAST(sx AS HUGEINT) * sx)
-        |    * (n - d) * 1000000000000
-        |    // (CAST(n AS HUGEINT) * n * (n - 1))
-        |  ELSE CAST(0 AS HUGEINT) END AS v_e12
-        | FROM cum WHERE d > 0),
-        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_times,
-        |  CAST(sum(sxd) AS BIGINT) AS o_sxd,
-        |  CAST(sum(u_e9) AS BIGINT) AS u_e9,
-        |  sum(v_e12) AS var_e12 FROM terms)
-        |SELECT n_times, o_sxd, u_e9,
-        | CAST(CAST(var_e12 AS DECIMAL(38,0)) AS VARCHAR) AS var_e12,
-        | CASE WHEN var_e12 > 0 THEN
-        |  CAST(CAST(u_e9 AS HUGEINT) * u_e9 // var_e12 AS BIGINT)
-        | END AS chi2_e6,
-        | coalesce(CASE WHEN var_e12 > 0 THEN
-        |  CAST(CAST(u_e9 AS HUGEINT) * u_e9 // var_e12 AS BIGINT)
-        | END > 3841458, false) AS significant_95
-        |FROM agg""".stripMargin,
+        |  sum(CASE WHEN obs THEN 1 ELSE 0 END) AS n_events
+        | FROM subj GROUP BY t),
+        |km AS (SELECT t, n_at, n_events,
+        |  sum(n_at) OVER (ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        | FROM perT)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+        | CAST(n_events AS BIGINT) AS n_events,
+        | CAST(1000000 * n_events // n_risk AS BIGINT) AS hazard_ppm
+        |FROM km WHERE n_events > 0""".stripMargin,
 
 
-    // q407: the q319 per-time terms, n-weighted before summation
-    // (pinned order: truncate per term, then weight).
-    "q407_gehan_wilcoxon" ->
+    // q227: Hamilton apportionment replay in HUGEINT; quotas must sum to
+    // the prime budget exactly.
+    "q227_apportion" ->
+      """WITH g AS (
+        | SELECT source, CAST(sum(n_chars) AS BIGINT) AS weight
+        | FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(weight) AS HUGEINT) AS W FROM g),
+        |a AS (
+        | SELECT source, weight,
+        |  (CAST(999983 AS HUGEINT) * weight) // W AS base,
+        |  (CAST(999983 AS HUGEINT) * weight) % W AS rem
+        | FROM g, t),
+        |d AS (
+        | SELECT *, 999983 - sum(base) OVER () AS deficit,
+        |  row_number() OVER (ORDER BY rem DESC, source) AS rk
+        | FROM a)
+        |SELECT source, weight,
+        | CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+        |  AS quota
+        |FROM d""".stripMargin,
+
+
+    // q236: the q214 life table plus the e9 additive cumulation.
+    "q236_nelson_aalen" ->
       """WITH e AS (SELECT user_id, event_type,
         |  CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events),
         |v AS (SELECT user_id, min(ts_ms) AS v_ts FROM e
@@ -1235,291 +790,475 @@ object StatsGates extends GateFamily {
         |subj AS (SELECT CASE WHEN p_ts IS NOT NULL
         |   THEN (p_ts - v_ts) // 3600000
         |   ELSE (end_ts - v_ts) // 3600000 END AS t,
-        |  p_ts IS NOT NULL AS obs, user_id % 2 = 0 AS g1
-        | FROM fp CROSS JOIN endt),
-        |perT AS (SELECT t,
-        |  sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS a1,
-        |  sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS a2,
-        |  sum(CASE WHEN g1 AND obs THEN 1 ELSE 0 END) AS d1,
-        |  sum(CASE WHEN NOT g1 AND obs THEN 1 ELSE 0 END) AS d2
+        |  p_ts IS NOT NULL AS obs FROM fp CROSS JOIN endt),
+        |perT AS (SELECT t, count(*) AS n_at,
+        |  sum(CASE WHEN obs THEN 1 ELSE 0 END) AS n_events
         | FROM subj GROUP BY t),
-        |risk AS (SELECT t, d1, d2,
-        |  sum(a1) OVER w AS n1, sum(a2) OVER w AS n2
-        | FROM perT WINDOW w AS (ORDER BY t DESC
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |terms AS (SELECT d1, d1 + d2 AS d, n1, n2, n1 + n2 AS n
-        | FROM risk WHERE d1 + d2 > 0),
-        |tt AS (SELECT d1, n,
-        |  d * n1 * 1000000000 // n AS e1_e9,
-        |  CASE WHEN n > 1 THEN CAST(CAST(n1 AS HUGEINT) * n2 * d
-        |    * (n - d) * 1000000000000
-        |    // (CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT)
-        |   ELSE 0 END AS v_e12
-        | FROM terms),
-        |agg AS (SELECT sum(CAST(n AS HUGEINT) * d1) AS o_w,
-        |  sum(CAST(n AS HUGEINT) * e1_e9) AS e_w_e9,
-        |  sum(CAST(n AS HUGEINT) * n * v_e12) AS v_w_e12 FROM tt)
-        |SELECT CAST(CAST(o_w AS DECIMAL(38,0)) AS VARCHAR) AS o_w,
-        | CAST(CAST(e_w_e9 AS DECIMAL(38,0)) AS VARCHAR) AS e_w_e9,
-        | CAST(CAST(v_w_e12 AS DECIMAL(38,0)) AS VARCHAR) AS v_w_e12,
-        | CASE WHEN v_w_e12 > 0 THEN
-        |  CAST((o_w * 1000000000 - e_w_e9)
-        |   * (o_w * 1000000000 - e_w_e9) // v_w_e12 AS BIGINT)
-        | END AS chi2_e6,
-        | coalesce(CASE WHEN v_w_e12 > 0 THEN
-        |  CAST((o_w * 1000000000 - e_w_e9)
-        |   * (o_w * 1000000000 - e_w_e9) // v_w_e12 AS BIGINT)
-        | END > 3841458, false) AS significant_95
+        |na AS (SELECT t, n_at, n_events,
+        |  sum(n_at) OVER (ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        | FROM perT),
+        |inc AS (SELECT t, n_risk, n_events,
+        |  CAST(1000000000 * n_events // n_risk AS BIGINT) AS inc_e9
+        | FROM na),
+        |cum AS (SELECT t, n_risk, n_events, inc_e9,
+        |  sum(CASE WHEN n_events > 0 THEN inc_e9 ELSE 0 END)
+        |   OVER (ORDER BY t ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS cum_hazard_e9
+        | FROM inc)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+        | CAST(n_events AS BIGINT) AS n_events, inc_e9,
+        | CAST(cum_hazard_e9 AS BIGINT) AS cum_hazard_e9
+        |FROM cum WHERE n_events > 0""".stripMargin,
+
+
+    // q260: same md5 split, calibration mean via floor-div, q̂ as the
+    // capped ⌈0.9(n+1)⌉-th order statistic off a cumulative histogram.
+    "q260_conformal" ->
+      """WITH b AS (SELECT event_type,
+        |  CAST(round(value*100) AS BIGINT) AS y,
+        |  substr(md5(CAST(event_id AS VARCHAR) || '#conf#v1'), 1, 1) < '8'
+        |    AS cal
+        | FROM events WHERE value IS NOT NULL),
+        |p AS (SELECT event_type, count(*) AS n_cal,
+        |  CAST(sum(y) // count(*) AS BIGINT) AS pred
+        | FROM b WHERE cal GROUP BY 1),
+        |r AS (SELECT b.event_type, abs(y - pred) AS r, cal, n_cal, pred
+        | FROM b JOIN p USING (event_type)),
+        |t AS (SELECT event_type, any_value(n_cal) AS n,
+        |  least(any_value(n_cal),
+        |        ((any_value(n_cal) + 1) * 90 + 99) // 100) AS target
+        | FROM r WHERE cal GROUP BY 1),
+        |h AS (SELECT event_type, r, count(*) AS c
+        | FROM r WHERE cal GROUP BY 1, 2),
+        |cum AS (SELECT event_type, r,
+        |  sum(c) OVER (PARTITION BY event_type ORDER BY r) AS cum FROM h),
+        |q AS (SELECT cum.event_type, min(r) AS qhat
+        | FROM cum JOIN t USING (event_type)
+        | WHERE cum >= target GROUP BY 1)
+        |SELECT r.event_type, any_value(pred) AS pred,
+        |  any_value(n_cal) AS n_cal, any_value(qhat) AS qhat,
+        |  count(*) AS n_test,
+        |  CAST(sum(CASE WHEN r <= qhat THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS covered
+        |FROM r JOIN q USING (event_type)
+        |WHERE NOT cal GROUP BY 1""".stripMargin,
+
+
+    // q273: the cumsum window + the same integer-division flip.
+    "q273_pps_sample" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+        |  CAST(sum(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+        | FROM documents),
+        |t AS (SELECT max(cum) // 100 AS step FROM c)
+        |SELECT doc_id, n_chars, cum FROM c, t
+        |WHERE (cum - 1) // step > (cum - 1 - n_chars) // step""".stripMargin,
+
+
+    // q282: same hash sample, same closure + audits.
+    "q282_fk_closed_sample" ->
+      """WITH s AS (SELECT * FROM orders
+        | WHERE substr(md5(CAST(o_orderkey AS VARCHAR) || '#samp#v1'),
+        |   1, 2) < '08'),
+        |li AS (SELECT * FROM lineitem
+        | WHERE l_orderkey IN (SELECT o_orderkey FROM s)),
+        |cu AS (SELECT * FROM customer
+        | WHERE c_custkey IN (SELECT o_custkey FROM s))
+        |SELECT 'orders' AS table_name, (SELECT count(*) FROM s) AS n_rows,
+        | (SELECT count(*) FROM s WHERE o_custkey NOT IN
+        |   (SELECT c_custkey FROM cu)) AS orphans
+        |UNION ALL SELECT 'lineitem', (SELECT count(*) FROM li),
+        | (SELECT count(*) FROM li WHERE l_orderkey NOT IN
+        |   (SELECT o_orderkey FROM s))
+        |UNION ALL SELECT 'customer', (SELECT count(*) FROM cu), 0"""
+        .stripMargin,
+
+
+    // q382: frequency-of-frequencies → Chao1 (bias-corrected) and
+    // Good–Turing missing mass, all-integer in HUGEINT.
+    "q382_chao_richness" ->
+      """WITH tok AS (SELECT source, unnest(list_filter(
+        |   regexp_split_to_array(trim(lower(text)), '\s+'),
+        |   x -> length(x) > 0)) AS w
+        | FROM documents),
+        |ty AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS d_types,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        | FROM ty GROUP BY 1)
+        |SELECT source, n_tokens, d_types, f1, f2,
+        | CAST(d_types * 1000000 + CAST(f1 AS HUGEINT) * (f1 - 1)
+        |  * 1000000 // (2 * (f2 + 1)) AS BIGINT) AS chao1_e6,
+        | CAST(f1 * 1000000 // n_tokens AS BIGINT) AS gt_unseen_ppm,
+        | CAST(1000000 - f1 * 1000000 // n_tokens AS BIGINT)
+        |  AS coverage_ppm
+        |FROM st""".stripMargin,
+
+
+    // q442: the r+1 self-join over the per-source frequency spectrum,
+    // HUGEINT truncating arithmetic.
+    "q442_good_turing" ->
+      """WITH tok AS (SELECT source AS g, unnest(list_filter(
+        |   regexp_split_to_array(trim(lower(text)), '\s+'),
+        |   x -> length(x) > 0)) AS w
+        | FROM documents),
+        |ty AS (SELECT g, w, CAST(count(*) AS BIGINT) AS r
+        | FROM tok GROUP BY 1, 2),
+        |spec AS (SELECT g, r, CAST(count(*) AS BIGINT) AS n_r
+        | FROM ty GROUP BY 1, 2)
+        |SELECT lo.g AS source, lo.r, lo.n_r,
+        | CAST(CAST(lo.r + 1 AS HUGEINT) * COALESCE(hi.n_r, 0) * 1000000
+        |  // lo.n_r AS BIGINT) AS r_star_e6
+        |FROM (SELECT * FROM spec WHERE r <= 8) lo
+        |LEFT JOIN spec hi ON hi.g = lo.g AND hi.r = lo.r + 1""".stripMargin,
+
+
+    // q444: micro-nat entropy terms summed exactly, one exp per group;
+    // inverse Simpson in pure HUGEINT.
+    "q444_hill_numbers" ->
+      """WITH tok AS (SELECT source AS g, unnest(list_filter(
+        |   regexp_split_to_array(trim(lower(text)), '\s+'),
+        |   x -> length(x) > 0)) AS w
+        | FROM documents),
+        |ty AS (SELECT g, w, CAST(count(*) AS BIGINT) AS c
+        | FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM ty GROUP BY 1),
+        |terms AS (SELECT ty.g, tot.n, ty.c,
+        |  CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |   * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |   * 1000000.0) AS BIGINT) AS h_term
+        | FROM ty JOIN tot ON tot.g = ty.g),
+        |agg AS (SELECT g, n, CAST(count(*) AS BIGINT) AS hill0,
+        |  CAST(sum(h_term) AS BIGINT) AS shannon_e6,
+        |  sum(CAST(c AS HUGEINT) * c) AS c2
+        | FROM terms GROUP BY 1, 2)
+        |SELECT g AS source, n AS n_tokens, hill0, shannon_e6,
+        | CAST(round(exp(CAST(shannon_e6 AS DOUBLE) / 1000000.0)
+        |  * 1000000.0) AS BIGINT) AS hill1_e6,
+        | CAST(CAST(n AS HUGEINT) * n * 1000000 // c2 AS BIGINT)
+        |  AS hill2_e6
         |FROM agg""".stripMargin,
 
 
-    // q391: the sorted-census prefix trick for Σ|v−u| replayed in
-    // HUGEINT windows; V-statistic form (self-pairs in), per-term
-    // e6 truncation in the pinned 2A−B−C order.
-    "q391_energy_distance" ->
-      """WITH r0 AS (SELECT
-        |  CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS v,
-        |  o_orderstatus = 'O' AS b
-        | FROM orders WHERE o_orderstatus IN ('F', 'O')),
-        |census AS (SELECT v,
-        |  CAST(sum(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT) AS na,
-        |  CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS nb
-        | FROM r0 GROUP BY 1),
-        |cum AS (SELECT v, na, nb,
-        |  sum(na) OVER wle AS cnta_le, sum(nb) OVER wle AS cntb_le,
-        |  sum(CAST(na AS HUGEINT) * v) OVER wle AS suma_le,
-        |  sum(CAST(nb AS HUGEINT) * v) OVER wle AS sumb_le,
-        |  sum(na) OVER () AS cnta, sum(nb) OVER () AS cntb,
-        |  sum(CAST(na AS HUGEINT) * v) OVER () AS suma,
-        |  sum(CAST(nb AS HUGEINT) * v) OVER () AS sumb
-        | FROM census WINDOW wle AS (ORDER BY v
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |ag AS (SELECT max(cnta) AS na2, max(cntb) AS nb2,
-        |  sum(CAST(na AS HUGEINT) * (CAST(v AS HUGEINT) * cnta_le
-        |   - suma_le + (suma - suma_le)
-        |   - CAST(v AS HUGEINT) * (cnta - cnta_le))) AS wa_num,
-        |  sum(CAST(nb AS HUGEINT) * (CAST(v AS HUGEINT) * cntb_le
-        |   - sumb_le + (sumb - sumb_le)
-        |   - CAST(v AS HUGEINT) * (cntb - cntb_le))) AS wb_num,
-        |  sum(CAST(na AS HUGEINT) * (CAST(v AS HUGEINT) * cntb_le
-        |   - sumb_le + (sumb - sumb_le)
-        |   - CAST(v AS HUGEINT) * (cntb - cntb_le))) AS cross_num
-        | FROM cum),
-        |fin AS (SELECT CAST(na2 AS BIGINT) AS na,
-        |  CAST(nb2 AS BIGINT) AS nb,
-        |  CAST(cross_num * 1000000
-        |   // (CAST(na2 AS HUGEINT) * nb2) AS BIGINT) AS e_cross_e6,
-        |  CAST(wa_num * 1000000
-        |   // (CAST(na2 AS HUGEINT) * na2) AS BIGINT) AS e_within_a_e6,
-        |  CAST(wb_num * 1000000
-        |   // (CAST(nb2 AS HUGEINT) * nb2) AS BIGINT) AS e_within_b_e6
-        | FROM ag)
-        |SELECT *, CAST(2 * e_cross_e6 - e_within_a_e6 - e_within_b_e6
-        | AS BIGINT) AS energy_e6
-        |FROM fin""".stripMargin,
-
-
-    // q373: per-item L and per-model G censuses, the exact Q identity
-    // (complete block by construction → n_dropped = 0).
-    "q373_cochran_q" ->
-      """WITH it AS (SELECT l_orderkey, l_linenumber,
-        |  CAST((l_quantity > 25) = (l_returnflag = 'R') AS INTEGER)
-        |  + CAST((l_discount > 0.05) = (l_returnflag = 'R') AS INTEGER)
-        |  + CAST((l_tax > 0.04) = (l_returnflag = 'R') AS INTEGER) AS l
-        | FROM lineitem),
-        |ist AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
-        |  CAST(sum(l) AS BIGINT) AS t,
-        |  sum(CAST(l AS HUGEINT) * l) AS sum_l2 FROM it),
-        |g AS (SELECT sum(CAST(gg AS HUGEINT) * gg) AS sum_g2 FROM (
-        |  SELECT sum(CASE WHEN (l_quantity > 25) = (l_returnflag = 'R')
-        |    THEN 1 ELSE 0 END) AS gg FROM lineitem
-        |  UNION ALL
-        |  SELECT sum(CASE WHEN (l_discount > 0.05) = (l_returnflag = 'R')
-        |    THEN 1 ELSE 0 END) FROM lineitem
-        |  UNION ALL
-        |  SELECT sum(CASE WHEN (l_tax > 0.04) = (l_returnflag = 'R')
-        |    THEN 1 ELSE 0 END) FROM lineitem))
-        |SELECT CAST(3 AS BIGINT) AS k, n_items,
-        | CAST(0 AS BIGINT) AS n_dropped, t,
-        | CAST(CAST(sum_g2 AS DECIMAL(38,0)) AS VARCHAR) AS sum_g2,
-        | CAST(CAST(sum_l2 AS DECIMAL(38,0)) AS VARCHAR) AS sum_l2,
-        | CASE WHEN CAST(3 AS HUGEINT) * t - sum_l2 = 0 THEN NULL
-        |  ELSE CAST(2 * (3 * sum_g2 - CAST(t AS HUGEINT) * t) * 1000000
-        |   // (CAST(3 AS HUGEINT) * t - sum_l2) AS BIGINT) END AS q_e6
-        |FROM ist, g""".stripMargin,
-
-
-    // q374: the entropy-form identity with q357-pinned per-cell chains;
-    // absent-value H(M) mass arrives as the corpus TQ scalar minus the
-    // present cells' tq terms.
-    "q374_js_divergence" ->
-      """WITH tok AS (SELECT source AS g,
-        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS v
-        | FROM documents),
-        |cells AS (SELECT g, v, count(*) AS c FROM tok GROUP BY 1, 2),
-        |corpus AS (SELECT v, CAST(sum(c) AS BIGINT) AS cc FROM cells
-        | GROUP BY 1),
-        |ng AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng FROM cells
-        | GROUP BY 1),
-        |nt AS (SELECT CAST(sum(cc) AS BIGINT) AS n FROM corpus),
-        |ct AS (SELECT
-        |  sum(CAST(round(-(CAST(cc AS DOUBLE) / n / 2.0)
-        |    * ln(CAST(cc AS DOUBLE) / n / 2.0) * 1000000.0) AS BIGINT))
-        |   AS tq,
-        |  sum(CAST(round(-(CAST(cc AS DOUBLE) / n)
-        |    * ln(CAST(cc AS DOUBLE) / n) * 1000000.0) AS BIGINT)) AS hq
-        | FROM corpus, nt),
-        |pc AS (SELECT cells.g,
-        |  CAST(round(-((CAST(c AS DOUBLE) / ng.ng
-        |      + CAST(cc AS DOUBLE) / n) / 2.0)
-        |    * ln((CAST(c AS DOUBLE) / ng.ng
-        |      + CAST(cc AS DOUBLE) / n) / 2.0) * 1000000.0) AS BIGINT)
-        |   AS tm,
-        |  CAST(round(-(CAST(cc AS DOUBLE) / n / 2.0)
-        |    * ln(CAST(cc AS DOUBLE) / n / 2.0) * 1000000.0) AS BIGINT)
-        |   AS tqc,
-        |  CAST(round(-(CAST(c AS DOUBLE) / ng.ng)
-        |    * ln(CAST(c AS DOUBLE) / ng.ng) * 1000000.0) AS BIGINT)
-        |   AS tp
-        | FROM cells JOIN corpus USING (v) JOIN ng USING (g), nt),
-        |agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_values,
-        |  sum(CAST(tm AS HUGEINT)) AS sm,
-        |  sum(CAST(tqc AS HUGEINT)) AS sq,
-        |  sum(CAST(tp AS HUGEINT)) AS hp
-        | FROM pc GROUP BY 1)
-        |SELECT agg.g AS source, n_values, ng.ng AS n_tokens,
-        | CAST(greatest(CAST(0 AS HUGEINT),
-        |   sm + (ct.tq - sq) - (hp + ct.hq) // 2) AS BIGINT) AS jsd_e6
-        |FROM agg JOIN ng ON ng.g = agg.g, ct""".stripMargin,
-
-
-    // q364: the paired 2×2 per nation and the clamped continuity-
-    // corrected statistic on the discordant cells.
-    "q364_mcnemar" ->
-      """WITH j AS (SELECT s_nationkey AS nation,
-        |  (l_quantity > 25) = (l_returnflag = 'R') AS ca,
-        |  (l_discount > 0.05) = (l_returnflag = 'R') AS cb
-        | FROM lineitem JOIN supplier ON s_suppkey = l_suppkey),
-        |g AS (SELECT nation,
-        |  CAST(sum(CASE WHEN ca AND cb THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n11,
-        |  CAST(sum(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n10,
-        |  CAST(sum(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n01,
-        |  CAST(sum(CASE WHEN NOT ca AND NOT cb THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n00
-        | FROM j GROUP BY 1)
-        |SELECT nation, n11, n10, n01, n00, n10 + n01 AS discordant,
-        | CASE WHEN n10 + n01 = 0 THEN NULL
-        |  ELSE CAST(CAST(greatest(abs(n10 - n01) - 1, 0) AS HUGEINT)
-        |    * greatest(abs(n10 - n01) - 1, 0) * 1000000
-        |    // (n10 + n01) AS BIGINT) END AS mcnemar_e6
-        |FROM g""".stripMargin,
-
-
-    // q365: per-stratum e6-truncated MH/CMH terms (two-stage truncation
-    // on the variance, pinned), then one global sum.
-    "q365_mantel_haenszel" ->
-      """WITH c0 AS (SELECT
-        |  CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
-        |    AS st,
-        |  l_discount > 0.05 AS t, l_returnflag = 'R' AS o
-        | FROM lineitem),
-        |s AS (SELECT st,
-        |  CAST(sum(CASE WHEN t AND o THEN 1 ELSE 0 END) AS HUGEINT) AS a,
-        |  CAST(sum(CASE WHEN t AND NOT o THEN 1 ELSE 0 END) AS HUGEINT)
-        |    AS b,
-        |  CAST(sum(CASE WHEN NOT t AND o THEN 1 ELSE 0 END) AS HUGEINT)
-        |    AS c,
-        |  CAST(sum(CASE WHEN NOT t AND NOT o THEN 1 ELSE 0 END)
-        |    AS HUGEINT) AS d
-        | FROM c0 GROUP BY 1),
-        |tm AS (SELECT st, a, b, c, d, a + b + c + d AS n FROM s
-        | WHERE a + b + c + d > 0),
-        |t2 AS (SELECT st, n,
-        |  a * d * 1000000 // n AS r,
-        |  b * c * 1000000 // n AS sx,
-        |  (a * n - (a + b) * (a + c)) * 1000000 // n AS dev,
-        |  CASE WHEN n < 2 THEN CAST(0 AS HUGEINT)
-        |   ELSE ((a + b) * (c + d) * 1000000 // n) * (a + c) * (b + d)
-        |    // (n * (n - 1)) END AS v
-        | FROM tm)
-        |SELECT CAST(count(*) AS BIGINT) AS n_strata,
-        | CAST(sum(n) AS BIGINT) AS n_total,
-        | CAST(CAST(sum(r) AS DECIMAL(38,0)) AS VARCHAR) AS r_num,
-        | CAST(CAST(sum(sx) AS DECIMAL(38,0)) AS VARCHAR) AS s_num,
-        | CASE WHEN sum(sx) = 0 THEN NULL
-        |  ELSE CAST(sum(r) * 1000000 // sum(sx) AS BIGINT) END
-        |   AS or_mh_e6,
-        | CAST(sum(dev) AS BIGINT) AS dev_e6,
-        | CAST(CAST(sum(v) AS DECIMAL(38,0)) AS VARCHAR) AS var_e6,
-        | CASE WHEN sum(v) = 0 THEN NULL
-        |  ELSE CAST(CAST(greatest(abs(sum(dev)) - 500000, 0) AS HUGEINT)
-        |    * greatest(abs(sum(dev)) - 500000, 0) // sum(v) AS BIGINT)
-        |  END AS cmh_e6
-        |FROM t2""".stripMargin,
-
-
-    // q357: census + margins + the same pinned ln(nxy·N/(nx·ny)) term.
-    "q357_mutual_info" ->
-      """WITH cells AS (SELECT lang AS x, source AS y, count(*) AS nxy
-        | FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+    // q385: the q214 subject frame widened to two causes; the
+    // truncating AJ product recurrence replayed as a recursive CTE
+    // over the ranked time census in HUGEINT.
+    "q385_competing_risks" ->
+      """WITH RECURSIVE e AS (SELECT user_id, event_type,
+        |  CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events),
+        |v AS (SELECT user_id, min(ts_ms) AS v_ts FROM e
+        | WHERE event_type = 'view' GROUP BY 1),
+        |fp AS (SELECT v.user_id, v.v_ts, min(p.ts_ms) AS p_ts
+        | FROM v LEFT JOIN e p ON p.user_id = v.user_id
+        |  AND p.event_type = 'purchase' AND p.ts_ms >= v.v_ts
         | GROUP BY 1, 2),
-        |nx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM cells
-        | GROUP BY 1),
-        |ny AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM cells
-        | GROUP BY 1),
-        |nt AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM cells),
-        |t AS (SELECT n, nxy * CAST(round(ln(CAST(nxy AS DOUBLE)
-        |   * CAST(n AS DOUBLE)
-        |   / (CAST(nx.nx AS DOUBLE) * CAST(ny.ny AS DOUBLE)))
-        |  * 1000000.0) AS BIGINT) AS tt
-        | FROM cells JOIN nx USING (x) JOIN ny USING (y), nt)
-        |SELECT n, count(*) AS cells,
-        | CAST(CAST(sum(tt) AS DECIMAL(38,0)) AS VARCHAR) AS mi_num,
-        | CAST(CAST(sum(tt) AS HUGEINT) // n AS BIGINT) AS mi_e6
+        |fb AS (SELECT fp.user_id, fp.v_ts, fp.p_ts,
+        |  min(er.ts_ms) AS e_ts
+        | FROM fp LEFT JOIN e er ON er.user_id = fp.user_id
+        |  AND er.event_type = 'error' AND er.ts_ms >= fp.v_ts
+        | GROUP BY 1, 2, 3),
+        |endt AS (SELECT max(ts_ms) AS end_ts FROM e),
+        |subj AS (SELECT
+        |  CASE WHEN p_ts IS NOT NULL AND (e_ts IS NULL OR p_ts <= e_ts)
+        |    THEN (p_ts - v_ts) // 3600000
+        |   WHEN e_ts IS NOT NULL THEN (e_ts - v_ts) // 3600000
+        |   ELSE (end_ts - v_ts) // 3600000 END AS t,
+        |  CASE WHEN p_ts IS NOT NULL AND (e_ts IS NULL OR p_ts <= e_ts)
+        |    THEN 1
+        |   WHEN e_ts IS NOT NULL THEN 2 ELSE 0 END AS k
+        | FROM fb CROSS JOIN endt),
+        |perT AS (SELECT t, count(*) AS n_at,
+        |  sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS d1,
+        |  sum(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS d2
+        | FROM subj GROUP BY 1),
+        |rk AS (SELECT t, n_at, d1, d2,
+        |  row_number() OVER (ORDER BY t) AS r,
+        |  sum(n_at) OVER (ORDER BY t DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        | FROM perT),
+        |walk(r, s, c1, c2) AS (
+        | SELECT CAST(0 AS BIGINT), CAST(1000000 AS HUGEINT),
+        |  CAST(0 AS HUGEINT), CAST(0 AS HUGEINT)
+        | UNION ALL
+        | SELECT rk.r,
+        |  w.s * (rk.n_risk - rk.d1 - rk.d2) // rk.n_risk,
+        |  w.c1 + w.s * rk.d1 // rk.n_risk,
+        |  w.c2 + w.s * rk.d2 // rk.n_risk
+        | FROM walk w JOIN rk ON rk.r = w.r + 1)
+        |SELECT rk.t, CAST(rk.n_risk AS BIGINT) AS n_risk,
+        | CAST(rk.d1 AS BIGINT) AS d1, CAST(rk.d2 AS BIGINT) AS d2,
+        | CAST(wp.s AS BIGINT) AS s_minus_e6,
+        | CAST(wc.c1 AS BIGINT) AS cif1_e6,
+        | CAST(wc.c2 AS BIGINT) AS cif2_e6
+        |FROM rk JOIN walk wp ON wp.r = rk.r - 1
+        |JOIN walk wc ON wc.r = rk.r
+        |WHERE rk.d1 + rk.d2 > 0""".stripMargin,
+
+
+    // q387: the pinned double pipeline (the q100 ln rule) mirrored
+    // character-for-character; integer sufficient stats everywhere
+    // else.
+    "q387_theil_index" ->
+      """WITH rev AS (SELECT o_custkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS x
+        | FROM orders GROUP BY 1),
+        |u AS (SELECT CAST(c_nationkey AS BIGINT) AS g, x
+        | FROM rev JOIN customer ON o_custkey = c_custkey WHERE x > 0),
+        |gs AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |  CAST(sum(x) AS BIGINT) AS xg FROM u GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+        |  CAST(sum(xg) AS BIGINT) AS x FROM gs),
+        |wt AS (SELECT u.g,
+        |  CAST(round(CAST(u.x AS DOUBLE) * 1000000.0 / gs.xg
+        |   * ln(CAST(u.x AS DOUBLE) * gs.ng / gs.xg)) AS BIGINT) AS t
+        | FROM u JOIN gs USING (g)),
+        |wi AS (SELECT g, CAST(sum(t) AS BIGINT) AS theil_within_e6
+        | FROM wt GROUP BY 1)
+        |SELECT g AS nation, ng AS n, xg AS sum_v,
+        | CAST(CAST(xg AS HUGEINT) * 1000000 // x AS BIGINT) AS share_e6,
+        | theil_within_e6,
+        | CAST(round(CAST(xg AS DOUBLE) * 1000000.0 / x
+        |  * ln(CAST(xg AS DOUBLE) * tot.n / (CAST(x AS DOUBLE) * ng)))
+        |  AS BIGINT) AS between_term_e6
+        |FROM gs JOIN wi USING (g) CROSS JOIN tot""".stripMargin,
+
+
+    // q388: zero-filled hourly grid, then the cleared MoM identities
+    // in HUGEINT — one truncating division per statistic.
+    "q388_dispersion" ->
+      """WITH e AS (SELECT event_type, epoch_ms(ts) // 3600000 AS h
+        | FROM events),
+        |span AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+        |hours AS (SELECT unnest(generate_series(h0, h1)) AS h
+        | FROM span),
+        |grid AS (SELECT t.event_type, hours.h
+        | FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN hours),
+        |cnt AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS c
+        | FROM e GROUP BY 1, 2),
+        |f AS (SELECT g.event_type, coalesce(cnt.c, 0) AS c
+        | FROM grid g LEFT JOIN cnt
+        |  ON cnt.event_type = g.event_type AND cnt.h = g.h),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(c) AS BIGINT) AS s,
+        |  sum(CAST(c AS HUGEINT) * c) AS q FROM f GROUP BY 1),
+        |vn AS (SELECT *, n * q - CAST(s AS HUGEINT) * s AS vnum
+        | FROM st)
+        |SELECT event_type, n, s,
+        | CAST(CAST(s AS HUGEINT) * 1000000 // n AS BIGINT) AS mean_e6,
+        | CASE WHEN s > 0 THEN
+        |  CAST(vnum * 1000000 // (n * CAST(s AS HUGEINT)) AS BIGINT)
+        | END AS fano_e6,
+        | CASE WHEN vnum > n * CAST(s AS HUGEINT) THEN
+        |  CAST(CAST(s AS HUGEINT) * s * 1000000
+        |   // (vnum - n * CAST(s AS HUGEINT)) AS BIGINT)
+        | END AS nb_r_e6,
+        | CASE WHEN vnum > 0 THEN
+        |  CAST(n * CAST(s AS HUGEINT) * 1000000 // vnum AS BIGINT)
+        | END AS nb_p_e6
+        |FROM vn""".stripMargin,
+
+
+    // q389: Chapman with the true part count riding along for err_ppm.
+    "q389_capture_recapture" ->
+      """WITH s1 AS (SELECT DISTINCT l_partkey AS k FROM lineitem
+        | WHERE year(l_shipdate) = 1996
+        |  AND month(l_shipdate) BETWEEN 1 AND 2),
+        |s2 AS (SELECT DISTINCT l_partkey AS k FROM lineitem
+        | WHERE year(l_shipdate) = 1996
+        |  AND month(l_shipdate) BETWEEN 3 AND 4),
+        |nn AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s1 JOIN s2 USING (k))
+        |   AS m,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM part) AS truth),
+        |est AS (SELECT *,
+        |  CAST(CAST(n1 + 1 AS HUGEINT) * (n2 + 1) * 1000000
+        |   // (m + 1) - 1000000 AS BIGINT) AS chapman_e6 FROM nn)
+        |SELECT n1, n2, m, chapman_e6, truth,
+        | CAST(CAST(abs(chapman_e6 - truth * 1000000) AS HUGEINT)
+        |  * 1000000 // (truth * 1000000) AS BIGINT) AS err_ppm
+        |FROM est""".stripMargin,
+
+
+    // q421: user spans, ceil-aligned hourly grid, half-open
+    // containment; the λW ≡ L identity is construction-exact, the
+    // residual audits the grid sampling.
+    "q421_littles_law" ->
+      """WITH sp AS (SELECT user_id AS u,
+        |  CAST(min(epoch_ms(ts)) AS BIGINT) AS s,
+        |  CAST(max(epoch_ms(ts)) AS BIGINT) AS e
+        | FROM events GROUP BY 1),
+        |sp2 AS (SELECT u, s, e, e - s AS dur FROM sp),
+        |hz AS (SELECT min(s) AS h0, max(e) AS h1,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(dur) AS BIGINT) AS sumdur FROM sp2),
+        |h2 AS (SELECT *, h1 - h0 AS hms FROM hz),
+        |grid AS (SELECT unnest(generate_series(
+        |  (h0 + 3599999) // 3600000, h1 // 3600000)) * 3600000 AS g
+        | FROM h2),
+        |act AS (SELECT CAST(count(*) AS BIGINT) AS n_active
+        | FROM sp2, grid WHERE s <= g AND g < e),
+        |ng AS (SELECT CAST(count(*) AS BIGINT) AS n_grid FROM grid),
+        |f AS (SELECT n AS n_units, hms AS horizon_ms, n_grid,
+        |  CASE WHEN hms > 0 THEN CAST(CAST(n AS HUGEINT) * 3600000
+        |   * 1000000 // hms AS BIGINT) END AS lambda_per_hour_e6,
+        |  CAST(sumdur // n AS BIGINT) AS w_ms,
+        |  CASE WHEN hms > 0 THEN CAST(CAST(sumdur AS HUGEINT)
+        |   * 1000000 // hms AS BIGINT) END AS l_exact_e6,
+        |  CASE WHEN n_grid > 0 THEN
+        |   CAST(n_active * 1000000 // n_grid AS BIGINT) END
+        |   AS l_grid_e6
+        | FROM h2, act, ng)
+        |SELECT *, CASE WHEN l_exact_e6 > 0 THEN
+        |  CAST(CAST(abs(l_grid_e6 - l_exact_e6) AS HUGEINT) * 1000000
+        |   // l_exact_e6 AS BIGINT) END AS grid_residual_ppm
+        |FROM f""".stripMargin,
+
+
+    "q435_horvitz_thompson" -> q435OracleSql,
+
+
+    // q437: occupancy bits per user, Chapman algebra in HUGEINT.
+    "q437_capture_recapture" ->
+      """WITH b AS (SELECT user_id AS u,
+        |  max(CASE WHEN (epoch_ms(ts) // 604800000) % 2 = 0
+        |    THEN 1 ELSE 0 END) AS in1,
+        |  max(CASE WHEN (epoch_ms(ts) // 604800000) % 2 = 1
+        |    THEN 1 ELSE 0 END) AS in2
+        | FROM events GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_true,
+        |  CAST(sum(in1) AS BIGINT) AS n1,
+        |  CAST(sum(in2) AS BIGINT) AS n2,
+        |  CAST(sum(in1 * in2) AS BIGINT) AS m FROM b)
+        |SELECT n_true, n1, n2, m,
+        | CAST(CAST(n1 + 1 AS HUGEINT) * (n2 + 1) // (m + 1) - 1
+        |  AS BIGINT) AS chapman_nhat,
+        | CAST(CAST(n1 + 1 AS HUGEINT) * (n2 + 1) * (n1 - m) * (n2 - m)
+        |   // (CAST(m + 1 AS HUGEINT) * (m + 1) * (m + 2)) AS BIGINT)
+        |  AS var_nhat
+        |FROM s""".stripMargin,
+
+
+    // q445: first-capture per user, occasion census, cumulative
+    // windows; HUGEINT truncating running estimate.
+    "q445_schnabel" ->
+      """WITH caps AS (SELECT DISTINCT user_id AS u,
+        |  epoch_ms(ts) // 86400000 AS t FROM events),
+        |fc AS (SELECT u, min(t) AS ft FROM caps GROUP BY 1),
+        |occ AS (SELECT t,
+        |  CAST(count(*) AS BIGINT) AS c_t,
+        |  CAST(sum(CASE WHEN ft < t THEN 1 ELSE 0 END) AS BIGINT) AS r_t,
+        |  CAST(sum(CASE WHEN ft = t THEN 1 ELSE 0 END) AS BIGINT) AS nw
+        | FROM caps JOIN fc USING (u) GROUP BY 1),
+        |run0 AS (SELECT t, c_t, r_t,
+        |  COALESCE(sum(nw) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |   0) AS m_t
+        | FROM occ),
+        |run AS (SELECT t, c_t, r_t, m_t,
+        |  sum(CAST(c_t AS HUGEINT) * m_t)
+        |   OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum_cm,
+        |  sum(r_t) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum_r
+        | FROM run0)
+        |SELECT t, c_t, r_t, CAST(m_t AS BIGINT) AS m_t,
+        | CAST(cum_cm AS BIGINT) AS cum_cm,
+        | CAST(cum_r AS BIGINT) AS cum_r,
+        | CASE WHEN cum_r = 0 THEN 0
+        |  ELSE CAST(cum_cm * 1000000 // cum_r AS BIGINT) END AS nhat_e6
+        |FROM run""".stripMargin,
+
+
+    // q431: shifted-e3 components, cal-split centroids, windowed k-th
+    // smallest per label, label-grain coverage census.
+    "q431_conformal" ->
+      """WITH comps AS (SELECT vec_id AS id, label,
+        |  (vec_id % 5 < 4) AS cal, i AS dim,
+        |  CAST(round((CAST(embedding[i] AS DOUBLE) + 1.0) * 1000.0)
+        |   AS BIGINT) AS x_e3
+        | FROM embeddings,
+        |  LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+        |    AS i) ix),
+        |cent AS (SELECT label, dim,
+        |  CAST(sum(x_e3) // count(*) AS BIGINT) AS c_e3
+        | FROM comps WHERE cal GROUP BY 1, 2),
+        |scores AS (SELECT id, comps.label, cal,
+        |  CAST(sum((x_e3 - c_e3) * (x_e3 - c_e3)) AS BIGINT) AS s
+        | FROM comps JOIN cent USING (label, dim) GROUP BY 1, 2, 3),
+        |calr AS (SELECT label, id, s,
+        |  row_number() OVER (PARTITION BY label ORDER BY s, id) AS r,
+        |  count(*) OVER (PARTITION BY label) AS n_cal
+        | FROM scores WHERE cal),
+        |qhat AS (SELECT label, s AS qhat_d2, n_cal FROM calr
+        | WHERE r = ((n_cal + 1) * 9 + 9) // 10),
+        |t AS (SELECT scores.label, s, qhat_d2, n_cal
+        | FROM scores LEFT JOIN qhat USING (label) WHERE NOT cal)
+        |SELECT label, CAST(max(n_cal) AS BIGINT) AS n_cal,
+        | CAST(max(qhat_d2) AS BIGINT) AS qhat_d2,
+        | CAST(count(*) AS BIGINT) AS n_test,
+        | CAST(sum(CASE WHEN qhat_d2 IS NULL OR s <= qhat_d2
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        | CAST(CAST(sum(CASE WHEN qhat_d2 IS NULL OR s <= qhat_d2
+        |   THEN 1 ELSE 0 END) AS HUGEINT) * 1000000 // count(*)
+        |  AS BIGINT) AS coverage_e6
         |FROM t GROUP BY 1""".stripMargin,
 
 
-    // q358: the exact-integer chi-square identity Σ nxy²·N/(nx·ny) − N
-    // with per-cell truncating div, then the corrected isqrt for V.
-    "q358_cramers_v" ->
-      """WITH cells AS (SELECT l_returnflag AS x, l_linestatus AS y,
-        |  count(*) AS nxy
-        | FROM lineitem GROUP BY 1, 2),
-        |nx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM cells
-        | GROUP BY 1),
-        |ny AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM cells
-        | GROUP BY 1),
-        |nt AS (SELECT CAST(sum(nxy) AS BIGINT) AS n,
-        |  CAST(count(DISTINCT x) AS BIGINT) AS r,
-        |  CAST(count(DISTINCT y) AS BIGINT) AS c FROM cells),
-        |t AS (SELECT n, r, c,
-        |  CAST(CAST(nxy AS HUGEINT) * nxy * n * 1000000
-        |   // (CAST(nx.nx AS HUGEINT) * ny.ny) AS BIGINT) AS tt
-        | FROM cells JOIN nx USING (x) JOIN ny USING (y), nt),
-        |ag AS (SELECT n, r, c,
-        |  CAST(sum(CAST(tt AS HUGEINT)) - CAST(n AS HUGEINT) * 1000000
-        |   AS HUGEINT) AS chi2
-        | FROM t GROUP BY 1, 2, 3),
-        |v AS (SELECT *, greatest(chi2 * 1000000
-        |   // (CAST(n AS HUGEINT) * least(r - 1, c - 1)),
-        |  CAST(0 AS HUGEINT)) AS vn FROM ag),
-        |s0c AS (SELECT *,
-        |  CAST(floor(sqrt(CAST(vn AS DOUBLE))) AS BIGINT) AS s0 FROM v)
-        |SELECT n, r, c, CAST(chi2 AS VARCHAR) AS chi2_e6,
-        | CAST(CASE WHEN least(r - 1, c - 1) = 0 THEN NULL
-        |  WHEN CAST(s0 AS HUGEINT) * s0 > vn THEN s0 - 1
-        |  WHEN (CAST(s0 AS HUGEINT) + 1) * (s0 + 1) <= vn THEN s0 + 1
-        |  ELSE s0 END AS BIGINT) AS cramers_v_e6
-        |FROM s0c""".stripMargin,
+    // q417: position-polynomial span sums on the cumulative value
+    // census; factorial denominators cleared, // everywhere (exactly
+    // divisible or toward-zero on the signed ratio numerators).
+    "q417_l_moments" ->
+      """WITH v0 AS (SELECT
+        |  CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS v
+        | FROM orders),
+        |m AS (SELECT v, count(*) AS c FROM v0 GROUP BY 1),
+        |cu AS (SELECT v, c, sum(c) OVER (ORDER BY v
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM m),
+        |ag AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |  sum(CAST(v AS HUGEINT) * c) AS a0,
+        |  sum(CAST(v AS HUGEINT)
+        |   * ((CAST(c AS HUGEINT) * (2 * cum - c - 1)) // 2)) AS a1,
+        |  sum(CAST(v AS HUGEINT)
+        |   * ((CAST(cum AS HUGEINT) * (cum - 1) * (cum - 2)
+        |       - CAST(cum - c AS HUGEINT) * (cum - c - 1)
+        |         * (cum - c - 2)) // 3)) AS a2,
+        |  sum(CAST(v AS HUGEINT)
+        |   * ((CAST(cum AS HUGEINT) * (cum - 1) * (cum - 2) * (cum - 3)
+        |       - CAST(cum - c AS HUGEINT) * (cum - c - 1)
+        |         * (cum - c - 2) * (cum - c - 3)) // 4)) AS a3
+        | FROM cu),
+        |lam AS (SELECT n, a0,
+        |  2 * a1 - a0 * (n - 1) AS l2n,
+        |  6 * a2 - 6 * a1 * (n - 2) + a0 * (n - 1) * (n - 2) AS l3n,
+        |  20 * a3 - 30 * a2 * (n - 3)
+        |   + 12 * a1 * (n - 2) * (n - 3)
+        |   - a0 * (n - 1) * (n - 2) * (n - 3) AS l4n
+        | FROM ag)
+        |SELECT n,
+        | CASE WHEN n > 0 THEN CAST(a0 * 1000000 // n AS BIGINT) END
+        |  AS lambda1_e6,
+        | CASE WHEN n > 1 THEN CAST(l2n * 1000000
+        |  // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) END
+        |  AS lambda2_e6,
+        | CASE WHEN n > 1 AND a0 > 0 THEN
+        |  CAST(l2n * 1000000 // (a0 * (n - 1)) AS BIGINT) END AS t_e6,
+        | CASE WHEN n > 2 AND l2n > 0 THEN
+        |  CAST(l3n * 1000000 // (l2n * (n - 2)) AS BIGINT) END
+        |  AS t3_e6,
+        | CASE WHEN n > 3 AND l2n > 0 THEN
+        |  CAST(l4n * 1000000 // (l2n * (n - 2) * (n - 3)) AS BIGINT)
+        | END AS t4_e6
+        |FROM lam""".stripMargin,
 
 
-    // q319: q214's subject CTE with the parity flag + the same
-    // truncated O−E/V terms.
-    "q319_logrank" ->
-      """WITH e AS (SELECT user_id, event_type,
+    // q408: the KM product recurrence as a recursive CTE over the
+    // ranked hour census, RMST accumulating pre-update S per step.
+    "q408_rmst" ->
+      """WITH RECURSIVE e AS (SELECT user_id, event_type,
         |  CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events),
         |v AS (SELECT user_id, min(ts_ms) AS v_ts FROM e
         |  WHERE event_type = 'view' GROUP BY 1),
@@ -1531,71 +1270,179 @@ object StatsGates extends GateFamily {
         |subj AS (SELECT CASE WHEN p_ts IS NOT NULL
         |   THEN (p_ts - v_ts) // 3600000
         |   ELSE (end_ts - v_ts) // 3600000 END AS t,
-        |  p_ts IS NOT NULL AS obs, user_id % 2 = 0 AS g1
+        |  p_ts IS NOT NULL AS obs
         | FROM fp CROSS JOIN endt),
-        |perT AS (SELECT t,
-        |  sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS a1,
-        |  sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS a2,
-        |  sum(CASE WHEN g1 AND obs THEN 1 ELSE 0 END) AS d1,
-        |  sum(CASE WHEN NOT g1 AND obs THEN 1 ELSE 0 END) AS d2
-        | FROM subj GROUP BY t),
-        |risk AS (SELECT t, d1, d2,
-        |  sum(a1) OVER w AS n1, sum(a2) OVER w AS n2
-        | FROM perT WINDOW w AS (ORDER BY t DESC
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |terms AS (SELECT d1, d1 + d2 AS d, n1, n2, n1 + n2 AS n
-        | FROM risk WHERE d1 + d2 > 0),
-        |tt AS (SELECT d1,
-        |  d * n1 * 1000000000 // n AS e1_e9,
-        |  CASE WHEN n > 1 THEN CAST(CAST(n1 AS HUGEINT) * n2 * d * (n - d)
-        |    * 1000000000000 // (CAST(n AS HUGEINT) * n * (n - 1))
-        |    AS BIGINT) ELSE 0 END AS v_e12
-        | FROM terms),
-        |agg AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
-        |  CAST(sum(e1_e9) AS BIGINT) AS e1_e9,
-        |  CAST(sum(v_e12) AS BIGINT) AS var_e12 FROM tt)
-        |SELECT o1, e1_e9, var_e12,
-        | CASE WHEN var_e12 = 0 THEN NULL ELSE CAST(
-        |  CAST(o1 * 1000000000 - e1_e9 AS HUGEINT)
-        |  * (o1 * 1000000000 - e1_e9) // var_e12 AS BIGINT) END
-        |  AS chi2_e6,
-        | coalesce(CASE WHEN var_e12 = 0 THEN NULL ELSE
-        |  CAST(CAST(o1 * 1000000000 - e1_e9 AS HUGEINT)
-        |   * (o1 * 1000000000 - e1_e9) // var_e12 AS BIGINT) END
-        |  > 3841458, false) AS significant_95
-        |FROM agg""".stripMargin,
+        |perT AS (SELECT t, count(*) AS n_at,
+        |  sum(CASE WHEN obs THEN 1 ELSE 0 END) AS d
+        | FROM subj GROUP BY 1),
+        |rk AS (SELECT t, n_at, d,
+        |  row_number() OVER (ORDER BY t) AS r,
+        |  sum(n_at) OVER (ORDER BY t DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        | FROM perT),
+        |walk(r, s, rm, lastt) AS (
+        | SELECT CAST(0 AS BIGINT), CAST(1000000 AS HUGEINT),
+        |  CAST(0 AS HUGEINT), CAST(0 AS BIGINT)
+        | UNION ALL
+        | SELECT rk.r,
+        |  CASE WHEN rk.d > 0 AND rk.t <= 168
+        |   THEN w.s * (rk.n_risk - rk.d) // rk.n_risk ELSE w.s END,
+        |  w.rm + CASE WHEN w.lastt < 168
+        |   THEN w.s * (least(rk.t, 168) - w.lastt)
+        |   ELSE CAST(0 AS HUGEINT) END,
+        |  CASE WHEN w.lastt < 168 THEN least(rk.t, 168)
+        |   ELSE w.lastt END
+        | FROM walk w JOIN rk ON rk.r = w.r + 1),
+        |lastw AS (SELECT * FROM walk ORDER BY r DESC LIMIT 1),
+        |tot AS (SELECT CAST(sum(n_at) AS BIGINT) AS n_subjects,
+        |  CAST(sum(CASE WHEN t <= 168 THEN d ELSE 0 END) AS BIGINT)
+        |   AS n_events_le_tau FROM perT)
+        |SELECT CAST(168 AS BIGINT) AS tau, n_subjects,
+        | n_events_le_tau, CAST(l.s AS BIGINT) AS s_tau_e6,
+        | CAST(l.rm + CASE WHEN l.lastt < 168
+        |  THEN l.s * (168 - l.lastt) ELSE 0 END AS BIGINT) AS rmst_e6
+        |FROM lastw l, tot""".stripMargin,
 
 
-    // q311: the same cumulative grid + cross-multiplied boundary.
-    "q311_hoeffding_sequential" ->
-      """WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day,
-        |  CAST(user_id % 2 AS INT) AS arm,
-        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
-        | FROM events WHERE user_id IS NOT NULL
-        |  AND event_type IS NOT NULL),
-        |d AS (SELECT day,
-        |  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS dn_c,
-        |  CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
-        |    AS dc_c,
-        |  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS dn_t,
-        |  CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
-        |    AS dc_t
-        | FROM e GROUP BY 1),
-        |c AS (SELECT day,
-        |  sum(dn_c) OVER w AS n_c, sum(dn_t) OVER w AS n_t,
-        |  sum(dc_c) OVER w AS c_c, sum(dc_t) OVER w AS c_t
-        | FROM d WINDOW w AS (ORDER BY day
-        |   ROWS UNBOUNDED PRECEDING)),
-        |s AS (SELECT *, c_t * 1000000 // n_t - c_c * 1000000 // n_c
-        |   AS diff_e6
-        | FROM c WHERE n_c > 0 AND n_t > 0)
-        |SELECT day, CAST(n_c AS BIGINT) AS n_c, CAST(n_t AS BIGINT) AS n_t,
-        | CAST(c_c AS BIGINT) AS c_c, CAST(c_t AS BIGINT) AS c_t,
-        | CAST(diff_e6 AS BIGINT) AS diff_e6,
-        | (CAST(diff_e6 AS HUGEINT) * diff_e6 * 2 * n_c * n_t >
-        |  CAST(3688879454113 AS HUGEINT) * (n_c + n_t)) AS decided
-        |FROM s""".stripMargin,
+    // q392: top-(k+1) by the unique order, threshold = min of the
+    // selected set, pinned-double ln terms.
+    "q392_hill_tail" ->
+      """WITH rev AS (SELECT o_custkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS x
+        | FROM orders GROUP BY 1),
+        |top AS (SELECT x, o_custkey FROM rev WHERE x > 0
+        | ORDER BY x DESC, o_custkey LIMIT 101),
+        |th AS (SELECT min(x) AS xk1 FROM top),
+        |tm AS (SELECT xk1,
+        |  CAST(round(ln(CAST(x AS DOUBLE) / xk1) * 1000000.0) AS BIGINT)
+        |   AS t
+        | FROM top CROSS JOIN th)
+        |SELECT CAST(100 AS BIGINT) AS k, xk1,
+        | CAST(sum(t) // 100 AS BIGINT) AS hill_e6,
+        | CASE WHEN sum(t) // 100 > 0 THEN
+        |  CAST(1000000000000 // (sum(t) // 100) AS BIGINT)
+        | END AS alpha_e6
+        |FROM tm GROUP BY xk1""".stripMargin,
+
+
+    // q377: the full Lehmer→Poisson(1)→replicate-ratio→order-statistic
+    // chain replayed literally (wrap-free BIGINT throughout).
+    "q377_poisson_bootstrap" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+        |  l_orderkey * 131 + l_linenumber * 7 + l_partkey AS rk,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS num,
+        |  CAST(round(l_quantity) AS BIGINT) AS den FROM lineitem),
+        |e AS (SELECT g, r, num, den,
+        |  ((((rk % 2147483647) * 65537 + r + 1) * 48271) % 2147483647)
+        |   AS h1
+        | FROM b, (SELECT unnest(generate_series(0, 39)) AS r) rr),
+        |e2 AS (SELECT g, r, num, den,
+        |  (xor(h1, h1 // 65536) * 69621 % 2147483647)
+        |   * 1000000000 // 2147483647 AS u FROM e),
+        |ww AS (SELECT g, r, num, den,
+        |  CAST(CASE WHEN u < 367879441 THEN 0
+        |   WHEN u < 735758882 THEN 1
+        |   WHEN u < 919698602 THEN 2
+        |   WHEN u < 981011843 THEN 3
+        |   WHEN u < 996340153 THEN 4
+        |   WHEN u < 999405815 THEN 5
+        |   ELSE 6 END AS BIGINT) AS w FROM e2),
+        |rs AS (SELECT g, r,
+        |  sum(CAST(w * num AS HUGEINT)) AS sn,
+        |  sum(CAST(w * den AS HUGEINT)) AS sd,
+        |  sum(CAST(num AS HUGEINT)) AS pn,
+        |  sum(CAST(den AS HUGEINT)) AS pd
+        | FROM ww GROUP BY 1, 2),
+        |th AS (SELECT *, CASE WHEN sd <= 0 THEN NULL
+        |   ELSE CAST(sn * 1000000 // sd AS BIGINT) END AS theta
+        | FROM rs),
+        |rk2 AS (SELECT *, row_number() OVER
+        |   (PARTITION BY g ORDER BY theta ASC NULLS LAST, r) AS rnk,
+        |  count(theta) OVER (PARTITION BY g) AS valid FROM th)
+        |SELECT g AS l_returnflag,
+        | CAST(max(valid) AS BIGINT) AS reps_valid,
+        | max(CASE WHEN pd > 0
+        |   THEN CAST(pn * 1000000 // pd AS BIGINT) END) AS theta_e6,
+        | CASE WHEN max(valid) < 4 THEN NULL
+        |  ELSE max(CASE WHEN rnk = 2 THEN theta END) END AS ci_lo_e6,
+        | CASE WHEN max(valid) < 4 THEN NULL
+        |  ELSE max(CASE WHEN rnk = valid - 1 THEN theta END) END
+        |   AS ci_hi_e6
+        |FROM rk2 GROUP BY 1""".stripMargin,
+
+
+    // q366: bucket census → leave-one-out ratios → exact jackknife
+    // moments, corrected isqrt for the standard error.
+    "q366_jackknife_ratio" ->
+      """WITH b AS (SELECT l_returnflag AS g, l_orderkey % 32 AS bk,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS num,
+        |  CAST(round(l_quantity) AS BIGINT) AS den FROM lineitem),
+        |pb AS (SELECT g, bk, sum(num) AS s_i, sum(den) AS n_i FROM b
+        | GROUP BY 1, 2),
+        |w AS (SELECT g, bk, s_i, n_i,
+        |  sum(s_i) OVER (PARTITION BY g) AS st,
+        |  sum(n_i) OVER (PARTITION BY g) AS nt FROM pb),
+        |l AS (SELECT *, CASE WHEN nt - n_i <= 0 THEN NULL
+        |   ELSE CAST(CAST(st - s_i AS HUGEINT) * 1000000 // (nt - n_i)
+        |    AS BIGINT) END AS loo FROM w),
+        |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(count(loo) AS BIGINT) AS b_eff,
+        |  max(st) AS st, max(nt) AS nt,
+        |  CASE WHEN count(loo) = 0 THEN NULL
+        |   ELSE CAST(sum(CAST(loo AS HUGEINT)) // count(loo) AS BIGINT)
+        |  END AS jk_mean_e6
+        | FROM l GROUP BY g),
+        |ss AS (SELECT l.g,
+        |  sum(CASE WHEN loo IS NULL THEN CAST(0 AS HUGEINT)
+        |   ELSE CAST(loo - jk_mean_e6 AS HUGEINT) * (loo - jk_mean_e6)
+        |   END) AS ssq
+        | FROM l JOIN m ON m.g = l.g GROUP BY 1),
+        |f AS (SELECT m.g, n_buckets, b_eff,
+        |  CASE WHEN nt <= 0 THEN NULL
+        |   ELSE CAST(CAST(st AS HUGEINT) * 1000000 // nt AS BIGINT) END
+        |    AS theta_e6,
+        |  jk_mean_e6,
+        |  CASE WHEN b_eff <= 1 THEN NULL
+        |   ELSE CAST(b_eff - 1 AS HUGEINT) * ssq // b_eff END AS var
+        | FROM m JOIN ss ON ss.g = m.g),
+        |s0c AS (SELECT *,
+        |  CAST(floor(sqrt(CAST(var AS DOUBLE))) AS BIGINT) AS s0 FROM f)
+        |SELECT g AS l_returnflag, n_buckets, b_eff, theta_e6, jk_mean_e6,
+        | CAST(CAST(var AS DECIMAL(38,0)) AS VARCHAR) AS jk_var_e12,
+        | CASE WHEN var IS NULL THEN NULL
+        |  WHEN CAST(s0 AS HUGEINT) * s0 > var THEN s0 - 1
+        |  WHEN (CAST(s0 AS HUGEINT) + 1) * (s0 + 1) <= var THEN s0 + 1
+        |  ELSE s0 END AS jk_se_e6
+        |FROM s0c""".stripMargin,
+
+
+    // q360: weighted census + cumulative window, the exact
+    // cum·100 ≥ W·p rule per percentile.
+    "q360_weighted_quantiles" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+        |  CAST(round(l_quantity) AS BIGINT) AS v,
+        |  CAST(round(l_extendedprice*100) AS BIGINT) AS w
+        | FROM lineitem),
+        |h AS (SELECT g, v, CAST(sum(w) AS BIGINT) AS w FROM b
+        | WHERE w > 0 GROUP BY 1, 2),
+        |c AS (SELECT g, v,
+        |  sum(w) OVER (PARTITION BY g ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  sum(w) OVER (PARTITION BY g) AS tw FROM h)
+        |SELECT g AS l_returnflag, CAST(max(tw) AS BIGINT) AS total_weight,
+        | min(CASE WHEN CAST(cum AS HUGEINT)*100 >= CAST(tw AS HUGEINT)*25
+        |   THEN v END) AS p25,
+        | min(CASE WHEN CAST(cum AS HUGEINT)*100 >= CAST(tw AS HUGEINT)*50
+        |   THEN v END) AS p50,
+        | min(CASE WHEN CAST(cum AS HUGEINT)*100 >= CAST(tw AS HUGEINT)*75
+        |   THEN v END) AS p75,
+        | min(CASE WHEN CAST(cum AS HUGEINT)*100 >= CAST(tw AS HUGEINT)*95
+        |   THEN v END) AS p95
+        |FROM c GROUP BY 1""".stripMargin,
+
+
+    // q310: the full mechanism replay (hash chain + ladder + ranks).
+    "q310_poisson_bootstrap" -> q310OracleSql,
   )
 }

@@ -14,7 +14,7 @@ import CatalogDefs._
 
 /** Text analysis + corpus prep: quality, lang-id, repetition, pii, packing, contamination, keywords, readability.
   *
-  * 37 gates; split from SparkEntry.scala in round 14 (pure
+  * 42 gates; split from SparkEntry.scala in round 14 (pure
   * refactor — every entry verbatim, hashes pinned by the sf0.01 sweep). */
 object TextGates extends GateFamily {
 

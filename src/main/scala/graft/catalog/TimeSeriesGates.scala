@@ -14,7 +14,7 @@ import CatalogDefs._
 
 /** Time series: smoothing, forecasts, changepoints, acf, drift monitors, matrix profile.
   *
-  * 31 gates; split from SparkEntry.scala in round 14 (pure
+  * 32 gates; split from SparkEntry.scala in round 14 (pure
   * refactor — every entry verbatim, hashes pinned by the sf0.01 sweep). */
 object TimeSeriesGates extends GateFamily {
 
