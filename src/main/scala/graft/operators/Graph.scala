@@ -566,10 +566,15 @@ object Graph {
     var a = e.select(col("dst").as("id")).distinct()
       .withColumn("v", lit(0L))
     def renorm(raw: DataFrame): DataFrame = {
-      val m = raw.agg(max(col("v")).as("m"))
-      raw.crossJoin(broadcast(m))
+      // Checkpoint the round's join+aggregate BEFORE the max broadcast
+      // (r15 optimization round): the old order ran the subtree twice —
+      // once under the broadcast build, once under the checkpoint. The
+      // lazy leaf+crossJoin residue keeps plan depth constant, so the
+      // StackOverflow guard above still holds.
+      val rawCp = raw.localCheckpoint(true)
+      val m = rawCp.agg(max(col("v")).as("m"))
+      rawCp.crossJoin(broadcast(m))
         .select(col("id"), expr("v * 1000000 div m").as("v"))
-        .localCheckpoint(true)
     }
     for (_ <- 1 to iterations) {
       a = renorm(e.join(h.withColumnRenamed("id", "src"), "src")

@@ -417,14 +417,21 @@ object Preference {
       val denom = terms.select(col("a").as("id"), col("t"))
         .unionByName(terms.select(col("b").as("id"), col("t")))
         .groupBy(col("id")).agg(sum(col("t")).as("d"))
-      val raw = items.join(denom, Seq("id"))
+      // Materialize the round subtree ONCE (r15 optimization round):
+      // checkpoint `raw` eagerly, then the broadcast max and the
+      // renormalized frame both read the LogicalRDD leaf. The previous
+      // shape (checkpoint AFTER the crossJoin) executed the full
+      // join+aggregate round twice per iteration — once under the
+      // max-broadcast build, once under the checkpoint. Plan depth
+      // stays constant: the lazy residue per round is leaf+crossJoin.
+      val rawCp = items.join(denom, Seq("id"))
         .select(col("id"),
           greatest(lit(1L), expr("wins * 1000000000000L div d")).as("r"))
-      val m = raw.agg(max(col("r")).as("m"))
-      r = raw.crossJoin(broadcast(m))
+        .localCheckpoint(true)
+      val m = rawCp.agg(max(col("r")).as("m"))
+      r = rawCp.crossJoin(broadcast(m))
         .select(col("id"),
           greatest(lit(1L), expr("r * 1000000 div m")).as("r"))
-        .localCheckpoint(true)
     }
     val out = items.join(r, Seq("id"))
       .select(col("id").as("item"), col("r").as("rating_e6"),
@@ -577,15 +584,17 @@ object Preference {
         .unionByName(terms.select(col("b").as("id"), col("db").as("d")))
         .groupBy(col("id"))
         .agg(sum(col("d").cast("decimal(38,0)")).as("dd"))
-      val raw = items.join(denom, Seq("id"))
+      // Same single-materialization renorm as [[bradleyTerryE6]] (r15
+      // optimization round): the round subtree runs once, not twice.
+      val rawCp = items.join(denom, Seq("id"))
         .select(col("id"), greatest(lit(1L),
           expr("CAST(CAST(wins + ties AS DECIMAL(38,0)) * 1000000000000" +
             " div dd AS BIGINT)")).as("r"))
-      val m = raw.agg(max(col("r")).as("m"))
-      r = raw.crossJoin(broadcast(m))
+        .localCheckpoint(true)
+      val m = rawCp.agg(max(col("r")).as("m"))
+      r = rawCp.crossJoin(broadcast(m))
         .select(col("id"),
           greatest(lit(1L), expr("r * 1000000 div m")).as("r"))
-        .localCheckpoint(true)
     }
     val out = items.join(r, Seq("id"))
       .select(col("id").as("item"), col("r").as("rating_e6"),
@@ -637,34 +646,51 @@ object Preference {
     * census aggregate, one category-marginal aggregate — nothing
     * beyond the label censuses. Output one row: (n_items, m,
     * n_dropped, pbar_e6, pe_e6, kappa_e6). */
-  def fleissKappaE6(df: DataFrame, item: Column, rater: Column,
-      category: Column, raters: Int): DataFrame = {
-    require(raters >= 2 && raters <= 1000,
-      s"Preference.fleissKappaE6: need 2 ≤ raters ≤ 1000, got $raters")
-    val m = raters.toLong
+  /** Shared census build for the multi-rater agreement family: ONE
+    * pass from the raw votes to an eagerly-materialized
+    * (i, c, cc, nr) cell frame — cc the per-(item, category) vote
+    * count, nr the item's total votes (completeness flag vs m rides
+    * every row). The r15 optimization-round finding: the previous
+    * shape checkpointed `complete` and `cells` separately and fed a
+    * third, UNcheckpointed copy of the votes subtree to the
+    * `n_dropped` broadcast, so the caller's scan + window ran 3× per
+    * coefficient (q409/q452 each ~5 s warm for a census-grain op).
+    * The whole chain groupBy(i,r) → groupBy(i,c) → window(i) needs
+    * ZERO exchanges when the caller's frame is already hash(i)
+    * partitioned (the gates' top-3 window guarantees it), and the
+    * single checkpoint feeds every downstream aggregate. */
+  private def agreementCells(df: DataFrame, item: Column, rater: Column,
+      category: Column): DataFrame = {
     val votes = df.select(item.as("i"), rater.as("r"),
         category.as("c"))
       .where(col("i").isNotNull && col("r").isNotNull &&
         col("c").isNotNull)
       .groupBy(col("i"), col("r")).agg(min(col("c")).as("c"))
-    val sized = votes.groupBy(col("i"))
-      .agg(count(lit(1)).as("nr"))
-    val complete = sized.where(col("nr") === m).select(col("i"))
-      .localCheckpoint(true)
-    val dropped = sized.agg(
-      sum(when(col("nr") =!= m, 1L).otherwise(0L)).as("n_dropped"))
-    val cells = votes.join(complete, Seq("i"))
-      .groupBy(col("i"), col("c")).agg(count(lit(1)).as("cc"))
-      .localCheckpoint(true) // item census + marginals both read it
+    votes.groupBy(col("i"), col("c")).agg(count(lit(1)).as("cc"))
+      .withColumn("nr", sum(col("cc")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("i"))))
+      .localCheckpoint(true) // item stats, marginals, dropped all read it
+  }
+
+  def fleissKappaE6(df: DataFrame, item: Column, rater: Column,
+      category: Column, raters: Int): DataFrame = {
+    require(raters >= 2 && raters <= 1000,
+      s"Preference.fleissKappaE6: need 2 ≤ raters ≤ 1000, got $raters")
+    val m = raters.toLong
+    val cells = agreementCells(df, item, rater, category)
+    // per-item then global: n / pbar_num over complete items plus the
+    // dropped census in ONE aggregate chain (no second scan)
     val itemStats = cells.groupBy(col("i"))
-      .agg(sum(expr("cc * cc")).as("sq"))
-      .agg(count(lit(1)).as("n"),
-        sum(expr(s"CAST(sq - $m AS DECIMAL(38,0))")).as("pbar_num"))
-    val margStats = cells.groupBy(col("c"))
+      .agg(max(col("nr")).as("nr"), sum(expr("cc * cc")).as("sq"))
+      .agg(coalesce(sum(when(col("nr") === m, 1L)), lit(0L)).as("n"),
+        sum(when(col("nr") === m,
+          expr(s"CAST(sq - $m AS DECIMAL(38,0))"))).as("pbar_num"),
+        coalesce(sum(when(col("nr") =!= m, 1L)), lit(0L))
+          .as("n_dropped"))
+    val margStats = cells.where(col("nr") === m).groupBy(col("c"))
       .agg(sum(col("cc")).as("sc"))
       .agg(sum(expr("CAST(sc AS DECIMAL(38,0)) * sc")).as("pe_num"))
     itemStats.crossJoin(broadcast(margStats))
-      .crossJoin(broadcast(dropped))
       .withColumn("__s1", expr(s"CAST(n AS DECIMAL(38,0)) * $m * ${m - 1}"))
       .withColumn("__s2", expr(
         s"CAST(n AS DECIMAL(38,0)) * $m * n * $m"))
@@ -702,24 +728,15 @@ object Preference {
     require(raters >= 2 && raters <= 1000,
       s"Preference.gwetAc1E6: need 2 ≤ raters ≤ 1000, got $raters")
     val m = raters.toLong
-    val votes = df.select(item.as("i"), rater.as("r"),
-        category.as("c"))
-      .where(col("i").isNotNull && col("r").isNotNull &&
-        col("c").isNotNull)
-      .groupBy(col("i"), col("r")).agg(min(col("c")).as("c"))
-    val sized = votes.groupBy(col("i")).agg(count(lit(1)).as("nr"))
-    val complete = sized.where(col("nr") === m).select(col("i"))
-      .localCheckpoint(true)
-    val dropped = sized.agg(
-      sum(when(col("nr") =!= m, 1L).otherwise(0L)).as("n_dropped"))
-    val cells = votes.join(complete, Seq("i"))
-      .groupBy(col("i"), col("c")).agg(count(lit(1)).as("cc"))
-      .localCheckpoint(true)
+    val cells = agreementCells(df, item, rater, category)
     val itemStats = cells.groupBy(col("i"))
-      .agg(sum(expr("cc * cc")).as("sq"))
-      .agg(count(lit(1)).as("n"),
-        sum(expr(s"CAST(sq - $m AS DECIMAL(38,0))")).as("a"))
-    val margStats = cells.groupBy(col("c"))
+      .agg(max(col("nr")).as("nr"), sum(expr("cc * cc")).as("sq"))
+      .agg(coalesce(sum(when(col("nr") === m, 1L)), lit(0L)).as("n"),
+        sum(when(col("nr") === m,
+          expr(s"CAST(sq - $m AS DECIMAL(38,0))"))).as("a"),
+        coalesce(sum(when(col("nr") =!= m, 1L)), lit(0L))
+          .as("n_dropped"))
+    val margStats = cells.where(col("nr") === m).groupBy(col("c"))
       .agg(sum(col("cc")).as("sc"))
       .agg(count(lit(1)).as("q_cats"),
         sum(col("sc").cast("decimal(38,0)")).as("__p"),
@@ -728,7 +745,6 @@ object Preference {
         // C = Σ s_q(P − s_q) = P·Σs − Σs² = P² − Σs²  (Σs = P)
         expr("__p * __p - __s2").as("cterm"), col("__p").as("p"))
     itemStats.crossJoin(broadcast(margStats))
-      .crossJoin(broadcast(dropped))
       .withColumn("__s1", expr(s"CAST(n AS DECIMAL(38,0)) * $m * ${m - 1}"))
       .withColumn("__d", expr("CAST(q_cats - 1 AS DECIMAL(38,0)) * p * p"))
       .select(col("n").as("n_items"), lit(m).as("m"), col("q_cats"),

@@ -68,40 +68,69 @@ object UnigramLm {
       .join(vocabPieces.select("piece"), Seq("piece"))
       .localCheckpoint(true)
 
-  /** One Viterbi pass: forward DP (position-synchronous rounds,
-    * longer-piece tie-break) + backtrack, emitting one (word, cnt,
-    * piece) row per chosen piece per word. */
+  /** One Viterbi pass: forward DP (longer-piece tie-break) +
+    * backtrack, emitting one (word, cnt, piece) row per chosen piece
+    * per word.
+    *
+    * r15 optimization round: the DP used to run position-synchronously
+    * across the whole word frame — maxWordLen forward rounds plus
+    * maxWordLen backtrack rounds, EACH a join + eager localCheckpoint
+    * (32 jobs per pass; the q351/q352 wall was pure job-scheduling
+    * floor, per the round-14 fixed-cost probe). A word's DP is local
+    * to the word (≤ maxWordLen positions, ≤ maxWordLen·pieceMaxLen
+    * in-vocab edges), so the pass now groups the scored edges per word
+    * ONCE and runs the identical integer DP inside a higher-order
+    * `aggregate` projection: same scores (ps + logp_e6 in BIGINT),
+    * same max(struct(score, -start)) tie-break toward the longer
+    * piece, same unreachable-position semantics (NULL score = the
+    * missing best row; a word whose end position is unreachable emits
+    * nothing). The order-independence of the reduce (max over a set
+    * with a total tie-break; (start, end) pairs are unique per word)
+    * makes the collect_list order irrelevant. ONE shuffle per pass
+    * instead of 32 checkpointed jobs. */
   private def viterbiEmits(wc: DataFrame, e: DataFrame, v: DataFrame,
       maxWordLen: Int): DataFrame = {
-    val ew = e.join(v, Seq("piece")).localCheckpoint(true)
-    var best = wc.select(col("word"), lit(0).as("pos"),
-      lit(0L).as("score"), lit(-1).as("bstart")).localCheckpoint(true)
-    for (p <- 1 to maxWordLen) {
-      val bp = ew.where(col("end") === p)
-        .join(best.select(col("word"), col("pos").as("start"),
-          col("score").as("ps")), Seq("word", "start"))
-        .groupBy("word")
-        .agg(max(struct((col("ps") + col("logp_e6")).as("s"),
-          (-col("start")).as("ns"))).as("m"))
-        .select(col("word"), lit(p).as("pos"), col("m.s").as("score"),
-          (-col("m.ns")).as("bstart"))
-      best = best.unionByName(bp).localCheckpoint(true)
-    }
-    var walk = wc.select(col("word"), col("cnt"),
-      length(col("word")).as("pos"))
-    var emits: DataFrame = null
-    for (_ <- 1 to maxWordLen) {
-      val step = walk.where(col("pos") > 0)
-        .join(best, Seq("word", "pos"))
-        .select(col("word"), col("cnt"),
-          expr("substring(word, bstart + 1, pos - bstart)").as("piece"),
-          col("bstart").as("pos"))
-        .localCheckpoint(true)
-      val em = step.select(col("word"), col("cnt"), col("piece"))
-      emits = if (emits == null) em else emits.unionByName(em)
-      walk = step.select("word", "cnt", "pos")
-    }
-    emits
+    val ew = e.join(v, Seq("piece"))
+    val perWord = ew.groupBy(col("word"), col("cnt"))
+      .agg(collect_list(struct(col("start"), col("end"),
+        col("logp_e6"))).as("es"))
+    perWord
+      // dp: element_at(dp, p+1) = best (score, bstart) at position p;
+      // score NULL = unreachable (no forward row in the old shape)
+      .withColumn("dp", expr(
+        """aggregate(
+          |  sequence(1, length(word)),
+          |  array(named_struct('score', CAST(0 AS BIGINT), 'bstart', -1)),
+          |  (acc, p) -> concat(acc, array(
+          |    aggregate(
+          |      filter(es, ed -> ed.end = p
+          |        AND element_at(acc, ed.start + 1).score IS NOT NULL),
+          |      named_struct('score', CAST(NULL AS BIGINT),
+          |        'bstart', CAST(NULL AS INT)),
+          |      (b, ed) -> IF(b.score IS NULL
+          |          OR named_struct(
+          |              's', element_at(acc, ed.start + 1).score + ed.logp_e6,
+          |              'ns', -ed.start)
+          |            > named_struct('s', b.score, 'ns', -b.bstart),
+          |        named_struct(
+          |          'score', element_at(acc, ed.start + 1).score + ed.logp_e6,
+          |          'bstart', ed.start),
+          |        b)))))""".stripMargin))
+      .withColumn("splits", expr(
+        """CASE WHEN element_at(dp, length(word) + 1).score IS NULL
+          |THEN CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>)
+          |ELSE aggregate(
+          |  sequence(1, length(word)),
+          |  named_struct('pos', length(word),
+          |    'acc', CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>)),
+          |  (st, x) -> IF(st.pos <= 0, st,
+          |    named_struct('pos', element_at(dp, st.pos + 1).bstart,
+          |      'acc', concat(st.acc, array(named_struct(
+          |        's', element_at(dp, st.pos + 1).bstart, 'e', st.pos))))),
+          |  st -> st.acc) END""".stripMargin))
+      .select(col("word"), col("cnt"), explode(col("splits")).as("sp"))
+      .select(col("word"), col("cnt"),
+        expr("substring(word, sp.s + 1, sp.e - sp.s)").as("piece"))
   }
 
   def train(docs: DataFrame, textCol: String, vocabSize: Int,
