@@ -150,13 +150,21 @@ object GateSupport {
       dir: String): (DataFrame, DataFrame) = {
     val root = btPaths.computeIfAbsent(dir, { d =>
       val p = s"$sharedTmp/bt_${dirDigest(d)}"
+      // One self-join serves BOTH duel framings (r15 optimization
+      // round): the price-duel outcome `wa` (q333 family) and the
+      // quantity-duel tie outcome `oc` (q344 Rao–Kupper) ride the same
+      // (order, supplier) pair enumeration — q344 used to rebuild the
+      // identical self-join from scratch every run.
       val os = t(s, d, "lineitem")
         .groupBy(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
-        .agg(sum(cents(col("l_extendedprice"))).as("c"))
+        .agg(sum(cents(col("l_extendedprice"))).as("c"),
+          sum(round(col("l_quantity")).cast("long")).as("q"))
       os.as("x").join(os.as("y"),
           col("x.o") === col("y.o") && col("x.sk") < col("y.sk"))
         .select(col("x.sk").as("a"), col("y.sk").as("b"),
-          when(col("x.c") >= col("y.c"), 1L).otherwise(0L).as("wa"))
+          when(col("x.c") >= col("y.c"), 1L).otherwise(0L).as("wa"),
+          when(col("x.q") > col("y.q"), 1)
+            .when(col("x.q") < col("y.q"), -1).otherwise(0).as("oc"))
         .write.mode("overwrite").parquet(s"$p/duels")
       val du = s.read.parquet(s"$p/duels")
       operators.Preference.bradleyTerryE6(
@@ -169,6 +177,30 @@ object GateSupport {
     })
     (s.read.parquet(s"$root/duels"), s.read.parquet(s"$root/ratings"))
   }
+
+  /** Materialize-once z-ordered events table — 64 (user_id, ts_ms)
+    * Morton buckets with event_id blooms: the q61 rectangle read and
+    * the q76 bloom point probes run off ONE build per data dir (r15
+    * optimization round; the ordersUpsertScenario rule — a lakehouse
+    * writes its layout once and serves every reader). The bloom
+    * bitsets are a superset of q61's needs and change nothing about
+    * its range-pruned read. */
+  private[graft] val zorderPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def zorderEventsTable(s: SparkSession, dir: String): String =
+    zorderPaths.computeIfAbsent(dir, { d =>
+      val p = s"$sharedTmp/zorder_${dirDigest(d)}"
+      graft.sinks.ZOrderTable.write(
+        ev(s, d).select(col("event_id"), col("user_id"), col("ts_ms"),
+          col("event_type")),
+        p, Seq("user_id", "ts_ms"), buckets = 64,
+        bloomCols = Seq("event_id"))
+      p
+    })
+
+  /** Materialize-once bucketed q74 tables (16 order-key buckets,
+    * per-bucket sorted) — same write-once rationale as
+    * [[zorderEventsTable]]. */
+  private[graft] val bucketedQ74Paths = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[graft] val minedPairPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def minedDocPairs(s: SparkSession, dir: String): DataFrame = {

@@ -291,14 +291,12 @@ object PreferenceGates extends GateFamily {
     // equal-quantity duels become genuine ties instead of a coin-flip
     // to one side; per-item denominator sums ride DECIMAL(38,0).
     "q344_bt_ties" -> ((s, dir) => {
-      val os = t(s, dir, "lineitem")
-        .groupBy(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
-        .agg(sum(round(col("l_quantity")).cast("long")).as("q"))
-      val duel = os.as("x").join(os.as("y"),
-          col("x.o") === col("y.o") && col("x.sk") < col("y.sk"))
-        .select(col("x.sk").as("a"), col("y.sk").as("b"),
-          when(col("x.q") > col("y.q"), 1)
-            .when(col("x.q") < col("y.q"), -1).otherwise(0).as("oc"))
+      // quantity-duel outcomes ride the shared q333-family pair frame
+      // (r15 optimization round — one (order, supplier) self-join per
+      // data dir instead of a private rebuild; `oc` is computed there
+      // with the identical sign expression)
+      val duel = btSupplierDuelsAndRatings(s, dir)._1
+        .select(col("a"), col("b"), col("oc"))
       operators.Preference.bradleyTerryTiesE6(duel, col("a"), col("b"),
         col("oc"), thetaE6 = 1250000L, iterations = 3)
     }),

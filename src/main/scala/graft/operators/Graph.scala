@@ -129,10 +129,14 @@ object Graph {
       val cnt = e.join(lab.select(col("id").as("src"), col("lab").as("nl")), "src")
         .groupBy(col("dst").as("id"), col("nl"))
         .agg(count(lit(1)).as("c"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("id")).orderBy(col("c").desc, col("nl"))
-      val next = cnt.withColumn("__r", row_number().over(w))
-        .where(col("__r") === 1).select(col("id"), col("nl"))
+      // argmax by (count DESC, label ASC) as min(struct(-c, nl)) — a
+      // hash aggregate with map-side partials instead of the previous
+      // per-id sort window (r15 optimization round); identical winner
+      // under the identical total order.
+      val next = cnt
+        .groupBy(col("id"))
+        .agg(min(struct((-col("c")).as("nc"), col("nl").as("nl"))).as("m"))
+        .select(col("id"), col("m.nl").as("nl"))
       lab = lab.join(next, Seq("id"), "left")
         .select(col("id"), coalesce(col("nl"), col("lab")).as("lab"))
       if (i < iterations) lab = lab.localCheckpoint(true)
