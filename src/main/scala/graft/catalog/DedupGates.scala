@@ -374,8 +374,11 @@ object DedupGates extends GateFamily {
     // pinned-ln integer weights, score histogram with true-pair counts
     // (id equality) showing the match/non-match separation.
     "q343_record_linkage" -> ((s, dir) => {
-      val (aSide, bSide) = q343Sides(s, dir)
-      operators.RecordLinkage.fellegiSunterScores(aSide, bSide, "rid",
+      // the histogram is a linear transform of the shared pattern
+      // census (r15 optimization round — see GateSupport.fsPatternCensus);
+      // score arithmetic (u estimation, pinned-ln weights) unchanged
+      operators.RecordLinkage.fellegiSunterScoresFromCensus(
+          fsPatternCensus(s, dir), q343Sides(s, dir)._2, "rid",
           Seq("blk"),
           Seq(("k_name", 900000L), ("k_bal", 850000L), ("k_seg", 800000L)))
         // floor-bucket via offset (scores go negative; div truncates
@@ -383,22 +386,22 @@ object DedupGates extends GateFamily {
         .withColumn("bucket",
           expr("(score_e6 + 1024000000) div 1000000 - 1024"))
         .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(when(col("id_a") === col("id_b"), 1L).otherwise(0L))
-            .as("n_true"))
+        .agg(sum(col("__cnt")).as("n_pairs"),
+          sum(col("__true") * col("__cnt")).as("n_true"))
     }),
 
     // Unsupervised FS parameter fitting: hard EM over the agreement-
     // pattern histogram (ONE blocked-join pass; the 2^3-row pattern
     // frame carries all rounds). Starts from a deliberately-wrong
     // uniform m = 0.8 and recovers each field's linked-agreement rate.
-    "q346_linkage_em" -> ((s, dir) => {
-      val (aSide, bSide) = q343Sides(s, dir)
-      operators.RecordLinkage.fellegiSunterEmM(aSide, bSide, "rid",
+    "q346_linkage_em" -> ((s, dir) =>
+      // EM over the shared pattern census (truth bit aggregates away);
+      // identical pattern histogram, identical rounds
+      operators.RecordLinkage.fellegiSunterEmMFromCensus(
+        fsPatternCensus(s, dir), q343Sides(s, dir)._2, "rid",
         Seq("blk"),
         Seq(("k_name", 800000L), ("k_bal", 800000L), ("k_seg", 800000L)),
-        thresholdE6 = 0L, rounds = 2)
-    }),
+        thresholdE6 = 0L, rounds = 2)),
 
     // Entity consolidation: FS links above threshold → undirected match
     // graph → connected components → cluster-size census. The

@@ -197,6 +197,26 @@ object GateSupport {
       p
     })
 
+  /** Materialize-once Fellegi–Sunter agreement-pattern × truth census
+    * over the q343 perturbed-customer sides (≤16 rows): the FS score
+    * of a pair is a function of its agreement PATTERN alone, so the
+    * q343 score histogram and the q346 EM fit are linear transforms of
+    * this census — one 9M-blocked-pair pass per data dir instead of
+    * one per gate (r15 optimization round; q347 keeps its own pass —
+    * it needs the actual id pairs for the match graph). */
+  private[graft] val fsCensusPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def fsPatternCensus(s: SparkSession, dir: String): DataFrame = {
+    val path = fsCensusPaths.computeIfAbsent(dir, { d =>
+      val p = s"$sharedTmp/fscensus_${dirDigest(d)}"
+      val (aSide, bSide) = q343Sides(s, d)
+      RecordLinkage.agreementTruthCensus(aSide, bSide, "rid", Seq("blk"),
+          Seq("k_name", "k_bal", "k_seg"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** Materialize-once bucketed q74 tables (16 order-key buckets,
     * per-bucket sorted) — same write-once rationale as
     * [[zorderEventsTable]]. */

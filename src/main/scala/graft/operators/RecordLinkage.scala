@@ -63,6 +63,84 @@ object RecordLinkage {
           .as(s"__u_$f"))
     }.reduce(_ crossJoin _)
 
+  /** Blocked agreement-pattern × truth census (r15 optimization
+    * round): ONE pass over the blocked pairs down to at most
+    * 2^(|fields|+1) rows — per-field agreement bits `__g_<f>`, the
+    * id-equality truth bit `__true`, and the pair count `__cnt`. The
+    * FS score of a pair is a function of its PATTERN alone (the field
+    * weights are per-field scalars), so every score histogram /
+    * EM-round statistic downstream is a linear transform of this
+    * census — the q343/q346 gates share one materialized build
+    * instead of re-running the 9M-pair join each. */
+  def agreementTruthCensus(a: DataFrame, b: DataFrame, idCol: String,
+      blockCols: Seq[String], fields: Seq[String]): DataFrame = {
+    require(blockCols.nonEmpty && fields.nonEmpty && fields.size <= 8)
+    val aa = a.select((col(idCol).as("id_a") +: blockCols.map(col)) ++
+      fields.map(f => col(f).as(s"__a_$f")): _*)
+    val bb = b.select((col(idCol).as("id_b") +: blockCols.map(col)) ++
+      fields.map(f => col(f).as(s"__b_$f")): _*)
+    aa.join(bb, blockCols)
+      .groupBy(fields.map(f =>
+        when(col(s"__a_$f") === col(s"__b_$f"), 1L).otherwise(0L)
+          .as(s"__g_$f")) :+
+        when(col("id_a") === col("id_b"), 1L).otherwise(0L)
+          .as("__true"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+  }
+
+  /** The [[fellegiSunterScores]] score distribution computed off a
+    * precomputed [[agreementTruthCensus]]: identical per-pair score
+    * arithmetic (same u estimation off `b`, same pinned-ln weights),
+    * emitted at pattern grain as (score_e6, __true, __cnt). */
+  def fellegiSunterScoresFromCensus(census: DataFrame, b: DataFrame,
+      idCol: String, blockCols: Seq[String],
+      fields: Seq[(String, Long)]): DataFrame = {
+    require(fields.nonEmpty)
+    fields.foreach { case (f, m) =>
+      require(m > 0L && m < 1000000L, s"m_ppm for $f must be in (0, 1e6)")
+    }
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val names = idCol +: (blockCols ++ fields.map(_._1))
+    val bKeep = b.select(names.map(col): _*).persist(mem)
+    val uRow = uPpmRow(bKeep, fields.map(_._1))
+      .select(fields.flatMap { case (f, m) =>
+        Seq(wAgreeExpr(f, s"$m").as(s"__wa_$f"),
+          wDisagreeExpr(f, s"$m").as(s"__wd_$f"))
+      }: _*)
+      .localCheckpoint(true)
+    bKeep.unpersist()
+    census.crossJoin(broadcast(uRow))
+      .withColumn("score_e6", fields.map { case (f, _) =>
+        when(col(s"__g_$f") === 1L, col(s"__wa_$f"))
+          .otherwise(col(s"__wd_$f"))
+      }.reduce(_ + _))
+      .select(col("score_e6"), col("__true"), col("__cnt"))
+  }
+
+  /** [[fellegiSunterEmM]] off a precomputed [[agreementTruthCensus]]
+    * (the truth bit aggregates away; EM sees the same pattern
+    * histogram the one-pass build produced before). */
+  def fellegiSunterEmMFromCensus(census: DataFrame, b: DataFrame,
+      idCol: String, blockCols: Seq[String], fields: Seq[(String, Long)],
+      thresholdE6: Long, rounds: Int): DataFrame = {
+    require(blockCols.nonEmpty && fields.nonEmpty)
+    require(rounds >= 1 && rounds <= 8)
+    require(fields.size <= 8, "pattern space is 2^|fields|; cap at 8")
+    fields.foreach { case (f, m) =>
+      require(m > 0L && m < 1000000L, s"init m_ppm for $f in (0, 1e6)")
+    }
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val names = idCol +: (blockCols ++ fields.map(_._1))
+    val bKeep = b.select(names.map(col): _*).persist(mem)
+    val uRow = uPpmRow(bKeep, fields.map(_._1)).localCheckpoint(true)
+    bKeep.unpersist()
+    val pat = census
+      .groupBy(fields.map { case (f, _) => col(s"__g_$f") }: _*)
+      .agg(sum(col("__cnt")).as("__cnt"))
+      .localCheckpoint(true)
+    emMRounds(pat, uRow, fields, thresholdE6, rounds)
+  }
+
   /** Score all blocked pairs under caller-supplied m priors.
     * Output: (id_a, id_b, score_e6, n_agree) per blocked pair. */
   def fellegiSunterScores(a: DataFrame, b: DataFrame, idCol: String,
@@ -148,6 +226,14 @@ object RecordLinkage {
       }: _*)
       .agg(count(lit(1)).as("__cnt"))
       .localCheckpoint(true)
+    emMRounds(pat, uRow, fields, thresholdE6, rounds)
+  }
+
+  /** The hard-EM round loop over a pattern histogram — shared by
+    * [[fellegiSunterEmM]] and [[fellegiSunterEmMFromCensus]]. */
+  private def emMRounds(pat: DataFrame, uRow: DataFrame,
+      fields: Seq[(String, Long)], thresholdE6: Long,
+      rounds: Int): DataFrame = {
     // parameter state: one row of __m_<f> ppm (u is static in uRow)
     var state = uRow.select(uRow.columns.map(col) ++
       fields.map { case (f, m) => lit(m).as(s"__m_$f") }: _*)
