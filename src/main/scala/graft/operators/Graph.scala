@@ -109,11 +109,13 @@ object Graph {
     * doubles the label subtree per round: 2^k copies that the analyzer and
     * every optimizer rule walk even when a cache dedups execution
     * (measured: lazy persist still left ~8 s of pure plan overhead at k=4,
-    * sf-independent). Each round therefore ends in an EAGER
-    * localCheckpoint, truncating the plan to a LogicalRDD leaf — k small
-    * jobs buy O(1)-size plans per round: a post-fix round runs in ~0.5 s
-    * at sf0.1 (907k edges), and the LPA+modularity gate dropped 19.1 s →
-    * 7.0 s; what remains of q84's wall is the one-time edge-set build.
+    * sf-independent). Each round therefore ends in a localCheckpoint,
+    * truncating the plan to a LogicalRDD leaf. r15 optimization round:
+    * the checkpoint is now LAZY (eager = false) — the logical plan is
+    * truncated immediately either way (plan size stays O(1) per round),
+    * but the rounds' RDDs materialize inside the final action as ONE
+    * job instead of k scheduler round-trips (q84 3.8 → 3.5 s warm,
+    * q86 3.8 → 3.1 s; same trick across the BFS/SSSP/k-core loops).
     * Output: (idCol = srcCol's name, community). */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int): DataFrame = {
@@ -139,7 +141,7 @@ object Graph {
         .select(col("id"), col("m.nl").as("nl"))
       lab = lab.join(next, Seq("id"), "left")
         .select(col("id"), coalesce(col("nl"), col("lab")).as("lab"))
-      if (i < iterations) lab = lab.localCheckpoint(true)
+      if (i < iterations) lab = lab.localCheckpoint(false)
     }
     lab.select(col("id").as(srcCol), col("lab").as("community"))
   }
@@ -385,7 +387,7 @@ object Graph {
       e = e.join(keep, "a")
         .join(keep.withColumnRenamed("a", "b"), "b")
         .select(col("a"), col("b"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       i += 1
     }
     e.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
@@ -485,8 +487,8 @@ object Graph {
         .join(e, "src").select(col("dst").as("id")).distinct()
         .join(dist, Seq("id"), "left_anti")
         .withColumn("hops", lit(i.toLong))
-        .localCheckpoint(true)
-      dist = dist.unionByName(next).localCheckpoint(true)
+        .localCheckpoint(false)
+      dist = dist.unionByName(next).localCheckpoint(false)
       frontier = next
       i += 1
     }
@@ -525,7 +527,7 @@ object Graph {
         .select(col("dst").as("id"), (col("cost") + col("w")).as("cost"))
       dist = dist.unionByName(relaxed)
         .groupBy(col("id")).agg(min(col("cost")).as("cost"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       i += 1
     }
     e.unpersist()
@@ -937,8 +939,8 @@ object Graph {
         .join(e, "src").select(col("p"), col("dst").as("id")).distinct()
         .join(dist, Seq("p", "id"), "left_anti")
         .withColumn("hops", lit(i.toLong))
-        .localCheckpoint(true)
-      dist = dist.unionByName(next).localCheckpoint(true)
+        .localCheckpoint(false)
+      dist = dist.unionByName(next).localCheckpoint(false)
       frontier = next
       i += 1
     }
