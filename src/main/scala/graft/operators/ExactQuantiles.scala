@@ -105,7 +105,6 @@ object ExactQuantiles {
 
       var delta = math.max(3, math.ceil(3 * math.sqrt(k)).toInt)
       var result: Option[DataFrame] = None
-      val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
       while (result.isEmpty) {
         // Bracket spec: one row per (group, percent).
         val spec = sampled.toSeq.flatMap { r =>
@@ -147,6 +146,12 @@ object ExactQuantiles {
         // map-side, band values shuffle individually, above drops.
         val joinCond = groupCols.map(g => col(g) === col(s"__g_$g"))
           .reduce(_ && _)
+        // Eager checkpoint instead of the previous persist (r15
+        // optimization round): bucketed is tiny (band values only) but
+        // feeds THREE consumers (below counts, the ranked window, the
+        // result) — the checkpoint materializes the heavy scan+agg in
+        // ONE job and every consumer reads the leaf, where the persist
+        // variant re-planned the window+join chain per action.
         val bucketed = base.join(broadcast(specDf), joinCond)
           .where(col("__v") <= col("__hi"))
           .groupBy((groupCols.map(col) :+ col("__percent") :+
@@ -154,8 +159,7 @@ object ExactQuantiles {
             when(col("__v") <= col("__lo"), lit(null))
               .otherwise(col("__v")).as("__band_v")): _*)
           .agg(count(lit(1)).as("__c"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        persisted += bucketed
+          .localCheckpoint(true)
 
         val keyCols = groupCols.map(col) :+ col("__percent")
         val belowDf = bucketed.where(col("__band_v").isNull)
@@ -192,10 +196,9 @@ object ExactQuantiles {
           delta = delta * 4
         }
       }
-      // Materialize before unpersisting the lineage the result reads.
-      val out = result.get.localCheckpoint(true)
-      persisted.foreach(_.unpersist())
-      out
+      // result reads a checkpointed leaf; the final checkpoint pins it
+      // before base unpersists
+      result.get.localCheckpoint(true)
     } finally base.unpersist(): Unit
   }
 
