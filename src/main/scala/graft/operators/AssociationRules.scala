@@ -39,7 +39,12 @@ object AssociationRules {
       .agg(count(lit(1)).as("bs"))
       .where(col("bs") <= maxBasketSize)
       .select(col("b"))
+    // kept feeds the basket count, the item census and BOTH sides of
+    // the pair join — persist once (materialized by the count below)
+    // instead of re-deriving the dedup+hub-guard chain per consumer
+    // (r15 optimization round)
     val kept = bi.join(sized, "b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = kept.select(col("b")).distinct().count()
     val itemSupp = kept.groupBy(col("i"))
       .agg(count(lit(1)).as("supp"))
@@ -86,6 +91,10 @@ object AssociationRules {
       .where(col("s1") >= minSupport).select(col("i"))
     val k1 = kept.join(f1, Seq("i"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // NOT persisted (r15 optimization round, measured-and-rejected):
+    // caching the exploded level-2 stream cost more than re-deriving
+    // it from the cached k1 (isolated reps=2: 4.2 s vs 3.1 s warm) —
+    // the self-join is cheap next to materializing its output.
     val pairs = k1.as("x").join(k1.as("y"),
         col("x.b") === col("y.b") && col("x.i") < col("y.i"))
       .select(col("x.b").as("b"), col("x.i").as("i1"), col("y.i").as("i2"))
