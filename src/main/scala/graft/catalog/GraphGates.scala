@@ -88,11 +88,20 @@ object GraphGates extends GateFamily {
     // data (round 2 removes nodes round 1 exposed). The dense-subgraph
     // extractor of graph cleaning.
     "q128_kcore" -> ((s, dir) => {
+      // build undirected-distinct once and mirror (r15 optimization
+      // round): the < self-join emits half the raw pair stream and the
+      // distinct dedups before doubling — the peel's own distinct then
+      // sees an already-unique set. Edge set identical to the previous
+      // =!= build.
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      val co = li.join(
+      val half = li.join(
           li.select(col("l_orderkey"), col("l_partkey").as("dst_part")),
           "l_orderkey")
-        .where(col("l_partkey") =!= col("dst_part"))
+        .where(col("l_partkey") < col("dst_part"))
+        .select(col("l_partkey"), col("dst_part")).distinct()
+      val co = half.unionByName(
+        half.select(col("dst_part").as("l_partkey"),
+          col("l_partkey").as("dst_part")))
       operators.Graph.kCorePeel(co, "l_partkey", "dst_part", k = 80,
         rounds = 2)
     }),
