@@ -103,10 +103,18 @@ object Bench {
     // straight rounds of `"parsed": null`. The compact line (<1 KB) fits the
     // window whole, with a small headline-query map to keep the documented
     // {"metric",…,"queries",…} shape parseable.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), fullLine)
-    catch { case e: Throwable => System.err.println(s"[bench] write failed: $e") }
+    // The default path is cpus-qualified (BENCH_LOCAL_c<cpus>.json) so the
+    // driver's successive runs at different SPARK_GRAFT_CPUS no longer
+    // clobber each other's full per-query map (r15: the 8-core run
+    // overwrote the 32-core map and PERF_r15 lost per_query + scaling).
+    // BENCH_LOCAL.json is still written as a compatibility copy for any
+    // consumer of the old fixed name; SPARK_GRAFT_BENCH_OUT overrides both.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"BENCH_LOCAL_c$cpus.json")
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullLine)
+      if (!sys.env.contains("SPARK_GRAFT_BENCH_OUT"))
+        java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), fullLine)
+    } catch { case e: Throwable => System.err.println(s"[bench] write failed: $e") }
     val headline = results.collect {
       case (k, v) if !errored(k) && k.matches("q(0[1-9]|1[0-5])_.*") => f""""$k":${v.head}%.3f"""
     }.mkString("{", ",", "}")
@@ -114,7 +122,7 @@ object Bench {
     // only) so a stdout parser can't mistake it for the full per-query
     // map, which lives at the "full" path.
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":$headline,"queries_truncated":true,"full":"BENCH_LOCAL.json","failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":$headline,"queries_truncated":true,"full":${jstr(outPath)},"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
     println(compact)
     spark.stop()
     // rc stays 0 — the driver records the JSON line either way, and a

@@ -341,8 +341,9 @@ object GateSupport {
         .withColumn("ver", lit(3L)).withColumn("del", lit(false))
       val ut = new graft.sinks.UpsertTable(s"$p/t", Seq("k"), "ver",
         Seq("dt"), Some("del"))
-      ut.upsert(c1)
-      ut.upsert(c2)
+      // c1/c2 have no read between them: overlapped write jobs, same
+      // commit log (seqs 1,2) as sequential upserts (r16, guide §2.6)
+      ut.upsertAll(Seq(c1, c2))
       ut.compact(s)
       ut.upsert(c3)
       base.unpersist()

@@ -223,11 +223,17 @@ object GraphGates extends GateFamily {
     // both accumulation steps bit-exactly. GraphSpec pins the sequential
     // integer-Brandes reference and horizon truncation.
     "q332_betweenness" -> ((s, dir) => {
+      // eager checkpoint: the thresholded half-edge set feeds BOTH the
+      // operator's edge frame and the seed set — without it the
+      // 3.6M-row co-supplier groupBy ran twice, once under the seed
+      // checkpoint and once under the edge persist (r16 probe: ~1.2 s
+      // of the gate's wall was the duplicate build)
       val und = coSupplierPairs(s, dir)
         .where(col("l_suppkey") < col("dst_supp"))
         .groupBy(col("l_suppkey"), col("dst_supp"))
         .agg(count(lit(1)).as("w")).where(col("w") >= 5)
         .select(col("l_suppkey"), col("dst_supp"))
+        .localCheckpoint(true)
       val edges = und.unionByName(und.select(
         col("dst_supp").as("l_suppkey"), col("l_suppkey").as("dst_supp")))
       val seeds = edges.select(col("l_suppkey").as("id")).distinct()

@@ -61,11 +61,11 @@ object TableGates extends GateFamily {
         .withColumn("ver", lit(4L)).withColumn("del", lit(true))
       val path = queryTmp("graft_upsert_q51") + "/t"
       val ut = new sinks.UpsertTable(path, Seq("k"), "ver", Seq("dt"), Some("del"))
-      ut.upsert(c1)
-      ut.upsert(c2)
+      // back-to-back commits with no read between them write as
+      // overlapped jobs; the commit log (1,2,compact,3,4) is identical
+      ut.upsertAll(Seq(c1, c2))
       ut.compact(s)
-      ut.upsert(c3)
-      ut.upsert(c4)
+      ut.upsertAll(Seq(c3, c4))
       ut.incrementalRead(s, sinceCommit = 2L, includeDeletes = true)
         .select("k", "dt", "price_cents", "ver", "del")
     }),
@@ -102,10 +102,10 @@ object TableGates extends GateFamily {
         df => df.groupBy("dt").agg(count(lit(1)).as("n"),
           sum("price_cents").as("cents")),
         s"$root/_cdc_ckpt")
-      src.upsert(c1); src.upsert(c2)
+      src.upsertAll(Seq(c1, c2)) // overlapped writes, same commit log
       derived.refresh(s)
       src.compact(s) // the consumer kept up: horizon == checkpoint, legal
-      src.upsert(c3); src.upsert(c4)
+      src.upsertAll(Seq(c3, c4))
       derived.refresh(s)
       drv.snapshot(s).select("dt", "n", "cents")
     }),
@@ -135,9 +135,15 @@ object TableGates extends GateFamily {
       // round — bucketing IS pay-the-shuffle-once; rebuilding both
       // tables per invocation contradicted the technique the gate
       // demonstrates). Table names carry the dir digest so two data
-      // dirs in one JVM never collide.
+      // dirs in one JVM never collide. NOTE: only the first invocation
+      // per process exercises the write→catalog half of the round-trip;
+      // the tableExists guard (r16, ADVICE) re-registers if a harness
+      // ever resets the session catalog between invocations (the path
+      // map alone would then hand coLocatedJoin a missing table).
       val dg = dirDigest(dir)
       val (liTab, ordTab) = (s"graft_q74_li_$dg", s"graft_q74_ord_$dg")
+      if (!s.catalog.tableExists(liTab) || !s.catalog.tableExists(ordTab))
+        bucketedQ74Paths.remove(dir)
       bucketedQ74Paths.computeIfAbsent(dir, { d =>
         val root = s"$sharedTmp/bucketed_q74_$dg"
         sinks.BucketedTable.writeBucketed(

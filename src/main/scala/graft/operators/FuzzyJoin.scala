@@ -85,10 +85,9 @@ object FuzzyJoin {
   def selfJoin(df: DataFrame, idCol: String, strCol: String,
       q: Int, maxDist: Int, maxGramDf: Option[Long] = None): DataFrame = {
     require(q >= 2 && maxDist >= 1, s"q=$q maxDist=$maxDist out of range")
-    val rows = df.select(col(idCol).cast("long").as("id"),
+    val rows0 = df.select(col(idCol).cast("long").as("id"),
         col(strCol).cast("string").as("s"))
       .where(col("s").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // r15 optimization round: when the input is heavily duplicated, run
     // ALL similarity work at DISTINCT-STRING grain and re-attach ids
     // afterwards (the "decide with small rows, move big rows once"
@@ -105,11 +104,18 @@ object FuzzyJoin {
     // id-suffixed names) skip straight to the gram engine: the dedup +
     // re-attach jobs would cost more than the squared factor saves.
     // The path choice is COUNTED (one map-combined aggregate), never
-    // guessed — both paths produce the identical pair multiset.
-    val nd = rows.agg(count(lit(1)).as("n"),
+    // guessed — both paths produce the identical pair multiset. The
+    // counting scan runs UNCACHED (r16, ADVICE): on the low-duplication
+    // early return selfJoinDistinct persists its own projection of the
+    // same rows, so a persist here would be a redundant second cache of
+    // one-read data; only the high-duplication path (3 further reads)
+    // caches.
+    val nd = rows0.agg(count(lit(1)).as("n"),
       count_distinct(col("s")).as("d")).first()
     if (nd.getLong(0) < 2 * nd.getLong(1))
-      return selfJoinDistinct(rows, q, maxDist, maxGramDf)
+      return selfJoinDistinct(rows0, q, maxDist, maxGramDf)
+    val rows = rows0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = rows.groupBy(col("s"))
       .agg(min(col("id")).as("id"), count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

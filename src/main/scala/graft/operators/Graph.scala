@@ -466,9 +466,13 @@ object Graph {
     * the frontier, not the graph. Hops are exact integers — trivially
     * hash-gateable, no arithmetic discipline needed.
     *
-    * The visited frame feeds TWO consumers per round (the anti-join and
-    * the union), so like [[labelPropagation]] each round ends in an
-    * eager localCheckpoint truncating the otherwise-doubling plan.
+    * Rounds end in LAZY localCheckpoints (r15): the plan still truncates
+    * per round, but nothing materializes until the caller's first
+    * action, which folds all rounds into one job. The edge frame
+    * therefore stays persisted for the caller to release (the
+    * [[labelPropagation]] clearCache contract) — an in-function
+    * unpersist would run before anything materialized and every round
+    * would re-shuffle the distinct (r16, ADVICE).
     * Seeds always appear in the output at hop 0, edge-connected or not.
     * Output: (idCol = srcCol's name, hops). */
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
@@ -492,7 +496,6 @@ object Graph {
       frontier = next
       i += 1
     }
-    e.unpersist()
     dist.select(col("id").as(srcCol), col("hops"))
   }
 
@@ -507,8 +510,10 @@ object Graph {
     * Scale shape: per round ONE shuffle join of the distance frame with
     * the (persisted) edge list on `src` and one min-aggregation with
     * map-side partials — the SSSP twin of [[pageRankE9]]'s round shape.
-    * The distance frame feeds two consumers (relax + keep), so rounds
-    * end in an eager localCheckpoint. Output: (idCol, cost). */
+    * Rounds end in LAZY localCheckpoints (plan truncated, all rounds one
+    * job at the caller's action); the edge frame stays persisted for the
+    * caller to release, same contract as [[bfsHops]].
+    * Output: (idCol, cost). */
   def boundedSssp(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, seeds: DataFrame, seedIdCol: String,
       rounds: Int): DataFrame = {
@@ -530,7 +535,6 @@ object Graph {
         .localCheckpoint(false)
       i += 1
     }
-    e.unpersist()
     dist.select(col("id").as(srcCol), col("cost"))
   }
 
@@ -547,8 +551,11 @@ object Graph {
     * unrolls every round. Raw sums stay ≤ degree·10⁶ — LONG-safe before
     * each renormalization at any realistic degree.
     *
-    * Shape: per round TWO edge joins + map-side-partial aggregations +
-    * two one-row max frames broadcast back. Unlike pageRankE9 (whose
+    * Shape: per round TWO broadcast joins of the pre-partitioned edge
+    * copies with the node-grain score frame (counted broadcast; falls
+    * back to shuffle joins past 3M nodes) + aggregations that reuse the
+    * copies' cached clustering + two
+    * one-row max frames broadcast back. Unlike pageRankE9 (whose
     * score frame has ONE downstream consumer per round), `renorm` reads
     * its input TWICE (max agg + crossJoin) — so without truncation the
     * plan DOUBLES per round; every round therefore ends in an eager
@@ -564,13 +571,32 @@ object Graph {
     // tree recursion under AQE (measured: StackOverflow in plan-string
     // generation at 4 rounds). Truncating to a LogicalRDD leaf per round
     // keeps the plan depth constant; rounds are few by contract.
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val spark = edges.sparkSession
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val par = spark.sparkContext.defaultParallelism
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var h = e.select(col("src").as("id")).distinct()
+    // TWO persisted edge copies, pre-partitioned on each round's
+    // AGGREGATION key (r16, guide §2.4 pay-the-shuffle-once): with the
+    // node-grain score frame broadcast into the join (counted below),
+    // a round's edge rows flow from cache through the broadcast join
+    // into the final sum reusing the cached clustering — measured 2.6 s
+    // vs 4.8 s (probe, 4 rounds warm) against the single-copy broadcast
+    // variant, which itself beat the pre-r16 per-round sort-merge shape.
+    // Explicit partition count: AQE would coalesce a bare keyed
+    // repartition of a cache-sized frame to 1-2 partitions and
+    // serialize every downstream scan (the UpsertWriteProbe finding).
+    val eByDst = e0.repartition(par, col("dst")).persist(mem)
+    val eBySrc = eByDst.repartition(par, col("src")).persist(mem)
+    var h = eBySrc.select(col("src").as("id")).distinct()
       .withColumn("v", lit(1000000L))
-    var a = e.select(col("dst").as("id")).distinct()
+    var a = eByDst.select(col("dst").as("id")).distinct()
       .withColumn("v", lit(0L))
+    // counted broadcast decision (the Preference.maybeBroadcast rule):
+    // score frames are node-grain; broadcast only small node sides
+    val nNodes = math.max(h.count(), a.count())
+    def mb(df: DataFrame): DataFrame =
+      if (nNodes <= 3000000L) broadcast(df) else df
     def renorm(raw: DataFrame): DataFrame = {
       // Checkpoint the round's join+aggregate BEFORE the max broadcast
       // (r15 optimization round): the old order ran the subtree twice —
@@ -583,12 +609,13 @@ object Graph {
         .select(col("id"), expr("v * 1000000 div m").as("v"))
     }
     for (_ <- 1 to iterations) {
-      a = renorm(e.join(h.withColumnRenamed("id", "src"), "src")
+      a = renorm(eByDst.join(mb(h.withColumnRenamed("id", "src")), "src")
         .groupBy(col("dst").as("id")).agg(sum(col("v")).as("v")))
-      h = renorm(e.join(a.withColumnRenamed("id", "dst"), "dst")
+      h = renorm(eBySrc.join(mb(a.withColumnRenamed("id", "dst")), "dst")
         .groupBy(col("src").as("id")).agg(sum(col("v")).as("v")))
     }
-    e.unpersist()
+    eByDst.unpersist()
+    eBySrc.unpersist()
     h.select(lit("hub").as("role"), col("id"), col("v").as("score_e6"))
       .unionByName(a.select(lit("auth").as("role"), col("id"),
         col("v").as("score_e6")))
@@ -722,22 +749,56 @@ object Graph {
       .select(col("s"), col("s").as("v"), lit(1L).as("sigma"))
       .localCheckpoint(true)
     var levels = Vector(l0)
-    var sizes = Vector(1L) // l0 is one row per seed; exact count unneeded
+    var sizes = Vector(l0.count())
+    var reachedTotal = sizes.head
+    // Complement-side expansion stats (computed ONCE, lazily, the first
+    // time a level looks saturated): candidate targets are nodes with an
+    // incoming edge, so the unreached estimate is
+    // |seeds|·|distinct dst| − |reached|.
+    var nDst = -1L
     var d = 1
     while (d <= maxDepth && sizes.last > 0) {
       // visited set = union of the (checkpointed) earlier levels — no
       // separately-materialized cumulative frame to maintain
       val reached = levels.map(_.select(col("s"), col("v")))
         .reduce(_ unionByName _)
-      val next = levels.last
-        .select(col("s"), col("v").as("src"), col("sigma"))
-        .join(e, "src")
-        .groupBy(col("s"), col("dst").as("v"))
-        .agg(sum(col("sigma")).as("sigma"))
-        .join(reached, Seq("s", "v"), "left_anti")
-        .localCheckpoint(true)
+      // COUNTED expansion-side choice (r16, the q92 decide-with-small-
+      // rows rule): near saturation the standard frontier⋈edges join
+      // materializes Σ outdeg(frontier) rows only for the anti-join to
+      // keep a handful — q332 measured 17.5M joined rows for 45
+      // surviving nodes at depth 3. When the unreached-candidate bound
+      // (|seeds|·|dst nodes| − |reached|) is under a quarter of the
+      // frontier, expand FROM THE COMPLEMENT instead: enumerate the
+      // unreached (s, x) pairs and pull their incoming edges, which
+      // reproduces the identical σ sums (σ_d(s,x) = Σ σ_{d−1}(s,v) over
+      // in-edges v→x with (s,v) at depth d−1) over Σ indeg(unreached)
+      // rows. Both sides compute the same level frame.
+      val frontierCost = sizes.last
+      lazy val unreachedEst = {
+        if (nDst < 0L) nDst = e.select(col("dst")).distinct().count()
+        sizes.head * nDst - reachedTotal
+      }
+      val next = (if (sizes.last > 4096 && unreachedEst * 4 < frontierCost) {
+        val dstNodes = e.select(col("dst").as("v")).distinct()
+        val unreached = levels.head.select(col("s")).crossJoin(dstNodes)
+          .join(reached, Seq("s", "v"), "left_anti")
+        unreached
+          .join(e.select(col("dst").as("v"), col("src")), "v")
+          .join(levels.last.select(col("s"), col("v").as("src"),
+            col("sigma")), Seq("s", "src"))
+          .groupBy(col("s"), col("v"))
+          .agg(sum(col("sigma")).as("sigma"))
+      } else {
+        levels.last
+          .select(col("s"), col("v").as("src"), col("sigma"))
+          .join(e, "src")
+          .groupBy(col("s"), col("dst").as("v"))
+          .agg(sum(col("sigma")).as("sigma"))
+          .join(reached, Seq("s", "v"), "left_anti")
+      }).localCheckpoint(true)
       levels :+= next
       sizes :+= next.count()
+      reachedTotal += sizes.last
       d += 1
     }
     val deepest = levels.length - 1
@@ -748,7 +809,12 @@ object Graph {
     var acc: Option[DataFrame] = None
     var dd = deepest - 1
     while (dd >= 1) {
-      val succ = levels(dd + 1).join(delta, Seq("s", "v"))
+      // first backward round: delta IS levels(deepest) with δ=0, so the
+      // succ join of the deepest level against itself is the identity —
+      // read the frame directly (r16; the join was |deepest|² work)
+      val succ = (if (dd == deepest - 1)
+        levels(deepest).withColumn("delta", lit(0L))
+      else levels(dd + 1).join(delta, Seq("s", "v")))
         .select(col("s"), col("v").as("dst"),
           col("sigma").as("ws"), col("delta").as("wd"))
       // Same 3-way join either way; expand e through the SMALLER side
@@ -914,8 +980,9 @@ object Graph {
     *
     * Scale shape: per round ONE join of the (pivot, node) frontier
     * with the edge list + distinct + anti-join — frontier-sized, k·|V|
-    * worst case, never |V|²; rounds end in eager localCheckpoints
-    * (two consumers per round, the bfsHops necessity). Output:
+    * worst case, never |V|²; rounds end in LAZY localCheckpoints and
+    * the edge frame stays persisted for the caller to release (the
+    * [[bfsHops]] contract). Output:
     * (idCol named srcCol, n_pivots_reached, harmonic_e6). Nodes
     * reaching no pivot don't appear (they'd be all-zero rows of the
     * complement — the caller left-joins if absence matters). */
@@ -944,7 +1011,6 @@ object Graph {
       frontier = next
       i += 1
     }
-    e.unpersist()
     dist.where(col("hops") > 0L)
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_pivots_reached"),

@@ -324,13 +324,16 @@ object Preference {
     * are exact LONG sums); argmaxes break ties (score desc, label asc)
     * — a total order. K = distinct labels, a one-row census collect.
     *
-    * Scale shape: votes collapse once per round through two hash
-    * aggregates (per-annotator accuracy, per-(item,label) tally) and
-    * one key join each — no window, no driver data beyond the K
-    * scalar; per-round eager localCheckpoint (the bradleyTerryE6 /
-    * hitsE6 planner-recursion rule). Each annotator row weighs every
-    * one of their votes; duplicate (item, annotator) votes count once
-    * each by design (a row is a vote).
+    * Scale shape: votes persist once, pre-partitioned by item; per
+    * round the consensus and weight frames join in as counted
+    * broadcasts (≤3M rows, shuffle joins beyond) and both hash
+    * aggregates reuse the cached item clustering, so the only per-round
+    * exchange is the ~|annotators|-row accuracy partial sum — no
+    * window, no driver data beyond the one-row (K, |items|,
+    * |annotators|) census; per-round eager localCheckpoint (the
+    * bradleyTerryE6 / hitsE6 planner-recursion rule). Each annotator
+    * row weighs every one of their votes; duplicate (item, annotator)
+    * votes count once each by design (a row is a vote).
     *
     * Output: (item, label, n_votes) — the consensus label after
     * `iterations` reweighting rounds and the item's total vote count. */
@@ -338,11 +341,32 @@ object Preference {
       annotator: Column, label: Column, iterations: Int = 2): DataFrame = {
     require(iterations >= 1 && iterations <= 8)
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = votes0.sparkSession
+    // Votes persist PRE-PARTITIONED by item (explicit count — AQE would
+    // coalesce a keyed repartition of a cache-sized frame to 1-2
+    // partitions): with the item/annotator frames broadcast into the
+    // round joins (counted below), every per-round tally and argmax
+    // reuses this cached clustering (hash(i) satisfies both the (i, l)
+    // tally and the i argmax distribution), so a round's only exchange
+    // is the ~|annotators| partial-sum of the accuracy census — the old
+    // shape shuffled the full vote frame twice per round (r16, guide
+    // §2.4).
     val votes = votes0.select(item.as("i"), annotator.as("a"),
         label.cast("string").as("l"))
       .where(col("i").isNotNull && col("a").isNotNull && col("l").isNotNull)
+      .repartition(spark.sparkContext.defaultParallelism, col("i"))
       .persist(mem)
-    val k = votes.select(col("l")).distinct().count()
+    // one census action folds the label count (K, the log-odds scalar)
+    // with the item/annotator cardinalities the counted broadcast
+    // decisions need — was one action for K alone
+    val census = votes.agg(
+      count_distinct(col("l")).as("k"),
+      count_distinct(col("i")).as("ni"),
+      count_distinct(col("a")).as("na")).first()
+    val (k, nItems, nAnnot) =
+      (census.getLong(0), census.getLong(1), census.getLong(2))
+    def mbI(df: DataFrame): DataFrame = maybeBroadcast(df, nItems)
+    def mbA(df: DataFrame): DataFrame = maybeBroadcast(df, nAnnot)
     def argmax(scored: DataFrame, score: Column): DataFrame =
       scored.groupBy(col("i"))
         .agg(min(struct((-score).as("ns"), col("l").as("l"))).as("m"))
@@ -351,7 +375,7 @@ object Preference {
       votes.groupBy(col("i"), col("l")).agg(count(lit(1)).as("n")),
       col("n")).localCheckpoint(true)
     for (_ <- 1 to iterations) {
-      val acc = votes.join(cur, Seq("i"))
+      val acc = votes.join(mbI(cur), Seq("i"))
         .groupBy(col("a"))
         .agg(count(lit(1)).as("na"),
           sum(when(col("l") === col("cl"), 1L).otherwise(0L)).as("ma"))
@@ -364,11 +388,11 @@ object Preference {
              | / (1.0 - CAST(acc_e6 AS DOUBLE) / 1000000.0))
              | * 1000000.0) AS BIGINT)""".stripMargin)
         else lit(0L)
-      val tally = votes.join(acc.select(col("a"), w.as("w")), Seq("a"))
+      val tally = votes.join(mbA(acc.select(col("a"), w.as("w"))), Seq("a"))
         .groupBy(col("i"), col("l")).agg(sum(col("w")).as("s"))
       cur = argmax(tally, col("s")).localCheckpoint(true)
     }
-    val out = cur
+    val out = mbI(cur)
       .join(votes.groupBy(col("i")).agg(count(lit(1)).as("n_votes")),
         Seq("i"))
       .select(col("i").as("item"), col("cl").as("label"), col("n_votes"))

@@ -29,12 +29,12 @@ import org.apache.spark.sql.functions._
   * (wordCounts' shuffle — the only pass over raw text); the substring
   * seed and the edge table are bounded explodes of that frame
   * (≤ maxWordLen·pieceMaxLen rows per word) joined against a vocab
-  * small enough to broadcast. The DP is position-synchronous: at most
-  * `maxWordLen` forward rounds and `maxWordLen` backtrack rounds per
-  * EM iteration, each a join on word-grain frames with an eager
-  * per-round localCheckpoint (the Graph/BpeTrainer fixed-point rule —
-  * without it round i re-optimizes i nested plans). Words truncate to
-  * `maxWordLen` chars — the documented cap that bounds the rounds.
+  * small enough to broadcast. The Viterbi DP runs per WORD as one
+  * higher-order `aggregate` expression over the word's sorted edge
+  * array ([[viterbiEmits]], r15) — ONE groupBy shuffle per EM
+  * iteration instead of the pre-r15 position-synchronous chain of
+  * `maxWordLen` join+checkpoint rounds. Words truncate to
+  * `maxWordLen` chars — the documented cap that bounds the DP length.
   *
   * Output: (piece, n_viterbi, logp_e6) for the full vocabulary — the
   * final Viterbi count (0 for never-chosen pieces) and the final

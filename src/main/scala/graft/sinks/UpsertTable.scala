@@ -168,32 +168,151 @@ class UpsertTable(val path: String, val keyCols: Seq[String],
   /** Append one upsert commit. `df` must carry key, precombine and
     * partition columns; schema must match the first commit's. Returns the
     * commit sequence number. */
-  def upsert(df: DataFrame): Long = {
-    val spark = df.sparkSession
-    require(df.columns.contains(precombineCol),
-      s"missing precombine column $precombineCol")
-    (keyCols ++ partitionCols).foreach(c =>
-      require(df.columns.contains(c), s"missing column $c"))
-    validateSchema(spark, df)
-    val seq = lastCommitSeq(spark) + 1L
-    val stamped = df.withColumn(CommitCol, lit(seq).cast(LongType))
+  def upsert(df: DataFrame): Long = upsertAll(Seq(df)).head
+
+  /** Write `dfs` as consecutive delta commits whose write jobs OVERLAP
+    * (one driver thread per commit — Spark schedules concurrent jobs
+    * FIFO, so a later commit's tasks back-fill executors freed by the
+    * earlier job's tail instead of waiting out the whole job). The
+    * result is INDISTINGUISHABLE from calling [[upsert]] sequentially:
+    * seqs are assigned upfront in input order, every commit lands in its
+    * own dir, and the publish renames + the `_seq` marker happen in seq
+    * order only after every write succeeded — a concurrent reader never
+    * sees commit k+1 without commit k (the same prefix-visibility
+    * sequential upserts give), and a failure publishes nothing. Batch
+    * only commits with no read between them (the r16 maintenance-family
+    * optimization; guide §2.6 overlap-independent-jobs). */
+  def upsertAll(dfs: Seq[DataFrame]): Seq[Long] = {
+    if (dfs.isEmpty) return Nil
+    val spark = dfs.head.sparkSession
+    dfs.foreach { df =>
+      require(df.columns.contains(precombineCol),
+        s"missing precombine column $precombineCol")
+      (keyCols ++ partitionCols).foreach(c =>
+        require(df.columns.contains(c), s"missing column $c"))
+    }
+    val seq0 = lastCommitSeq(spark)
+    val seqs = Seq.tabulate(dfs.length)(i => seq0 + 1L + i)
     if (recordedSchema(spark).isEmpty)
-      writeSmallFile(spark, schemaPath, stamped.schema.json)
-    // one output file per touched partition dir (maxRecordsPerFile splits
-    // oversized ones) — not (input partitions × dirs) small files
-    val sized =
-      if (partitionCols.nonEmpty) stamped.repartition(partitionCols.map(col): _*)
-      else stamped.coalesce(1)
-    val tmp = f"$deltaPath/.tmp_c$seq%09d"
-    val w = sized.write.mode("overwrite")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(tmp)
+      writeSmallFile(spark, schemaPath, dfs.head
+        .withColumn(CommitCol, lit(seqs.head).cast(LongType)).schema.json)
+    dfs.foreach(validateSchema(spark, _))
+    def writeTmp(df: DataFrame, seq: Long): Unit = {
+      val stamped = df.withColumn(CommitCol, lit(seq).cast(LongType))
+      // one output file per touched partition dir (maxRecordsPerFile
+      // splits oversized ones) — not (input partitions × dirs) small
+      // files. The partition count is EXPLICIT (defaultParallelism):
+      // a bare repartition(cols) lets AQE coalesce the commit's write
+      // onto 1-2 tasks and the per-dir file writes serialize (measured
+      // 2.2 vs 0.6 s on a 1M-row 30-dir commit, r16 UpsertWriteProbe);
+      // hashing on the partition cols alone still keeps each dir's rows
+      // in exactly one task, so the one-file-per-dir contract holds.
+      val sized =
+        if (partitionCols.nonEmpty)
+          stamped.repartition(spark.sparkContext.defaultParallelism,
+            partitionCols.map(col): _*)
+        else stamped.coalesce(1)
+      val w = sized.write.mode("overwrite")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(f"$deltaPath/.tmp_c$seq%09d")
+    }
+    if (dfs.lengthCompare(1) == 0) writeTmp(dfs.head, seqs.head)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(dfs.length, 4))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(dfs.zip(seqs).map { case (df, seq) =>
+          scala.concurrent.Future(writeTmp(df, seq))
+        }), scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    }
     val f = fs(spark)
-    require(f.rename(new Path(tmp), new Path(f"$deltaPath/c$seq%09d")),
-      s"rename failed publishing commit $seq")
-    writeSmallFile(spark, seqPath, seq.toString)
-    seq
+    seqs.foreach { seq =>
+      require(f.rename(new Path(f"$deltaPath/.tmp_c$seq%09d"),
+        new Path(f"$deltaPath/c$seq%09d")),
+        s"rename failed publishing commit $seq")
+    }
+    writeSmallFile(spark, seqPath, seqs.last.toString)
+    seqs
+  }
+
+  /** Undo Hive's %XX path escaping (same caveat as [[streamIncremental]]:
+    * Hive never escapes '+', so only literal %XX pairs decode). */
+  private def unescapePath(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val v = try Integer.parseInt(s.substring(i + 1, i + 3), 16)
+          catch { case _: NumberFormatException => -1 }
+        if (v >= 0) { sb.append(v.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Distinct partition-value tuples touched by the given delta commits,
+    * read from the Hive-style DIRECTORY NAMES instead of the parquet rows
+    * — partition values are layout metadata, so deriving the touched set
+    * from the fs skips one Spark scan+distinct job per maintenance call
+    * ([[compact]], [[incrementalRead]]'s base prune, [[changedDistinct]];
+    * r16 optimization, guide §6). A partitionBy write creates a dir iff
+    * rows landed in it, so the dir-derived set equals the row-derived
+    * one. Values decode exactly like [[streamIncremental]]'s path
+    * re-derivation: %XX unescape, Hive default-partition sentinel →
+    * null, cast to the recorded type. Returns one STRING (nullable)
+    * per partition col per tuple; callers cast via [[castTuples]]. */
+  private def touchedPartitionStrings(spark: SparkSession,
+      seqs: Seq[Long]): Seq[Seq[String]] = {
+    val f = fs(spark)
+    def walk(dir: Path, cols: Seq[String]): Seq[Seq[String]] = cols match {
+      case Nil => Seq(Seq.empty)
+      case c +: rest =>
+        f.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath)
+          .filter(_.getName.startsWith(c + "="))
+          .flatMap { p =>
+            val raw = unescapePath(p.getName.substring(c.length + 1))
+            val v = if (raw == "__HIVE_DEFAULT_PARTITION__") null else raw
+            walk(p, rest).map(v +: _)
+          }
+    }
+    seqs.flatMap(s => walk(new Path(f"$deltaPath/c$s%09d"), partitionCols))
+      .distinct
+  }
+
+  /** Local (no-scan) frame of the touched partition tuples projected to
+    * `cols` (⊆ partitionCols), typed to the recorded schema. The
+    * string→type cast runs through the same Catalyst Cast the
+    * partition-value reader uses, and ConvertToLocalRelation folds the
+    * projection back into a LocalRelation, so consumers that collect it
+    * run NO job. */
+  private def touchedLocalFrame(spark: SparkSession, seqs: Seq[Long],
+      cols: Seq[String]): DataFrame = {
+    val sch = recordedSchema(spark).get
+    val idx = cols.map(partitionCols.indexOf)
+    val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
+    touchedPartitionStrings(spark, seqs).map(t => idx.map(t(_))).distinct
+      .foreach(t => rows.add(Row.fromSeq(t)))
+    val strSchema = StructType(cols.map(c =>
+      org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    spark.createDataFrame(rows, strSchema)
+      .select(cols.map(c => col(c).cast(sch(c).dataType).as(c)): _*)
+  }
+
+  /** Base-pruning predicate: rows in partitions touched by the given
+    * delta commits (dir-metadata-derived, null-safe). */
+  private def touchedCond(spark: SparkSession, seqs: Seq[Long]): Column = {
+    val sch = recordedSchema(spark).get
+    touchedPartitionStrings(spark, seqs).map(t =>
+      partitionCols.zip(t).map { case (c, v) =>
+        col(c) <=> lit(v).cast(sch(c).dataType)
+      }.reduce(_ && _)).reduceOption(_ || _).getOrElse(lit(false))
   }
 
   private def readDir(spark: SparkSession, dir: String): Option[DataFrame] = {
@@ -238,10 +357,21 @@ class UpsertTable(val path: String, val keyCols: Seq[String],
     val folded = baseMaxCommit(spark)
     require(asOfCommit >= folded,
       s"asOfCommit $asOfCommit predates the compaction horizon $folded")
-    val parts = base.toSeq ++ commits(spark).filter(_ <= asOfCommit)
+    val deltaSeqs = commits(spark).filter(_ <= asOfCommit)
+    val parts = base.toSeq ++ deltaSeqs
       .map(s => readDir(spark, f"$deltaPath/c$s%09d").get)
     require(parts.nonEmpty, s"empty upsert table at $path")
-    resolve(parts.reduce(_ unionByName _), keepDeletes = false).drop(CommitCol)
+    if (base.nonEmpty && deltaSeqs.isEmpty)
+      // base-only read: [[compact]] writes resolve(keepDeletes = true)
+      // output, so the base holds EXACTLY one resolved row per
+      // (partition, key) — re-resolving is a per-key no-op. Skip the
+      // window (exchange + sort) and apply only the tombstone filter,
+      // the [[readOptimized]] shape (r16 optimization: q209's pinned
+      // as-of read across the compaction boundary was paying a full
+      // window sort for rows compaction had already resolved).
+      base.get.where(notDeleted).drop(CommitCol)
+    else
+      resolve(parts.reduce(_ unionByName _), keepDeletes = false).drop(CommitCol)
   }
 
   /** Highest commit seq folded into the base (0 when no base). */
@@ -281,11 +411,8 @@ class UpsertTable(val path: String, val keyCols: Seq[String],
     val olderParts = oldSeqs.map(s => readDir(spark, f"$deltaPath/c$s%09d").get)
     val baseParts = readDir(spark, basePath) match {
       case Some(base) if partitionCols.nonEmpty =>
-        val touched = newDeltas.select(partitionCols.map(col): _*).distinct().collect()
-        val cond = touched.map(r => partitionCols.zipWithIndex.map {
-          case (c, i) => col(c) <=> lit(r.get(i))
-        }.reduce(_ && _)).reduceOption(_ || _).getOrElse(lit(false))
-        Seq(base.where(cond))
+        // touched partitions from commit-dir names — no scan job (r16)
+        Seq(base.where(touchedCond(spark, newSeqs)))
       case Some(base) => Seq(base)
       case None => Nil
     }
@@ -316,6 +443,12 @@ class UpsertTable(val path: String, val keyCols: Seq[String],
     val newSeqs = commits(spark).filter(_ > sinceCommit)
     if (newSeqs.isEmpty)
       snapshot(spark).where(lit(false)).select(cols.map(col): _*)
+    else if (partitionCols.nonEmpty && cols.forall(partitionCols.contains))
+      // partition-column churn scope comes straight from the commit
+      // dirs' Hive-style names: a LocalRelation, zero Spark jobs — the
+      // derived-view refresh's touched-set collect becomes a driver-local
+      // fs walk (r16 optimization, guide §6 metadata-over-scan)
+      touchedLocalFrame(spark, newSeqs, cols)
     else newSeqs.map(s => readDir(spark, f"$deltaPath/c$s%09d").get)
       .reduce(_ unionByName _).select(cols.map(col): _*).distinct()
   }
@@ -385,13 +518,9 @@ class UpsertTable(val path: String, val keyCols: Seq[String],
       .reduce(_ unionByName _)
     val merged = readDir(spark, basePath) match {
       case Some(base) if partitionCols.nonEmpty =>
-        // prune the base scan to touched partitions: collect the (small)
-        // distinct partition-value set and push it down as an IN filter
-        val touched = deltas.select(partitionCols.map(col): _*).distinct().collect()
-        val cond = touched.map(r => partitionCols.zipWithIndex.map {
-          case (c, i) => col(c) <=> lit(r.get(i))
-        }.reduce(_ && _)).reduceOption(_ || _).getOrElse(lit(false))
-        base.where(cond).unionByName(deltas)
+        // prune the base scan to touched partitions, derived from the
+        // commit dirs' names — no scan+distinct+collect job (r16)
+        base.where(touchedCond(spark, seqs)).unionByName(deltas)
       case Some(base) => base.unionByName(deltas)
       case None => deltas
     }
@@ -400,7 +529,11 @@ class UpsertTable(val path: String, val keyCols: Seq[String],
     // files; a pathological single-dir compaction would salt here)
     val resolved0 = resolve(merged, keepDeletes = true)
     val resolved =
-      if (partitionCols.nonEmpty) resolved0.repartition(partitionCols.map(col): _*)
+      if (partitionCols.nonEmpty)
+        // explicit N: see the upsert write path — AQE-coalesced keyed
+        // repartitions serialize the per-dir writes
+        resolved0.repartition(spark.sparkContext.defaultParallelism,
+          partitionCols.map(col): _*)
       else resolved0
     // Publish the new horizon and heal the seq counter BEFORE the base
     // rewrite. A crash mid-rewrite then leaves a too-HIGH horizon, which
@@ -471,7 +604,9 @@ class UpsertTable(val path: String, val keyCols: Seq[String],
               col(CommitCol) >= math.min(beforeCommit, horizon + 1))
           }
         val clustered =
-          if (partitionCols.nonEmpty) keep.repartition(partitionCols.map(col): _*)
+          if (partitionCols.nonEmpty)
+            keep.repartition(spark.sparkContext.defaultParallelism,
+              partitionCols.map(col): _*)
           else keep
         val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
