@@ -11,6 +11,7 @@ import graft.schema.{DeliveryLogLite, JoinSideEvent, ScopedEvent}
 import graft.streaming.{CombineDeliveryLog, InferredJoin}
 import GateSupport._
 import CatalogDefs._
+import graft.Checkpoints.TruncateOps
 
 /** Graph analytics: pagerank, components, triangles, centralities, k-core, motifs, process mining.
   *
@@ -233,7 +234,7 @@ object GraphGates extends GateFamily {
         .groupBy(col("l_suppkey"), col("dst_supp"))
         .agg(count(lit(1)).as("w")).where(col("w") >= 5)
         .select(col("l_suppkey"), col("dst_supp"))
-        .localCheckpoint(true)
+        .truncate(true)
       val edges = und.unionByName(und.select(
         col("dst_supp").as("l_suppkey"), col("l_suppkey").as("dst_supp")))
       val seeds = edges.select(col("l_suppkey").as("id")).distinct()

@@ -11,6 +11,7 @@ import graft.schema.{DeliveryLogLite, JoinSideEvent, ScopedEvent}
 import graft.streaming.{CombineDeliveryLog, InferredJoin}
 import GateSupport._
 import CatalogDefs._
+import graft.Checkpoints.TruncateOps
 
 /** Preference/rl + annotation: bradley–terry, dpo/grpo shapes, agreement coefficients.
   *
@@ -179,7 +180,7 @@ object PreferenceGates extends GateFamily {
           col("rating_e6").as("rb")), Seq("b"))
         .select(col("wa"),
           expr("CAST(ra * 1000000 div (ra + rb) AS BIGINT)").as("p"))
-        .localCheckpoint(true) // duel grain; three aggregates read it
+        .truncate(true) // duel grain; three aggregates read it
       val bk = cal.groupBy(expr("CAST(p div 100000 AS BIGINT)").as("bk"))
         .agg(count(lit(1)).as("nk"), sum(col("p")).as("sp"),
           sum(col("wa")).as("swa"))
@@ -188,7 +189,7 @@ object PreferenceGates extends GateFamily {
           expr("swa * 1000000 div nk").as("obar"))
       val tot = cal.agg(count(lit(1)).as("n"), sum(col("wa")).as("sw"))
         .select(col("n"), expr("sw * 1000000 div n").as("ob"))
-        .localCheckpoint(true)
+        .truncate(true)
       val brier = cal.crossJoin(broadcast(tot))
         .select(expr("CAST(p - wa * 1000000 AS DECIMAL(38,0))" +
           " * (p - wa * 1000000)").as("sq"))

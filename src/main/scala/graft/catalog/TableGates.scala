@@ -11,6 +11,7 @@ import graft.schema.{DeliveryLogLite, JoinSideEvent, ScopedEvent}
 import graft.streaming.{CombineDeliveryLog, InferredJoin}
 import GateSupport._
 import CatalogDefs._
+import graft.Checkpoints.TruncateOps
 
 /** Storage/table machinery: upsert/mor, cdc, time travel, layout (z-order, rle, dict, buckets), ingest, schema evolution, profiling, data quality.
   *
@@ -697,7 +698,7 @@ object TableGates extends GateFamily {
         f = f.join(g, col("anc") === col("g_node"))
           .select(col("node"), col("g_anc").as("anc"),
             (col("dist") + col("g_dist")).as("dist"))
-          .localCheckpoint(true) // two consumers next round: truncate
+          .truncate(true) // two consumers next round: truncate
       }
       f.select(col("node"), col("anc").as("root"),
         col("dist").as("depth"))

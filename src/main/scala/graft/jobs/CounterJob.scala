@@ -95,28 +95,28 @@ object CounterJob {
 
   private val wsCol = col("windowStart").cast("string")
 
-  /** User / logUser event counts (CounterKeys USER_EVENT_KEY /
-    * LOG_USER_EVENT_KEY: key=(pid, ␝u, user), field=fid). */
-  def userCommands(events: DataFrame, userCol: String, countType: Long): DataFrame = {
-    val g = windowedAll(events,
-      Seq("pid" -> col("platformId"), "u" -> col(userCol)))
+  /** Encode a (pid, u, windowStart, wtag, wttl, metric, n) grouped frame
+    * as user-keyed HSET commands. */
+  private def userEncode(g: DataFrame, countType: Long): DataFrame =
     CF.hsetCommandC(
       CF.redisKey(col("pid"), lit(CF.UserType), col("u"), wsCol),
       CF.featureIdCol(lit(countType), col("metric"), col("wtag")),
       col("n"), col("wttl"))(g)
-  }
+
+  /** User / logUser event counts (CounterKeys USER_EVENT_KEY /
+    * LOG_USER_EVENT_KEY: key=(pid, ␝u, user), field=fid). */
+  def userCommands(events: DataFrame, userCol: String, countType: Long): DataFrame =
+    userEncode(windowedAll(events,
+      Seq("pid" -> col("platformId"), "u" -> col(userCol))), countType)
 
   /** Global- and content-device counts (CounterKeys
     * GLOBAL_EVENT_DEVICE_KEY / CONTENT_EVENT_DEVICE_KEY: the parsed
     * os/agent families ride in the hash *field*, not the key; the global
     * family intentionally never expires). `osFamily`/`agentFamily` are the
     * pre-parsed [[graft.functions.UserAgents]] columns. */
-  def deviceCommands(events: DataFrame, withContent: Boolean): DataFrame = {
-    val keyDims =
-      if (withContent) Seq("pid" -> col("platformId"), "cid" -> col("contentId"))
-      else Seq("pid" -> col("platformId"))
-    val g = windowedAll(events,
-      keyDims ++ Seq("os" -> col("osFamily"), "agent" -> col("agentFamily")))
+  /** Encode a device-grouped frame (pid[, cid], os, agent, windowStart,
+    * wtag, wttl, metric, n) as device-keyed HSET commands. */
+  private def deviceEncode(g: DataFrame, withContent: Boolean): DataFrame = {
     val keyParts =
       if (withContent) Seq(col("pid"), col("cid"), wsCol) else Seq(col("pid"), wsCol)
     val fid = CF.featureIdCol(lit(CF.CountType.ItemDevice), col("metric"), col("wtag"))
@@ -126,16 +126,21 @@ object CounterJob {
       col("n"), if (withContent) col("wttl") else lit(-1L))(g)
   }
 
+  def deviceCommands(events: DataFrame, withContent: Boolean): DataFrame = {
+    val keyDims =
+      if (withContent) Seq("pid" -> col("platformId"), "cid" -> col("contentId"))
+      else Seq("pid" -> col("platformId"))
+    deviceEncode(windowedAll(events,
+      keyDims ++ Seq("os" -> col("osFamily"), "agent" -> col("agentFamily"))),
+      withContent)
+  }
+
   /** Query and content×query counts (CounterKeys QUERY_EVENT_KEY /
     * CONTENT_QUERY_EVENT_KEY), gated to the thresholded top queries via a
     * broadcast left-semi join. Key carries the hex-encoded hash. */
-  def queryCommands(events: DataFrame, topQueries: DataFrame,
-      withContent: Boolean): DataFrame = {
-    val gated = events.where(col("queryHash").isNotNull)
-      .join(broadcast(topQueries), Seq("queryHash"), "left_semi")
-    val keyDims = ("pid" -> col("platformId")) +: ("qh" -> col("queryHash")) +:
-      (if (withContent) Seq("cid" -> col("contentId")) else Nil)
-    val g = windowedAll(gated, keyDims)
+  /** Encode a query-grouped frame (pid, qh[, cid], windowStart, wtag,
+    * wttl, metric, n) as query-keyed HSET commands. */
+  private def queryEncode(g: DataFrame, withContent: Boolean): DataFrame = {
     val hexQ = CF.hexLong(col("qh"))
     val keyParts =
       if (withContent)
@@ -146,6 +151,15 @@ object CounterJob {
       CF.redisKey(keyParts: _*),
       CF.featureIdCol(lit(countType), col("metric"), col("wtag")),
       col("n"), col("wttl"))(g)
+  }
+
+  def queryCommands(events: DataFrame, topQueries: DataFrame,
+      withContent: Boolean): DataFrame = {
+    val gated = events.where(col("queryHash").isNotNull)
+      .join(broadcast(topQueries), Seq("queryHash"), "left_semi")
+    val keyDims = ("pid" -> col("platformId")) +: ("qh" -> col("queryHash")) +:
+      (if (withContent) Seq("cid" -> col("contentId")) else Nil)
+    queryEncode(windowedAll(gated, keyDims), withContent)
   }
 
   /** Legacy simplified families (global/content/logUser/user × hour/day)
@@ -234,21 +248,66 @@ object CounterJob {
       .withColumn("tsMs", col("hourStart")) // windowed() re-buckets; hour-aligned
       .withColumn("quantity", col("nq"))
     val top = topQueryGate(cube, minQueryCount)
+    // r16 (guide §2.6 — share the grouping work): each family PAIR on a
+    // grouping hierarchy aggregates the cached frame ONCE at its finer
+    // grain and the coarser family rolls up from those grouped partials
+    // instead of re-scanning the cube; the two query-gated families also
+    // share one gated frame instead of rebuilding the filter+semi-join.
+    // Every rollup is an exact integer sum/max over a partition of the
+    // same rows, so it equals the direct aggregate it replaces; ten
+    // full-input aggregations become five + five small rollups (the
+    // shared fine exchanges dedup via ReuseExchange inside the one
+    // union plan).
+    val wKeys = Seq(col("windowStart"), col("wtag"), col("wttl"), col("metric"))
+    val devFine = windowedAll(ev, Seq("pid" -> col("platformId"),
+      "cid" -> col("contentId"), "os" -> col("osFamily"),
+      "agent" -> col("agentFamily")))
+    val devCoarse = devFine
+      .groupBy(wKeys ++ Seq(col("pid"), col("os"), col("agent")): _*)
+      .agg(sum(col("n")).as("n"))
+    val userFine = windowedAll(ev, Seq("pid" -> col("platformId"),
+      "lu" -> col("logUserId"), "uu" -> col("userId")))
+    def userRoll(u: Column) = userFine
+      .groupBy(wKeys ++ Seq(col("pid"), u.as("u")): _*)
+      .agg(sum(col("n")).as("n"))
+    val gatedEv = ev.where(col("queryHash").isNotNull)
+      .join(broadcast(top), Seq("queryHash"), "left_semi")
+    val qFine = windowedAll(gatedEv, Seq("pid" -> col("platformId"),
+      "qh" -> col("queryHash"), "cid" -> col("contentId")))
+    val qCoarse = qFine
+      .groupBy(wKeys ++ Seq(col("pid"), col("qh")): _*)
+      .agg(sum(col("n")).as("n"))
+    def lastFine(src: DataFrame, dimCol: Column) = src
+      .groupBy(col("platformId").as("pid"), col("logUserId").as("lu"),
+        col("userId").as("uu"), dimCol.as("dim"), col("metric"))
+      .agg(max(col("last_ts")).as("last_ts_ms"), sum(col("nq90")).as("n90"))
+    def lastRoll(fine: DataFrame, u: Column) = fine
+      .groupBy(col("pid"), u.as("u"), col("dim"), col("metric"))
+      .agg(max(col("last_ts_ms")).as("last_ts_ms"), sum(col("n90")).as("n90"))
+    val lcFine = lastFine(cube, col("contentId"))
+    val gatedCube = cube.where(col("queryHash").isNotNull)
+      .join(broadcast(top), Seq("queryHash"), "left_semi")
+    val lqFine = lastFine(gatedCube, col("queryHash"))
+    val qDimKey = (d: Column) => Seq(lit(CF.QueryType), CF.hexLong(d))
     Seq(
-      deviceCommands(ev, withContent = false),
-      deviceCommands(ev, withContent = true),
-      userCommands(ev, "logUserId", CF.CountType.LogUser),
-      userCommands(ev, "userId", CF.CountType.User),
-      queryCommands(ev, top, withContent = false),
-      queryCommands(ev, top, withContent = true),
-      lastContentCube(cube, "logUserId",
-        CF.CountType.LogUserItemHoursAgo, CF.CountType.LogUserItemCount),
-      lastContentCube(cube, "userId",
-        CF.CountType.UserItemHoursAgo, CF.CountType.UserItemCount),
-      lastQueryCube(cube, top, "logUserId",
-        CF.CountType.LogUserQueryHoursAgo, CF.CountType.LogUserQueryCount),
-      lastQueryCube(cube, top, "userId",
-        CF.CountType.UserQueryHoursAgo, CF.CountType.UserQueryCount),
+      deviceEncode(devCoarse, withContent = false),
+      deviceEncode(devFine, withContent = true),
+      userEncode(userRoll(col("lu")), CF.CountType.LogUser),
+      userEncode(userRoll(col("uu")), CF.CountType.User),
+      queryEncode(qCoarse, withContent = false),
+      queryEncode(qFine, withContent = true),
+      lastSeenEncode(lastRoll(lcFine, col("lu")), d => Seq(d),
+        CF.CountType.LogUserItemHoursAgo, CF.CountType.LogUserItemCount,
+        90 * 86400),
+      lastSeenEncode(lastRoll(lcFine, col("uu")), d => Seq(d),
+        CF.CountType.UserItemHoursAgo, CF.CountType.UserItemCount,
+        90 * 86400),
+      lastSeenEncode(lastRoll(lqFine, col("lu")), qDimKey,
+        CF.CountType.LogUserQueryHoursAgo, CF.CountType.LogUserQueryCount,
+        90 * 86400),
+      lastSeenEncode(lastRoll(lqFine, col("uu")), qDimKey,
+        CF.CountType.UserQueryHoursAgo, CF.CountType.UserQueryCount,
+        90 * 86400),
     ).reduce(_ unionByName _)
   }
 
@@ -263,13 +322,11 @@ object CounterJob {
     * The timestamp field and the 90d-count field both come off ONE
     * aggregation — each group row explodes into its two (featureId, value)
     * cells after the agg, instead of running the agg twice. */
-  private def lastSeenCube(cube: DataFrame, dimCol: Column,
-      dimKeyParts: Column => Seq[Column], userCol: String, tsType: Long,
-      countType: Long, ttlSec: Long): DataFrame = {
-    val g = cube
-      .groupBy(col("platformId").as("pid"), col(userCol).as("u"),
-        dimCol.as("dim"), col("metric"))
-      .agg(max(col("last_ts")).as("last_ts_ms"), sum(col("nq90")).as("n90"))
+  /** Encode a (pid, u, dim, metric, last_ts_ms, n90) grouped frame as
+    * the two last-seen cells (timestamp + 90d count) per group. */
+  private def lastSeenEncode(g0: DataFrame, dimKeyParts: Column => Seq[Column],
+      tsType: Long, countType: Long, ttlSec: Long): DataFrame = {
+    val g = g0
       .select(col("pid"), col("u"), col("dim"), explode(array(
         struct(CF.featureIdCol(lit(tsType), col("metric"),
           lit(CF.CountWindow.None)).as("fid"), col("last_ts_ms").as("v")),
@@ -279,6 +336,15 @@ object CounterJob {
       (col("pid") +: lit(CF.UserType) +: col("u") +: dimKeyParts(col("dim"))): _*)
     CF.hsetCommand(key, col("__fv.fid"), col("__fv.v"), ttlSec)(g)
   }
+
+  private def lastSeenCube(cube: DataFrame, dimCol: Column,
+      dimKeyParts: Column => Seq[Column], userCol: String, tsType: Long,
+      countType: Long, ttlSec: Long): DataFrame =
+    lastSeenEncode(cube
+      .groupBy(col("platformId").as("pid"), col(userCol).as("u"),
+        dimCol.as("dim"), col("metric"))
+      .agg(max(col("last_ts")).as("last_ts_ms"), sum(col("nq90")).as("n90")),
+      dimKeyParts, tsType, countType, ttlSec)
 
   private def lastContentCube(cube: DataFrame, userCol: String, tsType: Long,
       countType: Long): DataFrame =

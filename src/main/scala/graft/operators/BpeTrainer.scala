@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** BPE tokenizer training (Sennrich, Haddow, Birch 2016, "Neural Machine
   * Translation of Rare Words with Subword Units" — the algorithm every
@@ -74,7 +75,7 @@ object BpeTrainer {
   def trainMerges(wordCnt: DataFrame, k: Int): Seq[Merge] = {
     var vocab = wordCnt.select(col("word"), col("cnt"),
       charSymbols(col("word")).as("syms"))
-      .localCheckpoint(true)
+      .truncate(true)
     val out = Seq.newBuilder[Merge]
     for (rank <- 1 to k) {
       // adjacent pairs weighted by word frequency
@@ -92,7 +93,7 @@ object BpeTrainer {
       val m = Merge(rank, top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       out += m
       vocab = vocab.withColumn("syms", mergeOnce(col("syms"), m.left, m.right))
-        .localCheckpoint(true)
+        .truncate(true)
     }
     out.result()
   }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** Causal readouts over observational slices — the analytics layer a
   * metrics pipeline runs AFTER the counting: "did the rollout move the
@@ -100,7 +101,7 @@ object Causal {
         sum(col("tr") * col("cv")).as("conv_t"),
         sum((lit(1L) - col("tr"))).as("n_c"),
         sum((lit(1L) - col("tr")) * col("cv")).as("conv_c"))
-      .localCheckpoint(true) // ≤ nTiles rows; feeds both join sides once
+      .truncate(true) // ≤ nTiles rows; feeds both join sides once
     val prior = perTile.select(col("tile").as("__t2"),
       col("n_t").as("__nt"), col("conv_t").as("__ct"),
       col("n_c").as("__nc"), col("conv_c").as("__cc"))
@@ -221,7 +222,7 @@ object Causal {
       .where(col("n_units").isNotNull)
       .select(col("stratum"), col("n_units"), col("n_t"), col("n_c"),
         col("diff_e6"))
-    perStratum.unionByName(overall).localCheckpoint(true)
+    perStratum.unionByName(overall).truncate(true)
       .transform { out => strata.unpersist(); out }
   }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** Split-conformal prediction intervals (Papadopoulos et al. 2002;
   * Vovk's inductive conformal predictors; the Lei et al. 2018 JASA
@@ -70,7 +71,7 @@ object Conformal {
         .select(col("grp"), col("pred"), col("n_cal"), col("qhat"),
           col("n_test"), col("covered"))
         // the result outlives base.unpersist() below — pin it
-        .localCheckpoint(true)
+        .truncate(true)
     } finally base.unpersist(): Unit
   }
 }

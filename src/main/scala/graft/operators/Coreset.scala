@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** Greedy k-center coreset selection (Gonzalez 1985 farthest-point
   * traversal, the 2-approximation; the diversity-sampling half of
@@ -55,7 +56,7 @@ object Coreset {
       val centers = scala.collection.mutable.ArrayBuffer(
         (seed.getLong(0), vecOf(seed), Option.empty[Long]))
       var state = base.withColumn("mind", distTo(col("v"), centers(0)._2))
-        .localCheckpoint(true)
+        .truncate(true)
       for (_ <- 2 to k) {
         val next = state.orderBy(col("mind").desc, col("id").asc)
           .limit(1).collect().head
@@ -64,7 +65,7 @@ object Coreset {
           Some(next.getLong(next.fieldIndex("mind")))))
         state = state.withColumn("mind",
             least(col("mind"), distTo(col("v"), nv)))
-          .localCheckpoint(true)
+          .truncate(true)
       }
       // Nearest-center assignment: array of (dist, round) structs;
       // array_min's struct ordering = (dist, round) lexicographic, so
@@ -82,7 +83,7 @@ object Coreset {
         .na.fill(0L, Seq("n_assigned"))
         .select(col("center_id"), col("sel_round"), col("sel_dist"),
           col("n_assigned"))
-        .localCheckpoint(true)
+        .truncate(true)
     } finally base.unpersist(): Unit
   }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** Count-dispersion audit over bucketed event streams: the Fano factor
   * (variance-to-mean ratio; Fano 1947) and a negative-binomial
@@ -90,7 +91,7 @@ object Dispersion {
         """CAST((n * q - CAST(s AS DECIMAL(38,0)) * s) * 1000000
           |div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"""
           .stripMargin))
-      .localCheckpoint(true) // point census + dropped count read it
+      .truncate(true) // point census + dropped count read it
     val pts = g.where(col("n") > 1L && col("v_e6") > 0L &&
         col("m_e3") > 0L)
       .select(
@@ -219,7 +220,7 @@ object Dispersion {
     val cells = df.select(group.as("g"), value.cast("long").as("v"))
       .where(col("g").isNotNull && col("v").isNotNull)
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // median scan + deviation pass both read it
+      .truncate(true) // median scan + deviation pass both read it
     val wLe = Window.partitionBy(col("g")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val whole = Window.partitionBy(col("g"))

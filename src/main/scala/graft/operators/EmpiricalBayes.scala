@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** Empirical-Bayes beta–binomial rate smoothing (Robbins 1956 for the
   * EB idea; the beta–binomial method-of-moments is the production CTR/
@@ -38,7 +39,7 @@ object EmpiricalBayes {
         successes.cast("long").as("x"), trials.cast("long").as("n"))
       .where(col("n") > 0L && col("x") >= 0L && col("x") <= col("n"))
       .withColumn("raw_e6", expr("x * 1000000 div n"))
-      .localCheckpoint(true) // prior census + smoothing pass read it
+      .truncate(true) // prior census + smoothing pass read it
     val prior = base
       .agg(count(lit(1)).as("k"), sum(col("raw_e6")).as("sr"),
         sum(expr("CAST(raw_e6 AS DECIMAL(38,0)) * raw_e6")).as("qr"))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** Exact sample-efficiency curves for model-eval pipelines.
   *
@@ -64,7 +65,7 @@ object EvalCurves {
       .withColumn("__n", guardLe(col("__n"), maxN.toLong,
         concat(lit(s"passAtKCurve: problem with more than $maxN samples ("),
           col("__n").cast("string"), lit(") — raise maxN or pre-cap"))))
-      .localCheckpoint(true) // problem grain; scanned once per curve point
+      .truncate(true) // problem grain; scanned once per curve point
     val points = ks.map { k =>
       val fails = col("__n") - col("__cn")
       val num = (0 until k).foldLeft(dec(lit(1)))((acc, i) =>
@@ -159,7 +160,7 @@ object EvalCurves {
                  | ELSE CAST(sum_best_e6 div n_prompts AS BIGINT)
                  | END""".stripMargin).as("mean_best_e6"))
     }
-    val out = points.reduce(_ unionByName _).localCheckpoint(true)
+    val out = points.reduce(_ unionByName _).truncate(true)
     ranked.unpersist()
     out
   }

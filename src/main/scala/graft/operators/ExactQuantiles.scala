@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.agg.BoundedSample
+import graft.Checkpoints.TruncateOps
 
 /** EXACT per-group quantiles over a continuous (high-cardinality) BIGINT
   * domain, at O(sample + band) shuffle cost instead of O(distinct).
@@ -159,7 +160,7 @@ object ExactQuantiles {
             when(col("__v") <= col("__lo"), lit(null))
               .otherwise(col("__v")).as("__band_v")): _*)
           .agg(count(lit(1)).as("__c"))
-          .localCheckpoint(true)
+          .truncate(true)
 
         val keyCols = groupCols.map(col) :+ col("__percent")
         val belowDf = bucketed.where(col("__band_v").isNull)
@@ -198,7 +199,7 @@ object ExactQuantiles {
       }
       // result reads a checkpointed leaf; the final checkpoint pins it
       // before base unpersists
-      result.get.localCheckpoint(true)
+      result.get.truncate(true)
     } finally base.unpersist(): Unit
   }
 

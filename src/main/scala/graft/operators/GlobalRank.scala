@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import graft.Checkpoints.TruncateOps
 
 /** Dense global row numbers under a total order WITHOUT a single-reducer
   * window: `row_number() OVER (ORDER BY …)` with no PARTITION BY is the
@@ -70,7 +71,7 @@ object GlobalRank {
         it.map { r => i += 1L; Row.fromSeq(r.toSeq :+ (base + i)) }
       }(org.apache.spark.sql.Encoders.row(outSchema))
       // Pin before unpersisting the lineage the result reads.
-      (out.localCheckpoint(true), total)
+      (out.truncate(true), total)
     } finally { sorted.unpersist(); in.unpersist(): Unit }
   }
 }

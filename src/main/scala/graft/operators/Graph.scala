@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** PageRank (Brin & Page 1998) over an edge DataFrame — the graph
   * centrality pass a crawl pipeline runs to weight documents by link
@@ -78,7 +79,7 @@ object Graph {
           expr(s"($dampNum * coalesce(m, CAST(0 AS BIGINT))) div $dampDen"))
           .as("r"))
       if (i % checkpointEvery == 0 && i < iterations)
-        r = r.localCheckpoint(true)
+        r = r.truncate(true)
     }
     // persisted inputs stay cached until the caller's action (the session
     // clearCache()/unpersist discipline — the q21 shared-subtree rule)
@@ -141,7 +142,7 @@ object Graph {
         .select(col("id"), col("m.nl").as("nl"))
       lab = lab.join(next, Seq("id"), "left")
         .select(col("id"), coalesce(col("nl"), col("lab")).as("lab"))
-      if (i < iterations) lab = lab.localCheckpoint(false)
+      if (i < iterations) lab = lab.truncate(false)
     }
     lab.select(col("id").as(srcCol), col("lab").as("community"))
   }
@@ -379,7 +380,7 @@ object Graph {
     require(k >= 1 && rounds >= 1 && rounds <= 64)
     var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .where(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true)
+      .truncate(true)
     var i = 0
     while (i < rounds) {
       val keep = e.groupBy(col("a")).agg(count(lit(1)).as("deg"))
@@ -387,7 +388,7 @@ object Graph {
       e = e.join(keep, "a")
         .join(keep.withColumnRenamed("a", "b"), "b")
         .select(col("a"), col("b"))
-        .localCheckpoint(false)
+        .truncate(false)
       i += 1
     }
     e.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
@@ -428,7 +429,7 @@ object Graph {
           expr(s"($dampNum * coalesce(m, CAST(0 AS BIGINT))) div $dampDen"))
           .as("r"))
       if (i % checkpointEvery == 0 && i < iterations)
-        r = r.localCheckpoint(true)
+        r = r.truncate(true)
     }
     r.select(col("id").as(srcCol), col("r").as("rank_e9"))
   }
@@ -483,7 +484,7 @@ object Graph {
         col("src") =!= col("dst")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var dist = seeds.select(col(seedIdCol).as("id")).distinct()
-      .withColumn("hops", lit(0L)).localCheckpoint(true)
+      .withColumn("hops", lit(0L)).truncate(true)
     var frontier = dist
     var i = 1
     while (i <= maxHops) {
@@ -491,8 +492,8 @@ object Graph {
         .join(e, "src").select(col("dst").as("id")).distinct()
         .join(dist, Seq("id"), "left_anti")
         .withColumn("hops", lit(i.toLong))
-        .localCheckpoint(false)
-      dist = dist.unionByName(next).localCheckpoint(false)
+        .truncate(false)
+      dist = dist.unionByName(next).truncate(false)
       frontier = next
       i += 1
     }
@@ -524,7 +525,7 @@ object Graph {
         col("src") =!= col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var dist = seeds.select(col(seedIdCol).as("id")).distinct()
-      .withColumn("cost", lit(0L)).localCheckpoint(true)
+      .withColumn("cost", lit(0L)).truncate(true)
     var i = 0
     while (i < rounds) {
       val relaxed = dist.withColumnRenamed("id", "src")
@@ -532,7 +533,7 @@ object Graph {
         .select(col("dst").as("id"), (col("cost") + col("w")).as("cost"))
       dist = dist.unionByName(relaxed)
         .groupBy(col("id")).agg(min(col("cost")).as("cost"))
-        .localCheckpoint(false)
+        .truncate(false)
       i += 1
     }
     dist.select(col("id").as(srcCol), col("cost"))
@@ -603,7 +604,10 @@ object Graph {
       // once under the broadcast build, once under the checkpoint. The
       // lazy leaf+crossJoin residue keeps plan depth constant, so the
       // StackOverflow guard above still holds.
-      val rawCp = raw.localCheckpoint(true)
+      // Lazy since r16: the max job computes every partition and
+      // materializes the blocks; the separate eager-checkpoint job per
+      // round was scheduler floor (verdict item 7).
+      val rawCp = raw.truncate(false)
       val m = rawCp.agg(max(col("v")).as("m"))
       rawCp.crossJoin(broadcast(m))
         .select(col("id"), expr("v * 1000000 div m").as("v"))
@@ -614,8 +618,10 @@ object Graph {
       h = renorm(eBySrc.join(mb(a.withColumnRenamed("id", "dst")), "dst")
         .groupBy(col("src").as("id")).agg(sum(col("v")).as("v")))
     }
-    eByDst.unpersist()
-    eBySrc.unpersist()
+    // edge copies stay persisted for the caller to release (the
+    // labelPropagation clearCache contract): the LAST round is lazy and
+    // materializes only under the caller's action — an in-function
+    // unpersist would make that round rebuild the edges from source
     h.select(lit("hub").as("role"), col("id"), col("v").as("score_e6"))
       .unionByName(a.select(lit("auth").as("role"), col("id"),
         col("v").as("score_e6")))
@@ -747,7 +753,7 @@ object Graph {
     // forward: levels(d) = (s, v, sigma) at exact distance d
     val l0 = seeds.select(col(seedIdCol).as("s")).distinct()
       .select(col("s"), col("s").as("v"), lit(1L).as("sigma"))
-      .localCheckpoint(true)
+      .truncate(true)
     var levels = Vector(l0)
     var sizes = Vector(l0.count())
     var reachedTotal = sizes.head
@@ -795,7 +801,7 @@ object Graph {
           .groupBy(col("s"), col("dst").as("v"))
           .agg(sum(col("sigma")).as("sigma"))
           .join(reached, Seq("s", "v"), "left_anti")
-      }).localCheckpoint(true)
+      }).truncate(true)
       levels :+= next
       sizes :+= next.count()
       reachedTotal += sizes.last
@@ -838,7 +844,7 @@ object Graph {
         .join(contrib, Seq("s", "v"), "left")
         .select(col("s"), col("v"),
           coalesce(col("delta"), lit(0L)).as("delta"))
-        .localCheckpoint(true)
+        .truncate(true)
       acc = Some(acc.map(_.unionByName(delta)).getOrElse(delta))
       dd -= 1
     }
@@ -887,7 +893,7 @@ object Graph {
       .select(greatest(col("x"), col("y")).as("u"),
         least(col("x"), col("y")).as("v"))
       .distinct()
-      .localCheckpoint()
+      .truncate()
 
     def sig(e: DataFrame): (Long, Long) = {
       // hash bounded to < 1e9 before the sum: ANSI-safe for < 9e9 edges
@@ -920,7 +926,7 @@ object Graph {
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(ms.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint()
+        .truncate()
       val s = sig(small)
       edges = small
       converged = s == last
@@ -998,7 +1004,7 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var dist = pivots.select(col(pivotIdCol).as("p")).distinct()
       .withColumn("id", col("p")).withColumn("hops", lit(0L))
-      .localCheckpoint(true)
+      .truncate(true)
     var frontier = dist
     var i = 1
     while (i <= maxHops) {
@@ -1006,8 +1012,8 @@ object Graph {
         .join(e, "src").select(col("p"), col("dst").as("id")).distinct()
         .join(dist, Seq("p", "id"), "left_anti")
         .withColumn("hops", lit(i.toLong))
-        .localCheckpoint(false)
-      dist = dist.unionByName(next).localCheckpoint(false)
+        .truncate(false)
+      dist = dist.unionByName(next).truncate(false)
       frontier = next
       i += 1
     }
@@ -1071,13 +1077,13 @@ object Graph {
     val nodes = half.select(col("u").as("__n"))
       .unionByName(half.select(col("v").as("__n"))).distinct()
       .join(vals, Seq("__n"))
-      .localCheckpoint(true) // stats + z census + edge tag read it
+      .truncate(true) // stats + z census + edge tag read it
     val stats = nodes.agg(count(lit(1)).as("n"), sum(col("__x")).as("s"))
     val z = nodes.crossJoin(broadcast(stats))
       .select(col("__n"),
         expr("CAST(n AS DECIMAL(38,0)) * __x - s").as("z"),
         col("n"))
-      .localCheckpoint(true)
+      .truncate(true)
     val ssq = z.agg(max(col("n")).as("n"),
       coalesce(sum(expr("z * z")), expr("CAST(0 AS DECIMAL(38,0))"))
         .as("sum_z2"))
@@ -1120,7 +1126,7 @@ object Graph {
     val tagged = dir
       .join(a.select(col("__n").as("u"), col("__a").as("au")), "u")
       .join(a.select(col("__n").as("v"), col("__a").as("av")), "v")
-      .localCheckpoint(true) // edge agg + row census both read it
+      .truncate(true) // edge agg + row census both read it
     val eAgg = tagged.agg(count(lit(1)).as("m_directed"),
       sum(when(col("au") === col("av"), 1L).otherwise(0L))
         .as("same_attr"))
@@ -1201,7 +1207,7 @@ object Graph {
     val pivots = e.select(col("src").as("p")).distinct()
       .orderBy(col("p")).limit(nPivots)
     var dist = pivots.select(col("p"), col("p").as("id"))
-      .withColumn("hops", lit(0L)).localCheckpoint(true)
+      .withColumn("hops", lit(0L)).truncate(true)
     var frontier = dist
     var i = 1
     var live = true
@@ -1210,9 +1216,9 @@ object Graph {
         .join(e, "src").select(col("p"), col("dst").as("id")).distinct()
         .join(dist, Seq("p", "id"), "left_anti")
         .withColumn("hops", lit(i.toLong))
-        .localCheckpoint(true)
+        .truncate(true)
       live = !next.isEmpty
-      if (live) dist = dist.unionByName(next).localCheckpoint(true)
+      if (live) dist = dist.unionByName(next).truncate(true)
       frontier = next
       i += 1
     }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** Integer-exact Lloyd k-means (Lloyd 1982, "Least squares quantization
   * in PCM" — public result) over an embedding column, the clustering pass
@@ -75,7 +76,7 @@ object KMeansExact {
       // keep empty clusters' previous centroid
       cents = cents.join(upd, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("cNew"), col("c")).as("c"))
-        .localCheckpoint(true)
+        .truncate(true)
     }
     val out = assigned(cents)
       .select(col("vid").as(idCol), col("cid").as("cluster"), col("dist"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** Fixed- and random-effects meta-analysis across strata
   * (DerSimonian & Laird 1986) — the "combine the per-segment
@@ -54,7 +55,7 @@ object MetaAnalysis {
       .withColumn("ok", coalesce(col("v") > 0L, lit(false)))
     val good = base.where(col("ok"))
       .withColumn("w", expr(fdiv(E24, "CAST(v AS DECIMAL(38,0))")))
-      .localCheckpoint(true) // three aggregates read it
+      .truncate(true) // three aggregates read it
     val dropped = base.agg(
       sum(when(!col("ok"), 1L).otherwise(0L)).as("k_dropped"))
     val fix = good.agg(count(lit(1)).as("k"),
@@ -63,7 +64,7 @@ object MetaAnalysis {
         sum(expr("w * w")).as("__sww"))
       .withColumn("fixed_e6",
         expr("CAST(__swd div __sw AS BIGINT)"))
-      .localCheckpoint(true)
+      .truncate(true)
     val q = good.crossJoin(broadcast(fix.select(col("fixed_e6"))))
       .agg(sum(expr("w * (d - fixed_e6) * (d - fixed_e6)"))
         .as("__qnum"))
@@ -76,7 +77,7 @@ object MetaAnalysis {
         """CAST(CAST(q_e6 - (k - 1) * 1000000 AS DECIMAL(38,0))
           | * 1000000000000 * 1000000 div __c AS BIGINT)"""
           .stripMargin)))
-      .localCheckpoint(true)
+      .truncate(true)
     val rand = good.crossJoin(broadcast(withTau.select(col("tau2_e12"))))
       .withColumn("ws",
         expr(fdiv(E24, "CAST(v AS DECIMAL(38,0)) + tau2_e12")))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** DoReMi-shape data-mixture reweighting (Xie et al. 2023, "DoReMi:
   * Optimizing Data Mixtures Speeds Up Language Model Pretraining"),
@@ -67,7 +68,7 @@ object Mixture {
         expr("CAST(CAST(ng AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)")
           .as("share_e6"),
         col("excess_e6"))
-      .localCheckpoint(true)
+      .truncate(true)
     cells.unpersist()
     // domains are FEW by contract (the mixture is over sources/shards,
     // not rows) — the rounds loop collapses to |D|-row frames, and a
@@ -89,7 +90,7 @@ object Mixture {
           col("excess_e6"),
           expr("CAST(CAST(wp AS DECIMAL(38,0)) * 1000000 div tw AS BIGINT)")
             .as("w_e6"))
-        .localCheckpoint(true)
+        .truncate(true)
     }
     w.select(col("d").as("domain"), col("n_values"),
       col("ng").as("n_tokens"), col("share_e6"), col("excess_e6"),
@@ -160,7 +161,7 @@ object Mixture {
     val census = df.select(domainCol.as("d"))
       .where(col("d").isNotNull)
       .groupBy(col("d")).agg(count(lit(1)).as("nd"))
-      .localCheckpoint(true)
+      .truncate(true)
     val dCount = census.count()
     require(dCount >= 1 && dCount <= 100000,
       s"Mixture.temperatureWeightsE6: $dCount domains — the weight " +
@@ -195,7 +196,7 @@ object Mixture {
     val census = df.select(domainCol.as("d"))
       .where(col("d").isNotNull)
       .groupBy(col("d")).agg(count(lit(1)).as("nd"))
-      .localCheckpoint(true)
+      .truncate(true)
     val dCount = census.count()
     require(dCount >= 1 && dCount <= 100000,
       s"Mixture.unimaxAllocationE6: $dCount domains — the allocation " +

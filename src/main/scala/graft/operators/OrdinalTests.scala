@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** Ordinal two/k-sample tests on bounded-domain integer values, exact
   * via value-census cross terms — three members the rank family
@@ -33,7 +34,7 @@ object OrdinalTests {
         value.cast("long").as("v"))
       .where(col("a").isNotNull && col("v").isNotNull)
       .groupBy(col("a"), col("v")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .truncate(true)
     val d = (c: Column) => c.cast("decimal(38,0)")
     val zero = lit(0).cast("decimal(38,0)")
     val av = cells.where(col("a")).select(col("v").as("va"),
@@ -79,7 +80,7 @@ object OrdinalTests {
         value.cast("long").as("v"))
       .where(col("g").isNotNull && col("v").isNotNull)
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .truncate(true)
     val zero = lit(0).cast("decimal(38,0)")
     // A naive census×census ON g_a < g_b is a nested-loop join that
     // goes quadratic in |value domain|. Instead: zero-filled
@@ -144,7 +145,7 @@ object OrdinalTests {
     import org.apache.spark.sql.expressions.Window
     val base = df.select(group.as("g"), value.cast("long").as("v"))
       .where(col("g").isNotNull && col("v").isNotNull)
-      .localCheckpoint(true)
+      .truncate(true)
     val wLe = Window.partitionBy(Census.onePartKey(col("v"))).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val whole = Window.partitionBy(Census.onePartKey(col("v"))).orderBy(col("v"))
@@ -161,7 +162,7 @@ object OrdinalTests {
         .as("le"),
         sum(when(col("v") > col("median_v"), 1L).otherwise(0L))
         .as("gtc"))
-      .localCheckpoint(true)
+      .truncate(true)
     val tot = counts.agg(sum(col("le") + col("gtc")).as("n"),
       count(lit(1)).as("k"), sum(col("le")).as("cle"),
       sum(col("gtc")).as("cgt"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** Adjusted Rand Index between two partitions of the same units
   * (Hubert & Arabie 1985) — chance-corrected pair-level agreement:
@@ -36,7 +37,7 @@ object PartitionCompare {
       .where(col("la").isNotNull && col("lb").isNotNull)
       .groupBy(col("la"), col("lb"))
       .agg(count(lit(1)).as("nij"))
-      .localCheckpoint(true) // three census consumers below
+      .truncate(true) // three census consumers below
     val d = (c: Column) => c.cast("decimal(38,0)")
     val cells = cont.agg(sum(col("nij")).as("n"),
       sum(d(col("nij")) * (col("nij") - 1)).as("sq_ij"))

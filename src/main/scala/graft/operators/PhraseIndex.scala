@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** Positional inverted index + exact phrase search — the text-retrieval
   * primitive BM25 (q72) deliberately ignores: BM25's postings are
@@ -43,7 +44,7 @@ object PhraseIndex {
       m.groupBy("doc_id")
         .agg(count(lit(1)).as("n_matches"),
           min(col("start")).as("first_pos"))
-        .localCheckpoint(true)
+        .truncate(true)
     } finally postings.unpersist(): Unit
   }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** Preference-pair rating aggregation — the batch op that turns raw
   * pairwise comparisons ("A beat B") into per-item strength ratings, the
@@ -192,7 +193,7 @@ object Preference {
         """CASE WHEN alpha_den = 0 THEN NULL
           | ELSE CAST(alpha_num * 1000000 div alpha_den AS BIGINT) END"""
           .stripMargin))
-      .localCheckpoint(true)
+      .truncate(true)
     cell.unpersist()
     out
   }
@@ -238,7 +239,7 @@ object Preference {
            | ELSE -((-__m + ${bucketE6 - 1L}) div $bucketE6) END"""
           .stripMargin))
       .groupBy(col("margin_bucket")).agg(count(lit(1)).as("n_pairs"))
-      .localCheckpoint(true) // |buckets| rows; feeds rows + denominator
+      .truncate(true) // |buckets| rows; feeds rows + denominator
     h.crossJoin(broadcast(h.agg(sum(col("n_pairs")).as("__tot"))))
       .select(col("margin_bucket"), col("n_pairs"),
         expr("n_pairs * 1000000 div __tot").as("share_e6"))
@@ -373,7 +374,7 @@ object Preference {
         .select(col("i"), col("m.l").as("cl"))
     var cur = argmax(
       votes.groupBy(col("i"), col("l")).agg(count(lit(1)).as("n")),
-      col("n")).localCheckpoint(true)
+      col("n")).truncate(false)
     for (_ <- 1 to iterations) {
       val acc = votes.join(mbI(cur), Seq("i"))
         .groupBy(col("a"))
@@ -390,13 +391,16 @@ object Preference {
         else lit(0L)
       val tally = votes.join(mbA(acc.select(col("a"), w.as("w"))), Seq("a"))
         .groupBy(col("i"), col("l")).agg(sum(col("w")).as("s"))
-      cur = argmax(tally, col("s")).localCheckpoint(true)
+      // lazy: the next consumer (the following round's broadcast build,
+      // or the eager final pin) materializes the blocks — the per-round
+      // eager-checkpoint job was scheduler floor (r16, verdict item 7)
+      cur = argmax(tally, col("s")).truncate(false)
     }
     val out = mbI(cur)
       .join(votes.groupBy(col("i")).agg(count(lit(1)).as("n_votes")),
         Seq("i"))
       .select(col("i").as("item"), col("cl").as("label"), col("n_votes"))
-      .localCheckpoint(true)
+      .truncate(true)
     votes.unpersist()
     out
   }
@@ -442,16 +446,21 @@ object Preference {
         .unionByName(terms.select(col("b").as("id"), col("t")))
         .groupBy(col("id")).agg(sum(col("t")).as("d"))
       // Materialize the round subtree ONCE (r15 optimization round):
-      // checkpoint `raw` eagerly, then the broadcast max and the
-      // renormalized frame both read the LogicalRDD leaf. The previous
-      // shape (checkpoint AFTER the crossJoin) executed the full
+      // checkpoint `raw`, then the broadcast max and the renormalized
+      // frame both read the LogicalRDD leaf. The previous shape
+      // (checkpoint AFTER the crossJoin) executed the full
       // join+aggregate round twice per iteration — once under the
       // max-broadcast build, once under the checkpoint. Plan depth
       // stays constant: the lazy residue per round is leaf+crossJoin.
+      // LAZY since r16: the max-broadcast build is the next job anyway
+      // and computes every partition, so it materializes the checkpoint
+      // blocks itself — the separate eager-checkpoint job per round was
+      // pure scheduler floor (verdict item 7, actions-per-gate audit:
+      // q333 ran 42 jobs at sf0.001).
       val rawCp = items.join(denom, Seq("id"))
         .select(col("id"),
           greatest(lit(1L), expr("wins * 1000000000000L div d")).as("r"))
-        .localCheckpoint(true)
+        .truncate(false)
       val m = rawCp.agg(max(col("r")).as("m"))
       r = rawCp.crossJoin(broadcast(m))
         .select(col("id"),
@@ -460,7 +469,7 @@ object Preference {
     val out = items.join(r, Seq("id"))
       .select(col("id").as("item"), col("r").as("rating_e6"),
         col("wins"), col("comparisons"))
-      .localCheckpoint(true) // pin before dropping the caches it reads
+      .truncate(true) // pin before dropping the caches it reads
     und.unpersist()
     items.unpersist()
     out
@@ -610,11 +619,13 @@ object Preference {
         .agg(sum(col("d").cast("decimal(38,0)")).as("dd"))
       // Same single-materialization renorm as [[bradleyTerryE6]] (r15
       // optimization round): the round subtree runs once, not twice.
+      // Lazy since r16 — the max job materializes the blocks (see
+      // bradleyTerryE6).
       val rawCp = items.join(denom, Seq("id"))
         .select(col("id"), greatest(lit(1L),
           expr("CAST(CAST(wins + ties AS DECIMAL(38,0)) * 1000000000000" +
             " div dd AS BIGINT)")).as("r"))
-        .localCheckpoint(true)
+        .truncate(false)
       val m = rawCp.agg(max(col("r")).as("m"))
       r = rawCp.crossJoin(broadcast(m))
         .select(col("id"),
@@ -623,7 +634,7 @@ object Preference {
     val out = items.join(r, Seq("id"))
       .select(col("id").as("item"), col("r").as("rating_e6"),
         col("wins"), col("ties"), col("comparisons"))
-      .localCheckpoint(true)
+      .truncate(true)
     und.unpersist()
     items.unpersist()
     out
@@ -693,7 +704,7 @@ object Preference {
     votes.groupBy(col("i"), col("c")).agg(count(lit(1)).as("cc"))
       .withColumn("nr", sum(col("cc")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("i"))))
-      .localCheckpoint(true) // item stats, marginals, dropped all read it
+      .truncate(true) // item stats, marginals, dropped all read it
   }
 
   def fleissKappaE6(df: DataFrame, item: Column, rater: Column,
@@ -810,7 +821,7 @@ object Preference {
     val per = base.groupBy(col("i"))
       .agg(count(lit(1)).as("nr"), sum(col("x")).as("t"),
         sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("xx"))
-      .localCheckpoint(true)
+      .truncate(true)
     val dropped = per.agg(
       sum(when(col("nr") =!= k.toLong, 1L).otherwise(0L)).as("n_dropped"))
     per.where(col("nr") === k.toLong)
@@ -873,7 +884,7 @@ object Preference {
       .withColumn("pass_e6",
         expr("1000000L - (CAST(1000000 AS DECIMAL(38,0)) * __num) div __den"))
       .select(col("task"), col("n"), col("c"), col("pass_e6"))
-      .localCheckpoint(true)
+      .truncate(true)
     tasks.unpersist()
     out
   }
@@ -1009,7 +1020,7 @@ object Preference {
         col("sec").isNotNull)
       .groupBy(col("tr"), col("bad"), col("sec"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true) // both arms read the census
+      .truncate(true) // both arms read the census
     val t = cells.where(col("tr")).select(col("bad").as("tb"),
       col("sec").as("ts"), col("n").as("nt"))
     val c = cells.where(!col("tr")).select(col("bad").as("cb"),

@@ -4,6 +4,7 @@ import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import graft.Checkpoints.TruncateOps
 
 /** Distributed prefix scan for a running MAX over a total order —
   * `max(v) OVER (ORDER BY …)` without the single-reducer window: the
@@ -72,7 +73,7 @@ object PrefixScan {
           Row.fromSeq(r.toSeq :+ run)
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
-      out.localCheckpoint(true).drop("__psv")
+      out.truncate(true).drop("__psv")
     } finally { sorted.unpersist(); withV.unpersist(): Unit }
   }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** Bilateral price indices (index-number theory: Laspeyres 1871,
   * Paasche 1874, Fisher 1922) — "how much did this basket's price
@@ -34,10 +35,10 @@ object PriceIndex {
         .groupBy(col("item"))
         .agg(sum(col("__v")).as(s"${p}v"), sum(col("__q")).as(s"${p}q"))
         .withColumn(s"${p}p", expr(s"${p}v div ${p}q"))
-    val b = unit(base, "b").localCheckpoint(true)
-    val c = unit(curr, "c").localCheckpoint(true)
+    val b = unit(base, "b").truncate(true)
+    val c = unit(curr, "c").truncate(true)
     val m = b.join(c, Seq("item"))
-      .localCheckpoint(true) // three aggregates read the matched set
+      .truncate(true) // three aggregates read the matched set
     val counts = b.join(c.select(col("item")), Seq("item"), "left_anti")
       .agg(count(lit(1)).as("n_only_base"))
       .crossJoin(broadcast(

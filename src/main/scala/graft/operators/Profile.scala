@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** One-pass data profiling (the Deequ/Great-Expectations shape): per-column
   * row/null/distinct counts and min/max over an arbitrary column list,
@@ -380,7 +381,7 @@ object Profile {
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+    val wide = df.agg(aggs.head, aggs.tail: _*).truncate(true)
     val stackArgs = cols
       .map(c => s"'$c', __nulls_$c, __ndv_$c, __min_$c, __max_$c")
       .mkString(", ")
@@ -408,7 +409,7 @@ object Profile {
         y.cast("string").as("__y"))
       .where(col("__x").isNotNull && col("__y").isNotNull)
       .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("nxy"))
-      .localCheckpoint(true) // census grain: margins re-read this
+      .truncate(true) // census grain: margins re-read this
     val nx = cells.groupBy(col("__x")).agg(sum(col("nxy")).as("nx"))
     val ny = cells.groupBy(col("__y")).agg(sum(col("nxy")).as("ny"))
     val nTot = cells.agg(sum(col("nxy")).as("n"))
@@ -437,7 +438,7 @@ object Profile {
         y.cast("string").as("__y"))
       .where(col("__x").isNotNull && col("__y").isNotNull)
       .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("nxy"))
-      .localCheckpoint(true)
+      .truncate(true)
     val nx = cells.groupBy(col("__x")).agg(sum(col("nxy")).as("nx"))
     val ny = cells.groupBy(col("__y")).agg(sum(col("nxy")).as("ny"))
     val nTot = cells.agg(sum(col("nxy")).as("n"),

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** Little's-law consistency audit (Little 1961): L = λ·W ties
   * time-average concurrency to arrival rate × mean sojourn. The
@@ -36,7 +37,7 @@ object Queueing {
       .groupBy(col("u"))
       .agg(min(col("t")).as("s"), max(col("t")).as("e"))
       .withColumn("dur", col("e") - col("s"))
-      .localCheckpoint(true) // horizon, sums, and grid join read it
+      .truncate(true) // horizon, sums, and grid join read it
     val horizon = spans.agg(min(col("s")).as("h0"), max(col("e")).as("h1"),
         count(lit(1)).as("n"), sum(col("dur")).as("sumdur"))
       .withColumn("hms", col("h1") - col("h0"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** Iterative proportional fitting / raking (Deming & Stephan 1940) —
   * the survey-calibration step every production analytics stack runs
@@ -82,7 +83,7 @@ object Raking {
       // lineage fast; the eager per-round checkpoint keeps the planner
       // linear (same documented necessity as the Bradley–Terry MM
       // rounds in Preference.bradleyTerryE6).
-      cells = cells.localCheckpoint(true)
+      cells = cells.truncate(true)
     }
     cells.select(col("rk"), col("ck"), col("n"), col("w_e6"))
   }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter 1969;
   * the model behind every production entity-resolution system —
@@ -107,7 +108,7 @@ object RecordLinkage {
         Seq(wAgreeExpr(f, s"$m").as(s"__wa_$f"),
           wDisagreeExpr(f, s"$m").as(s"__wd_$f"))
       }: _*)
-      .localCheckpoint(true)
+      .truncate(true)
     bKeep.unpersist()
     census.crossJoin(broadcast(uRow))
       .withColumn("score_e6", fields.map { case (f, _) =>
@@ -132,12 +133,12 @@ object RecordLinkage {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val names = idCol +: (blockCols ++ fields.map(_._1))
     val bKeep = b.select(names.map(col): _*).persist(mem)
-    val uRow = uPpmRow(bKeep, fields.map(_._1)).localCheckpoint(true)
+    val uRow = uPpmRow(bKeep, fields.map(_._1)).truncate(true)
     bKeep.unpersist()
     val pat = census
       .groupBy(fields.map { case (f, _) => col(s"__g_$f") }: _*)
       .agg(sum(col("__cnt")).as("__cnt"))
-      .localCheckpoint(true)
+      .truncate(true)
     emMRounds(pat, uRow, fields, thresholdE6, rounds)
   }
 
@@ -158,7 +159,7 @@ object RecordLinkage {
         Seq(col(s"__u_$f"), wAgreeExpr(f, s"$m").as(s"__wa_$f"),
           wDisagreeExpr(f, s"$m").as(s"__wd_$f"))
       }: _*)
-      .localCheckpoint(true)
+      .truncate(true)
     // the persist amortizes b across the |fields|+1 u aggregates, all
     // materialized by the eager checkpoint above; the pair join below
     // re-reads the source instead of holding the cache for the
@@ -212,7 +213,7 @@ object RecordLinkage {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val names = idCol +: (blockCols ++ fields.map(_._1))
     val bKeep = b.select(names.map(col): _*).persist(mem)
-    val uRow = uPpmRow(bKeep, fields.map(_._1)).localCheckpoint(true)
+    val uRow = uPpmRow(bKeep, fields.map(_._1)).truncate(true)
     bKeep.unpersist()
     val aa = a.select(blockCols.map(col) ++
       fields.map { case (f, _) => col(f).as(s"__a_$f") }: _*)
@@ -225,7 +226,7 @@ object RecordLinkage {
           .as(s"__g_$f")
       }: _*)
       .agg(count(lit(1)).as("__cnt"))
-      .localCheckpoint(true)
+      .truncate(true)
     emMRounds(pat, uRow, fields, thresholdE6, rounds)
   }
 
@@ -237,7 +238,7 @@ object RecordLinkage {
     // parameter state: one row of __m_<f> ppm (u is static in uRow)
     var state = uRow.select(uRow.columns.map(col) ++
       fields.map { case (f, m) => lit(m).as(s"__m_$f") }: _*)
-      .localCheckpoint(true)
+      .truncate(true)
     def weights(st: DataFrame): DataFrame = st.select(
       st.columns.map(col) ++ fields.flatMap { case (f, _) =>
         Seq(wAgreeExpr(f, s"__m_$f").as(s"__wa_$f"),
@@ -264,12 +265,12 @@ object RecordLinkage {
               " div (coalesce(__nl, 0) + 2)"),
             lit(999999L)), lit(1L)).as(s"__m_$f")
         }: _*)
-        .localCheckpoint(true)
+        .truncate(true)
     }
     val finalLinked = scored(state).where(col("__score") >= thresholdE6)
       .agg(coalesce(sum(col("__cnt")), lit(0L)).as("__nl"))
     val full = weights(state).crossJoin(broadcast(finalLinked))
-      .localCheckpoint(true)
+      .truncate(true)
     fields.map { case (f, _) =>
       full.select(lit(f).as("field"), col(s"__m_$f").as("m_ppm"),
         col(s"__u_$f").as("u_ppm"), col(s"__wa_$f").as("wa_e6"),

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** Vocabulary-richness and unseen-mass estimation — the "how much of
   * this corpus' vocabulary have we actually seen" readout that sits
@@ -124,7 +125,7 @@ object Richness {
       .groupBy(col("g"), col("r"))
       .agg(count(lit(1)).as("n_r"))
       .where(col("r") <= maxR + 1)
-      .localCheckpoint(true) // both sides of the r+1 self-join read it
+      .truncate(true) // both sides of the r+1 self-join read it
     spectrum.where(col("r") <= maxR)
       .join(spectrum.select(col("g"), (col("r") - 1).as("r"),
         col("n_r").as("n_r1")), Seq("g", "r"), "left")

@@ -16,11 +16,20 @@ import graft.agg.BloomSketch
   * lets the same filter be persisted and reused across queries against an
   * unchanged dim snapshot.
   *
-  * Plan shape (pinned in PlanSpec): dim agg → one-row bitset broadcast
-  * (BroadcastNestedLoopJoin) → `bloom_might_contain` Filter directly over
-  * the fact scan, BELOW the join's exchange → exact join. False positives
-  * are removed by the exact join; false negatives are impossible; the
-  * result is exactly the un-pruned join's.
+  * Plan shape: dim agg → ONE-ROW driver fetch of the bitset → a
+  * `bloom_might_contain` Filter with the bitset as a BinaryType literal,
+  * directly over the fact scan, BELOW the join's exchange → exact join.
+  * False positives are removed by the exact join; false negatives are
+  * impossible; the result is exactly the un-pruned join's.
+  *
+  * r16: the bitset used to arrive via a one-row broadcast
+  * crossJoin — but a BroadcastNestedLoopJoin COPIES the joined row, so
+  * every fact row paid an UnsafeRow write of the full bitset
+  * (numBits/8 bytes · |fact| — measured ~11 s for a 128 KB filter over
+  * 600k rows at sf0.1, ~77 GB of memcpy, vs ~0.3 s as a literal
+  * predicate). The driver fetch is one row of numBits/8 bytes — the
+  * same bounded-fetch contract as the q76 probe collect — and the
+  * filter now rides whole-stage codegen straight off the scan.
   */
 object RuntimeFilter {
 
@@ -30,11 +39,10 @@ object RuntimeFilter {
   def bloomPrune(fact: DataFrame, factKey: String, dim: DataFrame,
       dimKey: String, numBits: Int, numHashes: Int): DataFrame = {
     BloomSketch.register(fact.sparkSession)
-    val bloom = dim.agg(
-      BloomSketch.bloomBits(col(dimKey), numBits, numHashes).as("__bloom"))
-    fact.join(broadcast(bloom))
-      .where(BloomSketch.mightContain(col("__bloom"), col(factKey)))
-      .drop("__bloom")
+    val bloomBytes = dim.agg(
+        BloomSketch.bloomBits(col(dimKey), numBits, numHashes).as("__bloom"))
+      .head().getAs[Array[Byte]](0)
+    fact.where(BloomSketch.mightContain(lit(bloomBytes), col(factKey)))
   }
 
   /** Exact left-semi join, Bloom-pruned: semantically identical to

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** Grid-partitioned neighborhood (distance) self-join — the spatial-join
   * shape: all point pairs within an L∞ box (|Δx| ≤ rx AND |Δy| ≤ ry),
@@ -106,21 +107,21 @@ object SpatialJoin {
       .select(col("a"), col("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = core.select(col("cid"), col("cid").as("lab"))
-      .localCheckpoint(true)
+      .truncate(true)
     for (_ <- 1 to rounds) {
       val nb = edges.join(labels.select(col("cid").as("b"), col("lab")), "b")
         .groupBy(col("a").as("cid")).agg(min(col("lab")).as("nb"))
       val swept = labels.join(nb, Seq("cid"), "left")
         .select(col("cid"), least(col("lab"), coalesce(col("nb"),
           col("lab"))).as("lab"))
-        .localCheckpoint(true)
+        .truncate(true)
       // pointer shortcut: labels always point at core cells, so chase
       // one indirection — doubles the reach covered per pair
       labels = swept
         .join(swept.select(col("cid").as("lab"), col("lab").as("lab2")),
           Seq("lab"))
         .select(col("cid"), col("lab2").as("lab"))
-        .localCheckpoint(true)
+        .truncate(true)
     }
     core.join(labels, "cid")
       .select(col("cx"), col("cy"), col("n_points"),

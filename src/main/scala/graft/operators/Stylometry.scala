@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** Burrows' Delta authorship/provenance attribution (Burrows 2002;
   * Argamon 2008 for the formal reading) — the standard stylometric
@@ -40,7 +41,7 @@ object Stylometry {
     val toks = docs.select(col(idCol).as("id"), col(groupCol).as("g"),
         explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
       .where(length(col("w")) > 0)
-      .localCheckpoint(true) // word census, group grid, doc grid
+      .truncate(true) // word census, group grid, doc grid
     val topW = toks.groupBy(col("w")).agg(count(lit(1)).as("f"))
       .orderBy(col("f").desc, col("w")).limit(topWords)
       .select(col("w"))
@@ -53,7 +54,7 @@ object Stylometry {
       .join(gTotals, Seq("g"))
       .select(col("g"), col("w"),
         expr("coalesce(c, 0) * 1000000000 div gt").as("rf"))
-      .localCheckpoint(true)
+      .truncate(true)
     // cross-profile moments per word (k = #groups)
     val wstats = gGrid.groupBy(col("w"))
       .agg(count(lit(1)).as("k"), sum(col("rf")).as("srf"),

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** Training-dynamics data-quality maps over a per-epoch binary signal —
   * the two classic example-difficulty diagnostics, reduced to their
@@ -48,7 +49,7 @@ object TrainingDynamics {
       .where(col("u").isNotNull && col("ep").isNotNull)
       .groupBy(col("u"), col("ep"))
       .agg(max(when(col("x"), 1L).otherwise(0L)).as("x"))
-      .localCheckpoint(true) // grid + distinct sides all read it
+      .truncate(true) // grid + distinct sides all read it
     val epochs = cells.select(col("ep")).distinct()
     val nEp = epochs.count()
     require(nEp >= 1 && nEp <= maxEpochs,

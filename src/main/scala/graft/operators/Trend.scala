@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** Per-group linear trend (ordinary least squares on one regressor) via
   * integer sufficient statistics — the monitoring question "is this
@@ -704,7 +705,7 @@ object Trend {
     val base = base0.withColumn("rn",
         Census.guardLong(row_number().over(wOrd).cast("long"),
           count(lit(1)).over(whole), "Trend.hurstRsE6"))
-      .localCheckpoint(true)
+      .truncate(true)
     val tagged = windows.map(w => base.withColumn("w", lit(w.toLong)))
       .reduce(_ unionByName _)
       .withColumn("blk", expr("(rn - 1) div w"))
@@ -739,7 +740,7 @@ object Trend {
     val perW = blocks.groupBy(col("w"))
       .agg(count(lit(1)).as("n_blocks"), sum(col("rs_e6")).as("__srs"))
       .withColumn("mean_rs_e6", expr("__srs div n_blocks"))
-      .localCheckpoint(true)
+      .truncate(true)
     val pts = perW.select(
       expr("CAST(round(ln(CAST(w AS DOUBLE)) * 1000.0) AS BIGINT)")
         .as("lx"),

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** Unigram-LM tokenizer training (Kudo 2018, the SentencePiece unigram
   * model) in its deterministic hard-EM form — the subword sibling of
@@ -51,7 +52,7 @@ object UnigramLm {
       .where(col("word").rlike("^[a-z]+$"))
       .select(substring(col("word"), 1, maxWordLen).as("word"), col("cnt"))
       .groupBy("word").agg(sum("cnt").as("cnt"))
-      .localCheckpoint(true) // distinct-word grain; every stage reads it
+      .truncate(true) // distinct-word grain; every stage reads it
 
   /** Segmentation edges (word, cnt, start, end, piece) for in-vocab
     * pieces — static across EM rounds, only the log-probs move. */
@@ -66,7 +67,7 @@ object UnigramLm {
       .select(col("word"), col("cnt"), col("sp.start").as("start"),
         col("sp.end").as("end"), col("sp.piece").as("piece"))
       .join(vocabPieces.select("piece"), Seq("piece"))
-      .localCheckpoint(true)
+      .truncate(true)
 
   /** One Viterbi pass: forward DP (longer-piece tie-break) +
     * backtrack, emitting one (word, cnt, piece) row per chosen piece
@@ -147,20 +148,20 @@ object UnigramLm {
            |    l -> substring(word, s + 1, l))))""".stripMargin))
         .as("piece"))
       .groupBy("piece").agg(sum("cnt").as("scnt"))
-      .localCheckpoint(true)
+      .truncate(true)
     val top = sub.orderBy(col("scnt").desc, col("piece").asc)
       .limit(vocabSize)
     val chars = sub.where(length(col("piece")) === 1)
     val vocab = top.unionByName(chars)
       .groupBy("piece").agg(max("scnt").as("scnt"))
-      .localCheckpoint(true)
+      .truncate(true)
     def logProbs(counts: DataFrame, cntCol: String): DataFrame = {
       val tot = counts.agg(sum(col(cntCol)).as("__t"))
       counts.crossJoin(broadcast(tot))
         .select(col("piece"), expr(
           s"""CAST(round(ln(CAST($cntCol AS DOUBLE) / CAST(__t AS DOUBLE))
              | * 1000000.0) AS BIGINT)""".stripMargin).as("logp_e6"))
-        .localCheckpoint(true)
+        .truncate(true)
     }
     val e = edgeFrame(wc, vocab, pieceMaxLen)
     var v = logProbs(vocab, "scnt")
@@ -172,7 +173,7 @@ object UnigramLm {
           Seq("piece"), "left")
         .select(col("piece"),
           (coalesce(col("ecnt"), lit(0L)) + 1L).as("vcnt")) // Laplace
-        .localCheckpoint(true)
+        .truncate(true)
       v = logProbs(counts, "vcnt")
     }
     counts.join(v, Seq("piece"))

@@ -35,7 +35,13 @@ class BloomSketchSpec extends SparkSpec {
   }
 
   test("bloomSemiJoin equals the exact semi-join; prune runs below the join") {
-    val fact = (0L until 5000L).map(i => (i % 400L, i)).toDF("fk", "payload")
+    // parquet-backed fact: a LocalRelation fixture would let
+    // ConvertToLocalRelation evaluate the literal-bitset probe (r16
+    // shape) driver-side and fold the Filter away before the plan check
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    (0L until 5000L).map(i => (i % 400L, i)).toDF("fk", "payload")
+      .write.mode("overwrite").parquet(s"$dir/fact")
+    val fact = spark.read.parquet(s"$dir/fact")
     val dim = (0L until 400L by 5L).toDF("dk")
     val pruned = RuntimeFilter.bloomSemiJoin(fact, "fk", dim, "dk",
       numBits = 8192, numHashes = 5)
