@@ -29,6 +29,26 @@ object GateSupport {
 
   private[graft] def cents(c: Column): Column = ContentMetrics.cents(c)
 
+  /** Run INDEPENDENT driver actions on overlapped threads (guide §2.6):
+    * Spark schedules concurrent jobs FIFO, so the later job's tasks
+    * back-fill executors freed by the earlier job's tail instead of
+    * waiting out the whole job. Only for actions with no ordering
+    * between them (e.g. the q217 fact/dim commits to two separate
+    * tables). Rethrows the first failure after all tasks settle. */
+  private[graft] def inParallel(tasks: (() => Unit)*): Unit = {
+    if (tasks.lengthCompare(1) <= 0) { tasks.foreach(_.apply()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(tasks.length, 4))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(
+        tasks.map(t => scala.concurrent.Future(t()))),
+      scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
+    ()
+  }
+
   /** Shared record-linkage fixture (q343/q346/q347): customers vs a
     * deterministically perturbed copy — typo'd names (every 11th),
     * shifted balances (±1800 cents by key), corrupted segments (every

@@ -109,9 +109,11 @@ object MachineryGates extends GateFamily {
         df => df.select(col("k"), col("cust"), col("segment"),
           col("price_cents")),
         s"$root/_ckpt")
-      fact.upsert(f1); dim.upsert(d1)
+      // fact and dim are separate tables with no ordering between their
+      // commits — overlap each round's two write jobs (r16, guide §2.6)
+      inParallel(() => { fact.upsert(f1); () }, () => { dim.upsert(d1); () })
       djt.refresh(s)
-      fact.upsert(f2); dim.upsert(d2)
+      inParallel(() => { fact.upsert(f2); () }, () => { dim.upsert(d2); () })
       djt.refresh(s)
       view.snapshot(s).select("k", "cust", "segment", "price_cents")
     }),
